@@ -1,0 +1,16 @@
+"""log_analysis_ai_ray — a Ray-Data-native log/telemetry processing engine.
+
+A from-scratch rebuild of the capabilities of GetSherlog/log-analysis-ai
+(reference snapshot at /root/reference, studied read-only) expressed as
+idiomatic Ray Data pipelines: ``ray.data.read_parquet`` sources,
+vectorized ``map_batches`` over zero-copy Arrow batches, actor pools for
+stateful stages, ``groupby``/``sort`` for the wide steps, and
+partitioned Parquet fan-out sinks.
+
+Nothing here is a port of the reference's C++ execution engine; the
+reference defines WHAT to compute (parser semantics, Drain template
+mining, enrichment, aggregate shapes — see SURVEY.md for file:line
+citations), and this package re-expresses it Ray-Data-first.
+"""
+
+__version__ = "0.1.0"

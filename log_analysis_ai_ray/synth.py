@@ -1,0 +1,344 @@
+"""Deterministic synthetic Common-Crawl-style `pages` table (FIXTURES.md F1).
+
+The table shape is fixed by BASELINE.json ``input_hint``:
+``(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)``. Each page's ``text`` is 1–20 synthetic log lines
+rendered from a fixed template pool (F1a) with seeded parameters, so the
+expected Drain output (template set, per-template counts) is known in
+closed form.
+
+Determinism: generation is split into ``n_files`` independent shards;
+shard ``i`` is generated entirely from ``default_rng((seed, i))`` and
+covers global row range ``[start_i, end_i)``. The same ``(n_pages,
+seed, n_files)`` therefore yields byte-identical output regardless of
+how many shards are generated in parallel — and a resumable generator
+can skip shards whose files already exist.
+
+Line shapes mirror the reference's only fixture
+(``/root/reference/python/samples/sample_logs.jsonl`` rows 1–5) plus
+access-log / kv styles exercising the parser family semantics
+(SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import PAGES_SCHEMA
+
+SEED = 42
+
+# ---------------------------------------------------------------------------
+# F1a template pool. {ts} {int} {float} {word} {ip} are parameter slots.
+# `expected_template` = what Drain should converge to after the preprocess
+# stage strips the leading "[{ts}] " header (reference strip patterns,
+# /root/reference/src/drain_parser.cpp:97-105) and masking/mining wildcard
+# the parameters. Weights are Zipf-ish; template 0 is the hot key
+# (~30% of lines) for skew tests.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LineTemplate:
+    fmt: str
+    level: str  # "" for non-leveled (access-log style) lines
+    weight: float
+
+    @property
+    def expected_template(self) -> str:
+        """Post-mining normalized template (closed form).
+
+        Header ``[{ts}] `` is stripped by the preprocess stage. Numeric
+        slots ({int}/{float}/{ip}) are masked deterministically inside
+        their token; a token containing {word} varies across lines, so
+        Drain wildcards the WHOLE token when merging.
+        """
+        body = self.fmt
+        if body.startswith("[{ts}] "):
+            body = body[len("[{ts}] "):]
+        out_tokens = []
+        for tok in body.split(" "):
+            if "{word}" in tok:
+                out_tokens.append("<*>")
+            else:
+                for slot in ("{ts}", "{int}", "{float}", "{ip}"):
+                    tok = tok.replace(slot, "<*>")
+                out_tokens.append(tok)
+        return " ".join(out_tokens)
+
+
+TEMPLATES: list[LineTemplate] = [
+    LineTemplate("[{ts}] INFO Server started on port {int}", "INFO", 30.0),
+    LineTemplate("[{ts}] INFO User {word} logged in from {ip}", "INFO", 12.0),
+    LineTemplate("[{ts}] WARN High CPU usage detected: {float} percent", "WARN", 8.0),
+    LineTemplate("[{ts}] ERROR Failed to connect to database {word} after {int} retries", "ERROR", 6.0),
+    LineTemplate("[{ts}] DEBUG Cache hit ratio {float} for shard {int}", "DEBUG", 5.0),
+    LineTemplate("GET /api/v1/{word}/{int} {int} {int}ms", "", 5.0),
+    LineTemplate("POST /api/v1/{word} {int} {int}ms", "", 4.0),
+    LineTemplate("[{ts}] INFO Request completed in {int}ms", "INFO", 4.0),
+    LineTemplate("[{ts}] INFO User {word} logged out", "INFO", 3.0),
+    LineTemplate("[{ts}] WARN Disk usage at {float} percent on {word}", "WARN", 3.0),
+    LineTemplate("[{ts}] ERROR Timeout after {int}ms calling {word}", "ERROR", 2.5),
+    LineTemplate("[{ts}] INFO Scheduled job {word} finished in {float}s", "INFO", 2.5),
+    LineTemplate("[{ts}] DEBUG GC pause {int}ms heap {int}MB", "DEBUG", 2.0),
+    LineTemplate("[{ts}] INFO Connection from {ip} accepted", "INFO", 2.0),
+    LineTemplate("[{ts}] WARN Retry {int} of {int} for request {word}", "WARN", 1.8),
+    LineTemplate("[{ts}] ERROR Unhandled exception in {word}: code {int}", "ERROR", 1.6),
+    LineTemplate("[{ts}] INFO Cache evicted {int} entries", "INFO", 1.5),
+    LineTemplate("[{ts}] INFO Worker {int} heartbeat ok", "INFO", 1.4),
+    LineTemplate("[{ts}] WARN Queue depth {int} exceeds threshold {int}", "WARN", 1.2),
+    LineTemplate("[{ts}] ERROR Permission denied for user {word} on {word}", "ERROR", 1.0),
+    LineTemplate("[{ts}] DEBUG Session {word} touched by {ip}", "DEBUG", 1.0),
+    LineTemplate("[{ts}] INFO Flushed {int} rows to {word}", "INFO", 0.9),
+    LineTemplate("[{ts}] WARN Certificate for {word} expires in {int} days", "WARN", 0.8),
+    LineTemplate("[{ts}] INFO Autoscaler set replicas to {int}", "INFO", 0.7),
+    LineTemplate("[{ts}] ERROR Checksum mismatch for block {int}", "ERROR", 0.6),
+]
+
+WORDS = np.array(
+    [
+        "alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi",
+        "ivan", "judy", "mallory", "oscar", "peggy", "trent", "victor",
+        "wendy", "orders", "billing", "search", "auth", "payments", "users",
+        "inventory", "shipping", "analytics", "cache", "primary", "replica",
+        "eu-west", "us-east",
+    ]
+)
+
+LANGS = np.array(["en", "de", "fr", "es", "zh", "und"])
+LANG_P = np.array([0.6, 0.1, 0.1, 0.08, 0.07, 0.05])
+
+N_DOMAINS = 50
+BASE_TS = np.datetime64("2025-01-01T00:00:00", "us")
+SPAN_SECONDS = 30 * 24 * 3600
+
+_W = np.array([t.weight for t in TEMPLATES])
+TEMPLATE_P = _W / _W.sum()
+
+HTML_VARIANTS = [
+    ("<html><body>", "</body></html>"),
+    ("<html><head><title>page</title></head><body>", "</body></html>"),
+    ("<html><body><div class=\"main\">", "</div></body></html>"),
+]
+
+# Domain popularity: Zipf over 50 domains.
+_DW = 1.0 / np.arange(1, N_DOMAINS + 1, dtype=np.float64)
+DOMAIN_P = _DW / _DW.sum()
+
+
+def domain_tier(k: int) -> str:
+    """Deterministic enrichment ground truth: domain rank → tier."""
+    return "tier1" if k < 5 else ("tier2" if k < 20 else "tier3")
+
+
+DOMAIN_TIERS: dict[str, str] = {
+    f"example{k}.com": domain_tier(k) for k in range(N_DOMAINS)
+}
+
+LANG_NAMES: dict[str, str] = {
+    "en": "English", "de": "German", "fr": "French", "es": "Spanish",
+    "zh": "Chinese", "und": "Unknown",
+}
+
+
+def _split_fmt(fmt: str) -> list[str]:
+    """Split a template fmt into literal / slot pieces in order."""
+    pieces, rest = [], fmt
+    slots = ("{ts}", "{int}", "{float}", "{word}", "{ip}")
+    while rest:
+        nxt = min(((rest.find(s), s) for s in slots if rest.find(s) >= 0),
+                  default=None)
+        if nxt is None:
+            pieces.append(rest)
+            break
+        pos, slot = nxt
+        if pos:
+            pieces.append(rest[:pos])
+        pieces.append(slot)
+        rest = rest[pos + len(slot):]
+    return pieces
+
+
+import pyarrow.compute as pc  # noqa: E402
+
+
+def _render_lines(rng: np.random.Generator, n_lines: int,
+                  line_ts: np.ndarray) -> tuple[pa.Array, np.ndarray]:
+    """Render n_lines log lines; returns (string array, template_idx).
+
+    All concatenation happens in Arrow's binary_join_element_wise kernel
+    (one C pass), not Python string ops.
+    """
+    tidx = rng.choice(len(TEMPLATES), size=n_lines, p=TEMPLATE_P)
+    # Pre-draw parameter pools; each template consumes what it needs.
+    ints = rng.integers(0, 100000, size=(n_lines, 4))
+    fl_whole = rng.integers(0, 100, size=(n_lines, 2))
+    fl_frac = rng.integers(10, 100, size=(n_lines, 2))  # 2 digits, no zfill
+    words_i = rng.integers(0, len(WORDS), size=(n_lines, 2))
+    ip_oct = rng.integers(0, 256, size=(n_lines, 4))
+
+    # Sort once by template id; per-template work is contiguous slices.
+    order = np.argsort(tidx, kind="stable")
+    counts = np.bincount(tidx, minlength=len(TEMPLATES))
+    starts = np.concatenate(([0], np.cumsum(counts)))
+
+    ts_sorted = pc.strftime(pa.array(line_ts[order]), format="%Y-%m-%d %H:%M:%S")
+    ints_s = ints[order].astype("U6")
+    flw_s = fl_whole[order].astype("U2")
+    flf_s = fl_frac[order].astype("U2")
+    words_s = WORDS[words_i[order]]
+    ipo_s = ip_oct[order].astype("U3")
+    ips_sorted = pc.binary_join_element_wise(
+        pa.array(ipo_s[:, 0]), pa.array(ipo_s[:, 1]),
+        pa.array(ipo_s[:, 2]), pa.array(ipo_s[:, 3]), ".")
+
+    rendered_parts: list[pa.Array] = []
+    for t in range(len(TEMPLATES)):
+        lo, hi = int(starts[t]), int(starts[t + 1])
+        if lo == hi:
+            continue
+        pools = {"{int}": 0, "{float}": 0, "{word}": 0}
+        cols = []
+        for piece in _split_fmt(TEMPLATES[t].fmt):
+            if piece == "{ts}":
+                cols.append(ts_sorted.slice(lo, hi - lo))
+            elif piece == "{ip}":
+                cols.append(ips_sorted.slice(lo, hi - lo))
+            elif piece == "{int}":
+                cols.append(pa.array(ints_s[lo:hi, pools[piece]]))
+                pools[piece] += 1
+            elif piece == "{float}":
+                i = pools[piece]
+                pools[piece] += 1
+                cols.append(pc.binary_join_element_wise(
+                    pa.array(flw_s[lo:hi, i]), pa.array(flf_s[lo:hi, i]), "."))
+            elif piece == "{word}":
+                cols.append(pa.array(words_s[lo:hi, pools[piece]]))
+                pools[piece] += 1
+            else:
+                cols.append(piece)  # literal scalar, broadcast by the kernel
+        rendered_parts.append(pc.binary_join_element_wise(*cols, ""))
+    # Reassemble in original line order with a single inverse take.
+    by_template = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in rendered_parts])
+    inv = np.empty(n_lines, dtype=np.int64)
+    inv[order] = np.arange(n_lines)
+    return by_template.take(pa.array(inv)), tidx
+
+
+def generate_shard(shard: int, start_row: int, n_rows: int,
+                   seed: int = SEED) -> pa.Table:
+    """Generate one shard of the pages table (rows [start_row, start_row+n_rows))."""
+    rng = np.random.default_rng((seed, shard))
+    n_lines_per_page = rng.integers(1, 21, size=n_rows)
+    offsets = np.concatenate(([0], np.cumsum(n_lines_per_page)))
+    total_lines = int(offsets[-1])
+
+    rownum = np.arange(start_row, start_row + n_rows)
+    dom_k = rng.choice(N_DOMAINS, size=n_rows, p=DOMAIN_P)
+    urls = np.char.add(
+        np.char.add("https://example", dom_k.astype("U2")),
+        np.char.add(".com/p", rownum.astype("U20")),
+    )
+    warc_off = rng.integers(0, SPAN_SECONDS, size=n_rows)
+    warc_ts = BASE_TS + warc_off * np.timedelta64(1_000_000, "us")
+
+    # Per-line timestamp = page warc_ts + line_no seconds.
+    page_idx = np.repeat(np.arange(n_rows), n_lines_per_page)
+    line_no = np.arange(total_lines) - offsets[:-1][page_idx]
+    line_ts = warc_ts[page_idx] + line_no * np.timedelta64(1_000_000, "us")
+
+    lines, _tidx = _render_lines(rng, total_lines, line_ts)
+
+    # Page text = '\n'.join(lines) — via a ListArray + Arrow's binary_join.
+    line_lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), lines)
+    texts = pc.binary_join(line_lists, "\n")
+
+    variant = rng.integers(0, len(HTML_VARIANTS), size=n_rows)
+    pre = pa.array(np.array([v[0] for v in HTML_VARIANTS])[variant])
+    post = pa.array(np.array([v[1] for v in HTML_VARIANTS])[variant])
+    htmls = pc.binary_join_element_wise(pre, texts, post, "").cast(pa.binary())
+
+    langs = LANGS[rng.choice(len(LANGS), size=n_rows, p=LANG_P)]
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls),
+            pa.array(warc_ts, type=pa.timestamp("us")),
+            htmls,
+            texts,
+            pa.array(langs),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+def shard_bounds(n_pages: int, n_files: int) -> list[tuple[int, int]]:
+    base, rem = divmod(n_pages, n_files)
+    bounds, start = [], 0
+    for i in range(n_files):
+        n = base + (1 if i < rem else 0)
+        bounds.append((start, n))
+        start += n
+    return bounds
+
+
+def write_pages(out_dir: str, n_pages: int, seed: int = SEED,
+                n_files: int = 8, overwrite: bool = False) -> list[str]:
+    """Write the pages table as n_files parquet shards; resumable (skips
+    shards whose file already exists unless overwrite)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for shard, (start, n) in enumerate(shard_bounds(n_pages, n_files)):
+        path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
+        paths.append(path)
+        if os.path.exists(path) and not overwrite:
+            continue
+        tbl = generate_shard(shard, start, n, seed=seed)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, path)
+    return paths
+
+
+def ensure_pages(out_dir: str, n_pages: int, seed: int = SEED,
+                 n_files: int = 8) -> str:
+    """Idempotently materialize the pages dataset; returns out_dir."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages(out_dir, n_pages, seed=seed, n_files=n_files)
+        with open(marker, "w") as f:
+            f.write(f"{n_pages} {seed} {n_files}\n")
+    return out_dir
+
+
+def make_edge_pages() -> pa.Table:
+    """F5 hand-written edge-case corpus (unit tests only)."""
+    texts = [
+        "",  # empty page
+        "solo",  # single-token line
+        "12345\n987 654 321",  # all-numeric lines (is_number gating)
+        "[2025-01-01 00:00:00] INFO Server started on port 80",
+        "<13>Feb  5 17:32:18 host app[123]: something happened",  # syslog pri
+        "2025/03/04 05:06:07 slash-format timestamp line",
+        "ünïcødé line with emoji ☃",
+    ]
+    n = len(texts)
+    return pa.Table.from_arrays(
+        [
+            pa.array([f"https://edge.example.com/e{i}" for i in range(n)]),
+            pa.array([BASE_TS + np.timedelta64(i, "s") for i in range(n)],
+                     type=pa.timestamp("us")),
+            pa.array([(f"<html><body>{t}</body></html>").encode() for t in texts],
+                     type=pa.binary()),
+            pa.array(texts, type=pa.string()),
+            pa.array(["en", "en", "en", "en", "en", "de", "und"]),
+        ],
+        schema=PAGES_SCHEMA,
+    )
