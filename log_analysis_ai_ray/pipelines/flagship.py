@@ -1,0 +1,187 @@
+"""The flagship pipeline: parse → enrich → route → aggregate.
+
+Ray-Data-first shape (north_rule):
+
+    read_parquet(pages, columns pruned)          # html never read
+      → map_batches(pages_to_lines)              # explode+mask+parse, one fused
+                                                 #   vectorized Arrow stage
+      → [fit] distinct-masked partial dedup → groupby → driver Drain mine
+      → map_batches(TemplateAssigner, actors)    # broadcast mapping join
+      → map_batches(Enricher)                    # broadcast dict enrich
+      → write_parquet partitioned by sink        # fan-out route
+      + template registry / level counts / hour rollups / anomaly scores
+        (partial+final aggregates)
+
+Two passes over the input (mine, then assign) — recomputing the cheap
+explode+mask is preferred to materializing the full line table
+mid-pipeline, which would defeat streaming execution at 100 TB.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..stages import aggregate as agg
+from ..stages import route as route_mod
+from ..stages.drain import DrainConfig, TemplateAssigner, collect_distinct_masked, mine_mapping
+from ..stages.enrich import Enricher
+from ..stages.explode import explode_lines
+from ..stages.masking import add_masked
+from ..stages.parse import parse_lines
+from ..sources.pages import read_pages
+from ..state import checkpoint as ckpt
+from ..state import metrics as metrics_mod
+from .. import synth
+
+
+@dataclass
+class FlagshipConfig:
+    num_sinks: int = route_mod.DEFAULT_NUM_SINKS
+    drain: DrainConfig = field(default_factory=DrainConfig)
+    assigner_concurrency: int | tuple[int, int] = (2, 8)
+    domain_tiers: dict = field(default_factory=lambda: dict(synth.DOMAIN_TIERS))
+    lang_names: dict = field(default_factory=lambda: dict(synth.LANG_NAMES))
+
+
+def pages_to_lines(batch: pa.Table) -> pa.Table:
+    """Fused explode + mask + parse — one Arrow pass per block."""
+    lines = explode_lines(batch)
+    lines = add_masked(lines)
+    return parse_lines(lines)
+
+
+def build_lines(pages_path: str, **read_kwargs):
+    ds = read_pages(pages_path, **read_kwargs)
+    return ds.map_batches(pages_to_lines, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def fit_mapping(pages_path: str, config: FlagshipConfig | None = None) -> pa.Table:
+    """Pass 1: mine the masked→template mapping (deterministic)."""
+    config = config or FlagshipConfig()
+    lines = build_lines(pages_path)
+    distinct = collect_distinct_masked(lines, config.drain)
+    return mine_mapping(distinct.column("masked").to_pylist(), config.drain)
+
+
+def build_parsed(pages_path: str, mapping: pa.Table,
+                 config: FlagshipConfig | None = None):
+    """Pass 2: assign templates + enrich. Returns the parsed Dataset
+    (lazy; consume by routing/aggregating)."""
+    import ray
+
+    config = config or FlagshipConfig()
+    lines = build_lines(pages_path)
+    mapping_ref = ray.put(mapping)
+    parsed = lines.map_batches(
+        TemplateAssigner,
+        fn_constructor_args=(mapping_ref, config.drain),
+        concurrency=config.assigner_concurrency,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    enricher = Enricher(config.domain_tiers, config.lang_names)
+    return parsed.map_batches(enricher, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def run(pages_path: str, out_dir: str,
+        config: FlagshipConfig | None = None,
+        mapping: pa.Table | None = None) -> dict:
+    """Full flagship run. Returns a result dict with the registry,
+    rollups, manifest and metrics (small tables driver-side; bulk
+    output lands as partitioned Parquet under out_dir)."""
+    config = config or FlagshipConfig()
+    t0 = time.time()
+    if mapping is None:
+        mapping = fit_mapping(pages_path, config)
+    t_mine = time.time() - t0
+
+    parsed = build_parsed(pages_path, mapping, config)
+    manifest = route_mod.route_and_write(parsed, out_dir,
+                                         num_sinks=config.num_sinks)
+    t_route = time.time() - t0 - t_mine
+
+    # All small aggregates share ONE pass over the parsed stream.
+    parsed = build_parsed(pages_path, mapping, config)
+    aggs = agg.combined_aggregates(parsed)
+    registry, levels = aggs["registry"], aggs["levels"]
+    rollup, quality = aggs["rollup"], aggs["quality"]
+    t_total = time.time() - t0
+
+    metrics = {
+        "rows_routed": manifest["total_rows"],
+        "n_templates": registry.num_rows,
+        "mine_sec": t_mine,
+        "route_sec": t_route,
+        "total_sec": t_total,
+        **quality,
+    }
+    metrics_mod.write_metrics(out_dir, "_metrics", metrics)
+
+    import pyarrow.parquet as pq
+    import os
+    pq.write_table(registry, os.path.join(out_dir, "template_registry.parquet"))
+    pq.write_table(rollup, os.path.join(out_dir, "rollups.parquet"))
+    pq.write_table(levels, os.path.join(out_dir, "level_counts.parquet"))
+
+    return {
+        "registry": registry,
+        "levels": levels,
+        "rollup": rollup,
+        "manifest": manifest,
+        "metrics": metrics,
+        "mapping": mapping,
+    }
+
+
+def run_checkpointed(pages_path: str, out_dir: str,
+                     config: FlagshipConfig | None = None,
+                     files_per_group: int = 4) -> dict:
+    """Resumable variant: input files processed in groups; each group
+    routes to its own subdirectory and writes a _done manifest entry;
+    a rerun skips completed groups (state/checkpoint.py)."""
+    import os
+
+    from ..sources.pages import list_page_files
+
+    config = config or FlagshipConfig()
+    files = list_page_files(pages_path)
+    groups = ckpt.plan_groups(files, files_per_group)
+    # The mapping must be global & identical across groups/resumes: mine
+    # once over the full input, persist, and reuse on resume.
+    os.makedirs(out_dir, exist_ok=True)
+    mapping_path = os.path.join(out_dir, "template_mapping.parquet")
+    import pyarrow.parquet as pq
+    if os.path.exists(mapping_path):
+        mapping = pq.read_table(mapping_path)
+    else:
+        mapping = fit_mapping(pages_path, config)
+        pq.write_table(mapping, mapping_path + ".tmp")
+        os.replace(mapping_path + ".tmp", mapping_path)
+
+    skipped, ran = [], []
+    for gid, group_files in enumerate(groups):
+        if ckpt.is_done(out_dir, gid):
+            skipped.append(gid)
+            continue
+        parsed = build_parsed(group_files, mapping, config)
+        gdir = os.path.join(out_dir, f"group-{gid:05d}")
+        # idempotent retry: a partially-written group is replaced wholesale
+        import shutil
+        shutil.rmtree(gdir, ignore_errors=True)
+        manifest = route_mod.route_and_write(parsed, gdir,
+                                            num_sinks=config.num_sinks)
+        ckpt.mark_done(out_dir, gid, group_files, manifest["total_rows"],
+                       extra=manifest)
+        ran.append(gid)
+    done = ckpt.completed_groups(out_dir)
+    return {
+        "groups_ran": ran,
+        "groups_skipped": skipped,
+        "total_rows": sum(m["rows_out"] for m in done.values()),
+        "mapping": mapping,
+    }

@@ -1,0 +1,311 @@
+"""Wide aggregations with explicit partial/final structure.
+
+Every aggregate here follows the same scale discipline: a per-batch
+combiner (``pa.Table.group_by`` inside ``map_batches``) shrinks blocks
+from O(rows) to O(distinct keys) BEFORE the all-to-all
+``Dataset.groupby`` — the shuffle then moves partial rows, not raw
+rows. This is the Ray-native form of the reference's per-thread parse +
+merged SQL count (SURVEY.md A9), and it is what makes the Zipfian
+template distribution (hot keys) harmless: a hot template contributes
+ONE partial row per block regardless of its row share, so no explicit
+salting is needed on the count path.
+
+Reference aggregate semantics being reproduced:
+- template frequency: /root/reference/python/logai_agent.py:283-304
+- count by level:     python/logai_agent.py:466-473
+- global min/max ts:  python/logai_agent.py:513-528
+- group_by_time 'H':  python/data_analysis_agent.py:175
+- z-score anomalies:  python/data_analysis_agent.py:170-174
+- trending top-k:     python/logai_agent.py:530-535
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.timestamps import floor_hour
+
+
+def _combine_partials(ds, keys: list[str], aggs: list[tuple[str, str]]):
+    """Final merge of partial rows: Dataset.groupby over small partials.
+
+    aggs: list of (column, fn) with fn in {sum,min,max}; output columns
+    keep the partial's name.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    fns = {"sum": Sum, "min": Min, "max": Max}
+    groupby = ds.groupby(keys)
+    specs = [fns[fn](col, alias_name=col) for col, fn in aggs]
+    return groupby.aggregate(*specs)
+
+
+# Timestamps cross the Ray shuffle as sentinel-filled int64 micros:
+# Ray's Min/Max aggregates round-trip values through Python datetimes and
+# break on nullable timestamp columns.
+TS_MAX = 2**63 - 1
+TS_MIN = -(2**63)
+
+
+def _ts_us(col, sentinel: int):
+    return pc.cast(col, pa.int64()).fill_null(sentinel)
+
+
+def _us_to_ts(col, sentinel: int):
+    return pc.if_else(pc.equal(col, sentinel),
+                      pa.scalar(None, type=pa.timestamp("us")),
+                      pc.cast(col, pa.timestamp("us")))
+
+
+def template_counts_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table({
+        "template_hash": batch.column("template_hash"),
+        "template": batch.column("template"),
+        "ts_min": _ts_us(batch.column("line_ts"), TS_MAX),
+        "ts_max": _ts_us(batch.column("line_ts"), TS_MIN),
+        "n_params": pc.list_value_length(batch.column("params")).cast(pa.int32()),
+    })
+    out = t.group_by(["template_hash", "template", "n_params"]).aggregate(
+        [([], "count_all"), ("ts_min", "min"), ("ts_max", "max")]
+    )
+    return out.rename_columns(
+        ["template_hash", "template", "n_params", "count",
+         "first_us", "last_us"])
+
+
+def template_registry(parsed_ds) -> pa.Table:
+    """F3 template registry: small aggregate → driver-side pa.Table."""
+    partials = parsed_ds.map_batches(template_counts_partial,
+                                     batch_format="pyarrow")
+    merged = _combine_partials(
+        partials,
+        keys=["template_hash", "template", "n_params"],
+        aggs=[("count", "sum"), ("first_us", "min"), ("last_us", "max")],
+    )
+    tbl = _to_arrow(merged)
+    tbl = pa.table({
+        "template_hash": tbl.column("template_hash"),
+        "template": tbl.column("template"),
+        "count": tbl.column("count"),
+        "n_params": tbl.column("n_params"),
+        "first_ts": _us_to_ts(tbl.column("first_us"), TS_MAX),
+        "last_ts": _us_to_ts(tbl.column("last_us"), TS_MIN),
+    })
+    return tbl.sort_by([("count", "descending"), ("template", "ascending")])
+
+
+def level_counts(parsed_ds) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        out = (pa.table({"level": batch.column("level")})
+               .group_by("level").aggregate([([], "count_all")]))
+        return out.rename_columns(["level", "count"])
+
+    partials = parsed_ds.map_batches(partial, batch_format="pyarrow")
+    merged = _combine_partials(partials, keys=["level"],
+                               aggs=[("count", "sum")])
+    return _to_arrow(merged).sort_by("level")
+
+
+def hour_rollup(parsed_ds) -> pa.Table:
+    """Counts per (template_hash, hour bucket) — F4 minus scores."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "template_hash": batch.column("template_hash"),
+            "bucket": floor_hour(batch.column("line_ts")),
+        })
+        out = t.group_by(["template_hash", "bucket"]).aggregate([([], "count_all")])
+        return out.rename_columns(["template_hash", "bucket", "count"])
+
+    partials = parsed_ds.map_batches(partial, batch_format="pyarrow")
+    merged = _combine_partials(partials, keys=["template_hash", "bucket"],
+                               aggs=[("count", "sum")])
+    return _to_arrow(merged).sort_by(
+        [("template_hash", "ascending"), ("bucket", "ascending")])
+
+
+def anomaly_scores(rollup: pa.Table) -> pa.Table:
+    """F4: z-score of each (template, bucket) count against the
+    template's own bucket-count distribution (reference
+    ``detect_anomalies``: z = (x - mean) / std, population std).
+
+    The rollup is a genuinely small aggregate (templates × hours), so
+    scoring is a driver-side numpy pass; the heavy lifting (the rollup)
+    was distributed.
+    """
+    h = np.asarray(rollup.column("template_hash"))
+    c = np.asarray(rollup.column("count"), dtype=np.float64)
+    order = np.argsort(h, kind="stable")
+    hs, cs = h[order], c[order]
+    # segment boundaries per template
+    starts = np.concatenate(([0], np.flatnonzero(hs[1:] != hs[:-1]) + 1, [len(hs)]))
+    mean = np.empty_like(cs)
+    std = np.empty_like(cs)
+    for i in range(len(starts) - 1):
+        lo, hi = starts[i], starts[i + 1]
+        seg = cs[lo:hi]
+        mean[lo:hi] = seg.mean()
+        std[lo:hi] = seg.std()
+    z = np.where(std > 0, (cs - mean) / np.where(std > 0, std, 1.0), 0.0)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    return rollup.append_column("mean_count", pa.array(mean[inv])) \
+                 .append_column("std_count", pa.array(std[inv])) \
+                 .append_column("anomaly_score", pa.array(z[inv]))
+
+
+def global_stats(parsed_ds) -> dict:
+    """Global count + min/max line_ts (reference get_statistics,
+    python/logai_agent.py:513-528)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("line_ts")
+        return pa.table({
+            "count": pa.array([batch.num_rows], type=pa.int64()),
+            "min_ts": pa.array([pc.min(ts).as_py()], type=pa.timestamp("us")),
+            "max_ts": pa.array([pc.max(ts).as_py()], type=pa.timestamp("us")),
+        })
+
+    partials = _to_arrow(parsed_ds.map_batches(partial, batch_format="pyarrow"))
+    return {
+        "count": pc.sum(partials.column("count")).as_py() or 0,
+        "min_ts": pc.min(partials.column("min_ts")).as_py(),
+        "max_ts": pc.max(partials.column("max_ts")).as_py(),
+    }
+
+
+def top_k_templates(registry: pa.Table, k: int = 5) -> pa.Table:
+    """Trending templates (python/logai_agent.py:530-535): top-k by
+    count, template string as deterministic tie-break."""
+    return registry.sort_by(
+        [("count", "descending"), ("template", "ascending")]).slice(0, k)
+
+
+def combined_partials(batch: pa.Table) -> pa.Table:
+    """One composite partial per block covering ALL flagship aggregates
+    (template registry, level counts, hour rollup, parse quality) —
+    they share a single pass over the parsed stream instead of four.
+
+    Generic layout: kind ∈ {template, level, hour, quality};
+    key_str/key_hash/bucket_h are the kind's group key. Group keys are
+    sentinel-encoded (''/-1), never null — null group keys are
+    implementation-defined in shuffles. bucket_h = hours since epoch.
+    """
+    parts = []
+
+    t = template_counts_partial(batch)
+    parts.append(pa.table({
+        "kind": pa.array(["template"] * t.num_rows),
+        "key_str": t.column("template"),
+        "key_hash": t.column("template_hash"),
+        "bucket_h": pa.array(np.full(t.num_rows, -1), type=pa.int64()),
+        "n_params": t.column("n_params").cast(pa.int64()),
+        "count": t.column("count"),
+        "first_us": t.column("first_us"),
+        "last_us": t.column("last_us"),
+    }))
+
+    lv = (pa.table({"level": batch.column("level")})
+          .group_by("level").aggregate([([], "count_all")]))
+    parts.append(pa.table({
+        "kind": pa.array(["level"] * lv.num_rows),
+        "key_str": lv.column("level"),
+        "key_hash": pa.array(np.full(lv.num_rows, -1), type=pa.int64()),
+        "bucket_h": pa.array(np.full(lv.num_rows, -1), type=pa.int64()),
+        "n_params": pa.array(np.full(lv.num_rows, -1), type=pa.int64()),
+        "count": lv.column("count_all"),
+        "first_us": pa.array(np.full(lv.num_rows, TS_MAX), type=pa.int64()),
+        "last_us": pa.array(np.full(lv.num_rows, TS_MIN), type=pa.int64()),
+    }))
+
+    bucket_h = pc.divide(
+        pc.cast(floor_hour(batch.column("line_ts")), pa.int64()),
+        3_600_000_000)
+    hr = (pa.table({
+        "template_hash": batch.column("template_hash"),
+        "bucket_h": bucket_h.fill_null(-1),
+    }).group_by(["template_hash", "bucket_h"]).aggregate([([], "count_all")]))
+    parts.append(pa.table({
+        "kind": pa.array(["hour"] * hr.num_rows),
+        "key_str": pa.array([""] * hr.num_rows, type=pa.string()),
+        "key_hash": hr.column("template_hash"),
+        "bucket_h": hr.column("bucket_h"),
+        "n_params": pa.array(np.full(hr.num_rows, -1), type=pa.int64()),
+        "count": hr.column("count_all"),
+        "first_us": pa.array(np.full(hr.num_rows, TS_MAX), type=pa.int64()),
+        "last_us": pa.array(np.full(hr.num_rows, TS_MIN), type=pa.int64()),
+    }))
+
+    ok = pc.sum(pc.cast(batch.column("parse_ok"), pa.int64())).as_py() or 0
+    parts.append(pa.table({
+        "kind": pa.array(["quality", "quality"]),
+        "key_str": pa.array(["rows", "parse_ok"]),
+        "key_hash": pa.array([-1, -1], type=pa.int64()),
+        "bucket_h": pa.array([-1, -1], type=pa.int64()),
+        "n_params": pa.array([-1, -1], type=pa.int64()),
+        "count": pa.array([batch.num_rows, ok], type=pa.int64()),
+        "first_us": pa.array([TS_MAX, TS_MAX], type=pa.int64()),
+        "last_us": pa.array([TS_MIN, TS_MIN], type=pa.int64()),
+    }))
+    return pa.concat_tables(parts)
+
+
+def combined_aggregates(parsed_ds) -> dict:
+    """Single-pass flagship aggregates → dict of small driver tables."""
+    partials = parsed_ds.map_batches(combined_partials, batch_format="pyarrow")
+    merged = _combine_partials(
+        partials,
+        keys=["kind", "key_str", "key_hash", "bucket_h", "n_params"],
+        aggs=[("count", "sum"), ("first_us", "min"), ("last_us", "max")],
+    )
+    tbl = _to_arrow(merged)
+
+    def part(kind: str) -> pa.Table:
+        return tbl.filter(pc.equal(tbl.column("kind"), kind))
+
+    tpl = part("template")
+    registry = pa.table({
+        "template_hash": tpl.column("key_hash"),
+        "template": tpl.column("key_str"),
+        "count": tpl.column("count"),
+        "n_params": tpl.column("n_params").cast(pa.int32()),
+        "first_ts": _us_to_ts(tpl.column("first_us"), TS_MAX),
+        "last_ts": _us_to_ts(tpl.column("last_us"), TS_MIN),
+    }).sort_by([("count", "descending"), ("template", "ascending")])
+
+    lv = part("level")
+    levels = pa.table({
+        "level": lv.column("key_str"),
+        "count": lv.column("count"),
+    }).sort_by("level")
+
+    hr = part("hour")
+    rollup = pa.table({
+        "template_hash": hr.column("key_hash"),
+        "bucket": pc.if_else(
+            pc.equal(hr.column("bucket_h"), -1),
+            pa.scalar(None, type=pa.timestamp("us")),
+            pc.multiply(hr.column("bucket_h"), 3_600_000_000)
+              .cast(pa.timestamp("us"))),
+        "count": hr.column("count"),
+    }).sort_by([("template_hash", "ascending"), ("bucket", "ascending")])
+
+    q = part("quality")
+    qd = dict(zip(q.column("key_str").to_pylist(),
+                  q.column("count").to_pylist()))
+    quality = {"rows": qd.get("rows", 0), "parse_ok": qd.get("parse_ok", 0),
+               "parse_failed": qd.get("rows", 0) - qd.get("parse_ok", 0)}
+
+    return {"registry": registry, "levels": levels,
+            "rollup": anomaly_scores(rollup), "quality": quality}
+
+
+def _to_arrow(ds) -> pa.Table:
+    """Collect a SMALL dataset to a single driver-side Arrow table."""
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts, promote_options="default").combine_chunks()

@@ -1,0 +1,72 @@
+"""Fan-out routing to per-template-bucket Parquet sinks.
+
+The reference routes parsed rows into per-template stores (DuckDB
+``log_entries`` keyed by template_id, /root/reference/python/logai_agent.py:254-281;
+Qdrant points keyed by hash(template), python/vector_store.py:35-56).
+At web scale per-distinct-template sinks would explode the file count,
+so sinks are BUCKETED: ``sink_id = template_hash % num_sinks``
+(SURVEY.md §4.2) — per-template counts remain exact inside each bucket
+file, and the bucket count bounds output fan-out.
+
+Output is partitioned Parquet (one directory per sink) plus a JSON
+manifest of per-sink row counts — the resumability/verification unit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_NUM_SINKS = 16
+
+# Columns persisted per routed row (wide page payloads projected away).
+ROUTED_COLUMNS = [
+    "url", "line_no", "line", "level", "line_ts", "template",
+    "template_hash", "domain", "domain_tier", "lang", "lang_name",
+    "sink_id",
+]
+
+
+def add_sink_id(batch: pa.Table, num_sinks: int = DEFAULT_NUM_SINKS) -> pa.Table:
+    h = batch.column("template_hash")  # md5-based, always non-negative
+    sink = pc.cast(pc.subtract(h, pc.multiply(pc.divide(h, num_sinks),
+                                              num_sinks)), pa.int32())
+    return batch.append_column("sink_id", sink)
+
+
+def route_and_write(parsed_ds, out_dir: str,
+                    num_sinks: int = DEFAULT_NUM_SINKS,
+                    columns: list[str] | None = None) -> dict:
+    """Write routed rows as Parquet partitioned by sink_id; returns the
+    per-sink count manifest (also persisted as _manifest.json)."""
+    columns = columns or ROUTED_COLUMNS
+    routed = parsed_ds.map_batches(
+        add_sink_id, batch_format="pyarrow",
+        fn_kwargs={"num_sinks": num_sinks},
+    ).map_batches(
+        lambda t: t.select(columns), batch_format="pyarrow",
+    )
+    routed.write_parquet(out_dir, partition_cols=["sink_id"])
+
+    manifest = sink_manifest_from_output(out_dir)
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def sink_manifest_from_output(out_dir: str) -> dict:
+    """Recount routed rows per sink from the written files (verifies the
+    sink contents, not just the intent)."""
+    import pyarrow.dataset as pads
+
+    counts: dict[str, int] = {}
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("sink_id="):
+            continue
+        sink = name.split("=", 1)[1]
+        d = pads.dataset(os.path.join(out_dir, name), format="parquet")
+        counts[sink] = d.count_rows()
+    return {"per_sink_rows": counts, "total_rows": sum(counts.values())}

@@ -187,7 +187,10 @@ def _render_lines(rng: np.random.Generator, n_lines: int,
     counts = np.bincount(tidx, minlength=len(TEMPLATES))
     starts = np.concatenate(([0], np.cumsum(counts)))
 
-    ts_sorted = pc.strftime(pa.array(line_ts[order]), format="%Y-%m-%d %H:%M:%S")
+    # cast to second precision: Arrow's %S renders fractional digits
+    # for sub-second timestamp units
+    ts_sorted = pc.strftime(pa.array(line_ts[order]).cast(pa.timestamp("s")),
+                            format="%Y-%m-%d %H:%M:%S")
     ints_s = ints[order].astype("U6")
     flw_s = fl_whole[order].astype("U2")
     flf_s = fl_frac[order].astype("U2")

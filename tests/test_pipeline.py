@@ -1,0 +1,146 @@
+"""End-to-end flagship correctness against DuckDB oracles + the per-row
+byte-identity invariant (FIXTURES.md §test harness)."""
+
+import os
+
+import duckdb
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pytest
+
+from log_analysis_ai_ray.functions.hashing import md5_hash32, oracle_hash_expr
+from log_analysis_ai_ray.stages.masking import oracle_mask_sql
+
+
+def _read_routed(out_dir, columns):
+    import glob
+    files = sorted(glob.glob(os.path.join(out_dir, "sink_id=*", "*.parquet")))
+    return pads.dataset(files, format="parquet").to_table(columns=columns)
+
+
+@pytest.fixture()
+def con(parsed_small):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW pages AS SELECT * FROM "
+        f"read_parquet('{parsed_small['pages_dir']}/*.parquet')")
+    c.execute(
+        "CREATE VIEW lines AS "
+        "SELECT url, line FROM (SELECT url, unnest(string_split(text, chr(10))) AS line FROM pages) "
+        "WHERE line <> ''")
+    return c
+
+
+def test_registry_counts_match_oracle(parsed_small, con):
+    reg = parsed_small["registry"]
+    expr = oracle_mask_sql("line")
+    oracle = dict(con.execute(
+        f"SELECT {expr} AS masked, count(*) FROM lines GROUP BY 1").fetchall())
+    # mined templates partition the masked strings; counts per template =
+    # sum of its members' masked counts
+    mapping = parsed_small["mapping"]
+    tmpl_count: dict[str, int] = {}
+    for m, t in zip(mapping["masked"].to_pylist(),
+                    mapping["template"].to_pylist()):
+        tmpl_count[t] = tmpl_count.get(t, 0) + oracle.pop(m)
+    assert not oracle, "oracle has masked strings the mapping missed"
+    got = dict(zip(reg["template"].to_pylist(), reg["count"].to_pylist()))
+    assert got == tmpl_count
+
+
+def test_registry_hash_is_md5_oracle(parsed_small, con):
+    reg = parsed_small["registry"]
+    for t, h in zip(reg["template"].to_pylist()[:5],
+                    reg["template_hash"].to_pylist()[:5]):
+        assert h == md5_hash32(t)
+        sql_h = con.execute(
+            f"SELECT {oracle_hash_expr('?')}", [t]).fetchone()[0]
+        assert sql_h == h
+
+
+def test_level_counts_match_oracle(parsed_small, con):
+    oracle = dict(con.execute(
+        "SELECT coalesce(regexp_extract(line, '\\b(INFO|WARN|ERROR|DEBUG)\\b', 1), '') AS level, "
+        "count(*) FROM lines GROUP BY 1").fetchall())
+    lv = parsed_small["levels"]
+    got = dict(zip(lv["level"].to_pylist(), lv["count"].to_pylist()))
+    assert got == oracle
+
+
+def test_routed_rows_equal_input_lines(parsed_small, con):
+    """Routed-row equality: the union of all sinks holds exactly the
+    input line multiset (per url)."""
+    routed = _read_routed(parsed_small["out_dir"], ["url", "line"])
+    con.register("routed", routed)
+    diff = con.execute(
+        "SELECT count(*) FROM "
+        "((SELECT url, line FROM routed EXCEPT ALL SELECT url, line FROM lines) "
+        " UNION ALL "
+        " (SELECT url, line FROM lines EXCEPT ALL SELECT url, line FROM routed))"
+    ).fetchone()[0]
+    assert diff == 0
+
+
+def test_text_byte_identity_per_url(parsed_small, con):
+    """Per-row invariant: rejoining each url's routed lines in line_no
+    order reproduces the input text byte-for-byte."""
+    routed = _read_routed(parsed_small["out_dir"], ["url", "line_no", "line"])
+    con.register("routed2", routed)
+    bad = con.execute(
+        "WITH rebuilt AS (SELECT url, string_agg(line, chr(10) ORDER BY line_no) AS text "
+        "FROM routed2 GROUP BY url) "
+        "SELECT count(*) FROM rebuilt JOIN pages USING (url) "
+        "WHERE rebuilt.text IS DISTINCT FROM pages.text"
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_sink_manifest_counts(parsed_small):
+    man = parsed_small["manifest"]
+    reg = parsed_small["registry"]
+    # per-sink totals must equal registry counts bucketed the same way
+    from collections import defaultdict
+    expect = defaultdict(int)
+    for h, c in zip(reg["template_hash"].to_pylist(),
+                    reg["count"].to_pylist()):
+        expect[str(h % 16)] += c
+    got = {k: v for k, v in man["per_sink_rows"].items()}
+    assert got == dict(expect)
+    assert man["total_rows"] == sum(reg["count"].to_pylist())
+
+
+def test_rollup_totals(parsed_small):
+    reg = parsed_small["registry"]
+    roll = parsed_small["rollup"]
+    # per-template rollup counts sum to registry counts (for templates
+    # with parsed timestamps; GET/POST lines have none and bucket=null)
+    reg_counts = dict(zip(reg["template_hash"].to_pylist(),
+                          reg["count"].to_pylist()))
+    from collections import defaultdict
+    roll_counts = defaultdict(int)
+    for h, c in zip(roll["template_hash"].to_pylist(),
+                    roll["count"].to_pylist()):
+        roll_counts[h] += c
+    assert dict(roll_counts) == reg_counts
+
+
+def test_anomaly_zscore_definition(parsed_small):
+    import numpy as np
+    roll = parsed_small["rollup"]
+    h = roll["template_hash"].to_pylist()
+    c = np.array(roll["count"].to_pylist(), dtype=float)
+    z = np.array(roll["anomaly_score"].to_pylist())
+    # recompute for one template
+    h0 = h[0]
+    idx = [i for i, x in enumerate(h) if x == h0]
+    seg = c[idx]
+    mu, sd = seg.mean(), seg.std()
+    for i in idx:
+        expect = 0.0 if sd == 0 else (c[i] - mu) / sd
+        assert abs(z[i] - expect) < 1e-9
+
+
+def test_parse_quality(parsed_small):
+    q = parsed_small["metrics"]
+    assert q["parse_failed"] == 0
+    assert q["rows"] == parsed_small["manifest"]["total_rows"]
