@@ -1,44 +1,43 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in log_analysis_ai_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship parse→enrich→route→aggregate over the
+  sf0.001-scale synthetic pages table (input_hint shape); returns the
+  template registry.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 inventory), sf_dir → Dataset | pyarrow.Table.
+- ``oracle_sql()`` — matching DuckDB SQL per query where
+  SQL-expressible (same column names, identical RE2 patterns, rounded
+  floats, integer-cent sums). Non-SQL ops (Drain mining, MinHash, …)
+  are omitted → rows-only check.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from log_analysis_ai_ray.pipelines import flagship, queries
+
+    pages = queries.pages_dir_for("/root/testdata/sf0.001")
+    out = tempfile.mkdtemp(prefix="flagship_entry_")
+    res = flagship.run(pages, out)
+    return res["registry"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from log_analysis_ai_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from log_analysis_ai_ray.pipelines.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

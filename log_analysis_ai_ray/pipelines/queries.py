@@ -1,0 +1,578 @@
+"""Named query registry: every implemented operator/pipeline gets a
+``queries()`` entry (callable sf_dir → result) and, when
+SQL-expressible, a matching DuckDB ``oracle_sql()`` string computing the
+identical result over the same tables.
+
+Conventions that make the oracle comparison exact:
+- aggregate/computed columns share names between Ray and SQL;
+- float outputs are rounded identically on both sides (round(x, N));
+- money-style sums are computed in integer cents (exact, no float-sum
+  ordering sensitivity);
+- the pages table is synthesized deterministically per scale factor at
+  a fixed /tmp path (the oracle reads the same parquet files).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import synth
+from ..functions.hashing import oracle_hash_expr
+from ..functions.timestamps import floor_hour
+from ..stages import aggregate as agg
+from ..stages.enrich import dict_lookup, extract_domain
+from ..stages.masking import mask_array, oracle_mask_sql
+from ..stages.parse import parse_lines
+from . import flagship
+
+# ---------------------------------------------------------------------------
+# pages synthesis per scale factor
+# ---------------------------------------------------------------------------
+
+PAGES_ROOT = "/tmp/graft_pages"
+PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+N_FILES = 8
+
+
+def sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def pages_dir_for(sf_dir: str) -> str:
+    name = sf_name(sf_dir)
+    n = PAGES_N.get(name, 2_000)
+    return synth.ensure_pages(os.path.join(PAGES_ROOT, name), n,
+                              n_files=N_FILES)
+
+
+PAGES_GLOB_SF001 = f"{PAGES_ROOT}/sf0.01/pages-*.parquet"
+# the driver's oracle runs at sf=0.01; SQL reads the same parquet files
+PAGES_VIEW = f"(SELECT * FROM read_parquet('{PAGES_GLOB_SF001}'))"
+LINES_VIEW = (
+    "(SELECT url, line FROM (SELECT url, unnest(string_split(text, chr(10))) AS line "
+    f"FROM {PAGES_VIEW}) WHERE line <> '')"
+)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _lines_ds(sf_dir: str):
+    return flagship.build_lines(pages_dir_for(sf_dir))
+
+
+def _partial_final(ds, partial_fn, keys, aggs) -> pa.Table:
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow")
+    merged = agg._combine_partials(partials, keys=keys, aggs=aggs)
+    return agg._to_arrow(merged)
+
+
+def _round(col, ndigits: int):
+    return pc.round(col, ndigits=ndigits)
+
+
+# ---------------------------------------------------------------------------
+# pages-based queries (the flagship's operators, one by one)
+# ---------------------------------------------------------------------------
+
+
+def q_parsed_lines(sf_dir: str):
+    """Line-level parse output: level + masked per line (M2/M8/M12/M15)."""
+    ds = _lines_ds(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["url", "line", "level", "masked"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_PARSED_LINES = f"""
+SELECT url, line,
+       coalesce(regexp_extract(line, '\\b(INFO|WARN|ERROR|DEBUG)\\b', 1), '') AS level,
+       {oracle_mask_sql('line')} AS masked
+FROM {LINES_VIEW}
+"""
+
+
+def q_level_counts(sf_dir: str):
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (pa.table({"level": t.column("level")})
+               .group_by("level").aggregate([([], "count_all")]))
+        return out.rename_columns(["level", "cnt"])
+
+    return _partial_final(ds, partial, ["level"], [("cnt", "sum")])
+
+
+SQL_LEVEL_COUNTS = f"""
+SELECT coalesce(regexp_extract(line, '\\b(INFO|WARN|ERROR|DEBUG)\\b', 1), '') AS level,
+       count(*) AS cnt
+FROM {LINES_VIEW} GROUP BY 1
+"""
+
+
+def q_masked_counts(sf_dir: str):
+    """Deterministic template-candidate counts (pre-Drain): the exact
+    masking chain is SQL-mirrored, so counts are fully oracle-checked."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (pa.table({"masked": t.column("masked")})
+               .group_by("masked").aggregate([([], "count_all")]))
+        return out.rename_columns(["masked", "cnt"])
+
+    return _partial_final(ds, partial, ["masked"], [("cnt", "sum")])
+
+
+SQL_MASKED_COUNTS = f"""
+SELECT {oracle_mask_sql('line')} AS masked, count(*) AS cnt
+FROM {LINES_VIEW} GROUP BY 1
+"""
+
+
+def q_masked_hour_rollup(sf_dir: str):
+    """Time-bucket rollup keyed by (masked-string hash, hour) — A7
+    semantics with the md5 routing key, fully oracle-checkable."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _masked_hash(t.column("masked"))
+        bucket = floor_hour(t.column("line_ts"))
+        tt = pa.table({
+            "masked_hash": h,
+            "bucket": pc.cast(bucket, pa.int64()).fill_null(-1),
+        }).group_by(["masked_hash", "bucket"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["masked_hash", "bucket", "cnt"])
+
+    out = _partial_final(ds, partial, ["masked_hash", "bucket"],
+                         [("cnt", "sum")])
+    bucket = pc.if_else(pc.equal(out.column("bucket"), -1),
+                        pa.scalar(None, pa.timestamp("us")),
+                        out.column("bucket").cast(pa.timestamp("us")))
+    return pa.table({"masked_hash": out.column("masked_hash"),
+                     "bucket": bucket, "cnt": out.column("cnt")})
+
+
+SQL_MASKED_HOUR_ROLLUP = f"""
+WITH l AS (
+  SELECT {oracle_mask_sql('line')} AS masked,
+         try_strptime(regexp_extract(line, '^\\[([^\\]]+)\\]', 1),
+                      '%Y-%m-%d %H:%M:%S') AS line_ts
+  FROM {LINES_VIEW})
+SELECT {oracle_hash_expr('masked')} AS masked_hash,
+       date_trunc('hour', line_ts) AS bucket,
+       count(*) AS cnt
+FROM l GROUP BY 1, 2
+"""
+
+
+def q_top5_masked(sf_dir: str):
+    t = q_masked_counts(sf_dir)
+    return t.sort_by([("cnt", "descending"), ("masked", "ascending")]) \
+            .slice(0, 5)
+
+
+SQL_TOP5_MASKED = f"""
+SELECT * FROM ({SQL_MASKED_COUNTS})
+ORDER BY cnt DESC, masked ASC LIMIT 5
+"""
+
+
+def q_domain_tier_counts(sf_dir: str):
+    """Broadcast-dict enrichment (J4): url → domain → tier, counted."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        sorted(os.path.join(pages_dir_for(sf_dir), f)
+               for f in os.listdir(pages_dir_for(sf_dir))
+               if f.endswith(".parquet")),
+        columns=["url"])
+
+    tiers = synth.DOMAIN_TIERS
+
+    def partial(t: pa.Table) -> pa.Table:
+        domain = extract_domain(t.column("url"))
+        tier = dict_lookup(domain, tiers)
+        out = (pa.table({"domain_tier": tier})
+               .group_by("domain_tier").aggregate([([], "count_all")]))
+        return out.rename_columns(["domain_tier", "cnt"])
+
+    return _partial_final(ds, partial, ["domain_tier"], [("cnt", "sum")])
+
+
+SQL_DOMAIN_TIER_COUNTS = f"""
+SELECT CASE
+         WHEN CAST(regexp_extract(url, 'https?://example(\\d+)\\.com/', 1) AS INT) < 5 THEN 'tier1'
+         WHEN CAST(regexp_extract(url, 'https?://example(\\d+)\\.com/', 1) AS INT) < 20 THEN 'tier2'
+         ELSE 'tier3'
+       END AS domain_tier,
+       count(*) AS cnt
+FROM {PAGES_VIEW} GROUP BY 1
+"""
+
+
+def q_global_stats(sf_dir: str):
+    """Global count + min/max parsed line timestamp (A4)."""
+    ds = _lines_ds(sf_dir)
+    stats = agg.global_stats(ds.map_batches(
+        lambda t: t.select(["line_ts"]), batch_format="pyarrow"))
+    return pa.table({
+        "n_lines": pa.array([stats["count"]], type=pa.int64()),
+        "min_ts": pa.array([stats["min_ts"]], type=pa.timestamp("us")),
+        "max_ts": pa.array([stats["max_ts"]], type=pa.timestamp("us")),
+    })
+
+
+SQL_GLOBAL_STATS = f"""
+WITH l AS (
+  SELECT try_strptime(regexp_extract(line, '^\\[([^\\]]+)\\]', 1),
+                      '%Y-%m-%d %H:%M:%S') AS line_ts
+  FROM {LINES_VIEW})
+SELECT count(*) AS n_lines, min(line_ts) AS min_ts, max(line_ts) AS max_ts
+FROM l
+"""
+
+
+def q_sink_counts(sf_dir: str):
+    """Fan-out routing sizes: bucket = masked_hash % 16 (S7/S8 analog,
+    oracle-checkable form of the sink manifest)."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _masked_hash(t.column("masked"))
+        sink = pc.subtract(h, pc.multiply(pc.divide(h, 16), 16))
+        out = (pa.table({"sink_id": sink})
+               .group_by("sink_id").aggregate([([], "count_all")]))
+        return out.rename_columns(["sink_id", "cnt"])
+
+    return _partial_final(ds, partial, ["sink_id"], [("cnt", "sum")])
+
+
+SQL_SINK_COUNTS = f"""
+SELECT {oracle_hash_expr(oracle_mask_sql('line'))} % 16 AS sink_id,
+       count(*) AS cnt
+FROM {LINES_VIEW} GROUP BY 1
+"""
+
+
+def q_template_registry(sf_dir: str):
+    """Drain-mined registry (F3). Mining is not SQL-expressible →
+    rows-only oracle check; exact-count checks live in pytest."""
+    pages = pages_dir_for(sf_dir)
+    cfg = flagship.FlagshipConfig()
+    mapping = flagship.fit_mapping(pages, cfg)
+    parsed = flagship.build_parsed(pages, mapping, cfg)
+    return agg.template_registry(parsed)
+
+
+def q_anomaly_hour_levels(sf_dir: str):
+    """Z-score anomaly rollup (A6/F4) keyed by (level, hour) — the
+    SQL-checkable projection of the anomaly operator (stddev over the
+    level's own hourly counts, population semantics)."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bucket = floor_hour(t.column("line_ts"))
+        tt = pa.table({
+            "level": t.column("level"),
+            "bucket": pc.cast(bucket, pa.int64()).fill_null(-1),
+        }).group_by(["level", "bucket"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["level", "bucket", "cnt"])
+
+    out = _partial_final(ds, partial, ["level", "bucket"], [("cnt", "sum")])
+    out = out.filter(pc.not_equal(out.column("bucket"), -1))
+    # z-scores per level over its hourly counts (small table, numpy)
+    lv = np.array(out.column("level").to_pylist())
+    c = np.asarray(out.column("cnt"), dtype=np.float64)
+    z = np.zeros_like(c)
+    mean = np.zeros_like(c)
+    std = np.zeros_like(c)
+    for l in np.unique(lv):
+        m = lv == l
+        mean[m] = c[m].mean()
+        std[m] = c[m].std()
+        z[m] = np.where(std[m] > 0, (c[m] - mean[m]) / std[m], 0.0)
+    return pa.table({
+        "level": out.column("level"),
+        "bucket": out.column("bucket").cast(pa.timestamp("us")),
+        "cnt": out.column("cnt"),
+        "zscore": _round(pa.array(z), 6),
+    })
+
+
+SQL_ANOMALY_HOUR_LEVELS = f"""
+WITH l AS (
+  SELECT coalesce(regexp_extract(line, '\\b(INFO|WARN|ERROR|DEBUG)\\b', 1), '') AS level,
+         try_strptime(regexp_extract(line, '^\\[([^\\]]+)\\]', 1),
+                      '%Y-%m-%d %H:%M:%S') AS line_ts
+  FROM {LINES_VIEW}),
+r AS (
+  SELECT level, date_trunc('hour', line_ts) AS bucket, count(*) AS cnt
+  FROM l WHERE line_ts IS NOT NULL GROUP BY 1, 2)
+SELECT level, bucket, cnt,
+       round(CASE WHEN stddev_pop(cnt) OVER (PARTITION BY level) > 0
+                  THEN (cnt - avg(cnt) OVER (PARTITION BY level))
+                       / stddev_pop(cnt) OVER (PARTITION BY level)
+                  ELSE 0 END, 6) AS zscore
+FROM r
+"""
+
+
+def _masked_hash(masked) -> pa.Array:
+    """md5-based hash of masked strings, vectorized per distinct value
+    (hash the SMALL distinct set, then index_in-join back)."""
+    from ..functions.hashing import md5_hash32_array
+
+    if isinstance(masked, pa.ChunkedArray):
+        masked = masked.combine_chunks()
+    uniq = pc.unique(masked)
+    hashes = md5_hash32_array(uniq.to_pylist())
+    idx = pc.index_in(masked, uniq)
+    return hashes.take(idx)
+
+
+# ---------------------------------------------------------------------------
+# events-table queries (A5/A6/A7 over the secondary corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.cast(floor_hour(t.column("ts")), pa.int64()),
+            "cents": cents,
+        }).group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return tt.rename_columns(["event_type", "bucket", "cnt", "sum_cents"])
+
+    out = _partial_final(ds, partial, ["event_type", "bucket"],
+                         [("cnt", "sum"), ("sum_cents", "sum")])
+    return pa.table({
+        "event_type": out.column("event_type"),
+        "bucket": out.column("bucket").cast(pa.timestamp("us")),
+        "cnt": out.column("cnt"),
+        "sum_cents": out.column("sum_cents"),
+    })
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_top_users(sf_dir: str):
+    """Top-10 users by total value (O1 trending semantics, exact int
+    cents)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        tt = pa.table({"user_id": t.column("user_id"), "cents": cents}) \
+            .group_by("user_id").aggregate([("cents", "sum"), ([], "count_all")])
+        return tt.rename_columns(["user_id", "sum_cents", "cnt"])
+
+    out = _partial_final(ds, partial, ["user_id"],
+                         [("sum_cents", "sum"), ("cnt", "sum")])
+    return out.select(["user_id", "sum_cents", "cnt"]).sort_by(
+        [("sum_cents", "descending"), ("user_id", "ascending")]).slice(0, 10)
+
+
+SQL_EVENTS_TOP_USERS = """
+SELECT user_id,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(*) AS cnt
+FROM events GROUP BY 1
+ORDER BY sum_cents DESC, user_id ASC LIMIT 10
+"""
+
+
+def q_events_type_stats(sf_dir: str):
+    """calculate_stats (A5): count / mean / min / max of value per
+    event_type; floats rounded for hash-stable comparison."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        tt = pa.table({"event_type": t.column("event_type"), "cents": cents}) \
+            .group_by("event_type").aggregate(
+                [([], "count_all"), ("cents", "sum"),
+                 ("cents", "min"), ("cents", "max")])
+        return tt.rename_columns(
+            ["event_type", "cnt", "sum_cents", "min_cents", "max_cents"])
+
+    out = _partial_final(
+        ds, partial, ["event_type"],
+        [("cnt", "sum"), ("sum_cents", "sum"),
+         ("min_cents", "min"), ("max_cents", "max")])
+    mean = _round(pc.divide(pc.cast(out.column("sum_cents"), pa.float64()),
+                            pc.cast(out.column("cnt"), pa.float64())), 4)
+    return pa.table({
+        "event_type": out.column("event_type"),
+        "cnt": out.column("cnt"),
+        "min_cents": out.column("min_cents"),
+        "max_cents": out.column("max_cents"),
+        "mean_cents": mean,
+    })
+
+
+SQL_EVENTS_TYPE_STATS = """
+WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+SELECT event_type, count(*) AS cnt, min(cents) AS min_cents,
+       max(cents) AS max_cents,
+       round(sum(cents)::DOUBLE / count(*), 4) AS mean_cents
+FROM e GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents-table queries (dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    """Exact dedup by content: keep min(doc_id) per text, count copies
+    (D1 semantics). Scale path: group on a content HASH so the shuffle
+    moves 16-byte keys, not documents — here the oracle needs the text
+    key, so we group on text at test scale."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.group_by("text").aggregate([("doc_id", "min"), ([], "count_all")])
+        return tt.rename_columns(["text", "keep_doc_id", "n_copies"])
+
+    out = _partial_final(ds, partial, ["text"],
+                         [("keep_doc_id", "min"), ("n_copies", "sum")])
+    return out.select(["keep_doc_id", "n_copies"]).sort_by("keep_doc_id")
+
+
+SQL_DOC_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keep_doc_id
+"""
+
+
+def q_doc_textstats(sf_dir: str):
+    """Per-document text statistics (quality-scoring features): token /
+    punctuation / digit / uppercase counts — integer outputs, exact
+    oracle parity via identical RE2 patterns."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(text, r"[.,!?;:]").cast(pa.int64()),
+            "n_digits": pc.count_substring_regex(text, r"[0-9]").cast(pa.int64()),
+            "n_upper": pc.count_substring_regex(text, r"[A-Z]").cast(pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_DOC_TEXTSTATS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+       len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+FROM documents
+"""
+
+
+def q_doc_lang_source_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["lang", "source", "cnt"])
+
+    return _partial_final(ds, partial, ["lang", "source"], [("cnt", "sum")])
+
+
+SQL_DOC_LANG_SOURCE_COUNTS = """
+SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dimension-table broadcast join (J-pattern over the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_nation_counts(sf_dir: str):
+    """Broadcast join: nation dimension shipped as a dict, probed
+    vectorized inside map_batches (J1/J4 pattern — no shuffle join)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    keys = pa.array(list(nmap.keys()), type=pa.int64())
+    vals = pa.array(list(nmap.values()) + ["unknown"], type=pa.string())
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("c_nationkey").cast(pa.int64()), keys)
+        name = vals.take(idx.fill_null(len(nmap)))
+        tt = (pa.table({"n_name": name})
+              .group_by("n_name").aggregate([([], "count_all")]))
+        return tt.rename_columns(["n_name", "cnt"])
+
+    return _partial_final(ds, partial, ["n_name"], [("cnt", "sum")])
+
+
+SQL_CUSTOMER_NATION_COUNTS = """
+SELECT n.n_name AS n_name, count(*) AS cnt
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # name: (callable, oracle_sql or None)
+    "parsed_lines": (q_parsed_lines, SQL_PARSED_LINES),
+    "level_counts": (q_level_counts, SQL_LEVEL_COUNTS),
+    "masked_counts": (q_masked_counts, SQL_MASKED_COUNTS),
+    "masked_hour_rollup": (q_masked_hour_rollup, SQL_MASKED_HOUR_ROLLUP),
+    "top5_masked": (q_top5_masked, SQL_TOP5_MASKED),
+    "domain_tier_counts": (q_domain_tier_counts, SQL_DOMAIN_TIER_COUNTS),
+    "global_stats": (q_global_stats, SQL_GLOBAL_STATS),
+    "sink_counts": (q_sink_counts, SQL_SINK_COUNTS),
+    "anomaly_hour_levels": (q_anomaly_hour_levels, SQL_ANOMALY_HOUR_LEVELS),
+    "template_registry": (q_template_registry, None),  # Drain: rows-only
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
+    "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
+    "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
+    "doc_textstats": (q_doc_textstats, SQL_DOC_TEXTSTATS),
+    "doc_lang_source_counts": (q_doc_lang_source_counts,
+                               SQL_DOC_LANG_SOURCE_COUNTS),
+    "customer_nation_counts": (q_customer_nation_counts,
+                               SQL_CUSTOMER_NATION_COUNTS),
+}
