@@ -1,0 +1,149 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: run the flagship pipeline twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs + scaling efficiency (the sandbox substitute for the
+N-vs-4N-node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Headline benchmark queries (a representative slice of the registry —
+# flagship covers parse→enrich→route→aggregate end-to-end).
+BENCH_QUERIES = [
+    "masked_counts",
+    "masked_hour_rollup",
+    "anomaly_hour_levels",
+    "sink_counts",
+    "events_hourly",
+    "events_top_users",
+    "doc_dedup_exact",
+    "doc_textstats",
+    "customer_nation_counts",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def run_flagship(num_cpus: int) -> dict:
+    """Flagship end-to-end; returns rows/sec and stage timings."""
+    _init_ray(num_cpus)
+    from log_analysis_ai_ray.pipelines import flagship, queries
+
+    pages = queries.pages_dir_for(SF_DIR)
+    out_dir = f"/tmp/bench_flagship_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = flagship.run(pages, out_dir)
+    wall = time.time() - t0
+    rows = res["metrics"]["rows_routed"]
+    return {
+        "wall_sec": wall,
+        "rows": rows,
+        "rows_per_sec": rows / wall,
+        "mine_sec": res["metrics"]["mine_sec"],
+        "route_sec": res["metrics"]["route_sec"],
+        "n_templates": res["metrics"]["n_templates"],
+    }
+
+
+def main() -> None:
+    _init_ray(NUM_CPUS)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from log_analysis_ai_ray.pipelines.queries import QUERIES, pages_dir_for
+
+    pages_dir_for(SF_DIR)  # materialize pages outside the timed region
+
+    t_start = time.time()
+    flag = run_flagship(NUM_CPUS)
+    per_query: dict[str, float] = {"flagship": flag["wall_sec"]}
+
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume lazily-returned datasets
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_start
+    print(json.dumps({
+        "metric": "end-to-end parse→enrich→route→aggregate + operator suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
+        "flagship_rows": flag["rows"],
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs → scaling efficiency."""
+    results = {}
+    for n in (8, 32):
+        code = (
+            "import json,sys; sys.path.insert(0,'/root/repo');"
+            "import bench; r = bench.run_flagship(%d);"
+            "import ray; ray.shutdown();"
+            "print('RESULT ' + json.dumps(r))" % n
+        )
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             env={**os.environ, "GRAFT_SF_DIR": SF_DIR})
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"scaling run at {n} cpus failed")
+        results[n] = json.loads(line[-1][len("RESULT "):])
+    tp8 = results[8]["rows_per_sec"]
+    tp32 = results[32]["rows_per_sec"]
+    print(json.dumps({
+        "metric": "scaling efficiency (8 → 32 CPUs, fresh processes)",
+        "throughput_8": round(tp8, 1),
+        "throughput_32": round(tp32, 1),
+        "scaling_efficiency": round(tp32 / (4 * tp8), 3),
+        "detail": results,
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -515,6 +515,144 @@ SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# dedup / text-analysis / similarity-search operators
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dedup_hash(sf_dir: str):
+    """Exact dedup, scale path: groupby on md5 content hash — the
+    shuffle moves 32-byte keys, not documents. Oracle: DuckDB md5()."""
+    from ..stages.dedup import exact_dedup_by_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_by_hash(ds)
+
+
+SQL_DOC_DEDUP_HASH = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_id
+"""
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-duplicate candidate pairs (not SQL-expressible
+    → rows-only; exactness asserted in tests via n-gram Jaccard)."""
+    from ..stages.dedup import minhash_near_dups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_near_dups(ds)
+    return out.set_column(
+        out.schema.get_field_index("est_jaccard"), "est_jaccard",
+        _round(out.column("est_jaccard"), 4))
+
+
+def q_doc_simhash(sf_dir: str):
+    """Per-document 64-bit SimHash fingerprints (rows-only)."""
+    from ..stages.dedup import simhash_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_fingerprints(ds)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only)."""
+    from ..stages.textstats import fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return agg._to_arrow(
+        ds.map_batches(fingerprints, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def q_doc_langid(sf_dir: str):
+    """Stopword-profile language ID with deterministic argmax."""
+    from ..stages.textstats import langid_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(langid_features, batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality-scoring features (integer per-mille ratios)."""
+    from ..stages.textstats import quality_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_features, batch_format="pyarrow")
+
+
+def q_doc_subtokens(sf_dir: str):
+    """Token counting: whitespace words + BPE-ish subtoken count."""
+    from ..stages.textstats import subtoken_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(subtoken_counts, batch_format="pyarrow")
+
+
+KNN_QUERY_IDS = [0, 1, 2]
+
+
+def _knn_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    mask = pc.is_in(t.column("vec_id"),
+                    value_set=pa.array(KNN_QUERY_IDS, type=pa.int64()))
+    qt = t.filter(mask).sort_by("vec_id")
+    from ..stages.knn import _batch_matrix
+
+    return (qt.column("vec_id").to_pylist(),
+            _batch_matrix(qt.column("embedding")))
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 per broadcast query vector."""
+    from ..stages.knn import brute_force_topk
+
+    ids, Q = _knn_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, ids, Q, k=10)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+      FROM s)
+SELECT query_id, vec_id, sim FROM r WHERE rk <= 10
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (scale path; rows-only —
+    recall vs brute force asserted in tests)."""
+    from ..stages.knn import lsh_topk
+
+    ids, Q = _knn_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, ids, Q, dim=Q.shape[1], k=10)
+
+
+def q_embed_label_counts(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.group_by("label").aggregate([([], "count_all")])
+        return tt.rename_columns(["label", "cnt"])
+
+    return _partial_final(ds, partial, ["label"], [("cnt", "sum")])
+
+
+SQL_EMBED_LABEL_COUNTS = """
+SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # dimension-table broadcast join (J-pattern over the star schema)
 # ---------------------------------------------------------------------------
 
@@ -575,4 +713,20 @@ QUERIES: dict[str, tuple] = {
                                SQL_DOC_LANG_SOURCE_COUNTS),
     "customer_nation_counts": (q_customer_nation_counts,
                                SQL_CUSTOMER_NATION_COUNTS),
+    "doc_dedup_hash": (q_doc_dedup_hash, SQL_DOC_DEDUP_HASH),
+    "doc_minhash_pairs": (q_doc_minhash_pairs, None),   # rows-only
+    "doc_simhash": (q_doc_simhash, None),               # rows-only
+    "doc_fingerprint": (q_doc_fingerprint, None),       # rows-only
+    "doc_langid": (None, None),                         # filled below
+    "doc_quality": (None, None),                        # filled below
+    "doc_subtokens": (None, None),                      # filled below
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "knn_lsh": (q_knn_lsh, None),                       # rows-only
+    "embed_label_counts": (q_embed_label_counts, SQL_EMBED_LABEL_COUNTS),
 }
+
+from ..stages.textstats import SUBTOKEN_SQL, QUALITY_SQL_BODY, oracle_langid_sql  # noqa: E402
+
+QUERIES["doc_langid"] = (q_doc_langid, oracle_langid_sql())
+QUERIES["doc_quality"] = (q_doc_quality, QUALITY_SQL_BODY)
+QUERIES["doc_subtokens"] = (q_doc_subtokens, SUBTOKEN_SQL)

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the query matrix is broadcast (ray.put →
+  actor __init__), each batch contributes a numpy matmul partial top-k,
+  and the driver merges partials (k is small). One pass, no shuffle.
+- LSH-bucketed variant (scale path): seeded random hyperplanes give
+  each vector a sign-bit bucket; candidates = vectors whose bucket is
+  within Hamming distance 1 of the query's bucket; exact cosine within
+  candidates. At 10^12 rows, bucketing turns the scan into a targeted
+  read when the bucket id is a partition key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _batch_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 numpy matrix (zero-copy flat)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.values, dtype=np.float64)
+    offsets = np.asarray(arr.offsets)
+    d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return flat.reshape(len(arr), d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k against the broadcast
+    query matrix; emits (query_id, vec_id, sim) partial rows."""
+
+    def __init__(self, queries_ref, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = (ray.get(queries_ref)
+             if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.Q = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_batch_matrix(batch.column(self.vec_col)))
+        ids = np.asarray(batch.column(self.id_col), dtype=np.int64)
+        sims = M @ self.Q.T  # (n, q)
+        k = min(self.k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.append(np.full(k, self.query_ids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(col[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def brute_force_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
+                     k: int = 10, round_digits: int = 6,
+                     concurrency=2) -> pa.Table:
+    """Global top-k per query: partial top-k per batch → driver merge.
+    Deterministic: ties broken by (sim desc, vec_id asc) after rounding."""
+    import ray
+
+    from .aggregate import _to_arrow
+
+    ref = ray.put({"ids": query_ids, "matrix": query_matrix})
+    partials = ds.map_batches(
+        BruteForceTopK, fn_constructor_args=(ref, k),
+        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+    t = _to_arrow(partials)
+    t = t.set_column(t.schema.get_field_index("sim"), "sim",
+                     pc.round(t.column("sim"), ndigits=round_digits))
+    t = t.sort_by([("query_id", "ascending"), ("sim", "descending"),
+                   ("vec_id", "ascending")])
+    # keep first k rows per query_id
+    q = np.asarray(t.column("query_id"))
+    keep = np.zeros(len(q), dtype=bool)
+    for qid in np.unique(q):
+        idx = np.flatnonzero(q == qid)[:k]
+        keep[idx] = True
+    return t.filter(pa.array(keep))
+
+
+class LshBucketStage:
+    """Append a sign-bit LSH bucket id (seeded hyperplanes, built once
+    per actor)."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 42,
+                 vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _batch_matrix(batch.column(self.vec_col))
+        bits = (M @ self.planes) > 0
+        bucket = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return batch.append_column("lsh_bucket",
+                                   pa.array(bucket, type=pa.int64()))
+
+
+def lsh_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
+             dim: int, k: int = 10, n_bits: int = 8, seed: int = 42,
+             probe_radius: int = 2, round_digits: int = 6,
+             concurrency=2) -> pa.Table:
+    """Approximate top-k: restrict the brute-force scan to vectors whose
+    LSH bucket is within Hamming distance ``probe_radius`` of a query
+    bucket (multi-probe; radius trades recall for scan fraction)."""
+    from itertools import combinations
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits))
+    qbits = (np.asarray(query_matrix, dtype=np.float64) @ planes) > 0
+    qbuckets = qbits @ (1 << np.arange(n_bits, dtype=np.int64))
+    wanted: set[int] = set()
+    for qb in qbuckets:
+        for r in range(probe_radius + 1):
+            for flip in combinations(range(n_bits), r):
+                x = int(qb)
+                for bit in flip:
+                    x ^= 1 << bit
+                wanted.add(x)
+    wanted_arr = pa.array(sorted(wanted), type=pa.int64())
+
+    # fractional CPUs: two chained actor pools must not starve the
+    # task stages between them on small machines
+    bucketed = ds.map_batches(
+        LshBucketStage, fn_constructor_kwargs={
+            "dim": dim, "n_bits": n_bits, "seed": seed},
+        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+    candidates = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("lsh_bucket"),
+                                    value_set=wanted_arr)),
+        batch_format="pyarrow")
+    return brute_force_topk(candidates, query_ids, query_matrix, k=k,
+                            round_digits=round_digits,
+                            concurrency=concurrency)

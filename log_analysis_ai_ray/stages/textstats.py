@@ -1,0 +1,173 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality features, token counting, document fingerprinting.
+
+All per-document math is vectorized (Arrow count_substring_regex /
+numpy over flat byte buffers); no reference analog exists for these —
+they extend the engine for large-scale corpus curation (see task brief)
+using the same batch-stage idioms as the parse family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tiny per-language stopword profiles (n-gram/stopword heuristic).
+# Word-boundary RE2 alternations — identical strings usable in DuckDB.
+LANG_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|dans|pour|que|des)\b",
+    "es": r"\b(el|la|los|las|es|una|para|con|por|del)\b",
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break order
+
+
+def langid_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-hit counts per language + argmax prediction.
+
+    pred_lang = first language (in LANG_ORDER) achieving the max count,
+    'und' when all counts are zero — a deterministic rule that the SQL
+    oracle mirrors with a CASE chain.
+    """
+    text = pc.utf8_lower(batch.column(text_col))
+    counts = {}
+    for lang in LANG_ORDER:
+        counts[lang] = np.asarray(
+            pc.count_substring_regex(text, LANG_PATTERNS[lang]).cast(pa.int64()))
+    stacked = np.stack([counts[lang] for lang in LANG_ORDER])
+    best = np.argmax(stacked, axis=0)  # first max wins (np.argmax semantics)
+    all_zero = stacked.max(axis=0) == 0
+    langs = np.array(LANG_ORDER, dtype=object)
+    pred = np.where(all_zero, "und", langs[best])
+
+    out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
+    for lang in LANG_ORDER:
+        out = out.append_column(f"c_{lang}",
+                                pa.array(counts[lang], type=pa.int64()))
+    return out.append_column("pred_lang", pa.array(pred, type=pa.string()))
+
+
+def oracle_langid_sql(table: str = "documents") -> str:
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{LANG_PATTERNS[lang]}')) AS c_{lang}"
+        for lang in LANG_ORDER)
+    # first-max-wins CASE chain, identical to np.argmax over LANG_ORDER
+    conds = []
+    for i, lang in enumerate(LANG_ORDER):
+        ge = " AND ".join(f"c_{lang} >= c_{other}"
+                          for other in LANG_ORDER[i + 1:]) or "TRUE"
+        gt_prev = " AND ".join(f"c_{prev} < c_{lang}"
+                               for prev in LANG_ORDER[:i]) or "TRUE"
+        conds.append(f"WHEN {ge} AND {gt_prev} THEN '{lang}'")
+    case = ("CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 "
+            "THEN 'und' " + " ".join(conds) + " ELSE 'und' END")
+    return (f"WITH f AS (SELECT doc_id,\n       {cols}\nFROM {table})\n"
+            f"SELECT doc_id, c_en, c_de, c_fr, c_es, {case} AS pred_lang FROM f")
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring features: lengths and character-class ratios
+    scaled to exact integers (per-mille) for oracle-stable comparison."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.int64())
+    n_space = pc.count_substring_regex(text, r"\s").cast(pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    alpha_pm = pc.cast(pc.divide(pc.multiply(n_alpha, 1000), denom), pa.int64())
+    space_pm = pc.cast(pc.divide(pc.multiply(n_space, 1000), denom), pa.int64())
+    out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
+    out = out.append_column("n_chars", n_chars)
+    out = out.append_column("n_tokens", n_tokens)
+    out = out.append_column("alpha_pm", alpha_pm)
+    return out.append_column("space_pm", space_pm)
+
+
+QUALITY_SQL_BODY = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       CAST((len(regexp_extract_all(text, '[A-Za-z]')) * 1000)
+            // greatest(length(text), 1) AS BIGINT) AS alpha_pm,
+       CAST((len(regexp_extract_all(text, '\\s')) * 1000)
+            // greatest(length(text), 1) AS BIGINT) AS space_pm
+FROM documents
+"""
+
+
+# BPE-ish pre-tokenizer: letter runs | single digits | punctuation marks.
+SUBTOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subtoken_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    text = batch.column(text_col)
+    out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
+    out = out.append_column(
+        "n_words", pc.count_substring_regex(text, r"\S+").cast(pa.int64()))
+    return out.append_column(
+        "n_subtokens",
+        pc.count_substring_regex(text, SUBTOKEN_PATTERN).cast(pa.int64()))
+
+
+SUBTOKEN_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_words,
+       len(regexp_extract_all(text, '{SUBTOKEN_PATTERN}')) AS n_subtokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (functions.hashing.rolling_fingerprint spec),
+# vectorized over a flat byte buffer per batch.
+# ---------------------------------------------------------------------------
+
+FP_WINDOW = 8
+FP_BASE = np.uint64(257)
+
+
+def _flat_bytes(text_array) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 bytes of all docs concatenated + offsets (zero-copy from
+    Arrow's own buffer layout)."""
+    arr = text_array.combine_chunks() if isinstance(
+        text_array, pa.ChunkedArray) else text_array
+    arr = arr.cast(pa.large_binary())
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    return buf, offsets
+
+
+def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """min-of-rolling-hash fingerprint per document (content identity
+    robust to block boundaries). Matches functions.hashing.rolling_fingerprint."""
+    import hashlib
+
+    buf, offsets = _flat_bytes(batch.column(text_col))
+    n = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+
+    fps = np.empty(n, dtype=np.uint64)
+    if len(buf) >= FP_WINDOW:
+        # rolling hash over every window in the flat buffer
+        h = np.zeros(len(buf) - FP_WINDOW + 1, dtype=np.uint64)
+        b = buf.astype(np.uint64)
+        for k in range(FP_WINDOW):
+            h = h * FP_BASE + b[k:len(b) - FP_WINDOW + 1 + k]
+    else:
+        h = np.empty(0, dtype=np.uint64)
+
+    for i in range(n):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        if lens[i] < FP_WINDOW:
+            data = buf[lo:hi].tobytes()
+            fps[i] = np.uint64(int.from_bytes(
+                hashlib.md5(data).digest()[:8], "big"))
+        else:
+            fps[i] = h[lo:hi - FP_WINDOW + 1].min()
+
+    out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
+    return out.append_column(
+        "fingerprint",
+        pa.array([format(int(x), "016x") for x in fps], type=pa.string()))

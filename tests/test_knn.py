@@ -1,0 +1,61 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from log_analysis_ai_ray.stages import knn
+
+
+def _embeddings(n=200, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in M],
+                              type=pa.list_(pa.float32())),
+    }), M
+
+
+def test_brute_force_matches_numpy(ray_session):
+    import ray.data
+
+    t, M = _embeddings()
+    q = M[:2].astype(np.float64)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = knn.brute_force_topk(ds, [0, 1], q, k=5)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = Mn @ Qn.T
+    for qi in (0, 1):
+        expect = set(np.argsort(-sims[:, qi])[:5].tolist())
+        got = {v for qq, v in zip(out["query_id"].to_pylist(),
+                                  out["vec_id"].to_pylist()) if qq == qi}
+        assert got == expect
+    # self-similarity 1.0 ranked first
+    first = out.to_pylist()[0]
+    assert first["vec_id"] == 0 and abs(first["sim"] - 1.0) < 1e-9
+
+
+def test_lsh_recall_vs_brute_force(ray_session):
+    import ray.data
+
+    t, M = _embeddings(n=400)
+    q = M[:3].astype(np.float64)
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = knn.brute_force_topk(ds, [0, 1, 2], q, k=10)
+    approx = knn.lsh_topk(ds, [0, 1, 2], q, dim=M.shape[1], k=10)
+    # the query vector itself always shares its own bucket → present
+    for qi in (0, 1, 2):
+        a = {v for qq, v in zip(approx["query_id"].to_pylist(),
+                                approx["vec_id"].to_pylist()) if qq == qi}
+        e = {v for qq, v in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist()) if qq == qi}
+        assert qi in a
+        recall = len(a & e) / len(e)
+        assert recall >= 0.3  # approximate, but far above chance (10/400)
+
+
+def test_batch_matrix_zero_copy_shape():
+    t, M = _embeddings(n=10, d=4)
+    out = knn._batch_matrix(t["embedding"])
+    assert out.shape == (10, 4)
+    np.testing.assert_allclose(out, M.astype(np.float64), rtol=1e-6)
