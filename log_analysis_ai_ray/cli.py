@@ -1,0 +1,95 @@
+"""CLI entry point — usable standalone or under ``ray job submit``:
+
+    python -m log_analysis_ai_ray.cli flagship --pages DIR --out DIR
+    python -m log_analysis_ai_ray.cli flagship --pages DIR --out DIR --resume
+    python -m log_analysis_ai_ray.cli run --config pipeline.json
+    python -m log_analysis_ai_ray.cli synth --out DIR --pages 10000
+
+Owns its Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="log_analysis_ai_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_flag = sub.add_parser("flagship")
+    p_flag.add_argument("--pages", required=True)
+    p_flag.add_argument("--out", required=True)
+    p_flag.add_argument("--resume", action="store_true",
+                        help="checkpointed run (skips completed groups)")
+    p_flag.add_argument("--num-sinks", type=int, default=16)
+
+    p_run = sub.add_parser("run")
+    p_run.add_argument("--config", required=True)
+
+    p_synth = sub.add_parser("synth")
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--pages", type=int, default=10_000)
+    p_synth.add_argument("--files", type=int, default=8)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .synth import write_pages
+
+        paths = write_pages(args.out, args.pages, n_files=args.files)
+        print(json.dumps({"files": len(paths), "out": args.out}))
+        return 0
+
+    _ensure_ray(args.num_cpus)
+    try:
+        if args.cmd == "flagship":
+            from .pipelines import flagship
+
+            cfg = flagship.FlagshipConfig(num_sinks=args.num_sinks)
+            if args.resume:
+                res = flagship.run_checkpointed(args.pages, args.out, cfg)
+                print(json.dumps({k: res[k] for k in
+                                  ("groups_ran", "groups_skipped",
+                                   "total_rows")}))
+            else:
+                res = flagship.run(args.pages, args.out, cfg)
+                print(json.dumps(res["metrics"], default=str))
+            return 0
+        if args.cmd == "run":
+            from .pipeline import Pipeline, PipelineConfig
+
+            with open(args.config) as f:
+                cfg = PipelineConfig.from_json(f.read())
+            out = Pipeline(cfg).run()
+            if "metrics" in out:
+                print(json.dumps(out["metrics"], default=str))
+            else:
+                print(json.dumps({"ok": True}))
+            return 0
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

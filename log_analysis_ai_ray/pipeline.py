@@ -1,0 +1,130 @@
+"""Config-driven pipeline composition — the public API surface.
+
+The reference exposes parser selection by format string + config-driven
+preprocessing (SURVEY.md §2.10; /root/reference/src/file_data_loader.cpp:351-363,
+src/data_loader_config.h). The equivalent here: a ``PipelineConfig``
+(JSON-serializable dict) names a source format, parser, preprocess
+chain, enrichment dicts, routing and aggregate set; ``Pipeline.run``
+composes the Dataset plan. UDF extension = any callable appended via
+``extra_stages`` (plain ``map_batches`` functions).
+
+Example::
+
+    cfg = PipelineConfig(
+        source={"format": "pages", "path": "/data/pages"},
+        parser={"kind": "drain"},
+        route={"out_dir": "/out", "num_sinks": 16},
+    )
+    result = Pipeline(cfg).run()
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    source: dict = field(default_factory=dict)   # format: pages|csv|json|text; path
+    parser: dict = field(default_factory=dict)   # kind: drain|regex|syslog|line; options
+    preprocess: dict = field(default_factory=dict)  # PreprocessorConfig fields
+    enrich: dict = field(default_factory=dict)   # domain_tiers / lang_names overrides
+    route: dict = field(default_factory=dict)    # out_dir, num_sinks
+    aggregates: list = field(default_factory=lambda: ["registry", "levels",
+                                                      "rollup"])
+    extra_stages: list = field(default_factory=list)  # callables (UDFs)
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d.pop("extra_stages")
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        return cls(**json.loads(s))
+
+
+class Pipeline:
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+
+    # -- source -----------------------------------------------------------
+
+    def _source(self):
+        from .sources import readers
+        from .pipelines import flagship
+
+        src = self.config.source
+        fmt = src.get("format", "pages")
+        path = src["path"]
+        if fmt == "pages":
+            return flagship.build_lines(path)
+        if fmt == "text":
+            return readers.read_text_lines(path)
+        if fmt == "csv":
+            return readers.read_csv_logs(
+                path, dimensions=src.get("dimensions"),
+                timestamp_format=src.get("timestamp_format"))
+        if fmt == "json":
+            return readers.read_json_logs(path)
+        raise ValueError(f"unknown source format: {fmt}")
+
+    # -- parser -----------------------------------------------------------
+
+    def _apply_parser(self, ds):
+        from .stages import parse as parse_mod
+        from .stages import syslog as syslog_mod
+
+        p = self.config.parser
+        kind = p.get("kind", "drain")
+        if kind == "line":
+            return ds
+        if kind == "syslog":
+            return ds.map_batches(syslog_mod.parse_syslog,
+                                  batch_format="pyarrow")
+        if kind == "regex":
+            patterns = p.get("patterns", {})
+            return ds.map_batches(
+                parse_mod.extract_attributes, batch_format="pyarrow",
+                fn_kwargs={"patterns": patterns})
+        if kind == "drain":
+            return ds  # drain runs in run() (needs the two-pass fit)
+        raise ValueError(f"unknown parser kind: {kind}")
+
+    # -- run --------------------------------------------------------------
+
+    def run(self) -> dict:
+        from .pipelines import flagship
+        from .stages import aggregate as agg
+        from .stages import preprocess as prep
+
+        cfg = self.config
+        src_fmt = cfg.source.get("format", "pages")
+        parser_kind = cfg.parser.get("kind", "drain")
+
+        if src_fmt == "pages" and parser_kind == "drain":
+            # the flagship path: full parse→enrich→route→aggregate
+            fcfg = flagship.FlagshipConfig()
+            if "num_sinks" in cfg.route:
+                fcfg.num_sinks = cfg.route["num_sinks"]
+            if "domain_tiers" in cfg.enrich:
+                fcfg.domain_tiers = cfg.enrich["domain_tiers"]
+            if "lang_names" in cfg.enrich:
+                fcfg.lang_names = cfg.enrich["lang_names"]
+            return flagship.run(cfg.source["path"], cfg.route["out_dir"],
+                                fcfg)
+
+        ds = self._source()
+        if cfg.preprocess:
+            pc_cfg = prep.PreprocessorConfig(**cfg.preprocess)
+            ds = ds.map_batches(prep.Preprocessor(pc_cfg),
+                                batch_format="pyarrow")
+        ds = self._apply_parser(ds)
+        for stage in cfg.extra_stages:
+            ds = ds.map_batches(stage, batch_format="pyarrow")
+
+        out: dict = {"dataset": ds}
+        if cfg.route.get("out_dir"):
+            ds.write_parquet(cfg.route["out_dir"])
+        return out

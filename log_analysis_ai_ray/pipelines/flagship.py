@@ -19,6 +19,7 @@ mid-pipeline, which would defeat streaming execution at 100 TB.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -55,8 +56,10 @@ def pages_to_lines(batch: pa.Table) -> pa.Table:
 
 def build_lines(pages_path: str, **read_kwargs):
     ds = read_pages(pages_path, **read_kwargs)
+    # batch_size=None → whole-block batches: the stage is pure Arrow
+    # kernels, so bigger batches amortize kernel dispatch
     return ds.map_batches(pages_to_lines, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          batch_size=None, zero_copy_batch=True)
 
 
 def fit_mapping(pages_path: str, config: FlagshipConfig | None = None) -> pa.Table:
@@ -81,11 +84,24 @@ def build_parsed(pages_path: str, mapping: pa.Table,
         fn_constructor_args=(mapping_ref, config.drain),
         concurrency=config.assigner_concurrency,
         batch_format="pyarrow",
+        batch_size=None,
         zero_copy_batch=True,
     )
     enricher = Enricher(config.domain_tiers, config.lang_names)
     return parsed.map_batches(enricher, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              batch_size=None, zero_copy_batch=True)
+
+
+def _read_routed(out_dir: str):
+    """Pruned columnar read-back of the routed sinks for aggregation."""
+    import glob
+
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(out_dir, "sink_id=*", "*.parquet")))
+    return ray.data.read_parquet(
+        files, columns=["template_hash", "template", "level", "line_ts",
+                        "parse_ok"])
 
 
 def run(pages_path: str, out_dir: str,
@@ -105,9 +121,12 @@ def run(pages_path: str, out_dir: str,
                                          num_sinks=config.num_sinks)
     t_route = time.time() - t0 - t_mine
 
-    # All small aggregates share ONE pass over the parsed stream.
-    parsed = build_parsed(pages_path, mapping, config)
-    aggs = agg.combined_aggregates(parsed)
+    # All small aggregates share ONE pass — over the ROUTED OUTPUT, not
+    # a re-parse: the sinks already hold the needed columns, and a pruned
+    # columnar read of (template_hash, template, level, line_ts) is far
+    # cheaper than re-running explode+mask+assign over the raw pages.
+    routed_back = _read_routed(out_dir)
+    aggs = agg.combined_aggregates(routed_back)
     registry, levels = aggs["registry"], aggs["levels"]
     rollup, quality = aggs["rollup"], aggs["quality"]
     t_total = time.time() - t0
@@ -123,7 +142,6 @@ def run(pages_path: str, out_dir: str,
     metrics_mod.write_metrics(out_dir, "_metrics", metrics)
 
     import pyarrow.parquet as pq
-    import os
     pq.write_table(registry, os.path.join(out_dir, "template_registry.parquet"))
     pq.write_table(rollup, os.path.join(out_dir, "rollups.parquet"))
     pq.write_table(levels, os.path.join(out_dir, "level_counts.parquet"))

@@ -35,7 +35,7 @@ from . import flagship
 
 PAGES_ROOT = "/tmp/graft_pages"
 PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
-N_FILES = 8
+N_FILES = 32
 
 
 def sf_name(sf_dir: str) -> str:

@@ -33,10 +33,16 @@ def _combine_partials(ds, keys: list[str], aggs: list[tuple[str, str]]):
 
     aggs: list of (column, fn) with fn in {sum,min,max}; output columns
     keep the partial's name.
+
+    The partials are MATERIALIZED first: they are tiny (O(blocks ×
+    distinct keys)), and Ray's groupby schema probe otherwise re-executes
+    the entire upstream map pipeline a second time (observed as a
+    duplicate Aggregate→limit=1 run in ds.stats()).
     """
     from ray.data.aggregate import Max, Min, Sum
 
     fns = {"sum": Sum, "min": Min, "max": Max}
+    ds = ds.materialize()
     groupby = ds.groupby(keys)
     specs = [fns[fn](col, alias_name=col) for col, fn in aggs]
     return groupby.aggregate(*specs)
@@ -60,12 +66,20 @@ def _us_to_ts(col, sentinel: int):
 
 
 def template_counts_partial(batch: pa.Table) -> pa.Table:
+    if "params" in batch.column_names:
+        n_params = pc.list_value_length(batch.column("params")).cast(pa.int32())
+    else:
+        # aggregating from routed output (no params column): n_params =
+        # wildcard count of the template string — same value by
+        # construction (wildcard positions define the params list)
+        n_params = pc.count_substring(batch.column("template"),
+                                      "<*>").cast(pa.int32())
     t = pa.table({
         "template_hash": batch.column("template_hash"),
         "template": batch.column("template"),
         "ts_min": _ts_us(batch.column("line_ts"), TS_MAX),
         "ts_max": _ts_us(batch.column("line_ts"), TS_MIN),
-        "n_params": pc.list_value_length(batch.column("params")).cast(pa.int32()),
+        "n_params": n_params,
     })
     out = t.group_by(["template_hash", "template", "n_params"]).aggregate(
         [([], "count_all"), ("ts_min", "min"), ("ts_max", "max")]
@@ -78,7 +92,7 @@ def template_counts_partial(batch: pa.Table) -> pa.Table:
 def template_registry(parsed_ds) -> pa.Table:
     """F3 template registry: small aggregate → driver-side pa.Table."""
     partials = parsed_ds.map_batches(template_counts_partial,
-                                     batch_format="pyarrow")
+                                     batch_format="pyarrow", batch_size=None)
     merged = _combine_partials(
         partials,
         keys=["template_hash", "template", "n_params"],
@@ -252,7 +266,7 @@ def combined_partials(batch: pa.Table) -> pa.Table:
 
 def combined_aggregates(parsed_ds) -> dict:
     """Single-pass flagship aggregates → dict of small driver tables."""
-    partials = parsed_ds.map_batches(combined_partials, batch_format="pyarrow")
+    partials = parsed_ds.map_batches(combined_partials, batch_format="pyarrow", batch_size=None)
     merged = _combine_partials(
         partials,
         keys=["kind", "key_str", "key_hash", "bucket_h", "n_params"],

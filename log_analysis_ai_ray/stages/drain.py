@@ -231,9 +231,10 @@ def collect_distinct_masked(lines_ds, config: DrainConfig | None = None,
     """
     config = config or DrainConfig()
     partial = lines_ds.map_batches(
-        partial_distinct_counts, batch_format="pyarrow",
+        partial_distinct_counts, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"col": col},
-    )
+    ).materialize()  # partials are small; avoids groupby's schema-probe
+    #                  re-executing the whole upstream pipeline
     agg = partial.groupby(col).sum("cnt")
     tbl = agg.to_arrow_refs()
     import ray

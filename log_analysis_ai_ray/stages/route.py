@@ -26,7 +26,7 @@ DEFAULT_NUM_SINKS = 16
 ROUTED_COLUMNS = [
     "url", "line_no", "line", "level", "line_ts", "template",
     "template_hash", "domain", "domain_tier", "lang", "lang_name",
-    "sink_id",
+    "parse_ok", "sink_id",
 ]
 
 
@@ -44,10 +44,11 @@ def route_and_write(parsed_ds, out_dir: str,
     per-sink count manifest (also persisted as _manifest.json)."""
     columns = columns or ROUTED_COLUMNS
     routed = parsed_ds.map_batches(
-        add_sink_id, batch_format="pyarrow",
+        add_sink_id, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"num_sinks": num_sinks},
     ).map_batches(
         lambda t: t.select(columns), batch_format="pyarrow",
+        batch_size=None,
     )
     routed.write_parquet(out_dir, partition_cols=["sink_id"])
 

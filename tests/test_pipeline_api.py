@@ -1,0 +1,50 @@
+import json
+
+from log_analysis_ai_ray.pipeline import Pipeline, PipelineConfig
+
+
+def test_config_roundtrip():
+    cfg = PipelineConfig(source={"format": "pages", "path": "/x"},
+                         parser={"kind": "drain"},
+                         route={"out_dir": "/y", "num_sinks": 8})
+    cfg2 = PipelineConfig.from_json(cfg.to_json())
+    assert cfg2.source == cfg.source
+    assert cfg2.route == cfg.route
+
+
+def test_flagship_via_pipeline_api(ray_session, pages_small, tmp_path):
+    cfg = PipelineConfig(
+        source={"format": "pages", "path": pages_small},
+        parser={"kind": "drain"},
+        route={"out_dir": str(tmp_path / "out"), "num_sinks": 8},
+    )
+    res = Pipeline(cfg).run()
+    assert res["metrics"]["rows_routed"] > 0
+    assert res["registry"].num_rows == 25
+    assert len(res["manifest"]["per_sink_rows"]) <= 8
+
+
+def test_text_source_with_udf(ray_session, tmp_path):
+    p = tmp_path / "x.log"
+    p.write_text("one 1\ntwo 2\n")
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def upper_udf(batch: pa.Table) -> pa.Table:
+        return batch.append_column("upper",
+                                   pc.ascii_upper(batch.column("line")))
+
+    cfg = PipelineConfig(source={"format": "text", "path": str(p)},
+                         parser={"kind": "line"},
+                         extra_stages=[upper_udf])
+    out = Pipeline(cfg).run()["dataset"].take_all()
+    assert [r["upper"] for r in out] == ["ONE 1", "TWO 2"]
+
+
+def test_cli_synth_and_flagship(tmp_path):
+    from log_analysis_ai_ray import cli
+
+    pages_dir = str(tmp_path / "pages")
+    assert cli.main(["synth", "--out", pages_dir, "--pages", "300",
+                     "--files", "2"]) == 0

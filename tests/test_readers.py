@@ -1,0 +1,68 @@
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from log_analysis_ai_ray.sources import readers
+
+
+@pytest.fixture()
+def jsonl_file(tmp_path):
+    """Mirror of the reference's only fixture shape
+    (/root/reference/python/samples/sample_logs.jsonl)."""
+    rows = [
+        {"timestamp": "2023-05-10T12:00:01", "level": "INFO",
+         "message": "Server started on port 8080", "port": 8080},
+        {"timestamp": "2023-05-10T12:00:02", "level": "ERROR",
+         "message": "Failed to connect", "db_host": "db01"},
+        {"time": "2023-05-10 12:00:03", "severity": "WARN",
+         "msg": "fallback keys", "cpu_usage": 93.5},
+        {"message": "no level or time"},
+    ]
+    p = tmp_path / "logs.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def test_read_json_logs_heuristics(ray_session, jsonl_file):
+    out = readers.read_json_logs(jsonl_file).take_all()
+    by_msg = {r["message"]: r for r in out}
+    assert set(by_msg) == {
+        "Server started on port 8080", "Failed to connect",
+        "fallback keys", "no level or time"}
+    assert by_msg["Server started on port 8080"]["level"] == "INFO"
+    assert by_msg["Failed to connect"]["level"] == "ERROR"
+    assert by_msg["fallback keys"]["level"] == "WARN"
+    assert by_msg["no level or time"]["level"] == "INFO"  # default
+    assert by_msg["Server started on port 8080"]["ts"] is not None
+    assert by_msg["fallback keys"]["ts"] is not None
+    assert by_msg["no level or time"]["ts"] is None
+    # scalars stringified into the attrs map
+    assert dict(by_msg["Server started on port 8080"]["attrs"])["port"] == "8080"
+    assert dict(by_msg["fallback keys"]["attrs"])["cpu_usage"] == "93.5"
+
+
+def test_read_csv_logs_dimensions(ray_session, tmp_path):
+    p = tmp_path / "logs.csv"
+    p.write_text(
+        "when,what,sev,extra\n"
+        "2024-01-01 10:00:00,started,INFO,x\n"
+        "2024-01-01 10:00:01,crashed,ERROR,y\n")
+    out = readers.read_csv_logs(
+        str(p),
+        dimensions={"body": "what", "timestamp": "when", "severity": "sev"},
+    ).take_all()
+    assert [r["message"] for r in out] == ["started", "crashed"]
+    assert [r["level"] for r in out] == ["INFO", "ERROR"]
+    assert out[0]["ts"].hour == 10
+    assert [r["extra"] for r in out] == ["x", "y"]  # extras ride along
+
+
+def test_read_text_lines(ray_session, tmp_path):
+    p = tmp_path / "plain.log"
+    p.write_text("alpha\nbeta\n")
+    out = readers.read_text_lines(str(p)).take_all()
+    assert [r["line"] for r in out] == ["alpha", "beta"]
