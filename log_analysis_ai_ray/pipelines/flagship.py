@@ -42,9 +42,20 @@ from .. import synth
 class FlagshipConfig:
     num_sinks: int = route_mod.DEFAULT_NUM_SINKS
     drain: DrainConfig = field(default_factory=DrainConfig)
-    assigner_concurrency: int | tuple[int, int] = (2, 8)
+    # None → size the assigner pool to the cluster (scales with CPUs;
+    # a fixed cap would flatline throughput beyond cap × 1 CPU)
+    assigner_concurrency: int | tuple[int, int] | None = None
     domain_tiers: dict = field(default_factory=lambda: dict(synth.DOMAIN_TIERS))
     lang_names: dict = field(default_factory=lambda: dict(synth.LANG_NAMES))
+
+
+def _assigner_concurrency(config: "FlagshipConfig"):
+    if config.assigner_concurrency is not None:
+        return config.assigner_concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (min(2, cpus), max(2, cpus))
 
 
 def pages_to_lines(batch: pa.Table) -> pa.Table:
@@ -54,7 +65,16 @@ def pages_to_lines(batch: pa.Table) -> pa.Table:
     return parse_lines(lines)
 
 
+def _default_blocks() -> int:
+    import ray
+
+    return max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+
 def build_lines(pages_path: str, **read_kwargs):
+    # one block per CPU: bounds downstream task count AND the sink file
+    # count (hive writes emit blocks × sinks files)
+    read_kwargs.setdefault("override_num_blocks", _default_blocks())
     ds = read_pages(pages_path, **read_kwargs)
     # batch_size=None → whole-block batches: the stage is pure Arrow
     # kernels, so bigger batches amortize kernel dispatch
@@ -62,10 +82,20 @@ def build_lines(pages_path: str, **read_kwargs):
                           batch_size=None, zero_copy_batch=True)
 
 
+def pages_to_masked(batch: pa.Table) -> pa.Table:
+    """Mine-pass-only variant of pages_to_lines: explode + mask, no
+    level/timestamp parsing (the fit pass needs only masked strings)."""
+    lines = explode_lines(batch, carry=())
+    return add_masked(lines)
+
+
 def fit_mapping(pages_path: str, config: FlagshipConfig | None = None) -> pa.Table:
     """Pass 1: mine the masked→template mapping (deterministic)."""
     config = config or FlagshipConfig()
-    lines = build_lines(pages_path)
+    ds = read_pages(pages_path, columns=["text"],  # prune to the minimum
+                    override_num_blocks=_default_blocks())
+    lines = ds.map_batches(pages_to_masked, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
     distinct = collect_distinct_masked(lines, config.drain)
     return mine_mapping(distinct.column("masked").to_pylist(), config.drain)
 
@@ -78,15 +108,26 @@ def build_parsed(pages_path: str, mapping: pa.Table,
 
     config = config or FlagshipConfig()
     lines = build_lines(pages_path)
-    mapping_ref = ray.put(mapping)
-    parsed = lines.map_batches(
-        TemplateAssigner,
-        fn_constructor_args=(mapping_ref, config.drain),
-        concurrency=config.assigner_concurrency,
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
-    )
+    if mapping.nbytes < 8 * 1024 * 1024:
+        # small mapping: ship the constructed assigner in the task
+        # closure — skips actor-pool spin-up (a measurable fixed cost
+        # per run). Large mappings (huge template vocabularies) use the
+        # actor pool: broadcast once per actor via ray.put.
+        assigner = TemplateAssigner(mapping, config.drain)
+        parsed = lines.map_batches(
+            assigner, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+    else:
+        mapping_ref = ray.put(mapping)
+        parsed = lines.map_batches(
+            TemplateAssigner,
+            fn_constructor_args=(mapping_ref, config.drain),
+            concurrency=_assigner_concurrency(config),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
     enricher = Enricher(config.domain_tiers, config.lang_names)
     return parsed.map_batches(enricher, batch_format="pyarrow",
                               batch_size=None, zero_copy_batch=True)
@@ -99,9 +140,13 @@ def _read_routed(out_dir: str):
     import ray.data
 
     files = sorted(glob.glob(os.path.join(out_dir, "sink_id=*", "*.parquet")))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # hive-partitioned writes produce blocks×sinks small files; coalesce
+    # fragments into ~one read task per CPU instead of one per file
     return ray.data.read_parquet(
         files, columns=["template_hash", "template", "level", "line_ts",
-                        "parse_ok"])
+                        "parse_ok"],
+        override_num_blocks=min(len(files), cpus))
 
 
 def run(pages_path: str, out_dir: str,
@@ -130,12 +175,14 @@ def run(pages_path: str, out_dir: str,
     registry, levels = aggs["registry"], aggs["levels"]
     rollup, quality = aggs["rollup"], aggs["quality"]
     t_total = time.time() - t0
+    t_agg = t_total - t_mine - t_route
 
     metrics = {
         "rows_routed": manifest["total_rows"],
         "n_templates": registry.num_rows,
         "mine_sec": t_mine,
         "route_sec": t_route,
+        "agg_sec": t_agg,
         "total_sec": t_total,
         **quality,
     }

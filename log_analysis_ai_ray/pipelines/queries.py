@@ -53,7 +53,8 @@ PAGES_GLOB_SF001 = f"{PAGES_ROOT}/sf0.01/pages-*.parquet"
 # the driver's oracle runs at sf=0.01; SQL reads the same parquet files
 PAGES_VIEW = f"(SELECT * FROM read_parquet('{PAGES_GLOB_SF001}'))"
 LINES_VIEW = (
-    "(SELECT url, line FROM (SELECT url, unnest(string_split(text, chr(10))) AS line "
+    "(SELECT url, lang, line FROM (SELECT url, lang, "
+    "unnest(string_split(text, chr(10))) AS line "
     f"FROM {PAGES_VIEW}) WHERE line <> '')"
 )
 
@@ -71,8 +72,7 @@ def _lines_ds(sf_dir: str):
 
 def _partial_final(ds, partial_fn, keys, aggs) -> pa.Table:
     partials = ds.map_batches(partial_fn, batch_format="pyarrow")
-    merged = agg._combine_partials(partials, keys=keys, aggs=aggs)
-    return agg._to_arrow(merged)
+    return agg._combine_partials(partials, keys=keys, aggs=aggs)
 
 
 def _round(col, ndigits: int):
@@ -92,6 +92,73 @@ def q_parsed_lines(sf_dir: str):
         return t.select(["url", "line", "level", "masked"])
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_pattern_counts(sf_dir: str):
+    """A3 count_occurrences: lines matching a pattern, grouped — here
+    'Failed' hits per page language (filter + groupby count)."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.match_substring(t.column("line"), "Failed"))
+        out = (pa.table({"lang": hit.column("lang")})
+               .group_by("lang").aggregate([([], "count_all")]))
+        return out.rename_columns(["lang", "cnt"])
+
+    return _partial_final(ds, partial, ["lang"], [("cnt", "sum")])
+
+
+SQL_PATTERN_COUNTS = f"""
+SELECT lang, count(*) AS cnt FROM {LINES_VIEW}
+WHERE contains(line, 'Failed') GROUP BY 1
+"""
+
+
+def q_level_hour_heatmap(sf_dir: str):
+    """A8 heatmap pivot: count by level × hour-of-day."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.hour(t.column("line_ts")).cast(pa.int64()).fill_null(-1)
+        tt = (pa.table({"level": t.column("level"), "hour": hour})
+              .group_by(["level", "hour"]).aggregate([([], "count_all")]))
+        return tt.rename_columns(["level", "hour", "cnt"])
+
+    out = _partial_final(ds, partial, ["level", "hour"], [("cnt", "sum")])
+    return out.filter(pc.not_equal(out.column("hour"), -1))
+
+
+SQL_LEVEL_HOUR_HEATMAP = f"""
+WITH l AS (
+  SELECT coalesce(regexp_extract(line, '\\b(INFO|WARN|ERROR|DEBUG)\\b', 1), '') AS level,
+         try_strptime(regexp_extract(line, '^\\[([^\\]]+)\\]', 1),
+                      '%Y-%m-%d %H:%M:%S') AS line_ts
+  FROM {LINES_VIEW})
+SELECT level, CAST(extract(hour FROM line_ts) AS BIGINT) AS hour,
+       count(*) AS cnt
+FROM l WHERE line_ts IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_events_recent(sf_dir: str):
+    """O2 'recent logs': global top-20 newest events WITHOUT a global
+    sort — per-batch partial top-k, merged driver-side."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.sort_by([("ts", "descending"),
+                          ("event_id", "ascending")]).slice(0, 20)
+
+    partials = agg._to_arrow(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
+    return partials.sort_by([("ts", "descending"),
+                             ("event_id", "ascending")]).slice(0, 20)
+
+
+SQL_EVENTS_RECENT = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id ASC LIMIT 20
+"""
 
 
 SQL_PARSED_LINES = f"""
@@ -720,6 +787,9 @@ QUERIES: dict[str, tuple] = {
     "doc_langid": (None, None),                         # filled below
     "doc_quality": (None, None),                        # filled below
     "doc_subtokens": (None, None),                      # filled below
+    "pattern_counts": (q_pattern_counts, SQL_PATTERN_COUNTS),
+    "level_hour_heatmap": (q_level_hour_heatmap, SQL_LEVEL_HOUR_HEATMAP),
+    "events_recent": (q_events_recent, SQL_EVENTS_RECENT),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, None),                       # rows-only
     "embed_label_counts": (q_embed_label_counts, SQL_EMBED_LABEL_COUNTS),

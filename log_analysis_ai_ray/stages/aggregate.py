@@ -28,24 +28,39 @@ import pyarrow.compute as pc
 from ..functions.timestamps import floor_hour
 
 
-def _combine_partials(ds, keys: list[str], aggs: list[tuple[str, str]]):
-    """Final merge of partial rows: Dataset.groupby over small partials.
+# Above this many partial rows the final merge happens as a Ray
+# groupby shuffle; below it, a single driver-side pyarrow group_by (a
+# few hundred ms) beats the distributed exchange by an order of
+# magnitude. Partial row count = O(blocks × distinct keys), so the
+# driver path covers everything but truly huge key spaces.
+DRIVER_MERGE_MAX_ROWS = 5_000_000
+
+
+def _combine_partials(ds, keys: list[str],
+                      aggs: list[tuple[str, str]]) -> pa.Table:
+    """Final merge of partial rows → driver-side pa.Table.
 
     aggs: list of (column, fn) with fn in {sum,min,max}; output columns
     keep the partial's name.
 
-    The partials are MATERIALIZED first: they are tiny (O(blocks ×
-    distinct keys)), and Ray's groupby schema probe otherwise re-executes
-    the entire upstream map pipeline a second time (observed as a
-    duplicate Aggregate→limit=1 run in ds.stats()).
+    The partials are MATERIALIZED first: they are tiny, and Ray's
+    groupby schema probe otherwise re-executes the entire upstream map
+    pipeline a second time (observed as a duplicate Aggregate→limit=1
+    run in ds.stats()). The merge itself is adaptive: pyarrow on the
+    driver when the partials fit comfortably, Dataset.groupby beyond.
     """
+    ds = ds.materialize()
+    if ds.count() <= DRIVER_MERGE_MAX_ROWS:
+        tbl = _to_arrow(ds)
+        merged = tbl.group_by(keys).aggregate(
+            [(col, fn) for col, fn in aggs])
+        return merged.rename_columns(keys + [col for col, _ in aggs])
+
     from ray.data.aggregate import Max, Min, Sum
 
     fns = {"sum": Sum, "min": Min, "max": Max}
-    ds = ds.materialize()
-    groupby = ds.groupby(keys)
     specs = [fns[fn](col, alias_name=col) for col, fn in aggs]
-    return groupby.aggregate(*specs)
+    return _to_arrow(ds.groupby(keys).aggregate(*specs))
 
 
 # Timestamps cross the Ray shuffle as sentinel-filled int64 micros:
@@ -98,7 +113,7 @@ def template_registry(parsed_ds) -> pa.Table:
         keys=["template_hash", "template", "n_params"],
         aggs=[("count", "sum"), ("first_us", "min"), ("last_us", "max")],
     )
-    tbl = _to_arrow(merged)
+    tbl = merged
     tbl = pa.table({
         "template_hash": tbl.column("template_hash"),
         "template": tbl.column("template"),
@@ -119,7 +134,7 @@ def level_counts(parsed_ds) -> pa.Table:
     partials = parsed_ds.map_batches(partial, batch_format="pyarrow")
     merged = _combine_partials(partials, keys=["level"],
                                aggs=[("count", "sum")])
-    return _to_arrow(merged).sort_by("level")
+    return merged.sort_by("level")
 
 
 def hour_rollup(parsed_ds) -> pa.Table:
@@ -135,7 +150,7 @@ def hour_rollup(parsed_ds) -> pa.Table:
     partials = parsed_ds.map_batches(partial, batch_format="pyarrow")
     merged = _combine_partials(partials, keys=["template_hash", "bucket"],
                                aggs=[("count", "sum")])
-    return _to_arrow(merged).sort_by(
+    return merged.sort_by(
         [("template_hash", "ascending"), ("bucket", "ascending")])
 
 
@@ -272,7 +287,7 @@ def combined_aggregates(parsed_ds) -> dict:
         keys=["kind", "key_str", "key_hash", "bucket_h", "n_params"],
         aggs=[("count", "sum"), ("first_us", "min"), ("last_us", "max")],
     )
-    tbl = _to_arrow(merged)
+    tbl = merged
 
     def part(kind: str) -> pa.Table:
         return tbl.filter(pc.equal(tbl.column("kind"), kind))

@@ -135,7 +135,7 @@ def exact_dedup_by_hash(ds, id_col: str = "doc_id", text_col: str = "text"):
         ds.map_batches(partial, batch_format="pyarrow"),
         keys=["content_hash"],
         aggs=[("keep_id", "min"), ("n_copies", "sum")])
-    return _to_arrow(merged).sort_by("keep_id")
+    return merged.sort_by("keep_id")
 
 
 class MinHashStage:
@@ -226,7 +226,7 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
     merged = _combine_partials(
         pairs.map_batches(pair_partial, batch_format="pyarrow"),
         keys=["doc_a", "doc_b"], aggs=[("est_jaccard", "max")])
-    out = _to_arrow(merged)
+    out = merged
     if out.num_rows == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),

@@ -60,14 +60,23 @@ def route_and_write(parsed_ds, out_dir: str,
 
 def sink_manifest_from_output(out_dir: str) -> dict:
     """Recount routed rows per sink from the written files (verifies the
-    sink contents, not just the intent)."""
-    import pyarrow.dataset as pads
+    sink contents, not just the intent). Counts come from parquet FOOTER
+    metadata (no data read) fetched with a thread pool — a serial
+    per-file scan here was a measurable serial floor in the route
+    stage."""
+    import glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out_dir, "sink_id=*", "*.parquet")))
+
+    def count(path: str) -> tuple[str, int]:
+        sink = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
+        return sink, pq.ParquetFile(path).metadata.num_rows
 
     counts: dict[str, int] = {}
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("sink_id="):
-            continue
-        sink = name.split("=", 1)[1]
-        d = pads.dataset(os.path.join(out_dir, name), format="parquet")
-        counts[sink] = d.count_rows()
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for sink, n in ex.map(count, files):
+            counts[sink] = counts.get(sink, 0) + n
     return {"per_sink_rows": counts, "total_rows": sum(counts.values())}

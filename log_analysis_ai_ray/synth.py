@@ -292,21 +292,40 @@ def shard_bounds(n_pages: int, n_files: int) -> list[tuple[int, int]]:
     return bounds
 
 
+def _write_shard(args) -> str:
+    out_dir, shard, start, n, seed = args
+    path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
+    tbl = generate_shard(shard, start, n, seed=seed)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return path
+
+
 def write_pages(out_dir: str, n_pages: int, seed: int = SEED,
-                n_files: int = 8, overwrite: bool = False) -> list[str]:
+                n_files: int = 8, overwrite: bool = False,
+                processes: int | None = None) -> list[str]:
     """Write the pages table as n_files parquet shards; resumable (skips
-    shards whose file already exists unless overwrite)."""
+    shards whose file already exists unless overwrite). Shards are
+    independent (seeded per shard), so generation parallelizes across
+    processes."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
+    paths, todo = [], []
     for shard, (start, n) in enumerate(shard_bounds(n_pages, n_files)):
         path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
         paths.append(path)
-        if os.path.exists(path) and not overwrite:
-            continue
-        tbl = generate_shard(shard, start, n, seed=seed)
-        tmp = path + ".tmp"
-        pq.write_table(tbl, tmp, compression="zstd")
-        os.replace(tmp, path)
+        if not (os.path.exists(path) and not overwrite):
+            todo.append((out_dir, shard, start, n, seed))
+    if todo:
+        procs = processes or min(16, os.cpu_count() or 4, len(todo))
+        if procs > 1 and len(todo) > 1:
+            import multiprocessing as mp
+
+            with mp.get_context("spawn").Pool(procs) as pool:
+                list(pool.imap_unordered(_write_shard, todo))
+        else:
+            for args in todo:
+                _write_shard(args)
     return paths
 
 
