@@ -57,7 +57,7 @@ def scaling_pages_dir() -> str:
     against compute for the efficiency ratio to measure the ENGINE."""
     from log_analysis_ai_ray import synth
 
-    n = int(os.environ.get("GRAFT_SCALE_PAGES", "400000"))
+    n = int(os.environ.get("GRAFT_SCALE_PAGES", "1600000"))
     return synth.ensure_pages(f"/tmp/graft_pages/scaling-{n}", n, n_files=32)
 
 
@@ -150,7 +150,13 @@ def scaling() -> None:
             "import ray; ray.shutdown();"
             "print('RESULT ' + json.dumps(r))" % (n, pages)
         )
-        out = subprocess.run([sys.executable, "-c", code],
+        # Pin the whole process tree (Ray workers inherit the affinity)
+        # to n physical CPUs: ray.init(num_cpus=n) only limits TASK
+        # concurrency, while Arrow's internal thread pools (parquet
+        # encode/decode) would otherwise use every physical core and
+        # flatter the small-cluster run.
+        cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", code]
+        out = subprocess.run(cmd,
                              capture_output=True, text=True,
                              env={**os.environ, "GRAFT_SF_DIR": SF_DIR})
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]

@@ -161,19 +161,18 @@ def run(pages_path: str, out_dir: str,
         mapping = fit_mapping(pages_path, config)
     t_mine = time.time() - t0
 
+    # Pass 2: ONE consumption routes rows to the sinks (side-effect
+    # writes inside the fused stage) AND yields the combined aggregate
+    # partials — no write-then-read-back, no third pass.
     parsed = build_parsed(pages_path, mapping, config)
-    manifest = route_mod.route_and_write(parsed, out_dir,
-                                         num_sinks=config.num_sinks)
-    t_route = time.time() - t0 - t_mine
-
-    # All small aggregates share ONE pass — over the ROUTED OUTPUT, not
-    # a re-parse: the sinks already hold the needed columns, and a pruned
-    # columnar read of (template_hash, template, level, line_ts) is far
-    # cheaper than re-running explode+mask+assign over the raw pages.
-    routed_back = _read_routed(out_dir)
-    aggs = agg.combined_aggregates(routed_back)
+    partials = route_mod.route_write_with_partials(
+        parsed, out_dir, num_sinks=config.num_sinks)
+    aggs = agg.finalize_combined(partials)
     registry, levels = aggs["registry"], aggs["levels"]
     rollup, quality = aggs["rollup"], aggs["quality"]
+    t_route = time.time() - t0 - t_mine
+
+    manifest = route_mod.sink_manifest_from_output(out_dir)
     t_total = time.time() - t0
     t_agg = t_total - t_mine - t_route
 

@@ -161,6 +161,60 @@ ORDER BY ts DESC, event_id ASC LIMIT 20
 """
 
 
+def q_events_type_quantiles(sf_dir: str):
+    """A5 calculate_stats median/nunique: exact discrete quantiles per
+    event_type over integer cents (shuffle moves distinct pairs only)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                             pa.int64()),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           batch_size=None)
+    return agg.grouped_discrete_quantiles(cents, "event_type", "cents",
+                                          qs=(0.5, 0.9))
+
+
+SQL_EVENTS_TYPE_QUANTILES = """
+WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+SELECT event_type,
+       CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
+       quantile_disc(cents, 0.5) AS q50,
+       quantile_disc(cents, 0.9) AS q90
+FROM e GROUP BY 1
+"""
+
+
+def q_events_ordered_scan(sf_dir: str):
+    """S6/O3 timestamp-ordered merge: union → global distributed sort
+    (sources/merge.py); first 50 rows of the ordered stream."""
+    from ..sources.merge import merge_by_timestamp
+
+    def parity(keep_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            even = pc.equal(
+                pc.bit_wise_and(t.column("event_id"), 1), 0)
+            return t.filter(even if keep_even else pc.invert(even))
+        return f
+
+    base = _read(sf_dir, "events", columns=["event_id", "ts"])
+    half_a = base.map_batches(parity(True), batch_format="pyarrow")
+    half_b = _read(sf_dir, "events", columns=["event_id", "ts"]) \
+        .map_batches(parity(False), batch_format="pyarrow")
+    merged = merge_by_timestamp([half_a, half_b], ts_col="ts",
+                                tie_break="event_id")
+    return merged.limit(50)
+
+
+SQL_EVENTS_ORDERED_SCAN = """
+SELECT event_id, ts FROM events ORDER BY ts ASC, event_id ASC LIMIT 50
+"""
+
+
 SQL_PARSED_LINES = f"""
 SELECT url, line,
        coalesce(regexp_extract(line, '\\b(INFO|WARN|ERROR|DEBUG)\\b', 1), '') AS level,
@@ -790,6 +844,9 @@ QUERIES: dict[str, tuple] = {
     "pattern_counts": (q_pattern_counts, SQL_PATTERN_COUNTS),
     "level_hour_heatmap": (q_level_hour_heatmap, SQL_LEVEL_HOUR_HEATMAP),
     "events_recent": (q_events_recent, SQL_EVENTS_RECENT),
+    "events_type_quantiles": (q_events_type_quantiles,
+                              SQL_EVENTS_TYPE_QUANTILES),
+    "events_ordered_scan": (q_events_ordered_scan, SQL_EVENTS_ORDERED_SCAN),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, None),                       # rows-only
     "embed_label_counts": (q_embed_label_counts, SQL_EMBED_LABEL_COUNTS),

@@ -203,6 +203,56 @@ def global_stats(parsed_ds) -> dict:
     }
 
 
+def grouped_discrete_quantiles(ds, key: str, value_col: str,
+                               qs: tuple[float, ...] = (0.5, 0.9)) -> pa.Table:
+    """Exact discrete quantiles + distinct count per group, computed as
+    a (key, value)-count aggregation (the shuffle moves one row per
+    DISTINCT (key, value) pair, never raw rows) + a driver-side
+    weighted-quantile pass over the small result.
+
+    Discrete quantile semantics match DuckDB's ``quantile_disc``:
+    element at index floor((n-1)·q) of the sorted values.
+    Reproduces the reference's ``calculate_stats`` median/nunique
+    (/root/reference/python/data_analysis_agent.py:161-169).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        tt = (pa.table({key: batch.column(key),
+                        value_col: batch.column(value_col)})
+              .group_by([key, value_col]).aggregate([([], "count_all")]))
+        return tt.rename_columns([key, value_col, "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    merged = _combine_partials(partials, keys=[key, value_col],
+                               aggs=[("cnt", "sum")])
+    merged = merged.sort_by([(key, "ascending"), (value_col, "ascending")])
+
+    keys_np = np.array(merged.column(key).to_pylist())
+    vals = np.asarray(merged.column(value_col))
+    cnts = np.asarray(merged.column("cnt"))
+    out_key, out_nuniq, out_q = [], [], {q: [] for q in qs}
+    i = 0
+    while i < len(keys_np):
+        j = i
+        while j < len(keys_np) and keys_np[j] == keys_np[i]:
+            j += 1
+        seg_v, seg_c = vals[i:j], cnts[i:j]
+        n = int(seg_c.sum())
+        cum = np.cumsum(seg_c)
+        out_key.append(keys_np[i])
+        out_nuniq.append(j - i)
+        for q in qs:
+            idx = int(np.floor((n - 1) * q))
+            out_q[q].append(seg_v[np.searchsorted(cum, idx + 1)])
+        i = j
+    cols = {key: pa.array(out_key),
+            "n_distinct": pa.array(out_nuniq, type=pa.int64())}
+    for q in qs:
+        cols[f"q{int(q * 100)}"] = pa.array(
+            np.array(out_q[q]), type=pa.int64())
+    return pa.table(cols)
+
+
 def top_k_templates(registry: pa.Table, k: int = 5) -> pa.Table:
     """Trending templates (python/logai_agent.py:530-535): top-k by
     count, template string as deterministic tie-break."""
@@ -282,8 +332,14 @@ def combined_partials(batch: pa.Table) -> pa.Table:
 def combined_aggregates(parsed_ds) -> dict:
     """Single-pass flagship aggregates → dict of small driver tables."""
     partials = parsed_ds.map_batches(combined_partials, batch_format="pyarrow", batch_size=None)
+    return finalize_combined(partials)
+
+
+def finalize_combined(partials_ds) -> dict:
+    """Merge already-computed combined-partial blocks (e.g. emitted by
+    the fused route+aggregate stage) into the final small tables."""
     merged = _combine_partials(
-        partials,
+        partials_ds,
         keys=["kind", "key_str", "key_hash", "bucket_h", "n_params"],
         aggs=[("count", "sum"), ("first_us", "min"), ("last_us", "max")],
     )

@@ -229,21 +229,20 @@ def collect_distinct_masked(lines_ds, config: DrainConfig | None = None,
     table sorted by masked string. Wide step: groupby over the already
     per-block-deduped partials.
     """
+    from .aggregate import _combine_partials
+
     config = config or DrainConfig()
     partial = lines_ds.map_batches(
         partial_distinct_counts, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"col": col},
-    ).materialize()  # partials are small; avoids groupby's schema-probe
-    #                  re-executing the whole upstream pipeline
-    agg = partial.groupby(col).sum("cnt")
-    tbl = agg.to_arrow_refs()
-    import ray
-    parts = [ray.get(r) for r in tbl]
-    out = pa.concat_tables([p for p in parts if p.num_rows]) if parts else None
-    if out is None or out.num_rows == 0:
+    )
+    # one execution: materialize the small per-block distinct counts and
+    # merge (driver-side pyarrow below the size threshold, Ray groupby
+    # beyond) — see aggregate._combine_partials
+    out = _combine_partials(partial, keys=[col], aggs=[("cnt", "sum")])
+    if out.num_rows == 0:
         return pa.table({col: pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})
-    out = out.rename_columns([col, "cnt"])
     if out.num_rows > config.max_distinct:
         # Scale guard: mine only the head by count; tail handled by the
         # assigner's Drain matcher fallback.

@@ -37,6 +37,69 @@ def add_sink_id(batch: pa.Table, num_sinks: int = DEFAULT_NUM_SINKS) -> pa.Table
     return batch.append_column("sink_id", sink)
 
 
+class RouteWriteEmitPartials:
+    """Fused route-write + aggregate-combiner stage.
+
+    Writes each block's rows into per-sink Parquet files (the fan-out
+    side effect) and RETURNS the block's combined aggregate partials as
+    its output — so routing and all flagship aggregates share a single
+    pass over the parsed stream instead of write-then-read-back.
+
+    Retry-safe: the output filename is a content fingerprint of the
+    block (first url/line_no + row count), written via tmp+rename — a
+    retried task atomically overwrites its own file instead of
+    duplicating rows.
+    """
+
+    def __init__(self, out_dir: str, num_sinks: int,
+                 columns: list[str] | None = None):
+        self.out_dir = out_dir
+        self.num_sinks = num_sinks
+        self.columns = columns or ROUTED_COLUMNS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from .aggregate import combined_partials
+
+        batch = add_sink_id(batch, self.num_sinks)
+        routed = batch.select(self.columns)
+        fp = hashlib.md5(
+            f"{routed.column('url')[0].as_py()}|"
+            f"{routed.column('line_no')[0].as_py()}|"
+            f"{routed.num_rows}".encode()).hexdigest()[:16]
+        sinks = pc.unique(routed.column("sink_id"))
+        for s in sorted(sinks.to_pylist()):
+            part = routed.filter(pc.equal(routed.column("sink_id"), s))
+            d = os.path.join(self.out_dir, f"sink_id={s}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{fp}.parquet")
+            pq.write_table(part.drop_columns(["sink_id"]), path + ".tmp",
+                           compression="zstd")
+            os.replace(path + ".tmp", path)
+        return combined_partials(batch)
+
+
+def route_write_with_partials(parsed_ds, out_dir: str,
+                              num_sinks: int = DEFAULT_NUM_SINKS,
+                              columns: list[str] | None = None):
+    """One-pass route + aggregate: returns the partials Dataset (lazy);
+    consuming it performs the sink writes as a side effect."""
+    import shutil
+
+    # fresh sinks: stale files from a previous run with different block
+    # boundaries would otherwise survive (filenames are content-keyed)
+    for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        if name.startswith("sink_id="):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    return parsed_ds.map_batches(
+        RouteWriteEmitPartials(out_dir, num_sinks, columns),
+        batch_format="pyarrow", batch_size=None)
+
+
 def route_and_write(parsed_ds, out_dir: str,
                     num_sinks: int = DEFAULT_NUM_SINKS,
                     columns: list[str] | None = None) -> dict:
