@@ -65,16 +65,25 @@ def pages_to_lines(batch: pa.Table) -> pa.Table:
     return parse_lines(lines)
 
 
-def _default_blocks() -> int:
+def _default_blocks(pages_path=None) -> int:
     import ray
 
-    return max(4, int(ray.cluster_resources().get("CPU", 8)))
+    cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    n_files = None
+    if isinstance(pages_path, str) and os.path.isdir(pages_path):
+        from ..sources.pages import list_page_files
+        n_files = len(list_page_files(pages_path))
+    elif isinstance(pages_path, (list, tuple)):
+        n_files = len(pages_path)
+    # at least one block per CPU; keep per-block size bounded by using
+    # the natural file granularity when it is finer
+    return max(cpus, n_files or 0) or cpus
 
 
 def build_lines(pages_path: str, **read_kwargs):
     # one block per CPU: bounds downstream task count AND the sink file
     # count (hive writes emit blocks × sinks files)
-    read_kwargs.setdefault("override_num_blocks", _default_blocks())
+    read_kwargs.setdefault("override_num_blocks", _default_blocks(pages_path))
     ds = read_pages(pages_path, **read_kwargs)
     # batch_size=None → whole-block batches: the stage is pure Arrow
     # kernels, so bigger batches amortize kernel dispatch
@@ -93,7 +102,7 @@ def fit_mapping(pages_path: str, config: FlagshipConfig | None = None) -> pa.Tab
     """Pass 1: mine the masked→template mapping (deterministic)."""
     config = config or FlagshipConfig()
     ds = read_pages(pages_path, columns=["text"],  # prune to the minimum
-                    override_num_blocks=_default_blocks())
+                    override_num_blocks=_default_blocks(pages_path))
     lines = ds.map_batches(pages_to_masked, batch_format="pyarrow",
                            batch_size=None, zero_copy_batch=True)
     distinct = collect_distinct_masked(lines, config.drain)

@@ -533,25 +533,33 @@ def q_events_type_stats(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
                         pa.int64())
-        tt = pa.table({"event_type": t.column("event_type"), "cents": cents}) \
+        sq = pc.multiply(cents, cents)
+        tt = pa.table({"event_type": t.column("event_type"),
+                       "cents": cents, "sq": sq}) \
             .group_by("event_type").aggregate(
-                [([], "count_all"), ("cents", "sum"),
+                [([], "count_all"), ("cents", "sum"), ("sq", "sum"),
                  ("cents", "min"), ("cents", "max")])
         return tt.rename_columns(
-            ["event_type", "cnt", "sum_cents", "min_cents", "max_cents"])
+            ["event_type", "cnt", "sum_cents", "sum_sq",
+             "min_cents", "max_cents"])
 
     out = _partial_final(
         ds, partial, ["event_type"],
-        [("cnt", "sum"), ("sum_cents", "sum"),
+        [("cnt", "sum"), ("sum_cents", "sum"), ("sum_sq", "sum"),
          ("min_cents", "min"), ("max_cents", "max")])
-    mean = _round(pc.divide(pc.cast(out.column("sum_cents"), pa.float64()),
-                            pc.cast(out.column("cnt"), pa.float64())), 4)
+    n = pc.cast(out.column("cnt"), pa.float64())
+    s = pc.cast(out.column("sum_cents"), pa.float64())
+    sq = pc.cast(out.column("sum_sq"), pa.float64())
+    mean = pc.divide(s, n)
+    var = pc.subtract(pc.divide(sq, n), pc.multiply(mean, mean))
+    std = pc.sqrt(pc.max_element_wise(var, pa.scalar(0.0)))
     return pa.table({
         "event_type": out.column("event_type"),
         "cnt": out.column("cnt"),
         "min_cents": out.column("min_cents"),
         "max_cents": out.column("max_cents"),
-        "mean_cents": mean,
+        "mean_cents": _round(mean, 4),
+        "std_cents": _round(std, 2),
     })
 
 
@@ -559,7 +567,9 @@ SQL_EVENTS_TYPE_STATS = """
 WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
 SELECT event_type, count(*) AS cnt, min(cents) AS min_cents,
        max(cents) AS max_cents,
-       round(sum(cents)::DOUBLE / count(*), 4) AS mean_cents
+       round(sum(cents)::DOUBLE / count(*), 4) AS mean_cents,
+       round(sqrt(greatest(sum(cents * cents)::DOUBLE / count(*)
+                           - (sum(cents)::DOUBLE / count(*))^2, 0)), 2) AS std_cents
 FROM e GROUP BY 1
 """
 

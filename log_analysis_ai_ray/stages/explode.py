@@ -18,6 +18,47 @@ import pyarrow.compute as pc
 CARRY_COLUMNS = ("url", "warc_ts", "lang")
 
 
+def join_logical_lines(lines: list[str]) -> list[str]:
+    """Merge continuation lines into their parent line (reference
+    logical-line joiner, /root/reference/src/file_data_loader.cpp:219-274):
+    a line continues the previous one when it starts with
+    whitespace (indented stack-trace style) or the previous line ends
+    with a backslash. Python-level (used via the distinct-page path or
+    in readers for raw text logs; the synthetic pages corpus has no
+    continuations)."""
+    out: list[str] = []
+    for ln in lines:
+        cont = out and (
+            (ln[:1] in (" ", "\t") and ln.strip() != "")
+            or out[-1].endswith("\\")
+        )
+        if cont:
+            prev = out[-1]
+            if prev.endswith("\\"):
+                prev = prev[:-1].rstrip()
+            out[-1] = prev + " " + ln.strip()
+        else:
+            out.append(ln)
+    return out
+
+
+def explode_lines_joined(batch: pa.Table, *, drop_empty: bool = True,
+                         carry: tuple[str, ...] = CARRY_COLUMNS) -> pa.Table:
+    """explode_lines variant that first merges continuation lines
+    within each page (S4 semantics)."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    joined = pa.array(
+        ["\n".join(join_logical_lines(t.split("\n"))) if t else ""
+         for t in text.to_pylist()],
+        type=pa.string(),
+    )
+    patched = batch.set_column(
+        batch.schema.get_field_index("text"), "text", joined)
+    return explode_lines(patched, drop_empty=drop_empty, carry=carry)
+
+
 def explode_lines(batch: pa.Table, *, drop_empty: bool = True,
                   carry: tuple[str, ...] = CARRY_COLUMNS) -> pa.Table:
     """Explode pages into one row per log line.

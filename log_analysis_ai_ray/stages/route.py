@@ -52,10 +52,15 @@ class RouteWriteEmitPartials:
     """
 
     def __init__(self, out_dir: str, num_sinks: int,
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 compression: str = "snappy"):
+        # snappy by default: sink encode is on the critical path of the
+        # fused route stage; zstd costs ~3x the CPU for ~30% smaller
+        # files — flip via config when storage dominates
         self.out_dir = out_dir
         self.num_sinks = num_sinks
         self.columns = columns or ROUTED_COLUMNS
+        self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -77,7 +82,7 @@ class RouteWriteEmitPartials:
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{fp}.parquet")
             pq.write_table(part.drop_columns(["sink_id"]), path + ".tmp",
-                           compression="zstd")
+                           compression=self.compression)
             os.replace(path + ".tmp", path)
         return combined_partials(batch)
 

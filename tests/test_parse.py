@@ -52,3 +52,33 @@ def test_edge_corpus_no_exceptions():
     # empty page contributed no line; nothing raised; flags present
     assert out.num_rows >= 6
     assert "parse_ok" in out.column_names
+
+
+def test_join_logical_lines():
+    from log_analysis_ai_ray.stages.explode import join_logical_lines
+    lines = [
+        "ERROR something broke",
+        "  at foo.bar(Baz.java:10)",
+        "  at qux.quux(Corge.java:20)",
+        "INFO next entry \\",
+        "continued here",
+        "INFO standalone",
+    ]
+    out = join_logical_lines(lines)
+    assert out == [
+        "ERROR something broke at foo.bar(Baz.java:10) at qux.quux(Corge.java:20)",
+        "INFO next entry continued here",
+        "INFO standalone",
+    ]
+
+
+def test_explode_lines_joined():
+    import pyarrow as pa
+    from log_analysis_ai_ray.stages.explode import explode_lines_joined
+    t = pa.table({
+        "url": ["u1"], "warc_ts": pa.array([None], pa.timestamp("us")),
+        "lang": ["en"],
+        "text": ["A\n  cont\nB"],
+    })
+    out = explode_lines_joined(t)
+    assert out["line"].to_pylist() == ["A cont", "B"]
