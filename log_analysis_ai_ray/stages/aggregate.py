@@ -211,7 +211,8 @@ def grouped_discrete_quantiles(ds, key: str, value_col: str,
     weighted-quantile pass over the small result.
 
     Discrete quantile semantics match DuckDB's ``quantile_disc``:
-    element at index floor((n-1)·q) of the sorted values.
+    element at index ceil(n·q)−1 of the sorted values (verified
+    empirically against DuckDB across group sizes).
     Reproduces the reference's ``calculate_stats`` median/nunique
     (/root/reference/python/data_analysis_agent.py:161-169).
     """
@@ -242,7 +243,7 @@ def grouped_discrete_quantiles(ds, key: str, value_col: str,
         out_key.append(keys_np[i])
         out_nuniq.append(j - i)
         for q in qs:
-            idx = int(np.floor((n - 1) * q))
+            idx = max(int(np.ceil(n * q)) - 1, 0)
             out_q[q].append(seg_v[np.searchsorted(cum, idx + 1)])
         i = j
     cols = {key: pa.array(out_key),
