@@ -32,8 +32,11 @@ BENCH_QUERIES = [
     "sink_counts",
     "events_hourly",
     "events_top_users",
-    "doc_dedup_exact",
+    "events_type_quantiles",
+    "doc_dedup_hash",
+    "doc_minhash_pairs",
     "doc_textstats",
+    "knn_cosine",
     "customer_nation_counts",
 ]
 
