@@ -768,6 +768,54 @@ def q_knn_lsh(sf_dir: str):
     return lsh_topk(ds, ids, Q, dim=Q.shape[1], k=10)
 
 
+MEDIA_N = {"sf0.001": 300, "sf0.01": 3_000, "sf0.1": 30_000}
+
+
+def media_path_for(sf_dir: str) -> str:
+    """Deterministic synthetic media table (multimodal binary payloads
+    + typed metadata), cached as parquet per scale factor."""
+    import pyarrow.parquet as pq
+
+    from ..stages.multimodal import synth_media
+
+    name = sf_name(sf_dir)
+    path = os.path.join("/tmp/graft_media", name, "media.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tbl = synth_media(MEDIA_N.get(name, 300))
+        pq.write_table(tbl, path + ".tmp", compression="zstd")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal decode + feature extraction (image mean/std, audio
+    RMS/ZCR, video frame-sampling) via an actor-pool stage over binary
+    payload columns. Not SQL-expressible → rows-only check;
+    deterministic golden values asserted in tests."""
+    import ray.data
+
+    from ..stages.multimodal import media_features
+
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    out = media_features(ds)
+    t = agg._to_arrow(out).sort_by("media_id")
+    # round floats for hash-stable output
+    for col in ("px_mean", "px_std", "rms"):
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         _round(t.column(col), 6))
+    return t
+
+
+def q_embed_near_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed pairwise;
+    rows-only — approximate recall asserted in tests)."""
+    from ..stages.knn import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.9)
+
+
 def q_embed_label_counts(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["label"])
 
@@ -859,11 +907,14 @@ QUERIES: dict[str, tuple] = {
     "events_ordered_scan": (q_events_ordered_scan, SQL_EVENTS_ORDERED_SCAN),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, None),                       # rows-only
+    "media_features": (q_media_features, None),         # rows-only
+    "embed_near_dups": (None, None),                    # filled below
     "embed_label_counts": (q_embed_label_counts, SQL_EMBED_LABEL_COUNTS),
 }
 
 from ..stages.textstats import SUBTOKEN_SQL, QUALITY_SQL_BODY, oracle_langid_sql  # noqa: E402
 
 QUERIES["doc_langid"] = (q_doc_langid, oracle_langid_sql())
+QUERIES["embed_near_dups"] = (q_embed_near_dups, None)
 QUERIES["doc_quality"] = (q_doc_quality, QUALITY_SQL_BODY)
 QUERIES["doc_subtokens"] = (q_doc_subtokens, SUBTOKEN_SQL)

@@ -112,6 +112,62 @@ class LshBucketStage:
                                    pa.array(bucket, type=pa.int64()))
 
 
+def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
+                        seed: int = 42, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        concurrency=2) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket every vector
+    (sign-bit hyperplanes), co-locate buckets with a groupby, and do
+    exact pairwise cosine only inside buckets. Approximate by
+    construction (near-dups split across buckets are missed —
+    probability falls as similarity rises; identical vectors always
+    share a bucket); returns (id_a, id_b, sim) with id_a < id_b.
+    """
+    import pyarrow.compute as _pc
+
+    # dim probed from the first row
+    first = ds.take(1)[0][vec_col]
+    dim = len(first)
+
+    bucketed = ds.map_batches(
+        LshBucketStage, fn_constructor_kwargs={
+            "dim": dim, "n_bits": n_bits, "seed": seed,
+            "vec_col": vec_col},
+        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if len(ids) < 2:
+            return empty
+        M = _normalize(_batch_matrix(group.column(vec_col)))
+        sims = M @ M.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                         "id_b": pa.array(hi, type=pa.int64()),
+                         "sim": pa.array(
+                             np.round(sims[iu[keep], ju[keep]], 6),
+                             type=pa.float64())})
+
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    from .aggregate import _to_arrow
+
+    out = _to_arrow(pairs)
+    if out.num_rows == 0:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def lsh_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
              dim: int, k: int = 10, n_bits: int = 8, seed: int = 42,
              probe_radius: int = 2, round_digits: int = 6,

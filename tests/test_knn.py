@@ -59,3 +59,29 @@ def test_batch_matrix_zero_copy_shape():
     out = knn._batch_matrix(t["embedding"])
     assert out.shape == (10, 4)
     np.testing.assert_allclose(out, M.astype(np.float64), rtol=1e-6)
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data
+    from log_analysis_ai_ray.stages.knn import embedding_near_dups
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((100, 12)).astype(np.float32)
+    # plant near-dups: 50≈51 (tiny noise), 60==61 (identical)
+    M[51] = M[50] + 0.01 * rng.standard_normal(12).astype(np.float32)
+    M[61] = M[60]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(100), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in M],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    pairs = embedding_near_dups(ds, threshold=0.95)
+    got = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(),
+                                  pairs["id_b"].to_pylist())}
+    assert (60, 61) in got  # identical vectors always share a bucket
+    assert (50, 51) in got  # near-identical → same sign pattern
+    # deterministic across block structures
+    pairs2 = embedding_near_dups(ray.data.from_arrow(t).repartition(9),
+                                 threshold=0.95)
+    assert pairs.equals(pairs2)
