@@ -678,6 +678,37 @@ def q_doc_minhash_pairs(sf_dir: str):
         _round(out.column("est_jaccard"), 4))
 
 
+def q_doc_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard dedup: MinHash+LSH candidates verified with EXACT
+    char-5-gram Jaccard (the candidate set is small, so verification
+    fetches only the candidate documents — broadcast at scale)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import minhash_near_dups, ngram_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_near_dups(ds, threshold=0.4)
+    if cand.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    wanted = sorted(set(cand.column("doc_a").to_pylist())
+                    | set(cand.column("doc_b").to_pylist()))
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    docs = docs.filter(pc.is_in(docs.column("doc_id"),
+                                value_set=pa.array(wanted, type=pa.int64())))
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    jac = [round(ngram_jaccard(texts[a], texts[b]), 6)
+           for a, b in zip(cand.column("doc_a").to_pylist(),
+                           cand.column("doc_b").to_pylist())]
+    out = pa.table({"doc_a": cand.column("doc_a"),
+                    "doc_b": cand.column("doc_b"),
+                    "jaccard": pa.array(jac, type=pa.float64())})
+    return out.filter(pc.greater_equal(out.column("jaccard"), 0.5))
+
+
 def q_doc_simhash(sf_dir: str):
     """Per-document 64-bit SimHash fingerprints (rows-only)."""
     from ..stages.dedup import simhash_fingerprints
@@ -895,6 +926,7 @@ QUERIES: dict[str, tuple] = {
     "doc_dedup_hash": (q_doc_dedup_hash, SQL_DOC_DEDUP_HASH),
     "doc_minhash_pairs": (q_doc_minhash_pairs, None),   # rows-only
     "doc_simhash": (q_doc_simhash, None),               # rows-only
+    "doc_ngram_jaccard": (q_doc_ngram_jaccard, None),   # rows-only
     "doc_fingerprint": (q_doc_fingerprint, None),       # rows-only
     "doc_langid": (None, None),                         # filled below
     "doc_quality": (None, None),                        # filled below

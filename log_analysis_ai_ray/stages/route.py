@@ -75,9 +75,25 @@ class RouteWriteEmitPartials:
             f"{routed.column('url')[0].as_py()}|"
             f"{routed.column('line_no')[0].as_py()}|"
             f"{routed.num_rows}".encode()).hexdigest()[:16]
-        sinks = pc.unique(routed.column("sink_id"))
+
+        # dead-letter routing (reference validate() gating, M19:
+        # /root/reference/src/json_parser.cpp:71-78): malformed rows go
+        # to their own sink directory, never an exception; the union of
+        # sinks + dead letters is exactly the input line multiset.
+        ok = routed.column("parse_ok")
+        dead = routed.filter(pc.invert(ok))
+        routed_ok = routed.filter(ok)
+        if dead.num_rows:
+            d = os.path.join(self.out_dir, "deadletter")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{fp}.parquet")
+            pq.write_table(dead.drop_columns(["sink_id"]), path + ".tmp",
+                           compression=self.compression)
+            os.replace(path + ".tmp", path)
+
+        sinks = pc.unique(routed_ok.column("sink_id"))
         for s in sorted(sinks.to_pylist()):
-            part = routed.filter(pc.equal(routed.column("sink_id"), s))
+            part = routed_ok.filter(pc.equal(routed_ok.column("sink_id"), s))
             d = os.path.join(self.out_dir, f"sink_id={s}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{fp}.parquet")
@@ -97,7 +113,7 @@ def route_write_with_partials(parsed_ds, out_dir: str,
     # fresh sinks: stale files from a previous run with different block
     # boundaries would otherwise survive (filenames are content-keyed)
     for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
-        if name.startswith("sink_id="):
+        if name.startswith("sink_id=") or name == "deadletter":
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     return parsed_ds.map_batches(
@@ -138,13 +154,19 @@ def sink_manifest_from_output(out_dir: str) -> dict:
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(out_dir, "sink_id=*", "*.parquet")))
+    dead_files = sorted(glob.glob(os.path.join(out_dir, "deadletter",
+                                               "*.parquet")))
 
     def count(path: str) -> tuple[str, int]:
-        sink = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
+        sink = os.path.basename(os.path.dirname(path)).split("=", 1)[-1]
         return sink, pq.ParquetFile(path).metadata.num_rows
 
     counts: dict[str, int] = {}
     with ThreadPoolExecutor(max_workers=16) as ex:
         for sink, n in ex.map(count, files):
             counts[sink] = counts.get(sink, 0) + n
-    return {"per_sink_rows": counts, "total_rows": sum(counts.values())}
+    dead = 0
+    for p_ in dead_files:
+        dead += pq.ParquetFile(p_).metadata.num_rows
+    return {"per_sink_rows": counts, "dead_letter_rows": dead,
+            "total_rows": sum(counts.values()) + dead}

@@ -144,3 +144,42 @@ def test_parse_quality(parsed_small):
     q = parsed_small["metrics"]
     assert q["parse_failed"] == 0
     assert q["rows"] == parsed_small["manifest"]["total_rows"]
+
+
+def test_dead_letter_routing(ray_session, tmp_path):
+    """Malformed lines route to the dead-letter sink; sinks ∪ dead
+    letters == input lines exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.pipelines import flagship
+    from log_analysis_ai_ray.stages import route as route_mod
+    from log_analysis_ai_ray.stages import aggregate as agg
+    import pyarrow.parquet as pq
+
+    texts = [
+        "[2025-01-01 00:00:00] INFO Server started on port 80\njunk line here",
+        "total garbage\n[2025-01-01 01:00:00] ERROR Failed to connect to database db1 after 3 retries",
+        "GET /api/v1/orders/5 200 3ms",
+    ]
+    pages = pa.table({
+        "url": [f"https://example0.com/d{i}" for i in range(3)],
+        "warc_ts": pa.array([None] * 3, pa.timestamp("us")),
+        "html": [b""] * 3,
+        "text": texts,
+        "lang": ["en"] * 3,
+    })
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "pages-00000.parquet"))
+
+    out = str(tmp_path / "out")
+    res = flagship.run(str(pdir), out)
+    man = res["manifest"]
+    assert man["dead_letter_rows"] == 2  # "junk line here", "total garbage"
+    assert man["total_rows"] == 5
+    assert res["metrics"]["parse_failed"] == 2
+    dead = pq.read_table(f"{out}/deadletter")
+    assert sorted(dead["line"].to_pylist()) == ["junk line here",
+                                                "total garbage"]
