@@ -37,7 +37,8 @@ DRIVER_MERGE_MAX_ROWS = 5_000_000
 
 
 def _combine_partials(ds, keys: list[str],
-                      aggs: list[tuple[str, str]]) -> pa.Table:
+                      aggs: list[tuple[str, str]],
+                      empty_schema: pa.Schema | None = None) -> pa.Table:
     """Final merge of partial rows → driver-side pa.Table.
 
     aggs: list of (column, fn) with fn in {sum,min,max}; output columns
@@ -52,6 +53,14 @@ def _combine_partials(ds, keys: list[str],
     ds = ds.materialize()
     if ds.count() <= DRIVER_MERGE_MAX_ROWS:
         tbl = _to_arrow(ds)
+        if any(k not in tbl.column_names for k in keys):
+            # Ray canonicalizes fully-empty datasets to schema-less
+            # blocks; recover the declared partial schema
+            if empty_schema is None:
+                raise ValueError(
+                    f"empty partials lost schema and no empty_schema "
+                    f"given (keys={keys})")
+            tbl = empty_schema.empty_table()
         merged = tbl.group_by(keys).aggregate(
             [(col, fn) for col, fn in aggs])
         return merged.rename_columns(keys + [col for col, _ in aggs])
@@ -343,6 +352,12 @@ def finalize_combined(partials_ds) -> dict:
         partials_ds,
         keys=["kind", "key_str", "key_hash", "bucket_h", "n_params"],
         aggs=[("count", "sum"), ("first_us", "min"), ("last_us", "max")],
+        empty_schema=pa.schema([
+            ("kind", pa.string()), ("key_str", pa.string()),
+            ("key_hash", pa.int64()), ("bucket_h", pa.int64()),
+            ("n_params", pa.int64()), ("count", pa.int64()),
+            ("first_us", pa.int64()), ("last_us", pa.int64()),
+        ]),
     )
     tbl = merged
 
@@ -387,11 +402,14 @@ def finalize_combined(partials_ds) -> dict:
 
 
 def _to_arrow(ds) -> pa.Table:
-    """Collect a SMALL dataset to a single driver-side Arrow table."""
+    """Collect a SMALL dataset to a single driver-side Arrow table.
+    Zero-row blocks are kept when they are all there is — the schema
+    must survive an empty dataset (empty-corpus robustness)."""
     import ray
 
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
+    nonempty = [p for p in parts if p.num_rows]
+    use = nonempty or parts[:1]
+    if not use:
         return pa.table({})
-    return pa.concat_tables(parts, promote_options="default").combine_chunks()
+    return pa.concat_tables(use, promote_options="default").combine_chunks()

@@ -239,7 +239,9 @@ def collect_distinct_masked(lines_ds, config: DrainConfig | None = None,
     # one execution: materialize the small per-block distinct counts and
     # merge (driver-side pyarrow below the size threshold, Ray groupby
     # beyond) — see aggregate._combine_partials
-    out = _combine_partials(partial, keys=[col], aggs=[("cnt", "sum")])
+    out = _combine_partials(
+        partial, keys=[col], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([(col, pa.string()), ("cnt", pa.int64())]))
     if out.num_rows == 0:
         return pa.table({col: pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})

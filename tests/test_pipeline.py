@@ -183,3 +183,22 @@ def test_dead_letter_routing(ray_session, tmp_path):
     dead = pq.read_table(f"{out}/deadletter")
     assert sorted(dead["line"].to_pylist()) == ["junk line here",
                                                 "total garbage"]
+
+
+def test_empty_corpus(ray_session, tmp_path):
+    """Fully-empty pages (no lines at all) run end-to-end without error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipelines import flagship
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pa.table({
+        "url": ["https://e.com/a"],
+        "warc_ts": pa.array([None], pa.timestamp("us")),
+        "html": [b""], "text": [""], "lang": ["en"],
+    }), str(pdir / "pages-00000.parquet"))
+    res = flagship.run(str(pdir), str(tmp_path / "out"))
+    assert res["metrics"]["rows_routed"] == 0
+    assert res["registry"].num_rows == 0
