@@ -253,6 +253,67 @@ def collect_distinct_masked(lines_ds, config: DrainConfig | None = None,
     return out.sort_by(col)
 
 
+class DrainOnlineMiner:
+    """Per-actor STREAMING Drain mining — the reference's path-B
+    semantics, where each worker owns a private tree
+    (/root/reference/src/file_data_loader.cpp:369) and templates are
+    canonicalized only afterwards by template STRING
+    (python/logai_agent.py:293).
+
+    Emits (…, template, template_hash) per line using the actor's tree
+    state AT THAT MOMENT — later merges may wildcard further, so the
+    same line can map to different templates across actors/runs. That
+    nondeterminism is exactly why the deterministic distinct-driven
+    pipeline is the default; this stage exists as the streaming/online
+    alternative (no driver-side mining pass) with the registry merged
+    by template string downstream.
+    """
+
+    def __init__(self, config: DrainConfig | None = None,
+                 masked_col: str = "masked"):
+        self.config = config or DrainConfig()
+        self.miner = DrainMiner(self.config)
+        self.masked_col = masked_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        masked = batch.column(self.masked_col)
+        if isinstance(masked, pa.ChunkedArray):
+            masked = masked.combine_chunks()
+        uniq = pc.unique(masked)
+        clusters = [self.miner.add(m) for m in uniq.to_pylist()]
+        templates = pa.array([c.template for c in clusters],
+                             type=pa.string())
+        hashes = pa.array([md5_hash32(c.template) for c in clusters],
+                          type=pa.int64())
+        idx = pc.index_in(masked, uniq)
+        out = batch.append_column("template", templates.take(idx))
+        return out.append_column("template_hash", hashes.take(idx))
+
+
+def online_registry(lines_ds, config: DrainConfig | None = None,
+                    concurrency=2) -> pa.Table:
+    """Registry from per-actor online mining, merged by template string
+    (count only — the merge that makes per-actor ids irrelevant)."""
+    from .aggregate import _combine_partials
+
+    mined = lines_ds.map_batches(
+        DrainOnlineMiner, fn_constructor_args=(config,),
+        concurrency=concurrency, num_cpus=0.5,
+        batch_format="pyarrow", batch_size=None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = (pa.table({"template": t.column("template")})
+              .group_by("template").aggregate([([], "count_all")]))
+        return tt.rename_columns(["template", "cnt"])
+
+    out = _combine_partials(
+        mined.map_batches(partial, batch_format="pyarrow"),
+        keys=["template"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("template", pa.string()),
+                                ("cnt", pa.int64())]))
+    return out.sort_by([("cnt", "descending"), ("template", "ascending")])
+
+
 class TemplateAssigner:
     """Actor-pool stage: assign mined templates back onto lines.
 

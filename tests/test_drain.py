@@ -104,3 +104,28 @@ def test_tail_fallback():
     tmpl, h, wpos = assigner._lookup_tail("INFO User carol logged in")
     assert tmpl == "INFO User <*> logged in"
     assert wpos == [2]
+
+
+def test_online_miner_registry(ray_session):
+    """The online per-actor miner (reference path-B semantics) covers
+    all lines; its registry merged by template string reconciles
+    per-actor divergence — and illustrates why the deterministic
+    distinct-driven path is the default (it may emit splinter
+    templates mined before a later merge)."""
+    import ray.data
+
+    from log_analysis_ai_ray import synth
+    from log_analysis_ai_ray.pipelines.flagship import pages_to_lines
+    from log_analysis_ai_ray.stages.drain import online_registry
+
+    pages = synth.generate_shard(0, 0, 500)
+    lines = ray.data.from_arrow(pages).repartition(4).map_batches(
+        pages_to_lines, batch_format="pyarrow")
+    reg = online_registry(lines, concurrency=2)
+    total = sum(reg["cnt"].to_pylist())
+    expect_lines = pages_to_lines(pages).num_rows
+    assert total == expect_lines
+    mined = set(reg["template"].to_pylist())
+    expected = {t.expected_template for t in synth.TEMPLATES}
+    # converged templates must appear; splinters (supersets) allowed
+    assert len(expected & mined) >= 20
