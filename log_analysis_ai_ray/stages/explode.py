@@ -60,12 +60,16 @@ def explode_lines_joined(batch: pa.Table, *, drop_empty: bool = True,
 
 
 def explode_lines(batch: pa.Table, *, drop_empty: bool = True,
+                  max_line_len: int | None = None,
                   carry: tuple[str, ...] = CARRY_COLUMNS) -> pa.Table:
     """Explode pages into one row per log line.
 
     Output: carry columns + ``line_no: int32`` (position within page) +
     ``line: string``. Empty lines (empty pages) are dropped when
     ``drop_empty`` — the oracle mirrors this with ``WHERE line <> ''``.
+    ``max_line_len`` drops over-long lines (the reference drops lines
+    > 1 MB, /root/reference/src/file_data_loader.cpp:58,647-649);
+    default None keeps everything so the byte-identity invariant holds.
     """
     text = batch.column("text")
     if isinstance(text, pa.ChunkedArray):
@@ -84,4 +88,7 @@ def explode_lines(batch: pa.Table, *, drop_empty: bool = True,
     out = pa.table(cols)
     if drop_empty:
         out = out.filter(pc.not_equal(out.column("line"), ""))
+    if max_line_len is not None:
+        out = out.filter(pc.less_equal(
+            pc.binary_length(out.column("line")), max_line_len))
     return out

@@ -82,3 +82,18 @@ def test_explode_lines_joined():
     })
     out = explode_lines_joined(t)
     assert out["line"].to_pylist() == ["A cont", "B"]
+
+
+def test_max_line_len_drop():
+    import pyarrow as pa
+    from log_analysis_ai_ray.stages.explode import explode_lines
+    t = pa.table({
+        "url": ["u"], "warc_ts": pa.array([None], pa.timestamp("us")),
+        "lang": ["en"],
+        "text": ["short\n" + "x" * 100],
+    })
+    out = explode_lines(t, max_line_len=50)
+    assert out["line"].to_pylist() == ["short"]
+    # default keeps everything (byte-identity invariant)
+    out2 = explode_lines(t)
+    assert len(out2) == 2
