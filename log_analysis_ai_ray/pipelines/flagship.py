@@ -195,6 +195,10 @@ def run(pages_path: str, out_dir: str,
         **quality,
     }
     metrics_mod.write_metrics(out_dir, "_metrics", metrics)
+    # Ray's own per-stage execution breakdown for the fused pass
+    if agg.LAST_EXECUTION_STATS:
+        with open(os.path.join(out_dir, "_stats.txt"), "w") as f:
+            f.write(agg.LAST_EXECUTION_STATS)
 
     import pyarrow.parquet as pq
     pq.write_table(registry, os.path.join(out_dir, "template_registry.parquet"))

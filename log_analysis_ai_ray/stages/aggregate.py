@@ -28,6 +28,10 @@ import pyarrow.compute as pc
 from ..functions.timestamps import floor_hour
 
 
+# Per-stage stats of the most recent materialized partial pipeline
+# (ds.stats() text) — persisted by flagship.run as _stats.txt.
+LAST_EXECUTION_STATS = ""
+
 # Above this many partial rows the final merge happens as a Ray
 # groupby shuffle; below it, a single driver-side pyarrow group_by (a
 # few hundred ms) beats the distributed exchange by an order of
@@ -51,6 +55,13 @@ def _combine_partials(ds, keys: list[str],
     driver when the partials fit comfortably, Dataset.groupby beyond.
     """
     ds = ds.materialize()
+    # expose the executed plan's per-stage stats (wall time, rows,
+    # object-store traffic) for metrics persistence by callers
+    global LAST_EXECUTION_STATS
+    try:
+        LAST_EXECUTION_STATS = ds.stats()
+    except Exception:
+        LAST_EXECUTION_STATS = ""
     if ds.count() <= DRIVER_MERGE_MAX_ROWS:
         tbl = _to_arrow(ds)
         if any(k not in tbl.column_names for k in keys):
