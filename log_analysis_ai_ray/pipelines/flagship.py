@@ -45,6 +45,10 @@ class FlagshipConfig:
     # None → size the assigner pool to the cluster (scales with CPUs;
     # a fixed cap would flatline throughput beyond cap × 1 CPU)
     assigner_concurrency: int | tuple[int, int] | None = None
+    # row-level lineage: carry the source parquet path through to the
+    # routed sinks (group manifests already record partition-level
+    # lineage; this adds per-row provenance at ~0 cost, dict-encoded)
+    include_lineage: bool = False
     domain_tiers: dict = field(default_factory=lambda: dict(synth.DOMAIN_TIERS))
     lang_names: dict = field(default_factory=lambda: dict(synth.LANG_NAMES))
 
@@ -60,7 +64,9 @@ def _assigner_concurrency(config: "FlagshipConfig"):
 
 def pages_to_lines(batch: pa.Table) -> pa.Table:
     """Fused explode + mask + parse — one Arrow pass per block."""
-    lines = explode_lines(batch)
+    carry = tuple(c for c in ("url", "warc_ts", "lang", "path")
+                  if c in batch.column_names)
+    lines = explode_lines(batch, carry=carry)
     lines = add_masked(lines)
     return parse_lines(lines)
 
@@ -116,7 +122,8 @@ def build_parsed(pages_path: str, mapping: pa.Table,
     import ray
 
     config = config or FlagshipConfig()
-    lines = build_lines(pages_path)
+    lines = build_lines(pages_path,
+                        include_paths=config.include_lineage)
     if mapping.nbytes < 8 * 1024 * 1024:
         # small mapping: ship the constructed assigner in the task
         # closure — skips actor-pool spin-up (a measurable fixed cost

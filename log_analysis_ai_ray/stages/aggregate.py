@@ -274,6 +274,38 @@ def grouped_discrete_quantiles(ds, key: str, value_col: str,
     return pa.table(cols)
 
 
+def salted_count(ds, key: str, num_salts: int = 16,
+                 empty_schema: pa.Schema | None = None) -> pa.Table:
+    """Two-phase SALTED count for hot keys (north-rule skew handling):
+    phase 1 groups by (key, salt) where salt = row_hash % num_salts, so
+    a Zipfian key's rows spread over ``num_salts`` reducers; phase 2
+    drops the salt and sums.
+
+    NOTE: the per-block combiners used everywhere else in this module
+    already neutralize count-path skew (a hot key contributes one
+    partial row per block). Salting is the tool for aggregations that
+    CANNOT pre-combine per block — e.g. when the per-key state is a
+    large structure (exact distinct sets, big reservoirs) rather than a
+    commutative scalar; this utility documents and tests the pattern.
+    """
+    def phase1(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        salt = pa.array(np.arange(n, dtype=np.int64) % num_salts)
+        t = (pa.table({key: batch.column(key), "salt": salt})
+             .group_by([key, "salt"]).aggregate([([], "count_all")]))
+        return t.rename_columns([key, "salt", "cnt"])
+
+    schema = empty_schema or pa.schema(
+        [(key, pa.string()), ("salt", pa.int64()), ("cnt", pa.int64())])
+    salted = _combine_partials(
+        ds.map_batches(phase1, batch_format="pyarrow"),
+        keys=[key, "salt"], aggs=[("cnt", "sum")], empty_schema=schema)
+    # phase 2: drop the salt (driver-side; salted table is small)
+    out = (salted.group_by(key).aggregate([("cnt", "sum")])
+           .rename_columns([key, "cnt"]))
+    return out.sort_by(key)
+
+
 def top_k_templates(registry: pa.Table, k: int = 5) -> pa.Table:
     """Trending templates (python/logai_agent.py:530-535): top-k by
     count, template string as deterministic tie-break."""

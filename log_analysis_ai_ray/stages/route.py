@@ -70,7 +70,10 @@ class RouteWriteEmitPartials:
         from .aggregate import combined_partials
 
         batch = add_sink_id(batch, self.num_sinks)
-        routed = batch.select(self.columns)
+        cols = [c for c in self.columns if c in batch.column_names]
+        if "path" in batch.column_names:  # opt-in row-level lineage
+            cols.append("path")
+        routed = batch.select(cols)
         fp = hashlib.md5(
             f"{routed.column('url')[0].as_py()}|"
             f"{routed.column('line_no')[0].as_py()}|"

@@ -202,3 +202,22 @@ def test_empty_corpus(ray_session, tmp_path):
     res = flagship.run(str(pdir), str(tmp_path / "out"))
     assert res["metrics"]["rows_routed"] == 0
     assert res["registry"].num_rows == 0
+
+
+def test_row_level_lineage(ray_session, pages_small, tmp_path):
+    """include_lineage=True carries the source parquet path per row."""
+    import glob
+    import pyarrow.dataset as pads
+
+    from log_analysis_ai_ray.pipelines import flagship
+
+    cfg = flagship.FlagshipConfig(include_lineage=True)
+    out = str(tmp_path / "lin")
+    flagship.run(pages_small, out, cfg)
+    files = sorted(glob.glob(os.path.join(out, "sink_id=*", "*.parquet")))
+    t = pads.dataset(files, format="parquet").to_table(
+        columns=["url", "path"])
+    assert t.num_rows > 0
+    paths = set(t["path"].to_pylist())
+    assert all(p.endswith(".parquet") for p in paths)
+    assert len(paths) == 4  # one per input shard
