@@ -1,0 +1,100 @@
+"""Composed training-data curation pipeline over the documents table:
+
+    language-ID → quality gate → exact dedup (keep lowest doc_id)
+    → optional MinHash near-dup removal → corpus stats
+
+Every stage is one of the engine's vectorized operators
+(stages/textstats.py, stages/dedup.py); the deterministic filter
+cascade (without the near-dup stage) is fully SQL-expressible, so the
+pipeline has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.dedup import minhash_near_dups
+from ..stages.textstats import (LANG_ORDER, langid_features,
+                                oracle_langid_sql, quality_features)
+
+
+def curate(ds, keep_langs: tuple[str, ...] = ("en",),
+           min_tokens: int = 5, min_alpha_pm: int = 500,
+           drop_near_dups: bool = False):
+    """Filter cascade; returns the kept-documents Dataset with feature
+    columns. ``drop_near_dups`` adds the (non-SQL) MinHash stage."""
+    def stage(batch: pa.Table) -> pa.Table:
+        feats = langid_features(batch)
+        qual = quality_features(batch)
+        out = batch.append_column("pred_lang", feats.column("pred_lang"))
+        out = out.append_column("n_tokens", qual.column("n_tokens"))
+        out = out.append_column("alpha_pm", qual.column("alpha_pm"))
+        keep = pc.and_(
+            pc.is_in(out.column("pred_lang"),
+                     value_set=pa.array(keep_langs, type=pa.string())),
+            pc.and_(pc.greater_equal(out.column("n_tokens"), min_tokens),
+                    pc.greater_equal(out.column("alpha_pm"), min_alpha_pm)))
+        return out.filter(keep)
+
+    kept = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+    if drop_near_dups:
+        pairs = minhash_near_dups(kept, threshold=0.8)
+        drop = set(pairs.column("doc_b").to_pylist())  # keep lower id
+        if drop:
+            drop_arr = pa.array(sorted(drop), type=pa.int64())
+            kept = kept.map_batches(
+                lambda t: t.filter(pc.invert(pc.is_in(
+                    t.column("doc_id"), value_set=drop_arr))),
+                batch_format="pyarrow")
+    return kept
+
+
+def curated_kept_docs(ds) -> pa.Table:
+    """SQL-checkable core cascade: langid ∈ {en} + quality gates +
+    exact dedup by text (keep min doc_id). Returns kept doc ids with
+    features."""
+    from ..stages.aggregate import _combine_partials
+
+    kept = curate(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = (pa.table({
+            "text": t.column("text"),
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "alpha_pm": t.column("alpha_pm"),
+        }).group_by(["text"]).aggregate(
+            [("doc_id", "min"), ("n_tokens", "min"), ("alpha_pm", "min")]))
+        return tt.rename_columns(["text", "doc_id", "n_tokens", "alpha_pm"])
+
+    merged = _combine_partials(
+        kept.map_batches(partial, batch_format="pyarrow"),
+        keys=["text"],
+        aggs=[("doc_id", "min"), ("n_tokens", "min"), ("alpha_pm", "min")],
+        empty_schema=pa.schema([
+            ("text", pa.string()), ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()), ("alpha_pm", pa.int64())]))
+    return merged.select(["doc_id", "n_tokens", "alpha_pm"]) \
+                 .sort_by("doc_id")
+
+
+def oracle_curation_sql(min_tokens: int = 5, min_alpha_pm: int = 500) -> str:
+    langid = oracle_langid_sql("documents")
+    return f"""
+WITH lid AS ({langid}),
+q AS (SELECT doc_id, text,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             CAST((len(regexp_extract_all(text, '[A-Za-z]')) * 1000)
+                  // greatest(length(text), 1) AS BIGINT) AS alpha_pm
+      FROM documents),
+kept AS (SELECT q.doc_id, q.text, q.n_tokens, q.alpha_pm
+         FROM q JOIN lid USING (doc_id)
+         WHERE lid.pred_lang = 'en'
+           AND q.n_tokens >= {min_tokens}
+           AND q.alpha_pm >= {min_alpha_pm})
+SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+       min(alpha_pm) AS alpha_pm
+FROM kept GROUP BY text ORDER BY doc_id
+"""

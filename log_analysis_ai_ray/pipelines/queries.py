@@ -650,6 +650,16 @@ SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
+def q_doc_curation(sf_dir: str):
+    """Composed training-data curation pipeline (langid → quality gate
+    → exact dedup); fully oracle-checked cascade. The near-dup removal
+    variant is exercised in tests (non-SQL)."""
+    from .curation import curated_kept_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return curated_kept_docs(ds)
+
+
 def q_doc_dedup_hash(sf_dir: str):
     """Exact dedup, scale path: groupby on md5 content hash — the
     shuffle moves 32-byte keys, not documents. Oracle: DuckDB md5()."""
@@ -924,6 +934,7 @@ QUERIES: dict[str, tuple] = {
     "customer_nation_counts": (q_customer_nation_counts,
                                SQL_CUSTOMER_NATION_COUNTS),
     "doc_dedup_hash": (q_doc_dedup_hash, SQL_DOC_DEDUP_HASH),
+    "doc_curation": (None, None),                       # filled below
     "doc_minhash_pairs": (q_doc_minhash_pairs, None),   # rows-only
     "doc_simhash": (q_doc_simhash, None),               # rows-only
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, None),   # rows-only
@@ -948,5 +959,9 @@ from ..stages.textstats import SUBTOKEN_SQL, QUALITY_SQL_BODY, oracle_langid_sql
 
 QUERIES["doc_langid"] = (q_doc_langid, oracle_langid_sql())
 QUERIES["embed_near_dups"] = (q_embed_near_dups, None)
+
+from .curation import oracle_curation_sql  # noqa: E402
+
+QUERIES["doc_curation"] = (q_doc_curation, oracle_curation_sql())
 QUERIES["doc_quality"] = (q_doc_quality, QUALITY_SQL_BODY)
 QUERIES["doc_subtokens"] = (q_doc_subtokens, SUBTOKEN_SQL)

@@ -110,3 +110,23 @@ def test_minhash_pairs_deterministic_across_block_structure(ray_session):
         ds = ray.data.from_arrow(t).repartition(nb)
         outs.append(dedup.minhash_near_dups(ds))
     assert outs[0].equals(outs[1])
+
+
+def test_curation_near_dup_variant(ray_session):
+    """The full curation cascade with MinHash near-dup removal drops the
+    higher-id member of each near-dup pair."""
+    import ray.data
+    from log_analysis_ai_ray.pipelines.curation import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog wakes up and the fox runs away quickly ") * 3
+    texts = [base, base + " extra tail", "the cat sat on the mat and that was that for the day",
+             "der hund und die katze sind nicht da"]
+    t = _docs_table(texts, ids=[1, 2, 3, 4])
+    ds = ray.data.from_arrow(t)
+    kept = curate(ds, drop_near_dups=True).take_all()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert 1 in ids          # lower id of the near-dup pair kept
+    assert 2 not in ids      # near-dup dropped
+    assert 3 in ids          # distinct English doc kept
+    assert 4 not in ids      # German doc filtered by langid
