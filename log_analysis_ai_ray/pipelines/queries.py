@@ -848,6 +848,16 @@ def q_media_features(sf_dir: str):
     return t
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (the second ANN scale path;
+    rows-only — recall vs brute force asserted in tests)."""
+    from ..stages.knn import ivf_topk
+
+    ids, Q = _knn_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, ids, Q, k=10)
+
+
 def q_embed_near_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (LSH-bucketed pairwise;
     rows-only — approximate recall asserted in tests)."""
@@ -950,6 +960,7 @@ QUERIES: dict[str, tuple] = {
     "events_ordered_scan": (q_events_ordered_scan, SQL_EVENTS_ORDERED_SCAN),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, None),                       # rows-only
+    "knn_ivf": (q_knn_ivf, None),                       # rows-only
     "media_features": (q_media_features, None),         # rows-only
     "embed_near_dups": (None, None),                    # filled below
     "embed_label_counts": (q_embed_label_counts, SQL_EMBED_LABEL_COUNTS),

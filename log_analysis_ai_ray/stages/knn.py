@@ -112,6 +112,75 @@ class LshBucketStage:
                                    pa.array(bucket, type=pa.int64()))
 
 
+def ivf_train(ds, n_centroids: int = 16, n_iters: int = 5,
+              train_size: int = 10_000, seed: int = 42,
+              vec_col: str = "embedding") -> np.ndarray:
+    """k-means-lite centroid training for IVF: a deterministic driver-side
+    Lloyd's loop over a bounded training sample (first ``train_size``
+    rows — block order is deterministic for a fixed input). Returns a
+    normalized (n_centroids, d) matrix."""
+    sample = ds.limit(train_size).to_pandas()[vec_col]
+    M = _normalize(np.asarray(np.stack(sample.to_numpy()), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for c in range(len(C)):
+            members = M[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class IvfAssignStage:
+    """Append each vector's IVF cell (argmax centroid cosine). The
+    centroid matrix is broadcast once per actor."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        C = (ray.get(centroids_ref)
+             if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref)
+        self.C = _normalize(np.asarray(C, dtype=np.float64))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_batch_matrix(batch.column(self.vec_col)))
+        cell = np.argmax(M @ self.C.T, axis=1)
+        return batch.append_column("ivf_cell",
+                                   pa.array(cell, type=pa.int64()))
+
+
+def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
+             k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+             seed: int = 42, round_digits: int = 6,
+             concurrency=2) -> pa.Table:
+    """IVF approximate top-k: restrict the brute-force scan to vectors
+    whose cell is among each query's ``nprobe`` nearest centroids. The
+    scale path: at 10^12 rows the cell id becomes a partition key and
+    probing reads only nprobe/n_centroids of the data."""
+    import ray
+
+    C = ivf_train(ds, n_centroids=n_centroids, seed=seed)
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted = pa.array(sorted({int(c) for row in qcells for c in row}),
+                      type=pa.int64())
+
+    ref = ray.put(C)
+    assigned = ds.map_batches(
+        IvfAssignStage, fn_constructor_args=(ref,),
+        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+    candidates = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("ivf_cell"),
+                                    value_set=wanted)),
+        batch_format="pyarrow")
+    return brute_force_topk(candidates, query_ids, query_matrix, k=k,
+                            round_digits=round_digits,
+                            concurrency=concurrency)
+
+
 def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
                         seed: int = 42, id_col: str = "vec_id",
                         vec_col: str = "embedding",

@@ -85,3 +85,21 @@ def test_embedding_near_dups(ray_session):
     pairs2 = embedding_near_dups(ray.data.from_arrow(t).repartition(9),
                                  threshold=0.95)
     assert pairs.equals(pairs2)
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    import ray.data
+    from log_analysis_ai_ray.stages.knn import ivf_topk
+
+    t, M = _embeddings(n=400)
+    q = M[:3].astype(np.float64)
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = knn.brute_force_topk(ds, [0, 1, 2], q, k=10)
+    approx = ivf_topk(ds, [0, 1, 2], q, k=10, n_centroids=8, nprobe=3)
+    for qi in (0, 1, 2):
+        a = {v for qq, v in zip(approx["query_id"].to_pylist(),
+                                approx["vec_id"].to_pylist()) if qq == qi}
+        e = {v for qq, v in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist()) if qq == qi}
+        assert qi in a  # the query's own cell is always probed
+        assert len(a & e) / len(e) >= 0.3
