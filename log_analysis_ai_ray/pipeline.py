@@ -96,7 +96,6 @@ class Pipeline:
 
     def run(self) -> dict:
         from .pipelines import flagship
-        from .stages import aggregate as agg
         from .stages import preprocess as prep
 
         cfg = self.config

@@ -15,8 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.dedup import minhash_near_dups
-from ..stages.textstats import (LANG_ORDER, langid_features,
-                                oracle_langid_sql, quality_features)
+from ..stages.textstats import (langid_features, oracle_langid_sql,
+                                quality_features)
 
 
 def curate(ds, keep_langs: tuple[str, ...] = ("en",),

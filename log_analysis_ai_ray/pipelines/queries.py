@@ -25,8 +25,7 @@ from ..functions.hashing import oracle_hash_expr
 from ..functions.timestamps import floor_hour
 from ..stages import aggregate as agg
 from ..stages.enrich import dict_lookup, extract_domain
-from ..stages.masking import mask_array, oracle_mask_sql
-from ..stages.parse import parse_lines
+from ..stages.masking import oracle_mask_sql
 from . import flagship
 
 # ---------------------------------------------------------------------------

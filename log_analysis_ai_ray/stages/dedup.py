@@ -184,8 +184,6 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
 
     band rows → groupby(band_key) → pairs inside buckets → global pair
     dedup → est_jaccard filter. Returns (doc_a, doc_b, est_jaccard)."""
-    import ray
-
     band_rows = ds.map_batches(
         MinHashStage, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands},

@@ -192,8 +192,6 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     probability falls as similarity rises; identical vectors always
     share a bucket); returns (id_a, id_b, sim) with id_a < id_b.
     """
-    import pyarrow.compute as _pc
-
     # dim probed from the first row
     first = ds.take(1)[0][vec_col]
     dim = len(first)
