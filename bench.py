@@ -104,7 +104,7 @@ def main() -> None:
     pages_dir_for(SF_DIR)  # materialize pages outside the timed region
 
     t_start = time.time()
-    flag = run_flagship(NUM_CPUS)
+    flag = run_flagship(NUM_CPUS, warmup=True)
     per_query: dict[str, float] = {"flagship": flag["wall_sec"]}
 
     for name in BENCH_QUERIES:
