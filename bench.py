@@ -6,9 +6,10 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
 
---scaling: run the flagship pipeline twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs + scaling efficiency (the sandbox substitute for the
+--scaling: run the flagship pipeline in FRESH taskset-pinned
+subprocesses at N and 4N CPUs (default 2→8, GRAFT_SCALE_N) on the same
+input and report both throughputs + scaling efficiency + a host
+pure-CPU ceiling calibration (the sandbox substitute for the
 N-vs-4N-node cluster criterion; see BASELINE.md).
 """
 
@@ -135,12 +136,11 @@ def main() -> None:
 def scaling() -> None:
     """Fresh-process runs at N and 4N CPUs → scaling efficiency.
 
-    Default N=4 (GRAFT_SCALE_N): a pure-CPU microbenchmark shows this
-    VM's 32 vCPUs deliver only ~20 cores of real compute, so 8→32
-    physically caps near 0.62 efficiency; 4→16 measures the ENGINE's
-    scaling rather than the host's oversubscription. Each level runs a
-    warmup pass first (cold page faults on this snapshot-restored VM
-    otherwise dominate; see BASELINE.md).
+    Default N=2 (GRAFT_SCALE_N): a pure-CPU microbenchmark shows this
+    VM's 32 vCPUs deliver only ~20 cores of real compute under load, so
+    higher level pairs measure the host's oversubscription rather than
+    the engine. Each level runs a warmup pass first (cold page faults
+    on this snapshot-restored VM otherwise dominate; see BASELINE.md).
     """
     n_lo = int(os.environ.get("GRAFT_SCALE_N", "2"))
     levels = (n_lo, 4 * n_lo)
