@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -57,6 +58,11 @@ def main(argv=None) -> int:
         paths = write_pages(args.out, args.pages, n_files=args.files)
         print(json.dumps({"files": len(paths), "out": args.out}))
         return 0
+
+    if args.cmd == "flagship" and not os.path.isdir(args.pages):
+        print(json.dumps({"error": f"--pages dir not found: {args.pages}"}),
+              file=sys.stderr)
+        return 2
 
     _ensure_ray(args.num_cpus)
     try:
