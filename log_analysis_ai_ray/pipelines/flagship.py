@@ -49,6 +49,14 @@ class FlagshipConfig:
     # routed sinks (group manifests already record partition-level
     # lineage; this adds per-row provenance at ~0 cost, dict-encoded)
     include_lineage: bool = False
+    # force the actor-pool broadcast path regardless of mapping size
+    # (exercises the large-vocabulary code path; auto otherwise)
+    force_actor_assigner: bool = False
+    # mine the template mapping from a FRACTION of input files (the
+    # 100 TB path: template sets converge from samples; rows whose
+    # masked string was unseen are matched by the per-actor Drain tail
+    # matcher, so routed counts stay exact and deterministic)
+    mine_file_fraction: float = 1.0
     domain_tiers: dict = field(default_factory=lambda: dict(synth.DOMAIN_TIERS))
     lang_names: dict = field(default_factory=lambda: dict(synth.LANG_NAMES))
 
@@ -107,8 +115,16 @@ def pages_to_masked(batch: pa.Table) -> pa.Table:
 def fit_mapping(pages_path: str, config: FlagshipConfig | None = None) -> pa.Table:
     """Pass 1: mine the masked→template mapping (deterministic)."""
     config = config or FlagshipConfig()
-    ds = read_pages(pages_path, columns=["text"],  # prune to the minimum
-                    override_num_blocks=_default_blocks(pages_path))
+    mine_path = pages_path
+    if (config.mine_file_fraction < 1.0
+            and isinstance(pages_path, str) and os.path.isdir(pages_path)):
+        from ..sources.pages import list_page_files
+
+        files = list_page_files(pages_path)
+        n = max(1, int(len(files) * config.mine_file_fraction))
+        mine_path = files[:n]  # deterministic prefix sample
+    ds = read_pages(mine_path, columns=["text"],  # prune to the minimum
+                    override_num_blocks=_default_blocks(mine_path))
     lines = ds.map_batches(pages_to_masked, batch_format="pyarrow",
                            batch_size=None, zero_copy_batch=True)
     distinct = collect_distinct_masked(lines, config.drain)
@@ -124,7 +140,7 @@ def build_parsed(pages_path: str, mapping: pa.Table,
     config = config or FlagshipConfig()
     lines = build_lines(pages_path,
                         include_paths=config.include_lineage)
-    if mapping.nbytes < 8 * 1024 * 1024:
+    if mapping.nbytes < 8 * 1024 * 1024 and not config.force_actor_assigner:
         # small mapping: ship the constructed assigner in the task
         # closure — skips actor-pool spin-up (a measurable fixed cost
         # per run). Large mappings (huge template vocabularies) use the

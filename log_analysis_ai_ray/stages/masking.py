@@ -13,7 +13,10 @@ Chain (order matters):
   2. hex literals      -> ``<*>``
   3. dotted numbers    -> ``<*>``   (floats AND dotted IPs in one rule)
   4. integer runs      -> ``<*>``
-  5. collapse + trim whitespace
+  5. collapse ASCII whitespace; strip edge spaces via RE2 (engine trim
+     functions disagree on Unicode whitespace — Arrow's utf8_trim is
+     Unicode-aware, DuckDB's trim is not \t-aware — so BOTH sides use
+     the same regex and parity holds by construction)
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ MASK_RULES: list[tuple[str, str]] = [
     (r"\d+\.\d+(\.\d+)*", "<*>"),
     (r"\d+", "<*>"),
     (r"\s+", " "),
+    (r"^ +| +$", ""),
 ]
 
 
@@ -35,7 +39,7 @@ def mask_array(lines: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     out = lines
     for pattern, repl in MASK_RULES:
         out = pc.replace_substring_regex(out, pattern=pattern, replacement=repl)
-    return pc.utf8_trim_whitespace(out)
+    return out
 
 
 def add_masked(batch: pa.Table, line_col: str = "line",
@@ -50,7 +54,8 @@ def strip_header_array(lines: pa.Array | pa.ChunkedArray):
     aligned with masked/template tokens."""
     out = pc.replace_substring_regex(lines, pattern=MASK_RULES[0][0], replacement="")
     out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
-    return pc.utf8_trim_whitespace(out)
+    return pc.replace_substring_regex(out, pattern=r"^ +| +$",
+                                      replacement="")
 
 
 def oracle_mask_sql(col: str) -> str:
@@ -62,4 +67,4 @@ def oracle_mask_sql(col: str) -> str:
         p = pattern.replace("'", "''")
         r = repl.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
-    return f"trim({expr})"
+    return expr

@@ -221,3 +221,32 @@ def test_row_level_lineage(ray_session, pages_small, tmp_path):
     paths = set(t["path"].to_pylist())
     assert all(p.endswith(".parquet") for p in paths)
     assert len(paths) == 4  # one per input shard
+
+
+def test_sampled_mining_exact_counts(ray_session, pages_small, tmp_path):
+    """Mining from a file sample (the 100TB mine-pass option) keeps
+    routed counts exact: unseen masked strings fall back to the
+    per-actor Drain matcher deterministically."""
+    from log_analysis_ai_ray.pipelines import flagship
+
+    full = flagship.run(pages_small, str(tmp_path / "full"))
+    cfg = flagship.FlagshipConfig(mine_file_fraction=0.5)
+    sampled = flagship.run(pages_small, str(tmp_path / "samp"), cfg)
+    assert (sampled["manifest"]["total_rows"]
+            == full["manifest"]["total_rows"])
+    # the synthetic corpus converges from half the files → same registry
+    assert sorted(sampled["registry"]["template"].to_pylist()) == \
+        sorted(full["registry"]["template"].to_pylist())
+
+
+def test_forced_actor_assigner_path(ray_session, pages_small, tmp_path):
+    """The actor-pool broadcast path produces identical output to the
+    task-closure path."""
+    from log_analysis_ai_ray.pipelines import flagship
+
+    a = flagship.run(pages_small, str(tmp_path / "a"))
+    cfg = flagship.FlagshipConfig(force_actor_assigner=True,
+                                  assigner_concurrency=2)
+    b = flagship.run(pages_small, str(tmp_path / "b"), cfg)
+    assert a["registry"].equals(b["registry"])
+    assert a["manifest"]["per_sink_rows"] == b["manifest"]["per_sink_rows"]

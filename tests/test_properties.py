@@ -1,0 +1,78 @@
+"""Property-based invariants (hypothesis) for the deterministic core:
+masking, Drain mapping coverage, fingerprints, minhash."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from log_analysis_ai_ray.functions.hashing import md5_hash32, rolling_fingerprint
+from log_analysis_ai_ray.stages import dedup, masking
+from log_analysis_ai_ray.stages.drain import mine_mapping
+
+line_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\n"),
+    min_size=0, max_size=120)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(line_st, min_size=1, max_size=20))
+def test_masking_deterministic_and_digit_free(lines):
+    arr = pa.array(lines, type=pa.string())
+    m1 = masking.mask_array(arr).to_pylist()
+    m2 = masking.mask_array(arr).to_pylist()
+    assert m1 == m2
+    for s in m1:
+        # all ASCII digit runs collapsed (RE2 \d is ASCII-only;
+        # Unicode digits like '²' legitimately survive)
+        assert not any(c in "0123456789" for c in s)
+        # ASCII whitespace normalized (RE2 \s is ASCII-only)
+        assert "  " not in s
+        assert not s.startswith(" ") and not s.endswith(" ")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(line_st, min_size=1, max_size=30))
+def test_drain_mapping_total_and_order_free(lines):
+    arr = pa.array(lines, type=pa.string())
+    distinct = sorted(set(masking.mask_array(arr).to_pylist()))
+    a = mine_mapping(distinct)
+    b = mine_mapping(list(reversed(distinct)))
+    # total: every masked string is mapped, exactly once
+    assert sorted(a["masked"].to_pylist()) == distinct
+    # order-free: identical mapping regardless of input order
+    assert sorted(zip(a["masked"].to_pylist(), a["template"].to_pylist())) \
+        == sorted(zip(b["masked"].to_pylist(), b["template"].to_pylist()))
+    # templates preserve token count of their members
+    for m, t in zip(a["masked"].to_pylist(), a["template"].to_pylist()):
+        assert len(m.split(" ")) == len(t.split(" "))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_fingerprint_vector_matches_scalar(text):
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text], pa.string())})
+    from log_analysis_ai_ray.stages.textstats import fingerprints
+    got = fingerprints(t)["fingerprint"].to_pylist()[0]
+    assert got == format(rolling_fingerprint(text), "016x")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=8))
+def test_minhash_independent_of_neighbors(texts):
+    """A document's signature depends only on its own bytes."""
+    t_all = pa.table({"text": pa.array(texts, pa.string())})
+    sig_all = dedup.minhash_signatures(t_all["text"])
+    for i, tx in enumerate(texts):
+        solo = dedup.minhash_signatures(
+            pa.table({"text": pa.array([tx])})["text"])
+        assert (sig_all[i] == solo[0]).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_hash32_in_range(s):
+    h = md5_hash32(s)
+    assert 0 <= h < 2**32
