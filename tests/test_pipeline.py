@@ -250,3 +250,37 @@ def test_forced_actor_assigner_path(ray_session, pages_small, tmp_path):
     b = flagship.run(pages_small, str(tmp_path / "b"), cfg)
     assert a["registry"].equals(b["registry"])
     assert a["manifest"]["per_sink_rows"] == b["manifest"]["per_sink_rows"]
+
+
+def test_sampled_mining_tail_fallback_end_to_end(ray_session, tmp_path):
+    """A template that appears ONLY outside the mined sample flows
+    through the assigner's Drain tail matcher; totals stay exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipelines import flagship
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    mk = lambda i, text: pa.table({
+        "url": [f"https://example0.com/t{i}"],
+        "warc_ts": pa.array([None], pa.timestamp("us")),
+        "html": [b""], "text": [text], "lang": ["en"],
+    })
+    # file 0 (in sample): known shapes
+    pq.write_table(mk(0, "[2025-01-01 00:00:00] INFO Server started on port 80"),
+                   str(pdir / "pages-00000.parquet"))
+    # file 1 (outside sample): a NOVEL template, twice with params
+    pq.write_table(mk(1, "[2025-01-01 01:00:00] INFO Zorp engaged thruster 7\n"
+                         "[2025-01-01 01:00:01] INFO Zorp engaged thruster 9"),
+                   str(pdir / "pages-00001.parquet"))
+
+    cfg = flagship.FlagshipConfig(mine_file_fraction=0.5)
+    res = flagship.run(str(pdir), str(tmp_path / "out"), cfg)
+    assert res["manifest"]["total_rows"] == 3
+    reg = dict(zip(res["registry"]["template"].to_pylist(),
+                   res["registry"]["count"].to_pylist()))
+    # the novel masked line was never mined; the tail matcher assigns
+    # the masked string itself as its template (no registry match)
+    assert reg.get("INFO Zorp engaged thruster <*>") == 2
+    assert reg.get("INFO Server started on port <*>") == 1
