@@ -881,6 +881,61 @@ SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1
 """
 
 
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over the largest table: grouped
+    sums/counts in exact integer cents (A1/A5/A9 discipline at the
+    6M-row scale of sf0.1)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        disc_price_c = pc.multiply(price_c,
+                                   pc.subtract(pa.scalar(1000, pa.int64()),
+                                               disc_pm))
+        qty = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        tt = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": qty,
+            "price_c": price_c,
+            "disc_price_cpm": disc_price_c,
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("qty", "sum"), ("price_c", "sum"),
+             ("disc_price_cpm", "sum")])
+        return tt.rename_columns(
+            ["l_returnflag", "l_linestatus", "cnt", "sum_qty",
+             "sum_price_c", "sum_disc_price_cpm"])
+
+    out = _partial_final(
+        ds, partial, ["l_returnflag", "l_linestatus"],
+        [("cnt", "sum"), ("sum_qty", "sum"), ("sum_price_c", "sum"),
+         ("sum_disc_price_cpm", "sum")])
+    return out.sort_by([("l_returnflag", "ascending"),
+                        ("l_linestatus", "ascending")])
+
+
+SQL_LINEITEM_PRICING = """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (1000 - CAST(round(l_discount * 1000, 0) AS BIGINT)) AS disc_price_cpm
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+       CAST(sum(disc_price_cpm) AS BIGINT) AS sum_disc_price_cpm
+FROM l GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # dimension-table broadcast join (J-pattern over the star schema)
 # ---------------------------------------------------------------------------
@@ -942,6 +997,7 @@ QUERIES: dict[str, tuple] = {
                                SQL_DOC_LANG_SOURCE_COUNTS),
     "customer_nation_counts": (q_customer_nation_counts,
                                SQL_CUSTOMER_NATION_COUNTS),
+    "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "doc_dedup_hash": (q_doc_dedup_hash, SQL_DOC_DEDUP_HASH),
     "doc_curation": (None, None),                       # filled below
     "doc_minhash_pairs": (q_doc_minhash_pairs, None),   # rows-only
