@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "doc_textstats",
     "knn_cosine",
     "customer_nation_counts",
+    "lineitem_pricing",
 ]
 
 
