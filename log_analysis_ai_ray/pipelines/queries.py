@@ -58,11 +58,22 @@ LINES_VIEW = (
 )
 
 
+def _strip_md(t: pa.Table) -> pa.Table:
+    """Drop parquet-embedded pandas schema metadata (zero-copy). With
+    metadata attached, pyarrow schemas are unhashable (hash(schema)
+    raises on the metadata dict), which makes Ray's shuffle-reduce
+    schema dedup log 'Failed to hash the schemas' per reduce task and
+    could mask real warnings."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns).map_batches(_strip_md, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
 
 def _lines_ds(sf_dir: str):

@@ -447,9 +447,14 @@ def finalize_combined(partials_ds) -> dict:
 def _to_arrow(ds) -> pa.Table:
     """Collect a SMALL dataset to a single driver-side Arrow table.
     Zero-row blocks are kept when they are all there is — the schema
-    must survive an empty dataset (empty-corpus robustness)."""
+    must survive an empty dataset (empty-corpus robustness).
+
+    Materializes first: on a lazy dataset, ``to_arrow_refs`` follows a
+    schema probe that re-executes the whole upstream plan a second time
+    under limit=1 (observed as a duplicate full run in ds.stats())."""
     import ray
 
+    ds = ds.materialize()
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
     nonempty = [p for p in parts if p.num_rows]
     use = nonempty or parts[:1]

@@ -15,6 +15,7 @@ pure functions of the input table, reproducible across parallelism.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -22,7 +23,17 @@ import pyarrow.compute as pc
 
 from .textstats import _flat_bytes
 
+logger = logging.getLogger(__name__)
+
 MERSENNE = np.uint64((1 << 61) - 1)
+
+# Expansion bound per (bucket, signature-group) pairing. A group of m
+# docs sharing one MinHash signature implies m(m-1)/2 est=1.0 pairs;
+# beyond this bound the group is emitted as a STAR (min doc_id paired
+# with every other member) instead of all-pairs — same connected
+# component for downstream keep-one dedup, linear output. Never silent:
+# the reducer logs each capped group.
+MAX_PAIRS_PER_GROUP = 100_000
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -59,13 +70,26 @@ def minhash_signatures(text_array, num_perm: int = 64,
     Cross-document windows are compacted away first (valid window
     indices gathered per doc), then each permutation is one
     (a*h+b) % p pass + a contiguous segment-min (minimum.reduceat).
-    Empty docs (< width bytes) get all-max signatures.
+    Short docs (< width bytes, zero valid windows) fall back to a
+    raw-byte polynomial hash replicated across all permutations, so
+    only byte-identical short docs share band keys (an all-max
+    sentinel would make every pair of short docs a false est=1.0
+    near-dup).
     """
+    buf, offsets = _flat_bytes(text_array)
     h, (starts, ends) = shingle_hashes(text_array, width)
     n = len(starts)
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     seg_len = (ends - starts).astype(np.int64)
     nonempty = seg_len > 0
+    # short-doc fallback: ≤ width-1 bytes each, so this loop touches a
+    # handful of bytes per (rare) short doc
+    base = np.uint64(1099511628211)
+    for i in np.flatnonzero(~nonempty):
+        acc = np.uint64(0x811C9DC5)
+        for byte in buf[offsets[i]:offsets[i + 1]]:
+            acc = acc * base + np.uint64(byte)
+        sig[i, :] = acc
     if len(h) == 0 or not nonempty.any():
         return sig
     # compact valid (in-document) windows into one contiguous array
@@ -178,39 +202,210 @@ class MinHashStage:
         })
 
 
+def _sig_matrix(group: pa.Table, col: str = "sig") -> np.ndarray:
+    """list<int64> signature column → (n, num_perm) int64 matrix,
+    zero-copy from the flat values buffer."""
+    arr = group.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.int64)
+    return flat.reshape(len(arr), flat.size // max(len(arr), 1))
+
+
+def _expand_group_pair(ids_a: np.ndarray, ids_b: np.ndarray, est: float,
+                       out_a: list, out_b: list, out_e: list) -> None:
+    """Emit the cross product of two signature-groups' doc ids as pairs
+    (all members of group A are est-similar to all of group B). Beyond
+    MAX_PAIRS_PER_GROUP the expansion degrades to a logged star: each
+    group's min id pairs with every member of the other — the same
+    connected component, linear output."""
+    prod = len(ids_a) * len(ids_b)
+    if prod > MAX_PAIRS_PER_GROUP:
+        logger.warning(
+            "LSH group-pair expansion capped: %d x %d members > %d pairs; "
+            "emitting star pairs instead (connectivity preserved, "
+            "non-star pairs dropped)", len(ids_a), len(ids_b),
+            MAX_PAIRS_PER_GROUP)
+        a = np.concatenate([np.full(len(ids_b), ids_a.min(), dtype=np.int64),
+                            np.full(len(ids_a), ids_b.min(), dtype=np.int64)])
+        b = np.concatenate([ids_b, ids_a])
+    else:
+        a = np.repeat(ids_a, len(ids_b))
+        b = np.tile(ids_b, len(ids_a))
+    out_a.append(a)
+    out_b.append(b)
+    out_e.append(np.full(len(a), est))
+
+
+def _expand_group_intra(ids_g: np.ndarray, out_a: list, out_b: list,
+                        out_e: list) -> None:
+    """All-pairs within one identical-signature group (est exactly 1.0);
+    star fallback past MAX_PAIRS_PER_GROUP."""
+    m = len(ids_g)
+    if m * (m - 1) // 2 > MAX_PAIRS_PER_GROUP:
+        logger.warning(
+            "LSH identical-signature group capped: %d members > %d pairs; "
+            "emitting star pairs instead (connectivity preserved)",
+            m, MAX_PAIRS_PER_GROUP)
+        root = ids_g.min()
+        rest = ids_g[ids_g != root]
+        a = np.full(len(rest), root)
+        b = rest
+    else:
+        mi, mj = np.triu_indices(m, k=1)
+        a, b = ids_g[mi], ids_g[mj]
+    out_a.append(a)
+    out_b.append(b)
+    out_e.append(np.ones(len(a)))
+
+
+def grouped_bucket_pairs(ids: np.ndarray, sigs: np.ndarray,
+                         threshold: float) -> tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray]:
+    """Vectorized near-dup pairing inside one LSH bucket.
+
+    Identical signatures are grouped FIRST (np.unique over rows), so a
+    bucket of m near-identical docs costs O(m) + O(u²·perm) where u is
+    the number of DISTINCT signatures — not O(m²) per-pair Python. The
+    unique-vs-unique estimate matrix is computed in bounded chunks.
+    Returns (doc_a, doc_b, est) with doc_a < doc_b.
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.float64))
+    if len(ids) < 2:
+        return empty
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sigs = sigs[order]
+    uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
+    nu = len(uniq)
+    by_group = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv, minlength=nu)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    members = [ids[by_group[starts[g]:starts[g] + counts[g]]]
+               for g in range(nu)]
+    out_a: list = []
+    out_b: list = []
+    out_e: list = []
+    if threshold <= 1.0:
+        for g in np.flatnonzero(counts >= 2):
+            _expand_group_intra(members[g], out_a, out_b, out_e)
+    if nu >= 2:
+        gi, gj = np.triu_indices(nu, k=1)
+        # bounded-memory chunks of the unique-pair estimate vector
+        chunk = max(1_000_000 // max(uniq.shape[1], 1), 1)
+        for lo in range(0, len(gi), chunk):
+            ci, cj = gi[lo:lo + chunk], gj[lo:lo + chunk]
+            est = (uniq[ci] == uniq[cj]).mean(axis=1)
+            for kidx in np.flatnonzero(est >= threshold):
+                _expand_group_pair(members[ci[kidx]], members[cj[kidx]],
+                                   float(est[kidx]), out_a, out_b, out_e)
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    e = np.concatenate(out_e)
+    lo_, hi_ = np.minimum(a, b), np.maximum(a, b)
+    keep = lo_ != hi_  # duplicate doc_id rows are not pairs
+    return lo_[keep], hi_[keep], e[keep]
+
+
+def oversized_bucket_subsalts(rows_ds, key_col: str, max_bucket: int,
+                              what: str) -> dict[int, int]:
+    """Global bucket sizes (keys-only partial/final count) → for each
+    bucket over ``max_bucket`` rows, the number of sub-buckets to split
+    it into. Logged at the driver — no silent caps."""
+    from .aggregate import _combine_partials
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        tt = t.select([key_col]).group_by(key_col).aggregate(
+            [([], "count_all")])
+        return tt.rename_columns([key_col, "n"])
+
+    sizes = _combine_partials(
+        rows_ds.map_batches(count_partial, batch_format="pyarrow"),
+        keys=[key_col], aggs=[("n", "sum")],
+        empty_schema=pa.schema([(key_col, pa.int64()), ("n", pa.int64())]))
+    over = sizes.filter(pc.greater(sizes.column("n"), max_bucket))
+    if over.num_rows == 0:
+        return {}
+    nsub = {int(k): -(-int(n) // max_bucket)
+            for k, n in zip(over.column(key_col).to_pylist(),
+                            over.column("n").to_pylist())}
+    logger.warning(
+        "%s: %d LSH buckets exceed %d rows (largest %d); sub-salting into "
+        "up to %d sub-buckets each — candidate pairs that span sub-buckets "
+        "of the same original bucket are skipped",
+        what, len(nsub), max_bucket,
+        int(pc.max(over.column("n")).as_py()), max(nsub.values()))
+    return nsub
+
+
+SUBSALT_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _subsalt_keys(keys: np.ndarray, subs: np.ndarray) -> np.ndarray:
+    """Derive a sub-bucket key from (bucket key, sub index): an
+    invertible-free mix; collisions with other buckets only add
+    candidate checks, never lose in-sub pairs."""
+    k = keys.view(np.uint64) if keys.dtype == np.int64 else keys
+    mixed = (k ^ (k >> np.uint64(31))) * SUBSALT_MIX + subs.astype(np.uint64)
+    return mixed.view(np.int64)
+
+
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5, concurrency=2) -> pa.Table:
+                      threshold: float = 0.5, concurrency=2,
+                      max_bucket: int = 4096) -> pa.Table:
     """MinHash+LSH candidate pairs with signature-estimated Jaccard.
 
-    band rows → groupby(band_key) → pairs inside buckets → global pair
-    dedup → est_jaccard filter. Returns (doc_a, doc_b, est_jaccard)."""
+    band rows → global bucket-size count (keys-only shuffle) →
+    sub-salt oversized buckets (> ``max_bucket`` rows, split by
+    signature hash so identical signatures stay together) →
+    groupby(band_key) → vectorized signature-grouped pairing →
+    global pair dedup. Returns (doc_a, doc_b, est_jaccard).
+
+    Scale notes: the count pass bounds every reducer's group at
+    ~``max_bucket`` distinct signatures; identical-signature floods
+    (boilerplate corpora) stay in one sub-bucket but cost O(m) via the
+    star cap, not O(m²). Band rows are materialized once and feed both
+    the count and the pairing groupby.
+    """
     band_rows = ds.map_batches(
         MinHashStage, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands},
-        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+        concurrency=concurrency, num_cpus=0.5,
+        batch_format="pyarrow").materialize()
+
+    nsub = oversized_bucket_subsalts(band_rows, "band_key", max_bucket,
+                                     "minhash_near_dups")
+    if nsub:
+        def resalt(t: pa.Table) -> pa.Table:
+            keys = np.asarray(t.column("band_key"), dtype=np.int64)
+            sub_n = np.array([nsub.get(int(k), 0) for k in keys],
+                             dtype=np.uint64)
+            hit = sub_n > 0
+            if not hit.any():
+                return t
+            # split by SIGNATURE hash: identical signatures land in the
+            # same sub-bucket, so est=1.0 groups are never torn apart
+            sig_h = _sig_matrix(t).astype(np.uint64).sum(axis=1)
+            sig_h = (sig_h ^ (sig_h >> np.uint64(33))) * SUBSALT_MIX
+            subs = np.zeros(len(keys), dtype=np.uint64)
+            subs[hit] = sig_h[hit] % sub_n[hit]
+            new_keys = keys.copy()
+            new_keys[hit] = _subsalt_keys(keys[hit], subs[hit])
+            return t.set_column(t.schema.get_field_index("band_key"),
+                                "band_key",
+                                pa.array(new_keys, type=pa.int64()))
+
+        band_rows = band_rows.map_batches(resalt, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column("doc_id"), dtype=np.int64)
-        if len(ids) < 2:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64()),
-                             "est_jaccard": pa.array([], type=pa.float64())})
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sigs = np.array(group.column("sig").to_pylist(), dtype=np.int64)[order]
-        out_a, out_b, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                e = float((sigs[i] == sigs[j]).mean())
-                if e >= threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    est.append(e)
-        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                         "doc_b": pa.array(out_b, type=pa.int64()),
-                         "est_jaccard": pa.array(est, type=pa.float64())})
+        a, b, e = grouped_bucket_pairs(ids, _sig_matrix(group), threshold)
+        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                         "doc_b": pa.array(b, type=pa.int64()),
+                         "est_jaccard": pa.array(e, type=pa.float64())})
 
     pairs = band_rows.groupby("band_key").map_groups(
         bucket_pairs, batch_format="pyarrow")

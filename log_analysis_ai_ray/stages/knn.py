@@ -184,14 +184,23 @@ def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
 def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
                         seed: int = 42, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        concurrency=2) -> pa.Table:
+                        concurrency=2, max_bucket: int = 4096) -> pa.Table:
     """Embedding-cosine near-duplicate pairs: LSH-bucket every vector
     (sign-bit hyperplanes), co-locate buckets with a groupby, and do
     exact pairwise cosine only inside buckets. Approximate by
     construction (near-dups split across buckets are missed —
     probability falls as similarity rises; identical vectors always
     share a bucket); returns (id_a, id_b, sim) with id_a < id_b.
+
+    Hot-bucket bound: a global bucket-size count (keys-only) runs
+    first, and buckets over ``max_bucket`` rows are sub-salted by a
+    doc-id hash — the O(n²) in-bucket cosine then never sees more than
+    ~``max_bucket`` vectors, at the logged cost of pairs that span
+    sub-buckets of one popular bucket. In-bucket similarity is computed
+    in row chunks so reducer memory stays bounded regardless of n.
     """
+    from .dedup import _subsalt_keys, oversized_bucket_subsalts
+
     # dim probed from the first row
     first = ds.take(1)[0][vec_col]
     dim = len(first)
@@ -200,28 +209,65 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
         LshBucketStage, fn_constructor_kwargs={
             "dim": dim, "n_bits": n_bits, "seed": seed,
             "vec_col": vec_col},
-        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+        concurrency=concurrency, num_cpus=0.5,
+        batch_format="pyarrow").materialize()
+
+    nsub = oversized_bucket_subsalts(bucketed, "lsh_bucket", max_bucket,
+                                     "embedding_near_dups")
+    if nsub:
+        def resalt(t: pa.Table) -> pa.Table:
+            keys = np.asarray(t.column("lsh_bucket"), dtype=np.int64)
+            sub_n = np.array([nsub.get(int(k), 0) for k in keys],
+                             dtype=np.uint64)
+            hit = sub_n > 0
+            if not hit.any():
+                return t
+            ids_h = np.asarray(t.column(id_col), dtype=np.int64) \
+                .astype(np.uint64)
+            ids_h = (ids_h ^ (ids_h >> np.uint64(33))) \
+                * np.uint64(0xFF51AFD7ED558CCD)
+            subs = np.zeros(len(keys), dtype=np.uint64)
+            subs[hit] = ids_h[hit] % sub_n[hit]
+            new_keys = keys.copy()
+            new_keys[hit] = _subsalt_keys(keys[hit], subs[hit])
+            return t.set_column(t.schema.get_field_index("lsh_bucket"),
+                                "lsh_bucket",
+                                pa.array(new_keys, type=pa.int64()))
+
+        bucketed = bucketed.map_batches(resalt, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_col), dtype=np.int64)
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                           "id_b": pa.array([], type=pa.int64()),
                           "sim": pa.array([], type=pa.float64())})
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return empty
         M = _normalize(_batch_matrix(group.column(vec_col)))
-        sims = M @ M.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
-        if not keep.any():
+        out_a, out_b, out_s = [], [], []
+        # row-chunked upper-triangular scan: memory O(chunk × n)
+        chunk = max(2_000_000 // max(n, 1), 16)
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            sims = M[lo:hi] @ M.T  # (chunk, n)
+            ri, ci = np.nonzero(sims >= threshold)
+            keep = (ri + lo) < ci  # strict upper triangle (global index)
+            if not keep.any():
+                continue
+            ri, ci = ri[keep], ci[keep]
+            a, b = ids[ri + lo], ids[ci]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append(np.round(sims[ri, ci], 6))
+        if not out_a:
             return empty
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
-                         "id_b": pa.array(hi, type=pa.int64()),
-                         "sim": pa.array(
-                             np.round(sims[iu[keep], ju[keep]], 6),
-                             type=pa.float64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a),
+                                          type=pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b),
+                                          type=pa.int64()),
+                         "sim": pa.array(np.concatenate(out_s),
+                                         type=pa.float64())})
 
     pairs = bucketed.groupby("lsh_bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")

@@ -45,11 +45,16 @@ def test_minhash_segment_isolation():
     assert (s1[1] == s2[2]).all()
 
 
-def test_minhash_short_doc_sentinel():
-    t = _docs_table(["abc", "the quick brown fox"])  # < width bytes
+def test_minhash_short_doc_fallback():
+    # docs shorter than the shingle width hash their raw bytes: only
+    # byte-identical short docs share a signature (ADVICE r1 — an
+    # all-max sentinel made every short-doc pair a false near-dup)
+    t = _docs_table(["abc", "abd", "abc", "the quick brown fox"])
     sig = dedup.minhash_signatures(t["text"], width=5)
-    assert (sig[0] == np.iinfo(np.uint64).max).all()
-    assert not (sig[1] == np.iinfo(np.uint64).max).all()
+    assert (sig[0] == sig[0][0]).all()  # replicated single hash
+    assert not (sig[0] == sig[1]).all()  # different short docs differ
+    assert (sig[0] == sig[2]).all()  # identical short docs match
+    assert not (sig[3] == sig[3][0]).all()  # long doc: real minhash
 
 
 def test_simhash_close_for_similar():
@@ -130,3 +135,53 @@ def test_curation_near_dup_variant(ray_session):
     assert 2 not in ids      # near-dup dropped
     assert 3 in ids          # distinct English doc kept
     assert 4 not in ids      # German doc filtered by langid
+
+
+def test_grouped_bucket_pairs_matches_naive_loop():
+    """The vectorized signature-grouped pairing must emit exactly the
+    pair set of the naive O(n²) per-pair loop it replaced."""
+    rng = np.random.default_rng(7)
+    n, perm = 40, 8
+    # few distinct signatures → lots of identical-sig groups + cross hits
+    vocab = rng.integers(0, 50, size=(6, perm)).astype(np.int64)
+    sigs = vocab[rng.integers(0, len(vocab), size=n)]
+    ids = rng.permutation(n).astype(np.int64)
+    threshold = 0.4
+
+    naive = set()
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j]:
+                e = float((sigs[i] == sigs[j]).mean())
+                if e >= threshold:
+                    naive.add((int(ids[i]), int(ids[j]), e))
+
+    a, b, e = dedup.grouped_bucket_pairs(ids, sigs, threshold)
+    got = set(zip(a.tolist(), b.tolist(), e.tolist()))
+    assert got == naive
+
+
+def test_pathological_identical_bucket_bounded(ray_session):
+    """10k byte-identical docs put every doc in every band bucket; the
+    star cap must keep pairing linear (the old per-pair Python loop was
+    ~800M iterations here). Connectivity to doc 0 must survive."""
+    import time
+
+    import ray.data
+
+    n = 10_000
+    text = "identical boilerplate document body shared by every row " * 3
+    t = _docs_table([text] * n, ids=list(range(n)))
+    start = time.monotonic()
+    pairs = dedup.minhash_near_dups(
+        ray.data.from_arrow(t).repartition(8), max_bucket=2048)
+    elapsed = time.monotonic() - start
+    assert elapsed < 120
+    # star emission: every doc connects to the group root (doc 0)
+    a = np.asarray(pairs["doc_a"])
+    b = np.asarray(pairs["doc_b"])
+    touched = set(a.tolist()) | set(b.tolist())
+    assert touched == set(range(n))
+    assert (a[np.asarray(pairs["doc_a"]) == 0] == 0).all()
+    assert set(b[a == 0].tolist()) == set(range(1, n))
+    assert np.asarray(pairs["est_jaccard"]).min() == 1.0

@@ -103,3 +103,36 @@ def test_ivf_recall_vs_brute_force(ray_session):
                                 exact["vec_id"].to_pylist()) if qq == qi}
         assert qi in a  # the query's own cell is always probed
         assert len(a & e) / len(e) >= 0.3
+
+
+def test_embedding_near_dups_hot_bucket_bounded(ray_session):
+    """A bucket flooded with one popular vector direction must be
+    sub-salted (bucket cap) so the in-bucket O(n²) cosine stays bounded;
+    dups that land in the same sub-bucket are still found."""
+    import time
+
+    import ray.data
+    from log_analysis_ai_ray.stages.knn import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    n = 3000
+    # every vector is base + tiny noise → all share one LSH bucket
+    M = base[None, :] + 0.001 * rng.standard_normal((n, 16))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in M.astype(np.float32)],
+                              type=pa.list_(pa.float32())),
+    })
+    start = time.monotonic()
+    pairs = embedding_near_dups(ray.data.from_arrow(t).repartition(4),
+                                threshold=0.999, max_bucket=500)
+    elapsed = time.monotonic() - start
+    assert elapsed < 90
+    # sub-salting keeps pair volume well below the uncapped
+    # C(3000,2) = 4.5M all-pairs — and plenty of dups survive
+    assert 0 < pairs.num_rows < (3000 * 2999) // 2 // 3
+    # determinism across block structure with the cap active
+    pairs2 = embedding_near_dups(ray.data.from_arrow(t).repartition(7),
+                                 threshold=0.999, max_bucket=500)
+    assert pairs.equals(pairs2)
