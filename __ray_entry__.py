@@ -37,11 +37,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from log_analysis_ai_ray.pipelines.queries import QUERIES, pages_dir_for
+    from log_analysis_ai_ray.pipelines.queries import (QUERIES,
+                                                       pages_dir_for,
+                                                       rawlogs_dir_for)
 
-    # The pages-based oracle SQL reads the synthetic pages parquet from
-    # /tmp; guarantee it exists even if the oracle runs before the Ray
+    # The pages/raw-log oracle SQL reads synthetic corpora from /tmp;
+    # guarantee they exist even if the oracle runs before the Ray
     # queries (synthesis is deterministic, cached, driver-side only).
     pages_dir_for("/root/testdata/sf0.01")
+    rawlogs_dir_for("/root/testdata/sf0.01")
     return {name: sql for name, (_fn, sql) in QUERIES.items()
             if sql is not None}

@@ -158,14 +158,24 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     else:
         h = np.empty(0, dtype=np.uint64)
 
-    for i in range(n):
+    # per-doc window-min via compact-gather + one segment-reduce (the
+    # same minimum.reduceat discipline as minhash_signatures — the flat
+    # hash array contains cross-document windows that must be excluded
+    # before reducing); only sub-window docs fall back to per-doc md5
+    long_doc = lens >= FP_WINDOW
+    if long_doc.any():
+        starts = offsets[:-1][long_doc]
+        seg_len = (lens[long_doc] - FP_WINDOW + 1).astype(np.int64)
+        total = int(seg_len.sum())
+        vidx = np.repeat(starts, seg_len) + (
+            np.arange(total)
+            - np.repeat(np.cumsum(seg_len) - seg_len, seg_len))
+        fps[long_doc] = np.minimum.reduceat(
+            h[vidx], np.cumsum(seg_len) - seg_len)
+    for i in np.flatnonzero(~long_doc):
         lo, hi = int(offsets[i]), int(offsets[i + 1])
-        if lens[i] < FP_WINDOW:
-            data = buf[lo:hi].tobytes()
-            fps[i] = np.uint64(int.from_bytes(
-                hashlib.md5(data).digest()[:8], "big"))
-        else:
-            fps[i] = h[lo:hi - FP_WINDOW + 1].min()
+        fps[i] = np.uint64(int.from_bytes(
+            hashlib.md5(buf[lo:hi].tobytes()).digest()[:8], "big"))
 
     out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
     return out.append_column(

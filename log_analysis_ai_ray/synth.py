@@ -364,3 +364,179 @@ def make_edge_pages() -> pa.Table:
         ],
         schema=PAGES_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-log corpora for the reader/parser family oracles (CSV, JSON-lines,
+# syslog text, logical-line pages). Deterministic pure functions of
+# (n_rows, seed); cached under /tmp like the pages corpus. Constraints
+# that keep the DuckDB oracles exact:
+# - CSV bodies contain no commas/quotes/newlines (no dialect ambiguity);
+# - JSON values are scalars only (strings / ints);
+# - no line carries trailing whitespace (the logical-line continuation
+#   decision then depends only on the RAW previous line, which SQL can
+#   express with lag() instead of a recurrence).
+# ---------------------------------------------------------------------------
+
+CSV_COMPONENTS = np.array(["api", "db", "cache", "auth", "worker"])
+CSV_SEVERITIES = np.array(["DEBUG", "INFO", "WARN", "ERROR"])
+CSV_SEV_P = np.array([0.2, 0.55, 0.15, 0.1])
+SYSLOG_PROGS = np.array(["sshd", "cron", "nginx", "systemd", "kernel"])
+SYSLOG_HOSTS = np.array([f"node{i:02d}" for i in range(8)])
+JSON_USERS = np.array([f"user{i}" for i in range(40)])
+
+
+def _ts_strings(rng: np.random.Generator, n: int) -> np.ndarray:
+    secs = rng.integers(0, SPAN_SECONDS, size=n)
+    ts = BASE_TS + secs.astype("timedelta64[s]")
+    return np.datetime_as_string(ts.astype("datetime64[s]"), unit="s")
+
+
+def write_rawlogs_csv(out_dir: str, n_rows: int, seed: int = SEED,
+                      n_files: int = 4) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 101)
+    ts = np.char.replace(_ts_strings(rng, n_rows), "T", " ")
+    sev = CSV_SEVERITIES[rng.choice(len(CSV_SEVERITIES), size=n_rows,
+                                    p=CSV_SEV_P)]
+    comp = CSV_COMPONENTS[rng.integers(0, len(CSV_COMPONENTS), size=n_rows)]
+    code = rng.integers(100, 600, size=n_rows)
+    lat = rng.integers(1, 5000, size=n_rows)
+    body = np.char.add(
+        np.char.add("request handled in ", lat.astype(str)),
+        np.char.add(" ms by ", comp))
+    for f, (lo, cnt) in enumerate(shard_bounds(n_rows, n_files)):
+        lines = ["ts,sev,body,component,code"]
+        lines += [f"{ts[i]},{sev[i]},{body[i]},{comp[i]},{code[i]}"
+                  for i in range(lo, lo + cnt)]
+        path = os.path.join(out_dir, f"logs-{f:03d}.csv")
+        with open(path + ".tmp", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(path + ".tmp", path)
+
+
+def write_rawlogs_jsonl(out_dir: str, n_rows: int, seed: int = SEED,
+                        n_files: int = 4) -> None:
+    """JSON-lines with heuristic-key variety: half the rows use
+    message/level/time, half msg/severity/timestamp; extras
+    (user/status/latency_ms) are independently present/absent."""
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 202)
+    ts = np.char.replace(_ts_strings(rng, n_rows), "T", " ")
+    sev = CSV_SEVERITIES[rng.choice(len(CSV_SEVERITIES), size=n_rows,
+                                    p=CSV_SEV_P)]
+    alt = rng.random(n_rows) < 0.5
+    user_on = rng.random(n_rows) < 0.7
+    status_on = rng.random(n_rows) < 0.6
+    users = JSON_USERS[rng.integers(0, len(JSON_USERS), size=n_rows)]
+    status = rng.choice([200, 404, 500, 301], size=n_rows)
+    lat = rng.integers(1, 5000, size=n_rows)
+    msgs = np.char.add("request completed route r",
+                       rng.integers(0, 25, size=n_rows).astype(str))
+    for f, (lo, cnt) in enumerate(shard_bounds(n_rows, n_files)):
+        out = []
+        for i in range(lo, lo + cnt):
+            d: dict = {}
+            if alt[i]:
+                d["msg"] = str(msgs[i])
+                d["severity"] = str(sev[i])
+                d["timestamp"] = str(ts[i])
+            else:
+                d["message"] = str(msgs[i])
+                d["level"] = str(sev[i])
+                d["time"] = str(ts[i])
+            if user_on[i]:
+                d["user"] = str(users[i])
+            if status_on[i]:
+                d["status"] = int(status[i])
+            d["latency_ms"] = int(lat[i])
+            out.append(_json.dumps(d))
+        path = os.path.join(out_dir, f"logs-{f:03d}.json")
+        with open(path + ".tmp", "w") as fh:
+            fh.write("\n".join(out) + "\n")
+        os.replace(path + ".tmp", path)
+
+
+def write_rawlogs_syslog(out_dir: str, n_rows: int, seed: int = SEED,
+                         n_files: int = 4) -> None:
+    """RFC3164-style lines: <pri>Mon DD HH:MM:SS host prog[pid]: msg,
+    ~10% without [pid], ~5% malformed (no <pri> header → syslog_ok
+    false). Days 10–28 keep strptime padding trivial on both engines."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 303)
+    months = np.array(["Jan", "Feb", "Mar", "Apr"])
+    mon = months[rng.integers(0, len(months), size=n_rows)]
+    day = rng.integers(10, 29, size=n_rows)
+    hh = rng.integers(0, 24, size=n_rows)
+    mm = rng.integers(0, 60, size=n_rows)
+    ss = rng.integers(0, 60, size=n_rows)
+    host = SYSLOG_HOSTS[rng.integers(0, len(SYSLOG_HOSTS), size=n_rows)]
+    prog = SYSLOG_PROGS[rng.integers(0, len(SYSLOG_PROGS), size=n_rows)]
+    pid = rng.integers(100, 32768, size=n_rows)
+    pid_on = rng.random(n_rows) < 0.9
+    malformed = rng.random(n_rows) < 0.05
+    # facility 0-23, severity 0-7 → pri = fac*8 + sev
+    fac = rng.integers(0, 24, size=n_rows)
+    sev = rng.integers(0, 8, size=n_rows)
+    pri = fac * 8 + sev
+    msgn = rng.integers(0, 1000, size=n_rows)
+    for f, (lo, cnt) in enumerate(shard_bounds(n_rows, n_files)):
+        lines = []
+        for i in range(lo, lo + cnt):
+            stamp = f"{mon[i]} {day[i]:02d} {hh[i]:02d}:{mm[i]:02d}:{ss[i]:02d}"
+            p = f"[{pid[i]}]" if pid_on[i] else ""
+            if malformed[i]:
+                lines.append(f"bare unparseable line number {msgn[i]}")
+            else:
+                lines.append(f"<{pri[i]}>{stamp} {host[i]} {prog[i]}{p}: "
+                             f"event {msgn[i]} occurred")
+        path = os.path.join(out_dir, f"logs-{f:03d}.log")
+        with open(path + ".tmp", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(path + ".tmp", path)
+
+
+def write_rawlogs_mlpages(out_dir: str, n_pages: int, seed: int = SEED) -> None:
+    """Pages whose text embeds continuation lines (indented
+    stack-trace style + trailing-backslash wraps) for the S4
+    logical-line joiner oracle. No trailing whitespace anywhere."""
+    rng = np.random.default_rng(seed + 404)
+    os.makedirs(out_dir, exist_ok=True)
+    urls, texts = [], []
+    for p in range(n_pages):
+        n_lines = int(rng.integers(4, 12))
+        lines = []
+        for li in range(n_lines):
+            kind = rng.random()
+            base = f"event {p}-{li} code {int(rng.integers(0, 500))}"
+            if kind < 0.25 and lines:
+                lines.append(f"    at frame_{int(rng.integers(0, 99))}(file.c)")
+            elif kind < 0.35:
+                lines.append(base + " \\")
+                lines.append(f"continued tail {int(rng.integers(0, 99))}")
+            else:
+                lines.append(base)
+        urls.append(f"https://mlog.example.com/p{p}")
+        texts.append("\n".join(lines))
+    t = pa.table({"url": pa.array(urls, type=pa.string()),
+                  "text": pa.array(texts, type=pa.string())})
+    path = os.path.join(out_dir, "pages.parquet")
+    pq.write_table(t, path + ".tmp", compression="zstd")
+    os.replace(path + ".tmp", path)
+
+
+def ensure_rawlogs(out_dir: str, n_rows: int, seed: int = SEED) -> str:
+    """Idempotently materialize the four raw-log corpora under
+    out_dir/{csv,jsonl,syslog,mlog}; returns out_dir."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_rawlogs_csv(os.path.join(out_dir, "csv"), n_rows, seed)
+        write_rawlogs_jsonl(os.path.join(out_dir, "jsonl"), n_rows, seed)
+        write_rawlogs_syslog(os.path.join(out_dir, "syslog"), n_rows, seed)
+        write_rawlogs_mlpages(os.path.join(out_dir, "mlog"),
+                              max(n_rows // 10, 50), seed)
+        with open(marker, "w") as f:
+            f.write(f"{n_rows} {seed}\n")
+    return out_dir

@@ -12,6 +12,7 @@ SUBSET = [
     "level_counts", "masked_counts", "sink_counts", "domain_tier_counts",
     "events_type_quantiles", "doc_dedup_hash", "doc_langid",
     "customer_nation_counts", "knn_cosine",
+    "csv_dimensions", "json_attrs", "syslog_decode", "logical_lines",
 ]
 
 
