@@ -19,8 +19,35 @@ import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from pyarrow import fs as pafs
 
 DEFAULT_NUM_SINKS = 16
+
+
+def _resolve_fs(filesystem) -> pafs.FileSystem:
+    """None → LocalFileSystem. On a multi-node cluster pass a shared
+    filesystem (S3FileSystem, HadoopFileSystem, or a SubTreeFileSystem
+    over a mount) so every worker's fan-out lands in one namespace —
+    a plain local path would scatter sink files across worker disks."""
+    return filesystem if filesystem is not None else pafs.LocalFileSystem()
+
+
+def _atomic_write_parquet(fs: pafs.FileSystem, table: pa.Table,
+                          dir_path: str, fname: str,
+                          compression: str) -> None:
+    """tmp+rename on local filesystems (atomic replace for retried
+    tasks); direct single-shot write elsewhere (object stores already
+    commit puts atomically)."""
+    import pyarrow.parquet as pq
+
+    fs.create_dir(dir_path, recursive=True)
+    full = f"{dir_path}/{fname}"
+    if isinstance(fs, pafs.LocalFileSystem):
+        pq.write_table(table, full + ".tmp", compression=compression,
+                       filesystem=fs)
+        fs.move(full + ".tmp", full)
+    else:
+        pq.write_table(table, full, compression=compression, filesystem=fs)
 
 # Columns persisted per routed row (wide page payloads projected away).
 ROUTED_COLUMNS = [
@@ -46,14 +73,15 @@ class RouteWriteEmitPartials:
     pass over the parsed stream instead of write-then-read-back.
 
     Retry-safe: the output filename is a content fingerprint of the
-    block (first url/line_no + row count), written via tmp+rename — a
-    retried task atomically overwrites its own file instead of
-    duplicating rows.
+    block (first AND last rows' url|line_no, row count, and a line_no
+    checksum — two different blocks colliding would need identical
+    boundary rows, size and positional sum), written atomically — a
+    retried task overwrites its own file instead of duplicating rows.
     """
 
     def __init__(self, out_dir: str, num_sinks: int,
                  columns: list[str] | None = None,
-                 compression: str = "snappy"):
+                 compression: str = "snappy", filesystem=None):
         # snappy by default: sink encode is on the critical path of the
         # fused route stage; zstd costs ~3x the CPU for ~30% smaller
         # files — flip via config when storage dominates
@@ -61,11 +89,12 @@ class RouteWriteEmitPartials:
         self.num_sinks = num_sinks
         self.columns = columns or ROUTED_COLUMNS
         self.compression = compression
+        self.fs = _resolve_fs(filesystem)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
-        import pyarrow.parquet as pq
+        import numpy as np
 
         from .aggregate import combined_partials
 
@@ -74,10 +103,13 @@ class RouteWriteEmitPartials:
         if "path" in batch.column_names:  # opt-in row-level lineage
             cols.append("path")
         routed = batch.select(cols)
-        fp = hashlib.md5(
-            f"{routed.column('url')[0].as_py()}|"
-            f"{routed.column('line_no')[0].as_py()}|"
-            f"{routed.num_rows}".encode()).hexdigest()[:16]
+        n = routed.num_rows
+        line_no = np.asarray(routed.column("line_no"), dtype=np.int64)
+        fp = hashlib.md5("|".join([
+            str(routed.column("url")[0].as_py()), str(line_no[0]),
+            str(routed.column("url")[n - 1].as_py()), str(line_no[n - 1]),
+            str(n), str(int(line_no.sum())),
+        ]).encode()).hexdigest()[:16]
 
         # dead-letter routing (reference validate() gating, M19:
         # /root/reference/src/json_parser.cpp:71-78): malformed rows go
@@ -87,48 +119,50 @@ class RouteWriteEmitPartials:
         dead = routed.filter(pc.invert(ok))
         routed_ok = routed.filter(ok)
         if dead.num_rows:
-            d = os.path.join(self.out_dir, "deadletter")
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"part-{fp}.parquet")
-            pq.write_table(dead.drop_columns(["sink_id"]), path + ".tmp",
-                           compression=self.compression)
-            os.replace(path + ".tmp", path)
+            _atomic_write_parquet(
+                self.fs, dead.drop_columns(["sink_id"]),
+                f"{self.out_dir}/deadletter", f"part-{fp}.parquet",
+                self.compression)
 
         sinks = pc.unique(routed_ok.column("sink_id"))
         for s in sorted(sinks.to_pylist()):
             part = routed_ok.filter(pc.equal(routed_ok.column("sink_id"), s))
-            d = os.path.join(self.out_dir, f"sink_id={s}")
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"part-{fp}.parquet")
-            pq.write_table(part.drop_columns(["sink_id"]), path + ".tmp",
-                           compression=self.compression)
-            os.replace(path + ".tmp", path)
+            _atomic_write_parquet(
+                self.fs, part.drop_columns(["sink_id"]),
+                f"{self.out_dir}/sink_id={s}", f"part-{fp}.parquet",
+                self.compression)
         return combined_partials(batch)
 
 
 def route_write_with_partials(parsed_ds, out_dir: str,
                               num_sinks: int = DEFAULT_NUM_SINKS,
-                              columns: list[str] | None = None):
+                              columns: list[str] | None = None,
+                              filesystem=None):
     """One-pass route + aggregate: returns the partials Dataset (lazy);
     consuming it performs the sink writes as a side effect."""
-    import shutil
-
+    fs = _resolve_fs(filesystem)
     # fresh sinks: stale files from a previous run with different block
     # boundaries would otherwise survive (filenames are content-keyed)
-    for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
-        if name.startswith("sink_id=") or name == "deadletter":
-            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    base = fs.get_file_info(out_dir)
+    if base.type == pafs.FileType.Directory:
+        for info in fs.get_file_info(pafs.FileSelector(out_dir)):
+            name = info.base_name
+            if name.startswith("sink_id=") or name == "deadletter":
+                fs.delete_dir(info.path)
+    fs.create_dir(out_dir, recursive=True)
     return parsed_ds.map_batches(
-        RouteWriteEmitPartials(out_dir, num_sinks, columns),
+        RouteWriteEmitPartials(out_dir, num_sinks, columns,
+                               filesystem=filesystem),
         batch_format="pyarrow", batch_size=None)
 
 
 def route_and_write(parsed_ds, out_dir: str,
                     num_sinks: int = DEFAULT_NUM_SINKS,
-                    columns: list[str] | None = None) -> dict:
+                    columns: list[str] | None = None,
+                    filesystem=None) -> dict:
     """Write routed rows as Parquet partitioned by sink_id; returns the
     per-sink count manifest (also persisted as _manifest.json)."""
+    fs = _resolve_fs(filesystem)
     columns = columns or ROUTED_COLUMNS
     routed = parsed_ds.map_batches(
         add_sink_id, batch_format="pyarrow", batch_size=None,
@@ -137,32 +171,54 @@ def route_and_write(parsed_ds, out_dir: str,
         lambda t: t.select(columns), batch_format="pyarrow",
         batch_size=None,
     )
-    routed.write_parquet(out_dir, partition_cols=["sink_id"])
+    routed.write_parquet(out_dir, partition_cols=["sink_id"],
+                         filesystem=filesystem)
 
-    manifest = sink_manifest_from_output(out_dir)
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    manifest = sink_manifest_from_output(out_dir, filesystem=fs)
+    with fs.open_output_stream(f"{out_dir}/_manifest.json") as f:
+        f.write(json.dumps(manifest, indent=1, sort_keys=True).encode())
     return manifest
 
 
-def sink_manifest_from_output(out_dir: str) -> dict:
+def list_sink_files(out_dir: str, filesystem=None,
+                    include_dead: bool = False) -> list[str]:
+    """Filesystem-parameterized sink listing (works on any
+    pyarrow.fs.FileSystem — the multi-node story: a local glob only
+    sees the driver's disk)."""
+    fs = _resolve_fs(filesystem)
+    infos = fs.get_file_info(pafs.FileSelector(out_dir, recursive=True,
+                                               allow_not_found=True))
+    out = []
+    for i in infos:
+        if not i.is_file or not i.path.endswith(".parquet"):
+            continue
+        parent = os.path.basename(os.path.dirname(i.path))
+        if parent.startswith("sink_id=") or (include_dead
+                                             and parent == "deadletter"):
+            out.append(i.path)
+    return sorted(out)
+
+
+def sink_manifest_from_output(out_dir: str, filesystem=None) -> dict:
     """Recount routed rows per sink from the written files (verifies the
     sink contents, not just the intent). Counts come from parquet FOOTER
     metadata (no data read) fetched with a thread pool — a serial
     per-file scan here was a measurable serial floor in the route
     stage."""
-    import glob
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(os.path.join(out_dir, "sink_id=*", "*.parquet")))
-    dead_files = sorted(glob.glob(os.path.join(out_dir, "deadletter",
-                                               "*.parquet")))
+    fs = _resolve_fs(filesystem)
+    all_files = list_sink_files(out_dir, filesystem=fs, include_dead=True)
+    files = [p for p in all_files
+             if os.path.basename(os.path.dirname(p)).startswith("sink_id=")]
+    dead_files = [p for p in all_files
+                  if os.path.basename(os.path.dirname(p)) == "deadletter"]
 
     def count(path: str) -> tuple[str, int]:
         sink = os.path.basename(os.path.dirname(path)).split("=", 1)[-1]
-        return sink, pq.ParquetFile(path).metadata.num_rows
+        return sink, pq.read_metadata(path, filesystem=fs).num_rows
 
     counts: dict[str, int] = {}
     with ThreadPoolExecutor(max_workers=16) as ex:
@@ -170,6 +226,6 @@ def sink_manifest_from_output(out_dir: str) -> dict:
             counts[sink] = counts.get(sink, 0) + n
     dead = 0
     for p_ in dead_files:
-        dead += pq.ParquetFile(p_).metadata.num_rows
+        dead += pq.read_metadata(p_, filesystem=fs).num_rows
     return {"per_sink_rows": counts, "dead_letter_rows": dead,
             "total_rows": sum(counts.values()) + dead}

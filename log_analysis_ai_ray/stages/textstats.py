@@ -181,3 +181,28 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column(
         "fingerprint",
         pa.array([format(int(x), "016x") for x in fps], type=pa.string()))
+
+
+def hash_ngram_vectors(text_array, dim: int = 64, n: int = 3) -> np.ndarray:
+    """Deterministic char-n-gram hashing vectors (the no-external-model
+    template featurizer backing template semantic search; reference
+    embeds templates via an API model, python/logai_cpp/embeddings.py:12-138
+    — here the feature space is hashed n-gram counts, L2-normalized).
+    Returns an (n_docs, dim) float32 matrix; empty/short docs → zero."""
+    from .dedup import shingle_hashes
+
+    h, (starts, ends) = shingle_hashes(text_array, width=n)
+    n_docs = len(starts)
+    seg_len = (ends - starts).astype(np.int64)
+    total = int(seg_len.sum())
+    if total == 0:
+        return np.zeros((n_docs, dim), dtype=np.float32)
+    vidx = np.repeat(starts, seg_len) + (
+        np.arange(total) - np.repeat(np.cumsum(seg_len) - seg_len, seg_len))
+    doc_idx = np.repeat(np.arange(n_docs), seg_len)
+    slot = (h[vidx] % np.uint64(dim)).astype(np.int64)
+    flat = np.bincount(doc_idx * dim + slot, minlength=n_docs * dim)
+    M = flat.reshape(n_docs, dim).astype(np.float32)
+    norm = np.linalg.norm(M, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return M / norm

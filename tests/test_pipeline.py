@@ -284,3 +284,82 @@ def test_sampled_mining_tail_fallback_end_to_end(ray_session, tmp_path):
     # the masked string itself as its template (no registry match)
     assert reg.get("INFO Zorp engaged thruster <*>") == 2
     assert reg.get("INFO Server started on port <*>") == 1
+
+
+def test_route_via_subtree_filesystem(ray_session, tmp_path):
+    """The fan-out sink accepts any pyarrow.fs.FileSystem: a
+    SubTreeFileSystem (standing in for a remote mount) must produce the
+    same routed rows + manifest as the default local path, with the
+    manifest derived through fs listing, not a local glob."""
+    import pyarrow as pa
+    import ray.data
+    from pyarrow import fs as pafs
+
+    from log_analysis_ai_ray.stages import route
+
+    n = 200
+    parsed = pa.table({
+        "url": pa.array([f"https://fs.example.com/p{i % 7}" for i in range(n)]),
+        "line_no": pa.array(list(range(n)), type=pa.int32()),
+        "line": pa.array([f"line {i}" for i in range(n)]),
+        "level": pa.array(["INFO", "WARN"] * (n // 2)),
+        "line_ts": pa.nulls(n, pa.timestamp("us")),
+        "template": pa.array([f"t{i % 9} <*>" for i in range(n)]),
+        "template_hash": pa.array([(i % 9) * 11 for i in range(n)],
+                                  type=pa.int64()),
+        "masked": pa.array([f"t{i % 9} <*>" for i in range(n)]),
+        "parse_ok": pa.array([True] * n),
+    })
+    ds = ray.data.from_arrow(parsed).repartition(4)
+
+    root = tmp_path / "remote"
+    root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    route.route_write_with_partials(
+        ds, "routed", num_sinks=4, filesystem=sub).materialize()
+    man = route.sink_manifest_from_output("routed", filesystem=sub)
+
+    local_out = tmp_path / "local"
+    local_out.mkdir()
+    route.route_write_with_partials(
+        ds, str(local_out), num_sinks=4).materialize()
+    man2 = route.sink_manifest_from_output(str(local_out))
+    assert man["per_sink_rows"] == man2["per_sink_rows"]
+    assert man["total_rows"] == man2["total_rows"] == n
+    # files really live under the subtree root
+    files = route.list_sink_files("routed", filesystem=sub)
+    assert files and all((root / f).exists() for f in files)
+
+
+def test_block_fingerprint_disambiguates_same_prefix(ray_session, tmp_path):
+    """ADVICE r1: two blocks sharing (first url, first line_no, row
+    count) must not collide on the sink filename — the fingerprint now
+    covers both boundary rows and a positional checksum, so neither
+    block's rows are silently lost."""
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages import route
+
+    def block(line_nos):
+        n = len(line_nos)
+        return pa.table({
+            "url": pa.array(["https://dup.example.com/page"] * n),
+            "line_no": pa.array(line_nos, type=pa.int32()),
+            "line": pa.array([f"line {i}" for i in line_nos]),
+            "level": pa.array(["INFO"] * n),
+            "line_ts": pa.nulls(n, pa.timestamp("us")),
+            "template": pa.array(["t <*>"] * n),
+            "template_hash": pa.array([7] * n, type=pa.int64()),
+            "masked": pa.array(["t <*>"] * n),
+            "parse_ok": pa.array([True] * n),
+        })
+
+    # same first row, same count, different tails
+    b1, b2 = block([0, 1, 2]), block([0, 5, 9])
+    out = tmp_path / "sinks"
+    out.mkdir()
+    ds = ray.data.from_arrow([b1, b2])  # two blocks
+    route.route_write_with_partials(ds, str(out), num_sinks=4).materialize()
+    man = route.sink_manifest_from_output(str(out))
+    assert man["total_rows"] == 6  # the old prefix-only fp kept only 3

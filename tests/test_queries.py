@@ -13,7 +13,43 @@ SUBSET = [
     "events_type_quantiles", "doc_dedup_hash", "doc_langid",
     "customer_nation_counts", "knn_cosine",
     "csv_dimensions", "json_attrs", "syslog_decode", "logical_lines",
+    "search_logs", "filter_by_time", "filter_by_level", "anchor_context",
 ]
+
+
+def test_template_similar_golden(ray_session):
+    """Template semantic search: the 'Failed to connect' registry
+    template must rank first for a 'Failed to connect to <*>' query,
+    with a deterministic 5-row result."""
+    from log_analysis_ai_ray.pipelines.queries import QUERIES
+
+    fn, _ = QUERIES["template_similar"]
+    out = fn(SF_DIR)
+    assert out.num_rows == 5
+    assert out.column_names == ["rank", "template_hash", "template", "sim"]
+    top = out.column("template").to_pylist()[0]
+    assert "Failed to connect" in top
+    sims = out.column("sim").to_pylist()
+    assert sims == sorted(sims, reverse=True) and sims[0] > 0.5
+    out2 = fn(SF_DIR)
+    assert out.equals(out2)
+
+
+def test_hash_ngram_vectors_properties():
+    import numpy as np
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.stages.textstats import hash_ngram_vectors
+
+    v = hash_ngram_vectors(pa.array(
+        ["Failed to connect to <*>", "Failed to connect to db <*>",
+         "Autoscaler set replicas to <*>", "xy", ""]))
+    # unit norm for non-empty docs; zero vector for sub-n-gram docs
+    norms = np.linalg.norm(v, axis=1)
+    assert np.allclose(norms[:3], 1.0)
+    assert norms[3] == norms[4] == 0.0
+    # similar templates closer than dissimilar ones
+    assert v[0] @ v[1] > v[0] @ v[2]
 
 
 @pytest.fixture(scope="module")
