@@ -83,6 +83,10 @@ def _combine_partials(ds, keys: list[str],
     return _to_arrow(ds.groupby(keys).aggregate(*specs))
 
 
+# Hour buckets use an impossible sentinel for null (ADVICE r1: -1 is a
+# REAL bucket — 1969-12-31T23:00 — so pre-epoch data would be misfiled).
+NULL_BUCKET = -(2 ** 62)
+
 # Timestamps cross the Ray shuffle as sentinel-filled int64 micros:
 # Ray's Min/Max aggregates round-trip values through Python datetimes and
 # break on nullable timestamp columns.
@@ -277,9 +281,13 @@ def grouped_discrete_quantiles(ds, key: str, value_col: str,
 def salted_count(ds, key: str, num_salts: int = 16,
                  empty_schema: pa.Schema | None = None) -> pa.Table:
     """Two-phase SALTED count for hot keys (north-rule skew handling):
-    phase 1 groups by (key, salt) where salt = row_hash % num_salts, so
-    a Zipfian key's rows spread over ``num_salts`` reducers; phase 2
-    drops the salt and sums.
+    phase 1 groups by (key, salt) where salt is the row's POSITION in
+    its batch mod ``num_salts`` — positional, valid only for
+    commutative aggregates like counts (ADVICE r1: partials are then
+    parallelism-dependent, which a pure count absorbs at the phase-2
+    sum; a state-bearing per-(key, salt) aggregate would instead need a
+    content-stable salt, e.g. a row-column hash). A Zipfian key's rows
+    spread over ``num_salts`` reducers; phase 2 drops the salt and sums.
 
     NOTE: the per-block combiners used everywhere else in this module
     already neutralize count-path skew (a hot key contributes one
@@ -320,8 +328,9 @@ def combined_partials(batch: pa.Table) -> pa.Table:
 
     Generic layout: kind ∈ {template, level, hour, quality};
     key_str/key_hash/bucket_h are the kind's group key. Group keys are
-    sentinel-encoded (''/-1), never null — null group keys are
-    implementation-defined in shuffles. bucket_h = hours since epoch.
+    sentinel-encoded ('' / -1 / NULL_BUCKET), never null — null group
+    keys are implementation-defined in shuffles. bucket_h = hours since
+    epoch, NULL_BUCKET when the row has no timestamp.
     """
     parts = []
 
@@ -330,7 +339,8 @@ def combined_partials(batch: pa.Table) -> pa.Table:
         "kind": pa.array(["template"] * t.num_rows),
         "key_str": t.column("template"),
         "key_hash": t.column("template_hash"),
-        "bucket_h": pa.array(np.full(t.num_rows, -1), type=pa.int64()),
+        "bucket_h": pa.array(np.full(t.num_rows, NULL_BUCKET),
+                             type=pa.int64()),
         "n_params": t.column("n_params").cast(pa.int64()),
         "count": t.column("count"),
         "first_us": t.column("first_us"),
@@ -343,7 +353,8 @@ def combined_partials(batch: pa.Table) -> pa.Table:
         "kind": pa.array(["level"] * lv.num_rows),
         "key_str": lv.column("level"),
         "key_hash": pa.array(np.full(lv.num_rows, -1), type=pa.int64()),
-        "bucket_h": pa.array(np.full(lv.num_rows, -1), type=pa.int64()),
+        "bucket_h": pa.array(np.full(lv.num_rows, NULL_BUCKET),
+                             type=pa.int64()),
         "n_params": pa.array(np.full(lv.num_rows, -1), type=pa.int64()),
         "count": lv.column("count_all"),
         "first_us": pa.array(np.full(lv.num_rows, TS_MAX), type=pa.int64()),
@@ -355,7 +366,7 @@ def combined_partials(batch: pa.Table) -> pa.Table:
         3_600_000_000)
     hr = (pa.table({
         "template_hash": batch.column("template_hash"),
-        "bucket_h": bucket_h.fill_null(-1),
+        "bucket_h": bucket_h.fill_null(NULL_BUCKET),
     }).group_by(["template_hash", "bucket_h"]).aggregate([([], "count_all")]))
     parts.append(pa.table({
         "kind": pa.array(["hour"] * hr.num_rows),
@@ -373,7 +384,7 @@ def combined_partials(batch: pa.Table) -> pa.Table:
         "kind": pa.array(["quality", "quality"]),
         "key_str": pa.array(["rows", "parse_ok"]),
         "key_hash": pa.array([-1, -1], type=pa.int64()),
-        "bucket_h": pa.array([-1, -1], type=pa.int64()),
+        "bucket_h": pa.array([NULL_BUCKET, NULL_BUCKET], type=pa.int64()),
         "n_params": pa.array([-1, -1], type=pa.int64()),
         "count": pa.array([batch.num_rows, ok], type=pa.int64()),
         "first_us": pa.array([TS_MAX, TS_MAX], type=pa.int64()),
@@ -427,7 +438,7 @@ def finalize_combined(partials_ds) -> dict:
     rollup = pa.table({
         "template_hash": hr.column("key_hash"),
         "bucket": pc.if_else(
-            pc.equal(hr.column("bucket_h"), -1),
+            pc.equal(hr.column("bucket_h"), NULL_BUCKET),
             pa.scalar(None, type=pa.timestamp("us")),
             pc.multiply(hr.column("bucket_h"), 3_600_000_000)
               .cast(pa.timestamp("us"))),

@@ -61,6 +61,13 @@ class DrainConfig:
     sim_th: float = 0.5
     max_children: int = 100
     max_distinct: int = 2_000_000  # driver-side mining cap (scale guard)
+    # Tree-descent convention. "paper": walk depth-2 prefix tokens
+    # (root + leaf occupy two of `depth` levels — He et al., ICWS 2017
+    # §III-B; the convention this engine defaults to, deliberately NOT
+    # the reference's). "reference": walk min(depth, len) tokens as
+    # /root/reference/src/drain_parser.cpp:308-312 does — a finer
+    # partition that can keep clusters separate the paper tree merges.
+    descend: str = "paper"
 
 
 def _has_digit(token: str) -> bool:
@@ -97,8 +104,13 @@ class DrainMiner:
             if not create:
                 return None
             node = self.root[len(tokens)] = {}
-        # Descend on the first depth-2 tokens (root + leaf occupy 2 levels).
-        max_levels = max(self.config.depth - 2, 0)
+        # Descent count per DrainConfig.descend: paper convention
+        # (depth-2 prefix tokens) by default, or the reference's
+        # min(depth, len) (drain_parser.cpp:308-312).
+        if self.config.descend == "reference":
+            max_levels = min(self.config.depth, len(tokens))
+        else:
+            max_levels = max(self.config.depth - 2, 0)
         for tok in tokens[:max_levels]:
             # Tree-level pre-wildcard: the reference wildcards tokens
             # containing digits (drain_parser.cpp:312); our input is

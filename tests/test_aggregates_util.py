@@ -15,3 +15,34 @@ def test_salted_count_matches_plain(ray_session):
     assert got["hot"] == 800
     assert sum(got.values()) == 1000
     assert len(got) == 201
+
+
+def test_pre_epoch_hour_bucket_not_null(ray_session):
+    """ADVICE r1: hour -1 (1969-12-31T23:00) is a real bucket; pre-epoch
+    rows must land there, with null-timestamp rows kept separate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.aggregate import combined_aggregates
+
+    ts = pa.array([np.datetime64("1969-12-31T23:30:00", "us"),
+                   np.datetime64("1969-12-31T23:45:00", "us"),
+                   None], type=pa.timestamp("us"))
+    batch = pa.table({
+        "line": pa.array(["a", "b", "c"]),
+        "level": pa.array(["INFO"] * 3),
+        "line_ts": ts,
+        "template": pa.array(["t <*>"] * 3),
+        "template_hash": pa.array([5] * 3, type=pa.int64()),
+        "params": pa.array([["x"]] * 3, type=pa.list_(pa.string())),
+        "parse_ok": pa.array([True] * 3),
+    })
+    out = combined_aggregates(ray.data.from_arrow(batch))
+    rollup = out["rollup"]
+    buckets = dict(zip(rollup["bucket"].to_pylist(),
+                       rollup["count"].to_pylist()))
+    import datetime
+    pre = datetime.datetime(1969, 12, 31, 23, 0)
+    assert buckets.get(pre) == 2          # real pre-epoch bucket
+    assert buckets.get(None) == 1         # null ts stays null

@@ -129,3 +129,18 @@ def test_online_miner_registry(ray_session):
     expected = {t.expected_template for t in synth.TEMPLATES}
     # converged templates must appear; splinters (supersets) allowed
     assert len(expected & mined) >= 20
+
+
+def test_descend_convention_paper_vs_reference():
+    """ADVICE r1: the engine's default tree walks depth-2 prefix tokens
+    (paper convention); descend='reference' walks min(depth, len) like
+    drain_parser.cpp:308-312 and can keep clusters separate that the
+    paper tree merges on similarity."""
+    a = "alpha beta gamma delta x"
+    b = "alpha beta omega delta x"
+    paper = drain.mine_mapping([a, b], drain.DrainConfig(descend="paper"))
+    ref = drain.mine_mapping([a, b], drain.DrainConfig(descend="reference"))
+    # paper: same leaf (2 shared prefix tokens), sim 4/5 ≥ 0.5 → merged
+    assert set(paper["template"].to_pylist()) == {"alpha beta <*> delta x"}
+    # reference: token 3 splits the tree at level 3 → never compared
+    assert set(ref["template"].to_pylist()) == {a, b}
