@@ -310,22 +310,46 @@ def grouped_bucket_pairs(ids: np.ndarray, sigs: np.ndarray,
     return lo_[keep], hi_[keep], e[keep]
 
 
-def oversized_bucket_subsalts(rows_ds, key_col: str, max_bucket: int,
-                              what: str) -> dict[int, int]:
-    """Global bucket sizes (keys-only partial/final count) → for each
-    bucket over ``max_bucket`` rows, the number of sub-buckets to split
-    it into. Logged at the driver — no silent caps."""
-    from .aggregate import _combine_partials
+def multi_bucket_sizes(rows_ds, key_col: str) -> pa.Table:
+    """Global sizes of buckets holding ≥ 2 rows — the only buckets that
+    can yield candidate pairs. Returned as a small driver table
+    (key, n): singleton buckets — the overwhelming majority on a
+    mostly-unique corpus — are dropped BEFORE collection, and on the
+    distributed merge path they are dropped before leaving the cluster,
+    so the result stays proportional to the duplicate rate, not the
+    corpus."""
+    from ray.data.aggregate import Sum
+
+    from .aggregate import DRIVER_MERGE_MAX_ROWS, _to_arrow
 
     def count_partial(t: pa.Table) -> pa.Table:
         tt = t.select([key_col]).group_by(key_col).aggregate(
             [([], "count_all")])
         return tt.rename_columns([key_col, "n"])
 
-    sizes = _combine_partials(
-        rows_ds.map_batches(count_partial, batch_format="pyarrow"),
-        keys=[key_col], aggs=[("n", "sum")],
-        empty_schema=pa.schema([(key_col, pa.int64()), ("n", pa.int64())]))
+    partials = rows_ds.map_batches(
+        count_partial, batch_format="pyarrow").materialize()
+    if partials.count() <= DRIVER_MERGE_MAX_ROWS:
+        tbl = _to_arrow(partials)
+        if key_col not in tbl.column_names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        merged = tbl.group_by(key_col).aggregate([("n", "sum")]) \
+            .rename_columns([key_col, "n"])
+    else:
+        merged = _to_arrow(
+            partials.groupby(key_col).aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda t: t.filter(
+                pc.greater_equal(t.column("n"), 2)),
+                batch_format="pyarrow"))
+    return merged.filter(pc.greater_equal(merged.column("n"), 2))
+
+
+def oversized_bucket_subsalts(sizes: pa.Table, key_col: str,
+                              max_bucket: int, what: str) -> dict[int, int]:
+    """From a bucket-size table: for each bucket over ``max_bucket``
+    rows, the number of sub-buckets to split it into. Logged at the
+    driver — no silent caps."""
     over = sizes.filter(pc.greater(sizes.column("n"), max_bucket))
     if over.num_rows == 0:
         return {}
@@ -353,78 +377,243 @@ def _subsalt_keys(keys: np.ndarray, subs: np.ndarray) -> np.ndarray:
     return mixed.view(np.int64)
 
 
+# Candidate rows at or below this count are paired in ONE Ray task
+# (a numpy segment sweep) instead of a distributed sort — the
+# candidate set (rows in multi-member buckets) is proportional to the
+# duplicate rate, so at bench scale the sort's fixed overhead
+# dominates its work by orders of magnitude.
+SINGLE_TASK_PAIR_MAX_ROWS = 2_000_000
+
+
+# Buckets up to this size take the batched all-pairs path (one
+# vectorized comparison per distinct bucket size across ALL buckets of
+# that size); larger buckets go through grouped_bucket_pairs with its
+# identical-signature dedup and star caps.
+SMALL_BUCKET = 64
+
+
+def _segment_pairs(keys: np.ndarray, ids: np.ndarray, sigs: np.ndarray,
+                   threshold: float) -> pa.Table:
+    """Pair every bucket of a candidate array, key-sorted.
+
+    Small buckets (≤ SMALL_BUCKET rows, the overwhelming majority once
+    singletons are dropped) generate candidate DOC-ID pairs
+    size-class-at-a-time with pure integer ops, the pair set is
+    deduplicated globally (the same near-dup pair surfaces in up to
+    ``bands`` buckets), and the signature estimate is computed ONCE per
+    unique pair — the expensive (pairs × num_perm) comparison shrinks
+    by the band multiplicity. Larger buckets take the per-segment
+    grouped_bucket_pairs path with its identical-signature dedup and
+    star caps."""
+    order = np.argsort(keys, kind="stable")
+    keys, ids, sigs = keys[order], ids[order], sigs[order]
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
+                             [len(keys)]])
+    seg_len = np.diff(bounds)
+    starts = bounds[:-1]
+    # doc table: est depends only on the two docs, so map rows → docs
+    uniq_ids, first = np.unique(ids, return_index=True)
+    sig_of = sigs[first]
+    pos = np.searchsorted(uniq_ids, ids)
+    n_u = len(uniq_ids)
+
+    cand_lo, cand_hi = [], []
+    small = (seg_len >= 2) & (seg_len <= SMALL_BUCKET)
+    for m in np.unique(seg_len[small]):
+        S = starts[small & (seg_len == m)]  # all buckets of size m
+        mi, mj = np.triu_indices(int(m), k=1)
+        gi = (S[:, None] + mi[None, :]).ravel()
+        gj = (S[:, None] + mj[None, :]).ravel()
+        a, b = pos[gi], pos[gj]
+        keep = a != b  # duplicate doc_id rows are not pairs
+        if keep.any():
+            cand_lo.append(np.minimum(a[keep], b[keep]))
+            cand_hi.append(np.maximum(a[keep], b[keep]))
+    out_a, out_b, out_e = [], [], []
+    if cand_lo:
+        packed = np.unique(np.concatenate(cand_lo) * np.int64(n_u)
+                           + np.concatenate(cand_hi))
+        ua, ub = packed // n_u, packed % n_u
+        est = (sig_of[ua] == sig_of[ub]).mean(axis=1)
+        keep = est >= threshold
+        if keep.any():
+            out_a.append(uniq_ids[ua[keep]])
+            out_b.append(uniq_ids[ub[keep]])
+            out_e.append(est[keep])
+    for s, e in zip(starts[seg_len > SMALL_BUCKET],
+                    bounds[1:][seg_len > SMALL_BUCKET]):
+        a, b, est = grouped_bucket_pairs(ids[s:e], sigs[s:e], threshold)
+        if len(a):
+            out_a.append(a)
+            out_b.append(b)
+            out_e.append(est)
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "est_jaccard": pa.array([], type=pa.float64())})
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        "est_jaccard": pa.array(np.concatenate(out_e), type=pa.float64()),
+    })
+
+
+
+def _resalted_keys(t: pa.Table, nsub: dict[int, int]) -> np.ndarray:
+    """Band keys with oversized buckets split by SIGNATURE hash —
+    identical signatures land in the same sub-bucket, so est=1.0
+    groups are never torn apart."""
+    keys = np.asarray(t.column("band_key"), dtype=np.int64)
+    if not nsub:
+        return keys
+    sub_n = np.array([nsub.get(int(k), 0) for k in keys],
+                     dtype=np.uint64)
+    hit = sub_n > 0
+    if not hit.any():
+        return keys
+    sig_h = _sig_matrix(t).astype(np.uint64).sum(axis=1)
+    sig_h = (sig_h ^ (sig_h >> np.uint64(33))) * SUBSALT_MIX
+    subs = np.zeros(len(keys), dtype=np.uint64)
+    subs[hit] = sig_h[hit] % sub_n[hit]
+    keys = keys.copy()
+    keys[hit] = _subsalt_keys(keys[hit], subs[hit])
+    return keys
+
+
+def _pair_candidates_impl(blocks, nsub: dict[int, int],
+                          threshold: float) -> pa.Table | None:
+    tables = [b for b in blocks if b.num_rows]
+    if not tables:
+        return None
+    tbl = pa.concat_tables(tables, promote_options="default") \
+        .combine_chunks()
+    pairs_tbl = _segment_pairs(
+        _resalted_keys(tbl, nsub),
+        np.asarray(tbl.column("doc_id"), dtype=np.int64),
+        _sig_matrix(tbl), threshold)
+    if pairs_tbl.num_rows == 0:
+        return None
+    return pairs_tbl.group_by(["doc_a", "doc_b"]).aggregate(
+        [("est_jaccard", "max")]) \
+        .rename_columns(["doc_a", "doc_b", "est_jaccard"])
+
+
+def _pair_candidates_remote(*blocks, nsub, threshold):
+    return _pair_candidates_impl(blocks, nsub, threshold)
+
+
+class _LazyRemote:
+    """ray.remote wrapper resolved on first use (keeps module import
+    Ray-free)."""
+
+    def __init__(self, fn, **opts):
+        self._fn = fn
+        self._opts = opts
+        self._remote = None
+
+    def remote(self, refs, nsub, threshold):
+        import ray
+
+        if self._remote is None:
+            self._remote = ray.remote(**self._opts)(self._fn)
+        return self._remote.remote(*refs, nsub=nsub, threshold=threshold)
+
+
+_pair_candidates_task = _LazyRemote(_pair_candidates_remote, num_cpus=2)
+
+
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5, concurrency=2,
                       max_bucket: int = 4096) -> pa.Table:
     """MinHash+LSH candidate pairs with signature-estimated Jaccard.
 
-    band rows → global bucket-size count (keys-only shuffle) →
-    sub-salt oversized buckets (> ``max_bucket`` rows, split by
-    signature hash so identical signatures stay together) →
-    groupby(band_key) → vectorized signature-grouped pairing →
-    global pair dedup. Returns (doc_a, doc_b, est_jaccard).
+    band rows → global bucket-size count (keys-only) → DROP singleton
+    buckets before any shuffle (they cannot pair; on a mostly-unique
+    corpus this strips nearly all rows) → sub-salt oversized buckets
+    (> ``max_bucket`` rows, split by signature hash so identical
+    signatures stay together) → vectorized signature-grouped pairing,
+    on the driver when the candidate set is small, via
+    groupby(band_key) beyond → global pair dedup.
+    Returns (doc_a, doc_b, est_jaccard).
 
     Scale notes: the count pass bounds every reducer's group at
-    ~``max_bucket`` distinct signatures; identical-signature floods
+    ~``max_bucket`` distinct signatures and shrinks the pairing shuffle
+    to the duplicate-bearing rows only; identical-signature floods
     (boilerplate corpora) stay in one sub-bucket but cost O(m) via the
     star cap, not O(m²). Band rows are materialized once and feed both
-    the count and the pairing groupby.
+    the count and the pairing passes.
     """
+    # task-based, not an actor pool: the per-stage state (permutation
+    # params) costs microseconds to rebuild, and skipping actor-pool
+    # spin-up saves ~1-2 s of fixed latency per invocation
+    stage = MinHashStage(num_perm=num_perm, bands=bands)
     band_rows = ds.map_batches(
-        MinHashStage, fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands},
-        concurrency=concurrency, num_cpus=0.5,
-        batch_format="pyarrow").materialize()
+        stage, batch_format="pyarrow").materialize()
 
-    nsub = oversized_bucket_subsalts(band_rows, "band_key", max_bucket,
+    sizes = multi_bucket_sizes(band_rows, "band_key")
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "est_jaccard": pa.array([], type=pa.float64())})
+    if sizes.num_rows == 0:
+        return empty
+    multi_keys = sizes.column("band_key").combine_chunks()
+    n_candidates = int(pc.sum(sizes.column("n")).as_py())
+    nsub = oversized_bucket_subsalts(sizes, "band_key", max_bucket,
                                      "minhash_near_dups")
-    if nsub:
-        def resalt(t: pa.Table) -> pa.Table:
-            keys = np.asarray(t.column("band_key"), dtype=np.int64)
-            sub_n = np.array([nsub.get(int(k), 0) for k in keys],
-                             dtype=np.uint64)
-            hit = sub_n > 0
-            if not hit.any():
-                return t
-            # split by SIGNATURE hash: identical signatures land in the
-            # same sub-bucket, so est=1.0 groups are never torn apart
-            sig_h = _sig_matrix(t).astype(np.uint64).sum(axis=1)
-            sig_h = (sig_h ^ (sig_h >> np.uint64(33))) * SUBSALT_MIX
-            subs = np.zeros(len(keys), dtype=np.uint64)
-            subs[hit] = sig_h[hit] % sub_n[hit]
-            new_keys = keys.copy()
-            new_keys[hit] = _subsalt_keys(keys[hit], subs[hit])
-            return t.set_column(t.schema.get_field_index("band_key"),
-                                "band_key",
-                                pa.array(new_keys, type=pa.int64()))
 
-        band_rows = band_rows.map_batches(resalt, batch_format="pyarrow")
+    def keep_multi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("band_key"),
+                                 value_set=multi_keys))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
-        a, b, e = grouped_bucket_pairs(ids, _sig_matrix(group), threshold)
-        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
-                         "doc_b": pa.array(b, type=pa.int64()),
-                         "est_jaccard": pa.array(e, type=pa.float64())})
+    candidates = band_rows.map_batches(keep_multi, batch_format="pyarrow")
 
-    pairs = band_rows.groupby("band_key").map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    # dedup pairs discovered via multiple bands
     from .aggregate import _combine_partials, _to_arrow
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        tt = t.group_by(["doc_a", "doc_b"]).aggregate([("est_jaccard", "max")])
-        return tt.rename_columns(["doc_a", "doc_b", "est_jaccard"])
+    if n_candidates <= SINGLE_TASK_PAIR_MAX_ROWS:
+        # one warm Ray task, not driver numpy: this keeps the pairing
+        # in a long-lived worker whose heap pages are already faulted
+        # (driver-side numpy on the sandbox VM randomly pays a ~30x
+        # first-touch page-fault tax after memory pressure), and on a
+        # real cluster it is exactly one locality-scheduled reduce of
+        # a small candidate set
+        import ray
 
-    merged = _combine_partials(
-        pairs.map_batches(pair_partial, batch_format="pyarrow"),
-        keys=["doc_a", "doc_b"], aggs=[("est_jaccard", "max")])
-    out = merged
-    if out.num_rows == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "est_jaccard": pa.array([], type=pa.float64())})
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        refs = candidates.materialize().to_arrow_refs()
+        merged = ray.get(_pair_candidates_task.remote(refs, nsub,
+                                                      threshold))
+        if merged is None:
+            return empty
+    else:
+        def with_salt(t: pa.Table) -> pa.Table:
+            return t.set_column(t.schema.get_field_index("band_key"),
+                                "band_key",
+                                pa.array(_resalted_keys(t, nsub),
+                                         type=pa.int64()))
+
+        def bucket_pairs(group: pa.Table) -> pa.Table:
+            ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+            a, b, e = grouped_bucket_pairs(ids, _sig_matrix(group),
+                                           threshold)
+            return pa.table({
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "est_jaccard": pa.array(e, type=pa.float64())})
+
+        pairs = candidates.map_batches(with_salt, batch_format="pyarrow") \
+            .groupby("band_key").map_groups(bucket_pairs,
+                                            batch_format="pyarrow")
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            tt = t.group_by(["doc_a", "doc_b"]).aggregate(
+                [("est_jaccard", "max")])
+            return tt.rename_columns(["doc_a", "doc_b", "est_jaccard"])
+
+        merged = _combine_partials(
+            pairs.map_batches(pair_partial, batch_format="pyarrow"),
+            keys=["doc_a", "doc_b"], aggs=[("est_jaccard", "max")])
+    if merged.num_rows == 0:
+        return empty
+    return merged.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 def simhash_fingerprints(ds, id_col: str = "doc_id",

@@ -193,60 +193,70 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     share a bucket); returns (id_a, id_b, sim) with id_a < id_b.
 
     Hot-bucket bound: a global bucket-size count (keys-only) runs
-    first, and buckets over ``max_bucket`` rows are sub-salted by a
-    doc-id hash — the O(n²) in-bucket cosine then never sees more than
-    ~``max_bucket`` vectors, at the logged cost of pairs that span
-    sub-buckets of one popular bucket. In-bucket similarity is computed
-    in row chunks so reducer memory stays bounded regardless of n.
+    first; singleton buckets are dropped before any further work (they
+    cannot pair — on a spread-out corpus that strips most rows), and
+    buckets over ``max_bucket`` rows are sub-salted by a doc-id hash —
+    the O(n²) in-bucket cosine then never sees more than ~``max_bucket``
+    vectors, at the logged cost of pairs that span sub-buckets of one
+    popular bucket. Small candidate sets pair on the driver (one numpy
+    sweep, no Ray sort); in-bucket similarity is computed in row
+    chunks so memory stays bounded regardless of n.
     """
-    from .dedup import _subsalt_keys, oversized_bucket_subsalts
+    from .aggregate import _to_arrow
+    from .dedup import (_subsalt_keys, multi_bucket_sizes,
+                        oversized_bucket_subsalts)
 
     # dim probed from the first row
     first = ds.take(1)[0][vec_col]
     dim = len(first)
 
+    # task-based: the hyperplane matrix is tiny to rebuild, and
+    # skipping actor-pool spin-up saves ~1-2 s of fixed latency
+    stage = LshBucketStage(dim=dim, n_bits=n_bits, seed=seed,
+                           vec_col=vec_col)
     bucketed = ds.map_batches(
-        LshBucketStage, fn_constructor_kwargs={
-            "dim": dim, "n_bits": n_bits, "seed": seed,
-            "vec_col": vec_col},
-        concurrency=concurrency, num_cpus=0.5,
-        batch_format="pyarrow").materialize()
+        stage, batch_format="pyarrow").materialize()
 
-    nsub = oversized_bucket_subsalts(bucketed, "lsh_bucket", max_bucket,
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "sim": pa.array([], type=pa.float64())})
+    sizes = multi_bucket_sizes(bucketed, "lsh_bucket")
+    if sizes.num_rows == 0:
+        return empty
+    multi_keys = sizes.column("lsh_bucket").combine_chunks()
+    n_candidates = int(pc.sum(sizes.column("n")).as_py())
+    nsub = oversized_bucket_subsalts(sizes, "lsh_bucket", max_bucket,
                                      "embedding_near_dups")
-    if nsub:
-        def resalt(t: pa.Table) -> pa.Table:
-            keys = np.asarray(t.column("lsh_bucket"), dtype=np.int64)
-            sub_n = np.array([nsub.get(int(k), 0) for k in keys],
-                             dtype=np.uint64)
-            hit = sub_n > 0
-            if not hit.any():
-                return t
-            ids_h = np.asarray(t.column(id_col), dtype=np.int64) \
-                .astype(np.uint64)
-            ids_h = (ids_h ^ (ids_h >> np.uint64(33))) \
-                * np.uint64(0xFF51AFD7ED558CCD)
-            subs = np.zeros(len(keys), dtype=np.uint64)
-            subs[hit] = ids_h[hit] % sub_n[hit]
-            new_keys = keys.copy()
-            new_keys[hit] = _subsalt_keys(keys[hit], subs[hit])
-            return t.set_column(t.schema.get_field_index("lsh_bucket"),
-                                "lsh_bucket",
-                                pa.array(new_keys, type=pa.int64()))
 
-        bucketed = bucketed.map_batches(resalt, batch_format="pyarrow")
+    def keep_multi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("lsh_bucket"),
+                                 value_set=multi_keys))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col), dtype=np.int64)
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64()),
-                          "sim": pa.array([], type=pa.float64())})
+    candidates = bucketed.map_batches(keep_multi, batch_format="pyarrow")
+
+    def resalt_keys(t: pa.Table) -> np.ndarray:
+        keys = np.asarray(t.column("lsh_bucket"), dtype=np.int64)
+        if not nsub:
+            return keys
+        sub_n = np.array([nsub.get(int(k), 0) for k in keys],
+                         dtype=np.uint64)
+        hit = sub_n > 0
+        if not hit.any():
+            return keys
+        ids_h = np.asarray(t.column(id_col), dtype=np.int64) \
+            .astype(np.uint64)
+        ids_h = (ids_h ^ (ids_h >> np.uint64(33))) \
+            * np.uint64(0xFF51AFD7ED558CCD)
+        subs = np.zeros(len(keys), dtype=np.uint64)
+        subs[hit] = ids_h[hit] % sub_n[hit]
+        keys = keys.copy()
+        keys[hit] = _subsalt_keys(keys[hit], subs[hit])
+        return keys
+
+    def _pairs_in_bucket(ids: np.ndarray, M: np.ndarray):
+        """Row-chunked upper-triangular cosine scan: memory O(chunk×n)."""
         n = len(ids)
-        if n < 2:
-            return empty
-        M = _normalize(_batch_matrix(group.column(vec_col)))
         out_a, out_b, out_s = [], [], []
-        # row-chunked upper-triangular scan: memory O(chunk × n)
         chunk = max(2_000_000 // max(n, 1), 16)
         for lo in range(0, n - 1, chunk):
             hi = min(lo + chunk, n)
@@ -260,6 +270,9 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
             out_s.append(np.round(sims[ri, ci], 6))
+        return out_a, out_b, out_s
+
+    def _pairs_table(out_a, out_b, out_s) -> pa.Table:
         if not out_a:
             return empty
         return pa.table({"id_a": pa.array(np.concatenate(out_a),
@@ -269,15 +282,49 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
                          "sim": pa.array(np.concatenate(out_s),
                                          type=pa.float64())})
 
-    pairs = bucketed.groupby("lsh_bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    from .aggregate import _to_arrow
+    # driver path: candidate vectors are few — one segment sweep
+    if n_candidates * dim * 8 <= 512 * 2 ** 20:
+        tbl = _to_arrow(candidates)
+        if tbl.num_rows == 0 or "lsh_bucket" not in tbl.column_names:
+            return empty
+        keys = resalt_keys(tbl)
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        M = _normalize(_batch_matrix(tbl.column(vec_col)))
+        order = np.argsort(keys, kind="stable")
+        keys, ids, M = keys[order], ids[order], M[order]
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
+                                 [len(keys)]])
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b, sm = _pairs_in_bucket(ids[s:e], M[s:e])
+            out_a += a
+            out_b += b
+            out_s += sm
+        out = _pairs_table(out_a, out_b, out_s)
+    else:
+        def with_salt(t: pa.Table) -> pa.Table:
+            return t.set_column(t.schema.get_field_index("lsh_bucket"),
+                                "lsh_bucket",
+                                pa.array(resalt_keys(t), type=pa.int64()))
 
-    out = _to_arrow(pairs)
+        def bucket_pairs(group: pa.Table) -> pa.Table:
+            ids = np.asarray(group.column(id_col), dtype=np.int64)
+            if len(ids) < 2:
+                return empty
+            M = _normalize(_batch_matrix(group.column(vec_col)))
+            return _pairs_table(*_pairs_in_bucket(ids, M))
+
+        pairs = candidates.map_batches(with_salt, batch_format="pyarrow") \
+            .groupby("lsh_bucket").map_groups(bucket_pairs,
+                                              batch_format="pyarrow")
+        out = _to_arrow(pairs)
     if out.num_rows == 0:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "sim": pa.array([], type=pa.float64())})
+        return empty
+    # a pair may surface twice (duplicate ids across buckets); dedup
+    out = out.group_by(["id_a", "id_b"]).aggregate([("sim", "max")]) \
+        .rename_columns(["id_a", "id_b", "sim"])
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
