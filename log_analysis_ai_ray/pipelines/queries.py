@@ -1489,6 +1489,281 @@ def q_template_similar(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# custom join / window / sampling / packing operators (round 2 — the
+# task brief's "operators Ray Data lacks": as-of join, windowed
+# aggregate, plus training-data staples: stratified sampling with
+# per-group quotas, sequence packing, near-dup cluster resolution).
+# ---------------------------------------------------------------------------
+
+
+def q_asof_order_stats(sf_dir: str):
+    """As-of join: each event matched to the user's LATEST order at or
+    before the event timestamp (broadcast composite-rank probe,
+    stages/joins.py). Aggregated per event_type so any per-row
+    mismatch flips the hash: match count, matched totalprice in exact
+    integer cents, and summed event→order lag in seconds."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import asof_join_broadcast
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    joined = asof_join_broadcast(
+        ev, orders, left_key="user_id", left_ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        take_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+        tiebreak_col="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        matched = pc.is_valid(t.column("o_orderkey"))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100.0)), pa.int64()).fill_null(0)
+        lag = pc.cast(pc.subtract(
+            pc.cast(t.column("ts"), pa.int64()),
+            pc.cast(t.column("o_orderdate"), pa.int64()).fill_null(0)),
+            pa.int64())
+        lag = pc.if_else(matched, pc.divide(lag, 1_000_000),
+                         pa.scalar(0, pa.int64()))
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_matched": pc.cast(matched, pa.int64()),
+            "cents_sum": cents,
+            "lag_sum": lag,
+        }).group_by("event_type").aggregate(
+            [("n_events", "sum"), ("n_matched", "sum"),
+             ("cents_sum", "sum"), ("lag_sum", "sum")])
+        return tt.rename_columns(["event_type", "n_events", "n_matched",
+                                  "cents_sum", "lag_sum"])
+
+    out = agg._combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs=[("n_events", "sum"), ("n_matched", "sum"),
+              ("cents_sum", "sum"), ("lag_sum", "sum")])
+    return out.sort_by("event_type")
+
+
+SQL_ASOF_ORDER_STATS = """
+WITH o AS (
+  SELECT * FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+), j AS (
+  SELECT e.event_type, e.ts, o.o_orderkey, o.o_totalprice, o.o_orderdate
+  FROM events e ASOF LEFT JOIN o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+)
+SELECT event_type, count(*) AS n_events,
+       count(o_orderkey) AS n_matched,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS cents_sum,
+       CAST(coalesce(sum(CAST(epoch_us(ts) - epoch_us(o_orderdate)
+                              AS BIGINT) // 1000000), 0)
+            AS BIGINT) AS lag_sum
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+STRATA_K = 20
+STRATA_MIX = 2654435761  # Knuth multiplicative hash; products fit int64
+
+
+def _strata_rank_filter(t: pa.Table, k: int) -> pa.Table:
+    """Keep the k rows per source with the smallest
+    (doc_id * STRATA_MIX) % 2^32 — a uniform, stable order both engines
+    compute with plain integer arithmetic. Fully vectorized (sort +
+    per-segment arange)."""
+    if "u" in t.column_names:
+        t = t.drop_columns(["u"])
+    u = (np.asarray(t.column("doc_id"), dtype=np.int64)
+         * STRATA_MIX) % (1 << 32)
+    tt = t.append_column("u", pa.array(u, type=pa.int64()))
+    tt = tt.sort_by([("source", "ascending"), ("u", "ascending"),
+                     ("doc_id", "ascending")])
+    src = np.asarray(tt.column("source").cast(pa.string()))
+    if len(src) == 0:
+        return tt
+    seg_start = np.concatenate([[True], src[1:] != src[:-1]])
+    idx = np.arange(len(src))
+    base = np.maximum.accumulate(np.where(seg_start, idx, 0))
+    rank = idx - base
+    return tt.filter(pa.array(rank < k))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling / per-group quota capping
+    (web-curation 'max k docs per source'): keep the K docs per source
+    first in a multiplicative-hash order of doc_id — uniform, stable,
+    SQL-mirrorable. Partial top-k per block, merged at the driver; no
+    global sort."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    parts = agg._to_arrow(ds.map_batches(
+        lambda t: _strata_rank_filter(t, STRATA_K),
+        batch_format="pyarrow"))
+    if "source" not in parts.column_names:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "source": pa.array([], type=pa.string()),
+                         "lang": pa.array([], type=pa.string())})
+    out = _strata_rank_filter(parts, STRATA_K).drop_columns(["u"])
+    return out.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+    ORDER BY (doc_id * {STRATA_MIX}) % 4294967296, doc_id) <= {STRATA_K}
+ORDER BY source, doc_id
+"""
+
+
+def q_sequence_packing(sf_dir: str):
+    """Sequence packing for LLM training batches: within each source
+    partition, docs in doc_id order are packed greedily into
+    fixed-token-budget bins (bin = cumulative-token prefix sum //
+    budget — the windowed-aggregate form, exactly mirrorable with a
+    SQL window function). Returns per-(source, bin) doc counts and
+    token totals."""
+    BUDGET = 4096
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tokens_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "n_tokens": pc.count_substring_regex(
+                t.column("text"), r"\S+").cast(pa.int64()),
+        })
+
+    toks = agg._to_arrow(ds.map_batches(tokens_partial,
+                                        batch_format="pyarrow"))
+    toks = toks.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+    src = np.asarray(toks.column("source").cast(pa.string()))
+    n_tok = np.asarray(toks.column("n_tokens"), dtype=np.int64)
+    # per-source exclusive prefix sum (vectorized segment reset)
+    csum = np.cumsum(n_tok)
+    new_src = np.concatenate([[True], src[1:] != src[:-1]])
+    seg_base = np.maximum.accumulate(
+        np.where(new_src, csum - n_tok, -1))
+    prefix_excl = csum - n_tok - seg_base
+    bin_id = prefix_excl // BUDGET
+    t = pa.table({
+        "source": toks.column("source"),
+        "bin_id": pa.array(bin_id, type=pa.int64()),
+        "n_docs": pa.array(np.ones(len(src), dtype=np.int64)),
+        "tok_sum": pa.array(n_tok, type=pa.int64()),
+    }).group_by(["source", "bin_id"]).aggregate(
+        [("n_docs", "sum"), ("tok_sum", "sum")])
+    t = t.rename_columns(["source", "bin_id", "n_docs", "tok_sum"])
+    return t.sort_by([("source", "ascending"), ("bin_id", "ascending")])
+
+
+SQL_SEQUENCE_PACKING = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT source,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS bin_id,
+         n_tokens
+  FROM t
+)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sliding_window_counts(sf_dir: str):
+    """Windowed aggregate over event time: for each 15-minute step,
+    the count of events in the trailing 1-hour window — computed as
+    15-min bucket partial counts (one shuffle of bucket keys) plus a
+    driver-side 4-bucket rolling sum over the dense step range."""
+    STEP_US = 15 * 60 * 1_000_000
+    WINDOW_STEPS = 4
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        step = pc.divide(pc.cast(t.column("ts"), pa.int64()), STEP_US)
+        tt = pa.table({"step": step}).group_by("step").aggregate(
+            [([], "count_all")])
+        return tt.rename_columns(["step", "cnt"])
+
+    merged = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["step"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("step", pa.int64()),
+                                ("cnt", pa.int64())]))
+    steps = np.asarray(merged.column("step"), dtype=np.int64)
+    cnts = np.asarray(merged.column("cnt"), dtype=np.int64)
+    if len(steps) == 0:
+        return pa.table({"win_end": pa.array([], pa.timestamp("us")),
+                         "n_events": pa.array([], pa.int64())})
+    lo, hi = steps.min(), steps.max()
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[steps - lo] = cnts
+    kernel = np.convolve(dense, np.ones(WINDOW_STEPS, dtype=np.int64))
+    rolling = kernel[:len(dense)]  # trailing window ending at each step
+    win_end = ((np.arange(lo, hi + 1) + 1) * STEP_US)
+    return pa.table({
+        "win_end": pa.array(win_end, type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "n_events": pa.array(rolling, type=pa.int64()),
+    })
+
+
+SQL_SLIDING_WINDOW_COUNTS = """
+WITH b AS (
+  SELECT CAST(epoch_us(ts) // 900000000 AS BIGINT) AS step, count(*) AS cnt
+  FROM events GROUP BY 1
+), r AS (
+  SELECT unnest(range((SELECT min(step) FROM b),
+                      (SELECT max(step) FROM b) + 1)) AS step
+)
+SELECT make_timestamp((r.step + 1) * 900000000) AS win_end,
+       CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS n_events
+FROM r LEFT JOIN b ON b.step BETWEEN r.step - 3 AND r.step
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_near_dup_clusters(sf_dir: str):
+    """Near-dup cluster resolution: union-find over the MinHash pair
+    list (pairs are tiny relative to the corpus — driver-side;
+    distributed alternative: iterative label propagation over the pair
+    edge list). Returns (doc_id, cluster_root) for every doc in a
+    cluster of size >= 2; root = smallest doc_id in the component.
+    Rows-only (depends on Drain-free but non-SQL MinHash pairs)."""
+    pairs = q_doc_minhash_pairs(sf_dir)
+    a = np.asarray(pairs.column("doc_a"), dtype=np.int64)
+    b = np.asarray(pairs.column("doc_b"), dtype=np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo_, hi_ = min(rx, ry), max(rx, ry)
+            parent[hi_] = lo_
+    members = sorted(set(a.tolist()) | set(b.tolist()))
+    return pa.table({
+        "doc_id": pa.array(members, type=pa.int64()),
+        "cluster_root": pa.array([find(m) for m in members],
+                                 type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1540,6 +1815,12 @@ QUERIES: dict[str, tuple] = {
     "syslog_decode": (q_syslog_decode, SQL_SYSLOG_DECODE),
     "logical_lines": (q_logical_lines, SQL_LOGICAL_LINES),
     "search_logs": (q_search_logs, SQL_SEARCH_LOGS),
+    "asof_order_stats": (q_asof_order_stats, SQL_ASOF_ORDER_STATS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "sliding_window_counts": (q_sliding_window_counts,
+                              SQL_SLIDING_WINDOW_COUNTS),
+    "near_dup_clusters": (q_near_dup_clusters, None),  # rows-only
     "filter_by_time": (q_filter_by_time, SQL_FILTER_BY_TIME),
     "filter_by_level": (q_filter_by_level, SQL_FILTER_BY_LEVEL),
     "anchor_context": (q_anchor_context, SQL_ANCHOR_CONTEXT),

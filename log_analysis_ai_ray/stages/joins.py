@@ -1,0 +1,123 @@
+"""Custom join operators Ray Data lacks natively.
+
+As-of join (each left row matched to the LATEST right row with the
+same key and right_ts <= left_ts): implemented as a broadcast lookup —
+the right side is sorted by (key, ts) once, shipped via ``ray.put``,
+and every batch probes it with two vectorized ``np.searchsorted``
+passes over a rank-compressed composite key (no per-row Python).
+
+Partitioning assumption (documented per task brief): the broadcast
+path assumes the RIGHT side fits in worker memory (dimension-table
+shaped — orders, price histories, config snapshots). When both sides
+are huge, hash-partition both on the join key (e.g. via
+``groupby(key).map_groups`` after a union tagged by side) and run the
+same probe per partition; the composite-rank probe is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def build_asof_index(right: pa.Table, key_col: str, ts_col: str,
+                     tiebreak_col: str | None = None) -> dict:
+    """Sorted right-side index for as-of probes.
+
+    Rows are deduplicated to one per (key, ts) — the row with the
+    greatest ``tiebreak_col`` (falling back to input position) wins —
+    so the match is deterministic on both engines regardless of input
+    order (SQL mirror: row_number() OVER (PARTITION BY key, ts ORDER BY
+    tiebreak DESC) = 1). Timestamps are rank-compressed against the
+    right side's distinct ts values so (key, ts) packs into one int64
+    composite per row.
+    """
+    t = right.combine_chunks()
+    keys = np.asarray(t.column(key_col), dtype=np.int64)
+    ts = np.asarray(pc.cast(t.column(ts_col), pa.int64()), dtype=np.int64)
+    tie = (np.asarray(t.column(tiebreak_col), dtype=np.int64)
+           if tiebreak_col else np.arange(len(keys), dtype=np.int64))
+    order = np.lexsort((tie, ts, keys))
+    keys, ts = keys[order], ts[order]
+    # dedup (key, ts): keep the LAST occurrence in sort order
+    if len(keys):
+        is_last = np.concatenate(
+            [(keys[1:] != keys[:-1]) | (ts[1:] != ts[:-1]), [True]])
+    else:
+        is_last = np.zeros(0, dtype=bool)
+    keep = order[is_last]
+    keys, ts = keys[is_last], ts[is_last]
+    uniq_ts = np.unique(ts)
+    base = np.int64(len(uniq_ts) + 2)
+    ranks = np.searchsorted(uniq_ts, ts, side="right").astype(np.int64)
+    return {
+        "composite": keys * base + ranks,  # sorted ascending
+        "keys": keys,
+        "uniq_ts": uniq_ts,
+        "base": base,
+        "table": t.take(pa.array(keep, type=pa.int64())),
+    }
+
+
+def asof_probe(index: dict, left_keys: np.ndarray,
+               left_ts: np.ndarray) -> np.ndarray:
+    """Row index into ``index['table']`` of each left row's as-of match
+    (-1 = no right row at or before left_ts for that key)."""
+    ranks = np.searchsorted(index["uniq_ts"], left_ts,
+                            side="right").astype(np.int64)
+    composite = left_keys * index["base"] + ranks
+    pos = np.searchsorted(index["composite"], composite,
+                          side="right") - 1
+    valid = (pos >= 0) & (index["keys"][np.maximum(pos, 0)] == left_keys)
+    return np.where(valid, pos, -1)
+
+
+class AsOfLookup:
+    """map_batches stage: append right-side columns as-of each left
+    row. The index is broadcast once (``ray.put``) and rebuilt per
+    actor/worker from the shared object — never per batch."""
+
+    def __init__(self, index_ref, left_key: str, left_ts: str,
+                 take_cols: list[str], suffix: str = ""):
+        import ray
+
+        self.index = (ray.get(index_ref)
+                      if isinstance(index_ref, ray.ObjectRef) else index_ref)
+        self.left_key = left_key
+        self.left_ts = left_ts
+        self.take_cols = take_cols
+        self.suffix = suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(self.left_key), dtype=np.int64)
+        ts = np.asarray(pc.cast(batch.column(self.left_ts), pa.int64()),
+                        dtype=np.int64)
+        pos = asof_probe(self.index, keys, ts)
+        idx = pa.array(np.where(pos >= 0, pos, 0), type=pa.int64())
+        mask = pa.array(pos >= 0)
+        out = batch
+        for c in self.take_cols:
+            col = self.index["table"].column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            taken = pc.if_else(mask, col.take(idx),
+                               pa.scalar(None, type=col.type))
+            out = out.append_column(c + self.suffix, taken)
+        return out
+
+
+def asof_join_broadcast(left_ds, right: pa.Table, *, left_key: str,
+                        left_ts: str, right_key: str, right_ts: str,
+                        take_cols: list[str], tiebreak_col: str | None = None,
+                        concurrency=2):
+    """Left as-of join against a broadcast right table (see module
+    docstring for the large-right partitioned variant)."""
+    import ray
+
+    ref = ray.put(build_asof_index(right, right_key, right_ts,
+                                   tiebreak_col))
+    return left_ds.map_batches(
+        AsOfLookup, fn_constructor_args=(ref, left_key, left_ts,
+                                         take_cols),
+        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")

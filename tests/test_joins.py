@@ -1,0 +1,58 @@
+"""As-of join: vectorized composite-rank probe vs a naive per-row scan."""
+
+import numpy as np
+import pyarrow as pa
+
+from log_analysis_ai_ray.stages.joins import asof_probe, build_asof_index
+
+
+def _naive_asof(rk, rt, tie, lk, lt):
+    """Latest right row with key==lk and ts<=lt; ties on (key, ts) keep
+    the greatest tiebreak."""
+    best, best_key = -1, None
+    for i in range(len(rk)):
+        if rk[i] == lk and rt[i] <= lt:
+            cand = (rt[i], tie[i])
+            if best_key is None or cand >= best_key:
+                best, best_key = i, cand
+    return best
+
+
+def test_asof_probe_matches_naive():
+    rng = np.random.default_rng(5)
+    n_r, n_l = 200, 300
+    rk = rng.integers(0, 12, size=n_r).astype(np.int64)
+    rt = rng.integers(0, 50, size=n_r).astype(np.int64)
+    tie = rng.permutation(n_r).astype(np.int64)
+    right = pa.table({"k": rk, "ts": pa.array(rt).cast(pa.timestamp("us")),
+                      "tie": tie, "val": np.arange(n_r)})
+    idx = build_asof_index(right, "k", "ts", tiebreak_col="tie")
+
+    lk = rng.integers(0, 14, size=n_l).astype(np.int64)  # incl missing keys
+    lt = rng.integers(-5, 55, size=n_l).astype(np.int64)
+    pos = asof_probe(idx, lk, lt)
+    vals = np.asarray(idx["table"].column("val"))
+    for j in range(n_l):
+        naive = _naive_asof(rk, rt, tie, lk[j], lt[j])
+        if naive < 0:
+            assert pos[j] < 0
+        else:
+            assert pos[j] >= 0
+            assert vals[pos[j]] == naive  # same original row wins
+
+
+def test_union_find_clusters():
+    from log_analysis_ai_ray.pipelines import queries as q
+
+    pairs = pa.table({"doc_a": pa.array([1, 2, 10, 20], type=pa.int64()),
+                      "doc_b": pa.array([2, 3, 11, 21], type=pa.int64()),
+                      "est_jaccard": pa.array([1.0] * 4)})
+    orig = q.q_doc_minhash_pairs
+    try:
+        q.q_doc_minhash_pairs = lambda sf: pairs
+        out = q.q_near_dup_clusters("ignored")
+    finally:
+        q.q_doc_minhash_pairs = orig
+    got = dict(zip(out["doc_id"].to_pylist(),
+                   out["cluster_root"].to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
