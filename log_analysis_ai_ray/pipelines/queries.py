@@ -1763,6 +1763,109 @@ def q_near_dup_clusters(sf_dir: str):
     })
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_event_sessions(sf_dir: str):
+    """Gap-based sessionization (the streaming-window operator in batch
+    form): per user, events sorted by time start a new session when the
+    gap from the previous event exceeds 30 minutes. Sessions are
+    computed per user partition — a groupby(user) shuffle at scale;
+    here the per-user event lists are compact, so blocks pre-sort and
+    the driver merges per-user (first/last only cross blocks via the
+    partial's boundary rows). Output: per user, session count + total
+    events (any boundary error flips both)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    # correctness-first implementation: one shuffle on user_id, then a
+    # vectorized lag within each user's sorted events
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(np.asarray(pc.cast(group.column("ts"), pa.int64()),
+                                dtype=np.int64))
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_sessions": pa.array([n_sessions], type=pa.int64()),
+            "n_events": pa.array([len(ts)], type=pa.int64()),
+        })
+
+    out = agg._to_arrow(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+    return out.sort_by("user_id")
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_US} OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+# Per-source sampling rates for training-mixture construction
+# (per-mille thresholds on the same multiplicative hash as
+# stratified_sample — deterministic, engine-portable).
+MIXTURE_RATES_PM = {"wiki": 1000, "news": 700, "web": 300, "social": 100}
+MIXTURE_DEFAULT_PM = 500
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Weighted mixture sampling: each source is down-sampled at its
+    configured rate by thresholding a multiplicative doc_id hash —
+    the standard deterministic way to build training mixtures without
+    a shuffle or an RNG. Output: per (source, lang) kept-doc counts +
+    token totals."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang",
+                                             "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = (np.asarray(t.column("doc_id"), dtype=np.int64)
+             * STRATA_MIX) % (1 << 32)
+        pm = (u % 1000).astype(np.int64)
+        src = np.asarray(t.column("source").cast(pa.string()))
+        thr = np.array([MIXTURE_RATES_PM.get(s, MIXTURE_DEFAULT_PM)
+                        for s in src], dtype=np.int64)
+        kept = t.filter(pa.array(pm < thr))
+        tt = pa.table({
+            "source": kept.column("source"),
+            "lang": kept.column("lang"),
+            "n_docs": pa.array(np.ones(kept.num_rows, dtype=np.int64)),
+            "tok_sum": pc.count_substring_regex(
+                kept.column("text"), r"\S+").cast(pa.int64()),
+        }).group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("tok_sum", "sum")])
+        return tt.rename_columns(["source", "lang", "n_docs", "tok_sum"])
+
+    out = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["source", "lang"],
+        aggs=[("n_docs", "sum"), ("tok_sum", "sum")])
+    return out.sort_by([("source", "ascending"), ("lang", "ascending")])
+
+
+def _mixture_rate_sql() -> str:
+    cases = " ".join(f"WHEN source = '{s}' THEN {r}"
+                     for s, r in MIXTURE_RATES_PM.items())
+    return f"CASE {cases} ELSE {MIXTURE_DEFAULT_PM} END"
+
+
+SQL_CORPUS_MIXTURE = f"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tok_sum
+FROM documents
+WHERE ((doc_id * {STRATA_MIX}) % 4294967296) % 1000
+      < ({_mixture_rate_sql()})
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1821,6 +1924,8 @@ QUERIES: dict[str, tuple] = {
     "sliding_window_counts": (q_sliding_window_counts,
                               SQL_SLIDING_WINDOW_COUNTS),
     "near_dup_clusters": (q_near_dup_clusters, None),  # rows-only
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "filter_by_time": (q_filter_by_time, SQL_FILTER_BY_TIME),
     "filter_by_level": (q_filter_by_level, SQL_FILTER_BY_LEVEL),
     "anchor_context": (q_anchor_context, SQL_ANCHOR_CONTEXT),

@@ -15,7 +15,7 @@ SUBSET = [
     "csv_dimensions", "json_attrs", "syslog_decode", "logical_lines",
     "search_logs", "filter_by_time", "filter_by_level", "anchor_context",
     "asof_order_stats", "stratified_sample", "sequence_packing",
-    "sliding_window_counts",
+    "sliding_window_counts", "event_sessions", "corpus_mixture",
 ]
 
 
