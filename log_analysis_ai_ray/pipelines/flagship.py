@@ -59,6 +59,12 @@ class FlagshipConfig:
     mine_file_fraction: float = 1.0
     domain_tiers: dict = field(default_factory=lambda: dict(synth.DOMAIN_TIERS))
     lang_names: dict = field(default_factory=lambda: dict(synth.LANG_NAMES))
+    # OUTPUT filesystem (pyarrow.fs): None → local. On a multi-node
+    # cluster pass a shared fs (S3/HDFS/SubTree over a mount) so sinks,
+    # registry, metrics and manifests land in one namespace instead of
+    # scattering across worker-local disks. Inputs take their own fs
+    # via read_pages(**kwargs).
+    filesystem: object | None = None
 
 
 def _assigner_concurrency(config: "FlagshipConfig"):
@@ -165,19 +171,19 @@ def build_parsed(pages_path: str, mapping: pa.Table,
                               batch_size=None, zero_copy_batch=True)
 
 
-def _read_routed(out_dir: str):
+def _read_routed(out_dir: str, filesystem=None):
     """Pruned columnar read-back of the routed sinks for aggregation."""
-    import glob
-
+    import ray
     import ray.data
 
-    files = sorted(glob.glob(os.path.join(out_dir, "sink_id=*", "*.parquet")))
+    files = route_mod.list_sink_files(out_dir, filesystem=filesystem)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # hive-partitioned writes produce blocks×sinks small files; coalesce
     # fragments into ~one read task per CPU instead of one per file
     return ray.data.read_parquet(
         files, columns=["template_hash", "template", "level", "line_ts",
                         "parse_ok"],
+        filesystem=filesystem,
         override_num_blocks=min(len(files), cpus))
 
 
@@ -198,13 +204,15 @@ def run(pages_path: str, out_dir: str,
     # partials — no write-then-read-back, no third pass.
     parsed = build_parsed(pages_path, mapping, config)
     partials = route_mod.route_write_with_partials(
-        parsed, out_dir, num_sinks=config.num_sinks)
+        parsed, out_dir, num_sinks=config.num_sinks,
+        filesystem=config.filesystem)
     aggs = agg.finalize_combined(partials)
     registry, levels = aggs["registry"], aggs["levels"]
     rollup, quality = aggs["rollup"], aggs["quality"]
     t_route = time.time() - t0 - t_mine
 
-    manifest = route_mod.sink_manifest_from_output(out_dir)
+    manifest = route_mod.sink_manifest_from_output(
+        out_dir, filesystem=config.filesystem)
     t_total = time.time() - t0
     t_agg = t_total - t_mine - t_route
 
@@ -217,16 +225,18 @@ def run(pages_path: str, out_dir: str,
         "total_sec": t_total,
         **quality,
     }
-    metrics_mod.write_metrics(out_dir, "_metrics", metrics)
+    fs = route_mod._resolve_fs(config.filesystem)
+    metrics_mod.write_metrics(out_dir, "_metrics", metrics,
+                              filesystem=config.filesystem)
     # Ray's own per-stage execution breakdown for the fused pass
     if agg.LAST_EXECUTION_STATS:
-        with open(os.path.join(out_dir, "_stats.txt"), "w") as f:
-            f.write(agg.LAST_EXECUTION_STATS)
+        with fs.open_output_stream(f"{out_dir}/_stats.txt") as f:
+            f.write(agg.LAST_EXECUTION_STATS.encode())
 
     import pyarrow.parquet as pq
-    pq.write_table(registry, os.path.join(out_dir, "template_registry.parquet"))
-    pq.write_table(rollup, os.path.join(out_dir, "rollups.parquet"))
-    pq.write_table(levels, os.path.join(out_dir, "level_counts.parquet"))
+    for name, tbl in (("template_registry", registry),
+                      ("rollups", rollup), ("level_counts", levels)):
+        pq.write_table(tbl, f"{out_dir}/{name}.parquet", filesystem=fs)
 
     return {
         "registry": registry,

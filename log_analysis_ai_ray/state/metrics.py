@@ -19,13 +19,23 @@ import json
 import os
 
 
-def write_metrics(out_dir: str, name: str, payload: dict) -> str:
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"{name}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True, default=str)
-    os.replace(tmp, path)
+def write_metrics(out_dir: str, name: str, payload: dict,
+                  filesystem=None) -> str:
+    from ..stages.route import _resolve_fs
+
+    fs = _resolve_fs(filesystem)
+    fs.create_dir(out_dir, recursive=True)
+    path = f"{out_dir}/{name}.json"
+    data = json.dumps(payload, indent=1, sort_keys=True,
+                      default=str).encode()
+    from pyarrow import fs as pafs
+    if isinstance(fs, pafs.LocalFileSystem):
+        with fs.open_output_stream(path + ".tmp") as f:
+            f.write(data)
+        fs.move(path + ".tmp", path)
+    else:
+        with fs.open_output_stream(path) as f:
+            f.write(data)
     return path
 
 

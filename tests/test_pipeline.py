@@ -363,3 +363,29 @@ def test_block_fingerprint_disambiguates_same_prefix(ray_session, tmp_path):
     route.route_write_with_partials(ds, str(out), num_sinks=4).materialize()
     man = route.sink_manifest_from_output(str(out))
     assert man["total_rows"] == 6  # the old prefix-only fp kept only 3
+
+
+def test_flagship_run_on_subtree_filesystem(ray_session, pages_small,
+                                            tmp_path):
+    """Full flagship run with a non-default output filesystem: sinks,
+    registry/rollup/level parquet, metrics and stats must all land in
+    the subtree namespace, with results equal to a local run."""
+    from pyarrow import fs as pafs
+
+    from log_analysis_ai_ray.pipelines import flagship
+
+    root = tmp_path / "remotefs"
+    root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    cfg = flagship.FlagshipConfig(filesystem=sub)
+    res = flagship.run(pages_small, "fsout", cfg)
+
+    local = tmp_path / "localout"
+    res2 = flagship.run(pages_small, str(local))
+    assert res["registry"].equals(res2["registry"])
+    assert res["manifest"]["per_sink_rows"] == res2["manifest"]["per_sink_rows"]
+    base = root / "fsout"
+    for fname in ("template_registry.parquet", "rollups.parquet",
+                  "level_counts.parquet", "_metrics.json"):
+        assert (base / fname).exists()
+    assert any(p.name.startswith("sink_id=") for p in base.iterdir())
