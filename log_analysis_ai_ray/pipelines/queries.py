@@ -1866,6 +1866,99 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_preprocess_chain(sf_dir: str):
+    """Config-driven preprocessor chain (M12/M13: custom delimiters →
+    custom replace list → whitespace normalize → term extraction) over
+    the raw page lines, aggregated per cleaned line: count + total
+    extracted number-terms. Every transform is a global RE2 replace,
+    identical in DuckDB."""
+    from ..stages.preprocess import Preprocessor, PreprocessorConfig
+
+    cfg = PreprocessorConfig(
+        custom_delimiters=[r"[\[\]]"],
+        custom_replace_list=[(r"\d+", "<N>")],
+        extract_terms={"num": r"\d+"},
+        normalize_whitespace=True)
+    pre = Preprocessor(cfg)
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = pre(t.select(["line"]))
+        tt = pa.table({
+            "clean": p.column("clean"),
+            "cnt_": pa.array(np.ones(p.num_rows, dtype=np.int64)),
+            "n_terms": pc.list_value_length(
+                p.column("terms_num")).cast(pa.int64()),
+        }).group_by("clean").aggregate(
+            [("cnt_", "sum"), ("n_terms", "sum")])
+        return tt.rename_columns(["clean", "cnt", "n_terms"])
+
+    out = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["clean"], aggs=[("cnt", "sum"), ("n_terms", "sum")])
+    return out.sort_by("clean")
+
+
+SQL_PREPROCESS_CHAIN = f"""
+WITH c AS (
+  SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+           line, '[\\[\\]]', ' ', 'g'), '\\d+', '<N>', 'g'),
+           '\\s+', ' ', 'g')) AS clean,
+         len(regexp_extract_all(line, '\\d+')) AS n_terms
+  FROM {LINES_VIEW}
+)
+SELECT clean, count(*) AS cnt, CAST(sum(n_terms) AS BIGINT) AS n_terms
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_grok_extract(sf_dir: str):
+    """Grok-style named-pattern extraction (M8/M15) over the raw CSV
+    log bodies: latency ms and component pulled by named regexes, then
+    per-component count / latency sum — first-capture-group, '' on
+    miss, exactly the reference extract_attributes contract."""
+    from ..sources.readers import read_text_lines
+    from ..stages.parse import extract_attributes
+
+    # the CSV corpus read as raw text exercises extraction on
+    # unstructured lines (header row included → non-matching rows)
+    ds = read_text_lines(_raw_files(sf_dir, "csv", ".csv"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = extract_attributes(t, {
+            "ms": r"in (?P<ms>\d+) ms",
+            "comp": r"ms by (?P<comp>\w+)",
+        })
+        matched = pc.not_equal(e.column("comp"), "")
+        e = e.filter(matched)
+        tt = pa.table({
+            "comp": e.column("comp"),
+            "cnt_": pa.array(np.ones(e.num_rows, dtype=np.int64)),
+            "ms_sum": pc.cast(e.column("ms"), pa.int64()),
+        }).group_by("comp").aggregate([("cnt_", "sum"), ("ms_sum", "sum")])
+        return tt.rename_columns(["comp", "cnt", "ms_sum"])
+
+    out = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["comp"], aggs=[("cnt", "sum"), ("ms_sum", "sum")])
+    return out.sort_by("comp")
+
+
+SQL_GROK_EXTRACT = f"""
+WITH raw AS (
+  SELECT column0 AS line
+  FROM read_csv('{RAWCSV_GLOB_SF001}', header=false, delim='\x07',
+                quote='', escape='', columns={{'column0': 'VARCHAR'}})
+), e AS (
+  SELECT regexp_extract(line, 'ms by (\\w+)', 1) AS comp,
+         CAST(regexp_extract(line, 'in (\\d+) ms', 1) AS BIGINT) AS ms
+  FROM raw
+)
+SELECT comp, count(*) AS cnt, CAST(sum(ms) AS BIGINT) AS ms_sum
+FROM e WHERE comp <> '' GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1926,6 +2019,8 @@ QUERIES: dict[str, tuple] = {
     "near_dup_clusters": (q_near_dup_clusters, None),  # rows-only
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "preprocess_chain": (q_preprocess_chain, SQL_PREPROCESS_CHAIN),
+    "grok_extract": (q_grok_extract, SQL_GROK_EXTRACT),
     "filter_by_time": (q_filter_by_time, SQL_FILTER_BY_TIME),
     "filter_by_level": (q_filter_by_level, SQL_FILTER_BY_LEVEL),
     "anchor_context": (q_anchor_context, SQL_ANCHOR_CONTEXT),
