@@ -1959,6 +1959,31 @@ FROM e WHERE comp <> '' GROUP BY 1 ORDER BY 1
 """
 
 
+HH_PHI = 0.005
+
+
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Heavy-hitter tokens via a mergeable Misra-Gries sketch + exact
+    verification pass (stages/sketch.py): tokens with frequency >
+    HH_PHI of all document tokens. The sketch's superset guarantee
+    makes the final answer exact — hence SQL-oracle-checkable."""
+    from ..stages.sketch import heavy_hitter_tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitter_tokens(ds, phi=HH_PHI)
+
+
+SQL_HEAVY_HITTER_TOKENS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, count(*) AS cnt
+FROM toks, tot GROUP BY token, tot.n
+HAVING count(*) > FLOOR(tot.n * {HH_PHI})
+ORDER BY cnt DESC, token
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2021,6 +2046,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "preprocess_chain": (q_preprocess_chain, SQL_PREPROCESS_CHAIN),
     "grok_extract": (q_grok_extract, SQL_GROK_EXTRACT),
+    "heavy_hitter_tokens": (q_heavy_hitter_tokens, SQL_HEAVY_HITTER_TOKENS),
     "filter_by_time": (q_filter_by_time, SQL_FILTER_BY_TIME),
     "filter_by_level": (q_filter_by_level, SQL_FILTER_BY_LEVEL),
     "anchor_context": (q_anchor_context, SQL_ANCHOR_CONTEXT),

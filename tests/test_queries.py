@@ -16,7 +16,7 @@ SUBSET = [
     "search_logs", "filter_by_time", "filter_by_level", "anchor_context",
     "asof_order_stats", "stratified_sample", "sequence_packing",
     "sliding_window_counts", "event_sessions", "corpus_mixture",
-    "preprocess_chain", "grok_extract",
+    "preprocess_chain", "grok_extract", "heavy_hitter_tokens",
 ]
 
 

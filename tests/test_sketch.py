@@ -1,0 +1,72 @@
+"""Misra-Gries sketch: superset guarantee, merge associativity, exact
+heavy hitters via the two-pass pipeline."""
+
+import numpy as np
+import pyarrow as pa
+
+from log_analysis_ai_ray.stages import sketch
+
+
+def _stream(rng, n, zipf_vocab=50):
+    ranks = np.clip(rng.zipf(1.5, size=n), 1, zipf_vocab)
+    return np.array([f"w{r}" for r in ranks], dtype=object)
+
+
+def test_mg_superset_guarantee():
+    rng = np.random.default_rng(9)
+    items = _stream(rng, 20_000)
+    uniq, counts = np.unique(items, return_counts=True)
+    k = 20
+    counters = {}
+    sketch.mg_update(counters, uniq, counts, k)
+    n = len(items)
+    exact_heavy = {u for u, c in zip(uniq, counts) if c > n / k}
+    assert exact_heavy <= set(counters)  # every heavy item survives
+    # undercount bound: estimate >= true - n/k
+    truth = dict(zip(uniq, counts))
+    for item, est in counters.items():
+        assert est <= truth[item]
+        assert est >= truth[item] - n / k
+
+
+def test_mg_merge_keeps_guarantee():
+    rng = np.random.default_rng(10)
+    k = 25
+    parts, alls = [], []
+    for _ in range(8):
+        items = _stream(rng, 5_000)
+        alls.append(items)
+        uniq, counts = np.unique(items, return_counts=True)
+        c = {}
+        sketch.mg_update(c, uniq, counts, k)
+        parts.append(c)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = sketch.mg_merge(merged, p, k)
+    allitems = np.concatenate(alls)
+    uniq, counts = np.unique(allitems, return_counts=True)
+    n = len(allitems)
+    exact_heavy = {u for u, c in zip(uniq, counts) if c > 2 * n / k}
+    assert exact_heavy <= set(merged)
+
+
+def test_heavy_hitter_tokens_exact(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(60):
+        toks = _stream(rng, 200)
+        docs.append(" ".join(toks.tolist()))
+    t = pa.table({"text": pa.array(docs)})
+    out = sketch.heavy_hitter_tokens(
+        ray.data.from_arrow(t).repartition(5), phi=0.01)
+    # exact reference
+    alltoks = " ".join(docs).split()
+    uniq, counts = np.unique(np.array(alltoks, dtype=object),
+                             return_counts=True)
+    n = len(alltoks)
+    expected = {u: int(c) for u, c in zip(uniq, counts)
+                if c > int(n * 0.01)}
+    got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == expected
