@@ -1959,6 +1959,70 @@ FROM e WHERE comp <> '' GROUP BY 1 ORDER BY 1
 """
 
 
+ORDER_WINDOW_DAYS = 30
+
+
+def q_events_in_order_window(sf_dir: str):
+    """Range join (interval containment; the brief's custom-operator
+    list): each event counted against its user's active order windows
+    [o_orderdate, o_orderdate + 30 days). Implemented as broadcast
+    interval-stabbing (#starts≤t − #ends≤t per key, four vectorized
+    searchsorted passes — counts, not join pairs, cross the stage;
+    stages/joins.py). Output per event_type: events, events inside ≥1
+    window, total overlap multiplicity."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import interval_join_count_broadcast
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey", "o_orderdate"])
+    end = pc.add(orders.column("o_orderdate"),
+                 pa.scalar(ORDER_WINDOW_DAYS * 86400 * 1_000_000,
+                           type=pa.duration("us")))
+    orders = orders.append_column("o_end", end)
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    counted = interval_join_count_broadcast(
+        ev, orders, left_key="user_id", left_ts="ts",
+        right_key="o_custkey", start_col="o_orderdate", end_col="o_end")
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("n_overlap")
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_in_window": pc.cast(pc.greater(k, 0), pa.int64()),
+            "overlap_sum": k,
+        }).group_by("event_type").aggregate(
+            [("n_events", "sum"), ("n_in_window", "sum"),
+             ("overlap_sum", "sum")])
+        return tt.rename_columns(["event_type", "n_events", "n_in_window",
+                                  "overlap_sum"])
+
+    out = agg._combine_partials(
+        counted.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs=[("n_events", "sum"), ("n_in_window", "sum"),
+              ("overlap_sum", "sum")])
+    return out.sort_by("event_type")
+
+
+SQL_EVENTS_IN_ORDER_WINDOW = f"""
+WITH j AS (
+  SELECT e.event_id, e.event_type, count(o.o_custkey) AS k
+  FROM events e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey
+   AND e.ts >= o.o_orderdate
+   AND e.ts < o.o_orderdate + INTERVAL {ORDER_WINDOW_DAYS} DAY
+  GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_window,
+       CAST(sum(k) AS BIGINT) AS overlap_sum
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 HH_PHI = 0.005
 
 
@@ -2047,6 +2111,8 @@ QUERIES: dict[str, tuple] = {
     "preprocess_chain": (q_preprocess_chain, SQL_PREPROCESS_CHAIN),
     "grok_extract": (q_grok_extract, SQL_GROK_EXTRACT),
     "heavy_hitter_tokens": (q_heavy_hitter_tokens, SQL_HEAVY_HITTER_TOKENS),
+    "events_in_order_window": (q_events_in_order_window,
+                               SQL_EVENTS_IN_ORDER_WINDOW),
     "filter_by_time": (q_filter_by_time, SQL_FILTER_BY_TIME),
     "filter_by_level": (q_filter_by_level, SQL_FILTER_BY_LEVEL),
     "anchor_context": (q_anchor_context, SQL_ANCHOR_CONTEXT),

@@ -56,3 +56,24 @@ def test_union_find_clusters():
     got = dict(zip(out["doc_id"].to_pylist(),
                    out["cluster_root"].to_pylist()))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_interval_overlap_counts_match_naive():
+    from log_analysis_ai_ray.stages.joins import (build_interval_index,
+                                                  interval_overlap_counts)
+
+    rng = np.random.default_rng(6)
+    n_r, n_l = 150, 250
+    rk = rng.integers(0, 10, size=n_r).astype(np.int64)
+    rs = rng.integers(0, 80, size=n_r).astype(np.int64)
+    re_ = rs + rng.integers(1, 25, size=n_r)
+    right = pa.table({"k": rk,
+                      "s": pa.array(rs).cast(pa.timestamp("us")),
+                      "e": pa.array(re_).cast(pa.timestamp("us"))})
+    idx = build_interval_index(right, "k", "s", "e")
+    lk = rng.integers(0, 12, size=n_l).astype(np.int64)
+    lt = rng.integers(-5, 110, size=n_l).astype(np.int64)
+    got = interval_overlap_counts(idx, lk, lt)
+    for j in range(n_l):
+        naive = int(((rk == lk[j]) & (rs <= lt[j]) & (re_ > lt[j])).sum())
+        assert got[j] == naive
