@@ -1959,6 +1959,153 @@ FROM e WHERE comp <> '' GROUP BY 1 ORDER BY 1
 """
 
 
+_SQL_DOMAIN = ("coalesce(regexp_extract(url, '^https?://([^/]+)/', 1), "
+               "'')")
+
+
+def q_keyword_user_impact(sf_dir: str):
+    """User-impact analog (reference specialized_agents
+    analyze_user_impact :227-240): for routed rows matching a keyword,
+    the distinct affected entities (domains) and per-level breakdown —
+    the data layer under the reference's LLM summarizer."""
+    ds = _routed_ds(sf_dir, ["url", "line", "level", "domain"])
+    hits = ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t.column("line"),
+                                              "Failed")),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "level": t.column("level"),
+            "domain": t.column("domain"),
+            "cnt_": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["level", "domain"]).aggregate([("cnt_", "sum")])
+        return tt.rename_columns(["level", "domain", "cnt"])
+
+    merged = agg._combine_partials(
+        hits.map_batches(partial, batch_format="pyarrow"),
+        keys=["level", "domain"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("level", pa.string()),
+                                ("domain", pa.string()),
+                                ("cnt", pa.int64())]))
+    out = merged.group_by("level").aggregate(
+        [("cnt", "sum"), ([], "count_all")]) \
+        .rename_columns(["level", "n_lines", "n_domains"])
+    return out.sort_by("level")
+
+
+SQL_KEYWORD_USER_IMPACT = f"""
+SELECT level, CAST(sum(cnt) AS BIGINT) AS n_lines,
+       count(*) AS n_domains
+FROM (
+  SELECT level, {_SQL_DOMAIN} AS domain, count(*) AS cnt
+  FROM {ROUTED_VIEW}
+  WHERE contains(line, 'Failed')
+  GROUP BY 1, 2
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+PRECURSOR_WINDOW_MIN = 30
+
+
+def q_keyword_precursors(sf_dir: str):
+    """Causality analog (reference analyze_causality :204-225): anchor
+    at the LAST routed row containing the keyword, then count rows per
+    level inside the trailing window before it — 'what happened just
+    before the last failure'."""
+    ds = _routed_ds(sf_dir, ["line", "level", "line_ts"])
+
+    def anchor_partial(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.match_substring(t.column("line"), "Failed"))
+        return pa.table({"k": pa.array(["a"]), "anchor_us": pa.array(
+            [pc.max(pc.cast(hit.column("line_ts"), pa.int64())).as_py()
+             or agg.TS_MIN], type=pa.int64())})
+
+    anc = agg._combine_partials(
+        ds.map_batches(anchor_partial, batch_format="pyarrow"),
+        keys=["k"], aggs=[("anchor_us", "max")],
+        empty_schema=pa.schema([("k", pa.string()),
+                                ("anchor_us", pa.int64())]))
+    anchor_us = int(anc.column("anchor_us")[0].as_py())
+    lo = anchor_us - PRECURSOR_WINDOW_MIN * 60 * 1_000_000
+
+    def window_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("line_ts"), pa.int64())
+        keep = pc.and_(pc.greater_equal(us, pa.scalar(lo, pa.int64())),
+                       pc.less_equal(us, pa.scalar(anchor_us,
+                                                   pa.int64())))
+        w = t.filter(keep.fill_null(False))
+        tt = pa.table({
+            "level": w.column("level"),
+            "cnt_": pa.array(np.ones(w.num_rows, dtype=np.int64)),
+        }).group_by("level").aggregate([("cnt_", "sum")])
+        return tt.rename_columns(["level", "cnt"])
+
+    out = agg._combine_partials(
+        ds.map_batches(window_partial, batch_format="pyarrow"),
+        keys=["level"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("level", pa.string()),
+                                ("cnt", pa.int64())]))
+    return out.sort_by("level")
+
+
+SQL_KEYWORD_PRECURSORS = f"""
+WITH anchor AS (
+  SELECT max(line_ts) AS a FROM {ROUTED_VIEW}
+  WHERE contains(line, 'Failed')
+)
+SELECT level, count(*) AS cnt
+FROM {ROUTED_VIEW}, anchor
+WHERE line_ts BETWEEN anchor.a - INTERVAL {PRECURSOR_WINDOW_MIN} MINUTE
+                  AND anchor.a
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_compare_keywords(sf_dir: str):
+    """Comparative analysis analog (reference compare_events :273-294):
+    per-level row counts for two keywords side by side — the exact
+    retrieval under the reference's comparison agent."""
+    ds = _routed_ds(sf_dir, ["line", "level"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for kw in ("Failed", "Cache"):
+            hit = t.filter(pc.match_substring(t.column("line"), kw))
+            tt = pa.table({
+                "keyword": pa.array([kw] * hit.num_rows,
+                                    type=pa.string()),
+                "level": hit.column("level").cast(pa.string()),
+                "cnt_": pa.array(np.ones(hit.num_rows, dtype=np.int64),
+                                 type=pa.int64()),
+            })
+            parts.append(tt)
+        allp = pa.concat_tables(parts)
+        out = allp.group_by(["keyword", "level"]).aggregate(
+            [("cnt_", "sum")])
+        return out.rename_columns(["keyword", "level", "cnt"])
+
+    out = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["keyword", "level"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("keyword", pa.string()),
+                                ("level", pa.string()),
+                                ("cnt", pa.int64())]))
+    return out.sort_by([("keyword", "ascending"), ("level", "ascending")])
+
+
+SQL_COMPARE_KEYWORDS = f"""
+SELECT kw AS keyword, level, count(*) AS cnt FROM (
+  SELECT 'Failed' AS kw, level FROM {ROUTED_VIEW}
+  WHERE contains(line, 'Failed')
+  UNION ALL
+  SELECT 'Cache' AS kw, level FROM {ROUTED_VIEW}
+  WHERE contains(line, 'Cache')
+) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ORDER_WINDOW_DAYS = 30
 
 
@@ -2113,6 +2260,9 @@ QUERIES: dict[str, tuple] = {
     "heavy_hitter_tokens": (q_heavy_hitter_tokens, SQL_HEAVY_HITTER_TOKENS),
     "events_in_order_window": (q_events_in_order_window,
                                SQL_EVENTS_IN_ORDER_WINDOW),
+    "keyword_user_impact": (q_keyword_user_impact, SQL_KEYWORD_USER_IMPACT),
+    "keyword_precursors": (q_keyword_precursors, SQL_KEYWORD_PRECURSORS),
+    "compare_keywords": (q_compare_keywords, SQL_COMPARE_KEYWORDS),
     "filter_by_time": (q_filter_by_time, SQL_FILTER_BY_TIME),
     "filter_by_level": (q_filter_by_level, SQL_FILTER_BY_LEVEL),
     "anchor_context": (q_anchor_context, SQL_ANCHOR_CONTEXT),

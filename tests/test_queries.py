@@ -17,7 +17,8 @@ SUBSET = [
     "asof_order_stats", "stratified_sample", "sequence_packing",
     "sliding_window_counts", "event_sessions", "corpus_mixture",
     "preprocess_chain", "grok_extract", "heavy_hitter_tokens",
-    "events_in_order_window",
+    "events_in_order_window", "keyword_user_impact",
+    "keyword_precursors", "compare_keywords",
 ]
 
 
