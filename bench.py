@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "knn_cosine",
     "customer_nation_counts",
     "lineitem_pricing",
+    # round-2 operators
+    "asof_order_stats",
+    "heavy_hitter_tokens",
+    "search_logs",
 ]
 
 
