@@ -64,6 +64,8 @@ def asof_probe(index: dict, left_keys: np.ndarray,
                left_ts: np.ndarray) -> np.ndarray:
     """Row index into ``index['table']`` of each left row's as-of match
     (-1 = no right row at or before left_ts for that key)."""
+    if len(index["keys"]) == 0:
+        return np.full(len(left_keys), -1, dtype=np.int64)
     ranks = np.searchsorted(index["uniq_ts"], left_ts,
                             side="right").astype(np.int64)
     composite = left_keys * index["base"] + ranks

@@ -76,3 +76,82 @@ def test_minhash_independent_of_neighbors(texts):
 def test_hash32_in_range(s):
     h = md5_hash32(s)
     assert 0 <= h < 2**32
+
+
+interval_st = st.tuples(st.integers(0, 6), st.integers(0, 40),
+                        st.integers(1, 15))  # (key, start, length)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(interval_st, min_size=0, max_size=40),
+       st.lists(st.tuples(st.integers(0, 8), st.integers(-3, 60)),
+                min_size=1, max_size=50))
+def test_interval_counts_property(intervals, probes):
+    from log_analysis_ai_ray.stages.joins import (build_interval_index,
+                                                  interval_overlap_counts)
+
+    rk = np.array([k for k, _, _ in intervals], dtype=np.int64)
+    rs = np.array([s for _, s, _ in intervals], dtype=np.int64)
+    re_ = rs + np.array([l for _, _, l in intervals], dtype=np.int64)
+    right = pa.table({"k": pa.array(rk), "s": pa.array(rs),
+                      "e": pa.array(re_)})
+    idx = build_interval_index(right, "k", "s", "e")
+    lk = np.array([k for k, _ in probes], dtype=np.int64)
+    lt = np.array([t for _, t in probes], dtype=np.int64)
+    got = interval_overlap_counts(idx, lk, lt)
+    for j in range(len(probes)):
+        naive = int(((rk == lk[j]) & (rs <= lt[j]) & (re_ > lt[j])).sum())
+        assert got[j] == naive
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30),
+                          st.integers(0, 9)),
+                min_size=0, max_size=30),
+       st.lists(st.tuples(st.integers(0, 6), st.integers(-2, 35)),
+                min_size=1, max_size=40))
+def test_asof_probe_property(rights, probes):
+    from log_analysis_ai_ray.stages.joins import (asof_probe,
+                                                  build_asof_index)
+
+    rk = np.array([k for k, _, _ in rights], dtype=np.int64)
+    rt = np.array([t for _, t, _ in rights], dtype=np.int64)
+    tie = np.array([x for _, _, x in rights], dtype=np.int64)
+    right = pa.table({"k": pa.array(rk), "ts": pa.array(rt),
+                      "tie": pa.array(tie),
+                      "row": pa.array(np.arange(len(rk)))})
+    idx = build_asof_index(right, "k", "ts", tiebreak_col="tie")
+    rows = np.asarray(idx["table"].column("row"))
+    for lk, lt in probes:
+        pos = asof_probe(idx, np.array([lk], dtype=np.int64),
+                         np.array([lt], dtype=np.int64))[0]
+        cand = [i for i in range(len(rk)) if rk[i] == lk and rt[i] <= lt]
+        if not cand:
+            assert pos < 0
+        else:
+            best = max(cand, key=lambda i: (rt[i], tie[i], i))
+            # any row tied on (key, ts, tie) with best is acceptable
+            assert pos >= 0
+            got = rows[pos]
+            assert (rk[got], rt[got], tie[got]) == \
+                (rk[best], rt[best], tie[best])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+                min_size=1, max_size=400),
+       st.integers(5, 12))
+def test_mg_sketch_property(items, k):
+    from log_analysis_ai_ray.stages import sketch
+
+    arr = np.array(items, dtype=object)
+    uniq, counts = np.unique(arr, return_counts=True)
+    counters = {}
+    sketch.mg_update(counters, uniq, counts, k)
+    n = len(items)
+    truth = dict(zip(uniq, counts))
+    for item, c in truth.items():
+        if c > n / k:
+            assert item in counters
+    for item, est in counters.items():
+        assert 0 < est <= truth[item]
