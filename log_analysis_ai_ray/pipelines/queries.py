@@ -1959,6 +1959,126 @@ FROM e WHERE comp <> '' GROUP BY 1 ORDER BY 1
 """
 
 
+def q_order_priority_revenue(sf_dir: str):
+    """Big-big shuffle join (no broadcast side): lineitem ⋈ orders on
+    orderkey via side-tagged union → one hash shuffle on the key →
+    per-group join + IN-GROUP partial aggregation (the joined rows
+    never leave the reducer — only (priority, cents, cnt) partials do)
+    → final combine. Revenue = Σ price_cents·(1000−disc_permille) in
+    exact integer centi-per-mille units per order priority."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        # independent integer rounding (price→cents, discount→per-mille)
+        # then integer multiply: exact and engine-portable, unlike
+        # rounding the float product (half-even vs half-away differs)
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        return pa.table({
+            "key": t.column("l_orderkey"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "priority": pa.nulls(t.num_rows, pa.string()),
+            "cents": cpm,
+        })
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("o_orderkey"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "priority": t.column("o_orderpriority").cast(pa.string()),
+            "cents": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    both = li.map_batches(tag_line, batch_format="pyarrow").union(
+        od.map_batches(tag_order, batch_format="pyarrow"))
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("side"))
+        # orders are unique per key; inner join = lineitem rows get the
+        # (single) priority of their key
+        pr = g.column("priority").filter(pa.array(side == 1))
+        lines = g.filter(pa.array(side == 0))
+        if len(pr) == 0 or lines.num_rows == 0:
+            return pa.table({"priority": pa.array([], type=pa.string()),
+                             "cents_sum": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({
+            "priority": pa.array([pr[0].as_py()], type=pa.string()),
+            "cents_sum": pa.array(
+                [int(pc.sum(lines.column("cents")).as_py())],
+                type=pa.int64()),
+            "cnt": pa.array([lines.num_rows], type=pa.int64()),
+        })
+
+    partials = both.groupby("key").map_groups(join_group,
+                                              batch_format="pyarrow")
+    out = agg._combine_partials(
+        partials, keys=["priority"],
+        aggs=[("cents_sum", "sum"), ("cnt", "sum")],
+        empty_schema=pa.schema([("priority", pa.string()),
+                                ("cents_sum", pa.int64()),
+                                ("cnt", pa.int64())]))
+    return out.sort_by("priority")
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT)))
+            AS BIGINT) AS cents_sum,
+       count(*) AS cnt
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Broadcast anti-join: customers with NO urgent-priority order,
+    counted per nation (the urgent-order key set is broadcast once;
+    the probe is a vectorized inverted is_in — no shuffle)."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(pc.equal(orders.column("o_orderpriority"),
+                                    "1-URGENT"))
+    have = pc.unique(urgent.column("o_custkey").combine_chunks())
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        miss = t.filter(pc.invert(pc.is_in(t.column("c_custkey"),
+                                           value_set=have)))
+        tt = pa.table({
+            "c_nationkey": miss.column("c_nationkey").cast(pa.int64()),
+            "cnt_": pa.array(np.ones(miss.num_rows, dtype=np.int64)),
+        }).group_by("c_nationkey").aggregate([("cnt_", "sum")])
+        return tt.rename_columns(["c_nationkey", "cnt"])
+
+    out = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["c_nationkey"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("c_nationkey", pa.int64()),
+                                ("cnt", pa.int64())]))
+    return out.sort_by("c_nationkey")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS cnt
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _SQL_DOMAIN = ("coalesce(regexp_extract(url, '^https?://([^/]+)/', 1), "
                "'')")
 
@@ -2263,6 +2383,10 @@ QUERIES: dict[str, tuple] = {
     "keyword_user_impact": (q_keyword_user_impact, SQL_KEYWORD_USER_IMPACT),
     "keyword_precursors": (q_keyword_precursors, SQL_KEYWORD_PRECURSORS),
     "compare_keywords": (q_compare_keywords, SQL_COMPARE_KEYWORDS),
+    "order_priority_revenue": (q_order_priority_revenue,
+                               SQL_ORDER_PRIORITY_REVENUE),
+    "customers_without_orders": (q_customers_without_orders,
+                                 SQL_CUSTOMERS_WITHOUT_ORDERS),
     "filter_by_time": (q_filter_by_time, SQL_FILTER_BY_TIME),
     "filter_by_level": (q_filter_by_level, SQL_FILTER_BY_LEVEL),
     "anchor_context": (q_anchor_context, SQL_ANCHOR_CONTEXT),

@@ -19,6 +19,7 @@ SUBSET = [
     "preprocess_chain", "grok_extract", "heavy_hitter_tokens",
     "events_in_order_window", "keyword_user_impact",
     "keyword_precursors", "compare_keywords",
+    "order_priority_revenue", "customers_without_orders",
 ]
 
 
