@@ -181,6 +181,11 @@ def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
                             concurrency=concurrency)
 
 
+# Candidate-vector bytes at or below this bound are paired in the
+# driver-path single sweep; beyond it the groupby branch runs.
+EMBED_SWEEP_MAX_BYTES = 512 * 2 ** 20
+
+
 def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
                         seed: int = 42, id_col: str = "vec_id",
                         vec_col: str = "embedding",
@@ -283,7 +288,7 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
                                          type=pa.float64())})
 
     # driver path: candidate vectors are few — one segment sweep
-    if n_candidates * dim * 8 <= 512 * 2 ** 20:
+    if n_candidates * dim * 8 <= EMBED_SWEEP_MAX_BYTES:
         tbl = _to_arrow(candidates)
         if tbl.num_rows == 0 or "lsh_bucket" not in tbl.column_names:
             return empty

@@ -185,3 +185,19 @@ def test_pathological_identical_bucket_bounded(ray_session):
     assert (a[np.asarray(pairs["doc_a"]) == 0] == 0).all()
     assert set(b[a == 0].tolist()) == set(range(1, n))
     assert np.asarray(pairs["est_jaccard"]).min() == 1.0
+
+
+def test_minhash_groupby_path_matches_task_path(ray_session, monkeypatch):
+    """The distributed groupby pairing branch (candidate sets too big
+    for the single-task path) must produce byte-identical pairs."""
+    import ray.data
+
+    base = "common crawl style web page text with many shared tokens " * 5
+    texts = [f"doc {i} body {i * 13} " * 4 for i in range(40)]
+    texts += [base, base.replace("many", "several"), base, base + " x"]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(_docs_table(texts, ids)).repartition(6)
+    expected = dedup.minhash_near_dups(ds, threshold=0.5)
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    forced = dedup.minhash_near_dups(ds, threshold=0.5)
+    assert expected.equals(forced)

@@ -136,3 +136,26 @@ def test_embedding_near_dups_hot_bucket_bounded(ray_session):
     pairs2 = embedding_near_dups(ray.data.from_arrow(t).repartition(7),
                                  threshold=0.999, max_bucket=500)
     assert pairs.equals(pairs2)
+
+
+def test_embed_near_dups_groupby_path_matches(ray_session, monkeypatch):
+    """The distributed groupby branch of embedding_near_dups (candidate
+    sets too big for the single-task sweep) must match the small path."""
+    import ray.data
+    from log_analysis_ai_ray.stages import knn as knn_mod
+    from log_analysis_ai_ray.stages.knn import embedding_near_dups
+
+    rng = np.random.default_rng(21)
+    M = rng.standard_normal((120, 8)).astype(np.float32)
+    M[11] = M[10]
+    M[21] = M[20] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(M)), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in M],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    expected = embedding_near_dups(ds, threshold=0.95)
+    monkeypatch.setattr(knn_mod, "EMBED_SWEEP_MAX_BYTES", 0)
+    forced = embedding_near_dups(ds, threshold=0.95)
+    assert expected.equals(forced)
