@@ -472,3 +472,56 @@ def _to_arrow(ds) -> pa.Table:
     if not use:
         return pa.table({})
     return pa.concat_tables(use, promote_options="default").combine_chunks()
+
+
+def merge_registries(parts: list[pa.Table]) -> pa.Table:
+    """Merge template registries from separate flagship runs (the
+    incremental-ingest story: the reference upserts each batch into its
+    template store — here registries are mergeable values: counts sum,
+    first/last timestamps min/max, identity = (template_hash, template,
+    n_params)). merge(run(A), run(B)) == run(A ∪ B) exactly, provided
+    the runs shared a template mapping (flagship persists and reuses
+    the mapping across resumed/incremental runs for this reason)."""
+    t = pa.concat_tables(parts, promote_options="default")
+    tt = pa.table({
+        "template_hash": t.column("template_hash"),
+        "template": t.column("template"),
+        "n_params": t.column("n_params"),
+        "count": t.column("count"),
+        "first_us": _ts_us(t.column("first_ts"), TS_MAX),
+        "last_us": _ts_us(t.column("last_ts"), TS_MIN),
+    }).group_by(["template_hash", "template", "n_params"]).aggregate(
+        [("count", "sum"), ("first_us", "min"), ("last_us", "max")]) \
+        .rename_columns(["template_hash", "template", "n_params",
+                         "count", "first_us", "last_us"])
+    out = pa.table({
+        "template_hash": tt.column("template_hash"),
+        "template": tt.column("template"),
+        "count": tt.column("count"),
+        "n_params": tt.column("n_params"),
+        "first_ts": _us_to_ts(tt.column("first_us"), TS_MAX),
+        "last_ts": _us_to_ts(tt.column("last_us"), TS_MIN),
+    })
+    return out.sort_by([("count", "descending"), ("template", "ascending")])
+
+
+def merge_rollups(parts: list[pa.Table]) -> pa.Table:
+    """Merge hourly rollups from separate runs (counts sum per
+    (template_hash, bucket)); z-scores are recomputed over the merged
+    counts since they are a global statistic."""
+    t = pa.concat_tables(
+        [p.select(["template_hash", "bucket", "count"]) for p in parts],
+        promote_options="default")
+    tt = pa.table({
+        "template_hash": t.column("template_hash"),
+        "bucket_us": _ts_us(t.column("bucket"), TS_MIN),
+        "count": t.column("count"),
+    }).group_by(["template_hash", "bucket_us"]).aggregate(
+        [("count", "sum")]) \
+        .rename_columns(["template_hash", "bucket_us", "count"])
+    merged = pa.table({
+        "template_hash": tt.column("template_hash"),
+        "bucket": _us_to_ts(tt.column("bucket_us"), TS_MIN),
+        "count": tt.column("count"),
+    }).sort_by([("template_hash", "ascending"), ("bucket", "ascending")])
+    return anomaly_scores(merged)

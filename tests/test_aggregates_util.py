@@ -46,3 +46,30 @@ def test_pre_epoch_hour_bucket_not_null(ray_session):
     pre = datetime.datetime(1969, 12, 31, 23, 0)
     assert buckets.get(pre) == 2          # real pre-epoch bucket
     assert buckets.get(None) == 1         # null ts stays null
+
+
+def test_incremental_merge_equals_full_run(ray_session, pages_small,
+                                           tmp_path):
+    """Incremental ingest invariant: running the flagship on each half
+    of the corpus with a SHARED mapping and merging the registries and
+    rollups must equal the single full run exactly."""
+    from log_analysis_ai_ray.pipelines import flagship
+    from log_analysis_ai_ray.sources.pages import list_page_files
+    from log_analysis_ai_ray.stages.aggregate import (merge_registries,
+                                                      merge_rollups)
+
+    files = list_page_files(pages_small)
+    assert len(files) >= 2
+    half = len(files) // 2
+    mapping = flagship.fit_mapping(pages_small)
+
+    full = flagship.run(pages_small, str(tmp_path / "full"),
+                        mapping=mapping)
+    a = flagship.run(files[:half], str(tmp_path / "a"), mapping=mapping)
+    b = flagship.run(files[half:], str(tmp_path / "b"), mapping=mapping)
+
+    merged_reg = merge_registries([a["registry"], b["registry"]])
+    assert merged_reg.equals(full["registry"])
+
+    merged_roll = merge_rollups([a["rollup"], b["rollup"]])
+    assert merged_roll.equals(full["rollup"])
