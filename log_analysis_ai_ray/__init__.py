@@ -14,3 +14,12 @@ citations), and this package re-expresses it Ray-Data-first.
 """
 
 __version__ = "0.1.0"
+
+# Allocator tuning runs in EVERY process that imports this package —
+# driver and each Ray worker (stages import the package when their
+# UDFs deserialize). See state/malloc_tuning.py for the rationale
+# (mmap'd numpy temporaries re-pay first-touch page restore on every
+# allocation otherwise).
+from .state.malloc_tuning import tune_malloc as _tune_malloc  # noqa: E402
+
+_tune_malloc()

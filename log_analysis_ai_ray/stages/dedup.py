@@ -498,30 +498,6 @@ def _pair_candidates_impl(blocks, nsub: dict[int, int],
         .rename_columns(["doc_a", "doc_b", "est_jaccard"])
 
 
-def _pair_candidates_remote(*blocks, nsub, threshold):
-    return _pair_candidates_impl(blocks, nsub, threshold)
-
-
-class _LazyRemote:
-    """ray.remote wrapper resolved on first use (keeps module import
-    Ray-free)."""
-
-    def __init__(self, fn, **opts):
-        self._fn = fn
-        self._opts = opts
-        self._remote = None
-
-    def remote(self, refs, nsub, threshold):
-        import ray
-
-        if self._remote is None:
-            self._remote = ray.remote(**self._opts)(self._fn)
-        return self._remote.remote(*refs, nsub=nsub, threshold=threshold)
-
-
-_pair_candidates_task = _LazyRemote(_pair_candidates_remote, num_cpus=2)
-
-
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5, concurrency=2,
                       max_bucket: int = 4096) -> pa.Table:
@@ -570,17 +546,14 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
     from .aggregate import _combine_partials, _to_arrow
 
     if n_candidates <= SINGLE_TASK_PAIR_MAX_ROWS:
-        # one warm Ray task, not driver numpy: this keeps the pairing
-        # in a long-lived worker whose heap pages are already faulted
-        # (driver-side numpy on the sandbox VM randomly pays a ~30x
-        # first-touch page-fault tax after memory pressure), and on a
-        # real cluster it is exactly one locality-scheduled reduce of
-        # a small candidate set
-        import ray
-
-        refs = candidates.materialize().to_arrow_refs()
-        merged = ray.get(_pair_candidates_task.remote(refs, nsub,
-                                                      threshold))
+        # driver-side single sweep: with the package's allocator tuning
+        # (state/malloc_tuning.py) the driver heap stays warm, so the
+        # sweep runs at memory speed; a Ray-task variant was tried and
+        # rejected — the task lands on a different (cold-heap) worker
+        # per invocation, re-paying this sandbox's page-restore tax
+        # every time. On a real cluster this is one reduce either way.
+        merged = _pair_candidates_impl([_to_arrow(candidates)], nsub,
+                                       threshold)
         if merged is None:
             return empty
     else:
