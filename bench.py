@@ -113,10 +113,12 @@ def _warm_driver_heap(mb: int = 1536) -> None:
     mmap threshold (1 GB) or they bypass the retained heap entirely."""
     import numpy as np
 
+    held = []
     for _ in range(mb // 128):
         scratch = np.empty((128, 1 << 20 >> 3), dtype=np.int64)
         scratch[:] = 1
-        del scratch
+        held.append(scratch)  # freeing early would reuse ONE region
+    del held
 
 
 def main() -> None:

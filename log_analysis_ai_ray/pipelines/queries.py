@@ -1690,8 +1690,9 @@ def q_sliding_window_counts(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         step = pc.divide(pc.cast(t.column("ts"), pa.int64()), STEP_US)
-        tt = pa.table({"step": step}).group_by("step").aggregate(
-            [([], "count_all")])
+        tt = pa.table({"step": step})
+        tt = tt.filter(pc.is_valid(tt.column("step")))  # null ts rows
+        tt = tt.group_by("step").aggregate([([], "count_all")])
         return tt.rename_columns(["step", "cnt"])
 
     merged = agg._combine_partials(
@@ -2138,9 +2139,11 @@ def q_keyword_precursors(sf_dir: str):
 
     def anchor_partial(t: pa.Table) -> pa.Table:
         hit = t.filter(pc.match_substring(t.column("line"), "Failed"))
+        mx = pc.max(pc.cast(hit.column("line_ts"), pa.int64())).as_py()
+        # explicit None check: epoch (0 us) is a REAL timestamp and
+        # must not be treated as "no hit"
         return pa.table({"k": pa.array(["a"]), "anchor_us": pa.array(
-            [pc.max(pc.cast(hit.column("line_ts"), pa.int64())).as_py()
-             or agg.TS_MIN], type=pa.int64())})
+            [agg.TS_MIN if mx is None else mx], type=pa.int64())})
 
     anc = agg._combine_partials(
         ds.map_batches(anchor_partial, batch_format="pyarrow"),
@@ -2148,6 +2151,9 @@ def q_keyword_precursors(sf_dir: str):
         empty_schema=pa.schema([("k", pa.string()),
                                 ("anchor_us", pa.int64())]))
     anchor_us = int(anc.column("anchor_us")[0].as_py())
+    if anchor_us == agg.TS_MIN:  # no keyword hit anywhere → empty
+        return pa.table({"level": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
     lo = anchor_us - PRECURSOR_WINDOW_MIN * 60 * 1_000_000
 
     def window_partial(t: pa.Table) -> pa.Table:

@@ -499,7 +499,7 @@ def _pair_candidates_impl(blocks, nsub: dict[int, int],
 
 
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5, concurrency=2,
+                      threshold: float = 0.5,
                       max_bucket: int = 4096) -> pa.Table:
     """MinHash+LSH candidate pairs with signature-estimated Jaccard.
 

@@ -29,9 +29,11 @@ def build_asof_index(right: pa.Table, key_col: str, ts_col: str,
     greatest ``tiebreak_col`` (falling back to input position) wins —
     so the match is deterministic on both engines regardless of input
     order (SQL mirror: row_number() OVER (PARTITION BY key, ts ORDER BY
-    tiebreak DESC) = 1). Timestamps are rank-compressed against the
-    right side's distinct ts values so (key, ts) packs into one int64
-    composite per row.
+    tiebreak DESC) = 1). BOTH keys and timestamps are rank-compressed
+    against the right side's distinct values, so (key, ts) packs into
+    one int64 composite per row with no overflow for any key domain
+    (hash-derived 63-bit keys included: the composite is bounded by
+    n_distinct_keys × (n_distinct_ts + 2)).
     """
     t = right.combine_chunks()
     keys = np.asarray(t.column(key_col), dtype=np.int64)
@@ -49,11 +51,14 @@ def build_asof_index(right: pa.Table, key_col: str, ts_col: str,
     keep = order[is_last]
     keys, ts = keys[is_last], ts[is_last]
     uniq_ts = np.unique(ts)
+    uniq_keys = np.unique(keys)
     base = np.int64(len(uniq_ts) + 2)
+    key_ranks = np.searchsorted(uniq_keys, keys).astype(np.int64)
     ranks = np.searchsorted(uniq_ts, ts, side="right").astype(np.int64)
     return {
-        "composite": keys * base + ranks,  # sorted ascending
+        "composite": key_ranks * base + ranks,  # sorted ascending
         "keys": keys,
+        "uniq_keys": uniq_keys,
         "uniq_ts": uniq_ts,
         "base": base,
         "table": t.take(pa.array(keep, type=pa.int64())),
@@ -68,7 +73,12 @@ def asof_probe(index: dict, left_keys: np.ndarray,
         return np.full(len(left_keys), -1, dtype=np.int64)
     ranks = np.searchsorted(index["uniq_ts"], left_ts,
                             side="right").astype(np.int64)
-    composite = left_keys * index["base"] + ranks
+    key_ranks = np.searchsorted(index["uniq_keys"],
+                                left_keys).astype(np.int64)
+    # keys absent from the right side get a neighbor's rank; the final
+    # exact-key check rejects those matches
+    key_ranks = np.minimum(key_ranks, len(index["uniq_keys"]) - 1)
+    composite = key_ranks * index["base"] + ranks
     pos = np.searchsorted(index["composite"], composite,
                           side="right") - 1
     valid = (pos >= 0) & (index["keys"][np.maximum(pos, 0)] == left_keys)
@@ -96,9 +106,16 @@ class AsOfLookup:
         ts = np.asarray(pc.cast(batch.column(self.left_ts), pa.int64()),
                         dtype=np.int64)
         pos = asof_probe(self.index, keys, ts)
+        out = batch
+        if self.index["table"].num_rows == 0:
+            # empty right side: all-null columns (take would raise)
+            for c in self.take_cols:
+                col = self.index["table"].column(c)
+                out = out.append_column(
+                    c + self.suffix, pa.nulls(batch.num_rows, col.type))
+            return out
         idx = pa.array(np.where(pos >= 0, pos, 0), type=pa.int64())
         mask = pa.array(pos >= 0)
-        out = batch
         for c in self.take_cols:
             col = self.index["table"].column(c)
             if isinstance(col, pa.ChunkedArray):
@@ -139,13 +156,16 @@ def asof_join_broadcast(left_ds, right: pa.Table, *, left_key: str,
 # ---------------------------------------------------------------------------
 
 
-def _rank_composite(keys: np.ndarray, vals: np.ndarray):
-    """(key, val) → sorted int64 composite with global val-rank
-    compression; returns (sorted composite, uniq vals, base)."""
+def _rank_composite(keys: np.ndarray, vals: np.ndarray,
+                    uniq_keys: np.ndarray):
+    """(key, val) → sorted int64 composite with BOTH sides
+    rank-compressed (overflow-safe for any key domain); returns
+    (sorted composite, uniq vals, base)."""
     uniq = np.unique(vals)
     base = np.int64(len(uniq) + 2)
+    key_ranks = np.searchsorted(uniq_keys, keys).astype(np.int64)
     ranks = np.searchsorted(uniq, vals, side="right").astype(np.int64)
-    comp = np.sort(keys * base + ranks)
+    comp = np.sort(key_ranks * base + ranks)
     return comp, uniq, base
 
 
@@ -157,30 +177,40 @@ def build_interval_index(right: pa.Table, key_col: str, start_col: str,
                         dtype=np.int64)
     ends = np.asarray(pc.cast(t.column(end_col), pa.int64()),
                       dtype=np.int64)
-    s_comp, s_uniq, s_base = _rank_composite(keys, starts)
-    e_comp, e_uniq, e_base = _rank_composite(keys, ends)
+    uniq_keys = np.unique(keys)
+    s_comp, s_uniq, s_base = _rank_composite(keys, starts, uniq_keys)
+    e_comp, e_uniq, e_base = _rank_composite(keys, ends, uniq_keys)
     return {"s_comp": s_comp, "s_uniq": s_uniq, "s_base": s_base,
-            "e_comp": e_comp, "e_uniq": e_uniq, "e_base": e_base}
+            "e_comp": e_comp, "e_uniq": e_uniq, "e_base": e_base,
+            "uniq_keys": uniq_keys}
 
 
 def _count_leq(comp: np.ndarray, uniq: np.ndarray, base: np.int64,
-               keys: np.ndarray, ts: np.ndarray) -> np.ndarray:
+               key_ranks: np.ndarray, hit: np.ndarray,
+               ts: np.ndarray) -> np.ndarray:
     """Per left row: number of right rows with the same key and value
     <= ts (vectorized; the key's block is isolated by subtracting the
     rank-0 position)."""
     ranks = np.searchsorted(uniq, ts, side="right").astype(np.int64)
-    hi = np.searchsorted(comp, keys * base + ranks, side="right")
-    lo = np.searchsorted(comp, keys * base, side="left")
-    return hi - lo
+    hi = np.searchsorted(comp, key_ranks * base + ranks, side="right")
+    lo = np.searchsorted(comp, key_ranks * base, side="left")
+    return np.where(hit, hi - lo, 0)
 
 
 def interval_overlap_counts(index: dict, keys: np.ndarray,
                             ts: np.ndarray) -> np.ndarray:
     """#intervals [start, end) with the row's key containing ts."""
+    uk = index["uniq_keys"]
+    if len(uk) == 0:
+        return np.zeros(len(keys), dtype=np.int64)
+    key_ranks = np.searchsorted(uk, keys).astype(np.int64)
+    in_range = key_ranks < len(uk)
+    key_ranks = np.minimum(key_ranks, len(uk) - 1)
+    hit = in_range & (uk[key_ranks] == keys)
     n_started = _count_leq(index["s_comp"], index["s_uniq"],
-                           index["s_base"], keys, ts)
+                           index["s_base"], key_ranks, hit, ts)
     n_ended = _count_leq(index["e_comp"], index["e_uniq"],
-                         index["e_base"], keys, ts)
+                         index["e_base"], key_ranks, hit, ts)
     return n_started - n_ended
 
 

@@ -189,7 +189,7 @@ EMBED_SWEEP_MAX_BYTES = 512 * 2 ** 20
 def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
                         seed: int = 42, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        concurrency=2, max_bucket: int = 4096) -> pa.Table:
+                        max_bucket: int = 4096) -> pa.Table:
     """Embedding-cosine near-duplicate pairs: LSH-bucket every vector
     (sign-bit hyperplanes), co-locate buckets with a groupby, and do
     exact pairwise cosine only inside buckets. Approximate by

@@ -14,9 +14,17 @@ Trade-off: a process's RSS stays at its high-water allocation mark.
 All stages here work in bounded batches, so the high-water mark is a
 few hundred MB per worker — an explicit, documented trade for
 restore-tax immunity. No-op on non-glibc platforms.
+
+Applied on package import because that is the only hook that reaches
+Ray workers whose ray.init() this library does not control (the graft
+driver owns the session); set LOG_ANALYSIS_AI_RAY_NO_MALLOC_TUNE=1 to
+opt out (e.g. when embedding this library in a memory-sensitive
+process that never runs the data plane).
 """
 
 from __future__ import annotations
+
+import os
 
 _done = False
 
@@ -26,6 +34,8 @@ def tune_malloc() -> bool:
     global _done
     if _done:
         return True
+    if os.environ.get("LOG_ANALYSIS_AI_RAY_NO_MALLOC_TUNE") == "1":
+        return False
     try:
         import ctypes
 
