@@ -67,8 +67,9 @@ class MgSketchStage:
         toks = pc.list_flatten(pc.split_pattern_regex(
             batch.column(self.text_col), pattern=r"\s+"))
         toks = toks.filter(pc.not_equal(toks, ""))
-        uniq, counts = np.unique(np.asarray(toks, dtype=object),
-                                 return_counts=True)
+        vc = pc.value_counts(toks)  # vectorized distinct-count (Arrow)
+        uniq = np.asarray(vc.field("values"), dtype=object)
+        counts = np.asarray(vc.field("counts"), dtype=np.int64)
         counters: dict[str, int] = {}
         mg_update(counters, uniq, counts, self.k)
         n_tokens = int(counts.sum())
