@@ -126,6 +126,12 @@ class AsOfLookup:
         return out
 
 
+# Below this right-table size the lookup ships as a task closure
+# (no actor-pool spin-up, ~1-2 s saved per invocation); above it the
+# index is ray.put once and actors fetch it from the object store.
+BROADCAST_CLOSURE_MAX_BYTES = 64 * 2 ** 20
+
+
 def asof_join_broadcast(left_ds, right: pa.Table, *, left_key: str,
                         left_ts: str, right_key: str, right_ts: str,
                         take_cols: list[str], tiebreak_col: str | None = None,
@@ -134,8 +140,11 @@ def asof_join_broadcast(left_ds, right: pa.Table, *, left_key: str,
     docstring for the large-right partitioned variant)."""
     import ray
 
-    ref = ray.put(build_asof_index(right, right_key, right_ts,
-                                   tiebreak_col))
+    index = build_asof_index(right, right_key, right_ts, tiebreak_col)
+    if right.nbytes <= BROADCAST_CLOSURE_MAX_BYTES:
+        stage = AsOfLookup(index, left_key, left_ts, take_cols)
+        return left_ds.map_batches(stage, batch_format="pyarrow")
+    ref = ray.put(index)
     return left_ds.map_batches(
         AsOfLookup, fn_constructor_args=(ref, left_key, left_ts,
                                          take_cols),
@@ -241,8 +250,11 @@ def interval_join_count_broadcast(left_ds, right: pa.Table, *,
                                   end_col: str, concurrency=2):
     import ray
 
-    ref = ray.put(build_interval_index(right, right_key, start_col,
-                                       end_col))
+    index = build_interval_index(right, right_key, start_col, end_col)
+    if right.nbytes <= BROADCAST_CLOSURE_MAX_BYTES:
+        stage = IntervalCountLookup(index, left_key, left_ts)
+        return left_ds.map_batches(stage, batch_format="pyarrow")
+    ref = ray.put(index)
     return left_ds.map_batches(
         IntervalCountLookup, fn_constructor_args=(ref, left_key, left_ts),
         concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
