@@ -1734,34 +1734,21 @@ GROUP BY 1 ORDER BY 1
 
 
 def q_near_dup_clusters(sf_dir: str):
-    """Near-dup cluster resolution: union-find over the MinHash pair
-    list (pairs are tiny relative to the corpus — driver-side;
-    distributed alternative: iterative label propagation over the pair
-    edge list). Returns (doc_id, cluster_root) for every doc in a
-    cluster of size >= 2; root = smallest doc_id in the component.
-    Rows-only (depends on Drain-free but non-SQL MinHash pairs)."""
+    """Near-dup cluster resolution over the MinHash pair list:
+    vectorized min-label propagation with pointer jumping
+    (stages/graph.py — O(log n) hook+shortcut rounds; the same round
+    is dataset algebra at edge-list scales beyond one process).
+    Returns (doc_id, cluster_root) for every doc in a cluster of
+    size >= 2; root = smallest doc_id in the component. Rows-only
+    (depends on Drain-free but non-SQL MinHash pairs)."""
+    from ..stages.graph import connected_components
+
     pairs = q_doc_minhash_pairs(sf_dir)
-    a = np.asarray(pairs.column("doc_a"), dtype=np.int64)
-    b = np.asarray(pairs.column("doc_b"), dtype=np.int64)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for x, y in zip(a.tolist(), b.tolist()):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            lo_, hi_ = min(rx, ry), max(rx, ry)
-            parent[hi_] = lo_
-    members = sorted(set(a.tolist()) | set(b.tolist()))
-    return pa.table({
-        "doc_id": pa.array(members, type=pa.int64()),
-        "cluster_root": pa.array([find(m) for m in members],
-                                 type=pa.int64()),
-    })
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "cluster_root": pa.array([], type=pa.int64())})
+    out = connected_components(pairs, src="doc_a", dst="doc_b")
+    return out.rename_columns(["doc_id", "cluster_root"])
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
