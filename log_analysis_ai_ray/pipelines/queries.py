@@ -809,14 +809,34 @@ SELECT query_id, vec_id, sim FROM r WHERE rk <= 10
 """
 
 
+ANN_ROOT = "/tmp/graft_annstore"
+
+
+def ann_store_for(sf_dir: str, kind: str, dim: int) -> str:
+    """Build-once cached ANN store per scale factor (the persistent
+    index: reference python/vector_store.py:21-56). Probes afterwards
+    read only the probed partitions — never the whole corpus."""
+    from ..stages import ann_store
+
+    store = os.path.join(ANN_ROOT, sf_name(sf_dir), kind)
+    if not os.path.exists(os.path.join(store, "meta.json")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        if kind == "ivf":
+            ann_store.build_ivf_store(ds, store)
+        else:
+            ann_store.build_lsh_store(ds, store, dim=dim)
+    return store
+
+
 def q_knn_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-10 (scale path; rows-only —
-    recall vs brute force asserted in tests)."""
-    from ..stages.knn import lsh_topk
+    """LSH-bucketed approximate top-10 as a PRUNED partition read of
+    the persisted store (rows-only — recall vs brute force asserted in
+    tests; scan fraction asserted in tests/test_ann_store.py)."""
+    from ..stages.ann_store import lsh_store_topk
 
     ids, Q = _knn_queries(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, ids, Q, dim=Q.shape[1], k=10)
+    store = ann_store_for(sf_dir, "lsh", dim=Q.shape[1])
+    return lsh_store_topk(store, ids, Q, k=10)
 
 
 MEDIA_N = {"sf0.001": 300, "sf0.01": 3_000, "sf0.1": 30_000}
@@ -859,13 +879,14 @@ def q_media_features(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-10 (the second ANN scale path;
-    rows-only — recall vs brute force asserted in tests)."""
-    from ..stages.knn import ivf_topk
+    """IVF-bucketed approximate top-10 as a PRUNED partition read of
+    the persisted store: only the nprobe probed cells' files are
+    opened (rows-only — recall + scan-fraction asserted in tests)."""
+    from ..stages.ann_store import ivf_store_topk
 
     ids, Q = _knn_queries(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, ids, Q, k=10)
+    store = ann_store_for(sf_dir, "ivf", dim=Q.shape[1])
+    return ivf_store_topk(store, ids, Q, k=10)
 
 
 def q_embed_near_dups(sf_dir: str):

@@ -272,9 +272,15 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
                 continue
             ri, ci = ri[keep], ci[keep]
             a, b = ids[ri + lo], ids[ci]
+            # duplicate vec_id rows in one bucket are not pairs —
+            # uphold the id_a < id_b contract (mirrors dedup.py)
+            neq = a != b
+            if not neq.any():
+                continue
+            a, b = a[neq], b[neq]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
-            out_s.append(np.round(sims[ri, ci], 6))
+            out_s.append(np.round(sims[ri[neq], ci[neq]], 6))
         return out_a, out_b, out_s
 
     def _pairs_table(out_a, out_b, out_s) -> pa.Table:

@@ -1,0 +1,118 @@
+"""Persisted partition-pruned ANN store: parity with the in-memory
+scale-path operators, pruned-read bytes fraction, recall gates."""
+
+import numpy as np
+import pyarrow as pa
+
+from log_analysis_ai_ray.stages import ann_store, knn
+
+
+def _embeddings(n=400, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in M],
+                              type=pa.list_(pa.float32())),
+    }), M
+
+
+def test_ivf_store_parity_and_pruning(ray_session, tmp_path):
+    import ray.data
+
+    t, M = _embeddings()
+    ds = ray.data.from_arrow(t).repartition(4)
+    store = str(tmp_path / "ivf")
+    meta = ann_store.build_ivf_store(ds, store, n_centroids=8)
+    assert meta["kind"] == "ivf" and meta["dim"] == 16
+
+    q = M[:3].astype(np.float64)
+    got = ann_store.ivf_store_topk(store, [0, 1, 2], q, k=10, nprobe=3)
+    # identical centroids (same ds/seed/train) → identical candidate
+    # set → byte-identical result vs the in-memory filter path
+    legacy = knn.ivf_topk(ds, [0, 1, 2], q, k=10, n_centroids=8, nprobe=3)
+    assert got.equals(legacy)
+
+    # the pruned read opens a strict subset of the store's bytes
+    cells = ann_store.ivf_probe_cells(store, q[:1], nprobe=2)
+    paths = ann_store.partition_paths(store, "ivf_cell", cells)
+    assert len(cells) == 2
+    frac = ann_store.scan_fraction(store, paths)
+    assert 0.0 < frac < 0.75  # 2 of 8 cells (+skew slack)
+
+    # recall gate vs exact (pins the rows-only query's quality)
+    exact = knn.brute_force_topk(ds, [0, 1, 2], q, k=10)
+    for qi in (0, 1, 2):
+        a = {v for qq, v in zip(got["query_id"].to_pylist(),
+                                got["vec_id"].to_pylist()) if qq == qi}
+        e = {v for qq, v in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist()) if qq == qi}
+        assert qi in a
+        assert len(a & e) / len(e) >= 0.3
+
+
+def test_lsh_store_parity_and_pruning(ray_session, tmp_path):
+    import ray.data
+
+    t, M = _embeddings(n=300)
+    ds = ray.data.from_arrow(t).repartition(4)
+    store = str(tmp_path / "lsh")
+    ann_store.build_lsh_store(ds, store, dim=16)
+
+    q = M[:2].astype(np.float64)
+    got = ann_store.lsh_store_topk(store, [0, 1], q, k=10)
+    # same seed/planes → identical wanted-bucket set → identical result
+    legacy = knn.lsh_topk(ds, [0, 1], q, dim=16, k=10)
+    assert got.equals(legacy)
+
+    buckets = ann_store.lsh_probe_buckets(store, q, probe_radius=1)
+    paths = ann_store.partition_paths(store, "lsh_bucket", buckets)
+    frac = ann_store.scan_fraction(store, paths)
+    # radius-1 probe of 2 queries: ≤ 18 of 256 possible buckets
+    assert 0.0 < frac < 0.6
+
+
+def test_store_rebuild_is_atomic(ray_session, tmp_path):
+    import ray.data
+
+    t, _ = _embeddings(n=50)
+    ds = ray.data.from_arrow(t)
+    store = str(tmp_path / "ivf")
+    ann_store.build_ivf_store(ds, store, n_centroids=4)
+    first = ann_store.load_meta(store)
+    # rebuilding over an existing store replaces it wholesale
+    ann_store.build_ivf_store(ds, store, n_centroids=4)
+    assert ann_store.load_meta(store) == first
+    assert not (tmp_path / "ivf.tmp").exists()
+
+
+def test_empty_probe_returns_empty(tmp_path, ray_session):
+    import ray.data
+
+    t, M = _embeddings(n=40)
+    store = str(tmp_path / "ivf")
+    ann_store.build_ivf_store(ray.data.from_arrow(t), store, n_centroids=4)
+    out = ann_store._pruned_topk(store, [], [0], M[:1].astype(np.float64),
+                                 10, 6, 2)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "vec_id", "sim"]
+
+
+def test_embedding_near_dups_no_self_pairs(ray_session):
+    """Duplicate vec_id rows sharing a bucket must not emit id_a==id_b
+    (ADVICE r2: the triangle filter was positional)."""
+    import ray.data
+    from log_analysis_ai_ray.stages.knn import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(8).astype(np.float32)
+    w = rng.standard_normal(8).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array([5, 5, 7], type=pa.int64()),
+        "embedding": pa.array([v.tolist(), v.tolist(), (v + 0.001 * w).tolist()],
+                              type=pa.list_(pa.float32())),
+    })
+    pairs = embedding_near_dups(ray.data.from_arrow(t), threshold=0.9)
+    ids = list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (5, 7) in ids
+    assert all(a < b for a, b in ids)
