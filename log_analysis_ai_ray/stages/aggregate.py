@@ -42,8 +42,10 @@ DRIVER_MERGE_MAX_ROWS = 5_000_000
 
 def _combine_partials(ds, keys: list[str],
                       aggs: list[tuple[str, str]],
-                      empty_schema: pa.Schema | None = None) -> pa.Table:
-    """Final merge of partial rows → driver-side pa.Table.
+                      empty_schema: pa.Schema | None = None,
+                      dataset_final: bool = False):
+    """Final merge of partial rows → driver-side pa.Table (small key
+    spaces) or merged Dataset (unbounded ones).
 
     aggs: list of (column, fn) with fn in {sum,min,max}; output columns
     keep the partial's name.
@@ -53,6 +55,12 @@ def _combine_partials(ds, keys: list[str],
     pipeline a second time (observed as a duplicate Aggregate→limit=1
     run in ds.stats()). The merge itself is adaptive: pyarrow on the
     driver when the partials fit comfortably, Dataset.groupby beyond.
+
+    ``dataset_final=True`` callers (unbounded key spaces: content-hash
+    dedup, pair lists) get the distributed branch's result back as the
+    merged DATASET — O(distinct keys) rows never land on the driver;
+    write it or keep streaming. Bounded-key callers (templates, levels,
+    hour buckets) keep the table contract.
     """
     ds = ds.materialize()
     # expose the executed plan's per-stage stats (wall time, rows,
@@ -80,7 +88,10 @@ def _combine_partials(ds, keys: list[str],
 
     fns = {"sum": Sum, "min": Min, "max": Max}
     specs = [fns[fn](col, alias_name=col) for col, fn in aggs]
-    return _to_arrow(ds.groupby(keys).aggregate(*specs))
+    grouped = ds.groupby(keys).aggregate(*specs)
+    if dataset_final:
+        return grouped
+    return _to_arrow(grouped)
 
 
 # Hour buckets use an impossible sentinel for null (ADVICE r1: -1 is a

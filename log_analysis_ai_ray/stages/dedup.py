@@ -135,9 +135,17 @@ def simhash64(text_array, seed: int = 42) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup_by_hash(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup_by_hash(ds, id_col: str = "doc_id", text_col: str = "text",
+                        out_dir: str | None = None):
     """Scale-path exact dedup: shuffle moves (hash, id) pairs only.
-    Returns small table (content_hash, keep_id, n_copies)."""
+
+    Small distinct-hash spaces return a driver-side table
+    (content_hash, keep_id, n_copies). Past the driver merge bound
+    (aggregate.DRIVER_MERGE_MAX_ROWS — content-hash keys ≈ corpus
+    size, so at 10⁹ docs the keep-list is itself huge) the final NEVER
+    lands on the driver: the merged Dataset is written as parquet to
+    ``out_dir`` (required on that path) and returned as a Dataset for
+    further streaming (e.g. a broadcast/semi-join keep filter)."""
     from .aggregate import _combine_partials, _to_arrow
 
     def partial(t: pa.Table) -> pa.Table:
@@ -158,8 +166,18 @@ def exact_dedup_by_hash(ds, id_col: str = "doc_id", text_col: str = "text"):
     merged = _combine_partials(
         ds.map_batches(partial, batch_format="pyarrow"),
         keys=["content_hash"],
-        aggs=[("keep_id", "min"), ("n_copies", "sum")])
-    return merged.sort_by("keep_id")
+        aggs=[("keep_id", "min"), ("n_copies", "sum")],
+        dataset_final=True)
+    if isinstance(merged, pa.Table):
+        return merged.sort_by("keep_id")
+    # distributed final: persist the keep-list partitioned, never collect
+    if out_dir is None:
+        raise ValueError(
+            "exact_dedup_by_hash: distinct-hash keep-list exceeds the "
+            "driver merge bound; pass out_dir to write it as parquet")
+    merged = merged.materialize()
+    merged.write_parquet(out_dir)
+    return merged
 
 
 class MinHashStage:
@@ -168,7 +186,8 @@ class MinHashStage:
 
     def __init__(self, num_perm: int = 64, bands: int = 16,
                  width: int = 5, seed: int = 42,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 include_sig: bool = True):
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -176,6 +195,9 @@ class MinHashStage:
         self.seed = seed
         self.id_col = id_col
         self.text_col = text_col
+        # include_sig=False emits 16-byte (band_key, doc_id) rows only —
+        # the bucket-count pass never carries the 64-perm signatures
+        self.include_sig = include_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sig = minhash_signatures(batch.column(self.text_col),
@@ -193,13 +215,15 @@ class MinHashStage:
             keys[:, bi] = acc
         ids = np.asarray(batch.column(self.id_col), dtype=np.int64)
         rep = np.repeat(np.arange(n), self.bands)
-        sig_i64 = sig.view(np.int64)  # bit-preserving reinterpret
-        return pa.table({
+        cols = {
             "band_key": pa.array(keys.ravel().view(np.int64), type=pa.int64()),
             "doc_id": pa.array(ids[rep], type=pa.int64()),
-            "sig": pa.array([sig_i64[i].tolist() for i in rep],
-                            type=pa.list_(pa.int64())),
-        })
+        }
+        if self.include_sig:
+            sig_i64 = sig.view(np.int64)  # bit-preserving reinterpret
+            cols["sig"] = pa.array([sig_i64[i].tolist() for i in rep],
+                                   type=pa.list_(pa.int64()))
+        return pa.table(cols)
 
 
 def _sig_matrix(group: pa.Table, col: str = "sig") -> np.ndarray:
@@ -516,17 +540,22 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
     ~``max_bucket`` distinct signatures and shrinks the pairing shuffle
     to the duplicate-bearing rows only; identical-signature floods
     (boilerplate corpora) stay in one sub-bucket but cost O(m) via the
-    star cap, not O(m²). Band rows are materialized once and feed both
-    the count and the pairing passes.
+    star cap, not O(m²). The materialized state is 16-byte
+    (band_key, doc_id) rows ONLY — signatures are recomputed in a
+    second, doc-id-filtered pass over just the surviving candidate
+    docs (≲ dup-bearing fraction of the corpus), so the object-store
+    footprint never carries num_perm×8 bytes per band row (~60× less
+    at 64 perms / 16 bands).
     """
     # task-based, not an actor pool: the per-stage state (permutation
     # params) costs microseconds to rebuild, and skipping actor-pool
     # spin-up saves ~1-2 s of fixed latency per invocation
-    stage = MinHashStage(num_perm=num_perm, bands=bands)
-    band_rows = ds.map_batches(
-        stage, batch_format="pyarrow").materialize()
+    stage_keys = MinHashStage(num_perm=num_perm, bands=bands,
+                              include_sig=False)
+    key_rows = ds.map_batches(
+        stage_keys, batch_format="pyarrow").materialize()
 
-    sizes = multi_bucket_sizes(band_rows, "band_key")
+    sizes = multi_bucket_sizes(key_rows, "band_key")
     empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                       "doc_b": pa.array([], type=pa.int64()),
                       "est_jaccard": pa.array([], type=pa.float64())})
@@ -541,9 +570,33 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
         return t.filter(pc.is_in(t.column("band_key"),
                                  value_set=multi_keys))
 
-    candidates = band_rows.map_batches(keep_multi, batch_format="pyarrow")
-
     from .aggregate import _combine_partials, _to_arrow
+
+    # surviving doc ids (bounded by dup-bearing docs + band-collision
+    # noise): per-block distinct, driver-side distinct
+    def cand_doc_partial(t: pa.Table) -> pa.Table:
+        hit = keep_multi(t)
+        ids = hit.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": pc.unique(ids)})
+
+    cand_tbl = _to_arrow(key_rows.map_batches(cand_doc_partial,
+                                              batch_format="pyarrow"))
+    if cand_tbl.num_rows == 0 or "doc_id" not in cand_tbl.column_names:
+        return empty
+    cand_ids = pc.unique(cand_tbl.column("doc_id").combine_chunks())
+
+    # second pass over the input, filtered to candidate docs BEFORE the
+    # signature compute: sigs exist only for the pairing working set
+    full_stage = MinHashStage(num_perm=num_perm, bands=bands)
+
+    def keep_cand_docs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=cand_ids))
+
+    candidates = ds.map_batches(keep_cand_docs, batch_format="pyarrow") \
+        .map_batches(full_stage, batch_format="pyarrow") \
+        .map_batches(keep_multi, batch_format="pyarrow")
 
     if n_candidates <= SINGLE_TASK_PAIR_MAX_ROWS:
         # driver-side single sweep: with the package's allocator tuning

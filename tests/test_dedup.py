@@ -201,3 +201,78 @@ def test_minhash_groupby_path_matches_task_path(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
     forced = dedup.minhash_near_dups(ds, threshold=0.5)
     assert expected.equals(forced)
+
+def test_minhash_keys_only_stage_emits_no_signatures():
+    """The bucket-count pass materializes (band_key, doc_id) rows only
+    (VERDICT r2: signatures must not ride the count materialization)."""
+    stage = dedup.MinHashStage(include_sig=False)
+    out = stage(_docs_table(["alpha beta gamma delta", "epsilon zeta eta"]))
+    assert out.column_names == ["band_key", "doc_id"]
+    full = dedup.MinHashStage()(_docs_table(["alpha beta gamma delta"]))
+    assert "sig" in full.column_names
+    # keys agree between the two stages (same seed/params)
+    assert out.column("band_key").to_pylist()[:16] == \
+        full.column("band_key").to_pylist()
+
+
+def test_exact_dedup_distributed_final(ray_session, monkeypatch, tmp_path):
+    """Past the driver merge bound the keep-list must be written as
+    parquet and returned as a Dataset — never collected."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from log_analysis_ai_ray.stages import aggregate
+
+    t = _docs_table(["dup", "dup", "unique one", "dup", "other"],
+                    ids=[10, 3, 7, 99, 1])
+    ds = ray.data.from_arrow(t).repartition(3)
+    expected = dedup.exact_dedup_by_hash(ds)
+
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    with pytest.raises(ValueError, match="out_dir"):
+        dedup.exact_dedup_by_hash(ds)
+    out_dir = str(tmp_path / "keep")
+    got_ds = dedup.exact_dedup_by_hash(ds, out_dir=out_dir)
+    assert not isinstance(got_ds, pa.Table)
+
+    def rows(tbl):
+        return sorted(zip(tbl["content_hash"].to_pylist(),
+                          tbl["keep_id"].to_pylist(),
+                          tbl["n_copies"].to_pylist()))
+
+    got = aggregate._to_arrow(got_ds)
+    assert rows(got) == rows(expected)
+    files = list(pathlib.Path(out_dir).rglob("*.parquet"))
+    assert files
+    assert rows(pq.read_table(out_dir)) == rows(expected)
+
+
+def test_combine_partials_dataset_final_parity(ray_session, monkeypatch):
+    """dataset_final=True on the distributed branch returns the merged
+    Dataset with values identical to the driver-path table."""
+    import ray.data
+
+    from log_analysis_ai_ray.stages import aggregate
+
+    t = pa.table({"k": pa.array([1, 2, 1, 3, 2, 1], type=pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    def partial(tt: pa.Table) -> pa.Table:
+        out = tt.group_by("k").aggregate([("v", "sum")])
+        return out.rename_columns(["k", "v"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    table = aggregate._combine_partials(partials, keys=["k"],
+                                        aggs=[("v", "sum")])
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    partials2 = ds.map_batches(partial, batch_format="pyarrow")
+    merged_ds = aggregate._combine_partials(partials2, keys=["k"],
+                                            aggs=[("v", "sum")],
+                                            dataset_final=True)
+    assert not isinstance(merged_ds, pa.Table)
+    got = aggregate._to_arrow(merged_ds)
+    assert sorted(zip(got["k"].to_pylist(), got["v"].to_pylist())) == \
+        sorted(zip(table["k"].to_pylist(), table["v"].to_pylist()))
