@@ -1536,7 +1536,10 @@ def q_asof_order_stats(sf_dir: str):
         right_key="o_custkey", right_ts="o_orderdate",
         take_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
         tiebreak_col="o_orderkey")
+    return _asof_stats_agg(joined)
 
+
+def _asof_stats_agg(joined) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         matched = pc.is_valid(t.column("o_orderkey"))
         cents = pc.cast(pc.round(pc.multiply(
@@ -1565,6 +1568,26 @@ def q_asof_order_stats(sf_dir: str):
         aggs=[("n_events", "sum"), ("n_matched", "sum"),
               ("cents_sum", "sum"), ("lag_sum", "sum")])
     return out.sort_by("event_type")
+
+
+def q_asof_order_stats_partitioned(sf_dir: str):
+    """Same as-of semantics via the BIG-BIG path: both sides are
+    Datasets, hash-partitioned on the join key (side-tagged union →
+    one groupby shuffle), the composite-rank probe run per partition
+    (stages/joins.py asof_join_partitioned). Identical oracle as
+    asof_order_stats — the two paths must agree bit-for-bit."""
+    from ..stages.joins import asof_join_partitioned
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    joined = asof_join_partitioned(
+        ev, orders, left_key="user_id", left_ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        take_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+        tiebreak_col="o_orderkey", num_partitions=32)
+    return _asof_stats_agg(joined)
 
 
 SQL_ASOF_ORDER_STATS = """
@@ -2417,3 +2440,8 @@ from .curation import oracle_curation_sql  # noqa: E402
 QUERIES["doc_curation"] = (q_doc_curation, oracle_curation_sql())
 QUERIES["doc_quality"] = (q_doc_quality, QUALITY_SQL_BODY)
 QUERIES["doc_subtokens"] = (q_doc_subtokens, SUBTOKEN_SQL)
+
+# round-3 additions (appended — queries() ordering stays stable for the
+# driver's correctness snapshots)
+QUERIES["asof_order_stats_partitioned"] = (q_asof_order_stats_partitioned,
+                                           SQL_ASOF_ORDER_STATS)

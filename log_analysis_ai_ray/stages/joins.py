@@ -9,9 +9,9 @@ passes over a rank-compressed composite key (no per-row Python).
 Partitioning assumption (documented per task brief): the broadcast
 path assumes the RIGHT side fits in worker memory (dimension-table
 shaped — orders, price histories, config snapshots). When both sides
-are huge, hash-partition both on the join key (e.g. via
-``groupby(key).map_groups`` after a union tagged by side) and run the
-same probe per partition; the composite-rank probe is unchanged.
+are huge, ``asof_join_partitioned`` hash-partitions both on the join
+key (side-tagged union → one ``groupby(pkey).map_groups`` shuffle)
+and runs the identical composite-rank probe inside each partition.
 """
 
 from __future__ import annotations
@@ -151,8 +151,117 @@ def asof_join_broadcast(left_ds, right: pa.Table, *, left_key: str,
         concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
 
 
-# ---------------------------------------------------------------------------
-# Range join (interval containment): each left row counted against the
+def _hash_partition_ids(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic 64-bit mix → partition id (salt-free: the as-of
+    key domain is already integer; skew handling is the caller's
+    num_partitions choice)."""
+    h = keys.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def asof_join_partitioned(left_ds, right_ds, *, left_key: str,
+                          left_ts: str, right_key: str, right_ts: str,
+                          take_cols: list[str], tiebreak_col: str,
+                          num_partitions: int = 64):
+    """Big-big as-of join: BOTH sides are Datasets too large to
+    broadcast. Each side maps to a shared-schema form tagged with a
+    hash partition id of its join key, the union is co-located with
+    ONE groupby shuffle, and the identical composite-rank probe
+    (build_asof_index/asof_probe) runs independently inside every
+    partition — the same pattern order_priority_revenue proves for
+    equi-joins. Output rows: all left columns + ``take_cols``
+    (null when no right row at or before the left timestamp).
+
+    ``tiebreak_col`` is REQUIRED here (unlike the broadcast path,
+    where input position is a usable fallback): rows are shuffled, so
+    only an explicit column makes (key, ts)-duplicate resolution
+    deterministic. Partitioning assumption: a single join key's rows
+    fit in one worker (per-key state, not per-partition, is the true
+    bound — the probe is O(n log n) in partition rows).
+    """
+    if tiebreak_col is None:
+        raise ValueError("asof_join_partitioned requires tiebreak_col")
+    overlap = set(take_cols) & {left_key, left_ts}
+    if overlap:
+        raise ValueError(f"take_cols collide with left columns: {overlap}")
+
+    ls = left_ds.schema()
+    payload_cols = list(ls.names)
+    payload_types = dict(zip(ls.names, ls.types))
+    rs = right_ds.schema()
+    right_types = dict(zip(rs.names, rs.types))
+    take_types = {c: right_types[c] for c in take_cols}
+
+    out_schema = pa.schema(
+        [pa.field(c, payload_types[c]) for c in payload_cols]
+        + [pa.field(c, take_types[c]) for c in take_cols])
+
+    def to_left(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(left_key), dtype=np.int64)
+        cols = {
+            "_pkey": pa.array(_hash_partition_ids(keys, num_partitions)),
+            "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "_key": pa.array(keys, type=pa.int64()),
+            "_ts": pc.cast(t.column(left_ts), pa.int64()),
+            "_tie": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }
+        for c in payload_cols:
+            cols[c] = t.column(c)
+        for c in take_cols:
+            cols[c] = pa.nulls(t.num_rows, take_types[c])
+        return pa.table(cols)
+
+    def to_right(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(right_key), dtype=np.int64)
+        cols = {
+            "_pkey": pa.array(_hash_partition_ids(keys, num_partitions)),
+            "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "_key": pa.array(keys, type=pa.int64()),
+            "_ts": pc.cast(t.column(right_ts), pa.int64()),
+            "_tie": pc.cast(t.column(tiebreak_col), pa.int64()),
+        }
+        for c in payload_cols:
+            cols[c] = pa.nulls(t.num_rows, payload_types[c])
+        for c in take_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(to_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(to_right,
+                                          batch_format="pyarrow")))
+
+    def part_asof(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        side = np.asarray(group.column("_side"))
+        right_t = group.filter(pa.array(side == 0)) \
+            .select(["_key", "_ts", "_tie"] + take_cols)
+        left_t = group.filter(pa.array(side == 1))
+        if left_t.num_rows == 0:
+            return out_schema.empty_table()
+        index = build_asof_index(right_t, "_key", "_ts",
+                                 tiebreak_col="_tie")
+        pos = asof_probe(index,
+                         np.asarray(left_t.column("_key"), dtype=np.int64),
+                         np.asarray(left_t.column("_ts"), dtype=np.int64))
+        out_cols = {c: left_t.column(c) for c in payload_cols}
+        if index["table"].num_rows == 0:
+            for c in take_cols:
+                out_cols[c] = pa.nulls(left_t.num_rows, take_types[c])
+        else:
+            idx = pa.array(np.where(pos >= 0, pos, 0), type=pa.int64())
+            mask = pa.array(pos >= 0)
+            for c in take_cols:
+                col = index["table"].column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                out_cols[c] = pc.if_else(mask, col.take(idx),
+                                         pa.scalar(None, type=col.type))
+        return pa.table(out_cols, schema=out_schema)
+
+    return tagged.groupby("_pkey").map_groups(part_asof,
+                                              batch_format="pyarrow")
 # right-side intervals [start, end) sharing its key that contain its
 # timestamp. Broadcast interval-stabbing: per key, the number of
 # containing intervals is (#starts <= t) - (#ends <= t), each computed

@@ -77,3 +77,64 @@ def test_interval_overlap_counts_match_naive():
     for j in range(n_l):
         naive = int(((rk == lk[j]) & (rs <= lt[j]) & (re_ > lt[j])).sum())
         assert got[j] == naive
+
+def test_asof_partitioned_matches_broadcast(ray_session):
+    """The big-big hash-partitioned as-of path must agree row-for-row
+    with the broadcast composite-rank probe."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import (asof_join_broadcast,
+                                                  asof_join_partitioned)
+
+    rng = np.random.default_rng(17)
+    n_r, n_l = 400, 900
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 40, n_r), type=pa.int64()),
+        "rts": pa.array(rng.integers(0, 1000, n_r), type=pa.int64()),
+        "tie": pa.array(np.arange(n_r), type=pa.int64()),
+        "payload": pa.array(rng.integers(0, 10**6, n_r), type=pa.int64()),
+    })
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 50, n_l), type=pa.int64()),
+        "lts": pa.array(rng.integers(0, 1000, n_l), type=pa.int64()),
+        "row": pa.array(np.arange(n_l), type=pa.int64()),
+    })
+    left_ds = ray.data.from_arrow(left).repartition(5)
+    right_ds = ray.data.from_arrow(right).repartition(4)
+
+    bcast = asof_join_broadcast(
+        left_ds, right, left_key="k", left_ts="lts",
+        take_cols=["payload", "tie"], right_key="k", right_ts="rts",
+        tiebreak_col="tie")
+    parted = asof_join_partitioned(
+        left_ds, right_ds, left_key="k", left_ts="lts",
+        right_key="k", right_ts="rts", take_cols=["payload", "tie"],
+        tiebreak_col="tie", num_partitions=8)
+
+    def rows(ds):
+        t = pa.concat_tables(
+            [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+        return sorted(zip(t["row"].to_pylist(), t["k"].to_pylist(),
+                          t["lts"].to_pylist(), t["payload"].to_pylist(),
+                          t["tie"].to_pylist()))
+
+    assert rows(bcast) == rows(parted)
+
+
+def test_asof_partitioned_requires_tiebreak(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import asof_join_partitioned
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()),
+                  "ts": pa.array([1], type=pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join_partitioned(ds, ds, left_key="k", left_ts="ts",
+                              right_key="k", right_ts="ts",
+                              take_cols=[], tiebreak_col=None)
