@@ -76,23 +76,164 @@ def connected_components(pairs: pa.Table, src: str = "doc_a",
     })
 
 
+def connected_components_dataset(edges_ds, src: str = "doc_a",
+                                 dst: str = "doc_b",
+                                 max_iters: int = 64) -> pa.Table:
+    """Distributed min-label propagation in pure dataset algebra: the
+    driver never holds the edge list or the label table.
+
+    State per round is a (node, label) Dataset. One round costs three
+    keys-only shuffles:
+      1. send: groupby(key) over [label rows ∪ edge-endpoint messages]
+         — each node's current label is forwarded to every neighbor
+         (plus a flagged self-vote);
+      2. reduce: groupby(node) over the votes — new label = min vote;
+         ``changed`` is computed against the flagged old label;
+      3. shortcut: a pointer-jump shuffle (L[n] := L[L[n]]) that
+         halves label-chain depth, so hook+shortcut converges in
+         O(log n) rounds instead of O(diameter).
+    Rounds repeat until no label changes (raises at ``max_iters`` —
+    never silently wrong). Shuffled rows are int64 triples only;
+    adjacency never moves after the one-time message materialization.
+    Returns the same (node, component_root) table as the in-memory
+    path (parity-tested)."""
+    NONE = np.int64(-(2 ** 62))  # sentinel: "no value" (ids are >= 0)
+
+    def to_msgs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column(src), dtype=np.int64)
+        b = np.asarray(t.column(dst), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "other": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            "label": pa.array(np.full(2 * len(a), NONE), type=pa.int64()),
+        })
+
+    msgs = edges_ds.map_batches(to_msgs, batch_format="pyarrow") \
+        .materialize()
+    if msgs.count() == 0:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "component_root": pa.array([], type=pa.int64())})
+
+    def init_partial(t: pa.Table) -> pa.Table:
+        keys = t.column("key")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        uniq = pc.unique(keys)
+        return pa.table({"node": uniq, "label": uniq})
+
+    from ray.data.aggregate import Min, Sum
+
+    labels = msgs.map_batches(init_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("node"),
+            "other": pa.array(np.full(n, NONE), type=pa.int64()),
+            "label": t.column("label"),
+        })
+
+    def send(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        lab_col = np.asarray(group.column("label"), dtype=np.int64)
+        has_label = lab_col != NONE
+        lab = np.int64(lab_col[has_label].min())
+        key = np.int64(np.asarray(group.column("key"))[0])
+        others = np.asarray(group.column("other"), dtype=np.int64)
+        others = others[others != NONE]
+        nodes = np.concatenate([[key], others])
+        return pa.table({
+            "node": pa.array(nodes, type=pa.int64()),
+            "vote": pa.array(np.full(len(nodes), lab), type=pa.int64()),
+            # the self-vote carries the old label for change detection
+            "old": pa.array(np.concatenate(
+                [[lab], np.full(len(others), NONE)]), type=pa.int64()),
+        })
+
+    def reduce_votes(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        votes = np.asarray(group.column("vote"), dtype=np.int64)
+        olds = np.asarray(group.column("old"), dtype=np.int64)
+        old = np.int64(olds[olds != NONE].min())
+        new = np.int64(votes.min())
+        return pa.table({
+            "node": group.column("node").slice(0, 1),
+            "label": pa.array([new], type=pa.int64()),
+            "changed": pa.array([int(new != old)], type=pa.int64()),
+        })
+
+    def to_jump_req(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("label"),
+            "other": t.column("node"),
+            "label": pa.array(np.full(n, NONE), type=pa.int64()),
+        })
+
+    def resolve_jump(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        lab_col = np.asarray(group.column("label"), dtype=np.int64)
+        lab = np.int64(lab_col[lab_col != NONE].min())
+        others = np.asarray(group.column("other"), dtype=np.int64)
+        others = others[others != NONE]
+        return pa.table({
+            "node": pa.array(others, type=pa.int64()),
+            "label": pa.array(np.full(len(others), lab), type=pa.int64()),
+        })
+
+    def jump(lab_ds):
+        """One pointer-jump shuffle: L[n] := L[L[n]]. Label values are
+        always node ids, so every request key has a provider row;
+        each node emits exactly one request → exactly one output row."""
+        tagged = lab_ds.map_batches(tag_labels, batch_format="pyarrow") \
+            .union(lab_ds.map_batches(to_jump_req, batch_format="pyarrow"))
+        return tagged.groupby("key").map_groups(resolve_jump,
+                                                batch_format="pyarrow")
+
+    for it in range(max_iters):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow") \
+            .union(msgs)
+        votes = tagged.groupby("key").map_groups(send,
+                                                 batch_format="pyarrow")
+        new_labels = votes.groupby("node").map_groups(
+            reduce_votes, batch_format="pyarrow").materialize()
+        changed = new_labels.sum("changed")
+        if not changed:
+            labels = new_labels.drop_columns(["changed"]).materialize()
+            logger.debug(
+                "connected_components_dataset converged in %d rounds", it)
+            break
+        # hook (propagation) + shortcut (jump) per round → O(log n)
+        # rounds instead of O(diameter)
+        labels = jump(new_labels.drop_columns(["changed"])).materialize()
+    else:
+        raise RuntimeError(
+            f"connected_components_dataset: no convergence in "
+            f"{max_iters} rounds")
+    from .aggregate import _to_arrow
+
+    out = _to_arrow(labels).rename_columns(["node", "component_root"])
+    return out.sort_by("node")
+
+
 def connected_components_ds(pairs_ds, src: str = "doc_a",
                             dst: str = "doc_b", max_iters: int = 64,
                             driver_max_edges: int = 50_000_000):
     """Dataset-level entry: collects the edge list when it fits (edges
     are a pair of int64 columns — 50M edges ≈ 800 MB) and runs the
-    vectorized propagation; beyond that, the same round is expressible
-    as dataset algebra (union of both edge directions' (node,
-    neighbor_label) votes → groupby(node).min → join back), paying one
-    keys-only shuffle per round — O(diameter) shuffles total. The
-    in-memory path raises past ``driver_max_edges`` rather than
-    silently collecting an unbounded edge list."""
-    from .aggregate import _to_arrow
+    vectorized in-memory propagation; beyond ``driver_max_edges`` the
+    per-round dataset-algebra form (connected_components_dataset)
+    runs instead — the driver never holds the edges."""
+    if hasattr(pairs_ds, "to_arrow_refs"):
+        pairs_ds = pairs_ds.materialize()  # count + reuse, one execution
+        if pairs_ds.count() > driver_max_edges:
+            return connected_components_dataset(
+                pairs_ds, src=src, dst=dst, max_iters=max_iters)
+        from .aggregate import _to_arrow
 
-    t = _to_arrow(pairs_ds) if hasattr(pairs_ds, "to_arrow_refs") else pairs_ds
-    if t.num_rows > driver_max_edges:
-        raise NotImplementedError(
-            f"edge list ({t.num_rows} rows) exceeds driver_max_edges="
-            f"{driver_max_edges}; use the per-round dataset-algebra "
-            "form described in the docstring")
+        t = _to_arrow(pairs_ds)
+    else:
+        t = pairs_ds
     return connected_components(t, src=src, dst=dst, max_iters=max_iters)

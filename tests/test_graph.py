@@ -51,3 +51,67 @@ def test_random_graphs_match_union_find():
 
 def test_star_and_disjoint():
     _check([(100, i) for i in range(5)] + [(200, 201), (201, 202)])
+
+def test_dataset_algebra_path_matches_in_memory(ray_session):
+    """The distributed per-round form must produce the identical
+    (node, component_root) labeling as the driver-side propagation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.graph import (
+        connected_components, connected_components_dataset,
+        connected_components_ds)
+
+    rng = np.random.default_rng(23)
+    # several chains + stars + isolated pairs → nontrivial diameters
+    # (chains exercise the pointer-jump shortcut: diameter ≈ 20 must
+    # converge in ~log rounds, each round costing fixed shuffle time)
+    edges = []
+    base = 0
+    for comp in range(8):
+        n = int(rng.integers(2, 22))
+        nodes = base + np.arange(n)
+        base += n + 3  # gaps: ids are sparse
+        if comp % 3 == 0:  # chain (diameter n-1)
+            edges += [(int(nodes[i]), int(nodes[i + 1]))
+                      for i in range(n - 1)]
+        elif comp % 3 == 1:  # star
+            edges += [(int(nodes[0]), int(x)) for x in nodes[1:]]
+        else:  # random tree + extra edges
+            for i in range(1, n):
+                edges.append((int(nodes[rng.integers(0, i)]), int(nodes[i])))
+            for _ in range(3):
+                a, b = rng.integers(0, n, 2)
+                if a != b:
+                    edges.append((int(nodes[a]), int(nodes[b])))
+    t = pa.table({
+        "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+    })
+    expected = connected_components(t)
+    got = connected_components_dataset(
+        ray.data.from_arrow(t).repartition(5))
+    assert got.equals(expected)
+
+    # the entry point routes past driver_max_edges to the dataset path
+    # (tiny graph: just proves the routing, not the algebra again)
+    t2 = pa.table({"doc_a": pa.array([0, 1, 5], type=pa.int64()),
+                   "doc_b": pa.array([1, 2, 6], type=pa.int64())})
+    routed = connected_components_ds(
+        ray.data.from_arrow(t2).repartition(2), driver_max_edges=2)
+    assert routed.equals(connected_components(t2))
+
+
+def test_dataset_algebra_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.graph import \
+        connected_components_dataset
+
+    t = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                  "doc_b": pa.array([], type=pa.int64())})
+    out = connected_components_dataset(ray.data.from_arrow(t))
+    assert out.num_rows == 0
+    assert out.column_names == ["node", "component_root"]
