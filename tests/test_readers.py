@@ -66,3 +66,25 @@ def test_read_text_lines(ray_session, tmp_path):
     p.write_text("alpha\nbeta\n")
     out = readers.read_text_lines(str(p)).take_all()
     assert [r["line"] for r in out] == ["alpha", "beta"]
+
+
+def test_read_text_lines_gz_and_mixed(ray_session, tmp_path):
+    """.gz files decompress through the same line-reader path; a mixed
+    compressed/uncompressed list unions into one Dataset."""
+    import gzip
+
+    from log_analysis_ai_ray.sources.readers import read_text_lines
+
+    plain = tmp_path / "a.log"
+    plain.write_text("alpha 1\nalpha 2\n")
+    gz = tmp_path / "b.log.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("beta 1\nbeta 2\nbeta 3\n")
+
+    only_gz = read_text_lines([str(gz)])
+    rows = sorted(r["line"] for r in only_gz.take_all())
+    assert rows == ["beta 1", "beta 2", "beta 3"]
+
+    mixed = read_text_lines([str(plain), str(gz)])
+    rows = sorted(r["line"] for r in mixed.take_all())
+    assert rows == ["alpha 1", "alpha 2", "beta 1", "beta 2", "beta 3"]
