@@ -2441,7 +2441,45 @@ QUERIES["doc_curation"] = (q_doc_curation, oracle_curation_sql())
 QUERIES["doc_quality"] = (q_doc_quality, QUALITY_SQL_BODY)
 QUERIES["doc_subtokens"] = (q_doc_subtokens, SUBTOKEN_SQL)
 
+def q_gz_level_counts(sf_dir: str):
+    """Compressed raw-text logs end-to-end (S3; reference dispatches
+    gz/bz2/zlib by extension, src/file_data_loader.cpp:93-116): .gz
+    files → Arrow-decompressed line reader → vectorized field split →
+    per-(level, component) counts."""
+    from ..sources.readers import read_text_lines
+
+    ds = read_text_lines(_raw_files(sf_dir, "gz", ".log.gz"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("line"), pattern=" ",
+                                 max_splits=2)
+        tt = pa.table({
+            "level": pc.list_element(parts, 0),
+            "component": pc.list_element(parts, 1),
+        }).group_by(["level", "component"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["level", "component", "cnt"])
+
+    out = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["level", "component"], aggs=[("cnt", "sum")])
+    return out.sort_by([("level", "ascending"),
+                        ("component", "ascending")])
+
+
+RAWGZ_GLOB_SF001 = f"{RAWLOGS_ROOT}/sf0.01/gz/logs-*.log.gz"
+# DuckDB decompresses .gz natively; tab delim never occurs in the lines
+SQL_GZ_LEVEL_COUNTS = f"""
+SELECT split_part(line, ' ', 1) AS level,
+       split_part(line, ' ', 2) AS component,
+       count(*) AS cnt
+FROM read_csv('{RAWGZ_GLOB_SF001}', header=false, delim='\\t',
+              quote='', columns={{'line': 'VARCHAR'}})
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # round-3 additions (appended — queries() ordering stays stable for the
 # driver's correctness snapshots)
 QUERIES["asof_order_stats_partitioned"] = (q_asof_order_stats_partitioned,
                                            SQL_ASOF_ORDER_STATS)
+QUERIES["gz_level_counts"] = (q_gz_level_counts, SQL_GZ_LEVEL_COUNTS)

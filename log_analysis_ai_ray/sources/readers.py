@@ -17,12 +17,39 @@ import pyarrow.compute as pc
 from ..functions.timestamps import parse_timestamp_cascade
 
 
+# Extension-driven decompression (reference dispatches gz/bz2/zlib by
+# extension, src/file_data_loader.cpp:93-116; Arrow decodes the stream
+# so the line-reader path is identical for all of them).
+_COMPRESSION_BY_EXT = ((".gz", "gzip"), (".bz2", "bz2"), (".zst", "zstd"),
+                       (".lz4", "lz4"))
+
+
+def _compression_of(path: str) -> str | None:
+    for ext, comp in _COMPRESSION_BY_EXT:
+        if path.endswith(ext):
+            return comp
+    return None
+
+
 def read_text_lines(paths, **kwargs):
     """Line source (reference LineParser, src/line_parser.cpp:9-32):
-    one row per line, message = line."""
+    one row per line, message = line. Compressed files (.gz/.bz2/...)
+    are grouped by codec and decompressed by Arrow's stream reader;
+    mixed lists union into one Dataset."""
     import ray.data
 
-    ds = ray.data.read_text(paths, **kwargs)
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    groups: dict[str | None, list[str]] = {}
+    for p in plist:
+        groups.setdefault(_compression_of(p), []).append(p)
+
+    parts = []
+    for comp in sorted(groups, key=lambda c: c or ""):
+        kw = dict(kwargs)
+        if comp is not None:
+            kw["arrow_open_stream_args"] = {"compression": comp}
+        parts.append(ray.data.read_text(groups[comp], **kw))
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
     def to_lines(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["line"])

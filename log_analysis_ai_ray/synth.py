@@ -527,9 +527,35 @@ def write_rawlogs_mlpages(out_dir: str, n_pages: int, seed: int = SEED) -> None:
     os.replace(path + ".tmp", path)
 
 
+def write_rawlogs_gz(out_dir: str, n_rows: int, seed: int = SEED,
+                     n_files: int = 4) -> None:
+    """Gzip-compressed plain-text logs: "LEVEL component request N".
+    Proves the extension-dispatched decompression path end-to-end
+    (reference src/file_data_loader.cpp:93-116); DuckDB reads the same
+    .gz files natively for the oracle."""
+    import gzip
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 404)
+    levels = np.array(["INFO", "WARN", "ERROR", "DEBUG"])
+    comps = np.array(["auth", "billing", "cache", "api", "worker"])
+    lv = levels[rng.integers(0, len(levels), size=n_rows)]
+    cp = comps[rng.integers(0, len(comps), size=n_rows)]
+    msgn = rng.integers(0, 100000, size=n_rows)
+    for f, (lo, cnt) in enumerate(shard_bounds(n_rows, n_files)):
+        lines = [f"{lv[i]} {cp[i]} request {msgn[i]}"
+                 for i in range(lo, lo + cnt)]
+        path = os.path.join(out_dir, f"logs-{f:03d}.log.gz")
+        with open(path + ".tmp", "wb") as raw:
+            # mtime=0 keeps the .gz bytes deterministic across runs
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
+                gz.write(("\n".join(lines) + "\n").encode())
+        os.replace(path + ".tmp", path)
+
+
 def ensure_rawlogs(out_dir: str, n_rows: int, seed: int = SEED) -> str:
-    """Idempotently materialize the four raw-log corpora under
-    out_dir/{csv,jsonl,syslog,mlog}; returns out_dir."""
+    """Idempotently materialize the raw-log corpora under
+    out_dir/{csv,jsonl,syslog,mlog,gz}; returns out_dir."""
     marker = os.path.join(out_dir, "_COMPLETE")
     if not os.path.exists(marker):
         write_rawlogs_csv(os.path.join(out_dir, "csv"), n_rows, seed)
@@ -539,4 +565,10 @@ def ensure_rawlogs(out_dir: str, n_rows: int, seed: int = SEED) -> str:
                               max(n_rows // 10, 50), seed)
         with open(marker, "w") as f:
             f.write(f"{n_rows} {seed}\n")
+    # gz corpus added in round 3: generate independently so cached
+    # pre-round-3 corpora pick it up without a full regeneration
+    gz_dir = os.path.join(out_dir, "gz")
+    if not (os.path.isdir(gz_dir)
+            and any(f.endswith(".log.gz") for f in os.listdir(gz_dir))):
+        write_rawlogs_gz(gz_dir, n_rows, seed)
     return out_dir
