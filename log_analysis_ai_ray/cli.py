@@ -4,6 +4,7 @@
     python -m log_analysis_ai_ray.cli flagship --pages DIR --out DIR --resume
     python -m log_analysis_ai_ray.cli run --config pipeline.json
     python -m log_analysis_ai_ray.cli synth --out DIR --pages 10000
+    python -m log_analysis_ai_ray.cli sql --store DIR --query "SELECT ..."
 
 Owns its Ray session (guarded init; the library never calls ray.init).
 """
@@ -50,7 +51,20 @@ def main(argv=None) -> int:
     p_synth.add_argument("--pages", type=int, default=10_000)
     p_synth.add_argument("--files", type=int, default=8)
 
+    p_sql = sub.add_parser(
+        "sql", help="run SQL over a routed store's log_entries/"
+                    "log_templates views (no Ray session needed)")
+    p_sql.add_argument("--store", required=True)
+    p_sql.add_argument("--query", required=True)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "sql":
+        from .store_sql import execute_query
+
+        res = execute_query(args.store, args.query)
+        print(json.dumps(res, default=str))
+        return 0
 
     if args.cmd == "synth":
         from .synth import write_pages
