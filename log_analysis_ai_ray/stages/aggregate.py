@@ -28,6 +28,25 @@ import pyarrow.compute as pc
 from ..functions.timestamps import floor_hour
 
 
+def _assert_groupby_column_order() -> None:
+    """Repo-wide, ``group_by(...).aggregate(...).rename_columns([...])``
+    call sites assume pyarrow's keys-first result ordering (true on the
+    pinned pyarrow; OLDER releases ordered aggregate columns first, so
+    an environment downgrade would silently swap names/types). This
+    one-time probe (microseconds) fails the import loudly instead
+    (ADVICE r2)."""
+    probe = pa.table({"k": [1, 1], "v": [2, 3]}) \
+        .group_by("k").aggregate([("v", "sum")])
+    if probe.column_names != ["k", "v_sum"]:
+        raise RuntimeError(
+            "pyarrow group_by result ordering changed (expected keys "
+            f"first, got {probe.column_names}); positional "
+            "rename_columns call sites are unsafe on this pyarrow")
+
+
+_assert_groupby_column_order()
+
+
 # Per-stage stats of the most recent materialized partial pipeline
 # (ds.stats() text) — persisted by flagship.run as _stats.txt.
 LAST_EXECUTION_STATS = ""

@@ -105,28 +105,36 @@ def heavy_hitter_tokens(ds, phi: float = 0.005, k: int | None = None,
     mg_update(merged, tok, cnt, k)
     candidates = pa.array(sorted(merged.keys()), type=pa.string())
 
-    # pass 2: exact counts of candidates only (broadcast filter)
+    # pass 2: exact counts of candidates only (broadcast filter). The
+    # per-block token total rides in a dedicated is_total flag row —
+    # never as an in-band magic token a real corpus could collide with
+    # (ADVICE r2). Tokens are non-empty by construction, so the
+    # total row's empty-string token can never merge with a real one.
     def exact_partial(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern_regex(
             t.column(text_col), pattern=r"\s+"))
         toks = toks.filter(pc.not_equal(toks, ""))
         total = pa.table({
-            "token": pa.array(["\x00TOTAL"], type=pa.string()),
+            "token": pa.array([""], type=pa.string()),
+            "is_total": pa.array([1], type=pa.int64()),
             "cnt": pa.array([len(toks)], type=pa.int64()),
         })
         hits = toks.filter(pc.is_in(toks, value_set=candidates))
         tt = pa.table({"token": hits}).group_by("token").aggregate(
             [([], "count_all")]).rename_columns(["token", "cnt"])
+        tt = tt.add_column(1, "is_total",
+                           pa.array(np.zeros(tt.num_rows, dtype=np.int64)))
         return pa.concat_tables([total, tt])
 
     exact = _combine_partials(
         ds.map_batches(exact_partial, batch_format="pyarrow"),
-        keys=["token"], aggs=[("cnt", "sum")],
+        keys=["token", "is_total"], aggs=[("cnt", "sum")],
         empty_schema=pa.schema([("token", pa.string()),
+                                ("is_total", pa.int64()),
                                 ("cnt", pa.int64())]))
-    total = int(pc.sum(exact.filter(pc.equal(
-        exact.column("token"), "\x00TOTAL")).column("cnt")).as_py() or 0)
-    out = exact.filter(pc.not_equal(exact.column("token"), "\x00TOTAL"))
+    is_total = pc.equal(exact.column("is_total"), 1)
+    total = int(pc.sum(exact.filter(is_total).column("cnt")).as_py() or 0)
+    out = exact.filter(pc.invert(is_total)).drop_columns(["is_total"])
     out = out.filter(pc.greater(out.column("cnt"),
                                 pa.scalar(int(total * phi), pa.int64())))
     return out.sort_by([("cnt", "descending"), ("token", "ascending")])

@@ -276,3 +276,43 @@ def test_combine_partials_dataset_final_parity(ray_session, monkeypatch):
     got = aggregate._to_arrow(merged_ds)
     assert sorted(zip(got["k"].to_pylist(), got["v"].to_pylist())) == \
         sorted(zip(table["k"].to_pylist(), table["v"].to_pylist()))
+
+
+def test_minhash_pair_recall_vs_exact_sf001(ray_session):
+    """Recall gate at sf0.01 (fixed seeds): every planted near-dup pair
+    with exact char-5-gram Jaccard >= 0.9 must be found, so the
+    rows-only doc_minhash_pairs query stops meaning 'unmeasured'
+    (VERDICT r2 #10)."""
+    import itertools
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(sf):
+        pytest.skip("sf0.01 testdata not present")
+    t = pq.read_table(sf, columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    shingles = [frozenset(tx[i:i + 5] for i in range(max(len(tx) - 4, 1)))
+                for tx in texts]
+    truth = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        inter = len(shingles[i] & shingles[j])
+        if not inter:
+            continue
+        if inter / len(shingles[i] | shingles[j]) >= 0.9:
+            truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert len(truth) >= 20  # the corpus plants dups; guard the gate
+
+    pairs = dedup.minhash_near_dups(ray.data.from_arrow(t),
+                                    threshold=0.5)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    assert truth <= got  # recall@exact>=0.9 == 1.0
+    # and no wild false positives: every emitted pair really overlaps
+    tx = dict(zip(ids, texts))
+    for a, b, e in zip(pairs["doc_a"].to_pylist(),
+                       pairs["doc_b"].to_pylist(),
+                       pairs["est_jaccard"].to_pylist()):
+        assert abs(e - dedup.ngram_jaccard(tx[a], tx[b])) < 0.25

@@ -70,3 +70,22 @@ def test_heavy_hitter_tokens_exact(ray_session):
                 if c > int(n * 0.01)}
     got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
     assert got == expected
+
+
+def test_corpus_containing_old_sentinel_token(ray_session):
+    """A corpus whose text actually contains the literal token
+    '\\x00TOTAL' must count it like any other token (ADVICE r2: the
+    total used to ride in-band as that magic string)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import heavy_hitter_tokens
+
+    texts = ["\x00TOTAL appears here \x00TOTAL often \x00TOTAL"] * 20 \
+        + ["filler words only"] * 5
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    out = heavy_hitter_tokens(ray.data.from_arrow(t).repartition(3),
+                              phi=0.2)
+    got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+    assert got["\x00TOTAL"] == 60  # counted exactly, not swallowed
