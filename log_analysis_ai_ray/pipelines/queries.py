@@ -2074,15 +2074,31 @@ GROUP BY 1 ORDER BY 1
 
 def q_customers_without_orders(sf_dir: str):
     """Broadcast anti-join: customers with NO urgent-priority order,
-    counted per nation (the urgent-order key set is broadcast once;
-    the probe is a vectorized inverted is_in — no shuffle)."""
-    import pyarrow.parquet as pq
+    counted per nation. The urgent-custkey build side is distilled
+    DISTRIBUTEDLY (per-block distinct → partial/final merge — the
+    orders table itself never lands on the driver, VERDICT r2 #5),
+    then the distinct key set is broadcast; the probe is a vectorized
+    inverted is_in — no shuffle of the probe side."""
+    orders_ds = _read(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderpriority"])
 
-    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                           columns=["o_custkey", "o_orderpriority"])
-    urgent = orders.filter(pc.equal(orders.column("o_orderpriority"),
-                                    "1-URGENT"))
-    have = pc.unique(urgent.column("o_custkey").combine_chunks())
+    def urgent_partial(t: pa.Table) -> pa.Table:
+        u = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        keys = u.column("o_custkey")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        uniq = pc.unique(keys)
+        return pa.table({
+            "o_custkey": uniq,
+            "one": pa.array(np.ones(len(uniq), dtype=np.int64)),
+        })
+
+    have_tbl = agg._combine_partials(
+        orders_ds.map_batches(urgent_partial, batch_format="pyarrow"),
+        keys=["o_custkey"], aggs=[("one", "sum")],
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("one", pa.int64())]))
+    have = have_tbl.column("o_custkey").combine_chunks()
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
     def partial(t: pa.Table) -> pa.Table:

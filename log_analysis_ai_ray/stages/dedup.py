@@ -221,8 +221,12 @@ class MinHashStage:
         }
         if self.include_sig:
             sig_i64 = sig.view(np.int64)  # bit-preserving reinterpret
-            cols["sig"] = pa.array([sig_i64[i].tolist() for i in rep],
-                                   type=pa.list_(pa.int64()))
+            # vectorized list column: one flat values buffer + arange
+            # offsets (no per-row Python list building)
+            flat = pa.array(sig_i64[rep].ravel(), type=pa.int64())
+            offs = pa.array(
+                np.arange(len(rep) + 1, dtype=np.int32) * self.num_perm)
+            cols["sig"] = pa.ListArray.from_arrays(offs, flat)
         return pa.table(cols)
 
 

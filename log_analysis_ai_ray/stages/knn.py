@@ -206,6 +206,12 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     popular bucket. Small candidate sets pair on the driver (one numpy
     sweep, no Ray sort); in-bucket similarity is computed in row
     chunks so memory stays bounded regardless of n.
+
+    Materialized state is 16-byte (vec_id, lsh_bucket) rows only — the
+    embedding vectors are re-read in a second, id-filtered pass over
+    just the surviving candidates (same discipline as
+    dedup.minhash_near_dups), so the object store never pins dim×8
+    bytes per corpus vector.
     """
     from .aggregate import _to_arrow
     from .dedup import (_subsalt_keys, multi_bucket_sizes,
@@ -219,13 +225,17 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     # skipping actor-pool spin-up saves ~1-2 s of fixed latency
     stage = LshBucketStage(dim=dim, n_bits=n_bits, seed=seed,
                            vec_col=vec_col)
-    bucketed = ds.map_batches(
-        stage, batch_format="pyarrow").materialize()
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        return stage(t).select([id_col, "lsh_bucket"])
+
+    key_rows = ds.map_batches(
+        keys_only, batch_format="pyarrow").materialize()
 
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "sim": pa.array([], type=pa.float64())})
-    sizes = multi_bucket_sizes(bucketed, "lsh_bucket")
+    sizes = multi_bucket_sizes(key_rows, "lsh_bucket")
     if sizes.num_rows == 0:
         return empty
     multi_keys = sizes.column("lsh_bucket").combine_chunks()
@@ -237,7 +247,26 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
         return t.filter(pc.is_in(t.column("lsh_bucket"),
                                  value_set=multi_keys))
 
-    candidates = bucketed.map_batches(keep_multi, batch_format="pyarrow")
+    def cand_id_partial(t: pa.Table) -> pa.Table:
+        hit = keep_multi(t)
+        ids = hit.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: pc.unique(ids)})
+
+    cand_tbl = _to_arrow(key_rows.map_batches(cand_id_partial,
+                                              batch_format="pyarrow"))
+    if cand_tbl.num_rows == 0 or id_col not in cand_tbl.column_names:
+        return empty
+    cand_ids = pc.unique(cand_tbl.column(id_col).combine_chunks())
+
+    def keep_cand_ids(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(id_col), value_set=cand_ids))
+
+    # second pass: vectors fetched only for surviving candidate ids
+    candidates = ds.map_batches(keep_cand_ids, batch_format="pyarrow") \
+        .map_batches(stage, batch_format="pyarrow") \
+        .map_batches(keep_multi, batch_format="pyarrow")
 
     def resalt_keys(t: pa.Table) -> np.ndarray:
         keys = np.asarray(t.column("lsh_bucket"), dtype=np.int64)
