@@ -2603,5 +2603,138 @@ GROUP BY 1 ORDER BY 1
 QUERIES["asof_order_stats_partitioned"] = (q_asof_order_stats_partitioned,
                                            SQL_ASOF_ORDER_STATS)
 QUERIES["gz_level_counts"] = (q_gz_level_counts, SQL_GZ_LEVEL_COUNTS)
+def q_hourly_top_templates(sf_dir: str):
+    """Grouped top-k per time window (trending-per-hour — the
+    windowed variant of O1): counts per (masked_hash, hour) via the
+    partial/final rollup, then a vectorized per-hour rank keeping the
+    top 3 (ties broken by masked_hash — deterministic on both
+    engines). The rank runs driver-side on the merged rollup, which
+    is bounded at hours × distinct templates."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _masked_hash(t.column("masked"))
+        bucket = floor_hour(t.column("line_ts"))
+        tt = pa.table({
+            "masked_hash": h,
+            "bucket": pc.cast(bucket, pa.int64()).fill_null(-1),
+        }).group_by(["masked_hash", "bucket"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["masked_hash", "bucket", "cnt"])
+
+    out = _partial_final(ds, partial, ["masked_hash", "bucket"],
+                         [("cnt", "sum")])
+    bucket = np.asarray(out.column("bucket"), dtype=np.int64)
+    cnt = np.asarray(out.column("cnt"), dtype=np.int64)
+    mh = np.asarray(out.column("masked_hash"), dtype=np.int64)
+    # per-bucket rank: lexsort (bucket asc, cnt desc, masked_hash asc)
+    order = np.lexsort((mh, -cnt, bucket))
+    sb = bucket[order]
+    first = np.concatenate([[0], np.flatnonzero(np.diff(sb)) + 1])
+    seg_id = np.zeros(len(sb), dtype=np.int64)
+    seg_id[first[1:]] = 1
+    seg_id = np.cumsum(seg_id)
+    rk = np.arange(len(sb)) - first[seg_id] + 1
+    keep = rk <= 3
+    sel = order[keep]
+    ts = pc.if_else(pc.equal(pa.array(bucket[sel]), -1),
+                    pa.scalar(None, pa.timestamp("us")),
+                    pa.array(bucket[sel]).cast(pa.timestamp("us")))
+    res = pa.table({
+        "masked_hash": pa.array(mh[sel], type=pa.int64()),
+        "bucket": ts,
+        "cnt": pa.array(cnt[sel], type=pa.int64()),
+        "rk": pa.array(rk[keep], type=pa.int64()),
+    })
+    return res.sort_by([("bucket", "ascending"), ("rk", "ascending")])
+
+
+SQL_HOURLY_TOP_TEMPLATES = f"""
+WITH l AS (
+  SELECT {oracle_mask_sql('line')} AS masked,
+         try_strptime(regexp_extract(line, '^\\[([^\\]]+)\\]', 1),
+                      '%Y-%m-%d %H:%M:%S') AS line_ts
+  FROM {LINES_VIEW}),
+r AS (
+  SELECT {oracle_hash_expr('masked')} AS masked_hash,
+         date_trunc('hour', line_ts) AS bucket,
+         count(*) AS cnt
+  FROM l GROUP BY 1, 2),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket
+                               ORDER BY cnt DESC, masked_hash ASC) AS rk
+  FROM r)
+SELECT masked_hash, bucket, cnt, CAST(rk AS BIGINT) AS rk
+FROM k WHERE rk <= 3 ORDER BY bucket, rk
+"""
+
+
+def q_doc_repetition(sf_dir: str):
+    """Repetition quality signal (Gopher-style duplicate-line
+    fraction): per doc, total vs distinct line counts and the
+    duplicate per-mille — exact integers, one vectorized pass, no
+    shuffle. Lines = chr(10) segments including empties (matches the
+    SQL split exactly)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc.split_pattern(text, pattern="\n")
+        flat = pc.list_flatten(lines)
+        parent = np.asarray(pc.list_parent_indices(lines), dtype=np.int64)
+        n_lines = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+        # distinct lines per doc: dictionary-encode the flat lines,
+        # then count unique (parent, code) pairs — fully vectorized
+        codes = np.asarray(pc.index_in(flat, pc.unique(flat)),
+                           dtype=np.int64)
+        pair = parent * np.int64(len(flat) + 1) + codes
+        uniq_pairs = np.unique(pair)
+        n_distinct = np.bincount(
+            (uniq_pairs // np.int64(len(flat) + 1)).astype(np.int64),
+            minlength=t.num_rows).astype(np.int64)
+        denom = np.maximum(n_lines, 1)
+        dup_pm = (n_lines - n_distinct) * 1000 // denom
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_distinct_lines": pa.array(n_distinct, type=pa.int64()),
+            "dup_line_pm": pa.array(dup_pm, type=pa.int64()),
+        })
+
+    return agg._to_arrow(
+        ds.map_batches(rep, batch_format="pyarrow")).sort_by("doc_id")
+
+
+SQL_DOC_REPETITION = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(DISTINCT line) AS n_distinct_lines
+  FROM lines GROUP BY 1)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_distinct_lines AS BIGINT) AS n_distinct_lines,
+       CAST((n_lines - n_distinct_lines) * 1000 // greatest(n_lines, 1)
+            AS BIGINT) AS dup_line_pm
+FROM per_doc ORDER BY 1
+"""
+
+
 QUERIES["event_gaps"] = (q_event_gaps, SQL_EVENT_GAPS)
 QUERIES["doc_contamination"] = (q_doc_contamination, SQL_DOC_CONTAMINATION)
+def q_doc_simhash_pairs(sf_dir: str):
+    """SimHash near-duplicate pairs via Manku-style 16-bit-band
+    blocking + exact XOR/popcount verification (not SQL-expressible →
+    rows-only; exactness vs brute-force popcount asserted in tests)."""
+    from ..stages.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
+QUERIES["hourly_top_templates"] = (q_hourly_top_templates,
+                                   SQL_HOURLY_TOP_TEMPLATES)
+QUERIES["doc_repetition"] = (q_doc_repetition, SQL_DOC_REPETITION)
+QUERIES["doc_simhash_pairs"] = (q_doc_simhash_pairs, None)  # rows-only

@@ -662,6 +662,155 @@ def simhash_fingerprints(ds, id_col: str = "doc_id",
         .sort_by(id_col)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount over a 2-D uint64 matrix (numpy 2's
+    bitwise_count when present; unpackbits fallback otherwise)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    k, m = x.shape
+    return np.unpackbits(x.view(np.uint8), axis=-1) \
+        .reshape(k, m, 64).sum(axis=2).astype(np.int64)
+
+
+def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_bucket: int = 4096) -> pa.Table:
+    """SimHash near-duplicate pairs (Manku/Jain/Sarma banded blocking):
+    the 64-bit SimHash splits into 4 disjoint 16-bit bands; any two
+    hashes within Hamming distance ``max_hamming`` (< 4) agree EXACTLY
+    on at least one band (pigeonhole), so candidates are rows sharing a
+    (band_index, band_value) bucket and the in-bucket check is a
+    vectorized XOR+popcount. Exact for the simhash metric — no pair
+    within the bound is missed. Same scale discipline as MinHash:
+    keys-only rows, singleton buckets dropped before any collection,
+    oversized buckets sub-salted by the full hash (identical hashes
+    stay together). Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    from .aggregate import _to_arrow
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh = simhash64(t.column(text_col))
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        n = len(ids)
+        keys = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            keys[:, b] = (np.int64(b + 1) << np.int64(48)) \
+                | chunk.astype(np.int64)
+        rep = np.repeat(np.arange(n), 4)
+        return pa.table({
+            "band_key": pa.array(keys.ravel(), type=pa.int64()),
+            "doc_id": pa.array(ids[rep], type=pa.int64()),
+            "simhash": pa.array(sh[rep].view(np.int64), type=pa.int64()),
+        })
+
+    rows = ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "hamming": pa.array([], type=pa.int64())})
+    sizes = multi_bucket_sizes(rows, "band_key")
+    if sizes.num_rows == 0:
+        return empty
+    multi_keys = sizes.column("band_key").combine_chunks()
+    nsub = oversized_bucket_subsalts(sizes, "band_key", max_bucket,
+                                     "simhash_near_dups")
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("band_key"),
+                                 value_set=multi_keys))
+
+    cand = _to_arrow(rows.map_batches(keep_multi, batch_format="pyarrow"))
+    if cand.num_rows == 0 or "band_key" not in cand.column_names:
+        return empty
+    keys = np.asarray(cand.column("band_key"), dtype=np.int64)
+    if nsub:
+        sub_n = np.array([nsub.get(int(k), 0) for k in keys],
+                         dtype=np.uint64)
+        hit = sub_n > 0
+        if hit.any():
+            shh = np.asarray(cand.column("simhash"),
+                             dtype=np.int64).astype(np.uint64)
+            shh = (shh ^ (shh >> np.uint64(33))) * SUBSALT_MIX
+            subs = np.zeros(len(keys), dtype=np.uint64)
+            subs[hit] = shh[hit] % sub_n[hit]
+            keys = keys.copy()
+            keys[hit] = _subsalt_keys(keys[hit], subs[hit])
+    ids = np.asarray(cand.column("doc_id"), dtype=np.int64)
+    sh = np.asarray(cand.column("simhash"), dtype=np.int64) \
+        .view(np.uint64)
+    order = np.argsort(keys, kind="stable")
+    keys, ids, sh = keys[order], ids[order], sh[order]
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
+                             [len(keys)]])
+    out_a, out_b, out_h = [], [], []
+
+    def _emit(a: np.ndarray, b: np.ndarray, h) -> None:
+        neq = a != b  # duplicate doc_id rows are not pairs
+        if not neq.any():
+            return
+        out_a.append(np.minimum(a[neq], b[neq]))
+        out_b.append(np.maximum(a[neq], b[neq]))
+        out_h.append(np.broadcast_to(h, a.shape)[neq]
+                     if np.ndim(h) else np.full(neq.sum(), h,
+                                                dtype=np.int64))
+
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        gi, gs = ids[s:e], sh[s:e]
+        # group by IDENTICAL hash first: an identical-hash flood
+        # (boilerplate corpus) costs O(m) via the star emission, and
+        # the quadratic check runs over UNIQUE hashes only
+        uorder = np.lexsort((gi, gs))
+        gi, gs = gi[uorder], gs[uorder]
+        ustart = np.concatenate([[0], np.flatnonzero(np.diff(gs) != 0) + 1])
+        uend = np.concatenate([ustart[1:], [len(gs)]])
+        uh = gs[ustart]
+        roots = gi[ustart]  # min doc_id per group (gi sorted within)
+        # stars inside identical-hash groups (hamming 0, exact)
+        for us, ue in zip(ustart, uend):
+            if ue - us > 1:
+                _emit(np.full(ue - us - 1, gi[us]), gi[us + 1:ue],
+                      np.int64(0))
+        # pairwise over unique hashes, chunked
+        mu = len(uh)
+        chunk = max(4_000_000 // max(mu, 1), 16)
+        for lo in range(0, mu - 1, chunk):
+            hi = min(lo + chunk, mu)
+            ham = _popcount64(uh[lo:hi, None] ^ uh[None, :])
+            ri, ci = np.nonzero((ham <= max_hamming) & (ham > 0))
+            keep = (ri + lo) < ci
+            if not keep.any():
+                continue
+            ri, ci = ri[keep], ci[keep]
+            # expand group-pairs to member cross-pairs while bounded;
+            # past the cap connect via group roots (same connected
+            # component — the MinHash star-cap discipline)
+            for r, c, hm in zip(ri + lo, ci, ham[ri, ci]):
+                na, nb = uend[r] - ustart[r], uend[c] - ustart[c]
+                if na * nb <= MAX_PAIRS_PER_GROUP:
+                    a = np.repeat(gi[ustart[r]:uend[r]], nb)
+                    b = np.tile(gi[ustart[c]:uend[c]], na)
+                    _emit(a, b, np.int64(hm))
+                else:
+                    logger.warning(
+                        "simhash_near_dups: group pair %d×%d rows "
+                        "capped to root link", na, nb)
+                    _emit(np.array([roots[r]]), np.array([roots[c]]),
+                          np.int64(hm))
+    if not out_a:
+        return empty
+    out = pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
+    })
+    # a pair surfaces once per agreeing band; dedup on min hamming
+    out = out.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]) \
+        .rename_columns(["doc_a", "doc_b", "hamming"])
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
     """Exact char-shingle Jaccard (verification oracle for MinHash)."""
     sa = {text_a[i:i + width] for i in range(max(len(text_a) - width + 1, 1))}

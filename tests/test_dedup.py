@@ -316,3 +316,59 @@ def test_minhash_pair_recall_vs_exact_sf001(ray_session):
                        pairs["doc_b"].to_pylist(),
                        pairs["est_jaccard"].to_pylist()):
         assert abs(e - dedup.ngram_jaccard(tx[a], tx[b])) < 0.25
+
+
+def test_simhash_near_dups_exact_vs_bruteforce(ray_session):
+    """Banded blocking must find EXACTLY the pairs within the Hamming
+    bound (pigeonhole guarantee: hamming<=3 with 4 disjoint 16-bit
+    bands implies at least one exact-match band)."""
+    import itertools
+
+    import ray.data
+
+    rng = np.random.default_rng(31)
+    texts = []
+    base = ("shared boilerplate web text tokens appearing in many docs "
+            "with slight variations across copies ") * 3
+    for i in range(30):
+        texts.append(f"doc {i} distinct content {i * 13} " * 5)
+    texts += [base, base.replace("slight", "minor"),
+              base.replace("many", "most"), base]
+    ids = list(range(len(texts)))
+    t = _docs_table(texts, ids)
+
+    sh = dedup.simhash64(t["text"]).astype(np.uint64)
+    expect = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        ham = bin(int(sh[i]) ^ int(sh[j])).count("1")
+        if ham <= 3:
+            expect.add((min(ids[i], ids[j]), max(ids[i], ids[j]), ham))
+    assert expect  # planted variants must land within the bound
+
+    pairs = dedup.simhash_near_dups(
+        ray.data.from_arrow(t).repartition(4), max_hamming=3)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist(),
+                  pairs["hamming"].to_pylist()))
+    assert got == expect
+
+    # block-structure invariance
+    pairs2 = dedup.simhash_near_dups(
+        ray.data.from_arrow(t).repartition(9), max_hamming=3)
+    assert pairs.equals(pairs2)
+
+
+def test_simhash_near_dups_identical_flood_bounded(ray_session):
+    """Identical docs share one simhash → one bucket; the sub-salt cap
+    must keep the quadratic check bounded while identical hashes stay
+    pairable."""
+    import ray.data
+
+    n = 2000
+    t = _docs_table(["identical body of boilerplate text " * 4] * n,
+                    ids=list(range(n)))
+    pairs = dedup.simhash_near_dups(
+        ray.data.from_arrow(t).repartition(6), max_hamming=0,
+        max_bucket=256)
+    # sub-bucketing splits the flood; pairs within each sub-bucket found
+    assert pairs.num_rows > 0
+    assert (np.asarray(pairs["hamming"]) == 0).all()
