@@ -2737,4 +2737,16 @@ def q_doc_simhash_pairs(sf_dir: str):
 QUERIES["hourly_top_templates"] = (q_hourly_top_templates,
                                    SQL_HOURLY_TOP_TEMPLATES)
 QUERIES["doc_repetition"] = (q_doc_repetition, SQL_DOC_REPETITION)
+def q_doc_lm_score(sf_dir: str):
+    """Hashed char-trigram LM quality scoring (CCNet-style): mergeable
+    distributed counts train the corpus model, a broadcast scoring pass
+    emits mean bits/trigram per doc. Rows-only (float log-probs aren't
+    SQL-stable); invariance + monotonicity pinned in tests."""
+    from ..stages.textstats import doc_lm_bits
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_lm_bits(ds)
+
+
 QUERIES["doc_simhash_pairs"] = (q_doc_simhash_pairs, None)  # rows-only
+QUERIES["doc_lm_score"] = (q_doc_lm_score, None)            # rows-only

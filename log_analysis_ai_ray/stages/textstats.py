@@ -206,3 +206,119 @@ def hash_ngram_vectors(text_array, dim: int = 64, n: int = 3) -> np.ndarray:
     norm = np.linalg.norm(M, axis=1, keepdims=True)
     norm[norm == 0] = 1.0
     return M / norm
+
+
+# ---------------------------------------------------------------------------
+# Hashed char-trigram language-model scoring (CCNet-style quality
+# signal: documents whose character statistics diverge from the corpus
+# model score high bits/trigram — gibberish, encoding junk, foreign
+# scripts; boilerplate scores low). The model is a bounded 2^16-bucket
+# hashed count table: mergeable partial counts (one small table per
+# block, no raw trigrams shuffled), broadcast once for the scoring
+# pass. Two passes over the text by design, like the flagship.
+# ---------------------------------------------------------------------------
+
+LM_BUCKETS = 1 << 16
+_LM_BASE = np.uint64(1099511628211)
+
+
+def trigram_bucket_ids(text_array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat bucket ids, per-doc trigram counts) — rolling-hash char
+    trigrams folded into LM_BUCKETS, cross-document windows excluded
+    (same compact-gather discipline as fingerprints)."""
+    buf, offsets = _flat_bytes(text_array)
+    lens = offsets[1:] - offsets[:-1]
+    if len(buf) >= 3:
+        h = np.zeros(len(buf) - 2, dtype=np.uint64)
+        b = buf.astype(np.uint64)
+        for k in range(3):
+            h = h * _LM_BASE + b[k:len(b) - 2 + k]
+    else:
+        h = np.empty(0, dtype=np.uint64)
+    seg_len = np.maximum(lens - 2, 0).astype(np.int64)
+    total = int(seg_len.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), seg_len
+    starts = offsets[:-1][seg_len > 0]
+    sl = seg_len[seg_len > 0]
+    vidx = np.repeat(starts, sl) + (
+        np.arange(total) - np.repeat(np.cumsum(sl) - sl, sl))
+    buckets = (h[vidx] % np.uint64(LM_BUCKETS)).astype(np.int64)
+    return buckets, seg_len
+
+
+def lm_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block hashed-trigram counts (≤ LM_BUCKETS rows per block)."""
+    buckets, _ = trigram_bucket_ids(batch.column(text_col))
+    counts = np.bincount(buckets, minlength=LM_BUCKETS)
+    nz = np.flatnonzero(counts)
+    return pa.table({
+        "bucket": pa.array(nz, type=pa.int64()),
+        "cnt": pa.array(counts[nz], type=pa.int64()),
+    })
+
+
+def train_lm(ds, text_col: str = "text") -> np.ndarray:
+    """Corpus trigram model: merged bucket counts (int64[LM_BUCKETS])."""
+    from .aggregate import _combine_partials
+
+    merged = _combine_partials(
+        ds.map_batches(lambda t: lm_count_partial(t, text_col),
+                       batch_format="pyarrow"),
+        keys=["bucket"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("bucket", pa.int64()),
+                                ("cnt", pa.int64())]))
+    model = np.zeros(LM_BUCKETS, dtype=np.int64)
+    model[np.asarray(merged.column("bucket"))] = \
+        np.asarray(merged.column("cnt"))
+    return model
+
+
+class LmScoreStage:
+    """map_batches stage: mean bits/trigram per doc under the broadcast
+    add-one-smoothed model. Per-doc sums run as one segment reduce in
+    doc order, so scores are block-structure invariant."""
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        model = (ray.get(model_ref)
+                 if isinstance(model_ref, ray.ObjectRef) else model_ref)
+        total = model.sum()
+        # precomputed per-bucket bits: -log2((cnt+1)/(total+B))
+        self.bits = -np.log2((model + 1.0) / float(total + LM_BUCKETS))
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        buckets, seg_len = trigram_bucket_ids(batch.column(self.text_col))
+        per_doc = np.zeros(batch.num_rows, dtype=np.float64)
+        nz = seg_len > 0
+        if buckets.size:
+            seg_starts = (np.cumsum(seg_len) - seg_len)[nz]
+            per_doc[nz] = np.add.reduceat(self.bits[buckets], seg_starts) \
+                / seg_len[nz]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_trigrams": pa.array(seg_len, type=pa.int64()),
+            "bits_per_trigram": pa.array(np.round(per_doc, 4),
+                                         type=pa.float64()),
+        })
+
+
+def doc_lm_bits(ds, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Two-pass LM scoring: distributed mergeable counts → broadcast
+    model → vectorized per-doc bits."""
+    import ray
+
+    from .aggregate import _to_arrow
+
+    model = train_lm(ds, text_col)
+    ref = ray.put(model)
+    scored = ds.map_batches(
+        LmScoreStage, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+    return _to_arrow(scored).sort_by(id_col)

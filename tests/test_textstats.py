@@ -74,3 +74,46 @@ def test_fingerprint_block_boundary_independent():
     f_ab = textstats.fingerprints(t_ab)["fingerprint"].to_pylist()
     f_a = textstats.fingerprints(t_a)["fingerprint"].to_pylist()
     assert f_ab[0] == f_a[0]
+
+
+def test_lm_scoring_separates_gibberish(ray_session):
+    """Corpus-modal text must score fewer bits/trigram than gibberish;
+    scores are block-structure invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.textstats import doc_lm_bits
+
+    rng = np.random.default_rng(41)
+    normal = ["the quick brown fox jumps over the lazy dog and runs on "
+              f"path {i} through the usual fields of text" for i in range(40)]
+    gib = ["".join(chr(33 + int(c)) for c in rng.integers(0, 90, 80))
+           for _ in range(3)]
+    texts = normal + gib
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = doc_lm_bits(ray.data.from_arrow(t).repartition(4))
+    bits = dict(zip(out["doc_id"].to_pylist(),
+                    out["bits_per_trigram"].to_pylist()))
+    mean_normal = np.mean([bits[i] for i in range(40)])
+    mean_gib = np.mean([bits[i] for i in range(40, 43)])
+    assert mean_gib > mean_normal + 2.0  # clear separation
+
+    out2 = doc_lm_bits(ray.data.from_arrow(t).repartition(9))
+    assert out.equals(out2)
+
+
+def test_lm_empty_and_short_docs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.textstats import doc_lm_bits
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(["", "ab", "abcdef"], type=pa.string())})
+    out = doc_lm_bits(ray.data.from_arrow(t))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["n_trigrams"] == 0 and rows[1]["bits_per_trigram"] == 0
+    assert rows[2]["n_trigrams"] == 0
+    assert rows[3]["n_trigrams"] == 4
