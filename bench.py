@@ -46,6 +46,21 @@ BENCH_QUERIES = [
     "search_logs",
 ]
 
+# Round-3 operators, timed separately so the headline "value" stays
+# comparable across rounds (BENCH_QUERIES is frozen; these report in
+# "queries" + "value_extras"). knn_ivf exercises the persisted
+# partition-pruned ANN store (first run builds it; cached after).
+BENCH_EXTRA = [
+    "asof_order_stats_partitioned",
+    "gz_level_counts",
+    "event_gaps",
+    "hourly_top_templates",
+    "doc_repetition",
+    "doc_simhash_pairs",
+    "doc_lm_score",
+    "knn_ivf",
+]
+
 
 def _init_ray(num_cpus: int):
     import ray
@@ -156,7 +171,7 @@ def main() -> None:
     # arbitrary processes. The min is the engine's reproducible time.
     # BASELINE.md documents the protocol; all three raw timings are
     # emitted too so both semantics are recorded (ADVICE r2).
-    for name in BENCH_QUERIES:
+    def _time_query(name: str) -> None:
         fn, _sql = QUERIES[name]
         times = []
         for _ in range(3):
@@ -168,10 +183,16 @@ def main() -> None:
             times.append(round(time.time() - t0, 3))
         per_query[name] = min(times)
         all_runs[name] = times
+
+    for name in BENCH_QUERIES:
+        _time_query(name)
+    total = sum(per_query.values())
+    for name in BENCH_EXTRA:
+        _time_query(name)
+    value_extras = round(sum(per_query[n] for n in BENCH_EXTRA), 3)
     wall_clock = time.time() - wall_t0
     probe_after = _cpu_units_per_sec(8, reps=1)
 
-    total = sum(per_query.values())
     print(json.dumps({
         "metric": "end-to-end parse→enrich→route→aggregate + operator suite",
         "value": round(total, 3),
@@ -182,6 +203,8 @@ def main() -> None:
                     "true elapsed incl. warmups and repeats",
         "queries": per_query,
         "queries_all_runs": all_runs,
+        "value_extras": value_extras,
+        "extra_queries": BENCH_EXTRA,
         "wall_clock_sec": round(wall_clock, 3),
         "host_cpu_probe": {"before": round(probe_before, 3),
                            "after": round(probe_after, 3),

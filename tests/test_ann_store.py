@@ -1,8 +1,11 @@
 """Persisted partition-pruned ANN store: parity with the in-memory
 scale-path operators, pruned-read bytes fraction, recall gates."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from log_analysis_ai_ray.stages import ann_store, knn
 
@@ -116,3 +119,29 @@ def test_embedding_near_dups_no_self_pairs(ray_session):
     ids = list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     assert (5, 7) in ids
     assert all(a < b for a, b in ids)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"),
+    reason="sf0.01 testdata not present")
+def test_registry_ann_recall_at_sf001(ray_session):
+    """Pin knn_lsh / knn_ivf recall@10 vs knn_cosine on the real
+    sf0.01 embeddings (fixed seeds) — the rows-only registry entries
+    are quality-gated, not just 'runs'."""
+    from log_analysis_ai_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = QUERIES["knn_cosine"][0](sf)
+    by_q = {}
+    for qq, v in zip(exact["query_id"].to_pylist(),
+                     exact["vec_id"].to_pylist()):
+        by_q.setdefault(qq, set()).add(v)
+    for name in ("knn_lsh", "knn_ivf"):
+        approx = QUERIES[name][0](sf)
+        for qq in by_q:
+            a = {v for q2, v in zip(approx["query_id"].to_pylist(),
+                                    approx["vec_id"].to_pylist())
+                 if q2 == qq}
+            assert qq in a, f"{name}: query {qq} missing its own vector"
+            recall = len(a & by_q[qq]) / len(by_q[qq])
+            assert recall >= 0.3, f"{name} recall@10={recall} for {qq}"
