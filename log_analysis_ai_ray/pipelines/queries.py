@@ -2749,4 +2749,21 @@ def q_doc_lm_score(sf_dir: str):
 
 
 QUERIES["doc_simhash_pairs"] = (q_doc_simhash_pairs, None)  # rows-only
+def q_doc_shared_passages(sf_dir: str):
+    """Passage-level dedup (shared-paragraph detection exact dedup
+    misses): winnowed rolling-hash fingerprints per doc, singleton
+    fingerprints dropped pre-collection, doc pairs with shared-fp
+    counts. Guaranteed to surface any pair sharing ≥ window+k-1 = 47
+    chars in ≥ min_shared distinct passages. Rows-only; the winnowing
+    guarantee is pinned in tests."""
+    from ..stages.dedup import winnow_passage_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # k=16/window=32 → only passages ≥ 47 chars fingerprint; ≥ 4
+    # distinct shared passages required — template boilerplate in the
+    # corpus would otherwise pair nearly every doc
+    return winnow_passage_pairs(ds, k=16, window=32, min_shared=4)
+
+
 QUERIES["doc_lm_score"] = (q_doc_lm_score, None)            # rows-only
+QUERIES["doc_shared_passages"] = (q_doc_shared_passages, None)

@@ -662,6 +662,140 @@ def simhash_fingerprints(ds, id_col: str = "doc_id",
         .sort_by(id_col)
 
 
+def winnow_doc_fps(text_array, k: int = 8,
+                   window: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprints per doc (Schleimer/Wilkerson/Aiken):
+    rolling k-char hashes → per-position window minima → the doc's
+    DISTINCT selected values. Guarantee: two docs sharing any
+    substring of ≥ window + k - 1 chars share at least one
+    fingerprint value (the shared window's minimum). Returns (flat
+    fps, parent doc indices), fully vectorized; docs with fewer than
+    ``window`` hashes contribute their single overall minimum."""
+    h, (starts, ends) = shingle_hashes(text_array, k)
+    n = len(starts)
+    seg_len = (ends - starts).astype(np.int64)
+    nonempty = seg_len > 0
+    if not nonempty.any():
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    # compact valid windows (cross-doc excluded), as in minhash
+    sl = seg_len[nonempty]
+    total = int(sl.sum())
+    vidx = np.repeat(starts[nonempty], sl) + (
+        np.arange(total) - np.repeat(np.cumsum(sl) - sl, sl))
+    hv = h[vidx]
+    seg_starts = np.cumsum(sl) - sl
+    doc_ids = np.flatnonzero(nonempty)
+    if total >= window:
+        roll = np.lib.stride_tricks.sliding_window_view(
+            hv, window).min(axis=1)
+    else:
+        roll = np.empty(0, dtype=np.uint64)
+    # long docs: all in-segment window minima, gathered flat; short
+    # docs: one overall minimum — both fully vectorized
+    long = sl >= window
+    vals_parts, par_parts = [], []
+    if long.any():
+        wl = (sl[long] - window + 1).astype(np.int64)
+        wtotal = int(wl.sum())
+        widx = np.repeat(seg_starts[long], wl) + (
+            np.arange(wtotal) - np.repeat(np.cumsum(wl) - wl, wl))
+        vals_parts.append(roll[widx])
+        par_parts.append(np.repeat(doc_ids[long], wl))
+    if (~long).any():
+        # reduceat over ALL segment starts (segments tile hv exactly),
+        # then select the short docs' minima
+        mins_all = np.minimum.reduceat(hv, seg_starts)
+        vals_parts.append(mins_all[~long])
+        par_parts.append(doc_ids[~long])
+    vals = np.concatenate(vals_parts)
+    parent = np.concatenate(par_parts)
+    # per-doc distinct: sort by (parent, value), keep firsts
+    order = np.lexsort((vals, parent))
+    vals, parent = vals[order], parent[order]
+    keep = np.concatenate(
+        [[True], (parent[1:] != parent[:-1]) | (vals[1:] != vals[:-1])])
+    return vals[keep], parent[keep]
+
+
+def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_bucket: int = 4096,
+                         min_shared: int = 1) -> pa.Table:
+    """Cross-document shared-passage detection (passage-level dedup,
+    the 'repeated boilerplate paragraph' case exact dedup misses):
+    winnowed fingerprints per doc → singleton fingerprints dropped
+    before any collection → docs sharing a fingerprint pair up with
+    their shared-fingerprint count. Any pair sharing a passage of
+    ≥ window + k - 1 chars is guaranteed to surface. Groups larger
+    than the pair cap emit a star (min doc to each member) — same
+    bounded-expansion discipline as MinHash. Returns
+    (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    from .aggregate import _to_arrow
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        fps, parent = winnow_doc_fps(t.column(text_col), k, window)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        return pa.table({
+            "fp": pa.array(fps.view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(ids[parent], type=pa.int64()),
+        })
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "n_shared": pa.array([], type=pa.int64())})
+    sizes = multi_bucket_sizes(rows, "fp")
+    if sizes.num_rows == 0:
+        return empty
+    multi_keys = sizes.column("fp").combine_chunks()
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("fp"), value_set=multi_keys))
+
+    cand = _to_arrow(rows.map_batches(keep_multi, batch_format="pyarrow"))
+    if cand.num_rows == 0 or "fp" not in cand.column_names:
+        return empty
+    fp = np.asarray(cand.column("fp"), dtype=np.int64)
+    ids = np.asarray(cand.column("doc_id"), dtype=np.int64)
+    order = np.lexsort((ids, fp))
+    fp, ids = fp[order], ids[order]
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(fp)) + 1,
+                             [len(fp)]])
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g = np.unique(ids[s:e])
+        m = len(g)
+        if m < 2:
+            continue
+        if m * (m - 1) // 2 <= MAX_PAIRS_PER_GROUP:
+            ai, bi = np.triu_indices(m, k=1)
+            out_a.append(g[ai])
+            out_b.append(g[bi])
+        else:
+            logger.warning(
+                "winnow_passage_pairs: fingerprint shared by %d docs "
+                "capped to star emission", m)
+            out_a.append(np.full(m - 1, g[0]))
+            out_b.append(g[1:])
+    if not out_a:
+        return empty
+    out = pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        "n_shared": pa.array(
+            np.ones(sum(len(a) for a in out_a), dtype=np.int64)),
+    })
+    out = out.group_by(["doc_a", "doc_b"]).aggregate([("n_shared", "sum")]) \
+        .rename_columns(["doc_a", "doc_b", "n_shared"])
+    if min_shared > 1:
+        # corpora with pervasive short boilerplate pair almost
+        # everything at 1 shared fp; requiring several distinct shared
+        # passages keeps the signal about substantive reuse
+        out = out.filter(pc.greater_equal(out.column("n_shared"),
+                                          min_shared))
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount over a 2-D uint64 matrix (numpy 2's
     bitwise_count when present; unpackbits fallback otherwise)."""

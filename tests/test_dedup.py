@@ -372,3 +372,46 @@ def test_simhash_near_dups_identical_flood_bounded(ray_session):
     # sub-bucketing splits the flood; pairs within each sub-bucket found
     assert pairs.num_rows > 0
     assert (np.asarray(pairs["hamming"]) == 0).all()
+
+
+def test_winnowing_guarantee_and_pairs(ray_session):
+    """Any two docs sharing a substring of >= window + k - 1 chars must
+    pair (the winnowing guarantee); unrelated docs must not."""
+    import ray.data
+
+    shared = "this exact passage is copied verbatim between documents"
+    texts = [
+        f"doc zero prefix {0}. " + shared + " and a unique tail zero",
+        "totally different content with no reuse at all here one",
+        f"doc two leads differently. " + shared + " then ends uniquely",
+        "another unrelated document body with its own words three",
+    ]
+    t = _docs_table(texts, ids=[10, 11, 12, 13])
+    pairs = dedup.winnow_passage_pairs(
+        ray.data.from_arrow(t).repartition(3), k=8, window=16)
+    got = {(a, b) for a, b in zip(pairs["doc_a"].to_pylist(),
+                                  pairs["doc_b"].to_pylist())}
+    assert (10, 12) in got  # len(shared) = 55 >= 16+8-1
+    assert not any({11, 13} & {a, b} for a, b in got
+                   if (a, b) != (10, 12) and (a in (11, 13) or b in (11, 13)))
+
+    # block-structure invariance
+    pairs2 = dedup.winnow_passage_pairs(
+        ray.data.from_arrow(t).repartition(1), k=8, window=16)
+    assert pairs.equals(pairs2)
+
+
+def test_winnowing_short_docs_and_empty(ray_session):
+    import ray.data
+
+    # 12-char docs: >= k hashes but < window → overall-min fallback;
+    # sub-k and empty docs contribute no fingerprints at all (a
+    # passage shorter than k chars is exact-dedup's job)
+    t = _docs_table(["short thing!", "short thing!", "x", ""],
+                    ids=[1, 2, 3, 4])
+    pairs = dedup.winnow_passage_pairs(ray.data.from_arrow(t),
+                                       k=8, window=16)
+    got = {(a, b) for a, b in zip(pairs["doc_a"].to_pylist(),
+                                  pairs["doc_b"].to_pylist())}
+    assert (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
