@@ -2765,5 +2765,125 @@ def q_doc_shared_passages(sf_dir: str):
     return winnow_passage_pairs(ds, k=16, window=32, min_shared=4)
 
 
+def q_lang_distinctive_terms(sf_dir: str):
+    """Two-level relevance aggregate (TF-IDF shape): per-language term
+    frequencies and global document frequencies from one tokenize
+    pass each (per-block combiners; docs never straddle batches, so
+    per-block distinct-doc counts sum exactly), joined driver-side
+    with the score kept in INTEGER arithmetic (tf·10⁶ // df) so both
+    engines rank identically — no float drift. Top-5 terms per
+    language. At web scale the vocab final would use
+    dataset_final=True; the driver table here is bounded by corpus
+    vocabulary."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _terms(t: pa.Table):
+        """(flat lowercase alpha terms ≥3 chars, parent doc indices) —
+        mirrors the SQL regexp_extract_all('[a-z]{3,}') exactly."""
+        lst = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t.column("text")), r"[^a-z]+", " "),
+            pattern=" ")
+        flat = pc.list_flatten(lst)
+        parent = np.asarray(pc.list_parent_indices(lst), dtype=np.int64)
+        keep = np.asarray(pc.utf8_length(flat)) >= 3
+        return flat.filter(pa.array(keep)), parent[keep]
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _terms(t)
+        langs = t.column("lang")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        tt = pa.table({
+            "lang": langs.take(pa.array(parent)),
+            "term": flat,
+        }).group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["lang", "term", "tf"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _terms(t)
+        # distinct (doc, term) within the block == within the doc
+        uniq = pa.table({"term": flat,
+                         "p": pa.array(parent)}).group_by(["term", "p"]) \
+            .aggregate([])
+        tt = uniq.group_by("term").aggregate([([], "count_all")])
+        return tt.rename_columns(["term", "df"])
+
+    tf = _partial_final(ds, tf_partial, ["lang", "term"], [("tf", "sum")])
+    df = _partial_final(ds, df_partial, ["term"], [("df", "sum")])
+    dfm = dict(zip(df.column("term").to_pylist(),
+                   df.column("df").to_pylist()))
+    tf_terms = tf.column("term").to_pylist()
+    tfv = np.asarray(tf.column("tf"), dtype=np.int64)
+    dfv = np.array([dfm[x] for x in tf_terms], dtype=np.int64)
+    score = tfv * 1_000_000 // dfv
+    langs = np.asarray(tf.column("lang").cast(pa.string()), dtype=object)
+    terms = np.asarray(tf.column("term"), dtype=object)
+    order = np.lexsort((terms, -score, langs))
+    sl = langs[order]
+    first = np.concatenate([[0], np.flatnonzero(sl[1:] != sl[:-1]) + 1])
+    seg_id = np.zeros(len(sl), dtype=np.int64)
+    seg_id[first[1:]] = 1
+    seg_id = np.cumsum(seg_id)
+    rk = np.arange(len(sl)) - first[seg_id] + 1
+    keep = rk <= 5
+    sel = order[keep]
+    out = pa.table({
+        "lang": pa.array(langs[sel].tolist(), type=pa.string()),
+        "term": pa.array(terms[sel].tolist(), type=pa.string()),
+        "tf": pa.array(tfv[sel], type=pa.int64()),
+        "df": pa.array(dfv[sel], type=pa.int64()),
+        "score": pa.array(score[sel], type=pa.int64()),
+        "rk": pa.array(rk[keep], type=pa.int64()),
+    })
+    return out.sort_by([("lang", "ascending"), ("rk", "ascending")])
+
+
+SQL_LANG_DISTINCTIVE_TERMS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+  FROM documents),
+tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+s AS (SELECT lang, term, tf, df, tf * 1000000 // df AS score
+      FROM tf JOIN df USING (term)),
+k AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY score DESC, term ASC) AS rk
+      FROM s)
+SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+FROM k WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+
+def q_price_histogram(sf_dir: str):
+    """Numeric histogram operator: lineitem extendedprice binned at
+    $1000 in exact integer cents (partial/final — one small bin table
+    per block crosses the shuffle)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        bin_ = pc.cast(pc.divide(cents, 100_000), pa.int64())
+        tt = pa.table({"bin": bin_}).group_by("bin") \
+            .aggregate([([], "count_all")])
+        return tt.rename_columns(["bin", "cnt"])
+
+    out = _partial_final(ds, partial, ["bin"], [("cnt", "sum")])
+    return out.sort_by("bin")
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS bin,
+       count(*) AS cnt
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES["doc_lm_score"] = (q_doc_lm_score, None)            # rows-only
 QUERIES["doc_shared_passages"] = (q_doc_shared_passages, None)
+QUERIES["lang_distinctive_terms"] = (q_lang_distinctive_terms,
+                                     SQL_LANG_DISTINCTIVE_TERMS)
+QUERIES["price_histogram"] = (q_price_histogram, SQL_PRICE_HISTOGRAM)
