@@ -57,6 +57,27 @@ def main(argv=None) -> int:
     p_sql.add_argument("--store", required=True)
     p_sql.add_argument("--query", required=True)
 
+    p_ab = sub.add_parser(
+        "ann-build", help="build a persisted partition-pruned ANN "
+                          "store from an embeddings parquet")
+    p_ab.add_argument("--embeddings", required=True)
+    p_ab.add_argument("--store", required=True)
+    p_ab.add_argument("--kind", choices=("ivf", "lsh"), default="ivf")
+    p_ab.add_argument("--n-centroids", type=int, default=16)
+    p_ab.add_argument("--n-bits", type=int, default=8)
+    p_ab.add_argument("--id-col", default="vec_id")
+    p_ab.add_argument("--vec-col", default="embedding")
+
+    p_aq = sub.add_parser(
+        "ann-query", help="top-k similarity search against a store "
+                          "(reads only the probed partitions)")
+    p_aq.add_argument("--store", required=True)
+    p_aq.add_argument("--query-parquet", required=True,
+                      help="parquet holding the query vector's row")
+    p_aq.add_argument("--vec-id", type=int, required=True)
+    p_aq.add_argument("--k", type=int, default=10)
+    p_aq.add_argument("--nprobe", type=int, default=4)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "sql":
@@ -80,6 +101,57 @@ def main(argv=None) -> int:
 
     _ensure_ray(args.num_cpus)
     try:
+        if args.cmd == "ann-build":
+            import ray.data
+
+            from .stages import ann_store
+
+            ds = ray.data.read_parquet(
+                args.embeddings, columns=[args.id_col, args.vec_col])
+            if args.kind == "ivf":
+                meta = ann_store.build_ivf_store(
+                    ds, args.store, n_centroids=args.n_centroids,
+                    id_col=args.id_col, vec_col=args.vec_col)
+            else:
+                import pyarrow.parquet as pq
+
+                dim = len(pq.read_table(
+                    args.embeddings,
+                    columns=[args.vec_col]).column(0)[0].as_py())
+                meta = ann_store.build_lsh_store(
+                    ds, args.store, dim=dim, n_bits=args.n_bits,
+                    id_col=args.id_col, vec_col=args.vec_col)
+            print(json.dumps(meta))
+            return 0
+        if args.cmd == "ann-query":
+            import numpy as np
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            from .stages import ann_store
+
+            meta = ann_store.load_meta(args.store)
+            qt = pq.read_table(
+                args.query_parquet,
+                columns=[meta["id_col"], meta["vec_col"]])
+            qt = qt.filter(pc.equal(qt.column(meta["id_col"]),
+                                    args.vec_id))
+            if qt.num_rows == 0:
+                print(json.dumps(
+                    {"error": f"vec_id {args.vec_id} not found"}),
+                    file=sys.stderr)
+                return 2
+            Q = np.asarray([qt.column(meta["vec_col"])[0].as_py()],
+                           dtype=np.float64)
+            if meta["kind"] == "ivf":
+                out = ann_store.ivf_store_topk(
+                    args.store, [args.vec_id], Q, k=args.k,
+                    nprobe=args.nprobe)
+            else:
+                out = ann_store.lsh_store_topk(
+                    args.store, [args.vec_id], Q, k=args.k)
+            print(json.dumps(out.to_pylist()))
+            return 0
         if args.cmd == "flagship":
             from .pipelines import flagship
 

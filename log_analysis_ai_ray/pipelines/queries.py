@@ -2884,6 +2884,20 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 
 QUERIES["doc_lm_score"] = (q_doc_lm_score, None)            # rows-only
 QUERIES["doc_shared_passages"] = (q_doc_shared_passages, None)
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events (one 4 KB
+    register sketch per block, merged by max — no shuffle). Rows-only:
+    the estimate is approximate by construction; the ≤5% error bound
+    and bit-exact mergeability are pinned in tests."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"metric": pa.array(["approx_distinct_users"]),
+                     "estimate": pa.array([est], type=pa.int64())})
+
+
 QUERIES["lang_distinctive_terms"] = (q_lang_distinctive_terms,
                                      SQL_LANG_DISTINCTIVE_TERMS)
 QUERIES["price_histogram"] = (q_price_histogram, SQL_PRICE_HISTOGRAM)
+QUERIES["approx_distinct_users"] = (q_approx_distinct_users, None)

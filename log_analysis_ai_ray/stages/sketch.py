@@ -138,3 +138,86 @@ def heavy_hitter_tokens(ds, phi: float = 0.005, k: int | None = None,
     out = out.filter(pc.greater(out.column("cnt"),
                                 pa.scalar(int(total * phi), pa.int64())))
     return out.sort_by([("cnt", "descending"), ("token", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count — the second mergeable
+# summary (with Misra-Gries above): one 2^p-register sketch per block
+# crosses the shuffle-free reduce, merged by elementwise max on the
+# driver. Deterministic (splitmix64 hash), ~1.04/sqrt(2^p) standard
+# error; small cardinalities fall back to linear counting.
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """uint8[2^p] register array for an int64 value batch."""
+    h = _splitmix64(values.astype(np.uint64))
+    m = np.uint64(1 << p)
+    idx = (h & (m - np.uint64(1))).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rank = leading position of first 1-bit in the remaining 64-p bits
+    nbits = 64 - p
+    rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+    found = np.zeros(len(h), dtype=bool)
+    for b in range(nbits):
+        hit = ~found & (((rest >> np.uint64(nbits - 1 - b))
+                         & np.uint64(1)) == 1)
+        rank[hit] = b + 1
+        found |= hit
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray, p: int = HLL_P) -> float:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting
+    return raw
+
+
+class HllSketchStage:
+    """map_batches stage: one (registers) row per block for an int64
+    column; registers travel as a 2^p-byte binary blob."""
+
+    def __init__(self, col: str, p: int = HLL_P):
+        self.col = col
+        self.p = p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.asarray(pc.cast(batch.column(self.col),
+                                  pa.int64()).drop_null(),
+                          dtype=np.int64)
+        regs = hll_registers(vals, self.p)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          type=pa.binary())})
+
+
+def approx_distinct(ds, col: str, p: int = HLL_P) -> int:
+    """Estimated distinct count of an int64 column: one small sketch
+    row per block, merged driver-side."""
+    from .aggregate import _to_arrow
+
+    rows = _to_arrow(ds.map_batches(HllSketchStage(col, p),
+                                    batch_format="pyarrow"))
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if "regs" in rows.column_names:
+        for blob in rows.column("regs").to_pylist():
+            regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+    return int(round(hll_estimate(regs, p)))

@@ -89,3 +89,42 @@ def test_corpus_containing_old_sentinel_token(ray_session):
                               phi=0.2)
     got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
     assert got["\x00TOTAL"] == 60  # counted exactly, not swallowed
+
+
+def test_hll_error_bound_and_mergeability(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import (approx_distinct,
+                                                   hll_merge,
+                                                   hll_registers)
+
+    rng = np.random.default_rng(13)
+    vals = rng.choice(np.arange(1_000_000), size=120_000, replace=False)
+    vals = np.concatenate([vals, vals[:20_000]])  # dups don't inflate
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    est = approx_distinct(ray.data.from_arrow(t).repartition(8), "v")
+    assert abs(est - 120_000) / 120_000 < 0.05
+
+    # merge(partials) == single-pass registers, bit-exact
+    a, b = vals[:70_000], vals[70_000:]
+    merged = hll_merge(hll_registers(a), hll_registers(b))
+    assert np.array_equal(merged, hll_registers(vals))
+
+    # block-structure invariance of the estimate
+    est2 = approx_distinct(ray.data.from_arrow(t).repartition(3), "v")
+    assert est == est2
+
+
+def test_hll_small_cardinality_linear_counting(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import approx_distinct
+
+    t = pa.table({"v": pa.array(np.arange(50).repeat(10),
+                                type=pa.int64())})
+    est = approx_distinct(ray.data.from_arrow(t), "v")
+    assert est == 50  # linear-counting regime is near-exact here
