@@ -33,6 +33,10 @@ class PipelineConfig:
     route: dict = field(default_factory=dict)    # out_dir, num_sinks
     aggregates: list = field(default_factory=lambda: ["registry", "levels",
                                                       "rollup"])
+    # JSON-nameable per-batch transforms (kind + options), applied in
+    # order after the parser — the config-file path to the text-
+    # analysis / fingerprint stage family
+    transforms: list = field(default_factory=list)
     extra_stages: list = field(default_factory=list)  # callables (UDFs)
 
     def to_json(self) -> str:
@@ -68,7 +72,32 @@ class Pipeline:
                 timestamp_format=src.get("timestamp_format"))
         if fmt == "json":
             return readers.read_json_logs(path)
+        if fmt == "parquet":
+            import ray.data
+
+            return ray.data.read_parquet(path,
+                                         columns=src.get("columns"))
         raise ValueError(f"unknown source format: {fmt}")
+
+    # -- named transforms --------------------------------------------------
+
+    @staticmethod
+    def _transform_fn(spec: dict):
+        """Resolve a JSON transform spec to a per-batch callable."""
+        from .stages import textstats
+
+        kind = spec.get("kind")
+        text_col = spec.get("text_col", "text")
+        table = {
+            "langid": textstats.langid_features,
+            "quality": textstats.quality_features,
+            "subtokens": textstats.subtoken_counts,
+            "fingerprints": textstats.fingerprints,
+        }
+        if kind in table:
+            fn = table[kind]
+            return lambda t: fn(t, text_col=text_col)
+        raise ValueError(f"unknown transform kind: {kind}")
 
     # -- parser -----------------------------------------------------------
 
@@ -120,6 +149,9 @@ class Pipeline:
             ds = ds.map_batches(prep.Preprocessor(pc_cfg),
                                 batch_format="pyarrow")
         ds = self._apply_parser(ds)
+        for spec in cfg.transforms:
+            ds = ds.map_batches(self._transform_fn(spec),
+                                batch_format="pyarrow")
         for stage in cfg.extra_stages:
             ds = ds.map_batches(stage, batch_format="pyarrow")
 

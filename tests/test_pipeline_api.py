@@ -48,3 +48,54 @@ def test_cli_synth_and_flagship(tmp_path):
     pages_dir = str(tmp_path / "pages")
     assert cli.main(["synth", "--out", pages_dir, "--pages", "300",
                      "--files", "2"]) == 0
+
+
+def test_config_parquet_source_with_named_transforms(ray_session, tmp_path):
+    """JSON-only config drives the text-analysis stage family over a
+    generic parquet source (no Python callables needed)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipeline import Pipeline, PipelineConfig
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["hello world of text", "the quick brown fox",
+                          "der hund ist da"], type=pa.string()),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+
+    cfg_json = json.dumps({
+        "source": {"format": "parquet", "path": str(src),
+                   "columns": ["doc_id", "text"]},
+        "parser": {"kind": "line"},
+        "transforms": [{"kind": "quality"}],
+        "route": {"out_dir": str(tmp_path / "out")},
+    })
+    cfg = PipelineConfig.from_json(cfg_json)
+    out = Pipeline(cfg).run()
+    rows = {r["doc_id"]: r for r in out["dataset"].take_all()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_tokens"] == 4
+    assert (tmp_path / "out").exists()
+
+
+def test_config_unknown_transform_raises(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from log_analysis_ai_ray.pipeline import Pipeline, PipelineConfig
+
+    src = tmp_path / "d.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                             "text": pa.array(["x"])}), src)
+    cfg = PipelineConfig(
+        source={"format": "parquet", "path": str(src)},
+        parser={"kind": "line"},
+        transforms=[{"kind": "nonsense"}])
+    with pytest.raises(ValueError, match="unknown transform"):
+        Pipeline(cfg).run()
