@@ -2901,3 +2901,246 @@ QUERIES["lang_distinctive_terms"] = (q_lang_distinctive_terms,
                                      SQL_LANG_DISTINCTIVE_TERMS)
 QUERIES["price_histogram"] = (q_price_histogram, SQL_PRICE_HISTOGRAM)
 QUERIES["approx_distinct_users"] = (q_approx_distinct_users, None)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): PII redaction, JSON-prop extraction, window aggregates,
+# grouped percentile gate, per-key cap, deterministic dataset splits
+# ---------------------------------------------------------------------------
+
+# IPv4 literal. RE2 on BOTH sides: pyarrow.compute string kernels and
+# DuckDB's regexp_* are RE2-backed, so the redaction is byte-identical.
+IP_PAT = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def q_pii_redacted_lines(sf_dir: str):
+    """PII redaction over the raw log lines (training-data scrub pass):
+    every IPv4 literal replaced with ``<IP>`` plus a per-line
+    redaction count. Mirrors the reference's mask-sensitive-fields
+    preprocessing (src/preprocessor.cpp replace-with-tag loop) as one
+    vectorized RE2 kernel per batch — row-level output, no shuffle."""
+    ds = _lines_ds(sf_dir)
+
+    def redact(t: pa.Table) -> pa.Table:
+        line = t.column("line")
+        return pa.table({
+            "url": t.column("url"),
+            "redacted": pc.replace_substring_regex(
+                line, pattern=IP_PAT, replacement="<IP>"),
+            "n_ips": pc.count_substring_regex(
+                line, pattern=IP_PAT).cast(pa.int64()),
+        })
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+SQL_PII_REDACTED_LINES = (
+    "SELECT url, regexp_replace(line, '" + IP_PAT + "', '<IP>', 'g') "
+    "AS redacted, CAST(length(regexp_extract_all(line, '" + IP_PAT + "')) "
+    "AS BIGINT) AS n_ips FROM " + LINES_VIEW
+)
+
+
+def q_events_props_extract(sf_dir: str):
+    """JSON-path field extraction from a string payload column
+    (reference M7 heuristic JSON parse applied to a structured props
+    blob): pull ``k`` out of ``props`` with one RE2 extract kernel,
+    then exact integer aggregates per event_type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)'), "k")
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "k": pc.cast(ks, pa.int64()),
+        }).group_by("event_type").aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "max")])
+        return tt.rename_columns(["event_type", "cnt", "sum_k", "max_k"])
+
+    return _partial_final(ds, partial, ["event_type"],
+                          [("cnt", "sum"), ("sum_k", "sum"),
+                           ("max_k", "max")])
+
+
+SQL_EVENTS_PROPS_EXTRACT = r"""
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
+       max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_events_moving_avg(sf_dir: str):
+    """Trailing-window aggregate per key (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): hourly event counts per type, then a 4-row trailing
+    window sum/size over each type's hour series. The distributed part
+    is the partial/final hourly rollup (shuffle moves one row per
+    (type, hour) per block); the window pass runs vectorized over the
+    small aggregated series — exact int64 end to end, no float drift.
+    Absent hours are absent on both sides (gap semantics documented)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.cast(floor_hour(t.column("ts")), pa.int64()),
+        }).group_by(["event_type", "bucket"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["event_type", "bucket", "cnt"])
+
+    hourly = _partial_final(ds, partial, ["event_type", "bucket"],
+                            [("cnt", "sum")])
+    hourly = hourly.sort_by([("event_type", "ascending"),
+                             ("bucket", "ascending")])
+    types = np.asarray(hourly.column("event_type").to_pylist())
+    cnt = np.asarray(hourly.column("cnt"), dtype=np.int64)
+    n = len(cnt)
+    # group-boundary-aware trailing window of width 4 via prefix sums
+    starts = np.zeros(n, dtype=np.int64)
+    if n:
+        new_grp = np.concatenate(([True], types[1:] != types[:-1]))
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(n), 0))
+        starts = np.maximum(grp_start, np.arange(n) - 3)
+    csum = np.concatenate(([0], np.cumsum(cnt)))
+    w_sum = csum[np.arange(n) + 1] - csum[starts]
+    w_n = np.arange(n) - starts + 1
+    return pa.table({
+        "event_type": hourly.column("event_type"),
+        "bucket": hourly.column("bucket").cast(pa.timestamp("us")),
+        "cnt": hourly.column("cnt"),
+        "w_sum": pa.array(w_sum, type=pa.int64()),
+        "w_n": pa.array(w_n, type=pa.int64()),
+    })
+
+
+SQL_EVENTS_MOVING_AVG = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT event_type, bucket, cnt,
+       CAST(sum(cnt) OVER w AS BIGINT) AS w_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w_n
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_docs_above_lang_median(sf_dir: str):
+    """Grouped-percentile gate (per-language median length filter —
+    the CCNet/Gopher 'drop the short half per language' shape): exact
+    per-lang discrete median via the distinct-pair quantile aggregate,
+    thresholds broadcast as a small lookup, filter vectorized per
+    batch. Shuffle moves one row per distinct (lang, n_chars) pair."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    med = agg.grouped_discrete_quantiles(docs, "lang", "n_chars", qs=(0.5,))
+    langs = med.column("lang")
+    meds = med.column("q50")
+
+    def gate(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("lang"), value_set=langs)
+        thr = pc.take(meds, idx)
+        return t.filter(pc.greater_equal(t.column("n_chars"), thr))
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_DOCS_ABOVE_LANG_MEDIAN = """
+WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+           FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m USING (lang)
+WHERE d.n_chars >= m.med
+"""
+
+
+def _smallest_k_per_key(t: pa.Table, key: str, order_col: str,
+                        k: int) -> pa.Table:
+    """Keep the k rows with smallest order_col per key (vectorized:
+    sort + run-length rank)."""
+    t = t.sort_by([(key, "ascending"), (order_col, "ascending")])
+    keys = np.asarray(t.column(key).to_pylist())
+    n = len(keys)
+    if n == 0:
+        return t
+    new_grp = np.concatenate(([True], keys[1:] != keys[:-1]))
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    rank = np.arange(n) - grp_start
+    return t.filter(pa.array(rank < k))
+
+
+def q_docs_per_source_cap(sf_dir: str):
+    """Per-key limit (domain-cap / rate-limit shape: at most k docs
+    per source, deterministic keep-order by doc_id): per-block partial
+    top-k then one small driver-side final over ≤ blocks×keys×k rows —
+    no full shuffle, mirrors the partial top-k trending pattern
+    (stages/aggregate.py top-k; reference A1 trending capped lists)."""
+    K = 5
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    partials = ds.map_batches(
+        lambda t: _smallest_k_per_key(t, "source", "doc_id", K),
+        batch_format="pyarrow")
+    return _smallest_k_per_key(agg._to_arrow(partials),
+                               "source", "doc_id", K) \
+        .select(["doc_id", "source"])
+
+
+SQL_DOCS_PER_SOURCE_CAP = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
+"""
+
+# Knuth multiplicative hash over doc_id: identical integer arithmetic
+# on both sides, so split assignment is engine-portable (same property
+# the stratified sampler relies on). 0.8 / 0.1 / 0.1 split.
+_SPLIT_A = 2654435761
+_SPLIT_M = 4294967296  # 2^32
+_SPLIT_TRAIN = 3435973836  # floor(0.8 * 2^32)
+_SPLIT_VAL = 3865470566    # floor(0.9 * 2^32)
+
+
+def q_dataset_splits(sf_dir: str):
+    """Deterministic train/val/test assignment by multiplicative hash
+    of doc_id (the standard leakage-free split for training corpora:
+    membership depends only on the id, never on row order or
+    parallelism), then per-(split, lang) counts via partial/final."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
+        h = (ids * _SPLIT_A) % _SPLIT_M
+        split = np.where(h < _SPLIT_TRAIN, "train",
+                         np.where(h < _SPLIT_VAL, "val", "test"))
+        tt = pa.table({
+            "split": pa.array(split),
+            "lang": t.column("lang"),
+        }).group_by(["split", "lang"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["split", "lang", "cnt"])
+
+    return _partial_final(ds, partial, ["split", "lang"], [("cnt", "sum")])
+
+
+SQL_DATASET_SPLITS = """
+SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+            THEN 'train'
+            WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+            THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS cnt
+FROM documents GROUP BY 1, 2
+"""
+
+
+QUERIES["pii_redacted_lines"] = (q_pii_redacted_lines,
+                                 SQL_PII_REDACTED_LINES)
+QUERIES["events_props_extract"] = (q_events_props_extract,
+                                   SQL_EVENTS_PROPS_EXTRACT)
+QUERIES["events_moving_avg"] = (q_events_moving_avg,
+                                SQL_EVENTS_MOVING_AVG)
+QUERIES["docs_above_lang_median"] = (q_docs_above_lang_median,
+                                     SQL_DOCS_ABOVE_LANG_MEDIAN)
+QUERIES["docs_per_source_cap"] = (q_docs_per_source_cap,
+                                  SQL_DOCS_PER_SOURCE_CAP)
+QUERIES["dataset_splits"] = (q_dataset_splits, SQL_DATASET_SPLITS)

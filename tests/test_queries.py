@@ -20,6 +20,8 @@ SUBSET = [
     "events_in_order_window", "keyword_user_impact",
     "keyword_precursors", "compare_keywords",
     "order_priority_revenue", "customers_without_orders",
+    "pii_redacted_lines", "events_props_extract", "events_moving_avg",
+    "docs_above_lang_median", "docs_per_source_cap", "dataset_splits",
 ]
 
 
