@@ -59,6 +59,9 @@ BENCH_EXTRA = [
     "doc_simhash_pairs",
     "doc_lm_score",
     "knn_ivf",
+    "pii_redacted_lines",
+    "docs_above_lang_median",
+    "dataset_splits",
 ]
 
 
