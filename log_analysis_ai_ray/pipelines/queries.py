@@ -3144,3 +3144,108 @@ QUERIES["docs_above_lang_median"] = (q_docs_above_lang_median,
 QUERIES["docs_per_source_cap"] = (q_docs_per_source_cap,
                                   SQL_DOCS_PER_SOURCE_CAP)
 QUERIES["dataset_splits"] = (q_dataset_splits, SQL_DATASET_SPLITS)
+
+
+# ---------------------------------------------------------------------------
+# webtext round 3c: html extraction invariant, URL canonicalization,
+# per-domain boilerplate templates
+# ---------------------------------------------------------------------------
+
+from ..functions.urls import canonicalize_urls, oracle_canon_sql  # noqa: E402
+from ..sources.pages import read_pages  # noqa: E402
+from ..stages.htmltext import ExtractHtmlText  # noqa: E402
+
+
+def q_html_extracted_text(sf_dir: str):
+    """THE input-contract invariant (BASELINE.json input_hint): text
+    extracted from the raw ``html`` binary column must be
+    byte-identical per url to the corpus's stored text. Stateless
+    vectorized task stage (stages/htmltext.py) — the oracle is simply
+    the stored text column, so a hash-green row IS the invariant."""
+    ds = read_pages(pages_dir_for(sf_dir), columns=["url", "html"])
+    return ds.map_batches(ExtractHtmlText(), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_HTML_EXTRACTED_TEXT = f"""
+SELECT url, text FROM {PAGES_VIEW}
+"""
+
+# Deterministic "messy" decoration exercises every canonicalization
+# step in the driver check (tracking params, fragment, WWW/case, port,
+# trailing slash) — the same literal suffix on both sides.
+_NOISY_SUFFIX = "/?utm_source=feed&gclid=ab12&x=1#frag"
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization parity (functions/urls.py): canon of the
+    raw url AND of a deterministically-decorated messy variant. Both
+    engines run the same RE2 programs, so this is an exact oracle."""
+    ds = read_pages(pages_dir_for(sf_dir), columns=["url"])
+
+    def add(t: pa.Table) -> pa.Table:
+        u = t.column("url")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        noisy = pc.binary_join_element_wise(
+            pc.replace_substring_regex(u, pattern=r"^https://",
+                                       replacement="HTTPS://WWW."),
+            _NOISY_SUFFIX, "")
+        return pa.table({
+            "url": u,
+            "canon": canonicalize_urls(u),
+            "canon_noisy": canonicalize_urls(noisy),
+        })
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+SQL_URL_CANONICAL = f"""
+SELECT url,
+       {oracle_canon_sql('url')} AS canon,
+       {oracle_canon_sql(
+           "(regexp_replace(url, '^https://', 'HTTPS://WWW.') || '"
+           + _NOISY_SUFFIX + "')")} AS canon_noisy
+FROM {PAGES_VIEW}
+"""
+
+_BOILERPLATE_MIN_CNT = 100
+
+
+def q_domain_boilerplate(sf_dir: str):
+    """Per-domain boilerplate templates: masked lines occurring ≥ K
+    times within one domain (the CCNet/C4 boilerplate-removal
+    frequency heuristic, at template granularity because raw lines
+    carry unique params). Partial/final counting on (domain, masked) —
+    the filter runs on the small combined table, so the shuffle moves
+    per-block partials only."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "domain": extract_domain(t.column("url")),
+            "masked": t.column("masked"),
+        }).group_by(["domain", "masked"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["domain", "masked", "cnt"])
+
+    out = _partial_final(ds, partial, ["domain", "masked"],
+                         [("cnt", "sum")])
+    return out.filter(
+        pc.greater_equal(out.column("cnt"), _BOILERPLATE_MIN_CNT))
+
+
+SQL_DOMAIN_BOILERPLATE = f"""
+WITH l AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+         {oracle_mask_sql('line')} AS masked
+  FROM {LINES_VIEW})
+SELECT domain, masked, count(*) AS cnt
+FROM l GROUP BY 1, 2 HAVING count(*) >= {_BOILERPLATE_MIN_CNT}
+"""
+
+
+QUERIES["html_extracted_text"] = (q_html_extracted_text,
+                                  SQL_HTML_EXTRACTED_TEXT)
+QUERIES["url_canonical"] = (q_url_canonical, SQL_URL_CANONICAL)
+QUERIES["domain_boilerplate"] = (q_domain_boilerplate,
+                                 SQL_DOMAIN_BOILERPLATE)
