@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     p_flag.add_argument("--resume", action="store_true",
                         help="checkpointed run (skips completed groups)")
     p_flag.add_argument("--num-sinks", type=int, default=16)
+    p_flag.add_argument("--from-html", action="store_true",
+                        help="input carries raw html only: extract "
+                             "text in-stage (byte-identical invariant)")
 
     p_run = sub.add_parser("run")
     p_run.add_argument("--config", required=True)
@@ -155,7 +158,8 @@ def main(argv=None) -> int:
         if args.cmd == "flagship":
             from .pipelines import flagship
 
-            cfg = flagship.FlagshipConfig(num_sinks=args.num_sinks)
+            cfg = flagship.FlagshipConfig(num_sinks=args.num_sinks,
+                                          from_html=args.from_html)
             if args.resume:
                 res = flagship.run_checkpointed(args.pages, args.out, cfg)
                 print(json.dumps({k: res[k] for k in

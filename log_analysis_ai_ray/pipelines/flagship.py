@@ -30,6 +30,7 @@ from ..stages import route as route_mod
 from ..stages.drain import DrainConfig, TemplateAssigner, collect_distinct_masked, mine_mapping
 from ..stages.enrich import Enricher
 from ..stages.explode import explode_lines
+from ..stages.htmltext import ExtractHtmlText
 from ..stages.masking import add_masked
 from ..stages.parse import parse_lines
 from ..sources.pages import read_pages
@@ -59,6 +60,11 @@ class FlagshipConfig:
     mine_file_fraction: float = 1.0
     domain_tiers: dict = field(default_factory=lambda: dict(synth.DOMAIN_TIERS))
     lang_names: dict = field(default_factory=lambda: dict(synth.LANG_NAMES))
+    # input carries raw ``html`` only: extract text in-stage
+    # (stages/htmltext.py, the byte-identity invariant) before the
+    # explode+mask+parse pass. Same downstream results as the
+    # pre-extracted path — pinned by tests/test_htmltext.py.
+    from_html: bool = False
     # OUTPUT filesystem (pyarrow.fs): None → local. On a multi-node
     # cluster pass a shared fs (S3/HDFS/SubTree over a mount) so sinks,
     # registry, metrics and manifests land in one namespace instead of
@@ -85,6 +91,19 @@ def pages_to_lines(batch: pa.Table) -> pa.Table:
     return parse_lines(lines)
 
 
+# Raw-html input path: extract text (vectorized RE2), then the same
+# fused pass. Module-level instances — the stage is stateless.
+_EXTRACT = ExtractHtmlText(html_col="html", out_col="text")
+
+
+def pages_to_lines_from_html(batch: pa.Table) -> pa.Table:
+    return pages_to_lines(_EXTRACT(batch))
+
+
+def pages_to_masked_from_html(batch: pa.Table) -> pa.Table:
+    return pages_to_masked(_EXTRACT(batch))
+
+
 def _default_blocks(pages_path=None) -> int:
     import ray
 
@@ -100,14 +119,20 @@ def _default_blocks(pages_path=None) -> int:
     return max(cpus, n_files or 0) or cpus
 
 
-def build_lines(pages_path: str, **read_kwargs):
+PAGE_COLUMNS_FROM_HTML = ["url", "warc_ts", "html", "lang"]
+
+
+def build_lines(pages_path: str, from_html: bool = False, **read_kwargs):
     # one block per CPU: bounds downstream task count AND the sink file
     # count (hive writes emit blocks × sinks files)
     read_kwargs.setdefault("override_num_blocks", _default_blocks(pages_path))
+    if from_html:
+        read_kwargs.setdefault("columns", list(PAGE_COLUMNS_FROM_HTML))
     ds = read_pages(pages_path, **read_kwargs)
     # batch_size=None → whole-block batches: the stage is pure Arrow
     # kernels, so bigger batches amortize kernel dispatch
-    return ds.map_batches(pages_to_lines, batch_format="pyarrow",
+    fn = pages_to_lines_from_html if from_html else pages_to_lines
+    return ds.map_batches(fn, batch_format="pyarrow",
                           batch_size=None, zero_copy_batch=True)
 
 
@@ -129,10 +154,13 @@ def fit_mapping(pages_path: str, config: FlagshipConfig | None = None) -> pa.Tab
         files = list_page_files(pages_path)
         n = max(1, int(len(files) * config.mine_file_fraction))
         mine_path = files[:n]  # deterministic prefix sample
-    ds = read_pages(mine_path, columns=["text"],  # prune to the minimum
-                    override_num_blocks=_default_blocks(mine_path))
-    lines = ds.map_batches(pages_to_masked, batch_format="pyarrow",
-                           batch_size=None, zero_copy_batch=True)
+    ds = read_pages(
+        mine_path,  # prune to the minimum the pass needs
+        columns=["html"] if config.from_html else ["text"],
+        override_num_blocks=_default_blocks(mine_path))
+    lines = ds.map_batches(
+        pages_to_masked_from_html if config.from_html else pages_to_masked,
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     distinct = collect_distinct_masked(lines, config.drain)
     return mine_mapping(distinct.column("masked").to_pylist(), config.drain)
 
@@ -144,7 +172,7 @@ def build_parsed(pages_path: str, mapping: pa.Table,
     import ray
 
     config = config or FlagshipConfig()
-    lines = build_lines(pages_path,
+    lines = build_lines(pages_path, from_html=config.from_html,
                         include_paths=config.include_lineage)
     if mapping.nbytes < 8 * 1024 * 1024 and not config.force_actor_assigner:
         # small mapping: ship the constructed assigner in the task

@@ -58,6 +58,21 @@ def test_nulls_propagate():
     assert out[0].as_py() == "x" and out[1].as_py() is None
 
 
+def test_flagship_from_html_parity(ray_session, pages_small):
+    """build_lines over raw html == build_lines over stored text:
+    the whole downstream pipeline is invariant to which input path
+    carried the text (north_rule per-row contract, end to end)."""
+    from log_analysis_ai_ray.pipelines import flagship
+
+    a = flagship.build_lines(pages_small).to_pandas()
+    b = flagship.build_lines(pages_small, from_html=True).to_pandas()
+    key = ["url", "line_no"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+
+
 def test_corpus_byte_identity_invariant(tmp_path):
     """For every url: extract(html) == stored text, byte for byte."""
     d = synth.ensure_pages(str(tmp_path / "pages"), 300, n_files=2)
