@@ -62,6 +62,8 @@ BENCH_EXTRA = [
     "pii_redacted_lines",
     "docs_above_lang_median",
     "dataset_splits",
+    "html_extracted_text",
+    "domain_boilerplate",
 ]
 
 

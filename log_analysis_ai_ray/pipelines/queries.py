@@ -3249,3 +3249,20 @@ QUERIES["html_extracted_text"] = (q_html_extracted_text,
 QUERIES["url_canonical"] = (q_url_canonical, SQL_URL_CANONICAL)
 QUERIES["domain_boilerplate"] = (q_domain_boilerplate,
                                  SQL_DOMAIN_BOILERPLATE)
+
+
+def q_approx_value_quantiles(sf_dir: str):
+    """Mergeable quantile summary over events.value (stages/sketch.py
+    quantile_compress): k points per block, one driver re-compression,
+    rank error ≤ n/k. Rows-only by construction; the error bound and
+    block-structure invariance are pinned in tests/test_sketch.py."""
+    from ..stages.sketch import approx_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    est = approx_quantiles(ds, "value", qs, k=256)
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "estimate": pa.array(est, type=pa.float64())})
+
+
+QUERIES["approx_value_quantiles"] = (q_approx_value_quantiles, None)

@@ -221,3 +221,83 @@ def approx_distinct(ds, col: str, p: int = HLL_P) -> int:
         for blob in rows.column("regs").to_pylist():
             regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
     return int(round(hll_estimate(regs, p)))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (MRL-style equal-weight compaction)
+# ---------------------------------------------------------------------------
+#
+# Each block is compressed to ≤ k weighted points: sort, then take the
+# value at each of k evenly-spaced weighted-rank midpoints, each point
+# carrying weight W/k. One compression introduces ≤ W_block/(2k) rank
+# error; a driver-side merge of all block summaries re-compresses once
+# more, so the end-to-end rank error is ≤ n/k (Manku, Rajagopalan &
+# Lindsay, SIGMOD 1998 collapse policy; mergeability per Agarwal et
+# al., PODS 2012). Deterministic — no sampling — so results are
+# independent of block structure up to the documented bound, and k
+# bounds memory everywhere: the shuffle ships k points per block.
+
+def quantile_compress(values: np.ndarray, weights: np.ndarray | None,
+                      k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress weighted values to ≤ k equal-weight points."""
+    values = np.asarray(values, dtype=np.float64)
+    if weights is None:
+        weights = np.ones(len(values), dtype=np.float64)
+    mask = ~np.isnan(values)
+    values, weights = values[mask], np.asarray(weights, float)[mask]
+    if len(values) == 0:
+        return values, weights
+    order = np.argsort(values, kind="stable")
+    values, weights = values[order], weights[order]
+    total = float(weights.sum())
+    if len(values) <= k:
+        return values, weights
+    cum = np.cumsum(weights)
+    # midpoint ranks of k equal-weight spans
+    targets = (np.arange(k) + 0.5) * (total / k)
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(values) - 1)
+    return values[idx], np.full(k, total / k)
+
+
+def quantile_query(points: np.ndarray, weights: np.ndarray,
+                   qs: "list[float]") -> np.ndarray:
+    """Weighted quantiles from a summary (lower weighted order stat)."""
+    if len(points) == 0:
+        return np.full(len(qs), np.nan)
+    order = np.argsort(points, kind="stable")
+    points, weights = points[order], weights[order]
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    idx = np.searchsorted(cum, np.asarray(qs) * total, side="left")
+    return points[np.minimum(idx, len(points) - 1)]
+
+
+class QuantileSketchStage:
+    """map_batches partial: one ≤ k-point weighted summary per block
+    (columns ``point``/``weight``). Stateless task stage."""
+
+    def __init__(self, col: str, k: int = 256):
+        self.col = col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+        pts, wts = quantile_compress(vals, None, self.k)
+        return pa.table({"point": pa.array(pts, type=pa.float64()),
+                         "weight": pa.array(wts, type=pa.float64())})
+
+
+def approx_quantiles(ds, col: str, qs: "list[float]",
+                     k: int = 256) -> np.ndarray:
+    """Distributed approximate quantiles: k points per block shipped
+    to a driver merge (bounded: k × n_blocks rows), one re-compression,
+    then the weighted quantile read — total rank error ≤ n/k."""
+    from .aggregate import _to_arrow
+
+    parts = _to_arrow(ds.map_batches(QuantileSketchStage(col, k),
+                                     batch_format="pyarrow"))
+    pts = parts.column("point").to_numpy(zero_copy_only=False)
+    wts = parts.column("weight").to_numpy(zero_copy_only=False)
+    pts, wts = quantile_compress(pts, wts, 4 * k)
+    return quantile_query(pts, wts, qs)

@@ -128,3 +128,84 @@ def test_hll_small_cardinality_linear_counting(ray_session):
                                 type=pa.int64())})
     est = approx_distinct(ray.data.from_arrow(t), "v")
     assert est == 50  # linear-counting regime is near-exact here
+
+
+def test_quantile_compress_rank_error_bound():
+    import numpy as np
+
+    from log_analysis_ai_ray.stages.sketch import (quantile_compress,
+                                                   quantile_query)
+
+    rng = np.random.default_rng(7)
+    k = 256
+    for vals in [rng.uniform(0, 1, 100_000),
+                 rng.zipf(1.5, 100_000).astype(float),
+                 np.full(10_000, 3.25),
+                 np.concatenate([np.zeros(99_000), np.ones(1_000)])]:
+        pts, wts = quantile_compress(vals, None, k)
+        assert len(pts) <= k
+        n = len(vals)
+        srt = np.sort(vals)
+        for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+            est = quantile_query(pts, wts, [q])[0]
+            # rank of the estimate must be within n/k of the target
+            lo = np.searchsorted(srt, est, side="left")
+            hi = np.searchsorted(srt, est, side="right")
+            target = q * n
+            err = 0 if lo <= target <= hi else min(abs(lo - target),
+                                                   abs(hi - target))
+            assert err <= n / k + 1, (q, err)
+
+
+def test_quantile_summary_merge_and_block_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import (approx_quantiles,
+                                                   quantile_compress,
+                                                   quantile_query)
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(50, 10, 60_000)
+    t = pa.table({"value": pa.array(vals, type=pa.float64())})
+    qs = [0.05, 0.5, 0.95]
+
+    est_1 = approx_quantiles(ray.data.from_arrow(t), "value", qs, k=256)
+    est_8 = approx_quantiles(
+        ray.data.from_arrow(t).repartition(8), "value", qs, k=256)
+    exact = np.quantile(vals, qs)
+    n = len(vals)
+    srt = np.sort(vals)
+    for est in (est_1, est_8):
+        for q, e in zip(qs, est):
+            rank = np.searchsorted(srt, e)
+            assert abs(rank - q * n) <= 2 * n / 256 + 1
+    # merging two summaries ≡ one summary over the union (up to the
+    # documented bound): check the merged read stays within bound too
+    p1, w1 = quantile_compress(vals[:30_000], None, 256)
+    p2, w2 = quantile_compress(vals[30_000:], None, 256)
+    merged_pts = np.concatenate([p1, p2])
+    merged_wts = np.concatenate([w1, w2])
+    for q, e_exact in zip(qs, exact):
+        e = quantile_query(merged_pts, merged_wts, [q])[0]
+        rank = np.searchsorted(srt, e)
+        assert abs(rank - q * n) <= 2 * n / 256 + 1
+
+
+def test_quantile_compress_edge_cases():
+    import numpy as np
+
+    from log_analysis_ai_ray.stages.sketch import (quantile_compress,
+                                                   quantile_query)
+
+    # empty + all-NaN
+    pts, wts = quantile_compress(np.array([]), None, 16)
+    assert len(pts) == 0
+    assert np.isnan(quantile_query(pts, wts, [0.5])[0])
+    pts, _ = quantile_compress(np.array([np.nan, np.nan]), None, 16)
+    assert len(pts) == 0
+    # short input passes through exactly
+    pts, wts = quantile_compress(np.array([3.0, 1.0, 2.0]), None, 16)
+    assert list(pts) == [1.0, 2.0, 3.0]
+    assert quantile_query(pts, wts, [0.5])[0] == 2.0
