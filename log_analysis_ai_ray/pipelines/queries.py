@@ -3266,3 +3266,97 @@ def q_approx_value_quantiles(sf_dir: str):
 
 
 QUERIES["approx_value_quantiles"] = (q_approx_value_quantiles, None)
+
+
+_POSTINGS_K = 5
+
+
+def _postings_table(pairs: pa.Table, k: int) -> pa.Table:
+    """From (token, doc_id) rows SORTED by (token, doc_id): per-token
+    df + the first-k doc ids as a list column. Pure run-length numpy —
+    no joins (Acero rejects list payloads), no per-row Python."""
+    keys = np.asarray(pairs.column("token").to_pylist(), dtype=object)
+    n = len(keys)
+    if n == 0:
+        return pa.table({
+            "token": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "postings": pa.array([], type=pa.list_(pa.int64()))})
+    new_grp = np.concatenate(([True], keys[1:] != keys[:-1]))
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], n)
+    df = ends - starts
+    lens = np.minimum(df, k)
+    take = np.concatenate([np.arange(s, s + ln)
+                           for s, ln in zip(starts, lens)])
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    postings = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pc.take(pairs.column("doc_id").combine_chunks(),
+                pa.array(take, type=pa.int64())))
+    return pa.table({
+        "token": pc.take(pairs.column("token").combine_chunks(),
+                         pa.array(starts, type=pa.int64())),
+        "df": pa.array(df, type=pa.int64()),
+        "postings": postings,
+    })
+
+
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted-index build (search-index family): token →
+    document frequency + the first-k posting list. Mergeable partials:
+    each block dedupes its (token, doc_id) pairs and emits per-token
+    partial df + its k smallest doc ids; the driver final sums dfs and
+    re-caps the union of posting heads. The shuffle ships vocab-bounded
+    partial rows, never raw token occurrences; full posting lists at
+    scale would go to a groupby(token).map_groups writer instead of the
+    driver (same shape as the routed sinks)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        parent = pc.list_parent_indices(toks)
+        pairs = pa.table({
+            "token": pc.list_flatten(toks),
+            "doc_id": pc.take(t.column("doc_id").combine_chunks(),
+                              parent),
+        }).filter(pc.not_equal(pc.field("token"), ""))
+        pairs = pairs.group_by(["token", "doc_id"]).aggregate([])
+        pairs = pairs.sort_by([("token", "ascending"),
+                               ("doc_id", "ascending")])
+        return _postings_table(pairs, _POSTINGS_K)
+
+    parts = agg._to_arrow(ds.map_batches(partial, batch_format="pyarrow"))
+    # final: explode posting heads, re-sort, re-cap; dfs sum per token
+    pl = parts.column("postings").combine_chunks()
+    exploded = pa.table({
+        "token": pc.take(parts.column("token").combine_chunks(),
+                         pc.list_parent_indices(pl)),
+        "doc_id": pc.list_flatten(pl),
+    }).sort_by([("token", "ascending"), ("doc_id", "ascending")])
+    merged = _postings_table(exploded, _POSTINGS_K)
+    df = parts.group_by("token").aggregate([("df", "sum")]) \
+        .rename_columns(["token", "df"]) \
+        .sort_by([("token", "ascending")])
+    heads = pc.binary_join(
+        merged.column("postings").cast(pa.list_(pa.string())), ",")
+    return pa.table({
+        "token": df.column("token"),
+        "df": df.column("df"),
+        "postings_head": heads,
+    })
+
+
+SQL_INVERTED_INDEX = f"""
+WITH td AS (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT unnest(string_split(text, ' ')) AS token, doc_id
+    FROM documents) WHERE token <> '')
+SELECT token, count(*) AS df,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{_POSTINGS_K}],
+                       ',') AS postings_head
+FROM td GROUP BY token ORDER BY token
+"""
+
+QUERIES["inverted_index"] = (q_inverted_index, SQL_INVERTED_INDEX)

@@ -89,3 +89,24 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     assert sorted(ours.columns) == sorted(theirs.columns)
     assert len(ours) == len(theirs)
     assert _norm(ours) == _norm(theirs)
+
+
+def test_postings_table_empty_and_cap():
+    import numpy as np
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.pipelines.queries import (_POSTINGS_K,
+                                                       _postings_table)
+
+    empty = pa.table({"token": pa.array([], type=pa.string()),
+                      "doc_id": pa.array([], type=pa.int64())})
+    out = _postings_table(empty, _POSTINGS_K)
+    assert out.num_rows == 0
+
+    pairs = pa.table({
+        "token": pa.array(["a"] * 8 + ["b"]),
+        "doc_id": pa.array(list(range(8)) + [99], type=pa.int64()),
+    })
+    out = _postings_table(pairs, 5)
+    assert out.column("df").to_pylist() == [8, 1]
+    assert out.column("postings").to_pylist() == [[0, 1, 2, 3, 4], [99]]
