@@ -3360,3 +3360,55 @@ FROM td GROUP BY token ORDER BY token
 """
 
 QUERIES["inverted_index"] = (q_inverted_index, SQL_INVERTED_INDEX)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (search family, stages/search.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "spark")
+_BM25_K = 10
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-k over documents for a fixed term query (reference's
+    keyword-search surface, python/logai_agent.py search tools,
+    generalized to ranked retrieval). One corpus scan emits candidate
+    rows (union of the terms' posting lists) plus per-block mergeable
+    stats; scoring is a broadcast-stats map + per-block partial top-k.
+    Scores rounded to 4 digits before ranking on BOTH engines so the
+    order is summation-order independent."""
+    from ..stages.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, list(_BM25_TERMS), k=_BM25_K)
+
+
+SQL_BM25_SEARCH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT coalesce(sum(dl), 0) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2
+       WHERE token IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+idf AS (SELECT token,
+               ln(((SELECT n_docs FROM stats) - count(*) + 0.5)
+                  / (count(*) + 0.5) + 1) AS idf
+        FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                               / (SELECT avgdl FROM stats)))) AS s
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT {_BM25_K}
+"""
+
+QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)
