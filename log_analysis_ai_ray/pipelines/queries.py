@@ -3412,3 +3412,106 @@ FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT {_BM25_K}
 """
 
 QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join pruning (stages/bloomjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_semijoin_revenue(sf_dir: str):
+    """Selective big-big semi-join with Bloom pre-filtering: revenue of
+    lineitems belonging to 1-URGENT orders, by returnflag. The urgent
+    orderkeys build a Bloom filter distributedly (bit-position partials,
+    no key shuffle); the broadcast filter drops ~4/5 of lineitem BEFORE
+    the verification shuffle, which then makes the result exact despite
+    Bloom false positives (side-tagged union → groupby(key) → in-group
+    membership check + partial aggregation). Same integer cents/permille
+    arithmetic as order_priority_revenue for engine portability."""
+    import ray
+
+    from ..stages.bloomjoin import BloomFilterStage, bloom_build
+
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority"])
+    urgent = od.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")).select(["o_orderkey"]),
+        batch_format="pyarrow").materialize()  # consumed twice below
+    bm_ref = ray.put(bloom_build(urgent, "o_orderkey"))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+    survivors = li.map_batches(BloomFilterStage(bm_ref, "l_orderkey"),
+                               batch_format="pyarrow")
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        return pa.table({
+            "key": t.column("l_orderkey"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "returnflag": t.column("l_returnflag").cast(pa.string()),
+            "cents": cpm,
+        })
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("o_orderkey"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "returnflag": pa.nulls(t.num_rows, pa.string()),
+            "cents": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    both = survivors.map_batches(tag_line, batch_format="pyarrow").union(
+        urgent.map_batches(tag_order, batch_format="pyarrow"))
+
+    def join_group(g: pa.Table) -> pa.Table:
+        # exact verification: keep the group's lineitems only if an
+        # urgent orderkey row is actually present (kills Bloom fps)
+        side = np.asarray(g.column("side"))
+        empty = pa.table({"returnflag": pa.array([], type=pa.string()),
+                          "cents_sum": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if not (side == 1).any():
+            return empty
+        lines = g.filter(pa.array(side == 0))
+        if lines.num_rows == 0:
+            return empty
+        part = pa.table({
+            "returnflag": lines.column("returnflag"),
+            "cents": lines.column("cents"),
+        }).group_by("returnflag").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return part.rename_columns(["returnflag", "cents_sum", "cnt"])
+
+    partials = both.groupby("key").map_groups(join_group,
+                                              batch_format="pyarrow")
+    out = agg._combine_partials(
+        partials, keys=["returnflag"],
+        aggs=[("cents_sum", "sum"), ("cnt", "sum")],
+        empty_schema=pa.schema([("returnflag", pa.string()),
+                                ("cents_sum", pa.int64()),
+                                ("cnt", pa.int64())]))
+    return out.sort_by("returnflag")
+
+
+SQL_BLOOM_SEMIJOIN_REVENUE = """
+SELECT l.l_returnflag AS returnflag,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT)))
+            AS BIGINT) AS cents_sum,
+       count(*) AS cnt
+FROM lineitem l
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bloom_semijoin_revenue"] = (q_bloom_semijoin_revenue,
+                                     SQL_BLOOM_SEMIJOIN_REVENUE)
