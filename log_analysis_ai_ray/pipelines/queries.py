@@ -3515,3 +3515,31 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["bloom_semijoin_revenue"] = (q_bloom_semijoin_revenue,
                                      SQL_BLOOM_SEMIJOIN_REVENUE)
+
+
+def q_doc_dedup_normalized(sf_dir: str):
+    """Normalization-aware exact dedup (the C4-style step between
+    byte-exact and MinHash): NFC + lowercase + whitespace-collapse +
+    trim, then the hash-keyed exact-dedup scale path (shuffle moves
+    32-byte hashes, never documents)."""
+    from ..stages.dedup import exact_dedup_by_hash, normalize_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": normalize_text(t.column("text"))})
+
+    return exact_dedup_by_hash(ds.map_batches(norm,
+                                              batch_format="pyarrow"))
+
+
+SQL_DOC_DEDUP_NORMALIZED = """
+SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                               '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_id
+"""
+
+QUERIES["doc_dedup_normalized"] = (q_doc_dedup_normalized,
+                                   SQL_DOC_DEDUP_NORMALIZED)

@@ -952,3 +952,18 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def normalize_text(arr) -> pa.Array:
+    """Canonical text form for normalization-aware exact dedup (the
+    C4/CCNet-style "fuzzy exact" step: Unicode NFC, casefold to lower,
+    collapse runs of whitespace, trim).  Pure Arrow kernels — zero
+    Python per row — and mirrored verbatim by the DuckDB oracle
+    (nfc_normalize → lower → regexp_replace → trim), so the operator is
+    exactly checkable."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.utf8_normalize(arr, form="NFC")
+    out = pc.utf8_lower(out)
+    out = pc.replace_substring_regex(out, r"\s+", " ")
+    return pc.utf8_trim_whitespace(out)

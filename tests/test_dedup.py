@@ -415,3 +415,16 @@ def test_winnowing_short_docs_and_empty(ray_session):
                                   pairs["doc_b"].to_pylist())}
     assert (1, 2) in got
     assert not any(3 in p or 4 in p for p in got)
+
+
+def test_normalize_text_canonical_form():
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.stages.dedup import normalize_text
+
+    # NFD "é" (e + combining acute) must collapse onto NFC "é"
+    arr = pa.array(["Café  Bar", "café bar", " x\t\ny ", ""])
+    out = normalize_text(arr).to_pylist()
+    assert out[0] == out[1] == "café bar"
+    assert out[2] == "x y"
+    assert out[3] == ""
