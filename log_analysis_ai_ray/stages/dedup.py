@@ -957,13 +957,28 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
 def normalize_text(arr) -> pa.Array:
     """Canonical text form for normalization-aware exact dedup (the
     C4/CCNet-style "fuzzy exact" step: Unicode NFC, casefold to lower,
-    collapse runs of whitespace, trim).  Pure Arrow kernels — zero
-    Python per row — and mirrored verbatim by the DuckDB oracle
-    (nfc_normalize → lower → regexp_replace → trim), so the operator is
-    exactly checkable."""
+    collapse runs of whitespace, trim).  Mirrored verbatim by the
+    DuckDB oracle (nfc_normalize → lower → regexp_replace → trim), so
+    the operator is exactly checkable.
+
+    NFC composition: the pinned pyarrow's ``utf8_normalize`` silently
+    fails to COMPOSE (NFC of e+COMBINING ACUTE returns the input
+    unchanged — pinned by a test), so NFC runs through ``unicodedata``
+    — but ONLY for rows containing a non-ASCII byte (vectorized regex
+    gate).  ASCII text — the bulk of web corpora — never leaves Arrow
+    kernels."""
+    import unicodedata
+
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    out = pc.utf8_normalize(arr, form="NFC")
-    out = pc.utf8_lower(out)
+    non_ascii = pc.match_substring_regex(arr, r"[^\x00-\x7f]")
+    idx = np.flatnonzero(
+        np.asarray(non_ascii.fill_null(False), dtype=bool))
+    if len(idx):
+        vals = arr.to_numpy(zero_copy_only=False)  # object ndarray
+        vals[idx] = [unicodedata.normalize("NFC", s)
+                     for s in vals[idx]]
+        arr = pa.array(vals, type=pa.string())
+    out = pc.utf8_lower(arr)
     out = pc.replace_substring_regex(out, r"\s+", " ")
     return pc.utf8_trim_whitespace(out)

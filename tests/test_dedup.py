@@ -428,3 +428,14 @@ def test_normalize_text_canonical_form():
     assert out[0] == out[1] == "café bar"
     assert out[2] == "x y"
     assert out[3] == ""
+
+
+def test_pyarrow_nfc_noop_pinned():
+    """normalize_text routes NFC through unicodedata because the pinned
+    pyarrow's utf8_normalize does not COMPOSE. If this test ever fails,
+    the workaround can be dropped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = pc.utf8_normalize(pa.array(["é"]), form="NFC")
+    assert out.to_pylist()[0] == "é"  # still decomposed (bug)
