@@ -81,6 +81,13 @@ def main(argv=None) -> int:
     p_aq.add_argument("--k", type=int, default=10)
     p_aq.add_argument("--nprobe", type=int, default=4)
 
+    p_cp = sub.add_parser(
+        "compact", help="rewrite a routed store's small part files "
+                        "into target-size parts (one task per "
+                        "partition; crash-safe write→verify→delete)")
+    p_cp.add_argument("--store", required=True)
+    p_cp.add_argument("--target-mb", type=int, default=128)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "sql":
@@ -104,6 +111,13 @@ def main(argv=None) -> int:
 
     _ensure_ray(args.num_cpus)
     try:
+        if args.cmd == "compact":
+            from .stages.compact import compact_store
+
+            stats = compact_store(args.store,
+                                  target_bytes=args.target_mb << 20)
+            print(json.dumps(stats))
+            return 0
         if args.cmd == "ann-build":
             import ray.data
 
