@@ -823,6 +823,8 @@ def ann_store_for(sf_dir: str, kind: str, dim: int) -> str:
         ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         if kind == "ivf":
             ann_store.build_ivf_store(ds, store)
+        elif kind == "ivf_q8":
+            ann_store.build_ivf_q8_store(ds, store)
         else:
             ann_store.build_lsh_store(ds, store, dim=dim)
     return store
@@ -3543,3 +3545,21 @@ FROM documents GROUP BY 1 ORDER BY keep_id
 
 QUERIES["doc_dedup_normalized"] = (q_doc_dedup_normalized,
                                    SQL_DOC_DEDUP_NORMALIZED)
+
+
+def q_knn_ivf_q8(sf_dir: str):
+    """int8-quantized IVF top-10: the pruned partition read scans
+    4-8x fewer bytes (codes, not floats); exact rescore of the
+    oversampled candidates against the source parquet (predicate
+    pushdown on vec_id) restores full-precision sims. Rows-only;
+    recall and size gated in tests/test_ann_store.py."""
+    from ..stages.ann_store import ivf_q8_store_topk
+
+    ids, Q = _knn_queries(sf_dir)
+    store = ann_store_for(sf_dir, "ivf_q8", dim=Q.shape[1])
+    return ivf_q8_store_topk(
+        store, ids, Q, k=10,
+        rescore_source=os.path.join(sf_dir, "embeddings.parquet"))
+
+
+QUERIES["knn_ivf_q8"] = (q_knn_ivf_q8, None)

@@ -195,3 +195,186 @@ def lsh_store_topk(store_dir: str, query_ids: list[int],
     paths = partition_paths(store_dir, "lsh_bucket", buckets)
     return _pruned_topk(store_dir, paths, query_ids, query_matrix,
                         k, round_digits, concurrency)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (Faiss-SQ8-style): 4-8x smaller store, exact
+# rescore of the survivors from the source table
+# ---------------------------------------------------------------------------
+
+
+class Int8QuantStage:
+    """Replace the float vector column with per-vector int8 codes:
+    v_unit = v/|v|, scale = max|v_unit|/127, q = round(v_unit/scale).
+    Codes land in a fixed_size_binary(dim) column (contiguous buffer →
+    zero-copy decode) plus a float64 ``q_scale``; the float vectors are
+    DROPPED — that is the point: the quantized store's partitions are
+    ~4x (float32 source) / ~8x (float64) smaller, so every probe reads
+    proportionally fewer bytes. Approximate cosine is then
+    (q_u·q_v)·s_u·s_v with bounded error; exact rescoring re-reads only
+    the few surviving candidate ids from the source parquet."""
+
+    def __init__(self, vec_col: str = "embedding"):
+        self.vec_col = vec_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .knn import _batch_matrix
+
+        M = _normalize(_batch_matrix(batch.column(self.vec_col)))
+        scale = np.abs(M).max(axis=1) / 127.0
+        scale[scale == 0] = 1.0
+        q = np.rint(M / scale[:, None]).astype(np.int8)
+        dim = M.shape[1]
+        codes = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim), len(q), [None, pa.py_buffer(q.tobytes())])
+        batch = batch.drop_columns([self.vec_col])
+        batch = batch.append_column("q8", codes)
+        return batch.append_column(
+            "q_scale", pa.array(scale.astype(np.float32),
+                                type=pa.float32()))
+
+
+def _decode_q8(arr) -> np.ndarray:
+    """Zero-copy (n, dim) int8 view of a fixed_size_binary column."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dim = arr.type.byte_width
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.int8)
+    start = arr.offset * dim
+    return buf[start:start + len(arr) * dim].reshape(len(arr), dim)
+
+
+class Q8TopK:
+    """Per-batch approximate cosine top-k over int8 codes (the
+    quantized twin of knn.BruteForceTopK)."""
+
+    def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id"):
+        import ray
+
+        q = (ray.get(queries_ref)
+             if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.Q = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        Mq = _decode_q8(batch.column("q8")).astype(np.float64)
+        Mq *= np.asarray(batch.column("q_scale"),
+                         dtype=np.float64)[:, None]
+        ids = np.asarray(batch.column(self.id_col), dtype=np.int64)
+        sims = Mq @ self.Q.T
+        k = min(self.k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.append(np.full(k, self.query_ids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(col[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def build_ivf_q8_store(ds, store_dir: str, *, n_centroids: int = 16,
+                       seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       train_size: int = 10_000) -> dict:
+    """IVF store with int8-quantized vectors: same assign pass, codes
+    instead of floats on disk."""
+    import ray
+
+    from .knn import IvfAssignStage, ivf_train
+
+    C = ivf_train(ds, n_centroids=n_centroids, seed=seed,
+                  train_size=train_size, vec_col=vec_col)
+    ref = ray.put(C)
+    assigned = ds.map_batches(
+        IvfAssignStage, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"vec_col": vec_col},
+        concurrency=2, num_cpus=0.5, batch_format="pyarrow") \
+        .map_batches(Int8QuantStage(vec_col=vec_col),
+                     batch_format="pyarrow")
+    meta = {"kind": "ivf", "n_centroids": int(len(C)), "seed": seed,
+            "id_col": id_col, "vec_col": vec_col,
+            "dim": int(C.shape[1]), "quantized": "int8"}
+    _write_store(assigned, store_dir, "ivf_cell", meta, {"centroids": C})
+    return meta
+
+
+def ivf_q8_store_topk(store_dir: str, query_ids: list[int],
+                      query_matrix: np.ndarray, k: int = 10,
+                      nprobe: int = 4, oversample: int = 4,
+                      rescore_source: str | None = None,
+                      round_digits: int = 6, concurrency=2):
+    """Quantized pruned-read top-k: probe cells → scan CODES only
+    (~4-8x fewer bytes than float vectors) → top-(oversample·k)
+    candidates → optional exact rescore that reads ONLY the candidate
+    ids from ``rescore_source`` (parquet predicate pushdown)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .aggregate import _to_arrow
+    from .knn import _batch_matrix
+
+    meta = load_meta(store_dir)
+    assert meta.get("quantized") == "int8"
+    cells = ivf_probe_cells(store_dir, query_matrix, nprobe=nprobe)
+    paths = partition_paths(store_dir, "ivf_cell", cells)
+    files = [os.path.join(p, f) for p in paths
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not files:
+        return _empty_topk()
+    ds = ray.data.read_parquet(
+        files, columns=[meta["id_col"], "q8", "q_scale"])
+    ref = ray.put({"ids": query_ids, "matrix": query_matrix})
+    cand_k = k if rescore_source is None else k * oversample
+    partials = ds.map_batches(
+        Q8TopK, fn_constructor_args=(ref, cand_k),
+        fn_constructor_kwargs={"id_col": meta["id_col"]},
+        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+    t = _to_arrow(partials)
+
+    def _final(tbl: pa.Table, kk: int) -> pa.Table:
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("sim"), "sim",
+            pc.round(tbl.column("sim"), ndigits=round_digits))
+        tbl = tbl.sort_by([("query_id", "ascending"),
+                           ("sim", "descending"),
+                           ("vec_id", "ascending")])
+        qcol = np.asarray(tbl.column("query_id"))
+        keep = np.zeros(len(qcol), dtype=bool)
+        for qid in np.unique(qcol):
+            keep[np.flatnonzero(qcol == qid)[:kk]] = True
+        return tbl.filter(pa.array(keep))
+
+    if rescore_source is None:
+        return _final(t, k)
+
+    cands = sorted(set(t.column("vec_id").to_pylist()))
+    src = pq.read_table(
+        rescore_source, columns=[meta["id_col"], meta["vec_col"]],
+        filters=[(meta["id_col"], "in", cands)])
+    V = _normalize(_batch_matrix(src.column(meta["vec_col"])))
+    ids = np.asarray(src.column(meta["id_col"]), dtype=np.int64)
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    sims = V @ Q.T
+    qids = np.asarray(query_ids, dtype=np.int64)
+    exact = pa.table({
+        "query_id": pa.array(np.repeat(qids, len(ids)), type=pa.int64()),
+        "vec_id": pa.array(np.tile(ids, len(qids)), type=pa.int64()),
+        "sim": pa.array(sims.T.ravel(), type=pa.float64()),
+    })
+    return _final(exact, k)

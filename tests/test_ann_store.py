@@ -136,7 +136,7 @@ def test_registry_ann_recall_at_sf001(ray_session):
     for qq, v in zip(exact["query_id"].to_pylist(),
                      exact["vec_id"].to_pylist()):
         by_q.setdefault(qq, set()).add(v)
-    for name in ("knn_lsh", "knn_ivf"):
+    for name in ("knn_lsh", "knn_ivf", "knn_ivf_q8"):
         approx = QUERIES[name][0](sf)
         for qq in by_q:
             a = {v for q2, v in zip(approx["query_id"].to_pylist(),
@@ -145,3 +145,82 @@ def test_registry_ann_recall_at_sf001(ray_session):
             assert qq in a, f"{name}: query {qq} missing its own vector"
             recall = len(a & by_q[qq]) / len(by_q[qq])
             assert recall >= 0.3, f"{name} recall@10={recall} for {qq}"
+
+
+def test_int8_quant_roundtrip():
+    t, M = _embeddings(n=50, d=16)
+    out = ann_store.Int8QuantStage()(t)
+    assert "embedding" not in out.column_names
+    codes = ann_store._decode_q8(out.column("q8"))
+    scale = np.asarray(out.column("q_scale"))
+    approx = codes.astype(np.float64) * scale[:, None]
+    exact = knn._normalize(M.astype(np.float64))
+    # per-component quantization error bounded by scale/2
+    assert np.abs(approx - exact).max() <= (scale.max() / 2) + 1e-12
+    # cosine of approx vs exact vector nearly 1
+    cos = (approx * exact).sum(1) / np.linalg.norm(approx, axis=1)
+    assert cos.min() > 0.99
+
+
+def test_ivf_q8_store_smaller_and_recalls(ray_session, tmp_path):
+    import ray.data
+
+    t, M = _embeddings(n=400, d=32)
+    ds = ray.data.from_arrow(t).repartition(4)
+    fstore = str(tmp_path / "ivf_f")
+    qstore = str(tmp_path / "ivf_q8")
+    ann_store.build_ivf_store(ds, fstore, n_centroids=8)
+    meta = ann_store.build_ivf_q8_store(ds, qstore, n_centroids=8)
+    assert meta["quantized"] == "int8"
+    def _vec_col_bytes(root, names):
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                for rg in range(md.num_row_groups):
+                    for c in range(md.num_columns):
+                        col = md.row_group(rg).column(c)
+                        if col.path_in_schema.split(".")[0] in names:
+                            total += col.total_compressed_size
+        return total
+
+    fbytes = _vec_col_bytes(os.path.join(fstore, "vectors"),
+                            {"embedding"})
+    qbytes = _vec_col_bytes(os.path.join(qstore, "vectors"),
+                            {"q8", "q_scale"})
+    assert qbytes < 0.45 * fbytes  # float32 lists → int8 codes
+
+    q = M[:3].astype(np.float64)
+    exact = knn.brute_force_topk(ds, [0, 1, 2], q, k=10)
+    approx = ann_store.ivf_q8_store_topk(qstore, [0, 1, 2], q, k=10,
+                                         nprobe=8)  # all cells: pure
+    # quantization error, no pruning loss
+    for qi in (0, 1, 2):
+        a = {v for qq, v in zip(approx["query_id"].to_pylist(),
+                                approx["vec_id"].to_pylist()) if qq == qi}
+        e = {v for qq, v in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist()) if qq == qi}
+        assert len(a & e) / len(e) >= 0.8
+
+    # exact rescore from the source parquet recovers exact ordering of
+    # the surviving candidates
+    src = str(tmp_path / "emb.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, src)
+    rescored = ann_store.ivf_q8_store_topk(
+        qstore, [0, 1, 2], q, k=10, nprobe=8, rescore_source=src)
+    sims = dict(zip(zip(rescored["query_id"].to_pylist(),
+                        rescored["vec_id"].to_pylist()),
+                    rescored["sim"].to_pylist()))
+    esims = dict(zip(zip(exact["query_id"].to_pylist(),
+                         exact["vec_id"].to_pylist()),
+                     exact["sim"].to_pylist()))
+    shared = set(sims) & set(esims)
+    assert len(shared) >= 25  # high overlap with exact top-10s
+    for key in shared:
+        assert abs(sims[key] - esims[key]) < 1e-9  # exact sims, not q8
