@@ -65,7 +65,8 @@ def main(argv=None) -> int:
                           "store from an embeddings parquet")
     p_ab.add_argument("--embeddings", required=True)
     p_ab.add_argument("--store", required=True)
-    p_ab.add_argument("--kind", choices=("ivf", "lsh"), default="ivf")
+    p_ab.add_argument("--kind", choices=("ivf", "ivf_q8", "lsh"),
+                      default="ivf")
     p_ab.add_argument("--n-centroids", type=int, default=16)
     p_ab.add_argument("--n-bits", type=int, default=8)
     p_ab.add_argument("--id-col", default="vec_id")
@@ -129,6 +130,10 @@ def main(argv=None) -> int:
                 meta = ann_store.build_ivf_store(
                     ds, args.store, n_centroids=args.n_centroids,
                     id_col=args.id_col, vec_col=args.vec_col)
+            elif args.kind == "ivf_q8":
+                meta = ann_store.build_ivf_q8_store(
+                    ds, args.store, n_centroids=args.n_centroids,
+                    id_col=args.id_col, vec_col=args.vec_col)
             else:
                 import pyarrow.parquet as pq
 
@@ -160,7 +165,12 @@ def main(argv=None) -> int:
                 return 2
             Q = np.asarray([qt.column(meta["vec_col"])[0].as_py()],
                            dtype=np.float64)
-            if meta["kind"] == "ivf":
+            if meta.get("quantized") == "int8":
+                out = ann_store.ivf_q8_store_topk(
+                    args.store, [args.vec_id], Q, k=args.k,
+                    nprobe=args.nprobe,
+                    rescore_source=args.query_parquet)
+            elif meta["kind"] == "ivf":
                 out = ann_store.ivf_store_topk(
                     args.store, [args.vec_id], Q, k=args.k,
                     nprobe=args.nprobe)
