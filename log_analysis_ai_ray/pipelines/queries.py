@@ -3563,3 +3563,104 @@ def q_knn_ivf_q8(sf_dir: str):
 
 
 QUERIES["knn_ivf_q8"] = (q_knn_ivf_q8, None)
+
+
+def q_nation_revenue(sf_dir: str):
+    """Three-table chained join at scale: lineitem ⋈ orders (big-big,
+    hash-partitioned on orderkey) → ⋈ customer (second shuffle on
+    custkey — a genuinely different key, so a second exchange is
+    inherent, same as any SQL engine's plan) → ⋈ nation (25 rows:
+    broadcast dict probe, never a shuffle). Pre-aggregation runs
+    BEFORE each shuffle (per-block by orderkey, per-block by custkey
+    after the first join), so each exchange moves partials bounded by
+    the distinct keys in flight, and the per-partition join itself is
+    a vectorized Acero hash join (joins.partitioned_lookup_join), not
+    per-key Python."""
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    na = agg._to_arrow(_read(sf_dir, "nation",
+                             columns=["n_nationkey", "n_name"]))
+
+    def preagg_line(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "cents": cpm}) \
+            .group_by("l_orderkey").aggregate([("cents", "sum"),
+                                               ([], "count_all")]) \
+            .rename_columns(["l_orderkey", "cents", "cnt"])
+
+    with_cust = partitioned_lookup_join(
+        li.map_batches(preagg_line, batch_format="pyarrow"), od,
+        left_key="l_orderkey", right_key="o_orderkey",
+        take_cols=["o_custkey"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64()),
+                               ("cnt", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def preagg_cust(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "cents": t.column("cents"),
+                         "cnt": t.column("cnt")}) \
+            .group_by("o_custkey").aggregate([("cents", "sum"),
+                                              ("cnt", "sum")]) \
+            .rename_columns(["o_custkey", "cents", "cnt"])
+
+    with_nation = partitioned_lookup_join(
+        with_cust.map_batches(preagg_cust, batch_format="pyarrow"), cu,
+        left_key="o_custkey", right_key="c_custkey",
+        take_cols=["c_nationkey"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("cents", pa.int64()),
+                               ("cnt", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    out = agg._combine_partials(
+        with_nation.map_batches(
+            lambda t: pa.table({"nationkey": t.column("c_nationkey"),
+                                "cents_sum": t.column("cents"),
+                                "cnt": t.column("cnt")}),
+            batch_format="pyarrow"),
+        keys=["nationkey"],
+        aggs=[("cents_sum", "sum"), ("cnt", "sum")],
+        empty_schema=pa.schema([("nationkey", pa.int64()),
+                                ("cents_sum", pa.int64()),
+                                ("cnt", pa.int64())]))
+    # nation is 25 rows: broadcast dict probe, not a join
+    names = dict(zip(na.column("n_nationkey").to_pylist(),
+                     na.column("n_name").to_pylist()))
+    nation = pa.array([names.get(k) for k in
+                       out.column("nationkey").to_pylist()],
+                      type=pa.string())
+    return pa.table({
+        "nation": nation,
+        "cents_sum": out.column("cents_sum"),
+        "cnt": out.column("cnt"),
+    }).sort_by("nation")
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT)))
+            AS BIGINT) AS cents_sum,
+       count(*) AS cnt
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)

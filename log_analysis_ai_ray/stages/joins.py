@@ -367,3 +367,86 @@ def interval_join_count_broadcast(left_ds, right: pa.Table, *,
     return left_ds.map_batches(
         IntervalCountLookup, fn_constructor_args=(ref, left_key, left_ts),
         concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+
+
+def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
+                            right_key: str, take_cols: list[str],
+                            num_partitions: int = 64,
+                            unique_right: bool = True,
+                            left_schema: pa.Schema | None = None,
+                            right_schema: pa.Schema | None = None):
+    """Big-big equi-join for a right side UNIQUE per key (dimension
+    lookup at fact scale — orders for lineitem, customer for order
+    partials): hash-partition co-location (side-tagged union → ONE
+    groupby shuffle on the partition id) + a vectorized Acero hash
+    join inside each partition. Unlike a per-key map_groups reducer,
+    the Python boundary is crossed ``num_partitions`` times, not
+    |distinct keys| times — at 10⁹ keys that is the difference between
+    a C++ join and 10⁹ interpreter calls.
+
+    Output: all left columns + ``take_cols`` (inner join). Partitioning
+    assumption: one partition's rows fit in a worker; raise
+    ``num_partitions`` for bigger inputs (it only adds tasks).
+
+    Pass ``left_schema``/``right_schema`` when the input is a lazy
+    chain: ``Dataset.schema()`` on one schema-probes by EXECUTING the
+    upstream plan (Ray 2.49), which doubles the cost of a chained
+    join."""
+    ls = left_schema or left_ds.schema()
+    payload_cols = list(ls.names)
+    payload_types = dict(zip(ls.names, ls.types))
+    rs = right_schema or right_ds.schema()
+    right_types = dict(zip(rs.names, rs.types))
+    take_types = {c: right_types[c] for c in take_cols}
+    overlap = set(take_cols) & set(payload_cols)
+    if overlap:
+        raise ValueError(f"take_cols collide with left columns: {overlap}")
+
+    def to_left(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(left_key), dtype=np.int64)
+        cols = {"_pkey": pa.array(
+            _hash_partition_ids(keys, num_partitions)),
+            "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "_key": pa.array(keys, type=pa.int64())}
+        for c in payload_cols:
+            cols[c] = t.column(c)
+        for c in take_cols:
+            cols[c] = pa.nulls(t.num_rows, take_types[c])
+        return pa.table(cols)
+
+    def to_right(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(right_key), dtype=np.int64)
+        cols = {"_pkey": pa.array(
+            _hash_partition_ids(keys, num_partitions)),
+            "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "_key": pa.array(keys, type=pa.int64())}
+        for c in payload_cols:
+            cols[c] = pa.nulls(t.num_rows, payload_types[c])
+        for c in take_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    out_schema = pa.schema(
+        [pa.field(c, payload_types[c]) for c in payload_cols]
+        + [pa.field(c, take_types[c]) for c in take_cols])
+
+    tagged = (left_ds.map_batches(to_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(to_right,
+                                          batch_format="pyarrow")))
+
+    def part_join(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        side = np.asarray(group.column("_side"))
+        left_t = group.filter(pa.array(side == 1)) \
+            .select(["_key"] + payload_cols)
+        right_t = group.filter(pa.array(side == 0)) \
+            .select(["_key"] + take_cols)
+        if left_t.num_rows == 0 or right_t.num_rows == 0:
+            return out_schema.empty_table()
+        joined = left_t.join(right_t, keys="_key",
+                             join_type="inner")
+        return joined.select(payload_cols + take_cols) \
+            .cast(out_schema)
+
+    return tagged.groupby("_pkey").map_groups(part_join,
+                                              batch_format="pyarrow")

@@ -138,3 +138,40 @@ def test_asof_partitioned_requires_tiebreak(ray_session):
         asof_join_partitioned(ds, ds, left_key="k", left_ts="ts",
                               right_key="k", right_ts="ts",
                               take_cols=[], tiebreak_col=None)
+
+
+def test_partitioned_lookup_join_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import partitioned_lookup_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 200, 1_000), type=pa.int64()),
+        "v": pa.array(rng.integers(0, 10**6, 1_000), type=pa.int64())})
+    rkeys = rng.permutation(250)[:180]  # some left keys unmatched
+    right = pa.table({
+        "rk": pa.array(rkeys, type=pa.int64()),
+        "payload": pa.array(rkeys * 7, type=pa.int64())})
+    got = partitioned_lookup_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right).repartition(3),
+        left_key="k", right_key="rk", take_cols=["payload"],
+        num_partitions=8).to_pandas()
+    want = left.to_pandas().merge(
+        right.to_pandas().rename(columns={"rk": "k"}), on="k")
+    cols = ["k", "v", "payload"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    with pytest.raises(ValueError, match="collide"):
+        partitioned_lookup_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="k", right_key="rk", take_cols=["v"],
+            left_schema=left.schema, right_schema=pa.schema(
+                [("rk", pa.int64()), ("v", pa.int64())]))
