@@ -105,10 +105,11 @@ def partition_paths(store_dir: str, part_col: str,
     """Directories of the requested partitions (missing = empty cell,
     skipped)."""
     out = []
-    for v in sorted({int(v) for v in values}):
-        p = os.path.join(store_dir, "vectors", f"{part_col}={v}")
-        if os.path.isdir(p):
-            out.append(p)
+    for root in _vector_roots(store_dir):
+        for v in sorted({int(v) for v in values}):
+            p = os.path.join(root, f"{part_col}={v}")
+            if os.path.isdir(p):
+                out.append(p)
     return out
 
 
@@ -123,7 +124,7 @@ def _tree_bytes(path: str) -> int:
 def scan_fraction(store_dir: str, probed_paths: list[str]) -> float:
     """Pruned-read bytes / whole-store bytes — the quantity the
     partition pruning exists to shrink."""
-    total = _tree_bytes(os.path.join(store_dir, "vectors"))
+    total = sum(_tree_bytes(r) for r in _vector_roots(store_dir))
     if total == 0:
         return 0.0
     return sum(_tree_bytes(p) for p in probed_paths) / total
@@ -378,3 +379,65 @@ def ivf_q8_store_topk(store_dir: str, query_ids: list[int],
         "sim": pa.array(sims.T.ravel(), type=pa.float64()),
     })
     return _final(exact, k)
+
+
+# ---------------------------------------------------------------------------
+# incremental append (the reference's persistent index supports add):
+# generation directories with a commit-in-meta protocol
+# ---------------------------------------------------------------------------
+
+
+def _vector_roots(store_dir: str) -> list[str]:
+    """Base build + every COMMITTED append generation. A generation is
+    visible only once listed in meta.json, so a crashed append (its
+    directory exists, its commit doesn't) is invisible to readers and
+    harmlessly replaced by the next attempt."""
+    meta = load_meta(store_dir)
+    roots = [os.path.join(store_dir, "vectors")]
+    roots += [os.path.join(store_dir, g)
+              for g in meta.get("generations", [])]
+    return [r for r in roots if os.path.isdir(r)]
+
+
+def append_to_store(store_dir: str, ds) -> dict:
+    """Append vectors to an existing IVF store (float or int8): assign
+    with the PERSISTED centroids (the index stays consistent — no
+    retrain, same cell semantics), write a new partitioned generation
+    directory, then commit it by rewriting meta.json atomically.
+    Readers union all committed generations; compaction of many small
+    generations is the same maintenance story as stages/compact.py."""
+    import ray
+
+    meta = load_meta(store_dir)
+    if meta["kind"] != "ivf":
+        raise NotImplementedError("append supported for IVF stores")
+    C = np.load(os.path.join(store_dir, "centroids.npy"))
+    ref = ray.put(C)
+
+    from .knn import IvfAssignStage
+
+    assigned = ds.map_batches(
+        IvfAssignStage, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"vec_col": meta["vec_col"]},
+        concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+    if meta.get("quantized") == "int8":
+        assigned = assigned.map_batches(
+            Int8QuantStage(vec_col=meta["vec_col"]),
+            batch_format="pyarrow")
+
+    gens = meta.get("generations", [])
+    gen_name = f"vectors-gen-{len(gens) + 1:04d}"
+    tmp = os.path.join(store_dir, gen_name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    assigned.write_parquet(tmp, partition_cols=["ivf_cell"])
+    final = os.path.join(store_dir, gen_name)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    # commit: generation becomes visible only here
+    meta["generations"] = gens + [gen_name]
+    mt = os.path.join(store_dir, "meta.json.tmp")
+    with open(mt, "w") as f:
+        json.dump(meta, f)
+    os.replace(mt, os.path.join(store_dir, "meta.json"))
+    return meta

@@ -224,3 +224,52 @@ def test_ivf_q8_store_smaller_and_recalls(ray_session, tmp_path):
     assert len(shared) >= 25  # high overlap with exact top-10s
     for key in shared:
         assert abs(sims[key] - esims[key]) < 1e-9  # exact sims, not q8
+
+
+def test_incremental_append_and_crash_safety(ray_session, tmp_path):
+    import ray.data
+
+    t, M = _embeddings(n=300, d=16)
+    half_a = t.slice(0, 150)
+    half_b = t.slice(150, 150)
+    store = str(tmp_path / "ivf")
+    ann_store.build_ivf_store(ray.data.from_arrow(half_a), store,
+                              n_centroids=6)
+    ann_store.append_to_store(store, ray.data.from_arrow(half_b))
+    assert ann_store.load_meta(store)["generations"] == \
+        ["vectors-gen-0001"]
+
+    full = ray.data.from_arrow(t)
+    q = M[:2].astype(np.float64)
+    exact = knn.brute_force_topk(full, [0, 1], q, k=10)
+    # probing every cell removes pruning loss: appended vectors must be
+    # fully searchable alongside the base build
+    got = ann_store.ivf_store_topk(store, [0, 1], q, k=10, nprobe=6)
+    assert got.equals(exact)
+
+    # an UNCOMMITTED generation directory is invisible to readers
+    orphan = os.path.join(store, "vectors-gen-0002")
+    os.makedirs(os.path.join(orphan, "ivf_cell=0"))
+    import pyarrow.parquet as pq
+
+    junk = pa.table({
+        "vec_id": pa.array([999_999], type=pa.int64()),
+        "embedding": pa.array([[0.0] * 16], type=pa.list_(pa.float32())),
+        "ivf_cell": pa.array([0], type=pa.int64())})
+    pq.write_table(junk, os.path.join(orphan, "ivf_cell=0",
+                                      "part-junk.parquet"))
+    again = ann_store.ivf_store_topk(store, [0, 1], q, k=10, nprobe=6)
+    assert 999_999 not in set(again["vec_id"].to_pylist())
+
+    # append works on quantized stores too
+    qstore = str(tmp_path / "q8")
+    ann_store.build_ivf_q8_store(ray.data.from_arrow(half_a), qstore,
+                                 n_centroids=6)
+    ann_store.append_to_store(qstore, ray.data.from_arrow(half_b))
+    qtop = ann_store.ivf_q8_store_topk(qstore, [0, 1], q, k=10,
+                                       nprobe=6)
+    e = {(a, b) for a, b in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist())}
+    a = {(x, y) for x, y in zip(qtop["query_id"].to_pylist(),
+                                qtop["vec_id"].to_pylist())}
+    assert len(a & e) / len(e) >= 0.8
