@@ -64,6 +64,11 @@ BENCH_EXTRA = [
     "dataset_splits",
     "html_extracted_text",
     "domain_boilerplate",
+    "bm25_search",
+    "bloom_semijoin_revenue",
+    "doc_dedup_normalized",
+    "nation_revenue",
+    "knn_ivf_q8",
 ]
 
 

@@ -3664,3 +3664,75 @@ GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP in one pass: the cluster computes ONLY
+    the finest level — (event_type, hour) partials, the same shuffle
+    as events_hourly — and the coarser levels ((event_type), ()) are
+    derived from that vocab-bounded combined table on the driver (an
+    aggregation tree: re-aggregating exact partials is exact). A SQL
+    engine's ROLLUP does the identical thing internally; here it
+    costs zero extra passes over the data. Level markers mirror
+    DuckDB's GROUPING SETS nulls."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.cast(floor_hour(t.column("ts")), pa.int64()),
+            "cents": cents,
+        }).group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return tt.rename_columns(["event_type", "bucket", "cnt",
+                                  "sum_cents"])
+
+    fine = _partial_final(ds, partial, ["event_type", "bucket"],
+                          [("cnt", "sum"), ("sum_cents", "sum")])
+
+    def level(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = tbl.group_by(keys).aggregate(
+                [("cnt", "sum"), ("sum_cents", "sum")]) \
+                .rename_columns(keys + ["cnt", "sum_cents"])
+        else:
+            g = pa.table({
+                "cnt": pa.array([int(pc.sum(tbl.column("cnt"))
+                                     .as_py() or 0)], pa.int64()),
+                "sum_cents": pa.array(
+                    [int(pc.sum(tbl.column("sum_cents"))
+                         .as_py() or 0)], pa.int64())})
+        n = g.num_rows
+        return pa.table({
+            "event_type": (g.column("event_type")
+                           if "event_type" in keys
+                           else pa.nulls(n, pa.string())),
+            "bucket": (g.column("bucket").cast(pa.timestamp("us"))
+                       if "bucket" in keys
+                       else pa.nulls(n, pa.timestamp("us"))),
+            "cnt": g.column("cnt"),
+            "sum_cents": g.column("sum_cents"),
+        })
+
+    out = pa.concat_tables([
+        level(fine, ["event_type", "bucket"]),
+        level(fine, ["event_type"]),
+        level(fine, []),
+    ])
+    return out.sort_by([("event_type", "ascending"),
+                        ("bucket", "ascending")])
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY ROLLUP (event_type, bucket)
+ORDER BY event_type, bucket
+"""
+
+QUERIES["events_rollup"] = (q_events_rollup, SQL_EVENTS_ROLLUP)
