@@ -3736,3 +3736,160 @@ ORDER BY event_type, bucket
 """
 
 QUERIES["events_rollup"] = (q_events_rollup, SQL_EVENTS_ROLLUP)
+
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
+def q_events_profile(sf_dir: str):
+    """Table profiler (ANALYZE-style): per-column row/null counts and
+    min/max in ONE pass — per-block partials carry one row per column
+    (count, nulls, min, max as strings for a uniform schema), the
+    final is a vocab-bounded groupby(column). The per-column scan cost
+    is shared: every column of the block is profiled from the same
+    zero-copy Arrow batch. Timestamps profile on int64 micros and
+    doubles through a locale-free float repr so both engines format
+    identically."""
+    ds = _read(sf_dir, "events", columns=list(_PROFILE_COLS))
+
+    def fmt(col) -> tuple:
+        """(min, max) as canonical strings matching the SQL CAST."""
+        if col.null_count == len(col):
+            return None, None
+        mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+        if pa.types.is_floating(col.type):
+            return f"{float(mn):.6f}", f"{float(mx):.6f}"
+        return str(mn), str(mx)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, cnts, nulls, mins, maxs = [], [], [], [], []
+        for name in _PROFILE_COLS:
+            col = t.column(name)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())  # micros: total order, no tz
+            names.append(name)
+            cnts.append(t.num_rows)
+            nulls.append(col.null_count)
+            mn, mx = fmt(col)
+            mins.append(mn)
+            maxs.append(mx)
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "cnt": pa.array(cnts, type=pa.int64()),
+            "nulls": pa.array(nulls, type=pa.int64()),
+            "min_s": pa.array(mins, type=pa.string()),
+            "max_s": pa.array(maxs, type=pa.string()),
+        })
+
+    parts = agg._to_arrow(ds.map_batches(partial,
+                                         batch_format="pyarrow"))
+    out = parts.group_by("column").aggregate(
+        [("cnt", "sum"), ("nulls", "sum"),
+         ("min_s", "min"), ("max_s", "max")])
+    out = out.rename_columns(["column", "cnt", "nulls", "min_s",
+                              "max_s"])
+    # string min/max is WRONG for numeric columns ("10" < "9"): redo
+    # the final min/max numerically for the numeric ones
+    num_cols = {"event_id", "user_id", "value", "ts"}
+    fix_min, fix_max = [], []
+    for i, name in enumerate(out.column("column").to_pylist()):
+        if name not in num_cols:
+            fix_min.append(out.column("min_s")[i].as_py())
+            fix_max.append(out.column("max_s")[i].as_py())
+            continue
+        sub = parts.filter(pc.equal(parts.column("column"), name))
+        mns = [float(x) for x in sub.column("min_s").to_pylist()
+               if x is not None]
+        mxs = [float(x) for x in sub.column("max_s").to_pylist()
+               if x is not None]
+        if name == "value":
+            fix_min.append(f"{min(mns):.6f}" if mns else None)
+            fix_max.append(f"{max(mxs):.6f}" if mxs else None)
+        else:
+            fix_min.append(str(int(min(mns))) if mns else None)
+            fix_max.append(str(int(max(mxs))) if mxs else None)
+    return pa.table({
+        "column": out.column("column"),
+        "cnt": out.column("cnt"),
+        "nulls": out.column("nulls"),
+        "min_s": pa.array(fix_min, type=pa.string()),
+        "max_s": pa.array(fix_max, type=pa.string()),
+    }).sort_by("column")
+
+
+SQL_EVENTS_PROFILE = """
+WITH p AS (
+  SELECT 'event_id' AS "column", count(*) AS cnt,
+         count(*) - count(event_id) AS nulls,
+         CAST(min(event_id) AS VARCHAR) AS min_s,
+         CAST(max(event_id) AS VARCHAR) AS max_s FROM events
+  UNION ALL
+  SELECT 'ts', count(*), count(*) - count(ts),
+         CAST(CAST(epoch_us(min(ts)) AS BIGINT) AS VARCHAR),
+         CAST(CAST(epoch_us(max(ts)) AS BIGINT) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'user_id', count(*), count(*) - count(user_id),
+         CAST(min(user_id) AS VARCHAR),
+         CAST(max(user_id) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'event_type', count(*), count(*) - count(event_type),
+         min(event_type), max(event_type) FROM events
+  UNION ALL
+  SELECT 'value', count(*), count(*) - count(value),
+         format('{:.6f}', min(value)),
+         format('{:.6f}', max(value)) FROM events)
+SELECT * FROM p ORDER BY "column"
+"""
+
+QUERIES["events_profile"] = (q_events_profile, SQL_EVENTS_PROFILE)
+
+
+_BIGRAM_TOP = 20
+
+
+def q_token_bigrams(sf_dir: str):
+    """Top adjacent-token pairs over the corpus — the counting core of
+    a BPE/WordPiece merge step (most frequent adjacent pair becomes
+    the next merge). Vectorized: one split per block, adjacency from
+    list parent indices (a pair exists where position i and i+1 share
+    a document), per-block pre-count, vocab-bounded combine, exact
+    global top-k. Pairs containing the empty token (run of spaces) are
+    dropped AFTER pairing on both engines, so adjacency matches."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        adj = parent[:-1] == parent[1:]
+        a, b = flat[:-1][adj], flat[1:][adj]
+        keep = (a != "") & (b != "")
+        pairs = np.char.add(np.char.add(a[keep].astype(str), " "),
+                            b[keep].astype(str))
+        tt = pa.table({"pair": pa.array(pairs, type=pa.string())}) \
+            .group_by("pair").aggregate([([], "count_all")])
+        return tt.rename_columns(["pair", "cnt"])
+
+    out = _partial_final(ds, partial, ["pair"], [("cnt", "sum")])
+    out = out.sort_by([("cnt", "descending"), ("pair", "ascending")])
+    return out.slice(0, _BIGRAM_TOP)
+
+
+SQL_TOKEN_BIGRAMS = f"""
+WITH t AS (SELECT row_number() OVER () AS doc, string_split(text, ' ')
+           AS a FROM documents),
+x AS (SELECT doc, unnest(a) AS tok,
+             unnest(range(1, len(a) + 1)) AS i FROM t),
+p AS (SELECT x1.tok || ' ' || x2.tok AS pair
+      FROM x x1 JOIN x x2 ON x1.doc = x2.doc AND x2.i = x1.i + 1
+      WHERE x1.tok <> '' AND x2.tok <> '')
+SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+ORDER BY cnt DESC, pair LIMIT {_BIGRAM_TOP}
+"""
+
+QUERIES["token_bigrams"] = (q_token_bigrams, SQL_TOKEN_BIGRAMS)
