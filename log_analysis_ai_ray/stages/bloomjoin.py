@@ -34,6 +34,26 @@ import pyarrow as pa
 
 from . import aggregate as agg
 
+
+def _column_to_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 key array, valid mask) for an integer or string Arrow
+    column. Strings hash through polars' vectorized 64-bit hash (no
+    Python per row); nulls are flagged invalid — a null key never
+    matches, per join semantics. Hashes only need to agree between a
+    build and its probes within one engine version, which they do (one
+    pinned polars)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        import polars as pl
+
+        keys = pl.from_arrow(col).hash(seed=7).to_numpy().astype(np.uint64)
+    else:
+        keys = np.asarray(col.cast(pa.int64()).fill_null(0),
+                          dtype=np.int64).view(np.uint64)
+    valid = ~np.asarray(col.is_null())
+    return keys, valid
+
 M_BITS_DEFAULT = 1 << 23
 K_HASHES_DEFAULT = 5
 
@@ -97,7 +117,8 @@ def bloom_build(ds, key_col: str, m_bits: int = M_BITS_DEFAULT,
     The shuffle ships positions, never keys or full bitmaps."""
 
     def partial(t: pa.Table) -> pa.Table:
-        keys = np.unique(t.column(key_col).to_numpy(zero_copy_only=False))
+        keys, valid = _column_to_u64(t.column(key_col))
+        keys = np.unique(keys[valid])
         pos = np.unique(_probe_positions(keys, m_bits, k_hashes).ravel())
         return pa.table({"pos": pa.array([pos.astype(np.uint64)
                                           .tobytes()], type=pa.binary())})
@@ -128,6 +149,6 @@ class BloomFilterStage:
         self.k_hashes = k_hashes
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        keys = t.column(self.key_col).to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(bloom_probe(self.bm, keys,
-                                             self.k_hashes)))
+        keys, valid = _column_to_u64(t.column(self.key_col))
+        hit = bloom_probe(self.bm, keys, self.k_hashes) & valid
+        return t.filter(pa.array(hit))

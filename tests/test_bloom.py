@@ -76,3 +76,41 @@ def test_filter_stage_and_verify_exactness(ray_session):
     assert abs(len(out) - true_hits) <= 5
     assert {r["key"] for r in out} >= set(
         probe.column("key").to_pylist()) & set(members.tolist())
+
+
+def test_string_keys_build_and_probe(ray_session):
+    import ray
+    import ray.data
+
+    members = pa.table({"k": pa.array([f"url-{i}" for i in range(500)])})
+    ds = ray.data.from_arrow(members).repartition(3)
+    bm = bj.bloom_build(ds, "k")
+    probe = pa.table({"k": pa.array(
+        [f"url-{i}" for i in range(400, 900)] + [None]),
+        "v": pa.array(list(range(501)), type=pa.int64())})
+    out = ray.data.from_arrow(probe).map_batches(
+        bj.BloomFilterStage(ray.put(bm), "k"),
+        batch_format="pyarrow").take_all()
+    got = {r["k"] for r in out}
+    want = {f"url-{i}" for i in range(400, 500)}
+    assert want <= got            # no false negatives
+    assert None not in got        # null never matches
+    assert len(got) <= len(want) + 5  # fpp tiny at this density
+
+
+def test_plan_bins_property():
+    from hypothesis import given, strategies as st
+
+    from log_analysis_ai_ray.stages.compact import plan_bins
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**9),
+                    max_size=60),
+           st.integers(min_value=1, max_value=10**9))
+    def check(sizes, target):
+        bins = plan_bins(sizes, target)
+        flat = sorted(i for b in bins for i in b)
+        assert flat == list(range(len(sizes)))  # exact cover
+        for b in bins:
+            assert len(b) == 1 or sum(sizes[i] for i in b) <= target
+
+    check()
