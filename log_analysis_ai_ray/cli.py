@@ -82,6 +82,19 @@ def main(argv=None) -> int:
     p_aq.add_argument("--k", type=int, default=10)
     p_aq.add_argument("--nprobe", type=int, default=4)
 
+    p_cu = sub.add_parser(
+        "curate", help="end-to-end corpus curation: langid/quality "
+                       "gates, normalized exact dedup, near-dup "
+                       "removal, partitioned kept-corpus write")
+    p_cu.add_argument("--input", required=True,
+                      help="documents parquet (doc_id, text, ...)")
+    p_cu.add_argument("--out", required=True)
+    p_cu.add_argument("--langs", default="en",
+                      help="comma-separated languages to keep")
+    p_cu.add_argument("--min-tokens", type=int, default=5)
+    p_cu.add_argument("--min-alpha-pm", type=int, default=500)
+    p_cu.add_argument("--no-near-dups", action="store_true")
+
     p_cp = sub.add_parser(
         "compact", help="rewrite a routed store's small part files "
                         "into target-size parts (one task per "
@@ -112,6 +125,17 @@ def main(argv=None) -> int:
 
     _ensure_ray(args.num_cpus)
     try:
+        if args.cmd == "curate":
+            from .pipelines.curation import run_curation
+
+            metrics = run_curation(
+                args.input, args.out,
+                keep_langs=tuple(args.langs.split(",")),
+                min_tokens=args.min_tokens,
+                min_alpha_pm=args.min_alpha_pm,
+                drop_near_dups=not args.no_near_dups)
+            print(json.dumps(metrics))
+            return 0
         if args.cmd == "compact":
             from .stages.compact import compact_store
 

@@ -98,3 +98,70 @@ SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
        min(alpha_pm) AS alpha_pm
 FROM kept GROUP BY text ORDER BY doc_id
 """
+
+
+def run_curation(input_parquet: str, out_dir: str, *,
+                 keep_langs: tuple[str, ...] = ("en",),
+                 min_tokens: int = 5, min_alpha_pm: int = 500,
+                 drop_near_dups: bool = True) -> dict:
+    """End-to-end curation job (the training-data counterpart of the
+    flagship): read → langid/quality gates → normalization-aware exact
+    dedup → optional MinHash near-dup removal → write the kept corpus
+    as Parquet PARTITIONED BY predicted language, plus _metrics.json.
+
+    The gated subset is materialized ONCE and every later consumer
+    (stage counts, dedup keep-list, near-dup pairing, the final write)
+    reuses those blocks instead of re-executing the cascade. The exact
+    keep-list is distilled distributedly (hash partials) and broadcast
+    as an id filter; past the driver-merge bound the same filter runs
+    as a Bloom prefilter + partitioned verify join (stages/bloomjoin)."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import ray.data
+
+    from ..stages.aggregate import _to_arrow
+    from ..stages.dedup import exact_dedup_by_hash, normalize_text
+
+    ds = ray.data.read_parquet(input_parquet).map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True)
+    input_rows = ds.count()
+
+    kept = curate(ds, keep_langs=keep_langs, min_tokens=min_tokens,
+                  min_alpha_pm=min_alpha_pm,
+                  drop_near_dups=drop_near_dups).materialize()
+    gated_rows = kept.count()
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": normalize_text(t.column("text"))})
+
+    keep_tbl = exact_dedup_by_hash(
+        kept.map_batches(norm, batch_format="pyarrow"))
+    keep_ids = pa.array(
+        np.sort(np.asarray(keep_tbl.column("keep_id"))), type=pa.int64())
+
+    final = kept.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"),
+                                    value_set=keep_ids)),
+        batch_format="pyarrow")
+
+    docs_dir = os.path.join(out_dir, "docs")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    os.makedirs(docs_dir, exist_ok=True)
+    final = final.materialize()
+    out_rows = final.count()
+    final.write_parquet(docs_dir, partition_cols=["pred_lang"])
+
+    metrics = {"input_rows": int(input_rows),
+               "kept_after_gates": int(gated_rows),
+               "kept_after_dedup": int(out_rows),
+               "near_dup_stage": bool(drop_near_dups),
+               "out": docs_dir}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_metrics.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics

@@ -99,3 +99,47 @@ def test_config_unknown_transform_raises(ray_session, tmp_path):
         transforms=[{"kind": "nonsense"}])
     with pytest.raises(ValueError, match="unknown transform"):
         Pipeline(cfg).run()
+
+
+def test_run_curation_end_to_end(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipelines.curation import run_curation
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field every day")
+    docs = [
+        base,                      # kept
+        base,                      # exact duplicate -> dropped
+        base.upper().replace(" ", "  "),  # normalized duplicate -> dropped
+        "short",                   # fails min_tokens
+        "el zorro salta sobre el perro perezoso cada dia sin parar "
+        "por el campo abierto",    # non-en -> dropped
+        "a completely different english document about data engines "
+        "and their streaming executors working on arrow batches",
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string())}), src)
+
+    out = str(tmp_path / "curated")
+    m = run_curation(src, out, drop_near_dups=False)
+    assert m["input_rows"] == 6
+    assert m["kept_after_dedup"] == 2  # doc 0 and doc 5
+    got = pads.dataset(os.path.join(out, "docs"),
+                       partitioning="hive").to_table()
+    assert sorted(got.column("doc_id").to_pylist()) == [0, 5]
+    assert got.num_rows == m["kept_after_dedup"]
+    saved = json.load(open(os.path.join(out, "_metrics.json")))
+    assert saved == m
+    # re-run overwrites, never duplicates
+    m2 = run_curation(src, out, drop_near_dups=False)
+    got2 = pads.dataset(os.path.join(out, "docs"),
+                        partitioning="hive").to_table()
+    assert got2.num_rows == m2["kept_after_dedup"] == 2
