@@ -97,6 +97,30 @@ class Pipeline:
         if kind in table:
             fn = table[kind]
             return lambda t: fn(t, text_col=text_col)
+        if kind == "normalize":
+            from .stages.dedup import normalize_text
+
+            def _norm(t):
+                return t.append_column("normalized",
+                                       normalize_text(t.column(text_col)))
+            return _norm
+        if kind == "pii_redact":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            pat = spec.get("pattern",
+                           r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}")
+            tag = spec.get("tag", "<IP>")
+
+            def _redact(t):
+                col = t.column(text_col)
+                red = pc.replace_substring_regex(col, pattern=pat,
+                                                 replacement=tag)
+                n = pc.count_substring_regex(col, pattern=pat)                     .cast(pa.int64())
+                t = t.set_column(t.schema.get_field_index(text_col),
+                                 text_col, red)
+                return t.append_column("n_redactions", n)
+            return _redact
         raise ValueError(f"unknown transform kind: {kind}")
 
     # -- parser -----------------------------------------------------------

@@ -143,3 +143,26 @@ def test_run_curation_end_to_end(ray_session, tmp_path):
     got2 = pads.dataset(os.path.join(out, "docs"),
                         partitioning="hive").to_table()
     assert got2.num_rows == m2["kept_after_dedup"] == 2
+
+
+def test_config_normalize_and_pii_transforms(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipeline import Pipeline, PipelineConfig
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["Peer 10.0.0.1 said  HI", "clean row"])}), src)
+    cfg = PipelineConfig.from_json(PipelineConfig(
+        source={"format": "parquet", "path": src},
+        parser={"kind": "line"},
+        transforms=[{"kind": "pii_redact"}, {"kind": "normalize"}],
+        aggregates=[]).to_json())
+    res = Pipeline(cfg).run()
+    rows = sorted(res["dataset"].take_all(), key=lambda r: r["doc_id"])
+    assert rows[0]["text"] == "Peer <IP> said  HI"
+    assert rows[0]["n_redactions"] == 1
+    assert rows[0]["normalized"] == "peer <ip> said hi"
+    assert rows[1]["n_redactions"] == 0
