@@ -1347,10 +1347,31 @@ def q_search_logs(sf_dir: str):
 
 def q_filter_by_time(sf_dir: str):
     """Time-range retrieval: routed rows with line_ts in
-    [2025-01-05 00:00, 2025-01-05 06:00), first 100."""
+    [2025-01-05 00:00, 2025-01-05 06:00), first 100. The read is
+    zone-map pruned first (parquet footer min/max per file,
+    route.prune_files_by_stats): only sink files whose line_ts range
+    can overlap the window are opened — file skipping, conservative
+    for missing stats, parity-tested against the unpruned read."""
+    import datetime as _dt
+
+    import ray
+
+    from ..stages.route import list_sink_files, prune_files_by_stats
+
     lo = pa.scalar(np.datetime64("2025-01-05T00:00:00", "us"))
     hi = pa.scalar(np.datetime64("2025-01-05T06:00:00", "us"))
-    ds = _routed_ds(sf_dir, ROW_COLS)
+    files = prune_files_by_stats(
+        list_sink_files(routed_dir_for(sf_dir)), "line_ts",
+        _dt.datetime(2025, 1, 5, 0, 0, 0),
+        _dt.datetime(2025, 1, 5, 6, 0, 0))
+    if not files:
+        return _ROW_SCHEMA.empty_table()
+    import ray.data
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        files, columns=ROW_COLS,
+        override_num_blocks=max(min(len(files), cpus), 1))
     hits = ds.map_batches(
         lambda t: t.filter(pc.and_(
             pc.greater_equal(t.column("line_ts"), lo),

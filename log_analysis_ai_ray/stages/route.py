@@ -229,3 +229,61 @@ def sink_manifest_from_output(out_dir: str, filesystem=None) -> dict:
         dead += pq.read_metadata(p_, filesystem=fs).num_rows
     return {"per_sink_rows": counts, "dead_letter_rows": dead,
             "total_rows": sum(counts.values()) + dead}
+
+
+def prune_files_by_stats(files: list[str], column: str, lo, hi,
+                         filesystem=None) -> list[str]:
+    """Zone-map pruning: keep only files whose parquet row-group
+    statistics for ``column`` can overlap [lo, hi). Footers are a few
+    KB each — reading them costs metadata, not data, and the pruned
+    list means a time-range query opens only the sinks' files that can
+    contain matches (classic min/max zone maps / Iceberg-style file
+    skipping). Conservative by construction: files lacking stats (or
+    with null-only pages) are KEPT, so pruning can never change a
+    query's result — asserted by parity tests.
+
+    The footer sweep is a Ray task fan-out over the file list (one
+    footer read per row), so at 10^6 store files the driver never
+    touches a footer."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .aggregate import _to_arrow
+
+    if not files:
+        return []
+    fs = _resolve_fs(filesystem)
+    fs_local = isinstance(fs, pafs.LocalFileSystem)
+
+    def check(t: pa.Table) -> pa.Table:
+        keep = []
+        for path in t.column("path").to_pylist():
+            f = pafs.LocalFileSystem() if fs_local else _resolve_fs(None)
+            md = pq.ParquetFile(path, filesystem=f).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            if column not in names:
+                keep.append(True)
+                continue
+            ci = names[column]
+            overlap = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    overlap = True
+                    break
+                if not (st.max < lo or st.min >= hi):
+                    overlap = True
+                    break
+            keep.append(overlap)
+        return pa.table({"path": t.column("path"),
+                         "keep": pa.array(keep, type=pa.bool_())})
+
+    n = len(files)
+    flags = _to_arrow(ray.data.from_arrow(
+        pa.table({"path": pa.array(files, type=pa.string())}))
+        .repartition(max(1, min(n, 32)))
+        .map_batches(check, batch_format="pyarrow"))
+    kept = flags.filter(flags.column("keep")).column("path").to_pylist()
+    return sorted(kept)

@@ -83,3 +83,38 @@ def test_compact_respects_target_and_deadletter(ray_session, tmp_path):
     compact_store(root, target_bytes=1 << 30)
     assert _n_files(root) == 1
     assert _snapshot(root) == before
+
+
+def test_zone_map_pruning_parity(ray_session, tmp_path):
+    """prune_files_by_stats opens only overlapping files and never
+    changes results (conservative on missing stats)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.stages.route import prune_files_by_stats
+
+    d = tmp_path / "sink_id=0"
+    d.mkdir()
+    files = []
+    for day in (1, 5, 9):
+        ts = [dt.datetime(2025, 1, day, h) for h in range(6)]
+        t = pa.table({
+            "line_ts": pa.array(ts, type=pa.timestamp("us")),
+            "v": pa.array(range(6), type=pa.int64())})
+        f = str(d / f"part-{day}.parquet")
+        pq.write_table(t, f)
+        files.append(f)
+    lo, hi = dt.datetime(2025, 1, 5), dt.datetime(2025, 1, 6)
+    kept = prune_files_by_stats(files, "line_ts", lo, hi)
+    assert kept == [files[1]]  # only the day-5 file overlaps
+    # missing column -> conservative keep
+    assert prune_files_by_stats(files, "nope", lo, hi) == sorted(files)
+    # null-only stats file is kept
+    fnull = str(d / "part-null.parquet")
+    pq.write_table(pa.table({
+        "line_ts": pa.array([None, None], type=pa.timestamp("us")),
+        "v": pa.array([1, 2], type=pa.int64())}), fnull)
+    kept2 = prune_files_by_stats(files + [fnull], "line_ts", lo, hi)
+    assert fnull in kept2 and files[1] in kept2
