@@ -3448,9 +3448,11 @@ def q_bloom_semijoin_revenue(sf_dir: str):
     orderkeys build a Bloom filter distributedly (bit-position partials,
     no key shuffle); the broadcast filter drops ~4/5 of lineitem BEFORE
     the verification shuffle, which then makes the result exact despite
-    Bloom false positives (side-tagged union → groupby(key) → in-group
-    membership check + partial aggregation). Same integer cents/permille
-    arithmetic as order_priority_revenue for engine portability."""
+    Bloom false positives (side-tagged union → ONE hash-partition
+    shuffle → vectorized per-partition is_in semi-join + in-partition
+    pre-aggregation: Python crossed NPART times, never per key). Same
+    integer cents/permille arithmetic as order_priority_revenue for
+    engine portability."""
     import ray
 
     from ..stages.bloomjoin import BloomFilterStage, bloom_build
@@ -3469,6 +3471,10 @@ def q_bloom_semijoin_revenue(sf_dir: str):
     survivors = li.map_batches(BloomFilterStage(bm_ref, "l_orderkey"),
                                batch_format="pyarrow")
 
+    from ..stages.joins import _hash_partition_ids
+
+    NPART = 64
+
     def tag_line(t: pa.Table) -> pa.Table:
         price_c = pc.cast(pc.round(pc.multiply(
             t.column("l_extendedprice"), 100), 0), pa.int64())
@@ -3476,7 +3482,9 @@ def q_bloom_semijoin_revenue(sf_dir: str):
             t.column("l_discount"), 1000), 0), pa.int64())
         cpm = pc.multiply(price_c, pc.subtract(
             pa.scalar(1000, pa.int64()), disc_pm))
+        keys = np.asarray(t.column("l_orderkey"), dtype=np.int64)
         return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
             "key": t.column("l_orderkey"),
             "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
             "returnflag": t.column("l_returnflag").cast(pa.string()),
@@ -3484,7 +3492,9 @@ def q_bloom_semijoin_revenue(sf_dir: str):
         })
 
     def tag_order(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("o_orderkey"), dtype=np.int64)
         return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
             "key": t.column("o_orderkey"),
             "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
             "returnflag": pa.nulls(t.num_rows, pa.string()),
@@ -3494,18 +3504,21 @@ def q_bloom_semijoin_revenue(sf_dir: str):
     both = survivors.map_batches(tag_line, batch_format="pyarrow").union(
         urgent.map_batches(tag_order, batch_format="pyarrow"))
 
-    def join_group(g: pa.Table) -> pa.Table:
-        # exact verification: keep the group's lineitems only if an
-        # urgent orderkey row is actually present (kills Bloom fps)
+    def join_partition(g: pa.Table) -> pa.Table:
+        # exact verification per partition, fully vectorized: keep
+        # lineitems whose key IS in the partition's urgent-key set
+        # (kills Bloom false positives), then pre-aggregate in place —
+        # the Python boundary is crossed NPART times, not per key
+        g = g.combine_chunks()
         side = np.asarray(g.column("side"))
-        empty = pa.table({"returnflag": pa.array([], type=pa.string()),
-                          "cents_sum": pa.array([], type=pa.int64()),
-                          "cnt": pa.array([], type=pa.int64())})
-        if not (side == 1).any():
-            return empty
+        rkeys = g.column("key").filter(pa.array(side == 1))
         lines = g.filter(pa.array(side == 0))
-        if lines.num_rows == 0:
-            return empty
+        if len(rkeys) == 0 or lines.num_rows == 0:
+            return pa.table({"returnflag": pa.array([], type=pa.string()),
+                             "cents_sum": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        lines = lines.filter(pc.is_in(lines.column("key"),
+                                      value_set=rkeys.combine_chunks()))
         part = pa.table({
             "returnflag": lines.column("returnflag"),
             "cents": lines.column("cents"),
@@ -3513,8 +3526,8 @@ def q_bloom_semijoin_revenue(sf_dir: str):
             [("cents", "sum"), ([], "count_all")])
         return part.rename_columns(["returnflag", "cents_sum", "cnt"])
 
-    partials = both.groupby("key").map_groups(join_group,
-                                              batch_format="pyarrow")
+    partials = both.groupby("_pkey").map_groups(join_partition,
+                                                batch_format="pyarrow")
     out = agg._combine_partials(
         partials, keys=["returnflag"],
         aggs=[("cents_sum", "sum"), ("cnt", "sum")],
