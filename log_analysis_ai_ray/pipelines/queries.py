@@ -2016,12 +2016,18 @@ FROM e WHERE comp <> '' GROUP BY 1 ORDER BY 1
 
 def q_order_priority_revenue(sf_dir: str):
     """Big-big shuffle join (no broadcast side): lineitem ⋈ orders on
-    orderkey via side-tagged union → one hash shuffle on the key →
-    per-group join + IN-GROUP partial aggregation (the joined rows
-    never leave the reducer — only (priority, cents, cnt) partials do)
-    → final combine. Revenue = Σ price_cents·(1000−disc_permille) in
+    orderkey via side-tagged union → ONE hash-partition shuffle →
+    vectorized per-partition lookup join (index_in against the
+    partition's unique orders) + IN-PARTITION pre-aggregation, so the
+    joined rows never leave the reducer — only (priority, cents, cnt)
+    partials do — and the Python boundary is crossed NPART times, not
+    |orderkeys| times. Revenue = Σ price_cents·(1000−disc_permille) in
     exact integer centi-per-mille units per order priority."""
     import ray
+
+    from ..stages.joins import _hash_partition_ids
+
+    NPART = 64
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -2037,7 +2043,9 @@ def q_order_priority_revenue(sf_dir: str):
             t.column("l_discount"), 1000), 0), pa.int64())
         cpm = pc.multiply(price_c, pc.subtract(
             pa.scalar(1000, pa.int64()), disc_pm))
+        keys = np.asarray(t.column("l_orderkey"), dtype=np.int64)
         return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
             "key": t.column("l_orderkey"),
             "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
             "priority": pa.nulls(t.num_rows, pa.string()),
@@ -2045,7 +2053,9 @@ def q_order_priority_revenue(sf_dir: str):
         })
 
     def tag_order(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("o_orderkey"), dtype=np.int64)
         return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
             "key": t.column("o_orderkey"),
             "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
             "priority": t.column("o_orderpriority").cast(pa.string()),
@@ -2055,26 +2065,33 @@ def q_order_priority_revenue(sf_dir: str):
     both = li.map_batches(tag_line, batch_format="pyarrow").union(
         od.map_batches(tag_order, batch_format="pyarrow"))
 
-    def join_group(g: pa.Table) -> pa.Table:
+    def join_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
         side = np.asarray(g.column("side"))
-        # orders are unique per key; inner join = lineitem rows get the
-        # (single) priority of their key
-        pr = g.column("priority").filter(pa.array(side == 1))
+        orders = g.filter(pa.array(side == 1))
         lines = g.filter(pa.array(side == 0))
-        if len(pr) == 0 or lines.num_rows == 0:
-            return pa.table({"priority": pa.array([], type=pa.string()),
-                             "cents_sum": pa.array([], type=pa.int64()),
-                             "cnt": pa.array([], type=pa.int64())})
-        return pa.table({
-            "priority": pa.array([pr[0].as_py()], type=pa.string()),
-            "cents_sum": pa.array(
-                [int(pc.sum(lines.column("cents")).as_py())],
-                type=pa.int64()),
-            "cnt": pa.array([lines.num_rows], type=pa.int64()),
-        })
+        empty = pa.table({"priority": pa.array([], type=pa.string()),
+                          "cents_sum": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if orders.num_rows == 0 or lines.num_rows == 0:
+            return empty
+        # orders unique per key: index_in = the inner-join probe
+        idx = pc.index_in(lines.column("key"),
+                          orders.column("key").combine_chunks())
+        hit = pc.is_valid(idx)
+        lines = lines.filter(hit)
+        if lines.num_rows == 0:
+            return empty
+        pr = orders.column("priority").combine_chunks()             .take(idx.filter(hit))
+        part = pa.table({
+            "priority": pr,
+            "cents": lines.column("cents"),
+        }).group_by("priority").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return part.rename_columns(["priority", "cents_sum", "cnt"])
 
-    partials = both.groupby("key").map_groups(join_group,
-                                              batch_format="pyarrow")
+    partials = both.groupby("_pkey").map_groups(join_partition,
+                                                batch_format="pyarrow")
     out = agg._combine_partials(
         partials, keys=["priority"],
         aggs=[("cents_sum", "sum"), ("cnt", "sum")],
