@@ -2926,21 +2926,45 @@ QUERIES["doc_lm_score"] = (q_doc_lm_score, None)            # rows-only
 QUERIES["doc_shared_passages"] = (q_doc_shared_passages, None)
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user estimate over events (one 4 KB
-    register sketch per block, merged by max — no shuffle). Rows-only:
-    the estimate is approximate by construction; the ≤5% error bound
-    and bit-exact mergeability are pinned in tests."""
+    register sketch per block, merged by max — no shuffle), DRIVER-
+    VERIFIED against the exact distinct count: a second pass computes
+    per-block distinct-user partials (bounded key space — users) and
+    the query emits the exact count plus an ``est_ok`` flag asserting
+    the HLL estimate landed within 5%. The oracle reproduces the exact
+    count and expects est_ok=TRUE, so the driver's hash check now
+    covers the sketch's accuracy, not just its row count (the raw
+    estimate value itself stays pinned in tests/test_sketch.py)."""
     from ..stages.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"user_id": t.column("user_id")}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        return tt.rename_columns(["user_id", "c"])
+
+    uniq = _partial_final(ds, uniq_partial, ["user_id"], [("c", "sum")])
+    exact = uniq.num_rows
+    ok = abs(est - exact) <= max(1, round(0.05 * exact))
     return pa.table({"metric": pa.array(["approx_distinct_users"]),
-                     "estimate": pa.array([est], type=pa.int64())})
+                     "exact_distinct": pa.array([exact], type=pa.int64()),
+                     "est_ok": pa.array([bool(ok)])})
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT 'approx_distinct_users' AS metric,
+       count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS est_ok
+FROM events
+"""
 
 
 QUERIES["lang_distinctive_terms"] = (q_lang_distinctive_terms,
                                      SQL_LANG_DISTINCTIVE_TERMS)
 QUERIES["price_histogram"] = (q_price_histogram, SQL_PRICE_HISTOGRAM)
-QUERIES["approx_distinct_users"] = (q_approx_distinct_users, None)
+QUERIES["approx_distinct_users"] = (q_approx_distinct_users,
+                                    SQL_APPROX_DISTINCT_USERS)
 
 
 # ---------------------------------------------------------------------------
@@ -3294,18 +3318,55 @@ QUERIES["domain_boilerplate"] = (q_domain_boilerplate,
 def q_approx_value_quantiles(sf_dir: str):
     """Mergeable quantile summary over events.value (stages/sketch.py
     quantile_compress): k points per block, one driver re-compression,
-    rank error ≤ n/k. Rows-only by construction; the error bound and
-    block-structure invariance are pinned in tests/test_sketch.py."""
+    rank error ≤ n/k — DRIVER-VERIFIED. A second counting pass
+    computes each estimate's exact rank interval [#<e, #≤e] (seven
+    counters per block; no shuffle) and the query emits per-quantile
+    ``rank_ok`` asserting the interval lies within the documented n/k
+    rank-error bound of the target rank q·n. The oracle expects TRUE
+    for every q, so the driver's hash check covers the sketch's error
+    bound (the raw estimates stay pinned in tests/test_sketch.py)."""
     from ..stages.sketch import approx_quantiles
 
     ds = _read(sf_dir, "events", columns=["value"])
     qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
-    est = approx_quantiles(ds, "value", qs, k=256)
+    k = 256
+    est = approx_quantiles(ds, "value", qs, k=k)
+    est_arr = np.asarray(est, dtype=np.float64)
+    idx = np.arange(len(qs), dtype=np.int64)
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        lt = (v[:, None] < est_arr[None, :]).sum(axis=0)
+        le = (v[:, None] <= est_arr[None, :]).sum(axis=0)
+        return pa.table({
+            "i": pa.array(idx),
+            "lt": pa.array(lt.astype(np.int64)),
+            "le": pa.array(le.astype(np.int64)),
+            "n": pa.array(np.full(len(qs), len(v), dtype=np.int64)),
+        })
+
+    ranks = _partial_final(ds, rank_partial, ["i"],
+                           [("lt", "sum"), ("le", "sum"), ("n", "sum")])
+    ranks = ranks.sort_by("i")
+    lt = np.asarray(ranks.column("lt"), dtype=np.float64)
+    le = np.asarray(ranks.column("le"), dtype=np.float64)
+    n = float(ranks.column("n")[0].as_py())
+    bound = n / k
+    target = np.asarray(qs, dtype=np.float64) * n
+    ok = (target >= lt - bound) & (target <= le + bound)
     return pa.table({"q": pa.array(qs, type=pa.float64()),
-                     "estimate": pa.array(est, type=pa.float64())})
+                     "rank_ok": pa.array(ok.tolist())})
 
 
-QUERIES["approx_value_quantiles"] = (q_approx_value_quantiles, None)
+SQL_APPROX_VALUE_QUANTILES = """
+SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_ok
+FROM (VALUES (0.01), (0.05), (0.25), (0.5), (0.75), (0.95), (0.99)) v(q)
+ORDER BY q
+"""
+
+QUERIES["approx_value_quantiles"] = (q_approx_value_quantiles,
+                                     SQL_APPROX_VALUE_QUANTILES)
 
 
 _POSTINGS_K = 5
@@ -3944,3 +4005,128 @@ ORDER BY cnt DESC, pair LIMIT {_BIGRAM_TOP}
 """
 
 QUERIES["token_bigrams"] = (q_token_bigrams, SQL_TOKEN_BIGRAMS)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): oracle-checkable connected-components clustering
+# ---------------------------------------------------------------------------
+
+_NGC_N = 8          # word n-gram width
+_NGC_MAXDF = 20     # grams shared by more docs are boilerplate — dropped
+_NGC_NPART = 32
+
+
+def q_shared_ngram_clusters(sf_dir: str):
+    """Connected-components document clustering over EXACT shared
+    word-8-gram edges — the oracle-checkable face of the clustering
+    operator (`near_dup_clusters` runs the same stages/graph.py rounds
+    over MinHash candidate pairs, which no SQL can reproduce; this
+    query pins the component resolution itself against a DuckDB
+    recursive CTE). Stages: per-block vectorized 8-gram extraction
+    (docs are rows, so a doc never straddles blocks) → ONE
+    hash-partition shuffle on the gram string (polars vectorized hash
+    → ``_pkey``) → per-partition run-length segmentation emits STAR
+    edges (doc → min-doc of its gram) for grams shared by 2..20
+    distinct docs — the df cap drops boilerplate megagrams before any
+    pairing, bounding edges linear in memberships, and the star shape
+    (not all-pairs) keeps a gram's edge count O(df) — → connected
+    components (min-label propagation + pointer jumping,
+    stages/graph.py; distributed rounds past the driver bound).
+    Output: (doc_id, cluster_root) for every doc sharing an 8-gram
+    with another doc; root = smallest doc_id in the component."""
+    from ..stages.bloomjoin import _column_to_u64
+    from ..stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_pkey": pa.array([], type=pa.int64()),
+                          "g": pa.array([], type=pa.string()),
+                          "doc": pa.array([], type=pa.int64())})
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        if len(flat) < _NGC_N:
+            return empty
+        docs = np.asarray(t.column("doc_id"), dtype=np.int64)
+        w = _NGC_N - 1
+        # positions i..i+7 lie in one doc ⇔ parent[i] == parent[i+7]
+        same = parent[:-w] == parent[w:]
+        if not same.any():
+            return empty
+        s = flat.astype(str)
+        gram = s[:-w][same]
+        for j in range(1, _NGC_N):
+            gram = np.char.add(np.char.add(gram, " "),
+                               s[j:len(s) - w + j][same])
+        gdoc = docs[parent[:-w][same]]
+        # in-doc dedup (globally distinct: each doc is one row of one
+        # block) — mirrors the oracle's SELECT DISTINCT doc_id, g
+        uniq = pa.table({"g": pa.array(gram, type=pa.string()),
+                         "doc": pa.array(gdoc)}) \
+            .group_by(["g", "doc"]).aggregate([])
+        keys, _ = _column_to_u64(uniq.column("g"))
+        pkey = (keys % np.uint64(_NGC_NPART)).astype(np.int64)
+        return pa.table({"_pkey": pa.array(pkey),
+                         "g": uniq.column("g"),
+                         "doc": uniq.column("doc")})
+
+    def star_edges(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        d = np.asarray(t.column("doc"), dtype=np.int64)
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if len(g) == 0:
+            return empty
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        first = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(g)]]))
+        seg_ok = (counts >= 2) & (counts <= _NGC_MAXDF)
+        seg_id = np.repeat(np.arange(len(first)), counts)
+        roots = d[first]          # min doc per gram (d sorted in segment)
+        keep = seg_ok[seg_id] & (d != roots[seg_id])
+        if not keep.any():
+            return empty
+        pairs = np.stack([d[keep], roots[seg_id][keep]], axis=1)
+        pairs = np.unique(pairs, axis=0)   # per-partition edge dedup
+        return pa.table({"a": pa.array(pairs[:, 0]),
+                         "b": pa.array(pairs[:, 1])})
+
+    grams = ds.map_batches(grams_partial, batch_format="pyarrow")
+    edges = agg._to_arrow(
+        grams.groupby("_pkey").map_groups(star_edges,
+                                          batch_format="pyarrow"))
+    if edges.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "cluster_root": pa.array([], type=pa.int64())})
+    out = connected_components(edges, src="a", dst="b")
+    return out.rename_columns(["doc_id", "cluster_root"]) \
+        .sort_by("doc_id")
+
+
+SQL_SHARED_NGRAM_CLUSTERS = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+ng AS (SELECT doc_id, array_to_string(ts[i:i+{_NGC_N - 1}], ' ') AS g
+       FROM toks, unnest(range(1, len(ts) - {_NGC_N} + 2)) AS u(i)),
+dg AS (SELECT DISTINCT doc_id, g FROM ng),
+grp AS (SELECT g, min(doc_id) AS root, count(*) AS n FROM dg
+        GROUP BY g HAVING n BETWEEN 2 AND {_NGC_MAXDF}),
+edges AS (SELECT DISTINCT d.doc_id AS a, p.root AS b
+          FROM dg d JOIN grp p USING (g) WHERE d.doc_id <> p.root),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+cc(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b AS node, cc.label FROM cc JOIN sym s ON cc.node = s.a
+)
+SELECT node AS doc_id, min(label) AS cluster_root
+FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+QUERIES["shared_ngram_clusters"] = (q_shared_ngram_clusters,
+                                    SQL_SHARED_NGRAM_CLUSTERS)

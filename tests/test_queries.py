@@ -22,6 +22,8 @@ SUBSET = [
     "order_priority_revenue", "customers_without_orders",
     "pii_redacted_lines", "events_props_extract", "events_moving_avg",
     "docs_above_lang_median", "docs_per_source_cap", "dataset_splits",
+    "approx_distinct_users", "approx_value_quantiles",
+    "shared_ngram_clusters",
 ]
 
 
