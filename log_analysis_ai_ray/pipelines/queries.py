@@ -4130,3 +4130,382 @@ FROM cc GROUP BY node ORDER BY doc_id
 
 QUERIES["shared_ngram_clusters"] = (q_shared_ngram_clusters,
                                     SQL_SHARED_NGRAM_CLUSTERS)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): per-key ordered analytics, funnels, chunking,
+# normalization — the agent-analytics / training-prep periphery
+# ---------------------------------------------------------------------------
+
+_ARGMAX_NPART = 32
+
+
+def _segmented_argmax(t: pa.Table) -> pa.Table:
+    """Vectorized per-user argmax of (ts_us, event_id): lexsort by
+    (user, ts, event_id) ascending, keep each user segment's LAST row.
+    Used for both the per-block partial and the per-partition final —
+    argmax is idempotent under re-application, so partial rows compose."""
+    u = np.asarray(t.column("user_id"), dtype=np.int64)
+    ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+    e = np.asarray(t.column("event_id"), dtype=np.int64)
+    order = np.lexsort((e, ts, u))
+    u_s = u[order]
+    last = np.concatenate([np.flatnonzero(u_s[1:] != u_s[:-1]),
+                           [len(u_s) - 1]]) if len(u_s) else \
+        np.array([], dtype=np.int64)
+    return t.take(pa.array(order[last], type=pa.int64()))
+
+
+def q_events_latest_per_user(sf_dir: str):
+    """Distributed argmax-per-key (latest event per user) with NO raw-row
+    shuffle: per-block vectorized segmented argmax reduces each block to
+    ≤ distinct-users-per-block rows, then ONE hash-partition shuffle of
+    those partials (``_pkey = user_id % 32``) and a per-partition
+    vectorized re-argmax. Row identity is the composite (ts, event_id)
+    rank, so ties on ts are deterministic. The reference's per-user
+    'most recent state' lookups (specialized_agents context windows)
+    are this operator; at 10^12 rows the shuffle moves O(users) partial
+    rows, not O(events)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({
+            "_pkey": pa.array(
+                np.asarray(t.column("user_id"), dtype=np.int64)
+                % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+        })
+        return _segmented_argmax(t)
+
+    def final(t: pa.Table) -> pa.Table:
+        t = _segmented_argmax(t)
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "last_ts": pc.cast(t.column("ts_us"), pa.timestamp("us")),
+            "last_event_type": t.column("event_type"),
+            "last_value_cents": cents,
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(final, batch_format="pyarrow")
+    return agg._to_arrow(out).sort_by("user_id")
+
+
+SQL_EVENTS_LATEST_PER_USER = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       CAST(round(value * 100, 0) AS BIGINT) AS last_value_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+QUERIES["events_latest_per_user"] = (q_events_latest_per_user,
+                                     SQL_EVENTS_LATEST_PER_USER)
+
+
+_TS_MAX = np.iinfo(np.int64).max
+_TS_MIN = np.iinfo(np.int64).min
+
+
+def q_user_funnel(sf_dir: str):
+    """Funnel conversion (signup → later purchase) as a pure
+    partial/final min/max aggregation — no ordered scan, no
+    sessionization: 'any purchase strictly after the first signup' ⇔
+    max(purchase ts) > min(signup ts), so each block contributes one
+    (user, min-signup, max-purchase) partial (sentinel-filled int64
+    micros; Ray's Min/Max break on nullable timestamps) and the final
+    merge is min/max per user. Output: every user who signed up, their
+    first signup ts, and whether they converted."""
+    ds = _read(sf_dir, "events",
+               columns=["ts", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(t.column("ts"), pa.int64()),
+                        dtype=np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        s_ts = np.where(et == "signup", ts, _TS_MAX)
+        p_ts = np.where(et == "purchase", ts, _TS_MIN)
+        tt = pa.table({"user_id": t.column("user_id"),
+                       "s": pa.array(s_ts), "p": pa.array(p_ts)})
+        g = tt.group_by("user_id").aggregate([("s", "min"), ("p", "max")])
+        return g.rename_columns(["user_id", "s", "p"])
+
+    merged = _partial_final(ds, partial, ["user_id"],
+                            [("s", "min"), ("p", "max")])
+    s = np.asarray(merged.column("s"), dtype=np.int64)
+    p = np.asarray(merged.column("p"), dtype=np.int64)
+    keep = s != _TS_MAX                      # users with ≥1 signup
+    conv = p[keep] > s[keep]                 # sentinel MIN never wins
+    return pa.table({
+        "user_id": merged.column("user_id").take(
+            pa.array(np.flatnonzero(keep), type=pa.int64())),
+        "first_signup_ts": pa.array(s[keep]).cast(pa.timestamp("us")),
+        "converted": pa.array(conv),
+    }).sort_by("user_id")
+
+
+SQL_USER_FUNNEL = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup_ts,
+       coalesce(max(CASE WHEN event_type = 'purchase' THEN ts END)
+                > min(CASE WHEN event_type = 'signup' THEN ts END),
+                FALSE) AS converted
+FROM events GROUP BY user_id
+HAVING first_signup_ts IS NOT NULL
+ORDER BY user_id
+"""
+
+QUERIES["user_funnel"] = (q_user_funnel, SQL_USER_FUNNEL)
+
+
+def q_user_type_profiles(sf_dir: str):
+    """Market-basket style profile counts: the exact SET of event types
+    each user has emitted, counted per distinct set. Distinct
+    (user, type) pairs are reduced per block first (so the shuffle
+    moves ≤ users × |type vocab| rows), merged with a count final, then
+    the bounded pair table folds into per-user bitmasks over the sorted
+    global type vocabulary — sum(distinct bits) == OR once pairs are
+    globally distinct. Profile strings materialize once per distinct
+    bitmask, not per user."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t.column("user_id"),
+                      "event_type": t.column("event_type")}) \
+            .group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    pairs = _partial_final(ds, pair_partial, ["user_id", "event_type"],
+                           [("c", "sum")])
+    et = pairs.column("event_type").to_numpy(zero_copy_only=False)
+    vocab = np.array(sorted(set(et.tolist())))
+    bit = np.uint64(1) << np.searchsorted(vocab, et).astype(np.uint64)
+    users = np.asarray(pairs.column("user_id"), dtype=np.int64)
+    masks = pa.table({"u": pa.array(users),
+                      "b": pa.array(bit.astype(np.int64))}) \
+        .group_by("u").aggregate([("b", "sum")])
+    mask_vals = np.asarray(masks.column("b_sum"), dtype=np.int64)
+    uniq_masks, inv = np.unique(mask_vals, return_inverse=True)
+    profiles = np.array([
+        ",".join(vocab[i] for i in range(len(vocab))
+                 if m & (1 << i)) for m in uniq_masks])
+    cnt = np.bincount(inv, minlength=len(uniq_masks))
+    return pa.table({
+        "profile": pa.array(profiles[np.argsort(profiles)]),
+        "n_users": pa.array(cnt[np.argsort(profiles)].astype(np.int64)),
+    }).sort_by("profile")
+
+
+SQL_USER_TYPE_PROFILES = """
+SELECT profile, CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS profile
+      FROM events GROUP BY user_id)
+GROUP BY profile ORDER BY profile
+"""
+
+QUERIES["user_type_profiles"] = (q_user_type_profiles,
+                                 SQL_USER_TYPE_PROFILES)
+
+
+_CHUNK_W = 32      # tokens per training chunk
+_CHUNK_S = 24      # stride (8-token overlap)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-token-window document chunking with overlap (training-prep:
+    context-window splitting before packing). Pure per-block map — a
+    doc never straddles blocks — fully vectorized: token offsets from
+    list_value_length cumsum, chunk starts materialized with
+    repeat/arange arithmetic, first/last token gathered with one
+    ``take`` on the flattened token array. Emits one row per chunk:
+    (doc_id, chunk_idx, n_chunk_tokens, first_token, last_token)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        docs = np.asarray(t.column("doc_id"), dtype=np.int64)
+        n_chunks = np.where(lens > 0, (lens - 1) // _CHUNK_S + 1, 0)
+        doc_rep = np.repeat(np.arange(len(lens)), n_chunks)
+        total = int(n_chunks.sum())
+        starts_of = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_idx = np.arange(total) - np.repeat(starts_of, n_chunks)
+        s = chunk_idx * _CHUNK_S
+        end = np.minimum(s + _CHUNK_W, lens[doc_rep])
+        first = flat.take(pa.array(offsets[doc_rep] + s, type=pa.int64()))
+        last = flat.take(pa.array(offsets[doc_rep] + end - 1,
+                                  type=pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(docs[doc_rep]),
+            "chunk_idx": pa.array(chunk_idx),
+            "n_chunk_tokens": pa.array(end - s),
+            "first_token": first,
+            "last_token": last,
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       CAST(u.s / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(least(u.s + {_CHUNK_W}, len(ts)) - u.s AS BIGINT)
+         AS n_chunk_tokens,
+       ts[u.s + 1] AS first_token,
+       ts[least(u.s + {_CHUNK_W}, len(ts))] AS last_token
+FROM toks, unnest(range(0, len(ts), {_CHUNK_S})) AS u(s)
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["doc_chunks"] = (q_doc_chunks, SQL_DOC_CHUNKS)
+
+
+_DECAY_TAU_US = 86_400e6      # 1-day e-folding time
+
+
+def q_events_decayed_counts(sf_dir: str):
+    """Exponentially time-decayed event counts per type (trending
+    score with recency bias — the streaming-analytics face of A7's
+    rollups). Pass 1: global max ts (one int64 max partial per block).
+    Pass 2: per-block partial sums of exp(-(T_max - ts)/τ) per type —
+    the weights are in (0,1], the per-type sum is a single float
+    partial per block, and the final is a bounded groupby-sum. Rounded
+    to 4 decimals on both sides (float-sum association noise is ~1e-13
+    at this magnitude)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64())
+        m = pc.max(ts).as_py()
+        m = _TS_MIN if m is None else m
+        return pa.table({"k": pa.array([0], type=pa.int64()),
+                         "m": pa.array([m], type=pa.int64())})
+
+    mx = _partial_final(ds, max_partial, ["k"], [("m", "max")])
+    t_max = float(mx.column("m")[0].as_py())
+
+    def decay_partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(t.column("ts"), pa.int64()),
+                        dtype=np.float64)
+        w = np.exp(-(t_max - ts) / _DECAY_TAU_US)
+        tt = pa.table({"event_type": t.column("event_type"),
+                       "w": pa.array(w), "n": pa.array(
+                           np.ones(len(w), dtype=np.int64))})
+        g = tt.group_by("event_type").aggregate([("w", "sum"),
+                                                 ("n", "sum")])
+        return g.rename_columns(["event_type", "w", "n"])
+
+    out = _partial_final(ds, decay_partial, ["event_type"],
+                         [("w", "sum"), ("n", "sum")])
+    return pa.table({
+        "event_type": out.column("event_type"),
+        "decayed_count": _round(out.column("w"), 4),
+        "n_events": out.column("n"),
+    }).sort_by("event_type")
+
+
+SQL_EVENTS_DECAYED_COUNTS = f"""
+WITH m AS (SELECT max(ts) AS mt FROM events)
+SELECT event_type,
+       round(sum(exp(-(epoch_us(mt) - epoch_us(ts)) / {_DECAY_TAU_US!r})),
+             4) AS decayed_count,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events, m GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_decayed_counts"] = (q_events_decayed_counts,
+                                    SQL_EVENTS_DECAYED_COUNTS)
+
+
+def q_events_zscore_norm(sf_dir: str):
+    """Group-wise feature standardization (per-type z-score of every
+    event's value — ML feature prep). Two passes: (1) exact integer
+    moment sums per type (cents, cents²; both < 2^53 so the doubles
+    are EXACT and the oracle's sum()::DOUBLE / count arithmetic is
+    bit-identical), collected driver-side (bounded type vocab) and
+    closed over; (2) streaming per-block normalization
+    z = (c - μ)/σ_pop. Rounded to 4; every arithmetic step mirrors the
+    SQL expression so the doubles agree bit-for-bit, not just
+    approximately."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64()), dtype=np.int64)
+        tt = pa.table({"event_type": t.column("event_type"),
+                       "s1": pa.array(cents),
+                       "s2": pa.array(cents * cents),
+                       "n": pa.array(np.ones(len(cents),
+                                             dtype=np.int64))})
+        g = tt.group_by("event_type").aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "s1", "s2", "n"])
+
+    st = _partial_final(ds, moments, ["event_type"],
+                        [("s1", "sum"), ("s2", "sum"), ("n", "sum")])
+    types = st.column("event_type").to_pylist()
+    s1 = np.asarray(st.column("s1"), dtype=np.float64)
+    s2 = np.asarray(st.column("s2"), dtype=np.float64)
+    n = np.asarray(st.column("n"), dtype=np.float64)
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    keep = var > 0
+    stats = {t_: (mu[i], np.sqrt(var[i]))
+             for i, t_ in enumerate(types) if keep[i]}
+
+    def normalize(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64()), dtype=np.float64)
+        # vectorized lookup: factorize types once per block
+        vocab, inv = np.unique(et, return_inverse=True)
+        mu_v = np.array([stats.get(v, (np.nan, 1.0))[0] for v in vocab])
+        sd_v = np.array([stats.get(v, (np.nan, 1.0))[1] for v in vocab])
+        z = (cents - mu_v[inv]) / sd_v[inv]
+        ok = ~np.isnan(z)
+        idx = pa.array(np.flatnonzero(ok), type=pa.int64())
+        return pa.table({
+            "event_id": t.column("event_id").take(idx),
+            "event_type": t.column("event_type").take(idx),
+            "z": _round(pa.array(z[ok]), 4),
+        })
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_ZSCORE_NORM = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT event_type, sum(cents)::DOUBLE AS s1,
+             sum(cents * cents)::DOUBLE AS s2, count(*)::DOUBLE AS n
+      FROM e GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round((e.cents - s1 / n)
+             / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+FROM e JOIN s USING (event_type)
+WHERE s2 / n - (s1 / n) * (s1 / n) > 0
+ORDER BY event_id
+"""
+
+QUERIES["events_zscore_norm"] = (q_events_zscore_norm,
+                                 SQL_EVENTS_ZSCORE_NORM)

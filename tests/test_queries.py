@@ -24,6 +24,8 @@ SUBSET = [
     "docs_above_lang_median", "docs_per_source_cap", "dataset_splits",
     "approx_distinct_users", "approx_value_quantiles",
     "shared_ngram_clusters",
+    "events_latest_per_user", "user_funnel", "user_type_profiles",
+    "doc_chunks", "events_decayed_counts", "events_zscore_norm",
 ]
 
 
