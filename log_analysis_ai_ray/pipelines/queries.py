@@ -4509,3 +4509,147 @@ ORDER BY event_id
 
 QUERIES["events_zscore_norm"] = (q_events_zscore_norm,
                                  SQL_EVENTS_ZSCORE_NORM)
+
+
+def q_hourly_active_users(sf_dir: str):
+    """Exact distinct-count per time window (hourly active users) via
+    pair reduction: each block reduces to its distinct (hour, user)
+    pairs, the merge dedups pairs (bounded: windows × active users —
+    NOT events), and the per-hour count is a groupby over the deduped
+    pair table. The scale shape every 'DAU/MAU' job needs: the shuffle
+    never moves raw events."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "h": floor_hour(t.column("ts").combine_chunks()),
+            "user_id": t.column("user_id"),
+        }).group_by(["h", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["h", "user_id", "c"])
+
+    pairs = _partial_final(ds, pair_partial, ["h", "user_id"],
+                           [("c", "sum")])
+    out = pairs.group_by("h").aggregate([([], "count_all")])
+    return out.rename_columns(["h", "active_users"]).sort_by("h")
+
+
+SQL_HOURLY_ACTIVE_USERS = """
+SELECT date_trunc('hour', ts) AS h,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM events GROUP BY h ORDER BY h
+"""
+
+QUERIES["hourly_active_users"] = (q_hourly_active_users,
+                                  SQL_HOURLY_ACTIVE_USERS)
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by first-active day
+    (cohort), counted distinct on each later day offset. Same
+    pair-reduction discipline as hourly_active_users — blocks emit
+    distinct (user, day) pairs, the merged pair table is bounded by
+    users × days — then the cohort (min day per user) and the
+    (cohort, offset) counts are vectorized segment operations over the
+    sorted pair table (at 10^12 rows this step runs per user-hash
+    partition; the pair table is already user-keyed). Days are emitted
+    as BIGINT days-since-epoch so the oracle comparison is
+    engine-neutral."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(
+            pc.floor_temporal(t.column("ts").combine_chunks(),
+                              unit="day"), pa.date32()), pa.int32())
+        g = pa.table({"user_id": t.column("user_id"),
+                      "d": pc.cast(day, pa.int64())}) \
+            .group_by(["user_id", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "d", "c"])
+
+    pairs = _partial_final(ds, pair_partial, ["user_id", "d"],
+                           [("c", "sum")])
+    u = np.asarray(pairs.column("user_id"), dtype=np.int64)
+    d = np.asarray(pairs.column("d"), dtype=np.int64)
+    order = np.lexsort((d, u))
+    u, d = u[order], d[order]
+    first = np.concatenate([[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
+    counts = np.diff(np.concatenate([first, [len(u)]]))
+    cohort = np.repeat(d[first], counts)        # min day per user (d sorted)
+    off = d - cohort
+    key = pa.table({"cohort_day": pa.array(cohort),
+                    "day_offset": pa.array(off)}) \
+        .group_by(["cohort_day", "day_offset"]) \
+        .aggregate([([], "count_all")])
+    return key.rename_columns(["cohort_day", "day_offset", "n_users"]) \
+        .sort_by([("cohort_day", "ascending"), ("day_offset", "ascending")])
+
+
+SQL_USER_RETENTION = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cd FROM ud GROUP BY user_id)
+SELECT CAST(cd - DATE '1970-01-01' AS BIGINT) AS cohort_day,
+       CAST(d - cd AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["user_retention"] = (q_user_retention, SQL_USER_RETENTION)
+
+
+def q_label_centroids(sf_dir: str):
+    """Vector aggregate (k-means E-step shape): per-label centroid from
+    elementwise partial sums. Each block reduces its vectors to one
+    (label, sum-vector, count) row per label — the 64-dim sum computed
+    as one ``np.add.at`` over the zero-copy flattened list values,
+    emitted as s0..s63 columns so the final merge is a plain
+    per-column sum over a (labels × dim)-bounded table. Output: label,
+    n_vectors, centroid L2 norm and component sum (rounded 4) — the
+    quantities an iterative clustering round needs, oracle-mirrored
+    per-dim in SQL."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        emb = t.column("embedding").combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        flat = np.asarray(emb.values, dtype=np.float64) \
+            .reshape(len(lab), dim)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), dim))
+        np.add.at(sums, inv, flat)
+        n = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        cols = {"label": pa.array(ulab), "n": pa.array(n)}
+        for j in range(dim):
+            cols[f"s{j}"] = pa.array(sums[:, j])
+        return pa.table(cols)
+
+    dim = 64
+    merged = _partial_final(
+        ds, partial, ["label"],
+        [("n", "sum")] + [(f"s{j}", "sum") for j in range(dim)])
+    n = np.asarray(merged.column("n"), dtype=np.float64)
+    s = np.stack([np.asarray(merged.column(f"s{j}"), dtype=np.float64)
+                  for j in range(dim)], axis=1)
+    cent = s / n[:, None]
+    return pa.table({
+        "label": pc.cast(merged.column("label"), pa.int64()),
+        "n_vectors": pa.array(n.astype(np.int64)),
+        "centroid_norm": _round(pa.array(np.sqrt((cent * cent).sum(1))), 4),
+        "centroid_sum": _round(pa.array(cent.sum(1)), 4),
+    }).sort_by("label")
+
+
+SQL_LABEL_CENTROIDS = """
+WITH d AS (SELECT label, i, embedding[i]::DOUBLE AS e
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+c AS (SELECT label, i, sum(e) AS s, count(*) AS n
+      FROM d GROUP BY label, i)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(max(n) AS BIGINT) AS n_vectors,
+       round(sqrt(sum((s / n) * (s / n))), 4) AS centroid_norm,
+       round(sum(s / n), 4) AS centroid_sum
+FROM c GROUP BY label ORDER BY label
+"""
+
+QUERIES["label_centroids"] = (q_label_centroids, SQL_LABEL_CENTROIDS)

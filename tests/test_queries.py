@@ -26,6 +26,7 @@ SUBSET = [
     "shared_ngram_clusters",
     "events_latest_per_user", "user_funnel", "user_type_profiles",
     "doc_chunks", "events_decayed_counts", "events_zscore_norm",
+    "hourly_active_users", "user_retention", "label_centroids",
 ]
 
 
