@@ -44,11 +44,19 @@ def _write_store(assigned, store_dir: str, part_col: str, meta: dict,
                  arrays: dict[str, np.ndarray]) -> None:
     """Atomic store build: partitioned vectors + index sidecars land in
     a temp dir, then one rename publishes the store."""
+    from .compact import compact_store
+
     tmp = store_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "vectors"), exist_ok=True)
     assigned.write_parquet(os.path.join(tmp, "vectors"),
                            partition_cols=[part_col])
+    # write_parquet(partition_cols=...) fans out blocks × partitions
+    # kilobyte-files; a probe that opens hundreds of them spends its
+    # time in parquet metadata, not data (measured: 2.5 s of a 2.9 s
+    # sf0.1 q8 probe). Compact each cell to one part before publishing.
+    compact_store(os.path.join(tmp, "vectors"),
+                  partition_prefixes=(f"{part_col}=",))
     for name, arr in arrays.items():
         np.save(os.path.join(tmp, f"{name}.npy"), arr)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -431,6 +439,8 @@ def append_to_store(store_dir: str, ds) -> dict:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     assigned.write_parquet(tmp, partition_cols=["ivf_cell"])
+    from .compact import compact_store
+    compact_store(tmp, partition_prefixes=("ivf_cell=",))
     final = os.path.join(store_dir, gen_name)
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
