@@ -69,6 +69,13 @@ BENCH_EXTRA = [
     "doc_dedup_normalized",
     "nation_revenue",
     "knn_ivf_q8",
+    # round-3 (cont.) operators
+    "shared_ngram_clusters",
+    "events_latest_per_user",
+    "hourly_active_users",
+    "doc_chunks",
+    "events_zscore_norm",
+    "domain_pagerank",
 ]
 
 

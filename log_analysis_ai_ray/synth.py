@@ -130,6 +130,32 @@ HTML_VARIANTS = [
 _DW = 1.0 / np.arange(1, N_DOMAINS + 1, dtype=np.float64)
 DOMAIN_P = _DW / _DW.sum()
 
+# Corpus generator version: bump whenever generated bytes change so
+# cached /tmp corpora regenerate (ensure_pages checks the marker).
+PAGES_VERSION = 2
+
+_DOMAIN_CDF = np.cumsum(DOMAIN_P)
+
+
+def domain_of_rownum(rownum: np.ndarray) -> np.ndarray:
+    """Zipf-distributed domain as a PURE FUNCTION of the global row
+    number (Knuth multiplicative hash → uniform → inverse CDF), so any
+    shard can reconstruct any page's url — the property the link graph
+    needs for cross-shard link targets to be real pages."""
+    h = (np.asarray(rownum, dtype=np.uint64) * np.uint64(2654435761)
+         % np.uint64(2**32)).astype(np.float64) / 2.0**32
+    return np.searchsorted(_DOMAIN_CDF, h, side="right").clip(0, N_DOMAINS - 1)
+
+
+def url_of_rownum(rownum: np.ndarray) -> np.ndarray:
+    """Canonical url of a page row (see domain_of_rownum)."""
+    rownum = np.asarray(rownum, dtype=np.int64)
+    k = domain_of_rownum(rownum)
+    return np.char.add(
+        np.char.add("https://example", k.astype("U2")),
+        np.char.add(".com/p", rownum.astype("U20")),
+    )
+
 
 def domain_tier(k: int) -> str:
     """Deterministic enrichment ground truth: domain rank → tier."""
@@ -236,19 +262,23 @@ def _render_lines(rng: np.random.Generator, n_lines: int,
 
 
 def generate_shard(shard: int, start_row: int, n_rows: int,
-                   seed: int = SEED) -> pa.Table:
-    """Generate one shard of the pages table (rows [start_row, start_row+n_rows))."""
+                   seed: int = SEED,
+                   total_pages: int | None = None) -> pa.Table:
+    """Generate one shard of the pages table (rows [start_row,
+    start_row+n_rows)). ``total_pages`` is the whole corpus size —
+    outlink targets are drawn from it so every link resolves to a real
+    page; when absent (unit-scale callers) the local row range is the
+    universe."""
     rng = np.random.default_rng((seed, shard))
     n_lines_per_page = rng.integers(1, 21, size=n_rows)
     offsets = np.concatenate(([0], np.cumsum(n_lines_per_page)))
     total_lines = int(offsets[-1])
 
     rownum = np.arange(start_row, start_row + n_rows)
-    dom_k = rng.choice(N_DOMAINS, size=n_rows, p=DOMAIN_P)
-    urls = np.char.add(
-        np.char.add("https://example", dom_k.astype("U2")),
-        np.char.add(".com/p", rownum.astype("U20")),
-    )
+    # rng.choice kept to preserve the draw sequence for the fields
+    # below; the domain itself is the rownum-deterministic function.
+    rng.choice(N_DOMAINS, size=n_rows, p=DOMAIN_P)
+    urls = url_of_rownum(rownum)
     warc_off = rng.integers(0, SPAN_SECONDS, size=n_rows)
     warc_ts = BASE_TS + warc_off * np.timedelta64(1_000_000, "us")
 
@@ -266,7 +296,25 @@ def generate_shard(shard: int, start_row: int, n_rows: int,
     variant = rng.integers(0, len(HTML_VARIANTS), size=n_rows)
     pre = pa.array(np.array([v[0] for v in HTML_VARIANTS])[variant])
     post = pa.array(np.array([v[1] for v in HTML_VARIANTS])[variant])
-    htmls = pc.binary_join_element_wise(pre, texts, post, "").cast(pa.binary())
+
+    # Outlinks: 0-5 per page to uniformly-drawn real pages of the
+    # corpus, appended as empty-anchor <a> tags (contribute NO visible
+    # text, so the html→text extraction invariant stays byte-exact).
+    # Separate rng stream: the main stream's draw sequence (and hence
+    # all previously-pinned content) is untouched.
+    lrng = np.random.default_rng((seed, shard, 101))
+    universe = total_pages if total_pages else start_row + n_rows
+    n_links = lrng.integers(0, 6, size=n_rows)
+    tgt = lrng.integers(0, universe, size=int(n_links.sum()))
+    anchors = pa.array(np.char.add(
+        np.char.add('<a href="', url_of_rownum(tgt)), '"></a>'))
+    link_lists = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(n_links))),
+                 type=pa.int32()), anchors)
+    links_html = pc.binary_join(link_lists, "")
+
+    htmls = pc.binary_join_element_wise(pre, texts, links_html, post,
+                                        "").cast(pa.binary())
 
     langs = LANGS[rng.choice(len(LANGS), size=n_rows, p=LANG_P)]
 
@@ -293,9 +341,10 @@ def shard_bounds(n_pages: int, n_files: int) -> list[tuple[int, int]]:
 
 
 def _write_shard(args) -> str:
-    out_dir, shard, start, n, seed = args
+    out_dir, shard, start, n, seed, total_pages = args
     path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
-    tbl = generate_shard(shard, start, n, seed=seed)
+    tbl = generate_shard(shard, start, n, seed=seed,
+                         total_pages=total_pages)
     tmp = path + ".tmp"
     pq.write_table(tbl, tmp, compression="zstd")
     os.replace(tmp, path)
@@ -315,7 +364,7 @@ def write_pages(out_dir: str, n_pages: int, seed: int = SEED,
         path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
         paths.append(path)
         if not (os.path.exists(path) and not overwrite):
-            todo.append((out_dir, shard, start, n, seed))
+            todo.append((out_dir, shard, start, n, seed, n_pages))
     if todo:
         procs = processes or min(16, os.cpu_count() or 4, len(todo))
         if procs > 1 and len(todo) > 1:
@@ -333,10 +382,19 @@ def ensure_pages(out_dir: str, n_pages: int, seed: int = SEED,
                  n_files: int = 8) -> str:
     """Idempotently materialize the pages dataset; returns out_dir."""
     marker = os.path.join(out_dir, "_COMPLETE")
-    if not os.path.exists(marker):
+    expect = f"{n_pages} {seed} {n_files} v{PAGES_VERSION}\n"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read()
+    if have != expect:
+        if have is not None:        # stale generator version: rebuild
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
         write_pages(out_dir, n_pages, seed=seed, n_files=n_files)
         with open(marker, "w") as f:
-            f.write(f"{n_pages} {seed} {n_files}\n")
+            f.write(expect)
     return out_dir
 
 

@@ -27,6 +27,7 @@ SUBSET = [
     "events_latest_per_user", "user_funnel", "user_type_profiles",
     "doc_chunks", "events_decayed_counts", "events_zscore_norm",
     "hourly_active_users", "user_retention", "label_centroids",
+    "domain_link_edges", "page_in_degree", "domain_pagerank",
 ]
 
 
