@@ -4840,3 +4840,222 @@ SELECT d AS domain, round(pr, 6) AS pagerank FROM pr3 ORDER BY domain
 """
 
 QUERIES["domain_pagerank"] = (q_domain_pagerank, SQL_DOMAIN_PAGERANK)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): ordered-window running totals, in-session
+# co-occurrence, corpus vocabulary overlap
+# ---------------------------------------------------------------------------
+
+
+def q_user_running_total(sf_dir: str):
+    """Per-key ordered cumulative sum (the canonical window function:
+    SUM OVER PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING)
+    distributed as: hash-partition on user (32-way ``_pkey``
+    shuffle — rows move once) → per-partition vectorized lexsort +
+    segmented cumsum (cumsum minus each segment's start offset). Exact
+    integer cents; ties broken by event_id, mirroring the oracle's
+    ORDER BY."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100), 0), pa.int64()),
+        })
+
+    def run_total(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        order = np.lexsort((e, ts, u))
+        u, ts, e, c = u[order], ts[order], e[order], c[order]
+        cs = np.cumsum(c)
+        first = np.concatenate([[0],
+                                np.flatnonzero(u[1:] != u[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(u)]]))
+        seg_base = np.repeat(cs[first] - c[first], counts)
+        return pa.table({
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "running_cents": pa.array(cs - seg_base),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(run_total, batch_format="pyarrow")
+
+
+SQL_USER_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events ORDER BY event_id
+"""
+
+QUERIES["user_running_total"] = (q_user_running_total,
+                                 SQL_USER_RUNNING_TOTAL)
+
+
+def q_session_type_pairs(sf_dir: str):
+    """Market-basket co-occurrence inside behavioral sessions: which
+    event-type pairs happen in the SAME gap-based session (30 min,
+    same boundaries as event_sessions). One groupby(user) shuffle →
+    per-user vectorized session ids (cumsum of gap>threshold) +
+    distinct (session, type) → all unordered type pairs per session
+    via segmented cross-pairing — then a bounded pair-count merge
+    (≤ |types|² rows). The SQL mirror is a windowed session id + a
+    distinct self-join."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                          "type_b": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        ts = np.asarray(pc.cast(group.column("ts"), pa.int64()),
+                        dtype=np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts, et = ts[order], et[order]
+        if len(ts) == 0:
+            return empty
+        new_s = np.concatenate([[1], (np.diff(ts) > SESSION_GAP_US)
+                                .astype(np.int64)])
+        sid = np.cumsum(new_s)
+        # distinct (session, type)
+        tbl = pa.table({"sid": pa.array(sid),
+                        "et": pa.array(et)}) \
+            .group_by(["sid", "et"]).aggregate([])
+        sid_d = np.asarray(tbl.column("sid"), dtype=np.int64)
+        et_d = tbl.column("et").to_numpy(zero_copy_only=False)
+        o2 = np.lexsort((et_d, sid_d))
+        sid_d, et_d = sid_d[o2], et_d[o2]
+        first = np.concatenate([[0],
+                                np.flatnonzero(sid_d[1:] != sid_d[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(sid_d)]]))
+        # segmented all-pairs (i<j) within each session
+        reps = counts * (counts - 1) // 2
+        if reps.sum() == 0:
+            return empty
+        ii, jj = [], []
+        for m in np.unique(counts[counts >= 2]):
+            iu, ju = np.triu_indices(m, k=1)
+            for s in np.flatnonzero(counts == m):
+                ii.append(first[s] + iu)
+                jj.append(first[s] + ju)
+        ii = np.concatenate(ii)
+        jj = np.concatenate(jj)
+        out = pa.table({"type_a": pa.array(et_d[ii]),
+                        "type_b": pa.array(et_d[jj])}) \
+            .group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["type_a", "type_b", "cnt"])
+
+    partials = ds.groupby("user_id").map_groups(per_user,
+                                                batch_format="pyarrow")
+    out = agg._combine_partials(
+        partials, keys=["type_a", "type_b"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("type_a", pa.string()),
+                                ("type_b", pa.string()),
+                                ("cnt", pa.int64())]))
+    return out.rename_columns(["type_a", "type_b", "n_sessions"]) \
+        .sort_by([("type_a", "ascending"), ("type_b", "ascending")])
+
+
+SQL_SESSION_TYPE_PAIRS = f"""
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_US} OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+d AS (SELECT DISTINCT user_id, sid, event_type FROM s)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["session_type_pairs"] = (q_session_type_pairs,
+                                 SQL_SESSION_TYPE_PAIRS)
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Corpus-comparison operator: pairwise vocabulary overlap between
+    document sources — exact INTEGER set sizes (n_common, n_union), so
+    the oracle needs no float tolerance, plus a rounded Jaccard for
+    reading. Distinct (source, token) pairs reduce per block; the
+    merged pair table is bounded by sources × vocab; the pairwise
+    intersection is a vectorized membership matrix over the bounded
+    table (sources are few; vocab streams through as rows)."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = t.column("source").combine_chunks().take(parent)
+        g = pa.table({"source": src, "token": flat}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "c"])
+
+    pairs = _partial_final(ds, pair_partial, ["source", "token"],
+                           [("c", "sum")])
+    src = pairs.column("source").to_numpy(zero_copy_only=False)
+    tok = pairs.column("token").to_numpy(zero_copy_only=False)
+    sources = np.unique(src)
+    vocab, tok_i = np.unique(tok, return_inverse=True)
+    member = np.zeros((len(sources), len(vocab)), dtype=bool)
+    member[np.searchsorted(sources, src), tok_i] = True
+    sizes = member.sum(axis=1)
+    rows_a, rows_b, nc, nu = [], [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            common = int((member[i] & member[j]).sum())
+            union = int(sizes[i] + sizes[j] - common)
+            rows_a.append(sources[i]); rows_b.append(sources[j])
+            nc.append(common); nu.append(union)
+    jac = np.array(nc, dtype=np.float64) / np.maximum(nu, 1)
+    return pa.table({
+        "source_a": pa.array(rows_a), "source_b": pa.array(rows_b),
+        "n_common": pa.array(nc, type=pa.int64()),
+        "n_union": pa.array(nu, type=pa.int64()),
+        "jaccard": _round(pa.array(jac), 4),
+    }).sort_by([("source_a", "ascending"), ("source_b", "ascending")])
+
+
+SQL_SOURCE_VOCAB_OVERLAP = """
+WITH st AS (SELECT DISTINCT source, token
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents)),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+cm AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+       FROM st a JOIN st b ON a.token = b.token
+                          AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT cm.sa AS source_a, cm.sb AS source_b,
+       CAST(cm.n_common AS BIGINT) AS n_common,
+       CAST(za.n + zb.n - cm.n_common AS BIGINT) AS n_union,
+       round(cm.n_common / greatest(za.n + zb.n - cm.n_common, 1), 4)
+         AS jaccard
+FROM cm JOIN sz za ON za.source = cm.sa
+        JOIN sz zb ON zb.source = cm.sb
+ORDER BY source_a, source_b
+"""
+
+QUERIES["source_vocab_overlap"] = (q_source_vocab_overlap,
+                                   SQL_SOURCE_VOCAB_OVERLAP)

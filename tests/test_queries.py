@@ -28,6 +28,7 @@ SUBSET = [
     "doc_chunks", "events_decayed_counts", "events_zscore_norm",
     "hourly_active_users", "user_retention", "label_centroids",
     "domain_link_edges", "page_in_degree", "domain_pagerank",
+    "user_running_total", "session_type_pairs", "source_vocab_overlap",
 ]
 
 
