@@ -104,6 +104,13 @@ class Pipeline:
                 return t.append_column("normalized",
                                        normalize_text(t.column(text_col)))
             return _norm
+        if kind == "chunk":
+            id_col = spec.get("id_col", "doc_id")
+            width = int(spec.get("width", 32))
+            stride = int(spec.get("stride", 24))
+            return lambda t: textstats.token_chunks(
+                t, text_col=text_col, id_col=id_col,
+                width=width, stride=stride)
         if kind == "pii_redact":
             import pyarrow as pa
             import pyarrow.compute as pc

@@ -4330,35 +4330,12 @@ def q_doc_chunks(sf_dir: str):
     repeat/arange arithmetic, first/last token gathered with one
     ``take`` on the flattened token array. Emits one row per chunk:
     (doc_id, chunk_idx, n_chunk_tokens, first_token, last_token)."""
+    from ..stages.textstats import token_chunks
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def chunks(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t.column("text").combine_chunks(),
-                                pattern=" ")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        flat = pc.list_flatten(toks)
-        offsets = np.concatenate([[0], np.cumsum(lens)])
-        docs = np.asarray(t.column("doc_id"), dtype=np.int64)
-        n_chunks = np.where(lens > 0, (lens - 1) // _CHUNK_S + 1, 0)
-        doc_rep = np.repeat(np.arange(len(lens)), n_chunks)
-        total = int(n_chunks.sum())
-        starts_of = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
-        chunk_idx = np.arange(total) - np.repeat(starts_of, n_chunks)
-        s = chunk_idx * _CHUNK_S
-        end = np.minimum(s + _CHUNK_W, lens[doc_rep])
-        first = flat.take(pa.array(offsets[doc_rep] + s, type=pa.int64()))
-        last = flat.take(pa.array(offsets[doc_rep] + end - 1,
-                                  type=pa.int64()))
-        return pa.table({
-            "doc_id": pa.array(docs[doc_rep]),
-            "chunk_idx": pa.array(chunk_idx),
-            "n_chunk_tokens": pa.array(end - s),
-            "first_token": first,
-            "last_token": last,
-        })
-
-    return ds.map_batches(chunks, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: token_chunks(t, width=_CHUNK_W, stride=_CHUNK_S),
+        batch_format="pyarrow")
 
 
 SQL_DOC_CHUNKS = f"""

@@ -322,3 +322,42 @@ def doc_lm_bits(ds, text_col: str = "text",
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         concurrency=2, num_cpus=0.5, batch_format="pyarrow")
     return _to_arrow(scored).sort_by(id_col)
+
+
+def token_chunks(t: pa.Table, *, text_col: str = "text",
+                 id_col: str = "doc_id", width: int = 32,
+                 stride: int = 24) -> pa.Table:
+    """Fixed-token-window chunking with overlap (training-prep:
+    context-window splitting before packing). Pure per-batch map,
+    fully vectorized: token offsets from list_value_length cumsum,
+    chunk starts by repeat/arange arithmetic, first/last token
+    gathered with one ``take`` on the flattened token array. One
+    output row per chunk: (id, chunk_idx, n_chunk_tokens,
+    first_token, last_token)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(t.column(text_col).combine_chunks(),
+                            pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    ids = t.column(id_col).combine_chunks()
+    n_chunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+    doc_rep = np.repeat(np.arange(len(lens)), n_chunks)
+    total = int(n_chunks.sum())
+    starts_of = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_idx = np.arange(total) - np.repeat(starts_of, n_chunks)
+    s = chunk_idx * stride
+    end = np.minimum(s + width, lens[doc_rep])
+    take_rep = pa.array(doc_rep, type=pa.int64())
+    first = flat.take(pa.array(offsets[doc_rep] + s, type=pa.int64()))
+    last = flat.take(pa.array(offsets[doc_rep] + end - 1,
+                              type=pa.int64()))
+    return pa.table({
+        id_col: ids.take(take_rep),
+        "chunk_idx": pa.array(chunk_idx),
+        "n_chunk_tokens": pa.array(end - s),
+        "first_token": first,
+        "last_token": last,
+    })

@@ -166,3 +166,32 @@ def test_config_normalize_and_pii_transforms(ray_session, tmp_path):
     assert rows[0]["n_redactions"] == 1
     assert rows[0]["normalized"] == "peer <ip> said hi"
     assert rows[1]["n_redactions"] == 0
+
+
+def test_config_chunk_transform(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipeline import Pipeline, PipelineConfig
+
+    src = str(tmp_path / "c.parquet")
+    toks = " ".join(f"w{i}" for i in range(10))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7, 8], type=pa.int64()),
+        "text": pa.array([toks, "solo"])}), src)
+    cfg = PipelineConfig.from_json(PipelineConfig(
+        source={"format": "parquet", "path": src},
+        parser={"kind": "line"},
+        transforms=[{"kind": "chunk", "width": 4, "stride": 3}],
+        aggregates=[]).to_json())
+    res = Pipeline(cfg).run()
+    rows = sorted(res["dataset"].take_all(),
+                  key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    # doc 7: 10 tokens, width 4 stride 3 -> starts 0,3,6,9
+    d7 = [r for r in rows if r["doc_id"] == 7]
+    assert [r["chunk_idx"] for r in d7] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in d7] == [4, 4, 4, 1]
+    assert d7[0]["first_token"] == "w0" and d7[0]["last_token"] == "w3"
+    assert d7[3]["first_token"] == "w9" and d7[3]["last_token"] == "w9"
+    d8 = [r for r in rows if r["doc_id"] == 8]
+    assert len(d8) == 1 and d8[0]["n_chunk_tokens"] == 1
