@@ -5036,3 +5036,62 @@ ORDER BY source_a, source_b
 
 QUERIES["source_vocab_overlap"] = (q_source_vocab_overlap,
                                    SQL_SOURCE_VOCAB_OVERLAP)
+
+
+def q_events_in_order_window_partitioned(sf_dir: str):
+    """The big-big twin of events_in_order_window: NEITHER side is
+    broadcast — events and order windows are co-located with one
+    key-hash shuffle (stages/joins.interval_join_count_partitioned)
+    and the identical interval-stabbing probe runs per partition.
+    Same oracle as the broadcast variant, so the driver check proves
+    both paths compute the same join."""
+    from ..stages.joins import interval_join_count_partitioned
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        end = pc.add(t.column("o_orderdate"),
+                     pa.scalar(ORDER_WINDOW_DAYS * 86400 * 1_000_000,
+                               type=pa.duration("us")))
+        return t.append_column("o_end", end)
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    counted = interval_join_count_partitioned(
+        ev, orders.map_batches(widen, batch_format="pyarrow"),
+        left_key="user_id", left_ts="ts",
+        right_key="o_custkey", start_col="o_orderdate", end_col="o_end",
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us")),
+                               ("event_type", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_end", pa.timestamp("us"))]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("n_overlap")
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_in_window": pc.cast(pc.greater(k, 0), pa.int64()),
+            "overlap_sum": k,
+        }).group_by("event_type").aggregate(
+            [("n_events", "sum"), ("n_in_window", "sum"),
+             ("overlap_sum", "sum")])
+        return tt.rename_columns(["event_type", "n_events",
+                                  "n_in_window", "overlap_sum"])
+
+    out = agg._combine_partials(
+        counted.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs=[("n_events", "sum"), ("n_in_window", "sum"),
+              ("overlap_sum", "sum")],
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("n_events", pa.int64()),
+                                ("n_in_window", pa.int64()),
+                                ("overlap_sum", pa.int64())]))
+    return out.sort_by("event_type")
+
+
+QUERIES["events_in_order_window_partitioned"] = (
+    q_events_in_order_window_partitioned, SQL_EVENTS_IN_ORDER_WINDOW)

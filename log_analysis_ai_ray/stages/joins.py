@@ -450,3 +450,85 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
 
     return tagged.groupby("_pkey").map_groups(part_join,
                                               batch_format="pyarrow")
+
+
+def interval_join_count_partitioned(left_ds, right_ds, *, left_key: str,
+                                    left_ts: str, right_key: str,
+                                    start_col: str, end_col: str,
+                                    num_partitions: int = 64,
+                                    left_schema: pa.Schema | None = None,
+                                    right_schema: pa.Schema | None = None):
+    """Big-big range join (interval-containment COUNTS): the
+    partitioned twin of interval_join_count_broadcast, for a right
+    side too large to broadcast. Same co-location recipe as
+    asof_join_partitioned — shared-schema side tagging, ONE groupby
+    shuffle on the key-hash partition id — and the identical
+    interval-stabbing probe (build_interval_index /
+    interval_overlap_counts: #starts≤t − #ends≤t per key, four
+    searchsorted passes) runs independently inside each partition.
+    Output: all left columns + ``n_overlap``. Partitioning assumption:
+    one key's intervals and probes fit in a worker.
+
+    Pass ``left_schema``/``right_schema`` for lazy chains —
+    Dataset.schema() would schema-probe by executing the upstream
+    plan (Ray 2.49)."""
+    ls = left_schema or left_ds.schema()
+    payload_cols = list(ls.names)
+    payload_types = dict(zip(ls.names, ls.types))
+
+    out_schema = pa.schema(
+        [pa.field(c, payload_types[c]) for c in payload_cols]
+        + [pa.field("n_overlap", pa.int64())])
+
+    def to_left(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(left_key), dtype=np.int64)
+        cols = {
+            "_pkey": pa.array(_hash_partition_ids(keys, num_partitions)),
+            "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "_key": pa.array(keys, type=pa.int64()),
+            "_ts": pc.cast(t.column(left_ts), pa.int64()),
+            "_start": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "_end": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }
+        for c in payload_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def to_right(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(right_key), dtype=np.int64)
+        cols = {
+            "_pkey": pa.array(_hash_partition_ids(keys, num_partitions)),
+            "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "_key": pa.array(keys, type=pa.int64()),
+            "_ts": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "_start": pc.cast(t.column(start_col), pa.int64()),
+            "_end": pc.cast(t.column(end_col), pa.int64()),
+        }
+        for c in payload_cols:
+            cols[c] = pa.nulls(t.num_rows, payload_types[c])
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(to_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(to_right,
+                                          batch_format="pyarrow")))
+
+    def part_count(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        side = np.asarray(group.column("_side"))
+        left_t = group.filter(pa.array(side == 1))
+        if left_t.num_rows == 0:
+            return out_schema.empty_table()
+        right_t = group.filter(pa.array(side == 0))
+        ivals = pa.table({"k": right_t.column("_key"),
+                          "s": right_t.column("_start"),
+                          "e": right_t.column("_end")})
+        index = build_interval_index(ivals, "k", "s", "e")
+        keys = np.asarray(left_t.column("_key"), dtype=np.int64)
+        ts = np.asarray(left_t.column("_ts"), dtype=np.int64)
+        n = interval_overlap_counts(index, keys, ts)
+        out = left_t.select(payload_cols).append_column(
+            "n_overlap", pa.array(n, type=pa.int64()))
+        return out.cast(out_schema)
+
+    return tagged.groupby("_pkey").map_groups(part_count,
+                                              batch_format="pyarrow")

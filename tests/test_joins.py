@@ -175,3 +175,44 @@ def test_partitioned_lookup_join_parity(ray_session):
             left_key="k", right_key="rk", take_cols=["v"],
             left_schema=left.schema, right_schema=pa.schema(
                 [("rk", pa.int64()), ("v", pa.int64())]))
+
+
+def test_interval_partitioned_matches_broadcast(ray_session):
+    """The big-big partitioned range-join path must agree per row with
+    the broadcast interval-stabbing probe (keys present on one side
+    only, zero-length and overlapping intervals included)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import (
+        interval_join_count_broadcast, interval_join_count_partitioned)
+
+    rng = np.random.default_rng(23)
+    n_r, n_l = 300, 800
+    starts = rng.integers(0, 1000, n_r)
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 40, n_r), type=pa.int64()),
+        "s": pa.array(starts, type=pa.int64()),
+        "e": pa.array(starts + rng.integers(0, 60, n_r),
+                      type=pa.int64()),
+    })
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 50, n_l), type=pa.int64()),
+        "lts": pa.array(rng.integers(0, 1050, n_l), type=pa.int64()),
+        "row": pa.array(np.arange(n_l), type=pa.int64()),
+    })
+    left_ds = ray.data.from_arrow(left).repartition(5)
+    right_ds = ray.data.from_arrow(right).repartition(4)
+
+    bcast = interval_join_count_broadcast(
+        left_ds, right, left_key="k", left_ts="lts",
+        right_key="k", start_col="s", end_col="e")
+    parted = interval_join_count_partitioned(
+        left_ds, right_ds, left_key="k", left_ts="lts",
+        right_key="k", start_col="s", end_col="e", num_partitions=8)
+
+    b = bcast.to_pandas().sort_values("row").reset_index(drop=True)
+    p = parted.to_pandas().sort_values("row").reset_index(drop=True)
+    assert list(b["n_overlap"]) == list(p["n_overlap"])
+    assert b["n_overlap"].sum() > 0
