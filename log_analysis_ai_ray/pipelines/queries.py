@@ -5095,3 +5095,130 @@ def q_events_in_order_window_partitioned(sf_dir: str):
 
 QUERIES["events_in_order_window_partitioned"] = (
     q_events_in_order_window_partitioned, SQL_EVENTS_IN_ORDER_WINDOW)
+
+
+_PROW_RE_PC = r"/p(?P<n>\d+)$"
+_PROW_RE = r"/p(\d+)$"
+
+
+def q_page_pagerank(sf_dir: str):
+    """PageRank at PAGE granularity (vertex-state-broadcast form):
+    distributed edge extraction (same href kernels as
+    domain_link_edges, page rownum parsed from the url) → per-block
+    (src, dst, weight) partials, materialized once and reused across
+    iterations → per iteration, the pr/outdeg ratio vector is
+    broadcast (``ray.put``, O(nodes) floats) and each block reduces to
+    per-dst contribution partials — ONE exchange per iteration. The
+    node-state-fits-a-worker bound is the documented assumption (at
+    10^8+ nodes the same update runs as the stages/graph.py
+    dataset-algebra rounds: join pr to edges on src, groupby dst —
+    2 keys-only shuffles/iteration). Output: ln(pr·N) rounded 6 (the
+    log keeps rational pr values off rounding-grid boundaries — see
+    the note below) — oracle = the identical unrolled join/groupby
+    iteration in SQL."""
+    import ray
+
+    ds = read_pages(pages_dir_for(sf_dir), columns=["url", "html"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        src, dst = _href_targets(t)
+        s = pc.cast(pc.extract_regex(src, _PROW_RE_PC).field("n"),
+                    pa.int64())
+        d = pc.cast(pc.extract_regex(dst, _PROW_RE_PC).field("n"),
+                    pa.int64())
+        g = pa.table({"s": s, "d": d}).group_by(["s", "d"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["s", "d", "w"])
+
+    edges = ds.map_batches(edge_partial,
+                           batch_format="pyarrow").materialize()
+    n_pages = PAGES_N.get(sf_name(sf_dir), 2_000)
+
+    od_tbl = agg._combine_partials(
+        edges, keys=["s"], aggs=[("w", "sum")],
+        empty_schema=pa.schema([("s", pa.int64()), ("w", pa.int64())]))
+    outdeg = np.zeros(n_pages, dtype=np.float64)
+    outdeg[np.asarray(od_tbl.column("s"), dtype=np.int64)] = \
+        np.asarray(od_tbl.column("w"), dtype=np.float64)
+
+    pr = np.full(n_pages, 1.0 / n_pages)
+    for _ in range(_PR_ITERS):
+        # broadcast pr AND outdeg; the per-edge term is evaluated as
+        # (w * pr) / outdeg — the oracle's left-associative order —
+        # so the doubles agree bit-for-bit before the per-dst sum
+        ref = ray.put({"pr": pr, "outdeg": outdeg})
+
+        def contrib_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            st = ray.get(_ref)
+            s = np.asarray(t.column("s"), dtype=np.int64)
+            d = np.asarray(t.column("d"), dtype=np.int64)
+            w = np.asarray(t.column("w"), dtype=np.float64)
+            c = (w * st["pr"][s]) / st["outdeg"][s]
+            g = pa.table({"d": pa.array(d), "c": pa.array(c)}) \
+                .group_by("d").aggregate([("c", "sum")])
+            return g.rename_columns(["d", "c"])
+
+        ct = agg._combine_partials(
+            edges.map_batches(contrib_partial, batch_format="pyarrow"),
+            keys=["d"], aggs=[("c", "sum")],
+            empty_schema=pa.schema([("d", pa.int64()),
+                                    ("c", pa.float64())]))
+        contrib = np.zeros(n_pages, dtype=np.float64)
+        contrib[np.asarray(ct.column("d"), dtype=np.int64)] = \
+            np.asarray(ct.column("c"), dtype=np.float64)
+        pr = (1 - _PR_D) / n_pages + _PR_D * contrib
+
+    # Emit ln(pr·N), not pr·N: the graph's rational arithmetic
+    # (N = 2^5·5^4·…, outdeg ∈ 1..5) lands many scaled values EXACTLY
+    # on rounding-grid half-points, where engine-side 1e-15 sum
+    # nondeterminism (DuckDB's parallel aggregation differs run to
+    # run) flips the rounded digit. Logs of rationals are irrational,
+    # so no value sits on a boundary and the 1e-15 wobble is absorbed
+    # by round(·, 6).
+    # + 0.0 canonicalizes IEEE negative zero: pages with pr·N within
+    # ±5e-7 of 1.0 round to ±0.0 whose SIGN follows the 1e-15 noise,
+    # and str(-0.0) != str(0.0) in the driver's value hash.
+    log_pr = np.round(np.log(pr * n_pages), 6) + 0.0
+    return pa.table({
+        "page_row": pa.array(np.arange(n_pages, dtype=np.int64)),
+        "log_pr": pa.array(log_pr),
+    })
+
+
+SQL_PAGE_PAGERANK = f"""
+WITH e0 AS (
+  SELECT CAST(regexp_extract(url, '{_PROW_RE}', 1) AS BIGINT) AS s,
+         CAST(regexp_extract(dst, '{_PROW_RE}', 1) AS BIGINT) AS d
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {PAGES_VIEW})),
+e AS (SELECT s, d, count(*)::DOUBLE AS w FROM e0 GROUP BY 1, 2),
+nodes AS (SELECT CAST(regexp_extract(url, '{_PROW_RE}', 1) AS BIGINT) AS n
+          FROM {PAGES_VIEW}),
+nn AS (SELECT count(*)::DOUBLE AS N FROM nodes),
+od AS (SELECT s, sum(w) AS outdeg FROM e GROUP BY s),
+pr0 AS (SELECT n, (SELECT 1.0 / N FROM nn) AS pr FROM nodes),
+c1 AS (SELECT e.d AS n, sum(e.w * p.pr / od.outdeg) AS c
+       FROM e JOIN pr0 p ON p.n = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+pr1 AS (SELECT nodes.n,
+               (SELECT (1 - {_PR_D}) / N FROM nn)
+               + {_PR_D} * coalesce(c.c, 0) AS pr
+        FROM nodes LEFT JOIN c1 c ON c.n = nodes.n),
+c2 AS (SELECT e.d AS n, sum(e.w * p.pr / od.outdeg) AS c
+       FROM e JOIN pr1 p ON p.n = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+pr2 AS (SELECT nodes.n,
+               (SELECT (1 - {_PR_D}) / N FROM nn)
+               + {_PR_D} * coalesce(c.c, 0) AS pr
+        FROM nodes LEFT JOIN c2 c ON c.n = nodes.n),
+c3 AS (SELECT e.d AS n, sum(e.w * p.pr / od.outdeg) AS c
+       FROM e JOIN pr2 p ON p.n = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+pr3 AS (SELECT nodes.n,
+               (SELECT (1 - {_PR_D}) / N FROM nn)
+               + {_PR_D} * coalesce(c.c, 0) AS pr
+        FROM nodes LEFT JOIN c3 c ON c.n = nodes.n)
+SELECT n AS page_row,
+       round(ln(pr * (SELECT N FROM nn)), 6) + 0.0 AS log_pr
+FROM pr3 ORDER BY page_row
+"""
+
+QUERIES["page_pagerank"] = (q_page_pagerank, SQL_PAGE_PAGERANK)

@@ -29,7 +29,7 @@ SUBSET = [
     "hourly_active_users", "user_retention", "label_centroids",
     "domain_link_edges", "page_in_degree", "domain_pagerank",
     "user_running_total", "session_type_pairs", "source_vocab_overlap",
-    "events_in_order_window_partitioned",
+    "events_in_order_window_partitioned", "page_pagerank",
 ]
 
 
