@@ -5222,3 +5222,98 @@ FROM pr3 ORDER BY page_row
 """
 
 QUERIES["page_pagerank"] = (q_page_pagerank, SQL_PAGE_PAGERANK)
+
+
+def q_customer_order_profile(sf_dir: str):
+    """LEFT OUTER big-big join: every customer with their order count
+    and exact-cents total — INCLUDING zero-order customers (the rows an
+    inner join silently drops; the anti-join only finds them). Orders
+    pre-aggregate per custkey per block, then
+    joins.partitioned_lookup_join(join_type='left outer') co-locates
+    customers with the partials in one key-hash shuffle; unmatched
+    customers surface with nulls → coalesced to 0, mirrored by the
+    oracle's LEFT JOIN + coalesce. Rolled up per (mktsegment,
+    has_orders) so every customer's presence affects the hash."""
+    from ..stages.joins import partitioned_lookup_join
+
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def preagg(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "cents": cents}) \
+            .group_by("o_custkey").aggregate([("cents", "sum"),
+                                              ([], "count_all")]) \
+            .rename_columns(["o_custkey", "cents", "n_orders"])
+
+    # per-block partials may repeat a custkey across blocks: finish the
+    # per-key aggregation with a bounded merge, then join
+    od_tbl = agg._combine_partials(
+        od.map_batches(preagg, batch_format="pyarrow"),
+        keys=["o_custkey"], aggs=[("cents", "sum"), ("n_orders", "sum")],
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("cents", pa.int64()),
+                                ("n_orders", pa.int64())]))
+    import ray.data
+
+    joined = partitioned_lookup_join(
+        cu, ray.data.from_arrow(od_tbl),
+        left_key="c_custkey", right_key="o_custkey",
+        take_cols=["cents", "n_orders"], join_type="left outer",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_mktsegment", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("cents", pa.int64()),
+                                ("n_orders", pa.int64())]))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").combine_chunks() \
+            .fill_null(0) if t.column("cents").null_count else \
+            t.column("cents")
+        n = t.column("n_orders").combine_chunks().fill_null(0) \
+            if t.column("n_orders").null_count else t.column("n_orders")
+        g = pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "has_orders": pc.cast(pc.greater(n, 0), pa.string()),
+            "n_customers": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_orders": pc.cast(n, pa.int64()),
+            "cents_sum": pc.cast(cents, pa.int64()),
+        }).group_by(["c_mktsegment", "has_orders"]).aggregate(
+            [("n_customers", "sum"), ("n_orders", "sum"),
+             ("cents_sum", "sum")])
+        return g.rename_columns(["c_mktsegment", "has_orders",
+                                 "n_customers", "n_orders", "cents_sum"])
+
+    out = agg._combine_partials(
+        joined.map_batches(rollup, batch_format="pyarrow"),
+        keys=["c_mktsegment", "has_orders"],
+        aggs=[("n_customers", "sum"), ("n_orders", "sum"),
+              ("cents_sum", "sum")],
+        empty_schema=pa.schema([("c_mktsegment", pa.string()),
+                                ("has_orders", pa.string()),
+                                ("n_customers", pa.int64()),
+                                ("n_orders", pa.int64()),
+                                ("cents_sum", pa.int64())]))
+    return out.sort_by([("c_mktsegment", "ascending"),
+                        ("has_orders", "ascending")])
+
+
+SQL_CUSTOMER_ORDER_PROFILE = """
+WITH oc AS (SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey)
+SELECT c.c_mktsegment,
+       CAST(coalesce(oc.n_orders, 0) > 0 AS VARCHAR) AS has_orders,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(coalesce(oc.n_orders, 0)) AS BIGINT) AS n_orders,
+       CAST(sum(coalesce(oc.cents, 0)) AS BIGINT) AS cents_sum
+FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["customer_order_profile"] = (q_customer_order_profile,
+                                     SQL_CUSTOMER_ORDER_PROFILE)

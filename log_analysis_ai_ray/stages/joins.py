@@ -373,6 +373,7 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                             right_key: str, take_cols: list[str],
                             num_partitions: int = 64,
                             unique_right: bool = True,
+                            join_type: str = "inner",
                             left_schema: pa.Schema | None = None,
                             right_schema: pa.Schema | None = None):
     """Big-big equi-join for a right side UNIQUE per key (dimension
@@ -384,9 +385,11 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
     |distinct keys| times — at 10⁹ keys that is the difference between
     a C++ join and 10⁹ interpreter calls.
 
-    Output: all left columns + ``take_cols`` (inner join). Partitioning
-    assumption: one partition's rows fit in a worker; raise
-    ``num_partitions`` for bigger inputs (it only adds tasks).
+    Output: all left columns + ``take_cols``. ``join_type`` is
+    "inner" (default) or "left outer" (unmatched left rows keep nulls
+    in ``take_cols``). Partitioning assumption: one partition's rows
+    fit in a worker; raise ``num_partitions`` for bigger inputs (it
+    only adds tasks).
 
     Pass ``left_schema``/``right_schema`` when the input is a lazy
     chain: ``Dataset.schema()`` on one schema-probes by EXECUTING the
@@ -441,10 +444,18 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
             .select(["_key"] + payload_cols)
         right_t = group.filter(pa.array(side == 0)) \
             .select(["_key"] + take_cols)
-        if left_t.num_rows == 0 or right_t.num_rows == 0:
+        if left_t.num_rows == 0:
             return out_schema.empty_table()
-        joined = left_t.join(right_t, keys="_key",
-                             join_type="inner")
+        if right_t.num_rows == 0:
+            if join_type == "inner":
+                return out_schema.empty_table()
+            joined = left_t
+            for c in take_cols:
+                joined = joined.append_column(
+                    c, pa.nulls(joined.num_rows, take_types[c]))
+        else:
+            joined = left_t.join(right_t, keys="_key",
+                                 join_type=join_type)
         return joined.select(payload_cols + take_cols) \
             .cast(out_schema)
 

@@ -216,3 +216,38 @@ def test_interval_partitioned_matches_broadcast(ray_session):
     p = parted.to_pandas().sort_values("row").reset_index(drop=True)
     assert list(b["n_overlap"]) == list(p["n_overlap"])
     assert b["n_overlap"].sum() > 0
+
+
+def test_partitioned_left_outer_join(ray_session):
+    """'left outer' keeps unmatched left rows with nulls in take_cols,
+    including partitions that hold zero right rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import partitioned_lookup_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 60, 61], type=pa.int64()),
+        "tag": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    right = pa.table({
+        "rk": pa.array([2, 3], type=pa.int64()),
+        "payload": pa.array([20, 30], type=pa.int64()),
+    })
+    out = partitioned_lookup_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right),
+        left_key="k", right_key="rk", take_cols=["payload"],
+        join_type="left outer", num_partitions=4).to_pandas()
+    import pandas as pd
+
+    got = {r.tag: (None if pd.isna(r.payload) else int(r.payload))
+           for r in out.itertuples()}
+    assert got == {"a": None, "b": 20, "c": 30, "d": None, "e": None}
+
+    inner = partitioned_lookup_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right),
+        left_key="k", right_key="rk", take_cols=["payload"],
+        num_partitions=4).to_pandas()
+    assert sorted(inner.tag) == ["b", "c"]
