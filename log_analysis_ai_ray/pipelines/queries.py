@@ -5317,3 +5317,46 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["customer_order_profile"] = (q_customer_order_profile,
                                      SQL_CUSTOMER_ORDER_PROFILE)
+
+
+def q_approx_users_per_type(sf_dir: str):
+    """HLL as a GROUPED aggregate (approx count-distinct per key),
+    driver-verified like approx_distinct_users: grouped register
+    partials (one fixed-size blob per group per block, max-merged) vs
+    the exact per-type distinct-user count from pair reduction; emits
+    est_ok per group asserting the estimate within 5%. The oracle
+    reproduces the exact counts and expects TRUE everywhere, so the
+    sketch's per-group accuracy is inside the driver's hash gate."""
+    from ..stages.sketch import approx_distinct_by
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    est = approx_distinct_by(ds, "user_id", "event_type")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t.column("event_type"),
+                      "user_id": t.column("user_id")}) \
+            .group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "c"])
+
+    pairs = _partial_final(ds, pair_partial, ["event_type", "user_id"],
+                           [("c", "sum")])
+    et = pairs.column("event_type").to_numpy(zero_copy_only=False)
+    types, counts = np.unique(et, return_counts=True)
+    ok = [abs(est.get(t_, 0) - int(n)) <= max(1, round(0.05 * int(n)))
+          for t_, n in zip(types, counts)]
+    return pa.table({
+        "event_type": pa.array(types),
+        "exact_distinct_users": pa.array(counts.astype(np.int64)),
+        "est_ok": pa.array(ok),
+    }).sort_by("event_type")
+
+
+SQL_APPROX_USERS_PER_TYPE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       TRUE AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["approx_users_per_type"] = (q_approx_users_per_type,
+                                    SQL_APPROX_USERS_PER_TYPE)

@@ -301,3 +301,54 @@ def approx_quantiles(ds, col: str, qs: "list[float]",
     wts = parts.column("weight").to_numpy(zero_copy_only=False)
     pts, wts = quantile_compress(pts, wts, 4 * k)
     return quantile_query(pts, wts, qs)
+
+
+class HllGroupedStage:
+    """map_batches stage: one (group, registers) row per group per
+    block — the mergeable GROUPED distinct-count sketch (HLL as an
+    aggregate function, not just a global counter). Register blobs are
+    2^p bytes; the shuffle/merge moves groups × blocks rows of fixed
+    size, never values."""
+
+    def __init__(self, col: str, group_col: str, p: int = HLL_P):
+        self.col = col
+        self.group_col = group_col
+        self.p = p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = batch.column(self.group_col).to_numpy(zero_copy_only=False)
+        vals = np.asarray(pc.cast(batch.column(self.col), pa.int64()),
+                          dtype=np.int64)
+        order = np.argsort(g, kind="stable")
+        g, vals = g[order], vals[order]
+        first = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1]) \
+            if len(g) else np.array([], dtype=np.int64)
+        bounds = np.concatenate([first, [len(g)]])
+        keys, blobs = [], []
+        for i in range(len(first)):
+            keys.append(g[first[i]])
+            blobs.append(hll_registers(
+                vals[bounds[i]:bounds[i + 1]], self.p).tobytes())
+        return pa.table({self.group_col: pa.array(keys),
+                         "regs": pa.array(blobs, type=pa.binary())})
+
+
+def approx_distinct_by(ds, col: str, group_col: str,
+                       p: int = HLL_P) -> dict:
+    """Per-group estimated distinct counts: grouped register partials,
+    merged per group driver-side (bounded: groups × blocks fixed-size
+    rows; at an unbounded group space the same max-merge runs as a
+    groupby over register bytes)."""
+    from .aggregate import _to_arrow
+
+    rows = _to_arrow(ds.map_batches(HllGroupedStage(col, group_col, p),
+                                    batch_format="pyarrow"))
+    merged: dict = {}
+    if "regs" in rows.column_names:
+        for key, blob in zip(rows.column(group_col).to_pylist(),
+                             rows.column("regs").to_pylist()):
+            r = np.frombuffer(blob, dtype=np.uint8)
+            merged[key] = hll_merge(merged[key], r) if key in merged \
+                else r.copy()
+    return {k: int(round(hll_estimate(regs, p)))
+            for k, regs in merged.items()}

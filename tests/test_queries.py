@@ -30,7 +30,7 @@ SUBSET = [
     "domain_link_edges", "page_in_degree", "domain_pagerank",
     "user_running_total", "session_type_pairs", "source_vocab_overlap",
     "events_in_order_window_partitioned", "page_pagerank",
-    "customer_order_profile",
+    "customer_order_profile", "approx_users_per_type",
 ]
 
 

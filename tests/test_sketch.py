@@ -209,3 +209,31 @@ def test_quantile_compress_edge_cases():
     pts, wts = quantile_compress(np.array([3.0, 1.0, 2.0]), None, 16)
     assert list(pts) == [1.0, 2.0, 3.0]
     assert quantile_query(pts, wts, [0.5])[0] == 2.0
+
+
+def test_grouped_hll_matches_global_per_group(ray_session):
+    """The grouped HLL must give, per group, the same estimate as a
+    global HLL run over only that group's values (merge correctness),
+    and stay within the error bound of the exact count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import (approx_distinct,
+                                                   approx_distinct_by)
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    g = np.where(rng.random(n) < 0.7, "a", "b")
+    vals = np.where(g == "a", rng.integers(0, 3_000, n),
+                    rng.integers(10**6, 10**6 + 500, n))
+    t = pa.table({"g": pa.array(g), "v": pa.array(vals, type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    by = approx_distinct_by(ds, "v", "g")
+    assert set(by) == {"a", "b"}
+    for key, exact in (("a", len(np.unique(vals[g == "a"]))),
+                       ("b", len(np.unique(vals[g == "b"])))):
+        sub = ray.data.from_arrow(
+            t.filter(pa.array(g == key))).repartition(4)
+        assert by[key] == approx_distinct(sub, "v")   # merge == subset
+        assert abs(by[key] - exact) <= max(2, 0.05 * exact)
