@@ -5360,3 +5360,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["approx_users_per_type"] = (q_approx_users_per_type,
                                     SQL_APPROX_USERS_PER_TYPE)
+
+
+def q_region_brand_profit(sf_dir: str):
+    """Star-schema rollup touching every remaining TPC-H dimension
+    (part, supplier, nation, region — TPC-H Q9's shape): ONE pass over
+    the lineitem fact with THREE broadcast dimension probes
+    (``pc.index_in`` against part→brand, supplier→nationkey,
+    nation→region chains composed driver-side from genuinely
+    dimension-sized tables) and per-block partial aggregation — no
+    shuffle touches fact rows; the exchange moves (region, brand)
+    partials only. Exact integer cents-per-mille revenue."""
+    part = agg._to_arrow(_read(sf_dir, "part",
+                               columns=["p_partkey", "p_brand"]))
+    supp = agg._to_arrow(_read(sf_dir, "supplier",
+                               columns=["s_suppkey", "s_nationkey"]))
+    nation = agg._to_arrow(_read(sf_dir, "nation",
+                                 columns=["n_nationkey", "n_regionkey"]))
+    region = agg._to_arrow(_read(sf_dir, "region",
+                                 columns=["r_regionkey", "r_name"]))
+
+    # compose supplier → region name driver-side (dimension-sized)
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_regionkey").to_pylist()))
+    r2n = dict(zip(region.column("r_regionkey").to_pylist(),
+                   region.column("r_name").to_pylist()))
+    supp_keys = supp.column("s_suppkey").combine_chunks()
+    supp_region = pa.array([r2n[n2r[k]] for k in
+                            supp.column("s_nationkey").to_pylist()],
+                           type=pa.string())
+    part_keys = part.column("p_partkey").combine_chunks()
+    part_brand = part.column("p_brand").combine_chunks()
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        brand = part_brand.take(
+            pc.index_in(t.column("l_partkey"), part_keys))
+        reg = supp_region.take(
+            pc.index_in(t.column("l_suppkey"), supp_keys))
+        g = pa.table({"region": reg, "brand": brand,
+                      "revenue_cpm": cpm,
+                      "n_items": pa.array(np.ones(t.num_rows,
+                                                  dtype=np.int64))}) \
+            .group_by(["region", "brand"]).aggregate(
+                [("revenue_cpm", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["region", "brand", "revenue_cpm",
+                                 "n_items"])
+
+    out = _partial_final(ds, partial, ["region", "brand"],
+                         [("revenue_cpm", "sum"), ("n_items", "sum")])
+    return out.sort_by([("region", "ascending"), ("brand", "ascending")])
+
+
+SQL_REGION_BRAND_PROFIT = """
+SELECT r.r_name AS region, p.p_brand AS brand,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cpm,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["region_brand_profit"] = (q_region_brand_profit,
+                                  SQL_REGION_BRAND_PROFIT)
