@@ -333,7 +333,8 @@ def token_chunks(t: pa.Table, *, text_col: str = "text",
     chunk starts by repeat/arange arithmetic, first/last token
     gathered with one ``take`` on the flattened token array. One
     output row per chunk: (id, chunk_idx, n_chunk_tokens,
-    first_token, last_token)."""
+    first_token, last_token). Full-coverage guarantee (every token in
+    some chunk) requires ``width >= stride``; property-tested."""
     import pyarrow.compute as pc
 
     toks = pc.split_pattern(t.column(text_col).combine_chunks(),

@@ -155,3 +155,62 @@ def test_mg_sketch_property(items, k):
             assert item in counters
     for item, est in counters.items():
         assert 0 < est <= truth[item]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=12),
+       st.integers(min_value=1, max_value=10),
+       st.integers(min_value=1, max_value=10))
+def test_token_chunks_cover_exactly(lens, width, stride):
+    """Every token of every doc is covered; chunk starts are stride
+    multiples; chunk sizes are in [1, width]; per-doc chunk count is
+    ceil(n/stride) for n>0 (0 for empty docs — '' still splits to one
+    empty token, so lens==0 is modeled as a one-token doc here)."""
+    from log_analysis_ai_ray.stages.textstats import token_chunks
+
+    stride = min(stride, width)       # coverage requires width >= stride
+    lens = [max(n, 1) for n in lens]  # '' splits to [''] — 1 token
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in lens]
+    t = pa.table({"doc_id": pa.array(range(len(lens)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = token_chunks(t, width=width, stride=stride)
+    per_doc = {}
+    for r in out.to_pylist():
+        assert 1 <= r["n_chunk_tokens"] <= width
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lens):
+        rows = sorted(per_doc[i], key=lambda r: r["chunk_idx"])
+        assert len(rows) == (n - 1) // stride + 1
+        # coverage: last chunk must reach the final token
+        last = rows[-1]
+        s = last["chunk_idx"] * stride
+        assert s + last["n_chunk_tokens"] == n
+        assert last["last_token"] == f"t{n-1}" or n == 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50),
+                          st.integers(0, 1000)),
+                min_size=1, max_size=60))
+def test_segmented_argmax_property(rows):
+    """_segmented_argmax == per-user max over the composite (ts,
+    event_id) rank, and is idempotent (argmax of argmax output is
+    itself) — the property the partial/final composition relies on."""
+    from log_analysis_ai_ray.pipelines.queries import _segmented_argmax
+
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts_us": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    out = _segmented_argmax(t)
+    want = {}
+    for u, ts, e in rows:
+        if u not in want or (ts, e) > want[u]:
+            want[u] = (ts, e)
+    got = {r["user_id"]: (r["ts_us"], r["event_id"])
+           for r in out.to_pylist()}
+    assert got == want
+    again = _segmented_argmax(out)
+    assert again.sort_by("user_id").equals(out.sort_by("user_id"))
