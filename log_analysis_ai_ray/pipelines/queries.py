@@ -5437,3 +5437,78 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["region_brand_profit"] = (q_region_brand_profit,
                                   SQL_REGION_BRAND_PROFIT)
+
+
+_QUARTILES = (0.25, 0.5, 0.75)
+
+
+def q_events_value_quartile(sf_dir: str):
+    """Exact global quantile BUCKETING (feature binning for training
+    prep): pass 1 aggregates distinct-cents counts (the shuffle moves
+    one row per distinct value — bounded by the price domain, not the
+    corpus) and derives the exact quantile_disc boundaries
+    driver-side; pass 2 streams every event through a broadcast
+    3-boundary comparison. Output per (event_type, quartile): counts +
+    exact cents sums, so any misbucketed row flips the hash. Boundary
+    semantics match DuckDB quantile_disc (value at ceil(n·q)−1)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({"cents": cents}).group_by("cents") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["cents", "cnt"])
+
+    vc = _partial_final(ds, vc_partial, ["cents"], [("cnt", "sum")]) \
+        .sort_by("cents")
+    vals = np.asarray(vc.column("cents"), dtype=np.int64)
+    cnts = np.asarray(vc.column("cnt"), dtype=np.int64)
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    # quantile_disc(q) = sorted[ceil(n·q)−1]; over distinct-value
+    # counts: first value whose cumulative count exceeds that index
+    bounds = np.array(
+        [vals[np.searchsorted(cum, max(int(np.ceil(n * q)) - 1, 0),
+                              side="right")]
+         for q in _QUARTILES], dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64()), dtype=np.int64)
+        bucket = 1 + (cents > bounds[0]).astype(np.int64) \
+            + (cents > bounds[1]) + (cents > bounds[2])
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "quartile": pa.array(bucket),
+            "n_events": pa.array(np.ones(len(cents), dtype=np.int64)),
+            "cents_sum": pa.array(cents),
+        }).group_by(["event_type", "quartile"]).aggregate(
+            [("n_events", "sum"), ("cents_sum", "sum")])
+        return g.rename_columns(["event_type", "quartile", "n_events",
+                                 "cents_sum"])
+
+    out = _partial_final(ds, assign, ["event_type", "quartile"],
+                         [("n_events", "sum"), ("cents_sum", "sum")])
+    return out.sort_by([("event_type", "ascending"),
+                        ("quartile", "ascending")])
+
+
+SQL_EVENTS_VALUE_QUARTILE = """
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT quantile_disc(cents, 0.25) AS b1,
+             quantile_disc(cents, 0.5) AS b2,
+             quantile_disc(cents, 0.75) AS b3 FROM e)
+SELECT event_type,
+       1 + CAST(cents > b.b1 AS BIGINT) + CAST(cents > b.b2 AS BIGINT)
+         + CAST(cents > b.b3 AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM e, b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["events_value_quartile"] = (q_events_value_quartile,
+                                    SQL_EVENTS_VALUE_QUARTILE)

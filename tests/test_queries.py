@@ -31,7 +31,7 @@ SUBSET = [
     "user_running_total", "session_type_pairs", "source_vocab_overlap",
     "events_in_order_window_partitioned", "page_pagerank",
     "customer_order_profile", "approx_users_per_type",
-    "region_brand_profit",
+    "region_brand_profit", "events_value_quartile",
 ]
 
 
