@@ -32,6 +32,7 @@ SUBSET = [
     "events_in_order_window_partitioned", "page_pagerank",
     "customer_order_profile", "approx_users_per_type",
     "region_brand_profit", "events_value_quartile",
+    "ann_recall_check", "minhash_accuracy_check", "simhash_exact_check",
 ]
 
 
