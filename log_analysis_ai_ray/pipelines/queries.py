@@ -5585,21 +5585,27 @@ ORDER BY 1, 2
 QUERIES["ann_recall_check"] = (q_ann_recall_check, SQL_ANN_RECALL_CHECK)
 
 
+def _hash_sample_mask(ids: np.ndarray, cap: int, n: int) -> np.ndarray:
+    """Keep id iff Knuth-hash(id) falls under cap/n of the 2^32 hash
+    space (everything when n <= cap). Pure integer arithmetic mirrored
+    verbatim in the oracle SQL so sample counts are oracle-checked."""
+    if n <= cap:
+        return np.ones(len(ids), dtype=bool)
+    h = (ids.astype(np.int64) * 2654435761) % _CHECK_HASH_MOD
+    return h < (cap * _CHECK_HASH_MOD) // n
+
+
 def _check_sample(sf_dir: str, cap: int):
     """Deterministic doc sample for the O(n²) exact-verification
-    harnesses: keep doc_id iff Knuth-hash(doc_id) falls under cap/n of
-    the 2^32 hash space (all docs when n <= cap). Pure integer
-    arithmetic mirrored verbatim in the oracle SQL so n_sampled is
-    itself oracle-checked."""
+    harnesses."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["doc_id", "text"])
     n = t.num_rows
-    if n > cap:
-        h = (np.asarray(t.column("doc_id"), dtype=np.int64)
-             * 2654435761) % _CHECK_HASH_MOD
-        t = t.filter(pa.array(h < (cap * _CHECK_HASH_MOD) // n))
+    mask = _hash_sample_mask(np.asarray(t.column("doc_id")), cap, n)
+    if not mask.all():
+        t = t.filter(pa.array(mask))
     return t, n
 
 
@@ -5727,3 +5733,144 @@ FROM n, s
 
 QUERIES["simhash_exact_check"] = (q_simhash_exact_check,
                                   SQL_SIMHASH_EXACT_CHECK)
+
+
+_EMBED_PLANT_CAP = 40
+_EMBED_NEAR_RECALL_FLOOR = 0.8  # observed 1.0 at sf0.001/0.01/0.1
+
+
+def q_embed_near_dups_check(sf_dir: str):
+    """Driver-verified embedding near-dup detection on PLANTED
+    positives (VERDICT r2: the corpus has no natural cosine>=0.9 pairs,
+    so the rows-only row was effectively untested). A deterministic
+    hash sample of source vectors gets two planted twins each — an
+    exact byte copy (id+2e9; identical sign-bit LSH signature, so the
+    operator MUST pair it) and a small-angle perturbation (id+1e9,
+    cosine ~0.9988; recall floor 0.8 documented, observed 1.0). The
+    real distributed operator runs over corpus ∪ planted; flags +
+    oracle-reproduced n_vecs / n_planted make the driver hash cover the
+    detection claim."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.knn import _batch_matrix, embedding_near_dups
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    n = t.num_rows
+    mask = _hash_sample_mask(np.asarray(t.column("vec_id")),
+                             _EMBED_PLANT_CAP, n)
+    src = t.filter(pa.array(mask))
+    ids = np.asarray(src.column("vec_id"), dtype=np.int64)
+    V = _batch_matrix(src.column("embedding")).astype(np.float64)
+
+    rng = np.random.default_rng(20260817)
+    D = rng.standard_normal(V.shape)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    near = V + 0.05 * norms * (D / np.linalg.norm(D, axis=1,
+                                                  keepdims=True))
+    vec_type = t.schema.field("embedding").type
+    planted = pa.table({
+        "vec_id": pa.array(np.concatenate([ids + 1_000_000_000,
+                                           ids + 2_000_000_000])),
+        "embedding": pa.array(
+            [list(map(float, r)) for r in near] +
+            [list(map(float, r)) for r in V], type=vec_type),
+    })
+    ds = ray.data.from_arrow(
+        pa.concat_tables([t.select(["vec_id", "embedding"]), planted],
+                         promote_options="default")).repartition(8)
+    pairs = embedding_near_dups(ds, threshold=0.9)
+    found = set(zip(pairs.column("id_a").to_pylist(),
+                    pairs.column("id_b").to_pylist()))
+    exact_ok = all((int(i), int(i) + 2_000_000_000) in found
+                   for i in ids)
+    near_hits = sum((int(i), int(i) + 1_000_000_000) in found
+                    for i in ids)
+    near_ok = near_hits >= _EMBED_NEAR_RECALL_FLOOR * len(ids)
+    # the documented id_a < id_b / no-self-pair contract (ADVICE r2)
+    contract_ok = all(a < b for a, b in found)
+    return pa.table({
+        "metric": pa.array(["embed_near_dups_planted"]),
+        "n_vecs": pa.array([n], type=pa.int64()),
+        "n_planted": pa.array([len(ids)], type=pa.int64()),
+        "exact_recall_ok": pa.array([bool(exact_ok)]),
+        "near_recall_ok": pa.array([bool(near_ok)]),
+        "pair_contract_ok": pa.array([bool(contract_ok)]),
+    })
+
+
+SQL_EMBED_NEAR_DUPS_CHECK = f"""
+WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+s AS (SELECT count(*) AS n_planted FROM embeddings, n
+      WHERE n.n_vecs <= {_EMBED_PLANT_CAP}
+         OR (vec_id * 2654435761) % {_CHECK_HASH_MOD}
+            < ({_EMBED_PLANT_CAP} * {_CHECK_HASH_MOD}) // n.n_vecs)
+SELECT 'embed_near_dups_planted' AS metric, n.n_vecs, s.n_planted,
+       TRUE AS exact_recall_ok, TRUE AS near_recall_ok,
+       TRUE AS pair_contract_ok
+FROM n, s
+"""
+
+
+QUERIES["embed_near_dups_check"] = (q_embed_near_dups_check,
+                                    SQL_EMBED_NEAR_DUPS_CHECK)
+
+
+def q_incremental_hourly(sf_dir: str):
+    """Incremental-ingest parity (the resumable-run contract: per-
+    partition checkpoints whose aggregate state MERGES, north_rule /
+    state/checkpoint.py): the corpus splits into two deterministic
+    halves by Knuth-hashed event_id — standing in for yesterday's vs
+    today's input files. Each half runs its own aggregation pass; the
+    first half's mergeable partial state is PERSISTED to parquet and
+    read back (what a resumed run loads instead of recomputing), then
+    merged with the second pass's partials into the final hourly
+    rollup. The oracle is the plain single-pass SQL — any drift between
+    incremental-merge and recompute-from-scratch flips the hash."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def half_partial(t: pa.Table, keep_lo: bool) -> pa.Table:
+        h = (np.asarray(t.column("event_id"), dtype=np.int64)
+             * 2654435761) % _CHECK_HASH_MOD
+        t = t.filter(pa.array((h < _CHECK_HASH_MOD // 2) == keep_lo))
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.cast(floor_hour(t.column("ts")), pa.int64()),
+            "cents": cents,
+        }).group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "bucket", "cnt",
+                                 "sum_cents"])
+
+    keys = ["event_type", "bucket"]
+    aggs = [("cnt", "sum"), ("sum_cents", "sum")]
+    state1 = _partial_final(
+        ds, lambda t: half_partial(t, True), keys, aggs)
+
+    state_dir = os.path.join("/tmp/graft_incr", sf_name(sf_dir))
+    os.makedirs(state_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, "hourly_state.parquet")
+    pq.write_table(state1, state_path + ".tmp")
+    os.replace(state_path + ".tmp", state_path)  # the checkpoint
+
+    state2 = _partial_final(
+        ds, lambda t: half_partial(t, False), keys, aggs)
+    merged = pa.concat_tables(
+        [pq.read_table(state_path), state2]).group_by(keys).aggregate(
+        [("cnt", "sum"), ("sum_cents", "sum")]).rename_columns(
+        ["event_type", "bucket", "cnt", "sum_cents"])
+    return pa.table({
+        "event_type": merged.column("event_type"),
+        "bucket": merged.column("bucket").cast(pa.timestamp("us")),
+        "cnt": merged.column("cnt"),
+        "sum_cents": merged.column("sum_cents"),
+    })
+
+
+QUERIES["incremental_hourly"] = (q_incremental_hourly, SQL_EVENTS_HOURLY)
