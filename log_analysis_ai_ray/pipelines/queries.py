@@ -4574,6 +4574,31 @@ GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES["user_retention"] = (q_user_retention, SQL_USER_RETENTION)
 
 
+def _label_centroid_sums(ds, dim: int) -> pa.Table:
+    """Per-label elementwise vector sums + counts (the k-means E-step
+    reduction): each block collapses to one (label, s0..s{dim-1}, n)
+    row per label, so the shuffle moves a (labels × dim)-bounded table
+    regardless of corpus size."""
+    def partial(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        emb = t.column("embedding").combine_chunks()
+        d = len(emb[0]) if len(emb) else dim
+        flat = np.asarray(emb.values, dtype=np.float64) \
+            .reshape(len(lab), d)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d))
+        np.add.at(sums, inv, flat)
+        n = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        cols = {"label": pa.array(ulab), "n": pa.array(n)}
+        for j in range(d):
+            cols[f"s{j}"] = pa.array(sums[:, j])
+        return pa.table(cols)
+
+    return _partial_final(
+        ds, partial, ["label"],
+        [("n", "sum")] + [(f"s{j}", "sum") for j in range(dim)])
+
+
 def q_label_centroids(sf_dir: str):
     """Vector aggregate (k-means E-step shape): per-label centroid from
     elementwise partial sums. Each block reduces its vectors to one
@@ -4585,26 +4610,8 @@ def q_label_centroids(sf_dir: str):
     quantities an iterative clustering round needs, oracle-mirrored
     per-dim in SQL."""
     ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        lab = np.asarray(t.column("label"), dtype=np.int64)
-        emb = t.column("embedding").combine_chunks()
-        dim = len(emb[0]) if len(emb) else 0
-        flat = np.asarray(emb.values, dtype=np.float64) \
-            .reshape(len(lab), dim)
-        ulab, inv = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(ulab), dim))
-        np.add.at(sums, inv, flat)
-        n = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
-        cols = {"label": pa.array(ulab), "n": pa.array(n)}
-        for j in range(dim):
-            cols[f"s{j}"] = pa.array(sums[:, j])
-        return pa.table(cols)
-
     dim = 64
-    merged = _partial_final(
-        ds, partial, ["label"],
-        [("n", "sum")] + [(f"s{j}", "sum") for j in range(dim)])
+    merged = _label_centroid_sums(ds, dim)
     n = np.asarray(merged.column("n"), dtype=np.float64)
     s = np.stack([np.asarray(merged.column(f"s{j}"), dtype=np.float64)
                   for j in range(dim)], axis=1)
@@ -5874,3 +5881,73 @@ def q_incremental_hourly(sf_dir: str):
 
 
 QUERIES["incremental_hourly"] = (q_incremental_hourly, SQL_EVENTS_HOURLY)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """One full k-means iteration shape, exactly oracle-checked:
+    E-step — per-label centroids via the bounded (labels × dim)
+    sum-partial shuffle (_label_centroid_sums); M-step assignment —
+    the tiny centroid matrix is BROADCAST into a map_batches argmax
+    over cosine similarity (one numpy matmul per batch, ties broken by
+    sim-rounded-6 desc then centroid label asc, mirroring the SQL
+    window order). Output is the (true label → assigned centroid)
+    confusion count table, so any misassigned vector flips the driver
+    hash. The scale shape is read-once + broadcast — no per-row Python,
+    no shuffle beyond the bounded confusion rollup."""
+    dim = 64
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    merged = _label_centroid_sums(ds, dim)
+    labels = np.asarray(merged.column("label"), dtype=np.int64)
+    order = np.argsort(labels)  # label-asc for argmax tie-break
+    labels = labels[order]
+    n = np.asarray(merged.column("n"), dtype=np.float64)[order]
+    C = np.stack([np.asarray(merged.column(f"s{j}"), dtype=np.float64)[order]
+                  for j in range(dim)], axis=1) / n[:, None]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        emb = t.column("embedding").combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float64) \
+            .reshape(len(lab), dim)
+        Vn = flat / np.linalg.norm(flat, axis=1, keepdims=True)
+        sims = np.round(Vn @ Cn.T, 6)
+        assigned = labels[np.argmax(sims, axis=1)]
+        g = pa.table({
+            "label": pa.array(lab),
+            "assigned_label": pa.array(assigned),
+        }).group_by(["label", "assigned_label"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["label", "assigned_label", "cnt"])
+
+    out = _partial_final(ds, assign, ["label", "assigned_label"],
+                         [("cnt", "sum")])
+    return pa.table({
+        "label": pc.cast(out.column("label"), pa.int64()),
+        "assigned_label": out.column("assigned_label"),
+        "cnt": out.column("cnt"),
+    }).sort_by([("label", "ascending"), ("assigned_label", "ascending")])
+
+
+SQL_KMEANS_ASSIGN = """
+WITH d AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS e
+           FROM embeddings,
+                unnest(range(1, len(embedding) + 1)) AS t(i)),
+c AS (SELECT label AS clabel, i, sum(e) / count(*) AS ce
+      FROM d GROUP BY 1, 2),
+s AS (SELECT d.vec_id, d.label, c.clabel,
+             round(sum(d.e * c.ce)
+                   / (sqrt(sum(d.e * d.e)) * sqrt(sum(c.ce * c.ce))),
+                   6) AS sim
+      FROM d JOIN c ON d.i = c.i
+      GROUP BY 1, 2, 3),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY vec_id ORDER BY sim DESC, clabel ASC) AS rk
+      FROM s)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(clabel AS BIGINT) AS assigned_label, count(*) AS cnt
+FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["kmeans_assign"] = (q_kmeans_assign, SQL_KMEANS_ASSIGN)

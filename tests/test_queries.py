@@ -33,7 +33,7 @@ SUBSET = [
     "customer_order_profile", "approx_users_per_type",
     "region_brand_profit", "events_value_quartile",
     "ann_recall_check", "minhash_accuracy_check", "simhash_exact_check",
-    "embed_near_dups_check", "incremental_hourly",
+    "embed_near_dups_check", "incremental_hourly", "kmeans_assign",
 ]
 
 
