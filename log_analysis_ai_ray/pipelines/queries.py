@@ -5951,3 +5951,75 @@ FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
 
 
 QUERIES["kmeans_assign"] = (q_kmeans_assign, SQL_KMEANS_ASSIGN)
+
+
+_GROUPED_QS = (0.25, 0.5, 0.75)
+
+
+def q_grouped_value_quantiles(sf_dir: str):
+    """GROUPED mergeable quantile sketch (quantiles as an aggregate
+    function, per event_type), DRIVER-VERIFIED like its global sibling
+    approx_value_quantiles: a second counting pass computes each
+    estimate's exact per-group rank interval [#<e, #≤e] (three
+    counters per group per block, no shuffle) and the query emits
+    rank_ok per (event_type, q) asserting the interval lies within the
+    documented n_g/k rank-error bound. The oracle enumerates the same
+    (type × q) grid with TRUE flags."""
+    from ..stages.sketch import approx_quantiles_by
+
+    k = 256
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    est = approx_quantiles_by(ds, "value", "event_type",
+                              list(_GROUPED_QS), k=k)
+    types = sorted(est)
+    est_mat = {t: np.asarray(est[t], dtype=np.float64) for t in types}
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        g = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "i": [], "lt": [], "le": [], "n": []}
+        for typ in np.unique(g):
+            vv = v[g == typ]
+            vv = vv[~np.isnan(vv)]
+            e = est_mat[typ]
+            rows["event_type"].extend([typ] * len(e))
+            rows["i"].extend(range(len(e)))
+            rows["lt"].extend((vv[:, None] < e[None, :]).sum(0).tolist())
+            rows["le"].extend((vv[:, None] <= e[None, :]).sum(0).tolist())
+            rows["n"].extend([len(vv)] * len(e))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], type=pa.string()),
+            "i": pa.array(rows["i"], type=pa.int64()),
+            "lt": pa.array(rows["lt"], type=pa.int64()),
+            "le": pa.array(rows["le"], type=pa.int64()),
+            "n": pa.array(rows["n"], type=pa.int64()),
+        })
+
+    ranks = _partial_final(ds, rank_partial, ["event_type", "i"],
+                           [("lt", "sum"), ("le", "sum"), ("n", "sum")])
+    ranks = ranks.sort_by([("event_type", "ascending"),
+                           ("i", "ascending")])
+    typs = ranks.column("event_type").to_pylist()
+    ii = np.asarray(ranks.column("i"), dtype=np.int64)
+    lt = np.asarray(ranks.column("lt"), dtype=np.float64)
+    le = np.asarray(ranks.column("le"), dtype=np.float64)
+    n_g = np.asarray(ranks.column("n"), dtype=np.float64)
+    qarr = np.asarray(_GROUPED_QS, dtype=np.float64)[ii]
+    bound = n_g / k
+    target = qarr * n_g
+    ok = (target >= lt - bound) & (target <= le + bound)
+    return pa.table({"event_type": pa.array(typs, type=pa.string()),
+                     "q": pa.array(qarr, type=pa.float64()),
+                     "rank_ok": pa.array(ok.tolist())})
+
+
+SQL_GROUPED_VALUE_QUANTILES = """
+SELECT t.event_type, CAST(g.q AS DOUBLE) AS q, TRUE AS rank_ok
+FROM (SELECT DISTINCT event_type FROM events) t
+CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q) g
+ORDER BY 1, 2
+"""
+
+
+QUERIES["grouped_value_quantiles"] = (q_grouped_value_quantiles,
+                                      SQL_GROUPED_VALUE_QUANTILES)

@@ -352,3 +352,66 @@ def approx_distinct_by(ds, col: str, group_col: str,
                 else r.copy()
     return {k: int(round(hll_estimate(regs, p)))
             for k, regs in merged.items()}
+
+
+class QuantileSketchGroupedStage:
+    """map_batches partial: one ≤ k-point weighted summary PER GROUP
+    per block (columns group/point/weight) — the mergeable GROUPED
+    quantile sketch (quantiles as an aggregate function). The
+    shuffle/merge moves ≤ groups × k fixed-width rows per block,
+    never the raw values."""
+
+    def __init__(self, col: str, group_col: str, k: int = 128):
+        self.col = col
+        self.group_col = group_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = batch.column(self.group_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, vals = g[order], vals[order]
+        first = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1]) \
+            if len(g) else np.array([], dtype=np.int64)
+        bounds = np.concatenate([first, [len(g)]])
+        keys, pts_out, wts_out = [], [], []
+        for i in range(len(first)):
+            pts, wts = quantile_compress(vals[bounds[i]:bounds[i + 1]],
+                                         None, self.k)
+            keys.extend([g[first[i]]] * len(pts))
+            pts_out.append(pts)
+            wts_out.append(wts)
+        flat_p = np.concatenate(pts_out) if pts_out else \
+            np.array([], dtype=np.float64)
+        flat_w = np.concatenate(wts_out) if wts_out else \
+            np.array([], dtype=np.float64)
+        return pa.table({self.group_col: pa.array(keys),
+                         "point": pa.array(flat_p, type=pa.float64()),
+                         "weight": pa.array(flat_w, type=pa.float64())})
+
+
+def approx_quantiles_by(ds, col: str, group_col: str, qs: "list[float]",
+                        k: int = 128) -> dict:
+    """Per-group approximate quantiles: grouped k-point partials merged
+    per group driver-side (bounded: groups × k × blocks rows; an
+    unbounded group space would run the same re-compression as a
+    distributed groupby over the partial rows), one re-compression per
+    group, then the weighted quantile read — rank error ≤ n_g/k per
+    group."""
+    from .aggregate import _to_arrow
+
+    rows = _to_arrow(ds.map_batches(
+        QuantileSketchGroupedStage(col, group_col, k),
+        batch_format="pyarrow"))
+    out: dict = {}
+    if rows.num_rows == 0 or "point" not in rows.column_names:
+        return out
+    keys = np.asarray(rows.column(group_col).to_pylist())
+    pts = rows.column("point").to_numpy(zero_copy_only=False)
+    wts = rows.column("weight").to_numpy(zero_copy_only=False)
+    for key in np.unique(keys):
+        m = keys == key
+        p2, w2 = quantile_compress(pts[m], wts[m], 4 * k)
+        out[key if not hasattr(key, "item") else key.item()] = \
+            quantile_query(p2, w2, qs)
+    return out

