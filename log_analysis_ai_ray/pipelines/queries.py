@@ -6023,3 +6023,52 @@ ORDER BY 1, 2
 
 QUERIES["grouped_value_quantiles"] = (q_grouped_value_quantiles,
                                       SQL_GROUPED_VALUE_QUANTILES)
+
+
+def q_user_customer_coverage(sf_dir: str):
+    """FULL OUTER join mode of the hash-partitioned big-big join
+    (completes the join family: inner / left outer / semi / anti /
+    as-of / range / full outer): per-user event counts ⟗ the customer
+    dimension on user_id = c_custkey. The corpus's user domain is a
+    subset of the customer domain, so the oracle exercises the
+    right-only (null left payload) branch — 90% of rows — plus the
+    COALESCEd key column the mode emits; the left-only branch is
+    pinned with synthetic key overhang in tests/test_joins.py."""
+    import ray.data
+
+    from ..stages.joins import partitioned_lookup_join
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t.column("user_id")}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n_events"])
+
+    left_tbl = _partial_final(ds, cnt_partial, ["user_id"],
+                              [("n_events", "sum")])
+    left = ray.data.from_arrow(left_tbl).repartition(4)
+    right = _read(sf_dir, "customer",
+                  columns=["c_custkey", "c_mktsegment"])
+    out = partitioned_lookup_join(
+        left, right, left_key="user_id", right_key="c_custkey",
+        take_cols=["c_mktsegment"], join_type="full outer",
+        emit_key="key", num_partitions=16,
+        left_schema=left_tbl.schema,
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_mktsegment", pa.string())]))
+    t = agg._to_arrow(out)
+    return t.select(["key", "n_events", "c_mktsegment"]).sort_by("key")
+
+
+SQL_USER_CUSTOMER_COVERAGE = """
+SELECT COALESCE(e.user_id, c.c_custkey) AS key,
+       e.n_events, c.c_mktsegment
+FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) e
+FULL OUTER JOIN customer c ON c.c_custkey = e.user_id
+ORDER BY 1
+"""
+
+
+QUERIES["user_customer_coverage"] = (q_user_customer_coverage,
+                                     SQL_USER_CUSTOMER_COVERAGE)

@@ -374,6 +374,7 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                             num_partitions: int = 64,
                             unique_right: bool = True,
                             join_type: str = "inner",
+                            emit_key: str | None = None,
                             left_schema: pa.Schema | None = None,
                             right_schema: pa.Schema | None = None):
     """Big-big equi-join for a right side UNIQUE per key (dimension
@@ -386,8 +387,12 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
     a C++ join and 10⁹ interpreter calls.
 
     Output: all left columns + ``take_cols``. ``join_type`` is
-    "inner" (default) or "left outer" (unmatched left rows keep nulls
-    in ``take_cols``). Partitioning assumption: one partition's rows
+    "inner" (default), "left outer" (unmatched left rows keep nulls in
+    ``take_cols``) or "full outer" (additionally keeps unmatched RIGHT
+    rows with nulls in the left payload; pass ``emit_key`` to get the
+    COALESCEd join key as a leading output column — without it,
+    right-only rows are unidentifiable). Partitioning assumption: one
+    partition's rows
     fit in a worker; raise ``num_partitions`` for bigger inputs (it
     only adds tasks).
 
@@ -429,8 +434,10 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
             cols[c] = t.column(c)
         return pa.table(cols)
 
+    out_cols = ([emit_key] if emit_key else []) + payload_cols + take_cols
     out_schema = pa.schema(
-        [pa.field(c, payload_types[c]) for c in payload_cols]
+        ([pa.field(emit_key, pa.int64())] if emit_key else [])
+        + [pa.field(c, payload_types[c]) for c in payload_cols]
         + [pa.field(c, take_types[c]) for c in take_cols])
 
     tagged = (left_ds.map_batches(to_left, batch_format="pyarrow")
@@ -445,8 +452,13 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
         right_t = group.filter(pa.array(side == 0)) \
             .select(["_key"] + take_cols)
         if left_t.num_rows == 0:
-            return out_schema.empty_table()
-        if right_t.num_rows == 0:
+            if join_type != "full outer" or right_t.num_rows == 0:
+                return out_schema.empty_table()
+            joined = right_t
+            for c in payload_cols:
+                joined = joined.append_column(
+                    c, pa.nulls(joined.num_rows, payload_types[c]))
+        elif right_t.num_rows == 0:
             if join_type == "inner":
                 return out_schema.empty_table()
             joined = left_t
@@ -454,10 +466,14 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                 joined = joined.append_column(
                     c, pa.nulls(joined.num_rows, take_types[c]))
         else:
+            # Arrow coalesces "_key" across sides for full outer
             joined = left_t.join(right_t, keys="_key",
                                  join_type=join_type)
-        return joined.select(payload_cols + take_cols) \
-            .cast(out_schema)
+        if emit_key:
+            joined = joined.rename_columns(
+                [emit_key if c == "_key" else c for c in
+                 joined.column_names])
+        return joined.select(out_cols).cast(out_schema)
 
     return tagged.groupby("_pkey").map_groups(part_join,
                                               batch_format="pyarrow")

@@ -251,3 +251,40 @@ def test_partitioned_left_outer_join(ray_session):
         left_key="k", right_key="rk", take_cols=["payload"],
         num_partitions=4).to_pandas()
     assert sorted(inner.tag) == ["b", "c"]
+
+
+def test_partitioned_full_outer_join(ray_session):
+    """'full outer' keeps unmatched rows of BOTH sides (null take_cols
+    on the left-only rows, null payload on the right-only rows) and
+    emits the COALESCEd join key, including partitions holding only
+    one side."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import partitioned_lookup_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 60], type=pa.int64()),
+        "tag": pa.array(["a", "b", "c", "d"]),
+    })
+    right = pa.table({
+        "rk": pa.array([2, 3, 7, 61], type=pa.int64()),
+        "payload": pa.array([20, 30, 70, 610], type=pa.int64()),
+    })
+    out = partitioned_lookup_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2),
+        left_key="k", right_key="rk", take_cols=["payload"],
+        join_type="full outer", emit_key="key",
+        num_partitions=4).to_pandas()
+    assert list(out.columns) == ["key", "k", "tag", "payload"]
+    rows = {int(r.key): (None if pd.isna(r.tag) else r.tag,
+                         None if pd.isna(r.payload) else int(r.payload))
+            for r in out.itertuples()}
+    assert rows == {
+        1: ("a", None), 2: ("b", 20), 3: ("c", 30), 60: ("d", None),
+        7: (None, 70), 61: (None, 610),
+    }
+    # coalesced key is never null
+    assert not out.key.isna().any()

@@ -34,7 +34,7 @@ SUBSET = [
     "region_brand_profit", "events_value_quartile",
     "ann_recall_check", "minhash_accuracy_check", "simhash_exact_check",
     "embed_near_dups_check", "incremental_hourly", "kmeans_assign",
-    "grouped_value_quantiles",
+    "grouped_value_quantiles", "user_customer_coverage",
 ]
 
 
