@@ -6072,3 +6072,106 @@ ORDER BY 1
 
 QUERIES["user_customer_coverage"] = (q_user_customer_coverage,
                                      SQL_USER_CUSTOMER_COVERAGE)
+
+
+def q_events_iqr_outliers(sf_dir: str):
+    """Robust per-key anomaly detection (Tukey fences — the
+    quartile-based complement of the reference's z-score anomaly
+    rollup): pass 1 aggregates distinct (event_type, cents) counts
+    (the shuffle is bounded by types × price domain, not corpus size)
+    and derives exact per-type Q1/Q3 with quantile_disc semantics
+    driver-side; pass 2 streams every event through the broadcast
+    fences counting outliers outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR].
+    Exact counts + cents sums per type, fully oracle-mirrored."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "cents": cents}) \
+            .group_by(["event_type", "cents"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    vc = _partial_final(ds, vc_partial, ["event_type", "cents"],
+                        [("cnt", "sum")]) \
+        .sort_by([("event_type", "ascending"), ("cents", "ascending")])
+    typ = np.asarray(vc.column("event_type").to_pylist())
+    vals = np.asarray(vc.column("cents"), dtype=np.int64)
+    cnts = np.asarray(vc.column("cnt"), dtype=np.int64)
+    fences: dict[str, tuple] = {}
+    for tname in np.unique(typ):
+        m = typ == tname
+        v, c = vals[m], cnts[m]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        # quantile_disc(q) over distinct-value counts
+        q1 = int(v[np.searchsorted(
+            cum, max(int(np.ceil(n * 0.25)) - 1, 0), side="right")])
+        q3 = int(v[np.searchsorted(
+            cum, max(int(np.ceil(n * 0.75)) - 1, 0), side="right")])
+        iqr = 1.5 * (q3 - q1)
+        fences[str(tname)] = (q1, q3, q1 - iqr, q3 + iqr)
+
+    def outlier_partial(t: pa.Table) -> pa.Table:
+        g = t.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64()), dtype=np.int64)
+        rows = {"event_type": [], "n_outliers": [],
+                "outlier_cents_sum": []}
+        for tname in np.unique(g):
+            m = g == tname
+            _, _, lo, hi = fences[str(tname)]
+            out = m & ((cents < lo) | (cents > hi))
+            rows["event_type"].append(str(tname))
+            rows["n_outliers"].append(int(out.sum()))
+            rows["outlier_cents_sum"].append(int(cents[out].sum()))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], type=pa.string()),
+            "n_outliers": pa.array(rows["n_outliers"], type=pa.int64()),
+            "outlier_cents_sum": pa.array(rows["outlier_cents_sum"],
+                                          type=pa.int64()),
+        })
+
+    out = _partial_final(ds, outlier_partial, ["event_type"],
+                         [("n_outliers", "sum"),
+                          ("outlier_cents_sum", "sum")]) \
+        .sort_by("event_type")
+    names = out.column("event_type").to_pylist()
+    return pa.table({
+        "event_type": out.column("event_type"),
+        "q1_cents": pa.array([fences[t][0] for t in names],
+                             type=pa.int64()),
+        "q3_cents": pa.array([fences[t][1] for t in names],
+                             type=pa.int64()),
+        "n_outliers": out.column("n_outliers"),
+        "outlier_cents_sum": out.column("outlier_cents_sum"),
+    })
+
+
+SQL_EVENTS_IQR_OUTLIERS = """
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT event_type, quantile_disc(cents, 0.25) AS q1,
+             quantile_disc(cents, 0.75) AS q3
+      FROM e GROUP BY 1)
+SELECT e.event_type,
+       CAST(b.q1 AS BIGINT) AS q1_cents,
+       CAST(b.q3 AS BIGINT) AS q3_cents,
+       CAST(count(*) FILTER (WHERE e.cents < b.q1 - 1.5 * (b.q3 - b.q1)
+                                OR e.cents > b.q3 + 1.5 * (b.q3 - b.q1))
+            AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN e.cents < b.q1 - 1.5 * (b.q3 - b.q1)
+                       OR e.cents > b.q3 + 1.5 * (b.q3 - b.q1)
+                     THEN e.cents ELSE 0 END) AS BIGINT)
+         AS outlier_cents_sum
+FROM e JOIN b USING (event_type)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+QUERIES["events_iqr_outliers"] = (q_events_iqr_outliers,
+                                  SQL_EVENTS_IQR_OUTLIERS)
