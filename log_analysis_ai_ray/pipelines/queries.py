@@ -5345,17 +5345,33 @@ def q_approx_users_per_type(sf_dir: str):
             .group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
         return g.rename_columns(["event_type", "user_id", "c"])
 
-    pairs = _partial_final(ds, pair_partial, ["event_type", "user_id"],
-                           [("c", "sum")])
-    et = pairs.column("event_type").to_numpy(zero_copy_only=False)
-    types, counts = np.unique(et, return_counts=True)
+    # exact side: globally-distinct (type, user) pairs stay a DATASET
+    # (unbounded key space — users × types), then reduce to the
+    # bounded per-type count; only |types| rows ever reach the driver
+    pairs = agg._combine_partials(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        keys=["event_type", "user_id"], aggs=[("c", "sum")],
+        dataset_final=True)
+    if isinstance(pairs, pa.Table):
+        import ray.data
+        pairs = ray.data.from_arrow(pairs)
+
+    def type_count(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t.column("event_type")}) \
+            .group_by("event_type").aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    exact = _partial_final(pairs, type_count, ["event_type"],
+                           [("n", "sum")]).sort_by("event_type")
+    types = exact.column("event_type").to_pylist()
+    counts = np.asarray(exact.column("n"), dtype=np.int64)
     ok = [abs(est.get(t_, 0) - int(n)) <= max(1, round(0.05 * int(n)))
           for t_, n in zip(types, counts)]
     return pa.table({
-        "event_type": pa.array(types),
-        "exact_distinct_users": pa.array(counts.astype(np.int64)),
+        "event_type": pa.array(types, type=pa.string()),
+        "exact_distinct_users": pa.array(counts),
         "est_ok": pa.array(ok),
-    }).sort_by("event_type")
+    })
 
 
 SQL_APPROX_USERS_PER_TYPE = """
@@ -5369,15 +5385,53 @@ QUERIES["approx_users_per_type"] = (q_approx_users_per_type,
                                     SQL_APPROX_USERS_PER_TYPE)
 
 
+class _StarProbePartial:
+    """region_brand_profit's per-block fact partial. Built from the
+    probe-array tuple directly (small dimensions → task closure) or
+    from a ``ray.put`` ref (part/supplier grow with SF — above
+    BROADCAST_CLOSURE_MAX_BYTES the arrays live in the object store
+    once instead of riding every task closure)."""
+
+    def __init__(self, probe):
+        import ray
+
+        if not isinstance(probe, tuple):
+            probe = ray.get(probe)
+        (self.part_keys, self.part_brand,
+         self.supp_keys, self.supp_region) = probe
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        brand = self.part_brand.take(
+            pc.index_in(t.column("l_partkey"), self.part_keys))
+        reg = self.supp_region.take(
+            pc.index_in(t.column("l_suppkey"), self.supp_keys))
+        g = pa.table({"region": reg, "brand": brand,
+                      "revenue_cpm": cpm,
+                      "n_items": pa.array(np.ones(t.num_rows,
+                                                  dtype=np.int64))}) \
+            .group_by(["region", "brand"]).aggregate(
+                [("revenue_cpm", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["region", "brand", "revenue_cpm",
+                                 "n_items"])
+
+
 def q_region_brand_profit(sf_dir: str):
     """Star-schema rollup touching every remaining TPC-H dimension
     (part, supplier, nation, region — TPC-H Q9's shape): ONE pass over
     the lineitem fact with THREE broadcast dimension probes
     (``pc.index_in`` against part→brand, supplier→nationkey,
-    nation→region chains composed driver-side from genuinely
-    dimension-sized tables) and per-block partial aggregation — no
-    shuffle touches fact rows; the exchange moves (region, brand)
-    partials only. Exact integer cents-per-mille revenue."""
+    nation→region chains composed driver-side; part/supplier are
+    SF-scaled, so past BROADCAST_CLOSURE_MAX_BYTES the probe arrays
+    ship via ``ray.put`` instead of the task closure) and per-block
+    partial aggregation — no shuffle touches fact rows; the exchange
+    moves (region, brand) partials only. Exact integer cents-per-mille
+    revenue."""
     part = agg._to_arrow(_read(sf_dir, "part",
                                columns=["p_partkey", "p_brand"]))
     supp = agg._to_arrow(_read(sf_dir, "supplier",
@@ -5403,28 +5457,20 @@ def q_region_brand_profit(sf_dir: str):
                columns=["l_partkey", "l_suppkey", "l_extendedprice",
                         "l_discount"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(
-            t.column("l_extendedprice"), 100), 0), pa.int64())
-        disc_pm = pc.cast(pc.round(pc.multiply(
-            t.column("l_discount"), 1000), 0), pa.int64())
-        cpm = pc.multiply(price_c, pc.subtract(
-            pa.scalar(1000, pa.int64()), disc_pm))
-        brand = part_brand.take(
-            pc.index_in(t.column("l_partkey"), part_keys))
-        reg = supp_region.take(
-            pc.index_in(t.column("l_suppkey"), supp_keys))
-        g = pa.table({"region": reg, "brand": brand,
-                      "revenue_cpm": cpm,
-                      "n_items": pa.array(np.ones(t.num_rows,
-                                                  dtype=np.int64))}) \
-            .group_by(["region", "brand"]).aggregate(
-                [("revenue_cpm", "sum"), ("n_items", "sum")])
-        return g.rename_columns(["region", "brand", "revenue_cpm",
-                                 "n_items"])
+    from ..stages.joins import BROADCAST_CLOSURE_MAX_BYTES
 
-    out = _partial_final(ds, partial, ["region", "brand"],
-                         [("revenue_cpm", "sum"), ("n_items", "sum")])
+    probe = (part_keys, part_brand, supp_keys, supp_region)
+    if sum(a.nbytes for a in probe) <= BROADCAST_CLOSURE_MAX_BYTES:
+        partials = ds.map_batches(_StarProbePartial(probe),
+                                  batch_format="pyarrow")
+    else:
+        import ray
+        partials = ds.map_batches(
+            _StarProbePartial, fn_constructor_args=(ray.put(probe),),
+            concurrency=(2, 8), num_cpus=0.5, batch_format="pyarrow")
+    out = agg._combine_partials(partials, keys=["region", "brand"],
+                                aggs=[("revenue_cpm", "sum"),
+                                      ("n_items", "sum")])
     return out.sort_by([("region", "ascending"), ("brand", "ascending")])
 
 
@@ -5449,6 +5495,18 @@ QUERIES["region_brand_profit"] = (q_region_brand_profit,
 _QUARTILES = (0.25, 0.5, 0.75)
 
 
+def _quantile_disc_from_counts(vals: np.ndarray, cnts: np.ndarray,
+                               q: float) -> int:
+    """DuckDB ``quantile_disc(q)`` — the value at 0-based rank
+    ceil(n·q)−1 — computed from SORTED distinct values and their
+    counts: the first value whose cumulative count exceeds that rank
+    index."""
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    rank = max(int(np.ceil(n * q)) - 1, 0)
+    return int(vals[np.searchsorted(cum, rank, side="right")])
+
+
 def q_events_value_quartile(sf_dir: str):
     """Exact global quantile BUCKETING (feature binning for training
     prep): pass 1 aggregates distinct-cents counts (the shuffle moves
@@ -5471,14 +5529,8 @@ def q_events_value_quartile(sf_dir: str):
         .sort_by("cents")
     vals = np.asarray(vc.column("cents"), dtype=np.int64)
     cnts = np.asarray(vc.column("cnt"), dtype=np.int64)
-    n = int(cnts.sum())
-    cum = np.cumsum(cnts)
-    # quantile_disc(q) = sorted[ceil(n·q)−1]; over distinct-value
-    # counts: first value whose cumulative count exceeds that index
-    bounds = np.array(
-        [vals[np.searchsorted(cum, max(int(np.ceil(n * q)) - 1, 0),
-                              side="right")]
-         for q in _QUARTILES], dtype=np.int64)
+    bounds = np.array([_quantile_disc_from_counts(vals, cnts, q)
+                       for q in _QUARTILES], dtype=np.int64)
 
     def assign(t: pa.Table) -> pa.Table:
         cents = np.asarray(
@@ -5595,11 +5647,16 @@ QUERIES["ann_recall_check"] = (q_ann_recall_check, SQL_ANN_RECALL_CHECK)
 def _hash_sample_mask(ids: np.ndarray, cap: int, n: int) -> np.ndarray:
     """Keep id iff Knuth-hash(id) falls under cap/n of the 2^32 hash
     space (everything when n <= cap). Pure integer arithmetic mirrored
-    verbatim in the oracle SQL so sample counts are oracle-checked."""
+    verbatim in the oracle SQL so sample counts are oracle-checked.
+    Ids reduce mod 2^32 BEFORE the multiply (uint64 product of two
+    32-bit values cannot overflow), keeping Python and the HUGEINT-
+    promoted SQL identical for any non-negative id — a bare int64
+    multiply would wrap for ids ≥ ~3.47e9 while the SQL errors."""
     if n <= cap:
         return np.ones(len(ids), dtype=bool)
-    h = (ids.astype(np.int64) * 2654435761) % _CHECK_HASH_MOD
-    return h < (cap * _CHECK_HASH_MOD) // n
+    m = np.uint64(_CHECK_HASH_MOD)
+    h = (ids.astype(np.uint64) % m * np.uint64(2654435761)) % m
+    return h < np.uint64((cap * _CHECK_HASH_MOD) // n)
 
 
 def _check_sample(sf_dir: str, cap: int):
@@ -5621,7 +5678,8 @@ def _sample_count_sql(cap: int) -> str:
 WITH n AS (SELECT count(*) AS n_docs FROM documents),
 s AS (SELECT count(*) AS n_sampled FROM documents, n
       WHERE n.n_docs <= {cap}
-         OR (doc_id * 2654435761) % {_CHECK_HASH_MOD}
+         OR ((doc_id % {_CHECK_HASH_MOD}) * 2654435761::HUGEINT)
+            % {_CHECK_HASH_MOD}
             < ({cap} * {_CHECK_HASH_MOD}) // n.n_docs)
 """
 
@@ -5683,17 +5741,6 @@ QUERIES["minhash_accuracy_check"] = (q_minhash_accuracy_check,
                                      SQL_MINHASH_ACCURACY_CHECK)
 
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount (numpy 1.x has no bitwise_count):
-    sum the per-byte popcounts via a 256-entry lookup table."""
-    lut = _popcount64._lut
-    return lut[x.view(np.uint8).reshape(x.shape + (8,))].sum(axis=-1)
-
-
-_popcount64._lut = np.array([bin(i).count("1") for i in range(256)],
-                            dtype=np.uint8)
-
-
 def q_simhash_exact_check(sf_dir: str):
     """Driver-verified SimHash banded blocking: the Manku pigeonhole
     guarantee (hamming <= 3 with 4 disjoint 16-bit bands ⇒ at least one
@@ -5705,7 +5752,7 @@ def q_simhash_exact_check(sf_dir: str):
     rows-only."""
     import ray.data
 
-    from ..stages.dedup import simhash64, simhash_near_dups
+    from ..stages.dedup import _popcount64, simhash64, simhash_near_dups
 
     t, n_docs = _check_sample(sf_dir, cap=1500)
     ids = np.asarray(t.column("doc_id"), dtype=np.int64)
@@ -5811,7 +5858,8 @@ SQL_EMBED_NEAR_DUPS_CHECK = f"""
 WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
 s AS (SELECT count(*) AS n_planted FROM embeddings, n
       WHERE n.n_vecs <= {_EMBED_PLANT_CAP}
-         OR (vec_id * 2654435761) % {_CHECK_HASH_MOD}
+         OR ((vec_id % {_CHECK_HASH_MOD}) * 2654435761::HUGEINT)
+            % {_CHECK_HASH_MOD}
             < ({_EMBED_PLANT_CAP} * {_CHECK_HASH_MOD}) // n.n_vecs)
 SELECT 'embed_near_dups_planted' AS metric, n.n_vecs, s.n_planted,
        TRUE AS exact_recall_ok, TRUE AS near_recall_ok,
@@ -6104,13 +6152,8 @@ def q_events_iqr_outliers(sf_dir: str):
     for tname in np.unique(typ):
         m = typ == tname
         v, c = vals[m], cnts[m]
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        # quantile_disc(q) over distinct-value counts
-        q1 = int(v[np.searchsorted(
-            cum, max(int(np.ceil(n * 0.25)) - 1, 0), side="right")])
-        q3 = int(v[np.searchsorted(
-            cum, max(int(np.ceil(n * 0.75)) - 1, 0), side="right")])
+        q1 = _quantile_disc_from_counts(v, c, 0.25)
+        q3 = _quantile_disc_from_counts(v, c, 0.75)
         iqr = 1.5 * (q3 - q1)
         fences[str(tname)] = (q1, q3, q1 - iqr, q3 + iqr)
 

@@ -797,13 +797,12 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount over a 2-D uint64 matrix (numpy 2's
-    bitwise_count when present; unpackbits fallback otherwise)."""
+    """Vectorized 64-bit popcount over a uint64 array of any shape
+    (numpy 2's bitwise_count when present; unpackbits fallback)."""
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(x).astype(np.int64)
-    k, m = x.shape
     return np.unpackbits(x.view(np.uint8), axis=-1) \
-        .reshape(k, m, 64).sum(axis=2).astype(np.int64)
+        .reshape(x.shape + (64,)).sum(axis=-1).astype(np.int64)
 
 
 def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",

@@ -400,6 +400,10 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
     chain: ``Dataset.schema()`` on one schema-probes by EXECUTING the
     upstream plan (Ray 2.49), which doubles the cost of a chained
     join."""
+    if join_type not in ("inner", "left outer", "full outer"):
+        # an unknown type would pass through to Arrow in mixed
+        # partitions but silently degrade to inner in empty-side ones
+        raise ValueError(f"unsupported join_type {join_type!r}")
     ls = left_schema or left_ds.schema()
     payload_cols = list(ls.names)
     payload_types = dict(zip(ls.names, ls.types))
@@ -409,6 +413,9 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
     overlap = set(take_cols) & set(payload_cols)
     if overlap:
         raise ValueError(f"take_cols collide with left columns: {overlap}")
+    if emit_key and emit_key in set(payload_cols) | set(take_cols):
+        raise ValueError(f"emit_key {emit_key!r} collides with a "
+                         "payload/take column")
 
     def to_left(t: pa.Table) -> pa.Table:
         keys = np.asarray(t.column(left_key), dtype=np.int64)

@@ -303,12 +303,28 @@ def approx_quantiles(ds, col: str, qs: "list[float]",
     return quantile_query(pts, wts, qs)
 
 
+def _group_slices(g: np.ndarray):
+    """Sort-and-segment a (null-free) group-key array: returns
+    (order, first, bounds) where applying ``order`` sorts the rows and
+    rows first[i]:bounds[i+1] of the sorted view form the i-th group.
+    Shared by the grouped sketch stages so their segmentation (and its
+    edge cases) stays identical."""
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    first = np.concatenate([[0], np.flatnonzero(gs[1:] != gs[:-1]) + 1]) \
+        if len(gs) else np.array([], dtype=np.int64)
+    bounds = np.concatenate([first, [len(gs)]])
+    return order, first, bounds
+
+
 class HllGroupedStage:
     """map_batches stage: one (group, registers) row per group per
     block — the mergeable GROUPED distinct-count sketch (HLL as an
     aggregate function, not just a global counter). Register blobs are
     2^p bytes; the shuffle/merge moves groups × blocks rows of fixed
-    size, never values."""
+    size, never values. Rows with a null group or null value are
+    dropped (matching the global stage's drop_null — a null would
+    otherwise hash as a garbage INT64_MIN 'value')."""
 
     def __init__(self, col: str, group_col: str, p: int = HLL_P):
         self.col = col
@@ -316,14 +332,12 @@ class HllGroupedStage:
         self.p = p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.select([self.group_col, self.col]).drop_null()
         g = batch.column(self.group_col).to_numpy(zero_copy_only=False)
         vals = np.asarray(pc.cast(batch.column(self.col), pa.int64()),
                           dtype=np.int64)
-        order = np.argsort(g, kind="stable")
+        order, first, bounds = _group_slices(g)
         g, vals = g[order], vals[order]
-        first = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1]) \
-            if len(g) else np.array([], dtype=np.int64)
-        bounds = np.concatenate([first, [len(g)]])
         keys, blobs = [], []
         for i in range(len(first)):
             keys.append(g[first[i]])
@@ -367,13 +381,12 @@ class QuantileSketchGroupedStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.select([self.group_col, self.col])
+        batch = batch.filter(pc.is_valid(batch.column(self.group_col)))
         g = batch.column(self.group_col).to_numpy(zero_copy_only=False)
         vals = batch.column(self.col).to_numpy(zero_copy_only=False)
-        order = np.argsort(g, kind="stable")
+        order, first, bounds = _group_slices(g)
         g, vals = g[order], vals[order]
-        first = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1]) \
-            if len(g) else np.array([], dtype=np.int64)
-        bounds = np.concatenate([first, [len(g)]])
         keys, pts_out, wts_out = [], [], []
         for i in range(len(first)):
             pts, wts = quantile_compress(vals[bounds[i]:bounds[i + 1]],

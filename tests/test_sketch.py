@@ -272,3 +272,32 @@ def test_grouped_quantiles_rank_bound(ray_session):
             bound = n_g / k + n_g / (4 * k)  # block + re-compress error
             assert lt - bound <= target <= le + bound, \
                 (key, q, est, lt, le, target)
+
+
+def test_grouped_sketches_drop_nulls(ray_session):
+    """Null values must not hash as garbage INT64_MIN 'distinct users'
+    and null group keys must not crash the grouped stages (they are
+    dropped, matching the global stages' drop_null)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import (approx_distinct_by,
+                                                   approx_quantiles_by)
+
+    t = pa.table({
+        "g": pa.array(["a", "a", None, "b", "a", "b"]),
+        "v": pa.array([1, None, 7, 2, 1, None], type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    by = approx_distinct_by(ds, "v", "g")
+    assert by == {"a": 1, "b": 1}  # nulls contribute nothing
+
+    tq = pa.table({
+        "g": pa.array(["a", None, "a", "b"]),
+        "v": pa.array([1.0, 9.0, 3.0, 5.0]),
+    })
+    byq = approx_quantiles_by(ray.data.from_arrow(tq).repartition(2),
+                              "v", "g", [0.5], k=16)
+    assert set(byq) == {"a", "b"}
+    assert float(byq["b"][0]) == 5.0
