@@ -76,6 +76,12 @@ BENCH_EXTRA = [
     "doc_chunks",
     "events_zscore_norm",
     "domain_pagerank",
+    # round-3 session-3 operators
+    "kmeans_assign",
+    "grouped_value_quantiles",
+    "events_iqr_outliers",
+    "user_customer_coverage",
+    "incremental_hourly",
 ]
 
 

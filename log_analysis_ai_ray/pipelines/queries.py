@@ -6218,3 +6218,62 @@ GROUP BY 1, 2, 3 ORDER BY 1
 
 QUERIES["events_iqr_outliers"] = (q_events_iqr_outliers,
                                   SQL_EVENTS_IQR_OUTLIERS)
+
+
+def q_source_profile_join(sf_dir: str):
+    """STRING-KEY hash-partitioned big-big join (domains / urls /
+    langs are the natural webtext join keys; integer-only partitioning
+    would force a dictionary-encode round-trip): per-source doc counts
+    ⋈ per-source distinct-language counts on the ``source`` string
+    column. Partition ids come from a vectorized 64-bit string hash
+    (bloomjoin's polars path — no per-row Python); the in-partition
+    Acero join runs on the original strings, so hash collisions only
+    co-locate, never mis-join. Both sides are pre-aggregated
+    (bounded per key) before the single shuffle."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t.column("source")}) \
+            .group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_docs"])
+
+    def lang_pairs(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t.column("source"),
+                      "lang": t.column("lang")}) \
+            .group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "c"])
+
+    left_tbl = _partial_final(ds, doc_counts, ["source"],
+                              [("n_docs", "sum")])
+    pairs = _partial_final(ds, lang_pairs, ["source", "lang"],
+                           [("c", "sum")])
+    right_tbl = pairs.group_by("source").aggregate([([], "count_all")]) \
+        .rename_columns(["source_r", "n_langs"])  # avoid payload shadow
+
+    from ..stages.joins import partitioned_lookup_join
+
+    out = partitioned_lookup_join(
+        ray.data.from_arrow(left_tbl).repartition(4),
+        ray.data.from_arrow(right_tbl).repartition(2),
+        left_key="source", right_key="source_r",
+        take_cols=["n_langs"], num_partitions=8,
+        left_schema=left_tbl.schema,
+        right_schema=pa.schema([("source_r", pa.string()),
+                                ("n_langs", pa.int64())]))
+    t = agg._to_arrow(out)
+    return t.select(["source", "n_docs", "n_langs"]).sort_by("source")
+
+
+SQL_SOURCE_PROFILE_JOIN = """
+SELECT d.source, d.n_docs, l.n_langs
+FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) d
+JOIN (SELECT source, count(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY 1) l USING (source)
+ORDER BY source
+"""
+
+
+QUERIES["source_profile_join"] = (q_source_profile_join,
+                                  SQL_SOURCE_PROFILE_JOIN)

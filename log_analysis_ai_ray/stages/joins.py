@@ -379,7 +379,8 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                             right_schema: pa.Schema | None = None):
     """Big-big equi-join for a right side UNIQUE per key (dimension
     lookup at fact scale — orders for lineitem, customer for order
-    partials): hash-partition co-location (side-tagged union → ONE
+    partials); keys may be INTEGER or STRING (domains, urls, langs):
+    hash-partition co-location (side-tagged union → ONE
     groupby shuffle on the partition id) + a vectorized Acero hash
     join inside each partition. Unlike a per-key map_groups reducer,
     the Python boundary is crossed ``num_partitions`` times, not
@@ -416,13 +417,29 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
     if emit_key and emit_key in set(payload_cols) | set(take_cols):
         raise ValueError(f"emit_key {emit_key!r} collides with a "
                          "payload/take column")
+    key_is_str = pa.types.is_string(payload_types[left_key]) \
+        or pa.types.is_large_string(payload_types[left_key])
+    key_type = pa.string() if key_is_str else pa.int64()
+
+    def _pkey_and_key(col):
+        """Partition ids + canonical key column for INT or STRING
+        keys: strings hash through bloomjoin's vectorized polars hash
+        (no per-row Python) before the partition mix; the join itself
+        runs on the original string values, so hash collisions only
+        co-locate, never mis-join."""
+        from .bloomjoin import _column_to_u64
+
+        u64, _ = _column_to_u64(col)
+        pkey = _hash_partition_ids(u64.view(np.int64), num_partitions)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.array(pkey), col.cast(key_type)
 
     def to_left(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t.column(left_key), dtype=np.int64)
-        cols = {"_pkey": pa.array(
-            _hash_partition_ids(keys, num_partitions)),
-            "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-            "_key": pa.array(keys, type=pa.int64())}
+        pkey, key = _pkey_and_key(t.column(left_key))
+        cols = {"_pkey": pkey,
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "_key": key}
         for c in payload_cols:
             cols[c] = t.column(c)
         for c in take_cols:
@@ -430,11 +447,10 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
         return pa.table(cols)
 
     def to_right(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t.column(right_key), dtype=np.int64)
-        cols = {"_pkey": pa.array(
-            _hash_partition_ids(keys, num_partitions)),
-            "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-            "_key": pa.array(keys, type=pa.int64())}
+        pkey, key = _pkey_and_key(t.column(right_key))
+        cols = {"_pkey": pkey,
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "_key": key}
         for c in payload_cols:
             cols[c] = pa.nulls(t.num_rows, payload_types[c])
         for c in take_cols:
@@ -443,7 +459,7 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
 
     out_cols = ([emit_key] if emit_key else []) + payload_cols + take_cols
     out_schema = pa.schema(
-        ([pa.field(emit_key, pa.int64())] if emit_key else [])
+        ([pa.field(emit_key, key_type)] if emit_key else [])
         + [pa.field(c, payload_types[c]) for c in payload_cols]
         + [pa.field(c, take_types[c]) for c in take_cols])
 

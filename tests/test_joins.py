@@ -288,3 +288,41 @@ def test_partitioned_full_outer_join(ray_session):
     }
     # coalesced key is never null
     assert not out.key.isna().any()
+
+
+def test_partitioned_join_string_keys(ray_session):
+    """String join keys partition via the vectorized hash and join on
+    the original values; null keys never match (join semantics) and
+    must not crash partitioning."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import partitioned_lookup_join
+
+    left = pa.table({
+        "dom": pa.array(["a.com", "b.com", None, "c.com", "a.com"]),
+        "n": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+    })
+    right = pa.table({
+        "rdom": pa.array(["a.com", "c.com", "z.com"]),
+        "tier": pa.array(["hi", "lo", "mid"]),
+    })
+    out = partitioned_lookup_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right),
+        left_key="dom", right_key="rdom", take_cols=["tier"],
+        join_type="left outer", num_partitions=4).to_pandas()
+    got = sorted(((None if pd.isna(d) else d,
+                   int(n), None if pd.isna(t) else t)
+                  for d, n, t in zip(out.dom, out.n, out.tier)),
+                 key=lambda r: (r[0] or "", r[1]))
+    assert got == [(None, 3, None), ("a.com", 1, "hi"), ("a.com", 5, "hi"),
+                   ("b.com", 2, None), ("c.com", 4, "lo")]
+
+    import pytest
+    with pytest.raises(ValueError):
+        partitioned_lookup_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="dom", right_key="rdom", take_cols=["tier"],
+            join_type="right outer")
