@@ -258,13 +258,16 @@ def scaling() -> None:
     # Host-ceiling calibration: this sandbox VM's vCPUs are host-
     # oversubscribed — even a pure-CPU multiprocessing spin does not
     # scale 4× from N to 4N pinned cores. Measure that ceiling with the
-    # same pinning so the engine's efficiency can be read against what
-    # the host actually delivers.
-    ceiling = {n: _cpu_units_per_sec(n) for n in levels}
-    host_ceiling = ceiling[levels[1]] / (4 * ceiling[levels[0]])
-
+    # same pinning, ADJACENT to each leg (host load drifts on the scale
+    # of minutes here; a single up-front probe can miss a shift between
+    # the two legs and mis-attribute it to the engine), so the
+    # engine's efficiency reads against what the host delivered to
+    # that leg: engine_efficiency_vs_host ==
+    # (rows/sec per spin-unit at 4N) / (rows/sec per spin-unit at N).
+    ceiling = {}
     results = {}
     for n in levels:
+        ceiling[n] = _cpu_units_per_sec(n)
         code = (
             "import json,sys; sys.path.insert(0,'/root/repo');"
             "import bench; r = bench.run_flagship(%d, warmup=True, pages=%r);"
@@ -286,6 +289,8 @@ def scaling() -> None:
             print(out.stderr[-2000:], file=sys.stderr)
             raise RuntimeError(f"scaling run at {n} cpus failed")
         results[n] = json.loads(line[-1][len("RESULT "):])
+        results[n]["cpu_units_at_leg"] = round(ceiling[n], 3)
+    host_ceiling = ceiling[levels[1]] / (4 * ceiling[levels[0]])
     tp_lo = results[levels[0]]["rows_per_sec"]
     tp_hi = results[levels[1]]["rows_per_sec"]
     eff = tp_hi / (4 * tp_lo)

@@ -6277,3 +6277,63 @@ ORDER BY source
 
 QUERIES["source_profile_join"] = (q_source_profile_join,
                                   SQL_SOURCE_PROFILE_JOIN)
+
+
+def q_event_type_markov(sf_dir: str):
+    """Per-user event-type TRANSITION counts (first-order Markov-chain
+    estimation — the bigram model over event streams): one user-hash
+    shuffle moves each row once; inside each partition a vectorized
+    lexsort by (user, ts, event_id) lines up per-user sequences and
+    adjacent same-user pairs become (prev, cur) transitions,
+    pre-aggregated before the final exchange — which moves at most
+    |types|² rows per partition regardless of corpus size. Ties mirror
+    the oracle's ORDER BY ts, event_id."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+        })
+
+    def transitions(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        g = pa.table({
+            "prev_type": pa.array(et[:-1][same], type=pa.string()),
+            "cur_type": pa.array(et[1:][same], type=pa.string()),
+        }).group_by(["prev_type", "cur_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["prev_type", "cur_type", "n"])
+
+    partials = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(transitions, batch_format="pyarrow")
+    out = agg._combine_partials(partials, keys=["prev_type", "cur_type"],
+                                aggs=[("n", "sum")])
+    return out.sort_by([("prev_type", "ascending"),
+                        ("cur_type", "ascending")])
+
+
+SQL_EVENT_TYPE_MARKOV = """
+WITH s AS (SELECT event_type,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_type
+           FROM events)
+SELECT prev_type, event_type AS cur_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["event_type_markov"] = (q_event_type_markov,
+                                SQL_EVENT_TYPE_MARKOV)

@@ -35,7 +35,7 @@ SUBSET = [
     "ann_recall_check", "minhash_accuracy_check", "simhash_exact_check",
     "embed_near_dups_check", "incremental_hourly", "kmeans_assign",
     "grouped_value_quantiles", "user_customer_coverage",
-    "events_iqr_outliers", "source_profile_join",
+    "events_iqr_outliers", "source_profile_join", "event_type_markov",
 ]
 
 
