@@ -6337,3 +6337,58 @@ FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["event_type_markov"] = (q_event_type_markov,
                                 SQL_EVENT_TYPE_MARKOV)
+
+
+def q_events_value_rank(sf_dir: str):
+    """Per-key ranking (ROW_NUMBER OVER PARTITION BY user ORDER BY
+    value DESC — completing the window family: LAG, moving average,
+    cumulative sum, now rank): one user-hash shuffle, per-partition
+    lexsort on (user, −cents, event_id), rank = position minus the
+    user segment's start offset. Emits every event's rank; determinism
+    via the event_id tiebreak mirrored in the oracle."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100), 0), pa.int64()),
+        })
+
+    def rank(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        order = np.lexsort((e, -c, u))
+        u, e, c = u[order], e[order], c[order]
+        first = np.concatenate([[0],
+                                np.flatnonzero(u[1:] != u[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(u)]]))
+        seg_start = np.repeat(first, counts)
+        rk = np.arange(len(u), dtype=np.int64) - seg_start + 1
+        return pa.table({
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "value_rank": pa.array(rk),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(rank, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_RANK = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER
+         (PARTITION BY user_id
+          ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC, event_id)
+         AS BIGINT) AS value_rank
+FROM events ORDER BY event_id
+"""
+
+
+QUERIES["events_value_rank"] = (q_events_value_rank,
+                                SQL_EVENTS_VALUE_RANK)
