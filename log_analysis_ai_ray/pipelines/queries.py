@@ -6392,3 +6392,73 @@ FROM events ORDER BY event_id
 
 QUERIES["events_value_rank"] = (q_events_value_rank,
                                 SQL_EVENTS_VALUE_RANK)
+
+
+def _knuth_half_mask(ids) -> np.ndarray:
+    """Deterministic 50% split (same overflow-safe arithmetic as
+    _hash_sample_mask, mirrored in SQL)."""
+    m = np.uint64(_CHECK_HASH_MOD)
+    h = (np.asarray(ids, dtype=np.int64).astype(np.uint64) % m
+         * np.uint64(2654435761)) % m
+    return h < np.uint64(_CHECK_HASH_MOD // 2)
+
+
+_SQL_HALF_PRED = (f"((doc_id % {_CHECK_HASH_MOD}) * 2654435761::HUGEINT)"
+                  f" % {_CHECK_HASH_MOD}")
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Cross-run dedup — today's crawl against the historical corpus
+    (the daily-ingest shape of training-data pipelines): docs split
+    into 'history' (A) and 'new batch' (B) by Knuth-hashed doc_id.
+    Pass 1 runs the scale-path exact dedup over A and PERSISTS its
+    content-hash store to parquet (the state a daily pipeline carries
+    forward); pass 2 dedups B within itself (hash groupby, keep min
+    doc_id) and anti-joins against the store read back from disk —
+    only content never seen in history nor earlier in B survives. At
+    a 10⁹-doc history the store read becomes a hash-partitioned
+    anti-join or Bloom prefilter (stages/bloomjoin.py) instead of the
+    driver-side is_in used at verification scale. Oracle: NOT IN
+    against A's distinct hashes + the same group/min within B."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import exact_dedup_by_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def half(t: pa.Table, lo: bool) -> pa.Table:
+        return t.filter(pa.array(
+            _knuth_half_mask(t.column("doc_id")) == lo))
+
+    hist = exact_dedup_by_hash(
+        ds.map_batches(lambda t: half(t, True), batch_format="pyarrow"))
+    store_dir = os.path.join("/tmp/graft_incr", sf_name(sf_dir))
+    os.makedirs(store_dir, exist_ok=True)
+    store = os.path.join(store_dir, "dedup_store.parquet")
+    pq.write_table(hist.select(["content_hash"]), store + ".tmp")
+    os.replace(store + ".tmp", store)  # the carried-forward state
+
+    batch = exact_dedup_by_hash(
+        ds.map_batches(lambda t: half(t, False), batch_format="pyarrow"))
+    seen = pq.read_table(store).column("content_hash").combine_chunks()
+    fresh = batch.filter(
+        pc.invert(pc.is_in(batch.column("content_hash"),
+                           value_set=seen)))
+    return fresh.sort_by("keep_id")
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+           WHERE {_SQL_HALF_PRED} < {_CHECK_HASH_MOD // 2}),
+b AS (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM documents
+      WHERE {_SQL_HALF_PRED} >= {_CHECK_HASH_MOD // 2}
+      GROUP BY 1)
+SELECT content_hash, keep_id, n_copies FROM b
+WHERE content_hash NOT IN (SELECT h FROM a) ORDER BY keep_id
+"""
+
+
+QUERIES["incremental_dedup"] = (q_incremental_dedup,
+                                SQL_INCREMENTAL_DEDUP)
