@@ -6462,3 +6462,71 @@ WHERE content_hash NOT IN (SELECT h FROM a) ORDER BY keep_id
 
 QUERIES["incremental_dedup"] = (q_incremental_dedup,
                                 SQL_INCREMENTAL_DEDUP)
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/eval LEAKAGE AUDIT (the check every training-data split
+    needs): using dataset_splits' exact hash assignment, count val/test
+    docs whose md5 content hash also appears in train — exact
+    duplicates crossing the split boundary leak evaluation data into
+    training. Distributed shape: per-block (hash, split-membership
+    flags) partials; the shuffle moves 3 bitmask ints per distinct
+    hash; leakage = eval rows whose hash has the train bit. Output per
+    eval split: docs, leaked count."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
+        h = (ids * _SPLIT_A) % _SPLIT_M
+        split = np.where(h < _SPLIT_TRAIN, 0,
+                         np.where(h < _SPLIT_VAL, 1, 2))
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        uniq = pc.unique(text)
+        uh = pa.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in uniq.to_pylist()], type=pa.string())
+        ch = uh.take(pc.index_in(text, uniq))
+        g = pa.table({
+            "content_hash": ch,
+            "in_train": pa.array((split == 0).astype(np.int64)),
+            "n_val": pa.array((split == 1).astype(np.int64)),
+            "n_test": pa.array((split == 2).astype(np.int64)),
+        }).group_by("content_hash").aggregate(
+            [("in_train", "max"), ("n_val", "sum"), ("n_test", "sum")])
+        return g.rename_columns(["content_hash", "in_train", "n_val",
+                                 "n_test"])
+
+    merged = _partial_final(ds, partial, ["content_hash"],
+                            [("in_train", "max"), ("n_val", "sum"),
+                             ("n_test", "sum")])
+    tr = np.asarray(merged.column("in_train"), dtype=np.int64)
+    nv = np.asarray(merged.column("n_val"), dtype=np.int64)
+    nt = np.asarray(merged.column("n_test"), dtype=np.int64)
+    return pa.table({
+        "split": pa.array(["test", "val"]),
+        "n_docs": pa.array([int(nt.sum()), int(nv.sum())],
+                           type=pa.int64()),
+        "n_leaked": pa.array([int(nt[tr == 1].sum()),
+                              int(nv[tr == 1].sum())], type=pa.int64()),
+    })
+
+
+SQL_SPLIT_LEAKAGE = """
+WITH s AS (SELECT md5(text) AS h,
+                  CASE WHEN (doc_id * 2654435761) % 4294967296
+                         < 3435973836 THEN 'train'
+                       WHEN (doc_id * 2654435761) % 4294967296
+                         < 3865470566 THEN 'val' ELSE 'test' END AS split
+           FROM documents),
+tr AS (SELECT DISTINCT h FROM s WHERE split = 'train')
+SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE s.h IN (SELECT h FROM tr))
+            AS BIGINT) AS n_leaked
+FROM s WHERE s.split <> 'train' GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["split_leakage"] = (q_split_leakage, SQL_SPLIT_LEAKAGE)

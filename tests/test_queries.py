@@ -36,7 +36,7 @@ SUBSET = [
     "embed_near_dups_check", "incremental_hourly", "kmeans_assign",
     "grouped_value_quantiles", "user_customer_coverage",
     "events_iqr_outliers", "source_profile_join", "event_type_markov",
-    "events_value_rank", "incremental_dedup",
+    "events_value_rank", "incremental_dedup", "split_leakage",
 ]
 
 
