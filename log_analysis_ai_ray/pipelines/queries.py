@@ -6499,19 +6499,35 @@ def q_split_leakage(sf_dir: str):
         return g.rename_columns(["content_hash", "in_train", "n_val",
                                  "n_test"])
 
-    merged = _partial_final(ds, partial, ["content_hash"],
-                            [("in_train", "max"), ("n_val", "sum"),
-                             ("n_test", "sum")])
-    tr = np.asarray(merged.column("in_train"), dtype=np.int64)
-    nv = np.asarray(merged.column("n_val"), dtype=np.int64)
-    nt = np.asarray(merged.column("n_test"), dtype=np.int64)
-    return pa.table({
-        "split": pa.array(["test", "val"]),
-        "n_docs": pa.array([int(nt.sum()), int(nv.sum())],
-                           type=pa.int64()),
-        "n_leaked": pa.array([int(nt[tr == 1].sum()),
-                              int(nv[tr == 1].sum())], type=pa.int64()),
-    })
+    # content_hash is an UNBOUNDED key space (≈ corpus size): the
+    # merged per-hash table stays a Dataset past the driver bound and
+    # reduces to the 2-row answer distributedly — only |splits| rows
+    # ever reach the driver (same discipline as approx_users_per_type)
+    merged = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["content_hash"],
+        aggs=[("in_train", "max"), ("n_val", "sum"), ("n_test", "sum")],
+        dataset_final=True)
+    if isinstance(merged, pa.Table):
+        import ray.data
+        merged = ray.data.from_arrow(merged)
+
+    def leak_partial(t: pa.Table) -> pa.Table:
+        tr = np.asarray(t.column("in_train"), dtype=np.int64)
+        nv = np.asarray(t.column("n_val"), dtype=np.int64)
+        nt = np.asarray(t.column("n_test"), dtype=np.int64)
+        return pa.table({
+            "split": pa.array(["test", "val"]),
+            "n_docs": pa.array([int(nt.sum()), int(nv.sum())],
+                               type=pa.int64()),
+            "n_leaked": pa.array([int(nt[tr == 1].sum()),
+                                  int(nv[tr == 1].sum())],
+                                 type=pa.int64()),
+        })
+
+    out = _partial_final(merged, leak_partial, ["split"],
+                         [("n_docs", "sum"), ("n_leaked", "sum")])
+    return out.sort_by("split")
 
 
 SQL_SPLIT_LEAKAGE = """
