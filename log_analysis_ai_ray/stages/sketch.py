@@ -59,13 +59,15 @@ class MgSketchStage:
     whitespace tokens of ``text_col``. Tokens are counted distinct-first
     (np.unique) so the Python fold touches vocab, not rows."""
 
-    def __init__(self, k: int = 200, text_col: str = "text"):
+    def __init__(self, k: int = 200, text_col: str = "text",
+                 split_pattern: str = r"\s+"):
         self.k = k
         self.text_col = text_col
+        self.split_pattern = split_pattern
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern_regex(
-            batch.column(self.text_col), pattern=r"\s+"))
+            batch.column(self.text_col), pattern=self.split_pattern))
         toks = toks.filter(pc.not_equal(toks, ""))
         vc = pc.value_counts(toks)  # vectorized distinct-count (Arrow)
         uniq = np.asarray(vc.field("values"), dtype=object)
@@ -84,15 +86,20 @@ class MgSketchStage:
 
 
 def heavy_hitter_tokens(ds, phi: float = 0.005, k: int | None = None,
-                        text_col: str = "text") -> pa.Table:
-    """Exact tokens with frequency > phi·total, found via MG sketch +
+                        text_col: str = "text",
+                        split_pattern: str = r"\s+") -> pa.Table:
+    """Exact items with frequency > phi·total, found via MG sketch +
     exact verification. k defaults to ceil(2/phi) so the sketch's
-    superset guarantee covers the phi threshold with slack."""
+    superset guarantee covers the phi threshold with slack. The
+    ``split_pattern`` chooses the item granularity — whitespace tokens
+    by default, newline-split LINES for boilerplate detection."""
     from .aggregate import _combine_partials, _to_arrow
 
     k = k or int(np.ceil(2.0 / phi))
     sketches = _to_arrow(ds.map_batches(
-        MgSketchStage(k=k, text_col=text_col), batch_format="pyarrow"))
+        MgSketchStage(k=k, text_col=text_col,
+                      split_pattern=split_pattern),
+        batch_format="pyarrow"))
     if sketches.num_rows == 0 or "token" not in sketches.column_names:
         return pa.table({"token": pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})
@@ -112,7 +119,7 @@ def heavy_hitter_tokens(ds, phi: float = 0.005, k: int | None = None,
     # total row's empty-string token can never merge with a real one.
     def exact_partial(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern_regex(
-            t.column(text_col), pattern=r"\s+"))
+            t.column(text_col), pattern=split_pattern))
         toks = toks.filter(pc.not_equal(toks, ""))
         total = pa.table({
             "token": pa.array([""], type=pa.string()),

@@ -301,3 +301,23 @@ def test_grouped_sketches_drop_nulls(ray_session):
                               "v", "g", [0.5], k=16)
     assert set(byq) == {"a", "b"}
     assert float(byq["b"][0]) == 5.0
+
+
+def test_heavy_hitters_line_granularity(ray_session):
+    """split_pattern=newline turns the heavy-hitter operator into
+    boilerplate-LINE detection; the exact-recount guarantee holds at
+    any granularity."""
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.sketch import heavy_hitter_tokens
+
+    boiler = "subscribe to our newsletter"
+    docs = [f"unique line {i}\n{boiler}\nbody {i * 7}" for i in range(40)]
+    docs += [f"solo doc {i}" for i in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(docs)})).repartition(4)
+    out = heavy_hitter_tokens(ds, phi=0.2, split_pattern=r"\n")
+    # 40 boiler lines / 140 total non-empty lines = 0.286 > phi
+    assert out.column("token").to_pylist() == [boiler]
+    assert out.column("cnt").to_pylist() == [40]
