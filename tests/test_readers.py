@@ -93,3 +93,22 @@ def test_read_text_lines_gz_and_mixed(ray_session, tmp_path):
     mixed = read_text_lines([str(plain), str(gz)])
     rows = sorted(r["line"] for r in mixed.take_all())
     assert rows == ["alpha 1", "alpha 2", "beta 1", "beta 2", "beta 3"]
+
+
+def test_schema_evolution_read(ray_session, tmp_path):
+    """Heterogeneous parquet schemas (a column added mid-corpus — the
+    normal life of a long-lived ingest directory) unify on read:
+    missing columns surface as nulls, not errors. Pins the behavior
+    the ingestion layer relies on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}),
+                   str(tmp_path / "f1.parquet"))
+    pq.write_table(pa.table({"a": [3], "b": ["z"], "c": [9.5]}),
+                   str(tmp_path / "f2.parquet"))
+    t = ray.data.read_parquet(str(tmp_path)).to_pandas().sort_values("a")
+    assert list(t.a) == [1, 2, 3]
+    assert t.c.isna().tolist() == [True, True, False]
+    assert t.c.iloc[2] == 9.5
