@@ -301,7 +301,10 @@ def scaling() -> None:
         f"throughput_{levels[1]}": round(tp_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "host_cpu_ceiling": round(host_ceiling, 3),
-        "engine_efficiency_vs_host": round(eff / min(host_ceiling, 1.0), 3),
+        # eff / ceiling == (rows/sec per spin-unit at 4N) / (same at N)
+        # exactly — no clamp: a ceiling > 1 (transient-load probe) must
+        # DEFLATE the vs-host number, not be rounded up to neutral
+        "engine_efficiency_vs_host": round(eff / host_ceiling, 3),
         "detail": results,
         "sf": SF_DIR,
     }))

@@ -6476,19 +6476,13 @@ def q_split_leakage(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        import hashlib
+        from ..stages.dedup import content_hash_column
 
         ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
         h = (ids * _SPLIT_A) % _SPLIT_M
         split = np.where(h < _SPLIT_TRAIN, 0,
                          np.where(h < _SPLIT_VAL, 1, 2))
-        text = t.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        uniq = pc.unique(text)
-        uh = pa.array([hashlib.md5(s.encode()).hexdigest()
-                       for s in uniq.to_pylist()], type=pa.string())
-        ch = uh.take(pc.index_in(text, uniq))
+        ch = content_hash_column(t.column("text"))
         g = pa.table({
             "content_hash": ch,
             "in_train": pa.array((split == 0).astype(np.int64)),

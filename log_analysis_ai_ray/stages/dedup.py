@@ -135,6 +135,19 @@ def simhash64(text_array, seed: int = 42) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def content_hash_column(text) -> pa.Array:
+    """md5 content hash per row, computed distinct-first (the Python
+    digest loop touches unique texts, not rows). THE definition of an
+    exact duplicate — every caller (dedup, incremental dedup, the
+    split-leakage audit) must share it, and it mirrors DuckDB md5()."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    uniq = pc.unique(text)
+    uh = pa.array([hashlib.md5(s.encode()).hexdigest()
+                   for s in uniq.to_pylist()], type=pa.string())
+    return uh.take(pc.index_in(text, uniq))
+
+
 def exact_dedup_by_hash(ds, id_col: str = "doc_id", text_col: str = "text",
                         out_dir: str | None = None):
     """Scale-path exact dedup: shuffle moves (hash, id) pairs only.
@@ -149,15 +162,8 @@ def exact_dedup_by_hash(ds, id_col: str = "doc_id", text_col: str = "text",
     from .aggregate import _combine_partials, _to_arrow
 
     def partial(t: pa.Table) -> pa.Table:
-        text = t.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        uniq = pc.unique(text)
-        uh = pa.array([hashlib.md5(s.encode()).hexdigest()
-                       for s in uniq.to_pylist()], type=pa.string())
-        idx = pc.index_in(text, uniq)
         tt = pa.table({
-            "content_hash": uh.take(idx),
+            "content_hash": content_hash_column(t.column(text_col)),
             "keep_id": t.column(id_col),
         }).group_by("content_hash").aggregate(
             [("keep_id", "min"), ([], "count_all")])

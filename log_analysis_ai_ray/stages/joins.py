@@ -423,17 +423,21 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
 
     def _pkey_and_key(col):
         """Partition ids + canonical key column for INT or STRING
-        keys: strings hash through bloomjoin's vectorized polars hash
-        (no per-row Python) before the partition mix; the join itself
-        runs on the original string values, so hash collisions only
+        keys: the column is cast to the canonical key type FIRST and
+        the hash runs on the cast values — both sides must take the
+        same hash path or equal-after-cast keys land in different
+        partitions and matches silently vanish (string hashes via
+        bloomjoin's vectorized polars path; no per-row Python). The
+        join itself runs on the cast values, so hash collisions only
         co-locate, never mis-join."""
         from .bloomjoin import _column_to_u64
 
-        u64, _ = _column_to_u64(col)
-        pkey = _hash_partition_ids(u64.view(np.int64), num_partitions)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        return pa.array(pkey), col.cast(key_type)
+        col = col.cast(key_type)
+        u64, _ = _column_to_u64(col)
+        pkey = _hash_partition_ids(u64.view(np.int64), num_partitions)
+        return pa.array(pkey), col
 
     def to_left(t: pa.Table) -> pa.Table:
         pkey, key = _pkey_and_key(t.column(left_key))

@@ -326,3 +326,33 @@ def test_partitioned_join_string_keys(ray_session):
             ray.data.from_arrow(left), ray.data.from_arrow(right),
             left_key="dom", right_key="rdom", take_cols=["tier"],
             join_type="right outer")
+
+
+def test_partitioned_join_cross_type_keys(ray_session):
+    """A string left key joined against an int right key must hash
+    both sides through the same path (cast to the canonical key type
+    FIRST): before the fix, each side hashed by its own dtype and
+    equal-after-cast keys landed in different partitions — 1 row
+    survived out of 8, silently."""
+    import pyarrow as pa
+    import ray.data
+
+    from log_analysis_ai_ray.stages.joins import partitioned_lookup_join
+
+    left = pa.table({
+        "k": pa.array([str(i) for i in range(1, 9)]),
+        "tag": pa.array(list("abcdefgh")),
+    })
+    right = pa.table({
+        "rk": pa.array(list(range(1, 9)), type=pa.int64()),
+        "payload": pa.array([i * 10 for i in range(1, 9)],
+                            type=pa.int64()),
+    })
+    out = partitioned_lookup_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2),
+        left_key="k", right_key="rk", take_cols=["payload"],
+        num_partitions=8).to_pandas()
+    assert len(out) == 8
+    assert sorted(zip(out.k, out.payload)) == \
+        [(str(i), i * 10) for i in range(1, 9)]
