@@ -6540,3 +6540,85 @@ FROM s WHERE s.split <> 'train' GROUP BY 1 ORDER BY 1
 
 
 QUERIES["split_leakage"] = (q_split_leakage, SQL_SPLIT_LEAKAGE)
+
+
+def q_new_users_hourly(sf_dir: str):
+    """User-acquisition curve (first-seen cohorting, the third
+    product-analytics primitive after DAU and retention): each user's
+    FIRST event hour via a per-user min reduction (the shuffle moves
+    one int64 per user per block), then new-user counts per hour —
+    a bounded second reduction. No raw events cross the exchange."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by("user_id").aggregate([("ts_us", "min")])
+        return g.rename_columns(["user_id", "first_us"])
+
+    firsts = _partial_final(ds, first_partial, ["user_id"],
+                            [("first_us", "min")])
+    hours = pc.multiply(pc.divide(firsts.column("first_us"),
+                                  3_600_000_000), 3_600_000_000)
+    out = pa.table({"bucket": hours}).group_by("bucket") \
+        .aggregate([([], "count_all")]) \
+        .rename_columns(["bucket", "new_users"]).sort_by("bucket")
+    return pa.table({
+        "bucket": out.column("bucket").cast(pa.timestamp("us")),
+        "new_users": out.column("new_users"),
+    })
+
+
+SQL_NEW_USERS_HOURLY = """
+SELECT date_trunc('hour', min_ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS new_users
+FROM (SELECT user_id, min(ts) AS min_ts FROM events GROUP BY 1)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["new_users_hourly"] = (q_new_users_hourly, SQL_NEW_USERS_HOURLY)
+
+
+def q_props_key_counts(sf_dir: str):
+    """Semi-structured payload PROFILING: which JSON keys appear in
+    the events.props column and how often (the schema-discovery pass
+    before building extraction rules). Vectorized Arrow
+    extract-all+flatten per block, pre-aggregated counts — the shuffle
+    moves one row per distinct key per block."""
+    ds = _read(sf_dir, "events", columns=["props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"key": _extract_all_keys(t.column("props"))}) \
+            .group_by("key").aggregate([([], "count_all")])
+        return g.rename_columns(["key", "cnt"])
+
+    out = _partial_final(ds, partial, ["key"], [("cnt", "sum")])
+    return out.sort_by("key")
+
+
+def _extract_all_keys(col) -> pa.Array:
+    """All JSON object keys across the rows as one flat string array,
+    fully vectorized (pyarrow has no extract-ALL kernel: polars
+    extract_all finds every quoted-token-before-colon match, then one
+    Arrow extract_regex strips the quotes/colon)."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pl.from_arrow(col).str.extract_all(r'"\w+"\s*:') \
+        .explode().drop_nulls().to_arrow().cast(pa.string())
+    ex = pc.extract_regex(flat, pattern=r'"(?P<k>\w+)"')
+    return pc.struct_field(ex, "k")
+
+
+SQL_PROPS_KEY_COUNTS = """
+SELECT key, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_extract_all(props, '"(\\w+)"\\s*:', 1)) AS key
+      FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["props_key_counts"] = (q_props_key_counts, SQL_PROPS_KEY_COUNTS)

@@ -37,6 +37,7 @@ SUBSET = [
     "grouped_value_quantiles", "user_customer_coverage",
     "events_iqr_outliers", "source_profile_join", "event_type_markov",
     "events_value_rank", "incremental_dedup", "split_leakage",
+    "new_users_hourly", "props_key_counts",
 ]
 
 
@@ -125,3 +126,21 @@ def test_postings_table_empty_and_cap():
     out = _postings_table(pairs, 5)
     assert out.column("df").to_pylist() == [8, 1]
     assert out.column("postings").to_pylist() == [[0, 1, 2, 3, 4], [99]]
+
+
+def test_extract_all_keys_multi_key():
+    """The fixture's props carry a single key; the extractor itself
+    must find EVERY key of a multi-key object, vectorized."""
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.pipelines.queries import _extract_all_keys
+
+    col = pa.chunked_array([pa.array([
+        '{"a": 1, "b": "x", "c_9": true}',
+        '{"a": 2}',
+        '{}',
+        None,
+        '{"nested": {"inner": 3}}',
+    ])])
+    got = sorted(_extract_all_keys(col).to_pylist())
+    assert got == ["a", "a", "b", "c_9", "inner", "nested"]
