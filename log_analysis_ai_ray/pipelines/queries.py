@@ -6622,3 +6622,72 @@ GROUP BY 1 ORDER BY 1
 
 
 QUERIES["props_key_counts"] = (q_props_key_counts, SQL_PROPS_KEY_COUNTS)
+
+
+def q_user_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands window pattern (engagement metric no plain
+    aggregate expresses): per-block DISTINCT (user, epoch-day) partials
+    cut the shuffle to active-day pairs; one user-hash exchange
+    co-locates each user; per-partition vectorized lexsort →
+    cross-block dedup → island boundaries where the day step ≠ 1 →
+    segmented run lengths → per-user max. Oracle is the classic
+    row_number-difference islands SQL."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.cast(pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                                     86_400_000_000), pa.int64()),
+        }).group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        return pa.table({"_pkey": pa.array(u % _ARGMAX_NPART),
+                         "user_id": g.column("user_id"),
+                         "day": g.column("day")})
+
+    def streaks(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        d = np.asarray(t.column("day"), dtype=np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.ones(len(u), dtype=bool)  # cross-block dedup
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "longest_streak": pa.array([],
+                                                        type=pa.int64())})
+        new_island = np.ones(len(u), dtype=bool)
+        new_island[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        island_id = np.cumsum(new_island) - 1
+        run_len = np.bincount(island_id)
+        island_user = u[new_island]
+        g = pa.table({"user_id": pa.array(island_user),
+                      "longest_streak": pa.array(run_len)}) \
+            .group_by("user_id").aggregate([("longest_streak", "max")])
+        return g.rename_columns(["user_id", "longest_streak"])
+
+    out = agg._to_arrow(
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(streaks, batch_format="pyarrow"))
+    return out.sort_by("user_id")
+
+
+SQL_USER_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  -- floor() explicitly: DuckDB's // on DOUBLE rounds
+                  -- (19723.8 // 1 → 19724), it does not truncate
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rk
+      FROM d),
+i AS (SELECT user_id, day - rk AS grp, count(*) AS run
+      FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(max(run) AS BIGINT) AS longest_streak
+FROM i GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["user_streaks"] = (q_user_streaks, SQL_USER_STREAKS)

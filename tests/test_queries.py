@@ -37,7 +37,7 @@ SUBSET = [
     "grouped_value_quantiles", "user_customer_coverage",
     "events_iqr_outliers", "source_profile_join", "event_type_markov",
     "events_value_rank", "incremental_dedup", "split_leakage",
-    "new_users_hourly", "props_key_counts",
+    "new_users_hourly", "props_key_counts", "user_streaks",
 ]
 
 
