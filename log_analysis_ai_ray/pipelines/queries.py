@@ -6691,3 +6691,112 @@ FROM i GROUP BY 1 ORDER BY 1
 
 
 QUERIES["user_streaks"] = (q_user_streaks, SQL_USER_STREAKS)
+
+
+def q_source_token_entropy(sf_dir: str):
+    """Lexical-diversity scoring per corpus source (Shannon entropy of
+    the token distribution — the quality signal that separates natural
+    text from boilerplate/spam): per-block (source, token) count
+    partials (vocabulary-bounded, never row-bounded), entropy from the
+    merged counts driver-side over the bounded (sources × vocab)
+    table. Rounded to 4 — the float log sums agree with DuckDB far
+    past that."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        n = pc.list_value_length(toks)
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.float64)
+    sources, entropy, vocab = [], [], []
+    for s in np.unique(src):
+        c = cnt[src == s]
+        p = c / c.sum()
+        sources.append(str(s))
+        entropy.append(round(float(-(p * np.log(p)).sum()), 4))
+        vocab.append(len(c))
+    return pa.table({
+        "source": pa.array(sources, type=pa.string()),
+        "vocab": pa.array(vocab, type=pa.int64()),
+        "entropy": pa.array(entropy, type=pa.float64()),
+    })
+
+
+SQL_SOURCE_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+t AS (SELECT source, sum(cnt) AS n FROM c GROUP BY 1)
+SELECT c.source, CAST(count(*) AS BIGINT) AS vocab,
+       round(-sum((cnt / t.n) * ln(cnt / t.n)), 4) AS entropy
+FROM c JOIN t USING (source)
+GROUP BY c.source, t.n ORDER BY c.source
+"""
+
+
+QUERIES["source_token_entropy"] = (q_source_token_entropy,
+                                   SQL_SOURCE_TOKEN_ENTROPY)
+
+
+def q_events_burstiness(sf_dir: str):
+    """Traffic burstiness per event type (Fano factor — variance-to-
+    mean ratio of hourly counts; ≈1 for Poisson-like arrivals, >1 for
+    bursty incident traffic): hourly counts from the usual bounded
+    rollup, then EXACT integer moments (Σc, Σc²) per type drive the
+    population-variance ratio. Rounded to 6; oracle mirrors var_pop
+    over the same hourly CTE."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.cast(floor_hour(t.column("ts")), pa.int64()),
+        }).group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "bucket", "c"])
+
+    hourly = _partial_final(ds, partial, ["event_type", "bucket"],
+                            [("c", "sum")])
+    et = np.asarray(hourly.column("event_type").to_pylist())
+    c = np.asarray(hourly.column("c"), dtype=np.float64)
+    types, fano, n_hours = [], [], []
+    for s in np.unique(et):
+        v = c[et == s]
+        mean = v.mean()
+        var = ((v * v).sum() / len(v)) - mean * mean  # population var
+        types.append(str(s))
+        fano.append(round(float(var / mean), 6))
+        n_hours.append(len(v))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "n_hours": pa.array(n_hours, type=pa.int64()),
+        "fano": pa.array(fano, type=pa.float64()),
+    })
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       round(var_pop(c) / avg(c), 6) AS fano
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["events_burstiness"] = (q_events_burstiness,
+                                SQL_EVENTS_BURSTINESS)

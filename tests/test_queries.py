@@ -38,6 +38,7 @@ SUBSET = [
     "events_iqr_outliers", "source_profile_join", "event_type_markov",
     "events_value_rank", "incremental_dedup", "split_leakage",
     "new_users_hourly", "props_key_counts", "user_streaks",
+    "source_token_entropy", "events_burstiness",
 ]
 
 
