@@ -6800,3 +6800,82 @@ FROM h GROUP BY 1 ORDER BY 1
 
 QUERIES["events_burstiness"] = (q_events_burstiness,
                                 SQL_EVENTS_BURSTINESS)
+
+
+_DIVERSE_QUOTA = 3
+_DIVERSE_K = 20
+
+
+def q_top_events_diversified(sf_dir: str):
+    """Quota-constrained top-k (diversified ranking — retrieval's
+    'at most q results per source' rule): global top-20 events by
+    value with at most 3 per user. Per-partition the quota filter is
+    EXACT after the user-hash exchange (each user wholly in one
+    partition: rank>3 rows can never enter any valid answer), so the
+    driver merges |partitions|·k quota-respecting candidates, not the
+    corpus. Ties break by event_id, mirrored in the oracle."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100), 0), pa.int64()),
+        })
+
+    def quota_topk(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        order = np.lexsort((e, -c, u))
+        u, e, c = u[order], e[order], c[order]
+        first = np.concatenate([[0],
+                                np.flatnonzero(u[1:] != u[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(u)]]))
+        rk = np.arange(len(u), dtype=np.int64) \
+            - np.repeat(first, counts)
+        keep = rk < _DIVERSE_QUOTA
+        u, e, c = u[keep], e[keep], c[keep]
+        top = np.lexsort((e, -c))[:_DIVERSE_K]  # partition candidates
+        return pa.table({
+            "event_id": pa.array(e[top]),
+            "user_id": pa.array(u[top]),
+            "cents": pa.array(c[top]),
+        })
+
+    cand = agg._to_arrow(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(quota_topk, batch_format="pyarrow"))
+    e = np.asarray(cand.column("event_id"), dtype=np.int64)
+    c = np.asarray(cand.column("cents"), dtype=np.int64)
+    u = np.asarray(cand.column("user_id"), dtype=np.int64)
+    top = np.lexsort((e, -c))[:_DIVERSE_K]
+    out = pa.table({
+        "event_id": pa.array(e[top]),
+        "user_id": pa.array(u[top]),
+        "cents": pa.array(c[top]),
+    })
+    return out.sort_by([("cents", "descending"),
+                        ("event_id", "ascending")])
+
+
+SQL_TOP_EVENTS_DIVERSIFIED = f"""
+WITH r AS (SELECT event_id, user_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  row_number() OVER
+                    (PARTITION BY user_id
+                     ORDER BY CAST(round(value * 100, 0) AS BIGINT)
+                       DESC, event_id) AS rk
+           FROM events)
+SELECT event_id, user_id, cents
+FROM r WHERE rk <= {_DIVERSE_QUOTA}
+ORDER BY cents DESC, event_id LIMIT {_DIVERSE_K}
+"""
+
+
+QUERIES["top_events_diversified"] = (q_top_events_diversified,
+                                     SQL_TOP_EVENTS_DIVERSIFIED)

@@ -39,6 +39,7 @@ SUBSET = [
     "events_value_rank", "incremental_dedup", "split_leakage",
     "new_users_hourly", "props_key_counts", "user_streaks",
     "source_token_entropy", "events_burstiness",
+    "top_events_diversified",
 ]
 
 
