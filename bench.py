@@ -82,6 +82,10 @@ BENCH_EXTRA = [
     "events_iqr_outliers",
     "user_customer_coverage",
     "incremental_hourly",
+    "event_type_markov",
+    "user_streaks",
+    "source_token_entropy",
+    "top_events_diversified",
 ]
 
 

@@ -6879,3 +6879,573 @@ ORDER BY cents DESC, event_id LIMIT {_DIVERSE_K}
 
 QUERIES["top_events_diversified"] = (q_top_events_diversified,
                                      SQL_TOP_EVENTS_DIVERSIFIED)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): regression / robust-stats / change-point / PMI /
+# snapshot-diff operators
+# ---------------------------------------------------------------------------
+
+_TREND_DAY_OFFSET = 19700  # events live in Jan 2024 (day ≈ 19723..19753)
+
+
+def q_events_trend_slope(sf_dir: str):
+    """Per-type OLS trend (is this event type's value drifting?):
+    slope of cents vs day-index via the mergeable sufficient
+    statistics (n, Σx, Σy, Σx², Σxy) — the textbook distributed
+    regression: each block contributes five integers per type, the
+    shuffle moves |types| rows, the driver closes the normal
+    equation. Exact: x is a small offset day index and y integer
+    cents, so every sum is integer-exact on both engines (the driver
+    final uses Python bigints; DuckDB promotes to HUGEINT)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+             // 86_400_000_000) - _TREND_DAY_OFFSET
+        y = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64()), dtype=np.int64)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "sxy": pa.array(x * y),
+        }).group_by("event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["event_type", "n", "sx", "sy",
+                                 "sxx", "sxy"])
+
+    s = _partial_final(ds, partial, ["event_type"],
+                       [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxx", "sum"), ("sxy", "sum")])
+    rows = sorted(zip(s.column("event_type").to_pylist(),
+                      s.column("n").to_pylist(),
+                      s.column("sx").to_pylist(),
+                      s.column("sy").to_pylist(),
+                      s.column("sxx").to_pylist(),
+                      s.column("sxy").to_pylist()))
+    types, ns, slopes = [], [], []
+    for et, n, sx, sy, sxx, sxy in rows:  # Python bigints — exact
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        types.append(et)
+        ns.append(n)
+        slopes.append(round(float(num) / float(den), 6))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+        "slope_cents_per_day": pa.array(slopes, type=pa.float64()),
+    })
+
+
+SQL_EVENTS_TREND_SLOPE = f"""
+WITH e AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                    - {_TREND_DAY_OFFSET} AS x,
+                  CAST(round(value * 100, 0) AS BIGINT) AS y
+           FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM e GROUP BY 1)
+SELECT event_type, n,
+       round(CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+         AS slope_cents_per_day
+FROM s ORDER BY 1
+"""
+
+
+QUERIES["events_trend_slope"] = (q_events_trend_slope,
+                                 SQL_EVENTS_TREND_SLOPE)
+
+
+def q_lineitem_qty_price_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs rounded dollar price
+    per return flag) from the six mergeable sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) — same distributed-sufficient-statistics shape as the
+    trend slope, closing corr = (nΣxy−ΣxΣy)/√((nΣx²−Σx²)(nΣy²−Σy²))
+    driver-side with Python bigints (Σy² at 10⁹ rows exceeds int64 —
+    the per-block partials stay int64-safe, the FINAL products do
+    not, hence bigint close; SQL mirrors via HUGEINT)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(
+            pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64()),
+            dtype=np.int64)
+        y = np.asarray(
+            pc.cast(pc.round(t.column("l_extendedprice"), 0), pa.int64()),
+            dtype=np.int64)
+        g = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        }).group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy",
+                                 "sxx", "syy", "sxy"])
+
+    s = _partial_final(ds, partial, ["l_returnflag"],
+                       [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+    import math
+    rows = sorted(zip(s.column("l_returnflag").to_pylist(),
+                      s.column("n").to_pylist(),
+                      s.column("sx").to_pylist(),
+                      s.column("sy").to_pylist(),
+                      s.column("sxx").to_pylist(),
+                      s.column("syy").to_pylist(),
+                      s.column("sxy").to_pylist()))
+    flags, ns, corrs = [], [], []
+    for f, n, sx, sy, sxx, syy, sxy in rows:
+        num = n * sxy - sx * sy
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        flags.append(f)
+        ns.append(n)
+        corrs.append(round(float(num)
+                           / math.sqrt(float(dx) * float(dy)), 6))
+    return pa.table({
+        "l_returnflag": pa.array(flags, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+        "qty_price_corr": pa.array(corrs, type=pa.float64()),
+    })
+
+
+SQL_LINEITEM_QTY_PRICE_CORR = """
+WITH e AS (SELECT l_returnflag,
+                  CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM e GROUP BY 1)
+SELECT l_returnflag, n,
+       round(CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy
+                           - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+         AS qty_price_corr
+FROM s ORDER BY 1
+"""
+
+
+QUERIES["lineitem_qty_price_corr"] = (q_lineitem_qty_price_corr,
+                                      SQL_LINEITEM_QTY_PRICE_CORR)
+
+
+def q_events_mad_outliers(sf_dir: str):
+    """Robust per-type outlier detection via Median Absolute
+    Deviation — the z-score family's heavy-tail-safe sibling (A6's
+    mean/stddev gate breaks on skewed values; MAD does not). ONE
+    distributed pass: distinct-(type, cents) counts (shuffle bounded
+    by the price domain, not the corpus — the same trick as
+    events_value_quartile); the driver then derives median, MAD and
+    the >3·MAD outlier count entirely from that count distribution,
+    no second scan. quantile_disc semantics (value at rank
+    ceil(n·q)−1) shared with _quantile_disc_from_counts."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "cents": cents}) \
+            .group_by(["event_type", "cents"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    vc = _partial_final(ds, vc_partial, ["event_type", "cents"],
+                        [("cnt", "sum")])
+    et = np.asarray(vc.column("event_type").to_pylist())
+    vals = np.asarray(vc.column("cents"), dtype=np.int64)
+    cnts = np.asarray(vc.column("cnt"), dtype=np.int64)
+    types, meds, mads, nouts = [], [], [], []
+    for s in np.unique(et):
+        m = et == s
+        v, c = vals[m], cnts[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        med = _quantile_disc_from_counts(v, c, 0.5)
+        dev = np.abs(v - med)
+        dorder = np.argsort(dev, kind="stable")
+        dv, dc = dev[dorder], c[dorder]
+        mad = _quantile_disc_from_counts(dv, dc, 0.5)
+        types.append(str(s))
+        meds.append(med)
+        mads.append(mad)
+        nouts.append(int(c[dev > 3 * mad].sum()))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "med_cents": pa.array(meds, type=pa.int64()),
+        "mad_cents": pa.array(mads, type=pa.int64()),
+        "n_outliers": pa.array(nouts, type=pa.int64()),
+    })
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+      FROM e GROUP BY 1),
+d AS (SELECT e.event_type, abs(e.cents - m.med) AS dev, m.med AS med
+      FROM e JOIN m USING (event_type)),
+md AS (SELECT event_type, any_value(med) AS med_cents,
+              quantile_disc(dev, 0.5) AS mad_cents
+       FROM d GROUP BY 1)
+SELECT d.event_type, md.med_cents, md.mad_cents,
+       CAST(sum(CASE WHEN d.dev > 3 * md.mad_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN md ON d.event_type = md.event_type
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+QUERIES["events_mad_outliers"] = (q_events_mad_outliers,
+                                  SQL_EVENTS_MAD_OUTLIERS)
+
+
+_WSAMPLE_CAP = 400       # chars at which inclusion probability hits 1
+_WSAMPLE_MOD = 1_000_000
+
+
+def q_weighted_doc_sample(sf_dir: str):
+    """Deterministic weight-proportional sampling (quality-weighted
+    corpus downsampling: keep long documents preferentially, without
+    an RNG any engine would disagree on): doc kept iff
+    knuth(doc_id) mod 10⁶ < min(n_chars, 400)·2500 — inclusion
+    probability n_chars/400 capped at 1, the same multiplicative-hash
+    order as stratified_sample so any engine reproduces the exact
+    sample. Pure per-row predicate (no shuffle); output aggregated
+    per source (n kept, chars kept) so the compare stays small."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        nc = np.asarray(t.column("n_chars"), dtype=np.int64)
+        m = np.uint64(_CHECK_HASH_MOD)
+        h = ((ids.astype(np.uint64) % m * np.uint64(2654435761)) % m
+             % np.uint64(_WSAMPLE_MOD)).astype(np.int64)
+        keep = h < np.minimum(nc, _WSAMPLE_CAP) * (_WSAMPLE_MOD
+                                                   // _WSAMPLE_CAP)
+        g = pa.table({
+            "source": t.column("source").filter(pa.array(keep)),
+            "n_sampled": pa.array(
+                np.ones(int(keep.sum()), dtype=np.int64)),
+            "chars_sampled": pa.array(nc[keep]),
+        }).group_by("source").aggregate(
+            [("n_sampled", "sum"), ("chars_sampled", "sum")])
+        return g.rename_columns(["source", "n_sampled", "chars_sampled"])
+
+    out = _partial_final(ds, partial, ["source"],
+                         [("n_sampled", "sum"), ("chars_sampled", "sum")])
+    return out.sort_by("source")
+
+
+SQL_WEIGHTED_DOC_SAMPLE = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+FROM documents
+WHERE ((doc_id % {_CHECK_HASH_MOD}) * 2654435761::HUGEINT)
+      % {_CHECK_HASH_MOD} % {_WSAMPLE_MOD}
+      < least(n_chars, {_WSAMPLE_CAP})
+        * {_WSAMPLE_MOD // _WSAMPLE_CAP}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["weighted_doc_sample"] = (q_weighted_doc_sample,
+                                  SQL_WEIGHTED_DOC_SAMPLE)
+
+
+def q_events_cusum_peak(sf_dir: str):
+    """Change-point magnitude per event type (CUSUM): the peak
+    |cumulative sum of (hourly count − mean)| over the hour sequence —
+    a level shift mid-series drives the statistic up; a stationary
+    series keeps it near 0. Distributed part is the bounded hourly
+    rollup (types × hours rows); the O(types·hours) scan is
+    driver-side. Float accumulation order (ascending bucket) is
+    identical on both engines, so round-6 matches exactly."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.cast(floor_hour(t.column("ts")), pa.int64()),
+        }).group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "bucket", "c"])
+
+    hourly = _partial_final(ds, partial, ["event_type", "bucket"],
+                            [("c", "sum")])
+    et = np.asarray(hourly.column("event_type").to_pylist())
+    bk = np.asarray(hourly.column("bucket"), dtype=np.int64)
+    c = np.asarray(hourly.column("c"), dtype=np.int64)
+    types, peaks = [], []
+    for s in np.unique(et):
+        m = et == s
+        order = np.argsort(bk[m])
+        v = c[m][order].astype(np.float64)
+        mean = float(v.sum()) / len(v)  # exact-int ratio, like SQL avg
+        peak = float(np.max(np.abs(np.cumsum(v - mean))))
+        types.append(str(s))
+        peaks.append(round(peak, 6))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "cusum_peak": pa.array(peaks, type=pa.float64()),
+    })
+
+
+SQL_EVENTS_CUSUM_PEAK = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+a AS (SELECT event_type, bucket, c,
+             avg(c) OVER (PARTITION BY event_type) AS m
+      FROM h),
+r AS (SELECT event_type,
+             sum(c - m) OVER (PARTITION BY event_type
+                              ORDER BY bucket) AS cum
+      FROM a)
+SELECT event_type, round(max(abs(cum)), 6) AS cusum_peak
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["events_cusum_peak"] = (q_events_cusum_peak,
+                                SQL_EVENTS_CUSUM_PEAK)
+
+
+_PMI_MIN_CNT = 10
+_PMI_TOP = 30
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: top adjacent-token pairs by pointwise
+    mutual information, PMI = ln(c_xy·N_tok² / (N_pair·c_x·c_y)) —
+    the association score behind phrase detection (word2vec-style
+    phrase merging). Two bounded-vocab count passes over one corpus
+    read shape (unigrams, then the token_bigrams adjacency pairing);
+    the PMI close is a vocab-sized driver join of exact integer
+    counts, so the float is identical on both engines. Rare-pair
+    noise is gated by c_xy ≥ 10; ordering by rounded PMI then pair
+    keeps the LIMIT boundary deterministic. At 10⁹ docs both count
+    tables stay vocab-bounded (the shuffles move distinct tokens /
+    pairs, not rows); a >driver-size pair table flips to
+    dataset_final + broadcast unigram join."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"tok": flat}).filter(
+            pc.not_equal(flat, "")).group_by("tok") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "c"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"t1": pa.array([], type=pa.string()),
+                             "t2": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        adj = parent[:-1] == parent[1:]
+        a, b = flat[:-1][adj], flat[1:][adj]
+        keep = (a != "") & (b != "")
+        g = pa.table({"t1": pa.array(a[keep].astype(str)),
+                      "t2": pa.array(b[keep].astype(str))}) \
+            .group_by(["t1", "t2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t1", "t2", "c"])
+
+    uni = _partial_final(ds, uni_partial, ["tok"], [("c", "sum")])
+    pairs = _partial_final(ds, pair_partial, ["t1", "t2"],
+                           [("c", "sum")])
+    n_tok = int(pc.sum(uni.column("c")).as_py())
+    n_pair = int(pc.sum(pairs.column("c")).as_py())
+    ucnt = dict(zip(uni.column("tok").to_pylist(),
+                    uni.column("c").to_pylist()))
+    out = []
+    for t1, t2, c in zip(pairs.column("t1").to_pylist(),
+                         pairs.column("t2").to_pylist(),
+                         pairs.column("c").to_pylist()):
+        if c < _PMI_MIN_CNT:
+            continue
+        num = c * n_tok * n_tok            # Python bigints — exact
+        den = n_pair * ucnt[t1] * ucnt[t2]
+        pmi = round(math.log(float(num) / float(den)), 6)
+        out.append((t1 + " " + t2, c, pmi))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    out = out[:_PMI_TOP]
+    return pa.table({
+        "pair": pa.array([r[0] for r in out], type=pa.string()),
+        "cnt": pa.array([r[1] for r in out], type=pa.int64()),
+        "pmi": pa.array([r[2] for r in out], type=pa.float64()),
+    })
+
+
+SQL_BIGRAM_PMI = f"""
+WITH t AS (SELECT row_number() OVER () AS doc, string_split(text, ' ')
+           AS a FROM documents),
+x AS (SELECT doc, unnest(a) AS tok,
+             unnest(range(1, len(a) + 1)) AS i FROM t),
+u AS (SELECT tok, count(*) AS c FROM x WHERE tok <> '' GROUP BY 1),
+nt AS (SELECT sum(c) AS n FROM u),
+p AS (SELECT x1.tok AS t1, x2.tok AS t2
+      FROM x x1 JOIN x x2 ON x1.doc = x2.doc AND x2.i = x1.i + 1
+      WHERE x1.tok <> '' AND x2.tok <> ''),
+pcnt AS (SELECT t1, t2, count(*) AS c FROM p GROUP BY 1, 2),
+np AS (SELECT sum(c) AS n FROM pcnt)
+SELECT pcnt.t1 || ' ' || pcnt.t2 AS pair, CAST(pcnt.c AS BIGINT) AS cnt,
+       round(ln(CAST(pcnt.c * nt.n * nt.n AS DOUBLE)
+                / CAST(np.n * u1.c * u2.c AS DOUBLE)), 6) AS pmi
+FROM pcnt, nt, np
+JOIN u u1 ON pcnt.t1 = u1.tok
+JOIN u u2 ON pcnt.t2 = u2.tok
+WHERE pcnt.c >= {_PMI_MIN_CNT}
+ORDER BY pmi DESC, pair LIMIT {_PMI_TOP}
+"""
+
+
+QUERIES["bigram_pmi"] = (q_bigram_pmi, SQL_BIGRAM_PMI)
+
+
+# snapshot diff: the pipeline-regression operator — classify every key
+# across two corpus versions. The "previous snapshot" is derived from
+# the current table by deterministic hash predicates (k = knuth(doc_id)
+# mod 100): k<3 → doc is NEW (absent from snapshot); 3≤k<6 → text
+# CHANGED since snapshot (snapshot holds a perturbed text); 6≤k<9 →
+# snapshot additionally holds a REMOVED doc at doc_id+10⁹ that the
+# current corpus lacks. Everything else is UNCHANGED.
+_DIFF_REMOVED_BASE = 1_000_000_000
+
+
+def _diff_kbucket(ids: np.ndarray) -> np.ndarray:
+    m = np.uint64(_CHECK_HASH_MOD)
+    return ((ids.astype(np.uint64) % m * np.uint64(2654435761)) % m
+            % np.uint64(100)).astype(np.int64)
+
+
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff between two corpus versions — the regression
+    gate a production data pipeline runs before promoting a new
+    build: per doc_id FULL-OUTER compare of content hashes, classified
+    added / removed / changed / unchanged, counted per class. Ray
+    shape: both sides side-tagged into ONE dataset (the snapshot is
+    derived in-flight by the hash predicates above — no second scan),
+    content-hashed per block (shared content_hash_column definition),
+    then a doc_id-hash exchange and per-partition vectorized segment
+    classify (each doc_id appears ≤ once per side); the shuffle moves
+    (doc_id, side, hash) triples, never text. Counts-per-class
+    output keeps the compare tiny while any misclassified row flips
+    the hash."""
+    from ..stages.dedup import content_hash_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ch = content_hash_column(t.column("text"))
+        k = _diff_kbucket(ids)
+        cur_ids, cur_h = ids, ch
+        # snapshot side: docs with k<3 didn't exist yet; 3≤k<6 carried
+        # a different (perturbed) text; 6≤k<9 contribute an extra doc
+        # (id+1e9) that was since removed.
+        snap_keep = k >= 3
+        snap_ids = ids[snap_keep]
+        snap_h = ch.filter(pa.array(snap_keep)).to_pylist()
+        chg = (k[snap_keep] < 6)
+        snap_h = [("old:" + h) if c else h
+                  for h, c in zip(snap_h, chg)]
+        rem = (k >= 6) & (k < 9)
+        rem_ids = ids[rem] + _DIFF_REMOVED_BASE
+        all_ids = np.concatenate([cur_ids, snap_ids, rem_ids])
+        all_side = np.concatenate([
+            np.zeros(len(cur_ids), dtype=np.int64),
+            np.ones(len(snap_ids) + len(rem_ids), dtype=np.int64)])
+        all_h = (cur_h.to_pylist() + snap_h
+                 + ["gone"] * len(rem_ids))
+        return pa.table({
+            "_pkey": pa.array(all_ids % _ARGMAX_NPART),
+            "doc_id": pa.array(all_ids),
+            "side": pa.array(all_side),
+            "h": pa.array(all_h, type=pa.string()),
+        })
+
+    def classify(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int64)
+        h = np.asarray(t.column("h").to_pylist())
+        order = np.lexsort((side, ids))
+        ids, side, h = ids[order], side[order], h[order]
+        first = np.concatenate([[0],
+                                np.flatnonzero(ids[1:] != ids[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(ids)]]))
+        status = np.empty(len(first), dtype=object)
+        both = counts == 2
+        status[both & (h[first] == h[np.minimum(first + 1,
+                                                len(h) - 1)])] \
+            = "unchanged"
+        status[both & (h[first] != h[np.minimum(first + 1,
+                                                len(h) - 1)])] \
+            = "changed"
+        only = counts == 1
+        status[only & (side[first] == 0)] = "added"
+        status[only & (side[first] == 1)] = "removed"
+        g = pa.table({"status": pa.array(status.astype(str)),
+                      "n": pa.array(np.ones(len(first),
+                                            dtype=np.int64))}) \
+            .group_by("status").aggregate([("n", "sum")])
+        return g.rename_columns(["status", "n"])
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(classify, batch_format="pyarrow")
+    out = agg._combine_partials(parts, keys=["status"],
+                                aggs=[("n", "sum")])
+    return out.sort_by("status")
+
+
+_SQL_DIFF_K = (f"((doc_id % {_CHECK_HASH_MOD}) * 2654435761::HUGEINT)"
+               f" % {_CHECK_HASH_MOD} % 100")
+
+SQL_CORPUS_DIFF = f"""
+WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents),
+snap AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_DIFF_K} < 6 THEN 'old:' || md5(text)
+              ELSE md5(text) END AS h
+  FROM documents WHERE {_SQL_DIFF_K} >= 3
+  UNION ALL
+  SELECT doc_id + {_DIFF_REMOVED_BASE}, 'gone'
+  FROM documents
+  WHERE {_SQL_DIFF_K} >= 6 AND {_SQL_DIFF_K} < 9),
+j AS (SELECT coalesce(cur.doc_id, snap.doc_id) AS doc_id,
+             CASE WHEN snap.doc_id IS NULL THEN 'added'
+                  WHEN cur.doc_id IS NULL THEN 'removed'
+                  WHEN cur.h = snap.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM cur FULL OUTER JOIN snap ON cur.doc_id = snap.doc_id)
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["corpus_diff"] = (q_corpus_diff, SQL_CORPUS_DIFF)
