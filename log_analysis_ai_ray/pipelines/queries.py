@@ -7449,3 +7449,282 @@ FROM j GROUP BY 1 ORDER BY 1
 
 
 QUERIES["corpus_diff"] = (q_corpus_diff, SQL_CORPUS_DIFF)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): HITS, contingency residuals, learned-vocab OOV,
+# hopping windows
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def q_domain_hits(sf_dir: str):
+    """HITS hubs & authorities over the domain link graph — the other
+    classic link-analysis fixpoint next to PageRank: a = Aᵀh, h = Aa,
+    L1-normalized each half-step, 2 full iterations from h₀ = 1.
+    Same split as domain_pagerank: the distributed work is the edge
+    aggregation (domain_link_edges partials); the bounded
+    domain-matrix iteration closes driver-side, every half-step
+    mirrored by an unrolled CTE in the oracle. At page granularity
+    each half-step is one keys-only shuffle (join score to edges on
+    one endpoint, groupby the other) — the page_pagerank form."""
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    w = np.asarray(edges.column("n_links"), dtype=np.float64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(_HITS_ITERS):
+        a = np.zeros(n)
+        np.add.at(a, di, w * h[si])
+        a = a / a.sum()
+        h = np.zeros(n)
+        np.add.at(h, si, w * a[di])
+        h = h / h.sum()
+    return pa.table({
+        "domain": pa.array(nodes),
+        "authority": _round(pa.array(a), 6),
+        "hub": _round(pa.array(h), 6),
+    }).sort_by("domain")
+
+
+SQL_DOMAIN_HITS = f"""
+WITH e AS (
+  SELECT regexp_extract(url, '{_DOM_RE}', 1) AS src,
+         regexp_extract(dst, '{_DOM_RE}', 1) AS dst,
+         count(*)::DOUBLE AS w
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {PAGES_VIEW})
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS d FROM e
+          UNION SELECT DISTINCT dst FROM e),
+a1r AS (SELECT nodes.d, coalesce((SELECT sum(e.w) FROM e
+                                  WHERE e.dst = nodes.d), 0) AS v
+        FROM nodes),
+a1 AS (SELECT d, v / (SELECT sum(v) FROM a1r) AS v FROM a1r),
+h1r AS (SELECT nodes.d, coalesce((SELECT sum(e.w * a1.v) FROM e
+                                  JOIN a1 ON a1.d = e.dst
+                                  WHERE e.src = nodes.d), 0) AS v
+        FROM nodes),
+h1 AS (SELECT d, v / (SELECT sum(v) FROM h1r) AS v FROM h1r),
+a2r AS (SELECT nodes.d, coalesce((SELECT sum(e.w * h1.v) FROM e
+                                  JOIN h1 ON h1.d = e.src
+                                  WHERE e.dst = nodes.d), 0) AS v
+        FROM nodes),
+a2 AS (SELECT d, v / (SELECT sum(v) FROM a2r) AS v FROM a2r),
+h2r AS (SELECT nodes.d, coalesce((SELECT sum(e.w * a2.v) FROM e
+                                  JOIN a2 ON a2.d = e.dst
+                                  WHERE e.src = nodes.d), 0) AS v
+        FROM nodes),
+h2 AS (SELECT d, v / (SELECT sum(v) FROM h2r) AS v FROM h2r)
+SELECT a2.d AS domain, round(a2.v, 6) AS authority,
+       round(h2.v, 6) AS hub
+FROM a2 JOIN h2 ON a2.d = h2.d ORDER BY domain
+"""
+
+
+QUERIES["domain_hits"] = (q_domain_hits, SQL_DOMAIN_HITS)
+
+
+def q_type_hour_residuals(sf_dir: str):
+    """Independence testing on the (event_type × hour-of-day)
+    contingency table: standardized Pearson residuals
+    (obs − exp)/√exp with exp = rowtot·coltot/N — the per-cell
+    building block of a χ² test, kept per-cell so no cross-cell float
+    summation order can differ between engines. Distributed part is
+    the bounded contingency count (types × 24 rows); margins and
+    residuals close driver-side from exact integers."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = (np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64) // 3_600_000_000) % 24
+        g = pa.table({"event_type": t.column("event_type"),
+                      "hr": pa.array(hr)}) \
+            .group_by(["event_type", "hr"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "hr", "obs"])
+
+    c = _partial_final(ds, partial, ["event_type", "hr"],
+                       [("obs", "sum")])
+    et = np.asarray(c.column("event_type").to_pylist())
+    hr = np.asarray(c.column("hr"), dtype=np.int64)
+    o = np.asarray(c.column("obs"), dtype=np.int64)
+    n = float(o.sum())
+    types = np.unique(et)
+    rt = {s: float(o[et == s].sum()) for s in types}
+    ct = {int(h): float(o[hr == h].sum()) for h in np.unique(hr)}
+    resid = np.empty(len(o), dtype=np.float64)
+    for i in range(len(o)):
+        exp = rt[et[i]] * ct[int(hr[i])] / n
+        resid[i] = round((float(o[i]) - exp) / math.sqrt(exp), 6)
+    return pa.table({
+        "event_type": pa.array(et.astype(str)),
+        "hr": pa.array(hr),
+        "obs": pa.array(o),
+        "residual": pa.array(resid),
+    }).sort_by([("event_type", "ascending"), ("hr", "ascending")])
+
+
+SQL_TYPE_HOUR_RESIDUALS = """
+WITH c AS (SELECT event_type,
+                  CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                  count(*) AS o
+           FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT hr, sum(o) AS cc FROM c GROUP BY 1),
+nn AS (SELECT sum(o) AS n FROM c)
+SELECT c.event_type, c.hr, CAST(c.o AS BIGINT) AS obs,
+       round((CAST(c.o AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * CAST(ct.cc AS DOUBLE)
+                / CAST(nn.n AS DOUBLE))
+             / sqrt(CAST(rt.r AS DOUBLE) * CAST(ct.cc AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE)), 6) AS residual
+FROM c, nn
+JOIN rt ON rt.event_type = c.event_type
+JOIN ct ON ct.hr = c.hr
+ORDER BY c.event_type, c.hr
+"""
+
+
+QUERIES["type_hour_residuals"] = (q_type_hour_residuals,
+                                  SQL_TYPE_HOUR_RESIDUALS)
+
+
+_OOV_VOCAB = 500
+
+
+def q_oov_ratio_by_source(sf_dir: str):
+    """Learned-vocabulary out-of-vocabulary rate per source — the
+    quality gate tokenizer training needs (a source whose tokens fall
+    outside the corpus top-500 vocabulary is noise-heavy). Pass 1:
+    global token counts (vocab-bounded shuffle) → driver takes the
+    top-500 by (count desc, token asc) — a total order, so the cutoff
+    rank is deterministic on both engines. Pass 2: the vocab set is
+    BROADCAST inside the batch closure (ray.put-equivalent for this
+    size; past ~10⁷ tokens it rides the object store) and every
+    block counts its OOV hits per source via one is_in kernel —
+    per-source exact integer sums, ratio closed at round 6."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"tok": flat}).filter(
+            pc.not_equal(flat, "")).group_by("tok") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "c"])
+
+    uni = _partial_final(ds, uni_partial, ["tok"], [("c", "sum")])
+    ranked = sorted(zip(uni.column("tok").to_pylist(),
+                        uni.column("c").to_pylist()),
+                    key=lambda r: (-r[1], r[0]))
+    vocab = pa.array([t for t, _ in ranked[:_OOV_VOCAB]],
+                     type=pa.string())
+
+    def oov_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=vocab) \
+            .to_numpy(zero_copy_only=False)
+        src = t.column("source").combine_chunks()
+        g = pa.table({
+            "source": src.take(pa.array(parent[nonempty],
+                                        type=pa.int64())),
+            "n_tokens": pa.array(
+                np.ones(int(nonempty.sum()), dtype=np.int64)),
+            "n_oov": pa.array((~inv[nonempty]).astype(np.int64)),
+        }).group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_oov", "sum")])
+        return g.rename_columns(["source", "n_tokens", "n_oov"])
+
+    out = _partial_final(ds, oov_partial, ["source"],
+                         [("n_tokens", "sum"), ("n_oov", "sum")])
+    ratio = pc.round(pc.divide(
+        pc.cast(out.column("n_oov"), pa.float64()),
+        pc.cast(out.column("n_tokens"), pa.float64())), ndigits=6)
+    return out.append_column("oov_ratio", ratio).sort_by("source")
+
+
+SQL_OOV_RATIO_BY_SOURCE = f"""
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tt
+                       GROUP BY 1 ORDER BY c DESC, tok
+                       LIMIT {_OOV_VOCAB})),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tok IN (SELECT tok FROM v)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+      FROM tt GROUP BY 1)
+SELECT source, n_tokens, n_oov,
+       round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS oov_ratio
+FROM s ORDER BY source
+"""
+
+
+QUERIES["oov_ratio_by_source"] = (q_oov_ratio_by_source,
+                                  SQL_OOV_RATIO_BY_SOURCE)
+
+
+_HOP_SEC = 1800          # hop: 30 min
+_HOP_SLOTS = 4           # window size: 4 hops = 2 h
+
+
+def q_events_hopping_windows(sf_dir: str):
+    """Hopping (overlapping) window counts — the window type the
+    tumbling-hour rollups can't express: 2-hour windows advancing
+    every 30 min, so each event lands in exactly 4 windows. Per
+    block the expansion is a vectorized 4× repeat (no shuffle
+    amplification: the per-block groupby collapses it back to
+    (window, type) partials before the exchange), then the usual
+    bounded partial/final merge — windows × types rows total."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sec = (np.asarray(t.column("ts").cast(pa.int64()),
+                          dtype=np.int64) // 1_000_000)
+        k = sec // _HOP_SEC
+        ws = ((k[:, None] - np.arange(_HOP_SLOTS)[None, :])
+              * _HOP_SEC).ravel()
+        et = t.column("event_type").combine_chunks()
+        idx = np.repeat(np.arange(len(sec), dtype=np.int64),
+                        _HOP_SLOTS)
+        g = pa.table({
+            "window_start": pa.array(ws),
+            "event_type": et.take(pa.array(idx)),
+        }).group_by(["window_start", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["window_start", "event_type", "n"])
+
+    out = _partial_final(ds, partial, ["window_start", "event_type"],
+                         [("n", "sum")])
+    return out.sort_by([("window_start", "ascending"),
+                        ("event_type", "ascending")])
+
+
+SQL_EVENTS_HOPPING_WINDOWS = f"""
+SELECT (CAST(floor(epoch(ts) / {_HOP_SEC}) AS BIGINT) - i)
+         * {_HOP_SEC} AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events, unnest(range({_HOP_SLOTS})) AS t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["events_hopping_windows"] = (q_events_hopping_windows,
+                                     SQL_EVENTS_HOPPING_WINDOWS)
