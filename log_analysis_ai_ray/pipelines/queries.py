@@ -7728,3 +7728,415 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["events_hopping_windows"] = (q_events_hopping_windows,
                                      SQL_EVENTS_HOPPING_WINDOWS)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): rank fusion, 3-way join composition, skyline,
+# distribution divergence
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_TOP = 20
+_RRF_TERMS_B = ("scan", "filter", "merge")
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two ranked retrievals — the standard
+    way to combine rankings without score calibration (RRF, Cormack
+    et al.): score(d) = Σ_lists 1/(60 + rank_d). Two BM25 runs (the
+    reference's keyword-search surface, different term sets) each
+    yield a top-50 pool ordered by (rounded score desc, doc_id) — a
+    total order, so ranks are engine-independent; the fusion adds at
+    most two exact reciprocals per doc, no accumulation-order
+    hazard. Output: top-20 by (rounded RRF desc, doc_id)."""
+    from ..stages.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ra = bm25_topk(ds, list(_BM25_TERMS), k=_RRF_POOL)
+    rb = bm25_topk(ds, list(_RRF_TERMS_B), k=_RRF_POOL)
+    scores: dict[int, float] = {}
+    for table in (ra, rb):
+        ids = table.column("doc_id").to_pylist()
+        for rank, d in enumerate(ids, start=1):
+            scores[d] = scores.get(d, 0.0) + 1.0 / (_RRF_K + rank)
+    rows = sorted(((round(s, 6), d) for d, s in scores.items()),
+                  key=lambda r: (-r[0], r[1]))[:_RRF_TOP]
+    return pa.table({
+        "doc_id": pa.array([d for _, d in rows], type=pa.int64()),
+        "rrf": pa.array([s for s, _ in rows], type=pa.float64()),
+    })
+
+
+def _sql_bm25_ranked(terms: tuple, pool: int, alias: str) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+{alias}_tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2
+       WHERE token IN ({tlist}) GROUP BY 1, 2),
+{alias}_idf AS (SELECT token,
+               ln(((SELECT n_docs FROM stats) - count(*) + 0.5)
+                  / (count(*) + 0.5) + 1) AS idf
+        FROM {alias}_tf GROUP BY token),
+{alias}_sc AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                               / (SELECT avgdl FROM stats)))) AS s
+  FROM {alias}_tf tf JOIN {alias}_idf idf USING (token)
+  JOIN dl USING (doc_id) GROUP BY tf.doc_id),
+{alias}_rk AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY round(s, 4) DESC,
+                                         doc_id) AS rk
+               FROM {alias}_sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT {pool})"""
+
+
+SQL_RRF_FUSION = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT coalesce(sum(dl), 0) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+{_sql_bm25_ranked(_BM25_TERMS, _RRF_POOL, 'a')},
+{_sql_bm25_ranked(_RRF_TERMS_B, _RRF_POOL, 'b')},
+fused AS (
+  SELECT coalesce(a_rk.doc_id, b_rk.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_K} + a_rk.rk), 0)
+         + coalesce(1.0 / ({_RRF_K} + b_rk.rk), 0) AS s
+  FROM a_rk FULL OUTER JOIN b_rk ON a_rk.doc_id = b_rk.doc_id)
+SELECT doc_id, round(s, 6) AS rrf
+FROM fused ORDER BY round(s, 6) DESC, doc_id LIMIT {_RRF_TOP}
+"""
+
+
+QUERIES["rrf_fusion"] = (q_rrf_fusion, SQL_RRF_FUSION)
+
+
+_Q3_DATE_US = 883_612_800_000_000  # 1998-01-01 in epoch microseconds
+_Q3_SEGMENT = "BUILDING"
+_Q3_TOP = 10
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 shape — the canonical 3-way join composition: BUILDING
+    customers ⋈ pre-1998 orders ⋈ post-1998-shipped lineitems, top-10
+    orders by revenue. The customer side reduces to a broadcast
+    custkey set (distilled via a distributed distinct, not a
+    driver-side table read); orders and lineitem meet in the
+    big-big side-tagged orderkey exchange (order_priority_revenue's
+    join kernel) with IN-PARTITION revenue aggregation; since an
+    orderkey lives wholly in one partition, per-partition top-10s are
+    a correct candidate set and the driver merges NPART·10 rows.
+    Exact integer centi-per-mille revenue."""
+    import ray
+
+    from ..stages.joins import _hash_partition_ids
+
+    NPART = 64
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("c_mktsegment").cast(pa.string()),
+                        _Q3_SEGMENT)
+        return pa.table({"k": pc.unique(
+            t.column("c_custkey").filter(keep).combine_chunks())})
+
+    ckeys = agg._to_arrow(cust.map_batches(cust_keys,
+                                           batch_format="pyarrow"))
+    ckey_ref = ray.put(pc.unique(ckeys.column("k").combine_chunks()))
+
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        date_us = t.column("o_orderdate").cast(pa.int64())
+        keep = pc.and_(
+            pc.less(date_us, _Q3_DATE_US),
+            pc.is_in(t.column("o_custkey").combine_chunks(),
+                     value_set=ray.get(ckey_ref)))
+        t = t.filter(keep)
+        keys = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
+            "key": t.column("o_orderkey"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "date_us": t.column("o_orderdate").cast(pa.int64()),
+            "cents": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        ship_us = t.column("l_shipdate").cast(pa.int64())
+        t = t.filter(pc.greater(ship_us, _Q3_DATE_US))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        keys = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
+            "key": t.column("l_orderkey"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "date_us": pa.nulls(t.num_rows, pa.int64()),
+            "cents": cpm,
+        })
+
+    both = li.map_batches(tag_line, batch_format="pyarrow").union(
+        od.map_batches(tag_order, batch_format="pyarrow"))
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = np.asarray(g.column("side"))
+        orders = g.filter(pa.array(side == 1))
+        lines = g.filter(pa.array(side == 0))
+        empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                          "date_us": pa.array([], type=pa.int64()),
+                          "revenue_cpm": pa.array([], type=pa.int64())})
+        if orders.num_rows == 0 or lines.num_rows == 0:
+            return empty
+        idx = pc.index_in(lines.column("key"),
+                          orders.column("key").combine_chunks())
+        hit = pc.is_valid(idx)
+        lines = lines.filter(hit)
+        if lines.num_rows == 0:
+            return empty
+        okey = orders.column("key").combine_chunks() \
+            .take(idx.filter(hit))
+        odate = orders.column("date_us").combine_chunks() \
+            .take(idx.filter(hit))
+        part = pa.table({
+            "o_orderkey": okey,
+            "date_us": odate,
+            "revenue_cpm": lines.column("cents"),
+        }).group_by(["o_orderkey", "date_us"]).aggregate(
+            [("revenue_cpm", "sum")])
+        part = part.rename_columns(["o_orderkey", "date_us",
+                                    "revenue_cpm"])
+        # orderkey-complete within the partition → local top-k is a
+        # valid global candidate set
+        return part.sort_by([("revenue_cpm", "descending"),
+                             ("o_orderkey", "ascending")]) \
+            .slice(0, _Q3_TOP)
+
+    cand = agg._to_arrow(
+        both.groupby("_pkey").map_groups(join_partition,
+                                         batch_format="pyarrow"))
+    cand = cand.sort_by([("revenue_cpm", "descending"),
+                         ("o_orderkey", "ascending")]).slice(0, _Q3_TOP)
+    return pa.table({
+        "o_orderkey": cand.column("o_orderkey"),
+        "o_orderdate": cand.column("date_us").cast(pa.timestamp("us")),
+        "revenue_cpm": cand.column("revenue_cpm"),
+    })
+
+
+SQL_TOP_UNSHIPPED_ORDERS = f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cpm
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_cpm DESC, o.o_orderkey LIMIT {_Q3_TOP}
+"""
+
+
+QUERIES["top_unshipped_orders"] = (q_top_unshipped_orders,
+                                   SQL_TOP_UNSHIPPED_ORDERS)
+
+
+def q_user_value_skyline(sf_dir: str):
+    """Skyline (Pareto-front) operator: users not dominated on
+    (total spend, event count) — dominance = another user ≥ on both
+    and > on at least one. The distributed part is the per-user
+    aggregate (one bounded-key shuffle); the dominance sweep closes on
+    the aggregated table: distinct points sorted by total desc keep
+    only strictly-rising counts (O(P log P) vs the oracle's O(n²)
+    NOT EXISTS). At an unbounded user space the aggregate stays a
+    dataset (dataset_final) and each block pre-filters to its LOCAL
+    skyline first — the union of local skylines provably contains the
+    global one."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "total_cents": cents,
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by("user_id").aggregate(
+            [("total_cents", "sum"), ("n_events", "sum")])
+        return g.rename_columns(["user_id", "total_cents", "n_events"])
+
+    per_user = _partial_final(ds, partial, ["user_id"],
+                              [("total_cents", "sum"),
+                               ("n_events", "sum")])
+    u = np.asarray(per_user.column("user_id"), dtype=np.int64)
+    t = np.asarray(per_user.column("total_cents"), dtype=np.int64)
+    n = np.asarray(per_user.column("n_events"), dtype=np.int64)
+    # distinct points, best n per total, strictly-rising sweep
+    order = np.lexsort((-n, -t))
+    ts, ns = t[order], n[order]
+    keep_pt = []
+    best_n = -1
+    i = 0
+    while i < len(ts):
+        j = i
+        while j < len(ts) and ts[j] == ts[i]:
+            j += 1
+        top_n = ns[i]  # max n within this total (sorted desc)
+        if top_n > best_n:
+            keep_pt.append((ts[i], top_n))
+            best_n = top_n
+        i = j
+    keep_set = set(keep_pt)
+    mask = np.fromiter(((tt, nn) in keep_set for tt, nn in zip(t, n)),
+                       dtype=bool, count=len(t))
+    out = pa.table({
+        "user_id": pa.array(u[mask]),
+        "total_cents": pa.array(t[mask]),
+        "n_events": pa.array(n[mask]),
+    })
+    return out.sort_by("user_id")
+
+
+SQL_USER_VALUE_SKYLINE = """
+WITH a AS (SELECT user_id,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       AS BIGINT) AS total_cents,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1)
+SELECT user_id, total_cents, n_events
+FROM a p
+WHERE NOT EXISTS (
+  SELECT 1 FROM a q
+  WHERE q.total_cents >= p.total_cents AND q.n_events >= p.n_events
+    AND (q.total_cents > p.total_cents OR q.n_events > p.n_events))
+ORDER BY user_id
+"""
+
+
+QUERIES["user_value_skyline"] = (q_user_value_skyline,
+                                 SQL_USER_VALUE_SKYLINE)
+
+
+_KL_VOCAB = 500
+
+
+def q_source_kl_divergence(sf_dir: str):
+    """Distribution drift per source: KL(source ∥ corpus) over the
+    top-500 vocabulary with all rarer tokens lumped into one <OOV>
+    bucket (bounds the support so the statistic is comparable across
+    sources — the CCNet/data-mixing drift gate). Distributed parts:
+    the vocab count pass and the (source × 501)-bounded mapped-token
+    count pass; the ≤501-term KL sum closes driver-side. Exact
+    integer counts feed identical float ops on both engines; the only
+    engine difference is float summation order across terms
+    (≈1e-16 — far inside the round-6 grid)."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"tok": flat}).filter(
+            pc.not_equal(flat, "")).group_by("tok") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "c"])
+
+    uni = _partial_final(ds, uni_partial, ["tok"], [("c", "sum")])
+    ranked = sorted(zip(uni.column("tok").to_pylist(),
+                        uni.column("c").to_pylist()),
+                    key=lambda r: (-r[1], r[0]))
+    vocab = pa.array([t for t, _ in ranked[:_KL_VOCAB]],
+                     type=pa.string())
+
+    def mapped_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=vocab)
+        mtok = pc.if_else(inv, flat,
+                          pa.scalar("<OOV>", pa.string()))
+        src = t.column("source").combine_chunks()
+        g = pa.table({
+            "source": src.take(
+                pa.array(parent[ne], type=pa.int64())),
+            "mtok": mtok.filter(pa.array(ne)),
+        }).group_by(["source", "mtok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "mtok", "c"])
+
+    sc = _partial_final(ds, mapped_partial, ["source", "mtok"],
+                        [("c", "sum")])
+    src = np.asarray(sc.column("mtok").to_pylist())
+    sources = np.asarray(sc.column("source").to_pylist())
+    c = np.asarray(sc.column("c"), dtype=np.int64)
+    corpus: dict[str, int] = {}
+    for tok, cnt in zip(src, c):
+        corpus[tok] = corpus.get(tok, 0) + int(cnt)
+    n_corpus = float(sum(corpus.values()))
+    out_src, out_kl = [], []
+    for s in np.unique(sources):
+        m = sources == s
+        n_src = float(c[m].sum())
+        kl = 0.0
+        for tok, cnt in sorted(zip(src[m], c[m])):
+            p = float(cnt) / n_src
+            q = float(corpus[tok]) / n_corpus
+            kl += p * math.log(p / q)
+        out_src.append(str(s))
+        out_kl.append(round(kl, 6))
+    return pa.table({
+        "source": pa.array(out_src, type=pa.string()),
+        "kl": pa.array(out_kl, type=pa.float64()),
+    })
+
+
+SQL_SOURCE_KL_DIVERGENCE = f"""
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tt
+                       GROUP BY 1 ORDER BY c DESC, tok
+                       LIMIT {_KL_VOCAB})),
+m AS (SELECT source,
+             CASE WHEN tok IN (SELECT tok FROM v) THEN tok
+                  ELSE '<OOV>' END AS mtok
+      FROM tt),
+sc AS (SELECT source, mtok, count(*) AS c FROM m GROUP BY 1, 2),
+st AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+cc AS (SELECT mtok, sum(c) AS c FROM sc GROUP BY 1),
+ct AS (SELECT sum(c) AS n FROM cc)
+SELECT sc.source,
+       round(sum((CAST(sc.c AS DOUBLE) / CAST(st.n AS DOUBLE))
+                 * ln((CAST(sc.c AS DOUBLE) / CAST(st.n AS DOUBLE))
+                      / (CAST(cc.c AS DOUBLE) / CAST(ct.n AS DOUBLE)))),
+             6) AS kl
+FROM sc JOIN st USING (source) JOIN cc USING (mtok), ct
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["source_kl_divergence"] = (q_source_kl_divergence,
+                                   SQL_SOURCE_KL_DIVERGENCE)
