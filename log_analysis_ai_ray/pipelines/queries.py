@@ -8140,3 +8140,228 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["source_kl_divergence"] = (q_source_kl_divergence,
                                    SQL_SOURCE_KL_DIVERGENCE)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): range-partitioned distributed sort, partition-pruned
+# targeted delete
+# ---------------------------------------------------------------------------
+
+_RSORT_NPART = 16
+_RSORT_STRIDE = 1000
+
+
+def q_events_range_sorted_sample(sf_dir: str):
+    """Range-partitioned distributed SORT with exact global ranks —
+    the explicit form of the all-to-all a global ORDER BY needs:
+    pass 1 aggregates the distinct-cents count distribution (bounded
+    by the value domain); the driver cuts 16 contiguous cents ranges
+    with near-equal row counts (the sampled-splits step of a TeraSort,
+    exact here because the distribution is exact) and knows each
+    range's START RANK from the same counts; pass 2 routes every row
+    to its range (ONE shuffle), sorts within the range, and adds the
+    range's rank offset — no cross-partition coordination. Output is
+    every 1000th row of the global (cents desc, event_id asc) order,
+    so the oracle pins both the ordering and the rank arithmetic."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({"cents": cents}).group_by("cents") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["cents", "cnt"])
+
+    vc = _partial_final(ds, vc_partial, ["cents"], [("cnt", "sum")])
+    # sort distinct values DESC (the output order), cut equal ranges
+    order = np.argsort(-np.asarray(vc.column("cents"), dtype=np.int64))
+    vals = np.asarray(vc.column("cents"), dtype=np.int64)[order]
+    cnts = np.asarray(vc.column("cnt"), dtype=np.int64)[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    targets = (np.arange(1, _RSORT_NPART) * total) // _RSORT_NPART
+    cut_idx = np.searchsorted(cum, targets, side="left")
+    # rows with cents > bound go to earlier partitions; partition of a
+    # row = #bounds its cents is <= (bounds are the DESC range edges)
+    bounds = vals[cut_idx]                      # len NPART-1, desc
+    part_start_rank = np.concatenate(
+        [[0], cum[cut_idx]])                    # rows before partition p
+
+    def route(t: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64()), dtype=np.int64)
+        # descending ranges; a bound VALUE belongs to the partition
+        # whose cumulative count includes it, so pid counts bounds
+        # STRICTLY greater than the row's cents
+        pid = np.searchsorted(-bounds, -cents, side="left")
+        return pa.table({
+            "_pkey": pa.array(pid),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(cents),
+        })
+
+    def rank_range(t: pa.Table) -> pa.Table:
+        pid = int(t.column("_pkey")[0].as_py())
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        order = np.lexsort((e, -c))
+        e, c = e[order], c[order]
+        rank = np.arange(len(e), dtype=np.int64) \
+            + int(part_start_rank[pid]) + 1
+        keep = (rank - 1) % _RSORT_STRIDE == 0
+        return pa.table({
+            "rank": pa.array(rank[keep]),
+            "event_id": pa.array(e[keep]),
+            "cents": pa.array(c[keep]),
+        })
+
+    out = agg._to_arrow(
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(rank_range, batch_format="pyarrow"))
+    return out.sort_by("rank")
+
+
+SQL_EVENTS_RANGE_SORTED_SAMPLE = f"""
+WITH r AS (SELECT event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  row_number() OVER
+                    (ORDER BY CAST(round(value * 100, 0) AS BIGINT)
+                       DESC, event_id) AS rank
+           FROM events)
+SELECT rank, event_id, cents FROM r
+WHERE (rank - 1) % {_RSORT_STRIDE} = 0 ORDER BY rank
+"""
+
+
+QUERIES["events_range_sorted_sample"] = (q_events_range_sorted_sample,
+                                         SQL_EVENTS_RANGE_SORTED_SAMPLE)
+
+
+_EVSTORE_ROOT = "/tmp/graft_evstore"
+_DELETE_NB = 16          # user-hash buckets the store is partitioned by
+_DELETE_MOD, _DELETE_RESIDUE = 50, 7
+
+
+def _ensure_event_store(sf_dir: str) -> str:
+    """Events written ONCE as a user-bucketed parquet store
+    (ubucket = user_id % 16) — the partitioning a deletion/compaction
+    pipeline relies on. Content-keyed by sf name + version marker;
+    rebuilt only if absent."""
+    import ray.data
+
+    out = os.path.join(_EVSTORE_ROOT, sf_name(sf_dir), "base")
+    marker = os.path.join(out, "_COMPLETE_v1")
+    if os.path.exists(marker):
+        return out
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column("ubucket",
+                               pa.array(u % _DELETE_NB))
+
+    import shutil
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(tmp, partition_cols=["ubucket"])
+    os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write("v1")
+    return out
+
+
+def q_targeted_delete(sf_dir: str):
+    """Right-to-be-forgotten over a partitioned store: delete every
+    event of ~2% of users (knuth(user) mod 50 == 7) from a
+    user-bucketed parquet store by REWRITING ONLY THE AFFECTED
+    BUCKETS — copy-on-write into a fresh directory, untouched buckets
+    referenced as-is, so the rewrite cost is |affected partitions|,
+    not the store (at 10⁹ users with 4096 buckets a 100-user erasure
+    request touches ≤100 partitions). The delete-user list is
+    distilled distributedly (distinct-user shuffle, bounded), the
+    affected-bucket set derived from it driver-side, and the final
+    read unions untouched + rewritten buckets. Output: per-type
+    surviving counts + cents (any under- or over-delete flips the
+    hash)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    base = _ensure_event_store(sf_dir)
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def del_users_partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        m = np.uint64(_CHECK_HASH_MOD)
+        h = ((u.astype(np.uint64) % m * np.uint64(2654435761)) % m
+             % np.uint64(_DELETE_MOD)).astype(np.int64)
+        return pa.table({"user_id": pa.array(
+            np.unique(u[h == _DELETE_RESIDUE]))})
+
+    dels = agg._combine_partials(
+        ds.map_batches(del_users_partial, batch_format="pyarrow"),
+        keys=["user_id"], aggs=[])
+    del_users = np.asarray(dels.column("user_id"), dtype=np.int64)
+    affected = sorted({int(b) for b in del_users % _DELETE_NB})
+    del_set = pa.array(del_users, type=pa.int64())
+
+    out_dir = tempfile.mkdtemp(prefix="evstore_del_")
+    kept_paths = []
+    for b in range(_DELETE_NB):
+        src_dir = os.path.join(base, f"ubucket={b}")
+        if not os.path.isdir(src_dir):
+            continue
+        if b not in affected:
+            kept_paths.extend(sorted(
+                _glob.glob(os.path.join(src_dir, "*.parquet"))))
+            continue
+        dst_dir = os.path.join(out_dir, f"ubucket={b}")
+        bucket = ray.data.read_parquet(src_dir).map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                t.column("user_id").combine_chunks(),
+                value_set=del_set))),
+            batch_format="pyarrow")
+        bucket.write_parquet(dst_dir)
+        kept_paths.extend(sorted(
+            _glob.glob(os.path.join(dst_dir, "*.parquet"))))
+
+    after = ray.data.read_parquet(kept_paths).map_batches(
+        _strip_md, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "cents_sum": cents,
+        }).group_by("event_type").aggregate(
+            [("n", "sum"), ("cents_sum", "sum")])
+        return g.rename_columns(["event_type", "n", "cents_sum"])
+
+    out = agg._combine_partials(
+        after.map_batches(agg_partial, batch_format="pyarrow"),
+        keys=["event_type"], aggs=[("n", "sum"), ("cents_sum", "sum")])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_by("event_type")
+
+
+SQL_TARGETED_DELETE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM events
+WHERE ((user_id % {_CHECK_HASH_MOD}) * 2654435761::HUGEINT)
+      % {_CHECK_HASH_MOD} % {_DELETE_MOD} <> {_DELETE_RESIDUE}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["targeted_delete"] = (q_targeted_delete, SQL_TARGETED_DELETE)

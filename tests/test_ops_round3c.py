@@ -91,3 +91,33 @@ def test_diff_kbucket_deterministic_and_spread():
     # each 3-bucket band carries roughly 3% of ids
     frac_added = (k < 3).mean()
     assert 0.02 < frac_added < 0.04
+
+
+def test_range_sort_partition_offsets_exact():
+    # the range-cut + offset arithmetic of events_range_sorted_sample:
+    # global ranks reassembled from per-range local sorts must equal a
+    # full sort, including rows equal to a range-bound value.
+    rng = np.random.default_rng(3)
+    cents = rng.integers(0, 50, size=2000).astype(np.int64)  # heavy ties
+    ids = np.arange(2000, dtype=np.int64)
+    vals, cnts = np.unique(cents, return_counts=True)
+    order = np.argsort(-vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    npart = 7
+    targets = (np.arange(1, npart) * total) // npart
+    cut = np.searchsorted(cum, targets, side="left")
+    bounds = vals[cut]
+    start = np.concatenate([[0], cum[cut]])
+    pid = np.searchsorted(-bounds, -cents, side="left")
+    got = np.empty(total, dtype=np.int64)
+    for p in range(npart):
+        m = pid == p
+        e, c = ids[m], cents[m]
+        o = np.lexsort((e, -c))
+        got[e[o]] = np.arange(m.sum()) + start[p] + 1
+    full = np.lexsort((ids, -cents))
+    want = np.empty(total, dtype=np.int64)
+    want[ids[full]] = np.arange(total) + 1
+    assert np.array_equal(got, want)
