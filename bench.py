@@ -86,6 +86,13 @@ BENCH_EXTRA = [
     "user_streaks",
     "source_token_entropy",
     "top_events_diversified",
+    # round-3 session-4 operators
+    "bigram_pmi",
+    "corpus_diff",
+    "domain_hits",
+    "oov_ratio_by_source",
+    "events_range_sorted_sample",
+    "top_unshipped_orders",
 ]
 
 

@@ -8365,3 +8365,300 @@ GROUP BY 1 ORDER BY 1
 
 
 QUERIES["targeted_delete"] = (q_targeted_delete, SQL_TARGETED_DELETE)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): data-quality constraint report, BPE merge training,
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_data_quality_checks(sf_dir: str):
+    """Deequ-style constraint report — the validation gate a pipeline
+    runs before publishing a table: each check is one bounded
+    aggregate over its table and the report is (check, n_violations).
+    Checks: value ≥ 0, ts within the corpus month, event_id
+    uniqueness (distinct-count via per-block unique partials — the
+    distinct set stays a dataset past the driver bound),
+    orders→customer referential integrity (broadcast customer keyset,
+    is_in probe — at 10⁹ customers this flips to the Bloom semi-join,
+    stages/bloomjoin.py), and n_chars == len(text) consistency."""
+    import ray
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "value"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("value"), dtype=np.float64)
+        ts = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        lo = 1_704_067_200_000_000   # 2024-01-01 UTC in us
+        hi = 1_706_745_600_000_000   # 2024-02-01
+        return pa.table({
+            "neg_value": pa.array([int((v < 0).sum())]),
+            "ts_oob": pa.array([int(((ts < lo) | (ts >= hi)).sum())]),
+            "n_rows": pa.array([t.num_rows]),
+        })
+
+    ev_tot = agg._to_arrow(ev.map_batches(ev_partial,
+                                          batch_format="pyarrow"))
+    neg = int(pc.sum(ev_tot.column("neg_value")).as_py() or 0)
+    oob = int(pc.sum(ev_tot.column("ts_oob")).as_py() or 0)
+    n_rows = int(pc.sum(ev_tot.column("n_rows")).as_py() or 0)
+
+    def id_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.unique(
+            t.column("event_id").combine_chunks())})
+
+    uniq = agg._combine_partials(
+        ev.map_batches(id_partial, batch_format="pyarrow"),
+        keys=["event_id"], aggs=[], dataset_final=True)
+    n_distinct = (uniq.count() if hasattr(uniq, "count")
+                  and not isinstance(uniq, pa.Table) else uniq.num_rows)
+    dup_ids = n_rows - int(n_distinct)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def ckey_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(
+            t.column("c_custkey").combine_chunks())})
+
+    ckeys = agg._combine_partials(
+        cust.map_batches(ckey_partial, batch_format="pyarrow"),
+        keys=["k"], aggs=[])
+    ckey_ref = ray.put(ckeys.column("k").combine_chunks())
+
+    od = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ref_partial(t: pa.Table) -> pa.Table:
+        miss = pc.invert(pc.is_in(
+            t.column("o_custkey").combine_chunks(),
+            value_set=ray.get(ckey_ref)))
+        return pa.table({"miss": pa.array(
+            [int(pc.sum(pc.cast(miss, pa.int64())).as_py() or 0)])})
+
+    ref = agg._to_arrow(od.map_batches(ref_partial,
+                                       batch_format="pyarrow"))
+    ref_miss = int(pc.sum(ref.column("miss")).as_py() or 0)
+
+    docs = _read(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        bad = pc.not_equal(
+            pc.utf8_length(t.column("text").combine_chunks()),
+            t.column("n_chars").combine_chunks())
+        return pa.table({"bad": pa.array(
+            [int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)])})
+
+    lens = agg._to_arrow(docs.map_batches(len_partial,
+                                          batch_format="pyarrow"))
+    len_bad = int(pc.sum(lens.column("bad")).as_py() or 0)
+
+    checks = [
+        ("documents.n_chars_matches_text", len_bad),
+        ("events.event_id_unique", dup_ids),
+        ("events.ts_in_range", oob),
+        ("events.value_nonnegative", neg),
+        ("orders.custkey_references_customer", ref_miss),
+    ]
+    return pa.table({
+        "check": pa.array([c for c, _ in checks], type=pa.string()),
+        "n_violations": pa.array([v for _, v in checks],
+                                 type=pa.int64()),
+    })
+
+
+SQL_DATA_QUALITY_CHECKS = """
+SELECT 'documents.n_chars_matches_text' AS check,
+       CAST(count(*) FILTER (length(text) <> n_chars) AS BIGINT)
+         AS n_violations FROM documents
+UNION ALL
+SELECT 'events.event_id_unique',
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'events.ts_in_range',
+       CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-01'
+                             OR ts >= TIMESTAMP '2024-02-01') AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events.value_nonnegative',
+       CAST(count(*) FILTER (value < 0) AS BIGINT) FROM events
+UNION ALL
+SELECT 'orders.custkey_references_customer',
+       CAST(count(*) FILTER (o_custkey NOT IN
+                             (SELECT c_custkey FROM customer)) AS BIGINT)
+FROM orders
+ORDER BY 1
+"""
+
+
+QUERIES["data_quality_checks"] = (q_data_quality_checks,
+                                  SQL_DATA_QUALITY_CHECKS)
+
+
+_BPE_MERGES = 10
+
+
+def _bpe_train(word_freq: dict[str, int], n_merges: int):
+    """BPE training loop over a word-frequency table (the bounded
+    state real tokenizer trainers keep after the distributed
+    word-count): greedy best adjacent-symbol pair, ties by
+    lexicographically smallest (left, right); merges applied
+    left-to-right non-overlapping. Returns [(left, right, count)]."""
+    words = {w: (list(w), f) for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((l, r, c))
+        tok = l + r
+        for w, (syms, f) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, f)
+    return merges
+
+
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer training (BPE): the distributed stage is the
+    word-frequency count — a vocab-bounded shuffle exactly like
+    token_bigrams' — after which the greedy merge loop runs on the
+    bounded (word, freq) table driver-side, the same split real BPE
+    trainers use (corpus-scale counting, vocab-scale merging). 10
+    merges, ties broken lexicographically so the merge sequence is a
+    pure function of the corpus. No SQL oracle (the iterative merge
+    is not SQL-expressible); pinned instead by a brute-force parity
+    pytest and the deterministic rows-only hash."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def wf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"w": flat}).filter(
+            pc.not_equal(flat, "")).group_by("w") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["w", "f"])
+
+    wf = _partial_final(ds, wf_partial, ["w"], [("f", "sum")])
+    word_freq = dict(zip(wf.column("w").to_pylist(),
+                         (int(x) for x in wf.column("f").to_pylist())))
+    merges = _bpe_train(word_freq, _BPE_MERGES)
+    return pa.table({
+        "merge_rank": pa.array(range(1, len(merges) + 1),
+                               type=pa.int64()),
+        "left": pa.array([m[0] for m in merges], type=pa.string()),
+        "right": pa.array([m[1] for m in merges], type=pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], type=pa.int64()),
+    })
+
+
+QUERIES["bpe_merges"] = (q_bpe_merges, None)
+
+
+_ATTR_WINDOW_US = 3 * 86_400_000_000  # 3-day lookback
+
+
+def q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase credited to the same
+    user's most recent click strictly before it and within a 3-day
+    window (−1 when none) — the marketing-analytics self-as-of join.
+    One user-hash exchange of the two filtered event streams; per
+    partition the classic merge-scan: rows sorted by (user, ts,
+    purchase-before-click-at-ties, event_id), a forward-filled
+    last-click row index per user segment answers every purchase in
+    O(n) — ties on ts resolve to the larger click event_id exactly as
+    the oracle's ORDER BY ts DESC, event_id DESC."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").cast(pa.string())
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        is_click = pc.equal(t.column("event_type").cast(pa.string()),
+                            "click")
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "is_click": pc.cast(is_click, pa.int8()),
+        })
+
+    def attribute(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        ic = np.asarray(t.column("is_click"), dtype=np.int64)
+        # ts ties: purchases (is_click=0) sort BEFORE clicks so a
+        # same-instant click is never credited
+        order = np.lexsort((e, ic, ts, u))
+        u, ts, e, ic = u[order], ts[order], e[order], ic[order]
+        n = len(u)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "click_event_id": pa.array(
+                                 [], type=pa.int64())})
+        idx = np.arange(n, dtype=np.int64)
+        # forward-fill last click row index; a fill crossing a user
+        # boundary is detected (and dropped) by segment-id mismatch
+        carry = np.where(ic == 1, idx, -1)
+        ff = np.maximum.accumulate(carry)
+        seg_first = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
+        start_mask = np.zeros(n, dtype=bool)
+        start_mask[seg_first] = True
+        seg_id = np.cumsum(start_mask) - 1
+        has_click = ff >= 0
+        same_seg = has_click.copy()
+        same_seg[has_click] = seg_id[ff[has_click]] == seg_id[has_click]
+        in_window = has_click & (
+            ts - np.where(has_click, ts[np.maximum(ff, 0)], 0)
+            <= _ATTR_WINDOW_US)
+        purch = ic == 0
+        attr = np.where(same_seg & in_window,
+                        e[np.maximum(ff, 0)], -1)
+        return pa.table({
+            "event_id": pa.array(e[purch]),
+            "user_id": pa.array(u[purch]),
+            "click_event_id": pa.array(attr[purch]),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(attribute, batch_format="pyarrow")
+
+
+SQL_PURCHASE_ATTRIBUTION = f"""
+WITH c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       coalesce((SELECT c.event_id FROM c
+                 WHERE c.user_id = p.user_id AND c.ts < p.ts
+                   AND epoch_us(p.ts) - epoch_us(c.ts)
+                       <= {_ATTR_WINDOW_US}
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1)
+         AS click_event_id
+FROM p ORDER BY p.event_id
+"""
+
+
+QUERIES["purchase_attribution"] = (q_purchase_attribution,
+                                   SQL_PURCHASE_ATTRIBUTION)

@@ -121,3 +121,88 @@ def test_range_sort_partition_offsets_exact():
     want = np.empty(total, dtype=np.int64)
     want[ids[full]] = np.arange(total) + 1
     assert np.array_equal(got, want)
+
+
+def test_bpe_train_matches_bruteforce():
+    from log_analysis_ai_ray.pipelines.queries import _bpe_train
+
+    word_freq = {"lower": 2, "lowest": 1, "newer": 3, "wider": 1,
+                 "new": 2, "a": 5}
+
+    # independent reference: re-tokenize the expanded corpus each round
+    def ref(wf, k):
+        corpus = []
+        for w, f in wf.items():
+            corpus.extend([list(w)] * f)
+        merges = []
+        for _ in range(k):
+            counts = {}
+            for syms in corpus:
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = \
+                        counts.get((syms[i], syms[i + 1]), 0) + 1
+            if not counts:
+                break
+            (l, r), c = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+            merges.append((l, r, c))
+            nxt = []
+            for syms in corpus:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt.append(out)
+            corpus = nxt
+        return merges
+
+    assert _bpe_train(dict(word_freq), 6) == ref(word_freq, 6)
+    # merged symbols must keep merging into longer units
+    merges = _bpe_train({"aaaa": 4}, 2)
+    assert merges[0] == ("a", "a", 12)   # 3 adjacent pairs x freq 4
+    assert merges[1][0] == "aa"
+
+
+def test_last_touch_forward_fill_kernel():
+    # mirrors q_purchase_attribution's per-partition scan on a case
+    # with: same-instant click (ignored), cross-user leak risk,
+    # window expiry, and a tie resolved to the larger click id.
+    rows = [
+        # (user, ts, event_id, is_click)
+        (1, 100, 10, 1),
+        (1, 100, 11, 1),   # tie: larger id must win
+        (1, 200, 12, 0),   # purchase -> click 11
+        (2, 150, 20, 0),   # purchase, user 2 has no click -> -1
+        (2, 300, 21, 1),
+        (2, 300, 22, 0),   # same-instant click must NOT match -> -1
+        (2, 400, 23, 0),   # -> click 21
+    ]
+    import numpy as np
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    e = np.array([r[2] for r in rows], dtype=np.int64)
+    ic = np.array([r[3] for r in rows], dtype=np.int64)
+    order = np.lexsort((e, ic, ts, u))
+    u, ts, e, ic = u[order], ts[order], e[order], ic[order]
+    n = len(u)
+    idx = np.arange(n, dtype=np.int64)
+    carry = np.where(ic == 1, idx, -1)
+    ff = np.maximum.accumulate(carry)
+    seg_first = np.concatenate([[0],
+                                np.flatnonzero(u[1:] != u[:-1]) + 1])
+    start = np.zeros(n, dtype=bool)
+    start[seg_first] = True
+    seg_id = np.cumsum(start) - 1
+    has = ff >= 0
+    same = has.copy()
+    same[has] = seg_id[ff[has]] == seg_id[has]
+    win = has & (ts - np.where(has, ts[np.maximum(ff, 0)], 0) <= 10_000)
+    attr = np.where(same & win, e[np.maximum(ff, 0)], -1)
+    purch = ic == 0
+    got = dict(zip(e[purch].tolist(), attr[purch].tolist()))
+    assert got == {12: 11, 20: -1, 22: -1, 23: 21}
