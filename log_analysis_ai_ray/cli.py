@@ -102,6 +102,15 @@ def main(argv=None) -> int:
     p_cp.add_argument("--store", required=True)
     p_cp.add_argument("--target-mb", type=int, default=128)
 
+    p_iw = sub.add_parser(
+        "ingest-warc", help="WARC → columnar pages parquet (parse "
+                            "records, extract text from html; "
+                            "resumable per file group)")
+    p_iw.add_argument("--warc", required=True)
+    p_iw.add_argument("--out", required=True)
+    p_iw.add_argument("--files-per-group", type=int, default=4)
+    p_iw.add_argument("--resume", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "sql":
@@ -135,6 +144,14 @@ def main(argv=None) -> int:
                 min_alpha_pm=args.min_alpha_pm,
                 drop_near_dups=not args.no_near_dups)
             print(json.dumps(metrics))
+            return 0
+        if args.cmd == "ingest-warc":
+            from .sources.warc import ingest_warc
+
+            stats = ingest_warc(args.warc, args.out,
+                                files_per_group=args.files_per_group,
+                                resume=args.resume)
+            print(json.dumps(stats))
             return 0
         if args.cmd == "compact":
             from .stages.compact import compact_store

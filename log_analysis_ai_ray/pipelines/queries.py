@@ -8662,3 +8662,209 @@ FROM p ORDER BY p.event_id
 
 QUERIES["purchase_attribution"] = (q_purchase_attribution,
                                    SQL_PURCHASE_ATTRIBUTION)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): WARC ingest (Common-Crawl container format)
+# ---------------------------------------------------------------------------
+
+_WARC_ROOT = "/tmp/graft_warc"
+
+
+def warc_dir_for(sf_dir: str) -> str:
+    from ..sources import warc as warcmod
+
+    out = os.path.join(_WARC_ROOT, sf_name(sf_dir))
+    return warcmod.write_warc_from_pages(pages_dir_for(sf_dir), out)
+
+
+def q_warc_lang_stats(sf_dir: str):
+    """WARC ingest end-to-end: the pages corpus re-framed as standard
+    .warc.gz members (one per parquet shard), read back through the
+    binary-file source + Content-Length record parser
+    (sources/warc.py), aggregated per language — page counts and
+    payload octet totals. The octet sum is the byte-identity check in
+    aggregate form (any truncated/shifted payload flips it); the
+    per-row byte-identical html invariant is pinned exactly in
+    tests/test_warc.py. Reads skip payload bytes entirely
+    (include_html=False → header-only slicing)."""
+    from ..sources.warc import read_warc
+
+    ds = read_warc(warc_dir_for(sf_dir), include_html=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": t.column("lang"),
+            "n_pages": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "octets": t.column("n_octets"),
+        }).group_by("lang").aggregate(
+            [("n_pages", "sum"), ("octets", "sum")])
+        return g.rename_columns(["lang", "n_pages", "octets"])
+
+    out = _partial_final(ds, partial, ["lang"],
+                         [("n_pages", "sum"), ("octets", "sum")])
+    return out.sort_by("lang")
+
+
+SQL_WARC_LANG_STATS = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(octet_length(html)) AS BIGINT) AS octets
+FROM {PAGES_VIEW} GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["warc_lang_stats"] = (q_warc_lang_stats, SQL_WARC_LANG_STATS)
+
+
+def q_domain_clustering(sf_dir: str):
+    """Triangle counting + local clustering coefficient per domain —
+    the graph-structure statistic link-spam detection uses (spam farms
+    have abnormally dense triangles). The directed multi-edge table
+    (domain_link_edges partials) is symmetrized and deduplicated to
+    simple undirected edges; triangles per node come from the
+    adjacency-matrix walk on the bounded domain graph driver-side
+    (same bounded-close precedent as PageRank/HITS; at page scale this
+    becomes the classic edge-partitioned wedge-join: emit each node's
+    neighbor pairs, semi-join against the edge set). Coefficient =
+    2·tri / (deg·(deg−1)), exact integers into one float division."""
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst                       # drop self-loops
+    src, dst = src[keep], dst[keep]
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[si, di] = True
+    adj = adj | adj.T                       # undirected simple graph
+    a = adj.astype(np.int64)
+    tri = np.diag(a @ a @ a) // 2           # per-node triangle count
+    deg = a.sum(axis=1)
+    coef = np.where(deg >= 2,
+                    2.0 * tri / np.maximum(deg * (deg - 1), 1), 0.0)
+    return pa.table({
+        "domain": pa.array(nodes),
+        "degree": pa.array(deg),
+        "triangles": pa.array(tri),
+        "clustering": _round(pa.array(coef), 6),
+    }).sort_by("domain")
+
+
+SQL_DOMAIN_CLUSTERING = f"""
+WITH raw AS (
+  SELECT regexp_extract(url, '{_DOM_RE}', 1) AS a,
+         regexp_extract(dst, '{_DOM_RE}', 1) AS b
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {PAGES_VIEW})
+  WHERE regexp_extract(url, '{_DOM_RE}', 1)
+        <> regexp_extract(dst, '{_DOM_RE}', 1)),
+und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+nodes AS (SELECT DISTINCT a AS d FROM sym),
+deg AS (SELECT a AS d, count(*) AS degree FROM sym GROUP BY 1),
+tri AS (SELECT s1.a AS d, count(*) / 2 AS triangles
+        FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+        JOIN und e ON e.a = least(s1.a, s2.b)
+                  AND e.b = greatest(s1.a, s2.b)
+        WHERE s1.a <> s2.b
+        GROUP BY 1)
+SELECT nodes.d AS domain,
+       CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN coalesce(deg.degree, 0) >= 2
+            THEN round(2.0 * coalesce(tri.triangles, 0)
+                       / (deg.degree * (deg.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM nodes LEFT JOIN deg ON deg.d = nodes.d
+LEFT JOIN tri ON tri.d = nodes.d
+ORDER BY domain
+"""
+
+
+QUERIES["domain_clustering"] = (q_domain_clustering,
+                                SQL_DOMAIN_CLUSTERING)
+
+
+def q_source_overlap_matrix(sf_dir: str):
+    """Pairwise cross-source duplicate matrix — which corpus sources
+    copy from each other (the provenance view of the split_leakage
+    audit): for every unordered source pair, how many distinct
+    passage-prefix hashes (md5 of the first 60 chars — whole-document
+    hashes never cross sources in this corpus; lead-paragraph reuse
+    does, which is exactly how syndicated content presents) appear in
+    BOTH. One hash exchange carrying (hash, source) pairs deduplicated
+    per block; per-hash distinct source sets expand to
+    ≤ (sources choose 2) pair rows each, merged into the bounded
+    matrix."""
+    from ..stages.dedup import content_hash_column
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        from ..stages.bloomjoin import _column_to_u64
+
+        ch = content_hash_column(
+            pc.utf8_slice_codeunits(
+                t.column("text").combine_chunks(), 0, 60))
+        g = pa.table({"h": ch, "source": t.column("source")}) \
+            .group_by(["h", "source"]).aggregate([])
+        # cross-process-deterministic string partitioning (polars
+        # vectorized hash — Python's hash() is per-process salted)
+        keys, _ = _column_to_u64(g.column("h"))
+        pk = (keys % np.uint64(_ARGMAX_NPART)).astype(np.int64)
+        return pa.table({"_pkey": pa.array(pk),
+                         "h": g.column("h"),
+                         "source": g.column("source")})
+
+    def pair_up(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("h").to_pylist())
+        s = np.asarray(t.column("source").to_pylist())
+        order = np.lexsort((s, h))
+        h, s = h[order], s[order]
+        first = np.concatenate([[0],
+                                np.flatnonzero(h[1:] != h[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(h)]]))
+        pairs_a, pairs_b = [], []
+        for f, c in zip(first, counts):
+            if c < 2:
+                continue
+            # per-block dedup upstream still leaves cross-block
+            # repeats of (h, source) — unique per hash group here
+            grp = np.unique(s[f:f + c])
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    pairs_a.append(grp[i])
+                    pairs_b.append(grp[j])
+        g = pa.table({
+            "source_a": pa.array(pairs_a, type=pa.string()),
+            "source_b": pa.array(pairs_b, type=pa.string()),
+        }).group_by(["source_a", "source_b"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source_a", "source_b", "n_shared"])
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(pair_up, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["source_a", "source_b"], aggs=[("n_shared", "sum")],
+        empty_schema=pa.schema([("source_a", pa.string()),
+                                ("source_b", pa.string()),
+                                ("n_shared", pa.int64())]))
+    return out.sort_by([("source_a", "ascending"),
+                        ("source_b", "ascending")])
+
+
+SQL_SOURCE_OVERLAP_MATRIX = """
+WITH hs AS (SELECT DISTINCT md5(substr(text, 1, 60)) AS h, source
+            FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["source_overlap_matrix"] = (q_source_overlap_matrix,
+                                    SQL_SOURCE_OVERLAP_MATRIX)
