@@ -93,6 +93,9 @@ BENCH_EXTRA = [
     "oov_ratio_by_source",
     "events_range_sorted_sample",
     "top_unshipped_orders",
+    "purchase_attribution",
+    "data_quality_checks",
+    "warc_lang_stats",
 ]
 
 
