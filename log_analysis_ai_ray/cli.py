@@ -102,6 +102,18 @@ def main(argv=None) -> int:
     p_cp.add_argument("--store", required=True)
     p_cp.add_argument("--target-mb", type=int, default=128)
 
+    p_q = sub.add_parser(
+        "query", help="run any registry query by name over an sf dir "
+                      "(the ad-hoc analysis surface; --list prints "
+                      "names)")
+    p_q.add_argument("--name", default=None)
+    p_q.add_argument("--sf", default="/root/testdata/sf0.01")
+    p_q.add_argument("--out", default=None,
+                     help="write result parquet here instead of "
+                          "printing the head")
+    p_q.add_argument("--head", type=int, default=20)
+    p_q.add_argument("--list", action="store_true")
+
     p_iw = sub.add_parser(
         "ingest-warc", help="WARC → columnar pages parquet (parse "
                             "records, extract text from html; "
@@ -127,6 +139,12 @@ def main(argv=None) -> int:
         print(json.dumps({"files": len(paths), "out": args.out}))
         return 0
 
+    if args.cmd == "query" and (args.list or args.name is None):
+        from .pipelines.queries import QUERIES
+
+        print(json.dumps(sorted(QUERIES)))
+        return 0
+
     if args.cmd == "flagship" and not os.path.isdir(args.pages):
         print(json.dumps({"error": f"--pages dir not found: {args.pages}"}),
               file=sys.stderr)
@@ -144,6 +162,41 @@ def main(argv=None) -> int:
                 min_alpha_pm=args.min_alpha_pm,
                 drop_near_dups=not args.no_near_dups)
             print(json.dumps(metrics))
+            return 0
+        if args.cmd == "query":
+            import pyarrow as pa
+
+            from .pipelines.queries import QUERIES
+
+            if args.list or args.name is None:
+                print(json.dumps(sorted(QUERIES)))
+                return 0
+            if args.name not in QUERIES:
+                print(json.dumps({"error": f"unknown query {args.name}"}),
+                      file=sys.stderr)
+                return 2
+            fn, _sql = QUERIES[args.name]
+            res = fn(args.sf)
+            if not isinstance(res, pa.Table):
+                res = res.to_arrow() if hasattr(res, "to_arrow") else res
+            if hasattr(res, "materialize"):   # Dataset result
+                import ray
+
+                res = pa.concat_tables(
+                    [ray.get(r) for r in
+                     res.materialize().to_arrow_refs()])
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(res, args.out)
+                print(json.dumps({"rows": res.num_rows,
+                                  "out": args.out}))
+            else:
+                print(json.dumps({
+                    "rows": res.num_rows,
+                    "columns": res.column_names,
+                    "head": res.slice(0, args.head).to_pylist(),
+                }, default=str))
             return 0
         if args.cmd == "ingest-warc":
             from .sources.warc import ingest_warc

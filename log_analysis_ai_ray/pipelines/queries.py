@@ -8868,3 +8868,127 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["source_overlap_matrix"] = (q_source_overlap_matrix,
                                     SQL_SOURCE_OVERLAP_MATRIX)
+
+
+_ARES_K = 25
+
+
+def q_weighted_sample_wor(sf_dir: str):
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    A-Res: priority = −ln(u)/w with u = (knuth(doc_id)+1)/2³², weight
+    w = n_chars; the k smallest priorities are exactly a weighted
+    sample without replacement. Fully distributed top-k: each block
+    computes priorities vectorized and keeps its local k smallest
+    (local top-k is a valid candidate set), the driver merges
+    blocks×k rows. Same integer hash → identical doubles on both
+    engines, so the sample is engine-reproducible — the property that
+    makes a 100 TB sampling job re-runnable and auditable."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        w = np.asarray(t.column("n_chars"), dtype=np.float64)
+        m = np.uint64(_CHECK_HASH_MOD)
+        h = ((ids.astype(np.uint64) % m * np.uint64(2654435761)) % m) \
+            .astype(np.float64)
+        u = (h + 1.0) / float(_CHECK_HASH_MOD)
+        prio = -np.log(u) / w
+        k = min(_ARES_K, len(ids))
+        sel = np.argsort(prio, kind="stable")[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[sel]),
+            "source": t.column("source").take(
+                pa.array(sel, type=pa.int64())),
+            "priority": pa.array(prio[sel]),
+        })
+
+    cand = agg._to_arrow(ds.map_batches(local_topk,
+                                        batch_format="pyarrow"))
+    prio = np.asarray(cand.column("priority"), dtype=np.float64)
+    ids = np.asarray(cand.column("doc_id"), dtype=np.int64)
+    sel = np.lexsort((ids, prio))[:_ARES_K]
+    out = pa.table({
+        "doc_id": pa.array(ids[sel]),
+        "source": cand.column("source").take(
+            pa.array(sel, type=pa.int64())),
+        "priority": _round(pa.array(prio[sel]), 6),
+    })
+    return out.sort_by([("priority", "ascending"),
+                        ("doc_id", "ascending")])
+
+
+SQL_WEIGHTED_SAMPLE_WOR = f"""
+WITH p AS (
+  SELECT doc_id, source,
+         -ln((CAST(((doc_id % {_CHECK_HASH_MOD})
+                    * 2654435761::HUGEINT) % {_CHECK_HASH_MOD}
+              AS DOUBLE) + 1.0) / {_CHECK_HASH_MOD})
+         / CAST(n_chars AS DOUBLE) AS prio
+  FROM documents)
+SELECT doc_id, source, round(prio, 6) AS priority
+FROM p ORDER BY prio, doc_id LIMIT {_ARES_K}
+"""
+
+
+QUERIES["weighted_sample_wor"] = (q_weighted_sample_wor,
+                                  SQL_WEIGHTED_SAMPLE_WOR)
+
+
+_TSIM_NQ = 3
+
+
+def q_template_similar_check(sf_dir: str):
+    """Driver-verified accuracy harness for template semantic search
+    (closing the one approximate surface without one — the pattern
+    every other approximate family already has): query the registry's
+    3 most frequent templates BY THEIR OWN TEXT; a correct featurize +
+    cosine top-k must return each template itself at rank 1 with
+    similarity 1.0. Output is the aggregate flag row the constant
+    oracle expects, so any featurization or ranking regression flips
+    the driver hash."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.knn import brute_force_topk
+    from ..stages.textstats import hash_ngram_vectors
+
+    reg = pq.read_table(
+        os.path.join(routed_dir_for(sf_dir), "template_registry.parquet"),
+        columns=["template_hash", "template", "count"])
+    reg = reg.sort_by([("count", "descending"),
+                       ("template_hash", "ascending")])
+    qtexts = reg.column("template").to_pylist()[:_TSIM_NQ]
+    qhashes = [int(x) for x in
+               reg.column("template_hash").to_pylist()[:_TSIM_NQ]]
+    vecs = hash_ngram_vectors(reg.column("template"))
+    t = pa.table({
+        "vec_id": reg.column("template_hash").cast(pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    qv = hash_ngram_vectors(pa.array(qtexts))
+    top = brute_force_topk(ds, list(range(_TSIM_NQ)), qv, k=1,
+                           round_digits=4, concurrency=1)
+    top = top.sort_by("query_id")
+    got_ids = top.column("vec_id").to_pylist()
+    sims = top.column("sim").to_pylist()
+    n_self = sum(1 for g, w in zip(got_ids, qhashes) if int(g) == w)
+    n_one = sum(1 for s in sims if abs(float(s) - 1.0) < 1e-9)
+    return pa.table({
+        "n_queries": pa.array([_TSIM_NQ], type=pa.int64()),
+        "n_top1_self": pa.array([n_self], type=pa.int64()),
+        "n_sim_one": pa.array([n_one], type=pa.int64()),
+    })
+
+
+SQL_TEMPLATE_SIMILAR_CHECK = f"""
+SELECT CAST({_TSIM_NQ} AS BIGINT) AS n_queries,
+       CAST({_TSIM_NQ} AS BIGINT) AS n_top1_self,
+       CAST({_TSIM_NQ} AS BIGINT) AS n_sim_one
+"""
+
+
+QUERIES["template_similar_check"] = (q_template_similar_check,
+                                     SQL_TEMPLATE_SIMILAR_CHECK)

@@ -195,3 +195,22 @@ def test_config_chunk_transform(ray_session, tmp_path):
     assert d7[3]["first_token"] == "w9" and d7[3]["last_token"] == "w9"
     d8 = [r for r in rows if r["doc_id"] == 8]
     assert len(d8) == 1 and d8[0]["n_chunk_tokens"] == 1
+
+
+def test_cli_query_command(ray_session, capsys):
+    import json
+
+    from log_analysis_ai_ray.cli import main
+
+    # --list needs no Ray work and prints the registry names
+    assert main(["query", "--list"]) == 0
+    names = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "level_counts" in names and len(names) >= 150
+    # run a real query over the sf0.001 tables
+    assert main(["query", "--name", "events_trend_slope",
+                 "--sf", "/root/testdata/sf0.001"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 5
+    assert out["columns"] == ["event_type", "n", "slope_cents_per_day"]
+    # unknown name is a clean error
+    assert main(["query", "--name", "nope"]) == 2

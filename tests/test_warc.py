@@ -112,3 +112,40 @@ def test_ingest_warc_resumable_and_byte_exact(tmp_path):
     n_b = con.execute(f"SELECT count(*) FROM read_parquet("
                       f"'{out}/pages-*.parquet')").fetchone()[0]
     assert diff == 0 and n_a == n_b == stats["rows_written"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingested_pages_drive_flagship_identically(tmp_path):
+    """The WARC→parquet ingest output is a drop-in flagship input:
+    line-level parse aggregates (level counts) over the ingested dir
+    equal those over the original pages dir."""
+    from log_analysis_ai_ray.pipelines import flagship
+    from log_analysis_ai_ray.pipelines.queries import pages_dir_for
+    from log_analysis_ai_ray.sources.warc import (ingest_warc,
+                                                  write_warc_from_pages)
+
+    pages_dir = pages_dir_for("/root/testdata/sf0.001")
+    warc = write_warc_from_pages(pages_dir, str(tmp_path / "warc"))
+    out = str(tmp_path / "pages")
+    ingest_warc(warc, out, files_per_group=4)
+
+    def _collect(ds):
+        import ray
+
+        return [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+
+    def level_counts(d):
+        lines = flagship.build_lines(d)
+
+        def part(t):
+            g = t.select(["level"]).group_by("level").aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["level", "n"])
+
+        merged = pa.concat_tables(
+            _collect(lines.map_batches(part, batch_format="pyarrow")))
+        out_t = merged.group_by("level").aggregate([("n", "sum")])
+        return sorted(zip(out_t.column("level").to_pylist(),
+                          out_t.column("n_sum").to_pylist()))
+
+    assert level_counts(out) == level_counts(pages_dir)
