@@ -8992,3 +8992,217 @@ SELECT CAST({_TSIM_NQ} AS BIGINT) AS n_queries,
 
 QUERIES["template_similar_check"] = (q_template_similar_check,
                                      SQL_TEMPLATE_SIMILAR_CHECK)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): edit-distance-1 similarity join (FastSS), interval
+# union coverage
+# ---------------------------------------------------------------------------
+
+
+def _del_variants(s: str) -> list[str]:
+    return [s[:i] + s[i + 1:] for i in range(len(s))]
+
+
+def _ed_le_1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 verifier (strings of close length)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                       # exactly one substitution?
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a+1 char: one insertion — split at first mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_customer_name_neardups(sf_dir: str):
+    """Similarity JOIN at edit distance ≤ 1 via deletion-neighborhood
+    hashing (FastSS): record-linkage's 'same entity, one typo' blocking
+    without the O(n²) compare. Each name emits itself + its |s|
+    1-deletion variants; ONE variant-hash exchange groups candidates
+    (two strings at ed ≤ 1 always share a variant); per partition,
+    candidate pairs are verified by the exact ed≤1 check and deduped
+    (a pair can collide in several variants — min-variant ownership
+    would also work; we unique per partition then merge-dedup, pair
+    space bounded by true matches). Output: the pair count plus the
+    count of distinct names with ≥1 neighbor — any missed or phantom
+    pair flips both."""
+    from ..stages.bloomjoin import _column_to_u64
+
+    ds = _read(sf_dir, "customer", columns=["c_name"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        names = t.column("c_name").to_pylist()
+        vs, owner = [], []
+        for nm in names:
+            vs.append(nm)              # the string itself (ins/del)
+            owner.append(nm)
+            for v in _del_variants(nm):
+                vs.append(v)
+                owner.append(nm)
+        vt = pa.table({"v": pa.array(vs, type=pa.string()),
+                       "name": pa.array(owner, type=pa.string())})
+        vt = vt.group_by(["v", "name"]).aggregate([])
+        keys, _ = _column_to_u64(vt.column("v"))
+        return pa.table({
+            "_pkey": pa.array((keys % np.uint64(_ARGMAX_NPART))
+                              .astype(np.int64)),
+            "v": vt.column("v"),
+            "name": vt.column("name"),
+        })
+
+    def verify(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("v").to_pylist())
+        nm = np.asarray(t.column("name").to_pylist())
+        order = np.lexsort((nm, v))
+        v, nm = v[order], nm[order]
+        first = np.concatenate([[0],
+                                np.flatnonzero(v[1:] != v[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(v)]]))
+        pairs = set()
+        for f, c in zip(first, counts):
+            if c < 2:
+                continue
+            grp = np.unique(nm[f:f + c])
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    a, b = grp[i], grp[j]
+                    if (a, b) not in pairs and _ed_le_1(a, b):
+                        pairs.add((a, b))
+        a = [p[0] for p in sorted(pairs)]
+        b = [p[1] for p in sorted(pairs)]
+        return pa.table({"a": pa.array(a, type=pa.string()),
+                         "b": pa.array(b, type=pa.string())})
+
+    parts = ds.map_batches(variants, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(verify, batch_format="pyarrow")
+    # a pair can surface in multiple partitions (several shared
+    # variants hash apart) — final distinct before counting
+    pairs = agg._combine_partials(
+        parts, keys=["a", "b"], aggs=[],
+        empty_schema=pa.schema([("a", pa.string()),
+                                ("b", pa.string())]))
+    n_pairs = pairs.num_rows
+    names = set(pairs.column("a").to_pylist()) \
+        | set(pairs.column("b").to_pylist())
+    return pa.table({
+        "n_pairs": pa.array([n_pairs], type=pa.int64()),
+        "n_names_with_neighbor": pa.array([len(names)],
+                                          type=pa.int64()),
+    })
+
+
+SQL_CUSTOMER_NAME_NEARDUPS = """
+WITH p AS (SELECT a.c_name AS a, b.c_name AS b
+           FROM customer a JOIN customer b
+             ON a.c_name < b.c_name
+            AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            AND levenshtein(a.c_name, b.c_name) <= 1)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(DISTINCT n) FROM
+              (SELECT a AS n FROM p UNION SELECT b FROM p)) AS BIGINT)
+         AS n_names_with_neighbor
+FROM p
+"""
+
+
+QUERIES["customer_name_neardups"] = (q_customer_name_neardups,
+                                     SQL_CUSTOMER_NAME_NEARDUPS)
+
+
+_COVER_DAYS = 30
+
+
+def q_customer_coverage_days(sf_dir: str):
+    """Interval UNION length per key (total distinct covered time —
+    the dedup of overlapping subscriptions/sessions): each order opens
+    a 30-day window; output per customer = union length in days.
+    One custkey-hash exchange; per partition the classic sweep:
+    lexsort by (cust, start), islands start where start > running max
+    end of the PRECEDING intervals, union = Σ per-island
+    (max end − island start). Exact integer day arithmetic, window
+    max + gaps-and-islands mirrored in the oracle."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        d = (np.asarray(t.column("o_orderdate").cast(pa.int64()),
+                        dtype=np.int64) // 86_400_000_000)
+        return pa.table({
+            "_pkey": pa.array(k % _ARGMAX_NPART),
+            "cust": pa.array(k),
+            "start": pa.array(d),
+        })
+
+    def sweep(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("cust"), dtype=np.int64)
+        s = np.asarray(t.column("start"), dtype=np.int64)
+        order = np.lexsort((s, k))
+        k, s = k[order], s[order]
+        e = s + _COVER_DAYS
+        n = len(k)
+        seg_first = np.concatenate(
+            [[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        # per-customer segment loop (running max must reset per key;
+        # the loop is over distinct customers in the partition, not
+        # corpus rows — islands per customer are few)
+        custs, days = [], []
+        seg_bounds = np.concatenate([seg_first, [n]])
+        for i in range(len(seg_first)):
+            a, b = seg_bounds[i], seg_bounds[i + 1]
+            ss, ee = s[a:b], e[a:b]
+            run_end = np.maximum.accumulate(ee)
+            new_island = np.concatenate(
+                [[True], ss[1:] > run_end[:-1]])
+            island_id = np.cumsum(new_island) - 1
+            total = 0
+            for isl in range(island_id[-1] + 1):
+                m = island_id == isl
+                total += int(ee[m].max() - ss[m].min())
+            custs.append(int(k[a]))
+            days.append(total)
+        return pa.table({
+            "o_custkey": pa.array(custs, type=pa.int64()),
+            "covered_days": pa.array(days, type=pa.int64()),
+        })
+
+    out = agg._to_arrow(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(sweep, batch_format="pyarrow"))
+    return out.sort_by("o_custkey")
+
+
+SQL_CUSTOMER_COVERAGE_DAYS = f"""
+WITH o AS (SELECT o_custkey,
+                  CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                    AS s
+           FROM orders),
+w AS (SELECT o_custkey, s, s + {_COVER_DAYS} AS e,
+             max(s + {_COVER_DAYS}) OVER
+               (PARTITION BY o_custkey ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM o),
+i AS (SELECT o_custkey, s, e,
+             sum(CASE WHEN prev_end IS NULL OR s > prev_end
+                      THEN 1 ELSE 0 END) OVER
+               (PARTITION BY o_custkey ORDER BY s
+                ROWS UNBOUNDED PRECEDING) AS island
+      FROM w),
+u AS (SELECT o_custkey, island,
+             max(e) - min(s) AS len
+      FROM i GROUP BY 1, 2)
+SELECT o_custkey, CAST(sum(len) AS BIGINT) AS covered_days
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["customer_coverage_days"] = (q_customer_coverage_days,
+                                     SQL_CUSTOMER_COVERAGE_DAYS)

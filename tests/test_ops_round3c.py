@@ -206,3 +206,26 @@ def test_last_touch_forward_fill_kernel():
     purch = ic == 0
     got = dict(zip(e[purch].tolist(), attr[purch].tolist()))
     assert got == {12: 11, 20: -1, 22: -1, 23: 21}
+
+
+def test_ed_le_1_verifier_and_fastss_recall():
+    from log_analysis_ai_ray.pipelines.queries import (_del_variants,
+                                                       _ed_le_1)
+
+    assert _ed_le_1("abc", "abc")
+    assert _ed_le_1("abc", "abd")       # substitution
+    assert _ed_le_1("abc", "abcd")      # insertion at end
+    assert _ed_le_1("abc", "xabc")      # insertion at front
+    assert _ed_le_1("abc", "ab")        # deletion
+    assert not _ed_le_1("abc", "adc1")  # sub + insert = 2
+    assert not _ed_le_1("abc", "cba")
+    assert not _ed_le_1("abc", "abcde")
+    # FastSS completeness: any pair at ed<=1 shares a member of
+    # {s} ∪ deletions(s) on both sides
+    import itertools
+    words = ["cat", "cut", "cast", "at", "dog", "cats"]
+    for a, b in itertools.combinations(words, 2):
+        if _ed_le_1(a, b):
+            va = set([a] + _del_variants(a))
+            vb = set([b] + _del_variants(b))
+            assert va & vb, (a, b)
