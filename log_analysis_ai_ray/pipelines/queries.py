@@ -9206,3 +9206,194 @@ FROM u GROUP BY 1 ORDER BY 1
 
 QUERIES["customer_coverage_days"] = (q_customer_coverage_days,
                                      SQL_CUSTOMER_COVERAGE_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): graph-science stats, centroid similarity, CUBE
+# ---------------------------------------------------------------------------
+
+
+def q_degree_powerlaw_fit(sf_dir: str):
+    """Power-law exponent of the page in-degree distribution — the
+    web-science sanity statistic (crawls follow ln(count) ≈ α − γ·
+    ln(degree)): in-degree histogram (bounded: degrees, not pages,
+    after the count-of-counts reduction) → OLS in log-log space using
+    the same sufficient-statistics close as events_trend_slope, here
+    over (ln k, ln n_k) pairs weighted equally. Exact integer
+    histogram feeds identical ln() doubles on both engines; the ≤
+    |distinct degrees| regression closes driver-side."""
+    import math
+
+    ds = read_pages(pages_dir_for(sf_dir), columns=["url", "html"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, dst = _href_targets(t)
+        g = pa.table({"url": dst}).group_by("url") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["url", "d"])
+
+    indeg = _partial_final(ds, partial, ["url"], [("d", "sum")])
+    # count-of-counts: how many pages have in-degree k
+    hist = pa.table({"k": indeg.column("d")}).group_by("k") \
+        .aggregate([([], "count_all")]).rename_columns(["k", "n"])
+    ks = sorted(zip(hist.column("k").to_pylist(),
+                    hist.column("n").to_pylist()))
+    n = sx = sy = sxx = sxy = 0.0
+    cnt = 0
+    for k, nk in ks:
+        x, y = math.log(float(k)), math.log(float(nk))
+        cnt += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    gamma = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    return pa.table({
+        "n_degrees": pa.array([cnt], type=pa.int64()),
+        "powerlaw_slope": pa.array([round(gamma, 6)],
+                                   type=pa.float64()),
+    })
+
+
+SQL_DEGREE_POWERLAW_FIT = f"""
+WITH hrefs AS (
+  SELECT unnest(regexp_extract_all(decode(html),
+                                   '<a href="([^"]*)"', 1)) AS url
+  FROM {PAGES_VIEW}),
+indeg AS (SELECT url, count(*) AS d FROM hrefs GROUP BY url),
+h AS (SELECT d AS k, count(*) AS n FROM indeg GROUP BY d),
+l AS (SELECT ln(CAST(k AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+      FROM h ORDER BY k),
+s AS (SELECT count(*)::DOUBLE AS c, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM l)
+SELECT CAST(c AS BIGINT) AS n_degrees,
+       round((c * sxy - sx * sy) / (c * sxx - sx * sx), 6)
+         AS powerlaw_slope
+FROM s
+"""
+
+
+QUERIES["degree_powerlaw_fit"] = (q_degree_powerlaw_fit,
+                                  SQL_DEGREE_POWERLAW_FIT)
+
+
+def q_domain_assortativity(sf_dir: str):
+    """Degree assortativity of the domain graph — do well-connected
+    domains link to each other (r > 0) or to the periphery (r < 0)?
+    Pearson correlation of (out-degree(src), in-degree(dst)) over
+    every directed edge, degrees from the bounded edge partials,
+    closed with the same bigint sufficient-statistics formula as
+    lineitem_qty_price_corr. Edges weighted by link multiplicity, all
+    sums exact integers."""
+    import math
+
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    w = np.asarray(edges.column("n_links"), dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outd = np.zeros(len(nodes), dtype=np.int64)
+    ind = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(outd, si, w)
+    np.add.at(ind, di, w)
+    x = outd[si]                       # per-edge endpoint degrees
+    y = ind[di]
+    n = int(w.sum())                   # multiplicity-weighted edges
+    sx = int((w * x).sum())
+    sy = int((w * y).sum())
+    sxx = int((w * x * x).sum())
+    syy = int((w * y * y).sum())
+    sxy = int((w * x * y).sum())
+    num = n * sxy - sx * sy
+    r = float(num) / math.sqrt(float(n * sxx - sx * sx)
+                               * float(n * syy - sy * sy))
+    return pa.table({
+        "n_links": pa.array([n], type=pa.int64()),
+        "assortativity": pa.array([round(r, 6)], type=pa.float64()),
+    })
+
+
+SQL_DOMAIN_ASSORTATIVITY = f"""
+WITH e AS (
+  SELECT regexp_extract(url, '{_DOM_RE}', 1) AS src,
+         regexp_extract(dst, '{_DOM_RE}', 1) AS dst
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {PAGES_VIEW})),
+od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+id_ AS (SELECT dst, count(*) AS d FROM e GROUP BY 1),
+xy AS (SELECT od.d AS x, id_.d AS y
+       FROM e JOIN od USING (src) JOIN id_ USING (dst)),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy)
+SELECT n AS n_links,
+       round(CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy
+                           - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+         AS assortativity
+FROM s
+"""
+
+
+QUERIES["domain_assortativity"] = (q_domain_assortativity,
+                                   SQL_DOMAIN_ASSORTATIVITY)
+
+
+def q_label_centroid_sims(sf_dir: str):
+    """Pairwise cosine similarity between per-label centroids — the
+    cluster-separation report after a k-means/labeling pass (labels
+    whose centroids cosine ≈ 1 should merge). Reuses the elementwise
+    partial-sum reduction (label_centroids); the ≤ labels² similarity
+    matrix closes driver-side. Per-pair float ops on identical
+    centroid doubles — no cross-pair accumulation."""
+    import math
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    dim = 64
+    merged = _label_centroid_sums(ds, dim)
+    labels = np.asarray(pc.cast(merged.column("label"), pa.int64()),
+                        dtype=np.int64)
+    n = np.asarray(merged.column("n"), dtype=np.float64)
+    s = np.stack([np.asarray(merged.column(f"s{j}"), dtype=np.float64)
+                  for j in range(dim)], axis=1)
+    cent = s / n[:, None]
+    order = np.argsort(labels)
+    labels, cent = labels[order], cent[order]
+    la, lb, sims = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            num = float(np.dot(cent[i], cent[j]))
+            den = math.sqrt(float(np.dot(cent[i], cent[i]))
+                            * float(np.dot(cent[j], cent[j])))
+            la.append(int(labels[i]))
+            lb.append(int(labels[j]))
+            sims.append(round(num / den, 4))
+    return pa.table({
+        "label_a": pa.array(la, type=pa.int64()),
+        "label_b": pa.array(lb, type=pa.int64()),
+        "cos_sim": pa.array(sims, type=pa.float64()),
+    })
+
+
+SQL_LABEL_CENTROID_SIMS = """
+WITH d AS (SELECT label, i, embedding[i]::DOUBLE AS e
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+c AS (SELECT label, i, sum(e) / count(*) AS v FROM d GROUP BY 1, 2)
+SELECT CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       round(sum(a.v * b.v)
+             / sqrt(sum(a.v * a.v) * sum(b.v * b.v)), 4) AS cos_sim
+FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["label_centroid_sims"] = (q_label_centroid_sims,
+                                  SQL_LABEL_CENTROID_SIMS)
