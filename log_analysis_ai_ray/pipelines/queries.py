@@ -8240,7 +8240,9 @@ QUERIES["events_range_sorted_sample"] = (q_events_range_sorted_sample,
 
 _EVSTORE_ROOT = "/tmp/graft_evstore"
 _DELETE_NB = 16          # user-hash buckets the store is partitioned by
-_DELETE_MOD, _DELETE_RESIDUE = 50, 7
+_DELETE_MOD, _DELETE_RESIDUE = 997, 7   # ~0.1% of users: a real
+# erasure request is a small set, so the bucket pruning is REAL (at
+# sf0.01 only 1-3 of 16 buckets rewrite; mod 50 touched all 16)
 
 
 def _ensure_event_store(sf_dir: str) -> str:
@@ -8276,7 +8278,7 @@ def _ensure_event_store(sf_dir: str) -> str:
 
 def q_targeted_delete(sf_dir: str):
     """Right-to-be-forgotten over a partitioned store: delete every
-    event of ~2% of users (knuth(user) mod 50 == 7) from a
+    event of ~0.1% of users (knuth(user) mod 997 == 7) from a
     user-bucketed parquet store by REWRITING ONLY THE AFFECTED
     BUCKETS — copy-on-write into a fresh directory, untouched buckets
     referenced as-is, so the rewrite cost is |affected partitions|,
