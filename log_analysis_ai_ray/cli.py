@@ -139,11 +139,17 @@ def main(argv=None) -> int:
         print(json.dumps({"files": len(paths), "out": args.out}))
         return 0
 
-    if args.cmd == "query" and (args.list or args.name is None):
+    if args.cmd == "query":
         from .pipelines.queries import QUERIES
 
-        print(json.dumps(sorted(QUERIES)))
-        return 0
+        if args.list or args.name is None:
+            print(json.dumps(sorted(QUERIES)))
+            return 0
+        if args.name not in QUERIES:
+            # validate BEFORE Ray startup: a typo should fail instantly
+            print(json.dumps({"error": f"unknown query {args.name}"}),
+                  file=sys.stderr)
+            return 2
 
     if args.cmd == "flagship" and not os.path.isdir(args.pages):
         print(json.dumps({"error": f"--pages dir not found: {args.pages}"}),
@@ -168,13 +174,6 @@ def main(argv=None) -> int:
 
             from .pipelines.queries import QUERIES
 
-            if args.list or args.name is None:
-                print(json.dumps(sorted(QUERIES)))
-                return 0
-            if args.name not in QUERIES:
-                print(json.dumps({"error": f"unknown query {args.name}"}),
-                      file=sys.stderr)
-                return 2
             fn, _sql = QUERIES[args.name]
             res = fn(args.sf)
             if not isinstance(res, pa.Table):

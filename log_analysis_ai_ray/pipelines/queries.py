@@ -6886,6 +6886,24 @@ QUERIES["top_events_diversified"] = (q_top_events_diversified,
 # snapshot-diff operators
 # ---------------------------------------------------------------------------
 
+def _knuth_bucket(ids, mod: int) -> np.ndarray:
+    """THE shared Knuth multiplicative bucket hash — ids reduced mod
+    2³² BEFORE the multiply, then reduced to ``mod`` buckets; every
+    SQL mirror is `((id % 2^32) * 2654435761::HUGEINT) % 2^32 % mod`.
+    One definition so a fix can never miss a copy."""
+    m = np.uint64(_CHECK_HASH_MOD)
+    return ((np.asarray(ids, dtype=np.int64).astype(np.uint64) % m
+             * np.uint64(2654435761)) % m
+            % np.uint64(mod)).astype(np.int64)
+
+
+def _null_div(num, den, ndigits: int = 6):
+    """Mirror DuckDB's double division: x/0 → NULL (not a crash)."""
+    if den == 0:
+        return None
+    return round(float(num) / float(den), ndigits)
+
+
 _TREND_DAY_OFFSET = 19700  # events live in Jan 2024 (day ≈ 19723..19753)
 
 
@@ -6931,7 +6949,7 @@ def q_events_trend_slope(sf_dir: str):
         num, den = n * sxy - sx * sy, n * sxx - sx * sx
         types.append(et)
         ns.append(n)
-        slopes.append(round(float(num) / float(den), 6))
+        slopes.append(_null_div(num, den))  # den=0 (one day) → NULL
     return pa.table({
         "event_type": pa.array(types, type=pa.string()),
         "n": pa.array(ns, type=pa.int64()),
@@ -7010,8 +7028,8 @@ def q_lineitem_qty_price_corr(sf_dir: str):
         dx, dy = n * sxx - sx * sx, n * syy - sy * sy
         flags.append(f)
         ns.append(n)
-        corrs.append(round(float(num)
-                           / math.sqrt(float(dx) * float(dy)), 6))
+        # constant x or y → zero variance → NULL, like the oracle
+        corrs.append(_null_div(num, math.sqrt(float(dx) * float(dy))))
     return pa.table({
         "l_returnflag": pa.array(flags, type=pa.string()),
         "n": pa.array(ns, type=pa.int64()),
@@ -7135,9 +7153,7 @@ def q_weighted_doc_sample(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)
         nc = np.asarray(t.column("n_chars"), dtype=np.int64)
-        m = np.uint64(_CHECK_HASH_MOD)
-        h = ((ids.astype(np.uint64) % m * np.uint64(2654435761)) % m
-             % np.uint64(_WSAMPLE_MOD)).astype(np.int64)
+        h = _knuth_bucket(ids, _WSAMPLE_MOD)
         keep = h < np.minimum(nc, _WSAMPLE_CAP) * (_WSAMPLE_MOD
                                                    // _WSAMPLE_CAP)
         g = pa.table({
@@ -7333,15 +7349,13 @@ QUERIES["bigram_pmi"] = (q_bigram_pmi, SQL_BIGRAM_PMI)
 # the current table by deterministic hash predicates (k = knuth(doc_id)
 # mod 100): k<3 → doc is NEW (absent from snapshot); 3≤k<6 → text
 # CHANGED since snapshot (snapshot holds a perturbed text); 6≤k<9 →
-# snapshot additionally holds a REMOVED doc at doc_id+10⁹ that the
+# snapshot additionally holds a REMOVED doc at −(doc_id+1) — the
+# negative namespace can never collide with a real doc_id — that the
 # current corpus lacks. Everything else is UNCHANGED.
-_DIFF_REMOVED_BASE = 1_000_000_000
 
 
 def _diff_kbucket(ids: np.ndarray) -> np.ndarray:
-    m = np.uint64(_CHECK_HASH_MOD)
-    return ((ids.astype(np.uint64) % m * np.uint64(2654435761)) % m
-            % np.uint64(100)).astype(np.int64)
+    return _knuth_bucket(ids, 100)
 
 
 def q_corpus_diff(sf_dir: str):
@@ -7364,30 +7378,38 @@ def q_corpus_diff(sf_dir: str):
     def tag(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)
         ch = content_hash_column(t.column("text"))
+        if isinstance(ch, pa.ChunkedArray):
+            ch = ch.combine_chunks()
         k = _diff_kbucket(ids)
-        cur_ids, cur_h = ids, ch
         # snapshot side: docs with k<3 didn't exist yet; 3≤k<6 carried
         # a different (perturbed) text; 6≤k<9 contribute an extra doc
-        # (id+1e9) that was since removed.
-        snap_keep = k >= 3
-        snap_ids = ids[snap_keep]
-        snap_h = ch.filter(pa.array(snap_keep)).to_pylist()
-        chg = (k[snap_keep] < 6)
-        snap_h = [("old:" + h) if c else h
-                  for h, c in zip(snap_h, chg)]
+        # at −(id+1) that was since removed. All Arrow kernels — the
+        # corpus-scan stage never drops to per-row Python.
+        keep_mask = pa.array(k >= 3)
+        snap_ids = ids[k >= 3]
+        chg = pa.array(k[k >= 3] < 6)
+        snap_h = pc.if_else(
+            chg,
+            pc.binary_join_element_wise(
+                pa.scalar("old:", pa.string()),
+                ch.filter(keep_mask), ""),
+            ch.filter(keep_mask))
         rem = (k >= 6) & (k < 9)
-        rem_ids = ids[rem] + _DIFF_REMOVED_BASE
-        all_ids = np.concatenate([cur_ids, snap_ids, rem_ids])
+        rem_ids = -(ids[rem] + 1)
+        all_ids = np.concatenate([ids, snap_ids, rem_ids])
         all_side = np.concatenate([
-            np.zeros(len(cur_ids), dtype=np.int64),
+            np.zeros(len(ids), dtype=np.int64),
             np.ones(len(snap_ids) + len(rem_ids), dtype=np.int64)])
-        all_h = (cur_h.to_pylist() + snap_h
-                 + ["gone"] * len(rem_ids))
+        if isinstance(snap_h, pa.ChunkedArray):
+            snap_h = snap_h.combine_chunks()
+        all_h = pa.concat_arrays([
+            ch, snap_h,
+            pa.array(["gone"] * len(rem_ids), type=pa.string())])
         return pa.table({
-            "_pkey": pa.array(all_ids % _ARGMAX_NPART),
+            "_pkey": pa.array(np.abs(all_ids) % _ARGMAX_NPART),
             "doc_id": pa.array(all_ids),
             "side": pa.array(all_side),
-            "h": pa.array(all_h, type=pa.string()),
+            "h": all_h,
         })
 
     def classify(t: pa.Table) -> pa.Table:
@@ -7434,7 +7456,7 @@ snap AS (
               ELSE md5(text) END AS h
   FROM documents WHERE {_SQL_DIFF_K} >= 3
   UNION ALL
-  SELECT doc_id + {_DIFF_REMOVED_BASE}, 'gone'
+  SELECT -(doc_id + 1), 'gone'
   FROM documents
   WHERE {_SQL_DIFF_K} >= 6 AND {_SQL_DIFF_K} < 9),
 j AS (SELECT coalesce(cur.doc_id, snap.doc_id) AS doc_id,
@@ -7749,7 +7771,10 @@ def q_rrf_fusion(sf_dir: str):
     yield a top-50 pool ordered by (rounded score desc, doc_id) — a
     total order, so ranks are engine-independent; the fusion adds at
     most two exact reciprocals per doc, no accumulation-order
-    hazard. Output: top-20 by (rounded RRF desc, doc_id)."""
+    hazard. Output: top-20 by (rounded RRF desc, doc_id). The two
+    BM25 runs scan the corpus twice; at scale a single candidates
+    pass over the union of the six terms (per-term tf kept) would
+    feed both rankings from one read."""
     from ..stages.search import bm25_topk
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -8301,9 +8326,7 @@ def q_targeted_delete(sf_dir: str):
 
     def del_users_partial(t: pa.Table) -> pa.Table:
         u = np.asarray(t.column("user_id"), dtype=np.int64)
-        m = np.uint64(_CHECK_HASH_MOD)
-        h = ((u.astype(np.uint64) % m * np.uint64(2654435761)) % m
-             % np.uint64(_DELETE_MOD)).astype(np.int64)
+        h = _knuth_bucket(u, _DELETE_MOD)
         return pa.table({"user_id": pa.array(
             np.unique(u[h == _DELETE_RESIDUE]))})
 
@@ -8897,7 +8920,8 @@ def q_weighted_sample_wor(sf_dir: str):
         u = (h + 1.0) / float(_CHECK_HASH_MOD)
         prio = -np.log(u) / w
         k = min(_ARES_K, len(ids))
-        sel = np.argsort(prio, kind="stable")[:k]
+        # same tie order as the driver merge and the oracle: (prio, id)
+        sel = np.lexsort((ids, prio))[:k]
         return pa.table({
             "doc_id": pa.array(ids[sel]),
             "source": t.column("source").take(
@@ -9249,11 +9273,10 @@ def q_degree_powerlaw_fit(sf_dir: str):
         sy += y
         sxx += x * x
         sxy += x * y
-    gamma = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    gamma = _null_div(cnt * sxy - sx * sy, cnt * sxx - sx * sx)
     return pa.table({
         "n_degrees": pa.array([cnt], type=pa.int64()),
-        "powerlaw_slope": pa.array([round(gamma, 6)],
-                                   type=pa.float64()),
+        "powerlaw_slope": pa.array([gamma], type=pa.float64()),
     })
 
 
@@ -9310,11 +9333,11 @@ def q_domain_assortativity(sf_dir: str):
     syy = int((w * y * y).sum())
     sxy = int((w * x * y).sum())
     num = n * sxy - sx * sy
-    r = float(num) / math.sqrt(float(n * sxx - sx * sx)
-                               * float(n * syy - sy * sy))
+    r = _null_div(num, math.sqrt(float(n * sxx - sx * sx)
+                                 * float(n * syy - sy * sy)))
     return pa.table({
         "n_links": pa.array([n], type=pa.int64()),
-        "assortativity": pa.array([round(r, 6)], type=pa.float64()),
+        "assortativity": pa.array([r], type=pa.float64()),
     })
 
 
@@ -9376,7 +9399,7 @@ def q_label_centroid_sims(sf_dir: str):
                             * float(np.dot(cent[j], cent[j])))
             la.append(int(labels[i]))
             lb.append(int(labels[j]))
-            sims.append(round(num / den, 4))
+            sims.append(_null_div(num, den, 4))  # zero centroid → NULL
     return pa.table({
         "label_a": pa.array(la, type=pa.int64()),
         "label_b": pa.array(lb, type=pa.int64()),

@@ -211,6 +211,12 @@ def ingest_warc(warc_dir: str, out_dir: str, files_per_group: int = 4,
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
         os.makedirs(out_dir, exist_ok=True)
+        # a crashed earlier attempt may have left MORE shards than this
+        # retry produces — remove every stale pages-g{gid}-* first or
+        # downstream reads double-count
+        for stale in _glob.glob(
+                os.path.join(out_dir, f"pages-g{gid:04d}-*.parquet")):
+            os.remove(stale)
         rows = 0
         import pyarrow.parquet as pq
         for i, f in enumerate(sorted(os.listdir(tmp))):
