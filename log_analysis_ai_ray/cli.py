@@ -114,6 +114,19 @@ def main(argv=None) -> int:
     p_q.add_argument("--head", type=int, default=20)
     p_q.add_argument("--list", action="store_true")
 
+    p_pc = sub.add_parser(
+        "prepare-corpus", help="WARC → curated train/val token chunks "
+                               "(ingest + curate + split + chunk; "
+                               "stage-level resume)")
+    p_pc.add_argument("--warc", required=True)
+    p_pc.add_argument("--out", required=True)
+    p_pc.add_argument("--langs", default="en")
+    p_pc.add_argument("--min-tokens", type=int, default=5)
+    p_pc.add_argument("--chunk-width", type=int, default=32)
+    p_pc.add_argument("--chunk-stride", type=int, default=24)
+    p_pc.add_argument("--files-per-group", type=int, default=4)
+    p_pc.add_argument("--resume", action="store_true")
+
     p_iw = sub.add_parser(
         "ingest-warc", help="WARC → columnar pages parquet (parse "
                             "records, extract text from html; "
@@ -196,6 +209,19 @@ def main(argv=None) -> int:
                     "columns": res.column_names,
                     "head": res.slice(0, args.head).to_pylist(),
                 }, default=str))
+            return 0
+        if args.cmd == "prepare-corpus":
+            from .pipelines.prepare import prepare_corpus
+
+            metrics = prepare_corpus(
+                args.warc, args.out,
+                files_per_group=args.files_per_group,
+                keep_langs=tuple(args.langs.split(",")),
+                min_tokens=args.min_tokens,
+                chunk_width=args.chunk_width,
+                chunk_stride=args.chunk_stride,
+                resume=args.resume)
+            print(json.dumps(metrics, default=str))
             return 0
         if args.cmd == "ingest-warc":
             from .sources.warc import ingest_warc

@@ -1,0 +1,153 @@
+"""prepare-corpus: the complete training-data story as ONE resumable
+job — WARC container → columnar ingest → curation (langid/quality
+gates + normalized exact dedup + near-dup removal) → deterministic
+train/val split → fixed-window token chunking — each stage writing
+partitioned parquet under its own subdirectory so a rerun resumes at
+the first incomplete stage (stage-level idempotence on top of the
+ingest step's per-group manifests).
+
+Composes existing components end-to-end: sources/warc.ingest_warc,
+pipelines/curation.run_curation, the queries registry's split hash,
+stages/textstats.token_chunks. Reference analog: the agent's full
+ingest→parse→store loop (/root/reference/python/logai_agent.py),
+re-expressed as the corpus-preparation pipeline a pretraining data
+team runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# same 80/20 multiplicative-hash split as the `dataset_splits` query
+SPLIT_A = 2654435761
+SPLIT_M = 4294967296
+SPLIT_TRAIN = 3435973836  # floor(0.8 * 2^32)
+
+_DOM_RE_PC = r"^https://(?P<d>[^/]+)/"
+
+
+def _stage_done(out_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(out_dir, stage, "_STAGE_DONE"))
+
+
+def _mark_stage(out_dir: str, stage: str, info: dict) -> None:
+    path = os.path.join(out_dir, stage, "_STAGE_DONE")
+    with open(path + ".tmp", "w") as f:
+        json.dump(info, f, indent=1, sort_keys=True)
+    os.replace(path + ".tmp", path)
+
+
+def prepare_corpus(warc_dir: str, out_dir: str, *,
+                   files_per_group: int = 4,
+                   keep_langs: tuple[str, ...] = ("en",),
+                   min_tokens: int = 5,
+                   chunk_width: int = 32, chunk_stride: int = 24,
+                   resume: bool = False) -> dict:
+    """Run (or resume) the full WARC→training-chunks pipeline.
+    Returns per-stage row accounting. Stages: ingested/ documents/
+    curated/ chunks/ (train|val partitions)."""
+    import ray.data
+
+    from ..sources.warc import ingest_warc
+    from ..stages.bloomjoin import _column_to_u64
+    from ..stages.textstats import token_chunks
+    from .curation import run_curation
+
+    os.makedirs(out_dir, exist_ok=True)
+    metrics: dict = {}
+
+    # ---- stage 1: WARC → pages parquet (per-group manifests) -------
+    ingest_dir = os.path.join(out_dir, "ingested")
+    st = ingest_warc(warc_dir, ingest_dir,
+                     files_per_group=files_per_group, resume=resume)
+    metrics["ingest"] = st
+
+    # ---- stage 2: pages → documents shape --------------------------
+    docs_dir = os.path.join(out_dir, "documents")
+    if not (resume and _stage_done(out_dir, "documents")):
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
+        def to_docs(t: pa.Table) -> pa.Table:
+            # deterministic doc_id from the url (vectorized 64-bit
+            # hash, masked to int63 so every downstream signed-int
+            # path is safe; collisions ~n²/2⁶³ — negligible)
+            keys, _ = _column_to_u64(t.column("url"))
+            ids = (keys & np.uint64((1 << 63) - 1)).astype(np.int64)
+            dom = pc.extract_regex(
+                t.column("url").combine_chunks(), _DOM_RE_PC).field("d")
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "text": t.column("text"),
+                "lang": t.column("lang"),
+                "source": dom,
+            })
+
+        ray.data.read_parquet(ingest_dir) \
+            .map_batches(to_docs, batch_format="pyarrow") \
+            .write_parquet(docs_dir)
+        _mark_stage(out_dir, "documents", {"stage": "documents"})
+    metrics["documents_dir"] = docs_dir
+
+    # ---- stage 3: curation (gates + dedup + near-dup removal) ------
+    curated_dir = os.path.join(out_dir, "curated")
+    if resume and _stage_done(out_dir, "curated"):
+        with open(os.path.join(curated_dir, "_metrics.json")) as f:
+            metrics["curation"] = json.load(f)
+    else:
+        shutil.rmtree(curated_dir, ignore_errors=True)
+        metrics["curation"] = run_curation(
+            docs_dir, curated_dir, keep_langs=keep_langs,
+            min_tokens=min_tokens)
+        _mark_stage(out_dir, "curated", {"stage": "curated"})
+
+    # ---- stage 4: split + chunk ------------------------------------
+    chunks_dir = os.path.join(out_dir, "chunks")
+    if not (resume and _stage_done(out_dir, "chunks")):
+        shutil.rmtree(chunks_dir, ignore_errors=True)
+
+        def split_chunk(t: pa.Table) -> pa.Table:
+            ch = token_chunks(t, width=chunk_width,
+                              stride=chunk_stride)
+            ids = np.asarray(ch.column("doc_id"),
+                             dtype=np.int64).astype(np.uint64)
+            h = (ids % np.uint64(SPLIT_M)
+                 * np.uint64(SPLIT_A)) % np.uint64(SPLIT_M)
+            split = np.where(h < np.uint64(SPLIT_TRAIN),
+                             "train", "val")
+            return ch.append_column(
+                "split", pa.array(split, type=pa.string()))
+
+        ray.data.read_parquet(curated_dir) \
+            .map_batches(lambda t: t.replace_schema_metadata(None),
+                         batch_format="pyarrow", zero_copy_batch=True) \
+            .map_batches(split_chunk, batch_format="pyarrow") \
+            .write_parquet(chunks_dir, partition_cols=["split"])
+        _mark_stage(out_dir, "chunks", {"stage": "chunks"})
+
+    # ---- accounting -------------------------------------------------
+    import pyarrow.parquet as pq
+    counts = {}
+    for split in ("train", "val"):
+        d = os.path.join(chunks_dir, f"split={split}")
+        rows = 0
+        docs = set()
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(d, f),
+                                      columns=["doc_id"])
+                    rows += t.num_rows
+                    docs.update(t.column("doc_id").to_pylist())
+        counts[split] = {"chunks": rows, "docs": len(docs)}
+    metrics["chunks"] = counts
+
+    with open(os.path.join(out_dir, "_prepare_metrics.json"),
+              "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True, default=str)
+    return metrics

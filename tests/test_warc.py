@@ -149,3 +149,30 @@ def test_ingested_pages_drive_flagship_identically(tmp_path):
                           out_t.column("n_sum").to_pylist()))
 
     assert level_counts(out) == level_counts(pages_dir)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prepare_corpus_end_to_end(tmp_path):
+    from log_analysis_ai_ray.pipelines.prepare import prepare_corpus
+    from log_analysis_ai_ray.pipelines.queries import pages_dir_for
+    from log_analysis_ai_ray.sources.warc import write_warc_from_pages
+
+    pages_dir = pages_dir_for("/root/testdata/sf0.001")
+    warc = write_warc_from_pages(pages_dir, str(tmp_path / "warc"))
+    out = str(tmp_path / "prep")
+    m = prepare_corpus(warc, out, files_per_group=3)
+    assert m["ingest"]["rows_written"] > 0
+    cur = m["curation"]
+    assert 0 < cur["kept_after_dedup"] <= cur["kept_after_gates"] \
+        <= cur["input_rows"]
+    ch = m["chunks"]
+    total_docs = ch["train"]["docs"] + ch["val"]["docs"]
+    assert total_docs == cur["kept_after_dedup"]   # every kept doc chunked
+    assert ch["train"]["chunks"] >= ch["train"]["docs"]
+    # split is ~80/20 by hash: both sides non-empty at this size
+    assert ch["train"]["docs"] > ch["val"]["docs"] > 0
+    assert os.path.exists(os.path.join(out, "_prepare_metrics.json"))
+    # resume: every stage skips, identical accounting
+    m2 = prepare_corpus(warc, out, files_per_group=3, resume=True)
+    assert m2["ingest"]["skipped"] == m2["ingest"]["groups"]
+    assert m2["chunks"] == ch
