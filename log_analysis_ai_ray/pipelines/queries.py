@@ -9422,3 +9422,123 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["label_centroid_sims"] = (q_label_centroid_sims,
                                   SQL_LABEL_CENTROID_SIMS)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): rate-of-change alerting, compression-ratio quality
+# ---------------------------------------------------------------------------
+
+_CHANGE_PCT = 50  # alert when |Δ| > 50% hour-over-hour
+
+
+def q_events_hourly_change(sf_dir: str):
+    """Hour-over-hour rate-of-change alerting — the monitoring rule on
+    top of the rollup family: per event type, hours whose count moved
+    more than ±50% vs the PREVIOUS OBSERVED hour (LAG semantics, not
+    calendar-adjacent, matching how dashboards alert on sparse
+    series). Distributed part is the bounded hourly rollup; the LAG +
+    ratio scan is driver-side over types × hours rows. Integer counts;
+    the percent change is emitted in integer PERMILLE so no float
+    rounding can disagree."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.cast(floor_hour(t.column("ts")), pa.int64()),
+        }).group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "bucket", "c"])
+
+    hourly = _partial_final(ds, partial, ["event_type", "bucket"],
+                            [("c", "sum")])
+    et = np.asarray(hourly.column("event_type").to_pylist())
+    bk = np.asarray(hourly.column("bucket"), dtype=np.int64)
+    c = np.asarray(hourly.column("c"), dtype=np.int64)
+    types, buckets, cur, prev, chg = [], [], [], [], []
+    for s in np.unique(et):
+        m = et == s
+        order = np.argsort(bk[m])
+        b, v = bk[m][order], c[m][order]
+        for i in range(1, len(b)):
+            d = int(v[i]) - int(v[i - 1])
+            # DuckDB BIGINT // truncates toward zero; Python floors —
+            # mirror truncation explicitly for negative deltas
+            delta_pm = (abs(d) * 1000 // int(v[i - 1])) \
+                * (1 if d >= 0 else -1)
+            if abs(v[i] - v[i - 1]) * 100 > _CHANGE_PCT * v[i - 1]:
+                types.append(str(s))
+                buckets.append(int(b[i]))
+                cur.append(int(v[i]))
+                prev.append(int(v[i - 1]))
+                chg.append(int(delta_pm))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "bucket": pa.array(buckets, type=pa.int64()),
+        "c": pa.array(cur, type=pa.int64()),
+        "prev_c": pa.array(prev, type=pa.int64()),
+        "change_permille": pa.array(chg, type=pa.int64()),
+    }).sort_by([("event_type", "ascending"), ("bucket", "ascending")])
+
+
+SQL_EVENTS_HOURLY_CHANGE = f"""
+WITH h AS (SELECT event_type,
+                  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) * 1000000
+                    AS bucket,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, bucket, c,
+             lag(c) OVER (PARTITION BY event_type ORDER BY bucket)
+               AS prev_c
+      FROM h)
+SELECT event_type, bucket, CAST(c AS BIGINT) AS c,
+       CAST(prev_c AS BIGINT) AS prev_c,
+       CAST((c - prev_c) * 1000 // prev_c AS BIGINT) AS change_permille
+FROM l
+WHERE prev_c IS NOT NULL
+  AND abs(c - prev_c) * 100 > {_CHANGE_PCT} * prev_c
+ORDER BY 1, 2
+"""
+
+
+QUERIES["events_hourly_change"] = (q_events_hourly_change,
+                                   SQL_EVENTS_HOURLY_CHANGE)
+
+
+def q_doc_compression_ratio(sf_dir: str):
+    """Compression-ratio quality signal (Gopher/CCNet-style: highly
+    compressible text is repetitive boilerplate): per-source mean
+    zlib ratio in integer permille. The per-doc compress is a C call
+    per row — like the md5 content hash, inherent to the signal and
+    distinct-first is pointless here (texts are near-unique) — inside
+    an ordinary partial/final aggregate, so the shuffle moves one row
+    per source. Rows-only (no SQL zlib); the kernel is pinned by
+    spec tests on known-repetitive vs random strings."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        pm = np.fromiter(
+            (len(s.encode()) * 1000 // max(len(zlib.compress(
+                s.encode(), 6)), 1) for s in texts),
+            dtype=np.int64, count=len(texts))
+        g = pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(np.ones(len(texts), dtype=np.int64)),
+            "ratio_pm_sum": pa.array(pm),
+        }).group_by("source").aggregate(
+            [("n_docs", "sum"), ("ratio_pm_sum", "sum")])
+        return g.rename_columns(["source", "n_docs", "ratio_pm_sum"])
+
+    out = _partial_final(ds, partial, ["source"],
+                         [("n_docs", "sum"), ("ratio_pm_sum", "sum")])
+    mean_pm = pc.divide(out.column("ratio_pm_sum"),
+                        out.column("n_docs"))
+    return out.append_column("mean_ratio_permille",
+                             pc.cast(mean_pm, pa.int64())) \
+        .sort_by("source")
+
+
+QUERIES["doc_compression_ratio"] = (q_doc_compression_ratio, None)

@@ -229,3 +229,16 @@ def test_ed_le_1_verifier_and_fastss_recall():
             va = set([a] + _del_variants(a))
             vb = set([b] + _del_variants(b))
             assert va & vb, (a, b)
+
+
+def test_compression_ratio_orders_repetitive_above_random():
+    import zlib
+
+    rep = ("the same line again and again\n" * 50).encode()
+    rng = np.random.default_rng(5)
+    rand = bytes(rng.integers(33, 126, size=len(rep),
+                              dtype=np.uint8).tolist())
+    r_rep = len(rep) * 1000 // len(zlib.compress(rep, 6))
+    r_rand = len(rand) * 1000 // len(zlib.compress(rand, 6))
+    assert r_rep > 5 * r_rand          # repetitive ≫ incompressible
+    assert r_rand < 1300               # random barely compresses
