@@ -8265,7 +8265,7 @@ QUERIES["events_range_sorted_sample"] = (q_events_range_sorted_sample,
 
 _EVSTORE_ROOT = "/tmp/graft_evstore"
 _DELETE_NB = 16          # user-hash buckets the store is partitioned by
-_DELETE_MOD, _DELETE_RESIDUE = 997, 7   # ~0.1% of users: a real
+_DELETE_MOD, _DELETE_RESIDUE = 997, 30  # ~0.1% of users: a real
 # erasure request is a small set, so the bucket pruning is REAL (at
 # sf0.01 only 1-3 of 16 buckets rewrite; mod 50 touched all 16)
 
@@ -8277,33 +8277,44 @@ def _ensure_event_store(sf_dir: str) -> str:
     rebuilt only if absent."""
     import ray.data
 
-    out = os.path.join(_EVSTORE_ROOT, sf_name(sf_dir), "base")
+    import glob as _glob
+
+    from ..state import versioned
+
+    root = os.path.join(_EVSTORE_ROOT, sf_name(sf_dir))
+    out = os.path.join(root, "base")
     marker = os.path.join(out, "_COMPLETE_v1")
-    if os.path.exists(marker):
-        return out
-    ds = _read(sf_dir, "events",
-               columns=["event_id", "user_id", "event_type", "value"])
+    if not os.path.exists(marker):
+        ds = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type",
+                            "value"])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        u = np.asarray(t.column("user_id"), dtype=np.int64)
-        return t.append_column("ubucket",
-                               pa.array(u % _DELETE_NB))
+        def add_bucket(t: pa.Table) -> pa.Table:
+            u = np.asarray(t.column("user_id"), dtype=np.int64)
+            return t.append_column("ubucket",
+                                   pa.array(u % _DELETE_NB))
 
-    import shutil
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
-    ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .write_parquet(tmp, partition_cols=["ubucket"])
-    os.replace(tmp, out)
-    with open(marker, "w") as f:
-        f.write("v1")
-    return out
+        import shutil
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .write_parquet(tmp, partition_cols=["ubucket"])
+        os.replace(tmp, out)
+        with open(marker, "w") as f:
+            f.write("v1")
+    # v1 manifest: the base file set (lineage root for every later
+    # copy-on-write mutation; state/versioned.py)
+    if versioned.latest_version(root) == 0:
+        files = [os.path.relpath(p, root) for p in _glob.glob(
+            os.path.join(out, "ubucket=*", "*.parquet"))]
+        versioned.commit_version(root, files, parent=0, op="create")
+    return root
 
 
 def q_targeted_delete(sf_dir: str):
     """Right-to-be-forgotten over a partitioned store: delete every
-    event of ~0.1% of users (knuth(user) mod 997 == 7) from a
+    event of ~0.1% of users (knuth(user) mod 997 == 30) from a
     user-bucketed parquet store by REWRITING ONLY THE AFFECTED
     BUCKETS — copy-on-write into a fresh directory, untouched buckets
     referenced as-is, so the rewrite cost is |affected partitions|,
@@ -8311,16 +8322,26 @@ def q_targeted_delete(sf_dir: str):
     request touches ≤100 partitions). The delete-user list is
     distilled distributedly (distinct-user shuffle, bounded), the
     affected-bucket set derived from it driver-side, and the final
-    read unions untouched + rewritten buckets. Output: per-type
-    surviving counts + cents (any under- or over-delete flips the
-    hash)."""
+    read unions untouched + rewritten buckets. The mutation is
+    PUBLISHED as a new manifest version (state/versioned.py): v1 =
+    base table, v2 = post-delete — one atomic manifest replace, so a
+    crash mid-rewrite leaves v1 intact, a rerun is idempotent (v2
+    already present → just read it), and the erasure is auditable
+    (version diff lists exactly the rewritten partitions). Output:
+    per-type surviving counts + cents (any under- or over-delete
+    flips the hash)."""
     import glob as _glob
-    import shutil
-    import tempfile
 
     import ray.data
 
-    base = _ensure_event_store(sf_dir)
+    from ..state import versioned
+
+    root = _ensure_event_store(sf_dir)
+    head = versioned.read_manifest(root)
+    if head["op"] == "targeted_delete":        # idempotent rerun
+        after = versioned.read_version(root).map_batches(
+            _strip_md, batch_format="pyarrow", zero_copy_batch=True)
+        return _targeted_delete_agg(after)
 
     ds = _read(sf_dir, "events", columns=["user_id"])
 
@@ -8337,28 +8358,38 @@ def q_targeted_delete(sf_dir: str):
     affected = sorted({int(b) for b in del_users % _DELETE_NB})
     del_set = pa.array(del_users, type=pa.int64())
 
-    out_dir = tempfile.mkdtemp(prefix="evstore_del_")
-    kept_paths = []
-    for b in range(_DELETE_NB):
-        src_dir = os.path.join(base, f"ubucket={b}")
+    new_v = head["version"] + 1
+    data_dir = os.path.join(root, f"delete-v{new_v:06d}")
+    files: list[str] = []
+    for rel in head["files"]:                  # copy-on-write
+        bdir = os.path.basename(os.path.dirname(rel))
+        b = int(bdir.split("=", 1)[1])
+        if b not in affected:
+            files.append(rel)                  # referenced, not copied
+    for b in affected:
+        src_dir = os.path.join(root, "base", f"ubucket={b}")
         if not os.path.isdir(src_dir):
             continue
-        if b not in affected:
-            kept_paths.extend(sorted(
-                _glob.glob(os.path.join(src_dir, "*.parquet"))))
-            continue
-        dst_dir = os.path.join(out_dir, f"ubucket={b}")
+        dst_dir = os.path.join(data_dir, f"ubucket={b}")
         bucket = ray.data.read_parquet(src_dir).map_batches(
             lambda t: t.filter(pc.invert(pc.is_in(
                 t.column("user_id").combine_chunks(),
                 value_set=del_set))),
             batch_format="pyarrow")
         bucket.write_parquet(dst_dir)
-        kept_paths.extend(sorted(
+        files.extend(os.path.relpath(p, root) for p in sorted(
             _glob.glob(os.path.join(dst_dir, "*.parquet"))))
+    versioned.commit_version(
+        root, files, parent=head["version"], op="targeted_delete",
+        extra={"n_del_users": int(len(del_users)),
+               "rewritten_buckets": affected})
 
-    after = ray.data.read_parquet(kept_paths).map_batches(
+    after = versioned.read_version(root).map_batches(
         _strip_md, batch_format="pyarrow", zero_copy_batch=True)
+    return _targeted_delete_agg(after)
+
+
+def _targeted_delete_agg(after) -> pa.Table:
 
     def agg_partial(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
@@ -8374,7 +8405,6 @@ def q_targeted_delete(sf_dir: str):
     out = agg._combine_partials(
         after.map_batches(agg_partial, batch_format="pyarrow"),
         keys=["event_type"], aggs=[("n", "sum"), ("cents_sum", "sum")])
-    shutil.rmtree(out_dir, ignore_errors=True)
     return out.sort_by("event_type")
 
 

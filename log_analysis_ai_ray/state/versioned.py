@@ -1,0 +1,86 @@
+"""Versioned-manifest tables: a minimal lakehouse layer over parquet.
+
+Every VERSION is a JSON manifest (`_versions/v{N:06d}.json`) listing
+the exact parquet files that make up the table at that version, plus
+the parent version and an operation note — the lineage record the
+north rule's resumable/auditable requirement asks for. Data files are
+immutable once referenced; a new version REFERENCES unchanged files
+and adds/removes others (copy-on-write), so:
+
+- readers pin a version and are isolated from concurrent rewrites;
+- a crashed writer leaves only an unreferenced data directory and a
+  missing manifest — the table is unchanged (commit = one atomic
+  os.replace of the manifest);
+- time travel = read an older manifest;
+- version diff = set difference of two manifests' file lists.
+
+Reference analog: the registry/sink bookkeeping the flagship already
+persists, generalized to multi-version reads (the reference keeps one
+mutable store, /root/reference/python/vector_store.py — no history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_VDIR = "_versions"
+
+
+def _vpath(root: str, v: int) -> str:
+    return os.path.join(root, _VDIR, f"v{v:06d}.json")
+
+
+def latest_version(root: str) -> int:
+    vdir = os.path.join(root, _VDIR)
+    if not os.path.isdir(vdir):
+        return 0
+    vs = [int(f[1:7]) for f in os.listdir(vdir)
+          if f.startswith("v") and f.endswith(".json")]
+    return max(vs, default=0)
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    v = latest_version(root) if version is None else version
+    with open(_vpath(root, v)) as f:
+        return json.load(f)
+
+
+def commit_version(root: str, files: list[str], *, parent: int | None,
+                   op: str, extra: dict | None = None) -> int:
+    """Atomically publish a new version referencing ``files``
+    (paths relative to root). Returns the new version number."""
+    new_v = (parent or 0) + 1 if parent is not None \
+        else latest_version(root) + 1
+    os.makedirs(os.path.join(root, _VDIR), exist_ok=True)
+    manifest = {
+        "version": new_v,
+        "parent": parent,
+        "op": op,
+        "files": sorted(files),
+        "extra": extra or {},
+    }
+    path = _vpath(root, new_v)
+    if os.path.exists(path):
+        raise FileExistsError(
+            f"version {new_v} already committed (concurrent writer?)")
+    with open(path + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(path + ".tmp", path)
+    return new_v
+
+
+def read_version(root: str, version: int | None = None):
+    """Ray Dataset over the table at a version (time travel)."""
+    import ray.data
+
+    m = read_manifest(root, version)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    return ray.data.read_parquet(paths)
+
+
+def diff_versions(root: str, v_old: int, v_new: int) -> dict:
+    a = set(read_manifest(root, v_old)["files"])
+    b = set(read_manifest(root, v_new)["files"])
+    return {"added": sorted(b - a), "removed": sorted(a - b),
+            "unchanged": len(a & b)}
