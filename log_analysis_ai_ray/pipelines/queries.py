@@ -70,10 +70,23 @@ def _strip_md(t: pa.Table) -> pa.Table:
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"),
-        columns=columns).map_batches(_strip_md, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    ds = ray.data.read_parquet(
+        path, columns=columns).map_batches(
+        _strip_md, batch_format="pyarrow", zero_copy_batch=True)
+    # carry the pruned source schema (driver-side, no plan execution)
+    # for _partial_final's empty-corpus probe — Dataset.schema() would
+    # EXECUTE a limit-1 plan and fully-empty inputs report None anyway
+    try:
+        import pyarrow.parquet as _pq
+
+        s = _pq.read_schema(path)
+        if columns:
+            s = pa.schema([s.field(c) for c in columns])
+        ds._graft_schema = s.remove_metadata()
+    except Exception:
+        pass
+    return ds
 
 
 def _lines_ds(sf_dir: str):
@@ -82,7 +95,18 @@ def _lines_ds(sf_dir: str):
 
 def _partial_final(ds, partial_fn, keys, aggs) -> pa.Table:
     partials = ds.map_batches(partial_fn, batch_format="pyarrow")
-    return agg._combine_partials(partials, keys=keys, aggs=aggs)
+    # empty-corpus robustness: Ray canonicalizes fully-empty datasets
+    # to schema-less blocks, so derive the partial schema by probing
+    # the (pure-Arrow) partial on an empty batch of the input schema
+    empty_schema = None
+    probe = getattr(ds, "_graft_schema", None)
+    if probe is not None:
+        try:
+            empty_schema = partial_fn(probe.empty_table()).schema
+        except Exception:
+            pass  # exotic partials: fall back to the non-empty contract
+    return agg._combine_partials(partials, keys=keys, aggs=aggs,
+                                 empty_schema=empty_schema)
 
 
 def _round(col, ndigits: int):
@@ -7295,8 +7319,8 @@ def q_bigram_pmi(sf_dir: str):
     uni = _partial_final(ds, uni_partial, ["tok"], [("c", "sum")])
     pairs = _partial_final(ds, pair_partial, ["t1", "t2"],
                            [("c", "sum")])
-    n_tok = int(pc.sum(uni.column("c")).as_py())
-    n_pair = int(pc.sum(pairs.column("c")).as_py())
+    n_tok = int(pc.sum(uni.column("c")).as_py() or 0)
+    n_pair = int(pc.sum(pairs.column("c")).as_py() or 0)
     ucnt = dict(zip(uni.column("tok").to_pylist(),
                     uni.column("c").to_pylist()))
     out = []
@@ -7440,8 +7464,10 @@ def q_corpus_diff(sf_dir: str):
 
     parts = ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("_pkey").map_groups(classify, batch_format="pyarrow")
-    out = agg._combine_partials(parts, keys=["status"],
-                                aggs=[("n", "sum")])
+    out = agg._combine_partials(
+        parts, keys=["status"], aggs=[("n", "sum")],
+        empty_schema=pa.schema([("status", pa.string()),
+                                ("n", pa.int64())]))
     return out.sort_by("status")
 
 
@@ -8198,6 +8224,10 @@ def q_events_range_sorted_sample(sf_dir: str):
         return g.rename_columns(["cents", "cnt"])
 
     vc = _partial_final(ds, vc_partial, ["cents"], [("cnt", "sum")])
+    if vc.num_rows == 0:               # empty corpus: empty sample
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         "event_id": pa.array([], type=pa.int64()),
+                         "cents": pa.array([], type=pa.int64())})
     # sort distinct values DESC (the output order), cut equal ranges
     order = np.argsort(-np.asarray(vc.column("cents"), dtype=np.int64))
     vals = np.asarray(vc.column("cents"), dtype=np.int64)[order]
@@ -8961,6 +8991,10 @@ def q_weighted_sample_wor(sf_dir: str):
 
     cand = agg._to_arrow(ds.map_batches(local_topk,
                                         batch_format="pyarrow"))
+    if "priority" not in cand.column_names:    # empty corpus
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "source": pa.array([], type=pa.string()),
+                         "priority": pa.array([], type=pa.float64())})
     prio = np.asarray(cand.column("priority"), dtype=np.float64)
     ids = np.asarray(cand.column("doc_id"), dtype=np.int64)
     sel = np.lexsort((ids, prio))[:_ARES_K]
@@ -9200,6 +9234,10 @@ def q_customer_coverage_days(sf_dir: str):
     def sweep(t: pa.Table) -> pa.Table:
         k = np.asarray(t.column("cust"), dtype=np.int64)
         s = np.asarray(t.column("start"), dtype=np.int64)
+        if len(k) == 0:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "covered_days": pa.array(
+                                 [], type=pa.int64())})
         order = np.lexsort((s, k))
         k, s = k[order], s[order]
         e = s + _COVER_DAYS
@@ -9232,6 +9270,10 @@ def q_customer_coverage_days(sf_dir: str):
     out = agg._to_arrow(
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_pkey").map_groups(sweep, batch_format="pyarrow"))
+    if "o_custkey" not in out.column_names:    # empty corpus
+        return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                         "covered_days": pa.array([],
+                                                  type=pa.int64())})
     return out.sort_by("o_custkey")
 
 
@@ -9572,3 +9614,55 @@ def q_doc_compression_ratio(sf_dir: str):
 
 
 QUERIES["doc_compression_ratio"] = (q_doc_compression_ratio, None)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): distributed linear algebra — embedding Gram matrix
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix XᵀX of the embedding table — the
+    covariance core of PCA / whitening / linear probes at corpus
+    scale: each block reduces its n×64 slab to one 64×64 matmul
+    (np.dot on the zero-copy flattened values), emitted as
+    (i, j, partial-sum) rows for the upper triangle; the shuffle
+    moves 2 080 rows per block regardless of corpus size and the
+    global merge is a plain sum. Output rounded to 4 (same float
+    tolerance as the centroid family — partial-sum order differs
+    between engines at ~1e-13 relative)."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    dim = 64
+    iu = np.triu_indices(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float64)
+        x = flat.reshape(-1, dim)
+        if x.shape[0] == 0:                # empty block: no 0-sum rows
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        g = x.T @ x
+        return pa.table({
+            "i": pa.array(iu[0] + 1),       # 1-based like SQL unnest
+            "j": pa.array(iu[1] + 1),
+            "s": pa.array(g[iu]),
+        })
+
+    out = _partial_final(ds, partial, ["i", "j"], [("s", "sum")])
+    out = out.set_column(out.schema.get_field_index("s"), "gram",
+                         pc.round(out.column("s"), ndigits=4))
+    return out.sort_by([("i", "ascending"), ("j", "ascending")])
+
+
+SQL_EMBEDDING_GRAM = """
+WITH d AS (SELECT vec_id, i, embedding[i]::DOUBLE AS e
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+SELECT a.i AS i, b.i AS j, round(sum(a.e * b.e), 4) AS gram
+FROM d a JOIN d b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["embedding_gram"] = (q_embedding_gram, SQL_EMBEDDING_GRAM)
