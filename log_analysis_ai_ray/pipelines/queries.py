@@ -9666,3 +9666,128 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 QUERIES["embedding_gram"] = (q_embedding_gram, SQL_EMBEDDING_GRAM)
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): parallel prefix scan — streaming watermark audit
+# ---------------------------------------------------------------------------
+
+_LATE_NPART = 16
+_LATE_GRACE_US = 15 * 60 * 1_000_000   # 15-minute watermark lateness
+
+
+def q_late_event_audit(sf_dir: str):
+    """Watermark late-data audit — the streaming-semantics question
+    asked of a batch log: replaying events in arrival order
+    (event_id), how many arrive more than 15 minutes behind the
+    watermark (the running max event time seen so far)? The running
+    max over a GLOBAL order is a PREFIX SCAN — parallelized with the
+    classic two-phase form: arrival order is range-partitioned by
+    event_id (contiguous ranges), each range computes its LOCAL
+    exclusive running max and publishes its range max (one row); the
+    driver turns the ≤16 range maxes into exclusive carry-ins, and a
+    second pass combines carry-in with the local scan — no sequential
+    pass over the corpus ever happens. Exact int64 microseconds,
+    window semantics (1-PRECEDING frame) mirrored in the oracle."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        if len(e) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([int(e.min())]),
+                         "hi": pa.array([int(e.max())])})
+
+    mm = agg._to_arrow(ds.map_batches(minmax, batch_format="pyarrow"))
+    if mm.num_rows == 0 or "hi" not in mm.column_names:
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "n_late": pa.array([], type=pa.int64()),
+                         "n_total": pa.array([], type=pa.int64())})
+    lo = int(pc.min(mm.column("lo")).as_py())
+    hi = int(pc.max(mm.column("hi")).as_py())
+    span = hi - lo + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        pid = (e - lo) * _LATE_NPART // span
+        return pa.table({
+            "_pkey": pa.array(pid),
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def range_max(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pid": pa.array([int(t.column("_pkey")[0].as_py())]),
+            "mx": pa.array([int(pc.max(t.column("ts_us")).as_py())]),
+        })
+
+    maxes = agg._to_arrow(
+        tagged.groupby("_pkey").map_groups(range_max,
+                                           batch_format="pyarrow"))
+    pid = np.asarray(maxes.column("pid"), dtype=np.int64)
+    mx = np.asarray(maxes.column("mx"), dtype=np.int64)
+    order = np.argsort(pid)
+    pid, mx = pid[order], mx[order]
+    # exclusive carry-in per range: max of all earlier ranges' maxes
+    carry = np.full(_LATE_NPART, -(2**62), dtype=np.int64)
+    run = -(2**62)
+    for p, m in zip(pid, mx):
+        carry[p] = run
+        run = max(run, m)
+
+    def audit(t: pa.Table) -> pa.Table:
+        p = int(t.column("_pkey")[0].as_py())
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        order = np.argsort(e)
+        ts = ts[order]
+        et = t.column("event_type").combine_chunks() \
+            .take(pa.array(order, type=pa.int64()))
+        local_excl = np.empty(len(ts), dtype=np.int64)
+        local_excl[0] = -(2**62)
+        np.maximum.accumulate(ts[:-1], out=local_excl[1:])
+        wm = np.maximum(local_excl, carry[p])
+        late = ts < wm - _LATE_GRACE_US
+        g = pa.table({
+            "event_type": et,
+            "n_late": pa.array(late.astype(np.int64)),
+            "n_total": pa.array(np.ones(len(ts), dtype=np.int64)),
+        }).group_by("event_type").aggregate(
+            [("n_late", "sum"), ("n_total", "sum")])
+        return g.rename_columns(["event_type", "n_late", "n_total"])
+
+    parts = tagged.groupby("_pkey").map_groups(audit,
+                                               batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["event_type"],
+        aggs=[("n_late", "sum"), ("n_total", "sum")],
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("n_late", pa.int64()),
+                                ("n_total", pa.int64())]))
+    return out.sort_by("event_type")
+
+
+SQL_LATE_EVENT_AUDIT = f"""
+WITH r AS (SELECT event_type, ts,
+                  max(ts) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+           FROM events)
+SELECT event_type,
+       CAST(count(*) FILTER (wm IS NOT NULL
+                             AND epoch_us(wm) - epoch_us(ts)
+                                 > {_LATE_GRACE_US}) AS BIGINT)
+         AS n_late,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["late_event_audit"] = (q_late_event_audit,
+                               SQL_LATE_EVENT_AUDIT)

@@ -43,6 +43,7 @@ EMPTY_SAFE = [
     "lineitem_qty_price_corr",
     "embedding_gram",
     "type_hour_residuals",
+    "late_event_audit",
     "doc_compression_ratio",
 ]
 
