@@ -96,6 +96,9 @@ BENCH_EXTRA = [
     "purchase_attribution",
     "data_quality_checks",
     "warc_lang_stats",
+    "embedding_gram",
+    "late_event_audit",
+    "customer_coverage_days",
 ]
 
 

@@ -8338,7 +8338,11 @@ def _ensure_event_store(sf_dir: str) -> str:
     if versioned.latest_version(root) == 0:
         files = [os.path.relpath(p, root) for p in _glob.glob(
             os.path.join(out, "ubucket=*", "*.parquet"))]
-        versioned.commit_version(root, files, parent=0, op="create")
+        try:
+            versioned.commit_version(root, files, parent=0,
+                                     op="create")
+        except FileExistsError:
+            pass  # concurrent builder won the race — same content
     return root
 
 
@@ -8409,10 +8413,13 @@ def q_targeted_delete(sf_dir: str):
         bucket.write_parquet(dst_dir)
         files.extend(os.path.relpath(p, root) for p in sorted(
             _glob.glob(os.path.join(dst_dir, "*.parquet"))))
-    versioned.commit_version(
-        root, files, parent=head["version"], op="targeted_delete",
-        extra={"n_del_users": int(len(del_users)),
-               "rewritten_buckets": affected})
+    try:
+        versioned.commit_version(
+            root, files, parent=head["version"], op="targeted_delete",
+            extra={"n_del_users": int(len(del_users)),
+                   "rewritten_buckets": affected})
+    except FileExistsError:
+        pass  # concurrent deleter committed the same deterministic v2
 
     after = versioned.read_version(root).map_batches(
         _strip_md, batch_format="pyarrow", zero_copy_batch=True)
