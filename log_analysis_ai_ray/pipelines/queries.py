@@ -9694,8 +9694,12 @@ def q_late_event_audit(sf_dir: str):
     exclusive running max and publishes its range max (one row); the
     driver turns the ≤16 range maxes into exclusive carry-ins, and a
     second pass combines carry-in with the local scan — no sequential
-    pass over the corpus ever happens. Exact int64 microseconds,
-    window semantics (1-PRECEDING frame) mirrored in the oracle."""
+    pass over the corpus ever happens. The tagged (id, ts, type)
+    projection is materialized so both phases share one scan; at
+    10¹² rows swap that for a re-read per phase (3 narrow columns —
+    cheaper than pinning ~24 B/row in the object store). Exact int64
+    microseconds, window semantics (1-PRECEDING frame) mirrored in
+    the oracle."""
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "event_type"])
 
