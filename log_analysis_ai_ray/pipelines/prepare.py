@@ -29,17 +29,25 @@ SPLIT_A = 2654435761
 SPLIT_M = 4294967296
 SPLIT_TRAIN = 3435973836  # floor(0.8 * 2^32)
 
-_DOM_RE_PC = r"^https://(?P<d>[^/]+)/"
+def _stage_done(out_dir: str, stage: str, params: dict) -> bool:
+    """Stage complete AND built with the same parameters — a resume
+    under different knobs (langs, chunk width, …) rebuilds instead of
+    silently serving stale output."""
+    path = os.path.join(out_dir, stage, "_STAGE_DONE")
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            return json.load(f).get("params") == params
+    except Exception:
+        return False
 
 
-def _stage_done(out_dir: str, stage: str) -> bool:
-    return os.path.exists(os.path.join(out_dir, stage, "_STAGE_DONE"))
-
-
-def _mark_stage(out_dir: str, stage: str, info: dict) -> None:
+def _mark_stage(out_dir: str, stage: str, params: dict) -> None:
     path = os.path.join(out_dir, stage, "_STAGE_DONE")
     with open(path + ".tmp", "w") as f:
-        json.dump(info, f, indent=1, sort_keys=True)
+        json.dump({"stage": stage, "params": params}, f, indent=1,
+                  sort_keys=True)
     os.replace(path + ".tmp", path)
 
 
@@ -70,8 +78,10 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
 
     # ---- stage 2: pages → documents shape --------------------------
     docs_dir = os.path.join(out_dir, "documents")
-    if not (resume and _stage_done(out_dir, "documents")):
+    if not (resume and _stage_done(out_dir, "documents", {})):
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+        from .queries import _DOM_RE_PC  # one domain notion repo-wide
 
         def to_docs(t: pa.Table) -> pa.Table:
             # deterministic doc_id from the url (vectorized 64-bit
@@ -88,15 +98,20 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
                 "source": dom,
             })
 
-        ray.data.read_parquet(ingest_dir) \
+        # prune at the read: html is by far the widest column and
+        # to_docs never touches it
+        ray.data.read_parquet(ingest_dir,
+                              columns=["url", "text", "lang"]) \
             .map_batches(to_docs, batch_format="pyarrow") \
             .write_parquet(docs_dir)
-        _mark_stage(out_dir, "documents", {"stage": "documents"})
+        _mark_stage(out_dir, "documents", {})
     metrics["documents_dir"] = docs_dir
 
     # ---- stage 3: curation (gates + dedup + near-dup removal) ------
     curated_dir = os.path.join(out_dir, "curated")
-    if resume and _stage_done(out_dir, "curated"):
+    cur_params = {"keep_langs": sorted(keep_langs),
+                  "min_tokens": min_tokens}
+    if resume and _stage_done(out_dir, "curated", cur_params):
         with open(os.path.join(curated_dir, "_metrics.json")) as f:
             metrics["curation"] = json.load(f)
     else:
@@ -104,11 +119,12 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
         metrics["curation"] = run_curation(
             docs_dir, curated_dir, keep_langs=keep_langs,
             min_tokens=min_tokens)
-        _mark_stage(out_dir, "curated", {"stage": "curated"})
+        _mark_stage(out_dir, "curated", cur_params)
 
     # ---- stage 4: split + chunk ------------------------------------
     chunks_dir = os.path.join(out_dir, "chunks")
-    if not (resume and _stage_done(out_dir, "chunks")):
+    chunk_params = {"width": chunk_width, "stride": chunk_stride}
+    if not (resume and _stage_done(out_dir, "chunks", chunk_params)):
         shutil.rmtree(chunks_dir, ignore_errors=True)
 
         def split_chunk(t: pa.Table) -> pa.Table:
@@ -128,7 +144,7 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
                          batch_format="pyarrow", zero_copy_batch=True) \
             .map_batches(split_chunk, batch_format="pyarrow") \
             .write_parquet(chunks_dir, partition_cols=["split"])
-        _mark_stage(out_dir, "chunks", {"stage": "chunks"})
+        _mark_stage(out_dir, "chunks", chunk_params)
 
     # ---- accounting -------------------------------------------------
     import pyarrow.parquet as pq

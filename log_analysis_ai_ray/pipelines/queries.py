@@ -8304,14 +8304,31 @@ def _ensure_event_store(sf_dir: str) -> str:
     """Events written ONCE as a user-bucketed parquet store
     (ubucket = user_id % 16) — the partitioning a deletion/compaction
     pipeline relies on. Content-keyed by sf name + version marker;
-    rebuilt only if absent."""
-    import ray.data
+    rebuilt only if absent. The table ROOT carries a versioned
+    manifest (state/versioned.py): v1 = the base file set. Build and
+    v1-commit run under an exclusive file lock — without it two
+    processes arriving at a missing marker would rmtree/rebuild
+    concurrently and the manifest glob could capture a partial file
+    set. Returns the table root."""
+    import fcntl
 
+    root = os.path.join(_EVSTORE_ROOT, sf_name(sf_dir))
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            return _ensure_event_store_locked(root, sf_dir)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def _ensure_event_store_locked(root: str, sf_dir: str) -> str:
     import glob as _glob
+
+    import ray.data
 
     from ..state import versioned
 
-    root = os.path.join(_EVSTORE_ROOT, sf_name(sf_dir))
     out = os.path.join(root, "base")
     marker = os.path.join(out, "_COMPLETE_v1")
     if not os.path.exists(marker):
@@ -8372,10 +8389,17 @@ def q_targeted_delete(sf_dir: str):
 
     root = _ensure_event_store(sf_dir)
     head = versioned.read_manifest(root)
-    if head["op"] == "targeted_delete":        # idempotent rerun
+    params = {"mod": _DELETE_MOD, "residue": _DELETE_RESIDUE}
+    if (head["op"] == "targeted_delete"
+            and head["extra"].get("params") == params):
+        # idempotent rerun of the SAME erasure request
         after = versioned.read_version(root).map_batches(
             _strip_md, batch_format="pyarrow", zero_copy_batch=True)
         return _targeted_delete_agg(after)
+    if head["op"] == "targeted_delete":
+        # different delete parameters: re-derive from the base table
+        # (version 1, op=create) instead of chaining deletes
+        head = versioned.read_manifest(root, 1)
 
     ds = _read(sf_dir, "events", columns=["user_id"])
 
@@ -8392,8 +8416,12 @@ def q_targeted_delete(sf_dir: str):
     affected = sorted({int(b) for b in del_users % _DELETE_NB})
     del_set = pa.array(del_users, type=pa.int64())
 
-    new_v = head["version"] + 1
+    new_v = versioned.latest_version(root) + 1
     data_dir = os.path.join(root, f"delete-v{new_v:06d}")
+    # a crashed earlier attempt may have left partial shards here —
+    # globbing them into the manifest would double-count rows
+    import shutil as _shutil
+    _shutil.rmtree(data_dir, ignore_errors=True)
     files: list[str] = []
     for rel in head["files"]:                  # copy-on-write
         bdir = os.path.basename(os.path.dirname(rel))
@@ -8417,9 +8445,9 @@ def q_targeted_delete(sf_dir: str):
         versioned.commit_version(
             root, files, parent=head["version"], op="targeted_delete",
             extra={"n_del_users": int(len(del_users)),
-                   "rewritten_buckets": affected})
+                   "rewritten_buckets": affected, "params": params})
     except FileExistsError:
-        pass  # concurrent deleter committed the same deterministic v2
+        pass  # concurrent deleter committed the same deterministic set
 
     after = versioned.read_version(root).map_batches(
         _strip_md, batch_format="pyarrow", zero_copy_batch=True)
@@ -9720,9 +9748,12 @@ def q_late_event_audit(sf_dir: str):
     hi = int(pc.max(mm.column("hi")).as_py())
     span = hi - lo + 1
 
+    step = -(-span // _LATE_NPART)   # ceil: int64-safe for any span
+                                     # ((e-lo)*16 overflows at 2^59)
+
     def tag(t: pa.Table) -> pa.Table:
         e = np.asarray(t.column("event_id"), dtype=np.int64)
-        pid = (e - lo) * _LATE_NPART // span
+        pid = (e - lo) // step
         return pa.table({
             "_pkey": pa.array(pid),
             "event_id": t.column("event_id"),

@@ -49,9 +49,11 @@ def read_manifest(root: str, version: int | None = None) -> dict:
 def commit_version(root: str, files: list[str], *, parent: int | None,
                    op: str, extra: dict | None = None) -> int:
     """Atomically publish a new version referencing ``files``
-    (paths relative to root). Returns the new version number."""
-    new_v = (parent or 0) + 1 if parent is not None \
-        else latest_version(root) + 1
+    (paths relative to root). Returns the new version number.
+    ``parent`` is lineage metadata; the version NUMBER is always
+    latest+1 (a recompute whose parent is an old version must not
+    collide with — and silently lose to — the existing successor)."""
+    new_v = latest_version(root) + 1
     os.makedirs(os.path.join(root, _VDIR), exist_ok=True)
     manifest = {
         "version": new_v,
@@ -61,12 +63,16 @@ def commit_version(root: str, files: list[str], *, parent: int | None,
         "extra": extra or {},
     }
     path = _vpath(root, new_v)
-    if os.path.exists(path):
-        raise FileExistsError(
-            f"version {new_v} already committed (concurrent writer?)")
-    with open(path + ".tmp", "w") as f:
+    # per-writer-unique tmp + os.link publish: link fails with
+    # FileExistsError if the version exists, atomically — no
+    # check-then-replace window where two writers clobber each other
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(path + ".tmp", path)
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
     return new_v
 
 

@@ -37,11 +37,31 @@ def test_commit_read_diff_time_travel(tmp_path):
                  "removed": ["base/b.parquet"], "unchanged": 1}
 
 
-def test_double_commit_rejected(tmp_path):
+def test_sequential_recommit_appends_not_overwrites(tmp_path):
+    # version numbers come from latest+1, so a recompute with an old
+    # parent appends a new version instead of colliding with (and
+    # silently losing to) the existing successor
+    root = str(tmp_path)
+    _write(root, "base/a.parquet", 1)
+    v1 = versioned.commit_version(root, ["base/a.parquet"], parent=0,
+                                  op="create")
+    v2 = versioned.commit_version(root, ["base/a.parquet"],
+                                  parent=v1, op="rewrite")
+    v3 = versioned.commit_version(root, ["base/a.parquet"],
+                                  parent=v1, op="rewrite")  # recompute
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert versioned.read_manifest(root, 3)["parent"] == 1
+
+
+def test_concurrent_same_number_commit_rejected(tmp_path,
+                                                monkeypatch):
+    # two writers that computed the SAME next version: the os.link
+    # publish raises for the loser instead of overwriting the winner
     root = str(tmp_path)
     _write(root, "base/a.parquet", 1)
     versioned.commit_version(root, ["base/a.parquet"], parent=0,
                              op="create")
+    monkeypatch.setattr(versioned, "latest_version", lambda r: 0)
     with pytest.raises(FileExistsError):
         versioned.commit_version(root, ["base/a.parquet"], parent=0,
                                  op="create")
