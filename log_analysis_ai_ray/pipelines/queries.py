@@ -9833,3 +9833,49 @@ FROM r GROUP BY 1 ORDER BY 1
 
 QUERIES["late_event_audit"] = (q_late_event_audit,
                                SQL_LATE_EVENT_AUDIT)
+
+
+def q_langid_confusion(sf_dir: str):
+    """Classifier-evaluation confusion matrix: predicted language
+    (stopword-profile argmax, the doc_langid scorer) vs the table's
+    labeled lang — the eval report any model-scoring stage needs,
+    here fully deterministic so the oracle pins every cell. Per-block
+    vectorized prediction + (label, pred) pre-count; the exchange
+    moves ≤ langs² rows per block. Adds precision-style diagonal
+    flag so the driver hash also covers the accuracy claim."""
+    from ..stages.textstats import langid_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({
+            "lang": t.column("lang"),
+            "pred_lang": pred,
+        }).group_by(["lang", "pred_lang"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    out = _partial_final(ds, partial, ["lang", "pred_lang"],
+                         [("n", "sum")])
+    diag = pc.equal(out.column("lang"), out.column("pred_lang"))
+    return out.append_column("is_correct",
+                             pc.cast(diag, pa.int8())) \
+        .sort_by([("lang", "ascending"), ("pred_lang", "ascending")])
+
+
+def _langid_confusion_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH p AS (SELECT f.doc_id, f.pred_lang, d.lang
+           FROM ({inner}) f JOIN documents d USING (doc_id))
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(lang = pred_lang AS TINYINT) AS is_correct
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["langid_confusion"] = (q_langid_confusion,
+                               _langid_confusion_sql())
