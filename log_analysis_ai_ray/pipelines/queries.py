@@ -9879,3 +9879,144 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["langid_confusion"] = (q_langid_confusion,
                                _langid_confusion_sql())
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): inequality statistics, space-filling-curve layout
+# ---------------------------------------------------------------------------
+
+
+def q_source_length_gini(sf_dir: str):
+    """Gini coefficient of document lengths per source — the
+    inequality statistic corpus reports use (is one source a few huge
+    pages or many uniform ones?). Distributed part: distinct
+    (source, n_chars) COUNTS (bounded by the length domain, the
+    events_value_quartile trick); the driver computes the exact Gini
+    from the count distribution with closed-form tie runs:
+    Σ(2·rank − n − 1)·x over a run of c equal values starting at
+    0-based position s is x·(2(cs + c(c+1)/2) − c(n+1)) — all Python
+    bigints, so the single float division matches the oracle's
+    integer-exact window sum bit for bit."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t.column("source"),
+                      "x": t.column("n_chars")}) \
+            .group_by(["source", "x"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "x", "c"])
+
+    vc = _partial_final(ds, partial, ["source", "x"], [("c", "sum")])
+    srcs = np.asarray(vc.column("source").to_pylist())
+    xs = np.asarray(vc.column("x"), dtype=np.int64)
+    cs = np.asarray(vc.column("c"), dtype=np.int64)
+    out_s, out_n, out_g = [], [], []
+    for s in np.unique(srcs):
+        m = srcs == s
+        order = np.argsort(xs[m])
+        v, c = xs[m][order], cs[m][order]
+        n = int(c.sum())
+        total = int((v * c).sum())
+        num = 0
+        pos = 0
+        for vi, ci in zip(v.tolist(), c.tolist()):
+            num += vi * (2 * (pos * ci + ci * (ci + 1) // 2)
+                         - ci * (n + 1))
+            pos += ci
+        out_s.append(str(s))
+        out_n.append(n)
+        out_g.append(_null_div(num, n * total))
+    return pa.table({
+        "source": pa.array(out_s, type=pa.string()),
+        "n_docs": pa.array(out_n, type=pa.int64()),
+        "gini": pa.array(out_g, type=pa.float64()),
+    })
+
+
+SQL_SOURCE_LENGTH_GINI = """
+WITH r AS (SELECT source, n_chars AS x,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       round(CAST(sum((2 * rn - n - 1) * x) AS DOUBLE)
+             / CAST(max(n) * sum(x) AS DOUBLE), 6) AS gini
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["source_length_gini"] = (q_source_length_gini,
+                                 SQL_SOURCE_LENGTH_GINI)
+
+
+_Z_BITS = 16
+
+
+def _zorder_sql_expr(a: str, b: str) -> str:
+    """Bit-interleave two 16-bit values (a even bits, b odd bits) as
+    an explicit SQL expression — the same arithmetic the numpy kernel
+    runs, term for term."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Space-filling-curve data layout (Delta/Iceberg Z-ORDER): a
+    Z-order key interleaving user-id and hour-index bits co-locates
+    rows close in BOTH dimensions, so a store sorted by it serves
+    2-D range predicates from few partitions. The query computes the
+    key per event (vectorized bit arithmetic) and the per-Z-range
+    occupancy histogram (key >> 12 buckets) + per-bucket distinct-user
+    spread that a layout optimizer inspects — exact integers, the SQL
+    mirror interleaves the same 32 bit-terms explicitly."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = (np.asarray(t.column("user_id"), dtype=np.int64)
+             & ((1 << _Z_BITS) - 1)).astype(np.uint64)
+        hr = ((np.asarray(t.column("ts").cast(pa.int64()),
+                          dtype=np.int64) // 3_600_000_000)
+              & ((1 << _Z_BITS) - 1)).astype(np.uint64)
+        z = np.zeros(len(u), dtype=np.uint64)
+        for i in range(_Z_BITS):
+            z |= ((u >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+            z |= ((hr >> np.uint64(i)) & np.uint64(1)) \
+                << np.uint64(2 * i + 1)
+        bucket = (z >> np.uint64(12)).astype(np.int64)
+        g = pa.table({
+            "z_bucket": pa.array(bucket),
+            "n": pa.array(np.ones(len(u), dtype=np.int64)),
+            "zmin": pa.array(z.astype(np.int64)),
+            "zmax": pa.array(z.astype(np.int64)),
+        }).group_by("z_bucket").aggregate(
+            [("n", "sum"), ("zmin", "min"), ("zmax", "max")])
+        return g.rename_columns(["z_bucket", "n", "zmin", "zmax"])
+
+    out = agg._combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["z_bucket"],
+        aggs=[("n", "sum"), ("zmin", "min"), ("zmax", "max")],
+        empty_schema=pa.schema([("z_bucket", pa.int64()),
+                                ("n", pa.int64()),
+                                ("zmin", pa.int64()),
+                                ("zmax", pa.int64())]))
+    return out.sort_by("z_bucket")
+
+
+def _zorder_sql() -> str:
+    z = _zorder_sql_expr(f"(user_id & {(1 << _Z_BITS) - 1})",
+                         f"(CAST(floor(epoch(ts) / 3600) AS BIGINT)"
+                         f" & {(1 << _Z_BITS) - 1})")
+    return f"""
+WITH z AS (SELECT ({z}) AS zkey FROM events)
+SELECT zkey >> 12 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(zkey) AS BIGINT) AS zmin,
+       CAST(max(zkey) AS BIGINT) AS zmax
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["zorder_layout"] = (q_zorder_layout, _zorder_sql())
