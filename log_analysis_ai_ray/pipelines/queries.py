@@ -10020,3 +10020,77 @@ FROM z GROUP BY 1 ORDER BY 1
 
 
 QUERIES["zorder_layout"] = (q_zorder_layout, _zorder_sql())
+
+
+def q_split_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift test between the two
+    deterministic halves of the event stream — the statistical gate a
+    pipeline runs before trusting a new data slice (train/serve skew,
+    A/B integrity): KS = max |F̂_A(x) − F̂_B(x)| over the pooled value
+    grid. Distributed part: distinct (half, cents) counts (bounded by
+    the price domain); the driver builds both exact ECDFs from the
+    counts and takes the max gap — every term an exact-integer ratio,
+    so the float max matches the oracle's windowed-cumsum form."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        grp = _knuth_bucket(e, 2)
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({"grp": pa.array(grp), "cents": cents}) \
+            .group_by(["grp", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["grp", "cents", "c"])
+
+    vc = _partial_final(ds, partial, ["grp", "cents"], [("c", "sum")])
+    grp = np.asarray(vc.column("grp"), dtype=np.int64)
+    cents = np.asarray(vc.column("cents"), dtype=np.int64)
+    c = np.asarray(vc.column("c"), dtype=np.int64)
+    grid = np.unique(cents)
+    ca = np.zeros(len(grid), dtype=np.int64)
+    cb = np.zeros(len(grid), dtype=np.int64)
+    ia = np.searchsorted(grid, cents[grp == 0])
+    np.add.at(ca, ia, c[grp == 0])
+    ib = np.searchsorted(grid, cents[grp == 1])
+    np.add.at(cb, ib, c[grp == 1])
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        return pa.table({"n_a": pa.array([na], type=pa.int64()),
+                         "n_b": pa.array([nb], type=pa.int64()),
+                         "ks": pa.array([None], type=pa.float64())})
+    fa = np.cumsum(ca).astype(np.float64) / float(na)
+    fb = np.cumsum(cb).astype(np.float64) / float(nb)
+    ks = round(float(np.max(np.abs(fa - fb))), 6)
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+        "ks": pa.array([ks], type=pa.float64()),
+    })
+
+
+SQL_SPLIT_KS_DRIFT = f"""
+WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  ((event_id % {_CHECK_HASH_MOD})
+                   * 2654435761::HUGEINT) % {_CHECK_HASH_MOD} % 2
+                    AS grp
+           FROM events),
+g AS (SELECT cents,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS b
+      FROM e GROUP BY 1),
+t AS (SELECT sum(a) AS na, sum(b) AS nb FROM g),
+c AS (SELECT cents,
+             sum(a) OVER (ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(b) OVER (ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       round(max(abs(CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+                     - CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))),
+             6) AS ks
+FROM c, t GROUP BY 1, 2
+"""
+
+
+QUERIES["split_ks_drift"] = (q_split_ks_drift, SQL_SPLIT_KS_DRIFT)

@@ -44,6 +44,9 @@ EMPTY_SAFE = [
     "embedding_gram",
     "type_hour_residuals",
     "late_event_audit",
+    "source_length_gini",
+    "zorder_layout",
+    "langid_confusion",
     "doc_compression_ratio",
 ]
 
