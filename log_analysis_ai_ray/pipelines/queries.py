@@ -10094,3 +10094,179 @@ FROM c, t GROUP BY 1, 2
 
 
 QUERIES["split_ks_drift"] = (q_split_ks_drift, SQL_SPLIT_KS_DRIFT)
+
+
+def q_benford_digit_test(sf_dir: str):
+    """Benford's-law forensic screen on order totals — the
+    data-validation classic (fabricated or unit-mangled monetary data
+    flunks the first-digit distribution): observed count per leading
+    digit vs the Benford expectation log10(1+1/d), emitted as
+    PER-DIGIT excess so no cross-cell float accumulation exists. The
+    digit extraction is integer arithmetic (repeated //10), not
+    string slicing, identical in both engines."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                         100), 0), pa.int64()),
+            dtype=np.int64)
+        d = cents.copy()
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        g = pa.table({"digit": pa.array(d)}).group_by("digit") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["digit", "n"])
+
+    out = _partial_final(ds, partial, ["digit"], [("n", "sum")])
+    digit = np.asarray(out.column("digit"), dtype=np.int64)
+    n = np.asarray(out.column("n"), dtype=np.int64)
+    total = int(n.sum())
+    exp_pm, excess_pm = [], []
+    for dg, cnt in zip(digit.tolist(), n.tolist()):
+        e = round(math.log10(1.0 + 1.0 / dg) * 1000, 3)
+        obs = round(float(cnt) * 1000 / float(total), 3)
+        exp_pm.append(e)
+        excess_pm.append(round(obs - e, 3))
+    return pa.table({
+        "digit": pa.array(digit),
+        "n": pa.array(n),
+        "benford_pm": pa.array(exp_pm, type=pa.float64()),
+        "excess_pm": pa.array(excess_pm, type=pa.float64()),
+    }).sort_by("digit")
+
+
+SQL_BENFORD_DIGIT_TEST = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             AS cents FROM orders),
+d AS (SELECT CASE
+        WHEN cents >= 1000000000000 THEN cents // 1000000000000
+        WHEN cents >= 100000000000 THEN cents // 100000000000
+        WHEN cents >= 10000000000 THEN cents // 10000000000
+        WHEN cents >= 1000000000 THEN cents // 1000000000
+        WHEN cents >= 100000000 THEN cents // 100000000
+        WHEN cents >= 10000000 THEN cents // 10000000
+        WHEN cents >= 1000000 THEN cents // 1000000
+        WHEN cents >= 100000 THEN cents // 100000
+        WHEN cents >= 10000 THEN cents // 10000
+        WHEN cents >= 1000 THEN cents // 1000
+        WHEN cents >= 100 THEN cents // 100
+        WHEN cents >= 10 THEN cents // 10
+        ELSE cents END AS digit
+      FROM c),
+g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(log10(1.0 + 1.0 / digit) * 1000, 3) AS benford_pm,
+       round(round(CAST(n AS DOUBLE) * 1000 / CAST(t.total AS DOUBLE),
+                   3)
+             - round(log10(1.0 + 1.0 / digit) * 1000, 3), 3)
+         AS excess_pm
+FROM g, t ORDER BY digit
+"""
+
+
+QUERIES["benford_digit_test"] = (q_benford_digit_test,
+                                 SQL_BENFORD_DIGIT_TEST)
+
+
+_LEADLAG_MAX = 3
+
+
+def q_event_leadlag_corr(sf_dir: str):
+    """Lead-lag cross-correlation between the click and purchase
+    hourly series — does click volume LEAD purchases by k hours (the
+    marketing-response question)? corr(click_t, purchase_{t+k}) for
+    k = 0..3 over hours present in BOTH series at that shift (inner
+    join on the hour grid, mirrored exactly). Built from the bounded
+    hourly rollup; per-lag sufficient statistics are exact integers,
+    closed with the shared bigint formula (NULL when a series is
+    constant)."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").cast(pa.string())
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "hour": pa.array(
+                np.asarray(t.column("ts").cast(pa.int64()),
+                           dtype=np.int64) // 3_600_000_000),
+        }).group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "c"])
+
+    hourly = _partial_final(ds, partial, ["event_type", "hour"],
+                            [("c", "sum")])
+    et = np.asarray(hourly.column("event_type").to_pylist())
+    hr = np.asarray(hourly.column("hour"), dtype=np.int64)
+    c = np.asarray(hourly.column("c"), dtype=np.int64)
+    clicks = dict(zip(hr[et == "click"].tolist(),
+                      c[et == "click"].tolist()))
+    purch = dict(zip(hr[et == "purchase"].tolist(),
+                     c[et == "purchase"].tolist()))
+    lags, ns, corrs = [], [], []
+    for k in range(_LEADLAG_MAX + 1):
+        xs, ys = [], []
+        for h, cv in sorted(clicks.items()):
+            pv = purch.get(h + k)
+            if pv is not None:
+                xs.append(cv)
+                ys.append(pv)
+        n = len(xs)
+        lags.append(k)
+        ns.append(n)
+        if n == 0:
+            corrs.append(None)
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        corrs.append(_null_div(
+            n * sxy - sx * sy,
+            math.sqrt(float(n * sxx - sx * sx)
+                      * float(n * syy - sy * sy))))
+    return pa.table({
+        "lag_hours": pa.array(lags, type=pa.int64()),
+        "n_pairs": pa.array(ns, type=pa.int64()),
+        "corr": pa.array(corrs, type=pa.float64()),
+    })
+
+
+SQL_EVENT_LEADLAG_CORR = f"""
+WITH h AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                  count(*) AS c
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+ck AS (SELECT hour, c FROM h WHERE event_type = 'click'),
+pu AS (SELECT hour, c FROM h WHERE event_type = 'purchase'),
+lags AS (SELECT unnest(range({_LEADLAG_MAX + 1})) AS k),
+j AS (SELECT lags.k, ck.c AS x, pu.c AS y
+      FROM lags JOIN ck ON TRUE
+      JOIN pu ON pu.hour = ck.hour + lags.k),
+s AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(x * y) AS sxy
+      FROM j GROUP BY 1)
+SELECT lags.k AS lag_hours, coalesce(s.n, 0) AS n_pairs,
+       round(CAST(CAST(s.n AS HUGEINT) * s.sxy
+                  - CAST(s.sx AS HUGEINT) * s.sy AS DOUBLE)
+             / sqrt(CAST(CAST(s.n AS HUGEINT) * s.sxx
+                         - CAST(s.sx AS HUGEINT) * s.sx AS DOUBLE)
+                    * CAST(CAST(s.n AS HUGEINT) * s.syy
+                           - CAST(s.sy AS HUGEINT) * s.sy AS DOUBLE)),
+             6) AS corr
+FROM lags LEFT JOIN s ON s.k = lags.k ORDER BY 1
+"""
+
+
+QUERIES["event_leadlag_corr"] = (q_event_leadlag_corr,
+                                 SQL_EVENT_LEADLAG_CORR)
