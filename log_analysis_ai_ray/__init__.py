@@ -23,3 +23,27 @@ __version__ = "0.1.0"
 from .state.malloc_tuning import tune_malloc as _tune_malloc  # noqa: E402
 
 _tune_malloc()
+
+
+def _assert_pyarrow_agg_ordering() -> None:
+    """Guard the keys-first column ordering of pyarrow group_by results.
+
+    Many call sites rename ``TableGroupBy.aggregate`` outputs positionally
+    (``.rename_columns([...])``), relying on pyarrow >= 8 returning key
+    columns first and aggregate columns after, in declaration order.
+    Older pyarrow releases ordered aggregates first, which would silently
+    swap column names/types. Fail fast at import instead.
+    """
+    import pyarrow as _pa
+
+    t = _pa.table({"k": [1, 1], "v": [2.0, 3.0]})
+    got = t.group_by("k").aggregate([("v", "sum"), ("v", "count")]).column_names
+    if got != ["k", "v_sum", "v_count"]:
+        raise ImportError(
+            "pyarrow group_by().aggregate() column ordering is not "
+            f"keys-first ({got}); positional rename_columns call sites "
+            "in this package would mislabel aggregates. Use pyarrow >= 8."
+        )
+
+
+_assert_pyarrow_agg_ordering()

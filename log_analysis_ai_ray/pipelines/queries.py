@@ -10270,3 +10270,295 @@ FROM lags LEFT JOIN s ON s.k = lags.k ORDER BY 1
 
 QUERIES["event_leadlag_corr"] = (q_event_leadlag_corr,
                                  SQL_EVENT_LEADLAG_CORR)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-analog join suite extensions (Q14 / Q7 / Q22 shapes)
+# ---------------------------------------------------------------------------
+
+_PROMO_TYPE = "ECONOMY"          # the synthetic p_type class counted as promo
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share per ship month: ONE pass
+    over lineitem with a broadcast part→type probe (part is the
+    dimension; `pc.index_in` against the key array, no shuffle touches
+    fact rows), per-block (month, is_promo) cents-per-mille partials,
+    bounded final merge, driver-side pivot of the ≤ months×2 rows into
+    the share. Revenue is exact integer cents×(1000−discount‰); the
+    share is ONE float division rounded at the end, mirrored by the
+    oracle term-for-term."""
+    part = agg._to_arrow(_read(sf_dir, "part",
+                               columns=["p_partkey", "p_type"]))
+    part_keys = part.column("p_partkey").combine_chunks()
+    part_promo = pc.equal(part.column("p_type").combine_chunks(),
+                          _PROMO_TYPE)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate")
+        ym = pc.add(pc.multiply(pc.cast(pc.year(ship), pa.int64()), 100),
+                    pc.cast(pc.month(ship), pa.int64()))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        idx = pc.index_in(t.column("l_partkey"), value_set=part_keys)
+        is_promo = pc.cast(pc.take(part_promo, idx), pa.int64())
+        g = pa.table({"ym": ym, "is_promo": is_promo, "cpm": cpm}) \
+            .group_by(["ym", "is_promo"]).aggregate([("cpm", "sum")])
+        return g.rename_columns(["ym", "is_promo", "cpm"])
+
+    merged = _partial_final(ds, partial, ["ym", "is_promo"],
+                            [("cpm", "sum")])
+    ym = np.asarray(merged.column("ym"), dtype=np.int64)
+    promo = np.asarray(merged.column("is_promo"), dtype=np.int64)
+    cpm = np.asarray(merged.column("cpm"), dtype=np.int64)
+    months = np.unique(ym)
+    p_tot = np.zeros(len(months), dtype=np.int64)
+    a_tot = np.zeros(len(months), dtype=np.int64)
+    mi = np.searchsorted(months, ym)
+    np.add.at(a_tot, mi, cpm)
+    np.add.at(p_tot, mi[promo == 1], cpm[promo == 1])
+    share = np.round(1000.0 * p_tot / a_tot, 3)
+    return pa.table({
+        "ym": pa.array(months),
+        "promo_cpm": pa.array(p_tot),
+        "total_cpm": pa.array(a_tot),
+        "promo_pm": pa.array(share, type=pa.float64()),
+    })
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+WITH l AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS ym,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (1000 - CAST(round(l_discount * 1000, 0) AS BIGINT))
+           AS cpm,
+         p_type = '{_PROMO_TYPE}' AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT ym,
+       CAST(sum(CASE WHEN is_promo THEN cpm ELSE 0 END) AS BIGINT)
+         AS promo_cpm,
+       CAST(sum(cpm) AS BIGINT) AS total_cpm,
+       round(1000.0 * sum(CASE WHEN is_promo THEN cpm ELSE 0 END)
+             / sum(cpm), 3) AS promo_pm
+FROM l GROUP BY ym ORDER BY ym
+"""
+
+QUERIES["promo_revenue_share"] = (q_promo_revenue_share,
+                                  SQL_PROMO_REVENUE_SHARE)
+
+
+def q_trade_volume_pairs(sf_dir: str):
+    """TPC-H Q7 shape — the customer-nation × supplier-nation trade
+    matrix. The supplier side never shuffles: supplier→nation-name is
+    a broadcast probe folded into the lineitem pre-aggregation, so the
+    first exchange moves (orderkey, supp_nation) cents partials. The
+    customer side is two partitioned big-big hash joins (orderkey,
+    then custkey — inherently different keys, two exchanges, same as
+    any SQL plan), each preceded by per-block pre-aggregation so the
+    shuffles move bounded partials, with the vectorized Acero join of
+    joins.partitioned_lookup_join inside each partition."""
+    from ..stages.joins import partitioned_lookup_join
+
+    supp = agg._to_arrow(_read(sf_dir, "supplier",
+                               columns=["s_suppkey", "s_nationkey"]))
+    nation = agg._to_arrow(_read(sf_dir, "nation",
+                                 columns=["n_nationkey", "n_name"]))
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    supp_keys = supp.column("s_suppkey").combine_chunks()
+    supp_nation = pa.array(
+        [n2name[k] for k in supp.column("s_nationkey").to_pylist()],
+        type=pa.string())
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def preagg_line(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        idx = pc.index_in(t.column("l_suppkey"), value_set=supp_keys)
+        g = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "supp_nation": pc.take(supp_nation, idx),
+            "cpm": cpm,
+        }).group_by(["l_orderkey", "supp_nation"]) \
+            .aggregate([("cpm", "sum")])
+        return g.rename_columns(["l_orderkey", "supp_nation", "cpm"])
+
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    with_cust = partitioned_lookup_join(
+        li.map_batches(preagg_line, batch_format="pyarrow"), od,
+        left_key="l_orderkey", right_key="o_orderkey",
+        take_cols=["o_custkey"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nation", pa.string()),
+                               ("cpm", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def preagg_cust(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey", "supp_nation", "cpm"]) \
+            .group_by(["o_custkey", "supp_nation"]) \
+            .aggregate([("cpm", "sum")])
+        return g.rename_columns(["o_custkey", "supp_nation", "cpm"])
+
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    with_nat = partitioned_lookup_join(
+        with_cust.map_batches(preagg_cust, batch_format="pyarrow"), cu,
+        left_key="o_custkey", right_key="c_custkey",
+        take_cols=["c_nationkey"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("supp_nation", pa.string()),
+                               ("cpm", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("c_nationkey"),
+                          value_set=nation.column("n_nationkey")
+                          .combine_chunks())
+        g = pa.table({
+            "cust_nation": pc.take(
+                nation.column("n_name").combine_chunks(), idx),
+            "supp_nation": t.column("supp_nation"),
+            "revenue_cpm": t.column("cpm"),
+        }).group_by(["cust_nation", "supp_nation"]) \
+            .aggregate([("revenue_cpm", "sum")])
+        return g.rename_columns(["cust_nation", "supp_nation",
+                                 "revenue_cpm"])
+
+    out = agg._combine_partials(
+        with_nat.map_batches(final_partial, batch_format="pyarrow"),
+        keys=["cust_nation", "supp_nation"],
+        aggs=[("revenue_cpm", "sum")])
+    return out.sort_by([("cust_nation", "ascending"),
+                        ("supp_nation", "ascending")])
+
+
+SQL_TRADE_VOLUME_PAIRS = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cpm
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["trade_volume_pairs"] = (q_trade_volume_pairs,
+                                 SQL_TRADE_VOLUME_PAIRS)
+
+
+_IDLE_MAX_ORDERS = 5
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape — sales-opportunity report: per nation, the
+    count and total balance of LOW-ENGAGEMENT rich customers (balance
+    beats the global positive-balance average; at most
+    ``_IDLE_MAX_ORDERS`` orders, including none). The threshold is
+    distilled as distributed (sum_cents, count) partials and applied
+    by EXACT integer cross-multiplication (cents·count > sum — no
+    float average on either side); the ACTIVE-customer key set
+    (order count > max) is distilled distributedly (per-key count
+    partials, bounded by |customers|) and broadcast as a sorted probe
+    array for the anti-join — no shuffle touches the customer scan."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100), 0), pa.int64())
+        pos = pc.filter(cents, pc.greater(cents, 0))
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "s": pa.array([pc.sum(pos).as_py() or 0], type=pa.int64()),
+            "n": pa.array([len(pos)], type=pa.int64()),
+        })
+
+    tot = _partial_final(ds, bal_partial, ["k"],
+                         [("s", "sum"), ("n", "sum")])
+    s_cents = int(tot.column("s")[0].as_py() or 0)
+    n_pos = int(tot.column("n")[0].as_py() or 0)
+
+    od = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    ord_counts = _partial_final(od, cust_partial, ["o_custkey"],
+                                [("n_orders", "sum")])
+    active = pc.filter(
+        ord_counts.column("o_custkey"),
+        pc.greater(ord_counts.column("n_orders"),
+                   pa.scalar(_IDLE_MAX_ORDERS, pa.int64())))
+    have_sorted = pc.take(active,
+                          pc.sort_indices(active)).combine_chunks()
+
+    nation = agg._to_arrow(_read(sf_dir, "nation",
+                                 columns=["n_nationkey", "n_name"]))
+    nkeys = nation.column("n_nationkey").combine_chunks()
+    nnames = nation.column("n_name").combine_chunks()
+
+    def pick_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100), 0), pa.int64())
+        rich = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(s_cents, pa.int64()))
+        no_ord = pc.invert(pc.is_in(t.column("c_custkey"),
+                                    value_set=have_sorted))
+        keep = pc.and_(rich, no_ord)
+        t2 = pa.table({
+            "c_nationkey": pc.filter(t.column("c_nationkey"), keep),
+            "cents": pc.filter(cents, keep),
+        })
+        idx = pc.index_in(t2.column("c_nationkey"), value_set=nkeys)
+        g = pa.table({"nation": pc.take(nnames, idx),
+                      "cents": t2.column("cents")}) \
+            .group_by("nation") \
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["nation", "n_custs", "acctbal_cents"])
+
+    out = _partial_final(ds, pick_partial, ["nation"],
+                         [("n_custs", "sum"), ("acctbal_cents", "sum")])
+    return out.sort_by("nation")
+
+
+SQL_IDLE_RICH_CUSTOMERS = f"""
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM customer),
+t AS (SELECT sum(cents) AS s, count(*) AS n FROM c WHERE cents > 0),
+oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+pick AS (SELECT c.* FROM c, t
+         WHERE c.cents * t.n > t.s
+           AND coalesce((SELECT n_orders FROM oc
+                         WHERE oc.o_custkey = c.c_custkey), 0)
+               <= {_IDLE_MAX_ORDERS})
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(cents) AS BIGINT) AS acctbal_cents
+FROM pick JOIN nation n ON n.n_nationkey = pick.c_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["idle_rich_customers"] = (q_idle_rich_customers,
+                                  SQL_IDLE_RICH_CUSTOMERS)

@@ -40,6 +40,7 @@ SUBSET = [
     "new_users_hourly", "props_key_counts", "user_streaks",
     "source_token_entropy", "events_burstiness",
     "top_events_diversified",
+    "promo_revenue_share", "trade_volume_pairs", "idle_rich_customers",
 ]
 
 
