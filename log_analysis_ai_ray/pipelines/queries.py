@@ -10562,3 +10562,237 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["idle_rich_customers"] = (q_idle_rich_customers,
                                   SQL_IDLE_RICH_CUSTOMERS)
+
+
+# ---------------------------------------------------------------------------
+# robust statistics from bounded value histograms (exact at any scale)
+# ---------------------------------------------------------------------------
+
+_TRIM_FRAC_PM = 100        # 10% trimmed from EACH tail, in per-mille
+
+
+def q_trimmed_mean_by_type(sf_dir: str):
+    """10% two-sided trimmed mean of value-cents per event type — the
+    robust-location statistic monitoring uses when means are
+    outlier-poisoned. Scale shape: the all-to-all moves (type, cents)
+    HISTOGRAM partials (bounded by |types|×|distinct cents|, not row
+    count); the trim closes driver-side from each type's sorted
+    histogram by exact integer weighted-overlap arithmetic (remove
+    k = ⌊n/10⌋ rows from each tail, possibly splitting a bin), ONE
+    float division at the end — identical to the oracle's
+    row_number window over the full sort, without a global sort."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "cents": cents}) \
+            .group_by(["event_type", "cents"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    hist = _partial_final(ds, partial, ["event_type", "cents"],
+                          [("cnt", "sum")])
+    et = np.asarray(hist.column("event_type").to_pylist())
+    vals = np.asarray(hist.column("cents"), dtype=np.int64)
+    cnts = np.asarray(hist.column("cnt"), dtype=np.int64)
+    types = np.unique(et)
+    out_t, out_n, out_mean = [], [], []
+    for ty in types:
+        m = et == ty
+        v, c = vals[m], cnts[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        k = (n * _TRIM_FRAC_PM) // 1000
+        # rows removed from each bin by the low / high cut
+        lo_removed = np.clip(k - (cum - c), 0, c)
+        hi_removed = np.clip(cum - (n - k), 0, c)
+        kept = c - lo_removed - hi_removed
+        total = int(np.sum(v * kept))
+        out_t.append(str(ty))
+        out_n.append(n - 2 * k)
+        out_mean.append(round(total / (n - 2 * k), 4))
+    return pa.table({
+        "event_type": pa.array(out_t, type=pa.string()),
+        "n_kept": pa.array(out_n, type=pa.int64()),
+        "trimmed_mean_cents": pa.array(out_mean, type=pa.float64()),
+    })
+
+
+SQL_TRIMMED_MEAN_BY_TYPE = f"""
+WITH r AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(round(value * 100, 0)
+                                                   AS BIGINT)) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+k AS (SELECT *, n * {_TRIM_FRAC_PM} // 1000 AS cut FROM r)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(cents) AS DOUBLE) / count(*), 4)
+         AS trimmed_mean_cents
+FROM k WHERE rn > cut AND rn <= n - cut
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["trimmed_mean_by_type"] = (q_trimmed_mean_by_type,
+                                   SQL_TRIMMED_MEAN_BY_TYPE)
+
+
+_EDEPTH_K = 8
+
+
+def q_equi_depth_price_hist(sf_dir: str):
+    """Equi-depth (equal-count) histogram of lineitem extended price —
+    the optimizer/skew-diagnosis statistic an equi-WIDTH histogram
+    (price_histogram) can't give on heavy-tailed data. Same bounded
+    scale shape as the trimmed mean: ONE pass of (cents, count)
+    histogram partials, then the driver places bucket boundaries at
+    exact global ranks ⌈b·n/K⌉ from the cumulative counts and closes
+    each bucket's count/min/max/mean by integer bin-overlap
+    arithmetic — no global sort, no second pass. The oracle pins the
+    identical rank rule via a row_number window."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        g = pa.table({"cents": cents}).group_by("cents") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["cents", "cnt"])
+
+    hist = _partial_final(ds, partial, ["cents"], [("cnt", "sum")])
+    v = np.asarray(hist.column("cents"), dtype=np.int64)
+    c = np.asarray(hist.column("cnt"), dtype=np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    start = cum - c                       # rows before each bin
+    buckets, nrows, lo_c, hi_c, means = [], [], [], [], []
+    for b in range(_EDEPTH_K):
+        lo = -(-b * n // _EDEPTH_K)       # ceil(b·n/K): 0-based start
+        hi = -(-(b + 1) * n // _EDEPTH_K)  # exclusive end
+        if hi <= lo:
+            continue
+        # overlap of [lo, hi) with each bin's [start, cum) row range
+        take = np.clip(np.minimum(cum, hi) - np.maximum(start, lo),
+                       0, None)
+        nz = take > 0
+        buckets.append(b)
+        nrows.append(hi - lo)
+        lo_c.append(int(v[nz][0]))
+        hi_c.append(int(v[nz][-1]))
+        means.append(round(int(np.sum(v * take)) / (hi - lo), 4))
+    return pa.table({
+        "bucket": pa.array(buckets, type=pa.int64()),
+        "n_rows": pa.array(nrows, type=pa.int64()),
+        "lo_cents": pa.array(lo_c, type=pa.int64()),
+        "hi_cents": pa.array(hi_c, type=pa.int64()),
+        "mean_cents": pa.array(means, type=pa.float64()),
+    })
+
+
+SQL_EQUI_DEPTH_PRICE_HIST = f"""
+WITH r AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             AS cents,
+           row_number() OVER (ORDER BY CAST(round(l_extendedprice
+                                                  * 100, 0) AS BIGINT))
+             AS rn,
+           count(*) OVER () AS n
+           FROM lineitem)
+SELECT CAST((rn - 1) * {_EDEPTH_K} // n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(cents) AS lo_cents, max(cents) AS hi_cents,
+       round(CAST(sum(cents) AS DOUBLE) / count(*), 4) AS mean_cents
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["equi_depth_price_hist"] = (q_equi_depth_price_hist,
+                                    SQL_EQUI_DEPTH_PRICE_HIST)
+
+
+_ACF_MAX_LAG = 6
+
+
+def q_hourly_acf(sf_dir: str):
+    """Autocorrelation function of the total hourly event count at
+    lags 1..6 — the seasonality probe (a daily cycle shows as a
+    24-lag echo; here short lags capture burst persistence). One
+    bounded hourly rollup (the only shuffle), then each lag's
+    correlation closes from exact integer sufficient statistics over
+    hour pairs (h, h+k) PRESENT IN BOTH shifted series — inner join
+    on the hour grid, mirrored by the oracle; NULL when a shifted
+    series is constant."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pa.array(
+            np.asarray(t.column("ts").cast(pa.int64()),
+                       dtype=np.int64) // 3_600_000_000)
+        g = pa.table({"hour": hour}).group_by("hour") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "c"])
+
+    hourly = _partial_final(ds, partial, ["hour"], [("c", "sum")])
+    hr = np.asarray(hourly.column("hour"), dtype=np.int64)
+    c = np.asarray(hourly.column("c"), dtype=np.int64)
+    series = dict(zip(hr.tolist(), c.tolist()))
+    lags, ns, corrs = [], [], []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        xs, ys = [], []
+        for h, cv in sorted(series.items()):
+            nv = series.get(h + k)
+            if nv is not None:
+                xs.append(cv)
+                ys.append(nv)
+        n = len(xs)
+        lags.append(k)
+        ns.append(n)
+        if n == 0:
+            corrs.append(None)
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        corrs.append(_null_div(
+            n * sxy - sx * sy,
+            math.sqrt(float(n * sxx - sx * sx)
+                      * float(n * syy - sy * sy))))
+    return pa.table({
+        "lag_hours": pa.array(lags, type=pa.int64()),
+        "n_pairs": pa.array(ns, type=pa.int64()),
+        "acf": pa.array(corrs, type=pa.float64()),
+    })
+
+
+SQL_HOURLY_ACF = f"""
+WITH h AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                  count(*) AS c
+           FROM events GROUP BY 1),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS k),
+j AS (SELECT lags.k, a.c AS x, b.c AS y
+      FROM lags JOIN h a ON TRUE
+      JOIN h b ON b.hour = a.hour + lags.k),
+s AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(x * y) AS sxy
+      FROM j GROUP BY 1)
+SELECT lags.k AS lag_hours, coalesce(s.n, 0) AS n_pairs,
+       round(CAST(CAST(s.n AS HUGEINT) * s.sxy
+                  - CAST(s.sx AS HUGEINT) * s.sy AS DOUBLE)
+             / sqrt(CAST(CAST(s.n AS HUGEINT) * s.sxx
+                         - CAST(s.sx AS HUGEINT) * s.sx AS DOUBLE)
+                    * CAST(CAST(s.n AS HUGEINT) * s.syy
+                           - CAST(s.sy AS HUGEINT) * s.sy AS DOUBLE)),
+             6) AS acf
+FROM lags LEFT JOIN s ON s.k = lags.k ORDER BY 1
+"""
+
+QUERIES["hourly_acf"] = (q_hourly_acf, SQL_HOURLY_ACF)

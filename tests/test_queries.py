@@ -41,6 +41,7 @@ SUBSET = [
     "source_token_entropy", "events_burstiness",
     "top_events_diversified",
     "promo_revenue_share", "trade_volume_pairs", "idle_rich_customers",
+    "trimmed_mean_by_type", "equi_depth_price_hist", "hourly_acf",
 ]
 
 
