@@ -10796,3 +10796,113 @@ FROM lags LEFT JOIN s ON s.k = lags.k ORDER BY 1
 """
 
 QUERIES["hourly_acf"] = (q_hourly_acf, SQL_HOURLY_ACF)
+
+
+# ---------------------------------------------------------------------------
+# zone-map pruned scan (footer-statistics file skipping)
+# ---------------------------------------------------------------------------
+
+_TSTORE_ROOT = "/tmp/graft_tstore"
+# [2024-01-10, 2024-01-12): 2 of the corpus's 30 days — the pruning
+# is real (pytest asserts the manifest admits ~2/30 of the files)
+_ZM_LO_US = 1_704_844_800_000_000
+_ZM_HI_US = 1_705_017_600_000_000
+
+
+def _ensure_time_store(sf_dir: str) -> str:
+    """Events written ONCE as a day-clustered parquet store (one hive
+    partition per UTC day — the layout a streaming ingest produces),
+    then indexed by a zone-map manifest harvested from parquet FOOTER
+    statistics (stages/zonemap.py — the query path never consults the
+    dir names, so the index would stay correct for any layout).
+    Single-flight build under a file lock, same discipline as the
+    event store."""
+    import fcntl
+
+    from ..stages import zonemap
+
+    root = os.path.join(_TSTORE_ROOT, sf_name(sf_dir))
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            out = os.path.join(root, "base")
+            marker = os.path.join(out, "_COMPLETE_v1")
+            if not os.path.exists(marker):
+                import shutil
+
+                ds = _read(sf_dir, "events",
+                           columns=["event_id", "ts", "event_type",
+                                    "value"])
+
+                def add_day(t: pa.Table) -> pa.Table:
+                    us = np.asarray(t.column("ts").cast(pa.int64()),
+                                    dtype=np.int64)
+                    return t.append_column(
+                        "day", pa.array(us // 86_400_000_000))
+
+                tmp = out + ".tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(out, ignore_errors=True)
+                ds.map_batches(add_day, batch_format="pyarrow") \
+                    .write_parquet(tmp, partition_cols=["day"])
+                os.replace(tmp, out)
+                zonemap.write_manifest(out)
+                with open(marker, "w") as f:
+                    f.write("v1")
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return os.path.join(root, "base")
+
+
+def q_zonemap_window_counts(sf_dir: str):
+    """Time-window rollup as a SKIPPING SCAN: the zone-map manifest
+    (per-file min/max ts from parquet footers) restricts the read to
+    the ~2 of 30 day files overlapping [2024-01-10, 2024-01-12), the
+    residual filter makes file-granularity false positives exact, and
+    the aggregation is the usual partial/final merge — bytes read
+    scale with the WINDOW, not the corpus (the filter_by_time query
+    is the same predicate as a full scan; this is the store-backed
+    fast path). Oracle: the identical predicate over the raw events
+    table."""
+    from ..stages import zonemap
+
+    store = _ensure_time_store(sf_dir)
+    ds, n_read, n_total = zonemap.pruned_read(
+        store, _ZM_LO_US, _ZM_HI_US,
+        columns=["ts", "event_type", "value"])
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "value_cents": pa.array([], type=pa.int64())})
+    if ds is None:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100),
+                                 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "cents": cents}) \
+            .group_by("event_type") \
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n_events",
+                                 "value_cents"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = agg._combine_partials(
+        partials, keys=["event_type"],
+        aggs=[("n_events", "sum"), ("value_cents", "sum")],
+        empty_schema=empty.schema)
+    return out.sort_by("event_type")
+
+
+SQL_ZONEMAP_WINDOW_COUNTS = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE epoch_us(ts) >= {_ZM_LO_US} AND epoch_us(ts) < {_ZM_HI_US}
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["zonemap_window_counts"] = (q_zonemap_window_counts,
+                                    SQL_ZONEMAP_WINDOW_COUNTS)
