@@ -99,6 +99,14 @@ BENCH_EXTRA = [
     "embedding_gram",
     "late_event_audit",
     "customer_coverage_days",
+    # round-3 session-5 operators
+    "promo_revenue_share",
+    "trade_volume_pairs",
+    "idle_rich_customers",
+    "trimmed_mean_by_type",
+    "equi_depth_price_hist",
+    "hourly_acf",
+    "zonemap_window_counts",
 ]
 
 

@@ -10906,3 +10906,90 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["zonemap_window_counts"] = (q_zonemap_window_counts,
                                     SQL_ZONEMAP_WINDOW_COUNTS)
+
+
+# ---------------------------------------------------------------------------
+# exact-recall set-similarity join (prefix filtering / AllPairs)
+# ---------------------------------------------------------------------------
+
+_PFX_TAU_PM = 600          # Jaccard ≥ 0.6, in per-mille
+_PFX_WIDTH = 3             # word-3-gram shingles
+
+
+def q_prefix_jaccard_join(sf_dir: str):
+    """EXACT set-similarity self-join (word-3-gram Jaccard ≥ 0.6) via
+    prefix filtering — unlike the MinHash/SimHash family this has
+    exact RECALL by construction (Bayardo et al.'s AllPairs theorem:
+    a τ-pair must share a token within each side's
+    n − ⌈τ·n⌉ + 1 smallest tokens under ANY fixed global token
+    order; we use the shingle-hash order, which needs no global
+    frequency pass). Shape: one prefix-emission pass (vectorized
+    per-batch), one groupby(shingle) shuffle of PREFIX rows only
+    (~(1−τ)·set-size per doc, not the full sets), singleton keys
+    dropped pre-shuffle, then the bounded candidate set is verified
+    with TRUE string shingles — so hash collisions and prefix false
+    positives cannot reach the output. The oracle computes the full
+    quadratic join; the Ray path must reproduce it exactly — recall
+    is checked by hash, not sampled."""
+    from ..stages.dedup import (prefix_jaccard_candidates,
+                                word_shingle_set)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = prefix_jaccard_candidates(ds, _PFX_TAU_PM, _PFX_WIDTH)
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if cand.num_rows == 0:
+        return empty
+    import pyarrow.parquet as pq
+
+    wanted = sorted(set(cand.column("doc_a").to_pylist())
+                    | set(cand.column("doc_b").to_pylist()))
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    docs = docs.filter(pc.is_in(docs.column("doc_id"),
+                                value_set=pa.array(wanted)))
+    sets = {i: word_shingle_set(s, _PFX_WIDTH)
+            for i, s in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist())}
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(zip(cand.column("doc_a").to_pylist(),
+                           cand.column("doc_b").to_pylist())):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter * 1000 >= _PFX_TAU_PM * union:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(inter / union, 6))
+    return pa.table({
+        "doc_a": pa.array(out_a, type=pa.int64()),
+        "doc_b": pa.array(out_b, type=pa.int64()),
+        "jaccard": pa.array(out_j, type=pa.float64()),
+    })
+
+
+SQL_PREFIX_JACCARD_JOIN = f"""
+WITH words AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z]+'),
+                                  x -> x <> '') AS ws
+               FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+       FROM words, unnest(range(1, len(ws) - 1)) AS t(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE i * 1000 >= {_PFX_TAU_PM} * (sa.n + sb.n - i)
+ORDER BY 1, 2
+"""
+
+QUERIES["prefix_jaccard_join"] = (q_prefix_jaccard_join,
+                                  SQL_PREFIX_JACCARD_JOIN)

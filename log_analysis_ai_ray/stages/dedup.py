@@ -987,3 +987,149 @@ def normalize_text(arr) -> pa.Array:
     out = pc.utf8_lower(arr)
     out = pc.replace_substring_regex(out, r"\s+", " ")
     return pc.utf8_trim_whitespace(out)
+
+
+# ---------------------------------------------------------------------------
+# exact-recall set-similarity join via prefix filtering (AllPairs)
+# ---------------------------------------------------------------------------
+
+_SH_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SH_C3 = np.uint64(0x165667B19E3779F9)
+
+
+def word_shingle_hashes(text_array, width: int = 3
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row word-``width``-gram shingle hashes, vectorized:
+    lowercase → split on non-letters → drop empties → hash DISTINCT
+    words once (md5_hash32, vocab-bounded per batch) → combine
+    consecutive word hashes with uint64 mix constants. Returns
+    (shingle_hash uint64, row_index int64); rows with < ``width``
+    words contribute nothing. Hash collisions merely merge tokens of
+    the relabeled universe — they can only ADD candidates, never drop
+    a true pair (callers verify with true shingle strings)."""
+    from ..functions.hashing import md5_hash32
+
+    if isinstance(text_array, pa.ChunkedArray):
+        text_array = text_array.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_lower(text_array), "[^a-z]+")
+    off = np.asarray(words.offsets, dtype=np.int64)
+    vals = np.asarray(words.values.to_pylist(), dtype=object)
+    row_of = np.repeat(np.arange(len(off) - 1, dtype=np.int64),
+                       np.diff(off))
+    keep = vals != ""
+    vals, row_of = vals[keep], row_of[keep]
+    if len(vals) < width:
+        return (np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.int64))
+    uniq, inv = np.unique(vals, return_inverse=True)
+    uh = np.fromiter((np.uint64(md5_hash32(s)) for s in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    wh = uh[inv]
+    ok = row_of[:-(width - 1)] == row_of[width - 1:]
+    n_sh = len(wh) - width + 1
+    sh = np.zeros(n_sh, dtype=np.uint64)
+    for k in range(width):            # polynomial combine, uint64 wrap
+        sh = sh * _SH_C1 + wh[k:k + n_sh] * _SH_C2
+    sh += _SH_C3                      # keep single-word ≠ raw md5 space
+    return sh[ok], row_of[:-(width - 1)][ok]
+
+
+class PrefixEmitStage:
+    """Prefix-filter key emission (Bayardo/Chaudhuri AllPairs): per
+    document, the DISTINCT shingle hashes are sorted by the global
+    total order (the hash value itself — any fixed total order
+    preserves the exact-recall theorem; document-frequency order is
+    only a candidate-count optimization, so no global frequency pass
+    is needed) and the first n − ⌈τ·n⌉ + 1 are emitted as
+    (skey, doc_id) rows. Theorem: J(A,B) ≥ τ ⇒ the two prefixes
+    share a token, so grouping by skey finds every true pair."""
+
+    def __init__(self, threshold_pm: int, width: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.tau_pm = threshold_pm
+        self.width = width
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sh, rows = word_shingle_hashes(t.column(self.text_col),
+                                       self.width)
+        empty = pa.table({
+            "skey": pa.array([], type=pa.int64()),
+            self.id_col: pa.array([], type=pa.int64())})
+        if len(sh) == 0:
+            return empty
+        order = np.lexsort((sh, rows))
+        rows_s, sh_s = rows[order], sh[order]
+        first = np.ones(len(rows_s), dtype=bool)
+        first[1:] = ((rows_s[1:] != rows_s[:-1])
+                     | (sh_s[1:] != sh_s[:-1]))
+        rows_d, sh_d = rows_s[first], sh_s[first]
+        row_start = np.ones(len(rows_d), dtype=bool)
+        row_start[1:] = rows_d[1:] != rows_d[:-1]
+        start_idx = np.flatnonzero(row_start)
+        counts = np.diff(np.append(start_idx, len(rows_d)))
+        pos = np.arange(len(rows_d)) - np.repeat(start_idx, counts)
+        n_of = np.repeat(counts, counts)
+        ceil_tau_n = -(-self.tau_pm * n_of // 1000)
+        keep = pos < (n_of - ceil_tau_n + 1)
+        ids = np.asarray(t.column(self.id_col), dtype=np.int64)
+        return pa.table({
+            "skey": pa.array(sh_d[keep].view(np.int64)),
+            self.id_col: pa.array(ids[rows_d[keep]]),
+        })
+
+
+def prefix_jaccard_candidates(ds, threshold_pm: int, width: int = 3,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> pa.Table:
+    """Candidate (doc_a, doc_b) pairs sharing a prefix token —
+    a SUPERSET of all true τ-pairs (exact recall). The only shuffle
+    groups prefix rows by shingle key; singleton keys are dropped
+    before it (multi_bucket_sizes), and pair emission inside each
+    group is an O(g²) triangular expansion — prefix tokens are each
+    document's globally-"smallest" shingles, so hot keys mean truly
+    repeated passages, which exact dedup upstream should have removed
+    (the curation cascade runs content-hash dedup first)."""
+    from .aggregate import _combine_partials
+
+    rows = ds.map_batches(
+        PrefixEmitStage(threshold_pm, width, id_col, text_col),
+        batch_format="pyarrow").materialize()
+    sizes = multi_bucket_sizes(rows, "skey")
+    if sizes.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    multi = sizes.column("skey").combine_chunks()
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("skey"), value_set=multi))
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(g.column(id_col), dtype=np.int64))
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[ia]),
+                         "doc_b": pa.array(ids[ib])})
+
+    pairs = rows.map_batches(keep_multi, batch_format="pyarrow") \
+        .groupby("skey").map_groups(group_pairs, batch_format="pyarrow")
+    return _combine_partials(
+        pairs, keys=["doc_a", "doc_b"], aggs=[],
+        empty_schema=pa.schema([("doc_a", pa.int64()),
+                                ("doc_b", pa.int64())]))
+
+
+def word_shingle_set(text: str, width: int = 3) -> set:
+    """TRUE string shingle set (the verification universe — hash-free,
+    so candidate verification is exact even under hash collisions).
+    Mirrors the oracle: lowercase, split on non-letters, drop
+    empties, join ``width`` consecutive words with single spaces."""
+    import re
+
+    ws = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+    return {" ".join(ws[i:i + width])
+            for i in range(len(ws) - width + 1)}

@@ -439,3 +439,81 @@ def test_pyarrow_nfc_noop_pinned():
 
     out = pc.utf8_normalize(pa.array(["é"]), form="NFC")
     assert out.to_pylist()[0] == "é"  # still decomposed (bug)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter (AllPairs) exact set-similarity join
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard_pairs(texts, tau_pm, width=3):
+    from log_analysis_ai_ray.stages.dedup import word_shingle_set
+
+    sets = {i: word_shingle_set(t, width) for i, t in enumerate(texts)}
+    out = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter * 1000 >= tau_pm * union:
+                out.append((a, b))
+    return sorted(out)
+
+
+def test_prefix_filter_exact_recall(ray_session):
+    """Candidates ⊇ all true pairs (theorem); verified output == brute
+    force, including sub-width docs and an identical-doc pair."""
+    import ray.data
+
+    from log_analysis_ai_ray.stages.dedup import (
+        prefix_jaccard_candidates, word_shingle_set)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",   # near-dup of 0
+        "a completely different document about ray data engines",
+        "a completely different document about ray data engines",  # exact dup of 2
+        "tiny doc",                                               # < 3 words
+        "quick brown fox jumps over the lazy dog tonight the",    # rotation of 0
+        "unrelated text mentioning quick brown fox once only here",
+    ]
+    tau_pm = 500
+    ds = ray.data.from_arrow(__import__("pyarrow").table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    cand = prefix_jaccard_candidates(ds, tau_pm)
+    cand_pairs = sorted(zip(cand.column("doc_a").to_pylist(),
+                            cand.column("doc_b").to_pylist()))
+    true_pairs = _brute_jaccard_pairs(texts, tau_pm)
+    # exact recall: every true pair is a candidate
+    assert set(true_pairs) <= set(cand_pairs)
+    # verification step reproduces brute force exactly
+    sets = {i: word_shingle_set(t) for i, t in enumerate(texts)}
+    verified = []
+    for a, b in cand_pairs:
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter * 1000 >= tau_pm * union:
+            verified.append((a, b))
+    assert sorted(verified) == true_pairs
+    assert (0, 1) in true_pairs and (2, 3) in true_pairs
+
+
+def test_word_shingle_hashes_edges():
+    import numpy as np
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.stages.dedup import (word_shingle_hashes,
+                                                  word_shingle_set)
+
+    sh, rows = word_shingle_hashes(pa.array(
+        ["one two three four", "", "a b", "x!y@z"]))
+    # row 0: 2 shingles; row 1: none; row 2: 1 word short; row 3:
+    # punctuation splits into exactly one 3-gram
+    assert rows.tolist() == [0, 0, 3]
+    assert len(np.unique(sh)) == 3
+    assert word_shingle_set("x!y@z") == {"x y z"}
+    # same shingle text in different rows hashes identically
+    sh2, _ = word_shingle_hashes(pa.array(["one two three",
+                                           "one two three"]))
+    assert sh2[0] == sh2[1]
