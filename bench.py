@@ -107,6 +107,8 @@ BENCH_EXTRA = [
     "equi_depth_price_hist",
     "hourly_acf",
     "zonemap_window_counts",
+    "prefix_jaccard_join",
+    "upsert_corrections",
 ]
 
 

@@ -8388,18 +8388,19 @@ def q_targeted_delete(sf_dir: str):
     from ..state import versioned
 
     root = _ensure_event_store(sf_dir)
-    head = versioned.read_manifest(root)
     params = {"mod": _DELETE_MOD, "residue": _DELETE_RESIDUE}
-    if (head["op"] == "targeted_delete"
-            and head["extra"].get("params") == params):
-        # idempotent rerun of the SAME erasure request
-        after = versioned.read_version(root).map_batches(
+    prior = _find_mutation_version(root, "targeted_delete", params)
+    if prior is not None:
+        # idempotent rerun of the SAME erasure request (the matching
+        # version may sit below other ops' versions — read IT, not
+        # the head)
+        after = versioned.read_version(root, prior).map_batches(
             _strip_md, batch_format="pyarrow", zero_copy_batch=True)
         return _targeted_delete_agg(after)
-    if head["op"] == "targeted_delete":
-        # different delete parameters: re-derive from the base table
-        # (version 1, op=create) instead of chaining deletes
-        head = versioned.read_manifest(root, 1)
+    # every mutation derives from the base table (version 1,
+    # op=create), never from another op's head — versions form an
+    # audit chain, not a dependency chain
+    head = versioned.read_manifest(root, 1)
 
     ds = _read(sf_dir, "events", columns=["user_id"])
 
@@ -8441,17 +8442,45 @@ def q_targeted_delete(sf_dir: str):
         bucket.write_parquet(dst_dir)
         files.extend(os.path.relpath(p, root) for p in sorted(
             _glob.glob(os.path.join(dst_dir, "*.parquet"))))
-    try:
-        versioned.commit_version(
-            root, files, parent=head["version"], op="targeted_delete",
-            extra={"n_del_users": int(len(del_users)),
-                   "rewritten_buckets": affected, "params": params})
-    except FileExistsError:
-        pass  # concurrent deleter committed the same deterministic set
-
-    after = versioned.read_version(root).map_batches(
+    got_v = _commit_mutation_retry(
+        root, files, parent=head["version"], op="targeted_delete",
+        extra={"n_del_users": int(len(del_users)),
+               "rewritten_buckets": affected, "params": params})
+    after = versioned.read_version(root, got_v).map_batches(
         _strip_md, batch_format="pyarrow", zero_copy_batch=True)
     return _targeted_delete_agg(after)
+
+
+def _find_mutation_version(root: str, op: str, params: dict):
+    """Newest version whose (op, params) match — the idempotency probe
+    for deterministic mutations (a rerun reads its own prior version
+    instead of re-publishing)."""
+    from ..state import versioned
+
+    for v in range(versioned.latest_version(root), 1, -1):
+        m = versioned.read_manifest(root, v)
+        if m["op"] == op and m["extra"].get("params") == params:
+            return v
+    return None
+
+
+def _commit_mutation_retry(root: str, files, *, parent, op, extra,
+                           attempts: int = 8) -> int:
+    """Publish a mutation version, retrying when a CONCURRENT writer
+    takes the next version number first (commit_version always
+    targets latest+1 and os.link-fails atomically if beaten — the
+    loser must re-commit, possibly behind an unrelated op's version,
+    and then read ITS OWN version, not blindly the latest). Returns
+    the committed version number."""
+    from ..state import versioned
+
+    for _ in range(attempts):
+        try:
+            return versioned.commit_version(root, files, parent=parent,
+                                            op=op, extra=extra)
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"lost {attempts} commit races for op={op}")
 
 
 def _targeted_delete_agg(after) -> pa.Table:
@@ -10993,3 +11022,109 @@ ORDER BY 1, 2
 
 QUERIES["prefix_jaccard_join"] = (q_prefix_jaccard_join,
                                   SQL_PREFIX_JACCARD_JOIN)
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert: late-arriving corrections merged by key into the store
+# ---------------------------------------------------------------------------
+
+_UPSERT_MOD, _UPSERT_RESIDUE = 1000, 7   # ~0.1% of events corrected
+_UPSERT_ADD = 10.0                       # correction: value += $10.00
+
+
+def q_upsert_corrections(sf_dir: str):
+    """MERGE-INTO over the partitioned versioned store: a
+    deterministic late-corrections feed (every event with
+    event_id ≡ 7 mod 1000 gains $10.00) is applied by REWRITING ONLY
+    THE AFFECTED USER BUCKETS — the correction keys are distilled
+    distributedly to (bucket) granularity, untouched buckets are
+    referenced copy-on-write, and the mutation publishes as a new
+    manifest version (op=upsert_corrections) exactly like
+    targeted_delete: crash-safe (v_base intact until one atomic
+    manifest link), idempotent (a rerun finds its own prior version),
+    auditable (version diff lists the rewritten partitions), and
+    independent of other mutations (derives from the base version,
+    never another op's head). Output: per-type count + cents AFTER
+    the merge; a missed or double-applied correction flips the
+    oracle hash."""
+    import glob as _glob
+
+    import ray.data
+
+    from ..state import versioned
+
+    root = _ensure_event_store(sf_dir)
+    params = {"mod": _UPSERT_MOD, "residue": _UPSERT_RESIDUE,
+              "add": _UPSERT_ADD}
+    prior = _find_mutation_version(root, "upsert_corrections", params)
+    if prior is not None:
+        after = versioned.read_version(root, prior).map_batches(
+            _strip_md, batch_format="pyarrow", zero_copy_batch=True)
+        return _targeted_delete_agg(after)
+    head = versioned.read_manifest(root, 1)
+
+    # distil the affected-bucket set from the corrections feed (the
+    # feed itself is derived per-row; only BUCKET ids cross the wire)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        hit = (e % _UPSERT_MOD) == _UPSERT_RESIDUE
+        return pa.table({"ubucket": pa.array(
+            np.unique(u[hit] % _DELETE_NB))})
+
+    buckets = _partial_final(ds, bucket_partial, ["ubucket"], [])
+    affected = sorted(int(b) for b in
+                      buckets.column("ubucket").to_pylist())
+
+    new_v = versioned.latest_version(root) + 1
+    data_dir = os.path.join(root, f"upsert-v{new_v:06d}")
+    import shutil as _shutil
+    _shutil.rmtree(data_dir, ignore_errors=True)
+
+    def apply_correction(t: pa.Table) -> pa.Table:
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        hit = pa.array((e % _UPSERT_MOD) == _UPSERT_RESIDUE)
+        fixed = pc.if_else(hit,
+                           pc.add(t.column("value"),
+                                  pa.scalar(_UPSERT_ADD, pa.float64())),
+                           t.column("value"))
+        return t.set_column(t.schema.get_field_index("value"),
+                            "value", fixed)
+
+    files: list[str] = []
+    for rel in head["files"]:                  # copy-on-write
+        b = int(os.path.basename(os.path.dirname(rel)).split("=", 1)[1])
+        if b not in affected:
+            files.append(rel)
+    for b in affected:
+        src_dir = os.path.join(root, "base", f"ubucket={b}")
+        if not os.path.isdir(src_dir):
+            continue
+        dst_dir = os.path.join(data_dir, f"ubucket={b}")
+        ray.data.read_parquet(src_dir).map_batches(
+            apply_correction, batch_format="pyarrow") \
+            .write_parquet(dst_dir)
+        files.extend(os.path.relpath(p, root) for p in sorted(
+            _glob.glob(os.path.join(dst_dir, "*.parquet"))))
+    got_v = _commit_mutation_retry(
+        root, files, parent=head["version"], op="upsert_corrections",
+        extra={"rewritten_buckets": affected, "params": params})
+    after = versioned.read_version(root, got_v).map_batches(
+        _strip_md, batch_format="pyarrow", zero_copy_batch=True)
+    return _targeted_delete_agg(after)
+
+
+SQL_UPSERT_CORRECTIONS = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_id % {_UPSERT_MOD} = {_UPSERT_RESIDUE}
+                     THEN CAST(round((value + {_UPSERT_ADD}) * 100, 0)
+                               AS BIGINT)
+                     ELSE CAST(round(value * 100, 0) AS BIGINT) END)
+            AS BIGINT) AS cents_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["upsert_corrections"] = (q_upsert_corrections,
+                                 SQL_UPSERT_CORRECTIONS)
