@@ -109,6 +109,7 @@ BENCH_EXTRA = [
     "zonemap_window_counts",
     "prefix_jaccard_join",
     "upsert_corrections",
+    "gopher_rules",
 ]
 
 

@@ -11128,3 +11128,120 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["upsert_corrections"] = (q_upsert_corrections,
                                  SQL_UPSERT_CORRECTIONS)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules quality gate (Rae et al. 2021 heuristics, integer-exact)
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 50
+_GOPHER_WLEN_LO, _GOPHER_WLEN_HI = 40, 50     # mean word len ×10
+_GOPHER_ALPHA_PM = 800
+_GOPHER_BULLET_PM = 900
+_GOPHER_ELLIPSIS_PM = 300
+_GOPHER_STOPS = (" the ", " and ", " of ", " to ")
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style document-quality gate (the public Rae et al. 2021
+    repetition/format heuristics, thresholds adapted to the corpus):
+    word-count floor, mean-word-length band, alphabetic-word ratio,
+    bullet-line and ellipsis-line caps, stop-word presence — every
+    rule in EXACT integer cross-multiplied arithmetic (per-mille
+    thresholds, no float ratios), so the oracle can pin each rule's
+    violation count and the all-rules pass count. One pass, per-block
+    integer partial sums; the report is |rules|+1 rows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    rules = ["alpha_ratio", "bullet_lines", "ellipsis_lines",
+             "mean_word_len", "short_doc", "stop_words"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        low = pc.utf8_lower(text)
+        nw = np.asarray(pc.count_substring_regex(text, r"\S+")
+                        .cast(pa.int64()), dtype=np.int64)
+        n_chars = np.asarray(pc.utf8_length(text).cast(pa.int64()),
+                             dtype=np.int64)
+        n_space = np.asarray(pc.count_substring_regex(text, r"\s")
+                             .cast(pa.int64()), dtype=np.int64)
+        nonspace = n_chars - n_space
+        aw = np.asarray(pc.count_substring_regex(
+            text, r"\b[A-Za-z]+\b").cast(pa.int64()), dtype=np.int64)
+        nlines = 1 + np.asarray(pc.count_substring(text, "\n")
+                                .cast(pa.int64()), dtype=np.int64)
+        bullets = np.asarray(pc.count_substring_regex(
+            text, r"(?m)^[-*]").cast(pa.int64()), dtype=np.int64)
+        ellip = np.asarray(pc.count_substring_regex(
+            text, r"(?m)\.\.\.$").cast(pa.int64()), dtype=np.int64)
+        stops = np.zeros(t.num_rows, dtype=np.int64)
+        for s in _GOPHER_STOPS:
+            stops += np.asarray(pc.match_substring(low, s),
+                                dtype=bool)
+        fails = {
+            "short_doc": nw < _GOPHER_MIN_WORDS,
+            "mean_word_len": (nonspace * 10 < _GOPHER_WLEN_LO * nw)
+            | (nonspace * 10 > _GOPHER_WLEN_HI * nw),
+            "alpha_ratio": aw * 1000 < _GOPHER_ALPHA_PM * nw,
+            "bullet_lines": bullets * 1000 > _GOPHER_BULLET_PM * nlines,
+            "ellipsis_lines": ellip * 1000 > _GOPHER_ELLIPSIS_PM * nlines,
+            "stop_words": stops < 1,
+        }
+        any_fail = np.zeros(t.num_rows, dtype=bool)
+        names, counts = [], []
+        for r in rules:
+            names.append(r)
+            counts.append(int(fails[r].sum()))
+            any_fail |= fails[r]
+        names.append("pass_all")
+        counts.append(int((~any_fail).sum()))
+        return pa.table({"rule": pa.array(names, type=pa.string()),
+                         "n_docs": pa.array(counts, type=pa.int64())})
+
+    out = _partial_final(ds, partial, ["rule"], [("n_docs", "sum")])
+    return out.sort_by("rule")
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(contains(lower(text), '{s}'))::INT" for s in _GOPHER_STOPS)
+
+SQL_GOPHER_RULES = f"""
+WITH f AS (
+  SELECT len(regexp_extract_all(text, '\\S+')) AS nw,
+         length(text) - len(regexp_extract_all(text, '\\s'))
+           AS nonspace,
+         len(regexp_extract_all(text, '\\b[A-Za-z]+\\b')) AS aw,
+         len(string_split(text, chr(10))) AS nlines,
+         len(regexp_extract_all(text, '^[-*]', 0, 'm')) AS bullets,
+         len(regexp_extract_all(text, '\\.\\.\\.$', 0, 'm')) AS ellip,
+         {_GOPHER_STOP_SQL} AS stops
+  FROM documents),
+r AS (
+  SELECT nw < {_GOPHER_MIN_WORDS} AS short_doc,
+         nonspace * 10 < {_GOPHER_WLEN_LO} * nw
+           OR nonspace * 10 > {_GOPHER_WLEN_HI} * nw AS mean_word_len,
+         aw * 1000 < {_GOPHER_ALPHA_PM} * nw AS alpha_ratio,
+         bullets * 1000 > {_GOPHER_BULLET_PM} * nlines AS bullet_lines,
+         ellip * 1000 > {_GOPHER_ELLIPSIS_PM} * nlines
+           AS ellipsis_lines,
+         stops < 1 AS stop_words
+  FROM f)
+SELECT rule, CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT 'short_doc' AS rule, count(*) FILTER (short_doc) AS n_docs
+    FROM r
+  UNION ALL SELECT 'mean_word_len', count(*) FILTER (mean_word_len)
+    FROM r
+  UNION ALL SELECT 'alpha_ratio', count(*) FILTER (alpha_ratio) FROM r
+  UNION ALL SELECT 'bullet_lines', count(*) FILTER (bullet_lines)
+    FROM r
+  UNION ALL SELECT 'ellipsis_lines', count(*) FILTER (ellipsis_lines)
+    FROM r
+  UNION ALL SELECT 'stop_words', count(*) FILTER (stop_words) FROM r
+  UNION ALL SELECT 'pass_all',
+    count(*) FILTER (NOT (short_doc OR mean_word_len OR alpha_ratio
+                          OR bullet_lines OR ellipsis_lines
+                          OR stop_words)) FROM r)
+ORDER BY rule
+"""
+
+QUERIES["gopher_rules"] = (q_gopher_rules, SQL_GOPHER_RULES)

@@ -43,7 +43,7 @@ SUBSET = [
     "promo_revenue_share", "trade_volume_pairs", "idle_rich_customers",
     "trimmed_mean_by_type", "equi_depth_price_hist", "hourly_acf",
     "zonemap_window_counts", "prefix_jaccard_join",
-    "upsert_corrections",
+    "upsert_corrections", "gopher_rules",
 ]
 
 
