@@ -110,6 +110,7 @@ BENCH_EXTRA = [
     "prefix_jaccard_join",
     "upsert_corrections",
     "gopher_rules",
+    "embedding_top_pc",
 ]
 
 

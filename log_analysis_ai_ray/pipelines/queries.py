@@ -10456,13 +10456,13 @@ def q_trade_volume_pairs(sf_dir: str):
         right_schema=pa.schema([("c_custkey", pa.int64()),
                                 ("c_nationkey", pa.int64())]))
 
+    nat_keys = nation.column("n_nationkey").combine_chunks()
+    nat_names = nation.column("n_name").combine_chunks()
+
     def final_partial(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t.column("c_nationkey"),
-                          value_set=nation.column("n_nationkey")
-                          .combine_chunks())
+        idx = pc.index_in(t.column("c_nationkey"), value_set=nat_keys)
         g = pa.table({
-            "cust_nation": pc.take(
-                nation.column("n_name").combine_chunks(), idx),
+            "cust_nation": pc.take(nat_names, idx),
             "supp_nation": t.column("supp_nation"),
             "revenue_cpm": t.column("cpm"),
         }).group_by(["cust_nation", "supp_nation"]) \
@@ -11245,3 +11245,91 @@ ORDER BY rule
 """
 
 QUERIES["gopher_rules"] = (q_gopher_rules, SQL_GOPHER_RULES)
+
+
+# ---------------------------------------------------------------------------
+# PCA top component: distributed Gram + driver power iteration
+# ---------------------------------------------------------------------------
+
+_PC_ITERS = 5
+_PC_DIM = 64
+
+
+def _pc_matvec_sql(k: int) -> str:
+    return (f"w{k} AS (SELECT g.i AS i, sum(g.v * p.val) AS val "
+            f"FROM g JOIN v{k - 1} p ON p.i = g.j GROUP BY 1),\n"
+            f"v{k} AS (SELECT i, val / (SELECT sqrt(sum(val * val)) "
+            f"FROM w{k}) AS val FROM w{k})")
+
+
+def q_embedding_top_pc(sf_dir: str):
+    """Top principal component of the embedding corpus — the
+    distributed work is ONE Gram pass (the embedding_gram partials:
+    a 64×64 matmul per block, 2 080 upper-triangle rows per block
+    crossing the wire); the 5-step power iteration then runs on the
+    bounded 64×64 matrix driver-side, every arithmetic step (uniform
+    1/8 init, matvec, L2 normalize, Rayleigh quotient, eigenvalue
+    share of trace) mirrored term-for-term by the oracle's unrolled
+    CTE chain — the same bounded-close precedent as PageRank, applied
+    to linear algebra. At higher dim the iteration becomes one
+    broadcast-v matvec pass per step (the page_pagerank form)."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    dim = _PC_DIM
+    iu = np.triu_indices(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        x = np.asarray(emb.values, dtype=np.float64).reshape(-1, dim)
+        if x.shape[0] == 0:
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        g = x.T @ x
+        return pa.table({"i": pa.array(iu[0] + 1),
+                         "j": pa.array(iu[1] + 1),
+                         "s": pa.array(g[iu])})
+
+    merged = _partial_final(ds, partial, ["i", "j"], [("s", "sum")])
+    if merged.num_rows == 0:
+        return pa.table({"dim": pa.array([], type=pa.int64()),
+                         "loading": pa.array([], type=pa.float64()),
+                         "evr": pa.array([], type=pa.float64())})
+    gi = np.asarray(merged.column("i"), dtype=np.int64) - 1
+    gj = np.asarray(merged.column("j"), dtype=np.int64) - 1
+    gs = np.asarray(merged.column("s"), dtype=np.float64)
+    g = np.zeros((dim, dim))
+    g[gi, gj] = gs
+    g[gj, gi] = gs                       # symmetric fill
+    v = np.full(dim, 1.0 / 8.0)          # ||(1/8)·1₆₄|| = 1
+    for _ in range(_PC_ITERS):
+        w = g @ v
+        v = w / np.sqrt(np.sum(w * w))
+    lam = float(v @ (g @ v))
+    evr = lam / float(np.trace(g))
+    return pa.table({
+        "dim": pa.array(np.arange(1, dim + 1)),
+        "loading": pa.array(np.round(v, 6)),
+        "evr": pa.array(np.full(dim, round(evr, 6))),
+    })
+
+
+SQL_EMBEDDING_TOP_PC = f"""
+WITH d AS (SELECT vec_id, i, embedding[i]::DOUBLE AS e
+           FROM embeddings,
+                unnest(range(1, len(embedding) + 1)) AS t(i)),
+g AS (SELECT a.i AS i, b.i AS j, sum(a.e * b.e) AS v
+      FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+tr AS (SELECT sum(v) AS t FROM g WHERE i = j),
+v0 AS (SELECT DISTINCT i, 0.125 AS val FROM g),
+{",".join(_pc_matvec_sql(k) for k in range(1, _PC_ITERS + 1))},
+wf AS (SELECT g.i AS i, sum(g.v * p.val) AS val
+       FROM g JOIN v{_PC_ITERS} p ON p.i = g.j GROUP BY 1),
+lam AS (SELECT sum(p.val * wf.val) AS l
+        FROM v{_PC_ITERS} p JOIN wf ON wf.i = p.i)
+SELECT p.i AS dim, round(p.val, 6) AS loading,
+       round(lam.l / tr.t, 6) AS evr
+FROM v{_PC_ITERS} p, lam, tr ORDER BY dim
+"""
+
+QUERIES["embedding_top_pc"] = (q_embedding_top_pc,
+                               SQL_EMBEDDING_TOP_PC)

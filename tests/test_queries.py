@@ -43,7 +43,7 @@ SUBSET = [
     "promo_revenue_share", "trade_volume_pairs", "idle_rich_customers",
     "trimmed_mean_by_type", "equi_depth_price_hist", "hourly_acf",
     "zonemap_window_counts", "prefix_jaccard_join",
-    "upsert_corrections", "gopher_rules",
+    "upsert_corrections", "gopher_rules", "embedding_top_pc",
 ]
 
 
@@ -150,3 +150,21 @@ def test_extract_all_keys_multi_key():
     ])])
     got = sorted(_extract_all_keys(col).to_pylist())
     assert got == ["a", "a", "b", "c_9", "inner", "nested"]
+
+
+def test_embedding_top_pc_properties(ray_session):
+    """Top-PC output: unit-norm loadings, Rayleigh quotient between
+    the mean and max per-dimension energy, deterministic."""
+    import numpy as np
+
+    from log_analysis_ai_ray.pipelines.queries import QUERIES
+
+    fn, _ = QUERIES["embedding_top_pc"]
+    out = fn(SF_DIR)
+    assert out.num_rows == 64
+    v = np.asarray(out.column("loading"), dtype=np.float64)
+    assert abs(float(np.sum(v * v)) - 1.0) < 1e-4   # rounded at 6
+    evr = out.column("evr")[0].as_py()
+    # top component explains at least the average share (1/64)
+    assert evr >= 1.0 / 64
+    assert out.equals(fn(SF_DIR))
