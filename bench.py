@@ -111,6 +111,7 @@ BENCH_EXTRA = [
     "upsert_corrections",
     "gopher_rules",
     "embedding_top_pc",
+    "slo_burn_alerts",
 ]
 
 

@@ -11333,3 +11333,92 @@ FROM v{_PC_ITERS} p, lam, tr ORDER BY dim
 
 QUERIES["embedding_top_pc"] = (q_embedding_top_pc,
                                SQL_EMBEDDING_TOP_PC)
+
+
+# ---------------------------------------------------------------------------
+# SRE multi-window SLO burn-rate alerting
+# ---------------------------------------------------------------------------
+
+_SLO_SHORT_S = 300              # 5-minute fast window
+_SLO_LONG_BUCKETS = 12          # 1 hour = 12 short buckets
+_SLO_SHORT_PM = 300             # alert: short-window error rate > 30%
+_SLO_LONG_PM = 200              # AND long-window error rate > 20%
+
+
+def q_slo_burn_alerts(sf_dir: str):
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern): a 5-minute error-rate spike only pages when the
+    enclosing 1-hour rate also burns — the fast window gives response
+    time, the slow window suppresses blips. ONE pass over the parsed
+    lines produces (5-min bucket, total, errors) partials; the merge
+    is bounded by the corpus's time extent, and the 1-hour series is
+    an exact re-aggregation of the same buckets (aggregation tree —
+    zero extra passes). Rates are integer per-mille with trunc
+    division, mirrored by the oracle; lines without a parseable
+    timestamp are excluded on both sides."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("line_ts")
+        lvl = t.column("level")
+        valid = pc.is_valid(ts)
+        b5 = pc.divide(
+            pc.cast(ts.cast(pa.int64()), pa.int64()),
+            pa.scalar(_SLO_SHORT_S * 1_000_000, pa.int64()))
+        err = pc.cast(pc.equal(lvl, "ERROR"), pa.int64()).fill_null(0)
+        g = pa.table({
+            "b5": pc.filter(b5, valid),
+            "n": pa.array(np.ones(int(pc.sum(pc.cast(
+                valid, pa.int64())).as_py() or 0), dtype=np.int64)),
+            "e": pc.filter(err, valid),
+        }).group_by("b5").aggregate([("n", "sum"), ("e", "sum")])
+        return g.rename_columns(["b5", "n", "e"])
+
+    merged = _partial_final(ds, partial, ["b5"],
+                            [("n", "sum"), ("e", "sum")])
+    b5 = np.asarray(merged.column("b5"), dtype=np.int64)
+    n = np.asarray(merged.column("n"), dtype=np.int64)
+    e = np.asarray(merged.column("e"), dtype=np.int64)
+    hr = b5 // _SLO_LONG_BUCKETS
+    hours = np.unique(hr)
+    hi = np.searchsorted(hours, hr)
+    hn = np.zeros(len(hours), dtype=np.int64)
+    he = np.zeros(len(hours), dtype=np.int64)
+    np.add.at(hn, hi, n)
+    np.add.at(he, hi, e)
+    short_pm = e * 1000 // n
+    long_pm = (he * 1000 // hn)[hi]
+    alert = (short_pm > _SLO_SHORT_PM) & (long_pm > _SLO_LONG_PM)
+    order = np.argsort(b5[alert])
+    return pa.table({
+        "bucket5": pa.array((b5[alert] * _SLO_SHORT_S)[order]),
+        "short_pm": pa.array(short_pm[alert][order]),
+        "long_pm": pa.array(long_pm[alert][order]),
+    })
+
+
+SQL_SLO_BURN_ALERTS = f"""
+WITH l AS (
+  SELECT try_strptime(regexp_extract(line, '^\\[([^\\]]+)\\]', 1),
+                      '%Y-%m-%d %H:%M:%S') AS ts,
+         coalesce(regexp_extract(line,
+                                 '\\b(INFO|WARN|ERROR|DEBUG)\\b', 1),
+                  '') AS lvl
+  FROM {{LINES}}),
+b AS (SELECT CAST(epoch(ts) AS BIGINT) // {_SLO_SHORT_S} AS b5,
+             count(*) AS n,
+             count(*) FILTER (lvl = 'ERROR') AS e
+      FROM l WHERE ts IS NOT NULL GROUP BY 1),
+h AS (SELECT b5 // {_SLO_LONG_BUCKETS} AS hr, sum(n) AS hn,
+             sum(e) AS he
+      FROM b GROUP BY 1)
+SELECT b.b5 * {_SLO_SHORT_S} AS bucket5,
+       CAST(b.e * 1000 // b.n AS BIGINT) AS short_pm,
+       CAST(h.he * 1000 // h.hn AS BIGINT) AS long_pm
+FROM b JOIN h ON h.hr = b.b5 // {_SLO_LONG_BUCKETS}
+WHERE b.e * 1000 // b.n > {_SLO_SHORT_PM}
+  AND h.he * 1000 // h.hn > {_SLO_LONG_PM}
+ORDER BY bucket5
+""".replace("{LINES}", LINES_VIEW)
+
+QUERIES["slo_burn_alerts"] = (q_slo_burn_alerts, SQL_SLO_BURN_ALERTS)

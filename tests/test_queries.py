@@ -44,6 +44,7 @@ SUBSET = [
     "trimmed_mean_by_type", "equi_depth_price_hist", "hourly_acf",
     "zonemap_window_counts", "prefix_jaccard_join",
     "upsert_corrections", "gopher_rules", "embedding_top_pc",
+    "slo_burn_alerts",
 ]
 
 
