@@ -112,6 +112,8 @@ BENCH_EXTRA = [
     "gopher_rules",
     "embedding_top_pc",
     "slo_burn_alerts",
+    "funnel_3step_strict",
+    "order_backlog_daily",
 ]
 
 

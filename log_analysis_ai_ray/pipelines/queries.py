@@ -11422,3 +11422,197 @@ ORDER BY bucket5
 """.replace("{LINES}", LINES_VIEW)
 
 QUERIES["slo_burn_alerts"] = (q_slo_burn_alerts, SQL_SLO_BURN_ALERTS)
+
+
+# ---------------------------------------------------------------------------
+# strict sequential-pattern funnel and sweep-line order backlog
+# ---------------------------------------------------------------------------
+
+_FUNNEL3_WINDOW_US = 12 * 3600 * 1_000_000   # 12 h per funnel step
+_FUNNEL3_NPART = 16
+
+
+def q_funnel_3step_strict(sf_dir: str):
+    """Strict ORDERED 3-step funnel with per-step time windows
+    (signup → first click within 12 h → first purchase within 12 h of
+    that click) — a sequential pattern min/max partials cannot
+    express (step k's anchor depends on step k−1's RESULT). One
+    user-hash exchange co-locates each user's events; inside a
+    partition the three steps are three masked ``np.minimum.at``
+    passes over (user-rank, ts) — no sort, no per-user Python. Each
+    partition emits one (n_signup, n_click, n_purchase) row; strict
+    ``>`` anchors and inclusive ``≤`` windows are mirrored exactly by
+    the oracle's chained min-joins."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts",
+                                          "event_type"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(u, _FUNNEL3_NPART)))
+
+    def funnel_part(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        users, uid = np.unique(u, return_inverse=True)
+        big = np.iinfo(np.int64).max
+
+        def first_after(kind: str, anchor: np.ndarray) -> np.ndarray:
+            m = et == kind
+            if anchor is not None:
+                a = anchor[uid]
+                m = m & (ts > a) & (ts <= a + _FUNNEL3_WINDOW_US) \
+                    & (a != big)
+            out = np.full(len(users), big)
+            np.minimum.at(out, uid[m], ts[m])
+            return out
+
+        s = first_after("signup", None)
+        c = first_after("click", s)
+        p = first_after("purchase", c)
+        return pa.table({
+            "n_signup": pa.array([int((s != big).sum())]),
+            "n_click": pa.array([int((c != big).sum())]),
+            "n_purchase": pa.array([int((p != big).sum())]),
+        })
+
+    parts = ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(funnel_part,
+                                     batch_format="pyarrow")
+    sums = agg._combine_partials(
+        parts.map_batches(
+            lambda t: t.append_column("k", pa.array(
+                np.zeros(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        keys=["k"], aggs=[("n_signup", "sum"), ("n_click", "sum"),
+                          ("n_purchase", "sum")],
+        empty_schema=pa.schema([("n_signup", pa.int64()),
+                                ("n_click", pa.int64()),
+                                ("n_purchase", pa.int64()),
+                                ("k", pa.int64())]))
+    return sums.drop_columns(["k"])
+
+
+SQL_FUNNEL_3STEP_STRICT = f"""
+WITH s AS (SELECT user_id, min(ts) AS st FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+      JOIN s ON s.user_id = e.user_id AND e.ts > s.st
+            AND epoch_us(e.ts) - epoch_us(s.st)
+                <= {_FUNNEL3_WINDOW_US}
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.ct
+            AND epoch_us(e.ts) - epoch_us(c.ct)
+                <= {_FUNNEL3_WINDOW_US}
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase
+"""
+
+QUERIES["funnel_3step_strict"] = (q_funnel_3step_strict,
+                                  SQL_FUNNEL_3STEP_STRICT)
+
+
+def q_order_backlog_daily(sf_dir: str):
+    """Open-order backlog per day — the sweep-line interval count
+    (+1 at order date, −1 after the LAST shipment): per-order close
+    days are distilled as per-block max partials (the orderkey-wide
+    merge runs distributed past the driver bound), joined to order
+    dates with the partitioned hash join, reduced to two bounded
+    (day, count) histograms, and closed driver-side by one cumulative
+    sum over the ≤ few-thousand-day range — the same two-phase prefix
+    discipline as late_event_audit, on a bounded domain. An order is
+    open on day d if orderdate ≤ d < last-ship day; orders with no
+    lineitems never open (inner join, mirrored)."""
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey",
+                                            "l_shipdate"])
+
+    def ed_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("l_shipdate").cast(pa.int64()),
+                                pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"l_orderkey": t.column("l_orderkey"),
+                      "ed": day}).group_by("l_orderkey") \
+            .aggregate([("ed", "max")])
+        return g.rename_columns(["l_orderkey", "ed"])
+
+    ends = _partial_final(li, ed_partial, ["l_orderkey"],
+                          [("ed", "max")])
+    import ray.data
+
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = partitioned_lookup_join(
+        ray.data.from_arrow(ends), od,
+        left_key="l_orderkey", right_key="o_orderkey",
+        take_cols=["o_orderdate"],
+        left_schema=ends.schema,
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        sd = np.asarray(pc.cast(t.column("o_orderdate").cast(pa.int64()),
+                                pa.int64()),
+                        dtype=np.int64) // 86_400_000_000
+        ed = np.asarray(t.column("ed"), dtype=np.int64)
+        sdays, scnt = np.unique(sd, return_counts=True)
+        edays, ecnt = np.unique(ed, return_counts=True)
+        return pa.table({
+            "day": pa.array(np.concatenate([sdays, edays])),
+            "ns": pa.array(np.concatenate(
+                [scnt, np.zeros(len(edays), dtype=np.int64)])),
+            "ne": pa.array(np.concatenate(
+                [np.zeros(len(sdays), dtype=np.int64), ecnt])),
+        })
+
+    hist = agg._combine_partials(
+        joined.map_batches(day_partial, batch_format="pyarrow"),
+        keys=["day"], aggs=[("ns", "sum"), ("ne", "sum")],
+        empty_schema=pa.schema([("day", pa.int64()),
+                                ("ns", pa.int64()),
+                                ("ne", pa.int64())]))
+    if hist.num_rows == 0:
+        return pa.table({"day": pa.array([], type=pa.int64()),
+                         "backlog": pa.array([], type=pa.int64())})
+    day = np.asarray(hist.column("day"), dtype=np.int64)
+    ns = np.asarray(hist.column("ns"), dtype=np.int64)
+    ne = np.asarray(hist.column("ne"), dtype=np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    full = np.arange(lo, hi + 1)
+    s_f = np.zeros(len(full), dtype=np.int64)
+    e_f = np.zeros(len(full), dtype=np.int64)
+    s_f[day - lo] = ns
+    e_f[day - lo] = ne
+    backlog = np.cumsum(s_f) - np.cumsum(e_f)
+    return pa.table({"day": pa.array(full),
+                     "backlog": pa.array(backlog)})
+
+
+SQL_ORDER_BACKLOG_DAILY = """
+WITH o AS (SELECT o_orderkey,
+                  CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS sd
+           FROM orders),
+e AS (SELECT l_orderkey,
+             max(CAST(epoch(l_shipdate) AS BIGINT) // 86400) AS ed
+      FROM lineitem GROUP BY 1),
+j AS (SELECT o.sd, e.ed FROM o JOIN e ON e.l_orderkey = o.o_orderkey),
+days AS (SELECT unnest(range((SELECT min(sd) FROM j),
+                             (SELECT max(ed) FROM j) + 1)) AS day),
+s AS (SELECT sd AS day, count(*) AS ns FROM j GROUP BY 1),
+t AS (SELECT ed AS day, count(*) AS ne FROM j GROUP BY 1)
+SELECT days.day,
+       CAST(sum(coalesce(s.ns, 0)) OVER (ORDER BY days.day)
+            - sum(coalesce(t.ne, 0)) OVER (ORDER BY days.day)
+            AS BIGINT) AS backlog
+FROM days LEFT JOIN s ON s.day = days.day
+LEFT JOIN t ON t.day = days.day
+ORDER BY days.day
+"""
+
+QUERIES["order_backlog_daily"] = (q_order_backlog_daily,
+                                  SQL_ORDER_BACKLOG_DAILY)

@@ -45,6 +45,7 @@ SUBSET = [
     "zonemap_window_counts", "prefix_jaccard_join",
     "upsert_corrections", "gopher_rules", "embedding_top_pc",
     "slo_burn_alerts",
+    "funnel_3step_strict", "order_backlog_daily",
 ]
 
 
