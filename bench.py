@@ -114,6 +114,9 @@ BENCH_EXTRA = [
     "slo_burn_alerts",
     "funnel_3step_strict",
     "order_backlog_daily",
+    "basket_part_pairs",
+    "km_signup_purchase",
+    "domain_triangles",
 ]
 
 

@@ -11616,3 +11616,290 @@ ORDER BY days.day
 
 QUERIES["order_backlog_daily"] = (q_order_backlog_daily,
                                   SQL_ORDER_BACKLOG_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair lift, Kaplan-Meier risk table, triangle counting
+# ---------------------------------------------------------------------------
+
+_BASKET_NPART = 32
+_BASKET_MIN_SUPPORT = 2
+
+
+def q_basket_part_pairs(sf_dir: str):
+    """Frequently-bought-together: part pairs co-occurring in the
+    same order, with integer-ppm lift. ONE orderkey-hash exchange
+    co-locates each basket; inside a partition the (order, part)
+    dedupe is GLOBAL (an orderkey lives in exactly one partition) and
+    all-pairs-within-basket emission is pure index arithmetic — no
+    per-basket Python (basket size is bounded by the order schema, so
+    the quadratic emission is O(rows) in practice). Part frequencies
+    and the global basket count ride the same pass as sentinel rows
+    (part_b = −1 / both = −1), so lift needs no second read. The
+    combine shuffles (pair, count) partials only."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        o = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(o, _BASKET_NPART)))
+
+    def pairs_part(g: pa.Table) -> pa.Table:
+        ok = np.asarray(g.column("l_orderkey"), dtype=np.int64)
+        pk = np.asarray(g.column("l_partkey"), dtype=np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        counts = np.diff(np.r_[starts, len(ok)])
+        pos = np.arange(len(ok)) - np.repeat(starts, counts)
+        reps = np.repeat(counts, counts) - pos - 1
+        cum = np.cumsum(reps)
+        total = int(cum[-1]) if len(cum) else 0
+        ia = np.repeat(np.arange(len(ok)), reps)
+        off = np.arange(total) - np.repeat(cum - reps, reps) + 1
+        ib = ia + off
+        pairs = pa.table({"part_a": pa.array(pk[ia]),
+                          "part_b": pa.array(pk[ib])}) \
+            .group_by(["part_a", "part_b"]) \
+            .aggregate([([], "count_all")])
+        pairs = pairs.rename_columns(["part_a", "part_b", "n"])
+        # sentinel rows: per-part basket frequency and basket total
+        parts_u, parts_n = np.unique(pk, return_counts=True)
+        extra = pa.table({
+            "part_a": pa.array(np.concatenate(
+                [parts_u, np.array([-1], dtype=np.int64)])),
+            "part_b": pa.array(np.full(len(parts_u) + 1, -1,
+                                       dtype=np.int64)),
+            "n": pa.array(np.concatenate(
+                [parts_n, np.array([len(starts)], dtype=np.int64)])),
+        })
+        return pa.concat_tables([pairs, extra])
+
+    parts = ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(pairs_part, batch_format="pyarrow")
+    combined = agg._combine_partials(
+        parts, keys=["part_a", "part_b"], aggs=[("n", "sum")],
+        empty_schema=pa.schema([("part_a", pa.int64()),
+                                ("part_b", pa.int64()),
+                                ("n", pa.int64())]))
+    part_a = np.asarray(combined.column("part_a"), dtype=np.int64)
+    part_b = np.asarray(combined.column("part_b"), dtype=np.int64)
+    n = np.asarray(combined.column("n"), dtype=np.int64)
+    n_orders = int(n[(part_a == -1) & (part_b == -1)].sum())
+    freq_parts = part_a[(part_b == -1) & (part_a >= 0)]
+    freq_n = n[(part_b == -1) & (part_a >= 0)]
+    lut = dict(zip(freq_parts.tolist(), freq_n.tolist()))
+    m = (part_b >= 0) & (n >= _BASKET_MIN_SUPPORT)
+    pa_, pb_, nab = part_a[m], part_b[m], n[m]
+    na = np.array([lut[x] for x in pa_.tolist()], dtype=np.int64)
+    nb = np.array([lut[x] for x in pb_.tolist()], dtype=np.int64)
+    lift = (n_orders * nab * 1_000_000) // (na * nb)
+    out = pa.table({"part_a": pa.array(pa_), "part_b": pa.array(pb_),
+                    "n_ab": pa.array(nab), "n_a": pa.array(na),
+                    "n_b": pa.array(nb), "lift_ppm": pa.array(lift)})
+    return out.sort_by([("n_ab", "descending"),
+                        ("part_a", "ascending"),
+                        ("part_b", "ascending")])
+
+
+SQL_BASKET_PART_PAIRS = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem),
+f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+      FROM b GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                            AND a.l_partkey < b2.l_partkey
+          GROUP BY 1, 2)
+SELECT part_a, part_b, n_ab, fa.n_part AS n_a, fb.n_part AS n_b,
+       (n.n_orders * n_ab * 1000000) // (fa.n_part * fb.n_part)
+           AS lift_ppm
+FROM pairs, n
+JOIN f fa ON fa.l_partkey = part_a
+JOIN f fb ON fb.l_partkey = part_b
+WHERE n_ab >= {_BASKET_MIN_SUPPORT}
+ORDER BY n_ab DESC, part_a, part_b
+"""
+
+QUERIES["basket_part_pairs"] = (q_basket_part_pairs,
+                                SQL_BASKET_PART_PAIRS)
+
+
+_KM_NPART = 16
+_HOUR_US = 3_600_000_000
+
+
+def q_km_signup_purchase(sf_dir: str):
+    """Kaplan-Meier risk table for signup → first purchase: per
+    distinct duration hour, the at-risk count, event count and
+    right-censor count — the exact integer sufficient statistics of
+    the KM estimator (the survival curve is a cumulative product over
+    these rows; emitting the integers keeps the oracle float-free).
+    Users with a signup but no later purchase are censored at the
+    global max event timestamp (end of study). Two passes: a tiny
+    global-max partial, then the funnel-style user-hash exchange with
+    masked ``np.minimum.at`` anchor passes; the (duration, counts)
+    histogram is bounded by the study span, so the final prefix sum
+    closes driver-side."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts",
+                                          "event_type"])
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())
+        return pa.table({"k": pa.array([0]),
+                         "m": pa.array([pc.max(ts).as_py()],
+                                       type=pa.int64())})
+
+    mx = _partial_final(ds, max_partial, ["k"], [("m", "max")])
+    cut = int(mx.column("m")[0].as_py())
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(u, _KM_NPART)))
+
+    def km_part(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        users, uid = np.unique(u, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        s = np.full(len(users), big)
+        ms = et == "signup"
+        np.minimum.at(s, uid[ms], ts[ms])
+        mp = (et == "purchase") & (ts > s[uid]) & (s[uid] != big)
+        p = np.full(len(users), big)
+        np.minimum.at(p, uid[mp], ts[mp])
+        have = s != big
+        ev = have & (p != big)
+        cen = have & (p == big)
+        dur = np.where(ev, (p - s) // _HOUR_US,
+                       (cut - np.where(have, s, 0)) // _HOUR_US)
+        d_ev, c_ev = np.unique(dur[ev], return_counts=True)
+        d_ce, c_ce = np.unique(dur[cen], return_counts=True)
+        return pa.table({
+            "dur_h": pa.array(np.concatenate([d_ev, d_ce])),
+            "n_event": pa.array(np.concatenate(
+                [c_ev, np.zeros(len(d_ce), dtype=np.int64)])),
+            "n_censor": pa.array(np.concatenate(
+                [np.zeros(len(d_ev), dtype=np.int64), c_ce])),
+        })
+
+    hist = agg._combine_partials(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(km_part, batch_format="pyarrow"),
+        keys=["dur_h"], aggs=[("n_event", "sum"), ("n_censor", "sum")],
+        empty_schema=pa.schema([("dur_h", pa.int64()),
+                                ("n_event", pa.int64()),
+                                ("n_censor", pa.int64())]))
+    if hist.num_rows == 0:
+        return pa.table({"dur_h": pa.array([], type=pa.int64()),
+                         "n_risk": pa.array([], type=pa.int64()),
+                         "n_event": pa.array([], type=pa.int64()),
+                         "n_censor": pa.array([], type=pa.int64())})
+    hist = hist.sort_by([("dur_h", "ascending")])
+    ne = np.asarray(hist.column("n_event"), dtype=np.int64)
+    nc = np.asarray(hist.column("n_censor"), dtype=np.int64)
+    gone = np.cumsum(ne + nc)
+    total = int(gone[-1])
+    n_risk = total - np.r_[0, gone[:-1]]
+    return pa.table({"dur_h": hist.column("dur_h"),
+                     "n_risk": pa.array(n_risk),
+                     "n_event": pa.array(ne),
+                     "n_censor": pa.array(nc)})
+
+
+SQL_KM_SIGNUP_PURCHASE = """
+WITH s AS (SELECT user_id, min(ts) AS st FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+      JOIN s ON s.user_id = e.user_id AND e.ts > s.st
+      WHERE e.event_type = 'purchase' GROUP BY 1),
+c AS (SELECT max(epoch_us(ts)) AS cut FROM events),
+d AS (SELECT CASE WHEN p.pt IS NOT NULL
+                  THEN (epoch_us(p.pt) - epoch_us(s.st)) // 3600000000
+                  ELSE ((SELECT cut FROM c) - epoch_us(s.st))
+                       // 3600000000 END AS dur_h,
+             CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN p ON p.user_id = s.user_id),
+h AS (SELECT dur_h, CAST(sum(ev) AS BIGINT) AS n_event,
+             CAST(sum(1 - ev) AS BIGINT) AS n_censor
+      FROM d GROUP BY 1)
+SELECT dur_h,
+       CAST((SELECT count(*) FROM d)
+            - coalesce(sum(n_event + n_censor)
+                       OVER (ORDER BY dur_h
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+       n_event, n_censor
+FROM h ORDER BY dur_h
+"""
+
+QUERIES["km_signup_purchase"] = (q_km_signup_purchase,
+                                 SQL_KM_SIGNUP_PURCHASE)
+
+
+def q_domain_triangles(sf_dir: str):
+    """Per-domain triangle participation over the undirected domain
+    link graph (the local-clustering numerator). The page-scale work —
+    href extraction and the distinct-edge distillation — is the same
+    distributed partial/final pass as domain_link_edges; the triangle
+    closure then runs on the BOUNDED |domains|² adjacency driver-side
+    (integer matmul, t_v = ((A·A)∘A)·1 / 2), the same bounded-final
+    discipline as domain_pagerank. At page granularity the unbounded
+    form is the degree-ordered edge iterator: orient each edge toward
+    the higher (degree, id) rank, emit wedges from out-neighbor lists,
+    and close them with one partitioned hash semijoin against the edge
+    set — the stages/joins.py exchange expresses it."""
+    edges = q_domain_link_edges(sf_dir)
+    sa, da = edges.column("src_domain"), edges.column("dst_domain")
+    valid = pc.and_(pc.and_(pc.is_valid(sa), pc.is_valid(da)),
+                    pc.not_equal(sa, da))
+    valid = pc.and_(valid, pc.and_(
+        pc.not_equal(sa, pa.scalar("")),
+        pc.not_equal(da, pa.scalar(""))))
+    t = edges.filter(valid)
+    s = t.column("src_domain").to_numpy(zero_copy_only=False)
+    d = t.column("dst_domain").to_numpy(zero_copy_only=False)
+    names, ids = np.unique(np.concatenate([s, d]), return_inverse=True)
+    si, di = ids[:len(s)], ids[len(s):]
+    lo = np.minimum(si, di)
+    hi = np.maximum(si, di)
+    n = len(names)
+    a = np.zeros((n, n), dtype=np.int64)
+    a[lo, hi] = 1
+    a[hi, lo] = 1
+    tri = ((a @ a) * a).sum(axis=1) // 2
+    m = tri > 0
+    out = pa.table({"domain": pa.array(names[m]),
+                    "n_tri": pa.array(tri[m])})
+    return out.sort_by([("domain", "ascending")])
+
+
+SQL_DOMAIN_TRIANGLES = f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+v AS (SELECT x AS domain FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_tri
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["domain_triangles"] = (q_domain_triangles,
+                               SQL_DOMAIN_TRIANGLES)

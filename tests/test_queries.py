@@ -46,6 +46,7 @@ SUBSET = [
     "upsert_corrections", "gopher_rules", "embedding_top_pc",
     "slo_burn_alerts",
     "funnel_3step_strict", "order_backlog_daily",
+    "basket_part_pairs", "km_signup_purchase", "domain_triangles",
 ]
 
 
