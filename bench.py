@@ -117,6 +117,9 @@ BENCH_EXTRA = [
     "basket_part_pairs",
     "km_signup_purchase",
     "domain_triangles",
+    "domain_bfs_hops",
+    "event_type_trigrams",
+    "part_best_supplier",
 ]
 
 

@@ -11856,20 +11856,7 @@ def q_domain_triangles(sf_dir: str):
     the higher (degree, id) rank, emit wedges from out-neighbor lists,
     and close them with one partitioned hash semijoin against the edge
     set — the stages/joins.py exchange expresses it."""
-    edges = q_domain_link_edges(sf_dir)
-    sa, da = edges.column("src_domain"), edges.column("dst_domain")
-    valid = pc.and_(pc.and_(pc.is_valid(sa), pc.is_valid(da)),
-                    pc.not_equal(sa, da))
-    valid = pc.and_(valid, pc.and_(
-        pc.not_equal(sa, pa.scalar("")),
-        pc.not_equal(da, pa.scalar(""))))
-    t = edges.filter(valid)
-    s = t.column("src_domain").to_numpy(zero_copy_only=False)
-    d = t.column("dst_domain").to_numpy(zero_copy_only=False)
-    names, ids = np.unique(np.concatenate([s, d]), return_inverse=True)
-    si, di = ids[:len(s)], ids[len(s):]
-    lo = np.minimum(si, di)
-    hi = np.maximum(si, di)
+    names, lo, hi = _domain_edge_ids(sf_dir)
     n = len(names)
     a = np.zeros((n, n), dtype=np.int64)
     a[lo, hi] = 1
@@ -11903,3 +11890,230 @@ FROM v GROUP BY 1 ORDER BY 1
 
 QUERIES["domain_triangles"] = (q_domain_triangles,
                                SQL_DOMAIN_TRIANGLES)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances, order-3 sequence mining, TPC-H Q2-style argmin
+# ---------------------------------------------------------------------------
+
+def _domain_edge_ids(sf_dir: str):
+    """Undirected distinct domain edge list as integer ids: the
+    page-scale href extraction + distinct-edge distillation runs
+    distributed (q_domain_link_edges partials); the returned (names,
+    lo, hi) arrays are bounded by |domains|²."""
+    edges = q_domain_link_edges(sf_dir)
+    sa, da = edges.column("src_domain"), edges.column("dst_domain")
+    valid = pc.and_(pc.and_(pc.is_valid(sa), pc.is_valid(da)),
+                    pc.not_equal(sa, da))
+    valid = pc.and_(valid, pc.and_(
+        pc.not_equal(sa, pa.scalar("")),
+        pc.not_equal(da, pa.scalar(""))))
+    t = edges.filter(valid)
+    s = t.column("src_domain").to_numpy(zero_copy_only=False)
+    d = t.column("dst_domain").to_numpy(zero_copy_only=False)
+    names, ids = np.unique(np.concatenate([s, d]), return_inverse=True)
+    si, di = ids[:len(s)], ids[len(s):]
+    return names, np.minimum(si, di), np.maximum(si, di)
+
+
+_BFS_MAX_HOPS = 6
+
+
+def q_domain_bfs_hops(sf_dir: str):
+    """Single-source BFS over the undirected domain graph: hop
+    distance from the lexicographically-smallest domain, capped at
+    {_BFS_MAX_HOPS} hops. The distributed part is the distinct-edge
+    distillation; the frontier expansion then runs on the bounded
+    adjacency driver-side (boolean matvec per hop — ≤ 6 of them), the
+    same bounded-final discipline as domain_pagerank. At page scale
+    each hop is the dataset-algebra round stages/graph.py uses for
+    connected components: join frontier to edges on src, groupby(dst)
+    min — one keys-only exchange per hop. Oracle = DuckDB recursive
+    CTE with min(hop)."""
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    if n == 0:
+        return pa.table({"domain": pa.array([], type=pa.string()),
+                         "hop": pa.array([], type=pa.int64())})
+    a = np.zeros((n, n), dtype=bool)
+    a[lo, hi] = True
+    a[hi, lo] = True
+    dist = np.full(n, -1, dtype=np.int64)
+    seed = 0  # names are sorted: index 0 is min(name)
+    dist[seed] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[seed] = True
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (a[frontier].any(axis=0)) & (dist < 0)
+        if not nxt.any():
+            break
+        dist[nxt] = hop
+        frontier = nxt
+    m = dist >= 0
+    return pa.table({"domain": pa.array(names[m]),
+                     "hop": pa.array(dist[m])}) \
+        .sort_by([("domain", "ascending")])
+
+
+SQL_DOMAIN_BFS_HOPS = f"""
+WITH RECURSIVE hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT s AS a, d AS b FROM e0 WHERE s <> d AND s <> '' AND d <> ''
+       UNION SELECT d, s FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+seed AS (SELECT min(a) AS s0 FROM eu),
+bfs(domain, hop) AS (
+  SELECT s0, 0 FROM seed
+  UNION
+  SELECT eu.b, bfs.hop + 1 FROM bfs JOIN eu ON eu.a = bfs.domain
+  WHERE bfs.hop < {_BFS_MAX_HOPS})
+SELECT domain, CAST(min(hop) AS BIGINT) AS hop
+FROM bfs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["domain_bfs_hops"] = (q_domain_bfs_hops, SQL_DOMAIN_BFS_HOPS)
+
+
+def q_event_type_trigrams(sf_dir: str):
+    """Order-3 sequential pattern mining — event-type TRIGRAM counts
+    over per-user timelines (extends event_type_markov's bigrams; the
+    frequent-path / Sankey input): one user-hash shuffle, vectorized
+    (user, ts, event_id) lexsort per partition, a double same-user
+    mask turns consecutive row triples into (t1, t2, t3) paths,
+    pre-aggregated before the final exchange (≤ |types|³ rows per
+    partition). Tie order mirrors the oracle's two chained lag()
+    windows."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _KM_NPART)),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+        })
+
+    def trigrams(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, et = u[order], et[order]
+        if len(u) < 3:
+            return pa.table({"t1": pa.array([], type=pa.string()),
+                             "t2": pa.array([], type=pa.string()),
+                             "t3": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        g = pa.table({
+            "t1": pa.array(et[:-2][same], type=pa.string()),
+            "t2": pa.array(et[1:-1][same], type=pa.string()),
+            "t3": pa.array(et[2:][same], type=pa.string()),
+        }).group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t1", "t2", "t3", "n"])
+
+    partials = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(trigrams, batch_format="pyarrow")
+    out = agg._combine_partials(
+        partials, keys=["t1", "t2", "t3"], aggs=[("n", "sum")],
+        empty_schema=pa.schema([("t1", pa.string()),
+                                ("t2", pa.string()),
+                                ("t3", pa.string()),
+                                ("n", pa.int64())]))
+    return out.sort_by([("n", "descending"), ("t1", "ascending"),
+                        ("t2", "ascending"), ("t3", "ascending")])
+
+
+SQL_EVENT_TYPE_TRIGRAMS = """
+WITH s AS (SELECT event_type,
+                  lag(event_type, 1) OVER w AS p1,
+                  lag(event_type, 2) OVER w AS p2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE p2 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, 1, 2, 3
+"""
+
+QUERIES["event_type_trigrams"] = (q_event_type_trigrams,
+                                  SQL_EVENT_TYPE_TRIGRAMS)
+
+
+_Q2_REGION = "ASIA"
+_PACK = 4_294_967_296  # 2^32 composite-rank radix
+
+
+def q_part_best_supplier(sf_dir: str):
+    """TPC-H Q2 shape — the cheapest supplier per part among one
+    region's suppliers, ties to the smallest suppkey. The region
+    supplier set is distilled from the bounded dimension chain and
+    folded into the fact pass as a broadcast filter (never a
+    shuffle); the argmin itself is the composite-rank pack
+    (cents·2³² + suppkey) so ONE integer min carries both the price
+    and its deterministic tie-break through partial/final — the same
+    packing the partitioned joins use. The exchange moves per-block
+    (part, packed-min) partials only."""
+    supp = agg._to_arrow(_read(sf_dir, "supplier",
+                               columns=["s_suppkey", "s_nationkey"]))
+    nation = agg._to_arrow(_read(sf_dir, "nation",
+                                 columns=["n_nationkey", "n_regionkey"]))
+    region = agg._to_arrow(_read(sf_dir, "region",
+                                 columns=["r_regionkey", "r_name"]))
+    rk = {r["r_regionkey"] for r in region.to_pylist()
+          if r["r_name"] == _Q2_REGION}
+    nk = {r["n_nationkey"] for r in nation.to_pylist()
+          if r["n_regionkey"] in rk}
+    rs = pa.array(sorted(r["s_suppkey"] for r in supp.to_pylist()
+                         if r["s_nationkey"] in nk), type=pa.int64())
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def packed_min(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("l_suppkey"), value_set=rs)
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        pack = pc.add(pc.multiply(cents, pa.scalar(_PACK, pa.int64())),
+                      t.column("l_suppkey"))
+        g = pa.table({"l_partkey": t.column("l_partkey"),
+                      "p": pack}).group_by("l_partkey") \
+            .aggregate([("p", "min")])
+        return g.rename_columns(["l_partkey", "p"])
+
+    m = _partial_final(li, packed_min, ["l_partkey"], [("p", "min")])
+    p = np.asarray(m.column("p"), dtype=np.int64)
+    out = pa.table({
+        "l_partkey": m.column("l_partkey"),
+        "best_supp": pa.array(p % _PACK),
+        "min_cents": pa.array(p // _PACK),
+    })
+    return out.sort_by([("l_partkey", "ascending")])
+
+
+SQL_PART_BEST_SUPPLIER = f"""
+WITH rs AS (SELECT s_suppkey FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = '{_Q2_REGION}'),
+l AS (SELECT l_partkey,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * {_PACK} + l_suppkey AS pack
+      FROM lineitem JOIN rs ON rs.s_suppkey = l_suppkey),
+m AS (SELECT l_partkey, min(pack) AS p FROM l GROUP BY 1)
+SELECT l_partkey, CAST(p % {_PACK} AS BIGINT) AS best_supp,
+       CAST(p // {_PACK} AS BIGINT) AS min_cents
+FROM m ORDER BY l_partkey
+"""
+
+QUERIES["part_best_supplier"] = (q_part_best_supplier,
+                                 SQL_PART_BEST_SUPPLIER)

@@ -47,6 +47,7 @@ SUBSET = [
     "slo_burn_alerts",
     "funnel_3step_strict", "order_backlog_daily",
     "basket_part_pairs", "km_signup_purchase", "domain_triangles",
+    "domain_bfs_hops", "event_type_trigrams", "part_best_supplier",
 ]
 
 
