@@ -120,6 +120,8 @@ BENCH_EXTRA = [
     "domain_bfs_hops",
     "event_type_trigrams",
     "part_best_supplier",
+    "bloom_trace_lookup",
+    "type_cooccurrence",
 ]
 
 

@@ -12117,3 +12117,154 @@ FROM m ORDER BY l_partkey
 
 QUERIES["part_best_supplier"] = (q_part_best_supplier,
                                  SQL_PART_BEST_SUPPLIER)
+
+
+# ---------------------------------------------------------------------------
+# bloom skipping index (point lookups) + item-item co-occurrence
+# ---------------------------------------------------------------------------
+
+def _ensure_bloom_index(store: str, key_col: str) -> None:
+    """Single-flight per-file Bloom manifest build over the day
+    store, same lock discipline as the store build itself."""
+    import fcntl
+
+    from ..stages import skipindex
+
+    marker = skipindex._manifest_path(store, key_col)
+    if os.path.exists(marker):
+        return
+    with open(os.path.join(os.path.dirname(store), ".bloom_lock"),
+              "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if not os.path.exists(marker):
+                skipindex.write_bloom_manifest(store, key_col)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+_TRACE_MOD = 97
+_TRACE_K = 5
+
+
+def q_bloom_trace_lookup(sf_dir: str):
+    """Needle-in-haystack point lookup through the per-file BLOOM
+    skipping index (stages/skipindex.py): the {_TRACE_K} lookup ids
+    are distilled distributed (per-block min-k partials over the id
+    column only), then the day store is read through the Bloom
+    manifest — only files whose 16 KiB filter matches a key are
+    opened, the ``is_in`` residual makes file-level false positives
+    exact. Unlike the zone-map path this pruning needs NO range
+    clustering of the key; bytes read scale with |lookup| · file
+    size, not the corpus. Oracle: the identical id-join over raw
+    events."""
+    from ..stages import skipindex
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def id_partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("event_id"), dtype=np.int64)
+        ids = ids[ids % _TRACE_MOD == 0]
+        ids = np.sort(ids)[:_TRACE_K]
+        return pa.table({"event_id": pa.array(ids)})
+
+    cand = agg._to_arrow(ds.map_batches(id_partial,
+                                        batch_format="pyarrow"))
+    if cand.num_rows == 0:
+        return pa.table({"event_id": pa.array([], type=pa.int64()),
+                         "event_type": pa.array([], type=pa.string()),
+                         "value_cents": pa.array([], type=pa.int64())})
+    keys = np.sort(np.asarray(cand.column("event_id"),
+                              dtype=np.int64))[:_TRACE_K]
+
+    store = _ensure_time_store(sf_dir)
+    _ensure_bloom_index(store, "event_id")
+    hit, n_read, n_total = skipindex.bloom_pruned_read(
+        store, "event_id", keys.tolist(),
+        columns=["event_id", "event_type", "value"])
+    if hit is None:
+        return pa.table({"event_id": pa.array([], type=pa.int64()),
+                         "event_type": pa.array([], type=pa.string()),
+                         "value_cents": pa.array([], type=pa.int64())})
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "value_cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100), 0), pa.int64()),
+        })
+
+    out = agg._to_arrow(hit.map_batches(shape, batch_format="pyarrow"))
+    return out.sort_by([("event_id", "ascending")])
+
+
+SQL_BLOOM_TRACE_LOOKUP = f"""
+WITH k AS (SELECT event_id FROM events
+           WHERE event_id % {_TRACE_MOD} = 0
+           ORDER BY event_id LIMIT {_TRACE_K})
+SELECT e.event_id, e.event_type,
+       CAST(round(e.value * 100, 0) AS BIGINT) AS value_cents
+FROM events e JOIN k USING (event_id)
+ORDER BY e.event_id
+"""
+
+QUERIES["bloom_trace_lookup"] = (q_bloom_trace_lookup,
+                                 SQL_BLOOM_TRACE_LOOKUP)
+
+
+def q_type_cooccurrence(sf_dir: str):
+    """Item-item co-occurrence sufficient statistics (the
+    collaborative-filtering similarity kernel): for every event-type
+    pair, dot = Σ_user cnt(u,a)·cnt(u,b); the diagonal rows ARE the
+    squared norms, so cosine/lift are one division away — emitting
+    the integers keeps the oracle float-free. One user-hash exchange;
+    inside each partition the user×type count matrix (|types| is
+    vocabulary-bounded; partition count sizes the user axis to the
+    worker heap) is closed with a single integer Gram product C"C —
+    the exchange then moves ≤ |types|² partial rows per partition."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(u, _KM_NPART)))
+
+    def gram(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        users, uid = np.unique(u, return_inverse=True)
+        types, tid = np.unique(et, return_inverse=True)
+        c = np.zeros((len(users), len(types)), dtype=np.int64)
+        np.add.at(c, (uid, tid), 1)
+        d = c.T @ c
+        ia, ib = np.triu_indices(len(types))
+        return pa.table({
+            "type_a": pa.array(types[ia].tolist(), type=pa.string()),
+            "type_b": pa.array(types[ib].tolist(), type=pa.string()),
+            "dot": pa.array(d[ia, ib]),
+        })
+
+    out = agg._combine_partials(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(gram, batch_format="pyarrow"),
+        keys=["type_a", "type_b"], aggs=[("dot", "sum")],
+        empty_schema=pa.schema([("type_a", pa.string()),
+                                ("type_b", pa.string()),
+                                ("dot", pa.int64())]))
+    return out.sort_by([("type_a", "ascending"),
+                        ("type_b", "ascending")])
+
+
+SQL_TYPE_COOCCURRENCE = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(sum(a.n * b.n) AS BIGINT) AS dot
+FROM c a JOIN c b ON a.user_id = b.user_id
+                 AND a.event_type <= b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["type_cooccurrence"] = (q_type_cooccurrence,
+                                SQL_TYPE_COOCCURRENCE)

@@ -48,6 +48,7 @@ SUBSET = [
     "funnel_3step_strict", "order_backlog_daily",
     "basket_part_pairs", "km_signup_purchase", "domain_triangles",
     "domain_bfs_hops", "event_type_trigrams", "part_best_supplier",
+    "bloom_trace_lookup", "type_cooccurrence",
 ]
 
 
