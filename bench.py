@@ -122,6 +122,9 @@ BENCH_EXTRA = [
     "part_best_supplier",
     "bloom_trace_lookup",
     "type_cooccurrence",
+    "events_time_window_sum",
+    "analyze_events",
+    "bpe_token_counts",
 ]
 
 

@@ -12268,3 +12268,264 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["type_cooccurrence"] = (q_type_cooccurrence,
                                 SQL_TYPE_COOCCURRENCE)
+
+
+# ---------------------------------------------------------------------------
+# time-RANGE window aggregate, ANALYZE table stats, BPE application
+# ---------------------------------------------------------------------------
+
+_TWIN_US = 3_600_000_000  # 1 h trailing RANGE window
+_TWIN_SHIFT = 43          # ts offsets < 2^43 us (~100 days) per study
+
+
+def q_events_time_window_sum(sf_dir: str):
+    """Per-event trailing TIME window (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW — value-based frames, unlike the
+    ROWS-based moving average): for every event, the count and cents
+    sum of the same user's events in [ts−1h, ts], peers included.
+    One user-hash exchange; inside a partition a composite monotone
+    key (user-rank·2⁴³ + ts-offset) makes the concatenated per-user
+    series globally sorted, so BOTH frame edges are two vectorized
+    searchsorted calls against one prefix-sum array — O(n log n),
+    no per-row Python, ties handled by value exactly as RANGE frames
+    define (all peers share one answer)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _KM_NPART)),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100), 0), pa.int64()),
+        })
+
+    def window(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "win_n": pa.array([], type=pa.int64()),
+                             "win_cents": pa.array([],
+                                                   type=pa.int64())})
+        base = ts.min()
+        order = np.lexsort((ts, u))
+        u, ts, e, c = u[order], ts[order], e[order], c[order]
+        _, urank = np.unique(u, return_inverse=True)
+        key = (urank.astype(np.int64) << _TWIN_SHIFT) + (ts - base)
+        lo = np.searchsorted(key, key - _TWIN_US, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        csum = np.r_[0, np.cumsum(c)]
+        return pa.table({
+            "event_id": pa.array(e),
+            "win_n": pa.array(hi - lo),
+            "win_cents": pa.array(csum[hi] - csum[lo]),
+        })
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(window, batch_format="pyarrow")
+    out = agg._to_arrow(parts)
+    if out.num_rows == 0:
+        return pa.table({"event_id": pa.array([], type=pa.int64()),
+                         "win_n": pa.array([], type=pa.int64()),
+                         "win_cents": pa.array([], type=pa.int64())})
+    return out.sort_by([("event_id", "ascending")])
+
+
+SQL_EVENTS_TIME_WINDOW_SUM = """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS win_n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+            AS BIGINT) AS win_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+QUERIES["events_time_window_sum"] = (q_events_time_window_sum,
+                                     SQL_EVENTS_TIME_WINDOW_SUM)
+
+
+_ANALYZE_NBUCKET = 64
+
+
+def q_analyze_events(sf_dir: str):
+    """ANALYZE-style per-column statistics (the planner's input):
+    row count, null count, EXACT distinct count, min and max for each
+    integer-representable events column. n/nulls/min/max are plain
+    partial/final merges; the exact NDV never lands on the driver —
+    per-block distinct (col, v) partials are exchanged ON A VALUE-HASH
+    bucket, each bucket counts its own distinct values (a value lives
+    in exactly one bucket), and only |cols|×|buckets| count rows
+    merge. The HLL path (approx_distinct_users) is the sketch
+    alternative at extreme NDV; this is the exact one."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def _cols(t: pa.Table) -> dict:
+        return {
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "value_cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100), 0), pa.int64()),
+        }
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for name, col in _cols(t).items():
+            names.append(name)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            mins.append(pc.min(col).as_py())
+            maxs.append(pc.max(col).as_py())
+        return pa.table({"col": pa.array(names, type=pa.string()),
+                         "n": pa.array(ns, type=pa.int64()),
+                         "n_null": pa.array(nulls, type=pa.int64()),
+                         "min_v": pa.array(mins, type=pa.int64()),
+                         "max_v": pa.array(maxs, type=pa.int64())})
+
+    base = _partial_final(ds, stats_partial, ["col"],
+                          [("n", "sum"), ("n_null", "sum"),
+                           ("min_v", "min"), ("max_v", "max")])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for name, col in _cols(t).items():
+            v = np.unique(np.asarray(col.drop_null(), dtype=np.int64))
+            names.extend([name] * len(v))
+            vals.append(v)
+        v = (np.concatenate(vals) if vals
+             else np.array([], dtype=np.int64))
+        out = pa.table({"col": pa.array(names, type=pa.string()),
+                        "v": pa.array(v)})
+        return out.append_column("_vkey", pa.array(
+            _knuth_bucket(v, _ANALYZE_NBUCKET)))
+
+    def bucket_ndv(g: pa.Table) -> pa.Table:
+        cid, cinv = np.unique(
+            g.column("col").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        v = np.asarray(g.column("v"), dtype=np.int64)
+        order = np.lexsort((v, cinv))
+        ci, vs = cinv[order], v[order]
+        new = np.r_[True, (ci[1:] != ci[:-1]) | (vs[1:] != vs[:-1])]
+        nd = np.bincount(ci[new], minlength=len(cid))
+        return pa.table({"col": pa.array(cid.tolist(),
+                                         type=pa.string()),
+                         "ndv": pa.array(nd.astype(np.int64))})
+
+    ndv = agg._combine_partials(
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+          .groupby("_vkey").map_groups(bucket_ndv,
+                                       batch_format="pyarrow"),
+        keys=["col"], aggs=[("ndv", "sum")],
+        empty_schema=pa.schema([("col", pa.string()),
+                                ("ndv", pa.int64())]))
+    lut = dict(zip(ndv.column("col").to_pylist(),
+                   (int(x) for x in ndv.column("ndv").to_pylist())))
+    base = base.sort_by([("col", "ascending")])
+    return pa.table({
+        "col": base.column("col"),
+        "n": base.column("n"),
+        "n_null": base.column("n_null"),
+        "ndv": pa.array([lut.get(c, 0) for c in
+                         base.column("col").to_pylist()],
+                        type=pa.int64()),
+        "min_v": base.column("min_v"),
+        "max_v": base.column("max_v"),
+    })
+
+
+SQL_ANALYZE_EVENTS = """
+SELECT * FROM (
+  SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+         CAST(min(event_id) AS BIGINT) AS min_v,
+         CAST(max(event_id) AS BIGINT) AS max_v FROM events
+  UNION ALL
+  SELECT 'ts_us', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(ts) AS BIGINT),
+         CAST(count(DISTINCT ts) AS BIGINT),
+         min(epoch_us(ts)), max(epoch_us(ts)) FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(user_id) AS BIGINT),
+         CAST(count(DISTINCT user_id) AS BIGINT),
+         CAST(min(user_id) AS BIGINT),
+         CAST(max(user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value_cents', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(value) AS BIGINT),
+         CAST(count(DISTINCT CAST(round(value * 100, 0) AS BIGINT))
+              AS BIGINT),
+         CAST(min(round(value * 100, 0)) AS BIGINT),
+         CAST(max(round(value * 100, 0)) AS BIGINT) FROM events
+) ORDER BY col
+"""
+
+QUERIES["analyze_events"] = (q_analyze_events, SQL_ANALYZE_EVENTS)
+
+
+def _bpe_encode_word(word: str, merges) -> list[str]:
+    """Apply learned merges to one word EXACTLY as training applies
+    them: in rank order, each merge replacing left-to-right
+    non-overlapping — encode(train corpus) reproduces the trainer's
+    final symbol state by construction."""
+    syms = list(word)
+    for l, r, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenizer APPLICATION (closing the bpe_merges loop): corpus
+    token frequencies under the learned merges. The corpus-scale work
+    is the same distributed word count; encoding then touches only
+    the DISTINCT-word vocabulary (the memoized split every production
+    tokenizer uses — encode cost scales with |vocab|, not corpus),
+    and each token's count is Σ word_freq · occurrences. No SQL
+    oracle (iterative merging); deterministic rows-only hash +
+    trainer-consistency pytest."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def wf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"w": flat}).filter(
+            pc.not_equal(flat, "")).group_by("w") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["w", "f"])
+
+    wf = _partial_final(ds, wf_partial, ["w"], [("f", "sum")])
+    word_freq = dict(zip(wf.column("w").to_pylist(),
+                         (int(x) for x in wf.column("f").to_pylist())))
+    merges = _bpe_train(word_freq, _BPE_MERGES)
+    counts: dict[str, int] = {}
+    for w, f in word_freq.items():
+        for tok in _bpe_encode_word(w, merges):
+            counts[tok] = counts.get(tok, 0) + f
+    toks = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table({
+        "token": pa.array([t for t, _ in toks], type=pa.string()),
+        "n": pa.array([n for _, n in toks], type=pa.int64()),
+    })
+
+
+QUERIES["bpe_token_counts"] = (q_bpe_token_counts, None)

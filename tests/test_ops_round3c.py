@@ -242,3 +242,38 @@ def test_compression_ratio_orders_repetitive_above_random():
     r_rand = len(rand) * 1000 // len(zlib.compress(rand, 6))
     assert r_rep > 5 * r_rand          # repetitive ≫ incompressible
     assert r_rand < 1300               # random barely compresses
+
+
+def test_bpe_encode_matches_trainer_state():
+    """Applying the learned merges must reproduce the trainer's final
+    symbol state (hand-computed golden) and respect rank order /
+    left-to-right non-overlap."""
+    from log_analysis_ai_ray.pipelines.queries import (_bpe_encode_word,
+                                                       _bpe_train)
+
+    wf = {"abab": 2, "ab": 3}
+    merges = _bpe_train(wf, 2)
+    assert [(m[0], m[1]) for m in merges] == [("a", "b"), ("ab", "ab")]
+    assert merges[0][2] == 7 and merges[1][2] == 2
+    assert _bpe_encode_word("abab", merges) == ["abab"]
+    assert _bpe_encode_word("ab", merges) == ["ab"]
+    assert _bpe_encode_word("aba", merges) == ["ab", "a"]
+    assert _bpe_encode_word("bab", merges) == ["b", "ab"]
+
+
+def test_bpe_token_counts_conserves_mass(ray_session):
+    """Token counts weighted by length must equal the corpus's total
+    non-space characters (merging never loses characters)."""
+    from log_analysis_ai_ray.pipelines.queries import q_bpe_token_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_bpe_token_counts(sf_dir)
+    import duckdb
+
+    total_chars = duckdb.sql(
+        f"SELECT sum(length(replace(text, ' ', ''))) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+    got = sum(len(t) * n for t, n in
+              zip(out.column("token").to_pylist(),
+                  out.column("n").to_pylist()))
+    assert got == total_chars

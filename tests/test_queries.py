@@ -49,6 +49,7 @@ SUBSET = [
     "basket_part_pairs", "km_signup_purchase", "domain_triangles",
     "domain_bfs_hops", "event_type_trigrams", "part_best_supplier",
     "bloom_trace_lookup", "type_cooccurrence",
+    "events_time_window_sum", "analyze_events",
 ]
 
 
