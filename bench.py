@@ -125,6 +125,8 @@ BENCH_EXTRA = [
     "events_time_window_sum",
     "analyze_events",
     "bpe_token_counts",
+    "page_kcore",
+    "basket_size_hist",
 ]
 
 

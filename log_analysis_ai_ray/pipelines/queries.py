@@ -12529,3 +12529,127 @@ def q_bpe_token_counts(sf_dir: str):
 
 
 QUERIES["bpe_token_counts"] = (q_bpe_token_counts, None)
+
+
+# ---------------------------------------------------------------------------
+# page-graph k-core peeling + basket-size histogram
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def q_page_kcore(sf_dir: str):
+    """Iterative k-core decomposition (k={_KCORE_K}) of the PAGE link
+    graph — the dense-subgraph filter link-spam and crawl-frontier
+    pipelines run. The page-scale work is the distributed distinct
+    undirected-edge distillation (per-block dedupe partials, one
+    exchange); the fixed-{_KCORE_ROUNDS}-round peel then runs on the
+    collected edge list (stages/graph.py kcore_peel — bounded by the
+    same driver_max_edges discipline as connected components; past it
+    each round is a groupby-count + two semijoin exchanges). Rounds
+    are FIXED so the oracle can unroll the identical chain; at this
+    corpus the peel converges in 6 rounds, so the output is the true
+    3-core (url, core degree)."""
+    ds = read_pages(pages_dir_for(sf_dir), columns=["url", "html"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        src, dst = _href_targets(t)
+        s = src.to_numpy(zero_copy_only=False)
+        d = dst.to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        g = pa.table({"lo": pa.array(lo.tolist(), type=pa.string()),
+                      "hi": pa.array(hi.tolist(), type=pa.string())}) \
+            .group_by(["lo", "hi"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lo", "hi", "n"])
+
+    e = _partial_final(ds, edge_partial, ["lo", "hi"], [("n", "sum")])
+    lo = e.column("lo").to_numpy(zero_copy_only=False)
+    hi = e.column("hi").to_numpy(zero_copy_only=False)
+    names, ids = np.unique(np.concatenate([lo, hi]),
+                           return_inverse=True)
+    li, hi_ = ids[:len(lo)], ids[len(lo):]
+    a = np.concatenate([li, hi_])
+    b = np.concatenate([hi_, li])
+    from ..stages.graph import kcore_peel
+
+    deg = kcore_peel(a, b, len(names), _KCORE_K, _KCORE_ROUNDS)
+    m = deg > 0
+    return pa.table({"url": pa.array(names[m].tolist(),
+                                     type=pa.string()),
+                     "core_deg": pa.array(deg[m])}) \
+        .sort_by([("url", "ascending")])
+
+
+def _kcore_sql() -> str:
+    head = f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT url AS s, dst AS d FROM hrefs WHERE url <> dst),
+eu0 AS MATERIALIZED (SELECT s AS a, d AS b FROM e0
+       UNION SELECT d, s FROM e0)"""
+    rounds = []
+    for i in range(_KCORE_ROUNDS):
+        # MATERIALIZED: each round references eu{i} three times —
+        # DuckDB would otherwise inline the chain exponentially
+        rounds.append(f""",
+d{i} AS MATERIALIZED (SELECT a, count(*) AS c FROM eu{i} GROUP BY 1),
+eu{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM eu{i} e
+              JOIN d{i} x ON x.a = e.a
+              JOIN d{i} y ON y.a = e.b
+              WHERE x.c >= {_KCORE_K} AND y.c >= {_KCORE_K})""")
+    tail = f"""
+SELECT a AS url, CAST(count(*) AS BIGINT) AS core_deg
+FROM eu{_KCORE_ROUNDS} GROUP BY 1 ORDER BY 1"""
+    return head + "".join(rounds) + tail
+
+
+QUERIES["page_kcore"] = (q_page_kcore, _kcore_sql())
+
+
+def q_basket_size_hist(sf_dir: str):
+    """Aggregate-of-aggregate (the two-level GROUP BY pattern):
+    distribution of basket sizes — how many orders have exactly s
+    lineitems. One orderkey-hash exchange makes per-order counts
+    exact inside each partition; each partition then emits its OWN
+    bounded (size, n_orders) histogram, so the final merge moves
+    ≤ max-basket-size rows per partition — the inner per-key
+    aggregate never lands anywhere central."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        o = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(o, _BASKET_NPART)))
+
+    def hist_part(g: pa.Table) -> pa.Table:
+        o = np.asarray(g.column("l_orderkey"), dtype=np.int64)
+        _, cnt = np.unique(o, return_counts=True)
+        sz, n = np.unique(cnt, return_counts=True)
+        return pa.table({"basket_size": pa.array(sz.astype(np.int64)),
+                         "n_orders": pa.array(n.astype(np.int64))})
+
+    out = agg._combine_partials(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(hist_part,
+                                       batch_format="pyarrow"),
+        keys=["basket_size"], aggs=[("n_orders", "sum")],
+        empty_schema=pa.schema([("basket_size", pa.int64()),
+                                ("n_orders", pa.int64())]))
+    return out.sort_by([("basket_size", "ascending")])
+
+
+SQL_BASKET_SIZE_HIST = """
+SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT CAST(count(*) AS BIGINT) AS basket_size
+      FROM lineitem GROUP BY l_orderkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["basket_size_hist"] = (q_basket_size_hist,
+                               SQL_BASKET_SIZE_HIST)

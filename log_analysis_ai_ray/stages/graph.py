@@ -237,3 +237,28 @@ def connected_components_ds(pairs_ds, src: str = "doc_a",
     else:
         t = pairs_ds
     return connected_components(t, src=src, dst=dst, max_iters=max_iters)
+
+
+def kcore_peel(a: np.ndarray, b: np.ndarray, n_nodes: int, k: int,
+               rounds: int) -> np.ndarray:
+    """Fixed-round k-core peeling over an undirected edge list given
+    as BOTH orientations (every undirected edge appears as (a,b) AND
+    (b,a), so a node's degree is its count in ``a``). Each round drops
+    nodes with degree < k and every edge touching them; ``rounds`` is
+    fixed so an SQL mirror can unroll the identical chain (early exit
+    when a round removes nothing — the result equals running all
+    rounds). Returns the per-node degree AFTER peeling (0 = peeled).
+
+    At driver-prohibitive edge counts each round is one groupby-count
+    plus two semijoin exchanges — the connected_components_dataset
+    shape; this kernel is the bounded/collected form."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    for _ in range(rounds):
+        deg = np.bincount(a, minlength=n_nodes)
+        alive = deg >= k
+        m = alive[a] & alive[b]
+        if m.all():
+            break
+        a, b = a[m], b[m]
+    return np.bincount(a, minlength=n_nodes)

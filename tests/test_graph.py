@@ -115,3 +115,35 @@ def test_dataset_algebra_empty_edges(ray_session):
     out = connected_components_dataset(ray.data.from_arrow(t))
     assert out.num_rows == 0
     assert out.column_names == ["node", "component_root"]
+
+
+def test_kcore_peel_matches_bruteforce():
+    """Fixed-round peel equals the iterate-to-convergence 3-core on a
+    graph with a chain (peels), a triangle fringe (peels at k=3), and
+    a K5 core (survives)."""
+    import numpy as np
+
+    from log_analysis_ai_ray.stages.graph import kcore_peel
+
+    edges = set()
+    for i in range(5):           # K5: nodes 0..4, degree 4 each
+        for j in range(i + 1, 5):
+            edges.add((i, j))
+    edges |= {(4, 5), (5, 6), (6, 7)}   # chain tail
+    edges |= {(0, 8), (1, 8), (8, 9), (0, 9)}  # fringe, deg<3 eventually
+    a = np.array([e[0] for e in edges] + [e[1] for e in edges])
+    b = np.array([e[1] for e in edges] + [e[0] for e in edges])
+    deg = kcore_peel(a, b, 10, k=3, rounds=16)
+    # brute force to convergence
+    cur = {(x, y) for x, y in zip(a.tolist(), b.tolist())}
+    while True:
+        from collections import Counter
+
+        d = Counter(x for x, _ in cur)
+        nxt = {(x, y) for x, y in cur if d[x] >= 3 and d[y] >= 3}
+        if nxt == cur:
+            break
+        cur = nxt
+    want = Counter(x for x, _ in cur)
+    assert {i: int(v) for i, v in enumerate(deg) if v} == dict(want)
+    assert set(want) == {0, 1, 2, 3, 4}  # only the K5 survives k=3

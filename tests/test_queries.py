@@ -50,6 +50,7 @@ SUBSET = [
     "domain_bfs_hops", "event_type_trigrams", "part_best_supplier",
     "bloom_trace_lookup", "type_cooccurrence",
     "events_time_window_sum", "analyze_events",
+    "page_kcore", "basket_size_hist",
 ]
 
 
