@@ -912,7 +912,10 @@ def q_knn_ivf(sf_dir: str):
 
     ids, Q = _knn_queries(sf_dir)
     store = ann_store_for(sf_dir, "ivf", dim=Q.shape[1])
-    return ivf_store_topk(store, ids, Q, k=10)
+    # nprobe=6/16 cells: still a pruned read (~3/8 of the store) while
+    # keeping per-query recall@10 comfortably above the test gate on
+    # any regenerated synthetic corpus.
+    return ivf_store_topk(store, ids, Q, k=10, nprobe=6)
 
 
 def q_embed_near_dups(sf_dir: str):
@@ -3694,7 +3697,7 @@ def q_knn_ivf_q8(sf_dir: str):
     ids, Q = _knn_queries(sf_dir)
     store = ann_store_for(sf_dir, "ivf_q8", dim=Q.shape[1])
     return ivf_q8_store_topk(
-        store, ids, Q, k=10,
+        store, ids, Q, k=10, nprobe=6,
         rescore_source=os.path.join(sf_dir, "embeddings.parquet"))
 
 
@@ -12653,3 +12656,272 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["basket_size_hist"] = (q_basket_size_hist,
                                SQL_BASKET_SIZE_HIST)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13/Q17/Q21 analog shapes (round 3 session 2)
+# ---------------------------------------------------------------------------
+
+_CUSTDIST_NPART = 64
+
+
+def q_custdist(sf_dir: str):
+    """TPC-H Q13 shape — distribution of customers by order count,
+    INCLUDING zero-order customers: a two-level distributed aggregate
+    (aggregate of an aggregate). Orders are bucketed by custkey hash
+    (full co-location per customer), each partition emits its local
+    (n_orders → n_customers) histogram, histograms merge by key — the
+    shuffle moves |distinct custkeys| partial rows, never fact rows.
+    The zero bucket is derived from two scalars (total customers −
+    customers seen in orders), so the LEFT JOIN the SQL plan needs
+    never materializes."""
+    od = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(c, _CUSTDIST_NPART)))
+
+    def hist_part(g: pa.Table) -> pa.Table:
+        c = np.asarray(g.column("o_custkey"), dtype=np.int64)
+        _, per_cust = np.unique(c, return_counts=True)
+        sz, n = np.unique(per_cust, return_counts=True)
+        return pa.table({"n_orders": pa.array(sz.astype(np.int64)),
+                         "n_customers": pa.array(n.astype(np.int64))})
+
+    hist = agg._combine_partials(
+        od.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(hist_part, batch_format="pyarrow"),
+        keys=["n_orders"], aggs=[("n_customers", "sum")],
+        empty_schema=pa.schema([("n_orders", pa.int64()),
+                                ("n_customers", pa.int64())]))
+
+    cu = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def cnt_part(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([0], type=pa.int64()),
+                         "cnt": pa.array([t.num_rows], type=pa.int64())})
+
+    total = _partial_final(cu, cnt_part, ["k"], [("cnt", "sum")])
+    n_total = total.column("cnt").to_pylist()[0] if total.num_rows else 0
+    n_with = int(pc.sum(hist.column("n_customers")).as_py() or 0)
+    zero = n_total - n_with
+    if zero > 0:
+        hist = pa.concat_tables([
+            pa.table({"n_orders": pa.array([0], type=pa.int64()),
+                      "n_customers": pa.array([zero], type=pa.int64())}),
+            hist])
+    return hist.sort_by([("n_orders", "ascending")])
+
+
+SQL_CUSTDIST = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["custdist"] = (q_custdist, SQL_CUSTDIST)
+
+
+def q_small_qty_brand_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue from 'small' lineitems (quantity
+    below 20% of that part's average), per brand. Two passes over the
+    fact: pass 1 builds the per-part (sum_qty, cnt) profile as
+    mergeable partials (bounded by |part|; broadcast back via ray.put
+    — at 10^9 parts this table becomes the partitioned-join build
+    side instead). Pass 2 filters with the EXACT integer form of the
+    predicate (5·qty·cnt < sum_qty ⇔ qty < 0.2·avg, no float
+    division on either side) and pre-aggregates cents per brand
+    inside each block."""
+    import ray
+
+    li1 = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def qty_part(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        g = pa.table({"pk": t.column("l_partkey"), "q": q}) \
+            .group_by("pk").aggregate([("q", "sum"), ([], "count_all")])
+        return g.rename_columns(["pk", "sq", "cnt"])
+
+    prof = _partial_final(li1, qty_part, ["pk"],
+                          [("sq", "sum"), ("cnt", "sum")])
+    pk = prof.column("pk").combine_chunks()
+    sq = np.asarray(prof.column("sq"), dtype=np.int64)
+    cnt = np.asarray(prof.column("cnt"), dtype=np.int64)
+
+    part = agg._to_arrow(_read(sf_dir, "part",
+                               columns=["p_partkey", "p_brand"]))
+    bk = part.column("p_partkey").combine_chunks()
+    brands = part.column("p_brand").combine_chunks()
+
+    ref = ray.put((pk, sq, cnt, bk, brands))
+    li2 = _read(sf_dir, "lineitem",
+                columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    class SmallQtyStage:
+        def __init__(self, ref):
+            self.pk, self.sq, self.cnt, self.bk, self.brands = \
+                ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q = np.asarray(pc.cast(pc.round(t.column("l_quantity"), 0),
+                                   pa.int64()))
+            idx = pc.index_in(t.column("l_partkey"), value_set=self.pk)
+            sq = np.asarray(pc.take(pa.array(self.sq), idx))
+            cn = np.asarray(pc.take(pa.array(self.cnt), idx))
+            keep = 5 * q * cn < sq
+            kept = t.filter(pa.array(keep))
+            cents = pc.cast(pc.round(pc.multiply(
+                kept.column("l_extendedprice"), 100), 0), pa.int64())
+            bidx = pc.index_in(kept.column("l_partkey"),
+                               value_set=self.bk)
+            brand = pc.take(self.brands, bidx)
+            g = pa.table({"p_brand": brand, "rev_cents": cents}) \
+                .group_by("p_brand").aggregate([("rev_cents", "sum")])
+            return g.rename_columns(["p_brand", "rev_cents"])
+
+    # fractional num_cpus: the actor pool must never absorb every
+    # CPU of a small cluster or the upstream read tasks starve
+    partials = li2.map_batches(
+        SmallQtyStage, fn_constructor_args=(ref,),
+        concurrency=4, num_cpus=0.5, batch_format="pyarrow")
+    out = agg._combine_partials(
+        partials, keys=["p_brand"], aggs=[("rev_cents", "sum")],
+        empty_schema=pa.schema([("p_brand", pa.string()),
+                                ("rev_cents", pa.int64())]))
+    return out.sort_by([("p_brand", "ascending")])
+
+
+SQL_SMALL_QTY_BRAND_REVENUE = """
+WITH prof AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM lineitem
+JOIN prof ON pk = l_partkey
+JOIN part ON p_partkey = l_partkey
+WHERE 5 * CAST(round(l_quantity, 0) AS BIGINT) * cnt < sq
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["small_qty_brand_revenue"] = (q_small_qty_brand_revenue,
+                                      SQL_SMALL_QTY_BRAND_REVENUE)
+
+
+_LATE_SOLO_NPART = 64
+_LATE_DAYS_US = 60 * 86_400 * 1_000_000
+
+
+def q_late_solo_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who were the SOLE late shipper on a
+    multi-supplier order ('late' = shipped > 60 days after the order
+    date). ONE co-locating shuffle: lineitem and orders rows are
+    side-tagged into a shared schema and bucketed by orderkey hash;
+    inside each partition the order date attaches by searchsorted, the
+    per-(order, supplier) late flag and the per-order qualification
+    (≥2 suppliers, exactly 1 late) both reduce locally, and only
+    (suppkey, numwait) partials leave the partition."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        o = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(o, _LATE_SOLO_NPART)),
+            "okey": pa.array(o),
+            "skey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            "odate_us": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        o = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(o, _LATE_SOLO_NPART)),
+            "okey": pa.array(o),
+            "skey": pa.nulls(t.num_rows, pa.int64()),
+            "ship_us": pa.nulls(t.num_rows, pa.int64()),
+            "odate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+        })
+
+    tagged = li.map_batches(tag_line, batch_format="pyarrow").union(
+        od.map_batches(tag_order, batch_format="pyarrow"))
+
+    def part_kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        is_line = np.asarray(pc.is_valid(g.column("skey")))
+        lines = g.filter(pa.array(is_line))
+        orders = g.filter(pa.array(~is_line))
+        if lines.num_rows == 0 or orders.num_rows == 0:
+            return pa.table({"skey": pa.array([], type=pa.int64()),
+                             "numwait": pa.array([], type=pa.int64())})
+        ok = np.asarray(orders.column("okey"), dtype=np.int64)
+        odate = np.asarray(orders.column("odate_us"), dtype=np.int64)
+        order_sort = np.argsort(ok, kind="stable")
+        ok_s, odate_s = ok[order_sort], odate[order_sort]
+        lk = np.asarray(lines.column("okey"), dtype=np.int64)
+        pos = np.searchsorted(ok_s, lk)
+        # drop lineitems whose order is absent (referential safety)
+        valid = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)]
+                                     == lk)
+        lines = lines.filter(pa.array(valid))
+        pos = pos[valid]
+        ship = np.asarray(lines.column("ship_us"), dtype=np.int64)
+        late = (ship > odate_s[pos] + _LATE_DAYS_US).astype(np.int64)
+        per_os = pa.table({
+            "okey": lines.column("okey"),
+            "skey": lines.column("skey"),
+            "late": pa.array(late),
+        }).group_by(["okey", "skey"]).aggregate([("late", "max")]) \
+          .rename_columns(["okey", "skey", "late"])
+        per_o = per_os.group_by("okey").aggregate(
+            [([], "count_all"), ("late", "sum")]) \
+            .rename_columns(["okey", "n_supp", "n_late"])
+        qual = per_o.filter(pc.and_(
+            pc.greater_equal(per_o.column("n_supp"), 2),
+            pc.equal(per_o.column("n_late"), 1)))
+        qual_ok = qual.column("okey").combine_chunks()
+        hit = per_os.filter(pc.and_(
+            pc.equal(per_os.column("late"), 1),
+            pc.is_in(per_os.column("okey"), value_set=qual_ok)))
+        out = hit.group_by("skey").aggregate([([], "count_all")]) \
+            .rename_columns(["skey", "numwait"])
+        return out.cast(pa.schema([("skey", pa.int64()),
+                                   ("numwait", pa.int64())]))
+
+    out = agg._combine_partials(
+        tagged.groupby("_pkey").map_groups(part_kernel,
+                                           batch_format="pyarrow"),
+        keys=["skey"], aggs=[("numwait", "sum")],
+        empty_schema=pa.schema([("skey", pa.int64()),
+                                ("numwait", pa.int64())]))
+    return out.sort_by([("skey", "ascending")])
+
+
+SQL_LATE_SOLO_SUPPLIERS = """
+WITH lo AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+qual AS (
+  SELECT okey FROM lo GROUP BY okey
+  HAVING count(*) >= 2 AND sum(late) = 1)
+SELECT CAST(skey AS BIGINT) AS skey,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM lo JOIN qual USING (okey) WHERE late = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["late_solo_suppliers"] = (q_late_solo_suppliers,
+                                  SQL_LATE_SOLO_SUPPLIERS)

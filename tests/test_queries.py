@@ -51,6 +51,7 @@ SUBSET = [
     "bloom_trace_lookup", "type_cooccurrence",
     "events_time_window_sum", "analyze_events",
     "page_kcore", "basket_size_hist",
+    "custdist", "small_qty_brand_revenue", "late_solo_suppliers",
 ]
 
 
