@@ -12925,3 +12925,492 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["late_solo_suppliers"] = (q_late_solo_suppliers,
                                   SQL_LATE_SOLO_SUPPLIERS)
+
+
+# ---------------------------------------------------------------------------
+# dense series / ordered reductions / window-rank family (round 3 session 2)
+# ---------------------------------------------------------------------------
+
+
+def q_dense_hourly(sf_dir: str):
+    """Gap-filled dense time series: hourly counts per event type with
+    explicit ZERO rows for silent hours (the densification every
+    dashboard/alerting consumer needs — a plain groupby omits empty
+    buckets). The sparse (hour, type) counts reduce as the usual
+    partial/final merge (bounded by hours×types); the grid expansion
+    runs driver-side on that bounded result via searchsorted, never
+    touching fact rows."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                               3_600_000_000), pa.int64())
+        g = pa.table({"hour_id": hr,
+                      "event_type": t.column("event_type")}) \
+            .group_by(["hour_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour_id", "event_type", "cnt"])
+
+    sparse = _partial_final(ds, partial, ["hour_id", "event_type"],
+                            [("cnt", "sum")])
+    if sparse.num_rows == 0:
+        return pa.table({"hour_id": pa.array([], type=pa.int64()),
+                         "event_type": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    hr = np.asarray(sparse.column("hour_id"), dtype=np.int64)
+    types = np.asarray(sparse.column("event_type").to_pylist())
+    cnt = np.asarray(sparse.column("cnt"), dtype=np.int64)
+    hours = np.arange(hr.min(), hr.max() + 1, dtype=np.int64)
+    utypes = np.unique(types)
+    grid = np.zeros((len(hours), len(utypes)), dtype=np.int64)
+    hi = hr - hr.min()
+    ti = np.searchsorted(utypes, types)
+    grid[hi, ti] = cnt
+    return pa.table({
+        "hour_id": pa.array(np.repeat(hours, len(utypes))),
+        "event_type": pa.array(np.tile(utypes, len(hours))),
+        "cnt": pa.array(grid.reshape(-1)),
+    })
+
+
+SQL_DENSE_HOURLY = """
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM h),
+grid AS (
+  SELECT g.hour_id, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi)) AS hour_id FROM b) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+SELECT grid.hour_id, grid.event_type,
+       COALESCE(h.cnt, 0) AS cnt
+FROM grid LEFT JOIN h ON h.hour_id = grid.hour_id
+                     AND h.event_type = grid.event_type
+ORDER BY 1, 2
+"""
+
+QUERIES["dense_hourly"] = (q_dense_hourly, SQL_DENSE_HOURLY)
+
+
+_PATH_NPART = 32
+
+
+def q_user_event_paths(sf_dir: str):
+    """Ordered string reduction per key (string_agg ... ORDER BY): each
+    user's full event-type sequence as one '>'-joined path. One
+    user-hash co-locating shuffle; inside each partition the rows sort
+    once by (user, ts, event_id) — a total order, so block arrival
+    order can't leak into the result — and polars' group-wise str.join
+    does the concatenation in native code (no per-row Python)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _PATH_NPART)),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+        })
+
+    def paths(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "path": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64())})
+        out = (pl.from_arrow(t)
+               .sort(["user_id", "ts_us", "event_id"])
+               .group_by("user_id", maintain_order=True)
+               .agg(path=pl.col("event_type").str.join(">"),
+                    n_events=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("path", pa.string()),
+            ("n_events", pa.int64())]))
+
+    out = agg._to_arrow(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(paths, batch_format="pyarrow"))
+    return out.sort_by("user_id")
+
+
+SQL_USER_EVENT_PATHS = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_event_paths"] = (q_user_event_paths, SQL_USER_EVENT_PATHS)
+
+
+def q_events_percent_rank(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+    for every event — the normalized-rank window the z-score/quartile
+    family doesn't cover. Types are few → one groupby(type) shuffle
+    and a per-type vectorized kernel (sort once, searchsorted for the
+    strictly-less count, ties share a rank exactly like SQL RANK). At
+    a billion rows per type the partition kernel would switch to the
+    range-partitioned sort (stages/compact.py discipline) — the rank
+    arithmetic is unchanged."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def pr_kernel(g: pa.Table) -> pa.Table:
+        v = np.asarray(pc.round(g.column("value"), ndigits=3),
+                       dtype=np.float64)
+        n = len(v)
+        if n == 1:
+            pr = np.zeros(1)
+        else:
+            sv = np.sort(v)
+            rank = np.searchsorted(sv, v, side="left") + 1  # SQL RANK()
+            pr = (rank - 1) / (n - 1)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "event_type": g.column("event_type"),
+            "pr": pa.array(np.round(pr, 9), type=pa.float64()),
+        })
+
+    out = agg._to_arrow(
+        ds.groupby("event_type").map_groups(pr_kernel,
+                                            batch_format="pyarrow"))
+    return out.sort_by("event_id")
+
+
+SQL_EVENTS_PERCENT_RANK = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY round(value, 3)), 9) AS pr
+FROM events ORDER BY event_id
+"""
+
+QUERIES["events_percent_rank"] = (q_events_percent_rank,
+                                  SQL_EVENTS_PERCENT_RANK)
+
+
+def q_lineitem_measures_long(sf_dir: str):
+    """UNPIVOT/melt: the per-returnflag wide aggregate (qty, price
+    cents, discount per-mille) re-shaped to long (flag, measure, val)
+    — the wide-to-long transform feature stores and plotting layers
+    ask for. The aggregate itself is the standard partial/final merge;
+    the melt runs on the bounded result (3 flags × 3 measures)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "qty": pc.cast(pc.round(t.column("l_quantity"), 0),
+                           pa.int64()),
+            "price_cents": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100), 0), pa.int64()),
+            "disc_pm": pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 1000), 0), pa.int64()),
+        }).group_by("l_returnflag").aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("disc_pm", "sum")])
+        return g.rename_columns(["l_returnflag", "qty", "price_cents",
+                                 "disc_pm"])
+
+    wide = _partial_final(ds, partial, ["l_returnflag"],
+                          [("qty", "sum"), ("price_cents", "sum"),
+                           ("disc_pm", "sum")])
+    measures = ["disc_pm", "price_cents", "qty"]
+    flags, names, vals = [], [], []
+    for m in measures:
+        flags.append(wide.column("l_returnflag"))
+        names.extend([m] * wide.num_rows)
+        vals.append(wide.column(m))
+    out = pa.table({
+        "l_returnflag": pa.concat_arrays(
+            [c.combine_chunks() for c in flags]),
+        "measure": pa.array(names, type=pa.string()),
+        "val": pa.concat_arrays([v.combine_chunks() for v in vals]),
+    })
+    return out.sort_by([("l_returnflag", "ascending"),
+                        ("measure", "ascending")])
+
+
+SQL_LINEITEM_MEASURES_LONG = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS qty,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS price_cents,
+         CAST(sum(CAST(round(l_discount * 1000, 0) AS BIGINT))
+              AS BIGINT) AS disc_pm
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, measure, val FROM (
+  SELECT l_returnflag, 'qty' AS measure, qty AS val FROM s
+  UNION ALL
+  SELECT l_returnflag, 'price_cents', price_cents FROM s
+  UNION ALL
+  SELECT l_returnflag, 'disc_pm', disc_pm FROM s)
+ORDER BY 1, 2
+"""
+
+QUERIES["lineitem_measures_long"] = (q_lineitem_measures_long,
+                                     SQL_LINEITEM_MEASURES_LONG)
+
+
+def q_user_twap(sf_dir: str):
+    """Time-WEIGHTED average value per user (TWAP): each reading is
+    weighted by how long it was 'current' (until the user's next
+    event). Needs LEAD(ts) — per-user co-location + one sort inside
+    the partition; the weighted sums are exact integers (value in
+    per-mille × duration in µs) so the single final division is the
+    only float op, mirrored by the oracle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _PATH_NPART)),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "value_pm": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 1000), 0), pa.int64()),
+        })
+
+    def twap(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        vpm = np.asarray(t.column("value_pm"), dtype=np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, vpm = u[order], ts[order], vpm[order]
+        same_user = np.zeros(len(u), dtype=bool)
+        same_user[:-1] = u[:-1] == u[1:]
+        gap = np.zeros(len(u), dtype=np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        gap[~same_user] = 0  # last event per user carries no weight
+        g = pa.table({
+            "user_id": pa.array(u),
+            "wsum": pa.array(vpm * gap),
+            "tsum": pa.array(gap),
+        }).group_by("user_id").aggregate([("wsum", "sum"),
+                                          ("tsum", "sum")])
+        return g.rename_columns(["user_id", "wsum", "tsum"])
+
+    merged = agg._to_arrow(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(twap, batch_format="pyarrow"))
+    merged = merged.filter(pc.greater(merged.column("tsum"), 0))
+    # numpy division: a CHECKED Arrow int64→float64 cast refuses
+    # values beyond 2^53, and these exact-integer sums legitimately
+    # exceed it (value‰ × µs); the one lossy step is this division
+    wsum = np.asarray(merged.column("wsum"), dtype=np.float64)
+    tsum = np.asarray(merged.column("tsum"), dtype=np.float64)
+    twap_v = pa.array(np.round(wsum / (tsum * 1000.0), 6),
+                      type=pa.float64())
+    return pa.table({
+        "user_id": merged.column("user_id"),
+        "twap": twap_v,
+    }).sort_by("user_id")
+
+
+SQL_USER_TWAP = """
+WITH w AS (
+  SELECT user_id,
+         CAST(round(value * 1000, 0) AS BIGINT)
+           * (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) AS wsum,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS tsum
+  FROM events)
+SELECT user_id,
+       round(CAST(sum(wsum) AS DOUBLE)
+             / CAST(sum(tsum) * 1000 AS DOUBLE), 6) AS twap
+FROM w WHERE tsum IS NOT NULL
+GROUP BY 1 HAVING sum(tsum) > 0 ORDER BY 1
+"""
+
+QUERIES["user_twap"] = (q_user_twap, SQL_USER_TWAP)
+
+
+# ---------------------------------------------------------------------------
+# set-difference churn / flat_map explode / anti-range-join (round 3 s2)
+# ---------------------------------------------------------------------------
+
+_CHURN_MID = "2024-01-29"
+_CHURN_MID_US = 1_706_486_400_000_000  # epoch µs of 2024-01-29T00:00Z
+
+
+def q_churned_users(sf_dir: str):
+    """Set difference (EXCEPT): users active in the first half of the
+    corpus window but silent in the second. Per-block partials carry
+    one (user, seen_h1, seen_h2) flag row per distinct user — the
+    shuffle moves flag partials, never events — and the final merge
+    filters h1 ∧ ¬h2. The same plan computes INTERSECT (h1 ∧ h2) for
+    free."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        h1 = pc.cast(pc.less(us, _CHURN_MID_US), pa.int64())
+        h2 = pc.cast(pc.greater_equal(us, _CHURN_MID_US), pa.int64())
+        g = pa.table({"user_id": t.column("user_id"),
+                      "h1": h1, "h2": h2}) \
+            .group_by("user_id").aggregate([("h1", "max"), ("h2", "max")])
+        return g.rename_columns(["user_id", "h1", "h2"])
+
+    merged = _partial_final(ds, partial, ["user_id"],
+                            [("h1", "max"), ("h2", "max")])
+    churned = merged.filter(pc.and_(pc.equal(merged.column("h1"), 1),
+                                    pc.equal(merged.column("h2"), 0)))
+    return churned.select(["user_id"]).sort_by("user_id")
+
+
+SQL_CHURNED_USERS = f"""
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '{_CHURN_MID}'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CHURN_MID}')
+ORDER BY 1
+"""
+
+QUERIES["churned_users"] = (q_churned_users, SQL_CHURNED_USERS)
+
+
+def q_line_numeric_tokens(sf_dir: str):
+    """flat_map/UNNEST: every numeric token of every log line as its
+    own output row (multiset semantics — a line with the same number
+    twice emits two rows). polars' str.extract_all + explode does the
+    multi-match extraction and row expansion in native code; Ray sees
+    an ordinary 1→N map_batches."""
+    import polars as pl
+
+    ds = _lines_ds(sf_dir)
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        out = (pl.from_arrow(t.select(["url", "line"]))
+               .with_columns(tok=pl.col("line").str.extract_all("[0-9]+"))
+               .drop("line")
+               .explode("tok")
+               .drop_nulls("tok"))
+        return out.to_arrow().cast(pa.schema([("url", pa.string()),
+                                              ("tok", pa.string())]))
+
+    return ds.map_batches(explode_tokens, batch_format="pyarrow")
+
+
+SQL_LINE_NUMERIC_TOKENS = f"""
+SELECT url, unnest(regexp_extract_all(line, '[0-9]+')) AS tok
+FROM {LINES_VIEW}
+"""
+
+QUERIES["line_numeric_tokens"] = (q_line_numeric_tokens,
+                                  SQL_LINE_NUMERIC_TOKENS)
+
+
+_QUIET_NPART = 32
+_QUIET_WINDOW_US = 7 * 86_400_000_000
+
+
+def q_quiet_orders_by_priority(sf_dir: str):
+    """Anti-range-join (NOT EXISTS in a time window): orders whose
+    customer produced NO event in the 7 days from the order date,
+    counted per priority. One user-hash co-locating shuffle; inside a
+    partition each order's window resolves with TWO composite-key
+    searchsorted probes against the sorted (user, ts) event array —
+    O((E+O) log E) per partition, zero per-order Python. The composite
+    key is user_rank·R + ts_offset with R sized to the partition's
+    time span (overflow-checked); beyond int64 range the kernel would
+    fall back to per-user segment probes."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    od = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _QUIET_NPART)),
+            "key": pa.array(u),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "prio": pa.nulls(t.num_rows, pa.string()),
+        })
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(c, _QUIET_NPART)),
+            "key": pa.array(c),
+            "ts_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "prio": t.column("o_orderpriority"),
+        })
+
+    tagged = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        od.map_batches(tag_od, batch_format="pyarrow"))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        is_order = np.asarray(pc.is_valid(g.column("prio")))
+        orders = g.filter(pa.array(is_order))
+        if orders.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([],
+                                                         type=pa.string()),
+                             "n_quiet": pa.array([], type=pa.int64())})
+        events = g.filter(pa.array(~is_order))
+        ck = np.asarray(orders.column("key"), dtype=np.int64)
+        start = np.asarray(orders.column("ts_us"), dtype=np.int64)
+        if events.num_rows == 0:
+            quiet = np.ones(orders.num_rows, dtype=bool)
+        else:
+            eu = np.asarray(events.column("key"), dtype=np.int64)
+            et = np.asarray(events.column("ts_us"), dtype=np.int64)
+            tmin = et.min()
+            span = int(et.max()) - int(tmin) + 2
+            # dense-rank users so the composite never overflows int64
+            uniq = np.unique(np.concatenate([eu, ck]))
+            if span * len(uniq) >= np.iinfo(np.int64).max:
+                raise NotImplementedError(
+                    "composite key exceeds int64; use per-user probes")
+            er = np.searchsorted(uniq, eu)
+            cr = np.searchsorted(uniq, ck)
+            comp = er * span + (et - tmin)
+            comp.sort()
+            lo = cr * span + np.clip(start - tmin, 0, span - 1)
+            hi = cr * span + np.clip(start + _QUIET_WINDOW_US - tmin,
+                                     0, span - 1)
+            n_in = (np.searchsorted(comp, hi, side="left")
+                    - np.searchsorted(comp, lo, side="left"))
+            quiet = n_in == 0
+        kept = orders.filter(pa.array(quiet))
+        out = pa.table({"o_orderpriority": kept.column("prio")}) \
+            .group_by("o_orderpriority").aggregate([([], "count_all")])
+        return out.rename_columns(["o_orderpriority", "n_quiet"])
+
+    out = agg._combine_partials(
+        tagged.groupby("_pkey").map_groups(kernel,
+                                           batch_format="pyarrow"),
+        keys=["o_orderpriority"], aggs=[("n_quiet", "sum")],
+        empty_schema=pa.schema([("o_orderpriority", pa.string()),
+                                ("n_quiet", pa.int64())]))
+    return out.sort_by("o_orderpriority")
+
+
+SQL_QUIET_ORDERS_BY_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_quiet
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = o.o_custkey
+    AND e.ts >= o.o_orderdate
+    AND e.ts < o.o_orderdate + INTERVAL 7 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["quiet_orders_by_priority"] = (q_quiet_orders_by_priority,
+                                       SQL_QUIET_ORDERS_BY_PRIORITY)

@@ -52,6 +52,9 @@ SUBSET = [
     "events_time_window_sum", "analyze_events",
     "page_kcore", "basket_size_hist",
     "custdist", "small_qty_brand_revenue", "late_solo_suppliers",
+    "dense_hourly", "user_event_paths", "events_percent_rank",
+    "lineitem_measures_long", "user_twap", "churned_users",
+    "line_numeric_tokens", "quiet_orders_by_priority",
 ]
 
 
