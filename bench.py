@@ -127,6 +127,18 @@ BENCH_EXTRA = [
     "bpe_token_counts",
     "page_kcore",
     "basket_size_hist",
+    # round-3 session-6 operators
+    "custdist",
+    "small_qty_brand_revenue",
+    "late_solo_suppliers",
+    "dense_hourly",
+    "user_event_paths",
+    "events_percent_rank",
+    "lineitem_measures_long",
+    "user_twap",
+    "churned_users",
+    "line_numeric_tokens",
+    "quiet_orders_by_priority",
 ]
 
 

@@ -13414,3 +13414,46 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["quiet_orders_by_priority"] = (q_quiet_orders_by_priority,
                                        SQL_QUIET_ORDERS_BY_PRIORITY)
+
+
+_KNN_FILTER_LABELS = (3, 7)
+
+
+def q_knn_cosine_filtered(sf_dir: str):
+    """Metadata-FILTERED vector search ('nearest within category'):
+    brute-force cosine top-10 restricted to labels {3, 7}. The
+    predicate is pushed into the parquet read (pyarrow filter →
+    row-group/page pruning), so non-matching vectors never enter the
+    object store — the filtered-search plan every vector store offers,
+    expressed as prune-at-the-read + the same broadcast-query top-k
+    stage as knn_cosine."""
+    import ray.data
+
+    from ..stages.knn import brute_force_topk
+
+    ids, Q = _knn_queries(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("label").isin(list(_KNN_FILTER_LABELS)),
+    ).map_batches(_strip_md, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    return brute_force_topk(ds, ids, Q, k=10)
+
+
+SQL_KNN_COSINE_FILTERED = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+                   6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label IN {_KNN_FILTER_LABELS}),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+      FROM s)
+SELECT query_id, vec_id, sim FROM r WHERE rk <= 10
+"""
+
+QUERIES["knn_cosine_filtered"] = (q_knn_cosine_filtered,
+                                  SQL_KNN_COSINE_FILTERED)

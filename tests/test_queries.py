@@ -55,6 +55,7 @@ SUBSET = [
     "dense_hourly", "user_event_paths", "events_percent_rank",
     "lineitem_measures_long", "user_twap", "churned_users",
     "line_numeric_tokens", "quiet_orders_by_priority",
+    "knn_cosine_filtered",
 ]
 
 
