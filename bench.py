@@ -139,6 +139,10 @@ BENCH_EXTRA = [
     "churned_users",
     "line_numeric_tokens",
     "quiet_orders_by_priority",
+    "knn_cosine_filtered",
+    "user_top_type",
+    "rapid_reorder_pairs",
+    "sliding_distinct_users",
 ]
 
 

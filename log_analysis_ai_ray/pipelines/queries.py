@@ -13457,3 +13457,196 @@ SELECT query_id, vec_id, sim FROM r WHERE rk <= 10
 
 QUERIES["knn_cosine_filtered"] = (q_knn_cosine_filtered,
                                   SQL_KNN_COSINE_FILTERED)
+
+
+# ---------------------------------------------------------------------------
+# grouped mode / band self-join / sliding distinct (round 3 session 2)
+# ---------------------------------------------------------------------------
+
+
+def q_user_top_type(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break: each user's most
+    frequent event type (count desc, type asc). Per-block (user, type)
+    count partials bound the shuffle by users×types; the final argmax
+    runs vectorized on the merged bounded table (lexsort + first-row
+    mask), the same discipline as the composite-rank argmin family."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "cnt"])
+
+    merged = _partial_final(ds, partial, ["user_id", "event_type"],
+                            [("cnt", "sum")])
+    u = np.asarray(merged.column("user_id"), dtype=np.int64)
+    c = np.asarray(merged.column("cnt"), dtype=np.int64)
+    ty = np.asarray(merged.column("event_type").to_pylist())
+    # sort by (user asc, cnt desc, type asc): first row per user wins
+    order = np.lexsort((ty, -c, u))
+    u_s = u[order]
+    first = np.ones(len(u_s), dtype=bool)
+    first[1:] = u_s[1:] != u_s[:-1]
+    pick = order[first]
+    return pa.table({
+        "user_id": pa.array(u[pick]),
+        "top_type": pa.array(ty[pick], type=pa.string()),
+        "cnt": pa.array(c[pick]),
+    }).sort_by("user_id")
+
+
+SQL_USER_TOP_TYPE = """
+SELECT user_id, event_type AS top_type, cnt FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC)
+           AS rk
+  FROM events GROUP BY 1, 2)
+WHERE rk = 1 ORDER BY user_id
+"""
+
+QUERIES["user_top_type"] = (q_user_top_type, SQL_USER_TOP_TYPE)
+
+
+_REORDER_BAND_US = 3 * 86_400_000_000
+_REORDER_NPART = 32
+
+
+def q_rapid_reorder_pairs(sf_dir: str):
+    """Band SELF-join (|t2−t1| within 3 days, same customer): how many
+    rapid re-order pairs each customer produced. One custkey-hash
+    exchange co-locates each customer's orders; inside the partition
+    the composite (cust_rank·span + date_offset) sort makes both band
+    edges searchsorted probes, so the pair counting is O(n log n) with
+    no pair materialization — the count per anchor order is
+    (#orders in (t, t+3d]) and the per-customer sum is exact."""
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(c, _REORDER_NPART)),
+            "cust": pa.array(c),
+            "od_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+        })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        c = np.asarray(g.column("cust"), dtype=np.int64)
+        ts = np.asarray(g.column("od_us"), dtype=np.int64)
+        if len(c) == 0:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "n_pairs": pa.array([], type=pa.int64())})
+        uniq = np.unique(c)
+        tmin = ts.min()
+        span = int(ts.max()) - int(tmin) + _REORDER_BAND_US + 2
+        cr = np.searchsorted(uniq, c)
+        comp = cr * span + (ts - tmin)
+        comp.sort()
+        # per anchor: orders of the same customer in (t, t+band]
+        lo = np.searchsorted(comp, comp, side="right")
+        hi = np.searchsorted(comp, comp + _REORDER_BAND_US, side="right")
+        n_after = (hi - lo).astype(np.int64)
+        # the anchor's customer comes from the composite itself
+        anchor_cust = uniq[(comp // span).astype(np.int64)]
+        out = pa.table({"o_custkey": pa.array(anchor_cust),
+                        "n_pairs": pa.array(n_after)}) \
+            .group_by("o_custkey").aggregate([("n_pairs", "sum")])
+        out = out.rename_columns(["o_custkey", "n_pairs"])
+        return out.filter(pc.greater(out.column("n_pairs"), 0))
+
+    out = agg._combine_partials(
+        od.map_batches(tag, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(kernel, batch_format="pyarrow"),
+        keys=["o_custkey"], aggs=[("n_pairs", "sum")],
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_pairs", pa.int64())]))
+    return out.sort_by("o_custkey")
+
+
+SQL_RAPID_REORDER_PAIRS = """
+SELECT o1.o_custkey, CAST(count(*) AS BIGINT) AS n_pairs
+FROM orders o1 JOIN orders o2
+  ON o1.o_custkey = o2.o_custkey
+ AND o2.o_orderdate > o1.o_orderdate
+ AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 3 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["rapid_reorder_pairs"] = (q_rapid_reorder_pairs,
+                                  SQL_RAPID_REORDER_PAIRS)
+
+
+_SLIDE_W = 24  # window length in hours; one window per end-hour
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT) over SLIDING windows — not decomposable into
+    per-hour partials (overlapping windows would double-count a user
+    active twice). The classic explode-then-dedup plan: per-block
+    DISTINCT (user, hour) pairs shrink the input first, each pair
+    fans out to the ≤24 windows it can influence, and the distinct
+    (window, user) count reduces as ordinary mergeable partials.
+    Shuffle volume is bounded by active-pairs × window span, never by
+    raw events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                               3_600_000_000), pa.int64())
+        g = pa.table({"user_id": t.column("user_id"), "hr": hr}) \
+            .group_by(["user_id", "hr"]).aggregate([([], "count_all")])
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        h = np.asarray(g.column("hr"), dtype=np.int64)
+        # fan out: pair (u, h) affects windows ending at h .. h+W-1
+        off = np.arange(_SLIDE_W, dtype=np.int64)
+        win = (h[:, None] + off[None, :]).reshape(-1)
+        uu = np.repeat(u, _SLIDE_W)
+        gg = pa.table({"win_hour": pa.array(win),
+                       "user_id": pa.array(uu)}) \
+            .group_by(["win_hour", "user_id"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"win_hour": gg.column("win_hour"),
+                         "user_id": gg.column("user_id"),
+                         "one": pa.array(
+                             np.ones(gg.num_rows, dtype=np.int64))})
+
+    dedup = _partial_final(ds, pairs, ["win_hour", "user_id"],
+                           [("one", "max")])
+    out = dedup.select(["win_hour"]).group_by("win_hour") \
+        .aggregate([([], "count_all")]) \
+        .rename_columns(["win_hour", "n_users"])
+    # clip to windows whose END hour has at least one event anywhere
+    # in its 24h span AND whose end is within the observed hour range
+    # (the oracle enumerates end hours from the data)
+    hr_tbl = _partial_final(
+        ds,
+        lambda t: pa.table({
+            "hr": pc.cast(pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                                    3_600_000_000), pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by("hr").aggregate([("one", "max")])
+          .rename_columns(["hr", "one"]),
+        ["hr"], [("one", "max")])
+    hmax = int(pc.max(hr_tbl.column("hr")).as_py())
+    out = out.filter(pc.less_equal(out.column("win_hour"), hmax))
+    return out.sort_by("win_hour")
+
+
+SQL_SLIDING_DISTINCT_USERS = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+  FROM events),
+ends AS (SELECT DISTINCT win_hour FROM (
+  SELECT hr + i AS win_hour
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_SLIDE_W - 1}))
+                     AS i))
+  WHERE win_hour <= (SELECT max(hr) FROM e))
+SELECT w.win_hour, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ends w JOIN e
+  ON e.hr BETWEEN w.win_hour - {_SLIDE_W - 1} AND w.win_hour
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sliding_distinct_users"] = (q_sliding_distinct_users,
+                                     SQL_SLIDING_DISTINCT_USERS)

@@ -55,7 +55,8 @@ SUBSET = [
     "dense_hourly", "user_event_paths", "events_percent_rank",
     "lineitem_measures_long", "user_twap", "churned_users",
     "line_numeric_tokens", "quiet_orders_by_priority",
-    "knn_cosine_filtered",
+    "knn_cosine_filtered", "user_top_type",
+    "rapid_reorder_pairs", "sliding_distinct_users",
 ]
 
 
