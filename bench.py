@@ -143,6 +143,9 @@ BENCH_EXTRA = [
     "user_top_type",
     "rapid_reorder_pairs",
     "sliding_distinct_users",
+    "users_all_types",
+    "user_value_balance",
+    "customer_revenue_pareto",
 ]
 
 

@@ -13650,3 +13650,210 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["sliding_distinct_users"] = (q_sliding_distinct_users,
                                      SQL_SLIDING_DISTINCT_USERS)
+
+
+# ---------------------------------------------------------------------------
+# relational division / clamped balance / Pareto report (round 3 s2)
+# ---------------------------------------------------------------------------
+
+
+def q_users_all_types(sf_dir: str):
+    """Relational DIVISION (FORALL): users who performed EVERY event
+    type in the corpus. Per-block DISTINCT (user, type) pairs shrink
+    the shuffle; the per-user distinct-type count merges as partials
+    (exact: a pair appears once per user after the final max-merge)
+    and the divisor — the global distinct type count — is a scalar
+    from the same pass, so no second scan."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "event_type": g.column("event_type"),
+                         "one": pa.array(np.ones(g.num_rows,
+                                                 dtype=np.int64))})
+
+    dedup = _partial_final(ds, pairs, ["user_id", "event_type"],
+                           [("one", "max")])
+    n_types = len(np.unique(np.asarray(
+        dedup.column("event_type").to_pylist())))
+    per_user = dedup.select(["user_id"]).group_by("user_id") \
+        .aggregate([([], "count_all")]) \
+        .rename_columns(["user_id", "n_types"])
+    out = per_user.filter(pc.equal(per_user.column("n_types"),
+                                   n_types))
+    return out.select(["user_id"]).sort_by("user_id")
+
+
+SQL_USERS_ALL_TYPES = """
+SELECT user_id FROM events
+GROUP BY 1
+HAVING count(DISTINCT event_type) =
+       (SELECT count(DISTINCT event_type) FROM events)
+ORDER BY 1
+"""
+
+QUERIES["users_all_types"] = (q_users_all_types, SQL_USERS_ALL_TYPES)
+
+
+_BALANCE_DRAIN_PM = 20_000  # 20.0 per step, in value-permille units
+
+
+def q_user_value_balance(sf_dir: str):
+    """CLAMPED running balance (token-bucket audit): per user, in event
+    order, balance = max(0, prev + value − 20) — a NON-LINEAR
+    recurrence no plain window sum expresses. Closed form that
+    parallelizes: y_i = p_i − min(0, min_{j≤i} p_j) with p the
+    unclamped prefix sum, so the kernel is cumsum + running-min per
+    user (two vectorized passes inside one user-hash partition), and
+    the oracle is the same identity as window functions. Output: each
+    user's FINAL balance in integer per-mille."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _PATH_NPART)),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "delta_pm": pc.subtract(
+                pc.cast(pc.round(pc.multiply(t.column("value"), 1000),
+                                 0), pa.int64()),
+                pa.scalar(_BALANCE_DRAIN_PM, pa.int64())),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        d = np.asarray(t.column("delta_pm"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "balance_pm": pa.array([],
+                                                    type=pa.int64())})
+        order = np.lexsort((eid, ts, u))
+        u, d = u[order], d[order]
+        starts = np.ones(len(u), dtype=bool)
+        starts[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(starts) - 1
+        start_idx = np.flatnonzero(starts)
+        # segmented prefix sum: global cumsum minus each segment's
+        # carry-in (the global prefix just before the segment starts)
+        p_g = np.cumsum(d)
+        seg_carry = np.zeros(len(start_idx), dtype=np.int64)
+        seg_carry[1:] = p_g[start_idx[1:] - 1]
+        p = p_g - seg_carry[seg_id]
+        # segmented running min (pandas cummin: C kernel, no per-row
+        # Python) closes the clamped recurrence:
+        #   y_i = p_i - min(0, min_{j<=i} p_j)
+        runmin = pd.Series(p).groupby(seg_id).cummin().to_numpy()
+        ends = np.flatnonzero(
+            np.concatenate([starts[1:], np.array([True])]))
+        bal = p[ends] - np.minimum(0, runmin[ends])
+        return pa.table({"user_id": pa.array(u[ends]),
+                         "balance_pm": pa.array(bal.astype(np.int64))})
+
+    out = agg._to_arrow(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(kernel, batch_format="pyarrow"))
+    return out.sort_by("user_id")
+
+
+SQL_USER_VALUE_BALANCE = f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000, 0) AS BIGINT)
+           - {_BALANCE_DRAIN_PM} AS delta_pm
+  FROM events),
+pre AS (
+  SELECT user_id, ts, event_id,
+         sum(delta_pm) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS pre
+  FROM d),
+p AS (
+  SELECT user_id, pre,
+         min(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS runmin,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rev
+  FROM pre)
+SELECT user_id,
+       CAST(pre - least(0, runmin) AS BIGINT) AS balance_pm
+FROM p WHERE rev = 1 ORDER BY user_id
+"""
+
+QUERIES["user_value_balance"] = (q_user_value_balance,
+                                 SQL_USER_VALUE_BALANCE)
+
+
+def q_customer_revenue_pareto(sf_dir: str):
+    """Pareto / Lorenz concentration report: customers ranked by
+    revenue, cut into 10 equal-count bins (ntile), each bin's share of
+    total revenue in integer per-mille. Per-customer revenue reduces
+    as mergeable partials through the orderkey→custkey chain the
+    custdist family already proves; the ntile cut runs on the bounded
+    per-customer table (at 10⁹ customers: the range-partitioned sort
+    assigns global ranks distributedly — stages/compact.py — with the
+    identical bin arithmetic)."""
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"o_custkey": t.column("o_custkey"),
+                      "rev_cents": cents}) \
+            .group_by("o_custkey").aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["o_custkey", "rev_cents"])
+
+    per_cust = _partial_final(od, partial, ["o_custkey"],
+                              [("rev_cents", "sum")])
+    ck = np.asarray(per_cust.column("o_custkey"), dtype=np.int64)
+    rev = np.asarray(per_cust.column("rev_cents"), dtype=np.int64)
+    # rank by (revenue desc, custkey asc) — ntile over that order
+    order = np.lexsort((ck, -rev))
+    rev_sorted = rev[order]
+    n = len(rev_sorted)
+    # SQL ntile(10): first (n % 10) bins get ceil(n/10) rows
+    base, extra = divmod(n, 10)
+    sizes = np.full(10, base, dtype=np.int64)
+    sizes[:extra] += 1
+    bin_id = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
+    total = rev_sorted.sum()
+    bin_rev = np.zeros(10, dtype=np.int64)
+    np.add.at(bin_rev, bin_id - 1, rev_sorted)
+    share_pm = (bin_rev * 1000) // total if total else bin_rev
+    return pa.table({
+        "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
+        "n_customers": pa.array(sizes),
+        "rev_cents": pa.array(bin_rev),
+        "share_pm": pa.array(share_pm.astype(np.int64)),
+    })
+
+
+SQL_CUSTOMER_REVENUE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT rev_cents,
+         ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey ASC)
+           AS decile
+  FROM per_cust)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+       CAST(sum(rev_cents) * 1000
+            // (SELECT sum(rev_cents) FROM ranked) AS BIGINT)
+         AS share_pm
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_revenue_pareto"] = (q_customer_revenue_pareto,
+                                      SQL_CUSTOMER_REVENUE_PARETO)

@@ -57,6 +57,7 @@ SUBSET = [
     "line_numeric_tokens", "quiet_orders_by_priority",
     "knn_cosine_filtered", "user_top_type",
     "rapid_reorder_pairs", "sliding_distinct_users",
+    "users_all_types", "user_value_balance", "customer_revenue_pareto",
 ]
 
 
