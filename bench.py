@@ -146,6 +146,9 @@ BENCH_EXTRA = [
     "users_all_types",
     "user_value_balance",
     "customer_revenue_pareto",
+    "template_exemplars",
+    "weekly_revenue",
+    "reorder_interval_median",
 ]
 
 

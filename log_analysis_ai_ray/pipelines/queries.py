@@ -13857,3 +13857,186 @@ FROM ranked GROUP BY 1 ORDER BY 1
 
 QUERIES["customer_revenue_pareto"] = (q_customer_revenue_pareto,
                                       SQL_CUSTOMER_REVENUE_PARETO)
+
+
+# ---------------------------------------------------------------------------
+# template exemplars / ISO-week rollup / grouped median of gaps (r3 s2)
+# ---------------------------------------------------------------------------
+
+
+def q_template_exemplars(sf_dir: str):
+    """Representative RAW line per template (what an operator pastes
+    into a ticket): per masked template the longest line, ties broken
+    (url asc, line asc), plus the template's count. Per-block argmax
+    partials carry ONE candidate row per (block, template) — the
+    shuffle is bounded by templates×blocks, never lines — and the
+    final lexsort-argmax + count merge runs on that bounded table."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "masked": t.column("masked"),
+            "url": t.column("url"),
+            "line": t.column("line"),
+            "len": pc.utf8_length(t.column("line")),
+        })
+        import polars as pl
+
+        out = (pl.from_arrow(sub)
+               .sort(["masked", "len", "url", "line"],
+                     descending=[False, True, False, False])
+               .group_by("masked", maintain_order=True)
+               .agg(url=pl.col("url").first(),
+                    line=pl.col("line").first(),
+                    len=pl.col("len").first().cast(pl.Int64),
+                    cnt=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("masked", pa.string()), ("url", pa.string()),
+            ("line", pa.string()), ("len", pa.int64()),
+            ("cnt", pa.int64())]))
+
+    parts = agg._to_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"))
+    m = np.asarray(parts.column("masked").to_pylist())
+    ln = np.asarray(parts.column("len"), dtype=np.int64)
+    url = np.asarray(parts.column("url").to_pylist())
+    line = np.asarray(parts.column("line").to_pylist())
+    cnt = np.asarray(parts.column("cnt"), dtype=np.int64)
+    order = np.lexsort((line, url, -ln, m))
+    m_s = m[order]
+    first = np.ones(len(m_s), dtype=bool)
+    first[1:] = m_s[1:] != m_s[:-1]
+    pick = order[first]
+    total = np.zeros(first.sum(), dtype=np.int64)
+    np.add.at(total, np.searchsorted(m_s[first], m), cnt)
+    return pa.table({
+        "masked": pa.array(m[pick], type=pa.string()),
+        "exemplar_url": pa.array(url[pick], type=pa.string()),
+        "exemplar": pa.array(line[pick], type=pa.string()),
+        "cnt": pa.array(total),
+    }).sort_by("masked")
+
+
+SQL_TEMPLATE_EXEMPLARS = f"""
+WITH m AS (SELECT url, line, {oracle_mask_sql('line')} AS masked
+           FROM {LINES_VIEW}),
+r AS (SELECT masked, url, line,
+             row_number() OVER (PARTITION BY masked
+                                ORDER BY length(line) DESC,
+                                         url ASC, line ASC) AS rk,
+             count(*) OVER (PARTITION BY masked) AS cnt
+      FROM m)
+SELECT masked, url AS exemplar_url, line AS exemplar,
+       CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rk = 1 ORDER BY masked
+"""
+
+QUERIES["template_exemplars"] = (q_template_exemplars,
+                                 SQL_TEMPLATE_EXEMPLARS)
+
+
+def q_weekly_revenue(sf_dir: str):
+    """Calendar-aware rollup: revenue per ISO year/week (the week
+    boundary arithmetic — year-spanning week 52/1 — comes from the
+    Arrow iso_year/iso_week kernels, mirrored by DuckDB's
+    isoyear()/week())."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "iso_year": pc.cast(pc.iso_year(t.column("o_orderdate")),
+                                pa.int64()),
+            "iso_week": pc.cast(pc.iso_week(t.column("o_orderdate")),
+                                pa.int64()),
+            "rev_cents": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100), 0), pa.int64()),
+        }).group_by(["iso_year", "iso_week"]) \
+            .aggregate([("rev_cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["iso_year", "iso_week", "rev_cents",
+                                 "n_orders"])
+
+    out = _partial_final(ds, partial, ["iso_year", "iso_week"],
+                         [("rev_cents", "sum"), ("n_orders", "sum")])
+    return out.sort_by([("iso_year", "ascending"),
+                        ("iso_week", "ascending")])
+
+
+SQL_WEEKLY_REVENUE = """
+SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["weekly_revenue"] = (q_weekly_revenue, SQL_WEEKLY_REVENUE)
+
+
+def q_reorder_interval_median(sf_dir: str):
+    """Grouped MEDIAN of a DERIVED series: each customer's median gap
+    in days between consecutive orders (customers with ≥2 orders).
+    The gaps only exist after per-customer ordering, so the plan is
+    one custkey-hash exchange → in-partition lexsort → segmented diff
+    → pandas' C groupby-median (even counts average the middle two,
+    matching SQL median())."""
+    od = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(c, _REORDER_NPART)),
+            "cust": pa.array(c),
+            "okey": t.column("o_orderkey"),
+            "od_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+        })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        c = np.asarray(g.column("cust"), dtype=np.int64)
+        k = np.asarray(g.column("okey"), dtype=np.int64)
+        ts = np.asarray(g.column("od_us"), dtype=np.int64)
+        if len(c) < 2:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "med_gap_days": pa.array(
+                                 [], type=pa.float64())})
+        order = np.lexsort((k, ts, c))
+        c, ts = c[order], ts[order]
+        same = c[1:] == c[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] / 86_400_000_000.0
+        gcust = c[1:][same]
+        if len(gaps) == 0:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "med_gap_days": pa.array(
+                                 [], type=pa.float64())})
+        med = pd.Series(gaps).groupby(gcust).median()
+        return pa.table({
+            "o_custkey": pa.array(med.index.to_numpy(dtype=np.int64)),
+            "med_gap_days": pa.array(np.round(med.to_numpy(), 3),
+                                     type=pa.float64()),
+        })
+
+    out = agg._to_arrow(
+        od.map_batches(tag, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(kernel, batch_format="pyarrow"))
+    return out.sort_by("o_custkey")
+
+
+SQL_REORDER_INTERVAL_MEDIAN = """
+WITH g AS (
+  SELECT o_custkey,
+         (epoch(o_orderdate)
+          - epoch(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate,
+                                                  o_orderkey)))
+           / 86400.0 AS gap_days
+  FROM orders)
+SELECT o_custkey, round(median(gap_days), 3) AS med_gap_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["reorder_interval_median"] = (q_reorder_interval_median,
+                                      SQL_REORDER_INTERVAL_MEDIAN)

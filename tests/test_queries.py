@@ -58,6 +58,7 @@ SUBSET = [
     "knn_cosine_filtered", "user_top_type",
     "rapid_reorder_pairs", "sliding_distinct_users",
     "users_all_types", "user_value_balance", "customer_revenue_pareto",
+    "template_exemplars", "weekly_revenue", "reorder_interval_median",
 ]
 
 
