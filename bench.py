@@ -149,6 +149,8 @@ BENCH_EXTRA = [
     "template_exemplars",
     "weekly_revenue",
     "reorder_interval_median",
+    "user_type_scd2",
+    "source_langs_str",
 ]
 
 

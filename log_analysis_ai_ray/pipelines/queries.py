@@ -14040,3 +14040,131 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["reorder_interval_median"] = (q_reorder_interval_median,
                                       SQL_REORDER_INTERVAL_MEDIAN)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals / distinct-set aggregation (round 3 s2)
+# ---------------------------------------------------------------------------
+
+
+def q_user_type_scd2(sf_dir: str):
+    """Slowly-changing-dimension (type-2) build: collapse each user's
+    event-type timeline into validity intervals — one row per RUN of
+    consecutive same-type events with [valid_from, valid_to] bounds
+    and the run length. The lakehouse dimension-build primitive:
+    change events → SCD2 rows. One user-hash exchange; the run
+    detection is a vectorized change-flag cumsum (gaps-and-islands),
+    and interval bounds reduce per island with groupby min/max —
+    no per-run Python."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _PATH_NPART)),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+        })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts_us"), dtype=np.int64)
+        eid = np.asarray(g.column("event_id"), dtype=np.int64)
+        ty = np.asarray(g.column("event_type").to_pylist())
+        if len(u) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "valid_from_us": pa.array([], type=pa.int64()),
+                "valid_to_us": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64())})
+        order = np.lexsort((eid, ts, u))
+        u, ts, ty = u[order], ts[order], ty[order]
+        change = np.ones(len(u), dtype=bool)
+        change[1:] = (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])
+        island = np.cumsum(change) - 1
+        cnt = np.bincount(island).astype(np.int64)
+        # islands are contiguous runs: first/last row bound them
+        vfrom = ts[change]
+        last = np.flatnonzero(
+            np.concatenate([change[1:], np.array([True])]))
+        vto = ts[last]
+        return pa.table({
+            "user_id": pa.array(u[change]),
+            "event_type": pa.array(ty[change], type=pa.string()),
+            "valid_from_us": pa.array(vfrom),
+            "valid_to_us": pa.array(vto),
+            "n_events": pa.array(cnt),
+        })
+
+    out = agg._to_arrow(
+        ds.map_batches(tag, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(kernel, batch_format="pyarrow"))
+    return out.sort_by([("user_id", "ascending"),
+                        ("valid_from_us", "ascending")])
+
+
+SQL_USER_TYPE_SCD2 = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT user_id, event_type, ts_us,
+         sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_type
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM o)
+SELECT user_id, event_type,
+       CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+       CAST(max(ts_us) AS BIGINT) AS valid_to_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM i GROUP BY user_id, event_type, island
+ORDER BY user_id, valid_from_us
+"""
+
+QUERIES["user_type_scd2"] = (q_user_type_scd2, SQL_USER_TYPE_SCD2)
+
+
+def q_source_langs_str(sf_dir: str):
+    """Distinct-SET aggregation rendered portably: per source, the
+    sorted distinct languages as one comma-joined string plus the set
+    size (string_agg(DISTINCT ... ORDER BY ...)). Distinct (source,
+    lang) pairs reduce as partials; the join-to-string runs on the
+    bounded result."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "lang": g.column("lang"),
+                         "one": pa.array(np.ones(g.num_rows,
+                                                 dtype=np.int64))})
+
+    dedup = _partial_final(ds, pairs, ["source", "lang"],
+                           [("one", "max")])
+    import polars as pl
+
+    out = (pl.from_arrow(dedup.select(["source", "lang"]))
+           .sort(["source", "lang"])
+           .group_by("source", maintain_order=True)
+           .agg(langs=pl.col("lang").str.join(","),
+                n_langs=pl.len().cast(pl.Int64)))
+    return out.to_arrow().cast(pa.schema([
+        ("source", pa.string()), ("langs", pa.string()),
+        ("n_langs", pa.int64())])).sort_by("source")
+
+
+SQL_SOURCE_LANGS_STR = """
+SELECT source,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["source_langs_str"] = (q_source_langs_str, SQL_SOURCE_LANGS_STR)

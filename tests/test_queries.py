@@ -59,6 +59,7 @@ SUBSET = [
     "rapid_reorder_pairs", "sliding_distinct_users",
     "users_all_types", "user_value_balance", "customer_revenue_pareto",
     "template_exemplars", "weekly_revenue", "reorder_interval_median",
+    "user_type_scd2", "source_langs_str",
 ]
 
 
