@@ -151,6 +151,8 @@ BENCH_EXTRA = [
     "reorder_interval_median",
     "user_type_scd2",
     "source_langs_str",
+    "domain_weighted_paths",
+    "approx_common_users",
 ]
 
 

@@ -14168,3 +14168,178 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["source_langs_str"] = (q_source_langs_str, SQL_SOURCE_LANGS_STR)
+
+
+# ---------------------------------------------------------------------------
+# weighted shortest paths / sketch set-intersection (round 3 s2)
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+
+
+def q_domain_weighted_paths(sf_dir: str):
+    """WEIGHTED single-source shortest paths (Bellman-Ford, 6
+    relaxation rounds ⇒ exact for paths of ≤6 edges): edge weight is a
+    deterministic function of the endpoint names so the oracle can
+    reproduce it — w = (len(a)+len(b)) % 5 + 1. The distributed part
+    is the distinct-edge distillation (same as BFS/pagerank); the
+    relaxation runs on the bounded adjacency with one vectorized
+    gather-scatter per round. At page scale each round is a
+    join-frontier-to-edges + groupby(dst) MIN exchange — the
+    dataset-algebra form stages/graph.py documents."""
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    if n == 0:
+        return pa.table({"domain": pa.array([], type=pa.string()),
+                         "dist": pa.array([], type=pa.int64())})
+    lens = np.char.str_len(names.astype(str)).astype(np.int64)
+    w = (lens[lo] + lens[hi]) % 5 + 1
+    # undirected: relax both directions each round
+    src = np.concatenate([lo, hi])
+    dst = np.concatenate([hi, lo])
+    ww = np.concatenate([w, w])
+    INF = np.int64(1) << 60
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[0] = 0  # names sorted: index 0 is min(name)
+    for _ in range(_SSSP_ROUNDS):
+        cand = dist[src] + ww
+        nd = dist.copy()
+        np.minimum.at(nd, dst, cand)
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    m = dist < INF
+    return pa.table({"domain": pa.array(names[m]),
+                     "dist": pa.array(dist[m])}) \
+        .sort_by([("domain", "ascending")])
+
+
+SQL_DOMAIN_WEIGHTED_PATHS = f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT s AS a, d AS b FROM e0
+       WHERE s <> d AND s <> '' AND d <> ''
+       UNION SELECT d, s FROM e0
+       WHERE s <> d AND s <> '' AND d <> ''),
+ew AS MATERIALIZED (SELECT a, b,
+      (length(a) + length(b)) % 5 + 1 AS w FROM eu),
+d0 AS (SELECT min(a) AS domain, 0 AS d FROM ew),
+d1 AS MATERIALIZED (
+  SELECT domain, min(d) AS d FROM (
+    SELECT domain, d FROM d0
+    UNION ALL
+    SELECT ew.b AS domain, d0.d + ew.w AS d
+    FROM d0 JOIN ew ON ew.a = d0.domain)
+  GROUP BY 1),
+d2 AS MATERIALIZED (
+  SELECT domain, min(d) AS d FROM (
+    SELECT domain, d FROM d1
+    UNION ALL
+    SELECT ew.b AS domain, d1.d + ew.w AS d
+    FROM d1 JOIN ew ON ew.a = d1.domain)
+  GROUP BY 1),
+d3 AS MATERIALIZED (
+  SELECT domain, min(d) AS d FROM (
+    SELECT domain, d FROM d2
+    UNION ALL
+    SELECT ew.b AS domain, d2.d + ew.w AS d
+    FROM d2 JOIN ew ON ew.a = d2.domain)
+  GROUP BY 1),
+d4 AS MATERIALIZED (
+  SELECT domain, min(d) AS d FROM (
+    SELECT domain, d FROM d3
+    UNION ALL
+    SELECT ew.b AS domain, d3.d + ew.w AS d
+    FROM d3 JOIN ew ON ew.a = d3.domain)
+  GROUP BY 1),
+d5 AS MATERIALIZED (
+  SELECT domain, min(d) AS d FROM (
+    SELECT domain, d FROM d4
+    UNION ALL
+    SELECT ew.b AS domain, d4.d + ew.w AS d
+    FROM d4 JOIN ew ON ew.a = d4.domain)
+  GROUP BY 1),
+d6 AS MATERIALIZED (
+  SELECT domain, min(d) AS d FROM (
+    SELECT domain, d FROM d5
+    UNION ALL
+    SELECT ew.b AS domain, d5.d + ew.w AS d
+    FROM d5 JOIN ew ON ew.a = d5.domain)
+  GROUP BY 1)
+SELECT domain, CAST(min(d) AS BIGINT) AS dist
+FROM d6 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["domain_weighted_paths"] = (q_domain_weighted_paths,
+                                    SQL_DOMAIN_WEIGHTED_PATHS)
+
+
+def q_approx_common_users(sf_dir: str):
+    """Sketch SET-INTERSECTION: |users(click) ∩ users(purchase)|
+    estimated by HLL inclusion-exclusion (|A|+|B|−|A∪B| — three
+    mergeable register sketches, unions are register-max so the
+    estimate needs no second scan at scale), DRIVER-VERIFIED against
+    the exact intersection from per-user seen-flag partials; the
+    oracle pins exactness + the est_ok accuracy flag, the same
+    discipline as approx_distinct_users."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def only(types):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("event_type"),
+                                     value_set=pa.array(types)))
+        return f
+
+    est_a = approx_distinct(
+        ds.map_batches(only(["click"]), batch_format="pyarrow"),
+        "user_id")
+    est_b = approx_distinct(
+        ds.map_batches(only(["purchase"]), batch_format="pyarrow"),
+        "user_id")
+    est_ab = approx_distinct(
+        ds.map_batches(only(["click", "purchase"]),
+                       batch_format="pyarrow"), "user_id")
+    est_common = est_a + est_b - est_ab
+
+    def flags(t: pa.Table) -> pa.Table:
+        a = pc.cast(pc.equal(t.column("event_type"), "click"),
+                    pa.int64())
+        b = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                    pa.int64())
+        g = pa.table({"user_id": t.column("user_id"),
+                      "a": a, "b": b}) \
+            .group_by("user_id").aggregate([("a", "max"), ("b", "max")])
+        return g.rename_columns(["user_id", "a", "b"])
+
+    merged = _partial_final(ds, flags, ["user_id"],
+                            [("a", "max"), ("b", "max")])
+    exact = int(pc.sum(pc.multiply(merged.column("a"),
+                                   merged.column("b"))).as_py() or 0)
+    ok = abs(est_common - exact) <= max(2, round(0.1 * max(exact, 1)))
+    return pa.table({
+        "metric": pa.array(["approx_common_users"]),
+        "exact_common": pa.array([exact], type=pa.int64()),
+        "est_ok": pa.array([bool(ok)]),
+    })
+
+
+SQL_APPROX_COMMON_USERS = """
+SELECT 'approx_common_users' AS metric,
+       CAST(count(*) AS BIGINT) AS exact_common,
+       TRUE AS est_ok
+FROM (
+  SELECT user_id FROM events
+  GROUP BY 1
+  HAVING max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1)
+"""
+
+QUERIES["approx_common_users"] = (q_approx_common_users,
+                                  SQL_APPROX_COMMON_USERS)

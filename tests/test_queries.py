@@ -60,6 +60,7 @@ SUBSET = [
     "users_all_types", "user_value_balance", "customer_revenue_pareto",
     "template_exemplars", "weekly_revenue", "reorder_interval_median",
     "user_type_scd2", "source_langs_str",
+    "domain_weighted_paths", "approx_common_users",
 ]
 
 
