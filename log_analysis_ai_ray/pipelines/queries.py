@@ -14343,3 +14343,7 @@ FROM (
 
 QUERIES["approx_common_users"] = (q_approx_common_users,
                                   SQL_APPROX_COMMON_USERS)
+
+# extended registry (same QUERIES dict, same oracle discipline) —
+# imported last so it can reuse every helper defined above
+from . import queries_ext  # noqa: E402,F401
