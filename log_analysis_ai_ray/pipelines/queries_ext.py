@@ -380,3 +380,459 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["seasonal_naive_error"] = (q_seasonal_naive_error,
                                    SQL_SEASONAL_NAIVE_ERROR)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog fill-ins: Q10 / Q15 / Q18 / Q8 shapes
+# (reference parity: the log store's SQL surface runs these shapes via
+#  execute_query — /root/reference/python/logai_agent.py:385-407)
+# ---------------------------------------------------------------------------
+
+_Q10_LO, _Q10_HI = "1996-01-01", "1996-04-01"
+
+
+def _cents_rev(t: pa.Table) -> pa.ChunkedArray:
+    """revenue in exact integer units: cents × (1000 − discount‰)."""
+    price_c = pc.cast(pc.round(pc.multiply(
+        t.column("l_extendedprice"), 100), 0), pa.int64())
+    disc_pm = pc.cast(pc.round(pc.multiply(
+        t.column("l_discount"), 1000), 0), pa.int64())
+    return pc.multiply(price_c, pc.subtract(
+        pa.scalar(1000, pa.int64()), disc_pm))
+
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 analog — top 20 customers by revenue lost to returns
+    (l_returnflag='R') on orders placed in one quarter. Scale shape:
+    returned lineitems pre-aggregate per orderkey BEFORE the
+    orderkey-partitioned join with the date-filtered orders; custkey
+    partials re-aggregate before the custkey join; the per-customer
+    final stays a DATASET (dataset_final — customers-with-returns is
+    unbounded) and the top 20 is per-block top-k partials merged on
+    the driver (k·blocks rows), never a global sort. Ties at the
+    cutoff break by custkey so both engines pick the same set."""
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    na = agg._to_arrow(_read(sf_dir, "nation",
+                             columns=["n_nationkey", "n_name"]))
+
+    def preagg_line(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "cents": _cents_rev(t)}) \
+            .group_by("l_orderkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["l_orderkey", "cents"])
+
+    def window(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(
+            pc.greater_equal(d, pa.scalar(np.datetime64(_Q10_LO, "us"))),
+            pc.less(d, pa.scalar(np.datetime64(_Q10_HI, "us"))))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    with_cust = partitioned_lookup_join(
+        li.map_batches(preagg_line, batch_format="pyarrow"),
+        od.map_batches(window, batch_format="pyarrow"),
+        left_key="l_orderkey", right_key="o_orderkey",
+        take_cols=["o_custkey"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def preagg_cust(t: pa.Table) -> pa.Table:
+        return t.select(["o_custkey", "cents"]) \
+            .group_by("o_custkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["o_custkey", "cents"])
+
+    per_cust = agg._combine_partials(
+        with_cust.map_batches(preagg_cust, batch_format="pyarrow"),
+        keys=["o_custkey"], aggs=[("cents", "sum")],
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("cents", pa.int64())]),
+        dataset_final=True)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by([("cents", "descending"),
+                          ("o_custkey", "ascending")]).slice(0, 20)
+
+    if isinstance(per_cust, pa.Table):  # small-key driver branch
+        parts = block_topk(per_cust)
+    else:
+        parts = agg._to_arrow(per_cust.map_batches(
+            block_topk, batch_format="pyarrow"))
+        if "o_custkey" not in parts.column_names:
+            parts = pa.schema([("o_custkey", pa.int64()),
+                               ("cents", pa.int64())]).empty_table()
+    top = parts.sort_by([("cents", "descending"),
+                         ("o_custkey", "ascending")]).slice(0, 20)
+
+    # winner set is ≤20 rows: broadcast keys, one pruned customer scan
+    keys = top.column("o_custkey")
+    cu = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_nationkey"])
+    info = agg._to_arrow(cu.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_custkey"),
+                                    value_set=keys)),
+        batch_format="pyarrow"))
+    names = dict(zip(info.column("c_custkey").to_pylist(),
+                     info.column("c_name").to_pylist()))
+    nkey = dict(zip(info.column("c_custkey").to_pylist(),
+                    info.column("c_nationkey").to_pylist()))
+    nname = dict(zip(na.column("n_nationkey").to_pylist(),
+                     na.column("n_name").to_pylist()))
+    ck = top.column("o_custkey").to_pylist()
+    return pa.table({
+        "c_custkey": top.column("o_custkey"),
+        "c_name": pa.array([names.get(k) for k in ck], pa.string()),
+        "nation": pa.array([nname.get(nkey.get(k)) for k in ck],
+                           pa.string()),
+        "revenue_cents": top.column("cents"),
+    })
+
+
+SQL_RETURNED_ITEM_REVENUE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q10_HI}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+QUERIES["returned_item_revenue"] = (q_returned_item_revenue,
+                                    SQL_RETURNED_ITEM_REVENUE)
+
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 analog — the supplier(s) with maximum revenue in one
+    quarter, ALL ties kept (Q15's defining wrinkle: max is a second
+    tiny reduce over the per-supplier aggregate, then an equality
+    filter — never ORDER BY ... LIMIT 1, which drops ties). Winner
+    names come from one membership-pruned supplier scan against the
+    broadcast ≤ties winner set, not a shuffle join."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        keep = pc.and_(
+            pc.greater_equal(d, pa.scalar(np.datetime64(_Q15_LO, "us"))),
+            pc.less(d, pa.scalar(np.datetime64(_Q15_HI, "us"))))
+        t = t.filter(keep)
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "cents": _cents_rev(t)}) \
+            .group_by("l_suppkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["l_suppkey", "cents"])
+
+    per_supp = _partial_final(li, partial, ["l_suppkey"],
+                              [("cents", "sum")])
+    if per_supp.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_cents": pa.array([], pa.int64())})
+    mx = pc.max(per_supp.column("cents"))
+    winners = per_supp.filter(pc.equal(per_supp.column("cents"), mx))
+
+    su = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    keys = winners.column("l_suppkey")
+    info = agg._to_arrow(su.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_suppkey"),
+                                    value_set=keys)),
+        batch_format="pyarrow"))
+    names = dict(zip(info.column("s_suppkey").to_pylist(),
+                     info.column("s_name").to_pylist()))
+    sk = winners.column("l_suppkey").to_pylist()
+    return pa.table({
+        "s_suppkey": winners.column("l_suppkey"),
+        "s_name": pa.array([names.get(k) for k in sk], pa.string()),
+        "total_cents": winners.column("cents"),
+    }).sort_by("s_suppkey")
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * (1000 - CAST(round(l_discount * 1000, 0) AS BIGINT)))
+              AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+QUERIES["top_supplier_revenue"] = (q_top_supplier_revenue,
+                                   SQL_TOP_SUPPLIER_REVENUE)
+
+
+_Q18_MIN_QTY = 300
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 analog — customers who placed an order totalling
+    > 300 units. The HAVING filter runs on the DATASET side of the
+    per-orderkey quantity final (orderkeys are corpus-scale; only the
+    few survivors land on the driver), then two membership-pruned
+    dimension scans (orders, customer) against the broadcast survivor
+    sets resolve the output row — no shuffle joins anywhere."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "qty": q}) \
+            .group_by("l_orderkey").aggregate([("qty", "sum")]) \
+            .rename_columns(["l_orderkey", "qty"])
+
+    per_order = agg._combine_partials(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_orderkey"], aggs=[("qty", "sum")],
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("qty", pa.int64())]),
+        dataset_final=True)
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("qty"), _Q18_MIN_QTY))
+
+    if isinstance(per_order, pa.Table):
+        big = having(per_order)
+    else:
+        big = agg._to_arrow(per_order.map_batches(
+            having, batch_format="pyarrow"))
+        if "l_orderkey" not in big.column_names:
+            big = pa.schema([("l_orderkey", pa.int64()),
+                             ("qty", pa.int64())]).empty_table()
+
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+    okeys = big.column("l_orderkey")
+    om = agg._to_arrow(od.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("o_orderkey"),
+                                    value_set=okeys)),
+        batch_format="pyarrow"))
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ckeys = om.column("o_custkey") if om.num_rows else \
+        pa.array([], pa.int64())
+    cm = agg._to_arrow(cu.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_custkey"),
+                                    value_set=ckeys)),
+        batch_format="pyarrow"))
+    cname = dict(zip(cm.column("c_custkey").to_pylist(),
+                     cm.column("c_name").to_pylist())) if cm.num_rows \
+        else {}
+    qty = dict(zip(big.column("l_orderkey").to_pylist(),
+                   big.column("qty").to_pylist()))
+    ok = om.column("o_orderkey").to_pylist() if om.num_rows else []
+    ck = om.column("o_custkey").to_pylist() if om.num_rows else []
+    price_c = (pc.cast(pc.round(pc.multiply(
+        om.column("o_totalprice"), 100), 0), pa.int64())
+        if om.num_rows else pa.array([], pa.int64()))
+    out = pa.table({
+        "c_name": pa.array([cname.get(c) for c in ck], pa.string()),
+        "c_custkey": pa.array(ck, pa.int64()),
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_orderdate": (om.column("o_orderdate") if om.num_rows
+                        else pa.array([], pa.timestamp("us"))),
+        "totalprice_cents": price_c,
+        "sum_qty": pa.array([qty.get(k) for k in ok], pa.int64()),
+    })
+    return out.sort_by([("sum_qty", "descending"),
+                        ("o_orderkey", "ascending")])
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > {_Q18_MIN_QTY})
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+         AS totalprice_cents,
+       b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.sum_qty DESC, o.o_orderkey
+"""
+
+QUERIES["large_volume_customers"] = (q_large_volume_customers,
+                                     SQL_LARGE_VOLUME_CUSTOMERS)
+
+
+_Q8_TARGET_NATION = 2       # NATION_2 (supplier side)
+_Q8_REGION = 2              # ASIA (customer side)
+
+
+def q_market_share_yearly(sf_dir: str):
+    """TPC-H Q8 analog — NATION_2-supplied share of revenue per order
+    year, restricted to orders from ASIA customers. Three genuinely
+    different join keys ⇒ three exchanges, exactly a SQL engine's
+    plan, each preceded by a per-block pre-aggregation so only
+    partials move: lineitem preaggs per (suppkey, orderkey) → suppkey-
+    partitioned join tags each partial with the supplier's nation
+    (target flag) → per-orderkey partials → orderkey join takes
+    (custkey, year) → per-(custkey, year) partials → custkey join
+    takes c_nationkey; the 25-row nation→region map is a broadcast
+    dict, and the final per-year table is bounded by the calendar.
+    Share published as integer per-mille (truncating division)."""
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    su = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    na = agg._to_arrow(_read(sf_dir, "nation",
+                             columns=["n_nationkey", "n_regionkey"]))
+    asia = {int(k) for k, r in
+            zip(na.column("n_nationkey").to_pylist(),
+                na.column("n_regionkey").to_pylist())
+            if int(r) == _Q8_REGION}
+
+    def preagg_line(t: pa.Table) -> pa.Table:
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "l_orderkey": t.column("l_orderkey"),
+                         "cents": _cents_rev(t)}) \
+            .group_by(["l_suppkey", "l_orderkey"]) \
+            .aggregate([("cents", "sum")]) \
+            .rename_columns(["l_suppkey", "l_orderkey", "cents"])
+
+    with_supp = partitioned_lookup_join(
+        li.map_batches(preagg_line, batch_format="pyarrow"), su,
+        left_key="l_suppkey", right_key="s_suppkey",
+        take_cols=["s_nationkey"],
+        left_schema=pa.schema([("l_suppkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int64())]))
+
+    def preagg_order(t: pa.Table) -> pa.Table:
+        tgt = pc.cast(pc.equal(t.column("s_nationkey"),
+                               _Q8_TARGET_NATION), pa.int64())
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "total_cents": t.column("cents"),
+            "target_cents": pc.multiply(t.column("cents"),
+                                        pc.fill_null(tgt, 0)),
+        }).group_by("l_orderkey").aggregate(
+            [("total_cents", "sum"), ("target_cents", "sum")]) \
+            .rename_columns(["l_orderkey", "total_cents",
+                             "target_cents"])
+
+    with_order = partitioned_lookup_join(
+        with_supp.map_batches(preagg_order, batch_format="pyarrow"), od,
+        left_key="l_orderkey", right_key="o_orderkey",
+        take_cols=["o_custkey", "o_orderdate"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("total_cents", pa.int64()),
+                               ("target_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def preagg_cust(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(t.column("o_orderdate")), pa.int64())
+        return pa.table({
+            "o_custkey": t.column("o_custkey"), "yr": yr,
+            "total_cents": t.column("total_cents"),
+            "target_cents": t.column("target_cents"),
+        }).group_by(["o_custkey", "yr"]).aggregate(
+            [("total_cents", "sum"), ("target_cents", "sum")]) \
+            .rename_columns(["o_custkey", "yr", "total_cents",
+                             "target_cents"])
+
+    with_cust = partitioned_lookup_join(
+        with_order.map_batches(preagg_cust, batch_format="pyarrow"), cu,
+        left_key="o_custkey", right_key="c_custkey",
+        take_cols=["c_nationkey"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("yr", pa.int64()),
+                               ("total_cents", pa.int64()),
+                               ("target_cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    asia_arr = pa.array(sorted(asia), pa.int64())
+
+    def asia_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t.column("c_nationkey"),
+                                      pa.int64()),
+                              value_set=asia_arr))
+        return t.select(["yr", "total_cents", "target_cents"]) \
+            .group_by("yr").aggregate(
+            [("total_cents", "sum"), ("target_cents", "sum")]) \
+            .rename_columns(["yr", "total_cents", "target_cents"])
+
+    per_year = agg._combine_partials(
+        with_cust.map_batches(asia_partial, batch_format="pyarrow"),
+        keys=["yr"],
+        aggs=[("total_cents", "sum"), ("target_cents", "sum")],
+        empty_schema=pa.schema([("yr", pa.int64()),
+                                ("total_cents", pa.int64()),
+                                ("target_cents", pa.int64())]))
+    share = pc.cast(pc.divide(
+        pc.multiply(per_year.column("target_cents"), 1000),
+        per_year.column("total_cents")), pa.int64())
+    return pa.table({
+        "yr": per_year.column("yr"),
+        "total_cents": per_year.column("total_cents"),
+        "target_cents": per_year.column("target_cents"),
+        "share_permille": share,
+    }).sort_by("yr")
+
+
+SQL_MARKET_SHARE_YEARLY = f"""
+WITH rev AS (
+  SELECT o.o_orderdate, c.c_nationkey,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT))
+           AS cents,
+         s.s_nationkey
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT CAST(year(r.o_orderdate) AS BIGINT) AS yr,
+       CAST(sum(r.cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN r.s_nationkey = {_Q8_TARGET_NATION}
+                     THEN r.cents ELSE 0 END) AS BIGINT)
+         AS target_cents,
+       CAST(sum(CASE WHEN r.s_nationkey = {_Q8_TARGET_NATION}
+                     THEN r.cents ELSE 0 END) * 1000
+            // sum(r.cents) AS BIGINT) AS share_permille
+FROM rev r
+JOIN nation n ON r.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey = {_Q8_REGION}
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["market_share_yearly"] = (q_market_share_yearly,
+                                  SQL_MARKET_SHARE_YEARLY)

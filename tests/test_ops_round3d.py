@@ -89,3 +89,19 @@ def test_seasonal_naive_inner_join_pairing():
     errs = [abs(c - s[h - 24]) for h, c in s.items() if h - 24 in s]
     assert sorted(errs) == [1, 3]
     assert sum(errs) / len(errs) == 2.0
+
+
+def test_q15_max_equality_keeps_all_ties():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    t = pa.table({"k": [1, 2, 3, 4], "cents": [10, 99, 99, 5]})
+    mx = pc.max(t.column("cents"))
+    w = t.filter(pc.equal(t.column("cents"), mx))
+    assert w.column("k").to_pylist() == [2, 3]  # ORDER BY+LIMIT 1 would drop one
+
+
+def test_share_permille_trunc_matches_duckdb_intdiv():
+    # 1000·target // total, BIGINT semantics (DuckDB // truncates)
+    for target, total, want in [(1, 3, 333), (2, 3, 666), (0, 7, 0),
+                                (7, 7, 1000)]:
+        assert target * 1000 // total == want
