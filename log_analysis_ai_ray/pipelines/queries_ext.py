@@ -16,7 +16,8 @@ import pyarrow.compute as pc
 
 from ..functions.timestamps import floor_hour
 from ..stages import aggregate as agg
-from .queries import QUERIES, _partial_final, _read
+from .queries import (LINES_VIEW, QUERIES, _knuth_bucket, _lines_ds,
+                      _partial_final, _read)
 
 # ---------------------------------------------------------------------------
 # GROUP BY CUBE — all four grouping sets from one finest-level pass
@@ -836,3 +837,398 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["market_share_yearly"] = (q_market_share_yearly,
                                   SQL_MARKET_SHARE_YEARLY)
+
+
+# ---------------------------------------------------------------------------
+# Secret / credential pattern scan over raw log lines
+# ---------------------------------------------------------------------------
+
+# (class, RE2 pattern) — RE2 on both sides: pyarrow's
+# count_substring_regex and DuckDB's regexp_* share the dialect, so the
+# match sets are identical by construction.
+_SECRET_CLASSES = [
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"),
+    ("num_id", r"\d{5,}"),
+    ("api_path", r"/api/v\d+/\w+/\d+"),
+    ("secret_kw", r"(?i)(password|secret|api_key|token)=\S+"),
+]
+
+
+def q_secret_scan(sf_dir: str):
+    """Credential/PII pattern scan over raw log lines (the
+    pre-training scrub pass every web corpus needs; generalizes the
+    reference's mask-sensitive-fields preprocessing,
+    src/preprocessor.cpp, from rewrite to audit): for each detector
+    class, how many lines hit, how many total matches, and how many
+    distinct pages (urls) are affected. One vectorized RE2 kernel per
+    class per batch; the shuffle moves only (class, url) partials —
+    bounded by pages × classes, never raw lines. Zero-hit classes
+    still emit a row (the audit must prove the absence)."""
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for cls, pat in _SECRET_CLASSES:
+            nm = pc.cast(pc.count_substring_regex(
+                t.column("line"), pattern=pat), pa.int64())
+            tt = pa.table({
+                "url": t.column("url"),
+                "n_lines": pc.cast(pc.greater(nm, 0), pa.int64()),
+                "n_matches": nm,
+            }).group_by("url").aggregate(
+                [("n_lines", "sum"), ("n_matches", "sum")]) \
+                .rename_columns(["url", "n_lines", "n_matches"])
+            outs.append(tt.append_column(
+                "class", pa.array([cls] * tt.num_rows, pa.string())))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"url": pa.array([], pa.string()),
+             "n_lines": pa.array([], pa.int64()),
+             "n_matches": pa.array([], pa.int64()),
+             "class": pa.array([], pa.string())})
+
+    per_url = _partial_final(ds, partial, ["class", "url"],
+                             [("n_lines", "sum"), ("n_matches", "sum")])
+    # driver final over (class, url) rows — bounded by pages × classes
+    hit = per_url.filter(pc.greater(per_url.column("n_lines"), 0))
+    g = hit.group_by("class").aggregate(
+        [("n_lines", "sum"), ("n_matches", "sum"), ("url", "count")]) \
+        .rename_columns(["class", "n_lines", "n_matches", "n_urls"])
+    got = {c: i for i, c in enumerate(g.column("class").to_pylist())}
+    rows = []
+    for cls, _ in _SECRET_CLASSES:
+        if cls in got:
+            i = got[cls]
+            rows.append((cls, g.column("n_lines")[i].as_py(),
+                         g.column("n_matches")[i].as_py(),
+                         g.column("n_urls")[i].as_py()))
+        else:
+            rows.append((cls, 0, 0, 0))
+    rows.sort()
+    return pa.table({
+        "class": pa.array([r[0] for r in rows], pa.string()),
+        "n_lines": pa.array([r[1] for r in rows], pa.int64()),
+        "n_matches": pa.array([r[2] for r in rows], pa.int64()),
+        "n_urls": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _secret_sql_one(cls: str, pat: str) -> str:
+    esc = pat.replace("'", "''")
+    return (
+        f"SELECT '{cls}' AS class, "
+        f"CAST(count(*) FILTER (WHERE regexp_matches(line, '{esc}')) "
+        "AS BIGINT) AS n_lines, "
+        "CAST(coalesce(sum(length(regexp_extract_all(line, "
+        f"'{esc}'))), 0) AS BIGINT) AS n_matches, "
+        "CAST(count(DISTINCT url) FILTER (WHERE regexp_matches(line, "
+        f"'{esc}')) AS BIGINT) AS n_urls FROM {LINES_VIEW}")
+
+
+SQL_SECRET_SCAN = ("SELECT * FROM ("
+                   + " UNION ALL ".join(_secret_sql_one(c, p)
+                                        for c, p in _SECRET_CLASSES)
+                   + ") ORDER BY class")
+
+QUERIES["secret_scan"] = (q_secret_scan, SQL_SECRET_SCAN)
+
+
+# ---------------------------------------------------------------------------
+# Peak sliding-window event rate (halo-chunked forward time windows)
+# ---------------------------------------------------------------------------
+
+_PEAK_WIN_US = 60_000_000         # 60 s forward RANGE window
+_PEAK_CHUNK_US = 3_600_000_000    # 1 h chunks; halo = first 60 s
+
+
+def q_peak_window_rate(sf_dir: str):
+    """Peak 60-second burst rate per event type: the maximum number of
+    same-type events inside any forward window [ts, ts+60s] anchored
+    at an event, plus the earliest anchor achieving it (alerting /
+    rate-limit sizing). Scale shape: instead of co-locating a whole
+    event type (skew magnet), events are chunked by hour and events in
+    the FIRST 60 s of each chunk are duplicated into the previous
+    chunk as halo rows — every window is then computable locally
+    inside one (type, chunk) group, so the exchange is uniform
+    regardless of type skew. Per group: one lexsort + two vectorized
+    searchsorted calls (peers-inclusive on both edges, exactly RANGE
+    frame semantics); only (type, peak, anchor) partials — bounded by
+    types × chunks — reach the driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64())
+        chunk = pc.divide(ts, _PEAK_CHUNK_US)
+        main = pa.table({
+            "event_type": t.column("event_type"),
+            "ts_us": ts,
+            "chunk": chunk,
+            "is_halo": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+        })
+        in_halo = pc.less(pc.subtract(
+            ts, pc.multiply(chunk, _PEAK_CHUNK_US)), _PEAK_WIN_US)
+        halo = main.filter(in_halo)
+        halo = pa.table({
+            "event_type": halo.column("event_type"),
+            "ts_us": halo.column("ts_us"),
+            "chunk": pc.subtract(halo.column("chunk"), 1),
+            "is_halo": pc.add(halo.column("is_halo"), 1),
+        })
+        both = pa.concat_tables([main, halo])
+        gkey = pc.binary_join_element_wise(
+            both.column("event_type"),
+            pc.cast(both.column("chunk"), pa.string()), "|")
+        return both.append_column("_gkey", gkey)
+
+    def window(g: pa.Table) -> pa.Table:
+        ts = np.asarray(g.column("ts_us"), dtype=np.int64)
+        halo = np.asarray(g.column("is_halo"), dtype=np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        anchors = ts[halo[order] == 0]
+        if len(anchors) == 0:  # pure-halo group (chunk edge artifact)
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "peak_n": pa.array([], pa.int64()),
+                             "anchor_us": pa.array([], pa.int64())})
+        lo = np.searchsorted(ts, anchors, side="left")
+        hi = np.searchsorted(ts, anchors + _PEAK_WIN_US, side="right")
+        cnt = hi - lo
+        peak = int(cnt.max())
+        anchor = int(anchors[cnt == peak].min())
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "peak_n": pa.array([peak], pa.int64()),
+            "anchor_us": pa.array([anchor], pa.int64()),
+        })
+
+    parts = agg._to_arrow(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_gkey").map_groups(window, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "peak_n": pa.array([], pa.int64()),
+                         "anchor_us": pa.array([], pa.int64())})
+    # driver final over types × chunks rows: max peak, earliest anchor
+    et = parts.column("event_type").to_numpy(zero_copy_only=False)
+    pk = np.asarray(parts.column("peak_n"), dtype=np.int64)
+    an = np.asarray(parts.column("anchor_us"), dtype=np.int64)
+    types, inv = np.unique(et, return_inverse=True)
+    out_t, out_p, out_a = [], [], []
+    for i, ty in enumerate(types):
+        m = inv == i
+        p = int(pk[m].max())
+        out_t.append(str(ty))
+        out_p.append(p)
+        out_a.append(int(an[m & (pk == p)].min()))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "peak_n": pa.array(out_p, pa.int64()),
+                     "anchor_us": pa.array(out_a, pa.int64())})
+
+
+SQL_PEAK_WINDOW_RATE = """
+WITH w AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN CURRENT ROW
+              AND INTERVAL 60 SECONDS FOLLOWING) AS BIGINT) AS cnt
+  FROM events),
+m AS (SELECT event_type, max(cnt) AS peak_n FROM w GROUP BY 1)
+SELECT w.event_type, m.peak_n,
+       CAST(min(w.ts_us) AS BIGINT) AS anchor_us
+FROM w JOIN m ON w.event_type = m.event_type AND w.cnt = m.peak_n
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["peak_window_rate"] = (q_peak_window_rate, SQL_PEAK_WINDOW_RATE)
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next event at or after each order) — suffix-min sweep
+# ---------------------------------------------------------------------------
+
+_FWD_NPART = 16
+
+
+def q_orders_next_event(sf_dir: str):
+    """FORWARD as-of join — each order matched to the customer's FIRST
+    event at or after the order date (time-to-next-touch attribution;
+    the mirror of asof_order_stats' backward match). Both sides are
+    big, so no broadcast: a side-tagged union is hash-exchanged on the
+    key once, and inside each partition one lexsort (key, ts, orders
+    before equal-ts events) + a single reversed np.minimum.accumulate
+    over a composite code answers every
+    order's next-event timestamp — the composite code is rank·n +
+    sorted-position, so the suffix minimum can never leak across key
+    ranks and is immune to the timestamp span. Aggregated
+    per order priority (match count + lag-seconds sum) so any per-row
+    mismatch flips the hash."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    od = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(k, _FWD_NPART)),
+            "k": t.column("user_id").cast(pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "is_order": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            "prio": pa.nulls(t.num_rows, pa.string()),
+        })
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(k, _FWD_NPART)),
+            "k": t.column("o_custkey").cast(pa.int64()),
+            "ts_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "is_order": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "prio": t.column("o_orderpriority"),
+        })
+
+    both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        od.map_batches(tag_od, batch_format="pyarrow"))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        k = np.asarray(g.column("k"), dtype=np.int64)
+        ts = np.asarray(g.column("ts_us"), dtype=np.int64)
+        iso = np.asarray(g.column("is_order"), dtype=np.int64)
+        if len(k) == 0 or int(iso.sum()) == 0:
+            return pa.table({"prio": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "n_matched": pa.array([], pa.int64()),
+                             "lag_sum": pa.array([], pa.int64())})
+        # orders sort BEFORE events at equal ts so the suffix (from the
+        # order row onward) includes equal-ts events → ">=" semantics
+        order = np.lexsort((iso == 0, ts, k))
+        k, ts, iso = k[order], ts[order], iso[order]
+        _, krank = np.unique(k, return_inverse=True)
+        n = np.int64(len(k))
+        # position-based composite (rank·n + sorted-pos): suffix minima
+        # can't leak across key ranks and can't overflow regardless of
+        # the timestamp span (unlike a ts-offset code)
+        pos = np.arange(n, dtype=np.int64)
+        inf = np.int64(1) << 62
+        code = np.where(iso == 0, krank.astype(np.int64) * n + pos, inf)
+        sfx = np.minimum.accumulate(code[::-1])[::-1]
+        om = iso == 1
+        cand = sfx[om]
+        okr = krank[om].astype(np.int64)
+        matched = cand < (okr + 1) * n
+        next_pos = np.where(matched, cand - okr * n, 0)
+        lag_s = np.where(matched, (ts[next_pos] - ts[om]) // 1_000_000, 0)
+        # recover prio aligned with the sorted view's order rows
+        prio = g.column("prio").take(pa.array(order[om]))
+        return pa.table({
+            "prio": prio,
+            "n_orders": pa.array(np.ones(int(om.sum()), np.int64)),
+            "n_matched": pa.array(matched.astype(np.int64)),
+            "lag_sum": pa.array(lag_s.astype(np.int64)),
+        }).group_by("prio").aggregate(
+            [("n_orders", "sum"), ("n_matched", "sum"),
+             ("lag_sum", "sum")]) \
+            .rename_columns(["prio", "n_orders", "n_matched",
+                             "lag_sum"])
+
+    parts = both.groupby("_pkey").map_groups(
+        sweep, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["prio"],
+        aggs=[("n_orders", "sum"), ("n_matched", "sum"),
+              ("lag_sum", "sum")],
+        empty_schema=pa.schema([("prio", pa.string()),
+                                ("n_orders", pa.int64()),
+                                ("n_matched", pa.int64()),
+                                ("lag_sum", pa.int64())]))
+    return out.sort_by("prio")
+
+
+SQL_ORDERS_NEXT_EVENT = """
+WITH u AS (
+  SELECT user_id AS k, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         0 AS is_order, NULL AS prio
+  FROM events
+  UNION ALL
+  SELECT o_custkey, CAST(epoch_us(o_orderdate) AS BIGINT),
+         1, o_orderpriority
+  FROM orders),
+f AS (
+  SELECT *, min(CASE WHEN is_order = 0 THEN ts_us END)
+              OVER (PARTITION BY k ORDER BY ts_us ASC, is_order DESC
+                    ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS next_ev_us
+  FROM u)
+SELECT prio, count(*) AS n_orders,
+       CAST(count(next_ev_us) AS BIGINT) AS n_matched,
+       CAST(coalesce(sum((next_ev_us - ts_us) // 1000000), 0)
+            AS BIGINT) AS lag_sum
+FROM f WHERE is_order = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_next_event"] = (q_orders_next_event,
+                                SQL_ORDERS_NEXT_EVENT)
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (revenue-weighted median quantity per return flag)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_qty(sf_dir: str):
+    """Price-weighted median quantity per return flag: the smallest
+    quantity q with 2·cumweight(q) ≥ totalweight, weights = exact
+    extendedprice cents (the 'what quantity does half the revenue sit
+    at' distribution question no plain median answers). Quantities are
+    small integers, so the cluster ships only (flag, qty) weight
+    partials — a |flags|×|qtys|-bounded shuffle — and the weighted
+    selection closes on the driver with one cumsum. Exact integer
+    arithmetic end to end."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "flag": t.column("l_returnflag"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            "wt": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100), 0), pa.int64()),
+        }).group_by(["flag", "qty"]).aggregate([("wt", "sum")])
+        return tt.rename_columns(["flag", "qty", "wt"])
+
+    w = _partial_final(ds, partial, ["flag", "qty"], [("wt", "sum")])
+    if w.num_rows == 0:
+        return pa.table({"flag": pa.array([], pa.string()),
+                         "wmedian_qty": pa.array([], pa.int64())})
+    w = w.sort_by([("flag", "ascending"), ("qty", "ascending")])
+    fl = w.column("flag").to_numpy(zero_copy_only=False)
+    qt = np.asarray(w.column("qty"), dtype=np.int64)
+    wt = np.asarray(w.column("wt"), dtype=np.int64)
+    flags, idx = np.unique(fl, return_index=True)
+    out_f, out_q = [], []
+    bounds = np.r_[idx, len(fl)]
+    for i, f in enumerate(flags):
+        s, e = bounds[i], bounds[i + 1]
+        cw = np.cumsum(wt[s:e])
+        tw = cw[-1]
+        out_f.append(str(f))
+        out_q.append(int(qt[s:e][np.searchsorted(2 * cw, tw)]))
+    return pa.table({"flag": pa.array(out_f, pa.string()),
+                     "wmedian_qty": pa.array(out_q, pa.int64())})
+
+
+SQL_WEIGHTED_MEDIAN_QTY = """
+WITH w AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS wt
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT flag, qty, wt,
+         sum(wt) OVER (PARTITION BY flag ORDER BY qty) AS cw,
+         sum(wt) OVER (PARTITION BY flag) AS tw
+  FROM w)
+SELECT flag, CAST(min(qty) AS BIGINT) AS wmedian_qty
+FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weighted_median_qty"] = (q_weighted_median_qty,
+                                  SQL_WEIGHTED_MEDIAN_QTY)
