@@ -1232,3 +1232,353 @@ FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1
 
 QUERIES["weighted_median_qty"] = (q_weighted_median_qty,
                                   SQL_WEIGHTED_MEDIAN_QTY)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 analog — disjunctive multi-branch predicate join
+# ---------------------------------------------------------------------------
+
+_Q19_BRANCHES = (
+    # (branch_id, brand, size_lo, size_hi, qty_lo, qty_hi)
+    (1, "Brand#4", 1, 15, 1, 20),
+    (2, "Brand#19", 1, 25, 10, 30),
+    (3, "Brand#17", 1, 35, 20, 40),
+)
+
+
+def q_brand_size_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue under OR'd brand/size/qty
+    branches; reference analog: the routed-sink predicate fan at
+    src/router.cpp applies disjunctive per-sink predicates the same
+    way). part is the dimension side: its (brand, size) columns ride
+    into every task as one small probe array (`pc.index_in`), lineitem
+    streams through once, and each OR branch is a vectorized boolean
+    mask — no shuffle ever touches fact rows; the final merge is the
+    |branches|-row partial table. A row matching several branches
+    counts once per branch (branch-labelled output is strictly more
+    oracle-sensitive than Q19's single OR'd sum)."""
+    part = agg._to_arrow(_read(sf_dir, "part",
+                               columns=["p_partkey", "p_brand",
+                                        "p_size"]))
+    pk = part.column("p_partkey").combine_chunks()
+    brand = part.column("p_brand").combine_chunks()
+    size = pc.cast(part.column("p_size"), pa.int64()).combine_chunks()
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("l_partkey"), value_set=pk)
+        b = pc.take(brand, idx)
+        # unknown partkeys (null probe) must fail every branch predicate
+        s = np.asarray(pc.fill_null(pc.take(size, idx), -1),
+                       dtype=np.int64)
+        qty = np.asarray(pc.cast(t.column("l_quantity"), pa.int64()),
+                         dtype=np.int64)
+        price_c = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            dtype=np.int64)
+        disc_pm = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64()),
+            dtype=np.int64)
+        rev_cpm = price_c * (1000 - disc_pm)
+        bids, cnts, revs = [], [], []
+        for bid, br, slo, shi, qlo, qhi in _Q19_BRANCHES:
+            m = (np.asarray(pc.fill_null(pc.equal(b, br),
+                                         False)).astype(bool)
+                 & (s >= slo) & (s <= shi)
+                 & (qty >= qlo) & (qty <= qhi))
+            bids.append(bid)
+            cnts.append(int(m.sum()))
+            revs.append(int(rev_cpm[m].sum()))
+        return pa.table({"branch": pa.array(bids, pa.int64()),
+                         "n_items": pa.array(cnts, pa.int64()),
+                         "rev_cpm": pa.array(revs, pa.int64())})
+
+    out = _partial_final(ds, partial, ["branch"],
+                         [("n_items", "sum"), ("rev_cpm", "sum")])
+    return out.sort_by("branch")
+
+
+_Q19_SQL_BRANCH = """
+  SELECT {bid} AS branch, count(*) AS n_items,
+         CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * (1000 - CAST(round(l_discount * 1000, 0) AS BIGINT))), 0)
+              AS BIGINT) AS rev_cpm
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}' AND p_size BETWEEN {slo} AND {shi}
+    AND l_quantity BETWEEN {qlo} AND {qhi}
+"""
+
+SQL_BRAND_SIZE_REVENUE = " UNION ALL ".join(
+    _Q19_SQL_BRANCH.format(bid=bid, brand=br, slo=slo, shi=shi,
+                           qlo=qlo, qhi=qhi)
+    for bid, br, slo, shi, qlo, qhi in _Q19_BRANCHES) + " ORDER BY branch"
+
+QUERIES["brand_size_revenue"] = (q_brand_size_revenue,
+                                 SQL_BRAND_SIZE_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 analog — per-key value share vs a global-total threshold
+# ---------------------------------------------------------------------------
+
+
+def q_part_value_share(sf_dir: str):
+    """TPC-H Q11 shape — parts whose discounted revenue exceeds 0.1%
+    of the GLOBAL total (HAVING sum(...) > global scalar). One pass
+    builds (partkey → cents-per-mille) partials (|parts|-bounded
+    shuffle); the global total is the sum of that same merged table —
+    no second scan. The threshold compare is exact integer:
+    1000 * value > total, no float fraction anywhere."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        g = pa.table({"partkey": t.column("l_partkey").cast(pa.int64()),
+                      "value_cpm": cpm}) \
+            .group_by("partkey").aggregate([("value_cpm", "sum")])
+        return g.rename_columns(["partkey", "value_cpm"])
+
+    merged = _partial_final(ds, partial, ["partkey"],
+                            [("value_cpm", "sum")])
+    total = int(pc.sum(merged.column("value_cpm")).as_py() or 0)
+    keep = pc.greater(pc.multiply(merged.column("value_cpm"),
+                                  pa.scalar(1000, pa.int64())),
+                      pa.scalar(total, pa.int64()))
+    out = merged.filter(keep)
+    return out.sort_by([("value_cpm", "descending"),
+                        ("partkey", "ascending")])
+
+
+SQL_PART_VALUE_SHARE = """
+WITH v AS (
+  SELECT CAST(l_partkey AS BIGINT) AS partkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (1000 - CAST(round(l_discount * 1000, 0) AS BIGINT)))
+           AS value_cpm
+  FROM lineitem GROUP BY 1)
+SELECT partkey, CAST(value_cpm AS BIGINT) AS value_cpm
+FROM v
+WHERE 1000 * value_cpm > (SELECT sum(value_cpm) FROM v)
+ORDER BY value_cpm DESC, partkey
+"""
+
+QUERIES["part_value_share"] = (q_part_value_share,
+                               SQL_PART_VALUE_SHARE)
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC via score histogram (Mann-Whitney with tie correction)
+# ---------------------------------------------------------------------------
+
+
+def q_auc_doc_length(sf_dir: str):
+    """Classifier-eval AUC: how well document length (n_chars) ranks
+    English docs above non-English ones — the Mann-Whitney U statistic
+    with exact tie handling, computed from a score HISTOGRAM, never a
+    global sort: per-block (n_chars → pos/neg counts) partials merge
+    into a |distinct scores|-bounded table, one driver cumsum closes
+    the statistic. AUC = [Σ_s pos(s)·(2·cum_neg_below(s) + neg(s))] /
+    (2·P·N) — integer numerator and denominator, ONE float division
+    rounded at the end, mirrored term-for-term by the oracle."""
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_en = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        is_no = pc.subtract(pa.scalar(1, pa.int64()), is_en)
+        g = pa.table({"s": t.column("n_chars").cast(pa.int64()),
+                      "p": is_en, "ng": is_no}) \
+            .group_by("s").aggregate([("p", "sum"), ("ng", "sum")])
+        return g.rename_columns(["s", "p", "ng"])
+
+    h = _partial_final(ds, partial, ["s"],
+                       [("p", "sum"), ("ng", "sum")])
+    h = h.sort_by("s")
+    p = np.asarray(h.column("p"), dtype=np.int64)
+    ng = np.asarray(h.column("ng"), dtype=np.int64)
+    P, N = int(p.sum()), int(ng.sum())
+    if P == 0 or N == 0:
+        return pa.table({"auc": pa.array([], pa.float64()),
+                         "n_pos": pa.array([], pa.int64()),
+                         "n_neg": pa.array([], pa.int64())})
+    cnb = np.cumsum(ng) - ng
+    num2 = int((p * (2 * cnb + ng)).sum())
+    auc = round(num2 / (2.0 * P * N), 6)
+    return pa.table({"auc": pa.array([auc], pa.float64()),
+                     "n_pos": pa.array([P], pa.int64()),
+                     "n_neg": pa.array([N], pa.int64())})
+
+
+SQL_AUC_DOC_LENGTH = """
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS s,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS ng
+  FROM documents GROUP BY 1),
+c AS (
+  SELECT s, p, ng,
+         coalesce(sum(ng) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cnb
+  FROM h)
+SELECT round(sum(p * (2 * cnb + ng))
+             / (2.0 * (SELECT sum(p) FROM h)
+                    * (SELECT sum(ng) FROM h)), 6) AS auc,
+       CAST((SELECT sum(p) FROM h) AS BIGINT) AS n_pos,
+       CAST((SELECT sum(ng) FROM h) AS BIGINT) AS n_neg
+FROM c
+"""
+
+QUERIES["auc_doc_length"] = (q_auc_doc_length, SQL_AUC_DOC_LENGTH)
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proration — exact integer allocation of order totals
+# ---------------------------------------------------------------------------
+
+_PRORATE_NPART = 16
+
+
+def q_order_proration(sf_dir: str):
+    """Largest-remainder (Hamilton) proration: each order's total
+    (exact cents) is allocated across its lineitems proportionally to
+    extendedprice so the per-order allocations sum EXACTLY to the
+    order total — floor division first, then the leftover cents go to
+    the largest fractional remainders (ties broken by line number).
+    Both sides are big and share the orderkey, so a side-tagged union
+    hash-exchanges on the key once and every order is settled inside
+    its partition with pure segment arithmetic (np.unique +
+    np.add.reduceat + one lexsort for the remainder ranks) — no
+    driver-side rows, no second shuffle. The (linenumber →
+    allocated-cents) rollup is sensitive to every +1 placement, so the
+    oracle hash certifies the full allocation, not just the totals."""
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_extendedprice"])
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(k, _PRORATE_NPART)),
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "ln": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            "amt": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100), 0), pa.int64()),
+            "is_order": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(k, _PRORATE_NPART)),
+            "k": t.column("l_orderkey").cast(pa.int64()),
+            "ln": t.column("l_linenumber").cast(pa.int64()),
+            "amt": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100), 0), pa.int64()),
+            "is_order": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+        })
+
+    both = od.map_batches(tag_od, batch_format="pyarrow").union(
+        li.map_batches(tag_li, batch_format="pyarrow"))
+
+    def allocate(g: pa.Table) -> pa.Table:
+        empty = pa.table({"linenumber": pa.array([], pa.int64()),
+                          "alloc_cents": pa.array([], pa.int64())})
+        iso = np.asarray(g.column("is_order"), dtype=np.int64)
+        if len(iso) == 0:
+            return empty
+        k = np.asarray(g.column("k"), dtype=np.int64)
+        ln = np.asarray(g.column("ln"), dtype=np.int64)
+        amt = np.asarray(g.column("amt"), dtype=np.int64)
+        om = iso == 1
+        okeys, ototal = k[om], amt[om]
+        lm = ~om
+        lk, lln, lw = k[lm], ln[lm], amt[lm]
+        if len(lk) == 0 or len(okeys) == 0:
+            return empty
+        # inner-join semantics: keep lineitems whose order is present
+        osort = np.argsort(okeys, kind="stable")
+        okeys_s, ototal_s = okeys[osort], ototal[osort]
+        oi = np.searchsorted(okeys_s, lk)
+        oi_c = np.clip(oi, 0, len(okeys_s) - 1)
+        hit = okeys_s[oi_c] == lk
+        lk, lln, lw, oi_c = lk[hit], lln[hit], lw[hit], oi_c[hit]
+        if len(lk) == 0:
+            return empty
+        t_ord = ototal_s[oi_c]                      # per-line order total
+        # segment layout: sort lines by (orderkey, linenumber)
+        order = np.lexsort((lln, lk))
+        lk, lln, lw, t_ord = (lk[order], lln[order], lw[order],
+                              t_ord[order])
+        uk, seg_start = np.unique(lk, return_index=True)
+        W = np.add.reduceat(lw, seg_start)          # per-order weight sum
+        seg_id = np.searchsorted(uk, lk)
+        Wl = W[seg_id]
+        prod = t_ord * lw
+        base = prod // Wl
+        rem_frac = prod % Wl
+        leftover = (t_ord[seg_start]
+                    - np.add.reduceat(base, seg_start))   # cents to place
+        # rank lines inside each order by (remainder desc, linenumber)
+        rorder = np.lexsort((lln, -rem_frac, lk))
+        rpos = np.empty(len(lk), dtype=np.int64)
+        seg_of_r = seg_id[rorder]
+        first_at = np.r_[0, np.flatnonzero(np.diff(seg_of_r)) + 1]
+        offsets = np.arange(len(lk), dtype=np.int64)
+        starts = np.repeat(offsets[first_at],
+                           np.diff(np.r_[first_at, len(lk)]))
+        rpos[rorder] = offsets - starts
+        alloc = base + (rpos < leftover[seg_id])
+        out = pa.table({"linenumber": pa.array(lln),
+                        "alloc_cents": pa.array(alloc)}) \
+            .group_by("linenumber").aggregate([("alloc_cents", "sum")])
+        return out.rename_columns(["linenumber", "alloc_cents"])
+
+    parts = both.groupby("_pkey").map_groups(
+        allocate, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["linenumber"], aggs=[("alloc_cents", "sum")],
+        empty_schema=pa.schema([("linenumber", pa.int64()),
+                                ("alloc_cents", pa.int64())]))
+    return out.sort_by("linenumber")
+
+
+SQL_ORDER_PRORATION = """
+WITH li AS (
+  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w
+  FROM lineitem),
+o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS t
+  FROM orders),
+j AS (
+  SELECT li.k AS k, ln, w, t,
+         sum(w) OVER (PARTITION BY li.k) AS tw
+  FROM li JOIN o ON li.k = o.k),
+b AS (
+  SELECT k, ln, t, tw,
+         (t * w) // tw AS base, (t * w) % tw AS r
+  FROM j),
+rk AS (
+  SELECT k, ln, base,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY r DESC, ln) AS rn,
+         t - sum(base) OVER (PARTITION BY k) AS leftover
+  FROM b)
+SELECT ln AS linenumber,
+       CAST(sum(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)
+            AS BIGINT) AS alloc_cents
+FROM rk GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["order_proration"] = (q_order_proration, SQL_ORDER_PRORATION)
