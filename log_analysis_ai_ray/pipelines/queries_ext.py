@@ -1582,3 +1582,371 @@ FROM rk GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["order_proration"] = (q_order_proration, SQL_ORDER_PRORATION)
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot matching — cumulative-interval overlap pairing per user
+# ---------------------------------------------------------------------------
+
+_FIFO_NPART = 16
+
+
+def q_fifo_lot_matching(sf_dir: str):
+    """FIFO queue matching (inventory / cost-basis kernel): per user,
+    'purchase' events form acquisition lots and 'click' events consume
+    them in strict arrival order — lot i matches consumption j exactly
+    where their CUMULATIVE quantity intervals [cp0,cp1)×[cc0,cc1)
+    overlap (the classic turn-FIFO-into-interval-intersection trick;
+    backorders permitted: pairing ignores wall-clock causality, only
+    queue order). One user_id hash exchange; inside a partition every
+    user is settled fully vectorized — per-user offsets splice all
+    cumulative ranges onto one disjoint number line so TWO global
+    searchsorteds find every lot's consumption span, np.repeat expands
+    the ≤ nP+nC−1 pairs, and min/max of interval edges yields exact
+    integer matched cents. Rolled up by lot hour (purchased vs matched
+    cents + pair count), so every +1 cent placement flips the hash."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "value",
+                        "event_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["purchase", "click"]))
+        t = t.filter(keep)
+        k = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(k, _FIFO_NPART)),
+            "u": t.column("user_id").cast(pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "eid": t.column("event_id").cast(pa.int64()),
+            "q": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100), 0), pa.int64()),
+            "is_lot": pc.cast(pc.equal(t.column("event_type"),
+                                       "purchase"), pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    _HOUR_US = 3_600_000_000
+
+    def _seg_cumsum(u, q):
+        """Per-user exclusive/inclusive cumulative bounds (u sorted)."""
+        c1 = np.cumsum(q)
+        _, seg_start = np.unique(u, return_index=True)
+        base = c1[seg_start] - q[seg_start]
+        off = np.repeat(base, np.diff(np.r_[seg_start, len(u)]))
+        c1 = c1 - off
+        return c1 - q, c1
+
+    def match(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "hour_us": pa.array([], pa.int64()),
+            "purchased_cents": pa.array([], pa.int64()),
+            "matched_cents": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = np.asarray(g.column("u"), dtype=np.int64)
+        ts = np.asarray(g.column("ts_us"), dtype=np.int64)
+        eid = np.asarray(g.column("eid"), dtype=np.int64)
+        q = np.asarray(g.column("q"), dtype=np.int64)
+        lot = np.asarray(g.column("is_lot"), dtype=np.int64) == 1
+        order = np.lexsort((eid, ts, u))
+        u, ts, q, lot = u[order], ts[order], q[order], lot[order]
+        lu, lts, lq = u[lot], ts[lot], q[lot]
+        cu, cq = u[~lot], q[~lot]
+        if len(lu) == 0:
+            return empty
+        cp0, cp1 = _seg_cumsum(lu, lq)
+        lot_hour = (lts // _HOUR_US) * _HOUR_US
+        hours_u = np.unique(lot_hour)
+        purchased = np.zeros(len(hours_u), dtype=np.int64)
+        np.add.at(purchased, np.searchsorted(hours_u, lot_hour), lq)
+        matched = np.zeros(len(hours_u), dtype=np.int64)
+        npair = np.zeros(len(hours_u), dtype=np.int64)
+        if len(cu) > 0:
+            cc0, cc1 = _seg_cumsum(cu, cq)
+            # splice every user's cumulative ranges onto one disjoint
+            # number line: offset gaps exceed both stream totals
+            users = np.unique(np.r_[lu, cu])
+            totp = np.zeros(len(users), dtype=np.int64)
+            np.add.at(totp, np.searchsorted(users, lu), lq)
+            totc = np.zeros(len(users), dtype=np.int64)
+            np.add.at(totc, np.searchsorted(users, cu), cq)
+            gap = np.maximum(totp, totc) + 1
+            uoff = np.cumsum(gap) - gap
+            cp0 = cp0 + uoff[np.searchsorted(users, lu)]
+            cp1 = cp1 + uoff[np.searchsorted(users, lu)]
+            cc0 = cc0 + uoff[np.searchsorted(users, cu)]
+            cc1 = cc1 + uoff[np.searchsorted(users, cu)]
+            j_lo = np.searchsorted(cc1, cp0, side="right")
+            j_hi = np.searchsorted(cc0, cp1, side="left")
+            cnt = np.maximum(j_hi - j_lo, 0)
+            total = int(cnt.sum())
+            if total > 0:
+                rep = np.repeat(np.arange(len(cp0)), cnt)
+                before = np.cumsum(cnt) - cnt
+                k = np.arange(total) - np.repeat(before, cnt)
+                cj = j_lo[rep] + k
+                m = (np.minimum(cp1[rep], cc1[cj])
+                     - np.maximum(cp0[rep], cc0[cj]))
+                hi = np.searchsorted(hours_u, lot_hour[rep])
+                np.add.at(matched, hi, m)
+                np.add.at(npair, hi, 1)
+        return pa.table({
+            "hour_us": pa.array(hours_u),
+            "purchased_cents": pa.array(purchased),
+            "matched_cents": pa.array(matched),
+            "n_pairs": pa.array(npair)})
+
+    parts = tagged.groupby("_pkey").map_groups(
+        match, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["hour_us"],
+        aggs=[("purchased_cents", "sum"), ("matched_cents", "sum"),
+              ("n_pairs", "sum")],
+        empty_schema=pa.schema([("hour_us", pa.int64()),
+                                ("purchased_cents", pa.int64()),
+                                ("matched_cents", pa.int64()),
+                                ("n_pairs", pa.int64())]))
+    out = out.sort_by("hour_us")
+    return pa.table({
+        "hour": out.column("hour_us").cast(pa.timestamp("us")),
+        "purchased_cents": out.column("purchased_cents"),
+        "matched_cents": out.column("matched_cents"),
+        "n_pairs": out.column("n_pairs")})
+
+
+SQL_FIFO_LOT_MATCHING = """
+WITH p AS (
+  SELECT user_id AS u, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS q,
+         sum(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cp1
+  FROM events WHERE event_type = 'purchase'),
+p2 AS (SELECT u, ts, q, cp1 - q AS cp0, cp1 FROM p),
+c AS (
+  SELECT user_id AS u,
+         CAST(round(value * 100, 0) AS BIGINT) AS q,
+         sum(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cc1
+  FROM events WHERE event_type = 'click'),
+c2 AS (SELECT u, cc1 - q AS cc0, cc1 FROM c),
+pr AS (
+  SELECT date_trunc('hour', p2.ts) AS hour,
+         sum(least(cp1, cc1) - greatest(cp0, cc0)) AS matched_cents,
+         count(*) AS n_pairs
+  FROM p2 JOIN c2 ON p2.u = c2.u AND cp0 < cc1 AND cc0 < cp1
+  GROUP BY 1),
+hp AS (
+  SELECT date_trunc('hour', ts) AS hour, sum(q) AS purchased_cents
+  FROM p2 GROUP BY 1)
+SELECT hp.hour AS hour,
+       CAST(hp.purchased_cents AS BIGINT) AS purchased_cents,
+       CAST(coalesce(pr.matched_cents, 0) AS BIGINT) AS matched_cents,
+       CAST(coalesce(pr.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM hp LEFT JOIN pr ON hp.hour = pr.hour
+ORDER BY 1
+"""
+
+QUERIES["fifo_lot_matching"] = (q_fifo_lot_matching,
+                                SQL_FIFO_LOT_MATCHING)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — three exact quantile-bucket scores composed
+# ---------------------------------------------------------------------------
+
+
+def q_customer_rfm_segments(sf_dir: str):
+    """RFM segmentation: per customer Recency (days from last order to
+    the corpus max date), Frequency (order count), Monetary (exact
+    total cents) → quintile scores 1–5 each → 'R-F-M' segment counts.
+    The cluster ships only per-customer partials (customer is the
+    dimension-side key, like the broadcast part probes); the quintile
+    boundary math runs on that dimension-sized table with the
+    position formula score = 1 + rank0·5/n over the DETERMINISTIC
+    order (metric asc, custkey asc) — identical arithmetic on both
+    sides, no NTILE tie ambiguity. Output: segment, n_customers,
+    monetary_cents — 125-row bounded."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "custkey": t.column("o_custkey").cast(pa.int64()),
+            "last_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100), 0), pa.int64()),
+        }).group_by("custkey").aggregate(
+            [("last_us", "max"), ([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["custkey", "last_us", "freq", "cents"])
+
+    m = _partial_final(ds, partial, ["custkey"],
+                       [("last_us", "max"), ("freq", "sum"),
+                        ("cents", "sum")])
+    if m.num_rows == 0:
+        return pa.table({"segment": pa.array([], pa.string()),
+                         "n_customers": pa.array([], pa.int64()),
+                         "monetary_cents": pa.array([], pa.int64())})
+    ck = np.asarray(m.column("custkey"), dtype=np.int64)
+    last = np.asarray(m.column("last_us"), dtype=np.int64)
+    freq = np.asarray(m.column("freq"), dtype=np.int64)
+    cents = np.asarray(m.column("cents"), dtype=np.int64)
+    rec_days = (int(last.max()) - last) // 86_400_000_000
+    n = len(ck)
+
+    def score(metric):
+        rank0 = np.empty(n, dtype=np.int64)
+        rank0[np.lexsort((ck, metric))] = np.arange(n)
+        return 1 + rank0 * 5 // n
+
+    # recency scored on NEGATED days so "more recent" ranks higher,
+    # with the same asc-(metric, custkey) deterministic order
+    r = score(-rec_days)
+    f = score(freq)
+    mo = score(cents)
+    seg = np.char.add(np.char.add(np.char.add(
+        r.astype("U1"), "-"), np.char.add(f.astype("U1"), "-")),
+        mo.astype("U1"))
+    segs, inv = np.unique(seg, return_inverse=True)
+    n_cust = np.bincount(inv, minlength=len(segs)).astype(np.int64)
+    m_sum = np.zeros(len(segs), dtype=np.int64)
+    np.add.at(m_sum, inv, cents)
+    return pa.table({"segment": pa.array([str(s) for s in segs]),
+                     "n_customers": pa.array(n_cust),
+                     "monetary_cents": pa.array(m_sum)})
+
+
+SQL_CUSTOMER_RFM_SEGMENTS = """
+WITH base AS (
+  SELECT o_custkey AS ck,
+         CAST(epoch_us(max(o_orderdate)) AS BIGINT) AS last_us,
+         count(*) AS freq,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+rf AS (
+  SELECT ck, freq, cents,
+         ((SELECT max(last_us) FROM base) - last_us)
+           // 86400000000 AS rec_days
+  FROM base),
+sc AS (
+  SELECT ck, cents,
+         1 + (row_number() OVER (ORDER BY -rec_days, ck) - 1) * 5
+             // (SELECT count(*) FROM base) AS r,
+         1 + (row_number() OVER (ORDER BY freq, ck) - 1) * 5
+             // (SELECT count(*) FROM base) AS f,
+         1 + (row_number() OVER (ORDER BY cents, ck) - 1) * 5
+             // (SELECT count(*) FROM base) AS m
+  FROM rf)
+SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-'
+         || CAST(m AS VARCHAR) AS segment,
+       count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS monetary_cents
+FROM sc GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_rfm_segments"] = (q_customer_rfm_segments,
+                                    SQL_CUSTOMER_RFM_SEGMENTS)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — per-doc top-3 with an integer-exact rank
+# ---------------------------------------------------------------------------
+
+
+def q_doc_tfidf_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 terms by TF-IDF. Two
+    passes: (1) document frequencies reduce to a vocab-bounded table
+    (at corpus scale this map is ray.put-broadcast and min-df-pruned,
+    like the part probes); (2) each block scores its own docs — tf
+    from a per-block (doc, term) groupby, idf joined via searchsorted
+    against the broadcast vocab, per-doc top-3 via one lexsort +
+    segment ranks. The score is INTEGER micro-units (tf ×
+    round(ln(N/df)·1e6)) so ranking and the oracle hash never touch a
+    float; ties break by term asc. Docs are row-atomic, so pass 2
+    needs no shuffle at all."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        did = t.column("doc_id").combine_chunks().take(parent)
+        # distinct (doc, term) within the block, then per-term count
+        dt = pa.table({"doc_id": did, "term": flat}) \
+            .group_by(["doc_id", "term"]).aggregate([])
+        g = dt.group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "df"])
+
+    # blocks hold whole docs, so per-block distinct (doc,term) counts
+    # sum EXACTLY to global document frequency — no overlap possible
+    dft = _partial_final(ds, df_partial, ["term"], [("df", "sum")])
+    dft = dft.sort_by("term")
+    vocab = np.asarray(dft.column("term"), dtype=object)
+    vocab_sorted = np.array([str(x) for x in vocab])
+    idf_micro = np.asarray(
+        pc.cast(pc.round(pc.multiply(pc.ln(pc.divide(
+            pa.scalar(float(n_docs)),
+            pc.cast(dft.column("df"), pa.float64()))), 1_000_000), 0),
+            pa.int64()), dtype=np.int64)
+
+    def topk(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        did = t.column("doc_id").combine_chunks().take(parent)
+        tf = pa.table({"doc_id": did, "term": flat}) \
+            .group_by(["doc_id", "term"]).aggregate([([], "count_all")]) \
+            .rename_columns(["doc_id", "term", "tf"])
+        d = np.asarray(tf.column("doc_id"), dtype=np.int64)
+        terms = np.array([str(x) for x in tf.column("term")])
+        tfv = np.asarray(tf.column("tf"), dtype=np.int64)
+        vi = np.searchsorted(vocab_sorted, terms)
+        score = tfv * idf_micro[vi]
+        order = np.lexsort((terms, -score, d))
+        ds_, sc_, tm_ = d[order], score[order], terms[order]
+        first_at = np.r_[0, np.flatnonzero(np.diff(ds_)) + 1]
+        offsets = np.arange(len(ds_), dtype=np.int64)
+        starts = np.repeat(offsets[first_at],
+                           np.diff(np.r_[first_at, len(ds_)]))
+        rpos = offsets - starts
+        keep = rpos < 3
+        return pa.table({
+            "doc_id": pa.array(ds_[keep]),
+            "rnk": pa.array(rpos[keep] + 1),
+            "term": pa.array(tm_[keep].tolist(), pa.string()),
+            "score_micro": pa.array(sc_[keep])})
+
+    out = agg._to_arrow(ds.map_batches(topk, batch_format="pyarrow"))
+    return out.sort_by([("doc_id", "ascending"), ("rnk", "ascending")])
+
+
+SQL_DOC_TFIDF_KEYWORDS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * CAST(round(ln(CAST((SELECT count(*) FROM documents)
+                                    AS DOUBLE) / df.df) * 1000000, 0)
+                      AS BIGINT) AS score_micro
+  FROM tf JOIN df ON tf.term = df.term),
+rk AS (
+  SELECT doc_id, term, score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, term) AS rnk
+  FROM sc)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score_micro
+FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+QUERIES["doc_tfidf_keywords"] = (q_doc_tfidf_keywords,
+                                 SQL_DOC_TFIDF_KEYWORDS)
