@@ -1950,3 +1950,417 @@ FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk
 
 QUERIES["doc_tfidf_keywords"] = (q_doc_tfidf_keywords,
                                  SQL_DOC_TFIDF_KEYWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — first/last/linear credit from one window scan
+# ---------------------------------------------------------------------------
+
+_ATTR_NPART = 16
+_ATTR_WINDOW_US = 3 * 86_400_000_000
+_HOUR_US_ = 3_600_000_000
+
+
+def q_attribution_models(sf_dir: str):
+    """Multi-touch attribution compared across THREE models in one
+    pass: every purchase credits the user's clicks in the strict
+    (p−3d ≤ click < p) window — 100% to the first click, 100% to the
+    last, and floor(cents·1e6 / n) micro-cents to each (linear; exact
+    integers, no float splits). One user-hash exchange; per partition
+    the window edges come from SENTINEL ROWS: each purchase injects a
+    window-start row at p−3d and itself at p into the sorted
+    (user, ts, kind) stream, a per-user segmented cumsum of clicks
+    then gives both edge counts, so first/last/every-touch positions
+    are pure arithmetic into the sorted click array — no per-row
+    slicing, no composite-code overflow risk. Rolled up by credited
+    click's hour-of-day (24-row bounded)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["purchase", "click"]))
+        t = t.filter(keep)
+        k = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(k, _ATTR_NPART)),
+            "u": t.column("user_id").cast(pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "eid": t.column("event_id").cast(pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100), 0), pa.int64()),
+            "is_click": pc.cast(pc.equal(t.column("event_type"),
+                                         "click"), pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    _COLS = ["hour", "n_first", "cents_first", "n_last", "cents_last",
+             "n_touch", "linear_microcents"]
+
+    def attribute(g: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.int64()) for c in _COLS})
+        if g.num_rows == 0:
+            return empty
+        u = np.asarray(g.column("u"), dtype=np.int64)
+        ts = np.asarray(g.column("ts_us"), dtype=np.int64)
+        eid = np.asarray(g.column("eid"), dtype=np.int64)
+        cents = np.asarray(g.column("cents"), dtype=np.int64)
+        isc = np.asarray(g.column("is_click"), dtype=np.int64) == 1
+        cu, cts_, ceid = u[isc], ts[isc], eid[isc]
+        co = np.lexsort((ceid, cts_, cu))
+        cu, cts_, ceid = cu[co], cts_[co], ceid[co]
+        pu, pts, pcents = u[~isc], ts[~isc], cents[~isc]
+        npur = len(pu)
+        if npur == 0 or len(cu) == 0:
+            return empty
+        users_c, s_u = np.unique(cu, return_index=True)
+        # union stream: kind 0 = window start (clicks at exactly p-3d
+        # are INSIDE), 1 = purchase (clicks at exactly p are outside),
+        # 2 = click — kind asc places both sentinels before equal-ts
+        # clicks, giving exclusive click counts at each sentinel
+        su = np.r_[pu, pu, cu]
+        sts = np.r_[pts - _ATTR_WINDOW_US, pts, cts_]
+        skind = np.r_[np.zeros(npur, np.int64),
+                      np.ones(npur, np.int64),
+                      np.full(len(cu), 2, np.int64)]
+        stag = np.r_[np.arange(npur), np.arange(npur),
+                     np.full(len(cu), -1, np.int64)]
+        so = np.lexsort((skind, sts, su))
+        su, sts, skind, stag = su[so], sts[so], skind[so], stag[so]
+        isclick_s = (skind == 2).astype(np.int64)
+        cum = np.cumsum(isclick_s)
+        _, seg_start = np.unique(su, return_index=True)
+        base = cum[seg_start] - isclick_s[seg_start]
+        off = np.repeat(base, np.diff(np.r_[seg_start, len(su)]))
+        cnt_excl = cum - isclick_s - off   # clicks before this row
+        cnt_w = np.zeros(npur, dtype=np.int64)
+        cnt_p = np.zeros(npur, dtype=np.int64)
+        wm, pm = skind == 0, skind == 1
+        cnt_w[stag[wm]] = cnt_excl[wm]
+        cnt_p[stag[pm]] = cnt_excl[pm]
+        n = cnt_p - cnt_w
+        has = n > 0
+        if not has.any():
+            return empty
+        r = np.searchsorted(users_c, pu[has])
+        base_pos = s_u[r]
+        first_g = base_pos + cnt_w[has]
+        last_g = base_pos + cnt_p[has] - 1
+        pc_has = pcents[has]
+        n_has = n[has]
+
+        def hour_of(ts_arr):
+            return (ts_arr // _HOUR_US_) % 24
+
+        hours = np.arange(24, dtype=np.int64)
+        out = {c: np.zeros(24, dtype=np.int64) for c in _COLS[1:]}
+        hf = hour_of(cts_[first_g])
+        np.add.at(out["n_first"], hf, 1)
+        np.add.at(out["cents_first"], hf, pc_has)
+        hl = hour_of(cts_[last_g])
+        np.add.at(out["n_last"], hl, 1)
+        np.add.at(out["cents_last"], hl, pc_has)
+        total = int(n_has.sum())
+        rep = np.repeat(np.arange(len(n_has)), n_has)
+        before = np.cumsum(n_has) - n_has
+        k = np.arange(total) - np.repeat(before, n_has)
+        touch_g = first_g[rep] + k
+        credit = pc_has[rep] * 1_000_000 // n_has[rep]
+        ht = hour_of(cts_[touch_g])
+        np.add.at(out["n_touch"], ht, 1)
+        np.add.at(out["linear_microcents"], ht, credit)
+        nonzero = out["n_touch"] > 0
+        return pa.table({"hour": pa.array(hours[nonzero]),
+                         **{c: pa.array(out[c][nonzero])
+                            for c in _COLS[1:]}})
+
+    parts = tagged.groupby("_pkey").map_groups(
+        attribute, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["hour"],
+        aggs=[(c, "sum") for c in _COLS[1:]],
+        empty_schema=pa.schema([(c, pa.int64()) for c in _COLS]))
+    return out.sort_by("hour")
+
+
+SQL_ATTRIBUTION_MODELS = """
+WITH c AS (
+  SELECT user_id AS u, ts AS cts, event_id AS eid
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id AS u, ts AS pts, event_id AS pid,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+w AS (
+  SELECT pid, cents, cts, eid,
+         count(*) OVER (PARTITION BY pid) AS n,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY cts, eid) AS rf,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY cts DESC, eid DESC) AS rl
+  FROM p JOIN c ON p.u = c.u
+   AND cts < pts AND cts >= pts - INTERVAL 3 DAY),
+fx AS (
+  SELECT hour(cts) AS h, count(*) AS n_first,
+         sum(cents) AS cents_first
+  FROM w WHERE rf = 1 GROUP BY 1),
+lx AS (
+  SELECT hour(cts) AS h, count(*) AS n_last,
+         sum(cents) AS cents_last
+  FROM w WHERE rl = 1 GROUP BY 1),
+tx AS (
+  SELECT hour(cts) AS h, count(*) AS n_touch,
+         sum((cents * 1000000) // n) AS linear_microcents
+  FROM w GROUP BY 1)
+SELECT CAST(tx.h AS BIGINT) AS hour,
+       CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+       CAST(coalesce(cents_first, 0) AS BIGINT) AS cents_first,
+       CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+       CAST(coalesce(cents_last, 0) AS BIGINT) AS cents_last,
+       CAST(n_touch AS BIGINT) AS n_touch,
+       CAST(linear_microcents AS BIGINT) AS linear_microcents
+FROM tx LEFT JOIN fx ON tx.h = fx.h LEFT JOIN lx ON tx.h = lx.h
+ORDER BY 1
+"""
+
+QUERIES["attribution_models"] = (q_attribution_models,
+                                 SQL_ATTRIBUTION_MODELS)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate images (multimodal dedup)
+# ---------------------------------------------------------------------------
+
+_PHASH_N = {"sf0.001": 120, "sf0.01": 400, "sf0.1": 1200}
+
+
+def _phash_media_path(sf_dir: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.multimodal import synth_media_dups
+    from .queries import sf_name
+
+    name = sf_name(sf_dir)
+    path = os.path.join("/tmp/graft_media_dups", name, "media.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tbl = synth_media_dups(_PHASH_N.get(name, 120))
+        pq.write_table(tbl, path + ".tmp", compression="zstd")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_media_phash_dups(sf_dir: str):
+    """Perceptual near-duplicate IMAGE pairs: aHash (8×8 average hash)
+    computed in an actor-pool decode stage, 4×16-bit LSH bands bucket
+    the 8-byte hashes (payloads never travel past the decode), per-
+    bucket pairwise popcount-Hamming ≤ 8, banded hits deduped to one
+    (id_a < id_b) pair. Planted noisy copies in the deterministic
+    corpus are the ground truth; recall/parity is pytest-gated
+    (binary decode isn't SQL-expressible → rows-only row)."""
+    import ray.data
+
+    from ..stages.multimodal import phash_pairs
+
+    ds = ray.data.read_parquet(_phash_media_path(sf_dir))
+    return phash_pairs(ds, max_hamming=8)
+
+
+QUERIES["media_phash_dups"] = (q_media_phash_dups, None)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — every FK relation in one report
+# ---------------------------------------------------------------------------
+
+_FK_NPART = 16
+
+_FK_RELATIONS = (
+    # (relation label, fact table, fk col, dim table, pk col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+)
+
+
+def q_fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across every FK relation of the
+    schema in one report: rows, distinct FK values, orphan rows and
+    orphan keys per relation. Scale shape: the fact side NEVER ships
+    rows — each block reduces to (key → count) partials, the PK side
+    to distinct keys, and a single key-hash exchange settles orphan
+    membership inside each bucket (works even when BOTH sides are
+    huge, e.g. lineitem→orders; no driver-side key lists, no broadcast
+    of a big PK set). Each bucket emits one summary row; the final
+    merge is |buckets| rows per relation."""
+    import ray.data  # noqa: F401
+
+    rows = []
+    for label, fact, fk, dim, pk in _FK_RELATIONS:
+        f = _read(sf_dir, fact, columns=[fk])
+        d = _read(sf_dir, dim, columns=[pk])
+
+        def fact_partial(t: pa.Table, _fk=fk) -> pa.Table:
+            col = t.column(_fk).cast(pa.int64())
+            g = pa.table({"key": col}).drop_null() \
+                .group_by("key").aggregate([([], "count_all")]) \
+                .rename_columns(["key", "cnt"])
+            k = np.asarray(g.column("key"), dtype=np.int64)
+            return pa.table({
+                "_pkey": pa.array(_knuth_bucket(k, _FK_NPART)),
+                "key": g.column("key"), "cnt": g.column("cnt"),
+                "is_pk": pa.nulls(g.num_rows, pa.int64()).fill_null(0)})
+
+        def pk_partial(t: pa.Table, _pk=pk) -> pa.Table:
+            g = pa.table({"key": t.column(_pk).cast(pa.int64())}) \
+                .drop_null().group_by("key").aggregate([])
+            k = np.asarray(g.column("key"), dtype=np.int64)
+            return pa.table({
+                "_pkey": pa.array(_knuth_bucket(k, _FK_NPART)),
+                "key": g.column("key"),
+                "cnt": pa.nulls(g.num_rows, pa.int64()).fill_null(0),
+                "is_pk": pa.nulls(g.num_rows, pa.int64()).fill_null(1)})
+
+        both = f.map_batches(fact_partial, batch_format="pyarrow") \
+            .union(d.map_batches(pk_partial, batch_format="pyarrow"))
+
+        def audit(g: pa.Table) -> pa.Table:
+            k = np.asarray(g.column("key"), dtype=np.int64)
+            cnt = np.asarray(g.column("cnt"), dtype=np.int64)
+            ispk = np.asarray(g.column("is_pk"), dtype=np.int64) == 1
+            fk_keys = np.unique(k[~ispk])
+            pk_keys = np.unique(k[ispk])
+            present = np.isin(fk_keys, pk_keys, assume_unique=True)
+            # per-key fact row counts (sum of per-block partials)
+            tot = np.zeros(len(fk_keys), dtype=np.int64)
+            fm = ~ispk
+            np.add.at(tot, np.searchsorted(fk_keys, k[fm]), cnt[fm])
+            return pa.table({
+                "n_rows": pa.array([int(tot.sum())], pa.int64()),
+                "n_distinct_fk": pa.array([len(fk_keys)], pa.int64()),
+                "n_orphan_rows": pa.array([int(tot[~present].sum())],
+                                          pa.int64()),
+                "n_orphan_keys": pa.array([int((~present).sum())],
+                                          pa.int64())})
+
+        parts = agg._to_arrow(both.groupby("_pkey").map_groups(
+            audit, batch_format="pyarrow"))
+        rows.append({
+            "relation": label,
+            "n_rows": int(pc.sum(parts.column("n_rows")).as_py() or 0),
+            "n_distinct_fk": int(pc.sum(
+                parts.column("n_distinct_fk")).as_py() or 0),
+            "n_orphan_rows": int(pc.sum(
+                parts.column("n_orphan_rows")).as_py() or 0),
+            "n_orphan_keys": int(pc.sum(
+                parts.column("n_orphan_keys")).as_py() or 0)})
+    rows.sort(key=lambda r: r["relation"])
+    return pa.table({
+        "relation": pa.array([r["relation"] for r in rows]),
+        "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+        "n_distinct_fk": pa.array([r["n_distinct_fk"] for r in rows],
+                                  pa.int64()),
+        "n_orphan_rows": pa.array([r["n_orphan_rows"] for r in rows],
+                                  pa.int64()),
+        "n_orphan_keys": pa.array([r["n_orphan_keys"] for r in rows],
+                                  pa.int64())})
+
+
+_FK_SQL_ONE = """
+SELECT '{label}' AS relation,
+       (SELECT count({fk}) FROM {fact}) AS n_rows,
+       (SELECT count(DISTINCT {fk}) FROM {fact}) AS n_distinct_fk,
+       (SELECT count(*) FROM {fact} LEFT JOIN {dim}
+          ON {fk} = {pk} WHERE {pk} IS NULL AND {fk} IS NOT NULL)
+         AS n_orphan_rows,
+       (SELECT count(DISTINCT {fk}) FROM {fact} LEFT JOIN {dim}
+          ON {fk} = {pk} WHERE {pk} IS NULL) AS n_orphan_keys
+"""
+
+SQL_FK_INTEGRITY_AUDIT = " UNION ALL ".join(
+    _FK_SQL_ONE.format(label=label, fact=fact, fk=fk, dim=dim, pk=pk)
+    for label, fact, fk, dim, pk in _FK_RELATIONS) + " ORDER BY relation"
+
+QUERIES["fk_integrity_audit"] = (q_fk_integrity_audit,
+                                 SQL_FK_INTEGRITY_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# Self-join size (F2 frequency moment) — the shuffle-planning statistic
+# ---------------------------------------------------------------------------
+
+
+def q_selfjoin_size_f2(sf_dir: str):
+    """Second frequency moment per event type: F2 = Σ_u c(u)² — the
+    exact self-join size on user_id and THE statistic that predicts
+    shuffle skew (AMS sketches estimate exactly this; here the key
+    space is computed exactly from (type, user) partials, a bounded
+    |types|×|users| shuffle). Also reports the hottest key's count and
+    its per-mille share of F2 — the 'does one key dominate the
+    exchange' planner signal."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t.column("event_type"),
+                      "u": t.column("user_id").cast(pa.int64())}) \
+            .group_by(["event_type", "u"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "u", "c"])
+
+    m = _partial_final(ds, partial, ["event_type", "u"], [("c", "sum")])
+    if m.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64()),
+                         "selfjoin_rows": pa.array([], pa.int64()),
+                         "max_key_rows": pa.array([], pa.int64()),
+                         "max_share_pm": pa.array([], pa.int64())})
+    et = np.asarray(m.column("event_type").cast(pa.string())
+                    .to_numpy(zero_copy_only=False))
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    types, inv = np.unique(et, return_inverse=True)
+    nt = len(types)
+    f2 = np.zeros(nt, dtype=np.int64)
+    np.add.at(f2, inv, c * c)
+    nu = np.bincount(inv, minlength=nt).astype(np.int64)
+    mx = np.zeros(nt, dtype=np.int64)
+    np.maximum.at(mx, inv, c)
+    share_pm = (mx * mx * 1000) // f2
+    return pa.table({
+        "event_type": pa.array(types.tolist(), pa.string()),
+        "n_users": pa.array(nu),
+        "selfjoin_rows": pa.array(f2),
+        "max_key_rows": pa.array(mx),
+        "max_share_pm": pa.array(share_pm)})
+
+
+SQL_SELFJOIN_SIZE_F2 = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       count(*) AS n_users,
+       CAST(sum(c * c) AS BIGINT) AS selfjoin_rows,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       CAST((max(c) * max(c) * 1000) // sum(c * c) AS BIGINT)
+         AS max_share_pm
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["selfjoin_size_f2"] = (q_selfjoin_size_f2,
+                               SQL_SELFJOIN_SIZE_F2)

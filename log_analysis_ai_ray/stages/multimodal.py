@@ -214,3 +214,149 @@ def media_features(ds, concurrency=2, batch_size: int = 256):
         MediaFeatureStage, fn_constructor_kwargs={},
         concurrency=concurrency, num_cpus=0.5,
         batch_size=batch_size, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (aHash) + banded near-duplicate pairing
+# ---------------------------------------------------------------------------
+
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 has no
+    bitwise_count): byte-view + 256-entry LUT."""
+    return _POPCNT8[x.view(np.uint8)].reshape(len(x), 8).sum(1)
+
+
+def ahash64(px: np.ndarray) -> np.uint64:
+    """Average hash: point-sample an 8×8 grid (same convention as
+    ImageResize), bit i set iff sample > mean of the 64 samples. Bit
+    order is row-major MSB-first — fixed so hashes are comparable
+    across processes."""
+    ys = np.arange(8) * px.shape[0] // 8
+    xs = np.arange(8) * px.shape[1] // 8
+    small = px[np.ix_(ys, xs)].astype(np.int64)
+    bits = (small > small.mean()).astype(np.uint8).ravel()
+    return np.uint64(int.from_bytes(np.packbits(bits).tobytes(), "big"))
+
+
+def synth_media_dups(n_base: int, seed: int = 77) -> pa.Table:
+    """Deterministic image corpus with PLANTED near-duplicates: every
+    3rd base image gets a copy with k ∈ {0,1,2} strong on-grid pixel
+    flips (expected aHash Hamming ≈ k, plus possible mean-drift flips)
+    — the ground truth a perceptual-dedup pipeline must recover."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, widths, heights = [], [], [], []
+    mid = 0
+    for i in range(n_base):
+        h, w = 16, 16
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        ids.append(mid); payloads.append(make_pgm(w, h, px))
+        widths.append(w); heights.append(h)
+        mid += 1
+        if i % 3 == 0:
+            k = int(i // 3 % 3)            # 0, 1 or 2 flipped samples
+            px2 = px.copy()
+            for j in range(k):
+                # flip pixels ON the 8×8 sample grid (stride 2)
+                yy, xx = (2 * ((i + 7 * j) % 8), 2 * ((i + 3 * j) % 8))
+                px2[yy, xx] = 255 - px2[yy, xx]
+            ids.append(mid); payloads.append(make_pgm(w, h, px2))
+            widths.append(w); heights.append(h)
+            mid += 1
+    n = len(ids)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+    })
+
+
+class PhashStage:
+    """Actor-pool stage: decode image payloads → 64-bit aHash + four
+    16-bit LSH bands. Emits one row per (image, band): banded layout
+    means any pair within Hamming ≤ 3 shares at least one unchanged
+    band (pigeonhole over 4 bands) and therefore lands in a shared
+    bucket. Payloads are dropped here — only 8-byte hashes travel."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, data in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "image":
+                continue
+            ids.append(mid)
+            hashes.append(ahash64(parse_pgm(data)))
+        if not ids:
+            return pa.table({"band_id": pa.array([], pa.int64()),
+                             "band_val": pa.array([], pa.int64()),
+                             "media_id": pa.array([], pa.int64()),
+                             "phash": pa.array([], pa.int64())})
+        hv = np.array(hashes, dtype=np.uint64)
+        mid = np.array(ids, dtype=np.int64)
+        rows_b, rows_v, rows_m, rows_h = [], [], [], []
+        for b in range(4):
+            band = ((hv >> np.uint64(16 * b))
+                    & np.uint64(0xFFFF)).astype(np.int64)
+            rows_b.append(np.full(len(mid), b, dtype=np.int64))
+            rows_v.append(band)
+            rows_m.append(mid)
+            rows_h.append(hv.view(np.int64))
+        return pa.table({"band_id": pa.array(np.concatenate(rows_b)),
+                         "band_val": pa.array(np.concatenate(rows_v)),
+                         "media_id": pa.array(np.concatenate(rows_m)),
+                         "phash": pa.array(np.concatenate(rows_h))})
+
+
+def phash_pairs(ds, max_hamming: int = 8, concurrency=2,
+                batch_size: int = 256):
+    """Near-duplicate image pairs: aHash → 4×16-bit band buckets →
+    in-bucket pairwise Hamming ≤ max_hamming → global (id_a, id_b)
+    dedup (min Hamming wins; a pair found by several bands is one
+    pair, and id_a == id_b self-pairs are dropped). Returns a
+    pyarrow Table sorted by (id_a, id_b)."""
+    import pyarrow.compute as pc
+
+    from . import aggregate as agg
+
+    band_rows = ds.map_batches(
+        PhashStage, concurrency=concurrency, num_cpus=0.5,
+        batch_size=batch_size, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        m = np.asarray(g.column("media_id"), dtype=np.int64)
+        h = np.asarray(g.column("phash"), dtype=np.int64).view(np.uint64)
+        n = len(m)
+        if n < 2:
+            return empty
+        # duplicate media_id rows inside one bucket are not pairs
+        iu, ju = np.triu_indices(n, k=1)
+        keep = m[iu] != m[ju]
+        iu, ju = iu[keep], ju[keep]
+        if len(iu) == 0:
+            return empty
+        ham = popcount64(h[iu] ^ h[ju])
+        ok = ham <= max_hamming
+        if not ok.any():
+            return empty
+        a, b = m[iu[ok]], m[ju[ok]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "hamming": pa.array(ham[ok])})
+
+    pairs = band_rows.groupby(["band_id", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    out = agg._combine_partials(
+        pairs, keys=["id_a", "id_b"], aggs=[("hamming", "min")],
+        empty_schema=pa.schema([("id_a", pa.int64()),
+                                ("id_b", pa.int64()),
+                                ("hamming", pa.int64())]))
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

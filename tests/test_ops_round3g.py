@@ -105,3 +105,64 @@ def test_rfm_positional_scores_match_sql_formula():
         want[i] = 1 + pos * 5 // n
     assert (s == want).all()
     assert s.min() >= 1 and s.max() <= 5
+
+
+def _attr_bruteforce(clicks, purchases, window):
+    """clicks: [(ts, eid)], purchases: [(ts, cents)] for ONE user.
+    Returns per purchase: (n, first_idx, last_idx) into clicks sorted
+    by (ts, eid)."""
+    cs = sorted(clicks)
+    out = []
+    for pts, cents in purchases:
+        w = [i for i, (cts, _) in enumerate(cs)
+             if pts - window <= cts < pts]
+        out.append((len(w), w[0] if w else None, w[-1] if w else None))
+    return cs, out
+
+
+def _attr_sentinels(clicks, purchases, window):
+    """Mirror of q_attribution_models' sentinel-row rank differencing
+    (single user)."""
+    cs = sorted(clicks)
+    cts = np.array([t for t, _ in cs], dtype=np.int64)
+    npur = len(purchases)
+    pts = np.array([t for t, _ in purchases], dtype=np.int64)
+    sts = np.r_[pts - window, pts, cts]
+    skind = np.r_[np.zeros(npur, np.int64), np.ones(npur, np.int64),
+                  np.full(len(cts), 2, np.int64)]
+    stag = np.r_[np.arange(npur), np.arange(npur),
+                 np.full(len(cts), -1, np.int64)]
+    so = np.lexsort((skind, sts))
+    sts, skind, stag = sts[so], skind[so], stag[so]
+    isc = (skind == 2).astype(np.int64)
+    cnt_excl = np.cumsum(isc) - isc
+    cnt_w = np.zeros(npur, dtype=np.int64)
+    cnt_p = np.zeros(npur, dtype=np.int64)
+    cnt_w[stag[skind == 0]] = cnt_excl[skind == 0]
+    cnt_p[stag[skind == 1]] = cnt_excl[skind == 1]
+    n = cnt_p - cnt_w
+    return [(int(n[i]),
+             int(cnt_w[i]) if n[i] > 0 else None,
+             int(cnt_p[i]) - 1 if n[i] > 0 else None)
+            for i in range(npur)]
+
+
+def test_attribution_sentinel_rank_differencing():
+    rng = np.random.default_rng(31)
+    for _ in range(25):
+        clicks = [(int(rng.integers(0, 1000)), int(i))
+                  for i in range(rng.integers(0, 12))]
+        purchases = [(int(rng.integers(0, 1100)), 100)
+                     for _ in range(rng.integers(1, 6))]
+        cs, want = _attr_bruteforce(clicks, purchases, 200)
+        got = _attr_sentinels(clicks, purchases, 200)
+        assert [g for g in got] == [w for w in want]
+
+
+def test_attribution_window_edges():
+    # click AT p-window is inside; click AT p is outside
+    clicks = [(100, 1), (300, 2)]
+    purchases = [(300, 50)]
+    _, want = _attr_bruteforce(clicks, purchases, 200)
+    got = _attr_sentinels(clicks, purchases, 200)
+    assert got == want == [(1, 0, 0)]
