@@ -2364,3 +2364,483 @@ FROM c GROUP BY 1 ORDER BY 1
 
 QUERIES["selfjoin_size_f2"] = (q_selfjoin_size_f2,
                                SQL_SELFJOIN_SIZE_F2)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — exact tie handling from a joint histogram
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_qty_discount(sf_dir: str):
+    """Spearman ρ between quantity and discount per return flag with
+    EXACT tie correction — computed entirely from the (flag, qty,
+    disc‰) JOINT HISTOGRAM (a |flags|×50×11-bounded shuffle), never a
+    global rank sort: average ranks come from marginal cumsums in
+    half-units (r2 = 2·cum_before + cnt + 1, integer), the Pearson
+    moments over r2 are exact Python-int sums of the bounded cells
+    (no int64 overflow at any scale), and the only float ops are one
+    IEEE sqrt + divide mirrored by the oracle (HUGEINT sums there)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "flag": t.column("l_returnflag"),
+            "q": pc.cast(t.column("l_quantity"), pa.int64()),
+            "d": pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 1000), 0), pa.int64()),
+        }).group_by(["flag", "q", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["flag", "q", "d", "c"])
+
+    j = _partial_final(ds, partial, ["flag", "q", "d"],
+                       [("c", "sum")])
+    if j.num_rows == 0:
+        return pa.table({"flag": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rho": pa.array([], pa.float64())})
+    fl = j.column("flag").to_numpy(zero_copy_only=False)
+    qv = np.asarray(j.column("q"), dtype=np.int64)
+    dv = np.asarray(j.column("d"), dtype=np.int64)
+    cv = np.asarray(j.column("c"), dtype=np.int64)
+    out_f, out_n, out_r = [], [], []
+    for f in np.unique(fl):
+        m = fl == f
+        q, d, c = qv[m], dv[m], cv[m]
+
+        def r2_of(vals):
+            u, inv = np.unique(vals, return_inverse=True)
+            cnt = np.zeros(len(u), dtype=np.int64)
+            np.add.at(cnt, inv, c)
+            cb = np.cumsum(cnt) - cnt
+            return (2 * cb + cnt + 1)[inv]
+
+        x = r2_of(q)
+        y = r2_of(d)
+        n = int(c.sum())
+        # exact arbitrary-precision moments over the bounded cells
+        cl = [int(v) for v in c]
+        xl = [int(v) for v in x]
+        yl = [int(v) for v in y]
+        sx = sum(w * a for w, a in zip(cl, xl))
+        sy = sum(w * b for w, b in zip(cl, yl))
+        sxx = sum(w * a * a for w, a in zip(cl, xl))
+        syy = sum(w * b * b for w, b in zip(cl, yl))
+        sxy = sum(w * a * b for w, a, b in zip(cl, xl, yl))
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        import math
+        rho = (round(float(num) / (math.sqrt(float(vx))
+                                   * math.sqrt(float(vy))), 6)
+               if vx > 0 and vy > 0 else None)
+        out_f.append(str(f))
+        out_n.append(n)
+        out_r.append(rho)
+    return pa.table({"flag": pa.array(out_f, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "rho": pa.array(out_r, pa.float64())})
+
+
+SQL_SPEARMAN_QTY_DISCOUNT = """
+WITH j AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 1000, 0) AS BIGINT) AS d,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2, 3),
+mq AS (
+  SELECT flag, q, sum(c) AS cnt FROM j GROUP BY 1, 2),
+mq2 AS (
+  SELECT flag, q,
+         2 * (sum(cnt) OVER (PARTITION BY flag ORDER BY q) - cnt)
+           + cnt + 1 AS r2q
+  FROM mq),
+md AS (
+  SELECT flag, d, sum(c) AS cnt FROM j GROUP BY 1, 2),
+md2 AS (
+  SELECT flag, d,
+         2 * (sum(cnt) OVER (PARTITION BY flag ORDER BY d) - cnt)
+           + cnt + 1 AS r2d
+  FROM md),
+w AS (
+  SELECT j.flag, c, r2q AS x, r2d AS y
+  FROM j JOIN mq2 ON j.flag = mq2.flag AND j.q = mq2.q
+         JOIN md2 ON j.flag = md2.flag AND j.d = md2.d),
+s AS (
+  SELECT flag, sum(c) AS n, sum(c * x) AS sx, sum(c * y) AS sy,
+         sum(c * x * x) AS sxx, sum(c * y * y) AS syy,
+         sum(c * x * y) AS sxy
+  FROM w GROUP BY 1)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+FROM s ORDER BY flag
+"""
+
+QUERIES["spearman_qty_discount"] = (q_spearman_qty_discount,
+                                    SQL_SPEARMAN_QTY_DISCOUNT)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes train → broadcast model → apply (in-engine ML pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_nb_train_apply(sf_dir: str):
+    """In-engine model training + inference: a multinomial Naive Bayes
+    language classifier is TRAINED on the even-doc_id half of the
+    corpus (one pass → (lang, token) count partials, vocab×langs
+    bounded), broadcast as integer micro-log weight matrices, and
+    APPLIED to the odd half (one pass, per-block matrix accumulation —
+    docs never shuffle). Laplace-smoothed weights are
+    round(ln((c+1)/(tot+V))·1e6) integers, so scoring, argmax
+    (ties → lang asc) and the confusion-matrix hash are float-free;
+    the oracle rebuilds the identical model in SQL."""
+    ds_train = _read(sf_dir, "documents",
+                     columns=["doc_id", "text", "lang"])
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        t = t.filter(keep)
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = t.column("lang").combine_chunks().take(parent)
+        g = pa.table({"lang": lang, "tok": flat}) \
+            .group_by(["lang", "tok"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["lang", "tok", "c"])
+        # doc-count rows ride along in a separate column (no in-band
+        # sentinel): one row per lang with ndoc>0, c=0, tok=""
+        d = pa.table({"lang": t.column("lang")}) \
+            .group_by("lang").aggregate([([], "count_all")]) \
+            .rename_columns(["lang", "ndoc"])
+        g = g.append_column("ndoc", pa.nulls(g.num_rows, pa.int64())
+                            .fill_null(0))
+        d = pa.table({"lang": d.column("lang"),
+                      "tok": pa.nulls(d.num_rows, pa.string())
+                      .fill_null(""),
+                      "c": pa.nulls(d.num_rows, pa.int64()).fill_null(0),
+                      "ndoc": d.column("ndoc")})
+        return pa.concat_tables([g, d])
+
+    m = _partial_final(ds_train, train_partial, ["lang", "tok"],
+                       [("c", "sum"), ("ndoc", "sum")])
+    langs_all = np.unique(m.column("lang").to_numpy(
+        zero_copy_only=False))
+    langs = np.array([str(x) for x in langs_all])
+    L = len(langs)
+    mf = m.column("lang").to_numpy(zero_copy_only=False)
+    mt = np.array([str(x) for x in m.column("tok")])
+    mc = np.asarray(m.column("c"), dtype=np.int64)
+    mn = np.asarray(m.column("ndoc"), dtype=np.int64)
+    # vocab = tokens with at least one occurrence (the tok="" doc-count
+    # carrier rows have c=0 everywhere UNLESS "" is a real token too)
+    occ = mc > 0
+    vocab = np.unique(mt[occ])
+    V = len(vocab)
+    tot = np.zeros(L, dtype=np.int64)
+    li = np.searchsorted(langs, mf)
+    np.add.at(tot, li, mc)
+    ndoc = np.zeros(L, dtype=np.int64)
+    np.add.at(ndoc, li, mn)
+    n_train = int(ndoc.sum())
+    C = np.zeros((L, V), dtype=np.int64)
+    vi_m = np.searchsorted(vocab, mt[occ])
+    C[li[occ], vi_m] = mc[occ]
+    denom = (tot + V).astype(np.float64)
+    W = np.round(np.log((C + 1.0) / denom[:, None]) * 1e6) \
+        .astype(np.int64)
+    oov = np.round(np.log(1.0 / denom) * 1e6).astype(np.int64)
+    prior = np.round(np.log(ndoc / float(n_train)) * 1e6) \
+        .astype(np.int64)
+
+    ds_apply = _read(sf_dir, "documents",
+                     columns=["doc_id", "text", "lang"])
+
+    def apply_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"true_lang": pa.array([], pa.string()),
+                             "pred_lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = np.array([str(x) for x in pc.list_flatten(toks)])
+        parent = np.asarray(pc.list_parent_indices(toks),
+                            dtype=np.int64)
+        nd = t.num_rows
+        S = np.tile(prior.astype(np.int64), (nd, 1))
+        vi = np.searchsorted(vocab, flat)
+        vi_c = np.clip(vi, 0, max(V - 1, 0))
+        known = (V > 0) & (vocab[vi_c] == flat)
+        wsel = np.where(known[:, None], W[:, vi_c].T, oov[None, :])
+        np.add.at(S, parent, wsel)
+        # argmax with ties -> first (langs sorted asc)
+        pred = langs[np.argmax(S, axis=1)]
+        g = pa.table({
+            "true_lang": t.column("lang"),
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+        }).group_by(["true_lang", "pred_lang"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["true_lang", "pred_lang", "n"])
+
+    out = _partial_final(ds_apply, apply_partial,
+                         ["true_lang", "pred_lang"], [("n", "sum")])
+    return out.sort_by([("true_lang", "ascending"),
+                        ("pred_lang", "ascending")])
+
+
+SQL_NB_TRAIN_APPLY = """
+WITH train AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+apply AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1),
+ttok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train),
+c AS (SELECT lang, tok, count(*) AS c FROM ttok GROUP BY 1, 2),
+tot AS (SELECT lang, count(*) AS tot FROM ttok GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+prior AS (
+  SELECT lang,
+         CAST(round(ln(CAST(count(*) AS DOUBLE)
+                       / (SELECT count(*) FROM train)) * 1000000, 0)
+              AS BIGINT) AS pw
+  FROM train GROUP BY 1),
+atok AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(string_split(text, ' ')) AS tok
+  FROM apply),
+sc AS (
+  SELECT a.doc_id, a.true_lang, t.lang,
+         sum(CAST(round(ln((coalesce(c.c, 0) + 1.0)
+                           / (t.tot + v.v)) * 1000000, 0)
+                  AS BIGINT)) AS sw
+  FROM atok a
+  CROSS JOIN tot t CROSS JOIN v
+  LEFT JOIN c ON c.lang = t.lang AND c.tok = a.tok
+  GROUP BY 1, 2, 3),
+scored AS (
+  SELECT sc.doc_id, sc.true_lang, sc.lang,
+         sw + pw AS score
+  FROM sc JOIN prior ON prior.lang = sc.lang),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scored)
+SELECT true_lang, pred_lang, count(*) AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["nb_train_apply"] = (q_nb_train_apply, SQL_NB_TRAIN_APPLY)
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over the dense hourly grid (time-series imputation)
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_interpolated(sf_dir: str):
+    """Time-series imputation: per event type, the hourly cents series
+    on the DENSE global hour grid with missing hours linearly
+    interpolated between the nearest observed neighbours (edges extend
+    the boundary value). The cluster ships only (type, hour) partials
+    — a types×hours-bounded shuffle; the gap fill is two searchsorteds
+    per type on that bounded table. The interpolation is the integer
+    weighted-average form (pv·(nh−h) + nv·(h−ph)) // gap — always a
+    non-negative numerator, so floor semantics agree with SQL's `//`
+    everywhere."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _HUS = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(_HUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "hh": hh, "cents": cents}) \
+            .group_by(["event_type", "hh"]) \
+            .aggregate([("cents", "sum")])
+        return g.rename_columns(["event_type", "hh", "cents"])
+
+    obs = _partial_final(ds, partial, ["event_type", "hh"],
+                         [("cents", "sum")])
+    if obs.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "hour_h": pa.array([], pa.int64()),
+                         "cents_interp": pa.array([], pa.int64()),
+                         "is_observed": pa.array([], pa.int64())})
+    et = obs.column("event_type").to_numpy(zero_copy_only=False)
+    hh = np.asarray(obs.column("hh"), dtype=np.int64)
+    cv = np.asarray(obs.column("cents"), dtype=np.int64)
+    h0, h1 = int(hh.min()), int(hh.max())
+    grid = np.arange(h0, h1 + 1, dtype=np.int64)
+    out_t, out_h, out_c, out_o = [], [], [], []
+    for ty in np.unique(et):
+        m = et == ty
+        ho = hh[m]
+        o = np.argsort(ho)
+        ho, vo = ho[o], cv[m][o]
+        pi = np.searchsorted(ho, grid, side="right") - 1
+        ni = np.searchsorted(ho, grid, side="left")
+        pi_c = np.clip(pi, 0, len(ho) - 1)
+        ni_c = np.clip(ni, 0, len(ho) - 1)
+        pv, ph = vo[pi_c], ho[pi_c]
+        nv, nh = vo[ni_c], ho[ni_c]
+        observed = (ni < len(ho)) & (ho[ni_c] == grid)
+        gap = np.maximum(nh - ph, 1)
+        interp = (pv * (nh - grid) + nv * (grid - ph)) // gap
+        interp = np.where(observed, nv, interp)
+        interp = np.where(pi < 0, nv, interp)        # before first obs
+        interp = np.where(ni >= len(ho), pv, interp)  # after last obs
+        out_t.append(np.full(len(grid), ty, dtype=object))
+        out_h.append(grid)
+        out_c.append(interp.astype(np.int64))
+        out_o.append(observed.astype(np.int64))
+    return pa.table({
+        "event_type": pa.array(np.concatenate(out_t).tolist(),
+                               pa.string()),
+        "hour_h": pa.array(np.concatenate(out_h)),
+        "cents_interp": pa.array(np.concatenate(out_c)),
+        "is_observed": pa.array(np.concatenate(out_o))})
+
+
+SQL_HOURLY_INTERPOLATED = """
+WITH obs AS (
+  SELECT event_type AS et,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hh,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(hh) AS h0, max(hh) AS h1 FROM obs),
+grid AS (
+  SELECT et, h0 + CAST(x AS BIGINT) AS hh
+  FROM (SELECT DISTINCT et FROM obs)
+  CROSS JOIN b
+  CROSS JOIN (SELECT unnest(range((SELECT h1 - h0 + 1 FROM b))) AS x)),
+j AS (
+  SELECT g.et, g.hh, o.cents
+  FROM grid g LEFT JOIN obs o ON g.et = o.et AND g.hh = o.hh),
+f AS (
+  SELECT et, hh, cents,
+         last_value(cents IGNORE NULLS) OVER
+           (PARTITION BY et ORDER BY hh
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN cents IS NOT NULL THEN hh END
+                    IGNORE NULLS) OVER
+           (PARTITION BY et ORDER BY hh
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(cents IGNORE NULLS) OVER
+           (PARTITION BY et ORDER BY hh
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN cents IS NOT NULL THEN hh END
+                     IGNORE NULLS) OVER
+           (PARTITION BY et ORDER BY hh
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j)
+SELECT et AS event_type, hh AS hour_h,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE (pv * (nh - hh) + nv * (hh - ph)) // (nh - ph)
+            END AS BIGINT) AS cents_interp,
+       CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+FROM f ORDER BY 1, 2
+"""
+
+QUERIES["hourly_interpolated"] = (q_hourly_interpolated,
+                                  SQL_HOURLY_INTERPOLATED)
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — binned distribution drift
+# ---------------------------------------------------------------------------
+
+
+def q_psi_value_drift(sf_dir: str):
+    """Population Stability Index between the two event-id-parity
+    halves of each type's value distribution — the industry drift
+    metric (PSI < 0.1 stable, > 0.25 shifted). Ten fixed-width cent
+    bins over [0, 10000); Laplace-smoothed bin shares so empty bins
+    stay finite. Each term round((p−q)·ln(p/q)·1e6) is an integer
+    mirrored by the oracle; the shuffle is |types|×10×2 partial
+    rows."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        binv = np.clip(cents // 1000, 0, 9)
+        half = np.asarray(pc.bit_wise_and(t.column("event_id"), 1),
+                          dtype=np.int64)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "bin": pa.array(binv),
+            "half": pa.array(half),
+        }).group_by(["event_type", "bin", "half"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "bin", "half", "c"])
+
+    m = _partial_final(ds, partial, ["event_type", "bin", "half"],
+                       [("c", "sum")])
+    if m.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "psi_micro": pa.array([], pa.int64())})
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    bv = np.asarray(m.column("bin"), dtype=np.int64)
+    hv = np.asarray(m.column("half"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    out_t, out_p = [], []
+    for ty in np.unique(et):
+        msk = et == ty
+        c0 = np.zeros(10, dtype=np.int64)
+        c1 = np.zeros(10, dtype=np.int64)
+        b, h, c = bv[msk], hv[msk], cv[msk]
+        np.add.at(c0, b[h == 0], c[h == 0])
+        np.add.at(c1, b[h == 1], c[h == 1])
+        n0, n1 = int(c0.sum()), int(c1.sum())
+        p = (c0 + 1.0) / (n0 + 10)
+        qq = (c1 + 1.0) / (n1 + 10)
+        terms = np.round((p - qq) * np.log(p / qq) * 1e6) \
+            .astype(np.int64)
+        out_t.append(str(ty))
+        out_p.append(int(terms.sum()))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "psi_micro": pa.array(out_p, pa.int64())})
+
+
+SQL_PSI_VALUE_DRIFT = """
+WITH e AS (
+  SELECT event_type AS et,
+         least(greatest(CAST(round(value * 100, 0) AS BIGINT)
+                        // 1000, 0), 9) AS bin,
+         event_id % 2 AS half
+  FROM events),
+c AS (
+  SELECT et, bin, half, count(*) AS c FROM e GROUP BY 1, 2, 3),
+bins AS (
+  SELECT et, CAST(x AS BIGINT) AS bin
+  FROM (SELECT DISTINCT et FROM e)
+  CROSS JOIN (SELECT unnest(range(10)) AS x)),
+w AS (
+  SELECT b.et, b.bin,
+         coalesce(max(CASE WHEN half = 0 THEN c END), 0) AS c0,
+         coalesce(max(CASE WHEN half = 1 THEN c END), 0) AS c1
+  FROM bins b LEFT JOIN c ON b.et = c.et AND b.bin = c.bin
+  GROUP BY 1, 2),
+n AS (
+  SELECT et, sum(c0) AS n0, sum(c1) AS n1 FROM w GROUP BY 1)
+SELECT w.et AS event_type,
+       CAST(sum(round(((c0 + 1.0) / (n0 + 10)
+                       - (c1 + 1.0) / (n1 + 10))
+                      * ln(((c0 + 1.0) / (n0 + 10))
+                           / ((c1 + 1.0) / (n1 + 10))) * 1000000, 0))
+            AS BIGINT) AS psi_micro
+FROM w JOIN n ON w.et = n.et
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["psi_value_drift"] = (q_psi_value_drift, SQL_PSI_VALUE_DRIFT)
