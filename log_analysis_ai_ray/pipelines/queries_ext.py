@@ -2844,3 +2844,501 @@ GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["psi_value_drift"] = (q_psi_value_drift, SQL_PSI_VALUE_DRIFT)
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump training: best information-gain split (histogram-closed)
+# ---------------------------------------------------------------------------
+
+
+def q_info_gain_split(sf_dir: str):
+    """Decision-stump training in-engine: the single best value
+    threshold for predicting ``event_type == 'error'``, chosen by
+    information gain. The cluster ships only a 100×2 histogram
+    (500-cent value bins × label), the driver scans the ≤99 candidate
+    thresholds with vectorized entropy; gains are rounded to integer
+    micro-nats BEFORE the argmax so the tie rule (smallest threshold)
+    is engine-exact. Splits with an empty side are excluded in both
+    engines."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        binv = np.clip(cents // 500, 0, 99)
+        err = np.asarray(pc.equal(t.column("event_type"), "error"),
+                         dtype=np.int64)
+        g = pa.table({"bin": pa.array(binv), "y": pa.array(err)}) \
+            .group_by(["bin", "y"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bin", "y", "c"])
+
+    h = _partial_final(ds, partial, ["bin", "y"], [("c", "sum")])
+    pos = np.zeros(100, dtype=np.int64)
+    neg = np.zeros(100, dtype=np.int64)
+    bv = np.asarray(h.column("bin"), dtype=np.int64)
+    yv = np.asarray(h.column("y"), dtype=np.int64)
+    cv = np.asarray(h.column("c"), dtype=np.int64)
+    np.add.at(pos, bv[yv == 1], cv[yv == 1])
+    np.add.at(neg, bv[yv == 0], cv[yv == 0])
+    n1, n0 = int(pos.sum()), int(neg.sum())
+    n = n1 + n0
+
+    def ent(p1, p0):
+        tot = p1 + p0
+        out = np.zeros_like(tot, dtype=np.float64)
+        m = tot > 0
+        a = np.where(p1 > 0, p1, 1).astype(np.float64)
+        b = np.where(p0 > 0, p0, 1).astype(np.float64)
+        t = tot.astype(np.float64)
+        out[m] = -(np.where(p1 > 0, a * np.log(a / t), 0.0)[m]
+                   + np.where(p0 > 0, b * np.log(b / t), 0.0)[m]) / t[m]
+        return out
+
+    hp = float(ent(np.array([n1]), np.array([n0]))[0]) if n else 0.0
+    cl1 = np.cumsum(pos)            # y=1 in bins < k after shifting
+    cl0 = np.cumsum(neg)
+    ks = np.arange(1, 100)
+    l1, l0 = cl1[ks - 1], cl0[ks - 1]
+    r1, r0 = n1 - l1, n0 - l0
+    nl, nr = l1 + l0, r1 + r0
+    valid = (nl > 0) & (nr > 0)
+    gain = hp - (nl / max(n, 1)) * ent(l1, l0) \
+        - (nr / max(n, 1)) * ent(r1, r0)
+    gain_micro = np.round(gain * 1e6).astype(np.int64)
+    if not valid.any():
+        return pa.table({"thresh_cents": pa.array([], pa.int64()),
+                         "gain_micro": pa.array([], pa.int64()),
+                         "n_left": pa.array([], pa.int64()),
+                         "n_right": pa.array([], pa.int64()),
+                         "err_left": pa.array([], pa.int64()),
+                         "err_right": pa.array([], pa.int64())})
+    gm = np.where(valid, gain_micro, np.int64(-1))
+    best = int(np.argmax(gm))       # first max -> smallest threshold
+    return pa.table({
+        "thresh_cents": pa.array([int(ks[best]) * 500], pa.int64()),
+        "gain_micro": pa.array([int(gm[best])], pa.int64()),
+        "n_left": pa.array([int(nl[best])], pa.int64()),
+        "n_right": pa.array([int(nr[best])], pa.int64()),
+        "err_left": pa.array([int(l1[best])], pa.int64()),
+        "err_right": pa.array([int(r1[best])], pa.int64())})
+
+
+SQL_INFO_GAIN_SPLIT = """
+WITH e AS (
+  SELECT least(greatest(CAST(round(value * 100, 0) AS BIGINT)
+                        // 500, 0), 99) AS bin,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events),
+h AS (SELECT bin, sum(y) AS p, sum(1 - y) AS q FROM e GROUP BY 1),
+tot AS (SELECT sum(p) AS n1, sum(q) AS n0 FROM h),
+k AS (SELECT CAST(x AS BIGINT) + 1 AS k
+      FROM (SELECT unnest(range(99)) AS x)),
+s AS (
+  SELECT k.k,
+         coalesce(sum(CASE WHEN h.bin < k.k THEN h.p END), 0) AS l1,
+         coalesce(sum(CASE WHEN h.bin < k.k THEN h.q END), 0) AS l0
+  FROM k LEFT JOIN h ON true GROUP BY 1),
+g AS (
+  SELECT k, l1, l0, n1 - l1 AS r1, n0 - l0 AS r0, n1, n0,
+         n1 + n0 AS n
+  FROM s CROSS JOIN tot),
+ent AS (
+  SELECT k, l1 + l0 AS nl, r1 + r0 AS nr, l1, r1, n,
+         (CASE WHEN n1 > 0 THEN -n1 * ln(CAST(n1 AS DOUBLE) / n)
+               ELSE 0 END
+          + CASE WHEN n0 > 0 THEN -n0 * ln(CAST(n0 AS DOUBLE) / n)
+                 ELSE 0 END) / n AS hp,
+         CASE WHEN l1 + l0 > 0 THEN
+           (CASE WHEN l1 > 0 THEN
+              -l1 * ln(CAST(l1 AS DOUBLE) / (l1 + l0)) ELSE 0 END
+            + CASE WHEN l0 > 0 THEN
+              -l0 * ln(CAST(l0 AS DOUBLE) / (l1 + l0)) ELSE 0 END)
+           / (l1 + l0) ELSE 0 END AS hl,
+         CASE WHEN r1 + r0 > 0 THEN
+           (CASE WHEN r1 > 0 THEN
+              -r1 * ln(CAST(r1 AS DOUBLE) / (r1 + r0)) ELSE 0 END
+            + CASE WHEN r0 > 0 THEN
+              -r0 * ln(CAST(r0 AS DOUBLE) / (r1 + r0)) ELSE 0 END)
+           / (r1 + r0) ELSE 0 END AS hr
+  FROM g),
+sc AS (
+  SELECT k, nl, nr, l1, r1,
+         CAST(round((hp - (CAST(nl AS DOUBLE) / n) * hl
+                        - (CAST(nr AS DOUBLE) / n) * hr) * 1000000, 0)
+              AS BIGINT) AS gain_micro
+  FROM ent WHERE nl > 0 AND nr > 0)
+SELECT k * 500 AS thresh_cents, gain_micro,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(l1 AS BIGINT) AS err_left, CAST(r1 AS BIGINT) AS err_right
+FROM sc ORDER BY gain_micro DESC, k LIMIT 1
+"""
+
+QUERIES["info_gain_split"] = (q_info_gain_split, SQL_INFO_GAIN_SPLIT)
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-itemset mining over order baskets
+# ---------------------------------------------------------------------------
+
+_TRIPLE_NPART = 32
+
+
+def q_freq_triples(sf_dir: str):
+    """Frequent 3-itemset mining (the step past pairwise market-basket
+    lift): top-20 part triples co-purchased in the most orders. One
+    orderkey-hash exchange co-locates each basket; inside a partition
+    baskets are deduped and sorted once, then triples are generated
+    VECTORIZED per basket-size class with precomputed C(s,3) index
+    templates (s ≤ a few dozen — no per-row Python, no cross-basket
+    blowup); per-partition (a,b,c) pre-aggregation bounds the final
+    shuffle to distinct-triple partials. Ties break on (a,b,c) asc so
+    the top-20 cut is engine-exact."""
+    import itertools
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]) \
+            .aggregate([([], "count_all")])
+        k = np.asarray(g.column("l_orderkey"), dtype=np.int64)
+        return pa.table({"_pkey": pa.array(_knuth_bucket(k, _TRIPLE_NPART)),
+                         "o": g.column("l_orderkey"),
+                         "p": g.column("l_partkey")})
+
+    def triples(t: pa.Table) -> pa.Table:
+        o = np.asarray(t.column("o"), dtype=np.int64)
+        p = np.asarray(t.column("p"), dtype=np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), dtype=bool)   # cross-block dedup
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(o) == 0:
+            return empty
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(o)))
+        outs = []
+        for s in np.unique(sizes):
+            if s < 3:
+                continue
+            combo = np.array(list(itertools.combinations(range(s), 3)),
+                             dtype=np.int64)          # (C(s,3), 3)
+            st = starts[sizes == s]                   # (m,)
+            idx = st[:, None, None] + combo[None, :, :]
+            flat = idx.reshape(-1, 3)
+            outs.append(np.column_stack(
+                (p[flat[:, 0]], p[flat[:, 1]], p[flat[:, 2]])))
+        if not outs:
+            return empty
+        trip = np.concatenate(outs)
+        g = pa.table({"a": pa.array(trip[:, 0]),
+                      "b": pa.array(trip[:, 1]),
+                      "c": pa.array(trip[:, 2])}) \
+            .group_by(["a", "b", "c"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "c", "cnt"])
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(triples, batch_format="pyarrow")
+    m = agg._to_arrow(parts)
+    if m.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    m = m.group_by(["a", "b", "c"]).aggregate([("cnt", "sum")]) \
+        .rename_columns(["a", "b", "c", "cnt"])
+    m = m.filter(pc.greater_equal(m.column("cnt"), 2))
+    a = np.asarray(m.column("a"), dtype=np.int64)
+    b = np.asarray(m.column("b"), dtype=np.int64)
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    n = np.asarray(m.column("cnt"), dtype=np.int64)
+    order = np.lexsort((c, b, a, -n))[:20]
+    return pa.table({"a": pa.array(a[order]), "b": pa.array(b[order]),
+                     "c": pa.array(c[order]),
+                     "cnt": pa.array(n[order])})
+
+
+SQL_FREQ_TRIPLES = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+t AS (
+  SELECT d1.p AS a, d2.p AS b, d3.p AS c, count(*) AS cnt
+  FROM d d1 JOIN d d2 ON d1.o = d2.o AND d1.p < d2.p
+            JOIN d d3 ON d1.o = d3.o AND d2.p < d3.p
+  GROUP BY 1, 2, 3)
+SELECT a, b, c, CAST(cnt AS BIGINT) AS cnt
+FROM t WHERE cnt >= 2
+ORDER BY cnt DESC, a, b, c LIMIT 20
+"""
+
+QUERIES["freq_triples"] = (q_freq_triples, SQL_FREQ_TRIPLES)
+
+
+# ---------------------------------------------------------------------------
+# Interval union — total active time per user (sweep over merged windows)
+# ---------------------------------------------------------------------------
+
+_ACTIVE_NPART = 32
+_ACTIVE_WIN_US = 60_000_000
+
+
+def q_user_active_seconds(sf_dir: str):
+    """Interval-union time accounting: each event opens a 60 s activity
+    window; overlapping windows merge, and the metric is each user's
+    TOTAL covered time plus merged-interval count (the 'active
+    minutes' engagement metric — a plain sum over-counts overlaps).
+    Per-block DISTINCT (user, ts) partials dedup before the exchange;
+    one user-hash shuffle co-locates users; islands fall out of a
+    single lexsort (constant window length ⇒ coverage is
+    last−first+60 s per island — no running-max needed). Exact
+    integer microseconds end-to-end."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "u": t.column("user_id"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "t"]).aggregate([([], "count_all")])
+        u = np.asarray(g.column("u"), dtype=np.int64)
+        return pa.table({"_pkey": pa.array(_knuth_bucket(u, _ACTIVE_NPART)),
+                         "u": g.column("u"), "t": g.column("t")})
+
+    def islands(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u"), dtype=np.int64)
+        ts = np.asarray(t.column("t"), dtype=np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        keep = np.ones(len(u), dtype=bool)   # cross-block dedup
+        keep[1:] = (u[1:] != u[:-1]) | (ts[1:] != ts[:-1])
+        u, ts = u[keep], ts[keep]
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_intervals": pa.array([], pa.int64()),
+                             "active_us": pa.array([], pa.int64())})
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > _ACTIVE_WIN_US)
+        gid = np.cumsum(new) - 1
+        first = ts[new]
+        last = np.maximum.reduceat(ts, np.flatnonzero(new))
+        cover = last - first + _ACTIVE_WIN_US
+        gu = u[new]
+        g = pa.table({"user_id": pa.array(gu),
+                      "n_intervals": pa.array(
+                          np.ones(len(gu), dtype=np.int64)),
+                      "active_us": pa.array(cover)}) \
+            .group_by("user_id").aggregate(
+                [("n_intervals", "sum"), ("active_us", "sum")])
+        return g.rename_columns(["user_id", "n_intervals", "active_us"])
+
+    out = agg._to_arrow(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(islands, batch_format="pyarrow"))
+    return out.sort_by("user_id")
+
+
+SQL_USER_ACTIVE_SECONDS = """
+WITH e AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+o AS (SELECT user_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       IS NULL
+                  OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > 60000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+g AS (SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o),
+i AS (SELECT user_id, grp, min(t) AS t0, max(t) AS t1
+      FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(t1 - t0 + 60000000) AS BIGINT) AS active_us
+FROM i GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_active_seconds"] = (q_user_active_seconds,
+                                  SQL_USER_ACTIVE_SECONDS)
+
+
+# ---------------------------------------------------------------------------
+# Rate-limit / throttle audit — events surviving a 5 s per-key cooldown
+# ---------------------------------------------------------------------------
+
+
+def q_events_throttled(sf_dir: str):
+    """Lag-based throttling audit: per (user, type) stream, an event is
+    KEPT iff it is the first or arrives > 5 s after its predecessor
+    (the dedup rule ingestion throttles apply); output is per-type
+    total/kept/keep-rate. Exact duplicates (same user, type, ts)
+    collapse to count partials per block — the exchange moves distinct
+    (u, type, ts) rows with a ride-along multiplicity, never the raw
+    stream; gap logic is tie-stable because equal timestamps yield
+    zero gaps under any tie order. kept_pm is integer per-mille."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "u": t.column("user_id"),
+            "et": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "et", "t"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["u", "et", "t", "c"])
+        u = np.asarray(g.column("u"), dtype=np.int64)
+        return pa.table({"_pkey": pa.array(_knuth_bucket(u, _ACTIVE_NPART)),
+                         "u": g.column("u"), "et": g.column("et"),
+                         "t": g.column("t"), "c": g.column("c")})
+
+    def throttle(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u"), dtype=np.int64)
+        et = np.asarray(t.column("et").to_pylist(), dtype=object)
+        ts = np.asarray(t.column("t"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        ucode, uinv = np.unique(
+            np.char.add(np.char.add(u.astype("U20"), "\x1f"),
+                        et.astype("U40")), return_inverse=True)
+        order = np.lexsort((ts, uinv))
+        ui, tt, cc = uinv[order], ts[order], c[order]
+        # merge duplicate (key, ts) rows that met across blocks
+        same = np.zeros(len(ui), dtype=bool)
+        same[1:] = (ui[1:] == ui[:-1]) & (tt[1:] == tt[:-1])
+        gid = np.cumsum(~same) - 1
+        cm = np.bincount(gid, weights=cc).astype(np.int64)
+        um, tm = ui[~same], tt[~same]
+        kept = np.ones(len(um), dtype=np.int64)
+        kept[1:] = ((um[1:] != um[:-1])
+                    | (tm[1:] - tm[:-1] > 5_000_000)).astype(np.int64)
+        ets = np.array([s.split("\x1f", 1)[1] for s in ucode],
+                       dtype=object)
+        g = pa.table({"event_type": pa.array(ets[um].tolist(),
+                                             pa.string()),
+                      "total": pa.array(cm),
+                      "kept": pa.array(kept)}) \
+            .group_by("event_type").aggregate(
+                [("total", "sum"), ("kept", "sum")])
+        return g.rename_columns(["event_type", "total", "kept"])
+
+    m = agg._to_arrow(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(throttle, batch_format="pyarrow"))
+    m = m.group_by("event_type").aggregate(
+        [("total", "sum"), ("kept", "sum")]) \
+        .rename_columns(["event_type", "total", "kept"])
+    tot = np.asarray(m.column("total"), dtype=np.int64)
+    kp = np.asarray(m.column("kept"), dtype=np.int64)
+    pm = np.where(tot > 0, kp * 1000 // np.maximum(tot, 1), 0)
+    return pa.table({"event_type": m.column("event_type"),
+                     "total": m.column("total"),
+                     "kept": m.column("kept"),
+                     "kept_pm": pa.array(pm)}).sort_by("event_type")
+
+
+SQL_EVENTS_THROTTLED = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events),
+l AS (
+  SELECT event_type, t,
+         lag(t) OVER (PARTITION BY user_id, event_type
+                      ORDER BY t) AS pt
+  FROM e)
+SELECT event_type, CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN pt IS NULL OR t - pt > 5000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN pt IS NULL OR t - pt > 5000000
+                     THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT) AS kept_pm
+FROM l GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_throttled"] = (q_events_throttled, SQL_EVENTS_THROTTLED)
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table — label enrichment across length deciles
+# ---------------------------------------------------------------------------
+
+
+def q_length_decile_lift(sf_dir: str):
+    """Model-eval style lift table without a model: docs bucketed into
+    n_chars deciles, per decile the English share vs the corpus-wide
+    share as an INTEGER per-mille lift (en·N·1000 // docs·EN — no
+    float ever). Deciles are assigned per distinct length by midrank
+    ((2·cum_before+cnt−1)·10 // 2N + 1) so tie groups land whole in
+    one decile and the histogram closure is exact — the cluster ships
+    only (n_chars, cnt, en) partials."""
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        g = pa.table({"n_chars": t.column("n_chars"), "en": en}) \
+            .group_by("n_chars").aggregate(
+                [([], "count_all"), ("en", "sum")])
+        return g.rename_columns(["n_chars", "cnt", "en"])
+
+    h = _partial_final(ds, partial, ["n_chars"],
+                       [("cnt", "sum"), ("en", "sum")])
+    if h.num_rows == 0:
+        return pa.table({"decile": pa.array([], pa.int64()),
+                         "docs": pa.array([], pa.int64()),
+                         "en_docs": pa.array([], pa.int64()),
+                         "lift_pm": pa.array([], pa.int64())})
+    nc = np.asarray(h.column("n_chars"), dtype=np.int64)
+    cnt = np.asarray(h.column("cnt"), dtype=np.int64)
+    en = np.asarray(h.column("en"), dtype=np.int64)
+    order = np.argsort(nc)
+    cnt, en = cnt[order], en[order]
+    cb = np.cumsum(cnt) - cnt
+    n = int(cnt.sum())
+    en_all = int(en.sum())
+    dec = ((2 * cb + cnt - 1) * 10) // (2 * n) + 1
+    docs = np.zeros(10, dtype=np.int64)
+    end = np.zeros(10, dtype=np.int64)
+    np.add.at(docs, dec - 1, cnt)
+    np.add.at(end, dec - 1, en)
+    keep = docs > 0
+    dv = np.arange(1, 11, dtype=np.int64)[keep]
+    docs, end = docs[keep], end[keep]
+    lift = [int(e) * n * 1000 // (int(d) * en_all)
+            if en_all > 0 else None
+            for e, d in zip(end, docs)]
+    return pa.table({"decile": pa.array(dv),
+                     "docs": pa.array(docs),
+                     "en_docs": pa.array(end),
+                     "lift_pm": pa.array(lift, pa.int64())})
+
+
+SQL_LENGTH_DECILE_LIFT = """
+WITH h AS (
+  SELECT n_chars, count(*) AS cnt,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en
+  FROM documents GROUP BY 1),
+c AS (
+  SELECT n_chars, cnt, en,
+         sum(cnt) OVER (ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cb,
+         sum(cnt) OVER () AS n, sum(en) OVER () AS en_all
+  FROM h),
+d AS (
+  SELECT ((2 * cb + cnt - 1) * 10) // (2 * n) + 1 AS decile,
+         cnt, en, n, en_all
+  FROM c)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(sum(cnt) AS BIGINT) AS docs,
+       CAST(sum(en) AS BIGINT) AS en_docs,
+       CASE WHEN max(en_all) > 0 THEN
+         CAST(sum(en) * max(n) * 1000
+              // (sum(cnt) * max(en_all)) AS BIGINT)
+       END AS lift_pm
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["length_decile_lift"] = (q_length_decile_lift,
+                                 SQL_LENGTH_DECILE_LIFT)
