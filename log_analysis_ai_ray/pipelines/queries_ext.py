@@ -3342,3 +3342,302 @@ FROM d GROUP BY 1 ORDER BY 1
 
 QUERIES["length_decile_lift"] = (q_length_decile_lift,
                                  SQL_LENGTH_DECILE_LIFT)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b — concordance from the joint histogram (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_kendall_tau_qty_discount(sf_dir: str):
+    """Kendall τ-b between quantity and discount per return flag,
+    computed ENTIRELY from the (flag, qty, disc‰) joint histogram —
+    concordant/discordant pair counts are Σ c_i·c_j over strictly-
+    ordered cell pairs (≤550² cell pairs per flag, vectorized), tie
+    terms come from the marginals, and every count is an
+    arbitrary-precision Python int (c_i·c_j ≈ 10²⁴ at 100 TB — no
+    int64 anywhere). The only float ops are the final two sqrts and
+    one divide, mirrored exactly by the oracle's HUGEINT→DOUBLE
+    cast."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "flag": t.column("l_returnflag"),
+            "q": pc.cast(t.column("l_quantity"), pa.int64()),
+            "d": pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 1000), 0), pa.int64()),
+        }).group_by(["flag", "q", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["flag", "q", "d", "c"])
+
+    j = _partial_final(ds, partial, ["flag", "q", "d"],
+                       [("c", "sum")])
+    import math
+    fl = j.column("flag").to_numpy(zero_copy_only=False)
+    qv = np.asarray(j.column("q"), dtype=np.int64)
+    dv = np.asarray(j.column("d"), dtype=np.int64)
+    cv = np.asarray(j.column("c"), dtype=np.int64)
+    out_f, out_n, out_t = [], [], []
+    for f in np.unique(fl):
+        m = fl == f
+        q, d, c = qv[m], dv[m], cv[m]
+        co = c.astype(object)            # python-int products
+        gt_q = q[:, None] < q[None, :]
+        gt_d = d[:, None] < d[None, :]
+        lt_d = d[:, None] > d[None, :]
+        prod = co[:, None] * co[None, :]
+        C = int((prod * (gt_q & gt_d)).sum())
+        D = int((prod * (gt_q & lt_d)).sum())
+        n = int(c.sum())
+        n0 = n * (n - 1) // 2
+        tq = np.zeros(0, dtype=np.int64)
+        uq = np.unique(q)
+        n1 = 0
+        for u in uq:
+            t_ = int(c[q == u].sum())
+            n1 += t_ * (t_ - 1) // 2
+        n2 = 0
+        for u in np.unique(d):
+            t_ = int(c[d == u].sum())
+            n2 += t_ * (t_ - 1) // 2
+        if n0 - n1 > 0 and n0 - n2 > 0:
+            tau = round((C - D) / (math.sqrt(float(n0 - n1))
+                                   * math.sqrt(float(n0 - n2))), 6)
+        else:
+            tau = None
+        out_f.append(str(f))
+        out_n.append(n)
+        out_t.append(tau)
+    return pa.table({"flag": pa.array(out_f, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "tau_b": pa.array(out_t, pa.float64())})
+
+
+SQL_KENDALL_TAU_QTY_DISCOUNT = """
+WITH j AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 1000, 0) AS BIGINT) AS d,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2, 3),
+cd AS (
+  SELECT j1.flag,
+         sum(CASE WHEN j2.q > j1.q AND j2.d > j1.d
+                  THEN j1.c * j2.c ELSE 0 END) AS con,
+         sum(CASE WHEN j2.q > j1.q AND j2.d < j1.d
+                  THEN j1.c * j2.c ELSE 0 END) AS dis
+  FROM j j1 JOIN j j2 ON j1.flag = j2.flag
+  GROUP BY 1),
+nn AS (SELECT flag, sum(c) AS n FROM j GROUP BY 1),
+t1 AS (SELECT flag, sum(tc * (tc - 1) // 2) AS n1
+       FROM (SELECT flag, q, sum(c) AS tc FROM j GROUP BY 1, 2)
+       GROUP BY 1),
+t2 AS (SELECT flag, sum(tc * (tc - 1) // 2) AS n2
+       FROM (SELECT flag, d, sum(c) AS tc FROM j GROUP BY 1, 2)
+       GROUP BY 1),
+s AS (
+  SELECT nn.flag, nn.n, con, dis,
+         nn.n * (nn.n - 1) // 2 AS n0, n1, n2
+  FROM nn JOIN cd ON cd.flag = nn.flag
+          JOIN t1 ON t1.flag = nn.flag
+          JOIN t2 ON t2.flag = nn.flag)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0 THEN
+         round(CAST(con - dis AS DOUBLE)
+               / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                  * sqrt(CAST(n0 - n2 AS DOUBLE))), 6)
+       END AS tau_b
+FROM s ORDER BY flag
+"""
+
+QUERIES["kendall_tau_qty_discount"] = (q_kendall_tau_qty_discount,
+                                       SQL_KENDALL_TAU_QTY_DISCOUNT)
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction over the domain graph
+# ---------------------------------------------------------------------------
+
+
+def q_domain_adamic_adar(sf_dir: str):
+    """Link prediction on the domain graph: top-20 NON-adjacent domain
+    pairs by Adamic–Adar (Σ over common neighbours z of 1/ln deg z).
+    The distributed part is the same bounded (src,dst) edge partials
+    as domain_link_edges; wedges are generated per common-neighbour
+    with the C(d,2) index-template trick (vectorized per degree
+    class), and each z contributes an INTEGER micro-weight
+    round(1e6/ln deg z) so scores, the existing-edge exclusion and
+    the (score desc, a, b) top-20 cut are float-free. At web scale
+    the wedge pass hub-caps exactly like doc_minhash_pairs' bucket
+    salting — deg z bounds each z's fan-out."""
+    import itertools
+    import math
+
+    from .queries import q_domain_link_edges
+
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    und = np.unique(np.char.add(np.char.add(
+        a.astype(str), "\x1f"), b.astype(str)))
+    pairs = np.array([u.split("\x1f") for u in und], dtype=object)
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "aa_micro": pa.array([], pa.int64())})
+    if len(pairs) == 0:
+        return empty
+    ea, eb = pairs[:, 0], pairs[:, 1]
+    # neighbor lists: (node, neigh) both directions
+    node = np.concatenate([ea, eb])
+    neigh = np.concatenate([eb, ea])
+    order = np.lexsort((neigh, node))
+    node, neigh = node[order], neigh[order]
+    new = np.ones(len(node), dtype=bool)
+    new[1:] = node[1:] != node[:-1]
+    starts = np.flatnonzero(new)
+    deg = np.diff(np.append(starts, len(node)))
+    zdeg = dict(zip(node[new], deg.tolist()))
+    scores: dict = {}
+    for s0, d0 in zip(starts, deg):
+        if d0 < 2:
+            continue
+        w = int(round(1_000_000 / math.log(d0)))
+        ns = sorted(neigh[s0:s0 + d0].tolist())
+        for x, y in itertools.combinations(ns, 2):
+            scores[(x, y)] = scores.get((x, y), 0) + w
+    existing = set(zip(ea.tolist(), eb.tolist()))
+    items = [(x, y, s) for (x, y), s in scores.items()
+             if (x, y) not in existing]
+    items.sort(key=lambda r: (-r[2], r[0], r[1]))
+    items = items[:20]
+    return pa.table({
+        "a": pa.array([r[0] for r in items], pa.string()),
+        "b": pa.array([r[1] for r in items], pa.string()),
+        "aa_micro": pa.array([r[2] for r in items], pa.int64())})
+
+
+from .queries import _DOM_RE as _DOM_RE_X  # noqa: E402
+from .queries import PAGES_VIEW as _PAGES_VIEW_X  # noqa: E402
+
+SQL_DOMAIN_ADAMIC_ADAR = f"""
+WITH raw AS (
+  SELECT DISTINCT regexp_extract(url, '{_DOM_RE_X}', 1) AS s,
+         regexp_extract(dst, '{_DOM_RE_X}', 1) AS d
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {_PAGES_VIEW_X})
+  WHERE regexp_extract(url, '{_DOM_RE_X}', 1)
+        <> regexp_extract(dst, '{_DOM_RE_X}', 1)),
+und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw),
+nb AS (SELECT a AS x, b AS z FROM und
+       UNION ALL SELECT b AS x, a AS z FROM und),
+deg AS (SELECT x AS z, count(*) AS d FROM nb GROUP BY 1),
+w AS (SELECT n1.x AS a, n2.x AS b, n1.z
+      FROM nb n1 JOIN nb n2 ON n1.z = n2.z AND n1.x < n2.x),
+sc AS (
+  SELECT w.a, w.b,
+         CAST(sum(CAST(round(1000000 / ln(deg.d), 0) AS BIGINT))
+              AS BIGINT) AS aa_micro
+  FROM w JOIN deg ON deg.z = w.z
+  GROUP BY 1, 2),
+nonedge AS (
+  SELECT sc.* FROM sc LEFT JOIN und
+    ON und.a = sc.a AND und.b = sc.b
+  WHERE und.a IS NULL)
+SELECT a, b, aa_micro FROM nonedge
+ORDER BY aa_micro DESC, a, b LIMIT 20
+"""
+
+QUERIES["domain_adamic_adar"] = (q_domain_adamic_adar,
+                                 SQL_DOMAIN_ADAMIC_ADAR)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — the other classic link-analysis fixed point
+# ---------------------------------------------------------------------------
+
+
+def q_domain_hits_scores(sf_dir: str):
+    """HITS over the weighted domain graph (complement to
+    domain_pagerank — mutual hub/authority recursion instead of a
+    random walk): 2 iterations of a = AᵀH, h = A·a with L1
+    normalization after every half-step, uniform init. The
+    distributed work is the bounded edge-partial aggregation; the
+    iteration runs on the domains×domains matrix driver-side, every
+    half-step mirrored term-for-term by the oracle's unrolled CTE
+    chain (round 6 closes the float gap, as for pagerank)."""
+    from .queries import q_domain_link_edges
+
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    w = np.asarray(edges.column("n_links"), dtype=np.float64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(2):
+        a = np.zeros(n)
+        np.add.at(a, di, w * h[si])
+        a = a / a.sum()
+        h = np.zeros(n)
+        np.add.at(h, si, w * a[di])
+        h = h / h.sum()
+    from .queries import _round
+    return pa.table({
+        "domain": pa.array(nodes),
+        "authority": _round(pa.array(a), 6),
+        "hub": _round(pa.array(h), 6),
+    }).sort_by("domain")
+
+
+SQL_DOMAIN_HITS_SCORES = f"""
+WITH e AS (
+  SELECT regexp_extract(url, '{_DOM_RE_X}', 1) AS src,
+         regexp_extract(dst, '{_DOM_RE_X}', 1) AS dst,
+         count(*)::DOUBLE AS w
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {_PAGES_VIEW_X})
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS d FROM e
+          UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT d, 1.0 / (SELECT count(*) FROM nodes) AS h FROM nodes),
+a1r AS (SELECT nodes.d,
+               coalesce((SELECT sum(e.w * h0.h) FROM e
+                         JOIN h0 ON h0.d = e.src
+                         WHERE e.dst = nodes.d), 0) AS a
+        FROM nodes),
+a1 AS (SELECT d, a / (SELECT sum(a) FROM a1r) AS a FROM a1r),
+h1r AS (SELECT nodes.d,
+               coalesce((SELECT sum(e.w * a1.a) FROM e
+                         JOIN a1 ON a1.d = e.dst
+                         WHERE e.src = nodes.d), 0) AS h
+        FROM nodes),
+h1 AS (SELECT d, h / (SELECT sum(h) FROM h1r) AS h FROM h1r),
+a2r AS (SELECT nodes.d,
+               coalesce((SELECT sum(e.w * h1.h) FROM e
+                         JOIN h1 ON h1.d = e.src
+                         WHERE e.dst = nodes.d), 0) AS a
+        FROM nodes),
+a2 AS (SELECT d, a / (SELECT sum(a) FROM a2r) AS a FROM a2r),
+h2r AS (SELECT nodes.d,
+               coalesce((SELECT sum(e.w * a2.a) FROM e
+                         JOIN a2 ON a2.d = e.dst
+                         WHERE e.src = nodes.d), 0) AS h
+        FROM nodes),
+h2 AS (SELECT d, h / (SELECT sum(h) FROM h2r) AS h FROM h2r)
+SELECT nodes.d AS domain, round(a2.a, 6) AS authority,
+       round(h2.h, 6) AS hub
+FROM nodes JOIN a2 ON a2.d = nodes.d JOIN h2 ON h2.d = nodes.d
+ORDER BY domain
+"""
+
+QUERIES["domain_hits_scores"] = (q_domain_hits_scores,
+                                 SQL_DOMAIN_HITS_SCORES)
