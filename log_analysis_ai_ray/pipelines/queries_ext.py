@@ -3641,3 +3641,240 @@ ORDER BY domain
 
 QUERIES["domain_hits_scores"] = (q_domain_hits_scores,
                                  SQL_DOMAIN_HITS_SCORES)
+
+
+# ---------------------------------------------------------------------------
+# K-means Lloyd training — iterative in-engine model fitting
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def q_kmeans_lloyd(sf_dir: str):
+    """Full k-means TRAINING (not just one assignment pass): seeds are
+    the k lowest-vec_id vectors (per-block partial bottom-k keeps the
+    seed scan one pass), then 2 Lloyd iterations, each = broadcast
+    centroid matrix → per-block Euclidean argmin (distances rounded
+    to 1e-6 BEFORE the argmin, ties → lowest cluster, so both engines
+    pick identical clusters) → bounded k×(dim+1) sum partials → driver
+    centroid update (empty clusters keep their previous centroid).
+    Output is the final (true label → cluster) confusion table; one
+    flipped vector anywhere flips the hash. The oracle unrolls both
+    iterations in long (vec, dim) form."""
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "label", "embedding"])
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+        if len(ids) == 0:
+            return t
+        keep = np.argsort(ids)[:_KM_K]
+        return t.take(pa.array(np.sort(keep)))
+
+    seeds = agg._to_arrow(
+        ds.map_batches(seed_partial, batch_format="pyarrow"))
+    sids = np.asarray(seeds.column("vec_id"), dtype=np.int64)
+    order = np.argsort(sids)[:_KM_K]
+    semb = seeds.column("embedding").combine_chunks()
+    flat = np.asarray(semb.values, dtype=np.float64) \
+        .reshape(seeds.num_rows, _KM_DIM)
+    C = flat[order]                       # (k, dim), cluster j = j-th
+
+    def make_assign(Cb):
+        def assign_partial(t: pa.Table) -> pa.Table:
+            lab = np.asarray(t.column("label"), dtype=np.int64)
+            emb = t.column("embedding").combine_chunks()
+            X = np.asarray(emb.values, dtype=np.float64) \
+                .reshape(len(lab), _KM_DIM)
+            d2 = ((X[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+            cl = np.argmin(np.round(d2, 6), axis=1)
+            cols = {"cl": pa.array(cl.astype(np.int64)),
+                    "n": pa.array(np.ones(len(cl), dtype=np.int64))}
+            for j in range(_KM_DIM):
+                cols[f"s{j}"] = pa.array(X[:, j])
+            g = pa.table(cols).group_by("cl").aggregate(
+                [("n", "sum")] + [(f"s{j}", "sum")
+                                  for j in range(_KM_DIM)])
+            return g.rename_columns(
+                ["cl", "n"] + [f"s{j}" for j in range(_KM_DIM)])
+
+        return assign_partial
+
+    for _ in range(_KM_ITERS):
+        m = _partial_final(ds, make_assign(C), ["cl"],
+                           [("n", "sum")] + [(f"s{j}", "sum")
+                                             for j in range(_KM_DIM)])
+        cl = np.asarray(m.column("cl"), dtype=np.int64)
+        n = np.asarray(m.column("n"), dtype=np.float64)
+        S = np.stack([np.asarray(m.column(f"s{j}"), dtype=np.float64)
+                      for j in range(_KM_DIM)], axis=1)
+        Cn = C.copy()                     # empty cluster keeps old
+        Cn[cl] = S / n[:, None]
+        C = Cn
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        emb = t.column("embedding").combine_chunks()
+        X = np.asarray(emb.values, dtype=np.float64) \
+            .reshape(len(lab), _KM_DIM)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(np.round(d2, 6), axis=1)
+        g = pa.table({"label": pa.array(lab),
+                      "cluster": pa.array(cl.astype(np.int64))}) \
+            .group_by(["label", "cluster"]).aggregate([([], "count_all")])
+        return g.rename_columns(["label", "cluster", "cnt"])
+
+    out = _partial_final(ds, final_assign, ["label", "cluster"],
+                         [("cnt", "sum")])
+    return pa.table({
+        "label": pc.cast(out.column("label"), pa.int64()),
+        "cluster": out.column("cluster"),
+        "cnt": out.column("cnt"),
+    }).sort_by([("label", "ascending"), ("cluster", "ascending")])
+
+
+SQL_KMEANS_LLOYD = """
+WITH d AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS e
+           FROM embeddings,
+                unnest(range(1, len(embedding) + 1)) AS t(i)),
+sv AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+       FROM (SELECT DISTINCT vec_id FROM d ORDER BY vec_id LIMIT 8)),
+c0 AS (SELECT sv.cl, d.i, d.e AS ce
+       FROM sv JOIN d ON d.vec_id = sv.vec_id),
+a1 AS (SELECT vec_id, cl FROM (
+         SELECT d.vec_id, c0.cl,
+                row_number() OVER (PARTITION BY d.vec_id
+                  ORDER BY round(sum((d.e - c0.ce) * (d.e - c0.ce)), 6),
+                           c0.cl) AS rk
+         FROM d JOIN c0 ON d.i = c0.i
+         GROUP BY d.vec_id, c0.cl)
+       WHERE rk = 1),
+c1u AS (SELECT a1.cl, d.i, sum(d.e) / count(*) AS ce
+        FROM a1 JOIN d ON d.vec_id = a1.vec_id
+        GROUP BY 1, 2),
+c1 AS (SELECT c0.cl, c0.i, coalesce(c1u.ce, c0.ce) AS ce
+       FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+a2 AS (SELECT vec_id, cl FROM (
+         SELECT d.vec_id, c1.cl,
+                row_number() OVER (PARTITION BY d.vec_id
+                  ORDER BY round(sum((d.e - c1.ce) * (d.e - c1.ce)), 6),
+                           c1.cl) AS rk
+         FROM d JOIN c1 ON d.i = c1.i
+         GROUP BY d.vec_id, c1.cl)
+       WHERE rk = 1),
+c2u AS (SELECT a2.cl, d.i, sum(d.e) / count(*) AS ce
+        FROM a2 JOIN d ON d.vec_id = a2.vec_id
+        GROUP BY 1, 2),
+c2 AS (SELECT c1.cl, c1.i, coalesce(c2u.ce, c1.ce) AS ce
+       FROM c1 LEFT JOIN c2u ON c2u.cl = c1.cl AND c2u.i = c1.i),
+a3 AS (SELECT vec_id, cl FROM (
+         SELECT d.vec_id, c2.cl,
+                row_number() OVER (PARTITION BY d.vec_id
+                  ORDER BY round(sum((d.e - c2.ce) * (d.e - c2.ce)), 6),
+                           c2.cl) AS rk
+         FROM d JOIN c2 ON d.i = c2.i
+         GROUP BY d.vec_id, c2.cl)
+       WHERE rk = 1)
+SELECT e.label AS label, CAST(a3.cl AS BIGINT) AS cluster,
+       count(*) AS cnt
+FROM embeddings e JOIN a3 ON a3.vec_id = e.vec_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["kmeans_lloyd"] = (q_kmeans_lloyd, SQL_KMEANS_LLOYD)
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test — nonparametric S statistic with tie-corrected Z
+# ---------------------------------------------------------------------------
+
+
+def q_mann_kendall_daily(sf_dir: str):
+    """Mann–Kendall trend test per event type over the daily cents
+    series (the nonparametric complement to events_trend_slope's OLS
+    and theilsen_trend's median slope): S = Σ_{i<j} sign(x_j − x_i)
+    is an exact integer from the bounded (type, day) partial table;
+    the tie-corrected variance numerator n(n−1)(2n+5) − Σt(t−1)(2t+5)
+    stays integer (Python ints), and Z = (S − sign S)/√(var_num/18)
+    is the single mirrored float. Shuffle = |types|×|days| rows."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": day, "cents": cents}) \
+            .group_by(["event_type", "day"]) \
+            .aggregate([("cents", "sum")])
+        return g.rename_columns(["event_type", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["event_type", "day"],
+                       [("cents", "sum")])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    out_t, out_s, out_z = [], [], []
+    for ty in np.unique(et):
+        msk = et == ty
+        d, x = dy[msk], cv[msk]
+        o = np.argsort(d)
+        x = x[o]
+        n = len(x)
+        sgn = np.sign(x[None, :] - x[:, None])
+        S = int(np.triu(sgn, 1).sum())
+        _, tc = np.unique(x, return_counts=True)
+        var_num = (n * (n - 1) * (2 * n + 5)
+                   - sum(int(t_) * (t_ - 1) * (2 * t_ + 5)
+                         for t_ in tc))
+        if var_num > 0:
+            adj = S - (1 if S > 0 else (-1 if S < 0 else 0))
+            z = round(adj / math.sqrt(var_num / 18.0), 6)
+        else:
+            z = None
+        out_t.append(str(ty))
+        out_s.append(S)
+        out_z.append(z)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "s_stat": pa.array(out_s, pa.int64()),
+                     "z": pa.array(out_z, pa.float64())})
+
+
+SQL_MANN_KENDALL_DAILY = """
+WITH d AS (
+  SELECT event_type AS et,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT d1.et,
+         sum(CASE WHEN d2.x > d1.x THEN 1
+                  WHEN d2.x < d1.x THEN -1 ELSE 0 END) AS s_stat
+  FROM d d1 JOIN d d2 ON d1.et = d2.et AND d2.day > d1.day
+  GROUP BY 1),
+nn AS (SELECT et, count(*) AS n FROM d GROUP BY 1),
+tt AS (SELECT et, sum(tc * (tc - 1) * (2 * tc + 5)) AS tie_term
+       FROM (SELECT et, x, count(*) AS tc FROM d GROUP BY 1, 2)
+       GROUP BY 1),
+v AS (SELECT nn.et, s.s_stat,
+             nn.n * (nn.n - 1) * (2 * nn.n + 5)
+               - coalesce(tt.tie_term, 0) AS var_num
+      FROM nn JOIN s ON s.et = nn.et
+              LEFT JOIN tt ON tt.et = nn.et)
+SELECT et AS event_type, CAST(s_stat AS BIGINT) AS s_stat,
+       CASE WHEN var_num > 0 THEN
+         round((s_stat - CASE WHEN s_stat > 0 THEN 1
+                              WHEN s_stat < 0 THEN -1 ELSE 0 END)
+               / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+       END AS z
+FROM v ORDER BY 1
+"""
+
+QUERIES["mann_kendall_daily"] = (q_mann_kendall_daily,
+                                 SQL_MANN_KENDALL_DAILY)
