@@ -3878,3 +3878,150 @@ FROM v ORDER BY 1
 
 QUERIES["mann_kendall_daily"] = (q_mann_kendall_daily,
                                  SQL_MANN_KENDALL_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — quasi-identifier group-size risk profile
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """Privacy/governance audit: treat (nationkey, mktsegment,
+    acctbal-hundred-bucket) as the quasi-identifier and report, for
+    k ∈ {2, 5, 10}, how many customers sit in QI groups smaller than
+    k (re-identifiable at that threshold) plus the distinct group
+    count and the size of the largest group. Everything reduces to
+    the bounded QI histogram — (QI, cnt) partials, never rows — and
+    the k-sweep is a driver fold over that table. All-integer
+    output."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100), 0), pa.int64())
+        bb = pc.divide(bal, pa.scalar(10_000, pa.int64()))
+        g = pa.table({"nk": t.column("c_nationkey"),
+                      "seg": t.column("c_mktsegment"),
+                      "bb": bb}) \
+            .group_by(["nk", "seg", "bb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["nk", "seg", "bb", "c"])
+
+    h = _partial_final(ds, partial, ["nk", "seg", "bb"],
+                       [("c", "sum")])
+    c = np.asarray(h.column("c"), dtype=np.int64)
+    ks = [2, 5, 10]
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "rows_at_risk": pa.array(
+            [int(c[c < k].sum()) for k in ks], pa.int64()),
+        "groups_at_risk": pa.array(
+            [int((c < k).sum()) for k in ks], pa.int64()),
+        "n_groups": pa.array([len(c)] * 3, pa.int64()),
+        "max_group": pa.array(
+            [int(c.max()) if len(c) else 0] * 3, pa.int64())})
+
+
+SQL_K_ANONYMITY_AUDIT = """
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) // 10000 AS bb,
+         count(*) AS c
+  FROM customer GROUP BY 1, 2, 3),
+ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(coalesce(sum(CASE WHEN c < k THEN c END), 0)
+            AS BIGINT) AS rows_at_risk,
+       CAST(coalesce(sum(CASE WHEN c < k THEN 1 END), 0)
+            AS BIGINT) AS groups_at_risk,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(max(c) AS BIGINT) AS max_group
+FROM ks CROSS JOIN q GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["k_anonymity_audit"] = (q_k_anonymity_audit,
+                                SQL_K_ANONYMITY_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check — experiment-assignment health
+# ---------------------------------------------------------------------------
+
+
+def q_srm_check(sf_dir: str):
+    """A/B experimentation health check: users are hash-assigned to
+    two arms with THE shared Knuth bucket hash (the same arithmetic
+    every SQL mirror uses), and the sample-ratio-mismatch statistic
+    χ² = (a−b)²/(a+b) over DISTINCT users is reported per event type
+    plus overall, in integer micro units. Per-block distinct (type,
+    user) partials dedup before the exchange; arm counting is a
+    bounded rollup."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]) \
+            .aggregate([([], "count_all")])
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        arm = _knuth_bucket(u, 2)
+        gg = pa.table({"event_type": g.column("event_type"),
+                       "user_id": g.column("user_id"),
+                       "arm": pa.array(arm)}) \
+            .group_by(["event_type", "user_id", "arm"]) \
+            .aggregate([([], "count_all")])
+        return gg.rename_columns(["event_type", "user_id", "arm", "c"])
+
+    d = _partial_final(ds, partial, ["event_type", "user_id", "arm"],
+                       [("c", "sum")])
+    # distinct (type, user) after the cross-block merge
+    m = d.group_by(["event_type", "arm"]).aggregate([([], "count_all")]) \
+        .rename_columns(["event_type", "arm", "users"])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    arm = np.asarray(m.column("arm"), dtype=np.int64)
+    us = np.asarray(m.column("users"), dtype=np.int64)
+    types = sorted(str(x) for x in np.unique(et))
+    rows = []
+    for ty in types + ["__ALL__"]:
+        if ty == "__ALL__":
+            a = int(us[arm == 0].sum())
+            b = int(us[arm == 1].sum())
+        else:
+            msk = et == ty
+            a = int(us[msk & (arm == 0)].sum())
+            b = int(us[msk & (arm == 1)].sum())
+        chi = ((a - b) * (a - b) * 1_000_000 // (a + b)
+               if a + b > 0 else None)
+        rows.append((ty, a, b, chi))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "arm0_users": pa.array([r[1] for r in rows], pa.int64()),
+        "arm1_users": pa.array([r[2] for r in rows], pa.int64()),
+        "chi2_micro": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_SRM_CHECK = """
+WITH u AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(((user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS arm
+  FROM events),
+t AS (
+  SELECT event_type, arm, count(*) AS users FROM u GROUP BY 1, 2),
+g AS (
+  SELECT event_type,
+         coalesce(sum(CASE WHEN arm = 0 THEN users END), 0) AS a,
+         coalesce(sum(CASE WHEN arm = 1 THEN users END), 0) AS b
+  FROM t GROUP BY 1
+  UNION ALL
+  SELECT '__ALL__',
+         coalesce(sum(CASE WHEN arm = 0 THEN users END), 0),
+         coalesce(sum(CASE WHEN arm = 1 THEN users END), 0)
+  FROM t)
+SELECT event_type, CAST(a AS BIGINT) AS arm0_users,
+       CAST(b AS BIGINT) AS arm1_users,
+       CASE WHEN a + b > 0 THEN
+         CAST((a - b) * (a - b) * 1000000 // (a + b) AS BIGINT)
+       END AS chi2_micro
+FROM g ORDER BY event_type
+"""
+
+QUERIES["srm_check"] = (q_srm_check, SQL_SRM_CHECK)
