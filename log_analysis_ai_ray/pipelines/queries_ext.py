@@ -4025,3 +4025,371 @@ FROM g ORDER BY event_type
 """
 
 QUERIES["srm_check"] = (q_srm_check, SQL_SRM_CHECK)
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (histogram-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_source_quantile_normalize(sf_dir: str):
+    """Quantile normalization (the cross-source calibration step in
+    corpus mixing): each source's n_chars distribution is mapped onto
+    the GLOBAL order statistics — a (source,value) cell at
+    within-source midrank r maps to the global value at index
+    (2·cb+cnt−1)·N // (2·n_s) — and the per-source mean of the
+    normalized values is reported in integer milli-units. Everything
+    derives from the bounded (source, n_chars) histogram; tie groups
+    map whole, no per-row data ever moves."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "n_chars"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "cnt"])
+
+    h = _partial_final(ds, partial, ["source", "n_chars"],
+                       [("cnt", "sum")])
+    src = h.column("source").to_numpy(zero_copy_only=False)
+    val = np.asarray(h.column("n_chars"), dtype=np.int64)
+    cnt = np.asarray(h.column("cnt"), dtype=np.int64)
+    # global histogram
+    gv, ginv = np.unique(val, return_inverse=True)
+    gc = np.zeros(len(gv), dtype=np.int64)
+    np.add.at(gc, ginv, cnt)
+    gcb = np.cumsum(gc) - gc
+    N = int(gc.sum())
+    out_s, out_n, out_m = [], [], []
+    for s in np.unique(src):
+        m = src == s
+        v, c = val[m], cnt[m]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        cb = np.cumsum(c) - c
+        ns = int(c.sum())
+        idx = ((2 * cb + c - 1) * N) // (2 * ns)
+        # global order statistic at each idx
+        pos = np.searchsorted(gcb + gc, idx, side="right")
+        vstar = gv[pos]
+        mean_milli = int(np.sum(c * vstar * 1000, dtype=object)
+                         // ns)
+        out_s.append(str(s))
+        out_n.append(ns)
+        out_m.append(mean_milli)
+    return pa.table({"source": pa.array(out_s, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "norm_mean_milli": pa.array(out_m, pa.int64())})
+
+
+SQL_SOURCE_QUANTILE_NORMALIZE = """
+WITH h AS (
+  SELECT source, n_chars, count(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+g AS (
+  SELECT n_chars AS val, sum(cnt) AS gc FROM h GROUP BY 1),
+gg AS (
+  SELECT val, gc,
+         sum(gc) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) - gc
+           AS gcb,
+         sum(gc) OVER () AS n
+  FROM g),
+s AS (
+  SELECT source, n_chars, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cb,
+         sum(cnt) OVER (PARTITION BY source) AS ns
+  FROM h),
+idx AS (
+  SELECT source, cnt, ns,
+         ((2 * cb + cnt - 1) * (SELECT max(n) FROM gg))
+           // (2 * ns) AS ix
+  FROM s),
+mapped AS (
+  SELECT i.source, i.cnt, i.ns, gg.val AS vstar
+  FROM idx i JOIN gg
+    ON i.ix >= gg.gcb AND i.ix < gg.gcb + gg.gc)
+SELECT source, CAST(max(ns) AS BIGINT) AS n,
+       CAST(sum(cnt * vstar * 1000) // max(ns) AS BIGINT)
+         AS norm_mean_milli
+FROM mapped GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["source_quantile_normalize"] = (q_source_quantile_normalize,
+                                        SQL_SOURCE_QUANTILE_NORMALIZE)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals — deterministic hash resampling
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+# Poisson(1) CDF thresholds scaled to 1e6 (0,1,2,3 then 4+)
+_BOOT_T = (367879, 735758, 919698, 981011)
+
+
+def q_bootstrap_mean_ci(sf_dir: str):
+    """Distributed BOOTSTRAP confidence intervals with zero RNG state:
+    replicate b weights each event by a deterministic pseudo-Poisson(1)
+    draw — THE shared Knuth hash of (event_id·B+b) cut at fixed
+    integer CDF thresholds — so any executor reproduces any weight.
+    The cluster ships only (type, b, Σw·cents, Σw) partials (types×50
+    rows); replicate means are integer micro-cents and the 2.5/97.5 %
+    CI is an order statistic over the 50 integer means (indices 1 and
+    48 of the sorted replicates). The oracle rebuilds the identical
+    weights in SQL — same hash, same thresholds."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("event_id"), dtype=np.int64)
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        et = t.column("event_type")
+        n = len(ids)
+        B = _BOOT_B
+        hb = ((ids[:, None] * B + np.arange(B)[None, :])
+              .astype(np.uint64) % np.uint64(2**32)
+              * np.uint64(2654435761)) % np.uint64(2**32) \
+            % np.uint64(1_000_000)
+        w = (np.int64(4)
+             - (hb < _BOOT_T[3]).astype(np.int64)
+             - (hb < _BOOT_T[2]).astype(np.int64)
+             - (hb < _BOOT_T[1]).astype(np.int64)
+             - (hb < _BOOT_T[0]).astype(np.int64))
+        bidx = np.tile(np.arange(B, dtype=np.int64), n)
+        etr = et.combine_chunks().take(
+            pa.array(np.repeat(np.arange(n), B)))
+        g = pa.table({
+            "event_type": etr,
+            "b": pa.array(bidx),
+            "wx": pa.array((w * cents[:, None]).reshape(-1)),
+            "w": pa.array(w.reshape(-1)),
+        }).group_by(["event_type", "b"]).aggregate(
+            [("wx", "sum"), ("w", "sum")])
+        return g.rename_columns(["event_type", "b", "wx", "w"])
+
+    m = _partial_final(ds, partial, ["event_type", "b"],
+                       [("wx", "sum"), ("w", "sum")])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    wx = np.asarray(m.column("wx"), dtype=np.int64)
+    w = np.asarray(m.column("w"), dtype=np.int64)
+    out = {"event_type": [], "mean_micro": [], "ci_lo_micro": [],
+           "ci_hi_micro": []}
+    for ty in sorted(str(x) for x in np.unique(et)):
+        msk = et == ty
+        means = np.sort((wx[msk] * 1_000_000) // np.maximum(w[msk], 1))
+        out["event_type"].append(ty)
+        out["mean_micro"].append(int(means.sum() // len(means)))
+        out["ci_lo_micro"].append(int(means[1]))
+        out["ci_hi_micro"].append(int(means[48]))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "mean_micro": pa.array(out["mean_micro"], pa.int64()),
+        "ci_lo_micro": pa.array(out["ci_lo_micro"], pa.int64()),
+        "ci_hi_micro": pa.array(out["ci_hi_micro"], pa.int64())})
+
+
+SQL_BOOTSTRAP_MEAN_CI = """
+WITH b AS (SELECT CAST(x AS BIGINT) AS b
+           FROM (SELECT unnest(range(50)) AS x)),
+w AS (
+  SELECT e.event_type, b.b,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+         4 - CASE WHEN ((e.event_id * 50 + b.b) % 4294967296)
+                       * 2654435761::HUGEINT % 4294967296 % 1000000
+                       < 367879 THEN 1 ELSE 0 END
+           - CASE WHEN ((e.event_id * 50 + b.b) % 4294967296)
+                       * 2654435761::HUGEINT % 4294967296 % 1000000
+                       < 735758 THEN 1 ELSE 0 END
+           - CASE WHEN ((e.event_id * 50 + b.b) % 4294967296)
+                       * 2654435761::HUGEINT % 4294967296 % 1000000
+                       < 919698 THEN 1 ELSE 0 END
+           - CASE WHEN ((e.event_id * 50 + b.b) % 4294967296)
+                       * 2654435761::HUGEINT % 4294967296 % 1000000
+                       < 981011 THEN 1 ELSE 0 END AS w
+  FROM events e CROSS JOIN b),
+r AS (
+  SELECT event_type, b,
+         CAST(sum(w * cents) * 1000000
+              // greatest(sum(w), 1) AS BIGINT) AS mean_micro
+  FROM w GROUP BY 1, 2),
+o AS (
+  SELECT event_type, mean_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY mean_micro) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nb
+  FROM r)
+SELECT event_type,
+       CAST(sum(mean_micro) // max(nb) AS BIGINT) AS mean_micro,
+       CAST(max(CASE WHEN rk = 2 THEN mean_micro END)
+            AS BIGINT) AS ci_lo_micro,
+       CAST(max(CASE WHEN rk = 49 THEN mean_micro END)
+            AS BIGINT) AS ci_hi_micro
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bootstrap_mean_ci"] = (q_bootstrap_mean_ci,
+                                SQL_BOOTSTRAP_MEAN_CI)
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence recommender — train on even orders, hit-rate@3 on odd
+# ---------------------------------------------------------------------------
+
+
+def q_recsys_hitrate(sf_dir: str):
+    """In-engine recommender train/eval split: item→item co-occurrence
+    counts are TRAINED on even-orderkey baskets (pair partials — the
+    same bounded shape as basket_part_pairs), each item keeps its
+    top-3 co-items (count desc, item asc — integer tie rule), and the
+    model is EVALUATED on odd baskets: for every (seed, other) pair in
+    a test basket, a hit iff other ∈ top3(seed). Output is per-basket-
+    size hit-rate in per-mille — integers end to end. Train pairs and
+    eval probes both reduce inside blocks after one orderkey-hash
+    co-location; the broadcast model is the k×top3 table."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(t: pa.Table, parity: int) -> tuple:
+        o = np.asarray(t.column("o"), dtype=np.int64)
+        p = np.asarray(t.column("p"), dtype=np.int64)
+        keep = (o & 1) == parity
+        o, p = o[keep], p[keep]
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        dd = np.ones(len(o), dtype=bool)
+        dd[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[dd], p[dd]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(o)))
+        return o, p, starts, sizes
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]) \
+            .aggregate([([], "count_all")])
+        k = np.asarray(g.column("l_orderkey"), dtype=np.int64)
+        return pa.table({"_pkey": pa.array(_knuth_bucket(k, _TRIPLE_NPART)),
+                         "o": g.column("l_orderkey"),
+                         "p": g.column("l_partkey")})
+
+    def train_pairs(t: pa.Table) -> pa.Table:
+        o, p, starts, sizes = pairs(t, 0)
+        outs = []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            ii, jj = np.triu_indices(s, k=1)
+            st = starts[sizes == s]
+            a = p[(st[:, None] + ii[None, :]).reshape(-1)]
+            b = p[(st[:, None] + jj[None, :]).reshape(-1)]
+            outs.append(np.column_stack((a, b)))
+        if not outs:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        ab = np.concatenate(outs)
+        # symmetric: count both directions
+        ab = np.concatenate([ab, ab[:, ::-1]])
+        g = pa.table({"a": pa.array(ab[:, 0]),
+                      "b": pa.array(ab[:, 1])}) \
+            .group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "cnt"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    model_t = agg._to_arrow(
+        tagged.groupby("_pkey").map_groups(train_pairs,
+                                           batch_format="pyarrow"))
+    model_t = model_t.group_by(["a", "b"]).aggregate([("cnt", "sum")]) \
+        .rename_columns(["a", "b", "cnt"])
+    a = np.asarray(model_t.column("a"), dtype=np.int64)
+    b = np.asarray(model_t.column("b"), dtype=np.int64)
+    c = np.asarray(model_t.column("cnt"), dtype=np.int64)
+    order = np.lexsort((b, -c, a))
+    a, b, c = a[order], b[order], c[order]
+    new = np.ones(len(a), dtype=bool)
+    new[1:] = a[1:] != a[:-1]
+    rk = np.arange(len(a)) - np.repeat(
+        np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new),
+                                               len(a))))
+    t3a, t3b = a[rk < 3], b[rk < 3]
+    top3_keys = np.sort(t3a * np.int64(1) * 2**32 + t3b)
+
+    def eval_probes(t: pa.Table) -> pa.Table:
+        o, p, starts, sizes = pairs(t, 1)
+        rows = {"bsize": [], "probes": [], "hits": []}
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            ii, jj = np.triu_indices(s, k=1)
+            st = starts[sizes == s]
+            x = p[(st[:, None] + ii[None, :]).reshape(-1)]
+            y = p[(st[:, None] + jj[None, :]).reshape(-1)]
+            # ordered probes both ways, vectorized membership on
+            # packed (seed<<32)|other keys (partkeys < 2^31)
+            k1 = x * np.int64(1) * 2**32 + y
+            k2 = y * np.int64(1) * 2**32 + x
+            pos1 = np.searchsorted(top3_keys, k1)
+            pos2 = np.searchsorted(top3_keys, k2)
+            h1 = (pos1 < len(top3_keys)) & \
+                (top3_keys[np.minimum(pos1, len(top3_keys) - 1)] == k1)
+            h2 = (pos2 < len(top3_keys)) & \
+                (top3_keys[np.minimum(pos2, len(top3_keys) - 1)] == k2)
+            rows["bsize"].append(int(s))
+            rows["probes"].append(int(2 * len(x)))
+            rows["hits"].append(int(h1.sum() + h2.sum()))
+        return pa.table({
+            "bsize": pa.array(rows["bsize"], pa.int64()),
+            "probes": pa.array(rows["probes"], pa.int64()),
+            "hits": pa.array(rows["hits"], pa.int64())})
+
+    ev = agg._to_arrow(
+        tagged.groupby("_pkey").map_groups(eval_probes,
+                                           batch_format="pyarrow"))
+    ev = ev.group_by("bsize").aggregate(
+        [("probes", "sum"), ("hits", "sum")]) \
+        .rename_columns(["bsize", "probes", "hits"])
+    bs = np.asarray(ev.column("bsize"), dtype=np.int64)
+    pr = np.asarray(ev.column("probes"), dtype=np.int64)
+    ht = np.asarray(ev.column("hits"), dtype=np.int64)
+    o = np.argsort(bs)
+    return pa.table({
+        "bsize": pa.array(bs[o]),
+        "probes": pa.array(pr[o]),
+        "hits": pa.array(ht[o]),
+        "hit_pm": pa.array(ht[o] * 1000 // np.maximum(pr[o], 1))})
+
+
+SQL_RECSYS_HITRATE = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tr AS (SELECT o, p FROM d WHERE o % 2 = 0),
+te AS (SELECT o, p FROM d WHERE o % 2 = 1),
+co AS (
+  SELECT t1.p AS a, t2.p AS b, count(*) AS cnt
+  FROM tr t1 JOIN tr t2 ON t1.o = t2.o AND t1.p <> t2.p
+  GROUP BY 1, 2),
+top3 AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY cnt DESC, b) AS rk
+    FROM co) WHERE rk <= 3),
+probes AS (
+  SELECT t1.o, t1.p AS seed, t2.p AS other
+  FROM te t1 JOIN te t2 ON t1.o = t2.o AND t1.p <> t2.p),
+sz AS (SELECT o, count(*) AS bsize FROM te GROUP BY 1),
+ev AS (
+  SELECT sz.bsize, probes.seed, probes.other,
+         CASE WHEN top3.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM probes JOIN sz ON sz.o = probes.o
+  LEFT JOIN top3 ON top3.a = probes.seed AND top3.b = probes.other)
+SELECT CAST(bsize AS BIGINT) AS bsize,
+       CAST(count(*) AS BIGINT) AS probes,
+       CAST(sum(hit) AS BIGINT) AS hits,
+       CAST(sum(hit) * 1000 // greatest(count(*), 1) AS BIGINT)
+         AS hit_pm
+FROM ev GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["recsys_hitrate"] = (q_recsys_hitrate, SQL_RECSYS_HITRATE)
