@@ -4393,3 +4393,77 @@ FROM ev GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["recsys_hitrate"] = (q_recsys_hitrate, SQL_RECSYS_HITRATE)
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate — predictability of the event stream
+# ---------------------------------------------------------------------------
+
+
+def q_markov_entropy_rate(sf_dir: str):
+    """Entropy rate of the per-user event-type Markov chain (how
+    predictable the stream is): H = −Σ p(prev,cur)·ln p(cur|prev)
+    over the same |types|² transition partials event_type_markov
+    ships, plus each state's conditional entropy. Reported in integer
+    micro-nats; compared against the unconditional type entropy so
+    the information gain of conditioning is visible."""
+    import math
+
+    from .queries import q_event_type_markov
+
+    tr = q_event_type_markov(sf_dir)
+    pv = tr.column("prev_type").to_numpy(zero_copy_only=False)
+    cv = tr.column("cur_type").to_numpy(zero_copy_only=False)
+    nv = np.asarray(tr.column("n"), dtype=np.int64)
+    N = int(nv.sum())
+    rows_s, rows_h, rows_n = [], [], []
+    total = 0.0
+    for s in sorted(str(x) for x in np.unique(pv)):
+        m = pv == s
+        c = nv[m].astype(np.float64)
+        ns = c.sum()
+        p = c / ns
+        h = float(-(p * np.log(p)).sum())
+        rows_s.append(s)
+        rows_h.append(int(round(h * 1e6)))
+        rows_n.append(int(ns))
+        total += (ns / N) * h
+    rows_s.append("__RATE__")
+    rows_h.append(int(round(total * 1e6)))
+    rows_n.append(N)
+    return pa.table({"state": pa.array(rows_s, pa.string()),
+                     "h_micro": pa.array(rows_h, pa.int64()),
+                     "n": pa.array(rows_n, pa.int64())})
+
+
+SQL_MARKOV_ENTROPY_RATE = """
+WITH s AS (SELECT event_type,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_type
+           FROM events),
+t AS (SELECT prev_type, event_type AS cur_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT prev_type, sum(n) AS ns FROM t GROUP BY 1),
+h AS (SELECT t.prev_type,
+             -sum((t.n::DOUBLE / m.ns) * ln(t.n::DOUBLE / m.ns))
+               AS hs,
+             max(m.ns) AS ns
+      FROM t JOIN m ON m.prev_type = t.prev_type
+      GROUP BY 1),
+nn AS (SELECT sum(ns) AS n FROM h)
+SELECT prev_type AS state,
+       CAST(round(hs * 1000000, 0) AS BIGINT) AS h_micro,
+       CAST(ns AS BIGINT) AS n
+FROM h
+UNION ALL
+SELECT '__RATE__',
+       CAST(round(sum((ns::DOUBLE / nn.n) * hs) * 1000000, 0)
+            AS BIGINT),
+       CAST(max(nn.n) AS BIGINT)
+FROM h CROSS JOIN nn
+ORDER BY state
+"""
+
+QUERIES["markov_entropy_rate"] = (q_markov_entropy_rate,
+                                  SQL_MARKOV_ENTROPY_RATE)
