@@ -90,3 +90,56 @@ def diff_versions(root: str, v_old: int, v_new: int) -> dict:
     b = set(read_manifest(root, v_new)["files"])
     return {"added": sorted(b - a), "removed": sorted(a - b),
             "unchanged": len(a & b)}
+
+
+def vacuum_versions(root: str, *, keep_last: int = 2,
+                    dry_run: bool = False) -> dict:
+    """Retention/VACUUM: drop manifests older than the newest
+    ``keep_last`` versions and delete data files no RETAINED manifest
+    references (files are copy-on-write shared across versions, so
+    liveness is the union of the kept manifests' file lists — a file
+    referenced by v5 and v9 survives a vacuum that drops v5).
+
+    Deletion order is crash-safe for concurrent readers of retained
+    versions: old MANIFESTS go first (so no reader can pin a version
+    that is about to lose files), then the now-unreferenced data
+    files. A reader already inside a dropped version may see a
+    missing-file error — the same contract as Delta/Iceberg VACUUM.
+    Time travel to dropped versions becomes unavailable; lineage
+    stays intact because retained manifests keep their ``parent``
+    numbers. Returns the removal report (also for ``dry_run``)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vdir = os.path.join(root, _VDIR)
+    if not os.path.isdir(vdir):
+        return {"kept_versions": [], "dropped_versions": [],
+                "deleted_files": [], "kept_files": 0}
+    vs = sorted(int(f[1:7]) for f in os.listdir(vdir)
+                if f.startswith("v") and f.endswith(".json"))
+    kept = vs[-keep_last:]
+    dropped = vs[:-keep_last] if len(vs) > keep_last else []
+    live: set[str] = set()
+    for v in kept:
+        live.update(read_manifest(root, v)["files"])
+    dead: set[str] = set()
+    for v in dropped:
+        dead.update(read_manifest(root, v)["files"])
+    dead -= live
+    report = {"kept_versions": kept, "dropped_versions": dropped,
+              "deleted_files": sorted(dead), "kept_files": len(live)}
+    if dry_run:
+        return report
+    for v in dropped:                      # manifests first
+        os.unlink(_vpath(root, v))
+    for rel in sorted(dead):               # then orphaned data
+        p = os.path.join(root, rel)
+        if os.path.isfile(p):
+            os.unlink(p)
+        d = os.path.dirname(p)
+        try:                               # clean now-empty dirs
+            while os.path.realpath(d) != os.path.realpath(root):
+                os.rmdir(d)
+                d = os.path.dirname(d)
+        except OSError:
+            pass                           # dir still shared — keep
+    return report
