@@ -4467,3 +4467,182 @@ ORDER BY state
 
 QUERIES["markov_entropy_rate"] = (q_markov_entropy_rate,
                                   SQL_MARKOV_ENTROPY_RATE)
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound ranking — proportions with small-sample honesty
+# ---------------------------------------------------------------------------
+
+
+def q_wilson_en_ranking(sf_dir: str):
+    """Sources ranked by the Wilson-score LOWER bound of their English
+    share (the ranking rule that stops tiny sources from beating big
+    ones on raw proportion): per-source (n, en) partials only; the
+    z=1.96 interval arithmetic is one mirrored float expression
+    rounded to micro; rank ties break on source asc via the bound's
+    micro value in BOTH engines."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        g = pa.table({"source": t.column("source"), "en": en}) \
+            .group_by("source").aggregate(
+                [([], "count_all"), ("en", "sum")])
+        return g.rename_columns(["source", "n", "en"])
+
+    m = _partial_final(ds, partial, ["source"],
+                       [("n", "sum"), ("en", "sum")])
+    src = m.column("source").to_numpy(zero_copy_only=False)
+    n = np.asarray(m.column("n"), dtype=np.float64)
+    en = np.asarray(m.column("en"), dtype=np.float64)
+    z = 1.96
+    p = en / n
+    lb = ((p + z * z / (2 * n)
+           - z * np.sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+          / (1 + z * z / n))
+    lbm = np.round(lb * 1e6).astype(np.int64)
+    order = np.lexsort((src, -lbm))
+    rank = np.arange(1, len(src) + 1, dtype=np.int64)
+    return pa.table({
+        "source": pa.array(src[order].tolist(), pa.string()),
+        "n": pa.array(n[order].astype(np.int64)),
+        "en_docs": pa.array(en[order].astype(np.int64)),
+        "wilson_lb_micro": pa.array(lbm[order]),
+        "rnk": pa.array(rank)})
+
+
+SQL_WILSON_EN_RANKING = """
+WITH s AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n, en,
+         CAST(round(
+           ((en::DOUBLE / n) + 1.96 * 1.96 / (2 * n)
+            - 1.96 * sqrt(((en::DOUBLE / n) * (1 - en::DOUBLE / n)
+                           + 1.96 * 1.96 / (4 * n)) / n))
+           / (1 + 1.96 * 1.96 / n) * 1000000, 0) AS BIGINT)
+           AS wilson_lb_micro
+  FROM s)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(en AS BIGINT) AS en_docs,
+       wilson_lb_micro,
+       CAST(row_number() OVER (ORDER BY wilson_lb_micro DESC, source)
+            AS BIGINT) AS rnk
+FROM w ORDER BY rnk
+"""
+
+QUERIES["wilson_en_ranking"] = (q_wilson_en_ranking,
+                                SQL_WILSON_EN_RANKING)
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validated OLS — leave-fold-out via sufficient statistics
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+
+def q_kfold_ols_cv(sf_dir: str):
+    """K-fold cross-validation IN the engine with the
+    sufficient-statistics trick: one pass ships per-fold {n, Σx, Σy,
+    Σx², Σxy, Σy²} (folds = THE Knuth hash of user_id), and each
+    fold's TRAINING moments are total−fold — no second pass, no
+    per-fold rescan. x = hour-of-day, y = cents. Slope/intercept come
+    from exact integer moments (Python ints); the held-out MSE is the
+    quadratic-form expansion Σ(y−a−bx)² = Σy² + n·a² + b²Σx² − 2aΣy
+    − 2bΣxy + 2abΣx evaluated on the fold's integer moments with
+    float a, b — the identical expression the oracle computes, round
+    3."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        fold = _knuth_bucket(u, _CV_FOLDS)
+        x = np.asarray(pc.hour(t.column("ts")), dtype=np.int64)
+        y = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        g = pa.table({"fold": pa.array(fold),
+                      "n": pa.array(np.ones(len(u), dtype=np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "sxy": pa.array(x * y),
+                      "syy": pa.array(y * y)}) \
+            .group_by("fold").aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxx", "sum"), ("sxy", "sum"), ("syy", "sum")])
+        return g.rename_columns(["fold", "n", "sx", "sy", "sxx",
+                                 "sxy", "syy"])
+
+    m = _partial_final(ds, partial, ["fold"],
+                       [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxx", "sum"), ("sxy", "sum"), ("syy", "sum")])
+    fold = np.asarray(m.column("fold"), dtype=np.int64)
+    cols = {c: [int(v) for v in m.column(c).to_pylist()]
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}
+    tot = {c: sum(cols[c]) for c in cols}
+    out = {"fold": [], "n_test": [], "slope_micro": [],
+           "mse_milli": []}
+    for i in np.argsort(fold):
+        f = int(fold[i])
+        tr = {c: tot[c] - cols[c][i] for c in cols}
+        den = tr["n"] * tr["sxx"] - tr["sx"] * tr["sx"]
+        b = ((tr["n"] * tr["sxy"] - tr["sx"] * tr["sy"]) / den
+             if den else 0.0)
+        a = (tr["sy"] - b * tr["sx"]) / tr["n"] if tr["n"] else 0.0
+        n, sx, sy = cols["n"][i], cols["sx"][i], cols["sy"][i]
+        sxx, sxy, syy = cols["sxx"][i], cols["sxy"][i], cols["syy"][i]
+        sse = (syy + n * a * a + b * b * sxx - 2 * a * sy
+               - 2 * b * sxy + 2 * a * b * sx)
+        out["fold"].append(f)
+        out["n_test"].append(n)
+        out["slope_micro"].append(int(round(b * 1e6)))
+        out["mse_milli"].append(int(round(sse / n * 1000))
+                                if n else None)
+    return pa.table({
+        "fold": pa.array(out["fold"], pa.int64()),
+        "n_test": pa.array(out["n_test"], pa.int64()),
+        "slope_micro": pa.array(out["slope_micro"], pa.int64()),
+        "mse_milli": pa.array(out["mse_milli"], pa.int64())})
+
+
+SQL_KFOLD_OLS_CV = """
+WITH e AS (
+  SELECT CAST(((user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 5 AS BIGINT) AS fold,
+         CAST(hour(ts) AS BIGINT) AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+p AS (
+  SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM e GROUP BY 1),
+t AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
+  FROM p),
+f AS (
+  SELECT p.fold, p.n AS n_test, p.sx AS psx, p.sy AS psy,
+         p.sxx AS psxx, p.sxy AS psxy, p.syy AS psyy,
+         t.n - p.n AS tn, t.sx - p.sx AS tsx, t.sy - p.sy AS tsy,
+         t.sxx - p.sxx AS tsxx, t.sxy - p.sxy AS tsxy
+  FROM p CROSS JOIN t),
+c AS (
+  SELECT fold, n_test, psx, psy, psxx, psxy, psyy,
+         CASE WHEN tn * tsxx - tsx * tsx <> 0 THEN
+           CAST(tn * tsxy - tsx * tsy AS DOUBLE)
+           / CAST(tn * tsxx - tsx * tsx AS DOUBLE)
+         ELSE 0 END AS b, tn, tsx, tsy
+  FROM f),
+c2 AS (
+  SELECT fold, n_test, psx, psy, psxx, psxy, psyy, b,
+         (tsy - b * tsx) / tn AS a
+  FROM c)
+SELECT fold, CAST(n_test AS BIGINT) AS n_test,
+       CAST(round(b * 1000000, 0) AS BIGINT) AS slope_micro,
+       CAST(round((psyy + n_test * a * a + b * b * psxx
+                   - 2 * a * psy - 2 * b * psxy + 2 * a * b * psx)
+                  / n_test * 1000, 0) AS BIGINT) AS mse_milli
+FROM c2 ORDER BY fold
+"""
+
+QUERIES["kfold_ols_cv"] = (q_kfold_ols_cv, SQL_KFOLD_OLS_CV)
