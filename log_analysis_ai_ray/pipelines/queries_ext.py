@@ -4646,3 +4646,219 @@ FROM c2 ORDER BY fold
 """
 
 QUERIES["kfold_ols_cv"] = (q_kfold_ols_cv, SQL_KFOLD_OLS_CV)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — leakage-free categorical feature
+# ---------------------------------------------------------------------------
+
+
+def q_target_encoding_loo(sf_dir: str):
+    """Leave-one-out target encoding of event_type by cents (the
+    leakage-free categorical encoder), aggregated per hour WITHOUT
+    touching rows: Σ_{i∈(h,t)} (S_t − y_i)/(n_t − 1) collapses to
+    (n_{h,t}·S_t − S_{h,t})/(n_t − 1), so the whole encoding is a
+    closed form over the (hour, type) partial table. Numerator and
+    denominator stay exact Python ints; the single division is
+    mirrored and rounded to micro. Types with n_t = 1 fall back to
+    the global mean (same rule both engines)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({"hour": hh, "event_type": t.column("event_type"),
+                      "y": y}) \
+            .group_by(["hour", "event_type"]).aggregate(
+                [([], "count_all"), ("y", "sum")])
+        return g.rename_columns(["hour", "event_type", "n", "s"])
+
+    m = _partial_final(ds, partial, ["hour", "event_type"],
+                       [("n", "sum"), ("s", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    n = np.asarray(m.column("n"), dtype=np.int64)
+    s = np.asarray(m.column("s"), dtype=np.int64)
+    types, tinv = np.unique(et, return_inverse=True)
+    nt = np.zeros(len(types), dtype=np.int64)
+    st = np.zeros(len(types), dtype=np.int64)
+    np.add.at(nt, tinv, n)
+    np.add.at(st, tinv, s)
+    N, S = int(n.sum()), int(s.sum())
+    gmean_micro = S * 1_000_000 // N if N else 0
+    out_h, out_t, out_n, out_e = [], [], [], []
+    order = np.lexsort((et, hr))
+    for i in order:
+        ti = tinv[i]
+        if nt[ti] > 1:
+            num = int(n[i]) * int(st[ti]) - int(s[i])
+            enc = num * 1_000_000 // (int(n[i]) * (int(nt[ti]) - 1))
+        else:
+            enc = gmean_micro
+        out_h.append(int(hr[i]))
+        out_t.append(str(et[i]))
+        out_n.append(int(n[i]))
+        out_e.append(enc)
+    return pa.table({
+        "hour": pa.array(out_h, pa.int64()),
+        "event_type": pa.array(out_t, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "enc_micro": pa.array(out_e, pa.int64())})
+
+
+SQL_TARGET_ENCODING_LOO = """
+WITH e AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+p AS (
+  SELECT hour, event_type, count(*) AS n, sum(y) AS s
+  FROM e GROUP BY 1, 2),
+t AS (
+  SELECT event_type, sum(n) AS nt, sum(s) AS st FROM p GROUP BY 1),
+g AS (SELECT sum(n) AS gn, sum(s) AS gs FROM p)
+SELECT p.hour, p.event_type, CAST(p.n AS BIGINT) AS n,
+       CAST(CASE WHEN t.nt > 1 THEN
+              (p.n * t.st - p.s) * 1000000 // (p.n * (t.nt - 1))
+            ELSE (SELECT gs * 1000000 // gn FROM g)
+            END AS BIGINT) AS enc_micro
+FROM p JOIN t ON t.event_type = p.event_type
+ORDER BY 1, 2
+"""
+
+QUERIES["target_encoding_loo"] = (q_target_encoding_loo,
+                                  SQL_TARGET_ENCODING_LOO)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join — leakage-free training-feature rows
+# ---------------------------------------------------------------------------
+
+_PIT_NPART = 32
+_PIT_7D_US = 7 * 86_400_000_000
+
+
+def q_pit_features(sf_dir: str):
+    """Feature-store semantics: for every PURCHASE event, features
+    computed from the user's STRICTLY-EARLIER events only (the
+    point-in-time-correct join that prevents train-time leakage):
+    lifetime event count, lifetime cents, and 7-day trailing count.
+    One user-hash exchange; per partition a single lexsort by
+    (user, ts, event_id) gives lifetime features as segmented prefix
+    sums and the 7-day window as one searchsorted against the same
+    sorted timestamps. Strictly-before ties: an event at the same µs
+    is NOT visible (mirrors the oracle's RANGE ... 1 PRECEDING).
+    Output is bucketed per (user-bucket, label-hour) count+sum to
+    keep the compare table bounded while one wrong feature anywhere
+    flips a bucket hash."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts",
+                        "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, _PIT_NPART)),
+            "u": t.column("user_id"),
+            "et": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "y": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100), 0), pa.int64())})
+
+    def features(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u"), dtype=np.int64)
+        ts = np.asarray(t.column("t"), dtype=np.int64)
+        e = np.asarray(t.column("e"), dtype=np.int64)
+        y = np.asarray(t.column("y"), dtype=np.int64)
+        et = t.column("et").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ts, e, y, et = u[order], ts[order], e[order], y[order], \
+            et[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg0 = np.repeat(np.flatnonzero(new),
+                         np.diff(np.append(np.flatnonzero(new),
+                                           len(u))))
+        idx = np.arange(len(u))
+        # strictly-before at µs granularity: first index of each
+        # distinct (user, ts) run — everything before it is visible
+        new_t = np.ones(len(u), dtype=bool)
+        new_t[1:] = (u[1:] != u[:-1]) | (ts[1:] != ts[:-1])
+        first_of_run = np.repeat(np.flatnonzero(new_t),
+                                 np.diff(np.append(
+                                     np.flatnonzero(new_t), len(u))))
+        upto = first_of_run                     # exclusive end
+        cy = np.concatenate(([0], np.cumsum(y)))
+        life_n = upto - seg0
+        life_cents = cy[upto] - cy[seg0]
+        # 7-day trailing count: one searchsorted per user segment
+        # over that segment's already-sorted timestamps
+        win_n = np.empty(len(u), dtype=np.int64)
+        seg_starts = np.flatnonzero(new)
+        seg_ends = np.append(seg_starts[1:], len(u))
+        for s0, s1 in zip(seg_starts, seg_ends):
+            sub = ts[s0:s1]
+            w0 = np.searchsorted(sub, sub - _PIT_7D_US, side="left")
+            win_n[s0:s1] = (upto[s0:s1] - s0) - w0
+        is_label = et == "purchase"
+        ub = _knuth_bucket(u[is_label], 16)
+        hh = (ts[is_label] // 3_600_000_000) % 24
+        g = pa.table({
+            "ubucket": pa.array(ub),
+            "hour": pa.array(hh),
+            "n_labels": pa.array(np.ones(int(is_label.sum()),
+                                         dtype=np.int64)),
+            "life_n": pa.array(life_n[is_label]),
+            "life_cents": pa.array(life_cents[is_label]),
+            "win7_n": pa.array(win_n[is_label]),
+        }).group_by(["ubucket", "hour"]).aggregate(
+            [("n_labels", "sum"), ("life_n", "sum"),
+             ("life_cents", "sum"), ("win7_n", "sum")])
+        return g.rename_columns(["ubucket", "hour", "n_labels",
+                                 "life_n", "life_cents", "win7_n"])
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(features, batch_format="pyarrow")
+    out = agg._combine_partials(parts, keys=["ubucket", "hour"],
+                                aggs=[("n_labels", "sum"),
+                                      ("life_n", "sum"),
+                                      ("life_cents", "sum"),
+                                      ("win7_n", "sum")])
+    return out.sort_by([("ubucket", "ascending"),
+                        ("hour", "ascending")])
+
+
+SQL_PIT_FEATURES = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+f AS (
+  SELECT user_id, event_type, t,
+         count(*) OVER w AS life_n,
+         coalesce(sum(y) OVER w, 0) AS life_cents,
+         count(*) OVER w7 AS win7_n
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         w7 AS (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN 604800000000 PRECEDING
+                      AND 1 PRECEDING)),
+lab AS (
+  SELECT CAST(((user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 16 AS BIGINT) AS ubucket,
+         (t // 3600000000) % 24 AS hour,
+         life_n, life_cents, win7_n
+  FROM f WHERE event_type = 'purchase')
+SELECT ubucket, CAST(hour AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_labels,
+       CAST(sum(life_n) AS BIGINT) AS life_n,
+       CAST(sum(life_cents) AS BIGINT) AS life_cents,
+       CAST(sum(win7_n) AS BIGINT) AS win7_n
+FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["pit_features"] = (q_pit_features, SQL_PIT_FEATURES)
