@@ -4862,3 +4862,86 @@ FROM lab GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 QUERIES["pit_features"] = (q_pit_features, SQL_PIT_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling — training-pair generation
+# ---------------------------------------------------------------------------
+
+
+def q_negative_sampling_pairs(sf_dir: str):
+    """Training-pair generation with reproducible negatives: every
+    event is a positive of its type and draws 2 negatives from the
+    OTHER types via THE Knuth hash of event_id — neg_j = nonpos[(h+j)
+    mod (T−1)], where nonpos is the type list minus the positive in
+    sorted order. Any executor (or the oracle) regenerates the exact
+    pairs; the check table is the bounded (pos, neg) count matrix
+    with its diagonal structurally empty. Per-block map + bounded
+    rollup; type vocabulary is discovered from the same pass's
+    partials."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    # pass 1: type vocabulary (bounded)
+    def types_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "c"])
+
+    tv = _partial_final(ds, types_partial, ["event_type"],
+                        [("c", "sum")])
+    types = np.array(sorted(
+        tv.column("event_type").to_pylist()), dtype=object)
+    T = len(types)
+    tpos = {t_: i for i, t_ in enumerate(types)}
+
+    def sample(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ids = np.asarray(t.column("event_id"), dtype=np.int64)
+        pi = np.array([tpos[x] for x in et], dtype=np.int64)
+        h = _knuth_bucket(ids, max(T - 1, 1))
+        outs = []
+        for j in (0, 1):
+            k = (h + j) % max(T - 1, 1)
+            # index into "types minus positive": shift ranks >= pi
+            ni = k + (k >= pi)
+            outs.append(np.column_stack((pi, ni)))
+        pn = np.concatenate(outs)
+        g = pa.table({"pos_type": pa.array(types[pn[:, 0]].tolist(),
+                                           pa.string()),
+                      "neg_type": pa.array(types[pn[:, 1]].tolist(),
+                                           pa.string())}) \
+            .group_by(["pos_type", "neg_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["pos_type", "neg_type", "pairs"])
+
+    out = _partial_final(ds, sample, ["pos_type", "neg_type"],
+                         [("pairs", "sum")])
+    return out.sort_by([("pos_type", "ascending"),
+                        ("neg_type", "ascending")])
+
+
+SQL_NEGATIVE_SAMPLING_PAIRS = """
+WITH ty AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY event_type) - 1 AS ti,
+         count(*) OVER () AS t
+  FROM (SELECT DISTINCT event_type FROM events)),
+e AS (
+  SELECT e.event_id, ty.ti AS pi, ty.t,
+         CAST(((e.event_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % (ty.t - 1) AS BIGINT) AS h
+  FROM events e JOIN ty ON ty.event_type = e.event_type),
+pairs AS (
+  SELECT pi,
+         ((h + j) % (t - 1))
+           + CASE WHEN (h + j) % (t - 1) >= pi THEN 1 ELSE 0 END
+           AS ni
+  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS j))
+SELECT tp.event_type AS pos_type, tn.event_type AS neg_type,
+       CAST(count(*) AS BIGINT) AS pairs
+FROM pairs JOIN ty tp ON tp.ti = pairs.pi
+           JOIN ty tn ON tn.ti = pairs.ni
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["negative_sampling_pairs"] = (q_negative_sampling_pairs,
+                                      SQL_NEGATIVE_SAMPLING_PAIRS)
