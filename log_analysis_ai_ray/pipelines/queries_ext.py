@@ -4945,3 +4945,107 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["negative_sampling_pairs"] = (q_negative_sampling_pairs,
                                       SQL_NEGATIVE_SAMPLING_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend backtest — sequential model, integer-exact steps
+# ---------------------------------------------------------------------------
+
+
+def q_holt_backtest(sf_dir: str):
+    """Holt double-exponential smoothing (α=β=½) backtested one step
+    ahead over each type's daily cents series — a SEQUENTIAL model
+    pinned exactly: every smoothing step floors to an integer
+    (s←⌊(y+s+b)/2⌋, b←⌊(s'−s+b)/2⌋), so the driver recursion and the
+    oracle's recursive CTE (floor(x/2.0) — DuckDB's // truncates
+    toward zero, hence the explicit floor) agree bit-for-bit at every
+    t. The cluster ships only (type, day) partials; output is the
+    one-step MAE over t≥3, the step count, and the final level/trend
+    state."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": day, "y": cents}) \
+            .group_by(["event_type", "day"]).aggregate([("y", "sum")])
+        return g.rename_columns(["event_type", "day", "y"])
+
+    m = _partial_final(ds, partial, ["event_type", "day"],
+                       [("y", "sum")])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    yv = np.asarray(m.column("y"), dtype=np.int64)
+    rows = {"event_type": [], "n_days": [], "mae_cents": [],
+            "final_level": [], "final_trend": []}
+    for ty in sorted(str(x) for x in np.unique(et)):
+        msk = et == ty
+        o = np.argsort(dy[msk])
+        y = [int(v) for v in yv[msk][o]]
+        n = len(y)
+        if n < 3:
+            continue
+        s, b = y[1], y[1] - y[0]
+        sae = cnt = 0
+        for t_ in range(2, n):
+            f = s + b
+            sae += abs(y[t_] - f)
+            cnt += 1
+            s_new = (y[t_] + s + b) // 2      # python floor div
+            b = (s_new - s + b) // 2
+            s = s_new
+        rows["event_type"].append(ty)
+        rows["n_days"].append(n)
+        rows["mae_cents"].append(sae // cnt)
+        rows["final_level"].append(s)
+        rows["final_trend"].append(b)
+    return pa.table({
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "n_days": pa.array(rows["n_days"], pa.int64()),
+        "mae_cents": pa.array(rows["mae_cents"], pa.int64()),
+        "final_level": pa.array(rows["final_level"], pa.int64()),
+        "final_trend": pa.array(rows["final_trend"], pa.int64())})
+
+
+SQL_HOLT_BACKTEST = """
+WITH RECURSIVE d AS (
+  SELECT event_type AS et,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+dr AS (
+  SELECT et, y,
+         row_number() OVER (PARTITION BY et ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY et) AS n
+  FROM d),
+base AS (
+  SELECT et,
+         max(CASE WHEN rn = 1 THEN y END) AS y1,
+         max(CASE WHEN rn = 2 THEN y END) AS y2,
+         max(n) AS n
+  FROM dr WHERE rn <= 2 GROUP BY et HAVING max(n) >= 3),
+r AS (
+  SELECT et, CAST(2 AS BIGINT) AS rn, y2 AS s, y2 - y1 AS b,
+         CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS cnt, n
+  FROM base
+  UNION ALL
+  SELECT r.et, r.rn + 1,
+         CAST(floor((dr.y + r.s + r.b) / 2.0) AS BIGINT),
+         CAST(floor((CAST(floor((dr.y + r.s + r.b) / 2.0) AS BIGINT)
+                     - r.s + r.b) / 2.0) AS BIGINT),
+         r.sae + abs(dr.y - (r.s + r.b)),
+         r.cnt + 1, r.n
+  FROM r JOIN dr ON dr.et = r.et AND dr.rn = r.rn + 1
+  WHERE r.rn < r.n)
+SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(sae // cnt AS BIGINT) AS mae_cents,
+       CAST(s AS BIGINT) AS final_level,
+       CAST(b AS BIGINT) AS final_trend
+FROM r WHERE rn = n ORDER BY et
+"""
+
+QUERIES["holt_backtest"] = (q_holt_backtest, SQL_HOLT_BACKTEST)
