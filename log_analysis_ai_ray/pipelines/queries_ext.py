@@ -5049,3 +5049,252 @@ FROM r WHERE rn = n ORDER BY et
 """
 
 QUERIES["holt_backtest"] = (q_holt_backtest, SQL_HOLT_BACKTEST)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval — calibrate, then verify coverage
+# ---------------------------------------------------------------------------
+
+
+def q_conformal_interval_check(sf_dir: str):
+    """Split-conformal uncertainty: the even-event_id half CALIBRATES
+    (per-type integer mean + the exact ceil(0.9·(n+1))-th order
+    statistic of |residual| from the residual histogram), the odd
+    half TESTS — reported coverage must then be ≈90 % by the
+    conformal guarantee. Residual histograms are (type, |r|) partials
+    (cents-bounded); the quantile is an exact rank lookup, never a
+    sort; coverage is integer per-mille. The oracle replays the same
+    split, the same integer mean, the same rank rule."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "event_id", "value"])
+
+    def cal_mean(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0)
+        t = t.filter(keep)
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({"event_type": t.column("event_type"), "y": y}) \
+            .group_by("event_type").aggregate(
+                [([], "count_all"), ("y", "sum")])
+        return g.rename_columns(["event_type", "n", "s"])
+
+    mm = _partial_final(ds, cal_mean, ["event_type"],
+                        [("n", "sum"), ("s", "sum")])
+    met = mm.column("event_type").to_pylist()
+    mn = np.asarray(mm.column("n"), dtype=np.int64)
+    msum = np.asarray(mm.column("s"), dtype=np.int64)
+    mean_c = {t_: int(s_) // int(n_) for t_, n_, s_
+              in zip(met, mn, msum)}
+
+    def resid_hist(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0)
+        t = t.filter(keep)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        y = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        mu = np.array([mean_c[x] for x in et], dtype=np.int64)
+        r = np.abs(y - mu)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "r": pa.array(r)}) \
+            .group_by(["event_type", "r"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "r", "c"])
+
+    rh = _partial_final(ds, resid_hist, ["event_type", "r"],
+                        [("c", "sum")])
+    ret = rh.column("event_type").to_numpy(zero_copy_only=False)
+    rv = np.asarray(rh.column("r"), dtype=np.int64)
+    rc = np.asarray(rh.column("c"), dtype=np.int64)
+    qhat = {}
+    for ty in np.unique(ret):
+        m = ret == ty
+        o = np.argsort(rv[m])
+        v, c = rv[m][o], rc[m][o]
+        n = int(c.sum())
+        k = -(-9 * (n + 1) // 10)          # ceil(0.9*(n+1))
+        k = min(k, n)
+        cum = np.cumsum(c)
+        qhat[str(ty)] = int(v[np.searchsorted(cum, k, side="left")])
+
+    def test_cover(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 1)
+        t = t.filter(keep)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        y = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        mu = np.array([mean_c[x] for x in et], dtype=np.int64)
+        q = np.array([qhat[x] for x in et], dtype=np.int64)
+        cov = (np.abs(y - mu) <= q).astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(len(y), dtype=np.int64)),
+                      "covered": pa.array(cov)}) \
+            .group_by("event_type").aggregate(
+                [("n", "sum"), ("covered", "sum")])
+        return g.rename_columns(["event_type", "n", "covered"])
+
+    tc = _partial_final(ds, test_cover, ["event_type"],
+                        [("n", "sum"), ("covered", "sum")])
+    et2 = tc.column("event_type").to_pylist()
+    n2 = np.asarray(tc.column("n"), dtype=np.int64)
+    c2 = np.asarray(tc.column("covered"), dtype=np.int64)
+    order = np.argsort(np.array(et2, dtype=object))
+    return pa.table({
+        "event_type": pa.array([et2[i] for i in order], pa.string()),
+        "qhat_cents": pa.array([qhat[et2[i]] for i in order],
+                               pa.int64()),
+        "n_test": pa.array(n2[order]),
+        "covered": pa.array(c2[order]),
+        "coverage_pm": pa.array(c2[order] * 1000
+                                // np.maximum(n2[order], 1))})
+
+
+SQL_CONFORMAL_INTERVAL_CHECK = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+mu AS (
+  SELECT event_type, sum(y) // count(*) AS m, count(*) AS n
+  FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+r AS (
+  SELECT e.event_type, abs(e.y - mu.m) AS r
+  FROM e JOIN mu ON mu.event_type = e.event_type
+  WHERE e.event_id % 2 = 0),
+rk AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r) AS k,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM r),
+q AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN k >= least(CAST(ceil(9.0 * (n + 1) / 10)
+                                            AS BIGINT), n)
+                       THEN r END) AS BIGINT) AS qhat
+  FROM rk GROUP BY 1),
+t AS (
+  SELECT e.event_type,
+         CASE WHEN abs(e.y - mu.m) <= q.qhat THEN 1 ELSE 0 END AS cov
+  FROM e JOIN mu ON mu.event_type = e.event_type
+         JOIN q ON q.event_type = e.event_type
+  WHERE e.event_id % 2 = 1)
+SELECT t.event_type, q.qhat AS qhat_cents,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(cov) AS BIGINT) AS covered,
+       CAST(sum(cov) * 1000 // greatest(count(*), 1) AS BIGINT)
+         AS coverage_pm
+FROM t JOIN q ON q.event_type = t.event_type
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["conformal_interval_check"] = (q_conformal_interval_check,
+                                       SQL_CONFORMAL_INTERVAL_CHECK)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced uplift — experimentation with a pre-period covariate
+# ---------------------------------------------------------------------------
+
+
+def q_cuped_uplift(sf_dir: str):
+    """CUPED-adjusted A/B uplift: per user, pre-period spend (first 15
+    days) is the covariate x, post-period spend the metric y, arms
+    from THE Knuth hash. θ = cov(x,y)/var(x) over all users from
+    exact integer moment sums; the adjusted per-arm means and uplift
+    are the only floats, mirrored and rounded to micro. The cluster
+    ships per-user (x, y) partial sums (one user-hash exchange), then
+    arm-level integer moments — bounded 2-row final state plus the
+    global moments."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def per_user(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        # a per-block min would be the WRONG split day; ship
+        # (user, day) partials and split at the global min later
+        g = pa.table({"user_id": t.column("user_id"),
+                      "day": day, "cents": cents})
+        gg = g.group_by(["user_id", "day"]).aggregate([("cents", "sum")])
+        return gg.rename_columns(["user_id", "day", "cents"])
+
+    ud = _partial_final(ds, per_user, ["user_id", "day"],
+                        [("cents", "sum")])
+    dmin = int(pc.min(ud.column("day")).as_py())
+    split = dmin + 15
+    u = np.asarray(ud.column("user_id"), dtype=np.int64)
+    d = np.asarray(ud.column("day"), dtype=np.int64)
+    c = np.asarray(ud.column("cents"), dtype=np.int64)
+    uu, uinv = np.unique(u, return_inverse=True)
+    x = np.zeros(len(uu), dtype=np.int64)
+    y = np.zeros(len(uu), dtype=np.int64)
+    pre = d < split
+    np.add.at(x, uinv[pre], c[pre])
+    np.add.at(y, uinv[~pre], c[~pre])
+    arm = _knuth_bucket(uu, 2)
+    n = len(uu)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x.astype(object) * x.astype(object)).sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    vnum = n * sxx - sx * sx
+    theta = (n * sxy - sx * sy) / vnum if vnum else 0.0
+    xbar = sx / n
+    adj = y - theta * (x - xbar)
+    m0 = float(adj[arm == 0].mean())
+    m1 = float(adj[arm == 1].mean())
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "theta_micro": pa.array([int(round(theta * 1e6))], pa.int64()),
+        "adj_mean0_micro": pa.array([int(round(m0 * 1e6))], pa.int64()),
+        "adj_mean1_micro": pa.array([int(round(m1 * 1e6))], pa.int64()),
+        "uplift_micro": pa.array([int(round((m1 - m0) * 1e6))],
+                                 pa.int64())})
+
+
+SQL_CUPED_UPLIFT = """
+WITH day0 AS (
+  SELECT min(CAST(epoch_us(ts) AS BIGINT) // 86400000000) AS d0
+  FROM events),
+u AS (
+  SELECT user_id,
+         sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                       < d0 + 15
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS x,
+         sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                       >= d0 + 15
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events CROSS JOIN day0 GROUP BY 1),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM u),
+th AS (
+  SELECT n, sx,
+         CASE WHEN n * sxx - sx * sx <> 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)
+         ELSE 0 END AS theta
+  FROM m),
+a AS (
+  SELECT CAST(((u.user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS arm,
+         u.y - th.theta * (u.x - CAST(th.sx AS DOUBLE) / th.n)
+           AS adj
+  FROM u CROSS JOIN th),
+g AS (
+  SELECT avg(CASE WHEN arm = 0 THEN adj END) AS m0,
+         avg(CASE WHEN arm = 1 THEN adj END) AS m1,
+         count(*) AS n
+  FROM a)
+SELECT CAST(g.n AS BIGINT) AS n_users,
+       CAST(round(th.theta * 1000000, 0) AS BIGINT) AS theta_micro,
+       CAST(round(g.m0 * 1000000, 0) AS BIGINT) AS adj_mean0_micro,
+       CAST(round(g.m1 * 1000000, 0) AS BIGINT) AS adj_mean1_micro,
+       CAST(round((g.m1 - g.m0) * 1000000, 0) AS BIGINT)
+         AS uplift_micro
+FROM g CROSS JOIN th
+"""
+
+QUERIES["cuped_uplift"] = (q_cuped_uplift, SQL_CUPED_UPLIFT)
