@@ -369,6 +369,19 @@ def interval_join_count_broadcast(left_ds, right: pa.Table, *,
         concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
 
 
+def _salt_slots(u64: np.ndarray, salt: int) -> np.ndarray:
+    """Per-row salt slot for skew splitting: a second independent mix
+    of the key hash with the row's position, so a hot key's PROBE rows
+    spread across ``salt`` slots while cold keys pay nothing. Any
+    assignment is correct (each left row still meets the full build
+    rows for its key — they are replicated to every slot); the mix
+    only balances load."""
+    pos = np.arange(len(u64), dtype=np.uint64)
+    h = (u64 ^ (pos * np.uint64(0x9E3779B97F4A7C15)))
+    h = (h ^ (h >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
+    return (h % np.uint64(salt)).astype(np.int64)
+
+
 def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                             right_key: str, take_cols: list[str],
                             num_partitions: int = 64,
@@ -376,7 +389,8 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                             join_type: str = "inner",
                             emit_key: str | None = None,
                             left_schema: pa.Schema | None = None,
-                            right_schema: pa.Schema | None = None):
+                            right_schema: pa.Schema | None = None,
+                            salt: int = 1):
     """Big-big equi-join for a right side UNIQUE per key (dimension
     lookup at fact scale — orders for lineitem, customer for order
     partials); keys may be INTEGER or STRING (domains, urls, langs):
@@ -400,11 +414,25 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
     Pass ``left_schema``/``right_schema`` when the input is a lazy
     chain: ``Dataset.schema()`` on one schema-probes by EXECUTING the
     upstream plan (Ray 2.49), which doubles the cost of a chained
-    join."""
+    join.
+
+    ``salt`` > 1 is the HOT-KEY switch: left (probe) rows of a key
+    spread across ``salt`` sub-partitions via a second hash mix, and
+    the right (build) rows are replicated into every sub-partition —
+    a key holding 50 % of the fact table stops pinning one worker at
+    the cost of salt× the (small, unique-per-key) build rows. Not
+    available for "full outer": an unmatched right key would emit one
+    row per replica."""
     if join_type not in ("inner", "left outer", "full outer"):
         # an unknown type would pass through to Arrow in mixed
         # partitions but silently degrade to inner in empty-side ones
         raise ValueError(f"unsupported join_type {join_type!r}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and join_type == "full outer":
+        raise ValueError("salt > 1 cannot preserve full-outer "
+                         "semantics (replicated right rows would "
+                         "duplicate unmatched-right output)")
     ls = left_schema or left_ds.schema()
     payload_cols = list(ls.names)
     payload_types = dict(zip(ls.names, ls.types))
@@ -437,11 +465,13 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
         col = col.cast(key_type)
         u64, _ = _column_to_u64(col)
         pkey = _hash_partition_ids(u64.view(np.int64), num_partitions)
-        return pa.array(pkey), col
+        return pkey, col, u64
 
     def to_left(t: pa.Table) -> pa.Table:
-        pkey, key = _pkey_and_key(t.column(left_key))
-        cols = {"_pkey": pkey,
+        pkey, key, u64 = _pkey_and_key(t.column(left_key))
+        if salt > 1:
+            pkey = pkey * salt + _salt_slots(u64, salt)
+        cols = {"_pkey": pa.array(pkey),
                 "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
                 "_key": key}
         for c in payload_cols:
@@ -451,15 +481,23 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
         return pa.table(cols)
 
     def to_right(t: pa.Table) -> pa.Table:
-        pkey, key = _pkey_and_key(t.column(right_key))
-        cols = {"_pkey": pkey,
+        pkey, key, _ = _pkey_and_key(t.column(right_key))
+        cols = {"_pkey": pa.array(pkey * salt if salt > 1 else pkey),
                 "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
                 "_key": key}
         for c in payload_cols:
             cols[c] = pa.nulls(t.num_rows, payload_types[c])
         for c in take_cols:
             cols[c] = t.column(c)
-        return pa.table(cols)
+        out = pa.table(cols)
+        if salt > 1:                      # replicate build rows into
+            reps = [out]                  # every salt sub-partition
+            base = np.asarray(out.column("_pkey"), dtype=np.int64)
+            for j in range(1, salt):
+                reps.append(out.set_column(
+                    0, "_pkey", pa.array(base + j)))
+            out = pa.concat_tables(reps)
+        return out
 
     out_cols = ([emit_key] if emit_key else []) + payload_cols + take_cols
     out_schema = pa.schema(
