@@ -24,6 +24,8 @@ from __future__ import annotations
 import json
 import os
 
+import pyarrow as pa
+
 _VDIR = "_versions"
 
 
@@ -76,13 +78,63 @@ def commit_version(root: str, files: list[str], *, parent: int | None,
     return new_v
 
 
-def read_version(root: str, version: int | None = None):
-    """Ray Dataset over the table at a version (time travel)."""
+def read_version(root: str, version: int | None = None, *,
+                 schema_evolution: bool = False):
+    """Ray Dataset over the table at a version (time travel).
+
+    ``schema_evolution=True`` supports versions whose files were
+    written under DIFFERENT schemas (ALTER TABLE ADD COLUMN without a
+    rewrite): the union schema is taken from the file footers (names
+    appear in first-seen footer order; a name reused with a different
+    type is an error, not a coercion), files are grouped per distinct
+    physical schema — each group is its own pruned ``read_parquet``,
+    so no file is read twice — and a zero-copy map_batches pads each
+    group's batches with typed nulls. The default (False) keeps the
+    plain single-read fast path for homogeneous versions."""
     import ray.data
 
     m = read_manifest(root, version)
     paths = [os.path.join(root, f) for f in m["files"]]
-    return ray.data.read_parquet(paths)
+    if not schema_evolution:
+        return ray.data.read_parquet(paths)
+
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    union_fields: dict[str, pa.DataType] = {}
+    for p in paths:
+        s = pq.read_schema(p)
+        key = tuple(zip(s.names, (str(t) for t in s.types)))
+        groups.setdefault(key, []).append(p)
+        for f in s:
+            prev = union_fields.get(f.name)
+            if prev is not None and prev != f.type:
+                raise ValueError(
+                    f"schema evolution cannot unify column "
+                    f"{f.name!r}: {prev} vs {f.type}")
+            union_fields.setdefault(f.name, f.type)
+    union = pa.schema(list(union_fields.items()))
+
+    def pad_to(names_present):
+        missing = [n for n in union.names if n not in names_present]
+
+        def pad(t: pa.Table) -> pa.Table:
+            for n in missing:
+                t = t.append_column(
+                    n, pa.nulls(t.num_rows, union.field(n).type))
+            return t.select(union.names)
+
+        return pad
+
+    parts = []
+    for key, ps in sorted(groups.items()):
+        present = {n for n, _ in key}
+        parts.append(ray.data.read_parquet(ps).map_batches(
+            pad_to(present), batch_format="pyarrow"))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def diff_versions(root: str, v_old: int, v_new: int) -> dict:
