@@ -5298,3 +5298,249 @@ FROM g CROSS JOIN th
 """
 
 QUERIES["cuped_uplift"] = (q_cuped_uplift, SQL_CUPED_UPLIFT)
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion — overdispersion check per type
+# ---------------------------------------------------------------------------
+
+
+def q_dispersion_index(sf_dir: str):
+    """Variance-to-mean ratio of cents per event type (the
+    overdispersion diagnostic that separates Poisson-like from bursty
+    value processes): exact integer moments {n, Σy, Σy²} per type,
+    one mirrored division VMR = (n·Σy² − (Σy)²)·1e6 // (Σy·(n−1)) in
+    integer micro — Python ints so Σy² at 10¹² rows cannot
+    overflow."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(len(y), dtype=np.int64)),
+                      "s": pa.array(y),
+                      "ss": pa.array(y * y)}) \
+            .group_by("event_type").aggregate(
+                [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "ss"])
+
+    m = _partial_final(ds, partial, ["event_type"],
+                       [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+    et = m.column("event_type").to_pylist()
+    n = [int(v) for v in m.column("n").to_pylist()]
+    s = [int(v) for v in m.column("s").to_pylist()]
+    ss = [int(v) for v in m.column("ss").to_pylist()]
+    order = np.argsort(np.array(et, dtype=object))
+    rows = []
+    for i in order:
+        vmr = ((n[i] * ss[i] - s[i] * s[i]) * 1_000_000
+               // (s[i] * (n[i] - 1))
+               if n[i] > 1 and s[i] > 0 else None)
+        rows.append((et[i], n[i], vmr))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "vmr_micro": pa.array([r[2] for r in rows], pa.int64())})
+
+
+SQL_DISPERSION_INDEX = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*) AS n, sum(y) AS s, sum(y * y) AS ss
+  FROM e GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n > 1 AND s > 0 THEN
+         CAST((n * ss - s * s) * 1000000 // (s * (n - 1)) AS BIGINT)
+       END AS vmr_micro
+FROM m ORDER BY 1
+"""
+
+QUERIES["dispersion_index"] = (q_dispersion_index, SQL_DISPERSION_INDEX)
+
+
+# ---------------------------------------------------------------------------
+# Rank-based SAX motifs — discretized time-series pattern mining
+# ---------------------------------------------------------------------------
+
+
+def q_daily_tercile_motifs(sf_dir: str):
+    """SAX-style motif mining with RANK-based symbolization (no float
+    z-scores anywhere): each type's daily cents become L/M/H tercile
+    symbols by exact midrank over the bounded daily histogram, and
+    the most frequent 3-day word per type is reported (ties →
+    lexicographically smallest word). Shuffle = (type, day) partials;
+    symbolization + sliding words are a driver fold over ≤ days
+    rows."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": day, "y": cents}) \
+            .group_by(["event_type", "day"]).aggregate([("y", "sum")])
+        return g.rename_columns(["event_type", "day", "y"])
+
+    m = _partial_final(ds, partial, ["event_type", "day"],
+                       [("y", "sum")])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    yv = np.asarray(m.column("y"), dtype=np.int64)
+    rows = []
+    for ty in sorted(str(x) for x in np.unique(et)):
+        msk = et == ty
+        o = np.argsort(dy[msk])
+        y = yv[msk][o]
+        n = len(y)
+        if n < 3:
+            continue
+        # midrank tercile of each day's value among the type's days
+        sv = np.sort(y)
+        lt = np.searchsorted(sv, y, side="left")
+        le = np.searchsorted(sv, y, side="right")
+        ter = ((lt + le - 1) * 3) // (2 * n)      # 0,1,2
+        sym = np.array(["L", "M", "H"], dtype=object)[ter]
+        words = [f"{sym[i]}{sym[i+1]}{sym[i+2]}" for i in range(n - 2)]
+        uw, wc = np.unique(np.array(words, dtype=object),
+                           return_counts=True)
+        best = np.lexsort((uw, -wc))[0]
+        rows.append((ty, n, str(uw[best]), int(wc[best])))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "motif": pa.array([r[2] for r in rows], pa.string()),
+        "motif_count": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_DAILY_TERCILE_MOTIFS = """
+WITH d AS (
+  SELECT event_type AS et,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT et, day, y,
+         count(*) FILTER (WHERE 1=1)
+           OVER (PARTITION BY et) AS n,
+         (count(*) FILTER (WHERE 1=1) OVER
+            (PARTITION BY et ORDER BY y
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + count(*) FILTER (WHERE 1=1) OVER
+            (PARTITION BY et ORDER BY y
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           AS lt_le_plus1
+  FROM d),
+s AS (
+  SELECT et, day,
+         CASE ((lt_le_plus1 - 1) * 3) // (2 * n)
+           WHEN 0 THEN 'L' WHEN 1 THEN 'M' ELSE 'H' END AS sym,
+         n
+  FROM r),
+w AS (
+  SELECT et, n,
+         sym || lead(sym, 1) OVER (PARTITION BY et ORDER BY day)
+             || lead(sym, 2) OVER (PARTITION BY et ORDER BY day)
+           AS word
+  FROM s),
+c AS (
+  SELECT et, max(n) AS n_days, word, count(*) AS cnt
+  FROM w WHERE word IS NOT NULL GROUP BY et, word),
+b AS (
+  SELECT et, n_days, word, cnt,
+         row_number() OVER (PARTITION BY et
+                            ORDER BY cnt DESC, word) AS rk
+  FROM c)
+SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+       word AS motif, CAST(cnt AS BIGINT) AS motif_count
+FROM b WHERE rk = 1 ORDER BY 1
+"""
+
+QUERIES["daily_tercile_motifs"] = (q_daily_tercile_motifs,
+                                   SQL_DAILY_TERCILE_MOTIFS)
+
+
+# ---------------------------------------------------------------------------
+# Ship-latency exact percentiles per priority — join + histogram closure
+# ---------------------------------------------------------------------------
+
+
+def q_ship_latency_percentiles(sf_dir: str):
+    """Fulfillment-latency SLO table: P50/P90/P99 of (shipdate −
+    orderdate) days per order priority, EXACT — the latency domain is
+    day-bounded, so after the big-big lineitem⋈orders lookup join
+    (hash-partitioned, stages/joins.py) everything reduces to a
+    (priority, days) histogram and percentiles are cum-count rank
+    lookups (rank = ceil(q·n), the inverse-CDF convention DuckDB's
+    quantile_disc uses), never a sort."""
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = partitioned_lookup_join(
+        li, od, left_key="l_orderkey", right_key="o_orderkey",
+        take_cols=["o_orderdate", "o_orderpriority"],
+        num_partitions=32)
+
+    _DUS = 86_400_000_000
+
+    def hist(t: pa.Table) -> pa.Table:
+        sd = pc.divide(pc.cast(t.column("l_shipdate"), pa.int64()),
+                       pa.scalar(_DUS, pa.int64()))
+        odt = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        days = pc.subtract(sd, odt)
+        g = pa.table({"pri": t.column("o_orderpriority"),
+                      "days": days}) \
+            .group_by(["pri", "days"]).aggregate([([], "count_all")])
+        return g.rename_columns(["pri", "days", "c"])
+
+    h = agg._combine_partials(
+        joined.map_batches(hist, batch_format="pyarrow"),
+        keys=["pri", "days"], aggs=[("c", "sum")])
+    pv = h.column("pri").to_numpy(zero_copy_only=False)
+    dv = np.asarray(h.column("days"), dtype=np.int64)
+    cv = np.asarray(h.column("c"), dtype=np.int64)
+    rows = []
+    for pri in sorted(str(x) for x in np.unique(pv)):
+        m = pv == pri
+        o = np.argsort(dv[m])
+        d, c = dv[m][o], cv[m][o]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def at(q):
+            k = -(-q * n // 100)          # ceil(q*n/100)
+            return int(d[np.searchsorted(cum, k, side="left")])
+
+        rows.append((pri, n, at(50), at(90), at(99)))
+    return pa.table({
+        "priority": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "p50_days": pa.array([r[2] for r in rows], pa.int64()),
+        "p90_days": pa.array([r[3] for r in rows], pa.int64()),
+        "p99_days": pa.array([r[4] for r in rows], pa.int64())})
+
+
+SQL_SHIP_LATENCY_PERCENTILES = """
+WITH j AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+           - CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000
+           AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT pri AS priority, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(days, 0.50) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(days, 0.90) AS BIGINT) AS p90_days,
+       CAST(quantile_disc(days, 0.99) AS BIGINT) AS p99_days
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ship_latency_percentiles"] = (q_ship_latency_percentiles,
+                                       SQL_SHIP_LATENCY_PERCENTILES)
