@@ -5544,3 +5544,190 @@ FROM j GROUP BY 1 ORDER BY 1
 
 QUERIES["ship_latency_percentiles"] = (q_ship_latency_percentiles,
                                        SQL_SHIP_LATENCY_PERCENTILES)
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile per source — corpus data profiling
+# ---------------------------------------------------------------------------
+
+
+def q_source_charclass_profile(sf_dir: str):
+    """Per-source character-class composition (digit/space/alpha/other
+    per-mille) — the profiling signal that catches machine-generated
+    or table-dump sources: per-block vectorized class counts via
+    regex-strip length deltas (the SAME RE2 classes DuckDB applies),
+    (source, 4-counter) partials, integer per-mille output."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        total = pc.utf8_length(txt)
+        nod = pc.utf8_length(pc.replace_substring_regex(
+            txt, pattern=r"[0-9]", replacement=""))
+        nos = pc.utf8_length(pc.replace_substring_regex(
+            txt, pattern=r" ", replacement=""))
+        noa = pc.utf8_length(pc.replace_substring_regex(
+            txt, pattern=r"[A-Za-z]", replacement=""))
+        g = pa.table({
+            "source": t.column("source"),
+            "chars": pc.cast(total, pa.int64()),
+            "digits": pc.cast(pc.subtract(total, nod), pa.int64()),
+            "spaces": pc.cast(pc.subtract(total, nos), pa.int64()),
+            "alphas": pc.cast(pc.subtract(total, noa), pa.int64()),
+        }).group_by("source").aggregate(
+            [("chars", "sum"), ("digits", "sum"), ("spaces", "sum"),
+             ("alphas", "sum")])
+        return g.rename_columns(["source", "chars", "digits",
+                                 "spaces", "alphas"])
+
+    m = _partial_final(ds, partial, ["source"],
+                       [("chars", "sum"), ("digits", "sum"),
+                        ("spaces", "sum"), ("alphas", "sum")])
+    src = m.column("source").to_numpy(zero_copy_only=False)
+    ch = np.asarray(m.column("chars"), dtype=np.int64)
+    dg = np.asarray(m.column("digits"), dtype=np.int64)
+    sp = np.asarray(m.column("spaces"), dtype=np.int64)
+    al = np.asarray(m.column("alphas"), dtype=np.int64)
+    o = np.argsort(src)
+    other = ch - dg - sp - al
+    den = np.maximum(ch, 1)
+    return pa.table({
+        "source": pa.array(src[o].tolist(), pa.string()),
+        "chars": pa.array(ch[o]),
+        "digit_pm": pa.array((dg * 1000 // den)[o]),
+        "space_pm": pa.array((sp * 1000 // den)[o]),
+        "alpha_pm": pa.array((al * 1000 // den)[o]),
+        "other_pm": pa.array((other * 1000 // den)[o])})
+
+
+SQL_SOURCE_CHARCLASS_PROFILE = """
+WITH d AS (
+  SELECT source,
+         length(text) AS chars,
+         length(text)
+           - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         length(text)
+           - length(regexp_replace(text, ' ', '', 'g')) AS spaces,
+         length(text)
+           - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS alphas
+  FROM documents),
+m AS (
+  SELECT source, sum(chars) AS chars, sum(digits) AS digits,
+         sum(spaces) AS spaces, sum(alphas) AS alphas
+  FROM d GROUP BY 1)
+SELECT source, CAST(chars AS BIGINT) AS chars,
+       CAST(digits * 1000 // greatest(chars, 1) AS BIGINT)
+         AS digit_pm,
+       CAST(spaces * 1000 // greatest(chars, 1) AS BIGINT)
+         AS space_pm,
+       CAST(alphas * 1000 // greatest(chars, 1) AS BIGINT)
+         AS alpha_pm,
+       CAST((chars - digits - spaces - alphas) * 1000
+            // greatest(chars, 1) AS BIGINT) AS other_pm
+FROM m ORDER BY 1
+"""
+
+QUERIES["source_charclass_profile"] = (q_source_charclass_profile,
+                                       SQL_SOURCE_CHARCLASS_PROFILE)
+
+
+# ---------------------------------------------------------------------------
+# Revenue bridge — price/volume/cross decomposition between halves
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_bridge(sf_dir: str):
+    """Period-over-period revenue bridge per return flag: Δrevenue
+    between the first and second half of the shipdate range decomposes
+    EXACTLY into volume effect (Δq·p̄₀), rate effect (Δp̄·q₀) and the
+    cross term — all integers by construction because the 'price' is
+    the per-period integer revenue-per-unit micro rate and effects
+    are cross-multiplied BEFORE division: vol = (q1−q0)·r0 // 1e6
+    with r0 = rev0·1e6 // q0, and the cross/residual closes the
+    bridge to the cent (residual = Δrev − vol − rate). Shuffle =
+    (flag, half) sums."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_shipdate", "l_quantity",
+                        "l_extendedprice"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("l_shipdate"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        g = pa.table({"flag": t.column("l_returnflag"),
+                      "day": day, "q": q, "cents": cents}) \
+            .group_by(["flag", "day"]).aggregate(
+                [("q", "sum"), ("cents", "sum")])
+        return g.rename_columns(["flag", "day", "q", "cents"])
+
+    m = _partial_final(ds, partial, ["flag", "day"],
+                       [("q", "sum"), ("cents", "sum")])
+    dmin = int(pc.min(m.column("day")).as_py())
+    dmax = int(pc.max(m.column("day")).as_py())
+    mid = (dmin + dmax + 1) // 2
+    fl = m.column("flag").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    qv = np.asarray(m.column("q"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    rows = []
+    for f in sorted(str(x) for x in np.unique(fl)):
+        msk = fl == f
+        h1 = dy[msk] >= mid
+        q0, q1 = int(qv[msk][~h1].sum()), int(qv[msk][h1].sum())
+        r0, r1 = int(cv[msk][~h1].sum()), int(cv[msk][h1].sum())
+        if q0 == 0:
+            continue
+        rate0 = r0 * 1_000_000 // q0
+        rate1 = r1 * 1_000_000 // q1 if q1 else 0
+        vol = (q1 - q0) * rate0 // 1_000_000
+        rate = (rate1 - rate0) * q0 // 1_000_000
+        resid = (r1 - r0) - vol - rate
+        rows.append((f, r1 - r0, vol, rate, resid))
+    return pa.table({
+        "flag": pa.array([r[0] for r in rows], pa.string()),
+        "delta_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "volume_effect": pa.array([r[2] for r in rows], pa.int64()),
+        "rate_effect": pa.array([r[3] for r in rows], pa.int64()),
+        "cross_resid": pa.array([r[4] for r in rows], pa.int64())})
+
+
+SQL_REVENUE_BRIDGE = """
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 AS day,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+h AS (
+  SELECT flag,
+         sum(CASE WHEN day < mid THEN q ELSE 0 END) AS q0,
+         sum(CASE WHEN day >= mid THEN q ELSE 0 END) AS q1,
+         sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS r0,
+         sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS r1
+  FROM d CROSS JOIN b GROUP BY 1),
+c AS (
+  SELECT flag, q0, q1, r0, r1,
+         r0 * 1000000 // q0 AS rate0,
+         CASE WHEN q1 > 0 THEN r1 * 1000000 // q1 ELSE 0 END AS rate1
+  FROM h WHERE q0 > 0)
+SELECT flag,
+       CAST(r1 - r0 AS BIGINT) AS delta_cents,
+       -- explicit floor: numerators go negative and DuckDB's //
+       -- truncates toward zero while the numpy side floors
+       CAST(floor(CAST((q1 - q0) * rate0 AS DOUBLE) / 1000000)
+            AS BIGINT) AS volume_effect,
+       CAST(floor(CAST((rate1 - rate0) * q0 AS DOUBLE) / 1000000)
+            AS BIGINT) AS rate_effect,
+       CAST((r1 - r0)
+            - floor(CAST((q1 - q0) * rate0 AS DOUBLE) / 1000000)
+            - floor(CAST((rate1 - rate0) * q0 AS DOUBLE) / 1000000)
+            AS BIGINT) AS cross_resid
+FROM c ORDER BY flag
+"""
+
+QUERIES["revenue_bridge"] = (q_revenue_bridge, SQL_REVENUE_BRIDGE)
