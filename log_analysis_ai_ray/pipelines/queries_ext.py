@@ -5731,3 +5731,27 @@ FROM c ORDER BY flag
 """
 
 QUERIES["revenue_bridge"] = (q_revenue_bridge, SQL_REVENUE_BRIDGE)
+
+
+# ---------------------------------------------------------------------------
+# Audio VAD segmentation — multimodal rows-only operator
+# ---------------------------------------------------------------------------
+
+
+def q_audio_vad_segments(sf_dir: str):
+    """Voice-activity segmentation over the synthetic WAV corpus: an
+    actor-pool decode stage frames each clip at 20 ms, marks voiced
+    frames by INTEGER energy threshold (Σs² > thresh²·n — no sqrt, so
+    results are bit-deterministic) and run-length-merges them into
+    segments. Not SQL-expressible (binary WAV decode) → rows-only;
+    exact segment counts on constructed clips are pytest-pinned."""
+    import ray.data
+
+    from ..stages.multimodal import audio_vad
+    from .queries import media_path_for
+
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return agg._to_arrow(audio_vad(ds)).sort_by("media_id")
+
+
+QUERIES["audio_vad_segments"] = (q_audio_vad_segments, None)

@@ -360,3 +360,68 @@ def phash_pairs(ds, max_hamming: int = 8, concurrency=2,
                                 ("id_b", pa.int64()),
                                 ("hamming", pa.int64())]))
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+class VadStage:
+    """Actor-pool voice-activity segmentation over WAV payloads:
+    20 ms frames (160 samples at 8 kHz), a frame is VOICED when its
+    energy Σs² exceeds thresh²·n — the comparison stays in integer
+    sample-energy space, no sqrt, so segmentation is bit-deterministic
+    on any executor — and runs of ≥ ``min_run`` voiced frames become
+    segments. Emits per-clip segment counts and bounds; payloads are
+    dropped at this stage (project early).
+
+    Reference analog: the reference's media handling stops at opaque
+    blobs; this is the decode→feature→segment shape a training-data
+    pipeline needs for audio corpora (brief: multimodal columns)."""
+
+    def __init__(self, frame: int = 160, thresh: int = 2000,
+                 min_run: int = 3):
+        self.frame = frame
+        self.thresh2 = int(thresh) * int(thresh)
+        self.min_run = min_run
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ids, nseg, voiced, total, longest = [], [], [], [], []
+        for mid, kind, data in zip(batch.column("media_id").to_pylist(),
+                                   kinds, payloads):
+            if kind != "audio":
+                continue
+            s, _rate = parse_wav(data)
+            n = (len(s) // self.frame) * self.frame
+            if n == 0:
+                ids.append(mid); nseg.append(0); voiced.append(0)
+                total.append(0); longest.append(0)
+                continue
+            fr = s[:n].astype(np.int64).reshape(-1, self.frame)
+            energy = (fr * fr).sum(axis=1)
+            v = energy > self.thresh2 * self.frame
+            # run-length segments of >= min_run voiced frames
+            nf = len(v)
+            edges = np.diff(np.concatenate(([0], v.view(np.int8), [0])))
+            starts = np.flatnonzero(edges == 1)
+            ends = np.flatnonzero(edges == -1)
+            runs = ends - starts
+            keep = runs >= self.min_run
+            ids.append(mid)
+            nseg.append(int(keep.sum()))
+            voiced.append(int(v.sum()))
+            total.append(nf)
+            longest.append(int(runs.max()) if len(runs) else 0)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "n_segments": pa.array(nseg, type=pa.int64()),
+            "voiced_frames": pa.array(voiced, type=pa.int64()),
+            "total_frames": pa.array(total, type=pa.int64()),
+            "longest_run": pa.array(longest, type=pa.int64()),
+        })
+
+
+def audio_vad(ds, concurrency=2, batch_size: int = 256, **kw):
+    """VAD segmentation as an actor-pool stage (decode state and the
+    threshold live once per actor)."""
+    return ds.map_batches(VadStage(**kw), concurrency=concurrency,
+                          batch_size=batch_size, num_cpus=1,
+                          batch_format="pyarrow")

@@ -118,3 +118,47 @@ def test_mann_kendall_s_and_variance():
         int(t) * (t - 1) * (2 * t + 5) for t in tc)
     # one tie pair (two 1s): n=8 -> 8*7*21 - 2*1*9 = 1176 - 18
     assert var_num == 1158
+
+
+def test_vad_segments_exact_on_constructed_clip():
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.stages.multimodal import (VadStage,
+                                                       make_wav)
+
+    # 20 frames: 5 loud, 2 quiet, 4 loud, 1 quiet, 2 loud (short),
+    # rest quiet -> segments (>=3 voiced): [5, 4]; longest run 5
+    frame = 160
+    pat = [1] * 5 + [0] * 2 + [1] * 4 + [0] * 1 + [1] * 2 + [0] * 6
+    samples = np.concatenate([
+        (np.full(frame, 8000, dtype=np.int16) if v
+         else np.zeros(frame, dtype=np.int16)) for v in pat])
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["audio"], pa.string()),
+        "payload": pa.array([make_wav(samples)], pa.binary()),
+    })
+    out = VadStage()(t).to_pylist()[0]
+    assert out["total_frames"] == 20
+    assert out["voiced_frames"] == 11
+    assert out["n_segments"] == 2
+    assert out["longest_run"] == 5
+
+
+def test_vad_threshold_boundary_is_strict():
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.stages.multimodal import (VadStage,
+                                                       make_wav)
+
+    frame = 160
+    # amplitude exactly at the threshold: energy == thresh^2 * n,
+    # strict > means NOT voiced
+    samples = np.full(frame * 3, 2000, dtype=np.int16)
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["audio"], pa.string()),
+        "payload": pa.array([make_wav(samples)], pa.binary()),
+    })
+    out = VadStage(thresh=2000)(t).to_pylist()[0]
+    assert out["voiced_frames"] == 0
