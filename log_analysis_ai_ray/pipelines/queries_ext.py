@@ -5755,3 +5755,206 @@ def q_audio_vad_segments(sf_dir: str):
 
 
 QUERIES["audio_vad_segments"] = (q_audio_vad_segments, None)
+
+
+# ---------------------------------------------------------------------------
+# Otsu threshold per image — classic CV, integer-exact
+# ---------------------------------------------------------------------------
+
+
+def q_image_otsu_stats(sf_dir: str):
+    """Per-image Otsu binarization over the PGM corpus: the threshold
+    maximizes the between-class variance ω₀ω₁(μ₀−μ₁)², evaluated in
+    PURE INTEGER form — numerator (w0·s1 − w1·s0)² over denominator
+    w0·w1 compared by cross-multiplication, so the argmax (ties →
+    lowest threshold) is bit-deterministic. Actor-pool decode;
+    rows-only by nature (binary decode), constructed-image pytest
+    pins thresholds exactly."""
+    import ray.data
+
+    from ..stages.multimodal import OtsuStage
+    from .queries import media_path_for
+
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return agg._to_arrow(ds.map_batches(
+        OtsuStage(), concurrency=2, batch_size=256, num_cpus=1,
+        batch_format="pyarrow")).sort_by("media_id")
+
+
+QUERIES["image_otsu_stats"] = (q_image_otsu_stats, None)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue by first-order cohort
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv_curve(sf_dir: str):
+    """Marketing LTV: customers cohorted by their FIRST order's
+    ISO month, cumulative order cents per (cohort, months-since)
+    cell — the triangular matrix every growth team reads. One
+    (custkey → first-month) reduce (min partial), then (cohort, age)
+    partials; the cumulative sweep is a driver fold over the bounded
+    matrix. Month arithmetic is y·12+m so 'months since' is exact
+    integer subtraction, no date intervals."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(
+            t.column("o_orderdate")), pa.int64()), 12),
+            pc.cast(pc.month(t.column("o_orderdate")), pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"cust": t.column("o_custkey"), "ym": ym,
+                      "cents": cents}) \
+            .group_by(["cust", "ym"]).aggregate(
+                [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["cust", "ym", "cents", "n"])
+
+    cm = _partial_final(ds, partial, ["cust", "ym"],
+                        [("cents", "sum"), ("n", "sum")])
+    cu = np.asarray(cm.column("cust"), dtype=np.int64)
+    ym = np.asarray(cm.column("ym"), dtype=np.int64)
+    cv = np.asarray(cm.column("cents"), dtype=np.int64)
+    uu, uinv = np.unique(cu, return_inverse=True)
+    first = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first, uinv, ym)
+    cohort = first[uinv]
+    age = ym - cohort
+    key = cohort * 10_000 + age
+    uk, kinv = np.unique(key, return_inverse=True)
+    cents_k = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(cents_k, kinv, cv)
+    co = uk // 10_000
+    ag = uk % 10_000
+    # cumulative within cohort by age
+    order = np.lexsort((ag, co))
+    co, ag, cents_k = co[order], ag[order], cents_k[order]
+    new = np.ones(len(co), dtype=bool)
+    new[1:] = co[1:] != co[:-1]
+    cum = np.cumsum(cents_k)
+    seg0 = np.repeat(cum[new] - cents_k[new],
+                     np.diff(np.append(np.flatnonzero(new), len(co))))
+    cum = cum - seg0
+    # cohort sizes: `first` is one entry per distinct customer
+    cvals, ccnt = np.unique(first, return_counts=True)
+    csize = ccnt[np.searchsorted(cvals, co)]
+    return pa.table({
+        "cohort_ym": pa.array(co),
+        "months_since": pa.array(ag),
+        "n_customers": pa.array(csize),
+        "cum_cents": pa.array(cum)})
+
+
+SQL_COHORT_LTV_CURVE = """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS ym,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT cust, min(ym) AS cohort FROM o GROUP BY 1),
+sz AS (SELECT cohort, count(*) AS n_customers FROM f GROUP BY 1),
+cell AS (
+  SELECT f.cohort, o.ym - f.cohort AS age, sum(o.cents) AS cents
+  FROM o JOIN f ON f.cust = o.cust
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, age, cents,
+         sum(cents) OVER (PARTITION BY cohort ORDER BY age
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM cell)
+SELECT cum.cohort AS cohort_ym, CAST(age AS BIGINT) AS months_since,
+       CAST(sz.n_customers AS BIGINT) AS n_customers,
+       CAST(cum_cents AS BIGINT) AS cum_cents
+FROM cum JOIN sz ON sz.cohort = cum.cohort
+ORDER BY 1, 2
+"""
+
+QUERIES["cohort_ltv_curve"] = (q_cohort_ltv_curve, SQL_COHORT_LTV_CURVE)
+
+
+# ---------------------------------------------------------------------------
+# Event-order state-machine audit — purchases before signup etc.
+# ---------------------------------------------------------------------------
+
+
+def q_event_order_violations(sf_dir: str):
+    """Data-quality state machine: per user the rule 'no purchase
+    before the first signup' is audited — violations counted exactly
+    (purchases strictly before the user's first signup µs, or by
+    users who never signed up → counted under a separate reason).
+    Reduces to per-user (first_signup, purchase-ts multiset before
+    it): per-block partials carry (user, first-signup-min,
+    n-purchases-before-candidate...) — the exact form needs the
+    global first signup, so blocks ship (user, kind, ts) LITE rows
+    for the two event kinds only, pre-reduced to (user, min signup)
+    and (user, purchase ts) distinct-with-count. Bounded output: one
+    row per reason with user and event counts."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def lite(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({
+            "u": t.column("user_id"),
+            "k": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "k", "t"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "k", "t", "c"])
+
+    m = _partial_final(ds, lite, ["u", "k", "t"], [("c", "sum")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    k = m.column("k").to_numpy(zero_copy_only=False)
+    ts = np.asarray(m.column("t"), dtype=np.int64)
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    uu, uinv = np.unique(u, return_inverse=True)
+    BIG = np.iinfo(np.int64).max
+    first_signup = np.full(len(uu), BIG, dtype=np.int64)
+    sm = k == "signup"
+    np.minimum.at(first_signup, uinv[sm], ts[sm])
+    pm = k == "purchase"
+    before = ts[pm] < first_signup[uinv[pm]]
+    no_signup = first_signup[uinv[pm]] == BIG
+    early_ev = int(c[pm][before & ~no_signup].sum())
+    early_users = len(np.unique(uinv[pm][before & ~no_signup]))
+    orphan_ev = int(c[pm][no_signup].sum())
+    orphan_users = len(np.unique(uinv[pm][no_signup]))
+    return pa.table({
+        "reason": pa.array(["no_signup_at_all",
+                            "purchase_before_signup"], pa.string()),
+        "users": pa.array([orphan_users, early_users], pa.int64()),
+        "events": pa.array([orphan_ev, early_ev], pa.int64())})
+
+
+SQL_EVENT_ORDER_VIOLATIONS = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS t,
+         s.first_signup
+  FROM events e LEFT JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase')
+SELECT 'no_signup_at_all' AS reason,
+       CAST(count(DISTINCT CASE WHEN first_signup IS NULL
+                                THEN user_id END) AS BIGINT) AS users,
+       CAST(sum(CASE WHEN first_signup IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS events
+FROM p
+UNION ALL
+SELECT 'purchase_before_signup',
+       CAST(count(DISTINCT CASE WHEN first_signup IS NOT NULL
+                                AND t < first_signup
+                                THEN user_id END) AS BIGINT),
+       CAST(sum(CASE WHEN first_signup IS NOT NULL AND t < first_signup
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM p
+ORDER BY reason
+"""
+
+QUERIES["event_order_violations"] = (q_event_order_violations,
+                                     SQL_EVENT_ORDER_VIOLATIONS)

@@ -425,3 +425,48 @@ def audio_vad(ds, concurrency=2, batch_size: int = 256, **kw):
     return ds.map_batches(VadStage(**kw), concurrency=concurrency,
                           batch_size=batch_size, num_cpus=1,
                           batch_format="pyarrow")
+
+
+class OtsuStage:
+    """Actor-pool Otsu thresholding for PGM images: per image the
+    256-bin histogram, then for every candidate threshold t the
+    between-class separation is compared as the exact integer fraction
+    (w0·s1 − w1·s0)² / (w0·w1) via cross-multiplied Python-int
+    comparisons — no float ever, ties resolve to the LOWEST t.
+    Emits (media_id, otsu_thresh, fg_fraction_pm)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, th, fg = [], [], []
+        for mid, kind, data in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "image":
+                continue
+            px = parse_pgm(data).ravel()
+            hist = np.bincount(px, minlength=256).astype(np.int64)
+            n = int(hist.sum())
+            cw = np.cumsum(hist)                     # w0 per t
+            cs = np.cumsum(hist * np.arange(256, dtype=np.int64))
+            s_tot = int(cs[-1])
+            best_t, best_num, best_den = 0, -1, 1
+            for t in range(256):
+                w0 = int(cw[t])
+                w1 = n - w0
+                if w0 == 0 or w1 == 0:
+                    continue
+                s0 = int(cs[t])
+                diff = w0 * (s_tot - s0) - w1 * s0
+                num = diff * diff
+                den = w0 * w1
+                # num/den > best_num/best_den  <=>  cross-multiply
+                if num * best_den > best_num * den:
+                    best_t, best_num, best_den = t, num, den
+            fg_n = n - int(cw[best_t])               # px > t
+            ids.append(mid)
+            th.append(best_t)
+            fg.append(fg_n * 1000 // n if n else 0)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "otsu_thresh": pa.array(th, type=pa.int64()),
+            "fg_fraction_pm": pa.array(fg, type=pa.int64()),
+        })

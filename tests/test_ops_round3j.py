@@ -162,3 +162,44 @@ def test_vad_threshold_boundary_is_strict():
     })
     out = VadStage(thresh=2000)(t).to_pylist()[0]
     assert out["voiced_frames"] == 0
+
+
+def test_otsu_bimodal_image_exact():
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.stages.multimodal import (OtsuStage,
+                                                       make_pgm)
+
+    # two clean modes at 50 and 200: any threshold in [50, 199]
+    # separates them; the integer argmax with lowest-t ties must pick
+    # t = 50 (first maximizer: all in-gap thresholds give identical
+    # separation)
+    px = np.array([[50] * 8 * 4 + [200] * 8 * 4],
+                  dtype=np.uint8).reshape(8, 8)
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([make_pgm(8, 8, px)], pa.binary()),
+    })
+    out = OtsuStage()(t).to_pylist()[0]
+    assert out["otsu_thresh"] == 50
+    assert out["fg_fraction_pm"] == 500
+
+
+def test_otsu_uniform_image_degenerate():
+    import pyarrow as pa
+
+    from log_analysis_ai_ray.stages.multimodal import (OtsuStage,
+                                                       make_pgm)
+
+    px = np.full((4, 4), 99, dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([2], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([make_pgm(4, 4, px)], pa.binary()),
+    })
+    out = OtsuStage()(t).to_pylist()[0]
+    # no split improves separation -> threshold stays at init 0,
+    # everything is foreground (px > 0)
+    assert out["otsu_thresh"] == 0
+    assert out["fg_fraction_pm"] == 1000
