@@ -5958,3 +5958,122 @@ ORDER BY reason
 
 QUERIES["event_order_violations"] = (q_event_order_violations,
                                      SQL_EVENT_ORDER_VIOLATIONS)
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoints — two-level integer CUSUM argmax
+# ---------------------------------------------------------------------------
+
+
+def q_changepoint_binary_seg(sf_dir: str):
+    """Two-level binary segmentation on each type's daily cents: the
+    level-1 changepoint maximizes the INTEGER CUSUM statistic
+    |n·P_k − k·S| (P_k prefix sum, S total — the scaled mean-shift
+    score, no division), then the stronger side is split again by the
+    same rule restricted to that side. Ties → smallest day; all
+    comparisons are Python-int exact, so both engines pick identical
+    days. Shuffle = (type, day) partials."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": day, "y": cents}) \
+            .group_by(["event_type", "day"]).aggregate([("y", "sum")])
+        return g.rename_columns(["event_type", "day", "y"])
+
+    m = _partial_final(ds, partial, ["event_type", "day"],
+                       [("y", "sum")])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    yv = np.asarray(m.column("y"), dtype=np.int64)
+
+    def cusum_argmax(days, ys):
+        """(best_day, best_stat) of |n·P_k − k·S| over k=1..n-1."""
+        n = len(ys)
+        if n < 2:
+            return None, 0
+        P = np.cumsum(ys)
+        S = int(P[-1])
+        k = np.arange(1, n, dtype=object)
+        stat = np.abs(np.int64(n) * P[:-1].astype(object) - k * S)
+        best = int(np.argmax(stat))      # first max -> smallest day
+        return int(days[best]), int(stat[best])
+
+    rows = []
+    for ty in sorted(str(x) for x in np.unique(et)):
+        msk = et == ty
+        o = np.argsort(dy[msk])
+        d, y = dy[msk][o], yv[msk][o]
+        cp1, s1 = cusum_argmax(d, y)
+        if cp1 is None:
+            continue
+        # split at cp1 (cp1 ends the left side), re-run on each side
+        left = d <= cp1
+        cl, sl = cusum_argmax(d[left], y[left])
+        cr, sr = cusum_argmax(d[~left], y[~left])
+        if sl >= sr:
+            cp2, s2 = cl, sl
+        else:
+            cp2, s2 = cr, sr
+        rows.append((ty, cp1, s1, cp2, s2))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "cp1_day": pa.array([r[1] for r in rows], pa.int64()),
+        "stat1": pa.array([r[2] for r in rows], pa.int64()),
+        "cp2_day": pa.array([r[3] for r in rows], pa.int64()),
+        "stat2": pa.array([r[4] for r in rows], pa.int64())})
+
+
+SQL_CHANGEPOINT_BINARY_SEG = """
+WITH d AS (
+  SELECT event_type AS et,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT et, day, y,
+         sum(y) OVER (PARTITION BY et ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS pk,
+         sum(y) OVER (PARTITION BY et) AS s,
+         count(*) OVER (PARTITION BY et) AS n,
+         row_number() OVER (PARTITION BY et ORDER BY day) AS k
+  FROM d),
+l1 AS (
+  SELECT et, day, abs(n * pk - k * s) AS stat,
+         row_number() OVER (PARTITION BY et
+                            ORDER BY abs(n * pk - k * s) DESC, day)
+           AS rk
+  FROM p WHERE k < n),
+cp1 AS (SELECT et, day AS cp1_day, stat AS stat1
+        FROM l1 WHERE rk = 1),
+sides AS (
+  SELECT d.et, d.day, d.y, cp1.cp1_day, cp1.stat1,
+         CASE WHEN d.day <= cp1.cp1_day THEN 0 ELSE 1 END AS side
+  FROM d JOIN cp1 ON cp1.et = d.et),
+p2 AS (
+  SELECT et, side, day, cp1_day, stat1,
+         sum(y) OVER (PARTITION BY et, side ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS pk,
+         sum(y) OVER (PARTITION BY et, side) AS s,
+         count(*) OVER (PARTITION BY et, side) AS n,
+         row_number() OVER (PARTITION BY et, side ORDER BY day) AS k
+  FROM sides),
+l2 AS (
+  SELECT et, cp1_day, stat1, day, abs(n * pk - k * s) AS stat,
+         row_number() OVER (PARTITION BY et
+                            ORDER BY abs(n * pk - k * s) DESC, day)
+           AS rk
+  FROM p2 WHERE k < n)
+SELECT et AS event_type, CAST(cp1_day AS BIGINT) AS cp1_day,
+       CAST(stat1 AS BIGINT) AS stat1,
+       CAST(day AS BIGINT) AS cp2_day, CAST(stat AS BIGINT) AS stat2
+FROM l2 WHERE rk = 1 ORDER BY 1
+"""
+
+QUERIES["changepoint_binary_seg"] = (q_changepoint_binary_seg,
+                                     SQL_CHANGEPOINT_BINARY_SEG)
