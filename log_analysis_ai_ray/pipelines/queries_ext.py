@@ -6077,3 +6077,162 @@ FROM l2 WHERE rk = 1 ORDER BY 1
 
 QUERIES["changepoint_binary_seg"] = (q_changepoint_binary_seg,
                                      SQL_CHANGEPOINT_BINARY_SEG)
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator — extreme-value heaviness of the value tail
+# ---------------------------------------------------------------------------
+
+_HILL_K = 200
+
+
+def q_hill_tail_index(sf_dir: str):
+    """Hill estimator of the value tail index per event type:
+    γ̂ = (1/k)Σ ln(x_(i)/x_(k+1)) over the top-k order statistics,
+    taken EXACTLY from the bounded cents histogram (top-k by
+    cum-count walk, never a sort of rows). The log-sum is the one
+    mirrored float, rounded to micro; k adapts to min(200, n//10) so
+    small types stay defined. Heavy tail ⇒ γ̂ large; exponential-ish
+    ⇒ small."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "cents": cents}) \
+            .group_by(["event_type", "cents"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "c"])
+
+    h = _partial_final(ds, partial, ["event_type", "cents"],
+                       [("c", "sum")])
+    et = h.column("event_type").to_numpy(zero_copy_only=False)
+    cv = np.asarray(h.column("cents"), dtype=np.int64)
+    cc = np.asarray(h.column("c"), dtype=np.int64)
+    rows = []
+    for ty in sorted(str(x) for x in np.unique(et)):
+        m = et == ty
+        o = np.argsort(-cv[m])              # descending values
+        v, c = cv[m][o], cc[m][o]
+        n = int(c.sum())
+        k = min(_HILL_K, n // 10)
+        if k < 10:
+            continue
+        cum = np.cumsum(c)
+        # x_(k+1): the (k+1)-th largest value
+        xk1 = int(v[np.searchsorted(cum, k + 1, side="left")])
+        if xk1 <= 0:
+            continue
+        # top-k values with multiplicities, truncated at k
+        top_idx = np.searchsorted(cum, k, side="left")
+        take = c[:top_idx + 1].copy()
+        take[top_idx] = k - (int(cum[top_idx - 1]) if top_idx else 0)
+        lx = np.log(v[:top_idx + 1].astype(np.float64) / xk1)
+        gamma = float((take * lx).sum() / k)
+        rows.append((ty, n, k, xk1, int(round(gamma * 1e6))))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "k": pa.array([r[2] for r in rows], pa.int64()),
+        "xk1_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "gamma_micro": pa.array([r[4] for r in rows], pa.int64())})
+
+
+SQL_HILL_TAIL_INDEX = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+kk AS (
+  SELECT event_type, max(n) AS n,
+         least(200, max(n) // 10) AS k
+  FROM r GROUP BY 1 HAVING least(200, max(n) // 10) >= 10),
+x1 AS (
+  SELECT r.event_type, r.cents AS xk1
+  FROM r JOIN kk ON kk.event_type = r.event_type
+  WHERE r.rk = kk.k + 1),
+g AS (
+  SELECT r.event_type, kk.n, kk.k, x1.xk1,
+         sum(ln(CAST(r.cents AS DOUBLE) / x1.xk1)) / kk.k AS gamma
+  FROM r JOIN kk ON kk.event_type = r.event_type
+         JOIN x1 ON x1.event_type = r.event_type
+  WHERE r.rk <= kk.k AND x1.xk1 > 0
+  GROUP BY 1, 2, 3, 4)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(xk1 AS BIGINT) AS xk1_cents,
+       CAST(round(gamma * 1000000, 0) AS BIGINT) AS gamma_micro
+FROM g ORDER BY 1
+"""
+
+QUERIES["hill_tail_index"] = (q_hill_tail_index, SQL_HILL_TAIL_INDEX)
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio — vocabulary-growth signal per source
+# ---------------------------------------------------------------------------
+
+
+def q_source_hapax_ratio(sf_dir: str):
+    """Share of each source's vocabulary that occurs exactly once
+    (hapax legomena — the Heaps-law growth signal that separates
+    productive natural text from template spam): (source, token)
+    count partials (vocab-bounded), ratio in per-mille from the
+    merged counts. Integer output."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = vc.column("source").to_numpy(zero_copy_only=False)
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    rows = []
+    for s in sorted(str(x) for x in np.unique(src)):
+        m = src == s
+        vocab = int(m.sum())
+        hapax = int((cnt[m] == 1).sum())
+        rows.append((s, vocab, hapax, hapax * 1000 // vocab))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "vocab": pa.array([r[1] for r in rows], pa.int64()),
+        "hapax": pa.array([r[2] for r in rows], pa.int64()),
+        "hapax_pm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_SOURCE_HAPAX_RATIO = """
+WITH t AS (
+  SELECT source, tok, count(*) AS cnt FROM (
+    SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+m AS (
+  SELECT source, count(*) AS vocab,
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+  FROM t GROUP BY 1)
+SELECT source, CAST(vocab AS BIGINT) AS vocab,
+       CAST(hapax AS BIGINT) AS hapax,
+       CAST(hapax * 1000 // vocab AS BIGINT) AS hapax_pm
+FROM m ORDER BY 1
+"""
+
+QUERIES["source_hapax_ratio"] = (q_source_hapax_ratio,
+                                 SQL_SOURCE_HAPAX_RATIO)
