@@ -6236,3 +6236,150 @@ FROM m ORDER BY 1
 
 QUERIES["source_hapax_ratio"] = (q_source_hapax_ratio,
                                  SQL_SOURCE_HAPAX_RATIO)
+
+
+# ---------------------------------------------------------------------------
+# Mutual information — dependence strength between two categoricals
+# ---------------------------------------------------------------------------
+
+
+def q_customer_nation_segment_mi(sf_dir: str):
+    """Mutual information between nation and market segment over
+    customers (the dependence measure χ² doesn't give in nats):
+    MI = Σ (c_ij/N)·ln(c_ij·N/(r_i·s_j)) from the bounded 25×5
+    contingency partials; integer micro-nats out, every term mirrored
+    by the oracle. Also emits the normalized MI/min(H_r,H_c) in
+    micro."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey", "c_mktsegment"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["nk", "seg", "c"])
+
+    m = _partial_final(ds, partial, ["nk", "seg"], [("c", "sum")])
+    nk = np.asarray(m.column("nk"), dtype=np.int64)
+    seg = m.column("seg").to_numpy(zero_copy_only=False)
+    c = np.asarray(m.column("c"), dtype=np.float64)
+    N = c.sum()
+    un, ni = np.unique(nk, return_inverse=True)
+    us, si = np.unique(seg, return_inverse=True)
+    r = np.zeros(len(un))
+    s = np.zeros(len(us))
+    np.add.at(r, ni, c)
+    np.add.at(s, si, c)
+    mi = float((c / N * np.log(c * N / (r[ni] * s[si]))).sum())
+    hr = float(-(r / N * np.log(r / N)).sum())
+    hc = float(-(s / N * np.log(s / N)).sum())
+    nmi = mi / min(hr, hc) if min(hr, hc) > 0 else 0.0
+    return pa.table({
+        "n": pa.array([int(N)], pa.int64()),
+        "mi_micro": pa.array([int(round(mi * 1e6))], pa.int64()),
+        "nmi_micro": pa.array([int(round(nmi * 1e6))], pa.int64())})
+
+
+SQL_CUSTOMER_NATION_SEGMENT_MI = """
+WITH j AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS c
+  FROM customer GROUP BY 1, 2),
+n AS (SELECT sum(c) AS n FROM j),
+r AS (SELECT nk, sum(c) AS r FROM j GROUP BY 1),
+s AS (SELECT seg, sum(c) AS s FROM j GROUP BY 1),
+mi AS (
+  SELECT sum((j.c::DOUBLE / n.n)
+             * ln(j.c::DOUBLE * n.n / (r.r * s.s))) AS mi
+  FROM j JOIN r ON r.nk = j.nk JOIN s ON s.seg = j.seg
+  CROSS JOIN n),
+h AS (
+  SELECT (SELECT -sum((r::DOUBLE / n.n) * ln(r::DOUBLE / n.n))
+          FROM r CROSS JOIN n) AS hr,
+         (SELECT -sum((s::DOUBLE / n.n) * ln(s::DOUBLE / n.n))
+          FROM s CROSS JOIN n) AS hc)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(round(mi.mi * 1000000, 0) AS BIGINT) AS mi_micro,
+       CAST(round(mi.mi / least(h.hr, h.hc) * 1000000, 0) AS BIGINT)
+         AS nmi_micro
+FROM mi CROSS JOIN h CROSS JOIN n
+"""
+
+QUERIES["customer_nation_segment_mi"] = (q_customer_nation_segment_mi,
+                                         SQL_CUSTOMER_NATION_SEGMENT_MI)
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient — hub interconnection density
+# ---------------------------------------------------------------------------
+
+
+def q_domain_rich_club(sf_dir: str):
+    """Rich-club coefficient of the undirected domain graph at degree
+    thresholds k ∈ {2,4,6}: φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    subgraph of nodes with degree > k — are the hubs a club? All
+    integer until the single per-mille division; edges from the same
+    bounded partials as domain_link_edges."""
+    from .queries import q_domain_link_edges
+
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    und = set(zip(a.tolist(), b.tolist()))
+    deg: dict = {}
+    for x, y in und:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    rows = []
+    for k in (2, 4, 6):
+        club = {n for n, d in deg.items() if d > k}
+        nk = len(club)
+        ek = sum(1 for x, y in und if x in club and y in club)
+        phi = (2 * ek * 1000 // (nk * (nk - 1))
+               if nk > 1 else None)
+        rows.append((k, nk, ek, phi))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_club": pa.array([r[1] for r in rows], pa.int64()),
+        "e_club": pa.array([r[2] for r in rows], pa.int64()),
+        "phi_pm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_DOMAIN_RICH_CLUB = f"""
+WITH raw AS (
+  SELECT DISTINCT least(regexp_extract(url, '{_DOM_RE_X}', 1),
+                        regexp_extract(dst, '{_DOM_RE_X}', 1)) AS a,
+         greatest(regexp_extract(url, '{_DOM_RE_X}', 1),
+                  regexp_extract(dst, '{_DOM_RE_X}', 1)) AS b
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {_PAGES_VIEW_X})
+  WHERE regexp_extract(url, '{_DOM_RE_X}', 1)
+        <> regexp_extract(dst, '{_DOM_RE_X}', 1)),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM raw UNION ALL SELECT b FROM raw)
+  GROUP BY 1),
+ks AS (SELECT CAST(unnest([2, 4, 6]) AS BIGINT) AS k),
+club AS (
+  SELECT ks.k, deg.n FROM ks JOIN deg ON deg.d > ks.k),
+nk AS (SELECT k, count(*) AS n_club FROM club GROUP BY 1),
+ek AS (
+  SELECT ks.k, count(*) AS e_club
+  FROM ks JOIN raw ON true
+  JOIN club c1 ON c1.k = ks.k AND c1.n = raw.a
+  JOIN club c2 ON c2.k = ks.k AND c2.n = raw.b
+  GROUP BY 1)
+SELECT ks.k, CAST(coalesce(nk.n_club, 0) AS BIGINT) AS n_club,
+       CAST(coalesce(ek.e_club, 0) AS BIGINT) AS e_club,
+       CASE WHEN coalesce(nk.n_club, 0) > 1 THEN
+         CAST(2 * coalesce(ek.e_club, 0) * 1000
+              // (nk.n_club * (nk.n_club - 1)) AS BIGINT)
+       END AS phi_pm
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+ORDER BY ks.k
+"""
+
+QUERIES["domain_rich_club"] = (q_domain_rich_club,
+                               SQL_DOMAIN_RICH_CLUB)
