@@ -6383,3 +6383,172 @@ ORDER BY ks.k
 
 QUERIES["domain_rich_club"] = (q_domain_rich_club,
                                SQL_DOMAIN_RICH_CLUB)
+
+
+# ---------------------------------------------------------------------------
+# Attack robustness — largest component before/after removing the top hub
+# ---------------------------------------------------------------------------
+
+
+def q_domain_attack_robustness(sf_dir: str):
+    """Network robustness to targeted attack: size of the largest
+    connected component before and after removing the highest-degree
+    domain (ties → lexicographically smallest hub, both engines).
+    Components via the same min-label machinery the dedup clustering
+    uses (stages/graph.py semantics, driver-bounded here); the oracle
+    re-derives both components with recursive reachability CTEs."""
+    from .queries import q_domain_link_edges
+
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    und = sorted(set(zip(a.tolist(), b.tolist())))
+
+    def lcc(pairs):
+        if not pairs:
+            return 0
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in pairs:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        sizes: dict = {}
+        for n in list(parent):
+            r = find(n)
+            sizes[r] = sizes.get(r, 0) + 1
+        return max(sizes.values())
+
+    deg: dict = {}
+    for x, y in und:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    hub = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    before = lcc(und)
+    after = lcc([(x, y) for x, y in und if hub not in (x, y)])
+    return pa.table({
+        "hub": pa.array([hub], pa.string()),
+        "hub_degree": pa.array([deg[hub]], pa.int64()),
+        "lcc_before": pa.array([before], pa.int64()),
+        "lcc_after": pa.array([after], pa.int64())})
+
+
+SQL_DOMAIN_ATTACK_ROBUSTNESS = f"""
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT least(regexp_extract(url, '{_DOM_RE_X}', 1),
+                        regexp_extract(dst, '{_DOM_RE_X}', 1)) AS a,
+         greatest(regexp_extract(url, '{_DOM_RE_X}', 1),
+                  regexp_extract(dst, '{_DOM_RE_X}', 1)) AS b
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                              '<a href="([^"]*)"', 1)) AS dst
+        FROM {_PAGES_VIEW_X})
+  WHERE regexp_extract(url, '{_DOM_RE_X}', 1)
+        <> regexp_extract(dst, '{_DOM_RE_X}', 1)),
+nb AS (SELECT a AS x, b AS z FROM raw
+       UNION ALL SELECT b, a FROM raw),
+deg AS (SELECT x, count(*) AS d FROM nb GROUP BY 1),
+hub AS (SELECT x AS hub, d FROM deg ORDER BY d DESC, x LIMIT 1),
+reach(n, m) AS (
+  SELECT x, x FROM deg
+  UNION
+  SELECT r.n, nb.z FROM reach r JOIN nb ON nb.x = r.m),
+comp AS (SELECT n, min(m) AS root FROM reach GROUP BY 1),
+lcc1 AS (SELECT max(cnt) AS s FROM
+         (SELECT root, count(*) AS cnt FROM comp GROUP BY 1)),
+nb2 AS (SELECT nb.x, nb.z FROM nb CROSS JOIN hub
+        WHERE nb.x <> hub.hub AND nb.z <> hub.hub),
+nodes2 AS (SELECT DISTINCT x FROM nb2),
+reach2(n, m) AS (
+  SELECT x, x FROM nodes2
+  UNION
+  SELECT r.n, nb2.z FROM reach2 r JOIN nb2 ON nb2.x = r.m),
+comp2 AS (SELECT n, min(m) AS root FROM reach2 GROUP BY 1),
+lcc2 AS (SELECT coalesce(max(cnt), 0) AS s FROM
+         (SELECT root, count(*) AS cnt FROM comp2 GROUP BY 1))
+SELECT hub.hub, CAST(hub.d AS BIGINT) AS hub_degree,
+       CAST(lcc1.s AS BIGINT) AS lcc_before,
+       CAST(lcc2.s AS BIGINT) AS lcc_after
+FROM hub CROSS JOIN lcc1 CROSS JOIN lcc2
+"""
+
+QUERIES["domain_attack_robustness"] = (q_domain_attack_robustness,
+                                       SQL_DOMAIN_ATTACK_ROBUSTNESS)
+
+
+# ---------------------------------------------------------------------------
+# Rapid-repeat order audit — same customer re-ordering within days
+# ---------------------------------------------------------------------------
+
+_DUPPAY_NPART = 32
+
+
+def q_rapid_repeat_orders(sf_dir: str):
+    """Double-order / fraud screen: CONSECUTIVE orders by the same
+    customer no more than 3 days apart, counted per gap length
+    (0..3 days). Gap counts are tie-proof — equal order dates give
+    gap 0 under any tie order, so both engines agree without a
+    tiebreak column. One custkey hash co-location; per partition a
+    lexsort + adjacent diff; bounded (gap → count) output."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    _DUS = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cu = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(cu, _DUPPAY_NPART)),
+            "cust": t.column("o_custkey"), "day": day})
+
+    def gaps(t: pa.Table) -> pa.Table:
+        cu = np.asarray(t.column("cust"), dtype=np.int64)
+        dy = np.asarray(t.column("day"), dtype=np.int64)
+        o = np.lexsort((dy, cu))
+        cu, dy = cu[o], dy[o]
+        same = np.zeros(len(cu), dtype=bool)
+        same[1:] = cu[1:] == cu[:-1]
+        gap = np.empty(len(cu), dtype=np.int64)
+        gap[1:] = dy[1:] - dy[:-1]
+        hit = same & (gap <= 3)
+        g = pa.table({"gap_days": pa.array(gap[hit]),
+                      "pairs": pa.array(np.ones(int(hit.sum()),
+                                                dtype=np.int64))})
+        if g.num_rows == 0:
+            return pa.table({"gap_days": pa.array([], pa.int64()),
+                             "pairs": pa.array([], pa.int64())})
+        return g.group_by("gap_days").aggregate([("pairs", "sum")]) \
+            .rename_columns(["gap_days", "pairs"])
+
+    out = agg._combine_partials(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(gaps, batch_format="pyarrow"),
+        keys=["gap_days"], aggs=[("pairs", "sum")])
+    return out.sort_by("gap_days")
+
+
+SQL_RAPID_REPEAT_ORDERS = """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day
+  FROM orders),
+l AS (
+  SELECT day,
+         lead(day) OVER (PARTITION BY cust ORDER BY day) AS nxt
+  FROM o)
+SELECT CAST(nxt - day AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS pairs
+FROM l WHERE nxt IS NOT NULL AND nxt - day <= 3
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["rapid_repeat_orders"] = (q_rapid_repeat_orders,
+                                  SQL_RAPID_REPEAT_ORDERS)
