@@ -6552,3 +6552,119 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["rapid_repeat_orders"] = (q_rapid_repeat_orders,
                                   SQL_RAPID_REPEAT_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# Lookalike audience scoring — cosine to a seed-cohort centroid
+# ---------------------------------------------------------------------------
+
+
+def q_lookalike_scores(sf_dir: str):
+    """Audience expansion: every user's event-type count profile
+    (5-dim integer vector) scored by cosine against the PURCHASER
+    cohort's centroid, then quality-checked — per score decile
+    (midrank over the micro-score histogram) the purchase rate in
+    per-mille, which should rise monotonically if the lookalike
+    signal is real. Profiles are (user, type) partials; the centroid
+    is exact integer sums over the seed cohort; cosine is the one
+    mirrored float (round micro) and the decile cut reuses the
+    histogram midrank rule."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    m = _partial_final(ds, partial, ["user_id", "event_type"],
+                       [("c", "sum")])
+    u = np.asarray(m.column("user_id"), dtype=np.int64)
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    types = np.array(sorted(np.unique(et).tolist()), dtype=object)
+    T = len(types)
+    ti = np.searchsorted(types, et)
+    uu, uinv = np.unique(u, return_inverse=True)
+    P = np.zeros((len(uu), T), dtype=np.int64)
+    P[uinv, ti] = c
+    is_seed = P[:, np.flatnonzero(types == "purchase")[0]] > 0
+    centroid = P[is_seed].sum(axis=0).astype(np.float64)
+    num = P @ centroid
+    den = (np.sqrt((P * P).sum(axis=1).astype(np.float64))
+           * np.sqrt((centroid * centroid).sum()))
+    score = np.round(np.where(den > 0, num / den, 0.0) * 1e6) \
+        .astype(np.int64)
+    # decile by midrank over the score histogram
+    sv, sc_ = np.unique(score, return_counts=True)
+    cb = np.cumsum(sc_) - sc_
+    n = int(sc_.sum())
+    dec_of = ((2 * cb + sc_ - 1) * 10) // (2 * n) + 1
+    dec = dec_of[np.searchsorted(sv, score)]
+    out = {}
+    for d in range(1, 11):
+        msk = dec == d
+        if not msk.any():
+            continue
+        nu = int(msk.sum())
+        np_ = int((msk & is_seed).sum())
+        out[d] = (nu, np_, np_ * 1000 // nu)
+    return pa.table({
+        "decile": pa.array(list(out), pa.int64()),
+        "users": pa.array([v[0] for v in out.values()], pa.int64()),
+        "purchasers": pa.array([v[1] for v in out.values()],
+                               pa.int64()),
+        "purchase_pm": pa.array([v[2] for v in out.values()],
+                                pa.int64())})
+
+
+SQL_LOOKALIKE_SCORES = """
+WITH p AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT u.user_id, ty.event_type, coalesce(p.c, 0) AS c
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN ty
+  LEFT JOIN p ON p.user_id = u.user_id
+            AND p.event_type = ty.event_type),
+seed AS (
+  SELECT user_id FROM p
+  WHERE event_type = 'purchase' AND c > 0),
+cent AS (
+  SELECT g.event_type, sum(g.c) AS ce
+  FROM grid g JOIN seed s ON s.user_id = g.user_id
+  GROUP BY 1),
+sc AS (
+  SELECT g.user_id,
+         sum(g.c * cent.ce) AS num,
+         sqrt(sum(g.c * g.c)) AS nl,
+         (SELECT sqrt(sum(ce * ce)) FROM cent) AS nr
+  FROM grid g JOIN cent ON cent.event_type = g.event_type
+  GROUP BY 1),
+scored AS (
+  SELECT sc.user_id,
+         CAST(round(CASE WHEN nl * nr > 0
+                         THEN num / (nl * nr) ELSE 0 END * 1000000,
+                    0) AS BIGINT) AS score,
+         CASE WHEN seed.user_id IS NOT NULL THEN 1 ELSE 0 END
+           AS is_seed
+  FROM sc LEFT JOIN seed ON seed.user_id = sc.user_id),
+h AS (
+  SELECT score, count(*) AS cnt, sum(is_seed) AS seeds
+  FROM scored GROUP BY 1),
+d AS (
+  SELECT score, cnt, seeds,
+         ((2 * (sum(cnt) OVER (ORDER BY score
+                               ROWS UNBOUNDED PRECEDING) - cnt)
+           + cnt - 1) * 10) // (2 * sum(cnt) OVER ()) + 1 AS decile
+  FROM h)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(sum(cnt) AS BIGINT) AS users,
+       CAST(sum(seeds) AS BIGINT) AS purchasers,
+       CAST(sum(seeds) * 1000 // sum(cnt) AS BIGINT) AS purchase_pm
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lookalike_scores"] = (q_lookalike_scores,
+                               SQL_LOOKALIKE_SCORES)
