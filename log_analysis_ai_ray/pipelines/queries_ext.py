@@ -6668,3 +6668,174 @@ FROM d GROUP BY 1 ORDER BY 1
 
 QUERIES["lookalike_scores"] = (q_lookalike_scores,
                                SQL_LOOKALIKE_SCORES)
+
+
+# ---------------------------------------------------------------------------
+# Conversion-delay percentiles — signup → first purchase, exact
+# ---------------------------------------------------------------------------
+
+
+def q_conversion_delay_percentiles(sf_dir: str):
+    """Exact P25/P50/P90 of the signup→first-purchase delay in days,
+    over converters only (the deterministic counterpart of the
+    Kaplan–Meier view, which handles censoring): per-user first
+    signup and first subsequent purchase reduce to min-partials; the
+    day-gap histogram is bounded, percentiles are ceil-rank lookups
+    (quantile_disc convention)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def lite(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({
+            "u": t.column("user_id"), "k": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "k"]).aggregate([("t", "min")])
+        return g.rename_columns(["u", "k", "t"])
+
+    # NOTE: per-user FIRST PURCHASE AFTER SIGNUP needs the purchase
+    # min conditioned on >= signup time, which a blind (u,k) min
+    # can't give. Ship (u,k,t) distinct rows instead (bounded by
+    # 2 rows per (user, distinct ts) — events, not partials, but two
+    # kinds only) and reduce exactly after the user-hash merge.
+    def lite2(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({
+            "u": t.column("user_id"), "k": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "k", "t"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "k", "t", "c"])
+
+    m = _partial_final(ds, lite2, ["u", "k", "t"], [("c", "sum")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    k = m.column("k").to_numpy(zero_copy_only=False)
+    ts = np.asarray(m.column("t"), dtype=np.int64)
+    uu, uinv = np.unique(u, return_inverse=True)
+    BIG = np.iinfo(np.int64).max
+    s0 = np.full(len(uu), BIG, dtype=np.int64)
+    sm = k == "signup"
+    np.minimum.at(s0, uinv[sm], ts[sm])
+    pm_ = k == "purchase"
+    pu, pt = uinv[pm_], ts[pm_]
+    ok = (s0[pu] != BIG) & (pt >= s0[pu])
+    first_p = np.full(len(uu), BIG, dtype=np.int64)
+    np.minimum.at(first_p, pu[ok], pt[ok])
+    conv = first_p != BIG
+    gap_days = (first_p[conv] - s0[conv]) // 86_400_000_000
+    gv, gc = np.unique(gap_days, return_counts=True)
+    n = int(gc.sum())
+    cum = np.cumsum(gc)
+
+    def at(q):
+        kq = -(-q * n // 100)
+        return int(gv[np.searchsorted(cum, kq, side="left")])
+
+    return pa.table({
+        "converters": pa.array([n], pa.int64()),
+        "p25_days": pa.array([at(25)], pa.int64()),
+        "p50_days": pa.array([at(50)], pa.int64()),
+        "p90_days": pa.array([at(90)], pa.int64())})
+
+
+SQL_CONVERSION_DELAY_PERCENTILES = """
+WITH s AS (
+  SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS s0
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT e.user_id,
+         min(CAST(epoch_us(e.ts) AS BIGINT)) AS p0
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(epoch_us(e.ts) AS BIGINT) >= s.s0
+  GROUP BY 1),
+g AS (
+  SELECT (p.p0 - s.s0) // 86400000000 AS gap
+  FROM p JOIN s ON s.user_id = p.user_id)
+SELECT CAST(count(*) AS BIGINT) AS converters,
+       CAST(quantile_disc(gap, 0.25) AS BIGINT) AS p25_days,
+       CAST(quantile_disc(gap, 0.50) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(gap, 0.90) AS BIGINT) AS p90_days
+FROM g
+"""
+
+QUERIES["conversion_delay_percentiles"] = (
+    q_conversion_delay_percentiles, SQL_CONVERSION_DELAY_PERCENTILES)
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week active-user Jaccard — audience stability
+# ---------------------------------------------------------------------------
+
+
+def q_wau_overlap(sf_dir: str):
+    """Audience stability: Jaccard overlap of the weekly-active-user
+    sets for every consecutive ISO-week pair, in per-mille. DISTINCT
+    (user, week) partials bound the exchange; intersections come from
+    one lexsort over the merged pairs (a user's weeks are adjacent
+    after sorting), unions by inclusion–exclusion — no set objects,
+    no join."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pf(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(7 * 86_400_000_000, pa.int64()))
+        g = pa.table({"u": t.column("user_id"), "wk": wk}) \
+            .group_by(["u", "wk"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "wk", "c"])
+
+    mm = _partial_final(ds, pf, ["u", "wk"], [("c", "sum")])
+    u = np.asarray(mm.column("u"), dtype=np.int64)
+    wk = np.asarray(mm.column("wk"), dtype=np.int64)
+    weeks = np.unique(wk)
+    size = {int(w): int((wk == w).sum()) for w in weeks}
+    # intersection of consecutive weeks: sort by (u, wk), adjacent
+    o = np.lexsort((wk, u))
+    us, ws = u[o], wk[o]
+    adj = (us[1:] == us[:-1]) & (ws[1:] == ws[:-1] + 1)
+    inter: dict = {}
+    for w in ws[:-1][adj]:
+        inter[int(w)] = inter.get(int(w), 0) + 1
+    rows = []
+    for w0, w1 in zip(weeks[:-1], weeks[1:]):
+        if w1 != w0 + 1:
+            continue
+        i = inter.get(int(w0), 0)
+        un = size[int(w0)] + size[int(w1)] - i
+        rows.append((int(w0), int(w1), size[int(w0)], size[int(w1)],
+                     i, i * 1000 // un if un else None))
+    return pa.table({
+        "week_a": pa.array([r[0] for r in rows], pa.int64()),
+        "week_b": pa.array([r[1] for r in rows], pa.int64()),
+        "wau_a": pa.array([r[2] for r in rows], pa.int64()),
+        "wau_b": pa.array([r[3] for r in rows], pa.int64()),
+        "overlap": pa.array([r[4] for r in rows], pa.int64()),
+        "jaccard_pm": pa.array([r[5] for r in rows], pa.int64())})
+
+
+SQL_WAU_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+  FROM events),
+sz AS (SELECT wk, count(*) AS n FROM d GROUP BY 1),
+ix AS (
+  SELECT a.wk AS week_a, count(*) AS overlap
+  FROM d a JOIN d b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+  GROUP BY 1)
+SELECT CAST(s0.wk AS BIGINT) AS week_a,
+       CAST(s1.wk AS BIGINT) AS week_b,
+       CAST(s0.n AS BIGINT) AS wau_a, CAST(s1.n AS BIGINT) AS wau_b,
+       CAST(coalesce(ix.overlap, 0) AS BIGINT) AS overlap,
+       CAST(coalesce(ix.overlap, 0) * 1000
+            // (s0.n + s1.n - coalesce(ix.overlap, 0)) AS BIGINT)
+         AS jaccard_pm
+FROM sz s0 JOIN sz s1 ON s1.wk = s0.wk + 1
+LEFT JOIN ix ON ix.week_a = s0.wk
+ORDER BY 1
+"""
+
+QUERIES["wau_overlap"] = (q_wau_overlap, SQL_WAU_OVERLAP)
