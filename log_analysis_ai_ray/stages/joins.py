@@ -624,3 +624,54 @@ def interval_join_count_partitioned(left_ds, right_ds, *, left_key: str,
 
     return tagged.groupby("_pkey").map_groups(part_count,
                                               batch_format="pyarrow")
+
+
+BROADCAST_JOIN_MAX_ROWS = 2_000_000
+
+
+def lookup_join_auto(left_ds, right_ds, *, left_key: str,
+                     right_key: str, take_cols: list[str],
+                     join_type: str = "inner",
+                     broadcast_max_rows: int | None = None,
+                     **partitioned_kw):
+    """Cost-based equi-join path selection (the planner decision every
+    engine makes): count the build side — a metadata-only count for
+    parquet inputs — and
+
+    - ≤ ``broadcast_max_rows``: BROADCAST it (one `ray.put`, a
+      per-block Acero hash join inside map_batches — zero shuffle of
+      the probe side, the right answer whenever a dimension table
+      fits in a worker heap);
+    - larger: fall back to the hash-partitioned shuffle join
+      (partitioned_lookup_join, with its salt/outer options).
+
+    Returns (dataset, chosen_path) so callers/tests can assert the
+    decision. Parity between the two paths is pytest-pinned."""
+    import ray
+
+    limit = (BROADCAST_JOIN_MAX_ROWS if broadcast_max_rows is None
+             else broadcast_max_rows)
+    n_right = right_ds.count()
+    if n_right > limit:
+        return partitioned_lookup_join(
+            left_ds, right_ds, left_key=left_key, right_key=right_key,
+            take_cols=take_cols, join_type=join_type,
+            **partitioned_kw), "partitioned"
+
+    # materialize the (small) build side once, broadcast by ref
+    rows = right_ds.select_columns([right_key] + take_cols)
+    from . import aggregate as _agg
+    right_t = _agg._to_arrow(rows)
+    ref = ray.put(right_t)
+
+    def block_join(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        out = t.join(r, keys=[left_key], right_keys=[right_key],
+                     join_type=join_type)
+        # keep left columns + take_cols, original order
+        cols = list(t.column_names) + [c for c in take_cols
+                                       if c in out.column_names]
+        return out.select(cols)
+
+    return left_ds.map_batches(block_join,
+                               batch_format="pyarrow"), "broadcast"
