@@ -6884,3 +6884,98 @@ FROM c GROUP BY 1 ORDER BY 1
 
 QUERIES["frames_per_event"] = (q_frames_per_event,
                                SQL_FRAMES_PER_EVENT)
+
+
+# ---------------------------------------------------------------------------
+# Order-total reconciliation — cross-table financial consistency audit
+# ---------------------------------------------------------------------------
+
+
+def q_order_total_reconciliation(sf_dir: str):
+    """Cross-table financial audit: o_totalprice vs Σ l_extendedprice
+    per order, bucketed by relative error with INTEGER
+    cross-multiplied thresholds (|diff|·100 ≤ total ⇒ within 1 %,
+    ·10 ⇒ within 10 %, else beyond; orders with no lineitems are
+    their own bucket). Lineitem reduces to (orderkey, cents) partials
+    before the big-big join; output is the bounded priority×bucket
+    matrix."""
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        g = pa.table({"k": t.column("l_orderkey"), "li_cents": cents}) \
+            .group_by("k").aggregate([("li_cents", "sum")])
+        return g.rename_columns(["k", "li_cents"])
+
+    li_sums = li.map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("k").sum("li_cents").map_batches(
+            lambda t: t.rename_columns(["k", "li_cents"]),
+            batch_format="pyarrow")
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice",
+                        "o_orderpriority"])
+    joined = partitioned_lookup_join(
+        od, li_sums, left_key="o_orderkey", right_key="k",
+        take_cols=["li_cents"], num_partitions=32,
+        join_type="left outer")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        tot = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64()),
+            dtype=np.int64)
+        li_c = t.column("li_cents").to_numpy(zero_copy_only=False)
+        missing = np.array([v is None or (isinstance(v, float)
+                                          and np.isnan(v))
+                            for v in li_c])
+        liv = np.where(missing, 0,
+                       np.nan_to_num(li_c.astype(np.float64))
+                       ).astype(np.int64)
+        diff = np.abs(tot - liv)
+        bucket = np.where(
+            missing, "no_lineitems",
+            np.where(diff * 100 <= tot, "within_1pct",
+                     np.where(diff * 10 <= tot, "within_10pct",
+                              "beyond_10pct")))
+        g = pa.table({"priority": t.column("o_orderpriority"),
+                      "bucket": pa.array(bucket.tolist(), pa.string())}) \
+            .group_by(["priority", "bucket"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["priority", "bucket", "orders"])
+
+    out = agg._combine_partials(
+        joined.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["priority", "bucket"], aggs=[("orders", "sum")])
+    return out.sort_by([("priority", "ascending"),
+                        ("bucket", "ascending")])
+
+
+SQL_ORDER_TOTAL_RECONCILIATION = """
+WITH l AS (
+  SELECT l_orderkey AS k,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+           AS li_cents
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS tot,
+         l.li_cents
+  FROM orders o LEFT JOIN l ON l.k = o.o_orderkey),
+b AS (
+  SELECT priority,
+         CASE WHEN li_cents IS NULL THEN 'no_lineitems'
+              WHEN abs(tot - li_cents) * 100 <= tot
+                THEN 'within_1pct'
+              WHEN abs(tot - li_cents) * 10 <= tot
+                THEN 'within_10pct'
+              ELSE 'beyond_10pct' END AS bucket
+  FROM j)
+SELECT priority, bucket, CAST(count(*) AS BIGINT) AS orders
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["order_total_reconciliation"] = (
+    q_order_total_reconciliation, SQL_ORDER_TOTAL_RECONCILIATION)
