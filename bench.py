@@ -153,6 +153,19 @@ BENCH_EXTRA = [
     "source_langs_str",
     "domain_weighted_paths",
     "approx_common_users",
+    # round-3 session-7 additions (stats/ML-training batch)
+    "kmeans_lloyd",
+    "nb_train_apply",
+    "freq_triples",
+    "recsys_hitrate",
+    "bootstrap_mean_ci",
+    "pit_features",
+    "ship_latency_percentiles",
+    "order_total_reconciliation",
+    "user_active_seconds",
+    "kendall_tau_qty_discount",
+    "lookalike_scores",
+    "hourly_interpolated",
 ]
 
 
