@@ -6979,3 +6979,149 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["order_total_reconciliation"] = (
     q_order_total_reconciliation, SQL_ORDER_TOTAL_RECONCILIATION)
+
+
+# ---------------------------------------------------------------------------
+# Federated level counts — one aggregate across heterogeneous sources
+# ---------------------------------------------------------------------------
+
+
+def q_federated_level_counts(sf_dir: str):
+    """Federated aggregation across HETEROGENEOUS sources in one
+    dataset plan: gzip raw-text logs (extension-dispatched Arrow
+    decompress) UNION the HTML-page line corpus, each with its own
+    per-source level extraction, pre-aggregated per block, merged
+    once — per (source_kind, level) counts. The shape generalizes to
+    any mixed lake; the oracle unions the same two reads."""
+    from ..sources.readers import read_text_lines
+    from .queries import _lines_ds, _raw_files
+
+    gz = read_text_lines(_raw_files(sf_dir, "gz", ".log.gz"))
+
+    def gz_partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("line"), pattern=" ",
+                                 max_splits=1)
+        g = pa.table({"level": pc.list_element(parts, 0)}) \
+            .group_by("level").aggregate([([], "count_all")])
+        g = g.rename_columns(["level", "cnt"])
+        return pa.table({
+            "source_kind": pa.array(["gz_logs"] * g.num_rows,
+                                    pa.string()),
+            "level": g.column("level"), "cnt": g.column("cnt")})
+
+    lines = _lines_ds(sf_dir)
+
+    def ln_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"level": t.column("level")}) \
+            .group_by("level").aggregate([([], "count_all")])
+        g = g.rename_columns(["level", "cnt"])
+        return pa.table({
+            "source_kind": pa.array(["page_lines"] * g.num_rows,
+                                    pa.string()),
+            "level": g.column("level"), "cnt": g.column("cnt")})
+
+    u = gz.map_batches(gz_partial, batch_format="pyarrow") \
+        .union(lines.map_batches(ln_partial, batch_format="pyarrow"))
+    out = agg._combine_partials(u, keys=["source_kind", "level"],
+                                aggs=[("cnt", "sum")])
+    return out.sort_by([("source_kind", "ascending"),
+                        ("level", "ascending")])
+
+
+from .queries import LINES_VIEW as _LINES_VIEW_X  # noqa: E402
+from .queries import RAWGZ_GLOB_SF001 as _RAWGZ_X  # noqa: E402
+
+SQL_FEDERATED_LEVEL_COUNTS = f"""
+SELECT 'gz_logs' AS source_kind,
+       split_part(line, ' ', 1) AS level,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM read_csv('{_RAWGZ_X}', header=false, delim='\\t',
+              quote='', columns={{'line': 'VARCHAR'}})
+GROUP BY 2
+UNION ALL
+SELECT 'page_lines',
+       coalesce(regexp_extract(line, '\\b(INFO|WARN|ERROR|DEBUG)\\b',
+                               1), ''),
+       CAST(count(*) AS BIGINT)
+FROM {_LINES_VIEW_X} GROUP BY 2
+ORDER BY 1, 2
+"""
+
+QUERIES["federated_level_counts"] = (q_federated_level_counts,
+                                     SQL_FEDERATED_LEVEL_COUNTS)
+
+
+# ---------------------------------------------------------------------------
+# Value-at-Risk / Expected Shortfall — exact tail risk from the histogram
+# ---------------------------------------------------------------------------
+
+
+def q_value_at_risk(sf_dir: str):
+    """VaR₉₅ and CVaR₉₅ (expected shortfall) of event value per type,
+    EXACT: VaR is the ceil(0.95·n) order statistic from the cents
+    histogram; CVaR is the integer mean of the tail at or beyond it
+    (partial cell at the boundary split exactly). One bounded
+    histogram shuffle; the only division is the final mirrored
+    floor."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "cents": cents}) \
+            .group_by(["event_type", "cents"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "c"])
+
+    h = _partial_final(ds, partial, ["event_type", "cents"],
+                       [("c", "sum")])
+    et = h.column("event_type").to_numpy(zero_copy_only=False)
+    cv = np.asarray(h.column("cents"), dtype=np.int64)
+    cc = np.asarray(h.column("c"), dtype=np.int64)
+    rows = []
+    for ty in sorted(str(x) for x in np.unique(et)):
+        m = et == ty
+        o = np.argsort(cv[m])
+        v, c = cv[m][o], cc[m][o]
+        n = int(c.sum())
+        k = -(-95 * n // 100)               # ceil(0.95 n)
+        cum = np.cumsum(c)
+        i = int(np.searchsorted(cum, k, side="left"))
+        var = int(v[i])
+        # tail = the (n - k + 1) largest observations
+        tail_n = n - k + 1
+        full = c[i + 1:]
+        tail_sum = int((v[i + 1:] * full).sum()) \
+            + var * (tail_n - int(full.sum()))
+        rows.append((ty, n, var, tail_sum // tail_n))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "var95_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "cvar95_cents": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_VALUE_AT_RISK = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+k AS (SELECT event_type, max(n) AS n,
+             CAST(ceil(0.95 * max(n)) AS BIGINT) AS k
+      FROM r GROUP BY 1)
+SELECT r.event_type, CAST(k.n AS BIGINT) AS n,
+       CAST(max(CASE WHEN rk = k.k THEN cents END) AS BIGINT)
+         AS var95_cents,
+       CAST(sum(CASE WHEN rk >= k.k THEN cents END)
+            // (k.n - k.k + 1) AS BIGINT) AS cvar95_cents
+FROM r JOIN k ON k.event_type = r.event_type
+GROUP BY 1, 2, k.k, k.n ORDER BY 1
+"""
+
+QUERIES["value_at_risk"] = (q_value_at_risk, SQL_VALUE_AT_RISK)
