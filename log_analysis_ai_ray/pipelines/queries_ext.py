@@ -7125,3 +7125,110 @@ GROUP BY 1, 2, k.k, k.n ORDER BY 1
 """
 
 QUERIES["value_at_risk"] = (q_value_at_risk, SQL_VALUE_AT_RISK)
+
+
+# ---------------------------------------------------------------------------
+# Geometric-fit goodness of fit on session lengths
+# ---------------------------------------------------------------------------
+
+
+def q_session_length_gof(sf_dir: str):
+    """Model-fit + GOF in one pass: session lengths (events per
+    30-min-gap session, the same islands event_sessions pins) are fit
+    to a geometric distribution by moment matching (p̂ = 1/mean from
+    exact integer totals) and tested with a chi-square GOF over bins
+    k=1..9 and 10+ (expected counts n·p̂(1−p̂)^{k−1}, tail closed
+    form). Observed counts are integers; expected counts and the χ²
+    are the mirrored floats (micro). Shuffle = per-user (ts) rows
+    once, then the bounded length histogram."""
+    from .queries import SESSION_GAP_US
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, 32)),
+            "u": t.column("user_id"),
+            "t": pc.cast(t.column("ts"), pa.int64())})
+
+    def lens(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u"), dtype=np.int64)
+        ts = np.asarray(t.column("t"), dtype=np.int64)
+        o = np.lexsort((ts, u))
+        u, ts = u[o], ts[o]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1]
+                                       > SESSION_GAP_US)
+        sid = np.cumsum(new) - 1
+        ln = np.bincount(sid)
+        g = pa.table({"len": pa.array(ln.astype(np.int64))}) \
+            .group_by("len").aggregate([([], "count_all")])
+        return g.rename_columns(["len", "sessions"])
+
+    h = agg._combine_partials(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(lens, batch_format="pyarrow"),
+        keys=["len"], aggs=[("sessions", "sum")])
+    lv = np.asarray(h.column("len"), dtype=np.int64)
+    sc = np.asarray(h.column("sessions"), dtype=np.int64)
+    n = int(sc.sum())
+    tot_events = int((lv * sc).sum())
+    p = n / tot_events                    # 1/mean
+    obs = np.zeros(10, dtype=np.int64)
+    for L, s in zip(lv, sc):
+        obs[min(int(L), 10) - 1] += int(s)
+    k = np.arange(1, 10, dtype=np.float64)
+    exp_ = n * p * (1 - p) ** (k - 1)
+    exp10 = n * (1 - p) ** 9
+    exp_all = np.concatenate([exp_, [exp10]])
+    chi2 = float(((obs - exp_all) ** 2 / exp_all).sum())
+    return pa.table({
+        "sessions": pa.array([n], pa.int64()),
+        "events": pa.array([tot_events], pa.int64()),
+        "p_micro": pa.array([int(round(p * 1e6))], pa.int64()),
+        "chi2_micro": pa.array([int(round(chi2 * 1e6))], pa.int64())})
+
+
+from .queries import SESSION_GAP_US as _SGAP_X  # noqa: E402
+
+SQL_SESSION_LENGTH_GOF = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SGAP_X} OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+l AS (SELECT user_id, sid, count(*) AS len FROM s GROUP BY 1, 2),
+h AS (SELECT least(len, 10) AS bin, count(*) AS obs
+      FROM l GROUP BY 1),
+t AS (SELECT sum(obs) AS n,
+             (SELECT count(*) FROM events) AS events
+      FROM h),
+p AS (SELECT n, events, n::DOUBLE / events AS p FROM t),
+grid AS (
+  SELECT CAST(x AS BIGINT) + 1 AS bin
+  FROM (SELECT unnest(range(10)) AS x)),
+e AS (
+  SELECT grid.bin,
+         CASE WHEN grid.bin <= 9
+              THEN p.n * p.p * power(1 - p.p, grid.bin - 1)
+              ELSE p.n * power(1 - p.p, 9) END AS expd
+  FROM grid CROSS JOIN p),
+c AS (
+  SELECT sum(power(coalesce(h.obs, 0) - e.expd, 2) / e.expd) AS chi2
+  FROM e LEFT JOIN h ON h.bin = e.bin)
+SELECT CAST(p.n AS BIGINT) AS sessions,
+       CAST(p.events AS BIGINT) AS events,
+       CAST(round(p.p * 1000000, 0) AS BIGINT) AS p_micro,
+       CAST(round(c.chi2 * 1000000, 0) AS BIGINT) AS chi2_micro
+FROM p CROSS JOIN c
+"""
+
+QUERIES["session_length_gof"] = (q_session_length_gof,
+                                 SQL_SESSION_LENGTH_GOF)
