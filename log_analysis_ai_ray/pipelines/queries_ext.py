@@ -7232,3 +7232,93 @@ FROM p CROSS JOIN c
 
 QUERIES["session_length_gof"] = (q_session_length_gof,
                                  SQL_SESSION_LENGTH_GOF)
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity — cross-sectional log-log OLS per brand
+# ---------------------------------------------------------------------------
+
+
+def q_price_elasticity(sf_dir: str):
+    """Econometric elasticity: per brand, OLS slope of ln(quantity)
+    on ln(avg price) across that brand's parts (cross-sectional
+    demand curve). Lineitem reduces to (part, qty, revenue) partials,
+    the part→brand map is a broadcast dimension join, and the
+    regression runs per brand on the bounded parts table. The log
+    moments are the mirrored floats (micro); everything upstream is
+    exact integer sums."""
+    import math
+
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        g = pa.table({"pk": t.column("l_partkey"), "q": q,
+                      "cents": cents}) \
+            .group_by("pk").aggregate([("q", "sum"), ("cents", "sum")])
+        return g.rename_columns(["pk", "q", "cents"])
+
+    sums = li.map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("pk").sum(["q", "cents"]).map_batches(
+            lambda t: t.rename_columns(["pk", "q", "cents"]),
+            batch_format="pyarrow")
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = partitioned_lookup_join(
+        sums, parts, left_key="pk", right_key="p_partkey",
+        take_cols=["p_brand"], num_partitions=16)
+    jt = agg._to_arrow(joined)
+    br = jt.column("p_brand").to_numpy(zero_copy_only=False)
+    q = np.asarray(jt.column("q"), dtype=np.int64)
+    cents = np.asarray(jt.column("cents"), dtype=np.int64)
+    rows = []
+    for b in sorted(str(x) for x in np.unique(br)):
+        m = (br == b) & (q > 0) & (cents > 0)
+        if int(m.sum()) < 3:
+            continue
+        x = np.log(cents[m].astype(np.float64)
+                   / q[m].astype(np.float64))   # ln avg price
+        y = np.log(q[m].astype(np.float64))
+        n = len(x)
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope = (n * sxy - sx * sy) / den
+        rows.append((b, n, int(round(slope * 1e6))))
+    return pa.table({
+        "brand": pa.array([r[0] for r in rows], pa.string()),
+        "n_parts": pa.array([r[1] for r in rows], pa.int64()),
+        "elasticity_micro": pa.array([r[2] for r in rows],
+                                     pa.int64())})
+
+
+SQL_PRICE_ELASTICITY = """
+WITH s AS (
+  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS q,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+           AS cents
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT p.p_brand AS brand,
+         ln(s.cents::DOUBLE / s.q) AS x,
+         ln(s.q::DOUBLE) AS y
+  FROM s JOIN part p ON p.p_partkey = s.pk
+  WHERE s.q > 0 AND s.cents > 0),
+m AS (
+  SELECT brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM j GROUP BY 1 HAVING count(*) >= 3)
+SELECT brand, CAST(n AS BIGINT) AS n_parts,
+       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  * 1000000, 0) AS BIGINT) AS elasticity_micro
+FROM m WHERE n * sxx - sx * sx <> 0 ORDER BY brand
+"""
+
+QUERIES["price_elasticity"] = (q_price_elasticity,
+                               SQL_PRICE_ELASTICITY)
