@@ -7322,3 +7322,234 @@ FROM m WHERE n * sxx - sx * sx <> 0 ORDER BY brand
 
 QUERIES["price_elasticity"] = (q_price_elasticity,
                                SQL_PRICE_ELASTICITY)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — how much of the stream the top-k covers
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_coverage_curve(sf_dir: str):
+    """Tokenizer-sizing curve: share of all token OCCURRENCES covered
+    by the top-k vocabulary entries, k ∈ {100, 1000, 5000}
+    (count desc, token asc ties — engine-exact). One vocab-bounded
+    (token, cnt) reduce; the curve is cum-sums over the sorted
+    bounded table; per-mille integers."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"token": flat.filter(keep)}) \
+            .group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["token"], [("cnt", "sum")])
+    tok = vc.column("token").to_numpy(zero_copy_only=False)
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    order = np.lexsort((tok, -cnt))
+    cnt = cnt[order]
+    total = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    ks = [100, 1000, 5000]
+    rows = []
+    for k in ks:
+        covered = int(cum[min(k, len(cnt)) - 1]) if len(cnt) else 0
+        rows.append((k, min(k, len(cnt)), covered,
+                     covered * 1000 // total if total else 0))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "vocab_used": pa.array([r[1] for r in rows], pa.int64()),
+        "covered": pa.array([r[2] for r in rows], pa.int64()),
+        "coverage_pm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_VOCAB_COVERAGE_CURVE = """
+WITH t AS (
+  SELECT tok, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> '' GROUP BY 1),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+         sum(cnt) OVER () AS total
+  FROM t),
+ks AS (SELECT CAST(unnest([100, 1000, 5000]) AS BIGINT) AS k)
+SELECT ks.k,
+       CAST(count(r.rk) AS BIGINT) AS vocab_used,
+       CAST(coalesce(sum(r.cnt), 0) AS BIGINT) AS covered,
+       CAST(coalesce(sum(r.cnt), 0) * 1000 // max(r.total) AS BIGINT)
+         AS coverage_pm
+FROM ks LEFT JOIN r ON r.rk <= ks.k
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["vocab_coverage_curve"] = (q_vocab_coverage_curve,
+                                   SQL_VOCAB_COVERAGE_CURVE)
+
+
+# ---------------------------------------------------------------------------
+# Horvitz–Thompson estimate check — is the mixture sampler unbiased?
+# ---------------------------------------------------------------------------
+
+
+def q_ht_mixture_estimate(sf_dir: str):
+    """Sampling-theory audit of corpus_mixture: the Horvitz–Thompson
+    estimator Σ_kept n_chars/π reconstructs the FULL corpus character
+    total from only the kept docs (π = rate‰/1000, the same
+    deterministic hash gate corpus_mixture applies). Everything is
+    ×21 integer-scaled (21000/rate is integer for every configured
+    rate), so estimate and truth are exact; the bias in per-mille is
+    the single mirrored floor. Statistically the bias is O(1/√n) —
+    the row proves the weights invert the gate correctly."""
+    from .queries import (MIXTURE_DEFAULT_PM, MIXTURE_RATES_PM,
+                          STRATA_MIX)
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = (np.asarray(t.column("doc_id"), dtype=np.int64)
+             * STRATA_MIX) % (1 << 32)
+        pm = (u % 1000).astype(np.int64)
+        src = np.asarray(t.column("source").cast(pa.string()))
+        thr = np.array([MIXTURE_RATES_PM.get(s, MIXTURE_DEFAULT_PM)
+                        for s in src], dtype=np.int64)
+        nch = np.asarray(t.column("n_chars"), dtype=np.int64)
+        kept = pm < thr
+        w21 = 21_000 // thr                 # exact for all rates
+        ht21 = np.where(kept, nch * w21, 0)
+        return pa.table({
+            "g": pa.array(np.zeros(1, dtype=np.int64)),
+            "ht21": pa.array([int(ht21.sum())]),
+            "true21": pa.array([int(nch.sum()) * 21]),
+            "kept": pa.array([int(kept.sum())]),
+            "total": pa.array([len(nch)])})
+
+    m = _partial_final(ds, partial, ["g"],
+                       [("ht21", "sum"), ("true21", "sum"),
+                        ("kept", "sum"), ("total", "sum")])
+    ht21 = int(m.column("ht21")[0].as_py())
+    true21 = int(m.column("true21")[0].as_py())
+    import math
+    bias_pm = math.floor((ht21 - true21) * 1000 / true21) \
+        if true21 else None
+    return pa.table({
+        "kept_docs": pa.array([int(m.column("kept")[0].as_py())],
+                              pa.int64()),
+        "total_docs": pa.array([int(m.column("total")[0].as_py())],
+                               pa.int64()),
+        "ht_chars_x21": pa.array([ht21], pa.int64()),
+        "true_chars_x21": pa.array([true21], pa.int64()),
+        "bias_pm": pa.array([bias_pm], pa.int64())})
+
+
+from .queries import STRATA_MIX as _SMIX_X  # noqa: E402
+from .queries import MIXTURE_DEFAULT_PM as _MDEF_X  # noqa: E402
+from .queries import _mixture_rate_sql as _mrs_X  # noqa: E402
+
+SQL_HT_MIXTURE_ESTIMATE = f"""
+WITH d AS (
+  SELECT n_chars,
+         ({_mrs_X()}) AS rate,
+         ((doc_id * {_SMIX_X}) % 4294967296) % 1000 AS pm
+  FROM documents),
+s AS (
+  SELECT sum(CASE WHEN pm < rate THEN 1 ELSE 0 END) AS kept,
+         count(*) AS total,
+         sum(CASE WHEN pm < rate
+                  THEN n_chars * (21000 // rate) ELSE 0 END) AS ht21,
+         sum(n_chars) * 21 AS true21
+  FROM d)
+SELECT CAST(kept AS BIGINT) AS kept_docs,
+       CAST(total AS BIGINT) AS total_docs,
+       CAST(ht21 AS BIGINT) AS ht_chars_x21,
+       CAST(true21 AS BIGINT) AS true_chars_x21,
+       CAST(floor((ht21 - true21) * 1000.0 / true21) AS BIGINT)
+         AS bias_pm
+FROM s
+"""
+
+QUERIES["ht_mixture_estimate"] = (q_ht_mixture_estimate,
+                                  SQL_HT_MIXTURE_ESTIMATE)
+
+
+# ---------------------------------------------------------------------------
+# Template drift top-k — which templates shifted between page halves
+# ---------------------------------------------------------------------------
+
+
+def q_template_drift_topk(sf_dir: str):
+    """Template-population drift: masked-template counts on the
+    even- vs odd-numbered pages (page number from the url, the same
+    split any A/A test would use), scored by the Laplace-smoothed
+    absolute log-ratio |ln((c0+1)/(c1+1))| in integer micro; top-10
+    by (score desc, template asc). Shuffle = (template, half)
+    partials."""
+    import math
+
+    from .queries import _lines_ds
+
+    ds = _lines_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        url = t.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        pn = pc.cast(pc.extract_regex(
+            url, r"/p(?P<n>\d+)$").field("n"), pa.int64())
+        half = pc.cast(pc.bit_wise_and(pn, 1), pa.int64())
+        g = pa.table({"masked": t.column("masked"), "half": half}) \
+            .group_by(["masked", "half"]).aggregate([([], "count_all")])
+        return g.rename_columns(["masked", "half", "c"])
+
+    m = _partial_final(ds, partial, ["masked", "half"], [("c", "sum")])
+    tv = m.column("masked").to_numpy(zero_copy_only=False)
+    hv = np.asarray(m.column("half"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    ut, ti = np.unique(tv, return_inverse=True)
+    c0 = np.zeros(len(ut), dtype=np.int64)
+    c1 = np.zeros(len(ut), dtype=np.int64)
+    np.add.at(c0, ti[hv == 0], cv[hv == 0])
+    np.add.at(c1, ti[hv == 1], cv[hv == 1])
+    score = np.abs(np.round(np.log((c0 + 1.0) / (c1 + 1.0)) * 1e6)) \
+        .astype(np.int64)
+    order = np.lexsort((ut, -score))[:10]
+    return pa.table({
+        "masked": pa.array(ut[order].tolist(), pa.string()),
+        "c_even": pa.array(c0[order]),
+        "c_odd": pa.array(c1[order]),
+        "drift_micro": pa.array(score[order])})
+
+
+from .queries import LINES_VIEW as _LINES_VIEW_Y  # noqa: E402
+from ..stages.masking import oracle_mask_sql as _omask_X  # noqa: E402
+
+SQL_TEMPLATE_DRIFT_TOPK = f"""
+WITH l AS (SELECT url, {_omask_X('line')} AS masked
+           FROM {_LINES_VIEW_Y}),
+h AS (
+  SELECT masked,
+         CAST(regexp_extract(url, '/p(\\d+)$', 1) AS BIGINT) % 2
+           AS half,
+         count(*) AS c
+  FROM l GROUP BY 1, 2),
+w AS (
+  SELECT masked,
+         coalesce(sum(CASE WHEN half = 0 THEN c END), 0) AS c0,
+         coalesce(sum(CASE WHEN half = 1 THEN c END), 0) AS c1
+  FROM h GROUP BY 1),
+s AS (
+  SELECT masked, c0, c1,
+         abs(CAST(round(ln((c0 + 1.0) / (c1 + 1.0)) * 1000000, 0)
+                  AS BIGINT)) AS drift_micro
+  FROM w)
+SELECT masked, CAST(c0 AS BIGINT) AS c_even,
+       CAST(c1 AS BIGINT) AS c_odd, drift_micro
+FROM s ORDER BY drift_micro DESC, masked LIMIT 10
+"""
+
+QUERIES["template_drift_topk"] = (q_template_drift_topk,
+                                  SQL_TEMPLATE_DRIFT_TOPK)
