@@ -7553,3 +7553,223 @@ FROM s ORDER BY drift_micro DESC, masked LIMIT 10
 
 QUERIES["template_drift_topk"] = (q_template_drift_topk,
                                   SQL_TEMPLATE_DRIFT_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation — hash-sampled, verified against the exact size
+# ---------------------------------------------------------------------------
+
+
+def q_join_size_estimate_check(sf_dir: str):
+    """Query-optimizer cardinality estimation, ACCURACY-CHECKED in the
+    same query: |lineitem ⋈ orders| is estimated from the 1/16
+    key-hash sample (both sides gated by THE same Knuth bucket of the
+    join key, so sampled keys keep their full multiplicity product —
+    an unbiased coordinated sample) and compared against the exact
+    size from per-key count partials. Output: exact, estimate (×16),
+    signed error per-mille (floor-mirrored). All integers."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def cnt_partial(key):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([([], "count_all")])
+            return g.rename_columns(["k", "c"])
+        return f
+
+    lc = _partial_final(li, cnt_partial("l_orderkey"), ["k"],
+                        [("c", "sum")])
+    oc = _partial_final(od, cnt_partial("o_orderkey"), ["k"],
+                        [("c", "sum")])
+    lk = np.asarray(lc.column("k"), dtype=np.int64)
+    lv = np.asarray(lc.column("c"), dtype=np.int64)
+    ok_ = np.asarray(oc.column("k"), dtype=np.int64)
+    ov = np.asarray(oc.column("c"), dtype=np.int64)
+    # exact: sum of multiplicity products over shared keys
+    pos = np.searchsorted(ok_, lk)
+    pos_c = np.minimum(pos, len(ok_) - 1)
+    hit = (len(ok_) > 0) & (ok_[pos_c] == lk)
+    exact = int((lv[hit].astype(object) * ov[pos_c[hit]]
+                 .astype(object)).sum())
+    # coordinated sample: keys with bucket 0 of 16
+    samp = _knuth_bucket(lk, 16) == 0
+    sh = hit & samp
+    est = 16 * int((lv[sh].astype(object) * ov[pos_c[sh]]
+                    .astype(object)).sum())
+    import math
+    err_pm = math.floor((est - exact) * 1000 / exact) if exact else None
+    return pa.table({
+        "exact_rows": pa.array([exact], pa.int64()),
+        "estimate_rows": pa.array([est], pa.int64()),
+        "err_pm": pa.array([err_pm], pa.int64())})
+
+
+SQL_JOIN_SIZE_ESTIMATE_CHECK = """
+WITH l AS (SELECT l_orderkey AS k, count(*) AS c
+           FROM lineitem GROUP BY 1),
+o AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+j AS (SELECT l.k, l.c * o.c AS prod FROM l JOIN o ON o.k = l.k),
+s AS (
+  SELECT sum(prod) AS exact_rows,
+         16 * sum(CASE WHEN ((k % 4294967296)
+                            * 2654435761::HUGEINT)
+                           % 4294967296 % 16 = 0
+                       THEN prod ELSE 0 END) AS est
+  FROM j)
+SELECT CAST(exact_rows AS BIGINT) AS exact_rows,
+       CAST(est AS BIGINT) AS estimate_rows,
+       CAST(floor((est - exact_rows) * 1000.0 / exact_rows)
+            AS BIGINT) AS err_pm
+FROM s
+"""
+
+QUERIES["join_size_estimate_check"] = (q_join_size_estimate_check,
+                                       SQL_JOIN_SIZE_ESTIMATE_CHECK)
+
+
+# ---------------------------------------------------------------------------
+# Calinski–Harabasz index — cluster-separation quality of the labels
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_ch_index(sf_dir: str):
+    """Cluster-quality score for the labeled embeddings: the
+    Calinski–Harabasz index (between/within scatter ratio scaled by
+    (n−k)/(k−1)) from per-label {n, Σx, Σx²} vector partials — W and
+    B close under the standard sum-of-squares identities, so the
+    whole index needs ONE bounded shuffle of k×(2·dim+1) sums. Micro
+    output, the ratio is the mirrored float."""
+    dim = 64
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        emb = t.column("embedding").combine_chunks()
+        X = np.asarray(emb.values, dtype=np.float64) \
+            .reshape(len(lab), dim)
+        cols = {"label": pa.array(lab),
+                "n": pa.array(np.ones(len(lab), dtype=np.int64))}
+        for j in range(dim):
+            cols[f"s{j}"] = pa.array(X[:, j])
+            cols[f"q{j}"] = pa.array(X[:, j] * X[:, j])
+        g = pa.table(cols).group_by("label").aggregate(
+            [("n", "sum")] + [(f"s{j}", "sum") for j in range(dim)]
+            + [(f"q{j}", "sum") for j in range(dim)])
+        return g.rename_columns(
+            ["label", "n"] + [f"s{j}" for j in range(dim)]
+            + [f"q{j}" for j in range(dim)])
+
+    m = _partial_final(ds, partial, ["label"],
+                       [("n", "sum")]
+                       + [(f"s{j}", "sum") for j in range(dim)]
+                       + [(f"q{j}", "sum") for j in range(dim)])
+    n_l = np.asarray(m.column("n"), dtype=np.float64)
+    S = np.stack([np.asarray(m.column(f"s{j}"), dtype=np.float64)
+                  for j in range(dim)], axis=1)
+    Q = np.stack([np.asarray(m.column(f"q{j}"), dtype=np.float64)
+                  for j in range(dim)], axis=1)
+    n = n_l.sum()
+    k = len(n_l)
+    gmean = S.sum(axis=0) / n
+    W = float((Q - S * S / n_l[:, None]).sum())
+    B = float((n_l[:, None] * (S / n_l[:, None] - gmean) ** 2).sum())
+    ch = (B / (k - 1)) / (W / (n - k))
+    return pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "ch_micro": pa.array([int(round(ch * 1e6))], pa.int64())})
+
+
+SQL_EMBEDDING_CH_INDEX = """
+WITH d AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS e
+           FROM embeddings,
+                unnest(range(1, len(embedding) + 1)) AS t(i)),
+per AS (
+  SELECT label, i, count(*) AS n, sum(e) AS s, sum(e * e) AS q
+  FROM d GROUP BY 1, 2),
+g AS (SELECT i, sum(s) / sum(n) AS gm, sum(n) AS n
+      FROM per GROUP BY 1),
+w AS (SELECT sum(q - s * s / n) AS w FROM per),
+b AS (
+  SELECT sum(per.n * power(per.s / per.n - g.gm, 2)) AS b
+  FROM per JOIN g ON g.i = per.i),
+kk AS (SELECT count(DISTINCT label) AS k,
+              count(*) AS n FROM embeddings)
+SELECT CAST(kk.n AS BIGINT) AS n, CAST(kk.k AS BIGINT) AS k,
+       CAST(round((b.b / (kk.k - 1)) / (w.w / (kk.n - kk.k))
+                  * 1000000, 0) AS BIGINT) AS ch_micro
+FROM w CROSS JOIN b CROSS JOIN kk
+"""
+
+QUERIES["embedding_ch_index"] = (q_embedding_ch_index,
+                                 SQL_EMBEDDING_CH_INDEX)
+
+
+# ---------------------------------------------------------------------------
+# Gini mean difference — exact pairwise dispersion from the histogram
+# ---------------------------------------------------------------------------
+
+
+def q_qty_gini_mean_diff(sf_dir: str):
+    """Gini mean difference of quantity per return flag — the robust
+    dispersion E|X−X'| computed EXACTLY from the ≤50-cell quantity
+    histogram: Σᵢⱼ cᵢcⱼ|vᵢ−vⱼ| over cell pairs in Python ints (no
+    sampling, no sort), normalized by n(n−1). The division is the
+    one mirrored floor (micro). Also reports the derived Gini
+    coefficient GMD/(2·mean) in micro."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        g = pa.table({"flag": t.column("l_returnflag"), "q": q}) \
+            .group_by(["flag", "q"]).aggregate([([], "count_all")])
+        return g.rename_columns(["flag", "q", "c"])
+
+    h = _partial_final(ds, partial, ["flag", "q"], [("c", "sum")])
+    fl = h.column("flag").to_numpy(zero_copy_only=False)
+    qv = np.asarray(h.column("q"), dtype=np.int64)
+    cv = np.asarray(h.column("c"), dtype=np.int64)
+    rows = []
+    for f in sorted(str(x) for x in np.unique(fl)):
+        m = fl == f
+        v, c = qv[m].astype(object), cv[m].astype(object)
+        n = int(c.sum())
+        s = int((np.abs(v[:, None] - v[None, :])
+                 * (c[:, None] * c[None, :])).sum())
+        tot = int((v * c).sum())
+        gmd_micro = s * 1_000_000 // (n * (n - 1))
+        gini_micro = s * 1_000_000 * n // (n * (n - 1) * 2 * tot) \
+            if tot else None
+        rows.append((f, n, gmd_micro, gini_micro))
+    return pa.table({
+        "flag": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "gmd_micro": pa.array([r[2] for r in rows], pa.int64()),
+        "gini_micro": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_QTY_GINI_MEAN_DIFF = """
+WITH h AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2),
+p AS (
+  SELECT h1.flag,
+         sum(h1.c * h2.c * abs(h1.q - h2.q)) AS s
+  FROM h h1 JOIN h h2 ON h1.flag = h2.flag
+  GROUP BY 1),
+m AS (SELECT flag, sum(c) AS n, sum(q * c) AS tot
+      FROM h GROUP BY 1)
+SELECT m.flag, CAST(m.n AS BIGINT) AS n,
+       CAST(p.s * 1000000 // (m.n * (m.n - 1)) AS BIGINT)
+         AS gmd_micro,
+       CASE WHEN m.tot > 0 THEN
+         CAST(p.s * 1000000 * m.n
+              // (m.n * (m.n - 1) * 2 * m.tot) AS BIGINT)
+       END AS gini_micro
+FROM p JOIN m ON m.flag = p.flag ORDER BY 1
+"""
+
+QUERIES["qty_gini_mean_diff"] = (q_qty_gini_mean_diff,
+                                 SQL_QTY_GINI_MEAN_DIFF)
