@@ -7773,3 +7773,216 @@ FROM p JOIN m ON m.flag = p.flag ORDER BY 1
 
 QUERIES["qty_gini_mean_diff"] = (q_qty_gini_mean_diff,
                                  SQL_QTY_GINI_MEAN_DIFF)
+
+
+# ---------------------------------------------------------------------------
+# Offline bandit replay — hourly-batched greedy policy evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_bandit_replay_eval(sf_dir: str):
+    """Offline policy evaluation by replay: an hourly-batched greedy
+    bandit picks the arm (event type) with the best cumulative mean
+    reward over all PRIOR hours (ties → type asc, cold start → type
+    asc first), and is scored on the logged events of that arm in
+    that hour — the standard unbiased replay method, batched so the
+    whole evaluation closes over the bounded (hour, type) partial
+    table. Integer cents end-to-end; one mirrored floor division."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(3_600_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"hh": hh, "event_type": t.column("event_type"),
+                      "cents": cents}) \
+            .group_by(["hh", "event_type"]).aggregate(
+                [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["hh", "event_type", "n", "s"])
+
+    m = _partial_final(ds, partial, ["hh", "event_type"],
+                       [("n", "sum"), ("s", "sum")])
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    n = np.asarray(m.column("n"), dtype=np.int64)
+    s = np.asarray(m.column("s"), dtype=np.int64)
+    types = np.array(sorted(np.unique(et).tolist()), dtype=object)
+    T = len(types)
+    ti = np.searchsorted(types, et)
+    hours = np.unique(hh)
+    # cumulative per type over hour order
+    cum_n = np.zeros(T, dtype=np.int64)
+    cum_s = np.zeros(T, dtype=np.int64)
+    cell_n = {}
+    cell_s = {}
+    for h, t_, nn, ss in zip(hh, ti, n, s):
+        cell_n[(int(h), int(t_))] = int(nn)
+        cell_s[(int(h), int(t_))] = int(ss)
+    matched = 0
+    reward = 0
+    hours_eval = 0
+    for h in hours:
+        if cum_n.sum() == 0:
+            arm = 0                       # cold start: first type asc
+        else:
+            # argmax of mean s/n, ties -> type asc; integer compare
+            # via cross-multiplication against the running best
+            arm = 0
+            have = cum_n > 0
+            best = -1
+            for t_ in range(T):
+                if not have[t_]:
+                    continue
+                if best < 0:
+                    best = t_
+                    continue
+                # s_t/n_t > s_b/n_b  <=> s_t*n_b > s_b*n_t
+                if cum_s[t_] * cum_n[best] > cum_s[best] * cum_n[t_]:
+                    best = t_
+            arm = best if best >= 0 else 0
+        nn = cell_n.get((int(h), arm), 0)
+        if nn:
+            hours_eval += 1
+            matched += nn
+            reward += cell_s.get((int(h), arm), 0)
+        for t_ in range(T):
+            cum_n[t_] += cell_n.get((int(h), t_), 0)
+            cum_s[t_] += cell_s.get((int(h), t_), 0)
+    return pa.table({
+        "hours_eval": pa.array([hours_eval], pa.int64()),
+        "matched_events": pa.array([matched], pa.int64()),
+        "reward_micro": pa.array(
+            [reward * 1_000_000 // matched if matched else None],
+            pa.int64())})
+
+
+SQL_BANDIT_REPLAY_EVAL = """
+WITH c AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hh,
+         event_type,
+         count(*) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT h.hh, t.event_type,
+         coalesce(c.n, 0) AS n, coalesce(c.s, 0) AS s
+  FROM (SELECT DISTINCT hh FROM c) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+  LEFT JOIN c ON c.hh = h.hh AND c.event_type = t.event_type),
+cum AS (
+  SELECT hh, event_type, n, s,
+         coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hh
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cn,
+         coalesce(sum(s) OVER (PARTITION BY event_type ORDER BY hh
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cs
+  FROM grid),
+pick AS (
+  SELECT hh, event_type, n, s,
+         row_number() OVER (
+           PARTITION BY hh
+           ORDER BY CASE WHEN cn > 0 THEN 1 ELSE 0 END DESC,
+                    CASE WHEN cn > 0 THEN cs::DOUBLE / cn
+                         ELSE -1e300 END DESC,
+                    event_type) AS rk,
+         max(cn) OVER (PARTITION BY hh) AS any_cn
+  FROM cum),
+arm AS (
+  SELECT hh, event_type, n, s FROM pick
+  WHERE rk = 1),
+tot AS (
+  SELECT sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS hours_eval,
+         sum(n) AS matched, sum(s) AS reward
+  FROM arm)
+SELECT CAST(hours_eval AS BIGINT) AS hours_eval,
+       CAST(matched AS BIGINT) AS matched_events,
+       CASE WHEN matched > 0 THEN
+         CAST(reward * 1000000 // matched AS BIGINT)
+       END AS reward_micro
+FROM tot
+"""
+
+QUERIES["bandit_replay_eval"] = (q_bandit_replay_eval,
+                                 SQL_BANDIT_REPLAY_EVAL)
+
+
+# ---------------------------------------------------------------------------
+# ZCA whitening check — driver-verified identity covariance
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_whitening_check(sf_dir: str):
+    """In-engine ZCA whitening with built-in verification: the 64×64
+    covariance comes from one {n, Σx, Σxᵀx} partial pass, the driver
+    eigendecomposes and broadcasts W = E Λ^{-1/2} Eᵀ, a second pass
+    accumulates the covariance of the WHITENED batches, and the query
+    emits max |off-diagonal| and max |diagonal − 1| in micro — the
+    correctness assertion rides in the result (driver-verified
+    pattern, like ann_recall_check). Not SQL-expressible
+    (eigendecomposition) → rows-only."""
+    dim = 64
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        X = np.asarray(emb.values, dtype=np.float64) \
+            .reshape(t.num_rows, dim)
+        G = X.T @ X
+        cols = {"g": pa.array([0]),
+                "n": pa.array([t.num_rows])}
+        s = X.sum(axis=0)
+        for j in range(dim):
+            cols[f"s{j}"] = pa.array([float(s[j])])
+        flat = G.reshape(-1)
+        cols["gram"] = pa.array([flat.tobytes()], pa.binary())
+        return pa.table(cols)
+
+    parts = agg._to_arrow(
+        ds.map_batches(moments, batch_format="pyarrow"))
+    n = int(pc.sum(parts.column("n")).as_py())
+    s = np.array([float(pc.sum(parts.column(f"s{j}")).as_py())
+                  for j in range(dim)])
+    G = np.zeros((dim, dim))
+    for buf in parts.column("gram").to_pylist():
+        G += np.frombuffer(buf, dtype=np.float64).reshape(dim, dim)
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(C)
+    W = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 1e-12))) \
+        @ evecs.T
+
+    def wmoments(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        X = np.asarray(emb.values, dtype=np.float64) \
+            .reshape(t.num_rows, dim)
+        Y = (X - mu) @ W
+        G2 = Y.T @ Y
+        return pa.table({"g": pa.array([0]),
+                         "n": pa.array([t.num_rows]),
+                         "gram": pa.array([G2.reshape(-1).tobytes()],
+                                          pa.binary())})
+
+    parts2 = agg._to_arrow(
+        ds.map_batches(wmoments, batch_format="pyarrow"))
+    n2 = int(pc.sum(parts2.column("n")).as_py())
+    G2 = np.zeros((dim, dim))
+    for buf in parts2.column("gram").to_pylist():
+        G2 += np.frombuffer(buf, dtype=np.float64).reshape(dim, dim)
+    C2 = G2 / n2
+    off = C2 - np.diag(np.diag(C2))
+    max_off = float(np.abs(off).max())
+    max_diag_err = float(np.abs(np.diag(C2) - 1.0).max())
+    ok = int(max_off < 1e-6 and max_diag_err < 1e-6)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "max_offdiag_micro": pa.array([int(round(max_off * 1e6))],
+                                      pa.int64()),
+        "max_diag_err_micro": pa.array(
+            [int(round(max_diag_err * 1e6))], pa.int64()),
+        "whitened_ok": pa.array([ok], pa.int64())})
+
+
+QUERIES["embedding_whitening_check"] = (q_embedding_whitening_check,
+                                        None)
