@@ -7986,3 +7986,213 @@ def q_embedding_whitening_check(sf_dir: str):
 
 QUERIES["embedding_whitening_check"] = (q_embedding_whitening_check,
                                         None)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength — variance explained by the hour-of-day profile
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_strength(sf_dir: str):
+    """How seasonal is each type's value signal? R² of the
+    hour-of-day-means model, computed INTEGER-EXACTLY from
+    (type, hour) {n, Σy, Σy²} partials: SST·n-scaled and SSE·n-scaled
+    forms clear every division (SSE_h = n_h·Σy²_h − (Σy_h)² over
+    n_h), so R²_micro = (SST'−SSE')·1e6 // SST' with both primed
+    sums exact Python ints. No float anywhere."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        yy = pc.multiply(y, y)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "hh": hh, "n": pa.array(
+                          np.ones(t.num_rows, dtype=np.int64)),
+                      "s": y, "q": yy}) \
+            .group_by(["event_type", "hh"]).aggregate(
+                [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["event_type", "hh", "n", "s", "q"])
+
+    m = _partial_final(ds, partial, ["event_type", "hh"],
+                       [("n", "sum"), ("s", "sum"), ("q", "sum")])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    nn = [int(v) for v in m.column("n").to_pylist()]
+    ss = [int(v) for v in m.column("s").to_pylist()]
+    qq = [int(v) for v in m.column("q").to_pylist()]
+    rows = []
+    for ty in sorted(str(x) for x in np.unique(et)):
+        idx = [i for i in range(len(et)) if et[i] == ty]
+        n = sum(nn[i] for i in idx)
+        s = sum(ss[i] for i in idx)
+        q = sum(qq[i] for i in idx)
+        # scale both by n * prod(n_h)? instead use rational-free:
+        # SST' = n*q - s^2 ; SSE' = n * Σ_h (q_h - s_h²/n_h)
+        #      = n*q - n*Σ_h s_h²/n_h  → multiply by L = lcm? Use
+        # per-hour exact: SSE'' = Σ_h (n_h q_h - s_h²)/n_h … keep
+        # exact with fractions
+        from fractions import Fraction
+        sse = sum(Fraction(nn[i] * qq[i] - ss[i] * ss[i], nn[i])
+                  for i in idx)
+        sst = Fraction(n * q - s * s, n)
+        r2 = (sst - sse) / sst if sst > 0 else None
+        rows.append((ty, n,
+                     int(r2 * 1_000_000) if r2 is not None else None))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "r2_micro": pa.array([r[2] for r in rows], pa.int64())})
+
+
+SQL_SEASONAL_STRENGTH = """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+h AS (
+  SELECT event_type, hh, count(*) AS n, sum(y) AS s,
+         sum(y * y) AS q
+  FROM e GROUP BY 1, 2),
+t AS (
+  SELECT event_type, sum(n) AS n, sum(s) AS s, sum(q) AS q,
+         sum((n * q - s * s) / CAST(n AS DOUBLE)) AS sse
+  FROM h GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * q - s * s > 0 THEN
+         CAST(floor((((n * q - s * s) / CAST(n AS DOUBLE)) - sse)
+                    / ((n * q - s * s) / CAST(n AS DOUBLE))
+                    * 1000000) AS BIGINT)
+       END AS r2_micro
+FROM t ORDER BY 1
+"""
+
+QUERIES["seasonal_strength"] = (q_seasonal_strength,
+                                SQL_SEASONAL_STRENGTH)
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — survival difference between hash cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_logrank_test(sf_dir: str):
+    """Log-rank test (the Kaplan–Meier companion km_signup_purchase
+    lacks): signup→first-purchase time compared between the two
+    Knuth-hash user arms, right-censored at the corpus' last day.
+    Per-day death/at-risk tables are bounded; O−E and the
+    hypergeometric variance are the mirrored floats (micro), all
+    counts exact integers."""
+    import math
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def lite(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({
+            "u": t.column("user_id"), "k": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "k", "t"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "k", "t", "c"])
+
+    m = _partial_final(ds, lite, ["u", "k", "t"], [("c", "sum")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    k = m.column("k").to_numpy(zero_copy_only=False)
+    ts = np.asarray(m.column("t"), dtype=np.int64)
+    _D = 86_400_000_000
+    maxday = int(ts.max() // _D)
+    uu, uinv = np.unique(u, return_inverse=True)
+    BIG = np.iinfo(np.int64).max
+    s0 = np.full(len(uu), BIG, dtype=np.int64)
+    sm = k == "signup"
+    np.minimum.at(s0, uinv[sm], ts[sm])
+    pm_ = k == "purchase"
+    first_p = np.full(len(uu), BIG, dtype=np.int64)
+    okp = (s0[uinv[pm_]] != BIG) & (ts[pm_] >= s0[uinv[pm_]])
+    np.minimum.at(first_p, uinv[pm_][okp], ts[pm_][okp])
+    signed = s0 != BIG
+    sday = s0[signed] // _D
+    event = first_p[signed] != BIG
+    time = np.where(event, first_p[signed] // _D - sday,
+                    maxday - sday)
+    arm = _knuth_bucket(uu[signed], 2)
+    # log-rank over distinct event days
+    O1 = E1 = V = 0.0
+    o1_int = 0
+    days = np.unique(time[event])
+    for d in days:
+        at = time >= d
+        nj = int(at.sum())
+        n1j = int((at & (arm == 1)).sum())
+        dj = int((event & (time == d)).sum())
+        d1j = int((event & (time == d) & (arm == 1)).sum())
+        o1_int += d1j
+        E1 += dj * n1j / nj
+        if nj > 1:
+            V += dj * (n1j / nj) * (1 - n1j / nj) \
+                * (nj - dj) / (nj - 1)
+    z = (o1_int - E1) / math.sqrt(V) if V > 0 else None
+    return pa.table({
+        "users": pa.array([int(signed.sum())], pa.int64()),
+        "events": pa.array([int(event.sum())], pa.int64()),
+        "o1": pa.array([o1_int], pa.int64()),
+        "e1_micro": pa.array([int(round(E1 * 1e6))], pa.int64()),
+        "z_micro": pa.array(
+            [int(round(z * 1e6)) if z is not None else None],
+            pa.int64())})
+
+
+SQL_LOGRANK_TEST = """
+WITH s AS (
+  SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS s0
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS p0
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(epoch_us(e.ts) AS BIGINT) >= s.s0
+  GROUP BY 1),
+mx AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) // 86400000000
+         AS maxday FROM events),
+subj AS (
+  SELECT s.user_id,
+         CAST(((s.user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS arm,
+         CASE WHEN p.p0 IS NOT NULL THEN 1 ELSE 0 END AS event,
+         CASE WHEN p.p0 IS NOT NULL
+              THEN p.p0 // 86400000000 - s.s0 // 86400000000
+              ELSE mx.maxday - s.s0 // 86400000000 END AS time
+  FROM s LEFT JOIN p ON p.user_id = s.user_id CROSS JOIN mx),
+days AS (SELECT DISTINCT time AS d FROM subj WHERE event = 1),
+tab AS (
+  SELECT days.d,
+         count(*) FILTER (WHERE subj.time >= days.d) AS nj,
+         count(*) FILTER (WHERE subj.time >= days.d
+                          AND subj.arm = 1) AS n1j,
+         count(*) FILTER (WHERE subj.event = 1
+                          AND subj.time = days.d) AS dj,
+         count(*) FILTER (WHERE subj.event = 1
+                          AND subj.time = days.d
+                          AND subj.arm = 1) AS d1j
+  FROM days CROSS JOIN subj GROUP BY 1),
+agg AS (
+  SELECT sum(d1j) AS o1,
+         sum(dj * n1j::DOUBLE / nj) AS e1,
+         sum(CASE WHEN nj > 1 THEN
+               dj * (n1j::DOUBLE / nj) * (1 - n1j::DOUBLE / nj)
+                  * (nj - dj) / (nj - 1) ELSE 0 END) AS v
+  FROM tab)
+SELECT CAST((SELECT count(*) FROM subj) AS BIGINT) AS users,
+       CAST((SELECT sum(event) FROM subj) AS BIGINT) AS events,
+       CAST(o1 AS BIGINT) AS o1,
+       CAST(round(e1 * 1000000, 0) AS BIGINT) AS e1_micro,
+       CASE WHEN v > 0 THEN
+         CAST(round((o1 - e1) / sqrt(v) * 1000000, 0) AS BIGINT)
+       END AS z_micro
+FROM agg
+"""
+
+QUERIES["logrank_test"] = (q_logrank_test, SQL_LOGRANK_TEST)
