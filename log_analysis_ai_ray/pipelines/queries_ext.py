@@ -8196,3 +8196,114 @@ FROM agg
 """
 
 QUERIES["logrank_test"] = (q_logrank_test, SQL_LOGRANK_TEST)
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation — 7-day windowed Pearson between two types
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_corr_7d(sf_dir: str):
+    """7-day rolling Pearson correlation between the 'click' and
+    'purchase' daily cents series (the co-movement monitor): each
+    window's moments come from prefix-sum differences over the
+    bounded aligned daily table (missing days are true zeros on the
+    dense grid), numerators/denominator pieces stay exact Python
+    ints, and only the final ratio is float (micro, mirrored). Output
+    one row per complete window end-day."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": day, "y": cents}) \
+            .group_by(["event_type", "day"]).aggregate([("y", "sum")])
+        return g.rename_columns(["event_type", "day", "y"])
+
+    m = _partial_final(ds, partial, ["event_type", "day"],
+                       [("y", "sum")])
+    et = m.column("event_type").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    yv = np.asarray(m.column("y"), dtype=np.int64)
+    d0, d1 = int(dy.min()), int(dy.max())
+    L = d1 - d0 + 1
+    x = np.zeros(L, dtype=np.int64)
+    y = np.zeros(L, dtype=np.int64)
+    cm = et == "click"
+    x[dy[cm] - d0] = yv[cm]
+    pm_ = et == "purchase"
+    y[dy[pm_] - d0] = yv[pm_]
+    W = 7
+    rows = []
+    cx = np.concatenate(([0], np.cumsum(x)))
+    cy = np.concatenate(([0], np.cumsum(y)))
+    cxx = np.concatenate(([0], np.cumsum(x.astype(object) * x)))
+    cyy = np.concatenate(([0], np.cumsum(y.astype(object) * y)))
+    cxy = np.concatenate(([0], np.cumsum(x.astype(object) * y)))
+    import math
+    for e in range(W - 1, L):
+        a, b = e - W + 1, e + 1
+        sx, sy = int(cx[b] - cx[a]), int(cy[b] - cy[a])
+        sxx = int(cxx[b] - cxx[a])
+        syy = int(cyy[b] - cyy[a])
+        sxy = int(cxy[b] - cxy[a])
+        num = W * sxy - sx * sy
+        vx = W * sxx - sx * sx
+        vy = W * syy - sy * sy
+        corr = (round(num / (math.sqrt(vx) * math.sqrt(vy)) * 1e6)
+                if vx > 0 and vy > 0 else None)
+        rows.append((d0 + e, corr))
+    return pa.table({
+        "end_day": pa.array([r[0] for r in rows], pa.int64()),
+        "corr_micro": pa.array([r[1] for r in rows], pa.int64())})
+
+
+SQL_ROLLING_CORR_7D = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+grid AS (
+  SELECT d0 + CAST(i AS BIGINT) AS day
+  FROM b CROSS JOIN (SELECT unnest(range((SELECT d1 - d0 + 1 FROM b)))
+                     AS i)),
+s AS (
+  SELECT g.day,
+         coalesce(max(CASE WHEN e.event_type = 'click'
+                           THEN e.y END), 0) AS x,
+         coalesce(max(CASE WHEN e.event_type = 'purchase'
+                           THEN e.y END), 0) AS y
+  FROM grid g LEFT JOIN e ON e.day = g.day
+  GROUP BY 1),
+w AS (
+  SELECT day,
+         count(*) OVER win AS n,
+         sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+         sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy,
+         sum(x * y) OVER win AS sxy
+  FROM s
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                 AND CURRENT ROW))
+SELECT CAST(day AS BIGINT) AS end_day,
+       CASE WHEN 7 * sxx - sx * sx > 0 AND 7 * syy - sy * sy > 0
+            THEN CAST(round((7 * sxy - sx * sy)
+                            / (sqrt(CAST(7 * sxx - sx * sx
+                                         AS DOUBLE))
+                               * sqrt(CAST(7 * syy - sy * sy
+                                           AS DOUBLE))) * 1000000, 0)
+                      AS BIGINT)
+       END AS corr_micro
+FROM w WHERE n = 7 ORDER BY 1
+"""
+
+QUERIES["rolling_corr_7d"] = (q_rolling_corr_7d, SQL_ROLLING_CORR_7D)
