@@ -8307,3 +8307,96 @@ FROM w WHERE n = 7 ORDER BY 1
 """
 
 QUERIES["rolling_corr_7d"] = (q_rolling_corr_7d, SQL_ROLLING_CORR_7D)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector — pooled vs per-stratum trend signs
+# ---------------------------------------------------------------------------
+
+
+def q_simpsons_check(sf_dir: str):
+    """Simpson's-paradox audit for the value~hour trend: the POOLED
+    OLS slope sign vs each event type's WITHIN-stratum slope sign,
+    from exact integer moment partials — sign(n·Σxy − Σx·Σy) needs no
+    division, so every cell is integer-exact. paradox=1 when the
+    pooled sign contradicts every stratum's sign (the textbook
+    trap aggregate dashboards fall into)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.hour(t.column("ts")), dtype=np.int64)
+        y = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64()), dtype=np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxy": pa.array(x * y)}) \
+            .group_by("event_type").aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum")])
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxy"])
+
+    m = _partial_final(ds, partial, ["event_type"],
+                       [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxy", "sum")])
+    et = m.column("event_type").to_pylist()
+    n = [int(v) for v in m.column("n").to_pylist()]
+    sx = [int(v) for v in m.column("sx").to_pylist()]
+    sy = [int(v) for v in m.column("sy").to_pylist()]
+    sxy = [int(v) for v in m.column("sxy").to_pylist()]
+
+    def sgn(v):
+        return 1 if v > 0 else (-1 if v < 0 else 0)
+
+    order = np.argsort(np.array(et, dtype=object))
+    rows = []
+    strat_signs = []
+    for i in order:
+        s_ = sgn(n[i] * sxy[i] - sx[i] * sy[i])
+        strat_signs.append(s_)
+        rows.append((et[i], s_))
+    N, SX, SY, SXY = sum(n), sum(sx), sum(sy), sum(sxy)
+    pooled = sgn(N * SXY - SX * SY)
+    paradox = int(pooled != 0 and all(s_ == -pooled or s_ == 0
+                                      for s_ in strat_signs)
+                  and any(s_ == -pooled for s_ in strat_signs))
+    out_t = [r[0] for r in rows] + ["__POOLED__"]
+    out_s = [r[1] for r in rows] + [pooled]
+    out_p = [None] * len(rows) + [paradox]
+    return pa.table({
+        "stratum": pa.array(out_t, pa.string()),
+        "slope_sign": pa.array(out_s, pa.int64()),
+        "paradox": pa.array(out_p, pa.int64())})
+
+
+SQL_SIMPSONS_CHECK = """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy
+  FROM e GROUP BY 1),
+str AS (
+  SELECT event_type AS stratum,
+         CAST(sign(n * sxy - sx * sy) AS BIGINT) AS slope_sign
+  FROM s),
+pool AS (
+  SELECT CAST(sign(sum(n) * sum(sxy)
+              - sum(sx) * sum(sy)) AS BIGINT) AS ps
+  FROM (SELECT n, sx, sy, sxy FROM s)),
+par AS (
+  SELECT CASE WHEN pool.ps <> 0
+              AND count(*) FILTER (WHERE slope_sign = pool.ps) = 0
+              AND count(*) FILTER (WHERE slope_sign = -pool.ps) > 0
+              THEN 1 ELSE 0 END AS paradox
+  FROM str CROSS JOIN pool GROUP BY pool.ps)
+SELECT stratum, slope_sign, CAST(NULL AS BIGINT) AS paradox FROM str
+UNION ALL
+SELECT '__POOLED__', pool.ps, par.paradox
+FROM pool CROSS JOIN par
+ORDER BY stratum
+"""
+
+QUERIES["simpsons_check"] = (q_simpsons_check, SQL_SIMPSONS_CHECK)
