@@ -8400,3 +8400,268 @@ ORDER BY stratum
 """
 
 QUERIES["simpsons_check"] = (q_simpsons_check, SQL_SIMPSONS_CHECK)
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty by day — behavioural drift as unseen-pattern share
+# ---------------------------------------------------------------------------
+
+
+def q_trigram_novelty_by_day(sf_dir: str):
+    """Novelty curve: per day, the share (per-mille) of event-type
+    trigram OCCURRENCES whose pattern had never appeared on an
+    earlier day — how fast the behaviour vocabulary is still growing.
+    One user-hash exchange builds per-user consecutive trigrams with
+    their day (ties by ts, event_id as in event_type_trigrams); the
+    novelty fold runs over the bounded (trigram, day) table via a
+    first-day reduce."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    _DUS = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(u, 32)),
+            "u": t.column("user_id"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "et": t.column("event_type")})
+
+    def tris(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u"), dtype=np.int64)
+        ts = np.asarray(t.column("t"), dtype=np.int64)
+        e = np.asarray(t.column("e"), dtype=np.int64)
+        et = t.column("et").to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, ts, u))
+        u, ts, et = u[o], ts[o], et[o]
+        same2 = (u[2:] == u[:-2])
+        tri = np.array([f"{a}>{b}>{c}" for a, b, c in
+                        zip(et[:-2][same2], et[1:-1][same2],
+                            et[2:][same2])], dtype=object)
+        day = (ts[2:][same2] // _DUS)
+        g = pa.table({"tri": pa.array(tri.tolist(), pa.string()),
+                      "day": pa.array(day)}) \
+            .group_by(["tri", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tri", "day", "c"])
+
+    m = agg._combine_partials(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey").map_groups(tris, batch_format="pyarrow"),
+        keys=["tri", "day"], aggs=[("c", "sum")])
+    tv = m.column("tri").to_numpy(zero_copy_only=False)
+    dv = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    ut, ti = np.unique(tv, return_inverse=True)
+    first = np.full(len(ut), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first, ti, dv)
+    novel = first[ti] == dv
+    days = np.unique(dv)
+    rows = []
+    for d in days:
+        md = dv == d
+        tot = int(cv[md].sum())
+        nov = int(cv[md & novel].sum())
+        rows.append((int(d), tot, nov, nov * 1000 // tot))
+    return pa.table({
+        "day": pa.array([r[0] for r in rows], pa.int64()),
+        "trigrams": pa.array([r[1] for r in rows], pa.int64()),
+        "novel": pa.array([r[2] for r in rows], pa.int64()),
+        "novel_pm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_TRIGRAM_NOVELTY_BY_DAY = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)),
+t AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS tri,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM s WHERE p2 IS NOT NULL),
+c AS (SELECT tri, day, count(*) AS c FROM t GROUP BY 1, 2),
+f AS (SELECT tri, min(day) AS first_day FROM c GROUP BY 1),
+d AS (
+  SELECT c.day, sum(c.c) AS trigrams,
+         sum(CASE WHEN c.day = f.first_day THEN c.c ELSE 0 END)
+           AS novel
+  FROM c JOIN f ON f.tri = c.tri GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(trigrams AS BIGINT) AS trigrams,
+       CAST(novel AS BIGINT) AS novel,
+       CAST(novel * 1000 // trigrams AS BIGINT) AS novel_pm
+FROM d ORDER BY 1
+"""
+
+QUERIES["trigram_novelty_by_day"] = (q_trigram_novelty_by_day,
+                                     SQL_TRIGRAM_NOVELTY_BY_DAY)
+
+
+# ---------------------------------------------------------------------------
+# Persistence-baseline predictor eval — personal vs global top type
+# ---------------------------------------------------------------------------
+
+
+def q_persistence_baseline_eval(sf_dir: str):
+    """The baseline every next-event model must beat, evaluated
+    in-engine: predict each user's SECOND-half events from (a) the
+    user's FIRST-half modal type (fallback to global when cold) and
+    (b) the global first-half modal type; report per-mille accuracy
+    of both. Modal ties → type asc in both engines; everything runs
+    over the bounded (user, type, half) count table. The split day
+    is the global midpoint."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        g = pa.table({"u": t.column("user_id"),
+                      "et": t.column("event_type"), "day": day}) \
+            .group_by(["u", "et", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "et", "day", "c"])
+
+    m = _partial_final(ds, partial, ["u", "et", "day"], [("c", "sum")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    et = m.column("et").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2
+    h1 = dy < mid
+    types, ti = np.unique(et, return_inverse=True)
+    uu, ui = np.unique(u, return_inverse=True)
+    T, U = len(types), len(uu)
+    train = np.zeros((U, T), dtype=np.int64)
+    np.add.at(train, (ui[h1], ti[h1]), c[h1])
+    gl = train.sum(axis=0)
+    g_top = int(np.argmax(gl))          # ties -> type asc (first max)
+    p_top = np.argmax(train, axis=1)
+    cold = train.sum(axis=1) == 0
+    p_top = np.where(cold, g_top, p_top)
+    test = np.zeros((U, T), dtype=np.int64)
+    np.add.at(test, (ui[~h1], ti[~h1]), c[~h1])
+    n_test = int(test.sum())
+    acc_p = int(test[np.arange(U), p_top].sum())
+    acc_g = int(test[:, g_top].sum())
+    return pa.table({
+        "n_test": pa.array([n_test], pa.int64()),
+        "personal_hits": pa.array([acc_p], pa.int64()),
+        "global_hits": pa.array([acc_g], pa.int64()),
+        "personal_pm": pa.array([acc_p * 1000 // n_test], pa.int64()),
+        "global_pm": pa.array([acc_g * 1000 // n_test], pa.int64())})
+
+
+SQL_PERSISTENCE_BASELINE_EVAL = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS et,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+tr AS (SELECT u, et, count(*) AS c
+       FROM e CROSS JOIN b WHERE day < mid GROUP BY 1, 2),
+gt AS (SELECT et FROM (
+         SELECT et, row_number() OVER (ORDER BY sum(c) DESC, et)
+                  AS rk
+         FROM tr GROUP BY et) WHERE rk = 1),
+pt AS (SELECT u, et FROM (
+         SELECT u, et, row_number() OVER (PARTITION BY u
+                       ORDER BY c DESC, et) AS rk
+         FROM tr) WHERE rk = 1),
+te AS (SELECT u, et, count(*) AS c
+       FROM e CROSS JOIN b WHERE day >= mid GROUP BY 1, 2),
+sc AS (
+  SELECT sum(te.c) AS n_test,
+         sum(CASE WHEN te.et = coalesce(pt.et, gt.et)
+                  THEN te.c ELSE 0 END) AS p_hits,
+         sum(CASE WHEN te.et = gt.et THEN te.c ELSE 0 END) AS g_hits
+  FROM te LEFT JOIN pt ON pt.u = te.u CROSS JOIN gt)
+SELECT CAST(n_test AS BIGINT) AS n_test,
+       CAST(p_hits AS BIGINT) AS personal_hits,
+       CAST(g_hits AS BIGINT) AS global_hits,
+       CAST(p_hits * 1000 // n_test AS BIGINT) AS personal_pm,
+       CAST(g_hits * 1000 // n_test AS BIGINT) AS global_pm
+FROM sc
+"""
+
+QUERIES["persistence_baseline_eval"] = (q_persistence_baseline_eval,
+                                        SQL_PERSISTENCE_BASELINE_EVAL)
+
+
+# ---------------------------------------------------------------------------
+# Revenue split — new vs returning customers per month
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_new_vs_returning(sf_dir: str):
+    """Growth accounting: monthly revenue split into NEW (customer's
+    first-ever order month) vs RETURNING cents — from the same
+    (cust, month) partials the LTV triangle uses, plus a first-month
+    reduce; integers throughout, share in per-mille."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(
+            t.column("o_orderdate")), pa.int64()), 12),
+            pc.cast(pc.month(t.column("o_orderdate")), pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"cust": t.column("o_custkey"), "ym": ym,
+                      "cents": cents}) \
+            .group_by(["cust", "ym"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["cust", "ym", "cents"])
+
+    m = _partial_final(ds, partial, ["cust", "ym"], [("cents", "sum")])
+    cu = np.asarray(m.column("cust"), dtype=np.int64)
+    ym = np.asarray(m.column("ym"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    uu, ui = np.unique(cu, return_inverse=True)
+    first = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first, ui, ym)
+    is_new = first[ui] == ym
+    months = np.unique(ym)
+    rows = []
+    for mo in months:
+        md = ym == mo
+        new_c = int(cv[md & is_new].sum())
+        ret_c = int(cv[md & ~is_new].sum())
+        tot = new_c + ret_c
+        rows.append((int(mo), new_c, ret_c,
+                     new_c * 1000 // tot if tot else None))
+    return pa.table({
+        "ym": pa.array([r[0] for r in rows], pa.int64()),
+        "new_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "returning_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "new_share_pm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_REVENUE_NEW_VS_RETURNING = """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS ym,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2),
+f AS (SELECT cust, min(ym) AS first_ym FROM o GROUP BY 1),
+s AS (
+  SELECT o.ym,
+         sum(CASE WHEN o.ym = f.first_ym THEN o.cents ELSE 0 END)
+           AS new_cents,
+         sum(CASE WHEN o.ym > f.first_ym THEN o.cents ELSE 0 END)
+           AS returning_cents
+  FROM o JOIN f ON f.cust = o.cust GROUP BY 1)
+SELECT CAST(ym AS BIGINT) AS ym,
+       CAST(new_cents AS BIGINT) AS new_cents,
+       CAST(returning_cents AS BIGINT) AS returning_cents,
+       CASE WHEN new_cents + returning_cents > 0 THEN
+         CAST(new_cents * 1000 // (new_cents + returning_cents)
+              AS BIGINT)
+       END AS new_share_pm
+FROM s ORDER BY 1
+"""
+
+QUERIES["revenue_new_vs_returning"] = (q_revenue_new_vs_returning,
+                                       SQL_REVENUE_NEW_VS_RETURNING)
