@@ -8665,3 +8665,237 @@ FROM s ORDER BY 1
 
 QUERIES["revenue_new_vs_returning"] = (q_revenue_new_vs_returning,
                                        SQL_REVENUE_NEW_VS_RETURNING)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis tests — Welch t, one-way ANOVA F, Wald–Wolfowitz runs
+# ---------------------------------------------------------------------------
+
+
+def q_welch_ttest_types(sf_dir: str):
+    """Welch's unequal-variance t-test between click and purchase
+    event values: the cluster reduces to the two types' exact integer
+    sufficient statistics (n, Σcents, Σcents²) — a 2-row shuffle —
+    and the statistic closes on the driver with the SAME double
+    operation sequence the SQL oracle uses (means, ddof-1 variances,
+    standard error, t, Welch–Satterthwaite df), so the rounded digits
+    agree bit-for-bit."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"),
+                                    pa.array(["click", "purchase"]))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "s": y, "q": pc.multiply(y, y),
+        }).group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "q"])
+
+    m = _partial_final(ds, partial, ["event_type"],
+                       [("n", "sum"), ("s", "sum"), ("q", "sum")])
+    stats = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["q"]))
+             for r in m.to_pylist()}
+    import math
+    n1, s1, q1 = stats["click"]
+    n2, s2, q2 = stats["purchase"]
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = float(n1 * q1 - s1 * s1) / float(n1 * (n1 - 1))
+    v2 = float(n2 * q2 - s2 * s2) / float(n2 * (n2 - 1))
+    se1, se2 = v1 / n1, v2 / n2
+    t_stat = (m1 - m2) / math.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    return pa.table({
+        "type_a": pa.array(["click"]), "type_b": pa.array(["purchase"]),
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "mean_a": pa.array([round(m1, 6)], pa.float64()),
+        "mean_b": pa.array([round(m2, 6)], pa.float64()),
+        "t_stat": pa.array([round(t_stat, 6)], pa.float64()),
+        "welch_df": pa.array([round(df, 6)], pa.float64()),
+    })
+
+
+SQL_WELCH_TTEST_TYPES = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(y) AS s, sum(y * y) AS q
+  FROM e GROUP BY 1),
+w AS (
+  SELECT
+    a.n AS n1, b.n AS n2,
+    CAST(a.s AS DOUBLE) / a.n AS m1,
+    CAST(b.s AS DOUBLE) / b.n AS m2,
+    CAST(a.n * a.q - CAST(a.s AS HUGEINT) * a.s AS DOUBLE)
+      / CAST(a.n * (a.n - 1) AS DOUBLE) / a.n AS se1,
+    CAST(b.n * b.q - CAST(b.s AS HUGEINT) * b.s AS DOUBLE)
+      / CAST(b.n * (b.n - 1) AS DOUBLE) / b.n AS se2
+  FROM (SELECT * FROM s WHERE event_type = 'click') a,
+       (SELECT * FROM s WHERE event_type = 'purchase') b)
+SELECT 'click' AS type_a, 'purchase' AS type_b,
+       n1 AS n_a, n2 AS n_b,
+       round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+       round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
+         AS welch_df
+FROM w
+"""
+
+QUERIES["welch_ttest_types"] = (q_welch_ttest_types,
+                                SQL_WELCH_TTEST_TYPES)
+
+
+def q_anova_value_by_type(sf_dir: str):
+    """One-way ANOVA F across ALL event types' value distributions:
+    between/within sum-of-squares assembled from the per-type exact
+    integer (n, Σcents, Σcents²) partials. SSB and SSW are computed
+    with per-type doubles summed in sorted-type order; the F ratio
+    rounds to 6 digits — the 1e-15-relative double noise between the
+    engines' summation orders is ~9 orders below the rounding grain."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "s": y, "q": pc.multiply(y, y),
+        }).group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "q"])
+
+    m = _partial_final(ds, partial, ["event_type"],
+                       [("n", "sum"), ("s", "sum"), ("q", "sum")])
+    rows = sorted(m.to_pylist(), key=lambda r: r["event_type"])
+    ns = [int(r["n"]) for r in rows]
+    ss = [int(r["s"]) for r in rows]
+    qs = [int(r["q"]) for r in rows]
+    n_tot, s_tot, q_tot = sum(ns), sum(ss), sum(qs)
+    k = len(rows)
+    sb = sum(float(s * s) / n for s, n in zip(ss, ns))  # Σ s_i²/n_i
+    ssb = sb - float(s_tot) * s_tot / n_tot
+    ssw = float(q_tot) - sb
+    f_stat = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n_total": pa.array([n_tot], pa.int64()),
+        "ssb": pa.array([round(ssb, 2)], pa.float64()),
+        "ssw": pa.array([round(ssw, 2)], pa.float64()),
+        "f_stat": pa.array([round(f_stat, 6)], pa.float64()),
+    })
+
+
+SQL_ANOVA_VALUE_BY_TYPE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(y) AS s, sum(y * y) AS q
+  FROM e GROUP BY 1),
+t AS (
+  SELECT count(*) AS k, sum(n) AS n_tot, sum(s) AS s_tot,
+         sum(q) AS q_tot,
+         sum(CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / n) AS sb
+  FROM s)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n_tot AS BIGINT) AS n_total,
+       round(sb - CAST(s_tot AS DOUBLE) * s_tot / n_tot, 2) AS ssb,
+       round(CAST(q_tot AS DOUBLE) - sb, 2) AS ssw,
+       round(((sb - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
+             / ((CAST(q_tot AS DOUBLE) - sb) / (n_tot - k)), 6)
+         AS f_stat
+FROM t
+"""
+
+QUERIES["anova_value_by_type"] = (q_anova_value_by_type,
+                                  SQL_ANOVA_VALUE_BY_TYPE)
+
+
+def q_runs_test_daily(sf_dir: str):
+    """Wald–Wolfowitz runs test for randomness of the daily-revenue
+    up/down sequence: exact integer daily cents (a days-bounded
+    shuffle of (day, Σcents) partials), day-over-day sign sequence
+    with zero diffs dropped, runs counted on the driver; z-score
+    closes from the integer (runs, n_up, n_down) triple with the
+    oracle's double formula. A trend or cycle → too few runs → z≪0."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(day)
+    diffs = np.diff(cv[o])
+    sgn = np.sign(diffs[diffs != 0])
+    n_up = int((sgn > 0).sum())
+    n_dn = int((sgn < 0).sum())
+    runs = int(1 + (sgn[1:] != sgn[:-1]).sum()) if len(sgn) else 0
+    import math
+    n = n_up + n_dn
+    mu = 1.0 + 2.0 * n_up * n_dn / n
+    var = (2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n)
+           / (float(n) * n * (n - 1)))
+    z = (runs - mu) / math.sqrt(var)
+    return pa.table({
+        "n_up": pa.array([n_up], pa.int64()),
+        "n_down": pa.array([n_dn], pa.int64()),
+        "runs": pa.array([runs], pa.int64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_RUNS_TEST_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+df AS (
+  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS diff FROM d),
+g AS (
+  SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+  FROM df WHERE diff IS NOT NULL AND diff <> 0),
+r AS (
+  SELECT sgn,
+         CASE WHEN sgn <> lag(sgn) OVER (ORDER BY day)
+              THEN 1 ELSE 0 END AS brk
+  FROM g),
+c AS (
+  SELECT CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_up,
+         CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dn,
+         CAST(1 + sum(brk) AS BIGINT) AS runs
+  FROM r)
+SELECT n_up, n_dn AS n_down, runs,
+       round((runs - (1.0 + 2.0 * n_up * n_dn / (n_up + n_dn)))
+             / sqrt(2.0 * n_up * n_dn
+                    * (2.0 * n_up * n_dn - (n_up + n_dn))
+                    / (CAST(n_up + n_dn AS DOUBLE) * (n_up + n_dn)
+                       * (n_up + n_dn - 1))), 6) AS z_score
+FROM c
+"""
+
+QUERIES["runs_test_daily"] = (q_runs_test_daily, SQL_RUNS_TEST_DAILY)
