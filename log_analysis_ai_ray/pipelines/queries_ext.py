@@ -8899,3 +8899,178 @@ FROM c
 """
 
 QUERIES["runs_test_daily"] = (q_runs_test_daily, SQL_RUNS_TEST_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H — rank-based ANOVA with exact tie handling
+# ---------------------------------------------------------------------------
+
+
+def q_kruskal_wallis_type(sf_dir: str):
+    """Kruskal–Wallis rank test across event types, closed from the
+    (type, cents) joint histogram — ranks never touch a row: the
+    average rank of a distinct value is (2·cum_below + count + 1)/2,
+    so DOUBLED rank sums stay exact integers through the histogram
+    (the same midrank trick as spearman_qty_discount). Tie correction
+    Σ(t³−t)/(N³−N) comes from the same histogram margins. Only the
+    final H assembly is the oracle-mirrored double expression."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    v = np.asarray(m.column("v"), dtype=np.int64)
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    vu, vi = np.unique(v, return_inverse=True)
+    cv = np.zeros(len(vu), dtype=np.int64)
+    np.add.at(cv, vi, c)
+    cumb = np.concatenate(([0], np.cumsum(cv)[:-1]))
+    r2 = 2 * cumb + cv + 1  # doubled average rank per distinct value
+    types = sorted(set(ty.tolist()))
+    n = int(c.sum())
+    sumterm = 0.0
+    ns = {}
+    for t_ in types:  # sorted-type order; round-6 absorbs sum order
+        sel = ty == t_
+        n_i = int(c[sel].sum())
+        # Python ints: r2sum² overflows int64 past ~3e9 rows
+        r2sum = int(sum(int(a) * int(b) for a, b in
+                        zip(c[sel], r2[vi[sel]])))
+        ns[t_] = n_i
+        sumterm += float(r2sum) * r2sum / (4.0 * n_i)
+    h_raw = 12.0 * sumterm / (float(n) * (n + 1)) - 3.0 * (n + 1)
+    tt = int(sum(int(x) ** 3 - int(x) for x in cv))
+    corr = 1.0 - float(tt) / (float(n) ** 3 - n)
+    return pa.table({
+        "k_groups": pa.array([len(types)], pa.int64()),
+        "n_total": pa.array([n], pa.int64()),
+        "h_stat": pa.array([round(h_raw / corr, 6)], pa.float64()),
+        "tie_corr": pa.array([round(corr, 6)], pa.float64()),
+    })
+
+
+SQL_KRUSKAL_WALLIS_TYPE = """
+WITH e AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+h AS (SELECT ty, v, CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2),
+g AS (SELECT v, sum(c) AS cv FROM h GROUP BY 1),
+r AS (SELECT v, cv,
+             2 * (sum(cv) OVER (ORDER BY v) - cv) + cv + 1 AS r2
+      FROM g),
+rs AS (SELECT ty, sum(h.c) AS n_i,
+              sum(CAST(h.c AS HUGEINT) * r.r2) AS r2sum
+       FROM h JOIN r USING (v) GROUP BY 1),
+tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k FROM rs),
+tie AS (SELECT sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS tt FROM g),
+st AS (SELECT sum(CAST(r2sum * r2sum AS DOUBLE) / (4.0 * n_i))
+         AS sumterm FROM rs)
+SELECT tot.k AS k_groups, tot.n AS n_total,
+       round((12.0 * st.sumterm / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+              - 3.0 * (tot.n + 1))
+             / (1.0 - CAST(tie.tt AS DOUBLE)
+                / (pow(CAST(tot.n AS DOUBLE), 3) - tot.n)), 6)
+         AS h_stat,
+       round(1.0 - CAST(tie.tt AS DOUBLE)
+             / (pow(CAST(tot.n AS DOUBLE), 3) - tot.n), 6) AS tie_corr
+FROM tot, tie, st
+"""
+
+QUERIES["kruskal_wallis_type"] = (q_kruskal_wallis_type,
+                                  SQL_KRUSKAL_WALLIS_TYPE)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (PAVA) — monotone fit of hourly revenue
+# ---------------------------------------------------------------------------
+
+_ISO_L = 5354228880  # lcm(1..24): clears every window-average denominator
+
+
+def q_isotonic_hourly_revenue(sf_dir: str):
+    """Isotonic (non-decreasing) regression of hourly revenue vs hour
+    of day: the cluster reduces to the 24-row (hour, Σcents) table;
+    the driver runs exact-rational PAVA (pool-adjacent-violators over
+    Fractions). The oracle evaluates the equivalent minimax
+    characterization fit_i = max_{j≤i} min_{k≥i} avg(y[j..k]) — both
+    average over window lengths ≤ 24, so scaling by lcm(1..24) keeps
+    every comparison and the final micro-cents floor EXACT integer on
+    both engines (PAVA == minimax pinned in pytest)."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                        pa.int64())
+        g = pa.table({"hh": hh, "cents": cents}) \
+            .group_by("hh").aggregate([("cents", "sum")])
+        return g.rename_columns(["hh", "cents"])
+
+    m = _partial_final(ds, partial, ["hh"], [("cents", "sum")])
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(hh)
+    hh, cv = hh[o], cv[o]
+    fit = _pava_fractions([int(x) for x in cv])
+    micro = [int(f.numerator * 1_000_000 // f.denominator) for f in fit]
+    return pa.table({
+        "hh": pa.array(hh, pa.int64()),
+        "cents": pa.array(cv, pa.int64()),
+        "fit_micro": pa.array(micro, pa.int64()),
+    })
+
+
+def _pava_fractions(y):
+    """Pool-adjacent-violators: exact-rational non-decreasing fit."""
+    from fractions import Fraction
+    out = []
+    stack = []  # [block mean, block weight]
+    for v in y:
+        stack.append([Fraction(v), 1])
+        while len(stack) >= 2 and stack[-2][0] > stack[-1][0]:
+            m2, w2 = stack.pop()
+            m1, w1 = stack.pop()
+            stack.append([(m1 * w1 + m2 * w2) / (w1 + w2), w1 + w2])
+    for mean, w in stack:
+        out.extend([mean] * w)
+    return out
+
+
+SQL_ISOTONIC_HOURLY_REVENUE = f"""
+WITH h AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hh,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1),
+p AS (
+  SELECT hh, cents,
+         CAST(row_number() OVER (ORDER BY hh) AS BIGINT) AS pos,
+         CAST(sum(cents) OVER (ORDER BY hh) AS HUGEINT) AS pre
+  FROM h),
+grid AS (
+  SELECT i.hh, i.cents, j.pos AS jp, k.pos AS kp,
+         (k.pre - (j.pre - j.cents))
+           * ({_ISO_L} // (k.pos - j.pos + 1)) AS avg_scaled
+  FROM p i JOIN p j ON j.pos <= i.pos JOIN p k ON k.pos >= i.pos),
+mn AS (
+  SELECT hh, cents, jp, min(avg_scaled) AS m
+  FROM grid GROUP BY 1, 2, 3),
+mx AS (
+  SELECT hh, cents, max(m) AS fit_scaled FROM mn GROUP BY 1, 2)
+SELECT hh, CAST(cents AS BIGINT) AS cents,
+       CAST(fit_scaled * 1000000 // {_ISO_L} AS BIGINT) AS fit_micro
+FROM mx ORDER BY hh
+"""
+
+QUERIES["isotonic_hourly_revenue"] = (q_isotonic_hourly_revenue,
+                                      SQL_ISOTONIC_HOURLY_REVENUE)

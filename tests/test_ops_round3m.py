@@ -1,0 +1,79 @@
+"""Kernel semantics for the round-3m batch: Kruskal–Wallis midrank
+identities and isotonic-regression PAVA vs its minimax
+characterization (the oracle's form)."""
+
+from fractions import Fraction
+
+import numpy as np
+
+from log_analysis_ai_ray.pipelines.queries_ext import _pava_fractions
+
+
+def _minimax_iso(y):
+    """fit_i = max_{j<=i} min_{k>=i} avg(y[j..k]) — exact rationals."""
+    n = len(y)
+    out = []
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            mn = None
+            for k in range(i, n):
+                a = Fraction(sum(y[j:k + 1]), k - j + 1)
+                mn = a if mn is None or a < mn else mn
+            best = mn if best is None or mn > best else best
+        out.append(best)
+    return out
+
+
+def test_pava_equals_minimax_random():
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        y = [int(v) for v in rng.integers(-50, 50, 12)]
+        assert _pava_fractions(y) == _minimax_iso(y)
+
+
+def test_pava_monotone_and_mean_preserving():
+    rng = np.random.default_rng(4)
+    y = [int(v) for v in rng.integers(0, 1000, 30)]
+    fit = _pava_fractions(y)
+    assert all(a <= b for a, b in zip(fit, fit[1:]))
+    assert sum(fit) == sum(Fraction(v) for v in y)  # projection keeps mass
+
+
+def test_pava_already_monotone_is_identity():
+    y = [1, 2, 2, 5, 9]
+    assert _pava_fractions(y) == [Fraction(v) for v in y]
+
+
+def test_midrank_doubled_ranks_match_scipy_style():
+    # doubled average midranks from a histogram == 2x rankdata('average')
+    vals = np.array([5, 3, 5, 1, 3, 3], dtype=np.int64)
+    vu, vi = np.unique(vals, return_inverse=True)
+    cv = np.bincount(vi).astype(np.int64)
+    cumb = np.concatenate(([0], np.cumsum(cv)[:-1]))
+    r2 = 2 * cumb + cv + 1
+    # manual average ranks: 1 ->1; 3 -> (2+3+4)/3=3; 5 -> (5+6)/2=5.5
+    got = r2[vi] / 2.0
+    assert np.allclose(got, [5.5, 3.0, 5.5, 1.0, 3.0, 3.0])
+
+
+def test_kruskal_identical_groups_h_zero():
+    # two groups with identical value multisets -> rank sums equal
+    # expectation -> H == 0 exactly (before tie correction division)
+    a = np.array([1, 2, 3], dtype=np.int64)
+    groups = {"x": a, "y": a.copy()}
+    allv = np.concatenate(list(groups.values()))
+    vu, vi = np.unique(allv, return_inverse=True)
+    cv = np.bincount(vi).astype(np.int64)
+    cumb = np.concatenate(([0], np.cumsum(cv)[:-1]))
+    r2 = 2 * cumb + cv + 1
+    n = len(allv)
+    sumterm = 0.0
+    pos = 0
+    for g in groups.values():
+        idx = vi[pos:pos + len(g)]
+        r2sum = int(r2[idx].sum())
+        sumterm += float(r2sum) * r2sum / (4.0 * len(g))
+        pos += len(g)
+    h = 12.0 * sumterm / (float(n) * (n + 1)) - 3.0 * (n + 1)
+    assert abs(h) < 1e-9
