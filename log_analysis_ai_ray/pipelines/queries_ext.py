@@ -9074,3 +9074,172 @@ FROM mx ORDER BY hh
 
 QUERIES["isotonic_hourly_revenue"] = (q_isotonic_hourly_revenue,
                                       SQL_ISOTONIC_HOURLY_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit — rank-frequency slope of the token vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000
+
+
+def q_zipf_token_slope(sf_dir: str):
+    """Zipf's-law check over the document corpus: OLS slope of
+    ln(count) on ln(rank) for the top-1000 tokens under the
+    (count desc, token asc) total order — natural text lands near −1.
+    The cluster ships vocab-bounded (token, count) partials (the same
+    tokenization as source_token_entropy: \\s+ split); ranking and the
+    1000-point regression close on the driver in the deterministic
+    rank order; round-6 absorbs the engines' float-sum order noise."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"token": flat.filter(keep)}) \
+            .group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["token"], [("cnt", "sum")])
+    tok = np.asarray(vc.column("token").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    # deterministic total order: count desc, token asc
+    order = np.lexsort((tok, -cnt))[:_ZIPF_TOP]
+    c = cnt[order].astype(np.float64)
+    r = np.arange(1, len(c) + 1, dtype=np.float64)
+    x, y = np.log(r), np.log(c)
+    n = float(len(c))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "n_points": pa.array([int(n)], pa.int64()),
+        "zipf_slope": pa.array([round(slope, 6)], pa.float64()),
+        "zipf_intercept": pa.array([round(intercept, 6)], pa.float64()),
+    })
+
+
+SQL_ZIPF_TOKEN_SLOPE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1),
+r AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rk
+      FROM c QUALIFY rk <= {_ZIPF_TOP}),
+l AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y FROM r),
+s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM l)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n, 6) AS zipf_intercept
+FROM s
+"""
+
+QUERIES["zipf_token_slope"] = (q_zipf_token_slope,
+                               SQL_ZIPF_TOKEN_SLOPE)
+
+
+# ---------------------------------------------------------------------------
+# Qn robust scale (Rousseeuw–Croux) — pairwise-difference order statistic
+# ---------------------------------------------------------------------------
+
+
+def q_qty_qn_scale(sf_dir: str):
+    """Rousseeuw–Croux Qn robust scale of l_quantity per return flag:
+    the k-th order statistic (k = C(h,2), h = ⌊n/2⌋+1) of all C(n,2)
+    pairwise absolute differences — 50 % breakdown, no location
+    estimate needed. Never materializes a pair: the (flag, qty)
+    histogram bounds everything, pair multiplicities per difference e
+    are Σ_v c_v·c_{v+e} (C(c_v,2) at e=0), and the order statistic is
+    a cumulative walk over e = 0..49. Python-int products — exact at
+    any scale; zero floats anywhere."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        g = pa.table({
+            "flag": t.column("l_returnflag"), "qty": q,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["flag", "qty"]).aggregate([("c", "sum")])
+        return g.rename_columns(["flag", "qty", "c"])
+
+    m = _partial_final(ds, partial, ["flag", "qty"], [("c", "sum")])
+    fl = np.asarray(m.column("flag").to_pylist())
+    qv = np.asarray(m.column("qty"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    out_f, out_n, out_k, out_qn = [], [], [], []
+    for f in sorted(set(fl.tolist())):
+        sel = fl == f
+        v, c = qv[sel], cc[sel]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        lut = {int(a): int(b) for a, b in zip(v, c)}
+        n = int(c.sum())
+        h = n // 2 + 1
+        k = h * (h - 1) // 2
+        cum = 0
+        qn = None
+        for e in range(0, int(v.max() - v.min()) + 1):
+            if e == 0:
+                cum += sum(ci * (ci - 1) // 2 for ci in lut.values())
+            else:
+                cum += sum(ci * lut.get(vi + e, 0)
+                           for vi, ci in lut.items())
+            if cum >= k:
+                qn = e
+                break
+        out_f.append(f)
+        out_n.append(n)
+        out_k.append(k)
+        out_qn.append(qn)
+    return pa.table({
+        "l_returnflag": pa.array(out_f, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "k_order": pa.array(out_k, pa.int64()),
+        "qn_diff": pa.array(out_qn, pa.int64()),
+    })
+
+
+SQL_QTY_QN_SCALE = """
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem),
+h AS (SELECT flag, qty, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2),
+t AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+kk AS (SELECT flag, n,
+              (n // 2 + 1) * (n // 2) // 2 AS k FROM t),
+es AS (SELECT DISTINCT a.flag, b.qty - a.qty AS e
+       FROM h a JOIN h b ON b.flag = a.flag AND b.qty >= a.qty),
+pairs AS (
+  SELECT e.flag, e.e,
+         CASE WHEN e.e = 0 THEN
+           (SELECT sum(c * (c - 1) // 2) FROM h
+            WHERE h.flag = e.flag)
+         ELSE
+           (SELECT sum(a.c * b.c)
+            FROM h a JOIN h b
+              ON b.flag = a.flag AND b.qty = a.qty + e.e
+            WHERE a.flag = e.flag)
+         END AS cnt
+  FROM es e),
+cum AS (
+  SELECT flag, e,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY e) AS cum
+  FROM pairs)
+SELECT kk.flag AS l_returnflag, kk.n, kk.k AS k_order,
+       CAST(min(cum.e) AS BIGINT) AS qn_diff
+FROM kk JOIN cum ON cum.flag = kk.flag AND cum.cum >= kk.k
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+QUERIES["qty_qn_scale"] = (q_qty_qn_scale, SQL_QTY_QN_SCALE)

@@ -77,3 +77,45 @@ def test_kruskal_identical_groups_h_zero():
         pos += len(g)
     h = 12.0 * sumterm / (float(n) * (n + 1)) - 3.0 * (n + 1)
     assert abs(h) < 1e-9
+
+
+def _qn_from_hist(vals, counts):
+    lut = dict(zip([int(v) for v in vals], [int(c) for c in counts]))
+    n = sum(lut.values())
+    h = n // 2 + 1
+    k = h * (h - 1) // 2
+    cum = 0
+    for e in range(0, max(lut) - min(lut) + 1):
+        if e == 0:
+            cum += sum(c * (c - 1) // 2 for c in lut.values())
+        else:
+            cum += sum(c * lut.get(v + e, 0) for v, c in lut.items())
+        if cum >= k:
+            return n, k, e
+    return n, k, None
+
+
+def test_qn_matches_bruteforce_pairs():
+    rng = np.random.default_rng(6)
+    xs = rng.integers(1, 51, 301)
+    vu, cc = np.unique(xs, return_counts=True)
+    n, k, qn = _qn_from_hist(vu, cc)
+    diffs = np.abs(xs[:, None] - xs[None, :])[np.triu_indices(len(xs), 1)]
+    assert n == len(xs)
+    assert qn == int(np.sort(diffs)[k - 1])
+
+
+def test_qn_constant_data_zero_scale():
+    n, k, qn = _qn_from_hist([7], [100])
+    assert qn == 0
+
+
+def test_zipf_slope_exact_powerlaw_recovered():
+    # counts = round(C * r^-1) gives slope ~ -1 on the log-log fit
+    r = np.arange(1, 201, dtype=np.float64)
+    c = 1e6 / r
+    x, y = np.log(r), np.log(c)
+    n = float(len(r))
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) \
+        / (n * (x * x).sum() - x.sum() ** 2)
+    assert abs(slope + 1.0) < 1e-9
