@@ -9243,3 +9243,265 @@ GROUP BY 1, 2, 3 ORDER BY 1
 """
 
 QUERIES["qty_qn_scale"] = (q_qty_qn_scale, SQL_QTY_QN_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# Croston's method — intermittent-demand smoothing (integer-exact)
+# ---------------------------------------------------------------------------
+
+_CROSTON_CENTS = 20_000  # "big-ticket" purchase threshold (value ≥ 200)
+
+
+def q_croston_demand(sf_dir: str):
+    """Croston's intermittent-demand method on the big-ticket purchase
+    series (cents ≥ 20000 — ~1 demand day in 3): separate α=½ EWMAs of
+    demand SIZE and demand INTERVAL, both floored to integers at every
+    step (z←⌊(y+z)/2⌋, p←⌊(q+p)/2⌋ — the holt_backtest discipline), so
+    the driver recursion and the recursive-CTE oracle agree
+    bit-for-bit. Inter-arrival = day gap between demand days, so the
+    cluster only ships the (day, Σcents, n) partials of qualifying
+    events — never a dense grid. Init: z=y₁ then first update at
+    demand 2 with p=d₂−d₁. Forecast rate = z·10⁶//p micro-cents/day."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        keep = pc.and_(pc.equal(t.column("event_type"), "purchase"),
+                       pc.greater_equal(cents, _CROSTON_CENTS))
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        tt = pa.table({"day": day.filter(keep),
+                       "y": cents.filter(keep)})
+        g = tt.group_by("day").aggregate([("y", "sum")])
+        return g.rename_columns(["day", "y"])
+
+    m = _partial_final(ds, partial, ["day"], [("y", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    yv = np.asarray(m.column("y"), dtype=np.int64)
+    o = np.argsort(day)
+    day, yv = day[o], yv[o]
+    if len(day) < 2:
+        return pa.table({
+            "n_demand_days": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "final_size": pa.array([], pa.int64()),
+            "final_interval": pa.array([], pa.int64()),
+            "rate_micro": pa.array([], pa.int64())})
+    z = int(yv[0])
+    p = None
+    for i in range(1, len(day)):
+        q = int(day[i] - day[i - 1])
+        z = (int(yv[i]) + z) // 2
+        p = q if p is None else (q + p) // 2
+    return pa.table({
+        "n_demand_days": pa.array([len(day)], pa.int64()),
+        "total_cents": pa.array([int(yv.sum())], pa.int64()),
+        "final_size": pa.array([z], pa.int64()),
+        "final_interval": pa.array([p], pa.int64()),
+        "rate_micro": pa.array([z * 1_000_000 // p], pa.int64()),
+    })
+
+
+SQL_CROSTON_DEMAND = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+  FROM events
+  WHERE event_type = 'purchase'
+    AND CAST(round(value * 100, 0) AS BIGINT) >= {_CROSTON_CENTS}
+  GROUP BY 1),
+dr AS (
+  SELECT day, y,
+         row_number() OVER (ORDER BY day) AS rn,
+         day - lag(day) OVER (ORDER BY day) AS q,
+         count(*) OVER () AS n
+  FROM d),
+r AS (
+  SELECT CAST(1 AS BIGINT) AS rn, y AS z, CAST(NULL AS BIGINT) AS p,
+         n
+  FROM dr WHERE rn = 1 AND n >= 2
+  UNION ALL
+  SELECT r.rn + 1,
+         (dr.y + r.z) // 2,
+         CASE WHEN r.p IS NULL THEN dr.q ELSE (dr.q + r.p) // 2 END,
+         r.n
+  FROM r JOIN dr ON dr.rn = r.rn + 1
+  WHERE r.rn < r.n),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(y) AS BIGINT) AS ty FROM d)
+SELECT tot.nd AS n_demand_days, tot.ty AS total_cents,
+       CAST(r.z AS BIGINT) AS final_size,
+       CAST(r.p AS BIGINT) AS final_interval,
+       CAST(r.z * 1000000 // r.p AS BIGINT) AS rate_micro
+FROM r, tot WHERE r.rn = r.n
+"""
+
+QUERIES["croston_demand"] = (q_croston_demand, SQL_CROSTON_DEMAND)
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution — exact over the 16-coalition histogram
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]  # bits 0..3
+_SHAPLEY_W24 = {0: 6, 1: 2, 2: 2, 3: 6}  # s!(3-s)!  (×24 = 4! cleared)
+
+
+def q_shapley_attribution(sf_dir: str):
+    """EXACT Shapley-value attribution of purchases to the four
+    non-purchase channels: a purchase's coalition is the set of
+    channels the user touched strictly before it (lifetime). The game
+    v(S) = #purchases whose touch set ⊆ S closes from a 16-bin mask
+    histogram — the cluster co-locates each user's purchases with its
+    ≤4 per-channel first-touch times (one user-hash exchange of
+    (user, channel, min_ts) partials), computes masks vectorized, and
+    ships 16 counts. Shapley weights s!(n−1−s)!/n! have denominator
+    4! = 24, so φ·24 is an exact integer; Σφ = v(full)−v(∅) is the
+    engine-checkable efficiency axiom (attributed = purchases with ≥1
+    prior touch)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    nchan = len(_SHAPLEY_CHANNELS)
+    npart = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = t.column("event_type")
+        is_p = pc.equal(et, "purchase")
+        # non-purchase rows reduce to (user, channel, min_ts) partials
+        nonp = t.filter(pc.invert(is_p))
+        g = pa.table({
+            "user_id": nonp.column("user_id"),
+            "channel": nonp.column("event_type"),
+            "ts": pc.cast(nonp.column("ts"), pa.int64()),
+        }).group_by(["user_id", "channel"]).aggregate([("ts", "min")])
+        g = g.rename_columns(["user_id", "channel", "ts"])
+        pur = t.filter(is_p)
+        p = pa.table({
+            "user_id": pur.column("user_id"),
+            "channel": pa.array(["\x01P"] * pur.num_rows, pa.string()),
+            "ts": pc.cast(pur.column("ts"), pa.int64()),
+        })
+        both = pa.concat_tables([g, p])
+        k = np.asarray(both.column("user_id"), dtype=np.int64)
+        return both.append_column(
+            "_pkey", pa.array(_knuth_bucket(k, npart)))
+
+    def close(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ch = np.asarray(t.column("channel").to_pylist())
+        ts = np.asarray(t.column("ts"), dtype=np.int64)
+        isp = ch == "\x01P"
+        pu, pt = u[isp], ts[isp]
+        masks = np.zeros(len(pu), dtype=np.int64)
+        for bit, c in enumerate(_SHAPLEY_CHANNELS):
+            sel = ch == c
+            cu, ct = u[sel], ts[sel]
+            # merge duplicate per-block (user, channel) mins
+            o = np.lexsort((ct, cu))
+            cu, ct = cu[o], ct[o]
+            first = np.ones(len(cu), dtype=bool)
+            first[1:] = cu[1:] != cu[:-1]
+            cu, ct = cu[first], ct[first]
+            pos = np.searchsorted(cu, pu)
+            pos_c = np.clip(pos, 0, max(len(cu) - 1, 0))
+            hit = (len(cu) > 0) & (cu[pos_c] == pu) \
+                if len(cu) else np.zeros(len(pu), dtype=bool)
+            touched = np.zeros(len(pu), dtype=bool)
+            touched[hit] = ct[pos_c[hit]] < pt[hit]
+            masks |= touched.astype(np.int64) << bit
+        hist = np.zeros(1 << nchan, dtype=np.int64)
+        np.add.at(hist, masks, 1)
+        return pa.table({"mask": pa.array(
+            np.arange(1 << nchan, dtype=np.int64)),
+            "cnt": pa.array(hist)})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    h = agg._to_arrow(tagged.groupby("_pkey").map_groups(
+        close, batch_format="pyarrow"))
+    h = h.group_by("mask").aggregate([("cnt", "sum")]) \
+        .rename_columns(["mask", "cnt"])
+    hist = np.zeros(1 << nchan, dtype=np.int64)
+    hist[np.asarray(h.column("mask"), dtype=np.int64)] = \
+        np.asarray(h.column("cnt"), dtype=np.int64)
+
+    def v(s: int) -> int:
+        return int(sum(int(hist[t_]) for t_ in range(1 << nchan)
+                       if (t_ & ~s) == 0))
+
+    rows = []
+    for i, name in enumerate(_SHAPLEY_CHANNELS):
+        bit = 1 << i
+        phi24 = 0
+        for s in range(1 << nchan):
+            if s & bit:
+                continue
+            phi24 += _SHAPLEY_W24[bin(s).count("1")] * (v(s | bit) - v(s))
+        rows.append((name, phi24))
+    attributed = v((1 << nchan) - 1) - v(0)
+    return pa.table({
+        "channel": pa.array([r[0] for r in rows], pa.string()),
+        "phi_x24": pa.array([r[1] for r in rows], pa.int64()),
+        "share_pm": pa.array(
+            [r[1] * 1000 // (attributed * 24) if attributed else None
+             for r in rows], pa.int64()),
+        "attributed": pa.array([attributed] * len(rows), pa.int64()),
+    })
+
+
+def _shapley_oracle_sql() -> str:
+    chans = ", ".join(f"'{c}'" for c in _SHAPLEY_CHANNELS)
+    mask_expr = " + ".join(
+        f"(CASE WHEN f{i}.mn IS NOT NULL AND f{i}.mn < p.ts "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(len(_SHAPLEY_CHANNELS)))
+    joins = "\n".join(
+        f"  LEFT JOIN firsts f{i} ON f{i}.user_id = p.user_id "
+        f"AND f{i}.channel = '{c}'"
+        for i, c in enumerate(_SHAPLEY_CHANNELS))
+    chan_rows = " UNION ALL ".join(
+        f"SELECT {i} AS bit, '{c}' AS channel"
+        for i, c in enumerate(_SHAPLEY_CHANNELS))
+    return f"""
+WITH firsts AS (
+  SELECT user_id, event_type AS channel, min(ts) AS mn
+  FROM events WHERE event_type IN ({chans}) GROUP BY 1, 2),
+pur AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+masks AS (
+  SELECT {mask_expr} AS mask
+  FROM pur p
+{joins}),
+hist AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+         FROM masks GROUP BY 1),
+ms AS (SELECT CAST(range AS BIGINT) AS s FROM range(16)),
+vv AS (
+  SELECT m.s, COALESCE(sum(h.cnt), 0) AS v
+  FROM ms m LEFT JOIN hist h ON (h.mask & ~m.s & 15) = 0
+  GROUP BY 1),
+ch AS ({chan_rows}),
+phi AS (
+  SELECT ch.channel,
+         CAST(sum((CASE bit_count(CAST(m.s AS BIT))
+                     WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END)
+                  * (vi.v - vs.v)) AS BIGINT) AS phi_x24
+  FROM ch
+  JOIN ms m ON (CAST(m.s AS BIGINT) & (1 << ch.bit)) = 0
+  JOIN vv vs ON vs.s = m.s
+  JOIN vv vi ON vi.s = (m.s | (1 << ch.bit))
+  GROUP BY 1),
+att AS (
+  SELECT (SELECT v FROM vv WHERE s = 15)
+           - (SELECT v FROM vv WHERE s = 0) AS a)
+SELECT phi.channel, phi.phi_x24,
+       CASE WHEN att.a > 0
+            THEN CAST(phi.phi_x24 * 1000 // (att.a * 24) AS BIGINT)
+       END AS share_pm,
+       CAST(att.a AS BIGINT) AS attributed
+FROM phi, att ORDER BY phi.channel
+"""
+
+
+QUERIES["shapley_attribution"] = (q_shapley_attribution,
+                                  _shapley_oracle_sql())

@@ -119,3 +119,56 @@ def test_zipf_slope_exact_powerlaw_recovered():
     slope = (n * (x * y).sum() - x.sum() * y.sum()) \
         / (n * (x * x).sum() - x.sum() ** 2)
     assert abs(slope + 1.0) < 1e-9
+
+
+def test_shapley_axioms_on_toy_histogram():
+    # 4-channel coalition game v(S) = count of purchases with T ⊆ S
+    W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+    hist = np.zeros(16, dtype=np.int64)
+    hist[0b0001] = 10   # click-only journeys
+    hist[0b0011] = 6    # click+error
+    hist[0b0000] = 3    # organic (no touch)
+
+    def v(s):
+        return int(sum(hist[t] for t in range(16) if (t & ~s) == 0))
+
+    phis = []
+    for i in range(4):
+        bit = 1 << i
+        phi = 0
+        for s in range(16):
+            if s & bit:
+                continue
+            phi += W24[bin(s).count("1")] * (v(s | bit) - v(s))
+        phis.append(phi)
+    # efficiency: Σφ·24⁻¹ == v(full) − v(∅)
+    assert sum(phis) == 24 * (v(15) - v(0))
+    # dummy channels (never in any journey) get exactly zero
+    assert phis[2] == 0 and phis[3] == 0
+    # click dominates error: click appears in all journeys, error in 6
+    assert phis[0] > phis[1] > 0
+    # symmetric game check: two interchangeable channels tie exactly
+    hist2 = np.zeros(16, dtype=np.int64)
+    hist2[0b0011] = 7
+
+    def v2(s):
+        return int(sum(hist2[t] for t in range(16) if (t & ~s) == 0))
+
+    p0 = sum(W24[bin(s).count('1')] * (v2(s | 1) - v2(s))
+             for s in range(16) if not s & 1)
+    p1 = sum(W24[bin(s).count('1')] * (v2(s | 2) - v2(s))
+             for s in range(16) if not s & 2)
+    assert p0 == p1 == 24 * 7 // 2
+
+
+def test_croston_recursion_manual():
+    # demands (day, size): init z=y1; at demand 2: p = gap
+    days = [3, 5, 10, 11]
+    ys = [100, 40, 60, 200]
+    z, p = ys[0], None
+    for i in range(1, len(days)):
+        q = days[i] - days[i - 1]
+        z = (ys[i] + z) // 2
+        p = q if p is None else (q + p) // 2
+    # step-by-step: z=70 p=2; z=65 p=3 ((5+2)//2); z=132 p=2 ((1+3)//2)
+    assert (z, p) == (132, 2)
