@@ -9505,3 +9505,190 @@ FROM phi, att ORDER BY phi.channel
 
 QUERIES["shapley_attribution"] = (q_shapley_attribution,
                                   _shapley_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities — 3 synchronous rounds, min-tie mode
+# ---------------------------------------------------------------------------
+
+
+def q_domain_lpa_communities(sf_dir: str):
+    """Community detection by synchronous label propagation on the
+    undirected simple domain graph: every node starts as its own
+    label (the domain name) and, for 3 fixed rounds, adopts the MODE
+    of its neighbors' labels with the lexicographically smallest
+    label breaking ties — fully deterministic, no RNG, so the
+    unrolled 3-round SQL oracle reproduces it exactly. The cluster
+    distills the bounded edge partials (domain_link_edges); rounds
+    run vectorized on the driver adjacency (at page scale each round
+    is one (node, neighbor-label) count groupby + per-node argmax —
+    the documented dataset-algebra form). Output: per-community size
+    and member count ordering."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    # undirected simple edges, both directions
+    pair = np.unique(np.stack([np.minimum(si, di),
+                               np.maximum(si, di)], axis=1), axis=0)
+    a = np.concatenate([pair[:, 0], pair[:, 1]])
+    b = np.concatenate([pair[:, 1], pair[:, 0]])
+    labels = np.arange(n, dtype=np.int64)  # label i == nodes[i]
+    for _ in range(3):
+        nl = labels[b]
+        # count (node, neighbor-label); argmax count desc, label asc
+        key = a * np.int64(n) + nl
+        ku, kc = np.unique(key, return_counts=True)
+        kn, kl = ku // n, ku % n
+        order = np.lexsort((kl, -kc, kn))
+        kn_o = kn[order]
+        first = np.ones(len(kn_o), dtype=bool)
+        first[1:] = kn_o[1:] != kn_o[:-1]
+        new = labels.copy()
+        new[kn_o[first]] = kl[order][first]
+        labels = new
+    comm = nodes[labels]
+    cu, cc = np.unique(comm, return_counts=True)
+    return pa.table({
+        "community": pa.array(cu),
+        "size": pa.array(cc.astype(np.int64)),
+    }).sort_by("community")
+
+
+def _lpa_oracle_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    rounds = []
+    prev = "l0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+c{r} AS (
+  SELECT s.a AS d, l.lab, count(*) AS c
+  FROM sym s JOIN {prev} l ON l.d = s.b GROUP BY 1, 2),
+l{r} AS (
+  SELECT d, lab FROM (
+    SELECT d, lab,
+           row_number() OVER (PARTITION BY d
+                              ORDER BY c DESC, lab) AS rk
+    FROM c{r}) WHERE rk = 1)""")
+        prev = f"l{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH raw AS (
+  SELECT regexp_extract(url, '{_DOM_RE}', 1) AS a,
+         regexp_extract(dst, '{_DOM_RE}', 1) AS b
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                   '<a href="([^"]*)"', 1)) AS dst
+        FROM {PAGES_VIEW})
+  WHERE regexp_extract(url, '{_DOM_RE}', 1)
+        <> regexp_extract(dst, '{_DOM_RE}', 1)),
+und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        FROM raw),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT DISTINCT a AS d, a AS lab FROM sym),{rounds_sql}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS size
+FROM l3 GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["domain_lpa_communities"] = (q_domain_lpa_communities,
+                                     _lpa_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — 2×2 (arm × period) causal estimator
+# ---------------------------------------------------------------------------
+
+
+def q_diff_in_diff(sf_dir: str):
+    """Difference-in-differences uplift: arms from THE Knuth user
+    hash, periods split at global-min-day + 15 (the cuped_uplift
+    convention); DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+    assembled from the four cells' exact integer (n, Σcents) — the
+    cluster ships 4 partial rows per block after the same (user, day)
+    pre-reduce cuped uses. Cell means in micro-cents (floored), DiD
+    as the one mirrored float."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def per_user(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"user_id": t.column("user_id"),
+                      "day": day, "cents": cents})
+        gg = g.group_by(["user_id", "day"]).aggregate([("cents", "sum")])
+        return gg.rename_columns(["user_id", "day", "cents"])
+
+    ud = _partial_final(ds, per_user, ["user_id", "day"],
+                        [("cents", "sum")])
+    dmin = int(pc.min(ud.column("day")).as_py())
+    split = dmin + 15
+    u = np.asarray(ud.column("user_id"), dtype=np.int64)
+    d = np.asarray(ud.column("day"), dtype=np.int64)
+    c = np.asarray(ud.column("cents"), dtype=np.int64)
+    arm = _knuth_bucket(u, 2)
+    post = (d >= split).astype(np.int64)
+    rows = []
+    means = {}
+    for a_ in (0, 1):
+        for p_ in (0, 1):
+            sel = (arm == a_) & (post == p_)
+            n_ = int(sel.sum())
+            s_ = int(c[sel].sum())
+            means[(a_, p_)] = (n_, s_)
+            rows.append((a_, p_, n_, s_,
+                         s_ * 1_000_000 // n_ if n_ else None))
+    did = ((means[(1, 1)][1] / means[(1, 1)][0]
+            - means[(1, 0)][1] / means[(1, 0)][0])
+           - (means[(0, 1)][1] / means[(0, 1)][0]
+              - means[(0, 0)][1] / means[(0, 0)][0]))
+    return pa.table({
+        "arm": pa.array([r[0] for r in rows], pa.int64()),
+        "post": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "mean_micro": pa.array([r[4] for r in rows], pa.int64()),
+        "did_cents": pa.array([round(did, 6)] * len(rows),
+                              pa.float64()),
+    })
+
+
+SQL_DIFF_IN_DIFF = """
+WITH ud AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+sp AS (SELECT min(day) + 15 AS split FROM ud),
+cells AS (
+  SELECT CAST(((user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS arm,
+         CASE WHEN day >= sp.split THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM ud, sp GROUP BY 1, 2),
+did AS (
+  SELECT (max(CASE WHEN arm = 1 AND post = 1
+                   THEN CAST(sum_cents AS DOUBLE) / n END)
+          - max(CASE WHEN arm = 1 AND post = 0
+                     THEN CAST(sum_cents AS DOUBLE) / n END))
+         - (max(CASE WHEN arm = 0 AND post = 1
+                     THEN CAST(sum_cents AS DOUBLE) / n END)
+            - max(CASE WHEN arm = 0 AND post = 0
+                       THEN CAST(sum_cents AS DOUBLE) / n END))
+           AS did
+  FROM cells)
+SELECT arm, post, n, sum_cents,
+       CAST(sum_cents * 1000000 // n AS BIGINT) AS mean_micro,
+       round(did.did, 6) AS did_cents
+FROM cells, did ORDER BY arm, post
+"""
+
+QUERIES["diff_in_diff"] = (q_diff_in_diff, SQL_DIFF_IN_DIFF)

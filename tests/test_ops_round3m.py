@@ -172,3 +172,43 @@ def test_croston_recursion_manual():
         p = q if p is None else (q + p) // 2
     # step-by-step: z=70 p=2; z=65 p=3 ((5+2)//2); z=132 p=2 ((1+3)//2)
     assert (z, p) == (132, 2)
+
+
+def _lpa_rounds(n, pairs, rounds=3):
+    a = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    b = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        nl = labels[b]
+        key = a * np.int64(n) + nl
+        ku, kc = np.unique(key, return_counts=True)
+        kn, kl = ku // n, ku % n
+        order = np.lexsort((kl, -kc, kn))
+        kn_o = kn[order]
+        first = np.ones(len(kn_o), dtype=bool)
+        first[1:] = kn_o[1:] != kn_o[:-1]
+        new = labels.copy()
+        new[kn_o[first]] = kl[order][first]
+        labels = new
+    return labels
+
+
+def test_lpa_two_cliques_separate_communities():
+    # two 4-cliques joined by one bridge edge: LPA keeps them apart
+    import itertools
+    c1 = list(itertools.combinations(range(4), 2))
+    c2 = list(itertools.combinations(range(4, 8), 2))
+    pairs = np.array(c1 + c2 + [(3, 4)], dtype=np.int64)
+    labels = _lpa_rounds(8, pairs)
+    left = set(labels[:4].tolist())
+    right = set(labels[4:].tolist())
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_min_label_tie_break():
+    # triangle: after round 1 every node takes the min other label
+    pairs = np.array([(0, 1), (1, 2), (0, 2)], dtype=np.int64)
+    labels = _lpa_rounds(3, pairs, rounds=1)
+    # node0's neighbors have labels {1,2} -> tie -> min = 1
+    assert labels.tolist() == [1, 0, 0]
