@@ -9692,3 +9692,202 @@ FROM cells, did ORDER BY arm, post
 """
 
 QUERIES["diff_in_diff"] = (q_diff_in_diff, SQL_DIFF_IN_DIFF)
+
+
+# ---------------------------------------------------------------------------
+# Mantel–Haenszel pooled odds ratio — stratified 2×2 (Simpson companion)
+# ---------------------------------------------------------------------------
+
+
+def q_mantel_haenszel_or(sf_dir: str):
+    """Mantel–Haenszel pooled odds ratio of exposure (click vs view)
+    on outcome (value above the exposed+control global lower median)
+    stratified by hour of day — the adjusted estimate Simpson's-
+    paradox audits reach for. The cluster ships the 24×2×2 cell
+    counts (one bounded (hour, type, cents) histogram pass also
+    yields the exact median by ceil-rank — the quantile_disc rule);
+    MH = Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ and the crude OR close as mirrored
+    doubles over 24 strata, round-6."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "hh": hh, "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "hh", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "hh", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "hh", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    # exact lower median over both groups: ceil(n/2)-th order stat
+    o = np.argsort(vv, kind="stable")
+    vs, cs = vv[o], cc[o]
+    # collapse duplicate v across (ty,hh)
+    vu = np.unique(vs)
+    cvu = np.zeros(len(vu), dtype=np.int64)
+    np.add.at(cvu, np.searchsorted(vu, vs), cs)
+    n = int(cvu.sum())
+    k = (n + 1) // 2  # ceil(n/2)
+    med = int(vu[np.searchsorted(np.cumsum(cvu), k)])
+    hi = vv > med
+    exp_ = ty == "click"
+    num = den = 0.0
+    a_t = b_t = c_t = d_t = 0
+    for h in range(24):  # deterministic stratum order both engines
+        sh = hh == h
+        a = int(cc[sh & exp_ & hi].sum())
+        b = int(cc[sh & exp_ & ~hi].sum())
+        c_ = int(cc[sh & ~exp_ & hi].sum())
+        d = int(cc[sh & ~exp_ & ~hi].sum())
+        nt = a + b + c_ + d
+        if nt == 0:
+            continue
+        num += float(a * d) / nt
+        den += float(b * c_) / nt
+        a_t, b_t, c_t, d_t = a_t + a, b_t + b, c_t + c_, d_t + d
+    crude = (float(a_t) * d_t) / (float(b_t) * c_t)
+    return pa.table({
+        "median_cents": pa.array([med], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "mh_or": pa.array([round(num / den, 6)], pa.float64()),
+        "crude_or": pa.array([round(crude, 6)], pa.float64()),
+    })
+
+
+SQL_MANTEL_HAENSZEL_OR = """
+WITH e AS (
+  SELECT event_type AS ty, CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+med AS (
+  SELECT min(v) AS med FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist), tot
+  WHERE cum >= (tot.n + 1) // 2),
+cells AS (
+  SELECT hh,
+         CAST(count(*) FILTER (ty = 'click' AND v > med.med)
+              AS BIGINT) AS a,
+         CAST(count(*) FILTER (ty = 'click' AND v <= med.med)
+              AS BIGINT) AS b,
+         CAST(count(*) FILTER (ty = 'view' AND v > med.med)
+              AS BIGINT) AS c,
+         CAST(count(*) FILTER (ty = 'view' AND v <= med.med)
+              AS BIGINT) AS d
+  FROM e, med GROUP BY 1),
+mh AS (
+  SELECT sum(CAST(a * d AS DOUBLE) / (a + b + c + d)) AS num,
+         sum(CAST(b * c AS DOUBLE) / (a + b + c + d)) AS den,
+         sum(a) AS at, sum(b) AS bt, sum(c) AS ct, sum(d) AS dt
+  FROM cells WHERE a + b + c + d > 0)
+SELECT med.med AS median_cents, tot.n,
+       round(mh.num / mh.den, 6) AS mh_or,
+       round((CAST(mh.at AS DOUBLE) * mh.dt)
+             / (CAST(mh.bt AS DOUBLE) * mh.ct), 6) AS crude_or
+FROM med, tot, mh
+"""
+
+QUERIES["mantel_haenszel_or"] = (q_mantel_haenszel_or,
+                                 SQL_MANTEL_HAENSZEL_OR)
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy — multiresolution decomposition of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_haar_energy_daily(sf_dir: str):
+    """Multiresolution (Haar wavelet) energy of the daily-revenue
+    series: unnormalized detail coefficients at levels 1–3 over the
+    series truncated to the largest power-of-two day count; energy =
+    Σd² per level, EXACT in Python ints / HUGEINT (no normalization
+    constant — shares and the double cast are the only outputs, so
+    nothing overflows or rounds). Detail at level l for block j is
+    the first-half-minus-second-half sum over 2^l consecutive days —
+    sign = ±1 by position, a pure GROUP BY in the oracle, one
+    reshape-sum on the driver over the days-bounded table."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(day)
+    cv = cv[o]
+    n = len(cv)
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    x = [int(v) for v in cv[:p]]
+    energies = []
+    for lvl in (1, 2, 3):
+        blk = 1 << lvl
+        half = blk >> 1
+        e = 0
+        for j in range(p // blk):
+            d_ = sum(x[j * blk:j * blk + half]) \
+                - sum(x[j * blk + half:(j + 1) * blk])
+            e += d_ * d_
+        energies.append((lvl, p // blk, e))
+    tot = sum(e for _, _, e in energies)
+    return pa.table({
+        "level": pa.array([l for l, _, _ in energies], pa.int64()),
+        "n_coeffs": pa.array([c for _, c, _ in energies], pa.int64()),
+        "energy_dbl": pa.array([float(e) for _, _, e in energies],
+                               pa.float64()),
+        "share_pm": pa.array(
+            [e * 1000 // tot if tot else None for _, _, e in energies],
+            pa.int64()),
+    })
+
+
+SQL_HAAR_ENERGY_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY day) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM d),
+p2 AS (SELECT max(1 << range) AS p FROM range(31), (SELECT max(n) n
+        FROM r) t WHERE (1 << range) <= t.n),
+tr AS (SELECT rn, cents FROM r, p2 WHERE rn < p2.p),
+lv AS (SELECT CAST(range + 1 AS BIGINT) AS level FROM range(3)),
+coef AS (
+  SELECT lv.level, tr.rn // (1 << lv.level) AS j,
+         CAST(sum(CASE WHEN tr.rn % (1 << lv.level)
+                            < (1 << (lv.level - 1))
+                       THEN tr.cents ELSE -tr.cents END)
+              AS HUGEINT) AS dd
+  FROM tr, lv GROUP BY 1, 2),
+en AS (SELECT level, CAST(count(*) AS BIGINT) AS n_coeffs,
+              sum(dd * dd) AS e
+       FROM coef GROUP BY 1),
+tt AS (SELECT sum(e) AS tot FROM en)
+SELECT level, n_coeffs, CAST(e AS DOUBLE) AS energy_dbl,
+       CASE WHEN tt.tot > 0
+            THEN CAST(e * 1000 // tt.tot AS BIGINT) END AS share_pm
+FROM en, tt ORDER BY level
+"""
+
+QUERIES["haar_energy_daily"] = (q_haar_energy_daily,
+                                SQL_HAAR_ENERGY_DAILY)

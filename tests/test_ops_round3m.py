@@ -212,3 +212,61 @@ def test_lpa_min_label_tie_break():
     labels = _lpa_rounds(3, pairs, rounds=1)
     # node0's neighbors have labels {1,2} -> tie -> min = 1
     assert labels.tolist() == [1, 0, 0]
+
+
+def _haar_energies(x, levels=(1, 2, 3)):
+    out = []
+    p = 1
+    while p * 2 <= len(x):
+        p *= 2
+    x = [int(v) for v in x[:p]]
+    for lvl in levels:
+        blk = 1 << lvl
+        half = blk >> 1
+        e = 0
+        for j in range(p // blk):
+            d = sum(x[j * blk:j * blk + half]) \
+                - sum(x[j * blk + half:(j + 1) * blk])
+            e += d * d
+        out.append(e)
+    return out
+
+
+def test_haar_constant_series_zero_energy():
+    assert _haar_energies([7] * 16) == [0, 0, 0]
+
+
+def test_haar_alternating_all_energy_at_level1():
+    e1, e2, e3 = _haar_energies([1, -1] * 8)
+    assert e1 > 0 and e2 == 0 and e3 == 0
+
+
+def test_haar_block_trend_concentrates_at_coarse_level():
+    # step function flipping every 4 samples: detail only at level 3
+    x = [1] * 4 + [-1] * 4 + [1] * 4 + [-1] * 4
+    e1, e2, e3 = _haar_energies(x)
+    assert e1 == 0 and e2 == 0 and e3 > 0
+
+
+def test_mh_or_confounded_strata():
+    # two strata, within-stratum OR == 1, but exposure and outcome
+    # both concentrate in stratum 1 -> crude OR > 1 (confounding)
+    strata = [
+        # (a, b, c, d): exposed-high, exposed-low, ctl-high, ctl-low
+        (80, 20, 8, 2),    # stratum 1: P(high)=0.8 both arms
+        (2, 8, 20, 80),    # stratum 2: P(high)=0.2 both arms
+    ]
+    num = den = 0.0
+    a_t = b_t = c_t = d_t = 0
+    for a, b, c, d in strata:
+        nt = a + b + c + d
+        num += a * d / nt
+        den += b * c / nt
+        a_t += a
+        b_t += b
+        c_t += c
+        d_t += d
+    mh = num / den
+    crude = (a_t * d_t) / (b_t * c_t)
+    assert abs(mh - 1.0) < 1e-9
+    assert crude > 3.0
