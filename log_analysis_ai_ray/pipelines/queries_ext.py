@@ -9891,3 +9891,224 @@ FROM en, tt ORDER BY level
 
 QUERIES["haar_energy_daily"] = (q_haar_energy_daily,
                                 SQL_HAAR_ENERGY_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Optimal 3-segmentation — exact DP over the hourly series (lcm-scaled)
+# ---------------------------------------------------------------------------
+
+
+def q_optimal_segmentation_hourly(sf_dir: str):
+    """OPTIMAL piecewise-constant 3-segmentation of the 24-point
+    hourly-revenue series (vs changepoint_binary_seg's greedy splits):
+    choose the two breakpoints minimizing total within-segment SSE.
+    Segment SSE = Σy² − (Σy)²/len has denominators ≤ 24, so scaling by
+    lcm(1..24) keeps every candidate cost an EXACT integer — the
+    argmin over all C(23,2) breakpoint pairs is engine-identical with
+    the (b1,b2) smallest tie rule. The cluster ships 24 (hour, Σcents)
+    partials; both the driver sweep and the oracle's cross join walk
+    the same 253 candidates."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({"hh": hh, "y": y}) \
+            .group_by("hh").aggregate([("y", "sum")])
+        return g.rename_columns(["hh", "y"])
+
+    m = _partial_final(ds, partial, ["hh"], [("y", "sum")])
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    o = np.argsort(hh)
+    ss = [int(v) for v in np.asarray(m.column("y"), dtype=np.int64)[o]]
+    hrs = [int(v) for v in hh[o]]
+    L = _ISO_L  # lcm(1..24)
+    nh = len(hrs)
+    # hour-level series: y_h = hour total cents (integer); segment
+    # SSE over these 24 integers, scaled by L
+    y = ss
+
+    def seg_sse_scaled(i, j):
+        ln = j - i
+        s_ = sum(y[i:j])
+        q_ = sum(v * v for v in y[i:j])
+        return q_ * L - s_ * s_ * (L // ln)
+
+    best = None
+    for b1 in range(1, nh - 1):
+        for b2 in range(b1 + 1, nh):
+            c = (seg_sse_scaled(0, b1) + seg_sse_scaled(b1, b2)
+                 + seg_sse_scaled(b2, nh))
+            key = (c, b1, b2)
+            if best is None or key < best:
+                best = key
+    c, b1, b2 = best
+    return pa.table({
+        "break1_hh": pa.array([hrs[b1]], pa.int64()),
+        "break2_hh": pa.array([hrs[b2]], pa.int64()),
+        "sse_scaled_dbl": pa.array([float(c)], pa.float64()),
+        "n_hours": pa.array([nh], pa.int64()),
+    })
+
+
+SQL_OPTIMAL_SEGMENTATION_HOURLY = f"""
+WITH h AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hh,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1),
+p AS (
+  SELECT hh, y,
+         CAST(row_number() OVER (ORDER BY hh) AS BIGINT) AS pos,
+         CAST(sum(y) OVER (ORDER BY hh) AS HUGEINT) AS ps,
+         CAST(sum(CAST(y AS HUGEINT) * y) OVER (ORDER BY hh)
+              AS HUGEINT) AS pq,
+         count(*) OVER () AS n
+  FROM h),
+cand AS (
+  SELECT b1.pos AS b1, b2.pos AS b2, b1.n AS n,
+         -- segment [1, b1], (b1, b2], (b2, n]; SSE · lcm(1..24)
+         ((b1.pq) * {_ISO_L}
+            - b1.ps * b1.ps * ({_ISO_L} // b1.pos))
+         + ((b2.pq - b1.pq) * {_ISO_L}
+            - (b2.ps - b1.ps) * (b2.ps - b1.ps)
+              * ({_ISO_L} // (b2.pos - b1.pos)))
+         + ((pn.pq - b2.pq) * {_ISO_L}
+            - (pn.ps - b2.ps) * (pn.ps - b2.ps)
+              * ({_ISO_L} // (pn.pos - b2.pos))) AS c
+  FROM p b1
+  JOIN p b2 ON b2.pos > b1.pos AND b2.pos < b2.n
+  JOIN p pn ON pn.pos = b1.n
+  WHERE b1.pos >= 1 AND b1.pos < b1.n - 1),
+best AS (SELECT b1, b2, c,
+                row_number() OVER (ORDER BY c, b1, b2) AS rk
+         FROM cand)
+SELECT (SELECT hh FROM p WHERE pos = best.b1 + 1) AS break1_hh,
+       (SELECT hh FROM p WHERE pos = best.b2 + 1) AS break2_hh,
+       CAST(c AS DOUBLE) AS sse_scaled_dbl,
+       (SELECT CAST(max(n) AS BIGINT) FROM p) AS n_hours
+FROM best WHERE rk = 1
+"""
+
+QUERIES["optimal_segmentation_hourly"] = (
+    q_optimal_segmentation_hourly, SQL_OPTIMAL_SEGMENTATION_HOURLY)
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage — pick K docs covering the most distinct tokens
+# ---------------------------------------------------------------------------
+
+_COVER_K = 5
+
+
+def q_greedy_token_cover(sf_dir: str):
+    """Greedy maximum-coverage corpus selection (the (1−1/e)-optimal
+    classic): pick 5 documents that together cover the most distinct
+    tokens. Each greedy round is ONE distributed pass — every doc is
+    a single row, so its distinct-token count against the broadcast
+    covered-set closes inside the block (per-doc dedup is local,
+    shuffle ships only per-block top-1 candidate partials); the
+    covered set grows by ≤ one doc's vocabulary per round, so the
+    broadcast stays small. Ties: (new_tokens desc, doc_id asc) —
+    mirrored by the oracle's 5 unrolled rounds."""
+    import ray.data
+
+    picked = []          # (round, doc_id, new_tokens, covered_total)
+    covered: set = set()
+    for rnd in range(1, _COVER_K + 1):
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        cov_b = covered
+        picked_ids = {d for _, d, _, _ in picked}
+
+        def count_new(t: pa.Table, cov=cov_b, skip=picked_ids
+                      ) -> pa.Table:
+            toks = pc.split_pattern_regex(t.column("text"),
+                                          pattern=r"\s+")
+            flat = pc.list_flatten(toks)
+            par = pc.list_parent_indices(toks)
+            keep = pc.not_equal(flat, "")
+            flat, par = flat.filter(keep), par.filter(keep)
+            di = np.asarray(t.column("doc_id"), dtype=np.int64)
+            fp = np.asarray(par, dtype=np.int64)
+            fl = np.asarray(flat.to_pylist())
+            cov_arr = np.asarray(sorted(cov)) if cov else None
+            if cov_arr is not None and len(fl):
+                fresh = ~np.isin(fl, cov_arr)
+                fp, fl = fp[fresh], fl[fresh]
+            # distinct (doc, token) pairs vectorized, then per-doc count
+            tu, tid = np.unique(fl, return_inverse=True) \
+                if len(fl) else (fl, np.zeros(0, dtype=np.int64))
+            key = fp * np.int64(max(len(tu), 1)) + tid
+            ukey = np.unique(key)
+            counts = np.zeros(t.num_rows, dtype=np.int64)
+            np.add.at(counts, (ukey // max(len(tu), 1)).astype(np.int64),
+                      1)
+            keep_doc = ~np.isin(di, np.asarray(sorted(skip),
+                                               dtype=np.int64)) \
+                if skip else np.ones(t.num_rows, dtype=bool)
+            return pa.table({
+                "doc_id": pa.array(di[keep_doc], pa.int64()),
+                "new_tokens": pa.array(counts[keep_doc], pa.int64())})
+
+        cand = agg._to_arrow(ds.map_batches(
+            count_new, batch_format="pyarrow"))
+        d = np.asarray(cand.column("doc_id"), dtype=np.int64)
+        c = np.asarray(cand.column("new_tokens"), dtype=np.int64)
+        order = np.lexsort((d, -c))
+        best_d, best_c = int(d[order[0]]), int(c[order[0]])
+        # fetch the winner's tokens once (point lookup, tiny)
+        win = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .filter(lambda r, b=best_d: r["doc_id"] == b).take_all()
+        toks = {w for w in win[0]["text"].split() if w}
+        covered |= toks
+        picked.append((rnd, best_d, best_c, len(covered)))
+    return pa.table({
+        "round": pa.array([p[0] for p in picked], pa.int64()),
+        "doc_id": pa.array([p[1] for p in picked], pa.int64()),
+        "new_tokens": pa.array([p[2] for p in picked], pa.int64()),
+        "covered_total": pa.array([p[3] for p in picked], pa.int64()),
+    })
+
+
+def _cover_oracle_sql() -> str:
+    rounds = []
+    prev_cov = None
+    prev_picked = []
+    for r in range(1, _COVER_K + 1):
+        notin_cov = (f"AND token NOT IN (SELECT token FROM cov{r - 1})"
+                     if r > 1 else "")
+        notin_doc = (" AND doc_id NOT IN ("
+                     + ", ".join(f"(SELECT doc_id FROM p{i})"
+                                 for i in range(1, r)) + ")"
+                     if r > 1 else "")
+        rounds.append(f"""
+c{r} AS (
+  SELECT d.doc_id,
+         (SELECT count(*) FROM (
+            SELECT DISTINCT token FROM pairs
+            WHERE pairs.doc_id = d.doc_id {notin_cov})) AS nt
+  FROM (SELECT DISTINCT doc_id FROM pairs) d
+  WHERE 1=1 {notin_doc}),
+p{r} AS (SELECT doc_id, nt FROM c{r}
+         ORDER BY nt DESC, doc_id LIMIT 1),
+cov{r} AS (
+  SELECT DISTINCT token FROM pairs JOIN p{r} USING (doc_id)
+  {"UNION SELECT token FROM cov" + str(r - 1) if r > 1 else ""})""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, p{r}.doc_id, p{r}.nt AS new_tokens, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM cov{r}) "
+        f"AS covered_total FROM p{r}"
+        for r in range(1, _COVER_K + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),{",".join(rounds)}
+SELECT CAST(round AS BIGINT) AS round, doc_id,
+       CAST(new_tokens AS BIGINT) AS new_tokens, covered_total
+FROM ({sel}) ORDER BY round
+"""
+
+
+QUERIES["greedy_token_cover"] = (q_greedy_token_cover,
+                                 _cover_oracle_sql())

@@ -270,3 +270,52 @@ def test_mh_or_confounded_strata():
     crude = (a_t * d_t) / (b_t * c_t)
     assert abs(mh - 1.0) < 1e-9
     assert crude > 3.0
+
+
+def _seg_sse_scaled(y, i, j, L=5354228880):
+    s = sum(y[i:j])
+    q = sum(v * v for v in y[i:j])
+    return q * L - s * s * (L // (j - i))
+
+
+def test_optimal_segmentation_finds_true_breaks():
+    # three flat levels with noiseless data -> SSE 0 at true breaks
+    y = [10] * 8 + [50] * 8 + [20] * 8
+    best = None
+    n = len(y)
+    for b1 in range(1, n - 1):
+        for b2 in range(b1 + 1, n):
+            c = (_seg_sse_scaled(y, 0, b1) + _seg_sse_scaled(y, b1, b2)
+                 + _seg_sse_scaled(y, b2, n))
+            if best is None or (c, b1, b2) < best:
+                best = (c, b1, b2)
+    assert best == (0, 8, 16)
+
+
+def test_seg_sse_scaled_matches_float_sse():
+    rng = np.random.default_rng(8)
+    y = [int(v) for v in rng.integers(0, 100, 10)]
+    L = 5354228880
+    got = _seg_sse_scaled(y, 2, 9, L) / L
+    arr = np.array(y[2:9], dtype=float)
+    assert abs(got - ((arr - arr.mean()) ** 2).sum()) < 1e-6
+
+
+def test_greedy_cover_prefers_disjoint_docs():
+    # doc A covers {1..5}, doc B {1..4}, doc C {6,7}: greedy picks A
+    # then C (2 new) over B (0 new)
+    docs = {1: set("abcde"), 2: set("abcd"), 3: set("fg")}
+    covered = set()
+    picks = []
+    for _ in range(2):
+        best = None
+        for d, tk in sorted(docs.items()):
+            if d in picks:
+                continue
+            nt = len(tk - covered)
+            key = (-nt, d)
+            if best is None or key < best[0]:
+                best = (key, d, tk)
+        picks.append(best[1])
+        covered |= best[2]
+    assert picks == [1, 3]
