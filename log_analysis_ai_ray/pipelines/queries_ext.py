@@ -10112,3 +10112,181 @@ FROM ({sel}) ORDER BY round
 
 QUERIES["greedy_token_cover"] = (q_greedy_token_cover,
                                  _cover_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Energy distance — two-sample distribution test, exact from histograms
+# ---------------------------------------------------------------------------
+
+
+def q_qty_energy_distance(sf_dir: str):
+    """Energy distance between the returned ('R') and accepted ('A')
+    l_quantity distributions: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|,
+    every expectation an EXACT rational from the two 50-bin
+    histograms (Σcᵢcⱼ|vᵢ−vⱼ| cross-products — the Gini-mean-
+    difference machinery applied pairwise across samples). The
+    cluster ships (flag, qty) count partials; the driver closes with
+    Python-int numerators and ONE micro floor division per term,
+    mirrored by the HUGEINT oracle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("l_returnflag"), pa.array(["R", "A"]))
+        t = t.filter(keep)
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        g = pa.table({
+            "flag": t.column("l_returnflag"), "qty": q,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["flag", "qty"]).aggregate([("c", "sum")])
+        return g.rename_columns(["flag", "qty", "c"])
+
+    m = _partial_final(ds, partial, ["flag", "qty"], [("c", "sum")])
+    fl = np.asarray(m.column("flag").to_pylist())
+    qv = np.asarray(m.column("qty"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+
+    def hist(f):
+        sel = fl == f
+        return [(int(v), int(c)) for v, c in zip(qv[sel], cc[sel])]
+
+    hx, hy = hist("R"), hist("A")
+
+    def pair_sum(ha, hb):  # Σ over pairs of c_a·c_b·|v_a−v_b|
+        return sum(ca * cb * abs(va - vb)
+                   for va, ca in ha for vb, cb in hb)
+
+    nx = sum(c for _, c in hx)
+    ny = sum(c for _, c in hy)
+    exy = pair_sum(hx, hy)              # / (nx·ny)
+    exx = pair_sum(hx, hx)              # / nx² (includes both orders)
+    eyy = pair_sum(hy, hy)
+    # D²·10⁶ floored, exact: common denom nx²·ny²
+    num = (2 * exy * nx * ny - exx * ny * ny - eyy * nx * nx)
+    den = nx * nx * ny * ny
+    return pa.table({
+        "n_r": pa.array([nx], pa.int64()),
+        "n_a": pa.array([ny], pa.int64()),
+        "exy_micro": pa.array([exy * 1_000_000 // (nx * ny)],
+                              pa.int64()),
+        "energy_d2_micro": pa.array([num * 1_000_000 // den],
+                                    pa.int64()),
+    })
+
+
+SQL_QTY_ENERGY_DISTANCE = """
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+h AS (SELECT flag, qty, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2),
+n AS (SELECT
+        CAST(sum(c) FILTER (flag = 'R') AS HUGEINT) AS nx,
+        CAST(sum(c) FILTER (flag = 'A') AS HUGEINT) AS ny
+      FROM h),
+ps AS (
+  SELECT
+    CAST(sum(CASE WHEN a.flag = 'R' AND b.flag = 'A'
+             THEN a.c * b.c * abs(a.qty - b.qty) END) AS HUGEINT)
+      AS exy,
+    CAST(sum(CASE WHEN a.flag = 'R' AND b.flag = 'R'
+             THEN a.c * b.c * abs(a.qty - b.qty) END) AS HUGEINT)
+      AS exx,
+    CAST(sum(CASE WHEN a.flag = 'A' AND b.flag = 'A'
+             THEN a.c * b.c * abs(a.qty - b.qty) END) AS HUGEINT)
+      AS eyy
+  FROM h a, h b)
+SELECT CAST(n.nx AS BIGINT) AS n_r, CAST(n.ny AS BIGINT) AS n_a,
+       CAST(ps.exy * 1000000 // (n.nx * n.ny) AS BIGINT) AS exy_micro,
+       CAST((2 * ps.exy * n.nx * n.ny
+             - ps.exx * n.ny * n.ny - ps.eyy * n.nx * n.nx)
+            * 1000000 // (n.nx * n.nx * n.ny * n.ny) AS BIGINT)
+         AS energy_d2_micro
+FROM n, ps
+"""
+
+QUERIES["qty_energy_distance"] = (q_qty_energy_distance,
+                                  SQL_QTY_ENERGY_DISTANCE)
+
+
+# ---------------------------------------------------------------------------
+# RANSAC line fit — integer cross-multiplied inlier consensus
+# ---------------------------------------------------------------------------
+
+_RANSAC_TOL_CENTS = 200_000  # inlier band: ±2000.00 around the line
+
+
+def q_ransac_hourly_trend(sf_dir: str):
+    """RANSAC line fit of hourly revenue vs hour — robust consensus
+    trend: every C(24,2) hour pair proposes the line through its two
+    points, inliers are counted with the CROSS-MULTIPLIED integer
+    test |y_k·dx − y_i·dx − dy·(x_k−x_i)| ≤ tol·|dx| (no division →
+    no float → engine-exact), winner by (inliers desc, x_i, x_j).
+    Deterministic 'all candidates' RANSAC: with a bounded series the
+    full pair sweep replaces sampling. Cluster cost: the same 24-row
+    (hour, Σcents) reduce every hourly query ships."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({"hh": hh, "y": y}) \
+            .group_by("hh").aggregate([("y", "sum")])
+        return g.rename_columns(["hh", "y"])
+
+    m = _partial_final(ds, partial, ["hh"], [("y", "sum")])
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    o = np.argsort(hh)
+    xs = [int(v) for v in hh[o]]
+    ys = [int(v) for v in np.asarray(m.column("y"), dtype=np.int64)[o]]
+    n = len(xs)
+    tol = _RANSAC_TOL_CENTS
+    best = None
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xs[j] - xs[i]
+            dy = ys[j] - ys[i]
+            inl = 0
+            for k in range(n):
+                lhs = abs((ys[k] - ys[i]) * dx - dy * (xs[k] - xs[i]))
+                if lhs <= tol * abs(dx):
+                    inl += 1
+            key = (-inl, xs[i], xs[j])
+            if best is None or key < best[0]:
+                best = (key, dx, dy, inl, xs[i], xs[j])
+    _, dx, dy, inl, xi, xj = best
+    return pa.table({
+        "x_i": pa.array([xi], pa.int64()),
+        "x_j": pa.array([xj], pa.int64()),
+        "inliers": pa.array([inl], pa.int64()),
+        "slope_micro": pa.array([dy * 1_000_000 // dx], pa.int64()),
+    })
+
+
+SQL_RANSAC_HOURLY_TREND = f"""
+WITH h AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS x,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1),
+cand AS (
+  SELECT i.x AS xi, i.y AS yi, j.x AS xj, j.y AS yj,
+         j.x - i.x AS dx, j.y - i.y AS dy
+  FROM h i JOIN h j ON j.x > i.x),
+inl AS (
+  SELECT c.xi, c.xj, c.dx, c.dy,
+         CAST(count(*) AS BIGINT) AS inliers
+  FROM cand c JOIN h k
+    ON abs((k.y - c.yi) * c.dx - c.dy * (k.x - c.xi))
+       <= {_RANSAC_TOL_CENTS} * abs(c.dx)
+  GROUP BY 1, 2, 3, 4),
+best AS (
+  SELECT *, row_number() OVER (ORDER BY inliers DESC, xi, xj) AS rk
+  FROM inl)
+SELECT xi AS x_i, xj AS x_j, inliers,
+       CAST(dy * 1000000 // dx AS BIGINT) AS slope_micro
+FROM best WHERE rk = 1
+"""
+
+QUERIES["ransac_hourly_trend"] = (q_ransac_hourly_trend,
+                                  SQL_RANSAC_HOURLY_TREND)

@@ -319,3 +319,68 @@ def test_greedy_cover_prefers_disjoint_docs():
         picks.append(best[1])
         covered |= best[2]
     assert picks == [1, 3]
+
+
+def test_energy_distance_identical_distributions_zero():
+    hx = [(1, 5), (3, 2), (9, 4)]
+    hy = list(hx)
+
+    def pair_sum(ha, hb):
+        return sum(ca * cb * abs(va - vb)
+                   for va, ca in ha for vb, cb in hb)
+
+    nx = sum(c for _, c in hx)
+    ny = sum(c for _, c in hy)
+    num = (2 * pair_sum(hx, hy) * nx * ny
+           - pair_sum(hx, hx) * ny * ny - pair_sum(hy, hy) * nx * nx)
+    assert num == 0
+
+
+def test_energy_distance_shift_positive_and_matches_flat():
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 20, 200)
+    ys = rng.integers(5, 25, 150)
+
+    def flat_e(a, b):
+        return np.abs(a[:, None] - b[None, :]).sum() / (len(a) * len(b))
+
+    d2_flat = 2 * flat_e(xs, ys) - flat_e(xs, xs) - flat_e(ys, ys)
+    vu, cu = np.unique(xs, return_counts=True)
+    wu, du = np.unique(ys, return_counts=True)
+    hx = list(zip(vu.tolist(), cu.tolist()))
+    hy = list(zip(wu.tolist(), du.tolist()))
+
+    def pair_sum(ha, hb):
+        return sum(ca * cb * abs(va - vb)
+                   for va, ca in ha for vb, cb in hb)
+
+    nx, ny = len(xs), len(ys)
+    num = (2 * pair_sum(hx, hy) * nx * ny
+           - pair_sum(hx, hx) * ny * ny - pair_sum(hy, hy) * nx * nx)
+    d2_hist = num / (nx * nx * ny * ny)
+    assert d2_hist > 0
+    assert abs(d2_hist - d2_flat) < 1e-9
+
+
+def test_ransac_rejects_outliers_ols_cannot():
+    # 20 collinear points + 4 gross outliers: RANSAC consensus line
+    # recovers the true slope exactly
+    xs = list(range(24))
+    ys = [100 * x + 7 for x in xs]
+    for k in (3, 9, 15, 21):
+        ys[k] += 10_000_000
+    tol = 50
+    best = None
+    for i in range(24):
+        for j in range(i + 1, 24):
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            inl = sum(
+                1 for k in range(24)
+                if abs((ys[k] - ys[i]) * dx - dy * (xs[k] - xs[i]))
+                <= tol * abs(dx))
+            key = (-inl, xs[i], xs[j])
+            if best is None or key < best[0]:
+                best = (key, dx, dy, inl)
+    _, dx, dy, inl = best
+    assert inl == 20
+    assert dy // dx == 100
