@@ -10290,3 +10290,183 @@ FROM best WHERE rk = 1
 
 QUERIES["ransac_hourly_trend"] = (q_ransac_hourly_trend,
                                   SQL_RANSAC_HOURLY_TREND)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — linear mergeable counter, driver-verified bounds
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 4096
+_CMS_A = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+          0x165667B19E3779F9, 0xD6E8FEB86659FD93)
+
+
+def q_cms_token_check(sf_dir: str):
+    """Count-min sketch over document tokens — the LINEAR counter
+    sketch (elementwise-sum mergeable: partial/final is literally
+    vector addition, unlike Misra-Gries' pruned summaries). One
+    4×4096 matrix per block flattened to bounded (cell, cnt) partials;
+    driver verification checks the textbook guarantees for the exact
+    top-20 tokens: est ≥ exact (one-sided error) and est ≤ exact +
+    εN with ε = e/w. The oracle reproduces the exact side and expects
+    both flags TRUE — the accuracy claim is hash-checked, the raw
+    estimates stay pinned in pytest."""
+    from ..stages.bloomjoin import _column_to_u64
+
+    def tok_cells(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        x, _ = _column_to_u64(flat)
+        mat = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+        for j, a in enumerate(_CMS_A):
+            idx = ((x * np.uint64(a)) >> np.uint64(52)) \
+                % np.uint64(_CMS_W)
+            np.add.at(mat, j * _CMS_W + idx.astype(np.int64), 1)
+        nz = np.flatnonzero(mat)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(mat[nz])})
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    sk = _partial_final(ds, tok_cells, ["cell"], [("cnt", "sum")])
+    mat = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+    mat[np.asarray(sk.column("cell"), dtype=np.int64)] = \
+        np.asarray(sk.column("cnt"), dtype=np.int64)
+    n_total = int(mat[:_CMS_W].sum())  # row 0 holds every token once
+
+    # exact top-20 from the vocab-bounded pass (same corpus order)
+    def exact(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"token": flat}).group_by("token") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["token", "cnt"])
+
+    ds2 = _read(sf_dir, "documents", columns=["text"])
+    vc = _partial_final(ds2, exact, ["token"], [("cnt", "sum")])
+    tok = np.asarray(vc.column("token").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    order = np.lexsort((tok, -cnt))[:20]
+    top_t, top_c = tok[order], cnt[order]
+    x, _ = _column_to_u64(pa.array(top_t.tolist(), pa.string()))
+    est = np.full(len(top_t), np.iinfo(np.int64).max, dtype=np.int64)
+    for j, a in enumerate(_CMS_A):
+        idx = ((x * np.uint64(a)) >> np.uint64(52)) % np.uint64(_CMS_W)
+        est = np.minimum(est, mat[j * _CMS_W + idx.astype(np.int64)])
+    eps_n = 3 * n_total // _CMS_W  # e/w·N, e≈2.718 rounded up to 3
+    return pa.table({
+        "token": pa.array(top_t.tolist(), pa.string()),
+        "exact_cnt": pa.array(top_c, pa.int64()),
+        "overcount_ok": pa.array((est >= top_c).astype(bool)),
+        "bound_ok": pa.array((est - top_c <= eps_n).astype(bool)),
+    })
+
+
+SQL_CMS_TOKEN_CHECK = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1),
+top AS (SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM c QUALIFY rk <= 20)
+SELECT token, cnt AS exact_cnt,
+       TRUE AS overcount_ok, TRUE AS bound_ok
+FROM top ORDER BY rk
+"""
+
+QUERIES["cms_token_check"] = (q_cms_token_check, SQL_CMS_TOKEN_CHECK)
+
+
+# ---------------------------------------------------------------------------
+# Geometric median (Weiszfeld) — robust multivariate location
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_geomedian(sf_dir: str):
+    """Geometric median of the embedding cloud by two Weiszfeld
+    iterations from the centroid — the robust (50 % breakdown)
+    multivariate location the plain centroid is not. Each iteration
+    is ONE distributed pass: broadcast the current point m, per block
+    compute w=1/‖x−m‖ vectorized and ship (Σwx[64], Σw) partials.
+    m is rounded to 6 digits after every iteration ON BOTH ENGINES
+    (the kmeans_lloyd discipline), so cross-engine float-sum noise
+    (~1e-13) never reaches the comparison grain. Zero-distance rows
+    are skipped per textbook Weiszfeld."""
+    dim = 64
+
+    def read():
+        return _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def mean_partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        return pa.table({
+            "i": pa.array(np.arange(dim, dtype=np.int64)),
+            "s": pa.array(x.sum(axis=0)),
+            "n": pa.array(np.full(dim, len(x), dtype=np.int64))})
+
+    mp = _partial_final(read(), mean_partial, ["i"],
+                        [("s", "sum"), ("n", "sum")])
+    ii = np.asarray(mp.column("i"), dtype=np.int64)
+    o = np.argsort(ii)
+    m = np.round(np.asarray(mp.column("s"), dtype=np.float64)[o]
+                 / np.asarray(mp.column("n"), dtype=np.int64)[o], 6)
+
+    for _ in range(2):
+        m_b = m.copy()
+
+        def w_partial(t: pa.Table, mb=m_b) -> pa.Table:
+            x = np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            dist = np.sqrt(((x - mb[None, :]) ** 2).sum(axis=1))
+            keep = dist > 0
+            w = 1.0 / dist[keep]
+            return pa.table({
+                "i": pa.array(np.arange(dim, dtype=np.int64)),
+                "ws": pa.array((x[keep] * w[:, None]).sum(axis=0)),
+                "w": pa.array(np.full(dim, float(w.sum())))})
+
+        wp = _partial_final(read(), w_partial, ["i"],
+                            [("ws", "sum"), ("w", "sum")])
+        ii = np.asarray(wp.column("i"), dtype=np.int64)
+        o = np.argsort(ii)
+        m = np.round(np.asarray(wp.column("ws"), dtype=np.float64)[o]
+                     / np.asarray(wp.column("w"), dtype=np.float64)[o],
+                     6)
+
+    return pa.table({
+        "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+        "geomedian": pa.array(m),
+    })
+
+
+SQL_EMBEDDING_GEOMEDIAN = """
+WITH d AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, embedding[i]::DOUBLE AS e
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)),
+m0 AS (SELECT i, round(sum(e) / count(*), 6) AS m FROM d GROUP BY i),
+d1 AS (SELECT d.vec_id,
+              sqrt(sum((d.e - m0.m) * (d.e - m0.m))) AS dist
+       FROM d JOIN m0 USING (i) GROUP BY d.vec_id),
+w1 AS (SELECT vec_id, 1.0 / dist AS w FROM d1 WHERE dist > 0),
+m1 AS (SELECT d.i,
+              round(sum(d.e * w1.w) / (SELECT sum(w) FROM w1), 6)
+                AS m
+       FROM d JOIN w1 USING (vec_id) GROUP BY d.i),
+d2 AS (SELECT d.vec_id,
+              sqrt(sum((d.e - m1.m) * (d.e - m1.m))) AS dist
+       FROM d JOIN m1 USING (i) GROUP BY d.vec_id),
+w2 AS (SELECT vec_id, 1.0 / dist AS w FROM d2 WHERE dist > 0),
+m2 AS (SELECT d.i,
+              round(sum(d.e * w2.w) / (SELECT sum(w) FROM w2), 6)
+                AS m
+       FROM d JOIN w2 USING (vec_id) GROUP BY d.i)
+SELECT i AS dim, m AS geomedian FROM m2 ORDER BY i
+"""
+
+QUERIES["embedding_geomedian"] = (q_embedding_geomedian,
+                                  SQL_EMBEDDING_GEOMEDIAN)

@@ -384,3 +384,65 @@ def test_ransac_rejects_outliers_ols_cannot():
     _, dx, dy, inl = best
     assert inl == 20
     assert dy // dx == 100
+
+
+def _weiszfeld(x, iters=20):
+    m = x.mean(axis=0)
+    for _ in range(iters):
+        d = np.sqrt(((x - m) ** 2).sum(axis=1))
+        keep = d > 0
+        w = 1.0 / d[keep]
+        m = (x[keep] * w[:, None]).sum(axis=0) / w.sum()
+    return m
+
+
+def test_geomedian_resists_outlier():
+    rng = np.random.default_rng(12)
+    x = rng.normal(0, 1, (200, 8))
+    x_out = np.vstack([x, np.full((1, 8), 1e6)])
+    mean_shift = np.linalg.norm(x_out.mean(axis=0) - x.mean(axis=0))
+    gm_shift = np.linalg.norm(_weiszfeld(x_out) - _weiszfeld(x))
+    assert mean_shift > 1000       # the mean is dragged away
+    assert gm_shift < 1.0          # the geometric median barely moves
+
+
+def test_geomedian_1d_is_median():
+    x = np.array([[1.0], [2.0], [3.0], [4.0], [100.0]])
+    gm = _weiszfeld(x, iters=200)
+    assert abs(gm[0] - 3.0) < 1e-3
+
+
+def _cms_insert(tokens_u64, d=4, w=4096,
+                ks=(0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                    0x165667B19E3779F9, 0xD6E8FEB86659FD93)):
+    mat = np.zeros((d, w), dtype=np.int64)
+    for j, a in enumerate(ks):
+        idx = ((tokens_u64 * np.uint64(a)) >> np.uint64(52)) \
+            % np.uint64(w)
+        np.add.at(mat[j], idx.astype(np.int64), 1)
+    return mat
+
+
+def _cms_query(mat, x_u64,
+               ks=(0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                   0x165667B19E3779F9, 0xD6E8FEB86659FD93)):
+    w = mat.shape[1]
+    est = np.iinfo(np.int64).max
+    for j, a in enumerate(ks):
+        idx = int(((np.uint64(x_u64) * np.uint64(a)) >> np.uint64(52))
+                  % np.uint64(w))
+        est = min(est, int(mat[j, idx]))
+    return est
+
+
+def test_cms_linear_merge_and_overcount():
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 2**63, 5000).astype(np.uint64)
+    b = rng.integers(0, 2**63, 5000).astype(np.uint64)
+    merged = _cms_insert(np.concatenate([a, b]))
+    summed = _cms_insert(a) + _cms_insert(b)
+    assert (merged == summed).all()     # linear sketch: merge == sum
+    # overcount property: estimate never below the exact count
+    probe = a[0]
+    exact = int((np.concatenate([a, b]) == probe).sum())
+    assert _cms_query(merged, probe) >= exact
