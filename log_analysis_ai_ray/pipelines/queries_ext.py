@@ -10470,3 +10470,163 @@ SELECT i AS dim, m AS geomedian FROM m2 ORDER BY i
 
 QUERIES["embedding_geomedian"] = (q_embedding_geomedian,
                                   SQL_EMBEDDING_GEOMEDIAN)
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 distance — exact earth-mover between two histograms
+# ---------------------------------------------------------------------------
+
+
+def q_qty_wasserstein(sf_dir: str):
+    """1-D Wasserstein (earth-mover) distance between the returned
+    ('R') and accepted ('A') l_quantity distributions — the transport
+    companion to qty_energy_distance: W₁ = Σᵢ |F_X(vᵢ) − F_Y(vᵢ)| ·
+    (vᵢ₊₁ − vᵢ) over the merged support, EXACT as
+    Σ|cumXᵢ·n_Y − cumYᵢ·n_X|·gap // (n_X·n_Y) in Python ints /
+    HUGEINT. Same bounded (flag, qty) histogram shuffle; the driver
+    walk and the oracle's window-cumsum scan are the identical
+    integer program."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("l_returnflag"), pa.array(["R", "A"]))
+        t = t.filter(keep)
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        g = pa.table({
+            "flag": t.column("l_returnflag"), "qty": q,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["flag", "qty"]).aggregate([("c", "sum")])
+        return g.rename_columns(["flag", "qty", "c"])
+
+    m = _partial_final(ds, partial, ["flag", "qty"], [("c", "sum")])
+    fl = np.asarray(m.column("flag").to_pylist())
+    qv = np.asarray(m.column("qty"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    support = np.unique(qv)
+    cx = np.zeros(len(support), dtype=np.int64)
+    cy = np.zeros(len(support), dtype=np.int64)
+    selr = fl == "R"
+    np.add.at(cx, np.searchsorted(support, qv[selr]), cc[selr])
+    np.add.at(cy, np.searchsorted(support, qv[~selr]), cc[~selr])
+    nx, ny = int(cx.sum()), int(cy.sum())
+    cumx, cumy = np.cumsum(cx), np.cumsum(cy)
+    num = 0
+    for i in range(len(support) - 1):
+        gap = int(support[i + 1] - support[i])
+        num += abs(int(cumx[i]) * ny - int(cumy[i]) * nx) * gap
+    return pa.table({
+        "n_r": pa.array([nx], pa.int64()),
+        "n_a": pa.array([ny], pa.int64()),
+        "w1_micro": pa.array([num * 1_000_000 // (nx * ny)],
+                             pa.int64()),
+    })
+
+
+SQL_QTY_WASSERSTEIN = """
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+h AS (
+  SELECT qty,
+         CAST(count(*) FILTER (flag = 'R') AS BIGINT) AS cr,
+         CAST(count(*) FILTER (flag = 'A') AS BIGINT) AS ca
+  FROM q GROUP BY 1),
+n AS (SELECT CAST(sum(cr) AS HUGEINT) AS nx,
+             CAST(sum(ca) AS HUGEINT) AS ny FROM h),
+s AS (
+  SELECT qty,
+         CAST(sum(cr) OVER (ORDER BY qty) AS HUGEINT) AS cumx,
+         CAST(sum(ca) OVER (ORDER BY qty) AS HUGEINT) AS cumy,
+         lead(qty) OVER (ORDER BY qty) AS nxt
+  FROM h),
+w AS (
+  SELECT sum(abs(s.cumx * n.ny - s.cumy * n.nx) * (s.nxt - s.qty))
+           AS num
+  FROM s, n WHERE s.nxt IS NOT NULL)
+SELECT CAST(n.nx AS BIGINT) AS n_r, CAST(n.ny AS BIGINT) AS n_a,
+       CAST(w.num * 1000000 // (n.nx * n.ny) AS BIGINT) AS w1_micro
+FROM n, w
+"""
+
+QUERIES["qty_wasserstein"] = (q_qty_wasserstein, SQL_QTY_WASSERSTEIN)
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality — all-pairs capped BFS over the domain graph
+# ---------------------------------------------------------------------------
+
+_HARM_MAX_HOPS = 6
+
+
+def q_domain_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality h(u) = Σ_{v≠u} 1/d(u,v) over the undirected
+    domain graph with hops capped at 6 (unreachable-in-6 contributes
+    0) — the centrality that, unlike closeness, handles disconnected
+    graphs. Distances via repeated boolean matmul on the bounded
+    driver adjacency (each power = one dataset-algebra BFS round at
+    page scale — the domain_bfs_hops note); the score is the exact
+    integer Σ 10⁶//d, so no float ever crosses the oracle."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[si, di] = True
+    adj |= adj.T
+    dist = np.full((n, n), 0, dtype=np.int64)
+    reach = np.eye(n, dtype=bool)
+    frontier = np.eye(n, dtype=bool)
+    for hop in range(1, _HARM_MAX_HOPS + 1):
+        nxt = (frontier @ adj) & ~reach
+        dist[nxt] = hop
+        reach |= nxt
+        frontier = nxt
+        if not frontier.any():
+            break
+    harm = np.zeros(n, dtype=np.int64)
+    for u in range(n):
+        harm[u] = int(sum(1_000_000 // int(d)
+                          for d in dist[u] if d > 0))
+    return pa.table({
+        "domain": pa.array(nodes),
+        "harmonic_micro": pa.array(harm),
+    }).sort_by("domain")
+
+
+def _harmonic_oracle_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH RECURSIVE hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT s AS a, d AS b FROM e0
+       WHERE s <> d AND s <> '' AND d <> ''
+       UNION SELECT d, s FROM e0
+       WHERE s <> d AND s <> '' AND d <> ''),
+bfs(src, dst, hop) AS (
+  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM eu)
+  UNION
+  SELECT bfs.src, eu.b, bfs.hop + 1
+  FROM bfs JOIN eu ON eu.a = bfs.dst
+  WHERE bfs.hop < {_HARM_MAX_HOPS}),
+d AS (SELECT src, dst, min(hop) AS hop FROM bfs GROUP BY 1, 2)
+SELECT src AS domain,
+       CAST(sum(CASE WHEN hop > 0 THEN 1000000 // hop ELSE 0 END)
+            AS BIGINT) AS harmonic_micro
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["domain_harmonic_centrality"] = (q_domain_harmonic_centrality,
+                                         _harmonic_oracle_sql())

@@ -446,3 +446,56 @@ def test_cms_linear_merge_and_overcount():
     probe = a[0]
     exact = int((np.concatenate([a, b]) == probe).sum())
     assert _cms_query(merged, probe) >= exact
+
+
+def test_wasserstein_hist_matches_flat_scipy_free():
+    rng = np.random.default_rng(14)
+    xs = np.sort(rng.integers(0, 30, 120))
+    ys = np.sort(rng.integers(3, 40, 80))
+    # flat reference: W1 = ∫|Fx - Fy| via merged support sweep
+    support = np.unique(np.concatenate([xs, ys]))
+    fx = np.searchsorted(xs, support, side="right") / len(xs)
+    fy = np.searchsorted(ys, support, side="right") / len(ys)
+    w1_ref = float(np.sum(np.abs(fx[:-1] - fy[:-1])
+                          * np.diff(support)))
+    # histogram-integer form
+    vux, cux = np.unique(xs, return_counts=True)
+    vuy, cuy = np.unique(ys, return_counts=True)
+    cx = np.zeros(len(support), dtype=np.int64)
+    cy = np.zeros(len(support), dtype=np.int64)
+    cx[np.searchsorted(support, vux)] = cux
+    cy[np.searchsorted(support, vuy)] = cuy
+    nx, ny = len(xs), len(ys)
+    cumx, cumy = np.cumsum(cx), np.cumsum(cy)
+    num = sum(abs(int(cumx[i]) * ny - int(cumy[i]) * nx)
+              * int(support[i + 1] - support[i])
+              for i in range(len(support) - 1))
+    assert abs(num / (nx * ny) - w1_ref) < 1e-9
+
+
+def test_wasserstein_point_masses_is_distance():
+    # all mass at 2 vs all mass at 7 -> W1 == 5 exactly
+    support = np.array([2, 7])
+    cumx, cumy = np.array([10, 10]), np.array([0, 10])
+    num = abs(int(cumx[0]) * 10 - int(cumy[0]) * 10) * 5
+    assert num // (10 * 10) == 5
+
+
+def test_harmonic_centrality_star_graph():
+    # star: hub reaches all at d=1; leaves reach hub at 1, others at 2
+    n = 5
+    adj = np.zeros((n, n), dtype=bool)
+    for i in range(1, n):
+        adj[0, i] = adj[i, 0] = True
+    dist = np.zeros((n, n), dtype=np.int64)
+    reach = np.eye(n, dtype=bool)
+    frontier = np.eye(n, dtype=bool)
+    for hop in range(1, 7):
+        nxt = (frontier @ adj) & ~reach
+        dist[nxt] = hop
+        reach |= nxt
+        frontier = nxt
+    hub = sum(1_000_000 // d for d in dist[0] if d > 0)
+    leaf = sum(1_000_000 // d for d in dist[1] if d > 0)
+    assert hub == 4 * 1_000_000
+    assert leaf == 1_000_000 + 3 * 500_000
