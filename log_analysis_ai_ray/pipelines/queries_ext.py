@@ -10630,3 +10630,180 @@ FROM d GROUP BY 1 ORDER BY 1
 
 QUERIES["domain_harmonic_centrality"] = (q_domain_harmonic_centrality,
                                          _harmonic_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Bucket-aligned map-side join — co-partitioned stores, zero shuffle
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ROOT = "/tmp/graft_bucketed"
+_BUCKETED_N = 16
+
+
+def _build_bucketed_store(sf_dir: str) -> str:
+    """Write orders and customer bucketed by knuth(custkey) mod 16 —
+    the Hive/Spark 'bucketed table' layout. Idempotent per sf via a
+    _DONE marker; each table is one pass (the write cost you pay ONCE
+    so every later custkey join is shuffle-free)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .queries import sf_name
+    root = os.path.join(_BUCKETED_ROOT, sf_name(sf_dir))
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    import pyarrow.parquet as _pq
+    for table, key in (("orders", "o_custkey"),
+                       ("customer", "c_custkey")):
+        t = _pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+        b = _knuth_bucket(np.asarray(t.column(key), dtype=np.int64),
+                          _BUCKETED_N)
+        os.makedirs(os.path.join(root, table), exist_ok=True)
+        for i in range(_BUCKETED_N):
+            sub = t.filter(pa.array(b == i))
+            pq.write_table(sub, os.path.join(
+                root, table, f"bucket={i}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+def q_bucketed_join_revenue(sf_dir: str):
+    """Bucket-aligned MAP-SIDE join: orders and customer live in
+    co-partitioned stores (same knuth(custkey) hash, same 16 buckets
+    — _build_bucketed_store), so the join needs ZERO exchange: each
+    task reads bucket i of BOTH tables and Acero-joins locally —
+    the bucketed-table contract every warehouse engine optimizes for.
+    The Ray plan is a map over the bucket manifest (one task per
+    bucket, local IO + local join + local pre-agg); only the
+    |segments|-bounded partials merge. Oracle = the plain join, so a
+    single row landing in mismatched buckets flips the hash.
+    (Store build is one-off per sf and amortized across queries —
+    at 100 TB the bucketing write IS the one shuffle you ever pay
+    for this key.)"""
+    import os
+
+    import pyarrow.parquet as pq_mod
+    import ray.data
+
+    root = _build_bucketed_store(sf_dir)
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in np.asarray(batch.column("id"), dtype=np.int64):
+            o = pq_mod.read_table(
+                os.path.join(root, "orders", f"bucket={int(i)}.parquet"),
+                columns=["o_custkey", "o_totalprice"])
+            c = pq_mod.read_table(
+                os.path.join(root, "customer",
+                             f"bucket={int(i)}.parquet"),
+                columns=["c_custkey", "c_mktsegment"])
+            j = o.join(c, keys=["o_custkey"], right_keys=["c_custkey"],
+                       join_type="inner")
+            cents = pc.cast(pc.round(pc.multiply(
+                j.column("o_totalprice"), 100), 0), pa.int64())
+            g = pa.table({"c_mktsegment": j.column("c_mktsegment"),
+                          "n": pa.array(np.ones(j.num_rows,
+                                                dtype=np.int64)),
+                          "cents": cents}) \
+                .group_by("c_mktsegment").aggregate(
+                    [("n", "sum"), ("cents", "sum")])
+            outs.append(g.rename_columns(
+                ["c_mktsegment", "n", "cents"]))
+        return pa.concat_tables(outs)
+
+    ids = ray.data.range(_BUCKETED_N)
+    parts = agg._to_arrow(ids.map_batches(join_bucket,
+                                          batch_format="pyarrow"))
+    out = parts.group_by("c_mktsegment").aggregate(
+        [("n", "sum"), ("cents", "sum")]) \
+        .rename_columns(["c_mktsegment", "n_orders", "sum_cents"])
+    return out.sort_by("c_mktsegment")
+
+
+SQL_BUCKETED_JOIN_REVENUE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bucketed_join_revenue"] = (q_bucketed_join_revenue,
+                                    SQL_BUCKETED_JOIN_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring — Flesch reading-ease per corpus source
+# ---------------------------------------------------------------------------
+
+
+def q_source_readability(sf_dir: str):
+    """Flesch reading-ease per corpus source with a deterministic
+    vowel-group syllable heuristic (syllables = count of [aeiouyAEIOUY]+
+    runs — the same RE2 class both engines run): 206.835 −
+    1.015·words/sentences − 84.6·syllables/words, every count an
+    exact integer partial (words=\\S+ runs, sentences=[.!?]+ runs
+    clamped ≥1 per doc). The score is one mirrored double expression,
+    round-4."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        words = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(txt), pattern=r"\s+"))
+        # match-run counts via polars' vectorized count_matches
+        import polars as pl
+        s = pl.from_arrow(txt.combine_chunks()
+                          if isinstance(txt, pa.ChunkedArray)
+                          else txt)
+        syl = pa.array(s.str.count_matches(
+            r"[aeiouyAEIOUY]+").to_numpy().astype(np.int64))
+        sent = pa.array(s.str.count_matches(
+            r"[.!?]+").to_numpy().astype(np.int64))
+        sent = pc.max_element_wise(sent, 1)  # clamp: ≥1 sentence/doc
+        g = pa.table({
+            "source": t.column("source"),
+            "w": pc.cast(words, pa.int64()),
+            "s": pc.cast(sent, pa.int64()),
+            "y": pc.cast(syl, pa.int64()),
+        }).group_by("source").aggregate(
+            [("w", "sum"), ("s", "sum"), ("y", "sum")])
+        return g.rename_columns(["source", "w", "s", "y"])
+
+    m = _partial_final(ds, partial, ["source"],
+                       [("w", "sum"), ("s", "sum"), ("y", "sum")])
+    rows = sorted(m.to_pylist(), key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "words": pa.array([int(r["w"]) for r in rows], pa.int64()),
+        "sentences": pa.array([int(r["s"]) for r in rows], pa.int64()),
+        "syllables": pa.array([int(r["y"]) for r in rows], pa.int64()),
+        "flesch": pa.array(
+            [round(206.835 - 1.015 * r["w"] / r["s"]
+                   - 84.6 * r["y"] / r["w"], 4) for r in rows],
+            pa.float64()),
+    })
+
+
+SQL_SOURCE_READABILITY = """
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(trim(text), '\\S+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+  FROM documents),
+g AS (SELECT source, CAST(sum(w) AS BIGINT) AS w,
+             CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(y) AS BIGINT) AS y
+      FROM d GROUP BY 1)
+SELECT source, w AS words, s AS sentences, y AS syllables,
+       round(206.835 - 1.015 * w / s - 84.6 * y / w, 4) AS flesch
+FROM g ORDER BY source
+"""
+
+QUERIES["source_readability"] = (q_source_readability,
+                                 SQL_SOURCE_READABILITY)

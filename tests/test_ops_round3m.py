@@ -499,3 +499,32 @@ def test_harmonic_centrality_star_graph():
     leaf = sum(1_000_000 // d for d in dist[1] if d > 0)
     assert hub == 4 * 1_000_000
     assert leaf == 1_000_000 + 3 * 500_000
+
+
+def test_bucketed_store_alignment():
+    # same key -> same bucket in both tables, by construction of the
+    # shared knuth hash: joining bucket i of A with bucket i of B
+    # loses no pairs
+    from log_analysis_ai_ray.pipelines.queries import _knuth_bucket
+    keys = np.arange(10_000, dtype=np.int64)
+    ba = _knuth_bucket(keys, 16)
+    bb = _knuth_bucket(keys.copy(), 16)
+    assert (ba == bb).all()
+    # every bucket non-trivially populated (hash spreads)
+    assert len(np.unique(ba)) == 16
+
+
+def test_flesch_simple_vs_complex_text():
+    import re
+
+    def flesch(text):
+        w = len(re.findall(r"\S+", text.strip()))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouyAEIOUY]+", text))
+        return 206.835 - 1.015 * w / s - 84.6 * y / w
+
+    simple = "The cat sat. The dog ran. We go now."
+    complex_ = ("Notwithstanding administrative considerations, "
+                "organizational accountability necessitates "
+                "comprehensive documentation.")
+    assert flesch(simple) > flesch(complex_) + 30
