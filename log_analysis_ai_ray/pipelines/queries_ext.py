@@ -10807,3 +10807,122 @@ FROM g ORDER BY source
 
 QUERIES["source_readability"] = (q_source_readability,
                                  SQL_SOURCE_READABILITY)
+
+
+# ---------------------------------------------------------------------------
+# SPRT — Wald's sequential probability-ratio test on the arm stream
+# ---------------------------------------------------------------------------
+
+
+def q_sprt_arm_test(sf_dir: str):
+    """Wald's SPRT run over the purchase stream day by day: is arm-1's
+    share p = 0.5 (H0) or 0.55 (H1)? Each purchase contributes the
+    integer micro-nat log-likelihood increment (round(10⁶·ln(1.1))
+    for arm 1, round(10⁶·ln(0.9)) for arm 0 — constants both engines
+    derive identically), the cumulative walk is pure integer, and the
+    test stops at the first day crossing ±round(10⁶·ln 19)
+    (α=β=0.05). The cluster ships (day, n1, n0) bounded partials;
+    decision, crossing day and the LLR at stop close identically on
+    the window-cumsum oracle."""
+    import math
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "user_id", "ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        arm = _knuth_bucket(
+            np.asarray(t.column("user_id"), dtype=np.int64), 2)
+        g = pa.table({"day": day, "n1": pa.array(arm),
+                      "n0": pa.array(1 - arm)}) \
+            .group_by("day").aggregate([("n1", "sum"), ("n0", "sum")])
+        return g.rename_columns(["day", "n1", "n0"])
+
+    m = _partial_final(ds, partial, ["day"],
+                       [("n1", "sum"), ("n0", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    n1 = np.asarray(m.column("n1"), dtype=np.int64)
+    n0 = np.asarray(m.column("n0"), dtype=np.int64)
+    o = np.argsort(day)
+    day, n1, n0 = day[o], n1[o], n0[o]
+    inc_s = round(1_000_000 * math.log(0.55 / 0.5))
+    inc_f = round(1_000_000 * math.log(0.45 / 0.5))
+    upper = round(1_000_000 * math.log(19.0))
+    cum = 0
+    decision, cross_day, llr_stop = "continue", None, 0
+    for d_, a_, b_ in zip(day, n1, n0):
+        cum += int(a_) * inc_s + int(b_) * inc_f
+        if cum >= upper:
+            decision, cross_day, llr_stop = "h1", int(d_), cum
+            break
+        if cum <= -upper:
+            decision, cross_day, llr_stop = "h0", int(d_), cum
+            break
+    else:
+        llr_stop = cum
+    return pa.table({
+        "decision": pa.array([decision], pa.string()),
+        "cross_day": pa.array([cross_day], pa.int64()),
+        "llr_micro": pa.array([llr_stop], pa.int64()),
+        "n_days": pa.array([len(day)], pa.int64()),
+    })
+
+
+SQL_SPRT_ARM_TEST = """
+WITH p AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(((user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS arm
+  FROM events WHERE event_type = 'purchase'),
+dc AS (SELECT d,
+              CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n1,
+              CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n0
+       FROM p GROUP BY 1),
+k AS (SELECT CAST(round(1000000 * ln(0.55 / 0.5)) AS BIGINT) AS s,
+             CAST(round(1000000 * ln(0.45 / 0.5)) AS BIGINT) AS f,
+             CAST(round(1000000 * ln(19.0)) AS BIGINT) AS up),
+w AS (SELECT d,
+             sum(n1 * k.s + n0 * k.f) OVER (ORDER BY d) AS cum
+      FROM dc, k),
+cr AS (SELECT d, cum,
+              CASE WHEN cum >= k.up THEN 'h1'
+                   WHEN cum <= -k.up THEN 'h0' END AS dec
+       FROM w, k),
+f AS (SELECT d, cum, dec FROM cr WHERE dec IS NOT NULL
+      ORDER BY d LIMIT 1),
+l AS (SELECT cum FROM cr ORDER BY d DESC LIMIT 1)
+SELECT COALESCE((SELECT dec FROM f), 'continue') AS decision,
+       (SELECT d FROM f) AS cross_day,
+       CAST(COALESCE((SELECT cum FROM f), (SELECT cum FROM l))
+            AS BIGINT) AS llr_micro,
+       (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_days
+"""
+
+QUERIES["sprt_arm_test"] = (q_sprt_arm_test, SQL_SPRT_ARM_TEST)
+
+
+# ---------------------------------------------------------------------------
+# Audio ZCR features — multimodal (decode not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_audio_zcr_features(sf_dir: str):
+    """Zero-crossing-rate features per audio clip (ZcrStage actor
+    pool): integer sign-flip counts per 20 ms frame with zero-sample
+    carry-through, per-clip totals + per-mille rate + high-ZCR frame
+    counts. Rows-only (binary WAV decode has no SQL form); exact
+    values on constructed clips pinned in tests/test_ops_round3n.py."""
+    import ray.data
+
+    from ..stages.multimodal import ZcrStage
+    from .queries import media_path_for
+
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return agg._to_arrow(ds.map_batches(
+        ZcrStage(), concurrency=2, batch_size=256, num_cpus=1,
+        batch_format="pyarrow")).sort_by("media_id")
+
+
+QUERIES["audio_zcr_features"] = (q_audio_zcr_features, None)

@@ -470,3 +470,54 @@ class OtsuStage:
             "otsu_thresh": pa.array(th, type=pa.int64()),
             "fg_fraction_pm": pa.array(fg, type=pa.int64()),
         })
+
+
+class ZcrStage:
+    """Actor-pool zero-crossing-rate features over WAV payloads: per
+    20 ms frame the count of sign CHANGES between consecutive nonzero
+    samples — the classic voiced/unvoiced discriminator that needs no
+    energy threshold. Stays in integer space end to end: per-clip
+    mean ZCR is reported in per-mille of frame length (floored), and
+    frames are classed 'high-zcr' against an integer count threshold.
+    Complements VadStage (energy) — fricatives are low-energy but
+    high-ZCR."""
+
+    def __init__(self, frame: int = 160, high_thresh: int = 40):
+        self.frame = frame
+        self.high_thresh = high_thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nfr, zsum, hi, zpm = [], [], [], [], []
+        for mid, kind, data in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "audio":
+                continue
+            s, _rate = parse_wav(data)
+            n = (len(s) // self.frame) * self.frame
+            if n == 0:
+                ids.append(mid); nfr.append(0); zsum.append(0)
+                hi.append(0); zpm.append(0)
+                continue
+            fr = s[:n].astype(np.int64).reshape(-1, self.frame)
+            sg = np.sign(fr)
+            # carry the previous nonzero sign through zeros
+            carried = np.where(sg != 0, sg, 0)
+            for j in range(1, self.frame):
+                carried[:, j] = np.where(carried[:, j] != 0,
+                                         carried[:, j],
+                                         carried[:, j - 1])
+            flips = ((carried[:, 1:] * carried[:, :-1]) < 0).sum(axis=1)
+            ids.append(mid)
+            nfr.append(fr.shape[0])
+            zsum.append(int(flips.sum()))
+            hi.append(int((flips >= self.high_thresh).sum()))
+            zpm.append(int(flips.sum()) * 1000
+                       // (fr.shape[0] * self.frame))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(nfr, type=pa.int64()),
+            "zcr_total": pa.array(zsum, type=pa.int64()),
+            "high_zcr_frames": pa.array(hi, type=pa.int64()),
+            "zcr_pm": pa.array(zpm, type=pa.int64()),
+        })

@@ -1,0 +1,89 @@
+"""Kernel semantics for the round-3n batch: ZCR stage exactness on
+constructed WAV clips and the SPRT integer walk."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _wav_bytes(samples, rate=8000):
+    """Minimal PCM16 mono WAV writer (mirrors the synth corpus)."""
+    import struct
+    data = np.asarray(samples, dtype=np.int16).tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def _zcr_table(clips):
+    from log_analysis_ai_ray.stages.multimodal import ZcrStage
+    batch = pa.table({
+        "media_id": pa.array(list(range(len(clips))), pa.int64()),
+        "kind": pa.array(["audio"] * len(clips)),
+        "payload": pa.array([_wav_bytes(c) for c in clips],
+                            pa.binary()),
+    })
+    return ZcrStage()(batch)
+
+
+def test_zcr_alternating_signs_max_rate():
+    # +1,-1,+1,... : a flip at every consecutive pair -> 159 per frame
+    clip = np.tile([1000, -1000], 160)  # 320 samples = 2 frames
+    t = _zcr_table([clip])
+    assert t.column("n_frames")[0].as_py() == 2
+    assert t.column("zcr_total")[0].as_py() == 2 * 159
+    assert t.column("high_zcr_frames")[0].as_py() == 2
+
+
+def test_zcr_constant_sign_zero():
+    clip = np.full(320, 500)
+    t = _zcr_table([clip])
+    assert t.column("zcr_total")[0].as_py() == 0
+    assert t.column("high_zcr_frames")[0].as_py() == 0
+
+
+def test_zcr_zero_samples_carry_sign():
+    # +,0,0,- is ONE crossing (zeros carry the previous sign)
+    frame = np.zeros(160, dtype=np.int64)
+    frame[0] = 100
+    frame[80] = -100
+    t = _zcr_table([frame])
+    assert t.column("zcr_total")[0].as_py() == 1
+
+
+def test_zcr_low_freq_sine_one_inframe_crossing_per_period():
+    # 50 Hz at 8 kHz -> one full period per 160-sample frame; the
+    # pos->neg flip lands mid-frame, the neg->pos flip falls on the
+    # frame BOUNDARY (not counted - frames are independent)
+    n = 1600
+    x = (1000 * np.sin(2 * np.pi * 50 * np.arange(n) / 8000))
+    t = _zcr_table([x.astype(np.int64)])
+    assert t.column("n_frames")[0].as_py() == 10
+    assert t.column("zcr_total")[0].as_py() == 10
+
+
+def test_sprt_integer_walk_stops_at_first_crossing():
+    inc_s = round(1_000_000 * math.log(0.55 / 0.5))
+    inc_f = round(1_000_000 * math.log(0.45 / 0.5))
+    upper = round(1_000_000 * math.log(19.0))
+    # 40 successes in a row crosses upward (40*95310 > 2944439)
+    cum, cross = 0, None
+    for d in range(100):
+        cum += inc_s
+        if cum >= upper:
+            cross = d
+            break
+    assert cross == 30  # ceil(2944439 / 95310) - 1 (0-indexed)
+    # balanced stream drifts DOWN to H0: per pair the LLR adds
+    # ln(1.1)+ln(0.9) = ln(0.99) < 0 - a 50/50 truth accepts H0
+    assert inc_s + inc_f < 0
+    cum, dec = 0, None
+    for d in range(1000):
+        cum += inc_s + inc_f  # one success + one failure per step
+        if cum <= -upper:
+            dec = ("h0", d)
+            break
+    assert dec == ("h0", 292)
