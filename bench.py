@@ -166,6 +166,25 @@ BENCH_EXTRA = [
     "kendall_tau_qty_discount",
     "lookalike_scores",
     "hourly_interpolated",
+    # round-3 session-8 additions (tests/robust/transport/engine batch)
+    "welch_ttest_types",
+    "kruskal_wallis_type",
+    "isotonic_hourly_revenue",
+    "zipf_token_slope",
+    "qty_qn_scale",
+    "shapley_attribution",
+    "domain_lpa_communities",
+    "qty_energy_distance",
+    "qty_wasserstein",
+    "greedy_token_cover",
+    "cms_token_check",
+    "embedding_geomedian",
+    "bucketed_join_revenue",
+    "source_readability",
+    "sprt_arm_test",
+    "domain_harmonic_centrality",
+    "domain_influence_spread",
+    "token_budget_selection",
 ]
 
 

@@ -10926,3 +10926,186 @@ def q_audio_zcr_features(sf_dir: str):
 
 
 QUERIES["audio_zcr_features"] = (q_audio_zcr_features, None)
+
+
+# ---------------------------------------------------------------------------
+# Linear-threshold influence spread — deterministic diffusion, 3 rounds
+# ---------------------------------------------------------------------------
+
+
+def q_domain_influence_spread(sf_dir: str):
+    """Deterministic linear-threshold diffusion on the undirected
+    domain graph: seed = the highest-degree domain (name asc ties),
+    then 3 synchronous rounds where a node ACTIVATES when at least
+    half its neighbors are active (2·|N∩active| ≥ deg — integer
+    cross-multiplied, no float threshold). Monotone — active stays
+    active. The influence-maximization primitive; bounded-graph close
+    over the same distilled edge partials as PageRank, 3-round
+    unrolled CTE oracle."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[si, di] = True
+    adj |= adj.T
+    deg = adj.sum(axis=1).astype(np.int64)
+    seed = int(np.lexsort((nodes, -deg))[0])
+    active = np.zeros(n, dtype=bool)
+    active[seed] = True
+    counts = [(0, 1)]
+    for r in (1, 2, 3):
+        hits = (adj & active[None, :]).sum(axis=1).astype(np.int64)
+        active = active | ((deg > 0) & (2 * hits >= deg))
+        counts.append((r, int(active.sum())))
+    return pa.table({
+        "round": pa.array([c[0] for c in counts], pa.int64()),
+        "active": pa.array([c[1] for c in counts], pa.int64()),
+        "seed": pa.array([str(nodes[seed])] * len(counts),
+                         pa.string()),
+    })
+
+
+def _influence_oracle_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    rounds = []
+    for r in (1, 2, 3):
+        prev = f"a{r - 1}"
+        rounds.append(f"""
+a{r} AS (
+  SELECT d FROM {prev}
+  UNION
+  SELECT eu.a AS d FROM eu
+  JOIN {prev} p ON p.d = eu.b
+  GROUP BY eu.a
+  HAVING 2 * count(*) >= (SELECT deg FROM degs WHERE degs.d = eu.a))""")
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT s AS a, d AS b FROM e0
+       WHERE s <> d AND s <> '' AND d <> ''
+       UNION SELECT d, s FROM e0
+       WHERE s <> d AND s <> '' AND d <> ''),
+degs AS (SELECT a AS d, CAST(count(*) AS BIGINT) AS deg
+         FROM eu GROUP BY 1),
+seed AS (SELECT d FROM degs ORDER BY deg DESC, d LIMIT 1),
+a0 AS (SELECT d FROM seed),{",".join(rounds)}
+SELECT CAST(r AS BIGINT) AS round, CAST(active AS BIGINT) AS active,
+       (SELECT d FROM seed) AS seed
+FROM (SELECT 0 AS r, (SELECT count(*) FROM a0) AS active
+      UNION ALL SELECT 1, (SELECT count(*) FROM a1)
+      UNION ALL SELECT 2, (SELECT count(*) FROM a2)
+      UNION ALL SELECT 3, (SELECT count(*) FROM a3))
+ORDER BY round
+"""
+
+
+QUERIES["domain_influence_spread"] = (q_domain_influence_spread,
+                                      _influence_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Budget-constrained selection — fractional knapsack, quantized ratio
+# ---------------------------------------------------------------------------
+
+_KNAP_BUDGET = 20_000  # token budget
+
+
+def q_token_budget_selection(sf_dir: str):
+    """Training-data curation under a token budget: greedily pack
+    documents maximizing vocabulary richness per token — fractional
+    knapsack with the ratio quantized to an INTEGER key
+    (distinct_tokens·10⁶ // total_tokens, ties doc_id asc) so the
+    greedy order is engine-exact (a raw float ratio sort could
+    disagree at equal keys). Per-doc (distinct, total) close inside
+    blocks (a doc is one row); selection is a cumsum walk over the
+    docs-bounded table; the boundary doc takes the leftover budget
+    fractionally (ppm)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        fp = np.asarray(par, dtype=np.int64)
+        fl = np.asarray(flat.to_pylist())
+        tu, tid = np.unique(fl, return_inverse=True) \
+            if len(fl) else (fl, np.zeros(0, dtype=np.int64))
+        nt = max(len(tu), 1)
+        key = fp * np.int64(nt) + tid
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(total, fp, 1)
+        distinct = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(distinct, (np.unique(key) // nt).astype(np.int64), 1)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "d": pa.array(distinct), "w": pa.array(total)})
+
+    m = agg._to_arrow(ds.map_batches(stats, batch_format="pyarrow"))
+    did = np.asarray(m.column("doc_id"), dtype=np.int64)
+    dd = np.asarray(m.column("d"), dtype=np.int64)
+    ww = np.asarray(m.column("w"), dtype=np.int64)
+    keep = ww > 0
+    did, dd, ww = did[keep], dd[keep], ww[keep]
+    ratio = dd * np.int64(1_000_000) // ww
+    order = np.lexsort((did, -ratio))
+    did, dd, ww = did[order], dd[order], ww[order]
+    cum = np.cumsum(ww)
+    nfull = int(np.searchsorted(cum, _KNAP_BUDGET, side="right"))
+    used = int(cum[nfull - 1]) if nfull else 0
+    score = int(dd[:nfull].sum())
+    if nfull < len(did) and used < _KNAP_BUDGET:
+        frac_doc = int(did[nfull])
+        frac_ppm = (_KNAP_BUDGET - used) * 1_000_000 // int(ww[nfull])
+    else:
+        frac_doc, frac_ppm = None, None
+    return pa.table({
+        "n_full_docs": pa.array([nfull], pa.int64()),
+        "tokens_used": pa.array([used], pa.int64()),
+        "score_full": pa.array([score], pa.int64()),
+        "frac_doc_id": pa.array([frac_doc], pa.int64()),
+        "frac_ppm": pa.array([frac_ppm], pa.int64()),
+    })
+
+
+SQL_TOKEN_BUDGET_SELECTION = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS w,
+              CAST(count(DISTINCT token) AS BIGINT) AS d
+       FROM toks GROUP BY 1),
+r AS (SELECT doc_id, d, w, d * 1000000 // w AS ratio FROM pd
+      WHERE w > 0),
+s AS (SELECT doc_id, d, w,
+             sum(w) OVER (ORDER BY ratio DESC, doc_id) AS cum
+      FROM r),
+full_set AS (SELECT * FROM s WHERE cum <= {_KNAP_BUDGET}),
+nxt AS (SELECT doc_id, w, cum FROM s WHERE cum > {_KNAP_BUDGET}
+        ORDER BY cum LIMIT 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_full_docs,
+               CAST(coalesce(sum(w), 0) AS BIGINT) AS tokens_used,
+               CAST(coalesce(sum(d), 0) AS BIGINT) AS score_full
+        FROM full_set)
+SELECT agg.n_full_docs, agg.tokens_used, agg.score_full,
+       (SELECT doc_id FROM nxt) AS frac_doc_id,
+       (SELECT ({_KNAP_BUDGET} - agg.tokens_used) * 1000000 // w
+        FROM nxt) AS frac_ppm
+FROM agg
+"""
+
+QUERIES["token_budget_selection"] = (q_token_budget_selection,
+                                     SQL_TOKEN_BUDGET_SELECTION)

@@ -87,3 +87,58 @@ def test_sprt_integer_walk_stops_at_first_crossing():
             dec = ("h0", d)
             break
     assert dec == ("h0", 292)
+
+
+def test_linear_threshold_monotone_and_converges():
+    # path graph 0-1-2-3 seeded at 0: deg(1)=2, one active neighbor
+    # -> 2*1 >= 2 activates; spreads one hop per round
+    n = 4
+    adj = np.zeros((n, n), dtype=bool)
+    for i in range(n - 1):
+        adj[i, i + 1] = adj[i + 1, i] = True
+    deg = adj.sum(axis=1).astype(np.int64)
+    active = np.zeros(n, dtype=bool)
+    active[0] = True
+    sizes = []
+    for _ in range(3):
+        hits = (adj & active[None, :]).sum(axis=1).astype(np.int64)
+        new = active | ((deg > 0) & (2 * hits >= deg))
+        assert (new | active == new).all()  # monotone
+        active = new
+        sizes.append(int(active.sum()))
+    assert sizes == [2, 3, 4]
+
+
+def test_linear_threshold_majority_blocks():
+    # star with 4 leaves, seed = one leaf: hub needs 2*1 >= 4 -> no
+    n = 5
+    adj = np.zeros((n, n), dtype=bool)
+    for i in range(1, n):
+        adj[0, i] = adj[i, 0] = True
+    deg = adj.sum(axis=1).astype(np.int64)
+    active = np.zeros(n, dtype=bool)
+    active[1] = True
+    hits = (adj & active[None, :]).sum(axis=1).astype(np.int64)
+    new = active | ((deg > 0) & (2 * hits >= deg))
+    assert new.sum() == 1  # nothing activates
+
+
+def test_fractional_knapsack_quantized_ratio_order():
+    # doc A: 10 distinct / 10 tokens (ratio 1e6), doc B: 5/10 (5e5),
+    # doc C: 9/10 (9e5); budget 15 -> A full, C fractional 50%
+    docs = [(1, 10, 10), (2, 5, 10), (3, 9, 10)]
+    budget = 15
+    ranked = sorted(docs, key=lambda r: (-(r[1] * 1_000_000 // r[2]),
+                                         r[0]))
+    used = score = nfull = 0
+    frac = None
+    for d, dt, w in ranked:
+        if used + w <= budget:
+            used += w
+            score += dt
+            nfull += 1
+        else:
+            frac = (d, (budget - used) * 1_000_000 // w)
+            break
+    assert (nfull, used, score) == (1, 10, 10)
+    assert frac == (3, 500_000)
