@@ -185,6 +185,8 @@ BENCH_EXTRA = [
     "domain_harmonic_centrality",
     "domain_influence_spread",
     "token_budget_selection",
+    "mcnemar_predictors",
+    "page_cusum_alarm",
 ]
 
 

@@ -11109,3 +11109,183 @@ FROM agg
 
 QUERIES["token_budget_selection"] = (q_token_budget_selection,
                                      SQL_TOKEN_BUDGET_SELECTION)
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test — personal vs global predictor on shared events
+# ---------------------------------------------------------------------------
+
+
+def q_mcnemar_predictors(sf_dir: str):
+    """McNemar's test on PAIRED predictions — the right comparison for
+    two models scored on the same events (unpaired tests waste the
+    pairing): for every second-half event, was the personal modal-type
+    predictor right, was the global one? Only the DISCORDANT cells
+    b (personal-only right) and c (global-only right) matter:
+    χ² = (b−c)²/(b+c). Everything closes from the same bounded
+    (user, type, half) count table persistence_baseline_eval ships;
+    χ² in integer micro (·10⁶, floored) — no float anywhere."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        g = pa.table({"u": t.column("user_id"),
+                      "et": t.column("event_type"), "day": day}) \
+            .group_by(["u", "et", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "et", "day", "c"])
+
+    m = _partial_final(ds, partial, ["u", "et", "day"], [("c", "sum")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    et = m.column("et").to_numpy(zero_copy_only=False)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2
+    h1 = dy < mid
+    types, ti = np.unique(et, return_inverse=True)
+    uu, ui = np.unique(u, return_inverse=True)
+    T, U = len(types), len(uu)
+    train = np.zeros((U, T), dtype=np.int64)
+    np.add.at(train, (ui[h1], ti[h1]), c[h1])
+    g_top = int(np.argmax(train.sum(axis=0)))
+    p_top = np.argmax(train, axis=1)
+    p_top = np.where(train.sum(axis=1) == 0, g_top, p_top)
+    test = np.zeros((U, T), dtype=np.int64)
+    np.add.at(test, (ui[~h1], ti[~h1]), c[~h1])
+    agree = p_top == g_top
+    a = int(test[agree, g_top].sum())
+    b = int(test[np.arange(U), p_top][~agree].sum())
+    cc_ = int(test[~agree, g_top].sum())
+    n = int(test.sum())
+    d = n - a - b - cc_
+    chi2_micro = ((b - cc_) ** 2) * 1_000_000 // (b + cc_) \
+        if b + cc_ else None
+    return pa.table({
+        "both_right": pa.array([a], pa.int64()),
+        "personal_only": pa.array([b], pa.int64()),
+        "global_only": pa.array([cc_], pa.int64()),
+        "both_wrong": pa.array([d], pa.int64()),
+        "chi2_micro": pa.array([chi2_micro], pa.int64()),
+    })
+
+
+SQL_MCNEMAR_PREDICTORS = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS et,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+tr AS (SELECT u, et, count(*) AS c
+       FROM e CROSS JOIN b WHERE day < mid GROUP BY 1, 2),
+gt AS (SELECT et FROM (
+         SELECT et, row_number() OVER (ORDER BY sum(c) DESC, et) AS rk
+         FROM tr GROUP BY et) WHERE rk = 1),
+pt AS (SELECT u, et FROM (
+         SELECT u, et, row_number() OVER (PARTITION BY u
+                       ORDER BY c DESC, et) AS rk
+         FROM tr) WHERE rk = 1),
+te AS (SELECT u, et, count(*) AS c
+       FROM e CROSS JOIN b WHERE day >= mid GROUP BY 1, 2),
+cells AS (
+  SELECT
+    sum(CASE WHEN te.et = coalesce(pt.et, gt.et)
+              AND te.et = gt.et THEN te.c ELSE 0 END) AS a,
+    sum(CASE WHEN te.et = coalesce(pt.et, gt.et)
+              AND te.et <> gt.et THEN te.c ELSE 0 END) AS bb,
+    sum(CASE WHEN te.et <> coalesce(pt.et, gt.et)
+              AND te.et = gt.et THEN te.c ELSE 0 END) AS cc,
+    sum(CASE WHEN te.et <> coalesce(pt.et, gt.et)
+              AND te.et <> gt.et THEN te.c ELSE 0 END) AS d
+  FROM te LEFT JOIN pt ON pt.u = te.u CROSS JOIN gt)
+SELECT CAST(a AS BIGINT) AS both_right,
+       CAST(bb AS BIGINT) AS personal_only,
+       CAST(cc AS BIGINT) AS global_only,
+       CAST(d AS BIGINT) AS both_wrong,
+       CASE WHEN bb + cc > 0 THEN
+         CAST((bb - cc) * (bb - cc) * 1000000 // (bb + cc) AS BIGINT)
+       END AS chi2_micro
+FROM cells
+"""
+
+QUERIES["mcnemar_predictors"] = (q_mcnemar_predictors,
+                                 SQL_MCNEMAR_PREDICTORS)
+
+
+# ---------------------------------------------------------------------------
+# Page's CUSUM control chart — max(0,·) recursion via the prefix identity
+# ---------------------------------------------------------------------------
+
+
+def q_page_cusum_alarm(sf_dir: str):
+    """Page's one-sided CUSUM control chart over daily revenue:
+    S_t = max(0, S_{t−1} + (y_t − target − slack)) with integer
+    target = ⌊mean⌋ and slack = target//20, alarm when S_t ≥ h =
+    target//2. The non-linear recursion closes EXACTLY by the prefix
+    identity S_t = P_t − min(0, cummin P) (the user_value_balance
+    trick), so the oracle is two window scans — no recursion. Output:
+    first alarm day, alarm-day count, max S — all integers from the
+    days-bounded table."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(day)
+    day, cv = day[o], cv[o]
+    n = len(day)
+    target = int(cv.sum()) // n
+    slack = target // 20
+    h = target // 2
+    x = cv - target - slack
+    p = np.cumsum(x)
+    cmin = np.minimum.accumulate(p)
+    s = p - np.minimum(cmin, 0)
+    alarms = s >= h
+    first = int(day[np.argmax(alarms)]) if alarms.any() else None
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "target_cents": pa.array([target], pa.int64()),
+        "first_alarm_day": pa.array([first], pa.int64()),
+        "alarm_days": pa.array([int(alarms.sum())], pa.int64()),
+        "max_s": pa.array([int(s.max())], pa.int64()),
+    })
+
+
+SQL_PAGE_CUSUM_ALARM = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS target,
+             CAST(count(*) AS BIGINT) AS n FROM d),
+w AS (
+  SELECT day,
+         sum(cents - t.target - t.target // 20)
+           OVER (ORDER BY day) AS p
+  FROM d, t),
+s AS (
+  SELECT day,
+         p - least(min(p) OVER (ORDER BY day), 0) AS s
+  FROM w)
+SELECT t.n AS n_days, t.target AS target_cents,
+       (SELECT min(day) FROM s, t WHERE s.s >= t.target // 2)
+         AS first_alarm_day,
+       (SELECT CAST(count(*) AS BIGINT) FROM s, t
+        WHERE s.s >= t.target // 2) AS alarm_days,
+       (SELECT CAST(max(s) AS BIGINT) FROM s) AS max_s
+FROM t
+"""
+
+QUERIES["page_cusum_alarm"] = (q_page_cusum_alarm,
+                               SQL_PAGE_CUSUM_ALARM)

@@ -142,3 +142,38 @@ def test_fractional_knapsack_quantized_ratio_order():
             break
     assert (nfull, used, score) == (1, 10, 10)
     assert frac == (3, 500_000)
+
+
+def test_page_cusum_prefix_identity_equals_recursion():
+    rng = np.random.default_rng(17)
+    x = rng.integers(-50, 45, 300)
+    # direct recursion
+    s_ref, s = [], 0
+    for v in x:
+        s = max(0, s + int(v))
+        s_ref.append(s)
+    # prefix identity
+    p = np.cumsum(x)
+    cmin = np.minimum.accumulate(p)
+    s_id = p - np.minimum(cmin, 0)
+    assert s_id.tolist() == s_ref
+
+
+def test_page_cusum_step_shift_alarms_after_shift():
+    # flat at 0 for 50 days, then +10/day drift with h=30: alarm fires
+    # a few days after the shift, never before
+    x = np.array([0] * 50 + [10] * 20)
+    p = np.cumsum(x)
+    s = p - np.minimum(np.minimum.accumulate(p), 0)
+    alarms = s >= 30
+    assert not alarms[:50].any()
+    assert int(np.argmax(alarms)) == 52  # 3rd day of the shift
+
+
+def test_mcnemar_cells_partition_and_statistic():
+    # personal right on 30, global right on 10 of the discordant set
+    b, c = 30, 10
+    chi2 = (b - c) ** 2 * 1_000_000 // (b + c)
+    assert chi2 == 400 * 1_000_000 // 40
+    # agreeing predictors contribute nothing discordant
+    assert ((5 - 5) ** 2) == 0
