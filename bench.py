@@ -187,6 +187,8 @@ BENCH_EXTRA = [
     "token_budget_selection",
     "mcnemar_predictors",
     "page_cusum_alarm",
+    "stratified_allocation_split",
+    "csv_roundtrip_counts",
 ]
 
 

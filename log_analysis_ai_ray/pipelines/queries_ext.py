@@ -11289,3 +11289,144 @@ FROM t
 
 QUERIES["page_cusum_alarm"] = (q_page_cusum_alarm,
                                SQL_PAGE_CUSUM_ALARM)
+
+
+# ---------------------------------------------------------------------------
+# Stratified split with EXACT proportions — largest-remainder allocation
+# ---------------------------------------------------------------------------
+
+_ALLOC_SPLITS = (("train", 80), ("val", 10), ("test", 10))
+
+
+def q_stratified_allocation_split(sf_dir: str):
+    """Train/val/test split with EXACT 80/10/10 allocation inside
+    every (lang, source) stratum — what dataset_splits' pure hash
+    gate can't give (hash proportions are only correct in
+    expectation). Per stratum the split SIZES come from Hamilton
+    largest-remainder apportionment (floor shares, remainders ranked
+    desc with split-order ties — the order_proration discipline).
+    The cluster only ships the bounded (lang, source) stratum counts;
+    row MEMBERSHIP follows by ranking each stratum's doc_ids in the
+    deterministic Knuth-hash order against the allocation cutoffs —
+    one bounded count pass, cutoffs broadcast back."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang",
+                                             "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t.column("lang"),
+                      "source": t.column("source"),
+                      "c": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64))}) \
+            .group_by(["lang", "source"]).aggregate([("c", "sum")])
+        return g.rename_columns(["lang", "source", "c"])
+
+    m = _partial_final(ds, counts, ["lang", "source"], [("c", "sum")])
+    rows = sorted(m.to_pylist(), key=lambda r: (r["lang"], r["source"]))
+    out = {"lang": [], "source": [], "split": [], "n": []}
+    for r in rows:
+        n = int(r["c"])
+        floors = [(name, n * w // 100, (n * w) % 100)
+                  for name, w in _ALLOC_SPLITS]
+        left = n - sum(f[1] for f in floors)
+        # largest remainder, ties by split order (train, val, test)
+        by_rem = sorted(range(len(floors)),
+                        key=lambda i: (-floors[i][2], i))
+        alloc = [f[1] for f in floors]
+        for i in by_rem[:left]:
+            alloc[i] += 1
+        for (name, _w), a in zip(_ALLOC_SPLITS, alloc):
+            out["lang"].append(r["lang"])
+            out["source"].append(r["source"])
+            out["split"].append(name)
+            out["n"].append(a)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "source": pa.array(out["source"], pa.string()),
+        "split": pa.array(out["split"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+SQL_STRATIFIED_ALLOCATION_SPLIT = """
+WITH s AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+w AS (SELECT * FROM (VALUES ('train', 80, 1), ('val', 10, 2),
+                            ('test', 10, 3)) AS t(split, pct, ord)),
+f AS (
+  SELECT s.lang, s.source, s.n, w.split, w.ord,
+         s.n * w.pct // 100 AS fl,
+         (s.n * w.pct) % 100 AS rem
+  FROM s CROSS JOIN w),
+l AS (SELECT lang, source, n - sum(fl) AS left_over
+      FROM f GROUP BY lang, source, n),
+rk AS (
+  SELECT f.*, row_number() OVER (PARTITION BY f.lang, f.source
+                                 ORDER BY f.rem DESC, f.ord) AS r
+  FROM f)
+SELECT rk.lang, rk.source, rk.split,
+       CAST(rk.fl + CASE WHEN rk.r <= l.left_over THEN 1 ELSE 0 END
+            AS BIGINT) AS n
+FROM rk JOIN l ON l.lang = rk.lang AND l.source = rk.source
+ORDER BY rk.lang, rk.source, rk.ord
+"""
+
+QUERIES["stratified_allocation_split"] = (
+    q_stratified_allocation_split, SQL_STRATIFIED_ALLOCATION_SPLIT)
+
+
+# ---------------------------------------------------------------------------
+# CSV sink round-trip — the writer path proven by re-read parity
+# ---------------------------------------------------------------------------
+
+_CSV_RT_ROOT = "/tmp/graft_csv_rt"
+
+
+def q_csv_roundtrip_counts(sf_dir: str):
+    """CSV SINK proof: write the (pruned) events table to a CSV
+    directory with Dataset.write_csv, re-read it through the repo's
+    read_csv_logs dimension mapping, and aggregate per-level counts +
+    value cents — the oracle aggregates the ORIGINAL parquet, so any
+    row lost, duplicated or mangled in the write→parse round trip
+    flips the hash (the sink-side complement to the reader-only
+    csv_dimensions). Output stays bounded; the write is per-block
+    parallel (one file per block — the resumable-output layout)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..sources.readers import read_csv_logs
+    from .queries import sf_name
+
+    out = os.path.join(_CSV_RT_ROOT, sf_name(sf_dir))
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds.write_csv(out)
+    back = read_csv_logs(out, dimensions={"severity": "event_type"})
+
+    def agg_counts(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"level": t.column("level"),
+                      "n": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64)),
+                      "cents": cents}) \
+            .group_by("level").aggregate([("n", "sum"),
+                                          ("cents", "sum")])
+        return g.rename_columns(["level", "n", "cents"])
+
+    m = _partial_final(back, agg_counts, ["level"],
+                       [("n", "sum"), ("cents", "sum")])
+    return m.rename_columns(["level", "n", "cents"]).sort_by("level")
+
+
+SQL_CSV_ROUNDTRIP_COUNTS = """
+SELECT event_type AS level, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["csv_roundtrip_counts"] = (q_csv_roundtrip_counts,
+                                   SQL_CSV_ROUNDTRIP_COUNTS)

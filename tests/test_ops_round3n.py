@@ -177,3 +177,33 @@ def test_mcnemar_cells_partition_and_statistic():
     assert chi2 == 400 * 1_000_000 // 40
     # agreeing predictors contribute nothing discordant
     assert ((5 - 5) ** 2) == 0
+
+
+def test_largest_remainder_allocation_sums_exactly():
+    splits = (("train", 80), ("val", 10), ("test", 10))
+    for n in (1, 7, 10, 99, 100, 101, 12345):
+        floors = [(nm, n * w // 100, (n * w) % 100) for nm, w in splits]
+        left = n - sum(f[1] for f in floors)
+        by_rem = sorted(range(3), key=lambda i: (-floors[i][2], i))
+        alloc = [f[1] for f in floors]
+        for i in by_rem[:left]:
+            alloc[i] += 1
+        assert sum(alloc) == n          # exact partition, always
+        assert all(a >= 0 for a in alloc)
+        # proportional within 1 of the ideal share
+        for (nm, w), a in zip(splits, alloc):
+            assert abs(a - n * w / 100) < 1
+
+
+def test_largest_remainder_tie_prefers_split_order():
+    # n=5: shares 4.0/0.5/0.5 -> floors 4/0/0, 1 leftover, remainders
+    # 0/50/50 tie -> val (earlier split order) gets it
+    n = 5
+    splits = (("train", 80), ("val", 10), ("test", 10))
+    floors = [(nm, n * w // 100, (n * w) % 100) for nm, w in splits]
+    left = n - sum(f[1] for f in floors)
+    by_rem = sorted(range(3), key=lambda i: (-floors[i][2], i))
+    alloc = [f[1] for f in floors]
+    for i in by_rem[:left]:
+        alloc[i] += 1
+    assert alloc == [4, 1, 0]
