@@ -189,6 +189,8 @@ BENCH_EXTRA = [
     "page_cusum_alarm",
     "stratified_allocation_split",
     "csv_roundtrip_counts",
+    "iv_wald_estimate",
+    "dedup_survivorship",
 ]
 
 

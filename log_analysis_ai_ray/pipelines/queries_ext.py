@@ -11430,3 +11430,252 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["csv_roundtrip_counts"] = (q_csv_roundtrip_counts,
                                    SQL_CSV_ROUNDTRIP_COUNTS)
+
+
+# ---------------------------------------------------------------------------
+# IV / Wald causal estimator — encouragement-design LATE
+# ---------------------------------------------------------------------------
+
+
+def q_iv_wald_estimate(sf_dir: str):
+    """Instrumental-variable (Wald) estimate: assignment z = THE Knuth
+    user hash instruments exposure x = 'user clicked at least once',
+    outcome y = user's total purchase cents; LATE = (ȳ₁−ȳ₀)/(x̄₁−x̄₀).
+    Completes the causal family (DiD, CUPED, HT) with the
+    non-compliance case those can't handle. Per-user (clicked,
+    cents) reduce → 2 arm cells of exact integers; the Wald ratio is
+    the single mirrored float."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        is_c = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_p = pc.equal(t.column("event_type"), "purchase")
+        y = pc.if_else(is_p, cents, pa.scalar(0, pa.int64()))
+        g = pa.table({"u": t.column("user_id"), "clicks": is_c,
+                      "y": y}) \
+            .group_by("u").aggregate([("clicks", "sum"), ("y", "sum")])
+        return g.rename_columns(["u", "clicks", "y"])
+
+    m = _partial_final(ds, per_user, ["u"],
+                       [("clicks", "sum"), ("y", "sum")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    ck = np.asarray(m.column("clicks"), dtype=np.int64)
+    yy = np.asarray(m.column("y"), dtype=np.int64)
+    arm = _knuth_bucket(u, 2)
+    rows = []
+    cells = {}
+    for z in (0, 1):
+        sel = arm == z
+        n = int(sel.sum())
+        x = int((ck[sel] > 0).sum())
+        y = int(yy[sel].sum())
+        cells[z] = (n, x, y)
+        rows.append((z, n, x, y))
+    (n0, x0, y0), (n1, x1, y1) = cells[0], cells[1]
+    num = y1 / n1 - y0 / n0
+    den = x1 / n1 - x0 / n0
+    wald = round(num / den, 6) if den != 0 else None
+    return pa.table({
+        "z": pa.array([r[0] for r in rows], pa.int64()),
+        "n_users": pa.array([r[1] for r in rows], pa.int64()),
+        "n_exposed": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "wald_late": pa.array([wald] * len(rows), pa.float64()),
+    })
+
+
+SQL_IV_WALD_ESTIMATE = """
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(((user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS z,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+cells AS (
+  SELECT z, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN clicks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exposed,
+         CAST(sum(y) AS BIGINT) AS sum_cents
+  FROM pu GROUP BY 1),
+w AS (
+  SELECT round(
+    (max(CASE WHEN z = 1 THEN CAST(sum_cents AS DOUBLE) / n_users END)
+     - max(CASE WHEN z = 0 THEN CAST(sum_cents AS DOUBLE) / n_users
+           END))
+    / (max(CASE WHEN z = 1 THEN CAST(n_exposed AS DOUBLE) / n_users
+           END)
+       - max(CASE WHEN z = 0 THEN CAST(n_exposed AS DOUBLE) / n_users
+             END)), 6) AS wald
+  FROM cells)
+SELECT cells.z, cells.n_users, cells.n_exposed, cells.sum_cents,
+       w.wald AS wald_late
+FROM cells, w ORDER BY cells.z
+"""
+
+QUERIES["iv_wald_estimate"] = (q_iv_wald_estimate, SQL_IV_WALD_ESTIMATE)
+
+
+# ---------------------------------------------------------------------------
+# Survivorship (golden record) — MDM merge over edit-distance clusters
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_survivorship(sf_dir: str):
+    """Golden-record construction (MDM survivorship) over customer
+    name near-duplicates: ed≤1 pairs from the same deletion-
+    neighborhood (FastSS) exchange customer_name_neardups uses — but
+    carrying custkeys — clustered by min-label connected components,
+    then ONE SURVIVOR per multi-member cluster by the business rule
+    (acctbal desc, custkey asc), plus merged attributes (max balance,
+    member count). The oracle rebuilds clusters with a recursive CTE
+    over the quadratic levenshtein join — recall of the blocking IS
+    the hash check."""
+    from ..stages.bloomjoin import _column_to_u64
+    from ..stages.graph import connected_components
+    from .queries import _ARGMAX_NPART, _del_variants, _ed_le_1
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_name", "c_custkey", "c_acctbal"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        names = t.column("c_name").to_pylist()
+        keys = t.column("c_custkey").to_pylist()
+        vs, owner, ok = [], [], []
+        for nm, k in zip(names, keys):
+            for v in [nm] + list(_del_variants(nm)):
+                vs.append(v)
+                owner.append(nm)
+                ok.append(k)
+        vt = pa.table({"v": pa.array(vs, type=pa.string()),
+                       "name": pa.array(owner, type=pa.string()),
+                       "ck": pa.array(ok, type=pa.int64())})
+        vt = vt.group_by(["v", "name", "ck"]).aggregate([])
+        hk, _ = _column_to_u64(vt.column("v"))
+        return pa.table({
+            "_pkey": pa.array((hk % np.uint64(_ARGMAX_NPART))
+                              .astype(np.int64)),
+            "v": vt.column("v"), "name": vt.column("name"),
+            "ck": vt.column("ck")})
+
+    def verify(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("v").to_pylist())
+        nm = np.asarray(t.column("name").to_pylist())
+        ck = np.asarray(t.column("ck"), dtype=np.int64)
+        order = np.lexsort((nm, v))
+        v, nm, ck = v[order], nm[order], ck[order]
+        first = np.concatenate([[0],
+                                np.flatnonzero(v[1:] != v[:-1]) + 1])
+        counts = np.diff(np.concatenate([first, [len(v)]]))
+        pairs = set()
+        for f, c in zip(first, counts):
+            if c < 2:
+                continue
+            idx = f + np.argsort(nm[f:f + c])
+            grp_n, grp_k = nm[idx], ck[idx]
+            uniq = np.concatenate(([True], grp_n[1:] != grp_n[:-1]))
+            grp_n, grp_k = grp_n[uniq], grp_k[uniq]
+            for i in range(len(grp_n)):
+                for j in range(i + 1, len(grp_n)):
+                    a, b = int(grp_k[i]), int(grp_k[j])
+                    if (a, b) not in pairs \
+                            and _ed_le_1(grp_n[i], grp_n[j]):
+                        pairs.add((a, b))
+        return pa.table({
+            "a": pa.array([p[0] for p in sorted(pairs)], pa.int64()),
+            "b": pa.array([p[1] for p in sorted(pairs)], pa.int64())})
+
+    parts = ds.map_batches(variants, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(verify, batch_format="pyarrow")
+    pairs = agg._combine_partials(
+        parts, keys=["a", "b"], aggs=[],
+        empty_schema=pa.schema([("a", pa.int64()),
+                                ("b", pa.int64())]))
+    if pairs.num_rows == 0:
+        return pa.table({
+            "cluster_root": pa.array([], pa.int64()),
+            "n_members": pa.array([], pa.int64()),
+            "survivor_custkey": pa.array([], pa.int64()),
+            "max_acctbal_cents": pa.array([], pa.int64())})
+    comp = connected_components(pairs, src="a", dst="b")
+    node = np.asarray(comp.column(comp.column_names[0]),
+                      dtype=np.int64)
+    root = np.asarray(comp.column(comp.column_names[1]),
+                      dtype=np.int64)
+    member_keys = set(int(x) for x in node)
+
+    def attrs(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("c_custkey"), dtype=np.int64)
+        keep = np.isin(k, np.asarray(sorted(member_keys),
+                                     dtype=np.int64))
+        t = t.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100), 0), pa.int64())
+        return pa.table({"ck": t.column("c_custkey"), "bal": cents})
+
+    at = agg._to_arrow(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+        .map_batches(attrs, batch_format="pyarrow"))
+    ck = np.asarray(at.column("ck"), dtype=np.int64)
+    bal = np.asarray(at.column("bal"), dtype=np.int64)
+    bal_of = dict(zip(ck.tolist(), bal.tolist()))
+    out = {}
+    for n_, r_ in zip(node.tolist(), root.tolist()):
+        e = out.setdefault(r_, [])
+        e.append(n_)
+    roots, nm_, surv, mx = [], [], [], []
+    for r_ in sorted(out):
+        members = sorted(out[r_])
+        best = min(members, key=lambda k: (-bal_of[k], k))
+        roots.append(r_)
+        nm_.append(len(members))
+        surv.append(best)
+        mx.append(max(bal_of[k] for k in members))
+    return pa.table({
+        "cluster_root": pa.array(roots, pa.int64()),
+        "n_members": pa.array(nm_, pa.int64()),
+        "survivor_custkey": pa.array(surv, pa.int64()),
+        "max_acctbal_cents": pa.array(mx, pa.int64())})
+
+
+SQL_DEDUP_SURVIVORSHIP = """
+WITH RECURSIVE p AS (
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM customer a JOIN customer b
+    ON a.c_name < b.c_name
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+   AND levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM sym),
+cc(n, lab) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT sym.a, cc.lab FROM sym JOIN cc ON cc.n = sym.b
+  WHERE cc.lab < sym.a),
+comp AS (SELECT n, min(lab) AS root FROM cc GROUP BY 1),
+att AS (SELECT comp.n, comp.root,
+               CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal
+        FROM comp JOIN customer c ON c.c_custkey = comp.n),
+ranked AS (
+  SELECT root, n, bal,
+         row_number() OVER (PARTITION BY root
+                            ORDER BY bal DESC, n) AS rk
+  FROM att)
+SELECT att.root AS cluster_root,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(CASE WHEN ranked.rk = 1 THEN ranked.n END)
+         AS survivor_custkey,
+       CAST(max(att.bal) AS BIGINT) AS max_acctbal_cents
+FROM att JOIN ranked ON ranked.root = att.root AND ranked.n = att.n
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dedup_survivorship"] = (q_dedup_survivorship,
+                                 SQL_DEDUP_SURVIVORSHIP)

@@ -207,3 +207,34 @@ def test_largest_remainder_tie_prefers_split_order():
     for i in by_rem[:left]:
         alloc[i] += 1
     assert alloc == [4, 1, 0]
+
+
+def test_iv_wald_perfect_compliance_equals_itt():
+    # when exposure == assignment exactly, LATE == ITT difference
+    n0 = n1 = 100
+    y0, y1 = 50_000, 65_000
+    x0, x1 = 0, 100  # nobody/everybody exposed
+    num = y1 / n1 - y0 / n0
+    den = x1 / n1 - x0 / n0
+    assert den == 1.0
+    assert abs(num / den - 150.0) < 1e-9
+
+
+def test_survivorship_rule_max_balance_then_min_key():
+    members = [(5, 100), (3, 250), (9, 250)]  # (custkey, bal)
+    bal_of = dict(members)
+    best = min(bal_of, key=lambda k: (-bal_of[k], k))
+    assert best == 3  # balance tie -> smaller custkey
+
+
+def test_survivorship_clusters_via_components():
+    from log_analysis_ai_ray.stages.graph import connected_components
+    import pyarrow as pa_
+    pairs = pa_.table({"a": pa_.array([1, 2, 7], pa_.int64()),
+                       "b": pa_.array([2, 3, 8], pa_.int64())})
+    comp = connected_components(pairs, src="a", dst="b")
+    node = comp.column(comp.column_names[0]).to_pylist()
+    root = comp.column(comp.column_names[1]).to_pylist()
+    lab = dict(zip(node, root))
+    assert lab[1] == lab[2] == lab[3] == 1
+    assert lab[7] == lab[8] == 7
