@@ -191,6 +191,8 @@ BENCH_EXTRA = [
     "csv_roundtrip_counts",
     "iv_wald_estimate",
     "dedup_survivorship",
+    "jsonl_roundtrip_counts",
+    "top_phrase_bigram",
 ]
 
 

@@ -11679,3 +11679,138 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["dedup_survivorship"] = (q_dedup_survivorship,
                                  SQL_DEDUP_SURVIVORSHIP)
+
+
+# ---------------------------------------------------------------------------
+# JSONL sink round-trip — write_json → heuristic reader → parity
+# ---------------------------------------------------------------------------
+
+_JSONL_RT_ROOT = "/tmp/graft_jsonl_rt"
+
+
+def q_jsonl_roundtrip_counts(sf_dir: str):
+    """JSONL SINK proof (the CSV round-trip's sibling): events written
+    with Dataset.write_json, re-read through read_json_logs' heuristic
+    field extraction (event_type rides through the stringified attrs
+    map), aggregated and compared against the original parquet — the
+    full serialize→parse loop must preserve every row and cent."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..sources.readers import read_json_logs
+    from .queries import sf_name
+
+    out = os.path.join(_JSONL_RT_ROOT, sf_name(sf_dir))
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds.write_json(out)
+    back = read_json_logs(out)
+
+    def agg_counts(t: pa.Table) -> pa.Table:
+        # both fields land in the attrs map (stringified scalars)
+        attrs = t.column("attrs")
+        if isinstance(attrs, pa.ChunkedArray):
+            attrs = attrs.combine_chunks()
+        ty = pc.map_lookup(attrs, query_key="event_type",
+                           occurrence="first")
+        val = pc.cast(pc.map_lookup(attrs, query_key="value",
+                                    occurrence="first"), pa.float64())
+        cents = pc.cast(pc.round(pc.multiply(val, 100), 0), pa.int64())
+        g = pa.table({"ty": ty,
+                      "n": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64)),
+                      "cents": cents}) \
+            .group_by("ty").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["ty", "n", "cents"])
+
+    m = _partial_final(back, agg_counts, ["ty"],
+                       [("n", "sum"), ("cents", "sum")])
+    return m.rename_columns(["event_type", "n", "cents"]) \
+        .sort_by("event_type")
+
+
+SQL_JSONL_ROUNDTRIP_COUNTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["jsonl_roundtrip_counts"] = (q_jsonl_roundtrip_counts,
+                                     SQL_JSONL_ROUNDTRIP_COUNTS)
+
+
+# ---------------------------------------------------------------------------
+# Top adjacent bigram — positional-adjacency statistics in one pass
+# ---------------------------------------------------------------------------
+
+
+def q_top_phrase_bigram(sf_dir: str):
+    """The corpus's hottest two-word PHRASE (adjacent-token bigram):
+    occurrences and distinct-document counts for every bigram reduce
+    as vocab²-bounded partials in ONE pass (positions never leave the
+    block — the positional-index intersect collapses to an adjacency
+    count when the index and the query live in the same scan), top-1
+    by (occurrences desc, w1, w2). Oracle = lag-window adjacency over
+    unnest WITH ORDINALITY."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        fp = np.asarray(par, dtype=np.int64)
+        fl = np.asarray(flat.to_pylist())
+        same = fp[1:] == fp[:-1]
+        w1, w2 = fl[:-1][same], fl[1:][same]
+        dd = fp[:-1][same]
+        bt = pa.table({"w1": pa.array(w1), "w2": pa.array(w2),
+                       "d": pa.array(dd)})
+        occ = bt.group_by(["w1", "w2"]).aggregate([([], "count_all")]) \
+            .rename_columns(["w1", "w2", "occ"])
+        docs = bt.group_by(["w1", "w2", "d"]).aggregate([]) \
+            .group_by(["w1", "w2"]).aggregate([([], "count_all")]) \
+            .rename_columns(["w1", "w2", "docs"])
+        return occ.join(docs, keys=["w1", "w2"])
+
+    m = _partial_final(ds, partial, ["w1", "w2"],
+                       [("occ", "sum"), ("docs", "sum")])
+    w1 = np.asarray(m.column("w1").to_pylist())
+    w2 = np.asarray(m.column("w2").to_pylist())
+    occ = np.asarray(m.column("occ"), dtype=np.int64)
+    docs = np.asarray(m.column("docs"), dtype=np.int64)
+    top = np.lexsort((w2, w1, -occ))[0]
+    return pa.table({
+        "w1": pa.array([str(w1[top])], pa.string()),
+        "w2": pa.array([str(w2[top])], pa.string()),
+        "occurrences": pa.array([int(occ[top])], pa.int64()),
+        "n_docs": pa.array([int(docs[top])], pa.int64()),
+    })
+
+
+SQL_TOP_PHRASE_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id, token, pos
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text, '\\S+')) AS token,
+               generate_subscripts(
+                 regexp_extract_all(text, '\\S+'), 1) AS pos
+        FROM documents)),
+bi AS (
+  SELECT doc_id,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         token AS w2
+  FROM toks),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM bi WHERE w1 IS NOT NULL GROUP BY 1, 2)
+SELECT w1, w2, occurrences, n_docs
+FROM c ORDER BY occurrences DESC, w1, w2 LIMIT 1
+"""
+
+QUERIES["top_phrase_bigram"] = (q_top_phrase_bigram,
+                                SQL_TOP_PHRASE_BIGRAM)

@@ -238,3 +238,16 @@ def test_survivorship_clusters_via_components():
     lab = dict(zip(node, root))
     assert lab[1] == lab[2] == lab[3] == 1
     assert lab[7] == lab[8] == 7
+
+
+def test_adjacent_bigram_counts_block_invariant():
+    # counting adjacency inside one flattened (parent, token) stream:
+    # pairs never cross document boundaries
+    fp = np.array([0, 0, 0, 1, 1, 2], dtype=np.int64)
+    fl = np.array(["a", "b", "a", "b", "a", "a"])
+    same = fp[1:] == fp[:-1]
+    w1, w2 = fl[:-1][same], fl[1:][same]
+    pairs = list(zip(w1.tolist(), w2.tolist()))
+    assert pairs == [("a", "b"), ("b", "a"), ("b", "a")]
+    # no pair between doc0's last token and doc1's first
+    assert ("a", "b") not in pairs[1:]
