@@ -193,6 +193,8 @@ BENCH_EXTRA = [
     "dedup_survivorship",
     "jsonl_roundtrip_counts",
     "top_phrase_bigram",
+    "transition_latency_median",
+    "peak_concurrent_users",
 ]
 
 

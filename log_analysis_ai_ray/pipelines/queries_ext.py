@@ -11814,3 +11814,144 @@ FROM c ORDER BY occurrences DESC, w1, w2 LIMIT 1
 
 QUERIES["top_phrase_bigram"] = (q_top_phrase_bigram,
                                 SQL_TOP_PHRASE_BIGRAM)
+
+
+# ---------------------------------------------------------------------------
+# Process mining — median latency per directly-follows transition
+# ---------------------------------------------------------------------------
+
+
+def q_transition_latency_median(sf_dir: str):
+    """Directly-follows process map with timing: for every event-type
+    transition (the event_type_markov edges) the MEDIAN gap in whole
+    seconds — the bottleneck view process mining adds on top of the
+    counts. Gaps quantize to seconds, so the per-(pair, gap) histogram
+    the partitions ship is bounded by the TIME SPAN (≤2.7M distinct
+    seconds/month), not the corpus; the exact median (DuckDB's
+    even-count halving mirrored as (lo+hi)/2 doubles) closes per pair
+    driver-side."""
+    from .queries import _ARGMAX_NPART
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+        })
+
+    def gaps(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        same = u[1:] == u[:-1]
+        gap = (ts[1:] - ts[:-1]) // 1_000_000
+        g = pa.table({
+            "prev_type": pa.array(et[:-1][same], type=pa.string()),
+            "cur_type": pa.array(et[1:][same], type=pa.string()),
+            "gap_s": pa.array(gap[same]),
+        }).group_by(["prev_type", "cur_type", "gap_s"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["prev_type", "cur_type", "gap_s",
+                                 "n"])
+
+    partials = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(gaps, batch_format="pyarrow")
+    h = agg._combine_partials(
+        partials, keys=["prev_type", "cur_type", "gap_s"],
+        aggs=[("n", "sum")])
+    pt = np.asarray(h.column("prev_type").to_pylist())
+    ct = np.asarray(h.column("cur_type").to_pylist())
+    gs = np.asarray(h.column("gap_s"), dtype=np.int64)
+    nn = np.asarray(h.column("n"), dtype=np.int64)
+    rows = []
+    keys = sorted(set(zip(pt.tolist(), ct.tolist())))
+    for p_, c_ in keys:
+        sel = (pt == p_) & (ct == c_)
+        v, c = gs[sel], nn[sel]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        lo = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
+        rows.append((p_, c_, n, (lo + hi) / 2.0))
+    return pa.table({
+        "prev_type": pa.array([r[0] for r in rows], pa.string()),
+        "cur_type": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "median_gap_s": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_TRANSITION_LATENCY_MEDIAN = """
+WITH s AS (
+  SELECT user_id,
+         event_type AS cur_type,
+         lag(event_type) OVER w AS prev_type,
+         (CAST(epoch_us(ts) AS BIGINT)
+          - lag(CAST(epoch_us(ts) AS BIGINT)) OVER w)
+           // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(median(gap_s) AS DOUBLE) AS median_gap_s
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["transition_latency_median"] = (q_transition_latency_median,
+                                        SQL_TRANSITION_LATENCY_MEDIAN)
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — max distinct active users in any minute
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrent_users(sf_dir: str):
+    """Capacity headline: the single minute with the most distinct
+    active users (and the peak value). DISTINCT (minute, user) pairs
+    reduce per block BEFORE the exchange (the hourly_active_users
+    discipline at minute grain — the shuffle never moves raw events),
+    per-minute counts are span-bounded, argmax ties to the earliest
+    minute."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        mn = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(60_000_000, pa.int64()))
+        g = pa.table({"mn": mn, "u": t.column("user_id")}) \
+            .group_by(["mn", "u"]).aggregate([])
+        return g.rename_columns(["mn", "u"])
+
+    dp = _partial_final(ds, pairs, ["mn", "u"], [])
+    mn = np.asarray(dp.column("mn"), dtype=np.int64)
+    mu, cnt = np.unique(mn, return_counts=True)
+    top = np.lexsort((mu, -cnt))[0]
+    return pa.table({
+        "peak_minute": pa.array([int(mu[top])], pa.int64()),
+        "peak_users": pa.array([int(cnt[top])], pa.int64()),
+        "n_minutes": pa.array([len(mu)], pa.int64()),
+    })
+
+
+SQL_PEAK_CONCURRENT_USERS = """
+WITH m AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 60000000 AS mn,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY 1)
+SELECT mn AS peak_minute, users AS peak_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_minutes
+FROM m ORDER BY users DESC, mn LIMIT 1
+"""
+
+QUERIES["peak_concurrent_users"] = (q_peak_concurrent_users,
+                                    SQL_PEAK_CONCURRENT_USERS)

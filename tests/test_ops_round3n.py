@@ -251,3 +251,22 @@ def test_adjacent_bigram_counts_block_invariant():
     assert pairs == [("a", "b"), ("b", "a"), ("b", "a")]
     # no pair between doc0's last token and doc1's first
     assert ("a", "b") not in pairs[1:]
+
+
+def test_median_from_histogram_matches_duckdb_semantics():
+    # even count: average of the two middle order statistics
+    vals = np.array([1, 1, 3, 9], dtype=np.int64)
+    vu, cc = np.unique(vals, return_counts=True)
+    n = int(cc.sum())
+    cum = np.cumsum(cc)
+    lo = int(vu[np.searchsorted(cum, (n + 1) // 2)])
+    hi = int(vu[np.searchsorted(cum, n // 2 + 1)])
+    assert (lo + hi) / 2.0 == 2.0  # (1+3)/2
+    # odd count: the middle element itself
+    vals = np.array([1, 3, 9], dtype=np.int64)
+    vu, cc = np.unique(vals, return_counts=True)
+    n = int(cc.sum())
+    cum = np.cumsum(cc)
+    lo = int(vu[np.searchsorted(cum, (n + 1) // 2)])
+    hi = int(vu[np.searchsorted(cum, n // 2 + 1)])
+    assert (lo + hi) / 2.0 == 3.0
