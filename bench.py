@@ -195,6 +195,8 @@ BENCH_EXTRA = [
     "top_phrase_bigram",
     "transition_latency_median",
     "peak_concurrent_users",
+    "type_skew_kurtosis",
+    "anomaly_ensemble_hours",
 ]
 
 

@@ -11955,3 +11955,213 @@ FROM m ORDER BY users DESC, mn LIMIT 1
 
 QUERIES["peak_concurrent_users"] = (q_peak_concurrent_users,
                                     SQL_PEAK_CONCURRENT_USERS)
+
+
+# ---------------------------------------------------------------------------
+# Moments — skewness & kurtosis per type from exact integer sums
+# ---------------------------------------------------------------------------
+
+
+def q_type_skew_kurtosis(sf_dir: str):
+    """Higher-moment shape statistics per event type: population
+    skewness g₁ = m₃/m₂^1.5 and excess kurtosis g₂ = m₄/m₂² − 3 from
+    the EXACT integer power sums (n, Σy, Σy², Σy³, Σy⁴) — one 5-int
+    partial row per (type, block); central moments expand by the
+    binomial identities in Python bigints (Σy⁴ at 10¹² rows overflows
+    int64 — partials stay int64-safe per block, the close does not,
+    hence bigint), mirrored HUGEINT→DOUBLE in the oracle, round-6."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        # scale to dollars to keep per-block Σy⁴ inside int64
+        y = pc.divide(y, pa.scalar(100, pa.int64()))
+        y2 = pc.multiply(y, y)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "s1": y, "s2": y2, "s3": pc.multiply(y2, y),
+            "s4": pc.multiply(y2, y2),
+        }).group_by("event_type").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+             ("s3", "sum"), ("s4", "sum")])
+        return g.rename_columns(["event_type", "n", "s1", "s2",
+                                 "s3", "s4"])
+
+    m = _partial_final(ds, partial, ["event_type"],
+                       [("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+                        ("s3", "sum"), ("s4", "sum")])
+    import math
+    rows = sorted(m.to_pylist(), key=lambda r: r["event_type"])
+    out = {"event_type": [], "n": [], "skew": [], "kurtosis": []}
+    for r in rows:
+        n = int(r["n"])
+        s1, s2, s3, s4 = (int(r["s1"]), int(r["s2"]), int(r["s3"]),
+                          int(r["s4"]))
+        # central power sums · nᵏ (exact bigints):
+        # M2·n = n·s2 − s1²; M3·n² = n²·s3 − 3n·s1·s2 + 2s1³
+        # M4·n³ = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴
+        m2n = n * s2 - s1 * s1
+        m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4n = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        # g1 = (M3/n)/(M2/n)^1.5 = m3n·√n / m2n^1.5 (n scales cancel)
+        skew = float(m3n) * math.sqrt(float(n)) \
+            / (float(m2n) ** 1.5)
+        kurt = float(m4n) * n / (float(m2n) ** 2) - 3.0
+        out["event_type"].append(r["event_type"])
+        out["n"].append(n)
+        out["skew"].append(round(skew, 6))
+        out["kurtosis"].append(round(kurt, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "skew": pa.array(out["skew"], pa.float64()),
+        "kurtosis": pa.array(out["kurtosis"], pa.float64()),
+    })
+
+
+SQL_TYPE_SKEW_KURTOSIS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) // 100 AS y
+  FROM events),
+s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS s1,
+         CAST(sum(y * y) AS HUGEINT) AS s2,
+         CAST(sum(y * y * y) AS HUGEINT) AS s3,
+         CAST(sum(y * y * y * y) AS HUGEINT) AS s4
+  FROM e GROUP BY 1),
+c AS (
+  SELECT event_type, n,
+         n * s2 - s1 * s1 AS m2n,
+         n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n,
+         n * n * n * s4 - 4 * n * n * s1 * s3
+           + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4n
+  FROM s)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(m3n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+             / pow(CAST(m2n AS DOUBLE), 1.5), 6) AS skew,
+       round(CAST(m4n AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0, 6)
+         AS kurtosis
+FROM c ORDER BY event_type
+"""
+
+QUERIES["type_skew_kurtosis"] = (q_type_skew_kurtosis,
+                                 SQL_TYPE_SKEW_KURTOSIS)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly ensemble — majority vote of three detectors per (type, hour)
+# ---------------------------------------------------------------------------
+
+
+def q_anomaly_ensemble_hours(sf_dir: str):
+    """Ensemble anomaly detection on hourly counts per type: three
+    detectors vote — (a) z-score > 3 from exact integer moments
+    (cross-multiplied: (n·c − S)² · n > 9 · n · (n·Q − S²), no
+    sqrt), (b) Tukey fence c > Q3 + 1.5·IQR with exact ceil-rank
+    quartiles (4c > 4·q3 + 6·iqr in integers), (c) MAD: |c − med| >
+    3·MAD·1.4826 ≈ cross-multiplied 10000·|c−med| > 44478·MAD.
+    A (type, hour-bucket) is anomalous when ≥2 detectors agree —
+    ensembles kill single-detector false positives. Everything closes
+    from the bounded (type, hour, count) rollup; output = flagged
+    cells + per-type totals."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hb = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(3_600_000_000, pa.int64()))
+        g = pa.table({"event_type": t.column("event_type"),
+                      "hb": hb}) \
+            .group_by(["event_type", "hb"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["event_type", "hb", "c"])
+
+    m = _partial_final(ds, partial, ["event_type", "hb"],
+                       [("c", "sum")])
+    et = np.asarray(m.column("event_type").to_pylist())
+    hb = np.asarray(m.column("hb"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    out = {"event_type": [], "n_hours": [], "flagged2": [],
+           "flagged3": []}
+    for ty in sorted(set(et.tolist())):
+        sel = et == ty
+        c = cc[sel]
+        n = len(c)
+        s, q = int(c.sum()), int((c * c).sum())
+        # (a) z > 3  <=>  (n·c − s)² · 1 > 9 · (n·q − s²) · n  (ddof 0)
+        zn = (n * c.astype(object) - s) ** 2
+        za = np.array([int(v) for v in zn], dtype=object)
+        var_n2 = n * q - s * s  # n²·var
+        z_flag = np.array([int(v) > 9 * var_n2 for v in za])
+        z_flag &= (n * c - s) > 0  # one-sided: spikes only
+        # (b) Tukey upper fence, exact ceil-rank quartiles
+        cs = np.sort(c)
+        q1 = int(cs[max(-(-n // 4) - 1, 0)])
+        q3 = int(cs[max(-(-(3 * n) // 4) - 1, 0)])
+        iqr = q3 - q1
+        t_flag = 2 * c > 2 * q3 + 3 * iqr
+        # (c) MAD (scaled): 10000·|c−med| > 44478·MAD
+        med = int(cs[max(-(-n // 2) - 1, 0)])
+        mad = int(np.sort(np.abs(c - med))[max(-(-n // 2) - 1, 0)])
+        m_flag = 10_000 * np.abs(c - med) > 44_478 * mad
+        votes = (z_flag.astype(np.int64) + t_flag.astype(np.int64)
+                 + m_flag.astype(np.int64))
+        out["event_type"].append(ty)
+        out["n_hours"].append(n)
+        out["flagged2"].append(int((votes >= 2).sum()))
+        out["flagged3"].append(int((votes >= 3).sum()))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_hours": pa.array(out["n_hours"], pa.int64()),
+        "flagged2": pa.array(out["flagged2"], pa.int64()),
+        "flagged3": pa.array(out["flagged3"], pa.int64()),
+    })
+
+
+SQL_ANOMALY_ENSEMBLE_HOURS = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS HUGEINT) AS q,
+         CAST(quantile_disc(c, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(c, 0.75) AS BIGINT) AS q3,
+         CAST(quantile_disc(c, 0.5) AS BIGINT) AS med
+  FROM h GROUP BY 1),
+md AS (
+  SELECT h.event_type,
+         CAST(quantile_disc(abs(h.c - st.med), 0.5) AS BIGINT) AS mad
+  FROM h JOIN st USING (event_type) GROUP BY 1),
+v AS (
+  SELECT h.event_type, h.hb,
+         (CASE WHEN CAST(st.n AS HUGEINT) * h.c - st.s > 0
+                AND CAST(st.n * h.c - st.s AS HUGEINT)
+                    * (st.n * h.c - st.s)
+                    > 9 * (st.n * st.q
+                           - CAST(st.s AS HUGEINT) * st.s)
+               THEN 1 ELSE 0 END)
+         + (CASE WHEN 2 * h.c > 2 * st.q3 + 3 * (st.q3 - st.q1)
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN 10000 * abs(h.c - st.med) > 44478 * md.mad
+                 THEN 1 ELSE 0 END) AS votes
+  FROM h JOIN st USING (event_type) JOIN md USING (event_type))
+SELECT st.event_type, st.n AS n_hours,
+       CAST(coalesce(sum(CASE WHEN v.votes >= 2 THEN 1 END), 0)
+            AS BIGINT) AS flagged2,
+       CAST(coalesce(sum(CASE WHEN v.votes >= 3 THEN 1 END), 0)
+            AS BIGINT) AS flagged3
+FROM st JOIN v USING (event_type)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["anomaly_ensemble_hours"] = (q_anomaly_ensemble_hours,
+                                     SQL_ANOMALY_ENSEMBLE_HOURS)

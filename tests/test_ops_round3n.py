@@ -270,3 +270,45 @@ def test_median_from_histogram_matches_duckdb_semantics():
     lo = int(vu[np.searchsorted(cum, (n + 1) // 2)])
     hi = int(vu[np.searchsorted(cum, n // 2 + 1)])
     assert (lo + hi) / 2.0 == 3.0
+
+
+def test_central_moment_identities_match_numpy():
+    rng = np.random.default_rng(19)
+    y = rng.integers(0, 50, 500).astype(np.int64)
+    n = len(y)
+    s1, s2 = int(y.sum()), int((y * y).sum())
+    s3, s4 = int((y ** 3).sum()), int((y ** 4).sum())
+    m2n = n * s2 - s1 * s1
+    m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    m4n = n ** 3 * s4 - 4 * n * n * s1 * s3 \
+        + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4
+    yf = y.astype(float)
+    mu = yf.mean()
+    assert abs(m2n / n ** 2 - ((yf - mu) ** 2).mean()) < 1e-6
+    assert abs(m3n / n ** 3 - ((yf - mu) ** 3).mean()) < 1e-5
+    assert abs(m4n / n ** 4 - ((yf - mu) ** 4).mean()) < 1e-4
+    import math
+    skew = m3n * math.sqrt(n) / m2n ** 1.5
+    skew_ref = (((yf - mu) ** 3).mean()
+                / (((yf - mu) ** 2).mean()) ** 1.5)
+    assert abs(skew - skew_ref) < 1e-9
+
+
+def test_normalish_kurtosis_near_zero_uniform_negative():
+    # uniform distribution: excess kurtosis = -1.2 exactly in the limit
+    y = np.arange(10000, dtype=np.int64) % 100
+    n = len(y)
+    s1, s2 = int(y.sum()), int((y * y).sum())
+    s4 = int((y.astype(object) ** 4).sum())
+    s3 = int((y.astype(object) ** 3).sum())
+    m2n = n * s2 - s1 * s1
+    m4n = n ** 3 * s4 - 4 * n * n * s1 * s3 \
+        + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4
+    kurt = m4n * n / m2n ** 2 - 3.0
+    assert abs(kurt + 1.2) < 0.01
+
+
+def test_ensemble_majority_suppresses_single_votes():
+    votes = np.array([3, 2, 1, 0, 2])
+    assert int((votes >= 2).sum()) == 3
+    assert int((votes >= 3).sum()) == 1
