@@ -11999,17 +11999,17 @@ def q_type_skew_kurtosis(sf_dir: str):
         n = int(r["n"])
         s1, s2, s3, s4 = (int(r["s1"]), int(r["s2"]), int(r["s3"]),
                           int(r["s4"]))
-        # central power sums · nᵏ (exact bigints):
-        # M2·n = n·s2 − s1²; M3·n² = n²·s3 − 3n·s1·s2 + 2s1³
-        # M4·n³ = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴
+        # central power sums scaled by nᵏ (exact bigints):
+        # M2·n² = n·s2 − s1²; M3·n³ = n²·s3 − 3n·s1·s2 + 2s1³
+        # M4·n⁴ = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴
         m2n = n * s2 - s1 * s1
         m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
         m4n = (n ** 3 * s4 - 4 * n * n * s1 * s3
                + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
-        # g1 = (M3/n)/(M2/n)^1.5 = m3n·√n / m2n^1.5 (n scales cancel)
-        skew = float(m3n) * math.sqrt(float(n)) \
-            / (float(m2n) ** 1.5)
-        kurt = float(m4n) * n / (float(m2n) ** 2) - 3.0
+        # g1 = M3/M2^1.5 = (m3n/n³)/(m2n/n²)^1.5 = m3n/m2n^1.5
+        skew = float(m3n) / (float(m2n) ** 1.5)
+        # g2 = M4/M2² − 3 = (m4n/n⁴)/(m2n/n²)² − 3 = m4n/m2n² − 3
+        kurt = float(m4n) / (float(m2n) ** 2) - 3.0
         out["event_type"].append(r["event_type"])
         out["n"].append(n)
         out["skew"].append(round(skew, 6))
@@ -12042,9 +12042,9 @@ c AS (
            + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4n
   FROM s)
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       round(CAST(m3n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+       round(CAST(m3n AS DOUBLE)
              / pow(CAST(m2n AS DOUBLE), 1.5), 6) AS skew,
-       round(CAST(m4n AS DOUBLE) * CAST(n AS DOUBLE)
+       round(CAST(m4n AS DOUBLE)
              / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0, 6)
          AS kurtosis
 FROM c ORDER BY event_type

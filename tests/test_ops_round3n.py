@@ -287,8 +287,7 @@ def test_central_moment_identities_match_numpy():
     assert abs(m2n / n ** 2 - ((yf - mu) ** 2).mean()) < 1e-6
     assert abs(m3n / n ** 3 - ((yf - mu) ** 3).mean()) < 1e-5
     assert abs(m4n / n ** 4 - ((yf - mu) ** 4).mean()) < 1e-4
-    import math
-    skew = m3n * math.sqrt(n) / m2n ** 1.5
+    skew = m3n / m2n ** 1.5
     skew_ref = (((yf - mu) ** 3).mean()
                 / (((yf - mu) ** 2).mean()) ** 1.5)
     assert abs(skew - skew_ref) < 1e-9
@@ -304,7 +303,7 @@ def test_normalish_kurtosis_near_zero_uniform_negative():
     m2n = n * s2 - s1 * s1
     m4n = n ** 3 * s4 - 4 * n * n * s1 * s3 \
         + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4
-    kurt = m4n * n / m2n ** 2 - 3.0
+    kurt = m4n / m2n ** 2 - 3.0
     assert abs(kurt + 1.2) < 0.01
 
 
