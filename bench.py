@@ -197,6 +197,7 @@ BENCH_EXTRA = [
     "peak_concurrent_users",
     "type_skew_kurtosis",
     "anomaly_ensemble_hours",
+    "markov_attribution",
 ]
 
 

@@ -12165,3 +12165,201 @@ GROUP BY 1, 2 ORDER BY 1
 
 QUERIES["anomaly_ensemble_hours"] = (q_anomaly_ensemble_hours,
                                      SQL_ANOMALY_ENSEMBLE_HOURS)
+
+
+# ---------------------------------------------------------------------------
+# Markov attribution — removal-effect conversion probabilities
+# ---------------------------------------------------------------------------
+
+_MARKOV_STEPS = 8
+_MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _markov_conv_prob(counts: dict, removed: str | None) -> float:
+    """8-step conversion mass of the journey chain built from
+    ``counts`` {(src, dst): n} with ``removed``'s edges dropped
+    (classic removal effect: mass into the removed channel DIES, no
+    renormalization). conv is absorbing via a self-loop; the SQL
+    oracle runs the identical 8 chained groupby steps in doubles."""
+    totals: dict = {}
+    for (s, d), n in counts.items():
+        totals[s] = totals.get(s, 0) + n  # FULL-chain totals: the
+    probs: dict = {}                       # removed mass vanishes,
+    for (s, d), n in counts.items():       # never renormalizes
+        if removed is not None and removed in (s, d):
+            continue
+        probs[(s, d)] = n / totals[s]
+    v = {"S": 1.0}
+    for _ in range(_MARKOV_STEPS):
+        nv: dict = {}
+        for (s, d), p in probs.items():
+            if s in v:
+                nv[d] = nv.get(d, 0.0) + v[s] * p
+        if "conv" in v:  # absorbing self-loop
+            nv["conv"] = nv.get("conv", 0.0) + v["conv"]
+        if "null" in v:
+            nv["null"] = nv.get("null", 0.0) + v["null"]
+        v = nv
+    return v.get("conv", 0.0)
+
+
+def q_markov_attribution(sf_dir: str):
+    """Markov removal-effect attribution — the data-driven
+    multi-touch model (vs the heuristic first/last/linear and the
+    cooperative-game Shapley): build the user-journey chain
+    S→channels→{conv, null} (journeys truncate at the FIRST
+    purchase; non-converters end in null), then each channel's value
+    is how much 8-step conversion mass disappears when its state is
+    removed. Transition counts come from ONE user-hash exchange
+    (vectorized per-partition adjacency, ≤(|ch|+1)² partials out);
+    the chain walk closes on the driver and in the oracle's 8
+    chained groupby steps — same doubles, round-6."""
+    from .queries import _ARGMAX_NPART
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type")})
+
+    def trans(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, et = u[order], et[order]
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1            # user segment index
+        pos = np.arange(n) - np.repeat(np.flatnonzero(new),
+                                       np.diff(np.append(
+                                           np.flatnonzero(new), n)))
+        is_p = et == "purchase"
+        nseg = int(seg[-1]) + 1 if n else 0
+        cut = np.full(nseg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(cut, seg[is_p], pos[is_p])
+        keep = pos <= cut[seg]
+        u, et, seg, pos = u[keep], et[keep], seg[keep], pos[keep]
+        # map labels: purchase -> conv
+        lab = np.where(et == "purchase", "conv", et)
+        srcs, dsts = [], []
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = seg[1:] != seg[:-1]
+        # S -> first kept event
+        srcs.extend(["S"] * int(first.sum()))
+        dsts.extend(lab[first].tolist())
+        same = ~first[1:] if len(u) > 1 else np.array([], dtype=bool)
+        srcs.extend(lab[:-1][same].tolist())
+        dsts.extend(lab[1:][same].tolist())
+        # terminal null for journeys not ending in conv
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = seg[1:] != seg[:-1]
+        ended = lab[last] != "conv"
+        srcs.extend(lab[last][ended].tolist())
+        dsts.extend(["null"] * int(ended.sum()))
+        g = pa.table({"src": pa.array(srcs, pa.string()),
+                      "dst": pa.array(dsts, pa.string())}) \
+            .group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "dst", "n"])
+
+    partials = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(trans, batch_format="pyarrow")
+    tc = agg._combine_partials(partials, keys=["src", "dst"],
+                               aggs=[("n", "sum")])
+    counts = {(s, d): int(n) for s, d, n in
+              zip(tc.column("src").to_pylist(),
+                  tc.column("dst").to_pylist(),
+                  tc.column("n").to_pylist())}
+    base = _markov_conv_prob(counts, None)
+    rows = []
+    for ch in _MARKOV_CHANNELS:
+        pc_ = _markov_conv_prob(counts, ch)
+        rows.append((ch, round(pc_, 6),
+                     round((base - pc_) / base, 6) if base else None))
+    return pa.table({
+        "channel": pa.array([r[0] for r in rows], pa.string()),
+        "conv_full": pa.array([round(base, 6)] * len(rows),
+                              pa.float64()),
+        "conv_removed": pa.array([r[1] for r in rows], pa.float64()),
+        "removal_effect": pa.array([r[2] for r in rows],
+                                   pa.float64()),
+    })
+
+
+def _markov_oracle_sql() -> str:
+    chans = ", ".join(f"'{c}'" for c in _MARKOV_CHANNELS)
+    steps = []
+    for k in range(1, _MARKOV_STEPS + 1):
+        steps.append(f"""
+v{k} AS (
+  SELECT v.removed, p.dst AS state, sum(v.m * p.pr) AS m
+  FROM v{k - 1} v JOIN probs p
+    ON p.removed IS NOT DISTINCT FROM v.removed
+   AND p.src = v.state
+  GROUP BY 1, 2)""")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+pcut AS (SELECT user_id, min(rn) AS prn FROM seq
+         WHERE event_type = 'purchase' GROUP BY 1),
+kept AS (
+  SELECT s.user_id,
+         CASE WHEN s.event_type = 'purchase' THEN 'conv'
+              ELSE s.event_type END AS lab,
+         s.rn,
+         max(s.rn) OVER (PARTITION BY s.user_id) AS last_rn
+  FROM seq s LEFT JOIN pcut USING (user_id)
+  WHERE pcut.prn IS NULL OR s.rn <= pcut.prn),
+tr AS (
+  SELECT coalesce(lag(lab) OVER (PARTITION BY user_id ORDER BY rn),
+                  'S') AS src,
+         lab AS dst
+  FROM kept
+  UNION ALL
+  SELECT lab, 'null' FROM kept
+  WHERE rn = last_rn AND lab <> 'conv'),
+counts AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM tr GROUP BY 1, 2),
+rem AS (SELECT NULL AS removed UNION ALL
+        SELECT * FROM (VALUES ({chans.replace(", ", "), (")}))),
+fc AS (
+  SELECT rem.removed, c.src, c.dst, c.n
+  FROM rem, counts c
+  WHERE rem.removed IS NULL
+     OR (c.src <> rem.removed AND c.dst <> rem.removed)),
+tot AS (SELECT src, sum(n) AS t FROM counts GROUP BY 1),
+probs AS (
+  SELECT fc.removed, fc.src, fc.dst,
+         CAST(fc.n AS DOUBLE) / tot.t AS pr
+  FROM fc JOIN tot ON tot.src = fc.src
+  UNION ALL
+  SELECT removed, 'conv', 'conv', 1.0 FROM rem
+  UNION ALL
+  SELECT removed, 'null', 'null', 1.0 FROM rem),
+v0 AS (SELECT removed, 'S' AS state, 1.0 AS m FROM rem),{",".join(steps)},
+conv AS (
+  SELECT removed, coalesce(max(CASE WHEN state = 'conv' THEN m END),
+                           0.0) AS p
+  FROM v{_MARKOV_STEPS} GROUP BY 1),
+base AS (SELECT p FROM conv WHERE removed IS NULL)
+SELECT c.removed AS channel,
+       round(base.p, 6) AS conv_full,
+       round(c.p, 6) AS conv_removed,
+       round((base.p - c.p) / base.p, 6) AS removal_effect
+FROM conv c, base WHERE c.removed IS NOT NULL
+ORDER BY c.removed
+"""
+
+
+QUERIES["markov_attribution"] = (q_markov_attribution,
+                                 _markov_oracle_sql())

@@ -311,3 +311,37 @@ def test_ensemble_majority_suppresses_single_votes():
     votes = np.array([3, 2, 1, 0, 2])
     assert int((votes >= 2).sum()) == 3
     assert int((votes >= 3).sum()) == 1
+
+
+def test_markov_removal_effect_toy_chain():
+    from log_analysis_ai_ray.pipelines.queries_ext import \
+        _markov_conv_prob
+    # all journeys: S -> click -> conv. Removing click kills ALL
+    # conversion; removing an untouched channel changes nothing.
+    counts = {("S", "click"): 10, ("click", "conv"): 10}
+    base = _markov_conv_prob(counts, None)
+    assert abs(base - 1.0) < 1e-12
+    assert _markov_conv_prob(counts, "click") == 0.0
+    assert abs(_markov_conv_prob(counts, "view") - base) < 1e-12
+
+
+def test_markov_conv_prob_partial_paths():
+    from log_analysis_ai_ray.pipelines.queries_ext import \
+        _markov_conv_prob
+    # S -> click (p=1); click -> conv (p=.5), click -> null (p=.5)
+    counts = {("S", "click"): 4, ("click", "conv"): 2,
+              ("click", "null"): 2}
+    assert abs(_markov_conv_prob(counts, None) - 0.5) < 1e-12
+
+
+def test_markov_absorbing_conv_accumulates():
+    from log_analysis_ai_ray.pipelines.queries_ext import \
+        _markov_conv_prob
+    # two-hop and one-hop converters both counted within 8 steps
+    counts = {("S", "click"): 2, ("S", "view"): 2,
+              ("click", "conv"): 2,
+              ("view", "click"): 2}
+    # S->click->conv (.5) + S->view->click->conv (.5) = 1.0
+    assert abs(_markov_conv_prob(counts, None) - 1.0) < 1e-12
+    # removing view kills only the two-hop half
+    assert abs(_markov_conv_prob(counts, "view") - 0.5) < 1e-12
