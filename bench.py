@@ -198,6 +198,7 @@ BENCH_EXTRA = [
     "type_skew_kurtosis",
     "anomaly_ensemble_hours",
     "markov_attribution",
+    "viterbi_volume_states",
 ]
 
 

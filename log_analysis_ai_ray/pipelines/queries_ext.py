@@ -12363,3 +12363,109 @@ ORDER BY c.removed
 
 QUERIES["markov_attribution"] = (q_markov_attribution,
                                  _markov_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decode — 2-state volume HMM, integer costs, exact DP
+# ---------------------------------------------------------------------------
+
+
+def q_viterbi_volume_states(sf_dir: str):
+    """Viterbi decoding of a 2-state (cold/hot) volume regime over the
+    daily order-count series — INTEGER-EXACT dynamic programming:
+    emission cost = |count − μ_state| with μ_cold/μ_hot the exact
+    ceil-rank P25/P75 of daily counts, switch penalty K = (P75−P25)//2,
+    ties prefer STAYING in the previous state. The DP carries
+    (cost, hot-day count) per state so the decoded summary needs no
+    backtracking — the recursive-CTE oracle advances the same four
+    integers per day. Cluster ships only (day, count) partials."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["day", "c"])
+
+    m = _partial_final(ds, partial, ["day"], [("c", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    o = np.argsort(day)
+    cv = cv[o]
+    n = len(cv)
+    cs = np.sort(cv)
+    p25 = int(cs[max(-(-n // 4) - 1, 0)])
+    p75 = int(cs[max(-(-(3 * n) // 4) - 1, 0)])
+    k = (p75 - p25) // 2
+    # DP: (cost_cold, cost_hot, hot_days_cold, hot_days_hot)
+    c0 = int(abs(int(cv[0]) - p25))
+    c1 = int(abs(int(cv[0]) - p75))
+    h0, h1 = 0, 1
+    for t_ in range(1, n):
+        e0 = abs(int(cv[t_]) - p25)
+        e1 = abs(int(cv[t_]) - p75)
+        # into cold: stay beats switch on ties
+        if c0 <= c1 + k:
+            n0, nh0 = c0 + e0, h0
+        else:
+            n0, nh0 = c1 + k + e0, h1
+        if c1 <= c0 + k:
+            n1, nh1 = c1 + e1, h1 + 1
+        else:
+            n1, nh1 = c0 + k + e1, h0 + 1
+        c0, c1, h0, h1 = n0, n1, nh0, nh1
+    if c0 <= c1:  # ties -> cold
+        best_cost, hot_days, final = c0, h0, "cold"
+    else:
+        best_cost, hot_days, final = c1, h1, "hot"
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "mu_cold": pa.array([p25], pa.int64()),
+        "mu_hot": pa.array([p75], pa.int64()),
+        "best_cost": pa.array([best_cost], pa.int64()),
+        "hot_days": pa.array([hot_days], pa.int64()),
+        "final_state": pa.array([final], pa.string()),
+    })
+
+
+SQL_VITERBI_VOLUME_STATES = """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+dr AS (SELECT c, row_number() OVER (ORDER BY day) AS rn,
+              count(*) OVER () AS n
+       FROM d),
+qs AS (SELECT CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25,
+              CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75
+       FROM d),
+k AS (SELECT p25, p75, (p75 - p25) // 2 AS kk FROM qs),
+r AS (
+  SELECT CAST(1 AS BIGINT) AS rn,
+         abs(dr.c - k.p25) AS c0, abs(dr.c - k.p75) AS c1,
+         CAST(0 AS BIGINT) AS h0, CAST(1 AS BIGINT) AS h1,
+         dr.n
+  FROM dr, k WHERE dr.rn = 1
+  UNION ALL
+  SELECT r.rn + 1,
+         CASE WHEN r.c0 <= r.c1 + k.kk
+              THEN r.c0 ELSE r.c1 + k.kk END + abs(dr.c - k.p25),
+         CASE WHEN r.c1 <= r.c0 + k.kk
+              THEN r.c1 ELSE r.c0 + k.kk END + abs(dr.c - k.p75),
+         CASE WHEN r.c0 <= r.c1 + k.kk THEN r.h0 ELSE r.h1 END,
+         CASE WHEN r.c1 <= r.c0 + k.kk THEN r.h1 ELSE r.h0 END + 1,
+         r.n
+  FROM r JOIN dr ON dr.rn = r.rn + 1 CROSS JOIN k
+  WHERE r.rn < r.n)
+SELECT r.n AS n_days, k.p25 AS mu_cold, k.p75 AS mu_hot,
+       CAST(CASE WHEN c0 <= c1 THEN c0 ELSE c1 END AS BIGINT)
+         AS best_cost,
+       CAST(CASE WHEN c0 <= c1 THEN h0 ELSE h1 END AS BIGINT)
+         AS hot_days,
+       CASE WHEN c0 <= c1 THEN 'cold' ELSE 'hot' END AS final_state
+FROM r, k WHERE r.rn = r.n
+"""
+
+QUERIES["viterbi_volume_states"] = (q_viterbi_volume_states,
+                                    SQL_VITERBI_VOLUME_STATES)

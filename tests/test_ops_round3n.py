@@ -345,3 +345,42 @@ def test_markov_absorbing_conv_accumulates():
     assert abs(_markov_conv_prob(counts, None) - 1.0) < 1e-12
     # removing view kills only the two-hop half
     assert abs(_markov_conv_prob(counts, "view") - 0.5) < 1e-12
+
+
+def _viterbi(cv, p25, p75, k):
+    c0, c1 = abs(cv[0] - p25), abs(cv[0] - p75)
+    h0, h1 = 0, 1
+    for t in range(1, len(cv)):
+        e0, e1 = abs(cv[t] - p25), abs(cv[t] - p75)
+        n0, nh0 = (c0 + e0, h0) if c0 <= c1 + k else (c1 + k + e0, h1)
+        n1, nh1 = (c1 + e1, h1 + 1) if c1 <= c0 + k \
+            else (c0 + k + e1, h0 + 1)
+        c0, c1, h0, h1 = n0, n1, nh0, nh1
+    return (c0, h0) if c0 <= c1 else (c1, h1)
+
+
+def test_viterbi_matches_bruteforce_enumeration():
+    import itertools
+    rng = np.random.default_rng(21)
+    cv = [int(v) for v in rng.integers(0, 40, 10)]
+    p25, p75, k = 10, 30, 10
+    best = None
+    for states in itertools.product([0, 1], repeat=len(cv)):
+        cost = sum(abs(c - (p75 if s else p25))
+                   for c, s in zip(cv, states))
+        cost += k * sum(1 for a, b in zip(states, states[1:])
+                        if a != b)
+        if best is None or cost < best[0]:
+            best = (cost, sum(states))
+    got_cost, _got_hot = _viterbi(cv, p25, p75, k)
+    assert got_cost == best[0]
+
+
+def test_viterbi_switch_penalty_suppresses_flicker():
+    # alternating counts with huge K: the chain never switches
+    cv = [10, 30, 10, 30, 10]
+    cost_bigk, hot_bigk = _viterbi(cv, 10, 30, 1000)
+    assert hot_bigk in (0, 5)  # one regime for the whole series
+    # with zero K it follows the emissions exactly
+    cost_k0, hot_k0 = _viterbi(cv, 10, 30, 0)
+    assert (cost_k0, hot_k0) == (0, 2)
