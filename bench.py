@@ -199,6 +199,8 @@ BENCH_EXTRA = [
     "anomaly_ensemble_hours",
     "markov_attribution",
     "viterbi_volume_states",
+    "langid_mcc",
+    "mmr_diversified_selection",
 ]
 
 

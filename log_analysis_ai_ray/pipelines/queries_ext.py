@@ -12469,3 +12469,222 @@ FROM r, k WHERE r.rn = r.n
 
 QUERIES["viterbi_volume_states"] = (q_viterbi_volume_states,
                                     SQL_VITERBI_VOLUME_STATES)
+
+
+# ---------------------------------------------------------------------------
+# Multiclass MCC — Matthews correlation from the confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def q_langid_mcc(sf_dir: str):
+    """Multiclass Matthews correlation (the Rₖ statistic) of the
+    deterministic language-ID scorer vs labels — the single
+    chance-corrected number the confusion matrix reduces to:
+    MCC = (c·s − Σₖtₖpₖ) / √((s²−Σp²)(s²−Σt²)) with c = correct,
+    s = total, tₖ/pₖ the true/predicted marginals — ALL exact
+    integers from the langs²-bounded confusion partials; one mirrored
+    sqrt-divide, round-6."""
+    from ..stages.textstats import langid_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({"lang": t.column("lang"), "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    m = _partial_final(ds, partial, ["lang", "pred_lang"],
+                       [("n", "sum")])
+    import math
+    la = np.asarray(m.column("lang").to_pylist())
+    pr = np.asarray(m.column("pred_lang").to_pylist())
+    nn = np.asarray(m.column("n"), dtype=np.int64)
+    s = int(nn.sum())
+    c = int(nn[la == pr].sum())
+    labels = sorted(set(la.tolist()) | set(pr.tolist()))
+    t_sum = p_sum = tp = 0
+    for k in labels:
+        t_k = int(nn[la == k].sum())
+        p_k = int(nn[pr == k].sum())
+        t_sum += t_k * t_k
+        p_sum += p_k * p_k
+        tp += t_k * p_k
+    num = c * s - tp
+    den = math.sqrt(float(s * s - p_sum)) \
+        * math.sqrt(float(s * s - t_sum))
+    return pa.table({
+        "n": pa.array([s], pa.int64()),
+        "correct": pa.array([c], pa.int64()),
+        "mcc": pa.array([round(num / den, 6) if den else None],
+                        pa.float64()),
+    })
+
+
+def _langid_mcc_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH pred AS ({inner}),
+cm AS (
+  SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS s,
+               CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM cm),
+tm AS (SELECT lang AS k, sum(n) AS t FROM cm GROUP BY 1),
+pm AS (SELECT pred_lang AS k, sum(n) AS p FROM cm GROUP BY 1),
+ks AS (SELECT coalesce(tm.k, pm.k) AS k,
+              coalesce(tm.t, 0) AS t, coalesce(pm.p, 0) AS p
+       FROM tm FULL OUTER JOIN pm ON pm.k = tm.k),
+ag AS (SELECT CAST(sum(t * t) AS HUGEINT) AS tsum,
+              CAST(sum(p * p) AS HUGEINT) AS psum,
+              CAST(sum(t * p) AS HUGEINT) AS tp
+       FROM ks)
+SELECT tot.s AS n, tot.c AS correct,
+       round(CAST(CAST(tot.c AS HUGEINT) * tot.s - ag.tp AS DOUBLE)
+             / (sqrt(CAST(CAST(tot.s AS HUGEINT) * tot.s - ag.psum
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(tot.s AS HUGEINT) * tot.s - ag.tsum
+                            AS DOUBLE))), 6) AS mcc
+FROM tot, ag
+"""
+
+
+QUERIES["langid_mcc"] = (q_langid_mcc, _langid_mcc_sql())
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diversified selection
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def q_mmr_diversified_selection(sf_dir: str):
+    """Maximal Marginal Relevance: pick 5 vectors balancing relevance
+    to the corpus centroid against redundancy with what's already
+    picked — score = 0.7·cos(query, d) − 0.3·max_{s∈sel} cos(s, d),
+    ROUNDED TO 6 BEFORE the argmax (the kmeans_lloyd discipline) so
+    both engines walk identical selections, ties → vec_id. Each round
+    is one distributed pass against the ≤5 broadcast selected vectors
+    (per-block top-1 partials close driver-side); the oracle unrolls
+    the same 5 rounds over per-dim unnest cosines."""
+    dim = 64
+
+    def read():
+        return _read(sf_dir, "embeddings", columns=["vec_id",
+                                                    "embedding"])
+
+    def mean_partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        return pa.table({
+            "i": pa.array(np.arange(dim, dtype=np.int64)),
+            "s": pa.array(x.sum(axis=0)),
+            "n": pa.array(np.full(dim, len(x), dtype=np.int64))})
+
+    mp = _partial_final(read(), mean_partial, ["i"],
+                        [("s", "sum"), ("n", "sum")])
+    ii = np.asarray(mp.column("i"), dtype=np.int64)
+    o = np.argsort(ii)
+    q = np.asarray(mp.column("s"), dtype=np.float64)[o] \
+        / np.asarray(mp.column("n"), dtype=np.int64)[o]
+
+    selected: list[tuple[int, np.ndarray]] = []
+    for _ in range(_MMR_K):
+        sel_ids = [s[0] for s in selected]
+        sel_vecs = np.array([s[1] for s in selected]) \
+            if selected else None
+
+        def score(t: pa.Table, qv=q, sv=sel_vecs, sk=tuple(sel_ids)
+                  ) -> pa.Table:
+            vid = np.asarray(t.column("vec_id"), dtype=np.int64)
+            x = np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            nrm = np.sqrt((x * x).sum(axis=1))
+            rel = (x @ qv) / (nrm * np.sqrt((qv * qv).sum()))
+            if sv is not None and len(sv):
+                snrm = np.sqrt((sv * sv).sum(axis=1))
+                sims = (x @ sv.T) / (nrm[:, None] * snrm[None, :])
+                red = sims.max(axis=1)
+            else:
+                red = np.zeros(len(x))
+            sc = np.round(_MMR_LAMBDA * rel
+                          - (1 - _MMR_LAMBDA) * red, 6)
+            keep = ~np.isin(vid, np.asarray(sk, dtype=np.int64))
+            vid, sc = vid[keep], sc[keep]
+            if not len(vid):
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            top = np.lexsort((vid, -sc))[0]  # block-local top-1
+            return pa.table({
+                "vec_id": pa.array([int(vid[top])], pa.int64()),
+                "score": pa.array([float(sc[top])], pa.float64())})
+
+        cand = agg._to_arrow(read().map_batches(
+            score, batch_format="pyarrow"))
+        cv = np.asarray(cand.column("vec_id"), dtype=np.int64)
+        cs = np.asarray(cand.column("score"), dtype=np.float64)
+        top = np.lexsort((cv, -cs))[0]
+        win = int(cv[top])
+        vec = agg._to_arrow(read().filter(
+            lambda r, w=win: r["vec_id"] == w))
+        selected.append((win, np.asarray(
+            vec.column("embedding").to_pylist(), dtype=np.float64)[0]))
+    return pa.table({
+        "rank": pa.array(list(range(1, _MMR_K + 1)), pa.int64()),
+        "vec_id": pa.array([s[0] for s in selected], pa.int64()),
+    })
+
+
+def _mmr_oracle_sql() -> str:
+    rounds = []
+    for r in range(1, _MMR_K + 1):
+        prev_sel = ", ".join(f"(SELECT vec_id FROM p{i})"
+                             for i in range(1, r))
+        red_expr = ("0.0" if r == 1 else
+                    f"""(SELECT max(sim) FROM (
+            SELECT sum(d.e * s.e) / (nd.nrm * ns.nrm) AS sim
+            FROM dims d
+            JOIN dims s ON s.i = d.i
+             AND s.vec_id IN ({prev_sel})
+            JOIN nrm nd ON nd.vec_id = d.vec_id
+            JOIN nrm ns ON ns.vec_id = s.vec_id
+            WHERE d.vec_id = c.vec_id
+            GROUP BY s.vec_id, nd.nrm, ns.nrm))""")
+        notin = (f"AND c.vec_id NOT IN ({prev_sel})" if r > 1 else "")
+        rounds.append(f"""
+s{r} AS (
+  SELECT c.vec_id,
+         round({_MMR_LAMBDA} * c.rel
+               - {round(1 - _MMR_LAMBDA, 10)} * {red_expr}, 6)
+           AS score
+  FROM rel c WHERE 1=1 {notin}),
+p{r} AS (SELECT vec_id FROM s{r}
+         ORDER BY score DESC, vec_id LIMIT 1)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS rank, (SELECT vec_id FROM p{r}) AS vec_id"
+        for r in range(1, _MMR_K + 1))
+    return f"""
+WITH dims AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, embedding[i]::DOUBLE AS e
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)),
+q AS (SELECT i, sum(e) / count(*) AS e FROM dims GROUP BY i),
+nrm AS (SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM dims GROUP BY 1),
+qn AS (SELECT sqrt(sum(e * e)) AS n FROM q),
+rel AS (
+  SELECT d.vec_id, sum(d.e * q.e) / (nrm.nrm * qn.n) AS rel
+  FROM dims d JOIN q USING (i) JOIN nrm ON nrm.vec_id = d.vec_id
+  CROSS JOIN qn
+  GROUP BY d.vec_id, nrm.nrm, qn.n),{",".join(rounds)}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM ({sel})
+ORDER BY rank
+"""
+
+
+QUERIES["mmr_diversified_selection"] = (q_mmr_diversified_selection,
+                                        _mmr_oracle_sql())

@@ -384,3 +384,53 @@ def test_viterbi_switch_penalty_suppresses_flicker():
     # with zero K it follows the emissions exactly
     cost_k0, hot_k0 = _viterbi(cv, 10, 30, 0)
     assert (cost_k0, hot_k0) == (0, 2)
+
+
+def test_mcc_perfect_and_random_classifier():
+    import math
+
+    def mcc(cells):  # {(true, pred): n}
+        s = sum(cells.values())
+        c = sum(n for (t, p), n in cells.items() if t == p)
+        labels = sorted({k for pair in cells for k in pair})
+        tsum = psum = tp = 0
+        for k in labels:
+            t_k = sum(n for (t, _p), n in cells.items() if t == k)
+            p_k = sum(n for (_t, p), n in cells.items() if p == k)
+            tsum += t_k * t_k
+            psum += p_k * p_k
+            tp += t_k * p_k
+        num = c * s - tp
+        den = math.sqrt(s * s - psum) * math.sqrt(s * s - tsum)
+        return num / den if den else None
+    perfect = {("a", "a"): 50, ("b", "b"): 50}
+    assert abs(mcc(perfect) - 1.0) < 1e-12
+    # independent predictions: MCC == 0 exactly when joint = product
+    indep = {("a", "a"): 25, ("a", "b"): 25,
+             ("b", "a"): 25, ("b", "b"): 25}
+    assert abs(mcc(indep)) < 1e-12
+    inverted = {("a", "b"): 50, ("b", "a"): 50}
+    assert abs(mcc(inverted) + 1.0) < 1e-12
+
+
+def test_mmr_prefers_diverse_second_pick():
+    # three unit vectors: a ~ query, b == a (redundant), c orthogonal
+    # but still relevant: MMR picks a then c, never the clone b
+    q = np.array([1.0, 0.0])
+    vecs = {1: np.array([1.0, 0.0]), 2: np.array([1.0, 0.0]),
+            3: np.array([0.6, 0.8])}
+    lam = 0.7
+    sel = []
+    for _ in range(2):
+        best = None
+        for vid, v in sorted(vecs.items()):
+            if vid in sel:
+                continue
+            rel = float(v @ q)
+            red = max((float(v @ vecs[s]) for s in sel), default=0.0)
+            score = round(lam * rel - (1 - lam) * red, 6)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid)
+        sel.append(best[1])
+    assert sel == [1, 3]
