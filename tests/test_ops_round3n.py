@@ -414,11 +414,12 @@ def test_mcc_perfect_and_random_classifier():
 
 
 def test_mmr_prefers_diverse_second_pick():
-    # three unit vectors: a ~ query, b == a (redundant), c orthogonal
-    # but still relevant: MMR picks a then c, never the clone b
-    q = np.array([1.0, 0.0])
+    # a best-aligned to the query, b an exact CLONE of a, c orthogonal
+    # to a yet still query-relevant: MMR picks a, then c beats the
+    # clone (b pays full redundancy 1.0, c pays none)
+    q = np.array([0.8, 0.6])
     vecs = {1: np.array([1.0, 0.0]), 2: np.array([1.0, 0.0]),
-            3: np.array([0.6, 0.8])}
+            3: np.array([0.0, 1.0])}
     lam = 0.7
     sel = []
     for _ in range(2):
