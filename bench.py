@@ -201,6 +201,8 @@ BENCH_EXTRA = [
     "viterbi_volume_states",
     "langid_mcc",
     "mmr_diversified_selection",
+    "nelson_aalen_hazard",
+    "walkforward_model_selection",
 ]
 
 

@@ -12688,3 +12688,148 @@ ORDER BY rank
 
 QUERIES["mmr_diversified_selection"] = (q_mmr_diversified_selection,
                                         _mmr_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard — the KM risk table's integral view
+# ---------------------------------------------------------------------------
+
+
+def q_nelson_aalen_hazard(sf_dir: str):
+    """Nelson–Aalen cumulative-hazard estimator over the SAME
+    signup→purchase risk table km_signup_purchase ships: H(t) =
+    Σ_{dᵢ≤t} events_i / at-risk_i, accumulated in ascending duration
+    order — a SEQUENTIAL ordered sum on both engines (the oracle's
+    ordered window frame), so the doubles agree bit-for-bit before
+    the round-6. Integers everywhere else; no new cluster work beyond
+    the KM exchange."""
+    from .queries import q_km_signup_purchase
+    km = q_km_signup_purchase(sf_dir)
+    dur = np.asarray(km.column("dur_h"), dtype=np.int64)
+    nr = np.asarray(km.column("n_risk"), dtype=np.int64)
+    ne = np.asarray(km.column("n_event"), dtype=np.int64)
+    cum = 0.0
+    out = []
+    for i in range(len(dur)):
+        cum += int(ne[i]) / int(nr[i])
+        out.append(round(cum, 6))
+    return pa.table({
+        "dur_h": km.column("dur_h"),
+        "n_risk": km.column("n_risk"),
+        "n_event": km.column("n_event"),
+        "cum_hazard": pa.array(out, pa.float64()),
+    })
+
+
+def _nelson_aalen_sql() -> str:
+    from .queries import SQL_KM_SIGNUP_PURCHASE
+    return f"""
+WITH km AS ({SQL_KM_SIGNUP_PURCHASE})
+SELECT dur_h, n_risk, n_event,
+       round(sum(CAST(n_event AS DOUBLE) / n_risk)
+             OVER (ORDER BY dur_h), 6) AS cum_hazard
+FROM km ORDER BY dur_h
+"""
+
+
+QUERIES["nelson_aalen_hazard"] = (q_nelson_aalen_hazard,
+                                  _nelson_aalen_sql())
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward model selection — expanding-window backtest protocol
+# ---------------------------------------------------------------------------
+
+_WF_TEST_DAYS = 10
+
+
+def q_walkforward_model_selection(sf_dir: str):
+    """Walk-forward (expanding-window) model selection — the
+    time-series answer to k-fold leakage: for each of the last 10
+    days, pick persistence (ŷ=y_{i−1}) or seasonal-7 (ŷ=y_{i−7}) by
+    their cumulative |error| over all PRIOR eligible days (ties →
+    persistence), then score the chosen model on that day only.
+    Positions index OBSERVED days in order. Everything is exact
+    integer cents — cumulative train errors are two prefix sums over
+    the days-bounded table, mirrored by the oracle's ordered window
+    frames."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    y = np.asarray(m.column("cents"), dtype=np.int64)[np.argsort(day)]
+    n = len(y)
+    e_p = np.abs(y[7:] - y[6:-1])   # persistence error at i >= 7
+    e_s = np.abs(y[7:] - y[:-7])    # seasonal-7 error at i >= 7
+    cum_p = np.cumsum(e_p)
+    cum_s = np.cumsum(e_s)
+    n_el = len(e_p)
+    test = range(n_el - _WF_TEST_DAYS, n_el)
+    chosen_p = chosen_s = 0
+    err_sum = 0
+    for i in test:
+        tp = int(cum_p[i - 1]) if i > 0 else 0
+        ts_ = int(cum_s[i - 1]) if i > 0 else 0
+        if tp <= ts_:
+            chosen_p += 1
+            err_sum += int(e_p[i])
+        else:
+            chosen_s += 1
+            err_sum += int(e_s[i])
+    return pa.table({
+        "n_test": pa.array([_WF_TEST_DAYS], pa.int64()),
+        "chose_persistence": pa.array([chosen_p], pa.int64()),
+        "chose_seasonal": pa.array([chosen_s], pa.int64()),
+        "walkforward_mae": pa.array([err_sum // _WF_TEST_DAYS],
+                                    pa.int64()),
+    })
+
+
+SQL_WALKFORWARD_MODEL_SELECTION = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT cents, row_number() OVER (ORDER BY day) - 1 AS i,
+             count(*) OVER () AS n
+      FROM d),
+e AS (
+  SELECT a.i,
+         abs(a.cents - p.cents) AS ep,
+         abs(a.cents - s.cents) AS es,
+         a.n
+  FROM r a JOIN r p ON p.i = a.i - 1 JOIN r s ON s.i = a.i - 7
+  WHERE a.i >= 7),
+w AS (
+  SELECT i, ep, es, n,
+         coalesce(sum(ep) OVER (ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_p,
+         coalesce(sum(es) OVER (ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_s,
+         row_number() OVER (ORDER BY i) AS rk,
+         count(*) OVER () AS n_el
+  FROM e),
+t AS (SELECT * FROM w WHERE rk > n_el - {_WF_TEST_DAYS})
+SELECT CAST({_WF_TEST_DAYS} AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN cum_p <= cum_s THEN 1 ELSE 0 END)
+            AS BIGINT) AS chose_persistence,
+       CAST(sum(CASE WHEN cum_p > cum_s THEN 1 ELSE 0 END)
+            AS BIGINT) AS chose_seasonal,
+       CAST(sum(CASE WHEN cum_p <= cum_s THEN ep ELSE es END)
+            // {_WF_TEST_DAYS} AS BIGINT) AS walkforward_mae
+FROM t
+"""
+
+QUERIES["walkforward_model_selection"] = (
+    q_walkforward_model_selection, SQL_WALKFORWARD_MODEL_SELECTION)

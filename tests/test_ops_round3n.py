@@ -435,3 +435,41 @@ def test_mmr_prefers_diverse_second_pick():
                 best = (key, vid)
         sel.append(best[1])
     assert sel == [1, 3]
+
+
+def test_nelson_aalen_vs_km_relationship():
+    # H(t) = sum d/n; survival exp(-H) >= KM product-limit (both
+    # decreasing, NA slightly above KM for small d/n)
+    import math
+    d = [2, 1, 3]
+    n = [10, 8, 7]
+    H = 0.0
+    S_km = 1.0
+    for di, ni in zip(d, n):
+        H += di / ni
+        S_km *= 1 - di / ni
+    assert math.exp(-H) >= S_km - 1e-12
+    assert abs(H - (0.2 + 0.125 + 3 / 7)) < 1e-12
+
+
+def test_walkforward_selection_switches_models():
+    # seasonal series with period 7: the seasonal predictor wins once
+    # enough training evidence accumulates
+    base = [100, 200, 300, 400, 500, 600, 700]
+    y = np.array(base * 5, dtype=np.int64)
+    e_p = np.abs(y[7:] - y[6:-1])
+    e_s = np.abs(y[7:] - y[:-7])
+    assert int(e_s.sum()) == 0          # perfect seasonal fit
+    cum_p = np.cumsum(e_p)
+    cum_s = np.cumsum(e_s)
+    # at the second eligible day the cumulative evidence picks seasonal
+    assert cum_s[0] <= cum_p[0]
+    chosen_err = []
+    for i in range(len(e_p) - 10, len(e_p)):
+        tp = int(cum_p[i - 1]) if i > 0 else 0
+        ts = int(cum_s[i - 1]) if i > 0 else 0
+        chosen_err.append(int(e_s[i] if ts < tp else e_p[i])
+                          if tp > ts else int(e_p[i]))
+    # seasonal chosen everywhere in the test window -> zero error
+    assert sum(int(e_s[i]) for i in range(len(e_p) - 10, len(e_p))) \
+        == 0
