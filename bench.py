@@ -203,6 +203,15 @@ BENCH_EXTRA = [
     "mmr_diversified_selection",
     "nelson_aalen_hazard",
     "walkforward_model_selection",
+    "segment_migration_matrix",
+    "nation_shift_share",
+    "huber_location_by_type",
+    "hourly_type_diversity",
+    "price_index_halves",
+    "scan_hotspot_dow_hour",
+    "local_supplier_volume",
+    "q6_revenue_filter",
+    "parts_supplier_breadth",
 ]
 
 

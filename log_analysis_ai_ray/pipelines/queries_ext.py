@@ -12833,3 +12833,864 @@ FROM t
 
 QUERIES["walkforward_model_selection"] = (
     q_walkforward_model_selection, SQL_WALKFORWARD_MODEL_SELECTION)
+
+
+# ---------------------------------------------------------------------------
+# Segment migration matrix — CRM quintile transitions between halves
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """DuckDB's // truncates toward zero; Python's floors — mirror
+    trunc explicitly for possibly-negative numerators."""
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den > 0) else -q
+
+
+def q_segment_migration_matrix(sf_dir: str):
+    """Customer value-segment MIGRATION between the two order-date
+    halves: quintile by first-half revenue vs quintile by second-half
+    revenue (0 = inactive that half), counted as the 6×6 transition
+    matrix CRM teams steer by. Quintiles use the RFM positional rule
+    1 + rank0·5//n over (cents asc, custkey asc) among that half's
+    ACTIVE customers — no NTILE tie ambiguity. The cluster ships only
+    per-customer (h1, h2) partials (dimension-bounded); matrix closes
+    driver-side."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"custkey": t.column("o_custkey"),
+                      "day": day, "cents": cents}) \
+            .group_by(["custkey", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["custkey", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["custkey", "day"],
+                       [("cents", "sum")])
+    ck = np.asarray(m.column("custkey"), dtype=np.int64)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2
+    uu, ui = np.unique(ck, return_inverse=True)
+    h1 = np.zeros(len(uu), dtype=np.int64)
+    h2 = np.zeros(len(uu), dtype=np.int64)
+    first = dy < mid
+    np.add.at(h1, ui[first], cv[first])
+    np.add.at(h2, ui[~first], cv[~first])
+
+    def seg(cents):
+        s = np.zeros(len(uu), dtype=np.int64)
+        act = cents > 0
+        n = int(act.sum())
+        if n:
+            ca, ka = cents[act], uu[act]
+            rank0 = np.empty(n, dtype=np.int64)
+            rank0[np.lexsort((ka, ca))] = np.arange(n)
+            s[act] = 1 + rank0 * 5 // n
+        return s
+
+    s1, s2 = seg(h1), seg(h2)
+    key = s1 * 6 + s2
+    kk, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "seg_h1": pa.array((kk // 6).astype(np.int64)),
+        "seg_h2": pa.array((kk % 6).astype(np.int64)),
+        "n_customers": pa.array(cnt.astype(np.int64)),
+    })
+
+
+SQL_SEGMENT_MIGRATION_MATRIX = """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM o),
+pc_ AS (
+  SELECT ck,
+         sum(CASE WHEN day < b.mid THEN cents ELSE 0 END) AS h1,
+         sum(CASE WHEN day >= b.mid THEN cents ELSE 0 END) AS h2
+  FROM o CROSS JOIN b GROUP BY 1),
+s1 AS (
+  SELECT ck, 1 + (rank() OVER (ORDER BY h1, ck) - 1) * 5
+             // (SELECT count(*) FROM pc_ WHERE h1 > 0) AS s
+  FROM pc_ WHERE h1 > 0),
+s2 AS (
+  SELECT ck, 1 + (rank() OVER (ORDER BY h2, ck) - 1) * 5
+             // (SELECT count(*) FROM pc_ WHERE h2 > 0) AS s
+  FROM pc_ WHERE h2 > 0)
+SELECT CAST(coalesce(s1.s, 0) AS BIGINT) AS seg_h1,
+       CAST(coalesce(s2.s, 0) AS BIGINT) AS seg_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM pc_ LEFT JOIN s1 USING (ck) LEFT JOIN s2 USING (ck)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["segment_migration_matrix"] = (q_segment_migration_matrix,
+                                       SQL_SEGMENT_MIGRATION_MATRIX)
+
+
+# ---------------------------------------------------------------------------
+# Shift-share decomposition — expected growth vs competitive shift
+# ---------------------------------------------------------------------------
+
+
+def q_nation_shift_share(sf_dir: str):
+    """Shift-share decomposition of revenue growth per customer
+    nation: each nation's second-half change splits into the
+    EXPECTED component R₁ᵢ·G (G = national growth rate, integer
+    trunc-division mirrored — DuckDB // truncates) and the residual
+    COMPETITIVE SHIFT Δᵢ − expected, which sums to ~0 across nations.
+    Per-customer half-revenues reduce first (dimension-bounded), the
+    25-nation close joins the broadcast customer→nation dimension."""
+    import pyarrow.parquet as pq_mod
+    import os
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"custkey": t.column("o_custkey"),
+                      "day": day, "cents": cents}) \
+            .group_by(["custkey", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["custkey", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["custkey", "day"],
+                       [("cents", "sum")])
+    ck = np.asarray(m.column("custkey"), dtype=np.int64)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    nk = dict(zip(
+        np.asarray(cust.column("c_custkey"), dtype=np.int64).tolist(),
+        np.asarray(cust.column("c_nationkey"),
+                   dtype=np.int64).tolist()))
+    nat = np.array([nk[int(k)] for k in ck], dtype=np.int64)
+    nu, nidx = np.unique(nat, return_inverse=True)
+    r1 = np.zeros(len(nu), dtype=np.int64)
+    r2 = np.zeros(len(nu), dtype=np.int64)
+    first = dy < mid
+    np.add.at(r1, nidx[first], cv[first])
+    np.add.at(r2, nidx[~first], cv[~first])
+    t1, t2 = int(r1.sum()), int(r2.sum())
+    rows = []
+    for i in range(len(nu)):
+        exp_ = _trunc_div(int(r1[i]) * (t2 - t1), t1)
+        shift = int(r2[i]) - int(r1[i]) - exp_
+        rows.append((int(nu[i]), int(r1[i]), int(r2[i]), exp_, shift))
+    return pa.table({
+        "nationkey": pa.array([r[0] for r in rows], pa.int64()),
+        "h1_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "h2_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "expected_growth": pa.array([r[3] for r in rows], pa.int64()),
+        "competitive_shift": pa.array([r[4] for r in rows],
+                                      pa.int64()),
+    })
+
+
+SQL_NATION_SHIFT_SHARE = """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM o),
+nn AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         sum(CASE WHEN o.day < b.mid THEN o.cents ELSE 0 END) AS r1,
+         sum(CASE WHEN o.day >= b.mid THEN o.cents ELSE 0 END) AS r2
+  FROM o JOIN customer c ON c.c_custkey = o.ck CROSS JOIN b
+  GROUP BY 1),
+t AS (SELECT sum(r1) AS t1, sum(r2) AS t2 FROM nn)
+SELECT nn.nationkey,
+       CAST(nn.r1 AS BIGINT) AS h1_cents,
+       CAST(nn.r2 AS BIGINT) AS h2_cents,
+       CAST(nn.r1 * (t.t2 - t.t1) // t.t1 AS BIGINT)
+         AS expected_growth,
+       CAST(nn.r2 - nn.r1 - nn.r1 * (t.t2 - t.t1) // t.t1 AS BIGINT)
+         AS competitive_shift
+FROM nn, t ORDER BY nn.nationkey
+"""
+
+QUERIES["nation_shift_share"] = (q_nation_shift_share,
+                                 SQL_NATION_SHIFT_SHARE)
+
+
+# ---------------------------------------------------------------------------
+# Huber M-estimator — robust location, integer-micro IRLS weights
+# ---------------------------------------------------------------------------
+
+
+def q_huber_location_by_type(sf_dir: str):
+    """Huber M-estimation of each type's value location: two IRLS
+    steps from the exact histogram median with tuning constant
+    k = MAD; weights quantized to INTEGER MICRO units
+    (w = min(10⁶, k·10⁶ // |v−m|)) so every update
+    m' = Σc·w·v // Σc·w is exact integer arithmetic on BOTH engines —
+    the M-estimation analog of the kmeans round-before-argmin
+    discipline. Everything closes from the (type, cents) histogram;
+    robust against the value tail where the mean is not."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    out = {"event_type": [], "median": [], "mad": [], "huber": []}
+    for t_ in sorted(set(ty.tolist())):
+        sel = ty == t_
+        v, c = vv[sel], cc[sel]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        dev = np.abs(v - med)
+        od = np.argsort(dev, kind="stable")
+        dv, dc = dev[od], c[od]
+        mad = int(dv[np.searchsorted(np.cumsum(dc), (n + 1) // 2)])
+        k = max(mad, 1)
+        mloc = med
+        for _ in range(2):
+            d = np.abs(v - mloc)
+            w = np.where(d <= k, 1_000_000, 0)
+            nz = d > k
+            w = w.astype(object)
+            w[nz] = [k * 1_000_000 // int(x) for x in d[nz]]
+            num = int(sum(int(ci) * int(wi) * int(vi)
+                          for ci, wi, vi in zip(c, w, v)))
+            den = int(sum(int(ci) * int(wi) for ci, wi in zip(c, w)))
+            mloc = num // den
+        out["event_type"].append(t_)
+        out["median"].append(med)
+        out["mad"].append(mad)
+        out["huber"].append(mloc)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "median_cents": pa.array(out["median"], pa.int64()),
+        "mad_cents": pa.array(out["mad"], pa.int64()),
+        "huber_cents": pa.array(out["huber"], pa.int64()),
+    })
+
+
+SQL_HUBER_LOCATION_BY_TYPE = """
+WITH e AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+h AS (SELECT ty, v, CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2),
+st AS (SELECT ty, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+       FROM e GROUP BY 1),
+md AS (SELECT e.ty,
+              greatest(CAST(quantile_disc(abs(e.v - st.med), 0.5)
+                            AS BIGINT), 1) AS k,
+              CAST(quantile_disc(abs(e.v - st.med), 0.5) AS BIGINT)
+                AS mad
+       FROM e JOIN st USING (ty) GROUP BY 1),
+i1 AS (
+  SELECT h.ty,
+         CAST(sum(CAST(h.c AS HUGEINT)
+                  * (CASE WHEN abs(h.v - st.med) <= md.k
+                     THEN 1000000
+                     ELSE md.k * 1000000 // abs(h.v - st.med) END)
+                  * h.v)
+          // sum(CAST(h.c AS HUGEINT)
+                 * (CASE WHEN abs(h.v - st.med) <= md.k
+                    THEN 1000000
+                    ELSE md.k * 1000000 // abs(h.v - st.med) END))
+           AS BIGINT) AS m1
+  FROM h JOIN st USING (ty) JOIN md USING (ty) GROUP BY 1),
+i2 AS (
+  SELECT h.ty,
+         CAST(sum(CAST(h.c AS HUGEINT)
+                  * (CASE WHEN abs(h.v - i1.m1) <= md.k
+                     THEN 1000000
+                     ELSE md.k * 1000000 // abs(h.v - i1.m1) END)
+                  * h.v)
+          // sum(CAST(h.c AS HUGEINT)
+                 * (CASE WHEN abs(h.v - i1.m1) <= md.k
+                    THEN 1000000
+                    ELSE md.k * 1000000 // abs(h.v - i1.m1) END))
+           AS BIGINT) AS m2
+  FROM h JOIN i1 USING (ty) JOIN md USING (ty) GROUP BY 1)
+SELECT st.ty AS event_type, st.med AS median_cents,
+       md.mad AS mad_cents, i2.m2 AS huber_cents
+FROM st JOIN md USING (ty) JOIN i2 USING (ty) ORDER BY st.ty
+"""
+
+QUERIES["huber_location_by_type"] = (q_huber_location_by_type,
+                                     SQL_HUBER_LOCATION_BY_TYPE)
+
+
+# ---------------------------------------------------------------------------
+# Effective diversity — inverse-Simpson (Hill number D₂) per hour
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_type_diversity(sf_dir: str):
+    """Effective number of event types per hour-of-day — the inverse
+    Simpson index (Hill number of order 2): D₂ = N² / Σnᵢ², the
+    'effective party count' ecologists and market-concentration
+    analysts share (1/HHI). Exact integer micro (N²·10⁶ // Σn²) from
+    the types×24-bounded contingency partials; complements the
+    entropy (Hill order-1) views."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "hh": hh}) \
+            .group_by(["ty", "hh"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "hh", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "hh"], [("c", "sum")])
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    rows = []
+    for h in sorted(set(hh.tolist())):
+        c = cc[hh == h]
+        n = int(c.sum())
+        ss = int((c.astype(object) ** 2).sum())
+        rows.append((h, n, n * n * 1_000_000 // ss))
+    return pa.table({
+        "hh": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "inv_simpson_micro": pa.array([r[2] for r in rows],
+                                      pa.int64()),
+    })
+
+
+SQL_HOURLY_TYPE_DIVERSITY = """
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2)
+SELECT hh, CAST(sum(c) AS BIGINT) AS n,
+       CAST(CAST(sum(c) AS HUGEINT) * sum(c) * 1000000
+            // sum(CAST(c AS HUGEINT) * c) AS BIGINT)
+         AS inv_simpson_micro
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hourly_type_diversity"] = (q_hourly_type_diversity,
+                                    SQL_HOURLY_TYPE_DIVERSITY)
+
+
+# ---------------------------------------------------------------------------
+# Price indices — Laspeyres / Paasche / Fisher between period halves
+# ---------------------------------------------------------------------------
+
+
+def q_price_index_halves(sf_dir: str):
+    """Classical price-index construction between the two shipdate
+    halves: per part, each half's unit price (trunc cents, Σrevenue //
+    Σqty) and quantity; Laspeyres (base-weighted Σp₂q₁/Σp₁q₁),
+    Paasche (current-weighted Σp₂q₂/Σp₁q₂) in integer per-mille, and
+    Fisher as the one mirrored sqrt of their exact-integer product.
+    Only parts present in BOTH halves enter (the matched-model rule).
+    The cluster ships per-(part, half) integer partials — parts-
+    bounded."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("l_shipdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        qty = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        rev = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        g = pa.table({"part": t.column("l_partkey"), "day": day,
+                      "qty": qty, "rev": rev}) \
+            .group_by(["part", "day"]).aggregate(
+                [("qty", "sum"), ("rev", "sum")])
+        return g.rename_columns(["part", "day", "qty", "rev"])
+
+    m = _partial_final(ds, partial, ["part", "day"],
+                       [("qty", "sum"), ("rev", "sum")])
+    pk = np.asarray(m.column("part"), dtype=np.int64)
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    qv = np.asarray(m.column("qty"), dtype=np.int64)
+    rv = np.asarray(m.column("rev"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2
+    pu, pi_ = np.unique(pk, return_inverse=True)
+    q1 = np.zeros(len(pu), dtype=np.int64)
+    q2 = np.zeros(len(pu), dtype=np.int64)
+    r1 = np.zeros(len(pu), dtype=np.int64)
+    r2 = np.zeros(len(pu), dtype=np.int64)
+    first = dy < mid
+    np.add.at(q1, pi_[first], qv[first])
+    np.add.at(r1, pi_[first], rv[first])
+    np.add.at(q2, pi_[~first], qv[~first])
+    np.add.at(r2, pi_[~first], rv[~first])
+    both = (q1 > 0) & (q2 > 0)
+    p1 = r1[both] // q1[both]           # trunc unit price, cents
+    p2 = r2[both] // q2[both]
+    w1, w2 = q1[both], q2[both]
+    lnum = int((p2.astype(object) * w1).sum())
+    lden = int((p1.astype(object) * w1).sum())
+    pnum = int((p2.astype(object) * w2).sum())
+    pden = int((p1.astype(object) * w2).sum())
+    import math
+    lasp = lnum * 1000 // lden
+    paas = pnum * 1000 // pden
+    fisher = round(math.sqrt(float(lnum) / lden
+                             * (float(pnum) / pden)), 6)
+    return pa.table({
+        "n_matched_parts": pa.array([int(both.sum())], pa.int64()),
+        "laspeyres_pm": pa.array([lasp], pa.int64()),
+        "paasche_pm": pa.array([paas], pa.int64()),
+        "fisher": pa.array([fisher], pa.float64()),
+    })
+
+
+SQL_PRICE_INDEX_HALVES = """
+WITH l AS (
+  SELECT l_partkey AS part,
+         CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 AS day,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS rev
+  FROM lineitem),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM l),
+ph AS (
+  SELECT part,
+         sum(CASE WHEN day < b.mid THEN qty ELSE 0 END) AS q1,
+         sum(CASE WHEN day >= b.mid THEN qty ELSE 0 END) AS q2,
+         sum(CASE WHEN day < b.mid THEN rev ELSE 0 END) AS r1,
+         sum(CASE WHEN day >= b.mid THEN rev ELSE 0 END) AS r2
+  FROM l CROSS JOIN b GROUP BY 1),
+mm AS (
+  SELECT part, q1, q2, r1 // q1 AS p1, r2 // q2 AS p2
+  FROM ph WHERE q1 > 0 AND q2 > 0),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(p2 AS HUGEINT) * q1) AS HUGEINT) AS lnum,
+         CAST(sum(CAST(p1 AS HUGEINT) * q1) AS HUGEINT) AS lden,
+         CAST(sum(CAST(p2 AS HUGEINT) * q2) AS HUGEINT) AS pnum,
+         CAST(sum(CAST(p1 AS HUGEINT) * q2) AS HUGEINT) AS pden
+  FROM mm)
+SELECT n AS n_matched_parts,
+       CAST(lnum * 1000 // lden AS BIGINT) AS laspeyres_pm,
+       CAST(pnum * 1000 // pden AS BIGINT) AS paasche_pm,
+       round(sqrt(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)
+                  * (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE))),
+             6) AS fisher
+FROM s
+"""
+
+QUERIES["price_index_halves"] = (q_price_index_halves,
+                                 SQL_PRICE_INDEX_HALVES)
+
+
+# ---------------------------------------------------------------------------
+# Scan statistic — Kulldorff Poisson hotspot over the dow×hour grid
+# ---------------------------------------------------------------------------
+
+
+def q_scan_hotspot_dow_hour(sf_dir: str):
+    """Kulldorff-style scan statistic: the (day-of-week × hour)
+    rectangle where ERROR events are most over-represented against
+    the all-events baseline, scored by the Poisson log-likelihood
+    ratio c·ln(c/e) + (C−c)·ln((C−c)/(C−e)) for c > e (0 otherwise,
+    second term dropped when c = C). The 7×24 grid ships as bounded
+    partials; all 28·300 candidate rectangles are scored from 2-D
+    prefix sums driver-side and by the oracle's range join — the LLR
+    is rounded to integer micro-nats BEFORE the argmax, ties to the
+    lexicographically first rectangle."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(t.column("ts"),
+                                     count_from_zero=False,
+                                     week_start=1), pa.int64())
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        err = pc.cast(pc.equal(t.column("event_type"), "error"),
+                      pa.int64())
+        g = pa.table({"dow": dow, "hh": hh, "err": err,
+                      "all_": pa.array(np.ones(t.num_rows,
+                                               dtype=np.int64))}) \
+            .group_by(["dow", "hh"]).aggregate(
+                [("err", "sum"), ("all_", "sum")])
+        return g.rename_columns(["dow", "hh", "err", "all_"])
+
+    m = _partial_final(ds, partial, ["dow", "hh"],
+                       [("err", "sum"), ("all_", "sum")])
+    dw = np.asarray(m.column("dow"), dtype=np.int64)
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    ev = np.asarray(m.column("err"), dtype=np.int64)
+    al = np.asarray(m.column("all_"), dtype=np.int64)
+    ce = np.zeros((8, 24), dtype=np.int64)
+    cb = np.zeros((8, 24), dtype=np.int64)
+    ce[dw, hh] = ev
+    cb[dw, hh] = al
+    C, B = int(ce.sum()), int(cb.sum())
+    pe = ce.cumsum(axis=0).cumsum(axis=1)
+    pb = cb.cumsum(axis=0).cumsum(axis=1)
+
+    def rect(p, d1, d2, h1, h2):
+        s = int(p[d2, h2])
+        if d1 > 1:
+            s -= int(p[d1 - 1, h2])
+        if h1 > 0:
+            s -= int(p[d2, h1 - 1])
+        if d1 > 1 and h1 > 0:
+            s += int(p[d1 - 1, h1 - 1])
+        return s
+
+    best = None
+    for d1 in range(1, 8):
+        for d2 in range(d1, 8):
+            for h1 in range(24):
+                for h2 in range(h1, 24):
+                    c = rect(pe, d1, d2, h1, h2)
+                    b = rect(pb, d1, d2, h1, h2)
+                    e = C * b / B
+                    if c > e and c > 0:
+                        llr = c * math.log(c / e)
+                        if C - c > 0:
+                            llr += (C - c) * math.log(
+                                (C - c) / (C - e))
+                        lm = round(1_000_000 * llr)
+                    else:
+                        lm = 0
+                    key = (-lm, d1, h1, d2, h2)
+                    if best is None or key < best[0]:
+                        best = (key, d1, d2, h1, h2, c, b, lm)
+    _, d1, d2, h1, h2, c, b, lm = best
+    return pa.table({
+        "dow_lo": pa.array([d1], pa.int64()),
+        "dow_hi": pa.array([d2], pa.int64()),
+        "hh_lo": pa.array([h1], pa.int64()),
+        "hh_hi": pa.array([h2], pa.int64()),
+        "errors_in": pa.array([c], pa.int64()),
+        "events_in": pa.array([b], pa.int64()),
+        "llr_micro": pa.array([lm], pa.int64()),
+    })
+
+
+SQL_SCAN_HOTSPOT_DOW_HOUR = """
+WITH g AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+           AS err,
+         CAST(count(*) AS BIGINT) AS al
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(err) AS c_tot, sum(al) AS b_tot FROM g),
+dr AS (SELECT a.range + 1 AS d1, b.range + 1 AS d2
+       FROM range(7) a, range(7) b WHERE b.range >= a.range),
+hr AS (SELECT a.range AS h1, b.range AS h2
+       FROM range(24) a, range(24) b WHERE b.range >= a.range),
+rects AS (
+  SELECT dr.d1, dr.d2, hr.h1, hr.h2,
+         CAST(coalesce(sum(g.err), 0) AS BIGINT) AS c,
+         CAST(coalesce(sum(g.al), 0) AS BIGINT) AS b
+  FROM dr CROSS JOIN hr
+  LEFT JOIN g ON g.dow BETWEEN dr.d1 AND dr.d2
+             AND g.hh BETWEEN hr.h1 AND hr.h2
+  GROUP BY 1, 2, 3, 4),
+scored AS (
+  SELECT d1, d2, h1, h2, c, b,
+         CASE WHEN c > 0
+               AND CAST(c AS DOUBLE)
+                   > CAST(tot.c_tot AS DOUBLE) * b / tot.b_tot
+         THEN CAST(round(1000000 * (
+                c * ln(CAST(c AS DOUBLE)
+                       / (CAST(tot.c_tot AS DOUBLE) * b / tot.b_tot))
+                + CASE WHEN tot.c_tot - c > 0 THEN
+                    (tot.c_tot - c)
+                    * ln(CAST(tot.c_tot - c AS DOUBLE)
+                         / (tot.c_tot
+                            - CAST(tot.c_tot AS DOUBLE) * b
+                              / tot.b_tot))
+                  ELSE 0 END)) AS BIGINT)
+         ELSE 0 END AS lm
+  FROM rects, tot)
+SELECT d1 AS dow_lo, d2 AS dow_hi, h1 AS hh_lo, h2 AS hh_hi,
+       c AS errors_in, b AS events_in, lm AS llr_micro
+FROM scored ORDER BY lm DESC, d1, h1, d2, h2 LIMIT 1
+"""
+
+QUERIES["scan_hotspot_dow_hour"] = (q_scan_hotspot_dow_hour,
+                                    SQL_SCAN_HOTSPOT_DOW_HOUR)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 analog — local supplier volume (customer.nation == supplier.nation)
+# ---------------------------------------------------------------------------
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue where the CUSTOMER and the SUPPLIER sit
+    in the same nation — the 6-table chain lineitem⋈orders⋈customer⋈
+    supplier⋈nation. Plan: supplier→nation and customer→nation are
+    broadcast probes folded into each fact's block scan (dimension
+    discipline), so the ONLY exchange is the side-tagged orderkey
+    hash join of (orderkey, supp-nation, cents) lineitem partials
+    against (orderkey, cust-nation) order rows; the same-nation
+    filter and the per-nation reduce run in-partition."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from .queries import _ARGMAX_NPART
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"])
+    s_keys = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
+    s_nat = np.asarray(sup.column("s_nationkey"), dtype=np.int64)
+    so = np.argsort(s_keys)
+    s_keys, s_nat = s_keys[so], s_nat[so]
+    cust = pq_mod.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    c_keys = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    c_nat = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    co = np.argsort(c_keys)
+    c_keys, c_nat = c_keys[co], c_nat[co]
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(
+        np.asarray(nat.column("n_nationkey"), dtype=np.int64).tolist(),
+        nat.column("n_name").to_pylist()))
+
+    def li_part(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        # independent integer rounding (cents x per-mille): exact and
+        # engine-portable, unlike rounding the float product
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cents = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        snat = s_nat[np.searchsorted(s_keys, sk)]
+        g = pa.table({"okey": pa.array(ok), "nat": pa.array(snat),
+                      "cents": cents}) \
+            .group_by(["okey", "nat"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["okey", "nat", "cents"])
+        k = np.asarray(g.column("okey"), dtype=np.int64)
+        return g.append_column(
+            "_pkey", pa.array(_knuth_bucket(k, _ARGMAX_NPART)))
+
+    def ord_part(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        cnat = c_nat[np.searchsorted(c_keys, ck)]
+        # order rows tagged by cents = -1 (lineitem partials are >= 0)
+        g = pa.table({"okey": pa.array(ok), "nat": pa.array(cnat),
+                      "cents": pa.array(np.full(len(ok), -1,
+                                                dtype=np.int64))})
+        return g.append_column(
+            "_pkey", pa.array(_knuth_bucket(ok, _ARGMAX_NPART)))
+
+    def join_close(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t.column("okey"), dtype=np.int64)
+        nt = np.asarray(t.column("nat"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        is_ord = cents < 0
+        o_keys, o_nat = ok[is_ord], nt[is_ord]
+        oo = np.argsort(o_keys)
+        o_keys, o_nat = o_keys[oo], o_nat[oo]
+        li = ~is_ord
+        ok_li, nt_li, c_li = ok[li], nt[li], cents[li]
+        if not len(o_keys) or not len(ok_li):
+            return pa.table({"nat": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        pos = np.clip(np.searchsorted(o_keys, ok_li), 0,
+                      len(o_keys) - 1)
+        same = (o_keys[pos] == ok_li) & (o_nat[pos] == nt_li)
+        g = pa.table({"nat": pa.array(nt_li[same]),
+                      "cents": pa.array(c_li[same])}) \
+            .group_by("nat").aggregate([("cents", "sum")])
+        return g.rename_columns(["nat", "cents"])
+
+    ds_li = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"]) \
+        .map_batches(li_part, batch_format="pyarrow")
+    ds_or = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_part, batch_format="pyarrow")
+    parts = ds_li.union(ds_or).groupby("_pkey") \
+        .map_groups(join_close, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["nat"], aggs=[("cents", "sum")],
+        empty_schema=pa.schema([("nat", pa.int64()),
+                                ("cents", pa.int64())]))
+    nk = np.asarray(out.column("nat"), dtype=np.int64)
+    return pa.table({
+        "n_name": pa.array([n_name[int(k)] for k in nk], pa.string()),
+        "revenue_cpm": out.column("cents"),
+    }).sort_by("n_name")
+
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000, 0)
+                               AS BIGINT))) AS BIGINT)
+         AS revenue_cpm
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["local_supplier_volume"] = (q_local_supplier_volume,
+                                    SQL_LOCAL_SUPPLIER_VOLUME)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 analog — forecast revenue change (filtered aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_q6_revenue_filter(sf_dir: str):
+    """TPC-H Q6 shape: pure filtered aggregate — revenue delta from
+    discounted small-quantity lineitems in one ship-year
+    (sum(extendedprice·discount) over a date range × discount band ×
+    quantity cap). The predicate pushes into the block scan; ONE
+    integer micro-cents partial per block is the whole exchange."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_quantity", "l_discount",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("l_shipdate"))
+        keep = pc.and_(pc.and_(pc.equal(yr, 2022),
+                               pc.less(t.column("l_quantity"), 24.0)),
+                       pc.and_(pc.greater_equal(t.column("l_discount"),
+                                                0.05),
+                               pc.less_equal(t.column("l_discount"),
+                                             0.07)))
+        t = t.filter(keep)
+        micro = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"), t.column("l_discount")),
+            1_000_000), 0), pa.int64())
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+            "micro": pa.array([int(pc.sum(micro).as_py() or 0)],
+                              pa.int64())})
+
+    m = _partial_final(ds, partial, ["k"],
+                       [("n", "sum"), ("micro", "sum")])
+    return pa.table({
+        "n_items": pa.array([int(m.column("n")[0].as_py())],
+                            pa.int64()),
+        "revenue_delta_micro": pa.array(
+            [int(m.column("micro")[0].as_py())], pa.int64()),
+    })
+
+
+SQL_Q6_REVENUE_FILTER = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount
+                                    * 1000000, 0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_delta_micro
+FROM lineitem
+WHERE year(l_shipdate) = 2022 AND l_quantity < 24
+  AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+QUERIES["q6_revenue_filter"] = (q_q6_revenue_filter,
+                                SQL_Q6_REVENUE_FILTER)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 analog — supplier breadth per part attribute, with exclusion
+# ---------------------------------------------------------------------------
+
+
+def q_parts_supplier_breadth(sf_dir: str):
+    """TPC-H Q16 shape: how many DISTINCT suppliers serve each
+    (brand, size) part segment, excluding a supplier blacklist (the
+    complaint filter — adapted to negative-balance suppliers since
+    the synth schema has no comments). lineitem is the bridge:
+    distinct (partkey, suppkey) pairs reduce per block, the part
+    dimension is a broadcast probe, the blacklist a broadcast set;
+    the distinct-supplier count per segment closes from pair
+    partials — never a row shuffle."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_acctbal"])
+    bad = set(np.asarray(sup.column("s_suppkey"), dtype=np.int64)[
+        np.asarray(sup.column("s_acctbal"),
+                   dtype=np.float64) < 0].tolist())
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_brand",
+                                      "p_size"])
+    p_keys = np.asarray(part.column("p_partkey"), dtype=np.int64)
+    po = np.argsort(p_keys)
+    p_keys = p_keys[po]
+    p_brand = np.asarray(part.column("p_brand").to_pylist())[po]
+    p_size = np.asarray(part.column("p_size"), dtype=np.int64)[po]
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        keep = ~np.isin(sk, np.asarray(sorted(bad), dtype=np.int64))
+        pk, sk = pk[keep], sk[keep]
+        idx = np.searchsorted(p_keys, pk)
+        g = pa.table({
+            "brand": pa.array(p_brand[idx]),
+            "size": pa.array(p_size[idx]),
+            "supp": pa.array(sk),
+        }).group_by(["brand", "size", "supp"]).aggregate([])
+        return g.rename_columns(["brand", "size", "supp"])
+
+    dp = _partial_final(ds, pairs, ["brand", "size", "supp"], [])
+    br = np.asarray(dp.column("brand").to_pylist())
+    sz = np.asarray(dp.column("size"), dtype=np.int64)
+    segs = sorted(set(zip(br.tolist(), sz.tolist())))
+    rows = []
+    for b_, s_ in segs:
+        cnt = int(((br == b_) & (sz == s_)).sum())
+        rows.append((b_, s_, cnt))
+    return pa.table({
+        "p_brand": pa.array([r[0] for r in rows], pa.string()),
+        "p_size": pa.array([r[1] for r in rows], pa.int64()),
+        "supplier_cnt": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_PARTS_SUPPLIER_BREADTH = """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["parts_supplier_breadth"] = (q_parts_supplier_breadth,
+                                     SQL_PARTS_SUPPLIER_BREADTH)

@@ -473,3 +473,148 @@ def test_walkforward_selection_switches_models():
     # seasonal chosen everywhere in the test window -> zero error
     assert sum(int(e_s[i]) for i in range(len(e_p) - 10, len(e_p))) \
         == 0
+
+
+def test_trunc_div_mirrors_duckdb():
+    from log_analysis_ai_ray.pipelines.queries_ext import _trunc_div
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-7, 2) == -3      # Python // would give -4
+    assert _trunc_div(7, -2) == -3
+    assert _trunc_div(-7, -2) == 3
+
+
+def test_shift_share_components_close():
+    # competitive shifts sum to (T2-T1) - sum(expected); with exact
+    # division they'd sum to 0 - integer trunc leaves only rounding
+    r1 = np.array([100, 250, 650], dtype=np.int64)
+    r2 = np.array([120, 240, 700], dtype=np.int64)
+    t1, t2 = int(r1.sum()), int(r2.sum())
+    from log_analysis_ai_ray.pipelines.queries_ext import _trunc_div
+    exp = [_trunc_div(int(a) * (t2 - t1), t1) for a in r1]
+    shift = [int(b) - int(a) - e for a, b, e in zip(r1, r2, exp)]
+    assert abs(sum(shift)) <= len(r1)  # only trunc remainders
+
+
+def test_quintile_rank_formula_balanced():
+    # the positional formula assigns ~n/5 per bucket deterministically
+    n = 103
+    rank0 = np.arange(n)
+    s = 1 + rank0 * 5 // n
+    counts = np.bincount(s)[1:]
+    assert counts.sum() == n
+    assert counts.max() - counts.min() <= 1
+
+
+def test_huber_integer_weights_bounded_and_monotone():
+    # weights: exactly 1e6 inside the k-band, strictly less outside,
+    # decreasing with distance
+    k = 50
+    d = np.array([0, 25, 50, 51, 100, 500])
+    w = np.where(d <= k, 1_000_000,
+                 [k * 1_000_000 // max(int(x), 1) for x in d])
+    assert w[0] == w[1] == w[2] == 1_000_000
+    assert w[3] < 1_000_000
+    assert all(int(w[i]) >= int(w[i + 1]) for i in range(len(w) - 1))
+
+
+def test_huber_pulls_less_than_mean_toward_outlier():
+    vals = np.array([10] * 50 + [1000], dtype=np.int64)
+    mean = int(vals.sum()) // len(vals)
+    med = 10
+    k = 1  # MAD of this sample is 0 -> clamped to 1
+    d = np.abs(vals - med)
+    w = np.where(d <= k, 1_000_000,
+                 [k * 1_000_000 // max(int(x), 1) for x in d])
+    hub = int((vals * w).sum()) // int(w.sum())
+    assert abs(hub - med) < abs(mean - med)
+
+
+def test_inverse_simpson_bounds():
+    # all mass one type -> D2 == 1; uniform over k types -> D2 == k
+    c = np.array([100], dtype=object)
+    n = int(c.sum())
+    assert n * n * 1_000_000 // int((c ** 2).sum()) == 1_000_000
+    c = np.array([25, 25, 25, 25], dtype=object)
+    n = int(c.sum())
+    assert n * n * 1_000_000 // int((c ** 2).sum()) == 4_000_000
+
+
+def test_scan_statistic_prefix_rect_sums():
+    # row 0 is the unused dow slot and MUST stay zero: rect() with
+    # d1 == 1 never subtracts it (the query's grid honors this)
+    g = np.arange(1, 8 * 24 + 1).reshape(8, 24)
+    g[0, :] = 0
+    p = g.cumsum(axis=0).cumsum(axis=1)
+
+    def rect(d1, d2, h1, h2):
+        s = int(p[d2, h2])
+        if d1 > 1:
+            s -= int(p[d1 - 1, h2])
+        if h1 > 0:
+            s -= int(p[d2, h1 - 1])
+        if d1 > 1 and h1 > 0:
+            s += int(p[d1 - 1, h1 - 1])
+        return s
+    assert rect(2, 4, 3, 7) == int(g[2:5, 3:8].sum())
+    assert rect(1, 7, 0, 23) == int(g[1:8, :].sum())
+
+
+def test_scan_llr_peaks_on_planted_hotspot():
+    import math
+    ce = np.full((8, 24), 1, dtype=np.int64)
+    cb = np.full((8, 24), 100, dtype=np.int64)
+    ce[0, :] = 0
+    cb[0, :] = 0
+    ce[3, 10] = 50                        # planted spike
+    C, B = int(ce.sum()), int(cb.sum())
+
+    def llr(c, b):
+        e = C * b / B
+        if c > e and c > 0:
+            v = c * math.log(c / e)
+            if C - c > 0:
+                v += (C - c) * math.log((C - c) / (C - e))
+            return round(1_000_000 * v)
+        return 0
+    spike = llr(int(ce[3, 10]), int(cb[3, 10]))
+    normal = llr(int(ce[3, 11]), int(cb[3, 11]))
+    whole = llr(C, B)
+    assert spike > 0
+    assert normal == 0                    # c == e·1 -> not over
+    assert whole == 0                     # full window is never a
+    assert spike > whole                  # hotspot
+
+
+def test_side_tagged_nation_join_close():
+    # order rows tagged cents=-1; lineitem partials join on orderkey
+    # and must match BOTH key and nation to count (the Q5 predicate)
+    ok = np.array([1, 2, 3, 1, 2, 3], dtype=np.int64)
+    nt = np.array([7, 8, 9, 7, 9, 9], dtype=np.int64)
+    cents = np.array([-1, -1, -1, 100, 200, 300], dtype=np.int64)
+    is_ord = cents < 0
+    o_keys, o_nat = ok[is_ord], nt[is_ord]
+    oo = np.argsort(o_keys)
+    o_keys, o_nat = o_keys[oo], o_nat[oo]
+    li = ~is_ord
+    pos = np.clip(np.searchsorted(o_keys, ok[li]), 0, len(o_keys) - 1)
+    same = (o_keys[pos] == ok[li]) & (o_nat[pos] == nt[li])
+    # order1 nation7 matches li(1,7,100); order2 nation8 vs li(2,9) NO;
+    # order3 nation9 matches li(3,9,300)
+    assert cents[li][same].tolist() == [100, 300]
+    assert nt[li][same].tolist() == [7, 9]
+
+
+def test_price_index_identities():
+    # identical prices between halves -> all three indices == 1
+    p1 = np.array([100, 250], dtype=object)
+    p2 = p1.copy()
+    q1 = np.array([10, 4], dtype=object)
+    q2 = np.array([3, 9], dtype=object)
+    lasp = int((p2 * q1).sum()) * 1000 // int((p1 * q1).sum())
+    paas = int((p2 * q2).sum()) * 1000 // int((p1 * q2).sum())
+    assert lasp == paas == 1000
+    # uniform 10% inflation -> both 1100 per-mille exactly
+    p2 = np.array([110, 275], dtype=object)
+    lasp = int((p2 * q1).sum()) * 1000 // int((p1 * q1).sum())
+    paas = int((p2 * q2).sum()) * 1000 // int((p1 * q2).sum())
+    assert lasp == paas == 1100
