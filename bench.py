@@ -212,6 +212,10 @@ BENCH_EXTRA = [
     "local_supplier_volume",
     "q6_revenue_filter",
     "parts_supplier_breadth",
+    "order_value_theil",
+    "kendalls_w_sources",
+    "type_corr_matrix",
+    "granger_click_purchase",
 ]
 
 

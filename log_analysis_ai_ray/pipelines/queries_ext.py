@@ -9366,7 +9366,6 @@ def q_shapley_attribution(sf_dir: str):
     npart = 64
 
     def tag(t: pa.Table) -> pa.Table:
-        u = np.asarray(t.column("user_id"), dtype=np.int64)
         et = t.column("event_type")
         is_p = pc.equal(et, "purchase")
         # non-purchase rows reduce to (user, channel, min_ts) partials
@@ -10072,8 +10071,6 @@ def q_greedy_token_cover(sf_dir: str):
 
 def _cover_oracle_sql() -> str:
     rounds = []
-    prev_cov = None
-    prev_picked = []
     for r in range(1, _COVER_K + 1):
         notin_cov = (f"AND token NOT IN (SELECT token FROM cov{r - 1})"
                      if r > 1 else "")
@@ -12767,7 +12764,6 @@ def q_walkforward_model_selection(sf_dir: str):
     m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
     day = np.asarray(m.column("day"), dtype=np.int64)
     y = np.asarray(m.column("cents"), dtype=np.int64)[np.argsort(day)]
-    n = len(y)
     e_p = np.abs(y[7:] - y[6:-1])   # persistence error at i >= 7
     e_s = np.abs(y[7:] - y[:-7])    # seasonal-7 error at i >= 7
     cum_p = np.cumsum(e_p)
@@ -13694,3 +13690,481 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["parts_supplier_breadth"] = (q_parts_supplier_breadth,
                                      SQL_PARTS_SUPPLIER_BREADTH)
+
+
+# ---------------------------------------------------------------------------
+# Theil index — inequality with between/within decomposition
+# ---------------------------------------------------------------------------
+
+
+def q_order_value_theil(sf_dir: str):
+    """Theil-T inequality of order values DECOMPOSED by order
+    priority: T_total = T_between + Σ s_g·T_within,g — the additive
+    split Gini can't give (which inequality lives inside groups vs
+    between them). Every term closes from the bounded
+    (priority, cents) histogram: T = Σ c·(v/μ)·ln(v/μ) / n with
+    exact integer counts and deterministic cell order; the decomposed
+    identity itself is asserted to the rounding grain. Round-4 like
+    the entropy family."""
+    import math
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"pri": t.column("o_orderpriority"), "v": v,
+                      "c": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64))}) \
+            .group_by(["pri", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["pri", "v", "c"])
+
+    m = _partial_final(ds, partial, ["pri", "v"], [("c", "sum")])
+    pr = np.asarray(m.column("pri").to_pylist())
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    n = int(cc.sum())
+    tot = int((vv.astype(object) * cc).sum())
+    mu = tot / n
+
+    def theil(vs, cs, mean):
+        s = 0.0
+        for v_, c_ in zip(vs, cs):          # deterministic cell order
+            r = int(v_) / mean
+            s += int(c_) * r * math.log(r)
+        return s / int(cs.sum())
+
+    o = np.lexsort((vv,))
+    t_total = theil(vv[o], cc[o], mu)
+    groups = sorted(set(pr.tolist()))
+    t_between = 0.0
+    rows = []
+    for g_ in groups:
+        sel = pr == g_
+        vg, cg = vv[sel], cc[sel]
+        og = np.argsort(vg)
+        ng = int(cg.sum())
+        tg = int((vg.astype(object) * cg).sum())
+        mug = tg / ng
+        share = tg / tot
+        tw = theil(vg[og], cg[og], mug)
+        t_between += share * math.log(mug / mu)
+        rows.append((g_, ng, round(tw, 4)))
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows] + ["_ALL"],
+                                    pa.string()),
+        "n": pa.array([r[1] for r in rows] + [n], pa.int64()),
+        "theil_within": pa.array([r[2] for r in rows]
+                                 + [round(t_total, 4)], pa.float64()),
+        "theil_between": pa.array([None] * len(rows)
+                                  + [round(t_between, 4)],
+                                  pa.float64()),
+    })
+
+
+SQL_ORDER_VALUE_THEIL = """
+WITH o AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders),
+h AS (SELECT pri, v, CAST(count(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(v * c) AS HUGEINT) AS t FROM h),
+gs AS (SELECT pri, CAST(sum(c) AS BIGINT) AS ng,
+              CAST(sum(v * c) AS HUGEINT) AS tg FROM h GROUP BY 1),
+tw AS (
+  SELECT h.pri,
+         sum(h.c * (h.v / (CAST(gs.tg AS DOUBLE) / gs.ng))
+             * ln(h.v / (CAST(gs.tg AS DOUBLE) / gs.ng))) / gs.ng
+           AS t_within
+  FROM h JOIN gs USING (pri) GROUP BY h.pri, gs.ng),
+tb AS (
+  SELECT sum((CAST(gs.tg AS DOUBLE) / tot.t)
+             * ln((CAST(gs.tg AS DOUBLE) / gs.ng)
+                  / (CAST(tot.t AS DOUBLE) / tot.n))) AS t_between
+  FROM gs, tot),
+ta AS (
+  SELECT sum(h.c * (h.v / (CAST(tot.t AS DOUBLE) / tot.n))
+             * ln(h.v / (CAST(tot.t AS DOUBLE) / tot.n)))
+           / max(tot.n) AS t_total
+  FROM h, tot)
+SELECT pri AS o_orderpriority, gs.ng AS n,
+       round(tw.t_within, 4) AS theil_within,
+       CAST(NULL AS DOUBLE) AS theil_between
+FROM tw JOIN gs USING (pri)
+UNION ALL
+SELECT '_ALL', tot.n, round(ta.t_total, 4), round(tb.t_between, 4)
+FROM tot, ta, tb
+ORDER BY o_orderpriority
+"""
+
+QUERIES["order_value_theil"] = (q_order_value_theil,
+                                SQL_ORDER_VALUE_THEIL)
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W — concordance of per-source token rankings
+# ---------------------------------------------------------------------------
+
+_KW_TOP = 20
+
+
+def q_kendalls_w_sources(sf_dir: str):
+    """Kendall's coefficient of concordance W: do the corpus sources
+    RANK the global top-20 tokens the same way? Each source ranks the
+    items by its own counts (DOUBLED midranks stay integer through
+    ties, including the all-zero ties of missing tokens); with the
+    tie correction, W = 3·S₄ / (m²(n³−n) − m·ΣT) where S₄ = Σ(R₂ᵢ −
+    m(n+1))² — every quantity an exact Python int, one mirrored
+    division. Vocab-bounded (source, token) partials are the only
+    shuffle."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        fsrc = src.take(par)
+        g = pa.table({"source": fsrc, "token": flat}) \
+            .group_by(["source", "token"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    m = _partial_final(ds, partial, ["source", "token"],
+                       [("cnt", "sum")])
+    src = np.asarray(m.column("source").to_pylist())
+    tok = np.asarray(m.column("token").to_pylist())
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    # global top-20 items under (count desc, token asc)
+    tu, ti = np.unique(tok, return_inverse=True)
+    gtot = np.zeros(len(tu), dtype=np.int64)
+    np.add.at(gtot, ti, cnt)
+    order = np.lexsort((tu, -gtot))[:_KW_TOP]
+    items = tu[order]
+    n_items = len(items)
+    sources = sorted(set(src.tolist()))
+    m_j = len(sources)
+    # per-source counts over the fixed item set (0 when absent)
+    r2_sums = np.zeros(n_items, dtype=object)
+    tie_sum = 0
+    for s_ in sources:
+        sel = src == s_
+        cmap = dict(zip(tok[sel].tolist(), cnt[sel].tolist()))
+        c = np.array([int(cmap.get(t_, 0)) for t_ in items],
+                     dtype=np.int64)
+        # doubled midranks (rank by count asc): 2·mid = minrank+maxrank
+        o_ = np.argsort(c, kind="stable")
+        sorted_c = c[o_]
+        r2 = np.zeros(n_items, dtype=np.int64)
+        i = 0
+        while i < n_items:
+            j = i
+            while j + 1 < n_items and sorted_c[j + 1] == sorted_c[i]:
+                j += 1
+            # positions i..j share doubled midrank (i+1) + (j+1)
+            r2[o_[i:j + 1]] = (i + 1) + (j + 1)
+            t_sz = j - i + 1
+            tie_sum += t_sz ** 3 - t_sz
+            i = j + 1
+        r2_sums += r2
+    mean2 = m_j * (n_items + 1)  # doubled mean rank sum
+    s4 = int(sum((int(x) - mean2) ** 2 for x in r2_sums))
+    den = m_j * m_j * (n_items ** 3 - n_items) - m_j * tie_sum
+    return pa.table({
+        "m_sources": pa.array([m_j], pa.int64()),
+        "n_items": pa.array([n_items], pa.int64()),
+        "kendalls_w": pa.array([round(3 * s4 / den, 6)], pa.float64()),
+    })
+
+
+SQL_KENDALLS_W_SOURCES = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2),
+top AS (SELECT token FROM (
+          SELECT token, row_number() OVER (
+                   ORDER BY sum(cnt) DESC, token) AS rk
+          FROM c GROUP BY token) WHERE rk <= {_KW_TOP}),
+srcs AS (SELECT DISTINCT source FROM c),
+grid AS (
+  SELECT s.source, t.token, coalesce(c.cnt, 0) AS cnt
+  FROM srcs s CROSS JOIN top t
+  LEFT JOIN c ON c.source = s.source AND c.token = t.token),
+rk AS (
+  SELECT source, token,
+         2 * rank() OVER (PARTITION BY source ORDER BY cnt)
+           + count(*) OVER (PARTITION BY source, cnt) - 1 AS r2
+  FROM grid),
+ties AS (
+  SELECT CAST(sum(tt * tt * tt - tt) AS BIGINT) AS t FROM (
+    SELECT source, cnt, count(*) AS tt FROM grid GROUP BY 1, 2)),
+rs AS (SELECT token, CAST(sum(r2) AS BIGINT) AS r2s
+       FROM rk GROUP BY 1),
+dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM srcs) AS m,
+                (SELECT CAST(count(*) AS BIGINT) FROM top) AS n),
+s4 AS (
+  SELECT CAST(sum((r2s - dims.m * (dims.n + 1))
+               * (r2s - dims.m * (dims.n + 1))) AS HUGEINT) AS v
+  FROM rs, dims)
+SELECT dims.m AS m_sources, dims.n AS n_items,
+       round(3.0 * CAST(s4.v AS DOUBLE)
+             / (CAST(dims.m AS DOUBLE) * dims.m
+                * (dims.n * dims.n * dims.n - dims.n)
+                - dims.m * ties.t), 6) AS kendalls_w
+FROM dims, s4, ties
+"""
+
+QUERIES["kendalls_w_sources"] = (q_kendalls_w_sources,
+                                 SQL_KENDALLS_W_SOURCES)
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix — all type-pair daily-series correlations
+# ---------------------------------------------------------------------------
+
+
+def q_type_corr_matrix(sf_dir: str):
+    """Full 5×5 Pearson correlation matrix of the per-type daily
+    cents series (extends event_leadlag_corr's single pair to every
+    pair at lag 0): one (type, day) bounded reduce, then every pair's
+    six sufficient sums assemble from the SAME dense grid — missing
+    (type, day) cells are true zeros, both engines fill them
+    identically. Python bigint moments, one mirrored
+    round-6 ratio per pair; upper triangle only."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    types = sorted(set(ty.tolist()))
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    series = {}
+    for t_ in types:
+        sel = ty == t_
+        s = np.zeros(len(days), dtype=np.int64)
+        s[dy[sel] - days[0]] = cv[sel]
+        series[t_] = s
+    n = len(days)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            x, y = series[a], series[b]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx = int((x.astype(object) * x).sum())
+            syy = int((y.astype(object) * y).sum())
+            sxy = int((x.astype(object) * y).sum())
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dyv = n * syy - sy * sy
+            corr = (round(num / math.sqrt(float(dx) * float(dyv)), 6)
+                    if dx > 0 and dyv > 0 else None)
+            rows.append((a, b, corr))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "corr": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_TYPE_CORR_MATRIX = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.ty, g.day, coalesce(d.cents, 0) AS cents
+  FROM (SELECT DISTINCT ty FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT min(day) FROM d),
+                (SELECT max(day) FROM d))) AS day) g
+  LEFT JOIN d ON d.ty = t.ty AND d.day = g.day),
+pairs AS (
+  SELECT a.ty AS type_a, b.ty AS type_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.cents) AS HUGEINT) AS sx,
+         CAST(sum(b.cents) AS HUGEINT) AS sy,
+         CAST(sum(a.cents * b.cents) AS HUGEINT) AS sxy,
+         CAST(sum(a.cents * a.cents) AS HUGEINT) AS sxx,
+         CAST(sum(b.cents * b.cents) AS HUGEINT) AS syy
+  FROM grid a JOIN grid b ON b.day = a.day AND b.ty > a.ty
+  GROUP BY 1, 2)
+SELECT type_a, type_b,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS corr
+FROM pairs ORDER BY type_a, type_b
+"""
+
+QUERIES["type_corr_matrix"] = (q_type_corr_matrix,
+                               SQL_TYPE_CORR_MATRIX)
+
+
+# ---------------------------------------------------------------------------
+# Granger-style lag test — does click help predict purchase?
+# ---------------------------------------------------------------------------
+
+
+def q_granger_click_purchase(sf_dir: str):
+    """Lag-1 Granger-style test: does yesterday's CLICK volume improve
+    the prediction of today's PURCHASE revenue beyond its own lag?
+    Restricted model y_t ~ y_{t−1}; full model adds z_{t−1} (clicks).
+    Both models solve in CLOSED FORM from exact integer moment sums
+    via Cramer determinants (the 3×3 normal equations — Python
+    bigints, no iteration, no matrix library), SSEs as the one
+    mirrored double each; F = (SSE_r − SSE_f)/(SSE_f/(n−3)),
+    round-4. A dense day grid keeps lags aligned on both engines."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    p = np.zeros(len(days), dtype=np.int64)
+    c = np.zeros(len(days), dtype=np.int64)
+    selp = ty == "purchase"
+    p[dy[selp] - days[0]] = cv[selp]
+    c[dy[~selp] - days[0]] = cv[~selp]
+    y = [int(v) for v in p[1:]]
+    x = [int(v) for v in p[:-1]]   # own lag
+    z = [int(v) for v in c[:-1]]   # click lag
+    n = len(y)
+    sy = sum(y)
+    sx, sz = sum(x), sum(z)
+    sxx = sum(a * a for a in x)
+    szz = sum(a * a for a in z)
+    sxz = sum(a * b for a, b in zip(x, z))
+    sxy = sum(a * b for a, b in zip(x, y))
+    szy = sum(a * b for a, b in zip(z, y))
+    syy = sum(a * a for a in y)
+    # Cramer determinants stay EXACT Python bigints; the SSE assembly
+    # then mirrors the oracle's double sequence term by term
+    # (double(det_i)*double(moment), summed, one divide) so the
+    # rounded outputs agree bit-for-bit. (The oracle's HUGEINT
+    # determinants hold to ~sf0.1; Python bigints always.)
+    d1 = n * sxx - sx * sx
+    b1_num = n * sxy - sx * sy
+    a1_num = sy * sxx - sx * sxy
+    sse_r = float(syy) - (float(a1_num) * float(sy)
+                          + float(b1_num) * float(sxy)) / float(d1)
+    det = (n * (sxx * szz - sxz * sxz) - sx * (sx * szz - sxz * sz)
+           + sz * (sx * sxz - sxx * sz))
+    da = (sy * (sxx * szz - sxz * sxz) - sx * (sxy * szz - sxz * szy)
+          + sz * (sxy * sxz - sxx * szy))
+    db = (n * (sxy * szz - sxz * szy) - sy * (sx * szz - sxz * sz)
+          + sz * (sx * szy - sxy * sz))
+    dc = (n * (sxx * szy - sxy * sxz) - sx * (sx * szy - sxy * sz)
+          + sy * (sx * sxz - sxx * sz))
+    sse_f = float(syy) - (float(da) * float(sy)
+                          + float(db) * float(sxy)
+                          + float(dc) * float(szy)) / float(det)
+    f_stat = (sse_r - sse_f) / (sse_f / (n - 3))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "sse_restricted": pa.array([round(sse_r, 2)], pa.float64()),
+        "sse_full": pa.array([round(sse_f, 2)], pa.float64()),
+        "f_stat": pa.array([round(f_stat, 4)], pa.float64()),
+    })
+
+
+SQL_GRANGER_CLICK_PURCHASE = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+grid AS (
+  SELECT g.day,
+         coalesce(max(CASE WHEN d.ty = 'purchase'
+                           THEN d.cents END), 0) AS p,
+         coalesce(max(CASE WHEN d.ty = 'click'
+                           THEN d.cents END), 0) AS c
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d ON d.day = g.day GROUP BY 1),
+lagd AS (
+  SELECT p AS y,
+         lag(p) OVER (ORDER BY day) AS x,
+         lag(c) OVER (ORDER BY day) AS z
+  FROM grid),
+mo AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(z) AS HUGEINT) AS sz,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(z * z) AS HUGEINT) AS szz,
+         CAST(sum(x * z) AS HUGEINT) AS sxz,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(z * y) AS HUGEINT) AS szy,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM lagd WHERE x IS NOT NULL),
+calc AS (
+  SELECT n,
+         CAST(syy AS DOUBLE)
+           - ((sy * sxx - sx * sxy) * CAST(sy AS DOUBLE)
+              + (n * sxy - sx * sy) * CAST(sxy AS DOUBLE))
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS sse_r,
+         CAST(syy AS DOUBLE)
+           - ((sy * (sxx * szz - sxz * sxz)
+               - sx * (sxy * szz - sxz * szy)
+               + sz * (sxy * sxz - sxx * szy)) * CAST(sy AS DOUBLE)
+              + (n * (sxy * szz - sxz * szy)
+                 - sy * (sx * szz - sxz * sz)
+                 + sz * (sx * szy - sxy * sz)) * CAST(sxy AS DOUBLE)
+              + (n * (sxx * szy - sxy * sxz)
+                 - sx * (sx * szy - sxy * sz)
+                 + sy * (sx * sxz - sxx * sz)) * CAST(szy AS DOUBLE))
+             / CAST(n * (sxx * szz - sxz * sxz)
+                    - sx * (sx * szz - sxz * sz)
+                    + sz * (sx * sxz - sxx * sz) AS DOUBLE) AS sse_f
+  FROM mo)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(sse_r, 2) AS sse_restricted,
+       round(sse_f, 2) AS sse_full,
+       round((sse_r - sse_f) / (sse_f / (n - 3)), 4) AS f_stat
+FROM calc
+"""
+
+QUERIES["granger_click_purchase"] = (q_granger_click_purchase,
+                                     SQL_GRANGER_CLICK_PURCHASE)

@@ -618,3 +618,121 @@ def test_price_index_identities():
     lasp = int((p2 * q1).sum()) * 1000 // int((p1 * q1).sum())
     paas = int((p2 * q2).sum()) * 1000 // int((p1 * q2).sum())
     assert lasp == paas == 1100
+
+
+def _kendalls_w(count_rows):
+    # count_rows: list of per-judge count arrays over the same items
+    m = len(count_rows)
+    n = len(count_rows[0])
+    r2_sums = np.zeros(n, dtype=object)
+    tie_sum = 0
+    for c in count_rows:
+        c = np.asarray(c, dtype=np.int64)
+        o = np.argsort(c, kind="stable")
+        sc = c[o]
+        r2 = np.zeros(n, dtype=np.int64)
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and sc[j + 1] == sc[i]:
+                j += 1
+            r2[o[i:j + 1]] = (i + 1) + (j + 1)
+            t = j - i + 1
+            tie_sum += t ** 3 - t
+            i = j + 1
+        r2_sums += r2
+    mean2 = m * (n + 1)
+    s4 = int(sum((int(x) - mean2) ** 2 for x in r2_sums))
+    den = m * m * (n ** 3 - n) - m * tie_sum
+    return 3 * s4 / den
+
+
+def test_kendalls_w_perfect_agreement():
+    judges = [[10, 20, 30, 40]] * 5
+    assert abs(_kendalls_w(judges) - 1.0) < 1e-12
+
+
+def test_kendalls_w_two_reversed_judges_zero():
+    assert abs(_kendalls_w([[1, 2, 3, 4], [4, 3, 2, 1]])) < 1e-12
+
+
+def test_kendalls_w_between_bounds():
+    rng = np.random.default_rng(23)
+    judges = [rng.permutation(10) for _ in range(4)]
+    w = _kendalls_w(judges)
+    assert 0.0 <= w <= 1.0
+
+
+def test_theil_decomposition_identity():
+    import math
+    # two groups with different means: T == T_between + sum s_g T_g
+    groups = {"a": [(100, 5), (200, 5)], "b": [(400, 10)]}
+    tot = sum(v * c for g in groups.values() for v, c in g)
+    n = sum(c for g in groups.values() for _, c in g)
+    mu = tot / n
+
+    def theil(cells, mean):
+        s = sum(c * (v / mean) * math.log(v / mean) for v, c in cells)
+        return s / sum(c for _, c in cells)
+
+    t_total = theil([x for g in groups.values() for x in g], mu)
+    t_b = t_w = 0.0
+    for g in groups.values():
+        tg = sum(v * c for v, c in g)
+        ng = sum(c for _, c in g)
+        mug = tg / ng
+        share = tg / tot
+        t_b += share * math.log(mug / mu)
+        t_w += share * theil(g, mug)
+    assert abs(t_total - (t_b + t_w)) < 1e-12
+    # equal values everywhere -> zero inequality
+    assert abs(theil([(50, 10)], 50.0)) < 1e-12
+
+
+def test_granger_cramer_solves_normal_equations():
+    rng = np.random.default_rng(29)
+    x = rng.integers(0, 100, 60).astype(np.int64)
+    z = rng.integers(0, 100, 60).astype(np.int64)
+    y = (3 * x + 2 * z + 7 + rng.integers(-5, 6, 60)).astype(np.int64)
+    n = len(y)
+    sy, sx, sz = int(y.sum()), int(x.sum()), int(z.sum())
+    sxx = int((x * x).sum()); szz = int((z * z).sum())
+    sxz = int((x * z).sum()); sxy = int((x * y).sum())
+    szy = int((z * y).sum())
+    det = (n * (sxx * szz - sxz * sxz) - sx * (sx * szz - sxz * sz)
+           + sz * (sx * sxz - sxx * sz))
+    da = (sy * (sxx * szz - sxz * sxz) - sx * (sxy * szz - sxz * szy)
+          + sz * (sxy * sxz - sxx * szy))
+    db = (n * (sxy * szz - sxz * szy) - sy * (sx * szz - sxz * sz)
+          + sz * (sx * szy - sxy * sz))
+    dc = (n * (sxx * szy - sxy * sxz) - sx * (sx * szy - sxy * sz)
+          + sy * (sx * sxz - sxx * sz))
+    a, b, c = da / det, db / det, dc / det
+    # numpy lstsq reference
+    X = np.column_stack([np.ones(n), x, z]).astype(float)
+    beta = np.linalg.lstsq(X, y.astype(float), rcond=None)[0]
+    assert abs(a - beta[0]) < 1e-6
+    assert abs(b - beta[1]) < 1e-8
+    assert abs(c - beta[2]) < 1e-8
+
+
+def test_granger_f_zero_when_z_is_noise_free_irrelevant():
+    # y depends only on x: adding z can only reduce SSE a little ->
+    # F small; y depends on z strongly -> F large
+    rng = np.random.default_rng(31)
+    x = rng.integers(0, 100, 200).astype(float)
+    z = rng.integers(0, 100, 200).astype(float)
+    y1 = 5 * x + rng.normal(0, 1, 200)
+    y2 = 5 * z + rng.normal(0, 1, 200)
+
+    def f_stat(y):
+        n = len(y)
+        X_r = np.column_stack([np.ones(n), x])
+        X_f = np.column_stack([np.ones(n), x, z])
+        sse_r = float(((y - X_r @ np.linalg.lstsq(
+            X_r, y, rcond=None)[0]) ** 2).sum())
+        sse_f = float(((y - X_f @ np.linalg.lstsq(
+            X_f, y, rcond=None)[0]) ** 2).sum())
+        return (sse_r - sse_f) / (sse_f / (n - 3))
+    assert f_stat(y1) < 5
+    assert f_stat(y2) > 1000
