@@ -216,6 +216,8 @@ BENCH_EXTRA = [
     "kendalls_w_sources",
     "type_corr_matrix",
     "granger_click_purchase",
+    "forecast_reconciliation",
+    "user_count_nb_fit",
 ]
 
 

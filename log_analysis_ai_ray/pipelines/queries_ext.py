@@ -14168,3 +14168,164 @@ FROM calc
 
 QUERIES["granger_click_purchase"] = (q_granger_click_purchase,
                                      SQL_GRANGER_CLICK_PURCHASE)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical forecast reconciliation — top-down Hamilton allocation
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_reconciliation(sf_dir: str):
+    """Hierarchical-forecast coherence: the TOTAL next-day forecast
+    (seasonal-naive: last same-weekday total) is allocated down to
+    event types by their trailing-7-day revenue shares using Hamilton
+    largest-remainder (ties → type asc) — so the per-type forecasts
+    sum EXACTLY to the total (the coherence property independent
+    bottom-up forecasts lack). Also reports the incoherent bottom-up
+    sum for contrast. All integers from the (type, day) bounded
+    reduce."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    dmax = int(dy.max())
+    types = sorted(set(ty.tolist()))
+    # total forecast: total cents on the last same-weekday (dmax-6)
+    tot_fc = int(cv[dy == dmax - 6].sum())
+    # per-type bottom-up forecasts: same-day-last-week per type
+    bu = {t_: int(cv[(ty == t_) & (dy == dmax - 6)].sum())
+          for t_ in types}
+    # trailing-7-day shares (days dmax-6 .. dmax)
+    trail = {t_: int(cv[(ty == t_) & (dy >= dmax - 6)].sum())
+             for t_ in types}
+    trail_tot = sum(trail.values())
+    floors = [(t_, tot_fc * trail[t_] // trail_tot,
+               (tot_fc * trail[t_]) % trail_tot) for t_ in types]
+    left = tot_fc - sum(f[1] for f in floors)
+    by_rem = sorted(range(len(floors)),
+                    key=lambda i: (-floors[i][2], i))
+    alloc = [f[1] for f in floors]
+    for i in by_rem[:left]:
+        alloc[i] += 1
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "bottom_up_fc": pa.array([bu[t_] for t_ in types], pa.int64()),
+        "top_down_fc": pa.array(alloc, pa.int64()),
+        "total_fc": pa.array([tot_fc] * len(types), pa.int64()),
+        "coherent": pa.array([1 if sum(alloc) == tot_fc else 0]
+                             * len(types), pa.int8()),
+    })
+
+
+SQL_FORECAST_RECONCILIATION = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT max(day) AS dmax FROM d),
+tot AS (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS fc
+        FROM d, mx WHERE day = mx.dmax - 6),
+bu AS (SELECT ty, CAST(coalesce(sum(cents), 0) AS BIGINT) AS fc
+       FROM d, mx WHERE day = mx.dmax - 6 GROUP BY 1),
+tr AS (SELECT ty, CAST(sum(cents) AS BIGINT) AS w
+       FROM d, mx WHERE day >= mx.dmax - 6 GROUP BY 1),
+tt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM tr),
+f AS (
+  SELECT tr.ty, tot.fc,
+         tot.fc * tr.w // tt.wt AS fl,
+         (tot.fc * tr.w) % tt.wt AS rem,
+         row_number() OVER (ORDER BY tr.ty) AS ord
+  FROM tr, tt, tot),
+l AS (SELECT max(fc) - sum(fl) AS left_over FROM f),
+rk AS (SELECT f.*, row_number() OVER (ORDER BY rem DESC, ord) AS r
+       FROM f)
+SELECT rk.ty AS event_type,
+       coalesce(bu.fc, 0) AS bottom_up_fc,
+       CAST(rk.fl + CASE WHEN rk.r <= l.left_over
+                         THEN 1 ELSE 0 END AS BIGINT) AS top_down_fc,
+       rk.fc AS total_fc,
+       CAST(1 AS TINYINT) AS coherent
+FROM rk LEFT JOIN bu ON bu.ty = rk.ty CROSS JOIN l
+ORDER BY rk.ty
+"""
+
+QUERIES["forecast_reconciliation"] = (q_forecast_reconciliation,
+                                      SQL_FORECAST_RECONCILIATION)
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial fit — per-user event-count overdispersion model
+# ---------------------------------------------------------------------------
+
+
+def q_user_count_nb_fit(sf_dir: str):
+    """Method-of-moments negative-binomial fit of the per-user event
+    COUNT distribution — the named-model companion to
+    dispersion_index: r = μ²/(σ²−μ), p = μ/σ² from the exact integer
+    (n, Σk, Σk²) over per-user counts (which reduce distributed — the
+    count histogram is user-bounded). σ² uses the population form;
+    overdispersion (σ²>μ) is asserted by the fit being finite; the
+    two mirrored doubles round-6."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        g = pa.table({"u": t.column("user_id"),
+                      "k": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64))}) \
+            .group_by("u").aggregate([("k", "sum")])
+        return g.rename_columns(["u", "k"])
+
+    m = _partial_final(ds, per_user, ["u"], [("k", "sum")])
+    k = np.asarray(m.column("k"), dtype=np.int64)
+    n = len(k)
+    s = int(k.sum())
+    q = int((k.astype(object) * k).sum())
+    mu = s / n
+    var = (float(n * q - s * s)) / (float(n) * n)
+    r = mu * mu / (var - mu) if var > mu else None
+    p = mu / var if var > 0 else None
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "mean": pa.array([round(mu, 6)], pa.float64()),
+        "var": pa.array([round(var, 6)], pa.float64()),
+        "nb_r": pa.array([round(r, 6) if r is not None else None],
+                         pa.float64()),
+        "nb_p": pa.array([round(p, 6) if p is not None else None],
+                         pa.float64()),
+    })
+
+
+SQL_USER_COUNT_NB_FIT = """
+WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+            FROM events GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS s,
+             CAST(sum(k * k) AS HUGEINT) AS q
+      FROM pu),
+c AS (SELECT n, CAST(s AS DOUBLE) / n AS mu,
+             CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n) AS var
+      FROM s)
+SELECT n AS n_users, round(mu, 6) AS mean, round(var, 6) AS var,
+       CASE WHEN var > mu
+            THEN round(mu * mu / (var - mu), 6) END AS nb_r,
+       CASE WHEN var > 0 THEN round(mu / var, 6) END AS nb_p
+FROM c
+"""
+
+QUERIES["user_count_nb_fit"] = (q_user_count_nb_fit,
+                                SQL_USER_COUNT_NB_FIT)

@@ -736,3 +736,29 @@ def test_granger_f_zero_when_z_is_noise_free_irrelevant():
         return (sse_r - sse_f) / (sse_f / (n - 3))
     assert f_stat(y1) < 5
     assert f_stat(y2) > 1000
+
+
+def test_forecast_reconciliation_coherence():
+    # Hamilton allocation of any total over any positive weights sums
+    # exactly to the total
+    tot_fc = 123457
+    weights = {"a": 3, "b": 5, "c": 9}
+    wt = sum(weights.values())
+    keys = sorted(weights)
+    floors = [(k, tot_fc * weights[k] // wt, (tot_fc * weights[k]) % wt)
+              for k in keys]
+    left = tot_fc - sum(f[1] for f in floors)
+    by_rem = sorted(range(3), key=lambda i: (-floors[i][2], i))
+    alloc = [f[1] for f in floors]
+    for i in by_rem[:left]:
+        alloc[i] += 1
+    assert sum(alloc) == tot_fc
+
+
+def test_nb_moments_recover_known_parameters():
+    # NB(r=4, p=0.4): mean = r(1-p)/p = 6, var = r(1-p)/p^2 = 15
+    mu, var = 6.0, 15.0
+    r = mu * mu / (var - mu)
+    p = mu / var
+    assert abs(r - 4.0) < 1e-12
+    assert abs(p - 0.4) < 1e-12
