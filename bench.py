@@ -218,6 +218,7 @@ BENCH_EXTRA = [
     "granger_click_purchase",
     "forecast_reconciliation",
     "user_count_nb_fit",
+    "var_kupiec_backtest",
 ]
 
 

@@ -14329,3 +14329,82 @@ FROM c
 
 QUERIES["user_count_nb_fit"] = (q_user_count_nb_fit,
                                 SQL_USER_COUNT_NB_FIT)
+
+
+# ---------------------------------------------------------------------------
+# Kupiec POF backtest — does the VaR hold out of sample?
+# ---------------------------------------------------------------------------
+
+
+def q_var_kupiec_backtest(sf_dir: str):
+    """Kupiec proportion-of-failures backtest of a daily-revenue VaR:
+    the 5 %-quantile of FIRST-half daily revenue (exact ceil-rank)
+    becomes the risk limit; second-half days below it are violations;
+    LR_POF = −2·ln[(1−p)^{n−x}p^x / ((1−x̂)^{n−x}x̂^x)] with p = 0.05
+    and x̂ = x/n tests whether the violation RATE matches the model.
+    Integer counts from the days-bounded reduce; the LR's logs are
+    the one mirrored double expression (micro-nats, round to int)."""
+    import math
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2
+    h1 = np.sort(cv[dy < mid])
+    n1 = len(h1)
+    var_lim = int(h1[max(-(-5 * n1 // 100) - 1, 0)])  # ceil-rank P5
+    h2 = cv[dy >= mid]
+    n = len(h2)
+    x = int((h2 < var_lim).sum())
+    p = 0.05
+    if 0 < x < n:
+        xh = x / n
+        lr = -2.0 * ((n - x) * math.log((1 - p) / (1 - xh))
+                     + x * math.log(p / xh))
+    else:
+        lr = None
+    return pa.table({
+        "var_limit_cents": pa.array([var_lim], pa.int64()),
+        "n_test_days": pa.array([n], pa.int64()),
+        "violations": pa.array([x], pa.int64()),
+        "lr_pof_micro": pa.array(
+            [round(lr * 1_000_000) if lr is not None else None],
+            pa.int64()),
+    })
+
+
+SQL_VAR_KUPIEC_BACKTEST = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+v AS (SELECT CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lim
+      FROM d, b WHERE day < b.mid),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN cents < v.lim THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM d, b, v WHERE day >= b.mid)
+SELECT v.lim AS var_limit_cents, t.n AS n_test_days,
+       t.x AS violations,
+       CASE WHEN t.x > 0 AND t.x < t.n THEN
+         CAST(round(-2000000.0 * (
+           (t.n - t.x) * ln(0.95 / (1.0 - CAST(t.x AS DOUBLE) / t.n))
+           + t.x * ln(0.05 / (CAST(t.x AS DOUBLE) / t.n))))
+              AS BIGINT)
+       END AS lr_pof_micro
+FROM v, t
+"""
+
+QUERIES["var_kupiec_backtest"] = (q_var_kupiec_backtest,
+                                  SQL_VAR_KUPIEC_BACKTEST)

@@ -762,3 +762,17 @@ def test_nb_moments_recover_known_parameters():
     p = mu / var
     assert abs(r - 4.0) < 1e-12
     assert abs(p - 0.4) < 1e-12
+
+
+def test_kupiec_lr_zero_at_exact_rate_and_grows():
+    import math
+
+    def lr_pof(n, x, p=0.05):
+        xh = x / n
+        return -2.0 * ((n - x) * math.log((1 - p) / (1 - xh))
+                       + x * math.log(p / xh))
+    # violations exactly at the model rate -> LR == 0
+    assert abs(lr_pof(200, 10)) < 1e-12
+    # too many OR too few violations both inflate the statistic
+    assert lr_pof(200, 30) > 10
+    assert lr_pof(200, 1) > 5
