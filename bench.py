@@ -219,6 +219,7 @@ BENCH_EXTRA = [
     "forecast_reconciliation",
     "user_count_nb_fit",
     "var_kupiec_backtest",
+    "poisson_bh_hours",
 ]
 
 

@@ -14408,3 +14408,111 @@ FROM v, t
 
 QUERIES["var_kupiec_backtest"] = (q_var_kupiec_backtest,
                                   SQL_VAR_KUPIEC_BACKTEST)
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg — multiple-testing control over Poisson cells
+# ---------------------------------------------------------------------------
+
+
+def q_poisson_bh_hours(sf_dir: str):
+    """Multiple-testing control: every (type, hour-of-day) cell gets
+    a Poisson upper-tail p-value against its type's uniform rate
+    (terms exp(k·lnλ − λ − lnΓ(k+1)) — far-tail terms underflow to 0
+    harmlessly, mode terms never do), then BENJAMINI–HOCHBERG at
+    q = 0.05 picks the discoveries. P-values quantize to integer
+    p·10¹² (4 orders above double noise) so the step-up decision
+    p₍ᵢ₎·20·m ≤ 10¹²·i is PURE INTEGER on both engines — the
+    textbook FDR procedure with no float comparison anywhere in the
+    decision. Output: per-type discovery counts + the global max-i."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "hh": hh}) \
+            .group_by(["ty", "hh"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "hh", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "hh"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    types = sorted(set(ty.tolist()))
+    cells = []
+    for t_ in types:
+        sel = ty == t_
+        tot = int(cc[sel].sum())
+        lam = tot / 24.0
+        for h in range(24):
+            ch = int(cc[sel & (hh == h)].sum())
+            cdf = 0.0
+            for k in range(ch):  # ascending k both engines
+                cdf += math.exp(k * math.log(lam) - lam
+                                - math.lgamma(k + 1))
+            p12 = round((1.0 - cdf) * 1_000_000_000_000)
+            cells.append((t_, h, p12))
+    mm = len(cells)
+    order = sorted(range(mm), key=lambda i: (cells[i][2], cells[i][0],
+                                             cells[i][1]))
+    kstar = 0
+    for rank, idx in enumerate(order, start=1):
+        if cells[idx][2] * 20 * mm <= 1_000_000_000_000 * rank:
+            kstar = rank
+    rejected = set(order[:kstar])
+    rows = []
+    for t_ in types:
+        nrej = sum(1 for i in rejected if cells[i][0] == t_)
+        rows.append((t_, nrej))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_discoveries": pa.array([r[1] for r in rows], pa.int64()),
+        "m_tests": pa.array([mm] * len(rows), pa.int64()),
+        "k_star": pa.array([kstar] * len(rows), pa.int64()),
+    })
+
+
+SQL_POISSON_BH_HOURS = """
+WITH g AS (
+  SELECT event_type AS ty, CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.ty, h.hh, coalesce(g.c, 0) AS c
+  FROM (SELECT DISTINCT ty FROM g) t
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS hh FROM range(24)) h
+  LEFT JOIN g ON g.ty = t.ty AND g.hh = h.hh),
+lam AS (SELECT ty, sum(c) / 24.0 AS lam FROM grid GROUP BY 1),
+ks_dom AS (
+  SELECT unnest(generate_series(
+    0, (SELECT CAST(max(c) AS BIGINT) FROM grid) - 1)) AS k),
+cdf AS (
+  SELECT gr.ty, gr.hh, gr.c,
+         coalesce(sum(exp(k.k * ln(lam.lam) - lam.lam
+                          - lgamma(k.k + 1.0))), 0.0) AS lower
+  FROM grid gr JOIN lam USING (ty)
+  LEFT JOIN ks_dom k ON k.k < gr.c
+  GROUP BY 1, 2, 3),
+pv AS (
+  SELECT ty, hh,
+         CAST(round((1.0 - lower) * 1000000000000) AS BIGINT) AS p12
+  FROM cdf),
+ranked AS (
+  SELECT ty, hh, p12,
+         row_number() OVER (ORDER BY p12, ty, hh) AS rk,
+         count(*) OVER () AS m
+  FROM pv),
+ks AS (
+  SELECT coalesce(max(rk), 0) AS kstar FROM ranked
+  WHERE p12 * 20 * m <= 1000000000000 * rk)
+SELECT r.ty AS event_type,
+       CAST(coalesce(sum(CASE WHEN r.rk <= ks.kstar
+                          THEN 1 END), 0) AS BIGINT)
+         AS n_discoveries,
+       CAST(max(r.m) AS BIGINT) AS m_tests,
+       CAST(max(ks.kstar) AS BIGINT) AS k_star
+FROM ranked r, ks GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["poisson_bh_hours"] = (q_poisson_bh_hours,
+                               SQL_POISSON_BH_HOURS)

@@ -776,3 +776,36 @@ def test_kupiec_lr_zero_at_exact_rate_and_grows():
     # too many OR too few violations both inflate the statistic
     assert lr_pof(200, 30) > 10
     assert lr_pof(200, 1) > 5
+
+
+def test_bh_stepup_classic_example():
+    # textbook BH at q=0.05: sorted p-values, reject up to max i with
+    # p_i <= q*i/m (integer p12 comparison mirrors the engines)
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205]
+    m = len(ps)
+    p12 = [round(p * 1e12) for p in ps]
+    kstar = 0
+    for i, v in enumerate(sorted(p12), start=1):
+        if v * 20 * m <= 10**12 * i:
+            kstar = i
+    # p4=0.041 <= 0.05*4/8=0.025? no. p3=0.039<=0.01875? no.
+    # p2=0.008<=0.0125 yes -> but step-up takes the MAX i, check each:
+    # i=1: .001<=.00625 y; i=2: .008<=.0125 y; i=3: .039<=.01875 n;
+    # i=4: .041<=.025 n; i=5: .042<=.03125 n -> kstar=2
+    assert kstar == 2
+
+
+def test_poisson_upper_tail_terms_stable():
+    import math
+    lam = 2500.0  # large rate: early terms underflow harmlessly
+    # P(X >= mode) should be ~0.5, mode terms well-formed
+    c = 2500
+    cdf = sum(math.exp(k * math.log(lam) - lam - math.lgamma(k + 1))
+              for k in range(c))
+    p = 1.0 - cdf
+    assert 0.4 < p < 0.6
+    # a +5 sigma cell is a discovery-grade p-value
+    c_hi = int(lam + 5 * lam ** 0.5)
+    cdf_hi = sum(math.exp(k * math.log(lam) - lam - math.lgamma(k + 1))
+                 for k in range(c_hi))
+    assert 1.0 - cdf_hi < 1e-5
