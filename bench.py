@@ -220,6 +220,8 @@ BENCH_EXTRA = [
     "user_count_nb_fit",
     "var_kupiec_backtest",
     "poisson_bh_hours",
+    "capture_recapture_users",
+    "good_turing_unseen",
 ]
 
 

@@ -14516,3 +14516,149 @@ FROM ranked r, ks GROUP BY 1 ORDER BY 1
 
 QUERIES["poisson_bh_hours"] = (q_poisson_bh_hours,
                                SQL_POISSON_BH_HOURS)
+
+
+# ---------------------------------------------------------------------------
+# Capture–recapture — Chapman population estimate from two halves
+# ---------------------------------------------------------------------------
+
+
+def q_capture_recapture_users(sf_dir: str):
+    """Chapman capture–recapture estimate of the user population from
+    two independent 'captures' (the day halves): N̂ = (n₁+1)(n₂+1)/
+    (m+1) − 1 with m = users seen in both — the ecology estimator
+    that audits incomplete-observation assumptions; here ground truth
+    exists, so the signed error is part of the output. Per-user
+    (h1, h2) seen-flags reduce distributed; every quantity integer,
+    the estimate floored."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        g = pa.table({"u": t.column("user_id"), "day": day}) \
+            .group_by(["u", "day"]).aggregate([])
+        return g.rename_columns(["u", "day"])
+
+    m = _partial_final(ds, partial, ["u", "day"], [])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    d = np.asarray(m.column("day"), dtype=np.int64)
+    mid = (int(d.min()) + int(d.max()) + 1) // 2
+    uu, ui = np.unique(u, return_inverse=True)
+    in1 = np.zeros(len(uu), dtype=bool)
+    in2 = np.zeros(len(uu), dtype=bool)
+    first = d < mid
+    in1[ui[first]] = True
+    in2[ui[~first]] = True
+    n1, n2 = int(in1.sum()), int(in2.sum())
+    both = int((in1 & in2).sum())
+    true_n = len(uu)
+    est = (n1 + 1) * (n2 + 1) // (both + 1) - 1
+    return pa.table({
+        "n_half1": pa.array([n1], pa.int64()),
+        "n_half2": pa.array([n2], pa.int64()),
+        "n_both": pa.array([both], pa.int64()),
+        "chapman_estimate": pa.array([est], pa.int64()),
+        "true_users": pa.array([true_n], pa.int64()),
+        "err_pm": pa.array([(est - true_n) * 1000 // true_n],
+                           pa.int64()),
+    })
+
+
+SQL_CAPTURE_RECAPTURE_USERS = """
+WITH e AS (
+  SELECT user_id AS u,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+pu AS (
+  SELECT u,
+         max(CASE WHEN day < b.mid THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN day >= b.mid THEN 1 ELSE 0 END) AS h2
+  FROM e CROSS JOIN b GROUP BY 1),
+s AS (SELECT CAST(sum(h1) AS BIGINT) AS n1,
+             CAST(sum(h2) AS BIGINT) AS n2,
+             CAST(sum(h1 * h2) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS t
+      FROM pu)
+SELECT n1 AS n_half1, n2 AS n_half2, m AS n_both,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+         AS chapman_estimate,
+       t AS true_users,
+       CAST(((n1 + 1) * (n2 + 1) // (m + 1) - 1 - t) * 1000 // t
+            AS BIGINT) AS err_pm
+FROM s
+"""
+
+QUERIES["capture_recapture_users"] = (q_capture_recapture_users,
+                                      SQL_CAPTURE_RECAPTURE_USERS)
+
+
+# ---------------------------------------------------------------------------
+# Good–Turing — unseen-token probability mass per source
+# ---------------------------------------------------------------------------
+
+
+def q_good_turing_unseen(sf_dir: str):
+    """Good–Turing estimate of the UNSEEN vocabulary mass per corpus
+    source: P(next token is new) ≈ n₁/N (singleton count over token
+    count) — the smoothing constant every LM/coverage analysis needs
+    and vocab_coverage_curve's complement. Per-mille integers from
+    the vocab-bounded (source, token, cnt) partials; doc-frequency
+    singletons too (hapax over docs vs tokens distinguished)."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = pa.table({"source": src.take(par), "token": flat}) \
+            .group_by(["source", "token"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    m = _partial_final(ds, partial, ["source", "token"],
+                       [("cnt", "sum")])
+    src = np.asarray(m.column("source").to_pylist())
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    rows = []
+    for s_ in sorted(set(src.tolist())):
+        sel = src == s_
+        n_tok = int(cnt[sel].sum())
+        vocab = int(sel.sum())
+        n1 = int((cnt[sel] == 1).sum())
+        rows.append((s_, n_tok, vocab, n1,
+                     n1 * 1000 // n_tok if n_tok else None))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "vocab": pa.array([r[2] for r in rows], pa.int64()),
+        "singletons": pa.array([r[3] for r in rows], pa.int64()),
+        "unseen_mass_pm": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_GOOD_TURING_UNSEEN = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS singletons,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000
+            // sum(cnt) AS BIGINT) AS unseen_mass_pm
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["good_turing_unseen"] = (q_good_turing_unseen,
+                                 SQL_GOOD_TURING_UNSEEN)

@@ -809,3 +809,24 @@ def test_poisson_upper_tail_terms_stable():
     cdf_hi = sum(math.exp(k * math.log(lam) - lam - math.lgamma(k + 1))
                  for k in range(c_hi))
     assert 1.0 - cdf_hi < 1e-5
+
+
+def test_chapman_exact_under_full_overlap_and_underestimates_disjoint():
+    # full overlap: est == true
+    n1 = n2 = m = t = 100
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    assert est == 100
+    # independent captures with 50% each: unbiased-ish around true
+    t = 1000
+    n1 = n2 = 500
+    m = 250  # expected overlap under independence
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    assert abs(est - t) < t * 0.01
+
+
+def test_good_turing_bounds():
+    # all singletons -> unseen mass 1000pm; no singletons -> 0
+    cnts = np.array([1, 1, 1], dtype=np.int64)
+    assert int((cnts == 1).sum()) * 1000 // int(cnts.sum()) == 1000
+    cnts = np.array([5, 9], dtype=np.int64)
+    assert int((cnts == 1).sum()) * 1000 // int(cnts.sum()) == 0
