@@ -222,6 +222,8 @@ BENCH_EXTRA = [
     "poisson_bh_hours",
     "capture_recapture_users",
     "good_turing_unseen",
+    "langid_ari",
+    "pr_auc_doc_length",
 ]
 
 

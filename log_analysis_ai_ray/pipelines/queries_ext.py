@@ -14662,3 +14662,154 @@ FROM c GROUP BY 1 ORDER BY 1
 
 QUERIES["good_turing_unseen"] = (q_good_turing_unseen,
                                  SQL_GOOD_TURING_UNSEEN)
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand index — chance-corrected agreement (langid vs labels)
+# ---------------------------------------------------------------------------
+
+
+def q_langid_ari(sf_dir: str):
+    """Adjusted Rand index between the language-ID partition and the
+    labeled partition — the chance-corrected pair-counting agreement
+    (the clustering-eval complement to langid_mcc's classification
+    view): ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (M − E) with
+    E = Σᵢ C(aᵢ,2)·Σⱼ C(bⱼ,2)/C(n,2), every term an EXACT integer
+    binomial from the langs²-bounded confusion partials (the E
+    division cleared by cross-multiplication: report numerator and
+    denominator scaled by C(n,2) so the one mirrored float division
+    happens last)."""
+    from ..stages.textstats import langid_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({"lang": t.column("lang"), "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    m = _partial_final(ds, partial, ["lang", "pred_lang"],
+                       [("n", "sum")])
+    la = np.asarray(m.column("lang").to_pylist())
+    pr = np.asarray(m.column("pred_lang").to_pylist())
+    nn = np.asarray(m.column("n"), dtype=np.int64)
+    n = int(nn.sum())
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    sum_ij = int(sum(c2(int(v)) for v in nn))
+    sum_a = int(sum(c2(int(nn[la == k].sum()))
+                    for k in sorted(set(la.tolist()))))
+    sum_b = int(sum(c2(int(nn[pr == k].sum()))
+                    for k in sorted(set(pr.tolist()))))
+    cn2 = c2(n)
+    # ARI = (sum_ij - sum_a*sum_b/cn2) / ((sum_a+sum_b)/2
+    #        - sum_a*sum_b/cn2); clear /cn2 by scaling both
+    num = sum_ij * cn2 - sum_a * sum_b
+    den = (sum_a + sum_b) * cn2 // 2 - sum_a * sum_b
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "pairs_together_both": pa.array([sum_ij], pa.int64()),
+        "ari": pa.array([round(num / den, 6) if den else None],
+                        pa.float64()),
+    })
+
+
+def _langid_ari_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH pred AS ({inner}),
+cm AS (
+  SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cm),
+sij AS (SELECT CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS v FROM cm),
+sa AS (SELECT CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS v
+       FROM (SELECT sum(n) AS t FROM cm GROUP BY lang)),
+sb AS (SELECT CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS v
+       FROM (SELECT sum(n) AS t FROM cm GROUP BY pred_lang)),
+c AS (SELECT CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2 AS cn2,
+             tot.n FROM tot)
+SELECT c.n, CAST(sij.v AS BIGINT) AS pairs_together_both,
+       round(CAST(sij.v * c.cn2 - sa.v * sb.v AS DOUBLE)
+             / CAST((sa.v + sb.v) * c.cn2 // 2 - sa.v * sb.v
+                    AS DOUBLE), 6) AS ari
+FROM c, sij, sa, sb
+"""
+
+
+QUERIES["langid_ari"] = (q_langid_ari, _langid_ari_sql())
+
+
+# ---------------------------------------------------------------------------
+# Average precision (PR-AUC) — histogram closure, exact ties
+# ---------------------------------------------------------------------------
+
+
+def q_pr_auc_doc_length(sf_dir: str):
+    """Average precision (PR-AUC) of document length as an
+    English-detector — the imbalanced-data companion to
+    auc_doc_length's ROC view: walking distinct scores DESCENDING,
+    AP = Σ_s ΔTP_s · precision_after(s) / P, ties grouped whole.
+    Per-score (pos, neg) partials close with exact integer cumsums
+    and SEQUENTIAL ordered accumulation — the oracle's ordered
+    window mirrors it bit-for-bit before round-6."""
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_en = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        is_no = pc.subtract(pa.scalar(1, pa.int64()), is_en)
+        g = pa.table({"s": t.column("n_chars").cast(pa.int64()),
+                      "p": is_en, "ng": is_no}) \
+            .group_by("s").aggregate([("p", "sum"), ("ng", "sum")])
+        return g.rename_columns(["s", "p", "ng"])
+
+    h = _partial_final(ds, partial, ["s"],
+                       [("p", "sum"), ("ng", "sum")])
+    h = h.sort_by([("s", "descending")])
+    p = np.asarray(h.column("p"), dtype=np.int64)
+    ng = np.asarray(h.column("ng"), dtype=np.int64)
+    P = int(p.sum())
+    ctp = np.cumsum(p)
+    call = np.cumsum(p + ng)
+    ap = 0.0
+    for i in range(len(p)):  # descending-score sequential order
+        if p[i]:
+            ap += int(p[i]) * (int(ctp[i]) / int(call[i]))
+    ap /= P
+    return pa.table({
+        "n_pos": pa.array([P], pa.int64()),
+        "n_neg": pa.array([int(ng.sum())], pa.int64()),
+        "avg_precision": pa.array([round(ap, 6)], pa.float64()),
+    })
+
+
+SQL_PR_AUC_DOC_LENGTH = """
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS s,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS p,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS ng
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT s, p,
+         sum(p) OVER (ORDER BY s DESC) AS ctp,
+         sum(p + ng) OVER (ORDER BY s DESC) AS call
+  FROM h),
+ap AS (
+  SELECT sum(CASE WHEN p > 0
+             THEN p * (CAST(ctp AS DOUBLE) / call) END
+             ORDER BY s DESC) AS num
+  FROM w)
+SELECT (SELECT CAST(sum(p) AS BIGINT) FROM h) AS n_pos,
+       (SELECT CAST(sum(ng) AS BIGINT) FROM h) AS n_neg,
+       round(ap.num / (SELECT sum(p) FROM h), 6) AS avg_precision
+FROM ap
+"""
+
+QUERIES["pr_auc_doc_length"] = (q_pr_auc_doc_length,
+                                SQL_PR_AUC_DOC_LENGTH)

@@ -830,3 +830,47 @@ def test_good_turing_bounds():
     assert int((cnts == 1).sum()) * 1000 // int(cnts.sum()) == 1000
     cnts = np.array([5, 9], dtype=np.int64)
     assert int((cnts == 1).sum()) * 1000 // int(cnts.sum()) == 0
+
+
+def test_ari_identical_partitions_one_independent_zeroish():
+    def ari(cells):
+        import numpy as _np
+        la = [t for (t, _p) in cells]
+        pr = [p for (_t, p) in cells]
+        nn = list(cells.values())
+        n = sum(nn)
+
+        def c2(x):
+            return x * (x - 1) // 2
+        sij = sum(c2(v) for v in nn)
+        sa = sum(c2(sum(v for (t, _), v in cells.items() if t == k))
+                 for k in set(la))
+        sb = sum(c2(sum(v for (_, p), v in cells.items() if p == k))
+                 for k in set(pr))
+        cn2 = c2(n)
+        num = sij * cn2 - sa * sb
+        den = (sa + sb) * cn2 // 2 - sa * sb
+        return num / den
+    assert abs(ari({("a", "a"): 50, ("b", "b"): 50}) - 1.0) < 1e-12
+    # independent 2x2 with equal masses: expected index == observed
+    assert abs(ari({("a", "a"): 25, ("a", "b"): 25,
+                    ("b", "a"): 25, ("b", "b"): 25})) < 1e-12
+
+
+def test_average_precision_perfect_and_worst_ranking():
+    def ap_from_hist(scores_desc):
+        # list of (pos, neg) per distinct score, descending
+        P = sum(p for p, _ in scores_desc)
+        ctp = call = 0
+        ap = 0.0
+        for p, ng in scores_desc:
+            ctp += p
+            call += p + ng
+            if p:
+                ap += p * (ctp / call)
+        return ap / P
+    # all positives above all negatives -> AP == 1
+    assert abs(ap_from_hist([(5, 0), (0, 10)]) - 1.0) < 1e-12
+    # all negatives first -> AP == P/(N+P) at the single positive bin
+    ap = ap_from_hist([(0, 9), (1, 0)])
+    assert abs(ap - 0.1) < 1e-12
