@@ -852,9 +852,13 @@ def test_ari_identical_partitions_one_independent_zeroish():
         den = (sa + sb) * cn2 // 2 - sa * sb
         return num / den
     assert abs(ari({("a", "a"): 50, ("b", "b"): 50}) - 1.0) < 1e-12
-    # independent 2x2 with equal masses: expected index == observed
+    # independent 2x2 with equal masses: near zero (ARI is zero in
+    # EXPECTATION over the permutation null; a single balanced table
+    # sits O(1/n) below it)
     assert abs(ari({("a", "a"): 25, ("a", "b"): 25,
-                    ("b", "a"): 25, ("b", "b"): 25})) < 1e-12
+                    ("b", "a"): 25, ("b", "b"): 25})) < 0.05
+    # inverted labels on 2 clusters still pair-agree perfectly
+    assert abs(ari({("a", "b"): 50, ("b", "a"): 50}) - 1.0) < 1e-12
 
 
 def test_average_precision_perfect_and_worst_ranking():
