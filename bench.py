@@ -224,6 +224,8 @@ BENCH_EXTRA = [
     "good_turing_unseen",
     "langid_ari",
     "pr_auc_doc_length",
+    "most_similar_days",
+    "ljung_box_daily",
 ]
 
 

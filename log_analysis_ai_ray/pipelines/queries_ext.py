@@ -14813,3 +14813,161 @@ FROM ap
 
 QUERIES["pr_auc_doc_length"] = (q_pr_auc_doc_length,
                                 SQL_PR_AUC_DOC_LENGTH)
+
+
+# ---------------------------------------------------------------------------
+# Most-similar-days motif — exact L1 nearest pair of daily profiles
+# ---------------------------------------------------------------------------
+
+
+def q_most_similar_days(sf_dir: str):
+    """Motif discovery at day grain: the two distinct days whose
+    24-hour event-count profiles are closest in exact integer L1
+    distance (the matrix-profile question at calendar resolution,
+    answered exactly because the (day, hour) grid is span-bounded).
+    Argmin over all day pairs with (d1, d2) smallest ties; the
+    profile grid ships as bounded partials, the C(days,2) sweep is
+    vectorized driver-side and a range-join in the oracle."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(t.column("ts"), pa.int64())
+        day = pc.divide(tsv, pa.scalar(_DUS, pa.int64()))
+        hh = pc.divide(
+            pc.subtract(tsv, pc.multiply(day,
+                                         pa.scalar(_DUS, pa.int64()))),
+            pa.scalar(3_600_000_000, pa.int64()))
+        g = pa.table({"day": day, "hh": hh}) \
+            .group_by(["day", "hh"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "hh", "c"])
+
+    m = _partial_final(ds, partial, ["day", "hh"], [("c", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    days = np.unique(dy)
+    prof = np.zeros((len(days), 24), dtype=np.int64)
+    prof[np.searchsorted(days, dy), hh] = cc
+    # vectorized pairwise L1 over the bounded day count
+    d1i, d2i = np.triu_indices(len(days), 1)
+    dist = np.abs(prof[d1i] - prof[d2i]).sum(axis=1)
+    best = np.lexsort((days[d2i], days[d1i], dist))[0]
+    return pa.table({
+        "day_a": pa.array([int(days[d1i[best]])], pa.int64()),
+        "day_b": pa.array([int(days[d2i[best]])], pa.int64()),
+        "l1_dist": pa.array([int(dist[best])], pa.int64()),
+        "n_days": pa.array([len(days)], pa.int64()),
+    })
+
+
+SQL_MOST_SIMILAR_DAYS = """
+WITH g AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         (CAST(epoch_us(ts) AS BIGINT) % 86400000000)
+           // 3600000000 AS hh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT d.day, h.hh, coalesce(g.c, 0) AS c
+  FROM (SELECT DISTINCT day FROM g) d
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS hh FROM range(24)) h
+  LEFT JOIN g ON g.day = d.day AND g.hh = h.hh),
+pairs AS (
+  SELECT a.day AS day_a, b.day AS day_b,
+         CAST(sum(abs(a.c - b.c)) AS BIGINT) AS l1
+  FROM grid a JOIN grid b ON b.hh = a.hh AND b.day > a.day
+  GROUP BY 1, 2)
+SELECT day_a, day_b, l1 AS l1_dist,
+       (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM g) AS n_days
+FROM pairs ORDER BY l1, day_a, day_b LIMIT 1
+"""
+
+QUERIES["most_similar_days"] = (q_most_similar_days,
+                                SQL_MOST_SIMILAR_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box test — joint autocorrelation up to lag 6
+# ---------------------------------------------------------------------------
+
+_LB_LAGS = 6
+
+
+def q_ljung_box_daily(sf_dir: str):
+    """Ljung–Box portmanteau test on daily revenue: is the series
+    white noise, or is there structure at ANY lag ≤ 6? Q = n(n+2)·
+    Σ_k r_k²/(n−k) with each r_k the lag-k autocorrelation from
+    EXACT integer sums over the dense day grid (the hourly_acf
+    construction at day grain); the k-sum runs in ascending lag order
+    both engines, round-4."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    y = np.zeros(len(days), dtype=np.int64)
+    y[dy - days[0]] = cv
+    n = len(y)
+    s = int(y.sum())
+    # r_k = (n·Σ y_t y_{t+k} − ... ) use demeaned integer form:
+    # c_k = Σ (y_t·n − s)(y_{t+k}·n − s) / n²  (exact ints / n²)
+    yn = [int(v) * n - s for v in y]
+    c0 = sum(v * v for v in yn)
+    q_stat = 0.0
+    for k in range(1, _LB_LAGS + 1):  # ascending lags both engines
+        ck = sum(yn[t_] * yn[t_ + k] for t_ in range(n - k))
+        rk = ck / c0
+        q_stat += rk * rk / (n - k)
+    q_stat *= n * (n + 2)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "lags": pa.array([_LB_LAGS], pa.int64()),
+        "ljung_box_q": pa.array([round(q_stat, 4)], pa.float64()),
+    })
+
+
+SQL_LJUNG_BOX_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+grid AS (
+  SELECT g.day, coalesce(d.cents, 0) AS y
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d USING (day)),
+st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(y) AS HUGEINT) AS s FROM grid),
+dm AS (SELECT day, CAST(y AS HUGEINT) * st.n - st.s AS yn
+       FROM grid, st),
+c0 AS (SELECT sum(CAST(yn AS DOUBLE) * yn) AS v FROM dm),
+ck AS (
+  SELECT k.range AS k,
+         sum(CAST(a.yn AS DOUBLE) * b.yn) AS v
+  FROM range(1, {_LB_LAGS} + 1) k
+  JOIN dm a ON TRUE
+  JOIN dm b ON b.day = a.day + k.range
+  GROUP BY 1),
+q AS (
+  SELECT sum((ck.v / c0.v) * (ck.v / c0.v)
+             / (st.n - ck.k) ORDER BY ck.k) AS acc
+  FROM ck, c0, st)
+SELECT CAST(st.n AS BIGINT) AS n_days,
+       CAST({_LB_LAGS} AS BIGINT) AS lags,
+       round(q.acc * st.n * (st.n + 2), 4) AS ljung_box_q
+FROM q, st
+"""
+
+QUERIES["ljung_box_daily"] = (q_ljung_box_daily, SQL_LJUNG_BOX_DAILY)

@@ -878,3 +878,31 @@ def test_average_precision_perfect_and_worst_ranking():
     # all negatives first -> AP == P/(N+P) at the single positive bin
     ap = ap_from_hist([(0, 9), (1, 0)])
     assert abs(ap - 0.1) < 1e-12
+
+
+def test_l1_profile_motif_identical_days_zero():
+    prof = np.array([[1, 2, 3], [1, 2, 3], [9, 9, 9]], dtype=np.int64)
+    i, j = np.triu_indices(3, 1)
+    dist = np.abs(prof[i] - prof[j]).sum(axis=1)
+    best = np.argmin(dist)
+    assert (i[best], j[best]) == (0, 1)
+    assert dist[best] == 0
+
+
+def test_ljung_box_white_noise_small_seasonal_large():
+    rng = np.random.default_rng(37)
+
+    def q_stat(y, lags=6):
+        n = len(y)
+        s = int(y.sum())
+        yn = [int(v) * n - s for v in y]
+        c0 = sum(v * v for v in yn)
+        q = 0.0
+        for k in range(1, lags + 1):
+            ck = sum(yn[t] * yn[t + k] for t in range(n - k))
+            q += (ck / c0) ** 2 / (n - k)
+        return q * n * (n + 2)
+    noise = rng.integers(0, 1000, 300).astype(np.int64)
+    seasonal = np.tile([0, 0, 0, 0, 0, 0, 1000], 43)[:300]
+    assert q_stat(noise) < 30        # chi2(6) 99.99% ~ 27.8
+    assert q_stat(seasonal) > 100    # strong lag-7-family structure
