@@ -903,6 +903,7 @@ def test_ljung_box_white_noise_small_seasonal_large():
             q += (ck / c0) ** 2 / (n - k)
         return q * n * (n + 2)
     noise = rng.integers(0, 1000, 300).astype(np.int64)
-    seasonal = np.tile([0, 0, 0, 0, 0, 0, 1000], 43)[:300]
+    # period-3 signal puts its peak INSIDE the tested lag window
+    seasonal = np.tile([0, 0, 1000], 100)
     assert q_stat(noise) < 30        # chi2(6) 99.99% ~ 27.8
-    assert q_stat(seasonal) > 100    # strong lag-7-family structure
+    assert q_stat(seasonal) > 500    # lag-3/6 structure dominates
