@@ -226,6 +226,7 @@ BENCH_EXTRA = [
     "pr_auc_doc_length",
     "most_similar_days",
     "ljung_box_daily",
+    "best_revenue_streak",
 ]
 
 

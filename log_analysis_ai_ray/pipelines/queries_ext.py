@@ -14971,3 +14971,102 @@ FROM q, st
 """
 
 QUERIES["ljung_box_daily"] = (q_ljung_box_daily, SQL_LJUNG_BOX_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Best streak — maximum-subarray (Kadane) via the prefix identity
+# ---------------------------------------------------------------------------
+
+
+def q_best_revenue_streak(sf_dir: str):
+    """The single most above-average consecutive run of days
+    (maximum-subarray on demeaned daily revenue — Kadane's problem),
+    closed WITHOUT the sequential DP: best-ending-here(t) = P_t −
+    min(0, min_{j≤t−1} P_j)… in demeaned integer units scaled by n
+    (y·n − s clears the mean exactly). The answer is max_t (P_t −
+    min_{j<t} P_j) with the earliest tie; two ordered window scans in
+    the oracle, two numpy prefix ops on the driver — the same
+    identity family as page_cusum_alarm. Output: streak bounds,
+    length, and its excess revenue (exact cents·n units → cents)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(dy)
+    dy, cv = dy[o], cv[o]
+    n = len(cv)
+    s = int(cv.sum())
+    x = cv.astype(object) * n - s          # demeaned · n, exact
+    p = np.cumsum(x)
+    pmin_prior = np.concatenate(([0], np.minimum.accumulate(p)[:-1]))
+    base = np.minimum(pmin_prior, 0)       # empty prefix counts as 0
+    gain = p - base
+    end = int(np.argmax(gain))             # earliest max tie
+    if end == 0 or int(base[end]) == 0:
+        start = 0                           # streak starts at day 1
+    else:
+        # earliest prefix position hitting the baseline, then +1
+        start = int(np.flatnonzero(p[:end] == base[end])[0]) + 1
+    excess_cents = int(gain[end]) // n
+    return pa.table({
+        "start_day": pa.array([int(dy[start])], pa.int64()),
+        "end_day": pa.array([int(dy[end])], pa.int64()),
+        "length_days": pa.array([end - start + 1], pa.int64()),
+        "excess_cents": pa.array([excess_cents], pa.int64()),
+    })
+
+
+SQL_BEST_REVENUE_STREAK = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s FROM d),
+w AS (
+  SELECT day,
+         sum(CAST(cents AS HUGEINT) * t.n - t.s)
+           OVER (ORDER BY day) AS p,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM d, t),
+g AS (
+  SELECT day, p, rn,
+         coalesce(min(p) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pm_raw
+  FROM w),
+gg AS (SELECT day, rn, p, pm_raw,
+              p - least(pm_raw, 0) AS gain
+       FROM g),
+best AS (SELECT * FROM gg ORDER BY gain DESC, day LIMIT 1),
+start_pick AS (
+  SELECT CASE
+    WHEN best.rn = 1 OR least(best.pm_raw, 0) = 0 THEN
+      (SELECT min(day) FROM gg)
+    ELSE
+      (SELECT day FROM gg
+       WHERE gg.rn > (SELECT min(rn) FROM gg g2
+                      WHERE g2.rn < best.rn AND g2.p = best.pm_raw)
+       ORDER BY gg.rn LIMIT 1)
+    END AS start_day
+  FROM best)
+SELECT sp.start_day, best.day AS end_day,
+       CAST(best.rn - (SELECT rn FROM gg
+                       WHERE gg.day = sp.start_day) + 1 AS BIGINT)
+         AS length_days,
+       CAST(best.gain // (SELECT n FROM t) AS BIGINT) AS excess_cents
+FROM best, start_pick sp
+"""
+
+QUERIES["best_revenue_streak"] = (q_best_revenue_streak,
+                                  SQL_BEST_REVENUE_STREAK)

@@ -907,3 +907,24 @@ def test_ljung_box_white_noise_small_seasonal_large():
     seasonal = np.tile([0, 0, 1000], 100)
     assert q_stat(noise) < 30        # chi2(6) 99.99% ~ 27.8
     assert q_stat(seasonal) > 500    # lag-3/6 structure dominates
+
+
+def test_kadane_prefix_identity_matches_bruteforce():
+    rng = np.random.default_rng(41)
+    for _ in range(5):
+        x = rng.integers(-50, 50, 40).astype(object)
+        p = np.cumsum(x)
+        pmin_prior = np.concatenate(([0],
+                                     np.minimum.accumulate(p)[:-1]))
+        base = np.minimum(pmin_prior, 0)
+        gain = p - base
+        got = int(max(gain))
+        # brute force max subarray (non-empty)
+        best = None
+        for i in range(len(x)):
+            for j in range(i, len(x)):
+                ssum = int(sum(x[i:j + 1]))
+                best = ssum if best is None else max(best, ssum)
+        # identity allows the empty-prefix start: matches when the
+        # best subarray is positive (demeaned series always has one)
+        assert got == max(best, int(max(p)))
