@@ -227,6 +227,8 @@ BENCH_EXTRA = [
     "most_similar_days",
     "ljung_box_daily",
     "best_revenue_streak",
+    "domain_dag_layers",
+    "placebo_did",
 ]
 
 

@@ -15070,3 +15070,176 @@ FROM best, start_pick sp
 
 QUERIES["best_revenue_streak"] = (q_best_revenue_streak,
                                   SQL_BEST_REVENUE_STREAK)
+
+
+# ---------------------------------------------------------------------------
+# DAG layers — Kahn peeling + cycle detection on the directed graph
+# ---------------------------------------------------------------------------
+
+_DAG_ROUNDS = 6
+
+
+def q_domain_dag_layers(sf_dir: str):
+    """Topological structure of the DIRECTED domain link graph: Kahn
+    peeling removes in-degree-0 nodes in synchronous rounds (layer =
+    removal round); whatever survives 6 rounds sits on a directed
+    CYCLE (the condensation's non-trivial part) — the dependency-
+    analysis primitive. Distinct directed edges distill distributed;
+    peeling is vectorized on the bounded adjacency, the oracle
+    unrolls the same 6 rounds. Output: per-layer node counts + the
+    cyclic remainder."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {n_: i for i, n_ in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n), dtype=bool)
+    for s_, d_ in pairs:
+        a[idx[s_], idx[d_]] = True
+    alive = np.ones(n, dtype=bool)
+    layer = np.full(n, -1, dtype=np.int64)
+    for r in range(1, _DAG_ROUNDS + 1):
+        indeg = (a & alive[:, None] & alive[None, :]).sum(axis=0)
+        removable = alive & (indeg == 0)
+        if not removable.any():
+            break
+        layer[removable] = r
+        alive &= ~removable
+    rows = [(int(r_), int((layer == r_).sum()))
+            for r_ in sorted(set(layer[layer > 0].tolist()))]
+    rows.append((0, int(alive.sum())))  # 0 = cyclic remainder
+    rows.sort()
+    return pa.table({
+        "layer": pa.array([r[0] for r in rows], pa.int64()),
+        "n_domains": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _dag_oracle_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    rounds = []
+    for r in range(1, _DAG_ROUNDS + 1):
+        prev = f"a{r - 1}"
+        rounds.append(f"""
+r{r} AS MATERIALIZED (
+  SELECT d FROM {prev}
+  WHERE d NOT IN (SELECT e.b FROM ed e
+                  WHERE e.a IN (SELECT d FROM {prev})
+                    AND e.b IN (SELECT d FROM {prev}))),
+a{r} AS MATERIALIZED (
+  SELECT d FROM {prev} EXCEPT SELECT d FROM r{r})""")
+    layer_rows = " UNION ALL ".join(
+        f"SELECT {r} AS layer, (SELECT count(*) FROM r{r}) AS n"
+        for r in range(1, _DAG_ROUNDS + 1))
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+ed AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS a,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS b
+       FROM hrefs
+       WHERE regexp_extract(url, '{_DOM_RE}', 1)
+             <> regexp_extract(dst, '{_DOM_RE}', 1)),
+a0 AS MATERIALIZED (SELECT DISTINCT a AS d FROM ed
+       UNION SELECT DISTINCT b FROM ed),{",".join(rounds)}
+SELECT CAST(layer AS BIGINT) AS layer, CAST(n AS BIGINT) AS n_domains
+FROM ({layer_rows}
+      UNION ALL
+      SELECT 0, (SELECT count(*) FROM a{_DAG_ROUNDS}))
+WHERE n > 0 ORDER BY layer
+"""
+
+
+QUERIES["domain_dag_layers"] = (q_domain_dag_layers,
+                                _dag_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Placebo DiD — the falsification test every DiD needs
+# ---------------------------------------------------------------------------
+
+
+def q_placebo_did(sf_dir: str):
+    """Placebo difference-in-differences — the falsification audit:
+    rerun the diff_in_diff machinery ENTIRELY inside the pre-period
+    (pre split at min+8 days within days < min+15); since no
+    treatment exists there, a non-null 'effect' exposes trend
+    imbalance between arms. Same Knuth arms, same integer cells, one
+    mirrored float — methodology-audit op, not a new estimator."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def per_user(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"user_id": t.column("user_id"),
+                      "day": day, "cents": cents}) \
+            .group_by(["user_id", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["user_id", "day", "cents"])
+
+    ud = _partial_final(ds, per_user, ["user_id", "day"],
+                        [("cents", "sum")])
+    dmin = int(pc.min(ud.column("day")).as_py())
+    u = np.asarray(ud.column("user_id"), dtype=np.int64)
+    d = np.asarray(ud.column("day"), dtype=np.int64)
+    c = np.asarray(ud.column("cents"), dtype=np.int64)
+    pre = d < dmin + 15
+    u, d, c = u[pre], d[pre], c[pre]
+    split = dmin + 8
+    arm = _knuth_bucket(u, 2)
+    post = (d >= split).astype(np.int64)
+    cells = {}
+    for a_ in (0, 1):
+        for p_ in (0, 1):
+            sel = (arm == a_) & (post == p_)
+            cells[(a_, p_)] = (int(sel.sum()), int(c[sel].sum()))
+    did = ((cells[(1, 1)][1] / cells[(1, 1)][0]
+            - cells[(1, 0)][1] / cells[(1, 0)][0])
+           - (cells[(0, 1)][1] / cells[(0, 1)][0]
+              - cells[(0, 0)][1] / cells[(0, 0)][0]))
+    return pa.table({
+        "n_rows": pa.array([sum(v[0] for v in cells.values())],
+                           pa.int64()),
+        "placebo_did_cents": pa.array([round(did, 6)], pa.float64()),
+    })
+
+
+SQL_PLACEBO_DID = """
+WITH ud AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+mn AS (SELECT min(day) AS dmin FROM ud),
+pre AS (SELECT ud.* FROM ud, mn WHERE day < mn.dmin + 15),
+cells AS (
+  SELECT CAST(((user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS arm,
+         CASE WHEN day >= mn.dmin + 8 THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM pre, mn GROUP BY 1, 2),
+did AS (
+  SELECT (max(CASE WHEN arm = 1 AND post = 1
+                   THEN CAST(s AS DOUBLE) / n END)
+          - max(CASE WHEN arm = 1 AND post = 0
+                     THEN CAST(s AS DOUBLE) / n END))
+         - (max(CASE WHEN arm = 0 AND post = 1
+                     THEN CAST(s AS DOUBLE) / n END)
+            - max(CASE WHEN arm = 0 AND post = 0
+                       THEN CAST(s AS DOUBLE) / n END)) AS v,
+         CAST(sum(n) AS BIGINT) AS n_rows
+  FROM cells)
+SELECT did.n_rows, round(did.v, 6) AS placebo_did_cents FROM did
+"""
+
+QUERIES["placebo_did"] = (q_placebo_did, SQL_PLACEBO_DID)

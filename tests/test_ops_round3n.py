@@ -928,3 +928,24 @@ def test_kadane_prefix_identity_matches_bruteforce():
         # identity allows the empty-prefix start: matches when the
         # best subarray is positive (demeaned series always has one)
         assert got == max(best, int(max(p)))
+
+
+def test_kahn_peeling_layers_and_cycle():
+    # chain 0->1->2 plus cycle 3<->4: layers peel the chain, the
+    # cycle survives every round
+    n = 5
+    a = np.zeros((n, n), dtype=bool)
+    a[0, 1] = a[1, 2] = True
+    a[3, 4] = a[4, 3] = True
+    alive = np.ones(n, dtype=bool)
+    layer = np.full(n, -1, dtype=np.int64)
+    for r in range(1, 7):
+        indeg = (a & alive[:, None] & alive[None, :]).sum(axis=0)
+        removable = alive & (indeg == 0)
+        if not removable.any():
+            break
+        layer[removable] = r
+        alive &= ~removable
+    assert layer[0] == 1 and layer[1] == 2 and layer[2] == 3
+    assert alive[3] and alive[4]          # the cycle remains
+    assert int(alive.sum()) == 2
