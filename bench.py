@@ -229,6 +229,8 @@ BENCH_EXTRA = [
     "best_revenue_streak",
     "domain_dag_layers",
     "placebo_did",
+    "duplicate_invoice_screen",
+    "session_bounce_rate",
 ]
 
 

@@ -15243,3 +15243,200 @@ SELECT did.n_rows, round(did.v, 6) AS placebo_did_cents FROM did
 """
 
 QUERIES["placebo_did"] = (q_placebo_did, SQL_PLACEBO_DID)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-invoice screen — same customer, same amount, close dates
+# ---------------------------------------------------------------------------
+
+_DUPINV_DAYS = 3
+
+
+def q_duplicate_invoice_screen(sf_dir: str):
+    """Accounts-payable fraud screen: order pairs with the SAME
+    customer, the SAME amount (exact cents) and order dates ≤3 days
+    apart — the double-billing signature rapid_repeat_orders' date-
+    only pairing can't isolate. One lexsort by (cust, cents, day)
+    inside custkey-hash partitions makes candidates ADJACENT-ONLY per
+    (cust, cents) run: both band edges via searchsorted, exact pair
+    counts without materializing a pair. Output: pair count, distinct
+    flagged orders, flagged customers."""
+    from .queries import _ARGMAX_NPART
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        return pa.table({
+            "_pkey": pa.array(_knuth_bucket(ck, _ARGMAX_NPART)),
+            "ck": pa.array(ck), "day": day, "cents": cents,
+            "okey": t.column("o_orderkey")})
+
+    def screen(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t.column("ck"), dtype=np.int64)
+        dy = np.asarray(t.column("day"), dtype=np.int64)
+        cv = np.asarray(t.column("cents"), dtype=np.int64)
+        order = np.lexsort((dy, cv, ck))
+        ck, dy, cv = ck[order], dy[order], cv[order]
+        n = len(ck)
+        pairs = 0
+        flagged = np.zeros(n, dtype=bool)
+        custs = set()
+        # within each (ck, cents) run, count day-window pairs via
+        # two-pointer on the sorted days
+        run_start = 0
+        for i in range(1, n + 1):
+            if i == n or ck[i] != ck[run_start] \
+                    or cv[i] != cv[run_start]:
+                if i - run_start >= 2:
+                    d = dy[run_start:i]
+                    hi = np.searchsorted(d, d + _DUPINV_DAYS,
+                                         side="right")
+                    cnt = int((hi - np.arange(1, len(d) + 1)).sum())
+                    if cnt > 0:
+                        pairs += cnt
+                        lo = np.searchsorted(d, d - _DUPINV_DAYS,
+                                             side="left")
+                        has = (hi - lo) > 1
+                        flagged[run_start:i] = has
+                        if has.any():
+                            custs.add(int(ck[run_start]))
+                run_start = i
+        return pa.table({
+            "pairs": pa.array([pairs], pa.int64()),
+            "flagged_orders": pa.array([int(flagged.sum())],
+                                       pa.int64()),
+            "flagged_custs": pa.array([len(custs)], pa.int64())})
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(screen, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=[], aggs=[("pairs", "sum"),
+                              ("flagged_orders", "sum"),
+                              ("flagged_custs", "sum")],
+        empty_schema=pa.schema([("pairs", pa.int64()),
+                                ("flagged_orders", pa.int64()),
+                                ("flagged_custs", pa.int64())]))
+    return out
+
+
+SQL_DUPLICATE_INVOICE_SCREEN = f"""
+WITH o AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+p AS (
+  SELECT a.ck, a.ok AS ok_a, b.ok AS ok_b
+  FROM o a JOIN o b
+    ON b.ck = a.ck AND b.cents = a.cents AND b.ok > a.ok
+   AND abs(b.day - a.day) <= {_DUPINV_DAYS})
+SELECT CAST(count(*) AS BIGINT) AS pairs,
+       CAST((SELECT count(DISTINCT ok) FROM
+              (SELECT ok_a AS ok FROM p
+               UNION ALL SELECT ok_b FROM p)) AS BIGINT)
+         AS flagged_orders,
+       CAST(count(DISTINCT ck) AS BIGINT) AS flagged_custs
+FROM p
+"""
+
+QUERIES["duplicate_invoice_screen"] = (q_duplicate_invoice_screen,
+                                       SQL_DUPLICATE_INVOICE_SCREEN)
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate — single-event sessions share, per first-event type
+# ---------------------------------------------------------------------------
+
+
+def q_session_bounce_rate(sf_dir: str):
+    """Bounce rate by entry type: of the 30-minute gap sessions
+    (event_sessions' islands), which OPENING event types bounce
+    (single-event sessions)? One user-hash exchange, vectorized
+    island detection, per-(entry-type) bounded (sessions, bounces)
+    partials; per-mille integers."""
+    from .queries import _ARGMAX_NPART
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    _GAP = 30 * 60 * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "u": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "ty": t.column("event_type")})
+
+    def islands(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("e"), dtype=np.int64)
+        ty = t.column("ty").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ts, ty = u[order], ts[order], ty[order]
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > _GAP)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(u)))
+        entry = ty[starts]
+        g = pa.table({
+            "entry": pa.array(entry, pa.string()),
+            "n": pa.array(np.ones(len(starts), dtype=np.int64)),
+            "b": pa.array((sizes == 1).astype(np.int64)),
+        }).group_by("entry").aggregate([("n", "sum"), ("b", "sum")])
+        return g.rename_columns(["entry", "n", "b"])
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(islands, batch_format="pyarrow")
+    out = agg._combine_partials(parts, keys=["entry"],
+                                aggs=[("n", "sum"), ("b", "sum")])
+    en = out.column("entry")
+    n = np.asarray(out.column("n"), dtype=np.int64)
+    b = np.asarray(out.column("b"), dtype=np.int64)
+    return pa.table({
+        "entry_type": en,
+        "sessions": pa.array(n),
+        "bounces": pa.array(b),
+        "bounce_pm": pa.array(b * 1000 // n),
+    }).sort_by("entry_type")
+
+
+SQL_SESSION_BOUNCE_RATE = """
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER w > 1800000000
+               OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+marked AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid,
+         new_sess
+  FROM s),
+sess AS (
+  SELECT user_id, sid,
+         min(CASE WHEN new_sess = 1 THEN event_type END) AS entry,
+         count(*) AS sz
+  FROM marked GROUP BY 1, 2)
+SELECT entry AS entry_type,
+       CAST(count(*) AS BIGINT) AS sessions,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounces,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS bounce_pm
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["session_bounce_rate"] = (q_session_bounce_rate,
+                                  SQL_SESSION_BOUNCE_RATE)

@@ -949,3 +949,28 @@ def test_kahn_peeling_layers_and_cycle():
     assert layer[0] == 1 and layer[1] == 2 and layer[2] == 3
     assert alive[3] and alive[4]          # the cycle remains
     assert int(alive.sum()) == 2
+
+
+def test_duplicate_invoice_pair_count_matches_bruteforce():
+    rng = np.random.default_rng(43)
+    ck = rng.integers(0, 5, 80)
+    cv = rng.integers(0, 3, 80) * 100   # few distinct amounts
+    dy = rng.integers(0, 20, 80)
+    # brute force over unordered pairs
+    ref = sum(1 for i in range(80) for j in range(i + 1, 80)
+              if ck[i] == ck[j] and cv[i] == cv[j]
+              and abs(int(dy[i]) - int(dy[j])) <= 3)
+    # run-sorted two-pointer form
+    order = np.lexsort((dy, cv, ck))
+    c, v, d = ck[order], cv[order], dy[order]
+    pairs = 0
+    rs = 0
+    n = len(c)
+    for i in range(1, n + 1):
+        if i == n or c[i] != c[rs] or v[i] != v[rs]:
+            if i - rs >= 2:
+                dd = d[rs:i]
+                hi = np.searchsorted(dd, dd + 3, side="right")
+                pairs += int((hi - np.arange(1, len(dd) + 1)).sum())
+            rs = i
+    assert pairs == ref
