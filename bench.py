@@ -231,6 +231,8 @@ BENCH_EXTRA = [
     "placebo_did",
     "duplicate_invoice_screen",
     "session_bounce_rate",
+    "bradley_terry_types",
+    "hurst_rs_daily",
 ]
 
 

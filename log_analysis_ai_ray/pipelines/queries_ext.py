@@ -15440,3 +15440,245 @@ FROM sess GROUP BY 1 ORDER BY 1
 
 QUERIES["session_bounce_rate"] = (q_session_bounce_rate,
                                   SQL_SESSION_BOUNCE_RATE)
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry — pairwise-comparison strength ranking of types
+# ---------------------------------------------------------------------------
+
+
+def q_bradley_terry_types(sf_dir: str):
+    """Bradley–Terry strengths from daily revenue 'matches': type i
+    beats type j on any day it out-earns it (ties count for
+    neither); three minorization–maximization iterations
+    p_i ← W_i / Σ_j N_ij/(p_i+p_j) from p=1, NORMALIZED to sum-k and
+    ROUNDED to 6 after every iteration (the kmeans discipline) so
+    both engines walk one trajectory. The cluster ships the (type,
+    day) bounded table; the 5×5 win matrix and the MM loop close
+    driver-side and in 3 unrolled oracle rounds."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    types = sorted(set(ty.tolist()))
+    k = len(types)
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    grid = np.zeros((k, len(days)), dtype=np.int64)
+    for i, t_ in enumerate(types):
+        sel = ty == t_
+        grid[i, dy[sel] - days[0]] = cv[sel]
+    w = np.zeros((k, k), dtype=np.int64)
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                w[i, j] = int((grid[i] > grid[j]).sum())
+    n_ij = w + w.T
+    p = np.ones(k)
+    for _ in range(3):
+        newp = np.zeros(k)
+        for i in range(k):
+            den = sum(n_ij[i, j] / (p[i] + p[j])
+                      for j in range(k) if j != i)
+            newp[i] = w[i].sum() / den if den else 0.0
+        newp = newp * (k / newp.sum())
+        p = np.round(newp, 6)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "wins": pa.array(w.sum(axis=1)),
+        "bt_strength": pa.array(p, pa.float64()),
+    })
+
+
+SQL_BRADLEY_TERRY_TYPES = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.ty, g.day, coalesce(d.cents, 0) AS cents
+  FROM (SELECT DISTINCT ty FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT min(day) FROM d),
+                (SELECT max(day) FROM d))) AS day) g
+  LEFT JOIN d ON d.ty = t.ty AND d.day = g.day),
+w AS MATERIALIZED (
+  SELECT a.ty AS i, b.ty AS j,
+         CAST(sum(CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS wins
+  FROM grid a JOIN grid b ON b.day = a.day AND b.ty <> a.ty
+  GROUP BY 1, 2),
+nij AS MATERIALIZED (
+  SELECT w.i, w.j, w.wins + r.wins AS n
+  FROM w JOIN w r ON r.i = w.j AND r.j = w.i),
+wi AS MATERIALIZED (SELECT i, sum(wins) AS wtot FROM w GROUP BY 1),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM wi),
+p0 AS MATERIALIZED (SELECT i, 1.0 AS p FROM wi),
+q1 AS (SELECT n.i, wi.wtot
+              / sum(n.n / (pi.p + pj.p)) AS p
+       FROM nij n JOIN p0 pi ON pi.i = n.i
+       JOIN p0 pj ON pj.i = n.j JOIN wi ON wi.i = n.i
+       GROUP BY n.i, wi.wtot),
+p1 AS MATERIALIZED (
+  SELECT i, round(p * kk.k / (SELECT sum(p) FROM q1), 6) AS p
+  FROM q1, kk),
+q2 AS (SELECT n.i, wi.wtot
+              / sum(n.n / (pi.p + pj.p)) AS p
+       FROM nij n JOIN p1 pi ON pi.i = n.i
+       JOIN p1 pj ON pj.i = n.j JOIN wi ON wi.i = n.i
+       GROUP BY n.i, wi.wtot),
+p2 AS MATERIALIZED (
+  SELECT i, round(p * kk.k / (SELECT sum(p) FROM q2), 6) AS p
+  FROM q2, kk),
+q3 AS (SELECT n.i, wi.wtot
+              / sum(n.n / (pi.p + pj.p)) AS p
+       FROM nij n JOIN p2 pi ON pi.i = n.i
+       JOIN p2 pj ON pj.i = n.j JOIN wi ON wi.i = n.i
+       GROUP BY n.i, wi.wtot),
+p3 AS (SELECT i, round(p * kk.k / (SELECT sum(p) FROM q3), 6) AS p
+       FROM q3, kk)
+SELECT p3.i AS event_type, CAST(wi.wtot AS BIGINT) AS wins,
+       p3.p AS bt_strength
+FROM p3 JOIN wi ON wi.i = p3.i ORDER BY p3.i
+"""
+
+QUERIES["bradley_terry_types"] = (q_bradley_terry_types,
+                                  SQL_BRADLEY_TERRY_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent — rescaled-range slope over dyadic block sizes
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (8, 16, 32)
+
+
+def q_hurst_rs_daily(sf_dir: str):
+    """Hurst long-memory exponent of daily revenue by rescaled-range
+    analysis: for block sizes 8/16/32 days, R/S per complete block
+    uses the INTEGER-EXACT form R' = range of (s·cumsum − t·S_b)
+    (within-block demeaning cleared by scaling) over
+    S' = √(s·q_b − S_b²), so only the final ratio, the per-size mean
+    and the 3-point log-log OLS slope are doubles (round-6). H≈0.5 is
+    a random walk; persistence pushes H up."""
+    import math
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    y = np.zeros(len(days), dtype=np.int64)
+    y[dy - days[0]] = cv
+    pts = []
+    for s in _HURST_SIZES:
+        nb = len(y) // s
+        rs_sum = 0.0
+        for b in range(nb):  # ascending block order both engines
+            blk = [int(v) for v in y[b * s:(b + 1) * s]]
+            sb = sum(blk)
+            qb = sum(v * v for v in blk)
+            cum = 0
+            zmin = zmax = 0
+            for t_, v in enumerate(blk, start=1):
+                cum += v
+                z = s * cum - t_ * sb
+                zmin = min(zmin, z)
+                zmax = max(zmax, z)
+            var_s = s * qb - sb * sb
+            if var_s > 0:
+                rs_sum += (zmax - zmin) / math.sqrt(float(var_s))
+        pts.append((s, rs_sum / nb))
+    xs = [math.log(float(s)) for s, _ in pts]
+    ys = [math.log(v) for _, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    hurst = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pa.table({
+        "n_days": pa.array([len(y)], pa.int64()),
+        "rs_8": pa.array([round(pts[0][1], 6)], pa.float64()),
+        "rs_16": pa.array([round(pts[1][1], 6)], pa.float64()),
+        "rs_32": pa.array([round(pts[2][1], 6)], pa.float64()),
+        "hurst": pa.array([round(hurst, 6)], pa.float64()),
+    })
+
+
+SQL_HURST_RS_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+grid AS (
+  SELECT row_number() OVER (ORDER BY g.day) - 1 AS i,
+         coalesce(d.cents, 0) AS y
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d USING (day)),
+sizes AS (SELECT unnest([8, 16, 32]) AS s),
+blocks AS (
+  SELECT sz.s, grid.i // sz.s AS b, grid.i % sz.s + 1 AS t, grid.y
+  FROM grid, sizes sz
+  WHERE grid.i < (SELECT count(*) FROM grid) // sz.s * sz.s),
+bstat AS (
+  SELECT s, b, CAST(sum(y) AS HUGEINT) AS sb,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qb
+  FROM blocks GROUP BY 1, 2),
+z AS (
+  SELECT bl.s, bl.b,
+         bl.s * sum(CAST(bl.y AS HUGEINT))
+           OVER (PARTITION BY bl.s, bl.b ORDER BY bl.t)
+           - bl.t * bs.sb AS zv
+  FROM blocks bl JOIN bstat bs ON bs.s = bl.s AND bs.b = bl.b),
+rs AS (
+  SELECT z.s, z.b,
+         CAST(greatest(max(z.zv), 0) - least(min(z.zv), 0)
+              AS DOUBLE) AS r
+  FROM z GROUP BY 1, 2),
+ratio AS (
+  SELECT rs.s, rs.b,
+         rs.r / sqrt(CAST(bs.s * bs2.qb
+                          - bs2.sb * bs2.sb AS DOUBLE)) AS v
+  FROM rs JOIN bstat bs2 ON bs2.s = rs.s AND bs2.b = rs.b
+  JOIN sizes bs ON bs.s = rs.s
+  WHERE bs.s * bs2.qb - bs2.sb * bs2.sb > 0),
+avgv AS (SELECT s, sum(v ORDER BY b) / count(*) AS rbar,
+                ln(CAST(s AS DOUBLE)) AS x
+         FROM ratio GROUP BY s),
+ols AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(ln(rbar)) AS sy,
+         sum(x * x) AS sxx, sum(x * ln(rbar)) AS sxy
+  FROM avgv)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM grid) AS n_days,
+       (SELECT round(rbar, 6) FROM avgv WHERE s = 8) AS rs_8,
+       (SELECT round(rbar, 6) FROM avgv WHERE s = 16) AS rs_16,
+       (SELECT round(rbar, 6) FROM avgv WHERE s = 32) AS rs_32,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS hurst
+FROM ols
+"""
+
+QUERIES["hurst_rs_daily"] = (q_hurst_rs_daily, SQL_HURST_RS_DAILY)

@@ -974,3 +974,49 @@ def test_duplicate_invoice_pair_count_matches_bruteforce():
                 pairs += int((hi - np.arange(1, len(dd) + 1)).sum())
             rs = i
     assert pairs == ref
+
+
+def test_bradley_terry_dominant_player_strongest():
+    # type A beats everyone every day: strength must rank first
+    k = 3
+    w = np.array([[0, 10, 10], [0, 0, 5], [0, 5, 0]], dtype=np.int64)
+    n_ij = w + w.T
+    p = np.ones(k)
+    for _ in range(3):
+        newp = np.zeros(k)
+        for i in range(k):
+            den = sum(n_ij[i, j] / (p[i] + p[j])
+                      for j in range(k) if j != i)
+            newp[i] = w[i].sum() / den if den else 0.0
+        p = np.round(newp * (k / newp.sum()), 6)
+    assert p[0] > p[1] and p[0] > p[2]
+    assert abs(p[1] - p[2]) < 1e-6      # symmetric tail players tie
+
+
+def test_hurst_random_walk_near_half():
+    import math
+    rng = np.random.default_rng(47)
+    y = rng.integers(-100, 101, 2048).astype(np.int64)  # iid noise
+    pts = []
+    for s in (8, 16, 32):
+        nb = len(y) // s
+        acc = 0.0
+        for b in range(nb):
+            blk = [int(v) for v in y[b * s:(b + 1) * s]]
+            sb, qb = sum(blk), sum(v * v for v in blk)
+            cum = zmin = zmax = 0
+            for t, v in enumerate(blk, start=1):
+                cum += v
+                z = s * cum - t * sb
+                zmin, zmax = min(zmin, z), max(zmax, z)
+            var_s = s * qb - sb * sb
+            if var_s > 0:
+                acc += (zmax - zmin) / math.sqrt(var_s)
+        pts.append((math.log(s), math.log(acc / nb)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(v for _, v in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * v for x, v in pts)
+    h = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert 0.35 < h < 0.65              # iid noise ~ 0.5
