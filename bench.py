@@ -233,6 +233,8 @@ BENCH_EXTRA = [
     "session_bounce_rate",
     "bradley_terry_types",
     "hurst_rs_daily",
+    "term_adaptation",
+    "embedding_intrinsic_dim",
 ]
 
 

@@ -15682,3 +15682,146 @@ FROM ols
 """
 
 QUERIES["hurst_rs_daily"] = (q_hurst_rs_daily, SQL_HURST_RS_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Term adaptation — Church's burstiness P(k≥2 | k≥1) per top term
+# ---------------------------------------------------------------------------
+
+
+def q_term_adaptation(sf_dir: str):
+    """Church's adaptation statistic for the top-20 tokens: P(a doc
+    mentions the term AGAIN | it mentions it at all) = df₂/df₁ —
+    bursty content words adapt (ratio ≫ prior), function words don't.
+    Per-block (token, df₁, df₂) partials (a doc is one row, so its
+    per-doc counts close locally); per-mille integers; (count desc,
+    token) top-20 under the global total order."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        fp = np.asarray(par, dtype=np.int64)
+        fl = np.asarray(flat.to_pylist())
+        tu, tid = np.unique(fl, return_inverse=True)
+        nt = max(len(tu), 1)
+        key = fp * np.int64(nt) + tid
+        ku, kc = np.unique(key, return_counts=True)
+        kt = (ku % nt).astype(np.int64)
+        g = pa.table({
+            "token": pa.array(tu[kt]),
+            "cnt": pa.array(kc.astype(np.int64)),
+            "df1": pa.array(np.ones(len(ku), dtype=np.int64)),
+            "df2": pa.array((kc >= 2).astype(np.int64)),
+        }).group_by("token").aggregate(
+            [("cnt", "sum"), ("df1", "sum"), ("df2", "sum")])
+        return g.rename_columns(["token", "cnt", "df1", "df2"])
+
+    m = _partial_final(ds, partial, ["token"],
+                       [("cnt", "sum"), ("df1", "sum"),
+                        ("df2", "sum")])
+    tok = np.asarray(m.column("token").to_pylist())
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    df1 = np.asarray(m.column("df1"), dtype=np.int64)
+    df2 = np.asarray(m.column("df2"), dtype=np.int64)
+    top = np.lexsort((tok, -cnt))[:20]
+    return pa.table({
+        "token": pa.array(tok[top].tolist(), pa.string()),
+        "df1": pa.array(df1[top]),
+        "df2": pa.array(df2[top]),
+        "adaptation_pm": pa.array(df2[top] * 1000 // df1[top]),
+    })
+
+
+SQL_TERM_ADAPTATION = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+dt AS (SELECT doc_id, token, count(*) AS k
+       FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT token, CAST(sum(k) AS BIGINT) AS cnt,
+         CAST(count(*) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df2
+  FROM dt GROUP BY 1),
+top AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM agg QUALIFY rk <= 20)
+SELECT token, df1, df2,
+       CAST(df2 * 1000 // df1 AS BIGINT) AS adaptation_pm
+FROM top ORDER BY rk
+"""
+
+QUERIES["term_adaptation"] = (q_term_adaptation, SQL_TERM_ADAPTATION)
+
+
+# ---------------------------------------------------------------------------
+# Intrinsic dimension — Facco two-NN estimator over the embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_intrinsic_dim(sf_dir: str):
+    """Intrinsic dimensionality of the embedding cloud by the two-NN
+    (Facco) estimator: ID = n / Σ ln(r₂/r₁) over each point's two
+    nearest neighbors — tells whether 64 ambient dims hide a low-dim
+    manifold (a data-quality signal for ANN index choice). Exact
+    SQUARED distances compared as doubles (identical on both
+    engines); ties break toward the smaller vec_id via (d², id)
+    ordering; the log-sum is the mirrored double. Brute-force per
+    block against the broadcast matrix — the knn_cosine scale shape;
+    at corpus scale the candidate pairs come from the ANN store."""
+    import math
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = agg._to_arrow(ds)
+    vid = np.asarray(full.column("vec_id"), dtype=np.int64)
+    x = np.asarray(full.column("embedding").to_pylist(),
+                   dtype=np.float64)
+    o = np.argsort(vid)
+    vid, x = vid[o], x[o]
+    n = len(vid)
+    sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(sq, np.inf)
+    s_log = 0.0
+    for i in range(n):  # ascending vec_id both engines
+        ord_ = np.lexsort((vid, sq[i]))
+        r1, r2 = sq[i][ord_[0]], sq[i][ord_[1]]
+        s_log += 0.5 * math.log(r2 / r1)  # sqrt via half-log
+    id_est = n / s_log
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "ambient_dim": pa.array([x.shape[1]], pa.int64()),
+        "intrinsic_dim": pa.array([round(id_est, 4)], pa.float64()),
+    })
+
+
+SQL_EMBEDDING_INTRINSIC_DIM = """
+WITH d AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, embedding[i]::DOUBLE AS e
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)),
+sq AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         sum((a.e - b.e) * (a.e - b.e)) AS d2
+  FROM d a JOIN d b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+rk AS (
+  SELECT va, d2,
+         row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS r
+  FROM sq),
+pair AS (
+  SELECT a.va, b.d2 / a.d2 AS ratio
+  FROM rk a JOIN rk b ON b.va = a.va AND a.r = 1 AND b.r = 2),
+s AS (SELECT sum(0.5 * ln(ratio) ORDER BY va) AS slog,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pair)
+SELECT n AS n_vectors,
+       (SELECT CAST(max(i) AS BIGINT) FROM d) AS ambient_dim,
+       round(n / slog, 4) AS intrinsic_dim
+FROM s
+"""
+
+QUERIES["embedding_intrinsic_dim"] = (q_embedding_intrinsic_dim,
+                                      SQL_EMBEDDING_INTRINSIC_DIM)

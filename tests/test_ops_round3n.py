@@ -1020,3 +1020,35 @@ def test_hurst_random_walk_near_half():
     sxy = sum(x * v for x, v in pts)
     h = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert 0.35 < h < 0.65              # iid noise ~ 0.5
+
+
+def test_two_nn_intrinsic_dim_recovers_line_and_plane():
+    import math
+    rng = np.random.default_rng(53)
+
+    def id_est(x):
+        n = len(x)
+        sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(sq, np.inf)
+        s = 0.0
+        for i in range(n):
+            o = np.argsort(sq[i])
+            s += 0.5 * math.log(sq[i][o[1]] / sq[i][o[0]])
+        return n / s
+    # points on a 1-D line embedded in 8-D
+    t = rng.uniform(0, 100, 300)
+    line = np.outer(t, rng.normal(0, 1, 8))
+    assert 0.7 < id_est(line) < 1.4
+    # points on a 2-D plane embedded in 8-D
+    uv = rng.uniform(0, 100, (300, 2))
+    basis = rng.normal(0, 1, (2, 8))
+    plane = uv @ basis
+    assert 1.5 < id_est(plane) < 2.8
+
+
+def test_adaptation_bursty_vs_uniform():
+    # bursty term: appears twice whenever it appears; uniform: once
+    df1_b, df2_b = 50, 50
+    df1_u, df2_u = 50, 0
+    assert df2_b * 1000 // df1_b == 1000
+    assert df2_u * 1000 // df1_u == 0
