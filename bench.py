@@ -235,6 +235,8 @@ BENCH_EXTRA = [
     "hurst_rs_daily",
     "term_adaptation",
     "embedding_intrinsic_dim",
+    "image_centroid_stats",
+    "domain_reciprocity",
 ]
 
 

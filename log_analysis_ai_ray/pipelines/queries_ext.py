@@ -15825,3 +15825,83 @@ FROM s
 
 QUERIES["embedding_intrinsic_dim"] = (q_embedding_intrinsic_dim,
                                       SQL_EMBEDDING_INTRINSIC_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Image centroid stats — multimodal layout features (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_image_centroid_stats(sf_dir: str):
+    """Intensity centroid + above-mean occupancy per PGM image
+    (CentroidStage actor pool) — integer milli-pixel exact layout
+    features. Rows-only (binary decode); constructed-image pytests
+    pin the arithmetic."""
+    import ray.data
+
+    from ..stages.multimodal import CentroidStage
+    from .queries import media_path_for
+
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return agg._to_arrow(ds.map_batches(
+        CentroidStage(), concurrency=2, batch_size=256, num_cpus=1,
+        batch_format="pyarrow")).sort_by("media_id")
+
+
+QUERIES["image_centroid_stats"] = (q_image_centroid_stats, None)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocity — mutual-edge share of the directed domain graph
+# ---------------------------------------------------------------------------
+
+
+def q_domain_reciprocity(sf_dir: str):
+    """Edge reciprocity of the DIRECTED domain link graph: the share
+    of directed edges whose reverse also exists — webgraph
+    link-exchange structure PageRank treats asymmetrically. Distinct
+    directed edges distill distributed; mutual detection is one hash
+    intersection; per-mille integers."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    mutual = sum(1 for a, b in pairs if (b, a) in pairs)
+    n = len(pairs)
+    return pa.table({
+        "directed_edges": pa.array([n], pa.int64()),
+        "mutual_edges": pa.array([mutual], pa.int64()),
+        "reciprocity_pm": pa.array([mutual * 1000 // n if n else None],
+                                   pa.int64()),
+    })
+
+
+def _reciprocity_oracle_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+ed AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS a,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS b
+       FROM hrefs
+       WHERE regexp_extract(url, '{_DOM_RE}', 1)
+             <> regexp_extract(dst, '{_DOM_RE}', 1)),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM ed r
+                    WHERE r.a = ed.b AND r.b = ed.a)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS mu
+      FROM ed)
+SELECT n AS directed_edges, mu AS mutual_edges,
+       CAST(mu * 1000 // n AS BIGINT) AS reciprocity_pm
+FROM m
+"""
+
+
+QUERIES["domain_reciprocity"] = (q_domain_reciprocity,
+                                 _reciprocity_oracle_sql())

@@ -521,3 +521,43 @@ class ZcrStage:
             "high_zcr_frames": pa.array(hi, type=pa.int64()),
             "zcr_pm": pa.array(zpm, type=pa.int64()),
         })
+
+
+class CentroidStage:
+    """Actor-pool center-of-mass features for PGM images: the
+    intensity-weighted centroid (x̄, ȳ) in integer MILLI-pixels
+    (Σw·coord·1000 // Σw — exact), plus the bounding-box occupancy of
+    above-mean pixels in per-mille. The cheap layout features
+    dedup/quality pipelines hash on before any model runs."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, cx, cy, occ = [], [], [], []
+        for mid, kind, data in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "image":
+                continue
+            px = parse_pgm(data).astype(np.int64)
+            h, w = px.shape
+            tot = int(px.sum())
+            if tot == 0:
+                ids.append(mid); cx.append(0); cy.append(0)
+                occ.append(0)
+                continue
+            xs = np.arange(w, dtype=np.int64)
+            ys = np.arange(h, dtype=np.int64)
+            sx = int((px.sum(axis=0) * xs).sum())
+            sy = int((px.sum(axis=1) * ys).sum())
+            mean = tot // (h * w)
+            above = px > mean
+            occ_pm = int(above.sum()) * 1000 // (h * w)
+            ids.append(mid)
+            cx.append(sx * 1000 // tot)
+            cy.append(sy * 1000 // tot)
+            occ.append(occ_pm)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "centroid_x_milli": pa.array(cx, type=pa.int64()),
+            "centroid_y_milli": pa.array(cy, type=pa.int64()),
+            "above_mean_pm": pa.array(occ, type=pa.int64()),
+        })

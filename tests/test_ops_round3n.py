@@ -1052,3 +1052,32 @@ def test_adaptation_bursty_vs_uniform():
     df1_u, df2_u = 50, 0
     assert df2_b * 1000 // df1_b == 1000
     assert df2_u * 1000 // df1_u == 0
+
+
+def _pgm_bytes(px):
+    h, w = px.shape
+    return (f"P5 {w} {h} 255\n".encode()
+            + px.astype(np.uint8).tobytes())
+
+
+def test_image_centroid_exact_on_constructed():
+    from log_analysis_ai_ray.stages.multimodal import CentroidStage
+    # all mass in one pixel at (x=3, y=1) of a 4x5 image
+    px = np.zeros((4, 5), dtype=np.uint8)
+    px[1, 3] = 200
+    batch = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([_pgm_bytes(px)], pa.binary())})
+    t = CentroidStage()(batch)
+    assert t.column("centroid_x_milli")[0].as_py() == 3000
+    assert t.column("centroid_y_milli")[0].as_py() == 1000
+    # exactly one pixel above the (floored) mean
+    assert t.column("above_mean_pm")[0].as_py() == 1000 // 20
+
+
+def test_reciprocity_counts():
+    pairs = {("a", "b"), ("b", "a"), ("a", "c")}
+    mutual = sum(1 for a, b in pairs if (b, a) in pairs)
+    assert mutual == 2          # both directions of the a<->b pair
+    assert mutual * 1000 // len(pairs) == 666
