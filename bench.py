@@ -237,6 +237,7 @@ BENCH_EXTRA = [
     "embedding_intrinsic_dim",
     "image_centroid_stats",
     "domain_reciprocity",
+    "qty_transport_plan",
 ]
 
 

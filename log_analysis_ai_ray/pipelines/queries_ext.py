@@ -15905,3 +15905,102 @@ FROM m
 
 QUERIES["domain_reciprocity"] = (q_domain_reciprocity,
                                  _reciprocity_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Optimal-transport plan — the monotone coupling itself, exact
+# ---------------------------------------------------------------------------
+
+
+def q_qty_transport_plan(sf_dir: str):
+    """The optimal transport PLAN between the 'R' and 'A' quantity
+    distributions (not just the distance): 1-D OT is the monotone
+    coupling, so cell mass (i→j) = |[cumXᵢ₋₁,cumXᵢ)·n_y ∩
+    [cumYⱼ₋₁,cumYⱼ)·n_x| — an EXACT integer interval intersection in
+    1/(n_x·n_y) units, no solver. Emits every positive cell plus the
+    plan's total cost Σmass·|vᵢ−vⱼ|, which must equal
+    qty_wasserstein's numerator (the two queries cross-check each
+    other). Same bounded histogram shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("l_returnflag"), pa.array(["R", "A"]))
+        t = t.filter(keep)
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        g = pa.table({
+            "flag": t.column("l_returnflag"), "qty": q,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["flag", "qty"]).aggregate([("c", "sum")])
+        return g.rename_columns(["flag", "qty", "c"])
+
+    m = _partial_final(ds, partial, ["flag", "qty"], [("c", "sum")])
+    fl = np.asarray(m.column("flag").to_pylist())
+    qv = np.asarray(m.column("qty"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+
+    def hist(f):
+        sel = fl == f
+        o = np.argsort(qv[sel])
+        return qv[sel][o], cc[sel][o]
+
+    vx, cx = hist("R")
+    vy, cy = hist("A")
+    nx, ny = int(cx.sum()), int(cy.sum())
+    cumx = np.cumsum(cx)
+    cumy = np.cumsum(cy)
+    rows = []
+    cost = 0
+    for i in range(len(vx)):
+        lo_x = int(cumx[i - 1]) * ny if i else 0
+        hi_x = int(cumx[i]) * ny
+        for j in range(len(vy)):
+            lo_y = int(cumy[j - 1]) * nx if j else 0
+            hi_y = int(cumy[j]) * nx
+            mass = min(hi_x, hi_y) - max(lo_x, lo_y)
+            if mass > 0:
+                rows.append((int(vx[i]), int(vy[j]), mass))
+                cost += mass * abs(int(vx[i]) - int(vy[j]))
+    return pa.table({
+        "qty_r": pa.array([r[0] for r in rows], pa.int64()),
+        "qty_a": pa.array([r[1] for r in rows], pa.int64()),
+        "mass_units": pa.array([r[2] for r in rows], pa.int64()),
+        "plan_cost": pa.array([cost] * len(rows), pa.int64()),
+    })
+
+
+SQL_QTY_TRANSPORT_PLAN = """
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+h AS (SELECT flag, qty, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2),
+n AS (SELECT CAST(sum(c) FILTER (flag = 'R') AS HUGEINT) AS nx,
+             CAST(sum(c) FILTER (flag = 'A') AS HUGEINT) AS ny
+      FROM h),
+hx AS (SELECT qty, CAST(sum(c) OVER (ORDER BY qty) AS HUGEINT)
+                AS cum,
+              CAST(sum(c) OVER (ORDER BY qty) - c AS HUGEINT)
+                AS cum_prev
+       FROM h WHERE flag = 'R'),
+hy AS (SELECT qty, CAST(sum(c) OVER (ORDER BY qty) AS HUGEINT)
+                AS cum,
+              CAST(sum(c) OVER (ORDER BY qty) - c AS HUGEINT)
+                AS cum_prev
+       FROM h WHERE flag = 'A'),
+plan AS (
+  SELECT hx.qty AS qty_r, hy.qty AS qty_a,
+         least(hx.cum * n.ny, hy.cum * n.nx)
+           - greatest(hx.cum_prev * n.ny, hy.cum_prev * n.nx)
+           AS mass
+  FROM hx, hy, n),
+pos AS (SELECT * FROM plan WHERE mass > 0),
+tot AS (SELECT CAST(sum(mass * abs(qty_r - qty_a)) AS BIGINT) AS cost
+        FROM pos)
+SELECT pos.qty_r, pos.qty_a, CAST(pos.mass AS BIGINT) AS mass_units,
+       tot.cost AS plan_cost
+FROM pos, tot ORDER BY pos.qty_r, pos.qty_a
+"""
+
+QUERIES["qty_transport_plan"] = (q_qty_transport_plan,
+                                 SQL_QTY_TRANSPORT_PLAN)

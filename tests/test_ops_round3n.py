@@ -1081,3 +1081,39 @@ def test_reciprocity_counts():
     mutual = sum(1 for a, b in pairs if (b, a) in pairs)
     assert mutual == 2          # both directions of the a<->b pair
     assert mutual * 1000 // len(pairs) == 666
+
+
+def test_transport_plan_mass_conserves_and_cost_equals_w1():
+    # two tiny histograms: plan marginals must match, cost == W1 num
+    vx, cx = np.array([1, 5]), np.array([3, 1])
+    vy, cy = np.array([2, 9]), np.array([2, 2])
+    nx, ny = int(cx.sum()), int(cy.sum())
+    cumx, cumy = np.cumsum(cx), np.cumsum(cy)
+    cells = []
+    cost = 0
+    for i in range(len(vx)):
+        lo_x = int(cumx[i - 1]) * ny if i else 0
+        hi_x = int(cumx[i]) * ny
+        for j in range(len(vy)):
+            lo_y = int(cumy[j - 1]) * nx if j else 0
+            hi_y = int(cumy[j]) * nx
+            mass = min(hi_x, hi_y) - max(lo_x, lo_y)
+            if mass > 0:
+                cells.append((i, j, mass))
+                cost += mass * abs(int(vx[i]) - int(vy[j]))
+    # marginals: sum of mass per row i == cx[i]·ny, per col j == cy[j]·nx
+    for i in range(len(vx)):
+        assert sum(m for a, _b, m in cells if a == i) == cx[i] * ny
+    for j in range(len(vy)):
+        assert sum(m for _a, b, m in cells if b == j) == cy[j] * nx
+    # W1 numerator from the CDF sweep must equal the plan cost
+    support = np.unique(np.concatenate([vx, vy]))
+    gx = np.zeros(len(support), dtype=np.int64)
+    gy = np.zeros(len(support), dtype=np.int64)
+    gx[np.searchsorted(support, vx)] = cx
+    gy[np.searchsorted(support, vy)] = cy
+    cx2, cy2 = np.cumsum(gx), np.cumsum(gy)
+    w1num = sum(abs(int(cx2[i]) * ny - int(cy2[i]) * nx)
+                * int(support[i + 1] - support[i])
+                for i in range(len(support) - 1))
+    assert cost == w1num
