@@ -238,6 +238,8 @@ BENCH_EXTRA = [
     "image_centroid_stats",
     "domain_reciprocity",
     "qty_transport_plan",
+    "markov_stationary",
+    "type_bowley_skew",
 ]
 
 

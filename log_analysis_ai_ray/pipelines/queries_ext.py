@@ -16004,3 +16004,174 @@ FROM pos, tot ORDER BY pos.qty_r, pos.qty_a
 
 QUERIES["qty_transport_plan"] = (q_qty_transport_plan,
                                  SQL_QTY_TRANSPORT_PLAN)
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution — steady state of the event-type chain
+# ---------------------------------------------------------------------------
+
+
+def q_markov_stationary(sf_dir: str):
+    """Steady-state distribution of the event_type_markov chain: 8
+    power-iteration steps v ← v·P from uniform, renormalized and
+    ROUNDED to 6 each step (the shared trajectory discipline) — where
+    the user population spends its time in the long run, vs the raw
+    frequency mix. Transition counts from the same single user-hash
+    exchange; the walk closes driver-side and in 8 chained oracle
+    rounds."""
+    from .queries import _ARGMAX_NPART
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type")})
+
+    def trans(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        g = pa.table({
+            "src": pa.array(et[:-1][same], type=pa.string()),
+            "dst": pa.array(et[1:][same], type=pa.string()),
+        }).group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "dst", "n"])
+
+    partials = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(trans, batch_format="pyarrow")
+    tc = agg._combine_partials(partials, keys=["src", "dst"],
+                               aggs=[("n", "sum")])
+    src = np.asarray(tc.column("src").to_pylist())
+    dst = np.asarray(tc.column("dst").to_pylist())
+    nn = np.asarray(tc.column("n"), dtype=np.int64)
+    states = sorted(set(src.tolist()) | set(dst.tolist()))
+    k = len(states)
+    idx = {s_: i for i, s_ in enumerate(states)}
+    p = np.zeros((k, k))
+    for s_, d_, n_ in zip(src, dst, nn):
+        p[idx[s_], idx[d_]] = n_
+    p = p / p.sum(axis=1, keepdims=True)
+    v = np.full(k, 1.0 / k)
+    for _ in range(8):
+        v = v @ p
+        v = np.round(v / v.sum(), 6)
+    return pa.table({
+        "event_type": pa.array(states, pa.string()),
+        "stationary": pa.array(v, pa.float64()),
+    })
+
+
+def _stationary_oracle_sql() -> str:
+    steps = []
+    for r in range(1, 9):
+        steps.append(f"""
+w{r} AS (SELECT p.dst AS s, sum(v.m * p.pr) AS m
+        FROM v{r - 1} v JOIN probs p ON p.src = v.s GROUP BY 1),
+v{r} AS MATERIALIZED (
+  SELECT s, round(m / (SELECT sum(m) FROM w{r}), 6) AS m FROM w{r})""")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+           AS src,
+         event_type AS dst
+  FROM seq),
+counts AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) AS t FROM counts GROUP BY 1),
+probs AS (SELECT c.src, c.dst, CAST(c.n AS DOUBLE) / tot.t AS pr
+          FROM counts c JOIN tot USING (src)),
+states AS (SELECT DISTINCT src AS s FROM counts
+           UNION SELECT DISTINCT dst FROM counts),
+v0 AS (SELECT s, 1.0 / (SELECT count(*) FROM states) AS m
+       FROM states),{",".join(steps)}
+SELECT s AS event_type, m AS stationary FROM v8 ORDER BY s
+"""
+
+
+QUERIES["markov_stationary"] = (q_markov_stationary,
+                                _stationary_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Bowley skewness — robust quartile shape, all-integer
+# ---------------------------------------------------------------------------
+
+
+def q_type_bowley_skew(sf_dir: str):
+    """Bowley (quartile) skewness per type: (Q₃+Q₁−2·Q₂)/(Q₃−Q₁)
+    from the exact ceil-rank quartiles of the cents histogram —
+    the 25 %-breakdown shape complement to the moment-based
+    type_skew_kurtosis; reported in integer micro via floored
+    cross-multiplication, so no float exists anywhere."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    rows = []
+    for t_ in sorted(set(ty.tolist())):
+        sel = ty == t_
+        v, c = vv[sel], cc[sel]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        q1 = int(v[np.searchsorted(cum, -(-n // 4))])
+        q2 = int(v[np.searchsorted(cum, -(-n // 2))])
+        q3 = int(v[np.searchsorted(cum, -(-(3 * n) // 4))])
+        bow = ((q3 + q1 - 2 * q2) * 1_000_000 // (q3 - q1)
+               if q3 > q1 else None)
+        rows.append((t_, q1, q2, q3, bow))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "q1": pa.array([r[1] for r in rows], pa.int64()),
+        "q2": pa.array([r[2] for r in rows], pa.int64()),
+        "q3": pa.array([r[3] for r in rows], pa.int64()),
+        "bowley_micro": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_TYPE_BOWLEY_SKEW = """
+WITH e AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+q AS (
+  SELECT ty,
+         CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(v, 0.5) AS BIGINT) AS q2,
+         CAST(quantile_disc(v, 0.75) AS BIGINT) AS q3
+  FROM e GROUP BY 1)
+SELECT ty AS event_type, q1, q2, q3,
+       CASE WHEN q3 > q1 THEN
+         CAST((q3 + q1 - 2 * q2) * 1000000 // (q3 - q1) AS BIGINT)
+       END AS bowley_micro
+FROM q ORDER BY ty
+"""
+
+QUERIES["type_bowley_skew"] = (q_type_bowley_skew,
+                               SQL_TYPE_BOWLEY_SKEW)

@@ -1117,3 +1117,22 @@ def test_transport_plan_mass_conserves_and_cost_equals_w1():
                 * int(support[i + 1] - support[i])
                 for i in range(len(support) - 1))
     assert cost == w1num
+
+
+def test_stationary_distribution_fixed_point():
+    # two-state chain with known stationary [1/3, 2/3]
+    p = np.array([[0.2, 0.8], [0.4, 0.6]])
+    v = np.full(2, 0.5)
+    for _ in range(50):
+        v = v @ p
+        v = v / v.sum()
+    assert abs(v[0] - 1 / 3) < 1e-9
+    assert abs(v[1] - 2 / 3) < 1e-9
+
+
+def test_bowley_symmetric_zero_right_skew_positive():
+    # symmetric quartiles -> 0; right tail pulls Q3 out -> positive
+    q1, q2, q3 = 10, 20, 30
+    assert (q3 + q1 - 2 * q2) * 1_000_000 // (q3 - q1) == 0
+    q1, q2, q3 = 10, 15, 40
+    assert (q3 + q1 - 2 * q2) * 1_000_000 // (q3 - q1) > 0
