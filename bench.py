@@ -240,6 +240,7 @@ BENCH_EXTRA = [
     "qty_transport_plan",
     "markov_stationary",
     "type_bowley_skew",
+    "type_logloss_drift",
 ]
 
 

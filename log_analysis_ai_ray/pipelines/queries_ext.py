@@ -16175,3 +16175,94 @@ FROM q ORDER BY ty
 
 QUERIES["type_bowley_skew"] = (q_type_bowley_skew,
                                SQL_TYPE_BOWLEY_SKEW)
+
+
+# ---------------------------------------------------------------------------
+# Predictive log-loss drift — H1 frequencies scored on H2 events
+# ---------------------------------------------------------------------------
+
+
+def q_type_logloss_drift(sf_dir: str):
+    """Predictive log-loss of the first half's type frequencies on
+    the second half's events, against the second half's own entropy:
+    the GAP is exactly KL(p₂‖p₁) — calibration drift in micro-nats
+    (how stale yesterday's mix model is today). Laplace-smoothed
+    integer counts; the two log sums run in sorted-type order, each
+    the one mirrored double, round-to-int micro."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        g = pa.table({"ty": t.column("event_type"), "day": day}) \
+            .group_by(["ty", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "day", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2
+    types = sorted(set(ty.tolist()))
+    k = len(types)
+    n1 = {t_: int(cc[(ty == t_) & (dy < mid)].sum()) + 1
+          for t_ in types}           # Laplace +1
+    n2 = {t_: int(cc[(ty == t_) & (dy >= mid)].sum()) for t_ in types}
+    t1 = sum(n1.values())
+    t2 = sum(n2.values())
+    ll = 0.0
+    ent = 0.0
+    for t_ in types:  # sorted order both engines
+        p1 = n1[t_] / t1
+        p2 = n2[t_] / t2
+        ll += -n2[t_] * math.log(p1)
+        if n2[t_]:
+            ent += -n2[t_] * math.log(p2)
+    return pa.table({
+        "n_test": pa.array([t2], pa.int64()),
+        "logloss_micro": pa.array([round(ll / t2 * 1_000_000)],
+                                  pa.int64()),
+        "entropy_micro": pa.array([round(ent / t2 * 1_000_000)],
+                                  pa.int64()),
+        "kl_drift_micro": pa.array(
+            [round(ll / t2 * 1_000_000) - round(ent / t2 * 1_000_000)],
+            pa.int64()),
+    })
+
+
+SQL_TYPE_LOGLOSS_DRIFT = """
+WITH e AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+c AS (
+  SELECT ty,
+         CAST(sum(CASE WHEN day < b.mid THEN 1 ELSE 0 END) + 1
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN day >= b.mid THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2
+  FROM e CROSS JOIN b GROUP BY 1),
+t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(n2) AS BIGINT) AS t2 FROM c),
+s AS (
+  SELECT
+    sum(-n2 * ln(CAST(n1 AS DOUBLE) / t.t1) ORDER BY ty) AS ll,
+    sum(CASE WHEN n2 > 0
+        THEN -n2 * ln(CAST(n2 AS DOUBLE) / t.t2) ELSE 0 END
+        ORDER BY ty) AS ent
+  FROM c, t GROUP BY t.t2)
+SELECT t.t2 AS n_test,
+       CAST(round(s.ll / t.t2 * 1000000) AS BIGINT) AS logloss_micro,
+       CAST(round(s.ent / t.t2 * 1000000) AS BIGINT)
+         AS entropy_micro,
+       CAST(round(s.ll / t.t2 * 1000000)
+            - round(s.ent / t.t2 * 1000000) AS BIGINT)
+         AS kl_drift_micro
+FROM s, t
+"""
+
+QUERIES["type_logloss_drift"] = (q_type_logloss_drift,
+                                 SQL_TYPE_LOGLOSS_DRIFT)

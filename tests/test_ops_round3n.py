@@ -1136,3 +1136,20 @@ def test_bowley_symmetric_zero_right_skew_positive():
     assert (q3 + q1 - 2 * q2) * 1_000_000 // (q3 - q1) == 0
     q1, q2, q3 = 10, 15, 40
     assert (q3 + q1 - 2 * q2) * 1_000_000 // (q3 - q1) > 0
+
+
+def test_logloss_gap_is_kl():
+    import math
+    # ll - entropy == KL(p2 || p1) by algebra; identical dists -> 0
+    n1 = {"a": 51, "b": 51}          # +1 smoothing applied
+    n2 = {"a": 50, "b": 50}
+    t1, t2 = sum(n1.values()), sum(n2.values())
+    ll = sum(-n2[k] * math.log(n1[k] / t1) for k in sorted(n1)) / t2
+    ent = sum(-n2[k] * math.log(n2[k] / t2)
+              for k in sorted(n2) if n2[k]) / t2
+    assert abs(ll - ent) < 1e-12
+    # shifted dist -> positive KL
+    n1 = {"a": 91, "b": 11}
+    ll = sum(-n2[k] * math.log(n1[k] / sum(n1.values()))
+             for k in sorted(n1)) / t2
+    assert ll - ent > 0.1
