@@ -241,6 +241,8 @@ BENCH_EXTRA = [
     "markov_stationary",
     "type_bowley_skew",
     "type_logloss_drift",
+    "weekly_max_gumbel_fit",
+    "record_days_audit",
 ]
 
 

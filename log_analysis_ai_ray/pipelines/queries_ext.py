@@ -16266,3 +16266,144 @@ FROM s, t
 
 QUERIES["type_logloss_drift"] = (q_type_logloss_drift,
                                  SQL_TYPE_LOGLOSS_DRIFT)
+
+
+# ---------------------------------------------------------------------------
+# Gumbel fit — weekly block maxima, method of moments
+# ---------------------------------------------------------------------------
+
+
+def q_weekly_max_gumbel_fit(sf_dir: str):
+    """Extreme-value modeling of weekly maximum daily revenue: Gumbel
+    method-of-moments fit β = s·√6/π, μ = m̄ − γ·β over the block
+    maxima (the EVT-I complement to hill_tail_index's power-tail
+    view). Block maxima from the days-bounded table; moments exact
+    integers; the two mirrored doubles round-2 (cents scale)."""
+    import math
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    wk = dy // 7
+    wu, wi = np.unique(wk, return_inverse=True)
+    mx = np.zeros(len(wu), dtype=np.int64)
+    np.maximum.at(mx, wi, cv)
+    n = len(mx)
+    s1 = int(mx.sum())
+    s2 = int((mx.astype(object) * mx).sum())
+    mean = s1 / n
+    var = float(n * s2 - s1 * s1) / (float(n) * n)
+    beta = math.sqrt(6.0 * var) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    return pa.table({
+        "n_weeks": pa.array([n], pa.int64()),
+        "gumbel_mu": pa.array([round(mu, 2)], pa.float64()),
+        "gumbel_beta": pa.array([round(beta, 2)], pa.float64()),
+    })
+
+
+SQL_WEEKLY_MAX_GUMBEL_FIT = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+w AS (SELECT day // 7 AS wk, CAST(max(cents) AS BIGINT) AS mx
+      FROM d GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mx) AS BIGINT) AS s1,
+             CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2
+      FROM w),
+c AS (SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n) AS var
+      FROM s)
+SELECT n AS n_weeks,
+       round(mean - 0.5772156649015329
+             * (sqrt(6.0 * var) / pi()), 2) AS gumbel_mu,
+       round(sqrt(6.0 * var) / pi(), 2) AS gumbel_beta
+FROM c
+"""
+
+QUERIES["weekly_max_gumbel_fit"] = (q_weekly_max_gumbel_fit,
+                                    SQL_WEEKLY_MAX_GUMBEL_FIT)
+
+
+# ---------------------------------------------------------------------------
+# Record days — running-maximum counts vs the i.i.d. harmonic law
+# ---------------------------------------------------------------------------
+
+
+def q_record_days_audit(sf_dir: str):
+    """Record-value audit: in an i.i.d. series the expected number of
+    running-maximum days is the harmonic number H_n ≈ ln n + γ —
+    far more records means trend, far fewer means early outliers.
+    Record count is a pure integer scan over the days-bounded table;
+    H_n in micro comes from the EXACT rational Σ1/k (Python
+    Fractions; the oracle sums 1.0/k in ascending k — the micro
+    rounding absorbs the double noise)."""
+    from fractions import Fraction
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    cv = cv[np.argsort(dy)]
+    n = len(cv)
+    run_max = np.maximum.accumulate(cv)
+    records = int(1 + (cv[1:] > run_max[:-1]).sum())
+    h = sum(Fraction(1, k) for k in range(1, n + 1))
+    h_micro = int(h * 1_000_000 + Fraction(1, 2))  # round-half-up,
+    # matching the oracle's floor(x + 0.5)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "record_days": pa.array([records], pa.int64()),
+        "expected_micro": pa.array([h_micro], pa.int64()),
+    })
+
+
+SQL_RECORD_DAYS_AUDIT = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT day, cents,
+         max(cents) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM d),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN prev_max IS NULL
+                            OR cents > prev_max
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rec
+      FROM r),
+h AS (SELECT CAST(floor(sum(1.0 / k.k) * 1000000 + 0.5)
+              AS BIGINT) AS hm
+      FROM (SELECT unnest(generate_series(
+              1, (SELECT CAST(n AS BIGINT) FROM c))) AS k) k)
+SELECT c.n AS n_days, c.rec AS record_days,
+       h.hm AS expected_micro
+FROM c, h
+"""
+
+QUERIES["record_days_audit"] = (q_record_days_audit,
+                                SQL_RECORD_DAYS_AUDIT)

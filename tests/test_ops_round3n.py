@@ -1153,3 +1153,30 @@ def test_logloss_gap_is_kl():
     ll = sum(-n2[k] * math.log(n1[k] / sum(n1.values()))
              for k in sorted(n1)) / t2
     assert ll - ent > 0.1
+
+
+def test_record_count_expected_harmonic():
+    from fractions import Fraction
+    # strictly increasing -> every day is a record; decreasing -> 1
+    inc = np.arange(10)
+    rm = np.maximum.accumulate(inc)
+    assert int(1 + (inc[1:] > rm[:-1]).sum()) == 10
+    dec = -np.arange(10)
+    rm = np.maximum.accumulate(dec)
+    assert int(1 + (dec[1:] > rm[:-1]).sum()) == 1
+    # harmonic micro for n=4: 1+1/2+1/3+1/4 = 25/12
+    h = sum(Fraction(1, k) for k in range(1, 5))
+    assert int(h * 1_000_000 + Fraction(1, 2)) == 2083333
+
+
+def test_gumbel_mom_recovers_parameters():
+    import math
+    rng = np.random.default_rng(59)
+    mu_true, beta_true = 500.0, 40.0
+    x = mu_true - beta_true * np.log(-np.log(
+        rng.uniform(1e-9, 1 - 1e-9, 20000)))
+    mean, var = x.mean(), x.var()
+    beta = math.sqrt(6.0 * var) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    assert abs(beta - beta_true) < 2.0
+    assert abs(mu - mu_true) < 2.0
