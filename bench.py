@@ -243,6 +243,8 @@ BENCH_EXTRA = [
     "type_logloss_drift",
     "weekly_max_gumbel_fit",
     "record_days_audit",
+    "heaps_law_fit",
+    "cohens_d_types",
 ]
 
 

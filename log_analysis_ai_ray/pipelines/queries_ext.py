@@ -16407,3 +16407,174 @@ FROM c, h
 
 QUERIES["record_days_audit"] = (q_record_days_audit,
                                 SQL_RECORD_DAYS_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law — vocabulary growth exponent from first occurrences
+# ---------------------------------------------------------------------------
+
+_HEAPS_CHECKPOINTS = (10, 25, 50, 75, 100)  # percent of docs
+
+
+def q_heaps_law_fit(sf_dir: str):
+    """Heaps'-law vocabulary growth V(N) ≈ K·N^β over the doc_id
+    prefix order — WITHOUT any ordered scan: each token's first
+    occurrence is just min(doc_id) over the vocab-bounded (token,
+    min doc) partials, so V(prefix) is a cumulative count over that
+    bounded table at the 5 checkpoint prefixes; β from the log-log
+    OLS (round-6). Natural text sits at β≈0.5; the synth corpus's
+    closed vocabulary saturates toward β→0 — the fit quantifies
+    that."""
+    import math
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        di = t.column("doc_id")
+        if isinstance(di, pa.ChunkedArray):
+            di = di.combine_chunks()
+        fdoc = di.take(par)
+        g = pa.table({"token": flat, "first_doc": fdoc}) \
+            .group_by("token").aggregate([("first_doc", "min")])
+        return g.rename_columns(["token", "first_doc"])
+
+    m = _partial_final(ds, partial, ["token"], [("first_doc", "min")])
+    fd = np.asarray(m.column("first_doc"), dtype=np.int64)
+    # doc-count pass for the checkpoint positions
+    ds2 = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def count_docs(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "mx": pa.array(
+                             [int(pc.max(t.column("doc_id")).as_py())],
+                             pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    dm = _partial_final(ds2, count_docs, ["k"],
+                        [("mx", "max"), ("n", "sum")])
+    n_docs = int(dm.column("n")[0].as_py())
+    mx = int(dm.column("mx")[0].as_py())
+    pts = []
+    for pctn in _HEAPS_CHECKPOINTS:
+        cut = mx * pctn // 100  # doc_id threshold (ids dense 0..mx)
+        v = int((fd <= cut).sum())
+        pts.append((pctn, cut + 1, v))
+    xs = [math.log(float(docs)) for _, docs, _ in pts]
+    ys = [math.log(float(v)) for _, _, v in pts]
+    k = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return pa.table({
+        "pct": pa.array([p for p, _, _ in pts], pa.int64()),
+        "docs": pa.array([c for _, c, _ in pts], pa.int64()),
+        "vocab": pa.array([v for _, _, v in pts], pa.int64()),
+        "heaps_beta": pa.array([round(beta, 6)] * len(pts),
+                               pa.float64()),
+    })
+
+
+SQL_HEAPS_LAW_FIT = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+fo AS (SELECT token, CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM toks GROUP BY 1),
+mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM documents),
+cps AS (SELECT unnest([10, 25, 50, 75, 100]) AS pct),
+pts AS (
+  SELECT cps.pct, mx.m * cps.pct // 100 + 1 AS docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM fo
+          WHERE fo.first_doc <= mx.m * cps.pct // 100) AS vocab
+  FROM cps, mx),
+l AS (SELECT ln(CAST(docs AS DOUBLE)) AS x,
+             ln(CAST(vocab AS DOUBLE)) AS y FROM pts),
+s AS (SELECT count(*)::DOUBLE AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy FROM l)
+SELECT pts.pct, pts.docs, pts.vocab,
+       round((s.k * s.sxy - s.sx * s.sy)
+             / (s.k * s.sxx - s.sx * s.sx), 6) AS heaps_beta
+FROM pts, s ORDER BY pts.pct
+"""
+
+QUERIES["heaps_law_fit"] = (q_heaps_law_fit, SQL_HEAPS_LAW_FIT)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d — standardized effect size between click and purchase
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_d_types(sf_dir: str):
+    """Cohen's d for click vs purchase values — the EFFECT SIZE the
+    Welch t-test's significance can't convey (huge n makes trivial
+    differences 'significant'): d = (m₁−m₂)/s_pooled with the
+    ddof-pooled variance from the same exact (n, Σ, Σ²) integer
+    sufficient statistics; one mirrored double expression, round-6."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"),
+                                    pa.array(["click", "purchase"]))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "s": y, "q": pc.multiply(y, y),
+        }).group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "q"])
+
+    m = _partial_final(ds, partial, ["event_type"],
+                       [("n", "sum"), ("s", "sum"), ("q", "sum")])
+    st = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["q"]))
+          for r in m.to_pylist()}
+    n1, s1, q1 = st["click"]
+    n2, s2, q2 = st["purchase"]
+    ss1 = float(n1 * q1 - s1 * s1) / n1
+    ss2 = float(n2 * q2 - s2 * s2) / n2
+    sp = math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    d = (s1 / n1 - s2 / n2) / sp
+    return pa.table({
+        "n_click": pa.array([n1], pa.int64()),
+        "n_purchase": pa.array([n2], pa.int64()),
+        "cohens_d": pa.array([round(d, 6)], pa.float64()),
+    })
+
+
+SQL_COHENS_D_TYPES = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS HUGEINT) AS q
+      FROM e GROUP BY 1),
+c AS (
+  SELECT
+    a.n AS n1, b.n AS n2,
+    CAST(a.s AS DOUBLE) / a.n AS m1,
+    CAST(b.s AS DOUBLE) / b.n AS m2,
+    CAST(a.n * a.q - CAST(a.s AS HUGEINT) * a.s AS DOUBLE) / a.n
+      AS ss1,
+    CAST(b.n * b.q - CAST(b.s AS HUGEINT) * b.s AS DOUBLE) / b.n
+      AS ss2
+  FROM (SELECT * FROM s WHERE event_type = 'click') a,
+       (SELECT * FROM s WHERE event_type = 'purchase') b)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       round((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2)), 6)
+         AS cohens_d
+FROM c
+"""
+
+QUERIES["cohens_d_types"] = (q_cohens_d_types, SQL_COHENS_D_TYPES)

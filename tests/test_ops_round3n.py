@@ -1180,3 +1180,28 @@ def test_gumbel_mom_recovers_parameters():
     mu = mean - 0.5772156649015329 * beta
     assert abs(beta - beta_true) < 2.0
     assert abs(mu - mu_true) < 2.0
+
+
+def test_heaps_beta_for_powerlaw_growth():
+    import math
+    # V = 3*N^0.5 exactly at checkpoints -> slope recovers 0.5
+    pts = [(n, 3 * n ** 0.5) for n in (10, 100, 1000, 10000)]
+    xs = [math.log(n) for n, _ in pts]
+    ys = [math.log(v) for _, v in pts]
+    k = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert abs(beta - 0.5) < 1e-9
+
+
+def test_cohens_d_unit_gap_unit_sd():
+    import math
+    # two groups, means 0 and 1, both with Σ(y−μ)² = n (unit
+    # population variance): pooled sd ≈ 1, so d ≈ 1
+    n = 1000
+    ss1 = ss2 = float(n)
+    sp = math.sqrt((ss1 + ss2) / (2 * n - 2))
+    d = (1.0 - 0.0) / sp
+    assert abs(d - 1.0) < 0.002  # √((2n)/(2n−2)) ≈ 1.0005
