@@ -245,6 +245,7 @@ BENCH_EXTRA = [
     "record_days_audit",
     "heaps_law_fit",
     "cohens_d_types",
+    "wilcoxon_signed_rank",
 ]
 
 

@@ -16578,3 +16578,106 @@ FROM c
 """
 
 QUERIES["cohens_d_types"] = (q_cohens_d_types, SQL_COHENS_D_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — paired daily click vs view revenue
+# ---------------------------------------------------------------------------
+
+
+def q_wilcoxon_signed_rank(sf_dir: str):
+    """Wilcoxon signed-rank test on the PAIRED daily (click, view)
+    revenue series — the nonparametric paired companion to McNemar's
+    categorical version: rank |dᵢ| with doubled midranks (integer
+    through ties), W⁺ = Σ ranks of positive days in half-units,
+    z = (W⁺ − n(n+1)/4)/σ with the tie-corrected σ² = [n(n+1)(2n+1)
+    − Σ(t³−t)/2]/24 — integers into one mirrored sqrt-divide. Zero
+    diffs drop (Wilcoxon convention). The (day, type, cents) reduce
+    is span-bounded."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    ck = np.zeros(len(days), dtype=np.int64)
+    vw = np.zeros(len(days), dtype=np.int64)
+    selc = ty == "click"
+    ck[dy[selc] - days[0]] = cv[selc]
+    vw[dy[~selc] - days[0]] = cv[~selc]
+    d = ck - vw
+    d = d[d != 0]
+    n = len(d)
+    ad = np.abs(d)
+    # doubled midranks over |d|
+    vu, vi = np.unique(ad, return_inverse=True)
+    cnt = np.bincount(vi).astype(np.int64)
+    cumb = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    r2 = 2 * cumb + cnt + 1
+    w2_pos = int(r2[vi][d > 0].sum())       # doubled W+
+    tie = int(sum(int(t_) ** 3 - int(t_) for t_ in cnt))
+    sigma = math.sqrt((n * (n + 1) * (2 * n + 1) - tie / 2.0) / 24.0)
+    z = (w2_pos / 2.0 - n * (n + 1) / 4.0) / sigma
+    return pa.table({
+        "n_nonzero_days": pa.array([n], pa.int64()),
+        "w_plus_x2": pa.array([w2_pos], pa.int64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_WILCOXON_SIGNED_RANK = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CASE WHEN event_type = 'click'
+             THEN CAST(round(value * 100, 0) AS BIGINT)
+             ELSE 0 END) AS ck,
+         sum(CASE WHEN event_type = 'view'
+             THEN CAST(round(value * 100, 0) AS BIGINT)
+             ELSE 0 END) AS vw
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1),
+grid AS (
+  SELECT g.day, coalesce(d.ck, 0) - coalesce(d.vw, 0) AS diff
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d USING (day)),
+nz AS (SELECT diff, abs(diff) AS ad FROM grid WHERE diff <> 0),
+rk AS (
+  SELECT diff,
+         2 * rank() OVER (ORDER BY ad)
+           + count(*) OVER (PARTITION BY ad) - 1 AS r2
+  FROM nz),
+tie AS (
+  SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS v
+  FROM (SELECT count(*) AS t FROM nz GROUP BY ad)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT)
+           AS w2
+  FROM rk)
+SELECT s.n AS n_nonzero_days, s.w2 AS w_plus_x2,
+       round((s.w2 / 2.0 - s.n * (s.n + 1) / 4.0)
+             / sqrt((CAST(s.n AS DOUBLE) * (s.n + 1) * (2 * s.n + 1)
+                     - tie.v / 2.0) / 24.0), 6) AS z_score
+FROM s, tie
+"""
+
+QUERIES["wilcoxon_signed_rank"] = (q_wilcoxon_signed_rank,
+                                   SQL_WILCOXON_SIGNED_RANK)

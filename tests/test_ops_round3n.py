@@ -1205,3 +1205,29 @@ def test_cohens_d_unit_gap_unit_sd():
     sp = math.sqrt((ss1 + ss2) / (2 * n - 2))
     d = (1.0 - 0.0) / sp
     assert abs(d - 1.0) < 0.002  # √((2n)/(2n−2)) ≈ 1.0005
+
+
+def test_wilcoxon_symmetric_diffs_z_zero():
+    import math
+    # perfectly antisymmetric diffs: W+ equals its null mean -> z == 0
+    d = np.array([5, -5, 3, -3, 1, -1], dtype=np.int64)
+    ad = np.abs(d)
+    vu, vi = np.unique(ad, return_inverse=True)
+    cnt = np.bincount(vi).astype(np.int64)
+    cumb = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    r2 = 2 * cumb + cnt + 1
+    n = len(d)
+    w2 = int(r2[vi][d > 0].sum())
+    tie = int(sum(int(t) ** 3 - int(t) for t in cnt))
+    sigma = math.sqrt((n * (n + 1) * (2 * n + 1) - tie / 2.0) / 24.0)
+    z = (w2 / 2.0 - n * (n + 1) / 4.0) / sigma
+    assert abs(z) < 1e-12
+    # all positive diffs -> maximal W+, strongly positive z
+    d = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+    ad = np.abs(d)
+    vu, vi = np.unique(ad, return_inverse=True)
+    cnt = np.bincount(vi).astype(np.int64)
+    cumb = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    r2 = 2 * cumb + cnt + 1
+    w2 = int(r2[vi][d > 0].sum())
+    assert w2 == 2 * n * (n + 1) // 2
