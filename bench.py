@@ -246,6 +246,7 @@ BENCH_EXTRA = [
     "heaps_law_fit",
     "cohens_d_types",
     "wilcoxon_signed_rank",
+    "friedman_types_daily",
 ]
 
 

@@ -16681,3 +16681,110 @@ FROM s, tie
 
 QUERIES["wilcoxon_signed_rank"] = (q_wilcoxon_signed_rank,
                                    SQL_WILCOXON_SIGNED_RANK)
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — k related samples ranked within each day block
+# ---------------------------------------------------------------------------
+
+
+def q_friedman_types_daily(sf_dir: str):
+    """Friedman test: do the event types keep the same revenue
+    ORDERING day after day? Each day ranks its k=|types| revenues
+    (doubled midranks — integers through ties, zeros included via the
+    dense grid), rank sums accumulate over the span-bounded (type,
+    day) table, and χ²_F = 12·Σ(R₂ᵢ/2)²/(nk(k+1)) − 3n(k+1) closes
+    with exact integers into one mirrored double (tie-corrected
+    denominator). The within-block rank analog of Kruskal–Wallis."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    types = sorted(set(ty.tolist()))
+    k = len(types)
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    grid = np.zeros((len(days), k), dtype=np.int64)
+    for i, t_ in enumerate(types):
+        sel = ty == t_
+        grid[dy[sel] - days[0], i] = cv[sel]
+    n = len(days)
+    r2_sums = np.zeros(k, dtype=np.int64)
+    tie_sum = 0
+    for row in grid:  # doubled midranks within each day
+        o = np.argsort(row, kind="stable")
+        sr = row[o]
+        r2 = np.zeros(k, dtype=np.int64)
+        i = 0
+        while i < k:
+            j = i
+            while j + 1 < k and sr[j + 1] == sr[i]:
+                j += 1
+            r2[o[i:j + 1]] = (i + 1) + (j + 1)
+            t_sz = j - i + 1
+            tie_sum += t_sz ** 3 - t_sz
+            i = j + 1
+        r2_sums += r2
+    # χ²_F with tie correction C = 1 − Σ(t³−t)/(n·k(k²−1))
+    s4 = int(sum(int(x) * int(x) for x in r2_sums))  # Σ(2R)²
+    num = 3.0 * s4 / (float(n) * k * (k + 1)) - 3.0 * n * (k + 1)
+    corr = 1.0 - tie_sum / (float(n) * k * (k * k - 1))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "k_types": pa.array([k], pa.int64()),
+        "friedman_chi2": pa.array([round(num / corr, 6)],
+                                  pa.float64()),
+    })
+
+
+SQL_FRIEDMAN_TYPES_DAILY = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.ty, g.day, coalesce(d.cents, 0) AS cents
+  FROM (SELECT DISTINCT ty FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT min(day) FROM d),
+                (SELECT max(day) FROM d))) AS day) g
+  LEFT JOIN d ON d.ty = t.ty AND d.day = g.day),
+rk AS (
+  SELECT ty, day,
+         2 * rank() OVER (PARTITION BY day ORDER BY cents)
+           + count(*) OVER (PARTITION BY day, cents) - 1 AS r2
+  FROM grid),
+ties AS (
+  SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS v
+  FROM (SELECT day, cents, count(*) AS t FROM grid GROUP BY 1, 2)),
+rs AS (SELECT ty, CAST(sum(r2) AS BIGINT) AS r2s FROM rk GROUP BY 1),
+dims AS (
+  SELECT (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM grid) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM rs) AS k),
+s AS (SELECT CAST(sum(CAST(r2s AS HUGEINT) * r2s) AS HUGEINT) AS s4
+      FROM rs)
+SELECT dims.n AS n_days, dims.k AS k_types,
+       round((3.0 * CAST(s.s4 AS DOUBLE)
+              / (CAST(dims.n AS DOUBLE) * dims.k * (dims.k + 1))
+              - 3.0 * dims.n * (dims.k + 1))
+             / (1.0 - CAST(ties.v AS DOUBLE)
+                / (CAST(dims.n AS DOUBLE) * dims.k
+                   * (dims.k * dims.k - 1))), 6) AS friedman_chi2
+FROM dims, s, ties
+"""
+
+QUERIES["friedman_types_daily"] = (q_friedman_types_daily,
+                                   SQL_FRIEDMAN_TYPES_DAILY)

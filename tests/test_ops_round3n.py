@@ -1231,3 +1231,18 @@ def test_wilcoxon_symmetric_diffs_z_zero():
     r2 = 2 * cumb + cnt + 1
     w2 = int(r2[vi][d > 0].sum())
     assert w2 == 2 * n * (n + 1) // 2
+
+
+def test_friedman_identical_rankings_maximal():
+    # same ordering every day -> chi2 hits its max n(k-1) (no ties)
+    k, n = 4, 30
+    row_rank2 = np.array([2, 4, 6, 8])  # doubled ranks 1..4
+    r2_sums = row_rank2 * n
+    s4 = int((r2_sums.astype(object) ** 2).sum())
+    chi2 = 3.0 * s4 / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    assert abs(chi2 - n * (k - 1)) < 1e-9
+    # perfectly rotating rankings -> equal rank sums -> chi2 == 0
+    r2_equal = np.full(k, int(row_rank2.mean() * n))
+    s4 = int((r2_equal.astype(object) ** 2).sum())
+    chi2 = 3.0 * s4 / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    assert abs(chi2) < 1e-9
