@@ -247,6 +247,7 @@ BENCH_EXTRA = [
     "cohens_d_types",
     "wilcoxon_signed_rank",
     "friedman_types_daily",
+    "cramers_v_type_hour",
 ]
 
 

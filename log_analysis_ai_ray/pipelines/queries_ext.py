@@ -16788,3 +16788,86 @@ FROM dims, s, ties
 
 QUERIES["friedman_types_daily"] = (q_friedman_types_daily,
                                    SQL_FRIEDMAN_TYPES_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — effect size for the type×hour independence test
+# ---------------------------------------------------------------------------
+
+
+def q_cramers_v_type_hour(sf_dir: str):
+    """Cramér's V for the type×hour contingency — the EFFECT SIZE
+    chi2_type_hour's significance can't convey at 10¹²-row n (same
+    reason cohens_d_types exists beside the Welch t): V =
+    √(χ²/(n·min(r−1,c−1))) with χ² assembled from the identical
+    integer-margin grid walk, one extra mirrored sqrt."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        tt = pa.table({
+            "event_type": t.column("event_type"), "hr": hr,
+        }).group_by(["event_type", "hr"]).aggregate([([], "count_all")])
+        return tt.rename_columns(["event_type", "hr", "cnt"])
+
+    obs = _partial_final(ds, partial, ["event_type", "hr"],
+                         [("cnt", "sum")])
+    types = sorted(set(obs.column("event_type").to_pylist()))
+    hours = sorted(set(obs.column("hr").to_pylist()))
+    grid = {(ty, h): 0 for ty in types for h in hours}
+    for ty, h, c in zip(obs.column("event_type").to_pylist(),
+                        obs.column("hr").to_pylist(),
+                        obs.column("cnt").to_pylist()):
+        grid[(ty, h)] = int(c)
+    n = sum(grid.values())
+    rt = {ty: sum(grid[(ty, h)] for h in hours) for ty in types}
+    ct = {h: sum(grid[(ty, h)] for ty in types) for h in hours}
+    chi2 = 0.0
+    for ty in types:
+        for h in hours:
+            e_num = rt[ty] * ct[h]
+            if e_num == 0:
+                continue
+            d = grid[(ty, h)] * n - e_num
+            chi2 += (d * d) / e_num
+    chi2 /= n if n else 1
+    dmin = min(len(types) - 1, len(hours) - 1)
+    v = math.sqrt(chi2 / (n * dmin)) if n and dmin else None
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "chi2": pa.array([round(chi2, 4)], pa.float64()),
+        "cramers_v": pa.array([round(v, 6)], pa.float64()),
+    })
+
+
+SQL_CRAMERS_V_TYPE_HOUR = """
+WITH obs AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, h.hr, COALESCE(o.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT event_type FROM obs) t
+  CROSS JOIN (SELECT DISTINCT hr FROM obs) h
+  LEFT JOIN obs o USING (event_type, hr)),
+tot AS (SELECT sum(cnt) AS n FROM grid),
+rt AS (SELECT event_type, sum(cnt) AS r FROM grid GROUP BY 1),
+ct AS (SELECT hr, sum(cnt) AS c FROM grid GROUP BY 1),
+chi AS (
+  SELECT sum(CAST((g.cnt * tot.n - rt.r * ct.c) AS DOUBLE)
+             * CAST((g.cnt * tot.n - rt.r * ct.c) AS DOUBLE)
+             / CAST(rt.r * ct.c AS DOUBLE)) / max(tot.n) AS chi2,
+         CAST(max(tot.n) AS BIGINT) AS n,
+         least((SELECT count(DISTINCT event_type) FROM grid) - 1,
+               (SELECT count(DISTINCT hr) FROM grid) - 1) AS dmin
+  FROM grid g JOIN rt USING (event_type) JOIN ct USING (hr)
+  CROSS JOIN tot
+  WHERE rt.r * ct.c > 0)
+SELECT n, round(chi2, 4) AS chi2,
+       round(sqrt(chi2 / (n * dmin)), 6) AS cramers_v
+FROM chi
+"""
+
+QUERIES["cramers_v_type_hour"] = (q_cramers_v_type_hour,
+                                  SQL_CRAMERS_V_TYPE_HOUR)

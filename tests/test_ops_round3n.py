@@ -1246,3 +1246,12 @@ def test_friedman_identical_rankings_maximal():
     s4 = int((r2_equal.astype(object) ** 2).sum())
     chi2 = 3.0 * s4 / (n * k * (k + 1)) - 3.0 * n * (k + 1)
     assert abs(chi2) < 1e-9
+
+
+def test_cramers_v_bounds():
+    import math
+    # perfect association in a 2x2: chi2 == n -> V == 1
+    n, chi2 = 100, 100.0
+    assert abs(math.sqrt(chi2 / (n * 1)) - 1.0) < 1e-12
+    # independence: chi2 == 0 -> V == 0
+    assert math.sqrt(0.0 / (n * 1)) == 0.0
