@@ -248,6 +248,7 @@ BENCH_EXTRA = [
     "wilcoxon_signed_rank",
     "friedman_types_daily",
     "cramers_v_type_hour",
+    "brown_forsythe_types",
 ]
 
 

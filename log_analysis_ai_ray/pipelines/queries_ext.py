@@ -16871,3 +16871,88 @@ FROM chi
 
 QUERIES["cramers_v_type_hour"] = (q_cramers_v_type_hour,
                                   SQL_CRAMERS_V_TYPE_HOUR)
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe — variance-equality test (the ANOVA precondition)
+# ---------------------------------------------------------------------------
+
+
+def q_brown_forsythe_types(sf_dir: str):
+    """Brown–Forsythe test: are the type variances even comparable
+    (the assumption anova_value_by_type leans on)? One-way ANOVA F
+    computed on z = |y − median_g| with each group's EXACT ceil-rank
+    median from the (type, cents) histogram — the robust Levene
+    variant. The z-histogram per group is derived from the SAME
+    bounded histogram (|v − med| collapses cells), so no second pass;
+    integer sufficient statistics into the mirrored F close."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    types = sorted(set(ty.tolist()))
+    ns, ss, qs = [], [], []
+    for t_ in types:
+        sel = ty == t_
+        v, c = vv[sel], cc[sel]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        n = int(c.sum())
+        med = int(v[np.searchsorted(np.cumsum(c), (n + 1) // 2)])
+        z = np.abs(v - med)
+        s = int((z.astype(object) * c).sum())
+        q = int(((z.astype(object) ** 2) * c).sum())
+        ns.append(n)
+        ss.append(s)
+        qs.append(q)
+    n_tot, s_tot, q_tot = sum(ns), sum(ss), sum(qs)
+    k = len(types)
+    sb = sum(float(s * s) / n for s, n in zip(ss, ns))
+    ssb = sb - float(s_tot) * s_tot / n_tot
+    ssw = float(q_tot) - sb
+    f_stat = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n_total": pa.array([n_tot], pa.int64()),
+        "bf_f_stat": pa.array([round(f_stat, 6)], pa.float64()),
+    })
+
+
+SQL_BROWN_FORSYTHE_TYPES = """
+WITH e AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+med AS (SELECT ty, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+        FROM e GROUP BY 1),
+z AS (SELECT e.ty, abs(e.v - med.med) AS z
+      FROM e JOIN med USING (ty)),
+s AS (SELECT ty, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS s,
+             CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q
+      FROM z GROUP BY 1),
+t AS (SELECT count(*) AS k, sum(n) AS n_tot, sum(s) AS s_tot,
+             sum(q) AS q_tot,
+             sum(CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / n) AS sb
+      FROM s)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n_tot AS BIGINT) AS n_total,
+       round(((sb - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
+             / ((CAST(q_tot AS DOUBLE) - sb) / (n_tot - k)), 6)
+         AS bf_f_stat
+FROM t
+"""
+
+QUERIES["brown_forsythe_types"] = (q_brown_forsythe_types,
+                                   SQL_BROWN_FORSYTHE_TYPES)

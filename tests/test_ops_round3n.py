@@ -1255,3 +1255,27 @@ def test_cramers_v_bounds():
     assert abs(math.sqrt(chi2 / (n * 1)) - 1.0) < 1e-12
     # independence: chi2 == 0 -> V == 0
     assert math.sqrt(0.0 / (n * 1)) == 0.0
+
+
+def test_brown_forsythe_equal_spread_zero_unequal_large():
+    def bf_f(groups):
+        ns, ss, qs = [], [], []
+        for g in groups:
+            g = np.sort(np.asarray(g, dtype=np.int64))
+            med = int(g[(len(g) + 1) // 2 - 1])
+            z = np.abs(g - med).astype(object)
+            ns.append(len(g))
+            ss.append(int(z.sum()))
+            qs.append(int((z ** 2).sum()))
+        n_tot, s_tot, q_tot = sum(ns), sum(ss), sum(qs)
+        k = len(groups)
+        sb = sum(float(s * s) / n for s, n in zip(ss, ns))
+        ssb = sb - float(s_tot) * s_tot / n_tot
+        ssw = float(q_tot) - sb
+        return (ssb / (k - 1)) / (ssw / (n_tot - k))
+    rng = np.random.default_rng(61)
+    a = rng.integers(0, 100, 500)
+    b = rng.integers(500, 600, 500)       # same spread, shifted mean
+    assert bf_f([a, b]) < 5               # location shift invisible
+    c = rng.integers(0, 1000, 500)        # 10x the spread
+    assert bf_f([a, c]) > 100
