@@ -16956,3 +16956,473 @@ FROM t
 
 QUERIES["brown_forsythe_types"] = (q_brown_forsythe_types,
                                    SQL_BROWN_FORSYTHE_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Sign-flip permutation test — exact-integer randomization inference
+# ---------------------------------------------------------------------------
+
+
+def q_sign_flip_permutation_test(sf_dir: str):
+    """Randomization test of the daily click-vs-view revenue gap with
+    ZERO distributional assumptions: under H0 the sign of each day's
+    diff is exchangeable, so 256 deterministic ±1 patterns (the shared
+    Knuth hash of day_index*256+rep — engine-portable, no RNG) re-sign
+    the integer cent diffs and the p-value is the exact fraction of
+    flipped |sums| reaching the observed |sum| ((1+#ge)/(R+1), the
+    add-one randomization convention). Every quantity through the
+    comparison is an INTEGER — the only double is the final p. The
+    cluster reduces (type, day) cents partials (span-bounded); the
+    256×n_days sign matrix is a driver-side numpy outer product."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+    R = 256
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    day0 = int(dy.min())
+    n = int(dy.max()) - day0 + 1
+    d = np.zeros(n, dtype=np.int64)
+    selc = ty == "click"
+    np.add.at(d, dy[selc] - day0, cv[selc])
+    np.subtract.at(d, dy[~selc] - day0, cv[~selc])
+    t_obs = abs(int(d.sum()))
+    # sign matrix: rep r (1..R) × day t (0..n-1) via the shared hash
+    t_idx = np.arange(n, dtype=np.int64)
+    codes = (t_idx[None, :] * R
+             + np.arange(1, R + 1, dtype=np.int64)[:, None])
+    signs = _knuth_bucket(codes.ravel(), 2).reshape(R, n) * 2 - 1
+    sums = np.abs(signs @ d)
+    n_ge = int((sums >= t_obs).sum())
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "t_obs_cents": pa.array([t_obs], pa.int64()),
+        "n_ge": pa.array([n_ge], pa.int64()),
+        "p_value": pa.array([round((n_ge + 1) / (R + 1), 6)],
+                            pa.float64()),
+    })
+
+
+SQL_SIGN_FLIP_PERMUTATION_TEST = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CASE WHEN event_type = 'click'
+             THEN CAST(round(value * 100, 0) AS BIGINT)
+             ELSE -CAST(round(value * 100, 0) AS BIGINT) END) AS diff
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1),
+grid AS (
+  SELECT g.day - (SELECT min(day) FROM d) AS t,
+         coalesce(d.diff, 0) AS diff
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d USING (day)),
+obs AS (SELECT abs(sum(diff)) AS t_obs, count(*) AS n FROM grid),
+flips AS (
+  SELECT r.rep,
+         abs(sum((CAST(((g.t * 256 + r.rep) % 4294967296)
+                       * 2654435761::HUGEINT % 4294967296 % 2
+                  AS BIGINT) * 2 - 1) * g.diff)) AS s
+  FROM grid g
+  CROSS JOIN (SELECT unnest(generate_series(1, 256)) AS rep) r
+  GROUP BY 1),
+cnt AS (SELECT count(*) AS n_ge FROM flips, obs WHERE s >= t_obs)
+SELECT CAST(obs.n AS BIGINT) AS n_days,
+       CAST(obs.t_obs AS BIGINT) AS t_obs_cents,
+       CAST(cnt.n_ge AS BIGINT) AS n_ge,
+       round((cnt.n_ge + 1) / 257.0, 6) AS p_value
+FROM obs, cnt
+"""
+
+QUERIES["sign_flip_permutation_test"] = (q_sign_flip_permutation_test,
+                                         SQL_SIGN_FLIP_PERMUTATION_TEST)
+
+
+# ---------------------------------------------------------------------------
+# Yule-Walker AR(2) fit over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_yule_walker_ar2(sf_dir: str):
+    """AR(2) coefficients for daily order revenue via the Yule-Walker
+    normal equations: demeaned lag products c_k = sum(yd_t * yd_{t-k})
+    over the dense day grid (biased /n convention), r_k = c_k/c_0,
+    phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2), innovation
+    variance ratio sigma2/c0 = 1 - phi1*r1 - phi2*r2, and the 1-step
+    forecast mu + phi1*(y_n-mu) + phi2*(y_{n-1}-mu). The cluster
+    reduces day cents partials (span-bounded); the mean subtraction
+    and lag products use the identical double formula on both engines
+    so only summation order differs (<=1e-13 relative — the r/phi
+    ratios are O(1) and round at 6)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    day0 = int(dy.min())
+    n = int(dy.max()) - day0 + 1
+    y = np.zeros(n, dtype=np.float64)
+    y[dy - day0] = cv.astype(np.float64)
+    mu = float(cv.sum()) / n
+    yd = y - mu
+    c0 = float(np.dot(yd, yd))
+    c1 = float(np.dot(yd[1:], yd[:-1]))
+    c2 = float(np.dot(yd[2:], yd[:-2]))
+    r1, r2 = c1 / c0, c2 / c0
+    den = 1.0 - r1 * r1
+    phi1 = r1 * (1.0 - r2) / den
+    phi2 = (r2 - r1 * r1) / den
+    sig_ratio = 1.0 - phi1 * r1 - phi2 * r2
+    fcast = mu + phi1 * (y[n - 1] - mu) + phi2 * (y[n - 2] - mu)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "r1": pa.array([round(r1, 6)], pa.float64()),
+        "r2": pa.array([round(r2, 6)], pa.float64()),
+        "phi1": pa.array([round(phi1, 6)], pa.float64()),
+        "phi2": pa.array([round(phi2, 6)], pa.float64()),
+        "sigma2_ratio": pa.array([round(sig_ratio, 6)], pa.float64()),
+        "forecast_cents": pa.array([round(fcast, 2)], pa.float64()),
+    })
+
+
+SQL_YULE_WALKER_AR2 = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+grid AS (
+  SELECT g.day - (SELECT min(day) FROM d) AS t,
+         CAST(coalesce(d.cents, 0) AS DOUBLE) AS y
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d USING (day)),
+mu AS (SELECT count(*) AS n,
+              CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) AS mu
+       FROM grid),
+yd AS (SELECT t, y - mu.mu AS v,
+              lag(y - mu.mu, 1) OVER (ORDER BY t) AS v1,
+              lag(y - mu.mu, 2) OVER (ORDER BY t) AS v2,
+              y
+       FROM grid, mu),
+c AS (SELECT sum(v * v) AS c0, sum(v * v1) AS c1,
+             sum(v * v2) AS c2 FROM yd),
+r AS (SELECT c1 / c0 AS r1, c2 / c0 AS r2 FROM c),
+p AS (SELECT r1, r2,
+             r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      FROM r),
+tailv AS (
+  SELECT max(CASE WHEN t = mu.n - 1 THEN y END) AS y_last,
+         max(CASE WHEN t = mu.n - 2 THEN y END) AS y_prev
+  FROM grid, mu GROUP BY mu.n)
+SELECT CAST(mu.n AS BIGINT) AS n_days,
+       round(p.r1, 6) AS r1, round(p.r2, 6) AS r2,
+       round(p.phi1, 6) AS phi1, round(p.phi2, 6) AS phi2,
+       round(1.0 - p.phi1 * p.r1 - p.phi2 * p.r2, 6) AS sigma2_ratio,
+       round(mu.mu + p.phi1 * (tailv.y_last - mu.mu)
+                   + p.phi2 * (tailv.y_prev - mu.mu), 2)
+         AS forecast_cents
+FROM mu, p, tailv
+"""
+
+QUERIES["yule_walker_ar2"] = (q_yule_walker_ar2, SQL_YULE_WALKER_AR2)
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart over hourly event counts
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_control_chart(sf_dir: str):
+    """EWMA control chart (lambda=0.2, L=3) over the dense hourly
+    event-count grid: z_t = 0.2*x_t + 0.8*z_{t-1} seeded at the grid
+    mean, time-varying limits L*sigma*sqrt(lam/(2-lam)*(1-0.8^(2t))),
+    alarms where |z_t-mu| > limit_t. Both engines run the IDENTICAL
+    recursion (driver loop here, 1-row-per-step recursive CTE in the
+    oracle) so the doubles agree bit-for-bit; mu and sigma come from
+    integer count sums. The cluster only ships bounded hour-count
+    partials."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+    _HUS = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(_HUS, pa.int64()))
+        g = pa.table({"hour": hr}).group_by("hour") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "cnt"])
+
+    m = _partial_final(ds, partial, ["hour"], [("cnt", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    cv = np.asarray(m.column("cnt"), dtype=np.int64)
+    h0 = int(hr.min())
+    n = int(hr.max()) - h0 + 1
+    x = np.zeros(n, dtype=np.int64)
+    x[hr - h0] = cv
+    tot = int(x.sum())
+    sq = int(np.dot(x, x))
+    mu = tot / n
+    sigma = ((sq - tot * mu) / n) ** 0.5
+    lam, big_l = 0.2, 3.0
+    z = mu
+    n_alarms, first_alarm, max_score = 0, None, 0.0
+    for t in range(1, n + 1):
+        z = lam * float(x[t - 1]) + (1.0 - lam) * z
+        lim = (big_l * sigma
+               * (lam / (2.0 - lam)
+                  * (1.0 - (1.0 - lam) ** (2 * t))) ** 0.5)
+        score = abs(z - mu) / lim
+        if score > max_score:
+            max_score = score
+        if abs(z - mu) > lim:
+            n_alarms += 1
+            if first_alarm is None:
+                first_alarm = t
+    return pa.table({
+        "n_hours": pa.array([n], pa.int64()),
+        "n_alarms": pa.array([n_alarms], pa.int64()),
+        "first_alarm_t": pa.array([first_alarm], pa.int64()),
+        "max_score": pa.array([round(max_score, 6)], pa.float64()),
+    })
+
+
+SQL_EWMA_CONTROL_CHART = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT g.hour - (SELECT min(hour) FROM h) + 1 AS t,
+         coalesce(h.cnt, 0) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hour) FROM h),
+                                      (SELECT max(hour) FROM h)))
+          AS hour) g
+  LEFT JOIN h USING (hour)),
+st AS (SELECT count(*) AS n,
+              CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+              sqrt((sum(CAST(x AS HUGEINT) * x)
+                    - sum(x) * (CAST(sum(x) AS DOUBLE) / count(*)))
+                   / count(*)) AS sigma
+       FROM grid),
+ew AS (
+  WITH RECURSIVE rec(t, z) AS (
+    SELECT 0, (SELECT mu FROM st)
+    UNION ALL
+    SELECT rec.t + 1,
+           0.2 * CAST(grid.x AS DOUBLE) + 0.8 * rec.z
+    FROM rec JOIN grid ON grid.t = rec.t + 1)
+  SELECT t, z FROM rec WHERE t >= 1),
+sc AS (
+  SELECT ew.t,
+         abs(ew.z - st.mu) AS dev,
+         3.0 * st.sigma * sqrt(0.2 / 1.8 * (1.0 - pow(0.8, 2 * ew.t)))
+           AS lim
+  FROM ew, st)
+SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_hours,
+       CAST(count(CASE WHEN dev > lim THEN 1 END) AS BIGINT)
+         AS n_alarms,
+       CAST(min(CASE WHEN dev > lim THEN t END) AS BIGINT)
+         AS first_alarm_t,
+       round(max(dev / lim), 6) AS max_score
+FROM sc
+"""
+
+QUERIES["ewma_control_chart"] = (q_ewma_control_chart,
+                                 SQL_EWMA_CONTROL_CHART)
+
+
+# ---------------------------------------------------------------------------
+# One-sample KS test of second-of-day uniformity (binned variant)
+# ---------------------------------------------------------------------------
+
+
+def q_ks_uniform_seconds(sf_dir: str):
+    """One-sample Kolmogorov-Smirnov distance between the event
+    second-of-day distribution and U(0, 86400), computed on the 86400
+    one-second bins (the binned sup is exact for bin-valued data):
+    D+ = max_b(cum_b/n - b/86400) against the lower bin edge,
+    D- = max_b((b+1)/86400 - cum_b/n) against the upper edge,
+    D = max(D+, D-). A max over identically-computed doubles is
+    summation-order-free, so both engines agree exactly. The shuffle
+    ships <=86400-row count partials."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        sec = pc.divide(
+            pc.subtract(us, pc.multiply(
+                pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                pa.scalar(86_400_000_000, pa.int64()))),
+            pa.scalar(1_000_000, pa.int64()))
+        g = pa.table({"sec": sec}).group_by("sec") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["sec", "cnt"])
+
+    m = _partial_final(ds, partial, ["sec"], [("cnt", "sum")])
+    sec = np.asarray(m.column("sec"), dtype=np.int64)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    hist = np.zeros(86_400, dtype=np.int64)
+    hist[sec] = cnt
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    b = np.arange(86_400, dtype=np.float64)
+    emp = cum / n
+    d_plus = float(np.max(emp - b / 86_400.0))
+    d_minus = float(np.max((b + 1.0) / 86_400.0 - emp))
+    d = max(d_plus, d_minus)
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "d_plus": pa.array([round(d_plus, 6)], pa.float64()),
+        "d_minus": pa.array([round(d_minus, 6)], pa.float64()),
+        "d_stat": pa.array([round(d, 6)], pa.float64()),
+        "sqrt_n_d": pa.array([round(d * n ** 0.5, 6)], pa.float64()),
+    })
+
+
+SQL_KS_UNIFORM_SECONDS = """
+WITH s AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) % 86400000000) // 1000000
+           AS sec,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT g.sec, coalesce(s.cnt, 0) AS cnt
+  FROM (SELECT unnest(generate_series(0, 86399)) AS sec) g
+  LEFT JOIN s USING (sec)),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid),
+c AS (
+  SELECT sec,
+         CAST(sum(cnt) OVER (ORDER BY sec) AS DOUBLE)
+           / (SELECT n FROM n) AS emp
+  FROM grid),
+d AS (
+  SELECT max(emp - CAST(sec AS DOUBLE) / 86400.0) AS d_plus,
+         max(CAST(sec + 1 AS DOUBLE) / 86400.0 - emp) AS d_minus
+  FROM c)
+SELECT n.n AS n_events,
+       round(d.d_plus, 6) AS d_plus,
+       round(d.d_minus, 6) AS d_minus,
+       round(greatest(d.d_plus, d.d_minus), 6) AS d_stat,
+       round(greatest(d.d_plus, d.d_minus) * sqrt(n.n), 6)
+         AS sqrt_n_d
+FROM n, d
+"""
+
+QUERIES["ks_uniform_seconds"] = (q_ks_uniform_seconds,
+                                 SQL_KS_UNIFORM_SECONDS)
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q — k matched binary samples (types above their own mean)
+# ---------------------------------------------------------------------------
+
+
+def q_cochrans_q_types(sf_dir: str):
+    """Cochran's Q test for k matched binary treatments: each day is a
+    block, each event type a treatment, and the binary response is
+    'did the type beat its own across-days mean count that day'
+    (cnt_ij * D > tot_j — an INTEGER comparison, no division). With
+    column totals C_j, row totals R_i and N = sum(C_j),
+    Q = [k(k-1) sum C_j^2 - (k-1) N^2] / (k sum R_i - sum R_i^2) is a
+    ratio of exact integers. Reduces a k x D (type, day) count table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        g = pa.table({"ty": t.column("event_type"), "day": day}) \
+            .group_by(["ty", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "day", "cnt"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cnt", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cnt"), dtype=np.int64)
+    types = np.unique(ty)
+    k = len(types)
+    day0 = int(dy.min())
+    n_d = int(dy.max()) - day0 + 1
+    mat = np.zeros((k, n_d), dtype=np.int64)
+    tix = {t_: i for i, t_ in enumerate(types)}
+    for t_, d_, c_ in zip(ty, dy, cv):
+        mat[tix[t_], d_ - day0] = c_
+    tot = mat.sum(axis=1)                       # per-type totals
+    x = (mat * n_d > tot[:, None]).astype(np.int64)
+    c_j = x.sum(axis=1)                         # per-type binary total
+    r_i = x.sum(axis=0)                         # per-day binary total
+    big_n = int(c_j.sum())
+    num = k * (k - 1) * int(np.dot(c_j, c_j)) - (k - 1) * big_n ** 2
+    den = k * big_n - int(np.dot(r_i, r_i))
+    return pa.table({
+        "k_types": pa.array([k], pa.int64()),
+        "n_days": pa.array([n_d], pa.int64()),
+        "n_successes": pa.array([big_n], pa.int64()),
+        "q_stat": pa.array([round(num / den, 6)], pa.float64()),
+    })
+
+
+SQL_COCHRANS_Q_TYPES = """
+WITH c AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(day) AS d0, max(day) AS d1,
+                max(day) - min(day) + 1 AS nd FROM c),
+grid AS (
+  SELECT t.ty, g.day, coalesce(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT ty FROM c) t
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT d0 FROM span), (SELECT d1 FROM span))) AS day) g
+  LEFT JOIN c ON c.ty = t.ty AND c.day = g.day),
+tt AS (SELECT ty, sum(cnt) AS tot FROM grid GROUP BY 1),
+x AS (
+  SELECT grid.ty, grid.day,
+         CASE WHEN grid.cnt * (SELECT nd FROM span) > tt.tot
+              THEN 1 ELSE 0 END AS x
+  FROM grid JOIN tt USING (ty)),
+cj AS (SELECT ty, CAST(sum(x) AS BIGINT) AS c FROM x GROUP BY 1),
+ri AS (SELECT day, CAST(sum(x) AS BIGINT) AS r FROM x GROUP BY 1),
+agg AS (
+  SELECT (SELECT count(*) FROM cj) AS k,
+         (SELECT sum(c) FROM cj) AS n,
+         (SELECT sum(c * c) FROM cj) AS sc2,
+         (SELECT sum(r * r) FROM ri) AS sr2)
+SELECT CAST(k AS BIGINT) AS k_types,
+       (SELECT CAST(nd AS BIGINT) FROM span) AS n_days,
+       CAST(n AS BIGINT) AS n_successes,
+       round(CAST(k * (k - 1) * sc2 - (k - 1) * n * n AS DOUBLE)
+             / (k * n - sr2), 6) AS q_stat
+FROM agg
+"""
+
+QUERIES["cochrans_q_types"] = (q_cochrans_q_types, SQL_COCHRANS_Q_TYPES)
