@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from ..functions.timestamps import floor_hour
 from ..stages import aggregate as agg
 from .queries import (LINES_VIEW, QUERIES, _knuth_bucket, _lines_ds,
-                      _partial_final, _read)
+                      _null_div, _partial_final, _read)
 
 # ---------------------------------------------------------------------------
 # GROUP BY CUBE — all four grouping sets from one finest-level pass
@@ -17426,3 +17426,596 @@ FROM agg
 """
 
 QUERIES["cochrans_q_types"] = (q_cochrans_q_types, SQL_COCHRANS_Q_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative test (priority -> price)
+# ---------------------------------------------------------------------------
+
+
+def q_jonckheere_terpstra_priority(sf_dir: str):
+    """Jonckheere-Terpstra test that order value trends MONOTONICALLY
+    across the ordered priority classes 1-URGENT..5-LOW: the doubled
+    statistic 2U = sum over group pairs i<j and values v of
+    cnt_j(v) * (2*cumlt_i(v) + cnt_i(v)) stays an exact integer
+    through ties (half-credit doubled). Null mean (N^2 - sum n_i^2)/4
+    and the three-term tie-corrected variance (Lehmann) are integer
+    closures too; the single final sqrt/divide makes z. The cluster
+    reduces a (priority, cents) histogram — bounded by the price
+    domain, not the row count."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"pri": t.column("o_orderpriority"),
+                      "cents": cents}) \
+            .group_by(["pri", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["pri", "cents", "cnt"])
+
+    m = _partial_final(ds, partial, ["pri", "cents"], [("cnt", "sum")])
+    pri = np.asarray(m.column("pri").to_pylist())
+    cen = np.asarray(m.column("cents"), dtype=np.int64)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    groups = np.unique(pri)                      # lexicographic = ordinal
+    k = len(groups)
+    vals, vinv = np.unique(cen, return_inverse=True)
+    nv = len(vals)
+    hist = np.zeros((k, nv), dtype=np.int64)
+    gix = {g_: i for i, g_ in enumerate(groups)}
+    for p_, vi_, c_ in zip(pri, vinv, cnt):
+        hist[gix[p_], vi_] += c_
+    cum = np.cumsum(hist, axis=1)
+    cumlt = cum - hist                           # strictly-below counts
+    u2 = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            u2 += int(np.dot(hist[j], 2 * cumlt[i] + hist[i]))
+    n_i = hist.sum(axis=1)
+    t_v = hist.sum(axis=0)
+    big_n = int(n_i.sum())
+    sum_ni2 = int(np.dot(n_i, n_i))
+    mean2 = (big_n * big_n - sum_ni2) / 2.0      # doubled null mean
+
+    def _s(x, f):
+        return int(sum(f(int(v)) for v in x))
+
+    a1 = (big_n * (big_n - 1) * (2 * big_n + 5)
+          - _s(n_i, lambda n: n * (n - 1) * (2 * n + 5))
+          - _s(t_v, lambda t: t * (t - 1) * (2 * t + 5))) / 72.0
+    a2 = (_s(n_i, lambda n: n * (n - 1) * (n - 2))
+          * _s(t_v, lambda t: t * (t - 1) * (t - 2))
+          / (36.0 * big_n * (big_n - 1) * (big_n - 2)))
+    a3 = (_s(n_i, lambda n: n * (n - 1)) * _s(t_v, lambda t: t * (t - 1))
+          / (8.0 * big_n * (big_n - 1)))
+    var = a1 + a2 + a3
+    z = (u2 - mean2) / (2.0 * var ** 0.5)
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n_total": pa.array([big_n], pa.int64()),
+        "u_x2": pa.array([u2], pa.int64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_JONCKHEERE_TERPSTRA_PRIORITY = """
+WITH h AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2),
+axis AS (
+  SELECT p.pri, v.v, coalesce(h.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT pri FROM h) p
+  CROSS JOIN (SELECT DISTINCT v FROM h) v
+  LEFT JOIN h ON h.pri = p.pri AND h.v = v.v),
+c AS (
+  SELECT pri, v, cnt,
+         sum(cnt) OVER (PARTITION BY pri ORDER BY v) - cnt AS cumlt
+  FROM axis),
+u AS (
+  SELECT CAST(sum(CAST(b.cnt AS HUGEINT)
+                  * (2 * a.cumlt + a.cnt)) AS HUGEINT) AS u2
+  FROM c a JOIN c b ON a.v = b.v AND a.pri < b.pri),
+ni AS (SELECT pri, sum(cnt) AS n FROM h GROUP BY 1),
+tv AS (SELECT v, sum(cnt) AS t FROM h GROUP BY 1),
+s AS (
+  SELECT (SELECT sum(n) FROM ni) AS n,
+         (SELECT sum(CAST(n AS HUGEINT) * n) FROM ni) AS sn2,
+         (SELECT sum(CAST(n AS HUGEINT) * (n-1) * (2*n+5)) FROM ni)
+           AS sn_a,
+         (SELECT sum(CAST(t AS HUGEINT) * (t-1) * (2*t+5)) FROM tv)
+           AS st_a,
+         (SELECT sum(CAST(n AS HUGEINT) * (n-1) * (n-2)) FROM ni)
+           AS sn_b,
+         (SELECT sum(CAST(t AS HUGEINT) * (t-1) * (t-2)) FROM tv)
+           AS st_b,
+         (SELECT sum(CAST(n AS HUGEINT) * (n-1)) FROM ni) AS sn_c,
+         (SELECT sum(CAST(t AS HUGEINT) * (t-1)) FROM tv) AS st_c),
+v AS (
+  SELECT n,
+         (CAST(CAST(n AS HUGEINT) * (n-1) * (2*n+5) - sn_a - st_a
+               AS DOUBLE)) / 72.0
+         + CAST(sn_b * st_b AS DOUBLE)
+           / (36.0 * n * (n - 1.0) * (n - 2.0))
+         + CAST(sn_c * st_c AS DOUBLE) / (8.0 * n * (n - 1.0)) AS var,
+         (CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE)) / 2.0 AS mean2
+  FROM s)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ni) AS k_groups,
+       CAST(v.n AS BIGINT) AS n_total,
+       CAST(u.u2 AS BIGINT) AS u_x2,
+       round((u.u2 - v.mean2) / (2.0 * sqrt(v.var)), 6) AS z_score
+FROM u, v
+"""
+
+QUERIES["jonckheere_terpstra_priority"] = (
+    q_jonckheere_terpstra_priority, SQL_JONCKHEERE_TERPSTRA_PRIORITY)
+
+
+# ---------------------------------------------------------------------------
+# Fisher exact test on the 2x2 (urgent priority) x (status F) table
+# ---------------------------------------------------------------------------
+
+
+def q_fisher_exact_urgent_status(sf_dir: str):
+    """Fisher's EXACT test (no chi-square approximation) of urgency
+    (priority 1-2 vs rest) against fulfilment status ('F' vs rest):
+    the full hypergeometric sweep over every feasible table with the
+    observed margins, two-sided by the standard 'all tables no more
+    probable than the observed' rule with the customary 1e-7 relative
+    tolerance. log P(k) closes over a fixed number of lgamma terms
+    (both engines call libm lgamma; the inclusion test compares in
+    LOG space so no exp ordering enters it). The 2x2 cells are one
+    bounded count reduce."""
+    import math
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        urg = pc.cast(pc.is_in(
+            t.column("o_orderpriority"),
+            pa.array(["1-URGENT", "2-HIGH"])), pa.int64())
+        fin = pc.cast(pc.equal(t.column("o_orderstatus"), "F"),
+                      pa.int64())
+        g = pa.table({"urgent": urg, "is_f": fin}) \
+            .group_by(["urgent", "is_f"]).aggregate([([], "count_all")])
+        return g.rename_columns(["urgent", "is_f", "cnt"])
+
+    m = _partial_final(ds, partial, ["urgent", "is_f"], [("cnt", "sum")])
+    cell = {(int(u), int(f)): int(c) for u, f, c in
+            zip(m.column("urgent").to_pylist(),
+                m.column("is_f").to_pylist(),
+                m.column("cnt").to_pylist())}
+    a = cell.get((1, 1), 0)
+    b = cell.get((1, 0), 0)
+    c = cell.get((0, 1), 0)
+    d = cell.get((0, 0), 0)
+    n = a + b + c + d
+    r1, c1 = a + b, a + c
+    lg = math.lgamma
+
+    def logp(k: int) -> float:
+        return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                + lg(n - r1 + 1) - lg(c1 - k + 1)
+                - lg(n - r1 - c1 + k + 1)
+                - (lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1)))
+
+    k_lo = max(0, c1 - (n - r1))
+    k_hi = min(r1, c1)
+    thr = logp(a) + math.log(1.0 + 1e-7)
+    p = sum(math.exp(logp(k)) for k in range(k_lo, k_hi + 1)
+            if logp(k) <= thr)
+    odds = _null_div(a * d, b * c)
+    return pa.table({
+        "n_uf": pa.array([a], pa.int64()),
+        "n_un": pa.array([b], pa.int64()),
+        "n_rf": pa.array([c], pa.int64()),
+        "n_rn": pa.array([d], pa.int64()),
+        "odds_ratio": pa.array([odds], pa.float64()),
+        "p_two_sided": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_FISHER_EXACT_URGENT_STATUS = """
+WITH cells AS (
+  SELECT CAST(sum(CASE WHEN urg = 1 AND fin = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN urg = 1 AND fin = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN urg = 0 AND fin = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN urg = 0 AND fin = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS urg,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fin
+        FROM orders)),
+m AS (SELECT a, b, c, d, a + b + c + d AS n,
+             a + b AS r1, a + c AS c1 FROM cells),
+ks AS (
+  SELECT m.*, k.k,
+         lgamma(m.r1 + 1.0) - lgamma(k.k + 1.0)
+           - lgamma(m.r1 - k.k + 1.0)
+           + lgamma(m.n - m.r1 + 1.0) - lgamma(m.c1 - k.k + 1.0)
+           - lgamma(m.n - m.r1 - m.c1 + k.k + 1.0)
+           - (lgamma(m.n + 1.0) - lgamma(m.c1 + 1.0)
+              - lgamma(m.n - m.c1 + 1.0)) AS lp
+  FROM m
+  CROSS JOIN (SELECT unnest(generate_series(0, 1000000)) AS k) k
+  WHERE k.k >= greatest(0, m.c1 - (m.n - m.r1))
+    AND k.k <= least(m.r1, m.c1)),
+obs AS (
+  SELECT lp + ln(1.0 + 1e-7) AS thr FROM ks, m WHERE ks.k = m.a)
+SELECT m.a AS n_uf, m.b AS n_un, m.c AS n_rf, m.d AS n_rn,
+       CASE WHEN m.b * m.c = 0 THEN NULL
+            ELSE round(CAST(m.a AS DOUBLE) * m.d / (m.b * m.c), 6)
+       END AS odds_ratio,
+       (SELECT round(sum(exp(lp)), 6) FROM ks, obs
+        WHERE lp <= obs.thr) AS p_two_sided
+FROM m
+"""
+
+QUERIES["fisher_exact_urgent_status"] = (
+    q_fisher_exact_urgent_status, SQL_FISHER_EXACT_URGENT_STATUS)
+
+
+# ---------------------------------------------------------------------------
+# Periodogram probe — Fourier amplitude at candidate hourly periods
+# ---------------------------------------------------------------------------
+
+
+def q_periodogram_periods(sf_dir: str):
+    """Single-frequency DFT probes (Goertzel-style paired cos/sin
+    sums) of the demeaned dense hourly event-count series at the
+    candidate periods 4..168 h: a_p = 2/n sum x_t cos(2 pi t/p),
+    b_p = 2/n sum x_t sin(2 pi t/p), amplitude = sqrt(a^2+b^2). The
+    diurnal (24 h) line should dominate. Counts reduce span-bounded;
+    both engines evaluate the identical libm cos/sin at the identical
+    integer arguments so only summation order differs (~1e-13)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+    _HUS = 3_600_000_000
+    periods = [4, 6, 8, 12, 24, 48, 168]
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(_HUS, pa.int64()))
+        g = pa.table({"hour": hr}).group_by("hour") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "cnt"])
+
+    m = _partial_final(ds, partial, ["hour"], [("cnt", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    cv = np.asarray(m.column("cnt"), dtype=np.int64)
+    h0 = int(hr.min())
+    n = int(hr.max()) - h0 + 1
+    x = np.zeros(n, dtype=np.float64)
+    x[hr - h0] = cv.astype(np.float64)
+    mu = float(cv.sum()) / n
+    xd = x - mu
+    t_idx = np.arange(n, dtype=np.float64)
+    out_p, out_amp = [], []
+    for p in periods:
+        w = 2.0 * np.pi * t_idx / p
+        a = 2.0 / n * float(np.dot(xd, np.cos(w)))
+        b = 2.0 / n * float(np.dot(xd, np.sin(w)))
+        out_p.append(p)
+        out_amp.append(round((a * a + b * b) ** 0.5, 6))
+    return pa.table({
+        "period_h": pa.array(out_p, pa.int64()),
+        "amplitude": pa.array(out_amp, pa.float64()),
+    })
+
+
+SQL_PERIODOGRAM_PERIODS = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT g.hour - (SELECT min(hour) FROM h) AS t,
+         CAST(coalesce(h.cnt, 0) AS DOUBLE) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hour) FROM h),
+                                      (SELECT max(hour) FROM h)))
+          AS hour) g
+  LEFT JOIN h USING (hour)),
+mu AS (SELECT count(*) AS n,
+              CAST(sum(CAST(x AS BIGINT)) AS DOUBLE) / count(*) AS mu
+       FROM grid),
+p AS (SELECT unnest([4, 6, 8, 12, 24, 48, 168]) AS period_h),
+s AS (
+  SELECT p.period_h,
+         2.0 / mu.n * sum((g.x - mu.mu)
+             * cos(2.0 * pi() * g.t / p.period_h)) AS a,
+         2.0 / mu.n * sum((g.x - mu.mu)
+             * sin(2.0 * pi() * g.t / p.period_h)) AS b
+  FROM grid g, mu, p
+  GROUP BY p.period_h, mu.n)
+SELECT CAST(period_h AS BIGINT) AS period_h,
+       round(sqrt(a * a + b * b), 6) AS amplitude
+FROM s ORDER BY period_h
+"""
+
+QUERIES["periodogram_periods"] = (q_periodogram_periods,
+                                  SQL_PERIODOGRAM_PERIODS)
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling uniformity of second-of-day (binned, exact closure)
+# ---------------------------------------------------------------------------
+
+
+def q_anderson_darling_seconds(sf_dir: str):
+    """Anderson-Darling A^2 against U(0,1) for the binned second-of-
+    day values (bin centre (b+.5)/86400): the classic sorted-sample
+    sum collapses per bin to INTEGER coefficients — with cumulative
+    counts C_b, sum(2i-1) over a bin = c_b(C_{b-1}+C_b) for the
+    ln F term and c_b(2n - C_{b-1} - C_b) for the mirrored ln(1-F)
+    term — so A^2 = -n - (1/n) sum_b [S_b ln u_b + T_b ln(1-u_b)]
+    closes over one bounded histogram with logs of fixed grid points.
+    AD weights the tails more than KS (ks_uniform_seconds); both ride
+    the same 86400-bin reduce."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        sec = pc.divide(
+            pc.subtract(us, pc.multiply(
+                pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                pa.scalar(86_400_000_000, pa.int64()))),
+            pa.scalar(1_000_000, pa.int64()))
+        g = pa.table({"sec": sec}).group_by("sec") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["sec", "cnt"])
+
+    m = _partial_final(ds, partial, ["sec"], [("cnt", "sum")])
+    sec = np.asarray(m.column("sec"), dtype=np.int64)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    hist = np.zeros(86_400, dtype=np.int64)
+    hist[sec] = cnt
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    cprev = cum - hist
+    u = (np.arange(86_400, dtype=np.float64) + 0.5) / 86_400.0
+    s_b = (hist * (cprev + cum)).astype(np.float64)
+    t_b = (hist * (2 * n - cprev - cum)).astype(np.float64)
+    a2 = -n - (float(np.dot(s_b, np.log(u)))
+               + float(np.dot(t_b, np.log(1.0 - u)))) / n
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "a2_stat": pa.array([round(a2, 6)], pa.float64()),
+    })
+
+
+SQL_ANDERSON_DARLING_SECONDS = """
+WITH s AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) % 86400000000) // 1000000
+           AS sec,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT g.sec, coalesce(s.cnt, 0) AS cnt
+  FROM (SELECT unnest(generate_series(0, 86399)) AS sec) g
+  LEFT JOIN s USING (sec)),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid),
+c AS (
+  SELECT sec, cnt,
+         sum(cnt) OVER (ORDER BY sec) AS cum,
+         sum(cnt) OVER (ORDER BY sec) - cnt AS cprev,
+         (CAST(sec AS DOUBLE) + 0.5) / 86400.0 AS u
+  FROM grid),
+t AS (
+  SELECT sum(CAST(cnt * (cprev + cum) AS DOUBLE) * ln(u))
+           + sum(CAST(cnt * (2 * (SELECT n FROM n) - cprev - cum)
+                      AS DOUBLE) * ln(1.0 - u)) AS acc
+  FROM c WHERE cnt > 0)
+SELECT n.n AS n_events,
+       round(-CAST(n.n AS DOUBLE) - t.acc / n.n, 6) AS a2_stat
+FROM n, t
+"""
+
+QUERIES["anderson_darling_seconds"] = (q_anderson_darling_seconds,
+                                       SQL_ANDERSON_DARLING_SECONDS)
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware hybrid join — sampled hot-key split: broadcast + shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_skew_hybrid_join_revenue(sf_dir: str):
+    """Skew-aware lineitem x orders join: a deterministic 1/16 Knuth
+    row sample counts fact keys, the top-64 sampled keys (cnt desc,
+    key asc) become the HOT set whose dimension rows broadcast to
+    every map task (no shuffle for the skewed mass), and only the
+    COLD remainder rides the side-tagged hash-partition shuffle join
+    (the order_priority_revenue reducer). hot_rows/cold_rows are
+    emitted per priority so the ORACLE AUDITS THE ROUTING ITSELF, not
+    just the blended totals. At real scale the sampled exact count
+    swaps for the Misra-Gries sketch (stages/sketch.py) — the split
+    contract stays identical."""
+    import ray
+
+    from ..stages.joins import _hash_partition_ids
+
+    NPART = 64
+    HOT_K = 64
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_extendedprice", "l_discount"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority"])
+
+    # --- phase 1: sampled hot-key census (1/16 of fact rows) -------
+    def sample_counts(t: pa.Table) -> pa.Table:
+        code = (np.asarray(t.column("l_orderkey"), dtype=np.int64) * 31
+                + np.asarray(t.column("l_linenumber"), dtype=np.int64))
+        keep = _knuth_bucket(code, 16) == 0
+        keys = np.asarray(t.column("l_orderkey"), dtype=np.int64)[keep]
+        g = pa.table({"key": pa.array(keys)}).group_by("key") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["key", "cnt"])
+
+    cen = _partial_final(li, sample_counts, ["key"], [("cnt", "sum")])
+    order = pc.sort_indices(cen, sort_keys=[("cnt", "descending"),
+                                            ("key", "ascending")])
+    hot_tbl = cen.take(order.slice(0, HOT_K))
+    hot_keys = np.asarray(hot_tbl.column("key"), dtype=np.int64)
+    hot_set = set(int(k) for k in hot_keys)
+
+    # --- phase 2: broadcast the hot dimension slice -----------------
+    def hot_dim(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("o_orderkey"),
+                       pa.array(hot_keys, pa.int64()))
+        return t.filter(sel)
+
+    hot_orders = agg._to_arrow(
+        od.map_batches(hot_dim, batch_format="pyarrow"))
+    hot_map_ref = ray.put({int(k): p for k, p in
+                           zip(hot_orders.column("o_orderkey").to_pylist(),
+                               hot_orders.column("o_orderpriority")
+                               .to_pylist())})
+
+    def _cents(t: pa.Table):
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        return pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+
+    # --- phase 3a: hot fact rows -> broadcast-join partials ---------
+    def hot_partial(t: pa.Table) -> pa.Table:
+        hmap = ray.get(hot_map_ref)
+        keys = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        sel = np.isin(keys, hot_keys)
+        t = t.filter(pa.array(sel))
+        if t.num_rows == 0:
+            return pa.table({"priority": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "rows_": pa.array([], pa.int64())})
+        pr = pa.array([hmap[int(k)] for k in
+                       np.asarray(t.column("l_orderkey"),
+                                  dtype=np.int64)], pa.string())
+        g = pa.table({"priority": pr, "cents": _cents(t)}) \
+            .group_by("priority") \
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["priority", "cents", "rows_"])
+
+    hot_part = _partial_final(
+        li, hot_partial, ["priority"],
+        [("cents", "sum"), ("rows_", "sum")])
+
+    # --- phase 3b: cold remainder -> hash-partition shuffle join ----
+    def tag_line(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        sel = ~np.isin(keys, hot_keys)
+        t = t.filter(pa.array(sel))
+        keys = keys[sel]
+        return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
+            "key": t.column("l_orderkey"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "priority": pa.nulls(t.num_rows, pa.string()),
+            "cents": _cents(t),
+        })
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        sel = ~np.isin(keys, hot_keys)
+        t = t.filter(pa.array(sel))
+        keys = keys[sel]
+        return pa.table({
+            "_pkey": pa.array(_hash_partition_ids(keys, NPART)),
+            "key": t.column("o_orderkey"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "priority": t.column("o_orderpriority").cast(pa.string()),
+            "cents": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    both = li.map_batches(tag_line, batch_format="pyarrow").union(
+        od.map_batches(tag_order, batch_format="pyarrow"))
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = np.asarray(g.column("side"))
+        orders = g.filter(pa.array(side == 1))
+        lines = g.filter(pa.array(side == 0))
+        empty = pa.table({"priority": pa.array([], pa.string()),
+                          "cents": pa.array([], pa.int64()),
+                          "rows_": pa.array([], pa.int64())})
+        if orders.num_rows == 0 or lines.num_rows == 0:
+            return empty
+        idx = pc.index_in(lines.column("key"),
+                          orders.column("key").combine_chunks())
+        hit = pc.is_valid(idx)
+        lines = lines.filter(hit)
+        if lines.num_rows == 0:
+            return empty
+        pr = orders.column("priority").combine_chunks() \
+            .take(idx.filter(hit))
+        part = pa.table({"priority": pr, "cents": lines.column("cents")}) \
+            .group_by("priority") \
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        return part.rename_columns(["priority", "cents", "rows_"])
+
+    cold_part = agg._combine_partials(
+        both.groupby("_pkey").map_groups(join_partition,
+                                         batch_format="pyarrow"),
+        keys=["priority"], aggs=[("cents", "sum"), ("rows_", "sum")],
+        empty_schema=pa.schema([("priority", pa.string()),
+                                ("cents", pa.int64()),
+                                ("rows_", pa.int64())]))
+
+    # --- final blend ------------------------------------------------
+    hp = {p: (int(c), int(r)) for p, c, r in
+          zip(hot_part.column("priority").to_pylist(),
+              hot_part.column("cents").to_pylist(),
+              hot_part.column("rows_").to_pylist())}
+    cp = {p: (int(c), int(r)) for p, c, r in
+          zip(cold_part.column("priority").to_pylist(),
+              cold_part.column("cents").to_pylist(),
+              cold_part.column("rows_").to_pylist())}
+    pris = sorted(set(hp) | set(cp))
+    return pa.table({
+        "priority": pa.array(pris, pa.string()),
+        "cents_sum": pa.array([hp.get(p, (0, 0))[0]
+                               + cp.get(p, (0, 0))[0] for p in pris],
+                              pa.int64()),
+        "n_rows": pa.array([hp.get(p, (0, 0))[1]
+                            + cp.get(p, (0, 0))[1] for p in pris],
+                           pa.int64()),
+        "hot_rows": pa.array([hp.get(p, (0, 0))[1] for p in pris],
+                             pa.int64()),
+        "cold_rows": pa.array([cp.get(p, (0, 0))[1] for p in pris],
+                              pa.int64()),
+    })
+
+
+SQL_SKEW_HYBRID_JOIN_REVENUE = """
+WITH hot AS (
+  SELECT l_orderkey AS key
+  FROM lineitem
+  WHERE ((l_orderkey * 31 + l_linenumber) % 4294967296)
+        * 2654435761::HUGEINT % 4294967296 % 16 = 0
+  GROUP BY 1
+  ORDER BY count(*) DESC, key ASC
+  LIMIT 64),
+j AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (1000 - CAST(round(l.l_discount * 1000, 0) AS BIGINT))
+           AS cents,
+         CASE WHEN l.l_orderkey IN (SELECT key FROM hot)
+              THEN 1 ELSE 0 END AS is_hot
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT priority,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(is_hot) AS BIGINT) AS hot_rows,
+       CAST(count(*) - sum(is_hot) AS BIGINT) AS cold_rows
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["skew_hybrid_join_revenue"] = (q_skew_hybrid_join_revenue,
+                                       SQL_SKEW_HYBRID_JOIN_REVENUE)
