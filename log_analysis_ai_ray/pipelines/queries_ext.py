@@ -18019,3 +18019,438 @@ FROM j GROUP BY 1 ORDER BY 1
 
 QUERIES["skew_hybrid_join_revenue"] = (q_skew_hybrid_join_revenue,
                                        SQL_SKEW_HYBRID_JOIN_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components of the dominance domain graph
+# ---------------------------------------------------------------------------
+
+
+def q_domain_scc(sf_dir: str):
+    """Strongly connected components of the DOMINANCE link graph:
+    keep s->d only when s links d more than 6 times OVER the reverse
+    rate (n(s->d) > n(d->s) + 6) — the asymmetric rule leaves real
+    directed structure (the raw domain graph is one giant SCC).
+    Components come from the transitive closure computed by log-round
+    BOOLEAN MATRIX SQUARING (R_{2k} = R_k | R_k*R_k — each round is
+    one self-join+distinct of the reach set in the dataset-algebra
+    form; the driver runs it on the bounded domain adjacency), then
+    SCC(u) = min{v : u<->v}. The oracle derives the same closure
+    INDEPENDENTLY via a recursive CTE, so the algorithm — not just
+    the arithmetic — is cross-checked. Output: per-SCC (min-member
+    id, size)."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    cnt = np.asarray(edges.column("n_links"), dtype=np.int64)
+    # reverse-count lookup on the bounded (src, dst) table
+    fwd = {(s, d): int(c) for s, d, c in zip(src, dst, cnt)}
+    keep = [(s, d) for (s, d), c in fwd.items()
+            if s != d and c > fwd.get((d, s), 0) + 6]
+    if not keep:
+        return pa.table({"scc": pa.array([], pa.string()),
+                         "size": pa.array([], pa.int64())})
+    ks = np.array([k[0] for k in keep])
+    kd = np.array([k[1] for k in keep])
+    nodes = np.unique(np.concatenate([ks, kd]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, ks)
+    di = np.searchsorted(nodes, kd)
+    reach = np.zeros((n, n), dtype=bool)
+    reach[si, di] = True
+    np.fill_diagonal(reach, True)
+    # log-round closure: squares until fixpoint (<= ceil(log2(n)))
+    while True:
+        nxt = reach | (reach @ reach)
+        if (nxt == reach).all():
+            break
+        reach = nxt
+    mutual = reach & reach.T
+    scc_ix = mutual.argmax(axis=1)        # first True = min member
+    comm = nodes[scc_ix]
+    cu, cc = np.unique(comm, return_counts=True)
+    return pa.table({
+        "scc": pa.array(cu),
+        "size": pa.array(cc.astype(np.int64)),
+    }).sort_by("scc")
+
+
+def _scc_oracle_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+         regexp_extract(dst, '{_DOM_RE}', 1) AS d,
+         count(*) AS n
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                   '<a href="([^"]*)"', 1)) AS dst
+        FROM {PAGES_VIEW})
+  GROUP BY 1, 2),
+dom AS (
+  SELECT a.s, a.d
+  FROM raw a LEFT JOIN raw b ON a.s = b.d AND a.d = b.s
+  WHERE a.s <> a.d AND a.n > coalesce(b.n, 0) + 6),
+reach AS (
+  SELECT s, d FROM dom
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN dom e ON e.s = r.d
+  WHERE r.s <> e.d),
+nodes AS (SELECT s AS u FROM dom UNION SELECT d FROM dom),
+mutual AS (
+  SELECT a.s AS u, a.d AS v
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+scc AS (
+  SELECT n.u,
+         least(n.u, coalesce(min(m.v), n.u)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.u
+  GROUP BY 1)
+SELECT scc, CAST(count(*) AS BIGINT) AS size
+FROM scc GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["domain_scc"] = (q_domain_scc, _scc_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test — k-sample location test on a shared histogram
+# ---------------------------------------------------------------------------
+
+
+def q_mood_median_types(sf_dir: str):
+    """Mood's median test across event types: the pooled lower median
+    (smallest cents value whose cumulative count reaches ceil(n/2) —
+    a deterministic integer rule, no midpoint averaging) splits every
+    group into above / not-above, and the 2xk chi-square closes over
+    exact integer cell counts. Complements Kruskal-Wallis (ranks) and
+    Brown-Forsythe (spread) with the coarsest, most outlier-proof
+    location test. One (type, cents) histogram reduce."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "cents": cents}) \
+            .group_by(["ty", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "cents", "cnt"])
+
+    m = _partial_final(ds, partial, ["ty", "cents"], [("cnt", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    cen = np.asarray(m.column("cents"), dtype=np.int64)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    n = int(cnt.sum())
+    # pooled lower median from the merged histogram
+    vals, vinv = np.unique(cen, return_inverse=True)
+    vtot = np.zeros(len(vals), dtype=np.int64)
+    np.add.at(vtot, vinv, cnt)
+    cum = np.cumsum(vtot)
+    med = int(vals[np.searchsorted(cum, (n + 1) // 2)])
+    groups = np.unique(ty)
+    k = len(groups)
+    above = np.zeros(k, dtype=np.int64)
+    tot = np.zeros(k, dtype=np.int64)
+    gix = {g_: i for i, g_ in enumerate(groups)}
+    for t_, v_, c_ in zip(ty, cen, cnt):
+        i = gix[t_]
+        tot[i] += c_
+        if v_ > med:
+            above[i] += c_
+    a_tot = int(above.sum())
+    chi2 = 0.0
+    for i in range(k):
+        for obs, m_col in ((int(above[i]), a_tot),
+                           (int(tot[i] - above[i]), n - a_tot)):
+            e = int(tot[i]) * m_col / n
+            chi2 += (obs - e) ** 2 / e
+    return pa.table({
+        "k_types": pa.array([k], pa.int64()),
+        "pooled_median_cents": pa.array([med], pa.int64()),
+        "n_above": pa.array([a_tot], pa.int64()),
+        "chi2_stat": pa.array([round(chi2, 6)], pa.float64()),
+    })
+
+
+SQL_MOOD_MEDIAN_TYPES = """
+WITH h AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+n AS (SELECT sum(cnt) AS n FROM h),
+med AS (
+  SELECT min(v) AS med FROM (
+    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM
+      (SELECT v, sum(cnt) AS cnt FROM h GROUP BY 1))
+  WHERE cum >= ((SELECT n FROM n) + 1) // 2),
+cells AS (
+  SELECT ty, sum(cnt) AS tot,
+         sum(CASE WHEN v > (SELECT med FROM med)
+             THEN cnt ELSE 0 END) AS abv
+  FROM h GROUP BY 1),
+marg AS (SELECT sum(abv) AS a_tot, sum(tot) AS n FROM cells)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cells) AS k_types,
+       (SELECT CAST(med AS BIGINT) FROM med) AS pooled_median_cents,
+       (SELECT CAST(a_tot AS BIGINT) FROM marg) AS n_above,
+       round(sum(
+         pow(abv - CAST(tot AS DOUBLE) * marg.a_tot / marg.n, 2)
+           / (CAST(tot AS DOUBLE) * marg.a_tot / marg.n)
+         + pow((tot - abv) - CAST(tot AS DOUBLE)
+               * (marg.n - marg.a_tot) / marg.n, 2)
+           / (CAST(tot AS DOUBLE) * (marg.n - marg.a_tot) / marg.n)),
+         6) AS chi2_stat
+FROM cells, marg GROUP BY marg.a_tot, marg.n
+"""
+
+QUERIES["mood_median_types"] = (q_mood_median_types,
+                                SQL_MOOD_MEDIAN_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Moran's I + Geary's C — spatial autocorrelation on the dow x hour grid
+# ---------------------------------------------------------------------------
+
+
+def q_morans_i_hour_dow(sf_dir: str):
+    """Spatial autocorrelation of event volume on the 7x24
+    (isodow, hour-of-day) lattice with rook adjacency (no wrap):
+    Moran's I = (N/W0) * sum_ij w_ij (x_i-mu)(x_j-mu) / sum (x_i-mu)^2
+    and Geary's C = ((N-1)/(2 W0)) * sum_ij w_ij (x_i-x_j)^2 / same —
+    C's numerator is a PURE INTEGER closure. Detects whether busy
+    cells clump (I>0, C<1) beyond what the marginal hourly profile
+    shows. One 168-cell bounded reduce."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(t.column("ts"),
+                                     count_from_zero=False,
+                                     week_start=1), pa.int64())
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        g = pa.table({"dow": dow, "hod": hod}) \
+            .group_by(["dow", "hod"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dow", "hod", "cnt"])
+
+    m = _partial_final(ds, partial, ["dow", "hod"], [("cnt", "sum")])
+    grid = np.zeros((7, 24), dtype=np.int64)
+    for d_, h_, c_ in zip(np.asarray(m.column("dow"), dtype=np.int64),
+                          np.asarray(m.column("hod"), dtype=np.int64),
+                          np.asarray(m.column("cnt"), dtype=np.int64)):
+        grid[d_ - 1, h_] = c_
+    n_cells = 168
+    mu = float(grid.sum()) / n_cells
+    xd = grid.astype(np.float64) - mu
+    # rook neighbors: horizontal + vertical (each pair counted both ways)
+    num_i = 2.0 * (float((xd[:, 1:] * xd[:, :-1]).sum())
+                   + float((xd[1:, :] * xd[:-1, :]).sum()))
+    num_c = 2 * (int(((grid[:, 1:] - grid[:, :-1]) ** 2).sum())
+                 + int(((grid[1:, :] - grid[:-1, :]) ** 2).sum()))
+    w0 = 2 * (7 * 23 + 6 * 24)
+    den = float((xd * xd).sum())
+    mi = n_cells / w0 * num_i / den
+    gc = (n_cells - 1) / (2.0 * w0) * num_c / den
+    return pa.table({
+        "n_cells": pa.array([n_cells], pa.int64()),
+        "w0": pa.array([w0], pa.int64()),
+        "morans_i": pa.array([round(mi, 6)], pa.float64()),
+        "gearys_c": pa.array([round(gc, 6)], pa.float64()),
+    })
+
+
+SQL_MORANS_I_HOUR_DOW = """
+WITH c AS (
+  SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT d.dow, h.hod, coalesce(c.cnt, 0) AS x
+  FROM (SELECT unnest(generate_series(1, 7)) AS dow) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h
+  LEFT JOIN c USING (dow, hod)),
+mu AS (SELECT CAST(sum(x) AS DOUBLE) / 168 AS mu FROM grid),
+den AS (SELECT sum((x - mu.mu) * (x - mu.mu)) AS den
+        FROM grid, mu),
+pairs AS (
+  SELECT a.x AS xa, b.x AS xb
+  FROM grid a JOIN grid b
+    ON (a.dow = b.dow AND abs(a.hod - b.hod) = 1)
+    OR (a.hod = b.hod AND abs(a.dow - b.dow) = 1)),
+s AS (
+  SELECT sum((xa - mu.mu) * (xb - mu.mu)) AS num_i,
+         CAST(sum((xa - xb) * (xa - xb)) AS BIGINT) AS num_c,
+         count(*) AS w0
+  FROM pairs, mu GROUP BY ALL)
+SELECT 168::BIGINT AS n_cells,
+       CAST(s.w0 AS BIGINT) AS w0,
+       round(168.0 / s.w0 * s.num_i / den.den, 6) AS morans_i,
+       round(167.0 / (2.0 * s.w0) * s.num_c / den.den, 6) AS gearys_c
+FROM s, den
+"""
+
+QUERIES["morans_i_hour_dow"] = (q_morans_i_hour_dow,
+                                SQL_MORANS_I_HOUR_DOW)
+
+
+# ---------------------------------------------------------------------------
+# Gapped-subsequence pattern support (a ... then ... b) per user
+# ---------------------------------------------------------------------------
+
+
+def q_subsequence_pair_support(sf_dir: str):
+    """Sequential-pattern support with GAPS allowed: for every ordered
+    type pair (a, b), the number of users whose history contains some
+    a-event strictly before some b-event (min_ts(a) < max_ts(b)) —
+    the length-2 PrefixSpan support table. Unlike the contiguous
+    trigram/bigram queries this sees across arbitrary interleaving.
+    One (user, type) min/max reduce, then per-user pair flags
+    aggregate inside groupby(user).map_groups — users never leave the
+    cluster."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        g = pa.table({"user_id": t.column("user_id"),
+                      "ty": t.column("event_type"),
+                      "mn": us, "mx": us}) \
+            .group_by(["user_id", "ty"]) \
+            .aggregate([("mn", "min"), ("mx", "max")])
+        return g.rename_columns(["user_id", "ty", "mn", "mx"])
+
+    spans = ds.map_batches(partial, batch_format="pyarrow")
+
+    def user_pairs(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        # merge duplicate (user, ty) partials from different blocks
+        m = g.group_by(["user_id", "ty"]) \
+            .aggregate([("mn", "min"), ("mx", "max")]) \
+            .rename_columns(["user_id", "ty", "mn", "mx"])
+        uu = np.asarray(m.column("user_id"), dtype=np.int64)
+        ty = np.asarray(m.column("ty").to_pylist())
+        mn = np.asarray(m.column("mn"), dtype=np.int64)
+        mx = np.asarray(m.column("mx"), dtype=np.int64)
+        out_a, out_b = [], []
+        order = np.argsort(uu, kind="stable")
+        uu, ty, mn, mx = uu[order], ty[order], mn[order], mx[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(uu))[0] + 1,
+                                 [len(uu)]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            for i in range(s, e):
+                for j in range(s, e):
+                    if mn[i] < mx[j] and ty[i] != ty[j]:
+                        out_a.append(ty[i])
+                        out_b.append(ty[j])
+        t = pa.table({"ty_a": pa.array(out_a, pa.string()),
+                      "ty_b": pa.array(out_b, pa.string())}) \
+            .group_by(["ty_a", "ty_b"]).aggregate([([], "count_all")])
+        return t.rename_columns(["ty_a", "ty_b", "n_users"])
+
+    per_user = spans.groupby("user_id").map_groups(
+        user_pairs, batch_format="pyarrow")
+    out = agg._combine_partials(
+        per_user, keys=["ty_a", "ty_b"], aggs=[("n_users", "sum")],
+        empty_schema=pa.schema([("ty_a", pa.string()),
+                                ("ty_b", pa.string()),
+                                ("n_users", pa.int64())]))
+    return out.sort_by([("ty_a", "ascending"), ("ty_b", "ascending")])
+
+
+SQL_SUBSEQUENCE_PAIR_SUPPORT = """
+WITH s AS (
+  SELECT user_id, event_type AS ty,
+         min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY 1, 2)
+SELECT a.ty AS ty_a, b.ty AS ty_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s a JOIN s b
+  ON a.user_id = b.user_id AND a.ty <> b.ty AND a.mn < b.mx
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["subsequence_pair_support"] = (q_subsequence_pair_support,
+                                       SQL_SUBSEQUENCE_PAIR_SUPPORT)
+
+
+# ---------------------------------------------------------------------------
+# HBOS — histogram-based outlier score per event
+# ---------------------------------------------------------------------------
+
+
+def q_hbos_top_events(sf_dir: str):
+    """Histogram-Based Outlier Score: independent fixed-width
+    histograms over the value axis (5-unit = 500-cent bins) and the
+    hour-of-day axis; each event scores
+    -ln(freq_valuebin/n) - ln(freq_hour/n) and the top 10 by
+    (score desc, event_id asc) surface. Unlike the z/IQR/MAD ensemble
+    (anomaly_ensemble_hours) HBOS is density-based and needs no
+    moments, so it flags rare-VALUE x rare-HOUR combinations. Two
+    bounded histograms broadcast back into a scoring pass."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def hists(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        vbin = pc.divide(cents, pa.scalar(500, pa.int64()))
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        a = pa.table({"axis": pa.array(["v"] * t.num_rows),
+                      "bin": vbin}) \
+            .group_by(["axis", "bin"]).aggregate([([], "count_all")])
+        b = pa.table({"axis": pa.array(["h"] * t.num_rows),
+                      "bin": hod}) \
+            .group_by(["axis", "bin"]).aggregate([([], "count_all")])
+        return pa.concat_tables([a, b]) \
+            .rename_columns(["axis", "bin", "cnt"])
+
+    h = _partial_final(ds, hists, ["axis", "bin"], [("cnt", "sum")])
+    ax = np.asarray(h.column("axis").to_pylist())
+    bn = np.asarray(h.column("bin"), dtype=np.int64)
+    ct = np.asarray(h.column("cnt"), dtype=np.int64)
+    vmap = {int(b_): int(c_) for a_, b_, c_ in zip(ax, bn, ct)
+            if a_ == "v"}
+    hmap = {int(b_): int(c_) for a_, b_, c_ in zip(ax, bn, ct)
+            if a_ == "h"}
+    n = sum(hmap.values())
+
+    import math
+    vln = {b_: math.log(c_ / n) for b_, c_ in vmap.items()}
+    hln = {b_: math.log(c_ / n) for b_, c_ in hmap.items()}
+
+    def score(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        vbin = np.asarray(pc.divide(cents, pa.scalar(500, pa.int64())),
+                          dtype=np.int64)
+        hod = np.asarray(pc.hour(t.column("ts")).cast(pa.int64()),
+                         dtype=np.int64)
+        sc = np.array([-(vln[int(v_)] + hln[int(h_)])
+                       for v_, h_ in zip(vbin, hod)])
+        tt = pa.table({"event_id": t.column("event_id"),
+                       "score": pa.array(np.round(sc, 6))})
+        # per-block partial top-10
+        order = pc.sort_indices(tt, sort_keys=[
+            ("score", "descending"), ("event_id", "ascending")])
+        return tt.take(order.slice(0, 10))
+
+    parts = agg._to_arrow(ds.map_batches(score, batch_format="pyarrow"))
+    order = pc.sort_indices(parts, sort_keys=[
+        ("score", "descending"), ("event_id", "ascending")])
+    return parts.take(order.slice(0, 10))
+
+
+SQL_HBOS_TOP_EVENTS = """
+WITH e AS (
+  SELECT event_id,
+         CAST(round(value * 100, 0) AS BIGINT) // 500 AS vbin,
+         CAST(hour(ts) AS BIGINT) AS hod
+  FROM events),
+n AS (SELECT count(*) AS n FROM e),
+vh AS (SELECT vbin, count(*) AS c FROM e GROUP BY 1),
+hh AS (SELECT hod, count(*) AS c FROM e GROUP BY 1)
+SELECT e.event_id,
+       round(-(ln(CAST(vh.c AS DOUBLE) / n.n)
+               + ln(CAST(hh.c AS DOUBLE) / n.n)), 6) AS score
+FROM e JOIN vh USING (vbin) JOIN hh USING (hod) CROSS JOIN n
+ORDER BY score DESC, event_id ASC LIMIT 10
+"""
+
+QUERIES["hbos_top_events"] = (q_hbos_top_events, SQL_HBOS_TOP_EVENTS)
