@@ -17161,6 +17161,29 @@ QUERIES["yule_walker_ar2"] = (q_yule_walker_ar2, SQL_YULE_WALKER_AR2)
 # ---------------------------------------------------------------------------
 
 
+def _ewma_walk(x: np.ndarray, mu: float, sigma: float,
+               lam: float = 0.2, big_l: float = 3.0):
+    """Run the EWMA recursion z_t = lam*x_t + (1-lam)*z_{t-1} (seeded
+    at mu) with time-varying limits; returns (n_alarms,
+    first_alarm_t or None, max |z-mu|/limit). Identical arithmetic
+    order to the recursive-CTE oracle."""
+    z = mu
+    n_alarms, first_alarm, max_score = 0, None, 0.0
+    for t in range(1, len(x) + 1):
+        z = lam * float(x[t - 1]) + (1.0 - lam) * z
+        lim = (big_l * sigma
+               * (lam / (2.0 - lam)
+                  * (1.0 - (1.0 - lam) ** (2 * t))) ** 0.5)
+        score = abs(z - mu) / lim
+        if score > max_score:
+            max_score = score
+        if abs(z - mu) > lim:
+            n_alarms += 1
+            if first_alarm is None:
+                first_alarm = t
+    return n_alarms, first_alarm, max_score
+
+
 def q_ewma_control_chart(sf_dir: str):
     """EWMA control chart (lambda=0.2, L=3) over the dense hourly
     event-count grid: z_t = 0.2*x_t + 0.8*z_{t-1} seeded at the grid
@@ -17191,21 +17214,7 @@ def q_ewma_control_chart(sf_dir: str):
     sq = int(np.dot(x, x))
     mu = tot / n
     sigma = ((sq - tot * mu) / n) ** 0.5
-    lam, big_l = 0.2, 3.0
-    z = mu
-    n_alarms, first_alarm, max_score = 0, None, 0.0
-    for t in range(1, n + 1):
-        z = lam * float(x[t - 1]) + (1.0 - lam) * z
-        lim = (big_l * sigma
-               * (lam / (2.0 - lam)
-                  * (1.0 - (1.0 - lam) ** (2 * t))) ** 0.5)
-        score = abs(z - mu) / lim
-        if score > max_score:
-            max_score = score
-        if abs(z - mu) > lim:
-            n_alarms += 1
-            if first_alarm is None:
-                first_alarm = t
+    n_alarms, first_alarm, max_score = _ewma_walk(x, mu, sigma)
     return pa.table({
         "n_hours": pa.array([n], pa.int64()),
         "n_alarms": pa.array([n_alarms], pa.int64()),
@@ -17292,11 +17301,7 @@ def q_ks_uniform_seconds(sf_dir: str):
     hist = np.zeros(86_400, dtype=np.int64)
     hist[sec] = cnt
     n = int(hist.sum())
-    cum = np.cumsum(hist)
-    b = np.arange(86_400, dtype=np.float64)
-    emp = cum / n
-    d_plus = float(np.max(emp - b / 86_400.0))
-    d_minus = float(np.max((b + 1.0) / 86_400.0 - emp))
+    d_plus, d_minus = _ks_binned_uniform(hist)
     d = max(d_plus, d_minus)
     return pa.table({
         "n_events": pa.array([n], pa.int64()),
@@ -17433,6 +17438,38 @@ QUERIES["cochrans_q_types"] = (q_cochrans_q_types, SQL_COCHRANS_Q_TYPES)
 # ---------------------------------------------------------------------------
 
 
+def _jt_stats(hist: np.ndarray):
+    """(2U, doubled-mean, variance) of the Jonckheere-Terpstra
+    statistic from a k x nv integer histogram (groups in ordinal row
+    order, value columns ascending). Pure integer closure until the
+    final three double divisions."""
+    k = hist.shape[0]
+    cum = np.cumsum(hist, axis=1)
+    cumlt = cum - hist                           # strictly-below counts
+    u2 = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            u2 += int(np.dot(hist[j], 2 * cumlt[i] + hist[i]))
+    n_i = hist.sum(axis=1)
+    t_v = hist.sum(axis=0)
+    big_n = int(n_i.sum())
+    sum_ni2 = int(np.dot(n_i, n_i))
+    mean2 = (big_n * big_n - sum_ni2) / 2.0      # doubled null mean
+
+    def _s(x, f):
+        return int(sum(f(int(v)) for v in x))
+
+    a1 = (big_n * (big_n - 1) * (2 * big_n + 5)
+          - _s(n_i, lambda n: n * (n - 1) * (2 * n + 5))
+          - _s(t_v, lambda t: t * (t - 1) * (2 * t + 5))) / 72.0
+    a2 = (_s(n_i, lambda n: n * (n - 1) * (n - 2))
+          * _s(t_v, lambda t: t * (t - 1) * (t - 2))
+          / (36.0 * big_n * (big_n - 1) * (big_n - 2)))
+    a3 = (_s(n_i, lambda n: n * (n - 1)) * _s(t_v, lambda t: t * (t - 1))
+          / (8.0 * big_n * (big_n - 1)))
+    return u2, mean2, a1 + a2 + a3
+
+
 def q_jonckheere_terpstra_priority(sf_dir: str):
     """Jonckheere-Terpstra test that order value trends MONOTONICALLY
     across the ordered priority classes 1-URGENT..5-LOW: the doubled
@@ -17466,30 +17503,8 @@ def q_jonckheere_terpstra_priority(sf_dir: str):
     gix = {g_: i for i, g_ in enumerate(groups)}
     for p_, vi_, c_ in zip(pri, vinv, cnt):
         hist[gix[p_], vi_] += c_
-    cum = np.cumsum(hist, axis=1)
-    cumlt = cum - hist                           # strictly-below counts
-    u2 = 0
-    for i in range(k):
-        for j in range(i + 1, k):
-            u2 += int(np.dot(hist[j], 2 * cumlt[i] + hist[i]))
-    n_i = hist.sum(axis=1)
-    t_v = hist.sum(axis=0)
-    big_n = int(n_i.sum())
-    sum_ni2 = int(np.dot(n_i, n_i))
-    mean2 = (big_n * big_n - sum_ni2) / 2.0      # doubled null mean
-
-    def _s(x, f):
-        return int(sum(f(int(v)) for v in x))
-
-    a1 = (big_n * (big_n - 1) * (2 * big_n + 5)
-          - _s(n_i, lambda n: n * (n - 1) * (2 * n + 5))
-          - _s(t_v, lambda t: t * (t - 1) * (2 * t + 5))) / 72.0
-    a2 = (_s(n_i, lambda n: n * (n - 1) * (n - 2))
-          * _s(t_v, lambda t: t * (t - 1) * (t - 2))
-          / (36.0 * big_n * (big_n - 1) * (big_n - 2)))
-    a3 = (_s(n_i, lambda n: n * (n - 1)) * _s(t_v, lambda t: t * (t - 1))
-          / (8.0 * big_n * (big_n - 1)))
-    var = a1 + a2 + a3
+    u2, mean2, var = _jt_stats(hist)
+    big_n = int(hist.sum())
     z = (u2 - mean2) / (2.0 * var ** 0.5)
     return pa.table({
         "k_groups": pa.array([k], pa.int64()),
@@ -17558,6 +17573,29 @@ QUERIES["jonckheere_terpstra_priority"] = (
 # ---------------------------------------------------------------------------
 
 
+def _fisher_two_sided(a: int, b: int, c: int, d: int) -> float:
+    """Two-sided Fisher exact p for the 2x2 table [[a,b],[c,d]] —
+    the full hypergeometric sweep over every feasible table with the
+    observed margins, including all tables no more probable than the
+    observed one (1e-7 relative tolerance, compared in LOG space)."""
+    import math
+    n = a + b + c + d
+    r1, c1 = a + b, a + c
+    lg = math.lgamma
+
+    def logp(k: int) -> float:
+        return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                + lg(n - r1 + 1) - lg(c1 - k + 1)
+                - lg(n - r1 - c1 + k + 1)
+                - (lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1)))
+
+    k_lo = max(0, c1 - (n - r1))
+    k_hi = min(r1, c1)
+    thr = logp(a) + math.log(1.0 + 1e-7)
+    return sum(math.exp(logp(k)) for k in range(k_lo, k_hi + 1)
+               if logp(k) <= thr)
+
+
 def q_fisher_exact_urgent_status(sf_dir: str):
     """Fisher's EXACT test (no chi-square approximation) of urgency
     (priority 1-2 vs rest) against fulfilment status ('F' vs rest):
@@ -17591,21 +17629,7 @@ def q_fisher_exact_urgent_status(sf_dir: str):
     b = cell.get((1, 0), 0)
     c = cell.get((0, 1), 0)
     d = cell.get((0, 0), 0)
-    n = a + b + c + d
-    r1, c1 = a + b, a + c
-    lg = math.lgamma
-
-    def logp(k: int) -> float:
-        return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
-                + lg(n - r1 + 1) - lg(c1 - k + 1)
-                - lg(n - r1 - c1 + k + 1)
-                - (lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1)))
-
-    k_lo = max(0, c1 - (n - r1))
-    k_hi = min(r1, c1)
-    thr = logp(a) + math.log(1.0 + 1e-7)
-    p = sum(math.exp(logp(k)) for k in range(k_lo, k_hi + 1)
-            if logp(k) <= thr)
+    p = _fisher_two_sided(a, b, c, d)
     odds = _null_div(a * d, b * c)
     return pa.table({
         "n_uf": pa.array([a], pa.int64()),
@@ -17745,6 +17769,34 @@ QUERIES["periodogram_periods"] = (q_periodogram_periods,
 # ---------------------------------------------------------------------------
 
 
+def _ad_binned_uniform(hist: np.ndarray) -> float:
+    """Anderson-Darling A^2 vs U(0,1) for counts binned on an
+    equal-width grid (values at bin centres): the sorted-sample sum
+    collapses per bin to integer coefficients S_b = c_b(C_{b-1}+C_b)
+    and T_b = c_b(2n - C_{b-1} - C_b)."""
+    nb = len(hist)
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    cprev = cum - hist
+    u = (np.arange(nb, dtype=np.float64) + 0.5) / nb
+    s_b = (hist * (cprev + cum)).astype(np.float64)
+    t_b = (hist * (2 * n - cprev - cum)).astype(np.float64)
+    return -n - (float(np.dot(s_b, np.log(u)))
+                 + float(np.dot(t_b, np.log(1.0 - u)))) / n
+
+
+def _ks_binned_uniform(hist: np.ndarray):
+    """(D+, D-) of the binned one-sample KS distance vs U(0,1):
+    empirical CDF steps at bin edges against the uniform CDF."""
+    nb = len(hist)
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    b = np.arange(nb, dtype=np.float64)
+    emp = cum / n
+    return (float(np.max(emp - b / nb)),
+            float(np.max((b + 1.0) / nb - emp)))
+
+
 def q_anderson_darling_seconds(sf_dir: str):
     """Anderson-Darling A^2 against U(0,1) for the binned second-of-
     day values (bin centre (b+.5)/86400): the classic sorted-sample
@@ -17774,13 +17826,7 @@ def q_anderson_darling_seconds(sf_dir: str):
     hist = np.zeros(86_400, dtype=np.int64)
     hist[sec] = cnt
     n = int(hist.sum())
-    cum = np.cumsum(hist)
-    cprev = cum - hist
-    u = (np.arange(86_400, dtype=np.float64) + 0.5) / 86_400.0
-    s_b = (hist * (cprev + cum)).astype(np.float64)
-    t_b = (hist * (2 * n - cprev - cum)).astype(np.float64)
-    a2 = -n - (float(np.dot(s_b, np.log(u)))
-               + float(np.dot(t_b, np.log(1.0 - u)))) / n
+    a2 = _ad_binned_uniform(hist)
     return pa.table({
         "n_events": pa.array([n], pa.int64()),
         "a2_stat": pa.array([round(a2, 6)], pa.float64()),
@@ -18026,6 +18072,23 @@ QUERIES["skew_hybrid_join_revenue"] = (q_skew_hybrid_join_revenue,
 # ---------------------------------------------------------------------------
 
 
+def _scc_labels(n: int, si: np.ndarray, di: np.ndarray) -> np.ndarray:
+    """Strongly-connected-component labels (index of each node's
+    minimum member) for the digraph on nodes 0..n-1 with edges
+    si->di, via log-round boolean matrix squaring of the reflexive
+    reachability matrix."""
+    reach = np.zeros((n, n), dtype=bool)
+    reach[si, di] = True
+    np.fill_diagonal(reach, True)
+    while True:
+        nxt = reach | (reach @ reach)
+        if (nxt == reach).all():
+            break
+        reach = nxt
+    mutual = reach & reach.T
+    return mutual.argmax(axis=1)          # first True = min member
+
+
 def q_domain_scc(sf_dir: str):
     """Strongly connected components of the DOMINANCE link graph:
     keep s->d only when s links d more than 6 times OVER the reverse
@@ -18057,18 +18120,7 @@ def q_domain_scc(sf_dir: str):
     n = len(nodes)
     si = np.searchsorted(nodes, ks)
     di = np.searchsorted(nodes, kd)
-    reach = np.zeros((n, n), dtype=bool)
-    reach[si, di] = True
-    np.fill_diagonal(reach, True)
-    # log-round closure: squares until fixpoint (<= ceil(log2(n)))
-    while True:
-        nxt = reach | (reach @ reach)
-        if (nxt == reach).all():
-            break
-        reach = nxt
-    mutual = reach & reach.T
-    scc_ix = mutual.argmax(axis=1)        # first True = min member
-    comm = nodes[scc_ix]
+    comm = nodes[_scc_labels(n, si, di)]
     cu, cc = np.unique(comm, return_counts=True)
     return pa.table({
         "scc": pa.array(cu),
