@@ -18506,3 +18506,458 @@ ORDER BY score DESC, event_id ASC LIMIT 10
 """
 
 QUERIES["hbos_top_events"] = (q_hbos_top_events, SQL_HBOS_TOP_EVENTS)
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta — ordinal effect size between click and view values
+# ---------------------------------------------------------------------------
+
+
+def q_cliffs_delta_click_view(sf_dir: str):
+    """Cliff's delta ordinal effect size between click and view event
+    values: delta = (#(x>y) - #(x<y)) / (n_x * n_y) over all cross
+    pairs, computed WITHOUT forming pairs — the (type, cents)
+    histogram closure gives #(x>y) = sum_v c_click(v) * cumlt_view(v)
+    and the mirror, all exact integers. The magnitude-free companion
+    to welch_ttest_types/cohens_d: robust to any monotone transform.
+    One bounded histogram reduce."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "cents": cents}) \
+            .group_by(["ty", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "cents", "cnt"])
+
+    m = _partial_final(ds, partial, ["ty", "cents"], [("cnt", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    cen = np.asarray(m.column("cents"), dtype=np.int64)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    vals = np.unique(cen)
+    vix = np.searchsorted(vals, cen)
+    ck = np.zeros(len(vals), dtype=np.int64)
+    vw = np.zeros(len(vals), dtype=np.int64)
+    is_c = ty == "click"
+    np.add.at(ck, vix[is_c], cnt[is_c])
+    np.add.at(vw, vix[~is_c], cnt[~is_c])
+    cum_vw = np.cumsum(vw)
+    cumlt_vw = cum_vw - vw
+    n_c, n_v = int(ck.sum()), int(vw.sum())
+    gt = int(np.dot(ck, cumlt_vw))                   # click > view
+    lt = int(np.dot(ck, n_v - cum_vw))               # click < view
+    delta = (gt - lt) / (n_c * n_v)
+    return pa.table({
+        "n_click": pa.array([n_c], pa.int64()),
+        "n_view": pa.array([n_v], pa.int64()),
+        "n_gt": pa.array([gt], pa.int64()),
+        "n_lt": pa.array([lt], pa.int64()),
+        "cliffs_delta": pa.array([round(delta, 6)], pa.float64()),
+    })
+
+
+SQL_CLIFFS_DELTA_CLICK_VIEW = """
+WITH h AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+ck AS (SELECT v, cnt FROM h WHERE ty = 'click'),
+vw AS (SELECT v, cnt FROM h WHERE ty = 'view'),
+n AS (SELECT (SELECT sum(cnt) FROM ck) AS n_c,
+             (SELECT sum(cnt) FROM vw) AS n_v),
+gt AS (
+  SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT) AS gt
+  FROM ck a JOIN vw b ON b.v < a.v),
+lt AS (
+  SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT) AS lt
+  FROM ck a JOIN vw b ON b.v > a.v)
+SELECT CAST(n.n_c AS BIGINT) AS n_click,
+       CAST(n.n_v AS BIGINT) AS n_view,
+       gt.gt AS n_gt, lt.lt AS n_lt,
+       round(CAST(gt.gt - lt.lt AS DOUBLE) / (n.n_c * n.n_v), 6)
+         AS cliffs_delta
+FROM n, gt, lt
+"""
+
+QUERIES["cliffs_delta_click_view"] = (q_cliffs_delta_click_view,
+                                      SQL_CLIFFS_DELTA_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation — qty ~ price controlling for discount
+# ---------------------------------------------------------------------------
+
+
+def q_partial_corr_qty_price(sf_dir: str):
+    """First-order partial correlation between quantity and extended
+    price CONTROLLING for discount: r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)). All three pairwise r's close over
+    EXACT integer moment sums (qty units, whole dollars, discount
+    per-mille; n*Sxy - Sx*Sy in arbitrary precision / HUGEINT) — no
+    float accumulation anywhere before the final divisions. One
+    6-column scalar reduce."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        y = pc.cast(pc.round(t.column("l_extendedprice"), 0), pa.int64())
+        z = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cols = {"n": pa.array([t.num_rows], pa.int64())}
+        for nm, col in (("sx", x), ("sy", y), ("sz", z)):
+            cols[nm] = pa.array([pc.sum(col).as_py() or 0], pa.int64())
+        xx = pc.multiply(x, x)
+        yy = pc.multiply(y, y)
+        zz = pc.multiply(z, z)
+        xy = pc.multiply(x, y)
+        xz = pc.multiply(x, z)
+        yz = pc.multiply(y, z)
+        for nm, col in (("sxx", xx), ("syy", yy), ("szz", zz),
+                        ("sxy", xy), ("sxz", xz), ("syz", yz)):
+            cols[nm] = pa.array([pc.sum(col).as_py() or 0], pa.int64())
+        return pa.table(cols)
+
+    mom_names = ["n", "sx", "sy", "sz", "sxx", "syy", "szz",
+                 "sxy", "sxz", "syz"]
+    m = _partial_final(ds, partial, [],
+                       [(nm, "sum") for nm in mom_names])
+    mom = {nm: int(m.column(nm)[0].as_py()) for nm in mom_names}
+    n = mom["n"]
+
+    def r(sab, sa, sb, saa, sbb):
+        num = n * sab - sa * sb                   # exact Python ints
+        da = n * saa - sa * sa
+        db = n * sbb - sb * sb
+        return num / (da ** 0.5 * db ** 0.5)
+
+    r_xy = r(mom["sxy"], mom["sx"], mom["sy"], mom["sxx"], mom["syy"])
+    r_xz = r(mom["sxz"], mom["sx"], mom["sz"], mom["sxx"], mom["szz"])
+    r_yz = r(mom["syz"], mom["sy"], mom["sz"], mom["syy"], mom["szz"])
+    pr = ((r_xy - r_xz * r_yz)
+          / ((1.0 - r_xz ** 2) ** 0.5 * (1.0 - r_yz ** 2) ** 0.5))
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "r_xy": pa.array([round(r_xy, 6)], pa.float64()),
+        "r_xz": pa.array([round(r_xz, 6)], pa.float64()),
+        "r_yz": pa.array([round(r_yz, 6)], pa.float64()),
+        "partial_r": pa.array([round(pr, 6)], pa.float64()),
+    })
+
+
+SQL_PARTIAL_CORR_QTY_PRICE = """
+WITH m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(round(l_quantity, 0) AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS sz,
+         sum(CAST(round(l_quantity, 0) AS HUGEINT)
+             * CAST(round(l_quantity, 0) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)
+             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS syy,
+         sum(CAST(round(l_discount * 1000, 0) AS HUGEINT)
+             * CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS szz,
+         sum(CAST(round(l_quantity, 0) AS HUGEINT)
+             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sxy,
+         sum(CAST(round(l_quantity, 0) AS HUGEINT)
+             * CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS sxz,
+         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)
+             * CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS syz
+  FROM lineitem),
+r AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_xy,
+         CAST(n * sxz - sx * sz AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_xz,
+         CAST(n * syz - sy * sz AS DOUBLE)
+           / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_yz
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(r_xy, 6) AS r_xy, round(r_xz, 6) AS r_xz,
+       round(r_yz, 6) AS r_yz,
+       round((r_xy - r_xz * r_yz)
+             / (sqrt(1.0 - r_xz * r_xz)
+                * sqrt(1.0 - r_yz * r_yz)), 6) AS partial_r
+FROM r
+"""
+
+QUERIES["partial_corr_qty_price"] = (q_partial_corr_qty_price,
+                                     SQL_PARTIAL_CORR_QTY_PRICE)
+
+
+# ---------------------------------------------------------------------------
+# Yule's K — lexical repetitiveness per source from frequency spectra
+# ---------------------------------------------------------------------------
+
+
+def q_yules_k_by_source(sf_dir: str):
+    """Yule's characteristic K per corpus source: K = 10^4 *
+    (sum_m m^2 V_m - N) / N^2 over the frequency-of-frequency
+    spectrum V_m (how many token types occur exactly m times) — the
+    classic repetitiveness constant, insensitive to corpus size
+    unlike raw TTR. Complements entropy (spread) and hapax ratio
+    (tail mass) with the second-moment view. The (source, token)
+    shuffle is vocabulary-bounded; K is a pure integer closure."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    out_s, out_n, out_v, out_k = [], [], [], []
+    for s in np.unique(src):
+        c = cnt[src == s]
+        n = int(c.sum())
+        m2 = int(np.dot(c, c))                    # sum m^2 V_m
+        out_s.append(str(s))
+        out_n.append(n)
+        out_v.append(len(c))
+        out_k.append(round(10_000.0 * (m2 - n) / (n * n), 6))
+    return pa.table({
+        "source": pa.array(out_s, pa.string()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+        "vocab": pa.array(out_v, pa.int64()),
+        "yules_k": pa.array(out_k, pa.float64()),
+    }).sort_by("source")
+
+
+SQL_YULES_K_BY_SOURCE = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(10000.0 * (sum(CAST(cnt AS HUGEINT) * cnt) - sum(cnt))
+             / (CAST(sum(cnt) AS DOUBLE) * sum(cnt)), 6) AS yules_k
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["yules_k_by_source"] = (q_yules_k_by_source,
+                                SQL_YULES_K_BY_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition — hourly base-rate predictor, split halves
+# ---------------------------------------------------------------------------
+
+
+def q_brier_decomposition_hourly(sf_dir: str):
+    """Murphy decomposition of the Brier score for the hour-of-day
+    base-rate predictor: p_h = purchase share of hour h in the FIRST
+    half of the day span forecasts every SECOND-half event;
+    Brier = REL - RES + UNC with reliability
+    sum n_h (p_h - ybar_h)^2 / N, resolution sum n_h (ybar_h-ybar)^2
+    / N and uncertainty ybar(1-ybar) — every input an exact integer
+    count from ONE (half, hour, is_purchase) bounded reduce; the
+    identity is audited to 12 decimals before rounding."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        buy = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                      pa.int64())
+        g = pa.table({"day": day, "hod": hod, "buy": buy}) \
+            .group_by(["day", "hod"]) \
+            .aggregate([([], "count_all"), ("buy", "sum")])
+        return g.rename_columns(["day", "hod", "cnt", "nbuy"])
+
+    m = _partial_final(ds, partial, ["day", "hod"],
+                       [("cnt", "sum"), ("nbuy", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    hd = np.asarray(m.column("hod"), dtype=np.int64)
+    ct = np.asarray(m.column("cnt"), dtype=np.int64)
+    nb = np.asarray(m.column("nbuy"), dtype=np.int64)
+    mid = (int(dy.min()) + int(dy.max()) + 1) // 2   # second half starts
+    first = dy < mid
+    c1 = np.zeros(24, dtype=np.int64)
+    b1 = np.zeros(24, dtype=np.int64)
+    c2 = np.zeros(24, dtype=np.int64)
+    b2 = np.zeros(24, dtype=np.int64)
+    np.add.at(c1, hd[first], ct[first])
+    np.add.at(b1, hd[first], nb[first])
+    np.add.at(c2, hd[~first], ct[~first])
+    np.add.at(b2, hd[~first], nb[~first])
+    n = int(c2.sum())
+    ybar = int(b2.sum()) / n
+    sel = c2 > 0
+    p = b1[sel] / np.maximum(c1[sel], 1)          # forecast per hour
+    p[c1[sel] == 0] = 0.0
+    yb = b2[sel] / c2[sel]
+    w = c2[sel]
+    rel = float(np.dot(w, (p - yb) ** 2)) / n
+    res = float(np.dot(w, (yb - ybar) ** 2)) / n
+    unc = ybar * (1.0 - ybar)
+    # direct Brier over events: sum_h [nbuy_h (1-p_h)^2 + (n_h-nbuy_h) p_h^2]
+    brier = float(np.dot(b2[sel], (1.0 - p) ** 2)
+                  + np.dot(c2[sel] - b2[sel], p ** 2)) / n
+    assert abs(brier - (rel - res + unc)) < 1e-12
+    return pa.table({
+        "n_eval": pa.array([n], pa.int64()),
+        "brier": pa.array([round(brier, 6)], pa.float64()),
+        "reliability": pa.array([round(rel, 6)], pa.float64()),
+        "resolution": pa.array([round(res, 6)], pa.float64()),
+        "uncertainty": pa.array([round(unc, 6)], pa.float64()),
+    })
+
+
+SQL_BRIER_DECOMPOSITION_HOURLY = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS buy
+  FROM events),
+mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+f AS (SELECT hod, CAST(count(*) AS BIGINT) AS c1,
+             CAST(sum(buy) AS BIGINT) AS b1
+      FROM e, mid WHERE day < mid GROUP BY 1),
+s AS (SELECT hod, CAST(count(*) AS BIGINT) AS c2,
+             CAST(sum(buy) AS BIGINT) AS b2
+      FROM e, mid WHERE day >= mid GROUP BY 1),
+j AS (
+  SELECT s.hod, s.c2, s.b2,
+         CASE WHEN coalesce(f.c1, 0) = 0 THEN 0.0
+              ELSE CAST(f.b1 AS DOUBLE) / f.c1 END AS p,
+         CAST(s.b2 AS DOUBLE) / s.c2 AS yb
+  FROM s LEFT JOIN f USING (hod)),
+tot AS (SELECT sum(c2) AS n,
+               CAST(sum(b2) AS DOUBLE) / sum(c2) AS ybar FROM j)
+SELECT CAST(tot.n AS BIGINT) AS n_eval,
+       round((sum(b2 * (1.0 - p) * (1.0 - p))
+              + sum((c2 - b2) * p * p)) / tot.n, 6) AS brier,
+       round(sum(c2 * (p - yb) * (p - yb)) / tot.n, 6) AS reliability,
+       round(sum(c2 * (yb - tot.ybar) * (yb - tot.ybar)) / tot.n, 6)
+         AS resolution,
+       round(tot.ybar * (1.0 - tot.ybar), 6) AS uncertainty
+FROM j, tot GROUP BY tot.n, tot.ybar
+"""
+
+QUERIES["brier_decomposition_hourly"] = (q_brier_decomposition_hourly,
+                                         SQL_BRIER_DECOMPOSITION_HOURLY)
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc pairwise rank test (follows Kruskal-Wallis)
+# ---------------------------------------------------------------------------
+
+
+def q_dunn_posthoc_types(sf_dir: str):
+    """Dunn's post-hoc: WHICH type pairs differ once Kruskal-Wallis
+    (kruskal_wallis_type) says 'some do'. Pooled doubled midranks
+    r2(v) = 2 cumlt(v) + t_v + 1 keep every rank sum an exact
+    integer through ties; z_ij = (Rbar_i - Rbar_j) /
+    sqrt(sigma2 (1/n_i + 1/n_j)) with the tie-corrected
+    sigma2 = N(N+1)/12 - sum(t^3-t)/(12(N-1)). Pairs are flagged at
+    the Bonferroni-adjusted |z| >= 2.807034 (alpha=.05, k(k-1)/2=10
+    comparisons). Same bounded (type, cents) histogram reduce as the
+    omnibus test."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "cents": cents}) \
+            .group_by(["ty", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "cents", "cnt"])
+
+    m = _partial_final(ds, partial, ["ty", "cents"], [("cnt", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    cen = np.asarray(m.column("cents"), dtype=np.int64)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    groups = np.unique(ty)
+    k = len(groups)
+    vals = np.unique(cen)
+    vix = np.searchsorted(vals, cen)
+    hist = np.zeros((k, len(vals)), dtype=np.int64)
+    gix = {g_: i for i, g_ in enumerate(groups)}
+    for t_, v_, c_ in zip(ty, vix, cnt):
+        hist[gix[t_], v_] += c_
+    t_v = hist.sum(axis=0)
+    cum = np.cumsum(t_v)
+    r2 = 2 * (cum - t_v) + t_v + 1               # doubled midranks
+    n_i = hist.sum(axis=1)
+    big_n = int(n_i.sum())
+    rsum2 = hist @ r2                            # doubled rank sums
+    tie = int(sum(int(t_) ** 3 - int(t_) for t_ in t_v))
+    sigma2 = (big_n * (big_n + 1) / 12.0
+              - tie / (12.0 * (big_n - 1)))
+    out_a, out_b, out_z, out_f = [], [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            zb = ((rsum2[i] / n_i[i] - rsum2[j] / n_i[j]) / 2.0
+                  / (sigma2 * (1.0 / n_i[i] + 1.0 / n_i[j])) ** 0.5)
+            out_a.append(str(groups[i]))
+            out_b.append(str(groups[j]))
+            out_z.append(round(float(zb), 6))
+            out_f.append(abs(zb) >= 2.807034)
+    return pa.table({
+        "ty_a": pa.array(out_a, pa.string()),
+        "ty_b": pa.array(out_b, pa.string()),
+        "z_score": pa.array(out_z, pa.float64()),
+        "significant": pa.array(out_f, pa.bool_()),
+    })
+
+
+SQL_DUNN_POSTHOC_TYPES = """
+WITH h AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+tv AS (SELECT v, sum(cnt) AS t FROM h GROUP BY 1),
+rk AS (
+  SELECT v,
+         2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+  FROM tv),
+g AS (
+  SELECT h.ty, sum(h.cnt) AS n,
+         sum(CAST(h.cnt AS HUGEINT) * rk.r2) AS rsum2
+  FROM h JOIN rk USING (v) GROUP BY 1),
+s AS (
+  SELECT (SELECT sum(n) FROM g) AS n,
+         (SELECT sum(CAST(t AS HUGEINT) * t * t - t) FROM tv) AS tie),
+sig AS (
+  SELECT CAST(n AS DOUBLE) * (n + 1) / 12.0
+         - CAST(tie AS DOUBLE) / (12.0 * (n - 1)) AS sigma2
+  FROM s)
+SELECT a.ty AS ty_a, b.ty AS ty_b,
+       round((CAST(a.rsum2 AS DOUBLE) / a.n
+              - CAST(b.rsum2 AS DOUBLE) / b.n) / 2.0
+             / sqrt(sig.sigma2 * (1.0 / a.n + 1.0 / b.n)), 6)
+         AS z_score,
+       abs((CAST(a.rsum2 AS DOUBLE) / a.n
+            - CAST(b.rsum2 AS DOUBLE) / b.n) / 2.0
+           / sqrt(sig.sigma2 * (1.0 / a.n + 1.0 / b.n)))
+         >= 2.807034 AS significant
+FROM g a JOIN g b ON a.ty < b.ty, sig
+ORDER BY 1, 2
+"""
+
+QUERIES["dunn_posthoc_types"] = (q_dunn_posthoc_types,
+                                 SQL_DUNN_POSTHOC_TYPES)
