@@ -18961,3 +18961,388 @@ ORDER BY 1, 2
 
 QUERIES["dunn_posthoc_types"] = (q_dunn_posthoc_types,
                                  SQL_DUNN_POSTHOC_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Classical randomness tests on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_randomness_tests_daily(sf_dir: str):
+    """Three classical IID-randomness diagnostics on daily order
+    revenue, all INTEGER closures: turning points T (local extrema;
+    E = 2(n-2)/3, V = (16n-29)/90), difference-sign D (# strict
+    rises; E = (n-1)/2, V = (n+1)/12), and the von Neumann ratio
+    VN = n * sum (x_{t+1}-x_t)^2 / ((n-1) * sum (x_t-mean)^2) whose
+    numerator is exact cents^2 (~2 for IID, <2 for positive serial
+    correlation). Complements runs_test_daily (signs vs median) with
+    shape-sensitive variants. One span-bounded day reduce."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    day0 = int(dy.min())
+    n = int(dy.max()) - day0 + 1
+    y = np.zeros(n, dtype=np.int64)
+    y[dy - day0] = cv
+    d = np.diff(y)
+    turning = int(((d[:-1] > 0) & (d[1:] < 0)).sum()
+                  + ((d[:-1] < 0) & (d[1:] > 0)).sum())
+    z_turn = ((turning - 2.0 * (n - 2) / 3.0)
+              / ((16.0 * n - 29.0) / 90.0) ** 0.5)
+    rises = int((d > 0).sum())
+    z_sign = (rises - (n - 1) / 2.0) / ((n + 1) / 12.0) ** 0.5
+    # cents^2 sums overflow int64 on multi-year spans: accumulate in
+    # float64 (the oracle's exact HUGEINT casts to the same double)
+    df = d.astype(np.float64)
+    num = float(np.dot(df, df))
+    mu = float(y.sum()) / n
+    den = float(np.dot(y - mu, y - mu))
+    vn = n * num / ((n - 1.0) * den)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "turning_points": pa.array([turning], pa.int64()),
+        "z_turning": pa.array([round(z_turn, 6)], pa.float64()),
+        "n_rises": pa.array([rises], pa.int64()),
+        "z_diffsign": pa.array([round(z_sign, 6)], pa.float64()),
+        "von_neumann": pa.array([round(vn, 6)], pa.float64()),
+    })
+
+
+SQL_RANDOMNESS_TESTS_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+grid AS (
+  SELECT g.day - (SELECT min(day) FROM d) AS t,
+         coalesce(d.cents, 0) AS y
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d USING (day)),
+n AS (SELECT count(*) AS n,
+             CAST(sum(y) AS DOUBLE) / count(*) AS mu FROM grid),
+df AS (
+  SELECT t, y - lag(y) OVER (ORDER BY t) AS d,
+         lead(y) OVER (ORDER BY t) - y AS d_next
+  FROM grid),
+tp AS (
+  SELECT count(CASE WHEN (d > 0 AND d_next < 0)
+                      OR (d < 0 AND d_next > 0) THEN 1 END) AS turning,
+         count(CASE WHEN d > 0 THEN 1 END) AS rises,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS ss_diff
+  FROM df),
+den AS (SELECT sum((y - n.mu) * (y - n.mu)) AS den FROM grid, n)
+SELECT CAST(n.n AS BIGINT) AS n_days,
+       CAST(tp.turning AS BIGINT) AS turning_points,
+       round((tp.turning - 2.0 * (n.n - 2) / 3.0)
+             / sqrt((16.0 * n.n - 29.0) / 90.0), 6) AS z_turning,
+       CAST(tp.rises AS BIGINT) AS n_rises,
+       round((tp.rises - (n.n - 1) / 2.0)
+             / sqrt((n.n + 1) / 12.0), 6) AS z_diffsign,
+       round(n.n * CAST(tp.ss_diff AS DOUBLE)
+             / ((n.n - 1.0) * den.den), 6) AS von_neumann
+FROM n, tp, den
+"""
+
+QUERIES["randomness_tests_daily"] = (q_randomness_tests_daily,
+                                     SQL_RANDOMNESS_TESTS_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown + ulcer index of cumulative daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_max_drawdown_daily(sf_dir: str):
+    """Maximum drawdown of the cumulative daily net-revenue curve:
+    running peak minus current cumulative (exact integer cents), its
+    maximum, the day it bottoms (first argmax — deterministic), and
+    the ulcer index sqrt(mean((drawdown/peak)^2)) over days with a
+    positive peak. The one-pass prefix-max closure is the interval
+    dual of best_revenue_streak's prefix-min identity."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        # net signed by F-status? keep raw: drawdown needs dips, which
+        # zero-order days supply on the dense grid
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    day0 = int(dy.min())
+    n = int(dy.max()) - day0 + 1
+    y = np.zeros(n, dtype=np.int64)
+    y[dy - day0] = cv
+    # detrend: deviations from the day-mean keep the curve dipping
+    mu_c = int(y.sum()) // n                      # integer mean floor
+    dev = y - mu_c
+    cum = np.cumsum(dev)
+    peak = np.maximum.accumulate(cum)
+    dd = peak - cum                               # >= 0 integers
+    max_dd = int(dd.max())
+    trough_t = int(dd.argmax())                   # first maximum
+    pos = peak > 0
+    ulcer = (float(np.sum((dd[pos] / peak[pos]) ** 2)) / n) ** 0.5 \
+        if pos.any() else 0.0
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "max_drawdown_cents": pa.array([max_dd], pa.int64()),
+        "trough_t": pa.array([trough_t], pa.int64()),
+        "ulcer_index": pa.array([round(ulcer, 6)], pa.float64()),
+    })
+
+
+SQL_MAX_DRAWDOWN_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+grid AS (
+  SELECT g.day - (SELECT min(day) FROM d) AS t,
+         coalesce(d.cents, 0) AS y
+  FROM (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d)))
+          AS day) g
+  LEFT JOIN d USING (day)),
+mu AS (SELECT count(*) AS n, sum(y) // count(*) AS mu_c FROM grid),
+c AS (
+  SELECT t,
+         sum(y - mu.mu_c) OVER (ORDER BY t) AS cum
+  FROM grid, mu),
+p AS (
+  SELECT t, cum, max(cum) OVER (ORDER BY t) AS peak FROM c),
+dd AS (SELECT t, peak - cum AS dd, peak FROM p)
+SELECT (SELECT CAST(n AS BIGINT) FROM mu) AS n_days,
+       CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+       CAST((SELECT min(t) FROM dd
+             WHERE dd = (SELECT max(dd) FROM dd)) AS BIGINT)
+         AS trough_t,
+       round(sqrt(sum(CASE WHEN peak > 0
+                      THEN pow(CAST(dd AS DOUBLE) / peak, 2)
+                      ELSE 0 END) / (SELECT n FROM mu)), 6)
+         AS ulcer_index
+FROM dd
+"""
+
+QUERIES["max_drawdown_daily"] = (q_max_drawdown_daily,
+                                 SQL_MAX_DRAWDOWN_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Weibull shape/scale fit of inter-event gaps (probability-plot LSQ)
+# ---------------------------------------------------------------------------
+
+
+def q_weibull_gap_fit(sf_dir: str):
+    """Weibull probability-plot fit of per-user inter-event gaps:
+    positive gaps bucket by INTEGER floor(log2) (bit-length, no
+    float-log boundary ambiguity at exact powers of two), the
+    median-rank-free CDF F_b = cum_b/(n+1) never reaches 1, and the
+    least-squares line of ln(-ln(1-F_b)) on (b+0.5)ln2 gives shape k
+    (slope) and ln-scale (-intercept/k). A shape near 1 is memoryless
+    (exponential) traffic; <1 bursty. Gaps come from ONE
+    groupby(user) shuffle; the fit closes over <=64 bucket rows."""
+    import math
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def gap_buckets(g: pa.Table) -> pa.Table:
+        ts_v = np.sort(np.asarray(
+            pc.cast(g.column("ts"), pa.int64()).drop_null()))
+        d = np.diff(ts_v)
+        d = d[d > 0]
+        if len(d) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        buckets = np.array([int(v).bit_length() - 1 for v in d],
+                           dtype=np.int64)
+        bu, bc = np.unique(buckets, return_counts=True)
+        return pa.table({"bucket": pa.array(bu),
+                         "cnt": pa.array(bc.astype(np.int64))})
+
+    per_user = ds.groupby("user_id").map_groups(
+        gap_buckets, batch_format="pyarrow")
+    h = agg._combine_partials(
+        per_user, keys=["bucket"], aggs=[("cnt", "sum")],
+        empty_schema=pa.schema([("bucket", pa.int64()),
+                                ("cnt", pa.int64())]))
+    h = h.sort_by("bucket")
+    bk = np.asarray(h.column("bucket"), dtype=np.int64)
+    ct = np.asarray(h.column("cnt"), dtype=np.int64)
+    n = int(ct.sum())
+    cum = np.cumsum(ct)
+    x = (bk.astype(np.float64) + 0.5) * math.log(2.0)
+    f = cum / (n + 1.0)
+    yv = np.log(-np.log(1.0 - f))
+    nb = len(bk)
+    sx, sy = float(x.sum()), float(yv.sum())
+    sxx, sxy = float(np.dot(x, x)), float(np.dot(x, yv))
+    slope = (nb * sxy - sx * sy) / (nb * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nb
+    ln_scale = -intercept / slope
+    return pa.table({
+        "n_gaps": pa.array([n], pa.int64()),
+        "n_buckets": pa.array([nb], pa.int64()),
+        "shape_k": pa.array([round(slope, 6)], pa.float64()),
+        "ln_scale_us": pa.array([round(ln_scale, 6)], pa.float64()),
+    })
+
+
+SQL_WEIBULL_GAP_FIT = """
+WITH g AS (
+  SELECT epoch_us(ts)
+         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts) AS gap
+  FROM events),
+b AS (
+  SELECT length(bin(gap)) - 1 AS bucket, CAST(count(*) AS BIGINT)
+           AS cnt
+  FROM g WHERE gap > 0 GROUP BY 1),
+n AS (SELECT sum(cnt) AS n, count(*) AS nb FROM b),
+pts AS (
+  SELECT (bucket + 0.5) * ln(2.0) AS x,
+         ln(-ln(1.0 - (sum(cnt) OVER (ORDER BY bucket))
+                       / ((SELECT n FROM n) + 1.0))) AS y
+  FROM b),
+s AS (SELECT count(*) AS nb, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts),
+fit AS (
+  SELECT (nb * sxy - sx * sy) / (nb * sxx - sx * sx) AS slope,
+         nb, sx, sy FROM s)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_gaps,
+       (SELECT CAST(nb AS BIGINT) FROM n) AS n_buckets,
+       round(slope, 6) AS shape_k,
+       round(-((sy - slope * sx) / nb) / slope, 6) AS ln_scale_us
+FROM fit
+"""
+
+QUERIES["weibull_gap_fit"] = (q_weibull_gap_fit, SQL_WEIBULL_GAP_FIT)
+
+
+# ---------------------------------------------------------------------------
+# PACF via Durbin-Levinson over hourly counts (lags 1..4)
+# ---------------------------------------------------------------------------
+
+
+def q_pacf_hourly(sf_dir: str):
+    """Partial autocorrelation of hourly event counts at lags 1..4 by
+    the Durbin-Levinson recursion — the diagnostic that separates an
+    AR(p) cut-off from the geometric ACF decay (hourly_acf /
+    yule_walker_ar2's big siblings). Autocovariances come from the
+    identical demeaned float closure on the dense hourly grid in both
+    engines; the recursion is scalar algebra (unrolled level-by-level
+    in the oracle). Emits (lag, acf, pacf) rows."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+    _HUS = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(_HUS, pa.int64()))
+        g = pa.table({"hour": hr}).group_by("hour") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "cnt"])
+
+    m = _partial_final(ds, partial, ["hour"], [("cnt", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    cv = np.asarray(m.column("cnt"), dtype=np.int64)
+    h0 = int(hr.min())
+    n = int(hr.max()) - h0 + 1
+    x = np.zeros(n, dtype=np.float64)
+    x[hr - h0] = cv.astype(np.float64)
+    mu = float(cv.sum()) / n
+    xd = x - mu
+    c0 = float(np.dot(xd, xd))
+    r = [float(np.dot(xd[k:], xd[:-k])) / c0 for k in range(1, 5)]
+    # Durbin-Levinson
+    phi = {}
+    phi[(1, 1)] = r[0]
+    v = 1.0 - r[0] * r[0]
+    for k in range(2, 5):
+        acc = r[k - 1]
+        for j in range(1, k):
+            acc -= phi[(k - 1, j)] * r[k - 1 - j]
+        phi[(k, k)] = acc / v
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+        v = v * (1.0 - phi[(k, k)] ** 2)
+    return pa.table({
+        "lag": pa.array([1, 2, 3, 4], pa.int64()),
+        "acf": pa.array([round(v_, 6) for v_ in r], pa.float64()),
+        "pacf": pa.array([round(phi[(k, k)], 6) for k in range(1, 5)],
+                         pa.float64()),
+    })
+
+
+SQL_PACF_HOURLY = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT g.hour - (SELECT min(hour) FROM h) AS t,
+         CAST(coalesce(h.cnt, 0) AS DOUBLE) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hour) FROM h),
+                                      (SELECT max(hour) FROM h)))
+          AS hour) g
+  LEFT JOIN h USING (hour)),
+mu AS (SELECT count(*) AS n,
+              CAST(sum(CAST(x AS BIGINT)) AS DOUBLE) / count(*) AS mu
+       FROM grid),
+xd AS (SELECT t, x - mu.mu AS v FROM grid, mu),
+lagd AS (
+  SELECT t, v,
+         lag(v, 1) OVER (ORDER BY t) AS v1,
+         lag(v, 2) OVER (ORDER BY t) AS v2,
+         lag(v, 3) OVER (ORDER BY t) AS v3,
+         lag(v, 4) OVER (ORDER BY t) AS v4
+  FROM xd),
+c AS (SELECT sum(v * v) AS c0, sum(v * v1) AS c1, sum(v * v2) AS c2,
+             sum(v * v3) AS c3, sum(v * v4) AS c4 FROM lagd),
+r AS (SELECT c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3,
+             c4 / c0 AS r4 FROM c),
+d1 AS (SELECT r1 AS p11, 1.0 - r1 * r1 AS v1, r1, r2, r3, r4 FROM r),
+d2 AS (SELECT (r2 - p11 * r1) / v1 AS p22, p11, v1, r1, r2, r3, r4
+       FROM d1),
+d2b AS (SELECT p22, p11 - p22 * p11 AS p21,
+               v1 * (1.0 - p22 * p22) AS v2, r1, r2, r3, r4 FROM d2),
+d3 AS (SELECT (r3 - p21 * r2 - p22 * r1) / v2 AS p33,
+              p21, p22, v2, r1, r2, r3, r4 FROM d2b),
+d3b AS (SELECT p33, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32,
+               v2 * (1.0 - p33 * p33) AS v3, r1, r2, r3, r4 FROM d3),
+d4 AS (SELECT (r4 - p31 * r3 - p32 * r2 - p33 * r1) / v3 AS p44,
+              p33, r1, r2, r3, r4, p31 FROM d3b),
+rows_ AS (
+  SELECT 1 AS lag, round(r1, 6) AS acf,
+         round((SELECT p11 FROM d1), 6) AS pacf FROM r
+  UNION ALL
+  SELECT 2, round(r2, 6), round((SELECT p22 FROM d2b), 6) FROM r
+  UNION ALL
+  SELECT 3, round(r3, 6), round((SELECT p33 FROM d3b), 6) FROM r
+  UNION ALL
+  SELECT 4, round(r4, 6), round((SELECT p44 FROM d4), 6) FROM r)
+SELECT CAST(lag AS BIGINT) AS lag, acf, pacf FROM rows_ ORDER BY lag
+"""
+
+QUERIES["pacf_hourly"] = (q_pacf_hourly, SQL_PACF_HOURLY)
