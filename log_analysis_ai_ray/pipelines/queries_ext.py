@@ -18604,8 +18604,14 @@ def q_partial_corr_qty_price(sf_dir: str):
                columns=["l_quantity", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        x = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
-        y = pc.cast(pc.round(t.column("l_extendedprice"), 0), pa.int64())
+        # floor-units from the exact centi-grid (see
+        # mahalanobis_outliers): boundary-free AND int64-safe sums
+        x = pc.divide(pc.cast(pc.round(pc.multiply(
+            t.column("l_quantity"), 100), 0), pa.int64()),
+            pa.scalar(100, pa.int64()))
+        y = pc.divide(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            pa.scalar(100, pa.int64()))
         z = pc.cast(pc.round(pc.multiply(
             t.column("l_discount"), 1000), 0), pa.int64())
         cols = {"n": pa.array([t.num_rows], pa.int64())}
@@ -18652,20 +18658,20 @@ def q_partial_corr_qty_price(sf_dir: str):
 SQL_PARTIAL_CORR_QTY_PRICE = """
 WITH m AS (
   SELECT CAST(count(*) AS HUGEINT) AS n,
-         sum(CAST(round(l_quantity, 0) AS HUGEINT)) AS sx,
-         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sy,
+         sum((CAST(round(l_quantity * 100, 0) AS HUGEINT) // 100)) AS sx,
+         sum((CAST(round(l_extendedprice * 100, 0) AS HUGEINT) // 100)) AS sy,
          sum(CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS sz,
-         sum(CAST(round(l_quantity, 0) AS HUGEINT)
-             * CAST(round(l_quantity, 0) AS HUGEINT)) AS sxx,
-         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)
-             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS syy,
+         sum((CAST(round(l_quantity * 100, 0) AS HUGEINT) // 100)
+             * (CAST(round(l_quantity * 100, 0) AS HUGEINT) // 100)) AS sxx,
+         sum((CAST(round(l_extendedprice * 100, 0) AS HUGEINT) // 100)
+             * (CAST(round(l_extendedprice * 100, 0) AS HUGEINT) // 100)) AS syy,
          sum(CAST(round(l_discount * 1000, 0) AS HUGEINT)
              * CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS szz,
-         sum(CAST(round(l_quantity, 0) AS HUGEINT)
-             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sxy,
-         sum(CAST(round(l_quantity, 0) AS HUGEINT)
+         sum((CAST(round(l_quantity * 100, 0) AS HUGEINT) // 100)
+             * (CAST(round(l_extendedprice * 100, 0) AS HUGEINT) // 100)) AS sxy,
+         sum((CAST(round(l_quantity * 100, 0) AS HUGEINT) // 100)
              * CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS sxz,
-         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)
+         sum((CAST(round(l_extendedprice * 100, 0) AS HUGEINT) // 100)
              * CAST(round(l_discount * 1000, 0) AS HUGEINT)) AS syz
   FROM lineitem),
 r AS (
@@ -19346,3 +19352,492 @@ SELECT CAST(lag AS BIGINT) AS lag, acf, pacf FROM rows_ ORDER BY lag
 """
 
 QUERIES["pacf_hourly"] = (q_pacf_hourly, SQL_PACF_HOURLY)
+
+
+# ---------------------------------------------------------------------------
+# Little's law audit — L = lambda * W cross-checked by two pipelines
+# ---------------------------------------------------------------------------
+
+
+def q_littles_law_audit(sf_dir: str):
+    """Little's law as an ENGINE AUDIT: L (time-average concurrent
+    sessions) must equal lambda (arrival rate) x W (mean session
+    duration) exactly when both sides integrate the same window — so
+    the query computes total session-microseconds TWICE through
+    different distributed plans: (a) straight duration sums from the
+    per-user sessionizer and (b) an interval->hour-bucket overlap
+    explode summed back across the bounded hour grid. The integer
+    equality of (a) and (b) is emitted (identity_gap_us = 0) along
+    with lambda/hr, W sec and L. Sessions use the shared 30-min gap
+    rule (SESSION_GAP_US)."""
+    from .queries import SESSION_GAP_US
+    _HUS = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sess(g: pa.Table) -> pa.Table:
+        ts_v = np.sort(np.asarray(
+            pc.cast(g.column("ts"), pa.int64()).drop_null()))
+        if len(ts_v) == 0:
+            return pa.table({"kind": pa.array([], pa.string()),
+                             "key": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        brk = np.nonzero(np.diff(ts_v) > SESSION_GAP_US)[0]
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(ts_v) - 1]))
+        s_us = ts_v[starts]
+        e_us = ts_v[ends]
+        out_k, out_key, out_v = [], [], []
+        # (a) duration + count partials
+        out_k.append("dur")
+        out_key.append(0)
+        out_v.append(int((e_us - s_us).sum()))
+        out_k.append("cnt")
+        out_key.append(0)
+        out_v.append(len(s_us))
+        # (b) per-hour overlap explode
+        for s_, e_ in zip(s_us, e_us):
+            h0, h1 = int(s_) // _HUS, int(e_) // _HUS
+            for h in range(h0, h1 + 1):
+                lo = max(int(s_), h * _HUS)
+                hi = min(int(e_), (h + 1) * _HUS)
+                if hi > lo:
+                    out_k.append("hour")
+                    out_key.append(h)
+                    out_v.append(hi - lo)
+        t = pa.table({"kind": pa.array(out_k, pa.string()),
+                      "key": pa.array(out_key, pa.int64()),
+                      "val": pa.array(out_v, pa.int64())}) \
+            .group_by(["kind", "key"]).aggregate([("val", "sum")])
+        return t.rename_columns(["kind", "key", "val"])
+
+    per_user = ds.groupby("user_id").map_groups(
+        sess, batch_format="pyarrow")
+    m = agg._combine_partials(
+        per_user, keys=["kind", "key"], aggs=[("val", "sum")],
+        empty_schema=pa.schema([("kind", pa.string()),
+                                ("key", pa.int64()),
+                                ("val", pa.int64())]))
+    kind = np.asarray(m.column("kind").to_pylist())
+    val = np.asarray(m.column("val"), dtype=np.int64)
+    dur_us = int(val[kind == "dur"].sum())
+    n_sess = int(val[kind == "cnt"].sum())
+    sweep_us = int(val[kind == "hour"].sum())
+    # window from the events table (same pruned read)
+    def wnd(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    w = _partial_final(ds, wnd, [], [("mn", "min"), ("mx", "max")])
+    win_us = int(w.column("mx")[0].as_py()) - int(w.column("mn")[0].as_py())
+    lam_hr = n_sess * 3_600_000_000 / win_us
+    w_sec = dur_us / n_sess / 1e6
+    l_avg = dur_us / win_us
+    return pa.table({
+        "n_sessions": pa.array([n_sess], pa.int64()),
+        "identity_gap_us": pa.array([dur_us - sweep_us], pa.int64()),
+        "lambda_per_hr": pa.array([round(lam_hr, 6)], pa.float64()),
+        "w_mean_sec": pa.array([round(w_sec, 6)], pa.float64()),
+        "l_avg_sessions": pa.array([round(l_avg, 6)], pa.float64()),
+    })
+
+
+SQL_LITTLES_LAW_AUDIT = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts)
+              > 1800000000
+              OR lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+sid AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+s AS (
+  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+  FROM sid GROUP BY 1, 2),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_sess,
+             CAST(sum(e_us - s_us) AS BIGINT) AS dur_us FROM s),
+hours AS (
+  SELECT s.user_id, s.sid, h.h,
+         least(s.e_us, (h.h + 1) * 3600000000)
+           - greatest(s.s_us, h.h * 3600000000) AS ov
+  FROM s JOIN (SELECT unnest(generate_series(
+         (SELECT min(s_us) FROM s) // 3600000000,
+         (SELECT max(e_us) FROM s) // 3600000000)) AS h) h
+    ON h.h BETWEEN s.s_us // 3600000000 AND s.e_us // 3600000000),
+b AS (SELECT CAST(sum(CASE WHEN ov > 0 THEN ov ELSE 0 END) AS BIGINT)
+        AS sweep_us FROM hours),
+w AS (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) AS win_us
+      FROM events)
+SELECT a.n_sess AS n_sessions,
+       CAST(a.dur_us - b.sweep_us AS BIGINT) AS identity_gap_us,
+       round(a.n_sess * 3600000000.0 / w.win_us, 6) AS lambda_per_hr,
+       round(CAST(a.dur_us AS DOUBLE) / a.n_sess / 1e6, 6)
+         AS w_mean_sec,
+       round(CAST(a.dur_us AS DOUBLE) / w.win_us, 6)
+         AS l_avg_sessions
+FROM a, b, w
+"""
+
+QUERIES["littles_law_audit"] = (q_littles_law_audit,
+                                SQL_LITTLES_LAW_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# Ranking agreement — footrule + inversion distance between metrics
+# ---------------------------------------------------------------------------
+
+
+def q_source_ranking_agreement(sf_dir: str):
+    """Do 'longest documents' and 'richest vocabulary' rank sources
+    the same way? Sources rank once by total chars and once by
+    distinct tokens (descending, source asc tiebreak — both exact
+    integers); agreement is Spearman's footrule sum |r1-r2|, the
+    inversion count (Kendall distance), and their normalized
+    coefficients. Rankings close over the same vocabulary-bounded
+    (source, token) reduce as the entropy/Yule family plus a chars
+    sum."""
+    ds = _read(sf_dir, "documents", columns=["source", "text",
+                                             "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["source", "token", "cnt"])
+        ch = pa.table({"source": t.column("source"),
+                       "chars": t.column("n_chars")}) \
+            .group_by("source").aggregate([("chars", "sum")]) \
+            .rename_columns(["source", "chars"])
+        # tag the two partial kinds into one (source, token) keyspace
+        return pa.concat_tables([
+            g,
+            pa.table({"source": ch.column("source"),
+                      "token": pa.array(["\t__chars__"] * ch.num_rows,
+                                        pa.string()),
+                      "cnt": ch.column("chars").cast(pa.int64())}),
+        ])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    tok = np.asarray(vc.column("token").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    sources = np.unique(src)
+    chars = {}
+    vocab = {}
+    is_ch = tok == "\t__chars__"
+    for s_, c_ in zip(src[is_ch], cnt[is_ch]):
+        chars[s_] = int(c_)
+    for s_ in sources:
+        vocab[s_] = int(((src == s_) & ~is_ch).sum())
+    order_c = sorted(sources, key=lambda s: (-chars.get(s, 0), s))
+    order_v = sorted(sources, key=lambda s: (-vocab.get(s, 0), s))
+    r1 = {s: i + 1 for i, s in enumerate(order_c)}
+    r2 = {s: i + 1 for i, s in enumerate(order_v)}
+    k = len(sources)
+    foot = sum(abs(r1[s] - r2[s]) for s in sources)
+    inv = sum(1 for i in range(k) for j in range(k)
+              if r1[sources[i]] < r1[sources[j]]
+              and r2[sources[i]] > r2[sources[j]])
+    max_foot = (k * k) // 2  # floor(k^2/2): footrule maximum
+    return pa.table({
+        "k_sources": pa.array([k], pa.int64()),
+        "footrule": pa.array([foot], pa.int64()),
+        "inversions": pa.array([inv], pa.int64()),
+        "footrule_norm": pa.array([round(foot / max_foot, 6)],
+                                  pa.float64()),
+        "kendall_tau": pa.array(
+            [round(1.0 - 4.0 * inv / (k * (k - 1)), 6)], pa.float64()),
+    })
+
+
+SQL_SOURCE_RANKING_AGREEMENT = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+v AS (SELECT source, count(DISTINCT token) AS vocab
+      FROM toks GROUP BY 1),
+ch AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY 1),
+r AS (
+  SELECT v.source,
+         row_number() OVER (ORDER BY ch.chars DESC, v.source)
+           AS r1,
+         row_number() OVER (ORDER BY v.vocab DESC, v.source) AS r2
+  FROM v JOIN ch USING (source)),
+inv AS (
+  SELECT count(*) AS inv
+  FROM r a JOIN r b ON a.r1 < b.r1 AND a.r2 > b.r2),
+s AS (SELECT count(*) AS k, CAST(sum(abs(r1 - r2)) AS BIGINT)
+        AS foot FROM r)
+SELECT CAST(s.k AS BIGINT) AS k_sources,
+       s.foot AS footrule,
+       CAST(inv.inv AS BIGINT) AS inversions,
+       round(CAST(s.foot AS DOUBLE) / ((s.k * s.k) // 2), 6)
+         AS footrule_norm,
+       round(1.0 - 4.0 * inv.inv / (s.k * (s.k - 1.0)), 6)
+         AS kendall_tau
+FROM s, inv
+"""
+
+QUERIES["source_ranking_agreement"] = (q_source_ranking_agreement,
+                                       SQL_SOURCE_RANKING_AGREEMENT)
+
+
+# ---------------------------------------------------------------------------
+# Empirical upper-tail dependence between quantity and price
+# ---------------------------------------------------------------------------
+
+
+def q_tail_dependence_qty_price(sf_dir: str):
+    """Empirical upper-tail dependence lambda_U = P(Y > y95 | X > x95)
+    between line quantity and extended price: both 95th-percentile
+    thresholds use the deterministic 'smallest value with cum >=
+    ceil(0.95 n)' histogram rule, joint and marginal exceedance
+    counts are exact integers, and independence would give ~0.05.
+    Also emits the lower-tail mirror. Two bounded histograms + one
+    4-cell joint reduce."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def hists(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        # price to floor-dollars via the exact centi-grid: .50-ending
+        # prices would otherwise split between Arrow half-even and
+        # DuckDB half-away rounding
+        y = pc.divide(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            pa.scalar(100, pa.int64()))
+        a = pa.table({"axis": pa.array(["x"] * t.num_rows),
+                      "v": x}).group_by(["axis", "v"]) \
+            .aggregate([([], "count_all")])
+        b = pa.table({"axis": pa.array(["y"] * t.num_rows),
+                      "v": y}).group_by(["axis", "v"]) \
+            .aggregate([([], "count_all")])
+        return pa.concat_tables([a, b]) \
+            .rename_columns(["axis", "v", "cnt"])
+
+    h = _partial_final(ds, hists, ["axis", "v"], [("cnt", "sum")])
+    ax = np.asarray(h.column("axis").to_pylist())
+    vv = np.asarray(h.column("v"), dtype=np.int64)
+    ct = np.asarray(h.column("cnt"), dtype=np.int64)
+
+    def thresh(axis: str, q_num: int, q_den: int) -> int:
+        sel = ax == axis
+        v, c = vv[sel], ct[sel]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        need = -(-q_num * n // q_den)            # ceil(q*n)
+        return int(v[np.searchsorted(cum, need)])
+
+    x95 = thresh("x", 95, 100)
+    y95 = thresh("y", 95, 100)
+    x05 = thresh("x", 5, 100)
+    y05 = thresh("y", 5, 100)
+
+    def joint(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(pc.round(t.column("l_quantity"), 0),
+                               pa.int64()), dtype=np.int64)
+        y = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            dtype=np.int64) // 100
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "nx_hi": pa.array([int((x > x95).sum())], pa.int64()),
+            "nj_hi": pa.array([int(((x > x95) & (y > y95)).sum())],
+                              pa.int64()),
+            "nx_lo": pa.array([int((x <= x05).sum())], pa.int64()),
+            "nj_lo": pa.array([int(((x <= x05) & (y <= y05)).sum())],
+                              pa.int64()),
+        })
+
+    j = _partial_final(ds, joint, [],
+                       [("n", "sum"), ("nx_hi", "sum"), ("nj_hi", "sum"),
+                        ("nx_lo", "sum"), ("nj_lo", "sum")])
+    g = {nm: int(j.column(nm)[0].as_py())
+         for nm in ("n", "nx_hi", "nj_hi", "nx_lo", "nj_lo")}
+    return pa.table({
+        "x95": pa.array([x95], pa.int64()),
+        "y95": pa.array([y95], pa.int64()),
+        "n_x_hi": pa.array([g["nx_hi"]], pa.int64()),
+        "n_joint_hi": pa.array([g["nj_hi"]], pa.int64()),
+        "lambda_upper": pa.array([round(g["nj_hi"] / g["nx_hi"], 6)],
+                                 pa.float64()),
+        "lambda_lower": pa.array([round(g["nj_lo"] / g["nx_lo"], 6)],
+                                 pa.float64()),
+    })
+
+
+SQL_TAIL_DEPENDENCE_QTY_PRICE = """
+WITH e AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100 AS y
+  FROM lineitem),
+n AS (SELECT count(*) AS n FROM e),
+tx AS (
+  SELECT min(x) AS t FROM (
+    SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM
+      (SELECT x, count(*) AS cnt FROM e GROUP BY 1)), n
+  WHERE cum >= -((-95 * n.n) // 100)),
+ty AS (
+  SELECT min(y) AS t FROM (
+    SELECT y, sum(cnt) OVER (ORDER BY y) AS cum FROM
+      (SELECT y, count(*) AS cnt FROM e GROUP BY 1)), n
+  WHERE cum >= -((-95 * n.n) // 100)),
+tx5 AS (
+  SELECT min(x) AS t FROM (
+    SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM
+      (SELECT x, count(*) AS cnt FROM e GROUP BY 1)), n
+  WHERE cum >= -((-5 * n.n) // 100)),
+ty5 AS (
+  SELECT min(y) AS t FROM (
+    SELECT y, sum(cnt) OVER (ORDER BY y) AS cum FROM
+      (SELECT y, count(*) AS cnt FROM e GROUP BY 1)), n
+  WHERE cum >= -((-5 * n.n) // 100)),
+c AS (
+  SELECT CAST(count(CASE WHEN x > tx.t THEN 1 END) AS BIGINT)
+           AS nx_hi,
+         CAST(count(CASE WHEN x > tx.t AND y > ty.t THEN 1 END)
+              AS BIGINT) AS nj_hi,
+         CAST(count(CASE WHEN x <= tx5.t THEN 1 END) AS BIGINT)
+           AS nx_lo,
+         CAST(count(CASE WHEN x <= tx5.t AND y <= ty5.t THEN 1 END)
+              AS BIGINT) AS nj_lo
+  FROM e, tx, ty, tx5, ty5)
+SELECT (SELECT CAST(t AS BIGINT) FROM tx) AS x95,
+       (SELECT CAST(t AS BIGINT) FROM ty) AS y95,
+       c.nx_hi AS n_x_hi, c.nj_hi AS n_joint_hi,
+       round(CAST(c.nj_hi AS DOUBLE) / c.nx_hi, 6) AS lambda_upper,
+       round(CAST(c.nj_lo AS DOUBLE) / c.nx_lo, 6) AS lambda_lower
+FROM c
+"""
+
+QUERIES["tail_dependence_qty_price"] = (q_tail_dependence_qty_price,
+                                        SQL_TAIL_DEPENDENCE_QTY_PRICE)
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers on the (quantity, price) plane
+# ---------------------------------------------------------------------------
+
+
+def q_mahalanobis_outliers(sf_dir: str):
+    """Top-10 lineitems by 2-D Mahalanobis distance on (quantity,
+    extended price): covariance from EXACT integer moment sums (the
+    partial_corr_qty_price reduce), the 2x2 inverse in closed form,
+    then a broadcast scoring pass with per-block partial top-10
+    ((d2 desc, orderkey, linenumber) — rows sharing a (qty, price)
+    point tie exactly, so the integer tiebreak is deterministic).
+    The multivariate companion to the univariate z/IQR outlier
+    family."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        # floor-units from exact centi-grids: round(v*100) has no
+        # representable .5 boundary (Arrow half-even == DuckDB
+        # half-away there), and the // 100 floor keeps squares small
+        # enough that int64 partial sums hold far past bench scale
+        x = pc.divide(pc.cast(pc.round(pc.multiply(
+            t.column("l_quantity"), 100), 0), pa.int64()),
+            pa.scalar(100, pa.int64()))
+        y = pc.divide(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            pa.scalar(100, pa.int64()))
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+            "sy": pa.array([pc.sum(y).as_py() or 0], pa.int64()),
+            "sxx": pa.array([pc.sum(pc.multiply(x, x)).as_py() or 0],
+                            pa.int64()),
+            "syy": pa.array([pc.sum(pc.multiply(y, y)).as_py() or 0],
+                            pa.int64()),
+            "sxy": pa.array([pc.sum(pc.multiply(x, y)).as_py() or 0],
+                            pa.int64()),
+        })
+
+    m = _partial_final(ds, moments, [],
+                       [(nm, "sum") for nm in
+                        ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    g = {nm: int(m.column(nm)[0].as_py())
+         for nm in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    n = g["n"]
+    mux = g["sx"] / n
+    muy = g["sy"] / n
+    vxx = (g["sxx"] - g["sx"] * mux) / n
+    vyy = (g["syy"] - g["sy"] * muy) / n
+    vxy = (g["sxy"] - g["sx"] * muy) / n
+    det = vxx * vyy - vxy * vxy
+
+    def score(t: pa.Table) -> pa.Table:
+        x = (np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_quantity"), 100), 0), pa.int64()),
+            dtype=np.int64) // 100).astype(np.float64)
+        y = (np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            dtype=np.int64) // 100).astype(np.float64)
+        dx = x - mux
+        dy = y - muy
+        d2 = (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det
+        tt = pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "l_linenumber": pc.cast(
+                           t.column("l_linenumber"), pa.int64()),
+                       "d2": pa.array(np.round(d2, 6))})
+        order = pc.sort_indices(tt, sort_keys=[
+            ("d2", "descending"), ("l_orderkey", "ascending"),
+            ("l_linenumber", "ascending")])
+        return tt.take(order.slice(0, 10))
+
+    parts = agg._to_arrow(ds.map_batches(score, batch_format="pyarrow"))
+    order = pc.sort_indices(parts, sort_keys=[
+        ("d2", "descending"), ("l_orderkey", "ascending"),
+        ("l_linenumber", "ascending")])
+    return parts.take(order.slice(0, 10))
+
+
+SQL_MAHALANOBIS_OUTLIERS = """
+WITH e AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) // 100 AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100 AS y
+  FROM lineitem),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM e),
+v AS (
+  SELECT CAST(sx AS DOUBLE) / n AS mux, CAST(sy AS DOUBLE) / n AS muy,
+         (sxx - sx * (CAST(sx AS DOUBLE) / n)) / n AS vxx,
+         (syy - sy * (CAST(sy AS DOUBLE) / n)) / n AS vyy,
+         (sxy - sx * (CAST(sy AS DOUBLE) / n)) / n AS vxy
+  FROM m)
+SELECT e.l_orderkey, e.l_linenumber,
+       round(((e.x - v.mux) * (e.x - v.mux) * v.vyy
+              - 2.0 * (e.x - v.mux) * (e.y - v.muy) * v.vxy
+              + (e.y - v.muy) * (e.y - v.muy) * v.vxx)
+             / (v.vxx * v.vyy - v.vxy * v.vxy), 6) AS d2
+FROM e, v
+ORDER BY d2 DESC, e.l_orderkey, e.l_linenumber LIMIT 10
+"""
+
+QUERIES["mahalanobis_outliers"] = (q_mahalanobis_outliers,
+                                   SQL_MAHALANOBIS_OUTLIERS)
