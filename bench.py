@@ -51,6 +51,13 @@ BENCH_QUERIES = [
 # "queries" + "value_extras"). knn_ivf exercises the persisted
 # partition-pruned ANN store (first run builds it; cached after).
 BENCH_EXTRA = [
+    # session-9 engine surfaces
+    "skew_hybrid_join_revenue",
+    "domain_scc",
+    "littles_law_audit",
+    "subsequence_pair_support",
+    "weibull_gap_fit",
+    "mahalanobis_outliers",
     "asof_order_stats_partitioned",
     "gz_level_counts",
     "event_gaps",

@@ -19841,3 +19841,678 @@ ORDER BY d2 DESC, e.l_orderkey, e.l_linenumber LIMIT 10
 
 QUERIES["mahalanobis_outliers"] = (q_mahalanobis_outliers,
                                    SQL_MAHALANOBIS_OUTLIERS)
+
+
+# ---------------------------------------------------------------------------
+# Balanced two-way ANOVA (type x isodow) with interaction
+# ---------------------------------------------------------------------------
+
+
+def q_twoway_anova_type_dow(sf_dir: str):
+    """Balanced two-way ANOVA of daily revenue by event type x
+    iso-weekday with interaction: the span is TRIMMED to complete
+    weeks (4 replicates per cell at the test corpus) so the classic
+    balanced decomposition applies — SS_A, SS_B, SS_AB and SS_E all
+    close over integer cents totals (T_a^2/(b n) etc. as exact
+    integer squares over one double division each). Emits the three
+    F ratios. The reduce ships a (type, day) cents table; the 5x7x4
+    cube lives on the driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    day0 = int(dy.min())
+    span = int(dy.max()) - day0 + 1
+    weeks = span // 7
+    keep_days = weeks * 7
+    types = np.unique(ty)
+    a, b, r = len(types), 7, weeks
+    # y[type, dow, week] on the dense trimmed grid (zeros fill)
+    y = np.zeros((a, b, r), dtype=np.int64)
+    tix = {t_: i for i, t_ in enumerate(types)}
+    for t_, d_, c_ in zip(ty, dy, cv):
+        off = int(d_) - day0
+        if off >= keep_days:
+            continue
+        y[tix[t_], off % 7, off // 7] = c_
+    big_t = int(y.sum())
+    n = a * b * r
+    corr = big_t * big_t / n
+    ss_tot = float(np.dot(y.ravel(), y.ravel())) - corr
+    t_a = y.sum(axis=(1, 2))
+    t_b = y.sum(axis=(0, 2))
+    t_ab = y.sum(axis=2)
+    ss_a = float(np.dot(t_a, t_a)) / (b * r) - corr
+    ss_b = float(np.dot(t_b, t_b)) / (a * r) - corr
+    ss_ab = (float(np.dot(t_ab.ravel(), t_ab.ravel())) / r
+             - corr - ss_a - ss_b)
+    ss_e = ss_tot - ss_a - ss_b - ss_ab
+    f_a = (ss_a / (a - 1)) / (ss_e / (a * b * (r - 1)))
+    f_b = (ss_b / (b - 1)) / (ss_e / (a * b * (r - 1)))
+    f_ab = (ss_ab / ((a - 1) * (b - 1))) / (ss_e / (a * b * (r - 1)))
+    return pa.table({
+        "k_types": pa.array([a], pa.int64()),
+        "n_weeks": pa.array([r], pa.int64()),
+        "f_type": pa.array([round(f_a, 6)], pa.float64()),
+        "f_dow": pa.array([round(f_b, 6)], pa.float64()),
+        "f_interaction": pa.array([round(f_ab, 6)], pa.float64()),
+    })
+
+
+SQL_TWOWAY_ANOVA_TYPE_DOW = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(day) AS d0,
+                ((max(day) - min(day) + 1) // 7) AS weeks FROM d),
+grid AS (
+  SELECT t.ty, g.off % 7 AS dow, g.off // 7 AS wk,
+         coalesce(d.cents, 0) AS y
+  FROM (SELECT DISTINCT ty FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series(0,
+        (SELECT weeks * 7 - 1 FROM span))) AS off) g
+  LEFT JOIN d ON d.ty = t.ty
+             AND d.day = (SELECT d0 FROM span) + g.off),
+dims AS (SELECT (SELECT count(DISTINCT ty) FROM d) AS a, 7 AS b,
+                (SELECT weeks FROM span) AS r),
+tot AS (SELECT sum(y) AS t, count(*) AS n,
+               sum(CAST(y AS HUGEINT) * y) AS ss_raw FROM grid),
+ta AS (SELECT ty, sum(y) AS s FROM grid GROUP BY 1),
+tb AS (SELECT dow, sum(y) AS s FROM grid GROUP BY 1),
+tab AS (SELECT ty, dow, sum(y) AS s FROM grid GROUP BY 1, 2),
+ss AS (
+  SELECT CAST(tot.ss_raw AS DOUBLE)
+           - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_tot,
+         (SELECT sum(CAST(s AS DOUBLE) * s) FROM ta)
+           / (dims.b * dims.r)
+           - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_a,
+         (SELECT sum(CAST(s AS DOUBLE) * s) FROM tb)
+           / (dims.a * dims.r)
+           - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_b,
+         (SELECT sum(CAST(s AS DOUBLE) * s) FROM tab) / dims.r
+           - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_ab_pre,
+         dims.a AS a, dims.b AS b, dims.r AS r
+  FROM tot, dims),
+f AS (
+  SELECT a, b, r, ss_a, ss_b,
+         ss_ab_pre - ss_a - ss_b AS ss_ab,
+         ss_tot - ss_ab_pre AS ss_e
+  FROM ss)
+SELECT CAST(a AS BIGINT) AS k_types,
+       CAST(r AS BIGINT) AS n_weeks,
+       round((ss_a / (a - 1)) / (ss_e / (a * b * (r - 1))), 6)
+         AS f_type,
+       round((ss_b / (b - 1)) / (ss_e / (a * b * (r - 1))), 6)
+         AS f_dow,
+       round((ss_ab / ((a - 1) * (b - 1)))
+             / (ss_e / (a * b * (r - 1))), 6) AS f_interaction
+FROM f
+"""
+
+QUERIES["twoway_anova_type_dow"] = (q_twoway_anova_type_dow,
+                                    SQL_TWOWAY_ANOVA_TYPE_DOW)
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha — internal consistency of the hourly day-profile
+# ---------------------------------------------------------------------------
+
+
+def q_cronbach_alpha_hours(sf_dir: str):
+    """Cronbach's alpha treating the 24 hours as ITEMS and days as
+    subjects: alpha = k/(k-1) * (1 - sum var_h / var(daily total)).
+    High alpha means hours co-move (busy days are busy all day);
+    near zero means independent hourly noise. Population variances
+    from exact integer count sums on the trimmed dense day grid —
+    the psychometric reliability view of the same (day, hour) cube
+    the heatmap/profile queries reduce."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.divide(us, pa.scalar(_DUS, pa.int64()))
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        g = pa.table({"day": day, "hod": hod}) \
+            .group_by(["day", "hod"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "hod", "cnt"])
+
+    m = _partial_final(ds, partial, ["day", "hod"], [("cnt", "sum")])
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    hd = np.asarray(m.column("hod"), dtype=np.int64)
+    ct = np.asarray(m.column("cnt"), dtype=np.int64)
+    day0 = int(dy.min())
+    nd = int(dy.max()) - day0 + 1
+    y = np.zeros((nd, 24), dtype=np.int64)
+    y[dy - day0, hd] = ct
+    k = 24
+    # per-item population variances and the total-score variance,
+    # all from integer sums: var = (n*Sxx - Sx^2) / n^2
+    sx = y.sum(axis=0)
+    sxx = (y * y).sum(axis=0)
+    item_var = (nd * sxx - sx * sx) / float(nd * nd)
+    tot = y.sum(axis=1)
+    st, stt = int(tot.sum()), int(np.dot(tot, tot))
+    tot_var = (nd * stt - st * st) / float(nd * nd)
+    alpha = k / (k - 1.0) * (1.0 - float(item_var.sum()) / tot_var)
+    return pa.table({
+        "n_days": pa.array([nd], pa.int64()),
+        "k_items": pa.array([k], pa.int64()),
+        "alpha": pa.array([round(alpha, 6)], pa.float64()),
+    })
+
+
+SQL_CRONBACH_ALPHA_HOURS = """
+WITH c AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(day) AS d0, max(day) - min(day) + 1 AS nd FROM c),
+grid AS (
+  SELECT g.day, h.hod, coalesce(c.cnt, 0) AS y
+  FROM (SELECT unnest(generate_series((SELECT d0 FROM span),
+        (SELECT d0 + nd - 1 FROM span))) AS day) g
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h
+  LEFT JOIN c USING (day, hod)),
+iv AS (
+  SELECT hod,
+         (CAST((SELECT nd FROM span) AS DOUBLE) * sum(y * y)
+          - CAST(sum(y) AS DOUBLE) * sum(y))
+         / ((SELECT nd FROM span) * CAST((SELECT nd FROM span)
+            AS DOUBLE)) AS v
+  FROM grid GROUP BY 1),
+ts_ AS (SELECT day, sum(y) AS tot FROM grid GROUP BY 1),
+tv AS (
+  SELECT (CAST((SELECT nd FROM span) AS DOUBLE) * sum(tot * tot)
+          - CAST(sum(tot) AS DOUBLE) * sum(tot))
+         / ((SELECT nd FROM span) * CAST((SELECT nd FROM span)
+            AS DOUBLE)) AS v
+  FROM ts_)
+SELECT (SELECT CAST(nd AS BIGINT) FROM span) AS n_days,
+       24::BIGINT AS k_items,
+       round(24.0 / 23.0 * (1.0 - (SELECT sum(v) FROM iv)
+                                  / (SELECT v FROM tv)), 6) AS alpha
+"""
+
+QUERIES["cronbach_alpha_hours"] = (q_cronbach_alpha_hours,
+                                   SQL_CRONBACH_ALPHA_HOURS)
+
+
+# ---------------------------------------------------------------------------
+# Market beta per event type (daily revenue vs all-type total)
+# ---------------------------------------------------------------------------
+
+
+def q_type_market_beta(sf_dir: str):
+    """'Market beta' of each event type: slope of its daily revenue
+    on the all-type daily total, beta_a = cov(y_a, m)/var(m) over the
+    dense day grid, plus the correlation. Betas sum to 1 across types
+    weighted by nothing — the additive decomposition audit column
+    (sum of cov = var) is emitted per type as its revenue share of
+    variance. Covariances from the identical demeaned double closure
+    both sides; the reduce ships (type, day) cents."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    types = np.unique(ty)
+    day0 = int(dy.min())
+    nd = int(dy.max()) - day0 + 1
+    y = np.zeros((len(types), nd), dtype=np.int64)
+    tix = {t_: i for i, t_ in enumerate(types)}
+    for t_, d_, c_ in zip(ty, dy, cv):
+        y[tix[t_], d_ - day0] = c_
+    mkt = y.sum(axis=0)
+    mu_m = float(mkt.sum()) / nd
+    md = mkt.astype(np.float64) - mu_m
+    var_m = float(np.dot(md, md))
+    out_t, out_b, out_r = [], [], []
+    for i, t_ in enumerate(types):
+        mu_a = float(y[i].sum()) / nd
+        ad = y[i].astype(np.float64) - mu_a
+        cov = float(np.dot(ad, md))
+        var_a = float(np.dot(ad, ad))
+        out_t.append(str(t_))
+        out_b.append(round(cov / var_m, 6))
+        out_r.append(round(cov / (var_a ** 0.5 * var_m ** 0.5), 6))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "beta": pa.array(out_b, pa.float64()),
+        "corr_with_market": pa.array(out_r, pa.float64()),
+    }).sort_by("event_type")
+
+
+SQL_TYPE_MARKET_BETA = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(day) AS d0, max(day) AS d1,
+                max(day) - min(day) + 1 AS nd FROM d),
+grid AS (
+  SELECT t.ty, g.day, coalesce(d.cents, 0) AS y
+  FROM (SELECT DISTINCT ty FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM span),
+        (SELECT d1 FROM span))) AS day) g
+  LEFT JOIN d ON d.ty = t.ty AND d.day = g.day),
+mkt AS (SELECT day, sum(y) AS m FROM grid GROUP BY 1),
+mum AS (SELECT CAST(sum(m) AS DOUBLE) / (SELECT nd FROM span) AS mu
+        FROM mkt),
+mua AS (SELECT ty, CAST(sum(y) AS DOUBLE) / (SELECT nd FROM span)
+          AS mu FROM grid GROUP BY 1),
+s AS (
+  SELECT g.ty,
+         sum((g.y - mua.mu) * (mkt.m - mum.mu)) AS cov,
+         sum((g.y - mua.mu) * (g.y - mua.mu)) AS var_a,
+         sum((mkt.m - mum.mu) * (mkt.m - mum.mu)) AS var_m
+  FROM grid g JOIN mkt USING (day) JOIN mua ON mua.ty = g.ty, mum
+  GROUP BY 1)
+SELECT ty AS event_type,
+       round(cov / var_m, 6) AS beta,
+       round(cov / (sqrt(var_a) * sqrt(var_m)), 6)
+         AS corr_with_market
+FROM s ORDER BY 1
+"""
+
+QUERIES["type_market_beta"] = (q_type_market_beta, SQL_TYPE_MARKET_BETA)
+
+
+# ---------------------------------------------------------------------------
+# Self-excitation — same-type clustering beyond Poisson
+# ---------------------------------------------------------------------------
+
+
+def q_self_excitation_by_type(sf_dir: str):
+    """Hawkes-style self-excitation screen per event type: the share
+    of events arriving within 300 s of the PREVIOUS same-type event,
+    against the memoryless expectation 1 - exp(-lambda * 300) from
+    the type's global rate. ratio >> 1 flags contagion (errors beget
+    errors); ~1 matches Poisson. Gap indicators reduce per (type)
+    from ONE groupby(type) shuffle of (ts) — type cardinality bounds
+    the groups. exp() at identical rate doubles both sides."""
+    import math
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def per_type(g: pa.Table) -> pa.Table:
+        ts_v = np.sort(np.asarray(
+            pc.cast(g.column("ts"), pa.int64()).drop_null()))
+        d = np.diff(ts_v)
+        within = int((d <= 300_000_000).sum())
+        return pa.table({
+            "ty": g.column("event_type").slice(0, 1),
+            "n_events": pa.array([len(ts_v)], pa.int64()),
+            "n_within": pa.array([within], pa.int64()),
+            "span_us": pa.array([int(ts_v[-1] - ts_v[0])
+                                 if len(ts_v) else 0], pa.int64()),
+        })
+
+    m = agg._to_arrow(ds.groupby("event_type").map_groups(
+        per_type, batch_format="pyarrow"))
+    ty = m.column("ty").to_pylist()
+    ne = np.asarray(m.column("n_events"), dtype=np.int64)
+    nw = np.asarray(m.column("n_within"), dtype=np.int64)
+    sp = np.asarray(m.column("span_us"), dtype=np.int64)
+    out = {"event_type": [], "n_events": [], "frac_within_300s": [],
+           "poisson_expect": [], "excitation_ratio": []}
+    for t_, n_, w_, s_ in sorted(zip(ty, ne, nw, sp)):
+        lam = (int(n_) - 1) / (int(s_) / 1e6)     # events per second
+        expect = 1.0 - math.exp(-lam * 300.0)
+        frac = int(w_) / (int(n_) - 1)
+        out["event_type"].append(str(t_))
+        out["n_events"].append(int(n_))
+        out["frac_within_300s"].append(round(frac, 6))
+        out["poisson_expect"].append(round(expect, 6))
+        out["excitation_ratio"].append(round(frac / expect, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_events": pa.array(out["n_events"], pa.int64()),
+        "frac_within_300s": pa.array(out["frac_within_300s"],
+                                     pa.float64()),
+        "poisson_expect": pa.array(out["poisson_expect"], pa.float64()),
+        "excitation_ratio": pa.array(out["excitation_ratio"],
+                                     pa.float64()),
+    })
+
+
+SQL_SELF_EXCITATION_BY_TYPE = """
+WITH g AS (
+  SELECT event_type AS ty,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts) AS gap
+  FROM events),
+s AS (
+  SELECT ty, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(CASE WHEN gap <= 300000000 THEN 1 END) AS BIGINT)
+           AS n_within
+  FROM g GROUP BY 1),
+sp AS (
+  SELECT event_type AS ty,
+         max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+  FROM events GROUP BY 1),
+e AS (
+  SELECT s.ty, s.n_events, s.n_within,
+         1.0 - exp(-((s.n_events - 1) / (sp.span_us / 1e6)) * 300.0)
+           AS expect
+  FROM s JOIN sp USING (ty))
+SELECT ty AS event_type, n_events,
+       round(CAST(n_within AS DOUBLE) / (n_events - 1), 6)
+         AS frac_within_300s,
+       round(expect, 6) AS poisson_expect,
+       round(CAST(n_within AS DOUBLE) / (n_events - 1) / expect, 6)
+         AS excitation_ratio
+FROM e ORDER BY 1
+"""
+
+QUERIES["self_excitation_by_type"] = (q_self_excitation_by_type,
+                                      SQL_SELF_EXCITATION_BY_TYPE)
+
+
+# ---------------------------------------------------------------------------
+# k-truss cohesion of the undirected domain graph
+# ---------------------------------------------------------------------------
+
+
+def q_domain_ktruss(sf_dir: str):
+    """k-truss decomposition of the undirected simple domain graph:
+    an edge's SUPPORT is its triangle count, and the k-truss keeps
+    edges supported by >= k-2 triangles after iterative peeling
+    (recompute support, drop, repeat to fixpoint — each round is one
+    edge-triangle join in dataset algebra; the driver peels the
+    bounded domain edge set). The synthetic domain graph is
+    near-complete (50 nodes / 1217 edges at sf0.01), so small k never
+    peels; the k ladder straddles the measured collapse cliff —
+    k=44/46 survive whole, k=47 peels to empty in 4 rounds, k=48 in
+    3 — so both the keep and the iterative-drop branches are
+    exercised. Emits, per k, the surviving edge and node counts."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    src = edges.column("src_domain").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst_domain").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    pairs = {tuple(sorted((s, d))) for s, d in
+             zip(src[keep], dst[keep])}
+    out_k, out_e, out_n = [], [], []
+    for k in KTRUSS_KS:
+        es = set(pairs)
+        while True:
+            # adjacency over current edge set
+            adj = {}
+            for a_, b_ in es:
+                adj.setdefault(a_, set()).add(b_)
+                adj.setdefault(b_, set()).add(a_)
+            drop = {e for e in es
+                    if len(adj[e[0]] & adj[e[1]]) < k - 2}
+            if not drop:
+                break
+            es -= drop
+        nodes = {v for e in es for v in e}
+        out_k.append(k)
+        out_e.append(len(es))
+        out_n.append(len(nodes))
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "n_edges": pa.array(out_e, pa.int64()),
+        "n_nodes": pa.array(out_n, pa.int64()),
+    })
+
+
+KTRUSS_KS = (44, 46, 47, 48)
+# 4 = exact measured fixpoint depth (k=47 empties on peel 4; empty is
+# absorbing, k=44/46 are stable at round 0). The Ray side iterates to
+# the true fixpoint, so any depth shortfall here would surface as a
+# hash mismatch.
+_KTRUSS_ROUNDS = 4
+
+
+def _ktruss_oracle_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    # Iterative peel unrolled per k: each round recomputes edge
+    # support as a WEDGE COUNT — symmetrize the surviving edges,
+    # hash-join the two endpoints' adjacency lists on the shared
+    # neighbor, group by edge — then drops edges under k-2. An edge
+    # absent from the wedge-count result has support 0 < k-2 (k >= 3),
+    # so the inner join back to the edge set doubles as the drop.
+    # Every CTE is AS MATERIALIZED: DuckDB 1.0 otherwise INLINES each
+    # reference (3 per round -> 3^rounds copies of the 20k-page regexp
+    # scan; the LATERAL form of this query took 549 s / blew the
+    # planner past 4 rounds). The per-k unroll also avoids correlated
+    # LATERAL CTEs, which cannot be materialized.
+    blocks = []
+    selects = []
+    for k in KTRUSS_KS:
+        prev = "und"
+        for r in range(1, _KTRUSS_ROUNDS + 1):
+            e = f"k{k}_e{r}"
+            blocks.append(f"""
+k{k}_sym{r} AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM {prev}
+  UNION ALL SELECT b, a FROM {prev}),
+k{k}_cnt{r} AS MATERIALIZED (
+  SELECT s1.u AS a, s2.u AS b, count(*) AS sup
+  FROM k{k}_sym{r} s1 JOIN k{k}_sym{r} s2
+    ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2),
+{e} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{k}_cnt{r} c ON c.a = e.a AND c.b = e.b
+  WHERE c.sup >= {k} - 2)""")
+            prev = e
+        selects.append(
+            f"SELECT {k} AS k, (SELECT count(*) FROM {prev}) AS n_edges,\n"
+            f"  (SELECT count(*) FROM (SELECT a AS v FROM {prev}\n"
+            f"                         UNION SELECT b FROM {prev}))\n"
+            f"    AS n_nodes")
+    blocks_sql = ",".join(blocks)
+    union_sql = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+         regexp_extract(dst, '{_DOM_RE}', 1) AS d
+  FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+                                   '<a href="([^"]*)"', 1)) AS dst
+        FROM {PAGES_VIEW})
+  WHERE regexp_extract(url, '{_DOM_RE}', 1)
+        <> regexp_extract(dst, '{_DOM_RE}', 1)),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw),{blocks_sql}
+SELECT * FROM ({union_sql}) ORDER BY k
+"""
+
+
+QUERIES["domain_ktruss"] = (q_domain_ktruss, _ktruss_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# GPD peaks-over-threshold fit (method of moments) on event values
+# ---------------------------------------------------------------------------
+
+
+def q_gpd_pot_fit_values(sf_dir: str):
+    """Generalized-Pareto fit to the exceedances of event value over
+    its deterministic 95th-percentile threshold (smallest cents value
+    with cum >= ceil(.95 n)): method-of-moments shape
+    xi = (1 - mbar^2/s2)/2 and scale sigma = mbar (mbar^2/s2 + 1)/2
+    from EXACT integer excess sums. xi < 0 bounds the tail, ~0 is
+    exponential — the peaks-over-threshold complement to the Gumbel
+    block-maxima and Hill fits. One histogram + one excess-moment
+    reduce."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"v": cents}).group_by("v") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["v", "cnt"])
+
+    h = _partial_final(ds, hist, ["v"], [("cnt", "sum")])
+    vv = np.asarray(h.column("v"), dtype=np.int64)
+    ct = np.asarray(h.column("cnt"), dtype=np.int64)
+    o = np.argsort(vv)
+    vv, ct = vv[o], ct[o]
+    n = int(ct.sum())
+    cum = np.cumsum(ct)
+    need = -(-95 * n // 100)
+    thr = int(vv[np.searchsorted(cum, need)])
+    exc_sel = vv > thr
+    ev = (vv[exc_sel] - thr).astype(np.int64)
+    ec = ct[exc_sel]
+    k = int(ec.sum())
+    s1 = int(np.dot(ev, ec))
+    s2 = int(np.dot(ev * ev, ec))
+    mbar = s1 / k
+    var = (s2 - s1 * mbar) / k
+    ratio = mbar * mbar / var
+    xi = 0.5 * (1.0 - ratio)
+    sigma = 0.5 * mbar * (ratio + 1.0)
+    return pa.table({
+        "threshold_cents": pa.array([thr], pa.int64()),
+        "n_exceed": pa.array([k], pa.int64()),
+        "xi_shape": pa.array([round(xi, 6)], pa.float64()),
+        "sigma_scale": pa.array([round(sigma, 6)], pa.float64()),
+    })
+
+
+SQL_GPD_POT_FIT_VALUES = """
+WITH h AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+n AS (SELECT sum(cnt) AS n FROM h),
+thr AS (
+  SELECT min(v) AS t FROM (
+    SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h), n
+  WHERE cum >= -((-95 * n.n) // 100)),
+exc AS (
+  SELECT v - thr.t AS e, cnt FROM h, thr WHERE v > thr.t),
+s AS (SELECT sum(cnt) AS k,
+             CAST(sum(e * cnt) AS BIGINT) AS s1,
+             CAST(sum(CAST(e AS HUGEINT) * e * cnt) AS HUGEINT) AS s2
+      FROM exc),
+mom AS (
+  SELECT k, CAST(s1 AS DOUBLE) / k AS mbar,
+         (s2 - s1 * (CAST(s1 AS DOUBLE) / k)) / k AS var
+  FROM s)
+SELECT (SELECT CAST(t AS BIGINT) FROM thr) AS threshold_cents,
+       CAST(k AS BIGINT) AS n_exceed,
+       round(0.5 * (1.0 - mbar * mbar / var), 6) AS xi_shape,
+       round(0.5 * mbar * (mbar * mbar / var + 1.0), 6)
+         AS sigma_scale
+FROM mom
+"""
+
+QUERIES["gpd_pot_fit_values"] = (q_gpd_pot_fit_values,
+                                 SQL_GPD_POT_FIT_VALUES)
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test on event values
+# ---------------------------------------------------------------------------
+
+
+def q_jarque_bera_values(sf_dir: str):
+    """Jarque-Bera normality test JB = n/6 (S^2 + K^2/4) on event
+    values, with skewness S and excess kurtosis K from EXACT integer
+    central-moment closures (m_k via binomial expansion of integer
+    power sums — the same discipline as type_skew_kurtosis but pooled
+    and finished with the omnibus statistic). One 5-sum scalar
+    reduce."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def mom(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        xf = np.asarray(x, dtype=np.float64)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s1": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+            "s2": pa.array([float(np.dot(xf, xf))], pa.float64()),
+            "s3": pa.array([float((xf ** 3).sum())], pa.float64()),
+            "s4": pa.array([float((xf ** 4).sum())], pa.float64()),
+        })
+
+    m = _partial_final(ds, mom, [],
+                       [("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+                        ("s3", "sum"), ("s4", "sum")])
+    n = int(m.column("n")[0].as_py())
+    s1 = float(m.column("s1")[0].as_py())
+    s2 = float(m.column("s2")[0].as_py())
+    s3 = float(m.column("s3")[0].as_py())
+    s4 = float(m.column("s4")[0].as_py())
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu ** 3
+    m4 = (s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+          - 3.0 * mu ** 4)
+    skew = m3 / m2 ** 1.5
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "skewness": pa.array([round(skew, 6)], pa.float64()),
+        "excess_kurtosis": pa.array([round(exk, 6)], pa.float64()),
+        "jb_stat": pa.array([round(jb, 6)], pa.float64()),
+    })
+
+
+SQL_JARQUE_BERA_VALUES = """
+WITH x AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(v) AS DOUBLE) AS s1,
+         sum(CAST(v AS DOUBLE) * v) AS s2,
+         sum(CAST(v AS DOUBLE) * v * v) AS s3,
+         sum(CAST(v AS DOUBLE) * v * v * v) AS s4
+  FROM x),
+m AS (
+  SELECT n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * pow(s1 / n, 3)
+           AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * pow(s1 / n, 4) AS m4
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n_events,
+       round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+       round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+             + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0), 6) AS jb_stat
+FROM m
+"""
+
+QUERIES["jarque_bera_values"] = (q_jarque_bera_values,
+                                 SQL_JARQUE_BERA_VALUES)
