@@ -387,6 +387,15 @@ def ensure_pages(out_dir: str, n_pages: int, seed: int = SEED,
     if os.path.exists(marker):
         with open(marker) as f:
             have = f.read()
+    if have == expect:
+        # corroborate the marker: a run killed mid-rebuild (or a /tmp
+        # sweeper) can leave the marker without the parquet shards,
+        # which poisons every later read with a confusing glob miss
+        import glob as _glob
+
+        if len(_glob.glob(os.path.join(out_dir, "pages-*.parquet"))) \
+                != n_files:
+            have = None
     if have != expect:
         if have is not None:        # stale generator version: rebuild
             import shutil
