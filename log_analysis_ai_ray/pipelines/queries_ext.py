@@ -20516,3 +20516,8 @@ FROM m
 
 QUERIES["jarque_bera_values"] = (q_jarque_bera_values,
                                  SQL_JARQUE_BERA_VALUES)
+
+
+# session-10 continuation registry (TPC-H Q19, stationarity/variance
+# diagnostics, concentration + distribution-distance probes)
+from . import queries_ext2  # noqa: E402,F401

@@ -1,245 +1,171 @@
-"""Kernel cross-checks for the session-9 batch: Jonckheere-Terpstra
-histogram closure vs brute-force pair counting, Fisher exact vs exact
-Fraction enumeration, binned AD/KS vs the per-observation textbook
-sums, SCC boolean closure vs Tarjan, and the EWMA walk vs closed-form
-weights."""
+"""Brute-force verification of the round-3o driver closures: each
+exact-integer kernel in queries_ext2 is checked against an independent
+textbook float implementation on constructed + randomized inputs."""
 
 import math
-from fractions import Fraction
 
 import numpy as np
-from hypothesis import given, settings
-from hypothesis import strategies as st
 
-from log_analysis_ai_ray.pipelines.queries_ext import (
-    _ad_binned_uniform, _ewma_walk, _fisher_two_sided, _jt_stats,
-    _ks_binned_uniform, _scc_labels)
-
-# ---------------------------------------------------------------- JT
+from log_analysis_ai_ray.pipelines.queries_ext2 import (
+    bartlett_statistic, cohen_kappa, dw_statistic, hellinger_js,
+    hhi_stats, kpss_statistic)
 
 
-@settings(max_examples=40, deadline=None)
-@given(st.lists(st.lists(st.integers(min_value=0, max_value=8),
-                         min_size=1, max_size=12),
-                min_size=2, max_size=4))
-def test_jt_u2_matches_bruteforce_pairs(groups):
-    if sum(len(g) for g in groups) < 3:
-        return  # variance denominator needs N >= 3
-    vals = sorted({v for g in groups for v in g})
-    vix = {v: i for i, v in enumerate(vals)}
-    hist = np.zeros((len(groups), len(vals)), dtype=np.int64)
-    for gi, g in enumerate(groups):
-        for v in g:
-            hist[gi, vix[v]] += 1
-    u2, mean2, var = _jt_stats(hist)
-    # brute force: 2U = sum over i<j group pairs of 2*#(x<y) + #(x==y)
-    bf = 0
-    for i in range(len(groups)):
-        for j in range(i + 1, len(groups)):
-            for x in groups[i]:
-                for y in groups[j]:
-                    if x < y:
-                        bf += 2
-                    elif x == y:
-                        bf += 1
-    assert u2 == bf
-    # doubled mean: N^2 - sum n_i^2 halved
+def _dw_naive(x):
+    x = np.asarray(x, dtype=np.float64)
+    e = x - x.mean()
+    return float(np.sum(np.diff(e) ** 2) / np.sum(e * e))
+
+
+def _kpss_naive(x):
+    x = np.asarray(x, dtype=np.float64)
+    e = x - x.mean()
+    s = np.cumsum(e)
+    n = len(x)
+    lrv = np.sum(e * e) / n      # lag-0 long-run variance
+    return float(np.sum(s * s) / (n * n * lrv))
+
+
+def test_dw_matches_naive_random():
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        x = rng.randint(0, 1000, size=rng.randint(10, 200))
+        assert abs(dw_statistic(x) - _dw_naive(x)) < 1e-9
+
+
+def test_dw_limits():
+    rng = np.random.RandomState(1)
+    iid = rng.randint(0, 10_000, size=5000)
+    assert abs(dw_statistic(iid) - 2.0) < 0.1       # independence → ≈2
+    ramp = np.arange(1000)                          # strong trend → ≈0
+    assert dw_statistic(ramp) < 0.01
+    alt = np.tile([0, 100], 500)                    # alternation → ≈4
+    assert dw_statistic(alt) > 3.9
+
+
+def test_kpss_matches_naive_random():
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        x = rng.randint(0, 10**6, size=rng.randint(10, 300))
+        assert abs(kpss_statistic(x) - _kpss_naive(x)) < 1e-9
+
+
+def test_kpss_random_walk_larger_than_iid():
+    rng = np.random.RandomState(3)
+    steps = rng.randint(-50, 51, size=2000)
+    walk = 10**6 + np.cumsum(steps)                 # level-shifting
+    iid = 10**6 + rng.randint(-50, 51, size=2000)   # stationary
+    assert kpss_statistic(walk) > 10 * kpss_statistic(iid)
+
+
+def _bartlett_naive(groups):
+    k = len(groups)
     n_i = [len(g) for g in groups]
-    n = sum(n_i)
-    assert mean2 == (n * n - sum(x * x for x in n_i)) / 2.0
-    assert var >= 0.0
+    big_n = sum(n_i)
+    s2_i = [np.var(np.asarray(g, dtype=np.float64), ddof=1)
+            for g in groups]
+    sp2 = sum((n - 1) * s for n, s in zip(n_i, s2_i)) / (big_n - k)
+    t = ((big_n - k) * math.log(sp2)
+         - sum((n - 1) * math.log(s) for n, s in zip(n_i, s2_i)))
+    c = 1.0 + (sum(1.0 / (n - 1) for n in n_i)
+               - 1.0 / (big_n - k)) / (3.0 * (k - 1))
+    return t / c
 
 
-def test_jt_no_ties_matches_textbook_variance():
-    # distinct values everywhere: variance must reduce to
-    # [N^2(2N+3) - sum n_i^2 (2 n_i + 3)]/72
-    groups = [[1, 5], [2, 8], [3, 9, 11]]
-    vals = sorted({v for g in groups for v in g})
-    vix = {v: i for i, v in enumerate(vals)}
-    hist = np.zeros((3, len(vals)), dtype=np.int64)
-    for gi, g in enumerate(groups):
-        for v in g:
-            hist[gi, vix[v]] += 1
-    _, _, var = _jt_stats(hist)
-    n_i = [2, 2, 3]
-    n = 7
-    expect = (n * n * (2 * n + 3)
-              - sum(m * m * (2 * m + 3) for m in n_i)) / 72.0
-    assert abs(var - expect) < 1e-12
+def test_bartlett_matches_naive():
+    rng = np.random.RandomState(5)
+    groups = [rng.randint(0, 500, size=m).tolist()
+              for m in (30, 55, 80, 120)]
+    ns = [len(g) for g in groups]
+    s1 = [sum(g) for g in groups]
+    s2 = [sum(v * v for v in g) for g in groups]
+    assert abs(bartlett_statistic(ns, s1, s2)
+               - _bartlett_naive(groups)) < 1e-8
 
 
-# ------------------------------------------------------------ Fisher
+def test_bartlett_equal_variances_near_zero():
+    rng = np.random.RandomState(9)
+    groups = [(rng.randint(0, 100, size=500) + 1000 * i).tolist()
+              for i in range(4)]    # same spread, shifted locations
+    ns = [len(g) for g in groups]
+    s1 = [sum(g) for g in groups]
+    s2 = [sum(v * v for v in g) for g in groups]
+    # location shifts must not register: stat stays O(1), far below
+    # the inflated-variance case
+    infl = [g if i else (np.asarray(g) * 5).tolist()
+            for i, g in enumerate(groups)]
+    i1 = [sum(g) for g in infl]
+    i2 = [sum(v * v for v in g) for g in infl]
+    assert bartlett_statistic(ns, s1, s2) < 8
+    assert bartlett_statistic(ns, i1, i2) > 100
 
 
-def _fisher_fraction(a, b, c, d):
-    """Exact enumeration with Fractions (no floats)."""
-    n, r1, c1 = a + b + c + d, a + b, a + c
-
-    def comb(x, y):
-        return math.comb(x, y)
-
-    denom = comb(n, c1)
-    p_obs = Fraction(comb(r1, a) * comb(n - r1, c1 - a), denom)
-    tot = Fraction(0)
-    for k in range(max(0, c1 - (n - r1)), min(r1, c1) + 1):
-        p_k = Fraction(comb(r1, k) * comb(n - r1, c1 - k), denom)
-        if p_k <= p_obs * (1 + Fraction(1, 10**7)):
-            tot += p_k
-    return float(tot)
+def test_hhi_uniform_and_monopoly():
+    hhi, top, eff = hhi_stats([100] * 25)
+    assert abs(hhi - 1 / 25) < 1e-12
+    assert abs(top - 1 / 25) < 1e-12
+    assert abs(eff - 25.0) < 1e-9
+    hhi, top, eff = hhi_stats([10**9, 1, 1])
+    assert hhi > 0.999999 and top > 0.999999 and eff < 1.0000001
 
 
-@settings(max_examples=30, deadline=None)
-@given(st.tuples(st.integers(0, 25), st.integers(0, 25),
-                 st.integers(0, 25), st.integers(0, 25)))
-def test_fisher_matches_fraction_enumeration(cells):
-    a, b, c, d = cells
-    if a + b == 0 or c + d == 0 or a + c == 0 or b + d == 0:
-        return  # degenerate margins: p undefined/1 by convention
-    got = _fisher_two_sided(a, b, c, d)
-    want = _fisher_fraction(a, b, c, d)
-    assert abs(got - want) < 1e-9
+def test_hellinger_js_identical_zero_disjoint_max():
+    h, js = hellinger_js([10, 20, 30], [100, 200, 300])
+    assert abs(h) < 1e-12 and abs(js) < 1e-12
+    h, js = hellinger_js([10, 0, 5, 0], [0, 7, 0, 3])
+    assert abs(h - 1.0) < 1e-12
+    assert abs(js - math.log(2)) < 1e-12
 
 
-def test_fisher_balanced_table_is_one():
-    assert abs(_fisher_two_sided(5, 5, 5, 5) - 1.0) < 1e-12
+def test_hellinger_js_bounds_random():
+    rng = np.random.RandomState(13)
+    for _ in range(30):
+        a = rng.randint(0, 100, size=6)
+        b = rng.randint(0, 100, size=6)
+        if a.sum() == 0 or b.sum() == 0:
+            continue
+        # keep both marginals positive on at least one shared cell
+        a[0] += 1
+        b[0] += 1
+        h, js = hellinger_js(a.tolist(), b.tolist())
+        assert -1e-12 <= h <= 1.0 + 1e-12
+        assert -1e-12 <= js <= math.log(2) + 1e-12
+        # distance vs itself is 0 (sqrt amplifies the Σp≈1 float
+        # residue to ~1e-8, hence the looser bound than the exact
+        # identical-ratio case above)
+        h0, js0 = hellinger_js(a.tolist(), a.tolist())
+        assert abs(h0) < 1e-7 and abs(js0) < 1e-12
 
 
-# ---------------------------------------------------------- AD / KS
+def test_cohen_kappa_perfect_and_chance():
+    # perfect agreement: only diagonal cells → κ = 1
+    s, c, k = cohen_kappa(["a", "b"], ["a", "b"], [40, 60])
+    assert s == 100 and c == 100 and abs(k - 1.0) < 1e-12
+    # statistical independence: cells = outer product → κ = 0
+    la, pr, nn = [], [], []
+    tm = {"a": 30, "b": 70}
+    pm = {"a": 40, "b": 60}
+    for t, tv in tm.items():
+        for p, pv in pm.items():
+            la.append(t)
+            pr.append(p)
+            nn.append(tv * pv)      # n·P(t)·P(p) scaled by 100
+    s, c, k = cohen_kappa(la, pr, nn)
+    assert abs(k) < 1e-12
 
 
-@settings(max_examples=30, deadline=None)
-@given(st.lists(st.integers(0, 9), min_size=1, max_size=60))
-def test_ad_binned_matches_textbook_sorted_sum(bins):
-    nb = 10
-    hist = np.zeros(nb, dtype=np.int64)
-    for b in bins:
-        hist[b] += 1
-    n = int(hist.sum())
-    # textbook: sorted u_i at bin centres
-    u = np.sort(np.concatenate(
-        [np.full(c, (b + 0.5) / nb) for b, c in enumerate(hist)]))
-    i = np.arange(1, n + 1, dtype=np.float64)
-    a2 = -n - float(np.mean((2 * i - 1)
-                            * (np.log(u) + np.log(1 - u[::-1]))))
-    assert abs(_ad_binned_uniform(hist) - a2) < 1e-9
-
-
-@settings(max_examples=30, deadline=None)
-@given(st.lists(st.integers(0, 9), min_size=1, max_size=60))
-def test_ks_binned_matches_fine_grid_sup(bins):
-    nb = 10
-    hist = np.zeros(nb, dtype=np.int64)
-    for b in bins:
-        hist[b] += 1
-    n = int(hist.sum())
-    d_plus, d_minus = _ks_binned_uniform(hist)
-    cum = np.cumsum(hist) / n
-    # sup over bin edges of the two one-sided gaps, brute force
-    bf_plus = max(cum[b] - b / nb for b in range(nb))
-    bf_minus = max((b + 1) / nb - cum[b] for b in range(nb))
-    assert abs(d_plus - bf_plus) < 1e-12
-    assert abs(d_minus - bf_minus) < 1e-12
-    assert max(d_plus, d_minus) >= 0.0
-
-
-# --------------------------------------------------------------- SCC
-
-
-def _tarjan(n, edges):
-    g = [[] for _ in range(n)]
-    for s, d in edges:
-        g[s].append(d)
-    idx = [None] * n
-    low = [0] * n
-    on = [False] * n
-    stack, out, counter = [], [], [0]
-
-    def dfs(root):
-        work = [(root, 0)]
-        while work:
-            u, pi = work[-1]
-            if pi == 0:
-                idx[u] = low[u] = counter[0]
-                counter[0] += 1
-                stack.append(u)
-                on[u] = True
-            recurse = False
-            for vi in range(pi, len(g[u])):
-                v = g[u][vi]
-                if idx[v] is None:
-                    work[-1] = (u, vi + 1)
-                    work.append((v, 0))
-                    recurse = True
-                    break
-                if on[v]:
-                    low[u] = min(low[u], idx[v])
-            if recurse:
-                continue
-            if low[u] == idx[u]:
-                comp = []
-                while True:
-                    w = stack.pop()
-                    on[w] = False
-                    comp.append(w)
-                    if w == u:
-                        break
-                out.append(comp)
-            work.pop()
-            if work:
-                p = work[-1][0]
-                low[p] = min(low[p], low[u])
-
-    for u in range(n):
-        if idx[u] is None:
-            dfs(u)
-    return out
-
-
-@settings(max_examples=40, deadline=None)
-@given(st.integers(2, 10).flatmap(
-    lambda n: st.tuples(st.just(n), st.lists(
-        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
-        max_size=30))))
-def test_scc_closure_matches_tarjan(args):
-    n, edges = args
-    edges = [(s, d) for s, d in edges if s != d]
-    si = np.array([e[0] for e in edges], dtype=np.int64)
-    di = np.array([e[1] for e in edges], dtype=np.int64)
-    labels = _scc_labels(n, si, di)
-    comps = _tarjan(n, edges)
-    want = [0] * n
-    for comp in comps:
-        m = min(comp)
-        for u in comp:
-            want[u] = m
-    assert labels.tolist() == want
-
-
-# -------------------------------------------------------------- EWMA
-
-
-def test_ewma_walk_matches_closed_form():
-    x = np.array([3, 7, 1, 9, 4, 4, 4, 12], dtype=np.int64)
-    mu = float(x.mean())
-    sigma = float(x.std())
-    lam = 0.2
-    n_alarms, first, max_score = _ewma_walk(x, mu, sigma)
-    # closed form: z_t = (1-lam)^t mu + lam sum (1-lam)^(t-i) x_i
-    worst = 0.0
-    for t in range(1, len(x) + 1):
-        z = (1 - lam) ** t * mu + lam * sum(
-            (1 - lam) ** (t - i) * x[i - 1] for i in range(1, t + 1))
-        lim = 3.0 * sigma * math.sqrt(
-            lam / (2 - lam) * (1 - (1 - lam) ** (2 * t)))
-        worst = max(worst, abs(z - mu) / lim)
-    assert abs(max_score - worst) < 1e-9
-    assert (n_alarms > 0) == (worst > 1.0)
-    assert first is None or 1 <= first <= len(x)
-
-
-def test_ewma_constant_series_never_alarms():
-    x = np.full(50, 7, dtype=np.int64)
-    n_alarms, first, max_score = _ewma_walk(x, 7.0, 1.0)
-    # 0.2*7 + 0.8*7 = 7 + 1 ulp in binary floating point — the walk
-    # stays within rounding noise of the mean, never near the limits
-    assert n_alarms == 0 and first is None and max_score < 1e-12
+def test_cohen_kappa_matches_po_pe_form():
+    rng = np.random.RandomState(17)
+    labels = ["a", "b", "c"]
+    la, pr, nn = [], [], []
+    for t in labels:
+        for p in labels:
+            la.append(t)
+            pr.append(p)
+            nn.append(int(rng.randint(1, 50)))
+    s, c, k = cohen_kappa(la, pr, nn)
+    nn_a = np.asarray(nn, dtype=np.float64)
+    po = c / s
+    pe = sum((nn_a[np.asarray(la) == t].sum() / s)
+             * (nn_a[np.asarray(pr) == t].sum() / s) for t in labels)
+    assert abs(k - (po - pe) / (1 - pe)) < 1e-12
