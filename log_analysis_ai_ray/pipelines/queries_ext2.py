@@ -583,3 +583,548 @@ FROM tot, tpx
 
 QUERIES["cohen_kappa_langid"] = (q_cohen_kappa_langid,
                                  _cohen_kappa_langid_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cox-Stuart trend sign test on daily revenue
+# ---------------------------------------------------------------------------
+
+
+def cox_stuart_counts(x) -> tuple:
+    """(n_plus, n_minus) pairing x_i with x_{i+⌈n/2⌉} on an ordered
+    series (odd-length middle element participates in no pair; ties
+    dropped — the textbook convention)."""
+    x = list(x)
+    n = len(x)
+    m = (n + 1) // 2
+    plus = minus = 0
+    for i in range(n - m):
+        if x[i + m] > x[i]:
+            plus += 1
+        elif x[i + m] < x[i]:
+            minus += 1
+    return plus, minus
+
+
+def q_cox_stuart_daily(sf_dir: str):
+    """Cox-Stuart trend test on daily order revenue: each day in the
+    first half pairs with its offset-⌈n/2⌉ partner; under no trend the
+    up/down signs are symmetric Bernoulli(½). Closes from the
+    days-bounded (day, Σcents) partials with the exact integer sign
+    counts; z = (2·n⁺ − n_eff)/√n_eff mirrors the oracle double-for-
+    double."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    x = cv[np.argsort(day)]
+    plus, minus = cox_stuart_counts(x)
+    n_eff = plus + minus
+    z = (2.0 * plus - n_eff) / math.sqrt(n_eff)
+    return pa.table({
+        "n_plus": pa.array([plus], pa.int64()),
+        "n_minus": pa.array([minus], pa.int64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_COX_STUART_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+nn AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS m FROM r),
+p AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_plus,
+         CAST(sum(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_minus
+  FROM r a JOIN nn ON true
+  JOIN r b ON b.rn = a.rn + nn.m
+  WHERE a.rn <= nn.n - nn.m)
+SELECT n_plus, n_minus,
+       round((2.0 * n_plus - (n_plus + n_minus))
+             / sqrt(CAST(n_plus + n_minus AS DOUBLE)), 6) AS z_score
+FROM p
+"""
+
+QUERIES["cox_stuart_daily"] = (q_cox_stuart_daily, SQL_COX_STUART_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Grubbs extreme-outlier statistic on daily revenue
+# ---------------------------------------------------------------------------
+
+
+def grubbs_pick(day, cents) -> tuple:
+    """(day*, g_stat): the Grubbs G = max|x−x̄|/s day, argmax by the
+    EXACT integer deviation |n·x − S| (ties → earliest day), the
+    statistic itself one mirrored double expression."""
+    day = [int(v) for v in day]
+    x = [int(v) for v in cents]
+    n = len(x)
+    s = sum(x)
+    q = sum(v * v for v in x)
+    best_dev = -1
+    best_day = None
+    for dy, v in sorted(zip(day, x)):
+        dev = abs(n * v - s)
+        if dev > best_dev:
+            best_dev = dev
+            best_day = dy
+    v_num = n * q - s * s                  # n·(n−1)·s² exact
+    # |x−x̄| = best_dev/n; s = sqrt(v_num/(n(n−1)))
+    g = (float(best_dev) / n) / math.sqrt(
+        float(v_num) / (float(n) * (n - 1)))
+    return best_day, n, g
+
+
+def q_grubbs_daily_revenue(sf_dir: str):
+    """Grubbs' extreme-studentized-deviate test over daily revenue:
+    which single day deviates most from the mean, in sample-σ units.
+    Days-bounded shuffle; integer-exact argmax; one double closure."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    best_day, n, g = grubbs_pick(m.column("day").to_pylist(),
+                                 m.column("cents").to_pylist())
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "outlier_day": pa.array([best_day], pa.int64()),
+        "g_stat": pa.array([round(g, 6)], pa.float64()),
+    })
+
+
+SQL_GRUBBS_DAILY_REVENUE = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS HUGEINT) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(cents) AS sm,
+             sum(cents * cents) AS q
+      FROM d),
+dev AS (
+  SELECT day, abs(s.n * cents - s.sm) AS nd, s.n, s.sm, s.q
+  FROM d, s ORDER BY nd DESC, day ASC LIMIT 1)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(day AS BIGINT) AS outlier_day,
+       round((CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(n * q - sm * sm AS DOUBLE)
+                    / (CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - 1))), 6) AS g_stat
+FROM dev
+"""
+
+QUERIES["grubbs_daily_revenue"] = (q_grubbs_daily_revenue,
+                                   SQL_GRUBBS_DAILY_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann shift estimate between click and view values
+# ---------------------------------------------------------------------------
+
+
+def hodges_lehmann_from_hists(vx, cx, vy, cy) -> tuple:
+    """(n_pairs, hl): lower median of all pairwise differences x−y
+    from two integer histograms — O(Vx·Vy) on the bounded value
+    alphabet instead of O(nx·ny) on rows; exact integers end to
+    end."""
+    from collections import defaultdict
+    diff = defaultdict(int)
+    for v, c in zip(vx, cx):
+        for w, d in zip(vy, cy):
+            diff[int(v) - int(w)] += int(c) * int(d)
+    n_pairs = sum(diff.values())
+    k = (n_pairs + 1) // 2
+    cum = 0
+    for d in sorted(diff):
+        cum += diff[d]
+        if cum >= k:
+            return n_pairs, d
+    raise AssertionError("empty histogram")
+
+
+def q_hodges_lehmann_click_view(sf_dir: str):
+    """Hodges-Lehmann shift estimator between click and view event
+    values (floor-dollar units): the lower median of ALL nx·ny
+    pairwise differences, computed from the two bounded dollar
+    histograms (a |values|-bounded shuffle and an O(V²) driver
+    closure — never the quadratic row join the textbook form
+    implies). The robust counterpart of a difference in means."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        dollars = pc.cast(pc.floor(t.column("value")), pa.int64())
+        g = pa.table({"grp": t.column("event_type"), "v": dollars}) \
+            .group_by(["grp", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["grp", "v", "cnt"])
+
+    m = _partial_final(ds, partial, ["grp", "v"], [("cnt", "sum")])
+    grp = np.asarray(m.column("grp").to_pylist())
+    v = np.asarray(m.column("v"), dtype=np.int64)
+    c = np.asarray(m.column("cnt"), dtype=np.int64)
+    xs = grp == "click"
+    ys = grp == "view"
+    n_pairs, hl = hodges_lehmann_from_hists(v[xs], c[xs], v[ys], c[ys])
+    return pa.table({
+        "n_click": pa.array([int(c[xs].sum())], pa.int64()),
+        "n_view": pa.array([int(c[ys].sum())], pa.int64()),
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "hl_shift_dollars": pa.array([hl], pa.int64()),
+    })
+
+
+SQL_HODGES_LEHMANN_CLICK_VIEW = """
+WITH hx AS (
+  SELECT CAST(floor(value) AS BIGINT) AS v, count(*) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+hy AS (
+  SELECT CAST(floor(value) AS BIGINT) AS v, count(*) AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+dc AS (
+  SELECT hx.v - hy.v AS d, sum(hx.c * hy.c) AS c FROM hx, hy
+  GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM dc),
+cum AS (SELECT d, sum(c) OVER (ORDER BY d) AS cm FROM dc)
+SELECT (SELECT CAST(sum(c) AS BIGINT) FROM hx) AS n_click,
+       (SELECT CAST(sum(c) AS BIGINT) FROM hy) AS n_view,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_pairs,
+       CAST(min(d) AS BIGINT) AS hl_shift_dollars
+FROM cum, tot WHERE cm >= (tot.n + 1) // 2
+"""
+
+QUERIES["hodges_lehmann_click_view"] = (q_hodges_lehmann_click_view,
+                                        SQL_HODGES_LEHMANN_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises uniformity of second-of-day (binned closed form)
+# ---------------------------------------------------------------------------
+
+
+def cvm_binned(counts, n_bins) -> float:
+    """W² = 1/(12n) + Σᵢ(F(xᵢ) − (2i−1)/(2n))² with the midpoint CDF
+    convention F(bin b) = (b+½)/n_bins, evaluated per tied block in
+    closed form: ranks never enumerate. Integer rank sums are exact
+    Python ints (Σ(2i−1)² ≈ (2n)³/3 overflows int64); one double term
+    per occupied bin."""
+    n = int(sum(int(c) for c in counts))
+
+    def f_odd_sq(t):       # Σ_{i=1..t} (2i−1)² = t(2t−1)(2t+1)/3
+        return t * (2 * t - 1) * (2 * t + 1) // 3
+
+    w2 = 1.0 / (12.0 * n)
+    a0 = 0
+    for b, k in enumerate(counts):
+        k = int(k)
+        if k == 0:
+            continue
+        u = (b + 0.5) / n_bins
+        s1 = (a0 + k) ** 2 - a0 ** 2          # Σ(2i−1) over the block
+        s2 = f_odd_sq(a0 + k) - f_odd_sq(a0)  # Σ(2i−1)²
+        w2 += k * u * u - u * float(s1) / n \
+            + float(s2) / (4.0 * float(n) * n)
+        a0 += k
+    return w2
+
+
+def q_cvm_uniform_seconds(sf_dir: str):
+    """Cramér-von Mises W² distance of the event second-of-day
+    distribution from U(0, 86400) — the quadratic-ECDF companion of
+    ks_uniform_seconds (W² weighs the whole CDF, the KS row only the
+    sup). Ships ≤86400-row count partials; closes with the exact
+    tied-block rank algebra of cvm_binned."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        sec = pc.divide(
+            pc.subtract(us, pc.multiply(
+                pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                pa.scalar(86_400_000_000, pa.int64()))),
+            pa.scalar(1_000_000, pa.int64()))
+        g = pa.table({"sec": sec}).group_by("sec") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["sec", "cnt"])
+
+    m = _partial_final(ds, partial, ["sec"], [("cnt", "sum")])
+    sec = np.asarray(m.column("sec"), dtype=np.int64)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    hist = np.zeros(86_400, dtype=np.int64)
+    hist[sec] = cnt
+    w2 = cvm_binned(hist, 86_400)
+    return pa.table({
+        "n_events": pa.array([int(cnt.sum())], pa.int64()),
+        "cvm_w2": pa.array([round(w2, 6)], pa.float64()),
+    })
+
+
+SQL_CVM_UNIFORM_SECONDS = """
+WITH h AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) % 86400000000) // 1000000
+           AS sec,
+         CAST(count(*) AS HUGEINT) AS k
+  FROM events GROUP BY 1),
+nn AS (SELECT sum(k) AS n FROM h),
+blk AS (
+  SELECT sec, k,
+         coalesce(sum(k) OVER (ORDER BY sec
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS a0
+  FROM h),
+term AS (
+  SELECT k * ((sec + 0.5) / 86400.0) * ((sec + 0.5) / 86400.0)
+         - ((sec + 0.5) / 86400.0)
+           * CAST((a0 + k) * (a0 + k) - a0 * a0 AS DOUBLE) / nn.n
+         + CAST(((a0 + k) * (2 * (a0 + k) - 1) * (2 * (a0 + k) + 1)) // 3
+                - (a0 * (2 * a0 - 1) * (2 * a0 + 1)) // 3 AS DOUBLE)
+           / (4.0 * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS w
+  FROM blk, nn)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_events,
+       round(1.0 / (12.0 * (SELECT CAST(n AS DOUBLE) FROM nn))
+             + sum(w), 6) AS cvm_w2
+FROM term
+"""
+
+QUERIES["cvm_uniform_seconds"] = (q_cvm_uniform_seconds,
+                                  SQL_CVM_UNIFORM_SECONDS)
+
+
+# ---------------------------------------------------------------------------
+# macro-F1 / balanced accuracy of the language-ID scorer
+# ---------------------------------------------------------------------------
+
+
+def macro_f1_balanced_acc(la, pr, nn) -> tuple:
+    """(macro_f1, balanced_acc) over classes with positive label
+    support: per-class F1 = 2c/(t+p) (the harmonic identity — never
+    divides by a zero precision/recall), recall = c/t."""
+    la = np.asarray(la)
+    pr = np.asarray(pr)
+    nn = np.asarray(nn, dtype=np.int64)
+    classes = sorted(set(la[nn > 0].tolist()))
+    f1s, recalls = [], []
+    for k in classes:
+        t = int(nn[la == k].sum())
+        p = int(nn[pr == k].sum())
+        c = int(nn[(la == k) & (pr == k)].sum())
+        f1s.append(2.0 * c / (t + p) if (t + p) else 0.0)
+        recalls.append(c / float(t))
+    return (sum(f1s) / len(f1s), sum(recalls) / len(recalls))
+
+
+def q_langid_macro_f1(sf_dir: str):
+    """Macro-averaged F1 and balanced accuracy of the deterministic
+    language-ID scorer — the class-imbalance-robust companions of
+    langid_mcc, from the same langs²-bounded confusion shuffle. The
+    per-class F1 uses the division-safe identity 2c/(t+p)."""
+    from ..stages.textstats import langid_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({"lang": t.column("lang"), "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    m = _partial_final(ds, partial, ["lang", "pred_lang"],
+                       [("n", "sum")])
+    f1, bacc = macro_f1_balanced_acc(m.column("lang").to_pylist(),
+                                     m.column("pred_lang").to_pylist(),
+                                     m.column("n").to_pylist())
+    return pa.table({
+        "macro_f1": pa.array([round(f1, 6)], pa.float64()),
+        "balanced_acc": pa.array([round(bacc, 6)], pa.float64()),
+    })
+
+
+def _langid_macro_f1_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH pred AS ({inner}),
+cm AS (
+  SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+cls AS (SELECT DISTINCT lang AS k FROM cm),
+per AS (
+  SELECT cls.k,
+         (SELECT coalesce(sum(n), 0) FROM cm WHERE lang = cls.k) AS t,
+         (SELECT coalesce(sum(n), 0) FROM cm
+          WHERE pred_lang = cls.k) AS p,
+         (SELECT coalesce(sum(n), 0) FROM cm
+          WHERE lang = cls.k AND pred_lang = cls.k) AS c
+  FROM cls)
+SELECT round(avg(CASE WHEN t + p > 0
+                      THEN 2.0 * c / (t + p) ELSE 0.0 END), 6)
+         AS macro_f1,
+       round(avg(CAST(c AS DOUBLE) / t), 6) AS balanced_acc
+FROM per
+"""
+
+
+QUERIES["langid_macro_f1"] = (q_langid_macro_f1, _langid_macro_f1_sql())
+
+
+# ---------------------------------------------------------------------------
+# Bowker symmetry test on the language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def bowker_symmetry(la, pr, nn) -> tuple:
+    """(chi2, df) of Bowker's symmetry test: Σ_{i<j}
+    (n_ij − n_ji)²/(n_ij + n_ji) over off-diagonal pairs with
+    n_ij + n_ji > 0 — exact integer numerators, df = #contributing
+    pairs."""
+    cell = {}
+    for a, b, c in zip(la, pr, nn):
+        cell[(a, b)] = cell.get((a, b), 0) + int(c)
+    labels = sorted({a for a, _ in cell} | {b for _, b in cell})
+    chi2 = 0.0
+    df = 0
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            x = cell.get((a, b), 0)
+            y = cell.get((b, a), 0)
+            if x + y > 0:
+                chi2 += float((x - y) * (x - y)) / (x + y)
+                df += 1
+    return chi2, df
+
+
+def q_bowker_symmetry_langid(sf_dir: str):
+    """Bowker's test of confusion-matrix symmetry for the language-ID
+    scorer: does en→fr confusion mirror fr→en? χ² = Σ_{i<j}
+    (n_ij−n_ji)²/(n_ij+n_ji), df = # off-diagonal pairs observed.
+    Same langs²-bounded shuffle as the other confusion rows."""
+    from ..stages.textstats import langid_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({"lang": t.column("lang"), "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    m = _partial_final(ds, partial, ["lang", "pred_lang"],
+                       [("n", "sum")])
+    chi2, df = bowker_symmetry(m.column("lang").to_pylist(),
+                               m.column("pred_lang").to_pylist(),
+                               m.column("n").to_pylist())
+    return pa.table({
+        "bowker_chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "df": pa.array([df], pa.int64()),
+    })
+
+
+def _bowker_symmetry_langid_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH pred AS ({inner}),
+cm AS (
+  SELECT d.lang AS a, pred.pred_lang AS b, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+pairs AS (
+  SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+         CAST(sum(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT) AS y
+  FROM cm WHERE a <> b GROUP BY 1, 2)
+SELECT round(coalesce(sum(CAST((x - y) * (x - y) AS DOUBLE) / (x + y)),
+                      0.0), 6) AS bowker_chi2,
+       CAST(count(*) AS BIGINT) AS df
+FROM pairs WHERE x + y > 0
+"""
+
+
+QUERIES["bowker_symmetry_langid"] = (q_bowker_symmetry_langid,
+                                     _bowker_symmetry_langid_sql())
+
+
+# ---------------------------------------------------------------------------
+# local bridges of the domain link graph (edges spanning no triangle)
+# ---------------------------------------------------------------------------
+
+
+def local_bridge_mask(n, lo, hi):
+    """Boolean mask over the (lo, hi) edge list: True where the edge's
+    endpoints share no common neighbor ((A·A)[lo,hi] = 0)."""
+    a = np.zeros((n, n), dtype=np.int64)
+    a[lo, hi] = 1
+    a[hi, lo] = 1
+    return (a @ a)[lo, hi] == 0
+
+
+def q_domain_local_bridges(sf_dir: str):
+    """Local bridges of the undirected domain graph — edges whose
+    endpoints share NO common neighbor (span > 2), the classic
+    weak-tie screen (removing one lengthens its endpoints' distance
+    past 2). The page-scale href extraction + distinct-edge
+    distillation is the shared distributed pass; the wedge check runs
+    on the bounded |domains|² adjacency driver-side ((A·A)∘A = 0
+    cells), the domain_triangles discipline. The synth domain graph is
+    near-complete, so an EMPTY result is the expected answer at the
+    checked scales — tests/test_ops_round3o.py proves the kernel on
+    sparse constructed graphs."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    m = local_bridge_mask(len(names), lo, hi)
+    out = pa.table({"domain_a": pa.array(names[lo[m]]),
+                    "domain_b": pa.array(names[hi[m]])})
+    return out.sort_by([("domain_a", "ascending"),
+                        ("domain_b", "ascending")])
+
+
+def _domain_local_bridges_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS (SELECT a AS s, b AS d FROM e
+        UNION ALL SELECT b, a FROM e)
+SELECT e.a AS domain_a, e.b AS domain_b
+FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM adj n1 JOIN adj n2 ON n1.d = n2.d
+  WHERE n1.s = e.a AND n2.s = e.b)
+ORDER BY 1, 2
+"""
+
+
+QUERIES["domain_local_bridges"] = (q_domain_local_bridges,
+                                   _domain_local_bridges_sql())

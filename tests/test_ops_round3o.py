@@ -169,3 +169,133 @@ def test_cohen_kappa_matches_po_pe_form():
     pe = sum((nn_a[np.asarray(la) == t].sum() / s)
              * (nn_a[np.asarray(pr) == t].sum() / s) for t in labels)
     assert abs(k - (po - pe) / (1 - pe)) < 1e-12
+
+
+# --------------------------------------------------------------------
+# batch 2: Cox-Stuart, Grubbs, Hodges-Lehmann, CvM, macro-F1, Bowker,
+# local bridges
+# --------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext2 import (  # noqa: E402
+    bowker_symmetry, cox_stuart_counts, cvm_binned, grubbs_pick,
+    hodges_lehmann_from_hists, local_bridge_mask, macro_f1_balanced_acc)
+
+
+def test_cox_stuart_monotone_and_flat():
+    assert cox_stuart_counts(list(range(100))) == (50, 0)
+    assert cox_stuart_counts(list(range(100, 0, -1))) == (0, 50)
+    assert cox_stuart_counts([5] * 99) == (0, 0)          # all ties
+    # odd length drops the middle element: 7 values -> 3 pairs
+    p, m = cox_stuart_counts([1, 2, 3, 10, 4, 5, 6])
+    assert p + m == 3
+
+
+def test_grubbs_matches_naive():
+    rng = np.random.RandomState(2)
+    days = np.arange(50)
+    x = rng.randint(900, 1100, size=50)
+    x[17] = 5000                       # planted spike
+    day, n, g = grubbs_pick(days, x)
+    assert day == 17 and n == 50
+    xf = x.astype(np.float64)
+    naive = float(np.max(np.abs(xf - xf.mean())) / xf.std(ddof=1))
+    assert abs(g - naive) < 1e-9
+
+
+def test_grubbs_tie_breaks_to_earliest_day():
+    day, _, _ = grubbs_pick([3, 1, 2], [100, 0, 200])
+    # deviations from mean 100: 0, 100, 100 -> tie between days 1, 2
+    assert day == 1
+
+
+def test_hodges_lehmann_exact_small():
+    # x = {1,3}, y = {0}: diffs {1,3}, lower median = 1
+    n, hl = hodges_lehmann_from_hists([1, 3], [1, 1], [0], [1])
+    assert (n, hl) == (2, 1)
+    # known shift: y = x - 7 elementwise => HL = 7
+    vx = [10, 12, 15, 20]
+    vy = [v - 7 for v in vx]
+    n, hl = hodges_lehmann_from_hists(vx, [3, 1, 4, 2], vy,
+                                      [3, 1, 4, 2])
+    assert hl == 7
+
+
+def test_hodges_lehmann_matches_bruteforce_random():
+    rng = np.random.RandomState(23)
+    for _ in range(10):
+        x = rng.randint(0, 30, size=40)
+        y = rng.randint(0, 30, size=35)
+        diffs = np.sort((x[:, None] - y[None, :]).ravel())
+        k = (len(diffs) + 1) // 2
+        expect = int(diffs[k - 1])
+        vx, cx = np.unique(x, return_counts=True)
+        vy, cy = np.unique(y, return_counts=True)
+        n, hl = hodges_lehmann_from_hists(vx, cx, vy, cy)
+        assert n == len(diffs) and hl == expect
+
+
+def _cvm_naive(values, n_bins):
+    """Rank-enumerated W² with the same midpoint CDF convention."""
+    v = np.sort(np.asarray(values))
+    n = len(v)
+    u = (v + 0.5) / n_bins
+    i = np.arange(1, n + 1)
+    return float(1.0 / (12 * n) + np.sum((u - (2 * i - 1)
+                                          / (2.0 * n)) ** 2))
+
+
+def test_cvm_binned_matches_rank_enumeration():
+    rng = np.random.RandomState(31)
+    for _ in range(10):
+        vals = rng.randint(0, 60, size=500)
+        hist = np.bincount(vals, minlength=60)
+        assert abs(cvm_binned(hist, 60) - _cvm_naive(vals, 60)) < 1e-9
+
+
+def test_cvm_uniform_small_vs_concentrated_large():
+    n = 60_000
+    uniform = np.full(60, n // 60)
+    spike = np.zeros(60, dtype=int)
+    spike[0] = n
+    # heavily tied uniform data keeps a floor of Σk_b³/(12n²)-ish
+    # midpoint-vs-rank residual (≈1.39 here); the discriminating
+    # property is the orders-of-magnitude gap to the concentrated case
+    u = cvm_binned(uniform, 60)
+    s = cvm_binned(spike, 60)
+    assert u < 2.0
+    assert s > 1000 * u
+
+
+def test_macro_f1_perfect_and_degenerate():
+    f1, bacc = macro_f1_balanced_acc(["a", "b"], ["a", "b"], [10, 90])
+    assert f1 == 1.0 and bacc == 1.0
+    # everything predicted 'a': F1_a = 2*10/(10+100), F1_b = 0,
+    # recall_a = 1, recall_b = 0
+    f1, bacc = macro_f1_balanced_acc(["a", "b"], ["a", "a"], [10, 90])
+    assert abs(f1 - 0.5 * (20 / 110)) < 1e-12
+    assert abs(bacc - 0.5) < 1e-12
+
+
+def test_bowker_symmetric_zero_asymmetric_positive():
+    # symmetric off-diagonals -> chi2 = 0, df counts observed pairs
+    chi2, df = bowker_symmetry(["a", "b", "a", "b"],
+                               ["b", "a", "a", "b"], [5, 5, 10, 10])
+    assert chi2 == 0.0 and df == 1
+    chi2, df = bowker_symmetry(["a", "b"], ["b", "a"], [9, 1])
+    assert abs(chi2 - 64 / 10) < 1e-12 and df == 1
+
+
+def test_local_bridges_path_all_triangle_none():
+    # path 0-1-2-3: every edge is a local bridge
+    lo = np.array([0, 1, 2])
+    hi = np.array([1, 2, 3])
+    assert local_bridge_mask(4, lo, hi).all()
+    # triangle: no edge is
+    lo = np.array([0, 0, 1])
+    hi = np.array([1, 2, 2])
+    assert not local_bridge_mask(3, lo, hi).any()
+    # triangle + pendant edge: only the pendant is a local bridge
+    lo = np.array([0, 0, 1, 2])
+    hi = np.array([1, 2, 2, 3])
+    assert local_bridge_mask(4, lo, hi).tolist() == [False, False,
+                                                     False, True]
