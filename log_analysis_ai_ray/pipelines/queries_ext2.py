@@ -1128,3 +1128,466 @@ ORDER BY 1, 2
 
 QUERIES["domain_local_bridges"] = (q_domain_local_bridges,
                                    _domain_local_bridges_sql())
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) with midrank ties: click vs view
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_from_hists(vals, cx, cy) -> tuple:
+    """(u_x, z) from aligned histograms over a shared sorted value
+    alphabet. Doubled-rank algebra keeps every intermediate an exact
+    integer: 2R_x = Σ cx·(2·cum_before + t + 1), 2U_x = 2R_x −
+    nx(nx+1); tie-corrected variance from T = Σ(t³−t)."""
+    cx = [int(v) for v in cx]
+    cy = [int(v) for v in cy]
+    nx, ny = sum(cx), sum(cy)
+    n = nx + ny
+    cum = 0
+    r2x = 0          # 2·R_x
+    t_corr = 0       # Σ t³ − t
+    for a, b in zip(cx, cy):
+        t = a + b
+        r2x += a * (2 * cum + t + 1)
+        t_corr += t * t * t - t
+        cum += t
+    u2x = r2x - nx * (nx + 1)          # 2·U_x
+    mean2 = nx * ny                     # 2·E[U]
+    var = (nx * ny / 12.0) * ((n + 1)
+                              - t_corr / (float(n) * (n - 1)))
+    z = (u2x - mean2) / (2.0 * math.sqrt(var))
+    return u2x / 2.0, z
+
+
+def q_mann_whitney_click_view(sf_dir: str):
+    """Mann-Whitney U / Wilcoxon rank-sum test of click vs view event
+    values — the unpaired two-sample location test the registry's
+    Wilcoxon signed-rank (paired) and Kruskal-Wallis (k-sample) rows
+    bracket. Ranks come from the bounded integer-cents histogram
+    (a |values|-bounded shuffle, never a global sort); midrank ties
+    and the tie-corrected normal approximation close exactly via
+    doubled ranks."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_x = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"v": cents, "x": is_x,
+                      "y": pc.subtract(pa.scalar(1, pa.int64()), is_x)}) \
+            .group_by("v").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["v", "cx", "cy"])
+
+    m = _partial_final(ds, partial, ["v"],
+                       [("cx", "sum"), ("cy", "sum")])
+    m = m.sort_by("v")
+    cx = np.asarray(m.column("cx"), dtype=np.int64)
+    cy = np.asarray(m.column("cy"), dtype=np.int64)
+    u, z = mann_whitney_from_hists(
+        np.asarray(m.column("v")), cx, cy)
+    return pa.table({
+        "n_click": pa.array([int(cx.sum())], pa.int64()),
+        "n_view": pa.array([int(cy.sum())], pa.int64()),
+        "u_stat": pa.array([round(u, 1)], pa.float64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_MANN_WHITNEY_CLICK_VIEW = """
+WITH h AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+c AS (
+  SELECT cx, cy, cx + cy AS t,
+         coalesce(sum(cx + cy) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum
+  FROM h),
+s AS (
+  SELECT sum(cx) AS nx, sum(cy) AS ny,
+         CAST(sum(cx * (2 * cum + t + 1)) AS BIGINT) AS r2x,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tc
+  FROM c)
+SELECT CAST(nx AS BIGINT) AS n_click, CAST(ny AS BIGINT) AS n_view,
+       round((r2x - nx * (nx + 1)) / 2.0, 1) AS u_stat,
+       round((r2x - nx * (nx + 1) - nx * ny)
+             / (2.0 * sqrt((nx * ny / 12.0)
+                           * ((nx + ny + 1)
+                              - tc / (CAST(nx + ny AS DOUBLE)
+                                      * (nx + ny - 1))))), 6)
+         AS z_score
+FROM s
+"""
+
+QUERIES["mann_whitney_click_view"] = (q_mann_whitney_click_view,
+                                      SQL_MANN_WHITNEY_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley scale test: click vs view dispersion
+# ---------------------------------------------------------------------------
+
+
+def ansari_bradley_from_hists(cx, cy) -> tuple:
+    """(ab_x, z) from aligned histograms. Doubled midrank scores
+    2a = (n+1) − |2·midrank − (n+1)| stay exact integers; the
+    finite-population (sampling-without-replacement) variance
+    Var(2A) = nx·ny·(n·Σc(2a)² − (Σc·2a)²)/(n²(n−1)) handles ties
+    without parity case-splits."""
+    cx = [int(v) for v in cx]
+    cy = [int(v) for v in cy]
+    nx, ny = sum(cx), sum(cy)
+    n = nx + ny
+    cum = 0
+    a2x = 0           # Σ over x-group of 2a
+    s1 = 0            # Σ over ALL of 2a
+    s2 = 0            # Σ over ALL of (2a)²
+    for a, b in zip(cx, cy):
+        t = a + b
+        mr2 = 2 * cum + t + 1          # 2·midrank
+        sc2 = (n + 1) - abs(mr2 - (n + 1))
+        a2x += a * sc2
+        s1 += t * sc2
+        s2 += t * sc2 * sc2
+        cum += t
+    # z for 2A_x: mean = nx·s1/n; multiply through by n to stay exact
+    num = n * a2x - nx * s1
+    var_n2 = nx * ny * (n * s2 - s1 * s1) / (float(n) * n * (n - 1))
+    z = num / (float(n) * math.sqrt(var_n2))
+    return a2x / 2.0, z
+
+
+def q_ansari_bradley_click_view(sf_dir: str):
+    """Ansari-Bradley rank test of equal DISPERSION between click and
+    view values (the scale counterpart of the Mann-Whitney location
+    row): scores grow toward the distribution's middle, so a
+    concentrated group scores high. Bounded-histogram ranks, exact
+    doubled-score integers, finite-population variance — no global
+    sort, no parity special-cases."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_x = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"v": cents, "x": is_x,
+                      "y": pc.subtract(pa.scalar(1, pa.int64()), is_x)}) \
+            .group_by("v").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["v", "cx", "cy"])
+
+    m = _partial_final(ds, partial, ["v"],
+                       [("cx", "sum"), ("cy", "sum")])
+    m = m.sort_by("v")
+    cx = np.asarray(m.column("cx"), dtype=np.int64)
+    cy = np.asarray(m.column("cy"), dtype=np.int64)
+    ab, z = ansari_bradley_from_hists(cx, cy)
+    return pa.table({
+        "n_click": pa.array([int(cx.sum())], pa.int64()),
+        "n_view": pa.array([int(cy.sum())], pa.int64()),
+        "ab_stat": pa.array([round(ab, 1)], pa.float64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_ANSARI_BRADLEY_CLICK_VIEW = """
+WITH h AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+c AS (
+  SELECT cx, cy, cx + cy AS t,
+         coalesce(sum(cx + cy) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum
+  FROM h),
+nn AS (SELECT sum(cx) AS nx, sum(cy) AS ny, sum(cx + cy) AS n FROM h),
+sc AS (
+  SELECT cx, cy, t,
+         (nn.n + 1) - abs((2 * cum + t + 1) - (nn.n + 1)) AS sc2
+  FROM c, nn),
+s AS (
+  SELECT CAST(sum(cx * sc2) AS BIGINT) AS a2x,
+         CAST(sum(t * sc2) AS BIGINT) AS s1,
+         CAST(sum(t * sc2 * sc2) AS HUGEINT) AS s2
+  FROM sc)
+SELECT (SELECT CAST(nx AS BIGINT) FROM nn) AS n_click,
+       (SELECT CAST(ny AS BIGINT) FROM nn) AS n_view,
+       round(a2x / 2.0, 1) AS ab_stat,
+       round((nn.n * a2x - nn.nx * s1)
+             / (CAST(nn.n AS DOUBLE)
+                * sqrt(nn.nx * nn.ny
+                       * CAST(nn.n * s2 - CAST(s1 AS HUGEINT) * s1
+                              AS DOUBLE)
+                       / (CAST(nn.n AS DOUBLE) * nn.n * (nn.n - 1)))),
+             6) AS z_score
+FROM s, nn
+"""
+
+QUERIES["ansari_bradley_click_view"] = (q_ansari_bradley_click_view,
+                                        SQL_ANSARI_BRADLEY_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error of the ECDF-of-length "probability"
+# ---------------------------------------------------------------------------
+
+
+def ece_from_hist(scores_cnt_pos, n) -> tuple:
+    """(ece, mce) from (cnt, pos) per ascending score. The predicted
+    probability is the ECDF p̂ = cum_le/n; 10 equal-width bins over p̂
+    via the integer bin id min(10·cum_le // n, 9). Per-bin gap
+    |acc−conf| reduces to |n·pos_b − Σ cnt·cum| / (n·n_b) — exact
+    integer numerators; ECE weights by n_b/n."""
+    bins = {}
+    cum = 0
+    for cnt, pos in scores_cnt_pos:
+        cnt, pos = int(cnt), int(pos)
+        cum += cnt
+        b = min(10 * cum // n, 9)
+        nb, pb, sc = bins.get(b, (0, 0, 0))
+        bins[b] = (nb + cnt, pb + pos, sc + cnt * cum)
+    ece = 0.0
+    mce = 0.0
+    for nb, pb, sc in bins.values():
+        gap_num = abs(n * pb - sc)          # exact integer
+        ece += gap_num / (float(n) * n)
+        mce = max(mce, gap_num / (float(n) * nb))
+    return ece, mce
+
+
+def q_ece_calibration_length(sf_dir: str):
+    """Expected / maximum calibration error of the distribution-free
+    "probability that a doc is English" read off the length ECDF
+    (p̂ = fraction of docs no longer than this one — the rank-based
+    score the AUC row already validates for discrimination; ECE asks
+    the complementary question: is it CALIBRATED?). Entirely exact
+    integer closures over the |distinct lengths|-bounded histogram."""
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_en = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        g = pa.table({"s": t.column("n_chars").cast(pa.int64()),
+                      "pos": is_en}) \
+            .group_by("s").aggregate([([], "count_all"), ("pos", "sum")])
+        return g.rename_columns(["s", "cnt", "pos"])
+
+    m = _partial_final(ds, partial, ["s"],
+                       [("cnt", "sum"), ("pos", "sum")])
+    m = m.sort_by("s")
+    cnt = m.column("cnt").to_pylist()
+    pos = m.column("pos").to_pylist()
+    n = int(sum(cnt))
+    ece, mce = ece_from_hist(list(zip(cnt, pos)), n)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "ece": pa.array([round(ece, 6)], pa.float64()),
+        "mce": pa.array([round(mce, 6)], pa.float64()),
+    })
+
+
+SQL_ECE_CALIBRATION_LENGTH = """
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos
+  FROM documents GROUP BY 1),
+nn AS (SELECT sum(cnt) AS n FROM h),
+c AS (
+  SELECT cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum FROM h),
+b AS (
+  SELECT least(10 * cum // nn.n, 9) AS bin, cnt, pos, cnt * cum AS sc
+  FROM c, nn),
+g AS (
+  SELECT bin, sum(cnt) AS nb, CAST(sum(pos) AS BIGINT) AS pb,
+         CAST(sum(sc) AS BIGINT) AS sc
+  FROM b GROUP BY 1)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_docs,
+       round(sum(abs(nn.n * pb - sc)
+                 / (CAST(nn.n AS DOUBLE) * nn.n)), 6) AS ece,
+       round(max(abs(nn.n * pb - sc)
+                 / (CAST(nn.n AS DOUBLE) * nb)), 6) AS mce
+FROM g, nn
+"""
+
+QUERIES["ece_calibration_length"] = (q_ece_calibration_length,
+                                     SQL_ECE_CALIBRATION_LENGTH)
+
+
+# ---------------------------------------------------------------------------
+# cumulative gains / lift at descending-score deciles
+# ---------------------------------------------------------------------------
+
+
+def q_gains_deciles_length(sf_dir: str):
+    """Cumulative-gains table: rank docs by length DESCENDING (the
+    AUC row's score), split into 10 histogram-boundary deciles (tied
+    score groups never split — deterministic on both engines), and
+    report per decile the cumulative positive capture rate and lift
+    vs the base rate. Integer counts end to end; two double divides
+    per row."""
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_en = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        g = pa.table({"s": t.column("n_chars").cast(pa.int64()),
+                      "pos": is_en}) \
+            .group_by("s").aggregate([([], "count_all"), ("pos", "sum")])
+        return g.rename_columns(["s", "cnt", "pos"])
+
+    m = _partial_final(ds, partial, ["s"],
+                       [("cnt", "sum"), ("pos", "sum")])
+    m = m.sort_by([("s", "descending")])
+    cnt = [int(v) for v in m.column("cnt").to_pylist()]
+    pos = [int(v) for v in m.column("pos").to_pylist()]
+    n = sum(cnt)
+    p_tot = sum(pos)
+    bins = {}
+    cum = 0
+    for c, p in zip(cnt, pos):
+        b = min(10 * cum // n, 9)      # bin by cum BEFORE the group
+        nb, pb = bins.get(b, (0, 0))
+        bins[b] = (nb + c, pb + p)
+        cum += c
+    rows_b, rows_n, rows_p, rows_cap, rows_lift = [], [], [], [], []
+    cn = cp = 0
+    for b in sorted(bins):
+        nb, pb = bins[b]
+        cn += nb
+        cp += pb
+        rows_b.append(b + 1)
+        rows_n.append(nb)
+        rows_p.append(pb)
+        rows_cap.append(round(cp / float(p_tot), 6))
+        rows_lift.append(round((cp / float(cn)) / (p_tot / float(n)),
+                               6))
+    return pa.table({
+        "decile": pa.array(rows_b, pa.int64()),
+        "n_docs": pa.array(rows_n, pa.int64()),
+        "n_pos": pa.array(rows_p, pa.int64()),
+        "capture": pa.array(rows_cap, pa.float64()),
+        "cum_lift": pa.array(rows_lift, pa.float64()),
+    })
+
+
+SQL_GAINS_DECILES_LENGTH = """
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos
+  FROM documents GROUP BY 1),
+nn AS (SELECT sum(cnt) AS n, sum(pos) AS p FROM h),
+c AS (
+  SELECT cnt, pos,
+         coalesce(sum(cnt) OVER (ORDER BY s DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum
+  FROM h),
+b AS (
+  SELECT CAST(least(10 * cum // nn.n, 9) + 1 AS BIGINT) AS decile,
+         cnt, pos
+  FROM c, nn),
+g AS (
+  SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM b GROUP BY 1),
+w AS (
+  SELECT decile, n_docs, n_pos,
+         sum(n_pos) OVER (ORDER BY decile) AS cp,
+         sum(n_docs) OVER (ORDER BY decile) AS cn
+  FROM g)
+SELECT decile, n_docs, n_pos,
+       round(CAST(cp AS DOUBLE) / nn.p, 6) AS capture,
+       round((CAST(cp AS DOUBLE) / cn)
+             / (CAST(nn.p AS DOUBLE) / nn.n), 6) AS cum_lift
+FROM w, nn ORDER BY decile
+"""
+
+QUERIES["gains_deciles_length"] = (q_gains_deciles_length,
+                                   SQL_GAINS_DECILES_LENGTH)
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality via exact integer path counts (α = 1/20, K = 4)
+# ---------------------------------------------------------------------------
+
+
+def q_domain_katz_paths(sf_dir: str):
+    """Katz centrality truncated at K=4 hops with α=1/20 over the
+    undirected domain graph: katz(v) = Σ_k α^k·(#walks of length k
+    ending at v). Rational-exact — the numerator 8000·w₁ + 400·w₂ +
+    20·w₃ + w₄ is an exact integer walk-count combination (denominator
+    20⁴), so both engines agree to the digit. Distributed edge
+    distillation + bounded driver matvecs (domain_pagerank
+    discipline)."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    a = np.zeros((n, n), dtype=object)   # Python ints: walk counts grow
+    a[lo, hi] = 1
+    a[hi, lo] = 1
+    ones = np.ones(n, dtype=object)
+    w1 = a @ ones
+    w2 = a @ w1
+    w3 = a @ w2
+    w4 = a @ w3
+    num = 8000 * w1 + 400 * w2 + 20 * w3 + w4
+    katz = [round(int(v) / 160000.0, 6) for v in num]
+    return pa.table({
+        "domain": pa.array(names),
+        "katz": pa.array(katz, pa.float64()),
+    }).sort_by([("domain", "ascending")])
+
+
+def _domain_katz_paths_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS (SELECT a AS s, b AS d FROM eu UNION ALL SELECT b, a FROM eu),
+nodes AS (SELECT DISTINCT s AS v FROM adj),
+w1 AS (SELECT s AS v, CAST(count(*) AS HUGEINT) AS w FROM adj
+       GROUP BY 1),
+w2 AS (SELECT adj.d AS v, CAST(sum(w1.w) AS HUGEINT) AS w
+       FROM adj JOIN w1 ON w1.v = adj.s GROUP BY 1),
+w3 AS (SELECT adj.d AS v, CAST(sum(w2.w) AS HUGEINT) AS w
+       FROM adj JOIN w2 ON w2.v = adj.s GROUP BY 1),
+w4 AS (SELECT adj.d AS v, CAST(sum(w3.w) AS HUGEINT) AS w
+       FROM adj JOIN w3 ON w3.v = adj.s GROUP BY 1)
+SELECT nodes.v AS domain,
+       round(CAST(8000 * coalesce(w1.w, 0) + 400 * coalesce(w2.w, 0)
+                  + 20 * coalesce(w3.w, 0) + coalesce(w4.w, 0)
+                  AS DOUBLE) / 160000.0, 6) AS katz
+FROM nodes
+LEFT JOIN w1 ON w1.v = nodes.v
+LEFT JOIN w2 ON w2.v = nodes.v
+LEFT JOIN w3 ON w3.v = nodes.v
+LEFT JOIN w4 ON w4.v = nodes.v
+ORDER BY domain
+"""
+
+
+QUERIES["domain_katz_paths"] = (q_domain_katz_paths,
+                                _domain_katz_paths_sql())

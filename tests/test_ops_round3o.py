@@ -299,3 +299,139 @@ def test_local_bridges_path_all_triangle_none():
     hi = np.array([1, 2, 2, 3])
     assert local_bridge_mask(4, lo, hi).tolist() == [False, False,
                                                      False, True]
+
+
+# --------------------------------------------------------------------
+# batch 3: Mann-Whitney, Ansari-Bradley, ECE, Katz
+# --------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext2 import (  # noqa: E402
+    ansari_bradley_from_hists, ece_from_hist, mann_whitney_from_hists)
+
+
+def _mwu_naive(x, y):
+    """Brute-force U_x = #(x>y) + ½#(x=y) pair count."""
+    x = np.asarray(x)[:, None]
+    y = np.asarray(y)[None, :]
+    return float((x > y).sum()) + 0.5 * float((x == y).sum())
+
+
+def _hists(x, y):
+    vals = np.unique(np.concatenate([x, y]))
+    cx = np.array([(np.asarray(x) == v).sum() for v in vals])
+    cy = np.array([(np.asarray(y) == v).sum() for v in vals])
+    return vals, cx, cy
+
+
+def test_mann_whitney_matches_pair_count():
+    rng = np.random.RandomState(41)
+    for _ in range(10):
+        x = rng.randint(0, 20, size=30)
+        y = rng.randint(0, 20, size=25)
+        vals, cx, cy = _hists(x, y)
+        u, z = mann_whitney_from_hists(vals, cx, cy)
+        assert abs(u - _mwu_naive(x, y)) < 1e-9
+
+
+def test_mann_whitney_z_sign_and_null():
+    # x stochastically larger -> U_x > nx·ny/2 -> z > 0
+    x = np.arange(100, 200)
+    y = np.arange(0, 100)
+    vals, cx, cy = _hists(x, y)
+    u, z = mann_whitney_from_hists(vals, cx, cy)
+    assert u == 100 * 100 and z > 10
+    # identical distributions: |z| small
+    rng = np.random.RandomState(43)
+    x = rng.randint(0, 50, size=4000)
+    y = rng.randint(0, 50, size=4000)
+    vals, cx, cy = _hists(x, y)
+    _, z = mann_whitney_from_hists(vals, cx, cy)
+    assert abs(z) < 3
+
+
+def _ab_naive(x, y):
+    """Brute-force Ansari-Bradley A_x with midrank-based scores."""
+    allv = np.sort(np.concatenate([x, y]))
+    n = len(allv)
+    # midranks per value
+    import collections
+    cnt = collections.Counter(allv.tolist())
+    cum = 0
+    mid = {}
+    for v in sorted(cnt):
+        t = cnt[v]
+        mid[v] = cum + (t + 1) / 2.0
+        cum += t
+    def score(v):
+        return (n + 1) / 2.0 - abs(mid[v] - (n + 1) / 2.0)
+    return sum(score(v) for v in x)
+
+
+def test_ansari_bradley_matches_naive_and_detects_scale():
+    rng = np.random.RandomState(47)
+    for _ in range(10):
+        x = rng.randint(0, 15, size=25)
+        y = rng.randint(0, 15, size=30)
+        vals, cx, cy = _hists(x, y)
+        ab, z = ansari_bradley_from_hists(cx, cy)
+        assert abs(ab - _ab_naive(x, y)) < 1e-9
+    # concentrated x vs spread y: x gets the high central scores
+    x = np.full(200, 50) + rng.randint(-2, 3, size=200)
+    y = rng.choice(np.concatenate([np.arange(0, 20),
+                                   np.arange(80, 100)]), size=200)
+    vals, cx, cy = _hists(x, y)
+    _, z = ansari_bradley_from_hists(cx, cy)
+    assert z > 5
+
+
+def test_ece_perfectly_calibrated_vs_antipredictive():
+    # scores 1..100 once each; outcome = 1 iff ECDF > 0.5 → the
+    # "probability" is wildly miscalibrated in every bin (acc is 0 or
+    # 1, conf ~ bin center)
+    rows = [(1, 1 if i >= 50 else 0) for i in range(100)]
+    ece, mce = ece_from_hist(rows, 100)
+    assert ece > 0.2 and mce >= ece
+    # outcome drawn to match the ECDF bin-by-bin: pos count in bin b
+    # equals its mean conf → gap 0 needs pos_b·n == Σcnt·cum; make a
+    # 2-bin exact case: n=4, scores distinct, cum=1,2,3,4
+    # bin of cum: min(10*cum//4,9) -> 2,5,7,9 — single-element bins,
+    # pos must equal cum/4 ... choose pos=0 for cum=0? infeasible
+    # exactly; instead assert monotone improvement when labels track
+    # the score
+    rows_good = [(1, 0)] * 50 + [(1, 1)] * 50
+    ece_good, _ = ece_from_hist(rows_good, 100)
+    rows_bad = [(1, 1)] * 50 + [(1, 0)] * 50
+    ece_bad, _ = ece_from_hist(rows_bad, 100)
+    assert ece_bad > ece_good
+
+
+def test_ece_exact_value_tiny():
+    # n=10, one score value with all rows: cum=10 → bin 9,
+    # conf = 10/10 = 1.0, acc = pos/10 → ece = |10·pos − 100|/100
+    for pos in (0, 3, 10):
+        ece, mce = ece_from_hist([(10, pos)], 10)
+        assert abs(ece - abs(10 * pos - 100) / 100.0) < 1e-12
+        assert abs(mce - ece) < 1e-12     # single bin
+
+
+def test_katz_walk_counts_path_graph():
+    # path 0-1-2: walks from each node, alpha=1/20 truncated K=4
+    # w1 = deg = [1,2,1]; w2 = A@w1 = [2,2,2]; w3 = A@w2 = [2,4,2];
+    # w4 = [4,4,4]
+    import numpy as np
+    a = np.zeros((3, 3), dtype=object)
+    for i, j in [(0, 1), (1, 2)]:
+        a[i, j] = 1
+        a[j, i] = 1
+    ones = np.ones(3, dtype=object)
+    w1 = a @ ones
+    w2 = a @ w1
+    w3 = a @ w2
+    w4 = a @ w3
+    num = 8000 * w1 + 400 * w2 + 20 * w3 + w4
+    assert [int(v) for v in w1] == [1, 2, 1]
+    assert [int(v) for v in w2] == [2, 2, 2]
+    assert [int(v) for v in w3] == [2, 4, 2]
+    assert [int(v) for v in w4] == [4, 4, 4]
+    # center strictly more central
+    assert num[1] > num[0] == num[2]
