@@ -1591,3 +1591,318 @@ ORDER BY domain
 
 QUERIES["domain_katz_paths"] = (q_domain_katz_paths,
                                 _domain_katz_paths_sql())
+
+
+# ---------------------------------------------------------------------------
+# nDCG@20 / precision / recall of the length ranking over graded langs
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 20
+
+
+def ndcg_terms(rels, n2, n1, k) -> tuple:
+    """(dcg, idcg): DCG over the given top-k relevance sequence and
+    the ideal DCG from the global grade counts (n2 twos, n1 ones) —
+    ≤ k log terms each, mirrored against the oracle's
+    generate_series."""
+    dcg = 0.0
+    for i, r in enumerate(rels, start=1):
+        if r:
+            dcg += r / math.log2(i + 1)
+    idcg = 0.0
+    m2 = min(k, n2)
+    for i in range(1, m2 + 1):
+        idcg += 2.0 / math.log2(i + 1)
+    for i in range(m2 + 1, min(k, n2 + n1) + 1):
+        idcg += 1.0 / math.log2(i + 1)
+    return dcg, idcg
+
+
+def q_ndcg_length_ranking(sf_dir: str):
+    """Ranked-retrieval quality of "longest docs first" under the
+    graded relevance en=2 / {fr,de,es}=1 / other=0: nDCG@20, P@20 and
+    R@20 (binary rel>0). The top-20 comes from per-block sorted heads
+    merged on the driver (never a global sort); the ideal DCG and
+    recall denominator close from the bounded grade counts. Tie rule
+    (n_chars DESC, doc_id ASC) is shared with the oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars",
+                                             "lang"])
+    keys = [("n_chars", "descending"), ("doc_id", "ascending")]
+
+    def head(t: pa.Table) -> pa.Table:
+        return t.sort_by(keys).slice(0, _NDCG_K)
+
+    top = agg._to_arrow(ds.map_batches(head, batch_format="pyarrow")) \
+        .sort_by(keys).slice(0, _NDCG_K)
+
+    def grades(t: pa.Table) -> pa.Table:
+        is2 = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        is1 = pc.cast(pc.is_in(t.column("lang"),
+                               value_set=pa.array(["fr", "de", "es"])),
+                      pa.int64())
+        return pa.table({
+            "n2": pa.array([pc.sum(is2).as_py() or 0], pa.int64()),
+            "n1": pa.array([pc.sum(is1).as_py() or 0], pa.int64()),
+        })
+
+    gc = _partial_final(ds, grades, [], [("n2", "sum"), ("n1", "sum")])
+    n2 = int(gc.column("n2")[0].as_py())
+    n1 = int(gc.column("n1")[0].as_py())
+    lang = top.column("lang").to_pylist()
+    rels = [2 if v == "en" else (1 if v in ("fr", "de", "es") else 0)
+            for v in lang]
+    dcg, idcg = ndcg_terms(rels, n2, n1, _NDCG_K)
+    hits = sum(1 for r in rels if r > 0)
+    return pa.table({
+        "k": pa.array([_NDCG_K], pa.int64()),
+        "ndcg": pa.array([round(dcg / idcg, 6)], pa.float64()),
+        "precision": pa.array([round(hits / float(_NDCG_K), 6)],
+                              pa.float64()),
+        "recall": pa.array([round(hits / float(n2 + n1), 6)],
+                           pa.float64()),
+    })
+
+
+SQL_NDCG_LENGTH_RANKING = f"""
+WITH top AS (
+  SELECT CASE WHEN lang = 'en' THEN 2
+              WHEN lang IN ('fr', 'de', 'es') THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS pos
+  FROM documents
+  ORDER BY n_chars DESC, doc_id LIMIT {_NDCG_K}),
+gc AS (
+  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n2,
+         CAST(sum(CASE WHEN lang IN ('fr', 'de', 'es')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM documents),
+dcg AS (SELECT sum(rel / log2(pos + 1.0)) AS dcg,
+               CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits
+        FROM top),
+ideal AS (
+  SELECT sum(CASE WHEN i <= least({_NDCG_K}, gc.n2)
+                  THEN 2.0 / log2(i + 1.0)
+                  WHEN i <= least({_NDCG_K}, gc.n2 + gc.n1)
+                  THEN 1.0 / log2(i + 1.0)
+                  ELSE 0.0 END) AS idcg
+  FROM generate_series(1, {_NDCG_K}) g(i), gc)
+SELECT CAST({_NDCG_K} AS BIGINT) AS k,
+       round(dcg.dcg / ideal.idcg, 6) AS ndcg,
+       round(dcg.hits / {_NDCG_K}.0, 6) AS precision,
+       round(CAST(dcg.hits AS DOUBLE) / (gc.n2 + gc.n1), 6) AS recall
+FROM dcg, ideal, gc
+"""
+
+QUERIES["ndcg_length_ranking"] = (q_ndcg_length_ranking,
+                                  SQL_NDCG_LENGTH_RANKING)
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break F-test on the daily revenue trend
+# ---------------------------------------------------------------------------
+
+
+def _ols_ssr(n, sx, sy, sxx, sxy, syy) -> float:
+    """SSR of y ~ a + b·x from exact integer sums, assembled with the
+    centered closed form Syy_c − Sxy_c²/Sxx_c (order-free doubles)."""
+    sxx_c = sxx - float(sx) * sx / n
+    sxy_c = sxy - float(sx) * sy / n
+    syy_c = syy - float(sy) * sy / n
+    return syy_c - sxy_c * sxy_c / sxx_c
+
+
+def chow_f(seg1, seg2) -> float:
+    """Chow F from two segments' exact (n, Σx, Σy, Σx², Σxy, Σy²):
+    pooled sums are the elementwise totals."""
+    pooled = tuple(a + b for a, b in zip(seg1, seg2))
+    ssr_p = _ols_ssr(*pooled)
+    ssr_1 = _ols_ssr(*seg1)
+    ssr_2 = _ols_ssr(*seg2)
+    n = seg1[0] + seg2[0]
+    return ((ssr_p - ssr_1 - ssr_2) / 2.0) / ((ssr_1 + ssr_2)
+                                              / (n - 4))
+
+
+def q_chow_break_daily(sf_dir: str):
+    """Chow test for a structural break in the daily-revenue linear
+    trend at the midpoint day-rank: did slope/intercept change between
+    the halves? Six exact integer sums per segment (x = day − min
+    day, y = daily cents — Python int / HUGEINT), the F statistic one
+    order-free double closure. Days-bounded shuffle only."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(day)
+    day, cv = day[o], cv[o]
+    x = [int(v) for v in day - day[0]]
+    y = [int(v) for v in cv]
+    n = len(x)
+    h = n // 2
+
+    def sums(xs, ys):
+        return (len(xs), sum(xs), sum(ys),
+                sum(v * v for v in xs),
+                sum(a * b for a, b in zip(xs, ys)),
+                sum(v * v for v in ys))
+
+    f = chow_f(sums(x[:h], y[:h]), sums(x[h:], y[h:]))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "chow_f": pa.array([round(f, 6)], pa.float64()),
+    })
+
+
+SQL_CHOW_BREAK_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT CAST(day - min(day) OVER () AS HUGEINT) AS x,
+             CAST(cents AS HUGEINT) AS y,
+             row_number() OVER (ORDER BY day) AS rn,
+             count(*) OVER () AS n
+      FROM d),
+seg AS (
+  SELECT CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS s,
+         count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM r GROUP BY 1),
+ssr AS (
+  SELECT s, n,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         - pow(CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n, 2)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           AS ssr
+  FROM seg),
+pool AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, sum(sxx) AS sxx,
+         sum(sxy) AS sxy, sum(syy) AS syy
+  FROM seg),
+ssr_p AS (
+  SELECT n,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         - pow(CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n, 2)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           AS ssr
+  FROM pool)
+SELECT CAST(ssr_p.n AS BIGINT) AS n_days,
+       round(((ssr_p.ssr - (SELECT sum(ssr) FROM ssr)) / 2.0)
+             / ((SELECT sum(ssr) FROM ssr)
+                / (CAST(ssr_p.n AS DOUBLE) - 4)), 6) AS chow_f
+FROM ssr_p
+"""
+
+QUERIES["chow_break_daily"] = (q_chow_break_daily, SQL_CHOW_BREAK_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity LM test on the daily revenue trend
+# ---------------------------------------------------------------------------
+
+
+def breusch_pagan_lm(x, y) -> float:
+    """LM = n·R² of the auxiliary regression e² ~ x, where e are the
+    OLS residuals of y ~ a + b·x. Slope/intercept come from exact
+    integer sums; the per-point residual squares and the auxiliary
+    centered moments are plain doubles computed identically by the
+    oracle (bounded-days series, so the double tail is ~1e-12)."""
+    n = len(x)
+    sx = sum(int(v) for v in x)
+    sy = sum(int(v) for v in y)
+    sxx = sum(int(v) * int(v) for v in x)
+    sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+    b = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (sy - b * sx) / float(n)
+    z = [(int(yv) - a - b * int(xv)) ** 2 for xv, yv in zip(x, y)]
+    sz = sum(z)
+    sxz = sum(int(xv) * zv for xv, zv in zip(x, z))
+    szz = sum(zv * zv for zv in z)
+    sxx_c = sxx - float(sx) * sx / n
+    sxz_c = sxz - float(sx) * sz / n
+    szz_c = szz - float(sz) * sz / n
+    r2 = sxz_c * sxz_c / (sxx_c * szz_c)
+    return n * r2
+
+
+def q_breusch_pagan_daily(sf_dir: str):
+    """Breusch-Pagan LM test: does the variance of the daily-revenue
+    trend residuals grow with time (heteroskedasticity)? Companion of
+    chow_break_daily on the same days-bounded series; x = day − min
+    day keeps magnitudes double-exact."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(day)
+    day, cv = day[o], cv[o]
+    lm = breusch_pagan_lm((day - day[0]).tolist(), cv.tolist())
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "bp_lm": pa.array([round(lm, 6)], pa.float64()),
+    })
+
+
+SQL_BREUSCH_PAGAN_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT CAST(day - min(day) OVER () AS HUGEINT) AS x,
+             CAST(cents AS HUGEINT) AS y
+      FROM d),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r),
+ab AS (
+  SELECT n, sx,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM s),
+z AS (
+  SELECT CAST(r.x AS DOUBLE) AS xf,
+         pow(CAST(r.y AS DOUBLE) - ab.a - ab.b * CAST(r.x AS DOUBLE), 2)
+           AS z
+  FROM r, ab),
+aux AS (
+  SELECT count(*) AS n, sum(xf) AS sxf, sum(z) AS sz,
+         sum(xf * xf) AS sxxf, sum(xf * z) AS sxz, sum(z * z) AS szz
+  FROM z)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(n * pow(sxz - sxf * sz / n, 2)
+             / ((sxxf - sxf * sxf / n) * (szz - sz * sz / n)), 6)
+         AS bp_lm
+FROM aux
+"""
+
+QUERIES["breusch_pagan_daily"] = (q_breusch_pagan_daily,
+                                  SQL_BREUSCH_PAGAN_DAILY)

@@ -435,3 +435,89 @@ def test_katz_walk_counts_path_graph():
     assert [int(v) for v in w4] == [4, 4, 4]
     # center strictly more central
     assert num[1] > num[0] == num[2]
+
+
+# --------------------------------------------------------------------
+# batch 4: nDCG, Chow break, Breusch-Pagan
+# --------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext2 import (  # noqa: E402
+    breusch_pagan_lm, chow_f, ndcg_terms)
+
+
+def test_ndcg_ideal_ranking_is_one():
+    # top-20 all grade-2 and n2 >= 20: dcg == idcg
+    dcg, idcg = ndcg_terms([2] * 20, 100, 50, 20)
+    assert abs(dcg - idcg) < 1e-12
+    # reversed grades score strictly lower
+    dcg2, _ = ndcg_terms([0] * 10 + [2] * 10, 100, 50, 20)
+    assert dcg2 < dcg
+
+
+def test_ndcg_idcg_grade_exhaustion():
+    # n2=3, n1=2: ideal = 2,2,2,1,1 then zeros
+    _, idcg = ndcg_terms([], 3, 2, 20)
+    expect = sum(2.0 / math.log2(i + 1) for i in (1, 2, 3)) \
+        + sum(1.0 / math.log2(i + 1) for i in (4, 5))
+    assert abs(idcg - expect) < 1e-12
+
+
+def _ols_res(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    b, a = np.polyfit(x, y, 1)
+    return y - (a + b * x)
+
+
+def test_chow_matches_naive_and_detects_break():
+    rng = np.random.RandomState(53)
+    x = np.arange(120)
+    # same line both halves + noise: F small
+    y = (1000 + 5 * x + rng.randint(-20, 21, size=120)).astype(int)
+
+    def sums(xs, ys):
+        return (len(xs), int(np.sum(xs)), int(np.sum(ys)),
+                int(np.sum(xs * xs)), int(np.dot(xs, ys)),
+                int(np.dot(ys, ys)))
+
+    f_same = chow_f(sums(x[:60], y[:60]), sums(x[60:], y[60:]))
+    # naive via residual SSRs
+    e_p = _ols_res(x, y)
+    e_1 = _ols_res(x[:60], y[:60])
+    e_2 = _ols_res(x[60:], y[60:])
+    ssr_p = float(np.dot(e_p, e_p))
+    ssr_12 = float(np.dot(e_1, e_1) + np.dot(e_2, e_2))
+    naive = ((ssr_p - ssr_12) / 2.0) / (ssr_12 / (120 - 4))
+    assert abs(f_same - naive) < 1e-6
+    # slope flips in the second half: F explodes
+    y2 = y.copy()
+    y2[60:] = 1000 + 5 * 60 - 5 * (x[60:] - 60) \
+        + rng.randint(-20, 21, size=60)
+    f_break = chow_f(sums(x[:60], y2[:60]), sums(x[60:], y2[60:]))
+    assert f_break > 50 * max(f_same, 1.0)
+
+
+def test_breusch_pagan_homo_vs_hetero():
+    rng = np.random.RandomState(59)
+    x = np.arange(300)
+    homo = (10_000 + 3 * x + rng.randint(-50, 51, size=300)).astype(int)
+    # noise amplitude grows with x
+    hetero = (10_000 + 3 * x
+              + (rng.randint(-50, 51, size=300) * (1 + x // 30))
+              ).astype(int)
+    lm_homo = breusch_pagan_lm(x.tolist(), homo.tolist())
+    lm_het = breusch_pagan_lm(x.tolist(), hetero.tolist())
+    assert lm_het > 10 * lm_homo
+    assert lm_het > 30          # strongly significant vs chi2(1)
+
+
+def test_breusch_pagan_matches_naive():
+    rng = np.random.RandomState(61)
+    x = np.arange(80)
+    y = (500 + 7 * x + rng.randint(-30, 31, size=80)).astype(int)
+    e = _ols_res(x, y)
+    z = e * e
+    xf = x.astype(np.float64)
+    r = np.corrcoef(xf, z)[0, 1]
+    assert abs(breusch_pagan_lm(x.tolist(), y.tolist())
+               - 80 * r * r) < 1e-5
