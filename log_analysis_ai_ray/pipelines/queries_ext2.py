@@ -1906,3 +1906,276 @@ FROM aux
 
 QUERIES["breusch_pagan_daily"] = (q_breusch_pagan_daily,
                                   SQL_BREUSCH_PAGAN_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall (weekday seasons) on daily revenue
+# ---------------------------------------------------------------------------
+
+
+def seasonal_mk(day, cents, season) -> tuple:
+    """(S, var_num, z): Mann-Kendall S and tie-corrected variance
+    numerator summed across seasons (Hirsch-Slack seasonal form with
+    independent seasons); z = (S − sign S)/√(Σvar_num/18)."""
+    day = np.asarray(day, dtype=np.int64)
+    cents = np.asarray(cents, dtype=np.int64)
+    season = np.asarray(season, dtype=np.int64)
+    s_tot = 0
+    var_tot = 0
+    for g in np.unique(season):
+        msk = season == g
+        x = cents[msk][np.argsort(day[msk])]
+        n = len(x)
+        sgn = np.sign(x[None, :] - x[:, None])
+        s_tot += int(np.triu(sgn, 1).sum())
+        _, tc = np.unique(x, return_counts=True)
+        var_tot += (n * (n - 1) * (2 * n + 5)
+                    - sum(int(t) * (t - 1) * (2 * t + 5) for t in tc))
+    adj = s_tot - (1 if s_tot > 0 else (-1 if s_tot < 0 else 0))
+    z = adj / math.sqrt(var_tot / 18.0) if var_tot > 0 else 0.0
+    return s_tot, var_tot, z
+
+
+def q_seasonal_mann_kendall_dow(sf_dir: str):
+    """Hirsch-Slack SEASONAL Mann-Kendall trend test on daily order
+    revenue with weekday seasons: comparisons only happen between
+    same-weekday days, so the strong day-of-week cycle can't masquerade
+    as (or mask) a trend — the seasonal companion of the per-type
+    mann_kendall_daily row. Exact integer S and variance numerator per
+    season (days-bounded partials), one mirrored sqrt."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        dow = pc.cast(pc.day_of_week(t.column("o_orderdate"),
+                                     count_from_zero=False,
+                                     week_start=1), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "dow": dow, "cents": cents}) \
+            .group_by(["day", "dow"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "dow", "cents"])
+
+    m = _partial_final(ds, partial, ["day", "dow"], [("cents", "sum")])
+    s, var_num, z = seasonal_mk(
+        np.asarray(m.column("day"), dtype=np.int64),
+        np.asarray(m.column("cents"), dtype=np.int64),
+        np.asarray(m.column("dow"), dtype=np.int64))
+    return pa.table({
+        "s_stat": pa.array([s], pa.int64()),
+        "var_num": pa.array([var_num], pa.int64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_SEASONAL_MANN_KENDALL_DOW = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1
+                       ELSE 0 END) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON a.dow = b.dow AND b.day > a.day),
+pern AS (SELECT dow, count(*) AS n FROM d GROUP BY 1),
+ties AS (SELECT dow, count(*) AS t
+         FROM d GROUP BY dow, cents HAVING count(*) > 1),
+v AS (
+  SELECT (SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT)
+          FROM pern)
+         - coalesce((SELECT CAST(sum(t * (t - 1) * (2 * t + 5))
+                                 AS BIGINT) FROM ties), 0) AS var_num)
+SELECT s.s_stat, v.var_num,
+       round(CASE WHEN v.var_num > 0
+                  THEN (s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                        WHEN s.s_stat < 0 THEN -1
+                                        ELSE 0 END)
+                       / sqrt(v.var_num / 18.0)
+                  ELSE 0.0 END, 6) AS z_score
+FROM s, v
+"""
+
+QUERIES["seasonal_mann_kendall_dow"] = (q_seasonal_mann_kendall_dow,
+                                        SQL_SEASONAL_MANN_KENDALL_DOW)
+
+
+# ---------------------------------------------------------------------------
+# Sharpe / Sortino / Omega of day-over-day revenue returns
+# ---------------------------------------------------------------------------
+
+
+def sharpe_sortino_omega(x) -> tuple:
+    """(n_ret, sharpe, sortino, omega) of simple day-over-day returns
+    r_t = (x_t − x_{t−1})/x_{t−1} at zero threshold. Sortino uses the
+    full-sample downside root-mean-square (population convention);
+    Omega is gains over losses."""
+    x = [float(v) for v in x]
+    r = [(b - a) / a for a, b in zip(x, x[1:])]
+    n = len(r)
+    mu = sum(r) / n
+    s1 = sum(r)
+    s2 = sum(v * v for v in r)
+    var = (s2 - s1 * s1 / n) / (n - 1)   # moment form, mirrors oracle
+    dn2 = sum(v * v for v in r if v < 0) / n
+    gains = sum(v for v in r if v > 0)
+    losses = -sum(v for v in r if v < 0)
+    return (n, mu / math.sqrt(var), mu / math.sqrt(dn2),
+            gains / losses)
+
+
+def q_sharpe_sortino_daily(sf_dir: str):
+    """Sharpe, Sortino and Omega ratios of the daily-revenue
+    return series (zero risk-free/threshold) — the risk-adjusted
+    summary row beside max_drawdown_daily / value_at_risk. Returns
+    are per-day doubles over the days-bounded series; both engines
+    evaluate identical per-day terms."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    x = cv[np.argsort(day)]
+    n, sharpe, sortino, omega = sharpe_sortino_omega(x)
+    return pa.table({
+        "n_returns": pa.array([n], pa.int64()),
+        "sharpe": pa.array([round(sharpe, 6)], pa.float64()),
+        "sortino": pa.array([round(sortino, 6)], pa.float64()),
+        "omega": pa.array([round(omega, 6)], pa.float64()),
+    })
+
+
+SQL_SHARPE_SORTINO_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT (CAST(cents AS DOUBLE)
+          - lag(CAST(cents AS DOUBLE)) OVER (ORDER BY day))
+         / lag(CAST(cents AS DOUBLE)) OVER (ORDER BY day) AS ret
+  FROM d QUALIFY ret IS NOT NULL),
+s AS (
+  SELECT count(*) AS n, avg(ret) AS mu,
+         sum(ret * ret) AS s2, sum(ret) AS s1,
+         sum(CASE WHEN ret < 0 THEN ret * ret ELSE 0 END) AS dn2,
+         sum(CASE WHEN ret > 0 THEN ret ELSE 0 END) AS gains,
+         -sum(CASE WHEN ret < 0 THEN ret ELSE 0 END) AS losses
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n_returns,
+       round(mu / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sharpe,
+       round(mu / sqrt(dn2 / n), 6) AS sortino,
+       round(gains / losses, 6) AS omega
+FROM s
+"""
+
+QUERIES["sharpe_sortino_daily"] = (q_sharpe_sortino_daily,
+                                   SQL_SHARPE_SORTINO_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# domain eccentricity (reachable-only BFS) + graph diameter/radius
+# ---------------------------------------------------------------------------
+
+_ECC_MAX_HOPS = 6
+
+
+def eccentricities(n, lo, hi, max_hops) -> np.ndarray:
+    """Per-node eccentricity over reachable pairs via boolean matrix
+    BFS (hop-capped). Isolated views never arise here (every node
+    comes from an edge)."""
+    a = np.zeros((n, n), dtype=bool)
+    a[lo, hi] = True
+    a[hi, lo] = True
+    dist = np.full((n, n), -1, dtype=np.int64)
+    np.fill_diagonal(dist, 0)
+    reach = np.eye(n, dtype=bool)
+    frontier = np.eye(n, dtype=bool)
+    for h in range(1, max_hops + 1):
+        frontier = (frontier @ a) & ~reach
+        if not frontier.any():
+            break
+        dist[frontier] = h
+        reach |= frontier
+    return dist.max(axis=1)
+
+
+def q_domain_eccentricity(sf_dir: str):
+    """Eccentricity of every domain (max hop distance to any REACHABLE
+    domain, capped at {_ECC_MAX_HOPS} hops) plus the graph diameter and
+    radius those imply — the all-pairs completion of the
+    single-source domain_bfs_hops row. Distributed edge distillation +
+    bounded boolean-matrix BFS driver-side; the oracle unrolls the
+    same hop cap."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    ecc = eccentricities(len(names), lo, hi, _ECC_MAX_HOPS)
+    return pa.table({
+        "domain": pa.array(names),
+        "ecc": pa.array(ecc, pa.int64()),
+        "diameter": pa.array(np.full(len(names), int(ecc.max())),
+                             pa.int64()),
+        "radius": pa.array(np.full(len(names), int(ecc.min())),
+                           pa.int64()),
+    }).sort_by([("domain", "ascending")])
+
+
+def _domain_eccentricity_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    # frontier-style unroll: r_k = nodes first reached at hop k
+    # (materialized, EXCEPT the union of earlier hops) — each CTE is
+    # bounded by |domains|^2 pairs, never the path count (which is
+    # n^k on this near-complete graph; the naive unroll measured
+    # minutes, this form milliseconds — the same DuckDB CTE-inlining
+    # cliff BASELINE.md records for the k-truss oracle).
+    parts = ["r1 AS MATERIALIZED (SELECT s, d, 1 AS h FROM adj "
+             "WHERE s <> d)"]
+    seen = "SELECT s, d FROM r1"
+    for k in range(2, _ECC_MAX_HOPS + 1):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT s, d, {k} AS h FROM (
+    SELECT DISTINCT p.s, adj.d
+    FROM r{k - 1} p JOIN adj ON adj.s = p.d
+    WHERE p.s <> adj.d
+    EXCEPT ({seen})))""")
+        seen += f" UNION ALL SELECT s, d FROM r{k}"
+    union = " UNION ALL ".join(f"SELECT * FROM r{k}"
+                               for k in range(1, _ECC_MAX_HOPS + 1))
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS MATERIALIZED (SELECT a AS s, b AS d FROM eu
+                     UNION ALL SELECT b, a FROM eu),
+{", ".join(parts)},
+sp AS (SELECT s, d, CAST(h AS BIGINT) AS dist FROM ({union})),
+ecc AS (SELECT s AS domain, max(dist) AS ecc FROM sp GROUP BY 1)
+SELECT domain, ecc,
+       (SELECT max(ecc) FROM ecc) AS diameter,
+       (SELECT min(ecc) FROM ecc) AS radius
+FROM ecc ORDER BY domain
+"""
+
+
+QUERIES["domain_eccentricity"] = (q_domain_eccentricity,
+                                  _domain_eccentricity_sql())

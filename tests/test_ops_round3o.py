@@ -521,3 +521,76 @@ def test_breusch_pagan_matches_naive():
     r = np.corrcoef(xf, z)[0, 1]
     assert abs(breusch_pagan_lm(x.tolist(), y.tolist())
                - 80 * r * r) < 1e-5
+
+
+# --------------------------------------------------------------------
+# batch 5: seasonal MK, Sharpe/Sortino/Omega, eccentricity
+# --------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext2 import (  # noqa: E402
+    eccentricities, seasonal_mk, sharpe_sortino_omega)
+
+
+def test_seasonal_mk_blocks_seasonal_aliasing():
+    # pure weekly cycle, no trend: within-season series are constant
+    # -> S = 0 (an UNSEASONAL MK on the same data is wildly positive
+    # within each week ramp)
+    days = np.arange(140)
+    cents = (days % 7) * 100 + 1000
+    s, var, z = seasonal_mk(days, cents, days % 7)
+    assert s == 0 and z == 0.0
+    # cycle + genuine trend: detected
+    s, var, z = seasonal_mk(days, cents + days * 10, days % 7)
+    assert s > 0 and z > 3
+
+
+def test_seasonal_mk_sums_per_season_statistics():
+    # two seasons, each a perfect ramp of length 5: S = 2 * C(5,2)
+    days = np.arange(10)
+    season = days % 2
+    cents = days * 10
+    s, var, z = seasonal_mk(days, cents, season)
+    assert s == 2 * 10
+    assert var == 2 * (5 * 4 * 15)      # n(n-1)(2n+5), no ties
+
+
+def test_sharpe_sortino_omega_known_series():
+    # returns: +10%, -10% alternating on 1000/1100 base
+    x = [1000, 1100, 990, 1089]
+    n, sharpe, sortino, omega = sharpe_sortino_omega(x)
+    r = [0.1, -0.1, 0.1]
+    mu = sum(r) / 3
+    var = (sum(v * v for v in r) - sum(r) ** 2 / 3) / 2
+    assert n == 3
+    assert abs(sharpe - mu / math.sqrt(var)) < 1e-12
+    assert abs(sortino - mu / math.sqrt(0.01 / 3)) < 1e-12
+    assert abs(omega - 0.2 / 0.1) < 1e-12
+
+
+def test_sharpe_positive_drift_beats_noise():
+    rng = np.random.RandomState(67)
+    base = 10_000 + np.arange(500) * 50           # steady growth
+    noisy = 10_000 + rng.randint(-500, 501, size=500)
+    _, sh_g, so_g, om_g = sharpe_sortino_omega(base)
+    _, sh_n, _, om_n = sharpe_sortino_omega(np.abs(noisy) + 1000)
+    assert sh_g > 1.0 > abs(sh_n)
+    assert om_g > 10 > om_n
+
+
+def test_eccentricity_path_star_cycle():
+    # path 0-1-2-3: ecc = [3,2,2,3]
+    ecc = eccentricities(4, np.array([0, 1, 2]), np.array([1, 2, 3]), 6)
+    assert ecc.tolist() == [3, 2, 2, 3]
+    # star center 0: ecc = [1,2,2,2]
+    ecc = eccentricities(4, np.array([0, 0, 0]), np.array([1, 2, 3]), 6)
+    assert ecc.tolist() == [1, 2, 2, 2]
+    # 5-cycle: all ecc = 2
+    lo = np.array([0, 1, 2, 3, 0])
+    hi = np.array([1, 2, 3, 4, 4])
+    assert eccentricities(5, lo, hi, 6).tolist() == [2] * 5
+
+
+def test_eccentricity_disconnected_reachable_only():
+    # two disjoint edges: each node reaches only its partner -> ecc 1
+    ecc = eccentricities(4, np.array([0, 2]), np.array([1, 3]), 6)
+    assert ecc.tolist() == [1, 1, 1, 1]
