@@ -2023,8 +2023,9 @@ def sharpe_sortino_omega(x) -> tuple:
     dn2 = sum(v * v for v in r if v < 0) / n
     gains = sum(v for v in r if v > 0)
     losses = -sum(v for v in r if v < 0)
-    return (n, mu / math.sqrt(var), mu / math.sqrt(dn2),
-            gains / losses)
+    sortino = mu / math.sqrt(dn2) if dn2 > 0 else math.inf
+    omega = gains / losses if losses > 0 else math.inf
+    return (n, mu / math.sqrt(var), sortino, omega)
 
 
 def q_sharpe_sortino_daily(sf_dir: str):

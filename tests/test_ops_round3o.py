@@ -574,7 +574,9 @@ def test_sharpe_positive_drift_beats_noise():
     _, sh_g, so_g, om_g = sharpe_sortino_omega(base)
     _, sh_n, _, om_n = sharpe_sortino_omega(np.abs(noisy) + 1000)
     assert sh_g > 1.0 > abs(sh_n)
-    assert om_g > 10 > om_n
+    # monotone growth has NO downside: sortino/omega hit the +inf edge
+    assert om_g == math.inf and so_g == math.inf
+    assert om_n < 10
 
 
 def test_eccentricity_path_star_cycle():
