@@ -2180,3 +2180,398 @@ FROM ecc ORDER BY domain
 
 QUERIES["domain_eccentricity"] = (q_domain_eccentricity,
                                   _domain_eccentricity_sql())
+
+
+# ---------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test on daily revenue (q = 5)
+# ---------------------------------------------------------------------------
+
+_VR_Q = 5
+
+
+def variance_ratio(y_sorted, q) -> tuple:
+    """(vr, z) from the ordered level series: VR = σ̂q²/σ̂1² with
+    σ̂1² = Σ(d−μ)²/m over 1-period diffs (m = n−1, μ = (y_n−y_1)/m)
+    and σ̂q² = Σ(D−qμ)²/(q·(n−q)) over OVERLAPPING q-period diffs;
+    homoskedastic z = (VR−1)/√(2(2q−1)(q−1)/(3q·m)). Centered sums
+    assemble from exact integer Σd/Σd²/ΣD/ΣD² moments."""
+    y = [int(v) for v in y_sorted]
+    n = len(y)
+    m = n - 1
+    d = [b - a for a, b in zip(y, y[1:])]
+    dd = [y[i] - y[i - q] for i in range(q, n)]
+    sd, sd2 = sum(d), sum(v * v for v in d)
+    sq, sq2 = sum(dd), sum(v * v for v in dd)
+    mu = sd / float(m)
+    var1 = (sd2 - 2.0 * mu * sd + m * mu * mu) / m
+    varq = (sq2 - 2.0 * q * mu * sq
+            + (n - q) * (q * mu) ** 2) / (float(q) * (n - q))
+    vr = varq / var1
+    z = (vr - 1.0) / math.sqrt(2.0 * (2 * q - 1) * (q - 1)
+                               / (3.0 * q * m))
+    return vr, z
+
+
+def q_variance_ratio_daily(sf_dir: str):
+    """Lo-MacKinlay variance-ratio test (q=5) of the random-walk
+    hypothesis on daily revenue levels: if increments were iid the
+    5-day increment variance would be 5× the daily one (VR=1);
+    mean-reversion pushes VR below 1, momentum above. Days-bounded
+    shuffle; exact integer difference moments; one mirrored double
+    closure."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    x = cv[np.argsort(day)]
+    vr, z = variance_ratio(x, _VR_Q)
+    return pa.table({
+        "n_days": pa.array([len(x)], pa.int64()),
+        "vr": pa.array([round(vr, 6)], pa.float64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+SQL_VARIANCE_RATIO_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+lagd AS (
+  SELECT cents - lag(cents, 1) OVER (ORDER BY day) AS d1,
+         cents - lag(cents, {_VR_Q}) OVER (ORDER BY day) AS dq
+  FROM d),
+s AS (
+  SELECT count(*) + 1 AS n,
+         CAST(sum(d1) AS BIGINT) AS sd,
+         CAST(sum(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS sd2,
+         CAST(sum(dq) AS BIGINT) AS sq,
+         CAST(sum(CAST(dq AS HUGEINT) * dq) AS HUGEINT) AS sq2
+  FROM (SELECT d1, dq FROM lagd WHERE d1 IS NOT NULL)),
+v AS (
+  SELECT n, CAST(sd AS DOUBLE) / (n - 1) AS mu,
+         (CAST(sd2 AS DOUBLE)
+          - 2.0 * (CAST(sd AS DOUBLE) / (n - 1)) * sd
+          + (n - 1) * (CAST(sd AS DOUBLE) / (n - 1))
+                    * (CAST(sd AS DOUBLE) / (n - 1))) / (n - 1) AS var1,
+         (CAST(sq2 AS DOUBLE)
+          - 2.0 * {_VR_Q} * (CAST(sd AS DOUBLE) / (n - 1)) * sq
+          + (n - {_VR_Q})
+            * pow({_VR_Q} * (CAST(sd AS DOUBLE) / (n - 1)), 2))
+           / ({_VR_Q}.0 * (n - {_VR_Q})) AS varq
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(varq / var1, 6) AS vr,
+       round((varq / var1 - 1.0)
+             / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                    / (3.0 * {_VR_Q} * (n - 1))), 6) AS z_score
+FROM v
+"""
+
+QUERIES["variance_ratio_daily"] = (q_variance_ratio_daily,
+                                   SQL_VARIANCE_RATIO_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger cointegration screen: daily click vs purchase counts
+# ---------------------------------------------------------------------------
+
+
+def engle_granger_t(x, y) -> tuple:
+    """(beta, df_t) — OLS y~a+b·x, then the no-constant Dickey-Fuller
+    regression Δe_t = ρ·e_{t−1}: t = ρ/SE(ρ). Slope/intercept from
+    exact integer sums; residual algebra in mirrored doubles over the
+    bounded series."""
+    n = len(x)
+    sx = sum(int(v) for v in x)
+    sy = sum(int(v) for v in y)
+    sxx = sum(int(v) * int(v) for v in x)
+    sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+    b = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (sy - b * sx) / float(n)
+    e = [int(yv) - a - b * int(xv) for xv, yv in zip(x, y)]
+    num = sum(e[i - 1] * (e[i] - e[i - 1]) for i in range(1, n))
+    den = sum(e[i - 1] * e[i - 1] for i in range(1, n))
+    rho = num / den
+    sse = sum((e[i] - e[i - 1] - rho * e[i - 1]) ** 2
+              for i in range(1, n))
+    s2 = sse / (n - 2)
+    return b, rho / math.sqrt(s2 / den)
+
+
+def q_engle_granger_click_purchase(sf_dir: str):
+    """Engle-Granger cointegration screen between the daily click and
+    purchase count series: OLS purchase ~ click, then a Dickey-Fuller
+    t on the residuals (strongly negative t ⇒ the residual is
+    mean-reverting ⇒ the two series share a stochastic trend). Both
+    engines compute identical per-day residual doubles over the
+    days-bounded table; the cointegrating slope comes from exact
+    integer sums."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "purchase"]))
+        t = t.filter(sel)
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("ts"), pa.int64()), 86400000000)), pa.int64())
+        is_c = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"day": day, "c": is_c,
+                      "p": pc.subtract(pa.scalar(1, pa.int64()), is_c)}) \
+            .group_by("day").aggregate([("c", "sum"), ("p", "sum")])
+        return g.rename_columns(["day", "clicks", "purchases"])
+
+    m = _partial_final(ds, partial, ["day"],
+                       [("clicks", "sum"), ("purchases", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    o = np.argsort(day)
+    x = np.asarray(m.column("clicks"), dtype=np.int64)[o]
+    y = np.asarray(m.column("purchases"), dtype=np.int64)[o]
+    beta, t_stat = engle_granger_t(x.tolist(), y.tolist())
+    return pa.table({
+        "n_days": pa.array([len(x)], pa.int64()),
+        "beta": pa.array([round(beta, 6)], pa.float64()),
+        "df_t": pa.array([round(t_stat, 6)], pa.float64()),
+    })
+
+
+SQL_ENGLE_GRANGER_CLICK_PURCHASE = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM d),
+ab AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM s),
+e AS (
+  SELECT day, CAST(y AS DOUBLE) - ab.a - ab.b * CAST(x AS DOUBLE) AS e
+  FROM d, ab),
+lagd AS (
+  SELECT e, lag(e) OVER (ORDER BY day) AS ep FROM e),
+df AS (
+  SELECT count(*) AS m,
+         sum(ep * (e - ep)) AS num, sum(ep * ep) AS den,
+         sum(ep * e) AS sep_e, sum(e * e) AS se2
+  FROM lagd WHERE ep IS NOT NULL),
+r AS (SELECT m, num / den AS rho, num, den, sep_e, se2 FROM df),
+sse AS (
+  SELECT r.m, r.rho, r.den,
+         sum(pow(l.e - l.ep - r.rho * l.ep, 2)) AS sse
+  FROM lagd l, r WHERE l.ep IS NOT NULL GROUP BY 1, 2, 3)
+SELECT (SELECT CAST(n AS BIGINT) FROM s) AS n_days,
+       round((SELECT b FROM ab), 6) AS beta,
+       round(rho / sqrt((sse / (m - 1)) / den), 6) AS df_t
+FROM sse
+"""
+
+QUERIES["engle_granger_click_purchase"] = (
+    q_engle_granger_click_purchase, SQL_ENGLE_GRANGER_CLICK_PURCHASE)
+
+
+# ---------------------------------------------------------------------------
+# Burrows' delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_DELTA_TOPK = 50
+
+
+def burrows_delta(tokens, srcs, counts, src_totals, topk) -> list:
+    """[(a, b, delta)] over source pairs: z-score each of the topk
+    global tokens' relative frequencies across sources (population
+    σ over the |sources| values), delta = mean |z_a − z_b|. All
+    inputs are the (token, source, count) cells + per-source token
+    totals."""
+    import collections
+    tot = collections.Counter()
+    cell = {}
+    for t, s, c in zip(tokens, srcs, counts):
+        tot[t] += int(c)
+        cell[(t, s)] = cell.get((t, s), 0) + int(c)
+    top = sorted(tot, key=lambda t: (-tot[t], t))[:topk]
+    sources = sorted(src_totals)
+    k = len(sources)
+    zmat = {}
+    for t in top:
+        f = [cell.get((t, s), 0) / float(src_totals[s])
+             for s in sources]
+        mu = sum(f) / k
+        sd = math.sqrt(sum((v - mu) ** 2 for v in f) / k)
+        zmat[t] = [((v - mu) / sd if sd > 0 else 0.0) for v in f]
+    out = []
+    for i, a in enumerate(sources):
+        for j in range(i + 1, k):
+            b = sources[j]
+            d = sum(abs(zmat[t][i] - zmat[t][j]) for t in top) \
+                / len(top)
+            out.append((a, b, round(d, 6)))
+    return out
+
+
+def q_burrows_delta_sources(sf_dir: str):
+    """Burrows' delta — the standard stylometric (authorship)
+    distance — between document sources: z-scored relative
+    frequencies of the 50 globally-most-frequent tokens (count desc,
+    token asc tie rule), pairwise mean |Δz|. The cluster ships
+    (token, source) count partials (vocab-bounded — at true scale the
+    topk set would come from the heavy_hitter sketch first and a
+    second filtered pass); the z/delta closure is a 50×|sources|
+    driver grid."""
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        toks = _pc.split_pattern_regex(t.column("text"), r"\s+")
+        flat = _pc.list_flatten(toks)
+        reps = _pc.list_value_length(toks)
+        src = t.column("source").take(
+            pa.array(np.repeat(np.arange(t.num_rows),
+                               np.asarray(reps))))
+        keep = _pc.not_equal(flat, "")
+        g = pa.table({"token": flat.filter(keep),
+                      "source": src.filter(keep)}) \
+            .group_by(["token", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["token", "source", "cnt"])
+
+    m = _partial_final(ds, partial, ["token", "source"],
+                       [("cnt", "sum")])
+    tk = m.column("token").to_pylist()
+    sr = m.column("source").to_pylist()
+    ct = m.column("cnt").to_pylist()
+    totals = {}
+    for s, c in zip(sr, ct):
+        totals[s] = totals.get(s, 0) + int(c)
+    rows = burrows_delta(tk, sr, ct, totals, _DELTA_TOPK)
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows]),
+        "source_b": pa.array([r[1] for r in rows]),
+        "delta": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_BURROWS_DELTA_SOURCES = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+cell AS (SELECT token, source, CAST(count(*) AS BIGINT) AS cnt
+         FROM toks GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM cell
+       GROUP BY 1),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+top AS (SELECT token FROM cell GROUP BY token
+        ORDER BY sum(cnt) DESC, token LIMIT {_DELTA_TOPK}),
+f AS (
+  SELECT top.token, st.source,
+         coalesce(cell.cnt, 0) / CAST(st.tot AS DOUBLE) AS f
+  FROM top CROSS JOIN st
+  LEFT JOIN cell ON cell.token = top.token
+                AND cell.source = st.source),
+z AS (
+  SELECT token, source,
+         CASE WHEN stddev_pop(f) OVER (PARTITION BY token) > 0
+              THEN (f - avg(f) OVER (PARTITION BY token))
+                   / stddev_pop(f) OVER (PARTITION BY token)
+              ELSE 0.0 END AS z
+  FROM f)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(sum(abs(a.z - b.z))
+             / (SELECT count(*) FROM top), 6) AS delta
+FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["burrows_delta_sources"] = (q_burrows_delta_sources,
+                                    SQL_BURROWS_DELTA_SOURCES)
+
+
+# ---------------------------------------------------------------------------
+# Benford SECOND-digit forensic screen on order totals
+# ---------------------------------------------------------------------------
+
+
+def q_benford_second_digit(sf_dir: str):
+    """Second-leading-digit Benford screen on order cents (the
+    follow-up forensic test when the first-digit row passes: invented
+    amounts often get the leading digit right and the second wrong):
+    P(d₂=d) = Σ_{d₁=1..9} log10(1 + 1/(10·d₁+d)), emitted as
+    per-digit excess. Values below 10 cents carry no second digit and
+    are excluded identically on both sides; digit extraction is
+    integer //10 reduction."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                         100), 0), pa.int64()),
+            dtype=np.int64)
+        cents = cents[cents >= 10]
+        d = cents.copy()
+        while (d >= 100).any():
+            d = np.where(d >= 100, d // 10, d)
+        g = pa.table({"digit": pa.array(d % 10)}).group_by("digit") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["digit", "n"])
+
+    out = _partial_final(ds, partial, ["digit"], [("n", "sum")])
+    out = out.sort_by("digit")
+    digit = np.asarray(out.column("digit"), dtype=np.int64)
+    n = np.asarray(out.column("n"), dtype=np.int64)
+    tot = int(n.sum())
+    ex = []
+    for d, c in zip(digit, n):
+        p = sum(math.log10(1.0 + 1.0 / (10 * d1 + int(d)))
+                for d1 in range(1, 10))
+        ex.append(round(int(c) / float(tot) - p, 6))
+    return pa.table({
+        "digit": pa.array(digit, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "excess": pa.array(ex, pa.float64()),
+    })
+
+
+SQL_BENFORD_SECOND_DIGIT = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 10),
+d AS (
+  SELECT CAST(floor(v / pow(10, floor(log10(v)) - 1)) AS BIGINT) % 10
+           AS digit
+  FROM c),
+h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM h),
+exp_p AS (
+  SELECT h.digit,
+         (SELECT sum(log10(1.0 + 1.0 / (10 * d1 + h.digit)))
+          FROM generate_series(1, 9) g(d1)) AS p
+  FROM h)
+SELECT h.digit, h.n,
+       round(CAST(h.n AS DOUBLE) / t.tot - exp_p.p, 6) AS excess
+FROM h JOIN exp_p USING (digit), t ORDER BY h.digit
+"""
+
+QUERIES["benford_second_digit"] = (q_benford_second_digit,
+                                   SQL_BENFORD_SECOND_DIGIT)

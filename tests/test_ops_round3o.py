@@ -596,3 +596,76 @@ def test_eccentricity_disconnected_reachable_only():
     # two disjoint edges: each node reaches only its partner -> ecc 1
     ecc = eccentricities(4, np.array([0, 2]), np.array([1, 3]), 6)
     assert ecc.tolist() == [1, 1, 1, 1]
+
+
+# --------------------------------------------------------------------
+# batch 6: variance ratio, Engle-Granger, Burrows delta
+# --------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext2 import (  # noqa: E402
+    burrows_delta, engle_granger_t, variance_ratio)
+
+
+def test_variance_ratio_random_walk_near_one():
+    rng = np.random.RandomState(71)
+    walk = np.cumsum(rng.randint(-100, 101, size=5000)) + 10**6
+    vr, z = variance_ratio(walk, 5)
+    assert abs(vr - 1.0) < 0.15 and abs(z) < 3
+
+
+def test_variance_ratio_mean_reversion_below_one():
+    rng = np.random.RandomState(73)
+    # strongly mean-reverting: level = const + noise
+    level = 10**6 + rng.randint(-100, 101, size=5000)
+    vr, z = variance_ratio(level, 5)
+    assert vr < 0.5 and z < -10
+    # trending series: q-period diffs reinforce -> VR > 1
+    trend = np.cumsum(np.cumsum(rng.randint(0, 3, size=2000)))
+    vr_t, z_t = variance_ratio(trend + 10**6, 5)
+    assert vr_t > 1.5 and z_t > 10
+
+
+def test_variance_ratio_matches_naive():
+    rng = np.random.RandomState(79)
+    y = (np.cumsum(rng.randint(-50, 51, size=400)) + 10**5).tolist()
+    vr, _ = variance_ratio(y, 5)
+    yf = np.asarray(y, dtype=np.float64)
+    d = np.diff(yf)
+    dq = yf[5:] - yf[:-5]
+    mu = d.mean()
+    var1 = np.sum((d - mu) ** 2) / len(d)
+    varq = np.sum((dq - 5 * mu) ** 2) / (5.0 * len(dq))
+    assert abs(vr - varq / var1) < 1e-9
+
+
+def test_engle_granger_cointegrated_vs_independent():
+    rng = np.random.RandomState(83)
+    x = np.cumsum(rng.randint(-50, 51, size=2000)) + 10**6
+    # cointegrated: y = 2x + stationary noise -> strongly negative t
+    y_c = 2 * x + rng.randint(-30, 31, size=2000)
+    beta, t_c = engle_granger_t(x.tolist(), y_c.tolist())
+    assert abs(beta - 2.0) < 0.01
+    assert t_c < -10
+    # independent walks: residual is itself a walk -> t near 0
+    y_i = np.cumsum(rng.randint(-50, 51, size=2000)) + 10**6
+    _, t_i = engle_granger_t(x.tolist(), y_i.tolist())
+    assert t_i > -5
+
+
+def test_burrows_delta_symmetric_styles():
+    # three "sources": a and b share style, c inverts token balance
+    tokens, srcs, counts = [], [], []
+    style = {"a": {"the": 60, "of": 40}, "b": {"the": 58, "of": 42},
+             "c": {"the": 10, "of": 90}}
+    for s, d in style.items():
+        for t, c in d.items():
+            tokens.append(t)
+            srcs.append(s)
+            counts.append(c)
+    totals = {s: sum(d.values()) for s, d in style.items()}
+    rows = burrows_delta(tokens, srcs, counts, totals, 50)
+    d = {(a, b): v for a, b, v in rows}
+    assert d[("a", "b")] < d[("a", "c")]
+    assert d[("a", "b")] < d[("b", "c")]
+    # pairs are emitted lexicographically once
+    assert set(d) == {("a", "b"), ("a", "c"), ("b", "c")}
