@@ -6911,29 +6911,31 @@ def q_order_total_reconciliation(sf_dir: str):
             .group_by("k").aggregate([("li_cents", "sum")])
         return g.rename_columns(["k", "li_cents"])
 
-    li_sums = li.map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("k").sum("li_cents").map_batches(
-            lambda t: t.rename_columns(["k", "li_cents"]),
-            batch_format="pyarrow")
+    # per-BLOCK partials go straight into the join; the partition-
+    # local right_combine fold replaces what used to be a second
+    # full groupby("k") shuffle (two exchanges → one)
+    li_sums = li.map_batches(li_partial, batch_format="pyarrow")
     od = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_totalprice",
                         "o_orderpriority"])
     joined = partitioned_lookup_join(
         od, li_sums, left_key="o_orderkey", right_key="k",
         take_cols=["li_cents"], num_partitions=32,
-        join_type="left outer")
+        right_combine=[("li_cents", "sum")],
+        join_type="left outer",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_totalprice", pa.float64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("li_cents", pa.int64())]))
 
     def bucketize(t: pa.Table) -> pa.Table:
         tot = np.asarray(pc.cast(pc.round(pc.multiply(
             t.column("o_totalprice"), 100), 0), pa.int64()),
             dtype=np.int64)
-        li_c = t.column("li_cents").to_numpy(zero_copy_only=False)
-        missing = np.array([v is None or (isinstance(v, float)
-                                          and np.isnan(v))
-                            for v in li_c])
-        liv = np.where(missing, 0,
-                       np.nan_to_num(li_c.astype(np.float64))
-                       ).astype(np.int64)
+        col = t.column("li_cents")
+        missing = np.asarray(pc.is_null(col).combine_chunks())
+        liv = np.asarray(pc.fill_null(col, 0), dtype=np.int64)
         diff = np.abs(tot - liv)
         bucket = np.where(
             missing, "no_lineitems",

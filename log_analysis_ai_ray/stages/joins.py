@@ -385,7 +385,7 @@ def _salt_slots(u64: np.ndarray, salt: int) -> np.ndarray:
 def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                             right_key: str, take_cols: list[str],
                             num_partitions: int = 64,
-                            unique_right: bool = True,
+                            right_combine: list | None = None,
                             join_type: str = "inner",
                             emit_key: str | None = None,
                             left_schema: pa.Schema | None = None,
@@ -416,6 +416,14 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
     upstream plan (Ray 2.49), which doubles the cost of a chained
     join.
 
+    ``right_combine`` — list of (take_col, "sum"|"min"|"max") — lets
+    the right side arrive as NON-unique per-block PARTIALS: each
+    partition folds them to one row per key (group_by _key) before the
+    Acero join. This removes the separate pre-aggregation shuffle a
+    caller would otherwise pay (two all-to-all exchanges become one);
+    it is exact for decomposable aggregates because partition =
+    key-complete. Without it the right side must be unique per key.
+
     ``salt`` > 1 is the HOT-KEY switch: left (probe) rows of a key
     spread across ``salt`` sub-partitions via a second hash mix, and
     the right (build) rows are replicated into every sub-partition —
@@ -433,6 +441,15 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
         raise ValueError("salt > 1 cannot preserve full-outer "
                          "semantics (replicated right rows would "
                          "duplicate unmatched-right output)")
+    if right_combine is not None:
+        bad = [c for c, _ in right_combine if c not in take_cols]
+        if bad:
+            raise ValueError(f"right_combine columns not in "
+                             f"take_cols: {bad}")
+        if salt > 1:
+            raise ValueError("right_combine with salt>1 would "
+                             "replicate partials into sub-partitions "
+                             "and over-count")
     ls = left_schema or left_ds.schema()
     payload_cols = list(ls.names)
     payload_types = dict(zip(ls.names, ls.types))
@@ -516,6 +533,14 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
             .select(["_key"] + payload_cols)
         right_t = group.filter(pa.array(side == 0)) \
             .select(["_key"] + take_cols)
+        if right_combine is not None and right_t.num_rows > 0:
+            gt = right_t.group_by("_key").aggregate(right_combine)
+            # rename by NAME (col_agg → col), never positionally —
+            # pyarrow's aggregate-column ordering differs by version
+            ren = {f"{c}_{fn}": c for c, fn in right_combine}
+            right_t = gt.rename_columns(
+                [ren.get(c, c) for c in gt.column_names]) \
+                .select(["_key"] + take_cols)
         if left_t.num_rows == 0:
             if join_type != "full outer" or right_t.num_rows == 0:
                 return out_schema.empty_table()

@@ -356,3 +356,53 @@ def test_partitioned_join_cross_type_keys(ray_session):
     assert len(out) == 8
     assert sorted(zip(out.k, out.payload)) == \
         [(str(i), i * 10) for i in range(1, 9)]
+
+
+def test_partitioned_join_right_combine_folds_partials(ray_session):
+    """Non-unique right-side partials fold to per-key sums inside each
+    partition — parity with pre-aggregating before the join."""
+    import numpy as np
+    import ray
+
+    from log_analysis_ai_ray.stages.joins import partitioned_lookup_join
+
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 40, size=300)
+    vals = rng.randint(1, 100, size=300)
+    left = pa.table({"k": pa.array(range(40), type=pa.int64()),
+                     "tag": pa.array([f"t{i}" for i in range(40)])})
+    right = pa.table({"rk": pa.array(keys, type=pa.int64()),
+                      "v": pa.array(vals, type=pa.int64())})
+    out = partitioned_lookup_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(6),
+        left_key="k", right_key="rk", take_cols=["v"],
+        num_partitions=8, right_combine=[("v", "sum")],
+        join_type="left outer").to_pandas()
+    assert len(out) == 40
+    expect = {}
+    for k, v in zip(keys, vals):
+        expect[int(k)] = expect.get(int(k), 0) + int(v)
+    for _, row in out.iterrows():
+        e = expect.get(int(row.k))
+        got = None if row.isna().v else int(row.v)
+        assert got == e
+
+
+def test_right_combine_rejects_salt_and_unknown_cols(ray_session):
+    import ray
+
+    from log_analysis_ai_ray.stages.joins import partitioned_lookup_join
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()),
+                  "v": pa.array([1], type=pa.int64())})
+    ds = ray.data.from_arrow(t)
+    import pytest
+    with pytest.raises(ValueError):
+        partitioned_lookup_join(ds, ds, left_key="k", right_key="k",
+                                take_cols=["v"],
+                                right_combine=[("nope", "sum")])
+    with pytest.raises(ValueError):
+        partitioned_lookup_join(ds, ds, left_key="k", right_key="k",
+                                take_cols=["v"], salt=2,
+                                right_combine=[("v", "sum")])
