@@ -7087,7 +7087,8 @@ def q_value_at_risk(sf_dir: str):
         o = np.argsort(cv[m])
         v, c = cv[m][o], cc[m][o]
         n = int(c.sum())
-        k = -(-95 * n // 100)               # ceil(0.95 n)
+        k = (95 * n + 99) // 100   # ceil, positive-only form:
+        # DuckDB // truncates negatives, Python floors
         cum = np.cumsum(c)
         i = int(np.searchsorted(cum, k, side="left"))
         var = int(v[i])
@@ -19695,12 +19696,12 @@ tx AS (
   SELECT min(x) AS t FROM (
     SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM
       (SELECT x, count(*) AS cnt FROM e GROUP BY 1)), n
-  WHERE cum >= -((-95 * n.n) // 100)),
+  WHERE cum >= (95 * n.n + 99) // 100),
 ty AS (
   SELECT min(y) AS t FROM (
     SELECT y, sum(cnt) OVER (ORDER BY y) AS cum FROM
       (SELECT y, count(*) AS cnt FROM e GROUP BY 1)), n
-  WHERE cum >= -((-95 * n.n) // 100)),
+  WHERE cum >= (95 * n.n + 99) // 100),
 tx5 AS (
   SELECT min(x) AS t FROM (
     SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM
@@ -20386,7 +20387,7 @@ def q_gpd_pot_fit_values(sf_dir: str):
     vv, ct = vv[o], ct[o]
     n = int(ct.sum())
     cum = np.cumsum(ct)
-    need = -(-95 * n // 100)
+    need = (95 * n + 99) // 100
     thr = int(vv[np.searchsorted(cum, need)])
     exc_sel = vv > thr
     ev = (vv[exc_sel] - thr).astype(np.int64)
@@ -20416,7 +20417,7 @@ n AS (SELECT sum(cnt) AS n FROM h),
 thr AS (
   SELECT min(v) AS t FROM (
     SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h), n
-  WHERE cum >= -((-95 * n.n) // 100)),
+  WHERE cum >= (95 * n.n + 99) // 100),
 exc AS (
   SELECT v - thr.t AS e, cnt FROM h, thr WHERE v > thr.t),
 s AS (SELECT sum(cnt) AS k,

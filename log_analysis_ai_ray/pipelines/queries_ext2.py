@@ -2575,3 +2575,190 @@ FROM h JOIN exp_p USING (digit), t ORDER BY h.digit
 
 QUERIES["benford_second_digit"] = (q_benford_second_digit,
                                    SQL_BENFORD_SECOND_DIGIT)
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+
+def q_abc_analysis_parts(sf_dir: str):
+    """ABC (80/15/5) inventory classification of parts by lineitem
+    revenue: class A = parts up to the 80 % cumulative-revenue line, B
+    to 95 %, C the tail (the first part CROSSING a line belongs to
+    the richer class — cum-before thresholds, exact integer
+    cross-multiplication, never a float share). Revenue reduces to
+    |parts|-bounded (partkey, cents·pm) partials; ordering ties break
+    by partkey. Output: per-class part count, revenue share."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        disc_pm = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000), 0), pa.int64())
+        cpm = pc.multiply(price_c, pc.subtract(
+            pa.scalar(1000, pa.int64()), disc_pm))
+        g = pa.table({"pk": t.column("l_partkey"), "cpm": cpm}) \
+            .group_by("pk").aggregate([("cpm", "sum")])
+        return g.rename_columns(["pk", "cpm"])
+
+    m = _partial_final(ds, partial, ["pk"], [("cpm", "sum")])
+    pk = np.asarray(m.column("pk"), dtype=np.int64)
+    cv = np.asarray(m.column("cpm"), dtype=np.int64)
+    o = np.lexsort((pk, -cv))
+    cv = cv[o]
+    tot = int(cv.sum())
+    counts = {"A": 0, "B": 0, "C": 0}
+    revs = {"A": 0, "B": 0, "C": 0}
+    cum = 0
+    for v in cv:
+        v = int(v)
+        if cum * 5 < tot * 4:          # cum/tot < 0.80
+            cls = "A"
+        elif cum * 20 < tot * 19:      # cum/tot < 0.95
+            cls = "B"
+        else:
+            cls = "C"
+        counts[cls] += 1
+        revs[cls] += v
+        cum += v
+    classes = ["A", "B", "C"]
+    return pa.table({
+        "abc_class": pa.array(classes),
+        "n_parts": pa.array([counts[c] for c in classes], pa.int64()),
+        "rev_share": pa.array(
+            [round(revs[c] / float(tot), 6) for c in classes],
+            pa.float64()),
+    })
+
+
+SQL_ABC_ANALYSIS_PARTS = """
+WITH p AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (1000 - CAST(round(l_discount * 1000, 0)
+                                 AS BIGINT))) AS BIGINT) AS cpm
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(cpm) AS HUGEINT) AS tot FROM p),
+c AS (
+  SELECT cpm,
+         coalesce(CAST(sum(cpm) OVER (
+             ORDER BY cpm DESC, pk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS HUGEINT), 0) AS cumb
+  FROM p),
+cls AS (
+  SELECT CASE WHEN cumb * 5 < t.tot * 4 THEN 'A'
+              WHEN cumb * 20 < t.tot * 19 THEN 'B'
+              ELSE 'C' END AS abc_class, cpm
+  FROM c, t)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(cpm) AS DOUBLE) / (SELECT CAST(tot AS DOUBLE)
+                                         FROM t), 6) AS rev_share
+FROM cls GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["abc_analysis_parts"] = (q_abc_analysis_parts,
+                                 SQL_ABC_ANALYSIS_PARTS)
+
+
+# ---------------------------------------------------------------------------
+# extremal index (runs declustering) of daily-revenue exceedances
+# ---------------------------------------------------------------------------
+
+_EXT_RUN_GAP = 2
+
+
+def extremal_index_runs(flags, run_gap) -> tuple:
+    """(n_exceed, n_clusters, theta): runs estimator — a new cluster
+    starts when an exceedance follows ≥ run_gap non-exceedance steps
+    (positions are consecutive indexes of the ordered series)."""
+    idx = [i for i, f in enumerate(flags) if f]
+    n_exc = len(idx)
+    if n_exc == 0:
+        return 0, 0, None
+    clusters = 1
+    for a, b in zip(idx, idx[1:]):
+        if b - a > run_gap:
+            clusters += 1
+    return n_exc, clusters, clusters / float(n_exc)
+
+
+def q_extremal_index_daily(sf_dir: str):
+    """Extremal index θ of daily revenue via the runs declustering
+    estimator (gap {_EXT_RUN_GAP}): exceedances above the integer 95th
+    percentile (the gpd_pot_fit threshold convention) group into
+    clusters separated by > {_EXT_RUN_GAP} quiet days; θ̂ =
+    clusters/exceedances ≈ 1/mean-cluster-size — the EVT dependence
+    companion of gpd_pot_fit_values (θ < 1 ⇒ extremes arrive in
+    bursts). Days-bounded shuffle; integer threshold; exact cluster
+    count."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()), 86400000000)),
+            pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(day)
+    x = cv[o]
+    n = len(x)
+    srt = np.sort(x)
+    # ceil(0.95 n) via the positive-only identity (95n+99)//100 —
+    # DuckDB's // TRUNCATES toward zero on negatives while Python
+    # floors, so the -(-a//b) ceil idiom silently disagrees between
+    # the engines whenever 95n isn't a multiple of 100
+    need = (95 * n + 99) // 100
+    thr = int(srt[min(need, n) - 1])       # smallest v with cum ≥ need
+    flags = (x > thr).tolist()
+    n_exc, n_cl, theta = extremal_index_runs(flags, _EXT_RUN_GAP)
+    return pa.table({
+        "threshold_cents": pa.array([thr], pa.int64()),
+        "n_exceed": pa.array([n_exc], pa.int64()),
+        "n_clusters": pa.array([n_cl], pa.int64()),
+        "theta": pa.array([round(theta, 6) if theta is not None
+                           else None], pa.float64()),
+    })
+
+
+SQL_EXTREMAL_INDEX_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM d),
+thr AS (
+  SELECT min(cents) AS t FROM (
+    SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM d), nn
+  WHERE rk >= (95 * nn.n + 99) // 100),
+seq AS (
+  SELECT row_number() OVER (ORDER BY day) AS pos,
+         cents > thr.t AS exc
+  FROM d, thr),
+e AS (SELECT pos FROM seq WHERE exc),
+gaps AS (
+  SELECT pos - lag(pos) OVER (ORDER BY pos) AS gap FROM e),
+agg AS (
+  SELECT (SELECT count(*) FROM e) AS n_exceed,
+         1 + coalesce(sum(CASE WHEN gap > {_EXT_RUN_GAP}
+                               THEN 1 ELSE 0 END), 0) AS n_clusters
+  FROM gaps)
+SELECT (SELECT CAST(t AS BIGINT) FROM thr) AS threshold_cents,
+       CAST(n_exceed AS BIGINT) AS n_exceed,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       round(CAST(n_clusters AS DOUBLE) / n_exceed, 6) AS theta
+FROM agg
+"""
+
+QUERIES["extremal_index_daily"] = (q_extremal_index_daily,
+                                   SQL_EXTREMAL_INDEX_DAILY)

@@ -669,3 +669,25 @@ def test_burrows_delta_symmetric_styles():
     assert d[("a", "b")] < d[("b", "c")]
     # pairs are emitted lexicographically once
     assert set(d) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_extremal_index_runs_kernel():
+    from log_analysis_ai_ray.pipelines.queries_ext2 import (
+        extremal_index_runs)
+    # no exceedances
+    assert extremal_index_runs([False] * 5, 2) == (0, 0, None)
+    # one burst: 3 exceedances within gap -> 1 cluster, theta 1/3
+    n, c, th = extremal_index_runs(
+        [False, True, True, False, True, False], 2)
+    assert (n, c) == (3, 1) and abs(th - 1 / 3) < 1e-12
+    # gap of exactly run_gap stays same cluster; gap+1 splits
+    n, c, _ = extremal_index_runs(
+        [True, False, False, True], 2)          # diff 3 > 2 -> split
+    assert (n, c) == (2, 2)
+    n, c, _ = extremal_index_runs(
+        [True, False, True], 2)                 # diff 2 <= 2 -> same
+    assert (n, c) == (2, 1)
+    # independent extremes (all isolated) -> theta = 1
+    flags = [True, False, False, False] * 10
+    n, c, th = extremal_index_runs(flags, 2)
+    assert n == 10 and c == 10 and th == 1.0
