@@ -2762,3 +2762,8 @@ FROM agg
 
 QUERIES["extremal_index_daily"] = (q_extremal_index_daily,
                                    SQL_EXTREMAL_INDEX_DAILY)
+
+
+# session-11 continuation registry (ordinal/information-theoretic
+# association, transfer entropy, permutation entropy)
+from . import queries_ext3  # noqa: E402,F401

@@ -1,0 +1,237 @@
+"""Brute-force verification of the round-3p driver closures: each
+exact-integer kernel in queries_ext3 is checked against an independent
+textbook implementation on constructed + randomized inputs."""
+
+import itertools
+import math
+
+import numpy as np
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (
+    concordance_counts, entropy_nats, permutation_entropy3,
+    transfer_entropy_bits, uncertainty_coefficient)
+
+
+# ---------------------------------------------------------------------------
+# uncertainty coefficient
+# ---------------------------------------------------------------------------
+
+
+def _u_naive(pairs):
+    """Theil's U(row|col) from raw (row, col) observations via
+    plain probability arithmetic."""
+    n = len(pairs)
+    rows = {}
+    cols = {}
+    joint = {}
+    for r, c in pairs:
+        rows[r] = rows.get(r, 0) + 1
+        cols[c] = cols.get(c, 0) + 1
+        joint[(r, c)] = joint.get((r, c), 0) + 1
+    h_row = -sum(v / n * math.log(v / n) for v in rows.values())
+    h_cond = 0.0
+    for (r, c), v in joint.items():
+        h_cond += -(v / n) * math.log(v / cols[c])
+    return h_row, h_cond
+
+
+def test_uncertainty_coefficient_random():
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        n = rng.randint(20, 400)
+        rows = rng.randint(0, 5, size=n)
+        cols = rng.randint(0, 7, size=n)
+        pairs = list(zip(rows.tolist(), cols.tolist()))
+        cells = {}
+        for p in pairs:
+            cells[p] = cells.get(p, 0) + 1
+        h_row, h_cond, u = uncertainty_coefficient(cells)
+        h_row_n, h_cond_n = _u_naive(pairs)
+        assert abs(h_row - h_row_n) < 1e-9
+        assert abs(h_cond - h_cond_n) < 1e-9
+        if h_row > 0:
+            assert abs(u - (h_row - h_cond) / h_row) < 1e-12
+            assert -1e-12 <= u <= 1 + 1e-12
+
+
+def test_uncertainty_coefficient_extremes():
+    # row fully determined by col -> U = 1
+    cells = {(0, 0): 10, (1, 1): 5, (2, 2): 7}
+    _, h_cond, u = uncertainty_coefficient(cells)
+    assert abs(h_cond) < 1e-12 and abs(u - 1.0) < 1e-12
+    # row independent of col -> U = 0
+    cells = {(r, c): 3 for r in range(3) for c in range(4)}
+    _, _, u = uncertainty_coefficient(cells)
+    assert abs(u) < 1e-12
+    # constant row -> H(row)=0 -> None
+    assert uncertainty_coefficient({(0, 0): 4, (0, 1): 6})[2] is None
+
+
+def test_entropy_nats_uniform():
+    assert abs(entropy_nats([5, 5, 5, 5]) - math.log(4)) < 1e-12
+    assert entropy_nats([7]) == 0.0
+    assert abs(entropy_nats([1, 0, 3]) - entropy_nats([1, 3])) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# concordance counts (gamma / Somers' D)
+# ---------------------------------------------------------------------------
+
+
+def _concordance_naive(xs, ys):
+    C = D = Tx = Ty = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(zip(xs, ys), 2):
+        if x1 == x2 and y1 == y2:
+            continue
+        if x1 == x2:
+            Tx += 1
+        elif y1 == y2:
+            Ty += 1
+        elif (x2 - x1) * (y2 - y1) > 0:
+            C += 1
+        else:
+            D += 1
+    return C, D, Tx, Ty
+
+
+def test_concordance_counts_random():
+    rng = np.random.RandomState(3)
+    for _ in range(15):
+        n = rng.randint(10, 120)
+        xs = rng.randint(0, 6, size=n).tolist()
+        ys = rng.randint(0, 4, size=n).tolist()
+        cells = {}
+        for x, y in zip(xs, ys):
+            cells[(x, y)] = cells.get((x, y), 0) + 1
+        assert concordance_counts(cells) == _concordance_naive(xs, ys)
+
+
+def test_concordance_perfect_orders():
+    # strictly increasing -> all pairs concordant
+    cells = {(i, i): 1 for i in range(8)}
+    C, D, Tx, Ty = concordance_counts(cells)
+    assert (C, D, Tx, Ty) == (28, 0, 0, 0)
+    # strictly decreasing -> all discordant
+    cells = {(i, 8 - i): 1 for i in range(8)}
+    C, D, Tx, Ty = concordance_counts(cells)
+    assert (C, D, Tx, Ty) == (0, 28, 0, 0)
+
+
+def test_concordance_pair_conservation():
+    # C + D + Tx + Ty + both-tied == n*(n-1)/2
+    rng = np.random.RandomState(9)
+    xs = rng.randint(0, 3, size=60).tolist()
+    ys = rng.randint(0, 3, size=60).tolist()
+    cells = {}
+    for x, y in zip(xs, ys):
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    C, D, Tx, Ty = concordance_counts(cells)
+    both = sum(c * (c - 1) // 2 for c in cells.values())
+    assert C + D + Tx + Ty + both == 60 * 59 // 2
+
+
+# ---------------------------------------------------------------------------
+# transfer entropy
+# ---------------------------------------------------------------------------
+
+
+def _te_naive(transitions):
+    """TE via explicit conditional probabilities:
+    Σ p(y2,y1,x1) log2 [ p(y2|y1,x1) / p(y2|y1) ]."""
+    m = len(transitions)
+    from collections import Counter
+    n3 = Counter(transitions)
+    n_y1x1 = Counter((x, y) for x, y, _ in transitions)
+    n_y2y1 = Counter((y, y2) for _, y, y2 in transitions)
+    n_y1 = Counter(y for _, y, _ in transitions)
+    te = 0.0
+    for (x1, y1, y2), c in n3.items():
+        p_joint = c / m
+        p_y2_given_y1x1 = c / n_y1x1[(x1, y1)]
+        p_y2_given_y1 = n_y2y1[(y1, y2)] / n_y1[y1]
+        te += p_joint * math.log2(p_y2_given_y1x1 / p_y2_given_y1)
+    return te
+
+
+def test_transfer_entropy_random():
+    rng = np.random.RandomState(5)
+    for _ in range(15):
+        n = rng.randint(20, 500)
+        tr = [tuple(rng.randint(0, 2, size=3).tolist()) for _ in range(n)]
+        m, te = transfer_entropy_bits(tr)
+        assert m == n
+        assert abs(te - _te_naive(tr)) < 1e-9
+        assert te >= -1e-12      # TE is nonnegative
+
+
+def test_transfer_entropy_deterministic_copy():
+    # y2 = x1 exactly, y1 independent coin -> TE -> 1 bit
+    rng = np.random.RandomState(2)
+    tr = []
+    for _ in range(4000):
+        x1 = int(rng.randint(0, 2))
+        y1 = int(rng.randint(0, 2))
+        tr.append((x1, y1, x1))
+    _, te = transfer_entropy_bits(tr)
+    assert te > 0.95
+
+
+def test_transfer_entropy_independent_is_zero():
+    # y2 depends only on y1 -> TE == 0 exactly (ratio collapses)
+    tr = [(x1, y1, y1) for x1 in (0, 1) for y1 in (0, 1)] * 10
+    _, te = transfer_entropy_bits(tr)
+    assert abs(te) < 1e-12
+    assert transfer_entropy_bits([]) == (0, None)
+
+
+# ---------------------------------------------------------------------------
+# permutation entropy
+# ---------------------------------------------------------------------------
+
+
+def _pe_naive(values):
+    """Order-3 PE via explicit argsort with index tie-break."""
+    v = list(values)
+    from collections import Counter
+    pats = Counter()
+    for i in range(len(v) - 2):
+        w = [(v[i], 0), (v[i + 1], 1), (v[i + 2], 2)]
+        order = tuple(idx for _, idx in sorted(w))
+        pats[order] += 1
+    m = sum(pats.values())
+    if m == 0:
+        return 0, None
+    h = -sum(c / m * math.log2(c / m) for c in pats.values())
+    return m, h
+
+
+def test_permutation_entropy_random():
+    rng = np.random.RandomState(17)
+    for _ in range(15):
+        v = rng.randint(0, 50, size=rng.randint(5, 300)).tolist()
+        m, h, pe = permutation_entropy3(v)
+        m_n, h_n = _pe_naive(v)
+        assert m == m_n
+        assert abs(h - h_n) < 1e-9
+        assert abs(pe - h / math.log2(6)) < 1e-12
+
+
+def test_permutation_entropy_limits():
+    # monotone series -> single pattern -> H = 0
+    m, h, pe = permutation_entropy3(list(range(50)))
+    assert (m, h, pe) == (48, 0.0, 0.0)
+    # too short -> no windows
+    assert permutation_entropy3([1, 2]) == (0, None, None)
+    # code space: the 6 reachable codes on all distinct triples
+    codes = set()
+    for a, b, c in itertools.permutations([1, 2, 3]):
+        codes.add(4 * (a <= b) + 2 * (b <= c) + (a <= c))
+    assert len(codes) == 6
+
+
+def test_permutation_entropy_tie_rule_matches_argsort():
+    # earlier-index-smaller: ties must reproduce stable argsort
+    for v in ([1, 1, 1, 1], [2, 2, 1, 2, 2], [3, 1, 3, 3, 1]):
+        m, h, _ = permutation_entropy3(v)
+        m_n, h_n = _pe_naive(v)
+        assert m == m_n and abs(h - (h_n or 0.0)) < 1e-12
