@@ -483,3 +483,463 @@ FROM pat, m
 
 QUERIES["permutation_entropy_hourly"] = (q_permutation_entropy_hourly,
                                          SQL_PERMUTATION_ENTROPY_HOURLY)
+
+
+# ---------------------------------------------------------------------------
+# wave 2 kernels (brute-force-verified in tests/test_ops_round3p.py)
+# ---------------------------------------------------------------------------
+
+
+def sample_entropy_m2(x, r) -> tuple:
+    """SampEn(m=2, Chebyshev tolerance r) on an integer series:
+    B = #pairs of length-2 templates within r, A = same for length-3;
+    sampen = −ln(A/B).  Exact integer comparisons; returns
+    (B, A, sampen_or_None)."""
+    x = [int(v) for v in x]
+    r = int(r)
+    n = len(x)
+    B = A = 0
+    for i in range(n - 1):
+        for j in range(i + 1, n - 1):
+            if abs(x[i] - x[j]) <= r and abs(x[i + 1] - x[j + 1]) <= r:
+                B += 1
+                if (i < n - 2 and j < n - 2
+                        and abs(x[i + 2] - x[j + 2]) <= r):
+                    A += 1
+    se = None if A == 0 or B == 0 else -math.log(A / B)
+    return B, A, se
+
+
+def higuchi_curve(x, kmax: int = 4):
+    """Higuchi curve lengths L(k) for k=1..kmax from an integer
+    series: L(k) = mean over offsets m of
+    S_{k,m}·(n−1)/(cnt_{k,m}·k²) with S the exact integer sum of
+    |x[pos]−x[pos−k]| over pos ≡ m (mod k).  Returns [(k, L_k)]."""
+    x = [int(v) for v in x]
+    n = len(x)
+    out = []
+    for k in range(1, kmax + 1):
+        lms = []
+        for m in range(1, k + 1):
+            s = 0
+            cnt = 0
+            pos = m + k
+            while pos <= n:
+                s += abs(x[pos - 1] - x[pos - 1 - k])
+                cnt += 1
+                pos += k
+            if cnt:
+                lms.append(s * (n - 1) / (cnt * k * k))
+        if lms:
+            out.append((k, sum(lms) / len(lms)))
+    return out
+
+
+def ols_slope(us, vs):
+    """Closed-form OLS slope of v on u (float pairs)."""
+    n = len(us)
+    su, sv = sum(us), sum(vs)
+    suu = sum(u * u for u in us)
+    suv = sum(u * v for u, v in zip(us, vs))
+    den = n * suu - su * su
+    return None if den == 0 else (n * suv - su * sv) / den
+
+
+def erlang_c(a: float, c: int) -> float:
+    """Erlang-C waiting probability for offered load a and c agents
+    (requires a < c): top = (a^c/c!)·c/(c−a), P(wait) =
+    top / (Σ_{k<c} a^k/k! + top), terms via exp(k·ln a − lgamma(k+1))
+    so the oracle can mirror the exact expression tree."""
+    top = math.exp(c * math.log(a) - math.lgamma(c + 1)) * (c / (c - a))
+    s = sum(math.exp(k * math.log(a) - math.lgamma(k + 1))
+            for k in range(c))
+    return top / (s + top)
+
+
+# ---------------------------------------------------------------------------
+# shared daily-revenue series
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _daily_revenue_cents(sf_dir: str):
+    """Day-ordered (day, cents) exact-integer daily revenue — the
+    one bounded shuffle for the wave-2 time-series diagnostics."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()),
+            pa.scalar(_DAY_US, pa.int64())), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        g = pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return g.rename_columns(["day", "cents"])
+
+    m = _partial_final(ds, partial, ["day"], [("cents", "sum")])
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    o = np.argsort(day)
+    return day[o], cv[o]
+
+
+# ---------------------------------------------------------------------------
+# sample_entropy_daily
+# ---------------------------------------------------------------------------
+
+
+def q_sample_entropy_daily(sf_dir: str):
+    """Sample entropy SampEn(m=2) of daily revenue: template pairs
+    compared under Chebyshev distance with the DETERMINISTIC integer
+    tolerance r = lower-median |successive difference| (no float
+    sigma); sampen = −ln(A/B) from exact integer template-match
+    counts — the regularity companion of hurst_rs_daily /
+    randomness_tests_daily.  Days-bounded: the C(n,2) sweep runs
+    driver-side on ~100 points and as a position self-join in the
+    oracle."""
+    _, x = _daily_revenue_cents(sf_dir)
+    x = x.tolist()
+    diffs = sorted(abs(x[i + 1] - x[i]) for i in range(len(x) - 1))
+    r = int(diffs[(len(diffs) + 1) // 2 - 1]) if diffs else 0
+    B, A, se = sample_entropy_m2(x, r)
+    return pa.table({
+        "n_days": pa.array([len(x)], pa.int64()),
+        "r_tol_cents": pa.array([r], pa.int64()),
+        "b_pairs": pa.array([B], pa.int64()),
+        "a_pairs": pa.array([A], pa.int64()),
+        "sampen": pa.array([round(se, 6) if se is not None else None],
+                           pa.float64()),
+    })
+
+
+SQL_SAMPLE_ENTROPY_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT row_number() OVER (ORDER BY day) AS pos, cents AS x FROM d),
+nn AS (SELECT count(*) AS n FROM s),
+dif AS (
+  SELECT abs(b.x - a.x) AS ad
+  FROM s a JOIN s b ON b.pos = a.pos + 1),
+r AS (
+  SELECT ad AS r FROM (
+    SELECT ad, row_number() OVER (ORDER BY ad) AS rk,
+           count(*) OVER () AS m FROM dif)
+  WHERE rk = (m + 1) // 2),
+pb AS (
+  SELECT count(*) AS b
+  FROM s i JOIN s j ON j.pos > i.pos
+  JOIN s i1 ON i1.pos = i.pos + 1 JOIN s j1 ON j1.pos = j.pos + 1, r
+  WHERE abs(i.x - j.x) <= r.r AND abs(i1.x - j1.x) <= r.r),
+pa_ AS (
+  SELECT count(*) AS a
+  FROM s i JOIN s j ON j.pos > i.pos
+  JOIN s i1 ON i1.pos = i.pos + 1 JOIN s j1 ON j1.pos = j.pos + 1
+  JOIN s i2 ON i2.pos = i.pos + 2 JOIN s j2 ON j2.pos = j.pos + 2, r
+  WHERE abs(i.x - j.x) <= r.r AND abs(i1.x - j1.x) <= r.r
+    AND abs(i2.x - j2.x) <= r.r)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+       (SELECT CAST(r AS BIGINT) FROM r) AS r_tol_cents,
+       CAST(pb.b AS BIGINT) AS b_pairs,
+       CAST(pa_.a AS BIGINT) AS a_pairs,
+       CASE WHEN pa_.a = 0 OR pb.b = 0 THEN NULL
+            ELSE round(-ln(CAST(pa_.a AS DOUBLE) / pb.b), 6)
+       END AS sampen
+FROM pb, pa_
+"""
+
+QUERIES["sample_entropy_daily"] = (q_sample_entropy_daily,
+                                   SQL_SAMPLE_ENTROPY_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# higuchi_fd_daily
+# ---------------------------------------------------------------------------
+
+_HIGUCHI_KMAX = 4
+
+
+def q_higuchi_fd_daily(sf_dir: str):
+    """Higuchi fractal dimension of daily revenue (k = 1..4): curve
+    lengths L(k) from exact integer |x(pos)−x(pos−k)| sums per offset
+    class m = ((pos−1) mod k)+1, FD = −slope of the 4-point OLS of
+    ln L(k) on ln k — the roughness companion of hurst_rs_daily (for
+    fBm-like series FD ≈ 2 − H).  Days-bounded shuffle; the float
+    closure is a shared 4-point expression tree."""
+    _, x = _daily_revenue_cents(sf_dir)
+    curve = higuchi_curve(x.tolist(), _HIGUCHI_KMAX)
+    us = [math.log(float(k)) for k, _ in curve]
+    vs = [math.log(lk) for _, lk in curve if lk > 0]
+    fd = None
+    if len(vs) == len(curve) and len(curve) >= 2:
+        sl = ols_slope(us, vs)
+        fd = None if sl is None else -sl
+    lmap = dict(curve)
+    cols = {"n_days": pa.array([len(x)], pa.int64())}
+    for k in range(1, _HIGUCHI_KMAX + 1):
+        lv = lmap.get(k)
+        cols[f"l_k{k}"] = pa.array(
+            [round(lv, 4) if lv is not None else None], pa.float64())
+    cols["higuchi_fd"] = pa.array(
+        [round(fd, 6) if fd is not None else None], pa.float64())
+    return pa.table(cols)
+
+
+SQL_HIGUCHI_FD_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT row_number() OVER (ORDER BY day) AS pos, cents AS x FROM d),
+nn AS (SELECT count(*) AS n FROM s),
+terms AS (
+  SELECT k.k, ((a.pos - 1) % k.k) + 1 AS m, abs(a.x - b.x) AS t
+  FROM (SELECT unnest(range(1, {KMAX} + 1)) AS k) k
+  JOIN s a ON a.pos > k.k
+  JOIN s b ON b.pos = a.pos - k.k),
+lm AS (
+  SELECT k, m, CAST(sum(t) AS DOUBLE) * ((SELECT n FROM nn) - 1)
+               / (count(*) * k * k) AS l_m
+  FROM terms GROUP BY 1, 2),
+lk AS (SELECT k, sum(l_m) / count(*) AS l_k FROM lm GROUP BY 1),
+pts AS (SELECT ln(CAST(k AS DOUBLE)) AS u, ln(l_k) AS v FROM lk
+        WHERE l_k > 0),
+fit AS (
+  SELECT count(*) AS n, sum(u) AS su, sum(v) AS sv,
+         sum(u * u) AS suu, sum(u * v) AS suv
+  FROM pts)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+       (SELECT round(l_k, 4) FROM lk WHERE k = 1) AS l_k1,
+       (SELECT round(l_k, 4) FROM lk WHERE k = 2) AS l_k2,
+       (SELECT round(l_k, 4) FROM lk WHERE k = 3) AS l_k3,
+       (SELECT round(l_k, 4) FROM lk WHERE k = 4) AS l_k4,
+       CASE WHEN (SELECT count(*) FROM lk WHERE l_k <= 0) > 0
+              OR (SELECT count(*) FROM lk) < 2
+              OR fit.n * fit.suu - fit.su * fit.su = 0 THEN NULL
+            ELSE round(-((fit.n * fit.suv - fit.su * fit.sv)
+                         / (fit.n * fit.suu - fit.su * fit.su)), 6)
+       END AS higuchi_fd
+FROM fit
+""".replace("{KMAX}", str(_HIGUCHI_KMAX))
+
+QUERIES["higuchi_fd_daily"] = (q_higuchi_fd_daily, SQL_HIGUCHI_FD_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# arch_lm_daily — conditional heteroskedasticity screen
+# ---------------------------------------------------------------------------
+
+
+def q_arch_lm_daily(sf_dir: str):
+    """Engle's ARCH LM test (lag 1) on daily revenue changes: z_t =
+    (whole-dollar day-over-day revenue diff)², regressed on z_{t−1};
+    LM = n·R² ~ χ²(1) under no-ARCH — the volatility-clustering
+    companion of variance_ratio_daily / ewma_control_chart.  Diffs
+    only across CONSECUTIVE present days; the sufficient statistics
+    are exact Python-int sums (z² ~ 1e28 overflows int64 → HUGEINT in
+    the oracle), combined in double via the shared expression tree."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    dollars = (cents // 100).tolist()
+    dmap = dict(zip(day.tolist(), dollars))
+    z = {}                       # day -> squared diff vs previous day
+    for dy in sorted(dmap):
+        if dy - 1 in dmap:
+            d = dmap[dy] - dmap[dy - 1]
+            z[dy] = d * d
+    xs, ys = [], []
+    for dy in sorted(z):
+        if dy + 1 in z:
+            xs.append(z[dy])
+            ys.append(z[dy + 1])
+    n = len(xs)
+    if n < 3:
+        lm = r2 = slope = None
+    else:
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        # combine the EXACT integer sums in double, mirrored by the
+        # oracle's CAST(... AS DOUBLE) tree (the exact combination
+        # overflows HUGEINT at (1e30)²)
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        d1 = float(n) * float(sxx) - float(sx) * float(sx)
+        d2 = float(n) * float(syy) - float(sy) * float(sy)
+        if d1 == 0 or d2 == 0:
+            lm = r2 = slope = None
+        else:
+            r2 = (num * num) / (d1 * d2)
+            lm = n * r2
+            slope = num / d1
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "slope": pa.array([round(slope, 6) if slope is not None
+                           else None], pa.float64()),
+        "r2": pa.array([round(r2, 6) if r2 is not None else None],
+                       pa.float64()),
+        "arch_lm": pa.array([round(lm, 6) if lm is not None else None],
+                            pa.float64()),
+    })
+
+
+SQL_ARCH_LM_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS dollars
+  FROM orders GROUP BY 1),
+z AS (
+  SELECT a.day, CAST(a.dollars - b.dollars AS HUGEINT)
+                * (a.dollars - b.dollars) AS z
+  FROM d a JOIN d b ON b.day = a.day - 1),
+p AS (
+  SELECT a.z AS x, b.z AS y FROM z a JOIN z b ON b.day = a.day + 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p)
+SELECT n AS n_pairs,
+       CASE WHEN n < 3 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+            THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                       6) END AS slope,
+       CASE WHEN n < 3
+                 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                 OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+            THEN NULL
+            ELSE round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6) END AS r2,
+       CASE WHEN n < 3
+                 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                 OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+            THEN NULL
+            ELSE round(n * (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))),
+                       6) END AS arch_lm
+FROM s
+"""
+
+QUERIES["arch_lm_daily"] = (q_arch_lm_daily, SQL_ARCH_LM_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# erlang_c_staffing — queueing-theory capacity planning
+# ---------------------------------------------------------------------------
+
+_ERLANG_MU = 60.0      # service completions per agent-hour
+_ERLANG_SLA_S = 20.0   # answer-time SLA in seconds
+
+
+def q_erlang_c_staffing(sf_dir: str):
+    """Erlang-C staffing for the peak hour-of-day: λ = mean arrivals
+    per hour at the busiest hour slot (argmax total events, tie →
+    smaller hour; divided by distinct event days), service rate μ =
+    60/agent-hour, c = ⌊a⌋+1 agents (minimum stable pool for
+    offered load a = λ/μ); reports P(wait) via the Erlang-C formula
+    (terms as exp(k·ln a − lgamma(k+1)) — expression tree shared with
+    the oracle), average speed of answer, and P(wait > 20s) —
+    Little's-law's staffing companion (littles_law_audit).  One
+    bounded (hour-of-day) shuffle."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        hh = (tsv // _HOUR_US) % 24
+        day = tsv // _DAY_US
+        g = pa.table({"hh": pa.array(hh), "day": pa.array(day)}) \
+            .group_by(["hh", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hh", "day", "c"])
+
+    m = _partial_final(ds, partial, ["hh", "day"], [("c", "sum")])
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    n_days = len(set(np.asarray(m.column("day"),
+                                dtype=np.int64).tolist()))
+    tot = {}
+    for h, c in zip(hh.tolist(), cv.tolist()):
+        tot[h] = tot.get(h, 0) + c
+    peak = min(h for h, c in tot.items() if c == max(tot.values()))
+    lam = tot[peak] / n_days
+    a = lam / _ERLANG_MU
+    c_agents = int(a) + 1
+    pw = erlang_c(a, c_agents)
+    drain = c_agents * _ERLANG_MU - lam          # per hour
+    asa_s = pw / drain * 3600.0
+    p_sla = pw * math.exp(-drain * (_ERLANG_SLA_S / 3600.0))
+    return pa.table({
+        "peak_hh": pa.array([int(peak)], pa.int64()),
+        "n_days": pa.array([n_days], pa.int64()),
+        "lambda_per_hour": pa.array([round(lam, 6)], pa.float64()),
+        "agents": pa.array([c_agents], pa.int64()),
+        "p_wait": pa.array([round(pw, 6)], pa.float64()),
+        "asa_seconds": pa.array([round(asa_s, 6)], pa.float64()),
+        "p_wait_gt_sla": pa.array([round(p_sla, 6)], pa.float64()),
+    })
+
+
+SQL_ERLANG_C_STAFFING = """
+WITH hd AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hh,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT day) AS n_days FROM hd),
+tot AS (SELECT hh, sum(c) AS c FROM hd GROUP BY 1),
+peak AS (
+  SELECT min(hh) AS hh FROM tot
+  WHERE c = (SELECT max(c) FROM tot)),
+base AS (
+  SELECT peak.hh AS peak_hh, nd.n_days,
+         CAST(tot.c AS DOUBLE) / nd.n_days AS lam,
+         CAST(tot.c AS DOUBLE) / nd.n_days / {MU} AS a,
+         CAST(FLOOR(CAST(tot.c AS DOUBLE) / nd.n_days / {MU})
+              AS BIGINT) + 1 AS c_agents
+  FROM peak JOIN tot ON tot.hh = peak.hh, nd),
+erl AS (
+  SELECT base.*,
+         exp(c_agents * ln(a) - lgamma(c_agents + 1))
+           * (c_agents / (c_agents - a)) AS top,
+         (SELECT sum(exp(k.k * ln(b2.a) - lgamma(k.k + 1)))
+          FROM (SELECT unnest(range(0, base.c_agents)) AS k) k,
+               (SELECT a) b2(a)) AS s
+  FROM base),
+pw AS (SELECT erl.*, top / (s + top) AS p_wait,
+              c_agents * {MU} - lam AS drain
+       FROM erl)
+SELECT CAST(peak_hh AS BIGINT) AS peak_hh,
+       CAST(n_days AS BIGINT) AS n_days,
+       round(lam, 6) AS lambda_per_hour,
+       c_agents AS agents,
+       round(p_wait, 6) AS p_wait,
+       round(p_wait / drain * 3600.0, 6) AS asa_seconds,
+       round(p_wait * exp(-drain * ({SLA} / 3600.0)), 6)
+         AS p_wait_gt_sla
+FROM pw
+""".replace("{MU}", repr(_ERLANG_MU)).replace("{SLA}", repr(_ERLANG_SLA_S))
+
+QUERIES["erlang_c_staffing"] = (q_erlang_c_staffing,
+                                SQL_ERLANG_C_STAFFING)

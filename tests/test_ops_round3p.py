@@ -235,3 +235,119 @@ def test_permutation_entropy_tie_rule_matches_argsort():
         m, h, _ = permutation_entropy3(v)
         m_n, h_n = _pe_naive(v)
         assert m == m_n and abs(h - (h_n or 0.0)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# sample entropy
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    erlang_c, higuchi_curve, ols_slope, sample_entropy_m2)
+
+
+def _sampen_naive(x, r):
+    """SampEn via explicit template vectors."""
+    n = len(x)
+    def count(m):
+        c = 0
+        for i in range(n - m + 1):
+            for j in range(i + 1, n - m + 1):
+                if max(abs(x[i + k] - x[j + k]) for k in range(m)) <= r:
+                    c += 1
+        return c
+    B, A = count(2), count(3)
+    return B, A, (None if A == 0 or B == 0 else -math.log(A / B))
+
+
+def test_sample_entropy_random():
+    rng = np.random.RandomState(23)
+    for _ in range(10):
+        x = rng.randint(0, 40, size=rng.randint(10, 60)).tolist()
+        r = int(rng.randint(0, 15))
+        got = sample_entropy_m2(x, r)
+        want = _sampen_naive(x, r)
+        assert got[:2] == want[:2]
+        if want[2] is None:
+            assert got[2] is None
+        else:
+            assert abs(got[2] - want[2]) < 1e-12
+
+
+def test_sample_entropy_limits():
+    # constant series: every template matches -> A/B = (n-2 choose 2
+    # over shifted windows) ratio -> sampen small and defined
+    B, A, se = sample_entropy_m2([5] * 30, 0)
+    assert B > A > 0 and se is not None and se > 0
+    # huge tolerance -> same as constant case
+    B2, A2, _ = sample_entropy_m2(list(range(30)), 10**9)
+    assert (B2, A2) == (B, A)
+    # zero tolerance on strictly increasing -> no matches
+    assert sample_entropy_m2(list(range(30)), 0)[2] is None
+
+
+# ---------------------------------------------------------------------------
+# Higuchi curve
+# ---------------------------------------------------------------------------
+
+
+def test_higuchi_k1_is_total_variation():
+    x = [3, 1, 4, 1, 5, 9, 2, 6]
+    curve = dict(higuchi_curve(x, 1))
+    tv = sum(abs(x[i + 1] - x[i]) for i in range(len(x) - 1))
+    # k=1: single offset, cnt = n-1, L = tv*(n-1)/((n-1)*1) = tv
+    assert abs(curve[1] - tv) < 1e-12
+
+
+def test_higuchi_straight_line_fd_one():
+    # linear ramp: L(k) constant -> slope 0 -> FD −(−1)? For a line,
+    # L(k) ∝ k^{-1}·... textbook: FD of a straight line is 1.
+    x = [7 * i for i in range(200)]
+    curve = higuchi_curve(x, 4)
+    us = [math.log(k) for k, _ in curve]
+    vs = [math.log(l) for _, l in curve]
+    fd = -ols_slope(us, vs)
+    assert abs(fd - 1.0) < 0.02
+
+
+def test_higuchi_white_noise_fd_two():
+    rng = np.random.RandomState(4)
+    x = rng.randint(0, 10**6, size=5000).tolist()
+    curve = higuchi_curve(x, 4)
+    fd = -ols_slope([math.log(k) for k, _ in curve],
+                    [math.log(l) for _, l in curve])
+    assert 1.85 < fd < 2.15
+
+
+def test_ols_slope_exact():
+    assert abs(ols_slope([1, 2, 3], [2, 4, 6]) - 2.0) < 1e-12
+    assert ols_slope([1, 1, 1], [1, 2, 3]) is None
+
+
+# ---------------------------------------------------------------------------
+# Erlang C
+# ---------------------------------------------------------------------------
+
+
+def _erlang_c_naive(a, c):
+    from math import factorial
+    top = a**c / factorial(c) * (c / (c - a))
+    s = sum(a**k / factorial(k) for k in range(c))
+    return top / (s + top)
+
+
+def test_erlang_c_matches_factorial_form():
+    for a, c in [(0.5, 1), (2.0, 3), (4.7, 5), (9.3, 12), (15.0, 16)]:
+        assert abs(erlang_c(a, c) - _erlang_c_naive(a, c)) < 1e-9
+
+
+def test_erlang_c_monotone_in_agents():
+    # more agents -> lower waiting probability
+    a = 6.4
+    ps = [erlang_c(a, c) for c in range(7, 13)]
+    assert all(p1 > p2 for p1, p2 in zip(ps, ps[1:]))
+    assert 0 < ps[-1] < ps[0] < 1
+
+
+def test_erlang_c_heavy_load_limit():
+    # a -> c from below: P(wait) -> 1
+    assert erlang_c(4.999, 5) > 0.99
