@@ -943,3 +943,465 @@ FROM pw
 
 QUERIES["erlang_c_staffing"] = (q_erlang_c_staffing,
                                 SQL_ERLANG_C_STAFFING)
+
+
+# ---------------------------------------------------------------------------
+# nn_matched_att — 1-NN covariate matching (observational causal)
+# ---------------------------------------------------------------------------
+
+
+def q_nn_matched_att(sf_dir: str):
+    """ATT by deterministic 1-nearest-neighbor covariate matching:
+    treated = '1-URGENT' orders, controls = '5-LOW' orders, covariate
+    = o_totalprice (cents), outcome = days from order to first
+    lineitem shipment.  Controls collapse to one representative per
+    DISTINCT price (the min-orderkey row — deterministic, no RNG);
+    each treated matches the nearest control price (tie → smaller
+    price); ATT = Σ(y_t − y_match)/n_treated with an exact-integer
+    numerator — the matching companion of diff_in_diff /
+    iv_wald_estimate.  The first-ship reduction is the one
+    orderkey-partitioned shuffle; the control price index is
+    distinct-price-bounded (broadcastable; at 10^12 rows the match
+    becomes a price-bucketed map_groups — order_priority_revenue
+    pattern)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def part_ship(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "ok": t.column("l_orderkey"),
+            "ship": pc.cast(t.column("l_shipdate"), pa.int64()),
+        }).group_by("ok").aggregate([("ship", "min")])
+        return g.rename_columns(["ok", "ship"])
+
+    ship_t = _partial_final(li, part_ship, ["ok"], [("ship", "min")])
+    ship_ok = np.asarray(ship_t.column("ok"), dtype=np.int64)
+    ship_us = np.asarray(ship_t.column("ship"), dtype=np.int64)
+    so = np.argsort(ship_ok)
+    ship_ok, ship_us = ship_ok[so], ship_us[so]
+
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority",
+                        "o_totalprice", "o_orderdate"])
+
+    def part_orders(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "5-LOW"]))
+        t = t.filter(keep)
+        return pa.table({
+            "ok": t.column("o_orderkey"),
+            "urgent": pc.equal(t.column("o_orderpriority"),
+                               pa.scalar("1-URGENT")),
+            "price": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100), 0), pa.int64()),
+            "odate": pc.cast(t.column("o_orderdate"), pa.int64()),
+        })
+
+    ot = pa.concat_tables([b for b in od.map_batches(
+        part_orders, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow")])
+    ok = np.asarray(ot.column("ok"), dtype=np.int64)
+    urgent = np.asarray(ot.column("urgent"), dtype=bool)
+    price = np.asarray(ot.column("price"), dtype=np.int64)
+    odate = np.asarray(ot.column("odate"), dtype=np.int64)
+    # attach first-ship (inner semantics: drop orders with no lines)
+    pos = np.searchsorted(ship_ok, ok)
+    pos = np.clip(pos, 0, len(ship_ok) - 1)
+    has = ship_ok[pos] == ok
+    ok, urgent, price, odate, pos = (ok[has], urgent[has], price[has],
+                                     odate[has], pos[has])
+    days = (ship_us[pos] - odate) // _DAY_US
+    # control representatives: min-orderkey row per distinct price
+    c_price, c_days, c_ok = (price[~urgent], days[~urgent], ok[~urgent])
+    order = np.lexsort((c_ok, c_price))
+    c_price, c_days = c_price[order], c_days[order]
+    first = np.ones(len(c_price), dtype=bool)
+    first[1:] = c_price[1:] != c_price[:-1]
+    rep_price, rep_days = c_price[first], c_days[first]
+    t_price, t_days = price[urgent], days[urgent]
+    n_t, n_c = len(t_price), int(first.sum())
+    if n_t == 0 or n_c == 0:
+        att = None
+        num = 0
+    else:
+        ins = np.searchsorted(rep_price, t_price)
+        left = np.clip(ins - 1, 0, n_c - 1)
+        right = np.clip(ins, 0, n_c - 1)
+        dl = np.abs(t_price - rep_price[left])
+        dr = np.abs(t_price - rep_price[right])
+        pick = np.where(dl <= dr, left, right)   # tie → smaller price
+        num = int((t_days - rep_days[pick]).sum())
+        att = num / n_t
+    return pa.table({
+        "n_treated": pa.array([n_t], pa.int64()),
+        "n_control_prices": pa.array([n_c], pa.int64()),
+        "att_numerator_days": pa.array([num], pa.int64()),
+        "att_days": pa.array([round(att, 6) if att is not None
+                              else None], pa.float64()),
+    })
+
+
+SQL_NN_MATCHED_ATT = """
+WITH ship AS (
+  SELECT l_orderkey AS ok, min(CAST(epoch_us(l_shipdate) AS BIGINT))
+           AS ship
+  FROM lineitem GROUP BY 1),
+base AS (
+  SELECT o.o_orderkey AS ok,
+         o.o_orderpriority = '1-URGENT' AS urgent,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price,
+         (ship.ship - CAST(epoch_us(o.o_orderdate) AS BIGINT))
+           // 86400000000 AS days
+  FROM orders o JOIN ship ON ship.ok = o.o_orderkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
+ctrl AS (
+  SELECT price, arg_min(days, ok) AS days
+  FROM base WHERE NOT urgent GROUP BY 1),
+tr AS (SELECT * FROM base WHERE urgent),
+matched AS (
+  SELECT tr.days - (
+    SELECT c.days FROM ctrl c
+    ORDER BY abs(c.price - tr.price), c.price LIMIT 1) AS delta
+  FROM tr)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_treated,
+       (SELECT CAST(count(*) AS BIGINT) FROM ctrl)
+         AS n_control_prices,
+       CAST(coalesce(sum(delta), 0) AS BIGINT) AS att_numerator_days,
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE round(CAST(sum(delta) AS DOUBLE) / count(*), 6)
+       END AS att_days
+FROM matched
+"""
+
+QUERIES["nn_matched_att"] = (q_nn_matched_att, SQL_NN_MATCHED_ATT)
+
+
+# ---------------------------------------------------------------------------
+# rdd_acctbal_orders — regression discontinuity at zero balance
+# ---------------------------------------------------------------------------
+
+_RDD_BW_CENTS = 100_000      # ±$1000 bandwidth around the 0 cutoff
+
+
+def rdd_intercepts(xs, ys) -> tuple:
+    """Closed-form OLS intercept at x=0 from exact integer (x, y):
+    returns (n, num, den) with intercept = num/den — kept as the
+    integer pair so the caller (and the oracle) divide identically."""
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = sy * sxx - sx * sxy
+    den = n * sxx - sx * sx
+    return n, num, den
+
+
+def q_rdd_acctbal_orders(sf_dir: str):
+    """Sharp regression discontinuity at the zero-account-balance
+    cutoff: does crossing into positive balance shift order activity?
+    Running variable = c_acctbal (cents), outcome = orders per
+    customer (0 for order-less customers), local-linear fit on each
+    side within ±$1000; effect = intercept_right − intercept_left at
+    the cutoff (left side = strictly negative balances) — the
+    quasi-experimental companion of diff_in_diff / iv_wald_estimate.
+    Sufficient statistics are exact integer sums per side (two
+    bounded partials); the intercept ratio closes in double with a
+    shared expression tree."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def part_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": t.column("c_custkey"),
+            "bal": pc.cast(pc.round(pc.multiply(
+                t.column("c_acctbal"), 100), 0), pa.int64()),
+        })
+
+    ct = pa.concat_tables([b for b in cust.map_batches(
+        part_cust, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow")])
+    ck = np.asarray(ct.column("ck"), dtype=np.int64)
+    bal = np.asarray(ct.column("bal"), dtype=np.int64)
+
+    od = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def part_orders(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["ck", "n"])
+
+    oc = _partial_final(od, part_orders, ["ck"], [("n", "sum")])
+    ock = np.asarray(oc.column("ck"), dtype=np.int64)
+    ocn = np.asarray(oc.column("n"), dtype=np.int64)
+    so = np.argsort(ock)
+    ock, ocn = ock[so], ocn[so]
+    pos = np.searchsorted(ock, ck)
+    pos_c = np.clip(pos, 0, max(len(ock) - 1, 0))
+    y = np.where((len(ock) > 0) & (ock[pos_c] == ck), ocn[pos_c], 0)
+
+    in_bw = np.abs(bal) <= _RDD_BW_CENTS
+    left = in_bw & (bal < 0)
+    right = in_bw & (bal >= 0)
+    nl, num_l, den_l = rdd_intercepts(bal[left].tolist(),
+                                      y[left].tolist())
+    nr, num_r, den_r = rdd_intercepts(bal[right].tolist(),
+                                      y[right].tolist())
+    il = None if den_l == 0 else num_l / den_l
+    ir = None if den_r == 0 else num_r / den_r
+    eff = None if il is None or ir is None else ir - il
+    return pa.table({
+        "n_left": pa.array([nl], pa.int64()),
+        "n_right": pa.array([nr], pa.int64()),
+        "intercept_left": pa.array(
+            [round(il, 6) if il is not None else None], pa.float64()),
+        "intercept_right": pa.array(
+            [round(ir, 6) if ir is not None else None], pa.float64()),
+        "rdd_effect": pa.array(
+            [round(eff, 6) if eff is not None else None], pa.float64()),
+    })
+
+
+SQL_RDD_ACCTBAL_ORDERS = f"""
+WITH y AS (
+  SELECT c.c_custkey,
+         CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal,
+         coalesce(o.n, 0) AS y
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+    ON o.o_custkey = c.c_custkey
+  WHERE abs(CAST(round(c.c_acctbal * 100, 0) AS BIGINT))
+        <= {_RDD_BW_CENTS}),
+side AS (
+  SELECT CASE WHEN bal < 0 THEN 'L' ELSE 'R' END AS s,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(bal) AS sx, sum(y) AS sy,
+         sum(bal * bal) AS sxx, sum(bal * y) AS sxy
+  FROM y GROUP BY 1),
+fit AS (
+  SELECT s, n, sy * sxx - sx * sxy AS num, n * sxx - sx * sx AS den
+  FROM side)
+SELECT (SELECT n FROM fit WHERE s = 'L') AS n_left,
+       (SELECT n FROM fit WHERE s = 'R') AS n_right,
+       (SELECT CASE WHEN den = 0 THEN NULL
+               ELSE round(CAST(num AS DOUBLE) / den, 6) END
+        FROM fit WHERE s = 'L') AS intercept_left,
+       (SELECT CASE WHEN den = 0 THEN NULL
+               ELSE round(CAST(num AS DOUBLE) / den, 6) END
+        FROM fit WHERE s = 'R') AS intercept_right,
+       (SELECT CASE WHEN l.den = 0 OR r.den = 0 THEN NULL
+               ELSE round(CAST(r.num AS DOUBLE) / r.den
+                          - CAST(l.num AS DOUBLE) / l.den, 6) END
+        FROM fit l, fit r WHERE l.s = 'L' AND r.s = 'R') AS rdd_effect
+"""
+
+QUERIES["rdd_acctbal_orders"] = (q_rdd_acctbal_orders,
+                                 SQL_RDD_ACCTBAL_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# matrix_profile_daily — nearest-neighbor distance profile
+# ---------------------------------------------------------------------------
+
+_MP_W = 7          # window length (days)
+_MP_EXCL = 4       # trivial-match exclusion zone |i−j| >= _MP_EXCL
+
+
+def matrix_profile_int(x, w: int = _MP_W, excl: int = _MP_EXCL):
+    """Exact-integer matrix profile: for each window start i (1-based)
+    over an integer series, the nearest other window j with
+    |i−j| ≥ excl under squared-L2 distance (ties → smaller j).
+    Returns [(i, j, dist)] — O(n²·w) driver-side, day-bounded."""
+    xa = np.asarray(x, dtype=np.int64)
+    n = len(xa) - w + 1
+    if n <= 0:
+        return []
+    # exact int64 all-pairs squared-L2 via |a|² + |b|² − 2a·b
+    W = np.lib.stride_tricks.sliding_window_view(xa, w).astype(np.int64)
+    sq = np.einsum("ij,ij->i", W, W)
+    G = W @ W.T
+    D = sq[:, None] + sq[None, :] - 2 * G
+    ii = np.arange(n)
+    band = np.abs(ii[:, None] - ii[None, :]) < excl
+    D = np.where(band, np.iinfo(np.int64).max, D)
+    best_j = np.argmin(D, axis=1)        # argmin returns SMALLEST tied j
+    best_d = D[ii, best_j]
+    valid = best_d != np.iinfo(np.int64).max
+    return [(int(i + 1), int(j + 1), int(d))
+            for i, j, d in zip(ii[valid] , best_j[valid], best_d[valid])]
+
+
+def q_matrix_profile_daily(sf_dir: str):
+    """Matrix profile of daily revenue (window 7 days, exclusion
+    zone 4): for every 7-day window, the squared-L2 distance to its
+    nearest non-trivial neighbor in WHOLE-DOLLAR units (exact
+    integers; cents² × 7 would overflow int64) — motifs are the
+    profile minima, discords the maxima (the window-level companion
+    of most_similar_days).  One days-bounded shuffle; the O(n²·w)
+    sweep runs driver-side on ~100 positions and as a position
+    self-join in the oracle."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    dollars = (cents // 100).tolist()
+    prof = matrix_profile_int(dollars)
+    return pa.table({
+        "win_start": pa.array([p[0] for p in prof], pa.int64()),
+        "nn_start": pa.array([p[1] for p in prof], pa.int64()),
+        "sq_dist": pa.array([p[2] for p in prof], pa.int64()),
+    })
+
+
+SQL_MATRIX_PROFILE_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS x
+  FROM orders GROUP BY 1),
+s AS (SELECT row_number() OVER (ORDER BY day) AS pos, x FROM d),
+nn AS (SELECT count(*) AS n FROM s),
+dist AS (
+  SELECT i.k AS i, j.k AS j,
+         sum(CAST(a.x - b.x AS HUGEINT) * (a.x - b.x)) AS d
+  FROM (SELECT unnest(range(1, (SELECT n FROM nn) - {_MP_W} + 2)) AS k) i
+  JOIN (SELECT unnest(range(1, (SELECT n FROM nn) - {_MP_W} + 2)) AS k) j
+    ON abs(i.k - j.k) >= {_MP_EXCL}
+  JOIN s a ON a.pos >= i.k AND a.pos < i.k + {_MP_W}
+  JOIN s b ON b.pos = j.k + (a.pos - i.k)
+  GROUP BY 1, 2),
+best AS (
+  SELECT i, j, d,
+         row_number() OVER (PARTITION BY i ORDER BY d, j) AS rk
+  FROM dist)
+SELECT CAST(i AS BIGINT) AS win_start, CAST(j AS BIGINT) AS nn_start,
+       CAST(d AS BIGINT) AS sq_dist
+FROM best WHERE rk = 1 ORDER BY 1
+"""
+
+QUERIES["matrix_profile_daily"] = (q_matrix_profile_daily,
+                                   SQL_MATRIX_PROFILE_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords — RAKE phrase extraction (degree-scored variant)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("a", "the", "and", "of", "to")
+_RAKE_TOPK = 10
+
+
+def q_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction over the document corpus: candidate
+    phrases are maximal stopword-free token runs (delimiters =
+    ('a','the','and','of','to')); word degree deg(w) = Σ phrase-length over every
+    occurrence of w; phrase score = Σ deg(member words, with
+    multiplicity) — the paper's deg(w) scoring variant, chosen over
+    deg/freq because it keeps the whole ranking in EXACT integers
+    (no float-sum ordering hazards).  Top 10 phrases by (score desc,
+    phrase asc).  One pass: per-block (word-stat + phrase-count)
+    partials tagged into a union schema, both vocab-bounded; phrase
+    joining is vectorized Arrow binary_join_element_wise, never a
+    per-row Python loop."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stops = set(_RAKE_STOPWORDS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        fl = np.asarray(flat.to_pylist(), dtype=object)
+        fp = np.asarray(par, dtype=np.int64)
+        if len(fl) == 0:
+            return pa.table({"kind": pa.array([], pa.string()),
+                             "key": pa.array([], pa.string()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        st = np.isin(fl, list(stops))
+        new_doc = np.ones(len(fl), dtype=bool)
+        new_doc[1:] = fp[1:] != fp[:-1]
+        pid = np.cumsum(new_doc | st)        # phrase instance id
+        kept = ~st
+        kw, kpid = fl[kept], pid[kept]
+        if len(kw) == 0:
+            return pa.table({"kind": pa.array([], pa.string()),
+                             "key": pa.array([], pa.string()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        # phrase lengths per instance (kept tokens are pid-sorted)
+        bound = np.ones(len(kpid), dtype=bool)
+        bound[1:] = kpid[1:] != kpid[:-1]
+        starts = np.flatnonzero(bound)
+        lens = np.diff(np.append(starts, len(kpid)))
+        # word partial: (w, freq=1, deg=phrase_len) summed per word
+        tok_len = np.repeat(lens, lens)
+        wt = pa.table({"key": pa.array(kw.tolist(), pa.string()),
+                       "a": pa.array(np.ones(len(kw), dtype=np.int64)),
+                       "b": pa.array(tok_len.astype(np.int64))}) \
+            .group_by("key").aggregate([("a", "sum"), ("b", "sum")]) \
+            .rename_columns(["key", "a", "b"])
+        # phrase partial: vectorized space-join per instance
+        offsets = np.append(starts, len(kpid)).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets),
+                                       pa.array(kw.tolist(), pa.string()))
+        phrases = pc.binary_join(lst, " ")
+        ph = pa.table({"key": phrases}).group_by("key") \
+            .aggregate([([], "count_all")]).rename_columns(["key", "a"])
+        ph = ph.append_column("b", pa.array(
+            np.zeros(len(ph), dtype=np.int64)))
+        wt = wt.append_column("kind", pa.array(["w"] * len(wt)))
+        ph = ph.append_column("kind", pa.array(["p"] * len(ph)))
+        cols = ["kind", "key", "a", "b"]
+        return pa.concat_tables([wt.select(cols), ph.select(cols)])
+
+    m = _partial_final(ds, partial, ["kind", "key"],
+                       [("a", "sum"), ("b", "sum")])
+    kind = np.asarray(m.column("kind").to_pylist(), dtype=object)
+    key = m.column("key").to_pylist()
+    a = np.asarray(m.column("a"), dtype=np.int64)
+    b = np.asarray(m.column("b"), dtype=np.int64)
+    deg = {k: int(d) for k, kd, d in zip(key, kind, b) if kd == "w"}
+    rows = []
+    for k, kd, cnt in zip(key, kind, a):
+        if kd != "p":
+            continue
+        score = sum(deg[w] for w in k.split(" "))
+        rows.append((k, int(cnt), score))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:_RAKE_TOPK]
+    return pa.table({
+        "phrase": pa.array([r[0] for r in rows], pa.string()),
+        "occurrences": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_RAKE_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, token, pos,
+         token IN {_RAKE_STOPWORDS!r} AS stop
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text, '\\S+')) AS token,
+               generate_subscripts(
+                 regexp_extract_all(text, '\\S+'), 1) AS pos
+        FROM documents)),
+pidx AS (
+  SELECT *, sum(CASE WHEN stop THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS pid
+  FROM toks),
+kept AS (SELECT doc_id, pid, token, pos FROM pidx WHERE NOT stop),
+plen AS (SELECT doc_id, pid, count(*) AS l FROM kept GROUP BY 1, 2),
+wstat AS (
+  SELECT token, sum(plen.l) AS deg
+  FROM kept JOIN plen USING (doc_id, pid) GROUP BY 1),
+inst AS (
+  SELECT kept.doc_id, kept.pid,
+         string_agg(kept.token, ' ' ORDER BY kept.pos) AS phrase,
+         sum(wstat.deg) AS score
+  FROM kept JOIN wstat USING (token) GROUP BY 1, 2),
+ranked AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS occurrences,
+         CAST(min(score) AS BIGINT) AS score
+  FROM inst GROUP BY 1)
+SELECT phrase, occurrences, score
+FROM ranked ORDER BY score DESC, phrase LIMIT {_RAKE_TOPK}
+"""
+
+QUERIES["rake_keywords"] = (q_rake_keywords, SQL_RAKE_KEYWORDS)

@@ -351,3 +351,63 @@ def test_erlang_c_monotone_in_agents():
 def test_erlang_c_heavy_load_limit():
     # a -> c from below: P(wait) -> 1
     assert erlang_c(4.999, 5) > 0.99
+
+
+# ---------------------------------------------------------------------------
+# matrix profile + RDD intercepts
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    matrix_profile_int, rdd_intercepts)
+
+
+def _mp_naive(x, w, excl):
+    n = len(x) - w + 1
+    out = []
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if abs(i - j) < excl:
+                continue
+            d = sum((x[i + k] - x[j + k]) ** 2 for k in range(w))
+            if best is None or d < best[1]:
+                best = (j, d)
+        if best is not None:
+            out.append((i + 1, best[0] + 1, best[1]))
+    return out
+
+
+def test_matrix_profile_matches_naive():
+    rng = np.random.RandomState(31)
+    for _ in range(8):
+        x = rng.randint(0, 1000, size=rng.randint(15, 60)).tolist()
+        assert matrix_profile_int(x, 5, 3) == _mp_naive(x, 5, 3)
+
+
+def test_matrix_profile_planted_motif():
+    rng = np.random.RandomState(8)
+    x = rng.randint(0, 10**6, size=100).tolist()
+    x[10:17] = [5, 9, 2, 6, 5, 3, 5]
+    x[60:67] = [5, 9, 2, 6, 5, 3, 5]          # exact planted motif
+    prof = {i: (j, d) for i, j, d in matrix_profile_int(x, 7, 4)}
+    assert prof[11] == (61, 0) and prof[61] == (11, 0)
+
+
+def test_matrix_profile_too_short():
+    assert matrix_profile_int([1, 2, 3], 7, 4) == []
+    # exclusion zone wider than profile -> every row filtered
+    assert matrix_profile_int([1, 2, 3, 4, 5], 2, 10) == []
+
+
+def test_rdd_intercepts_exact_line():
+    # y = 3 + 2x exactly -> intercept 3
+    xs = [-5, -3, -1, 2, 4]
+    ys = [3 + 2 * x for x in xs]
+    n, num, den = rdd_intercepts(xs, ys)
+    assert n == 5 and den != 0 and abs(num / den - 3.0) < 1e-12
+
+
+def test_rdd_intercepts_degenerate():
+    # constant x -> singular design
+    assert rdd_intercepts([2, 2, 2], [1, 2, 3])[2] == 0
+    assert rdd_intercepts([], [])[2] == 0
