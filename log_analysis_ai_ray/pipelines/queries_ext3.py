@@ -1405,3 +1405,923 @@ FROM ranked ORDER BY score DESC, phrase LIMIT {_RAKE_TOPK}
 """
 
 QUERIES["rake_keywords"] = (q_rake_keywords, SQL_RAKE_KEYWORDS)
+
+
+# ---------------------------------------------------------------------------
+# pages_trend_test — Page's L for ordered within-block alternatives
+# ---------------------------------------------------------------------------
+
+
+def q_pages_trend_test(sf_dir: str):
+    """Page's trend test on weekly revenue profiles: blocks = epoch
+    weeks (day//7, dense zero-filled grid over the span, complete
+    7-day weeks only), ordered treatments = weekday 1..7; each week
+    ranks its 7 daily revenues with DOUBLED midranks (integers
+    through ties — the friedman_types_daily idiom) and L₂ =
+    Σ_j j·R₂ⱼ tests the ordered alternative 'revenue rises through
+    the week' that Friedman's unordered χ² cannot see.  E[L₂] =
+    b·k(k+1)²/2, Var[L₂] = b·k²(k+1)(k²−1)/36; exact integer L₂ and
+    moments, one double z at the end."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    lo, hi = int(day.min()), int(day.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[day - lo] = cents
+    days = np.arange(lo, hi + 1)
+    week = days // 7
+    k = 7
+    # complete weeks only
+    uw, wc = np.unique(week, return_counts=True)
+    keep_w = set(uw[wc == k].tolist())
+    r2_sums = np.zeros(k, dtype=np.int64)       # per weekday 0..6
+    b = 0
+    for w in sorted(keep_w):
+        sel = week == w
+        row = dense[sel]
+        wd = days[sel] % 7
+        o = np.argsort(row, kind="stable")
+        sr = row[o]
+        r2 = np.zeros(k, dtype=np.int64)
+        i = 0
+        while i < k:
+            j = i
+            while j + 1 < k and sr[j + 1] == sr[i]:
+                j += 1
+            r2[o[i:j + 1]] = (i + 1) + (j + 1)
+            i = j + 1
+        for pos_, dwd in enumerate(wd.tolist()):
+            r2_sums[dwd] += r2[pos_]
+        b += 1
+    L2 = int(sum((j + 1) * int(r2_sums[j]) for j in range(k)))
+    eL2 = b * k * (k + 1) * (k + 1) // 2
+    varL2_36 = b * k * k * (k + 1) * (k * k - 1)     # 36·Var[L₂]
+    z = None
+    if varL2_36 > 0:
+        z = (L2 - eL2) / math.sqrt(varL2_36 / 36.0)
+    return pa.table({
+        "n_weeks": pa.array([b], pa.int64()),
+        "l2_stat": pa.array([L2], pa.int64()),
+        "e_l2": pa.array([eL2], pa.int64()),
+        "page_z": pa.array([round(z, 6) if z is not None else None],
+                           pa.float64()),
+    })
+
+
+SQL_PAGES_TREND_TEST = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+grid AS (
+  SELECT g.day, g.day // 7 AS week, (g.day % 7) + 1 AS wd,
+         coalesce(d.cents, 0) AS cents
+  FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span))) AS day) g
+  LEFT JOIN d USING (day)),
+full_weeks AS (
+  SELECT week FROM grid GROUP BY 1 HAVING count(*) = 7),
+gw AS (SELECT grid.* FROM grid JOIN full_weeks USING (week)),
+rk AS (
+  SELECT week, wd,
+         2 * rank() OVER (PARTITION BY week ORDER BY cents)
+           + count(*) OVER (PARTITION BY week, cents) - 1 AS r2
+  FROM gw),
+l AS (SELECT CAST(sum(wd * r2) AS BIGINT) AS l2 FROM rk),
+b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM full_weeks)
+SELECT b.b AS n_weeks, l.l2 AS l2_stat,
+       b.b * 7 * 8 * 8 // 2 AS e_l2,
+       CASE WHEN b.b = 0 THEN NULL
+            ELSE round((l.l2 - b.b * 7 * 8 * 8 // 2)
+                       / sqrt((CAST(b.b AS DOUBLE) * 49 * 8 * 48)
+                              / 36.0), 6) END AS page_z
+FROM l, b
+"""
+
+QUERIES["pages_trend_test"] = (q_pages_trend_test, SQL_PAGES_TREND_TEST)
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage_trend — proportion trend across ordered groups
+# ---------------------------------------------------------------------------
+
+
+def q_cochran_armitage_trend(sf_dir: str):
+    """Cochran-Armitage trend test: does the purchase share of events
+    rise monotonically across the ordered day-of-week (scores 0..6)?
+    z = (N·Σsr − R·Σsn) · √N / √(R(N−R)(N·Σs²n − (Σsn)²)) with every
+    sum an exact integer over the 7-row dow table (the inner product
+    exceeds int64 → Python int / HUGEINT); the ordered-alternative
+    companion of chi2_type_hour.  One dow-bounded shuffle."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        dow = (tsv // _DAY_US) % 7
+        isp = pc.cast(pc.equal(t.column("event_type"),
+                               pa.scalar("purchase")), pa.int64())
+        g = pa.table({"dow": pa.array(dow), "r": isp}) \
+            .group_by("dow").aggregate([("r", "sum"), ([], "count_all")])
+        return g.rename_columns(["dow", "r", "n"])
+
+    m = _partial_final(ds, partial, ["dow"],
+                       [("r", "sum"), ("n", "sum")])
+    dow = np.asarray(m.column("dow"), dtype=np.int64)
+    r = np.asarray(m.column("r"), dtype=np.int64)
+    n = np.asarray(m.column("n"), dtype=np.int64)
+    N = int(n.sum())
+    R = int(r.sum())
+    ssr = int(sum(int(s) * int(rv) for s, rv in zip(dow, r)))
+    ssn = int(sum(int(s) * int(nv) for s, nv in zip(dow, n)))
+    ss2n = int(sum(int(s) * int(s) * int(nv) for s, nv in zip(dow, n)))
+    t_num = N * ssr - R * ssn
+    inner = R * (N - R) * (N * ss2n - ssn * ssn)
+    z = None
+    if inner > 0:
+        z = float(t_num) * math.sqrt(float(N)) / math.sqrt(float(inner))
+    return pa.table({
+        "n_total": pa.array([N], pa.int64()),
+        "n_success": pa.array([R], pa.int64()),
+        "ca_z": pa.array([round(z, 6) if z is not None else None],
+                         pa.float64()),
+        "ca_chi2": pa.array([round(z * z, 6) if z is not None
+                             else None], pa.float64()),
+    })
+
+
+SQL_COCHRAN_ARMITAGE_TREND = """
+WITH g AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS dow,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r,
+         count(*) AS n
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(r) AS HUGEINT) AS rr,
+         CAST(sum(dow * r) AS HUGEINT) AS ssr,
+         CAST(sum(dow * n) AS HUGEINT) AS ssn,
+         CAST(sum(dow * dow * n) AS HUGEINT) AS ss2n
+  FROM g)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(rr AS BIGINT) AS n_success,
+       CASE WHEN rr * (nn - rr) * (nn * ss2n - ssn * ssn) <= 0
+            THEN NULL
+            ELSE round(CAST(nn * ssr - rr * ssn AS DOUBLE)
+                       * sqrt(CAST(nn AS DOUBLE))
+                       / sqrt(CAST(rr * (nn - rr)
+                                   * (nn * ss2n - ssn * ssn)
+                              AS DOUBLE)), 6) END AS ca_z,
+       CASE WHEN rr * (nn - rr) * (nn * ss2n - ssn * ssn) <= 0
+            THEN NULL
+            ELSE round(pow(CAST(nn * ssr - rr * ssn AS DOUBLE)
+                           * sqrt(CAST(nn AS DOUBLE))
+                           / sqrt(CAST(rr * (nn - rr)
+                                       * (nn * ss2n - ssn * ssn)
+                                  AS DOUBLE)), 2), 6) END AS ca_chi2
+FROM s
+"""
+
+QUERIES["cochran_armitage_trend"] = (q_cochran_armitage_trend,
+                                     SQL_COCHRAN_ARMITAGE_TREND)
+
+
+# ---------------------------------------------------------------------------
+# james_stein_type_means — empirical-Bayes shrinkage
+# ---------------------------------------------------------------------------
+
+
+def q_james_stein_type_means(sf_dir: str):
+    """James-Stein shrinkage of the per-type mean event value toward
+    the grand mean: with k=|types| ≥ 4 means, shrink factor c =
+    max(0, 1 − (k−3)·v̄/S) where v̄ = pooled within-type variance ×
+    mean(1/nᵢ) and S = Σ(x̄ᵢ − x̄)² — the estimator that dominates
+    the raw MLE means in total squared error (Stein's paradox).
+    Sufficient statistics (n, Σcents, Σcents²) per type are exact
+    integers from one bounded shuffle; the float closure is a shared
+    expression tree over k rows."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "c": cents,
+                      "c2": pc.multiply(cents, cents)}) \
+            .group_by("ty").aggregate([("c", "sum"), ("c2", "sum"),
+                                       ([], "count_all")])
+        return g.rename_columns(["ty", "c", "c2", "n"])
+
+    m = _partial_final(ds, partial, ["ty"],
+                       [("c", "sum"), ("c2", "sum"), ("n", "sum")])
+    ty = m.column("ty").to_pylist()
+    sc = [int(v) for v in m.column("c").to_pylist()]
+    sc2 = [int(v) for v in m.column("c2").to_pylist()]
+    nn = [int(v) for v in m.column("n").to_pylist()]
+    order = np.argsort(np.asarray(ty, dtype=object))
+    ty = [ty[i] for i in order]
+    sc = [sc[i] for i in order]
+    sc2 = [sc2[i] for i in order]
+    nn = [nn[i] for i in order]
+    k = len(ty)
+    N = sum(nn)
+    grand = sum(sc) / N
+    means = [s / n for s, n in zip(sc, nn)]
+    # pooled within-type variance (exact integer numerators per type)
+    ssw = sum((s2 - s * s / n) for s2, s, n in zip(sc2, sc, nn))
+    s2_pool = ssw / (N - k)
+    vbar = s2_pool * sum(1.0 / n for n in nn) / k
+    S = sum((mu - grand) ** 2 for mu in means)
+    c = max(0.0, 1.0 - (k - 3) * vbar / S) if (k > 3 and S > 0) else None
+    out = {
+        "event_type": pa.array(ty, pa.string()),
+        "n": pa.array(nn, pa.int64()),
+        "raw_mean_cents": pa.array([round(mu, 6) for mu in means],
+                                   pa.float64()),
+        "js_mean_cents": pa.array(
+            [round(grand + c * (mu - grand), 6) if c is not None
+             else None for mu in means], pa.float64()),
+        "shrink_c": pa.array(
+            [round(c, 6) if c is not None else None] * k, pa.float64()),
+    }
+    return pa.table(out)
+
+
+SQL_JAMES_STEIN_TYPE_MEANS = """
+WITH g AS (
+  SELECT event_type AS ty,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS c,
+         sum(CAST(round(value * 100, 0) AS BIGINT)
+             * CAST(round(value * 100, 0) AS BIGINT)) AS c2
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+         CAST(sum(c) AS DOUBLE) / sum(n) AS grand
+  FROM g),
+pool AS (
+  SELECT sum(CAST(c2 AS DOUBLE) - CAST(c AS DOUBLE) * c / n)
+           / (tot.nn - tot.k) AS s2
+  FROM g, tot GROUP BY tot.nn, tot.k),
+vb AS (
+  SELECT pool.s2 * sum(1.0 / g.n) / tot.k AS vbar
+  FROM g, pool, tot GROUP BY pool.s2, tot.k),
+sb AS (
+  SELECT sum((CAST(c AS DOUBLE) / n - tot.grand)
+             * (CAST(c AS DOUBLE) / n - tot.grand)) AS s
+  FROM g, tot GROUP BY tot.grand),
+cc AS (
+  SELECT CASE WHEN tot.k > 3 AND sb.s > 0
+              THEN greatest(0.0, 1.0 - (tot.k - 3) * vb.vbar / sb.s)
+              ELSE NULL END AS c
+  FROM tot, vb, sb)
+SELECT g.ty AS event_type, g.n,
+       round(CAST(g.c AS DOUBLE) / g.n, 6) AS raw_mean_cents,
+       round(tot.grand + cc.c * (CAST(g.c AS DOUBLE) / g.n
+                                 - tot.grand), 6) AS js_mean_cents,
+       round(cc.c, 6) AS shrink_c
+FROM g, tot, cc ORDER BY 1
+"""
+
+QUERIES["james_stein_type_means"] = (q_james_stein_type_means,
+                                     SQL_JAMES_STEIN_TYPE_MEANS)
+
+
+# ---------------------------------------------------------------------------
+# domain_tier_modularity — partition quality of the tier grouping
+# ---------------------------------------------------------------------------
+
+
+def q_domain_tier_modularity(sf_dir: str):
+    """Newman directed modularity of the domain link graph under the
+    TIER partition (tier1 <5, tier2 <20, tier3 — the broadcast-enrich
+    classes of domain_tier_counts): Q = Σ_c [e_c/m − out_c·in_c/m²]
+    over link weights, all counts exact integers from one bounded
+    (src_domain, dst_domain) shuffle — 'do tiers link within
+    themselves more than chance?', the partition-quality companion of
+    domain_lpa_communities.  Per-tier contributions + the global Q."""
+    from .queries import _href_targets, _DOM_RE_PC, pages_dir_for, \
+        read_pages
+
+    ds = read_pages(pages_dir_for(sf_dir), columns=["url", "html"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = _href_targets(t)
+        sdom = pc.extract_regex(src, _DOM_RE_PC).field("d")
+        ddom = pc.extract_regex(dst, _DOM_RE_PC).field("d")
+        g = pa.table({"s": sdom, "d": ddom}) \
+            .group_by(["s", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["s", "d", "w"])
+
+    et = _partial_final(ds, edges, ["s", "d"], [("w", "sum")])
+
+    def tier_of(dom: str):
+        if dom is None or not dom.startswith("example") \
+                or not dom.endswith(".com"):
+            return None
+        try:
+            num = int(dom[len("example"):-len(".com")])
+        except ValueError:
+            return None
+        return "tier1" if num < 5 else ("tier2" if num < 20 else "tier3")
+
+    within, out_w, in_w = {}, {}, {}
+    m_tot = 0
+    for s, d, w in zip(et.column("s").to_pylist(),
+                       et.column("d").to_pylist(),
+                       np.asarray(et.column("w"), dtype=np.int64)):
+        ts_, td_ = tier_of(s), tier_of(d)
+        if ts_ is None or td_ is None:
+            continue
+        w = int(w)
+        m_tot += w
+        out_w[ts_] = out_w.get(ts_, 0) + w
+        in_w[td_] = in_w.get(td_, 0) + w
+        if ts_ == td_:
+            within[ts_] = within.get(ts_, 0) + w
+    tiers = sorted(set(out_w) | set(in_w))
+    contribs = [
+        within.get(c, 0) / m_tot
+        - out_w.get(c, 0) * in_w.get(c, 0) / (m_tot * m_tot)
+        for c in tiers]
+    q_mod = sum(contribs)
+    return pa.table({
+        "tier": pa.array(tiers, pa.string()),
+        "within_links": pa.array([within.get(c, 0) for c in tiers],
+                                 pa.int64()),
+        "out_links": pa.array([out_w.get(c, 0) for c in tiers],
+                              pa.int64()),
+        "in_links": pa.array([in_w.get(c, 0) for c in tiers],
+                             pa.int64()),
+        "contribution": pa.array([round(v, 6) for v in contribs],
+                                 pa.float64()),
+        "modularity": pa.array([round(q_mod, 6)] * len(tiers),
+                               pa.float64()),
+    })
+
+
+def _sql_domain_tier_modularity():
+    from .queries import PAGES_VIEW, _DOM_RE
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e AS (
+  SELECT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+         regexp_extract(dst, '{_DOM_RE}', 1) AS d,
+         count(*) AS w
+  FROM hrefs GROUP BY 1, 2),
+tiered AS (
+  SELECT CASE WHEN CAST(regexp_extract(s, '^example(\\d+)\\.com$', 1)
+                   AS INT) < 5 THEN 'tier1'
+              WHEN CAST(regexp_extract(s, '^example(\\d+)\\.com$', 1)
+                   AS INT) < 20 THEN 'tier2'
+              ELSE 'tier3' END AS ts,
+         CASE WHEN CAST(regexp_extract(d, '^example(\\d+)\\.com$', 1)
+                   AS INT) < 5 THEN 'tier1'
+              WHEN CAST(regexp_extract(d, '^example(\\d+)\\.com$', 1)
+                   AS INT) < 20 THEN 'tier2'
+              ELSE 'tier3' END AS td,
+         w
+  FROM e
+  WHERE regexp_matches(s, '^example\\d+\\.com$')
+    AND regexp_matches(d, '^example\\d+\\.com$')),
+m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM tiered),
+per AS (
+  SELECT t.tier,
+         coalesce((SELECT sum(w) FROM tiered
+                   WHERE ts = t.tier AND td = t.tier), 0) AS within_l,
+         coalesce((SELECT sum(w) FROM tiered WHERE ts = t.tier), 0)
+           AS out_l,
+         coalesce((SELECT sum(w) FROM tiered WHERE td = t.tier), 0)
+           AS in_l
+  FROM (SELECT DISTINCT ts AS tier FROM tiered
+        UNION SELECT DISTINCT td FROM tiered) t)
+SELECT tier, CAST(within_l AS BIGINT) AS within_links,
+       CAST(out_l AS BIGINT) AS out_links,
+       CAST(in_l AS BIGINT) AS in_links,
+       round(CAST(within_l AS DOUBLE) / m.m
+             - CAST(out_l AS DOUBLE) * in_l
+               / (CAST(m.m AS DOUBLE) * m.m), 6) AS contribution,
+       (SELECT round(sum(CAST(p.within_l AS DOUBLE) / m.m
+                     - CAST(p.out_l AS DOUBLE) * p.in_l
+                       / (CAST(m.m AS DOUBLE) * m.m)), 6)
+        FROM per p) AS modularity
+FROM per, m ORDER BY tier
+"""
+
+
+QUERIES["domain_tier_modularity"] = (q_domain_tier_modularity,
+                                     _sql_domain_tier_modularity())
+
+
+# ---------------------------------------------------------------------------
+# dfa_alpha_daily — detrended fluctuation analysis
+# ---------------------------------------------------------------------------
+
+_DFA_SIZES = (4, 8, 16, 32)
+
+
+def dfa_box_numerators(x, sizes=_DFA_SIZES):
+    """DFA with exact integer arithmetic: profile Yₜ = Σ(n·xᵤ − S)
+    (scaled by n so no division), boxes of size s over the first
+    ⌊n/s⌋·s points, per-box OLS-detrended residual sum of squares
+    kept as the integer numerator P·Rs − Q² over the common
+    denominator s·Rs (Rs = s²(s²−1)/12 is the centered Σj² moment,
+    constant per s).  Returns [(s, n_boxes, Σ numerators)] — F²(s) =
+    num / (s·Rs·n_boxes·s) / n² (un-scaling the profile)."""
+    x = [int(v) for v in x]
+    n = len(x)
+    S = sum(x)
+    prof = []
+    run = 0
+    for v in x:
+        run += n * v - S
+        prof.append(run)
+    out = []
+    for s in sizes:
+        nb = n // s
+        if nb == 0:
+            continue
+        rs = s * s * (s * s - 1) // 12
+        total = 0
+        for b in range(nb):
+            seg = prof[b * s:(b + 1) * s]
+            sy = sum(seg)
+            syy = sum(v * v for v in seg)
+            sjy = sum((j + 1) * v for j, v in enumerate(seg))
+            sj = s * (s + 1) // 2
+            p = s * syy - sy * sy
+            q = s * sjy - sj * sy
+            total += p * rs - q * q
+        out.append((s, nb, total))
+    return out
+
+
+def q_dfa_alpha_daily(sf_dir: str):
+    """Detrended fluctuation analysis of daily revenue (whole
+    dollars): fluctuation function F(s) over box sizes {4,8,16,32}
+    from EXACT integer per-box detrended residuals (common-denominator
+    rationals — no float sums over boxes), α = slope of the 4-point
+    OLS of ln F²(s)/2 on ln s — the nonstationarity-robust companion
+    of hurst_rs_daily (α ≈ 0.5 ⇔ uncorrelated increments).
+    Days-bounded shuffle; HUGEINT numerators in the oracle."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    dollars = (cents // 100).tolist()
+    n = len(dollars)
+    rows = dfa_box_numerators(dollars)
+    ss, f2s = [], []
+    for s, nb, num in rows:
+        rs = s * s * (s * s - 1) // 12
+        # ONE exact-integer denominator, ONE cast, ONE divide — the
+        # oracle mirrors this exactly (multi-step float division
+        # orders diverge in the last ulp, visible at the 1e12 scale
+        # of the scaled profile)
+        den = s * rs * nb * s * n * n
+        f2 = float(num) / float(den)
+        ss.append(s)
+        f2s.append(f2)
+    alpha = None
+    pts = [(math.log(float(s)), math.log(f2) / 2.0)
+           for s, f2 in zip(ss, f2s) if f2 > 0]
+    if len(pts) >= 2:
+        alpha = ols_slope([p[0] for p in pts], [p[1] for p in pts])
+    cols = {"n_days": pa.array([n], pa.int64())}
+    fmap = dict(zip(ss, f2s))
+    for s in _DFA_SIZES:
+        v = fmap.get(s)
+        # log scale: the HUGEINT→DOUBLE cast is not correctly rounded
+        # in DuckDB, so raw F² can differ by 1 ulp (~1e-4 absolute at
+        # the 1e12 scale); ln/2 pushes that to ~1e-16
+        cols[f"log_f_s{s}"] = pa.array(
+            [round(math.log(v) / 2.0, 6) if v is not None and v > 0
+             else None], pa.float64())
+    cols["dfa_alpha"] = pa.array(
+        [round(alpha, 6) if alpha is not None else None], pa.float64())
+    return pa.table(cols)
+
+
+SQL_DFA_ALPHA_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS x
+  FROM orders GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(x) AS HUGEINT) AS s FROM d),
+prof AS (
+  SELECT row_number() OVER (ORDER BY day) AS pos,
+         sum(CAST((SELECT n FROM nn) * x - (SELECT s FROM nn)
+             AS HUGEINT)) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS y
+  FROM d),
+boxes AS (
+  SELECT sz.s, (pos - 1) // sz.s AS b,
+         pos - ((pos - 1) // sz.s) * sz.s AS j, y
+  FROM prof, (SELECT unnest([4, 8, 16, 32]) AS s) sz
+  WHERE pos <= ((SELECT n FROM nn) // sz.s) * sz.s),
+per_box AS (
+  SELECT s, b,
+         s * sum(y * y) - sum(y) * sum(y) AS p,
+         s * sum(CAST(j AS HUGEINT) * y)
+           - (CAST(s AS HUGEINT) * (s + 1) // 2) * sum(y) AS q
+  FROM boxes GROUP BY 1, 2),
+agg AS (
+  SELECT s, count(*) AS nb,
+         sum(p * (CAST(s AS HUGEINT) * s * (s * s - 1) // 12)
+             - q * q) AS num
+  FROM per_box GROUP BY 1),
+f2 AS (
+  SELECT s, CAST(num AS DOUBLE)
+            / CAST(CAST(s AS HUGEINT)
+                   * (CAST(s AS HUGEINT) * s * (s * s - 1) // 12)
+                   * nb * s * (SELECT n FROM nn)
+                   * (SELECT n FROM nn) AS DOUBLE) AS f2
+  FROM agg),
+pts AS (SELECT ln(CAST(s AS DOUBLE)) AS u, ln(f2) / 2.0 AS v
+        FROM f2 WHERE f2 > 0),
+fit AS (SELECT count(*) AS n, sum(u) AS su, sum(v) AS sv,
+               sum(u * u) AS suu, sum(u * v) AS suv FROM pts)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+       (SELECT round(ln(f2) / 2.0, 6) FROM f2 WHERE s = 4
+        AND f2 > 0) AS log_f_s4,
+       (SELECT round(ln(f2) / 2.0, 6) FROM f2 WHERE s = 8
+        AND f2 > 0) AS log_f_s8,
+       (SELECT round(ln(f2) / 2.0, 6) FROM f2 WHERE s = 16
+        AND f2 > 0) AS log_f_s16,
+       (SELECT round(ln(f2) / 2.0, 6) FROM f2 WHERE s = 32
+        AND f2 > 0) AS log_f_s32,
+       CASE WHEN fit.n < 2 OR fit.n * fit.suu - fit.su * fit.su = 0
+            THEN NULL
+            ELSE round((fit.n * fit.suv - fit.su * fit.sv)
+                       / (fit.n * fit.suu - fit.su * fit.su), 6)
+       END AS dfa_alpha
+FROM fit
+"""
+
+QUERIES["dfa_alpha_daily"] = (q_dfa_alpha_daily, SQL_DFA_ALPHA_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# lz76_complexity_daily — Lempel-Ziv sequence complexity
+# ---------------------------------------------------------------------------
+
+_LZ_CAP = 64       # phrase-length cap (part of the definition here)
+
+
+def lz76_phrases(bits, cap: int = _LZ_CAP) -> int:
+    """LZ76 phrase count of a 0/1 string with overlap-allowed prefix
+    matching and a phrase-length cap: at position pos, the phrase is
+    the longest l ≤ cap with s[pos:pos+l] occurring in s[:pos+l−1]
+    (start before pos), plus one novel character.  Matching lengths
+    are prefix-closed, so l_max = count of matching l — the oracle's
+    recursive CTE mirrors exactly this count."""
+    s = "".join("1" if b else "0" for b in bits)
+    n = len(s)
+    pos = 0          # 0-based
+    c = 0
+    while pos < n:
+        lmax = 0
+        for l in range(1, min(cap, n - pos) + 1):
+            if s[:pos + l - 1].find(s[pos:pos + l]) >= 0:
+                lmax = l
+            else:
+                break
+        pos += lmax + 1
+        c += 1
+    return c
+
+
+def q_lz76_complexity_daily(sf_dir: str):
+    """Lempel-Ziv (LZ76) complexity of daily revenue binarized at its
+    lower median: the number of distinct phrases in the
+    overlap-allowed incremental parse (phrase cap 64), plus the
+    normalized complexity c·log2(n)/n (→1 for algorithmically random
+    sequences) — the compressibility companion of
+    permutation_entropy_hourly / randomness_tests_daily.  Exact
+    integer parse; the oracle replays the parser as a recursive CTE
+    over the string."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    x = cents.tolist()
+    srt = sorted(x)
+    thr = srt[(len(srt) + 1) // 2 - 1]
+    bits = [v > thr for v in x]
+    c = lz76_phrases(bits)
+    n = len(bits)
+    norm = c * math.log2(n) / n if n > 1 else None
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "threshold_cents": pa.array([int(thr)], pa.int64()),
+        "n_above": pa.array([int(sum(bits))], pa.int64()),
+        "lz76_phrases": pa.array([c], pa.int64()),
+        "lz76_normalized": pa.array(
+            [round(norm, 6) if norm is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_LZ76_COMPLEXITY_DAILY = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+thr AS (
+  SELECT cents AS t FROM (
+    SELECT cents, row_number() OVER (ORDER BY cents) AS rk,
+           count(*) OVER () AS n FROM d)
+  WHERE rk = (n + 1) // 2),
+seq AS (
+  SELECT string_agg(CASE WHEN cents > thr.t THEN '1' ELSE '0' END,
+                    '' ORDER BY day) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d, thr GROUP BY thr.t),
+parse(pos, c) AS (
+  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT pos + lmax + 1, c + 1 FROM (
+    SELECT p.pos, p.c,
+           (SELECT count(*) FROM
+              (SELECT unnest(range(1, least({_LZ_CAP},
+                       (SELECT n FROM seq) - p.pos + 1) + 1)) AS l) ll
+            WHERE strpos(substr((SELECT s FROM seq), 1,
+                                CAST(p.pos + ll.l - 2 AS INT)),
+                         substr((SELECT s FROM seq),
+                                CAST(p.pos AS INT),
+                                CAST(ll.l AS INT))) > 0) AS lmax
+    FROM parse p WHERE p.pos <= (SELECT n FROM seq)))
+SELECT seq.n AS n_days,
+       (SELECT CAST(t AS BIGINT) FROM thr) AS threshold_cents,
+       CAST(length(seq.s) - length(replace(seq.s, '1', '')) AS BIGINT)
+         AS n_above,
+       (SELECT max(c) FROM parse) AS lz76_phrases,
+       CASE WHEN seq.n <= 1 THEN NULL
+            ELSE round((SELECT max(c) FROM parse) * log2(CAST(seq.n
+                       AS DOUBLE)) / seq.n, 6) END AS lz76_normalized
+FROM seq
+"""
+
+QUERIES["lz76_complexity_daily"] = (q_lz76_complexity_daily,
+                                    SQL_LZ76_COMPLEXITY_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# hoeffding_d_qty_discount — rank-based general dependence
+# ---------------------------------------------------------------------------
+
+
+def hoeffding_d_cells(cells: dict) -> tuple:
+    """Hoeffding's D from an integer contingency map {(x, y): count}
+    with midrank tie handling kept EXACT by quarter-scaling: R4 =
+    4·R_i, S4 = 4·S_i, Q4 = 4·Q_i are integers (R_i = 1 + #<x +
+    ½#=x-others, Q_i the bivariate analog with ¼ on double ties).
+    A = 16·ΣD₁-terms, B = 256·ΣD₂, C = 64·ΣD₃; D = 30·(16(n−2)(n−3)A
+    + B − 8(n−2)C) / (256·n(n−1)(n−2)(n−3)(n−4)).  Returns
+    (n, A, B, C, D) — all but D exact Python ints."""
+    xs = {}
+    ys = {}
+    n = 0
+    for (x, y), c in cells.items():
+        c = int(c)
+        xs[x] = xs.get(x, 0) + c
+        ys[y] = ys.get(y, 0) + c
+        n += c
+    lt_x = {}
+    run = 0
+    for x in sorted(xs):
+        lt_x[x] = run
+        run += xs[x]
+    lt_y = {}
+    run = 0
+    for y in sorted(ys):
+        lt_y[y] = run
+        run += ys[y]
+    items = list(cells.items())
+    A = B = C = 0
+    for (x, y), c in items:
+        c = int(c)
+        ltb = eqx_lty = ltx_eqy = 0
+        for (x2, y2), c2 in items:
+            if x2 < x and y2 < y:
+                ltb += int(c2)
+            elif x2 == x and y2 < y:
+                eqx_lty += int(c2)
+            elif x2 < x and y2 == y:
+                ltx_eqy += int(c2)
+        r4 = 4 * lt_x[x] + 2 * (xs[x] - 1) + 4
+        s4 = 4 * lt_y[y] + 2 * (ys[y] - 1) + 4
+        q4 = 4 + 4 * ltb + 2 * eqx_lty + 2 * ltx_eqy + (c - 1)
+        A += c * (q4 - 4) * (q4 - 8)
+        B += c * (r4 - 4) * (r4 - 8) * (s4 - 4) * (s4 - 8)
+        C += c * (r4 - 8) * (s4 - 8) * (q4 - 4)
+    if n < 5:
+        return n, A, B, C, None
+    num = 30 * (16 * (n - 2) * (n - 3) * A + B - 8 * (n - 2) * C)
+    den = 256 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    return n, A, B, C, float(num) / float(den)
+
+
+def q_hoeffding_d_qty_discount(sf_dir: str):
+    """Hoeffding's D dependence between l_quantity and l_discount —
+    the rank statistic that detects NON-monotone association the
+    kendall/gamma family cannot (D > 0 for any dependence).  Tie
+    midranks stay exact via quarter-scaled integer ranks; every
+    D-component is an exact (HUGEINT) integer over the bounded
+    qty × discount cell histogram (O(cells²) sweep, never row
+    pairs); only the final ratio is floated.  One bounded shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100), 0), pa.int64())
+        g = pa.table({"q": q, "d": d}) \
+            .group_by(["q", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["q", "d", "c"])
+
+    m = _partial_final(ds, partial, ["q", "d"], [("c", "sum")])
+    cells = {}
+    for q, d, c in zip(np.asarray(m.column("q"), dtype=np.int64).tolist(),
+                       np.asarray(m.column("d"), dtype=np.int64).tolist(),
+                       np.asarray(m.column("c"), dtype=np.int64).tolist()):
+        cells[(q, d)] = c
+    n, A, B, C, D = hoeffding_d_cells(cells)
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "d1_x16": pa.array([A], pa.int64()),
+        "hoeffding_d": pa.array(
+            [round(D, 8) if D is not None else None], pa.float64()),
+    })
+
+
+SQL_HOEFFDING_D_QTY_DISCOUNT = """
+WITH cells AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2),
+nn AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cells),
+xs AS (
+  SELECT q, sum(c) AS cq,
+         coalesce(sum(sum(c)) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS lt
+  FROM cells GROUP BY q),
+ys AS (
+  SELECT d, sum(c) AS cd,
+         coalesce(sum(sum(c)) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS lt
+  FROM cells GROUP BY d),
+biv AS (
+  SELECT a.q, a.d, a.c,
+         coalesce(sum(CASE WHEN b.q < a.q AND b.d < a.d
+                           THEN b.c END), 0) AS ltb,
+         coalesce(sum(CASE WHEN b.q = a.q AND b.d < a.d
+                           THEN b.c END), 0) AS eqx_lty,
+         coalesce(sum(CASE WHEN b.q < a.q AND b.d = a.d
+                           THEN b.c END), 0) AS ltx_eqy
+  FROM cells a LEFT JOIN cells b
+    ON (b.q <= a.q AND b.d <= a.d AND NOT (b.q = a.q AND b.d = a.d))
+  GROUP BY 1, 2, 3),
+rsq AS (
+  SELECT biv.c,
+         CAST(4 * xs.lt + 2 * (xs.cq - 1) + 4 AS HUGEINT) AS r4,
+         CAST(4 * ys.lt + 2 * (ys.cd - 1) + 4 AS HUGEINT) AS s4,
+         CAST(4 + 4 * biv.ltb + 2 * biv.eqx_lty + 2 * biv.ltx_eqy
+              + (biv.c - 1) AS HUGEINT) AS q4
+  FROM biv JOIN xs ON xs.q = biv.q JOIN ys ON ys.d = biv.d),
+sums AS (
+  SELECT sum(c * (q4 - 4) * (q4 - 8)) AS a,
+         sum(c * (r4 - 4) * (r4 - 8) * (s4 - 4) * (s4 - 8)) AS b,
+         sum(c * (r4 - 8) * (s4 - 8) * (q4 - 4)) AS cc
+  FROM rsq)
+SELECT CAST(nn.n AS BIGINT) AS n_rows,
+       CAST(sums.a AS BIGINT) AS d1_x16,
+       CASE WHEN nn.n < 5 THEN NULL
+            ELSE round(CAST(30 * (16 * (nn.n - 2) * (nn.n - 3) * sums.a
+                            + sums.b - 8 * (nn.n - 2) * sums.cc)
+                       AS DOUBLE)
+                       / CAST(256 * nn.n * (nn.n - 1) * (nn.n - 2)
+                              * (nn.n - 3) * (nn.n - 4) AS DOUBLE), 8)
+       END AS hoeffding_d
+FROM nn, sums
+"""
+
+QUERIES["hoeffding_d_qty_discount"] = (q_hoeffding_d_qty_discount,
+                                       SQL_HOEFFDING_D_QTY_DISCOUNT)
+
+
+# ---------------------------------------------------------------------------
+# blomqvist_beta_qty_price — medial (quadrant) correlation
+# ---------------------------------------------------------------------------
+
+
+def q_blomqvist_beta_qty_price(sf_dir: str):
+    """Blomqvist's β (medial correlation) between l_quantity and
+    l_extendedprice: β = (agree − disagree)/(agree + disagree) over
+    the four quadrants around the two LOWER medians, rows on either
+    median excluded — the median-quadrant companion of
+    kendall_tau_qty_discount that needs only two thresholds, not
+    ranks.  Two passes: span-bounded value histograms locate the
+    exact integer medians, then a second scan counts quadrants with
+    the medians BROADCAST into the batch fn (never a shuffle)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity",
+                                            "l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        p = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        hq = pa.table({"kind": pa.array(["q"] * len(t)), "v": q}) \
+            .group_by(["kind", "v"]).aggregate([([], "count_all")])
+        hp = pa.table({"kind": pa.array(["p"] * len(t)), "v": p}) \
+            .group_by(["kind", "v"]).aggregate([([], "count_all")])
+        return pa.concat_tables([hq.rename_columns(["kind", "v", "c"]),
+                                 hp.rename_columns(["kind", "v", "c"])])
+
+    h = _partial_final(ds, hist, ["kind", "v"], [("c", "sum")])
+    kinds = h.column("kind").to_pylist()
+    vs = np.asarray(h.column("v"), dtype=np.int64)
+    cs = np.asarray(h.column("c"), dtype=np.int64)
+
+    def lower_median_hist(sel):
+        v, c = vs[sel], cs[sel]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        need = (int(c.sum()) + 1) // 2
+        cum = np.cumsum(c)
+        return int(v[np.searchsorted(cum, need)])
+
+    ksel = np.asarray([k == "q" for k in kinds], dtype=bool)
+    med_q = lower_median_hist(ksel)
+    med_p = lower_median_hist(~ksel)
+
+    def quad(t: pa.Table) -> pa.Table:
+        q = np.asarray(pc.cast(pc.round(t.column("l_quantity"), 0),
+                               pa.int64()), dtype=np.int64)
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            dtype=np.int64)
+        dq, dp = q - med_q, p - med_p
+        on = (dq == 0) | (dp == 0)
+        agree = int(((dq > 0) == (dp > 0))[~on].sum())
+        dis = int((~on).sum()) - agree
+        return pa.table({"k": pa.array(["x"]),
+                         "agree": pa.array([agree], pa.int64()),
+                         "disagree": pa.array([dis], pa.int64()),
+                         "on_median": pa.array([int(on.sum())],
+                                               pa.int64())})
+
+    m = _partial_final(ds, quad, ["k"],
+                       [("agree", "sum"), ("disagree", "sum"),
+                        ("on_median", "sum")])
+    a = int(m.column("agree")[0].as_py())
+    d = int(m.column("disagree")[0].as_py())
+    on = int(m.column("on_median")[0].as_py())
+    beta = None if a + d == 0 else (a - d) / (a + d)
+    return pa.table({
+        "median_qty": pa.array([med_q], pa.int64()),
+        "median_price_cents": pa.array([med_p], pa.int64()),
+        "agree": pa.array([a], pa.int64()),
+        "disagree": pa.array([d], pa.int64()),
+        "on_median": pa.array([on], pa.int64()),
+        "blomqvist_beta": pa.array(
+            [round(beta, 6) if beta is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_BLOMQVIST_BETA_QTY_PRICE = """
+WITH v AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem),
+mq AS (
+  SELECT q AS m FROM (
+    SELECT q, row_number() OVER (ORDER BY q) AS rk,
+           count(*) OVER () AS n FROM v)
+  WHERE rk = (n + 1) // 2),
+mp AS (
+  SELECT p AS m FROM (
+    SELECT p, row_number() OVER (ORDER BY p) AS rk,
+           count(*) OVER () AS n FROM v)
+  WHERE rk = (n + 1) // 2),
+counts AS (
+  SELECT sum(CASE WHEN v.q <> mq.m AND v.p <> mp.m
+                   AND ((v.q > mq.m) = (v.p > mp.m))
+             THEN 1 ELSE 0 END) AS agree,
+         sum(CASE WHEN v.q <> mq.m AND v.p <> mp.m
+                   AND ((v.q > mq.m) <> (v.p > mp.m))
+             THEN 1 ELSE 0 END) AS disagree,
+         sum(CASE WHEN v.q = mq.m OR v.p = mp.m
+             THEN 1 ELSE 0 END) AS on_median
+  FROM v, mq, mp)
+SELECT (SELECT CAST(m AS BIGINT) FROM mq) AS median_qty,
+       (SELECT CAST(m AS BIGINT) FROM mp) AS median_price_cents,
+       CAST(agree AS BIGINT) AS agree,
+       CAST(disagree AS BIGINT) AS disagree,
+       CAST(on_median AS BIGINT) AS on_median,
+       CASE WHEN agree + disagree = 0 THEN NULL
+            ELSE round(CAST(agree - disagree AS DOUBLE)
+                       / (agree + disagree), 6) END AS blomqvist_beta
+FROM counts
+"""
+
+QUERIES["blomqvist_beta_qty_price"] = (q_blomqvist_beta_qty_price,
+                                       SQL_BLOMQVIST_BETA_QTY_PRICE)

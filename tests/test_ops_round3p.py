@@ -411,3 +411,160 @@ def test_rdd_intercepts_degenerate():
     # constant x -> singular design
     assert rdd_intercepts([2, 2, 2], [1, 2, 3])[2] == 0
     assert rdd_intercepts([], [])[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# DFA, LZ76, Hoeffding's D
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    dfa_box_numerators, hoeffding_d_cells, lz76_phrases)
+
+
+def _dfa_f2_naive(x, s):
+    """F²(s) via plain float OLS detrending per box."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    prof = np.cumsum(x - x.mean())
+    nb = n // s
+    tot = 0.0
+    j = np.arange(1, s + 1, dtype=np.float64)
+    for b in range(nb):
+        seg = prof[b * s:(b + 1) * s]
+        A = np.vstack([j, np.ones(s)]).T
+        coef, *_ = np.linalg.lstsq(A, seg, rcond=None)
+        res = seg - A @ coef
+        tot += float(res @ res)
+    return tot / (nb * s)
+
+
+def test_dfa_numerators_match_float_dfa():
+    rng = np.random.RandomState(13)
+    x = rng.randint(0, 10_000, size=257).tolist()
+    n = len(x)
+    for s, nb, num in dfa_box_numerators(x, (4, 8, 16)):
+        rs = s * s * (s * s - 1) // 12
+        f2 = num / (s * rs * nb * s) / (n * n)
+        assert abs(f2 - _dfa_f2_naive(x, s)) < 1e-5 * max(f2, 1.0)
+
+
+def test_dfa_white_noise_alpha_half():
+    from log_analysis_ai_ray.pipelines.queries_ext3 import ols_slope
+    rng = np.random.RandomState(21)
+    x = rng.randint(0, 10**6, size=4000).tolist()
+    n = len(x)
+    pts = []
+    for s, nb, num in dfa_box_numerators(x):
+        rs = s * s * (s * s - 1) // 12
+        f2 = num / (s * rs * nb * s) / (n * n)
+        pts.append((math.log(s), math.log(f2) / 2))
+    alpha = ols_slope([p[0] for p in pts], [p[1] for p in pts])
+    assert 0.4 < alpha < 0.6          # iid -> alpha ~ 0.5
+
+
+def test_dfa_random_walk_alpha_three_halves():
+    from log_analysis_ai_ray.pipelines.queries_ext3 import ols_slope
+    rng = np.random.RandomState(6)
+    steps = rng.randint(-100, 101, size=4000)
+    x = np.cumsum(steps).tolist()
+    n = len(x)
+    pts = []
+    for s, nb, num in dfa_box_numerators(x):
+        rs = s * s * (s * s - 1) // 12
+        f2 = num / (s * rs * nb * s) / (n * n)
+        pts.append((math.log(s), math.log(f2) / 2))
+    alpha = ols_slope([p[0] for p in pts], [p[1] for p in pts])
+    assert 1.3 < alpha < 1.7          # integrated iid -> alpha ~ 1.5
+
+
+def _lz76_naive(bits, cap):
+    s = "".join("1" if b else "0" for b in bits)
+    pos, c = 0, 0
+    while pos < len(s):
+        l = 0
+        while (l < cap and pos + l < len(s)
+               and s[pos:pos + l + 1] in s[:pos + l]):
+            l += 1
+        pos += l + 1
+        c += 1
+    return c
+
+
+def test_lz76_known_sequences():
+    assert lz76_phrases([0] * 50) == 2         # '0' then all-rest
+    assert lz76_phrases([0, 1] * 25) == 3      # '0','1','0101...'
+    assert lz76_phrases([1]) == 1
+    assert lz76_phrases([]) == 0
+
+
+def test_lz76_matches_naive_random():
+    rng = np.random.RandomState(19)
+    for _ in range(20):
+        bits = (rng.randint(0, 2, size=rng.randint(1, 400)) > 0).tolist()
+        assert lz76_phrases(bits) == _lz76_naive(bits, 64)
+
+
+def test_lz76_random_higher_than_periodic():
+    rng = np.random.RandomState(3)
+    rand = (rng.randint(0, 2, size=600) > 0).tolist()
+    per = ([0, 0, 1] * 200)
+    assert lz76_phrases(rand) > 3 * lz76_phrases(per)
+
+
+def _hoeffding_naive(xs, ys):
+    """Textbook Hoeffding's D with midranks via exact Fractions."""
+    n = len(xs)
+    H = Fraction(1, 2)
+    Qr = Fraction(1, 4)
+    D1 = D2 = D3 = Fraction(0)
+    for i in range(n):
+        R = 1 + sum(1 for j in range(n) if xs[j] < xs[i]) \
+            + H * sum(1 for j in range(n) if j != i and xs[j] == xs[i])
+        S = 1 + sum(1 for j in range(n) if ys[j] < ys[i]) \
+            + H * sum(1 for j in range(n) if j != i and ys[j] == ys[i])
+        Q = 1 + sum(1 for j in range(n)
+                    if xs[j] < xs[i] and ys[j] < ys[i]) \
+            + H * sum(1 for j in range(n)
+                      if xs[j] == xs[i] and ys[j] < ys[i]) \
+            + H * sum(1 for j in range(n)
+                      if xs[j] < xs[i] and ys[j] == ys[i]) \
+            + Qr * sum(1 for j in range(n) if j != i
+                       and xs[j] == xs[i] and ys[j] == ys[i])
+        D1 += (Q - 1) * (Q - 2)
+        D2 += (R - 1) * (R - 2) * (S - 1) * (S - 2)
+        D3 += (R - 2) * (S - 2) * (Q - 1)
+    num = 30 * ((n - 2) * (n - 3) * D1 + D2 - 2 * (n - 2) * D3)
+    den = n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    return float(num / den)
+
+
+def test_hoeffding_matches_fraction_naive():
+    rng = np.random.RandomState(29)
+    for _ in range(8):
+        n = rng.randint(10, 40)
+        xs = rng.randint(0, 5, size=n).tolist()
+        ys = rng.randint(0, 4, size=n).tolist()
+        cells = {}
+        for x, y in zip(xs, ys):
+            cells[(x, y)] = cells.get((x, y), 0) + 1
+        _, _, _, _, D = hoeffding_d_cells(cells)
+        assert abs(D - _hoeffding_naive(xs, ys)) < 1e-12
+
+
+def test_hoeffding_limits():
+    # perfect monotone dependence, no ties -> D = 1 exactly
+    cells = {(i, i): 1 for i in range(30)}
+    _, _, _, _, D = hoeffding_d_cells(cells)
+    assert abs(D - 1.0) < 1e-12
+    # independence (product grid) -> D == 0 exactly
+    cells = {(x, y): 2 for x in range(4) for y in range(5)}
+    _, _, _, _, D = hoeffding_d_cells(cells)
+    assert abs(D) < 1e-12
+    # non-monotone (V shape) dependence still detected
+    cells = {(x, abs(x - 5)): 3 for x in range(11)}
+    _, _, _, _, D = hoeffding_d_cells(cells)
+    assert D > 0.01
+    # tiny n -> undefined
+    assert hoeffding_d_cells({(0, 0): 4})[4] is None
