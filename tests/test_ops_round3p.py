@@ -558,10 +558,11 @@ def test_hoeffding_limits():
     cells = {(i, i): 1 for i in range(30)}
     _, _, _, _, D = hoeffding_d_cells(cells)
     assert abs(D - 1.0) < 1e-12
-    # independence (product grid) -> D == 0 exactly
+    # independence (product grid): near 0 (finite-sample tie bias
+    # pulls the statistic slightly negative, never toward +1)
     cells = {(x, y): 2 for x in range(4) for y in range(5)}
-    _, _, _, _, D = hoeffding_d_cells(cells)
-    assert abs(D) < 1e-12
+    _, _, _, _, D_ind = hoeffding_d_cells(cells)
+    assert -0.05 < D_ind < 0.01
     # non-monotone (V shape) dependence still detected
     cells = {(x, abs(x - 5)): 3 for x in range(11)}
     _, _, _, _, D = hoeffding_d_cells(cells)
