@@ -149,28 +149,7 @@ def _hourly_type_series(sf_dir: str, types: tuple) -> dict:
     """Per-absolute-hour counts for the given event types plus the
     full hour grid (hours with ≥1 event of ANY type).  Returns
     {"hours": sorted int list, t: {hour: count} per type}."""
-    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
-        hour = pa.array(tsv // _HOUR_US)
-        g = pa.table({"hour": hour, "event_type": t.column("event_type")}) \
-            .group_by(["hour", "event_type"]).aggregate([([], "count_all")])
-        return g.rename_columns(["hour", "event_type", "c"])
-
-    m = _partial_final(ds, partial, ["hour", "event_type"],
-                       [("c", "sum")])
-    hr = np.asarray(m.column("hour"), dtype=np.int64)
-    et = m.column("event_type").to_pylist()
-    cv = np.asarray(m.column("c"), dtype=np.int64)
-    out = {t: {} for t in types}
-    grid = set()
-    for h, t, c in zip(hr.tolist(), et, cv.tolist()):
-        grid.add(h)
-        if t in out:
-            out[t][h] = c
-    out["hours"] = sorted(grid)
-    return out
+    return _hourly_type_series_by(sf_dir, types, _HOUR_US)
 
 
 # ---------------------------------------------------------------------------
@@ -2325,3 +2304,415 @@ FROM counts
 
 QUERIES["blomqvist_beta_qty_price"] = (q_blomqvist_beta_qty_price,
                                        SQL_BLOMQVIST_BETA_QTY_PRICE)
+
+
+# ---------------------------------------------------------------------------
+# distance_corr_click_purchase — distance correlation (dCor)
+# ---------------------------------------------------------------------------
+
+
+def dcov_terms(x, y) -> tuple:
+    """n²-scaled distance-covariance V-statistic terms from two
+    integer series: X_ab = n²·Σ|xᵢ−xⱼ||yᵢ−yⱼ| − 2n·ΣᵢVᵢWᵢ + G·H
+    (V = row sums of the x-distance matrix, G = ΣV; the standard
+    computational identity for Σ of double-centered products).
+    Row-wise Python-int accumulation keeps everything exact past
+    int64.  Returns (X_ab, X_aa, X_bb) with dCor =
+    X_ab/√(X_aa·X_bb)."""
+    xa = np.asarray(x, dtype=np.int64)
+    ya = np.asarray(y, dtype=np.int64)
+    n = len(xa)
+    a = np.abs(xa[:, None] - xa[None, :])
+    b = np.abs(ya[:, None] - ya[None, :])
+    V = a.sum(axis=1)              # row sums fit int64
+    W = b.sum(axis=1)
+    G = int(sum(int(v) for v in V))
+    H = int(sum(int(w) for w in W))
+    P_ab = sum(int(r) for r in np.einsum("ij,ij->i", a, b))
+    P_aa = sum(int(r) for r in np.einsum("ij,ij->i", a, a))
+    P_bb = sum(int(r) for r in np.einsum("ij,ij->i", b, b))
+    VW = sum(int(v) * int(w) for v, w in zip(V, W))
+    VV = sum(int(v) * int(v) for v in V)
+    WW = sum(int(w) * int(w) for w in W)
+    X_ab = n * n * P_ab - 2 * n * VW + G * H
+    X_aa = n * n * P_aa - 2 * n * VV + G * G
+    X_bb = n * n * P_bb - 2 * n * WW + H * H
+    return X_ab, X_aa, X_bb
+
+
+def q_distance_corr_click_purchase(sf_dir: str):
+    """Distance correlation between daily click and purchase counts
+    — Székely's dependence measure that is 0 IFF independent (unlike
+    Pearson), from the n²-scaled exact-integer V-statistic identity
+    X = n²Σab − 2nΣVW + GH (no float sums over the 10⁶ day pairs; reported as dCor² — the squared coefficient);
+    the non-monotone companion of granger/transfer-entropy on the
+    same pair.  One (day, type)-bounded shuffle; the O(n²) distance
+    moments close driver-side on the ~10³-day series and as a pair
+    self-join in the oracle."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    x = [series["click"].get(d, 0) for d in days]
+    y = [series["purchase"].get(d, 0) for d in days]
+    n = len(days)
+    X_ab, X_aa, X_bb = dcov_terms(x, y)
+    dcor = None
+    if X_aa > 0 and X_bb > 0:
+        dcor = float(X_ab) / math.sqrt(float(X_aa) * float(X_bb))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "sum_dist_click": pa.array(
+            [int(np.abs(np.asarray(x, dtype=np.int64)[:, None]
+                        - np.asarray(x, dtype=np.int64)[None, :])
+                 .sum())], pa.int64()),
+        "dcor_sq": pa.array([round(dcor, 6) if dcor is not None
+                             else None], pa.float64()),
+    })
+
+
+def _hourly_type_series_by(sf_dir: str, types: tuple, unit: int) -> dict:
+    """_hourly_type_series generalized to any time unit (µs)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        bucket = pa.array(tsv // unit)
+        g = pa.table({"hour": bucket,
+                      "event_type": t.column("event_type")}) \
+            .group_by(["hour", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "event_type", "c"])
+
+    m = _partial_final(ds, partial, ["hour", "event_type"],
+                       [("c", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    et = m.column("event_type").to_pylist()
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    out = {t: {} for t in types}
+    grid = set()
+    for h, t, c in zip(hr.tolist(), et, cv.tolist()):
+        grid.add(h)
+        if t in out:
+            out[t][h] = c
+    out["hours"] = sorted(grid)
+    return out
+
+
+SQL_DISTANCE_CORR_CLICK_PURCHASE = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day,
+         coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM xy),
+pairs AS (
+  SELECT a.day AS i, abs(a.x - b.x) AS da, abs(a.y - b.y) AS db
+  FROM xy a JOIN xy b ON TRUE),
+mom AS (
+  SELECT CAST(sum(CAST(da AS HUGEINT) * db) AS HUGEINT) AS p_ab,
+         CAST(sum(CAST(da AS HUGEINT) * da) AS HUGEINT) AS p_aa,
+         CAST(sum(CAST(db AS HUGEINT) * db) AS HUGEINT) AS p_bb
+  FROM pairs),
+rows_ AS (
+  SELECT i, sum(da) AS v, sum(db) AS w FROM pairs GROUP BY 1),
+vw AS (
+  SELECT CAST(sum(CAST(v AS HUGEINT) * w) AS HUGEINT) AS vw,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS vv,
+         CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS ww,
+         CAST(sum(v) AS HUGEINT) AS g, CAST(sum(w) AS HUGEINT) AS h
+  FROM rows_),
+xterms AS (
+  SELECT nn.n * nn.n * mom.p_ab - 2 * nn.n * vw.vw + vw.g * vw.h
+           AS x_ab,
+         nn.n * nn.n * mom.p_aa - 2 * nn.n * vw.vv + vw.g * vw.g
+           AS x_aa,
+         nn.n * nn.n * mom.p_bb - 2 * nn.n * vw.ww + vw.h * vw.h
+           AS x_bb,
+         nn.n AS n, vw.g AS g
+  FROM nn, mom, vw)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(g AS BIGINT) AS sum_dist_click,
+       CASE WHEN x_aa <= 0 OR x_bb <= 0 THEN NULL
+            ELSE round(CAST(x_ab AS DOUBLE)
+                       / sqrt(CAST(x_aa AS DOUBLE)
+                              * CAST(x_bb AS DOUBLE)), 6)
+       END AS dcor_sq
+FROM xterms
+"""
+
+QUERIES["distance_corr_click_purchase"] = (
+    q_distance_corr_click_purchase, SQL_DISTANCE_CORR_CLICK_PURCHASE)
+
+
+# ---------------------------------------------------------------------------
+# process_footprint_matrix — alpha-algorithm footprint relations
+# ---------------------------------------------------------------------------
+
+
+def footprint_relations(df_counts: dict) -> list:
+    """Alpha-algorithm footprint from directly-follows counts
+    {(a, b): n}: for each unordered type pair (a ≤ b) the relation
+    '->' (a then b only), '<-' (b then a only), '||' (both), '#'
+    (neither).  Returns sorted [(a, b, rel)]."""
+    types = sorted({t for k in df_counts for t in k})
+    out = []
+    for i, a in enumerate(types):
+        for b in types[i:]:
+            ab = df_counts.get((a, b), 0) > 0
+            ba = df_counts.get((b, a), 0) > 0
+            if a == b:
+                rel = "||" if ab else "#"
+            elif ab and ba:
+                rel = "||"
+            elif ab:
+                rel = "->"
+            elif ba:
+                rel = "<-"
+            else:
+                rel = "#"
+            out.append((a, b, rel))
+    return out
+
+
+def q_process_footprint_matrix(sf_dir: str):
+    """Alpha-algorithm footprint matrix over per-user event streams:
+    the qualitative causality/parallel/choice relations ('->', '<-',
+    '||', '#') derived from the event_type_markov directly-follows
+    counts (same user-hash shuffle, same (ts, event_id) tie order) —
+    the process-discovery companion of transition_latency_median.
+    The relation derivation is a driver fold over the types²-bounded
+    transition table."""
+    from .queries import QUERIES as _Q
+    markov = _Q["event_type_markov"][0](sf_dir)
+    dfc = {}
+    for a, b, n in zip(markov.column("prev_type").to_pylist(),
+                       markov.column("cur_type").to_pylist(),
+                       np.asarray(markov.column("n"),
+                                  dtype=np.int64).tolist()):
+        dfc[(a, b)] = n
+    rels = footprint_relations(dfc)
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rels], pa.string()),
+        "type_b": pa.array([r[1] for r in rels], pa.string()),
+        "relation": pa.array([r[2] for r in rels], pa.string()),
+    })
+
+
+SQL_PROCESS_FOOTPRINT_MATRIX = """
+WITH s AS (SELECT event_type,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_type
+           FROM events),
+df AS (SELECT prev_type AS a, event_type AS b, count(*) AS n
+       FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+pairs AS (
+  SELECT ta.t AS type_a, tb.t AS type_b
+  FROM types ta JOIN types tb ON ta.t <= tb.t)
+SELECT type_a, type_b,
+       CASE
+         WHEN type_a = type_b THEN
+           CASE WHEN exists (SELECT 1 FROM df
+                             WHERE a = type_a AND b = type_a)
+                THEN '||' ELSE '#' END
+         WHEN exists (SELECT 1 FROM df
+                      WHERE a = type_a AND b = type_b)
+              AND exists (SELECT 1 FROM df
+                          WHERE a = type_b AND b = type_a) THEN '||'
+         WHEN exists (SELECT 1 FROM df
+                      WHERE a = type_a AND b = type_b) THEN '->'
+         WHEN exists (SELECT 1 FROM df
+                      WHERE a = type_b AND b = type_a) THEN '<-'
+         ELSE '#' END AS relation
+FROM pairs ORDER BY 1, 2
+"""
+
+QUERIES["process_footprint_matrix"] = (q_process_footprint_matrix,
+                                       SQL_PROCESS_FOOTPRINT_MATRIX)
+
+
+# ---------------------------------------------------------------------------
+# allan_variance_hourly — clock-stability view of event arrivals
+# ---------------------------------------------------------------------------
+
+_ALLAN_TAUS = (1, 2, 4, 8)
+
+
+def allan_numerators(x, taus=_ALLAN_TAUS):
+    """Non-overlapped Allan variance numerators from an integer
+    series: for bin size m, AVAR·(2·(nb−1)·m²) = Σ(S_{k+1} − S_k)²
+    over complete-bin sums — exact integers.  Returns
+    [(m, nb, num)]."""
+    x = [int(v) for v in x]
+    n = len(x)
+    out = []
+    for m in taus:
+        nb = n // m
+        if nb < 2:
+            continue
+        sums = [sum(x[k * m:(k + 1) * m]) for k in range(nb)]
+        num = sum((sums[k + 1] - sums[k]) ** 2 for k in range(nb - 1))
+        out.append((m, nb, num))
+    return out
+
+
+def q_allan_variance_hourly(sf_dir: str):
+    """Allan variance of the hourly event arrival count at averaging
+    times τ ∈ {1,2,4,8} hours (dense zero-filled hour grid over the
+    span): AVAR(τ) = ½⟨(ȳ_{k+1}−ȳ_k)²⟩ over adjacent complete bins —
+    the clock-stability / drift-vs-noise diagnostic (white noise ⇒
+    slope −1 in τ, random-walk drift ⇒ +1); companion of hourly_acf.
+    Exact integer numerators; one span-bounded shuffle."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        g = pa.table({"hour": pa.array(tsv // _HOUR_US)}) \
+            .group_by("hour").aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "c"])
+
+    m = _partial_final(ds, partial, ["hour"], [("c", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    lo, hi = int(hr.min()), int(hr.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[hr - lo] = cv
+    rows = allan_numerators(dense.tolist())
+    return pa.table({
+        "tau_hours": pa.array([r[0] for r in rows], pa.int64()),
+        "n_bins": pa.array([r[1] for r in rows], pa.int64()),
+        "avar": pa.array(
+            [round(num / (2.0 * (nb - 1) * m_ * m_), 6)
+             for m_, nb, num in rows], pa.float64()),
+    })
+
+
+SQL_ALLAN_VARIANCE_HOURLY = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         count(*) AS c
+  FROM events GROUP BY 1),
+span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+dense AS (
+  SELECT g.hour - (SELECT lo FROM span) AS pos, coalesce(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span))) AS hour) g
+  LEFT JOIN h USING (hour)),
+nn AS (SELECT count(*) AS n FROM dense),
+bins AS (
+  SELECT m.m, pos // m.m AS k, sum(c) AS s
+  FROM dense, (SELECT unnest([1, 2, 4, 8]) AS m) m
+  WHERE pos < ((SELECT n FROM nn) // m.m) * m.m
+  GROUP BY 1, 2),
+diffs AS (
+  SELECT a.m, CAST(b.s - a.s AS HUGEINT) * (b.s - a.s) AS d2
+  FROM bins a JOIN bins b ON b.m = a.m AND b.k = a.k + 1),
+agg AS (
+  SELECT m, count(*) + 1 AS nb, sum(d2) AS num
+  FROM diffs GROUP BY 1)
+SELECT CAST(m AS BIGINT) AS tau_hours, CAST(nb AS BIGINT) AS n_bins,
+       round(CAST(num AS DOUBLE) / (2.0 * (nb - 1) * m * m), 6)
+         AS avar
+FROM agg WHERE nb >= 2 ORDER BY 1
+"""
+
+QUERIES["allan_variance_hourly"] = (q_allan_variance_hourly,
+                                    SQL_ALLAN_VARIANCE_HOURLY)
+
+
+# ---------------------------------------------------------------------------
+# domain_spectral_radius — walk-ratio largest-eigenvalue estimate
+# ---------------------------------------------------------------------------
+
+
+def q_domain_spectral_radius(sf_dir: str):
+    """Largest adjacency eigenvalue of the undirected domain graph
+    estimated by the EXACT walk-count ratio λ̂ = W₆/W₅ (W_k = 1ᵀAᵏ1,
+    total k-walks; the power-method Rayleigh quotient without float
+    normalization — integer walk counts agree to the digit with the
+    oracle's unrolled matvec CTEs).  Also reports the Perron lower
+    bound √(W₂/W₀) = RMS degree.  Distributed edge distillation +
+    bounded driver matvecs (domain_katz_paths discipline)."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    if n == 0:
+        return pa.table({"n_domains": pa.array([0], pa.int64()),
+                         "w5": pa.array([None], pa.int64()),
+                         "w6": pa.array([None], pa.int64()),
+                         "spectral_radius_est": pa.array([None],
+                                                         pa.float64()),
+                         "rms_degree": pa.array([None], pa.float64())})
+    a = np.zeros((n, n), dtype=object)
+    a[lo, hi] = 1
+    a[hi, lo] = 1
+    w = np.ones(n, dtype=object)
+    tot = [int(w.sum())]            # W0 = n
+    for _ in range(6):
+        w = a @ w
+        tot.append(int(w.sum()))
+    lam = tot[6] / tot[5] if tot[5] > 0 else None
+    rms = math.sqrt(tot[2] / tot[0]) if tot[0] > 0 else None
+    return pa.table({
+        "n_domains": pa.array([n], pa.int64()),
+        "w5": pa.array([tot[5]], pa.int64()),
+        "w6": pa.array([tot[6]], pa.int64()),
+        "spectral_radius_est": pa.array(
+            [round(lam, 6) if lam is not None else None], pa.float64()),
+        "rms_degree": pa.array(
+            [round(rms, 6) if rms is not None else None], pa.float64()),
+    })
+
+
+def _domain_spectral_radius_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS (SELECT a AS s, b AS d FROM eu UNION ALL SELECT b, a FROM eu),
+nodes AS (SELECT DISTINCT s AS v FROM adj),
+w1 AS (SELECT s AS v, CAST(count(*) AS HUGEINT) AS w FROM adj
+       GROUP BY 1),
+w2 AS (SELECT adj.d AS v, CAST(sum(w1.w) AS HUGEINT) AS w
+       FROM adj JOIN w1 ON w1.v = adj.s GROUP BY 1),
+w3 AS (SELECT adj.d AS v, CAST(sum(w2.w) AS HUGEINT) AS w
+       FROM adj JOIN w2 ON w2.v = adj.s GROUP BY 1),
+w4 AS (SELECT adj.d AS v, CAST(sum(w3.w) AS HUGEINT) AS w
+       FROM adj JOIN w3 ON w3.v = adj.s GROUP BY 1),
+w5 AS (SELECT adj.d AS v, CAST(sum(w4.w) AS HUGEINT) AS w
+       FROM adj JOIN w4 ON w4.v = adj.s GROUP BY 1),
+w6 AS (SELECT adj.d AS v, CAST(sum(w5.w) AS HUGEINT) AS w
+       FROM adj JOIN w5 ON w5.v = adj.s GROUP BY 1),
+tots AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n,
+         (SELECT CAST(sum(w) AS BIGINT) FROM w2) AS t2,
+         (SELECT CAST(sum(w) AS BIGINT) FROM w5) AS t5,
+         (SELECT CAST(sum(w) AS BIGINT) FROM w6) AS t6)
+SELECT n AS n_domains, t5 AS w5, t6 AS w6,
+       CASE WHEN t5 > 0
+            THEN round(CAST(t6 AS DOUBLE) / t5, 6) END
+         AS spectral_radius_est,
+       CASE WHEN n > 0
+            THEN round(sqrt(CAST(t2 AS DOUBLE) / n), 6) END
+         AS rms_degree
+FROM tots
+"""
+
+
+QUERIES["domain_spectral_radius"] = (q_domain_spectral_radius,
+                                     _domain_spectral_radius_sql())

@@ -569,3 +569,82 @@ def test_hoeffding_limits():
     assert D > 0.01
     # tiny n -> undefined
     assert hoeffding_d_cells({(0, 0): 4})[4] is None
+
+
+# ---------------------------------------------------------------------------
+# distance correlation, footprint, Allan variance
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    allan_numerators, dcov_terms, footprint_relations)
+
+
+def _dcor_naive(x, y):
+    """dCor via explicit double-centering (float)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    a = np.abs(x[:, None] - x[None, :])
+    b = np.abs(y[:, None] - y[None, :])
+    A = a - a.mean(0)[None, :] - a.mean(1)[:, None] + a.mean()
+    B = b - b.mean(0)[None, :] - b.mean(1)[:, None] + b.mean()
+    sab = (A * B).sum()
+    saa = (A * A).sum()
+    sbb = (B * B).sum()
+    return sab / math.sqrt(saa * sbb)
+
+
+def test_dcov_terms_match_double_centering():
+    rng = np.random.RandomState(41)
+    for _ in range(10):
+        n = rng.randint(10, 80)
+        x = rng.randint(0, 500, size=n).tolist()
+        y = rng.randint(0, 300, size=n).tolist()
+        X_ab, X_aa, X_bb = dcov_terms(x, y)
+        got = X_ab / math.sqrt(X_aa * X_bb)
+        assert abs(got - _dcor_naive(x, y)) < 1e-9
+
+
+def test_dcor_detects_nonmonotone():
+    # y = |x - 50|: Pearson ~ 0, dCor clearly > 0
+    x = list(range(101))
+    y = [abs(v - 50) for v in x]
+    X_ab, X_aa, X_bb = dcov_terms(x, y)
+    dcor_sq = X_ab / math.sqrt(X_aa * X_bb)
+    assert dcor_sq > 0.2          # dCor ~ 0.5 for the V shape
+    # perfect linear -> dCor = 1
+    X_ab, X_aa, X_bb = dcov_terms(x, [3 * v + 7 for v in x])
+    assert abs(X_ab / math.sqrt(X_aa * X_bb) - 1.0) < 1e-12
+
+
+def test_footprint_relations():
+    dfc = {("a", "b"): 5, ("b", "c"): 2, ("c", "b"): 9, ("d", "d"): 1}
+    rels = dict(((a, b), r) for a, b, r in footprint_relations(dfc))
+    assert rels[("a", "b")] == "->"
+    assert rels[("b", "c")] == "||"          # both directions
+    assert rels[("a", "c")] == "#"           # never adjacent
+    assert rels[("d", "d")] == "||"          # self loop
+    assert rels[("a", "a")] == "#"
+    # reverse-only pair reads '<-'
+    rels2 = dict(((a, b), r) for a, b, r
+                 in footprint_relations({("b", "a"): 3}))
+    assert rels2[("a", "b")] == "<-"
+
+
+def test_allan_numerators():
+    # white noise: AVAR(tau) ~ var/tau (slope -1)
+    rng = np.random.RandomState(14)
+    x = rng.randint(0, 1000, size=4096).tolist()
+    rows = {m: num / (2.0 * (nb - 1) * m * m)
+            for m, nb, num in allan_numerators(x)}
+    assert rows[1] > 2 * rows[4] > 0        # decreasing in tau
+    # exact small case by hand: x = [1,2,3,4], m=2 -> sums [3,7],
+    # num = 16, AVAR = 16/(2*1*4) = 2
+    rows = allan_numerators([1, 2, 3, 4], (2,))
+    assert rows == [(2, 2, 16)]
+    # linear drift: adjacent bin means differ by m -> AVAR = m²·.../
+    x = list(range(256))
+    out = dict((m, num / (2.0 * (nb - 1) * m * m))
+               for m, nb, num in allan_numerators(x))
+    # bin-mean diffs equal m exactly -> AVAR = m²/2
+    for m in (1, 2, 4, 8):
+        assert abs(out[m] - m * m / 2.0) < 1e-9
