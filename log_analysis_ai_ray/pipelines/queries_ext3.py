@@ -2716,3 +2716,415 @@ FROM tots
 
 QUERIES["domain_spectral_radius"] = (q_domain_spectral_radius,
                                      _domain_spectral_radius_sql())
+
+
+# ---------------------------------------------------------------------------
+# assoc_rules_types — association-rule metrics over user item sets
+# ---------------------------------------------------------------------------
+
+
+def q_assoc_rules_types(sf_dir: str):
+    """Association rules a⇒b over per-user event-type sets: support,
+    confidence, lift and conviction for every ORDERED type pair, from
+    distinct-user presence counts (n_a, n_ab, U) — the rule-metric
+    layer on top of type_cooccurrence's raw dot products.  One
+    user-hash exchange; per partition the users×types 0/1 PRESENCE
+    matrix closes pair counts with an integer Gram product (users
+    partition cleanly by the hash, so distinct-user counts add);
+    every metric is a ratio of exact integers."""
+    from .queries import _knuth_bucket, _KM_NPART
+    from ..stages import aggregate as agg_
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(u, _KM_NPART)))
+
+    def gram(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        users, uid = np.unique(u, return_inverse=True)
+        types, tid = np.unique(et, return_inverse=True)
+        c = np.zeros((len(users), len(types)), dtype=np.int64)
+        c[uid, tid] = 1                      # presence, not counts
+        d = c.T @ c
+        ia, ib = np.triu_indices(len(types))
+        t_ = pa.table({
+            "type_a": pa.array(types[ia].tolist(), type=pa.string()),
+            "type_b": pa.array(types[ib].tolist(), type=pa.string()),
+            "is_tot": pa.array(np.zeros(len(ia), dtype=np.int64)),
+            "n": pa.array(d[ia, ib]),
+        })
+        # distinct-user total rides in a DEDICATED flag row, not an
+        # in-band sentinel key (heavy_hitter advisory)
+        tot = pa.table({"type_a": pa.array([""]),
+                        "type_b": pa.array([""]),
+                        "is_tot": pa.array([1], pa.int64()),
+                        "n": pa.array([len(users)], pa.int64())})
+        return pa.concat_tables([t_, tot])
+
+    m = agg_._combine_partials(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(gram, batch_format="pyarrow"),
+        keys=["type_a", "type_b", "is_tot"], aggs=[("n", "sum")],
+        empty_schema=pa.schema([("type_a", pa.string()),
+                                ("type_b", pa.string()),
+                                ("is_tot", pa.int64()),
+                                ("n", pa.int64())]))
+    nab = {}
+    U = 0
+    for a, b, tot, n in zip(m.column("type_a").to_pylist(),
+                            m.column("type_b").to_pylist(),
+                            np.asarray(m.column("is_tot"),
+                                       dtype=np.int64),
+                            np.asarray(m.column("n"), dtype=np.int64)):
+        if int(tot) == 1:
+            U = int(n)
+        else:
+            nab[(a, b)] = int(n)
+            nab[(b, a)] = int(n)
+    types = sorted({a for a, _ in nab})
+    rows = []
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            na, nb, ab = nab[(a, a)], nab[(b, b)], nab.get((a, b), 0)
+            conf = ab / na if na else None
+            lift = (ab * U) / (na * nb) if na and nb else None
+            conv = (None if conf is None or conf == 1.0
+                    else ((U - nb) * na) / (U * (na - ab))
+                    if na - ab > 0 else None)
+            rows.append((a, b, ab, conf, lift, conv))
+    return pa.table({
+        "antecedent": pa.array([r[0] for r in rows], pa.string()),
+        "consequent": pa.array([r[1] for r in rows], pa.string()),
+        "n_both": pa.array([r[2] for r in rows], pa.int64()),
+        "confidence": pa.array(
+            [round(r[3], 6) if r[3] is not None else None
+             for r in rows], pa.float64()),
+        "lift": pa.array(
+            [round(r[4], 6) if r[4] is not None else None
+             for r in rows], pa.float64()),
+        "conviction": pa.array(
+            [round(r[5], 6) if r[5] is not None else None
+             for r in rows], pa.float64()),
+    })
+
+
+SQL_ASSOC_RULES_TYPES = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM p),
+na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY 1),
+ab AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM p a JOIN p b ON a.user_id = b.user_id
+                   AND a.event_type <> b.event_type
+  GROUP BY 1, 2)
+SELECT x.event_type AS antecedent, y.event_type AS consequent,
+       coalesce(ab.n, 0) AS n_both,
+       round(CAST(coalesce(ab.n, 0) AS DOUBLE) / x.n, 6) AS confidence,
+       round(CAST(coalesce(ab.n, 0) AS DOUBLE) * u.u / (x.n * y.n), 6)
+         AS lift,
+       CASE WHEN x.n - coalesce(ab.n, 0) > 0
+              AND CAST(coalesce(ab.n, 0) AS DOUBLE) / x.n <> 1.0
+            THEN round(CAST((u.u - y.n) * x.n AS DOUBLE)
+                       / (u.u * (x.n - coalesce(ab.n, 0))), 6)
+            ELSE NULL END AS conviction
+FROM na x JOIN na y ON x.event_type <> y.event_type
+LEFT JOIN ab ON ab.ta = x.event_type AND ab.tb = y.event_type, u
+ORDER BY 1, 2
+"""
+
+QUERIES["assoc_rules_types"] = (q_assoc_rules_types,
+                                SQL_ASSOC_RULES_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# deming_regression_qty_price — errors-in-variables line fit
+# ---------------------------------------------------------------------------
+
+
+def q_deming_regression_qty_price(sf_dir: str):
+    """Deming regression (λ=1 orthogonal fit) of l_extendedprice
+    (cents) on l_quantity — the errors-in-variables companion of the
+    OLS family: when BOTH axes carry noise, slope = (W +
+    √(W² + 4·Sxy²))/(2·Sxy) with W = Syy − Sxx over the n-scaled
+    centered moments.  Moments are exact integers (HUGEINT — ΣY²
+    passes int64); only the closing radical floats, with a shared
+    expression tree."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity",
+                                            "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        p = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        return pa.table({
+            "k": pa.array(["x"] * len(t)),
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "sx": q, "sy": p,
+            "sxx": pc.multiply(q, q), "sxy": pc.multiply(q, p),
+        }).group_by("k").aggregate([("n", "sum"), ("sx", "sum"),
+                                    ("sy", "sum"), ("sxx", "sum"),
+                                    ("sxy", "sum")]) \
+            .rename_columns(["k", "n", "sx", "sy", "sxx", "sxy"])
+
+    m = _partial_final(ds, partial, ["k"],
+                       [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxx", "sum"), ("sxy", "sum")])
+    n = int(m.column("n")[0].as_py())
+    sx = int(m.column("sx")[0].as_py())
+    sy = int(m.column("sy")[0].as_py())
+    sxx = int(m.column("sxx")[0].as_py())
+    sxy = int(m.column("sxy")[0].as_py())
+    # Σy² exceeds int64 per-block partials: recompute distributed as
+    # a second bounded pass over price only, accumulating in Python
+    ds2 = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial_yy(t: pa.Table) -> pa.Table:
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64()),
+            dtype=np.int64)
+        # per-block Σy² in Python int, shipped as a base-2^40 pair
+        # (shift 40 keeps the int64 partial SUMS far from overflow
+        # even at millions of blocks)
+        tot = sum(int(v) * int(v) for v in p)
+        return pa.table({"k": pa.array(["y"]),
+                         "hi": pa.array([tot >> 40], pa.int64()),
+                         "lo": pa.array([tot & ((1 << 40) - 1)],
+                                        pa.int64())})
+
+    m2 = _partial_final(ds2, partial_yy, ["k"],
+                        [("hi", "sum"), ("lo", "sum")])
+    syy = (int(m2.column("hi")[0].as_py()) << 40) \
+        + int(m2.column("lo")[0].as_py())
+    sxx_c = n * sxx - sx * sx
+    syy_c = n * syy - sy * sy
+    sxy_c = n * sxy - sx * sy
+    if sxy_c == 0:
+        slope = inter = None
+    else:
+        w = float(syy_c) - float(sxx_c)
+        slope = (w + math.sqrt(w * w + 4.0 * float(sxy_c)
+                               * float(sxy_c))) / (2.0 * float(sxy_c))
+        inter = (float(sy) - slope * float(sx)) / float(n)
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "deming_slope": pa.array(
+            [round(slope, 6) if slope is not None else None],
+            pa.float64()),
+        "deming_intercept": pa.array(
+            [round(inter, 4) if inter is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_DEMING_REGRESSION_QTY_PRICE = """
+WITH v AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM v),
+c AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS sxx_c,
+         n * syy - sy * sy AS syy_c,
+         n * sxy - sx * sy AS sxy_c
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN sxy_c = 0 THEN NULL
+            ELSE round(((CAST(syy_c AS DOUBLE) - CAST(sxx_c AS DOUBLE))
+                        + sqrt((CAST(syy_c AS DOUBLE)
+                                - CAST(sxx_c AS DOUBLE))
+                               * (CAST(syy_c AS DOUBLE)
+                                  - CAST(sxx_c AS DOUBLE))
+                               + 4.0 * CAST(sxy_c AS DOUBLE)
+                                 * CAST(sxy_c AS DOUBLE)))
+                       / (2.0 * CAST(sxy_c AS DOUBLE)), 6)
+       END AS deming_slope,
+       CASE WHEN sxy_c = 0 THEN NULL
+            ELSE round((CAST(sy AS DOUBLE)
+                        - (((CAST(syy_c AS DOUBLE)
+                             - CAST(sxx_c AS DOUBLE))
+                            + sqrt((CAST(syy_c AS DOUBLE)
+                                    - CAST(sxx_c AS DOUBLE))
+                                   * (CAST(syy_c AS DOUBLE)
+                                      - CAST(sxx_c AS DOUBLE))
+                                   + 4.0 * CAST(sxy_c AS DOUBLE)
+                                     * CAST(sxy_c AS DOUBLE)))
+                           / (2.0 * CAST(sxy_c AS DOUBLE)))
+                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+       END AS deming_intercept
+FROM c
+"""
+
+QUERIES["deming_regression_qty_price"] = (
+    q_deming_regression_qty_price, SQL_DEMING_REGRESSION_QTY_PRICE)
+
+
+# ---------------------------------------------------------------------------
+# source_braycurtis_matrix — compositional dissimilarity of sources
+# ---------------------------------------------------------------------------
+
+
+def q_source_braycurtis_matrix(sf_dir: str):
+    """Bray-Curtis dissimilarity between every pair of document
+    sources over their token-count histograms: BC = Σ|c₁−c₂| /
+    Σ(c₁+c₂) — the abundance-weighted compositional distance
+    companion of source_kl_divergence / source_vocab_overlap (L1 on
+    raw counts, not smoothed probabilities: exact integers end to
+    end).  One (source, token) vocab-bounded shuffle; the pair sweep
+    is a driver fold over the bounded histogram."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = t.column("source").take(par)
+        g = pa.table({"source": src, "token": flat}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "c"])
+
+    m = _partial_final(ds, partial, ["source", "token"], [("c", "sum")])
+    hist = {}
+    for s, w, c in zip(m.column("source").to_pylist(),
+                       m.column("token").to_pylist(),
+                       np.asarray(m.column("c"), dtype=np.int64)):
+        hist.setdefault(s, {})[w] = int(c)
+    sources = sorted(hist)
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            ha, hb = hist[a], hist[b]
+            vocab = set(ha) | set(hb)
+            num = sum(abs(ha.get(w, 0) - hb.get(w, 0)) for w in vocab)
+            den = sum(ha.get(w, 0) + hb.get(w, 0) for w in vocab)
+            rows.append((a, b, num, den))
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], pa.string()),
+        "source_b": pa.array([r[1] for r in rows], pa.string()),
+        "l1_diff": pa.array([r[2] for r in rows], pa.int64()),
+        "braycurtis": pa.array(
+            [round(r[2] / r[3], 6) if r[3] else None for r in rows],
+            pa.float64()),
+    })
+
+
+SQL_SOURCE_BRAYCURTIS_MATRIX = """
+WITH h AS (
+  SELECT source, token, count(*) AS c
+  FROM (SELECT source,
+               unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents)
+  GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM h),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source),
+joined AS (
+  SELECT pairs.sa, pairs.sb, coalesce(x.c, 0) AS ca,
+         coalesce(y.c, 0) AS cb
+  FROM pairs
+  JOIN (SELECT DISTINCT token FROM h) t ON TRUE
+  LEFT JOIN h x ON x.source = pairs.sa AND x.token = t.token
+  LEFT JOIN h y ON y.source = pairs.sb AND y.token = t.token
+  WHERE coalesce(x.c, 0) + coalesce(y.c, 0) > 0)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(sum(abs(ca - cb)) AS BIGINT) AS l1_diff,
+       round(CAST(sum(abs(ca - cb)) AS DOUBLE) / sum(ca + cb), 6)
+         AS braycurtis
+FROM joined GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["source_braycurtis_matrix"] = (q_source_braycurtis_matrix,
+                                       SQL_SOURCE_BRAYCURTIS_MATRIX)
+
+
+# ---------------------------------------------------------------------------
+# half_sample_mode_daily — robust mode of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def half_sample_mode(values) -> tuple:
+    """Half-sample mode (Robertson-Cryer / Bickel HSM) of an integer
+    list: repeatedly keep the densest half (the ⌊m/2⌋+1-wide window
+    of the SORTED values with smallest range; tie → leftmost) until
+    ≤2 values remain; mode = floor-average of the survivors.  Fully
+    deterministic integer arithmetic; returns (mode, n_rounds)."""
+    v = sorted(int(x) for x in values)
+    rounds = 0
+    while len(v) > 2:
+        m = len(v)
+        h = m // 2 + 1
+        best_i, best_r = 0, None
+        for i in range(m - h + 1):
+            r = v[i + h - 1] - v[i]
+            if best_r is None or r < best_r:
+                best_i, best_r = i, r
+        v = v[best_i:best_i + h]
+        rounds += 1
+    return (sum(v) // len(v) if v else None), rounds
+
+
+def q_half_sample_mode_daily(sf_dir: str):
+    """Half-sample mode of daily revenue — the robust mode estimator
+    (densest-half recursion on the sorted values; tie → leftmost
+    window) that ignores outliers entirely, companion of
+    huber_location_by_type / trimmed_mean_by_type at day grain.
+    Exact integers; the oracle replays the ~log₂(n) rounds as a
+    recursive CTE over (lo, hi) bounds."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    mode, rounds = half_sample_mode(cents.tolist())
+    return pa.table({
+        "n_days": pa.array([len(cents)], pa.int64()),
+        "n_rounds": pa.array([rounds], pa.int64()),
+        "hsm_cents": pa.array([mode], pa.int64()),
+    })
+
+
+SQL_HALF_SAMPLE_MODE_DAILY = """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT row_number() OVER (ORDER BY cents) AS pos, cents AS x
+      FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+hsm(lo, hi, r) AS (
+  SELECT CAST(1 AS BIGINT), (SELECT n FROM nn), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT best.i, best.i + ((hi - lo + 1) // 2 + 1) - 1, r + 1
+  FROM hsm, LATERAL (
+    SELECT i FROM (
+      SELECT a.pos AS i,
+             b.x - a.x AS rng
+      FROM s a JOIN s b
+        ON b.pos = a.pos + ((hsm.hi - hsm.lo + 1) // 2 + 1) - 1
+      WHERE a.pos >= hsm.lo
+        AND a.pos + ((hsm.hi - hsm.lo + 1) // 2 + 1) - 1 <= hsm.hi)
+    ORDER BY rng, i LIMIT 1) best
+  WHERE hi - lo + 1 > 2),
+final AS (
+  SELECT lo, hi, r FROM hsm ORDER BY r DESC LIMIT 1)
+SELECT (SELECT n FROM nn) AS n_days,
+       (SELECT r FROM final) AS n_rounds,
+       (SELECT CAST(sum(x) // count(*) AS BIGINT) FROM s, final
+        WHERE pos BETWEEN final.lo AND final.hi) AS hsm_cents
+"""
+
+QUERIES["half_sample_mode_daily"] = (q_half_sample_mode_daily,
+                                     SQL_HALF_SAMPLE_MODE_DAILY)

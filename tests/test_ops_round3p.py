@@ -648,3 +648,36 @@ def test_allan_numerators():
     # bin-mean diffs equal m exactly -> AVAR = m²/2
     for m in (1, 2, 4, 8):
         assert abs(out[m] - m * m / 2.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# half-sample mode
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    half_sample_mode)
+
+
+def test_hsm_finds_planted_mode():
+    rng = np.random.RandomState(44)
+    # dense cluster at 500 +- 5, uniform noise elsewhere
+    data = rng.randint(0, 10_000, size=300).tolist() \
+        + rng.randint(495, 506, size=300).tolist()
+    mode, rounds = half_sample_mode(data)
+    assert 490 <= mode <= 510
+    assert rounds > 0
+
+
+def test_hsm_outlier_immune():
+    data = [10, 11, 12, 13, 14] * 20 + [10**9] * 5
+    mode, _ = half_sample_mode(data)
+    assert 10 <= mode <= 14
+
+
+def test_hsm_small_inputs():
+    assert half_sample_mode([7]) == (7, 0)
+    assert half_sample_mode([3, 9]) == (6, 0)       # floor average
+    assert half_sample_mode([]) == (None, 0)
+    # three equal values terminate in one round
+    mode, rounds = half_sample_mode([5, 5, 5])
+    assert mode == 5 and rounds == 1
