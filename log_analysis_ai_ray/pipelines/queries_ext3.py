@@ -3128,3 +3128,522 @@ SELECT (SELECT n FROM nn) AS n_days,
 
 QUERIES["half_sample_mode_daily"] = (q_half_sample_mode_daily,
                                      SQL_HALF_SAMPLE_MODE_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# mcf_purchases — mean cumulative function for recurrent events
+# ---------------------------------------------------------------------------
+
+_MCF_MAX_DAY = 30
+
+
+def q_mcf_purchases(sf_dir: str):
+    """Mean cumulative function of repeat purchases: with each user's
+    clock starting at their FIRST event (any type) and right-censored
+    at their last, MCF(d) = Σ_{k≤d} (#purchases at day-offset k among
+    then-at-risk users)/(#users with window ≥ k) — the
+    recurrent-event generalization of km_signup_purchase /
+    nelson_aalen_hazard (which stop at the first event).  Day offsets
+    0..30; per-user reduction is one user-hash shuffle emitting
+    day-bounded (offset, count) partials; the increment fold closes
+    driver-side from exact integer counts."""
+    from .queries import _knuth_bucket, _KM_NPART
+    from ..stages import aggregate as agg_
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(u, _KM_NPART)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts").cast(pa.int64()), dtype=np.int64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)] - 1
+        first = ts[starts]
+        last = ts[ends]
+        window = (last - first) // _DAY_US
+        # user-window rows (kind 0): offset = capped window length
+        wday = np.minimum(window, _MCF_MAX_DAY)
+        # purchase-offset rows (kind 1)
+        uidx = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        isp = et == "purchase"
+        off = (ts[isp] - first[uidx[isp]]) // _DAY_US
+        off = off[off <= _MCF_MAX_DAY]
+        t1 = pa.table({"kind": pa.array(
+            np.zeros(len(wday), dtype=np.int64)),
+            "day": pa.array(wday)}) \
+            .group_by(["kind", "day"]).aggregate([([], "count_all")])
+        t2 = pa.table({"kind": pa.array(
+            np.ones(len(off), dtype=np.int64)),
+            "day": pa.array(off)}) \
+            .group_by(["kind", "day"]).aggregate([([], "count_all")])
+        return pa.concat_tables([t1.rename_columns(["kind", "day", "c"]),
+                                 t2.rename_columns(["kind", "day", "c"])])
+
+    m = agg_._combine_partials(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(fold, batch_format="pyarrow"),
+        keys=["kind", "day"], aggs=[("c", "sum")],
+        empty_schema=pa.schema([("kind", pa.int64()),
+                                ("day", pa.int64()),
+                                ("c", pa.int64())]))
+    wcount = {}
+    ecount = {}
+    for k, d, c in zip(np.asarray(m.column("kind"), dtype=np.int64),
+                       np.asarray(m.column("day"), dtype=np.int64),
+                       np.asarray(m.column("c"), dtype=np.int64)):
+        (wcount if k == 0 else ecount)[int(d)] = int(c)
+    total_users = sum(wcount.values())
+    days = list(range(_MCF_MAX_DAY + 1))
+    at_risk = []
+    run = total_users
+    for d in days:
+        at_risk.append(run)
+        run -= wcount.get(d, 0)
+    mcf = []
+    acc = 0.0
+    for d in days:
+        if at_risk[d] > 0:
+            acc += ecount.get(d, 0) / at_risk[d]
+        mcf.append(acc)
+    return pa.table({
+        "day": pa.array(days, pa.int64()),
+        "at_risk": pa.array(at_risk, pa.int64()),
+        "n_events": pa.array([ecount.get(d, 0) for d in days],
+                             pa.int64()),
+        "mcf": pa.array([round(v, 6) for v in mcf], pa.float64()),
+    })
+
+
+SQL_MCF_PURCHASES = f"""
+WITH spans AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS t1
+  FROM events GROUP BY 1),
+w AS (
+  SELECT least((CAST(epoch_us(t1) AS BIGINT)
+                - CAST(epoch_us(t0) AS BIGINT)) // 86400000000,
+               {_MCF_MAX_DAY}) AS wday
+  FROM spans),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS u FROM w),
+ev AS (
+  SELECT (CAST(epoch_us(e.ts) AS BIGINT)
+          - CAST(epoch_us(s.t0) AS BIGINT)) // 86400000000 AS day
+  FROM events e JOIN spans s USING (user_id)
+  WHERE e.event_type = 'purchase'),
+days AS (SELECT unnest(range(0, {_MCF_MAX_DAY + 1})) AS day),
+risk AS (
+  SELECT days.day,
+         (SELECT u FROM tot)
+           - coalesce((SELECT count(*) FROM w
+                       WHERE wday < days.day), 0) AS at_risk
+  FROM days),
+inc AS (
+  SELECT days.day,
+         coalesce((SELECT count(*) FROM ev WHERE ev.day = days.day),
+                  0) AS n_events
+  FROM days)
+SELECT days.day, risk.at_risk, CAST(inc.n_events AS BIGINT) AS n_events,
+       round(sum(CASE WHEN r2.at_risk > 0
+                      THEN CAST(i2.n_events AS DOUBLE) / r2.at_risk
+                      ELSE 0 END), 6) AS mcf
+FROM days
+JOIN risk USING (day) JOIN inc USING (day)
+JOIN risk r2 ON r2.day <= days.day
+JOIN inc i2 ON i2.day = r2.day
+GROUP BY days.day, risk.at_risk, inc.n_events
+ORDER BY days.day
+"""
+
+QUERIES["mcf_purchases"] = (q_mcf_purchases, SQL_MCF_PURCHASES)
+
+
+# ---------------------------------------------------------------------------
+# token_burstiness — Church-Gale dispersion of top tokens
+# ---------------------------------------------------------------------------
+
+_BURSTY_TOPK = 20
+
+
+def q_token_burstiness(sf_dir: str):
+    """Token burstiness for the top-20 corpus tokens: the
+    variance-to-mean ratio of the per-DOCUMENT count (zeros included
+    over all D docs) — Church-Gale's observation that content words
+    are bursty (VMR ≫ 1) while function words are Poisson-like (VMR ≈
+    1); the per-token companion of the corpus-level Yule's K.  VMR =
+    (D·Σc² − tot²)/(D·tot) from exact integer (token, doc) partials;
+    one vocab-bounded shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        did = t.column("doc_id").take(par)
+        g = pa.table({"token": flat, "doc": did}) \
+            .group_by(["token", "doc"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["token", "doc", "c"])
+        out = pa.table({
+            "token": g.column("token"),
+            "tot": g.column("c"),
+            "sq": pc.multiply(g.column("c"), g.column("c")),
+            "docs": pa.array(np.ones(len(g), dtype=np.int64)),
+        }).group_by("token").aggregate([("tot", "sum"), ("sq", "sum"),
+                                        ("docs", "sum")])
+        return out.rename_columns(["token", "tot", "sq", "docs"])
+
+    m = _partial_final(ds, partial, ["token"],
+                       [("tot", "sum"), ("sq", "sum"), ("docs", "sum")])
+    # D: total docs (exact — second bounded aggregate)
+    dcount = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array(["d"]),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    dct = _partial_final(dcount, cnt, ["k"], [("n", "sum")])
+    D = int(dct.column("n")[0].as_py())
+    tok = m.column("token").to_pylist()
+    tot = np.asarray(m.column("tot"), dtype=np.int64)
+    sq = np.asarray(m.column("sq"), dtype=np.int64)
+    docs = np.asarray(m.column("docs"), dtype=np.int64)
+    top = np.lexsort((np.asarray(tok, dtype=object), -tot))[:_BURSTY_TOPK]
+    rows = []
+    for i in top:
+        t_, s_ = int(tot[i]), int(sq[i])
+        vmr = (D * s_ - t_ * t_) / (D * t_) if t_ else None
+        rows.append((tok[i], t_, int(docs[i]), vmr))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        "token": pa.array([r[0] for r in rows], pa.string()),
+        "occurrences": pa.array([r[1] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+        "vmr": pa.array([round(r[3], 6) if r[3] is not None else None
+                         for r in rows], pa.float64()),
+    })
+
+
+SQL_TOKEN_BURSTINESS = f"""
+WITH tc AS (
+  SELECT token, doc_id, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents)
+  GROUP BY 1, 2),
+dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+agg AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS tot,
+         CAST(sum(c * c) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM tc GROUP BY 1)
+SELECT token, tot AS occurrences, n_docs,
+       round(CAST(dd.d * sq - tot * tot AS DOUBLE) / (dd.d * tot), 6)
+         AS vmr
+FROM agg, dd
+ORDER BY tot DESC, token LIMIT {_BURSTY_TOPK}
+"""
+
+QUERIES["token_burstiness"] = (q_token_burstiness, SQL_TOKEN_BURSTINESS)
+
+
+# ---------------------------------------------------------------------------
+# ridge_price_fit — L2-regularized linear fit by exact Cramer solve
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1000
+
+
+def det3(m) -> int:
+    """Exact integer 3×3 determinant."""
+    return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+
+def q_ridge_price_fit(sf_dir: str):
+    """Ridge regression price ~ 1 + qty + discount (λ = 1000 on the
+    slope diagonal only, intercept unpenalized): the regularized
+    companion of kfold_ols_cv, solved EXACTLY by Cramer's rule on the
+    integer normal matrix XᵀX + λ·diag(0,1,1) — every 3×3 determinant
+    is an exact (HUGEINT) integer, the three coefficients are single
+    integer ratios floated at the end.  One bounded moment shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100), 0), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        return pa.table({
+            "k": pa.array(["x"] * len(t)),
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "sq": q, "sd": d, "sy": y,
+            "sqq": pc.multiply(q, q), "sdd": pc.multiply(d, d),
+            "sqd": pc.multiply(q, d), "sqy": pc.multiply(q, y),
+            "sdy": pc.multiply(d, y),
+        }).group_by("k").aggregate(
+            [(c, "sum") for c in ["n", "sq", "sd", "sy", "sqq",
+                                  "sdd", "sqd", "sqy", "sdy"]]) \
+            .rename_columns(["k", "n", "sq", "sd", "sy", "sqq",
+                             "sdd", "sqd", "sqy", "sdy"])
+
+    cols = ["n", "sq", "sd", "sy", "sqq", "sdd", "sqd", "sqy", "sdy"]
+    m = _partial_final(ds, partial, ["k"], [(c, "sum") for c in cols])
+    v = {c: int(m.column(c)[0].as_py()) for c in cols}
+    lam = _RIDGE_LAMBDA
+    N = [[v["n"], v["sq"], v["sd"]],
+         [v["sq"], v["sqq"] + lam, v["sqd"]],
+         [v["sd"], v["sqd"], v["sdd"] + lam]]
+    rhs = [v["sy"], v["sqy"], v["sdy"]]
+    den = det3(N)
+    betas = []
+    for i in range(3):
+        Ni = [row[:] for row in N]
+        for r in range(3):
+            Ni[r][i] = rhs[r]
+        betas.append(None if den == 0 else float(det3(Ni)) / float(den))
+    return pa.table({
+        "n_rows": pa.array([v["n"]], pa.int64()),
+        "beta0_cents": pa.array(
+            [round(betas[0], 4) if betas[0] is not None else None],
+            pa.float64()),
+        "beta_qty": pa.array(
+            [round(betas[1], 4) if betas[1] is not None else None],
+            pa.float64()),
+        "beta_disc": pa.array(
+            [round(betas[2], 4) if betas[2] is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_RIDGE_PRICE_FIT = f"""
+WITH v AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(d) AS HUGEINT) AS sd,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(q * q) AS HUGEINT) + {_RIDGE_LAMBDA} AS a22,
+         CAST(sum(d * d) AS HUGEINT) + {_RIDGE_LAMBDA} AS a33,
+         CAST(sum(q * d) AS HUGEINT) AS a23,
+         CAST(sum(q * y) AS HUGEINT) AS sqy,
+         CAST(sum(d * y) AS HUGEINT) AS sdy
+  FROM v),
+dets AS (
+  SELECT n,
+         n * (a22 * a33 - a23 * a23)
+           - sq * (sq * a33 - a23 * sd)
+           + sd * (sq * a23 - a22 * sd) AS den,
+         sy * (a22 * a33 - a23 * a23)
+           - sq * (sqy * a33 - a23 * sdy)
+           + sd * (sqy * a23 - a22 * sdy) AS d0,
+         n * (sqy * a33 - sdy * a23)
+           - sy * (sq * a33 - a23 * sd)
+           + sd * (sq * sdy - sqy * sd) AS d1,
+         n * (a22 * sdy - a23 * sqy)
+           - sq * (sq * sdy - sqy * sd)
+           + sy * (sq * a23 - a22 * sd) AS d2
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN den = 0 THEN NULL
+            ELSE round(CAST(d0 AS DOUBLE) / CAST(den AS DOUBLE), 4)
+       END AS beta0_cents,
+       CASE WHEN den = 0 THEN NULL
+            ELSE round(CAST(d1 AS DOUBLE) / CAST(den AS DOUBLE), 4)
+       END AS beta_qty,
+       CASE WHEN den = 0 THEN NULL
+            ELSE round(CAST(d2 AS DOUBLE) / CAST(den AS DOUBLE), 4)
+       END AS beta_disc
+FROM dets
+"""
+
+QUERIES["ridge_price_fit"] = (q_ridge_price_fit, SQL_RIDGE_PRICE_FIT)
+
+
+# ---------------------------------------------------------------------------
+# cca_daily_types — first canonical correlation, closed form
+# ---------------------------------------------------------------------------
+
+
+def cca_rho_2x2(sxx, sxy, syy) -> tuple:
+    """First canonical correlation for 2-dim x and y from n-scaled
+    integer covariance blocks (2×2 nested lists): ρ² = λmax of
+    Σxx⁻¹ Σxy Σyy⁻¹ Σyx, computed EXACTLY as the eigenproblem of the
+    integer matrix Bnum = adj(Σxx)·Σxy·adj(Σyy)·Σyx over denominator
+    dx·dy (det(Bnum) = dx·dy·det(Σxy)² by multiplicativity, so the
+    characteristic roots need only tr(Bnum) and small exact ints).
+    Returns (rho1, rho2) or (None, None) when a block is singular."""
+    dx = sxx[0][0] * sxx[1][1] - sxx[0][1] * sxx[1][0]
+    dy = syy[0][0] * syy[1][1] - syy[0][1] * syy[1][0]
+    if dx == 0 or dy == 0:
+        return None, None
+    adjx = [[sxx[1][1], -sxx[0][1]], [-sxx[1][0], sxx[0][0]]]
+    adjy = [[syy[1][1], -syy[0][1]], [-syy[1][0], syy[0][0]]]
+
+    def mul(a, b):
+        return [[a[0][0] * b[0][0] + a[0][1] * b[1][0],
+                 a[0][0] * b[0][1] + a[0][1] * b[1][1]],
+                [a[1][0] * b[0][0] + a[1][1] * b[1][0],
+                 a[1][0] * b[0][1] + a[1][1] * b[1][1]]]
+
+    syx = [[sxy[0][0], sxy[1][0]], [sxy[0][1], sxy[1][1]]]
+    bnum = mul(mul(mul(adjx, sxy), adjy), syx)
+    tr = bnum[0][0] + bnum[1][1]
+    dxy = sxy[0][0] * sxy[1][1] - sxy[0][1] * sxy[1][0]
+    detb = dx * dy * dxy * dxy
+    disc = float(tr) * float(tr) - 4.0 * float(detb)
+    disc = max(disc, 0.0)
+    den = float(dx) * float(dy)
+    l1 = (float(tr) + math.sqrt(disc)) / (2.0 * den)
+    l2 = (float(tr) - math.sqrt(disc)) / (2.0 * den)
+    return (math.sqrt(max(l1, 0.0)), math.sqrt(max(l2, 0.0)))
+
+
+def q_cca_daily_types(sf_dir: str):
+    """First canonical correlation between the daily (click, view)
+    and (purchase, error) count vectors: which weighted blend of
+    browse activity best predicts a blend of conversion/failure
+    activity — the multivariate generalization of
+    granger/type_corr_matrix.  All four covariance blocks are
+    n-scaled EXACT integers from one (day, type)-bounded shuffle; the
+    2×2 eigenproblem closes in adjugate-integer form (cca_rho_2x2)
+    with one float radical shared with the oracle."""
+    series = _hourly_type_series_by(
+        sf_dir, ("click", "view", "purchase", "error"), _DAY_US)
+    days = series["hours"]
+    n = len(days)
+    cols = [[series[t].get(d, 0) for d in days]
+            for t in ("click", "view", "purchase", "error")]
+
+    def cmoment(a, b):
+        return n * sum(x * y for x, y in zip(a, b)) \
+            - sum(a) * sum(b)
+
+    x1, x2, y1, y2 = cols
+    sxx = [[cmoment(x1, x1), cmoment(x1, x2)],
+           [cmoment(x2, x1), cmoment(x2, x2)]]
+    sxy = [[cmoment(x1, y1), cmoment(x1, y2)],
+           [cmoment(x2, y1), cmoment(x2, y2)]]
+    syy = [[cmoment(y1, y1), cmoment(y1, y2)],
+           [cmoment(y2, y1), cmoment(y2, y2)]]
+    rho1, rho2 = cca_rho_2x2(sxx, sxy, syy)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "cca_rho1": pa.array(
+            [round(rho1, 6) if rho1 is not None else None],
+            pa.float64()),
+        "cca_rho2": pa.array(
+            [round(rho2, 6) if rho2 is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_CCA_DAILY_TYPES = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+c AS (
+  SELECT grid.day,
+         coalesce(x1.c, 0) AS x1, coalesce(x2.c, 0) AS x2,
+         coalesce(y1.c, 0) AS y1, coalesce(y2.c, 0) AS y2
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) x1 USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'view' GROUP BY 1) x2 USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) y1 USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'error' GROUP BY 1) y2 USING (day)),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x1) AS HUGEINT) AS sx1,
+         CAST(sum(x2) AS HUGEINT) AS sx2,
+         CAST(sum(y1) AS HUGEINT) AS sy1,
+         CAST(sum(y2) AS HUGEINT) AS sy2,
+         CAST(sum(x1 * x1) AS HUGEINT) AS x1x1,
+         CAST(sum(x1 * x2) AS HUGEINT) AS x1x2,
+         CAST(sum(x2 * x2) AS HUGEINT) AS x2x2,
+         CAST(sum(y1 * y1) AS HUGEINT) AS y1y1,
+         CAST(sum(y1 * y2) AS HUGEINT) AS y1y2,
+         CAST(sum(y2 * y2) AS HUGEINT) AS y2y2,
+         CAST(sum(x1 * y1) AS HUGEINT) AS x1y1,
+         CAST(sum(x1 * y2) AS HUGEINT) AS x1y2,
+         CAST(sum(x2 * y1) AS HUGEINT) AS x2y1,
+         CAST(sum(x2 * y2) AS HUGEINT) AS x2y2
+  FROM c),
+mom AS (
+  SELECT n,
+         n * x1x1 - sx1 * sx1 AS a11, n * x1x2 - sx1 * sx2 AS a12,
+         n * x2x2 - sx2 * sx2 AS a22,
+         n * y1y1 - sy1 * sy1 AS b11, n * y1y2 - sy1 * sy2 AS b12,
+         n * y2y2 - sy2 * sy2 AS b22,
+         n * x1y1 - sx1 * sy1 AS c11, n * x1y2 - sx1 * sy2 AS c12,
+         n * x2y1 - sx2 * sy1 AS c21, n * x2y2 - sx2 * sy2 AS c22
+  FROM s),
+eig AS (
+  SELECT n,
+         a11 * a22 - a12 * a12 AS dx,
+         b11 * b22 - b12 * b12 AS dy,
+         c11 * c22 - c12 * c21 AS dxy,
+         -- M1 = adj(Sxx)·Sxy
+         a22 * c11 - a12 * c21 AS m1_11,
+         a22 * c12 - a12 * c22 AS m1_12,
+         -a12 * c11 + a11 * c21 AS m1_21,
+         -a12 * c12 + a11 * c22 AS m1_22
+  FROM mom),
+eig2 AS (
+  SELECT eig.*, mom.b11, mom.b12, mom.b22,
+         mom.c11, mom.c12, mom.c21, mom.c22,
+         -- M2 = M1·adj(Syy)
+         m1_11 * mom.b22 - m1_12 * mom.b12 AS m2_11,
+         -m1_11 * mom.b12 + m1_12 * mom.b11 AS m2_12,
+         m1_21 * mom.b22 - m1_22 * mom.b12 AS m2_21,
+         -m1_21 * mom.b12 + m1_22 * mom.b11 AS m2_22
+  FROM eig, mom),
+tr AS (
+  SELECT dx, dy, dxy,
+         -- tr(M2·Syx) with Syx = transpose(Sxy)
+         (m2_11 * c11 + m2_12 * c12) + (m2_21 * c21 + m2_22 * c22)
+           AS tr
+  FROM eig2)
+SELECT (SELECT CAST(n AS BIGINT) FROM s) AS n_days,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE round(sqrt(greatest(
+              (CAST(tr AS DOUBLE) + sqrt(greatest(
+                 CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+                 - 4.0 * (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)
+                          * CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)),
+                 0.0)))
+              / (2.0 * (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))),
+              0.0)), 6) END AS cca_rho1,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE round(sqrt(greatest(
+              (CAST(tr AS DOUBLE) - sqrt(greatest(
+                 CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+                 - 4.0 * (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)
+                          * CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)),
+                 0.0)))
+              / (2.0 * (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))),
+              0.0)), 6) END AS cca_rho2
+FROM tr
+"""
+
+QUERIES["cca_daily_types"] = (q_cca_daily_types, SQL_CCA_DAILY_TYPES)

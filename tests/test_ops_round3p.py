@@ -681,3 +681,74 @@ def test_hsm_small_inputs():
     # three equal values terminate in one round
     mode, rounds = half_sample_mode([5, 5, 5])
     assert mode == 5 and rounds == 1
+
+
+# ---------------------------------------------------------------------------
+# CCA closed form + ridge determinant
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    cca_rho_2x2, det3)
+
+
+def _cca_naive(X, Y):
+    """First canonical correlation via numpy eig on centered data."""
+    X = X - X.mean(0)
+    Y = Y - Y.mean(0)
+    sxx = X.T @ X
+    syy = Y.T @ Y
+    sxy = X.T @ Y
+    M = np.linalg.inv(sxx) @ sxy @ np.linalg.inv(syy) @ sxy.T
+    ev = np.sort(np.linalg.eigvals(M).real)[::-1]
+    return math.sqrt(max(ev[0], 0)), math.sqrt(max(ev[1], 0))
+
+
+def test_cca_matches_numpy_eig():
+    rng = np.random.RandomState(51)
+    for _ in range(8):
+        n = rng.randint(20, 100)
+        X = rng.randint(0, 50, size=(n, 2))
+        Y = rng.randint(0, 50, size=(n, 2))
+        # n-scaled integer moments, as the query builds them
+        def cm(a, b):
+            return int(n) * int(a @ b) - int(a.sum()) * int(b.sum())
+        sxx = [[cm(X[:, 0], X[:, 0]), cm(X[:, 0], X[:, 1])],
+               [cm(X[:, 1], X[:, 0]), cm(X[:, 1], X[:, 1])]]
+        sxy = [[cm(X[:, 0], Y[:, 0]), cm(X[:, 0], Y[:, 1])],
+               [cm(X[:, 1], Y[:, 0]), cm(X[:, 1], Y[:, 1])]]
+        syy = [[cm(Y[:, 0], Y[:, 0]), cm(Y[:, 0], Y[:, 1])],
+               [cm(Y[:, 1], Y[:, 0]), cm(Y[:, 1], Y[:, 1])]]
+        r1, r2 = cca_rho_2x2(sxx, sxy, syy)
+        w1, w2 = _cca_naive(X.astype(float), Y.astype(float))
+        assert abs(r1 - w1) < 1e-6 and abs(r2 - w2) < 1e-6
+        assert 0 <= r2 <= r1 <= 1 + 1e-9
+
+
+def test_cca_perfect_alignment():
+    # y1 = x1 exactly -> rho1 = 1
+    rng = np.random.RandomState(7)
+    n = 60
+    X = rng.randint(0, 100, size=(n, 2))
+    Y = np.column_stack([X[:, 0], rng.randint(0, 100, size=n)])
+    def cm(a, b):
+        return int(n) * int(a @ b) - int(a.sum()) * int(b.sum())
+    sxx = [[cm(X[:, 0], X[:, 0]), cm(X[:, 0], X[:, 1])],
+           [cm(X[:, 1], X[:, 0]), cm(X[:, 1], X[:, 1])]]
+    sxy = [[cm(X[:, 0], Y[:, 0]), cm(X[:, 0], Y[:, 1])],
+           [cm(X[:, 1], Y[:, 0]), cm(X[:, 1], Y[:, 1])]]
+    syy = [[cm(Y[:, 0], Y[:, 0]), cm(Y[:, 0], Y[:, 1])],
+           [cm(Y[:, 1], Y[:, 0]), cm(Y[:, 1], Y[:, 1])]]
+    r1, _ = cca_rho_2x2(sxx, sxy, syy)
+    assert abs(r1 - 1.0) < 1e-9
+    # singular block -> None
+    z = [[0, 0], [0, 0]]
+    assert cca_rho_2x2(z, sxy, syy) == (None, None)
+
+
+def test_det3_known():
+    assert det3([[1, 0, 0], [0, 1, 0], [0, 0, 1]]) == 1
+    assert det3([[2, 0, 0], [0, 3, 0], [0, 0, 4]]) == 24
+    m = [[1, 2, 3], [4, 5, 6], [7, 8, 10]]
+    assert det3(m) == round(np.linalg.det(np.array(m, dtype=float)))
+    # singular
+    assert det3([[1, 2, 3], [2, 4, 6], [5, 1, 2]]) == 0
