@@ -3647,3 +3647,329 @@ FROM tr
 """
 
 QUERIES["cca_daily_types"] = (q_cca_daily_types, SQL_CCA_DAILY_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# cep_no_error_conversion — complex-event pattern with absence guard
+# ---------------------------------------------------------------------------
+
+_CEP_WINDOW_US = 3_600_000_000      # 1 h
+
+
+def q_cep_no_error_conversion(sf_dir: str):
+    """CEP pattern 'click FOLLOWED BY purchase WITHIN 1h WITHOUT
+    error BETWEEN' per user — the absence-guard pattern match that
+    funnel_3step_strict cannot express (it has no NOT-intervening
+    condition).  For each click: the FIRST later purchase (stream
+    order = ts, event_id) within the window matches unless any error
+    sits strictly between them in stream order; reports matched /
+    blocked-by-error / no-purchase-in-window click counts.  One
+    user-hash shuffle; per partition everything is vectorized
+    searchsorted over the per-user ordered stream."""
+    from .queries import _knuth_bucket, _KM_NPART, _ARGMAX_NPART
+    from ..stages import aggregate as agg_
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column(
+            "_pkey", pa.array(_knuth_bucket(u, _KM_NPART)))
+
+    def scan(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts").cast(pa.int64()), dtype=np.int64)
+        e = np.asarray(g.column("event_id"), dtype=np.int64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        pos = np.arange(len(u))
+        matched = blocked = expired = 0
+        # per-user segment boundaries
+        seg_start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_end = np.r_[seg_start[1:], len(u)]
+        is_c = et == "click"
+        is_p = et == "purchase"
+        is_e = et == "error"
+        for a, b in zip(seg_start, seg_end):
+            cpos = pos[a:b][is_c[a:b]]
+            ppos = pos[a:b][is_p[a:b]]
+            epos = pos[a:b][is_e[a:b]]
+            # first purchase strictly after each click (stream order)
+            nxt = np.searchsorted(ppos, cpos, side="right")
+            has = nxt < len(ppos)
+            j = np.where(has, ppos[np.minimum(nxt, len(ppos) - 1)], -1)
+            in_win = has & (ts[np.maximum(j, 0)]
+                            <= ts[cpos] + _CEP_WINDOW_US)
+            # first error strictly after each click
+            enxt = np.searchsorted(epos, cpos, side="right")
+            ehas = enxt < len(epos)
+            epos_next = np.where(
+                ehas, epos[np.minimum(enxt, len(epos) - 1)],
+                np.iinfo(np.int64).max)
+            ok = in_win & (epos_next > j)
+            matched += int(ok.sum())
+            blocked += int((in_win & ~ok).sum())
+            expired += int((~in_win).sum())
+        return pa.table({
+            "k": pa.array(["x"]),
+            "matched": pa.array([matched], pa.int64()),
+            "blocked": pa.array([blocked], pa.int64()),
+            "expired": pa.array([expired], pa.int64()),
+        })
+
+    m = agg_._combine_partials(
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+          .groupby("_pkey").map_groups(scan, batch_format="pyarrow"),
+        keys=["k"], aggs=[("matched", "sum"), ("blocked", "sum"),
+                          ("expired", "sum")],
+        empty_schema=pa.schema([("k", pa.string()),
+                                ("matched", pa.int64()),
+                                ("blocked", pa.int64()),
+                                ("expired", pa.int64())]))
+    return pa.table({
+        "matched": pa.array([int(m.column("matched")[0].as_py())],
+                            pa.int64()),
+        "blocked_by_error": pa.array(
+            [int(m.column("blocked")[0].as_py())], pa.int64()),
+        "no_purchase_in_window": pa.array(
+            [int(m.column("expired")[0].as_py())], pa.int64()),
+    })
+
+
+SQL_CEP_NO_ERROR_CONVERSION = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events),
+clicks AS (SELECT user_id, ts, pos FROM s WHERE event_type = 'click'),
+firstp AS (
+  SELECT c.user_id, c.pos AS cpos, c.ts AS cts,
+         (SELECT min(p.pos) FROM s p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND p.pos > c.pos) AS ppos
+  FROM clicks c),
+judged AS (
+  SELECT f.*,
+         (SELECT ts FROM s WHERE s.user_id = f.user_id
+            AND s.pos = f.ppos) AS pts,
+         (SELECT min(e.pos) FROM s e
+          WHERE e.user_id = f.user_id AND e.event_type = 'error'
+            AND e.pos > f.cpos) AS epos
+  FROM firstp f),
+flags AS (
+  SELECT CASE
+           WHEN ppos IS NULL OR pts > cts + {_CEP_WINDOW_US}
+             THEN 'expired'
+           WHEN epos IS NOT NULL AND epos < ppos THEN 'blocked'
+           ELSE 'matched' END AS st
+  FROM judged)
+SELECT CAST(sum(CASE WHEN st = 'matched' THEN 1 ELSE 0 END) AS BIGINT)
+         AS matched,
+       CAST(sum(CASE WHEN st = 'blocked' THEN 1 ELSE 0 END) AS BIGINT)
+         AS blocked_by_error,
+       CAST(sum(CASE WHEN st = 'expired' THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_purchase_in_window
+FROM flags
+"""
+
+QUERIES["cep_no_error_conversion"] = (q_cep_no_error_conversion,
+                                      SQL_CEP_NO_ERROR_CONVERSION)
+
+
+# ---------------------------------------------------------------------------
+# hotelling_t2_weekend — multivariate two-sample mean test
+# ---------------------------------------------------------------------------
+
+
+def q_hotelling_t2_weekend(sf_dir: str):
+    """Hotelling's T² comparing the MULTIVARIATE daily (click,
+    purchase) count mean between weekend (dow 5-6) and weekday days —
+    the 2-D generalization of welch_ttest_types (a shift invisible
+    marginally can be significant jointly).  Group scatter matrices
+    are n-scaled exact integers (M = n·Σxxᵀ − ΣxΣxᵀ); the pooled
+    2×2 inverse closes in adjugate form; one (day, type) bounded
+    shuffle."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    x = np.asarray([series["click"].get(d, 0) for d in days],
+                   dtype=np.int64)
+    y = np.asarray([series["purchase"].get(d, 0) for d in days],
+                   dtype=np.int64)
+    dow = np.asarray(days, dtype=np.int64) % 7
+    wk = (dow == 5) | (dow == 6)
+
+    def group(sel):
+        n = int(sel.sum())
+        sx, sy = int(x[sel].sum()), int(y[sel].sum())
+        sxx = int((x[sel] * x[sel]).sum())
+        syy = int((y[sel] * y[sel]).sum())
+        sxy = int((x[sel] * y[sel]).sum())
+        return n, sx, sy, sxx, syy, sxy
+
+    n1, sx1, sy1, sxx1, syy1, sxy1 = group(wk)
+    n2, sx2, sy2, sxx2, syy2, sxy2 = group(~wk)
+    if n1 < 2 or n2 < 2:
+        t2 = None
+    else:
+        # pooled covariance entries in double from exact ints
+        df = n1 + n2 - 2
+        s11 = ((n1 * sxx1 - sx1 * sx1) / n1
+               + (n2 * sxx2 - sx2 * sx2) / n2) / df
+        s22 = ((n1 * syy1 - sy1 * sy1) / n1
+               + (n2 * syy2 - sy2 * sy2) / n2) / df
+        s12 = ((n1 * sxy1 - sx1 * sy1) / n1
+               + (n2 * sxy2 - sx2 * sy2) / n2) / df
+        d1 = sx1 / n1 - sx2 / n2
+        d2 = sy1 / n1 - sy2 / n2
+        det = s11 * s22 - s12 * s12
+        if det == 0:
+            t2 = None
+        else:
+            quad = (d1 * (s22 * d1 - s12 * d2)
+                    + d2 * (-s12 * d1 + s11 * d2)) / det
+            t2 = (n1 * n2) / (n1 + n2) * quad
+    return pa.table({
+        "n_weekend": pa.array([n1], pa.int64()),
+        "n_weekday": pa.array([n2], pa.int64()),
+        "hotelling_t2": pa.array(
+            [round(t2, 6) if t2 is not None else None], pa.float64()),
+    })
+
+
+SQL_HOTELLING_T2_WEEKEND = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+c AS (
+  SELECT grid.day, (grid.day % 7) IN (5, 6) AS wk,
+         coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+g AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM c GROUP BY 1),
+ab AS (
+  SELECT a.n AS n1, a.sx AS sx1, a.sy AS sy1, a.sxx AS sxx1,
+         a.syy AS syy1, a.sxy AS sxy1,
+         b.n AS n2, b.sx AS sx2, b.sy AS sy2, b.sxx AS sxx2,
+         b.syy AS syy2, b.sxy AS sxy2
+  FROM (SELECT * FROM g WHERE wk) a, (SELECT * FROM g WHERE NOT wk) b),
+f AS (
+  SELECT n1, n2,
+         (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / n1
+          + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / n2)
+           / (n1 + n2 - 2) AS s11,
+         (CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) / n1
+          + CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE) / n2)
+           / (n1 + n2 - 2) AS s22,
+         (CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) / n1
+          + CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE) / n2)
+           / (n1 + n2 - 2) AS s12,
+         CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2 AS d1,
+         CAST(sy1 AS DOUBLE) / n1 - CAST(sy2 AS DOUBLE) / n2 AS d2
+  FROM ab)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+       CASE WHEN n1 < 2 OR n2 < 2 OR s11 * s22 - s12 * s12 = 0
+            THEN NULL
+            ELSE round(CAST(n1 * n2 AS DOUBLE) / (n1 + n2)
+                       * ((d1 * (s22 * d1 - s12 * d2)
+                           + d2 * (-s12 * d1 + s11 * d2))
+                          / (s11 * s22 - s12 * s12)), 6)
+       END AS hotelling_t2
+FROM f
+"""
+
+QUERIES["hotelling_t2_weekend"] = (q_hotelling_t2_weekend,
+                                   SQL_HOTELLING_T2_WEEKEND)
+
+
+# ---------------------------------------------------------------------------
+# tukey_hsd_types — post-hoc pairwise mean comparison (means)
+# ---------------------------------------------------------------------------
+
+
+def q_tukey_hsd_types(sf_dir: str):
+    """Tukey HSD q-statistics for every event-type pair: q =
+    |x̄ₐ − x̄ᵦ| / √(s²_pooled/2 · (1/nₐ + 1/nᵦ)) over event value
+    cents — the mean-scale post-hoc companion of dunn_posthoc_types
+    (which ranks).  Per-type sufficient statistics are exact
+    integers from one bounded shuffle; q closes in double with a
+    shared tree."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "c": cents,
+                      "c2": pc.multiply(cents, cents)}) \
+            .group_by("ty").aggregate([("c", "sum"), ("c2", "sum"),
+                                       ([], "count_all")])
+        return g.rename_columns(["ty", "c", "c2", "n"])
+
+    m = _partial_final(ds, partial, ["ty"],
+                       [("c", "sum"), ("c2", "sum"), ("n", "sum")])
+    ty = m.column("ty").to_pylist()
+    sc = [int(v) for v in m.column("c").to_pylist()]
+    sc2 = [int(v) for v in m.column("c2").to_pylist()]
+    nn = [int(v) for v in m.column("n").to_pylist()]
+    order = sorted(range(len(ty)), key=lambda i: ty[i])
+    ty = [ty[i] for i in order]
+    sc = [sc[i] for i in order]
+    sc2 = [sc2[i] for i in order]
+    nn = [nn[i] for i in order]
+    N, k = sum(nn), len(ty)
+    ssw = sum((s2 - s * s / n) for s2, s, n in zip(sc2, sc, nn))
+    s2p = ssw / (N - k)
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            se = math.sqrt(s2p / 2.0 * (1.0 / nn[i] + 1.0 / nn[j]))
+            q = abs(sc[i] / nn[i] - sc[j] / nn[j]) / se if se > 0 \
+                else None
+            rows.append((ty[i], ty[j], q))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "tukey_q": pa.array(
+            [round(r[2], 6) if r[2] is not None else None
+             for r in rows], pa.float64()),
+    })
+
+
+SQL_TUKEY_HSD_TYPES = """
+WITH g AS (
+  SELECT event_type AS ty, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS c,
+         sum(CAST(round(value * 100, 0) AS BIGINT)
+             * CAST(round(value * 100, 0) AS BIGINT)) AS c2
+  FROM events GROUP BY 1),
+pool AS (
+  SELECT sum(CAST(c2 AS DOUBLE) - CAST(c AS DOUBLE) * c / n)
+           / (sum(n) - count(*)) AS s2
+  FROM g)
+SELECT a.ty AS type_a, b.ty AS type_b,
+       CASE WHEN pool.s2 <= 0 THEN NULL
+            ELSE round(abs(CAST(a.c AS DOUBLE) / a.n
+                           - CAST(b.c AS DOUBLE) / b.n)
+                       / sqrt(pool.s2 / 2.0
+                              * (1.0 / a.n + 1.0 / b.n)), 6)
+       END AS tukey_q
+FROM g a JOIN g b ON a.ty < b.ty, pool
+ORDER BY 1, 2
+"""
+
+QUERIES["tukey_hsd_types"] = (q_tukey_hsd_types, SQL_TUKEY_HSD_TYPES)
