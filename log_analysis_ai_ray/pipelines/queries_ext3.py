@@ -3973,3 +3973,223 @@ ORDER BY 1, 2
 """
 
 QUERIES["tukey_hsd_types"] = (q_tukey_hsd_types, SQL_TUKEY_HSD_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# partition_skew_audit — hash-partition balance observability
+# ---------------------------------------------------------------------------
+
+_SKEW_NPART = 64
+
+
+def q_partition_skew_audit(sf_dir: str):
+    """Partition-skew audit of the engine's own user-hash partitioner
+    (the _knuth_bucket used by every per-user map_groups stage) at
+    64 buckets over events: rows in the largest bucket, max/mean
+    ratio and the coefficient of variation — the observability query
+    that tells an operator whether a salted repartition is needed
+    BEFORE a shuffle stage runs.  Bucket counts are one bounded
+    shuffle; exact integers close the ratios."""
+    from .queries import _knuth_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        g = pa.table({"b": pa.array(_knuth_bucket(u, _SKEW_NPART))}) \
+            .group_by("b").aggregate([([], "count_all")])
+        return g.rename_columns(["b", "c"])
+
+    m = _partial_final(ds, partial, ["b"], [("c", "sum")])
+    c = np.zeros(_SKEW_NPART, dtype=np.int64)
+    for b, v in zip(np.asarray(m.column("b"), dtype=np.int64),
+                    np.asarray(m.column("c"), dtype=np.int64)):
+        c[int(b)] = int(v)
+    n = int(c.sum())
+    mx = int(c.max())
+    # CV from exact integer moments: var·p² = p·Σc² − n²
+    p = _SKEW_NPART
+    ssq = int(sum(int(v) * int(v) for v in c))
+    var_num = p * ssq - n * n
+    cv = math.sqrt(var_num) / n if n > 0 else None
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_buckets": pa.array([p], pa.int64()),
+        "max_bucket": pa.array([mx], pa.int64()),
+        "max_over_mean": pa.array(
+            [round(mx * p / n, 6) if n else None], pa.float64()),
+        "cv": pa.array([round(cv, 6) if cv is not None else None],
+                       pa.float64()),
+    })
+
+
+def _sql_partition_skew_audit() -> str:
+    return f"""
+WITH b AS (
+  SELECT ((user_id % 4294967296) * CAST(2654435761 AS HUGEINT))
+           % 4294967296 % {_SKEW_NPART} AS bucket,
+         count(*) AS c
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n, CAST(max(c) AS BIGINT) AS mx,
+         CAST(sum(c * c) AS HUGEINT) AS ssq
+  FROM b)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST({_SKEW_NPART} AS BIGINT) AS n_buckets,
+       mx AS max_bucket,
+       round(CAST(mx AS DOUBLE) * {_SKEW_NPART} / n, 6)
+         AS max_over_mean,
+       round(sqrt(CAST({_SKEW_NPART} * ssq - n * n AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS cv
+FROM s
+"""
+
+
+QUERIES["partition_skew_audit"] = (q_partition_skew_audit,
+                                   _sql_partition_skew_audit())
+
+
+# ---------------------------------------------------------------------------
+# dup_share_by_source — duplicate attribution for curation reports
+# ---------------------------------------------------------------------------
+
+
+def q_dup_share_by_source(sf_dir: str):
+    """Duplicate-text share per source: for each source, how many of
+    its documents carry a text that appears ≥2 times CORPUS-WIDE —
+    the attribution slice a curation report needs on top of
+    doc_dedup_exact ('which feed is polluting the corpus?').  One
+    (text, source) partial shuffle bounded by distinct texts (at
+    10^12 docs the key becomes a 16-byte content hash —
+    doc_dedup_exact's documented scale path); counts stay exact
+    integers."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["text", "source"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["text", "source", "c"])
+
+    m = _partial_final(ds, partial, ["text", "source"], [("c", "sum")])
+    hv = m.column("text").to_pylist()
+    src = m.column("source").to_pylist()
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    # corpus-wide multiplicity per text
+    tot = {}
+    for h, c in zip(hv, cv.tolist()):
+        tot[h] = tot.get(h, 0) + int(c)
+    stats = {}
+    for h, s, c in zip(hv, src, cv.tolist()):
+        n_docs, n_dup = stats.get(s, (0, 0))
+        stats[s] = (n_docs + int(c),
+                    n_dup + (int(c) if tot[h] >= 2 else 0))
+    sources = sorted(stats)
+    return pa.table({
+        "source": pa.array(sources, pa.string()),
+        "n_docs": pa.array([stats[s][0] for s in sources], pa.int64()),
+        "n_dup_docs": pa.array([stats[s][1] for s in sources],
+                               pa.int64()),
+        "dup_share": pa.array(
+            [round(stats[s][1] / stats[s][0], 6) if stats[s][0]
+             else None for s in sources], pa.float64()),
+    })
+
+
+SQL_DUP_SHARE_BY_SOURCE = """
+WITH t AS (
+  SELECT source, text,
+         count(*) OVER (PARTITION BY text) AS mult
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN mult >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(CAST(sum(CASE WHEN mult >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dup_share
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dup_share_by_source"] = (q_dup_share_by_source,
+                                  SQL_DUP_SHARE_BY_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# benford_mad_by_source — per-feed Benford conformity (Nigrini MAD)
+# ---------------------------------------------------------------------------
+
+
+def q_benford_mad_by_source(sf_dir: str):
+    """Per-source Benford conformity of document lengths: the mean
+    absolute deviation of the first-digit distribution of n_chars
+    from log10(1+1/d), classified by Nigrini's thresholds (close <
+    0.006 ≤ acceptable < 0.012 ≤ marginal < 0.015 ≤ nonconforming) —
+    benford_digit_test sliced to 'which FEED looks synthetic?'.
+    First digits by integer //10 peeling; the 9-cell MAD closes
+    per source from exact counts, classification applied to the
+    ROUNDED mad so both engines bucket identically."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("n_chars"), dtype=np.int64)
+        d = v.copy()
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        g = pa.table({"source": t.column("source"),
+                      "digit": pa.array(d)}) \
+            .group_by(["source", "digit"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "digit", "n"])
+
+    m = _partial_final(ds, partial, ["source", "digit"], [("n", "sum")])
+    per = {}
+    for s, dg, n in zip(m.column("source").to_pylist(),
+                        np.asarray(m.column("digit"), dtype=np.int64),
+                        np.asarray(m.column("n"), dtype=np.int64)):
+        per.setdefault(s, {})[int(dg)] = int(n)
+    sources = sorted(per)
+    mads, classes, totals = [], [], []
+    for s in sources:
+        cnt = per[s]
+        tot = sum(cnt.values())
+        mad = sum(abs(cnt.get(d, 0) / tot - math.log10(1.0 + 1.0 / d))
+                  for d in range(1, 10)) / 9.0
+        mad = round(mad, 6)
+        cls = ("close" if mad < 0.006 else
+               "acceptable" if mad < 0.012 else
+               "marginal" if mad < 0.015 else "nonconforming")
+        mads.append(mad)
+        classes.append(cls)
+        totals.append(tot)
+    return pa.table({
+        "source": pa.array(sources, pa.string()),
+        "n_docs": pa.array(totals, pa.int64()),
+        "benford_mad": pa.array(mads, pa.float64()),
+        "conformity": pa.array(classes, pa.string()),
+    })
+
+
+SQL_BENFORD_MAD_BY_SOURCE = """
+WITH d AS (
+  SELECT source,
+         CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT)
+           AS digit
+  FROM documents WHERE n_chars >= 1),
+g AS (SELECT source, digit, count(*) AS n FROM d GROUP BY 1, 2),
+tot AS (SELECT source, sum(n) AS t FROM g GROUP BY 1),
+digits AS (SELECT unnest(range(1, 10)) AS digit),
+mad AS (
+  SELECT tot.source, tot.t,
+         round(sum(abs(CAST(coalesce(g.n, 0) AS DOUBLE) / tot.t
+                       - log10(1.0 + 1.0 / digits.digit))) / 9.0, 6)
+           AS mad
+  FROM tot JOIN digits ON TRUE
+  LEFT JOIN g ON g.source = tot.source AND g.digit = digits.digit
+  GROUP BY 1, 2)
+SELECT source, CAST(t AS BIGINT) AS n_docs, mad AS benford_mad,
+       CASE WHEN mad < 0.006 THEN 'close'
+            WHEN mad < 0.012 THEN 'acceptable'
+            WHEN mad < 0.015 THEN 'marginal'
+            ELSE 'nonconforming' END AS conformity
+FROM mad ORDER BY source
+"""
+
+QUERIES["benford_mad_by_source"] = (q_benford_mad_by_source,
+                                    SQL_BENFORD_MAD_BY_SOURCE)
