@@ -4193,3 +4193,221 @@ FROM mad ORDER BY source
 
 QUERIES["benford_mad_by_source"] = (q_benford_mad_by_source,
                                     SQL_BENFORD_MAD_BY_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# rayleigh_time_of_day — circular statistics of event arrival times
+# ---------------------------------------------------------------------------
+
+
+def q_rayleigh_time_of_day(sf_dir: str):
+    """Circular statistics of event time-of-day (minute resolution as
+    an angle on the 24h circle): mean direction, resultant length R̄,
+    the Rayleigh uniformity statistic z = n·R̄², and the Best-Fisher
+    von Mises concentration κ̂ — 'is activity clumped at some hour?'
+    asked on the correct (circular) geometry, unlike
+    scan_hotspot_dow_hour's linear bins.  Trig sums run over the
+    1440-minute histogram (bounded; exact integer counts), one
+    shuffle."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        minute = (tsv // 60_000_000) % 1440
+        g = pa.table({"m": pa.array(minute)}).group_by("m") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["m", "c"])
+
+    h = _partial_final(ds, partial, ["m"], [("c", "sum")])
+    mv = np.asarray(h.column("m"), dtype=np.int64)
+    cv = np.asarray(h.column("c"), dtype=np.int64)
+    n = int(cv.sum())
+    two_pi = 2.0 * math.pi
+    cs = sum(int(c) * math.cos(two_pi * int(m) / 1440.0)
+             for m, c in zip(mv, cv))
+    sn = sum(int(c) * math.sin(two_pi * int(m) / 1440.0)
+             for m, c in zip(mv, cv))
+    rbar = math.sqrt(cs * cs + sn * sn) / n if n else None
+    mean_dir = math.atan2(sn, cs) % two_pi if n else None
+    mean_minute = mean_dir / two_pi * 1440.0 if n else None
+    z = n * rbar * rbar if rbar is not None else None
+    if rbar is None:
+        kappa = None
+    elif rbar < 0.53:
+        kappa = 2 * rbar + rbar ** 3 + 5 * rbar ** 5 / 6
+    elif rbar < 0.85:
+        kappa = -0.4 + 1.39 * rbar + 0.43 / (1 - rbar)
+    else:
+        kappa = 1 / (rbar ** 3 - 4 * rbar ** 2 + 3 * rbar)
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "mean_minute": pa.array(
+            [round(mean_minute, 4) if mean_minute is not None
+             else None], pa.float64()),
+        "resultant_rbar": pa.array(
+            [round(rbar, 6) if rbar is not None else None],
+            pa.float64()),
+        "rayleigh_z": pa.array(
+            [round(z, 6) if z is not None else None], pa.float64()),
+        "vonmises_kappa": pa.array(
+            [round(kappa, 6) if kappa is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_RAYLEIGH_TIME_OF_DAY = """
+WITH h AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 60000000) % 1440 AS m,
+         count(*) AS c
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         sum(c * cos(2 * pi() * m / 1440.0)) AS cs,
+         sum(c * sin(2 * pi() * m / 1440.0)) AS sn
+  FROM h),
+r AS (
+  SELECT n, cs, sn, sqrt(cs * cs + sn * sn) / n AS rbar,
+         -- atan2 % 2pi with Python's modulo semantics (result >= 0)
+         CASE WHEN atan2(sn, cs) < 0 THEN atan2(sn, cs) + 2 * pi()
+              ELSE atan2(sn, cs) END AS dir
+  FROM s)
+SELECT n AS n_events,
+       round(dir / (2 * pi()) * 1440.0, 4) AS mean_minute,
+       round(rbar, 6) AS resultant_rbar,
+       round(n * rbar * rbar, 6) AS rayleigh_z,
+       round(CASE
+         WHEN rbar < 0.53
+           THEN 2 * rbar + pow(rbar, 3) + 5 * pow(rbar, 5) / 6
+         WHEN rbar < 0.85
+           THEN -0.4 + 1.39 * rbar + 0.43 / (1 - rbar)
+         ELSE 1 / (pow(rbar, 3) - 4 * pow(rbar, 2) + 3 * rbar)
+       END, 6) AS vonmises_kappa
+FROM r
+"""
+
+QUERIES["rayleigh_time_of_day"] = (q_rayleigh_time_of_day,
+                                   SQL_RAYLEIGH_TIME_OF_DAY)
+
+
+# ---------------------------------------------------------------------------
+# domain_mst_weight — minimum spanning forest of the domain graph
+# ---------------------------------------------------------------------------
+
+
+def kruskal_forest(n: int, edges) -> tuple:
+    """Minimum spanning forest by Kruskal + union-find over integer
+    (w, a, b) edges (sorted ascending, ties by (a, b) — the weight
+    is all that the forest WEIGHT depends on).  Returns
+    (n_components, n_tree_edges, total_weight)."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    used = 0
+    total = 0
+    for w, a, b in sorted(edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            used += 1
+            total += int(w)
+    return n - used, used, total
+
+
+def q_domain_mst_weight(sf_dir: str):
+    """Minimum spanning forest weight of the undirected domain link
+    graph (edge weight = total links both directions): the cheapest
+    backbone connecting every domain — the skeleton view the
+    path/centrality family (domain_weighted_paths) builds on.
+    Distributed edge distillation + driver Kruskal on the bounded
+    graph; the oracle avoids sequential union-find entirely via the
+    threshold identity  MST = Σ_t (c_t − c_∞)·Δt  (components per
+    weight threshold by recursive-CTE min-label closure) — the two
+    independent algorithms must agree to the integer."""
+    from .queries import _domain_edge_ids, q_domain_link_edges
+
+    edges_t = q_domain_link_edges(sf_dir)
+    sa = edges_t.column("src_domain").to_pylist()
+    da = edges_t.column("dst_domain").to_pylist()
+    wv = np.asarray(edges_t.column("n_links"), dtype=np.int64)
+    wmap = {}
+    nodes = set()
+    for s, d, w in zip(sa, da, wv.tolist()):
+        if not s or not d or s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        wmap[(a, b)] = wmap.get((a, b), 0) + int(w)
+        nodes.add(a)
+        nodes.add(b)
+    names = sorted(nodes)
+    idx = {v: i for i, v in enumerate(names)}
+    edges = [(w, idx[a], idx[b]) for (a, b), w in sorted(wmap.items())]
+    n_comp, n_edges, total = kruskal_forest(len(names), edges)
+    return pa.table({
+        "n_domains": pa.array([len(names)], pa.int64()),
+        "n_components": pa.array([n_comp], pa.int64()),
+        "mst_edges": pa.array([n_edges], pa.int64()),
+        "mst_weight": pa.array([total], pa.int64()),
+    })
+
+
+def _sql_domain_mst_weight() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH RECURSIVE hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+              regexp_extract(dst, '{_DOM_RE}', 1) AS d,
+              count(*) AS w
+       FROM hrefs GROUP BY 1, 2),
+eu AS (SELECT least(s, d) AS a, greatest(s, d) AS b,
+              CAST(sum(w) AS BIGINT) AS w
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''
+       GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM eu UNION ALL SELECT b FROM eu)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+thr AS (SELECT DISTINCT w AS t FROM eu),
+-- per-threshold symmetric adjacency (edges with weight <= t)
+adj AS (
+  SELECT thr.t, eu.a AS s, eu.b AS d FROM thr JOIN eu ON eu.w <= thr.t
+  UNION ALL
+  SELECT thr.t, eu.b, eu.a FROM thr JOIN eu ON eu.w <= thr.t),
+reach(t, a, b) AS (
+  SELECT thr.t, nodes.v, nodes.v FROM thr, nodes
+  UNION
+  SELECT reach.t, reach.a, adj.d
+  FROM reach JOIN adj ON adj.t = reach.t AND adj.s = reach.b),
+comp AS (
+  SELECT t, a, min(b) AS lab FROM reach GROUP BY 1, 2),
+ct AS (
+  SELECT t, CAST(count(DISTINCT lab) AS BIGINT) AS c
+  FROM comp GROUP BY 1),
+-- Σ_t (c_t − c_∞)·Δt over the threshold staircase, plus the
+-- leading [0, t_min) interval at c = n
+cinf AS (SELECT c FROM ct ORDER BY t DESC LIMIT 1),
+steps AS (
+  SELECT ct.t, ct.c,
+         lead(ct.t) OVER (ORDER BY ct.t) AS nxt
+  FROM ct),
+cost AS (
+  SELECT (SELECT (nn.n - cinf.c) * (SELECT min(t) FROM thr)
+          FROM nn, cinf)
+       + coalesce(sum((c - (SELECT c FROM cinf)) * (nxt - t)), 0)
+           AS w
+  FROM steps WHERE nxt IS NOT NULL)
+SELECT (SELECT n FROM nn) AS n_domains,
+       (SELECT c FROM cinf) AS n_components,
+       (SELECT n FROM nn) - (SELECT c FROM cinf) AS mst_edges,
+       CAST((SELECT w FROM cost) AS BIGINT) AS mst_weight
+"""
+
+
+QUERIES["domain_mst_weight"] = (q_domain_mst_weight,
+                                _sql_domain_mst_weight())

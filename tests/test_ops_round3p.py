@@ -752,3 +752,63 @@ def test_det3_known():
     assert det3(m) == round(np.linalg.det(np.array(m, dtype=float)))
     # singular
     assert det3([[1, 2, 3], [2, 4, 6], [5, 1, 2]]) == 0
+
+
+# ---------------------------------------------------------------------------
+# Kruskal forest vs threshold-component identity
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import kruskal_forest
+
+
+def _mst_threshold_identity(n, edges):
+    """MST weight via Σ_t (c_t − c_∞) over integer thresholds —
+    the identity the SQL oracle uses."""
+    def comps(maxw):
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for w, a, b in edges:
+            if w <= maxw:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        return len({find(v) for v in range(n)})
+    if not edges:
+        return 0
+    wmax = max(w for w, _, _ in edges)
+    cinf = comps(wmax)
+    return sum(comps(t) - cinf for t in range(0, wmax))
+
+
+def test_kruskal_matches_identity_random():
+    rng = np.random.RandomState(61)
+    for _ in range(10):
+        n = rng.randint(4, 15)
+        m = rng.randint(3, n * (n - 1) // 2 + 1)
+        seen = set()
+        edges = []
+        while len(edges) < m:
+            a, b = rng.randint(0, n, size=2)
+            if a == b or (min(a, b), max(a, b)) in seen:
+                continue
+            seen.add((min(a, b), max(a, b)))
+            edges.append((int(rng.randint(1, 20)), int(min(a, b)),
+                          int(max(a, b))))
+        _, _, total = kruskal_forest(n, edges)
+        assert total == _mst_threshold_identity(n, edges)
+
+
+def test_kruskal_known_graph():
+    # triangle 1-2-3 with weights 1,2,3 -> MST = 1+2
+    edges = [(1, 0, 1), (2, 1, 2), (3, 0, 2)]
+    comp, used, total = kruskal_forest(3, edges)
+    assert (comp, used, total) == (1, 2, 3)
+    # two disconnected pairs -> forest
+    edges = [(5, 0, 1), (7, 2, 3)]
+    comp, used, total = kruskal_forest(4, edges)
+    assert (comp, used, total) == (2, 2, 12)
+    assert kruskal_forest(3, []) == (3, 0, 0)
