@@ -4411,3 +4411,351 @@ SELECT (SELECT n FROM nn) AS n_domains,
 
 QUERIES["domain_mst_weight"] = (q_domain_mst_weight,
                                 _sql_domain_mst_weight())
+
+
+# ---------------------------------------------------------------------------
+# circular_linear_corr_value — time-of-day vs value association
+# ---------------------------------------------------------------------------
+
+
+def q_circular_linear_corr_value(sf_dir: str):
+    """Circular-linear correlation (Mardia's R²) between event
+    time-of-day (minute angle θ) and event value:
+    R² = (r_xc² + r_xs² − 2·r_xc·r_xs·r_cs)/(1 − r_cs²) from the
+    three Pearson correlations of value with cosθ / sinθ and between
+    cosθ/sinθ — the companion of rayleigh_time_of_day when a LINEAR
+    variable rides on the clock.  Every sum collapses onto the
+    1440-minute histogram: per-minute exact integer (count, Σcents)
+    partials, trig applied once per bin."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        minute = (tsv // 60_000_000) % 1440
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"m": pa.array(minute), "x": cents,
+                      "x2": pc.multiply(cents, cents)}) \
+            .group_by("m").aggregate([("x", "sum"), ("x2", "sum"),
+                                      ([], "count_all")])
+        return g.rename_columns(["m", "x", "x2", "n"])
+
+    h = _partial_final(ds, partial, ["m"],
+                       [("x", "sum"), ("x2", "sum"), ("n", "sum")])
+    mv = np.asarray(h.column("m"), dtype=np.int64)
+    sxm = np.asarray(h.column("x"), dtype=np.int64)
+    sx2m = np.asarray(h.column("x2"), dtype=np.int64)
+    nm = np.asarray(h.column("n"), dtype=np.int64)
+    two_pi = 2.0 * math.pi
+    n = int(nm.sum())
+    sx = int(sxm.sum())
+    sx2 = int(sx2m.sum())
+    sc = ss = scc = sss = scs = sxc = sxs = 0.0
+    for m, x_, cnt in zip(mv.tolist(), sxm.tolist(), nm.tolist()):
+        c_ = math.cos(two_pi * m / 1440.0)
+        s_ = math.sin(two_pi * m / 1440.0)
+        sc += cnt * c_
+        ss += cnt * s_
+        scc += cnt * c_ * c_
+        sss += cnt * s_ * s_
+        scs += cnt * c_ * s_
+        sxc += x_ * c_
+        sxs += x_ * s_
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = n * sab - sa * sb
+        den = math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        return num / den if den > 0 else None
+
+    r_xc = corr(sxc, float(sx), sc, float(sx2), scc)
+    r_xs = corr(sxs, float(sx), ss, float(sx2), sss)
+    r_cs = corr(scs, sc, ss, scc, sss)
+    if None in (r_xc, r_xs, r_cs) or r_cs * r_cs >= 1.0:
+        r2 = None
+    else:
+        r2 = (r_xc * r_xc + r_xs * r_xs
+              - 2.0 * r_xc * r_xs * r_cs) / (1.0 - r_cs * r_cs)
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "r_value_cos": pa.array(
+            [round(r_xc, 6) if r_xc is not None else None],
+            pa.float64()),
+        "r_value_sin": pa.array(
+            [round(r_xs, 6) if r_xs is not None else None],
+            pa.float64()),
+        "circ_linear_r2": pa.array(
+            [round(r2, 6) if r2 is not None else None], pa.float64()),
+    })
+
+
+SQL_CIRCULAR_LINEAR_CORR_VALUE = """
+WITH h AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 60000000) % 1440 AS m,
+         count(*) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS x,
+         sum(CAST(round(value * 100, 0) AS BIGINT)
+             * CAST(round(value * 100, 0) AS BIGINT)) AS x2
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x2) AS DOUBLE) AS sx2,
+         sum(n * cos(2 * pi() * m / 1440.0)) AS sc,
+         sum(n * sin(2 * pi() * m / 1440.0)) AS ss,
+         sum(n * cos(2 * pi() * m / 1440.0)
+               * cos(2 * pi() * m / 1440.0)) AS scc,
+         sum(n * sin(2 * pi() * m / 1440.0)
+               * sin(2 * pi() * m / 1440.0)) AS sss,
+         sum(n * cos(2 * pi() * m / 1440.0)
+               * sin(2 * pi() * m / 1440.0)) AS scs,
+         sum(x * cos(2 * pi() * m / 1440.0)) AS sxc,
+         sum(x * sin(2 * pi() * m / 1440.0)) AS sxs
+  FROM h),
+r AS (
+  SELECT n,
+         (n * sxc - sx * sc)
+           / sqrt((n * sx2 - sx * sx) * (n * scc - sc * sc)) AS r_xc,
+         (n * sxs - sx * ss)
+           / sqrt((n * sx2 - sx * sx) * (n * sss - ss * ss)) AS r_xs,
+         (n * scs - sc * ss)
+           / sqrt((n * scc - sc * sc) * (n * sss - ss * ss)) AS r_cs
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n_events,
+       round(r_xc, 6) AS r_value_cos,
+       round(r_xs, 6) AS r_value_sin,
+       CASE WHEN r_cs * r_cs >= 1.0 THEN NULL
+            ELSE round((r_xc * r_xc + r_xs * r_xs
+                        - 2.0 * r_xc * r_xs * r_cs)
+                       / (1.0 - r_cs * r_cs), 6) END AS circ_linear_r2
+FROM r
+"""
+
+QUERIES["circular_linear_corr_value"] = (
+    q_circular_linear_corr_value, SQL_CIRCULAR_LINEAR_CORR_VALUE)
+
+
+# ---------------------------------------------------------------------------
+# gini_covariance_qty_price — Schechtman-Yitzhaki co-Gini
+# ---------------------------------------------------------------------------
+
+
+def q_gini_covariance_qty_price(sf_dir: str):
+    """Gini covariance / Gini correlation between l_quantity and
+    l_extendedprice: N(x|y) = Σ xᵢ·(r2ʸᵢ − (n+1)) with DOUBLED
+    midranks (exact integers through ties) and Γ(x|y) = N(x|y)/N(x|x)
+    — the rank-vs-variate asymmetric dependence pair (equals Pearson
+    under bivariate normality, robust otherwise); companion of
+    qty_gini_mean_diff.  Partials are (value, Σother, count)
+    histograms bounded by the value spans; midranks close from
+    cumulative counts driver-side."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity",
+                                            "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity"), 0), pa.int64())
+        p = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        gq = pa.table({"kind": pa.array(["q"] * len(t)), "v": q,
+                       "other": p}) \
+            .group_by(["kind", "v"]).aggregate([("other", "sum"),
+                                                ([], "count_all")])
+        gp = pa.table({"kind": pa.array(["p"] * len(t)), "v": p,
+                       "other": q}) \
+            .group_by(["kind", "v"]).aggregate([("other", "sum"),
+                                                ([], "count_all")])
+        cols = ["kind", "v", "other", "n"]
+        return pa.concat_tables([gq.rename_columns(cols),
+                                 gp.rename_columns(cols)])
+
+    m = _partial_final(ds, partial, ["kind", "v"],
+                       [("other", "sum"), ("n", "sum")])
+    kinds = m.column("kind").to_pylist()
+    vs = np.asarray(m.column("v"), dtype=np.int64)
+    oth = np.asarray(m.column("other"), dtype=np.int64)
+    cnt = np.asarray(m.column("n"), dtype=np.int64)
+
+    def fold(kind):
+        sel = [i for i, k in enumerate(kinds) if k == kind]
+        order = sorted(sel, key=lambda i: vs[i])
+        run = 0
+        num_cross = 0     # Σ other_sum·(r2(v) − (n+1))
+        num_self = 0      # Σ v·count·(r2(v) − (n+1))
+        n = int(cnt[[i for i in sel]].sum())
+        for i in order:
+            c = int(cnt[i])
+            r2 = 2 * run + c + 1          # doubled midrank
+            w = r2 - (n + 1)
+            num_cross += int(oth[i]) * w
+            num_self += int(vs[i]) * c * w
+            run += c
+        return n, num_cross, num_self
+
+    n, n_py_rq, n_qq = fold("q")    # ranks of qty: cross carries price
+    _, n_qx_rp, n_pp = fold("p")    # ranks of price: cross carries qty
+    g_qp = None if n_qq == 0 else n_qx_rp / n_qq      # Γ(qty|price)
+    g_pq = None if n_pp == 0 else n_py_rq / n_pp      # Γ(price|qty)
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "num_qty_by_pricerank": pa.array([n_qx_rp], pa.int64()),
+        "num_price_by_qtyrank": pa.array([n_py_rq], pa.int64()),
+        "gini_corr_qty_price": pa.array(
+            [round(g_qp, 6) if g_qp is not None else None],
+            pa.float64()),
+        "gini_corr_price_qty": pa.array(
+            [round(g_pq, 6) if g_pq is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_GINI_COVARIANCE_QTY_PRICE = """
+WITH v AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+rk AS (
+  SELECT q, p,
+         2 * rank() OVER (ORDER BY q)
+           + count(*) OVER (PARTITION BY q) - 1 AS r2q,
+         2 * rank() OVER (ORDER BY p)
+           + count(*) OVER (PARTITION BY p) - 1 AS r2p
+  FROM v),
+s AS (
+  SELECT CAST(sum(q * (r2p - (nn.n + 1))) AS BIGINT) AS n_q_rp,
+         CAST(sum(p * (r2q - (nn.n + 1))) AS BIGINT) AS n_p_rq,
+         CAST(sum(q * (r2q - (nn.n + 1))) AS BIGINT) AS n_qq,
+         CAST(sum(p * (r2p - (nn.n + 1))) AS BIGINT) AS n_pp
+  FROM rk, nn GROUP BY nn.n)
+SELECT (SELECT n FROM nn) AS n_rows,
+       n_q_rp AS num_qty_by_pricerank,
+       n_p_rq AS num_price_by_qtyrank,
+       CASE WHEN n_qq = 0 THEN NULL
+            ELSE round(CAST(n_q_rp AS DOUBLE) / n_qq, 6)
+       END AS gini_corr_qty_price,
+       CASE WHEN n_pp = 0 THEN NULL
+            ELSE round(CAST(n_p_rq AS DOUBLE) / n_pp, 6)
+       END AS gini_corr_price_qty
+FROM s
+"""
+
+QUERIES["gini_covariance_qty_price"] = (
+    q_gini_covariance_qty_price, SQL_GINI_COVARIANCE_QTY_PRICE)
+
+
+# ---------------------------------------------------------------------------
+# median_polish_dow_hour — Tukey's robust two-way decomposition
+# ---------------------------------------------------------------------------
+
+
+def median_polish(grid, sweeps: int = 2):
+    """Tukey median polish on an integer matrix with LOWER medians
+    (stays integral, fully deterministic): per sweep subtract row
+    medians into row effects, then column medians into column
+    effects.  Returns (row_effects, col_effects, residual_L1)."""
+    g = [list(map(int, row)) for row in grid]
+    nr, nc = len(g), len(g[0])
+    re_ = [0] * nr
+    ce = [0] * nc
+
+    def lomed(v):
+        s = sorted(v)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for _ in range(sweeps):
+        for i in range(nr):
+            m = lomed(g[i])
+            re_[i] += m
+            g[i] = [x - m for x in g[i]]
+        for j in range(nc):
+            m = lomed([g[i][j] for i in range(nr)])
+            ce[j] += m
+            for i in range(nr):
+                g[i][j] -= m
+    resid = sum(abs(x) for row in g for x in row)
+    return re_, ce, resid
+
+
+def q_median_polish_dow_hour(sf_dir: str):
+    """Tukey median polish of the day-of-week × hour event-count
+    matrix (2 sweeps, lower medians — integral throughout): robust
+    additive row/column effects that one hot cell cannot drag, where
+    a mean-based two-way fit (twoway_anova_type_dow) would smear the
+    outlier.  One bounded (dow, hour) shuffle; the 7×24 polish runs
+    driver-side and as unrolled window-median CTEs in the oracle."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = tsv // _DAY_US
+        g = pa.table({"dow": pa.array(day % 7),
+                      "hh": pa.array((tsv // _HOUR_US) % 24)}) \
+            .group_by(["dow", "hh"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dow", "hh", "c"])
+
+    m = _partial_final(ds, partial, ["dow", "hh"], [("c", "sum")])
+    grid = np.zeros((7, 24), dtype=np.int64)
+    for d, h, c in zip(np.asarray(m.column("dow"), dtype=np.int64),
+                       np.asarray(m.column("hh"), dtype=np.int64),
+                       np.asarray(m.column("c"), dtype=np.int64)):
+        grid[int(d), int(h)] = int(c)
+    re_, ce, resid = median_polish(grid.tolist())
+    kinds = (["dow"] * 7) + (["hour"] * 24) + ["resid_l1"]
+    idxs = list(range(7)) + list(range(24)) + [0]
+    vals = re_ + ce + [resid]
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "idx": pa.array(idxs, pa.int64()),
+        "effect": pa.array(vals, pa.int64()),
+    })
+
+
+SQL_MEDIAN_POLISH_DOW_HOUR = """
+WITH grid AS (
+  SELECT d.dow, h.hh, coalesce(c.c, 0) AS v
+  FROM (SELECT unnest(range(0, 7)) AS dow) d
+  JOIN (SELECT unnest(range(0, 24)) AS hh) h ON TRUE
+  LEFT JOIN (
+    SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS dow,
+           (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hh,
+           count(*) AS c
+    FROM events GROUP BY 1, 2) c USING (dow, hh)),
+-- sweep 1: rows
+rm1 AS (
+  SELECT dow, v AS med FROM (
+    SELECT dow, v, row_number() OVER (PARTITION BY dow ORDER BY v)
+             AS rk
+    FROM grid) WHERE rk = (24 + 1) // 2),
+g1 AS (SELECT g.dow, g.hh, g.v - rm1.med AS v
+       FROM grid g JOIN rm1 USING (dow)),
+cm1 AS (
+  SELECT hh, v AS med FROM (
+    SELECT hh, v, row_number() OVER (PARTITION BY hh ORDER BY v) AS rk
+    FROM g1) WHERE rk = (7 + 1) // 2),
+g2 AS (SELECT g.dow, g.hh, g.v - cm1.med AS v
+       FROM g1 g JOIN cm1 USING (hh)),
+-- sweep 2
+rm2 AS (
+  SELECT dow, v AS med FROM (
+    SELECT dow, v, row_number() OVER (PARTITION BY dow ORDER BY v)
+             AS rk
+    FROM g2) WHERE rk = (24 + 1) // 2),
+g3 AS (SELECT g.dow, g.hh, g.v - rm2.med AS v
+       FROM g2 g JOIN rm2 USING (dow)),
+cm2 AS (
+  SELECT hh, v AS med FROM (
+    SELECT hh, v, row_number() OVER (PARTITION BY hh ORDER BY v) AS rk
+    FROM g3) WHERE rk = (7 + 1) // 2),
+g4 AS (SELECT g.dow, g.hh, g.v - cm2.med AS v
+       FROM g3 g JOIN cm2 USING (hh))
+SELECT 'dow' AS kind, rm1.dow AS idx,
+       CAST(rm1.med + rm2.med AS BIGINT) AS effect
+FROM rm1 JOIN rm2 USING (dow)
+UNION ALL
+SELECT 'hour', cm1.hh, CAST(cm1.med + cm2.med AS BIGINT)
+FROM cm1 JOIN cm2 USING (hh)
+UNION ALL
+SELECT 'resid_l1', 0, CAST(sum(abs(v)) AS BIGINT) FROM g4
+ORDER BY 1, 2
+"""
+
+QUERIES["median_polish_dow_hour"] = (q_median_polish_dow_hour,
+                                     SQL_MEDIAN_POLISH_DOW_HOUR)

@@ -812,3 +812,43 @@ def test_kruskal_known_graph():
     comp, used, total = kruskal_forest(4, edges)
     assert (comp, used, total) == (2, 2, 12)
     assert kruskal_forest(3, []) == (3, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# median polish
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import median_polish
+
+
+def test_median_polish_exact_additive():
+    # purely additive matrix -> residuals vanish after one sweep
+    r = [10, 20, 30]
+    c = [1, 2, 3, 4]
+    grid = [[ri + cj for cj in c] for ri in r]
+    re_, ce, resid = median_polish(grid)
+    assert resid == 0
+    # effects recover the additive structure up to a constant shift
+    assert re_[1] - re_[0] == 10 and re_[2] - re_[0] == 20
+    assert ce[1] - ce[0] == 1 and ce[3] - ce[0] == 3
+
+
+def test_median_polish_outlier_robust():
+    r = [0, 0, 0]
+    c = [5, 5, 5, 5]
+    grid = [[ri + cj for cj in c] for ri in r]
+    grid[1][2] += 10**6          # one corrupted cell
+    re_, ce, resid = median_polish(grid)
+    # effects unmoved by the outlier; the residual carries it
+    assert max(re_) - min(re_) == 0
+    assert max(ce) - min(ce) == 0
+    assert resid == 10**6
+
+
+def test_median_polish_reduces_l1():
+    rng = np.random.RandomState(71)
+    grid = rng.randint(0, 100, size=(7, 24)).tolist()
+    _, _, r1 = median_polish(grid, sweeps=1)
+    _, _, r2 = median_polish(grid, sweeps=2)
+    base = sum(abs(x) for row in grid for x in row)
+    assert r2 <= r1 <= base
