@@ -4759,3 +4759,245 @@ ORDER BY 1, 2
 
 QUERIES["median_polish_dow_hour"] = (q_median_polish_dow_hour,
                                      SQL_MEDIAN_POLISH_DOW_HOUR)
+
+
+# ---------------------------------------------------------------------------
+# lof_daily_outliers — local outlier factor on daily activity
+# ---------------------------------------------------------------------------
+
+_LOF_K = 5
+_LOF_TOP = 10
+
+
+def lof_scores(pts, k: int = _LOF_K):
+    """Local outlier factor over integer points with SQUARED-L2
+    distances (monotone surrogate — deterministic, no radicals):
+    kNN by (d², id), reach(i←j) = max(kdist_j, d²(i,j)), lrd =
+    k/Σreach, LOF_i = Σ_{j∈N_i} lrd_j / (k·lrd_i).  Exact integer
+    distances; ratios float only at the end.  Returns
+    {id: lof}."""
+    ids = sorted(pts)
+    n = len(ids)
+    if n <= k:
+        return {}
+    X = np.asarray([pts[i] for i in ids], dtype=np.int64)
+    sq = np.einsum("ij,ij->i", X, X)
+    D = sq[:, None] + sq[None, :] - 2 * (X @ X.T)
+    nn = {}
+    kdist = {}
+    id_arr = np.asarray(ids, dtype=np.int64)
+    for i in range(n):
+        # neighbors by (d², id); stable argsort on D then ids for ties
+        cand = [(int(D[i, j]), int(id_arr[j]), j)
+                for j in range(n) if j != i]
+        cand.sort()
+        sel = cand[:k]
+        nn[i] = [j for _, _, j in sel]
+        kdist[i] = sel[-1][0]
+    lrd = {}
+    for i in range(n):
+        s = sum(max(kdist[j], int(D[i, j])) for j in nn[i])
+        lrd[i] = k / s if s > 0 else None
+    out = {}
+    for i in range(n):
+        if lrd[i] is None:
+            out[int(id_arr[i])] = None
+            continue
+        num = 0.0
+        dense_inf = False
+        for j in nn[i]:
+            if lrd[j] is None:
+                dense_inf = True
+                break
+            num += lrd[j]
+        out[int(id_arr[i])] = None if dense_inf \
+            else num / (k * lrd[i])
+    return out
+
+
+def q_lof_daily_outliers(sf_dir: str):
+    """Local outlier factor of each day's (click, purchase) count
+    vector (k=5, squared-L2 surrogate distances — exact integers;
+    neighbor ties broken by day): the density-RATIO anomaly score
+    that flags days unusual RELATIVE to their own neighborhood, where
+    global z-scores (anomaly_hour_levels) miss local structure.  Top
+    10 by (rounded LOF desc, day).  One (day, type) bounded shuffle;
+    the O(n²) sweep is day-bounded driver-side and a pair join in
+    the oracle."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    pts = {d: (series["click"].get(d, 0), series["purchase"].get(d, 0))
+           for d in days}
+    lof = lof_scores(pts)
+    rows = [(d, v) for d, v in lof.items() if v is not None]
+    rows.sort(key=lambda r: (-round(r[1], 6), r[0]))
+    rows = rows[:_LOF_TOP]
+    return pa.table({
+        "day": pa.array([r[0] for r in rows], pa.int64()),
+        "lof": pa.array([round(r[1], 6) for r in rows], pa.float64()),
+    })
+
+
+SQL_LOF_DAILY_OUTLIERS = f"""
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+c AS (
+  SELECT grid.day,
+         coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+dist AS (
+  SELECT a.day AS i, b.day AS j,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM c a JOIN c b ON a.day <> b.day),
+rk AS (
+  SELECT i, j, d2,
+         row_number() OVER (PARTITION BY i ORDER BY d2, j) AS r
+  FROM dist),
+nn AS (SELECT i, j, d2 FROM rk WHERE r <= {_LOF_K}),
+kd AS (SELECT i, max(d2) AS kdist FROM nn GROUP BY 1),
+lrd AS (
+  SELECT nn.i,
+         CAST({_LOF_K} AS DOUBLE)
+           / sum(greatest(kd.kdist, nn.d2)) AS lrd
+  FROM nn JOIN kd ON kd.i = nn.j
+  GROUP BY nn.i),
+lof AS (
+  SELECT nn.i AS day, sum(lj.lrd) / ({_LOF_K} * li.lrd) AS lof
+  FROM nn JOIN lrd lj ON lj.i = nn.j JOIN lrd li ON li.i = nn.i
+  GROUP BY nn.i, li.lrd)
+SELECT day, round(lof, 6) AS lof
+FROM lof ORDER BY round(lof, 6) DESC, day LIMIT {_LOF_TOP}
+"""
+
+QUERIES["lof_daily_outliers"] = (q_lof_daily_outliers,
+                                 SQL_LOF_DAILY_OUTLIERS)
+
+
+# ---------------------------------------------------------------------------
+# fe_within_slope_nation — panel fixed-effects (within) estimator
+# ---------------------------------------------------------------------------
+
+
+def q_fe_within_slope_nation(sf_dir: str):
+    """Panel fixed-effects time trend of order value: the WITHIN
+    estimator of cents-per-day with one fixed effect per customer
+    NATION — group-demeaned OLS, so a nation's level never
+    contaminates the slope (the panel companion of
+    events_trend_slope's pooled fit).  Per-nation sufficient
+    statistics are exact integers (one bounded shuffle after the
+    broadcast custkey→nation enrich); the within sums close in
+    double over the 25-nation table.  Also reports the pooled slope
+    for contrast."""
+    import pyarrow.parquet as _pq
+    import os as _os
+    import ray as _ray
+
+    cust = _pq.read_table(
+        _os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    ck_ = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    nk_ = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    o_ = np.argsort(ck_)
+    nmap_ref = _ray.put((ck_[o_], nk_[o_]))   # sorted arrays, not dict
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    class Enrich:
+        def __init__(self):
+            self.keys, self.vals = _ray.get(nmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+            pos = np.clip(np.searchsorted(self.keys, ck), 0,
+                          max(len(self.keys) - 1, 0))
+            nk = np.where(self.keys[pos] == ck, self.vals[pos], -1)
+            day = np.asarray(t.column("o_orderdate").cast(pa.int64()),
+                             dtype=np.int64) // _DAY_US
+            cents = pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100), 0), pa.int64())
+            x = pa.array(day)
+            g = pa.table({"nk": pa.array(nk), "x": x, "y": cents,
+                          "xx": pa.array(day * day),
+                          "xy": pc.multiply(pa.array(day), cents)}) \
+                .group_by("nk").aggregate(
+                [("x", "sum"), ("y", "sum"), ("xx", "sum"),
+                 ("xy", "sum"), ([], "count_all")])
+            return g.rename_columns(["nk", "x", "y", "xx", "xy", "n"])
+
+    partials = ds.map_batches(Enrich, concurrency=2,
+                              batch_format="pyarrow")
+    from ..stages import aggregate as agg_
+    m = agg_._combine_partials(
+        partials, keys=["nk"],
+        aggs=[("x", "sum"), ("y", "sum"), ("xx", "sum"),
+              ("xy", "sum"), ("n", "sum")])
+    nk = np.asarray(m.column("nk"), dtype=np.int64)
+    order = np.argsort(nk)
+    A = B = 0.0
+    tn = tx = ty = txx = txy = 0
+    for i in order:
+        n_ = int(m.column("n")[int(i)].as_py())
+        sx = int(m.column("x")[int(i)].as_py())
+        sy = int(m.column("y")[int(i)].as_py())
+        sxx = int(m.column("xx")[int(i)].as_py())
+        sxy = int(m.column("xy")[int(i)].as_py())
+        A += float(n_ * sxy - sx * sy) / n_
+        B += float(n_ * sxx - sx * sx) / n_
+        tn += n_
+        tx += sx
+        ty += sy
+        txx += sxx
+        txy += sxy
+    within = A / B if B > 0 else None
+    pden = tn * txx - tx * tx
+    pooled = float(tn * txy - tx * ty) / pden if pden else None
+    return pa.table({
+        "n_orders": pa.array([tn], pa.int64()),
+        "within_slope_cents_per_day": pa.array(
+            [round(within, 6) if within is not None else None],
+            pa.float64()),
+        "pooled_slope_cents_per_day": pa.array(
+            [round(pooled, 6) if pooled is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_FE_WITHIN_SLOPE_NATION = """
+WITH o AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000 AS x,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+g AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM o GROUP BY 1),
+w AS (
+  SELECT sum(CAST(n * sxy - sx * sy AS DOUBLE) / n) AS a,
+         sum(CAST(n * sxx - sx * sx AS DOUBLE) / n) AS b,
+         CAST(sum(n) AS HUGEINT) AS tn, sum(sx) AS tx, sum(sy) AS ty,
+         sum(sxx) AS txx, sum(sxy) AS txy
+  FROM (SELECT * FROM g ORDER BY nk))
+SELECT CAST(tn AS BIGINT) AS n_orders,
+       CASE WHEN b <= 0 THEN NULL ELSE round(a / b, 6) END
+         AS within_slope_cents_per_day,
+       CASE WHEN tn * txx - tx * tx = 0 THEN NULL
+            ELSE round(CAST(tn * txy - tx * ty AS DOUBLE)
+                       / CAST(tn * txx - tx * tx AS DOUBLE), 6)
+       END AS pooled_slope_cents_per_day
+FROM w
+"""
+
+QUERIES["fe_within_slope_nation"] = (q_fe_within_slope_nation,
+                                     SQL_FE_WITHIN_SLOPE_NATION)
