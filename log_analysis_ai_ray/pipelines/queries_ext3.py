@@ -5001,3 +5001,144 @@ FROM w
 
 QUERIES["fe_within_slope_nation"] = (q_fe_within_slope_nation,
                                      SQL_FE_WITHIN_SLOPE_NATION)
+
+
+# ---------------------------------------------------------------------------
+# smallworld_sigma — Watts-Strogatz small-world coefficient
+# ---------------------------------------------------------------------------
+
+_SW_MAX_HOPS = 6
+
+
+def smallworld_stats(n: int, lo, hi, max_hops: int = _SW_MAX_HOPS):
+    """(transitivity, avg_path, triangles3, wedges, sum_dist,
+    n_pairs) of a simple undirected graph given by distinct edge id
+    arrays: C = 3·triangles/wedges via exact boolean-matrix counts,
+    L = mean hop distance over ordered REACHABLE pairs (hop-capped).
+    All integers until the two ratios."""
+    a = np.zeros((n, n), dtype=bool)
+    a[lo, hi] = True
+    a[hi, lo] = True
+    np.fill_diagonal(a, False)
+    deg = a.sum(axis=1).astype(np.int64)
+    ai = a.astype(np.int64)
+    tri3 = int(np.trace(ai @ ai @ ai)) // 2     # 6·tri/2 = 3·tri
+    wedges = int((deg * (deg - 1) // 2).sum())
+    # hop distances by repeated boolean matmul
+    reach = a.copy()
+    dist = np.where(a, 1, 0).astype(np.int64)
+    frontier = a.copy()
+    for h in range(2, max_hops + 1):
+        nxt = (frontier @ a) & ~reach
+        np.fill_diagonal(nxt, False)
+        dist[nxt] = h
+        reach |= nxt
+        frontier = nxt
+        if not frontier.any():
+            break
+    sum_dist = int(dist.sum())
+    n_pairs = int(reach.sum())
+    C = tri3 / wedges if wedges else None
+    L = sum_dist / n_pairs if n_pairs else None
+    return C, L, tri3, wedges, sum_dist, n_pairs
+
+
+def q_smallworld_sigma(sf_dir: str):
+    """Watts-Strogatz small-world coefficient of the domain graph:
+    σ = (C/C_rand)/(L/L_rand) with C = global transitivity
+    (3·triangles/wedges), L = mean hop distance over reachable
+    ordered pairs (cap 6 — the domain_eccentricity convention), and
+    Erdős-Rényi baselines C_rand = 2m/(n(n−1)), L_rand =
+    ln(n)/ln(2m/n) — σ ≫ 1 means 'clustered yet short', the regime
+    web graphs live in.  Distributed edge distillation; exact
+    integer counts close both ratios; the oracle reuses the
+    materialized frontier-unroll."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    C, L, tri3, wedges, sum_dist, n_pairs = smallworld_stats(n, lo, hi)
+    # distinct undirected edge count
+    m_edges = int(len(set(zip(lo.tolist(), hi.tolist()))))
+    sigma = None
+    if n > 1 and m_edges > 0 and C is not None and L is not None:
+        c_rand = 2.0 * m_edges / (n * (n - 1.0))
+        kbar = 2.0 * m_edges / n
+        if kbar > 1.0 and c_rand > 0 and L > 0:
+            l_rand = math.log(n) / math.log(kbar)
+            sigma = (C / c_rand) / (L / l_rand)
+    return pa.table({
+        "n_domains": pa.array([n], pa.int64()),
+        "n_edges": pa.array([m_edges], pa.int64()),
+        "transitivity": pa.array(
+            [round(C, 6) if C is not None else None], pa.float64()),
+        "avg_path": pa.array(
+            [round(L, 6) if L is not None else None], pa.float64()),
+        "sigma": pa.array(
+            [round(sigma, 6) if sigma is not None else None],
+            pa.float64()),
+    })
+
+
+def _smallworld_sigma_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    parts = ["r1 AS MATERIALIZED (SELECT s, d, 1 AS h FROM adj "
+             "WHERE s <> d)"]
+    seen = "SELECT s, d FROM r1"
+    for k in range(2, _SW_MAX_HOPS + 1):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT s, d, {k} AS h FROM (
+    SELECT DISTINCT p.s, adj.d
+    FROM r{k - 1} p JOIN adj ON adj.s = p.d
+    WHERE p.s <> adj.d
+    EXCEPT ({seen})))""")
+        seen += f" UNION ALL SELECT s, d FROM r{k}"
+    union = " UNION ALL ".join(f"SELECT * FROM r{k}"
+                               for k in range(1, _SW_MAX_HOPS + 1))
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS MATERIALIZED (SELECT a AS s, b AS d FROM eu
+                     UNION ALL SELECT b, a FROM eu),
+nodes AS (SELECT DISTINCT s AS v FROM adj),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eu),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t6
+  FROM adj e1 JOIN adj e2 ON e2.s = e1.d
+  JOIN adj e3 ON e3.s = e2.d AND e3.d = e1.s),
+deg AS (SELECT s, count(*) AS k FROM adj GROUP BY 1),
+wed AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS w FROM deg),
+{", ".join(parts)},
+sp AS (SELECT s, d, CAST(h AS BIGINT) AS dist FROM ({union})),
+lpath AS (SELECT CAST(sum(dist) AS BIGINT) AS sd,
+                 CAST(count(*) AS BIGINT) AS np FROM sp)
+SELECT nn.n AS n_domains, mm.m AS n_edges,
+       CASE WHEN wed.w = 0 THEN NULL
+            ELSE round(CAST(tri.t6 AS DOUBLE) / 2.0 / wed.w, 6)
+       END AS transitivity,
+       CASE WHEN lpath.np = 0 THEN NULL
+            ELSE round(CAST(lpath.sd AS DOUBLE) / lpath.np, 6)
+       END AS avg_path,
+       CASE WHEN wed.w = 0 OR lpath.np = 0 OR mm.m = 0 OR nn.n < 2
+              OR 2.0 * mm.m / nn.n <= 1.0
+            THEN NULL
+            ELSE round((CAST(tri.t6 AS DOUBLE) / 2.0 / wed.w
+                        / (2.0 * mm.m / (nn.n * (nn.n - 1.0))))
+                       / ((CAST(lpath.sd AS DOUBLE) / lpath.np)
+                          / (ln(CAST(nn.n AS DOUBLE))
+                             / ln(2.0 * mm.m / nn.n))), 6)
+       END AS sigma
+FROM nn, mm, tri, wed, lpath
+"""
+
+
+QUERIES["smallworld_sigma"] = (q_smallworld_sigma,
+                               _smallworld_sigma_sql())

@@ -852,3 +852,44 @@ def test_median_polish_reduces_l1():
     _, _, r2 = median_polish(grid, sweeps=2)
     base = sum(abs(x) for row in grid for x in row)
     assert r2 <= r1 <= base
+
+
+# ---------------------------------------------------------------------------
+# small-world stats
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import smallworld_stats
+
+
+def test_smallworld_complete_graph():
+    # K5: C = 1, L = 1
+    lo, hi = [], []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            lo.append(i)
+            hi.append(j)
+    C, L, tri3, wedges, sd, np_ = smallworld_stats(
+        5, np.array(lo), np.array(hi))
+    assert C == 1.0 and L == 1.0
+    assert tri3 == 3 * 10 and wedges == 30   # C(5,3)=10 triangles
+    assert np_ == 20                          # ordered pairs
+
+
+def test_smallworld_path_graph():
+    # path 0-1-2-3: no triangles, L = mean of all pair hops
+    lo = np.array([0, 1, 2])
+    hi = np.array([1, 2, 3])
+    C, L, tri3, wedges, sd, np_ = smallworld_stats(4, lo, hi)
+    assert tri3 == 0 and C == 0.0
+    # distances: 1+2+3 + 1+2 + 1 = 10 each direction
+    assert sd == 20 and np_ == 12 and abs(L - 20 / 12) < 1e-12
+
+
+def test_smallworld_hop_cap():
+    # long path with cap 2: far pairs unreached
+    n = 8
+    lo = np.arange(n - 1)
+    hi = np.arange(1, n)
+    _, L, _, _, sd, np_ = smallworld_stats(n, lo, hi, max_hops=2)
+    # pairs at distance 1 (7 each way) and 2 (6 each way)
+    assert np_ == 2 * (7 + 6) and sd == 2 * (7 + 12)
