@@ -5142,3 +5142,510 @@ FROM nn, mm, tri, wed, lpath
 
 QUERIES["smallworld_sigma"] = (q_smallworld_sigma,
                                _smallworld_sigma_sql())
+
+
+# ---------------------------------------------------------------------------
+# pettitt_changepoint_daily — rank-based single change point
+# ---------------------------------------------------------------------------
+
+
+def pettitt_u(x) -> tuple:
+    """Pettitt statistic on an integer series: U_t = Σ_{i≤t<j}
+    sign(x_j − x_i); returns (argmax_t |U_t| (1-based, smallest on
+    ties), max|U|, the full U array).  Incremental O(n²) with exact
+    integers."""
+    xa = np.asarray(x, dtype=np.int64)
+    n = len(xa)
+    us = []
+    u = 0
+    for t in range(n - 1):
+        # moving element x[t] from the right block to the left:
+        # subtract its pairs with the left, add pairs with the right
+        xt = xa[t]
+        u -= int(np.sign(xt - xa[:t]).sum())
+        u += int(np.sign(xa[t + 1:] - xt).sum())
+        us.append(u)
+    if not us:
+        return None, 0, []
+    k = max(abs(v) for v in us)
+    t_best = min(i + 1 for i, v in enumerate(us) if abs(v) == k)
+    return t_best, k, us
+
+
+def q_pettitt_changepoint_daily(sf_dir: str):
+    """Pettitt's nonparametric change-point test on daily revenue:
+    U_t = Σ_{i≤t<j} sign(xⱼ−xᵢ), K = max|U_t| locates the most
+    likely single shift with NO distributional assumption — the
+    rank-based companion of changepoint_binary_seg (which assumes
+    squared-error).  Approximate p ≈ 2·exp(−6K²/(n³+n²)).  Exact
+    integer U sweep; the O(n²) pair sum is days-bounded and a pair
+    join in the oracle."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    x = cents.tolist()
+    t_best, k, _ = pettitt_u(x)
+    n = len(x)
+    p = 2.0 * math.exp(-6.0 * float(k) * k / (float(n) ** 3
+                                              + float(n) ** 2)) \
+        if n > 1 else None
+    day_sorted = np.sort(day)
+    cp_day = int(day_sorted[t_best - 1]) if t_best is not None else None
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "cp_position": pa.array([t_best], pa.int64()),
+        "cp_day": pa.array([cp_day], pa.int64()),
+        "k_stat": pa.array([k], pa.int64()),
+        "p_approx": pa.array(
+            [round(min(p, 1.0), 6) if p is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_PETTITT_CHANGEPOINT_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT row_number() OVER (ORDER BY day) AS pos, day, cents
+      FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+-- sign contribution of each ordered pair to every split t:
+-- pair (i < j) counts for all t in [i, j-1]; aggregate per t via
+-- the difference trick: add at t=i, remove at t=j
+delta AS (
+  SELECT a.pos AS t,
+         sum(CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS add_
+  FROM s a JOIN s b ON b.pos > a.pos GROUP BY 1),
+drop_ AS (
+  SELECT b.pos AS t,
+         sum(CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS rem_
+  FROM s a JOIN s b ON b.pos > a.pos GROUP BY 1),
+u AS (
+  SELECT t.pos AS t,
+         sum(coalesce(d2.add_, 0) - coalesce(r2.rem_, 0))
+           OVER (ORDER BY t.pos ROWS UNBOUNDED PRECEDING) AS u
+  FROM (SELECT pos FROM s WHERE pos < (SELECT n FROM nn)) t
+  LEFT JOIN delta d2 ON d2.t = t.pos
+  LEFT JOIN drop_ r2 ON r2.t = t.pos),
+best AS (
+  SELECT t, abs(u) AS k FROM u
+  ORDER BY abs(u) DESC, t LIMIT 1)
+SELECT (SELECT n FROM nn) AS n_days,
+       CAST(best.t AS BIGINT) AS cp_position,
+       (SELECT day FROM s WHERE pos = best.t) AS cp_day,
+       CAST(best.k AS BIGINT) AS k_stat,
+       round(least(2.0 * exp(-6.0 * CAST(best.k AS DOUBLE) * best.k
+                   / (pow(CAST((SELECT n FROM nn) AS DOUBLE), 3)
+                      + pow(CAST((SELECT n FROM nn) AS DOUBLE), 2))),
+                   1.0), 6) AS p_approx
+FROM best
+"""
+
+QUERIES["pettitt_changepoint_daily"] = (q_pettitt_changepoint_daily,
+                                        SQL_PETTITT_CHANGEPOINT_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# bass_diffusion_fit — innovation diffusion of first purchases
+# ---------------------------------------------------------------------------
+
+
+def q_bass_diffusion_fit(sf_dir: str):
+    """Bass diffusion model fit to first-purchase adoption: daily NEW
+    purchasing users n(t) regressed on cumulative adopters via n(t) =
+    a + b·N(t−1) + c·N(t−1)² (discrete Bass), market size m from the
+    positive root of c·m² + b·m + a = 0, innovation p = a/m,
+    imitation q = −c·m — the product-adoption companion of
+    km_signup_purchase.  Normal equations are exact 3×3 integer
+    determinants (det3, the ridge_price_fit machinery); per-user
+    first-purchase reduction is one user-keyed shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts",
+                                          "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        t = t.filter(keep)
+        g = pa.table({
+            "u": t.column("user_id"),
+            "first": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by("u").aggregate([("first", "min")])
+        return g.rename_columns(["u", "first"])
+
+    m = _partial_final(ds, partial, ["u"], [("first", "min")])
+    first = np.asarray(m.column("first"), dtype=np.int64) // _DAY_US
+    days, adds = np.unique(first, return_counts=True)
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[days - lo] = adds
+    # regression points: (N(t-1), n(t)) over the dense day span
+    cum = np.concatenate([[0], np.cumsum(dense)[:-1]])
+    xs = cum.tolist()
+    ys = dense.tolist()
+    n = len(xs)
+    s1 = n
+    sx = sum(xs)
+    sx2 = sum(v * v for v in xs)
+    sx3 = sum(v ** 3 for v in xs)
+    sx4 = sum(v ** 4 for v in xs)
+    sy = sum(ys)
+    sxy = sum(a_ * b_ for a_, b_ in zip(xs, ys))
+    sx2y = sum(a_ * a_ * b_ for a_, b_ in zip(xs, ys))
+    N = [[s1, sx, sx2], [sx, sx2, sx3], [sx2, sx3, sx4]]
+    rhs = [sy, sxy, sx2y]
+    den = det3(N)
+    coef = []
+    for i in range(3):
+        Ni = [row[:] for row in N]
+        for r in range(3):
+            Ni[r][i] = rhs[r]
+        coef.append(None if den == 0 else float(det3(Ni)) / float(den))
+    a_, b_, c_ = coef
+    mkt = p = q = None
+    if None not in coef and c_ < 0:
+        disc = b_ * b_ - 4.0 * c_ * a_
+        if disc >= 0:
+            mkt = (-b_ - math.sqrt(disc)) / (2.0 * c_)
+            if mkt > 0:
+                p = a_ / mkt
+                q = -c_ * mkt
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "adopters": pa.array([int(dense.sum())], pa.int64()),
+        "coef_a": pa.array([round(a_, 6) if a_ is not None else None],
+                           pa.float64()),
+        "coef_b": pa.array([round(b_, 6) if b_ is not None else None],
+                           pa.float64()),
+        "coef_c": pa.array(
+            [round(c_, 10) if c_ is not None else None], pa.float64()),
+        "market_m": pa.array(
+            [round(mkt, 4) if mkt is not None else None], pa.float64()),
+        "bass_p": pa.array([round(p, 6) if p is not None else None],
+                           pa.float64()),
+        "bass_q": pa.array([round(q, 6) if q is not None else None],
+                           pa.float64()),
+    })
+
+
+SQL_BASS_DIFFUSION_FIT = """
+WITH fp AS (
+  SELECT user_id,
+         min(CAST(epoch_us(ts) AS BIGINT)) // 86400000000 AS day
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+adds AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM fp
+         GROUP BY 1),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM adds),
+dense AS (
+  SELECT g.day, coalesce(adds.n, 0) AS y
+  FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span))) AS day) g
+  LEFT JOIN adds USING (day)),
+pts AS (
+  SELECT y, coalesce(sum(y) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS x
+  FROM dense),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS s1,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(x * x) AS HUGEINT) AS sx2,
+         CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS sx3,
+         CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS sx4,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x * y) AS HUGEINT) AS sx2y
+  FROM pts),
+dets AS (
+  SELECT s1,
+         (SELECT CAST(sum(y) AS BIGINT) FROM pts) AS adopters,
+         s1 * (sx2 * sx4 - sx3 * sx3)
+           - sx * (sx * sx4 - sx3 * sx2)
+           + sx2 * (sx * sx3 - sx2 * sx2) AS den,
+         sy * (sx2 * sx4 - sx3 * sx3)
+           - sx * (sxy * sx4 - sx3 * sx2y)
+           + sx2 * (sxy * sx3 - sx2 * sx2y) AS d0,
+         s1 * (sxy * sx4 - sx2y * sx3)
+           - sy * (sx * sx4 - sx3 * sx2)
+           + sx2 * (sx * sx2y - sxy * sx2) AS d1,
+         s1 * (sx2 * sx2y - sx3 * sxy)
+           - sx * (sx * sx2y - sxy * sx2)
+           + sy * (sx * sx3 - sx2 * sx2) AS d2
+  FROM s),
+coefs AS (
+  SELECT CAST(s1 AS BIGINT) AS n_days, adopters,
+         CAST(d0 AS DOUBLE) / CAST(den AS DOUBLE) AS a,
+         CAST(d1 AS DOUBLE) / CAST(den AS DOUBLE) AS b,
+         CAST(d2 AS DOUBLE) / CAST(den AS DOUBLE) AS c
+  FROM dets WHERE den <> 0),
+root AS (
+  SELECT coefs.*,
+         CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
+              THEN (-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c)
+         END AS m
+  FROM coefs)
+SELECT n_days, adopters,
+       round(a, 6) AS coef_a, round(b, 6) AS coef_b,
+       round(c, 10) AS coef_c,
+       CASE WHEN m > 0 THEN round(m, 4) END AS market_m,
+       CASE WHEN m > 0 THEN round(a / m, 6) END AS bass_p,
+       CASE WHEN m > 0 THEN round(-c * m, 6) END AS bass_q
+FROM root
+"""
+
+QUERIES["bass_diffusion_fit"] = (q_bass_diffusion_fit,
+                                 SQL_BASS_DIFFUSION_FIT)
+
+
+# ---------------------------------------------------------------------------
+# siegel_repeated_median — 50% breakdown-point trend
+# ---------------------------------------------------------------------------
+
+
+def siegel_slope(xs, ys) -> tuple:
+    """Siegel repeated-median slope: median over i of (median over
+    j≠i of pairwise slopes), LOWER medians with (slope, other-x) /
+    (rowmed, x) tie orders — deterministic doubles (each slope is
+    one IEEE division of exact integers).  Returns (slope,
+    intercept) with intercept = lower median of y − slope·x."""
+    xa = np.asarray(xs, dtype=np.int64)
+    ya = np.asarray(ys, dtype=np.int64)
+    n = len(xa)
+    if n < 2:
+        return None, None
+    meds = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        dx = xa - xa[i]
+        dy = ya - ya[i]
+        mask = dx != 0
+        sl = dy[mask].astype(np.float64) / dx[mask].astype(np.float64)
+        jx = xa[mask]
+        o = np.lexsort((jx, sl))
+        m = len(sl)
+        meds[i] = sl[o[(m + 1) // 2 - 1]]
+    o = np.lexsort((xa, meds))
+    slope = float(meds[o[(n + 1) // 2 - 1]])
+    resid = ya.astype(np.float64) - slope * xa.astype(np.float64)
+    o2 = np.lexsort((xa, resid))
+    inter = float(resid[o2[(n + 1) // 2 - 1]])
+    return slope, inter
+
+
+def q_siegel_repeated_median(sf_dir: str):
+    """Siegel repeated-median regression of daily revenue on day —
+    the 50%-breakdown robust trend (Theil-Sen, already shipped,
+    breaks at 29%): slope = medᵢ medⱼ slope(i,j) with deterministic
+    lower-median tie orders; every pairwise slope is a single IEEE
+    division of exact integers so both engines order identically.
+    Days-bounded O(n²) sweep driver-side; pair join + two nested
+    window medians in the oracle."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    slope, inter = siegel_slope(day.tolist(), cents.tolist())
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "siegel_slope": pa.array(
+            [round(slope, 6) if slope is not None else None],
+            pa.float64()),
+        "siegel_intercept": pa.array(
+            [round(inter, 2) if inter is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_SIEGEL_REPEATED_MEDIAN = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+sl AS (
+  SELECT a.day AS i,
+         CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS s,
+         b.day AS j
+  FROM d a JOIN d b ON b.day <> a.day),
+rowmed AS (
+  SELECT i, s AS med FROM (
+    SELECT i, s, j,
+           row_number() OVER (PARTITION BY i ORDER BY s, j) AS rk,
+           count(*) OVER (PARTITION BY i) AS m
+    FROM sl) WHERE rk = (m + 1) // 2),
+slope AS (
+  SELECT med AS slope FROM (
+    SELECT med, i, row_number() OVER (ORDER BY med, i) AS rk,
+           count(*) OVER () AS m
+    FROM rowmed) WHERE rk = (m + 1) // 2),
+inter AS (
+  SELECT r AS inter FROM (
+    SELECT d.cents - slope.slope * d.day AS r, d.day,
+           row_number() OVER (
+             ORDER BY d.cents - slope.slope * d.day, d.day) AS rk,
+           count(*) OVER () AS m
+    FROM d, slope) WHERE rk = (m + 1) // 2)
+SELECT (SELECT n FROM nn) AS n_days,
+       (SELECT round(slope, 6) FROM slope) AS siegel_slope,
+       (SELECT round(inter, 2) FROM inter) AS siegel_intercept
+"""
+
+QUERIES["siegel_repeated_median"] = (q_siegel_repeated_median,
+                                     SQL_SIEGEL_REPEATED_MEDIAN)
+
+
+# ---------------------------------------------------------------------------
+# ipf_dow_hour — iterative proportional fitting (raking)
+# ---------------------------------------------------------------------------
+
+_IPF_SWEEPS = 3
+
+
+def ipf_rake(seed, row_targets, col_targets, sweeps: int = _IPF_SWEEPS):
+    """Iterative proportional fitting: scale an integer seed matrix
+    alternately to match integer row then column margins (zero
+    rows/cols keep factor 1).  Returns (fitted float matrix,
+    L1 margin misfit after the final sweep)."""
+    g = [[float(v) for v in row] for row in seed]
+    nr, nc = len(g), len(g[0])
+    for _ in range(sweeps):
+        for i in range(nr):
+            s = sum(g[i])
+            f = row_targets[i] / s if s > 0 else 1.0
+            g[i] = [v * f for v in g[i]]
+        for j in range(nc):
+            s = sum(g[i][j] for i in range(nr))
+            f = col_targets[j] / s if s > 0 else 1.0
+            for i in range(nr):
+                g[i][j] *= f
+    misfit = sum(abs(sum(g[i]) - row_targets[i]) for i in range(nr)) \
+        + sum(abs(sum(g[i][j] for i in range(nr)) - col_targets[j])
+              for j in range(nc))
+    return g, misfit
+
+
+def q_ipf_dow_hour(sf_dir: str):
+    """Raking (iterative proportional fitting, 3 sweeps): calibrate
+    the FIRST-HALF-of-span dow × hour event-count matrix to the
+    FULL-span margins — the survey-weighting / seasonality-
+    recalibration primitive (does early-period structure explain the
+    whole span once margins are forced?).  Integer seed and targets
+    from one bounded shuffle; the float sweeps share an expression
+    tree cell-by-cell with the oracle's unrolled CTEs."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = tsv // _DAY_US
+        g = pa.table({"dow": pa.array(day % 7),
+                      "hh": pa.array((tsv // _HOUR_US) % 24),
+                      "day": pa.array(day)}) \
+            .group_by(["dow", "hh"]).aggregate(
+            [([], "count_all"), ("day", "min"), ("day", "max")])
+        return g.rename_columns(["dow", "hh", "c", "dmin", "dmax"])
+
+    # need the span midpoint first: cheap separate bounded pass
+    def span_partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = tsv // _DAY_US
+        return pa.table({"k": pa.array(["s"]),
+                         "lo": pa.array([int(day.min())], pa.int64()),
+                         "hi": pa.array([int(day.max())], pa.int64())})
+
+    sp = _partial_final(ds, span_partial, ["k"],
+                        [("lo", "min"), ("hi", "max")])
+    lo = int(sp.column("lo")[0].as_py())
+    hi = int(sp.column("hi")[0].as_py())
+    mid = (lo + hi) // 2          # first half: day < mid
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = tsv // _DAY_US
+        firsth = (day < mid).astype(np.int64)
+        g = pa.table({"dow": pa.array(day % 7),
+                      "hh": pa.array((tsv // _HOUR_US) % 24),
+                      "fh": pa.array(firsth)}) \
+            .group_by(["dow", "hh", "fh"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dow", "hh", "fh", "c"])
+
+    m = _partial_final(ds, cell_partial, ["dow", "hh", "fh"],
+                       [("c", "sum")])
+    seed = np.zeros((7, 24), dtype=np.int64)
+    full = np.zeros((7, 24), dtype=np.int64)
+    for d, h, f, c in zip(np.asarray(m.column("dow"), dtype=np.int64),
+                          np.asarray(m.column("hh"), dtype=np.int64),
+                          np.asarray(m.column("fh"), dtype=np.int64),
+                          np.asarray(m.column("c"), dtype=np.int64)):
+        full[int(d), int(h)] += int(c)
+        if int(f) == 1:
+            seed[int(d), int(h)] += int(c)
+    row_t = full.sum(axis=1).tolist()
+    col_t = full.sum(axis=0).tolist()
+    fitted, misfit = ipf_rake(seed.tolist(), row_t, col_t)
+    dows, hhs, vals = [], [], []
+    for i in range(7):
+        for j in range(24):
+            dows.append(i)
+            hhs.append(j)
+            vals.append(round(fitted[i][j], 4))
+    return pa.table({
+        "dow": pa.array(dows, pa.int64()),
+        "hh": pa.array(hhs, pa.int64()),
+        "fitted": pa.array(vals, pa.float64()),
+        "misfit_l1": pa.array([round(misfit, 4)] * len(vals),
+                              pa.float64()),
+    })
+
+
+def _sql_ipf_dow_hour() -> str:
+    stages = []
+    prev = "g0"
+    for s in range(_IPF_SWEEPS):
+        stages.append(f"""r{s} AS (
+  SELECT {prev}.dow, {prev}.hh,
+         {prev}.v * (CASE WHEN rs.s > 0 THEN rt.t / rs.s ELSE 1.0 END)
+           AS v
+  FROM {prev}
+  JOIN (SELECT dow, sum(v) AS s FROM {prev} GROUP BY 1) rs
+    USING (dow)
+  JOIN rowt rt USING (dow))""")
+        stages.append(f"""c{s} AS (
+  SELECT r{s}.dow, r{s}.hh,
+         r{s}.v * (CASE WHEN cs.s > 0 THEN ct.t / cs.s ELSE 1.0 END)
+           AS v
+  FROM r{s}
+  JOIN (SELECT hh, sum(v) AS s FROM r{s} GROUP BY 1) cs USING (hh)
+  JOIN colt ct USING (hh))""")
+        prev = f"c{s}"
+    return f"""
+WITH base AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS dow,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hh,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+span AS (SELECT (min(day) + max(day)) // 2 AS mid FROM base),
+grid AS (
+  SELECT d.dow, h.hh FROM (SELECT unnest(range(0, 7)) AS dow) d
+  JOIN (SELECT unnest(range(0, 24)) AS hh) h ON TRUE),
+g0 AS (
+  SELECT grid.dow, grid.hh, CAST(coalesce(s.c, 0) AS DOUBLE) AS v
+  FROM grid LEFT JOIN (
+    SELECT dow, hh, count(*) AS c FROM base, span
+    WHERE day < span.mid GROUP BY 1, 2) s USING (dow, hh)),
+fullm AS (
+  SELECT grid.dow, grid.hh, CAST(coalesce(s.c, 0) AS DOUBLE) AS v
+  FROM grid LEFT JOIN (
+    SELECT dow, hh, count(*) AS c FROM base GROUP BY 1, 2) s
+  USING (dow, hh)),
+rowt AS (SELECT dow, sum(v) AS t FROM fullm GROUP BY 1),
+colt AS (SELECT hh, sum(v) AS t FROM fullm GROUP BY 1),
+{", ".join(stages)},
+mis AS (
+  SELECT (SELECT sum(abs(rs.s - rt.t)) FROM
+           (SELECT dow, sum(v) AS s FROM {prev} GROUP BY 1) rs
+           JOIN rowt rt USING (dow))
+       + (SELECT sum(abs(cs.s - ct.t)) FROM
+           (SELECT hh, sum(v) AS s FROM {prev} GROUP BY 1) cs
+           JOIN colt ct USING (hh)) AS m)
+SELECT {prev}.dow, {prev}.hh, round({prev}.v, 4) AS fitted,
+       round(mis.m, 4) AS misfit_l1
+FROM {prev}, mis ORDER BY 1, 2
+"""
+
+
+QUERIES["ipf_dow_hour"] = (q_ipf_dow_hour, _sql_ipf_dow_hour())

@@ -893,3 +893,67 @@ def test_smallworld_hop_cap():
     _, L, _, _, sd, np_ = smallworld_stats(n, lo, hi, max_hops=2)
     # pairs at distance 1 (7 each way) and 2 (6 each way)
     assert np_ == 2 * (7 + 6) and sd == 2 * (7 + 12)
+
+
+# ---------------------------------------------------------------------------
+# Pettitt, Siegel, IPF
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    ipf_rake, pettitt_u, siegel_slope)
+
+
+def _pettitt_naive(x):
+    n = len(x)
+    best_t, best_k = None, -1
+    for t in range(1, n):
+        u = sum(np.sign(xj - xi) for xi in x[:t] for xj in x[t:])
+        if abs(u) > best_k:
+            best_t, best_k = t, abs(int(u))
+    return best_t, best_k
+
+
+def test_pettitt_matches_naive():
+    rng = np.random.RandomState(81)
+    for _ in range(6):
+        x = rng.randint(0, 50, size=rng.randint(10, 60)).tolist()
+        t, k, _ = pettitt_u(x)
+        tn, kn = _pettitt_naive(x)
+        assert k == kn
+        # argmax position may tie; ours picks the smallest
+        assert abs(sum(np.sign(xj - xi) for xi in x[:t]
+                       for xj in x[t:])) == kn
+
+
+def test_pettitt_planted_shift():
+    x = [10] * 50 + [100] * 50
+    t, k, _ = pettitt_u(x)
+    assert t == 50 and k == 50 * 50
+
+
+def test_siegel_exact_line_with_outliers():
+    xs = list(range(40))
+    ys = [7 + 3 * x for x in xs]
+    # corrupt almost half the points — repeated median survives
+    for i in range(0, 40, 3):
+        ys[i] += 10**6
+    slope, inter = siegel_slope(xs, ys)
+    assert abs(slope - 3.0) < 1e-9
+    assert abs(inter - 7.0) < 1e-6
+
+
+def test_ipf_converges_to_margins():
+    rng = np.random.RandomState(91)
+    seed = rng.randint(1, 20, size=(4, 5)).tolist()
+    rt = [100, 50, 80, 70]
+    ct = [60, 60, 60, 60, 60]
+    fitted, misfit = ipf_rake(seed, rt, ct, sweeps=20)
+    assert misfit < 1e-6
+    for i, t in enumerate(rt):
+        assert abs(sum(fitted[i]) - t) < 1e-6
+
+
+def test_ipf_preserves_zero_cells():
+    seed = [[0, 5], [5, 5]]
+    fitted, _ = ipf_rake(seed, [10, 10], [8, 12], sweeps=10)
+    assert fitted[0][0] == 0.0
