@@ -5649,3 +5649,248 @@ FROM {prev}, mis ORDER BY 1, 2
 
 
 QUERIES["ipf_dow_hour"] = (q_ipf_dow_hour, _sql_ipf_dow_hour())
+
+
+# ---------------------------------------------------------------------------
+# dbscan_daily — density-based clustering with deterministic labels
+# ---------------------------------------------------------------------------
+
+_DBSCAN_MINPTS = 5
+
+
+def dbscan_labels(pts: dict, eps_sq: int, min_pts: int):
+    """Deterministic DBSCAN over integer points (squared-L2 ε):
+    core = ≥min_pts neighbors (self excluded) within ε; clusters =
+    connected components of the core-core ε-graph labeled by their
+    MIN member id; border points adopt the smallest core-neighbor
+    label; everything else is noise (label None).  Returns
+    {id: label}."""
+    ids = sorted(pts)
+    n = len(ids)
+    X = np.asarray([pts[i] for i in ids], dtype=np.int64)
+    sq = np.einsum("ij,ij->i", X, X)
+    D = sq[:, None] + sq[None, :] - 2 * (X @ X.T)
+    np.fill_diagonal(D, np.iinfo(np.int64).max)
+    nbr = D <= eps_sq
+    core = nbr.sum(axis=1) >= min_pts
+    # union-find over core-core edges
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci = np.flatnonzero(core)
+    for a in ci:
+        for b in ci[ci > a]:
+            if nbr[a, b]:
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[ra] = rb
+    # min-id label per component
+    comp_min = {}
+    for a in ci:
+        r = find(int(a))
+        comp_min[r] = min(comp_min.get(r, ids[a]), ids[a])
+    labels = {}
+    for k in range(n):
+        if core[k]:
+            labels[ids[k]] = comp_min[find(k)]
+        else:
+            cand = [comp_min[find(int(a))] for a in ci if nbr[k, a]]
+            labels[ids[k]] = min(cand) if cand else None
+    return labels
+
+
+def q_dbscan_daily(sf_dir: str):
+    """DBSCAN over the daily (click, purchase) count vectors with a
+    DETERMINISTIC labeling (ε² = lower-median pairwise squared
+    distance // 4, minPts = 5; clusters labeled by min member day,
+    borders adopt the smallest core-neighbor label): the
+    density-based companion of kmeans_assign that needs no k and
+    marks noise days explicitly.  Exact integer distances; the
+    day-bounded sweep runs driver-side, the oracle replays core
+    detection + min-label closure as a recursive CTE."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    pts = {d: (series["click"].get(d, 0), series["purchase"].get(d, 0))
+           for d in days}
+    ids = sorted(pts)
+    X = np.asarray([pts[i] for i in ids], dtype=np.int64)
+    sq = np.einsum("ij,ij->i", X, X)
+    D = sq[:, None] + sq[None, :] - 2 * (X @ X.T)
+    iu = np.triu_indices(len(ids), 1)
+    dv = np.sort(D[iu])
+    eps_sq = int(dv[(len(dv) + 1) // 2 - 1]) // 4 if len(dv) else 0
+    labels = dbscan_labels(pts, eps_sq, _DBSCAN_MINPTS)
+    vals = list(labels.values())
+    clusters = sorted({v for v in vals if v is not None})
+    sizes = {c: sum(1 for v in vals if v == c) for c in clusters}
+    largest = max(sizes.values()) if sizes else 0
+    return pa.table({
+        "eps_sq": pa.array([eps_sq], pa.int64()),
+        "n_points": pa.array([len(vals)], pa.int64()),
+        "n_clusters": pa.array([len(clusters)], pa.int64()),
+        "n_noise": pa.array([sum(1 for v in vals if v is None)],
+                            pa.int64()),
+        "largest_cluster": pa.array([largest], pa.int64()),
+    })
+
+
+SQL_DBSCAN_DAILY = f"""
+WITH RECURSIVE grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+c AS (
+  SELECT grid.day,
+         coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+dist AS (
+  SELECT a.day AS i, b.day AS j,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM c a JOIN c b ON a.day <> b.day),
+eps AS (
+  SELECT d2 // 4 AS e FROM (
+    SELECT d2, row_number() OVER (ORDER BY d2) AS rk,
+           count(*) OVER () AS m
+    FROM dist WHERE i < j) WHERE rk = (m + 1) // 2),
+nbr AS (SELECT i, j FROM dist, eps WHERE d2 <= eps.e),
+core AS (SELECT i AS v FROM nbr GROUP BY 1
+         HAVING count(*) >= {_DBSCAN_MINPTS}),
+ce AS (SELECT nbr.i AS s, nbr.j AS d FROM nbr
+       JOIN core c1 ON c1.v = nbr.i JOIN core c2 ON c2.v = nbr.j),
+reach(a, b) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT reach.a, ce.d FROM reach JOIN ce ON ce.s = reach.b),
+lab AS (SELECT a AS v, min(b) AS lab FROM reach GROUP BY 1),
+border AS (
+  SELECT nbr.i AS v, min(lab.lab) AS lab
+  FROM nbr JOIN lab ON lab.v = nbr.j
+  WHERE nbr.i NOT IN (SELECT v FROM core)
+  GROUP BY 1),
+alllab AS (
+  SELECT v, lab FROM lab UNION ALL SELECT v, lab FROM border),
+stats AS (
+  SELECT CAST(count(DISTINCT lab) AS BIGINT) AS n_clusters,
+         CAST(max(cnt) AS BIGINT) AS largest
+  FROM (SELECT lab, count(*) AS cnt FROM alllab GROUP BY 1))
+SELECT (SELECT CAST(e AS BIGINT) FROM eps) AS eps_sq,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_points,
+       coalesce(stats.n_clusters, 0) AS n_clusters,
+       (SELECT CAST(count(*) AS BIGINT) FROM c)
+         - (SELECT CAST(count(*) AS BIGINT) FROM alllab) AS n_noise,
+       coalesce(stats.largest, 0) AS largest_cluster
+FROM stats
+"""
+
+QUERIES["dbscan_daily"] = (q_dbscan_daily, SQL_DBSCAN_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# kmedoids_build_daily — robust k-medoids (PAM BUILD), k = 3
+# ---------------------------------------------------------------------------
+
+
+def kmedoids_build(pts: dict, k: int = 3):
+    """PAM BUILD greedy medoid selection under L1 distance over
+    integer points: first medoid minimizes total L1 (tie → smaller
+    id); each next minimizes the resulting Σ min-distance.  Exact
+    integers; returns [(step, medoid_id, total_cost)]."""
+    ids = sorted(pts)
+    X = np.asarray([pts[i] for i in ids], dtype=np.int64)
+    D = np.abs(X[:, None, :] - X[None, :, :]).sum(axis=2)
+    out = []
+    cur = None
+    chosen = []
+    for step in range(1, k + 1):
+        best = None
+        for cand in range(len(ids)):
+            if cand in chosen:
+                continue
+            cost = int(np.minimum(cur, D[cand]).sum()) if cur is not None \
+                else int(D[cand].sum())
+            key = (cost, ids[cand])
+            if best is None or key < best[0]:
+                best = (key, cand)
+        (cost, _), cand = best
+        chosen.append(cand)
+        cur = D[cand] if cur is None else np.minimum(cur, D[cand])
+        out.append((step, ids[cand], cost))
+    return out
+
+
+def q_kmedoids_build_daily(sf_dir: str):
+    """k-medoids (PAM BUILD, k=3, L1 distance) over daily (click,
+    purchase) vectors: actual DAYS become the cluster prototypes —
+    the robust, outlier-proof companion of kmeans_lloyd (whose means
+    an extreme day can drag).  Greedy BUILD with exact integer costs
+    and smaller-day tie-breaks; the oracle unrolls the three argmin
+    steps over the pair-distance table."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    pts = {d: (series["click"].get(d, 0), series["purchase"].get(d, 0))
+           for d in days}
+    rows = kmedoids_build(pts)
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "medoid_day": pa.array([r[1] for r in rows], pa.int64()),
+        "total_cost": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_KMEDOIDS_BUILD_DAILY = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+c AS (
+  SELECT grid.day,
+         coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+dist AS (
+  SELECT a.day AS p, b.day AS q,
+         abs(a.x - b.x) + abs(a.y - b.y) AS d
+  FROM c a JOIN c b ON TRUE),
+m1 AS (
+  SELECT q AS med, sum(d) AS cost FROM dist GROUP BY 1
+  ORDER BY sum(d), q LIMIT 1),
+c1 AS (SELECT p, d AS cur FROM dist, m1 WHERE q = m1.med),
+m2 AS (
+  SELECT dist.q AS med, sum(least(c1.cur, dist.d)) AS cost
+  FROM dist JOIN c1 USING (p), m1
+  WHERE dist.q <> m1.med
+  GROUP BY 1 ORDER BY 2, 1 LIMIT 1),
+c2 AS (SELECT c1.p, least(c1.cur, dist.d) AS cur
+       FROM c1 JOIN dist ON dist.p = c1.p, m2 WHERE dist.q = m2.med),
+m3 AS (
+  SELECT dist.q AS med, sum(least(c2.cur, dist.d)) AS cost
+  FROM dist JOIN c2 USING (p), m1, m2
+  WHERE dist.q <> m1.med AND dist.q <> m2.med
+  GROUP BY 1 ORDER BY 2, 1 LIMIT 1)
+SELECT 1 AS step, CAST(m1.med AS BIGINT) AS medoid_day,
+       CAST(m1.cost AS BIGINT) AS total_cost FROM m1
+UNION ALL
+SELECT 2, CAST(m2.med AS BIGINT), CAST(m2.cost AS BIGINT) FROM m2
+UNION ALL
+SELECT 3, CAST(m3.med AS BIGINT), CAST(m3.cost AS BIGINT) FROM m3
+ORDER BY 1
+"""
+
+QUERIES["kmedoids_build_daily"] = (q_kmedoids_build_daily,
+                                   SQL_KMEDOIDS_BUILD_DAILY)

@@ -957,3 +957,55 @@ def test_ipf_preserves_zero_cells():
     seed = [[0, 5], [5, 5]]
     fitted, _ = ipf_rake(seed, [10, 10], [8, 12], sweeps=10)
     assert fitted[0][0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN + k-medoids
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    dbscan_labels, kmedoids_build)
+
+
+def test_dbscan_two_blobs_and_noise():
+    pts = {}
+    i = 0
+    for dx in range(5):
+        for dy in range(5):
+            pts[i] = (dx, dy)
+            i += 1
+            pts[i] = (100 + dx, 100 + dy)
+            i += 1
+    pts[999] = (50, 50)           # isolated noise
+    labels = dbscan_labels(pts, eps_sq=8, min_pts=4)
+    labs = {v for v in labels.values() if v is not None}
+    assert len(labs) == 2
+    assert labels[999] is None
+    # blob members share one label each
+    blob1 = {labels[k] for k, v in pts.items()
+             if v[0] < 50 and k != 999}
+    assert len(blob1) == 1
+
+
+def test_dbscan_min_pts_gate():
+    # 3 mutually-close points with min_pts=5 -> all noise
+    pts = {0: (0, 0), 1: (1, 0), 2: (0, 1)}
+    labels = dbscan_labels(pts, eps_sq=4, min_pts=5)
+    assert all(v is None for v in labels.values())
+
+
+def test_kmedoids_build_three_blobs():
+    pts = {}
+    i = 0
+    for cx, cy in [(0, 0), (100, 0), (0, 100)]:
+        for d in range(7):
+            pts[i] = (cx + d % 3, cy + d // 3)
+            i += 1
+    rows = kmedoids_build(pts, k=3)
+    meds = [pts[m] for _, m, _ in rows]
+    # one medoid lands in each blob
+    quads = {(x > 50, y > 50) for x, y in meds}
+    assert len(quads) == 3
+    # cost strictly decreases as medoids are added
+    costs = [c for _, _, c in rows]
+    assert costs[0] > costs[1] > costs[2]
