@@ -256,6 +256,65 @@ BENCH_EXTRA = [
     "friedman_types_daily",
     "cramers_v_type_hour",
     "brown_forsythe_types",
+    # session-10 operators
+    "theil_u_type_hour",
+    "gamma_somers_qty_discount",
+    "transfer_entropy_click_purchase",
+    "permutation_entropy_hourly",
+    "sample_entropy_daily",
+    "higuchi_fd_daily",
+    "arch_lm_daily",
+    "erlang_c_staffing",
+    "nn_matched_att",
+    "rdd_acctbal_orders",
+    "matrix_profile_daily",
+    "rake_keywords",
+    "pages_trend_test",
+    "cochran_armitage_trend",
+    "james_stein_type_means",
+    "domain_tier_modularity",
+    "dfa_alpha_daily",
+    "lz76_complexity_daily",
+    "hoeffding_d_qty_discount",
+    "blomqvist_beta_qty_price",
+    "distance_corr_click_purchase",
+    "process_footprint_matrix",
+    "allan_variance_hourly",
+    "domain_spectral_radius",
+    "assoc_rules_types",
+    "deming_regression_qty_price",
+    "source_braycurtis_matrix",
+    "half_sample_mode_daily",
+    "mcf_purchases",
+    "token_burstiness",
+    "ridge_price_fit",
+    "cca_daily_types",
+    "cep_no_error_conversion",
+    "hotelling_t2_weekend",
+    "tukey_hsd_types",
+    "partition_skew_audit",
+    "dup_share_by_source",
+    "benford_mad_by_source",
+    "rayleigh_time_of_day",
+    "domain_mst_weight",
+    "circular_linear_corr_value",
+    "gini_covariance_qty_price",
+    "median_polish_dow_hour",
+    "lof_daily_outliers",
+    "fe_within_slope_nation",
+    "smallworld_sigma",
+    "pettitt_changepoint_daily",
+    "bass_diffusion_fit",
+    "siegel_repeated_median",
+    "ipf_dow_hour",
+    "dbscan_daily",
+    "kmedoids_build_daily",
+    "hmm_forward_loglik",
+    "hill_numbers_by_source",
+    "tier1_pagerank_enrichment",
+    "jaro_winkler_name_pairs",
+    "webgraph_bowtie",
+    "seasonal_esd_hours",
 ]
 
 

@@ -5894,3 +5894,652 @@ ORDER BY 1
 
 QUERIES["kmedoids_build_daily"] = (q_kmedoids_build_daily,
                                    SQL_KMEDOIDS_BUILD_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# hmm_forward_loglik — HMM evaluation (forward algorithm)
+# ---------------------------------------------------------------------------
+
+_HMM_T = ((0.8, 0.2), (0.3, 0.7))       # state transition
+_HMM_E = ((0.9, 0.1), (0.2, 0.8))       # P(obs | state), obs ∈ {0,1}
+
+
+def hmm_forward(obs) -> tuple:
+    """Scaled forward algorithm for the fixed 2-state HMM: returns
+    (n, loglik).  The per-step expression tree (two mixes, one
+    normalize, one log) is mirrored verbatim by the oracle's
+    recursive CTE so the float recursion is bit-identical."""
+    t00, t01 = _HMM_T[0]
+    t10, t11 = _HMM_T[1]
+    n = len(obs)
+    if n == 0:
+        return 0, None
+    e0 = _HMM_E[0][obs[0]]
+    e1 = _HMM_E[1][obs[0]]
+    a0 = 0.5 * e0
+    a1 = 0.5 * e1
+    c = a0 + a1
+    ll = math.log(c)
+    a0, a1 = a0 / c, a1 / c
+    for o in obs[1:]:
+        e0 = _HMM_E[0][o]
+        e1 = _HMM_E[1][o]
+        na0 = (a0 * t00 + a1 * t10) * e0
+        na1 = (a0 * t01 + a1 * t11) * e1
+        c = na0 + na1
+        ll = ll + math.log(c)
+        a0, a1 = na0 / c, na1 / c
+    return n, ll
+
+
+def q_hmm_forward_loglik(sf_dir: str):
+    """HMM EVALUATION (the forward algorithm) on daily revenue
+    binarized at its lower median: the scaled log-likelihood of the
+    fixed 2-state calm/busy model — the probability-of-sequence
+    companion of viterbi_volume_states (which only decodes the MAP
+    path).  Per-step float recursion shares its exact expression
+    tree with the oracle's recursive CTE, so 2,400 sequential steps
+    stay bit-identical across engines."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    x = cents.tolist()
+    srt = sorted(x)
+    thr = srt[(len(srt) + 1) // 2 - 1]
+    obs = [1 if v > thr else 0 for v in x]
+    n, ll = hmm_forward(obs)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "threshold_cents": pa.array([int(thr)], pa.int64()),
+        "loglik": pa.array([round(ll, 6) if ll is not None else None],
+                           pa.float64()),
+        "loglik_per_day": pa.array(
+            [round(ll / n, 6) if ll is not None and n else None],
+            pa.float64()),
+    })
+
+
+SQL_HMM_FORWARD_LOGLIK = """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+thr AS (
+  SELECT cents AS t FROM (
+    SELECT cents, row_number() OVER (ORDER BY cents) AS rk,
+           count(*) OVER () AS n FROM d)
+  WHERE rk = (n + 1) // 2),
+s AS (
+  SELECT row_number() OVER (ORDER BY day) AS pos,
+         CASE WHEN cents > thr.t THEN 1 ELSE 0 END AS o
+  FROM d, thr),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+fwd(pos, a0, a1, ll) AS (
+  SELECT CAST(1 AS BIGINT),
+         (0.5 * (CASE WHEN o = 0 THEN 0.9 ELSE 0.1 END))
+           / (0.5 * (CASE WHEN o = 0 THEN 0.9 ELSE 0.1 END)
+              + 0.5 * (CASE WHEN o = 0 THEN 0.2 ELSE 0.8 END)),
+         (0.5 * (CASE WHEN o = 0 THEN 0.2 ELSE 0.8 END))
+           / (0.5 * (CASE WHEN o = 0 THEN 0.9 ELSE 0.1 END)
+              + 0.5 * (CASE WHEN o = 0 THEN 0.2 ELSE 0.8 END)),
+         ln(0.5 * (CASE WHEN o = 0 THEN 0.9 ELSE 0.1 END)
+            + 0.5 * (CASE WHEN o = 0 THEN 0.2 ELSE 0.8 END))
+  FROM s WHERE pos = 1
+  UNION ALL
+  SELECT st.pos, st.na0 / st.c, st.na1 / st.c, st.ll + ln(st.c)
+  FROM (
+    SELECT s.pos,
+           (f.a0 * 0.8 + f.a1 * 0.3)
+             * (CASE WHEN s.o = 0 THEN 0.9 ELSE 0.1 END) AS na0,
+           (f.a0 * 0.2 + f.a1 * 0.7)
+             * (CASE WHEN s.o = 0 THEN 0.2 ELSE 0.8 END) AS na1,
+           (f.a0 * 0.8 + f.a1 * 0.3)
+             * (CASE WHEN s.o = 0 THEN 0.9 ELSE 0.1 END)
+           + (f.a0 * 0.2 + f.a1 * 0.7)
+             * (CASE WHEN s.o = 0 THEN 0.2 ELSE 0.8 END) AS c,
+           f.ll
+    FROM fwd f JOIN s ON s.pos = f.pos + 1) st)
+SELECT (SELECT n FROM nn) AS n_days,
+       (SELECT CAST(t AS BIGINT) FROM thr) AS threshold_cents,
+       round(ll, 6) AS loglik,
+       round(ll / (SELECT n FROM nn), 6) AS loglik_per_day
+FROM fwd WHERE pos = (SELECT n FROM nn)
+"""
+
+QUERIES["hmm_forward_loglik"] = (q_hmm_forward_loglik,
+                                 SQL_HMM_FORWARD_LOGLIK)
+
+
+# ---------------------------------------------------------------------------
+# hill_numbers_by_source — diversity profile (Hill numbers q=0,1,2)
+# ---------------------------------------------------------------------------
+
+
+def q_hill_numbers_by_source(sf_dir: str):
+    """Hill-number diversity profile of each source's token
+    distribution: ⁰D = richness, ¹D = exp(Shannon), ²D = 1/Simpson —
+    the effective-species spectrum that unifies
+    source_token_entropy / source_hapax_ratio on one scale (equal
+    values ⇔ perfectly even vocabulary).  One vocab-bounded
+    (source, token) shuffle; exact integer counts, float closure
+    over the bounded vocabulary."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = t.column("source").take(par)
+        g = pa.table({"source": src, "token": flat}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "c"])
+
+    m = _partial_final(ds, partial, ["source", "token"], [("c", "sum")])
+    hist = {}
+    for s, c in zip(m.column("source").to_pylist(),
+                    np.asarray(m.column("c"), dtype=np.int64)):
+        hist.setdefault(s, []).append(int(c))
+    sources = sorted(hist)
+    rows = []
+    for s in sources:
+        cs = hist[s]
+        n = sum(cs)
+        h = -sum(c / n * math.log(c / n) for c in cs)
+        simpson = sum(c * c for c in cs) / (float(n) * n)
+        rows.append((s, n, len(cs), math.exp(h), 1.0 / simpson))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "hill_q0": pa.array([r[2] for r in rows], pa.int64()),
+        "hill_q1": pa.array([round(r[3], 6) for r in rows],
+                            pa.float64()),
+        "hill_q2": pa.array([round(r[4], 6) for r in rows],
+                            pa.float64()),
+    })
+
+
+SQL_HILL_NUMBERS_BY_SOURCE = """
+WITH h AS (
+  SELECT source, token, count(*) AS c
+  FROM (SELECT source,
+               unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents)
+  GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1)
+SELECT h.source, tot.n AS n_tokens,
+       CAST(count(*) AS BIGINT) AS hill_q0,
+       round(exp(-sum(CAST(c AS DOUBLE) / tot.n
+                      * ln(CAST(c AS DOUBLE) / tot.n))), 6) AS hill_q1,
+       round(1.0 / (sum(CAST(c AS DOUBLE) * c)
+                    / (CAST(tot.n AS DOUBLE) * tot.n)), 6) AS hill_q2
+FROM h JOIN tot USING (source)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["hill_numbers_by_source"] = (q_hill_numbers_by_source,
+                                     SQL_HILL_NUMBERS_BY_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# tier1_pagerank_enrichment — hypergeometric over-representation
+# ---------------------------------------------------------------------------
+
+_ENRICH_TOP = 10
+
+
+def hypergeom_sf(x: int, N: int, K: int, n: int) -> float:
+    """P(X ≥ x) for the hypergeometric(N, K, n), via lgamma so the
+    oracle shares the expression tree."""
+    lg = math.lgamma
+
+    def pmf_log(k):
+        return (lg(K + 1) - lg(k + 1) - lg(K - k + 1)
+                + lg(N - K + 1) - lg(n - k + 1) - lg(N - K - n + k + 1)
+                - (lg(N + 1) - lg(n + 1) - lg(N - n + 1)))
+
+    return sum(math.exp(pmf_log(k))
+               for k in range(x, min(K, n) + 1))
+
+
+def q_tier1_pagerank_enrichment(sf_dir: str):
+    """Gene-set-style enrichment test: are tier-1 domains
+    over-represented in the PageRank top-10?  x = tier-1 hits among
+    the top n=10 (ranking by ROUNDED pagerank desc, domain — the
+    deterministic order both engines share), hypergeometric
+    P(X ≥ x) via lgamma — the ranked-list companion of
+    fisher_exact_urgent_status.  Reuses domain_pagerank's
+    oracle-pinned scores."""
+    from .queries import QUERIES as _Q
+    pr = _Q["domain_pagerank"][0](sf_dir)
+    doms = pr.column("domain").to_pylist()
+    scores = [round(float(v), 6)
+              for v in pr.column("pagerank").to_pylist()]
+
+    def is_t1(dom):
+        try:
+            return int(dom[len("example"):-len(".com")]) < 5
+        except (ValueError, AttributeError):
+            return False
+
+    order = sorted(range(len(doms)), key=lambda i: (-scores[i], doms[i]))
+    top = order[:_ENRICH_TOP]
+    N = len(doms)
+    K = sum(1 for d in doms if is_t1(d))
+    x = sum(1 for i in top if is_t1(doms[i]))
+    n = min(_ENRICH_TOP, N)
+    p = hypergeom_sf(x, N, K, n) if N >= n else None
+    return pa.table({
+        "n_domains": pa.array([N], pa.int64()),
+        "n_tier1": pa.array([K], pa.int64()),
+        "tier1_in_top": pa.array([x], pa.int64()),
+        "p_enrichment": pa.array(
+            [round(min(p, 1.0), 6) if p is not None else None],
+            pa.float64()),
+    })
+
+
+def _sql_tier1_pagerank_enrichment() -> str:
+    from .queries import SQL_DOMAIN_PAGERANK
+    return f"""
+WITH pr AS ({SQL_DOMAIN_PAGERANK}),
+flagged AS (
+  SELECT domain, pagerank,
+         CAST(regexp_extract(domain, '^example(\\d+)\\.com$', 1)
+              AS INT) < 5 AS t1
+  FROM pr),
+nk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_domains,
+         CAST(sum(CASE WHEN t1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tier1
+  FROM flagged),
+top AS (
+  SELECT t1 FROM flagged
+  ORDER BY pagerank DESC, domain LIMIT {_ENRICH_TOP}),
+x AS (SELECT CAST(sum(CASE WHEN t1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS x, CAST(count(*) AS BIGINT) AS n FROM top),
+p AS (
+  SELECT sum(exp(
+    lgamma(nk.n_tier1 + 1) - lgamma(k.k + 1)
+      - lgamma(nk.n_tier1 - k.k + 1)
+    + lgamma(nk.n_domains - nk.n_tier1 + 1) - lgamma(x.n - k.k + 1)
+      - lgamma(nk.n_domains - nk.n_tier1 - x.n + k.k + 1)
+    - (lgamma(nk.n_domains + 1) - lgamma(x.n + 1)
+       - lgamma(nk.n_domains - x.n + 1)))) AS p
+  FROM nk, x,
+       (SELECT unnest(range(0, {_ENRICH_TOP} + 1)) AS k) k
+  WHERE k.k >= x.x AND k.k <= least(nk.n_tier1, x.n))
+SELECT nk.n_domains, nk.n_tier1, x.x AS tier1_in_top,
+       round(least(p.p, 1.0), 6) AS p_enrichment
+FROM nk, x, p
+"""
+
+
+QUERIES["tier1_pagerank_enrichment"] = (q_tier1_pagerank_enrichment,
+                                        _sql_tier1_pagerank_enrichment())
+
+
+# ---------------------------------------------------------------------------
+# jaro_winkler_name_pairs — string-similarity record linkage
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity exactly as DuckDB's vendored rapidfuzz
+    computes it: match window ⌊max/2⌋−1, transpositions halved with
+    INTEGER division, Winkler boost 0.1·prefix≤4 above 0.7, and
+    empty-vs-empty = 0 — pinned against jaro_winkler_similarity in
+    pytest so the oracle can call the built-in."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2          # rapidfuzz halves with integer division
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        l = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            l += 1
+        return jaro + l * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+_JW_MAX_KEY = 200
+_JW_TOP = 10
+
+
+def q_jaro_winkler_name_pairs(sf_dir: str):
+    """Record-linkage similarity: the top-10 most Jaro-Winkler-alike
+    DISTINCT customer-name pairs within the deterministic
+    c_custkey ≤ 200 block — the edit-distance-free fuzzy-match
+    kernel (customer_name_neardups covers Levenshtein).  Top by
+    (rounded sim desc, name_a, name_b); the oracle calls DuckDB's
+    built-in jaro_winkler_similarity, pinned equal to this kernel in
+    pytest."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def part(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t.column("c_custkey"),
+                             pa.scalar(_JW_MAX_KEY))
+        return t.filter(keep).select(["c_name"])
+
+    names = sorted(set(pa.concat_tables(
+        [b for b in ds.map_batches(part, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]).column(
+        "c_name").to_pylist()))
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            rows.append((a, b, round(jaro_winkler(a, b), 6)))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    rows = rows[:_JW_TOP]
+    return pa.table({
+        "name_a": pa.array([r[0] for r in rows], pa.string()),
+        "name_b": pa.array([r[1] for r in rows], pa.string()),
+        "jw_sim": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_JARO_WINKLER_NAME_PAIRS = f"""
+WITH names AS (
+  SELECT DISTINCT c_name AS n FROM customer
+  WHERE c_custkey <= {_JW_MAX_KEY})
+SELECT a.n AS name_a, b.n AS name_b,
+       round(jaro_winkler_similarity(a.n, b.n), 6) AS jw_sim
+FROM names a JOIN names b ON a.n < b.n
+ORDER BY round(jaro_winkler_similarity(a.n, b.n), 6) DESC, a.n, b.n
+LIMIT {_JW_TOP}
+"""
+
+QUERIES["jaro_winkler_name_pairs"] = (q_jaro_winkler_name_pairs,
+                                      SQL_JARO_WINKLER_NAME_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# webgraph_bowtie — Broder bow-tie decomposition of the domain graph
+# ---------------------------------------------------------------------------
+
+
+def bowtie_sizes(n: int, src, dst):
+    """Broder bow-tie decomposition of a directed graph (integer node
+    ids 0..n−1): CORE = largest SCC (ties → the one containing the
+    smallest id), IN = reaches CORE, OUT = reached from CORE, OTHER
+    = the rest.  Boolean-closure driver math; returns (core, in_,
+    out, other) sizes."""
+    R = np.zeros((n, n), dtype=bool)
+    R[src, dst] = True
+    np.fill_diagonal(R, True)
+    for _ in range(max(1, int(math.ceil(math.log2(max(n, 2)))))):
+        R = R | (R @ R)
+    mutual = R & R.T
+    # SCC label = min mutual-reach id
+    labels = np.array([int(np.flatnonzero(mutual[i])[0])
+                       for i in range(n)])
+    uniq, counts = np.unique(labels, return_counts=True)
+    best = uniq[np.lexsort((uniq, -counts))[0]]
+    core = labels == best
+    reaches_core = (R[:, core]).any(axis=1) & ~core
+    reached = (R[core, :]).any(axis=0) & ~core
+    in_ = reaches_core & ~reached
+    out = reached & ~reaches_core
+    other = ~core & ~in_ & ~out
+    return int(core.sum()), int(in_.sum()), int(out.sum()), \
+        int(other.sum())
+
+
+def q_webgraph_bowtie(sf_dir: str):
+    """Broder bow-tie decomposition of the DIRECTED domain link
+    graph: |CORE| (largest SCC), |IN| (reaches the core only), |OUT|
+    (reached from the core only), |OTHER| (tendrils + disconnected)
+    — THE structural census of a web crawl (the reference corpus's
+    macro shape), completing domain_scc which only labels components.
+    Distributed edge distillation; boolean-closure driver math; the
+    oracle reuses the recursive-CTE mutual-reachability closure."""
+    from .queries import q_domain_link_edges
+    edges = q_domain_link_edges(sf_dir)
+    sa = edges.column("src_domain").to_pylist()
+    da = edges.column("dst_domain").to_pylist()
+    pairs = [(s, d) for s, d in zip(sa, da)
+             if s and d and s != d]
+    names = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(names)}
+    src = np.asarray([idx[s] for s, _ in pairs], dtype=np.int64)
+    dst = np.asarray([idx[d] for _, d in pairs], dtype=np.int64)
+    core, in_, out, other = bowtie_sizes(len(names), src, dst)
+    return pa.table({
+        "n_domains": pa.array([len(names)], pa.int64()),
+        "core": pa.array([core], pa.int64()),
+        "in_": pa.array([in_], pa.int64()),
+        "out_": pa.array([out], pa.int64()),
+        "other": pa.array([other], pa.int64()),
+    })
+
+
+def _sql_webgraph_bowtie() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH RECURSIVE hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                      regexp_extract(dst, '{_DOM_RE}', 1) AS d
+      FROM hrefs),
+ed AS (SELECT s, d FROM e WHERE s <> d AND s <> '' AND d <> ''),
+nodes AS (SELECT DISTINCT v FROM
+          (SELECT s AS v FROM ed UNION ALL SELECT d FROM ed)),
+reach(a, b) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT reach.a, ed.d FROM reach JOIN ed ON ed.s = reach.b),
+scc AS (
+  SELECT r1.a AS v, min(r1.b) AS lab
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY 1),
+core_lab AS (
+  SELECT lab FROM (SELECT lab, count(*) AS c FROM scc GROUP BY 1)
+  ORDER BY c DESC, lab LIMIT 1),
+core AS (SELECT v FROM scc, core_lab WHERE scc.lab = core_lab.lab),
+rc AS (  -- reaches core (excl. core)
+  SELECT DISTINCT reach.a AS v FROM reach
+  JOIN core ON core.v = reach.b
+  WHERE reach.a NOT IN (SELECT v FROM core)),
+fc AS (  -- reached from core (excl. core)
+  SELECT DISTINCT reach.b AS v FROM reach
+  JOIN core ON core.v = reach.a
+  WHERE reach.b NOT IN (SELECT v FROM core))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_domains,
+       (SELECT CAST(count(*) AS BIGINT) FROM core) AS core,
+       (SELECT CAST(count(*) AS BIGINT) FROM rc
+        WHERE v NOT IN (SELECT v FROM fc)) AS in_,
+       (SELECT CAST(count(*) AS BIGINT) FROM fc
+        WHERE v NOT IN (SELECT v FROM rc)) AS out_,
+       (SELECT CAST(count(*) AS BIGINT) FROM nodes
+        WHERE v NOT IN (SELECT v FROM core)
+          AND NOT (v IN (SELECT v FROM rc)
+                   AND v NOT IN (SELECT v FROM fc))
+          AND NOT (v IN (SELECT v FROM fc)
+                   AND v NOT IN (SELECT v FROM rc))) AS other
+FROM nodes LIMIT 1
+"""
+
+
+QUERIES["webgraph_bowtie"] = (q_webgraph_bowtie,
+                              _sql_webgraph_bowtie())
+
+
+# ---------------------------------------------------------------------------
+# seasonal_esd_hours — S-H-ESD: ESD on median-polish residuals
+# ---------------------------------------------------------------------------
+
+_SESD_K = 3
+
+
+def esd_rounds(cells, k: int = _SESD_K):
+    """Generalized ESD sweep over integer (id, value) cells: each
+    round flags the cell maximizing |v − mean|/std of the REMAINING
+    cells (tie → smallest id) and removes it.  Means/stds float from
+    exact integer moments.  Returns [(id, value, G)]."""
+    live = dict(cells)
+    out = []
+    for _ in range(k):
+        n = len(live)
+        if n < 3:
+            break
+        s = sum(live.values())
+        s2 = sum(v * v for v in live.values())
+        var_num = n * s2 - s * s
+        if var_num <= 0:
+            break
+        std = math.sqrt(float(var_num)) / n
+        mean = s / n
+        best = None
+        for i in sorted(live):
+            g = abs(live[i] - mean) / std
+            if best is None or g > best[1]:   # ties keep smallest id
+                best = (i, g)
+        out.append((best[0], live[best[0]], best[1]))
+        del live[best[0]]
+    return out
+
+
+def q_seasonal_esd_hours(sf_dir: str):
+    """Seasonal-hybrid ESD (the Twitter anomaly recipe): remove the
+    dow × hour seasonal structure with the ROBUST median polish, then
+    run k=3 rounds of generalized ESD on the integer residual cells —
+    anomalous (dow, hour) slots that survive seasonality removal,
+    where raw z-scores (anomaly_hour_levels) would flag every rush
+    hour.  Exact integer residuals; each round's argmax |v−x̄|/s
+    shares its float tree with the oracle's unrolled CTEs."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = tsv // _DAY_US
+        g = pa.table({"dow": pa.array(day % 7),
+                      "hh": pa.array((tsv // _HOUR_US) % 24)}) \
+            .group_by(["dow", "hh"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dow", "hh", "c"])
+
+    m = _partial_final(ds, partial, ["dow", "hh"], [("c", "sum")])
+    grid = np.zeros((7, 24), dtype=np.int64)
+    for d, h, c in zip(np.asarray(m.column("dow"), dtype=np.int64),
+                       np.asarray(m.column("hh"), dtype=np.int64),
+                       np.asarray(m.column("c"), dtype=np.int64)):
+        grid[int(d), int(h)] = int(c)
+    g2 = [row[:] for row in grid.tolist()]
+    re_, ce, _ = median_polish(grid.tolist())
+    cells = {}
+    for i in range(7):
+        for j in range(24):
+            cells[i * 24 + j] = g2[i][j] - re_[i] - ce[j]
+    rounds = esd_rounds(cells)
+    return pa.table({
+        "round": pa.array(list(range(1, len(rounds) + 1)), pa.int64()),
+        "dow": pa.array([r[0] // 24 for r in rounds], pa.int64()),
+        "hh": pa.array([r[0] % 24 for r in rounds], pa.int64()),
+        "residual": pa.array([r[1] for r in rounds], pa.int64()),
+        "esd_g": pa.array([round(r[2], 6) for r in rounds],
+                          pa.float64()),
+    })
+
+
+def _sql_seasonal_esd_hours() -> str:
+    # residual grid = the median_polish_dow_hour pipeline's g4, with
+    # cell id = dow*24+hh; three unrolled argmax-remove rounds
+    rounds = []
+    live = "g4x"
+    for r in range(1, _SESD_K + 1):
+        rounds.append(f"""st{r} AS (
+  SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS s2 FROM {live}),
+pick{r} AS (
+  SELECT id, v,
+         abs(v - CAST(s AS DOUBLE) / n)
+           / (sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n) AS g
+  FROM {live}, st{r}
+  WHERE n >= 3 AND n * s2 - s * s > 0
+  ORDER BY g DESC, id LIMIT 1),
+live{r} AS (SELECT {live}.* FROM {live}, pick{r}
+            WHERE {live}.id <> pick{r}.id)""")
+        live = f"live{r}"
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, CAST(id // 24 AS BIGINT) AS dow, "
+        f"CAST(id % 24 AS BIGINT) AS hh, CAST(v AS BIGINT) AS residual,"
+        f" round(g, 6) AS esd_g FROM pick{r}"
+        for r in range(1, _SESD_K + 1))
+    return f"""
+WITH grid AS (
+  SELECT d.dow, h.hh, coalesce(c.c, 0) AS v
+  FROM (SELECT unnest(range(0, 7)) AS dow) d
+  JOIN (SELECT unnest(range(0, 24)) AS hh) h ON TRUE
+  LEFT JOIN (
+    SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS dow,
+           (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hh,
+           count(*) AS c
+    FROM events GROUP BY 1, 2) c USING (dow, hh)),
+rm1 AS (
+  SELECT dow, v AS med FROM (
+    SELECT dow, v, row_number() OVER (PARTITION BY dow ORDER BY v)
+             AS rk
+    FROM grid) WHERE rk = (24 + 1) // 2),
+g1 AS (SELECT g.dow, g.hh, g.v - rm1.med AS v
+       FROM grid g JOIN rm1 USING (dow)),
+cm1 AS (
+  SELECT hh, v AS med FROM (
+    SELECT hh, v, row_number() OVER (PARTITION BY hh ORDER BY v) AS rk
+    FROM g1) WHERE rk = (7 + 1) // 2),
+g2 AS (SELECT g.dow, g.hh, g.v - cm1.med AS v
+       FROM g1 g JOIN cm1 USING (hh)),
+rm2 AS (
+  SELECT dow, v AS med FROM (
+    SELECT dow, v, row_number() OVER (PARTITION BY dow ORDER BY v)
+             AS rk
+    FROM g2) WHERE rk = (24 + 1) // 2),
+g3 AS (SELECT g.dow, g.hh, g.v - rm2.med AS v
+       FROM g2 g JOIN rm2 USING (dow)),
+cm2 AS (
+  SELECT hh, v AS med FROM (
+    SELECT hh, v, row_number() OVER (PARTITION BY hh ORDER BY v) AS rk
+    FROM g3) WHERE rk = (7 + 1) // 2),
+-- residual vs the ACCUMULATED effects (matches the driver's
+-- grid - row_eff - col_eff, not g4's leftover after sweeps)
+g4x AS (
+  SELECT g.dow * 24 + g.hh AS id,
+         g.v - (rm1.med + rm2.med) - (cm1.med + cm2.med) AS v
+  FROM grid g
+  JOIN rm1 USING (dow) JOIN rm2 USING (dow)
+  JOIN cm1 USING (hh) JOIN cm2 USING (hh)),
+{", ".join(rounds)}
+{sel} ORDER BY round
+"""
+
+
+QUERIES["seasonal_esd_hours"] = (q_seasonal_esd_hours,
+                                 _sql_seasonal_esd_hours())

@@ -1009,3 +1009,97 @@ def test_kmedoids_build_three_blobs():
     # cost strictly decreases as medoids are added
     costs = [c for _, _, c in rows]
     assert costs[0] > costs[1] > costs[2]
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler, HMM forward, hypergeometric
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    hmm_forward, hypergeom_sf, jaro_winkler)
+
+
+def test_jaro_winkler_pins_duckdb_builtin():
+    import random
+
+    import duckdb
+    con = duckdb.connect()
+    random.seed(13)
+    for _ in range(1500):
+        a = ''.join(random.choices('abcdef', k=random.randint(0, 12)))
+        b = ''.join(random.choices('abcdef', k=random.randint(0, 12)))
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-9, (a, b)
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler("", "") == 0.0          # DuckDB convention
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "") == 0.0
+    # textbook MARTHA/MARHTA = 0.961
+    assert abs(jaro_winkler("MARTHA", "MARHTA") - 0.9611111111) < 1e-9
+
+
+def test_hmm_forward_sanity():
+    # all-zeros sequence is likelier under the 0-favoring start state
+    n0, ll0 = hmm_forward([0] * 200)
+    n1, ll1 = hmm_forward([1] * 200)
+    assert n0 == n1 == 200
+    # both are log-probs (negative), alternating is least likely
+    _, lla = hmm_forward([0, 1] * 100)
+    assert ll0 < 0 and lla < max(ll0, ll1)
+    assert hmm_forward([]) == (0, None)
+
+
+def test_hmm_forward_matches_matrix_product():
+    # brute-force forward via explicit matrix recursion (unscaled)
+    rng = np.random.RandomState(3)
+    obs = (rng.randint(0, 2, size=12)).tolist()
+    T = np.array([[0.8, 0.2], [0.3, 0.7]])
+    E = np.array([[0.9, 0.1], [0.2, 0.8]])
+    a = np.array([0.5, 0.5]) * E[:, obs[0]]
+    for o in obs[1:]:
+        a = (a @ T) * E[:, o]
+    _, ll = hmm_forward(obs)
+    assert abs(ll - math.log(a.sum())) < 1e-9
+
+
+def test_hypergeom_sf():
+    # P(X >= 0) == 1 always
+    assert abs(hypergeom_sf(0, 20, 5, 10) - 1.0) < 1e-12
+    # urn with all successes -> X = n surely
+    assert abs(hypergeom_sf(3, 10, 10, 3) - 1.0) < 1e-12
+    # symmetric small case, exact by enumeration:
+    # N=6, K=3, n=3: P(X>=2) = (C(3,2)C(3,1)+C(3,3))/C(6,3) = 10/20
+    assert abs(hypergeom_sf(2, 6, 3, 3) - 0.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# bow-tie decomposition
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import bowtie_sizes
+
+
+def test_bowtie_textbook_shape():
+    # 0->1->2 form a 3-cycle CORE; 3 -> core (IN); core -> 4 (OUT);
+    # 5 isolated (OTHER); 6 -> 5 tendril (OTHER)
+    src = np.array([0, 1, 2, 3, 2, 6])
+    dst = np.array([1, 2, 0, 0, 4, 5])
+    core, in_, out, other = bowtie_sizes(7, src, dst)
+    assert (core, in_, out, other) == (3, 1, 1, 2)
+
+
+def test_bowtie_all_one_scc():
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 0])
+    assert bowtie_sizes(4, src, dst) == (4, 0, 0, 0)
+
+
+def test_bowtie_pure_chain():
+    # 0->1->2->3: every SCC is a singleton; largest tie -> node 0's
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 3])
+    core, in_, out, other = bowtie_sizes(4, src, dst)
+    assert core == 1 and in_ == 0 and out == 3 and other == 0
