@@ -6543,3 +6543,280 @@ g4x AS (
 
 QUERIES["seasonal_esd_hours"] = (q_seasonal_esd_hours,
                                  _sql_seasonal_esd_hours())
+
+
+# ---------------------------------------------------------------------------
+# fourier_phase_lag_weekly — phase analysis at the weekly cycle
+# ---------------------------------------------------------------------------
+
+
+def q_fourier_phase_lag_weekly(sf_dir: str):
+    """Single-frequency Fourier phase analysis at the 7-day cycle:
+    amplitude and phase of the daily click and purchase series at
+    P=7 (Goertzel-style exact weighted sums over the day grid) and
+    the phase LAG purchase−click converted to days — 'how far behind
+    the weekly browse wave does the buy wave crest?', the
+    frequency-domain companion of event_leadlag_corr.  Integer
+    counts × trig weights over the bounded grid; atan2 closure
+    shared with the oracle."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    two_pi = 2.0 * math.pi
+
+    def coeff(tname):
+        a = b = 0.0
+        for d in days:
+            c = series[tname].get(d, 0)
+            ang = two_pi * (d % 7) / 7.0
+            a += c * math.cos(ang)
+            b += c * math.sin(ang)
+        return a, b
+
+    ax, bx = coeff("click")
+    ay, by = coeff("purchase")
+    n = len(days)
+    amp_x = math.sqrt(ax * ax + bx * bx) / n if n else None
+    amp_y = math.sqrt(ay * ay + by * by) / n if n else None
+    ph_x = math.atan2(bx, ax)
+    ph_y = math.atan2(by, ay)
+    lag = (ph_y - ph_x) % two_pi
+    lag_days = lag / two_pi * 7.0
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "amp_click": pa.array(
+            [round(amp_x, 6) if amp_x is not None else None],
+            pa.float64()),
+        "amp_purchase": pa.array(
+            [round(amp_y, 6) if amp_y is not None else None],
+            pa.float64()),
+        "phase_lag_days": pa.array([round(lag_days, 6)], pa.float64()),
+    })
+
+
+SQL_FOURIER_PHASE_LAG_WEEKLY = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+c AS (
+  SELECT grid.day, coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x * cos(2 * pi() * (day % 7) / 7.0)) AS ax,
+         sum(x * sin(2 * pi() * (day % 7) / 7.0)) AS bx,
+         sum(y * cos(2 * pi() * (day % 7) / 7.0)) AS ay,
+         sum(y * sin(2 * pi() * (day % 7) / 7.0)) AS by_
+  FROM c),
+ph AS (
+  SELECT n, ax, bx, ay, by_,
+         atan2(by_, ay) - atan2(bx, ax) AS dphi
+  FROM s)
+SELECT n AS n_days,
+       round(sqrt(ax * ax + bx * bx) / n, 6) AS amp_click,
+       round(sqrt(ay * ay + by_ * by_) / n, 6) AS amp_purchase,
+       round((CASE WHEN dphi - floor(dphi / (2 * pi())) * 2 * pi() < 0
+                   THEN dphi - floor(dphi / (2 * pi())) * 2 * pi()
+                        + 2 * pi()
+                   ELSE dphi - floor(dphi / (2 * pi())) * 2 * pi()
+              END) / (2 * pi()) * 7.0, 6) AS phase_lag_days
+FROM ph
+"""
+
+QUERIES["fourier_phase_lag_weekly"] = (q_fourier_phase_lag_weekly,
+                                       SQL_FOURIER_PHASE_LAG_WEEKLY)
+
+
+# ---------------------------------------------------------------------------
+# rqa_daily — recurrence quantification analysis
+# ---------------------------------------------------------------------------
+
+
+def rqa_counts(x, eps: int):
+    """RQA over an integer series under |xᵢ−xⱼ| ≤ eps (i<j, off-
+    diagonal): returns (n_recur, n_diag2, n_vert2) — recurrent
+    pairs, pairs whose DIAGONAL successor also recurs (determinism
+    numerator), pairs whose VERTICAL successor recurs (laminarity
+    numerator).  Exact integers, vectorized O(n²)."""
+    xa = np.asarray(x, dtype=np.int64)
+    n = len(xa)
+    R = np.abs(xa[:, None] - xa[None, :]) <= eps
+    iu = np.triu_indices(n, 1)
+    rec = R[iu]
+    n_recur = int(rec.sum())
+    D = R[:-1, :-1] & R[1:, 1:]
+    iu2 = np.triu_indices(n - 1, 1)
+    n_diag2 = int(D[iu2].sum())
+    # vertical: pair (i, j) and (i, j+1) both recur, i < j
+    Vm = R[:, :-1] & R[:, 1:]
+    ii, jj = np.indices(Vm.shape)
+    n_vert2 = int((Vm & (ii < jj)).sum())
+    return n_recur, n_diag2, n_vert2
+
+
+def q_rqa_daily(sf_dir: str):
+    """Recurrence quantification of daily revenue (ε = half the
+    lower-median absolute day-to-day change): recurrence rate,
+    determinism proxy DET₂ = P(diagonal neighbor also recurs) and
+    laminarity proxy LAM₂ = P(vertical neighbor recurs) — the
+    nonlinear-dynamics census (chaotic vs laminar vs stochastic)
+    complementing sample_entropy_daily.  Exact integer pair counts;
+    day-bounded O(n²) driver-side, pair joins in the oracle."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    x = cents.tolist()
+    diffs = sorted(abs(x[i + 1] - x[i]) for i in range(len(x) - 1))
+    eps = int(diffs[(len(diffs) + 1) // 2 - 1]) // 2 if diffs else 0
+    n_recur, n_diag2, n_vert2 = rqa_counts(x, eps)
+    n = len(x)
+    pairs = n * (n - 1) // 2
+    rr = n_recur / pairs if pairs else None
+    det2 = n_diag2 / n_recur if n_recur else None
+    lam2 = n_vert2 / n_recur if n_recur else None
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "eps_cents": pa.array([eps], pa.int64()),
+        "n_recurrent": pa.array([n_recur], pa.int64()),
+        "recurrence_rate": pa.array(
+            [round(rr, 6) if rr is not None else None], pa.float64()),
+        "det2": pa.array(
+            [round(det2, 6) if det2 is not None else None],
+            pa.float64()),
+        "lam2": pa.array(
+            [round(lam2, 6) if lam2 is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_RQA_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT row_number() OVER (ORDER BY day) AS pos, cents AS x
+      FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+eps AS (
+  SELECT ad // 2 AS e FROM (
+    SELECT abs(b.x - a.x) AS ad,
+           row_number() OVER (ORDER BY abs(b.x - a.x)) AS rk,
+           count(*) OVER () AS m
+    FROM s a JOIN s b ON b.pos = a.pos + 1)
+  WHERE rk = (m + 1) // 2),
+rec AS (
+  SELECT a.pos AS i, b.pos AS j
+  FROM s a JOIN s b ON b.pos > a.pos, eps
+  WHERE abs(a.x - b.x) <= eps.e),
+nrec AS (SELECT CAST(count(*) AS BIGINT) AS c FROM rec),
+ndiag AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM rec r1 JOIN rec r2 ON r2.i = r1.i + 1 AND r2.j = r1.j + 1),
+nvert AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM rec r1
+  JOIN s a ON a.pos = r1.i JOIN s b ON b.pos = r1.j + 1, eps
+  WHERE abs(a.x - b.x) <= eps.e AND r1.i < r1.j + 1)
+SELECT (SELECT n FROM nn) AS n_days,
+       (SELECT CAST(e AS BIGINT) FROM eps) AS eps_cents,
+       nrec.c AS n_recurrent,
+       round(CAST(nrec.c AS DOUBLE)
+             / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2),
+             6) AS recurrence_rate,
+       CASE WHEN nrec.c = 0 THEN NULL
+            ELSE round(CAST(ndiag.c AS DOUBLE) / nrec.c, 6)
+       END AS det2,
+       CASE WHEN nrec.c = 0 THEN NULL
+            ELSE round(CAST(nvert.c AS DOUBLE) / nrec.c, 6)
+       END AS lam2
+FROM nrec, ndiag, nvert
+"""
+
+QUERIES["rqa_daily"] = (q_rqa_daily, SQL_RQA_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# crps_persistence_daily — probabilistic forecast scoring
+# ---------------------------------------------------------------------------
+
+_CRPS_W = 28
+
+
+def crps_window_terms(x, w: int = _CRPS_W):
+    """CRPS of the rolling-empirical forecast: for each day t ≥ w the
+    forecast is the empirical distribution of the previous w values;
+    CRPS_t = (1/w)Σᵢ|Xᵢ−y| − (1/2w²)ΣᵢΣⱼ|Xᵢ−Xⱼ|.  Exact integer
+    absolute-difference sums per day; returns (n_scored, Σterm1,
+    Σterm2) with mean CRPS = (Σterm1/w − Σterm2/(2w²))/n."""
+    xa = np.asarray(x, dtype=np.int64)
+    n = len(xa)
+    t1 = 0
+    t2 = 0
+    cnt = 0
+    for t in range(w, n):
+        win = xa[t - w:t]
+        t1 += int(np.abs(win - xa[t]).sum())
+        t2 += int(np.abs(win[:, None] - win[None, :]).sum())
+        cnt += 1
+    return cnt, t1, t2
+
+
+def q_crps_persistence_daily(sf_dir: str):
+    """Mean CRPS of the rolling 28-day empirical forecast of daily
+    revenue — the PROPER probabilistic score (it rewards calibrated
+    spread, unlike the point-error metrics of seasonal_naive_error):
+    CRPS = E|X−y| − ½E|X−X′| per day, averaged.  Both expectations
+    are exact integer |diff| sums over day-bounded windows; one
+    shuffle."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    dollars = (cents // 100).tolist()
+    cnt, t1, t2 = crps_window_terms(dollars)
+    crps = None
+    if cnt:
+        crps = (t1 / _CRPS_W - t2 / (2.0 * _CRPS_W * _CRPS_W)) / cnt
+    return pa.table({
+        "n_scored_days": pa.array([cnt], pa.int64()),
+        "sum_abs_err": pa.array([t1], pa.int64()),
+        "sum_pairwise": pa.array([t2], pa.int64()),
+        "mean_crps_dollars": pa.array(
+            [round(crps, 6) if crps is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_CRPS_PERSISTENCE_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS x
+  FROM orders GROUP BY 1),
+s AS (SELECT row_number() OVER (ORDER BY day) AS pos, x FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+t1 AS (
+  SELECT CAST(sum(abs(w.x - y.x)) AS BIGINT) AS v,
+         CAST(count(DISTINCT y.pos) AS BIGINT) AS cnt
+  FROM s y JOIN s w
+    ON w.pos >= y.pos - {_CRPS_W} AND w.pos < y.pos
+  WHERE y.pos > {_CRPS_W}),
+t2 AS (
+  SELECT CAST(sum(abs(a.x - b.x)) AS BIGINT) AS v
+  FROM s y
+  JOIN s a ON a.pos >= y.pos - {_CRPS_W} AND a.pos < y.pos
+  JOIN s b ON b.pos >= y.pos - {_CRPS_W} AND b.pos < y.pos
+  WHERE y.pos > {_CRPS_W})
+SELECT t1.cnt AS n_scored_days,
+       t1.v AS sum_abs_err,
+       t2.v AS sum_pairwise,
+       CASE WHEN t1.cnt = 0 THEN NULL
+            ELSE round((CAST(t1.v AS DOUBLE) / {_CRPS_W}
+                        - CAST(t2.v AS DOUBLE)
+                          / (2.0 * {_CRPS_W} * {_CRPS_W}))
+                       / t1.cnt, 6) END AS mean_crps_dollars
+FROM t1, t2
+"""
+
+QUERIES["crps_persistence_daily"] = (q_crps_persistence_daily,
+                                     SQL_CRPS_PERSISTENCE_DAILY)

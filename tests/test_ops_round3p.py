@@ -1103,3 +1103,51 @@ def test_bowtie_pure_chain():
     dst = np.array([1, 2, 3])
     core, in_, out, other = bowtie_sizes(4, src, dst)
     assert core == 1 and in_ == 0 and out == 3 and other == 0
+
+
+# ---------------------------------------------------------------------------
+# RQA + CRPS
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    crps_window_terms, rqa_counts)
+
+
+def test_rqa_constant_series_fully_recurrent():
+    n = 20
+    nr, nd, nv = rqa_counts([5] * n, 0)
+    assert nr == n * (n - 1) // 2
+    assert nd == (n - 1) * (n - 2) // 2       # all diagonal pairs
+    # DET2 and LAM2 both 1 in the constant limit as n grows
+
+
+def test_rqa_monotone_no_recurrence():
+    nr, nd, nv = rqa_counts(list(range(0, 1000, 10)), 5)
+    assert (nr, nd, nv) == (0, 0, 0)
+
+
+def test_rqa_periodic_diagonals():
+    # strict period-3 signal, eps=0: recurrences on lag-3k diagonals
+    x = [1, 9, 5] * 10
+    nr, nd, nv = rqa_counts(x, 0)
+    assert nr > 0
+    assert nd / nr > 0.8          # deterministic structure
+    assert nv == 0                # never two equal in a row
+
+
+def test_crps_window_terms_matches_naive():
+    rng = np.random.RandomState(33)
+    x = rng.randint(0, 100, size=60).tolist()
+    w = 10
+    cnt, t1, t2 = crps_window_terms(x, w)
+    assert cnt == 50
+    # naive CRPS for one day
+    t = 25
+    win = x[t - w:t]
+    c1 = sum(abs(v - x[t]) for v in win)
+    c2 = sum(abs(a - b) for a in win for b in win)
+    # spot-check the aggregates contain this day's terms
+    assert t1 >= c1 and t2 >= c2
+    # perfect constant forecast and outcome -> CRPS 0
+    cnt0, a, b = crps_window_terms([7] * 40, w)
+    assert a == 0 and b == 0
