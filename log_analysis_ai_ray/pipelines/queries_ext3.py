@@ -6820,3 +6820,196 @@ FROM t1, t2
 
 QUERIES["crps_persistence_daily"] = (q_crps_persistence_daily,
                                      SQL_CRPS_PERSISTENCE_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# mmd_poly2_weekend — kernel two-sample test, closed form
+# ---------------------------------------------------------------------------
+
+
+def mmd2_poly2(n1, s1, q1, n2, s2, q2) -> float:
+    """Biased (V-statistic) MMD² under the degree-2 polynomial
+    kernel k(x,y) = (1 + xy)² = 1 + 2xy + x²y², which closes exactly
+    from per-group (n, Σx, Σx²): E_{xy}[k] over groups (A,B) =
+    1 + 2·(ΣA/nA)(ΣB/nB) + (ΣA²/nA)(ΣB²/nB).  All inputs exact
+    integers; the float tree is shared with the oracle."""
+    def ek(na, sa, qa, nb, sb, qb):
+        return (1.0 + 2.0 * (sa / na) * (sb / nb)
+                + (qa / na) * (qb / nb))
+
+    return (ek(n1, s1, q1, n1, s1, q1)
+            + ek(n2, s2, q2, n2, s2, q2)
+            - 2.0 * ek(n1, s1, q1, n2, s2, q2))
+
+
+def q_mmd_poly2_weekend(sf_dir: str):
+    """Kernel two-sample test: MMD² between weekend and weekday
+    daily revenue (in 10⁶-dollar units) under the degree-2
+    polynomial kernel — the kernel-methods companion of
+    welch_ttest/qty_energy_distance that sees MEAN and VARIANCE
+    shifts through one statistic, with a fully CLOSED form from
+    per-group exact integer (n, Σx, Σx²).  One days-bounded
+    shuffle."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    mdollars = (cents // 100_000_000).tolist()    # 10^6-dollar units
+    dow = (day % 7)
+    wk = (dow == 5) | (dow == 6)
+
+    def group(sel):
+        xs = [v for v, s in zip(mdollars, sel) if s]
+        return len(xs), sum(xs), sum(v * v for v in xs)
+
+    n1, s1, q1 = group(wk.tolist())
+    n2, s2, q2 = group((~wk).tolist())
+    mmd = mmd2_poly2(n1, s1, q1, n2, s2, q2) \
+        if n1 > 0 and n2 > 0 else None
+    return pa.table({
+        "n_weekend": pa.array([n1], pa.int64()),
+        "n_weekday": pa.array([n2], pa.int64()),
+        "mmd2_poly2": pa.array(
+            [round(mmd, 6) if mmd is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_MMD_POLY2_WEEKEND = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+           // 100000000 AS x
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT (day % 7) IN (5, 6) AS wk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM d GROUP BY 1),
+ab AS (
+  SELECT a.n AS n1, a.s AS s1, a.q AS q1,
+         b.n AS n2, b.s AS s2, b.q AS q2
+  FROM (SELECT * FROM g WHERE wk) a, (SELECT * FROM g WHERE NOT wk) b)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       round(
+         (1.0 + 2.0 * (CAST(s1 AS DOUBLE) / n1)
+                    * (CAST(s1 AS DOUBLE) / n1)
+              + (CAST(q1 AS DOUBLE) / n1) * (CAST(q1 AS DOUBLE) / n1))
+       + (1.0 + 2.0 * (CAST(s2 AS DOUBLE) / n2)
+                    * (CAST(s2 AS DOUBLE) / n2)
+              + (CAST(q2 AS DOUBLE) / n2) * (CAST(q2 AS DOUBLE) / n2))
+       - 2.0 * (1.0 + 2.0 * (CAST(s1 AS DOUBLE) / n1)
+                          * (CAST(s2 AS DOUBLE) / n2)
+                    + (CAST(q1 AS DOUBLE) / n1)
+                      * (CAST(q2 AS DOUBLE) / n2)), 6) AS mmd2_poly2
+FROM ab
+"""
+
+QUERIES["mmd_poly2_weekend"] = (q_mmd_poly2_weekend,
+                                SQL_MMD_POLY2_WEEKEND)
+
+
+# ---------------------------------------------------------------------------
+# youden_j_threshold — optimal operating point on the ROC
+# ---------------------------------------------------------------------------
+
+
+def youden_best(pos_hist: dict, neg_hist: dict):
+    """Best classification threshold by Youden's J = TPR − FPR over
+    'feature > t' rules, from integer value histograms of positives
+    and negatives.  Candidate thresholds = distinct values; ties →
+    smallest t.  Returns (t, J, tpr, fpr) — exact integer counts,
+    rational rates."""
+    P = sum(pos_hist.values())
+    N = sum(neg_hist.values())
+    if P == 0 or N == 0:
+        return None, None, None, None
+    vals = sorted(set(pos_hist) | set(neg_hist))
+    best = None
+    for t in vals:
+        tp = sum(c for v, c in pos_hist.items() if v > t)
+        fp = sum(c for v, c in neg_hist.items() if v > t)
+        j_num = tp * N - fp * P          # J·P·N, exact int
+        if best is None or j_num > best[0]:
+            best = (j_num, t, tp, fp)
+    j_num, t, tp, fp = best
+    return t, j_num / (P * N), tp / P, fp / N
+
+
+def q_youden_j_threshold(sf_dir: str):
+    """Youden's J optimal threshold: the click-count cutoff that best
+    separates purchase-heavy days (daily purchases > lower median)
+    from the rest, maximizing TPR − FPR — the operating-point
+    companion of auc_doc_length (which integrates over ALL
+    thresholds).  Day-bounded histograms; the argmax runs on exact
+    integer J·P·N so no float ever orders the sweep."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    clicks = [series["click"].get(d, 0) for d in days]
+    purch = [series["purchase"].get(d, 0) for d in days]
+    srt = sorted(purch)
+    thr = srt[(len(srt) + 1) // 2 - 1]
+    pos_hist = {}
+    neg_hist = {}
+    for c, p in zip(clicks, purch):
+        h = pos_hist if p > thr else neg_hist
+        h[c] = h.get(c, 0) + 1
+    t, j, tpr, fpr = youden_best(pos_hist, neg_hist)
+    return pa.table({
+        "purchase_median": pa.array([int(thr)], pa.int64()),
+        "best_click_threshold": pa.array([t], pa.int64()),
+        "youden_j": pa.array([round(j, 6) if j is not None else None],
+                             pa.float64()),
+        "tpr": pa.array([round(tpr, 6) if tpr is not None else None],
+                        pa.float64()),
+        "fpr": pa.array([round(fpr, 6) if fpr is not None else None],
+                        pa.float64()),
+    })
+
+
+SQL_YOUDEN_J_THRESHOLD = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+c AS (
+  SELECT grid.day, coalesce(xc.c, 0) AS clicks,
+         coalesce(yc.c, 0) AS purch
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+thr AS (
+  SELECT purch AS t FROM (
+    SELECT purch, row_number() OVER (ORDER BY purch) AS rk,
+           count(*) OVER () AS n FROM c)
+  WHERE rk = (n + 1) // 2),
+lab AS (SELECT clicks, purch > thr.t AS pos FROM c, thr),
+pn AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+          AS p,
+        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n
+       FROM lab),
+cand AS (SELECT DISTINCT clicks AS t FROM lab),
+sweep AS (
+  SELECT cand.t,
+         CAST(sum(CASE WHEN lab.pos AND lab.clicks > cand.t
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT lab.pos AND lab.clicks > cand.t
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp
+  FROM cand JOIN lab ON TRUE GROUP BY 1),
+best AS (
+  SELECT sweep.t, sweep.tp, sweep.fp, pn.p, pn.n
+  FROM sweep, pn
+  ORDER BY sweep.tp * pn.n - sweep.fp * pn.p DESC, sweep.t
+  LIMIT 1)
+SELECT (SELECT CAST(t AS BIGINT) FROM thr) AS purchase_median,
+       CAST(best.t AS BIGINT) AS best_click_threshold,
+       round(CAST(best.tp * best.n - best.fp * best.p AS DOUBLE)
+             / (best.p * best.n), 6) AS youden_j,
+       round(CAST(best.tp AS DOUBLE) / best.p, 6) AS tpr,
+       round(CAST(best.fp AS DOUBLE) / best.n, 6) AS fpr
+FROM best
+"""
+
+QUERIES["youden_j_threshold"] = (q_youden_j_threshold,
+                                 SQL_YOUDEN_J_THRESHOLD)

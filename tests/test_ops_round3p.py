@@ -1151,3 +1151,58 @@ def test_crps_window_terms_matches_naive():
     # perfect constant forecast and outcome -> CRPS 0
     cnt0, a, b = crps_window_terms([7] * 40, w)
     assert a == 0 and b == 0
+
+
+# ---------------------------------------------------------------------------
+# MMD + Youden
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import (  # noqa: E402
+    mmd2_poly2, youden_best)
+
+
+def _mmd2_naive(xs, ys):
+    def k(a, b):
+        return (1.0 + a * b) ** 2
+    exx = sum(k(a, b) for a in xs for b in xs) / len(xs) ** 2
+    eyy = sum(k(a, b) for a in ys for b in ys) / len(ys) ** 2
+    exy = sum(k(a, b) for a in xs for b in ys) / (len(xs) * len(ys))
+    return exx + eyy - 2 * exy
+
+
+def test_mmd2_matches_naive():
+    rng = np.random.RandomState(22)
+    for _ in range(8):
+        xs = rng.randint(0, 10, size=rng.randint(5, 30)).tolist()
+        ys = rng.randint(0, 10, size=rng.randint(5, 30)).tolist()
+        got = mmd2_poly2(len(xs), sum(xs), sum(v * v for v in xs),
+                         len(ys), sum(ys), sum(v * v for v in ys))
+        assert abs(got - _mmd2_naive(xs, ys)) < 1e-9
+
+
+def test_mmd2_identical_zero_and_shift_positive():
+    xs = [1, 2, 3, 4] * 5
+    got = mmd2_poly2(len(xs), sum(xs), sum(v * v for v in xs),
+                     len(xs), sum(xs), sum(v * v for v in xs))
+    assert abs(got) < 1e-12
+    ys = [v + 5 for v in xs]
+    got = mmd2_poly2(len(xs), sum(xs), sum(v * v for v in xs),
+                     len(ys), sum(ys), sum(v * v for v in ys))
+    assert got > 1.0
+    # same mean, different variance is still detected
+    zs = [0, 5] * 10          # mean 2.5 like ws below
+    ws = [2, 3] * 10
+    g2 = mmd2_poly2(len(zs), sum(zs), sum(v * v for v in zs),
+                    len(ws), sum(ws), sum(v * v for v in ws))
+    assert g2 > 0.5
+
+
+def test_youden_perfect_separation():
+    pos = {10: 5, 12: 3}
+    neg = {1: 4, 2: 6}
+    t, j, tpr, fpr = youden_best(pos, neg)
+    assert j == 1.0 and tpr == 1.0 and fpr == 0.0
+    assert 2 <= t < 10
+    # ties -> smallest threshold wins
+    t2, j2, _, _ = youden_best({5: 1}, {5: 1})
+    assert j2 == 0.0
