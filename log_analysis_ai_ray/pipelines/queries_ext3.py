@@ -7013,3 +7013,202 @@ FROM best
 
 QUERIES["youden_j_threshold"] = (q_youden_j_threshold,
                                  SQL_YOUDEN_J_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# lilliefors_daily — KS normality with estimated parameters
+# ---------------------------------------------------------------------------
+
+
+def phi_as(z: float) -> float:
+    """Standard normal CDF via the Abramowitz-Stegun 7.1.26 erf
+    polynomial (|err| < 1.5e-7) — DuckDB ships no erf, so BOTH
+    engines evaluate this exact expression tree."""
+    u = z / math.sqrt(2.0)
+    s = 1.0 if u >= 0 else -1.0
+    a = u if u >= 0 else -u
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    e = 1.0 - (((((1.061405429 * t - 1.453152027) * t)
+                 + 1.421413741) * t - 0.284496736) * t
+               + 0.254829592) * t * math.exp(-a * a)
+    return 0.5 * (1.0 + s * e)
+
+
+def q_lilliefors_daily(sf_dir: str):
+    """Lilliefors test of daily-revenue normality: the KS distance
+    between the empirical CDF and N(μ̂, σ̂²) with BOTH parameters
+    estimated from the data (the correction Kolmogorov's original
+    table gets wrong) — the unbinned companion of ks_uniform_seconds
+    / jarque_bera_values.  μ̂/σ̂ from exact integer moments; Φ via
+    erf — bit-identical in both engines; D = max(D⁺, D⁻) over the
+    sorted day-bounded series."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    x = np.sort(cents.astype(np.float64))
+    n = len(x)
+    s = int(cents.sum())
+    s2 = int((cents.astype(object) * cents.astype(object)).sum())
+    mu = s / n
+    var = (float(n) * float(s2) - float(s) * float(s)) \
+        / (float(n) * (n - 1.0))
+    sd = math.sqrt(var)
+    d_stat = None
+    if sd > 0:
+        dplus = dminus = 0.0
+        for i in range(n):
+            phi = phi_as((x[i] - mu) / sd)
+            dplus = max(dplus, (i + 1) / n - phi)
+            dminus = max(dminus, phi - i / n)
+        d_stat = max(dplus, dminus)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "mean_cents": pa.array([round(mu, 4)], pa.float64()),
+        "sd_cents": pa.array([round(sd, 4)], pa.float64()),
+        "lilliefors_d": pa.array(
+            [round(d_stat, 6) if d_stat is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_LILLIEFORS_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s1,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+  FROM d),
+mu AS (
+  SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+         sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (n - 1.0))) AS sd
+  FROM s),
+rk AS (
+  SELECT CAST(row_number() OVER (ORDER BY cents) AS DOUBLE) AS i,
+         CAST(cents AS DOUBLE) AS x
+  FROM d),
+phi AS (
+  SELECT rk.i, mu.n,
+         0.5 * (1.0 + (CASE WHEN (rk.x - mu.mu) / mu.sd >= 0
+                            THEN 1.0 ELSE -1.0 END)
+           * (1.0 - (((((1.061405429 * t.t - 1.453152027) * t.t)
+                       + 1.421413741) * t.t - 0.284496736) * t.t
+                     + 0.254829592) * t.t * exp(-(a.a * a.a))))
+           AS phi
+  FROM rk, mu,
+       LATERAL (SELECT abs((rk.x - mu.mu) / mu.sd) / sqrt(2.0)
+                AS a) a,
+       LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t),
+dev AS (
+  SELECT greatest(max(i / n - phi), max(phi - (i - 1) / n)) AS d_stat
+  FROM phi GROUP BY n)
+SELECT (SELECT n FROM s) AS n_days,
+       (SELECT round(mu, 4) FROM mu) AS mean_cents,
+       (SELECT round(sd, 4) FROM mu) AS sd_cents,
+       CASE WHEN (SELECT sd FROM mu) > 0
+            THEN round(dev.d_stat, 6) END AS lilliefors_d
+FROM dev
+"""
+
+QUERIES["lilliefors_daily"] = (q_lilliefors_daily, SQL_LILLIEFORS_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# kde_epanechnikov_daily — nonparametric density at probe points
+# ---------------------------------------------------------------------------
+
+
+def q_kde_epanechnikov_daily(sf_dir: str):
+    """Epanechnikov kernel density of daily revenue evaluated at the
+    five exact order-statistic probes (min, lower quartile, lower
+    median, upper quartile, max) with bandwidth h = IQR (integer
+    dollars — cents would push h²·n past int64 at sf0.1): f̂(g) = 3/(4·h·n)·Σ (1 − ((x−g)/h)²)·[|x−g| ≤ h] — the
+    smooth-density companion of equi_depth_price_hist.  The kernel
+    sum is kept as the EXACT integer Σ(h² − (x−g)²) over in-window
+    points (scaled by h²); only the final normalization floats."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    x = np.sort(cents // 100).astype(np.int64)   # whole dollars:
+    # h² · n in cents would pass int64 at sf0.1
+    n = len(x)
+
+    def ostat(q_num, q_den):
+        return int(x[(q_num * n + q_den - 1) // q_den - 1])
+
+    g1 = int(x[0])
+    g2 = ostat(1, 4)
+    g3 = ostat(1, 2)
+    g4 = ostat(3, 4)
+    g5 = int(x[-1])
+    h = g4 - g2                     # IQR in cents
+    probes = [g1, g2, g3, g4, g5]
+    nums, dens = [], []
+    for g in probes:
+        if h <= 0:
+            nums.append(None)
+            dens.append(None)
+            continue
+        diff = x - g
+        inw = np.abs(diff) <= h
+        num = int(sum(int(h) * int(h) - int(v) * int(v)
+                      for v in diff[inw]))
+        nums.append(num)
+        dens.append(3.0 * num / (4.0 * float(h) ** 3 * n))
+    return pa.table({
+        "probe": pa.array(["min", "q1", "median", "q3", "max"],
+                          pa.string()),
+        "grid_dollars": pa.array(probes, pa.int64()),
+        "kernel_num": pa.array(nums, pa.int64()),
+        "density_x1e9": pa.array(
+            [round(d * 1e9, 6) if d is not None else None
+             for d in dens], pa.float64()),
+    })
+
+
+SQL_KDE_EPANECHNIKOV_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS cents
+  FROM orders GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+rk AS (SELECT cents, row_number() OVER (ORDER BY cents) AS r FROM d),
+os AS (
+  SELECT (SELECT cents FROM rk WHERE r = 1) AS g1,
+         (SELECT cents FROM rk, nn
+          WHERE r = (1 * nn.n + 3) // 4) AS g2,
+         (SELECT cents FROM rk, nn
+          WHERE r = (1 * nn.n + 1) // 2) AS g3,
+         (SELECT cents FROM rk, nn
+          WHERE r = (3 * nn.n + 3) // 4) AS g4,
+         (SELECT cents FROM rk, nn WHERE r = nn.n) AS g5),
+probes AS (
+  SELECT 'min' AS probe, g1 AS g, g4 - g2 AS h FROM os
+  UNION ALL SELECT 'q1', g2, g4 - g2 FROM os
+  UNION ALL SELECT 'median', g3, g4 - g2 FROM os
+  UNION ALL SELECT 'q3', g4, g4 - g2 FROM os
+  UNION ALL SELECT 'max', g5, g4 - g2 FROM os),
+ker AS (
+  SELECT p.probe, p.g, p.h,
+         CAST(sum(CASE WHEN abs(d.cents - p.g) <= p.h
+                  THEN CAST(p.h AS HUGEINT) * p.h
+                       - CAST(d.cents - p.g AS HUGEINT)
+                         * (d.cents - p.g)
+                  ELSE 0 END) AS BIGINT) AS num
+  FROM probes p JOIN d ON TRUE
+  GROUP BY 1, 2, 3)
+SELECT probe, CAST(g AS BIGINT) AS grid_dollars,
+       CASE WHEN h > 0 THEN num END AS kernel_num,
+       CASE WHEN h > 0
+            THEN round(3.0 * num
+                       / (4.0 * CAST(h AS DOUBLE) * h * h
+                          * (SELECT n FROM nn)) * 1e9, 6)
+       END AS density_x1e9
+FROM ker
+ORDER BY CASE probe WHEN 'min' THEN 1 WHEN 'q1' THEN 2
+         WHEN 'median' THEN 3 WHEN 'q3' THEN 4 ELSE 5 END
+"""
+
+QUERIES["kde_epanechnikov_daily"] = (q_kde_epanechnikov_daily,
+                                     SQL_KDE_EPANECHNIKOV_DAILY)

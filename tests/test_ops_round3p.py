@@ -1206,3 +1206,19 @@ def test_youden_perfect_separation():
     # ties -> smallest threshold wins
     t2, j2, _, _ = youden_best({5: 1}, {5: 1})
     assert j2 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# normal-CDF approximation
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext3 import phi_as
+
+
+def test_phi_as_accuracy():
+    for z in np.linspace(-5, 5, 101):
+        exact = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+        assert abs(phi_as(float(z)) - exact) < 1.6e-7
+    assert phi_as(0.0) == 0.5
+    assert phi_as(10.0) > 0.999999
+    assert phi_as(-10.0) < 1e-6
