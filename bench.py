@@ -315,6 +315,14 @@ BENCH_EXTRA = [
     "jaro_winkler_name_pairs",
     "webgraph_bowtie",
     "seasonal_esd_hours",
+    "fourier_phase_lag_weekly",
+    "rqa_daily",
+    "crps_persistence_daily",
+    "mmd_poly2_weekend",
+    "youden_j_threshold",
+    "lilliefors_daily",
+    "kde_epanechnikov_daily",
+    "atkinson_lorenz_daily",
 ]
 
 

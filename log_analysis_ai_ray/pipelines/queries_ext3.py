@@ -7212,3 +7212,70 @@ ORDER BY CASE probe WHEN 'min' THEN 1 WHEN 'q1' THEN 2
 
 QUERIES["kde_epanechnikov_daily"] = (q_kde_epanechnikov_daily,
                                      SQL_KDE_EPANECHNIKOV_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# atkinson_lorenz_daily — welfare-theoretic inequality of revenue
+# ---------------------------------------------------------------------------
+
+
+def q_atkinson_lorenz_daily(sf_dir: str):
+    """Welfare-theoretic inequality of daily revenue: Atkinson
+    indices A(ε=1) = 1 − geomean/mean and A(ε=2) = 1 − harmonic/mean
+    (how much total revenue society would sacrifice for perfect
+    equality), plus the Lorenz asymmetry statistic S = F(μ) + L(μ)
+    (share of days below the mean + share of revenue they hold; S<1
+    ⇒ inequality driven by a few huge days) — completing the
+    gini/theil family with the axiomatic members.  Days-bounded;
+    geometric/harmonic means from per-day exact integers."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    x = cents[cents > 0].astype(np.int64)
+    n = len(x)
+    s = int(x.sum())
+    mean = s / n
+    logsum = sum(math.log(float(v)) for v in np.sort(x))
+    geo = math.exp(logsum / n)
+    harm = n / sum(1.0 / float(v) for v in np.sort(x))
+    a1 = 1.0 - geo / mean
+    a2 = 1.0 - harm / mean
+    below = x * n < s                 # v < mean, exact integers
+    f_mu = int(below.sum())
+    l_mu = int(x[below].sum())
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "atkinson_e1": pa.array([round(a1, 6)], pa.float64()),
+        "atkinson_e2": pa.array([round(a2, 6)], pa.float64()),
+        "lorenz_s": pa.array(
+            [round(f_mu / n + l_mu / s, 6)], pa.float64()),
+    })
+
+
+SQL_ATKINSON_LORENZ_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+p AS (SELECT cents FROM d WHERE cents > 0),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s,
+         sum(ln(CAST(cents AS DOUBLE))) AS logsum,
+         sum(1.0 / CAST(cents AS DOUBLE)) AS invsum
+  FROM p),
+lor AS (
+  SELECT CAST(count(*) AS BIGINT) AS f_mu,
+         CAST(coalesce(sum(p.cents), 0) AS HUGEINT) AS l_mu
+  FROM p, s WHERE CAST(p.cents AS HUGEINT) * s.n < s.s)
+SELECT s.n AS n_days,
+       round(1.0 - exp(logsum / n)
+             / (CAST(s.s AS DOUBLE) / n), 6) AS atkinson_e1,
+       round(1.0 - (n / invsum) / (CAST(s.s AS DOUBLE) / n), 6)
+         AS atkinson_e2,
+       round(CAST(lor.f_mu AS DOUBLE) / s.n
+             + CAST(lor.l_mu AS DOUBLE) / CAST(s.s AS DOUBLE), 6)
+         AS lorenz_s
+FROM s, lor
+"""
+
+QUERIES["atkinson_lorenz_daily"] = (q_atkinson_lorenz_daily,
+                                    SQL_ATKINSON_LORENZ_DAILY)
