@@ -10006,45 +10006,54 @@ _COVER_K = 5
 def q_greedy_token_cover(sf_dir: str):
     """Greedy maximum-coverage corpus selection (the (1−1/e)-optimal
     classic): pick 5 documents that together cover the most distinct
-    tokens. Each greedy round is ONE distributed pass — every doc is
-    a single row, so its distinct-token count against the broadcast
-    covered-set closes inside the block (per-doc dedup is local,
-    shuffle ships only per-block top-1 candidate partials); the
-    covered set grows by ≤ one doc's vocabulary per round, so the
-    broadcast stays small. Ties: (new_tokens desc, doc_id asc) —
-    mirrored by the oracle's 5 unrolled rounds."""
-    import ray.data
+    tokens.  The corpus is TOKENIZED ONCE into a materialized
+    per-doc distinct-token-list dataset (r3p: the original re-read +
+    re-tokenized the parquet every round — 10 full text passes for 5
+    picks); each greedy round is then ONE distributed pass over the
+    cached lists against the broadcast covered-set, and the winner's
+    tokens come from the same cache.  Ties: (new_tokens desc,
+    doc_id asc) — mirrored by the oracle's 5 unrolled rounds."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        fl = np.asarray(flat.to_pylist(), dtype=object)
+        fp = np.asarray(par, dtype=np.int64)
+        # per-doc distinct tokens, rebuilt as list<string> rows
+        key = np.unique(np.stack([fp, np.unique(fl, return_inverse=True)[1]],
+                                 axis=1), axis=0) if len(fl) else             np.zeros((0, 2), dtype=np.int64)
+        tu = np.unique(fl) if len(fl) else np.asarray([], dtype=object)
+        offsets = np.searchsorted(key[:, 0], np.arange(t.num_rows + 1))
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)),
+            pa.array(tu[key[:, 1]].tolist(), pa.string()))
+        return pa.table({"doc_id": t.column("doc_id"), "tokens": lst})
+
+    pairs = ds.map_batches(tokenize, batch_format="pyarrow")         .materialize()
 
     picked = []          # (round, doc_id, new_tokens, covered_total)
     covered: set = set()
     for rnd in range(1, _COVER_K + 1):
-        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
         cov_b = covered
         picked_ids = {d for _, d, _, _ in picked}
 
         def count_new(t: pa.Table, cov=cov_b, skip=picked_ids
                       ) -> pa.Table:
-            toks = pc.split_pattern_regex(t.column("text"),
-                                          pattern=r"\s+")
-            flat = pc.list_flatten(toks)
-            par = pc.list_parent_indices(toks)
-            keep = pc.not_equal(flat, "")
-            flat, par = flat.filter(keep), par.filter(keep)
+            flat = pc.list_flatten(t.column("tokens"))
+            par = pc.list_parent_indices(t.column("tokens"))
             di = np.asarray(t.column("doc_id"), dtype=np.int64)
             fp = np.asarray(par, dtype=np.int64)
-            fl = np.asarray(flat.to_pylist())
-            cov_arr = np.asarray(sorted(cov)) if cov else None
-            if cov_arr is not None and len(fl):
-                fresh = ~np.isin(fl, cov_arr)
-                fp, fl = fp[fresh], fl[fresh]
-            # distinct (doc, token) pairs vectorized, then per-doc count
-            tu, tid = np.unique(fl, return_inverse=True) \
-                if len(fl) else (fl, np.zeros(0, dtype=np.int64))
-            key = fp * np.int64(max(len(tu), 1)) + tid
-            ukey = np.unique(key)
+            fl = np.asarray(flat.to_pylist(), dtype=object)
+            if cov and len(fl):
+                fresh = ~np.isin(fl, np.asarray(sorted(cov),
+                                                dtype=object))
+                fp = fp[fresh]
             counts = np.zeros(t.num_rows, dtype=np.int64)
-            np.add.at(counts, (ukey // max(len(tu), 1)).astype(np.int64),
-                      1)
+            np.add.at(counts, fp, 1)     # lists are already distinct
             keep_doc = ~np.isin(di, np.asarray(sorted(skip),
                                                dtype=np.int64)) \
                 if skip else np.ones(t.num_rows, dtype=bool)
@@ -10052,17 +10061,15 @@ def q_greedy_token_cover(sf_dir: str):
                 "doc_id": pa.array(di[keep_doc], pa.int64()),
                 "new_tokens": pa.array(counts[keep_doc], pa.int64())})
 
-        cand = agg._to_arrow(ds.map_batches(
+        cand = agg._to_arrow(pairs.map_batches(
             count_new, batch_format="pyarrow"))
         d = np.asarray(cand.column("doc_id"), dtype=np.int64)
         c = np.asarray(cand.column("new_tokens"), dtype=np.int64)
         order = np.lexsort((d, -c))
         best_d, best_c = int(d[order[0]]), int(c[order[0]])
-        # fetch the winner's tokens once (point lookup, tiny)
-        win = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-            .filter(lambda r, b=best_d: r["doc_id"] == b).take_all()
-        toks = {w for w in win[0]["text"].split() if w}
-        covered |= toks
+        win = pairs.filter(
+            lambda r, b=best_d: r["doc_id"] == b).take_all()
+        covered |= set(win[0]["tokens"])
         picked.append((rnd, best_d, best_c, len(covered)))
     return pa.table({
         "round": pa.array([p[0] for p in picked], pa.int64()),
@@ -12574,9 +12581,13 @@ def q_mmr_diversified_selection(sf_dir: str):
     the same 5 rounds over per-dim unnest cosines."""
     dim = 64
 
+    _emb = _read(sf_dir, "embeddings",
+                 columns=["vec_id", "embedding"]).materialize()
+    # r3p: one parquet read for all 11 passes (mean + 5 score + 5
+    # winner lookups) — the per-round re-read dominated the old wall
+
     def read():
-        return _read(sf_dir, "embeddings", columns=["vec_id",
-                                                    "embedding"])
+        return _emb
 
     def mean_partial(t: pa.Table) -> pa.Table:
         x = np.asarray(t.column("embedding").to_pylist(),
