@@ -7279,3 +7279,6 @@ FROM s, lor
 
 QUERIES["atkinson_lorenz_daily"] = (q_atkinson_lorenz_daily,
                                     SQL_ATKINSON_LORENZ_DAILY)
+
+
+from . import queries_ext4  # noqa: E402,F401

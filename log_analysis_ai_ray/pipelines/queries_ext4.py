@@ -1,0 +1,468 @@
+"""Fourth extended query registry (round-3 session 11): categorical
+predictive-association (Goodman-Kruskal lambda), likelihood-ratio
+independence (G-test), the paired sign test, causal sensitivity
+(VanderWeele-Ding E-value) and the newsvendor critical-fractile
+stocking rule — registered into the same ``QUERIES`` dict as
+``queries.py`` (imported from the tail of ``queries_ext3.py``).
+
+Same oracle discipline as its siblings: shared column names, identical
+rounding, exact integer closures wherever the statistic allows, and
+cluster-side shuffles move only bounded partials (type x hour cells,
+day-grid counts, per-user presence flags), never raw rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import QUERIES, _partial_final, _read
+from .queries_ext3 import _type_hour_cells, _hourly_type_series_by, phi_as
+
+_DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# testable driver-side closures (brute-force-verified in
+# tests/test_ops_round3q.py) — all take exact integer inputs
+# ---------------------------------------------------------------------------
+
+
+def gk_lambda(cells: dict) -> tuple:
+    """Goodman-Kruskal lambda from an integer contingency map
+    {(row, col): count}: (λ(row|col), λ(col|row), λ_sym) —
+    proportional reduction in prediction error.  Every term is an
+    exact integer until the final division; components are None when
+    the denominator is 0 (a single row / column category)."""
+    rows, cols = {}, {}
+    colmax, rowmax = {}, {}
+    n = 0
+    for (r, c), v in cells.items():
+        v = int(v)
+        rows[r] = rows.get(r, 0) + v
+        cols[c] = cols.get(c, 0) + v
+        colmax[c] = max(colmax.get(c, 0), v)
+        rowmax[r] = max(rowmax.get(r, 0), v)
+        n += v
+    rmax = max(rows.values())
+    cmax = max(cols.values())
+    sum_colmax = sum(colmax.values())
+    sum_rowmax = sum(rowmax.values())
+    l_rc = None if n == rmax else (sum_colmax - rmax) / (n - rmax)
+    l_cr = None if n == cmax else (sum_rowmax - cmax) / (n - cmax)
+    denom = 2 * n - rmax - cmax
+    l_sym = None if denom == 0 else \
+        (sum_colmax + sum_rowmax - rmax - cmax) / denom
+    return l_rc, l_cr, l_sym
+
+
+def g_statistic(cells: dict) -> tuple:
+    """Likelihood-ratio G statistic from an integer contingency map:
+    G = 2·Σ O·ln(O·N / (R·C)) over non-zero cells, df = (r−1)(c−1).
+    Returns (g, df)."""
+    rows, cols = {}, {}
+    n = 0
+    for (r, c), v in cells.items():
+        v = int(v)
+        if v <= 0:
+            continue
+        rows[r] = rows.get(r, 0) + v
+        cols[c] = cols.get(c, 0) + v
+        n += v
+    g = 0.0
+    for (r, c), v in cells.items():
+        v = int(v)
+        if v > 0:
+            g += v * math.log(v * n / (rows[r] * cols[c]))
+    return 2.0 * g, (len(rows) - 1) * (len(cols) - 1)
+
+
+def sign_test_z(n_pos: int, n_neg: int) -> float:
+    """Continuity-corrected normal z of the sign test: pos−neg has
+    mean 0 and variance m = pos+neg under H0; the correction shrinks
+    |2·pos − m| by 1 (the binomial lives on a lattice of step 2 in
+    pos−neg).  z = 0 at an exact tie or m = 0."""
+    m = n_pos + n_neg
+    d = n_pos - n_neg
+    if m == 0 or d == 0:
+        return 0.0
+    s = 1.0 if d > 0 else -1.0
+    return s * (abs(d) - 1) / math.sqrt(m)
+
+
+def e_value(rr: float) -> float:
+    """VanderWeele-Ding E-value of a risk ratio: the minimum strength
+    of unmeasured confounding (on the RR scale, with both exposure
+    and outcome) needed to fully explain the association away.
+    Symmetric in RR vs 1/RR; 1.0 at the null."""
+    r = rr if rr >= 1.0 else 1.0 / rr
+    return r + math.sqrt(r * (r - 1.0))
+
+
+def newsvendor_q(demands, cu: int, co: int) -> tuple:
+    """Empirical newsvendor: the smallest observed demand whose ECDF
+    reaches the critical fractile cu/(cu+co), plus the exact integer
+    total cost Σ cu·(d−q)⁺ + co·(q−d)⁻ at that stock level.  Uses the
+    r = ceil(f·n) = (cu·n + (cu+co) − 1)//(cu+co) order statistic —
+    the same ceiling convention as the registry's quartile probes."""
+    x = sorted(int(v) for v in demands)
+    n = len(x)
+    r = (cu * n + cu + co - 1) // (cu + co)
+    q = x[r - 1]
+    cost = sum(cu * (d - q) if d > q else co * (q - d) for d in x)
+    return q, cost
+
+
+# ---------------------------------------------------------------------------
+# gk_lambda_type_hour — Goodman-Kruskal predictive association
+# ---------------------------------------------------------------------------
+
+
+def q_gk_lambda_type_hour(sf_dir: str):
+    """Goodman-Kruskal lambda between event_type and hour-of-day:
+    the proportional-reduction-in-error association (how much better
+    the modal guess of the type gets once the hour is known) — the
+    PRE companion of cramers_v_type_hour (chi-square scale) and
+    theil_u_type_hour (entropy scale) on the same bounded grid.
+    One (type, hour) cell shuffle; every numerator/denominator is an
+    exact integer."""
+    cells_t = _type_hour_cells(sf_dir)
+    cells = {}
+    for t, h, c in zip(cells_t.column("event_type").to_pylist(),
+                       np.asarray(cells_t.column("hh"),
+                                  dtype=np.int64).tolist(),
+                       np.asarray(cells_t.column("c"),
+                                  dtype=np.int64).tolist()):
+        cells[(t, h)] = c
+    l_rc, l_cr, l_sym = gk_lambda(cells)
+    n = sum(cells.values())
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "lambda_type_given_hour": pa.array(
+            [round(l_rc, 6) if l_rc is not None else None],
+            pa.float64()),
+        "lambda_hour_given_type": pa.array(
+            [round(l_cr, 6) if l_cr is not None else None],
+            pa.float64()),
+        "lambda_symmetric": pa.array(
+            [round(l_sym, 6) if l_sym is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_GK_LAMBDA_TYPE_HOUR = """
+WITH cells AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+rt AS (SELECT CAST(max(rv) AS BIGINT) AS rmax FROM
+       (SELECT sum(c) AS rv FROM cells GROUP BY event_type)),
+ct AS (SELECT CAST(max(cv) AS BIGINT) AS cmax FROM
+       (SELECT sum(c) AS cv FROM cells GROUP BY hh)),
+scm AS (SELECT CAST(sum(mx) AS BIGINT) AS s FROM
+        (SELECT max(c) AS mx FROM cells GROUP BY hh)),
+srm AS (SELECT CAST(sum(mx) AS BIGINT) AS s FROM
+        (SELECT max(c) AS mx FROM cells GROUP BY event_type))
+SELECT tot.n AS n_events,
+       CASE WHEN tot.n > rt.rmax
+            THEN round(CAST(scm.s - rt.rmax AS DOUBLE)
+                       / (tot.n - rt.rmax), 6) END
+         AS lambda_type_given_hour,
+       CASE WHEN tot.n > ct.cmax
+            THEN round(CAST(srm.s - ct.cmax AS DOUBLE)
+                       / (tot.n - ct.cmax), 6) END
+         AS lambda_hour_given_type,
+       CASE WHEN 2 * tot.n > rt.rmax + ct.cmax
+            THEN round(CAST(scm.s + srm.s - rt.rmax - ct.cmax
+                            AS DOUBLE)
+                       / (2 * tot.n - rt.rmax - ct.cmax), 6) END
+         AS lambda_symmetric
+FROM tot, rt, ct, scm, srm
+"""
+
+QUERIES["gk_lambda_type_hour"] = (q_gk_lambda_type_hour,
+                                  SQL_GK_LAMBDA_TYPE_HOUR)
+
+
+# ---------------------------------------------------------------------------
+# g_test_type_hour — likelihood-ratio independence test
+# ---------------------------------------------------------------------------
+
+
+def q_g_test_type_hour(sf_dir: str):
+    """Likelihood-ratio G-test of event_type × hour-of-day
+    independence: G = 2·Σ O·ln(O·N/(R·C)) — the information-theoretic
+    twin of chi2_type_hour (G = 2N·MI in nats, additive over nested
+    partitions where Pearson's X² is not).  Same bounded cell
+    shuffle; exact integer margins feed the log terms."""
+    cells_t = _type_hour_cells(sf_dir)
+    cells = {}
+    for t, h, c in zip(cells_t.column("event_type").to_pylist(),
+                       np.asarray(cells_t.column("hh"),
+                                  dtype=np.int64).tolist(),
+                       np.asarray(cells_t.column("c"),
+                                  dtype=np.int64).tolist()):
+        cells[(t, h)] = c
+    g, df = g_statistic(cells)
+    n = sum(cells.values())
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "g_stat": pa.array([round(g, 6)], pa.float64()),
+        "df": pa.array([df], pa.int64()),
+    })
+
+
+SQL_G_TEST_TYPE_HOUR = """
+WITH cells AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+               CAST(count(DISTINCT hh) AS BIGINT) AS nc
+        FROM cells),
+rm AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS rv
+       FROM cells GROUP BY 1),
+cm AS (SELECT hh, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1)
+SELECT tot.n AS n_events,
+       round(2.0 * sum(cells.c
+                       * ln(CAST(cells.c AS DOUBLE) * tot.n
+                            / (CAST(rm.rv AS DOUBLE) * cm.cv))), 6)
+         AS g_stat,
+       (tot.nr - 1) * (tot.nc - 1) AS df
+FROM cells
+JOIN rm USING (event_type) JOIN cm USING (hh), tot
+GROUP BY tot.n, tot.nr, tot.nc
+"""
+
+QUERIES["g_test_type_hour"] = (q_g_test_type_hour, SQL_G_TEST_TYPE_HOUR)
+
+
+# ---------------------------------------------------------------------------
+# sign_test_click_view — paired daily sign test
+# ---------------------------------------------------------------------------
+
+
+def q_sign_test_click_view(sf_dir: str):
+    """Paired sign test on daily click vs view counts: each day with
+    activity is one paired observation, tied days are dropped, and
+    pos − neg is referred to the continuity-corrected normal — the
+    distribution-free paired companion of wilcoxon_signed_rank (which
+    uses magnitudes) on the same day grid.  One (day, type)-bounded
+    shuffle; the p-value uses the shared Abramowitz-Stegun Φ so both
+    engines evaluate the identical expression tree."""
+    series = _hourly_type_series_by(sf_dir, ("click", "view"), _DAY_US)
+    days = series["hours"]
+    pos = neg = 0
+    for d in days:
+        x = series["click"].get(d, 0)
+        y = series["view"].get(d, 0)
+        if x > y:
+            pos += 1
+        elif x < y:
+            neg += 1
+    z = sign_test_z(pos, neg)
+    p = 2.0 * (1.0 - phi_as(abs(z)))
+    return pa.table({
+        "n_days_untied": pa.array([pos + neg], pa.int64()),
+        "n_pos": pa.array([pos], pa.int64()),
+        "n_neg": pa.array([neg], pa.int64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+        "p_two_sided": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_SIGN_TEST_CLICK_VIEW = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+s AS (
+  SELECT CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos,
+         CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT)
+           AS neg
+  FROM d),
+z AS (
+  SELECT pos, neg,
+         CASE WHEN pos + neg = 0 OR pos = neg THEN 0.0
+              ELSE (CASE WHEN pos > neg THEN 1.0 ELSE -1.0 END)
+                   * (abs(pos - neg) - 1)
+                   / sqrt(CAST(pos + neg AS DOUBLE)) END AS z
+  FROM s)
+SELECT pos + neg AS n_days_untied, pos AS n_pos, neg AS n_neg,
+       round(z.z, 6) AS z_score,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_two_sided
+FROM z,
+     LATERAL (SELECT abs(z.z) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["sign_test_click_view"] = (q_sign_test_click_view,
+                                   SQL_SIGN_TEST_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# e_value_confounding — causal sensitivity of the click→purchase RR
+# ---------------------------------------------------------------------------
+
+
+def q_e_value_confounding(sf_dir: str):
+    """VanderWeele-Ding E-value of the click→purchase user-level risk
+    ratio: the minimum unmeasured-confounder strength (on the RR
+    scale, acting on both exposure and outcome) that could fully
+    explain the observed association — the sensitivity-analysis
+    companion of diff_in_diff / iv_wald_estimate that quantifies
+    robustness instead of assuming ignorability.  One per-user
+    presence-flag shuffle (max within block, max across blocks);
+    the 2×2 closes driver-side in exact integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        clk = pc.cast(pc.equal(t.column("event_type"), "click"),
+                      pa.int64())
+        pur = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                      pa.int64())
+        g = pa.table({"user_id": t.column("user_id"),
+                      "clk": clk, "pur": pur}) \
+            .group_by("user_id").aggregate([("clk", "max"),
+                                            ("pur", "max")])
+        return g.rename_columns(["user_id", "clk", "pur"])
+
+    m = _partial_final(ds, partial, ["user_id"],
+                       [("clk", "max"), ("pur", "max")])
+    clk = np.asarray(m.column("clk"), dtype=np.int64)
+    pur = np.asarray(m.column("pur"), dtype=np.int64)
+    n = len(clk)
+    nc = int(clk.sum())
+    a = int((clk & pur).sum())          # exposed, outcome
+    c = int(((1 - clk) & pur).sum())    # unexposed, outcome
+    rr = ev = None
+    if 0 < nc < n and c > 0 and a > 0:
+        rr = (a / nc) / (c / (n - nc))
+        ev = e_value(rr)
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "n_click_users": pa.array([nc], pa.int64()),
+        "n_both": pa.array([a], pa.int64()),
+        "risk_ratio": pa.array(
+            [round(rr, 6) if rr is not None else None], pa.float64()),
+        "e_value": pa.array(
+            [round(ev, 6) if ev is not None else None], pa.float64()),
+    })
+
+
+SQL_E_VALUE_CONFOUNDING = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clk,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS pur
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(clk) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN clk = 1 AND pur = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN clk = 0 AND pur = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM u),
+rr AS (
+  SELECT n, nc, a,
+         CASE WHEN nc > 0 AND nc < n AND a > 0 AND c > 0
+              THEN (CAST(a AS DOUBLE) / nc)
+                   / (CAST(c AS DOUBLE) / (n - nc)) END AS rr
+  FROM s),
+ev AS (
+  SELECT n, nc, a, rr,
+         CASE WHEN rr IS NULL THEN NULL
+              WHEN rr >= 1.0 THEN rr + sqrt(rr * (rr - 1.0))
+              ELSE 1.0 / rr + sqrt((1.0 / rr) * (1.0 / rr - 1.0)) END
+           AS ev
+  FROM rr)
+SELECT n AS n_users, nc AS n_click_users, a AS n_both,
+       round(rr, 6) AS risk_ratio, round(ev, 6) AS e_value
+FROM ev
+"""
+
+QUERIES["e_value_confounding"] = (q_e_value_confounding,
+                                  SQL_E_VALUE_CONFOUNDING)
+
+
+# ---------------------------------------------------------------------------
+# newsvendor_stock — critical-fractile stocking of daily order demand
+# ---------------------------------------------------------------------------
+
+_NV_CU = 3          # underage cost per unit (lost margin)
+_NV_CO = 1          # overage cost per unit (holding/salvage loss)
+
+
+def q_newsvendor_stock(sf_dir: str):
+    """Empirical newsvendor stocking of daily order demand: with
+    underage cost 3 and overage cost 1 the optimal stock is the
+    smallest demand whose ECDF reaches the critical fractile 3/4 —
+    the inventory-economics companion of abc_analysis_parts /
+    equi_depth_price_hist that turns a quantile into a decision.
+    Demand = orders per day (one bounded day-grid shuffle); the stock
+    level and the exact integer cost at it close driver-side and as
+    an order-statistic + conditional sum in the oracle."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(
+            t.column("o_orderdate"), pa.int64()),
+            pa.scalar(_DAY_US, pa.int64())), pa.int64())
+        g = pa.table({"day": day}).group_by("day") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["day", "dcnt"])
+
+    m = _partial_final(ds, partial, ["day"], [("dcnt", "sum")])
+    d = np.asarray(m.column("dcnt"), dtype=np.int64)
+    n = len(d)
+    q, cost = newsvendor_q(d, _NV_CU, _NV_CO)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "critical_fractile": pa.array(
+            [round(_NV_CU / (_NV_CU + _NV_CO), 6)], pa.float64()),
+        "stock_level": pa.array([q], pa.int64()),
+        "total_cost": pa.array([cost], pa.int64()),
+        "exp_daily_cost": pa.array([round(cost / n, 6)], pa.float64()),
+    })
+
+
+SQL_NEWSVENDOR_STOCK = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS dcnt
+  FROM orders GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+q AS (
+  SELECT dcnt AS qs
+  FROM (SELECT dcnt, row_number() OVER (ORDER BY dcnt) AS r FROM d),
+       nn
+  WHERE r = (3 * nn.n + 3) // 4),
+cost AS (
+  SELECT CAST(sum(CASE WHEN d.dcnt > q.qs
+                       THEN 3 * (d.dcnt - q.qs)
+                       ELSE 1 * (q.qs - d.dcnt) END) AS BIGINT) AS c
+  FROM d, q)
+SELECT nn.n AS n_days, 0.75 AS critical_fractile,
+       CAST(q.qs AS BIGINT) AS stock_level,
+       cost.c AS total_cost,
+       round(CAST(cost.c AS DOUBLE) / nn.n, 6) AS exp_daily_cost
+FROM nn, q, cost
+"""
+
+QUERIES["newsvendor_stock"] = (q_newsvendor_stock, SQL_NEWSVENDOR_STOCK)

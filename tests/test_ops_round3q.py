@@ -1,0 +1,156 @@
+"""Brute-force verification of the round-3q driver closures: each
+exact-integer kernel in queries_ext4 is checked against an independent
+textbook implementation on constructed + randomized inputs."""
+
+import math
+
+import numpy as np
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (
+    e_value, g_statistic, gk_lambda, newsvendor_q, sign_test_z)
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal lambda
+# ---------------------------------------------------------------------------
+
+
+def _lambda_naive(pairs):
+    """λ(row|col) from raw observations: error of the modal guess
+    without vs with the column."""
+    n = len(pairs)
+    rows, colmodal = {}, {}
+    for r, c in pairs:
+        rows[r] = rows.get(r, 0) + 1
+        colmodal.setdefault(c, {})
+        colmodal[c][r] = colmodal[c].get(r, 0) + 1
+    e0 = n - max(rows.values())
+    e1 = n - sum(max(d.values()) for d in colmodal.values())
+    return None if e0 == 0 else (e0 - e1) / e0
+
+
+def test_gk_lambda_random():
+    rng = np.random.RandomState(31)
+    for _ in range(20):
+        pairs = [(int(r), int(c))
+                 for r, c in zip(rng.randint(0, 4, 200),
+                                 rng.randint(0, 6, 200))]
+        cells = {}
+        for p in pairs:
+            cells[p] = cells.get(p, 0) + 1
+        l_rc, _, _ = gk_lambda(cells)
+        naive = _lambda_naive(pairs)
+        assert abs(l_rc - naive) < 1e-12
+
+
+def test_gk_lambda_perfect_prediction():
+    # column determines row exactly, rows balanced -> lambda = 1
+    cells = {(0, 0): 10, (1, 1): 10, (2, 2): 10}
+    l_rc, l_cr, l_sym = gk_lambda(cells)
+    assert l_rc == 1.0 and l_cr == 1.0 and l_sym == 1.0
+
+
+def test_gk_lambda_no_improvement():
+    # same modal row in every column -> lambda(row|col) = 0
+    cells = {(0, 0): 8, (1, 0): 2, (0, 1): 8, (1, 1): 2}
+    l_rc, _, _ = gk_lambda(cells)
+    assert l_rc == 0.0
+
+
+def test_gk_lambda_single_row_none():
+    cells = {(0, 0): 5, (0, 1): 7}
+    l_rc, _, _ = gk_lambda(cells)
+    assert l_rc is None
+
+
+# ---------------------------------------------------------------------------
+# G statistic
+# ---------------------------------------------------------------------------
+
+
+def test_g_statistic_independence_zero():
+    # exactly proportional table -> G = 0
+    cells = {(0, 0): 10, (0, 1): 20, (1, 0): 5, (1, 1): 10}
+    g, df = g_statistic(cells)
+    assert abs(g) < 1e-9 and df == 1
+
+
+def test_g_statistic_equals_2n_mi():
+    rng = np.random.RandomState(7)
+    cells = {(int(r), int(c)): int(v) for (r, c), v in np.ndenumerate(
+        rng.randint(1, 30, (3, 4)))}
+    g, df = g_statistic(cells)
+    n = sum(cells.values())
+    rows, cols = {}, {}
+    for (r, c), v in cells.items():
+        rows[r] = rows.get(r, 0) + v
+        cols[c] = cols.get(c, 0) + v
+    mi = sum(v / n * math.log((v / n) / ((rows[r] / n) * (cols[c] / n)))
+             for (r, c), v in cells.items())
+    assert abs(g - 2 * n * mi) < 1e-9
+    assert df == 6
+
+
+# ---------------------------------------------------------------------------
+# sign test
+# ---------------------------------------------------------------------------
+
+
+def test_sign_test_z_matches_binomial_form():
+    # z = (pos - m/2 - 0.5)/sqrt(m/4) for pos > m/2
+    for pos, neg in [(15, 5), (5, 15), (30, 10), (7, 7), (0, 0)]:
+        z = sign_test_z(pos, neg)
+        m = pos + neg
+        if m == 0 or pos == neg:
+            assert z == 0.0
+        elif pos > neg:
+            assert abs(z - (pos - m / 2 - 0.5) / math.sqrt(m / 4)) < 1e-12
+        else:
+            assert abs(z - (pos - m / 2 + 0.5) / math.sqrt(m / 4)) < 1e-12
+
+
+def test_sign_test_symmetry():
+    assert sign_test_z(20, 8) == -sign_test_z(8, 20)
+
+
+# ---------------------------------------------------------------------------
+# E-value
+# ---------------------------------------------------------------------------
+
+
+def test_e_value_null_and_known():
+    assert e_value(1.0) == 1.0
+    assert abs(e_value(4.0) - (4 + math.sqrt(12))) < 1e-12
+    # symmetric under inversion
+    assert abs(e_value(0.25) - e_value(4.0)) < 1e-12
+    # monotone in |log RR|
+    assert e_value(2.0) < e_value(3.0)
+
+
+# ---------------------------------------------------------------------------
+# newsvendor
+# ---------------------------------------------------------------------------
+
+
+def test_newsvendor_q_minimizes_cost():
+    rng = np.random.RandomState(13)
+    for _ in range(20):
+        d = rng.randint(0, 100, 57).tolist()
+        cu, co = 3, 1
+        q, cost = newsvendor_q(d, cu, co)
+
+        def total(qq):
+            return sum(cu * (x - qq) if x > qq else co * (qq - x)
+                       for x in d)
+
+        assert cost == total(q)
+        # optimal among all candidate stock levels (and neighbors)
+        for qq in set(d) | {q - 1, q + 1, 0, max(d) + 5}:
+            assert cost <= total(qq)
+
+
+def test_newsvendor_fractile_order_statistic():
+    # n=8, fractile 3/4 -> r = ceil(6) = 6th order statistic
+    d = [10, 20, 30, 40, 50, 60, 70, 80]
+    q, _ = newsvendor_q(d, 3, 1)
+    assert q == 60
