@@ -466,3 +466,375 @@ FROM nn, q, cost
 """
 
 QUERIES["newsvendor_stock"] = (q_newsvendor_stock, SQL_NEWSVENDOR_STOCK)
+
+
+# ---------------------------------------------------------------------------
+# testable cluster-validity closures (brute-force-verified in
+# tests/test_ops_round3q.py)
+# ---------------------------------------------------------------------------
+
+
+def silhouette_l1(pts, labels) -> float:
+    """Mean silhouette under L1 distance from integer points.
+    a/b are exact-integer sums divided once; singleton-cluster points
+    score 0 (the standard convention), as does max(a,b)=0."""
+    n = len(pts)
+    sizes = {}
+    for c in labels:
+        sizes[c] = sizes.get(c, 0) + 1
+    total = 0.0
+    for i in range(n):
+        dsum = {}
+        for j in range(n):
+            if i == j:
+                continue
+            d = abs(pts[i][0] - pts[j][0]) + abs(pts[i][1] - pts[j][1])
+            dsum[labels[j]] = dsum.get(labels[j], 0) + d
+        ci = labels[i]
+        if sizes[ci] <= 1:
+            continue                     # s = 0
+        a = dsum.get(ci, 0) / (sizes[ci] - 1)
+        b = min(dsum[c] / sizes[c] for c in dsum if c != ci)
+        m = max(a, b)
+        if m > 0:
+            total += (b - a) / m
+    return total / n
+
+
+def davies_bouldin_l1(pts, labels):
+    """Davies-Bouldin index under L1 with arithmetic-mean centroids
+    (integer sums / counts — exactly representable doubles).  None
+    when two centroids coincide."""
+    members = {}
+    for p, c in zip(pts, labels):
+        members.setdefault(c, []).append(p)
+    cents, scatter = {}, {}
+    for c, ms in members.items():
+        sx = sum(p[0] for p in ms)
+        sy = sum(p[1] for p in ms)
+        cents[c] = (sx / len(ms), sy / len(ms))
+        scatter[c] = sum(abs(p[0] - cents[c][0])
+                         + abs(p[1] - cents[c][1]) for p in ms) / len(ms)
+    ks = sorted(members)
+    db = 0.0
+    for i in ks:
+        best = None
+        for j in ks:
+            if i == j:
+                continue
+            m = abs(cents[i][0] - cents[j][0]) \
+                + abs(cents[i][1] - cents[j][1])
+            if m == 0:
+                return None
+            r = (scatter[i] + scatter[j]) / m
+            best = r if best is None else max(best, r)
+        db += best
+    return db / len(ks)
+
+
+def dunn_l1(pts, labels):
+    """Dunn index under L1: min inter-cluster pair distance over max
+    intra-cluster pair distance — both exact integers; (num, den,
+    ratio-or-None)."""
+    n = len(pts)
+    inter = intra = None
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = abs(pts[i][0] - pts[j][0]) + abs(pts[i][1] - pts[j][1])
+            if labels[i] == labels[j]:
+                intra = d if intra is None else max(intra, d)
+            else:
+                inter = d if inter is None else min(inter, d)
+    ratio = None if not intra or inter is None else inter / intra
+    return inter, intra, ratio
+
+
+# ---------------------------------------------------------------------------
+# fowlkes_mallows_langid — pair-counting partition agreement
+# ---------------------------------------------------------------------------
+
+
+def q_fowlkes_mallows_langid(sf_dir: str):
+    """Fowlkes-Mallows index between the language-ID partition and
+    the labeled partition: FM = TP/√((TP+FP)(TP+FN)) over doc pairs —
+    the geometric-mean-of-precision-and-recall companion of
+    langid_ari (which subtracts chance instead).  Every pair count is
+    an exact integer binomial from the langs²-bounded confusion
+    cells; one √ closes it."""
+    from ..stages.textstats import langid_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({"lang": t.column("lang"), "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    m = _partial_final(ds, partial, ["lang", "pred_lang"],
+                       [("n", "sum")])
+    la = m.column("lang").to_pylist()
+    pr = m.column("pred_lang").to_pylist()
+    nn = np.asarray(m.column("n"), dtype=np.int64)
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    rows, cols = {}, {}
+    for a, b, v in zip(la, pr, nn.tolist()):
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    tp = int(sum(c2(int(v)) for v in nn))
+    sa = sum(c2(v) for v in rows.values())
+    sb = sum(c2(v) for v in cols.values())
+    fm = tp / math.sqrt(float(sa) * float(sb)) if sa and sb else None
+    return pa.table({
+        "n": pa.array([int(nn.sum())], pa.int64()),
+        "pairs_together_both": pa.array([tp], pa.int64()),
+        "fowlkes_mallows": pa.array(
+            [round(fm, 6) if fm is not None else None], pa.float64()),
+    })
+
+
+def _fowlkes_mallows_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH pred AS ({inner}),
+cm AS (
+  SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cm),
+sij AS (SELECT CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS v FROM cm),
+sa AS (SELECT CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS v
+       FROM (SELECT sum(n) AS t FROM cm GROUP BY lang)),
+sb AS (SELECT CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS v
+       FROM (SELECT sum(n) AS t FROM cm GROUP BY pred_lang))
+SELECT tot.n, CAST(sij.v AS BIGINT) AS pairs_together_both,
+       CASE WHEN sa.v > 0 AND sb.v > 0
+            THEN round(CAST(sij.v AS DOUBLE)
+                       / sqrt(CAST(sa.v AS DOUBLE)
+                              * CAST(sb.v AS DOUBLE)), 6) END
+         AS fowlkes_mallows
+FROM tot, sij, sa, sb
+"""
+
+
+QUERIES["fowlkes_mallows_langid"] = (q_fowlkes_mallows_langid,
+                                     _fowlkes_mallows_sql())
+
+
+# ---------------------------------------------------------------------------
+# v_measure_langid — entropy-based homogeneity/completeness
+# ---------------------------------------------------------------------------
+
+
+def q_v_measure_langid(sf_dir: str):
+    """V-measure between the language-ID partition and the labeled
+    partition: homogeneity h = 1 − H(C|K)/H(C), completeness
+    c = 1 − H(K|C)/H(K), V = 2hc/(h+c) — the entropy-based agreement
+    triple completing langid_ari (pair-counting) and langid_mcc
+    (classification).  All entropies close from the langs²-bounded
+    integer confusion cells in nats."""
+    from ..stages.textstats import langid_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({"lang": t.column("lang"), "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    m = _partial_final(ds, partial, ["lang", "pred_lang"],
+                       [("n", "sum")])
+    la = m.column("lang").to_pylist()
+    pr = m.column("pred_lang").to_pylist()
+    nn = np.asarray(m.column("n"), dtype=np.int64).tolist()
+    n = sum(nn)
+    rows, cols = {}, {}
+    for a, b, v in zip(la, pr, nn):
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    h_c = -sum(v / n * math.log(v / n) for v in rows.values())
+    h_k = -sum(v / n * math.log(v / n) for v in cols.values())
+    h_c_k = -sum(v / n * math.log(v / cols[b])
+                 for a, b, v in zip(la, pr, nn) if v > 0)
+    h_k_c = -sum(v / n * math.log(v / rows[a])
+                 for a, b, v in zip(la, pr, nn) if v > 0)
+    h = 1.0 if h_c == 0 else 1.0 - h_c_k / h_c
+    c = 1.0 if h_k == 0 else 1.0 - h_k_c / h_k
+    v = 0.0 if h + c == 0 else 2.0 * h * c / (h + c)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "homogeneity": pa.array([round(h, 6)], pa.float64()),
+        "completeness": pa.array([round(c, 6)], pa.float64()),
+        "v_measure": pa.array([round(v, 6)], pa.float64()),
+    })
+
+
+def _v_measure_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH pred AS ({inner}),
+cm AS (
+  SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM cm),
+hc AS (SELECT -sum(t / tot.n * ln(t / tot.n)) AS h
+       FROM (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cm
+             GROUP BY lang), tot GROUP BY tot.n),
+hk AS (SELECT -sum(t / tot.n * ln(t / tot.n)) AS h
+       FROM (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cm
+             GROUP BY pred_lang), tot GROUP BY tot.n),
+hck AS (SELECT -sum(CAST(cm.n AS DOUBLE) / tot.n
+                    * ln(CAST(cm.n AS DOUBLE) / kt.t)) AS h
+        FROM cm
+        JOIN (SELECT pred_lang, CAST(sum(n) AS DOUBLE) AS t FROM cm
+              GROUP BY 1) kt USING (pred_lang), tot
+        WHERE cm.n > 0 GROUP BY tot.n),
+hkc AS (SELECT -sum(CAST(cm.n AS DOUBLE) / tot.n
+                    * ln(CAST(cm.n AS DOUBLE) / ct.t)) AS h
+        FROM cm
+        JOIN (SELECT lang, CAST(sum(n) AS DOUBLE) AS t FROM cm
+              GROUP BY 1) ct USING (lang), tot
+        WHERE cm.n > 0 GROUP BY tot.n),
+hcv AS (SELECT CASE WHEN hc.h = 0 THEN 1.0
+                    ELSE 1.0 - hck.h / hc.h END AS h,
+               CASE WHEN hk.h = 0 THEN 1.0
+                    ELSE 1.0 - hkc.h / hk.h END AS c
+        FROM hc, hk, hck, hkc)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       round(hcv.h, 6) AS homogeneity,
+       round(hcv.c, 6) AS completeness,
+       round(CASE WHEN hcv.h + hcv.c = 0 THEN 0.0
+                  ELSE 2.0 * hcv.h * hcv.c / (hcv.h + hcv.c) END, 6)
+         AS v_measure
+FROM tot, hcv
+"""
+
+
+QUERIES["v_measure_langid"] = (q_v_measure_langid, _v_measure_sql())
+
+
+# ---------------------------------------------------------------------------
+# cluster_validity_daily — silhouette / Davies-Bouldin / Dunn audit
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_validity_daily(sf_dir: str):
+    """Internal cluster-validity audit of the deterministic
+    equal-size tercile clustering of daily (click, purchase) activity
+    vectors (rank by (click, purchase, day), cluster = tercile of the
+    rank): mean silhouette, Davies-Bouldin and Dunn indices under L1
+    — the validity triple that scores what kmeans_assign /
+    dbscan_daily only produce.  One (day, type)-bounded shuffle; the
+    O(n²) pair sweeps close driver-side on the day-bounded series and
+    as pair self-joins in the oracle.  a/b/Dunn terms are exact
+    integer sums divided once; centroid means are exactly
+    representable integer-sum/count doubles."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    pts_by_day = [(series["click"].get(d, 0),
+                   series["purchase"].get(d, 0), d) for d in days]
+    order = sorted(range(len(days)),
+                   key=lambda i: pts_by_day[i])
+    n = len(days)
+    pts = [None] * n
+    labels = [None] * n
+    for rank, i in enumerate(order):
+        pts[i] = (pts_by_day[i][0], pts_by_day[i][1])
+        labels[i] = (3 * rank) // n
+    sil = silhouette_l1(pts, labels)
+    db = davies_bouldin_l1(pts, labels)
+    inter, intra, dunn = dunn_l1(pts, labels)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "k": pa.array([len(set(labels))], pa.int64()),
+        "silhouette_mean": pa.array([round(sil, 6)], pa.float64()),
+        "davies_bouldin": pa.array(
+            [round(db, 6) if db is not None else None], pa.float64()),
+        "dunn_min_inter": pa.array([inter], pa.int64()),
+        "dunn_max_intra": pa.array([intra], pa.int64()),
+        "dunn_index": pa.array(
+            [round(dunn, 6) if dunn is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_CLUSTER_VALIDITY_DAILY = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day,
+         coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xy),
+pt AS (
+  SELECT day, x, y,
+         (3 * (row_number() OVER (ORDER BY x, y, day) - 1))
+           // (SELECT n FROM nn) AS c
+  FROM xy),
+pairs AS (
+  SELECT a.day AS di, a.c AS ci, b.c AS cj,
+         CAST(abs(a.x - b.x) + abs(a.y - b.y) AS BIGINT) AS d
+  FROM pt a JOIN pt b ON a.day <> b.day),
+ab AS (
+  SELECT di, ci, cj, CAST(sum(d) AS HUGEINT) AS sd,
+         CAST(count(*) AS BIGINT) AS m
+  FROM pairs GROUP BY 1, 2, 3),
+silp AS (
+  SELECT di,
+         max(CASE WHEN cj = ci THEN CAST(sd AS DOUBLE) / m END) AS a,
+         min(CASE WHEN cj <> ci THEN CAST(sd AS DOUBLE) / m END) AS b
+  FROM ab GROUP BY 1),
+sil AS (
+  SELECT sum(CASE WHEN a IS NULL THEN 0.0
+                  WHEN greatest(a, b) = 0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END)
+           / (SELECT n FROM nn) AS s
+  FROM silp),
+cm AS (
+  SELECT c, CAST(sum(x) AS DOUBLE) / count(*) AS ax,
+         CAST(sum(y) AS DOUBLE) / count(*) AS ay
+  FROM pt GROUP BY 1),
+sc AS (
+  SELECT pt.c, avg(abs(pt.x - cm.ax) + abs(pt.y - cm.ay)) AS s
+  FROM pt JOIN cm USING (c) GROUP BY 1),
+dbp AS (
+  SELECT i.c AS ci,
+         max((si.s + sj.s)
+             / (abs(i.ax - j.ax) + abs(i.ay - j.ay))) AS r
+  FROM cm i JOIN cm j ON i.c <> j.c
+  JOIN sc si ON si.c = i.c JOIN sc sj ON sj.c = j.c
+  GROUP BY 1),
+db AS (SELECT avg(r) AS v,
+              bool_or(r IS NULL OR isinf(r)) AS bad FROM dbp),
+dunn AS (
+  SELECT min(CASE WHEN ci <> cj THEN d END) AS inter,
+         max(CASE WHEN ci = cj THEN d END) AS intra
+  FROM pairs)
+SELECT nn.n AS n_days,
+       (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM pt) AS k,
+       round(sil.s, 6) AS silhouette_mean,
+       CASE WHEN NOT db.bad THEN round(db.v, 6) END
+         AS davies_bouldin,
+       dunn.inter AS dunn_min_inter,
+       dunn.intra AS dunn_max_intra,
+       CASE WHEN dunn.intra > 0
+            THEN round(CAST(dunn.inter AS DOUBLE) / dunn.intra, 6)
+       END AS dunn_index
+FROM nn, sil, db, dunn
+"""
+
+QUERIES["cluster_validity_daily"] = (q_cluster_validity_daily,
+                                     SQL_CLUSTER_VALIDITY_DAILY)

@@ -154,3 +154,61 @@ def test_newsvendor_fractile_order_statistic():
     d = [10, 20, 30, 40, 50, 60, 70, 80]
     q, _ = newsvendor_q(d, 3, 1)
     assert q == 60
+
+
+# ---------------------------------------------------------------------------
+# cluster validity indices
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    davies_bouldin_l1, dunn_l1, silhouette_l1)
+
+
+def _two_blobs():
+    pts = [(0, 0), (1, 0), (0, 1), (100, 100), (101, 100), (100, 101)]
+    labels = [0, 0, 0, 1, 1, 1]
+    return pts, labels
+
+
+def test_silhouette_two_tight_blobs_near_one():
+    pts, labels = _two_blobs()
+    s = silhouette_l1(pts, labels)
+    assert s > 0.98
+
+
+def test_silhouette_shuffled_labels_poor():
+    pts, _ = _two_blobs()
+    bad = [0, 1, 0, 1, 0, 1]
+    assert silhouette_l1(pts, bad) < 0
+
+
+def test_silhouette_singleton_scores_zero():
+    pts = [(0, 0), (10, 0), (20, 0)]
+    labels = [0, 0, 1]
+    # singleton contributes 0; the other two split (b-a)/max terms
+    s = silhouette_l1(pts, labels)
+    brute = 0.0
+    # point 0: a=10, b=20 -> 0.5 ; point 1: a=10, b=10 -> 0.0
+    brute = (0.5 + 0.0 + 0.0) / 3
+    assert abs(s - brute) < 1e-12
+
+
+def test_davies_bouldin_blobs_small_and_coincident_none():
+    pts, labels = _two_blobs()
+    db = davies_bouldin_l1(pts, labels)
+    assert db is not None and db < 0.02
+    # coincident centroids -> None
+    assert davies_bouldin_l1([(0, 0), (1, 1), (0, 0), (1, 1)],
+                             [0, 0, 1, 1]) is None
+
+
+def test_dunn_exact_integers():
+    pts, labels = _two_blobs()
+    inter, intra, ratio = dunn_l1(pts, labels)
+    # closest cross pair: (1,0)-(100,100) -> 99 + 100 = 199
+    assert inter == 199 and intra == 2 and ratio == 99.5
+
+
+def test_dunn_no_intra_none():
+    inter, intra, ratio = dunn_l1([(0, 0), (5, 5)], [0, 1])
+    assert intra is None and ratio is None
