@@ -20,7 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .queries import QUERIES, _partial_final, _read
-from .queries_ext3 import _type_hour_cells, _hourly_type_series_by, phi_as
+from .queries_ext3 import (_daily_revenue_cents, _hourly_type_series_by,
+                           _type_hour_cells, phi_as)
 
 _DAY_US = 86_400_000_000
 
@@ -838,3 +839,204 @@ FROM nn, sil, db, dunn
 
 QUERIES["cluster_validity_daily"] = (q_cluster_validity_daily,
                                      SQL_CLUSTER_VALIDITY_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# kalman_local_level_daily — 1-D Kalman filter (local level model)
+# ---------------------------------------------------------------------------
+
+
+def kalman_local_level(y, r: float, q: float) -> tuple:
+    """Kalman filter for the local-level model y_t = a_t + N(0,r),
+    a_t = a_{t-1} + N(0,q): returns (k_last, a_last, loglik) with the
+    conditional log-likelihood summed from t=2.  The per-step
+    expression tree (predict, gain, update, Gaussian term) is
+    mirrored verbatim by the oracle's recursive CTE so the float
+    recursion stays bit-identical."""
+    n = len(y)
+    a = float(y[0])
+    p = r
+    ll = 0.0
+    k = None
+    for t in range(1, n):
+        pp = p + q
+        f = pp + r
+        k = pp / f
+        v = float(y[t]) - a
+        a = a + k * v
+        p = (1.0 - k) * pp
+        ll = ll - 0.5 * math.log(2.0 * math.pi * f) \
+            - 0.5 * v * v / f
+    return k, a, ll
+
+
+def q_kalman_local_level_daily(sf_dir: str):
+    """Kalman filtering of daily revenue under the local-level
+    (random-walk-plus-noise) model with moment-derived variances
+    (Var(Δy) = 2r+q split at signal-to-noise q/r = 0.1): steady-state
+    gain, final filtered level and the exact conditional Gaussian
+    log-likelihood — the state-space companion of holt_backtest /
+    ewma_control_chart that also prices its own fit.  Day-bounded;
+    the sequential float recursion shares its expression tree with a
+    recursive CTE (the hmm_forward_loglik discipline)."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    y = cents.tolist()
+    n = len(y)
+    d = [y[i] - y[i - 1] for i in range(1, n)]
+    m = len(d)
+    s1 = sum(d)
+    s2 = sum(v * v for v in d)
+    vard = float(m * s2 - s1 * s1) / (float(m) * m)
+    r = vard / 2.1
+    q = 0.1 * r
+    k, a, ll = kalman_local_level(y, r, q)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "obs_var": pa.array([round(r, 4)], pa.float64()),
+        "steady_gain": pa.array(
+            [round(k, 6) if k is not None else None], pa.float64()),
+        "final_level": pa.array([round(a, 4)], pa.float64()),
+        "loglik": pa.array([round(ll, 4)], pa.float64()),
+    })
+
+
+SQL_KALMAN_LOCAL_LEVEL_DAILY = """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT row_number() OVER (ORDER BY day) AS pos,
+         CAST(cents AS DOUBLE) AS y, cents
+  FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+dif AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(c2 - c1) AS HUGEINT) AS s1,
+         CAST(sum(CAST(c2 - c1 AS HUGEINT) * (c2 - c1)) AS HUGEINT)
+           AS s2
+  FROM (SELECT cents AS c2,
+               lag(cents) OVER (ORDER BY pos) AS c1 FROM s)
+  WHERE c1 IS NOT NULL),
+rq AS (
+  SELECT CAST(m * s2 - s1 * s1 AS DOUBLE)
+           / (CAST(m AS DOUBLE) * m) / 2.1 AS r
+  FROM dif),
+kf(pos, a, p, k, ll) AS (
+  SELECT CAST(1 AS BIGINT), s.y, rq.r, CAST(NULL AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  FROM s, rq WHERE s.pos = 1
+  UNION ALL
+  SELECT st.pos, st.a + st.k * st.v, (1.0 - st.k) * st.pp,
+         st.k,
+         st.ll - 0.5 * ln(2.0 * pi() * st.f)
+               - 0.5 * st.v * st.v / st.f
+  FROM (
+    SELECT s.pos, s.y - f.a AS v, f.a, f.ll,
+           (f.p + rq.r * 0.1) AS pp,
+           (f.p + rq.r * 0.1) + rq.r AS f,
+           (f.p + rq.r * 0.1) / ((f.p + rq.r * 0.1) + rq.r) AS k
+    FROM kf f JOIN s ON s.pos = f.pos + 1, rq) st)
+SELECT (SELECT n FROM nn) AS n_days,
+       (SELECT round(r, 4) FROM rq) AS obs_var,
+       round(k, 6) AS steady_gain,
+       round(a, 4) AS final_level,
+       round(ll, 4) AS loglik
+FROM kf WHERE pos = (SELECT n FROM nn)
+"""
+
+QUERIES["kalman_local_level_daily"] = (q_kalman_local_level_daily,
+                                       SQL_KALMAN_LOCAL_LEVEL_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# diebold_mariano_daily — forecast-accuracy comparison test
+# ---------------------------------------------------------------------------
+
+
+def diebold_mariano(d) -> tuple:
+    """DM statistic from integer per-period loss differentials:
+    mean(d) / sqrt(Var_pop(d)/n) with the population variance from
+    exact integer sums.  Returns (mean_d, dm) — dm None when the
+    differentials are constant."""
+    n = len(d)
+    s1 = sum(int(v) for v in d)
+    s2 = sum(int(v) * int(v) for v in d)
+    md = s1 / n
+    vd = float(n * s2 - s1 * s1) / (float(n) * n)
+    if vd <= 0:
+        return md, None
+    return md, md / math.sqrt(vd / n)
+
+
+def q_diebold_mariano_daily(sf_dir: str):
+    """Diebold-Mariano test of persistence (ŷ_t = y_{t−1}) vs
+    seasonal-naive (ŷ_t = y_{t−7}) daily-revenue forecasts under
+    squared-error loss: is the weekly lag a SIGNIFICANTLY better
+    predictor, or just luckier? — the inference companion of
+    persistence_baseline_eval / seasonal_naive_error which only
+    report the losses.  Day-bounded; every loss differential is an
+    exact integer (cents²), so mean and variance close exactly before
+    the one final division; p from the shared A&S Φ."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    y = (cents // 100).tolist()    # whole dollars: keeps Σd² in int128
+    d = []
+    for t in range(7, len(y)):
+        e1 = y[t] - y[t - 1]
+        e2 = y[t] - y[t - 7]
+        d.append(e1 * e1 - e2 * e2)
+    md, dm = diebold_mariano(d)
+    p = 2.0 * (1.0 - phi_as(abs(dm))) if dm is not None else None
+    return pa.table({
+        "n_eff": pa.array([len(d)], pa.int64()),
+        "mean_loss_diff": pa.array([round(md, 4)], pa.float64()),
+        "dm_stat": pa.array(
+            [round(dm, 6) if dm is not None else None], pa.float64()),
+        "p_two_sided": pa.array(
+            [round(p, 6) if p is not None else None], pa.float64()),
+    })
+
+
+SQL_DIEBOLD_MARIANO_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT row_number() OVER (ORDER BY day) AS pos, cents FROM d),
+ld AS (
+  SELECT CAST(e1 AS HUGEINT) * e1 - CAST(e2 AS HUGEINT) * e2 AS dl
+  FROM (SELECT cents - lag(cents, 1) OVER (ORDER BY pos) AS e1,
+               cents - lag(cents, 7) OVER (ORDER BY pos) AS e2,
+               pos FROM s)
+  WHERE pos > 7),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS HUGEINT) AS s1,
+         CAST(sum(dl * dl) AS HUGEINT) AS s2
+  FROM ld),
+st AS (
+  SELECT n, CAST(s1 AS DOUBLE) / n AS md,
+         CAST(n * s2 - s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * n) AS vd
+  FROM m),
+z AS (
+  SELECT n, md,
+         CASE WHEN vd > 0 THEN md / sqrt(vd / n) END AS dm
+  FROM st)
+SELECT n AS n_eff, round(md, 4) AS mean_loss_diff,
+       round(dm, 6) AS dm_stat,
+       CASE WHEN dm IS NOT NULL THEN
+         round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+           - (((((1.061405429 * t.t - 1.453152027) * t.t)
+                + 1.421413741) * t.t - 0.284496736) * t.t
+              + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+       END AS p_two_sided
+FROM z,
+     LATERAL (SELECT abs(coalesce(z.dm, 0.0)) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["diebold_mariano_daily"] = (q_diebold_mariano_daily,
+                                    SQL_DIEBOLD_MARIANO_DAILY)

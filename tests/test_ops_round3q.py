@@ -212,3 +212,61 @@ def test_dunn_exact_integers():
 def test_dunn_no_intra_none():
     inter, intra, ratio = dunn_l1([(0, 0), (5, 5)], [0, 1])
     assert intra is None and ratio is None
+
+
+# ---------------------------------------------------------------------------
+# Kalman local level + Diebold-Mariano
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    diebold_mariano, kalman_local_level)
+
+
+def test_kalman_constant_series_converges_to_level():
+    y = [50.0] * 200
+    k, a, ll = kalman_local_level(y, r=4.0, q=0.4)
+    assert abs(a - 50.0) < 1e-9
+    # steady-state gain for q/r=0.1: k = (sqrt(q^2+4qr)+q)/(sqrt(..)+q+2r)
+    q, r = 0.4, 4.0
+    disc = math.sqrt(q * q + 4 * q * r)
+    k_ss = (disc + q) / (disc + q + 2 * r)
+    assert abs(k - k_ss) < 1e-9
+
+
+def test_kalman_tracks_step_change():
+    y = [0.0] * 100 + [100.0] * 100
+    k, a, ll = kalman_local_level(y, r=1.0, q=0.1)
+    assert 99.0 < a <= 100.0
+
+
+def test_kalman_loglik_matches_naive_gaussian():
+    rng = np.random.RandomState(5)
+    y = rng.randint(0, 50, 30).astype(float).tolist()
+    r, q = 9.0, 0.9
+    k, a, ll = kalman_local_level(y, r, q)
+    # independent re-derivation with explicit predictive densities
+    aa, pp = y[0], r
+    ll2 = 0.0
+    for t in range(1, len(y)):
+        pr = pp + q
+        f = pr + r
+        ll2 += -0.5 * math.log(2 * math.pi * f) \
+            - 0.5 * (y[t] - aa) ** 2 / f
+        kk = pr / f
+        aa = aa + kk * (y[t] - aa)
+        pp = (1 - kk) * pr
+    assert abs(ll - ll2) < 1e-9
+
+
+def test_diebold_mariano_known():
+    # constant differential -> zero variance -> None
+    md, dm = diebold_mariano([5, 5, 5, 5])
+    assert md == 5.0 and dm is None
+    # symmetric flip
+    md1, dm1 = diebold_mariano([3, -1, 4, -2, 6])
+    md2, dm2 = diebold_mariano([-3, 1, -4, 2, -6])
+    assert abs(md1 + md2) < 1e-12 and abs(dm1 + dm2) < 1e-12
+    # agrees with numpy mean/pop-std formulation
+    d = [3, -1, 4, -2, 6]
+    exp = np.mean(d) / math.sqrt(np.var(d) / len(d))
+    assert abs(dm1 - exp) < 1e-9
