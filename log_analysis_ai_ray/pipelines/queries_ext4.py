@@ -1040,3 +1040,257 @@ FROM z,
 
 QUERIES["diebold_mariano_daily"] = (q_diebold_mariano_daily,
                                     SQL_DIEBOLD_MARIANO_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# domain graph: Wiener index / global efficiency
+# ---------------------------------------------------------------------------
+
+_WE_MAX_HOPS = 6
+
+
+def pair_hop_histogram(n, lo, hi, max_hops) -> dict:
+    """Ordered-pair hop histogram {h: count} via hop-capped boolean
+    matrix BFS (the eccentricities discipline) — exact integers."""
+    a = np.zeros((n, n), dtype=bool)
+    a[lo, hi] = True
+    a[hi, lo] = True
+    reach = np.eye(n, dtype=bool)
+    frontier = np.eye(n, dtype=bool)
+    hist = {}
+    for h in range(1, max_hops + 1):
+        frontier = (frontier @ a) & ~reach
+        if not frontier.any():
+            break
+        hist[h] = int(frontier.sum())
+        reach |= frontier
+    return hist
+
+
+def q_domain_wiener_efficiency(sf_dir: str):
+    """Wiener index and global efficiency of the undirected domain
+    graph (hop-capped at 6 like domain_eccentricity): Σ pair
+    distances — the chemists' compactness invariant — and the mean
+    inverse distance that stays finite on disconnected graphs.
+    Distributed edge distillation + bounded boolean-matrix BFS
+    driver-side; exact integer hop histogram, the one float sum runs
+    over ≤ 6 histogram terms in both engines."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    hist = pair_hop_histogram(n, lo, hi, _WE_MAX_HOPS)
+    pairs = sum(hist.values())
+    wiener2 = sum(h * c for h, c in hist.items())
+    eff = None
+    if n > 1:
+        eff = sum(c * (1.0 / h) for h, c in sorted(hist.items())) \
+            / (float(n) * (n - 1))
+    return pa.table({
+        "n_domains": pa.array([n], pa.int64()),
+        "n_pairs_reachable": pa.array([pairs // 2], pa.int64()),
+        "wiener_index": pa.array([wiener2 // 2], pa.int64()),
+        "global_efficiency": pa.array(
+            [round(eff, 6) if eff is not None else None], pa.float64()),
+    })
+
+
+def _domain_wiener_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    parts = ["r1 AS MATERIALIZED (SELECT s, d, 1 AS h FROM adj "
+             "WHERE s <> d)"]
+    seen = "SELECT s, d FROM r1"
+    for k in range(2, _WE_MAX_HOPS + 1):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT s, d, {k} AS h FROM (
+    SELECT DISTINCT p.s, adj.d
+    FROM r{k - 1} p JOIN adj ON adj.s = p.d
+    WHERE p.s <> adj.d
+    EXCEPT ({seen})))""")
+        seen += f" UNION ALL SELECT s, d FROM r{k}"
+    union = " UNION ALL ".join(f"SELECT * FROM r{k}"
+                               for k in range(1, _WE_MAX_HOPS + 1))
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS MATERIALIZED (SELECT a AS s, b AS d FROM eu
+                     UNION ALL SELECT b, a FROM eu),
+{", ".join(parts)},
+hist AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c
+  FROM ({union}) GROUP BY 1 ORDER BY 1),
+nn AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM adj)
+SELECT nn.n AS n_domains,
+       CAST(sum(c) // 2 AS BIGINT) AS n_pairs_reachable,
+       CAST(sum(h * c) // 2 AS BIGINT) AS wiener_index,
+       CASE WHEN nn.n > 1
+            THEN round(sum(c * (1.0 / h))
+                       / (CAST(nn.n AS DOUBLE) * (nn.n - 1)), 6) END
+         AS global_efficiency
+FROM hist, nn GROUP BY nn.n
+"""
+
+
+QUERIES["domain_wiener_efficiency"] = (q_domain_wiener_efficiency,
+                                       _domain_wiener_sql())
+
+
+# ---------------------------------------------------------------------------
+# domain graph: truncated Estrada index from exact closed-walk traces
+# ---------------------------------------------------------------------------
+
+
+def q_domain_estrada(sf_dir: str):
+    """Estrada index of the domain graph truncated at walk length 6:
+    EE₆ = Σ_{k≤6} trace(Aᵏ)/k! — the subgraph-centrality total that
+    weighs short closed walks most (trace(A²) = 2·edges,
+    trace(A³) = 6·triangles, …), the spectral-sum companion of
+    domain_spectral_radius (which uses OPEN walk totals).  Exact
+    integer traces from bounded object-dtype matrix powers
+    driver-side and per-start walk-count CTEs in the oracle; the one
+    float sum is the same 6-term left-to-right expression in both
+    engines."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    a = np.zeros((n, n), dtype=object)
+    a[lo, hi] = 1
+    a[hi, lo] = 1
+    p = np.eye(n, dtype=object)
+    tr = [n]
+    for _ in range(6):
+        p = p @ a
+        tr.append(int(np.trace(p)))
+    ee = (n + tr[2] / 2.0 + tr[3] / 6.0 + tr[4] / 24.0
+          + tr[5] / 120.0 + tr[6] / 720.0)
+    return pa.table({
+        "n_domains": pa.array([n], pa.int64()),
+        "tr2": pa.array([tr[2]], pa.int64()),
+        "tr3": pa.array([tr[3]], pa.int64()),
+        "tr4": pa.array([tr[4]], pa.int64()),
+        "tr5": pa.array([tr[5]], pa.int64()),
+        "tr6": pa.array([tr[6]], pa.int64()),
+        "estrada_6": pa.array([round(ee, 6)], pa.float64()),
+    })
+
+
+def _domain_estrada_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS MATERIALIZED (SELECT a AS s, b AS d FROM eu
+                     UNION ALL SELECT b, a FROM eu),
+t1 AS (SELECT s AS start, d AS v, CAST(1 AS HUGEINT) AS w FROM adj),
+t2 AS (SELECT t1.start, adj.d AS v, CAST(sum(t1.w) AS HUGEINT) AS w
+       FROM t1 JOIN adj ON adj.s = t1.v GROUP BY 1, 2),
+t3 AS (SELECT t2.start, adj.d AS v, CAST(sum(t2.w) AS HUGEINT) AS w
+       FROM t2 JOIN adj ON adj.s = t2.v GROUP BY 1, 2),
+t4 AS (SELECT t3.start, adj.d AS v, CAST(sum(t3.w) AS HUGEINT) AS w
+       FROM t3 JOIN adj ON adj.s = t3.v GROUP BY 1, 2),
+t5 AS (SELECT t4.start, adj.d AS v, CAST(sum(t4.w) AS HUGEINT) AS w
+       FROM t4 JOIN adj ON adj.s = t4.v GROUP BY 1, 2),
+t6 AS (SELECT t5.start, adj.d AS v, CAST(sum(t5.w) AS HUGEINT) AS w
+       FROM t5 JOIN adj ON adj.s = t5.v GROUP BY 1, 2),
+tr AS (
+  SELECT (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM adj) AS n,
+   coalesce((SELECT CAST(sum(w) AS BIGINT) FROM t2 WHERE start = v),
+            0) AS tr2,
+   coalesce((SELECT CAST(sum(w) AS BIGINT) FROM t3 WHERE start = v),
+            0) AS tr3,
+   coalesce((SELECT CAST(sum(w) AS BIGINT) FROM t4 WHERE start = v),
+            0) AS tr4,
+   coalesce((SELECT CAST(sum(w) AS BIGINT) FROM t5 WHERE start = v),
+            0) AS tr5,
+   coalesce((SELECT CAST(sum(w) AS BIGINT) FROM t6 WHERE start = v),
+            0) AS tr6)
+SELECT n AS n_domains, tr2, tr3, tr4, tr5, tr6,
+       round(n + tr2 / 2.0 + tr3 / 6.0 + tr4 / 24.0
+             + tr5 / 120.0 + tr6 / 720.0, 6) AS estrada_6
+FROM tr
+"""
+
+
+QUERIES["domain_estrada"] = (q_domain_estrada, _domain_estrada_sql())
+
+
+# ---------------------------------------------------------------------------
+# domain graph: Zagreb / Randić bond-connectivity indices
+# ---------------------------------------------------------------------------
+
+
+def q_domain_zagreb_randic(sf_dir: str):
+    """Topological bond-connectivity indices of the domain graph:
+    first Zagreb M₁ = Σ_v deg², second Zagreb M₂ = Σ_edges du·dv
+    (both exact integers) and the Randić index R = Σ_edges 1/√(du·dv)
+    — the degree-based molecular-descriptor family complementing
+    degree_powerlaw_fit / domain_assortativity.  Distributed edge
+    distillation; degree closure on the bounded node set."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    if len(lo):                      # distinct undirected edges
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        lo, hi = uniq[:, 0], uniq[:, 1]
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, lo, 1)
+    np.add.at(deg, hi, 1)
+    m1 = int((deg.astype(object) ** 2).sum())
+    m2 = int(sum(int(deg[a]) * int(deg[b])
+                 for a, b in zip(lo.tolist(), hi.tolist())))
+    r = sum(1.0 / math.sqrt(float(deg[a]) * float(deg[b]))
+            for a, b in zip(lo.tolist(), hi.tolist()))
+    return pa.table({
+        "n_domains": pa.array([n], pa.int64()),
+        "n_edges": pa.array([len(lo)], pa.int64()),
+        "zagreb_m1": pa.array([m1], pa.int64()),
+        "zagreb_m2": pa.array([m2], pa.int64()),
+        "randic_index": pa.array([round(r, 6)], pa.float64()),
+    })
+
+
+def _domain_zagreb_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS (SELECT a AS s, d FROM (SELECT a, b AS d FROM eu
+                               UNION ALL SELECT b, a FROM eu) x(a, d)),
+deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS dg
+        FROM adj GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_domains,
+       (SELECT CAST(count(*) AS BIGINT) FROM eu) AS n_edges,
+       (SELECT CAST(sum(dg * dg) AS BIGINT) FROM deg) AS zagreb_m1,
+       (SELECT CAST(sum(da.dg * db.dg) AS BIGINT)
+        FROM eu JOIN deg da ON da.v = eu.a
+                JOIN deg db ON db.v = eu.b) AS zagreb_m2,
+       (SELECT round(sum(1.0 / sqrt(CAST(da.dg AS DOUBLE) * db.dg)),
+                     6)
+        FROM eu JOIN deg da ON da.v = eu.a
+                JOIN deg db ON db.v = eu.b) AS randic_index
+"""
+
+
+QUERIES["domain_zagreb_randic"] = (q_domain_zagreb_randic,
+                                   _domain_zagreb_sql())

@@ -270,3 +270,41 @@ def test_diebold_mariano_known():
     d = [3, -1, 4, -2, 6]
     exp = np.mean(d) / math.sqrt(np.var(d) / len(d))
     assert abs(dm1 - exp) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# pair hop histogram (Wiener / efficiency kernel)
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    pair_hop_histogram)
+
+
+def test_pair_hop_histogram_path_graph():
+    # path 0-1-2-3: ordered-pair distances 1:6, 2:4, 3:2
+    lo = np.asarray([0, 1, 2])
+    hi = np.asarray([1, 2, 3])
+    hist = pair_hop_histogram(4, lo, hi, 6)
+    assert hist == {1: 6, 2: 4, 3: 2}
+
+
+def test_pair_hop_histogram_complete_graph():
+    import itertools
+    pairs = list(itertools.combinations(range(5), 2))
+    lo = np.asarray([p[0] for p in pairs])
+    hi = np.asarray([p[1] for p in pairs])
+    hist = pair_hop_histogram(5, lo, hi, 6)
+    assert hist == {1: 20}
+
+
+def test_pair_hop_histogram_disconnected_and_cap():
+    # two disjoint edges: only hop-1 pairs, cross pairs unreachable
+    lo = np.asarray([0, 2])
+    hi = np.asarray([1, 3])
+    hist = pair_hop_histogram(4, lo, hi, 6)
+    assert hist == {1: 4}
+    # hop cap truncates a long path
+    lo2 = np.asarray(range(9))
+    hi2 = np.asarray(range(1, 10))
+    h2 = pair_hop_histogram(10, lo2, hi2, 3)
+    assert set(h2) == {1, 2, 3}
