@@ -1294,3 +1294,224 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_domains,
 
 QUERIES["domain_zagreb_randic"] = (q_domain_zagreb_randic,
                                    _domain_zagreb_sql())
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit — sensitive-attribute diversity per QI group
+# ---------------------------------------------------------------------------
+
+# sensitive attribute: $1000 account-balance bucket, shifted +$10k so
+# the floor division is positive on both engines (DuckDB // truncates
+# negatives where Python floors)
+_SENS_SHIFT = 1_000_000
+_SENS_WIDTH = 100_000
+
+
+def q_l_diversity_audit(sf_dir: str):
+    """l-diversity audit of the (nation, segment) quasi-identifier
+    against the $1000-bucketed account balance: a QI group that is
+    k-anonymous but balance-homogeneous still leaks — for
+    l ∈ {2, 3, 5} report the groups (and customers) whose sensitive
+    attribute takes fewer than l distinct values, plus the global
+    minima of distinct-l and entropy-l (exp H, the stricter variant).
+    Everything reduces to the bounded (QI, bucket) histogram —
+    integer counts; the one float is the entropy closure."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100), 0), pa.int64())
+        sb = pc.divide(pc.add(bal, pa.scalar(_SENS_SHIFT, pa.int64())),
+                       pa.scalar(_SENS_WIDTH, pa.int64()))
+        g = pa.table({"nk": t.column("c_nationkey"),
+                      "seg": t.column("c_mktsegment"),
+                      "sb": sb}) \
+            .group_by(["nk", "seg", "sb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["nk", "seg", "sb", "c"])
+
+    h = _partial_final(ds, partial, ["nk", "seg", "sb"],
+                       [("c", "sum")])
+    groups = {}
+    for nk, seg, c in zip(h.column("nk").to_pylist(),
+                          h.column("seg").to_pylist(),
+                          np.asarray(h.column("c"),
+                                     dtype=np.int64).tolist()):
+        groups.setdefault((nk, seg), []).append(c)
+    distinct = {g: len(cs) for g, cs in groups.items()}
+    sizes = {g: sum(cs) for g, cs in groups.items()}
+    ent_l = {}
+    for g, cs in groups.items():
+        n = sizes[g]
+        hh = -sum(c / n * math.log(c / n) for c in sorted(cs))
+        ent_l[g] = math.exp(hh)
+    ls = [2, 3, 5]
+    return pa.table({
+        "l": pa.array(ls, pa.int64()),
+        "groups_below_l": pa.array(
+            [sum(1 for v in distinct.values() if v < l) for l in ls],
+            pa.int64()),
+        "rows_below_l": pa.array(
+            [sum(sizes[g] for g, v in distinct.items() if v < l)
+             for l in ls], pa.int64()),
+        "min_distinct_l": pa.array(
+            [min(distinct.values())] * 3, pa.int64()),
+        "min_entropy_l": pa.array(
+            [round(min(ent_l.values()), 6)] * 3, pa.float64()),
+    })
+
+
+SQL_L_DIVERSITY_AUDIT = """
+WITH cell AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000)
+           // 100000 AS sb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3),
+gn AS (
+  SELECT nk, seg, CAST(count(*) AS BIGINT) AS dl,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM cell GROUP BY 1, 2),
+g AS (
+  SELECT cell.nk, cell.seg, gn.dl, gn.n,
+         exp(-sum(CAST(c AS DOUBLE) / gn.n
+                  * ln(CAST(c AS DOUBLE) / gn.n))) AS el
+  FROM cell JOIN gn USING (nk, seg)
+  GROUP BY cell.nk, cell.seg, gn.dl, gn.n),
+ls AS (SELECT unnest([2, 3, 5]) AS l)
+SELECT CAST(l AS BIGINT) AS l,
+       CAST(coalesce(sum(CASE WHEN dl < l THEN 1 END), 0) AS BIGINT)
+         AS groups_below_l,
+       CAST(coalesce(sum(CASE WHEN dl < l THEN n END), 0) AS BIGINT)
+         AS rows_below_l,
+       CAST(min(dl) AS BIGINT) AS min_distinct_l,
+       round(min(el), 6) AS min_entropy_l
+FROM ls CROSS JOIN g GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["l_diversity_audit"] = (q_l_diversity_audit,
+                                SQL_L_DIVERSITY_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit — ordered-EMD distance of each QI group's
+# sensitive distribution from the global one
+# ---------------------------------------------------------------------------
+
+
+def t_closeness_emd(group_counts: dict, total_counts: dict) -> dict:
+    """Per-group ordered 1-D EMD t-values from integer bucket
+    histograms: t_g = Σ_j |cumg_j·N − cum_j·n_g| / (n_g·N·(m−1)) over
+    the GLOBAL bucket grid — exact integer numerators, one final
+    division.  Returns {group: t}."""
+    grid = sorted(total_counts)
+    m = len(grid)
+    n_total = sum(total_counts.values())
+    out = {}
+    for g, cs in group_counts.items():
+        ng = sum(cs.values())
+        cum_g = cum_t = 0
+        num = 0
+        for b in grid:
+            cum_g += cs.get(b, 0)
+            cum_t += total_counts[b]
+            num += abs(cum_g * n_total - cum_t * ng)
+        out[g] = num / (float(ng) * n_total * (m - 1)) \
+            if m > 1 and ng else 0.0
+    return out
+
+
+def q_t_closeness_audit(sf_dir: str):
+    """t-closeness audit of the (nation, segment) quasi-identifier:
+    the ordered earth-mover distance between each group's
+    $1000-bucket balance distribution and the global one — the
+    distributional privacy bound l-diversity misses (a group can be
+    diverse yet skewed toward 'all rich').  Same bounded (QI, bucket)
+    histogram as l_diversity_audit; every EMD numerator is an exact
+    integer over the global bucket grid, divided once."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100), 0), pa.int64())
+        sb = pc.divide(pc.add(bal, pa.scalar(_SENS_SHIFT, pa.int64())),
+                       pa.scalar(_SENS_WIDTH, pa.int64()))
+        g = pa.table({"nk": t.column("c_nationkey"),
+                      "seg": t.column("c_mktsegment"),
+                      "sb": sb}) \
+            .group_by(["nk", "seg", "sb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["nk", "seg", "sb", "c"])
+
+    h = _partial_final(ds, partial, ["nk", "seg", "sb"],
+                       [("c", "sum")])
+    groups, total = {}, {}
+    for nk, seg, sb, c in zip(h.column("nk").to_pylist(),
+                              np.asarray(h.column("seg").to_pylist()),
+                              np.asarray(h.column("sb"),
+                                         dtype=np.int64).tolist(),
+                              np.asarray(h.column("c"),
+                                         dtype=np.int64).tolist()):
+        groups.setdefault((nk, seg), {})[sb] = c
+        total[sb] = total.get(sb, 0) + c
+    t_vals = t_closeness_emd(groups, total)
+    vals = sorted(t_vals.values())
+    n_g = len(vals)
+    mean_t = sum(vals) / n_g
+    return pa.table({
+        "n_groups": pa.array([n_g], pa.int64()),
+        "n_buckets": pa.array([len(total)], pa.int64()),
+        "max_t": pa.array([round(max(vals), 6)], pa.float64()),
+        "mean_t": pa.array([round(mean_t, 6)], pa.float64()),
+        "groups_above_02": pa.array(
+            [sum(1 for v in vals if v > 0.2)], pa.int64()),
+    })
+
+
+SQL_T_CLOSENESS_AUDIT = """
+WITH cell AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000)
+           // 100000 AS sb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3),
+grid AS (SELECT sb, CAST(sum(c) AS BIGINT) AS tc FROM cell
+         GROUP BY 1),
+nn AS (SELECT CAST(sum(tc) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS m FROM grid),
+grp AS (SELECT nk, seg, CAST(sum(c) AS BIGINT) AS ng FROM cell
+        GROUP BY 1, 2),
+full_g AS (
+  SELECT grp.nk, grp.seg, grp.ng, grid.sb, grid.tc,
+         coalesce(cell.c, 0) AS c
+  FROM grp CROSS JOIN grid
+  LEFT JOIN cell ON cell.nk = grp.nk AND cell.seg = grp.seg
+                AND cell.sb = grid.sb),
+cum AS (
+  SELECT nk, seg, ng, sb,
+         sum(c) OVER (PARTITION BY nk, seg ORDER BY sb) AS cg,
+         sum(tc) OVER (PARTITION BY nk, seg ORDER BY sb) AS ct
+  FROM full_g),
+tg AS (
+  SELECT nk, seg,
+         CAST(sum(abs(CAST(cg AS HUGEINT) * nn.n
+                      - CAST(ct AS HUGEINT) * ng)) AS HUGEINT) AS num,
+         ng
+  FROM cum, nn GROUP BY nk, seg, ng),
+tv AS (
+  SELECT CASE WHEN nn.m > 1 AND ng > 0
+              THEN CAST(num AS DOUBLE)
+                   / (CAST(ng AS DOUBLE) * nn.n * (nn.m - 1))
+              ELSE 0.0 END AS t
+  FROM tg, nn)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM grp) AS n_groups,
+       (SELECT m FROM nn) AS n_buckets,
+       round(max(t), 6) AS max_t,
+       round(sum(t) / count(*), 6) AS mean_t,
+       CAST(sum(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_above_02
+FROM tv
+"""
+
+QUERIES["t_closeness_audit"] = (q_t_closeness_audit,
+                                SQL_T_CLOSENESS_AUDIT)

@@ -308,3 +308,56 @@ def test_pair_hop_histogram_disconnected_and_cap():
     hi2 = np.asarray(range(1, 10))
     h2 = pair_hop_histogram(10, lo2, hi2, 3)
     assert set(h2) == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# t-closeness EMD kernel
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    t_closeness_emd)
+
+
+def test_t_closeness_identical_distribution_zero():
+    total = {0: 10, 1: 20, 2: 10}
+    groups = {"g": {0: 1, 1: 2, 2: 1}}   # same shape, 1/10 scale
+    t = t_closeness_emd(groups, total)
+    assert t["g"] == 0.0
+
+
+def test_t_closeness_extreme_mass_shift():
+    # group concentrated at the far end of a 2-bucket grid where the
+    # global is all at the other end -> t = 1 as n_g/N -> 0
+    total = {0: 1000, 1: 1}
+    groups = {"g": {1: 1}}
+    t = t_closeness_emd(groups, total)
+    assert t["g"] > 0.99
+
+
+def test_t_closeness_matches_probability_form():
+    rng = np.random.RandomState(3)
+    total = {}
+    groups = {"a": {}, "b": {}}
+    for b in range(6):
+        ca = int(rng.randint(0, 30))
+        cb = int(rng.randint(0, 30))
+        if ca:
+            groups["a"][b] = ca
+        if cb:
+            groups["b"][b] = cb
+        total[b] = ca + cb
+    total = {b: v for b, v in total.items() if v}
+    t = t_closeness_emd(groups, total)
+    grid = sorted(total)
+    m = len(grid)
+    n = sum(total.values())
+    for g, cs in groups.items():
+        ng = sum(cs.values())
+        cg = ct = 0.0
+        ref = 0.0
+        for b in grid:
+            cg += cs.get(b, 0) / ng
+            ct += total[b] / n
+            ref += abs(cg - ct)
+        ref /= (m - 1)
+        assert abs(t[g] - ref) < 1e-9
