@@ -1515,3 +1515,305 @@ FROM tv
 
 QUERIES["t_closeness_audit"] = (q_t_closeness_audit,
                                 SQL_T_CLOSENESS_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# lepage_click_view — combined location-scale two-sample test
+# ---------------------------------------------------------------------------
+
+
+def q_lepage_click_view(sf_dir: str):
+    """Lepage test of click vs view values: L = z²_Wilcoxon +
+    z²_Ansari-Bradley — the omnibus location-AND-scale alternative
+    the registry's separate mann_whitney (location) and
+    ansari_bradley (scale) rows each miss half of; L ~ χ²₂ under H0.
+    Same bounded integer-cents histogram shuffle; both component z's
+    reuse the exact doubled-rank algebra, squared and added last."""
+    from .queries_ext2 import (ansari_bradley_from_hists,
+                               mann_whitney_from_hists)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_x = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"v": cents, "x": is_x,
+                      "y": pc.subtract(pa.scalar(1, pa.int64()), is_x)}) \
+            .group_by("v").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["v", "cx", "cy"])
+
+    m = _partial_final(ds, partial, ["v"],
+                       [("cx", "sum"), ("cy", "sum")])
+    m = m.sort_by("v")
+    cx = np.asarray(m.column("cx"), dtype=np.int64)
+    cy = np.asarray(m.column("cy"), dtype=np.int64)
+    _, zw = mann_whitney_from_hists(np.asarray(m.column("v")), cx, cy)
+    _, zab = ansari_bradley_from_hists(cx, cy)
+    return pa.table({
+        "n_click": pa.array([int(cx.sum())], pa.int64()),
+        "n_view": pa.array([int(cy.sum())], pa.int64()),
+        "z_location": pa.array([round(zw, 6)], pa.float64()),
+        "z_scale": pa.array([round(zab, 6)], pa.float64()),
+        "lepage_l": pa.array([round(zw * zw + zab * zab, 6)],
+                             pa.float64()),
+    })
+
+
+SQL_LEPAGE_CLICK_VIEW = """
+WITH h AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+c AS (
+  SELECT cx, cy, cx + cy AS t,
+         coalesce(sum(cx + cy) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum
+  FROM h),
+nn AS (SELECT sum(cx) AS nx, sum(cy) AS ny, sum(cx + cy) AS n FROM h),
+w AS (
+  SELECT CAST(sum(cx * (2 * cum + t + 1)) AS BIGINT) AS r2x,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tc
+  FROM c),
+zw AS (
+  SELECT (r2x - nn.nx * (nn.nx + 1) - nn.nx * nn.ny)
+         / (2.0 * sqrt((nn.nx * nn.ny / 12.0)
+                       * ((nn.nx + nn.ny + 1)
+                          - tc / (CAST(nn.nx + nn.ny AS DOUBLE)
+                                  * (nn.nx + nn.ny - 1))))) AS z
+  FROM w, nn),
+sc AS (
+  SELECT cx, cy, t,
+         (nn.n + 1) - abs((2 * cum + t + 1) - (nn.n + 1)) AS sc2
+  FROM c, nn),
+s AS (
+  SELECT CAST(sum(cx * sc2) AS BIGINT) AS a2x,
+         CAST(sum(t * sc2) AS BIGINT) AS s1,
+         CAST(sum(t * sc2 * sc2) AS HUGEINT) AS s2
+  FROM sc),
+zab AS (
+  SELECT (nn.n * a2x - nn.nx * s1)
+         / (CAST(nn.n AS DOUBLE)
+            * sqrt(nn.nx * nn.ny
+                   * CAST(nn.n * s2 - CAST(s1 AS HUGEINT) * s1
+                          AS DOUBLE)
+                   / (CAST(nn.n AS DOUBLE) * nn.n * (nn.n - 1)))) AS z
+  FROM s, nn)
+SELECT (SELECT CAST(nx AS BIGINT) FROM nn) AS n_click,
+       (SELECT CAST(ny AS BIGINT) FROM nn) AS n_view,
+       round(zw.z, 6) AS z_location,
+       round(zab.z, 6) AS z_scale,
+       round(zw.z * zw.z + zab.z * zab.z, 6) AS lepage_l
+FROM zw, zab
+"""
+
+QUERIES["lepage_click_view"] = (q_lepage_click_view,
+                                SQL_LEPAGE_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# mincer_zarnowitz_daily — forecast-efficiency regression
+# ---------------------------------------------------------------------------
+
+
+def mz_regression(y, f) -> tuple:
+    """(alpha, beta, r2) of y on f from exact integer sums — an
+    efficient forecast has (alpha, beta) = (0, 1)."""
+    n = len(y)
+    sy = sum(y)
+    sf = sum(f)
+    sff = sum(v * v for v in f)
+    syy = sum(v * v for v in y)
+    sfy = sum(a * b for a, b in zip(f, y))
+    dxx = n * sff - sf * sf
+    dyy = n * syy - sy * sy
+    dxy = n * sfy - sf * sy
+    if dxx == 0:
+        return None, None, None
+    # round ints to double BEFORE the arithmetic — the oracle CASTs
+    # each >2^53 moment first, so exact-int division would differ
+    beta = float(dxy) / float(dxx)
+    alpha = (float(sy) - beta * float(sf)) / n
+    r2 = (float(dxy) * float(dxy)) / (float(dxx) * float(dyy)) \
+        if dyy else None
+    return alpha, beta, r2
+
+
+def q_mincer_zarnowitz_daily(sf_dir: str):
+    """Mincer-Zarnowitz forecast-efficiency regression of daily
+    revenue on its persistence forecast (ŷ_t = y_{t−1}): an efficient
+    forecast has intercept 0 and slope 1, so (α, β) quantify bias and
+    over/under-reaction — the calibration companion of
+    diebold_mariano_daily (which only ranks losses).  Day-bounded;
+    every regression moment is an exact whole-dollar integer, divided
+    once."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    y = (cents // 100).tolist()
+    act, fc = y[1:], y[:-1]
+    alpha, beta, r2 = mz_regression(act, fc)
+    return pa.table({
+        "n_eff": pa.array([len(act)], pa.int64()),
+        "alpha_dollars": pa.array(
+            [round(alpha, 4) if alpha is not None else None],
+            pa.float64()),
+        "beta": pa.array(
+            [round(beta, 6) if beta is not None else None],
+            pa.float64()),
+        "r2": pa.array(
+            [round(r2, 6) if r2 is not None else None], pa.float64()),
+    })
+
+
+SQL_MINCER_ZARNOWITZ_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS dollars
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT dollars AS y,
+         lag(dollars) OVER (ORDER BY day) AS f
+  FROM d),
+p AS (SELECT y, f FROM s WHERE f IS NOT NULL),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(f) AS HUGEINT) AS sf,
+         CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sff,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(f AS HUGEINT) * y) AS HUGEINT) AS sfy
+  FROM p),
+dd AS (
+  SELECT n, sy, sf,
+         n * sff - sf * sf AS dxx,
+         n * syy - sy * sy AS dyy,
+         n * sfy - sf * sy AS dxy
+  FROM m),
+fit AS (
+  SELECT n,
+         CASE WHEN dxx <> 0
+              THEN CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE) END
+           AS beta,
+         dxx, dyy, dxy, sy, sf
+  FROM dd)
+SELECT n AS n_eff,
+       round((CAST(sy AS DOUBLE) - beta * CAST(sf AS DOUBLE)) / n, 4)
+         AS alpha_dollars,
+       round(beta, 6) AS beta,
+       CASE WHEN dxx <> 0 AND dyy <> 0
+            THEN round(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
+                       / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)),
+                       6) END AS r2
+FROM fit
+"""
+
+QUERIES["mincer_zarnowitz_daily"] = (q_mincer_zarnowitz_daily,
+                                     SQL_MINCER_ZARNOWITZ_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# pesaran_timmermann_daily — directional forecast accuracy test
+# ---------------------------------------------------------------------------
+
+
+def pesaran_timmermann(n, nx, nz, hits) -> tuple:
+    """PT statistic from integer direction counts: n periods, nx
+    actual-up, nz predicted-up, hits sign agreements.  Returns
+    (hit_rate, p_star, pt) — pt None when the variance correction is
+    non-positive (degenerate margins)."""
+    ph = hits / n
+    px = nx / n
+    pz = nz / n
+    ps = px * pz + (1.0 - px) * (1.0 - pz)
+    vh = ps * (1.0 - ps) / n
+    vs = ((2.0 * pz - 1.0) ** 2 * px * (1.0 - px)
+          + (2.0 * px - 1.0) ** 2 * pz * (1.0 - pz)
+          + 4.0 * px * pz * (1.0 - px) * (1.0 - pz) / n) / n
+    if vh - vs <= 0:
+        return ph, ps, None
+    return ph, ps, (ph - ps) / math.sqrt(vh - vs)
+
+
+def q_pesaran_timmermann_daily(sf_dir: str):
+    """Pesaran-Timmermann test of DIRECTIONAL forecast skill: does
+    yesterday's revenue move predict the sign of today's better than
+    independent coin flips with the same margins? (up = strictly
+    greater, the deterministic tie convention) — the sign-level
+    companion of mincer_zarnowitz_daily.  Day-bounded; all four
+    counts are exact integers, the variance-corrected z closes from
+    them in one shared expression tree."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    y = (cents // 100).tolist()
+    n = nx = nz = hits = 0
+    for t in range(2, len(y)):
+        x = 1 if y[t] > y[t - 1] else 0
+        z = 1 if y[t - 1] > y[t - 2] else 0
+        n += 1
+        nx += x
+        nz += z
+        hits += 1 if x == z else 0
+    ph, ps, pt = pesaran_timmermann(n, nx, nz, hits)
+    return pa.table({
+        "n_eff": pa.array([n], pa.int64()),
+        "n_hits": pa.array([hits], pa.int64()),
+        "hit_rate": pa.array([round(ph, 6)], pa.float64()),
+        "p_independent": pa.array([round(ps, 6)], pa.float64()),
+        "pt_stat": pa.array(
+            [round(pt, 6) if pt is not None else None], pa.float64()),
+    })
+
+
+SQL_PESARAN_TIMMERMANN_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS dollars
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT dollars AS y,
+         lag(dollars, 1) OVER (ORDER BY day) AS y1,
+         lag(dollars, 2) OVER (ORDER BY day) AS y2
+  FROM d),
+dirs AS (
+  SELECT CASE WHEN y > y1 THEN 1 ELSE 0 END AS x,
+         CASE WHEN y1 > y2 THEN 1 ELSE 0 END AS z
+  FROM s WHERE y2 IS NOT NULL),
+cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS nx,
+         CAST(sum(z) AS BIGINT) AS nz,
+         CAST(sum(CASE WHEN x = z THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits
+  FROM dirs),
+pr AS (
+  SELECT n, hits,
+         CAST(hits AS DOUBLE) / n AS ph,
+         CAST(nx AS DOUBLE) / n AS px,
+         CAST(nz AS DOUBLE) / n AS pz
+  FROM cnt),
+st AS (
+  SELECT n, hits, ph,
+         px * pz + (1.0 - px) * (1.0 - pz) AS ps,
+         (px * pz + (1.0 - px) * (1.0 - pz))
+           * (1.0 - (px * pz + (1.0 - px) * (1.0 - pz))) / n AS vh,
+         ((2.0 * pz - 1.0) * (2.0 * pz - 1.0) * px * (1.0 - px)
+          + (2.0 * px - 1.0) * (2.0 * px - 1.0) * pz * (1.0 - pz)
+          + 4.0 * px * pz * (1.0 - px) * (1.0 - pz) / n) / n AS vs
+  FROM pr)
+SELECT n AS n_eff, hits AS n_hits,
+       round(ph, 6) AS hit_rate,
+       round(ps, 6) AS p_independent,
+       CASE WHEN vh - vs > 0
+            THEN round((ph - ps) / sqrt(vh - vs), 6) END AS pt_stat
+FROM st
+"""
+
+QUERIES["pesaran_timmermann_daily"] = (q_pesaran_timmermann_daily,
+                                       SQL_PESARAN_TIMMERMANN_DAILY)

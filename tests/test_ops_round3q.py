@@ -361,3 +361,50 @@ def test_t_closeness_matches_probability_form():
             ref += abs(cg - ct)
         ref /= (m - 1)
         assert abs(t[g] - ref) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Mincer-Zarnowitz + Pesaran-Timmermann
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    mz_regression, pesaran_timmermann)
+
+
+def test_mz_perfect_forecast():
+    y = [3, 7, 2, 9, 5]
+    a, b, r2 = mz_regression(y, y)
+    assert abs(a) < 1e-9 and abs(b - 1) < 1e-12 and abs(r2 - 1) < 1e-12
+
+
+def test_mz_biased_forecast():
+    f = [3, 7, 2, 9, 5]
+    y = [v + 10 for v in f]          # constant bias
+    a, b, r2 = mz_regression(y, f)
+    assert abs(a - 10) < 1e-9 and abs(b - 1) < 1e-12
+
+
+def test_mz_matches_numpy_polyfit():
+    rng = np.random.RandomState(9)
+    f = rng.randint(0, 100, 40).tolist()
+    y = [2 * v + int(e) for v, e in zip(f, rng.randint(-5, 6, 40))]
+    a, b, _ = mz_regression(y, f)
+    bb, aa = np.polyfit(np.asarray(f, float), np.asarray(y, float), 1)
+    assert abs(b - bb) < 1e-8 and abs(a - aa) < 1e-6
+
+
+def test_mz_constant_forecast_none():
+    a, b, r2 = mz_regression([1, 2, 3], [5, 5, 5])
+    assert a is None and b is None and r2 is None
+
+
+def test_pt_perfect_and_random():
+    # perfect agreement with balanced margins -> large positive z
+    ph, ps, pt = pesaran_timmermann(100, 50, 50, 100)
+    assert ph == 1.0 and abs(ps - 0.5) < 1e-12 and pt > 9
+    # exactly independent-rate hits -> z == 0
+    ph, ps, pt = pesaran_timmermann(100, 50, 50, 50)
+    assert abs(pt) < 1e-9
+    # degenerate margins (always up) -> None
+    _, _, pt = pesaran_timmermann(100, 100, 100, 100)
+    assert pt is None
