@@ -1817,3 +1817,356 @@ FROM st
 
 QUERIES["pesaran_timmermann_daily"] = (q_pesaran_timmermann_daily,
                                        SQL_PESARAN_TIMMERMANN_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# gehan_wilcoxon_survival — at-risk-weighted logrank
+# ---------------------------------------------------------------------------
+
+
+def q_gehan_wilcoxon_survival(sf_dir: str):
+    """Gehan-Breslow-Wilcoxon test on signup→first-purchase survival
+    between the two Knuth-hash user arms: the logrank_test with
+    weight n_j (the at-risk count), which up-weights EARLY conversion
+    differences where the proportional-hazards logrank is blind.
+    The weight cancels the expectation's denominator, so BOTH the
+    weighted observed Σ n_j·d_1j and expected Σ d_j·n_1j are exact
+    integers — only the variance stays float.  Same bounded per-day
+    death/at-risk tables as logrank_test."""
+    from .queries import _knuth_bucket
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def lite(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({
+            "u": t.column("user_id"), "k": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "k", "t"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "k", "t", "c"])
+
+    m = _partial_final(ds, lite, ["u", "k", "t"], [("c", "sum")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    k = m.column("k").to_numpy(zero_copy_only=False)
+    ts = np.asarray(m.column("t"), dtype=np.int64)
+    _D = _DAY_US
+    maxday = int(ts.max() // _D)
+    uu, uinv = np.unique(u, return_inverse=True)
+    BIG = np.iinfo(np.int64).max
+    s0 = np.full(len(uu), BIG, dtype=np.int64)
+    sm = k == "signup"
+    np.minimum.at(s0, uinv[sm], ts[sm])
+    pm_ = k == "purchase"
+    first_p = np.full(len(uu), BIG, dtype=np.int64)
+    okp = (s0[uinv[pm_]] != BIG) & (ts[pm_] >= s0[uinv[pm_]])
+    np.minimum.at(first_p, uinv[pm_][okp], ts[pm_][okp])
+    signed = s0 != BIG
+    sday = s0[signed] // _D
+    event = first_p[signed] != BIG
+    time = np.where(event, first_p[signed] // _D - sday,
+                    maxday - sday)
+    arm = _knuth_bucket(uu[signed], 2)
+    wo = we = 0          # exact integers
+    V = 0.0
+    for d in np.unique(time[event]):
+        at = time >= d
+        nj = int(at.sum())
+        n1j = int((at & (arm == 1)).sum())
+        dj = int((event & (time == d)).sum())
+        d1j = int((event & (time == d) & (arm == 1)).sum())
+        wo += nj * d1j
+        we += dj * n1j
+        if nj > 1:
+            V += dj * float(n1j) * (nj - n1j) * (nj - dj) / (nj - 1.0)
+    z = (wo - we) / math.sqrt(V) if V > 0 else None
+    return pa.table({
+        "users": pa.array([int(signed.sum())], pa.int64()),
+        "events": pa.array([int(event.sum())], pa.int64()),
+        "w_observed": pa.array([wo], pa.int64()),
+        "w_expected": pa.array([we], pa.int64()),
+        "z_micro": pa.array(
+            [int(round(z * 1e6)) if z is not None else None],
+            pa.int64())})
+
+
+SQL_GEHAN_WILCOXON_SURVIVAL = """
+WITH s AS (
+  SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS s0
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS p0
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(epoch_us(e.ts) AS BIGINT) >= s.s0
+  GROUP BY 1),
+mx AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) // 86400000000
+         AS maxday FROM events),
+subj AS (
+  SELECT s.user_id,
+         CAST(((s.user_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 % 2 AS BIGINT) AS arm,
+         CASE WHEN p.p0 IS NOT NULL THEN 1 ELSE 0 END AS event,
+         CASE WHEN p.p0 IS NOT NULL
+              THEN p.p0 // 86400000000 - s.s0 // 86400000000
+              ELSE mx.maxday - s.s0 // 86400000000 END AS time
+  FROM s LEFT JOIN p ON p.user_id = s.user_id CROSS JOIN mx),
+days AS (SELECT DISTINCT time AS d FROM subj WHERE event = 1),
+tab AS (
+  SELECT days.d,
+         count(*) FILTER (WHERE subj.time >= days.d) AS nj,
+         count(*) FILTER (WHERE subj.time >= days.d
+                          AND subj.arm = 1) AS n1j,
+         count(*) FILTER (WHERE subj.event = 1
+                          AND subj.time = days.d) AS dj,
+         count(*) FILTER (WHERE subj.event = 1
+                          AND subj.time = days.d
+                          AND subj.arm = 1) AS d1j
+  FROM days CROSS JOIN subj GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(nj * d1j) AS BIGINT) AS wo,
+         CAST(sum(dj * n1j) AS BIGINT) AS we,
+         sum(CASE WHEN nj > 1 THEN
+               dj * CAST(n1j AS DOUBLE) * (nj - n1j) * (nj - dj)
+                  / (nj - 1.0) ELSE 0 END) AS v
+  FROM tab)
+SELECT CAST((SELECT count(*) FROM subj) AS BIGINT) AS users,
+       CAST((SELECT sum(event) FROM subj) AS BIGINT) AS events,
+       wo AS w_observed, we AS w_expected,
+       CASE WHEN v > 0 THEN
+         CAST(round((wo - we) / sqrt(v) * 1000000, 0) AS BIGINT)
+       END AS z_micro
+FROM agg
+"""
+
+QUERIES["gehan_wilcoxon_survival"] = (q_gehan_wilcoxon_survival,
+                                      SQL_GEHAN_WILCOXON_SURVIVAL)
+
+
+# ---------------------------------------------------------------------------
+# western_electric_alarms — Shewhart individuals chart rules
+# ---------------------------------------------------------------------------
+
+
+def western_electric(y, mu: float, sigma: float) -> tuple:
+    """Alarm-day counts for Western Electric rules 1–4 on an
+    individuals chart (a day alarms when IT completes the pattern):
+    R1 |y−μ|>3σ; R2 beyond 2σ same side + ≥1 of prior 2 also beyond
+    2σ that side; R3 beyond 1σ same side + ≥3 of prior 4 also beyond
+    1σ that side; R4 8 consecutive on one side of μ.  Pure float
+    comparisons against the same μ ± kσ both engines compute."""
+    n = len(y)
+    side = [1 if v > mu else -1 for v in y]
+    b1 = [1 if abs(v - mu) > 3.0 * sigma else 0 for v in y]
+    b2p = [1 if v - mu > 2.0 * sigma else 0 for v in y]
+    b2m = [1 if mu - v > 2.0 * sigma else 0 for v in y]
+    b3p = [1 if v - mu > 1.0 * sigma else 0 for v in y]
+    b3m = [1 if mu - v > 1.0 * sigma else 0 for v in y]
+    r1 = sum(b1)
+    r2 = r3 = r4 = 0
+    for t in range(n):
+        if b2p[t] and sum(b2p[max(0, t - 2):t]) >= 1:
+            r2 += 1
+        elif b2m[t] and sum(b2m[max(0, t - 2):t]) >= 1:
+            r2 += 1
+        if b3p[t] and sum(b3p[max(0, t - 4):t]) >= 3:
+            r3 += 1
+        elif b3m[t] and sum(b3m[max(0, t - 4):t]) >= 3:
+            r3 += 1
+        if t >= 7 and all(side[j] == side[t]
+                          for j in range(t - 7, t)):
+            r4 += 1
+    return r1, r2, r3, r4
+
+
+def q_western_electric_alarms(sf_dir: str):
+    """Western Electric run rules on the daily-revenue individuals
+    chart (center = mean, σ = mean-moving-range/1.128, the standard
+    individuals-chart estimate): alarm-day counts for rules 1–4 —
+    the pattern-sensitive companion of ewma_control_chart /
+    page_cusum_alarm that catches shifts a single 3σ test misses.
+    Day-bounded; μ and σ come from exact integer sums, the rule
+    window sweeps are integer-flag comparisons in both engines."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    y = (cents // 100).tolist()
+    n = len(y)
+    mu = sum(y) / n
+    mr = sum(abs(y[i] - y[i - 1]) for i in range(1, n))
+    sigma = mr / (n - 1.0) / 1.128
+    r1, r2, r3, r4 = western_electric(y, mu, sigma)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "center_dollars": pa.array([round(mu, 4)], pa.float64()),
+        "sigma_dollars": pa.array([round(sigma, 4)], pa.float64()),
+        "rule1_alarms": pa.array([r1], pa.int64()),
+        "rule2_alarms": pa.array([r2], pa.int64()),
+        "rule3_alarms": pa.array([r3], pa.int64()),
+        "rule4_alarms": pa.array([r4], pa.int64()),
+    })
+
+
+SQL_WESTERN_ELECTRIC_ALARMS = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+           AS y
+  FROM orders GROUP BY 1),
+s AS (SELECT y, row_number() OVER (ORDER BY day) AS pos FROM d),
+mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS DOUBLE) / count(*) AS mu
+  FROM s),
+mr AS (
+  SELECT CAST(sum(abs(y - yp)) AS DOUBLE)
+           / ((SELECT n FROM mm) - 1.0) / 1.128 AS sigma
+  FROM (SELECT y, lag(y) OVER (ORDER BY pos) AS yp FROM s)
+  WHERE yp IS NOT NULL),
+f AS (
+  SELECT pos,
+         CASE WHEN y > mm.mu THEN 1 ELSE -1 END AS side,
+         CASE WHEN abs(y - mm.mu) > 3.0 * mr.sigma
+              THEN 1 ELSE 0 END AS b1,
+         CASE WHEN y - mm.mu > 2.0 * mr.sigma THEN 1 ELSE 0 END
+           AS b2p,
+         CASE WHEN mm.mu - y > 2.0 * mr.sigma THEN 1 ELSE 0 END
+           AS b2m,
+         CASE WHEN y - mm.mu > 1.0 * mr.sigma THEN 1 ELSE 0 END
+           AS b3p,
+         CASE WHEN mm.mu - y > 1.0 * mr.sigma THEN 1 ELSE 0 END
+           AS b3m
+  FROM s, mm, mr),
+w AS (
+  SELECT pos, b1, b2p, b2m, b3p, b3m, side,
+         sum(b2p) OVER (ORDER BY pos ROWS BETWEEN 2 PRECEDING
+                        AND 1 PRECEDING) AS p2p,
+         sum(b2m) OVER (ORDER BY pos ROWS BETWEEN 2 PRECEDING
+                        AND 1 PRECEDING) AS p2m,
+         sum(b3p) OVER (ORDER BY pos ROWS BETWEEN 4 PRECEDING
+                        AND 1 PRECEDING) AS p3p,
+         sum(b3m) OVER (ORDER BY pos ROWS BETWEEN 4 PRECEDING
+                        AND 1 PRECEDING) AS p3m,
+         sum(side) OVER (ORDER BY pos ROWS BETWEEN 7 PRECEDING
+                         AND CURRENT ROW) AS run8,
+         count(*) OVER (ORDER BY pos ROWS BETWEEN 7 PRECEDING
+                        AND CURRENT ROW) AS w8
+  FROM f)
+SELECT (SELECT n FROM mm) AS n_days,
+       (SELECT round(mu, 4) FROM mm) AS center_dollars,
+       (SELECT round(sigma, 4) FROM mr) AS sigma_dollars,
+       CAST(sum(b1) AS BIGINT) AS rule1_alarms,
+       CAST(sum(CASE WHEN (b2p = 1 AND coalesce(p2p, 0) >= 1)
+                       OR (b2p = 0 AND b2m = 1
+                           AND coalesce(p2m, 0) >= 1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS rule2_alarms,
+       CAST(sum(CASE WHEN (b3p = 1 AND coalesce(p3p, 0) >= 3)
+                       OR (b3p = 0 AND b3m = 1
+                           AND coalesce(p3m, 0) >= 3)
+                THEN 1 ELSE 0 END) AS BIGINT) AS rule3_alarms,
+       CAST(sum(CASE WHEN w8 = 8 AND abs(run8) = 8
+                THEN 1 ELSE 0 END) AS BIGINT) AS rule4_alarms
+FROM w
+"""
+
+QUERIES["western_electric_alarms"] = (q_western_electric_alarms,
+                                      SQL_WESTERN_ELECTRIC_ALARMS)
+
+
+# ---------------------------------------------------------------------------
+# cp_cpk_capability — process capability of fulfillment latency
+# ---------------------------------------------------------------------------
+
+_CAP_LSL = 1          # spec: ship no earlier than next day
+_CAP_USL = 121        # spec: ship within ~4 months
+
+
+def q_cp_cpk_capability(sf_dir: str):
+    """Process-capability indices of order→ship latency against the
+    fixed [1, 121]-day spec window: Cp = (USL−LSL)/6σ̂ (potential),
+    Cpk = min(USL−μ̂, μ̂−LSL)/3σ̂ (actual, centering-penalized), plus
+    the exact observed out-of-spec fraction — the Six-Sigma summary
+    layered on ship_latency_percentiles' SLO table.  Big-big
+    lineitem⋈orders via the hash-partitioned lookup join, then
+    everything reduces to the bounded (days) histogram: exact integer
+    moments and out-of-spec counts, two float divisions."""
+    from ..stages import aggregate as agg_
+    from ..stages.joins import partitioned_lookup_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = partitioned_lookup_join(
+        li, od, left_key="l_orderkey", right_key="o_orderkey",
+        take_cols=["o_orderdate"], num_partitions=32)
+
+    def hist(t: pa.Table) -> pa.Table:
+        sd = pc.divide(pc.cast(t.column("l_shipdate"), pa.int64()),
+                       pa.scalar(_DAY_US, pa.int64()))
+        odt = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        pa.scalar(_DAY_US, pa.int64()))
+        g = pa.table({"days": pc.subtract(sd, odt)}) \
+            .group_by("days").aggregate([([], "count_all")])
+        return g.rename_columns(["days", "c"])
+
+    h = agg_._combine_partials(
+        joined.map_batches(hist, batch_format="pyarrow"),
+        keys=["days"], aggs=[("c", "sum")])
+    d = np.asarray(h.column("days"), dtype=np.int64)
+    c = np.asarray(h.column("c"), dtype=np.int64)
+    n = int(c.sum())
+    s1 = int((d.astype(object) * c.astype(object)).sum())
+    s2 = int((d.astype(object) * d.astype(object)
+              * c.astype(object)).sum())
+    mu = s1 / n
+    var = float(n * s2 - s1 * s1) / (float(n) * (n - 1.0))
+    sd_ = math.sqrt(var)
+    below = int(c[d < _CAP_LSL].sum())
+    above = int(c[d > _CAP_USL].sum())
+    cp = (_CAP_USL - _CAP_LSL) / (6.0 * sd_) if sd_ > 0 else None
+    cpk = min(_CAP_USL - mu, mu - _CAP_LSL) / (3.0 * sd_) \
+        if sd_ > 0 else None
+    return pa.table({
+        "n_lines": pa.array([n], pa.int64()),
+        "mean_days": pa.array([round(mu, 4)], pa.float64()),
+        "sd_days": pa.array([round(sd_, 4)], pa.float64()),
+        "cp": pa.array([round(cp, 6) if cp is not None else None],
+                       pa.float64()),
+        "cpk": pa.array([round(cpk, 6) if cpk is not None else None],
+                        pa.float64()),
+        "n_out_of_spec": pa.array([below + above], pa.int64()),
+        "out_of_spec_rate": pa.array(
+            [round((below + above) / n, 6)], pa.float64()),
+    })
+
+
+SQL_CP_CPK_CAPABILITY = """
+WITH lat AS (
+  SELECT CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+         - CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000
+           AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(days) AS HUGEINT) AS s1,
+         CAST(sum(CAST(days AS HUGEINT) * days) AS HUGEINT) AS s2,
+         CAST(sum(CASE WHEN days < 1 OR days > 121 THEN 1 ELSE 0 END)
+              AS BIGINT) AS oos
+  FROM lat),
+st AS (
+  SELECT n, oos, CAST(s1 AS DOUBLE) / n AS mu,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1.0))) AS sd
+  FROM m)
+SELECT n AS n_lines, round(mu, 4) AS mean_days,
+       round(sd, 4) AS sd_days,
+       CASE WHEN sd > 0 THEN round((121 - 1) / (6.0 * sd), 6) END
+         AS cp,
+       CASE WHEN sd > 0
+            THEN round(least(121 - mu, mu - 1) / (3.0 * sd), 6) END
+         AS cpk,
+       oos AS n_out_of_spec,
+       round(CAST(oos AS DOUBLE) / n, 6) AS out_of_spec_rate
+FROM st
+"""
+
+QUERIES["cp_cpk_capability"] = (q_cp_cpk_capability,
+                                SQL_CP_CPK_CAPABILITY)

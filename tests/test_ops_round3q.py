@@ -408,3 +408,39 @@ def test_pt_perfect_and_random():
     # degenerate margins (always up) -> None
     _, _, pt = pesaran_timmermann(100, 100, 100, 100)
     assert pt is None
+
+
+# ---------------------------------------------------------------------------
+# Western Electric rules
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    western_electric)
+
+
+def test_we_rule1_spike():
+    y = [10.0] * 20
+    y[7] = 50.0
+    r1, r2, r3, r4 = western_electric(y, 10.0, 1.0)
+    assert r1 == 1
+
+
+def test_we_rule2_two_of_three():
+    y = [0.0] * 10 + [2.5, 0.0, 2.5] + [0.0] * 5
+    # mu=0, sigma=1: beyond-2s at idx 10 and 12; idx 12 completes 2/3
+    r1, r2, r3, r4 = western_electric(y, 0.0, 1.0)
+    assert r2 == 1 and r1 == 0
+
+
+def test_we_rule3_four_of_five():
+    y = [0.0] * 6 + [1.5, 1.5, 0.0, 1.5, 1.5] + [0.0] * 4
+    # four beyond-1s in a 5-window: last one (idx 10) completes it
+    r1, r2, r3, r4 = western_electric(y, 0.0, 1.0)
+    assert r3 == 1
+
+
+def test_we_rule4_long_run():
+    y = [1.0] * 9 + [-1.0] * 3
+    # 9 points above mu=0: days 8 and 9 (0-idx 7,8) complete 8-runs
+    r1, r2, r3, r4 = western_electric(y, 0.0, 10.0)
+    assert r4 == 2
