@@ -2170,3 +2170,366 @@ FROM st
 
 QUERIES["cp_cpk_capability"] = (q_cp_cpk_capability,
                                 SQL_CP_CPK_CAPABILITY)
+
+
+# ---------------------------------------------------------------------------
+# km_rmst_summary — Kaplan-Meier closure: median, S(tau), RMST
+# ---------------------------------------------------------------------------
+
+_KM_TAU_H = 1000          # restriction horizon: 1000 hours (~42 days)
+
+
+def km_closure(dur, n_event, n_risk, tau: int) -> tuple:
+    """Kaplan-Meier float closure over the integer risk table rows
+    (ascending duration; censor-only rows allowed, they contribute
+    no factor): returns (median, s_tau, rmst_tau).  The survival
+    product is computed as exp(cumsum(ln(1 - d/n))) — the same
+    formulation the SQL oracle's window sum uses — so both engines
+    run the identical float program.  RMST integrates the step
+    function S(t) from 0 to tau; median is the smallest event time
+    with S <= 0.5 (None if the curve never crosses)."""
+    lnS = 0.0
+    s = 1.0
+    median = None
+    head = 0.0
+    prev = 0
+    s_tau = 1.0
+    lastd = 0
+    for d, de, nr in zip(dur, n_event, n_risk):
+        de, nr = int(de), int(nr)
+        if de <= 0:
+            continue
+        d = int(d)
+        if d <= tau:
+            head += s * (d - prev)
+            prev = d
+        if de >= nr:          # terminal row: survival is exactly 0
+            s = 0.0
+        else:
+            lnS += math.log(1.0 - de / nr)
+            s = math.exp(lnS)
+        if median is None and s <= 0.5:
+            median = d
+        if d <= tau:
+            s_tau = s
+            lastd = d
+    rmst = head + s_tau * (tau - lastd)
+    return median, s_tau, rmst
+
+
+def q_km_rmst_summary(sf_dir: str):
+    """Kaplan-Meier SUMMARY of signup→first-purchase survival: median
+    conversion hour, S(τ) and the restricted mean survival time
+    RMST(τ=1000 h) — the float closure layered on
+    ``km_signup_purchase``'s exact integer risk table (which stays
+    the distributed part: funnel-style user-hash exchange, bounded
+    (duration, counts) histogram).  RMST is the censoring-robust
+    'average hours not yet converted within the horizon' — the
+    recommended effect summary when hazards aren't proportional."""
+    from .queries import q_km_signup_purchase
+    rt = q_km_signup_purchase(sf_dir)
+    dur = np.asarray(rt.column("dur_h"), dtype=np.int64)
+    ne = np.asarray(rt.column("n_event"), dtype=np.int64)
+    nr = np.asarray(rt.column("n_risk"), dtype=np.int64)
+    median, s_tau, rmst = km_closure(dur, ne, nr, _KM_TAU_H)
+    n_sub = int((ne + np.asarray(rt.column("n_censor"),
+                                 dtype=np.int64)).sum())
+    return pa.table({
+        "n_subjects": pa.array([n_sub], pa.int64()),
+        "n_events": pa.array([int(ne.sum())], pa.int64()),
+        "median_hour": pa.array([median], pa.int64()),
+        "s_tau_micro": pa.array([int(round(s_tau * 1e6))], pa.int64()),
+        "rmst_tau_micro": pa.array([int(round(rmst * 1e6))],
+                                   pa.int64()),
+    })
+
+
+SQL_KM_RMST_SUMMARY = f"""
+WITH s AS (SELECT user_id, min(ts) AS st FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+      JOIN s ON s.user_id = e.user_id AND e.ts > s.st
+      WHERE e.event_type = 'purchase' GROUP BY 1),
+c AS (SELECT max(epoch_us(ts)) AS cut FROM events),
+d AS (SELECT CASE WHEN p.pt IS NOT NULL
+                  THEN (epoch_us(p.pt) - epoch_us(s.st)) // 3600000000
+                  ELSE ((SELECT cut FROM c) - epoch_us(s.st))
+                       // 3600000000 END AS dur_h,
+             CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN p ON p.user_id = s.user_id),
+h AS (SELECT dur_h, CAST(sum(ev) AS BIGINT) AS n_event,
+             CAST(count(*) - sum(ev) AS BIGINT) AS n_censor
+      FROM d GROUP BY 1),
+rt AS (SELECT dur_h, n_event,
+       CAST((SELECT count(*) FROM d)
+            - coalesce(sum(n_event + n_censor)
+                       OVER (ORDER BY dur_h
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+       FROM h),
+evr AS (SELECT dur_h,
+               CASE WHEN n_event < n_risk THEN
+                 ln(1.0 - CAST(n_event AS DOUBLE) / n_risk) END AS l,
+               CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END AS z
+        FROM rt WHERE n_event > 0),
+cum AS (SELECT dur_h,
+        CASE WHEN max(z) OVER (ORDER BY dur_h) = 1 THEN 0.0
+             ELSE exp(sum(l) OVER (ORDER BY dur_h)) END AS sv,
+        CASE WHEN coalesce(max(z) OVER (ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) = 1 THEN 0.0
+             ELSE coalesce(exp(sum(l) OVER (ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)), 1.0) END AS sprev,
+        coalesce(lag(dur_h) OVER (ORDER BY dur_h), 0) AS dprev
+        FROM evr),
+head AS (SELECT coalesce(sum(sprev * (dur_h - dprev)), 0.0) AS v
+         FROM cum WHERE dur_h <= {_KM_TAU_H}),
+tail AS (SELECT
+  coalesce((SELECT sv FROM cum WHERE dur_h <= {_KM_TAU_H}
+            ORDER BY dur_h DESC LIMIT 1), 1.0) AS sv,
+  coalesce((SELECT max(dur_h) FROM cum WHERE dur_h <= {_KM_TAU_H}),
+           0) AS lastd)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_subjects,
+       CAST((SELECT sum(ev) FROM d) AS BIGINT) AS n_events,
+       (SELECT min(dur_h) FROM cum WHERE sv <= 0.5) AS median_hour,
+       CAST(round(tail.sv * 1000000, 0) AS BIGINT) AS s_tau_micro,
+       CAST(round((head.v + tail.sv * ({_KM_TAU_H} - tail.lastd))
+                  * 1000000, 0) AS BIGINT) AS rmst_tau_micro
+FROM head, tail
+"""
+
+QUERIES["km_rmst_summary"] = (q_km_rmst_summary, SQL_KM_RMST_SUMMARY)
+
+
+# ---------------------------------------------------------------------------
+# lexical_richness_by_source — Honoré / Brunet / Sichel / Guiraud / Herdan
+# ---------------------------------------------------------------------------
+
+
+def q_lexical_richness_by_source(sf_dir: str):
+    """Classic lexical-richness battery per corpus source, all from
+    the (N, V, V1, V2) sufficient statistics of the token-frequency
+    spectrum: Honoré's R = 100·ln N/(1 − V1/V) (hapax-sensitive),
+    Brunet's W = N^(V^−0.165) (length-stable), Sichel's S = V2/V
+    (dis-legomena share), Guiraud's R = V/√N and Herdan's C =
+    ln V/ln N.  Complements yules_k_by_source (second moment) with
+    the low-frequency-tail view; the (source, token) shuffle is
+    vocabulary-bounded and the closure is five scalar formulas both
+    engines evaluate identically."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    rows = []
+    for s in sorted(set(src.tolist())):
+        c = cnt[src == s]
+        n = int(c.sum())
+        v = len(c)
+        v1 = int((c == 1).sum())
+        v2 = int((c == 2).sum())
+        honore = round(100.0 * math.log(n) / (1.0 - v1 / v), 6) \
+            if v1 < v else None
+        brunet = round(math.pow(float(n), math.pow(float(v), -0.165)),
+                       6)
+        rows.append((s, n, v, v1, v2, honore, brunet,
+                     round(v2 / v, 6),
+                     round(v / math.sqrt(float(n)), 6),
+                     round(math.log(float(v)) / math.log(float(n)),
+                           6)))
+    cols = list(zip(*rows)) if rows else [[]] * 10
+    return pa.table({
+        "source": pa.array(cols[0], pa.string()),
+        "n_tokens": pa.array(cols[1], pa.int64()),
+        "vocab": pa.array(cols[2], pa.int64()),
+        "hapax": pa.array(cols[3], pa.int64()),
+        "dis_legomena": pa.array(cols[4], pa.int64()),
+        "honore_r": pa.array(cols[5], pa.float64()),
+        "brunet_w": pa.array(cols[6], pa.float64()),
+        "sichel_s": pa.array(cols[7], pa.float64()),
+        "guiraud_r": pa.array(cols[8], pa.float64()),
+        "herdan_c": pa.array(cols[9], pa.float64()),
+    })
+
+
+SQL_LEXICAL_RICHNESS_BY_SOURCE = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2),
+st AS (SELECT source,
+              CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS v,
+              CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS v1,
+              CAST(count(*) FILTER (WHERE cnt = 2) AS BIGINT) AS v2
+       FROM c GROUP BY 1)
+SELECT source, n AS n_tokens, v AS vocab, v1 AS hapax,
+       v2 AS dis_legomena,
+       CASE WHEN v1 < v THEN
+         round(100.0 * ln(CAST(n AS DOUBLE))
+               / (1.0 - CAST(v1 AS DOUBLE) / v), 6) END AS honore_r,
+       round(pow(CAST(n AS DOUBLE),
+                 pow(CAST(v AS DOUBLE), -0.165)), 6) AS brunet_w,
+       round(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s,
+       round(CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE)), 6)
+         AS guiraud_r,
+       round(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 6)
+         AS herdan_c
+FROM st ORDER BY 1
+"""
+
+QUERIES["lexical_richness_by_source"] = (q_lexical_richness_by_source,
+                                         SQL_LEXICAL_RICHNESS_BY_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# quade_test_types — Quade's weighted within-block rank test
+# ---------------------------------------------------------------------------
+
+
+def _dmid(row) -> list:
+    """Doubled midranks of a 1D integer sequence (ties → the two
+    boundary ranks' sum, so every rank is an exact integer)."""
+    k = len(row)
+    order = sorted(range(k), key=lambda i: row[i])
+    r2 = [0] * k
+    i = 0
+    while i < k:
+        j = i
+        while j + 1 < k and row[order[j + 1]] == row[order[i]]:
+            j += 1
+        for t_ in range(i, j + 1):
+            r2[order[t_]] = (i + 1) + (j + 1)
+        i = j + 1
+    return r2
+
+
+def quade_stat(grid) -> tuple:
+    """Quade test statistic from a b×k integer grid: within-block
+    doubled midranks r2_ij, block weights Q2_i = doubled midranks of
+    the block RANGES (max−min), S4_ij = Q2_i·(r2_ij − (k+1)) — all
+    exact integers — and F = (b−1)·ΣS4_j² / (b·ΣS4_ij² − ΣS4_j²),
+    an exact integer ratio until the final division.  Returns
+    (F | None, b, k); None when the denominator is 0 (every block
+    ranks the treatments identically — F → ∞)."""
+    b = len(grid)
+    k = len(grid[0])
+    ranges = [max(row) - min(row) for row in grid]
+    q2 = _dmid(ranges)
+    s4_j = [0] * k
+    a16 = 0
+    for i, row in enumerate(grid):
+        r2 = _dmid(row)
+        for j in range(k):
+            s4 = q2[i] * (r2[j] - (k + 1))
+            s4_j[j] += s4
+            a16 += s4 * s4
+    b16b = sum(x * x for x in s4_j)
+    den = b * a16 - b16b
+    f = (b - 1) * b16b / den if den != 0 else None
+    return f, b, k
+
+
+def q_quade_test_types(sf_dir: str):
+    """Quade test on the daily type×revenue grid: like Friedman, but
+    each day is WEIGHTED by the rank of its revenue range, so days
+    where the types differ most dominate — markedly more powerful
+    than Friedman at small k.  Same span-bounded (type, day, cents)
+    partial/final table as friedman_types_daily; the closure is the
+    all-integer S4 form (both numerator and denominator exact
+    integers, one float division)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    _DUS = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DUS, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "day": day,
+                      "cents": cents}) \
+            .group_by(["ty", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["ty", "day", "cents"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("cents", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("cents"), dtype=np.int64)
+    types = sorted(set(ty.tolist()))
+    days = np.arange(int(dy.min()), int(dy.max()) + 1)
+    grid = np.zeros((len(days), len(types)), dtype=np.int64)
+    for i, t_ in enumerate(types):
+        sel = ty == t_
+        grid[dy[sel] - days[0], i] = cv[sel]
+    f, b, k = quade_stat(grid.tolist())
+    return pa.table({
+        "n_days": pa.array([b], pa.int64()),
+        "k_types": pa.array([k], pa.int64()),
+        "quade_f": pa.array([round(f, 6) if f is not None else None],
+                            pa.float64()),
+    })
+
+
+SQL_QUADE_TEST_TYPES = """
+WITH d AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.ty, g.day, coalesce(d.cents, 0) AS cents
+  FROM (SELECT DISTINCT ty FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT min(day) FROM d),
+                (SELECT max(day) FROM d))) AS day) g
+  LEFT JOIN d ON d.ty = t.ty AND d.day = g.day),
+rng AS (
+  SELECT day, max(cents) - min(cents) AS r FROM grid GROUP BY 1),
+q AS (
+  SELECT day,
+         2 * rank() OVER (ORDER BY r)
+           + count(*) OVER (PARTITION BY r) - 1 AS q2
+  FROM rng),
+rk AS (
+  SELECT g.ty, g.day,
+         2 * rank() OVER (PARTITION BY g.day ORDER BY g.cents)
+           + count(*) OVER (PARTITION BY g.day, g.cents) - 1 AS r2
+  FROM grid g),
+dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM rng) AS b,
+         (SELECT CAST(count(DISTINCT ty) AS BIGINT) FROM grid) AS k),
+s4 AS (
+  SELECT rk.ty,
+         CAST(q.q2 * (rk.r2 - (dims.k + 1)) AS HUGEINT) AS s4
+  FROM rk JOIN q ON q.day = rk.day CROSS JOIN dims),
+ag AS (
+  SELECT CAST(sum(s4 * s4) AS HUGEINT) AS a16 FROM s4),
+bg AS (
+  SELECT CAST(sum(CAST(sj AS HUGEINT) * sj) AS HUGEINT) AS b16b
+  FROM (SELECT ty, sum(s4) AS sj FROM s4 GROUP BY 1))
+SELECT dims.b AS n_days, dims.k AS k_types,
+       CASE WHEN dims.b * ag.a16 - bg.b16b <> 0 THEN
+         round(CAST((dims.b - 1) * bg.b16b AS DOUBLE)
+               / CAST(dims.b * ag.a16 - bg.b16b AS DOUBLE), 6)
+       END AS quade_f
+FROM dims, ag, bg
+"""
+
+QUERIES["quade_test_types"] = (q_quade_test_types,
+                               SQL_QUADE_TEST_TYPES)

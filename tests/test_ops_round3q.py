@@ -444,3 +444,85 @@ def test_we_rule4_long_run():
     # 9 points above mu=0: days 8 and 9 (0-idx 7,8) complete 8-runs
     r1, r2, r3, r4 = western_electric(y, 0.0, 10.0)
     assert r4 == 2
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier closure + Quade statistic kernels
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    km_closure, quade_stat, _dmid)
+
+
+def test_km_no_censoring_matches_empirical():
+    # 5 subjects, events at t=2,4,6,8,10, no censoring, tau=12
+    dur = [2, 4, 6, 8, 10]
+    ne = [1, 1, 1, 1, 1]
+    nr = [5, 4, 3, 2, 1]
+    median, s_tau, rmst = km_closure(dur, ne, nr, 12)
+    # S drops 1 -> .8 -> .6 -> .4 -> .2 -> 0; first S<=0.5 at t=6
+    # (avoids the exact-0.5 knife edge the exp/ln program can't hit)
+    assert median == 6
+    assert abs(s_tau - 0.0) < 1e-12
+    # RMST = mean event time = (2+4+6+8+10)/5 = 6
+    assert abs(rmst - 6.0) < 1e-9
+
+
+def test_km_all_censored():
+    median, s_tau, rmst = km_closure([5, 9], [0, 0], [2, 1], 10)
+    assert median is None and s_tau == 1.0 and rmst == 10.0
+
+
+def test_km_tail_beyond_tau_ignored():
+    # event past tau must not change S(tau)/RMST but can set median
+    median, s_tau, rmst = km_closure([3, 20], [2, 1], [3, 1], 10)
+    assert abs(s_tau - 1.0 / 3.0) < 1e-12
+    assert abs(rmst - (3 + (1.0 / 3.0) * 7)) < 1e-9
+    assert median == 3      # S = 1/3 <= 0.5 at t=3
+
+
+def _quade_float(grid):
+    # independent float implementation with scipy-style average ranks
+    import numpy as _np
+    g = _np.asarray(grid, dtype=float)
+    b, k = g.shape
+
+    def avgrank(v):
+        order = _np.argsort(v, kind="stable")
+        r = _np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            r[order[i:j + 1]] = (i + j + 2) / 2.0
+            i = j + 1
+        return r
+
+    q = avgrank(g.max(axis=1) - g.min(axis=1))
+    s = _np.empty_like(g)
+    for i in range(b):
+        s[i] = q[i] * (avgrank(g[i]) - (k + 1) / 2.0)
+    a = (s * s).sum()
+    bb = (s.sum(axis=0) ** 2).sum() / b
+    return (b - 1) * bb / (a - bb) if a != bb else None
+
+
+def test_quade_matches_float_reference():
+    grid = [[31, 27, 24], [31, 28, 31], [45, 29, 46], [21, 18, 48],
+            [42, 36, 46], [32, 17, 40], [40, 31, 43], [26, 28, 27]]
+    f_int, b, k = quade_stat(grid)
+    f_flt = _quade_float(grid)
+    assert b == 8 and k == 3
+    assert abs(f_int - f_flt) < 1e-9
+
+
+def test_quade_identical_blocks_degenerate():
+    grid = [[1, 2, 3]] * 5
+    f, b, k = quade_stat(grid)
+    assert f is None          # every block ranks identically -> inf
+
+
+def test_dmid_ties():
+    assert _dmid([5, 1, 5, 0]) == [7, 4, 7, 2]
