@@ -11629,9 +11629,9 @@ _BASKET_NPART = 32
 _BASKET_MIN_SUPPORT = 2
 
 
-def q_basket_part_pairs(sf_dir: str):
-    """Frequently-bought-together: part pairs co-occurring in the
-    same order, with integer-ppm lift. ONE orderkey-hash exchange
+def _basket_pair_counts(sf_dir: str):
+    """Frequently-bought-together sufficient statistics: part pairs
+    co-occurring in the same order. ONE orderkey-hash exchange
     co-locates each basket; inside a partition the (order, part)
     dedupe is GLOBAL (an orderkey lives in exactly one partition) and
     all-pairs-within-basket emission is pure index arithmetic — no
@@ -11698,6 +11698,14 @@ def q_basket_part_pairs(sf_dir: str):
     pa_, pb_, nab = part_a[m], part_b[m], n[m]
     na = np.array([lut[x] for x in pa_.tolist()], dtype=np.int64)
     nb = np.array([lut[x] for x in pb_.tolist()], dtype=np.int64)
+    return pa_, pb_, nab, na, nb, n_orders
+
+
+def q_basket_part_pairs(sf_dir: str):
+    """Frequently-bought-together closure over
+    ``_basket_pair_counts``: integer-ppm lift per co-occurring part
+    pair (see the helper's docstring for the distributed shape)."""
+    pa_, pb_, nab, na, nb, n_orders = _basket_pair_counts(sf_dir)
     lift = (n_orders * nab * 1_000_000) // (na * nb)
     out = pa.table({"part_a": pa.array(pa_), "part_b": pa.array(pb_),
                     "n_ab": pa.array(nab), "n_a": pa.array(na),

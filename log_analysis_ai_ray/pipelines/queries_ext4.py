@@ -2533,3 +2533,228 @@ FROM dims, ag, bg
 
 QUERIES["quade_test_types"] = (q_quade_test_types,
                                SQL_QUADE_TEST_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# basket_association_rules — confidence / conviction / jaccard
+# ---------------------------------------------------------------------------
+
+
+def q_basket_association_rules(sf_dir: str):
+    """Directional association rules over the co-occurring part
+    pairs (shared ``_basket_pair_counts`` machinery — one
+    orderkey-hash exchange, sentinel-row frequencies): per unordered
+    pair, exact integer-ppm confidence both ways (P(b|a), P(a|b)),
+    integer-micro conviction both ways ((1−P(b))/(1−P(b|a)) as the
+    exact rational (N−n_b)·n_a / (N·(n_a−n_ab)), None on perfect
+    implication) and jaccard_ppm = n_ab/(n_a+n_b−n_ab) — the rule
+    ranking layer Apriori-style mining emits after support pruning."""
+    from .queries import _basket_pair_counts
+    pa_, pb_, nab, na, nb, n_orders = _basket_pair_counts(sf_dir)
+    M = 1_000_000
+    conf_ab = (nab * M) // na
+    conf_ba = (nab * M) // nb
+    jac = (nab * M) // (na + nb - nab)
+
+    def conviction(n_x, n_y):
+        out = []
+        for a_, y_, ab_ in zip(n_x.tolist(), n_y.tolist(),
+                               nab.tolist()):
+            if a_ == ab_:
+                out.append(None)          # confidence 1 -> inf
+            else:
+                out.append((M * (n_orders - y_) * a_)
+                           // (n_orders * (a_ - ab_)))
+        return out
+
+    t = pa.table({
+        "part_a": pa.array(pa_), "part_b": pa.array(pb_),
+        "n_ab": pa.array(nab),
+        "conf_ab_ppm": pa.array(conf_ab),
+        "conf_ba_ppm": pa.array(conf_ba),
+        "conviction_ab_micro": pa.array(conviction(na, nb),
+                                        pa.int64()),
+        "conviction_ba_micro": pa.array(conviction(nb, na),
+                                        pa.int64()),
+        "jaccard_ppm": pa.array(jac),
+    })
+    return t.sort_by([("conf_ab_ppm", "descending"),
+                      ("part_a", "ascending"),
+                      ("part_b", "ascending")])
+
+
+SQL_BASKET_ASSOCIATION_RULES = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem),
+f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+      FROM b GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                            AND a.l_partkey < b2.l_partkey
+          GROUP BY 1, 2)
+SELECT part_a, part_b, n_ab,
+       (n_ab * 1000000) // fa.n_part AS conf_ab_ppm,
+       (n_ab * 1000000) // fb.n_part AS conf_ba_ppm,
+       CASE WHEN fa.n_part > n_ab THEN
+         (1000000 * (n.n_orders - fb.n_part) * fa.n_part)
+           // (n.n_orders * (fa.n_part - n_ab)) END
+         AS conviction_ab_micro,
+       CASE WHEN fb.n_part > n_ab THEN
+         (1000000 * (n.n_orders - fa.n_part) * fb.n_part)
+           // (n.n_orders * (fb.n_part - n_ab)) END
+         AS conviction_ba_micro,
+       (n_ab * 1000000) // (fa.n_part + fb.n_part - n_ab)
+         AS jaccard_ppm
+FROM pairs, n
+JOIN f fa ON fa.l_partkey = part_a
+JOIN f fb ON fb.l_partkey = part_b
+WHERE n_ab >= 2
+ORDER BY conf_ab_ppm DESC, part_a, part_b
+"""
+
+QUERIES["basket_association_rules"] = (q_basket_association_rules,
+                                       SQL_BASKET_ASSOCIATION_RULES)
+
+
+# ---------------------------------------------------------------------------
+# page_trend_dow — Page's L test for a monotone weekday trend
+# ---------------------------------------------------------------------------
+
+
+def q_page_trend_dow(sf_dir: str):
+    """Page's L test for ordered alternatives: does daily revenue
+    trend MONOTONICALLY across the epoch-week (blocks = complete
+    7-day weeks, treatments = day-of-week 0..6 in fixed order)?
+    L = Σ_j c_j·R_j with c_j = j+1; with doubled midranks L2 = 2L
+    stays an exact integer.  z uses the classical no-tie moments
+    μ = b·k(k+1)²/4, σ² = b·k²(k+1)(k²−1)/144.  The span-bounded
+    (day, cents) table is the only shuffle; weeks are day//7 so both
+    engines cut identical blocks."""
+    days, cents = _daily_revenue_cents(sf_dir)
+    days = np.asarray(days, dtype=np.int64)
+    lut = dict(zip(days.tolist(), cents.tolist()))
+    dmin, dmax = int(days.min()), int(days.max())
+    w0 = -(-dmin // 7)                # first complete week
+    w1 = (dmax + 1) // 7              # one past last complete week
+    k = 7
+    b = w1 - w0
+    r2_sum = [0] * k
+    for w in range(w0, w1):
+        row = [int(lut.get(w * 7 + j, 0)) for j in range(k)]
+        r2 = _dmid(row)
+        for j in range(k):
+            r2_sum[j] += r2[j]
+    l2 = sum((j + 1) * r2_sum[j] for j in range(k))
+    mu = b * k * (k + 1) * (k + 1) / 4.0
+    var = b * k * k * (k + 1) * (k * k - 1) / 144.0
+    z = (l2 / 2.0 - mu) / math.sqrt(var) if var > 0 else None
+    return pa.table({
+        "n_weeks": pa.array([b], pa.int64()),
+        "l2": pa.array([l2], pa.int64()),
+        "z_micro": pa.array(
+            [int(round(z * 1e6)) if z is not None else None],
+            pa.int64()),
+    })
+
+
+SQL_PAGE_TREND_DOW = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+sp AS (SELECT min(day) AS dmin, max(day) AS dmax FROM d),
+wk AS (SELECT unnest(generate_series(
+         CAST(ceil(CAST((SELECT dmin FROM sp) AS DOUBLE) / 7)
+              AS BIGINT),
+         ((SELECT dmax FROM sp) + 1) // 7 - 1)) AS w),
+grid AS (
+  SELECT wk.w, j.j, coalesce(d.cents, 0) AS cents
+  FROM wk CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS j) j
+  LEFT JOIN d ON d.day = wk.w * 7 + j.j),
+rk AS (
+  SELECT w, j,
+         2 * rank() OVER (PARTITION BY w ORDER BY cents)
+           + count(*) OVER (PARTITION BY w, cents) - 1 AS r2
+  FROM grid),
+dims AS (SELECT CAST(count(*) AS BIGINT) AS b FROM wk),
+l AS (SELECT CAST(sum((j + 1) * r2) AS BIGINT) AS l2 FROM rk)
+SELECT dims.b AS n_weeks, l.l2,
+       CASE WHEN dims.b > 0 THEN
+         CAST(round((l.l2 / 2.0 - dims.b * 7 * 8 * 8 / 4.0)
+              / sqrt(dims.b * 49.0 * 8 * 48 / 144.0) * 1000000, 0)
+              AS BIGINT) END AS z_micro
+FROM dims, l
+"""
+
+QUERIES["page_trend_dow"] = (q_page_trend_dow, SQL_PAGE_TREND_DOW)
+
+
+# ---------------------------------------------------------------------------
+# dixon_q_daily — Dixon's Q ratio tests on daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_dixon_q_daily(sf_dir: str):
+    """Dixon's Q outlier ratios on daily revenue (order-statistic
+    gap/range ratios — the small-sample companion of
+    grubbs_daily_revenue): r10 = gap/range at each end and the
+    two-removed r22 = (x3−x1)/(x_{n−2}−x1) (low) and
+    (xn−x_{n−2})/(xn−x3) (high) recommended for n ≥ 14.  All four
+    are exact integer-cent rationals floored to micro units."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    x = np.sort(np.asarray(cents, dtype=np.int64))
+    n = len(x)
+    M = 1_000_000
+
+    def ratio(num: int, den: int):
+        return (M * num) // den if den > 0 else None
+
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "r10_low_micro": pa.array(
+            [ratio(int(x[1] - x[0]), int(x[-1] - x[0]))], pa.int64()),
+        "r10_high_micro": pa.array(
+            [ratio(int(x[-1] - x[-2]), int(x[-1] - x[0]))],
+            pa.int64()),
+        "r22_low_micro": pa.array(
+            [ratio(int(x[2] - x[0]), int(x[-3] - x[0]))], pa.int64()),
+        "r22_high_micro": pa.array(
+            [ratio(int(x[-1] - x[-3]), int(x[-1] - x[2]))],
+            pa.int64()),
+    })
+
+
+SQL_DIXON_Q_DAILY = """
+WITH d AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders
+  GROUP BY CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000),
+s AS (SELECT y, row_number() OVER (ORDER BY y) AS rn,
+             count(*) OVER () AS n
+      FROM d),
+o AS (SELECT
+        max(CASE WHEN rn = 1 THEN y END) AS x1,
+        max(CASE WHEN rn = 2 THEN y END) AS x2,
+        max(CASE WHEN rn = 3 THEN y END) AS x3,
+        max(CASE WHEN rn = n - 2 THEN y END) AS xm2,
+        max(CASE WHEN rn = n - 1 THEN y END) AS xm1,
+        max(CASE WHEN rn = n THEN y END) AS xn,
+        max(n) AS n
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN xn > x1 THEN (1000000 * (x2 - x1)) // (xn - x1) END
+         AS r10_low_micro,
+       CASE WHEN xn > x1 THEN (1000000 * (xn - xm1)) // (xn - x1) END
+         AS r10_high_micro,
+       CASE WHEN xm2 > x1 THEN (1000000 * (x3 - x1)) // (xm2 - x1) END
+         AS r22_low_micro,
+       CASE WHEN xn > x3 THEN (1000000 * (xn - xm2)) // (xn - x3) END
+         AS r22_high_micro
+FROM o
+"""
+
+QUERIES["dixon_q_daily"] = (q_dixon_q_daily, SQL_DIXON_Q_DAILY)

@@ -526,3 +526,38 @@ def test_quade_identical_blocks_degenerate():
 
 def test_dmid_ties():
     assert _dmid([5, 1, 5, 0]) == [7, 4, 7, 2]
+
+
+# ---------------------------------------------------------------------------
+# Page trend L via _dmid — synthetic monotone / reversed weeks
+# ---------------------------------------------------------------------------
+
+
+def _page_l2(rows):
+    k = len(rows[0])
+    r2_sum = [0] * k
+    for row in rows:
+        r2 = _dmid(row)
+        for j in range(k):
+            r2_sum[j] += r2[j]
+    return sum((j + 1) * r2_sum[j] for j in range(k))
+
+
+def test_page_l_monotone_is_max():
+    rows = [[1, 2, 3, 4, 5, 6, 7]] * 4      # perfectly increasing
+    # max L = b * sum j*j = 4 * 140 = 560 -> doubled 1120
+    assert _page_l2(rows) == 2 * 4 * sum((j + 1) ** 2
+                                         for j in range(7))
+
+
+def test_page_l_reversed_is_min():
+    rows = [[7, 6, 5, 4, 3, 2, 1]] * 3
+    # min L = b * sum j*(k+1-j) = 3 * 84 = 252 -> doubled 504
+    assert _page_l2(rows) == 2 * 3 * sum((j + 1) * (7 - j)
+                                         for j in range(7))
+
+
+def test_page_l_ties_average():
+    rows = [[5, 5, 5]]
+    # all tied: every doubled midrank = k+1 = 4; L2 = sum j*4 = 24
+    assert _page_l2(rows) == (1 + 2 + 3) * 4
