@@ -2758,3 +2758,270 @@ FROM o
 """
 
 QUERIES["dixon_q_daily"] = (q_dixon_q_daily, SQL_DIXON_Q_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# cuzick_trend_priority — Wilcoxon-type trend across ordered groups
+# ---------------------------------------------------------------------------
+
+
+def q_cuzick_trend_priority(sf_dir: str):
+    """Cuzick's nonparametric trend test: does order value trend
+    monotonically across the five ORDERED priority levels
+    (1-URGENT … 5-LOW, scores z = 1..5)?  L = Σ z_g·R_g over global
+    midranks; with doubled midranks from the (cents, priority)
+    histogram L2, its null mean E2 = (N+1)·Σz_i and the variance
+    V4 = (N+1)/3·(N·Σz² − (Σz)²) close as exact integers — one float
+    sqrt at the end.  The shuffle moves value-histogram partials
+    only (distinct cents × 5 cells)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice",
+                                          "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        z = pc.cast(pc.utf8_slice_codeunits(
+            t.column("o_orderpriority"), 0, 1), pa.int64())
+        g = pa.table({"v": v, "z": z}).group_by(["v", "z"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["v", "z", "n"])
+
+    h = _partial_final(ds, partial, ["v", "z"], [("n", "sum")])
+    v = np.asarray(h.column("v"), dtype=np.int64)
+    z = np.asarray(h.column("z"), dtype=np.int64)
+    n = np.asarray(h.column("n"), dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    v, z, n = v[order], z[order], n[order]
+    uv, inv = np.unique(v, return_inverse=True)
+    cv = np.zeros(len(uv), dtype=np.int64)
+    np.add.at(cv, inv, n)
+    cumb = np.cumsum(cv) - cv
+    r2 = 2 * cumb + cv + 1          # doubled midrank per distinct v
+    N = int(n.sum())
+    l2 = int((z.astype(object) * r2[inv].astype(object)
+              * n.astype(object)).sum())
+    sz = int((z * n).sum())
+    sz2 = int((z * z * n).sum())
+    e2 = (N + 1) * sz
+    v4 = (N + 1) * (N * sz2 - sz * sz) / 3.0
+    zs = (l2 - e2) / math.sqrt(v4) if v4 > 0 else None
+    return pa.table({
+        "n_orders": pa.array([N], pa.int64()),
+        "l2": pa.array([l2], pa.int64()),
+        "e2": pa.array([e2], pa.int64()),
+        "z_micro": pa.array(
+            [int(round(zs * 1e6)) if zs is not None else None],
+            pa.int64()),
+    })
+
+
+SQL_CUZICK_TREND_PRIORITY = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS z
+  FROM orders),
+h AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY 1),
+r AS (SELECT v,
+             2 * (sum(cv) OVER (ORDER BY v) - cv) + cv + 1 AS r2
+      FROM h),
+g AS (SELECT v, z, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(sum(g.n) AS BIGINT) AS nn,
+         CAST(sum(CAST(g.z AS HUGEINT) * r.r2 * g.n) AS BIGINT)
+           AS l2,
+         CAST(sum(g.z * g.n) AS BIGINT) AS sz,
+         CAST(sum(g.z * g.z * g.n) AS BIGINT) AS sz2
+  FROM g JOIN r ON r.v = g.v)
+SELECT nn AS n_orders, l2, (nn + 1) * sz AS e2,
+       CASE WHEN nn * sz2 - sz * sz > 0 THEN
+         CAST(round((l2 - (nn + 1) * sz)
+              / sqrt((nn + 1.0) * (CAST(nn AS DOUBLE) * sz2
+                                   - CAST(sz AS DOUBLE) * sz) / 3.0)
+              * 1000000, 0) AS BIGINT) END AS z_micro
+FROM agg
+"""
+
+QUERIES["cuzick_trend_priority"] = (q_cuzick_trend_priority,
+                                    SQL_CUZICK_TREND_PRIORITY)
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats_by_type — 10%-winsorized mean / sd per event type
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_stats_by_type(sf_dir: str):
+    """10%-winsorized mean and SD of event value per type: the k =
+    ⌊n/10⌋ smallest observations are replaced by the (k+1)-th order
+    statistic and the k largest by the (n−k)-th, then ordinary
+    moments — the robust-location summary trimmed_mean_by_type's
+    deletion variant doesn't give (winsorizing keeps n constant, so
+    the SD is defined).  Clipping limits and both winsorized moment
+    sums come exactly from the per-type cents histogram; two float
+    divisions close mean and SD."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "v": v}) \
+            .group_by(["ty", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "v", "n"])
+
+    h = _partial_final(ds, partial, ["ty", "v"], [("n", "sum")])
+    ty = np.asarray(h.column("ty").to_pylist())
+    v = np.asarray(h.column("v"), dtype=np.int64)
+    n = np.asarray(h.column("n"), dtype=np.int64)
+    rows = []
+    for t_ in sorted(set(ty.tolist())):
+        sel = ty == t_
+        vv, nn = v[sel], n[sel]
+        order = np.argsort(vv)
+        vv, nn = vv[order], nn[order]
+        cum = np.cumsum(nn)
+        N = int(cum[-1])
+        k = N // 10
+        xl = int(vv[np.searchsorted(cum, k + 1)])
+        xu = int(vv[np.searchsorted(cum, N - k)])
+        w = np.clip(vv, xl, xu).astype(object)
+        s1 = int((w * nn.astype(object)).sum())
+        s2 = int((w * w * nn.astype(object)).sum())
+        mean = s1 / N
+        var = (N * s2 - s1 * s1) / (float(N) * (N - 1.0)) \
+            if N > 1 else None
+        rows.append((t_, N, k, xl, xu, round(mean, 6),
+                     round(math.sqrt(var), 6)
+                     if var is not None and var > 0 else None))
+    cols = list(zip(*rows)) if rows else [[]] * 7
+    return pa.table({
+        "event_type": pa.array(cols[0], pa.string()),
+        "n": pa.array(cols[1], pa.int64()),
+        "k_winsor": pa.array(cols[2], pa.int64()),
+        "lo_cents": pa.array(cols[3], pa.int64()),
+        "hi_cents": pa.array(cols[4], pa.int64()),
+        "w_mean_cents": pa.array(cols[5], pa.float64()),
+        "w_sd_cents": pa.array(cols[6], pa.float64()),
+    })
+
+
+SQL_WINSORIZED_STATS_BY_TYPE = """
+WITH c AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+s AS (SELECT ty, v,
+             row_number() OVER (PARTITION BY ty ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY ty) AS n
+      FROM c),
+lims AS (SELECT ty, max(n) AS n, max(n) // 10 AS k
+         FROM s GROUP BY ty),
+l2 AS (SELECT s.ty,
+              max(CASE WHEN s.rn = lims.k + 1 THEN s.v END) AS xl,
+              max(CASE WHEN s.rn = lims.n - lims.k THEN s.v END)
+                AS xu
+       FROM s JOIN lims ON lims.ty = s.ty GROUP BY s.ty),
+w AS (SELECT s.ty, lims.n, lims.k, l2.xl, l2.xu,
+             least(greatest(s.v, l2.xl), l2.xu) AS wv
+      FROM s JOIN l2 ON l2.ty = s.ty JOIN lims ON lims.ty = s.ty)
+SELECT ty AS event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(k) AS BIGINT) AS k_winsor,
+       CAST(max(xl) AS BIGINT) AS lo_cents,
+       CAST(max(xu) AS BIGINT) AS hi_cents,
+       round(CAST(sum(wv) AS DOUBLE) / max(n), 6) AS w_mean_cents,
+       CASE WHEN max(n) > 1 AND
+                 max(n) * sum(CAST(wv AS HUGEINT) * wv)
+                   - CAST(sum(wv) AS HUGEINT) * sum(wv) > 0 THEN
+         round(sqrt(CAST(max(n) * sum(CAST(wv AS HUGEINT) * wv)
+                         - CAST(sum(wv) AS HUGEINT) * sum(wv)
+                         AS DOUBLE)
+                    / (CAST(max(n) AS DOUBLE) * (max(n) - 1.0))), 6)
+       END AS w_sd_cents
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["winsorized_stats_by_type"] = (q_winsorized_stats_by_type,
+                                       SQL_WINSORIZED_STATS_BY_TYPE)
+
+
+# ---------------------------------------------------------------------------
+# ks_weekend_weekday — exact two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+def q_ks_weekend_weekday(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distance between weekday
+    and weekend order-value distributions: D = max|F̂_a − F̂_b| over
+    the merged support, computed as the INTEGER max of
+    |n_b·cumA − n_a·cumB| on the (cents, side) histogram — no float
+    until the final division — plus the asymptotic
+    λ = D·√(n_a·n_b/(n_a+n_b)).  The full-distribution companion of
+    the mean-only weekend tests (ISO dow ≥ 6, same convention as
+    hellinger_js_weekend)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice",
+                                          "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100), 0), pa.int64())
+        dow = pc.day_of_week(t.column("o_orderdate"),
+                             count_from_zero=False, week_start=1)
+        we = pc.cast(pc.greater_equal(dow, 6), pa.int64())
+        g = pa.table({"v": v, "we": we}).group_by(["v", "we"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["v", "we", "n"])
+
+    h = _partial_final(ds, partial, ["v", "we"], [("n", "sum")])
+    v = np.asarray(h.column("v"), dtype=np.int64)
+    we = np.asarray(h.column("we"), dtype=np.int64)
+    n = np.asarray(h.column("n"), dtype=np.int64)
+    uv = np.unique(v)
+    ca = np.zeros(len(uv), dtype=np.int64)
+    cb = np.zeros(len(uv), dtype=np.int64)
+    pos = np.searchsorted(uv, v)
+    np.add.at(ca, pos[we == 0], n[we == 0])
+    np.add.at(cb, pos[we == 1], n[we == 1])
+    na, nb = int(ca.sum()), int(cb.sum())
+    cuma = np.cumsum(ca.astype(object))
+    cumb = np.cumsum(cb.astype(object))
+    dnum = int(max(abs(nb * a_ - na * b_)
+                   for a_, b_ in zip(cuma, cumb)))
+    d = dnum / (na * nb)
+    lam = d * math.sqrt(na * nb / (na + nb))
+    return pa.table({
+        "n_weekday": pa.array([na], pa.int64()),
+        "n_weekend": pa.array([nb], pa.int64()),
+        "d_num": pa.array([dnum], pa.int64()),
+        "d_micro": pa.array([int(round(d * 1e6))], pa.int64()),
+        "lambda_micro": pa.array([int(round(lam * 1e6))], pa.int64()),
+    })
+
+
+SQL_KS_WEEKEND_WEEKDAY = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS we
+  FROM orders),
+n AS (SELECT CAST(sum(1 - we) AS BIGINT) AS na,
+             CAST(sum(we) AS BIGINT) AS nb FROM c),
+h AS (SELECT v, CAST(sum(1 - we) AS BIGINT) AS ca,
+             CAST(sum(we) AS BIGINT) AS cb
+      FROM c GROUP BY 1),
+cm AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+              sum(cb) OVER (ORDER BY v) AS cumb
+       FROM h),
+k AS (SELECT max(abs(CAST(n.nb AS HUGEINT) * cm.cuma
+                     - CAST(n.na AS HUGEINT) * cm.cumb)) AS dnum
+      FROM cm, n)
+SELECT n.na AS n_weekday, n.nb AS n_weekend,
+       CAST(k.dnum AS BIGINT) AS d_num,
+       CAST(round(CAST(k.dnum AS DOUBLE) / (n.na * n.nb) * 1000000,
+                  0) AS BIGINT) AS d_micro,
+       CAST(round(CAST(k.dnum AS DOUBLE) / (n.na * n.nb)
+                  * sqrt(CAST(n.na AS DOUBLE) * n.nb / (n.na + n.nb))
+                  * 1000000, 0) AS BIGINT) AS lambda_micro
+FROM k, n
+"""
+
+QUERIES["ks_weekend_weekday"] = (q_ks_weekend_weekday,
+                                 SQL_KS_WEEKEND_WEEKDAY)

@@ -561,3 +561,64 @@ def test_page_l_ties_average():
     rows = [[5, 5, 5]]
     # all tied: every doubled midrank = k+1 = 4; L2 = sum j*4 = 24
     assert _page_l2(rows) == (1 + 2 + 3) * 4
+
+
+# ---------------------------------------------------------------------------
+# KS / Cuzick / winsorized closures — brute-force parity
+# ---------------------------------------------------------------------------
+
+
+def _ks_dnum(a, b):
+    """integer KS numerator max|nb*cumA - na*cumB| via the closure's
+    histogram scheme."""
+    import numpy as _np
+    uv = _np.unique(_np.concatenate([a, b]))
+    ca = _np.array([( _np.asarray(a) == x).sum() for x in uv])
+    cb = _np.array([( _np.asarray(b) == x).sum() for x in uv])
+    return int(max(abs(len(b) * int(x) - len(a) * int(y))
+                   for x, y in zip(ca.cumsum(), cb.cumsum())))
+
+
+def test_ks_identical_zero_and_disjoint_full():
+    a = np.array([1, 2, 3, 4])
+    assert _ks_dnum(a, a) == 0
+    b = np.array([10, 11, 12])
+    # disjoint supports -> D = 1 -> dnum = na*nb
+    assert _ks_dnum(a, b) == len(a) * len(b)
+
+
+def test_ks_matches_ecdf_brute():
+    rng = np.random.RandomState(5)
+    for _ in range(10):
+        a = rng.randint(0, 20, 30)
+        b = rng.randint(3, 25, 17)
+        dnum = _ks_dnum(a, b)
+        grid = np.unique(np.concatenate([a, b]))
+        d = max(abs((a <= x).mean() - (b <= x).mean()) for x in grid)
+        assert abs(dnum / (len(a) * len(b)) - d) < 1e-12
+
+
+def test_cuzick_moments_no_trend():
+    # equal groups, identical distributions: L2 == E2 by symmetry
+    # when every group sees the same value multiset
+    v = np.array([10, 20, 30] * 3)
+    z = np.repeat([1, 2, 3], 3)
+    uv, inv = np.unique(v, return_inverse=True)
+    cv = np.bincount(inv)
+    cumb = np.cumsum(cv) - cv
+    r2 = 2 * cumb + cv + 1
+    l2 = int((z * r2[inv]).sum())
+    N = len(v)
+    e2 = (N + 1) * int(z.sum())
+    assert l2 == e2
+
+
+def test_winsorized_clip_sums():
+    # n=10, k=1: clip to [x2, x9]
+    x = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])
+    k = len(x) // 10
+    xs = np.sort(x)
+    lo, hi = xs[k], xs[len(x) - k - 1]
+    w = np.clip(x, lo, hi)
+    assert lo == 2 and hi == 9
+    assert w.sum() == 1 * 0 + (2 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 9 + 9)
