@@ -3025,3 +3025,264 @@ FROM k, n
 
 QUERIES["ks_weekend_weekday"] = (q_ks_weekend_weekday,
                                  SQL_KS_WEEKEND_WEEKDAY)
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_perplexity — add-one bigram LM trained src0, scored src1
+# ---------------------------------------------------------------------------
+
+_LM_TRAIN = "src0"
+_LM_TEST = "src1"
+
+
+def bigram_ce(train_pairs, test_pairs) -> tuple:
+    """Add-one bigram LM closure: (V, n_test, H_bits) from
+    (context, word, count) triples.  V = train word types + '<unk>';
+    test tokens outside the train vocabulary map to '<unk>' before
+    scoring; P(w|v) = (C(v,w)+1)/(C(v)+V)."""
+    vocab = {w_ for _, w_, _ in train_pairs}
+    V = len(vocab) + 1
+    tb = {}
+    tc = {}
+    for v_, w_, c_ in train_pairs:
+        tb[(v_, w_)] = tb.get((v_, w_), 0) + int(c_)
+        tc[v_] = tc.get(v_, 0) + int(c_)
+    te = {}
+    for v_, w_, c_ in test_pairs:
+        mv = v_ if (v_ == "<s>" or v_ in vocab) else "<unk>"
+        mw = w_ if w_ in vocab else "<unk>"
+        te[(mv, mw)] = te.get((mv, mw), 0) + int(c_)
+    n_test = sum(te.values())
+    h_sum = 0.0
+    for (mv, mw), m_ in sorted(te.items()):
+        p = (tb.get((mv, mw), 0) + 1) / (tc.get(mv, 0) + V)
+        h_sum -= m_ * math.log2(p)
+    h = h_sum / n_test if n_test else None
+    return V, n_test, h
+
+
+def q_bigram_lm_perplexity(sf_dir: str):
+    """Held-out perplexity of an add-one-smoothed bigram language
+    model: train on source src0, score source src1 (the KenLM-style
+    quality filter a pretraining pipeline runs per document).  One
+    distributed pass counts (source, context, word) bigrams — docs
+    are rows so sequences never straddle blocks; each doc contributes
+    a '<s>'-context start bigram — then the closure maps test tokens
+    outside the train vocabulary to '<unk>' (V = train types + 1),
+    and H = −Σ m·log2((C(v,w)+1)/(C(v)+V))/N.  The driver table is
+    bigram-TYPE-bounded (vocabulary², corpus-independent), same
+    budget as the lexical-spectrum queries."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("source"),
+                        value_set=pa.array([_LM_TRAIN, _LM_TEST]))
+        t = t.filter(keep)
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "v": pa.array([], pa.string()),
+                          "w": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                pattern=" ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        ne = flat != ""
+        flat, parent = flat[ne], parent[ne]
+        if len(flat) == 0:
+            return empty
+        src_doc = t.column("source").to_numpy(zero_copy_only=False)
+        first = np.r_[True, parent[1:] != parent[:-1]]
+        v = np.where(first, "<s>", np.r_["0", np.array([""]),
+                                         flat[:-1]])
+        g = pa.table({
+            "src": pa.array(src_doc[parent], type=pa.string()),
+            "v": pa.array(v, type=pa.string()),
+            "w": pa.array(flat, type=pa.string()),
+        }).group_by(["src", "v", "w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "v", "w", "cnt"])
+
+    m = _partial_final(ds, partial, ["src", "v", "w"],
+                       [("cnt", "sum")])
+    src = np.asarray(m.column("src").to_pylist())
+    v = np.asarray(m.column("v").to_pylist(), dtype=object)
+    w = np.asarray(m.column("w").to_pylist(), dtype=object)
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    tr = src == _LM_TRAIN
+    V, n_test, h = bigram_ce(
+        list(zip(v[tr].tolist(), w[tr].tolist(), cnt[tr].tolist())),
+        list(zip(v[~tr].tolist(), w[~tr].tolist(),
+                 cnt[~tr].tolist())))
+    return pa.table({
+        "train_types": pa.array([V - 1], pa.int64()),
+        "n_test_tokens": pa.array([n_test], pa.int64()),
+        "cross_entropy_bits": pa.array(
+            [round(h, 6) if h is not None else None], pa.float64()),
+        "perplexity": pa.array(
+            [round(2.0 ** h, 4) if h is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_BIGRAM_LM_PERPLEXITY = f"""
+WITH t AS (
+  SELECT row_number() OVER () AS doc, source,
+         string_split(text, ' ') AS a
+  FROM documents WHERE source IN ('{_LM_TRAIN}', '{_LM_TEST}')),
+x0 AS (SELECT doc, source, unnest(a) AS tok,
+              unnest(range(1, len(a) + 1)) AS i FROM t),
+x AS (SELECT doc, source, tok,
+             row_number() OVER (PARTITION BY doc ORDER BY i) AS j
+      FROM x0 WHERE tok <> ''),
+bg AS (
+  SELECT x.source, coalesce(pv.tok, '<s>') AS v, x.tok AS w,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM x LEFT JOIN x pv ON pv.doc = x.doc AND pv.j = x.j - 1
+  GROUP BY 1, 2, 3),
+voc AS (SELECT DISTINCT w FROM bg WHERE source = '{_LM_TRAIN}'),
+vn AS (SELECT CAST(count(*) + 1 AS BIGINT) AS vv FROM voc),
+tb AS (SELECT v, w, sum(cnt) AS c FROM bg
+       WHERE source = '{_LM_TRAIN}' GROUP BY 1, 2),
+tc AS (SELECT v, sum(c) AS c FROM tb GROUP BY 1),
+te AS (
+  SELECT CASE WHEN bg.v = '<s>' OR vv2.w IS NOT NULL
+              THEN bg.v ELSE '<unk>' END AS mv,
+         CASE WHEN vw.w IS NOT NULL THEN bg.w ELSE '<unk>' END AS mw,
+         CAST(sum(cnt) AS BIGINT) AS m
+  FROM bg
+  LEFT JOIN voc vw ON vw.w = bg.w
+  LEFT JOIN voc vv2 ON vv2.w = bg.v
+  WHERE bg.source = '{_LM_TEST}'
+  GROUP BY 1, 2),
+sc AS (
+  SELECT te.m,
+         (coalesce(tb.c, 0) + 1.0)
+           / (coalesce(tc.c, 0) + (SELECT vv FROM vn)) AS p
+  FROM te LEFT JOIN tb ON tb.v = te.mv AND tb.w = te.mw
+          LEFT JOIN tc ON tc.v = te.mv),
+ag AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+              -sum(m * ln(p)) / ln(2.0) AS hs
+       FROM sc)
+SELECT (SELECT vv - 1 FROM vn) AS train_types,
+       n AS n_test_tokens,
+       round(hs / n, 6) AS cross_entropy_bits,
+       round(pow(2.0, hs / n), 4) AS perplexity
+FROM ag
+"""
+
+QUERIES["bigram_lm_perplexity"] = (q_bigram_lm_perplexity,
+                                   SQL_BIGRAM_LM_PERPLEXITY)
+
+
+# ---------------------------------------------------------------------------
+# keyness_topk_by_source — Dunning log-likelihood keywords
+# ---------------------------------------------------------------------------
+
+_KEYNESS_K = 5
+
+
+def q_keyness_topk_by_source(sf_dir: str):
+    """Corpus-linguistics keyness: for each source, the top-5
+    OVERUSED tokens by Dunning's log-likelihood G² against the rest
+    of the corpus (the signature statistic of keyword extraction /
+    corpus comparison).  2×2 per (source, token): a = in-source
+    count, b = elsewhere, expecteds from the exact integer marginals;
+    overuse gate a·N > (a+b)·N_s is an integer comparison, ranking
+    uses g2_micro (identical two-term float formula both engines)
+    with token-ascending tiebreak.  Shuffle = vocabulary-bounded
+    (source, token) partials."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    tok = np.asarray(vc.column("token").to_pylist(), dtype=object)
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    tot = {}
+    gtok = {}
+    for s_, t_, c_ in zip(src.tolist(), tok.tolist(), cnt.tolist()):
+        tot[s_] = tot.get(s_, 0) + int(c_)
+        gtok[t_] = gtok.get(t_, 0) + int(c_)
+    N = sum(tot.values())
+    out = []
+    for s_ in sorted(tot):
+        ns = tot[s_]
+        nr = N - ns
+        sel = src == s_
+        cand = []
+        for t_, a_ in zip(tok[sel].tolist(), cnt[sel].tolist()):
+            a_ = int(a_)
+            ab = gtok[t_]
+            b_ = ab - a_
+            if a_ * N <= ab * ns:        # not overused here
+                continue
+            ea = ns * ab / N
+            g2 = a_ * math.log(a_ / ea)
+            if b_ > 0:
+                eb = nr * ab / N
+                g2 += b_ * math.log(b_ / eb)
+            cand.append((int(round(2.0 * g2 * 1e6)), t_, a_, b_))
+        cand.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (g2m, t_, a_, b_) in enumerate(cand[:_KEYNESS_K], 1):
+            out.append((s_, rank, t_, a_, b_, g2m))
+    cols = list(zip(*out)) if out else [[]] * 6
+    return pa.table({
+        "source": pa.array(cols[0], pa.string()),
+        "rank": pa.array(cols[1], pa.int64()),
+        "token": pa.array(cols[2], pa.string()),
+        "n_in": pa.array(cols[3], pa.int64()),
+        "n_out": pa.array(cols[4], pa.int64()),
+        "g2_micro": pa.array(cols[5], pa.int64()),
+    })
+
+
+SQL_KEYNESS_TOPK_BY_SOURCE = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+      FROM toks GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM c GROUP BY 1),
+gt AS (SELECT token, CAST(sum(a) AS BIGINT) AS ab FROM c GROUP BY 1),
+nn AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+g AS (
+  SELECT c.source, c.token, c.a, gt.ab - c.a AS b,
+         CAST(round(2000000.0 * (
+           c.a * ln(c.a / (st.ns * CAST(gt.ab AS DOUBLE) / nn.n))
+           + CASE WHEN gt.ab - c.a > 0 THEN
+               (gt.ab - c.a)
+               * ln((gt.ab - c.a)
+                    / ((nn.n - st.ns) * CAST(gt.ab AS DOUBLE)
+                       / nn.n))
+             ELSE 0.0 END), 0) AS BIGINT) AS g2_micro
+  FROM c JOIN st ON st.source = c.source
+         JOIN gt ON gt.token = c.token
+         CROSS JOIN nn
+  WHERE c.a * nn.n > gt.ab * st.ns),
+r AS (SELECT source, token, a, b, g2_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY g2_micro DESC, token)
+               AS rank
+      FROM g)
+SELECT source, CAST(rank AS BIGINT) AS rank, token,
+       a AS n_in, b AS n_out, g2_micro
+FROM r WHERE rank <= 5 ORDER BY source, rank
+"""
+
+QUERIES["keyness_topk_by_source"] = (q_keyness_topk_by_source,
+                                     SQL_KEYNESS_TOPK_BY_SOURCE)

@@ -622,3 +622,36 @@ def test_winsorized_clip_sums():
     w = np.clip(x, lo, hi)
     assert lo == 2 and hi == 9
     assert w.sum() == 1 * 0 + (2 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 9 + 9)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM cross-entropy kernel
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import bigram_ce  # noqa: E402
+
+
+def test_bigram_ce_memorized_corpus():
+    # train == test, single deterministic sequence "a b a b"
+    tr = [("<s>", "a", 1), ("a", "b", 2), ("b", "a", 1)]
+    V, n, h = bigram_ce(tr, tr)
+    assert V == 3 and n == 4        # types {a,b} + unk
+    expect = -(math.log2((1 + 1) / (1 + 3))        # <s> a
+               + 2 * math.log2((2 + 1) / (2 + 3))  # a b twice
+               + math.log2((1 + 1) / (1 + 3))) / 4  # b a (C(b)=1)
+    assert abs(h - expect) < 1e-12
+
+
+def test_bigram_ce_oov_maps_to_unk():
+    tr = [("<s>", "a", 1)]
+    te = [("<s>", "z", 1), ("z", "a", 1)]
+    V, n, h = bigram_ce(tr, te)
+    assert V == 2 and n == 2
+    # <s> z -> <s> <unk>: (0+1)/(1+2); z a -> <unk> a: (0+1)/(0+2)
+    expect = -(math.log2(1 / 3) + math.log2(1 / 2)) / 2
+    assert abs(h - expect) < 1e-12
+
+
+def test_bigram_ce_empty_test():
+    V, n, h = bigram_ce([("<s>", "a", 1)], [])
+    assert n == 0 and h is None
