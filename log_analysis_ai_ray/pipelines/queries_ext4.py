@@ -3286,3 +3286,285 @@ FROM r WHERE rank <= 5 ORDER BY source, rank
 
 QUERIES["keyness_topk_by_source"] = (q_keyness_topk_by_source,
                                      SQL_KEYNESS_TOPK_BY_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# benjamini_hochberg_nations — FDR-controlled multiple testing
+# ---------------------------------------------------------------------------
+
+
+def q_benjamini_hochberg_nations(sf_dir: str):
+    """Benjamini-Hochberg FDR procedure (q = 0.10) over the m
+    per-nation one-sample z-tests of mean customer account balance
+    against the global mean — the multiple-testing layer every
+    per-segment anomaly sweep needs before alerting.  Per-nation and
+    global moments are exact integer cent sums; Φ is the shared
+    Abramowitz-Stegun 7.1.26 polynomial (phi_as) both engines
+    evaluate; the step-up cutoff compares MICRO-ROUNDED p-values —
+    p_micro·10·m ≤ rank·10⁶ — so the reject set is an exact integer
+    decision in both engines."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey",
+                                            "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100), 0), pa.int64())
+        g = pa.table({"nk": pc.cast(t.column("c_nationkey"),
+                                    pa.int64()), "v": v}) \
+            .group_by("nk").aggregate([("v", "sum"),
+                                       ([], "count_all")])
+        g = g.rename_columns(["nk", "s1", "n"])
+        v2 = pa.table({"nk": pc.cast(t.column("c_nationkey"),
+                                     pa.int64()),
+                       "sq": pc.multiply(v, v)}) \
+            .group_by("nk").aggregate([("sq", "sum")]) \
+            .rename_columns(["nk", "s2"])
+        return g.join(v2, "nk")
+
+    m_ = _partial_final(ds, partial, ["nk"],
+                        [("s1", "sum"), ("n", "sum"), ("s2", "sum")])
+    nk = np.asarray(m_.column("nk"), dtype=np.int64)
+    s1 = np.asarray(m_.column("s1"), dtype=np.int64)
+    nn = np.asarray(m_.column("n"), dtype=np.int64)
+    s2 = np.asarray(m_.column("s2"), dtype=np.int64)
+    N = int(nn.sum())
+    S1 = int(s1.sum())
+    S2 = int(s2.sum())
+    mu0 = S1 / N
+    sd0 = math.sqrt((N * S2 - S1 * S1) / (float(N) * (N - 1.0)))
+    m = len(nk)
+    rows = []
+    for i in range(m):
+        mean_i = int(s1[i]) / int(nn[i])
+        z = (mean_i - mu0) / (sd0 / math.sqrt(float(nn[i])))
+        p = 2.0 * (1.0 - phi_as(abs(z)))
+        rows.append((int(nk[i]), int(nn[i]),
+                     int(round(z * 1e6)), int(round(p * 1e6))))
+    rows.sort(key=lambda r: (r[3], r[0]))
+    cutoff = 0
+    for rank, r in enumerate(rows, 1):
+        if r[3] * 10 * m <= rank * 1_000_000:
+            cutoff = rank
+    out = [(r[0], r[1], r[2], r[3], rank, 1 if rank <= cutoff else 0)
+           for rank, r in enumerate(rows, 1)]
+    cols = list(zip(*out))
+    return pa.table({
+        "nationkey": pa.array(cols[0], pa.int64()),
+        "n": pa.array(cols[1], pa.int64()),
+        "z_micro": pa.array(cols[2], pa.int64()),
+        "p_micro": pa.array(cols[3], pa.int64()),
+        "bh_rank": pa.array(cols[4], pa.int64()),
+        "rejected": pa.array(cols[5], pa.int64()),
+    })
+
+
+SQL_BENJAMINI_HOCHBERG_NATIONS = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+  FROM customer),
+per AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS HUGEINT) AS s1
+  FROM c GROUP BY 1),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         CAST(sum(v) AS HUGEINT) AS gs1,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS gs2
+  FROM c),
+zt AS (
+  SELECT per.nk, per.n,
+         (CAST(per.s1 AS DOUBLE) / per.n
+          - CAST(g.gs1 AS DOUBLE) / g.nn)
+         / (sqrt((CAST(g.nn AS DOUBLE) * CAST(g.gs2 AS DOUBLE)
+                  - CAST(g.gs1 AS DOUBLE) * CAST(g.gs1 AS DOUBLE))
+                 / (CAST(g.nn AS DOUBLE) * (g.nn - 1.0)))
+            / sqrt(CAST(per.n AS DOUBLE))) AS z
+  FROM per, g),
+pv AS (
+  SELECT nk, n, CAST(round(z * 1000000, 0) AS BIGINT) AS z_micro,
+         CAST(round(2.0 * (1.0 - (0.5 * (1.0 + 1.0
+           * (1.0 - (((((1.061405429 * t.t - 1.453152027) * t.t)
+                       + 1.421413741) * t.t - 0.284496736) * t.t
+                     + 0.254829592) * t.t * exp(-(a.a * a.a))))))
+           * 1000000, 0) AS BIGINT) AS p_micro
+  FROM zt,
+       LATERAL (SELECT abs(zt.z) / sqrt(2.0) AS a) a,
+       LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t),
+rk AS (
+  SELECT nk, n, z_micro, p_micro,
+         CAST(row_number() OVER (ORDER BY p_micro, nk) AS BIGINT)
+           AS bh_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pv),
+cut AS (
+  SELECT coalesce(max(bh_rank), 0) AS c
+  FROM rk WHERE p_micro * 10 * m <= bh_rank * 1000000)
+SELECT nk AS nationkey, n, z_micro, p_micro, bh_rank,
+       CASE WHEN bh_rank <= cut.c THEN 1 ELSE 0 END AS rejected
+FROM rk, cut
+"""
+
+QUERIES["benjamini_hochberg_nations"] = (q_benjamini_hochberg_nations,
+                                         SQL_BENJAMINI_HOCHBERG_NATIONS)
+
+
+# ---------------------------------------------------------------------------
+# dau_mau_stickiness — engagement ratio per 28-day block
+# ---------------------------------------------------------------------------
+
+
+def q_dau_mau_stickiness(sf_dir: str):
+    """DAU/MAU stickiness per 28-day epoch block: Σ(daily distinct
+    users) / (days-in-block × block-distinct users) in exact ppm —
+    the standard engagement ratio, computed from ONE (user, day)
+    presence shuffle (activity-bounded): per-block daily-distinct
+    sums and block-distinct counts both close from the deduplicated
+    presence table."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DAY_US, pa.int64()))
+        g = pa.table({"u": t.column("user_id"), "day": day}) \
+            .group_by(["u", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "day", "c"])
+
+    pres = _partial_final(ds, partial, ["u", "day"], [("c", "sum")])
+    u = np.asarray(pres.column("u"), dtype=np.int64)
+    day = np.asarray(pres.column("day"), dtype=np.int64)
+    blk = day // 28
+    out = []
+    for b in np.unique(blk):
+        sel = blk == b
+        dau_sum = len(np.unique(np.stack([u[sel], day[sel]], axis=1),
+                                axis=0))
+        days = len(np.unique(day[sel]))
+        mau = len(np.unique(u[sel]))
+        out.append((int(b), days, dau_sum, mau,
+                    (1_000_000 * dau_sum) // (days * mau)))
+    cols = list(zip(*out)) if out else [[]] * 5
+    return pa.table({
+        "block": pa.array(cols[0], pa.int64()),
+        "n_days": pa.array(cols[1], pa.int64()),
+        "dau_sum": pa.array(cols[2], pa.int64()),
+        "mau": pa.array(cols[3], pa.int64()),
+        "stickiness_ppm": pa.array(cols[4], pa.int64()),
+    })
+
+
+SQL_DAU_MAU_STICKINESS = """
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+b AS (SELECT user_id, day, day // 28 AS block FROM pres)
+SELECT block,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS dau_sum,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+       (1000000 * CAST(count(*) AS BIGINT))
+         // (count(DISTINCT day) * count(DISTINCT user_id))
+         AS stickiness_ppm
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dau_mau_stickiness"] = (q_dau_mau_stickiness,
+                                 SQL_DAU_MAU_STICKINESS)
+
+
+# ---------------------------------------------------------------------------
+# sample_size_planner — two-proportion power calculation
+# ---------------------------------------------------------------------------
+
+_SSP_Z_ALPHA = 1.959963985          # two-sided alpha = 0.05
+_SSP_Z_BETA = 0.841621234           # power = 0.80
+_SSP_LIFT = 1.10                    # detect a +10% relative lift
+
+
+def q_sample_size_planner(sf_dir: str):
+    """Experiment-planning operator: from the OBSERVED signup→
+    purchase conversion rate p₁ (distinct purchasers-after-signup /
+    distinct signups — the same funnel counts the A/B suite uses),
+    the required per-arm sample size to detect a +10% relative lift
+    at two-sided α = 0.05 with 80% power:
+    n = (z_α√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/(p₂−p₁)², ceiled.  The
+    funnel counts are the distributed part; the closure is one
+    shared float program (z constants as literals in both engines)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def lite(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({
+            "u": t.column("user_id"), "k": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+        }).group_by(["u", "k"]).aggregate([("t", "min")])
+        return g.rename_columns(["u", "k", "t"])
+
+    m = _partial_final(ds, lite, ["u", "k"], [("t", "min")])
+    u = np.asarray(m.column("u"), dtype=np.int64)
+    k = m.column("k").to_numpy(zero_copy_only=False)
+    ts = np.asarray(m.column("t"), dtype=np.int64)
+    uu, uinv = np.unique(u, return_inverse=True)
+    BIG = np.iinfo(np.int64).max
+    s0 = np.full(len(uu), BIG, dtype=np.int64)
+    sm = k == "signup"
+    np.minimum.at(s0, uinv[sm], ts[sm])
+    p0 = np.full(len(uu), BIG, dtype=np.int64)
+    pm_ = k == "purchase"
+    np.minimum.at(p0, uinv[pm_], ts[pm_])
+    signed = s0 != BIG
+    conv = signed & (p0 != BIG) & (p0 >= s0)
+    n_sign = int(signed.sum())
+    n_conv = int(conv.sum())
+    p1 = n_conv / n_sign
+    p2 = min(p1 * _SSP_LIFT, 1.0)
+    pbar = (p1 + p2) / 2.0
+    num = (_SSP_Z_ALPHA * math.sqrt(2.0 * pbar * (1.0 - pbar))
+           + _SSP_Z_BETA * math.sqrt(p1 * (1.0 - p1)
+                                     + p2 * (1.0 - p2))) ** 2
+    n_arm = math.ceil(num / ((p2 - p1) ** 2)) if p2 > p1 else None
+    return pa.table({
+        "n_signups": pa.array([n_sign], pa.int64()),
+        "n_converted": pa.array([n_conv], pa.int64()),
+        "p1_micro": pa.array([int(round(p1 * 1e6))], pa.int64()),
+        "n_per_arm": pa.array([n_arm], pa.int64()),
+    })
+
+
+SQL_SAMPLE_SIZE_PLANNER = f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS s0
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT user_id, min(epoch_us(ts)) AS p0
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+f AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sign,
+         CAST(sum(CASE WHEN p.p0 IS NOT NULL AND p.p0 >= s.s0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+  FROM s LEFT JOIN p ON p.user_id = s.user_id),
+r AS (
+  SELECT n_sign, n_conv,
+         CAST(n_conv AS DOUBLE) / n_sign AS p1,
+         least(CAST(n_conv AS DOUBLE) / n_sign * {_SSP_LIFT}, 1.0)
+           AS p2
+  FROM f)
+SELECT n_sign AS n_signups, n_conv AS n_converted,
+       CAST(round(p1 * 1000000, 0) AS BIGINT) AS p1_micro,
+       CASE WHEN p2 > p1 THEN
+         CAST(ceil(pow({_SSP_Z_ALPHA}
+                       * sqrt(2.0 * ((p1 + p2) / 2.0)
+                              * (1.0 - (p1 + p2) / 2.0))
+                     + {_SSP_Z_BETA}
+                       * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)),
+                     2)
+                   / pow(p2 - p1, 2)) AS BIGINT) END AS n_per_arm
+FROM r
+"""
+
+QUERIES["sample_size_planner"] = (q_sample_size_planner,
+                                  SQL_SAMPLE_SIZE_PLANNER)

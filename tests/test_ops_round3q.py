@@ -655,3 +655,41 @@ def test_bigram_ce_oov_maps_to_unk():
 def test_bigram_ce_empty_test():
     V, n, h = bigram_ce([("<s>", "a", 1)], [])
     assert n == 0 and h is None
+
+
+# ---------------------------------------------------------------------------
+# BH step-up cutoff — integer decision parity
+# ---------------------------------------------------------------------------
+
+
+def _bh_cutoff(p_micro, m, q10=1):
+    """max rank with p_micro*10*m <= rank*1e6 (q = q10/10)."""
+    cut = 0
+    for rank, p in enumerate(sorted(p_micro), 1):
+        if p * 10 * m <= rank * 1_000_000 * q10:
+            cut = rank
+    return cut
+
+
+def test_bh_textbook_example():
+    # classic BH illustration (q=0.10): ranks with p <= rank*q/m
+    p = [1000, 8000, 39000, 41000, 210000, 550000]     # micro units
+    m = len(p)
+    # thresholds: rank*100000/6 -> 16666, 33333, 50000, 66666, ...
+    # p3=39000<=50000 ok, p4=41000<=66666 ok, p5=210000>83333 no
+    assert _bh_cutoff(p, m) == 4
+
+
+def test_bh_none_rejected():
+    assert _bh_cutoff([900000, 950000], 2) == 0
+
+
+def test_bh_all_rejected():
+    assert _bh_cutoff([1, 2, 3], 3) == 3
+
+
+def test_bh_step_up_rescues_earlier_rank():
+    # rank 1 fails its own threshold but rank 2 passes -> cutoff 2
+    p = [40000, 45000]      # thresholds 50000*1, 50000*2? q=0.1,m=2
+    # thresholds: rank*1e6/(10*2) = 50000, 100000
+    assert _bh_cutoff(p, 2) == 2
