@@ -3568,3 +3568,344 @@ FROM r
 
 QUERIES["sample_size_planner"] = (q_sample_size_planner,
                                   SQL_SAMPLE_SIZE_PLANNER)
+
+
+# ---------------------------------------------------------------------------
+# chao1_richness_by_source — unseen-species richness estimate
+# ---------------------------------------------------------------------------
+
+
+def q_chao1_richness_by_source(sf_dir: str):
+    """Bias-corrected Chao1 species-richness estimate per source:
+    V̂ = V + f1(f1−1)/(2(f2+1)) from the singleton/doubleton counts
+    of the token-frequency spectrum — the lower bound on TRUE
+    vocabulary size the observed V misses (good_turing_unseen
+    estimates unseen MASS; Chao1 estimates unseen TYPES).  Exact
+    integer-micro rational; same vocabulary-bounded (source, token)
+    shuffle as the richness battery."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    rows = []
+    for s in sorted(set(src.tolist())):
+        c = cnt[src == s]
+        v = len(c)
+        f1 = int((c == 1).sum())
+        f2 = int((c == 2).sum())
+        extra = (1_000_000 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+        rows.append((s, v, f1, f2, 1_000_000 * v + extra))
+    cols = list(zip(*rows)) if rows else [[]] * 5
+    return pa.table({
+        "source": pa.array(cols[0], pa.string()),
+        "vocab": pa.array(cols[1], pa.int64()),
+        "f1": pa.array(cols[2], pa.int64()),
+        "f2": pa.array(cols[3], pa.int64()),
+        "chao1_micro": pa.array(cols[4], pa.int64()),
+    })
+
+
+SQL_CHAO1_RICHNESS_BY_SOURCE = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+st AS (SELECT source,
+              CAST(count(*) AS BIGINT) AS v,
+              CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS f1,
+              CAST(count(*) FILTER (WHERE cnt = 2) AS BIGINT) AS f2
+       FROM c GROUP BY 1)
+SELECT source, v AS vocab, f1, f2,
+       1000000 * v + (1000000 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+         AS chao1_micro
+FROM st ORDER BY 1
+"""
+
+QUERIES["chao1_richness_by_source"] = (q_chao1_richness_by_source,
+                                       SQL_CHAO1_RICHNESS_BY_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# gries_dp_top_tokens — corpus-part dispersion of frequent tokens
+# ---------------------------------------------------------------------------
+
+_DP_TOPK = 20
+
+
+def q_gries_dp_top_tokens(sf_dir: str):
+    """Gries' Deviation of Proportions for the 20 most frequent
+    tokens: DP = ½·Σ_parts |share-of-token-in-part − part's share of
+    the corpus| — 0 means the token is spread exactly like the
+    corpus, →1 means it clumps in one source (the dispersion measure
+    corpus linguistics prefers over range/Juilland).  Top-k selection
+    is (count desc, token asc); the part loop runs in fixed
+    source-ascending order so the float sum is the same program in
+    both engines."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    tok = np.asarray(vc.column("token").to_pylist(), dtype=object)
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+    sources = sorted(set(src.tolist()))
+    n_part = {s: int(cnt[src == s].sum()) for s in sources}
+    N = sum(n_part.values())
+    ftok = {}
+    for t_, c_ in zip(tok.tolist(), cnt.tolist()):
+        ftok[t_] = ftok.get(t_, 0) + int(c_)
+    top = sorted(ftok.items(), key=lambda kv: (-kv[1], kv[0]))[:_DP_TOPK]
+    cell = {}
+    for s_, t_, c_ in zip(src.tolist(), tok.tolist(), cnt.tolist()):
+        cell[(s_, t_)] = int(c_)
+    rows = []
+    for t_, f in top:
+        dp = 0.0
+        for s in sources:
+            dp += abs(cell.get((s, t_), 0) / f - n_part[s] / N)
+        rows.append((t_, f, int(round(0.5 * dp * 1e6))))
+    cols = list(zip(*rows)) if rows else [[]] * 3
+    return pa.table({
+        "token": pa.array(cols[0], pa.string()),
+        "freq": pa.array(cols[1], pa.int64()),
+        "dp_micro": pa.array(cols[2], pa.int64()),
+    })
+
+
+SQL_GRIES_DP_TOP_TOKENS = rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2),
+parts AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS np
+          FROM c GROUP BY 1),
+nn AS (SELECT CAST(sum(np) AS BIGINT) AS n FROM parts),
+ft AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS f FROM c GROUP BY 1),
+top AS (SELECT token, f FROM ft
+        ORDER BY f DESC, token LIMIT {_DP_TOPK}),
+dp AS (
+  SELECT top.token, top.f,
+         sum(abs(CAST(coalesce(c.cnt, 0) AS DOUBLE) / top.f
+                 - CAST(parts.np AS DOUBLE) / nn.n)
+             ORDER BY parts.source) AS d
+  FROM top CROSS JOIN parts CROSS JOIN nn
+  LEFT JOIN c ON c.source = parts.source AND c.token = top.token
+  GROUP BY 1, 2)
+SELECT token, f AS freq,
+       CAST(round(0.5 * d * 1000000, 0) AS BIGINT) AS dp_micro
+FROM dp ORDER BY freq DESC, token
+"""
+
+QUERIES["gries_dp_top_tokens"] = (q_gries_dp_top_tokens,
+                                  SQL_GRIES_DP_TOP_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# jackknife_gini_daily — Gini with a leave-one-out standard error
+# ---------------------------------------------------------------------------
+
+
+def q_jackknife_gini_daily(sf_dir: str):
+    """Gini coefficient of daily revenue WITH a jackknife standard
+    error — the resampling-uncertainty operator (fully deterministic:
+    the n leave-one-out replicates are enumerated, not sampled).
+    G = Σᵢⱼ|xᵢ−xⱼ|/(2nT) has an exact integer numerator; each
+    replicate G₍ₖ₎ = (S−2rₖ)/(2(n−1)(T−xₖ)) is micro-rounded BEFORE
+    the variance so the SE closes from exact integer sums:
+    SE = √((n−1)·(nΣm²−(Σm)²))/n in micro units."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    x = np.asarray(cents, dtype=np.int64)
+    n = len(x)
+    T = int(x.sum())
+    diff = np.abs(x[:, None] - x[None, :]).astype(object)
+    r = diff.sum(axis=1)                     # row sums, exact ints
+    S = int(r.sum())
+    gini = S / (2.0 * n * T)
+    m = np.array([round(1e6 * (S - 2 * int(r[k]))
+                        / (2.0 * (n - 1) * (T - int(x[k]))))
+                  for k in range(n)], dtype=object)
+    sm = int(m.sum())
+    sm2 = int((m * m).sum())
+    se_micro = int(round(math.sqrt((n - 1) * (n * sm2 - sm * sm))
+                         / n))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "gini_micro": pa.array([int(round(gini * 1e6))], pa.int64()),
+        "se_jack_micro": pa.array([se_micro], pa.int64()),
+    })
+
+
+SQL_JACKKNIFE_GINI_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS t FROM d),
+r AS (SELECT a.day, a.y,
+             CAST(sum(abs(a.y - b.y)) AS HUGEINT) AS rk
+      FROM d a CROSS JOIN d b GROUP BY 1, 2),
+s AS (SELECT CAST(sum(rk) AS HUGEINT) AS s FROM r),
+m AS (SELECT CAST(round(1000000.0 * CAST(s.s - 2 * r.rk AS DOUBLE)
+                / (2.0 * (g.n - 1) * CAST(g.t - r.y AS DOUBLE)), 0)
+             AS HUGEINT) AS mk
+      FROM r, s, g),
+agg AS (SELECT CAST(sum(mk) AS HUGEINT) AS sm,
+               CAST(sum(mk * mk) AS HUGEINT) AS sm2 FROM m)
+SELECT g.n AS n_days,
+       CAST(round(CAST(s.s AS DOUBLE)
+                  / (2.0 * g.n * CAST(g.t AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS gini_micro,
+       CAST(round(sqrt(CAST((g.n - 1)
+                * (g.n * agg.sm2 - agg.sm * agg.sm) AS DOUBLE))
+                / g.n, 0) AS BIGINT) AS se_jack_micro
+FROM g, s, agg
+"""
+
+QUERIES["jackknife_gini_daily"] = (q_jackknife_gini_daily,
+                                   SQL_JACKKNIFE_GINI_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# ccf_click_purchase — cross-correlation function at lags ±7
+# ---------------------------------------------------------------------------
+
+_CCF_MAXLAG = 7
+
+
+def q_ccf_click_purchase(sf_dir: str):
+    """Sample cross-correlation function between daily click and
+    purchase counts at lags −7…+7 (positive lag = clicks LEAD
+    purchases): the full lag-profile companion of the single-lag
+    granger/transfer-entropy probes.  Deviations use full-series
+    means; with everything scaled by n² the per-lag numerator
+    NUM2 = n²Σxy − n·Sx·ΣWy − n·Sy·ΣWx + |W|·Sx·Sy is an exact
+    integer, and r = NUM2/(n·√A·√B) with A = nΣx²−Sx²,
+    B = nΣy²−Sy² — one float division per lag."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DAY_US, pa.int64()))
+        g = pa.table({"ty": t.column("event_type"), "day": day}) \
+            .group_by(["ty", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "day", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    d0, d1 = int(dy.min()), int(dy.max())
+    n = d1 - d0 + 1
+    x = np.zeros(n, dtype=np.int64)          # clicks
+    y = np.zeros(n, dtype=np.int64)          # purchases
+    x[dy[ty == "click"] - d0] = cv[ty == "click"]
+    y[dy[ty == "purchase"] - d0] = cv[ty == "purchase"]
+    Sx, Sy = int(x.sum()), int(y.sum())
+    A = n * int((x * x).sum()) - Sx * Sx
+    B = n * int((y * y).sum()) - Sy * Sy
+    den = n * math.sqrt(A) * math.sqrt(B)
+    lags, npair, rmic = [], [], []
+    for k in range(-_CCF_MAXLAG, _CCF_MAXLAG + 1):
+        if k >= 0:
+            xw, yw = x[:n - k], y[k:]
+        else:
+            xw, yw = x[-k:], y[:n + k]
+        w = len(xw)
+        sxy = int((xw.astype(object) * yw.astype(object)).sum())
+        num2 = (n * n * sxy - n * Sx * int(yw.sum())
+                - n * Sy * int(xw.sum()) + w * Sx * Sy)
+        lags.append(k)
+        npair.append(w)
+        rmic.append(int(round(1e6 * num2 / den)) if den > 0 else None)
+    return pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n_pairs": pa.array(npair, pa.int64()),
+        "r_micro": pa.array(rmic, pa.int64()),
+    })
+
+
+SQL_CCF_CLICK_PURCHASE = f"""
+WITH e AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+grid AS (
+  SELECT g.day,
+         coalesce(max(CASE WHEN e.ty = 'click' THEN e.c END), 0)
+           AS x,
+         coalesce(max(CASE WHEN e.ty = 'purchase' THEN e.c END), 0)
+           AS y
+  FROM (SELECT unnest(generate_series((SELECT d0 FROM sp),
+                                      (SELECT d1 FROM sp))) AS day) g
+  LEFT JOIN e ON e.day = g.day GROUP BY 1),
+gl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS HUGEINT) AS sx,
+              CAST(sum(y) AS HUGEINT) AS sy,
+              CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+              CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+       FROM grid),
+lag_w AS (
+  SELECT l.lag,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(sum(CAST(a.x AS HUGEINT) * b.y) AS HUGEINT) AS sxy,
+         CAST(sum(a.x) AS HUGEINT) AS swx,
+         CAST(sum(b.y) AS HUGEINT) AS swy
+  FROM (SELECT unnest(generate_series(-{_CCF_MAXLAG},
+                                      {_CCF_MAXLAG})) AS lag) l
+  JOIN grid a ON TRUE
+  JOIN grid b ON b.day = a.day + l.lag
+  GROUP BY 1)
+SELECT lag_w.lag, lag_w.w AS n_pairs,
+       CASE WHEN (gl.n * gl.sxx - gl.sx * gl.sx) > 0
+             AND (gl.n * gl.syy - gl.sy * gl.sy) > 0 THEN
+         CAST(round(1000000.0
+           * CAST(gl.n * gl.n * lag_w.sxy - gl.n * gl.sx * lag_w.swy
+                  - gl.n * gl.sy * lag_w.swx
+                  + lag_w.w * gl.sx * gl.sy AS DOUBLE)
+           / (gl.n * sqrt(CAST(gl.n * gl.sxx - gl.sx * gl.sx
+                               AS DOUBLE))
+                   * sqrt(CAST(gl.n * gl.syy - gl.sy * gl.sy
+                               AS DOUBLE))), 0) AS BIGINT) END
+         AS r_micro
+FROM lag_w, gl ORDER BY lag_w.lag
+"""
+
+QUERIES["ccf_click_purchase"] = (q_ccf_click_purchase,
+                                 SQL_CCF_CLICK_PURCHASE)

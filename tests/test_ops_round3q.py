@@ -693,3 +693,56 @@ def test_bh_step_up_rescues_earlier_rank():
     p = [40000, 45000]      # thresholds 50000*1, 50000*2? q=0.1,m=2
     # thresholds: rank*1e6/(10*2) = 50000, 100000
     assert _bh_cutoff(p, 2) == 2
+
+
+# ---------------------------------------------------------------------------
+# CCF integer-NUM2 algebra vs float reference
+# ---------------------------------------------------------------------------
+
+
+def _ccf_int(x, y, k):
+    """the query's exact-integer lag-k cross-correlation."""
+    n = len(x)
+    Sx, Sy = int(x.sum()), int(y.sum())
+    A = n * int((x * x).sum()) - Sx * Sx
+    B = n * int((y * y).sum()) - Sy * Sy
+    if k >= 0:
+        xw, yw = x[:n - k], y[k:]
+    else:
+        xw, yw = x[-k:], y[:n + k]
+    w = len(xw)
+    num2 = (n * n * int((xw * yw).sum()) - n * Sx * int(yw.sum())
+            - n * Sy * int(xw.sum()) + w * Sx * Sy)
+    return num2 / (n * math.sqrt(A) * math.sqrt(B))
+
+
+def _ccf_float(x, y, k):
+    """textbook sample CCF: full-series means/sds, truncated sum."""
+    n = len(x)
+    xm, ym = x.mean(), y.mean()
+    sx = math.sqrt(((x - xm) ** 2).sum() / n)
+    sy = math.sqrt(((y - ym) ** 2).sum() / n)
+    if k >= 0:
+        s = ((x[:n - k] - xm) * (y[k:] - ym)).sum()
+    else:
+        s = ((x[-k:] - xm) * (y[:n + k] - ym)).sum()
+    return s / (n * sx * sy)
+
+
+def test_ccf_int_matches_float_reference():
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 50, 60).astype(np.int64)
+    y = rng.randint(0, 50, 60).astype(np.int64)
+    for k in (-5, -1, 0, 2, 7):
+        assert abs(_ccf_int(x, y, k)
+                   - _ccf_float(x.astype(float), y.astype(float), k)) \
+            < 1e-9
+
+
+def test_ccf_shifted_copy_peaks_at_lag():
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 100, 80).astype(np.int64)
+    y = np.r_[np.zeros(3, dtype=np.int64), x[:-3]]   # x leads y by 3
+    vals = {k: _ccf_int(x, y, k) for k in range(-7, 8)}
+    assert max(vals, key=lambda k: vals[k]) == 3
+    assert vals[3] > 0.8
