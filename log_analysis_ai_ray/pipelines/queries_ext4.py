@@ -3909,3 +3909,264 @@ FROM lag_w, gl ORDER BY lag_w.lag
 
 QUERIES["ccf_click_purchase"] = (q_ccf_click_purchase,
                                  SQL_CCF_CLICK_PURCHASE)
+
+
+# ---------------------------------------------------------------------------
+# soundex_part_blocking — phonetic blocking codes for record linkage
+# ---------------------------------------------------------------------------
+
+
+def soundex_codes(arr: pa.Array) -> pa.Array:
+    """Vectorized RE2-compatible Soundex of the FIRST word of each
+    string (record-linkage blocking key).  RE2 (Arrow and DuckDB's
+    shared regex engine) has no backreferences, so the classic
+    'collapse adjacent identical codes' step runs as six per-digit
+    ``d{2,}→d`` replaces; H/W are deleted before coding (so equal
+    codes separated by H/W collapse, per the standard), vowels code
+    to a '.' separator that blocks collapse and is stripped after.
+    Both engines run this exact replace chain."""
+    w = pc.replace_substring_regex(arr, pattern=r"\s.*$",
+                                   replacement="")
+    w = pc.replace_substring_regex(pc.utf8_upper(w),
+                                   pattern=r"[^A-Z]", replacement="")
+    first = pc.utf8_slice_codeunits(w, 0, 1)
+    t = pc.replace_substring_regex(w, pattern=r"[HW]", replacement="")
+    for cls, d in ((r"[BFPV]", "1"), (r"[CGJKQSXZ]", "2"),
+                   (r"[DT]", "3"), (r"L", "4"), (r"[MN]", "5"),
+                   (r"R", "6"), (r"[AEIOUY]", ".")):
+        t = pc.replace_substring_regex(t, pattern=cls, replacement=d)
+    for d in "123456":
+        t = pc.replace_substring_regex(t, pattern=d + "{2,}",
+                                       replacement=d)
+    t = pc.replace_substring_regex(t, pattern=r"\.", replacement="")
+    coded_first = pc.match_substring_regex(
+        first, pattern=r"^[BFPVCGJKQSXZDTLMNR]")
+    tail = pc.if_else(coded_first, pc.utf8_slice_codeunits(t, 1, 2**30),
+                      t)
+    code = pc.binary_join_element_wise(first, tail, "000", "")
+    return pc.utf8_slice_codeunits(code, 0, 4)
+
+
+def q_soundex_part_blocking(sf_dir: str):
+    """Phonetic blocking for record linkage: Soundex codes of part
+    names' first words, with per-block part counts and distinct-word
+    counts — the blocking table a fuzzy-matcher (jaro_winkler_linkage)
+    probes instead of the quadratic all-pairs sweep.  The code is a
+    pure vectorized regex chain (soundex_codes) both engines mirror;
+    the shuffle moves (code, word) partials only."""
+    ds = _read(sf_dir, "part", columns=["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        name = t.column("p_name")
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        word = pc.replace_substring_regex(name, pattern=r"\s.*$",
+                                          replacement="")
+        g = pa.table({"code": soundex_codes(name), "word": word}) \
+            .group_by(["code", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["code", "word", "n"])
+
+    m = _partial_final(ds, partial, ["code", "word"], [("n", "sum")])
+    code = np.asarray(m.column("code").to_pylist(), dtype=object)
+    n = np.asarray(m.column("n"), dtype=np.int64)
+    rows = []
+    for c in sorted(set(code.tolist())):
+        sel = code == c
+        rows.append((c, int(n[sel].sum()), int(sel.sum())))
+    cols = list(zip(*rows)) if rows else [[]] * 3
+    return pa.table({
+        "code": pa.array(cols[0], pa.string()),
+        "n_parts": pa.array(cols[1], pa.int64()),
+        "n_distinct_words": pa.array(cols[2], pa.int64()),
+    })
+
+
+_SOUNDEX_SQL_EXPR = """
+substr(
+  first || CASE WHEN regexp_matches(first, '^[BFPVCGJKQSXZDTLMNR]')
+                THEN substr(ds, 2) ELSE ds END || '000', 1, 4)
+"""
+
+SQL_SOUNDEX_PART_BLOCKING = r"""
+WITH w AS (
+  SELECT regexp_replace(upper(regexp_replace(p_name, '\s.*$', '')),
+                        '[^A-Z]', '', 'g') AS w
+  FROM part),
+st AS (
+  SELECT w, substr(w, 1, 1) AS first,
+         regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(
+                   regexp_replace(w, '[HW]', '', 'g'),
+                 '[BFPV]', '1', 'g'),
+               '[CGJKQSXZ]', '2', 'g'), '[DT]', '3', 'g'),
+             'L', '4', 'g'), '[MN]', '5', 'g'), 'R', '6', 'g'),
+           '[AEIOUY]', '.', 'g'), '1{2,}', '1', 'g'),
+         '2{2,}', '2', 'g'), '3{2,}', '3', 'g'), '4{2,}', '4', 'g'),
+         '5{2,}', '5', 'g'), '6{2,}', '6', 'g'), '\.', '', 'g')
+           AS ds
+  FROM w),
+codes AS (
+  SELECT substr(first || CASE WHEN regexp_matches(
+                  first, '^[BFPVCGJKQSXZDTLMNR]')
+                THEN substr(ds, 2) ELSE ds END || '000', 1, 4)
+           AS code,
+         w AS word
+  FROM st)
+SELECT code, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM codes GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["soundex_part_blocking"] = (q_soundex_part_blocking,
+                                    SQL_SOUNDEX_PART_BLOCKING)
+
+
+# ---------------------------------------------------------------------------
+# icc_oneway_dow — intraclass correlation of daily revenue by weekday
+# ---------------------------------------------------------------------------
+
+
+def q_icc_oneway_dow(sf_dir: str):
+    """One-way random-effects intraclass correlation ICC(1) of daily
+    revenue grouped by epoch day-of-week (a = 7 unbalanced groups):
+    how much of the day-to-day variance is a stable weekday effect?
+    Unbalanced form with k₀ = (N − Σnᵢ²/N)/(a−1);
+    ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW).  Every sum of squares
+    comes from exact integer cent moments (Python big ints /
+    HUGEINT); also emits the one-way ANOVA F."""
+    days, cents = _daily_revenue_cents(sf_dir)
+    days = np.asarray(days, dtype=np.int64)
+    g = days % 7
+    x = np.asarray(cents, dtype=np.int64).astype(object)
+    N = len(x)
+    S = int(x.sum())
+    SS = int((x * x).sum())
+    a = 7
+    sb_num = 0.0
+    sn2 = 0
+    for i in range(a):
+        sel = g == i
+        ni = int(sel.sum())
+        if ni == 0:
+            continue
+        si = int(x[sel].sum())
+        sb_num += si * si / ni
+        sn2 += ni * ni
+    ssb = sb_num - S * S / N
+    sst = SS - S * S / N
+    ssw = sst - ssb
+    msb = ssb / (a - 1)
+    msw = ssw / (N - a)
+    k0 = (N - sn2 / N) / (a - 1)
+    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    f = msb / msw if msw > 0 else None
+    return pa.table({
+        "n_days": pa.array([N], pa.int64()),
+        "k0_micro": pa.array([int(round(k0 * 1e6))], pa.int64()),
+        "f_micro": pa.array(
+            [int(round(f * 1e6)) if f is not None else None],
+            pa.int64()),
+        "icc_micro": pa.array([int(round(icc * 1e6))], pa.int64()),
+    })
+
+
+SQL_ICC_ONEWAY_DOW = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+per AS (
+  SELECT day % 7 AS g, CAST(count(*) AS BIGINT) AS ni,
+         CAST(sum(y) AS HUGEINT) AS si
+  FROM d GROUP BY 1),
+gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS s,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss
+  FROM d),
+comp AS (
+  SELECT gl.n,
+         sum(CAST(per.si AS DOUBLE) * CAST(per.si AS DOUBLE)
+             / per.ni)
+           - CAST(gl.s AS DOUBLE) * CAST(gl.s AS DOUBLE) / gl.n
+           AS ssb,
+         CAST(gl.ss AS DOUBLE)
+           - CAST(gl.s AS DOUBLE) * CAST(gl.s AS DOUBLE) / gl.n
+           AS sst,
+         CAST(sum(per.ni * per.ni) AS BIGINT) AS sn2
+  FROM per, gl GROUP BY gl.n, gl.s, gl.ss),
+ms AS (
+  SELECT n, ssb / 6.0 AS msb, (sst - ssb) / (n - 7.0) AS msw,
+         (n - CAST(sn2 AS DOUBLE) / n) / 6.0 AS k0
+  FROM comp)
+SELECT n AS n_days,
+       CAST(round(k0 * 1000000, 0) AS BIGINT) AS k0_micro,
+       CASE WHEN msw > 0 THEN
+         CAST(round(msb / msw * 1000000, 0) AS BIGINT) END
+         AS f_micro,
+       CAST(round((msb - msw) / (msb + (k0 - 1.0) * msw)
+                  * 1000000, 0) AS BIGINT) AS icc_micro
+FROM ms
+"""
+
+QUERIES["icc_oneway_dow"] = (q_icc_oneway_dow, SQL_ICC_ONEWAY_DOW)
+
+
+# ---------------------------------------------------------------------------
+# turning_point_test_daily — randomness via turning-point counts
+# ---------------------------------------------------------------------------
+
+
+def q_turning_point_test_daily(sf_dir: str):
+    """Turning-point test of randomness on daily revenue: T = #days
+    where the series strictly changes direction
+    ((yₜ−yₜ₋₁)(yₜ₊₁−yₜ) < 0, an exact integer-product sign test);
+    under iid, E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90.  The
+    local-structure companion of runs_test_daily (which sees only
+    the median crossing)."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    y = np.asarray(cents, dtype=np.int64).astype(object)
+    n = len(y)
+    d1 = y[1:] - y[:-1]
+    T = int(((d1[:-1] * d1[1:]) < 0).sum())
+    e = 2.0 * (n - 2) / 3.0
+    v = (16.0 * n - 29.0) / 90.0
+    z = (T - e) / math.sqrt(v) if v > 0 else None
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "turning_points": pa.array([T], pa.int64()),
+        "z_micro": pa.array(
+            [int(round(z * 1e6)) if z is not None else None],
+            pa.int64()),
+    })
+
+
+SQL_TURNING_POINT_TEST_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+s AS (SELECT y,
+             lag(y) OVER (ORDER BY day) AS yp,
+             lead(y) OVER (ORDER BY day) AS yn
+      FROM d),
+t AS (SELECT CAST(count(*) FILTER (
+        WHERE yp IS NOT NULL AND yn IS NOT NULL
+          AND CAST(y - yp AS HUGEINT) * (yn - y) < 0) AS BIGINT)
+        AS tp,
+      CAST(count(*) AS BIGINT) AS n
+      FROM s)
+SELECT n AS n_days, tp AS turning_points,
+       CAST(round((tp - 2.0 * (n - 2) / 3.0)
+                  / sqrt((16.0 * n - 29.0) / 90.0) * 1000000, 0)
+            AS BIGINT) AS z_micro
+FROM t
+"""
+
+QUERIES["turning_point_test_daily"] = (q_turning_point_test_daily,
+                                       SQL_TURNING_POINT_TEST_DAILY)

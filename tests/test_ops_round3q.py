@@ -746,3 +746,37 @@ def test_ccf_shifted_copy_peaks_at_lag():
     vals = {k: _ccf_int(x, y, k) for k in range(-7, 8)}
     assert max(vals, key=lambda k: vals[k]) == 3
     assert vals[3] > 0.8
+
+
+# ---------------------------------------------------------------------------
+# Soundex regex chain — classic reference codes
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa  # noqa: E402
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    soundex_codes)
+
+
+def test_soundex_classic_examples():
+    names = pa.array(["Robert", "Rupert", "Ashcraft", "Ashcroft",
+                      "Tymczak", "Pfister", "Honeyman", "Jackson"])
+    got = soundex_codes(names).to_pylist()
+    assert got == ["R163", "R163", "A261", "A261",
+                   "T522", "P236", "H555", "J250"]
+
+
+def test_soundex_first_word_only_and_short():
+    names = pa.array(["red widget", "Lee", "O"])
+    got = soundex_codes(names).to_pylist()
+    # RED -> R3 -> R300 ; LEE -> L000 ; O -> O000
+    assert got == ["R300", "L000", "O000"]
+
+
+def test_turning_points_brute():
+    y = np.array([1, 3, 2, 4, 4, 5, 1], dtype=object)
+    d = y[1:] - y[:-1]
+    t = int(((d[:-1] * d[1:]) < 0).sum())
+    # direction changes at 3(peak), 2(valley), then 4,4 plateau kills
+    # the product (zero, not < 0), 5 -> 1 peak counts
+    assert t == 3
