@@ -4170,3 +4170,286 @@ FROM t
 
 QUERIES["turning_point_test_daily"] = (q_turning_point_test_daily,
                                        SQL_TURNING_POINT_TEST_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_users — HyperLogLog with an exact-parity oracle
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12                      # 2^12 = 4096 registers
+_HLL_M = 1 << _HLL_P
+_HLL_MUL = 0x9E3779B97F4A7C15    # splitmix64 / golden-ratio constant
+_SM64_M1 = 0xBF58476D1CE4E5B9
+_SM64_M2 = 0x94D049BB133111EB
+_MASK64 = (1 << 64) - 1
+
+
+def splitmix64(x: int) -> int:
+    """Full splitmix64 finalizer (scalar reference): the
+    multiplicative step alone has no avalanche, so sequential ids
+    would correlate ranks — the xor-shift rounds fix that.  Mirrored
+    bit-for-bit in SQL via HUGEINT split-multiplies + xor()."""
+    z = (x + _HLL_MUL) & _MASK64
+    z = ((z ^ (z >> 30)) * _SM64_M1) & _MASK64
+    z = ((z ^ (z >> 27)) * _SM64_M2) & _MASK64
+    return z ^ (z >> 31)
+
+
+def splitmix64_np(u):
+    """Vectorized splitmix64 over a uint64 numpy array (silent
+    mod-2^64 wraparound is the unsigned-multiply semantics)."""
+    z = u + np.uint64(_HLL_MUL)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM64_M1)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM64_M2)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_estimate(registers: dict) -> tuple:
+    """HLL closure from {bucket: max_rank}: (S_int, V, estimate).
+    S_int = Σ 2^(53−M[b]) over ALL m buckets (empty → 2^53) is an
+    EXACT integer, so the harmonic mean has no float-summation-order
+    ambiguity; α_m for m = 4096; linear-counting correction below
+    2.5m when empty buckets remain."""
+    m = _HLL_M
+    v = m - len(registers)
+    s_int = v * (1 << 53)
+    for r in registers.values():
+        s_int += 1 << (53 - r)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m * float(1 << 53) / s_int
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / v)
+    return s_int, v, e
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate over the raw event stream —
+    the mergeable cardinality sketch (register table = 4096 ints, the
+    per-block partial is a bucket-max groupby, the combine is another
+    max: the canonical partial/final sketch shape; at 100 TB the
+    shuffle moves ≤4096 rows per block).  The 64-bit multiplicative
+    hash, bucket split, and rank = 53 − bit_length(w) are EXACT
+    integer programs both engines share, so unlike production HLLs
+    this one is fully oracle-checkable: register sum, empty count,
+    estimate AND the true distinct count + signed error ppm."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64) \
+            .astype(np.uint64)
+        h = splitmix64_np(u)
+        b = (h >> np.uint64(52)).astype(np.int64)
+        w = (h & np.uint64((1 << 52) - 1)).astype(np.int64)
+        # rank = 53 - bit_length(w); bit_length via float log2 is
+        # unsafe at powers of two -> use the exact integer path
+        rank = np.array([53 - int(x).bit_length() if x else 53
+                         for x in w.tolist()], dtype=np.int64)
+        g = pa.table({"b": b, "r": rank}).group_by("b") \
+            .aggregate([("r", "max")])
+        return g.rename_columns(["b", "r"])
+
+    regs = _partial_final(ds, partial, ["b"], [("r", "max")])
+    reg = dict(zip(np.asarray(regs.column("b"),
+                              dtype=np.int64).tolist(),
+                   np.asarray(regs.column("r"),
+                              dtype=np.int64).tolist()))
+    s_int, v, e = hll_estimate(reg)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"u": t.column("user_id")}).group_by("u") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["u", "c"])
+
+    exact = _partial_final(ds, exact_partial, ["u"],
+                           [("c", "sum")]).num_rows
+    est = int(round(e))
+    rank_sum = sum(reg.values())      # Σ M[b]: small exact integer
+    return pa.table({
+        "m": pa.array([_HLL_M], pa.int64()),
+        "empty_buckets": pa.array([v], pa.int64()),
+        "rank_sum": pa.array([rank_sum], pa.int64()),
+        "estimate": pa.array([est], pa.int64()),
+        "n_exact": pa.array([exact], pa.int64()),
+        "err_ppm": pa.array(
+            [int(round((est - exact) / exact * 1e6))], pa.int64()),
+    })
+
+
+_SM64_MM = """(((({x}) // 4294967296 * {c}) % 18446744073709551616
+   * 4294967296 + (({x}) % 4294967296) * {c})
+   % 18446744073709551616)"""
+
+
+def _sm64_sql(col: str) -> str:
+    """splitmix64 of a HUGEINT expression, bit-identical to
+    ``splitmix64``: split-multiplies keep every product < 2^97
+    (inside HUGEINT), xor() handles the shift mixing."""
+    z0 = (f"((CAST({col} AS HUGEINT) + {_HLL_MUL})"
+          " % 18446744073709551616)")
+    return f"""(SELECT xor(d.z3, d.z3 >> 31) FROM
+      (SELECT xor({z0}, {z0} >> 30) AS x1) a,
+      LATERAL (SELECT {_SM64_MM.format(x='a.x1', c=_SM64_M1)} AS z2)
+        b,
+      LATERAL (SELECT xor(b.z2, b.z2 >> 27) AS x2) c,
+      LATERAL (SELECT {_SM64_MM.format(x='c.x2', c=_SM64_M2)} AS z3)
+        d)"""
+
+
+SQL_HLL_DISTINCT_USERS = f"""
+WITH h AS (
+  SELECT {_sm64_sql('user_id')} AS h
+  FROM events),
+br AS (
+  SELECT CAST(h // 4503599627370496 AS BIGINT) AS b,
+         CAST(h % 4503599627370496 AS BIGINT) AS w
+  FROM h),
+reg AS (
+  SELECT b, max(CASE WHEN w = 0 THEN 53
+                     ELSE 53 - length(bin(w)) END) AS r
+  FROM br GROUP BY 1),
+full_reg AS (
+  SELECT g.b, reg.r
+  FROM (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS b) g
+  LEFT JOIN reg ON reg.b = g.b),
+s AS (
+  SELECT CAST(sum(CASE WHEN r IS NULL THEN CAST(1 AS HUGEINT) << 53
+                       ELSE CAST(1 AS HUGEINT) << (53 - r) END)
+              AS HUGEINT) AS s_int,
+         CAST(count(*) FILTER (WHERE r IS NULL) AS BIGINT) AS v,
+         CAST(sum(coalesce(r, 0)) AS BIGINT) AS rank_sum
+  FROM full_reg),
+est AS (
+  SELECT s_int, v, rank_sum,
+         CASE WHEN (0.7213 / (1.0 + 1.079 / {_HLL_M}))
+                   * {_HLL_M}.0 * {_HLL_M}.0
+                   * CAST(CAST(1 AS HUGEINT) << 53 AS DOUBLE)
+                   / CAST(s_int AS DOUBLE) <= 2.5 * {_HLL_M}
+                AND v > 0
+              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+              ELSE (0.7213 / (1.0 + 1.079 / {_HLL_M}))
+                   * {_HLL_M}.0 * {_HLL_M}.0
+                   * CAST(CAST(1 AS HUGEINT) << 53 AS DOUBLE)
+                   / CAST(s_int AS DOUBLE) END AS e
+  FROM s),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+       FROM events)
+SELECT CAST({_HLL_M} AS BIGINT) AS m, v AS empty_buckets,
+       rank_sum,
+       CAST(round(e, 0) AS BIGINT) AS estimate,
+       ex.n AS n_exact,
+       CAST(round((round(e, 0) - ex.n) / CAST(ex.n AS DOUBLE)
+                  * 1000000, 0) AS BIGINT) AS err_ppm
+FROM est, ex
+"""
+
+QUERIES["hll_distinct_users"] = (q_hll_distinct_users,
+                                 SQL_HLL_DISTINCT_USERS)
+
+
+# ---------------------------------------------------------------------------
+# count_min_user_hits — Count-Min sketch with exact-parity probes
+# ---------------------------------------------------------------------------
+
+_CM_W = 1024                     # buckets per row (10 bits)
+_CM_ROWS = ((2654435761, 0x9E3779B9), (2246822519, 0x85EBCA6B),
+            (3266489917, 0xC2B2AE35), (668265263, 0x27D4EB2F))
+
+
+def _cm_bucket(u, a: int, b: int):
+    """row hash: ((u·a + b) mod 2^32) >> 22 — 10-bit bucket."""
+    return ((u * a + b) % (1 << 32)) >> 22
+
+
+def q_count_min_user_hits(sf_dir: str):
+    """Count-Min sketch of per-user event counts (d = 4 rows ×
+    w = 1024 counters, deterministic 32-bit multiplicative row
+    hashes): the bounded-memory frequency sketch — the per-block
+    partial is a (row, bucket) count groupby (≤4096 cells regardless
+    of corpus size), the merge is a sum.  Probes the top-10 users by
+    EXACT count and emits the CM estimate (min over rows) next to
+    the truth — the overcount is provably ≥ 0, and every counter is
+    an exact integer in both engines."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"),
+                       dtype=np.int64).astype(object)
+        parts = []
+        for i, (a, b) in enumerate(_CM_ROWS):
+            bk = np.array([_cm_bucket(x, a, b) for x in u.tolist()],
+                          dtype=np.int64)
+            g = pa.table({"row": pa.array(np.full(len(bk), i,
+                                                  dtype=np.int64)),
+                          "bucket": pa.array(bk)}) \
+                .group_by(["row", "bucket"]) \
+                .aggregate([([], "count_all")])
+            parts.append(g.rename_columns(["row", "bucket", "c"]))
+        return pa.concat_tables(parts)
+
+    sk = _partial_final(ds, partial, ["row", "bucket"], [("c", "sum")])
+    counters = {}
+    for r_, b_, c_ in zip(
+            np.asarray(sk.column("row"), dtype=np.int64).tolist(),
+            np.asarray(sk.column("bucket"), dtype=np.int64).tolist(),
+            np.asarray(sk.column("c"), dtype=np.int64).tolist()):
+        counters[(r_, b_)] = c_
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"u": t.column("user_id")}).group_by("u") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["u", "c"])
+
+    ex = _partial_final(ds, exact_partial, ["u"], [("c", "sum")])
+    u = np.asarray(ex.column("u"), dtype=np.int64)
+    c = np.asarray(ex.column("c"), dtype=np.int64)
+    order = np.lexsort((u, -c))[:10]
+    rows = []
+    for idx in order:
+        uu, cc = int(u[idx]), int(c[idx])
+        est = min(counters.get((i, _cm_bucket(uu, a, b)), 0)
+                  for i, (a, b) in enumerate(_CM_ROWS))
+        rows.append((uu, cc, est, est - cc))
+    cols = list(zip(*rows))
+    return pa.table({
+        "user_id": pa.array(cols[0], pa.int64()),
+        "n_exact": pa.array(cols[1], pa.int64()),
+        "cm_estimate": pa.array(cols[2], pa.int64()),
+        "overcount": pa.array(cols[3], pa.int64()),
+    })
+
+
+_CM_ROW_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS row, {a} AS a, {b} AS b"
+    for i, (a, b) in enumerate(_CM_ROWS))
+
+SQL_COUNT_MIN_USER_HITS = f"""
+WITH rows_ AS ({_CM_ROW_SQL}),
+sk AS (
+  SELECT rows_.row,
+         CAST(((CAST(user_id AS HUGEINT) * rows_.a + rows_.b)
+               % 4294967296) // 4194304 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events CROSS JOIN rows_
+  GROUP BY 1, 2),
+ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+  ORDER BY n DESC, user_id LIMIT 10),
+probe AS (
+  SELECT ex.user_id, ex.n, rows_.row,
+         CAST(((CAST(ex.user_id AS HUGEINT) * rows_.a + rows_.b)
+               % 4294967296) // 4194304 AS BIGINT) AS bucket
+  FROM ex CROSS JOIN rows_),
+est AS (
+  SELECT probe.user_id, probe.n,
+         min(coalesce(sk.c, 0)) AS cm
+  FROM probe LEFT JOIN sk ON sk.row = probe.row
+                         AND sk.bucket = probe.bucket
+  GROUP BY 1, 2)
+SELECT user_id, n AS n_exact, cm AS cm_estimate,
+       cm - n AS overcount
+FROM est
+"""
+
+QUERIES["count_min_user_hits"] = (q_count_min_user_hits,
+                                  SQL_COUNT_MIN_USER_HITS)

@@ -780,3 +780,59 @@ def test_turning_points_brute():
     # direction changes at 3(peak), 2(valley), then 4,4 plateau kills
     # the product (zero, not < 0), 5 -> 1 peak counts
     assert t == 3
+
+
+# ---------------------------------------------------------------------------
+# HLL estimate closure + CM bucket hash
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext4 import (  # noqa: E402
+    _HLL_M, _cm_bucket, hll_estimate, splitmix64)
+
+
+def _hll_regs(ids):
+    regs = {}
+    for u in ids:
+        h = splitmix64(u)
+        b = h >> 52
+        w = h & ((1 << 52) - 1)
+        r = 53 - w.bit_length() if w else 53
+        regs[b] = max(regs.get(b, 0), r)
+    return regs
+
+
+def test_hll_accuracy_within_sketch_error():
+    # standard error ~ 1.04/sqrt(4096) = 1.6%; allow 5% headroom
+    for n in (1000, 20000, 100000):
+        ids = range(1, n + 1)
+        _, _, e = hll_estimate(_hll_regs(ids))
+        assert abs(e - n) / n < 0.05
+
+
+def test_hll_duplicates_do_not_inflate():
+    regs1 = _hll_regs(list(range(1, 501)))
+    regs2 = _hll_regs(list(range(1, 501)) * 7)
+    assert regs1 == regs2
+
+
+def test_hll_empty_sketch_linear_counting_small():
+    # tiny cardinality -> linear counting branch, near-exact
+    _, v, e = hll_estimate(_hll_regs(range(1, 43)))
+    assert v >= _HLL_M - 42
+    assert abs(e - 42) < 2.0
+
+
+def test_cm_bucket_range_and_determinism():
+    for u in (0, 1, 2**31, 999999937):
+        b = _cm_bucket(u, 2654435761, 0x9E3779B9)
+        assert 0 <= b < 1024
+        assert b == _cm_bucket(u, 2654435761, 0x9E3779B9)
+
+
+def test_splitmix64_np_matches_scalar():
+    from log_analysis_ai_ray.pipelines.queries_ext4 import (
+        splitmix64_np)
+    ids = np.array([0, 1, 2, 123456789, 2**40, 2**63 - 1],
+                   dtype=np.uint64)
+    got = splitmix64_np(ids).tolist()
+    assert got == [splitmix64(int(x)) for x in ids.tolist()]
