@@ -4453,3 +4453,477 @@ FROM est
 
 QUERIES["count_min_user_hits"] = (q_count_min_user_hits,
                                   SQL_COUNT_MIN_USER_HITS)
+
+
+# ---------------------------------------------------------------------------
+# chatterjee_xi_click_purchase — Chatterjee's rank correlation xi_n
+# ---------------------------------------------------------------------------
+
+
+def chatterjee_xi(x, y):
+    """Chatterjee's xi_n (2020) with the ties-robust denominator:
+    sort by (x, index) — the index tie-break replaces the paper's
+    random tie-break so both engines agree deterministically — take
+    r_i = #{j: y_j <= y_i}, l_i = #{j: y_j >= y_i}, and
+
+        xi = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i (n − l_i)).
+
+    Returns (num, den, xi) with num = n·Σ|Δr| and den both exact
+    integers; xi is None when y is constant (den = 0).  Unlike
+    Pearson/Spearman/Kendall this detects ANY measurable dependence
+    (oscillating, non-monotone) and converges to 0 iff independent."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    n = len(x)
+    order = np.lexsort((np.arange(n), x))
+    ys = y[order]
+    sy = np.sort(y)
+    r = np.searchsorted(sy, ys, side="right").astype(np.int64)
+    l_ = (n - np.searchsorted(sy, ys, side="left")).astype(np.int64)
+    num = int(n) * int(np.abs(np.diff(r)).sum()) if n > 1 else 0
+    den = 2 * int((l_ * (n - l_)).sum())
+    xi = None if den == 0 else 1.0 - num / den
+    return num, den, xi
+
+
+def q_chatterjee_xi_click_purchase(sf_dir: str):
+    """Chatterjee's xi between daily click and purchase counts, BOTH
+    directions (xi is deliberately asymmetric: xi(x→y) asks 'is y a
+    noiseless function of x?').  The cluster pass is the same bounded
+    (type × day) count shuffle as ccf_click_purchase; the O(n log n)
+    rank walk runs on the ~2.4k-day driver series and as pure window
+    functions in the oracle.  Emits the exact integer numerator /
+    denominator plus xi in micro-units."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(_DAY_US, pa.int64()))
+        g = pa.table({"ty": t.column("event_type"), "day": day}) \
+            .group_by(["ty", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "day", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "day"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    dy = np.asarray(m.column("day"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    d0, d1 = int(dy.min()), int(dy.max())
+    n = d1 - d0 + 1
+    x = np.zeros(n, dtype=np.int64)
+    y = np.zeros(n, dtype=np.int64)
+    x[dy[ty == "click"] - d0] = cv[ty == "click"]
+    y[dy[ty == "purchase"] - d0] = cv[ty == "purchase"]
+    rows = []
+    for name, a, b in (("click_to_purchase", x, y),
+                       ("purchase_to_click", y, x)):
+        num, den, xi = chatterjee_xi(a, b)
+        rows.append((name, n, num, den,
+                     None if xi is None else int(round(1e6 * xi))))
+    cols = list(zip(*rows))
+    return pa.table({
+        "direction": pa.array(cols[0], pa.string()),
+        "n_days": pa.array(cols[1], pa.int64()),
+        "num": pa.array(cols[2], pa.int64()),
+        "den": pa.array(cols[3], pa.int64()),
+        "xi_micro": pa.array(cols[4], pa.int64()),
+    })
+
+
+def _xi_dir_sql(tag: str, xcol: str, ycol: str) -> str:
+    return f"""
+  SELECT '{tag}' AS direction,
+         (SELECT n FROM nn) AS n_days, s.num, s.den,
+         CASE WHEN s.den = 0 THEN NULL
+              ELSE CAST(round(1000000.0 *
+                   (1.0 - CAST(s.num AS DOUBLE) / s.den), 0)
+                   AS BIGINT) END AS xi_micro
+  FROM (
+    SELECT CAST((SELECT n FROM nn) * sum(abs(r - pr)) AS BIGINT)
+             AS num,
+           CAST(2 * sum(l * ((SELECT n FROM nn) - l)) AS BIGINT)
+             AS den
+    FROM (
+      SELECT r, l, lag(r) OVER (ORDER BY x, day) AS pr
+      FROM (
+        SELECT day, {xcol} AS x, {ycol} AS y,
+               CAST(count(*) OVER (ORDER BY {ycol} RANGE BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER (ORDER BY {ycol} DESC RANGE BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS l
+        FROM d) rk) lg) s"""
+
+
+SQL_CHATTERJEE_XI_CLICK_PURCHASE = f"""
+WITH e AS (
+  SELECT event_type AS ty,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+g AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+d AS (
+  SELECT g.day, coalesce(cl.c, 0) AS xc, coalesce(pu.c, 0) AS yc
+  FROM g
+  LEFT JOIN (SELECT day, c FROM e WHERE ty = 'click') cl
+         ON cl.day = g.day
+  LEFT JOIN (SELECT day, c FROM e WHERE ty = 'purchase') pu
+         ON pu.day = g.day),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+{_xi_dir_sql('click_to_purchase', 'xc', 'yc')}
+UNION ALL
+{_xi_dir_sql('purchase_to_click', 'yc', 'xc')}
+ORDER BY direction
+"""
+
+QUERIES["chatterjee_xi_click_purchase"] = (
+    q_chatterjee_xi_click_purchase, SQL_CHATTERJEE_XI_CLICK_PURCHASE)
+
+
+# ---------------------------------------------------------------------------
+# kmv_theta_users — K-minimum-values / theta sketch with set algebra
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_TWO64 = 18446744073709551616
+
+
+def kmv_bottom_k(hashes, k: int = _KMV_K):
+    """Bottom-k of a distinct-hash array (uint64).  The KMV merge
+    invariant — bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪
+    bottom_k(B)) — is what makes the per-block partial lossless."""
+    h = np.unique(np.asarray(hashes, dtype=np.uint64))
+    return h[:k]
+
+
+def kmv_estimate(sorted_hashes, k: int = _KMV_K):
+    """(theta, estimate): theta is the EXCLUSIVE threshold — the
+    k-th smallest hash when the set has ≥ k members, else 2^64 (the
+    sketch then holds the whole set and the estimate is exact).
+    Dhat = (k−1)·2^64 / theta, the classic KMV unbiased form."""
+    m = len(sorted_hashes)
+    if m < k:
+        return _TWO64, float(m)
+    theta = int(sorted_hashes[k - 1])
+    return theta, (k - 1.0) * 18446744073709551616.0 / theta
+
+
+def q_kmv_theta_users(sf_dir: str):
+    """KMV / theta sketch over the click-user and purchase-user sets:
+    bottom-256 splitmix64 hashes per set (the per-block partial is a
+    distinct-hash sort-truncate, so the shuffle moves ≤ 2k rows per
+    block no matter the corpus), then theta-sketch SET ALGEBRA —
+    theta = min(theta_a, theta_b), and |A∩B|, |A∪B| are estimated
+    from the sample hashes below theta.  This is what HLL cannot do
+    (HLL unions but never intersects); splitmix64 is a 64-bit
+    bijection so hash equality IS id equality.  Exact truths +
+    signed error ppm ride along (test-scale observability, same as
+    hll_distinct_users)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({"ty": t.column("event_type"),
+                      "u": t.column("user_id")}) \
+            .group_by(["ty", "u"]).aggregate([([], "count_all")])
+        ty = np.asarray(g.column("ty").to_pylist())
+        u = np.asarray(g.column("u"), dtype=np.int64).astype(np.uint64)
+        h = splitmix64_np(u)
+        parts = []
+        for name in ("click", "purchase"):
+            hh = kmv_bottom_k(h[ty == name])
+            parts.append(pa.table({
+                "ty": pa.array([name] * len(hh), pa.string()),
+                "h": pa.array(hh, pa.uint64()),
+                "c": pa.array(np.ones(len(hh), dtype=np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    m = _partial_final(ds, partial, ["ty", "h"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    hv = np.asarray(m.column("h"), dtype=np.uint64)
+    ka = np.sort(hv[ty == "click"])[:_KMV_K]
+    kb = np.sort(hv[ty == "purchase"])[:_KMV_K]
+    theta_a, est_a = kmv_estimate(ka)
+    theta_b, est_b = kmv_estimate(kb)
+    theta = min(theta_a, theta_b)
+    sa = ka[ka < np.uint64(min(theta, _TWO64 - 1))] \
+        if theta < _TWO64 else ka
+    sb = kb[kb < np.uint64(min(theta, _TWO64 - 1))] \
+        if theta < _TWO64 else kb
+    inter_s = int(np.intersect1d(sa, sb).size)
+    union_s = int(np.union1d(sa, sb).size)
+    est_inter = inter_s * 18446744073709551616.0 / theta
+    est_union = union_s * 18446744073709551616.0 / theta
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        g = pa.table({"ty": t.column("event_type"),
+                      "u": t.column("user_id")}) \
+            .group_by(["ty", "u"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ty", "u", "c"])
+
+    ex = _partial_final(ds, exact_partial, ["ty", "u"], [("c", "sum")])
+    ety = np.asarray(ex.column("ty").to_pylist())
+    eu = np.asarray(ex.column("u"), dtype=np.int64)
+    a_ex = eu[ety == "click"]
+    b_ex = eu[ety == "purchase"]
+    inter_ex = int(np.intersect1d(a_ex, b_ex).size)
+    union_ex = int(np.union1d(a_ex, b_ex).size)
+    return pa.table({
+        "k": pa.array([_KMV_K], pa.int64()),
+        "theta_ppb": pa.array(
+            [int(round(theta / 18446744073709551616.0 * 1e9))],
+            pa.int64()),
+        "n_a_exact": pa.array([len(a_ex)], pa.int64()),
+        "n_b_exact": pa.array([len(b_ex)], pa.int64()),
+        "inter_exact": pa.array([inter_ex], pa.int64()),
+        "union_exact": pa.array([union_ex], pa.int64()),
+        "est_a": pa.array([int(round(est_a))], pa.int64()),
+        "est_b": pa.array([int(round(est_b))], pa.int64()),
+        "est_inter": pa.array([int(round(est_inter))], pa.int64()),
+        "est_union": pa.array([int(round(est_union))], pa.int64()),
+        "err_union_ppm": pa.array(
+            [int(round((est_union - union_ex) / union_ex * 1e6))]
+            if union_ex else [None], pa.int64()),
+    })
+
+
+def _kmv_set_sql(name: str, ty: str) -> str:
+    return f"""
+u{name} AS (SELECT DISTINCT user_id AS u FROM events
+            WHERE event_type = '{ty}'),
+h{name} AS (SELECT {_sm64_sql('u')} AS h FROM u{name}),
+n{name} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM h{name}),
+t{name} AS (SELECT CASE WHEN (SELECT n FROM n{name}) < {_KMV_K}
+                   THEN CAST('{_TWO64}' AS HUGEINT)
+                   ELSE (SELECT max(h) FROM
+                         (SELECT h FROM h{name}
+                          ORDER BY h LIMIT {_KMV_K}) q)
+                   END AS theta)"""
+
+
+SQL_KMV_THETA_USERS = f"""
+WITH {_kmv_set_sql('a', 'click').lstrip()},
+{_kmv_set_sql('b', 'purchase').lstrip()},
+tt AS (SELECT least((SELECT theta FROM ta),
+                    (SELECT theta FROM tb)) AS theta),
+sa AS (SELECT h FROM ha WHERE h < (SELECT theta FROM tt)),
+sb AS (SELECT h FROM hb WHERE h < (SELECT theta FROM tt)),
+samp AS (
+  SELECT (SELECT count(*) FROM sa JOIN sb ON sa.h = sb.h) AS i_s,
+         (SELECT count(DISTINCT h) FROM
+          (SELECT h FROM sa UNION ALL SELECT h FROM sb) q) AS u_s),
+ex AS (
+  SELECT (SELECT count(*) FROM ua JOIN ub ON ua.u = ub.u) AS i_e,
+         (SELECT count(DISTINCT u) FROM
+          (SELECT u FROM ua UNION ALL SELECT u FROM ub) q) AS u_e),
+est AS (
+  SELECT
+    CASE WHEN (SELECT n FROM na) < {_KMV_K}
+         THEN CAST((SELECT n FROM na) AS DOUBLE)
+         ELSE ({_KMV_K} - 1.0) * 18446744073709551616.0
+              / CAST((SELECT theta FROM ta) AS DOUBLE) END AS ea,
+    CASE WHEN (SELECT n FROM nb) < {_KMV_K}
+         THEN CAST((SELECT n FROM nb) AS DOUBLE)
+         ELSE ({_KMV_K} - 1.0) * 18446744073709551616.0
+              / CAST((SELECT theta FROM tb) AS DOUBLE) END AS eb,
+    CAST(samp.i_s AS DOUBLE) * 18446744073709551616.0
+      / CAST((SELECT theta FROM tt) AS DOUBLE) AS ei,
+    CAST(samp.u_s AS DOUBLE) * 18446744073709551616.0
+      / CAST((SELECT theta FROM tt) AS DOUBLE) AS eu
+  FROM samp)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(round(CAST((SELECT theta FROM tt) AS DOUBLE)
+                  / 18446744073709551616.0 * 1000000000.0, 0)
+            AS BIGINT) AS theta_ppb,
+       (SELECT n FROM na) AS n_a_exact,
+       (SELECT n FROM nb) AS n_b_exact,
+       CAST(ex.i_e AS BIGINT) AS inter_exact,
+       CAST(ex.u_e AS BIGINT) AS union_exact,
+       CAST(round(est.ea, 0) AS BIGINT) AS est_a,
+       CAST(round(est.eb, 0) AS BIGINT) AS est_b,
+       CAST(round(est.ei, 0) AS BIGINT) AS est_inter,
+       CAST(round(est.eu, 0) AS BIGINT) AS est_union,
+       CASE WHEN ex.u_e = 0 THEN NULL
+            ELSE CAST(round((est.eu - ex.u_e)
+                 / CAST(ex.u_e AS DOUBLE) * 1000000, 0) AS BIGINT)
+            END AS err_union_ppm
+FROM est, ex
+"""
+
+QUERIES["kmv_theta_users"] = (q_kmv_theta_users, SQL_KMV_THETA_USERS)
+
+
+# ---------------------------------------------------------------------------
+# dagostino_k2_daily — D'Agostino-Pearson omnibus normality test
+# ---------------------------------------------------------------------------
+
+
+def dagostino_k2(n: int, s1, s2, s3, s4):
+    """D'Agostino-Pearson K² from raw power sums (exact HUGEINT in
+    the oracle, exact Python ints here; the float closure below is
+    written token-identically to the SQL).  Z1 is D'Agostino (1970)'s
+    skewness transform, Z2 is Anscombe-Glynn (1983)'s kurtosis
+    transform, K² = Z1² + Z2² ~ chi²(2).  Returns
+    (g1, b2, z1, z2, k2).  Needs n ≥ 9 (the transforms' small-n
+    denominators) — the daily series is ~2.4k points."""
+    nf = float(n)
+    s1, s2, s3, s4 = float(s1), float(s2), float(s3), float(s4)
+    mu = s1 / nf
+    m2 = s2 / nf - mu * mu
+    m3 = s3 / nf - 3.0 * mu * (s2 / nf) + 2.0 * mu * mu * mu
+    m4 = (s4 / nf - 4.0 * mu * (s3 / nf)
+          + 6.0 * mu * mu * (s2 / nf) - 3.0 * mu * mu * mu * mu)
+    g1 = m3 / (m2 * math.sqrt(m2))
+    b2 = m4 / (m2 * m2)
+    y = g1 * math.sqrt((nf + 1.0) * (nf + 3.0) / (6.0 * (nf - 2.0)))
+    beta2 = (3.0 * (nf * nf + 27.0 * nf - 70.0) * (nf + 1.0)
+             * (nf + 3.0)
+             / ((nf - 2.0) * (nf + 5.0) * (nf + 7.0) * (nf + 9.0)))
+    w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2.0 / (w2 - 1.0))
+    z1 = delta * math.log(y / alpha
+                          + math.sqrt((y / alpha) * (y / alpha)
+                                      + 1.0))
+    eb2 = 3.0 * (nf - 1.0) / (nf + 1.0)
+    vb2 = (24.0 * nf * (nf - 2.0) * (nf - 3.0)
+           / ((nf + 1.0) * (nf + 1.0) * (nf + 3.0) * (nf + 5.0)))
+    xs = (b2 - eb2) / math.sqrt(vb2)
+    sb1 = (6.0 * (nf * nf - 5.0 * nf + 2.0)
+           / ((nf + 7.0) * (nf + 9.0))
+           * math.sqrt(6.0 * (nf + 3.0) * (nf + 5.0)
+                       / (nf * (nf - 2.0) * (nf - 3.0))))
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1
+                           + math.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    z2 = ((1.0 - 2.0 / (9.0 * a)
+           - math.cbrt((1.0 - 2.0 / a)
+                       / (1.0 + xs * math.sqrt(2.0 / (a - 4.0)))))
+          / math.sqrt(2.0 / (9.0 * a)))
+    k2 = z1 * z1 + z2 * z2
+    return g1, b2, z1, z2, k2
+
+
+def q_dagostino_k2_daily(sf_dir: str):
+    """D'Agostino-Pearson omnibus normality test of daily revenue —
+    the finite-sample companion of jarque_bera_values (JB's Z-scores
+    are asymptotic; D'Agostino's transforms are calibrated at small
+    n, right for a ~2.4k-day series).  One bounded (day, cents)
+    shuffle; power sums S1…S4 are exact Python ints (HUGEINT in the
+    oracle — daily totals in cents keep Σy⁴ < 2^127 at test scales),
+    then the shared float closure finishes."""
+    _, cents = _daily_revenue_cents(sf_dir)
+    xs = [int(v) for v in cents.tolist()]
+    n = len(xs)
+    s1 = sum(xs)
+    s2 = sum(v * v for v in xs)
+    s3 = sum(v * v * v for v in xs)
+    s4 = sum(v * v * v * v for v in xs)
+    g1, b2, z1, z2, k2 = dagostino_k2(n, s1, s2, s3, s4)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "skew_g1": pa.array([round(g1, 6)], pa.float64()),
+        "kurt_b2": pa.array([round(b2, 6)], pa.float64()),
+        "z_skew": pa.array([round(z1, 6)], pa.float64()),
+        "z_kurt": pa.array([round(z2, 6)], pa.float64()),
+        "k2_stat": pa.array([round(k2, 6)], pa.float64()),
+        "p_value": pa.array([round(math.exp(-k2 / 2.0), 6)],
+                            pa.float64()),
+    })
+
+
+SQL_DAGOSTINO_K2_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2,
+         CAST(sum(CAST(y AS HUGEINT) * y * y) AS DOUBLE) AS s3,
+         CAST(sum(CAST(y AS HUGEINT) * y * y * y) AS DOUBLE) AS s4
+  FROM d),
+m AS (
+  SELECT CAST(n AS DOUBLE) AS nf, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s),
+gb AS (
+  SELECT n, nf, m3 / (m2 * sqrt(m2)) AS g1, m4 / (m2 * m2) AS b2
+  FROM m),
+z1c AS (
+  SELECT n, nf, g1, b2,
+         g1 * sqrt((nf + 1.0) * (nf + 3.0) / (6.0 * (nf - 2.0)))
+           AS y,
+         -1.0 + sqrt(2.0 * (3.0 * (nf * nf + 27.0 * nf - 70.0)
+             * (nf + 1.0) * (nf + 3.0)
+             / ((nf - 2.0) * (nf + 5.0) * (nf + 7.0) * (nf + 9.0))
+             - 1.0)) AS w2
+  FROM gb),
+z1 AS (
+  SELECT n, nf, g1, b2,
+         (1.0 / sqrt(ln(sqrt(w2))))
+         * ln(y / sqrt(2.0 / (w2 - 1.0))
+              + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                     * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z1
+  FROM z1c),
+z2c AS (
+  SELECT n, nf, g1, b2, z1,
+         (b2 - 3.0 * (nf - 1.0) / (nf + 1.0))
+           / sqrt(24.0 * nf * (nf - 2.0) * (nf - 3.0)
+                  / ((nf + 1.0) * (nf + 1.0) * (nf + 3.0)
+                     * (nf + 5.0))) AS xs,
+         6.0 + 8.0 / (6.0 * (nf * nf - 5.0 * nf + 2.0)
+             / ((nf + 7.0) * (nf + 9.0))
+             * sqrt(6.0 * (nf + 3.0) * (nf + 5.0)
+                    / (nf * (nf - 2.0) * (nf - 3.0))))
+           * (2.0 / (6.0 * (nf * nf - 5.0 * nf + 2.0)
+                / ((nf + 7.0) * (nf + 9.0))
+                * sqrt(6.0 * (nf + 3.0) * (nf + 5.0)
+                       / (nf * (nf - 2.0) * (nf - 3.0))))
+              + sqrt(1.0 + 4.0 / ((6.0 * (nf * nf - 5.0 * nf + 2.0)
+                   / ((nf + 7.0) * (nf + 9.0))
+                   * sqrt(6.0 * (nf + 3.0) * (nf + 5.0)
+                          / (nf * (nf - 2.0) * (nf - 3.0))))
+                  * (6.0 * (nf * nf - 5.0 * nf + 2.0)
+                   / ((nf + 7.0) * (nf + 9.0))
+                   * sqrt(6.0 * (nf + 3.0) * (nf + 5.0)
+                          / (nf * (nf - 2.0) * (nf - 3.0)))))))
+           AS a
+  FROM z1),
+z2 AS (
+  SELECT n, g1, b2, z1,
+         (1.0 - 2.0 / (9.0 * a)
+          - cbrt((1.0 - 2.0 / a)
+                 / (1.0 + xs * sqrt(2.0 / (a - 4.0)))))
+         / sqrt(2.0 / (9.0 * a)) AS z2
+  FROM z2c)
+SELECT n AS n_days,
+       round(g1, 6) AS skew_g1,
+       round(b2, 6) AS kurt_b2,
+       round(z1, 6) AS z_skew,
+       round(z2, 6) AS z_kurt,
+       round(z1 * z1 + z2 * z2, 6) AS k2_stat,
+       round(exp(-(z1 * z1 + z2 * z2) / 2.0), 6) AS p_value
+FROM z2
+"""
+
+QUERIES["dagostino_k2_daily"] = (q_dagostino_k2_daily,
+                                 SQL_DAGOSTINO_K2_DAILY)
