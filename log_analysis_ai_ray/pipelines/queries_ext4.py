@@ -4927,3 +4927,5 @@ FROM z2
 
 QUERIES["dagostino_k2_daily"] = (q_dagostino_k2_daily,
                                  SQL_DAGOSTINO_K2_DAILY)
+
+from . import queries_ext5  # noqa: E402,F401
