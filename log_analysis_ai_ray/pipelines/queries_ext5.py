@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 from ..functions.hashing import ORACLE_HASH_SQL, md5_hash32
 from ..stages import aggregate as agg
 from .queries import QUERIES, _partial_final, _read
+from .queries_ext3 import (_daily_revenue_cents, _hourly_type_series_by,
+                           phi_as)
 
 _DAY_US = 86_400_000_000
 
@@ -534,3 +536,675 @@ SELECT CAST({_FH_BUCKETS} AS BIGINT) AS n_buckets,
 
 QUERIES["feature_hash_buckets"] = (q_feature_hash_buckets,
                                    SQL_FEATURE_HASH_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# lin_ccc_click_view — Lin's concordance correlation (method agreement)
+# ---------------------------------------------------------------------------
+
+
+def lin_ccc(n: int, sx: int, sy: int, sxx: int, syy: int,
+            sxy: int) -> tuple:
+    """Lin's concordance correlation from exact integer power sums:
+    (ccc, pearson_r, c_b).  ccc = 2·cov / (varx + vary + (mx−my)²) in
+    the n-denominator form, all terms ×n² so the numerator and
+    denominator stay integers; c_b = ccc / r is the bias-correction
+    factor (how far the best-fit line sits from the identity)."""
+    num = 2 * (n * sxy - sx * sy)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    den = vx + vy + (sx - sy) ** 2
+    ccc = None if den == 0 else num / den
+    r = None if vx == 0 or vy == 0 else \
+        (n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+    cb = None if not r or ccc is None else ccc / r
+    return ccc, r, cb
+
+
+def q_lin_ccc_click_view(sf_dir: str):
+    """Lin's concordance correlation between daily click and view
+    counts — the method-agreement statistic that penalizes both
+    scatter (Pearson) AND location/scale shift, unlike the plain
+    correlation next to it.  The day grid is every day with any
+    event; the five power sums are exact integers from one bounded
+    (day, type) shuffle; one double divide at the end."""
+    series = _hourly_type_series_by(sf_dir, ("click", "view"), _DAY_US)
+    n = sx = sy = sxx = syy = sxy = 0
+    for d in series["hours"]:
+        x = series["click"].get(d, 0)
+        y = series["view"].get(d, 0)
+        n += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        syy += y * y
+        sxy += x * y
+    ccc, r, cb = lin_ccc(n, sx, sy, sxx, syy, sxy)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "ccc": pa.array([round(ccc, 6)], pa.float64()),
+        "pearson_r": pa.array([round(r, 6)], pa.float64()),
+        "c_b": pa.array([round(cb, 6)], pa.float64()),
+    })
+
+
+SQL_LIN_CCC_CLICK_VIEW = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day, coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'view' GROUP BY 1) yc USING (day)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy),
+d AS (
+  SELECT n,
+         2 * (n * sxy - sx * sy) AS num,
+         n * sxx - sx * sx AS vx,
+         n * syy - sy * sy AS vy,
+         (sx - sy) * (sx - sy) AS sq
+  FROM s)
+SELECT n AS n_days,
+       round(CAST(num AS DOUBLE) / (vx + vy + sq), 6) AS ccc,
+       round(CAST(num AS DOUBLE) / 2.0
+             / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+         AS pearson_r,
+       round((CAST(num AS DOUBLE) / (vx + vy + sq))
+             / (CAST(num AS DOUBLE) / 2.0
+                / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))), 6)
+         AS c_b
+FROM d
+"""
+
+QUERIES["lin_ccc_click_view"] = (q_lin_ccc_click_view,
+                                 SQL_LIN_CCC_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# bland_altman_click_view — limits of agreement
+# ---------------------------------------------------------------------------
+
+
+def bland_altman(n: int, sd_sum: int, sdd_sum: int) -> tuple:
+    """Bland-Altman closure from exact integer difference sums:
+    (mean_diff, sd_diff (n−1), loa_lo, loa_hi)."""
+    md = sd_sum / n
+    var = (n * sdd_sum - sd_sum * sd_sum) / (n * (n - 1))
+    sd = math.sqrt(var)
+    return md, sd, md - 1.96 * sd, md + 1.96 * sd
+
+
+def q_bland_altman_click_view(sf_dir: str):
+    """Bland-Altman limits of agreement between daily click and view
+    counts: mean difference, SD of differences, the 95% limits
+    (±1.96·SD) and how many days fall outside them — the plot
+    clinicians use where correlation misleads.  Exact integer sums
+    from the same (day, type)-bounded shuffle; the outside-count
+    compares integer diffs to the float limits with the identical
+    expression both engines."""
+    series = _hourly_type_series_by(sf_dir, ("click", "view"), _DAY_US)
+    diffs = [series["click"].get(d, 0) - series["view"].get(d, 0)
+             for d in series["hours"]]
+    n = len(diffs)
+    sd_sum = sum(diffs)
+    sdd_sum = sum(d * d for d in diffs)
+    md, sd, lo, hi = bland_altman(n, sd_sum, sdd_sum)
+    outside = sum(1 for d in diffs if d < lo or d > hi)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "mean_diff": pa.array([round(md, 6)], pa.float64()),
+        "sd_diff": pa.array([round(sd, 6)], pa.float64()),
+        "loa_lo": pa.array([round(lo, 6)], pa.float64()),
+        "loa_hi": pa.array([round(hi, 6)], pa.float64()),
+        "n_outside": pa.array([outside], pa.int64()),
+    })
+
+
+SQL_BLAND_ALTMAN_CLICK_VIEW = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day, coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'view' GROUP BY 1) yc USING (day)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x - y) AS BIGINT) AS sd_sum,
+         CAST(sum((x - y) * (x - y)) AS BIGINT) AS sdd_sum
+  FROM xy),
+m AS (
+  SELECT n, sd_sum, sdd_sum,
+         CAST(sd_sum AS DOUBLE) / n AS md,
+         sqrt(CAST(n * sdd_sum - sd_sum * sd_sum AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+  FROM s)
+SELECT m.n AS n_days,
+       round(m.md, 6) AS mean_diff,
+       round(m.sd, 6) AS sd_diff,
+       round(m.md - 1.96 * m.sd, 6) AS loa_lo,
+       round(m.md + 1.96 * m.sd, 6) AS loa_hi,
+       CAST((SELECT count(*) FROM xy
+              WHERE (x - y) < m.md - 1.96 * m.sd
+                 OR (x - y) > m.md + 1.96 * m.sd) AS BIGINT)
+         AS n_outside
+FROM m
+"""
+
+QUERIES["bland_altman_click_view"] = (q_bland_altman_click_view,
+                                      SQL_BLAND_ALTMAN_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# agreement_coeffs_langid — Scott's pi / Gwet's AC1 / Krippendorff alpha
+# ---------------------------------------------------------------------------
+
+
+def agreement_coeffs(cells: dict) -> tuple:
+    """(n, correct, scott_pi, gwet_ac1, kripp_alpha) from an integer
+    confusion map {(true, pred): count} treating the two labelings as
+    two raters.  All three chance-corrections from the same margins,
+    exact integers until one final divide each:
+
+    - Scott's π: chance = squared MEAN margins,
+      π = (4sc − Σq²) / (4s² − Σq²) with q_k = t_k + p_k.
+    - Gwet's AC1: chance = Σ π_k(1−π_k)/(K−1),
+      AC1 = (4sc(K−1) − A) / (4s²(K−1) − A), A = Σ q_k(2s − q_k).
+    - Krippendorff α (nominal, 2 raters, no missing): without-
+      replacement chance, α = 1 − (s−c)·Q(Q−1) / (s·(Q² − Σq²)),
+      Q = 2s."""
+    s = sum(cells.values())
+    c = sum(v for (a, b), v in cells.items() if a == b)
+    t, p = {}, {}
+    for (a, b), v in cells.items():
+        t[a] = t.get(a, 0) + v
+        p[b] = p.get(b, 0) + v
+    ks = set(t) | set(p)
+    kk = len(ks)
+    q = {k: t.get(k, 0) + p.get(k, 0) for k in ks}
+    sq2 = sum(v * v for v in q.values())
+    a_sum = sum(v * (2 * s - v) for v in q.values())
+    pi_den = 4 * s * s - sq2
+    scott = None if pi_den == 0 else (4 * s * c - sq2) / pi_den
+    ac1_den = 4 * s * s * (kk - 1) - a_sum
+    ac1 = None if ac1_den == 0 else \
+        (4 * s * c * (kk - 1) - a_sum) / ac1_den
+    qq = 2 * s
+    al_den = s * (qq * qq - sq2)
+    alpha = None if al_den == 0 else \
+        1.0 - (s - c) * qq * (qq - 1) / al_den
+    return s, c, scott, ac1, alpha
+
+
+def q_agreement_coeffs_langid(sf_dir: str):
+    """Scott's π, Gwet's AC1 and Krippendorff's α between the
+    deterministic language-ID scorer and the labels — the three
+    standard chance-corrected agreement coefficients that bracket
+    Cohen's κ (already registered): π assumes shared margins, AC1
+    resists the prevalence paradox, α corrects without replacement.
+    Same langs²-bounded confusion shuffle as cohen_kappa_langid."""
+    from ..stages.textstats import langid_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_features(t).column("pred_lang")
+        g = pa.table({"lang": t.column("lang"), "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    m = _partial_final(ds, partial, ["lang", "pred_lang"],
+                       [("n", "sum")])
+    cells = {}
+    for a, b, v in zip(m.column("lang").to_pylist(),
+                       m.column("pred_lang").to_pylist(),
+                       np.asarray(m.column("n"), dtype=np.int64)):
+        cells[(a, b)] = cells.get((a, b), 0) + int(v)
+    s, c, scott, ac1, alpha = agreement_coeffs(cells)
+    return pa.table({
+        "n": pa.array([s], pa.int64()),
+        "correct": pa.array([c], pa.int64()),
+        "scott_pi": pa.array([round(scott, 6)], pa.float64()),
+        "gwet_ac1": pa.array([round(ac1, 6)], pa.float64()),
+        "kripp_alpha": pa.array([round(alpha, 6)], pa.float64()),
+    })
+
+
+def _agreement_coeffs_langid_sql() -> str:
+    from ..stages.textstats import oracle_langid_sql
+    inner = oracle_langid_sql("documents")
+    return f"""
+WITH pred AS ({inner}),
+cm AS (
+  SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS s,
+               CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM cm),
+tm AS (SELECT lang AS k, sum(n) AS t FROM cm GROUP BY 1),
+pm AS (SELECT pred_lang AS k, sum(n) AS p FROM cm GROUP BY 1),
+ks AS (SELECT coalesce(tm.k, pm.k) AS k,
+              coalesce(tm.t, 0) + coalesce(pm.p, 0) AS q
+       FROM tm FULL OUTER JOIN pm ON tm.k = pm.k),
+mg AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+              CAST(sum(q * q) AS BIGINT) AS sq2,
+              CAST(sum(q * (2 * tot.s - q)) AS BIGINT) AS a_sum
+       FROM ks, tot GROUP BY tot.s)
+SELECT tot.s AS n, tot.c AS correct,
+       round(CAST(4 * tot.s * tot.c - mg.sq2 AS DOUBLE)
+             / (4 * tot.s * tot.s - mg.sq2), 6) AS scott_pi,
+       round(CAST(4 * tot.s * tot.c * (mg.kk - 1) - mg.a_sum
+                  AS DOUBLE)
+             / (4 * tot.s * tot.s * (mg.kk - 1) - mg.a_sum), 6)
+         AS gwet_ac1,
+       round(1.0 - CAST((tot.s - tot.c) AS DOUBLE)
+                   * (2 * tot.s) * (2 * tot.s - 1)
+                   / (CAST(tot.s AS DOUBLE)
+                      * (CAST(2 * tot.s AS DOUBLE) * (2 * tot.s)
+                         - mg.sq2)), 6) AS kripp_alpha
+FROM tot, mg
+"""
+
+
+QUERIES["agreement_coeffs_langid"] = (q_agreement_coeffs_langid,
+                                      _agreement_coeffs_langid_sql())
+
+
+# ---------------------------------------------------------------------------
+# cucconi_click_view — Cucconi location-scale test
+# ---------------------------------------------------------------------------
+
+
+def cucconi_from_hists(cx, cy) -> tuple:
+    """Cucconi (1968) location-scale test from aligned histograms over
+    a shared sorted value alphabet: (u, v, c_stat, p).  U is built on
+    squared pooled ranks, V on squared contrary ranks; doubled
+    midranks keep the rank-square sums exact integers (×4).  C =
+    (U² + V² − 2ρUV)/(2(1−ρ²)) with the closed-form null correlation
+    ρ; p = exp(−C) — the classic one-line tail of Cucconi's bivariate
+    normal."""
+    cx = [int(v) for v in cx]
+    cy = [int(v) for v in cy]
+    nx, ny = sum(cx), sum(cy)
+    n = nx + ny
+    cum = 0
+    s1_4 = 0     # 4·Σ R² over sample x
+    s2_4 = 0     # 4·Σ (N+1−R)² over sample x
+    for a, b in zip(cx, cy):
+        t = a + b
+        d = 2 * cum + t + 1          # doubled midrank
+        s1_4 += a * d * d
+        s2_4 += a * (2 * (n + 1) - d) * (2 * (n + 1) - d)
+        cum += t
+    num_u = 6 * s1_4 - 4 * nx * (n + 1) * (2 * n + 1)
+    num_v = 6 * s2_4 - 4 * nx * (n + 1) * (2 * n + 1)
+    den = 4.0 * math.sqrt(
+        (nx * ny * (n + 1) * (2 * n + 1) * (8 * n + 11)) / 5.0)
+    u = num_u / den
+    v = num_v / den
+    rho = 2.0 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1.0
+    c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    return u, v, c, math.exp(-c)
+
+
+def q_cucconi_click_view(sf_dir: str):
+    """Cucconi test of click vs view event values — the OTHER classic
+    location-and-scale omnibus (older than Lepage, built on squared
+    ranks rather than a sum of two tests; more powerful under
+    simultaneous shift+scale alternatives).  Same bounded
+    integer-cents histogram shuffle as lepage_click_view; every rank
+    sum an exact integer via doubled midranks."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_x = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"v": cents, "x": is_x,
+                      "y": pc.subtract(pa.scalar(1, pa.int64()),
+                                       is_x)}) \
+            .group_by("v").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["v", "cx", "cy"])
+
+    m = _partial_final(ds, partial, ["v"],
+                       [("cx", "sum"), ("cy", "sum")]).sort_by("v")
+    cx = np.asarray(m.column("cx"), dtype=np.int64)
+    cy = np.asarray(m.column("cy"), dtype=np.int64)
+    u, v, c, p = cucconi_from_hists(cx, cy)
+    return pa.table({
+        "n_click": pa.array([int(cx.sum())], pa.int64()),
+        "n_view": pa.array([int(cy.sum())], pa.int64()),
+        "u_stat": pa.array([round(u, 6)], pa.float64()),
+        "v_stat": pa.array([round(v, 6)], pa.float64()),
+        "c_stat": pa.array([round(c, 6)], pa.float64()),
+        "p_value": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_CUCCONI_CLICK_VIEW = """
+WITH hist AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+w AS (
+  SELECT v, cx, cy,
+         2 * coalesce(sum(cx + cy) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + (cx + cy) + 1 AS d
+  FROM hist),
+tot AS (SELECT CAST(sum(cx) AS BIGINT) AS nx,
+               CAST(sum(cy) AS BIGINT) AS ny,
+               CAST(sum(cx + cy) AS BIGINT) AS n
+        FROM hist),
+s AS (
+  SELECT tot.nx, tot.ny, tot.n,
+         CAST(sum(CAST(cx AS HUGEINT) * d * d) AS HUGEINT) AS s1_4,
+         CAST(sum(CAST(cx AS HUGEINT)
+                  * (2 * (tot.n + 1) - d)
+                  * (2 * (tot.n + 1) - d)) AS HUGEINT) AS s2_4
+  FROM w, tot GROUP BY tot.nx, tot.ny, tot.n),
+z AS (
+  SELECT nx, ny, n,
+         CAST(6 * s1_4 - 4 * CAST(nx AS HUGEINT) * (n + 1)
+              * (2 * n + 1) AS DOUBLE)
+         / (4.0 * sqrt(CAST(CAST(nx AS HUGEINT) * ny * (n + 1)
+                            * (2 * n + 1) * (8 * n + 11) AS DOUBLE)
+                       / 5.0)) AS u,
+         CAST(6 * s2_4 - 4 * CAST(nx AS HUGEINT) * (n + 1)
+              * (2 * n + 1) AS DOUBLE)
+         / (4.0 * sqrt(CAST(CAST(nx AS HUGEINT) * ny * (n + 1)
+                            * (2 * n + 1) * (8 * n + 11) AS DOUBLE)
+                       / 5.0)) AS v,
+         2.0 * (CAST(n AS DOUBLE) * n - 4)
+         / ((2.0 * n + 1) * (8.0 * n + 11)) - 1.0 AS rho
+  FROM s)
+SELECT nx AS n_click, ny AS n_view,
+       round(u, 6) AS u_stat, round(v, 6) AS v_stat,
+       round((u * u + v * v - 2.0 * rho * u * v)
+             / (2.0 * (1.0 - rho * rho)), 6) AS c_stat,
+       round(exp(-((u * u + v * v - 2.0 * rho * u * v)
+                   / (2.0 * (1.0 - rho * rho)))), 6) AS p_value
+FROM z
+"""
+
+QUERIES["cucconi_click_view"] = (q_cucconi_click_view,
+                                 SQL_CUCCONI_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# brunner_munzel_click_view — heteroskedasticity-robust rank test
+# ---------------------------------------------------------------------------
+
+
+def brunner_munzel_from_hists(cx, cy) -> tuple:
+    """Brunner-Munzel from aligned histograms: (p_hat, w_stat, df).
+    p̂ = P(X<Y) + ½P(X=Y) (the relative effect), W is the studentized
+    rank statistic whose variance does NOT assume equal variances —
+    the rank analog of Welch's t.  Doubled pooled/within midranks keep
+    every accumulated sum an exact integer; 4(nₓ−1)Sₓ² = (nₓD₂ − D²)/nₓ
+    closes from integer D, D₂."""
+    cx = [int(v) for v in cx]
+    cy = [int(v) for v in cy]
+    nx, ny = sum(cx), sum(cy)
+    n = nx + ny
+    cum = cumx = cumy = 0
+    r2x = r2y = 0            # Σ doubled pooled midranks per sample
+    dx_s = dx2_s = 0         # Σ cx·(d−dx), Σ cx·(d−dx)²
+    dy_s = dy2_s = 0
+    for a, b in zip(cx, cy):
+        t = a + b
+        d = 2 * cum + t + 1
+        dxv = 2 * cumx + a + 1
+        dyv = 2 * cumy + b + 1
+        r2x += a * d
+        r2y += b * d
+        px = d - dxv
+        py = d - dyv
+        dx_s += a * px
+        dx2_s += a * px * px
+        dy_s += b * py
+        dy2_s += b * py * py
+        cum += t
+        cumx += a
+        cumy += b
+    p_hat = (r2y - ny * (ny + 1)) / (2.0 * nx * ny)
+    sx4 = (nx * dx2_s - dx_s * dx_s) / (nx * (nx - 1.0))   # 4Sx²
+    sy4 = (ny * dy2_s - dy_s * dy_s) / (ny * (ny - 1.0))
+    se = math.sqrt(nx * sx4 + ny * sy4)
+    w = (nx * r2y - ny * r2x) / (n * se) if se > 0 else 0.0
+    vx = nx * sx4
+    vy = ny * sy4
+    df = (vx + vy) ** 2 / (vx * vx / (nx - 1.0)
+                           + vy * vy / (ny - 1.0)) \
+        if vx + vy > 0 else 0.0
+    return p_hat, w, df
+
+
+def q_brunner_munzel_click_view(sf_dir: str):
+    """Brunner-Munzel test of click vs view event values — the
+    rank-based Behrens-Fisher solution: unlike Mann-Whitney it stays
+    valid when the two samples have different variances/shapes, and
+    its estimand p̂ = P(X<Y)+½P(X=Y) is the direct effect size.  Same
+    bounded integer-cents histogram; p-value from the shared
+    Abramowitz-Stegun Φ (normal approximation; df also emitted)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_x = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"v": cents, "x": is_x,
+                      "y": pc.subtract(pa.scalar(1, pa.int64()),
+                                       is_x)}) \
+            .group_by("v").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["v", "cx", "cy"])
+
+    m = _partial_final(ds, partial, ["v"],
+                       [("cx", "sum"), ("cy", "sum")]).sort_by("v")
+    cx = np.asarray(m.column("cx"), dtype=np.int64)
+    cy = np.asarray(m.column("cy"), dtype=np.int64)
+    p_hat, w, df = brunner_munzel_from_hists(cx, cy)
+    p = 2.0 * (1.0 - phi_as(abs(w)))
+    return pa.table({
+        "n_click": pa.array([int(cx.sum())], pa.int64()),
+        "n_view": pa.array([int(cy.sum())], pa.int64()),
+        "p_hat": pa.array([round(p_hat, 6)], pa.float64()),
+        "w_stat": pa.array([round(w, 6)], pa.float64()),
+        "df": pa.array([round(df, 6)], pa.float64()),
+        "p_normal": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_BRUNNER_MUNZEL_CLICK_VIEW = """
+WITH hist AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+w AS (
+  SELECT v, cx, cy,
+         2 * coalesce(sum(cx + cy) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + (cx + cy) + 1 AS d,
+         2 * coalesce(sum(cx) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + cx + 1 AS dx,
+         2 * coalesce(sum(cy) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + cy + 1 AS dy
+  FROM hist),
+s AS (
+  SELECT CAST(sum(cx) AS BIGINT) AS nx,
+         CAST(sum(cy) AS BIGINT) AS ny,
+         CAST(sum(cx + cy) AS BIGINT) AS n,
+         CAST(sum(CAST(cx AS HUGEINT) * d) AS HUGEINT) AS r2x,
+         CAST(sum(CAST(cy AS HUGEINT) * d) AS HUGEINT) AS r2y,
+         CAST(sum(CAST(cx AS HUGEINT) * (d - dx)) AS HUGEINT) AS dxs,
+         CAST(sum(CAST(cx AS HUGEINT) * (d - dx) * (d - dx))
+              AS HUGEINT) AS dx2s,
+         CAST(sum(CAST(cy AS HUGEINT) * (d - dy)) AS HUGEINT) AS dys,
+         CAST(sum(CAST(cy AS HUGEINT) * (d - dy) * (d - dy))
+              AS HUGEINT) AS dy2s
+  FROM w),
+f AS (
+  SELECT nx, ny, n, r2x, r2y,
+         CAST(nx * dx2s - dxs * dxs AS DOUBLE)
+           / (CAST(nx AS DOUBLE) * (nx - 1.0)) AS sx4,
+         CAST(ny * dy2s - dys * dys AS DOUBLE)
+           / (CAST(ny AS DOUBLE) * (ny - 1.0)) AS sy4
+  FROM s),
+g AS (
+  SELECT nx, ny, n,
+         CAST(r2y - CAST(ny AS HUGEINT) * (ny + 1) AS DOUBLE)
+           / (2.0 * nx * ny) AS p_hat,
+         CASE WHEN sqrt(nx * sx4 + ny * sy4) > 0
+              THEN CAST(CAST(nx AS HUGEINT) * r2y
+                        - CAST(ny AS HUGEINT) * r2x AS DOUBLE)
+                   / (n * sqrt(nx * sx4 + ny * sy4))
+              ELSE 0.0 END AS w_stat,
+         CASE WHEN nx * sx4 + ny * sy4 > 0
+              THEN (nx * sx4 + ny * sy4) * (nx * sx4 + ny * sy4)
+                   / ((nx * sx4) * (nx * sx4) / (nx - 1.0)
+                      + (ny * sy4) * (ny * sy4) / (ny - 1.0))
+              ELSE 0.0 END AS df
+  FROM f)
+SELECT nx AS n_click, ny AS n_view,
+       round(p_hat, 6) AS p_hat,
+       round(w_stat, 6) AS w_stat,
+       round(df, 6) AS df,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_normal
+FROM g,
+     LATERAL (SELECT abs(g.w_stat) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["brunner_munzel_click_view"] = (q_brunner_munzel_click_view,
+                                        SQL_BRUNNER_MUNZEL_CLICK_VIEW)
+
+
+# ---------------------------------------------------------------------------
+# bartels_rvn_daily — rank von Neumann randomness test
+# ---------------------------------------------------------------------------
+
+
+def bartels_rvn(dmid) -> tuple:
+    """Bartels (1982) rank von Neumann ratio from doubled midranks in
+    TIME order: (rvn, z, var).  RVN = Σ(Rᵢ−Rᵢ₊₁)²/Σ(Rᵢ−R̄)² — the
+    doubled form is exactly Σ(dᵢ−dᵢ₊₁)²/Σ(dᵢ−(n+1))² because 2R̄ =
+    n+1 identically (rank sums are fixed).  E[RVN] = 2; Var from the
+    exact finite-n formula; z → N(0,1)."""
+    n = len(dmid)
+    num4 = sum((dmid[i] - dmid[i + 1]) ** 2 for i in range(n - 1))
+    den4 = sum((d - (n + 1)) ** 2 for d in dmid)
+    rvn = num4 / den4
+    var = (4.0 * (n - 2) * (5 * n * n - 2 * n - 9)
+           / (5.0 * n * (n + 1) * (n - 1) * (n - 1)))
+    z = (rvn - 2.0) / math.sqrt(var)
+    return rvn, z, var
+
+
+def q_bartels_rvn_daily(sf_dir: str):
+    """Bartels rank von Neumann randomness test of daily revenue —
+    the rank analog of the von Neumann successive-difference ratio
+    (and the serial companion of runs_test_daily: it detects SMOOTH
+    trends runs tests miss).  Daily cents from the one bounded
+    shuffle; doubled midranks keep both quadratic forms exact
+    integers; two-sided p via the shared Φ."""
+    day, cents = _daily_revenue_cents(sf_dir)
+    n = len(day)
+    order = np.argsort(cents, kind="stable")
+    # doubled midranks with ties: 2·mid = 2·(#less) + (#eq) + 1
+    uniq, counts = np.unique(cents, return_counts=True)
+    less = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.searchsorted(uniq, cents)
+    dmid = (2 * less[pos] + counts[pos] + 1).astype(np.int64)
+    del order
+    rvn, z, var = bartels_rvn(dmid.tolist())
+    p = 2.0 * (1.0 - phi_as(abs(z)))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "rvn": pa.array([round(rvn, 6)], pa.float64()),
+        "z_score": pa.array([round(z, 6)], pa.float64()),
+        "p_two_sided": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_BARTELS_RVN_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT day, cents,
+         2 * (rank() OVER (ORDER BY cents))
+           + (count(*) OVER (PARTITION BY cents)) - 1 AS dmid
+  FROM d),
+seq AS (
+  SELECT day, dmid,
+         lead(dmid) OVER (ORDER BY day) AS nxt,
+         count(*) OVER () AS n
+  FROM r),
+s AS (
+  SELECT max(n) AS n,
+         CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                       ELSE (dmid - nxt) * (dmid - nxt) END)
+              AS HUGEINT) AS num4,
+         CAST(sum((dmid - n - 1) * (dmid - n - 1)) AS HUGEINT)
+           AS den4
+  FROM seq),
+z AS (
+  SELECT n,
+         CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) AS rvn,
+         (CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
+         / sqrt(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                / (5.0 * n * (n + 1) * (n - 1.0) * (n - 1))) AS z
+  FROM s)
+SELECT n AS n_days, round(rvn, 6) AS rvn,
+       round(z.z, 6) AS z_score,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_two_sided
+FROM z,
+     LATERAL (SELECT abs(z.z) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["bartels_rvn_daily"] = (q_bartels_rvn_daily,
+                                SQL_BARTELS_RVN_DAILY)

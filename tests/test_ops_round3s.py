@@ -156,3 +156,242 @@ def test_feature_hash_top_tiebreak_lexicographic():
     counts = {"bb": 5, "aa": 5, "cc": 4}
     _, _, _, _, top, exact, _ = feature_hash_stats(counts)
     assert top == "aa" and exact == 5
+
+
+# ---------------------------------------------------------------------------
+# Lin's CCC / Bland-Altman / agreement coefficients
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    agreement_coeffs, bland_altman, lin_ccc)
+
+
+def _sums(x, y):
+    n = len(x)
+    return (n, int(sum(x)), int(sum(y)), int(sum(v * v for v in x)),
+            int(sum(v * v for v in y)),
+            int(sum(a * b for a, b in zip(x, y))))
+
+
+def test_lin_ccc_identity_and_shift():
+    x = [3, 1, 4, 1, 5, 9, 2, 6]
+    ccc, r, cb = lin_ccc(*_sums(x, x))
+    assert abs(ccc - 1.0) < 1e-12 and abs(r - 1.0) < 1e-12
+    y = [v + 10 for v in x]          # pure shift: r = 1, ccc < 1
+    ccc, r, cb = lin_ccc(*_sums(x, y))
+    assert abs(r - 1.0) < 1e-12 and ccc < 0.2 and abs(cb - ccc) < 1e-12
+
+
+def test_lin_ccc_matches_float_reference():
+    rng = np.random.RandomState(5)
+    for _ in range(20):
+        n = int(rng.randint(5, 50))
+        x = rng.randint(0, 100, n).astype(int).tolist()
+        y = rng.randint(0, 100, n).astype(int).tolist()
+        ccc, r, cb = lin_ccc(*_sums(x, y))
+        xa, ya = np.array(x, float), np.array(y, float)
+        sxy = ((xa - xa.mean()) * (ya - ya.mean())).mean()
+        ref = 2 * sxy / (xa.var() + ya.var()
+                         + (xa.mean() - ya.mean()) ** 2)
+        assert abs(ccc - ref) < 1e-9
+
+
+def test_bland_altman_matches_numpy():
+    rng = np.random.RandomState(9)
+    d = rng.randint(-20, 20, 40)
+    md, sd, lo, hi = bland_altman(len(d), int(d.sum()),
+                                  int((d * d).sum()))
+    assert abs(md - d.mean()) < 1e-12
+    assert abs(sd - d.std(ddof=1)) < 1e-9
+    assert abs(lo - (d.mean() - 1.96 * d.std(ddof=1))) < 1e-9
+    assert abs(hi - (d.mean() + 1.96 * d.std(ddof=1))) < 1e-9
+
+
+def _agree_float(cells):
+    """Independent probability-form transcription of the three
+    coefficients."""
+    s = sum(cells.values())
+    po = sum(v for (a, b), v in cells.items() if a == b) / s
+    t, p = {}, {}
+    for (a, b), v in cells.items():
+        t[a] = t.get(a, 0) + v
+        p[b] = p.get(b, 0) + v
+    ks = sorted(set(t) | set(p))
+    pik = {k: (t.get(k, 0) + p.get(k, 0)) / (2 * s) for k in ks}
+    pe_scott = sum(v * v for v in pik.values())
+    scott = (po - pe_scott) / (1 - pe_scott)
+    kk = len(ks)
+    pe_g = sum(v * (1 - v) for v in pik.values()) / (kk - 1)
+    ac1 = (po - pe_g) / (1 - pe_g)
+    q = 2 * s
+    qs = {k: t.get(k, 0) + p.get(k, 0) for k in ks}
+    pe_a = sum(v * (v - 1) for v in qs.values()) / (q * (q - 1))
+    alpha = 1 - (1 - po) / (1 - pe_a)
+    return scott, ac1, alpha
+
+
+def test_agreement_coeffs_match_float_reference():
+    rng = np.random.RandomState(2)
+    for _ in range(20):
+        cats = ["en", "de", "fr"]
+        cells = {}
+        for a in cats:
+            for b in cats:
+                v = int(rng.randint(0, 30))
+                base = 60 if a == b else 0
+                if v + base:
+                    cells[(a, b)] = v + base
+        s, c, scott, ac1, alpha = agreement_coeffs(cells)
+        es, eg, ea = _agree_float(cells)
+        assert abs(scott - es) < 1e-9
+        assert abs(ac1 - eg) < 1e-9
+        assert abs(alpha - ea) < 1e-9
+
+
+def test_agreement_perfect_is_one():
+    cells = {("en", "en"): 10, ("de", "de"): 5}
+    s, c, scott, ac1, alpha = agreement_coeffs(cells)
+    assert s == 15 and c == 15
+    assert scott == 1.0 and ac1 == 1.0 and alpha == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Cucconi / Brunner-Munzel / Bartels RVN
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    bartels_rvn, brunner_munzel_from_hists, cucconi_from_hists)
+
+
+def _hists_from(x, y):
+    vals = sorted(set(x) | set(y))
+    cx = [sum(1 for v in x if v == u) for u in vals]
+    cy = [sum(1 for v in y if v == u) for u in vals]
+    return cx, cy
+
+
+def _cucconi_naive(x, y):
+    """Direct transcription of Cucconi (1968) with midranks."""
+    import math as m
+    pool = sorted(x + y)
+    n = len(pool)
+    nx, ny = len(x), len(y)
+
+    def midrank(v):
+        lo = sum(1 for p in pool if p < v)
+        eq = sum(1 for p in pool if p == v)
+        return lo + (eq + 1) / 2.0
+
+    s1 = sum(midrank(v) ** 2 for v in x)
+    s2 = sum((n + 1 - midrank(v)) ** 2 for v in x)
+    den = m.sqrt(nx * ny * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0)
+    u = (6 * s1 - nx * (n + 1) * (2 * n + 1)) / den
+    v = (6 * s2 - nx * (n + 1) * (2 * n + 1)) / den
+    rho = 2.0 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1.0
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    return u, v, c
+
+
+def test_cucconi_matches_naive():
+    rng = np.random.RandomState(4)
+    for _ in range(20):
+        x = rng.randint(0, 12, rng.randint(5, 25)).tolist()
+        y = rng.randint(0, 12, rng.randint(5, 25)).tolist()
+        cx, cy = _hists_from(x, y)
+        u, v, c, p = cucconi_from_hists(cx, cy)
+        eu, ev, ec = _cucconi_naive(x, y)
+        assert abs(u - eu) < 1e-9 and abs(v - ev) < 1e-9
+        assert abs(c - ec) < 1e-9
+        assert abs(p - np.exp(-ec)) < 1e-12
+
+
+def test_cucconi_symmetric_under_exchange():
+    # identical samples: U and V are equal by symmetry of the
+    # midranks, and C is small
+    x = list(range(20))
+    cx, cy = _hists_from(x, x)
+    u, v, c, p = cucconi_from_hists(cx, cy)
+    assert abs(u - v) < 1e-12
+
+
+def _bm_naive(x, y):
+    """Direct transcription of Brunner-Munzel (2000) / scipy's
+    brunnermunzel with midranks."""
+    import math as m
+    nx, ny = len(x), len(y)
+    pool = x + y
+
+    def midrank(seq, v):
+        lo = sum(1 for p in seq if p < v)
+        eq = sum(1 for p in seq if p == v)
+        return lo + (eq + 1) / 2.0
+
+    rcx = [midrank(pool, v) for v in x]
+    rcy = [midrank(pool, v) for v in y]
+    rx = [midrank(x, v) for v in x]
+    ry = [midrank(y, v) for v in y]
+    mx, my = sum(rcx) / nx, sum(rcy) / ny
+    sx = sum((rcx[i] - rx[i] - mx + (nx + 1) / 2.0) ** 2
+             for i in range(nx)) / (nx - 1)
+    sy = sum((rcy[i] - ry[i] - my + (ny + 1) / 2.0) ** 2
+             for i in range(ny)) / (ny - 1)
+    n = nx + ny
+    w = nx * ny * (my - mx) / (n * m.sqrt(nx * sx + ny * sy))
+    p_hat = (my - (ny + 1) / 2.0) / nx
+    vx, vy = nx * sx, ny * sy
+    df = (vx + vy) ** 2 / (vx ** 2 / (nx - 1) + vy ** 2 / (ny - 1))
+    return p_hat, w, df
+
+
+def test_brunner_munzel_matches_naive():
+    rng = np.random.RandomState(6)
+    for _ in range(20):
+        x = rng.randint(0, 10, rng.randint(6, 30)).tolist()
+        y = (rng.randint(0, 10, rng.randint(6, 30)) * 2).tolist()
+        cx, cy = _hists_from(x, y)
+        p_hat, w, df = brunner_munzel_from_hists(cx, cy)
+        ep, ew, edf = _bm_naive(x, y)
+        assert abs(p_hat - ep) < 1e-9
+        assert abs(w - ew) < 1e-9
+        assert abs(df - edf) < 1e-6
+
+
+def test_brunner_munzel_phat_stochastic_order():
+    # y strictly larger than every x -> p_hat = 1
+    x = [1, 2, 3]
+    y = [10, 11]
+    cx, cy = _hists_from(x, y)
+    p_hat, w, df = brunner_munzel_from_hists(cx, cy)
+    assert abs(p_hat - 1.0) < 1e-12
+
+
+def test_bartels_rvn_known_values():
+    # monotone sequence: every rank step is 1, numerator minimal ->
+    # RVN well below 2 (strong positive serial correlation)
+    n = 30
+    dmid = [2 * (i + 1) for i in range(n)]   # doubled ranks, no ties
+    rvn, z, var = bartels_rvn(dmid)
+    num = sum((2.0) ** 2 for _ in range(n - 1))       # (2R step)^2
+    den = sum((2 * (i + 1) - (n + 1)) ** 2 for i in range(n))
+    assert abs(rvn - num / den) < 1e-12
+    assert z < -5.0
+    # alternating extremes: numerator huge -> RVN > 2, z > 0
+    order = []
+    lo, hi = 1, n
+    for i in range(n):
+        order.append(hi if i % 2 else lo)
+        if i % 2:
+            hi -= 1
+        else:
+            lo += 1
+    dm = [2 * r for r in order]
+    rvn2, z2, _ = bartels_rvn(dm)
+    assert rvn2 > 2.0 and z2 > 3.0
+
+
+def test_bartels_rvn_var_formula():
+    n = 25
+    var_expected = (4.0 * (n - 2) * (5 * n * n - 2 * n - 9)
+                    / (5.0 * n * (n + 1) * (n - 1) ** 2))
+    _, _, var = bartels_rvn([2 * (i + 1) for i in range(n)])
+    assert abs(var - var_expected) < 1e-15
