@@ -1208,3 +1208,325 @@ FROM z,
 
 QUERIES["bartels_rvn_daily"] = (q_bartels_rvn_daily,
                                 SQL_BARTELS_RVN_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# white_test_daily — White heteroskedasticity LM test
+# ---------------------------------------------------------------------------
+
+
+def white_lm(xs, ys) -> tuple:
+    """White (1980) LM statistic for the daily-revenue trend: regress
+    y on (1, x), then the squared residuals on (1, x, x²); LM = n·R²
+    ~ χ²₂, p = exp(−LM/2) exactly (the df=2 chi-square tail).  The
+    trend coefficients come from exact integer sums; the aux
+    regression solves the 3×3 normal equations by Cramer in doubles
+    (same expression tree as the oracle, breusch_pagan discipline)."""
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (sy - b * sx) / float(n)
+    zs = [(y - a - b * x) ** 2 for x, y in zip(xs, ys)]
+    x2 = [float(x * x) for x in xs]
+    m_n = float(n)
+    m_sx = float(sx)
+    m_sxx = float(sxx)
+    m_sx3 = float(sum(x ** 3 for x in xs))
+    m_sx4 = float(sum(x ** 4 for x in xs))
+    sz = sum(zs)
+    sxz = sum(x * z for x, z in zip(xs, zs))
+    sx2z = sum(q * z for q, z in zip(x2, zs))
+    szz = sum(z * z for z in zs)
+
+    def det3f(m):
+        return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+    mm = [[m_n, m_sx, m_sxx],
+          [m_sx, m_sxx, m_sx3],
+          [m_sxx, m_sx3, m_sx4]]
+    rhs = [sz, sxz, sx2z]
+    d = det3f(mm)
+    c = []
+    for j in range(3):
+        mj = [[rhs[i] if k == j else mm[i][k] for k in range(3)]
+              for i in range(3)]
+        c.append(det3f(mj) / d)
+    ssr = szz - (c[0] * sz + c[1] * sxz + c[2] * sx2z)
+    sst = szz - sz * sz / m_n
+    r2 = 1.0 - ssr / sst
+    lm = n * r2
+    return lm, r2, math.exp(-lm / 2.0)
+
+
+def q_white_test_daily(sf_dir: str):
+    """White's heteroskedasticity test on the daily-revenue trend —
+    the quadratic-aux-regression generalization of the registry's
+    breusch_pagan_daily (which can only see LINEAR variance drift;
+    White also catches U-shaped variance).  Daily cents from the one
+    bounded shuffle; df = 2 makes the chi-square tail the exact
+    exp(−LM/2)."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    xs = (day - day[0]).tolist()
+    ys = cv.tolist()
+    lm, r2, p = white_lm(xs, ys)
+    return pa.table({
+        "n_days": pa.array([len(xs)], pa.int64()),
+        "white_lm": pa.array([round(lm, 6)], pa.float64()),
+        "aux_r2": pa.array([round(r2, 6)], pa.float64()),
+        "p_value": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_WHITE_TEST_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT CAST(day - min(day) OVER () AS HUGEINT) AS x,
+             CAST(cents AS HUGEINT) AS y
+      FROM d),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r),
+ab AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM s),
+z AS (
+  SELECT CAST(r.x AS DOUBLE) AS xf,
+         pow(CAST(r.y AS DOUBLE) - ab.a - ab.b * CAST(r.x AS DOUBLE),
+             2) AS z
+  FROM r, ab),
+aux AS (
+  SELECT count(*) AS n,
+         sum(xf) AS m_sx, sum(xf * xf) AS m_sxx,
+         sum(xf * xf * xf) AS m_sx3,
+         sum(xf * xf * xf * xf) AS m_sx4,
+         sum(z) AS sz, sum(xf * z) AS sxz,
+         sum(xf * xf * z) AS sx2z, sum(z * z) AS szz
+  FROM z),
+dets AS (
+  SELECT n, sz, sxz, sx2z, szz,
+         (CAST(n AS DOUBLE) * (m_sxx * m_sx4 - m_sx3 * m_sx3)
+          - m_sx * (m_sx * m_sx4 - m_sx3 * m_sxx)
+          + m_sxx * (m_sx * m_sx3 - m_sxx * m_sxx)) AS det,
+         (sz * (m_sxx * m_sx4 - m_sx3 * m_sx3)
+          - m_sx * (sxz * m_sx4 - m_sx3 * sx2z)
+          + m_sxx * (sxz * m_sx3 - m_sxx * sx2z)) AS det0,
+         (CAST(n AS DOUBLE) * (sxz * m_sx4 - m_sx3 * sx2z)
+          - sz * (m_sx * m_sx4 - m_sx3 * m_sxx)
+          + m_sxx * (m_sx * sx2z - sxz * m_sxx)) AS det1,
+         (CAST(n AS DOUBLE) * (m_sxx * sx2z - sxz * m_sx3)
+          - m_sx * (m_sx * sx2z - sxz * m_sxx)
+          + sz * (m_sx * m_sx3 - m_sxx * m_sxx)) AS det2
+  FROM aux),
+fin AS (
+  SELECT n,
+         1.0 - (szz - ((det0 / det) * sz + (det1 / det) * sxz
+                       + (det2 / det) * sx2z))
+               / (szz - sz * sz / CAST(n AS DOUBLE)) AS r2
+  FROM dets)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(n * r2, 6) AS white_lm,
+       round(r2, 6) AS aux_r2,
+       round(exp(-(n * r2) / 2.0), 6) AS p_value
+FROM fin
+"""
+
+QUERIES["white_test_daily"] = (q_white_test_daily,
+                               SQL_WHITE_TEST_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# goldfeld_quandt_daily — split-sample variance-ratio test
+# ---------------------------------------------------------------------------
+
+
+def ols_ssr(n: int, sx: int, sy: int, sxx: int, sxy: int,
+            syy: int) -> float:
+    """Residual sum of squares of y ~ 1 + x from exact integer sums:
+    SSR = Syy_c − Sxy_c²/Sxx_c (centered moments) — no per-row float
+    pass, so the value is ORDER-FREE and bit-identical across
+    engines."""
+    syy_c = syy - sy * sy / float(n)
+    sxy_c = sxy - sx * sy / float(n)
+    sxx_c = sxx - sx * sx / float(n)
+    return syy_c - sxy_c * sxy_c / sxx_c
+
+
+def q_goldfeld_quandt_daily(sf_dir: str):
+    """Goldfeld-Quandt heteroskedasticity test on daily revenue: fit
+    the linear trend separately on the FIRST and LAST third of the
+    days (middle third dropped, per the classic design) and compare
+    residual variances, F = s²_late/s²_early — the split-sample
+    companion of white_test_daily that needs no aux regression.  Both
+    segment SSRs close from exact integer sums, so the statistic is
+    float-order-free."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    n = len(day)
+    k = n // 3
+    xs = (day - day[0]).astype(np.int64)
+
+    def seg_sums(lo, hi):
+        x = xs[lo:hi].tolist()
+        y = cv[lo:hi].tolist()
+        return (hi - lo, sum(x), sum(y), sum(v * v for v in x),
+                sum(a * b for a, b in zip(x, y)),
+                sum(v * v for v in y))
+
+    s1 = seg_sums(0, k)
+    s2 = seg_sums(n - k, n)
+    ssr1 = ols_ssr(*s1)
+    ssr2 = ols_ssr(*s2)
+    f = (ssr2 / (k - 2)) / (ssr1 / (k - 2))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "k_per_side": pa.array([k], pa.int64()),
+        "ssr_early_ln": pa.array([round(math.log(ssr1), 6)],
+                                 pa.float64()),
+        "ssr_late_ln": pa.array([round(math.log(ssr2), 6)],
+                                pa.float64()),
+        "f_stat": pa.array([round(f, 6)], pa.float64()),
+    })
+
+
+SQL_GOLDFELD_QUANDT_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT CAST(day - min(day) OVER () AS HUGEINT) AS x,
+             CAST(cents AS HUGEINT) AS y,
+             row_number() OVER (ORDER BY day) AS rn,
+             count(*) OVER () AS n
+      FROM d),
+seg AS (
+  SELECT CASE WHEN rn <= n // 3 THEN 1
+              WHEN rn > n - n // 3 THEN 2 END AS s,
+         x, y, n
+  FROM r WHERE rn <= n // 3 OR rn > n - n // 3),
+m AS (
+  SELECT s, max(n) AS n_all, count(*) AS k,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM seg GROUP BY 1),
+ssr AS (
+  SELECT s, n_all, k,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(k AS DOUBLE))
+         - (CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(k AS DOUBLE))
+           * (CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(k AS DOUBLE))
+           / (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(k AS DOUBLE)) AS v
+  FROM m)
+SELECT CAST((SELECT max(n_all) FROM ssr) AS BIGINT) AS n_days,
+       CAST((SELECT max(k) FROM ssr) AS BIGINT) AS k_per_side,
+       round(ln((SELECT v FROM ssr WHERE s = 1)), 6) AS ssr_early_ln,
+       round(ln((SELECT v FROM ssr WHERE s = 2)), 6) AS ssr_late_ln,
+       round(((SELECT v FROM ssr WHERE s = 2)
+              / ((SELECT max(k) FROM ssr) - 2))
+             / ((SELECT v FROM ssr WHERE s = 1)
+                / ((SELECT max(k) FROM ssr) - 2)), 6) AS f_stat
+"""
+
+QUERIES["goldfeld_quandt_daily"] = (q_goldfeld_quandt_daily,
+                                    SQL_GOLDFELD_QUANDT_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# dickey_fuller_daily — unit-root t statistic
+# ---------------------------------------------------------------------------
+
+
+def dickey_fuller(u, v) -> tuple:
+    """DF regression Δy = α + γ·y_prev from exact integer sums of
+    (u = y_prev, v = Δy): (gamma, t_stat).  γ̂ and its standard error
+    close from the centered moments; the residual s² uses the same
+    order-free SSR identity as goldfeld_quandt."""
+    n = len(u)
+    su = sum(u)
+    sv = sum(v)
+    suu = sum(a * a for a in u)
+    suv = sum(a * b for a, b in zip(u, v))
+    svv = sum(b * b for b in v)
+    duu = n * suu - su * su
+    gamma = (n * suv - su * sv) / float(duu)
+    ssr = ols_ssr(n, su, sv, suu, suv, svv)
+    s2 = ssr / (n - 2)
+    se = math.sqrt(s2 * n / float(duu))
+    return gamma, gamma / se
+
+
+def q_dickey_fuller_daily(sf_dir: str):
+    """Dickey-Fuller unit-root t on daily revenue (no lag terms —
+    the DF-0 regression Δyₜ = α + γ·yₜ₋₁): γ near 0 means shocks
+    persist (random walk), strongly negative γ/se means mean
+    reversion — the stationarity diagnostic kpss_level_daily tests
+    from the OPPOSITE null.  Consecutive observed days pair through
+    one lag; every moment is an exact integer so the statistic is
+    float-order-free.  (The DF statistic has its own distribution —
+    the t value is reported without a normal p.)"""
+    day, cv = _daily_revenue_cents(sf_dir)
+    u = cv[:-1].tolist()
+    v = (cv[1:] - cv[:-1]).tolist()
+    gamma, t = dickey_fuller(u, v)
+    return pa.table({
+        "n_pairs": pa.array([len(u)], pa.int64()),
+        "gamma": pa.array([round(gamma, 6)], pa.float64()),
+        "df_t": pa.array([round(t, 6)], pa.float64()),
+    })
+
+
+SQL_DICKEY_FULLER_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+seq AS (
+  SELECT CAST(cents AS HUGEINT) AS y,
+         CAST(lag(cents) OVER (ORDER BY day) AS HUGEINT) AS yl
+  FROM d),
+p AS (SELECT yl AS u, y - yl AS v FROM seq WHERE yl IS NOT NULL),
+s AS (SELECT count(*) AS n, sum(u) AS su, sum(v) AS sv,
+             sum(u * u) AS suu, sum(u * v) AS suv, sum(v * v) AS svv
+      FROM p),
+g AS (
+  SELECT n,
+         CAST(n * suv - su * sv AS DOUBLE)
+           / CAST(n * suu - su * su AS DOUBLE) AS gamma,
+         ((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+             / CAST(n AS DOUBLE))
+          - (CAST(suv AS DOUBLE)
+             - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)
+               / CAST(n AS DOUBLE))
+            * (CAST(suv AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+            / (CAST(suu AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                 / CAST(n AS DOUBLE))) / (n - 2) AS s2,
+         CAST(n * suu - su * su AS DOUBLE) AS duu
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(gamma, 6) AS gamma,
+       round(gamma / sqrt(s2 * n / duu), 6) AS df_t
+FROM g
+"""
+
+QUERIES["dickey_fuller_daily"] = (q_dickey_fuller_daily,
+                                  SQL_DICKEY_FULLER_DAILY)

@@ -395,3 +395,91 @@ def test_bartels_rvn_var_formula():
                     / (5.0 * n * (n + 1) * (n - 1) ** 2))
     _, _, var = bartels_rvn([2 * (i + 1) for i in range(n)])
     assert abs(var - var_expected) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# White / Goldfeld-Quandt / Dickey-Fuller
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    dickey_fuller, ols_ssr, white_lm)
+
+
+def test_ols_ssr_matches_lstsq():
+    rng = np.random.RandomState(8)
+    for _ in range(15):
+        n = int(rng.randint(6, 40))
+        x = rng.randint(0, 50, n).astype(int)
+        if len(set(x.tolist())) < 2:
+            continue
+        y = (3 * x + rng.randint(-9, 9, n)).astype(int)
+        A = np.vstack([np.ones(n), x]).T
+        res = np.linalg.lstsq(A, y.astype(float), rcond=None)
+        fit = A @ res[0]
+        ssr_ref = float(((y - fit) ** 2).sum())
+        got = ols_ssr(n, int(x.sum()), int(y.sum()),
+                      int((x * x).sum()), int((x * y).sum()),
+                      int((y * y).sum()))
+        assert abs(got - ssr_ref) < 1e-6 * max(1.0, ssr_ref)
+
+
+def _white_naive(xs, ys):
+    """Aux regression via numpy lstsq: LM = n*R² of e² on (1,x,x²)."""
+    x = np.array(xs, float)
+    y = np.array(ys, float)
+    n = len(x)
+    A = np.vstack([np.ones(n), x]).T
+    beta = np.linalg.lstsq(A, y, rcond=None)[0]
+    e2 = (y - A @ beta) ** 2
+    B = np.vstack([np.ones(n), x, x * x]).T
+    g = np.linalg.lstsq(B, e2, rcond=None)[0]
+    ssr = float(((e2 - B @ g) ** 2).sum())
+    sst = float(((e2 - e2.mean()) ** 2).sum())
+    r2 = 1 - ssr / sst
+    return n * r2, r2
+
+
+def test_white_lm_matches_lstsq():
+    rng = np.random.RandomState(13)
+    for _ in range(10):
+        n = int(rng.randint(20, 60))
+        xs = list(range(n))
+        # heteroskedastic data: noise grows with x
+        ys = [int(100 + 5 * i + rng.randint(-3 - i, 4 + i))
+              for i in xs]
+        lm, r2, p = white_lm(xs, ys)
+        elm, er2 = _white_naive(xs, ys)
+        assert abs(lm - elm) < 1e-6
+        assert abs(r2 - er2) < 1e-9
+        assert abs(p - np.exp(-lm / 2)) < 1e-12
+
+
+def test_white_detects_planted_heteroskedasticity():
+    rng = np.random.RandomState(21)
+    n = 200
+    xs = list(range(n))
+    homo = [int(1000 + 3 * i + rng.randint(-50, 51)) for i in xs]
+    hetero = [int(1000 + 3 * i
+                  + rng.randint(-1 - i, 2 + i)) for i in xs]
+    lm_h, _, p_h = white_lm(xs, homo)
+    lm_x, _, p_x = white_lm(xs, hetero)
+    assert lm_x > lm_h and p_x < 0.01
+
+
+def test_dickey_fuller_stationary_vs_walk():
+    rng = np.random.RandomState(17)
+    # strongly mean-reverting AR(1): gamma near -0.8, t very negative
+    y = [0.0]
+    for _ in range(300):
+        y.append(0.2 * y[-1] + rng.randint(-10, 11))
+    yi = [int(round(v)) for v in y]
+    u = yi[:-1]
+    v = [b - a for a, b in zip(yi[:-1], yi[1:])]
+    gamma, t = dickey_fuller(u, v)
+    assert gamma < -0.5 and t < -8
+    # pure random walk: gamma near 0, |t| small
+    w = np.cumsum(rng.randint(-10, 11, 300)).tolist()
+    u2 = w[:-1]
+    v2 = [b - a for a, b in zip(w[:-1], w[1:])]
+    g2, t2 = dickey_fuller(u2, v2)
+    assert abs(g2) < 0.2 and t2 > -4
