@@ -1530,3 +1530,287 @@ FROM g
 
 QUERIES["dickey_fuller_daily"] = (q_dickey_fuller_daily,
                                   SQL_DICKEY_FULLER_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# laplace_trend_purchases — point-process trend + Crow-AMSAA growth
+# ---------------------------------------------------------------------------
+
+
+def laplace_trend(n: int, sum_t: int, big_t: int) -> float:
+    """Laplace centroid test for trend in a time-truncated point
+    process on [0, T]: z = (Σt/n − T/2)·√(12n)/T.  Positive z = the
+    events crowd LATE (intensifying process)."""
+    return ((sum_t / n) - big_t / 2.0) * math.sqrt(12.0 * n) / big_t
+
+
+def crow_amsaa_beta(n_pos: int, sum_ln: float) -> float:
+    """Crow-AMSAA (power-law NHPP) shape MLE for a time-truncated
+    window: β̂ = n / Σ ln(T/tᵢ).  β > 1 = intensifying, < 1 =
+    reliability growth; β = 1 = HPP.  The same Σ ln(T/tᵢ) doubles as
+    the MIL-HDBK-189 statistic 2Σln(T/tᵢ) ~ χ²(2n) under HPP."""
+    return n_pos / sum_ln
+
+
+def q_laplace_trend_purchases(sf_dir: str):
+    """Trend tests on the purchase arrival process: the Laplace
+    centroid z (are purchases accelerating across the observation
+    window?), the MIL-HDBK-189 chi-square, and the Crow-AMSAA
+    power-law shape β̂ — the reliability-growth trio, here reading a
+    demand process.  Window = [min, max] event timestamp over ALL
+    events (deterministic time-truncated design); one bounded partial
+    pass collects n, Σt exactly (integer µs) and Σ ln(T/t) as a
+    float sum (order-insensitive at round-6)."""
+    ds_all = _read(sf_dir, "events", columns=["ts"])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        tsv = t.column("ts").cast(pa.int64())
+        if len(tsv) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({
+            "mn": pa.array([pc.min(tsv).as_py()], pa.int64()),
+            "mx": pa.array([pc.max(tsv).as_py()], pa.int64())})
+
+    mm = _partial_final(ds_all, minmax_partial, [],
+                        [("mn", "min"), ("mx", "max")])
+    t0 = int(mm.column("mn")[0].as_py())
+    big_t = int(mm.column("mx")[0].as_py()) - t0
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        tv = np.asarray(t.column("ts").cast(pa.int64()),
+                        dtype=np.int64) - t0
+        pos = tv[tv > 0]
+        sum_ln = float(np.log(big_t / pos.astype(np.float64)).sum()) \
+            if len(pos) else 0.0
+        return pa.table({
+            "n": pa.array([len(tv)], pa.int64()),
+            "n_pos": pa.array([len(pos)], pa.int64()),
+            "sum_t": pa.array([int(tv.sum())], pa.int64()),
+            "sum_ln": pa.array([sum_ln], pa.float64())})
+
+    m = _partial_final(ds, partial, [],
+                       [("n", "sum"), ("n_pos", "sum"),
+                        ("sum_t", "sum"), ("sum_ln", "sum")])
+    n = int(m.column("n")[0].as_py())
+    n_pos = int(m.column("n_pos")[0].as_py())
+    sum_t = int(m.column("sum_t")[0].as_py())
+    sum_ln = float(m.column("sum_ln")[0].as_py())
+    z = laplace_trend(n, sum_t, big_t)
+    p = 2.0 * (1.0 - phi_as(abs(z)))
+    beta = crow_amsaa_beta(n_pos, sum_ln)
+    return pa.table({
+        "n_purchases": pa.array([n], pa.int64()),
+        "laplace_z": pa.array([round(z, 6)], pa.float64()),
+        "p_two_sided": pa.array([round(p, 6)], pa.float64()),
+        "mil_chi2": pa.array([round(2.0 * sum_ln, 4)], pa.float64()),
+        "amsaa_beta": pa.array([round(beta, 6)], pa.float64()),
+    })
+
+
+SQL_LAPLACE_TREND_PURCHASES = """
+WITH w AS (
+  SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS t0,
+         max(CAST(epoch_us(ts) AS BIGINT))
+           - min(CAST(epoch_us(ts) AS BIGINT)) AS big_t
+  FROM events),
+p AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) - w.t0 AS t, w.big_t
+  FROM events, w WHERE event_type = 'purchase'),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE t > 0) AS BIGINT) AS n_pos,
+         CAST(sum(t) AS BIGINT) AS sum_t,
+         sum(CASE WHEN t > 0
+                  THEN ln(CAST(big_t AS DOUBLE) / t)
+                  ELSE 0.0 END) AS sum_ln,
+         max(big_t) AS big_t
+  FROM p),
+z AS (
+  SELECT n, n_pos, sum_t, sum_ln, big_t,
+         (CAST(sum_t AS DOUBLE) / n - big_t / 2.0)
+           * sqrt(12.0 * n) / big_t AS z
+  FROM s)
+SELECT n AS n_purchases,
+       round(z.z, 6) AS laplace_z,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_two_sided,
+       round(2.0 * sum_ln, 4) AS mil_chi2,
+       round(n_pos / sum_ln, 6) AS amsaa_beta
+FROM z,
+     LATERAL (SELECT abs(z.z) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["laplace_trend_purchases"] = (q_laplace_trend_purchases,
+                                      SQL_LAPLACE_TREND_PURCHASES)
+
+
+# ---------------------------------------------------------------------------
+# ulcer_martin_daily — drawdown pain index
+# ---------------------------------------------------------------------------
+
+
+def ulcer_index(y) -> tuple:
+    """(ui, max_dd_pct, mean) from a series in running-max drawdown
+    terms: ddₜ = 100·(maxₛ≤ₜ y − yₜ)/maxₛ≤ₜ y; UI = √(Σdd²/n) — the
+    quadratic-mean drawdown ('pain index'), Martin's denominator."""
+    m = None
+    sdd2 = 0.0
+    mx = 0.0
+    tot = 0
+    for v in y:
+        m = v if m is None or v > m else m
+        dd = 100.0 * (m - v) / m if m > 0 else 0.0
+        sdd2 += dd * dd
+        mx = dd if dd > mx else mx
+        tot += v
+    n = len(y)
+    return math.sqrt(sdd2 / n), mx, tot / n
+
+
+def q_ulcer_martin_daily(sf_dir: str):
+    """Ulcer index of daily revenue — quadratic-mean percentage
+    drawdown from the running maximum (Peter Martin's 'pain index':
+    unlike max_drawdown_daily it weights DURATION of slumps, not just
+    the single worst one) — plus the max drawdown %% and the Martin
+    (mean / UI) reward-to-pain ratio.  Running max over the bounded
+    day series; exact integer running max, float dd per day with the
+    identical expression both engines."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    ui, mx, mean = ulcer_index(cv.tolist())
+    martin = mean / ui if ui > 0 else None
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "ulcer_index": pa.array([round(ui, 6)], pa.float64()),
+        "max_dd_pct": pa.array([round(mx, 6)], pa.float64()),
+        "martin_ratio": pa.array(
+            [round(martin, 6) if martin is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_ULCER_MARTIN_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT day, cents,
+         max(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS runmax
+  FROM d),
+dd AS (
+  SELECT CASE WHEN runmax > 0
+              THEN 100.0 * (runmax - cents) / runmax
+              ELSE 0.0 END AS dd,
+         cents
+  FROM r),
+s AS (
+  SELECT count(*) AS n, sum(dd * dd) AS sdd2, max(dd) AS mx,
+         sum(cents) AS tot
+  FROM dd)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(sqrt(sdd2 / n), 6) AS ulcer_index,
+       round(mx, 6) AS max_dd_pct,
+       round((CAST(tot AS DOUBLE) / n) / sqrt(sdd2 / n), 6)
+         AS martin_ratio
+FROM s
+"""
+
+QUERIES["ulcer_martin_daily"] = (q_ulcer_martin_daily,
+                                 SQL_ULCER_MARTIN_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# spectral_entropy_daily — periodogram flatness
+# ---------------------------------------------------------------------------
+
+_SPEC_K = 8
+
+
+def spectral_entropy(y, kmax: int = _SPEC_K) -> tuple:
+    """Normalized spectral entropy over the first kmax Fourier bins
+    of a series indexed 0..n−1 (Goertzel-style direct sums): returns
+    (h_norm, peak_k).  H = −Σ pₖ ln pₖ over pₖ = Pₖ/ΣP, normalized by
+    ln(kmax): 1 = flat (white) spectrum, 0 = single pure tone.
+    peak_k ties break to the smallest k."""
+    n = len(y)
+    two_pi = 2.0 * math.pi
+    powers = []
+    for k in range(1, kmax + 1):
+        a = b = 0.0
+        for i, v in enumerate(y):
+            ang = two_pi * k * i / n
+            a += v * math.cos(ang)
+            b += v * math.sin(ang)
+        powers.append(a * a + b * b)
+    tot = sum(powers)
+    if tot <= 0:
+        return None, None
+    h = 0.0
+    for p in powers:
+        q = p / tot
+        if q > 0:
+            h -= q * math.log(q)
+    peak = max(range(kmax), key=lambda i: (powers[i], -i)) + 1
+    return h / math.log(kmax), peak
+
+
+def q_spectral_entropy_daily(sf_dir: str):
+    """Normalized spectral entropy of daily revenue over the first 8
+    Fourier bins — the one-number periodicity summary: near 1 the
+    spectrum is flat (noise-like revenue), near 0 one cycle dominates
+    (peak_k names it).  Complements periodogram_periods (which ranks
+    periods) with a flatness measure; integer day-index phases and
+    identical trig expression trees both engines."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    h, peak = spectral_entropy(cv.tolist())
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "spec_entropy": pa.array(
+            [round(h, 6) if h is not None else None], pa.float64()),
+        "peak_k": pa.array([peak], pa.int64()),
+    })
+
+
+SQL_SPECTRAL_ENTROPY_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i,
+         CAST(cents AS DOUBLE) AS y,
+         count(*) OVER () AS n
+  FROM d),
+ks AS (SELECT unnest(generate_series(1, {_SPEC_K})) AS k),
+g AS (
+  SELECT ks.k,
+         sum(y * cos(2 * pi() * ks.k * i / n)) AS a,
+         sum(y * sin(2 * pi() * ks.k * i / n)) AS b,
+         max(n) AS n
+  FROM idx, ks GROUP BY ks.k),
+p AS (SELECT k, a * a + b * b AS pw, n FROM g),
+tot AS (SELECT sum(pw) AS tp FROM p),
+h AS (
+  SELECT sum(CASE WHEN pw / tot.tp > 0
+                  THEN -(pw / tot.tp) * ln(pw / tot.tp)
+                  ELSE 0.0 END) AS hh,
+         max(n) AS n
+  FROM p, tot GROUP BY tot.tp)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(hh / ln({_SPEC_K}.0), 6) AS spec_entropy,
+       CAST((SELECT k FROM p ORDER BY pw DESC, k LIMIT 1) AS BIGINT)
+         AS peak_k
+FROM h
+"""
+
+QUERIES["spectral_entropy_daily"] = (q_spectral_entropy_daily,
+                                     SQL_SPECTRAL_ENTROPY_DAILY)

@@ -483,3 +483,73 @@ def test_dickey_fuller_stationary_vs_walk():
     v2 = [b - a for a, b in zip(w[:-1], w[1:])]
     g2, t2 = dickey_fuller(u2, v2)
     assert abs(g2) < 0.2 and t2 > -4
+
+
+# ---------------------------------------------------------------------------
+# Laplace trend / Crow-AMSAA / Ulcer / spectral entropy
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    crow_amsaa_beta, laplace_trend, spectral_entropy, ulcer_index)
+
+
+def test_laplace_trend_uniform_is_zero():
+    # perfectly uniform arrivals: centroid = T/2 exactly -> z = 0
+    big_t = 1000
+    ts = [100, 300, 500, 700, 900]
+    z = laplace_trend(len(ts), sum(ts), big_t)
+    assert abs(z) < 1e-12
+    # late-crowded arrivals -> z > 0; early-crowded -> z < 0
+    late = [800, 850, 900, 950, 990]
+    early = [10, 50, 100, 150, 200]
+    assert laplace_trend(5, sum(late), big_t) > 3
+    assert laplace_trend(5, sum(early), big_t) < -3
+
+
+def test_crow_amsaa_beta_recovers_power_law():
+    # event times tᵢ = T·(i/n)^(1/β) are the exact quantiles of a
+    # power-law NHPP: the MLE recovers β as n grows
+    big_t = 1.0
+    for beta_true in (0.5, 1.0, 2.0):
+        n = 5000
+        ts = [big_t * ((i + 0.5) / n) ** (1.0 / beta_true)
+              for i in range(n)]
+        sum_ln = sum(np.log(big_t / t) for t in ts)
+        beta_hat = crow_amsaa_beta(n, sum_ln)
+        assert abs(beta_hat - beta_true) < 0.05 * beta_true
+
+
+def test_ulcer_index_cases():
+    # monotone increasing: never below running max -> UI = 0
+    ui, mx, mean = ulcer_index([1, 2, 3, 4, 5])
+    assert ui == 0.0 and mx == 0.0 and mean == 3.0
+    # one 50% dip for one of four days: dd = [0,50,0,0]
+    ui2, mx2, _ = ulcer_index([100, 50, 100, 120])
+    assert abs(mx2 - 50.0) < 1e-12
+    assert abs(ui2 - np.sqrt(2500.0 / 4)) < 1e-12
+
+
+def test_spectral_entropy_tone_vs_flat():
+    n = 64
+    # pure tone at k=2: entropy ~ 0, peak_k = 2
+    tone = [int(1000 + 500 * np.cos(2 * np.pi * 2 * i / n))
+            for i in range(n)]
+    h, peak = spectral_entropy(tone)
+    assert peak == 2 and h < 0.05
+    # white-ish noise: entropy far from 0
+    rng = np.random.RandomState(12)
+    noise = rng.randint(0, 1000, n).tolist()
+    h2, _ = spectral_entropy(noise)
+    assert h2 > 0.6
+
+
+def test_spectral_entropy_matches_fft():
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 100, 50).tolist()
+    h, peak = spectral_entropy(y)
+    f = np.fft.fft(np.array(y, float))
+    p = (np.abs(f[1:9]) ** 2)
+    q = p / p.sum()
+    h_ref = float(-(q * np.log(q)).sum() / np.log(8))
+    assert abs(h - h_ref) < 1e-9
+    assert peak == int(np.argmax(p)) + 1
