@@ -1814,3 +1814,288 @@ FROM h
 
 QUERIES["spectral_entropy_daily"] = (q_spectral_entropy_daily,
                                      SQL_SPECTRAL_ENTROPY_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# hoover_palma_daily — Hoover index + Palma ratio
+# ---------------------------------------------------------------------------
+
+
+def hoover_index(vals) -> tuple:
+    """Hoover (Robin Hood) index from integers: (num, den) with
+    H = Σ|n·yᵢ − Y| / (2·n·Y) — the share of total that would have to
+    move to equalize; exact integers until one divide."""
+    n = len(vals)
+    tot = sum(vals)
+    num = sum(abs(n * v - tot) for v in vals)
+    return num, 2 * n * tot
+
+
+def palma_ratio(vals_sorted, n10: int, n40: int) -> tuple:
+    """(top_sum, bottom_sum) over an ascending-sorted integer list:
+    top 10%% share vs bottom 40%% share — Palma's inequality ratio."""
+    top = sum(vals_sorted[-n10:]) if n10 else 0
+    bot = sum(vals_sorted[:n40]) if n40 else 0
+    return top, bot
+
+
+def q_hoover_palma_daily(sf_dir: str):
+    """Hoover index and Palma ratio of daily revenue — the two
+    inequality summaries the registry's Gini/Atkinson/Theil rows
+    don't cover: Hoover is the mass that must move to equalize
+    (robust, L1), Palma is the top-10%%/bottom-40%% share ratio the
+    development literature prefers to the Gini's middle-sensitivity.
+    Day ties break by day id so both engines rank identically; all
+    sums exact integers."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    n = len(day)
+    h_num, h_den = hoover_index(cv.tolist())
+    order = np.lexsort((day, cv))
+    vs = cv[order].tolist()
+    n10, n40 = n // 10, (4 * n) // 10
+    top, bot = palma_ratio(vs, n10, n40)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "hoover": pa.array([round(h_num / h_den, 6)], pa.float64()),
+        "top10_cents": pa.array([top], pa.int64()),
+        "bottom40_cents": pa.array([bot], pa.int64()),
+        "palma": pa.array([round(top / bot, 6) if bot else None],
+                          pa.float64()),
+    })
+
+
+SQL_HOOVER_PALMA_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT count(*) AS n, CAST(sum(cents) AS HUGEINT) AS tot FROM d),
+h AS (
+  SELECT CAST(sum(abs(CAST(s.n AS HUGEINT) * cents - s.tot))
+              AS HUGEINT) AS num,
+         max(2 * CAST(s.n AS HUGEINT) * s.tot) AS den,
+         max(s.n) AS n
+  FROM d, s),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, day) AS rn,
+         count(*) OVER () AS n
+  FROM d),
+p AS (
+  SELECT CAST(sum(CASE WHEN rn > n - n // 10 THEN cents
+                       ELSE 0 END) AS BIGINT) AS top,
+         CAST(sum(CASE WHEN rn <= (4 * n) // 10 THEN cents
+                       ELSE 0 END) AS BIGINT) AS bot
+  FROM r)
+SELECT CAST(h.n AS BIGINT) AS n_days,
+       round(CAST(h.num AS DOUBLE) / CAST(h.den AS DOUBLE), 6)
+         AS hoover,
+       p.top AS top10_cents,
+       p.bot AS bottom40_cents,
+       round(CAST(p.top AS DOUBLE) / p.bot, 6) AS palma
+FROM h, p
+"""
+
+QUERIES["hoover_palma_daily"] = (q_hoover_palma_daily,
+                                 SQL_HOOVER_PALMA_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# getis_ord_hotspots — local G* hotspot cells on the dow×hour lattice
+# ---------------------------------------------------------------------------
+
+
+def getis_ord_gstar(grid) -> list:
+    """Gᵢ* for every cell of a 7×24 integer lattice under rook
+    adjacency + self (Ord & Getis 1995): (Σ_j∈N xⱼ − x̄Wᵢ) /
+    (S·√((nWᵢ−Wᵢ²)/(n−1))).  Returns [(dow, hod, gstar)] for all 168
+    cells; neighbor sums are exact integers, the studentization uses
+    one shared expression tree."""
+    g = np.asarray(grid, dtype=np.int64)
+    n = g.size
+    tot = int(g.sum())
+    tot2 = int((g.astype(object) ** 2).sum())
+    xbar = tot / n
+    s = math.sqrt(tot2 / n - xbar * xbar)
+    out = []
+    for i in range(7):
+        for j in range(24):
+            acc = int(g[i, j])
+            w = 1
+            if i > 0:
+                acc += int(g[i - 1, j])
+                w += 1
+            if i < 6:
+                acc += int(g[i + 1, j])
+                w += 1
+            if j > 0:
+                acc += int(g[i, j - 1])
+                w += 1
+            if j < 23:
+                acc += int(g[i, j + 1])
+                w += 1
+            den = s * math.sqrt((n * w - w * w) / (n - 1.0))
+            out.append((i + 1, j, (acc - xbar * w) / den))
+    return out
+
+
+def q_getis_ord_hotspots(sf_dir: str):
+    """Getis-Ord Gᵢ* hotspot detection on the 7×24 (isodow, hour)
+    event-volume lattice: the LOCAL companion of morans_i_hour_dow —
+    Moran says 'volume clusters somewhere', G* names the cells.  Top
+    5 hot cells by the studentized local sum (rook neighbors + self,
+    no wrap, mirroring the Moran lattice); one 168-cell bounded
+    reduce."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(t.column("ts"),
+                                     count_from_zero=False,
+                                     week_start=1), pa.int64())
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        g = pa.table({"dow": dow, "hod": hod}) \
+            .group_by(["dow", "hod"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dow", "hod", "cnt"])
+
+    m = _partial_final(ds, partial, ["dow", "hod"], [("cnt", "sum")])
+    grid = np.zeros((7, 24), dtype=np.int64)
+    for d_, h_, c_ in zip(np.asarray(m.column("dow"), dtype=np.int64),
+                          np.asarray(m.column("hod"), dtype=np.int64),
+                          np.asarray(m.column("cnt"), dtype=np.int64)):
+        grid[d_ - 1, h_] = c_
+    cells = getis_ord_gstar(grid)
+    cells.sort(key=lambda r: (-r[2], r[0], r[1]))
+    top = cells[:5]
+    return pa.table({
+        "dow": pa.array([r[0] for r in top], pa.int64()),
+        "hod": pa.array([r[1] for r in top], pa.int64()),
+        "gstar": pa.array([round(r[2], 6) for r in top],
+                          pa.float64()),
+    })
+
+
+SQL_GETIS_ORD_HOTSPOTS = """
+WITH c AS (
+  SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT d.dow, h.hod, coalesce(c.cnt, 0) AS x
+  FROM (SELECT unnest(generate_series(1, 7)) AS dow) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h
+  LEFT JOIN c USING (dow, hod)),
+mu AS (SELECT CAST(sum(x) AS DOUBLE) / 168 AS xbar,
+              sqrt(CAST(sum(x * x) AS DOUBLE) / 168
+                   - (CAST(sum(x) AS DOUBLE) / 168)
+                     * (CAST(sum(x) AS DOUBLE) / 168)) AS s
+       FROM grid),
+nb AS (
+  SELECT g.dow, g.hod,
+         CAST(sum(n.x) AS BIGINT) AS acc,
+         CAST(count(*) AS BIGINT) AS w
+  FROM grid g
+  JOIN grid n
+    ON (n.dow = g.dow AND n.hod = g.hod)
+    OR (n.dow = g.dow AND abs(n.hod - g.hod) = 1)
+    OR (n.hod = g.hod AND abs(n.dow - g.dow) = 1)
+  GROUP BY 1, 2),
+gs AS (
+  SELECT dow, hod,
+         (acc - mu.xbar * w)
+         / (mu.s * sqrt((168.0 * w - w * w) / 167.0)) AS gstar
+  FROM nb, mu)
+SELECT CAST(dow AS BIGINT) AS dow, hod,
+       round(gstar, 6) AS gstar
+FROM gs ORDER BY gstar DESC, dow, hod LIMIT 5
+"""
+
+QUERIES["getis_ord_hotspots"] = (q_getis_ord_hotspots,
+                                 SQL_GETIS_ORD_HOTSPOTS)
+
+
+# ---------------------------------------------------------------------------
+# ripley_k_minutes — circular Ripley's K of purchase times-of-day
+# ---------------------------------------------------------------------------
+
+_RIPLEY_RADII = (5, 15, 60)
+_MIN_DAY = 1440
+
+
+def ripley_pairs_circular(hist, r: int) -> int:
+    """Ordered pairs (i≠j) of events whose minute-of-day circular
+    distance is ≤ r, from the 1440-bin histogram: Σₘ cₘ·(window sum
+    of width 2r+1 around m) − n.  Exact integers; the circular window
+    via wrapped cumulative sums."""
+    h = np.asarray(hist, dtype=np.int64)
+    n = int(h.sum())
+    ext = np.concatenate([h, h, h])     # wrap padding
+    win = np.convolve(ext, np.ones(2 * r + 1, dtype=np.int64),
+                      mode="same")[_MIN_DAY:2 * _MIN_DAY]
+    return int((h * win).sum()) - n
+
+
+def q_ripley_k_minutes(sf_dir: str):
+    """Ripley's K of purchase times on the 1440-minute daily circle:
+    K̂(r) = 1440·pairs≤r / (n(n−1)) vs the CSR expectation 2r+1 —
+    'do purchases clump within the day beyond their hourly profile?'
+    at three scales (±5, ±15, ±60 minutes).  The circular
+    pair counts close EXACTLY from the bounded minute histogram (no
+    n² pair enumeration); rayleigh_time_of_day tests direction, this
+    tests clustering at chosen ranges."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        minute = (tsv // 60_000_000) % _MIN_DAY
+        mv, cn = np.unique(minute, return_counts=True)
+        return pa.table({"m": pa.array(mv, pa.int64()),
+                         "c": pa.array(cn, pa.int64())})
+
+    m = _partial_final(ds, partial, ["m"], [("c", "sum")])
+    hist = np.zeros(_MIN_DAY, dtype=np.int64)
+    for mm_, cc_ in zip(np.asarray(m.column("m"), dtype=np.int64),
+                        np.asarray(m.column("c"), dtype=np.int64)):
+        hist[mm_] = cc_
+    n = int(hist.sum())
+    rows = []
+    for r in _RIPLEY_RADII:
+        pairs = ripley_pairs_circular(hist, r)
+        k = _MIN_DAY * pairs / (n * (n - 1.0))
+        rows.append((r, pairs, round(k, 6),
+                     round(k / (2 * r + 1), 6)))
+    return pa.table({
+        "radius_min": pa.array([r[0] for r in rows], pa.int64()),
+        "pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "k_hat": pa.array([r[2] for r in rows], pa.float64()),
+        "csr_ratio": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_RIPLEY_K_MINUTES = """
+WITH h AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 60000000) % 1440 AS m,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+rads AS (SELECT unnest([5, 15, 60]) AS r),
+pairs AS (
+  SELECT rads.r,
+         CAST(sum(a.c * b.c) AS BIGINT) - max(n.n) AS pairs
+  FROM h a
+  JOIN rads ON true
+  JOIN h b
+    ON least((a.m - b.m + 1440) % 1440,
+             (b.m - a.m + 1440) % 1440) <= rads.r
+  CROSS JOIN n
+  GROUP BY rads.r)
+SELECT CAST(p.r AS BIGINT) AS radius_min, p.pairs,
+       round(1440.0 * p.pairs / (n.n * (n.n - 1.0)), 6) AS k_hat,
+       round(1440.0 * p.pairs / (n.n * (n.n - 1.0))
+             / (2 * p.r + 1), 6) AS csr_ratio
+FROM pairs p, n ORDER BY 1
+"""
+
+QUERIES["ripley_k_minutes"] = (q_ripley_k_minutes,
+                               SQL_RIPLEY_K_MINUTES)

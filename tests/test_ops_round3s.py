@@ -553,3 +553,85 @@ def test_spectral_entropy_matches_fft():
     h_ref = float(-(q * np.log(q)).sum() / np.log(8))
     assert abs(h - h_ref) < 1e-9
     assert peak == int(np.argmax(p)) + 1
+
+
+# ---------------------------------------------------------------------------
+# Hoover/Palma, Getis-Ord G*, Ripley's K
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    getis_ord_gstar, hoover_index, palma_ratio, ripley_pairs_circular)
+
+
+def test_hoover_equal_zero_and_extreme():
+    num, den = hoover_index([5, 5, 5, 5])
+    assert num == 0
+    # one person has everything: H = (n-1)/n
+    num, den = hoover_index([0, 0, 0, 12])
+    assert num / den == 3 / 4
+
+
+def test_hoover_matches_naive():
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        v = rng.randint(0, 100, rng.randint(3, 30)).tolist()
+        if sum(v) == 0:
+            continue
+        num, den = hoover_index(v)
+        tot = sum(v)
+        naive = 0.5 * sum(abs(x / tot - 1 / len(v)) for x in v)
+        assert abs(num / den - naive) < 1e-12
+
+
+def test_palma_shares():
+    vals = sorted(range(1, 21))   # 1..20, n=20 -> n10=2, n40=8
+    top, bot = palma_ratio(vals, 2, 8)
+    assert top == 19 + 20 and bot == sum(range(1, 9))
+
+
+def test_gstar_flat_grid_zero_and_spike():
+    flat = np.full((7, 24), 10, dtype=np.int64)
+    spike = flat.copy()
+    spike[3, 12] = 500
+    cells = getis_ord_gstar(spike)
+    # the spike and its four rook neighbors all contain the spike
+    # exactly once with W=5 -> they TIE for the top G*
+    ranked = sorted(cells, key=lambda r: -r[2])[:5]
+    coords = {(r[0], r[1]) for r in ranked}
+    assert coords == {(4, 12), (4, 11), (4, 13), (3, 12), (5, 12)}
+    assert ranked[0][2] > 5.0
+    assert abs(ranked[0][2] - ranked[4][2]) < 1e-9
+
+
+def test_gstar_mean_is_near_zero():
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 100, (7, 24)).astype(np.int64)
+    cells = getis_ord_gstar(g)
+    zs = [r[2] for r in cells]
+    assert abs(np.mean(zs)) < 0.15
+
+
+def test_ripley_pairs_bruteforce():
+    rng = np.random.RandomState(5)
+    minutes = rng.randint(0, 1440, 60)
+    hist = np.zeros(1440, dtype=np.int64)
+    for m in minutes:
+        hist[m] += 1
+    for r in (0, 5, 60, 700):
+        brute = 0
+        for i in range(60):
+            for j in range(60):
+                if i == j:
+                    continue
+                d = abs(int(minutes[i]) - int(minutes[j]))
+                if min(d, 1440 - d) <= r:
+                    brute += 1
+        assert ripley_pairs_circular(hist, r) == brute
+
+
+def test_ripley_all_pairs_at_max_radius():
+    hist = np.zeros(1440, dtype=np.int64)
+    hist[3] = 4
+    hist[1000] = 6
+    n = 10
+    assert ripley_pairs_circular(hist, 719) == n * (n - 1)
