@@ -2099,3 +2099,350 @@ FROM pairs p, n ORDER BY 1
 
 QUERIES["ripley_k_minutes"] = (q_ripley_k_minutes,
                                SQL_RIPLEY_K_MINUTES)
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords — PageRank over the token co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TR_VOCAB = 50
+_TR_ITERS = 3
+_TR_D = 0.85
+
+
+def q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction: PageRank over the co-occurrence
+    graph of the corpus's top-50 tokens (edges = adjacent-token pairs
+    within a document, symmetrized; weight = adjacency count) — the
+    graph-centrality alternative to rake_keywords/doc_tfidf_keywords:
+    a token ranks high when its NEIGHBORS rank high, not merely when
+    it is frequent.  Two bounded passes (vocab counts, then
+    vocab²-bounded pair counts); 3 damped iterations at 0.85 on the
+    bounded graph driver-side, term-for-term mirrored by the oracle's
+    unrolled CTE chain (domain_pagerank discipline).  Top-10 by
+    (rank, token)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"token": flat.filter(keep)}) \
+            .group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "cnt"])
+
+    vc = _partial_final(ds, vocab_partial, ["token"], [("cnt", "sum")])
+    toks = vc.column("token").to_pylist()
+    cnts = np.asarray(vc.column("cnt"), dtype=np.int64).tolist()
+    ranked = sorted(zip(toks, cnts), key=lambda r: (-r[1], r[0]))
+    vocab = sorted(t for t, _ in ranked[:_TR_VOCAB])
+    vset = set(vocab)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for txt in t.column("text").to_pylist():
+            seq = txt.split()
+            for x, y in zip(seq, seq[1:]):
+                if x in vset and y in vset:
+                    a_out.append(x)
+                    b_out.append(y)
+        g = pa.table({"a": pa.array(a_out, pa.string()),
+                      "b": pa.array(b_out, pa.string())}) \
+            .group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "w"])
+
+    pe = _partial_final(ds, pair_partial, ["a", "b"], [("w", "sum")])
+    # symmetrize: undirected co-occurrence
+    wmap = {}
+    for a, b, w in zip(pe.column("a").to_pylist(),
+                       pe.column("b").to_pylist(),
+                       np.asarray(pe.column("w"), dtype=np.int64)):
+        wmap[(a, b)] = wmap.get((a, b), 0) + int(w)
+        wmap[(b, a)] = wmap.get((b, a), 0) + int(w)
+    nodes = vocab
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for (a, b), w in wmap.items():
+        outdeg[idx[a]] += w
+    pr = np.full(n, 1.0 / n)
+    for _ in range(_TR_ITERS):
+        contrib = np.zeros(n)
+        for (a, b), w in wmap.items():
+            if outdeg[idx[a]] > 0:
+                contrib[idx[b]] += w * pr[idx[a]] / outdeg[idx[a]]
+        pr = (1 - _TR_D) / n + _TR_D * contrib
+    rows = sorted(zip(nodes, pr), key=lambda r: (-r[1], r[0]))[:10]
+    return pa.table({
+        "token": pa.array([r[0] for r in rows], pa.string()),
+        "textrank": pa.array([round(r[1], 6) for r in rows],
+                             pa.float64()),
+    })
+
+
+def _textrank_sql() -> str:
+    it = f"""
+nodes AS (SELECT tok FROM vocab),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+od AS (SELECT a, sum(w)::DOUBLE AS outdeg FROM sym GROUP BY a),
+pr0 AS (SELECT tok, (SELECT 1.0 / n FROM nn) AS pr FROM nodes)"""
+    for k in range(1, _TR_ITERS + 1):
+        it += f""",
+pr{k} AS (SELECT nodes.tok,
+               (SELECT (1 - {_TR_D}) / n FROM nn)
+               + {_TR_D} * coalesce(
+                   (SELECT sum(sym.w * p.pr / od.outdeg) FROM sym
+                    JOIN pr{k - 1} p ON p.tok = sym.a
+                    JOIN od ON od.a = sym.a
+                    WHERE sym.b = nodes.tok), 0) AS pr
+        FROM nodes)"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+           generate_subscripts(
+             regexp_split_to_array(text, '\\s+'), 1) AS i
+    FROM documents)),
+counts AS (
+  SELECT tok, count(*) AS cnt FROM toks
+  WHERE tok <> '' GROUP BY 1),
+vocab AS (
+  SELECT tok FROM counts
+  ORDER BY cnt DESC, tok LIMIT {_TR_VOCAB}),
+pairs AS (
+  SELECT x.tok AS a, y.tok AS b, count(*) AS w
+  FROM toks x JOIN toks y
+    ON x.doc_id = y.doc_id AND y.i = x.i + 1
+  WHERE x.tok IN (SELECT tok FROM vocab)
+    AND y.tok IN (SELECT tok FROM vocab)
+  GROUP BY 1, 2),
+sym AS (
+  SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT a, b, w FROM pairs
+    UNION ALL
+    SELECT b AS a, a AS b, w FROM pairs)
+  GROUP BY 1, 2),
+{it}
+SELECT tok AS token, round(pr, 6) AS textrank
+FROM pr{_TR_ITERS} ORDER BY pr DESC, tok LIMIT 10
+"""
+
+
+QUERIES["textrank_keywords"] = (q_textrank_keywords, _textrank_sql())
+
+
+# ---------------------------------------------------------------------------
+# craig_zeta_sources — authorship-style marker words src0 vs src1
+# ---------------------------------------------------------------------------
+
+_ZETA_MIN_DF = 5
+
+
+def craig_zeta(df_a: dict, df_b: dict, na: int, nb: int,
+               min_df: int = _ZETA_MIN_DF) -> list:
+    """Craig's Zeta from per-corpus document frequencies: ζ(w) =
+    df_a/nₐ + (1 − df_b/n_b) − 1, over words with combined df ≥
+    min_df.  +1 = consistently used by A and avoided by B.  Exact
+    integer form: ζ·nₐn_b = df_a·n_b − df_b·nₐ."""
+    out = []
+    for w in set(df_a) | set(df_b):
+        a = df_a.get(w, 0)
+        b = df_b.get(w, 0)
+        if a + b < min_df:
+            continue
+        num = a * nb - b * na
+        out.append((w, a, b, num / (na * nb)))
+    return out
+
+
+def q_craig_zeta_sources(sf_dir: str):
+    """Craig's Zeta marker words between src0 and src1 — the
+    stylometric preferred/avoided-word measure (Burrows/Craig): based
+    on document PRESENCE proportions, so a word one doc repeats 100×
+    cannot dominate (unlike keyness_topk_by_source's G²).  Top-5
+    markers each way from the bounded (source, token, doc-presence)
+    partials; exact integer numerators, combined df ≥ 5."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("source"),
+                       value_set=pa.array(["src0", "src1"]))
+        t = t.filter(sel)
+        src_out, tok_out = [], []
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for w in set(txt.split()):
+                if w:
+                    src_out.append(s)
+                    tok_out.append(w)
+        g = pa.table({"source": pa.array(src_out, pa.string()),
+                      "token": pa.array(tok_out, pa.string())}) \
+            .group_by(["source", "token"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["source", "token", "df"])
+
+    m = _partial_final(ds, partial, ["source", "token"],
+                       [("df", "sum")])
+    df_a, df_b = {}, {}
+    for s, w, d in zip(m.column("source").to_pylist(),
+                       m.column("token").to_pylist(),
+                       np.asarray(m.column("df"), dtype=np.int64)):
+        (df_a if s == "src0" else df_b)[w] = int(d)
+
+    def ndocs_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    nd = _partial_final(ds, ndocs_partial, ["source"], [("n", "sum")])
+    nmap = dict(zip(nd.column("source").to_pylist(),
+                    np.asarray(nd.column("n"), dtype=np.int64)))
+    na, nb = int(nmap["src0"]), int(nmap["src1"])
+    zs = craig_zeta(df_a, df_b, na, nb)
+    zs.sort(key=lambda r: (-r[3], r[0]))
+    top = [(w, a, b, z, "src0") for w, a, b, z in zs[:5]]
+    zs.sort(key=lambda r: (r[3], r[0]))
+    top += [(w, a, b, z, "src1") for w, a, b, z in zs[:5]]
+    return pa.table({
+        "marker_for": pa.array([r[4] for r in top], pa.string()),
+        "token": pa.array([r[0] for r in top], pa.string()),
+        "df_src0": pa.array([r[1] for r in top], pa.int64()),
+        "df_src1": pa.array([r[2] for r in top], pa.int64()),
+        "zeta": pa.array([round(r[3], 6) for r in top], pa.float64()),
+    })
+
+
+SQL_CRAIG_ZETA_SOURCES = f"""
+WITH pres AS (
+  SELECT DISTINCT source, doc_id, tok FROM (
+    SELECT source, doc_id,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents WHERE source IN ('src0', 'src1'))
+  WHERE tok <> ''),
+df AS (
+  SELECT tok,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT)
+           AS dfa,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT)
+           AS dfb
+  FROM pres GROUP BY 1),
+nd AS (
+  SELECT CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT)
+           AS na,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT)
+           AS nb
+  FROM documents WHERE source IN ('src0', 'src1')),
+z AS (
+  SELECT tok, dfa, dfb,
+         CAST(dfa * nd.nb - dfb * nd.na AS DOUBLE)
+           / (nd.na * nd.nb) AS zeta
+  FROM df, nd WHERE dfa + dfb >= {_ZETA_MIN_DF}),
+top_a AS (
+  SELECT 'src0' AS marker_for, tok AS token, dfa AS df_src0,
+         dfb AS df_src1, round(zeta, 6) AS zeta
+  FROM z ORDER BY z.zeta DESC, tok LIMIT 5),
+top_b AS (
+  SELECT 'src1' AS marker_for, tok AS token, dfa AS df_src0,
+         dfb AS df_src1, round(zeta, 6) AS zeta
+  FROM z ORDER BY z.zeta ASC, tok LIMIT 5)
+SELECT * FROM top_a UNION ALL SELECT * FROM top_b
+"""
+
+QUERIES["craig_zeta_sources"] = (q_craig_zeta_sources,
+                                 SQL_CRAIG_ZETA_SOURCES)
+
+
+# ---------------------------------------------------------------------------
+# hdd_lexical_diversity — HD-D (hypergeometric distribution diversity)
+# ---------------------------------------------------------------------------
+
+_HDD_S = 42
+
+
+def hdd_contrib(n_i: int, big_n: int, s: int = _HDD_S) -> float:
+    """P(type with n_i tokens appears in a random s-token sample
+    drawn without replacement from big_n tokens) = 1 − Π_{j<s}
+    (N−nᵢ−j)/(N−j) — the HD-D summand (McCarthy & Jarvis 2010), via
+    the log-product so both engines share one expression tree."""
+    if n_i > big_n - s:
+        return 1.0
+    acc = 0.0
+    for j in range(s):
+        acc += math.log((big_n - n_i - j) / (big_n - j))
+    return 1.0 - math.exp(acc)
+
+
+def q_hdd_lexical_diversity(sf_dir: str):
+    """HD-D lexical diversity per source — the hypergeometric
+    'probability a 42-token sample contains each type', the
+    length-robust diversity measure that fixes plain TTR's text-size
+    bias (and complements the registry's Yule/Honore battery, which
+    measure REPETITION not coverage).  Bounded (source, token, cnt)
+    partials; per-type closed-form log-products, Σ over types."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    m = _partial_final(ds, partial, ["source", "token"],
+                       [("cnt", "sum")])
+    src = m.column("source").to_pylist()
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64)
+    per = {}
+    for s_, c_ in zip(src, cnt):
+        a = per.setdefault(s_, [0, 0, []])
+        a[0] += int(c_)
+        a[1] += 1
+        a[2].append(int(c_))
+    rows = []
+    for s_ in sorted(per):
+        big_n, types, counts = per[s_]
+        hdd = sum(hdd_contrib(c, big_n) for c in counts)
+        rows.append((s_, big_n, types, round(hdd, 6)))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "n_types": pa.array([r[2] for r in rows], pa.int64()),
+        "hdd42": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_HDD_LEXICAL_DIVERSITY = f"""
+WITH t AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS big_n,
+             CAST(count(*) AS BIGINT) AS types
+      FROM t GROUP BY 1),
+js AS (SELECT unnest(generate_series(0, {_HDD_S - 1})) AS j),
+lp AS (
+  SELECT t.source, t.tok,
+         CASE WHEN t.cnt > n.big_n - {_HDD_S} THEN 1.0
+              ELSE 1.0 - exp(sum(
+                ln(CAST(n.big_n - t.cnt - js.j AS DOUBLE)
+                   / (n.big_n - js.j))))
+         END AS contrib
+  FROM t JOIN n USING (source), js
+  GROUP BY t.source, t.tok, t.cnt, n.big_n),
+h AS (SELECT source, sum(contrib) AS hdd FROM lp GROUP BY 1)
+SELECT n.source, n.big_n AS n_tokens, n.types AS n_types,
+       round(h.hdd, 6) AS hdd42
+FROM n JOIN h USING (source) ORDER BY 1
+"""
+
+QUERIES["hdd_lexical_diversity"] = (q_hdd_lexical_diversity,
+                                    SQL_HDD_LEXICAL_DIVERSITY)

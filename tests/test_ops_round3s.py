@@ -635,3 +635,44 @@ def test_ripley_all_pairs_at_max_radius():
     hist[1000] = 6
     n = 10
     assert ripley_pairs_circular(hist, 719) == n * (n - 1)
+
+
+# ---------------------------------------------------------------------------
+# TextRank / Craig's Zeta / HD-D
+# ---------------------------------------------------------------------------
+
+from math import comb  # noqa: E402
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    craig_zeta, hdd_contrib)
+
+
+def test_craig_zeta_extremes():
+    # word in every A doc, no B doc -> zeta = +1; the reverse -> -1
+    zs = dict((w, z) for w, a, b, z in craig_zeta(
+        {"only_a": 10, "both": 5}, {"only_b": 10, "both": 5},
+        10, 10, min_df=1))
+    assert zs["only_a"] == 1.0
+    assert zs["only_b"] == -1.0
+    assert zs["both"] == 0.0
+
+
+def test_craig_zeta_min_df_gate():
+    out = craig_zeta({"rare": 2}, {"rare": 2}, 10, 10, min_df=5)
+    assert out == []
+    out2 = craig_zeta({"rare": 3}, {"rare": 2}, 10, 10, min_df=5)
+    assert len(out2) == 1
+
+
+def test_hdd_contrib_matches_hypergeometric():
+    # exact absence probability C(N-n, s)/C(N, s)
+    for big_n, n_i in [(100, 1), (100, 5), (500, 50), (60, 17)]:
+        p_abs = comb(big_n - n_i, 42) / comb(big_n, 42)
+        assert abs(hdd_contrib(n_i, big_n) - (1 - p_abs)) < 1e-12
+
+
+def test_hdd_contrib_saturation():
+    # a type with count > N - s is in EVERY 42-token sample
+    assert hdd_contrib(60, 100) == 1.0
+    # a corpus of one repeated type: HD-D = 1 (one type, certain)
+    assert hdd_contrib(100, 100) == 1.0
