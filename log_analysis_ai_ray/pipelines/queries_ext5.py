@@ -2446,3 +2446,225 @@ FROM n JOIN h USING (source) ORDER BY 1
 
 QUERIES["hdd_lexical_diversity"] = (q_hdd_lexical_diversity,
                                     SQL_HDD_LEXICAL_DIVERSITY)
+
+
+# ---------------------------------------------------------------------------
+# domain_betweenness — hop-capped shortest-path betweenness
+# ---------------------------------------------------------------------------
+
+_BTW_MAX_HOPS = 6
+_BTW_SCALE = 1_000_000
+
+
+def bfs_dist_sigma(n: int, adj: list, src: int, max_hops: int):
+    """(dist, sigma) single-source BFS with shortest-path counts,
+    hop-capped: dicts node -> hop / exact path count."""
+    dist = {src: 0}
+    sigma = {src: 1}
+    frontier = [src]
+    h = 0
+    while frontier and h < max_hops:
+        h += 1
+        nxt = {}
+        for u in frontier:
+            for v in adj[u]:
+                if v in dist and dist[v] < h:
+                    continue
+                nxt[v] = nxt.get(v, 0) + sigma[u]
+        frontier = []
+        for v, p in nxt.items():
+            if v not in dist:
+                dist[v] = h
+                sigma[v] = p
+                frontier.append(v)
+    return dist, sigma
+
+
+def betweenness_micro(n: int, adj: list, max_hops: int) -> list:
+    """Pair-formula betweenness, micro-floored for an exact integer
+    closure both engines share: bc(v) = ½ Σ_{s≠t≠v}
+    ⌊10⁶·σ_sv·σ_vt/σ_st⌋ over pairs with d(s,v)+d(v,t)=d(s,t) ≤ cap.
+    The ½ halves the ordered-pair double count (integer: the ordered
+    sum is even by symmetry of the floor arguments)."""
+    per_src = [bfs_dist_sigma(n, adj, s, max_hops) for s in range(n)]
+    bc = [0] * n
+    for s in range(n):
+        ds, ps = per_src[s]
+        for t in range(n):
+            if t == s or t not in ds:
+                continue
+            dt, pt = per_src[t]
+            dst_, sig = ds[t], ps[t]
+            for v in range(n):
+                if v == s or v == t or v not in ds or v not in dt:
+                    continue
+                if ds[v] + dt[v] == dst_:
+                    bc[v] += (_BTW_SCALE * ps[v] * pt[v]) // sig
+    return [b // 2 for b in bc]
+
+
+def q_domain_betweenness(sf_dir: str):
+    """Shortest-path betweenness centrality of the domain graph
+    (hop-capped at 6, the eccentricities discipline) — WHICH domains
+    broker the link structure: pagerank/katz reward being pointed at,
+    betweenness rewards lying ON geodesics, the one centrality family
+    the registry's domain battery lacked.  Distributed edge
+    distillation; exact integer path counts; the σ_sv·σ_vt/σ_st
+    ratios are micro-FLOORED so the closure is pure integer in both
+    engines (no float-sum ordering anywhere)."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    pairs = sorted({(int(a), int(b)) for a, b in zip(lo, hi)})
+    adj = [[] for _ in range(n)]
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    bc = betweenness_micro(n, adj, _BTW_MAX_HOPS)
+    return pa.table({
+        "domain": pa.array([str(x) for x in names], pa.string()),
+        "betweenness_micro": pa.array(bc, pa.int64()),
+    }).sort_by("domain")
+
+
+def _domain_betweenness_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    parts = ["r1 AS MATERIALIZED (SELECT s, d, 1 AS h, "
+             "CAST(1 AS HUGEINT) AS p FROM adj WHERE s <> d)"]
+    seen = "SELECT s, d FROM r1"
+    for k in range(2, _BTW_MAX_HOPS + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT q.s, q.d, {k} AS h, q.p FROM (
+    SELECT p.s, adj.d, CAST(sum(p.p) AS HUGEINT) AS p
+    FROM r{k - 1} p JOIN adj ON adj.s = p.d
+    WHERE p.s <> adj.d
+    GROUP BY p.s, adj.d) q
+  ANTI JOIN ({seen}) v ON v.s = q.s AND v.d = q.d)""")
+        seen += f" UNION ALL SELECT s, d FROM r{k}"
+    union = " UNION ALL ".join(f"SELECT * FROM r{k}"
+                               for k in range(1, _BTW_MAX_HOPS + 1))
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS MATERIALIZED (SELECT a AS s, b AS d FROM eu
+                     UNION ALL SELECT b, a FROM eu),
+nodes AS (SELECT DISTINCT s AS v FROM adj),
+{", ".join(parts)},
+u AS MATERIALIZED (SELECT * FROM ({union})),
+bc AS (
+  SELECT a.d AS v,
+         CAST(sum(({_BTW_SCALE} * a.p * b.p) // st.p) AS HUGEINT)
+           AS acc
+  FROM u a
+  JOIN u b ON b.s = a.d
+  JOIN u st ON st.s = a.s AND st.d = b.d
+           AND st.h = a.h + b.h
+  WHERE a.s <> b.d
+  GROUP BY a.d)
+SELECT nodes.v AS domain,
+       CAST(coalesce(bc.acc, 0) // 2 AS BIGINT) AS betweenness_micro
+FROM nodes LEFT JOIN bc ON bc.v = nodes.v
+ORDER BY domain
+"""
+
+
+QUERIES["domain_betweenness"] = (q_domain_betweenness,
+                                 _domain_betweenness_sql())
+
+
+# ---------------------------------------------------------------------------
+# domain_effective_size — Burt structural holes (Borgatti form)
+# ---------------------------------------------------------------------------
+
+
+def effective_size(n: int, pairs: list) -> list:
+    """Borgatti's unweighted effective size per node: ES = deg −
+    2t/deg with t = edges among the node's neighbors.  Returns
+    [(node, deg, t, es_micro)] with es_micro = (deg² − 2t)·10⁶ //
+    deg — exact integers."""
+    adj = [set() for _ in range(n)]
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    eset = {(a, b) for a, b in pairs}
+    out = []
+    for v in range(n):
+        deg = len(adj[v])
+        if deg == 0:
+            continue
+        nb = sorted(adj[v])
+        t = 0
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if (nb[i], nb[j]) in eset or (nb[j], nb[i]) in eset:
+                    t += 1
+        es_micro = ((deg * deg - 2 * t) * 1_000_000) // deg
+        out.append((v, deg, t, es_micro))
+    return out
+
+
+def q_domain_effective_size(sf_dir: str):
+    """Burt's effective size (Borgatti's simplification for
+    unweighted graphs: degree − 2·neighbor-ties/degree) and network
+    efficiency per domain — the structural-holes view the clustering
+    coefficient inverts: high clustering = redundant ego network =
+    LOW effective size/brokerage.  Same distilled undirected edge
+    list as domain_clustering; exact integers (micro-floored
+    ratios)."""
+    from .queries import _domain_edge_ids
+    names, lo, hi = _domain_edge_ids(sf_dir)
+    n = len(names)
+    pairs = sorted({(int(a), int(b)) for a, b in zip(lo, hi)})
+    rows = effective_size(n, pairs)
+    return pa.table({
+        "domain": pa.array([str(names[r[0]]) for r in rows],
+                           pa.string()),
+        "degree": pa.array([r[1] for r in rows], pa.int64()),
+        "neighbor_ties": pa.array([r[2] for r in rows], pa.int64()),
+        "eff_size_micro": pa.array([r[3] for r in rows], pa.int64()),
+        "efficiency_micro": pa.array(
+            [r[3] // r[1] for r in rows], pa.int64()),
+    }).sort_by("domain")
+
+
+def _domain_effective_size_sql() -> str:
+    from .queries import _DOM_RE, PAGES_VIEW
+    return f"""
+WITH hrefs AS (
+  SELECT url, unnest(regexp_extract_all(decode(html),
+                                        '<a href="([^"]*)"', 1)) AS dst
+  FROM {PAGES_VIEW}),
+e0 AS (SELECT DISTINCT regexp_extract(url, '{_DOM_RE}', 1) AS s,
+                       regexp_extract(dst, '{_DOM_RE}', 1) AS d
+       FROM hrefs),
+eu AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d AND s <> '' AND d <> ''),
+adj AS (SELECT a AS s, b AS d FROM eu UNION ALL SELECT b, a FROM eu),
+deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY 1),
+ties AS (
+  SELECT x.s AS v, CAST(count(*) AS BIGINT) AS t
+  FROM adj x JOIN adj y ON y.s = x.s AND y.d > x.d
+  JOIN eu ON eu.a = least(x.d, y.d) AND eu.b = greatest(x.d, y.d)
+  GROUP BY 1)
+SELECT deg.v AS domain, deg.deg AS degree,
+       coalesce(ties.t, 0) AS neighbor_ties,
+       CAST(((deg.deg * deg.deg - 2 * coalesce(ties.t, 0))
+             * 1000000) // deg.deg AS BIGINT) AS eff_size_micro,
+       CAST((((deg.deg * deg.deg - 2 * coalesce(ties.t, 0))
+              * 1000000) // deg.deg) // deg.deg AS BIGINT)
+         AS efficiency_micro
+FROM deg LEFT JOIN ties ON ties.v = deg.v
+ORDER BY domain
+"""
+
+
+QUERIES["domain_effective_size"] = (q_domain_effective_size,
+                                    _domain_effective_size_sql())

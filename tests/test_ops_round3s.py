@@ -676,3 +676,69 @@ def test_hdd_contrib_saturation():
     assert hdd_contrib(60, 100) == 1.0
     # a corpus of one repeated type: HD-D = 1 (one type, certain)
     assert hdd_contrib(100, 100) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# betweenness / effective size
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    _BTW_SCALE, betweenness_micro, bfs_dist_sigma, effective_size)
+
+
+def _adj(n, pairs):
+    a = [[] for _ in range(n)]
+    for x, y in pairs:
+        a[x].append(y)
+        a[y].append(x)
+    return a
+
+
+def test_betweenness_path_graph():
+    # path 0-1-2-3-4: interior node 2 lies on (0,3),(0,4),(1,3),
+    # (1,4),(0,... ) exactly: bc(2) = 4 pairs, bc(1) = bc(3) = 3
+    n = 5
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    bc = betweenness_micro(n, _adj(n, pairs), 6)
+    assert bc == [0, 3 * _BTW_SCALE, 4 * _BTW_SCALE,
+                  3 * _BTW_SCALE, 0]
+
+
+def test_betweenness_star_graph():
+    # star center: all (n-1 choose 2) pairs route through it
+    n = 6
+    pairs = [(0, i) for i in range(1, n)]
+    bc = betweenness_micro(n, _adj(n, pairs), 6)
+    assert bc[0] == 10 * _BTW_SCALE
+    assert all(b == 0 for b in bc[1:])
+
+
+def test_betweenness_cycle_split_paths():
+    # 4-cycle: opposite corners have TWO shortest paths; each
+    # intermediate carries sigma ratio 1/2 for one pair
+    n = 4
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    bc = betweenness_micro(n, _adj(n, pairs), 6)
+    assert bc == [_BTW_SCALE // 2] * 4
+
+
+def test_bfs_sigma_counts():
+    # diamond: 0-1, 0-2, 1-3, 2-3 -> two shortest paths 0->3
+    adj = _adj(4, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    dist, sigma = bfs_dist_sigma(4, adj, 0, 6)
+    assert dist == {0: 0, 1: 1, 2: 1, 3: 2}
+    assert sigma[3] == 2
+
+
+def test_effective_size_star_and_clique():
+    # star center: no ties among neighbors -> ES = deg
+    n = 5
+    star = [(0, i) for i in range(1, n)]
+    rows = {r[0]: r for r in effective_size(n, star)}
+    assert rows[0][3] == 4 * 1_000_000
+    # leaf: deg 1, ES = 1
+    assert rows[1][3] == 1_000_000
+    # K4: every ego network fully redundant -> ES = 1 for all
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    for _, deg, t, es in effective_size(4, k4):
+        assert deg == 3 and t == 3 and es == 1_000_000
