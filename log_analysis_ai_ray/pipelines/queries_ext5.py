@@ -2668,3 +2668,306 @@ ORDER BY domain
 
 QUERIES["domain_effective_size"] = (q_domain_effective_size,
                                     _domain_effective_size_sql())
+
+
+# ---------------------------------------------------------------------------
+# woolf_or_homogeneity — are the per-stratum odds ratios one OR?
+# ---------------------------------------------------------------------------
+
+
+def woolf_homogeneity(cells) -> tuple:
+    """Woolf's test of odds-ratio homogeneity over 2×2 strata
+    [(a, b, c, d), ...] with the Haldane-Anscombe +0.5 correction:
+    χ² = Σw·(lnOR)² − (Σw·lnOR)²/Σw with w = 1/Σ(1/cell⁺); df = K−1;
+    chi-square tail in the closed even-df form when K−1 = 4:
+    p = e^{−x/2}(1 + x/2 + x²/8)... here df=4 → p = e^{−x/2}(1+x/2).
+    Returns (chi2, k)."""
+    sw = swl = swl2 = 0.0
+    k = 0
+    for a, b, c, d in cells:
+        if a + b + c + d == 0:
+            continue
+        k += 1
+        ah, bh, ch, dh = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+        lor = math.log(ah * dh / (bh * ch))
+        w = 1.0 / (1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+        sw += w
+        swl += w * lor
+        swl2 += w * lor * lor
+    chi2 = swl2 - swl * swl / sw
+    return chi2, k
+
+
+def q_woolf_or_homogeneity(sf_dir: str):
+    """Woolf's homogeneity test for the click-vs-view value odds
+    ratio across five 5-hour day segments — the diagnostic that must
+    PASS before mantel_haenszel_or's pooled OR is meaningful (MH
+    assumes one common OR; Woolf asks whether the strata agree).
+    Same bounded (type, hour, cents) partials and exact ceil-rank
+    median as the MH query; df = 4 gives the closed-form even-df
+    chi-square tail e^{−x/2}(1 + x/2)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "hh": hh, "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "hh", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "hh", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "hh", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    vu = np.unique(vv)
+    cvu = np.zeros(len(vu), dtype=np.int64)
+    np.add.at(cvu, np.searchsorted(vu, vv), cc)
+    n = int(cvu.sum())
+    med = int(vu[np.searchsorted(np.cumsum(cvu), (n + 1) // 2)])
+    hi = vv > med
+    exp_ = ty == "click"
+    strat = hh // 5
+    cells = []
+    for s in range(5):
+        sh = strat == s
+        cells.append((int(cc[sh & exp_ & hi].sum()),
+                      int(cc[sh & exp_ & ~hi].sum()),
+                      int(cc[sh & ~exp_ & hi].sum()),
+                      int(cc[sh & ~exp_ & ~hi].sum())))
+    chi2, k = woolf_homogeneity(cells)
+    p = math.exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0)
+    return pa.table({
+        "n_strata": pa.array([k], pa.int64()),
+        "median_cents": pa.array([med], pa.int64()),
+        "woolf_chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "p_value": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_WOOLF_OR_HOMOGENEITY = """
+WITH e AS (
+  SELECT event_type AS ty, CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+med AS (
+  SELECT min(v) AS med FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist), tot
+  WHERE cum >= (tot.n + 1) // 2),
+cells AS (
+  SELECT hh // 5 AS s,
+         CAST(count(*) FILTER (ty = 'click' AND v > med.med)
+              AS BIGINT) AS a,
+         CAST(count(*) FILTER (ty = 'click' AND v <= med.med)
+              AS BIGINT) AS b,
+         CAST(count(*) FILTER (ty = 'view' AND v > med.med)
+              AS BIGINT) AS c,
+         CAST(count(*) FILTER (ty = 'view' AND v <= med.med)
+              AS BIGINT) AS d
+  FROM e, med GROUP BY 1),
+lw AS (
+  SELECT s,
+         ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))) AS lor,
+         1.0 / (1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)) AS w
+  FROM cells WHERE a + b + c + d > 0),
+x AS (
+  SELECT count(*) AS k,
+         sum(w * lor * lor) - sum(w * lor) * sum(w * lor) / sum(w)
+           AS chi2
+  FROM lw)
+SELECT CAST(k AS BIGINT) AS n_strata,
+       (SELECT med FROM med) AS median_cents,
+       round(chi2, 6) AS woolf_chi2,
+       round(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 6) AS p_value
+FROM x
+"""
+
+QUERIES["woolf_or_homogeneity"] = (q_woolf_or_homogeneity,
+                                   SQL_WOOLF_OR_HOMOGENEITY)
+
+
+# ---------------------------------------------------------------------------
+# dp_noise_calibration — deterministic Laplace-mechanism utility audit
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.1
+_DP_U_DEN = 4_294_967_296      # 2^32
+
+
+def laplace_noise(u: float, eps: float = _DP_EPS) -> float:
+    """Inverse-CDF Laplace(1/ε) draw from a uniform u ∈ (0,1):
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the ε-DP mechanism for a
+    sensitivity-1 count."""
+    s = 1.0 if u >= 0.5 else -1.0
+    return -(1.0 / eps) * s * math.log(1.0 - 2.0 * abs(u - 0.5))
+
+
+def q_dp_noise_calibration(sf_dir: str):
+    """Differential-privacy release audit of per-type event counts
+    under the ε=0.1 Laplace mechanism, with the noise drawn
+    DETERMINISTICALLY from each type's md5 hash (u = (h+0.5)/2³²) so
+    both engines release identical values: true count, noisy
+    release, absolute error, and whether the error sits inside the
+    95%% Laplace bound ln(20)/ε ≈ 30 — what a pipeline publishing
+    aggregate counts needs to check before shipping them.  One
+    bounded per-type reduce."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    m = _partial_final(ds, partial, ["event_type"], [("n", "sum")])
+    bound = math.log(20.0) / _DP_EPS
+    rows = []
+    for ty, n in sorted(zip(m.column("event_type").to_pylist(),
+                            np.asarray(m.column("n"),
+                                       dtype=np.int64))):
+        u = (md5_hash32(ty) + 0.5) / _DP_U_DEN
+        noise = laplace_noise(u)
+        rows.append((ty, int(n), round(int(n) + noise, 6),
+                     round(abs(noise), 6),
+                     1 if abs(noise) <= bound else 0))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "true_count": pa.array([r[1] for r in rows], pa.int64()),
+        "noisy_count": pa.array([r[2] for r in rows], pa.float64()),
+        "abs_err": pa.array([r[3] for r in rows], pa.float64()),
+        "in_95_bound": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+_DP_HASH = ORACLE_HASH_SQL.format(col="event_type")
+
+SQL_DP_NOISE_CALIBRATION = f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         ({_DP_HASH} + 0.5) / {_DP_U_DEN} AS u
+  FROM c),
+nz AS (
+  SELECT event_type, n,
+         -(1.0 / {_DP_EPS})
+         * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+         * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+  FROM u)
+SELECT event_type, n AS true_count,
+       round(n + noise, 6) AS noisy_count,
+       round(abs(noise), 6) AS abs_err,
+       CAST(CASE WHEN abs(noise) <= ln(20.0) / {_DP_EPS}
+                 THEN 1 ELSE 0 END AS BIGINT) AS in_95_bound
+FROM nz ORDER BY event_type
+"""
+
+QUERIES["dp_noise_calibration"] = (q_dp_noise_calibration,
+                                   SQL_DP_NOISE_CALIBRATION)
+
+
+# ---------------------------------------------------------------------------
+# erlang_b_blocking — loss-system sizing at the peak hour
+# ---------------------------------------------------------------------------
+
+_EB_KMAX = 500
+_EB_TARGET = 0.01
+
+
+def erlang_b_curve(a: float, kmax: int = _EB_KMAX) -> list:
+    """Erlang-B blocking B(k, a) for k = 0..kmax via the exact
+    recursion B₀ = 1, Bₖ = a·Bₖ₋₁/(k + a·Bₖ₋₁) — numerically stable,
+    no factorials."""
+    bs = [1.0]
+    for k in range(1, kmax + 1):
+        bs.append(a * bs[-1] / (k + a * bs[-1]))
+    return bs
+
+
+def q_erlang_b_blocking(sf_dir: str):
+    """Erlang-B loss-system sizing at the peak hour: offered load a =
+    λ_peak/μ (same peak-hour arrival estimate and μ = 60/agent-hour
+    as erlang_c_staffing — C models queued callers, B models BLOCKED
+    ones, e.g. connection pools that reject instead of queue):
+    blocking probability at the minimum stable pool ⌊a⌋+1 and the
+    smallest pool achieving < 1%% blocking.  The B recursion runs
+    identically driver-side and in the oracle's recursive CTE."""
+    from .queries_ext3 import _ERLANG_MU
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        hh = (tsv // 3_600_000_000) % 24
+        day = tsv // _DAY_US
+        g = pa.table({"hh": pa.array(hh), "day": pa.array(day)}) \
+            .group_by(["hh", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hh", "day", "c"])
+
+    m = _partial_final(ds, partial, ["hh", "day"], [("c", "sum")])
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    n_days = len(set(np.asarray(m.column("day"),
+                                dtype=np.int64).tolist()))
+    tot = {}
+    for h, c in zip(hh.tolist(), cv.tolist()):
+        tot[h] = tot.get(h, 0) + c
+    peak = min(h for h, c in tot.items() if c == max(tot.values()))
+    lam = tot[peak] / n_days
+    a = lam / _ERLANG_MU
+    bs = erlang_b_curve(a)
+    c_stable = int(a) + 1
+    b_stable = bs[c_stable]
+    c_min = next(k for k, b in enumerate(bs) if b <= _EB_TARGET)
+    return pa.table({
+        "peak_hh": pa.array([int(peak)], pa.int64()),
+        "load_erlangs": pa.array([round(a, 6)], pa.float64()),
+        "servers_stable": pa.array([c_stable], pa.int64()),
+        "blocking_at_stable": pa.array([round(b_stable, 6)],
+                                       pa.float64()),
+        "servers_for_1pct": pa.array([c_min], pa.int64()),
+    })
+
+
+SQL_ERLANG_B_BLOCKING = f"""
+WITH hd AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hh,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM hd),
+th AS (SELECT hh, CAST(sum(c) AS BIGINT) AS tot FROM hd GROUP BY 1),
+pk AS (SELECT hh, tot FROM th ORDER BY tot DESC, hh LIMIT 1),
+ld AS (SELECT pk.hh AS peak_hh,
+              CAST(pk.tot AS DOUBLE) / nd.n_days / 60.0 AS a
+       FROM pk, nd),
+eb AS (
+  WITH RECURSIVE rec(k, b) AS (
+    SELECT 0, CAST(1.0 AS DOUBLE)
+    UNION ALL
+    SELECT k + 1,
+           (SELECT a FROM ld) * b
+             / (k + 1 + (SELECT a FROM ld) * b)
+    FROM rec WHERE k < {_EB_KMAX})
+  SELECT k, b FROM rec)
+SELECT ld.peak_hh,
+       round(ld.a, 6) AS load_erlangs,
+       CAST(CAST(ld.a AS BIGINT) + 1 AS BIGINT) AS servers_stable,
+       round((SELECT b FROM eb
+               WHERE k = CAST(ld.a AS BIGINT) + 1), 6)
+         AS blocking_at_stable,
+       CAST((SELECT min(k) FROM eb WHERE b <= {_EB_TARGET})
+            AS BIGINT) AS servers_for_1pct
+FROM ld
+"""
+
+QUERIES["erlang_b_blocking"] = (q_erlang_b_blocking,
+                                SQL_ERLANG_B_BLOCKING)

@@ -742,3 +742,61 @@ def test_effective_size_star_and_clique():
     k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     for _, deg, t, es in effective_size(4, k4):
         assert deg == 3 and t == 3 and es == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Woolf / DP noise / Erlang B
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    erlang_b_curve, laplace_noise, woolf_homogeneity)
+
+
+def test_woolf_identical_strata_near_zero():
+    # identical 2x2 tables in every stratum: lnORs equal -> chi2 = 0
+    cells = [(20, 10, 10, 20)] * 5
+    chi2, k = woolf_homogeneity(cells)
+    assert k == 5 and abs(chi2) < 1e-12
+
+
+def test_woolf_detects_reversed_stratum():
+    cells = [(40, 10, 10, 40)] * 4 + [(10, 40, 40, 10)]
+    chi2, k = woolf_homogeneity(cells)
+    assert chi2 > 15          # wildly heterogeneous
+    # df=4 closed-form tail is tiny
+    p = np.exp(-chi2 / 2) * (1 + chi2 / 2)
+    assert p < 0.01
+
+
+def test_woolf_skips_empty_stratum():
+    cells = [(20, 10, 10, 20), (0, 0, 0, 0), (20, 10, 10, 20)]
+    chi2, k = woolf_homogeneity(cells)
+    assert k == 2 and abs(chi2) < 1e-12
+
+
+def test_laplace_noise_quantiles():
+    # u = 0.5 -> 0; symmetric; known quantile: u=0.75 -> ln(2)/eps
+    assert laplace_noise(0.5, 1.0) == 0.0
+    assert abs(laplace_noise(0.75, 1.0) + np.log(0.5)) < 1e-12
+    assert abs(laplace_noise(0.25, 1.0) - np.log(0.5)) < 1e-12
+    assert laplace_noise(0.9, 0.1) == -laplace_noise(0.1, 0.1)
+    # 95% of mass inside ln(20)/eps
+    for u in (0.026, 0.974):
+        assert abs(laplace_noise(u, 0.1)) <= np.log(20.0) / 0.1
+    for u in (0.024, 0.976):
+        assert abs(laplace_noise(u, 0.1)) > np.log(20.0) / 0.1
+
+
+def test_erlang_b_matches_factorial_form():
+    from math import factorial
+    for a in (0.3, 1.0, 5.0, 12.5):
+        bs = erlang_b_curve(a, 30)
+        for c in (1, 2, 5, 20):
+            num = a ** c / factorial(c)
+            den = sum(a ** k / factorial(k) for k in range(c + 1))
+            assert abs(bs[c] - num / den) < 1e-12
+
+
+def test_erlang_b_monotone_decreasing():
+    bs = erlang_b_curve(7.0, 60)
+    assert all(b2 < b1 for b1, b2 in zip(bs, bs[1:]))
