@@ -2971,3 +2971,166 @@ FROM ld
 
 QUERIES["erlang_b_blocking"] = (q_erlang_b_blocking,
                                 SQL_ERLANG_B_BLOCKING)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: Hu shape moments + audio spectral centroid (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_image_hu_moments(sf_dir: str):
+    """Hu invariant shape moments per PGM image (HuMomentsStage actor
+    pool): rotation/translation/scale-invariant geometry fingerprints,
+    log10-milli ints.  Rows-only (binary decode); invariance pytests
+    pin the arithmetic."""
+    import ray.data
+
+    from ..stages.multimodal import HuMomentsStage
+    from .queries import media_path_for
+
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return agg._to_arrow(ds.map_batches(
+        HuMomentsStage(), concurrency=2, batch_size=256, num_cpus=1,
+        batch_format="pyarrow")).sort_by("media_id")
+
+
+QUERIES["image_hu_moments"] = (q_image_hu_moments, None)
+
+
+def q_audio_spectral_centroid(sf_dir: str):
+    """Spectral centroid + 85% rolloff per WAV payload
+    (SpectralCentroidStage actor pool): 16-bin Goertzel brightness
+    features.  Rows-only (binary decode); pure-tone pytests pin the
+    arithmetic."""
+    import ray.data
+
+    from ..stages.multimodal import SpectralCentroidStage
+    from .queries import media_path_for
+
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return agg._to_arrow(ds.map_batches(
+        SpectralCentroidStage(), concurrency=2, batch_size=256,
+        num_cpus=1, batch_format="pyarrow")).sort_by("media_id")
+
+
+QUERIES["audio_spectral_centroid"] = (q_audio_spectral_centroid, None)
+
+
+# ---------------------------------------------------------------------------
+# weighted_kappa_quartiles — ordinal agreement with quadratic weights
+# ---------------------------------------------------------------------------
+
+
+def weighted_kappa_quadratic(cells: dict, k: int = 4) -> tuple:
+    """Quadratic-weighted kappa from an integer k×k contingency map
+    {(i, j): count}: κ_w = 1 − n·Σ(i−j)²oᵢⱼ / Σ(i−j)²rᵢcⱼ — exact
+    integers until one divide (the disagreement-weight form needs no
+    normalization constant)."""
+    n = sum(cells.values())
+    r, c = {}, {}
+    for (i, j), v in cells.items():
+        r[i] = r.get(i, 0) + v
+        c[j] = c.get(j, 0) + v
+    num = n * sum((i - j) ** 2 * v for (i, j), v in cells.items())
+    den = sum((i - j) ** 2 * r.get(i, 0) * c.get(j, 0)
+              for i in range(k) for j in range(k))
+    kappa = None if den == 0 else 1.0 - num / den
+    return n, kappa
+
+
+def q_weighted_kappa_quartiles(sf_dir: str):
+    """Quadratic-weighted kappa between each user's CLICK-value
+    quartile and VIEW-value quartile — does browsing intensity rank
+    users the same way buying-adjacent clicking does?  The ordinal
+    companion of cohen_kappa_langid: near-miss quartile disagreements
+    cost (i−j)², not 1.  Per-user sums from one bounded shuffle;
+    quartiles by deterministic (cents, user) rank; exact integer
+    closure."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_c = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "cc": pc.multiply(cents, is_c),
+            "vc": pc.multiply(cents, pc.subtract(
+                pa.scalar(1, pa.int64()), is_c)),
+        }).group_by("user_id").aggregate([("cc", "sum"),
+                                          ("vc", "sum")])
+        return g.rename_columns(["user_id", "cc", "vc"])
+
+    m = _partial_final(ds, partial, ["user_id"],
+                       [("cc", "sum"), ("vc", "sum")])
+    uid = np.asarray(m.column("user_id"), dtype=np.int64)
+    cc = np.asarray(m.column("cc"), dtype=np.int64)
+    vc = np.asarray(m.column("vc"), dtype=np.int64)
+    n = len(uid)
+
+    def quart(vals):
+        order = np.lexsort((uid, vals))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        return (4 * rank) // n
+
+    qc = quart(cc)
+    qv = quart(vc)
+    cells = {}
+    for a, b in zip(qc.tolist(), qv.tolist()):
+        cells[(a, b)] = cells.get((a, b), 0) + 1
+    nn, kappa = weighted_kappa_quadratic(cells)
+    return pa.table({
+        "n_users": pa.array([nn], pa.int64()),
+        "kappa_w": pa.array(
+            [round(kappa, 6) if kappa is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_WEIGHTED_KAPPA_QUARTILES = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cc,
+         CAST(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1),
+q AS (
+  SELECT user_id,
+         (4 * (row_number() OVER (ORDER BY cc, user_id) - 1))
+           // (count(*) OVER ()) AS qc,
+         (4 * (row_number() OVER (ORDER BY vc, user_id) - 1))
+           // (count(*) OVER ()) AS qv
+  FROM u),
+cm AS (SELECT qc, qv, CAST(count(*) AS BIGINT) AS o
+       FROM q GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cm),
+mar AS (
+  SELECT r.qc, c.qv, r.r * c.c AS rc
+  FROM (SELECT qc, CAST(sum(o) AS BIGINT) AS r FROM cm GROUP BY 1) r
+  CROSS JOIN
+       (SELECT qv, CAST(sum(o) AS BIGINT) AS c FROM cm GROUP BY 1) c),
+s AS (
+  SELECT (SELECT CAST(sum((qc - qv) * (qc - qv) * o) AS HUGEINT)
+            FROM cm) AS num0,
+         (SELECT CAST(sum((qc - qv) * (qc - qv) * rc) AS HUGEINT)
+            FROM mar) AS den,
+         tot.n
+  FROM tot)
+SELECT n AS n_users,
+       round(1.0 - CAST(n * num0 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         AS kappa_w
+FROM s
+"""
+
+QUERIES["weighted_kappa_quartiles"] = (q_weighted_kappa_quartiles,
+                                       SQL_WEIGHTED_KAPPA_QUARTILES)

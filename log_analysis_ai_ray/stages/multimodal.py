@@ -22,6 +22,8 @@ same as the ``html`` column).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -560,4 +562,136 @@ class CentroidStage:
             "centroid_x_milli": pa.array(cx, type=pa.int64()),
             "centroid_y_milli": pa.array(cy, type=pa.int64()),
             "above_mean_pm": pa.array(occ, type=pa.int64()),
+        })
+
+
+def hu_moments_log(px: np.ndarray) -> list:
+    """First four Hu invariant moments of an integer image, log10
+    milli-scaled: mill(φ) = round(1000·log10|φ|)·sign(φ).  Raw and
+    central moments are exact integers/rationals (float only at the
+    normalization divide), so translation invariance is exact and
+    scale invariance holds to float precision — pinned by tests."""
+    h, w = px.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    pxf = px.astype(np.float64)
+    m00 = pxf.sum()
+    if m00 == 0:
+        return [0, 0, 0, 0]
+    xbar = (pxf * xs).sum() / m00
+    ybar = (pxf * ys).sum() / m00
+    dx = xs - xbar
+    dy = ys - ybar
+
+    def mu(p, q):
+        return (pxf * dx ** p * dy ** q).sum()
+
+    def eta(p, q):
+        return mu(p, q) / m00 ** (1 + (p + q) / 2.0)
+
+    e20, e02, e11 = eta(2, 0), eta(0, 2), eta(1, 1)
+    e30, e03 = eta(3, 0), eta(0, 3)
+    e21, e12 = eta(2, 1), eta(1, 2)
+    phi1 = e20 + e02
+    phi2 = (e20 - e02) ** 2 + 4 * e11 ** 2
+    phi3 = (e30 - 3 * e12) ** 2 + (3 * e21 - e03) ** 2
+    phi4 = (e30 + e12) ** 2 + (e21 + e03) ** 2
+    out = []
+    for phi in (phi1, phi2, phi3, phi4):
+        if phi == 0:
+            out.append(0)
+        else:
+            out.append(int(round(1000.0 * math.log10(abs(phi))))
+                       * (1 if phi > 0 else -1))
+    return out
+
+
+class HuMomentsStage:
+    """Actor-pool Hu-invariant-moment features for PGM images: the
+    four leading rotation/translation/scale-invariant shape moments,
+    log10-milli-scaled — the geometry fingerprint a multimodal dedup
+    pipeline can hash on (PhashStage sees texture, this sees SHAPE).
+    Mirrors the reference's feature-extraction slot
+    (`/root/reference/src/gemini_vectorizer.h:22-29`) with a
+    deterministic, closed-form feature."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, p1, p2, p3, p4 = [], [], [], [], []
+        for mid, kind, data in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "image":
+                continue
+            px = parse_pgm(data).astype(np.int64)
+            hu = hu_moments_log(px)
+            ids.append(mid)
+            p1.append(hu[0])
+            p2.append(hu[1])
+            p3.append(hu[2])
+            p4.append(hu[3])
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "hu1_log_milli": pa.array(p1, type=pa.int64()),
+            "hu2_log_milli": pa.array(p2, type=pa.int64()),
+            "hu3_log_milli": pa.array(p3, type=pa.int64()),
+            "hu4_log_milli": pa.array(p4, type=pa.int64()),
+        })
+
+
+def spectral_centroid_features(samples: np.ndarray, rate: int,
+                               nbins: int = 16) -> tuple:
+    """(centroid_hz, rolloff85_hz) from Goertzel power at nbins
+    equally spaced frequencies f_k = k·rate/(2·nbins), k = 1..nbins
+    (up to Nyquist): centroid = Σf·P/ΣP; rolloff = lowest f_k whose
+    cumulative power reaches 85%."""
+    n = len(samples)
+    if n == 0:
+        return 0.0, 0.0
+    x = samples.astype(np.float64)
+    i = np.arange(n)
+    powers = []
+    freqs = []
+    for k in range(1, nbins + 1):
+        f = k * rate / (2.0 * nbins)
+        ang = 2.0 * np.pi * f * i / rate
+        a = float((x * np.cos(ang)).sum())
+        b = float((x * np.sin(ang)).sum())
+        powers.append(a * a + b * b)
+        freqs.append(f)
+    tot = sum(powers)
+    if tot <= 0:
+        return 0.0, 0.0
+    centroid = sum(f * p for f, p in zip(freqs, powers)) / tot
+    acc = 0.0
+    rolloff = freqs[-1]
+    for f, p in zip(freqs, powers):
+        acc += p
+        if acc >= 0.85 * tot:
+            rolloff = f
+            break
+    return centroid, rolloff
+
+
+class SpectralCentroidStage:
+    """Actor-pool spectral centroid + 85% rolloff for PCM16 WAV
+    payloads via 16-bin Goertzel sums — the brightness features audio
+    curation filters threshold on (ZcrStage hears noisiness, this
+    hears pitch register).  Deterministic, stdlib-only decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, cent, roll = [], [], []
+        for mid, kind, data in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "audio":
+                continue
+            samples, rate = parse_wav(data)
+            c, r = spectral_centroid_features(
+                np.asarray(samples, dtype=np.float64), rate)
+            ids.append(mid)
+            cent.append(int(round(c)))
+            roll.append(int(round(r)))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "spectral_centroid_hz": pa.array(cent, type=pa.int64()),
+            "rolloff85_hz": pa.array(roll, type=pa.int64()),
         })

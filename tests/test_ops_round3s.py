@@ -800,3 +800,92 @@ def test_erlang_b_matches_factorial_form():
 def test_erlang_b_monotone_decreasing():
     bs = erlang_b_curve(7.0, 60)
     assert all(b2 < b1 for b1, b2 in zip(bs, bs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Hu moments / spectral centroid / weighted kappa
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    weighted_kappa_quadratic)
+from log_analysis_ai_ray.stages.multimodal import (  # noqa: E402
+    hu_moments_log, spectral_centroid_features)
+
+
+def _blob(h, w, oy, ox, s):
+    img = np.zeros((h, w), dtype=np.int64)
+    img[oy:oy + s, ox:ox + s] = 200
+    img[oy + s // 3: oy + 2 * s // 3, ox:ox + s // 2] = 40
+    return img
+
+
+def test_hu_translation_invariance_exact():
+    a = hu_moments_log(_blob(64, 64, 5, 5, 20))
+    b = hu_moments_log(_blob(64, 64, 30, 38, 20))
+    assert a == b
+
+
+def test_hu_scale_invariance_close():
+    # same shape at 2x scale: normalized moments match to milli-log
+    a = hu_moments_log(_blob(128, 128, 10, 10, 24))
+    b = hu_moments_log(_blob(128, 128, 10, 10, 48))
+    for x, y in zip(a, b):
+        assert abs(x - y) <= 30     # 0.03 in log10 units
+
+
+def test_hu_distinguishes_shapes():
+    sq = np.zeros((64, 64), dtype=np.int64)
+    sq[20:44, 20:44] = 100
+    bar = np.zeros((64, 64), dtype=np.int64)
+    bar[30:34, 4:60] = 100
+    a, b = hu_moments_log(sq), hu_moments_log(bar)
+    assert a != b
+    # the square is fully symmetric: phi2 = 0 exactly (sentinel 0);
+    # the bar's eccentricity gives a finite (negative-log) phi2
+    assert a[1] == 0 and b[1] != 0
+
+
+def test_spectral_centroid_pure_tone():
+    rate = 8000
+    n = 4000
+    i = np.arange(n)
+    # tone exactly at bin 4 of 16: f = 4*rate/32 = 1000 Hz
+    tone = (1000 * np.sin(2 * np.pi * 1000.0 * i / rate))
+    c, r = spectral_centroid_features(tone, rate)
+    assert abs(c - 1000.0) < 20.0
+    assert r <= 1250.0
+    # brighter tone -> higher centroid
+    hi = (1000 * np.sin(2 * np.pi * 3000.0 * i / rate))
+    c2, _ = spectral_centroid_features(hi, rate)
+    assert c2 > c + 1000
+
+
+def test_weighted_kappa_perfect_and_reversed():
+    perfect = {(i, i): 10 for i in range(4)}
+    n, k = weighted_kappa_quadratic(perfect)
+    assert n == 40 and k == 1.0
+    reversed_ = {(i, 3 - i): 10 for i in range(4)}
+    n, k2 = weighted_kappa_quadratic(reversed_)
+    assert k2 < -0.5
+
+
+def test_weighted_kappa_matches_probability_form():
+    rng = np.random.RandomState(4)
+    for _ in range(20):
+        cells = {}
+        for i in range(4):
+            for j in range(4):
+                v = int(rng.randint(0, 20)) + (30 if i == j else 0)
+                if v:
+                    cells[(i, j)] = v
+        n, k = weighted_kappa_quadratic(cells)
+        # independent transcription: 1 - sum(w o)/sum(w e)
+        r = [sum(cells.get((i, j), 0) for j in range(4))
+             for i in range(4)]
+        c = [sum(cells.get((i, j), 0) for i in range(4))
+             for j in range(4)]
+        num = sum((i - j) ** 2 * cells.get((i, j), 0)
+                  for i in range(4) for j in range(4)) / n
+        den = sum((i - j) ** 2 * r[i] * c[j] / (n * n)
+                  for i in range(4) for j in range(4))
+        assert abs(k - (1 - num / den)) < 1e-9
