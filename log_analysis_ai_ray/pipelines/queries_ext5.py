@@ -3134,3 +3134,374 @@ FROM s
 
 QUERIES["weighted_kappa_quartiles"] = (q_weighted_kappa_quartiles,
                                        SQL_WEIGHTED_KAPPA_QUARTILES)
+
+
+# ---------------------------------------------------------------------------
+# hilbert_locality_audit — space-filling-curve layout comparison
+# ---------------------------------------------------------------------------
+
+_HC_N = 16          # 16×16 grid
+_HC_BOX = (4, 11)   # the 2-D range predicate under audit
+
+
+def hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Standard Hilbert curve xy→d (Wikipedia's iterative form):
+    exact integers, order log2(n) rounds."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def curve_tables(n: int = _HC_N) -> dict:
+    """{curve: {(x, y): d}} for row-major, Z-order and Hilbert over
+    an n×n grid — the three layouts a table optimizer chooses among."""
+    z = {}
+    for x in range(n):
+        for y in range(n):
+            d = 0
+            for i in range(n.bit_length() - 1):
+                d |= ((x >> i) & 1) << (2 * i)
+                d |= ((y >> i) & 1) << (2 * i + 1)
+            z[(x, y)] = d
+    return {
+        "rowmajor": {(x, y): x * n + y
+                     for x in range(n) for y in range(n)},
+        "zorder": z,
+        "hilbert": {(x, y): hilbert_xy2d(n, x, y)
+                    for x in range(n) for y in range(n)},
+    }
+
+
+def locality_audit(counts: dict, curve: dict, box: tuple,
+                   n: int = _HC_N) -> tuple:
+    """(buckets_touched, runs, rows_matched, rows_scanned) for a box
+    query under a curve layout partitioned into n buckets of n
+    consecutive curve positions: runs = contiguous d-ranges the box
+    occupies (seeks), rows_scanned = all rows in every touched
+    bucket (read amplification)."""
+    lo, hi = box
+    box_ds = sorted(curve[(x, y)] for x in range(lo, hi + 1)
+                    for y in range(lo, hi + 1))
+    runs = 1 + sum(1 for a, b in zip(box_ds, box_ds[1:])
+                   if b != a + 1)
+    touched = sorted({d // n for d in box_ds})
+    pos_of = {d: xy for xy, d in curve.items()}
+    matched = sum(counts.get(pos_of[d], 0) for d in box_ds)
+    scanned = 0
+    for b in touched:
+        for d in range(b * n, (b + 1) * n):
+            scanned += counts.get(pos_of[d], 0)
+    return len(touched), runs, matched, scanned
+
+
+def q_hilbert_locality_audit(sf_dir: str):
+    """Space-filling-curve layout audit: the same 2-D box predicate
+    (user bucket 4-11 × hour bucket 4-11 on a 16×16 grid) served
+    from a table laid out row-major, Z-order (zorder_layout's key)
+    and HILBERT-order — reporting partitions touched, contiguous-run
+    seeks, and rows-scanned read amplification from the real event
+    occupancy.  Hilbert's one-step adjacency beats Z's bit-interleave
+    jumps; this query is the measurement that justifies choosing it.
+    The curve maps are fixed 256-entry constants shared verbatim with
+    the oracle; occupancy from one bounded 256-cell reduce."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64) % _HC_N
+        hr = (np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64) // 3_600_000_000) % _HC_N
+        g = pa.table({"x": pa.array(u), "y": pa.array(hr)}) \
+            .group_by(["x", "y"]).aggregate([([], "count_all")])
+        return g.rename_columns(["x", "y", "n"])
+
+    m = _partial_final(ds, partial, ["x", "y"], [("n", "sum")])
+    counts = {}
+    for x, y, c in zip(np.asarray(m.column("x"), dtype=np.int64),
+                       np.asarray(m.column("y"), dtype=np.int64),
+                       np.asarray(m.column("n"), dtype=np.int64)):
+        counts[(int(x), int(y))] = int(c)
+    rows = []
+    for name, curve in sorted(curve_tables().items()):
+        bt, runs, matched, scanned = locality_audit(
+            counts, curve, _HC_BOX)
+        rows.append((name, bt, runs, matched, scanned,
+                     scanned * 1_000_000 // matched if matched else
+                     None))
+    return pa.table({
+        "curve": pa.array([r[0] for r in rows], pa.string()),
+        "buckets_touched": pa.array([r[1] for r in rows], pa.int64()),
+        "seek_runs": pa.array([r[2] for r in rows], pa.int64()),
+        "rows_matched": pa.array([r[3] for r in rows], pa.int64()),
+        "rows_scanned": pa.array([r[4] for r in rows], pa.int64()),
+        "amp_ppm": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+def _hilbert_locality_sql() -> str:
+    tabs = curve_tables()
+    values = ", ".join(
+        f"('{name}', {x}, {y}, {d})"
+        for name in sorted(tabs)
+        for (x, y), d in sorted(tabs[name].items(),
+                                key=lambda kv: kv[1]))
+    lo, hi = _HC_BOX
+    return f"""
+WITH curve(curve, x, y, d) AS (VALUES {values}),
+occ AS (
+  SELECT user_id % {_HC_N} AS x,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % {_HC_N} AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+cells AS (
+  SELECT c.curve, c.x, c.y, c.d, c.d // {_HC_N} AS bucket,
+         coalesce(occ.n, 0) AS n,
+         CASE WHEN c.x BETWEEN {lo} AND {hi}
+               AND c.y BETWEEN {lo} AND {hi}
+              THEN 1 ELSE 0 END AS inbox
+  FROM curve c LEFT JOIN occ ON occ.x = c.x AND occ.y = c.y),
+runs AS (
+  SELECT curve,
+         CAST(count(*) FILTER (WHERE inbox = 1
+                AND (prev_inbox IS NULL OR prev_inbox = 0))
+              AS BIGINT) AS seek_runs
+  FROM (SELECT curve, inbox,
+               lag(inbox) OVER (PARTITION BY curve ORDER BY d)
+                 AS prev_inbox
+        FROM cells)
+  GROUP BY 1),
+tb AS (
+  SELECT curve, bucket FROM cells WHERE inbox = 1 GROUP BY 1, 2),
+agg AS (
+  SELECT c.curve,
+         CAST(count(DISTINCT tb.bucket) AS BIGINT) AS buckets_touched,
+         CAST(sum(c.n * c.inbox) AS BIGINT) AS rows_matched,
+         CAST(sum(CASE WHEN tb.bucket IS NOT NULL THEN c.n
+                       ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM cells c
+  LEFT JOIN tb ON tb.curve = c.curve AND tb.bucket = c.bucket
+  GROUP BY 1)
+SELECT agg.curve, agg.buckets_touched, runs.seek_runs,
+       agg.rows_matched, agg.rows_scanned,
+       CAST(agg.rows_scanned * 1000000 // agg.rows_matched
+            AS BIGINT) AS amp_ppm
+FROM agg JOIN runs USING (curve)
+ORDER BY curve
+"""
+
+
+QUERIES["hilbert_locality_audit"] = (q_hilbert_locality_audit,
+                                     _hilbert_locality_sql())
+
+
+# ---------------------------------------------------------------------------
+# theta_forecast_daily — the M3 theta method, closed-form SES
+# ---------------------------------------------------------------------------
+
+_THETA_H = 14
+_SES_ALPHA = 0.3
+
+
+def theta_forecast(y_train) -> tuple:
+    """Theta(0,2) one-shot forecaster: (level, slope, ses2) — the
+    trend line from exact integer sums and the SES(α=0.3) state of
+    the θ=2 line zₜ = 2yₜ − trendₜ via the CLOSED-FORM geometric sum
+    (no recursion): ses = α·Σ(1−α)^{n−t}zₜ + (1−α)^{n−1}z₁.
+    Forecast(h) = ½·ses2 + ½·(trend at n+h)."""
+    n = len(y_train)
+    sx = n * (n - 1) // 2
+    sxx = (n - 1) * n * (2 * n - 1) // 6
+    sy = sum(y_train)
+    sxy = sum(i * v for i, v in enumerate(y_train))
+    slope = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    level = (sy - slope * sx) / n
+    a = _SES_ALPHA
+    ses = 0.0
+    for t in range(n):
+        z = 2.0 * y_train[t] - (level + slope * t)
+        if t == 0:
+            ses = z
+        else:
+            ses = a * z + (1 - a) * ses
+    return level, slope, ses
+
+
+def q_theta_forecast_daily(sf_dir: str):
+    """Theta-method backtest on daily revenue (the M3-competition
+    winner: average of the flat SES forecast of the θ=2 line and the
+    linear trend): train on all but the last 14 days, report the
+    holdout MAE and its ratio to the naive last-value MAE — the
+    practical 'is theta worth it' number next to holt_backtest.  The
+    SES recursion is a fixed-order scan both engines replay
+    identically (kalman discipline: DuckDB recursive CTE)."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    n = len(day)
+    h = _THETA_H
+    train = cv[:n - h].tolist()
+    test = cv[n - h:].tolist()
+    level, slope, ses = theta_forecast(train)
+    m = len(train)
+    mae_theta = sum(
+        abs(0.5 * ses + 0.5 * (level + slope * (m - 1 + k))
+            - test[k - 1])
+        for k in range(1, h + 1)) / h
+    naive = train[-1]
+    mae_naive = sum(abs(naive - v) for v in test) / h
+    return pa.table({
+        "n_train": pa.array([m], pa.int64()),
+        "h": pa.array([h], pa.int64()),
+        "mae_theta": pa.array([round(mae_theta, 4)], pa.float64()),
+        "mae_naive": pa.array([round(mae_naive, 4)], pa.float64()),
+        "theta_vs_naive": pa.array(
+            [round(mae_theta / mae_naive, 6)], pa.float64()),
+    })
+
+
+SQL_THETA_FORECAST_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+         CAST(cents AS HUGEINT) AS y,
+         count(*) OVER () AS n
+  FROM d),
+tr AS (SELECT t, y, n - {_THETA_H} AS m FROM idx
+       WHERE t < n - {_THETA_H}),
+s AS (SELECT max(m) AS m, sum(t) AS sx, sum(y) AS sy,
+             sum(t * t) AS sxx, sum(t * y) AS sxy
+      FROM tr),
+ab AS (
+  SELECT m,
+         CAST(m * sxy - sx * sy AS DOUBLE)
+           / CAST(m * sxx - sx * sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+          - CAST(m * sxy - sx * sy AS DOUBLE)
+            / CAST(m * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(m AS DOUBLE) AS level
+  FROM s),
+ses AS (
+  WITH RECURSIVE rec(t, v) AS (
+    SELECT 0, (SELECT 2.0 * CAST(y AS DOUBLE)
+                      - (SELECT level FROM ab)
+               FROM tr WHERE t = 0)
+    UNION ALL
+    SELECT rec.t + 1,
+           {_SES_ALPHA} * (SELECT 2.0 * CAST(tr.y AS DOUBLE)
+                                  - ((SELECT level FROM ab)
+                                     + (SELECT slope FROM ab)
+                                       * (rec.t + 1))
+                           FROM tr WHERE tr.t = rec.t + 1)
+           + (1 - {_SES_ALPHA}) * rec.v
+    FROM rec WHERE rec.t + 1 < (SELECT m FROM ab))
+  SELECT v FROM rec ORDER BY t DESC LIMIT 1),
+fc AS (
+  SELECT idx.t, CAST(idx.y AS DOUBLE) AS actual,
+         0.5 * (SELECT v FROM ses)
+         + 0.5 * (ab.level + ab.slope * (idx.t)) AS fhat,
+         (SELECT CAST(y AS DOUBLE) FROM tr
+           WHERE t = (SELECT m FROM ab) - 1) AS naive
+  FROM idx, ab WHERE idx.t >= ab.m),
+e AS (
+  SELECT count(*) AS h,
+         sum(abs(fhat - actual)) / count(*) AS mae_theta,
+         sum(abs(naive - actual)) / count(*) AS mae_naive
+  FROM fc)
+SELECT CAST((SELECT m FROM ab) AS BIGINT) AS n_train,
+       CAST(h AS BIGINT) AS h,
+       round(mae_theta, 4) AS mae_theta,
+       round(mae_naive, 4) AS mae_naive,
+       round(mae_theta / mae_naive, 6) AS theta_vs_naive
+FROM e
+"""
+
+QUERIES["theta_forecast_daily"] = (q_theta_forecast_daily,
+                                   SQL_THETA_FORECAST_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# katz_petrosian_fd_daily — waveform fractal dimensions
+# ---------------------------------------------------------------------------
+
+
+def katz_petrosian_fd(y) -> tuple:
+    """(katz_fd, petrosian_fd) of an integer series: Katz from the
+    total variation L = Σ|Δy| and max excursion d = max|yᵢ−y₁|
+    (KFD = log(n')/ (log(n') + log(d/L)), n' = n−1); Petrosian from
+    the count of sign changes in Δy (PFD = log n/(log n +
+    log(n/(n+0.4·NΔ)))).  All inputs exact integers."""
+    n = len(y)
+    big_l = sum(abs(y[i + 1] - y[i]) for i in range(n - 1))
+    d = max(abs(v - y[0]) for v in y)
+    katz = math.log10(n - 1) / (math.log10(n - 1)
+                                + math.log10(d / big_l))
+    diffs = [y[i + 1] - y[i] for i in range(n - 1)]
+    nd = sum(1 for a, b in zip(diffs, diffs[1:])
+             if (a > 0 > b) or (a < 0 < b))
+    pet = math.log10(n) / (math.log10(n)
+                           + math.log10(n / (n + 0.4 * nd)))
+    return katz, pet
+
+
+def q_katz_petrosian_fd_daily(sf_dir: str):
+    """Katz and Petrosian fractal dimensions of daily revenue — the
+    two waveform-complexity estimators that need only total
+    variation, max excursion and sign-change counts (all exact
+    integers; higuchi_fd_daily's multi-lag regression is the heavy
+    sibling).  Values near 1 = smooth trend, near 1.5+ = noisy."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    katz, pet = katz_petrosian_fd(cv.tolist())
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "katz_fd": pa.array([round(katz, 6)], pa.float64()),
+        "petrosian_fd": pa.array([round(pet, 6)], pa.float64()),
+    })
+
+
+SQL_KATZ_PETROSIAN_FD_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+seq AS (
+  SELECT cents,
+         first_value(cents) OVER (ORDER BY day) AS y0,
+         lead(cents) OVER (ORDER BY day) AS nxt,
+         cents - lag(cents) OVER (ORDER BY day) AS diff,
+         lead(cents) OVER (ORDER BY day)
+           - cents AS ndiff,
+         count(*) OVER () AS n
+  FROM d),
+s AS (
+  SELECT max(n) AS n,
+         CAST(sum(abs(nxt - cents)) FILTER (WHERE nxt IS NOT NULL)
+              AS HUGEINT) AS big_l,
+         CAST(max(abs(cents - y0)) AS HUGEINT) AS dmax,
+         CAST(count(*) FILTER (WHERE diff IS NOT NULL
+                AND ndiff IS NOT NULL
+                AND ((diff > 0 AND ndiff < 0)
+                     OR (diff < 0 AND ndiff > 0))) AS BIGINT) AS nd
+  FROM seq)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(log10(n - 1.0)
+             / (log10(n - 1.0)
+                + log10(CAST(dmax AS DOUBLE) / CAST(big_l AS DOUBLE))),
+             6) AS katz_fd,
+       round(log10(CAST(n AS DOUBLE))
+             / (log10(CAST(n AS DOUBLE))
+                + log10(n / (n + 0.4 * nd))), 6) AS petrosian_fd
+FROM s
+"""
+
+QUERIES["katz_petrosian_fd_daily"] = (q_katz_petrosian_fd_daily,
+                                      SQL_KATZ_PETROSIAN_FD_DAILY)

@@ -889,3 +889,76 @@ def test_weighted_kappa_matches_probability_form():
         den = sum((i - j) ** 2 * r[i] * c[j] / (n * n)
                   for i in range(4) for j in range(4))
         assert abs(k - (1 - num / den)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Hilbert locality / theta forecast / Katz+Petrosian FD
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    curve_tables, hilbert_xy2d, katz_petrosian_fd, locality_audit,
+    theta_forecast)
+
+
+def test_hilbert_bijection_and_adjacency():
+    n = 16
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            seen[hilbert_xy2d(n, x, y)] = (x, y)
+    assert sorted(seen) == list(range(n * n))
+    # the defining property: consecutive d are GRID NEIGHBORS
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_beats_zorder_on_box_seeks():
+    tabs = curve_tables()
+    counts = {(x, y): 1 for x in range(16) for y in range(16)}
+    res = {name: locality_audit(counts, curve, (4, 11))
+           for name, curve in tabs.items()}
+    # all layouts match the same 64 rows
+    assert all(r[2] == 64 for r in res.values())
+    # hilbert needs no more seek runs than z-order on this box
+    assert res["hilbert"][1] <= res["zorder"][1]
+    # scanned >= matched always
+    for r in res.values():
+        assert r[3] >= r[2]
+
+
+def test_theta_forecast_recovers_linear_trend():
+    # exact line: theta-2 residual line is ~0, forecast == the line
+    y = [100 + 7 * t for t in range(50)]
+    level, slope, ses = theta_forecast(y)
+    assert abs(slope - 7) < 1e-9 and abs(level - 100) < 1e-6
+    # the theta2 line z = 2y - trend equals the line itself here; an
+    # SES lags a rising ramp by (1-a)/a steps of slope
+    lag = (1 - 0.3) / 0.3 * 7
+    assert abs(ses - (100 + 7 * 49 - lag)) < 0.01
+
+
+def test_theta_ses_matches_recursion():
+    rng = np.random.RandomState(3)
+    y = rng.randint(50, 150, 40).tolist()
+    level, slope, ses = theta_forecast(y)
+    # independent recursion
+    a = 0.3
+    s = None
+    for t, v in enumerate(y):
+        z = 2 * v - (level + slope * t)
+        s = z if s is None else a * z + (1 - a) * s
+    assert abs(ses - s) < 1e-9
+
+
+def test_katz_petrosian_known_profiles():
+    # smooth monotone ramp: both near 1
+    ramp = [10 * t for t in range(100)]
+    k, p = katz_petrosian_fd(ramp)
+    assert abs(p - 1.0) < 1e-9        # zero sign changes
+    assert abs(k - 1.0) < 1e-9        # d == L exactly on a ramp
+    # jagged noise: many sign flips, path length >> excursion
+    rng = np.random.RandomState(2)
+    noise = rng.randint(0, 1000, 200).tolist()
+    k2, p2 = katz_petrosian_fd(noise)
+    assert p2 > p and k2 > 1.5
