@@ -3505,3 +3505,337 @@ FROM s
 
 QUERIES["katz_petrosian_fd_daily"] = (q_katz_petrosian_fd_daily,
                                       SQL_KATZ_PETROSIAN_FD_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# anderson_darling_2samp — Scholz-Stephens A² with ties (midrank form)
+# ---------------------------------------------------------------------------
+
+
+def ad_2samp_from_hists(cx, cy) -> float:
+    """Two-sample Anderson-Darling A²akN (Scholz & Stephens 1987,
+    tie-adjusted midrank version — what scipy's anderson_ksamp
+    computes) from aligned histograms: per distinct value j the term
+    (l_j/N)·(N·M̄2 − n_a·B̄2)²/(B̄2(2N−B̄2) − N·l_j) is an exact
+    integer ratio via DOUBLED mid-cumulatives; A² = (N−1)/N · Σ_a
+    (1/n_a)·Σ_j term.  Weighs the tails more than KS."""
+    cx = [int(v) for v in cx]
+    cy = [int(v) for v in cy]
+    nx, ny = sum(cx), sum(cy)
+    n = nx + ny
+    bprev = 0
+    mxprev = 0
+    myprev = 0
+    sx = sy = 0.0
+    for a, b in zip(cx, cy):
+        l = a + b
+        if l == 0:
+            continue
+        b2 = 2 * bprev + l          # doubled mid-cumulative, pooled
+        mx2 = 2 * mxprev + a
+        my2 = 2 * myprev + b
+        den = b2 * (2 * n - b2) - n * l
+        if den > 0:
+            sx += l * (n * mx2 - nx * b2) ** 2 / (float(n) * den)
+            sy += l * (n * my2 - ny * b2) ** 2 / (float(n) * den)
+        bprev += l
+        mxprev += a
+        myprev += b
+    return (n - 1.0) / n * (sx / nx + sy / ny)
+
+
+def q_anderson_darling_2samp(sf_dir: str):
+    """Two-sample Anderson-Darling test of click vs view values —
+    the tail-weighted omnibus the registry's KS rows underweight:
+    A² sees distributional differences far in the tails that the
+    max-gap KS statistic dilutes.  Same bounded integer-cents
+    histogram shuffle; every per-value term an exact integer ratio
+    (doubled midrank cumulatives).  Null mean is 1 (k−1); values ≫ 1
+    reject."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_x = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"v": cents, "x": is_x,
+                      "y": pc.subtract(pa.scalar(1, pa.int64()),
+                                       is_x)}) \
+            .group_by("v").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["v", "cx", "cy"])
+
+    m = _partial_final(ds, partial, ["v"],
+                       [("cx", "sum"), ("cy", "sum")]).sort_by("v")
+    cx = np.asarray(m.column("cx"), dtype=np.int64)
+    cy = np.asarray(m.column("cy"), dtype=np.int64)
+    a2 = ad_2samp_from_hists(cx, cy)
+    return pa.table({
+        "n_click": pa.array([int(cx.sum())], pa.int64()),
+        "n_view": pa.array([int(cy.sum())], pa.int64()),
+        "a2_akn": pa.array([round(a2, 6)], pa.float64()),
+    })
+
+
+SQL_ANDERSON_DARLING_2SAMP = """
+WITH hist AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+w AS (
+  SELECT cx, cy, cx + cy AS l,
+         2 * coalesce(sum(cx + cy) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + (cx + cy) AS b2,
+         2 * coalesce(sum(cx) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + cx AS mx2,
+         2 * coalesce(sum(cy) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + cy AS my2
+  FROM hist),
+tot AS (SELECT CAST(sum(cx) AS BIGINT) AS nx,
+               CAST(sum(cy) AS BIGINT) AS ny,
+               CAST(sum(cx + cy) AS BIGINT) AS n
+        FROM hist),
+s AS (
+  SELECT tot.nx, tot.ny, tot.n,
+         sum(CASE WHEN b2 * (2 * tot.n - b2) - tot.n * l > 0
+              THEN l * CAST((tot.n * mx2 - tot.nx * b2)
+                            * (tot.n * mx2 - tot.nx * b2) AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE)
+                      * (b2 * (2 * tot.n - b2) - tot.n * l))
+              ELSE 0.0 END) AS sx,
+         sum(CASE WHEN b2 * (2 * tot.n - b2) - tot.n * l > 0
+              THEN l * CAST((tot.n * my2 - tot.ny * b2)
+                            * (tot.n * my2 - tot.ny * b2) AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE)
+                      * (b2 * (2 * tot.n - b2) - tot.n * l))
+              ELSE 0.0 END) AS sy
+  FROM w, tot GROUP BY tot.nx, tot.ny, tot.n)
+SELECT nx AS n_click, ny AS n_view,
+       round((n - 1.0) / n * (sx / nx + sy / ny), 6) AS a2_akn
+FROM s
+"""
+
+QUERIES["anderson_darling_2samp"] = (q_anderson_darling_2samp,
+                                     SQL_ANDERSON_DARLING_2SAMP)
+
+
+# ---------------------------------------------------------------------------
+# cochran_c_dow — variance-outlier test across weekday groups
+# ---------------------------------------------------------------------------
+
+
+def cochran_c(groups: dict) -> tuple:
+    """Cochran's C from {group: (n, Σy, Σy²)} integer sums:
+    C = max s²ᵢ / Σ s²ᵢ with s²ᵢ = (nᵢΣy² − (Σy)²)/(nᵢ(nᵢ−1));
+    returns (c, argmax_group) — tie → smallest group id."""
+    var = {}
+    for g, (n, sy, syy) in groups.items():
+        if n >= 2:
+            var[g] = (n * syy - sy * sy) / (n * (n - 1.0))
+    tot = sum(var.values())
+    gmax = min(g for g, v in var.items() if v == max(var.values()))
+    return var[gmax] / tot, gmax, len(var)
+
+
+def q_cochran_c_dow(sf_dir: str):
+    """Cochran's C variance-outlier test of daily revenue across the
+    seven weekday groups — 'is one weekday's volatility carrying the
+    whole variance budget?' (bartlett/brown-forsythe ask if variances
+    DIFFER; Cochran's C asks if ONE dominates).  Exact integer group
+    moments from the bounded day shuffle; under H0 C ≈ 1/k."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    dow = ((day + 4) % 7).astype(np.int64)   # epoch day 0 = Thursday
+    groups = {}
+    for d_, v in zip(dow.tolist(), cv.tolist()):
+        n, sy, syy = groups.get(d_, (0, 0, 0))
+        groups[d_] = (n + 1, sy + v, syy + v * v)
+    c, gmax, k = cochran_c(groups)
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "argmax_dow": pa.array([gmax], pa.int64()),
+        "cochran_c": pa.array([round(c, 6)], pa.float64()),
+        "c_null": pa.array([round(1.0 / k, 6)], pa.float64()),
+    })
+
+
+SQL_COCHRAN_C_DOW = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT (day + 4) % 7 AS dow, count(*) AS n,
+         CAST(sum(cents) AS HUGEINT) AS sy,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS syy
+  FROM d GROUP BY 1),
+v AS (
+  SELECT dow,
+         CAST(n * syy - sy * sy AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1.0)) AS s2
+  FROM g WHERE n >= 2),
+mx AS (SELECT dow, s2 FROM v ORDER BY s2 DESC, dow LIMIT 1)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS k_groups,
+       CAST(mx.dow AS BIGINT) AS argmax_dow,
+       round(mx.s2 / (SELECT sum(s2) FROM v), 6) AS cochran_c,
+       round(1.0 / (SELECT count(*) FROM v), 6) AS c_null
+FROM mx
+"""
+
+QUERIES["cochran_c_dow"] = (q_cochran_c_dow, SQL_COCHRAN_C_DOW)
+
+
+# ---------------------------------------------------------------------------
+# breusch_godfrey_daily — LM test for residual serial correlation
+# ---------------------------------------------------------------------------
+
+
+def breusch_godfrey_lm(xs, ys) -> tuple:
+    """BG(1) LM statistic: residuals of y ~ 1 + x, then the aux
+    regression eₜ ~ 1 + xₜ + eₜ₋₁ over t = 2..n; LM = (n−1)·R² ~ χ²₁.
+    Trend from exact integer sums; aux by 3×3 Cramer in doubles
+    (white_lm discipline).  Returns (lm, r2, rho_hat)."""
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (sy - b * sx) / float(n)
+    e = [y - a - b * x for x, y in zip(xs, ys)]
+    z = e[1:]
+    x1 = [float(v) for v in xs[1:]]
+    el = e[:-1]
+    m = n - 1
+
+    def s(u):
+        return sum(u)
+
+    def sp(u, v):
+        return sum(p * q for p, q in zip(u, v))
+
+    mm = [[float(m), s(x1), s(el)],
+          [s(x1), sp(x1, x1), sp(x1, el)],
+          [s(el), sp(x1, el), sp(el, el)]]
+    rhs = [s(z), sp(x1, z), sp(el, z)]
+
+    def det3f(q):
+        return (q[0][0] * (q[1][1] * q[2][2] - q[1][2] * q[2][1])
+                - q[0][1] * (q[1][0] * q[2][2] - q[1][2] * q[2][0])
+                + q[0][2] * (q[1][0] * q[2][1] - q[1][1] * q[2][0]))
+
+    d = det3f(mm)
+    c = []
+    for j in range(3):
+        mj = [[rhs[i] if k == j else mm[i][k] for k in range(3)]
+              for i in range(3)]
+        c.append(det3f(mj) / d)
+    szz = sp(z, z)
+    ssr = szz - (c[0] * s(z) + c[1] * sp(x1, z) + c[2] * sp(el, z))
+    sst = szz - s(z) * s(z) / float(m)
+    r2 = 1.0 - ssr / sst
+    return m * r2, r2, c[2]
+
+
+def q_breusch_godfrey_daily(sf_dir: str):
+    """Breusch-Godfrey LM(1) test for serial correlation in the
+    daily-revenue trend residuals — the regression-valid alternative
+    to durbin_watson_hourly (BG stays valid with the fitted trend in
+    the model and generalizes to higher lags); χ²₁ tail via the
+    shared Φ (χ²₁ = 2(1−Φ(√x))).  Residuals and lag products in
+    doubles with one shared expression tree (BP discipline)."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    xs = (day - day[0]).tolist()
+    ys = cv.tolist()
+    lm, r2, rho = breusch_godfrey_lm(xs, ys)
+    p = 2.0 * (1.0 - phi_as(math.sqrt(lm)))
+    return pa.table({
+        "n_days": pa.array([len(xs)], pa.int64()),
+        "bg_lm": pa.array([round(lm, 6)], pa.float64()),
+        "rho_hat": pa.array([round(rho, 6)], pa.float64()),
+        "p_value": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_BREUSCH_GODFREY_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT CAST(day - min(day) OVER () AS HUGEINT) AS x,
+             CAST(cents AS HUGEINT) AS y, day
+      FROM d),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r),
+ab AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM s),
+e AS (
+  SELECT CAST(r.x AS DOUBLE) AS xf,
+         CAST(r.y AS DOUBLE) - ab.a - ab.b * CAST(r.x AS DOUBLE)
+           AS e,
+         r.day
+  FROM r, ab),
+lagd AS (
+  SELECT xf, e AS z, lag(e) OVER (ORDER BY day) AS el
+  FROM e),
+p AS (SELECT xf, z, el FROM lagd WHERE el IS NOT NULL),
+aux AS (
+  SELECT count(*) AS m,
+         sum(xf) AS sx1, sum(el) AS sel, sum(z) AS sz,
+         sum(xf * xf) AS sx1x1, sum(xf * el) AS sx1el,
+         sum(el * el) AS selel,
+         sum(xf * z) AS sx1z, sum(el * z) AS selz,
+         sum(z * z) AS szz
+  FROM p),
+dets AS (
+  SELECT m, sz, sx1z, selz, szz,
+         (CAST(m AS DOUBLE) * (sx1x1 * selel - sx1el * sx1el)
+          - sx1 * (sx1 * selel - sx1el * sel)
+          + sel * (sx1 * sx1el - sx1x1 * sel)) AS det,
+         (sz * (sx1x1 * selel - sx1el * sx1el)
+          - sx1 * (sx1z * selel - sx1el * selz)
+          + sel * (sx1z * sx1el - sx1x1 * selz)) AS det0,
+         (CAST(m AS DOUBLE) * (sx1z * selel - sx1el * selz)
+          - sz * (sx1 * selel - sx1el * sel)
+          + sel * (sx1 * selz - sx1z * sel)) AS det1,
+         (CAST(m AS DOUBLE) * (sx1x1 * selz - sx1z * sx1el)
+          - sx1 * (sx1 * selz - sx1z * sel)
+          + sz * (sx1 * sx1el - sx1x1 * sel)) AS det2
+  FROM aux),
+fin AS (
+  SELECT m, det2 / det AS rho,
+         1.0 - (szz - ((det0 / det) * sz + (det1 / det) * sx1z
+                       + (det2 / det) * selz))
+               / (szz - sz * sz / CAST(m AS DOUBLE)) AS r2
+  FROM dets)
+SELECT CAST(m + 1 AS BIGINT) AS n_days,
+       round(m * r2, 6) AS bg_lm,
+       round(rho, 6) AS rho_hat,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_value
+FROM fin,
+     LATERAL (SELECT sqrt(fin.m * fin.r2) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["breusch_godfrey_daily"] = (q_breusch_godfrey_daily,
+                                    SQL_BREUSCH_GODFREY_DAILY)

@@ -962,3 +962,85 @@ def test_katz_petrosian_known_profiles():
     noise = rng.randint(0, 1000, 200).tolist()
     k2, p2 = katz_petrosian_fd(noise)
     assert p2 > p and k2 > 1.5
+
+
+# ---------------------------------------------------------------------------
+# AD 2-sample / Cochran's C / Breusch-Godfrey
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    ad_2samp_from_hists, breusch_godfrey_lm, cochran_c)
+
+
+def _ad_naive(x, y):
+    """Direct Scholz-Stephens midrank transcription (their eq. 7 for
+    k samples, k=2)."""
+    pooled = sorted(set(x + y))
+    nx, ny = len(x), len(y)
+    n = nx + ny
+    total = 0.0
+    for sample, na in ((x, nx), (y, ny)):
+        inner = 0.0
+        bprev = maprev = 0
+        for v in pooled:
+            lj = sum(1 for p in x + y if p == v)
+            fj = sum(1 for p in sample if p == v)
+            bbar = bprev + lj / 2.0
+            mbar = maprev + fj / 2.0
+            den = bbar * (n - bbar) - n * lj / 4.0
+            if den > 0:
+                inner += lj / n * (n * mbar - na * bbar) ** 2 / den
+            bprev += lj
+            maprev += fj
+        total += inner / na
+    return (n - 1.0) / n * total
+
+
+def test_ad_2samp_matches_naive():
+    rng = np.random.RandomState(8)
+    for _ in range(15):
+        x = rng.randint(0, 15, rng.randint(8, 30)).tolist()
+        y = rng.randint(0, 15, rng.randint(8, 30)).tolist()
+        vals = sorted(set(x) | set(y))
+        cx = [sum(1 for v in x if v == u) for u in vals]
+        cy = [sum(1 for v in y if v == u) for u in vals]
+        got = ad_2samp_from_hists(cx, cy)
+        assert abs(got - _ad_naive(x, y)) < 1e-9
+
+
+def test_ad_2samp_separated_vs_same():
+    same = list(range(20))
+    cx = [1] * 20 + [0] * 20
+    cy = [0] * 20 + [1] * 20     # fully separated
+    a2_sep = ad_2samp_from_hists(cx, cy)
+    cxs = [1] * 20
+    a2_same = ad_2samp_from_hists(cxs, cxs)
+    assert a2_sep > 5.0 and a2_same < 1.0
+
+
+def test_cochran_c_uniform_and_outlier():
+    # equal variances: C ~ 1/k
+    g = {i: (10, 100, 1090) for i in range(5)}   # var = (10*1090-1e4)/90
+    c, gmax, k = cochran_c(g)
+    assert k == 5 and abs(c - 0.2) < 1e-12 and gmax == 0
+    g[3] = (10, 100, 10000)   # blow up group 3's variance
+    c2, gmax2, _ = cochran_c(g)
+    assert gmax2 == 3 and c2 > 0.9
+
+
+def test_breusch_godfrey_detects_ar1():
+    rng = np.random.RandomState(11)
+    n = 300
+    xs = list(range(n))
+    # white residuals: LM small
+    y_w = [int(1000 + 5 * t + rng.randint(-50, 51)) for t in xs]
+    lm_w, _, rho_w = breusch_godfrey_lm(xs, y_w)
+    # strongly AR(1) residuals
+    e = 0.0
+    y_a = []
+    for t in xs:
+        e = 0.9 * e + rng.randint(-20, 21)
+        y_a.append(int(1000 + 5 * t + e))
+    lm_a, _, rho_a = breusch_godfrey_lm(xs, y_a)
+    assert lm_a > 50 > lm_w
+    assert rho_a > 0.6 and abs(rho_w) < 0.2
