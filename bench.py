@@ -323,6 +323,42 @@ BENCH_EXTRA = [
     "lilliefors_daily",
     "kde_epanechnikov_daily",
     "atkinson_lorenz_daily",
+    # session-11 operators
+    "dict_encoding_audit",
+    "selectivity_estimate_audit",
+    "feature_hash_buckets",
+    "lin_ccc_click_view",
+    "bland_altman_click_view",
+    "agreement_coeffs_langid",
+    "cucconi_click_view",
+    "brunner_munzel_click_view",
+    "bartels_rvn_daily",
+    "white_test_daily",
+    "goldfeld_quandt_daily",
+    "dickey_fuller_daily",
+    "laplace_trend_purchases",
+    "ulcer_martin_daily",
+    "spectral_entropy_daily",
+    "hoover_palma_daily",
+    "getis_ord_hotspots",
+    "ripley_k_minutes",
+    "textrank_keywords",
+    "craig_zeta_sources",
+    "hdd_lexical_diversity",
+    "domain_betweenness",
+    "domain_effective_size",
+    "woolf_or_homogeneity",
+    "dp_noise_calibration",
+    "erlang_b_blocking",
+    "image_hu_moments",
+    "audio_spectral_centroid",
+    "weighted_kappa_quartiles",
+    "hilbert_locality_audit",
+    "theta_forecast_daily",
+    "katz_petrosian_fd_daily",
+    "anderson_darling_2samp",
+    "cochran_c_dow",
+    "breusch_godfrey_daily",
 ]
 
 
