@@ -3839,3 +3839,308 @@ FROM fin,
 
 QUERIES["breusch_godfrey_daily"] = (q_breusch_godfrey_daily,
                                     SQL_BREUSCH_GODFREY_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_audit — empirical vs theoretical Bloom false-positive rate
+# ---------------------------------------------------------------------------
+
+_BF_M = 1024
+_BF_K = 4
+
+
+def bloom_positions(key: int, m: int = _BF_M, k: int = _BF_K) -> list:
+    """Kirsch-Mitzenmacher double-hash probe positions from two md5
+    hashes of the decimal key string: (h1 + i·h2) mod m — the
+    engine-portable spec the oracle mirrors verbatim."""
+    h1 = md5_hash32(str(key))
+    h2 = md5_hash32(str(key) + "x")
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_fpr_theory(n: int, m: int = _BF_M, k: int = _BF_K) -> float:
+    """(1 − e^{−kn/m})^k — the classic Bloom fpp estimate."""
+    return (1.0 - math.exp(-k * n / float(m))) ** k
+
+
+def q_bloom_fpr_audit(sf_dir: str):
+    """Bloom-filter calibration audit: build a deliberately small
+    (m=1024, k=4) filter over the urgent-order customer keys, probe
+    it with every NON-member customer, and compare the measured
+    false-positive rate against the textbook (1−e^{−kn/m})^k — the
+    check that tells stages/bloomjoin.py whether its sizing math can
+    be trusted on THIS key distribution (correctness never depends on
+    it; exchange volume does).  Exact integer bit positions via
+    md5 double hashing, mirrored verbatim by the oracle."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+
+    def member_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"),
+                              "1-URGENT"))
+        ck = t.column("o_custkey")
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        return pa.table({"ck": pc.unique(ck)})
+
+    mem = _partial_final(orders, member_partial, ["ck"], [])
+    members = set(np.asarray(mem.column("ck"),
+                             dtype=np.int64).tolist())
+    bits = set()
+    for key in members:
+        bits.update(bloom_positions(key))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey")
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        return pa.table({"ck": pc.unique(ck)})
+
+    pr = _partial_final(cust, probe_partial, ["ck"], [])
+    probes = [k for k in np.asarray(pr.column("ck"),
+                                    dtype=np.int64).tolist()
+              if k not in members]
+    fp = sum(1 for key in probes
+             if all(p in bits for p in bloom_positions(key)))
+    n, np_ = len(members), len(probes)
+    theory = bloom_fpr_theory(n)
+    return pa.table({
+        "n_members": pa.array([n], pa.int64()),
+        "n_probes": pa.array([np_], pa.int64()),
+        "bits_set": pa.array([len(bits)], pa.int64()),
+        "fp_count": pa.array([fp], pa.int64()),
+        "fpr_ppm": pa.array([fp * 1_000_000 // np_], pa.int64()),
+        "theory_fpr_ppm": pa.array(
+            [int(round(theory * 1_000_000))], pa.int64()),
+    })
+
+
+def _bloom_fpr_sql() -> str:
+    h1 = ORACLE_HASH_SQL.format(col="CAST(ck AS VARCHAR)")
+    h2 = ORACLE_HASH_SQL.format(col="CAST(ck AS VARCHAR) || 'x'")
+    return f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders
+  WHERE o_orderpriority = '1-URGENT'),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM members),
+ks AS (SELECT unnest(generate_series(0, {_BF_K - 1})) AS i),
+bits AS (
+  SELECT DISTINCT ({h1} + ks.i * {h2}) % {_BF_M} AS pos
+  FROM members, ks),
+probes AS (
+  SELECT c_custkey AS ck FROM customer
+  WHERE c_custkey NOT IN (SELECT ck FROM members)),
+hits AS (
+  SELECT p.ck,
+         CAST(count(*) AS BIGINT) AS n_hit
+  FROM (SELECT ck, ({h1} + ks.i * {h2}) % {_BF_M} AS pos
+        FROM probes, ks) p
+  JOIN bits USING (pos)
+  GROUP BY p.ck),
+fp AS (SELECT CAST(count(*) AS BIGINT) AS fp FROM hits
+       WHERE n_hit = {_BF_K}),
+npr AS (SELECT CAST(count(*) AS BIGINT) AS np FROM probes)
+SELECT nm.n AS n_members, npr.np AS n_probes,
+       CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+       fp.fp AS fp_count,
+       CAST(fp.fp * 1000000 // npr.np AS BIGINT) AS fpr_ppm,
+       CAST(round(pow(1.0 - exp(-{_BF_K}.0 * nm.n / {_BF_M}.0),
+                      {_BF_K}) * 1000000, 0) AS BIGINT)
+         AS theory_fpr_ppm
+FROM nm, npr, fp
+"""
+
+
+QUERIES["bloom_fpr_audit"] = (q_bloom_fpr_audit, _bloom_fpr_sql())
+
+
+# ---------------------------------------------------------------------------
+# cusum_squares_daily — Brown-Durbin-Evans variance-stability scan
+# ---------------------------------------------------------------------------
+
+
+def cusum_squares(e) -> tuple:
+    """(max |Sₜ − t/n|, argmax_t) over the CUSUM-of-squares path
+    Sₜ = Σᵢ≤ₜeᵢ²/Σeᵢ² — departures from the diagonal mean the
+    residual VARIANCE shifted somewhere (the BDE structural-stability
+    companion of the mean-shift CUSUM)."""
+    n = len(e)
+    tot = sum(v * v for v in e)
+    acc = 0.0
+    best = -1.0
+    best_t = 0
+    for t, v in enumerate(e, start=1):
+        acc += v * v
+        dev = abs(acc / tot - t / float(n))
+        if dev > best:
+            best = dev
+            best_t = t
+    return best, best_t
+
+
+def q_cusum_squares_daily(sf_dir: str):
+    """CUSUM-of-squares scan of the daily-revenue trend residuals:
+    where does cumulative residual VARIANCE run ahead of (or behind)
+    schedule?  Complements page_cusum_alarm (mean shifts) and
+    white_test_daily (variance-vs-regressor): this one localizes
+    variance regime changes in TIME.  Residuals via the shared
+    closed-form trend; the ordered scan replays identically in the
+    oracle's window cumulative."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    xs = (day - day[0]).tolist()
+    ys = cv.tolist()
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (sy - b * sx) / float(n)
+    e = [y - a - b * x for x, y in zip(xs, ys)]
+    stat, t_at = cusum_squares(e)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "cusumsq_max_dev": pa.array([round(stat, 6)], pa.float64()),
+        "argmax_t": pa.array([t_at], pa.int64()),
+        "day_at_max": pa.array([int(day[t_at - 1])], pa.int64()),
+    })
+
+
+SQL_CUSUM_SQUARES_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT CAST(day - min(day) OVER () AS HUGEINT) AS x,
+             CAST(cents AS HUGEINT) AS y, day
+      FROM d),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r),
+ab AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM s),
+e AS (
+  SELECT r.day,
+         pow(CAST(r.y AS DOUBLE) - ab.a - ab.b * CAST(r.x AS DOUBLE),
+             2) AS e2,
+         row_number() OVER (ORDER BY r.day) AS t,
+         count(*) OVER () AS n
+  FROM r, ab),
+path AS (
+  SELECT day, t, n,
+         abs(sum(e2) OVER (ORDER BY t) / (sum(e2) OVER ())
+             - CAST(t AS DOUBLE) / n) AS dev
+  FROM e)
+SELECT CAST(max(n) AS BIGINT) AS n_days,
+       round(max(dev), 6) AS cusumsq_max_dev,
+       CAST((SELECT t FROM path ORDER BY dev DESC, t LIMIT 1)
+            AS BIGINT) AS argmax_t,
+       CAST((SELECT day FROM path ORDER BY dev DESC, t LIMIT 1)
+            AS BIGINT) AS day_at_max
+FROM path
+"""
+
+QUERIES["cusum_squares_daily"] = (q_cusum_squares_daily,
+                                  SQL_CUSUM_SQUARES_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# concentration_index_users — rank-based inequity of purchases by clicks
+# ---------------------------------------------------------------------------
+
+
+def concentration_index(pairs) -> tuple:
+    """Wagstaff/Kakwani concentration index of outcome y over units
+    ranked by a living-standard proxy x, from [(x, y)] integers:
+    CI = (Σy·d − (n+1)·Y)/(n·Y) with doubled midranks d of x (ties
+    by x only — the proxy, not the outcome).  CI > 0: y concentrates
+    among high-x units.  Exact integers until one divide."""
+    n = len(pairs)
+    xs = sorted(x for x, _ in pairs)
+    num = 0
+    ytot = 0
+    import bisect as _b
+    for x, y in pairs:
+        lo = _b.bisect_left(xs, x)
+        eq = _b.bisect_right(xs, x) - lo
+        d = 2 * lo + eq + 1            # doubled midrank
+        num += y * d
+        ytot += y
+    return (num - (n + 1) * ytot), n * ytot
+
+
+def q_concentration_index_users(sf_dir: str):
+    """Concentration index of PURCHASES across users ranked by their
+    CLICK volume — the health-economics inequity measure applied to
+    engagement: CI > 0 means purchases concentrate among the most
+    click-active users (gini measures inequality in one variable;
+    CI measures inequality of one variable ALONG the ranking of
+    another).  Per-user counts from one bounded shuffle; doubled
+    midranks keep the closure exact-integer."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        is_c = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "clicks": is_c,
+            "purchases": pc.subtract(pa.scalar(1, pa.int64()), is_c),
+        }).group_by("user_id").aggregate([("clicks", "sum"),
+                                          ("purchases", "sum")])
+        return g.rename_columns(["user_id", "clicks", "purchases"])
+
+    m = _partial_final(ds, partial, ["user_id"],
+                       [("clicks", "sum"), ("purchases", "sum")])
+    ck = np.asarray(m.column("clicks"), dtype=np.int64)
+    pu = np.asarray(m.column("purchases"), dtype=np.int64)
+    num, den = concentration_index(list(zip(ck.tolist(),
+                                            pu.tolist())))
+    return pa.table({
+        "n_users": pa.array([len(ck)], pa.int64()),
+        "total_purchases": pa.array([int(pu.sum())], pa.int64()),
+        "conc_index": pa.array([round(num / den, 6)], pa.float64()),
+    })
+
+
+SQL_CONCENTRATION_INDEX_USERS = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS purchases
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1),
+r AS (
+  SELECT purchases,
+         2 * (rank() OVER (ORDER BY clicks))
+           + (count(*) OVER (PARTITION BY clicks)) - 1 AS d,
+         count(*) OVER () AS n
+  FROM u),
+s AS (
+  SELECT max(n) AS n,
+         CAST(sum(purchases * d) AS HUGEINT) AS num,
+         CAST(sum(purchases) AS HUGEINT) AS ytot
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(ytot AS BIGINT) AS total_purchases,
+       round(CAST(num - (n + 1) * ytot AS DOUBLE)
+             / CAST(n * ytot AS DOUBLE), 6) AS conc_index
+FROM s
+"""
+
+QUERIES["concentration_index_users"] = (q_concentration_index_users,
+                                        SQL_CONCENTRATION_INDEX_USERS)

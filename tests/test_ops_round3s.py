@@ -1044,3 +1044,64 @@ def test_breusch_godfrey_detects_ar1():
     lm_a, _, rho_a = breusch_godfrey_lm(xs, y_a)
     assert lm_a > 50 > lm_w
     assert rho_a > 0.6 and abs(rho_w) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# Bloom FPR / CUSUM of squares / concentration index
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    _BF_K, _BF_M, bloom_fpr_theory, bloom_positions, concentration_index,
+    cusum_squares)
+
+
+def test_bloom_positions_deterministic_and_in_range():
+    for key in (0, 1, 12345, 999999):
+        pos = bloom_positions(key)
+        assert pos == bloom_positions(key)
+        assert len(pos) == _BF_K
+        assert all(0 <= p < _BF_M for p in pos)
+
+
+def test_bloom_no_false_negatives_and_fpr_near_theory():
+    rng = np.random.RandomState(5)
+    members = set(rng.randint(0, 10 ** 9, 300).tolist())
+    bits = set()
+    for k in members:
+        bits.update(bloom_positions(k))
+    # no false negatives, ever
+    for k in list(members)[:50]:
+        assert all(p in bits for p in bloom_positions(k))
+    probes = [int(v) for v in rng.randint(10 ** 9, 2 * 10 ** 9, 5000)]
+    fp = sum(1 for k in probes
+             if all(p in bits for p in bloom_positions(k)))
+    fpr = fp / len(probes)
+    theory = bloom_fpr_theory(len(members))
+    assert 0.3 * theory < fpr < 3.0 * theory
+
+
+def test_cusum_squares_uniform_vs_shift():
+    rng = np.random.RandomState(2)
+    flat = rng.normal(0, 1, 400).tolist()
+    stat_flat, _ = cusum_squares(flat)
+    shifted = (rng.normal(0, 0.3, 200).tolist()
+               + rng.normal(0, 3.0, 200).tolist())
+    stat_shift, t_at = cusum_squares(shifted)
+    assert stat_shift > 0.3 > stat_flat
+    # variance arrives LATE: the max deviation sits near the break
+    assert 150 <= t_at <= 250
+
+
+def test_concentration_index_extremes():
+    # all outcome on the highest-ranked unit: CI -> (n-1)/n
+    pairs = [(i, 0) for i in range(9)] + [(100, 50)]
+    num, den = concentration_index(pairs)
+    assert abs(num / den - 9 / 10) < 1e-12
+    # outcome flat across ranks: CI = 0 exactly
+    pairs2 = [(i, 7) for i in range(10)]
+    num2, den2 = concentration_index(pairs2)
+    assert num2 == 0
+    # all outcome on the LOWEST-ranked: CI -> -(n-1)/n
+    pairs3 = [(0, 50)] + [(i + 1, 0) for i in range(9)]
+    num3, den3 = concentration_index(pairs3)
+    assert abs(num3 / den3 + 9 / 10) < 1e-12
