@@ -4144,3 +4144,328 @@ FROM s
 
 QUERIES["concentration_index_users"] = (q_concentration_index_users,
                                         SQL_CONCENTRATION_INDEX_USERS)
+
+
+# ---------------------------------------------------------------------------
+# tost_equivalence_weekend — equivalence (not difference) testing
+# ---------------------------------------------------------------------------
+
+
+def tost_z(n1, s1, ss1, n2, s2, ss2, margin_frac=0.10) -> tuple:
+    """TOST equivalence closure from integer group sums: returns
+    (diff, se, delta, z_lower, z_upper).  Equivalence is declared
+    when BOTH one-sided tests reject: z_lower = (d̄+δ)/se and
+    z_upper = (δ−d̄)/se both > 1.645.  δ = margin_frac × pooled
+    mean."""
+    m1 = s1 / n1
+    m2 = s2 / n2
+    v1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1.0)) / n1
+    v2 = (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2
+    se = math.sqrt(v1 + v2)
+    delta = margin_frac * (s1 + s2) / (n1 + n2)
+    d = m1 - m2
+    return d, se, delta, (d + delta) / se, (delta - d) / se
+
+
+def q_tost_equivalence_weekend(sf_dir: str):
+    """TOST equivalence test: is WEEKEND mean daily revenue
+    equivalent to WEEKDAY mean within ±10% of the overall mean?  The
+    inferential inverse of welch_ttest/hotelling (which can only
+    fail to find a difference — TOST positively demonstrates
+    sameness, the thing a seasonality-pruning optimizer actually
+    needs).  Exact integer group moments; both one-sided z's and
+    their max p via the shared Φ."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    dow = ((day + 4) % 7).astype(np.int64)
+    we = (dow == 5) | (dow == 6)
+    g1 = cv[we].tolist()
+    g2 = cv[~we].tolist()
+    d, se, delta, zl, zu = tost_z(
+        len(g1), sum(g1), sum(v * v for v in g1),
+        len(g2), sum(g2), sum(v * v for v in g2))
+    p = max(1.0 - phi_as(zl), 1.0 - phi_as(zu))
+    return pa.table({
+        "n_weekend": pa.array([len(g1)], pa.int64()),
+        "n_weekday": pa.array([len(g2)], pa.int64()),
+        "mean_diff": pa.array([round(d, 4)], pa.float64()),
+        "margin": pa.array([round(delta, 4)], pa.float64()),
+        "p_tost": pa.array([round(p, 6)], pa.float64()),
+        "equivalent": pa.array(
+            [1 if zl > 1.645 and zu > 1.645 else 0], pa.int64()),
+    })
+
+
+SQL_TOST_EQUIVALENCE_WEEKEND = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT CASE WHEN (day + 4) % 7 IN (5, 6) THEN 1 ELSE 0 END AS we,
+         count(*) AS n, CAST(sum(cents) AS HUGEINT) AS s,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+  FROM d GROUP BY 1),
+m AS (
+  SELECT
+    (SELECT n FROM g WHERE we = 1) AS n1,
+    (SELECT s FROM g WHERE we = 1) AS s1,
+    (SELECT ss FROM g WHERE we = 1) AS ss1,
+    (SELECT n FROM g WHERE we = 0) AS n2,
+    (SELECT s FROM g WHERE we = 0) AS s2,
+    (SELECT ss FROM g WHERE we = 0) AS ss2),
+z AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS d,
+         sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * (n1 - 1.0)) / n1
+              + CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                / (CAST(n2 AS DOUBLE) * (n2 - 1.0)) / n2) AS se,
+         0.10 * CAST(s1 + s2 AS DOUBLE) / (n1 + n2) AS delta
+  FROM m),
+t AS (
+  SELECT n1, n2, d, delta,
+         (d + delta) / se AS zl, (delta - d) / se AS zu
+  FROM z),
+pl AS (
+  SELECT t.*,
+         1.0 - (0.5 * (1.0 + (CASE WHEN zl >= 0 THEN 1.0
+                                   ELSE -1.0 END) * (1.0
+           - (((((1.061405429 * tl.t - 1.453152027) * tl.t)
+                + 1.421413741) * tl.t - 0.284496736) * tl.t
+              + 0.254829592) * tl.t * exp(-(al.a * al.a))))) AS p_l,
+         1.0 - (0.5 * (1.0 + (CASE WHEN zu >= 0 THEN 1.0
+                                   ELSE -1.0 END) * (1.0
+           - (((((1.061405429 * tu.t - 1.453152027) * tu.t)
+                + 1.421413741) * tu.t - 0.284496736) * tu.t
+              + 0.254829592) * tu.t * exp(-(au.a * au.a))))) AS p_u
+  FROM t,
+       LATERAL (SELECT abs(t.zl) / sqrt(2.0) AS a) al,
+       LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * al.a) AS t) tl,
+       LATERAL (SELECT abs(t.zu) / sqrt(2.0) AS a) au,
+       LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * au.a) AS t) tu)
+SELECT CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday,
+       round(d, 4) AS mean_diff,
+       round(delta, 4) AS margin,
+       round(greatest(p_l, p_u), 6) AS p_tost,
+       CAST(CASE WHEN zl > 1.645 AND zu > 1.645
+                 THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+FROM pl
+"""
+
+QUERIES["tost_equivalence_weekend"] = (q_tost_equivalence_weekend,
+                                       SQL_TOST_EQUIVALENCE_WEEKEND)
+
+
+# ---------------------------------------------------------------------------
+# bayes_ab_purchase — exact Beta-posterior P(arm1 beats arm0)
+# ---------------------------------------------------------------------------
+
+
+def bayes_prob_b_beats_a(a_a: int, b_a: int, a_b: int,
+                         b_b: int) -> float:
+    """Exact P(p_b > p_a) for independent Beta(a_a, b_a), Beta(a_b,
+    b_b) posteriors (Evan Miller's closed form): Σ_{i<a_b}
+    exp(lnB(a_a+i, b_a+b_b) − ln(b_b+i) − lnB(1+i, b_b) −
+    lnB(a_a, b_a)) — one lgamma expression tree shared with the
+    oracle."""
+    lg = math.lgamma
+
+    def lbeta(x, y):
+        return lg(x) + lg(y) - lg(x + y)
+
+    total = 0.0
+    for i in range(a_b):
+        total += math.exp(lbeta(a_a + i, b_a + b_b)
+                          - math.log(b_b + i)
+                          - lbeta(1 + i, b_b)
+                          - lbeta(a_a, b_a))
+    return total
+
+
+def q_bayes_ab_purchase(sf_dir: str):
+    """Exact Bayesian A/B read-out of the two user-hash arms'
+    purchase conversion: P(arm-1's rate > arm-0's) under Beta(1+c,
+    1+n−c) posteriors — the closed-form sum frequentist srm/sprt
+    rows approximate with z's; no MCMC, no normal approximation.
+    Distinct-user conversion counts per arm from one bounded
+    shuffle; the lgamma sum is the identical expression tree in
+    the oracle's generate_series."""
+    from .queries import _knuth_bucket
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        conv = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                       pa.int64())
+        g = pa.table({"user_id": pa.array(u), "conv": conv}) \
+            .group_by("user_id").aggregate([("conv", "max")])
+        return g.rename_columns(["user_id", "conv"])
+
+    m = _partial_final(ds, partial, ["user_id"], [("conv", "max")])
+    u = np.asarray(m.column("user_id"), dtype=np.int64)
+    conv = np.asarray(m.column("conv"), dtype=np.int64)
+    arm = _knuth_bucket(u, 2)
+    n0 = int((arm == 0).sum())
+    c0 = int(conv[arm == 0].sum())
+    n1 = int((arm == 1).sum())
+    c1 = int(conv[arm == 1].sum())
+    p = bayes_prob_b_beats_a(1 + c0, 1 + n0 - c0,
+                             1 + c1, 1 + n1 - c1)
+    return pa.table({
+        "n_arm0": pa.array([n0], pa.int64()),
+        "conv_arm0": pa.array([c0], pa.int64()),
+        "n_arm1": pa.array([n1], pa.int64()),
+        "conv_arm1": pa.array([c1], pa.int64()),
+        "p_arm1_beats_arm0": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+def _bayes_ab_sql() -> str:
+    bucket = ("CAST(((user_id % 4294967296) * 2654435761::HUGEINT)"
+              " % 4294967296 % 2 AS BIGINT)")
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS conv
+  FROM events GROUP BY 1),
+arms AS (
+  SELECT {bucket} AS arm, count(*) AS n,
+         CAST(sum(conv) AS BIGINT) AS c
+  FROM u GROUP BY 1),
+ab AS (
+  SELECT
+    1 + (SELECT c FROM arms WHERE arm = 0) AS a_a,
+    1 + (SELECT n - c FROM arms WHERE arm = 0) AS b_a,
+    1 + (SELECT c FROM arms WHERE arm = 1) AS a_b,
+    1 + (SELECT n - c FROM arms WHERE arm = 1) AS b_b),
+srs AS (SELECT unnest(generate_series(0,
+            (SELECT a_b - 1 FROM ab))) AS i),
+s AS (
+  SELECT sum(exp(
+      (lgamma(ab.a_a + i) + lgamma(ab.b_a + ab.b_b)
+       - lgamma(ab.a_a + i + ab.b_a + ab.b_b))
+      - ln(CAST(ab.b_b + i AS DOUBLE))
+      - (lgamma(CAST(1 + i AS DOUBLE)) + lgamma(CAST(ab.b_b
+           AS DOUBLE)) - lgamma(CAST(1 + i + ab.b_b AS DOUBLE)))
+      - (lgamma(CAST(ab.a_a AS DOUBLE)) + lgamma(CAST(ab.b_a
+           AS DOUBLE)) - lgamma(CAST(ab.a_a + ab.b_a AS DOUBLE)))))
+    AS p
+  FROM srs, ab)
+SELECT CAST((SELECT n FROM arms WHERE arm = 0) AS BIGINT) AS n_arm0,
+       CAST((SELECT c FROM arms WHERE arm = 0) AS BIGINT)
+         AS conv_arm0,
+       CAST((SELECT n FROM arms WHERE arm = 1) AS BIGINT) AS n_arm1,
+       CAST((SELECT c FROM arms WHERE arm = 1) AS BIGINT)
+         AS conv_arm1,
+       round(s.p, 6) AS p_arm1_beats_arm0
+FROM s
+"""
+
+
+QUERIES["bayes_ab_purchase"] = (q_bayes_ab_purchase, _bayes_ab_sql())
+
+
+# ---------------------------------------------------------------------------
+# prefix_compression_audit — front-coding savings on sorted part names
+# ---------------------------------------------------------------------------
+
+
+def common_prefix_len(a: str, b: str) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
+
+
+def q_prefix_compression_audit(sf_dir: str):
+    """Front-coding (prefix-compression) audit of the part-name
+    column: bytes saved by storing each name as (shared-prefix-len,
+    suffix) in (p_name, p_partkey)-sorted order — the encoding
+    dictionary pages and ART indexes rely on; the companion of
+    dict_encoding_audit for HIGH-cardinality strings where a plain
+    dictionary stops paying.  Same scale shape as that audit: batch
+    interiors vectorized after one total sort, batch-boundary pairs
+    repaired driver-side from O(#batches) edge rows."""
+    ds = _read(sf_dir, "part", columns=["p_name", "p_partkey"])
+    srt = ds.sort(["p_name", "p_partkey"])
+
+    def adjacency_partial(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pylist()
+        keys = np.asarray(t.column("p_partkey"),
+                          dtype=np.int64).tolist()
+        n = len(names)
+        total = sum(len(s) for s in names)
+        saved = sum(common_prefix_len(names[i - 1], names[i])
+                    for i in range(1, n))
+        out = {
+            "kind": ["c", "f", "l"] if n else ["c"],
+            "name": [str(total)] + ([names[0], names[-1]]
+                                    if n else []),
+            "pk": [saved] + ([keys[0], keys[-1]] if n else []),
+            "cnt": [n] + ([0, 0] if n else []),
+        }
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    edges = agg._to_arrow(srt.map_batches(
+        adjacency_partial, batch_format="pyarrow"))
+    kind = edges.column("kind").to_pylist()
+    nm = edges.column("name").to_pylist()
+    pk = edges.column("pk").to_pylist()
+    cn = edges.column("cnt").to_pylist()
+    total_bytes = saved = n_rows = 0
+    lasts, firsts = [], []
+    for j, k in enumerate(kind):
+        if k == "c":
+            total_bytes += int(nm[j])
+            saved += pk[j]
+            n_rows += cn[j]
+        elif k == "l":
+            lasts.append(((nm[j], pk[j]), j))
+        else:
+            firsts.append(j)
+    lasts.sort()
+    lkeys = [k for k, _ in lasts]
+    import bisect
+    for j in firsts:
+        pos = bisect.bisect_left(lkeys, (nm[j], pk[j]))
+        if pos == 0:
+            continue
+        _, pj = lasts[pos - 1]
+        saved += common_prefix_len(nm[pj], nm[j])
+    return pa.table({
+        "n_names": pa.array([n_rows], pa.int64()),
+        "total_bytes": pa.array([total_bytes], pa.int64()),
+        "prefix_saved_bytes": pa.array([saved], pa.int64()),
+        "saved_pm": pa.array(
+            [saved * 1000 // max(total_bytes, 1)], pa.int64()),
+    })
+
+
+SQL_PREFIX_COMPRESSION_AUDIT = """
+WITH s AS (
+  SELECT p_name,
+         lag(p_name) OVER (ORDER BY p_name, p_partkey) AS prev
+  FROM part),
+pl AS (
+  SELECT p_name,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE (SELECT coalesce(max(i), 0)
+                    FROM (SELECT unnest(generate_series(1,
+                            least(length(p_name), length(prev))))
+                            AS i)
+                    WHERE substr(p_name, 1, i) = substr(prev, 1, i))
+         END AS cpl
+  FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n_names,
+       CAST(sum(length(p_name)) AS BIGINT) AS total_bytes,
+       CAST(sum(cpl) AS BIGINT) AS prefix_saved_bytes,
+       CAST(sum(cpl) * 1000 // greatest(sum(length(p_name)), 1)
+            AS BIGINT) AS saved_pm
+FROM pl
+"""
+
+QUERIES["prefix_compression_audit"] = (q_prefix_compression_audit,
+                                       SQL_PREFIX_COMPRESSION_AUDIT)

@@ -1105,3 +1105,57 @@ def test_concentration_index_extremes():
     pairs3 = [(0, 50)] + [(i + 1, 0) for i in range(9)]
     num3, den3 = concentration_index(pairs3)
     assert abs(num3 / den3 + 9 / 10) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# TOST / Bayesian A/B / prefix compression
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    bayes_prob_b_beats_a, common_prefix_len, tost_z)
+
+
+def test_tost_identical_groups_equivalent():
+    g = [100, 110, 90, 105, 95, 102, 98, 101] * 8
+    d, se, delta, zl, zu = tost_z(
+        len(g), sum(g), sum(v * v for v in g),
+        len(g), sum(g), sum(v * v for v in g))
+    assert d == 0.0 and zl == zu and zl > 1.645
+
+
+def test_tost_large_difference_not_equivalent():
+    g1 = [100] * 30 + [101, 99] * 5
+    g2 = [200] * 30 + [201, 199] * 5
+    d, se, delta, zl, zu = tost_z(
+        len(g1), sum(g1), sum(v * v for v in g1),
+        len(g2), sum(g2), sum(v * v for v in g2))
+    assert not (zl > 1.645 and zu > 1.645)
+
+
+def test_bayes_ab_symmetry_and_dominance():
+    # symmetric data: exactly 0.5
+    p = bayes_prob_b_beats_a(11, 91, 11, 91)
+    assert abs(p - 0.5) < 1e-12
+    # b clearly better
+    p2 = bayes_prob_b_beats_a(11, 91, 31, 71)
+    assert p2 > 0.99
+    # complement identity: P(b>a) + P(a>b) = 1 (continuous posteriors)
+    p3 = bayes_prob_b_beats_a(8, 15, 4, 21)
+    p3r = bayes_prob_b_beats_a(4, 21, 8, 15)
+    assert abs(p3 + p3r - 1.0) < 1e-10
+
+
+def test_bayes_ab_matches_monte_carlo():
+    rng = np.random.RandomState(0)
+    a = rng.beta(12, 40, 200_000)
+    b = rng.beta(18, 34, 200_000)
+    mc = float((b > a).mean())
+    exact = bayes_prob_b_beats_a(12, 40, 18, 34)
+    assert abs(exact - mc) < 0.005
+
+
+def test_common_prefix_len():
+    assert common_prefix_len("", "abc") == 0
+    assert common_prefix_len("abc", "abc") == 3
+    assert common_prefix_len("abcdef", "abcxyz") == 3
+    assert common_prefix_len("abc", "abcdef") == 3
