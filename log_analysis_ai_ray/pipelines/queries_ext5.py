@@ -4469,3 +4469,331 @@ FROM pl
 
 QUERIES["prefix_compression_audit"] = (q_prefix_compression_audit,
                                        SQL_PREFIX_COMPRESSION_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# timestamp_dod_audit — Gorilla-style delta-of-delta compressibility
+# ---------------------------------------------------------------------------
+
+_DOD_BUCKETS = (("b0", 0, 1), ("b7", 7, 9), ("b15", 15, 18),
+                ("b31", 31, 34), ("b64", 64, 66))
+
+
+def dod_bucket(z: int) -> tuple:
+    """(label, bits) for a zigzagged delta-of-delta under the
+    Gorilla-style variable-width ladder: 0 → 1 bit, ≤7 bits → 9,
+    ≤15 → 18, ≤31 → 34, else 66."""
+    if z == 0:
+        return "b0", 1
+    bl = int(z).bit_length()
+    for label, width, bits in _DOD_BUCKETS[1:]:
+        if bl <= width:
+            return label, bits
+    return "b64", 66
+
+
+def zigzag(d: int) -> int:
+    return 2 * abs(d) - (1 if d < 0 else 0)
+
+
+def q_timestamp_dod_audit(sf_dir: str):
+    """Timestamp-compression audit: how well would the per-user event
+    streams compress under Gorilla-style delta-of-delta encoding?
+    Per user in (ts, event_id) order, the second difference of the
+    microsecond timestamps is zigzagged and bucketed by bit-width;
+    the audit reports the bucket histogram and total encoded bits
+    (2×64-bit headers per user) — the number that decides whether a
+    time-series layout stores 66 or 1 bit per point.  One
+    hash-partitioned groupby(user-bucket) shuffle, vectorized per
+    partition (user_running_total discipline)."""
+    from .queries import _ARGMAX_NPART
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % _ARGMAX_NPART),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+        })
+
+    def per_part(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts_us"), dtype=np.int64)
+        e = np.asarray(g.column("event_id"), dtype=np.int64)
+        order = np.lexsort((e, ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        hist = {}
+        n_dods = 0
+        if n >= 3:
+            same1 = u[1:] == u[:-1]
+            dt = ts[1:] - ts[:-1]
+            same2 = same1[1:] & same1[:-1]
+            dod = (dt[1:] - dt[:-1])[same2]
+            n_dods = len(dod)
+            zz = 2 * np.abs(dod) - (dod < 0).astype(np.int64)
+            for z in zz.tolist():
+                lab, bits = dod_bucket(int(z))
+                c, b = hist.get(lab, (0, 0))
+                hist[lab] = (c + 1, b + bits)
+        hdr = n - n_dods
+        hist["hdr"] = (hdr, hdr * 64)
+        return pa.table({
+            "bucket": pa.array(sorted(hist), pa.string()),
+            "n": pa.array([hist[k][0] for k in sorted(hist)],
+                          pa.int64()),
+            "bits_total": pa.array([hist[k][1] for k in sorted(hist)],
+                                   pa.int64()),
+        })
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_pkey").map_groups(per_part, batch_format="pyarrow")
+    out = agg._combine_partials(
+        parts, keys=["bucket"],
+        aggs=[("n", "sum"), ("bits_total", "sum")],
+        empty_schema=pa.schema([("bucket", pa.string()),
+                                ("n", pa.int64()),
+                                ("bits_total", pa.int64())]))
+    return out.sort_by("bucket")
+
+
+SQL_TIMESTAMP_DOD_AUDIT = """
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_id
+  FROM events),
+r AS (
+  SELECT user_id, t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM s),
+j AS (
+  SELECT a.user_id,
+         (a.t - b.t) - (b.t - c.t) AS dod
+  FROM r a
+  JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn - 1
+  JOIN r c ON c.user_id = a.user_id AND c.rn = a.rn - 2),
+z AS (
+  SELECT 2 * abs(dod) - CASE WHEN dod < 0 THEN 1 ELSE 0 END AS z
+  FROM j),
+bk AS (
+  SELECT CASE WHEN z = 0 THEN 'b0'
+              WHEN z < 128 THEN 'b7'
+              WHEN z < 32768 THEN 'b15'
+              WHEN z < 2147483648 THEN 'b31'
+              ELSE 'b64' END AS bucket,
+         CASE WHEN z = 0 THEN 1
+              WHEN z < 128 THEN 9
+              WHEN z < 32768 THEN 18
+              WHEN z < 2147483648 THEN 34
+              ELSE 66 END AS bits
+  FROM z),
+hdr AS (
+  SELECT 'hdr' AS bucket,
+         CAST(sum(least(k, 2)) AS BIGINT) AS n,
+         CAST(sum(least(k, 2)) * 64 AS BIGINT) AS bits_total
+  FROM (SELECT count(*) AS k FROM s GROUP BY user_id))
+SELECT bucket, n, bits_total FROM (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(bits) AS BIGINT) AS bits_total
+  FROM bk GROUP BY 1
+  UNION ALL
+  SELECT * FROM hdr)
+ORDER BY bucket
+"""
+
+QUERIES["timestamp_dod_audit"] = (q_timestamp_dod_audit,
+                                  SQL_TIMESTAMP_DOD_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# fligner_killeen_types — normal-scores scale test (needs Φ⁻¹)
+# ---------------------------------------------------------------------------
+
+# Acklam's rational approximation to the inverse normal CDF
+# (|rel err| < 1.15e-9) — only the upper half (u ≥ 0.5) is needed for
+# Fligner-Killeen scores; BOTH engines evaluate this expression tree.
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+_ACK_SPLIT = 0.97575
+
+
+def inv_phi_upper(u: float) -> float:
+    """Φ⁻¹(u) for u ∈ [0.5, 1) via Acklam's rational minimax —
+    central branch below 0.97575, tail branch above."""
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+    if u < _ACK_SPLIT:
+        q = u - 0.5
+        r = q * q
+        return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+                 + a[4]) * r + a[5]) * q / \
+               (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                 + b[4]) * r + 1.0)
+    q = math.sqrt(-2.0 * math.log(1.0 - u))
+    return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+              + c[4]) * q + c[5]) / \
+        ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0)
+
+
+def _acklam_sql(uexpr: str) -> str:
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+    central = (f"((((({a[0]} * r + {a[1]}) * r + {a[2]}) * r "
+               f"+ {a[3]}) * r + {a[4]}) * r + {a[5]}) * q / "
+               f"((((({b[0]} * r + {b[1]}) * r + {b[2]}) * r "
+               f"+ {b[3]}) * r + {b[4]}) * r + 1.0)")
+    tail = (f"-((((({c[0]} * qt + {c[1]}) * qt + {c[2]}) * qt "
+            f"+ {c[3]}) * qt + {c[4]}) * qt + {c[5]}) / "
+            f"(((({d[0]} * qt + {d[1]}) * qt + {d[2]}) * qt "
+            f"+ {d[3]}) * qt + 1.0)")
+    return (f"(SELECT CASE WHEN u < {_ACK_SPLIT} THEN "
+            f"(SELECT {central} FROM (SELECT u - 0.5 AS q) qq, "
+            f"LATERAL (SELECT q * q AS r) rr) ELSE "
+            f"(SELECT {tail} FROM (SELECT sqrt(-2.0 * ln(1.0 - u)) "
+            f"AS qt) tt) END FROM (SELECT {uexpr} AS u) uu)")
+
+
+def fligner_killeen(cells) -> tuple:
+    """FK normal-scores scale statistic from [(group, absdev,
+    count)] integer cells: pooled doubled midranks of the absolute
+    deviations → scores a = Φ⁻¹(½ + r/(2(N+1))) → X² =
+    Σnᵢ(Āᵢ−ā)²/V ~ χ²(k−1).  Returns (x2, k, n)."""
+    from collections import defaultdict
+    dev_tot = defaultdict(int)
+    for g, dv, c in cells:
+        dev_tot[dv] += c
+    devs = sorted(dev_tot)
+    cum = 0
+    r2 = {}
+    for dv in devs:
+        t = dev_tot[dv]
+        r2[dv] = 2 * cum + t + 1
+        cum += t
+    n = cum
+    score = {dv: inv_phi_upper(0.5 + r2[dv] / (4.0 * (n + 1)))
+             for dv in devs}
+    sa = sum(dev_tot[dv] * score[dv] for dv in devs)
+    saa = sum(dev_tot[dv] * score[dv] ** 2 for dv in devs)
+    abar = sa / n
+    v = (saa - n * abar * abar) / (n - 1.0)
+    per_g = defaultdict(lambda: [0, 0.0])
+    for g, dv, c in cells:
+        per_g[g][0] += c
+        per_g[g][1] += c * score[dv]
+    x2 = 0.0
+    for g in sorted(per_g):
+        ni, si = per_g[g]
+        x2 += ni * (si / ni - abar) ** 2
+    return x2 / v, len(per_g), n
+
+
+def q_fligner_killeen_types(sf_dir: str):
+    """Fligner-Killeen scale test of event values across the five
+    event types — the most robust of the classic variance tests
+    (normal scores of |value − group median| midranks; bartlett
+    breaks under non-normality, brown-forsythe loses power): are the
+    five types equally dispersed?  Per-type exact ceil-rank medians
+    and the pooled deviation histogram from one bounded (type, cents)
+    shuffle; Φ⁻¹ via Acklam's rational minimax — the same expression
+    tree in both engines (df = 4 → closed-form even-df tail)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "v"], [("c", "sum")])
+    ty = m.column("ty").to_pylist()
+    v = np.asarray(m.column("v"), dtype=np.int64)
+    c = np.asarray(m.column("c"), dtype=np.int64)
+    tya = np.asarray(ty)
+    cells = []
+    for t_ in sorted(set(ty)):
+        sel = tya == t_
+        vs, cs = v[sel], c[sel]
+        o = np.argsort(vs)
+        vs, cs = vs[o], cs[o]
+        k = (int(cs.sum()) + 1) // 2
+        med = int(vs[np.searchsorted(np.cumsum(cs), k)])
+        for dv, cc_ in zip(np.abs(vs - med).tolist(), cs.tolist()):
+            cells.append((t_, int(dv), int(cc_)))
+    x2, k, n = fligner_killeen(cells)
+    p = math.exp(-x2 / 2.0) * (1.0 + x2 / 2.0)   # df = 4, even
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n_total": pa.array([n], pa.int64()),
+        "fk_chi2": pa.array([round(x2, 6)], pa.float64()),
+        "p_value": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+def _fligner_killeen_sql() -> str:
+    score = _acklam_sql("0.5 + r2 / (4.0 * (nn.n + 1))")
+    return f"""
+WITH h AS (
+  SELECT event_type AS ty,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT ty, min(v) AS med FROM (
+    SELECT ty, v, sum(c) OVER (PARTITION BY ty ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY ty) AS tot
+    FROM h)
+  WHERE cum >= (tot + 1) // 2 GROUP BY ty),
+dev AS (
+  SELECT h.ty, abs(h.v - med.med) AS dv, CAST(sum(c) AS BIGINT) AS c
+  FROM h JOIN med USING (ty) GROUP BY 1, 2),
+pool AS (
+  SELECT dv, CAST(sum(c) AS BIGINT) AS t FROM dev GROUP BY 1),
+rk AS (
+  SELECT dv,
+         2 * coalesce(sum(t) OVER (ORDER BY dv ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+  FROM pool),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dev),
+sc AS (
+  SELECT rk.dv, {score} AS a
+  FROM rk, nn),
+tot AS (
+  SELECT sum(pool.t * sc.a) / max(nn.n) AS abar,
+         (sum(pool.t * sc.a * sc.a)
+          - max(nn.n) * pow(sum(pool.t * sc.a) / max(nn.n), 2))
+           / (max(nn.n) - 1.0) AS v,
+         max(nn.n) AS n
+  FROM pool JOIN sc USING (dv), nn),
+grp AS (
+  SELECT dev.ty, CAST(sum(dev.c) AS BIGINT) AS ni,
+         sum(dev.c * sc.a) AS si
+  FROM dev JOIN sc USING (dv) GROUP BY 1),
+x AS (
+  SELECT count(*) AS k,
+         sum(ni * (si / ni - tot.abar) * (si / ni - tot.abar))
+           / max(tot.v) AS x2,
+         max(tot.n) AS n
+  FROM grp, tot)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n_total,
+       round(x2, 6) AS fk_chi2,
+       round(exp(-x2 / 2.0) * (1.0 + x2 / 2.0), 6) AS p_value
+FROM x
+"""
+
+
+QUERIES["fligner_killeen_types"] = (q_fligner_killeen_types,
+                                    _fligner_killeen_sql())

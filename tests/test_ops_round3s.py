@@ -1159,3 +1159,64 @@ def test_common_prefix_len():
     assert common_prefix_len("abc", "abc") == 3
     assert common_prefix_len("abcdef", "abcxyz") == 3
     assert common_prefix_len("abc", "abcdef") == 3
+
+
+# ---------------------------------------------------------------------------
+# delta-of-delta audit / Fligner-Killeen / inverse normal
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    dod_bucket, fligner_killeen, inv_phi_upper, zigzag)
+from log_analysis_ai_ray.pipelines.queries_ext3 import phi_as  # noqa: E402
+
+
+def test_zigzag_and_buckets():
+    assert zigzag(0) == 0 and zigzag(1) == 2 and zigzag(-1) == 1
+    assert dod_bucket(0) == ("b0", 1)
+    assert dod_bucket(127) == ("b7", 9)
+    assert dod_bucket(128) == ("b15", 18)
+    assert dod_bucket(32767) == ("b15", 18)
+    assert dod_bucket(32768) == ("b31", 34)
+    assert dod_bucket(2 ** 31 - 1) == ("b31", 34)
+    assert dod_bucket(2 ** 31) == ("b64", 66)
+
+
+def test_dod_regular_stream_compresses_to_b0():
+    # perfectly regular timestamps: dod = 0 everywhere
+    ts = [1000 + 60 * i for i in range(100)]
+    dods = [(ts[i] - ts[i - 1]) - (ts[i - 1] - ts[i - 2])
+            for i in range(2, 100)]
+    assert all(dod_bucket(zigzag(d))[0] == "b0" for d in dods)
+
+
+def test_inv_phi_is_inverse_of_phi():
+    for u in (0.5, 0.6, 0.75, 0.9, 0.97, 0.99, 0.999, 0.99999):
+        x = inv_phi_upper(u)
+        # round-trip through the shared A&S Phi (its own |err|<1.5e-7)
+        assert abs(phi_as(x) - u) < 3e-7
+    assert inv_phi_upper(0.5) == 0.0
+    assert abs(inv_phi_upper(0.975) - 1.959964) < 1e-4
+
+
+def test_fligner_killeen_equal_vs_unequal_scale():
+    rng = np.random.RandomState(6)
+    # equal-scale groups: statistic small
+    cells_eq = []
+    for g in range(4):
+        vals = rng.randint(-50, 51, 300)
+        med = int(np.median(vals))
+        for dv in np.abs(vals - med):
+            cells_eq.append((g, int(dv), 1))
+    x2_eq, k, n = fligner_killeen(cells_eq)
+    # one group 10x spread
+    cells_ne = []
+    for g in range(4):
+        scale = 10 if g == 2 else 1
+        vals = rng.randint(-50 * scale, 51 * scale, 300)
+        med = int(np.median(vals))
+        for dv in np.abs(vals - med):
+            cells_ne.append((g, int(dv), 1))
+    x2_ne, _, _ = fligner_killeen(cells_ne)
+    assert x2_ne > 100 > x2_eq
+    # df = 3 here; just sanity: equal-scale stat is modest
+    assert x2_eq < 12
