@@ -4797,3 +4797,333 @@ FROM x
 
 QUERIES["fligner_killeen_types"] = (q_fligner_killeen_types,
                                     _fligner_killeen_sql())
+
+
+# ---------------------------------------------------------------------------
+# interaction_information_tdh — 3-way information decomposition
+# ---------------------------------------------------------------------------
+
+
+def entropies_3way(cells: dict) -> dict:
+    """All seven joint/marginal Shannon entropies (nats) of a 3-D
+    integer contingency {(x, y, z): count}: keys 'x','y','z','xy',
+    'xz','yz','xyz'.  Each entropy is Σ (c/N)·ln(N/c) — exact
+    integer counts, one shared float term shape."""
+    from collections import defaultdict
+    n = sum(cells.values())
+    margs = {"x": defaultdict(int), "y": defaultdict(int),
+             "z": defaultdict(int), "xy": defaultdict(int),
+             "xz": defaultdict(int), "yz": defaultdict(int),
+             "xyz": defaultdict(int)}
+    for (x, y, z), c in cells.items():
+        margs["x"][x] += c
+        margs["y"][y] += c
+        margs["z"][z] += c
+        margs["xy"][(x, y)] += c
+        margs["xz"][(x, z)] += c
+        margs["yz"][(y, z)] += c
+        margs["xyz"][(x, y, z)] += c
+    out = {}
+    for k, m in margs.items():
+        out[k] = sum(c / n * math.log(n / c) for c in m.values())
+    return out
+
+
+def q_interaction_information_tdh(sf_dir: str):
+    """Three-way information decomposition of (event type, weekday,
+    hour): total correlation TC = ΣH(single) − H(joint) (how much
+    structure the triple shares at all) and the interaction
+    information II = H(X)+H(Y)+H(Z) −H(XY)−H(XZ)−H(YZ)+H(XYZ)
+    (McGill convention: positive II = redundancy — one variable
+    explains the others' dependence; negative II = XOR-like synergy —
+    the 3-way quantity the registry's pairwise MI rows cannot see).
+    One bounded 5×7×24 cell reduce; exact integer counts."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(t.column("ts"),
+                                     count_from_zero=False,
+                                     week_start=1), pa.int64())
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        g = pa.table({"ty": t.column("event_type"), "dow": dow,
+                      "hod": hod}) \
+            .group_by(["ty", "dow", "hod"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["ty", "dow", "hod", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "dow", "hod"],
+                       [("c", "sum")])
+    cells = {}
+    for t_, d_, h_, c_ in zip(m.column("ty").to_pylist(),
+                              np.asarray(m.column("dow"),
+                                         dtype=np.int64),
+                              np.asarray(m.column("hod"),
+                                         dtype=np.int64),
+                              np.asarray(m.column("c"),
+                                         dtype=np.int64)):
+        cells[(t_, int(d_), int(h_))] = int(c_)
+    h = entropies_3way(cells)
+    tc = h["x"] + h["y"] + h["z"] - h["xyz"]
+    ii = (h["x"] + h["y"] + h["z"] - h["xy"] - h["xz"] - h["yz"]
+          + h["xyz"])
+    return pa.table({
+        "n": pa.array([sum(cells.values())], pa.int64()),
+        "h_joint": pa.array([round(h["xyz"], 6)], pa.float64()),
+        "total_corr": pa.array([round(tc, 6)], pa.float64()),
+        "interaction_info": pa.array([round(ii, 6)], pa.float64()),
+    })
+
+
+SQL_INTERACTION_INFORMATION_TDH = """
+WITH c AS (
+  SELECT event_type AS ty, isodow(ts) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+hx AS (SELECT sum(CAST(s AS DOUBLE) / n.n * ln(CAST(n.n AS DOUBLE)
+           / s)) AS h FROM (SELECT ty, sum(c) AS s FROM c
+                            GROUP BY 1), n GROUP BY n.n),
+hy AS (SELECT sum(CAST(s AS DOUBLE) / n.n * ln(CAST(n.n AS DOUBLE)
+           / s)) AS h FROM (SELECT dow, sum(c) AS s FROM c
+                            GROUP BY 1), n GROUP BY n.n),
+hz AS (SELECT sum(CAST(s AS DOUBLE) / n.n * ln(CAST(n.n AS DOUBLE)
+           / s)) AS h FROM (SELECT hod, sum(c) AS s FROM c
+                            GROUP BY 1), n GROUP BY n.n),
+hxy AS (SELECT sum(CAST(s AS DOUBLE) / n.n * ln(CAST(n.n AS DOUBLE)
+            / s)) AS h FROM (SELECT ty, dow, sum(c) AS s FROM c
+                             GROUP BY 1, 2), n GROUP BY n.n),
+hxz AS (SELECT sum(CAST(s AS DOUBLE) / n.n * ln(CAST(n.n AS DOUBLE)
+            / s)) AS h FROM (SELECT ty, hod, sum(c) AS s FROM c
+                             GROUP BY 1, 2), n GROUP BY n.n),
+hyz AS (SELECT sum(CAST(s AS DOUBLE) / n.n * ln(CAST(n.n AS DOUBLE)
+            / s)) AS h FROM (SELECT dow, hod, sum(c) AS s FROM c
+                             GROUP BY 1, 2), n GROUP BY n.n),
+hxyz AS (SELECT sum(CAST(c AS DOUBLE) / n.n * ln(CAST(n.n AS DOUBLE)
+             / c)) AS h FROM c, n GROUP BY n.n)
+SELECT n.n,
+       round(hxyz.h, 6) AS h_joint,
+       round(hx.h + hy.h + hz.h - hxyz.h, 6) AS total_corr,
+       round(hx.h + hy.h + hz.h - hxy.h - hxz.h - hyz.h + hxyz.h, 6)
+         AS interaction_info
+FROM n, hx, hy, hz, hxy, hxz, hyz, hxyz
+"""
+
+QUERIES["interaction_information_tdh"] = (
+    q_interaction_information_tdh, SQL_INTERACTION_INFORMATION_TDH)
+
+
+# ---------------------------------------------------------------------------
+# fightin_words_sources — Monroe et al. informative-Dirichlet log-odds
+# ---------------------------------------------------------------------------
+
+_FW_ALPHA = 0.01
+
+
+def fightin_words_z(ya: int, na: int, yb: int, nb: int,
+                    alpha_w: float, alpha0_a: float,
+                    alpha0_b: float) -> float:
+    """Monroe/Colaresi/Quinn informative-Dirichlet log-odds z for one
+    word: δ = ln((ya+αw)/(na+α0−ya−αw)) − ln((yb+αw)/(nb+α0−yb−αw)),
+    z = δ/√(1/(ya+αw) + 1/(yb+αw))."""
+    da = math.log((ya + alpha_w) / (na + alpha0_a - ya - alpha_w))
+    db = math.log((yb + alpha_w) / (nb + alpha0_b - yb - alpha_w))
+    var = 1.0 / (ya + alpha_w) + 1.0 / (yb + alpha_w)
+    return (da - db) / math.sqrt(var)
+
+
+def q_fightin_words_sources(sf_dir: str):
+    """'Fightin' words' (Monroe et al. 2008) between src0 and src1:
+    informative-Dirichlet-smoothed log-odds z per token — the
+    variance-stabilized keyness measure that neither over-ranks rare
+    words (raw log-odds) nor frequent ones (χ²/G²); craig_zeta sees
+    document PRESENCE, this sees token RATES.  Top-5 markers each
+    way from the bounded (source, token) count shuffle; α = 0.01
+    per word."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("source"),
+                       value_set=pa.array(["src0", "src1"]))
+        t = t.filter(sel)
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    m = _partial_final(ds, partial, ["source", "token"],
+                       [("cnt", "sum")])
+    ca, cb = {}, {}
+    for s, w, c in zip(m.column("source").to_pylist(),
+                       m.column("token").to_pylist(),
+                       np.asarray(m.column("cnt"), dtype=np.int64)):
+        (ca if s == "src0" else cb)[w] = int(c)
+    vocab = sorted(set(ca) | set(cb))
+    na, nb = sum(ca.values()), sum(cb.values())
+    a0a = _FW_ALPHA * len(vocab)
+    a0b = _FW_ALPHA * len(vocab)
+    zs = [(w, ca.get(w, 0), cb.get(w, 0),
+           fightin_words_z(ca.get(w, 0), na, cb.get(w, 0), nb,
+                           _FW_ALPHA, a0a, a0b))
+          for w in vocab]
+    zs.sort(key=lambda r: (-r[3], r[0]))
+    top = [(w, a, b, z, "src0") for w, a, b, z in zs[:5]]
+    zs.sort(key=lambda r: (r[3], r[0]))
+    top += [(w, a, b, z, "src1") for w, a, b, z in zs[:5]]
+    return pa.table({
+        "marker_for": pa.array([r[4] for r in top], pa.string()),
+        "token": pa.array([r[0] for r in top], pa.string()),
+        "cnt_src0": pa.array([r[1] for r in top], pa.int64()),
+        "cnt_src1": pa.array([r[2] for r in top], pa.int64()),
+        "z_logodds": pa.array([round(r[3], 6) for r in top],
+                              pa.float64()),
+    })
+
+
+SQL_FIGHTIN_WORDS_SOURCES = f"""
+WITH t AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents WHERE source IN ('src0', 'src1'))
+  WHERE tok <> '' GROUP BY 1, 2),
+v AS (
+  SELECT tok,
+         CAST(coalesce(sum(cnt) FILTER (WHERE source = 'src0'), 0)
+              AS BIGINT) AS ya,
+         CAST(coalesce(sum(cnt) FILTER (WHERE source = 'src1'), 0)
+              AS BIGINT) AS yb
+  FROM t GROUP BY 1),
+n AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+             CAST(sum(yb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS vsz
+      FROM v),
+z AS (
+  SELECT tok, ya, yb,
+         (ln((ya + {_FW_ALPHA})
+             / (n.na + {_FW_ALPHA} * n.vsz - ya - {_FW_ALPHA}))
+          - ln((yb + {_FW_ALPHA})
+               / (n.nb + {_FW_ALPHA} * n.vsz - yb - {_FW_ALPHA})))
+         / sqrt(1.0 / (ya + {_FW_ALPHA}) + 1.0 / (yb + {_FW_ALPHA}))
+           AS z
+  FROM v, n),
+top_a AS (
+  SELECT 'src0' AS marker_for, tok AS token, ya AS cnt_src0,
+         yb AS cnt_src1, round(z, 6) AS z_logodds
+  FROM z ORDER BY z DESC, tok LIMIT 5),
+top_b AS (
+  SELECT 'src1' AS marker_for, tok AS token, ya AS cnt_src0,
+         yb AS cnt_src1, round(z, 6) AS z_logodds
+  FROM z ORDER BY z ASC, tok LIMIT 5)
+SELECT * FROM top_a UNION ALL SELECT * FROM top_b
+"""
+
+QUERIES["fightin_words_sources"] = (q_fightin_words_sources,
+                                    SQL_FIGHTIN_WORDS_SOURCES)
+
+
+# ---------------------------------------------------------------------------
+# rank_turbulence_divergence — Dodds et al. allotaxonometry
+# ---------------------------------------------------------------------------
+
+_RTD_ALPHA_INV3 = 1.0 / 3.0
+
+
+def rtd_contribution(r1: int, r2: int) -> float:
+    """Per-token rank-turbulence contribution at α = 1/3:
+    |r1^{−1/3} − r2^{−1/3}| (Dodds et al. 2020, unnormalized)."""
+    return abs(r1 ** (-_RTD_ALPHA_INV3) - r2 ** (-_RTD_ALPHA_INV3))
+
+
+def q_rank_turbulence_divergence(sf_dir: str):
+    """Rank-turbulence divergence between the src0 and src1 token
+    rank lists (α = 1/3, tokens present in both; ranks by count desc
+    with lexicographic tie-break so both engines rank identically):
+    the total divergence plus the top-10 contributing tokens — the
+    allotaxonometric view of HOW two corpora differ, robust across
+    the whole Zipf range where raw count deltas see only the head."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("source"),
+                       value_set=pa.array(["src0", "src1"]))
+        t = t.filter(sel)
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    m = _partial_final(ds, partial, ["source", "token"],
+                       [("cnt", "sum")])
+    ca, cb = {}, {}
+    for s, w, c in zip(m.column("source").to_pylist(),
+                       m.column("token").to_pylist(),
+                       np.asarray(m.column("cnt"), dtype=np.int64)):
+        (ca if s == "src0" else cb)[w] = int(c)
+
+    def ranks(counts):
+        order = sorted(counts, key=lambda w: (-counts[w], w))
+        return {w: i + 1 for i, w in enumerate(order)}
+
+    ra, rb = ranks(ca), ranks(cb)
+    both = sorted(set(ra) & set(rb))
+    contribs = [(w, ra[w], rb[w], rtd_contribution(ra[w], rb[w]))
+                for w in both]
+    total = sum(c for _, _, _, c in contribs)
+    contribs.sort(key=lambda r: (-r[3], r[0]))
+    top = contribs[:10]
+    return pa.table({
+        "token": pa.array([r[0] for r in top], pa.string()),
+        "rank_src0": pa.array([r[1] for r in top], pa.int64()),
+        "rank_src1": pa.array([r[2] for r in top], pa.int64()),
+        "contribution": pa.array([round(r[3], 6) for r in top],
+                                 pa.float64()),
+        "total_rtd": pa.array([round(total, 6)] * len(top),
+                              pa.float64()),
+    })
+
+
+SQL_RANK_TURBULENCE_DIVERGENCE = """
+WITH t AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents WHERE source IN ('src0', 'src1'))
+  WHERE tok <> '' GROUP BY 1, 2),
+ra AS (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+  FROM t WHERE source = 'src0'),
+rb AS (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+  FROM t WHERE source = 'src1'),
+pairs AS (
+  SELECT ra.tok, ra.r AS r1, rb.r AS r2,
+         abs(pow(ra.r, -1.0 / 3.0) - pow(rb.r, -1.0 / 3.0)) AS c
+  FROM ra JOIN rb USING (tok)),
+tot AS (SELECT sum(c) AS total FROM pairs)
+SELECT tok AS token, CAST(r1 AS BIGINT) AS rank_src0,
+       CAST(r2 AS BIGINT) AS rank_src1,
+       round(c, 6) AS contribution,
+       round(tot.total, 6) AS total_rtd
+FROM pairs, tot
+ORDER BY c DESC, tok LIMIT 10
+"""
+
+QUERIES["rank_turbulence_divergence"] = (q_rank_turbulence_divergence,
+                                         SQL_RANK_TURBULENCE_DIVERGENCE)

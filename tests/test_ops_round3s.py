@@ -1220,3 +1220,59 @@ def test_fligner_killeen_equal_vs_unequal_scale():
     assert x2_ne > 100 > x2_eq
     # df = 3 here; just sanity: equal-scale stat is modest
     assert x2_eq < 12
+
+
+# ---------------------------------------------------------------------------
+# 3-way information / fightin' words / rank turbulence
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    entropies_3way, fightin_words_z, rtd_contribution)
+
+
+def test_entropies_independent_variables():
+    # fully independent uniform 2x2x2: H(xyz) = 3 ln 2, TC = 0, II = 0
+    cells = {(x, y, z): 5 for x in range(2) for y in range(2)
+             for z in range(2)}
+    h = entropies_3way(cells)
+    ln2 = np.log(2)
+    assert abs(h["xyz"] - 3 * ln2) < 1e-12
+    tc = h["x"] + h["y"] + h["z"] - h["xyz"]
+    assert abs(tc) < 1e-12
+    ii = (h["x"] + h["y"] + h["z"] - h["xy"] - h["xz"] - h["yz"]
+          + h["xyz"])
+    assert abs(ii) < 1e-12
+
+
+def test_entropies_xor_interaction():
+    # XOR: z = x^y with uniform x,y — pairwise independent but
+    # jointly determined: II = -ln 2 (synergy is NEGATIVE in the
+    # McGill sum convention used here)
+    cells = {(x, y, x ^ y): 10 for x in range(2) for y in range(2)}
+    h = entropies_3way(cells)
+    ii = (h["x"] + h["y"] + h["z"] - h["xy"] - h["xz"] - h["yz"]
+          + h["xyz"])
+    assert abs(ii + np.log(2)) < 1e-12
+    # copy chain: z = y = x -> redundancy, II = +ln 2
+    cells2 = {(x, x, x): 10 for x in range(2)}
+    h2 = entropies_3way(cells2)
+    ii2 = (h2["x"] + h2["y"] + h2["z"] - h2["xy"] - h2["xz"]
+           - h2["yz"] + h2["xyz"])
+    assert abs(ii2 - np.log(2)) < 1e-12
+
+
+def test_fightin_words_sign_and_symmetry():
+    # word overused by corpus a -> positive z; swap -> negated
+    z = fightin_words_z(50, 1000, 5, 1000, 0.01, 1.0, 1.0)
+    zr = fightin_words_z(5, 1000, 50, 1000, 0.01, 1.0, 1.0)
+    assert z > 3 and abs(z + zr) < 1e-12
+    # equal rates -> z == 0
+    assert fightin_words_z(7, 100, 7, 100, 0.01, 1.0, 1.0) == 0.0
+
+
+def test_rtd_contribution_properties():
+    assert rtd_contribution(5, 5) == 0.0
+    # rank swaps near the head dominate equal-sized swaps in the tail
+    assert rtd_contribution(1, 2) > rtd_contribution(100, 101)
+    assert abs(rtd_contribution(1, 8)
+               - abs(1 - 8 ** (-1 / 3))) < 1e-12
