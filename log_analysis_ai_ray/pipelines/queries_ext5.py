@@ -5127,3 +5127,354 @@ ORDER BY c DESC, tok LIMIT 10
 
 QUERIES["rank_turbulence_divergence"] = (q_rank_turbulence_divergence,
                                          SQL_RANK_TURBULENCE_DIVERGENCE)
+
+
+# ---------------------------------------------------------------------------
+# qlr_supf_daily — Quandt likelihood-ratio (sup-F) structural break
+# ---------------------------------------------------------------------------
+
+_QLR_TRIM = 0.15
+
+
+def qlr_supf(xs, ys) -> tuple:
+    """(supF, argmax_k) over interior candidate breaks (15% trim):
+    F_k = ((SSR_full − SSR₁ − SSR₂)/2)/((SSR₁+SSR₂)/(n−4)) with every
+    segment SSR closing order-free from integer prefix sums (the
+    ols_ssr identity).  Chow tests ONE known date; QLR scans them
+    all."""
+    n = len(xs)
+    lo = int(math.floor(n * _QLR_TRIM))
+    hi = n - lo
+    full = ols_ssr(n, sum(xs), sum(ys),
+                   sum(x * x for x in xs),
+                   sum(x * y for x, y in zip(xs, ys)),
+                   sum(y * y for y in ys))
+    # integer prefix sums
+    cx = cy = cxx = cxy = cyy = 0
+    pre = []
+    for x, y in zip(xs, ys):
+        cx += x
+        cy += y
+        cxx += x * x
+        cxy += x * y
+        cyy += y * y
+        pre.append((cx, cy, cxx, cxy, cyy))
+    tx, ty, txx, txy, tyy = pre[-1]
+    best = -1.0
+    best_k = 0
+    for k in range(max(lo, 3), min(hi, n - 3)):
+        ax, ay, axx, axy, ayy = pre[k - 1]
+        ssr1 = ols_ssr(k, ax, ay, axx, axy, ayy)
+        ssr2 = ols_ssr(n - k, tx - ax, ty - ay, txx - axx,
+                       txy - axy, tyy - ayy)
+        f = ((full - ssr1 - ssr2) / 2.0) / ((ssr1 + ssr2) / (n - 4.0))
+        if f > best:
+            best = f
+            best_k = k
+    return best, best_k
+
+
+def q_qlr_supf_daily(sf_dir: str):
+    """Quandt likelihood-ratio (sup-F / sup-Chow) scan for a
+    structural break in the daily-revenue trend at an UNKNOWN date —
+    chow_break_daily tests the midpoint; QLR tests every interior
+    date (15% trimmed) and reports the strongest, the Andrews (1993)
+    formulation.  Exact integer prefix sums make every candidate F
+    float-order-free; the argmax day is the break estimate."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    xs = (day - day[0]).tolist()
+    ys = cv.tolist()
+    supf, k = qlr_supf(xs, ys)
+    return pa.table({
+        "n_days": pa.array([len(xs)], pa.int64()),
+        "sup_f": pa.array([round(supf, 6)], pa.float64()),
+        "break_pos": pa.array([k], pa.int64()),
+        "break_day": pa.array([int(day[k])], pa.int64()),
+    })
+
+
+SQL_QLR_SUPF_DAILY = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT day,
+         CAST(day - min(day) OVER () AS HUGEINT) AS x,
+         CAST(cents AS HUGEINT) AS y,
+         row_number() OVER (ORDER BY day) AS rn,
+         count(*) OVER () AS n
+  FROM d),
+p AS (
+  SELECT day, rn, n,
+         sum(x) OVER w AS ax, sum(y) OVER w AS ay,
+         sum(x * x) OVER w AS axx, sum(x * y) OVER w AS axy,
+         sum(y * y) OVER w AS ayy,
+         sum(x) OVER () AS tx, sum(y) OVER () AS ty,
+         sum(x * x) OVER () AS txx, sum(x * y) OVER () AS txy,
+         sum(y * y) OVER () AS tyy
+  FROM r WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)),
+f AS (
+  SELECT day, rn, n,
+         ((CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) * ty / n
+           - pow(CAST(txy AS DOUBLE) - CAST(tx AS DOUBLE) * ty / n, 2)
+             / (CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) * tx / n))
+          - (CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE) * ay / rn
+             - pow(CAST(axy AS DOUBLE) - CAST(ax AS DOUBLE) * ay / rn,
+                   2)
+               / (CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE) * ax / rn))
+          - (CAST(tyy - ayy AS DOUBLE)
+             - CAST(ty - ay AS DOUBLE) * (ty - ay) / (n - rn)
+             - pow(CAST(txy - axy AS DOUBLE)
+                   - CAST(tx - ax AS DOUBLE) * (ty - ay) / (n - rn),
+                   2)
+               / (CAST(txx - axx AS DOUBLE)
+                  - CAST(tx - ax AS DOUBLE) * (tx - ax) / (n - rn))))
+         / 2.0
+         / (((CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE) * ay / rn
+              - pow(CAST(axy AS DOUBLE)
+                    - CAST(ax AS DOUBLE) * ay / rn, 2)
+                / (CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE) * ax / rn))
+             + (CAST(tyy - ayy AS DOUBLE)
+                - CAST(ty - ay AS DOUBLE) * (ty - ay) / (n - rn)
+                - pow(CAST(txy - axy AS DOUBLE)
+                      - CAST(tx - ax AS DOUBLE) * (ty - ay) / (n - rn),
+                      2)
+                  / (CAST(txx - axx AS DOUBLE)
+                     - CAST(tx - ax AS DOUBLE) * (tx - ax)
+                       / (n - rn))))
+            / (n - 4.0)) AS fstat
+  FROM p
+  WHERE rn >= greatest(CAST(floor(n * {_QLR_TRIM}) AS BIGINT), 3)
+    AND rn < least(n - CAST(floor(n * {_QLR_TRIM}) AS BIGINT),
+                   n - 3)),
+-- the Python loop's split "k" puts rows 1..k in segment 1; rn here
+-- plays k, so shift day to the NEXT row's day for the break label
+mx AS (SELECT n, fstat, rn FROM f ORDER BY fstat DESC, rn LIMIT 1)
+SELECT CAST(mx.n AS BIGINT) AS n_days,
+       round(mx.fstat, 6) AS sup_f,
+       CAST(mx.rn AS BIGINT) AS break_pos,
+       CAST((SELECT day FROM r WHERE r.rn = mx.rn + 1) AS BIGINT)
+         AS break_day
+FROM mx
+"""
+
+QUERIES["qlr_supf_daily"] = (q_qlr_supf_daily, SQL_QLR_SUPF_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# zip_fit_purchases — zero-inflated Poisson by method of moments
+# ---------------------------------------------------------------------------
+
+
+def zip_mom(n: int, s: int, ss: int, n0: int) -> tuple:
+    """Zero-inflated-Poisson method-of-moments from integer sums over
+    per-unit counts (n units, Σy, Σy², zero count): m = Σy/n, v =
+    Σy²/n − m², λ̂ = (v + m² − m)/m, π̂ = 1 − m/λ̂; also the model's
+    predicted zero share π̂ + (1−π̂)e^{−λ̂} vs observed n0/n."""
+    m = s / n
+    v = ss / n - m * m
+    lam = (v + m * m - m) / m
+    pi = 1.0 - m / lam
+    p0_model = pi + (1.0 - pi) * math.exp(-lam)
+    return m, v, lam, pi, p0_model, n0 / n
+
+
+def q_zip_fit_purchases(sf_dir: str):
+    """Zero-inflated Poisson fit of per-user purchase counts —
+    the 'never-buyers vs occasional-buyers' decomposition: π̂ is the
+    structural-zero share, λ̂ the buying-users' rate
+    (user_count_nb_fit's negative binomial says 'heterogeneous
+    rates'; ZIP says 'two regimes' — comparing their zero-share
+    predictions picks the story).  Every user with ANY event is a
+    unit; exact integer count moments from one bounded shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        buy = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                      pa.int64())
+        g = pa.table({"user_id": t.column("user_id"), "y": buy}) \
+            .group_by("user_id").aggregate([("y", "sum")])
+        return g.rename_columns(["user_id", "y"])
+
+    m = _partial_final(ds, partial, ["user_id"], [("y", "sum")])
+    y = np.asarray(m.column("y"), dtype=np.int64)
+    n = len(y)
+    s = int(y.sum())
+    ss = int((y * y).sum())
+    n0 = int((y == 0).sum())
+    mean, var, lam, pi, p0m, p0o = zip_mom(n, s, ss, n0)
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "zero_users": pa.array([n0], pa.int64()),
+        "lambda_hat": pa.array([round(lam, 6)], pa.float64()),
+        "pi_hat": pa.array([round(pi, 6)], pa.float64()),
+        "p0_model": pa.array([round(p0m, 6)], pa.float64()),
+        "p0_observed": pa.array([round(p0o, 6)], pa.float64()),
+    })
+
+
+SQL_ZIP_FIT_PURCHASES = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS s,
+         CAST(sum(y * y) AS HUGEINT) AS ss,
+         CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n0
+  FROM u),
+f AS (
+  SELECT n, n0,
+         CAST(s AS DOUBLE) / n AS m,
+         CAST(ss AS DOUBLE) / n
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS v
+  FROM s),
+g AS (
+  SELECT n, n0, m, v,
+         (v + m * m - m) / m AS lam
+  FROM f)
+SELECT n AS n_users, n0 AS zero_users,
+       round(lam, 6) AS lambda_hat,
+       round(1.0 - m / lam, 6) AS pi_hat,
+       round((1.0 - m / lam)
+             + (1.0 - (1.0 - m / lam)) * exp(-lam), 6) AS p0_model,
+       round(CAST(n0 AS DOUBLE) / n, 6) AS p0_observed
+FROM g
+"""
+
+QUERIES["zip_fit_purchases"] = (q_zip_fit_purchases,
+                                SQL_ZIP_FIT_PURCHASES)
+
+
+# ---------------------------------------------------------------------------
+# mardia_multinormality_daily — multivariate skew/kurtosis test
+# ---------------------------------------------------------------------------
+
+
+def mardia_stats(pts) -> tuple:
+    """Mardia's b₁,₂ and b₂,₂ for bivariate points via the exact
+    integer Mahalanobis kernel: with uᵢ = n·pᵢ − Σp and M = n·Σpp' −
+    (Σp)(Σp)', dᵢⱼ = uᵢ'adj(M)uⱼ/det(M) — integer numerators, one
+    shared float division; b₁ = Σdᵢⱼ³/n², b₂ = Σdᵢᵢ²/n."""
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    syy = sum(p[1] * p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    mxx = n * sxx - sx * sx
+    myy = n * syy - sy * sy
+    mxy = n * sxy - sx * sy
+    det = mxx * myy - mxy * mxy
+    us = [(n * p[0] - sx, n * p[1] - sy) for p in pts]
+    # adj(M) = [[myy, -mxy], [-mxy, mxx]]
+    b1 = 0.0
+    b2 = 0.0
+    for i, (ux, uy) in enumerate(us):
+        ax = myy * ux - mxy * uy
+        ay = -mxy * ux + mxx * uy
+        for j, (vx, vy) in enumerate(us):
+            d = (ax * vx + ay * vy) / det
+            b1 += d * d * d
+            if i == j:
+                b2 += d * d
+    return b1 / (n * n), b2 / n
+
+
+def q_mardia_multinormality_daily(sf_dir: str):
+    """Mardia's multivariate normality test of the daily (click,
+    purchase) count pairs: b₁,₂ (multivariate skewness; n·b₁/6 ~ χ²₄,
+    closed even-df tail) and b₂,₂ (multivariate kurtosis; normal
+    value k(k+2) = 8, z = (b₂−8)/√(64/n)) — hotelling_t2 assumes this
+    normality; Mardia is the test OF it.  Bounded day grid; exact
+    integer Mahalanobis numerators via the 2×2 adjugate."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    pts = [(series["click"].get(d, 0), series["purchase"].get(d, 0))
+           for d in series["hours"]]
+    n = len(pts)
+    b1, b2 = mardia_stats(pts)
+    chi2 = n * b1 / 6.0
+    p_skew = math.exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0)  # df=4
+    z_kurt = (b2 - 8.0) / math.sqrt(64.0 / n)
+    p_kurt = 2.0 * (1.0 - phi_as(abs(z_kurt)))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "b1_skew": pa.array([round(b1, 6)], pa.float64()),
+        "b2_kurt": pa.array([round(b2, 6)], pa.float64()),
+        "p_skew": pa.array([round(p_skew, 6)], pa.float64()),
+        "z_kurt": pa.array([round(z_kurt, 6)], pa.float64()),
+        "p_kurt": pa.array([round(p_kurt, 6)], pa.float64()),
+    })
+
+
+SQL_MARDIA_MULTINORMALITY_DAILY = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day, coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM xy),
+m AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS mxx,
+         n * syy - sy * sy AS myy,
+         n * sxy - sx * sy AS mxy
+  FROM s),
+u AS (
+  SELECT m.n,
+         CAST(m.n * xy.x - m.sx AS HUGEINT) AS ux,
+         CAST(m.n * xy.y - m.sy AS HUGEINT) AS uy,
+         m.mxx, m.myy, m.mxy,
+         CAST(m.mxx * m.myy - m.mxy * m.mxy AS DOUBLE) AS det,
+         xy.day
+  FROM xy, m),
+pairs AS (
+  SELECT a.n,
+         CAST(a.myy * a.ux - a.mxy * a.uy AS DOUBLE) * b.ux / a.det
+         + CAST(-a.mxy * a.ux + a.mxx * a.uy AS DOUBLE) * b.uy
+           / a.det AS d,
+         a.day = b.day AS diag
+  FROM u a JOIN u b ON true),
+agg AS (
+  SELECT max(n) AS n,
+         sum(d * d * d) AS s3,
+         sum(CASE WHEN diag THEN d * d ELSE 0 END) AS s2
+  FROM pairs)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(s3 / (CAST(n AS DOUBLE) * n), 6) AS b1_skew,
+       round(s2 / n, 6) AS b2_kurt,
+       round(exp(-(n * (s3 / (CAST(n AS DOUBLE) * n)) / 6.0) / 2.0)
+             * (1.0 + (n * (s3 / (CAST(n AS DOUBLE) * n)) / 6.0)
+                / 2.0), 6) AS p_skew,
+       round((s2 / n - 8.0) / sqrt(64.0 / n), 6) AS z_kurt,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_kurt
+FROM agg,
+     LATERAL (SELECT abs((agg.s2 / agg.n - 8.0)
+                         / sqrt(64.0 / agg.n)) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["mardia_multinormality_daily"] = (
+    q_mardia_multinormality_daily, SQL_MARDIA_MULTINORMALITY_DAILY)

@@ -1276,3 +1276,68 @@ def test_rtd_contribution_properties():
     assert rtd_contribution(1, 2) > rtd_contribution(100, 101)
     assert abs(rtd_contribution(1, 8)
                - abs(1 - 8 ** (-1 / 3))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# QLR sup-F / ZIP fit / Mardia
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    mardia_stats, qlr_supf, zip_mom)
+
+
+def test_qlr_finds_planted_break():
+    rng = np.random.RandomState(3)
+    n = 120
+    xs = list(range(n))
+    # slope doubles at t=70
+    ys = [int(1000 + 5 * t + rng.randint(-20, 21)) if t < 70
+          else int(1000 + 5 * 70 + 15 * (t - 70)
+                   + rng.randint(-20, 21)) for t in xs]
+    supf, k = qlr_supf(xs, ys)
+    assert supf > 50
+    assert 60 <= k <= 80
+    # no break: supF stays modest
+    flat = [int(1000 + 5 * t + rng.randint(-20, 21)) for t in xs]
+    supf2, _ = qlr_supf(xs, flat)
+    assert supf2 < supf / 3
+
+
+def test_zip_mom_recovers_parameters():
+    rng = np.random.RandomState(7)
+    pi_true, lam_true = 0.4, 3.0
+    n = 200_000
+    mask = rng.rand(n) < pi_true
+    y = rng.poisson(lam_true, n)
+    y[mask] = 0
+    m, v, lam, pi, p0m, p0o = zip_mom(
+        n, int(y.sum()), int((y.astype(np.int64) ** 2).sum()),
+        int((y == 0).sum()))
+    assert abs(lam - lam_true) < 0.1
+    assert abs(pi - pi_true) < 0.02
+    assert abs(p0m - p0o) < 0.01
+
+
+def test_zip_pure_poisson_pi_near_zero():
+    rng = np.random.RandomState(1)
+    y = rng.poisson(2.0, 100_000).astype(np.int64)
+    _, _, lam, pi, _, _ = zip_mom(len(y), int(y.sum()),
+                                  int((y ** 2).sum()),
+                                  int((y == 0).sum()))
+    assert abs(pi) < 0.02 and abs(lam - 2.0) < 0.05
+
+
+def test_mardia_normal_vs_skewed():
+    rng = np.random.RandomState(5)
+    n = 300
+    pts = [(int(a), int(b)) for a, b in
+           zip(rng.normal(1000, 100, n), rng.normal(500, 60, n))]
+    b1, b2 = mardia_stats(pts)
+    assert abs(b1) < 0.3            # near 0 for normal
+    assert abs(b2 - 8.0) < 1.2      # k(k+2) = 8
+    # heavily skewed: exponentiate one coordinate
+    pts_s = [(int(np.exp(a / 300)), y) for (a, y) in
+             [(rng.normal(1000, 300), int(v))
+              for v in rng.normal(500, 60, n)]]
+    b1s, _ = mardia_stats(pts_s)
+    assert b1s > 1.0
