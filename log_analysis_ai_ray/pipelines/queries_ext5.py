@@ -5478,3 +5478,305 @@ FROM agg,
 
 QUERIES["mardia_multinormality_daily"] = (
     q_mardia_multinormality_daily, SQL_MARDIA_MULTINORMALITY_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# bitmap_index_audit — RLE-compressed bitmap sizing per priority
+# ---------------------------------------------------------------------------
+
+
+def q_bitmap_index_audit(sf_dir: str):
+    """Bitmap-index sizing audit of o_orderpriority over the
+    (o_orderdate, o_orderkey)-ordered orders stream: per priority,
+    the row count and the number of maximal RUNS its bitmap has in
+    row order — the quantity RLE/Roaring container sizing is made of
+    (a clustered value = few runs = tiny bitmap even at millions of
+    rows; dict_encoding_audit measured columns, this measures the
+    INDEX).  Same one-sort + batch-boundary-repair shape as the
+    other adjacency audits."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate",
+                        "o_orderpriority"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "p": t.column("o_orderpriority").cast(pa.string()),
+        })
+
+    srt = ds.map_batches(canon, batch_format="pyarrow") \
+        .sort(["d", "k"])
+
+    def adjacency_partial(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("p"), dtype=object)
+        d = np.asarray(t.column("d"), dtype=np.int64)
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        n = len(p)
+        # per-priority counts and interior run starts
+        vals, cnts = np.unique(p.astype(str), return_counts=True)
+        starts = {}
+        if n:
+            starts[str(p[0])] = 1
+        if n >= 2:
+            chg = p[1:] != p[:-1]
+            for v in p[1:][chg]:
+                starts[str(v)] = starts.get(str(v), 0) + 1
+        rows = {"kind": [], "prio": [], "n": [], "d": [], "k": []}
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            rows["kind"].append("c")
+            rows["prio"].append(v)
+            rows["n"].append(int(c))
+            rows["d"].append(0)
+            rows["k"].append(0)
+        for v, c in starts.items():
+            rows["kind"].append("s")
+            rows["prio"].append(v)
+            rows["n"].append(c)
+            rows["d"].append(0)
+            rows["k"].append(0)
+        if n:
+            for kind, i in (("f", 0), ("l", n - 1)):
+                rows["kind"].append(kind)
+                rows["prio"].append(str(p[i]))
+                rows["n"].append(0)
+                rows["d"].append(int(d[i]))
+                rows["k"].append(int(k[i]))
+        return pa.table({c: pa.array(v) for c, v in rows.items()})
+
+    edges = agg._to_arrow(srt.map_batches(
+        adjacency_partial, batch_format="pyarrow"))
+    kind = edges.column("kind").to_pylist()
+    prio = edges.column("prio").to_pylist()
+    nv = edges.column("n").to_pylist()
+    dv = edges.column("d").to_pylist()
+    kv = edges.column("k").to_pylist()
+    counts, runs = {}, {}
+    lasts, firsts = [], []
+    for j, knd in enumerate(kind):
+        if knd == "c":
+            counts[prio[j]] = counts.get(prio[j], 0) + nv[j]
+        elif knd == "s":
+            runs[prio[j]] = runs.get(prio[j], 0) + nv[j]
+        elif knd == "l":
+            lasts.append(((dv[j], kv[j]), j))
+        else:
+            firsts.append(j)
+    lasts.sort()
+    lkeys = [x for x, _ in lasts]
+    import bisect
+    for j in firsts:
+        pos = bisect.bisect_left(lkeys, (dv[j], kv[j]))
+        if pos == 0:
+            continue
+        _, pj = lasts[pos - 1]
+        if prio[pj] == prio[j]:
+            # batch-first row continues the previous batch's run
+            runs[prio[j]] -= 1
+    out = sorted(counts)
+    return pa.table({
+        "priority": pa.array(out, pa.string()),
+        "n_rows": pa.array([counts[v] for v in out], pa.int64()),
+        "n_runs": pa.array([runs[v] for v in out], pa.int64()),
+        "runs_per_mille": pa.array(
+            [runs[v] * 1000 // counts[v] for v in out], pa.int64()),
+    })
+
+
+SQL_BITMAP_INDEX_AUDIT = """
+WITH r AS (
+  SELECT o_orderpriority AS p,
+         lag(o_orderpriority) OVER
+           (ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders)
+SELECT p AS priority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN prev IS NULL OR prev <> p
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       CAST(sum(CASE WHEN prev IS NULL OR prev <> p
+                     THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS runs_per_mille
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bitmap_index_audit"] = (q_bitmap_index_audit,
+                                 SQL_BITMAP_INDEX_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# poisson_rate_weekend — variance-stabilized two-rate comparison
+# ---------------------------------------------------------------------------
+
+
+def poisson_rate_z(c1: int, t1: float, c2: int, t2: float) -> float:
+    """Anscombe variance-stabilized two-sample Poisson rate z:
+    z = (√(c1+3/8) − √((t1/t2)·(c2+3/8))) standardized — in the
+    equal-exposure form used here (t1 = t2 days), z = (√(c1+3/8) −
+    √(c2+3/8))/√(1/4 + 1/4) = (√(c1+3/8) − √(c2+3/8))·√2."""
+    return (math.sqrt(c1 + 0.375) - math.sqrt(c2 + 0.375)) \
+        * math.sqrt(2.0)
+
+
+def q_poisson_rate_weekend(sf_dir: str):
+    """Two-sample Poisson rate test: does the PER-DAY purchase rate
+    differ between weekend and weekday?  Counts are totals over
+    unequal exposures, so the comparison runs on per-day-normalized
+    counts via the Anscombe √(c+3/8) variance-stabilizer (each √count
+    has variance ¼ regardless of the rate — the trick that makes the
+    z exact-form).  Exposure-normalized: c₂ scaled to weekend
+    exposure before the transform.  One bounded (day,type) reduce."""
+    series = _hourly_type_series_by(sf_dir, ("purchase",), _DAY_US)
+    days = series["hours"]
+    c_we = c_wd = n_we = n_wd = 0
+    for d in days:
+        c = series["purchase"].get(d, 0)
+        if (d + 4) % 7 in (5, 6):
+            c_we += c
+            n_we += 1
+        else:
+            c_wd += c
+            n_wd += 1
+    # scale weekday count to weekend exposure (rational, exact)
+    c_wd_scaled = c_wd * n_we / n_wd
+    z = (math.sqrt(c_we + 0.375)
+         - math.sqrt(c_wd_scaled + 0.375)) * math.sqrt(2.0) \
+        / math.sqrt(1.0 + n_we / n_wd)
+    p = 2.0 * (1.0 - phi_as(abs(z)))
+    return pa.table({
+        "purchases_weekend": pa.array([c_we], pa.int64()),
+        "days_weekend": pa.array([n_we], pa.int64()),
+        "purchases_weekday": pa.array([c_wd], pa.int64()),
+        "days_weekday": pa.array([n_wd], pa.int64()),
+        "z_rate": pa.array([round(z, 6)], pa.float64()),
+        "p_two_sided": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_POISSON_RATE_WEEKEND = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase')
+              AS BIGINT) AS c
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(sum(c) FILTER (WHERE (day + 4) % 7 IN (5, 6))
+              AS BIGINT) AS c_we,
+         CAST(count(*) FILTER (WHERE (day + 4) % 7 IN (5, 6))
+              AS BIGINT) AS n_we,
+         CAST(sum(c) FILTER (WHERE (day + 4) % 7 NOT IN (5, 6))
+              AS BIGINT) AS c_wd,
+         CAST(count(*) FILTER (WHERE (day + 4) % 7 NOT IN (5, 6))
+              AS BIGINT) AS n_wd
+  FROM d),
+z AS (
+  SELECT c_we, n_we, c_wd, n_wd,
+         (sqrt(c_we + 0.375)
+          - sqrt(CAST(c_wd AS DOUBLE) * n_we / n_wd + 0.375))
+         * sqrt(2.0)
+         / sqrt(1.0 + CAST(n_we AS DOUBLE) / n_wd) AS z
+  FROM s)
+SELECT c_we AS purchases_weekend, n_we AS days_weekend,
+       c_wd AS purchases_weekday, n_wd AS days_weekday,
+       round(z.z, 6) AS z_rate,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_two_sided
+FROM z,
+     LATERAL (SELECT abs(z.z) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["poisson_rate_weekend"] = (q_poisson_rate_weekend,
+                                   SQL_POISSON_RATE_WEEKEND)
+
+
+# ---------------------------------------------------------------------------
+# skellam_fit_daily — difference-of-Poissons fit
+# ---------------------------------------------------------------------------
+
+
+def skellam_mom(n: int, sd_: int, sdd: int) -> tuple:
+    """Skellam method-of-moments from integer sums of the daily
+    differences d = clicks − purchases: μ̂₁ − μ̂₂ = mean, μ̂₁ + μ̂₂ =
+    variance (n denominator) → μ̂₁ = (v+m)/2, μ̂₂ = (v−m)/2."""
+    m = sd_ / n
+    v = sdd / n - m * m
+    return m, v, (v + m) / 2.0, (v - m) / 2.0
+
+
+def q_skellam_fit_daily(sf_dir: str):
+    """Skellam (Poisson-difference) fit of the daily click−purchase
+    count difference: if both streams were independent Poissons the
+    MoM rates μ̂₁, μ̂₂ must match the OBSERVED per-day rates — the gap
+    is a one-number dependence/overdispersion audit (ccf and
+    granger rows measure linear lead-lag; this checks the marginal
+    law itself).  Exact integer difference moments from the bounded
+    day grid."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    days = series["hours"]
+    n = len(days)
+    sd_ = sdd = 0
+    c_tot = p_tot = 0
+    for d in days:
+        c = series["click"].get(d, 0)
+        p = series["purchase"].get(d, 0)
+        diff = c - p
+        sd_ += diff
+        sdd += diff * diff
+        c_tot += c
+        p_tot += p
+    m, v, mu1, mu2 = skellam_mom(n, sd_, sdd)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "mean_diff": pa.array([round(m, 6)], pa.float64()),
+        "var_diff": pa.array([round(v, 6)], pa.float64()),
+        "mu1_hat": pa.array([round(mu1, 6)], pa.float64()),
+        "mu2_hat": pa.array([round(mu2, 6)], pa.float64()),
+        "rate_click_obs": pa.array([round(c_tot / n, 6)],
+                                   pa.float64()),
+        "rate_purchase_obs": pa.array([round(p_tot / n, 6)],
+                                      pa.float64()),
+    })
+
+
+SQL_SKELLAM_FIT_DAILY = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day, coalesce(xc.c, 0) AS c, coalesce(yc.c, 0) AS p
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc USING (day)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c - p) AS BIGINT) AS sd_,
+         CAST(sum((c - p) * (c - p)) AS HUGEINT) AS sdd,
+         CAST(sum(c) AS BIGINT) AS ct, CAST(sum(p) AS BIGINT) AS pt
+  FROM xy),
+f AS (
+  SELECT n, ct, pt,
+         CAST(sd_ AS DOUBLE) / n AS m,
+         CAST(sdd AS DOUBLE) / n
+           - (CAST(sd_ AS DOUBLE) / n) * (CAST(sd_ AS DOUBLE) / n)
+           AS v
+  FROM s)
+SELECT n AS n_days,
+       round(m, 6) AS mean_diff,
+       round(v, 6) AS var_diff,
+       round((v + m) / 2.0, 6) AS mu1_hat,
+       round((v - m) / 2.0, 6) AS mu2_hat,
+       round(CAST(ct AS DOUBLE) / n, 6) AS rate_click_obs,
+       round(CAST(pt AS DOUBLE) / n, 6) AS rate_purchase_obs
+FROM f
+"""
+
+QUERIES["skellam_fit_daily"] = (q_skellam_fit_daily,
+                                SQL_SKELLAM_FIT_DAILY)

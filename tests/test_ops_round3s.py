@@ -1341,3 +1341,38 @@ def test_mardia_normal_vs_skewed():
               for v in rng.normal(500, 60, n)]]
     b1s, _ = mardia_stats(pts_s)
     assert b1s > 1.0
+
+
+# ---------------------------------------------------------------------------
+# bitmap runs / Poisson rate / Skellam
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    poisson_rate_z, skellam_mom)
+
+
+def test_poisson_rate_z_equal_and_shifted():
+    assert abs(poisson_rate_z(100, 1.0, 100, 1.0)) < 1e-12
+    assert poisson_rate_z(200, 1.0, 100, 1.0) > 3
+    assert poisson_rate_z(100, 1.0, 200, 1.0) < -3
+
+
+def test_skellam_recovers_rates():
+    rng = np.random.RandomState(9)
+    mu1, mu2 = 40.0, 15.0
+    n = 100_000
+    d = rng.poisson(mu1, n).astype(np.int64) \
+        - rng.poisson(mu2, n).astype(np.int64)
+    m, v, h1, h2 = skellam_mom(n, int(d.sum()),
+                               int((d * d).sum()))
+    assert abs(h1 - mu1) < 0.5
+    assert abs(h2 - mu2) < 0.5
+    assert abs(m - (mu1 - mu2)) < 0.2
+
+
+def test_skellam_exact_identities():
+    # constant difference c: var 0 -> mu1 = mu2 = ... m/2, v=0
+    d = [5] * 10
+    m, v, h1, h2 = skellam_mom(10, sum(d), sum(x * x for x in d))
+    assert m == 5.0 and abs(v) < 1e-12
+    assert abs(h1 - 2.5) < 1e-12 and abs(h2 + 2.5) < 1e-12
