@@ -359,6 +359,23 @@ BENCH_EXTRA = [
     "anderson_darling_2samp",
     "cochran_c_dow",
     "breusch_godfrey_daily",
+    "bloom_fpr_audit",
+    "cusum_squares_daily",
+    "concentration_index_users",
+    "tost_equivalence_weekend",
+    "bayes_ab_purchase",
+    "prefix_compression_audit",
+    "timestamp_dod_audit",
+    "fligner_killeen_types",
+    "interaction_information_tdh",
+    "fightin_words_sources",
+    "rank_turbulence_divergence",
+    "qlr_supf_daily",
+    "zip_fit_purchases",
+    "mardia_multinormality_daily",
+    "bitmap_index_audit",
+    "poisson_rate_weekend",
+    "skellam_fit_daily",
 ]
 
 

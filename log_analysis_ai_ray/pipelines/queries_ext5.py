@@ -5780,3 +5780,332 @@ FROM f
 
 QUERIES["skellam_fit_daily"] = (q_skellam_fit_daily,
                                 SQL_SKELLAM_FIT_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# cmh_test_hour — Cochran-Mantel-Haenszel chi-square (the test, not
+# just the pooled OR)
+# ---------------------------------------------------------------------------
+
+
+def cmh_chi2(cells) -> tuple:
+    """Continuity-corrected CMH χ²₁ over 2×2 strata [(a, b, c, d)]:
+    (|Σa − ΣE| − ½)²/ΣV with E = r₁c₁/n, V = r₁r₀c₁c₀/(n²(n−1)) —
+    per-stratum terms are single float divides of exact integer
+    products.  Returns (chi2, sum_a, sum_e)."""
+    sa = 0
+    se = sv = 0.0
+    for a, b, c, d in cells:
+        n = a + b + c + d
+        if n < 2:
+            continue
+        r1 = a + b
+        r0 = c + d
+        c1 = a + c
+        c0 = b + d
+        sa += a
+        se += r1 * c1 / float(n)
+        sv += (r1 * r0 * c1 * c0) / (float(n) * n * (n - 1.0))
+    chi2 = (abs(sa - se) - 0.5) ** 2 / sv
+    return chi2, sa, se
+
+
+def q_cmh_test_hour(sf_dir: str):
+    """The Cochran-Mantel-Haenszel χ² TEST for conditional
+    click/view × above-median-value association across the 24 hour
+    strata — the significance companion of mantel_haenszel_or (which
+    gives the pooled effect SIZE but no test): stratum-matched,
+    continuity-corrected, χ²₁ tail via the shared Φ.  Same bounded
+    (type, hour, cents) partials and exact ceil-rank median."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        hh = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "hh": hh, "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "hh", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "hh", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "hh", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    hh = np.asarray(m.column("hh"), dtype=np.int64)
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    vu = np.unique(vv)
+    cvu = np.zeros(len(vu), dtype=np.int64)
+    np.add.at(cvu, np.searchsorted(vu, vv), cc)
+    n = int(cvu.sum())
+    med = int(vu[np.searchsorted(np.cumsum(cvu), (n + 1) // 2)])
+    hi = vv > med
+    exp_ = ty == "click"
+    cells = []
+    for h in range(24):
+        sh = hh == h
+        cells.append((int(cc[sh & exp_ & hi].sum()),
+                      int(cc[sh & exp_ & ~hi].sum()),
+                      int(cc[sh & ~exp_ & hi].sum()),
+                      int(cc[sh & ~exp_ & ~hi].sum())))
+    chi2, sa, se = cmh_chi2(cells)
+    p = 2.0 * (1.0 - phi_as(math.sqrt(chi2)))
+    return pa.table({
+        "n_strata": pa.array([24], pa.int64()),
+        "sum_a": pa.array([sa], pa.int64()),
+        "sum_e": pa.array([round(se, 6)], pa.float64()),
+        "cmh_chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "p_value": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_CMH_TEST_HOUR = """
+WITH e AS (
+  SELECT event_type AS ty, CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+med AS (
+  SELECT min(v) AS med FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist), tot
+  WHERE cum >= (tot.n + 1) // 2),
+cells AS (
+  SELECT hh,
+         CAST(count(*) FILTER (ty = 'click' AND v > med.med)
+              AS BIGINT) AS a,
+         CAST(count(*) FILTER (ty = 'click' AND v <= med.med)
+              AS BIGINT) AS b,
+         CAST(count(*) FILTER (ty = 'view' AND v > med.med)
+              AS BIGINT) AS c,
+         CAST(count(*) FILTER (ty = 'view' AND v <= med.med)
+              AS BIGINT) AS d
+  FROM e, med GROUP BY 1),
+s AS (
+  SELECT CAST(sum(a) AS BIGINT) AS sa,
+         sum(CAST((a + b) * (a + c) AS DOUBLE) / (a + b + c + d))
+           AS se,
+         sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+             / (CAST(a + b + c + d AS DOUBLE)
+                * (a + b + c + d) * (a + b + c + d - 1.0))) AS sv
+  FROM cells WHERE a + b + c + d >= 2),
+z AS (
+  SELECT sa, se,
+         pow(abs(sa - se) - 0.5, 2) / sv AS chi2
+  FROM s)
+SELECT CAST(24 AS BIGINT) AS n_strata, sa AS sum_a,
+       round(se, 6) AS sum_e,
+       round(chi2, 6) AS cmh_chi2,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * t.t - 1.453152027) * t.t)
+              + 1.421413741) * t.t - 0.284496736) * t.t
+            + 0.254829592) * t.t * exp(-(a.a * a.a)))))), 6)
+         AS p_value
+FROM z,
+     LATERAL (SELECT sqrt(z.chi2) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t
+"""
+
+QUERIES["cmh_test_hour"] = (q_cmh_test_hour, SQL_CMH_TEST_HOUR)
+
+
+# ---------------------------------------------------------------------------
+# codec_selector_audit — rule-based encoding choice per column
+# ---------------------------------------------------------------------------
+
+_CODEC_RUN_PM = 200
+_CODEC_DICT_BITS = 8
+_RLE_RUN_HEADER_BITS = 20
+
+
+def codec_choice(dict_bits_: int, runs_pm: int) -> str:
+    """The encoding rule dict_encoding_audit's numbers feed: tiny
+    dictionary AND long runs → RLE over dict codes; tiny dictionary →
+    DICT; long runs alone → RLE; else PLAIN."""
+    small_dict = dict_bits_ <= _CODEC_DICT_BITS
+    runny = runs_pm <= _CODEC_RUN_PM
+    if small_dict and runny:
+        return "RLE_DICT"
+    if small_dict:
+        return "DICT"
+    if runny:
+        return "RLE"
+    return "PLAIN"
+
+
+def codec_bits_milli(codec: str, dict_bits_: int, rle_runs: int,
+                     n_values: int) -> int:
+    """Estimated storage bits per value ×1000 (exact integer):
+    DICT = dict_bits; RLE_DICT = runs·(dict_bits+20)/n;
+    RLE = runs·52/n; PLAIN = 32."""
+    if codec == "DICT":
+        return dict_bits_ * 1000
+    if codec == "RLE_DICT":
+        return rle_runs * (dict_bits_ + _RLE_RUN_HEADER_BITS) \
+            * 1000 // n_values
+    if codec == "RLE":
+        return rle_runs * 52 * 1000 // n_values
+    return 32 * 1000
+
+
+def q_codec_selector_audit(sf_dir: str):
+    """The decision layer on top of dict_encoding_audit: per audited
+    lineitem column, the codec a layout optimizer should pick
+    (RLE-over-dict / dict / RLE / plain) and its estimated bits per
+    value — the audits become an actionable writer configuration.
+    Same distributed statistics pass; the selection rule is shared
+    verbatim with the oracle."""
+    stats = q_dict_encoding_audit(sf_dir)
+    cols = stats.column("column").to_pylist()
+    nv = np.asarray(stats.column("n_values"), dtype=np.int64)
+    db = np.asarray(stats.column("dict_bits"), dtype=np.int64)
+    rr = np.asarray(stats.column("rle_runs"), dtype=np.int64)
+    rpm = np.asarray(stats.column("runs_per_mille"), dtype=np.int64)
+    rows = []
+    for i, c in enumerate(cols):
+        codec = codec_choice(int(db[i]), int(rpm[i]))
+        bits = codec_bits_milli(codec, int(db[i]), int(rr[i]),
+                                int(nv[i]))
+        rows.append((c, codec, bits, 32_000 * 1000 // max(bits, 1)))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "codec": pa.array([r[1] for r in rows], pa.string()),
+        "est_bits_milli": pa.array([r[2] for r in rows], pa.int64()),
+        "vs_plain_ratio_milli": pa.array([r[3] for r in rows],
+                                         pa.int64()),
+    })
+
+
+SQL_CODEC_SELECTOR_AUDIT = f"""
+WITH audit AS ({SQL_DICT_ENCODING_AUDIT.replace("ORDER BY 1", "")}),
+sel AS (
+  SELECT "column",
+         CASE WHEN dict_bits <= {_CODEC_DICT_BITS}
+                   AND runs_per_mille <= {_CODEC_RUN_PM}
+              THEN 'RLE_DICT'
+              WHEN dict_bits <= {_CODEC_DICT_BITS} THEN 'DICT'
+              WHEN runs_per_mille <= {_CODEC_RUN_PM} THEN 'RLE'
+              ELSE 'PLAIN' END AS codec,
+         dict_bits, rle_runs, n_values
+  FROM audit),
+bits AS (
+  SELECT "column", codec,
+         CASE codec
+           WHEN 'DICT' THEN dict_bits * 1000
+           WHEN 'RLE_DICT' THEN rle_runs
+                * (dict_bits + {_RLE_RUN_HEADER_BITS}) * 1000
+                // n_values
+           WHEN 'RLE' THEN rle_runs * 52 * 1000 // n_values
+           ELSE 32000 END AS est_bits_milli
+  FROM sel)
+SELECT "column", codec,
+       CAST(est_bits_milli AS BIGINT) AS est_bits_milli,
+       CAST(32000 * 1000 // greatest(est_bits_milli, 1) AS BIGINT)
+         AS vs_plain_ratio_milli
+FROM bits ORDER BY 1
+"""
+
+QUERIES["codec_selector_audit"] = (q_codec_selector_audit,
+                                   SQL_CODEC_SELECTOR_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# partition_count_planner — target-block-size partitioning per table
+# ---------------------------------------------------------------------------
+
+_PLAN_TARGET_BYTES = 128 * 1024 * 1024
+# (table, fixed bytes/row for numeric+timestamp cols, string columns)
+_PLAN_TABLES = [
+    ("orders", 8 * 4, ["o_orderstatus", "o_orderpriority"]),
+    ("lineitem", 8 * 9, ["l_returnflag", "l_linestatus"]),
+    ("events", 8 * 4, ["event_type", "props"]),
+    ("documents", 8 * 2, ["text", "lang", "source"]),
+    ("customer", 8 * 4, ["c_name", "c_mktsegment"]),
+]
+
+
+def plan_partitions(est_bytes: int,
+                    target: int = _PLAN_TARGET_BYTES) -> tuple:
+    """(parts, parts_pow2): ceil(bytes/target) and the next power of
+    two — resumable-output partition counts for a 128 MiB block
+    target."""
+    parts = max(1, -(-est_bytes // target))
+    p2 = 1
+    while p2 < parts:
+        p2 *= 2
+    return parts, p2
+
+
+def q_partition_count_planner(sf_dir: str):
+    """Write-path partition planner: per table, exact row counts and
+    estimated uncompressed bytes (8 B per numeric/timestamp column +
+    exact summed string lengths) → the partition count that hits a
+    128 MiB block target, plus the next power of two (the bucket
+    count a hash layout would actually use).  This is the sizing rule
+    behind 'resumable output, never one giant file'; every byte count
+    is an exact integer reduce."""
+    rows = []
+    for table, fixed, strcols in _PLAN_TABLES:
+        ds = _read(sf_dir, table, columns=strcols)
+
+        def partial(t: pa.Table, _sc=tuple(strcols)) -> pa.Table:
+            total = 0
+            for c in _sc:
+                col = t.column(c)
+                lv = pc.utf8_length(col)
+                s = pc.sum(lv).as_py()
+                total += int(s or 0)
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sbytes": pa.array([total], pa.int64())})
+
+        m = _partial_final(ds, partial, [],
+                           [("n", "sum"), ("sbytes", "sum")])
+        n = int(m.column("n")[0].as_py())
+        sbytes = int(m.column("sbytes")[0].as_py())
+        est = n * fixed + sbytes
+        parts, p2 = plan_partitions(est)
+        rows.append((table, n, est, parts, p2))
+    rows.sort()
+    return pa.table({
+        "table_name": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "est_bytes": pa.array([r[2] for r in rows], pa.int64()),
+        "parts_128mb": pa.array([r[3] for r in rows], pa.int64()),
+        "parts_pow2": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def _partition_planner_sql() -> str:
+    selects = []
+    for table, fixed, strcols in _PLAN_TABLES:
+        slen = " + ".join(f"coalesce(sum(length({c})), 0)"
+                          for c in strcols)
+        selects.append(f"""
+  SELECT '{table}' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) * {fixed} + {slen} AS BIGINT) AS est_bytes
+  FROM {table}""")
+    union = " UNION ALL ".join(selects)
+    t = _PLAN_TARGET_BYTES
+    return f"""
+WITH sizes AS ({union}),
+parts AS (
+  SELECT table_name, n_rows, est_bytes,
+         greatest(1, (est_bytes + {t} - 1) // {t}) AS parts_128mb
+  FROM sizes)
+SELECT table_name, n_rows, est_bytes,
+       CAST(parts_128mb AS BIGINT) AS parts_128mb,
+       CAST(CASE WHEN parts_128mb <= 1 THEN 1
+                 ELSE pow(2, ceil(log2(CAST(parts_128mb
+                                            AS DOUBLE)))) END
+            AS BIGINT) AS parts_pow2
+FROM parts ORDER BY 1
+"""
+
+
+QUERIES["partition_count_planner"] = (q_partition_count_planner,
+                                      _partition_planner_sql())

@@ -1376,3 +1376,55 @@ def test_skellam_exact_identities():
     m, v, h1, h2 = skellam_mom(10, sum(d), sum(x * x for x in d))
     assert m == 5.0 and abs(v) < 1e-12
     assert abs(h1 - 2.5) < 1e-12 and abs(h2 + 2.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# CMH test / codec selector / partition planner
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    cmh_chi2, codec_bits_milli, codec_choice, plan_partitions)
+
+
+def test_cmh_null_vs_consistent_association():
+    # independent strata: chi2 small
+    null_cells = [(25, 25, 25, 25)] * 10
+    chi2_null, sa, se = cmh_chi2(null_cells)
+    assert abs(sa - se) < 1e-9 and chi2_null < 0.1
+    # consistent positive association in every stratum
+    assoc = [(40, 10, 10, 40)] * 10
+    chi2_assoc, _, _ = cmh_chi2(assoc)
+    assert chi2_assoc > 50
+
+
+def test_cmh_matches_single_stratum_formula():
+    a, b, c, d = 30, 20, 15, 35
+    chi2, sa, se = cmh_chi2([(a, b, c, d)])
+    n = a + b + c + d
+    e = (a + b) * (a + c) / n
+    v = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    assert abs(chi2 - (abs(a - e) - 0.5) ** 2 / v) < 1e-12
+
+
+def test_codec_choice_matrix():
+    assert codec_choice(2, 100) == "RLE_DICT"
+    assert codec_choice(2, 900) == "DICT"
+    assert codec_choice(20, 100) == "RLE"
+    assert codec_choice(20, 900) == "PLAIN"
+
+
+def test_codec_bits_estimates():
+    assert codec_bits_milli("DICT", 3, 0, 100) == 3000
+    # 10 runs of (3+20) bits over 1000 values = 0.23 bits/value
+    assert codec_bits_milli("RLE_DICT", 3, 10, 1000) == 230
+    assert codec_bits_milli("PLAIN", 0, 0, 1) == 32000
+    assert codec_bits_milli("RLE", 0, 10, 1000) == 520
+
+
+def test_plan_partitions():
+    t = 128 * 1024 * 1024
+    assert plan_partitions(1) == (1, 1)
+    assert plan_partitions(t) == (1, 1)
+    assert plan_partitions(t + 1) == (2, 2)
+    assert plan_partitions(5 * t) == (5, 8)
+    assert plan_partitions(1000 * t)[1] == 1024
