@@ -6109,3 +6109,336 @@ FROM parts ORDER BY 1
 
 QUERIES["partition_count_planner"] = (q_partition_count_planner,
                                       _partition_planner_sql())
+
+
+# ---------------------------------------------------------------------------
+# aa_test_calibration — is the experiment plumbing calibrated?
+# ---------------------------------------------------------------------------
+
+_AA_SALTS = 20
+
+
+def welch_z(n1: int, s1: int, ss1: int,
+            n0: int, s0: int, ss0: int) -> float:
+    """Welch z on two arms from exact integer (n, sum, sumsq)."""
+    m1, m0 = s1 / n1, s0 / n0
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    v0 = (ss0 - s0 * s0 / n0) / (n0 - 1.0)
+    se = math.sqrt(v1 / n1 + v0 / n0)
+    return (m1 - m0) / se if se > 0 else 0.0
+
+
+def aa_calibration(zs) -> tuple:
+    """(n_salts, n_reject, ks_uniform) for a set of A/A z-values:
+    rejections at |z| > 1.96 should be ~5%, and the two-sided
+    p-values should be UNIFORM — ks is the max |ecdf − u| over the
+    sorted p's (ties by p order)."""
+    ps = sorted(2.0 * (1.0 - phi_as(abs(z))) for z in zs)
+    n = len(ps)
+    ks = max(max(abs((i + 1) / n - p), abs(i / n - p))
+             for i, p in enumerate(ps))
+    rej = sum(1 for z in zs if abs(z) > 1.96)
+    return n, rej, ks
+
+
+def q_aa_test_calibration(sf_dir: str):
+    """A/A-test calibration audit of the experimentation plumbing:
+    20 independent md5-salted user splits, each Welch-z-tested for a
+    per-user purchase-COUNT difference that CANNOT exist — rejections
+    should run at the nominal 5% and the p-values should be uniform
+    (KS distance reported).  A platform failing this audit will
+    'discover' effects in every real A/B it runs.  Per-salt arm
+    moments from one bounded distinct-user reduce; hashes mirrored
+    verbatim by the oracle.  (Counts, not binary conversion: at small
+    SF every user converts and the proportion test degenerates.)"""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                      pa.int64())
+        g = pa.table({"user_id": t.column("user_id"), "cnt": cnt}) \
+            .group_by("user_id").aggregate([("cnt", "sum")])
+        return g.rename_columns(["user_id", "cnt"])
+
+    m = _partial_final(ds, partial, ["user_id"], [("cnt", "sum")])
+    users = np.asarray(m.column("user_id"), dtype=np.int64).tolist()
+    cnt = np.asarray(m.column("cnt"), dtype=np.int64).tolist()
+    zs = []
+    for s in range(_AA_SALTS):
+        n = [0, 0]
+        sm = [0, 0]
+        ss = [0, 0]
+        for u, c_ in zip(users, cnt):
+            arm = md5_hash32(f"{u}-{s}") % 2
+            n[arm] += 1
+            sm[arm] += c_
+            ss[arm] += c_ * c_
+        zs.append(welch_z(n[1], sm[1], ss[1], n[0], sm[0], ss[0]))
+    ns, rej, ks = aa_calibration(zs)
+    return pa.table({
+        "n_salts": pa.array([ns], pa.int64()),
+        "n_reject_5pct": pa.array([rej], pa.int64()),
+        "ks_uniform": pa.array([round(ks, 6)], pa.float64()),
+        "max_abs_z": pa.array([round(max(abs(z) for z in zs), 6)],
+                              pa.float64()),
+    })
+
+
+def _aa_test_sql() -> str:
+    h = ORACLE_HASH_SQL.format(
+        col="CAST(user_id AS VARCHAR) || '-' || CAST(s AS VARCHAR)")
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+salts AS (SELECT unnest(generate_series(0, {_AA_SALTS - 1})) AS s),
+arms AS (
+  SELECT s, {h} % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS sm,
+         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+  FROM u, salts GROUP BY 1, 2),
+w AS (
+  SELECT s,
+         max(CASE WHEN arm = 1 THEN sm END) AS s1,
+         max(CASE WHEN arm = 1 THEN ss END) AS ss1,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 0 THEN sm END) AS s0,
+         max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+         max(CASE WHEN arm = 0 THEN n END) AS n0
+  FROM arms GROUP BY 1),
+z AS (
+  SELECT s,
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+         / sqrt(((ss1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1.0))
+                  / n1
+                + ((ss0 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1.0))
+                  / n0) AS z
+  FROM w),
+p AS (
+  SELECT s, abs(z.z) AS az,
+         2.0 * (1.0 - (0.5 * (1.0 + (1.0
+           - (((((1.061405429 * t.t - 1.453152027) * t.t)
+                + 1.421413741) * t.t - 0.284496736) * t.t
+              + 0.254829592) * t.t * exp(-(a.a * a.a)))))) AS p
+  FROM z,
+       LATERAL (SELECT abs(z.z) / sqrt(2.0) AS a) a,
+       LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) t),
+r AS (
+  SELECT p,
+         row_number() OVER (ORDER BY p) AS i,
+         count(*) OVER () AS n
+  FROM p)
+SELECT CAST({_AA_SALTS} AS BIGINT) AS n_salts,
+       CAST((SELECT count(*) FROM p WHERE az > 1.96) AS BIGINT)
+         AS n_reject_5pct,
+       round((SELECT max(greatest(
+                  abs(CAST(i AS DOUBLE) / n - p),
+                  abs(CAST(i - 1 AS DOUBLE) / n - p))) FROM r), 6)
+         AS ks_uniform,
+       round((SELECT max(az) FROM p), 6) AS max_abs_z
+"""
+
+
+QUERIES["aa_test_calibration"] = (q_aa_test_calibration,
+                                  _aa_test_sql())
+
+
+# ---------------------------------------------------------------------------
+# yuen_trimmed_t — robust trimmed-means two-sample test
+# ---------------------------------------------------------------------------
+
+_YUEN_TRIM = 0.2
+
+
+def trimmed_winsor_sums(vals, cnts, g: int) -> tuple:
+    """(h, trim_sum, win_sum, win_ss, v_lo, v_hi) from a sorted
+    histogram: the middle n−2g values' exact sum plus the winsorized
+    sum/SS where the bottom/top g ranks are clamped to the boundary
+    order statistics — all integers."""
+    n = sum(cnts)
+    lo_rank, hi_rank = g + 1, n - g
+    cum = 0
+    trim_sum = 0
+    v_lo = v_hi = None
+    for v, c in zip(vals, cnts):
+        lo_pos, hi_pos = cum + 1, cum + c
+        # overlap with [lo_rank, hi_rank]
+        a = max(lo_pos, lo_rank)
+        b = min(hi_pos, hi_rank)
+        if b >= a:
+            trim_sum += (b - a + 1) * v
+        if v_lo is None and hi_pos >= lo_rank:
+            v_lo = v
+        if hi_pos >= hi_rank and v_hi is None:
+            v_hi = v
+        cum += c
+    win_sum = trim_sum + g * v_lo + g * v_hi
+    # winsorized SS
+    cum = 0
+    win_ss = g * v_lo * v_lo + g * v_hi * v_hi
+    for v, c in zip(vals, cnts):
+        lo_pos, hi_pos = cum + 1, cum + c
+        a = max(lo_pos, lo_rank)
+        b = min(hi_pos, hi_rank)
+        if b >= a:
+            win_ss += (b - a + 1) * v * v
+        cum += c
+    return n - 2 * g, trim_sum, win_sum, win_ss, v_lo, v_hi
+
+
+def yuen_t(h1, ts1, ws1, wss1, n1, g1,
+           h2, ts2, ws2, wss2, n2, g2) -> tuple:
+    """(t, df) — Yuen (1974) trimmed-means Welch test from exact
+    integer trimmed/winsorized sums."""
+    tm1 = ts1 / h1
+    tm2 = ts2 / h2
+    sw1 = (wss1 - ws1 * ws1 / n1) / (n1 - 1.0)
+    sw2 = (wss2 - ws2 * ws2 / n2) / (n2 - 1.0)
+    d1 = (n1 - 1.0) * sw1 / (h1 * (h1 - 1.0))
+    d2 = (n2 - 1.0) * sw2 / (h2 * (h2 - 1.0))
+    t = (tm1 - tm2) / math.sqrt(d1 + d2)
+    df = (d1 + d2) ** 2 / (d1 * d1 / (h1 - 1.0)
+                           + d2 * d2 / (h2 - 1.0))
+    return t, df
+
+
+def q_yuen_trimmed_t(sf_dir: str):
+    """Yuen's 20%-trimmed-means test of click vs view values — the
+    robust LOCATION companion of brunner_munzel (which tests
+    stochastic order): outlier-immune means with winsorized-variance
+    standard errors and Welch df; p via the shared Φ (normal
+    approximation).  All trimmed/winsorized sums exact integers from
+    the bounded cents histograms."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.is_in(t.column("event_type"),
+                       value_set=pa.array(["click", "view"]))
+        t = t.filter(sel)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_x = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({"v": cents, "x": is_x,
+                      "y": pc.subtract(pa.scalar(1, pa.int64()),
+                                       is_x)}) \
+            .group_by("v").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["v", "cx", "cy"])
+
+    m = _partial_final(ds, partial, ["v"],
+                       [("cx", "sum"), ("cy", "sum")]).sort_by("v")
+    vals = np.asarray(m.column("v"), dtype=np.int64).tolist()
+    cx = np.asarray(m.column("cx"), dtype=np.int64).tolist()
+    cy = np.asarray(m.column("cy"), dtype=np.int64).tolist()
+    n1, n2 = sum(cx), sum(cy)
+    g1 = int(math.floor(_YUEN_TRIM * n1))
+    g2 = int(math.floor(_YUEN_TRIM * n2))
+    h1, ts1, ws1, wss1, _, _ = trimmed_winsor_sums(vals, cx, g1)
+    h2, ts2, ws2, wss2, _, _ = trimmed_winsor_sums(vals, cy, g2)
+    t, df = yuen_t(h1, ts1, ws1, wss1, n1, g1,
+                   h2, ts2, ws2, wss2, n2, g2)
+    p = 2.0 * (1.0 - phi_as(abs(t)))
+    return pa.table({
+        "n_click": pa.array([n1], pa.int64()),
+        "n_view": pa.array([n2], pa.int64()),
+        "trim_mean_click": pa.array([round(ts1 / h1, 6)],
+                                    pa.float64()),
+        "trim_mean_view": pa.array([round(ts2 / h2, 6)],
+                                   pa.float64()),
+        "yuen_t": pa.array([round(t, 6)], pa.float64()),
+        "df": pa.array([round(df, 6)], pa.float64()),
+        "p_normal": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+def _yuen_sql_side(flag: str) -> str:
+    """Per-sample CTE block computing (n, g, h, trim_sum, win_sum,
+    win_ss) from the shared value histogram, sample = cx or cy."""
+    c = flag
+    return f"""
+n_{c} AS (SELECT CAST(sum({c}) AS BIGINT) AS n,
+                 CAST(floor({_YUEN_TRIM} * sum({c})) AS BIGINT) AS g
+          FROM hist),
+pos_{c} AS (
+  SELECT v, {c} AS c,
+         coalesce(sum({c}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM hist WHERE {c} > 0),
+bounds_{c} AS (
+  SELECT (SELECT min(v) FROM pos_{c}, n_{c}
+           WHERE below + c >= n_{c}.g + 1) AS v_lo,
+         (SELECT min(v) FROM pos_{c}, n_{c}
+           WHERE below + c >= n_{c}.n - n_{c}.g) AS v_hi),
+sums_{c} AS (
+  SELECT CAST(sum(greatest(least(below + c, n_{c}.n - n_{c}.g)
+                  - greatest(below + 1, n_{c}.g + 1) + 1, 0) * v)
+              AS HUGEINT) AS trim_sum,
+         CAST(sum(greatest(least(below + c, n_{c}.n - n_{c}.g)
+                  - greatest(below + 1, n_{c}.g + 1) + 1, 0)
+                  * CAST(v AS HUGEINT) * v) AS HUGEINT) AS trim_ss
+  FROM pos_{c}, n_{c} GROUP BY n_{c}.n, n_{c}.g),
+fin_{c} AS (
+  SELECT n_{c}.n, n_{c}.g,
+         n_{c}.n - 2 * n_{c}.g AS h,
+         sums_{c}.trim_sum,
+         sums_{c}.trim_sum + n_{c}.g * (b.v_lo + b.v_hi) AS win_sum,
+         sums_{c}.trim_ss
+           + n_{c}.g * (CAST(b.v_lo AS HUGEINT) * b.v_lo
+                        + CAST(b.v_hi AS HUGEINT) * b.v_hi) AS win_ss
+  FROM n_{c}, sums_{c}, bounds_{c} b)"""
+
+
+def _yuen_sql() -> str:
+    return f"""
+WITH hist AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+{_yuen_sql_side('cx')},
+{_yuen_sql_side('cy')},
+yt AS (
+  SELECT a.n AS n1, a.h AS h1,
+         CAST(a.trim_sum AS DOUBLE) / a.h AS tm1,
+         (CAST(a.win_ss AS DOUBLE)
+          - CAST(a.win_sum AS DOUBLE) * CAST(a.win_sum AS DOUBLE)
+            / a.n) / (a.n - 1.0) AS sw1,
+         b.n AS n2, b.h AS h2,
+         CAST(b.trim_sum AS DOUBLE) / b.h AS tm2,
+         (CAST(b.win_ss AS DOUBLE)
+          - CAST(b.win_sum AS DOUBLE) * CAST(b.win_sum AS DOUBLE)
+            / b.n) / (b.n - 1.0) AS sw2
+  FROM fin_cx a, fin_cy b),
+d AS (
+  SELECT n1, n2, h1, h2, tm1, tm2,
+         (n1 - 1.0) * sw1 / (h1 * (h1 - 1.0)) AS d1,
+         (n2 - 1.0) * sw2 / (h2 * (h2 - 1.0)) AS d2
+  FROM yt),
+t AS (
+  SELECT n1, n2, tm1, tm2,
+         (tm1 - tm2) / sqrt(d1 + d2) AS t,
+         (d1 + d2) * (d1 + d2)
+           / (d1 * d1 / (h1 - 1.0) + d2 * d2 / (h2 - 1.0)) AS df
+  FROM d)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+       round(tm1, 6) AS trim_mean_click,
+       round(tm2, 6) AS trim_mean_view,
+       round(t.t, 6) AS yuen_t,
+       round(t.df, 6) AS df,
+       round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+         - (((((1.061405429 * tt.t - 1.453152027) * tt.t)
+              + 1.421413741) * tt.t - 0.284496736) * tt.t
+            + 0.254829592) * tt.t * exp(-(a.a * a.a)))))), 6)
+         AS p_normal
+FROM t,
+     LATERAL (SELECT abs(t.t) / sqrt(2.0) AS a) a,
+     LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * a.a) AS t) tt
+"""
+
+
+QUERIES["yuen_trimmed_t"] = (q_yuen_trimmed_t, _yuen_sql())

@@ -1428,3 +1428,110 @@ def test_plan_partitions():
     assert plan_partitions(t + 1) == (2, 2)
     assert plan_partitions(5 * t) == (5, 8)
     assert plan_partitions(1000 * t)[1] == 1024
+
+
+# ---------------------------------------------------------------------------
+# A/A calibration / Yuen trimmed t
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    aa_calibration, trimmed_winsor_sums, welch_z, yuen_t)
+
+
+def test_welch_z_zero_and_signed():
+    # identical arms -> z = 0
+    assert abs(welch_z(10, 50, 300, 10, 50, 300)) < 1e-12
+    # arm1 mean higher -> positive; swap -> symmetric negative
+    z = welch_z(10, 80, 700, 10, 50, 300)
+    assert z > 0
+    assert abs(welch_z(10, 50, 300, 10, 80, 700) + z) < 1e-12
+
+
+def test_aa_calibration_uniform_and_extreme():
+    # perfectly calibrated: z's whose p-values tile (0,1) evenly-ish
+    from log_analysis_ai_ray.pipelines.queries_ext5 import phi_as
+    # invert: pick z so that 2*(1-Phi(z)) = (i+0.5)/n via bisection
+    def z_for_p(p):
+        lo, hi = 0.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if 2.0 * (1.0 - phi_as(mid)) > p:
+                lo = mid
+            else:
+                hi = mid
+        return lo
+    n = 20
+    zs = [z_for_p((i + 0.5) / n) for i in range(n)]
+    ns, rej, ks = aa_calibration(zs)
+    # midpoint grid: only p=0.025 < 0.05 rejects -> exactly 1/20 = 5%
+    assert ns == n and rej == 1
+    assert ks <= 0.5 / n + 1e-6  # midpoint grid -> KS = 1/(2n)
+    # all huge z's: everything rejects, p's pile at 0 -> KS ~ 1
+    ns2, rej2, ks2 = aa_calibration([5.0] * n)
+    assert rej2 == n and ks2 > 0.99
+
+
+def test_trimmed_winsor_sums_textbook():
+    # values 1..10, one each, 20% trim -> g=2, keep 3..8
+    vals = list(range(1, 11))
+    cnts = [1] * 10
+    h, ts, ws, wss, v_lo, v_hi = trimmed_winsor_sums(vals, cnts, 2)
+    assert h == 6 and ts == sum(range(3, 9))
+    assert (v_lo, v_hi) == (3, 8)
+    assert ws == ts + 2 * 3 + 2 * 8
+    assert wss == sum(v * v for v in range(3, 9)) + 2 * 9 + 2 * 64
+
+
+def test_trimmed_winsor_sums_multiplicity_boundary():
+    # histogram with runs straddling the trim boundary
+    vals = [1, 2, 3]
+    cnts = [4, 4, 4]  # n=12, g=2 -> ranks 3..10
+    h, ts, ws, wss, v_lo, v_hi = trimmed_winsor_sums(vals, cnts, 2)
+    assert h == 8
+    # ranks 3,4 -> value1 x2; 5..8 -> value2 x4; 9,10 -> value3 x2
+    assert ts == 2 * 1 + 4 * 2 + 2 * 3
+    assert (v_lo, v_hi) == (1, 3)
+
+
+def test_yuen_t_identical_samples_zero():
+    vals = list(range(1, 11))
+    cnts = [3] * 10
+    n = 30
+    g = int(0.2 * n)
+    h, ts, ws, wss, _, _ = trimmed_winsor_sums(vals, cnts, g)
+    t, df = yuen_t(h, ts, ws, wss, n, g, h, ts, ws, wss, n, g)
+    assert abs(t) < 1e-12 and df > 1
+
+
+def test_yuen_t_matches_naive_float_reference():
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 50, 200)
+    b = rng.randint(10, 60, 150)
+
+    def naive(x):
+        x = np.sort(x)
+        n = len(x)
+        g = int(np.floor(0.2 * n))
+        tr = x[g:n - g]
+        w = x.copy()
+        w[:g] = x[g]
+        w[n - g:] = x[n - g - 1]
+        return len(tr), tr.sum(), w.sum(), (w * w).sum(), n, g
+
+    def hist(x):
+        v, c = np.unique(x, return_counts=True)
+        return v.tolist(), c.tolist()
+
+    ha, tsa, wsa, wssa, na, ga = naive(a)
+    hb, tsb, wsb, wssb, nb, gb = naive(b)
+    t_ref, df_ref = yuen_t(ha, tsa, wsa, wssa, na, ga,
+                           hb, tsb, wsb, wssb, nb, gb)
+    va, ca = hist(a)
+    vb, cb = hist(b)
+    h1, ts1, ws1, wss1, _, _ = trimmed_winsor_sums(va, ca, ga)
+    h2, ts2, ws2, wss2, _, _ = trimmed_winsor_sums(vb, cb, gb)
+    assert (h1, ts1, ws1, wss1) == (ha, tsa, wsa, wssa)
+    assert (h2, ts2, ws2, wss2) == (hb, tsb, wsb, wssb)
+    t_h, df_h = yuen_t(h1, ts1, ws1, wss1, na, ga,
+                       h2, ts2, ws2, wss2, nb, gb)
+    assert abs(t_h - t_ref) < 1e-12 and abs(df_h - df_ref) < 1e-12
