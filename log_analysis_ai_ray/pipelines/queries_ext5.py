@@ -6442,3 +6442,362 @@ FROM t,
 
 
 QUERIES["yuen_trimmed_t"] = (q_yuen_trimmed_t, _yuen_sql())
+
+
+# ---------------------------------------------------------------------------
+# newey_west_hac — autocorrelation-robust SE of the daily trend slope
+# ---------------------------------------------------------------------------
+
+_NW_LAGS = 5
+
+
+def nw_scores(xs, ys):
+    """Exact-integer OLS score decomposition for y ~ a + b·x:
+    returns (n, sxx1, slope, vf, ssr) where vf[i] = u_i·e_i is the
+    per-observation slope score computed as
+    (U_i/n)·(float(E_i)/float(D)) from the EXACT integers
+    U_i = n·x_i − Σx and E_i = n·Sxx'·e_i (D = n·Sxx'), so both
+    engines share the integers and perform the identical two float
+    divisions."""
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx1 = n * sxx - sx * sx
+    sxy1 = n * sxy - sx * sy
+    d = n * sxx1
+    vf = []
+    ssr = 0.0
+    for x, y in zip(xs, ys):
+        u = n * x - sx
+        e = n * sxx1 * y - sxx1 * sy + sx * sxy1 - n * sxy1 * x
+        ef = float(e) / float(d)
+        vf.append((float(u) / n) * ef)
+        ssr += ef * ef
+    return n, sxx1, sxy1 / sxx1, vf, ssr
+
+
+def newey_west_se(vf, suu: float, lags: int) -> float:
+    """Newey-West (1987) HAC standard error of the OLS slope from the
+    score series: sqrt((γ0 + 2·Σ_l w_l·γ_l) / Suu²) with Bartlett
+    weights w_l = 1 − l/(L+1), γ_l = Σ_{t>l} v_t·v_{t−l}."""
+    s = 0.0
+    for lag in range(lags + 1):
+        g = 0.0
+        for t in range(lag, len(vf)):
+            g += vf[t] * vf[t - lag]
+        w = 1.0 - lag / (lags + 1.0)
+        s += (w * g) if lag == 0 else (2.0 * w * g)
+    return math.sqrt(s / (suu * suu))
+
+
+def q_newey_west_hac(sf_dir: str):
+    """Newey-West HAC (Bartlett, L=5) standard error of the daily
+    revenue trend slope next to the classical OLS SE — the inference
+    correction the registry's autocorrelation DIAGNOSTICS
+    (breusch_godfrey_daily, ljung_box_daily) motivate but never
+    apply: positively autocorrelated residuals make the OLS SE
+    overconfident and the hac_ratio row quantifies by how much.
+    Lags run over DAY-ORDER positions; all moments and per-row score
+    integers exact, two shared float divisions per row."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    xs = (day - day[0]).tolist()
+    ys = cv.tolist()
+    n, sxx1, slope, vf, ssr = nw_scores(xs, ys)
+    suu = float(sxx1) / n
+    se_hac = newey_west_se(vf, suu, _NW_LAGS)
+    se_ols = math.sqrt((ssr / (n - 2)) / suu)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "slope_cents_day": pa.array([round(slope, 6)], pa.float64()),
+        "se_ols": pa.array([round(se_ols, 6)], pa.float64()),
+        "se_hac": pa.array([round(se_hac, 6)], pa.float64()),
+        "hac_ratio": pa.array([round(se_hac / se_ols, 6)],
+                              pa.float64()),
+        "t_hac": pa.array([round(slope / se_hac, 6)], pa.float64()),
+    })
+
+
+def _newey_west_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT CAST(day - min(day) OVER () AS HUGEINT) AS x,
+             CAST(cents AS HUGEINT) AS y
+      FROM d),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r),
+c AS (SELECT n, sx, sy,
+             n * sxx - sx * sx AS sxx1,
+             n * sxy - sx * sy AS sxy1
+      FROM s),
+ev AS (
+  SELECT row_number() OVER (ORDER BY x) AS pos,
+         (CAST(c.n * x - c.sx AS DOUBLE) / CAST(c.n AS DOUBLE))
+         * (CAST(c.n * c.sxx1 * y - c.sxx1 * c.sy
+                 + c.sx * c.sxy1 - c.n * c.sxy1 * x AS DOUBLE)
+            / CAST(c.n * c.sxx1 AS DOUBLE)) AS vf,
+         pow(CAST(c.n * c.sxx1 * y - c.sxx1 * c.sy
+                  + c.sx * c.sxy1 - c.n * c.sxy1 * x AS DOUBLE)
+             / CAST(c.n * c.sxx1 AS DOUBLE), 2) AS e2
+  FROM r, c),
+lags AS (SELECT unnest(generate_series(0, {_NW_LAGS})) AS lag),
+gam AS (
+  SELECT l.lag,
+         (CASE WHEN l.lag = 0 THEN 1.0 ELSE 2.0 END)
+         * (1.0 - l.lag / ({_NW_LAGS} + 1.0))
+         * sum(a.vf * b.vf) AS wg
+  FROM lags l
+  JOIN ev a ON TRUE
+  JOIN ev b ON a.pos = b.pos + l.lag
+  GROUP BY 1),
+fin AS (
+  SELECT CAST(c.n AS BIGINT) AS n,
+         CAST(c.sxy1 AS DOUBLE) / CAST(c.sxx1 AS DOUBLE) AS slope,
+         CAST(c.sxx1 AS DOUBLE) / CAST(c.n AS DOUBLE) AS suu,
+         (SELECT sum(e2) FROM ev) AS ssr,
+         (SELECT sum(wg) FROM gam) AS hac_num
+  FROM c)
+SELECT n AS n_days,
+       round(slope, 6) AS slope_cents_day,
+       round(sqrt((ssr / (n - 2)) / suu), 6) AS se_ols,
+       round(sqrt(hac_num / (suu * suu)), 6) AS se_hac,
+       round(sqrt(hac_num / (suu * suu))
+             / sqrt((ssr / (n - 2)) / suu), 6) AS hac_ratio,
+       round(slope / sqrt(hac_num / (suu * suu)), 6) AS t_hac
+FROM fin
+"""
+
+
+QUERIES["newey_west_hac"] = (q_newey_west_hac, _newey_west_sql())
+
+
+# ---------------------------------------------------------------------------
+# consistent_hash_ring — data-placement balance audit
+# ---------------------------------------------------------------------------
+
+_RING_NODES = 8
+_RING_VNODES = 32
+_RING_SPACE = 1 << 32
+
+
+def build_ring() -> list:
+    """The (pos, node) ring: md5-32 positions of 8 nodes × 32 vnodes,
+    sorted by position.  Deterministic; positions verified distinct
+    by the test suite (collision odds ~2⁻¹⁷ for 256 draws)."""
+    ring = []
+    for n in range(_RING_NODES):
+        for v in range(_RING_VNODES):
+            ring.append((md5_hash32(f"n{n}-v{v}"), n))
+    ring.sort()
+    return ring
+
+
+def ring_arcs(ring) -> dict:
+    """node → total owned arc length (clockwise range ending at each
+    vnode position); arcs sum to exactly 2³²."""
+    arcs = {}
+    prev = ring[-1][0] - _RING_SPACE
+    for pos, node in ring:
+        arcs[node] = arcs.get(node, 0) + (pos - prev)
+        prev = pos
+    return arcs
+
+
+def ring_owner_nodes(ring, key_hashes: np.ndarray) -> np.ndarray:
+    """Vectorized successor lookup: owner node of each key hash =
+    first ring position ≥ hash, wrapping to the smallest."""
+    pos = np.array([p for p, _ in ring], dtype=np.int64)
+    nodes = np.array([nd for _, nd in ring], dtype=np.int64)
+    idx = np.searchsorted(pos, key_hashes, side="left")
+    idx[idx == len(pos)] = 0
+    return nodes[idx]
+
+
+def q_consistent_hash_ring(sf_dir: str):
+    """Consistent-hash ring placement audit — the data-placement
+    decision a multi-node engine makes before any shuffle exists:
+    8 nodes × 32 vnodes on a 2³² md5 ring, event traffic keyed by
+    user_id.  Per node: exact owned arc share (ppm of the ring) next
+    to the ACTUAL event share routed there — the gap is the imbalance
+    vnode count was supposed to close.  Per-user event counts from
+    one bounded shuffle; only the ≤|users| distinct keys are hashed."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t.column("user_id")}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "c"])
+
+    m = _partial_final(ds, partial, ["user_id"], [("c", "sum")])
+    users = np.asarray(m.column("user_id"), dtype=np.int64)
+    cnt = np.asarray(m.column("c"), dtype=np.int64)
+    ring = build_ring()
+    kh = np.fromiter((md5_hash32(f"u{u}") for u in users.tolist()),
+                     dtype=np.int64, count=len(users))
+    owner = ring_owner_nodes(ring, kh)
+    arcs = ring_arcs(ring)
+    total = int(cnt.sum())
+    rows = []
+    for node in range(_RING_NODES):
+        ev = int(cnt[owner == node].sum())
+        rows.append((node, _RING_VNODES,
+                     arcs[node] * 1_000_000 // _RING_SPACE,
+                     ev, ev * 1_000_000 // total))
+    return pa.table({
+        "node": pa.array([r[0] for r in rows], pa.int64()),
+        "n_vnodes": pa.array([r[1] for r in rows], pa.int64()),
+        "arc_ppm": pa.array([r[2] for r in rows], pa.int64()),
+        "n_events": pa.array([r[3] for r in rows], pa.int64()),
+        "event_ppm": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def _ring_sql() -> str:
+    vh = ORACLE_HASH_SQL.format(
+        col="'n' || CAST(nd.n AS VARCHAR) || '-v' || CAST(vn.v AS VARCHAR)")
+    uh = ORACLE_HASH_SQL.format(col="'u' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH nd AS (SELECT unnest(generate_series(0, {_RING_NODES - 1})) AS n),
+vn AS (SELECT unnest(generate_series(0, {_RING_VNODES - 1})) AS v),
+ring AS (SELECT nd.n AS node, {vh} AS pos FROM nd, vn),
+arcs AS (
+  SELECT node,
+         pos - coalesce(lag(pos) OVER (ORDER BY pos),
+                        (SELECT max(pos) FROM ring) - {_RING_SPACE})
+           AS arc
+  FROM ring),
+narc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_vnodes,
+         CAST(sum(arc) AS BIGINT) * 1000000 // {_RING_SPACE} AS arc_ppm
+  FROM arcs GROUP BY 1),
+k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c, {uh} AS uhash
+      FROM events GROUP BY user_id),
+own AS (
+  SELECT k.c,
+         coalesce((SELECT min(pos) FROM ring WHERE pos >= k.uhash),
+                  (SELECT min(pos) FROM ring)) AS opos
+  FROM k),
+load AS (
+  SELECT r.node, CAST(sum(o.c) AS BIGINT) AS n_events
+  FROM own o JOIN ring r ON r.pos = o.opos
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM load)
+SELECT narc.node, narc.n_vnodes, narc.arc_ppm,
+       coalesce(load.n_events, 0) AS n_events,
+       coalesce(load.n_events, 0) * 1000000 // tot.t AS event_ppm
+FROM narc LEFT JOIN load USING (node), tot
+ORDER BY narc.node
+"""
+
+
+QUERIES["consistent_hash_ring"] = (q_consistent_hash_ring,
+                                   _ring_sql())
+
+
+# ---------------------------------------------------------------------------
+# passing_bablok_click_view — rank-based method-comparison regression
+# ---------------------------------------------------------------------------
+
+
+def pb_estimate(xs, ys):
+    """Passing-Bablok (1983) point estimates for y ~ a + b·x:
+    pairwise slopes over i<j (x-ties excluded, S = −1 excluded),
+    offset K = #{S < −1}, slope = offset-shifted median (arithmetic
+    midpoint on even counts, ranks clamped into [1, N]), intercept =
+    plain median of y − b·x.  Returns (n_slopes, K, b, a)."""
+    sl = []
+    k = 0
+    npts = len(xs)
+    for i in range(npts):
+        for j in range(i + 1, npts):
+            dx = xs[j] - xs[i]
+            if dx == 0:
+                continue
+            s = float(ys[j] - ys[i]) / dx
+            if s == -1.0:
+                continue
+            if s < -1.0:
+                k += 1
+            sl.append(s)
+    sl.sort()
+    n = len(sl)
+    r1 = min(max((n + 1) // 2 + k, 1), n)
+    r2 = min(max(n // 2 + 1 + k, 1), n)
+    b = (sl[r1 - 1] + sl[r2 - 1]) / 2.0
+    res = sorted(y - b * x for x, y in zip(xs, ys))
+    m = len(res)
+    a = (res[(m + 1) // 2 - 1] + res[m // 2]) / 2.0
+    return n, k, b, a
+
+
+def q_passing_bablok_click_view(sf_dir: str):
+    """Passing-Bablok regression of daily click counts on daily view
+    counts — the scale-invariant, distribution-free member of the
+    method-comparison family (deming assumes an error-variance ratio;
+    lin_ccc is a moment statistic; PB is a shifted-median of pairwise
+    slopes and shrugs off outlier days entirely).  Day grid shared
+    with lin_ccc_click_view; the C(days,2) slope sweep is
+    days-bounded (driver-side here, a self-join in the oracle)."""
+    series = _hourly_type_series_by(sf_dir, ("click", "view"), _DAY_US)
+    xs = [series["view"].get(d, 0) for d in series["hours"]]
+    ys = [series["click"].get(d, 0) for d in series["hours"]]
+    n, k, b, a = pb_estimate(xs, ys)
+    return pa.table({
+        "n_days": pa.array([len(xs)], pa.int64()),
+        "n_slopes": pa.array([n], pa.int64()),
+        "k_offset": pa.array([k], pa.int64()),
+        "pb_slope": pa.array([round(b, 6)], pa.float64()),
+        "pb_intercept": pa.array([round(a, 6)], pa.float64()),
+    })
+
+
+SQL_PASSING_BABLOK = """
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day, coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'view' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                    count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) yc USING (day)),
+sl AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+  FROM xy a JOIN xy b ON a.day < b.day
+  WHERE b.x <> a.x
+    AND CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) <> -1.0),
+st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+              CAST(sum(CASE WHEN s < -1.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k
+       FROM sl),
+rk AS (SELECT s, row_number() OVER (ORDER BY s) AS r FROM sl),
+bb AS (
+  SELECT ((SELECT s FROM rk, st
+           WHERE r = least(greatest((nn + 1) // 2 + k, 1), nn))
+        + (SELECT s FROM rk, st
+           WHERE r = least(greatest(nn // 2 + 1 + k, 1), nn)))
+        / 2.0 AS b),
+res AS (SELECT y - bb.b * x AS v FROM xy, bb),
+rr AS (SELECT v, row_number() OVER (ORDER BY v) AS r,
+              count(*) OVER () AS m
+       FROM res)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM xy) AS n_days,
+       st.nn AS n_slopes, st.k AS k_offset,
+       round(bb.b, 6) AS pb_slope,
+       round(((SELECT v FROM rr WHERE r = (m + 1) // 2)
+            + (SELECT v FROM rr WHERE r = m // 2 + 1)) / 2.0, 6)
+         AS pb_intercept
+FROM st, bb, (SELECT max(m) AS m FROM rr) mm
+"""
+
+QUERIES["passing_bablok_click_view"] = (q_passing_bablok_click_view,
+                                        SQL_PASSING_BABLOK)

@@ -3,6 +3,8 @@ dictionary/RLE encoding audit helpers, the equi-width selectivity
 estimator, and the feature-hashing audit — each checked against direct
 transcriptions on constructed + randomized inputs."""
 
+import math
+
 import numpy as np
 
 from log_analysis_ai_ray.functions.hashing import md5_hash32
@@ -1535,3 +1537,115 @@ def test_yuen_t_matches_naive_float_reference():
     t_h, df_h = yuen_t(h1, ts1, ws1, wss1, na, ga,
                        h2, ts2, ws2, wss2, nb, gb)
     assert abs(t_h - t_ref) < 1e-12 and abs(df_h - df_ref) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Newey-West / consistent-hash ring / Passing-Bablok
+# ---------------------------------------------------------------------------
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import (  # noqa: E402
+    build_ring, newey_west_se, nw_scores, pb_estimate, ring_arcs,
+    ring_owner_nodes)
+
+
+def test_nw_matches_naive_float_reference():
+    rng = np.random.RandomState(7)
+    xs = list(range(60))
+    ys = (100 + 3 * np.arange(60) + rng.randint(-20, 21, 60)).tolist()
+    n, sxx1, slope, vf, ssr = nw_scores(xs, ys)
+    # naive float reference
+    x = np.asarray(xs, float)
+    y = np.asarray(ys, float)
+    b, a = np.polyfit(x, y, 1)
+    e = y - a - b * x
+    u = x - x.mean()
+    assert abs(slope - b) < 1e-9
+    assert np.allclose(vf, u * e, atol=1e-6)
+    assert abs(ssr - (e * e).sum()) < 1e-4
+    suu = float(sxx1) / n
+    L = 5
+    s = (u * e @ (u * e))
+    for lag in range(1, L + 1):
+        w = 1.0 - lag / (L + 1.0)
+        s += 2.0 * w * float((u * e)[lag:] @ (u * e)[:-lag])
+    assert abs(newey_west_se(vf, suu, L)
+               - math.sqrt(s / suu ** 2)) < 1e-9
+
+
+def test_nw_white_noise_ratio_near_one_ar1_inflates():
+    rng = np.random.RandomState(11)
+    n = 400
+    xs = list(range(n))
+    # white noise around a trend
+    ys = (1000 + 2 * np.arange(n) + rng.randint(-50, 51, n)).tolist()
+    nn, sxx1, _, vf, ssr = nw_scores(xs, ys)
+    suu = float(sxx1) / nn
+    se_h = newey_west_se(vf, suu, 5)
+    se_o = math.sqrt((ssr / (nn - 2)) / suu)
+    assert 0.7 < se_h / se_o < 1.3
+    # strongly AR(1) residuals -> HAC must inflate
+    eps = np.zeros(n)
+    shocks = rng.randint(-50, 51, n)
+    for i in range(1, n):
+        eps[i] = 0.9 * eps[i - 1] + shocks[i]
+    ys2 = (1000 + 2 * np.arange(n) + eps.round().astype(int)).tolist()
+    nn, sxx1, _, vf, ssr = nw_scores(xs, ys2)
+    suu = float(sxx1) / nn
+    assert (newey_west_se(vf, suu, 5)
+            > 1.5 * math.sqrt((ssr / (nn - 2)) / suu))
+
+
+def test_ring_positions_distinct_and_arcs_close():
+    ring = build_ring()
+    assert len(ring) == 256
+    assert len({p for p, _ in ring}) == 256
+    arcs = ring_arcs(ring)
+    assert sum(arcs.values()) == 1 << 32
+    # 32 vnodes/node -> every node within ~3x of the fair share
+    fair = (1 << 32) / 8
+    for node, arc in arcs.items():
+        assert 0.3 * fair < arc < 3.0 * fair, (node, arc / fair)
+
+
+def test_ring_owner_wraps_and_succeeds():
+    ring = build_ring()
+    pos = [p for p, _ in ring]
+    nodes = [n for _, n in ring]
+    # a key above the max position wraps to the first entry
+    import numpy as _np
+    owner = ring_owner_nodes(ring, _np.array([pos[-1] + 1], dtype=_np.int64))
+    assert owner[0] == nodes[0]
+    # a key exactly on a position is owned by it (side='left')
+    owner = ring_owner_nodes(ring, _np.array([pos[3]], dtype=_np.int64))
+    assert owner[0] == nodes[3]
+    # between entries i and i+1 -> owned by i+1
+    mid = (pos[3] + pos[4]) // 2
+    if mid > pos[3]:
+        owner = ring_owner_nodes(ring, _np.array([mid], dtype=_np.int64))
+        assert owner[0] == nodes[4]
+
+
+def test_pb_recovers_line_and_is_outlier_robust():
+    xs = list(range(1, 21))
+    ys = [2 * x + 1 for x in xs]
+    n, k, b, a = pb_estimate(xs, ys)
+    assert abs(b - 2.0) < 1e-12 and abs(a - 1.0) < 1e-12
+    assert k == 0
+    # one wild outlier day barely moves the median slope
+    ys2 = list(ys)
+    ys2[10] = 10_000
+    _, _, b2, _ = pb_estimate(xs, ys2)
+    assert abs(b2 - 2.0) < 0.2
+
+
+def test_pb_k_offset_negative_relation():
+    # y = -2x + 50: every slope is -2 < -1 -> K = N, median shifted
+    # fully right but clamped into range; slope still -2
+    xs = list(range(1, 11))
+    ys = [-2 * x + 50 for x in xs]
+    n, k, b, _ = pb_estimate(xs, ys)
+    assert k == n and abs(b + 2.0) < 1e-12
+    # x-ties and S == -1 slopes are excluded
+    n2, _, _, _ = pb_estimate([1, 1, 2], [5, 7, 9])
+    # pairs: (1,1) x-tie skipped; (1,2)->4; (1,2)->2
+    assert n2 == 2
