@@ -376,6 +376,16 @@ BENCH_EXTRA = [
     "bitmap_index_audit",
     "poisson_rate_weekend",
     "skellam_fit_daily",
+    # session-11 close + session-12 additions
+    "aa_test_calibration",
+    "cmh_test_hour",
+    "codec_selector_audit",
+    "consistent_hash_ring",
+    "conover_squared_ranks_types",
+    "bws_weekend_weekday",
+    "ww_runs_weekend_weekday",
+    "cooks_distance_daily",
+    "shapiro_francia_daily",
 ]
 
 

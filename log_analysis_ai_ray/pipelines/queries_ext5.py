@@ -6801,3 +6801,6 @@ FROM st, bb, (SELECT max(m) AS m FROM rr) mm
 
 QUERIES["passing_bablok_click_view"] = (q_passing_bablok_click_view,
                                         SQL_PASSING_BABLOK)
+
+
+from . import queries_ext6  # noqa: E402,F401

@@ -1,0 +1,239 @@
+"""Brute-force verification of the round-3t driver closures: the
+Conover squared-ranks scale test, the BWS weighted rank-ECDF test,
+Wald-Wolfowitz two-sample runs, OLS influence diagnostics (leverage /
+Cook's D / PRESS), and the Shapiro-Francia normal-scores correlation —
+each checked against naive transcriptions or numpy linear algebra on
+constructed + randomized inputs."""
+
+import math
+import random
+
+import numpy as np
+
+from log_analysis_ai_ray.pipelines.queries_ext5 import inv_phi_upper
+from log_analysis_ai_ray.pipelines.queries_ext6 import (
+    bws_from_ranks, conover_squared_ranks, cooks_diag, shapiro_francia,
+    ww_runs)
+
+# ---------------------------------------------------------------------------
+# conover_squared_ranks
+# ---------------------------------------------------------------------------
+
+
+def _conover_naive(groups):
+    """Direct textbook transcription on raw per-group absolute
+    deviations (midranks via sorting, float arithmetic)."""
+    pooled = sorted((d, g, i) for g, ds in enumerate(groups)
+                    for i, d in enumerate(ds))
+    n = len(pooled)
+    # midranks over value ties
+    ranks = {}
+    j = 0
+    pos = 0
+    from collections import defaultdict
+    by_val = defaultdict(list)
+    for d, g, i in pooled:
+        by_val[d].append((g, i))
+    r = {}
+    cum = 0
+    for d in sorted(by_val):
+        t = len(by_val[d])
+        mid = cum + (t + 1) / 2.0
+        for key in by_val[d]:
+            r[(d, key[0], key[1])] = mid
+        cum += t
+    s_all = sum(rv ** 2 for rv in r.values())
+    s4_all = sum(rv ** 4 for rv in r.values())
+    sbar = s_all / n
+    d2 = (s4_all - n * sbar * sbar) / (n - 1.0)
+    t_num = sum(
+        (sum(r[(d, gi, i)] ** 2 for i, d in enumerate(ds))) ** 2
+        / len(ds)
+        for gi, ds in enumerate(groups)) - n * sbar * sbar
+    return t_num / d2
+
+
+def test_conover_matches_naive_transcription():
+    rng = random.Random(7)
+    groups = [[rng.randrange(0, 30) for _ in range(20)]
+              for _ in range(3)]
+    cells = [(g, d, 1) for g, ds in enumerate(groups) for d in ds]
+    t, k, n = conover_squared_ranks(cells)
+    assert k == 3 and n == 60
+    assert math.isclose(t, _conover_naive(groups), rel_tol=1e-9)
+
+
+def test_conover_detects_planted_scale_difference():
+    # group 0 tight around its median, group 1 wildly dispersed
+    tight = [(0, d, 5) for d in (0, 1, 2)]
+    wide = [(1, d, 5) for d in (0, 50, 100)]
+    t_diff, _, _ = conover_squared_ranks(tight + wide)
+    same = [(0, d, 5) for d in (0, 1, 2)] + \
+        [(1, d, 5) for d in (0, 1, 2)]
+    t_same, _, _ = conover_squared_ranks(same)
+    assert t_diff > t_same
+    assert t_same < 1e-9  # identical deviation histograms -> T = 0
+
+
+def test_conover_cell_multiplicity_equals_expansion():
+    # (g, d, c) cells must equal c copies of (g, d, 1)
+    cells_packed = [(0, 3, 4), (0, 7, 2), (1, 3, 1), (1, 9, 5)]
+    cells_flat = [(g, d, 1) for g, d, c in cells_packed
+                  for _ in range(c)]
+    tp, _, np_ = conover_squared_ranks(cells_packed)
+    tf, _, nf = conover_squared_ranks(cells_flat)
+    assert np_ == nf == 12
+    assert math.isclose(tp, tf, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# bws_from_ranks
+# ---------------------------------------------------------------------------
+
+
+def _bws_naive(x, y):
+    """BWS from raw samples (no ties), per Baumgartner et al. 1998."""
+    pooled = sorted((v, 0, i) for i, v in enumerate(x))
+    pooled += [(v, 1, i) for i, v in enumerate(y)]
+    pooled.sort()
+    rx = [k + 1 for k, (v, s, i) in enumerate(pooled) if s == 0]
+    ry = [k + 1 for k, (v, s, i) in enumerate(pooled) if s == 1]
+    n, m = len(rx), len(ry)
+
+    def half(r, n, m):
+        nn = n + m
+        return sum(
+            (r[i - 1] - nn / n * i) ** 2
+            / ((i / (n + 1.0)) * (1 - i / (n + 1.0)) * m * nn / n)
+            for i in range(1, n + 1)) / n
+
+    return (half(rx, n, m) + half(ry, m, n)) / 2.0
+
+
+def test_bws_matches_naive_on_random_samples():
+    rng = random.Random(11)
+    x = rng.sample(range(1000), 15)
+    y = rng.sample(range(1000, 2000), 20)
+    pooled = sorted([(v, 0) for v in x] + [(v, 1) for v in y])
+    rx = [k + 1 for k, (v, s) in enumerate(pooled) if s == 0]
+    ry = [k + 1 for k, (v, s) in enumerate(pooled) if s == 1]
+    _, _, b = bws_from_ranks(rx, ry)
+    assert math.isclose(b, _bws_naive(x, y), rel_tol=1e-12)
+
+
+def test_bws_shift_raises_statistic():
+    rng = random.Random(3)
+    base = [rng.randrange(0, 10_000) for _ in range(40)]
+    same = [v + 1 for v in base]          # interleaved, no shift
+    far = [v + 1_000_000 for v in base]   # complete separation
+
+    def b_of(x, y):
+        pooled = sorted([(v, 0) for v in x] + [(v, 1) for v in y])
+        rx = [k + 1 for k, (v, s) in enumerate(pooled) if s == 0]
+        ry = [k + 1 for k, (v, s) in enumerate(pooled) if s == 1]
+        return bws_from_ranks(rx, ry)[2]
+
+    assert b_of(base, far) > 10 * b_of(base, same)
+
+
+# ---------------------------------------------------------------------------
+# ww_runs
+# ---------------------------------------------------------------------------
+
+
+def test_ww_runs_handcrafted():
+    assert ww_runs([0, 1, 0, 1, 0, 1]) == 6       # perfect alternation
+    assert ww_runs([0, 0, 0, 1, 1, 1]) == 2       # complete separation
+    assert ww_runs([1]) == 1
+    assert ww_runs([]) == 0
+    assert ww_runs([0, 0, 1, 0, 0]) == 3
+
+
+def test_ww_runs_mean_under_null_permutations():
+    # E[R] = 2 n1 n2 / N + 1 over all orderings (exhaustive, n=8)
+    from itertools import permutations
+    labels = [0, 0, 0, 0, 1, 1, 1, 1]
+    seen = set(permutations(labels))
+    mean = sum(ww_runs(list(p)) for p in seen) / len(seen)
+    n1 = n2 = 4
+    assert math.isclose(mean, 2.0 * n1 * n2 / 8 + 1.0, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# cooks_diag
+# ---------------------------------------------------------------------------
+
+
+def test_cooks_matches_hat_matrix_algebra():
+    rng = np.random.RandomState(5)
+    xs = list(range(30))
+    ys = [int(3 * x + 100 + rng.randint(-20, 20)) for x in xs]
+    d = cooks_diag(xs, ys)
+    X = np.column_stack([np.ones(30), np.asarray(xs, float)])
+    yv = np.asarray(ys, float)
+    H = X @ np.linalg.inv(X.T @ X) @ X.T
+    e = yv - H @ yv
+    h = np.diag(H)
+    s2 = float(e @ e) / (30 - 2)
+    cd = e ** 2 * h / (2 * s2 * (1 - h) ** 2)
+    press = float(np.sum((e / (1 - h)) ** 2))
+    assert math.isclose(d["sse"], float(e @ e), rel_tol=1e-9)
+    assert math.isclose(d["press"], press, rel_tol=1e-9)
+    assert d["top_i"] == int(np.argmax(cd))
+    assert math.isclose(d["top_d"], float(cd.max()), rel_tol=1e-9)
+    assert d["n_influential"] == int(np.sum(cd > 4.0 / 30))
+
+
+def test_cooks_planted_outlier_dominates():
+    xs = list(range(20))
+    ys = [10 * x for x in xs]
+    ys[19] += 5000       # gross outlier at max leverage
+    d = cooks_diag(xs, ys)
+    assert d["top_i"] == 19
+    assert d["top_d"] > 1.0
+    # endpoint leverage is the maximum of the design
+    assert d["top_h"] > 1.0 / 20
+
+
+def test_cooks_leverage_sums_to_p():
+    xs = [1, 2, 4, 8, 16, 32]
+    ys = [5, 9, 2, 7, 1, 8]
+    n = len(xs)
+    sx = sum(xs)
+    dxx = n * sum(x * x for x in xs) - sx * sx
+    hs = [1.0 / n + (n * x - sx) ** 2 / (n * float(dxx)) for x in xs]
+    assert math.isclose(sum(hs), 2.0, rel_tol=1e-12)  # trace(H) = p
+
+
+# ---------------------------------------------------------------------------
+# shapiro_francia
+# ---------------------------------------------------------------------------
+
+
+def test_shapiro_francia_near_one_for_normal_scores_sample():
+    # a sample that IS the Blom score sequence correlates perfectly
+    n = 60
+    xs = []
+    for i in range(1, n + 1):
+        u = (i - 0.375) / (n + 0.25)
+        m = inv_phi_upper(u) if u >= 0.5 else -inv_phi_upper(1 - u)
+        xs.append(int(round(1_000_000 * m)) + 5_000_000)
+    _, w = shapiro_francia(xs)
+    assert w > 0.999999
+
+
+def test_shapiro_francia_detects_heavy_skew():
+    # exponential-ish (squared uniform grid) is visibly non-normal
+    xs = [i * i for i in range(1, 80)]
+    _, w_skew = shapiro_francia(xs)
+    xs_lin = list(range(1, 80))          # uniform: closer to normal
+    _, w_lin = shapiro_francia(xs_lin)
+    assert w_skew < w_lin < 1.0
+
+
+def test_shapiro_francia_location_scale_invariant():
+    rng = random.Random(9)
+    xs = [rng.randrange(0, 10_000) for _ in range(50)]
+    _, w1 = shapiro_francia(xs)
+    _, w2 = shapiro_francia([7 * x + 123_456 for x in xs])
+    assert math.isclose(w1, w2, rel_tol=1e-9)
