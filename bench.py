@@ -386,6 +386,10 @@ BENCH_EXTRA = [
     "ww_runs_weekend_weekday",
     "cooks_distance_daily",
     "shapiro_francia_daily",
+    "breslow_day_hourseg",
+    "stuart_maxwell_quartiles",
+    "lsm_tiered_write_amp",
+    "threshold_algorithm_audit",
 ]
 
 

@@ -568,3 +568,623 @@ FROM s
 
 QUERIES["shapiro_francia_daily"] = (q_shapiro_francia_daily,
                                     _shapiro_francia_sql())
+
+
+# ---------------------------------------------------------------------------
+# breslow_day_hourseg — homogeneity of the odds ratio across strata
+# ---------------------------------------------------------------------------
+
+
+def breslow_day(cells) -> tuple:
+    """Breslow-Day homogeneity test with Tarone's correction over 2×2
+    strata [(a, b, c, d)] against the Mantel-Haenszel pooled OR ψ:
+    fitted â_k solves the quadratic â²(ψ−1) − â[ψ(r₁+c₁)+(r₀−c₁)]
+    + ψr₁c₁ = 0 (the root with all four fitted cells positive),
+    V_k = 1/(1/â + 1/b̂ + 1/ĉ + 1/d̂), X² = Σ(a−â)²/V, Tarone
+    subtracts (Σ(a−â))²/ΣV.  Returns (x2_bd, x2_tarone, k_used,
+    psi)."""
+    num = den = 0.0
+    for a, b, c, d in cells:
+        n = a + b + c + d
+        if n == 0:
+            continue
+        num += a * d / float(n)
+        den += b * c / float(n)
+    psi = num / den
+    x2 = 0.0
+    sdev = 0.0
+    sv = 0.0
+    k_used = 0
+    for a, b, c, d in cells:
+        r1 = a + b
+        r0 = c + d
+        c1 = a + c
+        if r1 == 0 or r0 == 0 or c1 == 0 or (b + d) == 0:
+            continue
+        qa = psi - 1.0
+        qb = psi * (r1 + c1) + (r0 - c1)
+        qc = psi * r1 * c1
+        if abs(qa) < 1e-12:
+            ahat = qc / qb
+        else:
+            disc = math.sqrt(qb * qb - 4.0 * qa * qc)
+            ahat = (qb - disc) / (2.0 * qa)
+            if not (0.0 < ahat < min(r1, c1)
+                    and r0 - c1 + ahat > 0.0):
+                ahat = (qb + disc) / (2.0 * qa)
+        bhat = r1 - ahat
+        chat = c1 - ahat
+        dhat = r0 - c1 + ahat
+        v = 1.0 / (1.0 / ahat + 1.0 / bhat + 1.0 / chat + 1.0 / dhat)
+        x2 += (a - ahat) * (a - ahat) / v
+        sdev += a - ahat
+        sv += v
+        k_used += 1
+    return x2, x2 - sdev * sdev / sv, k_used, psi
+
+
+def q_breslow_day_hourseg(sf_dir: str):
+    """Breslow-Day homogeneity of the click/view × above-median-value
+    odds ratio across FIVE hour-of-day segments (0-4, 5-9, 10-14,
+    15-19, 20-23) — the gate that licenses the mantel_haenszel_or /
+    cmh_test_hour pooled summary: if the OR varies by stratum, the
+    pooled number is a fiction.  woolf_or_homogeneity asks the same
+    question with log-OR weights over day segments; Breslow-Day is
+    the exact-fitted-cell version (and Tarone's correction makes it
+    asymptotically correct when ψ is MH-estimated).  df = 4 → even-df
+    closed-form tail; same bounded (type, seg, cents) partials and
+    exact ceil-rank median as the CMH row."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        seg = pc.cast(pc.divide(pc.cast(pc.hour(t.column("ts")),
+                                        pa.int64()),
+                                pa.scalar(5, pa.int64())), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100), 0),
+                    pa.int64())
+        g = pa.table({
+            "ty": t.column("event_type"), "seg": seg, "v": v,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ty", "seg", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ty", "seg", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ty", "seg", "v"], [("c", "sum")])
+    ty = np.asarray(m.column("ty").to_pylist())
+    sg = np.asarray(m.column("seg"), dtype=np.int64)
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+    vu = np.unique(vv)
+    cvu = np.zeros(len(vu), dtype=np.int64)
+    np.add.at(cvu, np.searchsorted(vu, vv), cc)
+    n = int(cvu.sum())
+    med = int(vu[np.searchsorted(np.cumsum(cvu), (n + 1) // 2)])
+    hi = vv > med
+    exp_ = ty == "click"
+    cells = []
+    for s in range(5):
+        sh = sg == s
+        cells.append((int(cc[sh & exp_ & hi].sum()),
+                      int(cc[sh & exp_ & ~hi].sum()),
+                      int(cc[sh & ~exp_ & hi].sum()),
+                      int(cc[sh & ~exp_ & ~hi].sum())))
+    x2, x2t, k_used, psi = breslow_day(cells)
+    p = math.exp(-x2t / 2.0) * (1.0 + x2t / 2.0)     # df = 4, even
+    return pa.table({
+        "k_strata": pa.array([k_used], pa.int64()),
+        "psi_mh": pa.array([round(psi, 6)], pa.float64()),
+        "bd_chi2": pa.array([round(x2, 6)], pa.float64()),
+        "tarone_chi2": pa.array([round(x2t, 6)], pa.float64()),
+        "p_value": pa.array([round(p, 6)], pa.float64()),
+    })
+
+
+SQL_BRESLOW_DAY_HOURSEG = """
+WITH e AS (
+  SELECT event_type AS ty, CAST(hour(ts) AS BIGINT) // 5 AS seg,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+med AS (
+  SELECT min(v) AS med FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist), tot
+  WHERE cum >= (tot.n + 1) // 2),
+cells AS (
+  SELECT seg,
+         CAST(count(*) FILTER (ty = 'click' AND v > med.med)
+              AS BIGINT) AS a,
+         CAST(count(*) FILTER (ty = 'click' AND v <= med.med)
+              AS BIGINT) AS b,
+         CAST(count(*) FILTER (ty = 'view' AND v > med.med)
+              AS BIGINT) AS c,
+         CAST(count(*) FILTER (ty = 'view' AND v <= med.med)
+              AS BIGINT) AS d
+  FROM e, med GROUP BY 1),
+psi AS (
+  SELECT sum(CAST(a AS DOUBLE) * d / (a + b + c + d))
+       / sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS psi
+  FROM cells WHERE a + b + c + d > 0),
+fit AS (
+  SELECT cells.seg, cells.a, psi.psi,
+         (qb - sqrt(qb * qb - 4.0 * qa * qc0)) / (2.0 * qa) AS r1_,
+         (qb + sqrt(qb * qb - 4.0 * qa * qc0)) / (2.0 * qa) AS r2_,
+         cells.a + cells.b AS r1, cells.c + cells.d AS r0,
+         cells.a + cells.c AS c1
+  FROM cells, psi,
+       LATERAL (SELECT psi.psi - 1.0 AS qa,
+                       psi.psi * (cells.a + cells.b + cells.a
+                                  + cells.c)
+                         + (cells.c + cells.d - cells.a - cells.c)
+                         AS qb,
+                       psi.psi * (cells.a + cells.b)
+                         * (cells.a + cells.c) AS qc0) q
+  WHERE cells.a + cells.b > 0 AND cells.c + cells.d > 0
+    AND cells.a + cells.c > 0 AND cells.b + cells.d > 0),
+ahat AS (
+  SELECT seg, a, psi,
+         CASE WHEN r1_ > 0 AND r1_ < least(r1, c1)
+                   AND r0 - c1 + r1_ > 0
+              THEN r1_ ELSE r2_ END AS ah,
+         r1, r0, c1
+  FROM fit),
+terms AS (
+  SELECT seg, a, ah, psi,
+         1.0 / (1.0 / ah + 1.0 / (r1 - ah) + 1.0 / (c1 - ah)
+                + 1.0 / (r0 - c1 + ah)) AS v
+  FROM ahat),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, max(psi) AS psi,
+         sum((a - ah) * (a - ah) / v) AS x2,
+         sum(a - ah) AS sdev, sum(v) AS sv
+  FROM terms)
+SELECT k AS k_strata, round(psi, 6) AS psi_mh,
+       round(x2, 6) AS bd_chi2,
+       round(x2 - sdev * sdev / sv, 6) AS tarone_chi2,
+       round(exp(-(x2 - sdev * sdev / sv) / 2.0)
+             * (1.0 + (x2 - sdev * sdev / sv) / 2.0), 6) AS p_value
+FROM s
+"""
+
+QUERIES["breslow_day_hourseg"] = (q_breslow_day_hourseg,
+                                  SQL_BRESLOW_DAY_HOURSEG)
+
+
+# ---------------------------------------------------------------------------
+# stuart_maxwell_quartiles — marginal homogeneity of the 4×4 confusion
+# ---------------------------------------------------------------------------
+
+
+def stuart_maxwell(cells: dict, k: int = 4) -> tuple:
+    """Stuart-Maxwell marginal-homogeneity χ² from an integer k×k
+    contingency map {(i, j): count}: d_i = rᵢ − cᵢ (last category
+    dropped), S_ii = rᵢ + cᵢ − 2oᵢᵢ, S_ij = −(oᵢⱼ + oⱼᵢ);
+    χ² = d'S⁻¹d via the exact-integer 3×3 adjugate — one float
+    division at the very end.  Returns (chi2, det) with chi2 None on
+    a singular S."""
+    r = [0] * k
+    c = [0] * k
+    for (i, j), v in cells.items():
+        r[i] += v
+        c[j] += v
+    d = [r[i] - c[i] for i in range(k - 1)]
+    s = [[0] * (k - 1) for _ in range(k - 1)]
+    for i in range(k - 1):
+        s[i][i] = r[i] + c[i] - 2 * cells.get((i, i), 0)
+        for j in range(k - 1):
+            if i != j:
+                s[i][j] = -(cells.get((i, j), 0)
+                            + cells.get((j, i), 0))
+    # 3×3 adjugate / determinant, exact integers
+    a, b_, cc_ = s[0]
+    d_, e, f = s[1]
+    g, h, i_ = s[2]
+    det = (a * (e * i_ - f * h) - b_ * (d_ * i_ - f * g)
+           + cc_ * (d_ * h - e * g))
+    if det == 0:
+        return None, 0
+    adj = [
+        [e * i_ - f * h, cc_ * h - b_ * i_, b_ * f - cc_ * e],
+        [f * g - d_ * i_, a * i_ - cc_ * g, cc_ * d_ - a * f],
+        [d_ * h - e * g, b_ * g - a * h, a * e - b_ * d_],
+    ]
+    quad = sum(d[i] * adj[i][j] * d[j]
+               for i in range(3) for j in range(3))
+    return quad / float(det), det
+
+
+def q_stuart_maxwell_quartiles(sf_dir: str):
+    """Stuart-Maxwell marginal-homogeneity test of the per-user
+    click-value vs view-value quartile confusion — do the two
+    rankings put the same MASS in each quartile?  The marginal
+    companion of weighted_kappa_quartiles (agreement) and
+    bowker_symmetry_langid (cell symmetry; Bowker tests oᵢⱼ = oⱼᵢ,
+    Stuart-Maxwell the weaker rᵢ = cᵢ): χ² = d'S⁻¹d via exact
+    integer 3×3 adjugate, df = 3 → closed-form odd-df tail
+    2(1−Φ(√x)) + √(2x/π)·e^(−x/2) with the shared Φ.  Same bounded
+    per-user shuffle and deterministic (cents, user) quartile ranks
+    as the kappa row."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        pa.array(["click", "view"]))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        is_c = pc.cast(pc.equal(t.column("event_type"), "click"),
+                       pa.int64())
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "cc": pc.multiply(cents, is_c),
+            "vc": pc.multiply(cents, pc.subtract(
+                pa.scalar(1, pa.int64()), is_c)),
+        }).group_by("user_id").aggregate([("cc", "sum"),
+                                          ("vc", "sum")])
+        return g.rename_columns(["user_id", "cc", "vc"])
+
+    m = _partial_final(ds, partial, ["user_id"],
+                       [("cc", "sum"), ("vc", "sum")])
+    uid = np.asarray(m.column("user_id"), dtype=np.int64)
+    cc = np.asarray(m.column("cc"), dtype=np.int64)
+    vc = np.asarray(m.column("vc"), dtype=np.int64)
+    n = len(uid)
+
+    def quart(vals):
+        order = np.lexsort((uid, vals))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        return (4 * rank) // n
+
+    qc = quart(cc)
+    qv = quart(vc)
+    cells = {}
+    for a, b in zip(qc.tolist(), qv.tolist()):
+        cells[(a, b)] = cells.get((a, b), 0) + 1
+    chi2, det = stuart_maxwell(cells)
+    if chi2 is None:
+        p = None
+    else:
+        p = (2.0 * (1.0 - phi_as(math.sqrt(chi2)))
+             + math.sqrt(2.0 * chi2 / math.pi)
+             * math.exp(-chi2 / 2.0))
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "sm_chi2": pa.array(
+            [round(chi2, 6) if chi2 is not None else None],
+            pa.float64()),
+        "p_value": pa.array(
+            [round(p, 6) if p is not None else None], pa.float64()),
+    })
+
+
+def _stuart_maxwell_sql() -> str:
+    phi = _phi_sql("sqrt(chi2)")
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cc,
+         CAST(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1),
+q AS (
+  SELECT user_id,
+         (4 * (row_number() OVER (ORDER BY cc, user_id) - 1))
+           // (count(*) OVER ()) AS qc,
+         (4 * (row_number() OVER (ORDER BY vc, user_id) - 1))
+           // (count(*) OVER ()) AS qv
+  FROM u),
+cm AS (SELECT qc, qv, CAST(count(*) AS BIGINT) AS o
+       FROM q GROUP BY 1, 2),
+o AS (
+  SELECT coalesce((SELECT o FROM cm WHERE qc = i.i AND qv = j.j), 0)
+           AS o, i.i, j.j
+  FROM range(4) i(i), range(4) j(j)),
+marg AS (
+  SELECT i, CAST(sum(o) AS BIGINT) AS r,
+         (SELECT CAST(sum(o2.o) AS BIGINT) FROM o o2
+          WHERE o2.j = o.i) AS c
+  FROM o GROUP BY i),
+sm AS (
+  SELECT
+    (SELECT r - c FROM marg WHERE i = 0) AS d0,
+    (SELECT r - c FROM marg WHERE i = 1) AS d1,
+    (SELECT r - c FROM marg WHERE i = 2) AS d2,
+    (SELECT r + c FROM marg WHERE i = 0)
+      - 2 * (SELECT o FROM o WHERE i = 0 AND j = 0) AS a,
+    -((SELECT o FROM o WHERE i = 0 AND j = 1)
+      + (SELECT o FROM o WHERE i = 1 AND j = 0)) AS b,
+    -((SELECT o FROM o WHERE i = 0 AND j = 2)
+      + (SELECT o FROM o WHERE i = 2 AND j = 0)) AS cx,
+    (SELECT r + c FROM marg WHERE i = 1)
+      - 2 * (SELECT o FROM o WHERE i = 1 AND j = 1) AS e,
+    -((SELECT o FROM o WHERE i = 1 AND j = 2)
+      + (SELECT o FROM o WHERE i = 2 AND j = 1)) AS f,
+    (SELECT r + c FROM marg WHERE i = 2)
+      - 2 * (SELECT o FROM o WHERE i = 2 AND j = 2) AS ii),
+det AS (
+  SELECT sm.*,
+         a * (e * ii - f * f) - b * (b * ii - f * cx)
+           + cx * (b * f - e * cx) AS det
+  FROM sm),
+chi AS (
+  SELECT det,
+         CAST(d0 * ((e * ii - f * f) * d0 + (cx * f - b * ii) * d1
+                    + (b * f - cx * e) * d2)
+            + d1 * ((f * cx - b * ii) * d0 + (a * ii - cx * cx) * d1
+                    + (cx * b - a * f) * d2)
+            + d2 * ((b * f - e * cx) * d0 + (b * cx - a * f) * d1
+                    + (a * e - b * b) * d2)
+              AS DOUBLE) / det AS chi2
+  FROM det),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u)
+SELECT nn.n AS n_users,
+       CASE WHEN det <> 0 THEN round(chi2, 6) END AS sm_chi2,
+       CASE WHEN det <> 0 THEN
+         round(2.0 * (1.0 - {phi})
+               + sqrt(2.0 * chi2 / pi()) * exp(-chi2 / 2.0), 6)
+       END AS p_value
+FROM chi, nn
+"""
+
+
+QUERIES["stuart_maxwell_quartiles"] = (q_stuart_maxwell_quartiles,
+                                        _stuart_maxwell_sql())
+
+
+# ---------------------------------------------------------------------------
+# lsm_tiered_write_amp — size-tiered compaction write-amplification
+# ---------------------------------------------------------------------------
+
+_LSM_ROW_BYTES = 64       # modeled serialized row width
+_LSM_HEADER = 4096        # per-sstable fixed overhead
+_LSM_FANIN = 4            # tables merged per tier promotion
+_LSM_MAX_LVL = 6          # 4^6 = 4096 > any hourly flush count here
+
+
+def lsm_tiered_levels(flush_bytes) -> list:
+    """Exact size-tiered compaction accounting over an ordered flush
+    sequence.  With fan-in T, a level-l merge completes after every
+    T^l flushes and rewrites exactly the bytes of the T^l flushes it
+    covers, so total bytes written at level l is the prefix sum up to
+    T^l·⌊n/T^l⌋ — base-T counter arithmetic collapses the whole
+    simulation to a per-level closed form (no replay needed).
+    Returns [(level, n_merges, bytes_written)] for levels with
+    activity; level 0 is the flush pass itself."""
+    n = len(flush_bytes)
+    prefix = [0]
+    for b in flush_bytes:
+        prefix.append(prefix[-1] + b)
+    out = []
+    for lvl in range(_LSM_MAX_LVL + 1):
+        span = _LSM_FANIN ** lvl
+        merges = n // span
+        if merges == 0:
+            break
+        out.append((lvl, merges, prefix[span * merges]))
+    return out
+
+
+def q_lsm_tiered_write_amp(sf_dir: str):
+    """Size-tiered LSM write-amplification planner over the hourly
+    event stream: each hour's events form one memtable flush
+    (64 B/row + 4 KiB header), tier fan-in 4 — how many times does a
+    byte get rewritten before it settles?  The write-path companion
+    of partition_count_planner / codec_selector_audit: an engine that
+    owns its Parquet layout (stages/route.py) must budget compaction
+    I/O before choosing between append-heavy and rewrite-heavy sink
+    layouts.  The closed form (prefix sums at base-4 boundaries)
+    replaces the naive replay, so the audit costs one bounded hourly
+    reduce at any scale.  cum_wa_ppm on the last row is the headline:
+    total bytes written per byte flushed, in ppm."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        g = pa.table({
+            "hour": pa.array(tsv // 3_600_000_000),
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by("hour").aggregate([("c", "sum")])
+        return g.rename_columns(["hour", "c"])
+
+    m = _partial_final(ds, partial, ["hour"], [("c", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    o = np.argsort(hr)
+    fb = (cv[o] * _LSM_ROW_BYTES + _LSM_HEADER).tolist()
+    rows = lsm_tiered_levels(fb)
+    flushed = rows[0][2]
+    cum = 0
+    lvls, mrg, byt, wa = [], [], [], []
+    for lvl, nm, b in rows:
+        cum += b
+        lvls.append(lvl)
+        mrg.append(nm)
+        byt.append(b)
+        wa.append(cum * 1_000_000 // flushed)
+    return pa.table({
+        "level": pa.array(lvls, pa.int64()),
+        "n_merges": pa.array(mrg, pa.int64()),
+        "bytes_written": pa.array(byt, pa.int64()),
+        "cum_wa_ppm": pa.array(wa, pa.int64()),
+    })
+
+
+SQL_LSM_TIERED_WRITE_AMP = """
+WITH f AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) * 64 + 4096 AS fb
+  FROM events GROUP BY 1),
+seq AS (
+  SELECT fb, row_number() OVER (ORDER BY hour) AS j,
+         sum(fb) OVER (ORDER BY hour) AS pre
+  FROM f),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+lvl AS (
+  SELECT CAST(l.range AS BIGINT) AS level,
+         CAST(pow(4, l.range) AS BIGINT) AS span
+  FROM range(7) l),
+act AS (
+  SELECT level, span, nn.n // span AS n_merges
+  FROM lvl, nn WHERE nn.n // span > 0),
+rows_ AS (
+  SELECT level, n_merges,
+         (SELECT CAST(pre AS BIGINT) FROM seq
+          WHERE j = act.span * act.n_merges) AS bytes_written
+  FROM act),
+cum AS (
+  SELECT level, n_merges, bytes_written,
+         sum(bytes_written) OVER (ORDER BY level) AS cb,
+         first_value(bytes_written) OVER (ORDER BY level) AS flushed
+  FROM rows_)
+SELECT level, n_merges, CAST(bytes_written AS BIGINT) AS bytes_written,
+       CAST(cb * 1000000 // flushed AS BIGINT) AS cum_wa_ppm
+FROM cum ORDER BY level
+"""
+
+QUERIES["lsm_tiered_write_amp"] = (q_lsm_tiered_write_amp,
+                                   SQL_LSM_TIERED_WRITE_AMP)
+
+
+# ---------------------------------------------------------------------------
+# threshold_algorithm_audit — Fagin TA stopping depth for top-k
+# ---------------------------------------------------------------------------
+
+_TA_K = 10
+
+
+def ta_stop_depth(xs, ys, k: int = _TA_K) -> dict:
+    """Fagin's Threshold Algorithm audit: two ranked lists (x desc,
+    y desc; doc-id tie-break), score = x + y, random access allowed.
+    stop_depth = the smallest sorted-access depth d where the k-th
+    best fully-scored seen object (seen = min(rank_x, rank_y) ≤ d)
+    reaches the threshold x_(d) + y_(d).  kthbest(d) is nondecreasing
+    and the threshold nonincreasing, so the crossing is found by
+    bisection — O(log n) numpy partitions, no per-row loop.
+    Returns the audit dict."""
+    n = len(xs)
+    x = np.asarray(xs, dtype=np.int64)
+    y = np.asarray(ys, dtype=np.int64)
+    ids = np.arange(n)
+    ox = np.lexsort((ids, -x))
+    oy = np.lexsort((ids, -y))
+    rx = np.empty(n, dtype=np.int64)
+    ry = np.empty(n, dtype=np.int64)
+    rx[ox] = np.arange(1, n + 1)
+    ry[oy] = np.arange(1, n + 1)
+    f = np.minimum(rx, ry)
+    s = x + y
+    xd = x[ox]          # x value at depth d (1-indexed: xd[d-1])
+    yd = y[oy]
+
+    def ok(d):
+        seen = s[f <= d]
+        if len(seen) < k:
+            return False
+        kb = np.partition(seen, len(seen) - k)[len(seen) - k]
+        return kb >= xd[d - 1] + yd[d - 1]
+
+    lo, hi = 1, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if ok(mid):
+            hi = mid
+        else:
+            lo = mid + 1
+    d = lo
+    seen = s[f <= d]
+    kb = int(np.partition(seen, len(seen) - k)[len(seen) - k])
+    return {"n": n, "k": k, "stop_depth": d,
+            "threshold": int(xd[d - 1] + yd[d - 1]),
+            "kth_best": kb, "n_seen": int(len(seen)),
+            "seen_ppm": int(len(seen)) * 1_000_000 // n}
+
+
+def q_threshold_algorithm_audit(sf_dir: str):
+    """Fagin TA top-k early-termination audit over documents: rank
+    once by n_chars and once by whitespace token count, score =
+    chars + tokens — at what sorted-access depth can a rank-join
+    PROVE it holds the true top-10, and what fraction of the corpus
+    did it touch?  The query-processing companion of
+    selectivity_estimate_audit / join_size_estimate_check: top-k
+    pushdown over per-attribute sorted projections (exactly what a
+    column store's zonemap-ordered scans provide) beats the full
+    scan precisely when this depth ≪ n — the audit measures the
+    margin on the real corpus.  Exact integer attributes; the
+    monotone crossing makes both engines' sweep deterministic."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text",
+                                             "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n_all = pc.utf8_length(txt)
+        n_nospace = pc.utf8_length(
+            pc.replace_substring(txt, pattern=" ", replacement=""))
+        toks = pc.add(pc.subtract(n_all, n_nospace),
+                      pa.scalar(1, pa.int64()))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "x": pc.cast(t.column("n_chars"), pa.int64()),
+            "y": pc.cast(toks, pa.int64()),
+        })
+
+    m = _partial_final(ds, partial, ["doc_id"],
+                       [("x", "max"), ("y", "max")]).sort_by("doc_id")
+    d = ta_stop_depth(np.asarray(m.column("x")).tolist(),
+                      np.asarray(m.column("y")).tolist())
+    return pa.table({
+        "n_docs": pa.array([d["n"]], pa.int64()),
+        "k": pa.array([d["k"]], pa.int64()),
+        "stop_depth": pa.array([d["stop_depth"]], pa.int64()),
+        "threshold_at_stop": pa.array([d["threshold"]], pa.int64()),
+        "kth_best_score": pa.array([d["kth_best"]], pa.int64()),
+        "n_seen": pa.array([d["n_seen"]], pa.int64()),
+        "seen_ppm": pa.array([d["seen_ppm"]], pa.int64()),
+    })
+
+
+SQL_THRESHOLD_ALGORITHM_AUDIT = """
+WITH d AS (
+  SELECT doc_id, n_chars AS x,
+         length(text) - length(replace(text, ' ', '')) + 1 AS y
+  FROM documents),
+r AS (
+  SELECT doc_id, x, y, x + y AS s,
+         row_number() OVER (ORDER BY x DESC, doc_id) AS rx,
+         row_number() OVER (ORDER BY y DESC, doc_id) AS ry
+  FROM d),
+fr AS (SELECT doc_id, s, least(rx, ry) AS f FROM r),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+thr AS (
+  SELECT r.rx AS dd,
+         r.x + (SELECT y FROM r r2 WHERE r2.ry = r.rx) AS th
+  FROM r),
+kb AS (
+  SELECT thr.dd, thr.th,
+         (SELECT count(*) FROM fr WHERE f <= thr.dd) AS cnt,
+         (SELECT s FROM fr WHERE f <= thr.dd
+          ORDER BY s DESC LIMIT 1 OFFSET 9) AS kbest
+  FROM thr),
+stop_ AS (
+  SELECT dd, th, kbest, cnt FROM kb
+  WHERE cnt >= 10 AND kbest >= th
+  ORDER BY dd LIMIT 1)
+SELECT nn.n AS n_docs, CAST(10 AS BIGINT) AS k,
+       CAST(dd AS BIGINT) AS stop_depth,
+       CAST(th AS BIGINT) AS threshold_at_stop,
+       CAST(kbest AS BIGINT) AS kth_best_score,
+       CAST(cnt AS BIGINT) AS n_seen,
+       CAST(cnt * 1000000 // nn.n AS BIGINT) AS seen_ppm
+FROM stop_, nn
+"""
+
+QUERIES["threshold_algorithm_audit"] = (q_threshold_algorithm_audit,
+                                        SQL_THRESHOLD_ALGORITHM_AUDIT)

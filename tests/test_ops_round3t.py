@@ -237,3 +237,214 @@ def test_shapiro_francia_location_scale_invariant():
     _, w1 = shapiro_francia(xs)
     _, w2 = shapiro_francia([7 * x + 123_456 for x in xs])
     assert math.isclose(w1, w2, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# breslow_day
+# ---------------------------------------------------------------------------
+
+
+def test_breslow_day_identical_strata_is_null():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import breslow_day
+
+    cells = [(30, 70, 20, 80)] * 5       # same 2x2 everywhere
+    x2, x2t, k, psi = breslow_day(cells)
+    assert k == 5
+    # pooled OR equals the common stratum OR
+    assert math.isclose(psi, (30 * 80) / (70 * 20), rel_tol=1e-12)
+    assert abs(x2) < 1e-9 and abs(x2t) < 1e-9
+
+
+def test_breslow_day_detects_heterogeneous_or():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import breslow_day
+
+    hetero = [(80, 20, 20, 80), (20, 80, 80, 20), (50, 50, 50, 50)]
+    x2, x2t, k, _ = breslow_day(hetero)
+    assert k == 3
+    assert x2 > 20.0 and x2t > 20.0
+    assert x2t <= x2 + 1e-12             # Tarone never increases X2
+
+
+def test_breslow_day_fitted_cells_satisfy_pooled_or():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import breslow_day
+
+    cells = [(25, 75, 40, 60), (60, 40, 30, 70)]
+    x2, x2t, k, psi = breslow_day(cells)
+    # re-derive a_hat for stratum 0 and check OR(fitted) == psi
+    a, b, c, d = cells[0]
+    r1, r0, c1 = a + b, c + d, a + c
+    qa, qb, qc = psi - 1.0, psi * (r1 + c1) + (r0 - c1), psi * r1 * c1
+    disc = math.sqrt(qb * qb - 4 * qa * qc)
+    ah = (qb - disc) / (2 * qa)
+    if not (0 < ah < min(r1, c1) and r0 - c1 + ah > 0):
+        ah = (qb + disc) / (2 * qa)
+    fitted_or = (ah * (r0 - c1 + ah)) / ((r1 - ah) * (c1 - ah))
+    assert math.isclose(fitted_or, psi, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# stuart_maxwell
+# ---------------------------------------------------------------------------
+
+
+def test_stuart_maxwell_symmetric_table_is_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import stuart_maxwell
+
+    cells = {}
+    rng = random.Random(2)
+    for i in range(4):
+        for j in range(4):
+            v = rng.randrange(5, 50)
+            cells[(i, j)] = cells.get((i, j), 0) + v
+            cells[(j, i)] = cells.get((j, i), 0) + v
+    chi2, det = stuart_maxwell(cells)
+    assert det != 0
+    assert abs(chi2) < 1e-9              # equal margins by symmetry
+
+
+def test_stuart_maxwell_matches_numpy_solve():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import stuart_maxwell
+
+    rng = random.Random(4)
+    cells = {(i, j): rng.randrange(1, 100)
+             for i in range(4) for j in range(4)}
+    chi2, det = stuart_maxwell(cells)
+    r = [sum(cells[(i, j)] for j in range(4)) for i in range(4)]
+    c = [sum(cells[(j, i)] for j in range(4)) for i in range(4)]
+    d = np.array([r[i] - c[i] for i in range(3)], float)
+    S = np.zeros((3, 3))
+    for i in range(3):
+        S[i, i] = r[i] + c[i] - 2 * cells[(i, i)]
+        for j in range(3):
+            if i != j:
+                S[i, j] = -(cells[(i, j)] + cells[(j, i)])
+    ref = float(d @ np.linalg.solve(S, d))
+    assert math.isclose(chi2, ref, rel_tol=1e-9)
+
+
+def test_stuart_maxwell_marginal_shift_detected():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import stuart_maxwell
+
+    # mass flows 0 -> 3: margins diverge strongly
+    cells = {(i, j): 10 for i in range(4) for j in range(4)}
+    cells[(0, 3)] += 200
+    chi2, _ = stuart_maxwell(cells)
+    assert chi2 > 50.0
+
+
+# ---------------------------------------------------------------------------
+# lsm_tiered_levels
+# ---------------------------------------------------------------------------
+
+
+def _lsm_naive(flush_bytes, fanin=4, max_lvl=6):
+    """Replay the size-tiered compaction: each level holds tables;
+    fanin tables at level l merge into one table at level l+1,
+    writing their combined bytes."""
+    levels = [[] for _ in range(max_lvl + 2)]
+    written = [0] * (max_lvl + 1)
+    merges = [0] * (max_lvl + 1)
+    for b in flush_bytes:
+        levels[0].append(b)
+        written[0] += b
+        merges[0] += 1
+        lvl = 0
+        while lvl <= max_lvl - 1 and len(levels[lvl]) == fanin:
+            tot = sum(levels[lvl])
+            levels[lvl] = []
+            levels[lvl + 1].append(tot)
+            written[lvl + 1] += tot
+            merges[lvl + 1] += 1
+            lvl += 1
+    return [(l, merges[l], written[l])
+            for l in range(max_lvl + 1) if merges[l] > 0]
+
+
+def test_lsm_closed_form_matches_replay():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        lsm_tiered_levels
+
+    rng = random.Random(6)
+    for n in (1, 3, 4, 17, 64, 255, 720):
+        fb = [rng.randrange(1_000, 100_000) for _ in range(n)]
+        assert lsm_tiered_levels(fb) == _lsm_naive(fb)
+
+
+def test_lsm_write_amp_log4_growth():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        lsm_tiered_levels
+
+    fb = [1000] * 256                    # 4^4 equal flushes
+    rows = lsm_tiered_levels(fb)
+    # every level fully merges: 5 levels, each rewriting all bytes
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r[2] == 256_000 for r in rows)
+    assert [r[1] for r in rows] == [256, 64, 16, 4, 1]
+
+
+# ---------------------------------------------------------------------------
+# ta_stop_depth
+# ---------------------------------------------------------------------------
+
+
+def _ta_naive(xs, ys, k=10):
+    """Linear-sweep transcription of the TA stopping rule."""
+    n = len(xs)
+    order_x = sorted(range(n), key=lambda i: (-xs[i], i))
+    order_y = sorted(range(n), key=lambda i: (-ys[i], i))
+    rx = {}
+    ry = {}
+    for d, i in enumerate(order_x, 1):
+        rx[i] = d
+    for d, i in enumerate(order_y, 1):
+        ry[i] = d
+    for d in range(1, n + 1):
+        seen = [xs[i] + ys[i] for i in range(n)
+                if min(rx[i], ry[i]) <= d]
+        if len(seen) < k:
+            continue
+        kb = sorted(seen, reverse=True)[k - 1]
+        th = xs[order_x[d - 1]] + ys[order_y[d - 1]]
+        if kb >= th:
+            return d, th, kb, len(seen)
+    raise AssertionError("no stop")
+
+
+def test_ta_bisection_matches_linear_sweep():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import ta_stop_depth
+
+    rng = random.Random(8)
+    for trial in range(5):
+        n = 200
+        xs = [rng.randrange(0, 10_000) for _ in range(n)]
+        ys = [rng.randrange(0, 10_000) for _ in range(n)]
+        got = ta_stop_depth(xs, ys, k=10)
+        d, th, kb, seen = _ta_naive(xs, ys, k=10)
+        assert got["stop_depth"] == d
+        assert got["threshold"] == th
+        assert got["kth_best"] == kb
+        assert got["n_seen"] == seen
+
+
+def test_ta_perfectly_correlated_stops_at_k():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import ta_stop_depth
+
+    xs = list(range(1000, 0, -1))        # distinct, x == y ranking
+    got = ta_stop_depth(xs, xs, k=10)
+    assert got["stop_depth"] == 10
+    assert got["n_seen"] == 10
+
+
+def test_ta_anticorrelated_needs_deep_scan():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import ta_stop_depth
+
+    n = 100
+    xs = list(range(n, 0, -1))
+    ys = list(range(1, n + 1))           # exact reverse ranking
+    got = ta_stop_depth(xs, ys, k=10)
+    # constant score n+1 everywhere but threshold = 2(n-d+1): the
+    # certificate only closes past the halfway depth, having touched
+    # EVERY object — the TA worst case
+    assert got["stop_depth"] == n // 2 + 1
+    assert got["kth_best"] == n + 1
+    assert got["n_seen"] == n
