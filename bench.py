@@ -390,6 +390,9 @@ BENCH_EXTRA = [
     "stuart_maxwell_quartiles",
     "lsm_tiered_write_amp",
     "threshold_algorithm_audit",
+    "lsm_leveled_write_amp",
+    "mantel_day_revenue",
+    "bds_gap_daily",
 ]
 
 

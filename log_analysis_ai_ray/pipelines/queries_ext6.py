@@ -1188,3 +1188,298 @@ FROM stop_, nn
 
 QUERIES["threshold_algorithm_audit"] = (q_threshold_algorithm_audit,
                                         SQL_THRESHOLD_ALGORITHM_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# lsm_leveled_write_amp — leveled compaction counterpart
+# ---------------------------------------------------------------------------
+
+
+def lsm_leveled_levels(flush_bytes) -> list:
+    """Exact leveled-compaction accounting over an ordered flush
+    sequence: a merge INTO level l happens at every T^l-th flush and
+    rewrites everything level l has accumulated since it was last
+    promoted (promotions out of level l happen every T^(l+1) flushes
+    and empty it).  Bytes written at the level-l merge at flush m is
+    therefore prefix(m) − prefix(T^(l+1)·⌊(m−1)/T^(l+1)⌋) — again a
+    pure prefix-sum closed form, no replay.  Returns
+    [(level, n_merges, bytes_written)]; level 0 is the flush pass."""
+    n = len(flush_bytes)
+    prefix = [0]
+    for b in flush_bytes:
+        prefix.append(prefix[-1] + b)
+    out = [(0, n, prefix[n])] if n else []
+    for lvl in range(1, _LSM_MAX_LVL + 1):
+        span = _LSM_FANIN ** lvl
+        merges = n // span
+        if merges == 0:
+            break
+        span4 = span * _LSM_FANIN
+        total = 0
+        for q in range(1, merges + 1):
+            m = span * q
+            epoch = span4 * ((m - 1) // span4)
+            total += prefix[m] - prefix[epoch]
+        out.append((lvl, merges, total))
+    return out
+
+
+def q_lsm_leveled_write_amp(sf_dir: str):
+    """Leveled-compaction write-amplification over the same hourly
+    flush stream as lsm_tiered_write_amp — the OTHER classic LSM
+    policy: each level holds ONE sorted run that incoming merges
+    rewrite in place (read-optimized, space-amp ≈ 1) where tiered
+    defers merging (write-optimized, space-amp ≈ T).  A byte landing
+    in level l gets rewritten once per later merge into l within its
+    epoch — on average (T+1)/2 times per level vs tiered's exactly
+    once — and this pair of audits prices that tradeoff on the real
+    stream.  Same closed-form prefix-sum accounting; one bounded
+    hourly reduce."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        g = pa.table({
+            "hour": pa.array(tsv // 3_600_000_000),
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by("hour").aggregate([("c", "sum")])
+        return g.rename_columns(["hour", "c"])
+
+    m = _partial_final(ds, partial, ["hour"], [("c", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    o = np.argsort(hr)
+    fb = (cv[o] * _LSM_ROW_BYTES + _LSM_HEADER).tolist()
+    rows = lsm_leveled_levels(fb)
+    flushed = rows[0][2]
+    cum = 0
+    lvls, mrg, byt, wa = [], [], [], []
+    for lvl, nm, b in rows:
+        cum += b
+        lvls.append(lvl)
+        mrg.append(nm)
+        byt.append(b)
+        wa.append(cum * 1_000_000 // flushed)
+    return pa.table({
+        "level": pa.array(lvls, pa.int64()),
+        "n_merges": pa.array(mrg, pa.int64()),
+        "bytes_written": pa.array(byt, pa.int64()),
+        "cum_wa_ppm": pa.array(wa, pa.int64()),
+    })
+
+
+SQL_LSM_LEVELED_WRITE_AMP = """
+WITH f AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) * 64 + 4096 AS fb
+  FROM events GROUP BY 1),
+seq AS (
+  SELECT row_number() OVER (ORDER BY hour) AS j,
+         CAST(sum(fb) OVER (ORDER BY hour) AS BIGINT) AS pre
+  FROM f),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+lvl AS (
+  SELECT CAST(l.range AS BIGINT) AS level,
+         CAST(pow(4, l.range) AS BIGINT) AS span
+  FROM range(1, 7) l),
+act AS (
+  SELECT level, span, span * 4 AS span4, nn.n // span AS n_merges
+  FROM lvl, nn WHERE nn.n // span > 0),
+merges AS (
+  SELECT act.level, act.n_merges, seq.j AS m,
+         seq.pre
+         - coalesce((SELECT pre FROM seq s2
+                     WHERE s2.j = act.span4 * ((seq.j - 1)
+                                               // act.span4)), 0)
+           AS w
+  FROM act JOIN seq ON seq.j % act.span = 0),
+lv AS (
+  SELECT level, max(n_merges) AS n_merges,
+         CAST(sum(w) AS BIGINT) AS bytes_written
+  FROM merges GROUP BY 1
+  UNION ALL
+  SELECT 0, nn.n, (SELECT CAST(max(pre) AS BIGINT) FROM seq)
+  FROM nn),
+cum AS (
+  SELECT level, n_merges, bytes_written,
+         sum(bytes_written) OVER (ORDER BY level) AS cb,
+         first_value(bytes_written) OVER (ORDER BY level) AS flushed
+  FROM lv)
+SELECT level, n_merges, bytes_written,
+       CAST(cb * 1000000 // flushed AS BIGINT) AS cum_wa_ppm
+FROM cum ORDER BY level
+"""
+
+QUERIES["lsm_leveled_write_amp"] = (q_lsm_leveled_write_amp,
+                                    SQL_LSM_LEVELED_WRITE_AMP)
+
+
+# ---------------------------------------------------------------------------
+# mantel_day_revenue — Mantel matrix correlation (time vs value)
+# ---------------------------------------------------------------------------
+
+
+def mantel_r(xs, ys) -> tuple:
+    """Pearson r between the two condensed distance matrices
+    {|xᵢ−xⱼ|} and {|yᵢ−yⱼ|} over i<j — exact integer pair moments,
+    one float closure.  Returns (n_pairs, r)."""
+    n = len(xs)
+    sx = sy = sxx = syy = sxy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = abs(xs[i] - xs[j])
+            dy = abs(ys[i] - ys[j])
+            sx += dx
+            sy += dy
+            sxx += dx * dx
+            syy += dy * dy
+            sxy += dx * dy
+    p = n * (n - 1) // 2
+    num = p * sxy - sx * sy
+    den = math.sqrt(float(p * sxx - sx * sx)) \
+        * math.sqrt(float(p * syy - sy * sy))
+    return p, num / den
+
+
+def q_mantel_day_revenue(sf_dir: str):
+    """Mantel matrix correlation between temporal distance |Δday| and
+    revenue distance |Δcents| across all day pairs — 'do days close
+    in TIME have close REVENUE?', the distance-matrix generalization
+    the ecology literature built for exactly this question.  Positive
+    r ⇒ revenue drifts (near days alike), the matrix-level companion
+    of hourly_acf (fixed lags) and distance_corr (independence, not
+    proximity).  Days-bounded C(n,2) sweep with exact integer
+    moments driver-side, a position self-join in the oracle."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    p, r = mantel_r(day.tolist(), cv.tolist())
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "n_pairs": pa.array([p], pa.int64()),
+        "mantel_r": pa.array([round(r, 6)], pa.float64()),
+    })
+
+
+SQL_MANTEL_DAY_REVENUE = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+pr AS (
+  SELECT abs(a.day - b.day) AS dx, abs(a.cents - b.cents) AS dy
+  FROM d a JOIN d b ON a.day < b.day),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS p,
+         CAST(sum(dx) AS HUGEINT) AS sx,
+         CAST(sum(dy) AS HUGEINT) AS sy,
+         CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+         CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+  FROM pr)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       p AS n_pairs,
+       round(CAST(p * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(p * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(p * syy - sy * sy AS DOUBLE))), 6)
+         AS mantel_r
+FROM s
+"""
+
+QUERIES["mantel_day_revenue"] = (q_mantel_day_revenue,
+                                 SQL_MANTEL_DAY_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# bds_gap_daily — BDS correlation-integral independence gap (m = 2)
+# ---------------------------------------------------------------------------
+
+
+def bds_gap(xs, eps: int) -> tuple:
+    """Correlation integrals of the BDS test at embedding m = 2:
+    c1 = pair share with |xᵢ−xⱼ| ≤ ε over ALL n points, c2 = pair
+    share whose embedded 2-vectors are Chebyshev-within-ε over the
+    n−1 embedding positions; under iid, E[c2] ≈ c1² and the gap
+    c2 − c1² is the BDS numerator.  Exact integer pair counts.
+    Returns (pairs1, pairs2, c1, c2, gap)."""
+    n = len(xs)
+    p1 = sum(1 for i in range(n) for j in range(i + 1, n)
+             if abs(xs[i] - xs[j]) <= eps)
+    m = n - 1
+    p2 = sum(1 for i in range(m) for j in range(i + 1, m)
+             if abs(xs[i] - xs[j]) <= eps
+             and abs(xs[i + 1] - xs[j + 1]) <= eps)
+    c1 = 2.0 * p1 / (n * (n - 1.0))
+    c2 = 2.0 * p2 / (m * (m - 1.0))
+    return p1, p2, c1, c2, c2 - c1 * c1
+
+
+def q_bds_gap_daily(sf_dir: str):
+    """BDS correlation-integral gap of daily revenue at embedding
+    dimension 2: does the JOINT closeness of consecutive-day pairs
+    exceed what marginal closeness predicts (c2 > c1²)?  The
+    nonlinearity screen the linear family (hourly_acf, ljung_box,
+    arch_lm test only second moments) cannot see — BDS catches any
+    remaining dependence structure.  ε = the lower-median absolute
+    successive difference, the same deterministic integer tolerance
+    as sample_entropy_daily; day-bounded exact pair counts both
+    engines share."""
+    _, cv = _daily_revenue_cents(sf_dir)
+    x = cv.tolist()
+    diffs = sorted(abs(x[i + 1] - x[i]) for i in range(len(x) - 1))
+    eps = int(diffs[(len(diffs) + 1) // 2 - 1]) if diffs else 0
+    p1, p2, c1, c2, gap = bds_gap(x, eps)
+    return pa.table({
+        "n_days": pa.array([len(x)], pa.int64()),
+        "eps_cents": pa.array([eps], pa.int64()),
+        "pairs_1": pa.array([p1], pa.int64()),
+        "pairs_2": pa.array([p2], pa.int64()),
+        "c1": pa.array([round(c1, 6)], pa.float64()),
+        "c2": pa.array([round(c2, 6)], pa.float64()),
+        "bds_gap": pa.array([round(gap, 6)], pa.float64()),
+    })
+
+
+SQL_BDS_GAP_DAILY = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+o AS (
+  SELECT cents, row_number() OVER (ORDER BY day) AS i,
+         count(*) OVER () AS n
+  FROM d),
+sd AS (
+  SELECT abs(b.cents - a.cents) AS g
+  FROM o a JOIN o b ON b.i = a.i + 1),
+eps AS (
+  SELECT CAST(min(g) AS BIGINT) AS eps FROM (
+    SELECT g, row_number() OVER (ORDER BY g) AS r,
+           count(*) OVER () AS m
+    FROM sd)
+  WHERE r >= (m + 1) // 2),
+p1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS p
+  FROM o a JOIN o b ON a.i < b.i, eps
+  WHERE abs(a.cents - b.cents) <= eps.eps),
+p2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS p
+  FROM o a JOIN o b ON a.i < b.i
+       JOIN o a2 ON a2.i = a.i + 1
+       JOIN o b2 ON b2.i = b.i + 1, eps
+  WHERE a.i < (SELECT max(i) FROM o)
+    AND b.i < (SELECT max(i) FROM o)
+    AND abs(a.cents - b.cents) <= eps.eps
+    AND abs(a2.cents - b2.cents) <= eps.eps),
+nn AS (SELECT CAST(max(n) AS BIGINT) AS n FROM o),
+c AS (
+  SELECT nn.n, eps.eps, p1.p AS p1, p2.p AS p2,
+         2.0 * p1.p / (nn.n * (nn.n - 1.0)) AS c1,
+         2.0 * p2.p / ((nn.n - 1.0) * (nn.n - 2.0)) AS c2
+  FROM nn, eps, p1, p2)
+SELECT n AS n_days, eps AS eps_cents, p1 AS pairs_1, p2 AS pairs_2,
+       round(c1, 6) AS c1, round(c2, 6) AS c2,
+       round(c2 - c1 * c1, 6) AS bds_gap
+FROM c
+"""
+
+QUERIES["bds_gap_daily"] = (q_bds_gap_daily, SQL_BDS_GAP_DAILY)

@@ -448,3 +448,126 @@ def test_ta_anticorrelated_needs_deep_scan():
     assert got["stop_depth"] == n // 2 + 1
     assert got["kth_best"] == n + 1
     assert got["n_seen"] == n
+
+
+# ---------------------------------------------------------------------------
+# lsm_leveled_levels
+# ---------------------------------------------------------------------------
+
+
+def _lsm_leveled_naive(flush_bytes, fanin=4, max_lvl=6):
+    """Replay: level l accumulates bytes; a merge into l at every
+    fanin^l-th flush writes l's accumulated bytes (epoch content
+    including the incoming batch); promotion out of l at every
+    fanin^(l+1)-th flush empties it."""
+    n = len(flush_bytes)
+    prefix = [0]
+    for b in flush_bytes:
+        prefix.append(prefix[-1] + b)
+    written = [0] * (max_lvl + 1)
+    merges = [0] * (max_lvl + 1)
+    written[0] = prefix[n]
+    merges[0] = n
+    for lvl in range(1, max_lvl + 1):
+        span = fanin ** lvl
+        epoch_start = 0
+        for m in range(span, n + 1, span):
+            if (m - 1) // (span * fanin) * (span * fanin) != epoch_start:
+                epoch_start = (m - 1) // (span * fanin) * (span * fanin)
+            written[lvl] += prefix[m] - prefix[epoch_start]
+            merges[lvl] += 1
+    return [(l, merges[l], written[l])
+            for l in range(max_lvl + 1) if merges[l] > 0]
+
+
+def test_lsm_leveled_matches_replay_and_exceeds_tiered():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import (
+        lsm_leveled_levels, lsm_tiered_levels)
+
+    rng = random.Random(13)
+    for n in (4, 16, 100, 720):
+        fb = [rng.randrange(1_000, 100_000) for _ in range(n)]
+        lv = lsm_leveled_levels(fb)
+        assert lv == _lsm_leveled_naive(fb)
+        # leveled rewrites within epochs -> never cheaper than tiered
+        wt = sum(b for _, _, b in lsm_tiered_levels(fb))
+        wl = sum(b for _, _, b in lv)
+        assert wl >= wt
+
+
+def test_lsm_leveled_equal_flushes_arithmetic():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        lsm_leveled_levels
+
+    fb = [1000] * 16                     # exactly one full L2 epoch
+    rows = dict((l, (m, b)) for l, m, b in lsm_leveled_levels(fb))
+    assert rows[0] == (16, 16_000)
+    # L1 merges at 4,8,12,16 writing 4k,8k,12k,16k within the epoch
+    assert rows[1] == (4, 40_000)
+    # L2 merge at 16 writes the full epoch once
+    assert rows[2] == (1, 16_000)
+
+
+# ---------------------------------------------------------------------------
+# mantel_r
+# ---------------------------------------------------------------------------
+
+
+def test_mantel_matches_numpy_corrcoef():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import mantel_r
+
+    rng = random.Random(17)
+    xs = [rng.randrange(0, 100) for _ in range(25)]
+    ys = [rng.randrange(0, 10_000) for _ in range(25)]
+    dx, dy = [], []
+    for i in range(25):
+        for j in range(i + 1, 25):
+            dx.append(abs(xs[i] - xs[j]))
+            dy.append(abs(ys[i] - ys[j]))
+    p, r = mantel_r(xs, ys)
+    assert p == len(dx)
+    assert math.isclose(r, float(np.corrcoef(dx, dy)[0, 1]),
+                        rel_tol=1e-9)
+
+
+def test_mantel_perfect_linear_map_is_one():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import mantel_r
+
+    xs = [3, 7, 11, 20, 41, 55]
+    _, r = mantel_r(xs, [5 * x + 17 for x in xs])
+    assert math.isclose(r, 1.0, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# bds_gap
+# ---------------------------------------------------------------------------
+
+
+def test_bds_gap_constant_series_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import bds_gap
+
+    p1, p2, c1, c2, gap = bds_gap([5] * 40, eps=0)
+    assert c1 == 1.0 and c2 == 1.0 and gap == 0.0
+
+
+def test_bds_gap_detects_period_two_structure():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import bds_gap
+
+    # strict alternation 0,100,0,100,... with eps=10: marginal pairs
+    # are within eps half the time, but embedded pairs are within eps
+    # EXACTLY when parities match -> c2 > c1^2? both = ~1/2... compare
+    # against a scrambled series where the embedding adds nothing.
+    n = 60
+    alt = [0 if i % 2 == 0 else 100 for i in range(n)]
+    _, _, c1a, c2a, gap_a = bds_gap(alt, eps=10)
+    # alternating: same-parity pairs are close in BOTH coordinates,
+    # so c2 == c1 (not c1^2): large positive gap
+    assert math.isclose(c2a, c1a, rel_tol=0.05)
+    assert gap_a > 0.2
+    rng = random.Random(23)
+    iid = [rng.randrange(0, 1_000_000) for _ in range(200)]
+    eps = 250_000
+    _, _, c1b, c2b, gap_b = bds_gap(iid, eps)
+    # iid: embedded closeness factorizes -> gap near zero
+    assert abs(gap_b) < 0.05
+    assert gap_a > 4 * abs(gap_b)
