@@ -393,6 +393,8 @@ BENCH_EXTRA = [
     "lsm_leveled_write_amp",
     "mantel_day_revenue",
     "bds_gap_daily",
+    "lru_reuse_distance_audit",
+    "group_commit_audit",
 ]
 
 

@@ -1483,3 +1483,259 @@ FROM c
 """
 
 QUERIES["bds_gap_daily"] = (q_bds_gap_daily, SQL_BDS_GAP_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# lru_reuse_distance_audit — buffer-pool sizing from stack distances
+# ---------------------------------------------------------------------------
+
+_LRU_PAGES = 256
+_LRU_SIZES = (8, 32, 128)
+
+
+def lru_reuse_distances(pages) -> tuple:
+    """Exact LRU stack distances of an access trace over a bounded
+    page alphabet: for each warm access (page seen before), rd = #
+    distinct OTHER pages touched strictly between this access and the
+    previous access to the same page; LRU of capacity C hits iff
+    rd ≤ C−1 (Mattson's inclusion property — one pass prices EVERY
+    cache size).  Vectorized per page over the interval arrays (no
+    per-access loop): page q intersects window (j, k) iff
+    searchsorted(acc_q, j, right) < searchsorted(acc_q, k, left).
+    Returns (n, n_pages, cold, rd_array)."""
+    p = np.asarray(pages, dtype=np.int64)
+    n = len(p)
+    ks = np.arange(n, dtype=np.int64)
+    # previous occurrence of the same page (−1 if cold)
+    prev = np.full(n, -1, dtype=np.int64)
+    last = {}
+    pl = p.tolist()
+    for k, q in enumerate(pl):           # bounded alphabet bookkeeping
+        j = last.get(q, -1)
+        prev[k] = j
+        last[q] = k
+    warm = prev >= 0
+    j_arr = prev[warm]
+    k_arr = ks[warm]
+    rd = np.zeros(len(j_arr), dtype=np.int64)
+    for q in np.unique(p):
+        acc = ks[p == q]
+        lo = np.searchsorted(acc, j_arr, side="right")
+        hi = np.searchsorted(acc, k_arr, side="left")
+        rd += (lo < hi).astype(np.int64)
+    # the probed page itself contributes 0: (j, k) is an open window
+    # between consecutive accesses of p, so no correction is needed
+    return n, len(last), int(n - warm.sum()), rd
+
+
+def q_lru_reuse_distance_audit(sf_dir: str):
+    """Buffer-pool sizing audit: the event stream as a page-access
+    trace (page = user_id mod 256, order = (ts, event_id)), exact LRU
+    stack distances, and the hit ratio AT THREE CAPACITIES from the
+    single pass Mattson's inclusion property licenses — the
+    measurement behind every 'how much cache does this workload
+    need?' decision, computed the way cache-simulation literature
+    does it rather than by replaying an LRU list per size.  Mean
+    reuse distance is the single-number working-set summary.  The
+    bounded page alphabet keeps the per-page interval sweep
+    vectorized; the oracle counts distinct pages per window via a
+    range join on next-access positions (a page intersects (j, k)
+    iff some access in (j, k) has its NEXT same-page access ≥ k)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "pg": pc.cast(pc.bit_wise_and(
+                t.column("user_id"), pa.scalar(255, pa.int64())),
+                pa.int64()),
+        })
+
+    m = _partial_final(ds, partial, ["ts", "event_id"],
+                       [("pg", "max")])
+    tsv = np.asarray(m.column("ts"), dtype=np.int64)
+    eid = np.asarray(m.column("event_id"), dtype=np.int64)
+    pg = np.asarray(m.column("pg"), dtype=np.int64)
+    o = np.lexsort((eid, tsv))
+    n, npg, cold, rd = lru_reuse_distances(pg[o])
+    warm = len(rd)
+    sum_rd = int(rd.sum())
+    hits = {c: int((rd <= c - 1).sum()) for c in _LRU_SIZES}
+    return pa.table({
+        "n_accesses": pa.array([n], pa.int64()),
+        "n_pages": pa.array([npg], pa.int64()),
+        "cold_misses": pa.array([cold], pa.int64()),
+        "mean_rd": pa.array(
+            [round(sum_rd / warm, 6) if warm else None], pa.float64()),
+        "hit_ppm_c8": pa.array([hits[8] * 1_000_000 // n], pa.int64()),
+        "hit_ppm_c32": pa.array([hits[32] * 1_000_000 // n],
+                                pa.int64()),
+        "hit_ppm_c128": pa.array([hits[128] * 1_000_000 // n],
+                                 pa.int64()),
+    })
+
+
+SQL_LRU_REUSE_DISTANCE_AUDIT = """
+WITH seq AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS k,
+         user_id % 256 AS p
+  FROM events),
+nx AS (
+  SELECT k, p, lead(k) OVER (PARTITION BY p ORDER BY k) AS nxt
+  FROM seq),
+pv AS (
+  SELECT k, p, lag(k) OVER (PARTITION BY p ORDER BY k) AS j
+  FROM seq),
+warm AS (SELECT k, j FROM pv WHERE j IS NOT NULL),
+rdj AS (
+  SELECT w.k,
+         coalesce(sum(CASE WHEN b.k > w.j AND b.k < w.k
+                           AND coalesce(b.nxt, 9223372036854775807)
+                               >= w.k
+                           THEN 1 ELSE 0 END), 0) AS rd
+  FROM warm w LEFT JOIN nx b
+       ON b.k > w.j AND b.k < w.k
+  GROUP BY w.k, w.j),
+rd2 AS (
+  SELECT w.k, coalesce(rdj.rd, 0) AS rd
+  FROM warm w LEFT JOIN rdj ON rdj.k = w.k),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS warm,
+         CAST(sum(rd) AS BIGINT) AS sum_rd,
+         CAST(sum(CASE WHEN rd <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h8,
+         CAST(sum(CASE WHEN rd <= 31 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h32,
+         CAST(sum(CASE WHEN rd <= 127 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h128
+  FROM rd2),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT p) AS BIGINT) AS npg
+       FROM seq)
+SELECT nn.n AS n_accesses, nn.npg AS n_pages,
+       nn.n - s.warm AS cold_misses,
+       round(CAST(s.sum_rd AS DOUBLE) / s.warm, 6) AS mean_rd,
+       s.h8 * 1000000 // nn.n AS hit_ppm_c8,
+       s.h32 * 1000000 // nn.n AS hit_ppm_c32,
+       s.h128 * 1000000 // nn.n AS hit_ppm_c128
+FROM s, nn
+"""
+
+QUERIES["lru_reuse_distance_audit"] = (q_lru_reuse_distance_audit,
+                                       SQL_LRU_REUSE_DISTANCE_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# group_commit_audit — WAL batching window tradeoff
+# ---------------------------------------------------------------------------
+
+_GC_WINDOWS_US = (1_000, 10_000, 100_000)
+
+
+def q_group_commit_audit(sf_dir: str):
+    """WAL group-commit window audit: if commits flush at the END of
+    a fixed window W, every event in a window shares one fsync and
+    waits W − (ts mod W) µs — the classic batching/latency tradeoff,
+    priced at 1 ms / 10 ms / 100 ms on the real arrival process
+    (n_flushes ∝ fsync load; mean and exact-ceil-rank p99 latency =
+    user pain).  The per-window latency alphabet is bounded (µs
+    offsets within W), so one (w, lat) histogram shuffle carries all
+    three windows; every output is an exact integer or one shared
+    division."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        outs = []
+        for w in _GC_WINDOWS_US:
+            lat = w - tsv % w
+            outs.append(pa.table({
+                "w": pa.array(np.full(len(tsv), w, dtype=np.int64)),
+                "lat": pa.array(lat),
+                "c": pa.array(np.ones(len(tsv), dtype=np.int64)),
+                "b": pa.array(tsv // w),
+            }))
+        t2 = pa.concat_tables(outs)
+        g = t2.group_by(["w", "lat"]).aggregate([("c", "sum"),
+                                                 ("b", "min")])
+        # batch ids are only needed for the distinct count — emit the
+        # (w, bucket) keys separately with lat = -1 sentinel rows
+        gb = t2.group_by(["w", "b"]).aggregate([("c", "max")])
+        part1 = g.rename_columns(["w", "lat", "c", "bmin"]) \
+            .select(["w", "lat", "c"])
+        part2 = pa.table({
+            "w": gb.column("w"),
+            "lat": pc.subtract(pa.scalar(0, pa.int64()),
+                               pc.add(gb.column("b"),
+                                      pa.scalar(1, pa.int64()))),
+            "c": pa.array(np.ones(gb.num_rows, dtype=np.int64)),
+        })
+        return pa.concat_tables([part1, part2])
+
+    m = _partial_final(ds, partial, ["w", "lat"], [("c", "sum")])
+    wv = np.asarray(m.column("w"), dtype=np.int64)
+    lv = np.asarray(m.column("lat"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    rows = {"w_us": [], "n_events": [], "n_flushes": [],
+            "mean_lat_us": [], "p99_lat_us": []}
+    for w in _GC_WINDOWS_US:
+        sel = wv == w
+        lats = lv[sel]
+        cs = cv[sel]
+        real = lats >= 0
+        n = int(cs[real].sum())
+        flushes = int((~real).sum())     # one sentinel row per bucket
+        tot = int((lats[real] * cs[real]).sum())
+        o = np.argsort(lats[real])
+        lo_ = lats[real][o]
+        co_ = np.cumsum(cs[real][o])
+        k99 = (99 * n + 99) // 100       # ceil-rank p99
+        p99 = int(lo_[np.searchsorted(co_, k99)])
+        rows["w_us"].append(w)
+        rows["n_events"].append(n)
+        rows["n_flushes"].append(flushes)
+        rows["mean_lat_us"].append(round(tot / n, 6))
+        rows["p99_lat_us"].append(p99)
+    return pa.table({
+        "w_us": pa.array(rows["w_us"], pa.int64()),
+        "n_events": pa.array(rows["n_events"], pa.int64()),
+        "n_flushes": pa.array(rows["n_flushes"], pa.int64()),
+        "mean_lat_us": pa.array(rows["mean_lat_us"], pa.float64()),
+        "p99_lat_us": pa.array(rows["p99_lat_us"], pa.int64()),
+    })
+
+
+SQL_GROUP_COMMIT_AUDIT = """
+WITH w AS (SELECT CAST(x.range AS BIGINT) AS w_us
+           FROM (VALUES (1000), (10000), (100000)) x(range)),
+e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+lat AS (
+  SELECT w.w_us, w.w_us - e.t % w.w_us AS lat, e.t // w.w_us AS b
+  FROM e, w),
+agg AS (
+  SELECT w_us, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT b) AS BIGINT) AS flushes,
+         CAST(sum(lat) AS BIGINT) AS tot
+  FROM lat GROUP BY 1),
+rk AS (
+  SELECT w_us, lat,
+         sum(1) OVER (PARTITION BY w_us ORDER BY lat
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM lat),
+p99 AS (
+  SELECT rk.w_us, CAST(min(rk.lat) AS BIGINT) AS p99
+  FROM rk JOIN agg ON agg.w_us = rk.w_us
+  WHERE rk.cum >= (99 * agg.n + 99) // 100
+  GROUP BY 1)
+SELECT agg.w_us, agg.n AS n_events, agg.flushes AS n_flushes,
+       round(CAST(agg.tot AS DOUBLE) / agg.n, 6) AS mean_lat_us,
+       p99.p99 AS p99_lat_us
+FROM agg JOIN p99 USING (w_us)
+ORDER BY agg.w_us
+"""
+
+QUERIES["group_commit_audit"] = (q_group_commit_audit,
+                                 SQL_GROUP_COMMIT_AUDIT)

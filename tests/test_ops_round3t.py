@@ -571,3 +571,83 @@ def test_bds_gap_detects_period_two_structure():
     # iid: embedded closeness factorizes -> gap near zero
     assert abs(gap_b) < 0.05
     assert gap_a > 4 * abs(gap_b)
+
+
+# ---------------------------------------------------------------------------
+# lru_reuse_distances
+# ---------------------------------------------------------------------------
+
+
+def _lru_naive(pages, cap):
+    """Direct LRU list replay: returns (hits, cold)."""
+    stack = []
+    hits = cold = 0
+    for p in pages:
+        if p in stack:
+            if stack.index(p) < cap:
+                hits += 1
+            stack.remove(p)
+        else:
+            cold += 1
+        stack.insert(0, p)
+    return hits, cold
+
+
+def test_lru_reuse_distance_matches_stack_replay():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        lru_reuse_distances
+
+    rng = random.Random(19)
+    pages = [rng.randrange(0, 12) for _ in range(400)]
+    n, npg, cold, rd = lru_reuse_distances(pages)
+    assert n == 400 and npg == len(set(pages))
+    for cap in (1, 2, 4, 8, 16):
+        hits_naive, cold_naive = _lru_naive(pages, cap)
+        assert cold == cold_naive
+        assert int((rd <= cap - 1).sum()) == hits_naive
+
+
+def test_lru_inclusion_property_monotone():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        lru_reuse_distances
+
+    rng = random.Random(29)
+    pages = [rng.randrange(0, 50) for _ in range(500)]
+    _, _, _, rd = lru_reuse_distances(pages)
+    hits = [int((rd <= c - 1).sum()) for c in (2, 4, 8, 16, 32, 64)]
+    assert hits == sorted(hits)          # bigger cache never worse
+
+
+def test_lru_cyclic_scan_thrashes():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        lru_reuse_distances
+
+    # round-robin over 10 pages: every reuse distance is exactly 9
+    pages = list(range(10)) * 20
+    _, _, cold, rd = lru_reuse_distances(pages)
+    assert cold == 10
+    assert set(rd.tolist()) == {9}
+    # capacity 9 thrashes to zero hits; capacity 10 hits everything
+    assert int((rd <= 8).sum()) == 0
+    assert int((rd <= 9).sum()) == len(pages) - 10
+
+
+# ---------------------------------------------------------------------------
+# group-commit arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_group_commit_latency_identities():
+    rng = random.Random(31)
+    ts = sorted(rng.randrange(0, 10_000_000) for _ in range(500))
+    for w in (1_000, 10_000):
+        lats = [w - t % w for t in ts]
+        # latency is within (0, w] and flush buckets partition events
+        assert all(0 < v <= w for v in lats)
+        flushes = len({t // w for t in ts})
+        assert flushes <= len(ts)
+        # ceil-rank p99 (the query's order statistic) bounds 99% mass
+        srt = sorted(lats)
+        k99 = (99 * len(ts) + 99) // 100
+        p99 = srt[k99 - 1]
+        assert sum(1 for v in lats if v <= p99) >= k99
