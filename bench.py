@@ -395,6 +395,8 @@ BENCH_EXTRA = [
     "bds_gap_daily",
     "lru_reuse_distance_audit",
     "group_commit_audit",
+    "nb_vs_poisson_lrt",
+    "lad_regression_daily",
 ]
 
 

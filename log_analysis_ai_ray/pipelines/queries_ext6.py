@@ -1739,3 +1739,220 @@ ORDER BY agg.w_us
 
 QUERIES["group_commit_audit"] = (q_group_commit_audit,
                                  SQL_GROUP_COMMIT_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# nb_vs_poisson_lrt — overdispersion model comparison by likelihood
+# ---------------------------------------------------------------------------
+
+
+def nb_poisson_loglik(ks, cs) -> tuple:
+    """Log-likelihoods of the per-user count histogram {k: n_k} under
+    Poisson(λ̂ = mean) and the moment-fitted negative binomial
+    (r = μ²/(σ²−μ), p = μ/σ², population σ²).  Sums run over the
+    bounded DISTINCT-k alphabet in ascending k so both engines share
+    the float tree (lgamma via libm in both).  Returns
+    (lnl_p, lnl_nb, r, p)."""
+    n = sum(cs)
+    s = sum(k * c for k, c in zip(ks, cs))
+    q = sum(k * k * c for k, c in zip(ks, cs))
+    mu = s / n
+    var = float(n * q - s * s) / (float(n) * n)
+    lam = mu
+    lnl_p = sum(c * (k * math.log(lam) - lam - math.lgamma(k + 1.0))
+                for k, c in zip(ks, cs))
+    if var <= mu:
+        return lnl_p, None, None, None
+    r = mu * mu / (var - mu)
+    p = mu / var
+    lnl_nb = sum(c * (math.lgamma(k + r) - math.lgamma(r)
+                      - math.lgamma(k + 1.0)
+                      + r * math.log(p) + k * math.log(1.0 - p))
+                 for k, c in zip(ks, cs))
+    return lnl_p, lnl_nb, r, p
+
+
+def q_nb_vs_poisson_lrt(sf_dir: str):
+    """Negative-binomial vs Poisson likelihood-ratio screen on
+    per-user event counts: dispersion_index showed σ² > μ and
+    user_count_nb_fit named the NB parameters — this row asks whether
+    the extra parameter EARNS its keep in log-likelihood: LRT =
+    2(lnL_NB − lnL_P), boundary-corrected p = 1 − Φ(√LRT) (the null
+    r→∞ sits on the parameter boundary, so the χ²₁ tail is halved).
+    Per-user counts reduce distributed; the distinct-count alphabet
+    is bounded, and both engines evaluate the same lgamma/log tree
+    over it."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        g = pa.table({"u": t.column("user_id"),
+                      "k": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64))}) \
+            .group_by("u").aggregate([("k", "sum")])
+        return g.rename_columns(["u", "k"])
+
+    m = _partial_final(ds, per_user, ["u"], [("k", "sum")])
+    kv = np.asarray(m.column("k"), dtype=np.int64)
+    ku, cu = np.unique(kv, return_counts=True)
+    ks = ku.tolist()
+    cs = cu.tolist()
+    lnl_p, lnl_nb, r, p = nb_poisson_loglik(ks, cs)
+    if lnl_nb is None:
+        lrt = pv = None
+    else:
+        lrt = 2.0 * (lnl_nb - lnl_p)
+        pv = 1.0 - phi_as(math.sqrt(max(lrt, 0.0)))
+    return pa.table({
+        "n_users": pa.array([int(cu.sum())], pa.int64()),
+        "lnl_poisson": pa.array([round(lnl_p, 6)], pa.float64()),
+        "lnl_nb": pa.array(
+            [round(lnl_nb, 6) if lnl_nb is not None else None],
+            pa.float64()),
+        "lrt": pa.array([round(lrt, 6) if lrt is not None else None],
+                        pa.float64()),
+        "p_value": pa.array(
+            [round(pv, 6) if pv is not None else None], pa.float64()),
+    })
+
+
+def _nb_vs_poisson_sql() -> str:
+    phi = _phi_sql("sqrt(greatest(lrt, 0.0))")
+    return f"""
+WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+            FROM events GROUP BY 1),
+h AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(k * c) AS BIGINT) AS s,
+             CAST(sum(k * k * c) AS HUGEINT) AS q
+      FROM h),
+par AS (
+  SELECT n, CAST(s AS DOUBLE) / n AS mu,
+         CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+           / (CAST(n AS DOUBLE) * n) AS var
+  FROM s),
+par2 AS (
+  SELECT n, mu, var,
+         mu * mu / (var - mu) AS r, mu / var AS p
+  FROM par),
+lik AS (
+  SELECT par2.n, par2.var, par2.mu,
+         sum(h.c * (h.k * ln(par2.mu) - par2.mu
+                    - lgamma(h.k + 1.0))) AS lnl_p,
+         sum(h.c * (lgamma(h.k + par2.r) - lgamma(par2.r)
+                    - lgamma(h.k + 1.0)
+                    + par2.r * ln(par2.p)
+                    + h.k * ln(1.0 - par2.p))) AS lnl_nb
+  FROM h, par2 GROUP BY 1, 2, 3),
+z AS (
+  SELECT n, lnl_p,
+         CASE WHEN var > mu THEN lnl_nb END AS lnl_nb,
+         CASE WHEN var > mu THEN 2.0 * (lnl_nb - lnl_p) END AS lrt
+  FROM lik)
+SELECT n AS n_users, round(lnl_p, 6) AS lnl_poisson,
+       round(lnl_nb, 6) AS lnl_nb, round(lrt, 6) AS lrt,
+       CASE WHEN lrt IS NOT NULL
+            THEN round(1.0 - {phi}, 6) END AS p_value
+FROM z
+"""
+
+
+QUERIES["nb_vs_poisson_lrt"] = (q_nb_vs_poisson_lrt,
+                                _nb_vs_poisson_sql())
+
+
+# ---------------------------------------------------------------------------
+# lad_regression_daily — exact least-absolute-deviations trend
+# ---------------------------------------------------------------------------
+
+
+def lad_fit(xs, ys) -> tuple:
+    """Exact LAD (L1) simple regression by vertex enumeration: some
+    optimal line passes through two sample points (LP basic
+    solution), so sweep all C(n,2) point-pair lines and keep the
+    minimal sum of absolute errors.  Per-candidate SAE is the exact
+    integer Σ|Δ| over a common denominator |dx|; the winner is chosen
+    by (float SAE, i, j) — the same comparable key the oracle sorts
+    by.  Returns (i, j, slope, intercept, sae)."""
+    x = np.asarray(xs, dtype=np.int64)
+    y = np.asarray(ys, dtype=np.int64)
+    n = len(x)
+    ii, jj = np.triu_indices(n, k=1)
+    dx = x[jj] - x[ii]
+    dy = y[jj] - y[ii]
+    # residual numerators: (y_k - y_i)·dx − dy·(x_k − x_i), all pairs
+    num = np.abs(
+        (y[None, :] - y[ii][:, None]) * dx[:, None]
+        - dy[:, None] * (x[None, :] - x[ii][:, None])
+    ).sum(axis=1)
+    sae = num / np.abs(dx).astype(np.float64)
+    order = np.lexsort((jj, ii, sae))
+    w = order[0]
+    i, j = int(ii[w]), int(jj[w])
+    b = float(dy[w]) / float(dx[w])
+    a = y[i] - b * x[i]
+    return i, j, b, a, float(sae[w])
+
+
+def q_lad_regression_daily(sf_dir: str):
+    """Exact least-absolute-deviations trend of the LAST 120 days of
+    daily revenue — the L1 member of the robust-trend family
+    (theilsen: median of pair slopes; siegel: repeated median; LAD:
+    the actual L1-loss minimizer, the quantile-regression median
+    line).  Vertex enumeration over all day pairs is EXACT — no
+    iteratively-reweighted approximation — with integer residual
+    numerators over a common |Δday| denominator; the O(w³) sweep is
+    why the window is FIXED at w = 120 (the recent-trend horizon),
+    not the full span; tie-break on (SAE, i, j) mirrored in the
+    oracle's ORDER BY."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    day, cv = day[-120:], cv[-120:]
+    i, j, b, a, sae = lad_fit(day.tolist(), cv.tolist())
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "day_i": pa.array([int(day[i])], pa.int64()),
+        "day_j": pa.array([int(day[j])], pa.int64()),
+        "lad_slope": pa.array([round(b, 6)], pa.float64()),
+        "lad_intercept": pa.array([round(a, 4)], pa.float64()),
+        "sae_log10": pa.array([round(math.log10(sae), 6)],
+                              pa.float64()),
+    })
+
+
+SQL_LAD_REGRESSION_DAILY = """
+WITH d0 AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT day, cents FROM (
+    SELECT day, cents,
+           row_number() OVER (ORDER BY day DESC) AS rn
+    FROM d0)
+  WHERE rn <= 120),
+pairs AS (
+  SELECT a.day AS xi, a.cents AS yi, b.day AS xj, b.cents AS yj,
+         b.day - a.day AS dx, b.cents - a.cents AS dy
+  FROM d a JOIN d b ON a.day < b.day),
+sae AS (
+  SELECT xi, yi, xj, dx, dy,
+         CAST(sum(abs(CAST(k.cents - pairs.yi AS HUGEINT) * pairs.dx
+                      - CAST(pairs.dy AS HUGEINT)
+                        * (k.day - pairs.xi))) AS HUGEINT) AS num
+  FROM pairs, d k
+  GROUP BY 1, 2, 3, 4, 5),
+best AS (
+  SELECT xi, yi, xj, dx, dy,
+         CAST(num AS DOUBLE) / abs(dx) AS s
+  FROM sae
+  ORDER BY CAST(num AS DOUBLE) / abs(dx), xi, xj
+  LIMIT 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       xi AS day_i, xj AS day_j,
+       round(CAST(dy AS DOUBLE) / dx, 6) AS lad_slope,
+       round(yi - CAST(dy AS DOUBLE) / dx * xi, 4) AS lad_intercept,
+       round(log10(s), 6) AS sae_log10
+FROM best
+"""
+
+QUERIES["lad_regression_daily"] = (q_lad_regression_daily,
+                                   SQL_LAD_REGRESSION_DAILY)

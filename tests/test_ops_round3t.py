@@ -651,3 +651,98 @@ def test_group_commit_latency_identities():
         k99 = (99 * len(ts) + 99) // 100
         p99 = srt[k99 - 1]
         assert sum(1 for v in lats if v <= p99) >= k99
+
+
+# ---------------------------------------------------------------------------
+# nb_poisson_loglik
+# ---------------------------------------------------------------------------
+
+
+def test_nb_loglik_underdispersed_declines_fit():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        nb_poisson_loglik
+
+    # constant counts: var = 0 < mu -> NB side is None
+    lnl_p, lnl_nb, r, p = nb_poisson_loglik([5], [100])
+    assert lnl_nb is None and r is None and p is None
+    lam = 5.0
+    ref = 100 * (5 * math.log(lam) - lam - math.lgamma(6.0))
+    assert math.isclose(lnl_p, ref, rel_tol=1e-12)
+
+
+def test_nb_loglik_beats_poisson_when_overdispersed():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        nb_poisson_loglik
+
+    # half the users at 1, half at 19: mean 10, var 81 >> mean
+    lnl_p, lnl_nb, r, p = nb_poisson_loglik([1, 19], [50, 50])
+    assert lnl_nb > lnl_p
+    assert 0 < p < 1 and r > 0
+    # moment identities
+    mu, var = 10.0, 81.0
+    assert math.isclose(r, mu * mu / (var - mu), rel_tol=1e-12)
+    assert math.isclose(p, mu / var, rel_tol=1e-12)
+
+
+def test_nb_loglik_histogram_equals_expansion():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        nb_poisson_loglik
+
+    ks, cs = [0, 2, 7], [3, 4, 2]
+    packed = nb_poisson_loglik(ks, cs)
+    flat_k = [k for k, c in zip(ks, cs) for _ in range(c)]
+    fk, fc = sorted(set(flat_k)), None
+    from collections import Counter
+    cnt = Counter(flat_k)
+    flat = nb_poisson_loglik(fk, [cnt[k] for k in fk])
+    assert packed == flat
+
+
+# ---------------------------------------------------------------------------
+# lad_fit
+# ---------------------------------------------------------------------------
+
+
+def _sae_of(xs, ys, a, b):
+    return sum(abs(y - a - b * x) for x, y in zip(xs, ys))
+
+
+def test_lad_no_pair_line_beats_winner():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import lad_fit
+
+    rng = random.Random(37)
+    xs = sorted(rng.sample(range(0, 500), 25))
+    ys = [3 * x + rng.randrange(-40, 40) for x in xs]
+    i, j, b, a, sae = lad_fit(xs, ys)
+    assert math.isclose(sae, _sae_of(xs, ys, a, b), rel_tol=1e-9)
+    for p in range(25):
+        for q in range(p + 1, 25):
+            bb = (ys[q] - ys[p]) / (xs[q] - xs[p])
+            aa = ys[p] - bb * xs[p]
+            assert _sae_of(xs, ys, aa, bb) >= sae - 1e-6
+
+
+def test_lad_resists_outlier_better_than_ols():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import lad_fit
+
+    xs = list(range(30))
+    ys = [10 * x + 5 for x in xs]
+    ys[29] += 100_000                    # gross corruption
+    _, _, b, a, _ = lad_fit(xs, ys)
+    assert abs(b - 10) < 0.5             # LAD slope barely moves
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    b_ols = (n * sum(x * y for x, y in zip(xs, ys)) - sx * sy) \
+        / (n * sum(x * x for x in xs) - sx * sx)
+    assert abs(b_ols - 10) > 5           # OLS slope is dragged
+
+
+def test_lad_interpolates_exact_line():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import lad_fit
+
+    xs = [1, 4, 9, 16, 30]
+    ys = [7 * x - 3 for x in xs]
+    _, _, b, a, sae = lad_fit(xs, ys)
+    assert math.isclose(b, 7.0, rel_tol=1e-12)
+    assert math.isclose(a, -3.0, rel_tol=1e-12)
+    assert sae == 0.0
