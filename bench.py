@@ -397,6 +397,7 @@ BENCH_EXTRA = [
     "group_commit_audit",
     "nb_vs_poisson_lrt",
     "lad_regression_daily",
+    "wavelet_synopsis_audit",
 ]
 
 

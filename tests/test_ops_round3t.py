@@ -746,3 +746,82 @@ def test_lad_interpolates_exact_line():
     assert math.isclose(b, 7.0, rel_tol=1e-12)
     assert math.isclose(a, -3.0, rel_tol=1e-12)
     assert sae == 0.0
+
+
+# ---------------------------------------------------------------------------
+# haar_synopsis
+# ---------------------------------------------------------------------------
+
+
+def _inv_haar(total, kept, n=128, lvl=7):
+    """Reconstruct the series from the root sum + kept details
+    ((energy, level, idx, d) tuples): start from the root average and
+    descend, splitting each node sum by the detail (0 if dropped)."""
+    sums = {(lvl, 0): total}
+    kd = {(k, i): d for _, k, i, d in kept}
+    for k in range(lvl, 0, -1):
+        for i in range(2 ** (lvl - k)):
+            s = sums[(k, i)]
+            d = kd.get((k, i), 0)
+            sums[(k - 1, 2 * i)] = (s + d) / 2.0
+            sums[(k - 1, 2 * i + 1)] = (s - d) / 2.0
+    return [sums[(0, i)] for i in range(n)]
+
+
+def test_haar_parseval_identity():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import haar_synopsis
+
+    rng = random.Random(41)
+    vals = [rng.randrange(0, 1000) for _ in range(128)]
+    d = haar_synopsis(vals)
+    sx = sum(vals)
+    sx2 = sum(v * v for v in vals)
+    # Parseval on the x128 scale: total detail energy = 128·Σx² − S²
+    assert d["kept_energy_x128"] + d["sse_haar_x128"] \
+        == 128 * sx2 - sx * sx
+
+
+def test_haar_dropped_energy_equals_reconstruction_sse():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import (
+        _WV_KEEP, haar_synopsis)
+
+    rng = random.Random(43)
+    vals = [rng.randrange(0, 1000) for _ in range(128)]
+    # reproduce the kept set exactly as haar_synopsis ranks it
+    cur = list(vals)
+    details = []
+    for k in range(1, 8):
+        nxt, det = [], []
+        for i in range(0, len(cur), 2):
+            nxt.append(cur[i] + cur[i + 1])
+            det.append(cur[i] - cur[i + 1])
+        for i, dd in enumerate(det):
+            details.append((dd * dd * (2 ** (7 - k)), k, i, dd))
+        cur = nxt
+    order = sorted(details, key=lambda t: (-t[0], t[1], t[2]))
+    kept = order[:_WV_KEEP]
+    recon = _inv_haar(cur[0], kept)
+    sse = sum((v - r) ** 2 for v, r in zip(vals, recon))
+    d = haar_synopsis(vals)
+    assert math.isclose(sse, d["sse_haar_x128"] / 128.0, rel_tol=1e-9)
+
+
+def test_haar_constant_series_is_exact():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import haar_synopsis
+
+    d = haar_synopsis([7] * 128)
+    assert d["sse_haar_x128"] == 0
+    assert d["sse_hist_x128"] == 0
+    assert d["total"] == 7 * 128
+
+
+def test_haar_beats_histogram_on_spike():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import haar_synopsis
+
+    vals = [0] * 128
+    vals[37] = 1000                      # localized burst
+    d = haar_synopsis(vals)
+    # 7 coefficients on the spike path reconstruct it exactly; the
+    # histogram smears the spike across its 16-wide bucket
+    assert d["sse_haar_x128"] == 0
+    assert d["sse_hist_x128"] > 0
