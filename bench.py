@@ -398,6 +398,8 @@ BENCH_EXTRA = [
     "nb_vs_poisson_lrt",
     "lad_regression_daily",
     "wavelet_synopsis_audit",
+    "join_order_audit",
+    "fleiss_kappa_types",
 ]
 
 

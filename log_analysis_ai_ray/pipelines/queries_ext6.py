@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages import aggregate as agg
 from .queries import QUERIES, _partial_final, _read
 from .queries_ext3 import _daily_revenue_cents, phi_as
 from .queries_ext5 import _acklam_sql, inv_phi_upper
@@ -2129,3 +2130,316 @@ FROM agg, hist, tot
 
 QUERIES["wavelet_synopsis_audit"] = (q_wavelet_synopsis_audit,
                                      SQL_WAVELET_SYNOPSIS_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# join_order_audit — cost-based first-join choice on real cardinalities
+# ---------------------------------------------------------------------------
+
+# (name, customer predicate, lineitem qty predicate) — orders side is
+# always o_orderpriority = '1-URGENT'. Two selectivity profiles chosen
+# so the optimal first join FLIPS between them.
+_JO_CONFIGS = (("tight_customer", "neg_bal", 25),
+               ("tight_lineitem", "all", 1))
+
+
+def q_join_order_audit(sf_dir: str):
+    """Join-order decision audit for the customer⋈orders⋈lineitem
+    chain under two selectivity profiles: the EXACT intermediate
+    cardinalities |σc⋈σo| and |σo⋈σl| that a Selinger-style
+    optimizer would compare when choosing the first join — profile A
+    (customers in debt) makes customer⋈orders tiny, profile B
+    (single-unit lineitems) makes orders⋈lineitem tiny, and the
+    best_first column records the flip.  The decision companion of
+    join_size_estimate_check (which audits the ESTIMATE; this audits
+    the choice).  Ray side: distilled key-set broadcasts (customer
+    keys, urgent order keys) into counting passes — the repo's
+    standard small-side path; the hash-partitioned join family
+    covers the big-big case."""
+    import pyarrow.parquet as pq_
+
+    ds_c = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        neg = pc.less(t.column("c_acctbal"), 0.0)
+        return pa.table({
+            "k": t.column("c_custkey").cast(pa.int64()),
+            "neg": pc.cast(neg, pa.int64()),
+        })
+
+    cm = _partial_final(ds_c, cust_partial, ["k"], [("neg", "max")])
+    ck_all = np.sort(np.asarray(cm.column("k"), dtype=np.int64))
+    neg = np.asarray(cm.column("neg"), dtype=np.int64)
+    ck_neg = np.sort(np.asarray(cm.column("k"), dtype=np.int64)[
+        neg.astype(bool)])
+
+    ds_o = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        urg = pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        t2 = t.filter(urg)
+        ok = np.asarray(t2.column("o_orderkey"), dtype=np.int64)
+        cu = np.asarray(t2.column("o_custkey"), dtype=np.int64)
+        in_neg = np.zeros(len(cu), dtype=np.int64)
+        idx = np.searchsorted(ck_neg, cu)
+        idx = np.clip(idx, 0, max(len(ck_neg) - 1, 0))
+        if len(ck_neg):
+            in_neg = (ck_neg[idx] == cu).astype(np.int64)
+        return pa.table({"okey": pa.array(ok),
+                         "in_neg": pa.array(in_neg)})
+
+    om = _partial_final(ds_o, ord_partial, ["okey"], [("in_neg", "max")])
+    ok_urg = np.sort(np.asarray(om.column("okey"), dtype=np.int64))
+    inn = np.asarray(om.column("in_neg"), dtype=np.int64)
+    ok_urg_neg = np.sort(np.asarray(om.column("okey"),
+                                    dtype=np.int64)[inn.astype(bool)])
+
+    ds_l = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = np.asarray(pc.cast(t.column("l_quantity"), pa.int64()),
+                       dtype=np.int64)
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+
+        def inset(keys, arr):
+            if not len(keys):
+                return np.zeros(len(arr), dtype=bool)
+            idx = np.clip(np.searchsorted(keys, arr), 0,
+                          len(keys) - 1)
+            return keys[idx] == arr
+
+        urg = inset(ok_urg, ok)
+        urgneg = inset(ok_urg_neg, ok)
+        rows = {"cfg": [], "stat": [], "c": []}
+        for cfg, _cp, qmax in _JO_CONFIGS:
+            sel = q <= qmax
+            rows["cfg"].append(cfg)
+            rows["stat"].append("n_l")
+            rows["c"].append(int(sel.sum()))
+            rows["cfg"].append(cfg)
+            rows["stat"].append("n_ol")
+            rows["c"].append(int((sel & urg).sum()))
+            rows["cfg"].append(cfg)
+            rows["stat"].append("n_col")
+            rows["c"].append(int((sel & urgneg).sum()))
+        return pa.table({"cfg": pa.array(rows["cfg"]),
+                         "stat": pa.array(rows["stat"]),
+                         "c": pa.array(rows["c"], pa.int64())})
+
+    lm = _partial_final(ds_l, li_partial, ["cfg", "stat"],
+                        [("c", "sum")])
+    lc = {}
+    for cfg, stat, c in zip(lm.column("cfg").to_pylist(),
+                            lm.column("stat").to_pylist(),
+                            np.asarray(lm.column("c"),
+                                       dtype=np.int64).tolist()):
+        lc[(cfg, stat)] = c
+
+    out = {"config": [], "n_customers": [], "n_orders": [],
+           "n_lineitem": [], "n_co": [], "n_ol": [], "n_col": [],
+           "best_first": []}
+    for cfg, cpred, qmax in _JO_CONFIGS:
+        n_c = len(ck_neg) if cpred == "neg_bal" else len(ck_all)
+        n_o = len(ok_urg)
+        n_co = len(ok_urg_neg) if cpred == "neg_bal" else n_o
+        n_ol = lc[(cfg, "n_ol")]
+        n_col_ = lc[(cfg, "n_col")] if cpred == "neg_bal" \
+            else lc[(cfg, "n_ol")]
+        out["config"].append(cfg)
+        out["n_customers"].append(n_c)
+        out["n_orders"].append(n_o)
+        out["n_lineitem"].append(lc[(cfg, "n_l")])
+        out["n_co"].append(n_co)
+        out["n_ol"].append(n_ol)
+        out["n_col"].append(n_col_)
+        out["best_first"].append(
+            "customer_orders" if n_co <= n_ol else "orders_lineitem")
+    return pa.table({
+        "config": pa.array(out["config"]),
+        "n_customers": pa.array(out["n_customers"], pa.int64()),
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+        "n_lineitem": pa.array(out["n_lineitem"], pa.int64()),
+        "n_co": pa.array(out["n_co"], pa.int64()),
+        "n_ol": pa.array(out["n_ol"], pa.int64()),
+        "n_col": pa.array(out["n_col"], pa.int64()),
+        "best_first": pa.array(out["best_first"]),
+    }).sort_by("config")
+
+
+SQL_JOIN_ORDER_AUDIT = """
+WITH cfg AS (
+  SELECT 'tight_customer' AS config, 1 AS negbal, 25 AS qmax
+  UNION ALL
+  SELECT 'tight_lineitem', 0, 1),
+base AS (
+  SELECT cfg.config, cfg.negbal, cfg.qmax,
+         (SELECT count(*) FROM customer
+          WHERE cfg.negbal = 0 OR c_acctbal < 0) AS n_customers,
+         (SELECT count(*) FROM orders
+          WHERE o_orderpriority = '1-URGENT') AS n_orders,
+         (SELECT count(*) FROM lineitem
+          WHERE l_quantity <= cfg.qmax) AS n_lineitem,
+         (SELECT count(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderpriority = '1-URGENT'
+            AND (cfg.negbal = 0 OR c.c_acctbal < 0)) AS n_co,
+         (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderpriority = '1-URGENT'
+            AND l.l_quantity <= cfg.qmax) AS n_ol,
+         (SELECT count(*) FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderpriority = '1-URGENT'
+            AND l.l_quantity <= cfg.qmax
+            AND (cfg.negbal = 0 OR c.c_acctbal < 0)) AS n_col
+  FROM cfg)
+SELECT config,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_lineitem AS BIGINT) AS n_lineitem,
+       CAST(n_co AS BIGINT) AS n_co,
+       CAST(n_ol AS BIGINT) AS n_ol,
+       CAST(n_col AS BIGINT) AS n_col,
+       CASE WHEN n_co <= n_ol THEN 'customer_orders'
+            ELSE 'orders_lineitem' END AS best_first
+FROM base ORDER BY config
+"""
+
+QUERIES["join_order_audit"] = (q_join_order_audit,
+                               SQL_JOIN_ORDER_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa_types — multi-rater agreement on first-3 event types
+# ---------------------------------------------------------------------------
+
+
+def fleiss_kappa(cells, m: int = 3) -> tuple:
+    """Fleiss' κ from integer (subject, category, count) cells with
+    exactly m ratings per subject: with Σnn = Σᵢ Σ_c n_ic(n_ic−1)
+    and ΣT² = Σ_c (Σᵢ n_ic)²,
+
+        κ = [Σnn·(Nm)² − Nm(m−1)·ΣT²] / [Nm(m−1)·((Nm)² − ΣT²)]
+
+    — exact integers, one division.  Returns (n_subjects, kappa)."""
+    from collections import defaultdict
+
+    per_subj = defaultdict(int)
+    cat_tot = defaultdict(int)
+    snn = 0
+    for s, c, n in cells:
+        per_subj[s] += n
+        cat_tot[c] += n
+        snn += n * (n - 1)
+    nsub = len(per_subj)
+    assert all(v == m for v in per_subj.values())
+    nm = nsub * m
+    st2 = sum(v * v for v in cat_tot.values())
+    num = snn * nm * nm - nm * (m - 1) * st2
+    den = nm * (m - 1) * (nm * nm - st2)
+    return nsub, (num / den if den else None)
+
+
+def q_fleiss_kappa_types(sf_dir: str):
+    """Fleiss' κ over users-as-subjects: each user's FIRST THREE
+    events (by ts, event_id) are three 'raters' assigning a category
+    (event type) — do users open their sessions with consistent
+    behavior?  The multi-rater member of the agreement family
+    (cohen/weighted: two raters; scott-pi/AC1/alpha: chance models;
+    Fleiss: m raters per subject, the panel case).  Per-block
+    segmented take-3 partials reduce each block to ≤3 rows per user
+    before one bounded candidate merge; exact integer closure."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        e = np.asarray(t.column("event_id"), dtype=np.int64)
+        o = np.lexsort((e, tsv, u))
+        us, tss, es = u[o], tsv[o], e[o]
+        starts = np.r_[True, us[1:] != us[:-1]] if len(us) \
+            else np.zeros(0, dtype=bool)
+        run_id = np.cumsum(starts) - 1
+        first_idx = np.flatnonzero(starts)
+        pos_in_run = np.arange(len(us)) - first_idx[run_id] \
+            if len(us) else np.zeros(0, dtype=np.int64)
+        keep = pos_in_run < 3
+        ty = np.asarray(t.column("event_type").to_pylist())[o]
+        return pa.table({
+            "u": pa.array(us[keep]),
+            "ts": pa.array(tss[keep]),
+            "eid": pa.array(es[keep]),
+            "ty": pa.array(ty[keep]),
+        })
+
+    cand = agg._to_arrow(ds.map_batches(partial,
+                                        batch_format="pyarrow"))
+    u = np.asarray(cand.column("u"), dtype=np.int64)
+    tsv = np.asarray(cand.column("ts"), dtype=np.int64)
+    e = np.asarray(cand.column("eid"), dtype=np.int64)
+    ty = np.asarray(cand.column("ty").to_pylist())
+    o = np.lexsort((e, tsv, u))
+    us, tys = u[o], ty[o]
+    starts = np.r_[True, us[1:] != us[:-1]] if len(us) \
+        else np.zeros(0, dtype=bool)
+    run_id = np.cumsum(starts) - 1
+    first_idx = np.flatnonzero(starts)
+    pos = np.arange(len(us)) - first_idx[run_id] \
+        if len(us) else np.zeros(0, dtype=np.int64)
+    keep = pos < 3
+    # users with fewer than 3 events drop out
+    cnt = np.bincount(run_id[keep])
+    full = cnt == 3
+    keep2 = keep & full[run_id]
+    from collections import Counter
+
+    cells = Counter(zip(us[keep2].tolist(), tys[keep2].tolist()))
+    nsub, kappa = fleiss_kappa(
+        [(s, c, n) for (s, c), n in cells.items()])
+    return pa.table({
+        "n_users": pa.array([nsub], pa.int64()),
+        "fleiss_kappa": pa.array(
+            [round(kappa, 6) if kappa is not None else None],
+            pa.float64()),
+    })
+
+
+SQL_FLEISS_KAPPA_TYPES = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+f3 AS (
+  SELECT user_id, event_type FROM r
+  WHERE rn <= 3
+    AND user_id IN (SELECT user_id FROM r GROUP BY 1
+                    HAVING count(*) >= 3)),
+cells AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM f3 GROUP BY 1, 2),
+nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nsub
+       FROM cells),
+snn AS (SELECT CAST(sum(n * (n - 1)) AS HUGEINT) AS snn FROM cells),
+st AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS st2
+       FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+             FROM cells GROUP BY 1)),
+k AS (
+  SELECT nn.nsub,
+         CAST(snn.snn * (nn.nsub * 3) * (nn.nsub * 3)
+              - (nn.nsub * 3) * 2 * st.st2 AS DOUBLE)
+         / CAST((nn.nsub * 3) * 2
+                * (CAST(nn.nsub * 3 AS HUGEINT) * (nn.nsub * 3)
+                   - st.st2) AS DOUBLE) AS kappa
+  FROM nn, snn, st)
+SELECT nsub AS n_users, round(kappa, 6) AS fleiss_kappa
+FROM k
+"""
+
+QUERIES["fleiss_kappa_types"] = (q_fleiss_kappa_types,
+                                 SQL_FLEISS_KAPPA_TYPES)

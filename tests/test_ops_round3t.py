@@ -825,3 +825,58 @@ def test_haar_beats_histogram_on_spike():
     # histogram smears the spike across its 16-wide bucket
     assert d["sse_haar_x128"] == 0
     assert d["sse_hist_x128"] > 0
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa
+# ---------------------------------------------------------------------------
+
+
+def test_fleiss_textbook_perfect_and_chance():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import fleiss_kappa
+
+    # perfect agreement: every subject 3x same category
+    cells = [(s, "a" if s % 2 == 0 else "b", 3) for s in range(10)]
+    n, k = fleiss_kappa(cells)
+    assert n == 10 and math.isclose(k, 1.0, rel_tol=1e-12)
+    # maximal disagreement: each subject spreads over 3 categories
+    cells = [(s, c, 1) for s in range(12) for c in ("a", "b", "c")]
+    n, k = fleiss_kappa(cells)
+    assert n == 12
+    assert k < 0          # below-chance agreement
+
+
+def test_fleiss_matches_direct_transcription():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import fleiss_kappa
+
+    rng = random.Random(47)
+    cats = ["a", "b", "c", "d"]
+    cells = []
+    for s in range(40):
+        picks = [rng.choice(cats) for _ in range(3)]
+        from collections import Counter
+        for c, n in Counter(picks).items():
+            cells.append((s, c, n))
+    nsub, kappa = fleiss_kappa(cells)
+    # direct textbook form
+    N, m = 40, 3
+    from collections import defaultdict
+    nic = defaultdict(int)
+    for s, c, n in cells:
+        nic[(s, c)] += n
+    p_bar = sum(
+        (sum(nic[(s, c)] ** 2 for c in cats) - m) / (m * (m - 1))
+        for s in range(N)) / N
+    pj = [sum(nic[(s, c)] for s in range(N)) / (N * m) for c in cats]
+    p_e = sum(p * p for p in pj)
+    ref = (p_bar - p_e) / (1 - p_e)
+    assert math.isclose(kappa, ref, rel_tol=1e-12)
+
+
+def test_fleiss_rejects_unbalanced_subjects():
+    import pytest
+
+    from log_analysis_ai_ray.pipelines.queries_ext6 import fleiss_kappa
+
+    with pytest.raises(AssertionError):
+        fleiss_kappa([(0, "a", 2), (1, "a", 3)])
