@@ -400,6 +400,8 @@ BENCH_EXTRA = [
     "wavelet_synopsis_audit",
     "join_order_audit",
     "fleiss_kappa_types",
+    "jl_projection_audit",
+    "holt_winters_daily",
 ]
 
 

@@ -2443,3 +2443,226 @@ FROM k
 
 QUERIES["fleiss_kappa_types"] = (q_fleiss_kappa_types,
                                  SQL_FLEISS_KAPPA_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# jl_projection_audit — random-projection distance distortion
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_SAMPLE = 100
+
+
+def jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from the shared md5 hash — the same
+    expression the oracle evaluates."""
+    from ..functions.hashing import md5_hash32
+
+    return 1 if md5_hash32(f"jl_{i}_{j}") % 2 == 0 else -1
+
+
+def q_jl_projection_audit(sf_dir: str):
+    """Johnson-Lindenstrauss distortion audit: project the first 100
+    embeddings (64-d) through a deterministic md5-seeded ±1 matrix to
+    k = 16 dimensions and measure ‖RΔ‖²/(k‖Δ‖²) over all 4,950
+    pairs — the certificate an ANN scale path needs before swapping
+    full vectors for sketches (knn_* brute/LSH/IVF search the
+    vectors; JL says how much a 4× smaller representation bends the
+    metric).  JL promises concentration near 1 at rate
+    O(√(log n / k)); mean/min/max quantify it on the real embedding
+    table.  The sign matrix is hash-derived in BOTH engines, so the
+    audit is reproducible anywhere."""
+    import ray.data
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("vec_id"),
+                       pa.scalar(_JL_SAMPLE, pa.int64()))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        vid = np.asarray(t.column("vec_id"), dtype=np.int64)
+        emb = np.stack([np.asarray(x, dtype=np.float64)
+                        for x in t.column("embedding").to_pylist()])
+        n, d = emb.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "v": pa.array(emb.ravel()),
+        })
+
+    m = _partial_final(ds, partial, ["vec_id", "dim"], [("v", "max")])
+    vid = np.asarray(m.column("vid") if "vid" in m.column_names
+                     else m.column("vec_id"), dtype=np.int64)
+    dim = np.asarray(m.column("dim"), dtype=np.int64)
+    val = np.asarray(m.column("v"), dtype=np.float64)
+    n = int(vid.max()) + 1
+    d = int(dim.max()) + 1
+    X = np.zeros((n, d), dtype=np.float64)
+    X[vid, dim] = val
+    R = np.array([[jl_sign(i, j) for j in range(d)]
+                  for i in range(_JL_K)], dtype=np.float64)
+    Y = X @ R.T                       # n × k
+    ii, jj = np.triu_indices(n, k=1)
+    dorig = ((X[ii] - X[jj]) ** 2).sum(axis=1)
+    dproj = ((Y[ii] - Y[jj]) ** 2).sum(axis=1)
+    ratio = dproj / (_JL_K * dorig)
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "k_dims": pa.array([_JL_K], pa.int64()),
+        "n_pairs": pa.array([len(ratio)], pa.int64()),
+        "mean_ratio": pa.array([round(float(ratio.mean()), 6)],
+                               pa.float64()),
+        "min_ratio": pa.array([round(float(ratio.min()), 6)],
+                              pa.float64()),
+        "max_ratio": pa.array([round(float(ratio.max()), 6)],
+                              pa.float64()),
+    })
+
+
+SQL_JL_PROJECTION_AUDIT = """
+WITH e AS (
+  SELECT vec_id, CAST(j.range AS BIGINT) AS j,
+         CAST(embedding[CAST(j.range AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM embeddings, range(64) j
+  WHERE vec_id < 100),
+s AS (
+  SELECT CAST(i.range AS BIGINT) AS i, CAST(j.range AS BIGINT) AS j,
+         CASE WHEN (('0x' || substr(md5('jl_' || i.range || '_'
+                                        || j.range), 1, 8))::BIGINT)
+                   % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(16) i, range(64) j),
+y AS (
+  SELECT e.vec_id, s.i, sum(s.s * e.v) AS y
+  FROM e JOIN s ON s.j = e.j
+  GROUP BY 1, 2),
+dorig AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         sum((a.v - b.v) * (a.v - b.v)) AS d2
+  FROM e a JOIN e b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+dproj AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         sum((a.y - b.y) * (a.y - b.y)) AS d2
+  FROM y a JOIN y b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+r AS (
+  SELECT dproj.d2 / (16.0 * dorig.d2) AS ratio
+  FROM dorig JOIN dproj USING (va, vb))
+SELECT CAST(100 AS BIGINT) AS n_vectors,
+       CAST(16 AS BIGINT) AS k_dims,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(ratio), 6) AS mean_ratio,
+       round(min(ratio), 6) AS min_ratio,
+       round(max(ratio), 6) AS max_ratio
+FROM r
+"""
+
+QUERIES["jl_projection_audit"] = (q_jl_projection_audit,
+                                  SQL_JL_PROJECTION_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# holt_winters_daily — additive triple exponential smoothing
+# ---------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.2, 0.05, 0.1
+
+
+def holt_winters(xs) -> tuple:
+    """Additive Holt-Winters with period 7 and fixed
+    (α, β, γ) = (0.2, 0.05, 0.1): level/trend/seasonal recursion in
+    the EXACT float expression order the recursive-CTE oracle
+    replays (1−α etc. written as literals).  Init: level = mean of
+    week 1, trend = (mean week 2 − mean week 1)/7, seasonals =
+    week-1 deviations.  Returns (level, trend, sae, n_forecast)."""
+    n = len(xs)
+    w1 = sum(xs[:7]) / 7.0
+    w2 = sum(xs[7:14]) / 7.0
+    lvl = w1
+    tr = (w2 - w1) / 7.0
+    s = [xs[i] - w1 for i in range(7)]
+    sae = 0.0
+    for t in range(7, n):
+        f = lvl + tr + s[0]
+        sae = sae + abs(xs[t] - f)
+        lvl_new = 0.2 * (xs[t] - s[0]) + 0.8 * (lvl + tr)
+        tr = 0.05 * (lvl_new - lvl) + 0.95 * tr
+        s_new = 0.1 * (xs[t] - lvl_new) + 0.9 * s[0]
+        lvl = lvl_new
+        s = s[1:] + [s_new]
+    return lvl, tr, sae, n - 7
+
+
+def q_holt_winters_daily(sf_dir: str):
+    """Additive Holt-Winters smoothing of daily revenue with weekly
+    seasonality — the seasonal member of the smoothing family
+    (holt_backtest: level+trend; theta_forecast: SES+drift; THIS
+    adds the 7-slot seasonal state the others ignore).  Fixed
+    textbook constants keep the recursion deterministic; the oracle
+    replays the identical float recursion in a recursive CTE
+    (the kalman_local_level_daily pattern), so level, trend and the
+    one-step-ahead MAE agree bit-for-bit.  Days-bounded."""
+    _, cv = _daily_revenue_cents(sf_dir)
+    xs = cv.astype(np.float64).tolist()
+    lvl, tr, sae, nf = holt_winters(xs)
+    return pa.table({
+        "n_days": pa.array([len(xs)], pa.int64()),
+        "hw_level": pa.array([round(lvl, 4)], pa.float64()),
+        "hw_trend": pa.array([round(tr, 4)], pa.float64()),
+        "mae_1step": pa.array([round(sae / nf, 4)], pa.float64()),
+    })
+
+
+SQL_HOLT_WINTERS_DAILY = """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS DOUBLE) AS x
+  FROM orders GROUP BY 1),
+o AS (
+  SELECT x, row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER () AS n
+  FROM d),
+init AS (
+  SELECT (SELECT sum(x) FROM o WHERE t <= 7) / 7.0 AS w1,
+         (SELECT sum(x) FROM o WHERE t BETWEEN 8 AND 14) / 7.0 AS w2),
+rec AS (
+  SELECT 7 AS t,
+         init.w1 AS lvl, (init.w2 - init.w1) / 7.0 AS tr,
+         (SELECT x FROM o WHERE t = 1) - init.w1 AS s1,
+         (SELECT x FROM o WHERE t = 2) - init.w1 AS s2,
+         (SELECT x FROM o WHERE t = 3) - init.w1 AS s3,
+         (SELECT x FROM o WHERE t = 4) - init.w1 AS s4,
+         (SELECT x FROM o WHERE t = 5) - init.w1 AS s5,
+         (SELECT x FROM o WHERE t = 6) - init.w1 AS s6,
+         (SELECT x FROM o WHERE t = 7) - init.w1 AS s7,
+         CAST(0.0 AS DOUBLE) AS sae
+  FROM init
+  UNION ALL
+  SELECT rec.t + 1,
+         0.2 * (o.x - rec.s1) + 0.8 * (rec.lvl + rec.tr),
+         0.05 * ((0.2 * (o.x - rec.s1) + 0.8 * (rec.lvl + rec.tr))
+                 - rec.lvl) + 0.95 * rec.tr,
+         rec.s2, rec.s3, rec.s4, rec.s5, rec.s6, rec.s7,
+         0.1 * (o.x - (0.2 * (o.x - rec.s1)
+                       + 0.8 * (rec.lvl + rec.tr))) + 0.9 * rec.s1,
+         rec.sae + abs(o.x - (rec.lvl + rec.tr + rec.s1))
+  FROM rec JOIN o ON o.t = rec.t + 1),
+fin AS (
+  SELECT rec.t, rec.lvl, rec.tr, rec.sae
+  FROM rec, (SELECT max(n) AS n FROM o) nn
+  WHERE rec.t = nn.n)
+SELECT (SELECT CAST(max(n) AS BIGINT) FROM o) AS n_days,
+       round(lvl, 4) AS hw_level,
+       round(tr, 4) AS hw_trend,
+       round(sae / (t - 7), 4) AS mae_1step
+FROM fin
+"""
+
+QUERIES["holt_winters_daily"] = (q_holt_winters_daily,
+                                 SQL_HOLT_WINTERS_DAILY)

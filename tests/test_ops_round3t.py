@@ -880,3 +880,75 @@ def test_fleiss_rejects_unbalanced_subjects():
 
     with pytest.raises(AssertionError):
         fleiss_kappa([(0, "a", 2), (1, "a", 3)])
+
+
+# ---------------------------------------------------------------------------
+# jl_sign / JL audit arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_jl_sign_deterministic_and_balanced():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import jl_sign
+
+    m = [[jl_sign(i, j) for j in range(64)] for i in range(16)]
+    m2 = [[jl_sign(i, j) for j in range(64)] for i in range(16)]
+    assert m == m2
+    flat = [v for row in m for v in row]
+    assert set(flat) == {-1, 1}
+    # md5 bits are fair: the sign matrix is roughly balanced
+    assert 0.35 < flat.count(1) / len(flat) < 0.65
+
+
+def test_jl_expected_ratio_is_one():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import (_JL_K,
+                                                            jl_sign)
+
+    # E[||R d||^2] = k ||d||^2 holds EXACTLY over the sign ensemble;
+    # check concentration empirically for one fixed hash matrix
+    rng = np.random.RandomState(51)
+    d = 64
+    R = np.array([[jl_sign(i, j) for j in range(d)]
+                  for i in range(_JL_K)], float)
+    ratios = []
+    for _ in range(50):
+        x = rng.randn(d)
+        ratios.append(float((R @ x) @ (R @ x)) / (_JL_K * float(x @ x)))
+    assert 0.5 < np.mean(ratios) < 1.5
+    assert min(ratios) > 0.1 and max(ratios) < 4.0
+
+
+# ---------------------------------------------------------------------------
+# holt_winters
+# ---------------------------------------------------------------------------
+
+
+def test_hw_constant_series_is_exact():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import holt_winters
+
+    lvl, tr, sae, nf = holt_winters([100.0] * 70)
+    assert math.isclose(lvl, 100.0, abs_tol=1e-9)
+    assert abs(tr) < 1e-9
+    assert sae < 1e-6 and nf == 63
+
+
+def test_hw_tracks_pure_weekly_pattern():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import holt_winters
+
+    season = [10.0, 50.0, 20.0, 80.0, 30.0, 60.0, 40.0]
+    xs = season * 20
+    lvl, tr, sae, nf = holt_winters(xs)
+    # perfectly periodic: init seasonals are exact, forecasts perfect
+    assert sae < 1e-6
+    assert abs(tr) < 1e-9
+    assert math.isclose(lvl, sum(season) / 7.0, abs_tol=1e-6)
+
+
+def test_hw_trend_followed():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import holt_winters
+
+    xs = [100.0 + 5.0 * t for t in range(140)]
+    lvl, tr, sae, nf = holt_winters(xs)
+    # linear series: level converges near the last value, trend to 5
+    assert abs(tr - 5.0) < 1.0
+    assert abs(lvl - xs[-1]) < 20.0
+    assert sae / nf < 10.0
