@@ -402,6 +402,8 @@ BENCH_EXTRA = [
     "fleiss_kappa_types",
     "jl_projection_audit",
     "holt_winters_daily",
+    "linear_probe_audit",
+    "rendezvous_hash_audit",
 ]
 
 

@@ -2666,3 +2666,224 @@ FROM fin
 
 QUERIES["holt_winters_daily"] = (q_holt_winters_daily,
                                  SQL_HOLT_WINTERS_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# linear_probe_audit — open-addressing displacement via parking sweep
+# ---------------------------------------------------------------------------
+
+_LP_LOADS = ((2, 1), (4, 3), (10, 9))    # (denom, numer): α = n/m
+
+
+def linear_probe_stats(home_counts) -> tuple:
+    """Linear-probing displacement from the home-slot histogram h_s
+    of a NON-CIRCULAR table (spill runs past the last slot): the
+    carry c_s (keys still looking for a slot after s) obeys the
+    parking-function recurrence c_s = max(0, c_{s−1} + h_s − 1),
+    which closes to c_s = (P_s − (s+1)) − min_{t≤s}(P_{t−1} − t)⁻
+    with P the prefix sum — total displacement = Σ c_s, all exact
+    integers, no replay and INDEPENDENT of insertion order (total
+    displacement is layout-determined even though individual slots
+    are not).  Returns (total_displacement, max_carry)."""
+    h = np.asarray(home_counts, dtype=np.int64)
+    if not len(h):
+        return 0, 0
+    p = np.cumsum(h)
+    s = np.arange(1, len(h) + 1, dtype=np.int64)
+    d = p - s
+    prev_min = np.minimum.accumulate(np.concatenate(
+        [[0], d]))[:-1]              # min(0, d_0..d_{s−1})
+    c = np.maximum(d - prev_min, 0)  # c_s = max(0, d_s − that min)
+    c_end = int(c[-1])               # keys still probing past slot m−1
+    # they drain one per spill slot: extra Σ = c_end·(c_end−1)/2
+    return int(c.sum()) + c_end * (c_end - 1) // 2, int(c.max())
+
+
+def q_linear_probe_audit(sf_dir: str):
+    """Open-addressing hash-table audit: place the distinct users
+    into linear-probing tables at load factors 1/2, 3/4 and 9/10
+    (md5 home slots) and measure total/mean displacement and the
+    worst probe cluster — the Knuth result that mean displacement
+    explodes like 1/(1−α)² as the table fills, priced on the real
+    key set before an engine picks its hash-table headroom (the
+    open-addressing companion of feature_hash_buckets' chaining
+    audit).  The parking-function prefix identity turns the replay
+    into one vectorized sweep per load factor, order-independent and
+    exact; the oracle mirrors it with window functions — no
+    recursion."""
+    from ..functions.hashing import md5_hash32
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t.column("user_id")}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "c"])
+
+    m = _partial_final(ds, partial, ["user_id"], [("c", "sum")])
+    users = np.asarray(m.column("user_id"), dtype=np.int64)
+    n = len(users)
+    kh = np.fromiter((md5_hash32(f"lp{u}") for u in users.tolist()),
+                     dtype=np.int64, count=n)
+    out = {"load_pct": [], "m_slots": [], "n_keys": [],
+           "total_displacement": [], "mean_probe": [],
+           "max_carry": []}
+    for den, num in _LP_LOADS:
+        mslots = (n * den + num - 1) // num
+        home = kh % mslots
+        h = np.bincount(home, minlength=mslots)
+        tot, mx = linear_probe_stats(h)
+        out["load_pct"].append(100 * num // den)
+        out["m_slots"].append(mslots)
+        out["n_keys"].append(n)
+        out["total_displacement"].append(tot)
+        out["mean_probe"].append(round(1.0 + tot / n, 6))
+        out["max_carry"].append(mx)
+    return pa.table({
+        "load_pct": pa.array(out["load_pct"], pa.int64()),
+        "m_slots": pa.array(out["m_slots"], pa.int64()),
+        "n_keys": pa.array(out["n_keys"], pa.int64()),
+        "total_displacement": pa.array(out["total_displacement"],
+                                       pa.int64()),
+        "mean_probe": pa.array(out["mean_probe"], pa.float64()),
+        "max_carry": pa.array(out["max_carry"], pa.int64()),
+    })
+
+
+SQL_LINEAR_PROBE_AUDIT = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+cfg AS (
+  SELECT 50 AS load_pct, 2 AS den, 1 AS num
+  UNION ALL SELECT 75, 4, 3
+  UNION ALL SELECT 90, 10, 9),
+sized AS (
+  SELECT cfg.load_pct, nn.n,
+         (nn.n * cfg.den + cfg.num - 1) // cfg.num AS m
+  FROM cfg, nn),
+home AS (
+  SELECT s.load_pct, s.m, s.n,
+         (('0x' || substr(md5('lp' || u.user_id), 1, 8))::BIGINT)
+           % s.m AS slot
+  FROM u, sized s),
+h AS (
+  SELECT load_pct, m, n, slot, CAST(count(*) AS BIGINT) AS c
+  FROM home GROUP BY 1, 2, 3, 4),
+grid AS (
+  SELECT s.load_pct, s.m, s.n, CAST(g.range AS BIGINT) AS slot,
+         coalesce(h.c, 0) AS c
+  FROM sized s
+       JOIN range(1000000) g ON g.range < s.m
+       LEFT JOIN h ON h.load_pct = s.load_pct AND h.slot = g.range),
+sweep AS (
+  SELECT load_pct, m, n, slot,
+         sum(c) OVER (PARTITION BY load_pct ORDER BY slot)
+           - (slot + 1) AS d
+  FROM grid),
+carry AS (
+  SELECT load_pct, m, n, slot,
+         greatest(d - least(coalesce(min(d) OVER (
+             PARTITION BY load_pct ORDER BY slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0), 0), 0) AS c
+  FROM sweep),
+tot AS (
+  SELECT load_pct, max(m) AS m_slots, max(n) AS n_keys,
+         CAST(sum(c) AS BIGINT)
+           + CAST(max(CASE WHEN slot = m - 1
+                           THEN c * (c - 1) // 2 ELSE 0 END)
+                  AS BIGINT) AS total_displacement,
+         CAST(max(c) AS BIGINT) AS max_carry
+  FROM carry GROUP BY 1)
+SELECT load_pct, m_slots, n_keys, total_displacement,
+       round(1.0 + CAST(total_displacement AS DOUBLE) / n_keys, 6)
+         AS mean_probe,
+       max_carry
+FROM tot ORDER BY 1
+"""
+
+QUERIES["linear_probe_audit"] = (q_linear_probe_audit,
+                                 SQL_LINEAR_PROBE_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_hash_audit — HRW placement vs the vnode ring
+# ---------------------------------------------------------------------------
+
+_HRW_NODES = 8
+
+
+def q_rendezvous_hash_audit(sf_dir: str):
+    """Rendezvous (highest-random-weight) placement audit over the
+    same 8 nodes and user-keyed event traffic as
+    consistent_hash_ring: each user lands on argmax_node
+    md5('hrw<node>_u<user>') — no vnode tuning, provably minimal
+    disruption, and (unlike a ring with finite vnodes) no arc-length
+    variance term.  Per node: users owned and exact event share —
+    read next to the ring audit, this is the engine's
+    placement-policy bake-off on real traffic.  Ties (never observed
+    at 32-bit) break to the smaller node id in BOTH engines."""
+    from ..functions.hashing import md5_hash32
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t.column("user_id")}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "c"])
+
+    m = _partial_final(ds, partial, ["user_id"], [("c", "sum")])
+    users = np.asarray(m.column("user_id"), dtype=np.int64)
+    cnt = np.asarray(m.column("c"), dtype=np.int64)
+    hs = np.stack([
+        np.fromiter((md5_hash32(f"hrw{nd}_u{u}")
+                     for u in users.tolist()),
+                    dtype=np.int64, count=len(users))
+        for nd in range(_HRW_NODES)])          # nodes × users
+    owner = np.argmax(hs, axis=0)              # first max = min node
+    total = int(cnt.sum())
+    rows = {"node": [], "n_users": [], "n_events": [],
+            "event_ppm": []}
+    for nd in range(_HRW_NODES):
+        sel = owner == nd
+        ev = int(cnt[sel].sum())
+        rows["node"].append(nd)
+        rows["n_users"].append(int(sel.sum()))
+        rows["n_events"].append(ev)
+        rows["event_ppm"].append(ev * 1_000_000 // total)
+    return pa.table({
+        "node": pa.array(rows["node"], pa.int64()),
+        "n_users": pa.array(rows["n_users"], pa.int64()),
+        "n_events": pa.array(rows["n_events"], pa.int64()),
+        "event_ppm": pa.array(rows["event_ppm"], pa.int64()),
+    })
+
+
+SQL_RENDEZVOUS_HASH_AUDIT = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+w AS (
+  SELECT u.user_id, u.c, CAST(n.range AS BIGINT) AS node,
+         (('0x' || substr(md5('hrw' || n.range || '_u'
+                              || u.user_id), 1, 8))::BIGINT) AS h
+  FROM u, range(8) n),
+pick AS (
+  SELECT user_id, c, node,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY h DESC, node ASC) AS rk
+  FROM w),
+own AS (SELECT node, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(c) AS BIGINT) AS n_events
+        FROM pick WHERE rk = 1 GROUP BY 1),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM own),
+grid AS (SELECT CAST(g.range AS BIGINT) AS node FROM range(8) g)
+SELECT grid.node,
+       coalesce(own.n_users, 0) AS n_users,
+       coalesce(own.n_events, 0) AS n_events,
+       coalesce(own.n_events, 0) * 1000000 // tot.t AS event_ppm
+FROM grid LEFT JOIN own USING (node), tot
+ORDER BY grid.node
+"""
+
+QUERIES["rendezvous_hash_audit"] = (q_rendezvous_hash_audit,
+                                    SQL_RENDEZVOUS_HASH_AUDIT)

@@ -952,3 +952,71 @@ def test_hw_trend_followed():
     assert abs(tr - 5.0) < 1.0
     assert abs(lvl - xs[-1]) < 20.0
     assert sae / nf < 10.0
+
+
+# ---------------------------------------------------------------------------
+# linear_probe_stats
+# ---------------------------------------------------------------------------
+
+
+def _probe_replay(h):
+    occ = set()
+    tot = 0
+    keys = [s for s, c in enumerate(h) for _ in range(c)]
+    for k in keys:
+        s = k
+        while s in occ:
+            s += 1
+        tot += s - k
+        occ.add(s)
+    c = mx = 0
+    for hv in h:
+        c = max(0, c + hv - 1)
+        mx = max(mx, c)
+    return tot, mx
+
+
+def test_linear_probe_matches_replay_randomized():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        linear_probe_stats
+
+    rng = random.Random(53)
+    for _ in range(100):
+        m = rng.randrange(1, 60)
+        h = [0] * m
+        for _ in range(rng.randrange(0, m + 5)):
+            h[rng.randrange(m)] += 1
+        assert linear_probe_stats(h) == _probe_replay(h)
+
+
+def test_linear_probe_knuth_blowup_with_load():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        linear_probe_stats
+
+    rng = random.Random(59)
+    n = 2000
+    keys = [rng.randrange(1 << 30) for _ in range(n)]
+
+    def mean_probe(alpha):
+        m = int(n / alpha)
+        h = [0] * m
+        for k in keys:
+            h[k % m] += 1
+        tot, _ = linear_probe_stats(h)
+        return 1.0 + tot / n
+
+    # Knuth: E[probes] ≈ (1 + 1/(1−α))/2 — displacement explodes
+    assert mean_probe(0.5) < mean_probe(0.75) < mean_probe(0.95)
+    assert mean_probe(0.95) > 3.0
+
+
+def test_linear_probe_all_same_slot_is_arithmetic():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        linear_probe_stats
+
+    # k keys on one slot: displacements 0+1+…+(k−1)
+    tot, mx = linear_probe_stats([5, 0, 0, 0, 0, 0])
+    assert tot == 10 and mx == 4
+    # spill past the end drains with the same arithmetic tail
+    tot2, _ = linear_probe_stats([5])
+    assert tot2 == 10
