@@ -404,6 +404,8 @@ BENCH_EXTRA = [
     "holt_winters_daily",
     "linear_probe_audit",
     "rendezvous_hash_audit",
+    "markov_dobrushin_mixing",
+    "kcenter_greedy_embeddings",
 ]
 
 

@@ -2887,3 +2887,223 @@ ORDER BY grid.node
 
 QUERIES["rendezvous_hash_audit"] = (q_rendezvous_hash_audit,
                                     SQL_RENDEZVOUS_HASH_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# markov_dobrushin_mixing — TV contraction coefficient of the chain
+# ---------------------------------------------------------------------------
+
+
+def dobrushin_delta(cells) -> tuple:
+    """Dobrushin ergodicity coefficient δ(P) = ½·max_{i,k} Σ_j
+    |P_ij − P_kj| from integer transition counts {(i, j): c}: each
+    pair term is Σ_j |c_ij·r_k − c_kj·r_i| / (2·r_i·r_k) — exact
+    integer numerators over a common denominator, compared exactly
+    across pairs via cross-multiplication.  Returns
+    (delta, state_a, state_b) with the lexicographically smallest
+    argmax pair."""
+    from collections import defaultdict
+
+    rows = defaultdict(int)
+    states = set()
+    for (i, j), c in cells.items():
+        rows[i] += c
+        states.add(i)
+        states.add(j)
+    sts = sorted(states)
+    best = None
+    for a in range(len(sts)):
+        for b in range(a + 1, len(sts)):
+            i, k = sts[a], sts[b]
+            ri, rk = rows[i], rows[k]
+            if ri == 0 or rk == 0:
+                continue
+            num = sum(abs(cells.get((i, j), 0) * rk
+                          - cells.get((k, j), 0) * ri)
+                      for j in sts)
+            den = 2 * ri * rk
+            if best is None or num * best[1] > best[0] * den:
+                best = (num, den, i, k)
+    if best is None:
+        return None, None, None
+    return best[0] / best[1], best[2], best[3]
+
+
+def q_markov_dobrushin_mixing(sf_dir: str):
+    """Dobrushin ergodicity coefficient of the user event-type chain
+    (transition counts from event_type_markov): δ = the worst-case
+    total-variation contraction per step, with the mixing bound
+    tv(t) ≤ δᵗ — the coefficient answers 'how many events until a
+    user's behavior forgets its start state?' WITHOUT eigenvalues
+    (δ upper-bounds |λ₂| and stays real for non-reversible chains,
+    where power iteration can oscillate).  Exact integer pair
+    comparisons via cross-multiplication; t_mix(1%) = ⌈ln .01 /
+    ln δ⌉ from the one shared float."""
+    counts = QUERIES["event_type_markov"][0](sf_dir)
+    pv = counts.column("prev_type").to_pylist()
+    cv = counts.column("cur_type").to_pylist()
+    nv = np.asarray(counts.column("n"), dtype=np.int64).tolist()
+    cells = {(p, c): n for p, c, n in zip(pv, cv, nv)}
+    delta, sa, sb = dobrushin_delta(cells)
+    if delta is not None and 0.0 < delta < 1.0:
+        tmix = math.ceil(math.log(0.01) / math.log(delta))
+    else:
+        tmix = None
+    return pa.table({
+        "n_states": pa.array([len({s for s, _ in cells}
+                                  | {s for _, s in cells})],
+                             pa.int64()),
+        "delta": pa.array(
+            [round(delta, 6) if delta is not None else None],
+            pa.float64()),
+        "argmax_a": pa.array([sa]),
+        "argmax_b": pa.array([sb]),
+        "tmix_1pct": pa.array([tmix], pa.int64()),
+    })
+
+
+SQL_MARKOV_DOBRUSHIN_MIXING = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+tr AS (
+  SELECT prev AS i, event_type AS j, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+states AS (SELECT DISTINCT i AS s FROM tr
+           UNION SELECT DISTINCT j FROM tr),
+rows_ AS (SELECT i, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+pairs AS (
+  SELECT a.s AS i, b.s AS k, ra.r AS ri, rb.r AS rk,
+         (SELECT CAST(sum(abs(
+             coalesce((SELECT c FROM tr
+                       WHERE tr.i = a.s AND tr.j = st.s), 0)
+               * CAST(rb.r AS HUGEINT)
+             - coalesce((SELECT c FROM tr
+                         WHERE tr.i = b.s AND tr.j = st.s), 0)
+               * CAST(ra.r AS HUGEINT))) AS HUGEINT)
+          FROM states st) AS num
+  FROM states a JOIN states b ON a.s < b.s
+       JOIN rows_ ra ON ra.i = a.s
+       JOIN rows_ rb ON rb.i = b.s),
+best AS (
+  SELECT i, k, num, 2 * CAST(ri AS HUGEINT) * rk AS den,
+         CAST(num AS DOUBLE) / (2.0 * ri * rk) AS delta
+  FROM pairs
+  ORDER BY CAST(num AS DOUBLE) / (2.0 * ri * rk) DESC, i, k
+  LIMIT 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM states) AS n_states,
+       round(delta, 6) AS delta,
+       i AS argmax_a, k AS argmax_b,
+       CASE WHEN delta > 0 AND delta < 1
+            THEN CAST(ceil(ln(0.01) / ln(delta)) AS BIGINT)
+       END AS tmix_1pct
+FROM best
+"""
+
+QUERIES["markov_dobrushin_mixing"] = (q_markov_dobrushin_mixing,
+                                      SQL_MARKOV_DOBRUSHIN_MIXING)
+
+
+# ---------------------------------------------------------------------------
+# kcenter_greedy_embeddings — Gonzalez 2-approx coreset selection
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def kcenter_greedy(X) -> list:
+    """Gonzalez farthest-point traversal: start at index 0, then
+    repeatedly take the point with the largest squared-L2 distance
+    to its nearest chosen center (ties → smaller index).  The k-th
+    selection radius 2-approximates the optimal k-center radius.
+    Returns [(center_index, radius_sq_at_selection)] — the first
+    entry has radius 0 by convention."""
+    n = len(X)
+    centers = [(0, 0.0)]
+    mind = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, _KC_K):
+        w = int(np.argmax(mind))         # first max = smallest index
+        centers.append((w, float(mind[w])))
+        d = ((X - X[w]) ** 2).sum(axis=1)
+        mind = np.minimum(mind, d)
+    return centers
+
+
+def q_kcenter_greedy_embeddings(sf_dir: str):
+    """Greedy k-center (Gonzalez) coreset over the embedding table:
+    8 maximally-spread exemplars with the covering radius achieved at
+    each step — the facility-location member of the clustering family
+    (kmeans/kmedoids minimize AVERAGE distortion; k-center minimizes
+    the WORST case, which is what a coverage-oriented data-curation
+    pass wants from its exemplars), and the greedy radius is a
+    provable 2-approximation.  Each step is one argmax over a
+    min-distance map — per-block reducible at scale; the oracle
+    unrolls the 8 steps mechanically."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t.column("vec_id"), dtype=np.int64)
+        emb = np.stack([np.asarray(x, dtype=np.float64)
+                        for x in t.column("embedding").to_pylist()]) \
+            if t.num_rows else np.zeros((0, 64))
+        d = emb.shape[1] if t.num_rows else 64
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(vid))),
+            "v": pa.array(emb.ravel()),
+        })
+
+    m = _partial_final(ds, partial, ["vec_id", "dim"], [("v", "max")])
+    vid = np.asarray(m.column("vec_id"), dtype=np.int64)
+    dim = np.asarray(m.column("dim"), dtype=np.int64)
+    val = np.asarray(m.column("v"), dtype=np.float64)
+    n = int(vid.max()) + 1
+    d = int(dim.max()) + 1
+    X = np.zeros((n, d), dtype=np.float64)
+    X[vid, dim] = val
+    centers = kcenter_greedy(X)
+    return pa.table({
+        "step": pa.array(list(range(1, _KC_K + 1)), pa.int64()),
+        "center_vec_id": pa.array([c for c, _ in centers],
+                                  pa.int64()),
+        "radius_sq": pa.array([round(r, 6) for _, r in centers],
+                              pa.float64()),
+    })
+
+
+def _kcenter_sql() -> str:
+    parts = ["""
+WITH e AS (
+  SELECT vec_id, CAST(j.range AS BIGINT) AS j,
+         CAST(embedding[CAST(j.range AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM embeddings, range(64) j),
+c1 AS (SELECT 0 AS vec_id, CAST(0.0 AS DOUBLE) AS radius),
+m1 AS (
+  SELECT a.vec_id, sum((a.v - c.v) * (a.v - c.v)) AS mind
+  FROM e a JOIN e c ON c.vec_id = 0 AND c.j = a.j
+  GROUP BY 1)"""]
+    for t in range(2, _KC_K + 1):
+        parts.append(f""",
+p{t} AS (
+  SELECT vec_id, mind FROM m{t - 1}
+  ORDER BY mind DESC, vec_id LIMIT 1),
+m{t} AS (
+  SELECT m.vec_id, least(m.mind, d.dist) AS mind
+  FROM m{t - 1} m JOIN (
+    SELECT a.vec_id, sum((a.v - c.v) * (a.v - c.v)) AS dist
+    FROM e a JOIN e c
+      ON c.vec_id = (SELECT vec_id FROM p{t}) AND c.j = a.j
+    GROUP BY 1) d ON d.vec_id = m.vec_id)""")
+    sel = ["SELECT 1 AS step, vec_id AS center_vec_id, "
+           "round(radius, 6) AS radius_sq FROM c1"]
+    for t in range(2, _KC_K + 1):
+        sel.append(f"SELECT {t}, vec_id, round(mind, 6) FROM p{t}")
+    parts.append("\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
+    return "".join(parts)
+
+
+QUERIES["kcenter_greedy_embeddings"] = (q_kcenter_greedy_embeddings,
+                                        _kcenter_sql())

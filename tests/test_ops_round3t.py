@@ -1020,3 +1020,81 @@ def test_linear_probe_all_same_slot_is_arithmetic():
     # spill past the end drains with the same arithmetic tail
     tot2, _ = linear_probe_stats([5])
     assert tot2 == 10
+
+
+# ---------------------------------------------------------------------------
+# dobrushin_delta
+# ---------------------------------------------------------------------------
+
+
+def test_dobrushin_identical_rows_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        dobrushin_delta
+
+    cells = {("a", "a"): 2, ("a", "b"): 6,
+             ("b", "a"): 1, ("b", "b"): 3}   # same distribution
+    d, i, k = dobrushin_delta(cells)
+    assert d == 0.0
+
+
+def test_dobrushin_disjoint_rows_one():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        dobrushin_delta
+
+    cells = {("a", "a"): 5, ("b", "b"): 7}   # zero overlap
+    d, i, k = dobrushin_delta(cells)
+    assert d == 1.0 and (i, k) == ("a", "b")
+
+
+def test_dobrushin_matches_float_transcription():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        dobrushin_delta
+
+    rng = random.Random(61)
+    sts = ["a", "b", "c", "d"]
+    cells = {(i, j): rng.randrange(1, 50) for i in sts for j in sts}
+    d, _, _ = dobrushin_delta(cells)
+    rows = {i: sum(cells[(i, j)] for j in sts) for i in sts}
+    ref = max(
+        0.5 * sum(abs(cells[(i, j)] / rows[i]
+                      - cells[(k, j)] / rows[k]) for j in sts)
+        for a, i in enumerate(sts) for k in sts[a + 1:])
+    assert math.isclose(d, ref, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# kcenter_greedy
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_radius_nonincreasing_and_2approx():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        kcenter_greedy
+
+    rng = np.random.RandomState(67)
+    X = rng.randn(200, 8)
+    cs = kcenter_greedy(X)
+    radii = [r for _, r in cs[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # covering radius after k picks ≤ radius at the k-th pick
+    centers = np.array([c for c, _ in cs])
+    mind = np.min(((X[:, None, :] - X[centers][None, :, :]) ** 2)
+                  .sum(axis=2), axis=1)
+    assert float(mind.max()) <= radii[-1] + 1e-9
+
+
+def test_kcenter_picks_planted_clusters():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import (_KC_K,
+                                                            kcenter_greedy)
+
+    # 8 well-separated blobs: greedy must touch every blob once
+    rng = np.random.RandomState(71)
+    blobs = []
+    for b in range(8):
+        center = np.zeros(4)
+        center[b % 4] = 1000.0 * (1 + b // 4)
+        blobs.append(center + 0.01 * rng.randn(20, 4))
+    X = np.vstack(blobs)
+    cs = kcenter_greedy(X)
+    picked_blobs = {c // 20 for c, _ in cs}
+    assert len(picked_blobs) == _KC_K
