@@ -406,6 +406,8 @@ BENCH_EXTRA = [
     "rendezvous_hash_audit",
     "markov_dobrushin_mixing",
     "kcenter_greedy_embeddings",
+    "database_cracking_audit",
+    "mvcc_conflict_audit",
 ]
 
 

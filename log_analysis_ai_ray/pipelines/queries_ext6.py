@@ -3107,3 +3107,207 @@ m{t} AS (
 
 QUERIES["kcenter_greedy_embeddings"] = (q_kcenter_greedy_embeddings,
                                         _kcenter_sql())
+
+
+# ---------------------------------------------------------------------------
+# database_cracking_audit — adaptive-index scan-cost decay
+# ---------------------------------------------------------------------------
+
+_CRACK_Q = 64
+
+
+def cracking_costs(values_hist, pivots, lo, hi) -> list:
+    """Per-query crack costs WITHOUT replaying index state: query i
+    cracks the segment (pred, succ] where pred/succ are the nearest
+    earlier pivots around p_i (domain edges otherwise) — the segment
+    tree is fully determined by the pivot PREFIX, so each cost is a
+    prefix-window predecessor/successor lookup plus one cumulative
+    histogram difference.  values_hist: sorted (value, count)
+    arrays.  Returns [cost_i]."""
+    vs, cs = values_hist
+    cum = np.cumsum(cs)
+
+    def count_le(x):
+        k = np.searchsorted(vs, x, side="right")
+        return int(cum[k - 1]) if k else 0
+
+    costs = []
+    for i, p in enumerate(pivots):
+        prior = pivots[:i]
+        pred = max([lo - 1] + [q for q in prior if q < p])
+        succ = min([hi] + [q for q in prior if q >= p])
+        costs.append(count_le(succ) - count_le(pred))
+    return costs
+
+
+def q_database_cracking_audit(sf_dir: str):
+    """Database-cracking (adaptive indexing) audit on lineitem
+    extended prices: 64 md5-derived range queries progressively crack
+    the column, and the cost of query i is the size of the one
+    segment it still has to scan — Idreos et al.'s observation that
+    the index builds ITSELF as a side effect of querying, with
+    per-query cost decaying toward log-search.  The prefix-determined
+    segment identity removes the replay (each cost = predecessor/
+    successor among earlier pivots + one histogram window), so the
+    audit is exact integers end-to-end; first-16 vs last-16 mean
+    scan cost quantifies the decay an engine buys by cracking
+    instead of full-sorting up front."""
+    from ..functions.hashing import md5_hash32
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100), 0), pa.int64())
+        g = pa.table({"v": cents,
+                      "c": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64))}) \
+            .group_by("v").aggregate([("c", "sum")])
+        return g.rename_columns(["v", "c"])
+
+    m = _partial_final(ds, partial, ["v"], [("c", "sum")]).sort_by("v")
+    vs = np.asarray(m.column("v"), dtype=np.int64)
+    cs = np.asarray(m.column("c"), dtype=np.int64)
+    lo = int(vs.min())
+    hi = int(vs.max())
+    span = hi - lo + 1
+    pivots = [lo + md5_hash32(f"crack{i}") % span
+              for i in range(1, _CRACK_Q + 1)]
+    costs = cracking_costs((vs, cs), pivots, lo, hi)
+    n = int(cs.sum())
+    first16 = sum(costs[:16])
+    last16 = sum(costs[-16:])
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_queries": pa.array([_CRACK_Q], pa.int64()),
+        "total_scanned": pa.array([sum(costs)], pa.int64()),
+        "first16_scanned": pa.array([first16], pa.int64()),
+        "last16_scanned": pa.array([last16], pa.int64()),
+        "decay_ppm": pa.array(
+            [last16 * 1_000_000 // first16 if first16 else None],
+            pa.int64()),
+    })
+
+
+SQL_DATABASE_CRACKING_AUDIT = """
+WITH hist AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM hist),
+piv AS (
+  SELECT CAST(g.range AS BIGINT) + 1 AS i,
+         bounds.lo + (('0x' || substr(md5('crack'
+             || (g.range + 1)), 1, 8))::BIGINT)
+           % (bounds.hi - bounds.lo + 1) AS p
+  FROM range(64) g, bounds),
+seg AS (
+  SELECT a.i, a.p,
+         coalesce((SELECT max(b.p) FROM piv b
+                   WHERE b.i < a.i AND b.p < a.p),
+                  bounds.lo - 1) AS pred,
+         coalesce((SELECT min(b.p) FROM piv b
+                   WHERE b.i < a.i AND b.p >= a.p),
+                  bounds.hi) AS succ
+  FROM piv a, bounds),
+cost AS (
+  SELECT seg.i,
+         (SELECT coalesce(sum(c), 0) FROM hist
+          WHERE v > seg.pred AND v <= seg.succ) AS cost
+  FROM seg),
+s AS (
+  SELECT CAST(sum(cost) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN i <= 16 THEN cost ELSE 0 END)
+              AS BIGINT) AS f16,
+         CAST(sum(CASE WHEN i > 48 THEN cost ELSE 0 END)
+              AS BIGINT) AS l16
+  FROM cost)
+SELECT (SELECT CAST(sum(c) AS BIGINT) FROM hist) AS n_rows,
+       CAST(64 AS BIGINT) AS n_queries,
+       total AS total_scanned,
+       f16 AS first16_scanned, l16 AS last16_scanned,
+       CASE WHEN f16 > 0 THEN l16 * 1000000 // f16 END AS decay_ppm
+FROM s
+"""
+
+QUERIES["database_cracking_audit"] = (q_database_cracking_audit,
+                                      SQL_DATABASE_CRACKING_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# mvcc_conflict_audit — optimistic-concurrency abort-rate estimate
+# ---------------------------------------------------------------------------
+
+
+def q_mvcc_conflict_audit(sf_dir: str):
+    """Optimistic-concurrency conflict audit: batch each hour into
+    one transaction per event type (per-writer-class txns) — a
+    (user, hour) cell touched by k ≥ 2 types means k writers update
+    the same row version concurrently, and first-committer-wins
+    aborts k−1 of them.  Reports the per-hour-user conflict rate and
+    the implied abort share of all writes — the number that decides
+    between optimistic CC and per-key locking for the routed store's
+    upsert path (stages/route.py + upsert_corrections).  One bounded
+    (hour, user) reduce; exact integers."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id",
+                                          "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        g = pa.table({
+            "hour": pa.array(tsv // 3_600_000_000),
+            "user_id": t.column("user_id"),
+            "ty": t.column("event_type"),
+        }).group_by(["hour", "user_id", "ty"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "user_id", "ty", "c"])
+
+    m = _partial_final(ds, partial, ["hour", "user_id", "ty"],
+                       [("c", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    uid = np.asarray(m.column("user_id"), dtype=np.int64)
+    key = hr * 1_000_000_007 + uid
+    uk, inv, kcnt = np.unique(key, return_inverse=True,
+                              return_counts=True)
+    n_cells = len(uk)
+    conflicted = int((kcnt >= 2).sum())
+    aborts = int((kcnt - 1)[kcnt >= 2].sum())
+    writes = int(kcnt.sum())             # one write per (h,u,type)
+    return pa.table({
+        "n_hour_users": pa.array([n_cells], pa.int64()),
+        "n_writes": pa.array([writes], pa.int64()),
+        "n_conflicted_cells": pa.array([conflicted], pa.int64()),
+        "n_aborts": pa.array([aborts], pa.int64()),
+        "conflict_ppm": pa.array(
+            [conflicted * 1_000_000 // n_cells], pa.int64()),
+        "abort_ppm": pa.array([aborts * 1_000_000 // writes],
+                              pa.int64()),
+        "max_writers": pa.array([int(kcnt.max())], pa.int64()),
+    })
+
+
+SQL_MVCC_CONFLICT_AUDIT = """
+WITH cell AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(k) AS BIGINT) AS writes,
+         CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conflicted,
+         CAST(sum(CASE WHEN k >= 2 THEN k - 1 ELSE 0 END) AS BIGINT)
+           AS aborts,
+         CAST(max(k) AS BIGINT) AS mx
+  FROM cell)
+SELECT n_cells AS n_hour_users, writes AS n_writes,
+       conflicted AS n_conflicted_cells, aborts AS n_aborts,
+       conflicted * 1000000 // n_cells AS conflict_ppm,
+       aborts * 1000000 // writes AS abort_ppm,
+       mx AS max_writers
+FROM s
+"""
+
+QUERIES["mvcc_conflict_audit"] = (q_mvcc_conflict_audit,
+                                  SQL_MVCC_CONFLICT_AUDIT)

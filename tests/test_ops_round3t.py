@@ -1098,3 +1098,66 @@ def test_kcenter_picks_planted_clusters():
     cs = kcenter_greedy(X)
     picked_blobs = {c // 20 for c, _ in cs}
     assert len(picked_blobs) == _KC_K
+
+
+# ---------------------------------------------------------------------------
+# cracking_costs
+# ---------------------------------------------------------------------------
+
+
+def _cracking_replay(values, pivots, lo, hi):
+    """Replay with an explicit boundary list."""
+    import bisect
+    bounds = [lo - 1, hi]
+    costs = []
+    svals = sorted(values)
+
+    def cnt(a, b):
+        return bisect.bisect_right(svals, b) \
+            - bisect.bisect_right(svals, a)
+
+    for p in pivots:
+        pred = max(b for b in bounds if b < p)
+        succ = min(b for b in bounds if b >= p)
+        costs.append(cnt(pred, succ))
+        if p not in bounds:
+            bisect.insort(bounds, p)
+    return costs
+
+
+def test_cracking_costs_match_replay():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        cracking_costs
+
+    rng = random.Random(73)
+    values = [rng.randrange(0, 10_000) for _ in range(5_000)]
+    lo, hi = min(values), max(values)
+    pivots = [rng.randrange(lo, hi + 1) for _ in range(64)]
+    vs, cs = np.unique(np.asarray(values), return_counts=True)
+    got = cracking_costs((vs, cs), pivots, lo, hi)
+    assert got == _cracking_replay(values, pivots, lo, hi)
+
+
+def test_cracking_cost_decays():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        cracking_costs
+
+    rng = random.Random(79)
+    values = [rng.randrange(0, 1_000_000) for _ in range(20_000)]
+    lo, hi = min(values), max(values)
+    pivots = [rng.randrange(lo, hi + 1) for _ in range(64)]
+    vs, cs = np.unique(np.asarray(values), return_counts=True)
+    costs = cracking_costs((vs, cs), pivots, lo, hi)
+    assert costs[0] == len(values)       # first query scans it all
+    assert sum(costs[-16:]) < sum(costs[:16]) / 3
+
+
+def test_cracking_duplicate_pivot_rescans_left_part():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        cracking_costs
+
+    vs = np.array([1, 2, 3, 4, 5, 6, 7, 8])
+    cs = np.ones(8, dtype=np.int64)
+    costs = cracking_costs((vs, cs), [4, 4], 1, 8)
+    assert costs[0] == 8                 # whole column
+    assert costs[1] == 4                 # (lo−1, 4] half only
