@@ -408,6 +408,8 @@ BENCH_EXTRA = [
     "kcenter_greedy_embeddings",
     "database_cracking_audit",
     "mvcc_conflict_audit",
+    "fsst_bigram_audit",
+    "tukey_gh_fit_daily",
 ]
 
 

@@ -3311,3 +3311,232 @@ FROM s
 
 QUERIES["mvcc_conflict_audit"] = (q_mvcc_conflict_audit,
                                   SQL_MVCC_CONFLICT_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# fsst_bigram_audit — frequent-substring dictionary compression
+# ---------------------------------------------------------------------------
+
+_FSST_TOP = 8
+
+
+def fsst_bigram_counts(names, bigrams) -> dict:
+    """Non-overlapping left-to-right occurrence counts of each
+    candidate bigram across names — str.replace semantics, the SAME
+    count (len − len(replace))/2 the oracle computes."""
+    out = {}
+    for bg in bigrams:
+        tot = 0
+        for nm in names:
+            tot += (len(nm) - len(nm.replace(bg, ""))) // 2
+        out[bg] = tot
+    return out
+
+
+def q_fsst_bigram_audit(sf_dir: str):
+    """FSST-style substring-dictionary audit of part names: which 8
+    two-byte sequences, replaced by one-byte codes, save the most
+    storage?  The frequent-substring member of the encoding family
+    (dict_encoding_audit: whole values; prefix_compression_audit:
+    sorted prefixes; THIS: within-value substrings — the idea behind
+    FSST/zstd dictionaries).  Candidates are every observed adjacent
+    character pair; savings use NON-OVERLAPPING left-to-right counts
+    ((len − len(replace))/2 in both engines, so the semantics match
+    byte-for-byte); ranked by (count desc, bigram asc)."""
+    ds = _read(sf_dir, "part", columns=["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pylist()
+        from collections import Counter
+
+        cand = set()
+        for nm in names:
+            for i in range(len(nm) - 1):
+                cand.add(nm[i:i + 2])
+        cnt = fsst_bigram_counts(names, sorted(cand))
+        tot_bytes = sum(len(nm) for nm in names)
+        bgs = sorted(cnt)
+        return pa.table({
+            "bg": pa.array(bgs + ["\x00TOTBYTES"]),
+            "c": pa.array([cnt[b] for b in bgs] + [tot_bytes],
+                          pa.int64()),
+        })
+
+    m = _partial_final(ds, partial, ["bg"], [("c", "sum")])
+    bg = m.column("bg").to_pylist()
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    tot_bytes = 0
+    pairs = []
+    for b, c in zip(bg, cv.tolist()):
+        if b == "\x00TOTBYTES":
+            tot_bytes = c
+        else:
+            pairs.append((b, c))
+    pairs.sort(key=lambda t: (-t[1], t[0]))
+    top = pairs[:_FSST_TOP]
+    cum = 0
+    rows = {"rank": [], "bigram": [], "n_occurrences": [],
+            "cum_saved_ppm": []}
+    for r, (b, c) in enumerate(top, 1):
+        cum += c
+        rows["rank"].append(r)
+        rows["bigram"].append(b)
+        rows["n_occurrences"].append(c)
+        rows["cum_saved_ppm"].append(cum * 1_000_000 // tot_bytes)
+    return pa.table({
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "bigram": pa.array(rows["bigram"]),
+        "n_occurrences": pa.array(rows["n_occurrences"], pa.int64()),
+        "cum_saved_ppm": pa.array(rows["cum_saved_ppm"], pa.int64()),
+    })
+
+
+SQL_FSST_BIGRAM_AUDIT = """
+WITH cand AS (
+  SELECT DISTINCT substr(p_name, CAST(g.range AS INTEGER) + 1, 2)
+           AS bg
+  FROM part, range(11) g
+  WHERE g.range + 2 <= length(p_name)),
+cnt AS (
+  SELECT cand.bg,
+         CAST(sum((length(p_name)
+                   - length(replace(p_name, cand.bg, ''))) // 2)
+              AS BIGINT) AS c
+  FROM part, cand GROUP BY 1),
+tot AS (SELECT CAST(sum(length(p_name)) AS BIGINT) AS b FROM part),
+top AS (
+  SELECT bg, c, row_number() OVER (ORDER BY c DESC, bg) AS rank
+  FROM cnt),
+cum AS (
+  SELECT rank, bg, c,
+         sum(c) OVER (ORDER BY rank) AS cumc
+  FROM top WHERE rank <= 8)
+SELECT rank, bg AS bigram, c AS n_occurrences,
+       CAST(cumc * 1000000 // tot.b AS BIGINT) AS cum_saved_ppm
+FROM cum, tot ORDER BY rank
+"""
+
+QUERIES["fsst_bigram_audit"] = (q_fsst_bigram_audit,
+                                SQL_FSST_BIGRAM_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# tukey_gh_fit_daily — quantile-based g-and-h shape fit
+# ---------------------------------------------------------------------------
+
+
+def tukey_gh(qs) -> tuple:
+    """Hoaglin's quantile estimators of Tukey's g-and-h shape from
+    (x_p10, x_p25, med, x_p75, x_p90) and the shared Φ⁻¹:
+    g_p = ln((x_{1−p}−med)/(med−x_p))/z_{1−p} at p = 0.1 (skewness);
+    h from the half-spread ratio after de-skewing: h =
+    ln(g·(x_{.9}−x_{.1}) / (e^{g z}−e^{−g z}) / ((x_{.75}−x_{.25})
+    ·g/(e^{g z₂}−e^{−g z₂}))) / ((z² − z₂²)/2) — heavy tails ⇒
+    h > 0.  Returns (g, h)."""
+    x10, x25, med, x75, x90 = qs
+    z9 = inv_phi_upper(0.9)
+    z75 = inv_phi_upper(0.75)
+    up = x90 - med
+    dn = med - x10
+    if up <= 0 or dn <= 0:
+        return None, None
+    g = math.log(up / dn) / z9
+    if abs(g) < 1e-12:
+        s9 = (x90 - x10) / (2.0 * z9)
+        s75 = (x75 - x25) / (2.0 * z75)
+    else:
+        s9 = g * (x90 - x10) / (math.exp(g * z9)
+                                - math.exp(-g * z9))
+        s75 = g * (x75 - x25) / (math.exp(g * z75)
+                                 - math.exp(-g * z75))
+    if s9 <= 0 or s75 <= 0:
+        return g, None
+    h = math.log(s9 / s75) / ((z9 * z9 - z75 * z75) / 2.0)
+    return g, h
+
+
+def q_tukey_gh_fit_daily(sf_dir: str):
+    """Tukey g-and-h shape fit of daily revenue from five exact
+    ceil-rank order statistics — the quantile-based distributional
+    profile (g: skewness direction/strength, h: tail heaviness)
+    that complements the moment tests (dagostino_k2, jarque_bera
+    break down exactly when h > 0 makes moments unstable; quantiles
+    never do).  Φ⁻¹ via the shared Acklam tree; both engines read
+    the same five order statistics."""
+    _, cv = _daily_revenue_cents(sf_dir)
+    x = np.sort(cv)
+    n = len(x)
+
+    def q_at(p):
+        k = max(1, (int(p * 100) * n + 99) // 100)
+        return float(x[k - 1])
+
+    qs = (q_at(0.10), q_at(0.25), q_at(0.50), q_at(0.75),
+          q_at(0.90))
+    g, h = tukey_gh(qs)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "q10": pa.array([qs[0]], pa.float64()),
+        "median": pa.array([qs[2]], pa.float64()),
+        "q90": pa.array([qs[4]], pa.float64()),
+        "g_skew": pa.array([round(g, 6) if g is not None else None],
+                           pa.float64()),
+        "h_tail": pa.array([round(h, 6) if h is not None else None],
+                           pa.float64()),
+    })
+
+
+def _tukey_gh_sql() -> str:
+    z9 = _acklam_sql("CAST(0.9 AS DOUBLE)")
+    z75 = _acklam_sql("CAST(0.75 AS DOUBLE)")
+    return f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+o AS (
+  SELECT CAST(cents AS DOUBLE) AS x,
+         row_number() OVER (ORDER BY cents) AS r,
+         count(*) OVER () AS n
+  FROM d),
+q AS (
+  SELECT
+    (SELECT x FROM o WHERE r = greatest(1, (10 * n + 99) // 100)
+     LIMIT 1) AS x10,
+    (SELECT x FROM o WHERE r = greatest(1, (25 * n + 99) // 100)
+     LIMIT 1) AS x25,
+    (SELECT x FROM o WHERE r = greatest(1, (50 * n + 99) // 100)
+     LIMIT 1) AS med,
+    (SELECT x FROM o WHERE r = greatest(1, (75 * n + 99) // 100)
+     LIMIT 1) AS x75,
+    (SELECT x FROM o WHERE r = greatest(1, (90 * n + 99) // 100)
+     LIMIT 1) AS x90,
+    (SELECT CAST(max(n) AS BIGINT) FROM o) AS n),
+z AS (SELECT q.*, {z9} AS z9, {z75} AS z75 FROM q),
+g AS (
+  SELECT z.*,
+         CASE WHEN x90 - med > 0 AND med - x10 > 0
+              THEN ln((x90 - med) / (med - x10)) / z9 END AS gv
+  FROM z),
+s AS (
+  SELECT g.*,
+         CASE WHEN gv IS NULL THEN NULL
+              WHEN abs(gv) < 1e-12 THEN (x90 - x10) / (2.0 * z9)
+              ELSE gv * (x90 - x10)
+                   / (exp(gv * z9) - exp(-gv * z9)) END AS s9,
+         CASE WHEN gv IS NULL THEN NULL
+              WHEN abs(gv) < 1e-12 THEN (x75 - x25) / (2.0 * z75)
+              ELSE gv * (x75 - x25)
+                   / (exp(gv * z75) - exp(-gv * z75)) END AS s75
+  FROM g)
+SELECT n AS n_days, x10 AS q10, med AS median, x90 AS q90,
+       round(gv, 6) AS g_skew,
+       CASE WHEN s9 > 0 AND s75 > 0 THEN
+         round(ln(s9 / s75) / ((z9 * z9 - z75 * z75) / 2.0), 6)
+       END AS h_tail
+FROM s
+"""
+
+
+QUERIES["tukey_gh_fit_daily"] = (q_tukey_gh_fit_daily,
+                                 _tukey_gh_sql())

@@ -1161,3 +1161,81 @@ def test_cracking_duplicate_pivot_rescans_left_part():
     costs = cracking_costs((vs, cs), [4, 4], 1, 8)
     assert costs[0] == 8                 # whole column
     assert costs[1] == 4                 # (lo−1, 4] half only
+
+
+# ---------------------------------------------------------------------------
+# fsst_bigram_counts
+# ---------------------------------------------------------------------------
+
+
+def test_fsst_nonoverlapping_semantics():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        fsst_bigram_counts
+
+    # "aaaa" holds TWO non-overlapping "aa" (replace semantics),
+    # not three overlapping ones
+    got = fsst_bigram_counts(["aaaa"], ["aa"])
+    assert got["aa"] == 2
+    got = fsst_bigram_counts(["ababa"], ["ab", "ba"])
+    assert got["ab"] == 2 and got["ba"] == 2
+
+
+def test_fsst_counts_additive_across_names():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        fsst_bigram_counts
+
+    names = ["red widget", "red bolt", "blue widget"]
+    got = fsst_bigram_counts(names, ["re", "dg", "et"])
+    assert got["re"] == 2 and got["dg"] == 2 and got["et"] == 2
+
+
+# ---------------------------------------------------------------------------
+# tukey_gh
+# ---------------------------------------------------------------------------
+
+
+def test_tukey_gh_symmetric_normal_is_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext5 import inv_phi_upper
+    from log_analysis_ai_ray.pipelines.queries_ext6 import tukey_gh
+
+    z9 = inv_phi_upper(0.9)
+    z75 = inv_phi_upper(0.75)
+    # exact normal quantiles: g = 0, h = 0
+    qs = (-z9, -z75, 0.0, z75, z9)
+    g, h = tukey_gh(qs)
+    assert abs(g) < 1e-9
+    assert abs(h) < 1e-9
+
+
+def test_tukey_gh_recovers_planted_g():
+    from log_analysis_ai_ray.pipelines.queries_ext5 import inv_phi_upper
+    from log_analysis_ai_ray.pipelines.queries_ext6 import tukey_gh
+
+    g0 = 0.5
+
+    def gh_q(z):
+        return (math.exp(g0 * z) - 1.0) / g0   # pure-g transform
+
+    z9 = inv_phi_upper(0.9)
+    z75 = inv_phi_upper(0.75)
+    qs = (gh_q(-z9), gh_q(-z75), 0.0, gh_q(z75), gh_q(z9))
+    g, h = tukey_gh(qs)
+    assert math.isclose(g, g0, rel_tol=1e-9)
+    assert abs(h) < 1e-9
+
+
+def test_tukey_gh_heavy_tails_positive_h():
+    from log_analysis_ai_ray.pipelines.queries_ext5 import inv_phi_upper
+    from log_analysis_ai_ray.pipelines.queries_ext6 import tukey_gh
+
+    h0 = 0.3
+    z9 = inv_phi_upper(0.9)
+    z75 = inv_phi_upper(0.75)
+
+    def gh_q(z):
+        return z * math.exp(h0 * z * z / 2.0)  # pure-h transform
+
+    qs = (gh_q(-z9), gh_q(-z75), 0.0, gh_q(z75), gh_q(z9))
+    g, h = tukey_gh(qs)
+    assert abs(g) < 1e-9
+    assert math.isclose(h, h0, rel_tol=1e-9)
