@@ -410,6 +410,8 @@ BENCH_EXTRA = [
     "mvcc_conflict_audit",
     "fsst_bigram_audit",
     "tukey_gh_fit_daily",
+    "schnabel_user_estimate",
+    "dtw_dow_profiles",
 ]
 
 

@@ -3540,3 +3540,238 @@ FROM s
 
 QUERIES["tukey_gh_fit_daily"] = (q_tukey_gh_fit_daily,
                                  _tukey_gh_sql())
+
+
+# ---------------------------------------------------------------------------
+# schnabel_user_estimate — K-sample capture-recapture population size
+# ---------------------------------------------------------------------------
+
+
+def schnabel(day_counts) -> tuple:
+    """Schnabel estimator from per-day (captures C_t, new n_t) in day
+    order: marked pool M_t = Σ_{s<t} n_s, recaptures R_t = C_t − n_t;
+    N̂ = Σ C_t·M_t / (Σ R_t + 1) (the Chapman-adjusted denominator
+    keeps it finite with few recaptures).  Exact integers, one
+    division.  Returns (sum_cm, sum_r, n_hat)."""
+    m = 0
+    sum_cm = 0
+    sum_r = 0
+    for c, new in day_counts:
+        sum_cm += c * m
+        sum_r += c - new
+        m += new
+    return sum_cm, sum_r, sum_cm / (sum_r + 1.0)
+
+
+def q_schnabel_user_estimate(sf_dir: str):
+    """Schnabel multi-sample capture-recapture estimate of the user
+    population from daily activity: each day is a capture occasion,
+    previously-seen users are 'marked', and the recapture rate prices
+    the unseen mass — the K-sample generalization of
+    capture_recapture_users (Lincoln-Petersen/Chapman uses exactly
+    two occasions; Schnabel pools every day's recapture evidence).
+    Per-user first-seen day from one bounded reduce; per-day capture
+    and new counts close the estimator in exact integers."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "day": pa.array(tsv // _DAY_US),
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["user_id", "day"]).aggregate([("c", "max")])
+        return g.rename_columns(["user_id", "day", "c"])
+
+    m = _partial_final(ds, partial, ["user_id", "day"], [("c", "max")])
+    uid = np.asarray(m.column("user_id"), dtype=np.int64)
+    day = np.asarray(m.column("day"), dtype=np.int64)
+    # first-seen day per user
+    order = np.lexsort((day, uid))
+    us, ds_ = uid[order], day[order]
+    first = np.r_[True, us[1:] != us[:-1]]
+    first_day = {}
+    for u, d in zip(us[first].tolist(), ds_[first].tolist()):
+        first_day[u] = d
+    days = np.unique(day)
+    caps = []
+    for d in days.tolist():
+        sel = day == d
+        c = int(sel.sum())
+        new = sum(1 for u in uid[sel].tolist() if first_day[u] == d)
+        caps.append((c, new))
+    sum_cm, sum_r, n_hat = schnabel(caps)
+    n_true = len(first_day)
+    return pa.table({
+        "n_days": pa.array([len(days)], pa.int64()),
+        "n_distinct_users": pa.array([n_true], pa.int64()),
+        "sum_cm": pa.array([sum_cm], pa.int64()),
+        "sum_recaptures": pa.array([sum_r], pa.int64()),
+        "schnabel_n_hat": pa.array([round(n_hat, 4)], pa.float64()),
+    })
+
+
+SQL_SCHNABEL_USER_ESTIMATE = """
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+fd AS (SELECT user_id, min(day) AS fday FROM pres GROUP BY 1),
+dc AS (
+  SELECT pres.day, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN fd.fday = pres.day THEN 1 ELSE 0 END)
+              AS BIGINT) AS newu
+  FROM pres JOIN fd USING (user_id) GROUP BY 1),
+run AS (
+  SELECT day, c, newu,
+         coalesce(sum(newu) OVER (ORDER BY day ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+  FROM dc),
+s AS (
+  SELECT CAST(sum(c * m) AS BIGINT) AS sum_cm,
+         CAST(sum(c - newu) AS BIGINT) AS sum_r,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM run)
+SELECT n_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM fd) AS n_distinct_users,
+       sum_cm, sum_r AS sum_recaptures,
+       round(CAST(sum_cm AS DOUBLE) / (sum_r + 1.0), 4)
+         AS schnabel_n_hat
+FROM s
+"""
+
+QUERIES["schnabel_user_estimate"] = (q_schnabel_user_estimate,
+                                     SQL_SCHNABEL_USER_ESTIMATE)
+
+
+# ---------------------------------------------------------------------------
+# dtw_dow_profiles — exact integer dynamic time warping
+# ---------------------------------------------------------------------------
+
+
+def dtw_int(xs, ys) -> int:
+    """Classic DTW with |·| cost and unit steps, exact integers."""
+    n, m = len(xs), len(ys)
+    INF = 1 << 62
+    prev = [INF] * m
+    for i in range(n):
+        cur = [0] * m
+        for j in range(m):
+            c = abs(xs[i] - ys[j])
+            if i == 0 and j == 0:
+                best = 0
+            elif i == 0:
+                best = cur[j - 1]
+            elif j == 0:
+                best = prev[j]
+            else:
+                best = min(prev[j], prev[j - 1], cur[j - 1])
+            cur[j] = c + best
+        prev = cur
+    return prev[m - 1]
+
+
+def q_dtw_dow_profiles(sf_dir: str):
+    """Exact-integer dynamic time warping between the Monday and
+    Sunday hourly traffic profiles (24-point integer count vectors):
+    does the weekend day follow the same shape as the weekday,
+    merely TIME-SHIFTED?  DTW answers what the rigid L1 comparison
+    (hellinger_js_weekend, median_polish) cannot — the warping gain
+    (L1 − DTW)/L1 quantifies how much of the difference is pure
+    phase shift.  The 24×24 DP is exact integers; the oracle unrolls
+    the 24 DP rows with the prefix-min window identity
+    d[j] = prefC[j] + min_{k≤j}(m[k] − prefC[k−1]) — no recursion,
+    no floats."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        day = tsv // _DAY_US
+        dow = (day + 4) % 7
+        hour = (tsv // 3_600_000_000) % 24
+        keep = (dow == 0) | (dow == 6)
+        g = pa.table({
+            "dow": pa.array(dow[keep]),
+            "hour": pa.array(hour[keep]),
+            "c": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+        }).group_by(["dow", "hour"]).aggregate([("c", "sum")])
+        return g.rename_columns(["dow", "hour", "c"])
+
+    m = _partial_final(ds, partial, ["dow", "hour"], [("c", "sum")])
+    dw = np.asarray(m.column("dow"), dtype=np.int64)
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    cv = np.asarray(m.column("c"), dtype=np.int64)
+    mon = np.zeros(24, dtype=np.int64)
+    sun = np.zeros(24, dtype=np.int64)
+    mon[hr[dw == 0]] = cv[dw == 0]
+    sun[hr[dw == 6]] = cv[dw == 6]
+    d = dtw_int(mon.tolist(), sun.tolist())
+    l1 = int(np.abs(mon - sun).sum())
+    gain = (l1 - d) * 1_000_000 // l1 if l1 else None
+    return pa.table({
+        "dtw_dist": pa.array([d], pa.int64()),
+        "l1_dist": pa.array([l1], pa.int64()),
+        "warp_gain_ppm": pa.array([gain], pa.int64()),
+    })
+
+
+def _dtw_sql() -> str:
+    head = """
+WITH mon AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS x
+  FROM events
+  WHERE (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 4) % 7 = 0
+  GROUP BY 1),
+sun AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS y
+  FROM events
+  WHERE (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 4) % 7 = 6
+  GROUP BY 1),
+grid AS (
+  SELECT CAST(g.range AS BIGINT) AS j,
+         coalesce(sun.y, 0) AS y
+  FROM range(24) g LEFT JOIN sun ON sun.h = g.range),
+xg AS (
+  SELECT CAST(g.range AS BIGINT) AS i,
+         coalesce(mon.x, 0) AS x
+  FROM range(24) g LEFT JOIN mon ON mon.h = g.range),
+r0 AS (
+  SELECT grid.j,
+         sum(abs((SELECT x FROM xg WHERE i = 0) - grid.y))
+           OVER (ORDER BY grid.j) AS d
+  FROM grid)"""
+    rows = [head]
+    for i in range(1, 24):
+        rows.append(f""",
+c{i} AS (
+  SELECT grid.j, abs((SELECT x FROM xg WHERE i = {i}) - grid.y) AS c,
+         r{i - 1}.d AS pu,
+         lag(r{i - 1}.d) OVER (ORDER BY grid.j) AS pul
+  FROM grid JOIN r{i - 1} ON r{i - 1}.j = grid.j),
+m{i} AS (
+  SELECT j, c,
+         least(pu, coalesce(pul, pu)) AS m,
+         sum(c) OVER (ORDER BY j) AS prefc
+  FROM c{i}),
+r{i} AS (
+  SELECT j,
+         prefc + min(m - (prefc - c)) OVER (ORDER BY j) AS d
+  FROM m{i})""")
+    rows.append("""
+SELECT CAST((SELECT d FROM r23 WHERE j = 23) AS BIGINT) AS dtw_dist,
+       (SELECT CAST(sum(abs(xg.x - grid.y)) AS BIGINT)
+        FROM xg JOIN grid ON grid.j = xg.i) AS l1_dist,
+       CASE WHEN (SELECT sum(abs(xg.x - grid.y))
+                  FROM xg JOIN grid ON grid.j = xg.i) > 0 THEN
+         CAST(((SELECT sum(abs(xg.x - grid.y))
+                FROM xg JOIN grid ON grid.j = xg.i)
+               - (SELECT d FROM r23 WHERE j = 23)) * 1000000
+              // (SELECT sum(abs(xg.x - grid.y))
+                  FROM xg JOIN grid ON grid.j = xg.i) AS BIGINT)
+       END AS warp_gain_ppm""")
+    return "".join(rows)
+
+
+QUERIES["dtw_dow_profiles"] = (q_dtw_dow_profiles, _dtw_sql())

@@ -1239,3 +1239,88 @@ def test_tukey_gh_heavy_tails_positive_h():
     g, h = tukey_gh(qs)
     assert abs(g) < 1e-9
     assert math.isclose(h, h0, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# schnabel
+# ---------------------------------------------------------------------------
+
+
+def test_schnabel_recovers_closed_population():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import schnabel
+
+    # closed population of 100, deterministic round-robin sampling of
+    # 20 per day: after day 1 every capture is a recapture at rate
+    # M_t/N, so the estimator recovers N exactly in expectation —
+    # with systematic coverage it converges tightly
+    rng = random.Random(83)
+    N = 100
+    seen = set()
+    caps = []
+    for day in range(30):
+        sample = set(rng.sample(range(N), 20))
+        new = len(sample - seen)
+        caps.append((20, new))
+        seen |= sample
+    _, _, n_hat = schnabel(caps)
+    assert 80 < n_hat < 125
+
+
+def test_schnabel_all_new_gives_upper_blowup():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import schnabel
+
+    # no recaptures: denominator clamps at 1, N̂ = Σ C·M exactly
+    caps = [(10, 10), (10, 10), (10, 10)]
+    sum_cm, sum_r, n_hat = schnabel(caps)
+    assert sum_r == 0
+    assert sum_cm == 10 * 10 + 10 * 20
+    assert n_hat == sum_cm
+
+
+# ---------------------------------------------------------------------------
+# dtw_int
+# ---------------------------------------------------------------------------
+
+
+def test_dtw_identical_series_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import dtw_int
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    assert dtw_int(xs, xs) == 0
+
+
+def test_dtw_shift_cheaper_than_l1():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import dtw_int
+
+    xs = [0, 0, 10, 50, 10, 0, 0, 0]
+    ys = [0, 0, 0, 10, 50, 10, 0, 0]   # same pulse, shifted by 1
+    l1 = sum(abs(a - b) for a, b in zip(xs, ys))
+    d = dtw_int(xs, ys)
+    assert d < l1 / 4                   # warping absorbs the shift
+
+
+def test_dtw_matches_quadratic_reference():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import dtw_int
+
+    rng = random.Random(89)
+    for _ in range(10):
+        xs = [rng.randrange(0, 50) for _ in range(12)]
+        ys = [rng.randrange(0, 50) for _ in range(9)]
+        n, m = len(xs), len(ys)
+        INF = float("inf")
+        D = [[INF] * (m + 1) for _ in range(n + 1)]
+        D[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                D[i][j] = abs(xs[i - 1] - ys[j - 1]) + min(
+                    D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+        assert dtw_int(xs, ys) == D[n][m]
+
+
+def test_dtw_monotone_under_scaling():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import dtw_int
+
+    xs = [1, 5, 2, 8]
+    ys = [2, 4, 3, 7]
+    assert dtw_int([3 * v for v in xs], [3 * v for v in ys]) \
+        == 3 * dtw_int(xs, ys)
