@@ -412,6 +412,8 @@ BENCH_EXTRA = [
     "tukey_gh_fit_daily",
     "schnabel_user_estimate",
     "dtw_dow_profiles",
+    "sorted_neighborhood_linkage",
+    "pickands_tail_values",
 ]
 
 

@@ -3775,3 +3775,172 @@ SELECT CAST((SELECT d FROM r23 WHERE j = 23) AS BIGINT) AS dtw_dist,
 
 
 QUERIES["dtw_dow_profiles"] = (q_dtw_dow_profiles, _dtw_sql())
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_linkage — SNM blocking for record linkage
+# ---------------------------------------------------------------------------
+
+_SNM_W = 4
+_SNM_THRESH = 0.9
+
+
+def q_sorted_neighborhood_linkage(sf_dir: str):
+    """Sorted-neighborhood record linkage over part names: sort by
+    (name, key), compare each record only to its next 4 neighbors,
+    and count Jaro-Winkler ≥ 0.9 matches — the THIRD blocking
+    strategy in the repo's entity-resolution family
+    (soundex_part_blocking: phonetic buckets;
+    prefix_jaccard_join/LSH: set similarity; SNM: one sort + a
+    sliding window, THE classic when typos keep lexical neighbors
+    adjacent).  O(w·n) comparisons instead of O(n²); the kernel is
+    the python jaro_winkler pinned bit-equal to DuckDB's built-in by
+    pytest.  Sorting is the range-partitionable step at scale."""
+    from .queries_ext3 import jaro_winkler
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("p_partkey").cast(pa.int64()),
+                         "nm": t.column("p_name")})
+
+    m = _partial_final(ds, partial, ["k"], [("nm", "max")])
+    ks = np.asarray(m.column("k"), dtype=np.int64)
+    nms = np.asarray(m.column("nm").to_pylist())
+    order = np.lexsort((ks, nms))
+    nms_s = nms[order].tolist()
+    n = len(nms_s)
+    cand = 0
+    matches = 0
+    max_sim = 0.0
+    for i in range(n):
+        for w in range(1, _SNM_W + 1):
+            if i + w >= n:
+                break
+            cand += 1
+            s = round(jaro_winkler(nms_s[i], nms_s[i + w]), 6)
+            if s > max_sim:
+                max_sim = s
+            if s >= _SNM_THRESH:
+                matches += 1
+    return pa.table({
+        "n_records": pa.array([n], pa.int64()),
+        "n_candidates": pa.array([cand], pa.int64()),
+        "n_matches": pa.array([matches], pa.int64()),
+        "match_ppm": pa.array(
+            [matches * 1_000_000 // cand if cand else None],
+            pa.int64()),
+        "max_sim": pa.array([round(max_sim, 6)], pa.float64()),
+    })
+
+
+SQL_SORTED_NEIGHBORHOOD_LINKAGE = """
+WITH s AS (
+  SELECT p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+  FROM part),
+pairs AS (
+  SELECT round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+  FROM s a JOIN s b
+    ON b.rn > a.rn AND b.rn <= a.rn + 4)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches,
+       CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS match_ppm,
+       round(max(sim), 6) AS max_sim
+FROM pairs
+"""
+
+QUERIES["sorted_neighborhood_linkage"] = (
+    q_sorted_neighborhood_linkage, SQL_SORTED_NEIGHBORHOOD_LINKAGE)
+
+
+# ---------------------------------------------------------------------------
+# pickands_tail_values — third classic tail-index estimator
+# ---------------------------------------------------------------------------
+
+
+def pickands_xi(x_k, x_2k, x_4k):
+    """Pickands (1975): ξ = ln((x_k − x_2k)/(x_2k − x_4k)) / ln 2
+    from the k, 2k, 4k upper order statistics."""
+    num = x_k - x_2k
+    den = x_2k - x_4k
+    if num <= 0 or den <= 0:
+        return None
+    return math.log(num / den) / math.log(2.0)
+
+
+def q_pickands_tail_values(sf_dir: str):
+    """Pickands tail-index estimate of event values — the third
+    member of the extreme-value triangle (hill_tail_index: log
+    spacings, heavy tails only; gpd_pot_fit_values: likelihood over
+    a threshold; Pickands: three order statistics, valid for ALL
+    three EV domains including bounded tails where Hill cannot go).
+    k = n/20; the three exact ceil-rank order statistics come from
+    the bounded cents histogram both engines share."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({"v": cents,
+                      "c": pa.array(np.ones(t.num_rows,
+                                            dtype=np.int64))}) \
+            .group_by("v").aggregate([("c", "sum")])
+        return g.rename_columns(["v", "c"])
+
+    m = _partial_final(ds, partial, ["v"], [("c", "sum")]).sort_by("v")
+    vs = np.asarray(m.column("v"), dtype=np.int64)
+    cs = np.asarray(m.column("c"), dtype=np.int64)
+    n = int(cs.sum())
+    k = n // 20
+    cum = np.cumsum(cs)
+
+    def kth_largest(kk):
+        # value at descending rank kk = value at ascending rank n−kk+1
+        return int(vs[np.searchsorted(cum, n - kk + 1)])
+
+    x_k, x_2k, x_4k = (kth_largest(k), kth_largest(2 * k),
+                       kth_largest(4 * k))
+    xi = pickands_xi(float(x_k), float(x_2k), float(x_4k))
+    return pa.table({
+        "n_values": pa.array([n], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "x_k": pa.array([x_k], pa.int64()),
+        "x_2k": pa.array([x_2k], pa.int64()),
+        "x_4k": pa.array([x_4k], pa.int64()),
+        "pickands_xi": pa.array(
+            [round(xi, 6) if xi is not None else None], pa.float64()),
+    })
+
+
+SQL_PICKANDS_TAIL_VALUES = """
+WITH h AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cm FROM h),
+k AS (SELECT nn.n, nn.n // 20 AS k FROM nn),
+os AS (
+  SELECT k.n, k.k,
+         (SELECT min(v) FROM cum, k WHERE cm >= k.n - k.k + 1)
+           AS x_k,
+         (SELECT min(v) FROM cum, k WHERE cm >= k.n - 2 * k.k + 1)
+           AS x_2k,
+         (SELECT min(v) FROM cum, k WHERE cm >= k.n - 4 * k.k + 1)
+           AS x_4k
+  FROM k)
+SELECT n AS n_values, k, x_k, x_2k, x_4k,
+       CASE WHEN x_k - x_2k > 0 AND x_2k - x_4k > 0 THEN
+         round(ln(CAST(x_k - x_2k AS DOUBLE)
+                  / (x_2k - x_4k)) / ln(2.0), 6)
+       END AS pickands_xi
+FROM os
+"""
+
+QUERIES["pickands_tail_values"] = (q_pickands_tail_values,
+                                   SQL_PICKANDS_TAIL_VALUES)

@@ -1324,3 +1324,67 @@ def test_dtw_monotone_under_scaling():
     ys = [2, 4, 3, 7]
     assert dtw_int([3 * v for v in xs], [3 * v for v in ys]) \
         == 3 * dtw_int(xs, ys)
+
+
+# ---------------------------------------------------------------------------
+# pickands_xi
+# ---------------------------------------------------------------------------
+
+
+def test_pickands_exact_on_pareto_quantiles():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import pickands_xi
+
+    # Pareto(ξ): Q(1−p) = p^(−ξ) — plugging exact quantiles at
+    # p, 2p, 4p recovers ξ exactly
+    for xi0 in (0.25, 0.5, 1.0, 2.0):
+        p = 0.01
+        xk = p ** (-xi0)
+        x2k = (2 * p) ** (-xi0)
+        x4k = (4 * p) ** (-xi0)
+        got = pickands_xi(xk, x2k, x4k)
+        assert math.isclose(got, xi0, rel_tol=1e-12)
+
+
+def test_pickands_exponential_tail_is_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import pickands_xi
+
+    # exponential: Q(1−p) = −ln p — spacings halve geometrically
+    p = 0.01
+    got = pickands_xi(-math.log(p), -math.log(2 * p),
+                      -math.log(4 * p))
+    assert abs(got) < 1e-12
+
+
+def test_pickands_degenerate_returns_none():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import pickands_xi
+
+    assert pickands_xi(5.0, 5.0, 3.0) is None
+    assert pickands_xi(7.0, 5.0, 5.0) is None
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood window arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_snm_candidate_count_formula():
+    # n records, window w: pairs = w·n − w(w+1)/2
+    n, w = 57, 4
+    cand = sum(1 for i in range(n) for k in range(1, w + 1)
+               if i + k < n)
+    assert cand == w * n - w * (w + 1) // 2
+
+
+def test_snm_typo_neighbors_stay_adjacent():
+    from log_analysis_ai_ray.pipelines.queries_ext3 import jaro_winkler
+
+    names = sorted(["red widget", "red widgex", "blue bolt",
+                    "hot gear", "red widgey"])
+    # the three typo variants sort adjacently; window 2 finds them
+    found = 0
+    for i in range(len(names)):
+        for w in (1, 2):
+            if i + w < len(names) \
+                    and jaro_winkler(names[i], names[i + w]) >= 0.9:
+                found += 1
+    assert found >= 3
