@@ -414,6 +414,8 @@ BENCH_EXTRA = [
     "dtw_dow_profiles",
     "sorted_neighborhood_linkage",
     "pickands_tail_values",
+    "session_timeout_sensitivity",
+    "quantile_regression_p90",
 ]
 
 

@@ -3944,3 +3944,212 @@ FROM os
 
 QUERIES["pickands_tail_values"] = (q_pickands_tail_values,
                                    SQL_PICKANDS_TAIL_VALUES)
+
+
+# ---------------------------------------------------------------------------
+# session_timeout_sensitivity — how the session count depends on T
+# ---------------------------------------------------------------------------
+
+_STS_TIMEOUTS_US = (300_000_000, 1_800_000_000, 7_200_000_000)
+
+
+def q_session_timeout_sensitivity(sf_dir: str):
+    """Session-count sensitivity to the inactivity timeout: sessions
+    at T = #users + #same-user gaps exceeding T, so ONE bounded
+    per-user gap histogram prices EVERY candidate timeout at once —
+    the parameter-sensitivity audit behind event_sessions' fixed
+    30-minute choice (if the count swings hard between 5 min and
+    2 h, the downstream session metrics inherit that fragility).
+    Also reports the median same-user gap as the natural timescale.
+    Gaps from per-partition vectorized lexsort; exact integers."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_id",
+                                          "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "_pkey": pa.array(u % 32),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+        })
+
+    ds2 = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(["_pkey", "user_id", "ts_us", "event_id"])
+
+    def gaps_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        tss = np.asarray(t.column("ts_us"), dtype=np.int64)
+        same = u[1:] == u[:-1]
+        gsec = ((tss[1:] - tss[:-1])[same]) // 1_000_000
+        g = pa.table({"gsec": pa.array(gsec),
+                      "c": pa.array(np.ones(len(gsec),
+                                            dtype=np.int64))}) \
+            .group_by("gsec").aggregate([("c", "sum")])
+        return g.rename_columns(["gsec", "c"])
+
+    m = agg._to_arrow(
+        ds2.map_batches(gaps_part, batch_format="pyarrow",
+                        batch_size=1 << 20)) \
+        .group_by("gsec").aggregate([("c", "sum")]) \
+        .rename_columns(["gsec", "c"]).sort_by("gsec")
+    gs = np.asarray(m.column("gsec"), dtype=np.int64)
+    cs = np.asarray(m.column("c"), dtype=np.int64)
+    total_gaps = int(cs.sum())
+    cum = np.cumsum(cs)
+    k_med = (total_gaps + 1) // 2
+    med_gap = int(gs[np.searchsorted(cum, k_med)]) if total_gaps \
+        else None
+    ds_u = _read(sf_dir, "events", columns=["user_id"])
+
+    def upart(t: pa.Table) -> pa.Table:
+        g = pa.table({"u": t.column("user_id")}) \
+            .group_by("u").aggregate([([], "count_all")])
+        return g.rename_columns(["u", "c"])
+
+    um = _partial_final(ds_u, upart, ["u"], [("c", "sum")])
+    n_users = um.num_rows
+    rows = {"timeout_s": [], "n_sessions": []}
+    for t_us in _STS_TIMEOUTS_US:
+        tsec = t_us // 1_000_000
+        over = int(cs[gs > tsec].sum())
+        rows["timeout_s"].append(tsec)
+        rows["n_sessions"].append(n_users + over)
+    return pa.table({
+        "timeout_s": pa.array(rows["timeout_s"], pa.int64()),
+        "n_sessions": pa.array(rows["n_sessions"], pa.int64()),
+        "n_users": pa.array([n_users] * 3, pa.int64()),
+        "median_gap_s": pa.array([med_gap] * 3, pa.int64()),
+    })
+
+
+SQL_SESSION_TIMEOUT_SENSITIVITY = """
+WITH g AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT)
+          - lag(CAST(epoch_us(ts) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           // 1000000 AS gsec
+  FROM events),
+gg AS (SELECT gsec FROM g WHERE gsec IS NOT NULL),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+       FROM events),
+med AS (
+  SELECT CAST(min(gsec) AS BIGINT) AS m FROM (
+    SELECT gsec, row_number() OVER (ORDER BY gsec) AS r,
+           count(*) OVER () AS n
+    FROM gg)
+  WHERE r >= (n + 1) // 2),
+t AS (SELECT CAST(x.t AS BIGINT) AS timeout_s
+      FROM (VALUES (300), (1800), (7200)) x(t))
+SELECT t.timeout_s,
+       nu.n + (SELECT CAST(count(*) AS BIGINT) FROM gg
+               WHERE gsec > t.timeout_s) AS n_sessions,
+       nu.n AS n_users,
+       med.m AS median_gap_s
+FROM t, nu, med
+ORDER BY t.timeout_s
+"""
+
+QUERIES["session_timeout_sensitivity"] = (
+    q_session_timeout_sensitivity, SQL_SESSION_TIMEOUT_SENSITIVITY)
+
+
+# ---------------------------------------------------------------------------
+# quantile_regression_p90 — exact 0.9-quantile trend line
+# ---------------------------------------------------------------------------
+
+
+def qreg_fit(xs, ys, tau_num: int = 9, tau_den: int = 10) -> tuple:
+    """Exact quantile regression (Koenker-Bassett) by LP vertex
+    enumeration — the LAD machinery with the asymmetric check loss
+    ρ_τ: candidate lines pass through two points; cost numerator
+    = Σ (τ·over + (1−τ)·under) on the ×tau_den·|dx| integer scale.
+    Tie-break (cost, i, j) as in lad_fit.  Returns
+    (i, j, slope, intercept, cost)."""
+    x = np.asarray(xs, dtype=np.int64)
+    y = np.asarray(ys, dtype=np.int64)
+    n = len(x)
+    ii, jj = np.triu_indices(n, k=1)
+    dx = x[jj] - x[ii]
+    dy = y[jj] - y[ii]
+    resid = ((y[None, :] - y[ii][:, None]) * dx[:, None]
+             - dy[:, None] * (x[None, :] - x[ii][:, None]))
+    sgn = np.sign(dx)[:, None]
+    resid = resid * sgn                  # residual × |dx|, signed
+    over = np.where(resid > 0, resid, 0).sum(axis=1)
+    under = np.where(resid < 0, -resid, 0).sum(axis=1)
+    cost = tau_num * over + (tau_den - tau_num) * under
+    key = cost / np.abs(dx).astype(np.float64)
+    order = np.lexsort((jj, ii, key))
+    w = order[0]
+    i, j = int(ii[w]), int(jj[w])
+    b = float(dy[w]) / float(dx[w])
+    a = y[i] - b * x[i]
+    return i, j, b, a, float(key[w]) / tau_den
+
+
+def q_quantile_regression_p90(sf_dir: str):
+    """Exact 0.9-quantile regression of the last-120-day revenue
+    window — the conditional-quantile companion of
+    lad_regression_daily (τ = ½): the fitted line tracks the level
+    below which 90% of daily revenues fall as a TREND, which a
+    single unconditional p90 cannot do once revenue drifts.  Same
+    LP vertex enumeration, with the check-loss numerators kept exact
+    on the ×10·|dx| integer scale; both engines sort candidates by
+    the identical (cost, i, j) key."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    day, cv = day[-120:], cv[-120:]
+    i, j, b, a, cost = qreg_fit(day.tolist(), cv.tolist())
+    return pa.table({
+        "n_days": pa.array([len(day)], pa.int64()),
+        "day_i": pa.array([int(day[i])], pa.int64()),
+        "day_j": pa.array([int(day[j])], pa.int64()),
+        "q90_slope": pa.array([round(b, 6)], pa.float64()),
+        "q90_intercept": pa.array([round(a, 4)], pa.float64()),
+        "check_loss_log10": pa.array(
+            [round(math.log10(cost), 6)], pa.float64()),
+    })
+
+
+SQL_QUANTILE_REGRESSION_P90 = """
+WITH d0 AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT day, cents FROM (
+    SELECT day, cents,
+           row_number() OVER (ORDER BY day DESC) AS rn
+    FROM d0)
+  WHERE rn <= 120),
+pairs AS (
+  SELECT a.day AS xi, a.cents AS yi, b.day AS xj,
+         b.day - a.day AS dx, b.cents - a.cents AS dy
+  FROM d a JOIN d b ON a.day < b.day),
+cost AS (
+  SELECT xi, yi, xj, dx, dy,
+         CAST(sum(CASE WHEN r > 0 THEN 9 * r ELSE -r END)
+              AS HUGEINT) AS num
+  FROM (
+    SELECT pairs.*,
+           (CAST(k.cents - pairs.yi AS HUGEINT) * pairs.dx
+            - CAST(pairs.dy AS HUGEINT) * (k.day - pairs.xi))
+             * CAST(sign(pairs.dx) AS BIGINT) AS r
+    FROM pairs, d k)
+  GROUP BY 1, 2, 3, 4, 5),
+best AS (
+  SELECT xi, yi, xj, dx, dy,
+         CAST(num AS DOUBLE) / abs(dx) AS key_
+  FROM cost
+  ORDER BY CAST(num AS DOUBLE) / abs(dx), xi, xj
+  LIMIT 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       xi AS day_i, xj AS day_j,
+       round(CAST(dy AS DOUBLE) / dx, 6) AS q90_slope,
+       round(yi - CAST(dy AS DOUBLE) / dx * xi, 4) AS q90_intercept,
+       round(log10(key_ / 10.0), 6) AS check_loss_log10
+FROM best
+"""
+
+QUERIES["quantile_regression_p90"] = (q_quantile_regression_p90,
+                                      SQL_QUANTILE_REGRESSION_P90)

@@ -1388,3 +1388,59 @@ def test_snm_typo_neighbors_stay_adjacent():
                     and jaro_winkler(names[i], names[i + w]) >= 0.9:
                 found += 1
     assert found >= 3
+
+
+# ---------------------------------------------------------------------------
+# qreg_fit
+# ---------------------------------------------------------------------------
+
+
+def _check_loss(xs, ys, a, b, tau=0.9):
+    tot = 0.0
+    for x, y in zip(xs, ys):
+        r = y - a - b * x
+        tot += tau * r if r > 0 else (tau - 1.0) * r
+    return tot
+
+
+def test_qreg_no_vertex_beats_winner():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import qreg_fit
+
+    rng = random.Random(97)
+    xs = sorted(rng.sample(range(0, 300), 20))
+    ys = [5 * x + rng.randrange(-50, 50) for x in xs]
+    i, j, b, a, cost = qreg_fit(xs, ys)
+    assert math.isclose(cost, _check_loss(xs, ys, a, b),
+                        rel_tol=1e-9)
+    for p in range(20):
+        for q in range(p + 1, 20):
+            bb = (ys[q] - ys[p]) / (xs[q] - xs[p])
+            aa = ys[p] - bb * xs[p]
+            assert _check_loss(xs, ys, aa, bb) >= cost - 1e-6
+
+
+def test_qreg_line_sits_above_most_points():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import qreg_fit
+
+    rng = random.Random(101)
+    xs = list(range(100))
+    ys = [100 + rng.randrange(0, 1000) for _ in xs]
+    i, j, b, a, _ = qreg_fit(xs, ys)
+    below = sum(1 for x, y in zip(xs, ys) if y <= a + b * x + 1e-9)
+    # the 0.9-quantile line leaves ≈90% of points at or below it
+    assert 80 <= below <= 100
+
+
+def test_qreg_tau_half_equals_lad():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import (lad_fit,
+                                                            qreg_fit)
+
+    rng = random.Random(103)
+    xs = sorted(rng.sample(range(0, 500), 15))
+    ys = [2 * x + rng.randrange(-30, 30) for x in xs]
+    _, _, b1, a1, sae = lad_fit(xs, ys)
+    _, _, b2, a2, cost = qreg_fit(xs, ys, tau_num=1, tau_den=2)
+    # τ = ½ check loss is SAE/2: same optimal line
+    assert math.isclose(b1, b2, rel_tol=1e-12)
+    assert math.isclose(a1, a2, rel_tol=1e-12)
+    assert math.isclose(cost, sae / 2.0, rel_tol=1e-9)
