@@ -416,6 +416,8 @@ BENCH_EXTRA = [
     "pickands_tail_values",
     "session_timeout_sensitivity",
     "quantile_regression_p90",
+    "knn_hubness_audit",
+    "box_m_weekend",
 ]
 
 

@@ -42,7 +42,8 @@ import pyarrow.compute as pc
 
 from ..stages import aggregate as agg
 from .queries import QUERIES, _partial_final, _read
-from .queries_ext3 import _daily_revenue_cents, phi_as
+from .queries_ext3 import (_daily_revenue_cents, _hourly_type_series_by,
+                           phi_as)
 from .queries_ext5 import _acklam_sql, inv_phi_upper
 
 _DAY_US = 86_400_000_000
@@ -4153,3 +4154,274 @@ FROM best
 
 QUERIES["quantile_regression_p90"] = (q_quantile_regression_p90,
                                       SQL_QUANTILE_REGRESSION_P90)
+
+
+# ---------------------------------------------------------------------------
+# knn_hubness_audit — k-occurrence skew of the embedding space
+# ---------------------------------------------------------------------------
+
+_HUB_K = 5
+
+
+def hubness_stats(nk) -> tuple:
+    """Skewness of the k-occurrence distribution N_k and the hub
+    count (N_k ≥ 2k) — exact integer moments, two float closures."""
+    n = len(nk)
+    s1 = int(np.sum(nk))
+    s2 = int(np.sum(nk.astype(object) * nk))
+    s3 = int(np.sum(nk.astype(object) * nk * nk))
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    if var <= 0:
+        return 0.0, 0
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu ** 3
+    return m3 / var ** 1.5, int((nk >= 2 * _HUB_K).sum())
+
+
+def q_knn_hubness_audit(sf_dir: str):
+    """Hubness audit of the embedding space: how skewed is the
+    k-occurrence distribution N_k (how often each vector appears in
+    other vectors' 5-NN lists)?  Radovanović et al.'s high-dim
+    pathology — a few 'hub' vectors appear in everyone's neighbor
+    list and poison kNN-based dedup/search quality — this is the
+    health check for the knn_*/embed_near_dups family.  Exact
+    squared-L2 5-NN over all pairs (ties → smaller vec_id, mirrored
+    in the oracle's ORDER BY); skewness from exact integer moments
+    of N_k; hubs = vectors with N_k ≥ 2k."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t.column("vec_id"), dtype=np.int64)
+        emb = np.stack([np.asarray(x, dtype=np.float64)
+                        for x in t.column("embedding").to_pylist()]) \
+            if t.num_rows else np.zeros((0, 64))
+        d = emb.shape[1] if t.num_rows else 64
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(vid))),
+            "v": pa.array(emb.ravel()),
+        })
+
+    m = _partial_final(ds, partial, ["vec_id", "dim"], [("v", "max")])
+    vid = np.asarray(m.column("vec_id"), dtype=np.int64)
+    dim = np.asarray(m.column("dim"), dtype=np.int64)
+    val = np.asarray(m.column("v"), dtype=np.float64)
+    n = int(vid.max()) + 1
+    d = int(dim.max()) + 1
+    X = np.zeros((n, d), dtype=np.float64)
+    X[vid, dim] = val
+    sq = (X * X).sum(axis=1)
+    D = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+    np.fill_diagonal(D, np.inf)
+    nk = np.zeros(n, dtype=np.int64)
+    # ties resolved toward the smaller index: argsort is stable on
+    # equal keys, matching the oracle's (dist, vec_id) order
+    for i in range(n):
+        nbrs = np.argsort(D[i], kind="stable")[:_HUB_K]
+        nk[nbrs] += 1
+    skew, hubs = hubness_stats(nk)
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "k": pa.array([_HUB_K], pa.int64()),
+        "max_k_occurrence": pa.array([int(nk.max())], pa.int64()),
+        "n_hubs": pa.array([hubs], pa.int64()),
+        "n_orphans": pa.array([int((nk == 0).sum())], pa.int64()),
+        "skew_nk": pa.array([round(skew, 6)], pa.float64()),
+    })
+
+
+SQL_KNN_HUBNESS_AUDIT = """
+WITH e AS (
+  SELECT vec_id, CAST(j.range AS BIGINT) AS j,
+         CAST(embedding[CAST(j.range AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM embeddings, range(64) j),
+dist AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         sum((a.v - b.v) * (a.v - b.v)) AS d2
+  FROM e a JOIN e b ON a.j = b.j AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+top5 AS (
+  SELECT qa, qb FROM (
+    SELECT qa, qb,
+           row_number() OVER (PARTITION BY qa
+                              ORDER BY d2, qb) AS rk
+    FROM dist)
+  WHERE rk <= 5),
+nk AS (
+  SELECT v.vec_id, coalesce(c.c, 0) AS nk
+  FROM (SELECT DISTINCT vec_id FROM e) v
+  LEFT JOIN (SELECT qb, CAST(count(*) AS BIGINT) AS c
+             FROM top5 GROUP BY 1) c ON c.qb = v.vec_id),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(nk) AS BIGINT) AS s1,
+         CAST(sum(nk * nk) AS HUGEINT) AS s2,
+         CAST(sum(nk * nk * nk) AS HUGEINT) AS s3,
+         CAST(max(nk) AS BIGINT) AS mx,
+         CAST(sum(CASE WHEN nk >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hubs,
+         CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS orphans
+  FROM nk),
+sk AS (
+  SELECT n, mx, hubs, orphans,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n, CAST(s3 AS DOUBLE) / n,
+         (CAST(s3 AS DOUBLE) / n
+          - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+          + 2.0 * pow(CAST(s1 AS DOUBLE) / n, 3))
+         / pow(CAST(s2 AS DOUBLE) / n
+               - pow(CAST(s1 AS DOUBLE) / n, 2), 1.5) AS skew
+  FROM mom)
+SELECT n AS n_vectors, CAST(5 AS BIGINT) AS k,
+       mx AS max_k_occurrence, hubs AS n_hubs,
+       orphans AS n_orphans,
+       round(skew, 6) AS skew_nk
+FROM sk
+"""
+
+QUERIES["knn_hubness_audit"] = (q_knn_hubness_audit,
+                                SQL_KNN_HUBNESS_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# box_m_weekend — covariance-matrix equality between day groups
+# ---------------------------------------------------------------------------
+
+
+def box_m_2x2(groups) -> tuple:
+    """Box's M for g groups of bivariate integer observations given
+    as exact moment tuples (n, sx, sy, sxx, syy, sxy): sample
+    covariances from the integer moments, M = (N−g)·ln|S_p| −
+    Σ(nᵢ−1)·ln|Sᵢ|, Box's χ² scale c₁ with p = 2, df =
+    (g−1)·p(p+1)/2.  Returns (m_stat, chi2, df)."""
+    p = 2
+    g = len(groups)
+    n_tot = sum(t[0] for t in groups)
+    pooled = [0.0, 0.0, 0.0]
+    lndets = []
+    for n, sx, sy, sxx, syy, sxy in groups:
+        cxx = (n * sxx - sx * sx) / (float(n) * (n - 1.0))
+        cyy = (n * syy - sy * sy) / (float(n) * (n - 1.0))
+        cxy = (n * sxy - sx * sy) / (float(n) * (n - 1.0))
+        det = cxx * cyy - cxy * cxy
+        lndets.append((n - 1.0) * math.log(det))
+        pooled[0] += (n - 1.0) * cxx
+        pooled[1] += (n - 1.0) * cyy
+        pooled[2] += (n - 1.0) * cxy
+    denom = n_tot - g
+    pxx, pyy, pxy = (v / denom for v in pooled)
+    pdet = pxx * pyy - pxy * pxy
+    m_stat = denom * math.log(pdet) - sum(lndets)
+    c1 = ((2.0 * p * p + 3.0 * p - 1.0)
+          / (6.0 * (p + 1.0) * (g - 1.0))) \
+        * (sum(1.0 / (t[0] - 1.0) for t in groups) - 1.0 / denom)
+    chi2 = m_stat * (1.0 - c1)
+    df = (g - 1) * p * (p + 1) // 2
+    return m_stat, chi2, df
+
+
+def q_box_m_weekend(sf_dir: str):
+    """Box's M test of covariance-matrix equality between weekend and
+    weekday daily (click, purchase) count pairs — the PRECONDITION
+    check for hotelling_t2_weekend (pooled-covariance T² assumes
+    equal Σ; if M rejects, that test's footing is gone) and the
+    multivariate member of the variance-equality ladder (bartlett /
+    fligner / conover test single columns).  Exact integer group
+    moments from the bounded day grid; df = 3 → closed-form odd-df
+    tail 2(1−Φ(√x)) + √(2x/π)e^(−x/2) with the shared Φ."""
+    series = _hourly_type_series_by(sf_dir, ("click", "purchase"),
+                                    _DAY_US)
+    moments = {0: [0, 0, 0, 0, 0, 0], 1: [0, 0, 0, 0, 0, 0]}
+    for d in series["hours"]:
+        x = series["click"].get(d, 0)
+        y = series["purchase"].get(d, 0)
+        we = 1 if ((d + 4) % 7) in (5, 6) else 0
+        mo = moments[we]
+        mo[0] += 1
+        mo[1] += x
+        mo[2] += y
+        mo[3] += x * x
+        mo[4] += y * y
+        mo[5] += x * y
+    groups = [tuple(moments[1]), tuple(moments[0])]
+    m_stat, chi2, df = box_m_2x2(groups)
+    pv = (2.0 * (1.0 - phi_as(math.sqrt(chi2)))
+          + math.sqrt(2.0 * chi2 / math.pi) * math.exp(-chi2 / 2.0))
+    return pa.table({
+        "n_weekend": pa.array([groups[0][0]], pa.int64()),
+        "n_weekday": pa.array([groups[1][0]], pa.int64()),
+        "box_m": pa.array([round(m_stat, 6)], pa.float64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "df": pa.array([df], pa.int64()),
+        "p_value": pa.array([round(pv, 6)], pa.float64()),
+    })
+
+
+def _box_m_sql() -> str:
+    phi = _phi_sql("sqrt(chi2)")
+    return f"""
+WITH grid AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events GROUP BY 1),
+xy AS (
+  SELECT grid.day,
+         CASE WHEN (grid.day + 4) % 7 IN (5, 6) THEN 1 ELSE 0 END
+           AS we,
+         coalesce(xc.c, 0) AS x, coalesce(yc.c, 0) AS y
+  FROM grid
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                      AS day, count(*) AS c FROM events
+             WHERE event_type = 'click' GROUP BY 1) xc USING (day)
+  LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                      AS day, count(*) AS c FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) yc
+    USING (day)),
+mo AS (
+  SELECT we, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM xy GROUP BY 1),
+cv AS (
+  SELECT we, n,
+         CAST(n * sxx - sx * sx AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1.0)) AS cxx,
+         CAST(n * syy - sy * sy AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1.0)) AS cyy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1.0)) AS cxy
+  FROM mo),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         sum((n - 1.0) * ln(cxx * cyy - cxy * cxy)) AS sum_ln,
+         sum((n - 1.0) * cxx) AS pxx,
+         sum((n - 1.0) * cyy) AS pyy,
+         sum((n - 1.0) * cxy) AS pxy,
+         sum(1.0 / (n - 1.0)) AS sum_inv
+  FROM cv),
+m AS (
+  SELECT n_tot,
+         (n_tot - 2.0)
+           * ln((pxx / (n_tot - 2.0)) * (pyy / (n_tot - 2.0))
+                - (pxy / (n_tot - 2.0)) * (pxy / (n_tot - 2.0)))
+           - sum_ln AS m_stat,
+         ((2.0 * 4.0 + 6.0 - 1.0) / (6.0 * 3.0 * 1.0))
+           * (sum_inv - 1.0 / (n_tot - 2.0)) AS c1
+  FROM agg),
+z AS (SELECT m_stat, m_stat * (1.0 - c1) AS chi2 FROM m)
+SELECT (SELECT CAST(n AS BIGINT) FROM cv WHERE we = 1) AS n_weekend,
+       (SELECT CAST(n AS BIGINT) FROM cv WHERE we = 0) AS n_weekday,
+       round(m_stat, 6) AS box_m,
+       round(chi2, 6) AS chi2,
+       CAST(3 AS BIGINT) AS df,
+       round(2.0 * (1.0 - {phi})
+             + sqrt(2.0 * chi2 / pi()) * exp(-chi2 / 2.0), 6)
+         AS p_value
+FROM z
+"""
+
+
+QUERIES["box_m_weekend"] = (q_box_m_weekend, _box_m_sql())

@@ -1444,3 +1444,92 @@ def test_qreg_tau_half_equals_lad():
     assert math.isclose(b1, b2, rel_tol=1e-12)
     assert math.isclose(a1, a2, rel_tol=1e-12)
     assert math.isclose(cost, sae / 2.0, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# hubness_stats
+# ---------------------------------------------------------------------------
+
+
+def test_hubness_sum_identity_and_skew_sign():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import (_HUB_K,
+                                                            hubness_stats)
+
+    # N_k sums to k·n by construction; uniform N_k has zero skew
+    nk = np.full(50, _HUB_K, dtype=np.int64)
+    skew, hubs = hubness_stats(nk)
+    assert skew == 0.0 and hubs == 0
+    # one giant hub: strongly positive skew
+    nk2 = np.zeros(50, dtype=np.int64)
+    nk2[0] = 200
+    nk2[1:] = 1
+    skew2, hubs2 = hubness_stats(nk2)
+    assert skew2 > 3.0 and hubs2 == 1
+
+
+def test_hubness_matches_numpy_skew():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import hubness_stats
+
+    rng = np.random.RandomState(107)
+    nk = rng.randint(0, 20, size=200).astype(np.int64)
+    skew, _ = hubness_stats(nk)
+    x = nk.astype(float)
+    ref = float(np.mean((x - x.mean()) ** 3) / np.std(x) ** 3)
+    assert math.isclose(skew, ref, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# box_m_2x2
+# ---------------------------------------------------------------------------
+
+
+def _mom_of(pts):
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    syy = sum(p[1] * p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    return (n, sx, sy, sxx, syy, sxy)
+
+
+def test_box_m_equal_covariances_near_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import box_m_2x2
+
+    rng = random.Random(109)
+    pts = [(rng.randrange(0, 100), rng.randrange(0, 100))
+           for _ in range(400)]
+    m_stat, chi2, df = box_m_2x2([_mom_of(pts[:200]),
+                                  _mom_of(pts[200:])])
+    assert df == 3
+    assert chi2 < 12.0                   # same population: no signal
+
+
+def test_box_m_detects_scale_difference():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import box_m_2x2
+
+    rng = random.Random(113)
+    a = [(rng.randrange(0, 10), rng.randrange(0, 10))
+         for _ in range(150)]
+    b = [(rng.randrange(0, 1000), rng.randrange(0, 1000))
+         for _ in range(150)]
+    m_stat, chi2, _ = box_m_2x2([_mom_of(a), _mom_of(b)])
+    assert chi2 > 100.0
+
+
+def test_box_m_matches_numpy_cov():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import box_m_2x2
+
+    rng = np.random.RandomState(127)
+    a = rng.randint(0, 50, size=(60, 2))
+    b = rng.randint(0, 80, size=(80, 2))
+    m_stat, chi2, df = box_m_2x2([
+        _mom_of([tuple(r) for r in a]),
+        _mom_of([tuple(r) for r in b])])
+    sa = np.cov(a.T)
+    sb = np.cov(b.T)
+    sp = (59 * sa + 79 * sb) / 138
+    ref = 138 * math.log(np.linalg.det(sp)) \
+        - 59 * math.log(np.linalg.det(sa)) \
+        - 79 * math.log(np.linalg.det(sb))
+    assert math.isclose(m_stat, ref, rel_tol=1e-9)
