@@ -418,6 +418,8 @@ BENCH_EXTRA = [
     "quantile_regression_p90",
     "knn_hubness_audit",
     "box_m_weekend",
+    "p99_aggregation_pitfall",
+    "sampled_quantile_error",
 ]
 
 

@@ -4425,3 +4425,208 @@ FROM z
 
 
 QUERIES["box_m_weekend"] = (q_box_m_weekend, _box_m_sql())
+
+
+# ---------------------------------------------------------------------------
+# p99_aggregation_pitfall — averaging percentiles is not a percentile
+# ---------------------------------------------------------------------------
+
+
+def q_p99_aggregation_pitfall(sf_dir: str):
+    """The classic observability pitfall, measured: the true global
+    p99 of event values vs the MEAN of per-hour p99s (what a
+    dashboard averaging pre-aggregated panels shows) vs the MAX
+    (what alerting on any-hour-breach sees).  Percentiles do not
+    compose — Gil Tene's 'lying with percentiles' — and the bias ppm
+    columns price the lie on this stream.  Exact ceil-rank order
+    statistics from one bounded (hour, cents) histogram; only the
+    cross-hour mean is a (shared, single-division) float."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(t.column("ts").cast(pa.int64()),
+                         dtype=np.int64)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({
+            "hour": pa.array(tsv // 3_600_000_000),
+            "v": cents,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["hour", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["hour", "v", "c"])
+
+    m = _partial_final(ds, partial, ["hour", "v"], [("c", "sum")])
+    hr = np.asarray(m.column("hour"), dtype=np.int64)
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+
+    def p99_of(vs, cs):
+        o = np.argsort(vs)
+        vs, cs = vs[o], cs[o]
+        n = int(cs.sum())
+        k = (99 * n + 99) // 100
+        return int(vs[np.searchsorted(np.cumsum(cs), k)])
+
+    global_p99 = p99_of(vv, cc)
+    hours = np.unique(hr)
+    per_hour = np.array([p99_of(vv[hr == h], cc[hr == h])
+                         for h in hours.tolist()], dtype=np.int64)
+    mean_h = int(per_hour.sum()) / len(per_hour)
+    max_h = int(per_hour.max())
+    return pa.table({
+        "n_hours": pa.array([len(hours)], pa.int64()),
+        "global_p99": pa.array([global_p99], pa.int64()),
+        "mean_hourly_p99": pa.array([round(mean_h, 6)], pa.float64()),
+        "max_hourly_p99": pa.array([max_h], pa.int64()),
+        "mean_bias_ppm": pa.array(
+            [int(round(mean_h * 1_000_000)) // global_p99
+             - 1_000_000], pa.int64()),
+        "max_bias_ppm": pa.array(
+            [max_h * 1_000_000 // global_p99 - 1_000_000],
+            pa.int64()),
+    })
+
+
+SQL_P99_AGGREGATION_PITFALL = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+gl AS (
+  SELECT CAST(min(v) AS BIGINT) AS p99 FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+           sum(c) OVER () AS n
+    FROM (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM h GROUP BY 1))
+  WHERE cum >= (99 * n + 99) // 100),
+ph AS (
+  SELECT hour, CAST(min(v) AS BIGINT) AS p99 FROM (
+    SELECT hour, v,
+           sum(c) OVER (PARTITION BY hour ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY hour) AS n
+    FROM h)
+  WHERE cum >= (99 * n + 99) // 100
+  GROUP BY 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(p99) AS BIGINT) AS s,
+         CAST(max(p99) AS BIGINT) AS mx
+  FROM ph)
+SELECT agg.n_hours, gl.p99 AS global_p99,
+       round(CAST(agg.s AS DOUBLE) / agg.n_hours, 6)
+         AS mean_hourly_p99,
+       agg.mx AS max_hourly_p99,
+       CAST(round(CAST(agg.s AS DOUBLE) / agg.n_hours * 1000000)
+            AS BIGINT) // gl.p99 - 1000000 AS mean_bias_ppm,
+       agg.mx * 1000000 // gl.p99 - 1000000 AS max_bias_ppm
+FROM agg, gl
+"""
+
+QUERIES["p99_aggregation_pitfall"] = (q_p99_aggregation_pitfall,
+                                      SQL_P99_AGGREGATION_PITFALL)
+
+
+# ---------------------------------------------------------------------------
+# sampled_quantile_error — what a 1/16 hash sample does to the tail
+# ---------------------------------------------------------------------------
+
+
+def q_sampled_quantile_error(sf_dir: str):
+    """Sampling-accuracy audit for tail statistics: the md5 1/16
+    deterministic event sample (the engine-portable sampling used by
+    stratified_sample/corpus_mixture) vs the full stream, compared at
+    the median, p99 and p999 — quantifies how thin the sample can go
+    before tail estimates drift, in exact ceil-rank integers (error
+    ppm per probe).  One (in_sample, cents) histogram carries both
+    populations."""
+    from ..functions.hashing import md5_hash32
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hash32_array
+
+        eid = t.column("event_id").cast(pa.string()).to_pylist()
+        hv = np.asarray(md5_hash32_array(eid), dtype=np.int64)
+        ins = (hv % 16 == 0).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100), 0), pa.int64())
+        g = pa.table({
+            "ins": pa.array(ins), "v": cents,
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["ins", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["ins", "v", "c"])
+
+    m = _partial_final(ds, partial, ["ins", "v"], [("c", "sum")])
+    ins = np.asarray(m.column("ins"), dtype=np.int64)
+    vv = np.asarray(m.column("v"), dtype=np.int64)
+    cc = np.asarray(m.column("c"), dtype=np.int64)
+
+    def q_at(vs, cs, num, den):
+        o = np.argsort(vs)
+        vs, cs = vs[o], cs[o]
+        n = int(cs.sum())
+        k = max(1, (num * n + den - 1) // den)
+        return int(vs[np.searchsorted(np.cumsum(cs), k)]), n
+
+    probes = (("p50", 50, 100), ("p99", 99, 100), ("p999", 999, 1000))
+    rows = {"probe": [], "exact": [], "sampled": [], "err_ppm": []}
+    n_full = n_samp = 0
+    for name, num, den in probes:
+        ex, n_full = q_at(vv, cc, num, den)
+        sm, n_samp = q_at(vv[ins == 1], cc[ins == 1], num, den)
+        rows["probe"].append(name)
+        rows["exact"].append(ex)
+        rows["sampled"].append(sm)
+        num = (sm - ex) * 1_000_000
+        # DuckDB // truncates toward zero on negatives; match it
+        rows["err_ppm"].append(num // ex if num >= 0
+                               else -((-num) // ex))
+    return pa.table({
+        "probe": pa.array(rows["probe"]),
+        "exact_cents": pa.array(rows["exact"], pa.int64()),
+        "sampled_cents": pa.array(rows["sampled"], pa.int64()),
+        "err_ppm": pa.array(rows["err_ppm"], pa.int64()),
+        "n_full": pa.array([n_full] * 3, pa.int64()),
+        "n_sample": pa.array([n_samp] * 3, pa.int64()),
+    })
+
+
+SQL_SAMPLED_QUANTILE_ERROR = """
+WITH e AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                    1, 8))::BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS ins
+  FROM events),
+probes AS (
+  SELECT * FROM (VALUES ('p50', 50, 100), ('p99', 99, 100),
+                        ('p999', 999, 1000)) x(probe, num, den)),
+fq AS (
+  SELECT p.probe, CAST(min(s.v) AS BIGINT) AS exact_cents
+  FROM probes p JOIN (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+    FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e
+          GROUP BY 1)) s
+    ON s.cum >= greatest(1, (p.num * s.n + p.den - 1) // p.den)
+  GROUP BY 1),
+sq AS (
+  SELECT p.probe, CAST(min(s.v) AS BIGINT) AS sampled_cents
+  FROM probes p JOIN (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+    FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e
+          WHERE ins = 1 GROUP BY 1)) s
+    ON s.cum >= greatest(1, (p.num * s.n + p.den - 1) // p.den)
+  GROUP BY 1)
+SELECT fq.probe, fq.exact_cents, sq.sampled_cents,
+       (sq.sampled_cents - fq.exact_cents) * 1000000
+         // fq.exact_cents AS err_ppm,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_full,
+       (SELECT CAST(count(*) AS BIGINT) FROM e WHERE ins = 1)
+         AS n_sample
+FROM fq JOIN sq USING (probe)
+ORDER BY fq.probe
+"""
+
+QUERIES["sampled_quantile_error"] = (q_sampled_quantile_error,
+                                     SQL_SAMPLED_QUANTILE_ERROR)

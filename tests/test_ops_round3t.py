@@ -1533,3 +1533,39 @@ def test_box_m_matches_numpy_cov():
         - 59 * math.log(np.linalg.det(sa)) \
         - 79 * math.log(np.linalg.det(sb))
     assert math.isclose(m_stat, ref, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# percentile-aggregation arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_mean_of_group_p99_underestimates_global():
+    # heavy tail concentrated in one hour: averaging per-hour p99s
+    # hides it, max overshoots per-hour mass
+    rng = random.Random(131)
+    hours = {h: [rng.randrange(10, 100) for _ in range(99)]
+             for h in range(24)}
+    hours[3] += [10_000] * 99            # the bursty hour
+
+    def p99(vals):
+        s = sorted(vals)
+        k = (99 * len(s) + 99) // 100
+        return s[k - 1]
+
+    all_vals = [v for vs in hours.values() for v in vs]
+    g = p99(all_vals)
+    per = [p99(vs) for vs in hours.values()]
+    mean_h = sum(per) / len(per)
+    assert mean_h < g                    # the dashboard lie
+    assert max(per) >= g
+
+
+def test_truncating_division_matches_duckdb_semantics():
+    # the err_ppm convention used by sampled_quantile_error
+    def trunc_div(num, den):
+        return num // den if num >= 0 else -((-num) // den)
+
+    assert trunc_div(-7399999, 1000) == -7399
+    assert trunc_div(7399999, 1000) == 7399
+    assert trunc_div(-1, 2) == 0         # python // would give -1
