@@ -420,6 +420,8 @@ BENCH_EXTRA = [
     "box_m_weekend",
     "p99_aggregation_pitfall",
     "sampled_quantile_error",
+    "copula_tail_fit",
+    "theilsen_slope_ci",
 ]
 
 

@@ -4630,3 +4630,223 @@ ORDER BY fq.probe
 
 QUERIES["sampled_quantile_error"] = (q_sampled_quantile_error,
                                      SQL_SAMPLED_QUANTILE_ERROR)
+
+
+# ---------------------------------------------------------------------------
+# copula_tail_fit — Clayton/Gumbel tail dependence from Kendall's tau
+# ---------------------------------------------------------------------------
+
+
+def copula_from_tau(tau) -> tuple:
+    """Archimedean-copula tail parameters from Kendall's τ via the
+    closed inversions: Clayton θ_C = 2τ/(1−τ) with lower-tail
+    λ_L = 2^(−1/θ_C); Gumbel θ_G = 1/(1−τ) with upper-tail
+    λ_U = 2 − 2^(1/θ_G).  Defined for τ ∈ (0, 1); both None
+    otherwise.  Returns (theta_c, lam_l, theta_g, lam_u)."""
+    if tau is None or tau <= 0.0 or tau >= 1.0:
+        return None, None, None, None
+    theta_c = 2.0 * tau / (1.0 - tau)
+    lam_l = 2.0 ** (-1.0 / theta_c)
+    theta_g = 1.0 / (1.0 - tau)
+    lam_u = 2.0 - 2.0 ** (1.0 / theta_g)
+    return theta_c, lam_l, theta_g, lam_u
+
+
+def q_copula_tail_fit(sf_dir: str):
+    """Model-based tail dependence of (quantity, discount): pooled
+    Kendall τ-b from the bounded joint histogram (the
+    kendall_tau_qty_discount machinery without the flag split),
+    inverted through the Clayton and Gumbel generators to the
+    implied lower/upper tail-dependence coefficients — the
+    parametric counterpart of tail_dependence_qty_price's empirical
+    quadrant counts: when the two disagree, neither Archimedean
+    family fits the joint tail.  Concordance counts are exact
+    python-int products; τ and the four closed-form inversions are
+    the only floats, mirrored by the oracle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity",
+                                            "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "q": pc.cast(t.column("l_quantity"), pa.int64()),
+            "d": pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 1000), 0), pa.int64()),
+        }).group_by(["q", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["q", "d", "c"])
+
+    j = _partial_final(ds, partial, ["q", "d"], [("c", "sum")])
+    q = np.asarray(j.column("q"), dtype=np.int64)
+    d = np.asarray(j.column("d"), dtype=np.int64)
+    c = np.asarray(j.column("c"), dtype=np.int64)
+    co = c.astype(object)
+    gt_q = q[:, None] < q[None, :]
+    gt_d = d[:, None] < d[None, :]
+    lt_d = d[:, None] > d[None, :]
+    prod = co[:, None] * co[None, :]
+    con = int((prod * (gt_q & gt_d)).sum())
+    dis = int((prod * (gt_q & lt_d)).sum())
+    n = int(c.sum())
+    n0 = n * (n - 1) // 2
+    n1 = sum(int(c[q == u].sum()) * (int(c[q == u].sum()) - 1) // 2
+             for u in np.unique(q))
+    n2 = sum(int(c[d == u].sum()) * (int(c[d == u].sum()) - 1) // 2
+             for u in np.unique(d))
+    tau = (con - dis) / (math.sqrt(float(n0 - n1))
+                         * math.sqrt(float(n0 - n2))) \
+        if n0 - n1 > 0 and n0 - n2 > 0 else None
+    th_c, lam_l, th_g, lam_u = copula_from_tau(tau)
+    rnd = (lambda v: round(v, 6) if v is not None else None)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "tau_b": pa.array([rnd(tau)], pa.float64()),
+        "clayton_theta": pa.array([rnd(th_c)], pa.float64()),
+        "lambda_lower": pa.array([rnd(lam_l)], pa.float64()),
+        "gumbel_theta": pa.array([rnd(th_g)], pa.float64()),
+        "lambda_upper": pa.array([rnd(lam_u)], pa.float64()),
+    })
+
+
+SQL_COPULA_TAIL_FIT = """
+WITH j AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 1000, 0) AS BIGINT) AS d,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2),
+cd AS (
+  SELECT sum(CASE WHEN j2.q > j1.q AND j2.d > j1.d
+                  THEN j1.c * j2.c ELSE 0 END) AS con,
+         sum(CASE WHEN j2.q > j1.q AND j2.d < j1.d
+                  THEN j1.c * j2.c ELSE 0 END) AS dis
+  FROM j j1 JOIN j j2 ON TRUE),
+nn AS (SELECT sum(c) AS n FROM j),
+t1 AS (SELECT sum(tc * (tc - 1) // 2) AS n1
+       FROM (SELECT q, sum(c) AS tc FROM j GROUP BY 1)),
+t2 AS (SELECT sum(tc * (tc - 1) // 2) AS n2
+       FROM (SELECT d, sum(c) AS tc FROM j GROUP BY 1)),
+s AS (
+  SELECT nn.n, con, dis, nn.n * (nn.n - 1) // 2 AS n0, n1, n2
+  FROM nn, cd, t1, t2),
+tau AS (
+  SELECT n,
+         CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0 THEN
+           CAST(con - dis AS DOUBLE)
+             / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                * sqrt(CAST(n0 - n2 AS DOUBLE)))
+         END AS t
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n, round(t, 6) AS tau_b,
+       CASE WHEN t > 0 AND t < 1
+            THEN round(2.0 * t / (1.0 - t), 6) END AS clayton_theta,
+       CASE WHEN t > 0 AND t < 1
+            THEN round(pow(2.0, -(1.0 - t) / (2.0 * t)), 6)
+       END AS lambda_lower,
+       CASE WHEN t > 0 AND t < 1
+            THEN round(1.0 / (1.0 - t), 6) END AS gumbel_theta,
+       CASE WHEN t > 0 AND t < 1
+            THEN round(2.0 - pow(2.0, 1.0 - t), 6) END AS lambda_upper
+FROM tau
+"""
+
+QUERIES["copula_tail_fit"] = (q_copula_tail_fit, SQL_COPULA_TAIL_FIT)
+
+
+# ---------------------------------------------------------------------------
+# theilsen_slope_ci — rank-based confidence band for the robust slope
+# ---------------------------------------------------------------------------
+
+
+def theilsen_ci(n_slopes, n_points) -> tuple:
+    """Sen (1968) rank indices for the ~95% slope CI: with
+    N = C(n,2) pairwise slopes and Var(S) = n(n−1)(2n+5)/18,
+    c = z₀.₉₇₅·√Var, lower index = ⌊(N−c)/2⌋ (1-based +1) and upper
+    index = ⌈(N+c)/2⌉ — both engines use z = 1.96 exactly.
+    Returns (lo_idx, hi_idx) 1-based."""
+    var_s = n_points * (n_points - 1) * (2 * n_points + 5) / 18.0
+    c = 1.96 * math.sqrt(var_s)
+    lo = int(math.floor((n_slopes - c) / 2.0)) + 1
+    hi = int(math.ceil((n_slopes + c) / 2.0))
+    return max(lo, 1), min(hi, n_slopes)
+
+
+def q_theilsen_slope_ci(sf_dir: str):
+    """Sen's rank-based ~95% confidence band for the Theil-Sen slope
+    of the last-120-day revenue window — the inference
+    theilsen_trend omits: the CI bounds are ORDER STATISTICS of the
+    pairwise-slope multiset at Kendall-variance offsets from the
+    median, so the band is exact given the slopes (no residual
+    normality, no bootstrap).  Slope ties broken by the exact
+    rational comparison both engines share (sorting by the float
+    value and (i, j)); the window keeps the C(120,2) sweep
+    bounded."""
+    day, cv = _daily_revenue_cents(sf_dir)
+    day, cv = day[-120:], cv[-120:]
+    x = day.astype(np.int64)
+    y = cv.astype(np.int64)
+    n = len(x)
+    ii, jj = np.triu_indices(n, k=1)
+    dx = (x[jj] - x[ii]).astype(np.float64)
+    dy = (y[jj] - y[ii]).astype(np.float64)
+    slopes = dy / dx
+    order = np.lexsort((jj, ii, slopes))
+    s_sorted = slopes[order]
+    N = len(s_sorted)
+    k_med1 = (N + 1) // 2
+    k_med2 = N // 2 + 1
+    med = (s_sorted[k_med1 - 1] + s_sorted[k_med2 - 1]) / 2.0
+    lo_i, hi_i = theilsen_ci(N, n)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_slopes": pa.array([N], pa.int64()),
+        "sen_slope": pa.array([round(float(med), 6)], pa.float64()),
+        "ci_lo": pa.array([round(float(s_sorted[lo_i - 1]), 6)],
+                          pa.float64()),
+        "ci_hi": pa.array([round(float(s_sorted[hi_i - 1]), 6)],
+                          pa.float64()),
+        "lo_idx": pa.array([lo_i], pa.int64()),
+        "hi_idx": pa.array([hi_i], pa.int64()),
+    })
+
+
+SQL_THEILSEN_SLOPE_CI = """
+WITH d0 AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT day, cents FROM (
+    SELECT day, cents,
+           row_number() OVER (ORDER BY day DESC) AS rn
+    FROM d0)
+  WHERE rn <= 120),
+sl AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS s,
+         a.day AS i, b.day AS j
+  FROM d a JOIN d b ON a.day < b.day),
+rk AS (
+  SELECT s, row_number() OVER (ORDER BY s, i, j) AS r,
+         count(*) OVER () AS nsl
+  FROM sl),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+idx AS (
+  SELECT nn.n, rk1.nsl,
+         greatest(CAST(floor((rk1.nsl
+             - 1.96 * sqrt(nn.n * (nn.n - 1.0) * (2 * nn.n + 5)
+                           / 18.0)) / 2.0) AS BIGINT) + 1,
+             1) AS lo_i,
+         least(CAST(ceil((rk1.nsl
+             + 1.96 * sqrt(nn.n * (nn.n - 1.0) * (2 * nn.n + 5)
+                           / 18.0)) / 2.0) AS BIGINT),
+             rk1.nsl) AS hi_i
+  FROM nn, (SELECT max(nsl) AS nsl FROM rk) rk1)
+SELECT idx.n AS n_days, CAST(idx.nsl AS BIGINT) AS n_slopes,
+       round(((SELECT s FROM rk WHERE r = (idx.nsl + 1) // 2)
+            + (SELECT s FROM rk WHERE r = idx.nsl // 2 + 1)) / 2.0,
+             6) AS sen_slope,
+       (SELECT round(s, 6) FROM rk WHERE r = idx.lo_i) AS ci_lo,
+       (SELECT round(s, 6) FROM rk WHERE r = idx.hi_i) AS ci_hi,
+       idx.lo_i AS lo_idx, idx.hi_i AS hi_idx
+FROM idx
+"""
+
+QUERIES["theilsen_slope_ci"] = (q_theilsen_slope_ci,
+                                SQL_THEILSEN_SLOPE_CI)

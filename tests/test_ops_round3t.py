@@ -1569,3 +1569,63 @@ def test_truncating_division_matches_duckdb_semantics():
     assert trunc_div(-7399999, 1000) == -7399
     assert trunc_div(7399999, 1000) == 7399
     assert trunc_div(-1, 2) == 0         # python // would give -1
+
+
+# ---------------------------------------------------------------------------
+# copula_from_tau
+# ---------------------------------------------------------------------------
+
+
+def test_copula_textbook_inversions():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        copula_from_tau
+
+    th_c, lam_l, th_g, lam_u = copula_from_tau(0.5)
+    assert math.isclose(th_c, 2.0, rel_tol=1e-12)
+    assert math.isclose(lam_l, 2 ** -0.5, rel_tol=1e-12)
+    assert math.isclose(th_g, 2.0, rel_tol=1e-12)
+    assert math.isclose(lam_u, 2.0 - math.sqrt(2.0), rel_tol=1e-12)
+
+
+def test_copula_independence_and_bounds():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import \
+        copula_from_tau
+
+    assert copula_from_tau(0.0) == (None, None, None, None)
+    assert copula_from_tau(-0.3) == (None, None, None, None)
+    # tails strengthen monotonically with tau
+    l1 = copula_from_tau(0.2)[1]
+    l2 = copula_from_tau(0.6)[1]
+    u1 = copula_from_tau(0.2)[3]
+    u2 = copula_from_tau(0.6)[3]
+    assert l2 > l1 and u2 > u1
+    assert 0 < l1 < 1 and 0 < u1 < 1
+
+
+# ---------------------------------------------------------------------------
+# theilsen_ci
+# ---------------------------------------------------------------------------
+
+
+def test_theilsen_ci_indices_bracket_median():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import theilsen_ci
+
+    n = 120
+    N = n * (n - 1) // 2
+    lo, hi = theilsen_ci(N, n)
+    assert 1 <= lo < N // 2 < hi <= N
+    # band is symmetric around the median index
+    assert abs((lo + hi) - (N + 1)) <= 2
+
+
+def test_theilsen_ci_covers_true_slope_on_clean_line():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import theilsen_ci
+
+    rng = random.Random(137)
+    n = 60
+    xs = list(range(n))
+    ys = [7 * x + rng.randrange(-5, 5) for x in xs]
+    slopes = sorted((ys[j] - ys[i]) / (xs[j] - xs[i])
+                    for i in range(n) for j in range(i + 1, n))
+    lo, hi = theilsen_ci(len(slopes), n)
+    assert slopes[lo - 1] <= 7.0 <= slopes[hi - 1]
