@@ -422,6 +422,7 @@ BENCH_EXTRA = [
     "sampled_quantile_error",
     "copula_tail_fit",
     "theilsen_slope_ci",
+    "rbo_source_rankings",
 ]
 
 

@@ -4850,3 +4850,114 @@ FROM idx
 
 QUERIES["theilsen_slope_ci"] = (q_theilsen_slope_ci,
                                 SQL_THEILSEN_SLOPE_CI)
+
+
+# ---------------------------------------------------------------------------
+# rbo_source_rankings — top-weighted ranking agreement (RBO)
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_D = 50
+
+
+def rbo_truncated(ra, rb, p: float = _RBO_P, depth: int = _RBO_D):
+    """Truncated rank-biased overlap (Webber et al. 2010, the RBO_min
+    prefix sum): RBO@D = Σ_{d≤D} (1−p)·p^(d−1)·|A_d ∩ B_d|/d from
+    two rank dicts {item: rank}.  A shared item contributes to every
+    depth ≥ max(rA, rB), so overlap@d = #{items: max(rA, rB) ≤ d}.
+    Returns (rbo, overlap@D)."""
+    mx = sorted(max(ra[t], rb[t]) for t in ra if t in rb
+                if max(ra[t], rb[t]) <= depth)
+    acc = 0.0
+    k = 0
+    for d in range(1, depth + 1):
+        while k < len(mx) and mx[k] <= d:
+            k += 1
+        acc += (1.0 - p) * p ** (d - 1) * k / d
+    return acc, len(mx)
+
+
+def q_rbo_source_rankings(sf_dir: str):
+    """Rank-biased overlap between src0's and src1's top-50 token
+    rankings (by count desc, token asc) at p = 0.9 — the
+    top-weighted ranking similarity IR uses where
+    source_ranking_agreement's footrule/inversions weight all
+    positions equally: agreement on the head tokens dominates, and
+    truncation is principled (RBO_min).  Token counts from the one
+    vocabulary-bounded (source, token) shuffle every text query
+    shares; overlap@d closes from max(rankA, rankB) counts in both
+    engines."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"),
+                                      pattern=r"\s+")
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat_src = src.take(pc.list_parent_indices(toks))
+        flat = pc.list_flatten(toks)
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.is_in(flat_src,
+                                pa.array(["src0", "src1"])))
+        g = pa.table({"source": flat_src.filter(keep),
+                      "token": flat.filter(keep)}) \
+            .group_by(["source", "token"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    vc = _partial_final(ds, partial, ["source", "token"],
+                        [("cnt", "sum")])
+    src = np.asarray(vc.column("source").to_pylist())
+    tok = np.asarray(vc.column("token").to_pylist())
+    cnt = np.asarray(vc.column("cnt"), dtype=np.int64)
+
+    def top_ranks(s):
+        sel = src == s
+        ts, cs = tok[sel], cnt[sel]
+        order = np.lexsort((ts, -cs))
+        return {t: r + 1 for r, t in
+                enumerate(ts[order][:_RBO_D].tolist())}
+
+    ra = top_ranks("src0")
+    rb = top_ranks("src1")
+    rbo, ov = rbo_truncated(ra, rb)
+    return pa.table({
+        "depth": pa.array([_RBO_D], pa.int64()),
+        "overlap_at_depth": pa.array([ov], pa.int64()),
+        "rbo": pa.array([round(rbo, 6)], pa.float64()),
+    })
+
+
+SQL_RBO_SOURCE_RANKINGS = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents WHERE source IN ('src0', 'src1')),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2),
+rk AS (
+  SELECT source, token,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, token) AS r
+  FROM c),
+joined AS (
+  SELECT greatest(a.r, b.r) AS mx
+  FROM (SELECT token, r FROM rk WHERE source = 'src0'
+        AND r <= 50) a
+  JOIN (SELECT token, r FROM rk WHERE source = 'src1'
+        AND r <= 50) b USING (token)),
+depths AS (
+  SELECT CAST(g.range AS BIGINT) + 1 AS d FROM range(50) g),
+ov AS (
+  SELECT d.d,
+         (SELECT count(*) FROM joined WHERE mx <= d.d) AS k
+  FROM depths d)
+SELECT CAST(50 AS BIGINT) AS depth,
+       (SELECT CAST(count(*) AS BIGINT) FROM joined)
+         AS overlap_at_depth,
+       round(sum(0.1 * pow(0.9, d - 1) * k / d), 6) AS rbo
+FROM ov
+"""
+
+QUERIES["rbo_source_rankings"] = (q_rbo_source_rankings,
+                                  SQL_RBO_SOURCE_RANKINGS)

@@ -1629,3 +1629,43 @@ def test_theilsen_ci_covers_true_slope_on_clean_line():
                     for i in range(n) for j in range(i + 1, n))
     lo, hi = theilsen_ci(len(slopes), n)
     assert slopes[lo - 1] <= 7.0 <= slopes[hi - 1]
+
+
+# ---------------------------------------------------------------------------
+# rbo_truncated
+# ---------------------------------------------------------------------------
+
+
+def test_rbo_identical_rankings_approach_one():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import rbo_truncated
+
+    ranks = {f"t{i}": i for i in range(1, 51)}
+    rbo, ov = rbo_truncated(ranks, dict(ranks))
+    assert ov == 50
+    # identical lists: RBO@D = 1 − p^D (the truncated mass)
+    assert math.isclose(rbo, 1.0 - 0.9 ** 50, rel_tol=1e-12)
+
+
+def test_rbo_disjoint_rankings_zero():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import rbo_truncated
+
+    ra = {f"a{i}": i for i in range(1, 51)}
+    rb = {f"b{i}": i for i in range(1, 51)}
+    rbo, ov = rbo_truncated(ra, rb)
+    assert rbo == 0.0 and ov == 0
+
+
+def test_rbo_head_agreement_dominates():
+    from log_analysis_ai_ray.pipelines.queries_ext6 import rbo_truncated
+
+    base = {f"t{i}": i for i in range(1, 51)}
+    # same head, scrambled tail vs same tail, scrambled head
+    head_same = dict(base)
+    for i in range(26, 51):
+        head_same[f"x{i}"] = head_same.pop(f"t{i}")
+    tail_same = dict(base)
+    for i in range(1, 26):
+        tail_same[f"y{i}"] = tail_same.pop(f"t{i}")
+    r_head, _ = rbo_truncated(base, head_same)
+    r_tail, _ = rbo_truncated(base, tail_same)
+    assert r_head > 2 * r_tail
