@@ -3393,11 +3393,15 @@ def q_fsst_bigram_audit(sf_dir: str):
 
 
 SQL_FSST_BIGRAM_AUDIT = """
-WITH cand AS (
-  SELECT DISTINCT substr(p_name, CAST(g.range AS INTEGER) + 1, 2)
+WITH pos AS (
+  SELECT unnest(generate_series(
+           0, (SELECT CAST(max(length(p_name)) AS BIGINT) - 2
+               FROM part))) AS r),
+cand AS (
+  SELECT DISTINCT substr(p_name, CAST(pos.r AS INTEGER) + 1, 2)
            AS bg
-  FROM part, range(11) g
-  WHERE g.range + 2 <= length(p_name)),
+  FROM part, pos
+  WHERE pos.r + 2 <= length(p_name)),
 cnt AS (
   SELECT cand.bg,
          CAST(sum((length(p_name)
@@ -3954,6 +3958,95 @@ QUERIES["pickands_tail_values"] = (q_pickands_tail_values,
 _STS_TIMEOUTS_US = (300_000_000, 1_800_000_000, 7_200_000_000)
 
 
+def _user_gap_hist(ds2, batch_size: int) -> pa.Table:
+    """Exact same-user inter-event-gap histogram (gsec, c) over a
+    dataset already sorted by (_pkey, user_id, ts_us, event_id).
+
+    Each batch computes its IN-batch gaps vectorized and additionally
+    emits its first and last rows as edge markers.  Batches are
+    contiguous ranges of the global sort order, so after re-sorting
+    the edge rows by the same composite key (+ is_last so a
+    single-row batch keeps first-before-last) the rows at positions
+    (2k+1, 2k+2) are exactly the adjacent batch-boundary neighbors —
+    the one gap per boundary the in-batch pass cannot see.  Those
+    O(#batches) same-user boundary gaps are repaired driver-side, so
+    a user's events straddling a batch boundary lose nothing (the
+    round-3 advice defect: 2 gaps silently dropped on a 1.5M-row
+    single-user stream)."""
+    empty = pa.table({
+        "kind": pa.array([], pa.int8()),
+        "gsec": pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+        "pkey": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts_us": pa.array([], pa.int64()),
+        "event_id": pa.array([], pa.int64()),
+        "is_last": pa.array([], pa.int8()),
+    })
+
+    def gaps_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        tss = np.asarray(t.column("ts_us"), dtype=np.int64)
+        same = u[1:] == u[:-1]
+        gsec = ((tss[1:] - tss[:-1])[same]) // 1_000_000
+        g = pa.table({"gsec": pa.array(gsec),
+                      "c": pa.array(np.ones(len(gsec),
+                                            dtype=np.int64))}) \
+            .group_by("gsec").aggregate([("c", "sum")])
+        n_h = g.num_rows
+        edge_idx = np.array([0, len(u) - 1], dtype=np.int64)
+        pk = np.asarray(t.column("_pkey"), dtype=np.int64)
+        ev = np.asarray(t.column("event_id"), dtype=np.int64)
+        return pa.table({
+            "kind": pa.array([0] * n_h + [1, 1], pa.int8()),
+            "gsec": pa.concat_arrays(
+                [g.column("gsec").combine_chunks().cast(pa.int64()),
+                 pa.array([0, 0], pa.int64())]),
+            "c": pa.concat_arrays(
+                [g.column("c_sum").combine_chunks().cast(pa.int64()),
+                 pa.array([0, 0], pa.int64())]),
+            "pkey": pa.array(
+                np.concatenate([np.zeros(n_h, np.int64),
+                                pk[edge_idx]])),
+            "user_id": pa.array(
+                np.concatenate([np.zeros(n_h, np.int64),
+                                u[edge_idx]])),
+            "ts_us": pa.array(
+                np.concatenate([np.zeros(n_h, np.int64),
+                                tss[edge_idx]])),
+            "event_id": pa.array(
+                np.concatenate([np.zeros(n_h, np.int64),
+                                ev[edge_idx]])),
+            "is_last": pa.array([0] * n_h + [0, 1], pa.int8()),
+        })
+
+    raw = agg._to_arrow(
+        ds2.map_batches(gaps_part, batch_format="pyarrow",
+                        batch_size=batch_size))
+    hist = raw.filter(pc.equal(raw.column("kind"), 0)) \
+        .select(["gsec", "c"])
+    edges = raw.filter(pc.equal(raw.column("kind"), 1)) \
+        .sort_by([("pkey", "ascending"), ("user_id", "ascending"),
+                  ("ts_us", "ascending"), ("event_id", "ascending"),
+                  ("is_last", "ascending")])
+    eu = np.asarray(edges.column("user_id"), dtype=np.int64)
+    ets = np.asarray(edges.column("ts_us"), dtype=np.int64)
+    if len(eu) >= 4:
+        # boundary neighbors: (last of batch k, first of batch k+1)
+        u_last, u_first = eu[1::2][:-1], eu[2::2]
+        t_last, t_first = ets[1::2][:-1], ets[2::2]
+        same = u_last == u_first
+        bg = (t_first[same] - t_last[same]) // 1_000_000
+        if len(bg):
+            hist = pa.concat_tables([hist, pa.table({
+                "gsec": pa.array(bg),
+                "c": pa.array(np.ones(len(bg), np.int64))})])
+    return hist.group_by("gsec").aggregate([("c", "sum")]) \
+        .rename_columns(["gsec", "c"]).sort_by("gsec")
+
+
 def q_session_timeout_sensitivity(sf_dir: str):
     """Session-count sensitivity to the inactivity timeout: sessions
     at T = #users + #same-user gaps exceeding T, so ONE bounded
@@ -3977,23 +4070,7 @@ def q_session_timeout_sensitivity(sf_dir: str):
 
     ds2 = ds.map_batches(tag, batch_format="pyarrow") \
         .sort(["_pkey", "user_id", "ts_us", "event_id"])
-
-    def gaps_part(t: pa.Table) -> pa.Table:
-        u = np.asarray(t.column("user_id"), dtype=np.int64)
-        tss = np.asarray(t.column("ts_us"), dtype=np.int64)
-        same = u[1:] == u[:-1]
-        gsec = ((tss[1:] - tss[:-1])[same]) // 1_000_000
-        g = pa.table({"gsec": pa.array(gsec),
-                      "c": pa.array(np.ones(len(gsec),
-                                            dtype=np.int64))}) \
-            .group_by("gsec").aggregate([("c", "sum")])
-        return g.rename_columns(["gsec", "c"])
-
-    m = agg._to_arrow(
-        ds2.map_batches(gaps_part, batch_format="pyarrow",
-                        batch_size=1 << 20)) \
-        .group_by("gsec").aggregate([("c", "sum")]) \
-        .rename_columns(["gsec", "c"]).sort_by("gsec")
+    m = _user_gap_hist(ds2, batch_size=1 << 20)
     gs = np.asarray(m.column("gsec"), dtype=np.int64)
     cs = np.asarray(m.column("c"), dtype=np.int64)
     total_gaps = int(cs.sum())
@@ -4646,9 +4723,12 @@ def copula_from_tau(tau) -> tuple:
     if tau is None or tau <= 0.0 or tau >= 1.0:
         return None, None, None, None
     theta_c = 2.0 * tau / (1.0 - tau)
-    lam_l = 2.0 ** (-1.0 / theta_c)
+    # exponents use the SAME literal float expression trees as the
+    # SQL oracle (-(1-t)/(2t) and 1-t), not -1/theta — algebraically
+    # equal but bit-equal only this way
+    lam_l = 2.0 ** (-(1.0 - tau) / (2.0 * tau))
     theta_g = 1.0 / (1.0 - tau)
-    lam_u = 2.0 - 2.0 ** (1.0 / theta_g)
+    lam_u = 2.0 - 2.0 ** (1.0 - tau)
     return theta_c, lam_l, theta_g, lam_u
 
 

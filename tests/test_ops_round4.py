@@ -1,0 +1,79 @@
+"""Round-4 hardening tests: batch-boundary gap repair in the session
+timeout sensitivity histogram (round-3 advice: a user's events
+straddling a map_batches boundary silently lost the boundary gap)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _gap_hist_ds(users, ts_us):
+    import ray
+
+    n = len(users)
+    t = pa.table({
+        "_pkey": pa.array(np.asarray(users, np.int64) % 32),
+        "user_id": pa.array(np.asarray(users, np.int64)),
+        "ts_us": pa.array(np.asarray(ts_us, np.int64)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    return ray.data.from_arrow(t) \
+        .sort(["_pkey", "user_id", "ts_us", "event_id"])
+
+
+def _expected_hist(users, ts_us):
+    u = np.asarray(users, np.int64)
+    t = np.asarray(ts_us, np.int64)
+    order = np.lexsort((t, u))
+    u, t = u[order], t[order]
+    same = u[1:] == u[:-1]
+    g = (t[1:] - t[:-1])[same] // 1_000_000
+    vals, cnts = np.unique(g, return_counts=True)
+    return dict(zip(vals.tolist(), cnts.tolist()))
+
+
+def _hist_to_dict(m):
+    return dict(zip(m.column("gsec").to_pylist(),
+                    m.column("c").to_pylist()))
+
+
+def test_gap_hist_single_user_tiny_batches(ray_session):
+    """A 1.5k-row single-user stream through 64-row batches must keep
+    ALL n-1 gaps — the exact shape that lost gaps in round 3."""
+    from log_analysis_ai_ray.pipelines.queries_ext6 import _user_gap_hist
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    ts = np.cumsum(rng.integers(1, 5000, n)) * 1_000_000
+    users = np.zeros(n, np.int64)
+    m = _user_gap_hist(_gap_hist_ds(users, ts), batch_size=64)
+    got = _hist_to_dict(m)
+    assert sum(got.values()) == n - 1
+    assert got == _expected_hist(users, ts)
+
+
+def test_gap_hist_multi_user_boundaries(ray_session):
+    """Users of uneven run lengths across many boundary cuts: the
+    boundary repair must add a gap only when the two sides of the cut
+    belong to the same user."""
+    from log_analysis_ai_ray.pipelines.queries_ext6 import _user_gap_hist
+
+    rng = np.random.default_rng(11)
+    users = np.repeat(np.arange(37, dtype=np.int64),
+                      rng.integers(1, 60, 37))
+    n = len(users)
+    ts = np.cumsum(rng.integers(1, 9000, n)) * 1_000_000
+    rng.shuffle(ts)  # per-user order comes from the sort, not input
+    for bs in (16, 101, 1 << 20):
+        m = _user_gap_hist(_gap_hist_ds(users, ts), batch_size=bs)
+        assert _hist_to_dict(m) == _expected_hist(users, ts), bs
+
+
+def test_gap_hist_single_row_batches(ray_session):
+    """batch_size=1 makes EVERY gap a boundary gap (and first==last in
+    each batch's edge rows) — the degenerate all-repair case."""
+    from log_analysis_ai_ray.pipelines.queries_ext6 import _user_gap_hist
+
+    users = np.array([0, 0, 0, 1, 1], np.int64)
+    ts = np.array([0, 3, 10, 2, 4], np.int64) * 1_000_000
+    m = _user_gap_hist(_gap_hist_ds(users, ts), batch_size=1)
+    assert _hist_to_dict(m) == {2: 1, 3: 1, 7: 1}
