@@ -10964,41 +10964,12 @@ def q_prefix_jaccard_join(sf_dir: str):
     quadratic join; the Ray path must reproduce it exactly — recall
     is checked by hash, not sampled."""
     from ..stages.dedup import (prefix_jaccard_candidates,
-                                word_shingle_set)
+                                verify_jaccard_pairs)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = prefix_jaccard_candidates(ds, _PFX_TAU_PM, _PFX_WIDTH)
-    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
-                      "doc_b": pa.array([], type=pa.int64()),
-                      "jaccard": pa.array([], type=pa.float64())})
-    if cand.num_rows == 0:
-        return empty
-    import pyarrow.parquet as pq
-
-    wanted = sorted(set(cand.column("doc_a").to_pylist())
-                    | set(cand.column("doc_b").to_pylist()))
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    docs = docs.filter(pc.is_in(docs.column("doc_id"),
-                                value_set=pa.array(wanted)))
-    sets = {i: word_shingle_set(s, _PFX_WIDTH)
-            for i, s in zip(docs.column("doc_id").to_pylist(),
-                            docs.column("text").to_pylist())}
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(zip(cand.column("doc_a").to_pylist(),
-                           cand.column("doc_b").to_pylist())):
-        sa, sb = sets[a], sets[b]
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter * 1000 >= _PFX_TAU_PM * union:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(inter / union, 6))
-    return pa.table({
-        "doc_a": pa.array(out_a, type=pa.int64()),
-        "doc_b": pa.array(out_b, type=pa.int64()),
-        "jaccard": pa.array(out_j, type=pa.float64()),
-    })
+    docs2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return verify_jaccard_pairs(docs2, cand, _PFX_TAU_PM, _PFX_WIDTH)
 
 
 SQL_PREFIX_JACCARD_JOIN = f"""

@@ -1123,6 +1123,166 @@ def prefix_jaccard_candidates(ds, threshold_pm: int, width: int = 3,
                                 ("doc_b", pa.int64())]))
 
 
+# Candidate sets at or below this size are verified with the driver
+# kernel (no shuffle — the right call at query scale); above it the
+# pairs are hash-partitioned and verified inside map_groups with the
+# SAME exact-shingle kernel. Tests force the distributed path by
+# monkeypatching to 0 and assert byte parity with the driver kernel.
+PAIR_VERIFY_DRIVER_MAX_PAIRS = 5_000
+
+
+def _verify_pairs_table(sets: dict, doc_a, doc_b, threshold_pm: int
+                        ) -> tuple[list, list, list]:
+    """Shared exact-verification kernel: true-string-shingle Jaccard
+    for each (doc_a, doc_b), kept at >= threshold_pm. Used verbatim by
+    the driver path and inside every map_groups partition."""
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(doc_a, doc_b):
+        sa, sb = sets.get(a), sets.get(b)
+        if sa is None or sb is None:
+            continue
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter * 1000 >= threshold_pm * union:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(inter / union, 6))
+    return out_a, out_b, out_j
+
+
+def verify_jaccard_pairs(docs_ds, cand: pa.Table, threshold_pm: int,
+                         width: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_partitions: int = 32) -> pa.Table:
+    """EXACT verification of candidate (doc_a, doc_b) pairs with true
+    string shingles — returns the pairs at Jaccard >= threshold_pm
+    with their exact similarity, sorted by (doc_a, doc_b).
+
+    Scale shape (the round-3 fix: no driver-side per-pair loop over
+    the full candidate set): pairs are hash-partitioned by a pair
+    mix, each involved document's text is ROUTED to exactly the
+    partitions whose pairs reference it (a keys-only doc→partition
+    map broadcast via ray.put, np.repeat expansion inside
+    map_batches — a doc in k partitions ships k copies of its text,
+    bounded by its candidate degree), and verification runs inside
+    ``groupby(part).map_groups`` with the same exact-shingle kernel.
+    Driver materializes only the (small) verified output. Candidate
+    sets at or below PAIR_VERIFY_DRIVER_MAX_PAIRS skip the shuffle
+    and verify on the driver — identical kernel, pytest-pinned
+    parity."""
+    import ray
+
+    from .aggregate import _to_arrow
+
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if cand.num_rows == 0:
+        return empty
+    a = np.asarray(cand.column("doc_a"), dtype=np.int64)
+    b = np.asarray(cand.column("doc_b"), dtype=np.int64)
+    wanted = np.unique(np.concatenate([a, b]))
+
+    if cand.num_rows <= PAIR_VERIFY_DRIVER_MAX_PAIRS:
+        w = pa.array(wanted)
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.select([id_col, text_col]).filter(
+                pc.is_in(t.column(id_col), value_set=w))
+
+        docs = _to_arrow(docs_ds.map_batches(keep,
+                                             batch_format="pyarrow"))
+        sets = {i: word_shingle_set(s, width)
+                for i, s in zip(docs.column(id_col).to_pylist(),
+                                docs.column(text_col).to_pylist())}
+        order = np.lexsort((b, a))
+        out_a, out_b, out_j = _verify_pairs_table(
+            sets, a[order].tolist(), b[order].tolist(), threshold_pm)
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j,
+                                             type=pa.float64())})
+
+    # --- distributed path ---
+    h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         + b.astype(np.uint64))
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    part = ((h ^ (h >> np.uint64(33)))
+            % np.uint64(num_partitions)).astype(np.int64)
+
+    # keys-only doc -> partitions map (sorted docs + CSR offsets)
+    md = np.concatenate([a, b])
+    mp = np.concatenate([part, part])
+    order = np.lexsort((mp, md))
+    md, mp = md[order], mp[order]
+    if len(md):
+        first = np.concatenate([[True], (md[1:] != md[:-1])
+                                | (mp[1:] != mp[:-1])])
+        md, mp = md[first], mp[first]
+    m_doc, starts = np.unique(md, return_index=True)
+    m_off = np.concatenate([starts, [len(mp)]]).astype(np.int64)
+    ref = ray.put((m_doc, m_off, mp))
+
+    def route(t: pa.Table) -> pa.Table:
+        m_doc_, m_off_, m_part_ = ray.get(ref)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        pos = np.searchsorted(m_doc_, ids)
+        pos_c = np.minimum(pos, len(m_doc_) - 1)
+        valid = m_doc_[pos_c] == ids
+        idx = pos_c[valid]
+        s, e = m_off_[idx], m_off_[idx + 1]
+        counts = e - s
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string())})
+        cum = np.cumsum(counts)
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(cum - counts, counts)
+                + np.repeat(s, counts))
+        row_rep = np.repeat(np.nonzero(valid)[0], counts)
+        return pa.table({
+            "part": pa.array(m_part_[flat]),
+            "doc_a": pa.array(ids[row_rep]),
+            "doc_b": pa.array(np.full(total, -1, np.int64)),
+            "text": t.column(text_col).take(
+                pa.array(row_rep, type=pa.int64())),
+        })
+
+    routed_docs = docs_ds.map_batches(route, batch_format="pyarrow")
+    pair_rows = ray.data.from_arrow(pa.table({
+        "part": pa.array(part),
+        "doc_a": pa.array(a),
+        "doc_b": pa.array(b),
+        "text": pa.array([""] * len(a), pa.string()),
+    }))
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        db = np.asarray(g.column("doc_b"), dtype=np.int64)
+        da = np.asarray(g.column("doc_a"), dtype=np.int64)
+        texts = g.column("text").combine_chunks()
+        is_doc = db < 0
+        sets = {int(da[i]): word_shingle_set(texts[i].as_py(), width)
+                for i in np.nonzero(is_doc)[0]}
+        pi = np.nonzero(~is_doc)[0]
+        out_a, out_b, out_j = _verify_pairs_table(
+            sets, da[pi].tolist(), db[pi].tolist(), threshold_pm)
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j,
+                                             type=pa.float64())})
+
+    res = _to_arrow(routed_docs.union(pair_rows).groupby("part")
+                    .map_groups(verify_group, batch_format="pyarrow"))
+    if res.num_rows == 0:
+        return empty
+    return res.sort_by([("doc_a", "ascending"),
+                        ("doc_b", "ascending")])
+
+
 def word_shingle_set(text: str, width: int = 3) -> set:
     """TRUE string shingle set (the verification universe — hash-free,
     so candidate verification is exact even under hash collisions).

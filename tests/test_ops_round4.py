@@ -68,6 +68,41 @@ def test_gap_hist_multi_user_boundaries(ray_session):
         assert _hist_to_dict(m) == _expected_hist(users, ts), bs
 
 
+def test_verify_jaccard_pairs_distributed_parity(ray_session,
+                                                 monkeypatch):
+    """Forcing the distributed map_groups verification path (driver
+    budget = 0) must reproduce the driver kernel byte-for-byte —
+    including exclusion of sub-threshold candidates and exact jaccard
+    values."""
+    import ray
+
+    from log_analysis_ai_ray.stages import dedup
+
+    texts = []
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong potions at dawn near the "
+            "old stone bridge by the river bend every morning")
+    for i in range(40):
+        words = base.split()
+        # perturb a sliding window so neighbors are near-dups and
+        # distant docs are not
+        words[i % len(words)] = f"tok{i}"
+        texts.append(" ".join(words))
+    t = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+    cand = dedup.prefix_jaccard_candidates(ds, 600, 3)
+    assert cand.num_rows > 10  # test must exercise real pairs
+
+    driver = dedup.verify_jaccard_pairs(
+        ray.data.from_arrow(t), cand, 600, 3)
+    monkeypatch.setattr(dedup, "PAIR_VERIFY_DRIVER_MAX_PAIRS", 0)
+    dist = dedup.verify_jaccard_pairs(
+        ray.data.from_arrow(t), cand, 600, 3, num_partitions=5)
+    assert driver.num_rows > 0
+    assert dist.equals(driver)
+
+
 def test_gap_hist_single_row_batches(ray_session):
     """batch_size=1 makes EVERY gap a boundary gap (and first==last in
     each batch's edge rows) — the degenerate all-repair case."""
