@@ -67,6 +67,23 @@ def _strip_md(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+# Above this many build-side rows a "broadcast"-shaped query reroutes
+# to its hash-partitioned twin instead of reading the dimension on the
+# driver (the round-3 size-gate demand: a side that stops being small
+# must stop being broadcast). Row count comes from the parquet footer —
+# no data read. Tests force the partitioned path by monkeypatching
+# this to 0.
+DIM_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _dim_rows(sf_dir: str, table: str) -> int:
+    """Parquet-footer row count (metadata only, no column IO)."""
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
@@ -723,34 +740,19 @@ def q_doc_minhash_pairs(sf_dir: str):
 
 
 def q_doc_ngram_jaccard(sf_dir: str):
-    """n-gram Jaccard dedup: MinHash+LSH candidates verified with EXACT
-    char-5-gram Jaccard (the candidate set is small, so verification
-    fetches only the candidate documents — broadcast at scale)."""
-    import pyarrow.parquet as pq
-
-    from ..stages.dedup import minhash_near_dups, ngram_jaccard
+    """n-gram Jaccard dedup: MinHash+LSH candidates verified with
+    EXACT char-5-gram Jaccard. Round-4: verification goes through
+    verify_jaccard_pairs (stages/dedup.py) — small candidate sets
+    verify on the driver, large ones hash-partition and verify inside
+    map_groups with the identical char-shingle kernel (no driver-side
+    per-pair loop at scale)."""
+    from ..stages.dedup import minhash_near_dups, verify_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_near_dups(ds, threshold=0.4)
-    if cand.num_rows == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    wanted = sorted(set(cand.column("doc_a").to_pylist())
-                    | set(cand.column("doc_b").to_pylist()))
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    docs = docs.filter(pc.is_in(docs.column("doc_id"),
-                                value_set=pa.array(wanted, type=pa.int64())))
-    texts = dict(zip(docs.column("doc_id").to_pylist(),
-                     docs.column("text").to_pylist()))
-    jac = [round(ngram_jaccard(texts[a], texts[b]), 6)
-           for a, b in zip(cand.column("doc_a").to_pylist(),
-                           cand.column("doc_b").to_pylist())]
-    out = pa.table({"doc_a": cand.column("doc_a"),
-                    "doc_b": cand.column("doc_b"),
-                    "jaccard": pa.array(jac, type=pa.float64())})
-    return out.filter(pc.greater_equal(out.column("jaccard"), 0.5))
+    docs2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return verify_jaccard_pairs(docs2, cand.select(["doc_a", "doc_b"]),
+                                500, width=5, shingle="char")
 
 
 def q_doc_simhash(sf_dir: str):
@@ -1572,11 +1574,16 @@ def q_asof_order_stats(sf_dir: str):
     before the event timestamp (broadcast composite-rank probe,
     stages/joins.py). Aggregated per event_type so any per-row
     mismatch flips the hash: match count, matched totalprice in exact
-    integer cents, and summed event→order lag in seconds."""
+    integer cents, and summed event→order lag in seconds. Size-gated:
+    past DIM_BROADCAST_MAX_ROWS the build side stops being broadcast
+    and the query reroutes to the partitioned twin (identical oracle,
+    forced-gate parity pytest-pinned)."""
     import pyarrow.parquet as pq
 
     from ..stages.joins import asof_join_broadcast
 
+    if _dim_rows(sf_dir, "orders") > DIM_BROADCAST_MAX_ROWS:
+        return q_asof_order_stats_partitioned(sf_dir)
     orders = pq.read_table(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
@@ -2356,11 +2363,15 @@ def q_events_in_order_window(sf_dir: str):
     interval-stabbing (#starts≤t − #ends≤t per key, four vectorized
     searchsorted passes — counts, not join pairs, cross the stage;
     stages/joins.py). Output per event_type: events, events inside ≥1
-    window, total overlap multiplicity."""
+    window, total overlap multiplicity. Size-gated: past
+    DIM_BROADCAST_MAX_ROWS the order windows reroute to the
+    partitioned twin instead of a driver read + broadcast."""
     import pyarrow.parquet as pq
 
     from ..stages.joins import interval_join_count_broadcast
 
+    if _dim_rows(sf_dir, "orders") > DIM_BROADCAST_MAX_ROWS:
+        return q_events_in_order_window_partitioned(sf_dir)
     orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
                            columns=["o_custkey", "o_orderdate"])
     end = pc.add(orders.column("o_orderdate"),

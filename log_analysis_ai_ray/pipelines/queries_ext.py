@@ -12981,11 +12981,11 @@ def q_nation_shift_share(sf_dir: str):
     cust = pq_mod.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"])
-    nk = dict(zip(
-        np.asarray(cust.column("c_custkey"), dtype=np.int64).tolist(),
-        np.asarray(cust.column("c_nationkey"),
-                   dtype=np.int64).tolist()))
-    nat = np.array([nk[int(k)] for k in ck], dtype=np.int64)
+    ckk = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    cnn = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    o_ = np.argsort(ckk)
+    ckk, cnn = ckk[o_], cnn[o_]
+    nat = cnn[np.searchsorted(ckk, ck)]
     nu, nidx = np.unique(nat, return_inverse=True)
     r1 = np.zeros(len(nu), dtype=np.int64)
     r2 = np.zeros(len(nu), dtype=np.int64)
@@ -13453,65 +13453,152 @@ QUERIES["scan_hotspot_dow_hour"] = (q_scan_hotspot_dow_hour,
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape: revenue where the CUSTOMER and the SUPPLIER sit
     in the same nation — the 6-table chain lineitem⋈orders⋈customer⋈
-    supplier⋈nation. Plan: supplier→nation and customer→nation are
-    broadcast probes folded into each fact's block scan (dimension
-    discipline), so the ONLY exchange is the side-tagged orderkey
-    hash join of (orderkey, supp-nation, cents) lineitem partials
-    against (orderkey, cust-nation) order rows; the same-nation
-    filter and the per-nation reduce run in-partition."""
+    supplier⋈nation. Plan: supplier→nation and customer→nation attach
+    as SIZE-GATED probes — under DIM_BROADCAST_MAX_ROWS the dimension
+    reads distributed, ships ONCE via ray.put and probes from local
+    plasma inside each block scan (round-4: no more closure-captured
+    driver arrays reshipped per task); above the gate the attach
+    routes through partitioned_lookup_join. Either way the only
+    unavoidable exchange is the side-tagged orderkey hash join of
+    (orderkey, supp-nation, cents) lineitem partials against
+    (orderkey, cust-nation) order rows; the same-nation filter and
+    the per-nation reduce run in-partition."""
     import os
 
     import pyarrow.parquet as pq_mod
+    import ray
 
-    from .queries import _ARGMAX_NPART
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_nationkey"])
-    s_keys = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
-    s_nat = np.asarray(sup.column("s_nationkey"), dtype=np.int64)
-    so = np.argsort(s_keys)
-    s_keys, s_nat = s_keys[so], s_nat[so]
-    cust = pq_mod.read_table(os.path.join(sf_dir, "customer.parquet"),
-                             columns=["c_custkey", "c_nationkey"])
-    c_keys = np.asarray(cust.column("c_custkey"), dtype=np.int64)
-    c_nat = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
-    co = np.argsort(c_keys)
-    c_keys, c_nat = c_keys[co], c_nat[co]
+    from .queries import _ARGMAX_NPART, DIM_BROADCAST_MAX_ROWS, _dim_rows
+    from ..stages.joins import partitioned_lookup_join
+
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"),
                             columns=["n_nationkey", "n_name"])
     n_name = dict(zip(
         np.asarray(nat.column("n_nationkey"), dtype=np.int64).tolist(),
         nat.column("n_name").to_pylist()))
 
-    def li_part(t: pa.Table) -> pa.Table:
-        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
-        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+    def _li_cents(t: pa.Table):
         # independent integer rounding (cents x per-mille): exact and
         # engine-portable, unlike rounding the float product
         price_c = pc.cast(pc.round(pc.multiply(
             t.column("l_extendedprice"), 100), 0), pa.int64())
         disc_pm = pc.cast(pc.round(pc.multiply(
             t.column("l_discount"), 1000), 0), pa.int64())
-        cents = pc.multiply(price_c, pc.subtract(
+        return pc.multiply(price_c, pc.subtract(
             pa.scalar(1000, pa.int64()), disc_pm))
-        snat = s_nat[np.searchsorted(s_keys, sk)]
-        g = pa.table({"okey": pa.array(ok), "nat": pa.array(snat),
-                      "cents": cents}) \
-            .group_by(["okey", "nat"]).aggregate([("cents", "sum")]) \
-            .rename_columns(["okey", "nat", "cents"])
+
+    def _pkey_of(g: pa.Table) -> pa.Table:
         k = np.asarray(g.column("okey"), dtype=np.int64)
         return g.append_column(
             "_pkey", pa.array(_knuth_bucket(k, _ARGMAX_NPART)))
 
-    def ord_part(t: pa.Table) -> pa.Table:
-        ok = np.asarray(t.column("o_orderkey"), dtype=np.int64)
-        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
-        cnat = c_nat[np.searchsorted(c_keys, ck)]
-        # order rows tagged by cents = -1 (lineitem partials are >= 0)
-        g = pa.table({"okey": pa.array(ok), "nat": pa.array(cnat),
-                      "cents": pa.array(np.full(len(ok), -1,
-                                                dtype=np.int64))})
-        return g.append_column(
-            "_pkey", pa.array(_knuth_bucket(ok, _ARGMAX_NPART)))
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]
+    if _dim_rows(sf_dir, "supplier") <= DIM_BROADCAST_MAX_ROWS:
+        sup_t = agg._to_arrow(_read(sf_dir, "supplier",
+                                    columns=["s_suppkey",
+                                             "s_nationkey"]))
+        sk_ = np.asarray(sup_t.column("s_suppkey"), dtype=np.int64)
+        sn_ = np.asarray(sup_t.column("s_nationkey"), dtype=np.int64)
+        so = np.argsort(sk_)
+        sup_ref = ray.put((sk_[so], sn_[so]))
+
+        def li_part(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(sup_ref)
+            ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+            sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+            snat = vals[np.searchsorted(keys, sk)]
+            g = pa.table({"okey": pa.array(ok),
+                          "nat": pa.array(snat),
+                          "cents": _li_cents(t)}) \
+                .group_by(["okey", "nat"]) \
+                .aggregate([("cents", "sum")]) \
+                .rename_columns(["okey", "nat", "cents"])
+            return _pkey_of(g)
+
+        ds_li = _read(sf_dir, "lineitem", columns=li_cols) \
+            .map_batches(li_part, batch_format="pyarrow")
+    else:
+        def li_pre(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "okey": t.column("l_orderkey"),
+                "sk": t.column("l_suppkey"),
+                "cents": _li_cents(t),
+            }).group_by(["okey", "sk"]).aggregate([("cents", "sum")])
+            return g.rename_columns(["okey", "sk", "cents"])
+
+        li_j = partitioned_lookup_join(
+            _read(sf_dir, "lineitem", columns=li_cols)
+            .map_batches(li_pre, batch_format="pyarrow"),
+            _read(sf_dir, "supplier",
+                  columns=["s_suppkey", "s_nationkey"]),
+            left_key="sk", right_key="s_suppkey",
+            take_cols=["s_nationkey"],
+            left_schema=pa.schema([("okey", pa.int64()),
+                                   ("sk", pa.int64()),
+                                   ("cents", pa.int64())]),
+            right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                    ("s_nationkey", pa.int32())]))
+
+        def li_close(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "okey": t.column("okey"),
+                "nat": pc.cast(t.column("s_nationkey"), pa.int64()),
+                "cents": t.column("cents"),
+            }).group_by(["okey", "nat"]) \
+                .aggregate([("cents", "sum")]) \
+                .rename_columns(["okey", "nat", "cents"])
+            return _pkey_of(g)
+
+        ds_li = li_j.map_batches(li_close, batch_format="pyarrow")
+
+    if _dim_rows(sf_dir, "customer") <= DIM_BROADCAST_MAX_ROWS:
+        cust_t = agg._to_arrow(_read(sf_dir, "customer",
+                                     columns=["c_custkey",
+                                              "c_nationkey"]))
+        ck_ = np.asarray(cust_t.column("c_custkey"), dtype=np.int64)
+        cn_ = np.asarray(cust_t.column("c_nationkey"), dtype=np.int64)
+        co = np.argsort(ck_)
+        cust_ref = ray.put((ck_[co], cn_[co]))
+
+        def ord_part(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(cust_ref)
+            ok = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+            ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+            cnat = vals[np.searchsorted(keys, ck)]
+            # order rows tagged by cents = -1 (lineitem partials >= 0)
+            g = pa.table({"okey": pa.array(ok),
+                          "nat": pa.array(cnat),
+                          "cents": pa.array(np.full(len(ok), -1,
+                                                    dtype=np.int64))})
+            return _pkey_of(g)
+
+        ds_or = _read(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey"]) \
+            .map_batches(ord_part, batch_format="pyarrow")
+    else:
+        or_j = partitioned_lookup_join(
+            _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey"]),
+            _read(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey"]),
+            left_key="o_custkey", right_key="c_custkey",
+            take_cols=["c_nationkey"],
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int32())]))
+
+        def ord_close(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "okey": t.column("o_orderkey"),
+                "nat": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "cents": pa.array(np.full(t.num_rows, -1,
+                                          dtype=np.int64)),
+            })
+            return _pkey_of(g)
+
+        ds_or = or_j.map_batches(ord_close, batch_format="pyarrow")
 
     def join_close(t: pa.Table) -> pa.Table:
         ok = np.asarray(t.column("okey"), dtype=np.int64)
@@ -13534,13 +13621,6 @@ def q_local_supplier_volume(sf_dir: str):
             .group_by("nat").aggregate([("cents", "sum")])
         return g.rename_columns(["nat", "cents"])
 
-    ds_li = _read(sf_dir, "lineitem",
-                  columns=["l_orderkey", "l_suppkey",
-                           "l_extendedprice", "l_discount"]) \
-        .map_batches(li_part, batch_format="pyarrow")
-    ds_or = _read(sf_dir, "orders",
-                  columns=["o_orderkey", "o_custkey"]) \
-        .map_batches(ord_part, batch_format="pyarrow")
     parts = ds_li.union(ds_or).groupby("_pkey") \
         .map_groups(join_close, batch_format="pyarrow")
     out = agg._combine_partials(
@@ -13552,7 +13632,6 @@ def q_local_supplier_volume(sf_dir: str):
         "n_name": pa.array([n_name[int(k)] for k in nk], pa.string()),
         "revenue_cpm": out.column("cents"),
     }).sort_by("n_name")
-
 
 
 SQL_LOCAL_SUPPLIER_VOLUME = """
@@ -13641,55 +13720,70 @@ def q_parts_supplier_breadth(sf_dir: str):
     (brand, size) part segment, excluding a supplier blacklist (the
     complaint filter — adapted to negative-balance suppliers since
     the synth schema has no comments). lineitem is the bridge:
-    distinct (partkey, suppkey) pairs reduce per block, the part
-    dimension is a broadcast probe, the blacklist a broadcast set;
-    the distinct-supplier count per segment closes from pair
-    partials — never a row shuffle."""
-    import os
+    distinct (partkey, suppkey) pairs reduce per block, then the part
+    dimension attaches through the size-gated join planner
+    (lookup_join_auto: broadcast under the row gate, hash-partitioned
+    Acero join above it — the round-3 fix for driver-read
+    closure-captured dimension arrays). The blacklist reduces
+    DISTRIBUTED (filter-aggregate over supplier) and ships once via
+    ray.put — sorted on the driver, never rebuilt per batch."""
+    import ray
 
-    import pyarrow.parquet as pq_mod
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_acctbal"])
-    bad = set(np.asarray(sup.column("s_suppkey"), dtype=np.int64)[
-        np.asarray(sup.column("s_acctbal"),
-                   dtype=np.float64) < 0].tolist())
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_brand",
-                                      "p_size"])
-    p_keys = np.asarray(part.column("p_partkey"), dtype=np.int64)
-    po = np.argsort(p_keys)
-    p_keys = p_keys[po]
-    p_brand = np.asarray(part.column("p_brand").to_pylist())[po]
-    p_size = np.asarray(part.column("p_size"), dtype=np.int64)[po]
+    from ..stages.joins import lookup_join_auto
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def bad_part(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("s_acctbal"), 0.0)) \
+            .select(["s_suppkey"])
+
+    bad_t = agg._to_arrow(sup.map_batches(bad_part,
+                                          batch_format="pyarrow"))
+    bad_ref = ray.put(np.sort(np.asarray(bad_t.column("s_suppkey"),
+                                         dtype=np.int64)))
 
     ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
     def pairs(t: pa.Table) -> pa.Table:
+        bad = ray.get(bad_ref)  # plasma-local after first fetch
         pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
         sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
-        keep = ~np.isin(sk, np.asarray(sorted(bad), dtype=np.int64))
-        pk, sk = pk[keep], sk[keep]
-        idx = np.searchsorted(p_keys, pk)
+        if len(bad):
+            pos = np.clip(np.searchsorted(bad, sk), 0, len(bad) - 1)
+            keep = bad[pos] != sk
+            pk, sk = pk[keep], sk[keep]
+        g = pa.table({"l_partkey": pa.array(pk),
+                      "l_suppkey": pa.array(sk)}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g.rename_columns(["l_partkey", "l_suppkey"])
+
+    part_ds = _read(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_size"])
+    joined, _path = lookup_join_auto(
+        ds.map_batches(pairs, batch_format="pyarrow"), part_ds,
+        left_key="l_partkey", right_key="p_partkey",
+        take_cols=["p_brand", "p_size"],
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string()),
+                                ("p_size", pa.int32())]))
+
+    def seg_part(t: pa.Table) -> pa.Table:
         g = pa.table({
-            "brand": pa.array(p_brand[idx]),
-            "size": pa.array(p_size[idx]),
-            "supp": pa.array(sk),
+            "brand": t.column("p_brand"),
+            "size": pc.cast(t.column("p_size"), pa.int64()),
+            "supp": t.column("l_suppkey"),
         }).group_by(["brand", "size", "supp"]).aggregate([])
         return g.rename_columns(["brand", "size", "supp"])
 
-    dp = _partial_final(ds, pairs, ["brand", "size", "supp"], [])
-    br = np.asarray(dp.column("brand").to_pylist())
-    sz = np.asarray(dp.column("size"), dtype=np.int64)
-    segs = sorted(set(zip(br.tolist(), sz.tolist())))
-    rows = []
-    for b_, s_ in segs:
-        cnt = int(((br == b_) & (sz == s_)).sum())
-        rows.append((b_, s_, cnt))
-    return pa.table({
-        "p_brand": pa.array([r[0] for r in rows], pa.string()),
-        "p_size": pa.array([r[1] for r in rows], pa.int64()),
-        "supplier_cnt": pa.array([r[2] for r in rows], pa.int64()),
-    })
+    dp = _partial_final(joined, seg_part, ["brand", "size", "supp"],
+                        [])
+    out = dp.group_by(["brand", "size"]) \
+        .aggregate([([], "count_all")]) \
+        .rename_columns(["p_brand", "p_size", "supplier_cnt"])
+    return out.sort_by([("p_brand", "ascending"),
+                        ("p_size", "ascending")])
 
 
 SQL_PARTS_SUPPLIER_BREADTH = """

@@ -1150,10 +1150,18 @@ def _verify_pairs_table(sets: dict, doc_a, doc_b, threshold_pm: int
     return out_a, out_b, out_j
 
 
+def char_shingle_set(text: str, width: int = 5) -> set:
+    """TRUE char-shingle set — the ngram_jaccard universe (short texts
+    keep one possibly-truncated shingle, mirroring its max(.., 1))."""
+    return {text[i:i + width]
+            for i in range(max(len(text) - width + 1, 1))}
+
+
 def verify_jaccard_pairs(docs_ds, cand: pa.Table, threshold_pm: int,
                          width: int = 3, id_col: str = "doc_id",
                          text_col: str = "text",
-                         num_partitions: int = 32) -> pa.Table:
+                         num_partitions: int = 32,
+                         shingle: str = "word") -> pa.Table:
     """EXACT verification of candidate (doc_a, doc_b) pairs with true
     string shingles — returns the pairs at Jaccard >= threshold_pm
     with their exact similarity, sorted by (doc_a, doc_b).
@@ -1169,7 +1177,9 @@ def verify_jaccard_pairs(docs_ds, cand: pa.Table, threshold_pm: int,
     Driver materializes only the (small) verified output. Candidate
     sets at or below PAIR_VERIFY_DRIVER_MAX_PAIRS skip the shuffle
     and verify on the driver — identical kernel, pytest-pinned
-    parity."""
+    parity. ``shingle`` picks the verification universe: "word"
+    (word_shingle_set — the prefix-filter queries) or "char"
+    (char_shingle_set — the MinHash family's ngram_jaccard)."""
     import ray
 
     from .aggregate import _to_arrow
@@ -1179,6 +1189,8 @@ def verify_jaccard_pairs(docs_ds, cand: pa.Table, threshold_pm: int,
                       "jaccard": pa.array([], type=pa.float64())})
     if cand.num_rows == 0:
         return empty
+    shingle_fn = (word_shingle_set if shingle == "word"
+                  else char_shingle_set)
     a = np.asarray(cand.column("doc_a"), dtype=np.int64)
     b = np.asarray(cand.column("doc_b"), dtype=np.int64)
     wanted = np.unique(np.concatenate([a, b]))
@@ -1192,7 +1204,7 @@ def verify_jaccard_pairs(docs_ds, cand: pa.Table, threshold_pm: int,
 
         docs = _to_arrow(docs_ds.map_batches(keep,
                                              batch_format="pyarrow"))
-        sets = {i: word_shingle_set(s, width)
+        sets = {i: shingle_fn(s, width)
                 for i, s in zip(docs.column(id_col).to_pylist(),
                                 docs.column(text_col).to_pylist())}
         order = np.lexsort((b, a))
@@ -1265,7 +1277,7 @@ def verify_jaccard_pairs(docs_ds, cand: pa.Table, threshold_pm: int,
         da = np.asarray(g.column("doc_a"), dtype=np.int64)
         texts = g.column("text").combine_chunks()
         is_doc = db < 0
-        sets = {int(da[i]): word_shingle_set(texts[i].as_py(), width)
+        sets = {int(da[i]): shingle_fn(texts[i].as_py(), width)
                 for i in np.nonzero(is_doc)[0]}
         pi = np.nonzero(~is_doc)[0]
         out_a, out_b, out_j = _verify_pairs_table(

@@ -1,9 +1,80 @@
 """Round-4 hardening tests: batch-boundary gap repair in the session
 timeout sensitivity histogram (round-3 advice: a user's events
-straddling a map_batches boundary silently lost the boundary gap)."""
+straddling a map_batches boundary silently lost the boundary gap),
+distributed exact-Jaccard pair verification parity, and forced-gate
+oracle parity for every size-gated broadcast build side (budget
+monkeypatched to 0 -> the partitioned path must stay oracle-green)."""
 
+import duckdb
+import pandas as pd
 import numpy as np
 import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (query name, module constant to force to 0)
+GATED = [
+    ("parts_supplier_breadth", "joins"),
+    ("asof_order_stats", "queries"),
+    ("events_in_order_window", "queries"),
+    ("local_supplier_volume", "queries"),
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> list:
+    df = df[sorted(df.columns)]
+    rows = df.astype(str).values.tolist()
+    rows.sort()
+    return rows
+
+
+@pytest.mark.parametrize("name,where", GATED)
+def test_forced_partitioned_gate_oracle(ray_session, oracle_con,
+                                        monkeypatch, name, where):
+    """With the broadcast budget forced to 0 the query must take the
+    partitioned path AND still match its DuckDB oracle — the round-3
+    'size-gate every broadcast build side' done-criterion."""
+    from log_analysis_ai_ray.pipelines import queries as qmod
+    from log_analysis_ai_ray.stages import joins
+
+    if where == "joins":
+        monkeypatch.setattr(joins, "BROADCAST_JOIN_MAX_ROWS", 0)
+    else:
+        monkeypatch.setattr(qmod, "DIM_BROADCAST_MAX_ROWS", 0)
+    fn, sql = qmod.QUERIES[name]
+    res = fn(SF_DIR)
+    ours = res.to_pandas()
+    theirs = oracle_con.execute(sql).fetchdf()
+    assert sorted(ours.columns) == sorted(theirs.columns)
+    assert len(ours) == len(theirs)
+    assert _norm(ours) == _norm(theirs)
+
+
+def test_doc_ngram_jaccard_distributed_parity(ray_session,
+                                              monkeypatch):
+    """doc_ngram_jaccard (char-shingle verification) must produce the
+    identical table when its verification is forced onto the
+    distributed map_groups path."""
+    from log_analysis_ai_ray.pipelines import queries as qmod
+    from log_analysis_ai_ray.stages import dedup
+
+    fn, _ = qmod.QUERIES["doc_ngram_jaccard"]
+    driver = fn(SF_DIR)
+    monkeypatch.setattr(dedup, "PAIR_VERIFY_DRIVER_MAX_PAIRS", 0)
+    dist = fn(SF_DIR)
+    assert dist.equals(driver)
 
 
 def _gap_hist_ds(users, ts_us):
