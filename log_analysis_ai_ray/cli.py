@@ -71,6 +71,14 @@ def main(argv=None) -> int:
     p_ab.add_argument("--n-bits", type=int, default=8)
     p_ab.add_argument("--id-col", default="vec_id")
     p_ab.add_argument("--vec-col", default="embedding")
+    p_ab.add_argument("--from-text", action="store_true",
+                      help="input is a TEXT table: embed with the "
+                           "actor-pool EmbedStage (deterministic "
+                           "char-n-gram default model) then build "
+                           "— the pluggable T4 surface")
+    p_ab.add_argument("--text-col", default="text")
+    p_ab.add_argument("--dim", type=int, default=64,
+                      help="embedding dim for --from-text")
 
     p_aq = sub.add_parser(
         "ann-query", help="top-k similarity search against a store "
@@ -243,6 +251,26 @@ def main(argv=None) -> int:
 
             from .stages import ann_store
 
+            if args.from_text:
+                if args.kind == "ivf_q8":
+                    print(json.dumps({"error": "--from-text supports "
+                                               "ivf and lsh"}))
+                    return 2
+                tds = ray.data.read_parquet(
+                    args.embeddings,
+                    columns=[args.id_col, args.text_col])
+                if args.kind == "ivf":
+                    meta = ann_store.build_ivf_store_from_text(
+                        tds, args.store, text_col=args.text_col,
+                        id_col=args.id_col, dim=args.dim,
+                        n_centroids=args.n_centroids)
+                else:
+                    meta = ann_store.build_lsh_store_from_text(
+                        tds, args.store, text_col=args.text_col,
+                        id_col=args.id_col, dim=args.dim,
+                        n_bits=args.n_bits)
+                print(json.dumps(meta))
+                return 0
             ds = ray.data.read_parquet(
                 args.embeddings, columns=[args.id_col, args.vec_col])
             if args.kind == "ivf":

@@ -21,7 +21,7 @@ from ..functions.timestamps import parse_timestamp_cascade
 # extension, src/file_data_loader.cpp:93-116; Arrow decodes the stream
 # so the line-reader path is identical for all of them).
 _COMPRESSION_BY_EXT = ((".gz", "gzip"), (".bz2", "bz2"), (".zst", "zstd"),
-                       (".lz4", "lz4"))
+                       (".lz4", "lz4"), (".zlib", "zlib"))
 
 
 def _compression_of(path: str) -> str | None:
@@ -45,6 +45,28 @@ def read_text_lines(paths, **kwargs):
 
     parts = []
     for comp in sorted(groups, key=lambda c: c or ""):
+        if comp == "zlib":
+            # raw zlib (RFC1950) has no Arrow codec — whole-file
+            # inflate per task (mirrors the reference's zlib branch,
+            # src/file_data_loader.cpp:93-116); file-level
+            # parallelism, empty lines dropped like read_text
+            import zlib
+
+            def inflate(batch: pa.Table) -> pa.Table:
+                texts = []
+                for buf in batch.column("bytes"):
+                    data = zlib.decompress(buf.as_py())
+                    texts.extend(
+                        ln for ln in
+                        data.decode("utf-8", "replace").splitlines()
+                        if ln)
+                return pa.table({"text": pa.array(texts,
+                                                  pa.string())})
+
+            parts.append(
+                ray.data.read_binary_files(groups[comp])
+                .map_batches(inflate, batch_format="pyarrow"))
+            continue
         kw = dict(kwargs)
         if comp is not None:
             kw["arrow_open_stream_args"] = {"compression": comp}

@@ -103,6 +103,50 @@ def build_lsh_store(ds, store_dir: str, *, dim: int, n_bits: int = 8,
     return meta
 
 
+def build_ivf_store_from_text(ds, store_dir: str, *,
+                              model_factory=None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              dim: int = 64, embed_concurrency=2,
+                              **kw) -> dict:
+    """The T4 end-to-end surface: embed a TEXT dataset with the
+    pluggable actor-pool EmbedStage (stages/embed.py — default
+    deterministic char-n-gram model; pass ``model_factory`` to slot a
+    real local model), then build the partition-pruned IVF store over
+    the embedded stream. One embedding pass feeds the store build
+    directly — vectors never materialize on the driver."""
+    from .embed import embed_dataset
+
+    emb = embed_dataset(ds, model_factory, text_col=text_col,
+                        id_col=id_col, out_id_col="vec_id",
+                        vec_col="embedding", dim=dim,
+                        concurrency=embed_concurrency)
+    meta = build_ivf_store(emb, store_dir, id_col="vec_id",
+                           vec_col="embedding", **kw)
+    meta["embedded_from"] = text_col
+    return meta
+
+
+def build_lsh_store_from_text(ds, store_dir: str, *,
+                              model_factory=None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              dim: int = 64, embed_concurrency=2,
+                              **kw) -> dict:
+    """LSH twin of build_ivf_store_from_text (same EmbedStage
+    contract)."""
+    from .embed import embed_dataset
+
+    emb = embed_dataset(ds, model_factory, text_col=text_col,
+                        id_col=id_col, out_id_col="vec_id",
+                        vec_col="embedding", dim=dim,
+                        concurrency=embed_concurrency)
+    meta = build_lsh_store(emb, store_dir, dim=dim, id_col="vec_id",
+                           vec_col="embedding", **kw)
+    meta["embedded_from"] = text_col
+    return meta
+
+
 def load_meta(store_dir: str) -> dict:
     with open(os.path.join(store_dir, "meta.json")) as f:
         return json.load(f)

@@ -107,6 +107,68 @@ def _hist_to_dict(m):
                     m.column("c").to_pylist()))
 
 
+def test_embed_stage_ann_store_roundtrip(ray_session, tmp_path):
+    """The declared T4 surface: build an ANN store from raw TEXT
+    through the pluggable EmbedStage (default deterministic model),
+    then query with the same model — each probe doc must return
+    itself as the top hit."""
+    import ray
+
+    from log_analysis_ai_ray.stages import ann_store
+    from log_analysis_ai_ray.stages.embed import default_ngram_model
+
+    texts = [f"document number {i} talks about topic "
+             + " ".join(f"w{(i * 7 + j) % 13}" for j in range(12))
+             for i in range(120)]
+    t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    store = str(tmp_path / "store")
+    meta = ann_store.build_ivf_store_from_text(
+        ray.data.from_arrow(t), store, dim=32, n_centroids=4,
+        train_size=120)
+    assert meta["kind"] == "ivf" and meta["dim"] == 32
+    assert meta["embedded_from"] == "text"
+
+    model = default_ngram_model(dim=32)()
+    probe_ids = [3, 77]
+    Q = np.asarray(model([texts[i] for i in probe_ids]),
+                   dtype=np.float64)
+    res = ann_store.ivf_store_topk(store, probe_ids, Q, k=3,
+                                   nprobe=4)
+    top = {}
+    for qid, vid, sim in zip(res.column("query_id").to_pylist(),
+                             res.column("vec_id").to_pylist(),
+                             res.column("sim").to_pylist()):
+        if qid not in top or sim > top[qid][1]:
+            top[qid] = (vid, sim)
+    for qid in probe_ids:
+        assert top[qid][0] == qid
+        assert top[qid][1] > 0.999
+
+
+def test_embed_stage_custom_model(ray_session):
+    """A user-supplied model_factory (constructed once per actor)
+    flows through embed_dataset and controls the output vectors."""
+    import ray
+
+    from log_analysis_ai_ray.stages.embed import embed_dataset
+
+    def factory():
+        def model_fn(texts):
+            ls = np.array([len(s.as_py()) for s in texts],
+                          dtype=np.float32)
+            return np.stack([ls, ls * 2.0], axis=1)
+        return model_fn
+
+    t = pa.table({"doc_id": pa.array([5, 6], pa.int64()),
+                  "text": pa.array(["ab", "abcd"])})
+    out = embed_dataset(ray.data.from_arrow(t), factory, dim=2,
+                        concurrency=1).take_all()
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in out}
+    assert by_id[5] == [2.0, 4.0]
+    assert by_id[6] == [4.0, 8.0]
+
+
 def test_gap_hist_single_user_tiny_batches(ray_session):
     """A 1.5k-row single-user stream through 64-row batches must keep
     ALL n-1 gaps — the exact shape that lost gaps in round 3."""

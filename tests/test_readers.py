@@ -95,6 +95,41 @@ def test_read_text_lines_gz_and_mixed(ray_session, tmp_path):
     assert rows == ["alpha 1", "alpha 2", "beta 1", "beta 2", "beta 3"]
 
 
+def test_read_text_lines_bz2_zlib(ray_session, tmp_path):
+    """bz2 (Arrow codec) and raw zlib (custom inflate branch) both
+    decompress through read_text_lines, and a three-codec mixed list
+    unions — full parity with the reference's extension dispatch
+    (gz/bz2/zlib, src/file_data_loader.cpp:93-116)."""
+    import bz2
+    import gzip
+    import zlib
+
+    from log_analysis_ai_ray.sources.readers import read_text_lines
+
+    content = ("2025-01-01 00:00:01 ERROR disk full\n"
+               "2025-01-01 00:00:02 INFO retry ok\n"
+               "\n"
+               "2025-01-01 00:00:03 WARN slow\n")
+    expect = sorted(ln for ln in content.splitlines() if ln)
+
+    bz = tmp_path / "a.log.bz2"
+    bz.write_bytes(bz2.compress(content.encode()))
+    zl = tmp_path / "b.log.zlib"
+    zl.write_bytes(zlib.compress(content.encode()))
+    gz = tmp_path / "c.log.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(content)
+
+    for p in (bz, zl):
+        rows = sorted(r["line"] for r in
+                      read_text_lines(str(p)).take_all())
+        assert rows == expect, p
+
+    mixed = read_text_lines([str(bz), str(zl), str(gz)])
+    rows = sorted(r["line"] for r in mixed.take_all())
+    assert rows == sorted(expect * 3)
+
+
 def test_schema_evolution_read(ray_session, tmp_path):
     """Heterogeneous parquet schemas (a column added mid-corpus — the
     normal life of a long-lived ingest directory) unify on read:
