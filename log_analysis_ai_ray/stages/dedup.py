@@ -416,7 +416,12 @@ def _subsalt_keys(keys: np.ndarray, subs: np.ndarray) -> np.ndarray:
 # candidate set (rows in multi-member buckets) is proportional to the
 # duplicate rate, so at bench scale the sort's fixed overhead
 # dominates its work by orders of magnitude.
-SINGLE_TASK_PAIR_MAX_ROWS = 2_000_000
+SINGLE_TASK_PAIR_MAX_ROWS = 500_000
+
+# Hash partitions for the distributed pair sweep (buckets co-located
+# by band-key hash; each partition runs the vectorized multi-bucket
+# _segment_pairs kernel once).
+PAIR_SWEEP_NUM_PARTITIONS = 64
 
 
 # Buckets up to this size take the batched all-pairs path (one
@@ -611,42 +616,54 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
     if n_candidates <= SINGLE_TASK_PAIR_MAX_ROWS:
         # driver-side single sweep: with the package's allocator tuning
         # (state/malloc_tuning.py) the driver heap stays warm, so the
-        # sweep runs at memory speed; a Ray-task variant was tried and
-        # rejected — the task lands on a different (cold-heap) worker
-        # per invocation, re-paying this sandbox's page-restore tax
-        # every time. On a real cluster this is one reduce either way.
+        # sweep runs at memory speed. The bound is sized so the pulled
+        # (band_key, doc_id, sig[num_perm]) rows + the sweep's sort
+        # copies stay under ~2 GB of driver heap (the round-4 sf1
+        # drill measured 7 GB at the old 2M-row bound).
         merged = _pair_candidates_impl([_to_arrow(candidates)], nsub,
                                        threshold)
         if merged is None:
             return empty
     else:
-        def with_salt(t: pa.Table) -> pa.Table:
-            return t.set_column(t.schema.get_field_index("band_key"),
-                                "band_key",
-                                pa.array(_resalted_keys(t, nsub),
-                                         type=pa.int64()))
+        # distributed sweep: hash-partition BUCKETS (every row of a
+        # band key lands in one partition), then run the SAME
+        # vectorized multi-bucket _segment_pairs kernel inside each
+        # partition — Python is crossed num_partitions times, not
+        # |buckets| times (the previous per-bucket map_groups spent
+        # minutes in per-group interpreter calls on a collision-noisy
+        # 1M-doc corpus). A pair seen in several buckets may span
+        # partitions; the est is a pure pair function, so the global
+        # (doc_a, doc_b) max-merge dedups exactly.
+        num_partitions = PAIR_SWEEP_NUM_PARTITIONS
 
-        def bucket_pairs(group: pa.Table) -> pa.Table:
-            ids = np.asarray(group.column("doc_id"), dtype=np.int64)
-            a, b, e = grouped_bucket_pairs(ids, _sig_matrix(group),
-                                           threshold)
-            return pa.table({
-                "doc_a": pa.array(a, type=pa.int64()),
-                "doc_b": pa.array(b, type=pa.int64()),
-                "est_jaccard": pa.array(e, type=pa.float64())})
+        def with_salt_part(t: pa.Table) -> pa.Table:
+            keys = _resalted_keys(t, nsub)
+            h = keys.astype(np.uint64)
+            h = (h ^ (h >> np.uint64(33))) \
+                * np.uint64(0xFF51AFD7ED558CCD)
+            part = ((h ^ (h >> np.uint64(33)))
+                    % np.uint64(num_partitions)).astype(np.int64)
+            t = t.set_column(t.schema.get_field_index("band_key"),
+                             "band_key",
+                             pa.array(keys, type=pa.int64()))
+            return t.append_column("_part", pa.array(part))
 
-        pairs = candidates.map_batches(with_salt, batch_format="pyarrow") \
-            .groupby("band_key").map_groups(bucket_pairs,
-                                            batch_format="pyarrow")
+        def part_pairs(group: pa.Table) -> pa.Table:
+            return _segment_pairs(
+                np.asarray(group.column("band_key"), dtype=np.int64),
+                np.asarray(group.column("doc_id"), dtype=np.int64),
+                _sig_matrix(group), threshold)
 
-        def pair_partial(t: pa.Table) -> pa.Table:
-            tt = t.group_by(["doc_a", "doc_b"]).aggregate(
-                [("est_jaccard", "max")])
-            return tt.rename_columns(["doc_a", "doc_b", "est_jaccard"])
-
+        pairs = candidates.map_batches(with_salt_part,
+                                       batch_format="pyarrow") \
+            .groupby("_part").map_groups(part_pairs,
+                                         batch_format="pyarrow")
         merged = _combine_partials(
-            pairs.map_batches(pair_partial, batch_format="pyarrow"),
-            keys=["doc_a", "doc_b"], aggs=[("est_jaccard", "max")])
+            pairs, keys=["doc_a", "doc_b"],
+            aggs=[("est_jaccard", "max")],
+            empty_schema=pa.schema([("doc_a", pa.int64()),
+                                    ("doc_b", pa.int64()),
+                                    ("est_jaccard", pa.float64())]))
     if merged.num_rows == 0:
         return empty
     return merged.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

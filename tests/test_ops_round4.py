@@ -107,6 +107,37 @@ def _hist_to_dict(m):
                     m.column("c").to_pylist()))
 
 
+def test_minhash_distributed_sweep_parity(ray_session, monkeypatch):
+    """Forcing the partitioned multi-bucket pair sweep (driver budget
+    = 0) must reproduce the driver sweep exactly — same pairs, same
+    est_jaccard, including star-capped flood groups."""
+    import ray
+
+    from log_analysis_ai_ray.stages import dedup
+
+    texts = []
+    base = ("log line parsing with templates and parameters across "
+            "many shards of the synthetic corpus for near duplicate "
+            "detection stress").split()
+    for i in range(300):
+        ws = list(base)
+        if i % 3 == 0:
+            ws[i % len(ws)] = f"mut{i}"       # near-dup of base
+        else:
+            for j in range(0, len(ws), 2):    # unique doc
+                ws[j] = f"u{i}x{j}"
+        texts.append(" ".join(ws))
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    driver = dedup.minhash_near_dups(ray.data.from_arrow(t))
+    assert driver.num_rows > 0
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "PAIR_SWEEP_NUM_PARTITIONS", 7)
+    dist = dedup.minhash_near_dups(ray.data.from_arrow(t))
+    assert dist.equals(driver)
+
+
 def test_embed_stage_ann_store_roundtrip(ray_session, tmp_path):
     """The declared T4 surface: build an ANN store from raw TEXT
     through the pluggable EmbedStage (default deterministic model),
