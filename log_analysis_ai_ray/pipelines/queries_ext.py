@@ -18,6 +18,7 @@ from ..functions.timestamps import floor_hour
 from ..stages import aggregate as agg
 from .queries import (LINES_VIEW, QUERIES, _knuth_bucket, _lines_ds,
                       _null_div, _partial_final, _read)
+from .queries import _strip_md as _qstrip
 
 # ---------------------------------------------------------------------------
 # GROUP BY CUBE — all four grouping sets from one finest-level pass
@@ -10650,30 +10651,39 @@ _BUCKETED_N = 16
 def _build_bucketed_store(sf_dir: str) -> str:
     """Write orders and customer bucketed by knuth(custkey) mod 16 —
     the Hive/Spark 'bucketed table' layout. Idempotent per sf via a
-    _DONE marker; each table is one pass (the write cost you pay ONCE
-    so every later custkey join is shuffle-free)."""
+    _DONE marker. Round-4: the bucketing write is a DISTRIBUTED Ray
+    pass (map_batches tags the bucket, write_parquet partitions by
+    it) — no driver-side whole-table read; at 100 TB the bucketing
+    write IS the one shuffle you ever pay for this key, and it
+    streams."""
     import os
+    import shutil
 
-    import pyarrow.parquet as pq
+    import ray.data
 
     from .queries import sf_name
     root = os.path.join(_BUCKETED_ROOT, sf_name(sf_dir))
     done = os.path.join(root, "_DONE")
-    if os.path.exists(done):
+    # v2 = hive-partitioned distributed write; stale v1 stores (flat
+    # bucket=N.parquet files) rebuild
+    if os.path.exists(done) and open(done).read() == "v2":
         return root
-    import pyarrow.parquet as _pq
     for table, key in (("orders", "o_custkey"),
                        ("customer", "c_custkey")):
-        t = _pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
-        b = _knuth_bucket(np.asarray(t.column(key), dtype=np.int64),
-                          _BUCKETED_N)
-        os.makedirs(os.path.join(root, table), exist_ok=True)
-        for i in range(_BUCKETED_N):
-            sub = t.filter(pa.array(b == i))
-            pq.write_table(sub, os.path.join(
-                root, table, f"bucket={i}.parquet"))
+        def tag(t: pa.Table, key=key) -> pa.Table:
+            b = _knuth_bucket(np.asarray(t.column(key),
+                                         dtype=np.int64), _BUCKETED_N)
+            return t.append_column("bucket", pa.array(b))
+
+        tdir = os.path.join(root, table)
+        shutil.rmtree(tdir, ignore_errors=True)
+        ray.data.read_parquet(
+            os.path.join(sf_dir, f"{table}.parquet")) \
+            .map_batches(_qstrip, batch_format="pyarrow") \
+            .map_batches(tag, batch_format="pyarrow") \
+            .write_parquet(tdir, partition_cols=["bucket"])
     with open(done, "w") as f:
-        f.write("ok")
+        f.write("v2")
     return root
 
 
@@ -10701,11 +10711,10 @@ def q_bucketed_join_revenue(sf_dir: str):
         outs = []
         for i in np.asarray(batch.column("id"), dtype=np.int64):
             o = pq_mod.read_table(
-                os.path.join(root, "orders", f"bucket={int(i)}.parquet"),
+                os.path.join(root, "orders", f"bucket={int(i)}"),
                 columns=["o_custkey", "o_totalprice"])
             c = pq_mod.read_table(
-                os.path.join(root, "customer",
-                             f"bucket={int(i)}.parquet"),
+                os.path.join(root, "customer", f"bucket={int(i)}"),
                 columns=["c_custkey", "c_mktsegment"])
             j = o.join(c, keys=["o_custkey"], right_keys=["c_custkey"],
                        join_type="inner")
