@@ -21,7 +21,8 @@ from ..stages.textstats import (langid_features, oracle_langid_sql,
 
 def curate(ds, keep_langs: tuple[str, ...] = ("en",),
            min_tokens: int = 5, min_alpha_pm: int = 500,
-           drop_near_dups: bool = False):
+           drop_near_dups: bool = False,
+           pairs_spill_dir: str | None = None):
     """Filter cascade; returns the kept-documents Dataset with feature
     columns. ``drop_near_dups`` adds the (non-SQL) MinHash stage."""
     def stage(batch: pa.Table) -> pa.Table:
@@ -40,10 +41,30 @@ def curate(ds, keep_langs: tuple[str, ...] = ("en",),
     kept = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
     if drop_near_dups:
-        pairs = minhash_near_dups(kept, threshold=0.8)
-        drop = set(pairs.column("doc_b").to_pylist())  # keep lower id
-        if drop:
-            drop_arr = pa.array(sorted(drop), type=pa.int64())
+        pairs = minhash_near_dups(kept, threshold=0.8,
+                                  out_dir=pairs_spill_dir)
+        if isinstance(pairs, pa.Table):
+            drop = set(pairs.column("doc_b").to_pylist())  # keep lower id
+            drop_arr = (pa.array(sorted(drop), type=pa.int64())
+                        if drop else None)
+        else:
+            # pair-saturated corpus: the pair list lives as a spilled
+            # Dataset; distill the distinct drop ids distributed
+            from ..stages.aggregate import _combine_partials
+
+            def db_part(t: pa.Table) -> pa.Table:
+                col = t.column("doc_b")
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return pa.table({"doc_b": pc.unique(col)})
+
+            db = _combine_partials(
+                pairs.map_batches(db_part, batch_format="pyarrow"),
+                keys=["doc_b"], aggs=[],
+                empty_schema=pa.schema([("doc_b", pa.int64())]))
+            drop_arr = (pc.unique(db.column("doc_b").combine_chunks())
+                        if db.num_rows else None)
+        if drop_arr is not None and len(drop_arr):
             kept = kept.map_batches(
                 lambda t: t.filter(pc.invert(pc.is_in(
                     t.column("doc_id"), value_set=drop_arr))),
@@ -132,7 +153,10 @@ def run_curation(input_parquet: str, out_dir: str, *,
 
     kept = curate(ds, keep_langs=keep_langs, min_tokens=min_tokens,
                   min_alpha_pm=min_alpha_pm,
-                  drop_near_dups=drop_near_dups).materialize()
+                  drop_near_dups=drop_near_dups,
+                  pairs_spill_dir=os.path.join(out_dir,
+                                               "_near_dup_pairs")
+                  ).materialize()
     gated_rows = kept.count()
 
     def norm(t: pa.Table) -> pa.Table:

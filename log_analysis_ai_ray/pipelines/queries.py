@@ -729,11 +729,17 @@ FROM documents GROUP BY 1 ORDER BY keep_id
 
 def q_doc_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-duplicate candidate pairs (not SQL-expressible
-    → rows-only; exactness asserted in tests via n-gram Jaccard)."""
+    → rows-only; exactness asserted in tests via n-gram Jaccard). On
+    a pair-saturated corpus the pair list spills to parquet and comes
+    back as a Dataset instead of landing on the driver."""
     from ..stages.dedup import minhash_near_dups
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = minhash_near_dups(ds)
+    out = minhash_near_dups(
+        ds, out_dir=os.path.join("/tmp/graft_minhash_pairs",
+                                 sf_name(sf_dir)))
+    if not isinstance(out, pa.Table):
+        return out
     return out.set_column(
         out.schema.get_field_index("est_jaccard"), "est_jaccard",
         _round(out.column("est_jaccard"), 4))
@@ -1842,13 +1848,15 @@ def q_near_dup_clusters(sf_dir: str):
     Returns (doc_id, cluster_root) for every doc in a cluster of
     size >= 2; root = smallest doc_id in the component. Rows-only
     (depends on Drain-free but non-SQL MinHash pairs)."""
-    from ..stages.graph import connected_components
+    from ..stages.graph import connected_components_ds
 
     pairs = q_doc_minhash_pairs(sf_dir)
-    if pairs.num_rows == 0:
+    if isinstance(pairs, pa.Table) and pairs.num_rows == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "cluster_root": pa.array([], type=pa.int64())})
-    out = connected_components(pairs, src="doc_a", dst="doc_b")
+    # connected_components_ds routes: driver table for small edge
+    # lists, per-round dataset algebra for a spilled pair Dataset
+    out = connected_components_ds(pairs, src="doc_a", dst="doc_b")
     return out.rename_columns(["doc_id", "cluster_root"])
 
 

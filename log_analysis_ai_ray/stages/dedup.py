@@ -539,7 +539,8 @@ def _pair_candidates_impl(blocks, nsub: dict[int, int],
 
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5,
-                      max_bucket: int = 4096) -> pa.Table:
+                      max_bucket: int = 4096,
+                      out_dir: str | None = None):
     """MinHash+LSH candidate pairs with signature-estimated Jaccard.
 
     band rows → global bucket-size count (keys-only) → DROP singleton
@@ -561,6 +562,14 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
     docs (≲ dup-bearing fraction of the corpus), so the object-store
     footprint never carries num_perm×8 bytes per band row (~60× less
     at 64 perms / 16 bands).
+
+    On near-dup-saturated corpora (boilerplate floods: the round-4
+    adversarial drill emitted 101M TRUE pairs from 1M docs) the pair
+    list itself is too large to land on the driver: past the driver
+    merge bound the merged pairs are written as parquet to ``out_dir``
+    (required on that path, mirroring exact_dedup_by_hash) and
+    returned as a Dataset for streaming consumption (connected
+    components, keep-filters).
     """
     # task-based, not an actor pool: the per-stage state (permutation
     # params) costs microseconds to rebuild, and skipping actor-pool
@@ -663,7 +672,18 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
             aggs=[("est_jaccard", "max")],
             empty_schema=pa.schema([("doc_a", pa.int64()),
                                     ("doc_b", pa.int64()),
-                                    ("est_jaccard", pa.float64())]))
+                                    ("est_jaccard", pa.float64())]),
+            dataset_final=True)
+        if not isinstance(merged, pa.Table):
+            # pair list exceeds the driver merge bound: persist
+            # partitioned, never collect
+            if out_dir is None:
+                raise ValueError(
+                    "minhash_near_dups: pair list exceeds the driver "
+                    "merge bound; pass out_dir to write it as parquet")
+            merged = merged.materialize()
+            merged.write_parquet(out_dir)
+            return merged
     if merged.num_rows == 0:
         return empty
     return merged.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

@@ -138,6 +138,48 @@ def test_minhash_distributed_sweep_parity(ray_session, monkeypatch):
     assert dist.equals(driver)
 
 
+def test_minhash_pair_spill_parity(ray_session, tmp_path,
+                                   monkeypatch):
+    """Past the driver merge bound the pair list must spill to parquet
+    and return as a Dataset with the same logical content as the
+    driver-path table (the round-4 boilerplate drill emitted 101M
+    true pairs — a driver table is the wrong contract there)."""
+    import ray
+
+    from log_analysis_ai_ray.stages import aggregate, dedup
+
+    texts = []
+    base = ("shared boilerplate header words for every page in this "
+            "synthetic crawl slice with trailing content").split()
+    for i in range(120):
+        ws = list(base)
+        ws[i % 4] = f"v{i % 7}"   # 7 near-dup families
+        texts.append(" ".join(ws))
+    t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    driver = dedup.minhash_near_dups(ray.data.from_arrow(t))
+    assert driver.num_rows > 0
+
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    out_dir = str(tmp_path / "pairs")
+    with pytest.raises(ValueError, match="out_dir"):
+        dedup.minhash_near_dups(ray.data.from_arrow(t))
+    spilled = dedup.minhash_near_dups(ray.data.from_arrow(t),
+                                      out_dir=out_dir)
+    assert not isinstance(spilled, pa.Table)
+    import glob
+
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(out_dir + "/*.parquet"))
+    assert files
+    got = pa.concat_tables([pq.read_table(f) for f in files]) \
+        .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]) \
+        .select(["doc_a", "doc_b", "est_jaccard"])
+    assert got.equals(driver)
+
+
 def test_embed_stage_ann_store_roundtrip(ray_session, tmp_path):
     """The declared T4 surface: build an ANN store from raw TEXT
     through the pluggable EmbedStage (default deterministic model),

@@ -40,17 +40,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 SF01 = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/testdata/sf1"
+SF1B_DIR = "/tmp/testdata/sf1_boilerplate"
 TILES = 200            # 5,000 docs x 200 = 1M docs
 FILES = 8
 N_PAGES = 1_000_000    # ~10.5M non-empty lines
 
 
-def build_sf1_documents() -> str:
-    os.makedirs(SF1_DIR, exist_ok=True)
-    marker = os.path.join(SF1_DIR, "_DONE_DOCS")
-    expect = f"tiles={TILES} files={FILES} v3\n"
+def build_sf1_documents(corpus: str = "mixed") -> str:
+    """corpus="mixed": the realistic 2/3/95 class mix.
+    corpus="boilerplate": the ADVERSARIAL shape — heavy docs share
+    per-tile mutation tokens, so every doc overlaps ~30% of its
+    shingles with 5,000 tile-mates (template boilerplate at crawl
+    scale); LSH floods buckets with sub-threshold noise. The engine
+    must stay bounded (star/bucket caps + the partitioned sweep)."""
+    out_dir = SF1_DIR if corpus == "mixed" else SF1B_DIR
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_DONE_DOCS")
+    expect = f"tiles={TILES} files={FILES} corpus={corpus} v3\n"
     if os.path.exists(marker) and open(marker).read() == expect:
-        return SF1_DIR
+        return out_dir
     base = pq.read_table(os.path.join(SF01, "documents.parquet"))
     n = base.num_rows
     ids = np.asarray(base.column("doc_id"), dtype=np.int64)
@@ -60,7 +68,7 @@ def build_sf1_documents() -> str:
     # documents.parquet is a DIRECTORY of part files: every reader in
     # the repo resolves {sf_dir}/documents.parquet via ray/pyarrow
     # dataset reads, which accept directories
-    doc_dir = os.path.join(SF1_DIR, "documents.parquet")
+    doc_dir = os.path.join(out_dir, "documents.parquet")
     os.makedirs(doc_dir, exist_ok=True)
     tiles_per_file = TILES // FILES
     for f_idx in range(FILES):
@@ -78,6 +86,13 @@ def build_sf1_documents() -> str:
                         new_texts.append(t)
                     elif h < 5:        # light perturb -> near-dup
                         new_texts.append(f"tile{k} near " + t)
+                    elif corpus == "boilerplate":
+                        # tile-shared tokens: all 5,000 tile-mates
+                        # overlap ~30% of shingles
+                        ws = t.split(" ")
+                        for j in range(0, len(ws), 5):
+                            ws[j] = f"w{k}m{j}"
+                        new_texts.append(" ".join(ws))
                     else:              # heavy mutation -> unique
                         ws = t.split(" ")
                         u = (k * 5000 + i) * 977
@@ -100,7 +115,7 @@ def build_sf1_documents() -> str:
         writer.close()
     with open(marker, "w") as f:
         f.write(expect)
-    return SF1_DIR
+    return out_dir
 
 
 class MemSampler(threading.Thread):
@@ -158,6 +173,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--jobs",
                     default="flagship,dedup,minhash,curation")
+    ap.add_argument("--corpus", default="mixed",
+                    choices=("mixed", "boilerplate"))
     args = ap.parse_args()
     jobs = args.jobs.split(",")
 
@@ -173,8 +190,9 @@ def main() -> int:
     from log_analysis_ai_ray.pipelines import curation, flagship
     from log_analysis_ai_ray.pipelines.queries import QUERIES
 
-    build_sf1_documents()
+    sf_dir = build_sf1_documents(args.corpus)
     out = {"sf": 1.0, "n_docs": TILES * 5000, "n_pages": N_PAGES,
+           "corpus": args.corpus,
            "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
            "jobs": {}}
 
@@ -193,14 +211,14 @@ def main() -> int:
 
     if "dedup" in jobs:
         def job_dedup():
-            t = QUERIES["doc_dedup_hash"][0](SF1_DIR)
+            t = QUERIES["doc_dedup_hash"][0](sf_dir)
             return {"unique_texts": t.num_rows}
 
         out["jobs"]["doc_dedup_hash"] = run_job("dedup", job_dedup)
 
     if "minhash" in jobs:
         def job_minhash():
-            t = QUERIES["doc_minhash_pairs"][0](SF1_DIR)
+            t = QUERIES["doc_minhash_pairs"][0](sf_dir)
             return {"candidate_pairs": t.num_rows}
 
         out["jobs"]["doc_minhash_pairs"] = run_job("minhash",
@@ -209,7 +227,7 @@ def main() -> int:
     if "curation" in jobs:
         def job_curation():
             m = curation.run_curation(
-                os.path.join(SF1_DIR, "documents.parquet"),
+                os.path.join(sf_dir, "documents.parquet"),
                 "/tmp/sf1_curation_out")
             return {k: m[k] for k in sorted(m)
                     if isinstance(m[k], (int, float, str))}
@@ -217,8 +235,9 @@ def main() -> int:
         out["jobs"]["curation"] = run_job("curation", job_curation)
 
     print(json.dumps(out))
+    tag = "" if args.corpus == "mixed" else "_boilerplate"
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_SF1_r4.json"),
+            os.path.abspath(__file__))), f"BENCH_SF1_r4{tag}.json"),
             "w") as f:
         json.dump(out, f, indent=1)
     ray.shutdown()
