@@ -65,10 +65,19 @@ def curate(ds, keep_langs: tuple[str, ...] = ("en",),
             drop_arr = (pc.unique(db.column("doc_b").combine_chunks())
                         if db.num_rows else None)
         if drop_arr is not None and len(drop_arr):
-            kept = kept.map_batches(
-                lambda t: t.filter(pc.invert(pc.is_in(
-                    t.column("doc_id"), value_set=drop_arr))),
-                batch_format="pyarrow")
+            import ray
+
+            # ship the drop set ONCE; tasks fetch from local plasma
+            # instead of re-pickling ~MBs into every submission
+            drop_ref = ray.put(drop_arr)
+
+            def drop_filter(t: pa.Table) -> pa.Table:
+                da = ray.get(drop_ref)
+                return t.filter(pc.invert(pc.is_in(
+                    t.column("doc_id"), value_set=da)))
+
+            kept = kept.map_batches(drop_filter,
+                                    batch_format="pyarrow")
     return kept
 
 
@@ -163,15 +172,37 @@ def run_curation(input_parquet: str, out_dir: str, *,
         return pa.table({"doc_id": t.column("doc_id"),
                          "text": normalize_text(t.column("text"))})
 
-    keep_tbl = exact_dedup_by_hash(
-        kept.map_batches(norm, batch_format="pyarrow"))
-    keep_ids = pa.array(
-        np.sort(np.asarray(keep_tbl.column("keep_id"))), type=pa.int64())
+    keep_res = exact_dedup_by_hash(
+        kept.map_batches(norm, batch_format="pyarrow"),
+        out_dir=os.path.join(out_dir, "_keep_list"))
+    if isinstance(keep_res, pa.Table):
+        keep_ids = pa.array(
+            np.sort(np.asarray(keep_res.column("keep_id"))),
+            type=pa.int64())
 
-    final = kept.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("doc_id"),
-                                    value_set=keep_ids)),
-        batch_format="pyarrow")
+        final = kept.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"),
+                                        value_set=keep_ids)),
+            batch_format="pyarrow")
+    else:
+        # keep-list past the driver merge bound: Bloom prefilter (the
+        # bitmap broadcasts, keys never collect) + exact partitioned
+        # semi-join against the spilled keep-list Dataset — the
+        # documented at-scale filter shape
+        import ray
+
+        from ..stages.bloomjoin import BloomFilterStage, bloom_build
+        from ..stages.joins import partitioned_lookup_join
+
+        ids_only = keep_res.select_columns(["keep_id"])
+        bm_ref = ray.put(bloom_build(ids_only, "keep_id"))
+        pre = kept.map_batches(
+            BloomFilterStage, fn_constructor_args=(bm_ref, "doc_id"),
+            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+        final = partitioned_lookup_join(
+            pre, ids_only, left_key="doc_id", right_key="keep_id",
+            take_cols=[],
+            right_schema=pa.schema([("keep_id", pa.int64())]))
 
     docs_dir = os.path.join(out_dir, "docs")
     shutil.rmtree(docs_dir, ignore_errors=True)

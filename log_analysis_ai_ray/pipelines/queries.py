@@ -77,11 +77,17 @@ DIM_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def _dim_rows(sf_dir: str, table: str) -> int:
-    """Parquet-footer row count (metadata only, no column IO)."""
+    """Parquet-footer row count (metadata only, no column IO).
+    Handles both a single file and a DIRECTORY of part files (the
+    layout large synthesized tables use)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        import pyarrow.dataset as _pds
+
+        return _pds.dataset(path, format="parquet").count_rows()
     import pyarrow.parquet as _pq
 
-    return _pq.ParquetFile(
-        os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    return _pq.ParquetFile(path).metadata.num_rows
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -739,7 +745,15 @@ def q_doc_minhash_pairs(sf_dir: str):
         ds, out_dir=os.path.join("/tmp/graft_minhash_pairs",
                                  sf_name(sf_dir)))
     if not isinstance(out, pa.Table):
-        return out
+        # keep the table path's column contract (4dp est rounding);
+        # order is NOT globally sorted on the spilled path — a 100M-row
+        # all-to-all sort buys nothing for a pair LIST artifact
+        def rnd(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("est_jaccard"),
+                "est_jaccard", _round(t.column("est_jaccard"), 4))
+
+        return out.map_batches(rnd, batch_format="pyarrow")
     return out.set_column(
         out.schema.get_field_index("est_jaccard"), "est_jaccard",
         _round(out.column("est_jaccard"), 4))
@@ -755,10 +769,21 @@ def q_doc_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import minhash_near_dups, verify_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_near_dups(ds, threshold=0.4)
+    cand = minhash_near_dups(
+        ds, threshold=0.4,
+        out_dir=os.path.join("/tmp/graft_minhash_pairs",
+                             sf_name(sf_dir) + "_t04"))
+    if not isinstance(cand, pa.Table):
+        # saturated corpus: the spilled pair list collects KEYS ONLY
+        # (16 B/pair; est/sig never land on the driver) to feed the
+        # verifier, which itself takes the distributed map_groups
+        # path at this size
+        cand = agg._to_arrow(cand.select_columns(["doc_a", "doc_b"]))
+    else:
+        cand = cand.select(["doc_a", "doc_b"])
     docs2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return verify_jaccard_pairs(docs2, cand.select(["doc_a", "doc_b"]),
-                                500, width=5, shingle="char")
+    return verify_jaccard_pairs(docs2, cand, 500, width=5,
+                                shingle="char")
 
 
 def q_doc_simhash(sf_dir: str):

@@ -10710,12 +10710,17 @@ def q_bucketed_join_revenue(sf_dir: str):
     def join_bucket(batch: pa.Table) -> pa.Table:
         outs = []
         for i in np.asarray(batch.column("id"), dtype=np.int64):
+            o_dir = os.path.join(root, "orders", f"bucket={int(i)}")
+            c_dir = os.path.join(root, "customer", f"bucket={int(i)}")
+            # hive-partitioned writes omit EMPTY buckets (the old
+            # per-bucket writer emitted empty files): no dir on
+            # either side means the bucket joins to nothing
+            if not (os.path.isdir(o_dir) and os.path.isdir(c_dir)):
+                continue
             o = pq_mod.read_table(
-                os.path.join(root, "orders", f"bucket={int(i)}"),
-                columns=["o_custkey", "o_totalprice"])
+                o_dir, columns=["o_custkey", "o_totalprice"])
             c = pq_mod.read_table(
-                os.path.join(root, "customer", f"bucket={int(i)}"),
-                columns=["c_custkey", "c_mktsegment"])
+                c_dir, columns=["c_custkey", "c_mktsegment"])
             j = o.join(c, keys=["o_custkey"], right_keys=["c_custkey"],
                        join_type="inner")
             cents = pc.cast(pc.round(pc.multiply(
@@ -10728,6 +10733,11 @@ def q_bucketed_join_revenue(sf_dir: str):
                     [("n", "sum"), ("cents", "sum")])
             outs.append(g.rename_columns(
                 ["c_mktsegment", "n", "cents"]))
+        if not outs:
+            return pa.table({
+                "c_mktsegment": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64())})
         return pa.concat_tables(outs)
 
     ids = ray.data.range(_BUCKETED_N)

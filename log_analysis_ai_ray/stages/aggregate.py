@@ -103,11 +103,20 @@ def _combine_partials(ds, keys: list[str],
             [(col, fn) for col, fn in aggs])
         return merged.rename_columns(keys + [col for col, _ in aggs])
 
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     fns = {"sum": Sum, "min": Min, "max": Max}
     specs = [fns[fn](col, alias_name=col) for col, fn in aggs]
-    grouped = ds.groupby(keys).aggregate(*specs)
+    if not specs:
+        # pure-DISTINCT callers (aggs=[]): Ray's groupby().aggregate()
+        # rejects zero aggregation specs, so count and drop it —
+        # previously this branch crashed exactly when a distinct key
+        # space first exceeded the driver merge bound
+        grouped = ds.groupby(keys) \
+            .aggregate(Count(alias_name="_distinct_n")) \
+            .select_columns(keys)
+    else:
+        grouped = ds.groupby(keys).aggregate(*specs)
     if dataset_final:
         return grouped
     return _to_arrow(grouped)

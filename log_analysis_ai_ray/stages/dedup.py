@@ -681,6 +681,9 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
                 raise ValueError(
                     "minhash_near_dups: pair list exceeds the driver "
                     "merge bound; pass out_dir to write it as parquet")
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)  # no stale mix
             merged = merged.materialize()
             merged.write_parquet(out_dir)
             return merged

@@ -180,6 +180,99 @@ def test_minhash_pair_spill_parity(ray_session, tmp_path,
     assert got.equals(driver)
 
 
+def test_combine_partials_distinct_distributed(ray_session,
+                                               monkeypatch):
+    """aggs=[] (pure DISTINCT) through the DISTRIBUTED merge branch —
+    previously crashed with 'Aggregate requires at least one
+    aggregation' exactly when a distinct key space first exceeded the
+    driver merge bound (code-review finding, round 4)."""
+    import ray
+
+    from log_analysis_ai_ray.stages import aggregate
+
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 2, 3, 3, 3], pa.int64()),
+         "j": pa.array([9, 8, 8, 7, 7, 6], pa.int64())}))
+    out = aggregate._combine_partials(ds, keys=["k", "j"], aggs=[])
+    assert sorted(map(tuple, out.to_pylist()[0].items() and [
+        (r["k"], r["j"]) for r in out.to_pylist()])) == \
+        [(1, 9), (2, 8), (3, 6), (3, 7)]
+
+
+def test_curation_spilled_pairs_parity(ray_session, tmp_path,
+                                       monkeypatch):
+    """run_curation with the MinHash pair list forced onto the spill
+    path (driver merge bound = 0) must produce the same kept corpus
+    as the driver path — covering the distributed drop-id
+    distillation that previously crashed at scale."""
+    import ray.data
+
+    from log_analysis_ai_ray.pipelines import curation
+    from log_analysis_ai_ray.stages import aggregate, dedup
+
+    import pyarrow.parquet as pq
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the green hills beyond the river")
+    texts, langs = [], []
+    for i in range(200):
+        ws = base.split()
+        if i % 4 == 0:
+            ws[2] = f"near{i % 3}"    # near-dup families
+        else:
+            ws[::2] = [f"u{i}x{j}" for j in range(0, len(ws), 2)]
+        texts.append(" ".join(ws))
+    t = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 200),
+                  "source": pa.array(["s0"] * 200),
+                  "n_chars": pa.array(
+                      [len(x) for x in texts], pa.int64())})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, str(src))
+
+    m1 = curation.run_curation(str(src), str(tmp_path / "out1"))
+    kept1 = pq.read_table(str(tmp_path / "out1" / "docs")) \
+        .sort_by("doc_id")
+
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    m2 = curation.run_curation(str(src), str(tmp_path / "out2"))
+    kept2 = pq.read_table(str(tmp_path / "out2" / "docs")) \
+        .sort_by("doc_id")
+    assert m2["kept_after_dedup"] == m1["kept_after_dedup"]
+    assert kept2.select(["doc_id"]).equals(kept1.select(["doc_id"]))
+
+
+def test_bucketed_join_empty_bucket(ray_session, tmp_path,
+                                    monkeypatch):
+    """A knuth bucket with no rows leaves no hive directory — the
+    bucketed join must treat it as joining to nothing instead of
+    crashing on the missing path (code-review finding)."""
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipelines import queries_ext
+
+    # 3 customers / 3 orders -> at most 3 of 16 buckets materialize
+    sf = tmp_path / "sfmini"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.5, 30.25]),
+    }), str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20, 30], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "A"]),
+    }), str(sf / "customer.parquet"))
+    monkeypatch.setattr(queries_ext, "_BUCKETED_ROOT",
+                        str(tmp_path / "bstore"))
+    out = queries_ext.q_bucketed_join_revenue(str(sf))
+    got = {r["c_mktsegment"]: (r["n_orders"], r["sum_cents"])
+           for r in out.to_pylist()}
+    assert got == {"A": (2, 4025), "B": (1, 2050)}
+
+
 def test_embed_stage_ann_store_roundtrip(ray_session, tmp_path):
     """The declared T4 surface: build an ANN store from raw TEXT
     through the pluggable EmbedStage (default deterministic model),

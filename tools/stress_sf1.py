@@ -118,15 +118,30 @@ def build_sf1_documents(corpus: str = "mixed") -> str:
     return out_dir
 
 
+def _vm_rss_bytes() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
 class MemSampler(threading.Thread):
-    """0.25s sampler: object-store usage (cluster minus available) and
-    node MemAvailable. Driver peak RSS comes from ru_maxrss."""
+    """0.25s sampler: object-store usage (cluster minus available),
+    node MemAvailable, and the driver's CURRENT VmRSS — sampled, not
+    ru_maxrss, because ru_maxrss is a monotonic lifetime peak that
+    would misattribute an earlier job's high-water mark to every
+    later job in the same process."""
 
     def __init__(self):
         super().__init__(daemon=True)
         self.stop_evt = threading.Event()
         self.peak_obj = 0
         self.min_avail = 1 << 62
+        self.peak_rss = _vm_rss_bytes()
 
     def run(self):
         import ray
@@ -135,6 +150,7 @@ class MemSampler(threading.Thread):
             avail = ray.available_resources() \
                 .get("object_store_memory", total)
             self.peak_obj = max(self.peak_obj, int(total - avail))
+            self.peak_rss = max(self.peak_rss, _vm_rss_bytes())
             try:
                 with open("/proc/meminfo") as f:
                     for line in f:
@@ -150,19 +166,21 @@ class MemSampler(threading.Thread):
 
 def run_job(name: str, fn) -> dict:
     sampler = MemSampler()
-    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rss0 = _vm_rss_bytes()
     sampler.start()
     t0 = time.time()
     result = fn()
     wall = time.time() - t0
     sampler.stop_evt.set()
     sampler.join()
-    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    final = max(sampler.peak_rss, _vm_rss_bytes())
+    lifetime = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     return {
         "wall_sec": round(wall, 2),
         "result": result,
-        "driver_peak_rss_gb": round(rss1 / (1 << 20), 3),
-        "driver_rss_growth_gb": round((rss1 - rss0) / (1 << 20), 3),
+        "driver_peak_rss_gb": round(final / (1 << 30), 3),
+        "driver_rss_growth_gb": round((final - rss0) / (1 << 30), 3),
+        "driver_lifetime_maxrss_gb": round(lifetime / (1 << 20), 3),
         "peak_object_store_gb": round(sampler.peak_obj / (1 << 30),
                                       3),
         "min_node_avail_gb": round(sampler.min_avail / (1 << 30), 3),
@@ -219,7 +237,10 @@ def main() -> int:
     if "minhash" in jobs:
         def job_minhash():
             t = QUERIES["doc_minhash_pairs"][0](sf_dir)
-            return {"candidate_pairs": t.num_rows}
+            n = (t.num_rows if isinstance(t, pa.Table)
+                 else t.count())  # spilled Dataset on saturation
+            return {"candidate_pairs": int(n),
+                    "spilled": not isinstance(t, pa.Table)}
 
         out["jobs"]["doc_minhash_pairs"] = run_job("minhash",
                                                    job_minhash)
