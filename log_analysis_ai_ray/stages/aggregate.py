@@ -295,20 +295,23 @@ def grouped_discrete_quantiles(ds, key: str, value_col: str,
     vals = np.asarray(merged.column(value_col))
     cnts = np.asarray(merged.column("cnt"))
     out_key, out_nuniq, out_q = [], [], {q: [] for q in qs}
-    i = 0
-    while i < len(keys_np):
-        j = i
-        while j < len(keys_np) and keys_np[j] == keys_np[i]:
-            j += 1
+    # segment bounds vectorized (the per-row Python while-loop scanned
+    # string equality element-wise over up to 5M merged rows)
+    if len(keys_np):
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(keys_np[1:] != keys_np[:-1]) + 1,
+             [len(keys_np)]])
+    else:
+        bounds = np.array([0], dtype=np.int64)
+    for i, j in zip(bounds[:-1], bounds[1:]):
         seg_v, seg_c = vals[i:j], cnts[i:j]
         n = int(seg_c.sum())
         cum = np.cumsum(seg_c)
         out_key.append(keys_np[i])
-        out_nuniq.append(j - i)
+        out_nuniq.append(int(j - i))
         for q in qs:
             idx = max(int(np.ceil(n * q)) - 1, 0)
             out_q[q].append(seg_v[np.searchsorted(cum, idx + 1)])
-        i = j
     cols = {key: pa.array(out_key),
             "n_distinct": pa.array(out_nuniq, type=pa.int64())}
     for q in qs:

@@ -181,6 +181,9 @@ def exact_dedup_by_hash(ds, id_col: str = "doc_id", text_col: str = "text",
         raise ValueError(
             "exact_dedup_by_hash: distinct-hash keep-list exceeds the "
             "driver merge bound; pass out_dir to write it as parquet")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # no stale mix
     merged = merged.materialize()
     merged.write_parquet(out_dir)
     return merged
@@ -228,11 +231,19 @@ class MinHashStage:
         if self.include_sig:
             sig_i64 = sig.view(np.int64)  # bit-preserving reinterpret
             # vectorized list column: one flat values buffer + arange
-            # offsets (no per-row Python list building)
+            # offsets (no per-row Python list building). Offsets are
+            # computed in int64 first: an int32 arange*num_perm wraps
+            # negative past ~2.1M rows/batch (round-4 review finding);
+            # large blocks take the large_list layout instead.
+            offs64 = np.arange(len(rep) + 1,
+                               dtype=np.int64) * self.num_perm
             flat = pa.array(sig_i64[rep].ravel(), type=pa.int64())
-            offs = pa.array(
-                np.arange(len(rep) + 1, dtype=np.int32) * self.num_perm)
-            cols["sig"] = pa.ListArray.from_arrays(offs, flat)
+            if offs64[-1] <= np.iinfo(np.int32).max:
+                cols["sig"] = pa.ListArray.from_arrays(
+                    pa.array(offs64.astype(np.int32)), flat)
+            else:
+                cols["sig"] = pa.LargeListArray.from_arrays(
+                    pa.array(offs64), flat)
         return pa.table(cols)
 
 
@@ -498,6 +509,21 @@ def _segment_pairs(keys: np.ndarray, ids: np.ndarray, sigs: np.ndarray,
 
 
 
+def _nsub_vector(keys: np.ndarray, nsub: dict[int, int]) -> np.ndarray:
+    """Per-row sub-bucket counts from the (tiny) oversized-bucket map
+    via sorted-array searchsorted — no per-row Python dict probes
+    (round-4 review finding: the dict comprehension crossed the
+    interpreter once per candidate row)."""
+    nk = np.fromiter(nsub.keys(), dtype=np.int64, count=len(nsub))
+    nv = np.fromiter(nsub.values(), dtype=np.uint64, count=len(nsub))
+    order = np.argsort(nk)
+    nk, nv = nk[order], nv[order]
+    pos = np.searchsorted(nk, keys)
+    pos_c = np.minimum(pos, len(nk) - 1)
+    sub_n = np.where(nk[pos_c] == keys, nv[pos_c], np.uint64(0))
+    return sub_n.astype(np.uint64)
+
+
 def _resalted_keys(t: pa.Table, nsub: dict[int, int]) -> np.ndarray:
     """Band keys with oversized buckets split by SIGNATURE hash —
     identical signatures land in the same sub-bucket, so est=1.0
@@ -505,8 +531,7 @@ def _resalted_keys(t: pa.Table, nsub: dict[int, int]) -> np.ndarray:
     keys = np.asarray(t.column("band_key"), dtype=np.int64)
     if not nsub:
         return keys
-    sub_n = np.array([nsub.get(int(k), 0) for k in keys],
-                     dtype=np.uint64)
+    sub_n = _nsub_vector(keys, nsub)
     hit = sub_n > 0
     if not hit.any():
         return keys
@@ -865,6 +890,14 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
     oversized buckets sub-salted by the full hash (identical hashes
     stay together). Returns (doc_a, doc_b, hamming), doc_a < doc_b.
     """
+    if not 0 <= max_hamming <= 3:
+        # the 4x16-bit pigeonhole guarantees recall ONLY for
+        # Hamming <= 3; a larger bound would silently lose pairs
+        # (round-4 review finding)
+        raise ValueError(
+            f"simhash_near_dups: max_hamming={max_hamming} outside "
+            "the banding recall guarantee (0..3); use more bands or "
+            "MinHash for looser similarity")
     from .aggregate import _to_arrow
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -903,8 +936,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
         return empty
     keys = np.asarray(cand.column("band_key"), dtype=np.int64)
     if nsub:
-        sub_n = np.array([nsub.get(int(k), 0) for k in keys],
-                         dtype=np.uint64)
+        sub_n = _nsub_vector(keys, nsub)
         hit = sub_n > 0
         if hit.any():
             shh = np.asarray(cand.column("simhash"),
@@ -1066,13 +1098,16 @@ def word_shingle_hashes(text_array, width: int = 3
     uh = np.fromiter((np.uint64(md5_hash32(s)) for s in uniq),
                      dtype=np.uint64, count=len(uniq))
     wh = uh[inv]
-    ok = row_of[:-(width - 1)] == row_of[width - 1:]
     n_sh = len(wh) - width + 1
+    # width=1: every word is its own shingle (the [:-0] slice would be
+    # empty and crash — round-4 review finding)
+    head = row_of[:n_sh]
+    ok = head == row_of[width - 1:]
     sh = np.zeros(n_sh, dtype=np.uint64)
     for k in range(width):            # polynomial combine, uint64 wrap
         sh = sh * _SH_C1 + wh[k:k + n_sh] * _SH_C2
     sh += _SH_C3                      # keep single-word ≠ raw md5 space
-    return sh[ok], row_of[:-(width - 1)][ok]
+    return sh[ok], head[ok]
 
 
 class PrefixEmitStage:
@@ -1148,10 +1183,28 @@ def prefix_jaccard_candidates(ds, threshold_pm: int, width: int = 3,
 
     def group_pairs(g: pa.Table) -> pa.Table:
         ids = np.unique(np.asarray(g.column(id_col), dtype=np.int64))
-        if len(ids) < 2:
+        m = len(ids)
+        if m < 2:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
+        if m * (m - 1) // 2 > MAX_PAIRS_PER_GROUP:
+            # module convention: never silent, never quadratic. A
+            # prefix token shared by this many docs is a repeated
+            # passage exact dedup upstream should have collapsed;
+            # the STAR keeps every doc reachable from the min id but
+            # the exact-recall theorem no longer covers pairs routed
+            # ONLY through this key (round-4 review finding: the
+            # unbounded triu here could allocate ~80 GB in one task)
+            logger.warning(
+                "prefix_jaccard_candidates: prefix key shared by %d "
+                "docs exceeds the %d-pair bound; emitting a star — "
+                "exact recall degrades for pairs covered only by "
+                "this key (run exact dedup first)",
+                m, MAX_PAIRS_PER_GROUP)
+            return pa.table({
+                "doc_a": pa.array(np.full(m - 1, ids[0])),
+                "doc_b": pa.array(ids[1:])})
+        ia, ib = np.triu_indices(m, k=1)
         return pa.table({"doc_a": pa.array(ids[ia]),
                          "doc_b": pa.array(ids[ib])})
 

@@ -183,11 +183,15 @@ def asof_join_partitioned(left_ds, right_ds, *, left_key: str,
     """
     if tiebreak_col is None:
         raise ValueError("asof_join_partitioned requires tiebreak_col")
-    overlap = set(take_cols) & {left_key, left_ts}
-    if overlap:
-        raise ValueError(f"take_cols collide with left columns: {overlap}")
 
     ls = left_ds.schema()
+    overlap = set(take_cols) & set(ls.names)
+    if overlap:
+        # must cover EVERY left payload column, not just the keys —
+        # a clobbered payload name fails much later inside the
+        # shuffle with a schema-arity error (round-4 review finding)
+        raise ValueError(f"take_cols collide with left columns: {overlap}")
+
     payload_cols = list(ls.names)
     payload_types = dict(zip(ls.names, ls.types))
     rs = right_ds.schema()
@@ -671,13 +675,25 @@ def lookup_join_auto(left_ds, right_ds, *, left_key: str,
       (partitioned_lookup_join, with its salt/outer options).
 
     Returns (dataset, chosen_path) so callers/tests can assert the
-    decision. Parity between the two paths is pytest-pinned."""
+    decision. Parity between the two paths is pytest-pinned.
+
+    Semantics that the per-block broadcast join CANNOT honor force
+    the partitioned path regardless of size: "full outer" (a
+    per-block outer join would emit every right row once per left
+    block) and ``salt`` (meaningless without a shuffle, and its
+    full-outer interaction is validated there). ``right_combine`` IS
+    honored on the broadcast path by folding the collected partials
+    driver-side before the ray.put."""
     import ray
 
     limit = (BROADCAST_JOIN_MAX_ROWS if broadcast_max_rows is None
              else broadcast_max_rows)
-    n_right = right_ds.count()
-    if n_right > limit:
+    broadcast_incompatible = (
+        join_type == "full outer"
+        or partitioned_kw.get("salt", 1) != 1
+        or partitioned_kw.get("emit_key") is not None)
+    n_right = None if broadcast_incompatible else right_ds.count()
+    if broadcast_incompatible or n_right > limit:
         return partitioned_lookup_join(
             left_ds, right_ds, left_key=left_key, right_key=right_key,
             take_cols=take_cols, join_type=join_type,
@@ -687,6 +703,22 @@ def lookup_join_auto(left_ds, right_ds, *, left_key: str,
     rows = right_ds.select_columns([right_key] + take_cols)
     from . import aggregate as _agg
     right_t = _agg._to_arrow(rows)
+    right_combine = partitioned_kw.get("right_combine")
+    if right_combine:
+        # fold non-unique per-block partials to one row per key —
+        # the same exactness contract the partitioned path provides
+        # in-partition; skipping this multiplied output rows and
+        # returned unsummed partials (round-4 review finding)
+        bad = [c for c, _ in right_combine if c not in take_cols]
+        if bad:
+            raise ValueError(f"right_combine columns not in "
+                             f"take_cols: {bad}")
+        right_t = right_t.group_by([right_key]).aggregate(
+            [(c, fn) for c, fn in right_combine]) \
+            .rename_columns([right_key]
+                            + [c for c, _ in right_combine])
+        # preserve take_cols order for the join projection below
+        right_t = right_t.select([right_key] + take_cols)
     ref = ray.put(right_t)
 
     def block_join(t: pa.Table) -> pa.Table:

@@ -107,6 +107,76 @@ def _hist_to_dict(m):
                     m.column("c").to_pylist()))
 
 
+def test_lookup_join_auto_full_outer_routes_partitioned(ray_session):
+    """'full outer' must NEVER take the per-block broadcast path —
+    a per-block outer join emits unmatched right rows once per left
+    block (round-4 review finding). The auto planner must route it
+    partitioned and produce exactly one row per unmatched right key."""
+    import ray
+
+    from log_analysis_ai_ray.stages.joins import lookup_join_auto
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "lv": pa.array([10, 20], pa.int64())})
+    right = pa.table({"rk": pa.array([2, 3], pa.int64()),
+                      "rv": pa.array([200, 300], pa.int64())})
+    # 2 left blocks: under the old behavior right key 3 surfaced twice
+    lds = ray.data.from_arrow(left).repartition(2)
+    out, path = lookup_join_auto(
+        lds, ray.data.from_arrow(right), left_key="k", right_key="rk",
+        take_cols=["rv"], join_type="full outer", emit_key="key")
+    assert path == "partitioned"
+    rows = sorted(((r.get("key"), r.get("lv"), r.get("rv"))
+                   for r in out.take_all()))
+    assert rows == [(1, 10, None), (2, 20, 200), (3, None, 300)]
+
+
+def test_lookup_join_auto_right_combine_broadcast(ray_session):
+    """right_combine partials must fold to one row per key on the
+    BROADCAST path too (previously dropped: every left row joined
+    every raw partial row and values came back unsummed)."""
+    import ray
+
+    from log_analysis_ai_ray.stages.joins import lookup_join_auto
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "lv": pa.array([10, 20], pa.int64())})
+    # non-unique per-block partials for key 1: 5 + 7 = 12
+    right = pa.table({"rk": pa.array([1, 1, 2], pa.int64()),
+                      "v": pa.array([5, 7, 9], pa.int64())})
+    out, path = lookup_join_auto(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_key="k", right_key="rk", take_cols=["v"],
+        right_combine=[("v", "sum")])
+    assert path == "broadcast"
+    rows = sorted((r["k"], r["v"]) for r in out.take_all())
+    assert rows == [(1, 12), (2, 9)]
+
+
+def test_word_shingle_width_one(ray_session):
+    """width=1 (unigram similarity) previously crashed on the [:-0]
+    slice; every word must now be its own shingle."""
+    from log_analysis_ai_ray.stages.dedup import word_shingle_hashes
+
+    h, rows = word_shingle_hashes(
+        pa.array(["one two three", "four five"]), width=1)
+    assert list(rows) == [0, 0, 0, 1, 1]
+    assert len(set(h.tolist())) == 5
+
+
+def test_simhash_hamming_guard(ray_session):
+    """max_hamming outside the 4-band pigeonhole guarantee must raise
+    instead of silently losing pairs."""
+    import ray
+
+    from log_analysis_ai_ray.stages.dedup import simhash_near_dups
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["aaa", "bbb"])})
+    with pytest.raises(ValueError, match="recall guarantee"):
+        simhash_near_dups(ray.data.from_arrow(t), max_hamming=4)
+
+
 def test_minhash_distributed_sweep_parity(ray_session, monkeypatch):
     """Forcing the partitioned multi-bucket pair sweep (driver budget
     = 0) must reproduce the driver sweep exactly — same pairs, same
