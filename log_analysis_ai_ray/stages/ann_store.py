@@ -29,7 +29,9 @@ import shutil
 import numpy as np
 
 from .knn import (IvfAssignStage, LshBucketStage, _normalize,
-                  brute_force_topk, ivf_train)
+                  brute_force_topk, ivf_query_cells, ivf_train,
+                  lsh_multiprobe_buckets, partial_topk_table,
+                  topk_merge)
 
 
 def _empty_topk():
@@ -61,8 +63,15 @@ def _write_store(assigned, store_dir: str, part_col: str, meta: dict,
         np.save(os.path.join(tmp, f"{name}.npy"), arr)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
-    shutil.rmtree(store_dir, ignore_errors=True)
+    # swap without a no-store window: the old store moves aside
+    # first, so a crash between the renames leaves either the old or
+    # the new store visible — never neither (round-4 review finding)
+    old = store_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(store_dir):
+        os.replace(store_dir, old)
     os.replace(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def build_ivf_store(ds, store_dir: str, *, n_centroids: int = 16,
@@ -184,29 +193,18 @@ def scan_fraction(store_dir: str, probed_paths: list[str]) -> float:
 
 def ivf_probe_cells(store_dir: str, query_matrix: np.ndarray,
                     nprobe: int = 4) -> list[int]:
-    C = np.load(os.path.join(store_dir, "centroids.npy"))
-    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
-    return sorted({int(c) for row in qcells for c in row})
+    # shared enumeration with the in-memory scan (knn.ivf_query_cells)
+    return ivf_query_cells(
+        np.load(os.path.join(store_dir, "centroids.npy")),
+        query_matrix, nprobe)
 
 
 def lsh_probe_buckets(store_dir: str, query_matrix: np.ndarray,
                       probe_radius: int = 2) -> list[int]:
-    from itertools import combinations
-
-    planes = np.load(os.path.join(store_dir, "planes.npy"))
-    n_bits = planes.shape[1]
-    qbits = (np.asarray(query_matrix, dtype=np.float64) @ planes) > 0
-    qbuckets = qbits @ (1 << np.arange(n_bits, dtype=np.int64))
-    wanted: set[int] = set()
-    for qb in qbuckets:
-        for r in range(probe_radius + 1):
-            for flip in combinations(range(n_bits), r):
-                x = int(qb)
-                for bit in flip:
-                    x ^= 1 << bit
-                wanted.add(x)
-    return sorted(wanted)
+    # shared enumeration with the in-memory scan
+    return lsh_multiprobe_buckets(
+        np.load(os.path.join(store_dir, "planes.npy")),
+        query_matrix, probe_radius)
 
 
 def _pruned_topk(store_dir: str, paths: list[str],
@@ -316,26 +314,14 @@ class Q8TopK:
         self.id_col = id_col
 
     def __call__(self, batch):
-        import pyarrow as pa
-
         Mq = _decode_q8(batch.column("q8")).astype(np.float64)
         Mq *= np.asarray(batch.column("q_scale"),
                          dtype=np.float64)[:, None]
         ids = np.asarray(batch.column(self.id_col), dtype=np.int64)
-        sims = Mq @ self.Q.T
-        k = min(self.k, sims.shape[0])
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
-            out_q.append(np.full(k, self.query_ids[qi], dtype=np.int64))
-            out_v.append(ids[top])
-            out_s.append(col[top])
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
-            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
-        })
+        # identical emission semantics to the float path by
+        # construction (shared kernel)
+        return partial_topk_table(Mq @ self.Q.T, ids, self.query_ids,
+                                  self.k)
 
 
 def build_ivf_q8_store(ds, store_dir: str, *, n_centroids: int = 16,
@@ -399,23 +385,14 @@ def ivf_q8_store_topk(store_dir: str, query_ids: list[int],
         fn_constructor_kwargs={"id_col": meta["id_col"]},
         concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
     t = _to_arrow(partials)
-
-    def _final(tbl: pa.Table, kk: int) -> pa.Table:
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("sim"), "sim",
-            pc.round(tbl.column("sim"), ndigits=round_digits))
-        tbl = tbl.sort_by([("query_id", "ascending"),
-                           ("sim", "descending"),
-                           ("vec_id", "ascending")])
-        qcol = np.asarray(tbl.column("query_id"))
-        keep = np.zeros(len(qcol), dtype=bool)
-        for qid in np.unique(qcol):
-            keep[np.flatnonzero(qcol == qid)[:kk]] = True
-        return tbl.filter(pa.array(keep))
-
     if rescore_source is None:
-        return _final(t, k)
+        return topk_merge(t, k, round_digits)
 
+    # reduce the PER-BATCH partials to the promised global
+    # top-(oversample·k) per query before the exact-rescore read —
+    # without this the candidate id set (and the pushdown read) grew
+    # with input block count (round-4 review finding)
+    t = topk_merge(t, cand_k, round_digits)
     cands = sorted(set(t.column("vec_id").to_pylist()))
     src = pq.read_table(
         rescore_source, columns=[meta["id_col"], meta["vec_col"]],
@@ -430,7 +407,7 @@ def ivf_q8_store_topk(store_dir: str, query_ids: list[int],
         "vec_id": pa.array(np.tile(ids, len(qids)), type=pa.int64()),
         "sim": pa.array(sims.T.ravel(), type=pa.float64()),
     })
-    return _final(exact, k)
+    return topk_merge(exact, k, round_digits)
 
 
 # ---------------------------------------------------------------------------

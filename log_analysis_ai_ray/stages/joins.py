@@ -446,10 +446,13 @@ def partitioned_lookup_join(left_ds, right_ds, *, left_key: str,
                          "semantics (replicated right rows would "
                          "duplicate unmatched-right output)")
     if right_combine is not None:
-        bad = [c for c, _ in right_combine if c not in take_cols]
-        if bad:
-            raise ValueError(f"right_combine columns not in "
-                             f"take_cols: {bad}")
+        combined = {c for c, _ in right_combine}
+        if combined != set(take_cols):
+            # a strict subset would drop the non-combined take_cols in
+            # the per-partition fold and KeyError inside map_groups
+            raise ValueError(
+                "right_combine must cover every take_col exactly: "
+                f"combined={sorted(combined)} take_cols={take_cols}")
         if salt > 1:
             raise ValueError("right_combine with salt>1 would "
                              "replicate partials into sub-partitions "
@@ -709,19 +712,31 @@ def lookup_join_auto(left_ds, right_ds, *, left_key: str,
         # the same exactness contract the partitioned path provides
         # in-partition; skipping this multiplied output rows and
         # returned unsummed partials (round-4 review finding)
-        bad = [c for c, _ in right_combine if c not in take_cols]
-        if bad:
-            raise ValueError(f"right_combine columns not in "
-                             f"take_cols: {bad}")
-        right_t = right_t.group_by([right_key]).aggregate(
-            [(c, fn) for c, fn in right_combine]) \
-            .rename_columns([right_key]
-                            + [c for c, _ in right_combine])
-        # preserve take_cols order for the join projection below
-        right_t = right_t.select([right_key] + take_cols)
+        combined = {c for c, _ in right_combine}
+        if combined != set(take_cols):
+            # a non-combined take_col would be DROPPED by the fold and
+            # fail later inside a remote task; demand exact coverage
+            # up front (round-4 review finding)
+            raise ValueError(
+                "right_combine must cover every take_col exactly: "
+                f"combined={sorted(combined)} take_cols={take_cols}")
+        gt = right_t.group_by([right_key]).aggregate(
+            [(c, fn) for c, fn in right_combine])
+        # rename BY NAME ("{col}_{fn}" -> col) — positional rename
+        # breaks on pyarrow versions that order aggregates before keys
+        mapping = {f"{c}_{fn}": c for c, fn in right_combine}
+        gt = gt.rename_columns([mapping.get(n, n)
+                                for n in gt.column_names])
+        right_t = gt.select([right_key] + take_cols)
     ref = ray.put(right_t)
 
     def block_join(t: pa.Table) -> pa.Table:
+        overlap = set(take_cols) & set(t.column_names)
+        if overlap:
+            # mirror the partitioned path's plan-time ValueError so
+            # the error surface does not flip with build-side size
+            raise ValueError(
+                f"take_cols collide with left columns: {overlap}")
         r = ray.get(ref)
         out = t.join(r, keys=[left_key], right_keys=[right_key],
                      join_type=join_type)

@@ -5,9 +5,10 @@
   and the driver merges partials (k is small). One pass, no shuffle.
 - LSH-bucketed variant (scale path): seeded random hyperplanes give
   each vector a sign-bit bucket; candidates = vectors whose bucket is
-  within Hamming distance 1 of the query's bucket; exact cosine within
-  candidates. At 10^12 rows, bucketing turns the scan into a targeted
-  read when the bucket id is a partition key.
+  within Hamming distance ``probe_radius`` (default 2) of the query's
+  bucket; exact cosine within candidates. At 10^12 rows, bucketing
+  turns the scan into a targeted read when the bucket id is a
+  partition key.
 """
 
 from __future__ import annotations
@@ -51,20 +52,52 @@ class BruteForceTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = _normalize(_batch_matrix(batch.column(self.vec_col)))
         ids = np.asarray(batch.column(self.id_col), dtype=np.int64)
-        sims = M @ self.Q.T  # (n, q)
-        k = min(self.k, sims.shape[0])
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
-            out_q.append(np.full(k, self.query_ids[qi], dtype=np.int64))
-            out_v.append(ids[top])
-            out_s.append(col[top])
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
-            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
-        })
+        return partial_topk_table(M @ self.Q.T, ids, self.query_ids,
+                                  self.k)
+
+
+def partial_topk_table(sims: np.ndarray, ids: np.ndarray,
+                       query_ids: np.ndarray, k: int) -> pa.Table:
+    """One batch's top-k partial rows per query from an (n, q) sims
+    matrix — shared by every top-k stage (float and quantized) so the
+    candidate-emission semantics cannot drift between paths."""
+    k = min(k, sims.shape[0])
+    if k <= 0:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    out_q, out_v, out_s = [], [], []
+    for qi in range(sims.shape[1]):
+        col = sims[:, qi]
+        top = np.argpartition(-col, k - 1)[:k]
+        out_q.append(np.full(k, query_ids[qi], dtype=np.int64))
+        out_v.append(ids[top])
+        out_s.append(col[top])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+        "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+    })
+
+
+def topk_merge(t: pa.Table, k: int, round_digits: int) -> pa.Table:
+    """Driver merge of partial rows: round → (query, sim desc, vec_id
+    asc) sort → first k per query. THE deterministic tie-break
+    contract; every top-k path must merge through here."""
+    if t.num_rows == 0 or "sim" not in t.column_names:
+        # fully-pruned probes leave schema-less empties
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    t = t.set_column(t.schema.get_field_index("sim"), "sim",
+                     pc.round(t.column("sim"), ndigits=round_digits))
+    t = t.sort_by([("query_id", "ascending"), ("sim", "descending"),
+                   ("vec_id", "ascending")])
+    q = np.asarray(t.column("query_id"))
+    keep = np.zeros(len(q), dtype=bool)
+    for qid in np.unique(q):
+        keep[np.flatnonzero(q == qid)[:k]] = True
+    return t.filter(pa.array(keep))
 
 
 def brute_force_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
@@ -80,18 +113,7 @@ def brute_force_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
     partials = ds.map_batches(
         BruteForceTopK, fn_constructor_args=(ref, k),
         concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
-    t = _to_arrow(partials)
-    t = t.set_column(t.schema.get_field_index("sim"), "sim",
-                     pc.round(t.column("sim"), ndigits=round_digits))
-    t = t.sort_by([("query_id", "ascending"), ("sim", "descending"),
-                   ("vec_id", "ascending")])
-    # keep first k rows per query_id
-    q = np.asarray(t.column("query_id"))
-    keep = np.zeros(len(q), dtype=bool)
-    for qid in np.unique(q):
-        idx = np.flatnonzero(q == qid)[:k]
-        keep[idx] = True
-    return t.filter(pa.array(keep))
+    return topk_merge(_to_arrow(partials), k, round_digits)
 
 
 class LshBucketStage:
@@ -152,6 +174,40 @@ class IvfAssignStage:
                                    pa.array(cell, type=pa.int64()))
 
 
+def ivf_query_cells(C: np.ndarray, query_matrix: np.ndarray,
+                    nprobe: int) -> list[int]:
+    """Union of each query's ``nprobe`` nearest centroid ids — the
+    single probe-enumeration source shared by the in-memory scan and
+    the persisted store (they must enumerate identically or recall
+    parity between the paths silently drifts)."""
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qcells = np.argsort(-(Q @ np.asarray(C, dtype=np.float64).T),
+                        axis=1)[:, :nprobe]
+    return sorted({int(c) for row in qcells for c in row})
+
+
+def lsh_multiprobe_buckets(planes: np.ndarray,
+                           query_matrix: np.ndarray,
+                           probe_radius: int) -> list[int]:
+    """Sign-bit buckets of the queries plus every bucket within
+    ``probe_radius`` bit flips (multi-probe enumeration) — shared by
+    lsh_topk and the persisted LSH store probe."""
+    from itertools import combinations
+
+    n_bits = planes.shape[1]
+    qbits = (np.asarray(query_matrix, dtype=np.float64) @ planes) > 0
+    qbuckets = qbits @ (1 << np.arange(n_bits, dtype=np.int64))
+    wanted: set[int] = set()
+    for qb in qbuckets:
+        for r in range(probe_radius + 1):
+            for flip in combinations(range(n_bits), r):
+                x = int(qb)
+                for bit in flip:
+                    x ^= 1 << bit
+                wanted.add(x)
+    return sorted(wanted)
+
+
 def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
              k: int = 10, n_centroids: int = 16, nprobe: int = 4,
              seed: int = 42, round_digits: int = 6,
@@ -163,9 +219,7 @@ def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
     import ray
 
     C = ivf_train(ds, n_centroids=n_centroids, seed=seed)
-    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
-    wanted = pa.array(sorted({int(c) for row in qcells for c in row}),
+    wanted = pa.array(ivf_query_cells(C, query_matrix, nprobe),
                       type=pa.int64())
 
     ref = ray.put(C)
@@ -217,8 +271,13 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     from .dedup import (_subsalt_keys, multi_bucket_sizes,
                         oversized_bucket_subsalts)
 
-    # dim probed from the first row
-    first = ds.take(1)[0][vec_col]
+    # dim probed from the first row; a fully-empty corpus has none
+    probe_rows = ds.take(1)
+    if not probe_rows:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    first = probe_rows[0][vec_col]
     dim = len(first)
 
     # task-based: the hyperplane matrix is tiny to rebuild, and
@@ -375,21 +434,11 @@ def lsh_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
     """Approximate top-k: restrict the brute-force scan to vectors whose
     LSH bucket is within Hamming distance ``probe_radius`` of a query
     bucket (multi-probe; radius trades recall for scan fraction)."""
-    from itertools import combinations
-
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_bits))
-    qbits = (np.asarray(query_matrix, dtype=np.float64) @ planes) > 0
-    qbuckets = qbits @ (1 << np.arange(n_bits, dtype=np.int64))
-    wanted: set[int] = set()
-    for qb in qbuckets:
-        for r in range(probe_radius + 1):
-            for flip in combinations(range(n_bits), r):
-                x = int(qb)
-                for bit in flip:
-                    x ^= 1 << bit
-                wanted.add(x)
-    wanted_arr = pa.array(sorted(wanted), type=pa.int64())
+    wanted_arr = pa.array(
+        lsh_multiprobe_buckets(planes, query_matrix, probe_radius),
+        type=pa.int64())
 
     # fractional CPUs: two chained actor pools must not starve the
     # task stages between them on small machines
