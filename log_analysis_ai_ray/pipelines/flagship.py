@@ -248,6 +248,11 @@ def run(pages_path: str, out_dir: str,
         "rows_routed": manifest["total_rows"],
         "n_templates": registry.num_rows,
         "mine_sec": t_mine,
+        # routing and aggregation are ONE fused pass by design, so
+        # route_sec is that pass's full execution; agg_sec times only
+        # the driver-side finalize + manifest recount (round-4 review:
+        # the old labels implied a split the fused plan does not have)
+        "route_agg_fused_sec": t_route,
         "route_sec": t_route,
         "agg_sec": t_agg,
         "total_sec": t_total,
@@ -287,6 +292,14 @@ def run_checkpointed(pages_path: str, out_dir: str,
     from ..sources.pages import list_page_files
 
     config = config or FlagshipConfig()
+    if config.filesystem is not None:
+        # group manifests / _done markers / the mapping parquet are
+        # driver-local files; running them against a remote output fs
+        # would silently scatter sinks to worker-local disks while the
+        # manifest claimed success (round-4 review finding)
+        raise NotImplementedError(
+            "run_checkpointed writes driver-local checkpoint "
+            "manifests; remote filesystems are supported by run()")
     files = list_page_files(pages_path)
     groups = ckpt.plan_groups(files, files_per_group)
     # The mapping must be global & identical across groups/resumes: mine
@@ -311,8 +324,11 @@ def run_checkpointed(pages_path: str, out_dir: str,
         # idempotent retry: a partially-written group is replaced wholesale
         import shutil
         shutil.rmtree(gdir, ignore_errors=True)
+        cols = (route_mod.ROUTED_COLUMNS + ["path"]
+                if config.include_lineage else None)
         manifest = route_mod.route_and_write(parsed, gdir,
-                                            num_sinks=config.num_sinks)
+                                            num_sinks=config.num_sinks,
+                                            columns=cols)
         ckpt.mark_done(out_dir, gid, group_files, manifest["total_rows"],
                        extra=manifest)
         ran.append(gid)

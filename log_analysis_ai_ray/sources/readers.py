@@ -50,6 +50,12 @@ def read_text_lines(paths, **kwargs):
             # inflate per task (mirrors the reference's zlib branch,
             # src/file_data_loader.cpp:93-116); file-level
             # parallelism, empty lines dropped like read_text
+            if kwargs:
+                # silently dropping reader options would give
+                # extension-dependent behavior for the same call
+                raise ValueError(
+                    "read_text_lines: reader kwargs are not "
+                    f"supported for raw .zlib inputs: {sorted(kwargs)}")
             import zlib
 
             def inflate(batch: pa.Table) -> pa.Table:
@@ -74,7 +80,10 @@ def read_text_lines(paths, **kwargs):
     ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
     def to_lines(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["line"])
+        # rename BY NAME: kwargs like include_paths add columns, and a
+        # positional single-name rename then raises (round-4 review)
+        return batch.rename_columns(
+            ["line" if c == "text" else c for c in batch.column_names])
 
     return ds.map_batches(to_lines, batch_format="pyarrow")
 
@@ -135,8 +144,25 @@ def read_json_logs(paths, **kwargs):
     return ds.map_batches(json_heuristic_extract, batch_format="pyarrow")
 
 
+def _stringify(col):
+    """Scalar columns cast to string; NESTED (struct/list/map) columns
+    JSON-encode per row — Arrow has no struct→utf8 cast and a nested
+    field in the input crashed the whole stage (round-4 review
+    finding)."""
+    typ = col.type if not isinstance(col, pa.ChunkedArray) \
+        else col.type
+    if pa.types.is_nested(typ):
+        import json as _json
+
+        return pa.array(
+            [None if v is None else _json.dumps(v, sort_keys=True,
+                                                default=str)
+             for v in col.to_pylist()], type=pa.string())
+    return pc.cast(col, pa.string())
+
+
 def _first_present(batch: pa.Table, keys) -> pa.Array | None:
-    cols = [pc.cast(batch.column(k), pa.string())
+    cols = [_stringify(batch.column(k))
             for k in keys if k in batch.column_names]
     if not cols:
         return None
@@ -162,7 +188,7 @@ def json_heuristic_extract(batch: pa.Table) -> pa.Table:
     if extra:
         import numpy as np
 
-        cols = [pc.cast(batch.column(c), pa.string()) for c in extra]
+        cols = [_stringify(batch.column(c)) for c in extra]
         mask = np.column_stack(
             [np.asarray(pc.is_valid(c)) for c in cols])  # (n, k)
         row_idx, col_idx = np.nonzero(mask)  # row-major order

@@ -378,7 +378,8 @@ def combined_partials(batch: pa.Table) -> pa.Table:
 
     t = template_counts_partial(batch)
     parts.append(pa.table({
-        "kind": pa.array(["template"] * t.num_rows),
+        "kind": pa.array(["template"] * t.num_rows,
+                         type=pa.string()),
         "key_str": t.column("template"),
         "key_hash": t.column("template_hash"),
         "bucket_h": pa.array(np.full(t.num_rows, NULL_BUCKET),
@@ -392,7 +393,8 @@ def combined_partials(batch: pa.Table) -> pa.Table:
     lv = (pa.table({"level": batch.column("level")})
           .group_by("level").aggregate([([], "count_all")]))
     parts.append(pa.table({
-        "kind": pa.array(["level"] * lv.num_rows),
+        "kind": pa.array(["level"] * lv.num_rows,
+                         type=pa.string()),
         "key_str": lv.column("level"),
         "key_hash": pa.array(np.full(lv.num_rows, -1), type=pa.int64()),
         "bucket_h": pa.array(np.full(lv.num_rows, NULL_BUCKET),
@@ -411,7 +413,8 @@ def combined_partials(batch: pa.Table) -> pa.Table:
         "bucket_h": bucket_h.fill_null(NULL_BUCKET),
     }).group_by(["template_hash", "bucket_h"]).aggregate([([], "count_all")]))
     parts.append(pa.table({
-        "kind": pa.array(["hour"] * hr.num_rows),
+        "kind": pa.array(["hour"] * hr.num_rows,
+                         type=pa.string()),
         "key_str": pa.array([""] * hr.num_rows, type=pa.string()),
         "key_hash": hr.column("template_hash"),
         "bucket_h": hr.column("bucket_h"),

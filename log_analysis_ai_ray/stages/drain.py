@@ -357,6 +357,14 @@ class TemplateAssigner:
             self._tail.add(tmpl)
         self._tail_cache: dict[str, tuple[str, int, list[int]]] = {}
 
+    # tail-cache bound: the cache exists precisely for the unbounded-
+    # vocabulary path (mine_file_fraction < 1 / max_distinct cap), so
+    # without a cap a long-lived assigner actor grows linearly with
+    # tail vocabulary until the worker OOMs (round-4 review finding).
+    # Clear-on-full: O(1), and the hot masked strings repopulate in
+    # one batch.
+    TAIL_CACHE_MAX = 1_000_000
+
     def _lookup_tail(self, masked: str) -> tuple[str, int, list[int]]:
         hit = self._tail_cache.get(masked)
         if hit is None:
@@ -364,6 +372,8 @@ class TemplateAssigner:
             tmpl = c.template if c is not None and len(c.tokens) == len(masked.split(" ")) else masked
             wpos = [i for i, t in enumerate(tmpl.split(" ")) if t == WILDCARD]
             hit = (tmpl, md5_hash32(tmpl), wpos)
+            if len(self._tail_cache) >= self.TAIL_CACHE_MAX:
+                self._tail_cache.clear()
             self._tail_cache[masked] = hit
         return hit
 
@@ -419,7 +429,6 @@ class TemplateAssigner:
         if isinstance(wpos, pa.ChunkedArray):
             wpos = wpos.combine_chunks()
         wp_flat = np.asarray(pc.list_flatten(wpos), dtype=np.int64)
-        wp_off = np.asarray(wpos.offsets, dtype=np.int64)
         wp_parent = np.asarray(pc.list_parent_indices(wpos), dtype=np.int64)
 
         abs_idx = tok_off[:-1][wp_parent] + wp_flat

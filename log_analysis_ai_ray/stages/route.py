@@ -104,6 +104,11 @@ class RouteWriteEmitPartials:
             cols.append("path")
         routed = batch.select(cols)
         n = routed.num_rows
+        if n == 0:
+            # a block of pages whose text exploded to zero lines must
+            # not crash the [0]/[n-1] fingerprint (round-4 review);
+            # nothing to write, but the typed empty partials must flow
+            return combined_partials(batch)
         line_no = np.asarray(routed.column("line_no"), dtype=np.int64)
         fp = hashlib.md5("|".join([
             str(routed.column("url")[0].as_py()), str(line_no[0]),
@@ -254,13 +259,14 @@ def prune_files_by_stats(files: list[str], column: str, lo, hi,
     if not files:
         return []
     fs = _resolve_fs(filesystem)
-    fs_local = isinstance(fs, pafs.LocalFileSystem)
 
     def check(t: pa.Table) -> pa.Table:
         keep = []
         for path in t.column("path").to_pylist():
-            f = pafs.LocalFileSystem() if fs_local else _resolve_fs(None)
-            md = pq.ParquetFile(path, filesystem=f).metadata
+            # the CALLER's filesystem ships in the task closure
+            # (pyarrow filesystems pickle); the old local-only branch
+            # made every remote-fs prune read fail (round-4 review)
+            md = pq.ParquetFile(path, filesystem=fs).metadata
             names = {md.schema.column(i).name: i
                      for i in range(md.num_columns)}
             if column not in names:

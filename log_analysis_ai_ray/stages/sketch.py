@@ -74,14 +74,14 @@ class MgSketchStage:
         counts = np.asarray(vc.field("counts"), dtype=np.int64)
         counters: dict[str, int] = {}
         mg_update(counters, uniq, counts, self.k)
-        n_tokens = int(counts.sum())
         items = list(counters.keys())
+        # no block-total column: heavy_hitter_tokens recomputes exact
+        # totals in its pass-2 partials, so shipping one per counter
+        # row was pure shuffle waste (round-4 review finding)
         return pa.table({
             "token": pa.array(items, type=pa.string()),
             "mg_count": pa.array([counters[i] for i in items],
                                  type=pa.int64()),
-            "block_tokens": pa.array([n_tokens] * len(items),
-                                     type=pa.int64()),
         })
 
 
@@ -105,8 +105,6 @@ def heavy_hitter_tokens(ds, phi: float = 0.005, k: int | None = None,
                          "cnt": pa.array([], type=pa.int64())})
     # merge per-block summaries (driver: ≤ k rows per block)
     merged: dict[str, int] = {}
-    # total token count: one block_tokens value per distinct block row
-    # group — recompute exactly from per-block partials instead:
     tok = np.asarray(sketches.column("token"), dtype=object)
     cnt = np.asarray(sketches.column("mg_count"), dtype=np.int64)
     mg_update(merged, tok, cnt, k)

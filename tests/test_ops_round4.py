@@ -107,6 +107,44 @@ def _hist_to_dict(m):
                     m.column("c").to_pylist()))
 
 
+def test_json_extract_nested_fields(ray_session):
+    """Nested struct/list JSON fields must JSON-encode into attrs
+    instead of crashing the struct->utf8 cast (round-4 review)."""
+    from log_analysis_ai_ray.sources.readers import \
+        json_heuristic_extract
+
+    batch = pa.table({
+        "message": pa.array(["a", "b"]),
+        "meta": pa.array([{"x": 1, "y": [1, 2]}, None]),
+        "tags": pa.array([[1, 2], [3]]),
+    })
+    out = json_heuristic_extract(batch)
+    attrs = out.column("attrs").to_pylist()
+    a0 = dict(attrs[0])
+    assert a0["meta"] == '{"x": 1, "y": [1, 2]}'
+    assert a0["tags"] == "[1, 2]"
+    assert dict(attrs[1]) == {"tags": "[3]"}
+
+
+def test_route_stage_empty_block(ray_session, tmp_path):
+    """A zero-row block through the fused route stage must emit typed
+    empty partials, not crash on the [0]/[n-1] fingerprint."""
+    from log_analysis_ai_ray.stages import route as route_mod
+
+    types = {"line_no": pa.int64(), "line_ts": pa.timestamp("us"),
+             "template_hash": pa.int64(), "parse_ok": pa.bool_()}
+    cols = {name: pa.array([], type=types.get(name, pa.string()))
+            for name in route_mod.ROUTED_COLUMNS
+            if name != "sink_id"}  # the stage appends sink_id itself
+    stage = route_mod.RouteWriteEmitPartials(str(tmp_path / "out"), 4)
+    out = stage(pa.table(cols))
+    # typed partials schema intact: only the two quality counter rows
+    # (rows=0, parse_ok=0), no template/level/hour rows
+    kinds = out.column("kind").to_pylist()
+    assert kinds == ["quality", "quality"]
+    assert out.column("count").to_pylist() == [0, 0]
+
+
 def test_lookup_join_auto_full_outer_routes_partitioned(ray_session):
     """'full outer' must NEVER take the per-block broadcast path —
     a per-block outer join emits unmatched right rows once per left
