@@ -17,18 +17,25 @@ import os
 import sys
 
 
-def _ensure_ray(num_cpus: int | None):
+def _ensure_ray(num_cpus: int | None) -> bool:
+    """Guarded init; returns True iff THIS call started Ray — the
+    shutdown in main() only fires then, so an embedding caller's
+    (or pytest session fixture's) cluster is never torn down
+    (round-4 fix for an order-dependent test kill)."""
     import ray
 
+    started = False
     if not ray.is_initialized():
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
             kwargs["address"] = "local"
         ray.init(**kwargs)
+        started = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return started
 
 
 def main(argv=None) -> int:
@@ -177,7 +184,7 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
-    _ensure_ray(args.num_cpus)
+    ray_owned = _ensure_ray(args.num_cpus)
     try:
         if args.cmd == "curate":
             from .pipelines.curation import run_curation
@@ -352,9 +359,10 @@ def main(argv=None) -> int:
                 print(json.dumps({"ok": True}))
             return 0
     finally:
-        import ray
+        if ray_owned:
+            import ray
 
-        ray.shutdown()
+            ray.shutdown()
     return 1
 
 

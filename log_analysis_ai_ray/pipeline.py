@@ -96,7 +96,21 @@ class Pipeline:
         }
         if kind in table:
             fn = table[kind]
-            return lambda t: fn(t, text_col=text_col)
+
+            # APPEND the computed feature columns — the raw feature
+            # fns project to (ids + features), which broke "applied
+            # in order" chaining after the first transform and
+            # silently discarded parsed columns (round-4 review)
+            def _appending(t, fn=fn):
+                feats = fn(t, text_col=text_col)
+                out = t
+                for cname in feats.column_names:
+                    if cname not in out.column_names:
+                        out = out.append_column(cname,
+                                                feats.column(cname))
+                return out
+
+            return _appending
         if kind == "normalize":
             from .stages.dedup import normalize_text
 
@@ -149,7 +163,13 @@ class Pipeline:
                 parse_mod.extract_attributes, batch_format="pyarrow",
                 fn_kwargs={"patterns": patterns})
         if kind == "drain":
-            return ds  # drain runs in run() (needs the two-pass fit)
+            # drain needs the two-pass template fit, which only the
+            # pages flagship path wires up; silently passing raw rows
+            # through looked like a successful parse (round-4 review)
+            raise ValueError(
+                "parser kind 'drain' is only supported with the "
+                "'pages' source (the flagship path); use "
+                "line/regex/syslog for raw-log sources")
         raise ValueError(f"unknown parser kind: {kind}")
 
     # -- run --------------------------------------------------------------
@@ -164,6 +184,17 @@ class Pipeline:
 
         if src_fmt == "pages" and parser_kind == "drain":
             # the flagship path: full parse→enrich→route→aggregate
+            if cfg.preprocess or cfg.transforms or cfg.extra_stages:
+                # these only wire into the generic source path; a
+                # silent drop here shipped unredacted data while the
+                # config claimed a redaction ran (round-4 review)
+                raise ValueError(
+                    "preprocess/transforms/extra_stages are not "
+                    "applied on the pages+drain flagship path; run "
+                    "them over the routed output or use a "
+                    "line/csv/json source")
+            if "out_dir" not in cfg.route:
+                raise ValueError("route.out_dir is required")
             fcfg = flagship.FlagshipConfig()
             if "num_sinks" in cfg.route:
                 fcfg.num_sinks = cfg.route["num_sinks"]
@@ -171,8 +202,15 @@ class Pipeline:
                 fcfg.domain_tiers = cfg.enrich["domain_tiers"]
             if "lang_names" in cfg.enrich:
                 fcfg.lang_names = cfg.enrich["lang_names"]
-            return flagship.run(cfg.source["path"], cfg.route["out_dir"],
-                                fcfg)
+            res = flagship.run(cfg.source["path"],
+                               cfg.route["out_dir"], fcfg)
+            # honor the aggregates selection (previously dead config)
+            keep = set(cfg.aggregates) | {"manifest", "metrics",
+                                          "mapping"}
+            alias = {"registry": "registry", "levels": "levels",
+                     "rollup": "rollup"}
+            return {k: v for k, v in res.items()
+                    if k in keep or alias.get(k, k) in keep}
 
         ds = self._source()
         if cfg.preprocess:

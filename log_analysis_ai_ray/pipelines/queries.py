@@ -1237,7 +1237,7 @@ RAWSYSLOG_GLOB_SF001 = f"{RAWLOGS_ROOT}/sf0.01/syslog/logs-*.log"
 _SYSLOG_FAC_SQL = "['" + "','".join(_SYSLOG_FAC) + "']"
 _SYSLOG_SEV_SQL = "['" + "','".join(_SYSLOG_SEV) + "']"
 _SYSLOG_PAT_SQL = (r"'^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2} "
-                   r"\d{2}:\d{2}:\d{2})?\s*(\S+)?\s+"
+                   r"\d{2}:\d{2}:\d{2})?\s*(?:(\S+)\s+)?"
                    r"([\w./-]+)(?:\[(\d+)\])?:\s*(.*)$'")
 SQL_SYSLOG_DECODE = f"""
 WITH raw AS (

@@ -321,7 +321,14 @@ def phash_pairs(ds, max_hamming: int = 8, concurrency=2,
     in-bucket pairwise Hamming ≤ max_hamming → global (id_a, id_b)
     dedup (min Hamming wins; a pair found by several bands is one
     pair, and id_a == id_b self-pairs are dropped). Returns a
-    pyarrow Table sorted by (id_a, id_b)."""
+    pyarrow Table sorted by (id_a, id_b).
+
+    RECALL CONTRACT (pytest-pinned): the 4-band pigeonhole guarantees
+    every pair at Hamming ≤ 3 is found; pairs at 4..max_hamming are
+    BEST-EFFORT extras (returned only when some band still matches —
+    a pair differing in all four bands is not enumerable without a
+    full scan). Output is always a SUBSET of brute force with exact
+    Hamming values."""
     import pyarrow.compute as pc
 
     from . import aggregate as agg
@@ -423,9 +430,11 @@ class VadStage:
 
 def audio_vad(ds, concurrency=2, batch_size: int = 256, **kw):
     """VAD segmentation as an actor-pool stage (decode state and the
-    threshold live once per actor)."""
-    return ds.map_batches(VadStage(**kw), concurrency=concurrency,
-                          batch_size=batch_size, num_cpus=1,
+    threshold live once per actor — the CLASS ships, not a pickled
+    instance per task, matching every sibling media stage)."""
+    return ds.map_batches(VadStage, fn_constructor_kwargs=kw,
+                          concurrency=concurrency,
+                          batch_size=batch_size, num_cpus=0.5,
                           batch_format="pyarrow")
 
 

@@ -67,9 +67,35 @@ def extract_attributes(batch: pa.Table, patterns: dict[str, str],
     out = batch
     for name, pattern in patterns.items():
         pat = pattern
-        # Bare single group → give it a name for extract_regex.
+        # Bare single group → give it a name for extract_regex. The
+        # rewrite targets the first REAL capturing '(' — skipping
+        # escaped literals, (?...) special groups, and character
+        # classes, which the old first-'(' replace corrupted
+        # (round-4 review finding).
         if "(?P<" not in pat:
-            pat = pat.replace("(", f"(?P<{name}>", 1)
+            i, found, in_class = 0, -1, False
+            while i < len(pat):
+                c = pat[i]
+                if c == "\\":
+                    i += 2
+                    continue
+                if in_class:
+                    if c == "]":
+                        in_class = False
+                elif c == "[":
+                    in_class = True
+                elif c == "(":
+                    if i + 1 < len(pat) and pat[i + 1] == "?":
+                        i += 1
+                    else:
+                        found = i
+                        break
+                i += 1
+            if found < 0:
+                raise ValueError(
+                    f"pattern for {name!r} has no capture group: "
+                    f"{pattern!r}")
+            pat = pat[:found + 1] + f"?P<{name}>" + pat[found + 1:]
             gname = name
         else:
             gname = pat.split("(?P<", 1)[1].split(">", 1)[0]

@@ -28,10 +28,14 @@ SEVERITIES = [
     "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
 ]
 
+# host is optional as a UNIT (host + trailing space): the old
+# '(?P<host>\S+)?\s+' required whitespace even when host was absent,
+# so minimal PRI+TAG+msg lines ('<13>myapp: started') failed to match
+# at all (round-4 review finding). Mirrored in the SQL oracle.
 SYSLOG_PATTERN = (
     r"^<(?P<pri>\d{1,3})>"
     r"(?P<ts>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2})?\s*"
-    r"(?P<host>\S+)?\s+"
+    r"(?:(?P<host>\S+)\s+)?"
     r"(?P<prog>[\w./-]+)(?:\[(?P<pid>\d+)\])?:\s*"
     r"(?P<msg>.*)$"
 )

@@ -339,8 +339,14 @@ def token_chunks(t: pa.Table, *, text_col: str = "text",
 
     toks = pc.split_pattern(t.column(text_col).combine_chunks(),
                             pattern=" ")
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
+    # null text → 0 tokens → 0 chunks, deterministically (the NaN →
+    # int64 cast emitted a RuntimeWarning and undefined values;
+    # DuckDB's string_split(NULL) likewise yields no chunk rows).
+    # Tokenization is single-space split BY CONTRACT — the oracle
+    # mirrors it exactly; multi-space runs produce empty tokens on
+    # both engines.
+    lens = pc.list_value_length(toks).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
     offsets = np.concatenate([[0], np.cumsum(lens)])
     ids = t.column(id_col).combine_chunks()

@@ -33,6 +33,11 @@ def attach_routed_store(store_dir: str, conn=None):
     conn = conn or duckdb.connect()
     sink_glob = os.path.join(store_dir, "sink_id=*", "*.parquet")
     reg = os.path.join(store_dir, "template_registry.parquet")
+    # paths interpolate into SQL string literals: double any single
+    # quotes so "bob's logs" parses (and cannot inject) — round-4
+    # review finding
+    sink_glob = sink_glob.replace("'", "''")
+    reg = reg.replace("'", "''")
     if not os.path.exists(reg):
         raise FileNotFoundError(
             f"not a routed store (no template_registry.parquet): "

@@ -107,6 +107,74 @@ def _hist_to_dict(m):
                     m.column("c").to_pylist()))
 
 
+def test_extract_attributes_special_patterns(ray_session):
+    """Group-naming must target the first REAL capturing paren —
+    escaped literals, (?:...) groups and character classes broke the
+    old first-'(' rewrite (round-4 review)."""
+    from log_analysis_ai_ray.stages.parse import extract_attributes
+
+    b = pa.table({"line": pa.array(["(code=ab) x", "yy 42 zz"])})
+    out = extract_attributes(b, {"code": r"\((code=\w+)\)"})
+    assert out.column("code").to_pylist() == ["code=ab", ""]
+    out2 = extract_attributes(b, {"num": r"(?:y )(\d+)"})
+    assert out2.column("num").to_pylist() == ["", "42"]
+    with pytest.raises(ValueError, match="no capture group"):
+        extract_attributes(b, {"x": r"nocapture"})
+
+
+def test_syslog_hostless_line(ray_session):
+    """Minimal RFC3164 PRI+TAG+msg lines (no timestamp, no host) must
+    parse instead of failing the whole match (round-4 review)."""
+    from log_analysis_ai_ray.stages.syslog import parse_syslog
+
+    out = parse_syslog(pa.table({"line": pa.array(
+        ["<13>myapp: started",
+         "<34>Feb  5 17:32:18 host1 sshd[123]: accepted"])}))
+    assert out.column("syslog_ok").to_pylist() == [True, True]
+    assert out.column("pri").to_pylist() == [13, 34]
+    assert out.column("program").to_pylist() == ["myapp", "sshd"]
+    assert out.column("msg").to_pylist() == ["started", "accepted"]
+    assert out.column("host").to_pylist() == ["", "host1"]
+
+
+def test_pipeline_transforms_chain(ray_session, tmp_path):
+    """Two textstats transforms in sequence must chain (features
+    APPEND; the old projection dropped the text column after the
+    first transform) and the flagship path must refuse transforms
+    loudly instead of silently skipping them."""
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.pipeline import Pipeline, PipelineConfig
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the dog",
+                          "zzz qqq xxx"]),
+    }), str(src))
+    cfg = PipelineConfig(
+        source={"format": "parquet", "path": str(src)},
+        parser={"kind": "line"},
+        transforms=[{"kind": "langid"}, {"kind": "quality"}],
+        route={"out_dir": str(tmp_path / "out")})
+    res = Pipeline(cfg).run()
+    t = res["dataset"].take_all()
+    assert {"text", "pred_lang", "n_tokens"} <= set(t[0].keys())
+
+    bad = PipelineConfig(
+        source={"format": "pages", "path": "unused"},
+        parser={"kind": "drain"},
+        transforms=[{"kind": "pii_redact"}],
+        route={"out_dir": str(tmp_path / "out2")})
+    with pytest.raises(ValueError, match="flagship path"):
+        Pipeline(bad).run()
+    text_drain = PipelineConfig(
+        source={"format": "text", "path": str(src)},
+        route={"out_dir": str(tmp_path / "out3")})
+    with pytest.raises(ValueError, match="drain"):
+        Pipeline(text_drain).run()
+
+
 def test_json_extract_nested_fields(ray_session):
     """Nested struct/list JSON fields must JSON-encode into attrs
     instead of crashing the struct->utf8 cast (round-4 review)."""
