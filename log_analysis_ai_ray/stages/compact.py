@@ -20,6 +20,7 @@ deleted — crash-safe ordering: write, verify, then delete).
 from __future__ import annotations
 
 import hashlib
+import json
 
 import pyarrow as pa
 import pyarrow.fs as pafs
@@ -28,6 +29,60 @@ import pyarrow.parquet as pq
 from .route import _atomic_write_parquet, _resolve_fs
 
 TARGET_BYTES_DEFAULT = 128 << 20
+
+
+def _atomic_write_bytes(fs: pafs.FileSystem, dir_path: str,
+                        fname: str, data: bytes) -> None:
+    full = f"{dir_path}/{fname}"
+    if isinstance(fs, pafs.LocalFileSystem):
+        with fs.open_output_stream(full + ".tmp") as f:
+            f.write(data)
+        fs.move(full + ".tmp", full)
+    else:  # object-store puts commit atomically
+        with fs.open_output_stream(full) as f:
+            f.write(data)
+
+
+def _recover_pending(fs: pafs.FileSystem, part_dir: str) -> None:
+    """Finish (or roll back) any compaction bin interrupted mid-commit.
+
+    Protocol (see compact_partition): a ``compact-K.pending`` marker
+    listing member names + expected rows is written BEFORE the merged
+    output; members are deleted only after the output verifies; the
+    marker is removed last. Recovery therefore sees one of:
+    - marker + verified output → finish deleting listed members;
+    - marker + missing/unverifiable output → delete the output (its
+      members are intact) and the marker;
+    either way no compact file ever coexists with its members when
+    binning starts — the row-duplication window the round-4 review
+    found."""
+    for info in fs.get_file_info(pafs.FileSelector(part_dir)):
+        if info.type != pafs.FileType.File                 or not info.base_name.endswith(".pending"):
+            continue
+        try:
+            with fs.open_input_stream(info.path) as f:
+                meta = json.loads(f.read().decode())
+        except Exception:
+            meta = None
+        out_name = info.base_name[:-len(".pending")] + ".parquet"
+        out_path = f"{part_dir}/{out_name}"
+        out_info = fs.get_file_info(out_path)
+        committed = False
+        if meta is not None and out_info.type == pafs.FileType.File:
+            try:
+                written = pq.read_metadata(
+                    out_path, filesystem=fs).num_rows
+                committed = written == meta["rows"]
+            except Exception:
+                committed = False
+        if committed:
+            for name in meta["members"]:
+                mp = f"{part_dir}/{name}"
+                if fs.get_file_info(mp).type == pafs.FileType.File:
+                    fs.delete_file(mp)
+        elif out_info.type == pafs.FileType.File:
+            fs.delete_file(out_path)  # members intact: roll back
+        fs.delete_file(info.path)
 
 
 def plan_bins(sizes: list[int], target_bytes: int) -> list[list[int]]:
@@ -53,6 +108,7 @@ def compact_partition(fs: pafs.FileSystem, part_dir: str,
                       target_bytes: int = TARGET_BYTES_DEFAULT,
                       compression: str = "snappy") -> dict:
     """Compact one partition directory in place. Returns counters."""
+    _recover_pending(fs, part_dir)
     infos = [i for i in fs.get_file_info(pafs.FileSelector(part_dir))
              if i.type == pafs.FileType.File
              and i.base_name.endswith(".parquet")]
@@ -71,6 +127,13 @@ def compact_partition(fs: pafs.FileSystem, part_dir: str,
         out_name = f"compact-{key}.parquet"
         tables = [pq.read_table(m.path, filesystem=fs) for m in members]
         merged = pa.concat_tables(tables, promote_options="default")
+        # commit protocol: pending marker (members + expected rows)
+        # BEFORE the output; members deleted only after verify; marker
+        # removed last — _recover_pending makes any crash point safe
+        _atomic_write_bytes(
+            fs, part_dir, f"compact-{key}.pending",
+            json.dumps({"members": [m.base_name for m in members],
+                        "rows": merged.num_rows}).encode())
         existing = fs.get_file_info(f"{part_dir}/{out_name}")
         if existing.type != pafs.FileType.File:
             _atomic_write_parquet(fs, merged, part_dir, out_name,
@@ -84,6 +147,7 @@ def compact_partition(fs: pafs.FileSystem, part_dir: str,
                 f"{written} != {merged.num_rows}")
         for m in members:
             fs.delete_file(m.path)
+        fs.delete_file(f"{part_dir}/compact-{key}.pending")
         stats["rewritten"] += len(members)
         stats["rows"] += merged.num_rows
     return stats
@@ -109,11 +173,12 @@ def compact_store(store_dir: str,
         return {"partitions": 0, "files_in": 0, "files_out": 0,
                 "rewritten": 0, "rows": 0}
 
-    fs_kind = ("local" if isinstance(fs, pafs.LocalFileSystem) else None)
-
     def one(t: pa.Table) -> pa.Table:
-        fs_w = pafs.LocalFileSystem() if fs_kind == "local" else \
-            _resolve_fs(None)
+        # the CALLER's filesystem ships in the task closure (pyarrow
+        # filesystems pickle); both branches of the old conditional
+        # resolved to LocalFileSystem, so remote stores could never
+        # compact (round-4 review finding)
+        fs_w = fs
         rows = []
         for p in t.column("part").to_pylist():
             rows.append(compact_partition(fs_w, p, target_bytes,

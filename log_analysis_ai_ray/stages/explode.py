@@ -43,9 +43,13 @@ def join_logical_lines(lines: list[str]) -> list[str]:
 
 
 def explode_lines_joined(batch: pa.Table, *, drop_empty: bool = True,
+                         max_line_len: int | None = None,
                          carry: tuple[str, ...] = CARRY_COLUMNS) -> pa.Table:
     """explode_lines variant that first merges continuation lines
-    within each page (S4 semantics)."""
+    within each page (S4 semantics). ``max_line_len`` forwards to the
+    over-long-line drop — merged continuations make oversized lines
+    MORE likely, so the joined path needs the guard most (round-4
+    review)."""
     text = batch.column("text")
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -56,7 +60,8 @@ def explode_lines_joined(batch: pa.Table, *, drop_empty: bool = True,
     )
     patched = batch.set_column(
         batch.schema.get_field_index("text"), "text", joined)
-    return explode_lines(patched, drop_empty=drop_empty, carry=carry)
+    return explode_lines(patched, drop_empty=drop_empty,
+                         max_line_len=max_line_len, carry=carry)
 
 
 def explode_lines(batch: pa.Table, *, drop_empty: bool = True,

@@ -23,15 +23,13 @@ import pyarrow.compute as pc
 logger = logging.getLogger(__name__)
 
 
-def _min_label_round(edges: pa.Table, labels: dict) -> tuple[dict, int]:
-    """One propagation round over an in-memory edge table with a
-    vectorized numpy merge. labels: node -> label arrays (parallel
-    numpy arrays in a dict for cheap updates)."""
+def _min_label_round(labels: dict, pa_: np.ndarray,
+                     pb_: np.ndarray) -> tuple[dict, int]:
+    """One propagation round with PRE-COMPUTED endpoint ranks — the
+    nodes/edges never change across rounds, so the searchsorted and
+    Arrow→numpy extraction are loop-invariant (round-4 review: the
+    old per-round recompute cost O(E log V) × rounds for nothing)."""
     nodes, lab = labels["nodes"], labels["lab"]
-    a = np.asarray(edges.column("src"), dtype=np.int64)
-    b = np.asarray(edges.column("dst"), dtype=np.int64)
-    pa_ = np.searchsorted(nodes, a)
-    pb_ = np.searchsorted(nodes, b)
     new = lab.copy()
     # neighbor votes both directions + self vote, merged via minimum.at
     np.minimum.at(new, pa_, lab[pb_])
@@ -51,9 +49,10 @@ def connected_components(pairs: pa.Table, src: str = "doc_a",
     b = np.asarray(pairs.column(dst), dtype=np.int64)
     nodes = np.unique(np.concatenate([a, b]))
     state = {"nodes": nodes, "lab": nodes.copy()}
-    edges = pa.table({"src": pa.array(a), "dst": pa.array(b)})
+    pa_ = np.searchsorted(nodes, a)   # loop-invariant endpoint ranks
+    pb_ = np.searchsorted(nodes, b)
     for it in range(max_iters):
-        state, changed = _min_label_round(edges, state)  # hook
+        state, changed = _min_label_round(state, pa_, pb_)  # hook
         # shortcut (pointer jumping): follow label→label-of-label chains
         # to their fixpoint; hook+shortcut per round converges in
         # O(log n) rounds instead of O(diameter)

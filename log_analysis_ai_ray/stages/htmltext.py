@@ -79,16 +79,21 @@ def extract_text_array(html_col, *, block_newlines: bool = False,
                                        replacement="\n")
     s = pc.replace_substring_regex(s, pattern=r"(?s)<[^>]*>",
                                    replacement="")
-    # 3. entities, vectorized; numeric-entity rows take the slow path.
+    # 3. entities, vectorized; numeric-entity rows take the slow path
+    # FROM THE PRE-DECODE ORIGINAL — running unescape after the
+    # vectorized &amp; pass double-decoded escaped entity text like
+    # '&amp;#39;' (round-4 review finding)
+    pre = s
     for ent, repl in _ENTITIES:
         s = pc.replace_substring(s, pattern=ent, replacement=repl)
     leftover = pc.match_substring_regex(s, r"&#\d|&#[xX][0-9a-fA-F]")
     if pc.any(leftover).as_py():
         py = s.to_pylist()
+        orig = pre.to_pylist()
         mask = leftover.to_pylist()
         for i, flag in enumerate(mask):
             if flag and py[i] is not None:
-                py[i] = _htmllib.unescape(py[i])
+                py[i] = _htmllib.unescape(orig[i])
         s = pa.array(py, type=pa.string())
     if normalize_whitespace:
         s = pc.utf8_trim_whitespace(

@@ -72,7 +72,18 @@ def _extract_all(lines: pa.Array, pattern: str) -> pa.ListArray:
 
     rx = re.compile(pattern)
     uniq = pc.unique(lines)
-    per_uniq = [rx.findall(s) if s is not None else []
-                for s in uniq.to_pylist()]
+    # findall semantics (capture group when present — pytest-pinned),
+    # but multi-group patterns return TUPLES which crashed the Arrow
+    # list<string> build (round-4 review finding): flatten each
+    # match's groups in order
+    per_uniq = []
+    for s_ in uniq.to_pylist():
+        if s_ is None:
+            per_uniq.append([])
+            continue
+        found = rx.findall(s_)
+        if found and isinstance(found[0], tuple):
+            found = [g for tup in found for g in tup]
+        per_uniq.append(found)
     lists = pa.array(per_uniq, type=pa.list_(pa.string()))
     return lists.take(pc.index_in(lines, uniq))

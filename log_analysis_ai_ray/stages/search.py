@@ -113,6 +113,10 @@ def bm25_topk(ds, terms, k: int = 10, k1: float = K1, b: float = B,
     stats = agg._to_arrow(cand.map_batches(
         lambda t: t.filter(t.column("is_stats")),
         batch_format="pyarrow"))
+    if "n_docs" not in stats.column_names:
+        # zero-block input: schema-less empty (round-4 review)
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
     n_docs = int(pc.sum(stats.column("n_docs")).as_py() or 0)
     sum_dl = int(pc.sum(stats.column("dl")).as_py() or 0)
     if n_docs == 0:

@@ -37,8 +37,14 @@ K_HASHES_FILE_DEFAULT = 5
 
 
 def _store_files(store_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(store_dir, "**", "*.parquet"),
-                            recursive=True))
+    # underscore-prefixed parquet files are STORE ARTIFACTS (bloom /
+    # zonemap manifests), not data: indexing a manifest into its own
+    # refresh crashed on the missing key column (round-4 review)
+    return sorted(
+        p for p in glob.glob(os.path.join(store_dir, "**",
+                                          "*.parquet"),
+                             recursive=True)
+        if not os.path.basename(p).startswith("_"))
 
 
 def _manifest_path(store_dir: str, key_col: str) -> str:
@@ -58,6 +64,21 @@ def write_bloom_manifest(store_dir: str, key_col: str,
 
     files = _store_files(store_dir)
     items = [{"path": os.path.relpath(p, store_dir)} for p in files]
+    if not items:
+        # empty / not-yet-populated store: an empty manifest (so
+        # pruned reads see zero candidate files) instead of a
+        # KeyError on the schema-less empty dataset (round-4 review)
+        meta = pa.table({
+            "path": pa.array([], type=pa.string()),
+            "bloom": pa.array([], type=pa.binary()),
+            "n_keys": pa.array([], type=pa.int64()),
+            "m_bits": pa.array([], type=pa.int64()),
+            "k_hashes": pa.array([], type=pa.int64())})
+        out = _manifest_path(store_dir, key_col)
+        tmp = f"{out}.{os.getpid()}.tmp"
+        pq.write_table(meta, tmp)
+        os.replace(tmp, out)
+        return out
 
     def build_one(t: pa.Table) -> pa.Table:
         paths, blooms, nkeys = [], [], []

@@ -42,9 +42,18 @@ def harvest_zone_maps(store_dir: str) -> list[dict]:
     for path in sorted(glob.glob(os.path.join(store_dir, "**",
                                               "*.parquet"),
                                  recursive=True)):
+        if os.path.basename(path).startswith("_"):
+            continue  # store artifacts (bloom/zonemap manifests)
         md = pq.ParquetFile(path).metadata
         idx = md.schema.to_arrow_schema().get_field_index(_TS_COL)
         lo, hi, rows = None, None, 0
+        if idx < 0:
+            # no ts column at all: conservative-keep, never crash on
+            # column(-1) (round-4 review finding)
+            out.append({"path": os.path.relpath(path, store_dir),
+                        "min_us": None, "max_us": None,
+                        "rows": md.num_rows})
+            continue
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(idx)
             rows += md.row_group(rg).num_rows

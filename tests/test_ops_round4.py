@@ -6,6 +6,7 @@ oracle parity for every size-gated broadcast build side (budget
 monkeypatched to 0 -> the partitioned path must stay oracle-green)."""
 
 import duckdb
+import os
 import pandas as pd
 import numpy as np
 import pyarrow as pa
@@ -105,6 +106,63 @@ def _expected_hist(users, ts_us):
 def _hist_to_dict(m):
     return dict(zip(m.column("gsec").to_pylist(),
                     m.column("c").to_pylist()))
+
+
+def test_compaction_crash_recovery_no_duplication(ray_session,
+                                                  tmp_path):
+    """The round-4 review's row-duplication window: a compact output
+    coexisting with its still-undeleted members must NOT be re-binned
+    as input. The pending-marker protocol recovers every crash point
+    to an exactly-once row multiset."""
+    import json
+
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    from log_analysis_ai_ray.stages import compact
+
+    fs = pafs.LocalFileSystem()
+    part = str(tmp_path / "sink_id=0")
+    os.makedirs(part)
+
+    def write_members():
+        for i in range(3):
+            pq.write_table(
+                pa.table({"x": pa.array(
+                    np.arange(i * 10, i * 10 + 10, dtype=np.int64))}),
+                f"{part}/m{i}.parquet")
+
+    def rows():
+        import glob as _g
+        t = pa.concat_tables([pq.read_table(p) for p in
+                              sorted(_g.glob(f"{part}/*.parquet"))])
+        return sorted(t.column("x").to_pylist())
+
+    expect = list(range(30))
+
+    # crash point A: output written+verified, members NOT deleted,
+    # marker still present (the old code re-binned output+members)
+    write_members()
+    merged = pa.concat_tables(
+        [pq.read_table(f"{part}/m{i}.parquet") for i in range(3)])
+    pq.write_table(merged, f"{part}/compact-deadbeef.parquet")
+    with open(f"{part}/compact-deadbeef.pending", "w") as f:
+        json.dump({"members": ["m0.parquet", "m1.parquet",
+                               "m2.parquet"], "rows": 30}, f)
+    stats = compact.compact_partition(fs, part, target_bytes=1 << 30)
+    assert rows() == expect
+    assert not os.path.exists(f"{part}/compact-deadbeef.pending")
+
+    # crash point B: marker written, output never landed
+    import shutil
+    shutil.rmtree(part)
+    os.makedirs(part)
+    write_members()
+    with open(f"{part}/compact-cafe.pending", "w") as f:
+        json.dump({"members": ["m0.parquet"], "rows": 10}, f)
+    compact.compact_partition(fs, part, target_bytes=1 << 30)
+    assert rows() == expect
+    assert not os.path.exists(f"{part}/compact-cafe.pending")
 
 
 def test_extract_attributes_special_patterns(ray_session):
