@@ -41,6 +41,21 @@ def md5_hash32_array(strings) -> pa.Array:
 ORACLE_HASH_SQL = "(('0x' || substr(md5({col}), 1, 8))::BIGINT)"
 
 
+def md5_hash63_array(strings) -> "pa.Array":
+    """Stable 63-bit ids from md5 (first 16 hex digits, masked to
+    int63) — persistent identity that never drifts across library
+    versions, unlike engine-internal string hashes (DuckDB mirror:
+    ``('0x' || substr(md5(s),1,16))::UHUGEINT % 9223372036854775808``).
+    Python-loop md5 (~1 us/row): fine for ingest-time identity
+    columns, not for per-batch hot paths."""
+    mask = (1 << 63) - 1
+    return pa.array(
+        [None if s is None else
+         int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+         & mask
+         for s in strings], type=pa.int64())
+
+
 def oracle_hash_expr(col: str) -> str:
     """DuckDB SQL expression equivalent to :func:`md5_hash32`."""
     return ORACLE_HASH_SQL.format(col=col)

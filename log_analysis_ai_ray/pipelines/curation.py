@@ -176,14 +176,19 @@ def run_curation(input_parquet: str, out_dir: str, *,
         kept.map_batches(norm, batch_format="pyarrow"),
         out_dir=os.path.join(out_dir, "_keep_list"))
     if isinstance(keep_res, pa.Table):
-        keep_ids = pa.array(
-            np.sort(np.asarray(keep_res.column("keep_id"))),
-            type=pa.int64())
+        import ray
 
-        final = kept.map_batches(
-            lambda t: t.filter(pc.is_in(t.column("doc_id"),
-                                        value_set=keep_ids)),
-            batch_format="pyarrow")
+        keep_ref = ray.put(pa.array(
+            np.sort(np.asarray(keep_res.column("keep_id"))),
+            type=pa.int64()))
+
+        def keep_filter(t: pa.Table) -> pa.Table:
+            # ship ONCE via plasma, not ~40MB re-pickled per task
+            ki = ray.get(keep_ref)
+            return t.filter(pc.is_in(t.column("doc_id"),
+                                     value_set=ki))
+
+        final = kept.map_batches(keep_filter, batch_format="pyarrow")
     else:
         # keep-list past the driver merge bound: Bloom prefilter (the
         # bitmap broadcasts, keys never collect) + exact partitioned

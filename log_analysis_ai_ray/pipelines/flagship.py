@@ -314,9 +314,23 @@ def run_checkpointed(pages_path: str, out_dir: str,
         pq.write_table(mapping, mapping_path + ".tmp")
         os.replace(mapping_path + ".tmp", mapping_path)
 
+    # stale-group hygiene: manifests/outputs past the new group count
+    # (the file list shrank) would otherwise survive as orphan data
+    import glob as _glob
+    for mpath in _glob.glob(os.path.join(out_dir, "_done",
+                                         "group-*.json")):
+        gid_old = int(os.path.basename(mpath)[6:-5])
+        if gid_old >= len(groups):
+            os.remove(mpath)
+            shutil_rm = os.path.join(out_dir, f"group-{gid_old:05d}")
+            import shutil
+            shutil.rmtree(shutil_rm, ignore_errors=True)
+
     skipped, ran = [], []
     for gid, group_files in enumerate(groups):
-        if ckpt.is_done(out_dir, gid):
+        # membership-aware: a shifted group (input list changed)
+        # reruns instead of being skipped by positional id
+        if ckpt.is_done(out_dir, gid, input_files=group_files):
             skipped.append(gid)
             continue
         parsed = build_parsed(group_files, mapping, config)

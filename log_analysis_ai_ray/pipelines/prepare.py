@@ -20,14 +20,24 @@ import json
 import os
 import shutil
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# same 80/20 multiplicative-hash split as the `dataset_splits` query
-SPLIT_A = 2654435761
-SPLIT_M = 4294967296
-SPLIT_TRAIN = 3435973836  # floor(0.8 * 2^32)
+# THE split rule — imported from the registry's dataset_splits query
+# (round-4 review: a re-declared copy drifted to a 2-way split that
+# filed the registry's 'test' docs under 'val')
+from .queries import _SPLIT_A as SPLIT_A
+from .queries import _SPLIT_M as SPLIT_M
+from .queries import _SPLIT_TRAIN as SPLIT_TRAIN
+from .queries import _SPLIT_VAL as SPLIT_VAL
+
+
+def _fp(obj) -> str:
+    return hashlib.md5(json.dumps(obj, sort_keys=True,
+                                  default=str).encode()).hexdigest()
 
 def _stage_done(out_dir: str, stage: str, params: dict) -> bool:
     """Stage complete AND built with the same parameters — a resume
@@ -63,7 +73,6 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
     import ray.data
 
     from ..sources.warc import ingest_warc
-    from ..stages.bloomjoin import _column_to_u64
     from ..stages.textstats import token_chunks
     from .curation import run_curation
 
@@ -77,22 +86,30 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
     metrics["ingest"] = st
 
     # ---- stage 2: pages → documents shape --------------------------
+    # stage params CHAIN an upstream fingerprint (the ingest groups'
+    # manifests), so new/changed upstream data rebuilds every
+    # downstream stage instead of serving stale output (round-4
+    # review finding)
+    from ..state import checkpoint as ckpt
+    ing_fp = _fp(ckpt.completed_groups(ingest_dir))
     docs_dir = os.path.join(out_dir, "documents")
-    if not (resume and _stage_done(out_dir, "documents", {})):
+    doc_params = {"upstream": ing_fp, "id": "md5_63"}
+    if not (resume and _stage_done(out_dir, "documents", doc_params)):
         shutil.rmtree(docs_dir, ignore_errors=True)
 
+        from ..functions.hashing import md5_hash63_array
         from .queries import _DOM_RE_PC  # one domain notion repo-wide
 
         def to_docs(t: pa.Table) -> pa.Table:
-            # deterministic doc_id from the url (vectorized 64-bit
-            # hash, masked to int63 so every downstream signed-int
-            # path is safe; collisions ~n²/2⁶³ — negligible)
-            keys, _ = _column_to_u64(t.column("url"))
-            ids = (keys & np.uint64((1 << 63) - 1)).astype(np.int64)
+            # PERSISTENT doc_id: md5-based 63-bit id (round-4 review:
+            # the engine-internal polars hash is version-unstable, so
+            # ids — and the id-hashed train/val/test membership —
+            # silently changed across environments)
+            ids = md5_hash63_array(t.column("url").to_pylist())
             dom = pc.extract_regex(
                 t.column("url").combine_chunks(), _DOM_RE_PC).field("d")
             return pa.table({
-                "doc_id": pa.array(ids),
+                "doc_id": ids,
                 "text": t.column("text"),
                 "lang": t.column("lang"),
                 "source": dom,
@@ -104,13 +121,14 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
                               columns=["url", "text", "lang"]) \
             .map_batches(to_docs, batch_format="pyarrow") \
             .write_parquet(docs_dir)
-        _mark_stage(out_dir, "documents", {})
+        _mark_stage(out_dir, "documents", doc_params)
     metrics["documents_dir"] = docs_dir
 
     # ---- stage 3: curation (gates + dedup + near-dup removal) ------
     curated_dir = os.path.join(out_dir, "curated")
     cur_params = {"keep_langs": sorted(keep_langs),
-                  "min_tokens": min_tokens}
+                  "min_tokens": min_tokens,
+                  "upstream": _fp(doc_params)}
     if resume and _stage_done(out_dir, "curated", cur_params):
         with open(os.path.join(curated_dir, "_metrics.json")) as f:
             metrics["curation"] = json.load(f)
@@ -123,7 +141,8 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
 
     # ---- stage 4: split + chunk ------------------------------------
     chunks_dir = os.path.join(out_dir, "chunks")
-    chunk_params = {"width": chunk_width, "stride": chunk_stride}
+    chunk_params = {"width": chunk_width, "stride": chunk_stride,
+                    "upstream": _fp(cur_params)}
     if not (resume and _stage_done(out_dir, "chunks", chunk_params)):
         shutil.rmtree(chunks_dir, ignore_errors=True)
 
@@ -134,8 +153,9 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
                              dtype=np.int64).astype(np.uint64)
             h = (ids % np.uint64(SPLIT_M)
                  * np.uint64(SPLIT_A)) % np.uint64(SPLIT_M)
-            split = np.where(h < np.uint64(SPLIT_TRAIN),
-                             "train", "val")
+            split = np.where(
+                h < np.uint64(SPLIT_TRAIN), "train",
+                np.where(h < np.uint64(SPLIT_VAL), "val", "test"))
             return ch.append_column(
                 "split", pa.array(split, type=pa.string()))
 
@@ -149,7 +169,7 @@ def prepare_corpus(warc_dir: str, out_dir: str, *,
     # ---- accounting -------------------------------------------------
     import pyarrow.parquet as pq
     counts = {}
-    for split in ("train", "val"):
+    for split in ("train", "val", "test"):
         d = os.path.join(chunks_dir, f"split={split}")
         rows = 0
         docs = set()

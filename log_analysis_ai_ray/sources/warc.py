@@ -189,7 +189,7 @@ def ingest_warc(warc_dir: str, out_dir: str, files_per_group: int = 4,
                               drop_html=False)  # keep payload bytes
     done = skipped = rows_total = 0
     for gid, group in enumerate(groups):
-        if resume and ckpt.is_done(out_dir, gid):
+        if resume and ckpt.is_done(out_dir, gid, input_files=group):
             skipped += 1
             continue
         files = ray.data.read_binary_files(group, include_paths=True)

@@ -35,14 +35,31 @@ def plan_groups(input_files: list[str], files_per_group: int) -> list[list[str]]
             for i in range(0, len(files), files_per_group)]
 
 
-def is_done(out_dir: str, group_id: int) -> bool:
-    return os.path.exists(
-        os.path.join(out_dir, "_done", f"group-{group_id:05d}.json"))
+def is_done(out_dir: str, group_id: int,
+            input_files: list[str] | None = None) -> bool:
+    """Group complete — and, when ``input_files`` is given, built from
+    EXACTLY those files. Positional group ids shift when the input
+    file list changes (a new file re-partitions every group), so an
+    id-only check silently skipped groups whose membership changed —
+    dropping the new file and double-counting moved ones (round-4
+    review finding)."""
+    path = os.path.join(out_dir, "_done", f"group-{group_id:05d}.json")
+    if not os.path.exists(path):
+        return False
+    if input_files is None:
+        return True
+    try:
+        with open(path) as f:
+            return json.load(f).get("input_files") == \
+                sorted(input_files)
+    except Exception:
+        return False
 
 
 def mark_done(out_dir: str, group_id: int, input_files: list[str],
               rows_out: int, extra: dict | None = None) -> None:
-    m = GroupManifest(group_id, list(input_files), rows_out, extra or {})
+    m = GroupManifest(group_id, sorted(input_files), rows_out,
+                      extra or {})
     path = m.path(out_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"

@@ -54,6 +54,9 @@ def parse_quality_metrics(parsed_ds) -> dict:
         })
 
     t = _to_arrow(parsed_ds.map_batches(partial, batch_format="pyarrow"))
+    if "rows" not in t.column_names:
+        # fully-empty dataset: schema-less blocks (round-4 review)
+        return {"rows": 0, "parse_ok": 0, "parse_failed": 0}
     rows = pc.sum(t.column("rows")).as_py() or 0
     ok = pc.sum(t.column("parse_ok")).as_py() or 0
     return {"rows": rows, "parse_ok": ok, "parse_failed": rows - ok}

@@ -253,6 +253,10 @@ def _render_lines(rng: np.random.Generator, n_lines: int,
                 cols.append(piece)  # literal scalar, broadcast by the kernel
         rendered_parts.append(pc.binary_join_element_wise(*cols, ""))
     # Reassemble in original line order with a single inverse take.
+    if not rendered_parts:
+        # zero-line shard (n_pages < n_files): typed empty, not an
+        # un-inferable concat_arrays([]) crash (round-4 review)
+        return pa.array([], type=pa.string()), tidx
     by_template = pa.concat_arrays(
         [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
          for p in rendered_parts])
@@ -397,10 +401,14 @@ def ensure_pages(out_dir: str, n_pages: int, seed: int = SEED,
                 != n_files:
             have = None
     if have != expect:
-        if have is not None:        # stale generator version: rebuild
-            import shutil
+        # wipe on ANY mismatch — including marker ABSENT with shard
+        # files present (a run killed before the marker write):
+        # write_pages skips existing same-named shards, so unmarked
+        # leftovers from different params would be falsely certified
+        # (round-4 review finding)
+        import shutil
 
-            shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
         write_pages(out_dir, n_pages, seed=seed, n_files=n_files)
         with open(marker, "w") as f:
             f.write(expect)
@@ -624,14 +632,25 @@ def ensure_rawlogs(out_dir: str, n_rows: int, seed: int = SEED) -> str:
     """Idempotently materialize the raw-log corpora under
     out_dir/{csv,jsonl,syslog,mlog,gz}; returns out_dir."""
     marker = os.path.join(out_dir, "_COMPLETE")
-    if not os.path.exists(marker):
+    expect = f"{n_rows} {seed}\n"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read()
+    # compare the marker CONTENT — a cache built with different
+    # (n_rows, seed) must rebuild, not be silently served (round-4
+    # review: the params were written but never read back)
+    if have != expect:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         write_rawlogs_csv(os.path.join(out_dir, "csv"), n_rows, seed)
         write_rawlogs_jsonl(os.path.join(out_dir, "jsonl"), n_rows, seed)
         write_rawlogs_syslog(os.path.join(out_dir, "syslog"), n_rows, seed)
         write_rawlogs_mlpages(os.path.join(out_dir, "mlog"),
                               max(n_rows // 10, 50), seed)
         with open(marker, "w") as f:
-            f.write(f"{n_rows} {seed}\n")
+            f.write(expect)
     # gz corpus added in round 3: generate independently so cached
     # pre-round-3 corpora pick it up without a full regeneration
     gz_dir = os.path.join(out_dir, "gz")

@@ -108,6 +108,43 @@ def _hist_to_dict(m):
                     m.column("c").to_pylist()))
 
 
+def test_checkpoint_membership_aware_resume(ray_session, pages_small,
+                                            tmp_path):
+    """Adding an input file shifts positional group boundaries; the
+    resume must RERUN shifted groups instead of skipping them by id
+    (round-4 review: a new file was silently never ingested)."""
+    import glob
+    import shutil
+
+    from log_analysis_ai_ray.pipelines import flagship
+
+    src = str(tmp_path / "pages")
+    shutil.copytree(pages_small, src)
+    # drop the cached marker so the copied dir is a plain input dir
+    for m in glob.glob(os.path.join(src, "_COMPLETE")):
+        os.remove(m)
+    out = str(tmp_path / "out")
+    flagship.run_checkpointed(src, out, files_per_group=2)
+
+    # new file that sorts between existing shards -> every group shifts
+    files = sorted(glob.glob(os.path.join(src, "pages-*.parquet")))
+    inserted = os.path.join(src, "pages-00000a.parquet")
+    shutil.copyfile(files[1], inserted)
+    res = flagship.run_checkpointed(src, out, files_per_group=2)
+    # membership changed for shifted groups: they reran
+    assert res["groups_skipped"] == []
+    # the run is consistent: totals reflect the NEW 5-file input
+    import pyarrow.parquet as pq
+    n_new = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in sorted(glob.glob(
+                    os.path.join(src, "pages-*.parquet"))))
+    assert res["total_rows"] > 0
+    # rerunning again with no changes skips everything
+    res2 = flagship.run_checkpointed(src, out, files_per_group=2)
+    assert res2["groups_ran"] == []
+    assert res2["total_rows"] == res["total_rows"]
+
+
 def test_compaction_crash_recovery_no_duplication(ray_session,
                                                   tmp_path):
     """The round-4 review's row-duplication window: a compact output

@@ -166,11 +166,14 @@ def test_prepare_corpus_end_to_end(tmp_path):
     assert 0 < cur["kept_after_dedup"] <= cur["kept_after_gates"] \
         <= cur["input_rows"]
     ch = m["chunks"]
-    total_docs = ch["train"]["docs"] + ch["val"]["docs"]
+    total_docs = (ch["train"]["docs"] + ch["val"]["docs"]
+                  + ch["test"]["docs"])
     assert total_docs == cur["kept_after_dedup"]   # every kept doc chunked
     assert ch["train"]["chunks"] >= ch["train"]["docs"]
-    # split is ~80/20 by hash: both sides non-empty at this size
-    assert ch["train"]["docs"] > ch["val"]["docs"] > 0
+    # 80/10/10 by hash (the registry's dataset_splits rule): train
+    # dominates; held-out docs exist at this size
+    assert ch["train"]["docs"] > ch["val"]["docs"] + ch["test"]["docs"]
+    assert ch["val"]["docs"] + ch["test"]["docs"] > 0
     assert os.path.exists(os.path.join(out, "_prepare_metrics.json"))
     # resume: every stage skips, identical accounting
     m2 = prepare_corpus(warc, out, files_per_group=3, resume=True)
