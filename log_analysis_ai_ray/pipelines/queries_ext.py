@@ -10068,9 +10068,11 @@ def q_greedy_token_cover(sf_dir: str):
         c = np.asarray(cand.column("new_tokens"), dtype=np.int64)
         order = np.lexsort((d, -c))
         best_d, best_c = int(d[order[0]]), int(c[order[0]])
-        win = pairs.filter(
-            lambda r, b=best_d: r["doc_id"] == b).take_all()
-        covered |= set(win[0]["tokens"])
+        win = agg._to_arrow(pairs.map_batches(
+            lambda t, b=best_d: t.filter(
+                pc.equal(t.column("doc_id"), b)),
+            batch_format="pyarrow"))
+        covered |= set(win.column("tokens")[0].as_py())
         picked.append((rnd, best_d, best_c, len(covered)))
     return pa.table({
         "round": pa.array([p[0] for p in picked], pa.int64()),

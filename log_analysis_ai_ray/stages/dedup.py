@@ -355,14 +355,23 @@ def grouped_bucket_pairs(ids: np.ndarray, sigs: np.ndarray,
     return lo_[keep], hi_[keep], e[keep]
 
 
-def multi_bucket_sizes(rows_ds, key_col: str) -> pa.Table:
+def multi_bucket_sizes(rows_ds, key_col: str, *,
+                       as_dataset_past_bound: bool = False):
     """Global sizes of buckets holding ≥ 2 rows — the only buckets that
     can yield candidate pairs. Returned as a small driver table
     (key, n): singleton buckets — the overwhelming majority on a
     mostly-unique corpus — are dropped BEFORE collection, and on the
     distributed merge path they are dropped before leaving the cluster,
     so the result stays proportional to the duplicate rate, not the
-    corpus."""
+    corpus.
+
+    ``as_dataset_past_bound=True`` callers additionally get the census
+    back as a materialized DATASET when the multi-bucket census itself
+    exceeds the driver merge bound (pervasively-duplicated corpora,
+    where "proportional to the duplicate rate" is still proportional
+    to corpus content): the census then never lands on the driver —
+    filter with a Bloom prefilter + partitioned semi-join instead of a
+    value set (see _minhash_candidates_distributed)."""
     from ray.data.aggregate import Sum
 
     from .aggregate import DRIVER_MERGE_MAX_ROWS, _to_arrow
@@ -372,21 +381,28 @@ def multi_bucket_sizes(rows_ds, key_col: str) -> pa.Table:
             [([], "count_all")])
         return tt.rename_columns([key_col, "n"])
 
+    empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
     partials = rows_ds.map_batches(
         count_partial, batch_format="pyarrow").materialize()
     if partials.count() <= DRIVER_MERGE_MAX_ROWS:
         tbl = _to_arrow(partials)
         if key_col not in tbl.column_names:
-            return pa.table({key_col: pa.array([], type=pa.int64()),
-                             "n": pa.array([], type=pa.int64())})
+            return empty
         merged = tbl.group_by(key_col).aggregate([("n", "sum")]) \
             .rename_columns([key_col, "n"])
     else:
-        merged = _to_arrow(
-            partials.groupby(key_col).aggregate(Sum("n", alias_name="n"))
+        merged_ds = partials.groupby(key_col) \
+            .aggregate(Sum("n", alias_name="n")) \
             .map_batches(lambda t: t.filter(
                 pc.greater_equal(t.column("n"), 2)),
-                batch_format="pyarrow"))
+                batch_format="pyarrow").materialize()
+        if as_dataset_past_bound \
+                and merged_ds.count() > DRIVER_MERGE_MAX_ROWS:
+            return merged_ds
+        merged = _to_arrow(merged_ds)
+        if "n" not in merged.column_names:  # all-singleton, schema lost
+            return empty
     return merged.filter(pc.greater_equal(merged.column("n"), 2))
 
 
@@ -562,6 +578,108 @@ def _pair_candidates_impl(blocks, nsub: dict[int, int],
         .rename_columns(["doc_a", "doc_b", "est_jaccard"])
 
 
+def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
+                                    max_bucket: int):
+    """Candidate working set when the multi-bucket census exceeds the
+    driver merge bound (pervasive duplication at 100-TB scale): the
+    census stays a DATASET and never lands on the driver, replacing
+    the broadcast ``pc.is_in`` value sets of the driver path.
+
+    Shape (the curation keep-filter shape, curation.py): band rows →
+    broadcast Bloom prefilter (bitmap via ray.put, sized by census
+    cardinality) → exact partitioned semi-join against the census
+    keys; surviving distinct doc ids likewise stay a Dataset past the
+    bound and gate the second pass over the input docs with their own
+    Bloom + semi-join. The band-row filter AFTER the signature
+    recompute is Bloom-ONLY — exact for the pair output, because a
+    false positive admits only rows of globally-singleton buckets: a
+    singleton segment emits no pairs in _segment_pairs, and nsub
+    derives from true census rows so sub-salting is unaffected.
+
+    Returns (candidates dataset | None if empty, n_candidates, nsub).
+    """
+    import ray
+
+    from .aggregate import _combine_partials, _to_arrow
+    from .bloomjoin import BloomFilterStage, bloom_build, m_bits_for
+    from .joins import partitioned_lookup_join
+
+    census_rows = census.count()
+    n_candidates = int(census.sum("n"))
+    over = _to_arrow(census.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), max_bucket)),
+        batch_format="pyarrow"))
+    nsub = (oversized_bucket_subsalts(over, "band_key", max_bucket,
+                                      "minhash_near_dups")
+            if "n" in over.column_names else {})
+
+    census_keys = census.select_columns(["band_key"]).materialize()
+    bm_ref = ray.put(bloom_build(census_keys, "band_key",
+                                 m_bits=m_bits_for(census_rows)))
+    pre = key_rows.map_batches(
+        BloomFilterStage, fn_constructor_args=(bm_ref, "band_key"),
+        concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+    multi_rows = partitioned_lookup_join(
+        pre, census_keys, left_key="band_key", right_key="band_key",
+        take_cols=[],
+        num_partitions=max(64, min(4096, n_candidates // 500_000)),
+        left_schema=pa.schema([("band_key", pa.int64()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("band_key", pa.int64())]))
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": pc.unique(ids)})
+
+    cand_res = _combine_partials(
+        multi_rows.map_batches(doc_partial, batch_format="pyarrow"),
+        keys=["doc_id"], aggs=[],
+        empty_schema=pa.schema([("doc_id", pa.int64())]),
+        dataset_final=True)
+
+    def project_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "text": pc.cast(t.column("text"), pa.string())})
+
+    docs = ds.map_batches(project_docs, batch_format="pyarrow")
+    if isinstance(cand_res, pa.Table):
+        if cand_res.num_rows == 0:
+            return None, n_candidates, nsub
+        cand_ids = pc.unique(cand_res.column("doc_id").combine_chunks())
+
+        def keep_cand_docs(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("doc_id"),
+                                     value_set=cand_ids))
+
+        cand_docs = docs.map_batches(keep_cand_docs,
+                                     batch_format="pyarrow")
+    else:
+        n_cand = cand_res.count()
+        bm2_ref = ray.put(bloom_build(cand_res, "doc_id",
+                                      m_bits=m_bits_for(n_cand)))
+        pre_docs = docs.map_batches(
+            BloomFilterStage, fn_constructor_args=(bm2_ref, "doc_id"),
+            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+        cand_docs = partitioned_lookup_join(
+            pre_docs, cand_res, left_key="doc_id", right_key="doc_id",
+            take_cols=[],
+            num_partitions=max(64, min(4096, n_cand // 250_000)),
+            left_schema=pa.schema([("doc_id", pa.int64()),
+                                   ("text", pa.string())]),
+            right_schema=pa.schema([("doc_id", pa.int64())]))
+
+    candidates = cand_docs \
+        .map_batches(full_stage, batch_format="pyarrow") \
+        .map_batches(BloomFilterStage,
+                     fn_constructor_args=(bm_ref, "band_key"),
+                     concurrency=2, num_cpus=0.5,
+                     batch_format="pyarrow")
+    return candidates, n_candidates, nsub
+
+
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5,
                       max_bucket: int = 4096,
@@ -604,48 +722,62 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
     key_rows = ds.map_batches(
         stage_keys, batch_format="pyarrow").materialize()
 
-    sizes = multi_bucket_sizes(key_rows, "band_key")
+    sizes = multi_bucket_sizes(key_rows, "band_key",
+                               as_dataset_past_bound=True)
     empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                       "doc_b": pa.array([], type=pa.int64()),
                       "est_jaccard": pa.array([], type=pa.float64())})
-    if sizes.num_rows == 0:
-        return empty
-    multi_keys = sizes.column("band_key").combine_chunks()
-    n_candidates = int(pc.sum(sizes.column("n")).as_py())
-    nsub = oversized_bucket_subsalts(sizes, "band_key", max_bucket,
-                                     "minhash_near_dups")
-
-    def keep_multi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("band_key"),
-                                 value_set=multi_keys))
-
     from .aggregate import _combine_partials, _to_arrow
-
-    # surviving doc ids (bounded by dup-bearing docs + band-collision
-    # noise): per-block distinct, driver-side distinct
-    def cand_doc_partial(t: pa.Table) -> pa.Table:
-        hit = keep_multi(t)
-        ids = hit.column("doc_id")
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table({"doc_id": pc.unique(ids)})
-
-    cand_tbl = _to_arrow(key_rows.map_batches(cand_doc_partial,
-                                              batch_format="pyarrow"))
-    if cand_tbl.num_rows == 0 or "doc_id" not in cand_tbl.column_names:
-        return empty
-    cand_ids = pc.unique(cand_tbl.column("doc_id").combine_chunks())
 
     # second pass over the input, filtered to candidate docs BEFORE the
     # signature compute: sigs exist only for the pairing working set
     full_stage = MinHashStage(num_perm=num_perm, bands=bands)
 
-    def keep_cand_docs(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("doc_id"), value_set=cand_ids))
+    if not isinstance(sizes, pa.Table):
+        # census past the driver merge bound: Dataset census, Bloom +
+        # partitioned semi-join filters — nothing content-proportional
+        # on the driver
+        candidates, n_candidates, nsub = \
+            _minhash_candidates_distributed(ds, key_rows, sizes,
+                                            full_stage, max_bucket)
+        if candidates is None:
+            return empty
+    else:
+        if sizes.num_rows == 0:
+            return empty
+        multi_keys = sizes.column("band_key").combine_chunks()
+        n_candidates = int(pc.sum(sizes.column("n")).as_py())
+        nsub = oversized_bucket_subsalts(sizes, "band_key", max_bucket,
+                                         "minhash_near_dups")
 
-    candidates = ds.map_batches(keep_cand_docs, batch_format="pyarrow") \
-        .map_batches(full_stage, batch_format="pyarrow") \
-        .map_batches(keep_multi, batch_format="pyarrow")
+        def keep_multi(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("band_key"),
+                                     value_set=multi_keys))
+
+        # surviving doc ids (bounded by dup-bearing docs +
+        # band-collision noise): per-block distinct, driver distinct
+        def cand_doc_partial(t: pa.Table) -> pa.Table:
+            hit = keep_multi(t)
+            ids = hit.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table({"doc_id": pc.unique(ids)})
+
+        cand_tbl = _to_arrow(key_rows.map_batches(
+            cand_doc_partial, batch_format="pyarrow"))
+        if cand_tbl.num_rows == 0 \
+                or "doc_id" not in cand_tbl.column_names:
+            return empty
+        cand_ids = pc.unique(cand_tbl.column("doc_id").combine_chunks())
+
+        def keep_cand_docs(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("doc_id"),
+                                     value_set=cand_ids))
+
+        candidates = ds.map_batches(keep_cand_docs,
+                                    batch_format="pyarrow") \
+            .map_batches(full_stage, batch_format="pyarrow") \
+            .map_batches(keep_multi, batch_format="pyarrow")
 
     if n_candidates <= SINGLE_TASK_PAIR_MAX_ROWS:
         # driver-side single sweep: with the package's allocator tuning
@@ -1223,6 +1355,12 @@ def prefix_jaccard_candidates(ds, threshold_pm: int, width: int = 3,
 # monkeypatching to 0 and assert byte parity with the driver kernel.
 PAIR_VERIFY_DRIVER_MAX_PAIRS = 5_000
 
+# Target pairs per verification partition: the adaptive floor that
+# keeps per-partition text volume bounded as the candidate set grows
+# (a fixed partition count would concentrate 100-TB candidate volumes
+# onto 32 workers; extra partitions only add tasks).
+PAIR_VERIFY_PAIRS_PER_PARTITION = 200_000
+
 
 def _verify_pairs_table(sets: dict, doc_a, doc_b, threshold_pm: int
                         ) -> tuple[list, list, list]:
@@ -1309,6 +1447,9 @@ def verify_jaccard_pairs(docs_ds, cand: pa.Table, threshold_pm: int,
                                              type=pa.float64())})
 
     # --- distributed path ---
+    num_partitions = max(num_partitions,
+                         cand.num_rows
+                         // PAIR_VERIFY_PAIRS_PER_PARTITION)
     h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
          + b.astype(np.uint64))
     h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
