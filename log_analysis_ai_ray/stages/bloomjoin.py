@@ -128,26 +128,85 @@ def bloom_probe(bm: np.ndarray, keys: np.ndarray,
 
 def bloom_build(ds, key_col: str, m_bits: int = M_BITS_DEFAULT,
                 k_hashes: int = K_HASHES_DEFAULT) -> np.ndarray:
-    """Distributed build: per-block distinct-key probe positions
-    (uint64 blob, one row per block) → driver OR-fold into the bitmap.
-    The shuffle ships positions, never keys or full bitmaps."""
+    """Distributed build: per-block partial (one row per block) →
+    STREAMED driver OR-fold into the bitmap. A block's partial is its
+    distinct keys' probe positions (uint64 blob) while that is the
+    smaller representation, else the block's own m-bit bitmap — so no
+    single partial exceeds the bitmap, and the driver folds partials
+    one block at a time via iter_batches (never a content-proportional
+    _to_arrow collection; round-5 review finding)."""
+    bm_bytes = m_bits >> 3
 
     def partial(t: pa.Table) -> pa.Table:
         keys, valid = _column_to_u64(t.column(key_col))
         keys = np.unique(keys[valid])
         pos = np.unique(_probe_positions(keys, m_bits, k_hashes).ravel())
-        return pa.table({"pos": pa.array([pos.astype(np.uint64)
-                                          .tobytes()], type=pa.binary())})
+        if len(pos) * 8 >= bm_bytes:   # dense block: ship the bitmap
+            pbm = np.zeros(bm_bytes, dtype=np.uint8)
+            np.bitwise_or.at(pbm, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+            return pa.table({"kind": pa.array(["bm"]),
+                             "pos": pa.array([pbm.tobytes()],
+                                             type=pa.binary())})
+        return pa.table({"kind": pa.array(["pos"]),
+                         "pos": pa.array([pos.astype(np.uint64)
+                                          .tobytes()],
+                                         type=pa.binary())})
 
-    parts = agg._to_arrow(ds.map_batches(partial, batch_format="pyarrow"))
-    bm = np.zeros(m_bits >> 3, dtype=np.uint8)
-    if "pos" not in parts.column_names:
-        return bm
-    for blob in parts.column("pos").to_pylist():
-        pos = np.frombuffer(blob, dtype=np.uint64).astype(np.int64)
-        np.bitwise_or.at(bm, pos >> 3,
-                         np.uint8(1) << (pos & 7).astype(np.uint8))
+    bm = np.zeros(bm_bytes, dtype=np.uint8)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for t in parts.iter_batches(batch_size=None,
+                                batch_format="pyarrow"):
+        if "pos" not in t.column_names:
+            continue
+        for kind, blob in zip(t.column("kind").to_pylist(),
+                              t.column("pos").to_pylist()):
+            if kind == "bm":
+                np.bitwise_or(bm, np.frombuffer(blob, dtype=np.uint8),
+                              out=bm)
+            else:
+                pos = np.frombuffer(blob, dtype=np.uint64) \
+                    .astype(np.int64)
+                np.bitwise_or.at(bm, pos >> 3,
+                                 np.uint8(1) << (pos & 7)
+                                 .astype(np.uint8))
     return bm
+
+
+def bloom_semi_join(left_ds, keys_ds, *, left_key: str, right_key: str,
+                    n_keys: int, left_schema: pa.Schema,
+                    num_partitions: int = 64,
+                    concurrency: int = 2):
+    """The at-scale keep-filter shape (used by the MinHash distributed
+    census and the curation keep-list): a broadcast Bloom prefilter
+    sized for ``n_keys`` drops most non-members before any exchange,
+    then an exact partitioned semi-join against the (unique-per-key)
+    ``keys_ds`` Dataset removes the false positives. Exact output;
+    nothing key-proportional lands on the driver."""
+    import ray
+
+    from .joins import partitioned_lookup_join
+
+    if n_keys * 16 > M_BITS_MAX:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bloom_semi_join: %d keys exceed the %d-bit bitmap cap "
+            "(%.1f bits/key) — the prefilter's fpp degrades and more "
+            "rows reach the exact semi-join (output unaffected)",
+            n_keys, M_BITS_MAX, M_BITS_MAX / max(n_keys, 1))
+    bm_ref = ray.put(bloom_build(keys_ds, right_key,
+                                 m_bits=m_bits_for(n_keys)))
+    pre = left_ds.map_batches(
+        BloomFilterStage, fn_constructor_args=(bm_ref, left_key),
+        concurrency=concurrency, num_cpus=0.5, batch_format="pyarrow")
+    right_type = left_schema.field(left_key).type \
+        if left_key in left_schema.names else pa.int64()
+    return partitioned_lookup_join(
+        pre, keys_ds, left_key=left_key, right_key=right_key,
+        take_cols=[], num_partitions=num_partitions,
+        left_schema=left_schema,
+        right_schema=pa.schema([(right_key, right_type)])), bm_ref
 
 
 class BloomFilterStage:

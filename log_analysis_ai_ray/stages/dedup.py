@@ -447,8 +447,11 @@ SINGLE_TASK_PAIR_MAX_ROWS = 500_000
 
 # Hash partitions for the distributed pair sweep (buckets co-located
 # by band-key hash; each partition runs the vectorized multi-bucket
-# _segment_pairs kernel once).
+# _segment_pairs kernel once). The floor; the count scales up with
+# candidate volume so one partition's signature rows (~530 B each at
+# 64 perms) stay ~130 MB however large the corpus.
 PAIR_SWEEP_NUM_PARTITIONS = 64
+PAIR_SWEEP_ROWS_PER_PARTITION = 250_000
 
 
 # Buckets up to this size take the batched all-pairs path (one
@@ -598,11 +601,8 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
 
     Returns (candidates dataset | None if empty, n_candidates, nsub).
     """
-    import ray
-
     from .aggregate import _combine_partials, _to_arrow
-    from .bloomjoin import BloomFilterStage, bloom_build, m_bits_for
-    from .joins import partitioned_lookup_join
+    from .bloomjoin import BloomFilterStage, bloom_semi_join
 
     census_rows = census.count()
     n_candidates = int(census.sum("n"))
@@ -614,18 +614,12 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
             if "n" in over.column_names else {})
 
     census_keys = census.select_columns(["band_key"]).materialize()
-    bm_ref = ray.put(bloom_build(census_keys, "band_key",
-                                 m_bits=m_bits_for(census_rows)))
-    pre = key_rows.map_batches(
-        BloomFilterStage, fn_constructor_args=(bm_ref, "band_key"),
-        concurrency=2, num_cpus=0.5, batch_format="pyarrow")
-    multi_rows = partitioned_lookup_join(
-        pre, census_keys, left_key="band_key", right_key="band_key",
-        take_cols=[],
-        num_partitions=max(64, min(4096, n_candidates // 500_000)),
+    multi_rows, bm_ref = bloom_semi_join(
+        key_rows, census_keys, left_key="band_key",
+        right_key="band_key", n_keys=census_rows,
         left_schema=pa.schema([("band_key", pa.int64()),
                                ("doc_id", pa.int64())]),
-        right_schema=pa.schema([("band_key", pa.int64())]))
+        num_partitions=max(64, min(4096, n_candidates // 500_000)))
 
     def doc_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id")
@@ -657,19 +651,17 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
         cand_docs = docs.map_batches(keep_cand_docs,
                                      batch_format="pyarrow")
     else:
+        # materialize: the distinct-id Dataset is consumed three times
+        # (count, bloom build, join build side) — without this each
+        # consumption re-runs the groupby shuffle
+        cand_res = cand_res.materialize()
         n_cand = cand_res.count()
-        bm2_ref = ray.put(bloom_build(cand_res, "doc_id",
-                                      m_bits=m_bits_for(n_cand)))
-        pre_docs = docs.map_batches(
-            BloomFilterStage, fn_constructor_args=(bm2_ref, "doc_id"),
-            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
-        cand_docs = partitioned_lookup_join(
-            pre_docs, cand_res, left_key="doc_id", right_key="doc_id",
-            take_cols=[],
-            num_partitions=max(64, min(4096, n_cand // 250_000)),
+        cand_docs, _ = bloom_semi_join(
+            docs, cand_res, left_key="doc_id", right_key="doc_id",
+            n_keys=n_cand,
             left_schema=pa.schema([("doc_id", pa.int64()),
                                    ("text", pa.string())]),
-            right_schema=pa.schema([("doc_id", pa.int64())]))
+            num_partitions=max(64, min(4096, n_cand // 250_000)))
 
     candidates = cand_docs \
         .map_batches(full_stage, batch_format="pyarrow") \
@@ -800,7 +792,9 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
         # 1M-doc corpus). A pair seen in several buckets may span
         # partitions; the est is a pure pair function, so the global
         # (doc_a, doc_b) max-merge dedups exactly.
-        num_partitions = PAIR_SWEEP_NUM_PARTITIONS
+        num_partitions = max(PAIR_SWEEP_NUM_PARTITIONS,
+                             min(65536, n_candidates
+                                 // PAIR_SWEEP_ROWS_PER_PARTITION))
 
         def with_salt_part(t: pa.Table) -> pa.Table:
             keys = _resalted_keys(t, nsub)

@@ -119,9 +119,11 @@ def test_verify_jaccard_adaptive_partitions(ray_session, monkeypatch):
 def test_no_row_lambda_filter_in_package():
     """The judge's grep gate for item #3: no per-row
     ``Dataset.filter(lambda`` anywhere in the package."""
+    import os
     import subprocess
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         ["grep", "-rn", r"\.filter(lambda", "log_analysis_ai_ray"],
-        cwd="/root/repo", capture_output=True, text=True)
+        cwd=root, capture_output=True, text=True)
     assert out.stdout.strip() == "", out.stdout

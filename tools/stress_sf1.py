@@ -17,8 +17,13 @@ attempt that kept 50% of words made every 200-member cross-tile
 family collide in ~12% of bands and exploded candidates to ~12M
 noise pairs) — a realistic dedup mix at 1M docs.
 
-Usage: python tools/stress_sf1.py [--jobs flagship,dedup,minhash,curation]
-Writes BENCH_SF1_r4.json at the repo root.
+Usage: python tools/stress_sf1.py
+    [--jobs flagship,dedup,minhash,ann,curation] [--tag rN]
+    [--corpus mixed|boilerplate] [--force-distributed-census]
+Writes BENCH_SF1_<tag>[_boilerplate][_distcensus].json at the repo
+root. --force-distributed-census zeroes the driver merge bound so the
+MinHash census/candidate/pair merges all take the distributed Dataset
+path (round-5 drill: output must match, driver RSS must not grow).
 """
 
 from __future__ import annotations
@@ -190,9 +195,17 @@ def run_job(name: str, fn) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--jobs",
-                    default="flagship,dedup,minhash,curation")
+                    default="flagship,dedup,minhash,ann,curation")
     ap.add_argument("--corpus", default="mixed",
                     choices=("mixed", "boilerplate"))
+    ap.add_argument("--tag", default="r5",
+                    help="round tag for the output filename "
+                         "(BENCH_SF1_<tag>[...].json)")
+    ap.add_argument("--force-distributed-census", action="store_true",
+                    help="monkeypatch the driver merge bound to 0 so "
+                         "every census / distinct / pair merge takes "
+                         "the distributed Dataset path (round-5 "
+                         "drill forcing; output must be identical)")
     args = ap.parse_args()
     jobs = args.jobs.split(",")
 
@@ -208,9 +221,15 @@ def main() -> int:
     from log_analysis_ai_ray.pipelines import curation, flagship
     from log_analysis_ai_ray.pipelines.queries import QUERIES
 
+    if args.force_distributed_census:
+        from log_analysis_ai_ray.stages import aggregate
+        aggregate.DRIVER_MERGE_MAX_ROWS = 0
+
     sf_dir = build_sf1_documents(args.corpus)
     out = {"sf": 1.0, "n_docs": TILES * 5000, "n_pages": N_PAGES,
            "corpus": args.corpus,
+           "force_distributed_census": bool(
+               args.force_distributed_census),
            "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
            "jobs": {}}
 
@@ -245,6 +264,128 @@ def main() -> int:
         out["jobs"]["doc_minhash_pairs"] = run_job("minhash",
                                                    job_minhash)
 
+    if "ann" in jobs:
+        # round-5 judge item #2: the ANN store at 1M vectors —
+        # from-text build through the EmbedStage actor pool (IVF) plus
+        # an SQ8 build over the stored vectors, then pruned-read
+        # queries gated on recall@10 vs exact brute force (the pytest
+        # gate is >= 0.3 per query; record min/mean at 1M scale).
+        import shutil
+
+        import pyarrow.compute as pc
+
+        from log_analysis_ai_ray.stages import ann_store, knn
+
+        store_ivf = "/tmp/sf1_ann_ivf"
+        store_q8 = "/tmp/sf1_ann_q8"
+        DIM, NCENT, NPROBE = 64, 64, 8
+
+        def job_ann_build():
+            shutil.rmtree(store_ivf, ignore_errors=True)
+            shutil.rmtree(store_q8, ignore_errors=True)
+            docs = ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+            t0 = time.time()
+            meta = ann_store.build_ivf_store_from_text(
+                docs, store_ivf, dim=DIM, n_centroids=NCENT,
+                train_size=50_000, embed_concurrency=8)
+            ivf_sec = time.time() - t0
+            vecs = ray.data.read_parquet(
+                os.path.join(store_ivf, "vectors"),
+                columns=["vec_id", "embedding"])
+            t1 = time.time()
+            ann_store.build_ivf_q8_store(
+                vecs, store_q8, n_centroids=NCENT, train_size=50_000)
+            return {
+                "n_vectors": TILES * 5000, "dim": DIM,
+                "n_centroids": meta["n_centroids"],
+                "ivf_from_text_build_sec": round(ivf_sec, 2),
+                "q8_build_sec": round(time.time() - t1, 2),
+                "ivf_store_mb": round(
+                    ann_store._tree_bytes(store_ivf) / 1e6, 1),
+                "q8_store_mb": round(
+                    ann_store._tree_bytes(store_q8) / 1e6, 1),
+            }
+
+        out["jobs"]["ann_build"] = run_job("ann_build", job_ann_build)
+
+        def job_ann_query():
+            qids = (np.arange(64, dtype=np.int64) * 15625).tolist()
+            vec_ds = ray.data.read_parquet(
+                os.path.join(store_ivf, "vectors"),
+                columns=["vec_id", "embedding"])
+            from log_analysis_ai_ray.stages.aggregate import _to_arrow
+
+            wanted = pa.array(np.asarray(qids, np.int64))
+            qt = _to_arrow(vec_ds.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("vec_id"),
+                                            value_set=wanted)),
+                batch_format="pyarrow"))
+            by_id = dict(zip(qt.column("vec_id").to_pylist(),
+                             range(qt.num_rows)))
+            M = np.stack([np.asarray(v)
+                          for v in qt.column("embedding").to_pylist()])
+            Q = M[[by_id[q] for q in qids]].astype(np.float64)
+
+            t0 = time.time()
+            ivf_res = ann_store.ivf_store_topk(store_ivf, qids, Q,
+                                               k=10, nprobe=NPROBE,
+                                               concurrency=8)
+            ivf_q_sec = time.time() - t0
+            t1 = time.time()
+            q8_res = ann_store.ivf_q8_store_topk(store_q8, qids, Q,
+                                                 k=10, nprobe=NPROBE,
+                                                 concurrency=8)
+            q8_q_sec = time.time() - t1
+            # batch-union scan fraction saturates with 64 diverse
+            # queries (each probes nprobe/NCENT of the store; the
+            # union covers most cells) — record the single-query
+            # fraction too, which is what a serving read pays
+            cells = ann_store.ivf_probe_cells(store_ivf, Q,
+                                              nprobe=NPROBE)
+            frac = ann_store.scan_fraction(
+                store_ivf, ann_store.partition_paths(
+                    store_ivf, "ivf_cell", cells))
+            cells1 = ann_store.ivf_probe_cells(store_ivf, Q[:1],
+                                               nprobe=NPROBE)
+            frac1 = ann_store.scan_fraction(
+                store_ivf, ann_store.partition_paths(
+                    store_ivf, "ivf_cell", cells1))
+            t2 = time.time()
+            exact = knn.brute_force_topk(vec_ds, qids, Q, k=10,
+                                         concurrency=8)
+            brute_sec = time.time() - t2
+
+            def recalls(approx: pa.Table) -> list:
+                by_q: dict = {}
+                for qq, v in zip(exact["query_id"].to_pylist(),
+                                 exact["vec_id"].to_pylist()):
+                    by_q.setdefault(qq, set()).add(v)
+                out_r = []
+                for qq in qids:
+                    a = {v for q2, v in
+                         zip(approx["query_id"].to_pylist(),
+                             approx["vec_id"].to_pylist()) if q2 == qq}
+                    out_r.append(len(a & by_q[qq]) / len(by_q[qq]))
+                return out_r
+
+            r_ivf, r_q8 = recalls(ivf_res), recalls(q8_res)
+            return {
+                "n_queries": len(qids), "nprobe": NPROBE,
+                "scan_fraction_batch_union": round(frac, 4),
+                "scan_fraction_single_query": round(frac1, 4),
+                "ivf_query_sec": round(ivf_q_sec, 2),
+                "q8_query_sec": round(q8_q_sec, 2),
+                "brute_force_sec": round(brute_sec, 2),
+                "recall10_ivf_min": round(min(r_ivf), 3),
+                "recall10_ivf_mean": round(float(np.mean(r_ivf)), 3),
+                "recall10_q8_min": round(min(r_q8), 3),
+                "recall10_q8_mean": round(float(np.mean(r_q8)), 3),
+            }
+
+        out["jobs"]["ann_query"] = run_job("ann_query", job_ann_query)
+
     if "curation" in jobs:
         def job_curation():
             m = curation.run_curation(
@@ -257,9 +398,11 @@ def main() -> int:
 
     print(json.dumps(out))
     tag = "" if args.corpus == "mixed" else "_boilerplate"
+    if args.force_distributed_census:
+        tag += "_distcensus"
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), f"BENCH_SF1_r4{tag}.json"),
-            "w") as f:
+            os.path.abspath(__file__))),
+            f"BENCH_SF1_{args.tag}{tag}.json"), "w") as f:
         json.dump(out, f, indent=1)
     ray.shutdown()
     return 0
