@@ -588,21 +588,34 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
     census stays a DATASET and never lands on the driver, replacing
     the broadcast ``pc.is_in`` value sets of the driver path.
 
-    Shape (the curation keep-filter shape, curation.py): band rows →
-    broadcast Bloom prefilter (bitmap via ray.put, sized by census
-    cardinality) → exact partitioned semi-join against the census
-    keys; surviving distinct doc ids likewise stay a Dataset past the
-    bound and gate the second pass over the input docs with their own
-    Bloom + semi-join. The band-row filter AFTER the signature
-    recompute is Bloom-ONLY — exact for the pair output, because a
-    false positive admits only rows of globally-singleton buckets: a
-    singleton segment emits no pairs in _segment_pairs, and nsub
-    derives from true census rows so sub-salting is unaffected.
+    Shape: band rows and input docs are gated by broadcast Bloom
+    prefilters built FROM the census Dataset (bitmaps via ray.put,
+    sized by census cardinality) — and Bloom-only filtering is EXACT
+    for the pair output: a false positive admits only rows of
+    globally-singleton buckets (a singleton segment emits no pairs in
+    _segment_pairs, and nsub derives from true census rows so
+    sub-salting is unaffected), and a false-positive DOC only admits
+    band rows that the band-key Bloom then drops or that are
+    singletons. True multi-bucket rows/docs always pass (Blooms have
+    no false negatives), so no pair is lost. While the bitmap is
+    well-sized (≤ ~134M census keys at 16 bits/key under the 256 MiB
+    cap, fpp ~1e-3) the noise admitted is a bounded sliver of compute
+    and the path adds ZERO extra exchanges over the driver-census
+    path — an all-to-all costs driver-side shuffle state proportional
+    to exchange volume, measured at +0.2-1.5 GB driver RSS each at
+    sf1. Past the cap the fpp degrades, so the filters are then
+    backed by an exact partitioned semi-join against the census /
+    distinct-id Datasets (bloom_semi_join — the curation keep-filter
+    shape): volume bounds stay tight exactly when they matter.
 
     Returns (candidates dataset | None if empty, n_candidates, nsub).
     """
+    import ray
+
+    from . import bloomjoin as bj
     from .aggregate import _combine_partials, _to_arrow
-    from .bloomjoin import BloomFilterStage, bloom_semi_join
+    from .bloomjoin import (BloomFilterStage, bloom_build,
+                            bloom_semi_join, m_bits_for)
 
     census_rows = census.count()
     n_candidates = int(census.sum("n"))
@@ -614,24 +627,10 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
             if "n" in over.column_names else {})
 
     census_keys = census.select_columns(["band_key"]).materialize()
-    multi_rows, bm_ref = bloom_semi_join(
-        key_rows, census_keys, left_key="band_key",
-        right_key="band_key", n_keys=census_rows,
-        left_schema=pa.schema([("band_key", pa.int64()),
-                               ("doc_id", pa.int64())]),
-        num_partitions=max(64, min(4096, n_candidates // 500_000)))
-
-    def doc_partial(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table({"doc_id": pc.unique(ids)})
-
-    cand_res = _combine_partials(
-        multi_rows.map_batches(doc_partial, batch_format="pyarrow"),
-        keys=["doc_id"], aggs=[],
-        empty_schema=pa.schema([("doc_id", pa.int64())]),
-        dataset_final=True)
+    # bitmap saturated → fpp degrades → back every Bloom with the
+    # exact semi-join; below the cap Bloom-only is exact-output and
+    # exchange-free (see docstring)
+    exact = census_rows * 16 > bj.M_BITS_MAX
 
     def project_docs(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -639,21 +638,34 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
             "text": pc.cast(t.column("text"), pa.string())})
 
     docs = ds.map_batches(project_docs, batch_format="pyarrow")
-    if isinstance(cand_res, pa.Table):
-        if cand_res.num_rows == 0:
-            return None, n_candidates, nsub
-        cand_ids = pc.unique(cand_res.column("doc_id").combine_chunks())
+    if exact:
+        multi_rows, bm_ref = bloom_semi_join(
+            key_rows, census_keys, left_key="band_key",
+            right_key="band_key", n_keys=census_rows,
+            left_schema=pa.schema([("band_key", pa.int64()),
+                                   ("doc_id", pa.int64())]),
+            num_partitions=max(64, min(4096,
+                                       n_candidates // 500_000)))
 
-        def keep_cand_docs(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t.column("doc_id"),
-                                     value_set=cand_ids))
+        def doc_partial(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table({"doc_id": pc.unique(ids)})
 
-        cand_docs = docs.map_batches(keep_cand_docs,
-                                     batch_format="pyarrow")
-    else:
-        # materialize: the distinct-id Dataset is consumed three times
-        # (count, bloom build, join build side) — without this each
-        # consumption re-runs the groupby shuffle
+        # materialize: the distinct-id Dataset is consumed three
+        # times (count, bloom build, join build side) — without this
+        # each consumption re-runs the groupby shuffle
+        cand_res = _combine_partials(
+            multi_rows.map_batches(doc_partial,
+                                   batch_format="pyarrow"),
+            keys=["doc_id"], aggs=[],
+            empty_schema=pa.schema([("doc_id", pa.int64())]),
+            dataset_final=True)
+        if isinstance(cand_res, pa.Table):
+            if cand_res.num_rows == 0:
+                return None, n_candidates, nsub
+            cand_res = ray.data.from_arrow(cand_res)
         cand_res = cand_res.materialize()
         n_cand = cand_res.count()
         cand_docs, _ = bloom_semi_join(
@@ -662,6 +674,22 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
             left_schema=pa.schema([("doc_id", pa.int64()),
                                    ("text", pa.string())]),
             num_partitions=max(64, min(4096, n_cand // 250_000)))
+    else:
+        bm_ref = ray.put(bloom_build(census_keys, "band_key",
+                                     m_bits=m_bits_for(census_rows)))
+        pre = key_rows.map_batches(
+            BloomFilterStage, fn_constructor_args=(bm_ref, "band_key"),
+            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+        # doc-id bitmap built straight from the Bloom-surviving band
+        # rows — per-block unique inside bloom_build; duplicate ids
+        # across blocks just re-set the same bits, so no distinct
+        # groupby exchange is needed. n_candidates upper-bounds the
+        # distinct doc count for sizing.
+        bm2_ref = ray.put(bloom_build(pre, "doc_id",
+                                      m_bits=m_bits_for(n_candidates)))
+        cand_docs = docs.map_batches(
+            BloomFilterStage, fn_constructor_args=(bm2_ref, "doc_id"),
+            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
 
     candidates = cand_docs \
         .map_batches(full_stage, batch_format="pyarrow") \

@@ -60,6 +60,33 @@ def test_minhash_distributed_census_parity(ray_session, tmp_path,
     assert got.equals(driver)
 
 
+def test_minhash_distributed_census_exact_join_parity(
+        ray_session, tmp_path, monkeypatch):
+    """Past the bitmap cap the Bloom filters are backed by exact
+    partitioned semi-joins (bloom_semi_join). Forcing that branch
+    (cap = 1) must still reproduce the driver-path pairs exactly."""
+    import ray
+
+    from log_analysis_ai_ray.stages import aggregate, bloomjoin, dedup
+
+    t = _mixed_corpus(150)
+    driver = dedup.minhash_near_dups(ray.data.from_arrow(t))
+    assert driver.num_rows > 0
+
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    monkeypatch.setattr(bloomjoin, "M_BITS_MAX", 1)  # force exact
+    out_dir = str(tmp_path / "pairs")
+    spilled = dedup.minhash_near_dups(ray.data.from_arrow(t),
+                                      out_dir=out_dir)
+    assert not isinstance(spilled, pa.Table)
+    files = sorted(glob.glob(out_dir + "/*.parquet"))
+    got = pa.concat_tables([pq.read_table(f) for f in files]) \
+        .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]) \
+        .select(["doc_a", "doc_b", "est_jaccard"])
+    assert got.equals(driver)
+
+
 def test_multi_bucket_sizes_dataset_contract(ray_session, monkeypatch):
     """as_dataset_past_bound=True returns a Dataset census past the
     bound whose content equals the driver-path table; without the
