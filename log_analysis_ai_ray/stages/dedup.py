@@ -942,6 +942,44 @@ def winnow_doc_fps(text_array, k: int = 8,
     return vals[keep], parent[keep]
 
 
+def _winnow_segment_pairs(fp: np.ndarray, ids: np.ndarray) -> pa.Table:
+    """The winnowing bucket sweep over rows SORTED by fp: per
+    fingerprint, unique member docs pair triangularly while bounded,
+    star-capped past MAX_PAIRS_PER_GROUP. Returns RAW
+    (doc_a, doc_b, n_shared=1) rows — one per sharing fp; callers
+    SUM-merge globally. Used verbatim by the driver path and inside
+    every distributed sweep partition."""
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(fp)) + 1,
+                             [len(fp)]]) if len(fp) else \
+        np.array([0, 0])
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g = np.unique(ids[s:e])
+        m = len(g)
+        if m < 2:
+            continue
+        if m * (m - 1) // 2 <= MAX_PAIRS_PER_GROUP:
+            ai, bi = np.triu_indices(m, k=1)
+            out_a.append(g[ai])
+            out_b.append(g[bi])
+        else:
+            logger.warning(
+                "winnow_passage_pairs: fingerprint shared by %d docs "
+                "capped to star emission", m)
+            out_a.append(np.full(m - 1, g[0]))
+            out_b.append(g[1:])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "n_shared": pa.array([], type=pa.int64())})
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        "n_shared": pa.array(
+            np.ones(sum(len(a) for a in out_a), dtype=np.int64)),
+    })
+
+
 def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
                          id_col: str = "doc_id", text_col: str = "text",
                          max_bucket: int = 4096,
@@ -953,8 +991,10 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
     their shared-fingerprint count. Any pair sharing a passage of
     ≥ window + k - 1 chars is guaranteed to surface. Groups larger
     than the pair cap emit a star (min doc to each member) — same
-    bounded-expansion discipline as MinHash. Returns
-    (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    bounded-expansion discipline as MinHash — and past
+    SINGLE_TASK_PAIR_MAX_ROWS the sweep runs DISTRIBUTED
+    (fp-hash-partitioned segment kernel + global sum merge; round 5).
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b."""
     from .aggregate import _to_arrow
 
     def fp_rows(t: pa.Table) -> pa.Table:
@@ -977,41 +1017,63 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
     def keep_multi(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column("fp"), value_set=multi_keys))
 
-    cand = _to_arrow(rows.map_batches(keep_multi, batch_format="pyarrow"))
-    if cand.num_rows == 0 or "fp" not in cand.column_names:
-        return empty
-    fp = np.asarray(cand.column("fp"), dtype=np.int64)
-    ids = np.asarray(cand.column("doc_id"), dtype=np.int64)
-    order = np.lexsort((ids, fp))
-    fp, ids = fp[order], ids[order]
-    bounds = np.concatenate([[0], np.flatnonzero(np.diff(fp)) + 1,
-                             [len(fp)]])
-    out_a, out_b = [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        g = np.unique(ids[s:e])
-        m = len(g)
-        if m < 2:
-            continue
-        if m * (m - 1) // 2 <= MAX_PAIRS_PER_GROUP:
-            ai, bi = np.triu_indices(m, k=1)
-            out_a.append(g[ai])
-            out_b.append(g[bi])
-        else:
-            logger.warning(
-                "winnow_passage_pairs: fingerprint shared by %d docs "
-                "capped to star emission", m)
-            out_a.append(np.full(m - 1, g[0]))
-            out_b.append(g[1:])
-    if not out_a:
-        return empty
-    out = pa.table({
-        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-        "n_shared": pa.array(
-            np.ones(sum(len(a) for a in out_a), dtype=np.int64)),
-    })
-    out = out.group_by(["doc_a", "doc_b"]).aggregate([("n_shared", "sum")]) \
-        .rename_columns(["doc_a", "doc_b", "n_shared"])
+    n_candidates = int(pc.sum(sizes.column("n")).as_py())
+    if n_candidates > SINGLE_TASK_PAIR_MAX_ROWS:
+        # distributed sweep (round 5, the MinHash/SimHash discipline):
+        # hash-partition fingerprints — every row of an fp lands in
+        # one partition — run the identical segment kernel per
+        # partition, then a global (doc_a, doc_b) SUM merge: each fp
+        # contributes its pairs exactly once, so the sum equals the
+        # driver kernel's count.
+        from .aggregate import _combine_partials
+
+        num_partitions = max(PAIR_SWEEP_NUM_PARTITIONS,
+                             min(65536, n_candidates
+                                 // PAIR_SWEEP_ROWS_PER_PARTITION))
+
+        def with_part(t: pa.Table) -> pa.Table:
+            h = np.asarray(t.column("fp"),
+                           dtype=np.int64).astype(np.uint64)
+            h = (h ^ (h >> np.uint64(33))) \
+                * np.uint64(0xFF51AFD7ED558CCD)
+            part = ((h ^ (h >> np.uint64(33)))
+                    % np.uint64(num_partitions)).astype(np.int64)
+            return t.append_column("_part", pa.array(part))
+
+        def part_pairs(group: pa.Table) -> pa.Table:
+            fp_g = np.asarray(group.column("fp"), dtype=np.int64)
+            ids_g = np.asarray(group.column("doc_id"),
+                               dtype=np.int64)
+            order_g = np.lexsort((ids_g, fp_g))
+            return _winnow_segment_pairs(fp_g[order_g],
+                                         ids_g[order_g])
+
+        pairs = rows.map_batches(keep_multi, batch_format="pyarrow") \
+            .map_batches(with_part, batch_format="pyarrow") \
+            .groupby("_part").map_groups(part_pairs,
+                                         batch_format="pyarrow")
+        out = _combine_partials(
+            pairs, keys=["doc_a", "doc_b"],
+            aggs=[("n_shared", "sum")],
+            empty_schema=pa.schema([("doc_a", pa.int64()),
+                                    ("doc_b", pa.int64()),
+                                    ("n_shared", pa.int64())]))
+        if out.num_rows == 0:
+            return empty
+    else:
+        cand = _to_arrow(rows.map_batches(keep_multi,
+                                          batch_format="pyarrow"))
+        if cand.num_rows == 0 or "fp" not in cand.column_names:
+            return empty
+        fp = np.asarray(cand.column("fp"), dtype=np.int64)
+        ids = np.asarray(cand.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((ids, fp))
+        raw = _winnow_segment_pairs(fp[order], ids[order])
+        if raw.num_rows == 0:
+            return empty
+        out = raw.group_by(["doc_a", "doc_b"]) \
+            .aggregate([("n_shared", "sum")]) \
+            .rename_columns(["doc_a", "doc_b", "n_shared"])
     if min_shared > 1:
         # corpora with pervasive short boilerplate pair almost
         # everything at 1 shared fp; requiring several distinct shared
@@ -1030,6 +1092,108 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         .reshape(x.shape + (64,)).sum(axis=-1).astype(np.int64)
 
 
+def _simhash_resalt(keys: np.ndarray, sh_i64: np.ndarray,
+                    nsub: dict[int, int]) -> np.ndarray:
+    """Sub-salt oversized simhash buckets by the full hash (identical
+    hashes stay together). Pure per-row function of (band_key,
+    simhash) — safe to apply per batch before partitioning."""
+    if not nsub:
+        return keys
+    sub_n = _nsub_vector(keys, nsub)
+    hit = sub_n > 0
+    if not hit.any():
+        return keys
+    shh = sh_i64.astype(np.uint64)
+    shh = (shh ^ (shh >> np.uint64(33))) * SUBSALT_MIX
+    subs = np.zeros(len(keys), dtype=np.uint64)
+    subs[hit] = shh[hit] % sub_n[hit]
+    keys = keys.copy()
+    keys[hit] = _subsalt_keys(keys[hit], subs[hit])
+    return keys
+
+
+def _simhash_segment_pairs(keys: np.ndarray, ids: np.ndarray,
+                           sh: np.ndarray,
+                           max_hamming: int) -> pa.Table:
+    """The simhash bucket sweep over sorted-by-key rows: per bucket,
+    group identical hashes (star emission at hamming 0, so floods
+    cost O(m)), then chunked XOR+popcount over UNIQUE hashes with
+    bounded group-pair expansion (root links past the cap). Returns
+    RAW (doc_a, doc_b, hamming) rows — a pair may repeat across
+    bands/partitions; callers dedup with a global min-hamming merge.
+    Used verbatim by the driver path and inside every distributed
+    sweep partition."""
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
+                             [len(keys)]]) if len(keys) else \
+        np.array([0, 0])
+    out_a, out_b, out_h = [], [], []
+
+    def _emit(a: np.ndarray, b: np.ndarray, h) -> None:
+        neq = a != b  # duplicate doc_id rows are not pairs
+        if not neq.any():
+            return
+        out_a.append(np.minimum(a[neq], b[neq]))
+        out_b.append(np.maximum(a[neq], b[neq]))
+        out_h.append(np.broadcast_to(h, a.shape)[neq]
+                     if np.ndim(h) else np.full(neq.sum(), h,
+                                                dtype=np.int64))
+
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        gi, gs = ids[s:e], sh[s:e]
+        # group by IDENTICAL hash first: an identical-hash flood
+        # (boilerplate corpus) costs O(m) via the star emission, and
+        # the quadratic check runs over UNIQUE hashes only
+        uorder = np.lexsort((gi, gs))
+        gi, gs = gi[uorder], gs[uorder]
+        ustart = np.concatenate([[0],
+                                 np.flatnonzero(np.diff(gs) != 0) + 1])
+        uend = np.concatenate([ustart[1:], [len(gs)]])
+        uh = gs[ustart]
+        roots = gi[ustart]  # min doc_id per group (gi sorted within)
+        # stars inside identical-hash groups (hamming 0, exact)
+        for us, ue in zip(ustart, uend):
+            if ue - us > 1:
+                _emit(np.full(ue - us - 1, gi[us]), gi[us + 1:ue],
+                      np.int64(0))
+        # pairwise over unique hashes, chunked
+        mu = len(uh)
+        chunk = max(4_000_000 // max(mu, 1), 16)
+        for lo in range(0, mu - 1, chunk):
+            hi = min(lo + chunk, mu)
+            ham = _popcount64(uh[lo:hi, None] ^ uh[None, :])
+            ri, ci = np.nonzero((ham <= max_hamming) & (ham > 0))
+            keep = (ri + lo) < ci
+            if not keep.any():
+                continue
+            ri, ci = ri[keep], ci[keep]
+            # expand group-pairs to member cross-pairs while bounded;
+            # past the cap connect via group roots (same connected
+            # component — the MinHash star-cap discipline)
+            for r, c, hm in zip(ri + lo, ci, ham[ri, ci]):
+                na, nb = uend[r] - ustart[r], uend[c] - ustart[c]
+                if na * nb <= MAX_PAIRS_PER_GROUP:
+                    a = np.repeat(gi[ustart[r]:uend[r]], nb)
+                    b = np.tile(gi[ustart[c]:uend[c]], na)
+                    _emit(a, b, np.int64(hm))
+                else:
+                    logger.warning(
+                        "simhash_near_dups: group pair %d×%d rows "
+                        "capped to root link", na, nb)
+                    _emit(np.array([roots[r]]), np.array([roots[c]]),
+                          np.int64(hm))
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "hamming": pa.array([], type=pa.int64())})
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
+    })
+
+
 def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
                       text_col: str = "text",
                       max_bucket: int = 4096) -> pa.Table:
@@ -1042,7 +1206,11 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
     within the bound is missed. Same scale discipline as MinHash:
     keys-only rows, singleton buckets dropped before any collection,
     oversized buckets sub-salted by the full hash (identical hashes
-    stay together). Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    stay together), and past SINGLE_TASK_PAIR_MAX_ROWS the sweep runs
+    DISTRIBUTED — resalted buckets hash-partitioned, the identical
+    segment kernel per partition, global min-hamming merge (round 5;
+    previously every candidate row landed on the driver). Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     if not 0 <= max_hamming <= 3:
         # the 4x16-bit pigeonhole guarantees recall ONLY for
@@ -1085,93 +1253,79 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
         return t.filter(pc.is_in(t.column("band_key"),
                                  value_set=multi_keys))
 
+    n_candidates = int(pc.sum(sizes.column("n")).as_py())
+    if n_candidates > SINGLE_TASK_PAIR_MAX_ROWS:
+        # distributed sweep (the MinHash discipline, round-5): hash-
+        # partition RESALTED band keys — every row of a (sub-)bucket
+        # lands in one partition — and run the identical segment
+        # kernel per partition; a pair found in several bands spans
+        # partitions and the global min-hamming merge dedups exactly.
+        num_partitions = max(PAIR_SWEEP_NUM_PARTITIONS,
+                             min(65536, n_candidates
+                                 // PAIR_SWEEP_ROWS_PER_PARTITION))
+
+        def with_salt_part(t: pa.Table) -> pa.Table:
+            keys2 = _simhash_resalt(
+                np.asarray(t.column("band_key"), dtype=np.int64),
+                np.asarray(t.column("simhash"), dtype=np.int64),
+                nsub)
+            h = keys2.astype(np.uint64)
+            h = (h ^ (h >> np.uint64(33))) \
+                * np.uint64(0xFF51AFD7ED558CCD)
+            part = ((h ^ (h >> np.uint64(33)))
+                    % np.uint64(num_partitions)).astype(np.int64)
+            return pa.table({
+                "band_key": pa.array(keys2, type=pa.int64()),
+                "doc_id": t.column("doc_id"),
+                "simhash": t.column("simhash"),
+                "_part": pa.array(part)})
+
+        def part_pairs(group: pa.Table) -> pa.Table:
+            keys2 = np.asarray(group.column("band_key"),
+                               dtype=np.int64)
+            order2 = np.argsort(keys2, kind="stable")
+            return _simhash_segment_pairs(
+                keys2[order2],
+                np.asarray(group.column("doc_id"),
+                           dtype=np.int64)[order2],
+                np.asarray(group.column("simhash"),
+                           dtype=np.int64).view(np.uint64)[order2],
+                max_hamming)
+
+        from .aggregate import _combine_partials
+
+        pairs = rows.map_batches(keep_multi, batch_format="pyarrow") \
+            .map_batches(with_salt_part, batch_format="pyarrow") \
+            .groupby("_part").map_groups(part_pairs,
+                                         batch_format="pyarrow")
+        merged = _combine_partials(
+            pairs, keys=["doc_a", "doc_b"],
+            aggs=[("hamming", "min")],
+            empty_schema=pa.schema([("doc_a", pa.int64()),
+                                    ("doc_b", pa.int64()),
+                                    ("hamming", pa.int64())]))
+        if merged.num_rows == 0:
+            return empty
+        return merged.sort_by([("doc_a", "ascending"),
+                               ("doc_b", "ascending")])
+
     cand = _to_arrow(rows.map_batches(keep_multi, batch_format="pyarrow"))
     if cand.num_rows == 0 or "band_key" not in cand.column_names:
         return empty
-    keys = np.asarray(cand.column("band_key"), dtype=np.int64)
-    if nsub:
-        sub_n = _nsub_vector(keys, nsub)
-        hit = sub_n > 0
-        if hit.any():
-            shh = np.asarray(cand.column("simhash"),
-                             dtype=np.int64).astype(np.uint64)
-            shh = (shh ^ (shh >> np.uint64(33))) * SUBSALT_MIX
-            subs = np.zeros(len(keys), dtype=np.uint64)
-            subs[hit] = shh[hit] % sub_n[hit]
-            keys = keys.copy()
-            keys[hit] = _subsalt_keys(keys[hit], subs[hit])
+    keys = _simhash_resalt(
+        np.asarray(cand.column("band_key"), dtype=np.int64),
+        np.asarray(cand.column("simhash"), dtype=np.int64), nsub)
     ids = np.asarray(cand.column("doc_id"), dtype=np.int64)
     sh = np.asarray(cand.column("simhash"), dtype=np.int64) \
         .view(np.uint64)
     order = np.argsort(keys, kind="stable")
-    keys, ids, sh = keys[order], ids[order], sh[order]
-    bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
-                             [len(keys)]])
-    out_a, out_b, out_h = [], [], []
-
-    def _emit(a: np.ndarray, b: np.ndarray, h) -> None:
-        neq = a != b  # duplicate doc_id rows are not pairs
-        if not neq.any():
-            return
-        out_a.append(np.minimum(a[neq], b[neq]))
-        out_b.append(np.maximum(a[neq], b[neq]))
-        out_h.append(np.broadcast_to(h, a.shape)[neq]
-                     if np.ndim(h) else np.full(neq.sum(), h,
-                                                dtype=np.int64))
-
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2:
-            continue
-        gi, gs = ids[s:e], sh[s:e]
-        # group by IDENTICAL hash first: an identical-hash flood
-        # (boilerplate corpus) costs O(m) via the star emission, and
-        # the quadratic check runs over UNIQUE hashes only
-        uorder = np.lexsort((gi, gs))
-        gi, gs = gi[uorder], gs[uorder]
-        ustart = np.concatenate([[0], np.flatnonzero(np.diff(gs) != 0) + 1])
-        uend = np.concatenate([ustart[1:], [len(gs)]])
-        uh = gs[ustart]
-        roots = gi[ustart]  # min doc_id per group (gi sorted within)
-        # stars inside identical-hash groups (hamming 0, exact)
-        for us, ue in zip(ustart, uend):
-            if ue - us > 1:
-                _emit(np.full(ue - us - 1, gi[us]), gi[us + 1:ue],
-                      np.int64(0))
-        # pairwise over unique hashes, chunked
-        mu = len(uh)
-        chunk = max(4_000_000 // max(mu, 1), 16)
-        for lo in range(0, mu - 1, chunk):
-            hi = min(lo + chunk, mu)
-            ham = _popcount64(uh[lo:hi, None] ^ uh[None, :])
-            ri, ci = np.nonzero((ham <= max_hamming) & (ham > 0))
-            keep = (ri + lo) < ci
-            if not keep.any():
-                continue
-            ri, ci = ri[keep], ci[keep]
-            # expand group-pairs to member cross-pairs while bounded;
-            # past the cap connect via group roots (same connected
-            # component — the MinHash star-cap discipline)
-            for r, c, hm in zip(ri + lo, ci, ham[ri, ci]):
-                na, nb = uend[r] - ustart[r], uend[c] - ustart[c]
-                if na * nb <= MAX_PAIRS_PER_GROUP:
-                    a = np.repeat(gi[ustart[r]:uend[r]], nb)
-                    b = np.tile(gi[ustart[c]:uend[c]], na)
-                    _emit(a, b, np.int64(hm))
-                else:
-                    logger.warning(
-                        "simhash_near_dups: group pair %d×%d rows "
-                        "capped to root link", na, nb)
-                    _emit(np.array([roots[r]]), np.array([roots[c]]),
-                          np.int64(hm))
-    if not out_a:
+    raw = _simhash_segment_pairs(keys[order], ids[order], sh[order],
+                                 max_hamming)
+    if raw.num_rows == 0:
         return empty
-    out = pa.table({
-        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-        "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
-    })
     # a pair surfaces once per agreeing band; dedup on min hamming
-    out = out.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]) \
+    out = raw.group_by(["doc_a", "doc_b"]) \
+        .aggregate([("hamming", "min")]) \
         .rename_columns(["doc_a", "doc_b", "hamming"])
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 

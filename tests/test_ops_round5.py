@@ -143,6 +143,68 @@ def test_verify_jaccard_adaptive_partitions(ray_session, monkeypatch):
     assert dist.equals(driver)
 
 
+def test_simhash_distributed_sweep_parity(ray_session, monkeypatch):
+    """Forcing the partitioned simhash sweep (driver budget = 0) must
+    reproduce the driver kernel exactly — same pairs, same min
+    hamming, including identical-hash stars and sub-salted buckets
+    (round 5: simhash previously materialized every candidate row on
+    the driver)."""
+    import ray
+
+    from log_analysis_ai_ray.stages import dedup
+
+    texts = []
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions at dawn near the old stone "
+            "bridge by the river bend every morning in summer")
+    for i in range(400):
+        words = base.split()
+        if i % 4 == 0:
+            words[i % len(words)] = f"tok{i % 9}"   # near-dup families
+        else:
+            for j in range(0, len(words), 3):
+                words[j] = f"u{i}w{j}"              # unique doc
+        texts.append(" ".join(words))
+    # exact-duplicate flood: identical-hash star path
+    texts[7] = texts[3]
+    texts[11] = texts[3]
+    t = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    driver = dedup.simhash_near_dups(ray.data.from_arrow(t))
+    assert driver.num_rows > 0
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "PAIR_SWEEP_NUM_PARTITIONS", 5)
+    dist = dedup.simhash_near_dups(ray.data.from_arrow(t))
+    assert dist.equals(driver)
+
+
+def test_winnow_distributed_sweep_parity(ray_session, monkeypatch):
+    """Forcing the partitioned winnowing sweep (driver budget = 0)
+    must reproduce the driver kernel exactly — same pairs, same
+    n_shared counts across fingerprints that span partitions."""
+    import ray
+
+    from log_analysis_ai_ray.stages import dedup
+
+    texts = []
+    shared = "the same boilerplate paragraph repeated across documents"
+    for i in range(120):
+        if i % 3 == 0:
+            texts.append(f"doc {i} intro. {shared}. unique tail {i}")
+        else:
+            texts.append(" ".join(f"w{i}x{j}" for j in range(30)))
+    t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    driver = dedup.winnow_passage_pairs(ray.data.from_arrow(t))
+    assert driver.num_rows > 0
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "PAIR_SWEEP_NUM_PARTITIONS", 5)
+    dist = dedup.winnow_passage_pairs(ray.data.from_arrow(t))
+    assert dist.equals(driver)
+
+
 def test_no_row_lambda_filter_in_package():
     """The judge's grep gate for item #3: no per-row
     ``Dataset.filter(lambda`` anywhere in the package."""
