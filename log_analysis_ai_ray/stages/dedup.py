@@ -406,6 +406,62 @@ def multi_bucket_sizes(rows_ds, key_col: str, *,
     return merged.filter(pc.greater_equal(merged.column("n"), 2))
 
 
+def census_stats(census, key_col: str, max_bucket: int,
+                 what: str) -> tuple[int, dict[int, int]]:
+    """(n_candidates, nsub) from a census that is either a driver
+    Table or a past-bound Dataset (as_dataset_past_bound): the sum
+    and the oversized-bucket table are tiny either way — only the
+    oversized rows are collected on the Dataset path."""
+    if isinstance(census, pa.Table):
+        n_candidates = int(pc.sum(census.column("n")).as_py()) \
+            if census.num_rows else 0
+        return n_candidates, oversized_bucket_subsalts(
+            census, key_col, max_bucket, what)
+    from .aggregate import _to_arrow
+
+    n_candidates = int(census.sum("n") or 0)
+    over = _to_arrow(census.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), max_bucket)),
+        batch_format="pyarrow"))
+    nsub = (oversized_bucket_subsalts(over, key_col, max_bucket, what)
+            if "n" in over.column_names else {})
+    return n_candidates, nsub
+
+
+def census_gate(census, key_col: str):
+    """Multi-bucket row filter from either census form: a driver
+    Table gives an exact ``pc.is_in`` value set; a past-bound Dataset
+    gives a broadcast Bloom prefilter (bitmap via ray.put, sized by
+    census cardinality) — exact for every PAIR-producing caller,
+    because a Bloom false positive only admits rows of
+    globally-singleton buckets, and a singleton segment emits no
+    pairs (and is never sub-salted: nsub derives from true census
+    rows). Returns a function Dataset -> filtered Dataset."""
+    if isinstance(census, pa.Table):
+        keys = census.column(key_col).combine_chunks()
+
+        def gate(ds):
+            return ds.map_batches(
+                lambda t: t.filter(pc.is_in(t.column(key_col),
+                                            value_set=keys)),
+                batch_format="pyarrow")
+
+        return gate
+    import ray
+
+    from .bloomjoin import BloomFilterStage, bloom_build, m_bits_for
+
+    bm_ref = ray.put(bloom_build(census, key_col,
+                                 m_bits=m_bits_for(census.count())))
+
+    def gate(ds):
+        return ds.map_batches(
+            BloomFilterStage, fn_constructor_args=(bm_ref, key_col),
+            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+
+    return gate
+
+
 def oversized_bucket_subsalts(sizes: pa.Table, key_col: str,
                               max_bucket: int, what: str) -> dict[int, int]:
     """From a bucket-size table: for each bucket over ``max_bucket``
@@ -1009,15 +1065,14 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
     empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                       "doc_b": pa.array([], type=pa.int64()),
                       "n_shared": pa.array([], type=pa.int64())})
-    sizes = multi_bucket_sizes(rows, "fp")
-    if sizes.num_rows == 0:
+    sizes = multi_bucket_sizes(rows, "fp", as_dataset_past_bound=True)
+    # winnow has no sub-salting (star caps bound expansion), so the
+    # oversize threshold is moot — stats only for the candidate count
+    n_candidates, _ = census_stats(sizes, "fp", 1 << 62,
+                                   "winnow_passage_pairs")
+    if n_candidates == 0:
         return empty
-    multi_keys = sizes.column("fp").combine_chunks()
-
-    def keep_multi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("fp"), value_set=multi_keys))
-
-    n_candidates = int(pc.sum(sizes.column("n")).as_py())
+    keep_multi_ds = census_gate(sizes, "fp")
     if n_candidates > SINGLE_TASK_PAIR_MAX_ROWS:
         # distributed sweep (round 5, the MinHash/SimHash discipline):
         # hash-partition fingerprints — every row of an fp lands in
@@ -1048,7 +1103,7 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
             return _winnow_segment_pairs(fp_g[order_g],
                                          ids_g[order_g])
 
-        pairs = rows.map_batches(keep_multi, batch_format="pyarrow") \
+        pairs = keep_multi_ds(rows) \
             .map_batches(with_part, batch_format="pyarrow") \
             .groupby("_part").map_groups(part_pairs,
                                          batch_format="pyarrow")
@@ -1061,8 +1116,7 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
         if out.num_rows == 0:
             return empty
     else:
-        cand = _to_arrow(rows.map_batches(keep_multi,
-                                          batch_format="pyarrow"))
+        cand = _to_arrow(keep_multi_ds(rows))
         if cand.num_rows == 0 or "fp" not in cand.column_names:
             return empty
         fp = np.asarray(cand.column("fp"), dtype=np.int64)
@@ -1242,18 +1296,13 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
     empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                       "doc_b": pa.array([], type=pa.int64()),
                       "hamming": pa.array([], type=pa.int64())})
-    sizes = multi_bucket_sizes(rows, "band_key")
-    if sizes.num_rows == 0:
+    sizes = multi_bucket_sizes(rows, "band_key",
+                               as_dataset_past_bound=True)
+    n_candidates, nsub = census_stats(sizes, "band_key", max_bucket,
+                                      "simhash_near_dups")
+    if n_candidates == 0:
         return empty
-    multi_keys = sizes.column("band_key").combine_chunks()
-    nsub = oversized_bucket_subsalts(sizes, "band_key", max_bucket,
-                                     "simhash_near_dups")
-
-    def keep_multi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("band_key"),
-                                 value_set=multi_keys))
-
-    n_candidates = int(pc.sum(sizes.column("n")).as_py())
+    keep_multi_ds = census_gate(sizes, "band_key")
     if n_candidates > SINGLE_TASK_PAIR_MAX_ROWS:
         # distributed sweep (the MinHash discipline, round-5): hash-
         # partition RESALTED band keys — every row of a (sub-)bucket
@@ -1294,7 +1343,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
         from .aggregate import _combine_partials
 
-        pairs = rows.map_batches(keep_multi, batch_format="pyarrow") \
+        pairs = keep_multi_ds(rows) \
             .map_batches(with_salt_part, batch_format="pyarrow") \
             .groupby("_part").map_groups(part_pairs,
                                          batch_format="pyarrow")
@@ -1309,7 +1358,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
         return merged.sort_by([("doc_a", "ascending"),
                                ("doc_b", "ascending")])
 
-    cand = _to_arrow(rows.map_batches(keep_multi, batch_format="pyarrow"))
+    cand = _to_arrow(keep_multi_ds(rows))
     if cand.num_rows == 0 or "band_key" not in cand.column_names:
         return empty
     keys = _simhash_resalt(
@@ -1480,14 +1529,16 @@ def prefix_jaccard_candidates(ds, threshold_pm: int, width: int = 3,
     rows = ds.map_batches(
         PrefixEmitStage(threshold_pm, width, id_col, text_col),
         batch_format="pyarrow").materialize()
-    sizes = multi_bucket_sizes(rows, "skey")
-    if sizes.num_rows == 0:
+    sizes = multi_bucket_sizes(rows, "skey",
+                               as_dataset_past_bound=True)
+    # Bloom-gated past the bound: a false-positive singleton skey
+    # reaches group_pairs as m=1 and emits nothing — exact recall
+    n_candidates, _ = census_stats(sizes, "skey", 1 << 62,
+                                   "prefix_jaccard_candidates")
+    if n_candidates == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
-    multi = sizes.column("skey").combine_chunks()
-
-    def keep_multi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("skey"), value_set=multi))
+    keep_multi_ds = census_gate(sizes, "skey")
 
     def group_pairs(g: pa.Table) -> pa.Table:
         ids = np.unique(np.asarray(g.column(id_col), dtype=np.int64))
@@ -1516,7 +1567,7 @@ def prefix_jaccard_candidates(ds, threshold_pm: int, width: int = 3,
         return pa.table({"doc_a": pa.array(ids[ia]),
                          "doc_b": pa.array(ids[ib])})
 
-    pairs = rows.map_batches(keep_multi, batch_format="pyarrow") \
+    pairs = keep_multi_ds(rows) \
         .groupby("skey").map_groups(group_pairs, batch_format="pyarrow")
     return _combine_partials(
         pairs, keys=["doc_a", "doc_b"], aggs=[],

@@ -268,8 +268,8 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     bytes per corpus vector.
     """
     from .aggregate import _to_arrow
-    from .dedup import (_subsalt_keys, multi_bucket_sizes,
-                        oversized_bucket_subsalts)
+    from .dedup import (_subsalt_keys, census_gate, census_stats,
+                        multi_bucket_sizes)
 
     # dim probed from the first row; a fully-empty corpus has none
     probe_rows = ds.take(1)
@@ -294,27 +294,22 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "sim": pa.array([], type=pa.float64())})
-    sizes = multi_bucket_sizes(key_rows, "lsh_bucket")
-    if sizes.num_rows == 0:
+    sizes = multi_bucket_sizes(key_rows, "lsh_bucket",
+                               as_dataset_past_bound=True)
+    n_candidates, nsub = census_stats(sizes, "lsh_bucket", max_bucket,
+                                      "embedding_near_dups")
+    if n_candidates == 0:
         return empty
-    multi_keys = sizes.column("lsh_bucket").combine_chunks()
-    n_candidates = int(pc.sum(sizes.column("n")).as_py())
-    nsub = oversized_bucket_subsalts(sizes, "lsh_bucket", max_bucket,
-                                     "embedding_near_dups")
-
-    def keep_multi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("lsh_bucket"),
-                                 value_set=multi_keys))
+    keep_multi_ds = census_gate(sizes, "lsh_bucket")
 
     def cand_id_partial(t: pa.Table) -> pa.Table:
-        hit = keep_multi(t)
-        ids = hit.column(id_col)
+        ids = t.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         return pa.table({id_col: pc.unique(ids)})
 
-    cand_tbl = _to_arrow(key_rows.map_batches(cand_id_partial,
-                                              batch_format="pyarrow"))
+    cand_tbl = _to_arrow(keep_multi_ds(key_rows).map_batches(
+        cand_id_partial, batch_format="pyarrow"))
     if cand_tbl.num_rows == 0 or id_col not in cand_tbl.column_names:
         return empty
     cand_ids = pc.unique(cand_tbl.column(id_col).combine_chunks())
@@ -323,9 +318,9 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
         return t.filter(pc.is_in(t.column(id_col), value_set=cand_ids))
 
     # second pass: vectors fetched only for surviving candidate ids
-    candidates = ds.map_batches(keep_cand_ids, batch_format="pyarrow") \
-        .map_batches(stage, batch_format="pyarrow") \
-        .map_batches(keep_multi, batch_format="pyarrow")
+    candidates = keep_multi_ds(
+        ds.map_batches(keep_cand_ids, batch_format="pyarrow")
+        .map_batches(stage, batch_format="pyarrow"))
 
     def resalt_keys(t: pa.Table) -> np.ndarray:
         keys = np.asarray(t.column("lsh_bucket"), dtype=np.int64)

@@ -205,6 +205,58 @@ def test_winnow_distributed_sweep_parity(ray_session, monkeypatch):
     assert dist.equals(driver)
 
 
+def test_bloom_census_gate_parity_all_sweeps(ray_session, monkeypatch):
+    """Forcing every census past the driver merge bound (bound = 0)
+    swaps the pc.is_in value sets for broadcast Bloom gates across
+    the whole sweep family — simhash, winnowing, prefix-join
+    candidates, embedding near-dups — and each must reproduce its
+    value-set result exactly (Bloom false positives only admit
+    singleton buckets, which cannot pair)."""
+    import ray
+
+    from log_analysis_ai_ray.stages import aggregate, dedup, knn
+
+    t = _mixed_corpus(120)
+    rng = np.random.default_rng(3)
+    base_v = rng.normal(size=(12, 16))
+    vecs = np.repeat(base_v, 10, axis=0) + rng.normal(
+        scale=0.01, size=(120, 16))
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+
+    expect = {
+        "simhash": dedup.simhash_near_dups(ray.data.from_arrow(t)),
+        "winnow": dedup.winnow_passage_pairs(ray.data.from_arrow(t)),
+        "prefix": dedup.prefix_jaccard_candidates(
+            ray.data.from_arrow(t), 600, 3),
+        "embed": knn.embedding_near_dups(ray.data.from_arrow(emb),
+                                         threshold=0.95),
+    }
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    got = {
+        "simhash": dedup.simhash_near_dups(ray.data.from_arrow(t)),
+        "winnow": dedup.winnow_passage_pairs(ray.data.from_arrow(t)),
+        "prefix": dedup.prefix_jaccard_candidates(
+            ray.data.from_arrow(t), 600, 3),
+        "embed": knn.embedding_near_dups(ray.data.from_arrow(emb),
+                                         threshold=0.95),
+    }
+    for name in expect:
+        assert expect[name].num_rows > 0, name
+        if name == "prefix":
+            # candidate order is not part of the contract (callers
+            # sort or verify); the distributed distinct merge returns
+            # arbitrary order vs the driver's first-occurrence order
+            srt = [("doc_a", "ascending"), ("doc_b", "ascending")]
+            assert got[name].sort_by(srt).equals(
+                expect[name].sort_by(srt)), name
+        else:
+            assert got[name].equals(expect[name]), name
+
+
 def test_no_row_lambda_filter_in_package():
     """The judge's grep gate for item #3: no per-row
     ``Dataset.filter(lambda`` anywhere in the package."""
