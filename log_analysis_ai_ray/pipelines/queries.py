@@ -2842,7 +2842,10 @@ def q_doc_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_near_dups
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_dups(ds, max_hamming=3)
+    return simhash_near_dups(
+        ds, max_hamming=3,
+        out_dir=os.path.join("/tmp/graft_simhash_pairs",
+                             sf_name(sf_dir)))
 
 
 QUERIES["hourly_top_templates"] = (q_hourly_top_templates,
@@ -2873,7 +2876,10 @@ def q_doc_shared_passages(sf_dir: str):
     # k=16/window=32 → only passages ≥ 47 chars fingerprint; ≥ 4
     # distinct shared passages required — template boilerplate in the
     # corpus would otherwise pair nearly every doc
-    return winnow_passage_pairs(ds, k=16, window=32, min_shared=4)
+    return winnow_passage_pairs(
+        ds, k=16, window=32, min_shared=4,
+        out_dir=os.path.join("/tmp/graft_winnow_pairs",
+                             sf_name(sf_dir)))
 
 
 def q_lang_distinctive_terms(sf_dir: str):

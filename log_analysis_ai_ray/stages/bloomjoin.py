@@ -176,7 +176,7 @@ def bloom_build(ds, key_col: str, m_bits: int = M_BITS_DEFAULT,
 def bloom_semi_join(left_ds, keys_ds, *, left_key: str, right_key: str,
                     n_keys: int, left_schema: pa.Schema,
                     num_partitions: int = 64,
-                    concurrency: int = 2):
+                    concurrency=(1, 16)):
     """The at-scale keep-filter shape (used by the MinHash distributed
     census and the curation keep-list): a broadcast Bloom prefilter
     sized for ``n_keys`` drops most non-members before any exchange,

@@ -406,26 +406,51 @@ def multi_bucket_sizes(rows_ds, key_col: str, *,
     return merged.filter(pc.greater_equal(merged.column("n"), 2))
 
 
-def census_stats(census, key_col: str, max_bucket: int,
+def census_stats(census, key_col: str, max_bucket: int | None,
                  what: str) -> tuple[int, dict[int, int]]:
     """(n_candidates, nsub) from a census that is either a driver
     Table or a past-bound Dataset (as_dataset_past_bound): the sum
     and the oversized-bucket table are tiny either way — only the
-    oversized rows are collected on the Dataset path."""
+    oversized rows are collected on the Dataset path.
+    ``max_bucket=None`` skips the oversize scan entirely (callers
+    without sub-salting, e.g. winnow/prefix whose star caps bound
+    expansion) and returns nsub={}."""
     if isinstance(census, pa.Table):
         n_candidates = int(pc.sum(census.column("n")).as_py()) \
             if census.num_rows else 0
-        return n_candidates, oversized_bucket_subsalts(
+        nsub = {} if max_bucket is None else oversized_bucket_subsalts(
             census, key_col, max_bucket, what)
+        return n_candidates, nsub
     from .aggregate import _to_arrow
 
     n_candidates = int(census.sum("n") or 0)
+    if max_bucket is None:
+        return n_candidates, {}
     over = _to_arrow(census.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), max_bucket)),
         batch_format="pyarrow"))
     nsub = (oversized_bucket_subsalts(over, key_col, max_bucket, what)
             if "n" in over.column_names else {})
     return n_candidates, nsub
+
+
+def sweep_num_partitions(n_candidates: int) -> int:
+    """Pair-sweep partition count: floor PAIR_SWEEP_NUM_PARTITIONS,
+    scaling with candidate volume so one partition's rows stay
+    bounded however large the corpus (shared by the MinHash, SimHash
+    and winnowing sweeps)."""
+    return max(PAIR_SWEEP_NUM_PARTITIONS,
+               min(65536, n_candidates // PAIR_SWEEP_ROWS_PER_PARTITION))
+
+
+def partition_ids(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Murmur-finalizer hash partition ids for int64 bucket keys —
+    the ONE mixing function every sweep uses, so bucket co-location
+    can never diverge between them."""
+    h = keys.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return ((h ^ (h >> np.uint64(33)))
+            % np.uint64(num_partitions)).astype(np.int64)
 
 
 def census_gate(census, key_col: str):
@@ -449,15 +474,27 @@ def census_gate(census, key_col: str):
         return gate
     import ray
 
-    from .bloomjoin import BloomFilterStage, bloom_build, m_bits_for
+    from .bloomjoin import (M_BITS_MAX, BloomFilterStage, bloom_build,
+                            m_bits_for)
 
+    n_keys = census.count()
+    if n_keys * 16 > M_BITS_MAX:
+        logger.warning(
+            "census_gate(%s): %d census keys exceed the %d-bit bitmap "
+            "cap (%.1f bits/key) — fpp degrades and more singleton "
+            "rows reach the sweep (output unaffected)",
+            key_col, n_keys, M_BITS_MAX, M_BITS_MAX / max(n_keys, 1))
     bm_ref = ray.put(bloom_build(census, key_col,
-                                 m_bits=m_bits_for(census.count())))
+                                 m_bits=m_bits_for(n_keys)))
 
     def gate(ds):
+        # autoscaling actor pool: the gate filters the FULL row
+        # stream, so a fixed 1-CPU pool would serialize the pipeline
+        # (round-5 review finding)
         return ds.map_batches(
             BloomFilterStage, fn_constructor_args=(bm_ref, key_col),
-            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+            concurrency=(1, 16), num_cpus=0.5,
+            batch_format="pyarrow")
 
     return gate
 
@@ -735,7 +772,8 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
                                      m_bits=m_bits_for(census_rows)))
         pre = key_rows.map_batches(
             BloomFilterStage, fn_constructor_args=(bm_ref, "band_key"),
-            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+            concurrency=(1, 16), num_cpus=0.5,
+            batch_format="pyarrow")
         # doc-id bitmap built straight from the Bloom-surviving band
         # rows — per-block unique inside bloom_build; duplicate ids
         # across blocks just re-set the same bits, so no distinct
@@ -745,13 +783,14 @@ def _minhash_candidates_distributed(ds, key_rows, census, full_stage,
                                       m_bits=m_bits_for(n_candidates)))
         cand_docs = docs.map_batches(
             BloomFilterStage, fn_constructor_args=(bm2_ref, "doc_id"),
-            concurrency=2, num_cpus=0.5, batch_format="pyarrow")
+            concurrency=(1, 16), num_cpus=0.5,
+            batch_format="pyarrow")
 
     candidates = cand_docs \
         .map_batches(full_stage, batch_format="pyarrow") \
         .map_batches(BloomFilterStage,
                      fn_constructor_args=(bm_ref, "band_key"),
-                     concurrency=2, num_cpus=0.5,
+                     concurrency=(1, 16), num_cpus=0.5,
                      batch_format="pyarrow")
     return candidates, n_candidates, nsub
 
@@ -876,17 +915,11 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
         # 1M-doc corpus). A pair seen in several buckets may span
         # partitions; the est is a pure pair function, so the global
         # (doc_a, doc_b) max-merge dedups exactly.
-        num_partitions = max(PAIR_SWEEP_NUM_PARTITIONS,
-                             min(65536, n_candidates
-                                 // PAIR_SWEEP_ROWS_PER_PARTITION))
+        num_partitions = sweep_num_partitions(n_candidates)
 
         def with_salt_part(t: pa.Table) -> pa.Table:
             keys = _resalted_keys(t, nsub)
-            h = keys.astype(np.uint64)
-            h = (h ^ (h >> np.uint64(33))) \
-                * np.uint64(0xFF51AFD7ED558CCD)
-            part = ((h ^ (h >> np.uint64(33)))
-                    % np.uint64(num_partitions)).astype(np.int64)
+            part = partition_ids(keys, num_partitions)
             t = t.set_column(t.schema.get_field_index("band_key"),
                              "band_key",
                              pa.array(keys, type=pa.int64()))
@@ -912,16 +945,7 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
         if not isinstance(merged, pa.Table):
             # pair list exceeds the driver merge bound: persist
             # partitioned, never collect
-            if out_dir is None:
-                raise ValueError(
-                    "minhash_near_dups: pair list exceeds the driver "
-                    "merge bound; pass out_dir to write it as parquet")
-            import shutil
-
-            shutil.rmtree(out_dir, ignore_errors=True)  # no stale mix
-            merged = merged.materialize()
-            merged.write_parquet(out_dir)
-            return merged
+            return _spill_pairs(merged, out_dir, "minhash_near_dups")
     if merged.num_rows == 0:
         return empty
     return merged.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
@@ -998,6 +1022,24 @@ def winnow_doc_fps(text_array, k: int = 8,
     return vals[keep], parent[keep]
 
 
+def _spill_pairs(pairs_ds, out_dir: str | None, what: str):
+    """Merged pair list past the driver merge bound: write as
+    partitioned parquet to ``out_dir`` (required on this path) and
+    return the materialized Dataset — order is NOT globally sorted,
+    a 100M-row all-to-all sort buys nothing for a pair-list
+    artifact (the minhash spill contract, shared by every sweep)."""
+    if out_dir is None:
+        raise ValueError(
+            f"{what}: pair list exceeds the driver merge bound; "
+            "pass out_dir to write it as parquet")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # no stale mix
+    pairs_ds = pairs_ds.materialize()
+    pairs_ds.write_parquet(out_dir)
+    return pairs_ds
+
+
 def _winnow_segment_pairs(fp: np.ndarray, ids: np.ndarray) -> pa.Table:
     """The winnowing bucket sweep over rows SORTED by fp: per
     fingerprint, unique member docs pair triangularly while bounded,
@@ -1039,7 +1081,8 @@ def _winnow_segment_pairs(fp: np.ndarray, ids: np.ndarray) -> pa.Table:
 def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
                          id_col: str = "doc_id", text_col: str = "text",
                          max_bucket: int = 4096,
-                         min_shared: int = 1) -> pa.Table:
+                         min_shared: int = 1,
+                         out_dir: str | None = None):
     """Cross-document shared-passage detection (passage-level dedup,
     the 'repeated boilerplate paragraph' case exact dedup misses):
     winnowed fingerprints per doc → singleton fingerprints dropped
@@ -1066,9 +1109,9 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
                       "doc_b": pa.array([], type=pa.int64()),
                       "n_shared": pa.array([], type=pa.int64())})
     sizes = multi_bucket_sizes(rows, "fp", as_dataset_past_bound=True)
-    # winnow has no sub-salting (star caps bound expansion), so the
-    # oversize threshold is moot — stats only for the candidate count
-    n_candidates, _ = census_stats(sizes, "fp", 1 << 62,
+    # winnow has no sub-salting (star caps bound expansion):
+    # max_bucket=None skips the oversize scan
+    n_candidates, _ = census_stats(sizes, "fp", None,
                                    "winnow_passage_pairs")
     if n_candidates == 0:
         return empty
@@ -1082,17 +1125,12 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
         # driver kernel's count.
         from .aggregate import _combine_partials
 
-        num_partitions = max(PAIR_SWEEP_NUM_PARTITIONS,
-                             min(65536, n_candidates
-                                 // PAIR_SWEEP_ROWS_PER_PARTITION))
+        num_partitions = sweep_num_partitions(n_candidates)
 
         def with_part(t: pa.Table) -> pa.Table:
-            h = np.asarray(t.column("fp"),
-                           dtype=np.int64).astype(np.uint64)
-            h = (h ^ (h >> np.uint64(33))) \
-                * np.uint64(0xFF51AFD7ED558CCD)
-            part = ((h ^ (h >> np.uint64(33)))
-                    % np.uint64(num_partitions)).astype(np.int64)
+            part = partition_ids(
+                np.asarray(t.column("fp"), dtype=np.int64),
+                num_partitions)
             return t.append_column("_part", pa.array(part))
 
         def part_pairs(group: pa.Table) -> pa.Table:
@@ -1112,7 +1150,15 @@ def winnow_passage_pairs(ds, k: int = 8, window: int = 16,
             aggs=[("n_shared", "sum")],
             empty_schema=pa.schema([("doc_a", pa.int64()),
                                     ("doc_b", pa.int64()),
-                                    ("n_shared", pa.int64())]))
+                                    ("n_shared", pa.int64())]),
+            dataset_final=True)
+        if not isinstance(out, pa.Table):
+            if min_shared > 1:
+                out = out.map_batches(
+                    lambda t, ms=min_shared: t.filter(
+                        pc.greater_equal(t.column("n_shared"), ms)),
+                    batch_format="pyarrow")
+            return _spill_pairs(out, out_dir, "winnow_passage_pairs")
         if out.num_rows == 0:
             return empty
     else:
@@ -1250,7 +1296,8 @@ def _simhash_segment_pairs(keys: np.ndarray, ids: np.ndarray,
 
 def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_bucket: int = 4096) -> pa.Table:
+                      max_bucket: int = 4096,
+                      out_dir: str | None = None):
     """SimHash near-duplicate pairs (Manku/Jain/Sarma banded blocking):
     the 64-bit SimHash splits into 4 disjoint 16-bit bands; any two
     hashes within Hamming distance ``max_hamming`` (< 4) agree EXACTLY
@@ -1309,20 +1356,14 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
         # lands in one partition — and run the identical segment
         # kernel per partition; a pair found in several bands spans
         # partitions and the global min-hamming merge dedups exactly.
-        num_partitions = max(PAIR_SWEEP_NUM_PARTITIONS,
-                             min(65536, n_candidates
-                                 // PAIR_SWEEP_ROWS_PER_PARTITION))
+        num_partitions = sweep_num_partitions(n_candidates)
 
         def with_salt_part(t: pa.Table) -> pa.Table:
             keys2 = _simhash_resalt(
                 np.asarray(t.column("band_key"), dtype=np.int64),
                 np.asarray(t.column("simhash"), dtype=np.int64),
                 nsub)
-            h = keys2.astype(np.uint64)
-            h = (h ^ (h >> np.uint64(33))) \
-                * np.uint64(0xFF51AFD7ED558CCD)
-            part = ((h ^ (h >> np.uint64(33)))
-                    % np.uint64(num_partitions)).astype(np.int64)
+            part = partition_ids(keys2, num_partitions)
             return pa.table({
                 "band_key": pa.array(keys2, type=pa.int64()),
                 "doc_id": t.column("doc_id"),
@@ -1352,7 +1393,12 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id",
             aggs=[("hamming", "min")],
             empty_schema=pa.schema([("doc_a", pa.int64()),
                                     ("doc_b", pa.int64()),
-                                    ("hamming", pa.int64())]))
+                                    ("hamming", pa.int64())]),
+            dataset_final=True)
+        if not isinstance(merged, pa.Table):
+            # pair list exceeds the driver merge bound: persist
+            # partitioned, never collect (the minhash spill contract)
+            return _spill_pairs(merged, out_dir, "simhash_near_dups")
         if merged.num_rows == 0:
             return empty
         return merged.sort_by([("doc_a", "ascending"),
@@ -1533,7 +1579,7 @@ def prefix_jaccard_candidates(ds, threshold_pm: int, width: int = 3,
                                as_dataset_past_bound=True)
     # Bloom-gated past the bound: a false-positive singleton skey
     # reaches group_pairs as m=1 and emits nothing — exact recall
-    n_candidates, _ = census_stats(sizes, "skey", 1 << 62,
+    n_candidates, _ = census_stats(sizes, "skey", None,
                                    "prefix_jaccard_candidates")
     if n_candidates == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),

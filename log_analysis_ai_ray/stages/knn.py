@@ -268,8 +268,8 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
     bytes per corpus vector.
     """
     from .aggregate import _to_arrow
-    from .dedup import (_subsalt_keys, census_gate, census_stats,
-                        multi_bucket_sizes)
+    from .dedup import (_nsub_vector, _subsalt_keys, census_gate,
+                        census_stats, multi_bucket_sizes)
 
     # dim probed from the first row; a fully-empty corpus has none
     probe_rows = ds.take(1)
@@ -326,8 +326,7 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_bits: int = 10,
         keys = np.asarray(t.column("lsh_bucket"), dtype=np.int64)
         if not nsub:
             return keys
-        sub_n = np.array([nsub.get(int(k), 0) for k in keys],
-                         dtype=np.uint64)
+        sub_n = _nsub_vector(keys, nsub)
         hit = sub_n > 0
         if not hit.any():
             return keys

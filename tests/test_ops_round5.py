@@ -7,6 +7,7 @@ import glob
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 def _mixed_corpus(n: int = 300) -> pa.Table:
@@ -177,6 +178,45 @@ def test_simhash_distributed_sweep_parity(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "PAIR_SWEEP_NUM_PARTITIONS", 5)
     dist = dedup.simhash_near_dups(ray.data.from_arrow(t))
     assert dist.equals(driver)
+
+
+def test_simhash_winnow_pair_spill_parity(ray_session, tmp_path,
+                                          monkeypatch):
+    """Past the driver merge bound simhash and winnow pair lists must
+    spill to parquet (the minhash contract) with the same logical
+    content as the driver tables."""
+    import ray
+
+    from log_analysis_ai_ray.stages import aggregate, dedup
+
+    t = _mixed_corpus(150)
+    sim_drv = dedup.simhash_near_dups(ray.data.from_arrow(t))
+    win_drv = dedup.winnow_passage_pairs(ray.data.from_arrow(t),
+                                         min_shared=2)
+    assert sim_drv.num_rows > 0 and win_drv.num_rows > 0
+
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "SINGLE_TASK_PAIR_MAX_ROWS", 0)
+    with pytest.raises(ValueError, match="out_dir"):
+        dedup.simhash_near_dups(ray.data.from_arrow(t))
+
+    def readback(out_dir, cols):
+        files = sorted(glob.glob(out_dir + "/*.parquet"))
+        assert files
+        return pa.concat_tables([pq.read_table(f) for f in files]) \
+            .sort_by([("doc_a", "ascending"),
+                      ("doc_b", "ascending")]).select(cols)
+
+    sd = str(tmp_path / "sim")
+    out = dedup.simhash_near_dups(ray.data.from_arrow(t), out_dir=sd)
+    assert not isinstance(out, pa.Table)
+    assert readback(sd, ["doc_a", "doc_b", "hamming"]).equals(sim_drv)
+
+    wd = str(tmp_path / "win")
+    out = dedup.winnow_passage_pairs(ray.data.from_arrow(t),
+                                     min_shared=2, out_dir=wd)
+    assert not isinstance(out, pa.Table)
+    assert readback(wd, ["doc_a", "doc_b", "n_shared"]).equals(win_drv)
 
 
 def test_winnow_distributed_sweep_parity(ray_session, monkeypatch):
