@@ -264,6 +264,27 @@ def main() -> int:
         out["jobs"]["doc_minhash_pairs"] = run_job("minhash",
                                                    job_minhash)
 
+    if "simhash" in jobs:
+        # round-5: the distributed simhash sweep at 1M docs — with
+        # 16-bit bands and 1M docs every bucket is multi-occupied
+        # (~61 rows avg), so n_candidates ≈ 4M forces the partitioned
+        # sweep; records wall + driver RSS for the new path.
+        def job_simhash():
+            from log_analysis_ai_ray.stages.dedup import \
+                simhash_near_dups
+            docs = ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+            out2 = simhash_near_dups(
+                docs, out_dir="/tmp/sf1_simhash_pairs")
+            n = (out2.num_rows if isinstance(out2, pa.Table)
+                 else out2.count())
+            return {"pairs": int(n),
+                    "spilled": not isinstance(out2, pa.Table)}
+
+        out["jobs"]["doc_simhash_pairs"] = run_job("simhash",
+                                                   job_simhash)
+
     if "ann" in jobs:
         # round-5 judge item #2: the ANN store at 1M vectors —
         # from-text build through the EmbedStage actor pool (IVF) plus
