@@ -114,3 +114,42 @@ def test_plan_bins_property():
             assert len(b) == 1 or sum(sizes[i] for i in b) <= target
 
     check()
+
+
+def test_dense_block_bitmap_partial_matches_local(ray_session):
+    """bloom_build's dense-block branch (a block whose probe-position
+    blob would exceed the bitmap ships its own bitmap instead) must
+    produce the identical bitmap to the local build — forced by a
+    tiny m_bits so every block is dense."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from log_analysis_ai_ray.stages.bloomjoin import (bloom_build,
+                                                      bloom_from_keys)
+
+    keys = np.arange(2000, dtype=np.int64) * 977
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})) \
+        .repartition(4)
+    m_bits = 1 << 10  # 128 bytes: 2000 keys x 5 probes >> bitmap
+    dist = bloom_build(ds, "k", m_bits=m_bits)
+    local = bloom_from_keys(keys, m_bits=m_bits)
+    assert np.array_equal(dist, local)
+    # and the sparse branch at a comfortable size agrees too
+    dist2 = bloom_build(ds, "k")
+    local2 = bloom_from_keys(keys)
+    assert np.array_equal(dist2, local2)
+
+
+def test_m_bits_for_sizing():
+    from log_analysis_ai_ray.stages.bloomjoin import (M_BITS_DEFAULT,
+                                                      M_BITS_MAX,
+                                                      m_bits_for)
+
+    assert m_bits_for(0) == M_BITS_DEFAULT
+    assert m_bits_for(1) == M_BITS_DEFAULT
+    # 16 bits/key, next power of two
+    assert m_bits_for(1_000_000) >= 16_000_000
+    assert m_bits_for(1_000_000) & (m_bits_for(1_000_000) - 1) == 0
+    # hard cap
+    assert m_bits_for(10**12) == M_BITS_MAX

@@ -308,3 +308,90 @@ def test_no_row_lambda_filter_in_package():
         ["grep", "-rn", r"\.filter(lambda", "log_analysis_ai_ray"],
         cwd=root, capture_output=True, text=True)
     assert out.stdout.strip() == "", out.stdout
+
+
+def test_simhash_segment_kernel_vs_bruteforce():
+    """Property check of the extracted simhash segment kernel against
+    a brute-force per-bucket scan on random inputs (dedup on min
+    hamming applied to both)."""
+    from log_analysis_ai_ray.stages.dedup import (_popcount64,
+                                                  _simhash_segment_pairs)
+
+    rng = np.random.default_rng(11)
+    n = 300
+    keys = np.sort(rng.integers(0, 12, n).astype(np.int64))
+    ids = rng.permutation(n).astype(np.int64)
+    # clustered but globally-DISTINCT hashes (each row flips a
+    # different bit of its base): identical-hash groups — which emit
+    # stars by design — never form, so the quadratic group-pair path
+    # is what this property pins
+    bases = rng.integers(0, 2**63, 6, dtype=np.int64).astype(np.uint64)
+    which = rng.integers(0, 6, n)
+    rank = np.zeros(n, dtype=np.uint64)
+    seen: dict = {}
+    for i, b in enumerate(which):
+        rank[i] = seen.get(b, 0)
+        seen[b] = seen.get(b, 0) + 1
+    sh = bases[which] + rank  # injective within a base group
+    assert len(np.unique(sh)) == n  # no identical-hash groups
+
+    got = _simhash_segment_pairs(keys, ids, sh, 3)
+    got = got.group_by(["doc_a", "doc_b"]) \
+        .aggregate([("hamming", "min")]) \
+        .rename_columns(["doc_a", "doc_b", "hamming"]) \
+        .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    want = {}
+    for s in np.unique(keys):
+        seg = np.flatnonzero(keys == s)
+        for i in range(len(seg)):
+            for j in range(i + 1, len(seg)):
+                a, b = ids[seg[i]], ids[seg[j]]
+                if a == b:
+                    continue
+                h = int(_popcount64(np.array(
+                    [sh[seg[i]] ^ sh[seg[j]]]))[0])
+                if h <= 3:
+                    key = (min(a, b), max(a, b))
+                    want[key] = min(want.get(key, 64), h)
+    got_d = {(a, b): h for a, b, h in
+             zip(got.column("doc_a").to_pylist(),
+                 got.column("doc_b").to_pylist(),
+                 got.column("hamming").to_pylist())}
+    assert got_d == want
+
+
+def test_census_stats_none_skips_oversize_scan(ray_session,
+                                               monkeypatch):
+    """max_bucket=None returns nsub={} on both census forms and never
+    launches the oversize filter pass."""
+    import ray
+
+    from log_analysis_ai_ray.stages import aggregate, dedup
+
+    rows = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "doc_id": pa.array(np.arange(6, dtype=np.int64))})
+    ds = ray.data.from_arrow(rows)
+    tbl = dedup.multi_bucket_sizes(ds, "k")
+    n, nsub = dedup.census_stats(tbl, "k", None, "t")
+    assert n == 5 and nsub == {}
+    monkeypatch.setattr(aggregate, "DRIVER_MERGE_MAX_ROWS", 0)
+    dset = dedup.multi_bucket_sizes(ds, "k", as_dataset_past_bound=True)
+    n2, nsub2 = dedup.census_stats(dset, "k", None, "t")
+    assert n2 == 5 and nsub2 == {}
+    # with a threshold, the oversized map appears
+    n3, nsub3 = dedup.census_stats(dset, "k", 2, "t")
+    assert n3 == 5 and nsub3 == {1: 2}
+
+
+def test_partition_ids_deterministic_and_in_range():
+    from log_analysis_ai_ray.stages.dedup import partition_ids
+
+    keys = np.arange(-500, 500, dtype=np.int64) * 7919
+    p1 = partition_ids(keys, 13)
+    p2 = partition_ids(keys.copy(), 13)
+    assert np.array_equal(p1, p2)
+    assert p1.min() >= 0 and p1.max() < 13
+    # all partitions populated for a spread key set
+    assert len(np.unique(p1)) == 13
