@@ -18,7 +18,7 @@ family collide in ~12% of bands and exploded candidates to ~12M
 noise pairs) — a realistic dedup mix at 1M docs.
 
 Usage: python tools/stress_sf1.py
-    [--jobs flagship,dedup,minhash,ann,curation] [--tag rN]
+    [--jobs flagship,dedup,minhash,simhash,ann,curation] [--tag rN]
     [--corpus mixed|boilerplate] [--force-distributed-census]
 Writes BENCH_SF1_<tag>[_boilerplate][_distcensus].json at the repo
 root. --force-distributed-census zeroes the driver merge bound so the
@@ -195,7 +195,7 @@ def run_job(name: str, fn) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--jobs",
-                    default="flagship,dedup,minhash,ann,curation")
+                    default="flagship,dedup,minhash,simhash,ann,curation")
     ap.add_argument("--corpus", default="mixed",
                     choices=("mixed", "boilerplate"))
     ap.add_argument("--tag", default="r5",
